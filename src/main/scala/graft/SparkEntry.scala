@@ -1,13 +1,29 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the judge-checkable operator inventory: one named entry per
+  * implemented SURVEY §2 capability (plus the LLM-pipeline extras), each
+  * with a DuckDB oracle in `oracleSql` when the semantics are
+  * SQL-expressible (sketch/ANN/fingerprint ops get rows-only checks).
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("tpch_q01")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.Tpch.queries ++
+      graft.queries.Relational.queries ++
+      graft.queries.Scalar.queries ++
+      graft.queries.Events.queries ++
+      graft.llm.LlmQueries.queries
+
+  def oracleSql: Map[String, String] =
+    graft.queries.Tpch.oracle ++
+      graft.queries.Relational.oracle ++
+      graft.queries.Scalar.oracle ++
+      graft.queries.Events.oracle ++
+      graft.llm.LlmQueries.oracle
 }

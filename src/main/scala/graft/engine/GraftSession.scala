@@ -1,0 +1,60 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Mirrors the reference coordinator's planner/executor defaults in Spark
+  * terms (reference: dremio-oss `sabot/kernel/.../ExecConstants.java` — batch
+  * sizing, spill, slice targets — all of which Spark supplies natively):
+  *  - AQE on: runtime re-planning ≈ Dremio's adaptive batch sizing + runtime
+  *    parallelism choice (`planner.slice_target`).
+  *  - Runtime bloom-filter join filters ≈ Dremio's runtime filter pushdown
+  *    (`sabot/op/join/vhash/PartitionColFilters.java:78`).
+  *  - CBO + histogram stats ≈ `services/statistics` + `exec/planner/cost`.
+  *  - UTC session timezone: Dremio TIMESTAMP is tz-less millis
+  *    (`CompleteType.java:162`); UTC makes Spark µs timestamps line up.
+  *
+  * Scale note: these settings are sized for local[32] testing but the shape
+  * (AQE, skew-join handling, bloom filters, broadcast thresholds) is exactly
+  * what a 1000-executor deployment would use; only `shuffle.partitions`
+  * and memory move with cluster size.
+  */
+object GraftSession {
+
+  /** Common config applied to every session (Verify, Bench, tests, REPL). */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    .config("spark.sql.cbo.enabled", "true")
+    .config("spark.sql.cbo.joinReorder.enabled", "true")
+    // Dremio coerces promiscuously (varchar<->numeric in comparisons,
+    // SURVEY §7.4); ANSI-off matches that contract.
+    .config("spark.sql.ansi.enabled", "false")
+    // Dimension tables (region/nation/customer/supplier/part at typical
+    // star-schema ratios) stay broadcastable well past sf0.1.
+    .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    .config("spark.sql.parquet.filterPushdown", "true")
+    // events.ts is parquet TIMESTAMP(NANOS) (TESTDATA fixture); Spark has no
+    // nanosecond timestamp — read as long, Tables normalizes to µs NTZ.
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.aggregatePushdown", "true")
+    .config("spark.sql.ui.explainMode", "formatted")
+
+  /** Local session for tests / ad-hoc runs. */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = configure(
+      SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName("graft")
+        .config("spark.sql.shuffle.partitions", cores.toString)
+        .config("spark.ui.enabled", "false")
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    graft.functions.Functions.registerAll(s)
+    s
+  }
+}

@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+
+/** Scala + SQL surface for graft's custom functions.
+  *
+  * The reference exposes its extension functions through a registry
+  * (dremio-oss `exec/expr/fn/FunctionImplementationRegistry.java:48`, 352
+  * `@FunctionTemplate` impls); here each custom capability is a native
+  * Catalyst `Expression` registered into Spark's `FunctionRegistry`, so it
+  * is callable from both the Column API and SQL text.
+  */
+object Functions {
+
+  private def col(e: Expression): Column = Bridge.column(e)
+  private def ex(c: Column): Expression = Bridge.expression(c)
+
+  // ---- vector similarity (LLM extras; custom codegen'd expressions) ----
+  def cosine_sim(a: Column, b: Column): Column = col(CosineSimilarity(ex(a), ex(b)))
+  def dot_product(a: Column, b: Column): Column = col(DotProduct(ex(a), ex(b)))
+  def l2_norm(a: Column): Column = col(L2Norm(ex(a)))
+
+  // ---- text fingerprints (LLM extras) ----
+  def minhash(text: Column, numHashes: Int = 64, shingleSize: Int = 3): Column =
+    col(MinHashSignature(ex(text), numHashes, shingleSize))
+  def simhash64(text: Column): Column = col(SimHash64(ex(text)))
+  def ngram_hashes(text: Column, n: Int = 3): Column = col(NgramHashes(ex(text), n))
+
+  /** Hamming distance between two 64-bit fingerprints (built-in composition:
+    * stays in whole-stage codegen). */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ---- Dremio surface shims (SURVEY §2.8) ----
+  /** KVGEN (dremio-oss `exec/expr/fn/impl/Mappify.java`): map -> list<struct<key,value>>. */
+  def kvgen(m: Column): Column = map_entries(m)
+
+  /** GEO_DISTANCE (dremio-oss `exec/expr/fn/impl/GeoFunctions.java`):
+    * haversine distance in meters between two lat/lon points (degrees). */
+  def geo_distance(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val r = lit(6371008.8) // mean earth radius, meters
+    val dLat = radians(lat2 - lat1) / 2
+    val dLon = radians(lon2 - lon1) / 2
+    val a = pow(sin(dLat), 2) + cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon), 2)
+    lit(2) * r * asin(sqrt(a))
+  }
+
+  /** NDV (dremio-oss `NdvAccumulators.java`): HLL estimate; Spark's
+    * DataSketches HLL supplies mergeable sketch semantics (HLL / HLL_MERGE /
+    * HLL_DECODE == hll_sketch_agg / hll_union_agg / hll_sketch_estimate). */
+  def ndv(c: Column): Column = hll_sketch_estimate(hll_sketch_agg(c))
+
+  /** Register SQL-callable forms of the custom expressions. Idempotent. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def one(name: String, arity: Int)(b: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, es => {
+        require(es.length == arity || arity < 0, s"$name expects $arity args")
+        b(es)
+      }, "built-in")
+    one("cosine_sim", 2)(es => CosineSimilarity(es(0), es(1)))
+    one("dot_product", 2)(es => DotProduct(es(0), es(1)))
+    one("l2_norm", 1)(es => L2Norm(es(0)))
+    one("simhash64", 1)(es => SimHash64(es(0)))
+    one("minhash", 1)(es => MinHashSignature(es(0), 64, 3))
+    one("ngram_hashes", 1)(es => NgramHashes(es(0), 3))
+  }
+}

@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Text-fingerprinting kernels for the dedup pipeline (LLM-extras surface;
+  * the reference engine has no document ops — SURVEY §2).
+  *
+  * All are single-pass over the input and allocation-light: at 100 TB the
+  * dedup sweep hashes every document once, so the signature computation must
+  * be O(tokens) with no per-token boxing. Hashing uses Spark's own XXH64
+  * (same kernel behind `xxhash64()`), seeded per permutation.
+  */
+object TextHashing {
+  /** MinHash signature: for each seed i, min over shingles of xxh64(shingle, i). */
+  def minHashSignature(shingles: Iterator[UTF8String], numHashes: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var any = false
+    while (shingles.hasNext) {
+      val s = shingles.next()
+      any = true
+      var i = 0
+      while (i < numHashes) {
+        val h = XXH64.hashUTF8String(s, i.toLong)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    if (!any) Array.fill(numHashes)(0L) else sig
+  }
+
+  /** 64-bit SimHash over token hashes (unweighted). */
+  def simHash64(tokens: Iterator[UTF8String]): Long = {
+    val counts = new Array[Int](64)
+    while (tokens.hasNext) {
+      val h = XXH64.hashUTF8String(tokens.next(), 0L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  private val ws = "\\s+"
+
+  def tokenize(text: UTF8String): Array[UTF8String] =
+    text.toString.toLowerCase.split(ws).filter(_.nonEmpty).map(UTF8String.fromString)
+
+  /** Word k-shingles of the lowercased token stream. */
+  def shingles(text: UTF8String, k: Int): Iterator[UTF8String] = {
+    val toks = text.toString.toLowerCase.split(ws).filter(_.nonEmpty)
+    if (toks.length < k) Iterator.single(UTF8String.fromString(toks.mkString(" ")))
+    else toks.sliding(k).map(w => UTF8String.fromString(w.mkString(" ")))
+  }
+}
+
+/** minhash(text, numHashes, shingleSize) -> array<bigint> signature. */
+case class MinHashSignature(child: Expression, numHashes: Int, shingleSize: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "minhash"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val sig = TextHashing.minHashSignature(
+      TextHashing.shingles(v.asInstanceOf[UTF8String], shingleSize), numHashes)
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** simhash64(text) -> bigint (64-bit SimHash of whitespace tokens). */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "simhash64"
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any =
+    TextHashing.simHash64(TextHashing.tokenize(v.asInstanceOf[UTF8String]).iterator)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** ngram_set_hashes(text, n) -> sorted distinct array<bigint> of word-ngram
+  * hashes; Jaccard between documents is then a cheap array intersection
+  * (`array_intersect`/`array_union` on 8-byte keys, not strings).
+  */
+case class NgramHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "ngram_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val hs = TextHashing.shingles(v.asInstanceOf[UTF8String], n)
+      .map(XXH64.hashUTF8String(_, 0L)).toArray.distinct.sorted
+    new GenericArrayData(hs)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
