@@ -22,8 +22,10 @@ final case class Tables(spark: SparkSession, dir: String) {
   def table(name: String): DataFrame = {
     val df = spark.read.parquet(path(name))
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      // `div` (integral division): ns counts exceed 2^53, so `/` (double
+      // division) would lose the low microseconds.
       df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")).cast("timestamp_ntz"))
+        org.apache.spark.sql.functions.expr("ts div 1000")).cast("timestamp_ntz"))
     else df
   }
 

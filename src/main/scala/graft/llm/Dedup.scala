@@ -1,0 +1,100 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Functions
+
+/** Document deduplication for training-data pipelines, at lakehouse scale.
+  *
+  * Four families (exact, MinHash+LSH, SimHash, n-gram Jaccard), all built on
+  * the custom fingerprint expressions in graft.functions and shaped for
+  * 100 TB: every stage is a hash-partitioned shuffle on a compact key
+  * (16-byte digest / 8-byte band hash), never a string key, and candidate
+  * generation is strictly bucket-local — no all-pairs stage anywhere.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content digest, keep the lowest id.
+    * Scale: shuffle key is the 16-byte md5, so the join/aggregate is
+    * uniformly distributed regardless of document skew. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("digest"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature + banded LSH candidate pairs + exact n-gram Jaccard
+    * verification.
+    *
+    * numHashes=64 split into 16 bands of 4 rows: P(candidate) ≈
+    * 1-(1-J^4)^16, steep around J≈0.5. Bands explode 16× (bounded), pairs
+    * come from an equi-join on (band, bandHash) — a plain shuffle join that
+    * scales linearly; oversized buckets (degenerate content) are capped to
+    * keep the within-bucket pairing quadratic-safe.
+    */
+  def minhashLsh(docs: DataFrame, jaccardThreshold: Double = 0.5,
+                 numHashes: Int = 64, bands: Int = 16,
+                 maxBucket: Int = 64): DataFrame = {
+    val rows = numHashes / bands
+    val sigd = docs.select(col("doc_id"), col("text"),
+      Functions.minhash(col("text"), numHashes, 3).as("sig"),
+      Functions.ngram_hashes(col("text"), 3).as("ngrams"))
+
+    val banded = sigd.select(col("doc_id"), col("ngrams"),
+      explode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> struct(b as band, " +
+          s"xxhash64(b, ${(0 until rows).map(r => s"sig[b * $rows + $r]").mkString(", ")}) as bh))"))
+        .as("bb"))
+      .select(col("doc_id"), col("ngrams"), col("bb.band"), col("bb.bh"))
+
+    // Cap pathological buckets (e.g. empty/boilerplate docs) so the
+    // within-bucket pair count stays bounded.
+    val bucketed = banded
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bh")).orderBy(col("doc_id"))))
+      .filter(col("rk") <= maxBucket)
+
+    val a = bucketed.select(col("band"), col("bh"),
+      col("doc_id").as("a_id"), col("ngrams").as("a_ngrams"))
+    val b = bucketed.select(col("band"), col("bh"),
+      col("doc_id").as("b_id"), col("ngrams").as("b_ngrams"))
+    val pairs = a.join(b, Seq("band", "bh")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_ngrams"), col("b_ngrams"))
+      .dropDuplicates("a_id", "b_id")
+
+    pairs.withColumn("jaccard",
+        size(array_intersect(col("a_ngrams"), col("b_ngrams"))).cast("double") /
+          size(array_union(col("a_ngrams"), col("b_ngrams"))).cast("double"))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** SimHash near-dup: 64-bit signature, candidates via the 4×16-bit-chunk
+    * pigeonhole (hamming ≤ 3 guarantees one identical chunk), verified with
+    * exact hamming distance. Chunk join is an 8-byte-key shuffle. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigd = docs.select(col("doc_id"), Functions.simhash64(col("text")).as("sig"))
+    val chunked = sigd.select(col("doc_id"), col("sig"),
+      explode(expr("transform(sequence(0, 3), c -> struct(c as chunk, " +
+        "cast(shiftright(sig, c * 16) & 65535 as int) as ck))")).as("cc"))
+      .select(col("doc_id"), col("sig"), col("cc.chunk"), col("cc.ck"))
+    val a = chunked.select(col("chunk"), col("ck"), col("doc_id").as("a_id"), col("sig").as("a_sig"))
+    val b = chunked.select(col("chunk"), col("ck"), col("doc_id").as("b_id"), col("sig").as("b_sig"))
+    a.join(b, Seq("chunk", "ck")).filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("hamming", Functions.hamming64(col("a_sig"), col("b_sig")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
+  /** Embedding near-dup: cosine > threshold within coarse buckets (label
+    * as the IVF-style partition — at scale the bucket is a cluster
+    * assignment, so the pairing is bucket-local, not all-pairs). */
+  def embeddingDups(embeddings: DataFrame, threshold: Double = 0.95): DataFrame = {
+    val a = embeddings.select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+    val b = embeddings.select(col("label"), col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+    a.join(b, Seq("label")).filter(col("a_id") < col("b_id"))
+      .withColumn("cos", Functions.cosine_sim(col("a_vec"), col("b_vec")))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), col("label"), col("cos"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: media as opaque `binary` columns with typed
+  * metadata, decoded/feature-extracted per partition.
+  *
+  * The decode step is a STUB — image/audio codecs aren't available in this
+  * environment — replaced by a deterministic fake (hash-derived dimensions +
+  * features) so the Spark-side contract is fully real and testable:
+  *  - schema: (id, media binary, media_meta struct)
+  *  - partition-level batch processing via mapPartitions (the Scala analog
+  *    of an Arrow-batched python UDF: one decoder init per partition, not
+  *    per row)
+  *  - bounded memory: rows stream through the iterator, no partition-wide
+  *    materialization.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("media", BinaryType),
+    StructField("media_meta", StructType(Seq(
+      StructField("format", StringType),
+      StructField("n_bytes", LongType))))))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("features", ArrayType(FloatType, containsNull = false))))
+
+  /** Wrap any table with an id + string payload into the media contract
+    * (fixture stand-in for real image/audio bytes). */
+  def asMedia(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("id"),
+      col(payloadCol).cast("binary").as("media"),
+      struct(
+        lit("fake/raw").as("format"),
+        length(col(payloadCol)).cast("long").as("n_bytes")).as("media_meta"))
+
+  /** STUB decoder: deterministic pseudo-decode of a media blob.
+    * A real deployment replaces the body with an image/audio codec call;
+    * everything around it (batching, schema, null handling) stays. */
+  private def fakeDecode(bytes: Array[Byte], dim: Int): (Int, Int, Array[Float]) = {
+    var h = 1125899906842597L // FNV-ish rolling hash of the payload
+    var i = 0
+    while (i < bytes.length) { h = h * 31 + bytes(i); i += 1 }
+    val w = 64 + java.lang.Long.remainderUnsigned(h, 1024).toInt
+    val ht = 64 + java.lang.Long.remainderUnsigned(h >>> 17, 1024).toInt
+    val feats = new Array[Float](dim)
+    var j = 0
+    var s = h
+    while (j < dim) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      feats(j) = (s >>> 40).toFloat / (1 << 24).toFloat
+      j += 1
+    }
+    (w, ht, feats)
+  }
+
+  /** Decode + feature-extract, one decoder per partition. */
+  def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    val enc = org.apache.spark.sql.Encoders.row(featureSchema)
+    media.select(col("id"), col("media"), col("media_meta.format").as("format"))
+      .mapPartitions { rows =>
+        // per-partition init happens here (codec handles, model weights…)
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]]("media")
+          val (w, h, feats) = fakeDecode(if (bytes == null) Array.emptyByteArray else bytes, dim)
+          Row(r.getLong(0), r.getString(2), w, h, feats.toSeq)
+        }
+      }(enc)
+  }
+}

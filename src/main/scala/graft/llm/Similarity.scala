@@ -1,0 +1,47 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Functions
+
+/** Approximate-nearest-neighbor search over embedding columns.
+  *
+  * Baseline: brute-force cosine top-k (exact, O(Q·N) — the codegen'd
+  * CosineSimilarity expression keeps the inner loop fused). Scale path: IVF
+  * partitioning — restrict each query to its coarse bucket(s), turning the
+  * cross join into a bucket-local join; with C clusters the scan shrinks by
+  * ~C× at the cost of recall on boundary vectors.
+  */
+object Similarity {
+
+  /** Exact brute-force top-k neighbors for each query vector.
+    * The query set is broadcast (small side); the corpus streams —
+    * at 100 TB this is one pass over the corpus per batch of queries. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", Functions.cosine_sim(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"), col("rk"))
+  }
+
+  /** IVF-style ANN: both sides partitioned by a coarse bucket (here the
+    * fixture's label column; in production a k-means assignment), so each
+    * query only scans its own bucket. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    val q = queries.select(col("label"), col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val c = corpus.select(col("label"), col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val scored = c.join(broadcast(q), Seq("label"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", Functions.cosine_sim(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("label"), col("c_id"), col("cos"), col("rk"))
+  }
+}

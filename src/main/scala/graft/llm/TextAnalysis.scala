@@ -1,0 +1,75 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-quality / language-ID / token-count / fingerprint analytics over
+  * the `documents` table. All pure column expressions (codegen'd, no UDFs):
+  * at 100 TB these run as a single projection pass over the corpus.
+  */
+object TextAnalysis {
+
+  val stopwordsEn: Seq[String] = Seq(
+    "the", "a", "an", "of", "and", "or", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "from", "that", "this")
+
+  private def tokens(c: Column): Column = filter(split(lower(c), "\\s+"), w => length(w) > 0)
+
+  /** Quality signals: length, token stats, punctuation/digit/stopword
+    * ratios — the usual pre-training heuristics (cf. C4/Gopher rules). */
+  def qualitySignals(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nToks = size(toks)
+    val sw = typedLit(stopwordsEn)
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("len_chars"),
+      nToks.as("n_tokens"),
+      (length(col("text")).cast("double") / nToks).as("avg_token_span"),
+      (length(regexp_replace(col("text"), "[^.!?,;]", "")).cast("double") /
+        length(col("text"))).as("punct_ratio"),
+      (length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
+        length(col("text"))).as("digit_ratio"),
+      (size(filter(toks, w => array_contains(sw, w))).cast("double") / nToks)
+        .as("stopword_ratio"),
+      (size(array_distinct(toks)).cast("double") / nToks).as("distinct_token_ratio"))
+  }
+
+  /** Token counting: whitespace tokens plus a BPE-ish regex segmentation
+    * (letters / digits / single punctuation as separate tokens). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("ws_tokens"),
+      regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("bpeish_tokens"),
+      (length(col("text")) - length(regexp_replace(col("text"), "\\s", ""))).as("ws_chars"))
+
+  /** Key-collision fingerprint (sorted distinct token set → md5), the
+    * classic clustering key for messy-duplicate detection. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(array_join(array_sort(array_distinct(tokens(col("text")))), " ")).as("fp"))
+
+  /** Stopword-profile language ID: score each candidate language by hit
+    * count of its function-word list; argmax wins (ties → highest score
+    * first, then lexicographic). A real deployment swaps in char-n-gram
+    * profiles; the plumbing (N scores per row, argmax via greatest/when)
+    * is the same single-pass projection. */
+  val profiles: Map[String, Seq[String]] = Map(
+    "en" -> stopwordsEn,
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "del"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "une"),
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "den", "im", "ein"),
+    "zh" -> Seq("de", "shi", "le", "wo", "ni", "ta", "men", "zai", "you", "he"))
+
+  def languageId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(filter(toks, w => array_contains(typedLit(words), w))).as("score"),
+        lit(lang).as("lang"))
+    }
+    docs.select(col("doc_id"), col("lang").as("labeled_lang"),
+      greatest(scored: _*).getField("lang").as("predicted_lang"),
+      greatest(scored: _*).getField("score").as("score"))
+  }
+}

@@ -1,6 +1,225 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import graft.engine.Tables
+
+/** Scalar-function surface coverage (SURVEY §2.8: 352 @FunctionTemplate
+  * impls in dremio-oss `exec/expr/fn/impl` — string, math, datetime, hash,
+  * array/map, JSON conversion). Each query exercises a function family
+  * against the oracle; engine-specific formatting functions (double→string,
+  * Joda patterns) are covered by unit specs instead, where the expected
+  * values are pinned (SURVEY §7.4 divergence watchlist).
+  */
 object Scalar {
-  val queries: Map[String, QueryFn] = Map()
-  val oracle: Map[String, String] = Map()
+
+  /** String family (reference StringFunctions.java:39). */
+  val fnString: QueryFn = (s, dir) => {
+    val t = Tables(s, dir)
+    t.part.filter(col("p_partkey") <= 200)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        lower(col("p_brand")).as("lo"),
+        substring(col("p_name"), 1, 8).as("sub"),
+        length(col("p_name")).as("len"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("cw"),
+        split_part(col("p_name"), lit(" "), lit(2)).as("word2"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("padded"),
+        translate(col("p_brand"), "#", "-").as("tr"),
+        reverse(col("p_type")).as("rev"),
+        trim(lit("  x  ")).as("trimmed"),
+        replace(col("p_name"), lit(" "), lit("_")).as("repl"))
+      .orderBy(col("p_partkey"))
+  }
+  val fnStringSql: String = """
+    SELECT p_partkey,
+      upper(p_name) AS up, lower(p_brand) AS lo,
+      substring(p_name, 1, 8) AS sub, CAST(length(p_name) AS INT) AS len,
+      concat_ws('|', p_brand, p_type) AS cw,
+      split_part(p_name, ' ', 2) AS word2,
+      lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
+      translate(p_brand, '#', '-') AS tr,
+      reverse(p_type) AS rev,
+      trim('  x  ') AS trimmed,
+      replace(p_name, ' ', '_') AS repl
+    FROM part WHERE p_partkey <= 200 ORDER BY p_partkey"""
+
+  /** Regex family (regexp_like/extract/replace — StringFunctions.java). */
+  val fnRegexp: QueryFn = (s, dir) => {
+    val t = Tables(s, dir)
+    t.customer.filter(col("c_custkey") <= 300)
+      .select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+        col("c_name").rlike("[0-9]{3}").as("has3digits"))
+      .orderBy(col("c_custkey"))
+  }
+  val fnRegexpSql: String = """
+    SELECT c_custkey,
+      regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+      regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+      regexp_matches(c_name, '[0-9]{3}') AS has3digits
+    FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey"""
+
+  /** Datetime family (DateTypeFunctions.java:41: EXTRACT/DATE_TRUNC/
+    * DATE_PART/arithmetic/LAST_DAY/UNIX epoch). */
+  val fnDatetime: QueryFn = (s, dir) => {
+    val t = Tables(s, dir)
+    t.orders.filter(col("o_orderkey") <= 2000)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        quarter(col("o_orderdate")).as("q"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        (col("o_orderdate") + expr("INTERVAL 3 DAYS")).as("plus3d"),
+        last_day(col("o_orderdate")).cast("timestamp_ntz").as("eom"),
+        datediff(col("o_orderdate"), tsLit("1995-01-01")).as("days_since"))
+      .orderBy(col("o_orderkey"))
+  }
+  val fnDatetimeSql: String = """
+    SELECT o_orderkey,
+      CAST(year(o_orderdate) AS INT) AS y,
+      CAST(month(o_orderdate) AS INT) AS m,
+      CAST(day(o_orderdate) AS INT) AS d,
+      CAST(quarter(o_orderdate) AS INT) AS q,
+      date_trunc('month', o_orderdate) AS month_start,
+      o_orderdate + INTERVAL 3 DAY AS plus3d,
+      CAST(last_day(o_orderdate) AS TIMESTAMP) AS eom,
+      CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since
+    FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey"""
+
+  /** Math family (MathFunctions.java:41) — the deterministic subset (libm
+    * transcendentals exp/ln differ in the last ulp across engines and are
+    * pinned in unit specs instead). */
+  val fnMath: QueryFn = (s, dir) => {
+    val t = Tables(s, dir)
+    t.lineitem.filter(col("l_orderkey") <= 500)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_extendedprice")).as("fl"),
+        ceil(col("l_extendedprice")).as("ce"),
+        abs(col("l_discount") - 0.05).as("ab"),
+        signum(col("l_discount") - 0.05).as("sg"),
+        sqrt(col("l_quantity")).as("sq"),
+        (col("l_quantity") % 7).as("md"),
+        greatest(col("l_quantity"), col("l_linenumber") * 10).as("gr"),
+        least(col("l_quantity"), col("l_linenumber") * 10).as("le"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+  val fnMathSql: String = """
+    SELECT l_orderkey, l_linenumber,
+      CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+      CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
+      abs(l_discount - 0.05) AS ab,
+      CAST(sign(l_discount - 0.05) AS DOUBLE) AS sg,
+      sqrt(l_quantity) AS sq,
+      CAST(l_quantity AS DOUBLE) % 7 AS md,
+      greatest(l_quantity, l_linenumber * 10) AS gr,
+      least(l_quantity, l_linenumber * 10) AS le
+    FROM lineitem WHERE l_orderkey <= 500 ORDER BY l_orderkey, l_linenumber"""
+
+  /** Conditional family (CASE/COALESCE/NULLIF/NVL — reference codegen'd
+    * case expressions). */
+  val fnConditional: QueryFn = (s, dir) => {
+    val t = Tables(s, dir)
+    t.customer.filter(col("c_custkey") <= 300)
+      .select(
+        col("c_custkey"),
+        when(col("c_acctbal") < 0, "overdrawn")
+          .when(col("c_acctbal") < 5000, "standard")
+          .otherwise("premium").as("tier"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(bldg)")).as("seg"),
+        nvl(nullif(col("c_nationkey"), lit(0)), lit(-1)).as("nat"))
+      .orderBy(col("c_custkey"))
+  }
+  val fnConditionalSql: String = """
+    SELECT c_custkey,
+      CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+           WHEN c_acctbal < 5000 THEN 'standard'
+           ELSE 'premium' END AS tier,
+      COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '(bldg)') AS seg,
+      COALESCE(NULLIF(c_nationkey, 0), -1) AS nat
+    FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey"""
+
+  /** Hash/checksum family (Hash64Functions/XXHash/HASHSHA256 — engine-native
+    * murmur/xx seeds differ, so the cross-engine-stable md5/sha256 are the
+    * oracle surface; xxhash64/murmur are pinned in unit specs). */
+  val fnHash: QueryFn = (s, dir) => {
+    val t = Tables(s, dir)
+    t.nation.select(
+      col("n_nationkey"),
+      md5(col("n_name")).as("h_md5"),
+      sha2(col("n_name"), 256).as("h_sha256"))
+      .orderBy(col("n_nationkey"))
+  }
+  val fnHashSql: String = """
+    SELECT n_nationkey, md5(n_name) AS h_md5, sha256(n_name) AS h_sha256
+    FROM nation ORDER BY n_nationkey"""
+
+  /** Array family (exec/expr/fn/impl/array/ — scalar-returning subset). */
+  val fnArray: QueryFn = (s, dir) => {
+    val t = Tables(s, dir)
+    val words = split(col("p_name"), " ")
+    t.part.filter(col("p_partkey") <= 200)
+      .select(
+        col("p_partkey"),
+        size(words).as("n_words"),
+        element_at(words, 1).as("first_word"),
+        array_contains(words, "green").as("has_green"),
+        array_position(words, element_at(words, -1)).as("last_pos"),
+        array_join(slice(sort_array(words), 1, 2), "+").as("sorted2"))
+      .orderBy(col("p_partkey"))
+  }
+  val fnArraySql: String = """
+    SELECT p_partkey,
+      CAST(len(string_split(p_name, ' ')) AS INT) AS n_words,
+      string_split(p_name, ' ')[1] AS first_word,
+      list_contains(string_split(p_name, ' '), 'green') AS has_green,
+      CAST(list_position(string_split(p_name, ' '),
+           string_split(p_name, ' ')[-1]) AS BIGINT) AS last_pos,
+      array_to_string(list_sort(string_split(p_name, ' '))[1:2], '+') AS sorted2
+    FROM part WHERE p_partkey <= 200 ORDER BY p_partkey"""
+
+  /** JSON extraction (ConvertFromJsonOperator surface; events.props holds
+    * string-embedded JSON per FIXTURES.md). Typed via from_json with an
+    * explicit schema + path via get_json_object. */
+  val fnJson: QueryFn = (s, dir) => {
+    val t = Tables(s, dir)
+    val schema = StructType(Seq(StructField("k", IntegerType)))
+    t.events.filter(col("event_id") < 500)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_path"),
+        from_json(col("props"), schema).getField("k").as("k_typed"))
+      .orderBy(col("event_id"))
+  }
+  val fnJsonSql: String = """
+    SELECT event_id,
+      CAST(json_extract_string(props, '$.k') AS INT) AS k_path,
+      CAST(json_extract_string(props, '$.k') AS INT) AS k_typed
+    FROM events WHERE event_id < 500 ORDER BY event_id"""
+
+  val queries: Map[String, QueryFn] = Map(
+    "fn_string" -> fnString,
+    "fn_regexp" -> fnRegexp,
+    "fn_datetime" -> fnDatetime,
+    "fn_math" -> fnMath,
+    "fn_conditional" -> fnConditional,
+    "fn_hash" -> fnHash,
+    "fn_array" -> fnArray,
+    "fn_json" -> fnJson)
+
+  val oracle: Map[String, String] = Map(
+    "fn_string" -> fnStringSql,
+    "fn_regexp" -> fnRegexpSql,
+    "fn_datetime" -> fnDatetimeSql,
+    "fn_math" -> fnMathSql,
+    "fn_conditional" -> fnConditionalSql,
+    "fn_hash" -> fnHashSql,
+    "fn_array" -> fnArraySql,
+    "fn_json" -> fnJsonSql)
 }

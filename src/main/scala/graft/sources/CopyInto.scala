@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** COPY INTO with ON_ERROR semantics (reference:
+  * `exec/planner/sql/handlers/query/CopyIntoTableContext.java:49` and the
+  * `copy_errors` history table `exec/tablefunctions/copyerrors/`).
+  *
+  * Spark-native: PERMISSIVE parsing with a corrupt-record capture column;
+  * good rows append to the target, bad rows are returned (and optionally
+  * persisted) as the copy_errors analog. ON_ERROR modes:
+  *  - "continue": load good rows, collect errors
+  *  - "abort": any error fails the load (reference ON_ERROR 'ABORT')
+  */
+object CopyInto {
+
+  final case class Result(loaded: Long, errors: Long, errorRows: DataFrame)
+
+  private val corruptCol = "_corrupt_record"
+
+  /** Read files with error capture. `format`: "csv" or "json". */
+  def read(spark: SparkSession, path: String, format: String,
+           schema: StructType, header: Boolean = true): DataFrame = {
+    val withCorrupt = StructType(schema.fields :+ StructField(corruptCol, StringType))
+    val r = spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+    val df = format match {
+      case "csv" => r.option("header", header.toString).csv(path)
+      case "json" => r.json(path)
+      case other => throw new IllegalArgumentException(s"unsupported COPY INTO format: $other")
+    }
+    // json keeps the corrupt line lazily; cache so good/bad split is stable
+    df.cache()
+  }
+
+  def copyInto(spark: SparkSession, sourcePath: String, format: String,
+               schema: StructType, targetDir: String,
+               onError: String = "continue"): Result = {
+    val df = read(spark, sourcePath, format, schema)
+    val bad = df.filter(col(corruptCol).isNotNull).select(col(corruptCol).as("raw_record"))
+    val good = df.filter(col(corruptCol).isNull).drop(corruptCol)
+    val nBad = bad.count()
+    if (onError == "abort" && nBad > 0)
+      throw new IllegalStateException(s"COPY INTO aborted: $nBad malformed records")
+    good.write.mode(SaveMode.Append).parquet(targetDir)
+    Result(spark.read.parquet(targetDir).count(), nBad, bad)
+  }
+}

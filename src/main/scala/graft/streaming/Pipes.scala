@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** Auto-ingest pipes (reference: `CREATE PIPE` / `TRIGGER PIPE` —
+  * dremio-oss grammar `sabot/grammar/src/main/codegen/includes/ingestion.ftl`,
+  * scan `exec/store/easy/triggerpipe/TriggerPipeEasyScanTableFunction.java`):
+  * file-arrival-driven loading with per-file dedup.
+  *
+  * Spark-native equivalent: Structured Streaming file source with
+  * `Trigger.AvailableNow` — exactly-once file tracking comes from the
+  * checkpoint's file-source log (the same file-identity dedup the reference
+  * implements by name/mtime), and each TRIGGER PIPE run drains whatever
+  * arrived since the last run, then stops.
+  */
+final case class Pipe(
+    name: String,
+    sourceDir: String,
+    format: String, // "json" | "csv" | "parquet"
+    schema: StructType,
+    targetDir: String,
+    checkpointDir: String)
+
+object Pipes {
+
+  /** TRIGGER PIPE: drain all currently-available files into the target
+    * (parquet), exactly once across repeated invocations. Blocks until the
+    * drain completes. */
+  def trigger(spark: SparkSession, pipe: Pipe): Unit = {
+    val reader = spark.readStream.schema(pipe.schema).format(pipe.format)
+    val src = pipe.format match {
+      case "csv" => reader.option("header", "true").load(pipe.sourceDir)
+      case _ => reader.load(pipe.sourceDir)
+    }
+    val q = src.writeStream
+      .format("parquet")
+      .option("path", pipe.targetDir)
+      .option("checkpointLocation", pipe.checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Current target contents (the pipe's table). */
+  def table(spark: SparkSession, pipe: Pipe): DataFrame =
+    spark.read.schema(pipe.schema).parquet(pipe.targetDir)
+}

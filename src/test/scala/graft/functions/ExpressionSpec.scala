@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class ExpressionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val eps = 1e-12
+
+  test("cosine_sim matches reference computation (codegen path)") {
+    val df = Seq(
+      (Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f), 0.0),
+      (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f), 1.0),
+      (Array(1.0f, 0.0f), Array(-1.0f, 0.0f), -1.0)
+    ).toDF("a", "b", "expected")
+    val got = df.select(Functions.cosine_sim(col("a"), col("b")).as("c"), col("expected"))
+      .collect()
+    got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < eps))
+  }
+
+  test("cosine_sim of zero vector is 0.0, null input is null") {
+    val z = Seq((Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+      .select(Functions.cosine_sim(col("a"), col("b"))).head().getDouble(0)
+    assert(z == 0.0)
+    val n = Seq((Option.empty[Array[Float]], Some(Array(1.0f))))
+      .toDF("a", "b").select(Functions.cosine_sim(col("a"), col("b"))).head()
+    assert(n.isNullAt(0))
+  }
+
+  test("dot_product and l2_norm agree with manual math") {
+    val row = Seq((Array(3.0f, 4.0f), Array(2.0f, 1.0f))).toDF("a", "b")
+      .select(
+        Functions.dot_product(col("a"), col("b")).as("d"),
+        Functions.l2_norm(col("a")).as("n"))
+      .head()
+    assert(math.abs(row.getDouble(0) - 10.0) < eps)
+    assert(math.abs(row.getDouble(1) - 5.0) < eps)
+  }
+
+  test("expressions are SQL-callable after registerAll") {
+    Functions.registerAll(spark)
+    val v = spark.sql(
+      "SELECT cosine_sim(array(cast(1.0 as float)), array(cast(1.0 as float)))")
+      .head().getDouble(0)
+    assert(math.abs(v - 1.0) < eps)
+  }
+
+  test("minhash: identical texts share full signature; unrelated don't") {
+    val df = Seq(
+      ("spark makes distributed queries fast and simple to run at scale",
+       "spark makes distributed queries fast and simple to run at scale"),
+      ("spark makes distributed queries fast and simple to run at scale",
+       "completely different words about gardening tulips and spring weather")
+    ).toDF("x", "y")
+    val sims = df.select(
+      size(array_intersect(
+        Functions.minhash(col("x")), Functions.minhash(col("y"))))
+        .as("shared")).collect().map(_.getInt(0))
+    assert(sims(0) == 64)
+    assert(sims(1) < 16)
+  }
+
+  test("simhash: near-identical texts have small hamming distance") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val near = base.replace("today", "tonight")
+    val far = "astrophysics lectures cover stellar nucleosynthesis and galactic rotation curves"
+    val df = Seq((base, near, far)).toDF("a", "b", "c")
+    val r = df.select(
+      Functions.hamming64(Functions.simhash64(col("a")), Functions.simhash64(col("b"))).as("near"),
+      Functions.hamming64(Functions.simhash64(col("a")), Functions.simhash64(col("c"))).as("far"))
+      .head()
+    assert(r.getInt(0) < r.getInt(1))
+    assert(r.getInt(0) <= 12)
+  }
+
+  test("ngram_hashes is sorted-distinct and deterministic") {
+    val a = Seq("one two three four five").toDF("t")
+      .select(Functions.ngram_hashes(col("t"))).head().getSeq[Long](0)
+    assert(a == a.sorted && a.distinct.size == a.size)
+    val b = Seq("one two three four five").toDF("t")
+      .select(Functions.ngram_hashes(col("t"))).head().getSeq[Long](0)
+    assert(a == b)
+  }
+
+  test("geo_distance: Paris to London ~ 344 km") {
+    val d = Seq((48.8566, 2.3522, 51.5074, -0.1278)).toDF("lat1", "lon1", "lat2", "lon2")
+      .select(Functions.geo_distance(col("lat1"), col("lon1"), col("lat2"), col("lon2")))
+      .head().getDouble(0)
+    assert(d > 330000 && d < 360000)
+  }
+
+  test("kvgen explodes a map to entries (reference Mappify)") {
+    val n = Seq(Map("a" -> 1, "b" -> 2)).toDF("m")
+      .select(explode(Functions.kvgen(col("m")))).count()
+    assert(n == 2)
+  }
+}

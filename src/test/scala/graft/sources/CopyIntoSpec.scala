@@ -1,0 +1,57 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.types._
+import graft.TestSpark
+
+class CopyIntoSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType),
+    StructField("score", DoubleType)))
+
+  private def writeCsv(dir: String, lines: Seq[String]): String = {
+    val p = s"$dir/in.csv"
+    Files.write(Paths.get(p), ("id,name,score" +: lines).mkString("\n").getBytes)
+    p
+  }
+
+  test("ON_ERROR continue loads good rows and captures bad ones") {
+    val root = Files.createTempDirectory("graft_copy").toString
+    val src = writeCsv(root, Seq("1,alpha,1.5", "not_a_number,beta,2.0", "3,gamma,xx", "4,delta,4.0"))
+    val res = CopyInto.copyInto(spark, src, "csv", schema, s"$root/tbl", onError = "continue")
+    assert(res.loaded == 2)
+    assert(res.errors == 2)
+    assert(res.errorRows.count() == 2)
+  }
+
+  test("ON_ERROR abort throws on malformed records and writes nothing") {
+    val root = Files.createTempDirectory("graft_copy_abort").toString
+    val src = writeCsv(root, Seq("1,alpha,1.5", "bad,row,zz"))
+    intercept[IllegalStateException] {
+      CopyInto.copyInto(spark, src, "csv", schema, s"$root/tbl", onError = "abort")
+    }
+    assert(!Files.exists(Paths.get(s"$root/tbl")))
+  }
+
+  test("clean load reports zero errors") {
+    val root = Files.createTempDirectory("graft_copy_clean").toString
+    val src = writeCsv(root, Seq("1,alpha,1.5", "2,beta,2.5"))
+    val res = CopyInto.copyInto(spark, src, "csv", schema, s"$root/tbl")
+    assert(res.loaded == 2 && res.errors == 0)
+  }
+
+  test("CTAS writes partitioned parquet readable back with pruning") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_ctas").toString
+    val df = Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "x")).toDF("id", "v", "part")
+    Writer.ctas(df, s"$root/t", partitionCols = Seq("part"), sortCols = Seq("id"))
+    val back = spark.read.parquet(s"$root/t")
+    assert(back.count() == 3)
+    assert(back.filter(org.apache.spark.sql.functions.col("part") === "x").count() == 2)
+    assert(Files.exists(Paths.get(s"$root/t/part=x")))
+  }
+}
