@@ -1,0 +1,58 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** INFORMATION_SCHEMA + sys.* introspection tables (reference:
+  * `exec/store/ischema/InfoSchemaGroupScan.java` and
+  * `exec/store/sys/SystemGroupScan.java`).
+  *
+  * Built as plain DataFrames over the session catalog / status tracker and
+  * registered as `information_schema_*` / `sys_*` temp views (Spark temp
+  * views cannot carry a dotted schema prefix).
+  */
+object InfoSchema {
+
+  def tables(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.catalog.listTables().collect().toSeq
+      .map(t => (Option(t.catalog).getOrElse(""), Option(t.namespace).map(_.mkString(".")).getOrElse(""),
+        t.name, t.tableType, t.isTemporary))
+      .toDF("table_catalog", "table_schema", "table_name", "table_type", "is_temporary")
+  }
+
+  def columns(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rows = spark.catalog.listTables().collect().toSeq.flatMap { t =>
+      scala.util.Try(spark.catalog.listColumns(t.name).collect().toSeq).toOption
+        .getOrElse(Nil)
+        .zipWithIndex
+        .map { case (c, i) =>
+          (t.name, c.name, i + 1, c.dataType, c.nullable, c.isPartition)
+        }
+    }
+    rows.toDF("table_name", "column_name", "ordinal_position", "data_type",
+      "is_nullable", "is_partition")
+  }
+
+  def sysOptions(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.conf.getAll.toSeq.sortBy(_._1).toDF("name", "value")
+  }
+
+  def sysNodes(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    sc.statusTracker.getExecutorInfos.toSeq
+      .map(e => (e.host(), e.port(), e.numRunningTasks()))
+      .toDF("host", "port", "running_tasks")
+  }
+
+  /** Register all introspection views. */
+  def register(spark: SparkSession): Unit = {
+    tables(spark).createOrReplaceTempView("information_schema_tables")
+    columns(spark).createOrReplaceTempView("information_schema_columns")
+    sysOptions(spark).createOrReplaceTempView("sys_options")
+    sysNodes(spark).createOrReplaceTempView("sys_nodes")
+  }
+}

@@ -66,5 +66,6 @@ object Functions {
     one("simhash64", 1)(es => SimHash64(es(0)))
     one("minhash", 1)(es => MinHashSignature(es(0), 64, 3))
     one("ngram_hashes", 1)(es => NgramHashes(es(0), 3))
+    SqlUdfs.register(spark)
   }
 }

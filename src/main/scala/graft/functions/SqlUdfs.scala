@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+/** SQL-defined UDFs (reference: `CREATE FUNCTION` with SQL body, expanded at
+  * plan time — dremio-oss `exec/catalog/udf/DremioScalarUserDefinedFunction
+  * .java`). Spark 4 SQL scalar functions give the same plan-time expansion;
+  * used here to carry the reference's function-name aliases that Spark
+  * lacks (SURVEY §2.8/§7.3 "FunctionRegistry aliases").
+  */
+object SqlUdfs {
+
+  private val defs = Seq(
+    // Dremio-surface aliases over Spark built-ins
+    "CREATE OR REPLACE TEMPORARY FUNCTION charsubstring(s STRING, p INT, l INT) " +
+      "RETURNS STRING RETURN substring(s, p, l)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION strpos(s STRING, sub STRING) " +
+      "RETURNS INT RETURN locate(sub, s)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION col_like(s STRING, pat STRING) " +
+      "RETURNS BOOLEAN RETURN s LIKE pat",
+    "CREATE OR REPLACE TEMPORARY FUNCTION dremio_ltrim(s STRING, cs STRING) " +
+      "RETURNS STRING RETURN ltrim(cs, s)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION last_matching_map_entry_for_key(" +
+      "m MAP<STRING, STRING>, k STRING) RETURNS STRING RETURN element_at(m, k)",
+    // masking family (reference MaskingFunctions.java / HIVE_MASK*)
+    "CREATE OR REPLACE TEMPORARY FUNCTION mask_full(s STRING) " +
+      "RETURNS STRING RETURN mask(s)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION mask_show_last_n(s STRING, n INT) " +
+      "RETURNS STRING RETURN concat(mask(substring(s, 1, greatest(length(s) - n, 0))), " +
+      "substring(s, greatest(length(s) - n + 1, 1)))",
+    "CREATE OR REPLACE TEMPORARY FUNCTION mask_hash(s STRING) " +
+      "RETURNS STRING RETURN sha2(s, 256)",
+    // context functions (reference ContextFunctions.java)
+    "CREATE OR REPLACE TEMPORARY FUNCTION query_user() " +
+      "RETURNS STRING RETURN current_user()",
+    "CREATE OR REPLACE TEMPORARY FUNCTION session_user_name() " +
+      "RETURNS STRING RETURN session_user()",
+    // geo (reference GeoFunctions.java) — haversine meters
+    "CREATE OR REPLACE TEMPORARY FUNCTION geo_distance(" +
+      "lat1 DOUBLE, lon1 DOUBLE, lat2 DOUBLE, lon2 DOUBLE) RETURNS DOUBLE RETURN " +
+      "2 * 6371008.8 * asin(sqrt(pow(sin(radians(lat2 - lat1) / 2), 2) + " +
+      "cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(radians(lon2 - lon1) / 2), 2)))",
+    "CREATE OR REPLACE TEMPORARY FUNCTION geo_nearby(" +
+      "lat1 DOUBLE, lon1 DOUBLE, lat2 DOUBLE, lon2 DOUBLE, dist DOUBLE) " +
+      "RETURNS BOOLEAN RETURN geo_distance(lat1, lon1, lat2, lon2) <= dist")
+
+  /** Install all SQL UDFs into the session (idempotent: OR REPLACE). */
+  def register(spark: SparkSession): Unit = defs.foreach(spark.sql(_))
+}

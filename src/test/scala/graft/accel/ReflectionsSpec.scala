@@ -1,0 +1,80 @@
+package graft.accel
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.engine.Tables
+
+class ReflectionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def aggQuery() = {
+    val t = Tables(spark, TestSpark.sf)
+    t.lineitem.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+  }
+
+  test("matching query is answered from the materialization") {
+    Reflections.clear()
+    Reflections.install(spark)
+    val dir = Files.createTempDirectory("graft_refl").toString
+    Reflections.create("r_flag_agg", aggQuery(), s"$dir/r_flag_agg")
+
+    val q = aggQuery()
+    // the physical scan's Location reveals what is actually read
+    val planStr = q.queryExecution.sparkPlan.toString
+    assert(planStr.contains("r_flag_agg"), s"no substitution in:\n$planStr")
+    assert(!planStr.contains("lineitem.parquet"), "base table still scanned")
+
+    // results identical to the unaccelerated answer
+    val expect = aggQuery().queryExecution.logical
+    Reflections.drop("r_flag_agg")
+    val cold = aggQuery().orderBy("l_returnflag", "l_linestatus").collect()
+    Reflections.create("r_flag_agg", aggQuery(), s"$dir/r_flag_agg")
+    val hot = aggQuery().orderBy("l_returnflag", "l_linestatus").collect()
+    assert(cold.sameElements(hot))
+    Reflections.clear()
+  }
+
+  test("substitution survives operators stacked on top") {
+    Reflections.clear()
+    Reflections.install(spark)
+    val dir = Files.createTempDirectory("graft_refl2").toString
+    Reflections.create("r2", aggQuery(), s"$dir/r2")
+    val q = aggQuery().filter(col("n") > 0).orderBy(desc("qty")).limit(2)
+    val planStr = q.queryExecution.sparkPlan.toString
+    assert(planStr.contains("/r2"), s"no substitution in:\n$planStr")
+    assert(q.collect().length == 2)
+    Reflections.clear()
+  }
+
+  test("dropped reflection stops substituting") {
+    Reflections.clear()
+    Reflections.install(spark)
+    val dir = Files.createTempDirectory("graft_refl3").toString
+    Reflections.create("r3", aggQuery(), s"$dir/r3")
+    Reflections.drop("r3")
+    val planStr = aggQuery().queryExecution.sparkPlan.toString
+    assert(!planStr.contains("/r3"))
+    assert(planStr.contains("lineitem.parquet"))
+  }
+
+  test("incremental refresh rewrites only touched partitions") {
+    import spark.implicits._
+    Reflections.clear()
+    Reflections.install(spark)
+    val dir = Files.createTempDirectory("graft_refl4").toString
+    val base = Seq(("2024-01-01", 1L), ("2024-01-02", 2L)).toDF("day", "v")
+    Reflections.create("r4", base, s"$dir/r4")
+    // partitioned materialization + delta for one day
+    base.write.mode("overwrite").partitionBy("day").parquet(s"$dir/r4")
+    spark.catalog.refreshByPath(s"$dir/r4")
+    Reflections.refreshIncremental("r4",
+      Seq(("2024-01-02", 20L)).toDF("day", "v"), "day")
+    val rows = spark.read.parquet(s"$dir/r4")
+      .orderBy("day").select("v").as[Long].collect().toSeq
+    assert(rows == Seq(1L, 20L))
+    Reflections.clear()
+  }
+}

@@ -1,0 +1,102 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Source-format shapes from the reference's test corpus (FIXTURES.md §B):
+  * CSV option matrix (TextFormatPlugin.java:164-170), schema-free nested
+  * JSON (JSONRecordReader.java:71), type drift across files, ORC as the
+  * second columnar format, parquet schema evolution. */
+class SourceFormatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def write(path: String, content: String): Unit =
+    Files.write(Paths.get(path), content.getBytes)
+
+  test("csv: custom field delimiter, quotes, header (extractHeader analog)") {
+    val dir = tmp("graft_csv")
+    write(s"$dir/data.csv",
+      """id|name|note
+        |1|alpha|"contains|pipe"
+        |2|beta|"multi ""quote"" here"
+        |""".stripMargin)
+    val df = spark.read
+      .option("header", "true").option("delimiter", "|").option("quote", "\"")
+      .option("escape", "\"")
+      .csv(s"$dir/data.csv")
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(2) == "contains|pipe")
+    assert(rows(1).getString(2) == "multi \"quote\" here")
+  }
+
+  test("csv: no header + custom line handling via schema") {
+    val dir = tmp("graft_csv2")
+    write(s"$dir/d.csv", "1;x\n2;y\n")
+    val df = spark.read.option("delimiter", ";")
+      .schema("id INT, v STRING").csv(s"$dir/d.csv")
+    assert(df.count() == 2)
+    assert(df.filter(col("v") === "y").head().getInt(0) == 2)
+  }
+
+  test("json: nested struct-of-list / list-of-struct with nulls infers deeply") {
+    val dir = tmp("graft_json")
+    write(s"$dir/a.json",
+      """{"id":1,"tags":["x","y"],"addr":{"city":"ber","geo":{"lat":52.5}},"items":[{"k":"a","v":1},{"k":"b","v":2}]}
+        |{"id":2,"tags":[],"addr":{"city":null,"geo":null},"items":null}
+        |""".stripMargin)
+    val df = spark.read.json(s"$dir/a.json")
+    assert(df.select(col("addr.geo.lat")).na.drop().count() == 1)
+    assert(df.select(explode(col("items"))).count() == 2)
+    assert(df.schema("tags").dataType.typeName == "array")
+  }
+
+  test("json: int->string type drift across files coerces to string (schema learning)") {
+    val dir = tmp("graft_drift")
+    write(s"$dir/f1.json", """{"id":1,"code":42}""" + "\n")
+    write(s"$dir/f2.json", """{"id":2,"code":"forty-two"}""" + "\n")
+    val df = spark.read.json(dir)
+    assert(df.schema("code").dataType.typeName == "string")
+    assert(df.orderBy("id").collect().map(_.getAs[String]("code")).toSeq ==
+      Seq("42", "forty-two"))
+  }
+
+  test("orc: round trip preserves schema and values") {
+    val dir = tmp("graft_orc")
+    val t = graft.engine.Tables(spark, TestSpark.sf)
+    t.nation.write.mode("overwrite").orc(s"$dir/nation_orc")
+    val back = spark.read.orc(s"$dir/nation_orc")
+    assert(back.count() == 25)
+    assert(back.schema == t.nation.schema)
+    assert(back.agg(sum("n_nationkey")).head().getLong(0) == (0 until 25).sum)
+  }
+
+  test("parquet: schema evolution with mergeSchema") {
+    import spark.implicits._
+    val dir = tmp("graft_evolve")
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/t/p=1")
+    Seq((2L, "b", 9.5)).toDF("id", "v", "score").write.parquet(s"$dir/t/p=2")
+    val df = spark.read.option("mergeSchema", "true").parquet(s"$dir/t")
+    assert(df.columns.toSet == Set("id", "v", "score", "p"))
+    assert(df.filter(col("score").isNull).count() == 1)
+  }
+
+  test("avro/iceberg/delta: not bundled in this runtime (documented divergence)") {
+    // Spark's own spark-avro module and the Iceberg/Delta runtimes are
+    // separate jars not present under /opt/spark/jars; their reader paths
+    // (`spark.read.format("avro"/"iceberg"/"delta")`) are API-compatible
+    // with the sources above and activate when the jars are added.
+    val fmts = Seq("avro", "iceberg", "delta")
+    fmts.foreach { f =>
+      val err = intercept[Exception] {
+        spark.read.format(f).load("/tmp/nonexistent_" + f).collect()
+      }
+      assert(err != null)
+    }
+  }
+}
