@@ -24,6 +24,7 @@ object GraftSession {
 
   /** Common config applied to every session (Verify, Bench, tests, REPL). */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .withExtensions(new graft.sqlext.GraftExtensions)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -67,5 +67,6 @@ object Functions {
     one("minhash", 1)(es => MinHashSignature(es(0), 64, 3))
     one("ngram_hashes", 1)(es => NgramHashes(es(0), 3))
     SqlUdfs.register(spark)
+    Aggregators.register(spark)
   }
 }

@@ -340,6 +340,46 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Boolean / bitwise aggregates (reference BooleanAggrFunctions.java +
+    * AggrBitwiseLogicalTypeFunctions templates). */
+  val aggBoolBit: QueryFn = (s, dir) => {
+    val t = Tables(s, dir)
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        bool_and(col("l_quantity") > 0).as("all_positive"),
+        bool_or(col("l_discount") > 0.09).as("any_high_disc"),
+        bit_and(col("l_linenumber")).as("band"),
+        bit_or(col("l_linenumber")).as("bor"),
+        bit_xor(col("l_linenumber")).as("bxor"))
+      .orderBy(col("l_returnflag"))
+  }
+  val aggBoolBitSql: String = """
+    SELECT l_returnflag,
+      BOOL_AND(l_quantity > 0) AS all_positive,
+      BOOL_OR(l_discount > 0.09) AS any_high_disc,
+      CAST(BIT_AND(l_linenumber) AS INT) AS band,
+      CAST(BIT_OR(l_linenumber) AS INT) AS bor,
+      CAST(BIT_XOR(l_linenumber) AS INT) AS bxor
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** Exact interpolated percentiles (reference MEDIAN/PERCENTILE_CONT via
+    * t-digest; here the exact form — both engines interpolate identically). */
+  val aggPercentileExact: QueryFn = (s, dir) => {
+    val t = Tables(s, dir)
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, array(0.25, 0.75))[0]").as("q1_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+  val aggPercentileExactSql: String = """
+    SELECT l_returnflag,
+      quantile_cont(l_quantity, 0.5) AS median_qty,
+      quantile_cont(l_quantity, 0.25) AS q1_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   // ---------- windows (SURVEY §2.5) ----------
 
   /** Ranking family over partition-sorted input (WindowFunction.java:55-65:
@@ -680,6 +720,8 @@ object Relational {
     "agg_distinct" -> aggDistinct,
     "agg_stats" -> aggStats,
     "agg_listagg" -> aggListagg,
+    "agg_bool_bit" -> aggBoolBit,
+    "agg_percentile_exact" -> aggPercentileExact,
     "agg_ndv_sketch" -> aggNdvSketch,
     "agg_hll_merge" -> aggHllMerge,
     "agg_percentile_approx" -> aggPercentileApprox,
@@ -719,6 +761,8 @@ object Relational {
     "agg_distinct" -> aggDistinctSql,
     "agg_stats" -> aggStatsSql,
     "agg_listagg" -> aggListaggSql,
+    "agg_bool_bit" -> aggBoolBitSql,
+    "agg_percentile_exact" -> aggPercentileExactSql,
     "window_ranking" -> windowRankingSql,
     "window_topn_per_group" -> windowTopnPerGroupSql,
     "window_lead_lag" -> windowLeadLagSql,

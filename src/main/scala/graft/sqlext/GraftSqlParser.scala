@@ -1,0 +1,135 @@
+package graft.sqlext
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{StringType, StructType}
+
+import graft.accel.Reflections
+import graft.streaming.{Pipe, Pipes}
+
+/** SQL statement extensions (reference: Dremio's parser adds 60+ custom
+  * statements on top of Calcite's grammar —
+  * `sabot/grammar/src/main/codegen/data/Parser.tdd:624`, reflection/PIPE DDL
+  * in `ingestion.ftl`). Injected via `SparkSessionExtensions.injectParser`;
+  * unrecognized statements fall through to Spark's parser untouched.
+  *
+  * Grammar (whitespace-insensitive, case-insensitive keywords):
+  *   CREATE REFLECTION <name> USING PATH '<dir>' AS <query>
+  *   DROP REFLECTION <name>
+  *   SHOW REFLECTIONS
+  *   CREATE PIPE <name> FROM '<srcDir>' FORMAT <fmt> SCHEMA '<ddl>'
+  *     INTO '<targetDir>' CHECKPOINT '<dir>'
+  *   TRIGGER PIPE <name>
+  *   SHOW PIPES
+  *   ALTER TABLE <ident> REFRESH METADATA
+  */
+class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends ParserInterface {
+
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    val t = sqlText.trim
+    t match {
+      case CreateReflectionRe(name, path, query) =>
+        CreateReflectionCommand(name, path, query)
+      case DropReflectionRe(name) => DropReflectionCommand(name)
+      case ShowReflectionsRe() => ShowReflectionsCommand(out("name", "fingerprint", "path"))
+      case CreatePipeRe(name, src, fmt, ddl, target, chk) =>
+        CreatePipeCommand(name, src, fmt.toLowerCase, ddl, target, chk)
+      case TriggerPipeRe(name) => TriggerPipeCommand(name)
+      case ShowPipesRe() => ShowPipesCommand(out("name", "source", "format", "target"))
+      case RefreshMetadataRe(ident) => RefreshMetadataCommand(ident)
+      case _ => delegate.parsePlan(sqlText)
+    }
+  }
+
+  override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseTableSchema(sqlText: String): StructType = delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType = delegate.parseRoutineParam(sqlText)
+}
+
+object GraftSqlParser {
+  private val CreateReflectionRe =
+    """(?is)CREATE\s+REFLECTION\s+(\w+)\s+USING\s+PATH\s+'([^']+)'\s+AS\s+(.+)""".r
+  private val DropReflectionRe = """(?is)DROP\s+REFLECTION\s+(\w+)\s*;?""".r
+  private val ShowReflectionsRe = """(?is)SHOW\s+REFLECTIONS\s*;?""".r
+  private val CreatePipeRe =
+    ("""(?is)CREATE\s+PIPE\s+(\w+)\s+FROM\s+'([^']+)'\s+FORMAT\s+(\w+)\s+""" +
+      """SCHEMA\s+'([^']+)'\s+INTO\s+'([^']+)'\s+CHECKPOINT\s+'([^']+)'\s*;?""").r
+  private val TriggerPipeRe = """(?is)TRIGGER\s+PIPE\s+(\w+)\s*;?""".r
+  private val ShowPipesRe = """(?is)SHOW\s+PIPES\s*;?""".r
+  private val RefreshMetadataRe = """(?is)ALTER\s+TABLE\s+([\w.]+)\s+REFRESH\s+METADATA\s*;?""".r
+
+  private def out(names: String*): Seq[Attribute] =
+    names.map(n => AttributeReference(n, StringType, nullable = true)())
+
+  case class CreateReflectionCommand(name: String, path: String, query: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("reflection", "fingerprint")
+    override def run(spark: SparkSession): Seq[Row] = {
+      val r = Reflections.create(name, spark.sql(query), path)
+      Seq(Row(r.name, r.fingerprint))
+    }
+  }
+
+  case class DropReflectionCommand(name: String) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = { Reflections.drop(name); Nil }
+  }
+
+  // output as a constructor member: TreeNode.makeCopy requires a
+  // constructor whose arity matches productArity (zero-arg commands fail
+  // canonicalization)
+  case class ShowReflectionsCommand(override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] =
+      Reflections.list.map(r => Row(r.name, r.fingerprint, r.path))
+  }
+
+  case class CreatePipeCommand(name: String, src: String, fmt: String,
+      schemaDdl: String, target: String, checkpoint: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("pipe")
+    override def run(spark: SparkSession): Seq[Row] = {
+      val schema = StructType.fromDDL(schemaDdl)
+      Pipes.define(Pipe(name, src, fmt, schema, target, checkpoint))
+      Seq(Row(name))
+    }
+  }
+
+  case class TriggerPipeCommand(name: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("pipe", "rows_loaded")
+    override def run(spark: SparkSession): Seq[Row] = {
+      val pipe = Pipes.get(name).getOrElse(
+        throw new IllegalArgumentException(s"unknown pipe: $name"))
+      Pipes.trigger(spark, pipe)
+      Seq(Row(name, Pipes.table(spark, pipe).count().toString))
+    }
+  }
+
+  case class ShowPipesCommand(override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] =
+      Pipes.list.map(p => Row(p.name, p.sourceDir, p.format, p.targetDir))
+  }
+
+  /** ALTER TABLE ... REFRESH METADATA (reference SqlRefreshDataset,
+    * Parser.tdd:624): re-profile the source — in Spark, invalidate the
+    * cached file listing / catalog entry. */
+  case class RefreshMetadataCommand(ident: String) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      if (ident.contains("/")) spark.catalog.refreshByPath(ident)
+      else spark.catalog.refreshTable(ident)
+      Nil
+    }
+  }
+}

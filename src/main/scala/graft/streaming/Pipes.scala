@@ -25,6 +25,14 @@ final case class Pipe(
 
 object Pipes {
 
+  private val registry = scala.collection.concurrent.TrieMap.empty[String, Pipe]
+
+  /** CREATE PIPE: register a pipe definition. */
+  def define(pipe: Pipe): Unit = registry.put(pipe.name, pipe)
+  def get(name: String): Option[Pipe] = registry.get(name)
+  def list: Seq[Pipe] = registry.values.toSeq.sortBy(_.name)
+  def drop(name: String): Unit = registry.remove(name)
+
   /** TRIGGER PIPE: drain all currently-available files into the target
     * (parquet), exactly once across repeated invocations. Blocks until the
     * drain completes. */
