@@ -46,13 +46,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  private val lastRegistered =
+    scala.collection.concurrent.TrieMap.empty[Int, (String, Tables)]
+
   /** Register every fixture table as a temp view + register graft functions.
-    * Idempotent; call at the top of any query that uses `spark.sql`.
+    * Cached per session while the dir is unchanged: registering re-reads
+    * every parquet footer, which would otherwise tax each `spark.sql`
+    * query. Switching dirs re-registers (views are session-global).
     */
   def ensure(spark: SparkSession, dir: String): Tables = {
-    val t = Tables(spark, dir)
-    names.foreach(n => t.table(n).createOrReplaceTempView(n))
-    graft.functions.Functions.registerAll(spark)
-    t
+    val key = System.identityHashCode(spark)
+    lastRegistered.get(key) match {
+      case Some((d, t)) if d == dir => t
+      case _ =>
+        val t = Tables(spark, dir)
+        names.foreach(n => t.table(n).createOrReplaceTempView(n))
+        graft.functions.Functions.registerAll(spark)
+        lastRegistered.put(key, (dir, t))
+        t
+    }
   }
 }

@@ -28,7 +28,10 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
     val n = math.min(x.length, y.length)
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) { dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
-    if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+    // clamp: accumulated float rounding can push |cos| past 1 by ulps,
+    // which would NaN a downstream acos
+    if (nx == 0.0 || ny == 0.0) 0.0
+    else math.max(-1.0, math.min(1.0, dot / (math.sqrt(nx) * math.sqrt(ny))))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -44,7 +47,8 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
          |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
          |}
          |${ev.value} = ($nx == 0.0 || $ny == 0.0) ? 0.0
-         |  : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |  : java.lang.Math.max(-1.0, java.lang.Math.min(1.0,
+         |      $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny))));
        """.stripMargin
     })
 

@@ -34,16 +34,17 @@ object Dedup {
                  numHashes: Int = 64, bands: Int = 16,
                  maxBucket: Int = 64): DataFrame = {
     val rows = numHashes / bands
-    val sigd = docs.select(col("doc_id"), col("text"),
-      Functions.minhash(col("text"), numHashes, 3).as("sig"),
-      Functions.ngram_hashes(col("text"), 3).as("ngrams"))
-
-    val banded = sigd.select(col("doc_id"), col("ngrams"),
-      explode(expr(
-        s"transform(sequence(0, ${bands - 1}), b -> struct(b as band, " +
-          s"xxhash64(b, ${(0 until rows).map(r => s"sig[b * $rows + $r]").mkString(", ")}) as bh))"))
-        .as("bb"))
-      .select(col("doc_id"), col("ngrams"), col("bb.band"), col("bb.bh"))
+    // Banding carries ONLY (band, bandHash, doc_id): the candidate join
+    // shuffles 20 bytes/row ×16 bands, not each doc's ngram array — at
+    // corpus scale the candidate-generation shuffle is the dominant cost.
+    val banded = docs
+      .select(col("doc_id"), Functions.minhash(col("text"), numHashes, 3).as("sig"))
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(0, ${bands - 1}), b -> struct(b as band, " +
+            s"xxhash64(b, ${(0 until rows).map(r => s"sig[b * $rows + $r]").mkString(", ")}) as bh))"))
+          .as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
 
     // Cap pathological buckets (e.g. empty/boilerplate docs) so the
     // within-bucket pair count stays bounded.
@@ -52,16 +53,21 @@ object Dedup {
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("band"), col("bh")).orderBy(col("doc_id"))))
       .filter(col("rk") <= maxBucket)
+      .select(col("band"), col("bh"), col("doc_id"))
 
-    val a = bucketed.select(col("band"), col("bh"),
-      col("doc_id").as("a_id"), col("ngrams").as("a_ngrams"))
-    val b = bucketed.select(col("band"), col("bh"),
-      col("doc_id").as("b_id"), col("ngrams").as("b_ngrams"))
+    val a = bucketed.select(col("band"), col("bh"), col("doc_id").as("a_id"))
+    val b = bucketed.select(col("band"), col("bh"), col("doc_id").as("b_id"))
     val pairs = a.join(b, Seq("band", "bh")).filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_ngrams"), col("b_ngrams"))
+      .select(col("a_id"), col("b_id"))
       .dropDuplicates("a_id", "b_id")
 
-    pairs.withColumn("jaccard",
+    // Exact-verify only the deduplicated candidates: ngram sets are
+    // computed once per doc and joined to the (much smaller) pair set.
+    val ngrams = docs.select(col("doc_id"), Functions.ngram_hashes(col("text"), 3).as("ngrams"))
+    pairs
+      .join(ngrams.withColumnRenamed("doc_id", "a_id").withColumnRenamed("ngrams", "a_ngrams"), "a_id")
+      .join(ngrams.withColumnRenamed("doc_id", "b_id").withColumnRenamed("ngrams", "b_ngrams"), "b_id")
+      .withColumn("jaccard",
         size(array_intersect(col("a_ngrams"), col("b_ngrams"))).cast("double") /
           size(array_union(col("a_ngrams"), col("b_ngrams"))).cast("double"))
       .filter(col("jaccard") >= jaccardThreshold)
