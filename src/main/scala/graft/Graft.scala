@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.engine.{GraftSession, Tables}
+
+/** User-facing facade — the switch-over surface for a reference user
+  * (SURVEY §3 entry points): build a session, attach a data directory as a
+  * catalog, run SQL (incl. graft's reflection/pipe DDL) or the DataFrame
+  * modules directly.
+  *
+  * {{{
+  * val spark = Graft.session()
+  * Graft.attach(spark, "/data/warehouse")                  // tables as views
+  * Graft.sql(spark, "SELECT ... FROM lineitem ...")        // ANSI SQL
+  * Graft.sql(spark, "CREATE REFLECTION r USING PATH '/mv/r' AS SELECT ...")
+  * graft.llm.Dedup.minhashLsh(spark.table("documents"))    // pipeline ops
+  * }}}
+  */
+object Graft {
+
+  /** A fully-configured local session (UTC, AQE, bloom joins, CBO, graft
+    * parser + optimizer extensions, function registry). */
+  def session(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
+    GraftSession.local(cores)
+
+  /** Attach a directory of parquet tables as the session's namespace
+    * (reference: source registration in the namespace catalog) and expose
+    * the introspection views. */
+  def attach(spark: SparkSession, dir: String): Tables = {
+    val t = Tables.ensure(spark, dir)
+    graft.catalog.InfoSchema.register(spark)
+    t
+  }
+
+  /** SQL entry point (reference UserRPCServer → Foreman path ≈ spark.sql). */
+  def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)
+}

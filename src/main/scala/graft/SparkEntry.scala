@@ -15,6 +15,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Tpch.queries ++
+      graft.queries.TpchVariants.queries ++
       graft.queries.Relational.queries ++
       graft.queries.Scalar.queries ++
       graft.queries.Events.queries ++
@@ -22,6 +23,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     graft.queries.Tpch.oracle ++
+      graft.queries.TpchVariants.oracle ++
       graft.queries.Relational.oracle ++
       graft.queries.Scalar.oracle ++
       graft.queries.Events.oracle ++
