@@ -56,16 +56,34 @@ object TextHashing {
     out
   }
 
-  private val ws = "\\s+"
+  /** Whitespace tokenizer over the lowercased UTF-8 bytes. Splitting on
+    * ASCII whitespace byte-wise (multi-byte UTF-8 sequences never contain
+    * ASCII bytes) avoids the String round-trip + regex of a naive
+    * tokenizer — this runs once per document across a 100 TB corpus.
+    */
+  def tokenize(text: UTF8String): Array[UTF8String] = {
+    val lower = text.toLowerCase
+    val bytes = lower.getBytes
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isWs(bytes(i))) i += 1
+      if (i > start) out += UTF8String.fromBytes(bytes, start, i - start)
+    }
+    out.toArray
+  }
 
-  def tokenize(text: UTF8String): Array[UTF8String] =
-    text.toString.toLowerCase.split(ws).filter(_.nonEmpty).map(UTF8String.fromString)
+  @inline private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\n' || b == '\t' || b == '\r' || b == '\f' || b == 0x0b
 
   /** Word k-shingles of the lowercased token stream. */
   def shingles(text: UTF8String, k: Int): Iterator[UTF8String] = {
-    val toks = text.toString.toLowerCase.split(ws).filter(_.nonEmpty)
-    if (toks.length < k) Iterator.single(UTF8String.fromString(toks.mkString(" ")))
-    else toks.sliding(k).map(w => UTF8String.fromString(w.mkString(" ")))
+    val toks = tokenize(text)
+    if (toks.length < k) Iterator.single(UTF8String.concatWs(UTF8String.fromString(" "), toks: _*))
+    else toks.sliding(k).map(w => UTF8String.concatWs(UTF8String.fromString(" "), w: _*))
   }
 }
 

@@ -24,9 +24,12 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", Functions.cosine_sim(col("q_vec"), col("c_vec")))
+      .select(col("q_id"), col("c_id"), col("cos"))
+    // custom bounded-heap operator: O(n log k) per query instead of the
+    // windowed row_number's full per-key sort (graft.plans.TopKPerKey)
+    val top = graft.plans.TopKPerKey(scored, col("q_id"), col("cos"), col("c_id"), k)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    top.withColumn("rk", row_number().over(w))
       .select(col("q_id"), col("c_id"), col("cos"), col("rk"))
   }
 

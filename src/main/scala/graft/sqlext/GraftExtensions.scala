@@ -12,5 +12,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
     e.injectOptimizerRule(session => new graft.accel.Reflections.Substitute(session))
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }
