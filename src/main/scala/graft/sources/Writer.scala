@@ -24,4 +24,32 @@ object Writer {
 
   def insertInto(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Append).parquet(path)
+
+  /** MERGE-by-key (upsert): delta rows replace target rows with the same
+    * key; everything else is kept. The reference gets MERGE/UPDATE/DELETE
+    * from Iceberg/Delta table formats (not bundled here — SURVEY §7 item
+    * 5); this is the format-free rewrite equivalent: anti-join out the
+    * updated keys, union the delta, atomically swap via overwrite.
+    *
+    * Scale note: with a partitioned target, pair with dynamic-partition
+    * overwrite (see Reflections.refreshIncremental) so the rewrite cost is
+    * O(touched partitions), not O(table).
+    */
+  def mergeByKey(delta: DataFrame, path: String, key: String): Unit = {
+    val spark = delta.sparkSession
+    val target = spark.read.parquet(path)
+    val merged = target
+      .join(delta.select(key).distinct(), Seq(key), "left_anti")
+      .unionByName(delta)
+    // parquet has no atomic swap: stage, then replace (a table format
+    // supplies the real atomicity — documented divergence)
+    val staged = path + "__staged"
+    merged.write.mode(SaveMode.Overwrite).parquet(staged)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    fs.delete(p, true)
+    fs.rename(new org.apache.hadoop.fs.Path(staged), p)
+    spark.catalog.refreshByPath(path)
+  }
 }

@@ -44,6 +44,17 @@ class CopyIntoSpec extends AnyFunSuite {
     assert(res.loaded == 2 && res.errors == 0)
   }
 
+  test("mergeByKey upserts: updates matched keys, inserts new, keeps rest") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_merge").toString
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .write.parquet(s"$root/t")
+    Writer.mergeByKey(Seq((2L, "B"), (4L, "d")).toDF("id", "v"), s"$root/t", "id")
+    val got = spark.read.parquet(s"$root/t").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d")))
+  }
+
   test("CTAS writes partitioned parquet readable back with pruning") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_ctas").toString
