@@ -12,39 +12,39 @@ import graft.queries.QueryFn
 object LlmQueries {
 
   val dedupExact: QueryFn = (s, dir) =>
-    Dedup.exact(Tables(s, dir).documents).orderBy(col("digest"))
+    Dedup.exact(Tables.ensure(s, dir).documents).orderBy(col("digest"))
   val dedupExactSql: String = """
     SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
     FROM documents GROUP BY md5(text) ORDER BY digest"""
 
   val dedupMinhash: QueryFn = (s, dir) =>
-    Dedup.minhashLsh(Tables(s, dir).documents)
+    Dedup.minhashLsh(Tables.ensure(s, dir).documents)
       .orderBy(col("a_id"), col("b_id"))
 
   val dedupSimhash: QueryFn = (s, dir) =>
-    Dedup.simhashPairs(Tables(s, dir).documents, maxHamming = 6)
+    Dedup.simhashPairs(Tables.ensure(s, dir).documents, maxHamming = 6)
       .orderBy(col("a_id"), col("b_id"))
 
   val dedupEmbedding: QueryFn = (s, dir) =>
     // Fixture embeddings are near-random (max within-label cosine ≈ 0.47),
     // so 0.4 marks the "suspiciously similar" tail; real corpora use ~0.95.
-    Dedup.embeddingDups(Tables(s, dir).embeddings, threshold = 0.4)
+    Dedup.embeddingDups(Tables.ensure(s, dir).embeddings, threshold = 0.4)
       .orderBy(col("a_id"), col("b_id"))
 
   val annBrute: QueryFn = (s, dir) => {
-    val e = Tables(s, dir).embeddings
+    val e = Tables.ensure(s, dir).embeddings
     Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), k = 10)
       .orderBy(col("q_id"), col("rk"))
   }
 
   val annIvf: QueryFn = (s, dir) => {
-    val e = Tables(s, dir).embeddings
+    val e = Tables.ensure(s, dir).embeddings
     Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), k = 10)
       .orderBy(col("q_id"), col("rk"))
   }
 
   val textQuality: QueryFn = (s, dir) =>
-    TextAnalysis.qualitySignals(Tables(s, dir).documents.filter(col("doc_id") < 500))
+    TextAnalysis.qualitySignals(Tables.ensure(s, dir).documents.filter(col("doc_id") < 500))
       .orderBy(col("doc_id"))
   val textQualitySql: String = """
     WITH toks AS (
@@ -62,7 +62,7 @@ object LlmQueries {
     FROM toks ORDER BY doc_id"""
 
   val textTokens: QueryFn = (s, dir) =>
-    TextAnalysis.tokenCounts(Tables(s, dir).documents.filter(col("doc_id") < 500))
+    TextAnalysis.tokenCounts(Tables.ensure(s, dir).documents.filter(col("doc_id") < 500))
       .orderBy(col("doc_id"))
   val textTokensSql: String = """
     SELECT doc_id,
@@ -72,7 +72,7 @@ object LlmQueries {
     FROM documents WHERE doc_id < 500 ORDER BY doc_id"""
 
   val textFingerprint: QueryFn = (s, dir) =>
-    TextAnalysis.fingerprint(Tables(s, dir).documents)
+    TextAnalysis.fingerprint(Tables.ensure(s, dir).documents)
       .groupBy(col("fp")).agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
       .orderBy(col("fp"))
   val textFingerprintSql: String = """
@@ -82,11 +82,11 @@ object LlmQueries {
     FROM documents GROUP BY 1 ORDER BY fp"""
 
   val textLangid: QueryFn = (s, dir) =>
-    TextAnalysis.languageId(Tables(s, dir).documents.filter(col("doc_id") < 500))
+    TextAnalysis.languageId(Tables.ensure(s, dir).documents.filter(col("doc_id") < 500))
       .orderBy(col("doc_id"))
 
   val multimodalFeatures: QueryFn = (s, dir) => {
-    val docs = Tables(s, dir).documents.filter(col("doc_id") < 200)
+    val docs = Tables.ensure(s, dir).documents.filter(col("doc_id") < 200)
     Multimodal.extractFeatures(Multimodal.asMedia(docs, "doc_id", "text"))
       .select(col("id"), col("format"), col("width"), col("height"),
         size(col("features")).as("n_features"))

@@ -15,7 +15,7 @@ object Events {
 
   /** Hourly rollup — the canonical incremental-refresh target shape. */
   val eventsHourly: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     t.events
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), dbl(sum(money(col("value")))).as("total_value"))
@@ -31,7 +31,7 @@ object Events {
     * conditional sum — all window ops, no shuffle beyond the user_id hash).
     */
   val eventsSessionize: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     t.events
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
@@ -68,7 +68,7 @@ object Events {
     * file-ingest dedup shape behind the reference's auto-ingest pipes
     * (dedup by file identity; here by business key). */
   val eventsDedupLatest: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     val w = Window.partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("ts").desc, col("event_id").desc)
     t.events
@@ -88,7 +88,7 @@ object Events {
   /** Tumbling-window aggregation via Spark's window() — the Structured
     * Streaming windowed-agg shape run in batch mode. */
   val eventsTumbling: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     t.events
       .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))

@@ -22,7 +22,7 @@ object Relational {
   /** Inner equi-join, shuffle-hash strategy (reference default:
     * VectorizedHashJoinOperator). */
   val joinInnerHash: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     t.lineitem.hint("shuffle_hash")
       .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
@@ -37,7 +37,7 @@ object Relational {
 
   /** Sort-merge join (reference MergeJoinOperator.java:56). */
   val joinMerge: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     t.orders.hint("merge")
       .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderstatus"))
@@ -52,7 +52,7 @@ object Relational {
   /** Broadcast hash join, explicit hint (reference HashJoinPrule
     * BROADCAST_INSTANCE). */
   val joinBroadcast: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     t.lineitem
       .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
@@ -66,7 +66,7 @@ object Relational {
 
   /** LEFT OUTER join keeping unmatched left rows. */
   val joinLeftOuter: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     t.customer
       .join(t.orders.filter(col("o_totalprice") > 300000.0),
         col("c_custkey") === col("o_custkey"), "left_outer")
@@ -82,7 +82,7 @@ object Relational {
 
   /** RIGHT OUTER join (parts with no lineitems survive). */
   val joinRightOuter: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     t.lineitem
       .join(t.part, col("l_partkey") === col("p_partkey"), "right_outer")
       .groupBy(col("p_size"))
@@ -96,7 +96,7 @@ object Relational {
 
   /** FULL OUTER join with unmatched rows on both sides. */
   val joinFullOuter: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     val bigCust = t.customer.filter(col("c_acctbal") > 9000.0)
       .select(col("c_custkey"), col("c_nationkey"))
     val recentOrders = t.orders.filter(col("o_orderdate") >= tsLit("2001-01-01"))
@@ -119,7 +119,7 @@ object Relational {
 
   /** Cross join (reference NLJEOperator cartesian path). */
   val joinCross: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     t.region.crossJoin(t.customer.select(col("c_mktsegment")).distinct())
       .select(col("r_name"), col("c_mktsegment"))
       .orderBy(col("r_name"), col("c_mktsegment"))
@@ -133,7 +133,7 @@ object Relational {
     * (`sabot/op/join/nlje/NLJEOperator.java:64`); Spark:
     * BroadcastNestedLoopJoin. */
   val joinTheta: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     val n1 = t.nation.select(col("n_nationkey").as("a_key"), col("n_regionkey").as("a_region"))
     val n2 = t.nation.select(col("n_nationkey").as("b_key"), col("n_regionkey").as("b_region"))
     n1.join(n2, col("a_key") < col("b_key") && col("a_region") === col("b_region"))
@@ -150,7 +150,7 @@ object Relational {
   /** Pure non-equi (theta) join — no equi-conjunct to extract, so Spark
     * must plan a nested-loop join (reference NLJEOperator). */
   val joinNonEquiNlj: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     val r1 = t.region.select(col("r_regionkey").as("a_key"))
     val r2 = t.region.select(col("r_regionkey").as("b_key"))
     r1.join(r2, col("a_key") < col("b_key"))
@@ -165,7 +165,7 @@ object Relational {
   /** ROLLUP (Calcite expands before physical planning in the reference —
     * AggregatePrel.java:83; Spark: Expand node). */
   val aggRollup: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     t.orders
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), dbl(sum(money(col("o_totalprice")))).as("total"))
@@ -185,7 +185,7 @@ object Relational {
 
   /** CUBE. */
   val aggCube: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     t.lineitem
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"), dbl(sum(col("l_quantity"))).as("qty"))
@@ -228,7 +228,7 @@ object Relational {
   /** Multiple DISTINCT aggregates (reference:
     * DremioExpandDistinctAggregatesRule; Spark: Expand-based rewrite). */
   val aggDistinct: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     t.lineitem
       .groupBy(col("l_returnflag"))
       .agg(
@@ -251,7 +251,7 @@ object Relational {
     * (`DremioAggregateReduceFunctionsRule.java:34`), done here with decimal
     * sums so both engines agree bit-for-bit. */
   val aggStats: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     val x = money(col("l_extendedprice"))
     val q = money(col("l_quantity"))
     t.lineitem
@@ -293,7 +293,7 @@ object Relational {
   /** LISTAGG / ARRAY_AGG with deterministic WITHIN-GROUP ordering
     * (reference ListAggAccumulator / arrayagg — SURVEY §2.4). */
   val aggListagg: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     t.nation
       .groupBy(col("n_regionkey"))
       .agg(
@@ -308,7 +308,7 @@ object Relational {
   /** NDV via HLL sketch (reference NdvAccumulators/HLL —
     * approximate, so rows-only check; exact companion is aggDistinct). */
   val aggNdvSketch: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     t.lineitem
       .groupBy(col("l_returnflag"))
       .agg(
@@ -320,7 +320,7 @@ object Relational {
   /** Mergeable-sketch pipeline: per-group HLL sketches unioned to a total
     * (reference HLL / HLL_MERGE / HLL_DECODE surface). Rows-only. */
   val aggHllMerge: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     t.lineitem
       .groupBy(col("l_returnflag"))
       .agg(hll_sketch_agg(col("l_partkey")).as("sketch"))
@@ -331,7 +331,7 @@ object Relational {
     * KLL/QuantileSummaries — same contract, different sketch → rows-only)
     * alongside exact interpolated percentiles. */
   val aggPercentileApprox: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     t.lineitem
       .groupBy(col("l_returnflag"))
       .agg(
@@ -343,7 +343,7 @@ object Relational {
   /** Boolean / bitwise aggregates (reference BooleanAggrFunctions.java +
     * AggrBitwiseLogicalTypeFunctions templates). */
   val aggBoolBit: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     t.lineitem
       .groupBy(col("l_returnflag"))
       .agg(
@@ -366,7 +366,7 @@ object Relational {
   /** Exact interpolated percentiles (reference MEDIAN/PERCENTILE_CONT via
     * t-digest; here the exact form — both engines interpolate identically). */
   val aggPercentileExact: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     t.lineitem
       .groupBy(col("l_returnflag"))
       .agg(
@@ -385,7 +385,7 @@ object Relational {
   /** Ranking family over partition-sorted input (WindowFunction.java:55-65:
     * RANK/DENSE_RANK/PERCENT_RANK/CUME_DIST). */
   val windowRanking: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderstatus"))
     t.orders.select(
       col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus"),
@@ -405,7 +405,7 @@ object Relational {
 
   /** ROW_NUMBER top-N per group (reference TopN + window pattern). */
   val windowTopnPerGroup: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
     t.orders
@@ -424,7 +424,7 @@ object Relational {
 
   /** LEAD/LAG/FIRST_VALUE/LAST_VALUE/NTH_VALUE/NTILE. */
   val windowLeadLag: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
     val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -455,7 +455,7 @@ object Relational {
   /** Framed aggregates, ROWS frame (WindowPOP.java:39 frameUnitsRows=true):
     * running totals via decimal sums for cross-engine exactness. */
   val windowRowsFrame: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -485,7 +485,7 @@ object Relational {
 
   /** RANGE frame with value offset (frameUnitsRows=false). */
   val windowRangeFrame: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_orderkey"))
       .rangeBetween(-100, 0)
     t.lineitem
@@ -510,7 +510,7 @@ object Relational {
     * NULLS LAST on ASC — SURVEY §7.4; Spark default is NULLS FIRST, so the
     * ordering is pinned explicitly). */
   val sortMultiNulls: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     t.lineitem
       .select(col("l_orderkey"), col("l_linenumber"),
         nullif(col("l_returnflag"), lit("N")).as("rf_nullable"),
@@ -529,7 +529,7 @@ object Relational {
   /** Top-K: order+limit lowers to TakeOrderedAndProject (reference
     * TopNOperator.java:58). */
   val topkOrders: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     t.orders
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .select(col("o_orderkey"), col("o_totalprice"))
@@ -541,7 +541,7 @@ object Relational {
 
   /** OFFSET + FETCH (reference LimitOperator offset+fetch). */
   val limitOffset: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     t.orders
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .select(col("o_orderkey"), col("o_totalprice"))
@@ -555,7 +555,7 @@ object Relational {
     * both engines; seeded Bernoulli TABLESAMPLE is inherently
     * engine-specific, exercised rows-only in sampleBernoulli). */
   val sampleSystematic: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     t.lineitem
       .filter(col("l_orderkey") % 97 === 0)
       .agg(count(lit(1)).as("n"), dbl(sum(col("l_quantity"))).as("qty"))
@@ -566,14 +566,14 @@ object Relational {
 
   /** Seeded Bernoulli sample (rows-only: sampling RNG differs per engine). */
   val sampleBernoulli: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     t.lineitem.sample(withReplacement = false, fraction = 0.01, seed = 42L)
       .agg(count(lit(1)).as("n_sampled"))
   }
 
   /** UNION ALL (reference UnionAllOperator.java:35). */
   val setopUnionAll: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     t.customer.select(col("c_nationkey").as("nkey"))
       .unionByName(t.supplier.select(col("s_nationkey").as("nkey")))
       .groupBy(col("nkey")).agg(count(lit(1)).as("n"))
@@ -589,7 +589,7 @@ object Relational {
   /** UNION DISTINCT (reference rewrites UNION → UNION ALL + DISTINCT,
     * CoreRules.UNION_TO_DISTINCT). */
   val setopUnionDistinct: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     t.customer.select(col("c_nationkey").as("nkey"))
       .union(t.supplier.select(col("s_nationkey").as("nkey")))
       .distinct()
@@ -603,7 +603,7 @@ object Relational {
 
   /** INTERSECT (reference INTERSECT_TO_DISTINCT rewrite; Spark: left-semi). */
   val setopIntersect: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     t.customer.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
       .intersect(t.orders.select(col("o_custkey").as("c_custkey")))
       .orderBy(col("c_custkey"))
@@ -616,7 +616,7 @@ object Relational {
 
   /** EXCEPT (reference MinusToJoin rule; Spark: left-anti). */
   val setopExcept: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     t.customer.filter(col("c_acctbal") > 5000.0).select(col("c_custkey"))
       .except(t.orders.filter(col("o_orderdate") >= tsLit("2000-01-01"))
         .select(col("o_custkey").as("c_custkey")))
@@ -671,7 +671,7 @@ object Relational {
   /** FLATTEN/unnest with position (reference FlattenOperator.java:57;
     * Spark: Generate/posexplode). */
   val explodePos: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     t.embeddings
       .filter(col("vec_id") < 20)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "val")))
@@ -686,7 +686,7 @@ object Relational {
   /** PIVOT via conditional aggregation (both engines agree on the
     * conditional-agg lowering). */
   val pivotStatus: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     t.orders
       .groupBy(col("o_orderpriority"))
       .pivot("o_orderstatus", Seq("F", "O", "P"))

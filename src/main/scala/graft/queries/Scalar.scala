@@ -15,7 +15,7 @@ object Scalar {
 
   /** String family (reference StringFunctions.java:39). */
   val fnString: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     t.part.filter(col("p_partkey") <= 200)
       .select(
         col("p_partkey"),
@@ -47,7 +47,7 @@ object Scalar {
 
   /** Regex family (regexp_like/extract/replace — StringFunctions.java). */
   val fnRegexp: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     t.customer.filter(col("c_custkey") <= 300)
       .select(
         col("c_custkey"),
@@ -66,7 +66,7 @@ object Scalar {
   /** Datetime family (DateTypeFunctions.java:41: EXTRACT/DATE_TRUNC/
     * DATE_PART/arithmetic/LAST_DAY/UNIX epoch). */
   val fnDatetime: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     t.orders.filter(col("o_orderkey") <= 2000)
       .select(
         col("o_orderkey"),
@@ -96,7 +96,7 @@ object Scalar {
     * transcendentals exp/ln differ in the last ulp across engines and are
     * pinned in unit specs instead). */
   val fnMath: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     t.lineitem.filter(col("l_orderkey") <= 500)
       .select(
         col("l_orderkey"), col("l_linenumber"),
@@ -125,7 +125,7 @@ object Scalar {
   /** Conditional family (CASE/COALESCE/NULLIF/NVL — reference codegen'd
     * case expressions). */
   val fnConditional: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     t.customer.filter(col("c_custkey") <= 300)
       .select(
         col("c_custkey"),
@@ -149,7 +149,7 @@ object Scalar {
     * murmur/xx seeds differ, so the cross-engine-stable md5/sha256 are the
     * oracle surface; xxhash64/murmur are pinned in unit specs). */
   val fnHash: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     t.nation.select(
       col("n_nationkey"),
       md5(col("n_name")).as("h_md5"),
@@ -162,7 +162,7 @@ object Scalar {
 
   /** Array family (exec/expr/fn/impl/array/ — scalar-returning subset). */
   val fnArray: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     val words = split(col("p_name"), " ")
     t.part.filter(col("p_partkey") <= 200)
       .select(
@@ -188,7 +188,7 @@ object Scalar {
     * string-embedded JSON per FIXTURES.md). Typed via from_json with an
     * explicit schema + path via get_json_object. */
   val fnJson: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     val schema = StructType(Seq(StructField("k", IntegerType)))
     t.events.filter(col("event_id") < 500)
       .select(

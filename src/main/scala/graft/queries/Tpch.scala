@@ -30,7 +30,7 @@ object Tpch {
   /** Q1 pricing summary: full-scan agg with decomposable functions — Spark
     * plans partial+final HashAggregate (two-phase agg, SURVEY §2.4). */
   val q01: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     t.lineitem
       .filter(col("l_shipdate") <= tsLit("1998-09-02"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -61,7 +61,7 @@ object Tpch {
 
   /** Q3 shipping priority: fact-fact join + dim filter + top-k on agg. */
   val q03: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     t.lineitem.filter(col("l_shipdate") > tsLit("1996-06-30"))
       .join(t.orders.filter(col("o_orderdate") < tsLit("1996-06-30")),
         col("l_orderkey") === col("o_orderkey"))
@@ -90,7 +90,7 @@ object Tpch {
   /** Q4 order priority checking: EXISTS → left-semi join (SURVEY §2.3 —
     * the reference plans EXISTS away to semi-join shapes too). */
   val q04: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     t.orders
       .filter(col("o_orderdate") >= tsLit("1996-01-01") &&
         col("o_orderdate") < tsLit("1997-01-01"))
@@ -110,7 +110,7 @@ object Tpch {
 
   /** Q5 local supplier volume: 6-way snowflake join; region/nation broadcast. */
   val q05: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     val asiaNations = t.nation
       .join(broadcast(t.region.filter(col("r_name") === "ASIA")),
         col("n_regionkey") === col("r_regionkey"))
@@ -139,7 +139,7 @@ object Tpch {
 
   /** Q6 forecasting revenue: pure scan+filter+agg; predicates push to parquet. */
   val q06: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     t.lineitem
       .filter(col("l_shipdate") >= tsLit("1996-01-01") &&
         col("l_shipdate") < tsLit("1997-01-01") &&
@@ -156,7 +156,7 @@ object Tpch {
 
   /** Q7 volume shipping: self-alias of nation on both legs of the join. */
   val q07: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     val sn = t.nation.select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
     val cn = t.nation.select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
     t.supplier
@@ -191,7 +191,7 @@ object Tpch {
 
   /** Q8 national market share: conditional agg ratio over a snowflake. */
   val q08: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     val sn = t.nation.select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
     val cnr = t.nation
       .join(broadcast(t.region.filter(col("r_name") === "AMERICA")),
@@ -230,13 +230,13 @@ object Tpch {
 
   /** Q10 returned item reporting: top 20 customers by lost revenue. */
   val q10: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     t.customer
       .join(t.orders.filter(col("o_orderdate") >= tsLit("1996-01-01") &&
         col("o_orderdate") < tsLit("1996-07-01")), col("c_custkey") === col("o_custkey"))
       .join(t.lineitem.filter(col("l_returnflag") === "R"),
         col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(Tables(s, dir).nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.ensure(s, dir).nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
       .agg(dbl(sum(discPrice)).as("revenue"))
       .orderBy(desc("revenue"), col("c_custkey"))
@@ -256,7 +256,7 @@ object Tpch {
 
   /** Q13 customer distribution: LEFT OUTER join + two-level aggregation. */
   val q13: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     t.customer
       .join(t.orders.filter(col("o_orderpriority") =!= "1-URGENT"),
         col("c_custkey") === col("o_custkey"), "left_outer")
@@ -276,7 +276,7 @@ object Tpch {
 
   /** Q14 promotion effect: conditional-agg percentage. */
   val q14: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     t.lineitem
       .filter(col("l_shipdate") >= tsLit("1996-09-01") && col("l_shipdate") < tsLit("1996-10-01"))
       .join(t.part, col("l_partkey") === col("p_partkey"))
@@ -293,7 +293,7 @@ object Tpch {
   /** Q15 top supplier: agg view + scalar-subquery max (window-free form
     * computes the max with a tiny self-agg broadcast join). */
   val q15: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     val revenue = t.lineitem
       .filter(col("l_shipdate") >= tsLit("1996-01-01") && col("l_shipdate") < tsLit("1996-04-01"))
       .groupBy(col("l_suppkey").as("supplier_no"))
@@ -319,7 +319,7 @@ object Tpch {
   /** Q17 small-quantity-order revenue: correlated avg subquery → per-key agg
     * + re-join (the decorrelated shape the reference also plans, SURVEY §4.1). */
   val q17: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     val perPart = t.lineitem.groupBy(col("l_partkey").as("agg_partkey"))
       .agg(((sum(col("l_quantity")) / count(col("l_quantity"))) * lit(0.2)).as("qty_thresh"))
     t.lineitem
@@ -340,7 +340,7 @@ object Tpch {
 
   /** Q18 large-volume customer: HAVING on grouped fact, re-joined upward. */
   val q18: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     val big = t.lineitem.groupBy(col("l_orderkey").as("big_orderkey"))
       .agg(sum(col("l_quantity")).as("total_qty"))
       .filter(col("total_qty") > 150)
@@ -365,7 +365,7 @@ object Tpch {
 
   /** Q19 discounted revenue: disjunctive multi-range predicate join. */
   val q19: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     t.lineitem
       .join(t.part, col("l_partkey") === col("p_partkey"))
       .filter(
@@ -386,7 +386,7 @@ object Tpch {
 
   /** Q22 global sales opportunity: scalar subquery threshold + anti join. */
   val q22: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     val avgBal = t.customer.filter(col("c_acctbal") > 0.0)
       .agg((dbl(sum(money(col("c_acctbal")))) / count(col("c_acctbal"))).as("avg_bal"))
     t.customer

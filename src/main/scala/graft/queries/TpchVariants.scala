@@ -19,7 +19,7 @@ object TpchVariants {
   /** Q2 shape: per-group max via correlated subquery (here: the
     * best-balance European supplier for each STANDARD part). */
   val q02v: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     val euNations = t.nation
       .join(broadcast(t.region.filter(col("r_name") === "EUROPE")),
         col("n_regionkey") === col("r_regionkey"))
@@ -55,7 +55,7 @@ object TpchVariants {
   /** Q9 shape: profit by supplier-nation and year (supply cost approximated
     * from p_retailprice since partsupp is absent). */
   val q09v: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     val amount = discPrice -
       money(col("p_retailprice")) * col("l_quantity").cast("decimal(4,0)") *
         lit("0.05").cast("decimal(3,2)")
@@ -84,7 +84,7 @@ object TpchVariants {
   /** Q12 shape: two conditional counts after a fact join (shipmode →
     * linestatus as the class column). */
   val q12v: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     t.orders
       .join(t.lineitem.filter(col("l_shipdate") >= tsLit("1996-01-01") &&
         col("l_shipdate") < tsLit("1997-01-01")), col("o_orderkey") === col("l_orderkey"))
@@ -107,7 +107,7 @@ object TpchVariants {
   /** Q16 shape: distinct-supplier counts per part group with a NOT IN
     * exclusion subquery (→ anti join). */
   val q16v: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     val excluded = t.supplier.filter(col("s_acctbal") < 0).select(col("s_suppkey"))
     t.lineitem
       .join(t.part.filter(col("p_brand") =!= "Brand#1"), col("l_partkey") === col("p_partkey"))
@@ -128,7 +128,7 @@ object TpchVariants {
   /** Q20 shape: nested aggregation threshold (suppliers moving >0.5% of the
     * PROMO-part volume in 1996) + semi join up to the supplier list. */
   val q20v: QueryFn = (s, dir) => {
-    val t = Tables(s, dir)
+    val t = Tables.ensure(s, dir)
     val promo1996 = t.lineitem
       .filter(col("l_shipdate") >= tsLit("1996-01-01") && col("l_shipdate") < tsLit("1997-01-01"))
       .join(t.part.filter(col("p_type") === "PROMO"), col("l_partkey") === col("p_partkey"))
