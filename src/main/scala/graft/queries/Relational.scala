@@ -305,6 +305,19 @@ object Relational {
     SELECT n_regionkey, STRING_AGG(n_name, ',' ORDER BY n_name) AS nations, COUNT(*) AS n
     FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""
 
+  /** LISTAGG ... WITHIN GROUP (ORDER BY ...) — the reference's ordered
+    * string aggregation, via Spark 4's native listagg. */
+  val aggListaggWithinGroup: QueryFn = (s, dir) => {
+    Tables.ensure(s, dir)
+    s.sql("""
+      SELECT n_regionkey,
+             listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")
+  }
+  val aggListaggWithinGroupSql: String = """
+    SELECT n_regionkey, STRING_AGG(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""
+
   /** NDV via HLL sketch (reference NdvAccumulators/HLL —
     * approximate, so rows-only check; exact companion is aggDistinct). */
   val aggNdvSketch: QueryFn = (s, dir) => {
@@ -721,6 +734,7 @@ object Relational {
     "agg_stats" -> aggStats,
     "agg_listagg" -> aggListagg,
     "agg_bool_bit" -> aggBoolBit,
+    "agg_listagg_wg" -> aggListaggWithinGroup,
     "agg_percentile_exact" -> aggPercentileExact,
     "agg_ndv_sketch" -> aggNdvSketch,
     "agg_hll_merge" -> aggHllMerge,
@@ -762,6 +776,7 @@ object Relational {
     "agg_stats" -> aggStatsSql,
     "agg_listagg" -> aggListaggSql,
     "agg_bool_bit" -> aggBoolBitSql,
+    "agg_listagg_wg" -> aggListaggWithinGroupSql,
     "agg_percentile_exact" -> aggPercentileExactSql,
     "window_ranking" -> windowRankingSql,
     "window_topn_per_group" -> windowTopnPerGroupSql,
