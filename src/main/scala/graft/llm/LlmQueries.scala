@@ -81,6 +81,53 @@ object LlmQueries {
            COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
     FROM documents GROUP BY 1 ORDER BY fp"""
 
+  /** Standalone n-gram Jaccard dedup, oracle-verified: shingles are raw
+    * 3-word strings (not engine hashes) built identically in both engines;
+    * candidate pairing is bucket-local ((lang, length-bucket)) so the pair
+    * space stays bounded; doc range capped for the oracle's nested-loop
+    * containment check. */
+  val dedupNgramJaccard: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents.filter(col("doc_id") < 2000)
+    val toks = filter(split(lower(col("text")), "\\s+"), w => length(w) > 0)
+    val grams = array_distinct(
+      when(size(toks) < 3, array(array_join(toks, " ")))
+        .otherwise(transform(sequence(lit(1), size(toks) - 2),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+            element_at(toks, i + 2)))))
+    val d = docs.select(col("doc_id"), col("lang"),
+      expr("n_chars div 100").as("bucket"), grams.as("grams"))
+    val a = d.select(col("lang"), col("bucket"), col("doc_id").as("a_id"), col("grams").as("a_grams"))
+    val b = d.select(col("lang"), col("bucket"), col("doc_id").as("b_id"), col("grams").as("b_grams"))
+    val inter = size(array_intersect(col("a_grams"), col("b_grams")))
+    a.join(b, Seq("lang", "bucket")).filter(col("a_id") < col("b_id"))
+      .withColumn("jaccard", inter.cast("double") /
+        (size(col("a_grams")) + size(col("b_grams")) - inter))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+  val dedupNgramJaccardSql: String = """
+    WITH toks AS (
+      SELECT doc_id, lang, n_chars,
+        list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS t
+      FROM documents WHERE doc_id < 2000),
+    d AS (
+      SELECT doc_id, lang, n_chars // 100 AS bucket,
+        list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+          ELSE list_transform(generate_series(1, len(t) - 2),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS grams
+      FROM toks)
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      CAST(len(list_filter(a.grams, g -> list_contains(b.grams, g))) AS DOUBLE)
+        / (len(a.grams) + len(b.grams)
+           - len(list_filter(a.grams, g -> list_contains(b.grams, g)))) AS jaccard
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_filter(a.grams, g -> list_contains(b.grams, g))) AS DOUBLE)
+        / (len(a.grams) + len(b.grams)
+           - len(list_filter(a.grams, g -> list_contains(b.grams, g)))) >= 0.5
+    ORDER BY a_id, b_id"""
+
   val textLangid: QueryFn = (s, dir) =>
     TextAnalysis.languageId(Tables.ensure(s, dir).documents.filter(col("doc_id") < 500))
       .orderBy(col("doc_id"))
@@ -98,6 +145,7 @@ object LlmQueries {
     "dedup_minhash_lsh" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding_cos" -> dedupEmbedding,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "ann_brute_force" -> annBrute,
     "ann_ivf_label" -> annIvf,
     "text_quality" -> textQuality,
@@ -108,6 +156,7 @@ object LlmQueries {
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,
     "text_fingerprint" -> textFingerprintSql)
