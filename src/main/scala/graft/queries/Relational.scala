@@ -254,41 +254,65 @@ object Relational {
     val t = Tables.ensure(s, dir)
     val x = money(col("l_extendedprice"))
     val q = money(col("l_quantity"))
+    // Moment stats run over small-magnitude columns (quantity ≤ 50,
+    // linenumber ≤ 7): every exact decimal intermediate — including
+    // n·Sab − Sa·Sb — stays below 2^53, so the decimal→double conversion
+    // is value-preserving in ANY implementation. (Large-magnitude columns
+    // like price² produce >17-digit decimals whose double conversion is
+    // not correctly rounded in every engine — price gets mean only.)
+    val qd = col("l_quantity").cast("decimal(4,0)")
+    val ld = col("l_linenumber").cast("decimal(4,0)")
     t.lineitem
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
-        dbl(sum(x)).as("sx"), dbl(sum(x * x)).as("sxx"),
-        dbl(sum(q)).as("sq"), dbl(sum(q * q)).as("sqq"),
-        dbl(sum(x * q)).as("sxq"))
+        sum(x).cast("decimal(18,2)").as("sp"),
+        sum(qd).cast("decimal(12,0)").as("sq"),
+        sum(qd * qd).cast("decimal(14,0)").as("sqq"),
+        sum(ld).cast("decimal(12,0)").as("sl"),
+        sum(ld * ld).cast("decimal(14,0)").as("sll"),
+        sum(qd * ld).cast("decimal(14,0)").as("sql_"))
+      .withColumn("nd", col("n").cast("decimal(7,0)"))
+      .withColumn("m2q", dbl(col("nd") * col("sqq") - col("sq") * col("sq")))
+      .withColumn("m2l", dbl(col("nd") * col("sll") - col("sl") * col("sl")))
+      .withColumn("m2ql", dbl(col("nd") * col("sql_") - col("sq") * col("sl")))
+      .withColumn("denom", dbl(col("nd") * (col("nd") - 1)))
       .select(
         col("l_returnflag"),
         col("n"),
-        (col("sx") / col("n")).as("mean_price"),
-        ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("var_price"),
-        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("stddev_price"),
-        ((col("sxq") - col("sx") * col("sq") / col("n")) / (col("n") - 1)).as("covar_pq"),
-        ((col("n") * col("sxq") - col("sx") * col("sq")) /
-          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-           sqrt(col("n") * col("sqq") - col("sq") * col("sq")))).as("corr_pq"))
+        (dbl(col("sp")) / col("n")).as("mean_price"),
+        (dbl(col("sq")) / col("n")).as("mean_qty"),
+        (col("m2q") / col("denom")).as("var_qty"),
+        sqrt(col("m2q") / col("denom")).as("stddev_qty"),
+        (col("m2ql") / col("denom")).as("covar_ql"),
+        (col("m2ql") / (sqrt(col("m2q")) * sqrt(col("m2l")))).as("corr_ql"))
       .orderBy(col("l_returnflag"))
   }
   val aggStatsSql: String = """
     WITH sums AS (
       SELECT l_returnflag, COUNT(*) AS n,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sx,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sq,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sqq,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxq
-      FROM lineitem GROUP BY l_returnflag)
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(19,2)) AS sp,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(4,0))) AS DECIMAL(19,0)) AS sq,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(4,0)) * CAST(l_quantity AS DECIMAL(4,0))) AS DECIMAL(19,0)) AS sqq,
+        CAST(SUM(CAST(l_linenumber AS DECIMAL(4,0))) AS DECIMAL(19,0)) AS sl,
+        CAST(SUM(CAST(l_linenumber AS DECIMAL(4,0)) * CAST(l_linenumber AS DECIMAL(4,0))) AS DECIMAL(19,0)) AS sll,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(4,0)) * CAST(l_linenumber AS DECIMAL(4,0))) AS DECIMAL(19,0)) AS sql_
+      FROM lineitem GROUP BY l_returnflag),
+    moments AS (
+      SELECT l_returnflag, n, CAST(sp AS DOUBLE) AS spd, CAST(sq AS DOUBLE) AS sqd,
+        CAST(CAST(n AS DECIMAL(7,0))*sqq - sq*sq AS DOUBLE) AS m2q,
+        CAST(CAST(n AS DECIMAL(7,0))*sll - sl*sl AS DOUBLE) AS m2l,
+        CAST(CAST(n AS DECIMAL(7,0))*sql_ - sq*sl AS DOUBLE) AS m2ql,
+        CAST(CAST(n AS DECIMAL(7,0))*(CAST(n AS DECIMAL(7,0))-1) AS DOUBLE) AS denom
+      FROM sums)
     SELECT l_returnflag, n,
-      sx/n AS mean_price,
-      (sxx - sx*sx/n)/(n-1) AS var_price,
-      sqrt((sxx - sx*sx/n)/(n-1)) AS stddev_price,
-      (sxq - sx*sq/n)/(n-1) AS covar_pq,
-      (n*sxq - sx*sq)/(sqrt(n*sxx - sx*sx)*sqrt(n*sqq - sq*sq)) AS corr_pq
-    FROM sums ORDER BY l_returnflag"""
+      spd/n AS mean_price,
+      sqd/n AS mean_qty,
+      m2q/denom AS var_qty,
+      sqrt(m2q/denom) AS stddev_qty,
+      m2ql/denom AS covar_ql,
+      m2ql/(sqrt(m2q)*sqrt(m2l)) AS corr_ql
+    FROM moments ORDER BY l_returnflag"""
 
   /** LISTAGG / ARRAY_AGG with deterministic WITHIN-GROUP ordering
     * (reference ListAggAccumulator / arrayagg — SURVEY §2.4). */
