@@ -56,6 +56,22 @@ class StatefulStreamingSpec extends AnyFunSuite {
     assert(ns == Seq(1L, 2L)) // two sessions: (00:00,00:03) and (01:00)
   }
 
+  test("streaming dedup: dropDuplicatesWithinWatermark") {
+    val root = Files.createTempDirectory("graft_stream4").toString
+    val src = s"$root/in"; Files.createDirectories(Paths.get(src))
+    streamFromJson(src, Seq(
+      """{"user_id":1,"ts":"2024-01-01 00:00:00","value":1.0}""",
+      """{"user_id":1,"ts":"2024-01-01 00:00:30","value":1.0}""", // dup key
+      """{"user_id":2,"ts":"2024-01-01 00:01:00","value":2.0}"""))
+    val q = spark.readStream.schema(schemaDdl).json(src)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.sql("SELECT count(*) FROM dedup_stream").head().getLong(0) == 2)
+  }
+
   test("flatMapGroupsWithState maintains custom per-key state") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_stream3").toString
