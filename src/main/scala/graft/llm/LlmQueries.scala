@@ -87,7 +87,7 @@ object LlmQueries {
     * space stays bounded; doc range capped for the oracle's nested-loop
     * containment check. */
   val dedupNgramJaccard: QueryFn = (s, dir) => {
-    val docs = Tables.ensure(s, dir).documents.filter(col("doc_id") < 2000)
+    val docs = Tables.ensure(s, dir).documents.filter(col("doc_id") < 500)
     val toks = filter(split(lower(col("text")), "\\s+"), w => length(w) > 0)
     val grams = array_distinct(
       when(size(toks) < 3, array(array_join(toks, " ")))
@@ -95,7 +95,7 @@ object LlmQueries {
           i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
             element_at(toks, i + 2)))))
     val d = docs.select(col("doc_id"), col("lang"),
-      expr("n_chars div 100").as("bucket"), grams.as("grams"))
+      expr("n_chars div 50").as("bucket"), grams.as("grams"))
     val a = d.select(col("lang"), col("bucket"), col("doc_id").as("a_id"), col("grams").as("a_grams"))
     val b = d.select(col("lang"), col("bucket"), col("doc_id").as("b_id"), col("grams").as("b_grams"))
     val inter = size(array_intersect(col("a_grams"), col("b_grams")))
@@ -110,9 +110,9 @@ object LlmQueries {
     WITH toks AS (
       SELECT doc_id, lang, n_chars,
         list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS t
-      FROM documents WHERE doc_id < 2000),
+      FROM documents WHERE doc_id < 500),
     d AS (
-      SELECT doc_id, lang, n_chars // 100 AS bucket,
+      SELECT doc_id, lang, n_chars // 50 AS bucket,
         list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
           ELSE list_transform(generate_series(1, len(t) - 2),
                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS grams
