@@ -48,6 +48,36 @@ for name in names:
         print(f"{name:28s} COLUMN MISMATCH: got {list(res.columns)} want {list(exp.columns)}")
         fails.append(name)
         continue
+    # dtype-strict gate: the driver hashes typed values, so a DuckDB HUGEINT
+    # vs Spark BIGINT difference fails there even when str() values match.
+    # Compare arrow-level type families column by column.
+    def family(t):
+        t = str(t).lower()
+        if t.startswith(("int", "uint")):
+            return "int"
+        if t.startswith(("halffloat", "float", "double")):
+            return "float"
+        if t.startswith("decimal"):
+            return "decimal"
+        if "string" in t or t.startswith("utf8") or t.startswith("large_utf8"):
+            return "string"
+        # driver normalizes temporal values before hashing (fn_datetime passed
+        # r1 with Spark timestamp vs DuckDB date), so date==timestamp here
+        if t.startswith(("timestamp", "date")):
+            return "temporal"
+        if t.startswith("bool"):
+            return "bool"
+        return t
+    res_arrow = pq.read_table(f"{out}/{name}")
+    exp_arrow = con.sql(oracle[name]).arrow()
+    rtypes = {f.name: family(f.type) for f in res_arrow.schema}
+    etypes = {f.name: family(f.type) for f in exp_arrow.schema}
+    dtype_bad = [(c, rtypes[c], etypes.get(c)) for c in rtypes
+                 if etypes.get(c) != rtypes[c]]
+    if dtype_bad:
+        print(f"{name:28s} DTYPE MISMATCH: {dtype_bad}")
+        fails.append(name + " (dtype)")
+        continue
     if len(res) != len(exp):
         print(f"{name:28s} ROWCOUNT MISMATCH: got {len(res)} want {len(exp)}")
         fails.append(name)

@@ -3,9 +3,11 @@ package graft.accel
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, ExprId, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Reflections: materialized-view acceleration — the reference's flagship
   * custom planner feature (dremio-oss `exec/planner/acceleration/`:
@@ -32,6 +34,10 @@ object Reflections {
 
   private val byFingerprint = TrieMap.empty[String, Reflection]
   private val byName = TrieMap.empty[String, Reflection]
+  // Optimized defining plan per reflection — kept for subsumption matching
+  // (the reference's `acceleration/substitution/` normalizes plans instead of
+  // requiring canonical identity; we match aggregate roll-ups the same way).
+  private val planByName = TrieMap.empty[String, LogicalPlan]
 
   /** Canonical fingerprint of a query's optimized plan (exprIds normalized —
     * the Spark analog of the reference's PlanHasher). */
@@ -61,6 +67,7 @@ object Reflections {
     val r = Reflection(name, fingerprint(df), path)
     byName.put(name, r)
     byFingerprint.put(r.fingerprint, r)
+    planByName.put(name, df.queryExecution.optimizedPlan)
     r
   }
 
@@ -80,10 +87,12 @@ object Reflections {
       delta.sparkSession.catalog.refreshByPath(r.path)
     }
 
-  def drop(name: String): Unit =
+  def drop(name: String): Unit = {
     byName.remove(name).foreach(r => byFingerprint.remove(r.fingerprint))
+    planByName.remove(name)
+  }
 
-  def clear(): Unit = { byName.clear(); byFingerprint.clear() }
+  def clear(): Unit = { byName.clear(); byFingerprint.clear(); planByName.clear() }
 
   def list: Seq[Reflection] = byName.values.toSeq.sortBy(_.name)
 
@@ -91,6 +100,118 @@ object Reflections {
     * fingerprint), so it is safe under the optimizer's fixed-point batch. */
   private def normPath(p: String): String =
     p.replaceFirst("^file:/+", "/").stripSuffix("/")
+
+  // ---------- subsumption matching helpers ----------
+
+  private object Conjuncts extends org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+    def split(e: Expression): Seq[Expression] = splitConjunctivePredicates(e)
+  }
+
+  /** Attribute-insensitive canonical string of an expression: attributes are
+    * reduced to lowercase name only, so the same expression over a pruned vs
+    * unpruned child compares equal (the reference's normalization step,
+    * `acceleration/normalization/`). */
+  private def nameCanon(e: Expression): String =
+    e.transform {
+      case a: AttributeReference =>
+        AttributeReference(a.name.toLowerCase, a.dataType, a.nullable)(exprId = ExprId(0L), qualifier = Nil)
+    }.toString
+
+  /** Structural key of an aggregate's input subtree, ignoring column-pruning
+    * projections and attribute ids: Filter conditions by nameCanon (conjuncts
+    * sorted), relations by their file-source root paths. None → only exact
+    * matching applies (unknown node in the subtree). */
+  private def structKey(plan: LogicalPlan): Option[String] = plan match {
+    case Project(exprs, child) if exprs.forall(_.isInstanceOf[AttributeReference]) =>
+      structKey(child)
+    case Filter(cond, child) =>
+      val conjuncts = Conjuncts.split(cond).map(nameCanon).sorted.mkString("&")
+      structKey(child).map(k => s"F($conjuncts)/$k")
+    case lr: LogicalRelation =>
+      lr.relation match {
+        case h: HadoopFsRelation =>
+          Some("R(" + h.location.rootPaths.map(p => normPath(p.toString)).sorted.mkString(",") + ")")
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** How a reflection output column can serve a query aggregate:
+    * grouping passthrough, or re-aggregable function kind + arg canon. */
+  private def aggKey(ae: AggregateExpression): Option[(String, String)] =
+    if (ae.isDistinct || ae.filter.nonEmpty || ae.mode != Complete) None
+    else ae.aggregateFunction match {
+      case s: Sum => Some(("sum", nameCanon(s.child)))
+      case c: Count => Some(("count", c.children.map(nameCanon).mkString(",")))
+      case m: Min => Some(("min", nameCanon(m.child)))
+      case m: Max => Some(("max", nameCanon(m.child)))
+      case _ => None // avg/stddev/... are not directly roll-up-able
+    }
+
+  /** Try to serve Aggregate `q` from reflection `r` (plan `rp`) by roll-up:
+    * query grouping ⊆ reflection grouping over the same input, and every
+    * query aggregate re-aggregates a reflection output column
+    * (sum→sum, count→sum, min→min, max→max). The reference's most-used
+    * substitution case (`acceleration/substitution/`). */
+  private def rollup(spark: SparkSession, q: Aggregate, r: Reflection,
+                     rp: LogicalPlan): Option[LogicalPlan] = rp match {
+    case ra: Aggregate =>
+      val qKey = structKey(q.child)
+      if (qKey.isEmpty || qKey != structKey(ra.child)) return None
+      val rGroupCanon = ra.groupingExpressions.map(nameCanon).toSet
+      // reflection output columns usable as grouping passthroughs / aggs
+      val groupCols: Map[String, String] = ra.aggregateExpressions.collect {
+        case a: AttributeReference if rGroupCanon(nameCanon(a)) => nameCanon(a) -> a.name
+        case al @ Alias(child, _) if rGroupCanon(nameCanon(child)) => nameCanon(child) -> al.name
+      }.toMap
+      val aggCols: Map[(String, String), String] = ra.aggregateExpressions.collect {
+        case al @ Alias(ae: AggregateExpression, _) if aggKey(ae).isDefined =>
+          aggKey(ae).get -> al.name
+      }.toMap
+      // every query grouping expression must be a reflection grouping output
+      val qGroups = q.groupingExpressions.map(nameCanon)
+      if (!qGroups.forall(groupCols.contains)) return None
+
+      val scanPlan = spark.read.parquet(r.path).queryExecution.analyzed
+      val scanByName: Map[String, Attribute] = scanPlan.output.map(a => a.name -> a).toMap
+      if (!(groupCols.values ++ aggCols.values).forall(scanByName.contains)) return None
+
+      def reAgg(fn: String, col: Attribute): AggregateExpression = {
+        val f = fn match {
+          case "sum" | "count" => Sum(col) // counts roll up by summing
+          case "min" => Min(col)
+          case "max" => Max(col)
+        }
+        AggregateExpression(f, Complete, isDistinct = false)
+      }
+      // map each query output expr onto the reflection scan
+      val mapped: Option[Seq[NamedExpression]] =
+        traverseOpt(q.aggregateExpressions) {
+          case a: AttributeReference if groupCols.contains(nameCanon(a)) =>
+            Some(Alias(castTo(scanByName(groupCols(nameCanon(a))), a.dataType), a.name)(exprId = a.exprId))
+          case al @ Alias(child, _) if groupCols.contains(nameCanon(child)) =>
+            Some(Alias(castTo(scanByName(groupCols(nameCanon(child))), al.dataType), al.name)(exprId = al.exprId))
+          case al @ Alias(ae: AggregateExpression, _) =>
+            for {
+              key <- aggKey(ae)
+              colName <- aggCols.get(key)
+            } yield Alias(castTo(reAgg(key._1, scanByName(colName)), al.dataType), al.name)(exprId = al.exprId)
+          case _ => None
+        }
+      mapped.map { out =>
+        val grouping = qGroups.map(g => scanByName(groupCols(g)))
+        Aggregate(grouping, out, scanPlan)
+      }
+    case _ => None
+  }
+
+  private def castTo(e: Expression, dt: org.apache.spark.sql.types.DataType): Expression =
+    if (e.dataType == dt) e else Cast(e, dt)
+
+  private def traverseOpt[A, B](xs: Seq[A])(f: A => Option[B]): Option[Seq[B]] = {
+    val out = xs.map(f)
+    if (out.forall(_.isDefined)) Some(out.map(_.get)) else None
+  }
 
   final class Substitute(spark: SparkSession) extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -103,10 +224,17 @@ object Reflections {
           Set(normPath(cmd.outputPath.toString))
         case _ => Set.empty
       }
-      plan.transformUp {
-        case sub if byFingerprint.get(fingerprintPlan(sub))
-          .exists(r => !excluded.contains(normPath(r.path))) =>
-          val r = byFingerprint(fingerprintPlan(sub))
+      def usable(r: Reflection): Boolean = !excluded.contains(normPath(r.path))
+      // fingerprint once per node per rule invocation (canonicalize+MD5 is
+      // O(subtree); the old guard+body pattern paid it twice per node)
+      val memo = new java.util.IdentityHashMap[LogicalPlan, String]()
+      def fp(p: LogicalPlan): String = {
+        val cached = memo.get(p)
+        if (cached != null) cached
+        else { val v = fingerprintPlan(p); memo.put(p, v); v }
+      }
+      def exact(sub: LogicalPlan): Option[LogicalPlan] =
+        byFingerprint.get(fp(sub)).filter(usable).map { r =>
           val scan = spark.read.parquet(r.path).queryExecution.analyzed
           // Re-alias the scan's output to the substituted subtree's exprIds
           // so parent operators keep resolving.
@@ -114,6 +242,17 @@ object Reflections {
             case (orig, repl) => Alias(repl, orig.name)(exprId = orig.exprId)
           }
           Project(aliased, scan)
+        }
+      def subsumed(sub: LogicalPlan): Option[LogicalPlan] = sub match {
+        case q: Aggregate =>
+          byName.values.filter(usable).flatMap { r =>
+            planByName.get(r.name).flatMap(rp => rollup(spark, q, r, rp))
+          }.headOption
+        case _ => None
+      }
+      plan.transformUp {
+        case sub =>
+          exact(sub).orElse(subsumed(sub)).getOrElse(sub)
       }
     }
   }

@@ -110,8 +110,8 @@ object Relational {
   }
   val joinFullOuterSql: String = """
     SELECT COUNT(*) AS n_rows, COUNT(c_custkey) AS n_left, COUNT(o_orderkey) AS n_right,
-           SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS right_only,
-           SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS left_only
+           CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS right_only,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS left_only
     FROM (SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal > 9000.0) bc
     FULL OUTER JOIN (SELECT o_custkey, o_orderkey FROM orders
                      WHERE o_orderdate >= TIMESTAMP '2001-01-01') ro
@@ -157,7 +157,7 @@ object Relational {
       .agg(count(lit(1)).as("n_pairs"), sum(col("a_key") * col("b_key")).as("keyprod"))
   }
   val joinNonEquiNljSql: String = """
-    SELECT COUNT(*) AS n_pairs, SUM(r1.r_regionkey * r2.r_regionkey) AS keyprod
+    SELECT COUNT(*) AS n_pairs, CAST(SUM(r1.r_regionkey * r2.r_regionkey) AS BIGINT) AS keyprod
     FROM region r1 JOIN region r2 ON r1.r_regionkey < r2.r_regionkey"""
 
   // ---------- aggregation (SURVEY §2.4) ----------

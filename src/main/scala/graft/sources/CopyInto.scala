@@ -45,7 +45,12 @@ object CopyInto {
     val nBad = bad.count()
     if (onError == "abort" && nBad > 0)
       throw new IllegalStateException(s"COPY INTO aborted: $nBad malformed records")
+    // Count the batch (cheap: df is cached), not the target — re-scanning the
+    // target after every load is O(table) per ingest and would dominate at
+    // 100 TB. `loaded` reports THIS batch's rows, matching the reference's
+    // per-COPY job summary.
+    val loaded = good.count()
     good.write.mode(SaveMode.Append).parquet(targetDir)
-    Result(spark.read.parquet(targetDir).count(), nBad, bad)
+    Result(loaded, nBad, bad)
   }
 }

@@ -112,8 +112,10 @@ object GraftSqlParser {
     override def run(spark: SparkSession): Seq[Row] = {
       val pipe = Pipes.get(name).getOrElse(
         throw new IllegalArgumentException(s"unknown pipe: $name"))
-      Pipes.trigger(spark, pipe)
-      Seq(Row(name, Pipes.table(spark, pipe).count().toString))
+      // rows loaded by this trigger, from stream progress — not an O(target)
+      // recount of the whole pipe table
+      val loaded = Pipes.trigger(spark, pipe)
+      Seq(Row(name, loaded.toString))
     }
   }
 

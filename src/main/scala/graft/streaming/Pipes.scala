@@ -35,8 +35,9 @@ object Pipes {
 
   /** TRIGGER PIPE: drain all currently-available files into the target
     * (parquet), exactly once across repeated invocations. Blocks until the
-    * drain completes. */
-  def trigger(spark: SparkSession, pipe: Pipe): Unit = {
+    * drain completes. Returns the number of rows loaded by THIS trigger
+    * (from the stream's progress metrics — no O(target) recount). */
+  def trigger(spark: SparkSession, pipe: Pipe): Long = {
     val reader = spark.readStream.schema(pipe.schema).format(pipe.format)
     val src = pipe.format match {
       case "csv" => reader.option("header", "true").load(pipe.sourceDir)
@@ -49,6 +50,7 @@ object Pipes {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    q.recentProgress.map(_.numInputRows).sum
   }
 
   /** Current target contents (the pipe's table). */

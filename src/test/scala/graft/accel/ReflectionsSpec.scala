@@ -60,6 +60,70 @@ class ReflectionsSpec extends AnyFunSuite {
     assert(planStr.contains("lineitem.parquet"))
   }
 
+  test("roll-up subsumption: coarser grouping served by a superset reflection") {
+    Reflections.clear()
+    Reflections.install(spark)
+    val t = Tables(spark, TestSpark.sf)
+    def roll() = t.lineitem.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("qty"), count(lit(1)).as("n"))
+    val cold = roll().orderBy("l_returnflag").collect()
+
+    val dir = Files.createTempDirectory("graft_refl5").toString
+    Reflections.create("r5", aggQuery(), s"$dir/r5")
+    val q = roll()
+    val planStr = q.queryExecution.sparkPlan.toString
+    assert(planStr.contains("/r5"), s"no roll-up substitution in:\n$planStr")
+    assert(!planStr.contains("lineitem.parquet"), "base table still scanned")
+    val hot = q.orderBy("l_returnflag").collect()
+    assert(cold.sameElements(hot), "roll-up answer differs from base answer")
+    Reflections.clear()
+  }
+
+  test("projection subsumption: DISTINCT grouping-subset served by reflection") {
+    Reflections.clear()
+    Reflections.install(spark)
+    val t = Tables(spark, TestSpark.sf)
+    def distinctFlags() = t.lineitem.select(col("l_returnflag")).distinct()
+    val cold = distinctFlags().orderBy("l_returnflag").collect()
+
+    val dir = Files.createTempDirectory("graft_refl6").toString
+    Reflections.create("r6", aggQuery(), s"$dir/r6")
+    val q = distinctFlags()
+    val planStr = q.queryExecution.sparkPlan.toString
+    assert(planStr.contains("/r6"), s"no substitution in:\n$planStr")
+    val hot = q.orderBy("l_returnflag").collect()
+    assert(cold.sameElements(hot))
+    Reflections.clear()
+  }
+
+  test("no subsumption when query groups outside the reflection's keys") {
+    Reflections.clear()
+    Reflections.install(spark)
+    val t = Tables(spark, TestSpark.sf)
+    val dir = Files.createTempDirectory("graft_refl7").toString
+    Reflections.create("r7", aggQuery(), s"$dir/r7")
+    val q = t.lineitem.groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+    val planStr = q.queryExecution.sparkPlan.toString
+    assert(!planStr.contains("/r7"), "substituted a non-subsumed grouping")
+    assert(planStr.contains("lineitem"), "base table should be scanned")
+    Reflections.clear()
+  }
+
+  test("no subsumption for non-roll-up aggregates (avg) or distinct aggs") {
+    Reflections.clear()
+    Reflections.install(spark)
+    val t = Tables(spark, TestSpark.sf)
+    val dir = Files.createTempDirectory("graft_refl8").toString
+    Reflections.create("r8", aggQuery(), s"$dir/r8")
+    // avg is not re-aggregable from sum-only outputs; count distinct never is
+    val q1 = t.lineitem.groupBy(col("l_returnflag")).agg(avg(col("l_quantity")).as("a"))
+    assert(!q1.queryExecution.sparkPlan.toString.contains("/r8"))
+    val q2 = t.lineitem.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_linestatus")).as("nd"))
+    assert(!q2.queryExecution.sparkPlan.toString.contains("/r8"))
+    Reflections.clear()
+  }
+
   test("incremental refresh rewrites only touched partitions") {
     import spark.implicits._
     Reflections.clear()

@@ -30,8 +30,9 @@ class SqlExtSpec extends AnyFunSuite {
     assert(spark.sql("SHOW PIPES").collect().map(_.getString(0)).contains("psql"))
     val res = spark.sql("TRIGGER PIPE psql").collect()
     assert(res.head.getString(1) == "1")
-    // second trigger: no new files, still exactly 1 row
-    assert(spark.sql("TRIGGER PIPE psql").collect().head.getString(1) == "1")
+    // second trigger: no new files → zero rows loaded by THIS trigger
+    // (per-batch metric from stream progress, not an O(target) recount)
+    assert(spark.sql("TRIGGER PIPE psql").collect().head.getString(1) == "0")
   }
 
   test("ALTER TABLE ... REFRESH METADATA parses and runs") {

@@ -25,16 +25,16 @@ class PipeSpec extends AnyFunSuite {
       """{"event_id":2,"event_type":"y","value":2.5}"""))
     drop("b.json", Seq("""{"event_id":3,"event_type":"x","value":3.5}"""))
 
-    Pipes.trigger(spark, pipe)
+    assert(Pipes.trigger(spark, pipe) == 3) // per-trigger count from stream progress
     assert(Pipes.table(spark, pipe).count() == 3)
 
     // re-trigger with no new files: nothing re-ingested (file-identity dedup)
-    Pipes.trigger(spark, pipe)
+    assert(Pipes.trigger(spark, pipe) == 0)
     assert(Pipes.table(spark, pipe).count() == 3)
 
     // late arrival: only the new file is ingested
     drop("c.json", Seq("""{"event_id":4,"event_type":"z","value":4.5}"""))
-    Pipes.trigger(spark, pipe)
+    assert(Pipes.trigger(spark, pipe) == 1)
     val rows = Pipes.table(spark, pipe)
     assert(rows.count() == 4)
     assert(rows.select("event_id").distinct().count() == 4)
