@@ -19,6 +19,8 @@ object SparkEntry {
       graft.queries.Relational.queries ++
       graft.queries.Scalar.queries ++
       graft.queries.Events.queries ++
+      graft.queries.Lake.queries ++
+      graft.queries.Federation.queries ++
       graft.llm.LlmQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -27,5 +29,7 @@ object SparkEntry {
       graft.queries.Relational.oracle ++
       graft.queries.Scalar.oracle ++
       graft.queries.Events.oracle ++
+      graft.queries.Lake.oracle ++
+      graft.queries.Federation.oracle ++
       graft.llm.LlmQueries.oracle
 }

@@ -48,11 +48,30 @@ object InfoSchema {
       .toDF("host", "port", "running_tasks")
   }
 
+  /** sys.reflections (reference `sys.reflections` over ReflectionManager
+    * state): the registered materializations and their fingerprints. */
+  def sysReflections(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    graft.accel.Reflections.list
+      .map(r => (r.name, r.fingerprint, r.path))
+      .toDF("name", "fingerprint", "path")
+  }
+
+  /** sys.pipes (reference `sys."pipes"` over the pipe registry). */
+  def sysPipes(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    graft.streaming.Pipes.list
+      .map(p => (p.name, p.sourceDir, p.format, p.targetDir, p.checkpointDir))
+      .toDF("name", "source", "format", "target", "checkpoint")
+  }
+
   /** Register all introspection views. */
   def register(spark: SparkSession): Unit = {
     tables(spark).createOrReplaceTempView("information_schema_tables")
     columns(spark).createOrReplaceTempView("information_schema_columns")
     sysOptions(spark).createOrReplaceTempView("sys_options")
     sysNodes(spark).createOrReplaceTempView("sys_nodes")
+    sysReflections(spark).createOrReplaceTempView("sys_reflections")
+    sysPipes(spark).createOrReplaceTempView("sys_pipes")
   }
 }

@@ -22,9 +22,22 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  // Per-JVM embedded Hive metastore (derby) + warehouse. Unique per process:
+  // embedded derby is single-JVM, and concurrent test/Verify JVMs must not
+  // share a lock. The metastore spins up lazily on first Hive-catalog use.
+  private lazy val metastoreDir =
+    java.nio.file.Files.createTempDirectory("graft_metastore").toString
+
   /** Common config applied to every session (Verify, Bench, tests, REPL). */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
     .withExtensions(new graft.sqlext.GraftExtensions)
+    // Hive-metastore federation (reference plugins/hive*): persistent-table
+    // DDL/DML goes through a real HiveExternalCatalog backed by embedded
+    // derby, the same embedded-metastore shape the reference CI uses.
+    .enableHiveSupport()
+    .config("javax.jdo.option.ConnectionURL",
+      s"jdbc:derby:;databaseName=$metastoreDir/db;create=true")
+    .config("spark.sql.warehouse.dir", s"$metastoreDir/warehouse")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -43,6 +56,10 @@ object GraftSession {
     // nanosecond timestamp — read as long, Tables normalizes to µs NTZ.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.aggregatePushdown", "true")
+    // Dremio has a first-class TIME type (CompleteType.java:160); Spark 4.1
+    // gates its native TIME behind this flag (see functions.TimeConv for
+    // the millis-of-day interchange convention).
+    .config("spark.sql.timeType.enabled", "true")
     .config("spark.sql.ui.explainMode", "formatted")
 
   /** Local session for tests / ad-hoc runs. */

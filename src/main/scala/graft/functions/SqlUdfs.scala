@@ -42,7 +42,13 @@ object SqlUdfs {
       "cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(radians(lon2 - lon1) / 2), 2)))",
     "CREATE OR REPLACE TEMPORARY FUNCTION geo_nearby(" +
       "lat1 DOUBLE, lon1 DOUBLE, lat2 DOUBLE, lon2 DOUBLE, dist DOUBLE) " +
-      "RETURNS BOOLEAN RETURN geo_distance(lat1, lon1, lat2, lon2) <= dist")
+      "RETURNS BOOLEAN RETURN geo_distance(lat1, lon1, lat2, lon2) <= dist",
+    // tabular SQL UDF (reference DremioTabularUserDefinedFunction +
+    // TabularUserDefinedFunctionExpanderRule: table functions expanded at
+    // plan time; Spark 4 SQL table functions do the same). Usable in a
+    // FROM clause: SELECT * FROM int_range(5).
+    "CREATE OR REPLACE TEMPORARY FUNCTION int_range(n INT) " +
+      "RETURNS TABLE(i INT) RETURN SELECT explode(sequence(1, n)) AS i")
 
   /** Install all SQL UDFs into the session (idempotent: OR REPLACE). */
   def register(spark: SparkSession): Unit = defs.foreach(spark.sql(_))

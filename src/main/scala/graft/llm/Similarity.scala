@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Functions
@@ -27,6 +27,51 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cos"))
     // custom bounded-heap operator: O(n log k) per query instead of the
     // windowed row_number's full per-key sort (graft.plans.TopKPerKey)
+    val top = graft.plans.TopKPerKey(scored, col("q_id"), col("cos"), col("c_id"), k)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    top.withColumn("rk", row_number().over(w))
+      .select(col("q_id"), col("c_id"), col("cos"), col("rk"))
+  }
+
+  /** IVF with geometric buckets: centroids are a deterministic sample of
+    * the corpus (first `nClusters` by vec_id — in production, k-means);
+    * corpus vectors go to their nearest centroid, queries probe their
+    * `nProbe` nearest buckets. Recall@k against brute force is asserted in
+    * SimilaritySpec, so the approximation is falsifiable, not just
+    * non-empty.
+    *
+    * Scale: the centroid set is tiny and broadcast inside the assignment
+    * expressions (all codegen'd); the join is bucket-local, shrinking each
+    * query's scan by ~nClusters/nProbe×. */
+  def ivfCentroidTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                      nClusters: Int = 4, nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.Row
+    val centroids: Seq[Seq[Float]] = corpus
+      .select(col("vec_id"), col("embedding")).orderBy(col("vec_id"))
+      .limit(nClusters).collect()
+      .map((r: Row) => r.getSeq[Float](1)).toSeq
+    // per-centroid cosine columns (codegen'd custom expression)
+    def sims(vecCol: Column): Column = array(centroids.map(c =>
+      Functions.cosine_sim(vecCol, typedLit(c))): _*)
+    val cCol = col("embedding")
+    val corpusAssigned = corpus
+      .withColumn("s", sims(cCol))
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
+        (expr("array_position(s, array_max(s))") - 1).cast("int").as("bucket"))
+    val queriesProbed = queries
+      .withColumn("s", sims(cCol))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        explode(expr(
+          s"""slice(transform(array_sort(zip_with(s, sequence(0, ${nClusters - 1}),
+             |(sc, i) -> struct(sc as c, i as b)),
+             |(l, r) -> CASE WHEN l.c > r.c THEN -1 WHEN l.c < r.c THEN 1
+             |               ELSE int(l.b - r.b) END), x -> x.b), 1, $nProbe)""".stripMargin))
+          .as("bucket"))
+    val scored = corpusAssigned.join(broadcast(queriesProbed), Seq("bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", Functions.cosine_sim(col("q_vec"), col("c_vec")))
+      .select(col("q_id"), col("c_id"), col("cos"))
+      .dropDuplicates("q_id", "c_id") // a pair can meet in ≤ nProbe buckets
     val top = graft.plans.TopKPerKey(scored, col("q_id"), col("cos"), col("c_id"), k)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
     top.withColumn("rk", row_number().over(w))

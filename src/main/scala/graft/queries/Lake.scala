@@ -1,0 +1,121 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import graft.sources.SnapshotTable
+
+/** Oracle-checked queries over the graft-lake snapshot table format
+  * (SnapshotTable.scala; reference Iceberg scan
+  * `exec/store/iceberg/IcebergScanPrel.java:96`). Each query builds a lake
+  * table in a fresh temp dir from fixture data, runs commits through the
+  * log, and returns a result DuckDB can reproduce from the raw fixture —
+  * so MERGE semantics, time travel, and incremental scans are all
+  * hash-gated, not just spec-asserted.
+  */
+object Lake {
+
+  /** MERGE-by-key through the snapshot log: update every 10th customer's
+    * balance, insert a shifted copy of the first 50 keys, keep the rest. */
+  val lakeMergeByKey: QueryFn = (s, dir) => {
+    val t = Tables.ensure(s, dir)
+    val base = t.customer
+      .select(col("c_custkey"), col("c_name"), dbl(money(col("c_acctbal"))).as("bal"))
+    val upd = t.customer.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        dbl(money(col("c_acctbal")) + 100).as("bal"))
+    val ins = t.customer.filter(col("c_custkey") <= 50)
+      .select((col("c_custkey") + 10000000L).as("c_custkey"), col("c_name"),
+        dbl(money(col("c_acctbal"))).as("bal"))
+    val lakeDir = Files.createTempDirectory("graft_lake_merge").toString
+    val table = SnapshotTable.create(s, lakeDir, base)
+    table.mergeByKey(upd.unionByName(ins), "c_custkey")
+    table.read().orderBy(col("c_custkey"))
+  }
+  val lakeMergeByKeySql: String = """
+    WITH base AS (
+      SELECT c_custkey, c_name,
+             CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal
+      FROM customer),
+    upd AS (
+      SELECT c_custkey, c_name,
+             CAST(CAST(c_acctbal AS DECIMAL(12,2)) + 100 AS DOUBLE) AS bal
+      FROM customer WHERE c_custkey % 10 = 0),
+    ins AS (
+      SELECT c_custkey + 10000000 AS c_custkey, c_name,
+             CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal
+      FROM customer WHERE c_custkey <= 50)
+    SELECT c_custkey, c_name, bal FROM (
+      SELECT * FROM base WHERE c_custkey % 10 <> 0
+      UNION ALL SELECT * FROM upd
+      UNION ALL SELECT * FROM ins) m
+    ORDER BY c_custkey"""
+
+  /** VERSION AS OF: v1 = full nation, v2 overwrites with a filtered set;
+    * reading v1 must still return the original rows (time travel). */
+  val lakeTimeTravel: QueryFn = (s, dir) => {
+    val t = Tables.ensure(s, dir)
+    val v1 = t.nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val lakeDir = Files.createTempDirectory("graft_lake_tt").toString
+    val table = SnapshotTable.create(s, lakeDir, v1)
+    table.overwrite(v1.filter(col("n_regionkey") =!= 0))
+    table.asOf(1L).orderBy(col("n_nationkey"))
+  }
+  val lakeTimeTravelSql: String = """
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation ORDER BY n_nationkey"""
+
+  /** Incremental scan: two appends, read only the second commit's rows
+    * (the incremental-refresh read path). */
+  val lakeIncrementalScan: QueryFn = (s, dir) => {
+    val t = Tables.ensure(s, dir)
+    val c = t.customer.select(col("c_custkey"), col("c_mktsegment"))
+    val lakeDir = Files.createTempDirectory("graft_lake_inc").toString
+    val table = SnapshotTable.forPath(s, lakeDir)
+    table.append(c.filter(col("c_custkey") <= 100))
+    val v2 = table.append(c.filter(col("c_custkey") > 100 && col("c_custkey") <= 250))
+    table.changes(v2 - 1, v2).orderBy(col("c_custkey"))
+  }
+  val lakeIncrementalScanSql: String = """
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE c_custkey > 100 AND c_custkey <= 250 ORDER BY c_custkey"""
+
+  /** DELETE WHERE + UPDATE SET through the snapshot log (copy-on-write
+    * row-level DML): delete low-balance suppliers, raise one nation's
+    * balances, read the final state. */
+  val lakeDeleteUpdate: QueryFn = (s, dir) => {
+    val t = Tables.ensure(s, dir)
+    val base = t.supplier
+      .select(col("s_suppkey"), col("s_nationkey"), dbl(money(col("s_acctbal"))).as("bal"))
+    val lakeDir = Files.createTempDirectory("graft_lake_dml").toString
+    val table = SnapshotTable.create(s, lakeDir, base)
+    table.deleteWhere(col("bal") < 0)
+    table.updateWhere(col("s_nationkey") === 3,
+      Map("bal" -> dbl(money(col("bal")) + 50)))
+    table.read().orderBy(col("s_suppkey"))
+  }
+  val lakeDeleteUpdateSql: String = """
+    WITH kept AS (
+      SELECT s_suppkey, s_nationkey,
+             CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal
+      FROM supplier
+      WHERE NOT (CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) < 0))
+    SELECT s_suppkey, s_nationkey,
+           CASE WHEN s_nationkey = 3
+                THEN CAST(CAST(bal AS DECIMAL(12,2)) + 50 AS DOUBLE)
+                ELSE bal END AS bal
+    FROM kept ORDER BY s_suppkey"""
+
+  val queries: Map[String, QueryFn] = Map(
+    "lake_delete_update" -> lakeDeleteUpdate,
+    "lake_merge_by_key" -> lakeMergeByKey,
+    "lake_time_travel" -> lakeTimeTravel,
+    "lake_incremental_scan" -> lakeIncrementalScan)
+
+  val oracle: Map[String, String] = Map(
+    "lake_delete_update" -> lakeDeleteUpdateSql,
+    "lake_merge_by_key" -> lakeMergeByKeySql,
+    "lake_time_travel" -> lakeTimeTravelSql,
+    "lake_incremental_scan" -> lakeIncrementalScanSql)
+}

@@ -1,0 +1,211 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** One committed snapshot transition in a lake table's log. */
+final case class LakeCommit(
+    version: Long,
+    action: String, // "append" | "overwrite"
+    timestampMs: Long,
+    schemaDdl: String,
+    files: Seq[String]) // data files, relative to the table root
+
+/** Iceberg-lite snapshot table format ("graft-lake"): a parquet directory
+  * plus an append-only commit log of JSON snapshot files under
+  * `_graft_log/` — the minimal re-expression of the reference's
+  * snapshot/manifest design (Iceberg three-stage scan
+  * `sabot/kernel/.../exec/store/iceberg/IcebergScanPrel.java:96`, commit-log
+  * reading `DeltaLogCommitJsonReader.java`).
+  *
+  * Semantics:
+  *  - A commit is `v%08d.json` naming the data files it adds (append) or
+  *    the complete new file set (overwrite). Data files are immutable and
+  *    written under per-commit subdirectories BEFORE the commit file
+  *    appears, so a crash mid-write leaves only unreferenced orphans — the
+  *    log never points at partial data (the crash window the plain
+  *    delete+rename swap in `Writer.mergeByKey` had).
+  *  - Version claims are atomic via `Files.createFile` on a `.lock` marker
+  *    (create-if-absent is atomic on POSIX); concurrent writers that lose
+  *    the race re-read the log and retry on the next version (optimistic
+  *    concurrency, Iceberg-style).
+  *  - Readers resolve a snapshot's file list ONCE (at DataFrame
+  *    construction); later commits never mutate previously committed files,
+  *    so in-flight readers keep a consistent view (snapshot isolation).
+  *  - Time travel: `VERSION AS OF` / `TIMESTAMP AS OF` replay the log up to
+  *    the requested version/timestamp.
+  *
+  * Scale notes: the log holds file NAMES, not data — resolving a snapshot
+  * is O(commits) driver-side metadata work, and the scan itself is a plain
+  * multi-file parquet read that keeps pushdown/pruning/vectorization.
+  * Compaction (rewriting many small appended files into few) is an
+  * `overwrite` commit of the same rows.
+  */
+final class SnapshotTable private (spark: SparkSession, val dir: String) {
+  import SnapshotTable._
+
+  private def logDir: Path = Paths.get(dir, LogDirName)
+
+  def commits: Seq[LakeCommit] =
+    if (!Files.isDirectory(logDir)) Nil
+    else {
+      val s = Files.list(logDir)
+      try
+        s.iterator.asScala
+          .filter(_.getFileName.toString.matches("v\\d{8}\\.json"))
+          .toVector
+          .sortBy(_.getFileName.toString)
+          .map(p => parseCommit(new String(Files.readAllBytes(p), "UTF-8")))
+      finally s.close()
+    }
+
+  def latestVersion: Long = commits.lastOption.map(_.version).getOrElse(0L)
+
+  /** File set + schema visible at a version / timestamp (None → latest),
+    * by replaying the log: append accumulates, overwrite resets. */
+  def snapshot(version: Option[Long] = None,
+               asOfTsMs: Option[Long] = None): (Seq[String], StructType) = {
+    val all = commits
+    val visible = (version, asOfTsMs) match {
+      case (Some(v), _)  => all.takeWhile(_.version <= v)
+      case (_, Some(ts)) => all.takeWhile(_.timestampMs <= ts)
+      case _             => all
+    }
+    require(visible.nonEmpty,
+      s"no snapshot at version=$version asOfTs=$asOfTsMs in $dir (latest=$latestVersion)")
+    val files = visible.foldLeft(Vector.empty[String]) { (acc, c) =>
+      if (c.action == "overwrite") c.files.toVector else acc ++ c.files
+    }
+    (files.map(f => s"$dir/$f"), StructType.fromDDL(visible.last.schemaDdl))
+  }
+
+  /** Read a snapshot (latest by default). The file list is pinned here —
+    * subsequent commits do not affect this DataFrame. */
+  def read(version: Option[Long] = None, asOfTsMs: Option[Long] = None): DataFrame = {
+    val (files, schema) = snapshot(version, asOfTsMs)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else spark.read.schema(schema).parquet(files: _*)
+  }
+
+  /** `VERSION AS OF v` (Iceberg/Delta time travel). */
+  def asOf(version: Long): DataFrame = read(version = Some(version))
+
+  /** `TIMESTAMP AS OF ts` (epoch millis). */
+  def asOfTimestamp(tsMs: Long): DataFrame = read(asOfTsMs = Some(tsMs))
+
+  def append(df: DataFrame): Long = commit(df, "append")
+  def overwrite(df: DataFrame): Long = commit(df, "overwrite")
+
+  /** Incremental scan: rows added by commits in (fromVersion, toVersion]
+    * (the reference's incremental-reflection-refresh read path —
+    * `IncrementalUpdateUtils.java`). Only valid across append-only history;
+    * an overwrite in the range breaks add-only lineage. */
+  def changes(fromVersion: Long, toVersion: Long): DataFrame = {
+    val cs = commits.filter(c => c.version > fromVersion && c.version <= toVersion)
+    require(cs.nonEmpty, s"no commits in ($fromVersion, $toVersion]")
+    require(cs.forall(_.action == "append"),
+      s"incremental scan across an overwrite is not add-only (range ($fromVersion, $toVersion])")
+    val files = cs.flatMap(_.files).map(f => s"$dir/$f")
+    spark.read.schema(StructType.fromDDL(cs.last.schemaDdl)).parquet(files: _*)
+  }
+
+  /** MERGE-by-key (upsert) with snapshot isolation: delta rows replace
+    * same-key target rows, the rest are kept, and the swap is a single
+    * atomic log commit — in-flight readers keep the pre-merge snapshot. */
+  def mergeByKey(delta: DataFrame, key: String): Long = {
+    val base = read() // pinned pre-merge snapshot
+    val merged = base
+      .join(delta.select(key).distinct(), Seq(key), "left_anti")
+      .unionByName(delta)
+    overwrite(merged)
+  }
+
+  /** DELETE WHERE: rewrite the table without matching rows, as one atomic
+    * overwrite commit (the reference gets row-level DML from Iceberg
+    * copy-on-write; same shape here). */
+  def deleteWhere(cond: org.apache.spark.sql.Column): Long =
+    overwrite(read().filter(!cond || cond.isNull))
+
+  /** UPDATE ... SET: copy-on-write update of matching rows, one atomic
+    * commit. `sets` maps column name → new-value expression. */
+  def updateWhere(cond: org.apache.spark.sql.Column,
+                  sets: Map[String, org.apache.spark.sql.Column]): Long = {
+    val base = read()
+    val updated = sets.foldLeft(base) { case (df, (name, value)) =>
+      df.withColumn(name,
+        org.apache.spark.sql.functions.when(cond, value).otherwise(df.col(name)))
+    }
+    overwrite(updated.select(base.columns.map(updated.col).toIndexedSeq: _*))
+  }
+
+  /** Write data files for the commit, then claim the next version. */
+  private def commit(df: DataFrame, action: String): Long = {
+    val sub = "data-" + java.util.UUID.randomUUID().toString.take(8)
+    df.write.parquet(s"$dir/$sub")
+    val dataDir = Paths.get(dir, sub)
+    val s = Files.list(dataDir)
+    val files =
+      try s.iterator.asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toVector.sorted.map(n => s"$sub/$n")
+      finally s.close()
+    Files.createDirectories(logDir)
+    var v = latestVersion + 1
+    var claimed = false
+    while (!claimed) {
+      val lock = logDir.resolve(f"v$v%08d.lock")
+      try { Files.createFile(lock); claimed = true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => v += 1 }
+    }
+    val c = LakeCommit(v, action, System.currentTimeMillis(), df.schema.toDDL, files)
+    val tmp = logDir.resolve(f"v$v%08d.json.tmp")
+    Files.write(tmp, renderCommit(c).getBytes("UTF-8"))
+    Files.move(tmp, logDir.resolve(f"v$v%08d.json"), StandardCopyOption.ATOMIC_MOVE)
+    spark.catalog.refreshByPath(dir)
+    v
+  }
+}
+
+object SnapshotTable {
+  val LogDirName = "_graft_log"
+
+  def forPath(spark: SparkSession, dir: String): SnapshotTable =
+    new SnapshotTable(spark, dir)
+
+  def isLakeTable(dir: String): Boolean =
+    Files.isDirectory(Paths.get(dir, LogDirName))
+
+  /** CTAS into a fresh lake table (first commit is an overwrite). */
+  def create(spark: SparkSession, dir: String, df: DataFrame): SnapshotTable = {
+    val t = forPath(spark, dir)
+    t.overwrite(df)
+    t
+  }
+
+  private val mapper = new ObjectMapper()
+
+  private[sources] def renderCommit(c: LakeCommit): String = {
+    val node = mapper.createObjectNode()
+    node.put("version", c.version)
+    node.put("action", c.action)
+    node.put("timestampMs", c.timestampMs)
+    node.put("schemaDdl", c.schemaDdl)
+    val arr = node.putArray("files")
+    c.files.foreach(arr.add)
+    node.toString
+  }
+
+  private[sources] def parseCommit(s: String): LakeCommit = {
+    val n = mapper.readTree(s)
+    LakeCommit(
+      n.get("version").asLong(),
+      n.get("action").asText(),
+      n.get("timestampMs").asLong(),
+      n.get("schemaDdl").asText(),
+      n.get("files").elements().asScala.map(_.asText()).toVector)
+  }
+}

@@ -27,9 +27,12 @@ object Writer {
 
   /** MERGE-by-key (upsert): delta rows replace target rows with the same
     * key; everything else is kept. The reference gets MERGE/UPDATE/DELETE
-    * from Iceberg/Delta table formats (not bundled here — SURVEY §7 item
-    * 5); this is the format-free rewrite equivalent: anti-join out the
-    * updated keys, union the delta, atomically swap via overwrite.
+    * atomicity from Iceberg/Delta table formats; here a graft-lake table
+    * (SnapshotTable) supplies the same guarantee — a single atomic log
+    * commit, in-flight readers keep the pre-merge snapshot. Plain parquet
+    * directories fall back to the staged delete+rename swap (non-atomic —
+    * a crash between delete and rename loses the target; upgrade the table
+    * to a lake table to close the window).
     *
     * Scale note: with a partitioned target, pair with dynamic-partition
     * overwrite (see Reflections.refreshIncremental) so the rewrite cost is
@@ -37,6 +40,10 @@ object Writer {
     */
   def mergeByKey(delta: DataFrame, path: String, key: String): Unit = {
     val spark = delta.sparkSession
+    if (SnapshotTable.isLakeTable(path)) {
+      SnapshotTable.forPath(spark, path).mergeByKey(delta, key)
+      return
+    }
     val target = spark.read.parquet(path)
     val merged = target
       .join(delta.select(key).distinct(), Seq(key), "left_anti")

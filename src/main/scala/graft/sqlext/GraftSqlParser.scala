@@ -26,6 +26,8 @@ import graft.streaming.{Pipe, Pipes}
   *   TRIGGER PIPE <name>
   *   SHOW PIPES
   *   ALTER TABLE <ident> REFRESH METADATA
+  *   DESCRIBE LAKE '<dir>'                      -- snapshot history
+  *   CREATE LAKE VIEW <name> FROM '<dir>' [VERSION AS OF <n>]
   */
 class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends ParserInterface {
 
@@ -42,7 +44,12 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
         CreatePipeCommand(name, src, fmt.toLowerCase, ddl, target, chk)
       case TriggerPipeRe(name) => TriggerPipeCommand(name)
       case ShowPipesRe() => ShowPipesCommand(out("name", "source", "format", "target"))
-      case RefreshMetadataRe(ident) => RefreshMetadataCommand(ident)
+      case RefreshMetadataRe(quoted, bare) =>
+        RefreshMetadataCommand(Option(quoted).getOrElse(bare))
+      case DescribeLakeRe(dir) =>
+        DescribeLakeCommand(dir, out("version", "action", "timestamp_ms", "n_files"))
+      case CreateLakeViewRe(name, dir, version) =>
+        CreateLakeViewCommand(name, dir, Option(version).map(_.toLong))
       case _ => delegate.parsePlan(sqlText)
     }
   }
@@ -71,7 +78,11 @@ object GraftSqlParser {
       """SCHEMA\s+'([^']+)'\s+INTO\s+'([^']+)'\s+CHECKPOINT\s+'([^']+)'\s*;?""").r
   private val TriggerPipeRe = """(?is)TRIGGER\s+PIPE\s+(\w+)\s*;?""".r
   private val ShowPipesRe = """(?is)SHOW\s+PIPES\s*;?""".r
-  private val RefreshMetadataRe = """(?is)ALTER\s+TABLE\s+([\w.]+)\s+REFRESH\s+METADATA\s*;?""".r
+  private val RefreshMetadataRe =
+    """(?is)ALTER\s+TABLE\s+(?:`([^`]+)`|([\w./]+))\s+REFRESH\s+METADATA\s*;?""".r
+  private val DescribeLakeRe = """(?is)DESCRIBE\s+LAKE\s+'([^']+)'\s*;?""".r
+  private val CreateLakeViewRe =
+    """(?is)CREATE\s+LAKE\s+VIEW\s+(\w+)\s+FROM\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?""".r
 
   private def out(names: String*): Seq[Attribute] =
     names.map(n => AttributeReference(n, StringType, nullable = true)())
@@ -122,6 +133,27 @@ object GraftSqlParser {
   case class ShowPipesCommand(override val output: Seq[Attribute]) extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] =
       Pipes.list.map(p => Row(p.name, p.sourceDir, p.format, p.targetDir))
+  }
+
+  /** DESCRIBE LAKE: the snapshot history of a graft-lake table (the
+    * Iceberg `snapshots` metadata-table / Delta DESCRIBE HISTORY analog). */
+  case class DescribeLakeCommand(dir: String, override val output: Seq[Attribute])
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] =
+      graft.sources.SnapshotTable.forPath(spark, dir).commits.map(c =>
+        Row(c.version.toString, c.action, c.timestampMs.toString, c.files.size.toString))
+  }
+
+  /** CREATE LAKE VIEW: register a (possibly time-traveled) snapshot of a
+    * graft-lake table as a temp view for plain-SQL querying. */
+  case class CreateLakeViewCommand(name: String, dir: String, version: Option[Long])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("view", "version")
+    override def run(spark: SparkSession): Seq[Row] = {
+      val t = graft.sources.SnapshotTable.forPath(spark, dir)
+      t.read(version).createOrReplaceTempView(name)
+      Seq(Row(name, version.getOrElse(t.latestVersion).toString))
+    }
   }
 
   /** ALTER TABLE ... REFRESH METADATA (reference SqlRefreshDataset,

@@ -46,6 +46,53 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(d.toString == "2024-03-05")
   }
 
+  test("tabular SQL UDF is usable in a FROM clause") {
+    Functions.registerAll(spark)
+    // generic TVF from the registry
+    val got = spark.sql("SELECT i FROM int_range(4) ORDER BY i")
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(1, 2, 3, 4))
+    // parameterized-view shape over a fixture table (reference
+    // TabularUserDefinedFunctionExpanderRule: the body is expanded into the
+    // calling plan, so pushdown/pruning still apply through the TVF)
+    graft.engine.Tables.ensure(spark, TestSpark.sf)
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION nations_of(rk BIGINT)
+      RETURNS TABLE(n_nationkey BIGINT, n_name STRING)
+      RETURN SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = rk""")
+    val viaTvf = spark.sql(
+      "SELECT n_name FROM nations_of(2) ORDER BY n_nationkey").collect().map(_.getString(0)).toSeq
+    val direct = spark.sql(
+      "SELECT n_name FROM nation WHERE n_regionkey = 2 ORDER BY n_nationkey")
+      .collect().map(_.getString(0)).toSeq
+    assert(viaTvf == direct && viaTvf.nonEmpty)
+    // join through the TVF keeps resolving
+    val joined = spark.sql("""
+      SELECT r.r_name, count(*) AS n
+      FROM region r JOIN nations_of(2) nv ON r.r_regionkey = 2
+      GROUP BY r.r_name""").count()
+    assert(joined == 1)
+  }
+
+  test("sys_reflections and sys_pipes expose registry state") {
+    import java.nio.file.Files
+    graft.engine.Tables.ensure(spark, TestSpark.sf)
+    val dir = Files.createTempDirectory("graft_sysv").toString
+    graft.accel.Reflections.create("sysv_r",
+      spark.sql("SELECT n_regionkey, count(*) AS n FROM nation GROUP BY n_regionkey"),
+      s"$dir/sysv_r")
+    graft.streaming.Pipes.define(graft.streaming.Pipe("sysv_p", s"$dir/in", "json",
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT"), s"$dir/out", s"$dir/chk"))
+    graft.catalog.InfoSchema.register(spark)
+    val refl = spark.sql("SELECT name, path FROM sys_reflections").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(refl.exists { case (n, p) => n == "sysv_r" && p.endsWith("sysv_r") })
+    val pipes = spark.sql("SELECT name, format FROM sys_pipes").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(pipes.contains(("sysv_p", "json")))
+    graft.accel.Reflections.drop("sysv_r")
+    graft.streaming.Pipes.drop("sysv_p")
+  }
+
   test("information_schema and sys views are queryable") {
     graft.engine.Tables.ensure(spark, TestSpark.sf)
     graft.catalog.InfoSchema.register(spark)

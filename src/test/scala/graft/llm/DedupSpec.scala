@@ -41,6 +41,36 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => Set(a, b) == Set(3L, 4L) })
   }
 
+  test("LSH recall vs exact Jaccard: every exact pair is recovered on the fixture") {
+    // Falsifiability anchor (VERDICT r1): LSH output must contain every
+    // exact n-gram-Jaccard pair above threshold on the same corpus slice —
+    // recall measured numerically against a brute-force oracle, not just
+    // non-emptiness. Fixture near-dups all have J ≥ 0.88, where the 16×4
+    // banding's miss probability is ~1e-7 (and the hashes are seeded, so
+    // the outcome is deterministic).
+    val docs = graft.engine.Tables(spark, graft.TestSpark.sf).documents
+      .select(col("doc_id"), col("text"))
+    val ng = docs.select(col("doc_id"),
+      graft.functions.Functions.ngram_hashes(col("text"), 3).as("ng"))
+    val a = ng.select(col("doc_id").as("a_id"), col("ng").as("a_ng"))
+    val b = ng.select(col("doc_id").as("b_id"), col("ng").as("b_ng"))
+    val exact = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("j",
+        size(array_intersect(col("a_ng"), col("b_ng"))).cast("double") /
+          size(array_union(col("a_ng"), col("b_ng"))).cast("double"))
+      .filter(col("j") >= 0.6)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(exact.size >= 20, s"fixture should contain planted near-dups, got ${exact.size}")
+
+    val lsh = Dedup.minhashLsh(docs, jaccardThreshold = 0.6)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall == 1.0, s"LSH recall $recall < 1.0; missed ${exact.diff(lsh)}")
+    // precision 1.0 by construction (candidates are exact-verified) —
+    // assert it anyway so a verification regression is caught
+    assert(lsh.subsetOf(exact), s"LSH emitted non-pairs: ${lsh.diff(exact)}")
+  }
+
   test("embedding dups finds planted near-identical vectors") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.1f), 1),

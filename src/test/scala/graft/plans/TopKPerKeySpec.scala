@@ -44,6 +44,40 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(n == 25)
   }
 
+  test("high-cardinality keys under a tight memory budget spill and stay correct") {
+    import spark.implicits._
+    // ~50k distinct keys × 4 rows; a few-KB budget forces many sorted-run
+    // flushes, exercising the external merge path end to end.
+    val df = spark.range(200000)
+      .select((col("id") % 50000).as("k"),
+        (col("id") % 97).cast("double").as("s"), col("id").as("tie"))
+    spark.conf.set("spark.graft.topKPerKey.memoryBytes", "65536")
+    try {
+      val topk = TopKPerKey(df.toDF(), col("k"), col("s"), col("tie"), 2)
+      // collect from `topk` itself so the metric below reads the same
+      // queryExecution that actually ran (a .select would re-plan)
+      val got = topk.collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[Long]("tie"))).toSet
+      val w = Window.partitionBy(col("k")).orderBy(col("s").desc, col("tie"))
+      val want = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+        .select("k", "tie").as[(Long, Long)].collect().toSet
+      assert(got == want, s"spilled result diverged: ${got.diff(want).take(5)} / ${want.diff(got).take(5)}")
+      // the spill path must actually have run; AQE hides the node inside
+      // (leaf) query-stage wrappers, so unwrap them explicitly
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def findTopK(p: SparkPlan): Option[TopKPerKeyExec] = p match {
+        case e: TopKPerKeyExec => Some(e)
+        case a: AdaptiveSparkPlanExec => findTopK(a.executedPlan)
+        case q: QueryStageExec => findTopK(q.plan)
+        case other => other.children.iterator.map(findTopK).collectFirst { case Some(e) => e }
+      }
+      val execNode = findTopK(topk.queryExecution.executedPlan)
+      assert(execNode.exists(_.metrics("spilledRuns").value > 0),
+        s"expected spilled runs under a 64KB budget; got=${execNode.map(_.metrics("spilledRuns").value)}")
+    } finally spark.conf.unset("spark.graft.topKPerKey.memoryBytes")
+  }
+
   test("ties break deterministically on the tieBreak column") {
     import spark.implicits._
     val df = Seq((1L, 10.0, 5L), (1L, 10.0, 2L), (1L, 10.0, 9L)).toDF("k", "s", "id")

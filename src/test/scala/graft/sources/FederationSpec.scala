@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Federation coverage (reference `plugins/hive*` + JDBC-ARP dialects):
+  * Hive-metastore-backed tables (embedded derby metastore) and a JDBC V1
+  * round-trip with filter pushdown, all in-process. */
+class FederationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("session uses a real Hive external catalog") {
+    assert(spark.conf.get("spark.sql.catalogImplementation") == "hive")
+  }
+
+  test("Hive-catalog table: CTAS, catalog listing, read-back") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS fed_spec")
+    spark.sql("DROP TABLE IF EXISTS fed_spec.t_parquet")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .createOrReplaceTempView("fed_src")
+    spark.sql("CREATE TABLE fed_spec.t_parquet STORED AS PARQUET AS SELECT * FROM fed_src")
+    assert(spark.catalog.tableExists("fed_spec.t_parquet"))
+    val got = spark.sql("SELECT id, v FROM fed_spec.t_parquet ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("Hive ORC table through the catalog (reference hive-ORC path)") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS fed_spec")
+    spark.sql("DROP TABLE IF EXISTS fed_spec.t_orc")
+    Seq((10L, 1.5), (20L, 2.5)).toDF("k", "x").createOrReplaceTempView("fed_orc_src")
+    spark.sql("CREATE TABLE fed_spec.t_orc STORED AS ORC AS SELECT * FROM fed_orc_src")
+    val got = spark.sql("SELECT sum(x) AS sx FROM fed_spec.t_orc").head().getDouble(0)
+    assert(got == 4.0)
+  }
+
+  test("JDBC round-trip against embedded Derby with filter pushdown") {
+    val url = "jdbc:derby:memory:fedspec;create=true"
+    Seq((1L, "aa"), (2L, "bb"), (3L, "cc")).toDF("id", "name")
+      .write.format("jdbc")
+      .option("url", url).option("dbtable", "T_J")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .mode("overwrite").save()
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "T_J")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .load()
+      .filter(col("id") >= 2)
+    // the filter must reach the JDBC source, not run in Spark
+    val explained = back.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(explained.contains("PushedFilters") && explained.contains("id"),
+      s"JDBC filter not pushed:\n$explained")
+    assert(back.orderBy("id").select("name").as[String].collect().toSeq == Seq("bb", "cc"))
+  }
+}

@@ -1,0 +1,115 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class SnapshotTableSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("create + append + read roundtrip with schema from the log") {
+    val dir = fresh("lake_rt")
+    val t = SnapshotTable.create(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    val got = t.read().orderBy("id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(t.latestVersion == 2L)
+  }
+
+  test("time travel: VERSION AS OF and TIMESTAMP AS OF") {
+    val dir = fresh("lake_tt")
+    val t = SnapshotTable.create(spark, dir, Seq((1L, "a")).toDF("id", "v"))
+    val tsAfterV1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    t.overwrite(Seq((9L, "z")).toDF("id", "v"))
+    assert(t.asOf(1L).as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+    assert(t.read().as[(Long, String)].collect().toSeq == Seq((9L, "z")))
+    assert(t.asOfTimestamp(tsAfterV1).as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+  }
+
+  test("snapshot isolation: a reader pinned before a merge sees the old data") {
+    val dir = fresh("lake_iso")
+    val t = SnapshotTable.create(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val pinned = t.read() // file list resolved here
+    t.mergeByKey(Seq((2L, "B"), (3L, "c")).toDF("id", "v"), "id")
+    // post-merge view
+    assert(t.read().orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "B"), (3L, "c")))
+    // the in-flight reader still sees the pre-merge snapshot (old files are
+    // never deleted by a commit)
+    assert(pinned.orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // and time travel to v1 agrees with it
+    assert(t.asOf(1L).orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("crash window: orphan data files without a commit are invisible") {
+    val dir = fresh("lake_crash")
+    val t = SnapshotTable.create(spark, dir, Seq((1L, "a")).toDF("id", "v"))
+    // simulate a writer that died after writing data but before committing
+    Seq((99L, "orphan")).toDF("id", "v").write.parquet(s"$dir/data-deadbeef")
+    assert(t.read().as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+  }
+
+  test("version claim is atomic: a taken lock forces the next version") {
+    val dir = fresh("lake_race")
+    val t = SnapshotTable.create(spark, dir, Seq((1L, "a")).toDF("id", "v"))
+    // another writer already claimed v2
+    Files.createFile(Paths.get(dir, SnapshotTable.LogDirName, "v00000002.lock"))
+    val v = t.append(Seq((2L, "b")).toDF("id", "v"))
+    assert(v == 3L, "losing writer must advance past the claimed version")
+    assert(t.read().count() == 2)
+  }
+
+  test("incremental scan returns only the requested commit range") {
+    val dir = fresh("lake_inc")
+    val t = SnapshotTable.forPath(spark, dir)
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    t.append(Seq((2L, "b")).toDF("id", "v"))
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    assert(t.changes(1L, 3L).orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((2L, "b"), (3L, "c")))
+    // an overwrite inside the range is rejected (not add-only)
+    t.overwrite(Seq((9L, "z")).toDF("id", "v"))
+    intercept[IllegalArgumentException] { t.changes(1L, 4L) }
+  }
+
+  test("DELETE WHERE removes only matching rows, as one commit") {
+    val dir = fresh("lake_del")
+    val t = SnapshotTable.create(spark, dir,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    t.deleteWhere(col("id") === 2)
+    assert(t.read().orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (3L, "c")))
+    assert(t.latestVersion == 2L)
+    // pre-delete snapshot still time-travelable
+    assert(t.asOf(1L).count() == 3)
+  }
+
+  test("UPDATE SET rewrites matching rows copy-on-write") {
+    val dir = fresh("lake_upd")
+    val t = SnapshotTable.create(spark, dir,
+      Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x"))
+    t.updateWhere(col("id") === 2, Map("x" -> lit(99.0)))
+    assert(t.read().orderBy("id").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 10.0), (2L, 99.0)))
+  }
+
+  test("Writer.mergeByKey routes lake tables through the atomic log commit") {
+    val dir = fresh("lake_writer")
+    SnapshotTable.create(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    Writer.mergeByKey(Seq((2L, "B")).toDF("id", "v"), dir, "id")
+    val t = SnapshotTable.forPath(spark, dir)
+    assert(t.read().orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "B")))
+    assert(t.latestVersion == 2L, "merge must be one atomic commit")
+  }
+}

@@ -35,6 +35,23 @@ class SqlExtSpec extends AnyFunSuite {
     assert(spark.sql("TRIGGER PIPE psql").collect().head.getString(1) == "0")
   }
 
+  test("DESCRIBE LAKE + CREATE LAKE VIEW with VERSION AS OF") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sqllake").toString
+    val t = graft.sources.SnapshotTable.create(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.overwrite(Seq((9L, "z")).toDF("id", "v"))
+
+    val hist = spark.sql(s"DESCRIBE LAKE '$dir'").collect()
+    assert(hist.length == 2)
+    assert(hist.map(_.getString(1)).toSeq == Seq("overwrite", "overwrite"))
+
+    spark.sql(s"CREATE LAKE VIEW lake_v1 FROM '$dir' VERSION AS OF 1")
+    assert(spark.sql("SELECT count(*) FROM lake_v1").head().getLong(0) == 2)
+    spark.sql(s"CREATE LAKE VIEW lake_now FROM '$dir'")
+    assert(spark.sql("SELECT v FROM lake_now").head().getString(0) == "z")
+  }
+
   test("ALTER TABLE ... REFRESH METADATA parses and runs") {
     graft.engine.Tables.ensure(spark, TestSpark.sf)
     spark.sql("ALTER TABLE lineitem REFRESH METADATA")
