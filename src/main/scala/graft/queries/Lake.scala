@@ -107,13 +107,32 @@ object Lake {
                 ELSE bal END AS bal
     FROM kept ORDER BY s_suppkey"""
 
+  /** Manifest-pruned range scan: range-clustered commit with per-file
+    * min/max stats, point-range read prunes to the matching file(s). */
+  val lakePrunedScan: QueryFn = (s, dir) => {
+    val t = Tables.ensure(s, dir)
+    val lakeDir = Files.createTempDirectory("graft_lake_stats").toString
+    val table = SnapshotTable.forPath(s, lakeDir)
+    table.appendWithStats(
+      t.customer.select(col("c_custkey"), col("c_mktsegment"))
+        .repartitionByRange(8, col("c_custkey")),
+      Seq("c_custkey"))
+    table.scanRange("c_custkey", 100, 200)
+      .orderBy(col("c_custkey"))
+  }
+  val lakePrunedScanSql: String = """
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE c_custkey >= 100 AND c_custkey <= 200 ORDER BY c_custkey"""
+
   val queries: Map[String, QueryFn] = Map(
+    "lake_pruned_scan" -> lakePrunedScan,
     "lake_delete_update" -> lakeDeleteUpdate,
     "lake_merge_by_key" -> lakeMergeByKey,
     "lake_time_travel" -> lakeTimeTravel,
     "lake_incremental_scan" -> lakeIncrementalScan)
 
   val oracle: Map[String, String] = Map(
+    "lake_pruned_scan" -> lakePrunedScanSql,
     "lake_delete_update" -> lakeDeleteUpdateSql,
     "lake_merge_by_key" -> lakeMergeByKeySql,
     "lake_time_travel" -> lakeTimeTravelSql,

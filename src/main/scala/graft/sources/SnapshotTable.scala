@@ -13,7 +13,11 @@ final case class LakeCommit(
     action: String, // "append" | "overwrite"
     timestampMs: Long,
     schemaDdl: String,
-    files: Seq[String]) // data files, relative to the table root
+    files: Seq[String], // data files, relative to the table root
+    // per-file column stats for manifest-level pruning:
+    // file -> column -> (min, max) as strings (numeric cols compare as
+    // doubles at scan time)
+    stats: Map[String, Map[String, (String, String)]] = Map.empty)
 
 /** Iceberg-lite snapshot table format ("graft-lake"): a parquet directory
   * plus an append-only commit log of JSON snapshot files under
@@ -101,6 +105,45 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
   def append(df: DataFrame): Long = commit(df, "append")
   def overwrite(df: DataFrame): Long = commit(df, "overwrite")
 
+  /** Append with per-file min/max stats on `statsCols` recorded in the
+    * commit manifest (the Iceberg manifest-stats model:
+    * `IcebergScanPrel` prunes data files from manifest ranges before any
+    * file is opened). One extra pass over the BATCH (not the table)
+    * computes the ranges. Pair with a range-clustered `df`
+    * (`repartitionByRange(sortCol)`) so file ranges are disjoint and
+    * `scanRange` prunes to a single file per point lookup. */
+  def appendWithStats(df: DataFrame, statsCols: Seq[String]): Long =
+    commit(df, "append", statsCols)
+
+  /** Manifest-pruned scan: only data files whose [min, max] range on
+    * `colName` intersects [lo, hi] are read (checked against commit stats;
+    * files with no recorded stats are always read — pruning must be a
+    * superset). The residual filter is applied in Spark, so results are
+    * exact regardless of stats quality. */
+  def scanRange(colName: String, lo: Double, hi: Double): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val all = commits
+    require(all.nonEmpty, s"empty lake table $dir")
+    val live = all.foldLeft(Vector.empty[LakeCommit]) { (acc, c) =>
+      if (c.action == "overwrite") Vector(c) else acc :+ c
+    }
+    val kept = live.flatMap { c =>
+      c.files.filter { f =>
+        c.stats.get(f).flatMap(_.get(colName)) match {
+          case Some((mn, mx)) =>
+            try { mx.toDouble >= lo && mn.toDouble <= hi }
+            catch { case _: NumberFormatException => true }
+          case None => true
+        }
+      }
+    }
+    val schema = StructType.fromDDL(live.last.schemaDdl)
+    val base =
+      if (kept.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else spark.read.schema(schema).parquet(kept.map(f => s"$dir/$f"): _*)
+    base.filter(col(colName) >= lo && col(colName) <= hi)
+  }
+
   /** Incremental scan: rows added by commits in (fromVersion, toVersion]
     * (the reference's incremental-reflection-refresh read path —
     * `IncrementalUpdateUtils.java`). Only valid across append-only history;
@@ -143,8 +186,38 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     overwrite(updated.select(base.columns.map(updated.col).toIndexedSeq: _*))
   }
 
+  /** Compaction: rewrite the current snapshot into `numFiles` files as one
+    * overwrite commit (the small-files answer for a table fed by many
+    * append commits; Iceberg rewrite_data_files). Readers pinned at older
+    * versions are untouched — old files stay until vacuum(). */
+  def compact(numFiles: Int = 1): Long = overwrite(read().coalesce(numFiles))
+
+  /** Remove data files referenced by NO retained snapshot (the last
+    * `retainLast` versions). Time travel to expired versions stops working
+    * — same contract as Iceberg's expire_snapshots. Returns deleted paths. */
+  def vacuum(retainLast: Int): Seq[String] = {
+    val all = commits
+    if (all.isEmpty) return Nil
+    val keptVersions = all.takeRight(retainLast).map(_.version)
+    val referenced: Set[String] =
+      keptVersions.flatMap(v => snapshot(Some(v))._1).toSet
+    val dataFiles = {
+      val s = Files.walk(Paths.get(dir))
+      try s.iterator.asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .filter(p => !p.startsWith(logDir))
+        .map(_.toString).toVector
+      finally s.close()
+    }
+    val doomed = dataFiles.filterNot(referenced.contains)
+    doomed.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    spark.catalog.refreshByPath(dir)
+    doomed
+  }
+
   /** Write data files for the commit, then claim the next version. */
-  private def commit(df: DataFrame, action: String): Long = {
+  private def commit(df: DataFrame, action: String,
+                     statsCols: Seq[String] = Nil): Long = {
     val sub = "data-" + java.util.UUID.randomUUID().toString.take(8)
     df.write.parquet(s"$dir/$sub")
     val dataDir = Paths.get(dir, sub)
@@ -153,6 +226,24 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       try s.iterator.asScala.map(_.getFileName.toString)
         .filter(_.endsWith(".parquet")).toVector.sorted.map(n => s"$sub/$n")
       finally s.close()
+    val stats: Map[String, Map[String, (String, String)]] =
+      if (statsCols.isEmpty || files.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+        val aggs = statsCols.flatMap(c =>
+          Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
+        spark.read.parquet(s"$dir/$sub")
+          .groupBy(input_file_name().as("f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map { r =>
+            val fname = r.getString(0)
+            val rel = sub + "/" + fname.substring(fname.lastIndexOf('/') + 1)
+            rel -> statsCols.map(c =>
+              c -> (String.valueOf(r.getAs[Any](s"mn_$c")),
+                String.valueOf(r.getAs[Any](s"mx_$c")))).toMap
+          }.toMap
+      }
     Files.createDirectories(logDir)
     var v = latestVersion + 1
     var claimed = false
@@ -161,7 +252,7 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       try { Files.createFile(lock); claimed = true }
       catch { case _: java.nio.file.FileAlreadyExistsException => v += 1 }
     }
-    val c = LakeCommit(v, action, System.currentTimeMillis(), df.schema.toDDL, files)
+    val c = LakeCommit(v, action, System.currentTimeMillis(), df.schema.toDDL, files, stats)
     val tmp = logDir.resolve(f"v$v%08d.json.tmp")
     Files.write(tmp, renderCommit(c).getBytes("UTF-8"))
     Files.move(tmp, logDir.resolve(f"v$v%08d.json"), StandardCopyOption.ATOMIC_MOVE)
@@ -196,16 +287,34 @@ object SnapshotTable {
     node.put("schemaDdl", c.schemaDdl)
     val arr = node.putArray("files")
     c.files.foreach(arr.add)
+    if (c.stats.nonEmpty) {
+      val st = node.putObject("stats")
+      c.stats.foreach { case (f, cols) =>
+        val fo = st.putObject(f)
+        cols.foreach { case (cname, (mn, mx)) =>
+          val a = fo.putArray(cname); a.add(mn); a.add(mx)
+        }
+      }
+    }
     node.toString
   }
 
   private[sources] def parseCommit(s: String): LakeCommit = {
     val n = mapper.readTree(s)
+    val stats: Map[String, Map[String, (String, String)]] =
+      Option(n.get("stats")).map { st =>
+        st.properties().asScala.map { e =>
+          e.getKey -> e.getValue.properties().asScala.map { ce =>
+            ce.getKey -> (ce.getValue.get(0).asText(), ce.getValue.get(1).asText())
+          }.toMap
+        }.toMap
+      }.getOrElse(Map.empty)
     LakeCommit(
       n.get("version").asLong(),
       n.get("action").asText(),
       n.get("timestampMs").asLong(),
       n.get("schemaDdl").asText(),
-      n.get("files").elements().asScala.map(_.asText()).toVector)
+      n.get("files").elements().asScala.map(_.asText()).toVector,
+      stats)
   }
 }

@@ -103,6 +103,45 @@ class SnapshotTableSpec extends AnyFunSuite {
       Seq((1L, 10.0), (2L, 99.0)))
   }
 
+  test("manifest stats prune files before any is opened") {
+    val dir = fresh("lake_stats")
+    val t = SnapshotTable.forPath(spark, dir)
+    // range-cluster so the 4 files carry disjoint id ranges
+    val df = spark.range(0, 400).select(col("id"), (col("id") * 2).as("x"))
+      .repartitionByRange(4, col("id"))
+    t.appendWithStats(df.toDF(), Seq("id"))
+    val (files, _) = t.snapshot()
+    assert(files.size == 4)
+    val pruned = t.scanRange("id", 110, 120)
+    // manifest pruning must reach the scan: only 1 of 4 files read
+    assert(pruned.inputFiles.length == 1,
+      s"expected 1 file after pruning, got ${pruned.inputFiles.length}")
+    assert(pruned.orderBy("id").select("id").as[Long].collect().toSeq ==
+      (110L to 120L))
+    // files without stats are never pruned (correctness over pruning)
+    t.append(Seq((1000L, 2000L)).toDF("id", "x"))
+    assert(t.scanRange("id", 999, 1001).count() == 1)
+  }
+
+  test("compact merges small append files; vacuum drops unreferenced ones") {
+    val dir = fresh("lake_compact")
+    val t = SnapshotTable.forPath(spark, dir)
+    (1L to 5L).foreach(i => t.append(Seq((i, s"v$i")).toDF("id", "v")))
+    val (beforeFiles, _) = t.snapshot()
+    assert(beforeFiles.size >= 5)
+    t.compact(numFiles = 1)
+    val (afterFiles, _) = t.snapshot()
+    assert(afterFiles.size == 1, s"compaction left ${afterFiles.size} files")
+    assert(t.read().count() == 5)
+    // vacuum keeping only the compacted snapshot: the 5 small files go away,
+    // the compacted file survives, current reads are unaffected
+    val deleted = t.vacuum(retainLast = 1)
+    assert(deleted.size >= 5, s"expected the pre-compaction files gone, got $deleted")
+    assert(t.read().orderBy("id").as[(Long, String)].collect().length == 5)
+    // expired version is no longer readable (expire_snapshots contract)
+    intercept[Exception] { t.asOf(1L).collect() }
+  }
+
   test("Writer.mergeByKey routes lake tables through the atomic log commit") {
     val dir = fresh("lake_writer")
     SnapshotTable.create(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
