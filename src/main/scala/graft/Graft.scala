@@ -35,4 +35,13 @@ object Graft {
 
   /** SQL entry point (reference UserRPCServer → Foreman path ≈ spark.sql). */
   def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)
+
+  /** A graft-lake snapshot table (atomic commits, time travel, DML,
+    * manifest-pruned scans — see sources.SnapshotTable). */
+  def lake(spark: SparkSession, dir: String): graft.sources.SnapshotTable =
+    graft.sources.SnapshotTable.forPath(spark, dir)
+
+  /** The copy_errors history for a COPY INTO target. */
+  def copyErrors(spark: SparkSession, targetDir: String): DataFrame =
+    graft.sources.CopyInto.copyErrors(spark, targetDir)
 }

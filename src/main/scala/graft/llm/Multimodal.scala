@@ -64,6 +64,52 @@ object Multimodal {
     (w, ht, feats)
   }
 
+  val frameSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("features", ArrayType(FloatType, containsNull = false))))
+
+  /** STUB resize: recompute dims bounded by `maxDim`, preserving aspect
+    * (real deployment: codec rescale; the metadata/schema contract and the
+    * single-projection shape are the real part). */
+  def resize(media: DataFrame, dim: Int = 16, maxDim: Int = 256): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(featureSchema.fields.toSeq :+
+      StructField("resized", BooleanType) :+ StructField("scale", FloatType)))
+    media.select(col("id"), col("media"), col("media_meta.format").as("format"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]]("media")
+          val (w, h, feats) = fakeDecode(if (bytes == null) Array.emptyByteArray else bytes, dim)
+          val scale = math.min(1.0f, maxDim.toFloat / math.max(w, h))
+          val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+          Row(r.getLong(0), r.getString(2), nw, nh, feats.toSeq, scale < 1.0f, scale)
+        }
+      }(enc)
+  }
+
+  /** Frame sampling for video-like payloads: every `everyNth` frame up to
+    * `maxFrames`, emitted 1:N through the partition iterator (flatMap) —
+    * no frame buffer materializes, so memory stays O(frame), the shape
+    * that survives hour-long videos at 100 TB. Frame count is
+    * deterministic from the payload size (stub: real codecs read the
+    * container index). */
+  def sampleFrames(media: DataFrame, everyNth: Int = 10, maxFrames: Int = 8,
+                   dim: Int = 16): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(frameSchema)
+    media.select(col("id"), col("media"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]]("media")
+          val safe = if (bytes == null) Array.emptyByteArray else bytes
+          val nFrames = (safe.length / 100) + 1
+          Iterator.range(0, nFrames, everyNth).take(maxFrames).map { f =>
+            val (_, _, feats) = fakeDecode(safe :+ f.toByte, dim)
+            Row(r.getLong(0), f, feats.toSeq)
+          }
+        }
+      }(enc)
+  }
+
   /** Decode + feature-extract, one decoder per partition. */
   def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
     val spark = media.sparkSession

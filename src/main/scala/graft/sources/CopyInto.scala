@@ -51,6 +51,29 @@ object CopyInto {
     // per-COPY job summary.
     val loaded = good.count()
     good.write.mode(SaveMode.Append).parquet(targetDir)
+    // copy_errors history (reference exec/tablefunctions/copyerrors/): bad
+    // rows persist next to the target with job metadata, queryable later
+    if (nBad > 0)
+      bad.withColumn("job_ts_ms", lit(System.currentTimeMillis()))
+        .withColumn("source_path", lit(sourcePath))
+        .write.mode(SaveMode.Append).parquet(errorsDir(targetDir))
     Result(loaded, nBad, bad)
+  }
+
+  private def errorsDir(targetDir: String): String =
+    targetDir.stripSuffix("/") + "__copy_errors"
+
+  /** The copy_errors history table for a target (reference
+    * `SELECT * FROM TABLE(copy_errors('tbl'))`). Empty if no errors yet. */
+  def copyErrors(spark: SparkSession, targetDir: String): DataFrame = {
+    val dir = errorsDir(targetDir)
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+      spark.read.parquet(dir)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("raw_record", StringType),
+          StructField("job_ts_ms", org.apache.spark.sql.types.LongType),
+          StructField("source_path", StringType))))
   }
 }

@@ -17,7 +17,10 @@ final case class LakeCommit(
     // per-file column stats for manifest-level pruning:
     // file -> column -> (min, max) as strings (numeric cols compare as
     // doubles at scan time)
-    stats: Map[String, Map[String, (String, String)]] = Map.empty)
+    stats: Map[String, Map[String, (String, String)]] = Map.empty,
+    // idempotency tag: a commit attempt with an already-present tag is a
+    // no-op (exactly-once for replayed streaming micro-batches)
+    tag: String = "")
 
 /** Iceberg-lite snapshot table format ("graft-lake"): a parquet directory
   * plus an append-only commit log of JSON snapshot files under
@@ -104,6 +107,18 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
 
   def append(df: DataFrame): Long = commit(df, "append")
   def overwrite(df: DataFrame): Long = commit(df, "overwrite")
+
+  /** Idempotent append: a no-op if a commit with `tag` already exists —
+    * the exactly-once contract for replayed streaming micro-batches
+    * (checkpoint recovery re-runs foreachBatch with the same batch id).
+    * Returns the committed (or already-present) version. */
+  def appendTagged(df: DataFrame, tag: String): Long = {
+    require(tag.nonEmpty, "tag must be non-empty")
+    commits.find(_.tag == tag) match {
+      case Some(c) => c.version
+      case None => commit(df, "append", Nil, tag)
+    }
+  }
 
   /** Append with per-file min/max stats on `statsCols` recorded in the
     * commit manifest (the Iceberg manifest-stats model:
@@ -217,7 +232,7 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
 
   /** Write data files for the commit, then claim the next version. */
   private def commit(df: DataFrame, action: String,
-                     statsCols: Seq[String] = Nil): Long = {
+                     statsCols: Seq[String] = Nil, tag: String = ""): Long = {
     val sub = "data-" + java.util.UUID.randomUUID().toString.take(8)
     df.write.parquet(s"$dir/$sub")
     val dataDir = Paths.get(dir, sub)
@@ -252,7 +267,7 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       try { Files.createFile(lock); claimed = true }
       catch { case _: java.nio.file.FileAlreadyExistsException => v += 1 }
     }
-    val c = LakeCommit(v, action, System.currentTimeMillis(), df.schema.toDDL, files, stats)
+    val c = LakeCommit(v, action, System.currentTimeMillis(), df.schema.toDDL, files, stats, tag)
     val tmp = logDir.resolve(f"v$v%08d.json.tmp")
     Files.write(tmp, renderCommit(c).getBytes("UTF-8"))
     Files.move(tmp, logDir.resolve(f"v$v%08d.json"), StandardCopyOption.ATOMIC_MOVE)
@@ -287,6 +302,7 @@ object SnapshotTable {
     node.put("schemaDdl", c.schemaDdl)
     val arr = node.putArray("files")
     c.files.foreach(arr.add)
+    if (c.tag.nonEmpty) node.put("tag", c.tag)
     if (c.stats.nonEmpty) {
       val st = node.putObject("stats")
       c.stats.foreach { case (f, cols) =>
@@ -315,6 +331,7 @@ object SnapshotTable {
       n.get("timestampMs").asLong(),
       n.get("schemaDdl").asText(),
       n.get("files").elements().asScala.map(_.asText()).toVector,
-      stats)
+      stats,
+      Option(n.get("tag")).map(_.asText()).getOrElse(""))
   }
 }

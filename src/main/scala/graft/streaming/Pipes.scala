@@ -56,4 +56,29 @@ object Pipes {
   /** Current target contents (the pipe's table). */
   def table(spark: SparkSession, pipe: Pipe): DataFrame =
     spark.read.schema(pipe.schema).parquet(pipe.targetDir)
+
+  /** TRIGGER PIPE into a graft-lake table: each micro-batch lands as ONE
+    * atomic append commit, so downstream readers never see a half-loaded
+    * batch (the parquet sink above exposes files as they appear). Replayed
+    * batches after checkpoint recovery are absorbed by the commit's
+    * idempotency tag — exactly-once end to end: the file-source log dedups
+    * input files, the tagged commit dedups output batches. */
+  def triggerIntoLake(spark: SparkSession, pipe: Pipe): Long = {
+    val reader = spark.readStream.schema(pipe.schema).format(pipe.format)
+    val src = pipe.format match {
+      case "csv" => reader.option("header", "true").load(pipe.sourceDir)
+      case _ => reader.load(pipe.sourceDir)
+    }
+    val lake = graft.sources.SnapshotTable.forPath(spark, pipe.targetDir)
+    val q = src.writeStream
+      .option("checkpointLocation", pipe.checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        lake.appendTagged(batch, s"pipe:${pipe.name}:batch:$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.recentProgress.map(_.numInputRows).sum
+  }
 }

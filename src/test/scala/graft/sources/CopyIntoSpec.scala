@@ -44,6 +44,23 @@ class CopyIntoSpec extends AnyFunSuite {
     assert(res.loaded == 2 && res.errors == 0)
   }
 
+  test("copy_errors history accumulates bad rows across loads") {
+    val root = Files.createTempDirectory("graft_copy_hist").toString
+    val src1 = writeCsv(root, Seq("1,alpha,1.5", "bad,row,zz"))
+    CopyInto.copyInto(spark, src1, "csv", schema, s"$root/tbl")
+    val errs1 = CopyInto.copyErrors(spark, s"$root/tbl")
+    assert(errs1.count() == 1)
+    assert(errs1.columns.toSet == Set("raw_record", "job_ts_ms", "source_path"))
+    // second load appends to the history
+    val src2 = s"$root/in2.csv"
+    Files.write(Paths.get(src2), "id,name,score\n2,beta,2.0\noops,x,y".getBytes)
+    CopyInto.copyInto(spark, src2, "csv", schema, s"$root/tbl")
+    assert(CopyInto.copyErrors(spark, s"$root/tbl").count() == 2)
+    // clean target has an empty errors table, not a crash
+    val cleanRoot = Files.createTempDirectory("graft_copy_clean2").toString
+    assert(CopyInto.copyErrors(spark, s"$cleanRoot/none").count() == 0)
+  }
+
   test("mergeByKey upserts: updates matched keys, inserts new, keeps rest") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_merge").toString

@@ -39,4 +39,34 @@ class PipeSpec extends AnyFunSuite {
     assert(rows.count() == 4)
     assert(rows.select("event_id").distinct().count() == 4)
   }
+
+  test("pipe into a lake table: one atomic commit per batch, exactly once") {
+    val root = Files.createTempDirectory("graft_pipe_lake").toString
+    val src = s"$root/incoming"; Files.createDirectories(Paths.get(src))
+    val pipe = Pipe("pl", src, "json", schema, s"$root/lake", s"$root/_chk")
+    def drop(name: String, rows: Seq[String]): Unit =
+      Files.write(Paths.get(s"$src/$name"), rows.mkString("\n").getBytes)
+
+    drop("a.json", Seq("""{"event_id":1,"event_type":"x","value":1.0}""",
+      """{"event_id":2,"event_type":"y","value":2.0}"""))
+    assert(Pipes.triggerIntoLake(spark, pipe) == 2)
+    val lake = graft.sources.SnapshotTable.forPath(spark, s"$root/lake")
+    assert(lake.read().count() == 2)
+    val v1 = lake.latestVersion
+
+    // no new files → no new commit (no empty-batch commit churn either way)
+    assert(Pipes.triggerIntoLake(spark, pipe) == 0)
+    assert(lake.read().count() == 2)
+
+    // late file → exactly one more commit, atomically visible
+    drop("b.json", Seq("""{"event_id":3,"event_type":"z","value":3.0}"""))
+    assert(Pipes.triggerIntoLake(spark, pipe) == 1)
+    assert(lake.read().count() == 3)
+    assert(lake.latestVersion > v1)
+
+    // a replayed batch id must not double-commit (idempotency tag)
+    val before = lake.read().count()
+    lake.appendTagged(lake.read().limit(1), "pipe:pl:batch:0")
+    assert(lake.read().count() == before, "replayed batch was re-committed")
+  }
 }
