@@ -156,7 +156,16 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     val base =
       if (kept.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       else spark.read.schema(schema).parquet(kept.map(f => s"$dir/$f"): _*)
-    base.filter(col(colName) >= lo && col(colName) <= hi)
+    // residual filter with literals of the column's native type: a double
+    // comparison would wrap the column in a cast and block parquet
+    // row-group pushdown (only manifest pruning would remain)
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val cond = schema(colName).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        col(colName) >= math.ceil(lo).toLong && col(colName) <= math.floor(hi).toLong
+      case _ => col(colName) >= lo && col(colName) <= hi
+    }
+    base.filter(cond)
   }
 
   /** Incremental scan: rows added by commits in (fromVersion, toVersion]
