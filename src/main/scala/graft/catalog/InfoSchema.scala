@@ -65,6 +65,15 @@ object InfoSchema {
       .toDF("name", "source", "format", "target", "checkpoint")
   }
 
+  /** sys.functions (reference FunctionImplementationRegistry surface):
+    * every function callable in this session. */
+  def sysFunctions(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.catalog.listFunctions().collect().toSeq
+      .map(f => (f.name, Option(f.className).getOrElse(""), f.isTemporary))
+      .toDF("name", "class_name", "is_temporary")
+  }
+
   /** Register all introspection views. */
   def register(spark: SparkSession): Unit = {
     tables(spark).createOrReplaceTempView("information_schema_tables")
@@ -73,5 +82,6 @@ object InfoSchema {
     sysNodes(spark).createOrReplaceTempView("sys_nodes")
     sysReflections(spark).createOrReplaceTempView("sys_reflections")
     sysPipes(spark).createOrReplaceTempView("sys_pipes")
+    sysFunctions(spark).createOrReplaceTempView("sys_functions")
   }
 }

@@ -43,6 +43,11 @@ object SqlUdfs {
     "CREATE OR REPLACE TEMPORARY FUNCTION geo_nearby(" +
       "lat1 DOUBLE, lon1 DOUBLE, lat2 DOUBLE, lon2 DOUBLE, dist DOUBLE) " +
       "RETURNS BOOLEAN RETURN geo_distance(lat1, lon1, lat2, lon2) <= dist",
+    // ARRAY_FREQUENCY (reference exec/expr/fn/impl/array/ArrayFrequency):
+    // value → occurrence-count map, composed from higher-order builtins
+    "CREATE OR REPLACE TEMPORARY FUNCTION array_frequency(a ARRAY<STRING>) " +
+      "RETURNS MAP<STRING, INT> RETURN map_from_entries(" +
+      "transform(array_distinct(a), x -> struct(x, size(filter(a, y -> y = x)))))",
     // tabular SQL UDF (reference DremioTabularUserDefinedFunction +
     // TabularUserDefinedFunctionExpanderRule: table functions expanded at
     // plan time; Spark 4 SQL table functions do the same). Usable in a

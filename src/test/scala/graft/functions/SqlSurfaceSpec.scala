@@ -89,6 +89,10 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val pipes = spark.sql("SELECT name, format FROM sys_pipes").collect()
       .map(r => (r.getString(0), r.getString(1)))
     assert(pipes.contains(("sysv_p", "json")))
+    val fns = spark.sql("SELECT name FROM sys_functions").collect()
+      .map(_.getString(0)).toSet
+    assert(fns.contains("cosine_sim") && fns.contains("geo_distance"),
+      "registered engine functions must appear in sys_functions")
     graft.accel.Reflections.drop("sysv_r")
     graft.streaming.Pipes.drop("sysv_p")
   }

@@ -36,6 +36,26 @@ class FederationSpec extends AnyFunSuite {
     assert(got == 4.0)
   }
 
+  test("ANALYZE TABLE computes table and column statistics (CBO inputs)") {
+    // reference §4.4: services/statistics feeds the cost model; Spark's
+    // equivalent is catalog statistics consumed by CBO (enabled in
+    // GraftSession) — requires a persistent catalog table, now available
+    // through the Hive metastore
+    spark.sql("CREATE DATABASE IF NOT EXISTS fed_spec")
+    spark.sql("DROP TABLE IF EXISTS fed_spec.t_stats")
+    Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "grp")
+      .createOrReplaceTempView("fed_stats_src")
+    spark.sql("CREATE TABLE fed_spec.t_stats STORED AS PARQUET AS SELECT * FROM fed_stats_src")
+    spark.sql("ANALYZE TABLE fed_spec.t_stats COMPUTE STATISTICS FOR ALL COLUMNS")
+    val desc = spark.sql("DESCRIBE TABLE EXTENDED fed_spec.t_stats")
+      .collect().map(r => r.getString(0) + "|" + r.getString(1)).mkString("\n")
+    assert(desc.contains("Statistics"), s"no table stats in:\n$desc")
+    assert(desc.contains("3 rows"), s"row count missing in:\n$desc")
+    val colStats = spark.sql("DESCRIBE EXTENDED fed_spec.t_stats id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(colStats.get("distinct_count").exists(_.trim == "3"), s"col stats: $colStats")
+  }
+
   test("JDBC round-trip against embedded Derby with filter pushdown") {
     val url = "jdbc:derby:memory:fedspec;create=true"
     Seq((1L, "aa"), (2L, "bb"), (3L, "cc")).toDF("id", "name")

@@ -86,6 +86,20 @@ class SourceFormatsSpec extends AnyFunSuite {
     assert(df.filter(col("score").isNull).count() == 1)
   }
 
+  test("xml: rowTag read with attribute + nested element (built-in Spark 4 source)") {
+    val dir = tmp("graft_xml")
+    write(s"$dir/data.xml",
+      """<rows>
+        |  <row id="1"><name>alpha</name><score>1.5</score></row>
+        |  <row id="2"><name>beta</name><score>2.5</score></row>
+        |</rows>""".stripMargin)
+    val df = spark.read.option("rowTag", "row").xml(s"$dir/data.xml")
+    assert(df.count() == 2)
+    val byId = df.orderBy("_id").collect()
+    assert(byId(0).getAs[String]("name") == "alpha")
+    assert(byId(1).getAs[Double]("score") == 2.5)
+  }
+
   test("avro/iceberg/delta: not bundled in this runtime (documented divergence)") {
     // Spark's own spark-avro module and the Iceberg/Delta runtimes are
     // separate jars not present under /opt/spark/jars; their reader paths
