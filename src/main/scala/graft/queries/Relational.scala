@@ -741,7 +741,44 @@ object Relational {
       COALESCE(CAST(SUM(CASE WHEN o_orderstatus='P' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE), 0.0) AS total_p
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  /** UNPIVOT (wide→long melt; reference exposes PIVOT/UNPIVOT through
+    * Calcite — Spark: Dataset.unpivot / UNPIVOT SQL). */
+  val unpivotPart: QueryFn = (s, dir) => {
+    val t = Tables.ensure(s, dir)
+    t.part.select(col("p_partkey"),
+        dbl(money(col("p_retailprice"))).as("retail"),
+        col("p_size").cast("double").as("size"))
+      .unpivot(Array(col("p_partkey")), Array(col("retail"), col("size")),
+        "metric", "value")
+      .orderBy(col("p_partkey"), col("metric"))
+  }
+  val unpivotPartSql: String = """
+    SELECT p_partkey, metric, value FROM (
+      SELECT p_partkey, CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS retail,
+             CAST(p_size AS DOUBLE) AS size FROM part) t
+    UNPIVOT (value FOR metric IN (retail, size))
+    ORDER BY p_partkey, metric"""
+
+  /** Correlated LATERAL subquery with per-row ORDER BY + LIMIT (reference
+    * Calcite LogicalCorrelate; Spark: lateral join with DomainJoin
+    * decorrelation). */
+  val lateralTopPerRow: QueryFn = (s, dir) => {
+    Tables.ensure(s, dir)
+    s.sql("""
+      SELECT r_name, ln.n_name FROM region,
+      LATERAL (SELECT n_name FROM nation WHERE n_regionkey = r_regionkey
+               ORDER BY n_name LIMIT 2) ln
+      ORDER BY r_name, n_name""")
+  }
+  val lateralTopPerRowSql: String = """
+    SELECT r_name, ln.n_name FROM region,
+    LATERAL (SELECT n_name FROM nation WHERE n_regionkey = r_regionkey
+             ORDER BY n_name LIMIT 2) ln
+    ORDER BY r_name, n_name"""
+
   val queries: Map[String, QueryFn] = Map(
+    "unpivot_part" -> unpivotPart,
+    "lateral_top_per_row" -> lateralTopPerRow,
     "join_inner_hash" -> joinInnerHash,
     "join_merge" -> joinMerge,
     "join_broadcast" -> joinBroadcast,
@@ -784,6 +821,8 @@ object Relational {
     "pivot_status" -> pivotStatus)
 
   val oracle: Map[String, String] = Map(
+    "unpivot_part" -> unpivotPartSql,
+    "lateral_top_per_row" -> lateralTopPerRowSql,
     "join_inner_hash" -> joinInnerHashSql,
     "join_merge" -> joinMergeSql,
     "join_broadcast" -> joinBroadcastSql,

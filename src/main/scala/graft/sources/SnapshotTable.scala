@@ -120,6 +120,16 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     }
   }
 
+  /** Idempotent overwrite: no-op if a commit with `tag` exists (see
+    * appendTagged — the overwrite flavor for maintained materializations). */
+  def overwriteTagged(df: DataFrame, tag: String): Long = {
+    require(tag.nonEmpty, "tag must be non-empty")
+    commits.find(_.tag == tag) match {
+      case Some(c) => c.version
+      case None => commit(df, "overwrite", Nil, tag)
+    }
+  }
+
   /** Append with per-file min/max stats on `statsCols` recorded in the
     * commit manifest (the Iceberg manifest-stats model:
     * `IcebergScanPrel` prunes data files from manifest ranges before any

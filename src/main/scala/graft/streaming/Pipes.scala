@@ -57,6 +57,47 @@ object Pipes {
   def table(spark: SparkSession, pipe: Pipe): DataFrame =
     spark.read.schema(pipe.schema).parquet(pipe.targetDir)
 
+  /** Incremental materialized-view maintenance from a file stream
+    * (SURVEY §2.10 / reference IncrementalUpdateUtils: recompute
+    * materializations incrementally): each micro-batch is pre-aggregated
+    * to per-key partials, combined with the current materialization by
+    * summing, and committed to the lake table with a batch-id tag — so a
+    * replayed batch never double-counts. Cost per trigger is
+    * O(delta + materialization), never O(fact-table history); for
+    * partitioned materializations pair with
+    * Reflections.refreshIncremental to touch only affected partitions.
+    *
+    * `keyCols` are the rollup's grouping keys, `sumCols` its additive
+    * measures (SUM/COUNT rollups — the incrementally-maintainable class).
+    */
+  def triggerIncrementalRollup(spark: SparkSession, pipe: Pipe,
+                               keyCols: Seq[String], sumCols: Seq[String],
+                               lakeDir: String): Long = {
+    import org.apache.spark.sql.functions.{col, sum}
+    val reader = spark.readStream.schema(pipe.schema).format(pipe.format)
+    val src = pipe.format match {
+      case "csv" => reader.option("header", "true").load(pipe.sourceDir)
+      case _ => reader.load(pipe.sourceDir)
+    }
+    val lake = graft.sources.SnapshotTable.forPath(spark, lakeDir)
+    val q = src.writeStream
+      .option("checkpointLocation", pipe.checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val aggs = sumCols.map(c => sum(col(c)).as(c))
+        val delta = batch.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+        val combined =
+          if (lake.latestVersion == 0L) delta
+          else lake.read().unionByName(delta)
+            .groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+        lake.overwriteTagged(combined, s"rollup:${pipe.name}:batch:$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.recentProgress.map(_.numInputRows).sum
+  }
+
   /** TRIGGER PIPE into a graft-lake table: each micro-batch lands as ONE
     * atomic append commit, so downstream readers never see a half-loaded
     * batch (the parquet sink above exposes files as they appear). Replayed

@@ -69,4 +69,38 @@ class PipeSpec extends AnyFunSuite {
     lake.appendTagged(lake.read().limit(1), "pipe:pl:batch:0")
     assert(lake.read().count() == before, "replayed batch was re-committed")
   }
+
+  test("incremental rollup maintenance matches a full batch recompute") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_pipe_rollup").toString
+    val src = s"$root/incoming"; Files.createDirectories(Paths.get(src))
+    val pipe = Pipe("pr", src, "json", schema, s"$root/unused", s"$root/_chk")
+    def drop(name: String, rows: Seq[String]): Unit =
+      Files.write(Paths.get(s"$src/$name"), rows.mkString("\n").getBytes)
+
+    drop("a.json", Seq(
+      """{"event_id":1,"event_type":"x","value":1.0}""",
+      """{"event_id":2,"event_type":"y","value":2.0}""",
+      """{"event_id":3,"event_type":"x","value":3.0}"""))
+    Pipes.triggerIncrementalRollup(spark, pipe,
+      Seq("event_type"), Seq("value"), s"$root/mv")
+    val lake = graft.sources.SnapshotTable.forPath(spark, s"$root/mv")
+    assert(lake.read().orderBy("event_type").as[(String, Double)].collect().toSeq ==
+      Seq(("x", 4.0), ("y", 2.0)))
+
+    // second batch combines with the existing materialization
+    drop("b.json", Seq(
+      """{"event_id":4,"event_type":"x","value":10.0}""",
+      """{"event_id":5,"event_type":"z","value":5.0}"""))
+    Pipes.triggerIncrementalRollup(spark, pipe,
+      Seq("event_type"), Seq("value"), s"$root/mv")
+    val got = lake.read().orderBy("event_type").as[(String, Double)].collect().toSeq
+    assert(got == Seq(("x", 14.0), ("y", 2.0), ("z", 5.0)),
+      s"incremental result diverged from batch recompute: $got")
+
+    // replayed batch tag → no double count
+    val v = lake.latestVersion
+    lake.overwriteTagged(lake.read(), "rollup:pr:batch:0")
+    assert(lake.latestVersion == v, "replayed rollup batch re-committed")
+  }
 }
