@@ -188,11 +188,38 @@ object TpchVariants {
     GROUP BY s_name
     ORDER BY numwait DESC, s_name LIMIT 20"""
 
+  /** Q11 shape: group value exceeding a scalar fraction of the global
+    * total (HAVING > correlated-free scalar subquery; partsupp absent, so
+    * supplier revenue share stands in for stock value). The ×1000 integer
+    * multiply keeps the threshold comparison in exact decimal arithmetic
+    * on both engines. */
+  val q11v: QueryFn = (s, dir) => {
+    Tables.ensure(s, dir)
+    s.sql("""
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS value
+      FROM lineitem
+      GROUP BY l_suppkey
+      HAVING SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 1000 >
+             (SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2))) FROM lineitem) * 2
+      ORDER BY value DESC, l_suppkey""")
+  }
+  val q11vSql: String = """
+    SELECT l_suppkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS value
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 1000 >
+           (SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2))) FROM lineitem) * 2
+    ORDER BY value DESC, l_suppkey"""
+
   val queries: Map[String, QueryFn] = Map(
+    "tpch_q11v" -> q11v,
     "tpch_q02v" -> q02v, "tpch_q09v" -> q09v, "tpch_q12v" -> q12v,
     "tpch_q16v" -> q16v, "tpch_q20v" -> q20v, "tpch_q21v" -> q21v)
 
   val oracle: Map[String, String] = Map(
-    "tpch_q02v" -> q02vSql, "tpch_q09v" -> q09vSql, "tpch_q12v" -> q12vSql,
+    "tpch_q02v" -> q02vSql, "tpch_q09v" -> q09vSql, "tpch_q11v" -> q11vSql,
+    "tpch_q12v" -> q12vSql,
     "tpch_q16v" -> q16vSql, "tpch_q20v" -> q20vSql, "tpch_q21v" -> q21vSql)
 }
