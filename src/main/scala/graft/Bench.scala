@@ -19,6 +19,9 @@ object Bench {
     // timed loop uses, so sink/datasource init isn't billed to the
     // alphabetically-first query.
     SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
+    // Warm the bench dataset too: file listing + parquet footer reads for
+    // the timed SF would otherwise be billed to the first timed query.
+    graft.engine.Tables.ensure(spark, sfDir).lineitem.count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: materializes every output column (count() would let

@@ -69,6 +69,26 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.read().count() == 2)
   }
 
+  test("8 threads appending concurrently each get a distinct committed version") {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val dir = fresh("lake_threads")
+    val t = SnapshotTable.forPath(spark, dir)
+    val dfs = (1 to 8).map(i => Seq((i.toLong, s"w$i")).toDF("id", "v"))
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val versions = Await.result(
+        Future.sequence(dfs.map(df => Future(t.append(df)))), 180.seconds)
+      assert(versions.toSet.size == 8, s"version collision: $versions")
+      assert(versions.toSet == (1L to 8L).toSet, s"non-contiguous versions: $versions")
+    } finally pool.shutdown()
+    assert(t.latestVersion == 8L)
+    assert(t.read().orderBy("id").as[(Long, String)].collect().toSeq ==
+      (1 to 8).map(i => (i.toLong, s"w$i")))
+  }
+
   test("incremental scan returns only the requested commit range") {
     val dir = fresh("lake_inc")
     val t = SnapshotTable.forPath(spark, dir)
