@@ -56,6 +56,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recalls.min >= 0.4, s"min recall@$k ${recalls.min} below floor")
   }
 
+  test("centroid IVF plans a broadcast of the probed queries + TopKPerKey") {
+    val e = graft.engine.Tables(spark, graft.TestSpark.sf).embeddings
+    val df = Similarity.ivfCentroidTopK(e, e.filter(col("vec_id") < 5), k = 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"bounded-heap operator missing:\n$plan")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastQueryStage"),
+      s"query side not broadcast:\n$plan")
+  }
+
   test("fixture ANN query returns k rows per query vector") {
     val e = graft.engine.Tables(spark, TestSpark.sf).embeddings
     val out = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 3), k = 5)

@@ -141,6 +141,13 @@ class SnapshotTableSpec extends AnyFunSuite {
     // files without stats are never pruned (correctness over pruning)
     t.append(Seq((1000L, 2000L)).toDF("id", "x"))
     assert(t.scanRange("id", 999, 1001).count() == 1)
+    // the residual range predicate must ALSO reach the parquet reader
+    // (row-group pruning inside the kept file), with native-typed literals
+    val explained = t.scanRange("id", 110, 120).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(explained.contains("GreaterThanOrEqual(id,110)") &&
+      explained.contains("LessThanOrEqual(id,120)"),
+      s"range not pushed to parquet:\n$explained")
   }
 
   test("compact merges small append files; vacuum drops unreferenced ones") {
