@@ -219,7 +219,13 @@ private[plans] class TopKPartitionIterator(
             val sc = in.readDouble(); val ti = in.readLong()
             val rl = in.readInt(); val rb = new Array[Byte](rl); in.readFully(rb)
             Rec(kb, sc, ti, rb)
-          } catch { case _: java.io.EOFException => in.close(); null }
+          } catch {
+            case _: java.io.EOFException =>
+              // eager cleanup: a long-lived executor would otherwise hold
+              // every drained run until JVM exit (deleteOnExit is only the
+              // crash backstop)
+              in.close(); f.delete(); null
+          }
     }
     val runs = spillFiles.map(new Run(_)).filter(_.head != null)
     implicit val runOrd: Ordering[Run] =

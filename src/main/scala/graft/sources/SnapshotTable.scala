@@ -84,6 +84,8 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     }
     require(visible.nonEmpty,
       s"no snapshot at version=$version asOfTs=$asOfTsMs in $dir (latest=$latestVersion)")
+    version.foreach(v => require(v <= all.last.version,
+      s"VERSION AS OF $v is beyond latest ${all.last.version} in $dir"))
     val files = visible.foldLeft(Vector.empty[String]) { (acc, c) =>
       if (c.action == "overwrite") c.files.toVector else acc ++ c.files
     }
@@ -230,6 +232,7 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     * `retainLast` versions). Time travel to expired versions stops working
     * — same contract as Iceberg's expire_snapshots. Returns deleted paths. */
   def vacuum(retainLast: Int): Seq[String] = {
+    require(retainLast >= 1, "vacuum must retain at least the current snapshot")
     val all = commits
     if (all.isEmpty) return Nil
     val keptVersions = all.takeRight(retainLast).map(_.version)
@@ -281,10 +284,23 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     Files.createDirectories(logDir)
     var v = latestVersion + 1
     var claimed = false
+    var lock: Path = null
     while (!claimed) {
-      val lock = logDir.resolve(f"v$v%08d.lock")
+      lock = logDir.resolve(f"v$v%08d.lock")
       try { Files.createFile(lock); claimed = true }
       catch { case _: java.nio.file.FileAlreadyExistsException => v += 1 }
+    }
+    // tag re-check AFTER the claim: two racing writers with the same tag
+    // both pass appendTagged's pre-check; the loser sees the winner's
+    // commit here, releases its claim, and leaves only orphan data files
+    // (invisible — same contract as a crash before commit)
+    if (tag.nonEmpty) {
+      commits.find(_.tag == tag) match {
+        case Some(existing) =>
+          Files.deleteIfExists(lock)
+          return existing.version
+        case None =>
+      }
     }
     val c = LakeCommit(v, action, System.currentTimeMillis(), df.schema.toDDL, files, stats, tag)
     val tmp = logDir.resolve(f"v$v%08d.json.tmp")
