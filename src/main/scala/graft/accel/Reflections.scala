@@ -176,13 +176,19 @@ object Reflections {
       val scanByName: Map[String, Attribute] = scanPlan.output.map(a => a.name -> a).toMap
       if (!(groupCols.values ++ aggCols.values).forall(scanByName.contains)) return None
 
-      def reAgg(fn: String, col: Attribute): AggregateExpression = {
+      def reAgg(fn: String, col: Attribute): Expression = {
         val f = fn match {
           case "sum" | "count" => Sum(col) // counts roll up by summing
           case "min" => Min(col)
           case "max" => Max(col)
         }
-        AggregateExpression(f, Complete, isDistinct = false)
+        val ae = AggregateExpression(f, Complete, isDistinct = false)
+        // COUNT over zero rows is 0, but Sum-of-counts over an empty
+        // reflection is NULL — coalesce preserves the original semantics
+        if (fn == "count")
+          org.apache.spark.sql.catalyst.expressions.Coalesce(
+            Seq(ae, org.apache.spark.sql.catalyst.expressions.Literal(0L)))
+        else ae
       }
       // map each query output expr onto the reflection scan
       val mapped: Option[Seq[NamedExpression]] =
@@ -225,16 +231,10 @@ object Reflections {
         case _ => Set.empty
       }
       def usable(r: Reflection): Boolean = !excluded.contains(normPath(r.path))
-      // fingerprint once per node per rule invocation (canonicalize+MD5 is
-      // O(subtree); the old guard+body pattern paid it twice per node)
-      val memo = new java.util.IdentityHashMap[LogicalPlan, String]()
-      def fp(p: LogicalPlan): String = {
-        val cached = memo.get(p)
-        if (cached != null) cached
-        else { val v = fingerprintPlan(p); memo.put(p, v); v }
-      }
+      // each node's fingerprint is computed exactly once (the old
+      // guard+body pattern paid canonicalize+MD5 twice per node)
       def exact(sub: LogicalPlan): Option[LogicalPlan] =
-        byFingerprint.get(fp(sub)).filter(usable).map { r =>
+        byFingerprint.get(fingerprintPlan(sub)).filter(usable).map { r =>
           val scan = spark.read.parquet(r.path).queryExecution.analyzed
           // Re-alias the scan's output to the substituted subtree's exprIds
           // so parent operators keep resolving.

@@ -60,6 +60,10 @@ object GraftSession {
     // gates its native TIME behind this flag (see functions.TimeConv for
     // the millis-of-day interchange convention).
     .config("spark.sql.timeType.enabled", "true")
+    // TRIGGER PIPE reports rows from stream progress; the default ring
+    // buffer keeps only 100 updates, which would undercount a large drain
+    // (many micro-batches under AvailableNow)
+    .config("spark.sql.streaming.numRecentProgressUpdates", "10000")
     .config("spark.sql.ui.explainMode", "formatted")
 
   /** Local session for tests / ad-hoc runs. */

@@ -45,9 +45,12 @@ object SqlUdfs {
       "RETURNS BOOLEAN RETURN geo_distance(lat1, lon1, lat2, lon2) <= dist",
     // ARRAY_FREQUENCY (reference exec/expr/fn/impl/array/ArrayFrequency):
     // value → occurrence-count map, composed from higher-order builtins
+    // NULL elements are dropped (a null map key is illegal, and `y = x`
+    // would three-value-logic them to a wrong count anyway)
     "CREATE OR REPLACE TEMPORARY FUNCTION array_frequency(a ARRAY<STRING>) " +
       "RETURNS MAP<STRING, INT> RETURN map_from_entries(" +
-      "transform(array_distinct(a), x -> struct(x, size(filter(a, y -> y = x)))))",
+      "transform(array_distinct(filter(a, x -> x IS NOT NULL)), " +
+      "x -> struct(x, size(filter(a, y -> y = x)))))",
     // tabular SQL UDF (reference DremioTabularUserDefinedFunction +
     // TabularUserDefinedFunctionExpanderRule: table functions expanded at
     // plan time; Spark 4 SQL table functions do the same). Usable in a

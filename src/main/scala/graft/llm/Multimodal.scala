@@ -47,21 +47,30 @@ object Multimodal {
   /** STUB decoder: deterministic pseudo-decode of a media blob.
     * A real deployment replaces the body with an image/audio codec call;
     * everything around it (batching, schema, null handling) stays. */
-  private def fakeDecode(bytes: Array[Byte], dim: Int): (Int, Int, Array[Float]) = {
+  private def payloadHash(bytes: Array[Byte]): Long = {
     var h = 1125899906842597L // FNV-ish rolling hash of the payload
     var i = 0
     while (i < bytes.length) { h = h * 31 + bytes(i); i += 1 }
-    val w = 64 + java.lang.Long.remainderUnsigned(h, 1024).toInt
-    val ht = 64 + java.lang.Long.remainderUnsigned(h >>> 17, 1024).toInt
+    h
+  }
+
+  private def fakeFeatures(seed: Long, dim: Int): Array[Float] = {
     val feats = new Array[Float](dim)
     var j = 0
-    var s = h
+    var s = seed
     while (j < dim) {
       s = s * 6364136223846793005L + 1442695040888963407L
       feats(j) = (s >>> 40).toFloat / (1 << 24).toFloat
       j += 1
     }
-    (w, ht, feats)
+    feats
+  }
+
+  private def fakeDecode(bytes: Array[Byte], dim: Int): (Int, Int, Array[Float]) = {
+    val h = payloadHash(bytes)
+    val w = 64 + java.lang.Long.remainderUnsigned(h, 1024).toInt
+    val ht = 64 + java.lang.Long.remainderUnsigned(h >>> 17, 1024).toInt
+    (w, ht, fakeFeatures(h, dim))
   }
 
   val frameSchema: StructType = StructType(Seq(
@@ -102,9 +111,13 @@ object Multimodal {
           val bytes = r.getAs[Array[Byte]]("media")
           val safe = if (bytes == null) Array.emptyByteArray else bytes
           val nFrames = (safe.length / 100) + 1
+          // hash the payload ONCE; per-frame features mix the frame index
+          // into the seed (copying the payload per frame would be
+          // O(frames × payload) allocation — the opposite of the
+          // O(frame)-memory contract this operator documents)
+          val h = payloadHash(safe)
           Iterator.range(0, nFrames, everyNth).take(maxFrames).map { f =>
-            val (_, _, feats) = fakeDecode(safe :+ f.toByte, dim)
-            Row(r.getLong(0), f, feats.toSeq)
+            Row(r.getLong(0), f, fakeFeatures(h * 31 + f, dim).toSeq)
           }
         }
       }(enc)

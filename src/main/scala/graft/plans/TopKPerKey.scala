@@ -117,6 +117,9 @@ private[plans] class TopKPartitionIterator(
   private val keyProj = UnsafeProjection.create(keyExprs, childOutput)
   private val scoreProj = UnsafeProjection.create(Seq(scoreExpr), childOutput)
   private val tieProj = UnsafeProjection.create(Seq(tieExpr), childOutput)
+  // identity projection for non-UnsafeRow inputs, created ONCE per
+  // partition (per-row creation would codegen-compile in the hot loop)
+  private lazy val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
 
   // (score asc, tie desc) min-heap: the root is the WORST kept row, so a
   // better candidate evicts it in O(log k).
@@ -168,7 +171,7 @@ private[plans] class TopKPartitionIterator(
       heaps.put(key, heap)
       trackedBytes += key.getSizeInBytes + 64
     }
-    val ur = row match { case u: UnsafeRow => u; case other => UnsafeProjection.create(childOutput, childOutput)(other).asInstanceOf[UnsafeRow] }
+    val ur = row match { case u: UnsafeRow => u; case other => toUnsafe(other) }
     if (heap.size < k) {
       val copied = ur.copy()
       heap.enqueue(Entry(s, t, copied))

@@ -211,15 +211,20 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     overwrite(read().filter(!cond || cond.isNull))
 
   /** UPDATE ... SET: copy-on-write update of matching rows, one atomic
-    * commit. `sets` maps column name → new-value expression. */
+    * commit. `sets` maps column name → new-value expression. All SET
+    * expressions are evaluated in ONE projection so they read PRE-update
+    * values (SQL UPDATE semantics: `SET a = b, b = a` swaps). */
   def updateWhere(cond: org.apache.spark.sql.Column,
                   sets: Map[String, org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions.{col, when}
     val base = read()
-    val updated = sets.foldLeft(base) { case (df, (name, value)) =>
-      df.withColumn(name,
-        org.apache.spark.sql.functions.when(cond, value).otherwise(df.col(name)))
-    }
-    overwrite(updated.select(base.columns.map(updated.col).toIndexedSeq: _*))
+    val updated = base.select(base.columns.toIndexedSeq.map { c =>
+      sets.get(c) match {
+        case Some(v) => when(cond, v).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }: _*)
+    overwrite(updated)
   }
 
   /** Compaction: rewrite the current snapshot into `numFiles` files as one
@@ -230,19 +235,25 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
 
   /** Remove data files referenced by NO retained snapshot (the last
     * `retainLast` versions). Time travel to expired versions stops working
-    * — same contract as Iceberg's expire_snapshots. Returns deleted paths. */
-  def vacuum(retainLast: Int): Seq[String] = {
+    * — same contract as Iceberg's expire_snapshots. Files younger than
+    * `graceMs` are kept even when unreferenced: an in-flight writer stages
+    * data BEFORE publishing its commit, and deleting those files would
+    * corrupt the commit it is about to make (Iceberg's orphan-file
+    * retention window, default 1 h). Returns deleted paths. */
+  def vacuum(retainLast: Int, graceMs: Long = 3600000L): Seq[String] = {
     require(retainLast >= 1, "vacuum must retain at least the current snapshot")
     val all = commits
     if (all.isEmpty) return Nil
     val keptVersions = all.takeRight(retainLast).map(_.version)
     val referenced: Set[String] =
       keptVersions.flatMap(v => snapshot(Some(v))._1).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
     val dataFiles = {
       val s = Files.walk(Paths.get(dir))
       try s.iterator.asScala
         .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
         .filter(p => !p.startsWith(logDir))
+        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
         .map(_.toString).toVector
       finally s.close()
     }
@@ -282,37 +293,60 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
           }.toMap
       }
     Files.createDirectories(logDir)
-    var v = latestVersion + 1
-    var claimed = false
-    var lock: Path = null
-    while (!claimed) {
-      lock = logDir.resolve(f"v$v%08d.lock")
-      try { Files.createFile(lock); claimed = true }
-      catch { case _: java.nio.file.FileAlreadyExistsException => v += 1 }
+    // Publish under a single short-lived commit lock. Data files are
+    // already on disk, so the lock covers only the (tag re-check → version
+    // claim → json publish) critical section, which (a) linearizes
+    // same-tag writers — a replayed batch can never double-commit, (b)
+    // makes versions become VISIBLE in order — no retroactive history
+    // mutation for incremental consumers, and (c) keeps contention
+    // proportional to commit rate, not data size. A lock left by a dead
+    // writer is stolen after a staleness window (the section is a few ms).
+    val v = withCommitLock {
+      if (tag.nonEmpty) {
+        commits.find(_.tag == tag) match {
+          case Some(existing) => existing.version
+          case None => publish(action, files, stats, tag, df.schema.toDDL)
+        }
+      } else publish(action, files, stats, tag, df.schema.toDDL)
     }
-    // tag re-check AFTER the claim: two racing writers with the same tag
-    // both pass appendTagged's pre-check; the loser sees the winner's
-    // commit here, releases its claim, and leaves only orphan data files
-    // (invisible — same contract as a crash before commit)
-    if (tag.nonEmpty) {
-      commits.find(_.tag == tag) match {
-        case Some(existing) =>
-          Files.deleteIfExists(lock)
-          return existing.version
-        case None =>
-      }
-    }
-    val c = LakeCommit(v, action, System.currentTimeMillis(), df.schema.toDDL, files, stats, tag)
+    spark.catalog.refreshByPath(dir)
+    v
+  }
+
+  private def publish(action: String, files: Seq[String],
+                      stats: Map[String, Map[String, (String, String)]],
+                      tag: String, schemaDdl: String): Long = {
+    val v = latestVersion + 1
+    val c = LakeCommit(v, action, System.currentTimeMillis(), schemaDdl, files, stats, tag)
     val tmp = logDir.resolve(f"v$v%08d.json.tmp")
     Files.write(tmp, renderCommit(c).getBytes("UTF-8"))
     Files.move(tmp, logDir.resolve(f"v$v%08d.json"), StandardCopyOption.ATOMIC_MOVE)
-    spark.catalog.refreshByPath(dir)
     v
+  }
+
+  private def withCommitLock[T](body: => T): T = {
+    val lock = logDir.resolve("commit.lock")
+    var held = false
+    while (!held) {
+      try { Files.createFile(lock); held = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          try {
+            val age = System.currentTimeMillis() -
+              Files.getLastModifiedTime(lock).toMillis
+            if (age > SnapshotTable.LockStealMs) Files.deleteIfExists(lock)
+            else Thread.sleep(10)
+          } catch { case _: java.nio.file.NoSuchFileException => () }
+      }
+    }
+    try body finally Files.deleteIfExists(lock)
   }
 }
 
 object SnapshotTable {
   val LogDirName = "_graft_log"
+  /** A commit.lock older than this is considered abandoned and stolen. */
+  val LockStealMs = 60000L
 
   def forPath(spark: SparkSession, dir: String): SnapshotTable =
     new SnapshotTable(spark, dir)

@@ -96,6 +96,24 @@ class ReflectionsSpec extends AnyFunSuite {
     Reflections.clear()
   }
 
+  test("roll-up COUNT over an EMPTY reflection returns 0, not NULL") {
+    Reflections.clear()
+    Reflections.install(spark)
+    val t = Tables(spark, TestSpark.sf)
+    def noRows() = t.lineitem.filter(col("l_quantity") < -1) // matches nothing
+    val dir = Files.createTempDirectory("graft_refl9").toString
+    Reflections.create("r9",
+      noRows().groupBy(col("l_returnflag")).agg(count(lit(1)).as("n")), s"$dir/r9")
+    // global COUNT rolls up from the (empty) materialization: must be 0
+    val q = noRows().agg(count(lit(1)).as("n"))
+    val planStr = q.queryExecution.sparkPlan.toString
+    assert(planStr.contains("/r9"), s"no roll-up substitution in:\n$planStr")
+    val row = q.collect()(0)
+    assert(!row.isNullAt(0) && row.getLong(0) == 0L,
+      s"COUNT over empty reflection must be 0, got $row")
+    Reflections.clear()
+  }
+
   test("no subsumption when query groups outside the reflection's keys") {
     Reflections.clear()
     Reflections.install(spark)

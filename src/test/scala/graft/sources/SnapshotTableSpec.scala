@@ -59,14 +59,38 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.read().as[(Long, String)].collect().toSeq == Seq((1L, "a")))
   }
 
-  test("version claim is atomic: a taken lock forces the next version") {
+  test("a stale commit.lock from a dead writer is stolen, not deadlocked") {
     val dir = fresh("lake_race")
     val t = SnapshotTable.create(spark, dir, Seq((1L, "a")).toDF("id", "v"))
-    // another writer already claimed v2
-    Files.createFile(Paths.get(dir, SnapshotTable.LogDirName, "v00000002.lock"))
+    // simulate a writer that died holding the commit lock long ago
+    val lock = Paths.get(dir, SnapshotTable.LogDirName, "commit.lock")
+    Files.createFile(lock)
+    Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - SnapshotTable.LockStealMs - 1000))
     val v = t.append(Seq((2L, "b")).toDF("id", "v"))
-    assert(v == 3L, "losing writer must advance past the claimed version")
+    assert(v == 2L, "stale lock must be stolen and the commit proceed")
     assert(t.read().count() == 2)
+    assert(!Files.exists(lock), "lock must be released after the commit")
+  }
+
+  test("replayed tagged commits under concurrency land exactly once") {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val dir = fresh("lake_tagrace")
+    val t = SnapshotTable.create(spark, dir, Seq((1L, "a")).toDF("id", "v"))
+    val dfs = (1 to 4).map(_ => Seq((9L, "dup")).toDF("id", "v"))
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // four writers race the SAME idempotency tag — exactly one commits
+      val versions = Await.result(
+        Future.sequence(dfs.map(df => Future(t.appendTagged(df, "batch:7")))), 180.seconds)
+      assert(versions.toSet.size == 1, s"same-tag writers double-committed: $versions")
+    } finally pool.shutdown()
+    assert(t.commits.count(_.tag == "batch:7") == 1)
+    assert(t.read().filter(col("id") === 9L).count() == 1)
   }
 
   test("8 threads appending concurrently each get a distinct committed version") {
@@ -123,6 +147,15 @@ class SnapshotTableSpec extends AnyFunSuite {
       Seq((1L, 10.0), (2L, 99.0)))
   }
 
+  test("UPDATE SET reads pre-update values: a,b swap works (SQL semantics)") {
+    val dir = fresh("lake_swap")
+    val t = SnapshotTable.create(spark, dir,
+      Seq((1L, 10.0, 20.0)).toDF("id", "a", "b"))
+    t.updateWhere(col("id") === 1, Map("a" -> col("b"), "b" -> col("a")))
+    assert(t.read().as[(Long, Double, Double)].collect().toSeq ==
+      Seq((1L, 20.0, 10.0)), "SET a=b, b=a must swap, not chain")
+  }
+
   test("manifest stats prune files before any is opened") {
     val dir = fresh("lake_stats")
     val t = SnapshotTable.forPath(spark, dir)
@@ -162,7 +195,7 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.read().count() == 5)
     // vacuum keeping only the compacted snapshot: the 5 small files go away,
     // the compacted file survives, current reads are unaffected
-    val deleted = t.vacuum(retainLast = 1)
+    val deleted = t.vacuum(retainLast = 1, graceMs = 0L)
     assert(deleted.size >= 5, s"expected the pre-compaction files gone, got $deleted")
     assert(t.read().orderBy("id").as[(Long, String)].collect().length == 5)
     // expired version is no longer readable (expire_snapshots contract)
