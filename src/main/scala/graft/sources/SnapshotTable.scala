@@ -218,8 +218,17 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
                   sets: Map[String, org.apache.spark.sql.Column]): Long = {
     import org.apache.spark.sql.functions.{col, when}
     val base = read()
+    // resolve SET keys case-insensitively (Spark's default resolver) and
+    // FAIL on unknown columns — a silently dropped SET would commit a
+    // full rewrite of identical data while the caller believes rows changed
+    val byLower = base.columns.map(c => c.toLowerCase -> c).toMap
+    val resolved: Map[String, org.apache.spark.sql.Column] = sets.map { case (k, v) =>
+      byLower.getOrElse(k.toLowerCase,
+        throw new IllegalArgumentException(
+          s"UPDATE SET references unknown column '$k' (have: ${base.columns.mkString(", ")})")) -> v
+    }
     val updated = base.select(base.columns.toIndexedSeq.map { c =>
-      sets.get(c) match {
+      resolved.get(c) match {
         case Some(v) => when(cond, v).otherwise(col(c)).as(c)
         case None => col(c)
       }
@@ -253,7 +262,12 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       try s.iterator.asScala
         .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
         .filter(p => !p.startsWith(logDir))
-        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+        .filter { p =>
+          // a file deleted by a concurrent vacuum between walk and stat is
+          // simply no longer our problem — skip, don't abort
+          try Files.getLastModifiedTime(p).toMillis < cutoff
+          catch { case _: java.nio.file.NoSuchFileException => false }
+        }
         .map(_.toString).toVector
       finally s.close()
     }
@@ -299,54 +313,61 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     // same-tag writers — a replayed batch can never double-commit, (b)
     // makes versions become VISIBLE in order — no retroactive history
     // mutation for incremental consumers, and (c) keeps contention
-    // proportional to commit rate, not data size. A lock left by a dead
-    // writer is stolen after a staleness window (the section is a few ms).
+    // proportional to commit rate, not data size. The log is parsed ONCE
+    // inside the section (tag check + next version from the same read).
     val v = withCommitLock {
-      if (tag.nonEmpty) {
-        commits.find(_.tag == tag) match {
-          case Some(existing) => existing.version
-          case None => publish(action, files, stats, tag, df.schema.toDDL)
-        }
-      } else publish(action, files, stats, tag, df.schema.toDDL)
+      val log = commits
+      log.find(c => tag.nonEmpty && c.tag == tag) match {
+        case Some(existing) => existing.version
+        case None =>
+          val next = log.lastOption.map(_.version).getOrElse(0L) + 1
+          publish(next, action, files, stats, tag, df.schema.toDDL)
+      }
     }
     spark.catalog.refreshByPath(dir)
     v
   }
 
-  private def publish(action: String, files: Seq[String],
+  private def publish(v: Long, action: String, files: Seq[String],
                       stats: Map[String, Map[String, (String, String)]],
                       tag: String, schemaDdl: String): Long = {
-    val v = latestVersion + 1
     val c = LakeCommit(v, action, System.currentTimeMillis(), schemaDdl, files, stats, tag)
-    val tmp = logDir.resolve(f"v$v%08d.json.tmp")
+    // unique tmp name: even a misbehaving concurrent writer can't clobber
+    // another's staged json
+    val tmp = logDir.resolve(
+      f"v$v%08d.json." + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
     Files.write(tmp, renderCommit(c).getBytes("UTF-8"))
     Files.move(tmp, logDir.resolve(f"v$v%08d.json"), StandardCopyOption.ATOMIC_MOVE)
     v
   }
 
+  /** Mutual exclusion for commit publishing: an OS advisory file lock
+    * (FileChannel.lock) for cross-process safety — the kernel releases it
+    * when the holder dies, so there is no staleness window, no lock
+    * stealing, and no ownerless release — plus a per-path JVM monitor so
+    * same-JVM writers serialize without tripping
+    * OverlappingFileLockException. (NFS caveat: advisory locks there are
+    * only as good as the NFS lock manager; object-store deployments should
+    * back the log with a catalog service, as Iceberg does.) */
   private def withCommitLock[T](body: => T): T = {
-    val lock = logDir.resolve("commit.lock")
-    var held = false
-    while (!held) {
-      try { Files.createFile(lock); held = true }
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          try {
-            val age = System.currentTimeMillis() -
-              Files.getLastModifiedTime(lock).toMillis
-            if (age > SnapshotTable.LockStealMs) Files.deleteIfExists(lock)
-            else Thread.sleep(10)
-          } catch { case _: java.nio.file.NoSuchFileException => () }
-      }
+    import java.nio.file.StandardOpenOption.{CREATE, WRITE}
+    val lockPath = logDir.resolve("commit.lock")
+    val monitor = SnapshotTable.jvmLocks
+      .computeIfAbsent(lockPath.toAbsolutePath.toString, _ => new Object)
+    monitor.synchronized {
+      val ch = java.nio.channels.FileChannel.open(lockPath, CREATE, WRITE)
+      try {
+        val fl = ch.lock() // blocks until the OS grants exclusivity
+        try body finally fl.release()
+      } finally ch.close()
     }
-    try body finally Files.deleteIfExists(lock)
   }
 }
 
 object SnapshotTable {
   val LogDirName = "_graft_log"
-  /** A commit.lock older than this is considered abandoned and stolen. */
-  val LockStealMs = 60000L
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   def forPath(spark: SparkSession, dir: String): SnapshotTable =
     new SnapshotTable(spark, dir)

@@ -50,6 +50,10 @@ object Pipes {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // progress-buffer sum: exact up to the configured retention (10k
+    // updates, GraftSession) — AvailableNow batches ~1000 files each, so
+    // the bound is ~10M files per trigger; the lake paths above count
+    // exactly via foreachBatch instead
     q.recentProgress.map(_.numInputRows).sum
   }
 
@@ -80,9 +84,12 @@ object Pipes {
       case _ => reader.load(pipe.sourceDir)
     }
     val lake = graft.sources.SnapshotTable.forPath(spark, lakeDir)
+    val total = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = src.writeStream
       .option("checkpointLocation", pipe.checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        total.addAndGet(batch.count())
         val aggs = sumCols.map(c => sum(col(c)).as(c))
         val delta = batch.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
         val combined =
@@ -90,12 +97,13 @@ object Pipes {
           else lake.read().unionByName(delta)
             .groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
         lake.overwriteTagged(combined, s"rollup:${pipe.name}:batch:$batchId")
+        batch.unpersist()
         ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    q.recentProgress.map(_.numInputRows).sum
+    total.get
   }
 
   /** TRIGGER PIPE into a graft-lake table: each micro-batch lands as ONE
@@ -111,15 +119,21 @@ object Pipes {
       case _ => reader.load(pipe.sourceDir)
     }
     val lake = graft.sources.SnapshotTable.forPath(spark, pipe.targetDir)
+    // exact count accumulated in foreachBatch — recentProgress is a
+    // bounded ring buffer and would silently undercount very large drains
+    val total = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = src.writeStream
       .option("checkpointLocation", pipe.checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        total.addAndGet(batch.count())
         lake.appendTagged(batch, s"pipe:${pipe.name}:batch:$batchId")
+        batch.unpersist()
         ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    q.recentProgress.map(_.numInputRows).sum
+    total.get
   }
 }

@@ -59,19 +59,16 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.read().as[(Long, String)].collect().toSeq == Seq((1L, "a")))
   }
 
-  test("a stale commit.lock from a dead writer is stolen, not deadlocked") {
+  test("a dead writer's leftover commit.lock file does not block commits") {
     val dir = fresh("lake_race")
     val t = SnapshotTable.create(spark, dir, Seq((1L, "a")).toDF("id", "v"))
-    // simulate a writer that died holding the commit lock long ago
+    // a crashed writer leaves the lock FILE behind, but the OS advisory
+    // lock died with the process — acquisition must proceed immediately
     val lock = Paths.get(dir, SnapshotTable.LogDirName, "commit.lock")
-    Files.createFile(lock)
-    Files.setLastModifiedTime(lock,
-      java.nio.file.attribute.FileTime.fromMillis(
-        System.currentTimeMillis() - SnapshotTable.LockStealMs - 1000))
+    if (!Files.exists(lock)) Files.createFile(lock)
     val v = t.append(Seq((2L, "b")).toDF("id", "v"))
-    assert(v == 2L, "stale lock must be stolen and the commit proceed")
+    assert(v == 2L, "leftover lock file must not block the commit")
     assert(t.read().count() == 2)
-    assert(!Files.exists(lock), "lock must be released after the commit")
   }
 
   test("replayed tagged commits under concurrency land exactly once") {
@@ -145,6 +142,18 @@ class SnapshotTableSpec extends AnyFunSuite {
     t.updateWhere(col("id") === 2, Map("x" -> lit(99.0)))
     assert(t.read().orderBy("id").as[(Long, Double)].collect().toSeq ==
       Seq((1L, 10.0), (2L, 99.0)))
+  }
+
+  test("UPDATE SET resolves case-insensitively and fails on unknown columns") {
+    val dir = fresh("lake_updres")
+    val t = SnapshotTable.create(spark, dir, Seq((1L, 10.0)).toDF("id", "x"))
+    // differently-cased SET key resolves (Spark's default resolver contract)
+    t.updateWhere(col("id") === 1, Map("X" -> lit(5.0)))
+    assert(t.read().as[(Long, Double)].collect().toSeq == Seq((1L, 5.0)))
+    // unknown column must throw, not silently rewrite identical data
+    intercept[IllegalArgumentException] {
+      t.updateWhere(col("id") === 1, Map("nope" -> lit(1.0)))
+    }
   }
 
   test("UPDATE SET reads pre-update values: a,b swap works (SQL semantics)") {
