@@ -28,6 +28,8 @@ import graft.streaming.{Pipe, Pipes}
   *   ALTER TABLE <ident> REFRESH METADATA
   *   DESCRIBE LAKE '<dir>'                      -- snapshot history
   *   CREATE LAKE VIEW <name> FROM '<dir>' [VERSION AS OF <n>]
+  *   DELETE FROM LAKE '<dir>' WHERE <cond>      -- copy-on-write DML
+  *   UPDATE LAKE '<dir>' SET c = <expr>[, ...] WHERE <cond>
   */
 class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends ParserInterface {
 
@@ -50,6 +52,8 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
         DescribeLakeCommand(dir, out("version", "action", "timestamp_ms", "n_files"))
       case CreateLakeViewRe(name, dir, version) =>
         CreateLakeViewCommand(name, dir, Option(version).map(_.toLong))
+      case DeleteLakeRe(dir, cond) => DeleteLakeCommand(dir, cond)
+      case UpdateLakeRe(dir, sets, cond) => UpdateLakeCommand(dir, sets, cond)
       case _ => delegate.parsePlan(sqlText)
     }
   }
@@ -83,6 +87,31 @@ object GraftSqlParser {
   private val DescribeLakeRe = """(?is)DESCRIBE\s+LAKE\s+'([^']+)'\s*;?""".r
   private val CreateLakeViewRe =
     """(?is)CREATE\s+LAKE\s+VIEW\s+(\w+)\s+FROM\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?""".r
+  private val DeleteLakeRe =
+    """(?is)DELETE\s+FROM\s+LAKE\s+'([^']+)'\s+WHERE\s+(.+?)\s*;?""".r
+  private val UpdateLakeRe =
+    """(?is)UPDATE\s+LAKE\s+'([^']+)'\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?""".r
+
+  /** Split on commas at paren/quote depth 0 (SET lists whose values contain
+    * function calls: `SET a = f(x, y), b = 2`). */
+  private[sqlext] def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var inQuote = false; var start = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => inQuote = !inQuote
+        case '(' if !inQuote => depth += 1
+        case ')' if !inQuote => depth -= 1
+        case ',' if !inQuote && depth == 0 =>
+          out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
 
   private def out(names: String*): Seq[Attribute] =
     names.map(n => AttributeReference(n, StringType, nullable = true)())
@@ -153,6 +182,33 @@ object GraftSqlParser {
       val t = graft.sources.SnapshotTable.forPath(spark, dir)
       t.read(version).createOrReplaceTempView(name)
       Seq(Row(name, version.getOrElse(t.latestVersion).toString))
+    }
+  }
+
+  /** DELETE FROM LAKE: copy-on-write row deletion as one atomic commit. */
+  case class DeleteLakeCommand(dir: String, condSql: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("version")
+    override def run(spark: SparkSession): Seq[Row] = {
+      val v = graft.sources.SnapshotTable.forPath(spark, dir)
+        .deleteWhere(org.apache.spark.sql.functions.expr(condSql))
+      Seq(Row(v.toString))
+    }
+  }
+
+  /** UPDATE LAKE ... SET: copy-on-write update as one atomic commit. */
+  case class UpdateLakeCommand(dir: String, setsSql: String, condSql: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("version")
+    override def run(spark: SparkSession): Seq[Row] = {
+      val sets = splitTopLevel(setsSql).map { assignment =>
+        val eq = assignment.indexOf('=')
+        require(eq > 0, s"malformed SET assignment: $assignment")
+        assignment.take(eq).trim ->
+          org.apache.spark.sql.functions.expr(assignment.drop(eq + 1).trim)
+      }.toMap
+      val v = graft.sources.SnapshotTable.forPath(spark, dir)
+        .updateWhere(org.apache.spark.sql.functions.expr(condSql), sets)
+      Seq(Row(v.toString))
     }
   }
 

@@ -52,6 +52,23 @@ class SqlExtSpec extends AnyFunSuite {
     assert(spark.sql("SELECT v FROM lake_now").head().getString(0) == "z")
   }
 
+  test("DELETE FROM LAKE and UPDATE LAKE run copy-on-write DML through SQL") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sqldml").toString
+    graft.sources.SnapshotTable.create(spark, dir,
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "x"))
+
+    spark.sql(s"DELETE FROM LAKE '$dir' WHERE id = 2")
+    // SET value with a nested function call exercises top-level comma split
+    spark.sql(s"UPDATE LAKE '$dir' SET x = greatest(x, 25.0) WHERE id >= 1")
+    val t = graft.sources.SnapshotTable.forPath(spark, dir)
+    assert(t.read().orderBy("id").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 25.0), (3L, 30.0)))
+    // every DML step is a distinct commit; v1 still time-travels
+    assert(t.latestVersion == 3L)
+    assert(t.asOf(1L).count() == 3)
+  }
+
   test("ALTER TABLE ... REFRESH METADATA parses and runs") {
     graft.engine.Tables.ensure(spark, TestSpark.sf)
     spark.sql("ALTER TABLE lineitem REFRESH METADATA")
