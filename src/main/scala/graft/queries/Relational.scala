@@ -666,6 +666,50 @@ object Relational {
     WHERE o_orderdate >= TIMESTAMP '2000-01-01'
     ORDER BY c_custkey"""
 
+  /** EXCEPT ALL — bag difference preserving multiplicity (reference
+    * MinusToJoin handles both distinct and ALL forms). */
+  val setopExceptAll: QueryFn = (s, dir) => {
+    val t = Tables.ensure(s, dir)
+    t.orders.select(col("o_custkey").as("k"))
+      .exceptAll(t.customer.select(col("c_custkey").as("k")))
+      .orderBy(col("k"))
+  }
+  val setopExceptAllSql: String = """
+    SELECT o_custkey AS k FROM orders
+    EXCEPT ALL SELECT c_custkey AS k FROM customer ORDER BY k"""
+
+  /** INTERSECT ALL — bag intersection (min multiplicity). */
+  val setopIntersectAll: QueryFn = (s, dir) => {
+    val t = Tables.ensure(s, dir)
+    t.orders.select(col("o_custkey").as("k"))
+      .intersectAll(t.orders.filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("k")))
+      .orderBy(col("k"))
+  }
+  val setopIntersectAllSql: String = """
+    SELECT o_custkey AS k FROM orders
+    INTERSECT ALL SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+    ORDER BY k"""
+
+  /** IGNORE NULLS window navigation (reference WindowFunction FIRST/LAST
+    * with null treatment) + NTILE bucketing. */
+  val windowIgnoreNulls: QueryFn = (s, dir) => {
+    val t = Tables.ensure(s, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t.events.select(
+      col("user_id"), col("event_id"),
+      last(when(col("value") > 90, col("value")), ignoreNulls = true)
+        .over(w).as("last_big"),
+      ntile(5).over(w).as("bucket5"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+  val windowIgnoreNullsSql: String = """
+    SELECT user_id, event_id,
+      LAST_VALUE(CASE WHEN value > 90 THEN value END IGNORE NULLS)
+        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS last_big,
+      NTILE(5) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS bucket5
+    FROM events ORDER BY user_id, event_id"""
+
   /** Literal VALUES rowset through the SQL entry (reference ValuesCreator). */
   val valuesInline: QueryFn = (s, dir) => {
     s.sql("""
@@ -814,6 +858,9 @@ object Relational {
     "setop_union_distinct" -> setopUnionDistinct,
     "setop_intersect" -> setopIntersect,
     "setop_except" -> setopExcept,
+    "setop_except_all" -> setopExceptAll,
+    "setop_intersect_all" -> setopIntersectAll,
+    "window_ignore_nulls" -> windowIgnoreNulls,
     "values_inline" -> valuesInline,
     "in_subquery" -> inSubquery,
     "scalar_subquery" -> scalarSubquery,
@@ -854,6 +901,9 @@ object Relational {
     "setop_union_distinct" -> setopUnionDistinctSql,
     "setop_intersect" -> setopIntersectSql,
     "setop_except" -> setopExceptSql,
+    "setop_except_all" -> setopExceptAllSql,
+    "setop_intersect_all" -> setopIntersectAllSql,
+    "window_ignore_nulls" -> windowIgnoreNullsSql,
     "values_inline" -> valuesInlineSql,
     "in_subquery" -> inSubquerySql,
     "scalar_subquery" -> scalarSubquerySql,
