@@ -165,6 +165,22 @@ class SnapshotTableSpec extends AnyFunSuite {
       Seq((1L, 20.0, 10.0)), "SET a=b, b=a must swap, not chain")
   }
 
+  test("schema evolution across commits: latest schema wins, old files read NULL") {
+    val dir = fresh("lake_evo")
+    val t = SnapshotTable.forPath(spark, dir)
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    t.append(Seq((2L, "b", 9.5)).toDF("id", "v", "score")) // column added
+    val now = t.read().orderBy("id").collect()
+    assert(now.map(_.schema.fieldNames.toSeq).head == Seq("id", "v", "score"))
+    assert(now(0).isNullAt(2), "pre-evolution rows must read NULL for the new column")
+    assert(now(1).getDouble(2) == 9.5)
+    // time travel to v1 sees the ORIGINAL two-column schema
+    assert(t.asOf(1L).schema.fieldNames.toSeq == Seq("id", "v"))
+    // stats on the evolved column still prune (no stats on old file → kept)
+    t.appendWithStats(Seq((3L, "c", 50.0)).toDF("id", "v", "score"), Seq("score"))
+    assert(t.scanRange("score", 40, 60).count() == 1)
+  }
+
   test("manifest stats prune files before any is opened") {
     val dir = fresh("lake_stats")
     val t = SnapshotTable.forPath(spark, dir)
