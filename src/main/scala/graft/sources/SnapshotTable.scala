@@ -36,10 +36,12 @@ final case class LakeCommit(
   *    appears, so a crash mid-write leaves only unreferenced orphans — the
   *    log never points at partial data (the crash window the plain
   *    delete+rename swap in `Writer.mergeByKey` had).
-  *  - Version claims are atomic via `Files.createFile` on a `.lock` marker
-  *    (create-if-absent is atomic on POSIX); concurrent writers that lose
-  *    the race re-read the log and retry on the next version (optimistic
-  *    concurrency, Iceberg-style).
+  *  - Publishing is serialized by an OS advisory file lock on
+  *    `_graft_log/commit.lock` (`withCommitLock`): versions become visible
+  *    strictly in order, idempotency-tagged replays commit exactly once,
+  *    and a crashed holder's lock is released by the kernel — no staleness
+  *    window. Data files stage BEFORE the lock, so the critical section is
+  *    one log read + one JSON publish.
   *  - Readers resolve a snapshot's file list ONCE (at DataFrame
   *    construction); later commits never mutate previously committed files,
   *    so in-flight readers keep a consistent view (snapshot isolation).
@@ -222,6 +224,11 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     // FAIL on unknown columns — a silently dropped SET would commit a
     // full rewrite of identical data while the caller believes rows changed
     val byLower = base.columns.map(c => c.toLowerCase -> c).toMap
+    // duplicate targets after case folding would silently drop one
+    // assignment — reject, as SQL engines do
+    val dupes = sets.keys.groupBy(_.toLowerCase).filter(_._2.size > 1)
+    require(dupes.isEmpty,
+      s"UPDATE SET assigns the same column more than once: ${dupes.keys.mkString(", ")}")
     val resolved: Map[String, org.apache.spark.sql.Column] = sets.map { case (k, v) =>
       byLower.getOrElse(k.toLowerCase,
         throw new IllegalArgumentException(
@@ -273,6 +280,19 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     }
     val doomed = dataFiles.filterNot(referenced.contains)
     doomed.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    // also sweep staging leftovers from writers that died pre-publish
+    // (UUID-named *.tmp in the log dir), under the same grace window
+    if (Files.isDirectory(logDir)) {
+      val s = Files.list(logDir)
+      try s.iterator.asScala
+        .filter(_.getFileName.toString.endsWith(".tmp"))
+        .filter { p =>
+          try Files.getLastModifiedTime(p).toMillis < cutoff
+          catch { case _: java.nio.file.NoSuchFileException => false }
+        }
+        .foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
     spark.catalog.refreshByPath(dir)
     doomed
   }
@@ -336,8 +356,10 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     // another's staged json
     val tmp = logDir.resolve(
       f"v$v%08d.json." + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
-    Files.write(tmp, renderCommit(c).getBytes("UTF-8"))
-    Files.move(tmp, logDir.resolve(f"v$v%08d.json"), StandardCopyOption.ATOMIC_MOVE)
+    try {
+      Files.write(tmp, renderCommit(c).getBytes("UTF-8"))
+      Files.move(tmp, logDir.resolve(f"v$v%08d.json"), StandardCopyOption.ATOMIC_MOVE)
+    } finally Files.deleteIfExists(tmp) // no-op after a successful move
     v
   }
 
@@ -351,9 +373,12 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     * back the log with a catalog service, as Iceberg does.) */
   private def withCommitLock[T](body: => T): T = {
     import java.nio.file.StandardOpenOption.{CREATE, WRITE}
-    val lockPath = logDir.resolve("commit.lock")
+    // resolve symlinks/.. so aliased paths to the same table share one
+    // monitor (two aliases would otherwise race to the OS lock and the
+    // second would get OverlappingFileLockException instead of waiting)
+    val lockPath = logDir.toRealPath().resolve("commit.lock")
     val monitor = SnapshotTable.jvmLocks
-      .computeIfAbsent(lockPath.toAbsolutePath.toString, _ => new Object)
+      .computeIfAbsent(lockPath.toString, _ => new Object)
     monitor.synchronized {
       val ch = java.nio.channels.FileChannel.open(lockPath, CREATE, WRITE)
       try {

@@ -53,7 +53,11 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
       case CreateLakeViewRe(name, dir, version) =>
         CreateLakeViewCommand(name, dir, Option(version).map(_.toLong))
       case DeleteLakeRe(dir, cond) => DeleteLakeCommand(dir, cond)
-      case UpdateLakeRe(dir, sets, cond) => UpdateLakeCommand(dir, sets, cond)
+      case UpdateLakeRe(dir, rest) =>
+        // quote-aware split: a 'where' inside a SET string literal is data
+        val wi = GraftSqlParser.topLevelKeyword(rest, "WHERE")
+        require(wi > 0, s"UPDATE LAKE requires a WHERE clause: $t")
+        UpdateLakeCommand(dir, rest.take(wi).trim, rest.drop(wi + 5).trim)
       case _ => delegate.parsePlan(sqlText)
     }
   }
@@ -90,27 +94,54 @@ object GraftSqlParser {
   private val DeleteLakeRe =
     """(?is)DELETE\s+FROM\s+LAKE\s+'([^']+)'\s+WHERE\s+(.+?)\s*;?""".r
   private val UpdateLakeRe =
-    """(?is)UPDATE\s+LAKE\s+'([^']+)'\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?""".r
+    """(?is)UPDATE\s+LAKE\s+'([^']+)'\s+SET\s+(.+?)\s*;?""".r
 
-  /** Split on commas at paren/quote depth 0 (SET lists whose values contain
-    * function calls: `SET a = f(x, y), b = 2`). */
-  private[sqlext] def splitTopLevel(s: String): Seq[String] = {
-    val out = Seq.newBuilder[String]
-    var depth = 0; var inQuote = false; var start = 0
+  /** Scan `s` outside quotes/parens, handling backslash escapes inside
+    * string literals, invoking `f(i, ch)` at each top-level position. */
+  private def scanTopLevel(s: String)(f: (Int, Char) => Unit): Unit = {
+    var depth = 0; var inQuote = false
     var i = 0
     while (i < s.length) {
-      s.charAt(i) match {
-        case '\'' => inQuote = !inQuote
-        case '(' if !inQuote => depth += 1
-        case ')' if !inQuote => depth -= 1
-        case ',' if !inQuote && depth == 0 =>
-          out += s.substring(start, i); start = i + 1
+      val ch = s.charAt(i)
+      if (inQuote) {
+        if (ch == '\\') i += 1 // skip escaped char inside a literal
+        else if (ch == '\'') inQuote = false
+      } else ch match {
+        case '\'' => inQuote = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case c if depth == 0 => f(i, c)
         case _ =>
       }
       i += 1
     }
-    out += s.substring(start)
-    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Split on commas at paren/quote depth 0 (SET lists whose values contain
+    * function calls: `SET a = f(x, y), b = 2`) with escape-aware literals. */
+  private[sqlext] def splitTopLevel(s: String): Seq[String] = {
+    val cuts = Seq.newBuilder[Int]
+    scanTopLevel(s) { (i, c) => if (c == ',') cuts += i }
+    val idxs = cuts.result()
+    val parts = (-1 +: idxs :+ s.length).sliding(2).map {
+      case Seq(a, b) => s.substring(a + 1, b)
+    }.toSeq
+    parts.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Index of the first top-level (outside quotes/parens) occurrence of the
+    * keyword, or -1 — so `SET note = 'fix where broken' WHERE id = 1`
+    * splits at the real WHERE, not the one inside the string. */
+  private[sqlext] def topLevelKeyword(s: String, kw: String): Int = {
+    var found = -1
+    scanTopLevel(s) { (i, _) =>
+      if (found < 0 && i + kw.length <= s.length &&
+        s.regionMatches(true, i, kw, 0, kw.length) &&
+        (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
+        (i + kw.length == s.length || !Character.isLetterOrDigit(s.charAt(i + kw.length))))
+        found = i
+    }
+    found
   }
 
   private def out(names: String*): Seq[Attribute] =

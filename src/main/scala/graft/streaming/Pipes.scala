@@ -89,15 +89,18 @@ object Pipes {
       .option("checkpointLocation", pipe.checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
-        total.addAndGet(batch.count())
-        val aggs = sumCols.map(c => sum(col(c)).as(c))
-        val delta = batch.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
-        val combined =
-          if (lake.latestVersion == 0L) delta
-          else lake.read().unionByName(delta)
-            .groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
-        lake.overwriteTagged(combined, s"rollup:${pipe.name}:batch:$batchId")
-        batch.unpersist()
+        try {
+          val n = batch.count()
+          val aggs = sumCols.map(c => sum(col(c)).as(c))
+          val delta = batch.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+          val before = lake.latestVersion
+          val combined =
+            if (before == 0L) delta
+            else lake.read().unionByName(delta)
+              .groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+          val v = lake.overwriteTagged(combined, s"rollup:${pipe.name}:batch:$batchId")
+          if (v > before) total.addAndGet(n) // replayed batches combine nothing
+        } finally batch.unpersist()
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -126,9 +129,14 @@ object Pipes {
       .option("checkpointLocation", pipe.checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
-        total.addAndGet(batch.count())
-        lake.appendTagged(batch, s"pipe:${pipe.name}:batch:$batchId")
-        batch.unpersist()
+        try {
+          val n = batch.count()
+          val before = lake.latestVersion
+          val v = lake.appendTagged(batch, s"pipe:${pipe.name}:batch:$batchId")
+          // a replayed batch (checkpoint recovery) is absorbed by the tag
+          // and loads nothing — don't count its rows as loaded
+          if (v > before) total.addAndGet(n)
+        } finally batch.unpersist()
         ()
       }
       .trigger(Trigger.AvailableNow())

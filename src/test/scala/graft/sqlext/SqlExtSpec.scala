@@ -69,6 +69,21 @@ class SqlExtSpec extends AnyFunSuite {
     assert(t.asOf(1L).count() == 3)
   }
 
+  test("UPDATE LAKE: 'where' inside a SET string literal is not the WHERE split") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sqldml2").toString
+    graft.sources.SnapshotTable.create(spark, dir,
+      Seq((1L, "old"), (2L, "keep")).toDF("id", "note"))
+    spark.sql(s"UPDATE LAKE '$dir' SET note = 'fix where broken' WHERE id = 1")
+    val t = graft.sources.SnapshotTable.forPath(spark, dir)
+    assert(t.read().orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "fix where broken"), (2L, "keep")))
+    // escaped quote + comma inside the literal survives the SET split
+    spark.sql(s"UPDATE LAKE '$dir' SET note = 'it\\'s big, ok' WHERE id = 2")
+    assert(t.read().filter(org.apache.spark.sql.functions.col("id") === 2)
+      .as[(Long, String)].head()._2 == "it's big, ok")
+  }
+
   test("ALTER TABLE ... REFRESH METADATA parses and runs") {
     graft.engine.Tables.ensure(spark, TestSpark.sf)
     spark.sql("ALTER TABLE lineitem REFRESH METADATA")
