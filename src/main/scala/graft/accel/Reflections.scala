@@ -38,6 +38,22 @@ object Reflections {
   // (the reference's `acceleration/substitution/` normalizes plans instead of
   // requiring canonical identity; we match aggregate roll-ups the same way).
   private val planByName = TrieMap.empty[String, LogicalPlan]
+  // Analyzed scan plan of each materialization, cached so the substitution
+  // rule never does file listing + schema inference inside the optimizer
+  // (ADVICE r2: spark.read.parquet per candidate per query). Invalidated on
+  // refresh/drop; each use re-instances exprIds so one reflection can serve
+  // two subtrees of the same query plan without attribute collisions.
+  private val scanByNameCache = TrieMap.empty[String, LogicalPlan]
+
+  private def reflectionScan(spark: SparkSession, r: Reflection): LogicalPlan = {
+    val base = scanByNameCache.getOrElseUpdate(r.name,
+      spark.read.parquet(r.path).queryExecution.analyzed)
+    base match {
+      case m: org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation =>
+        m.newInstance().asInstanceOf[LogicalPlan]
+      case other => other
+    }
+  }
 
   /** Canonical fingerprint of a query's optimized plan (exprIds normalized —
     * the Spark analog of the reference's PlanHasher). */
@@ -68,6 +84,7 @@ object Reflections {
     byName.put(name, r)
     byFingerprint.put(r.fingerprint, r)
     planByName.put(name, df.queryExecution.optimizedPlan)
+    scanByNameCache.remove(name) // re-created under the same name → re-read
     r
   }
 
@@ -76,6 +93,7 @@ object Reflections {
     byName.get(name).foreach { r =>
       df.write.mode(SaveMode.Overwrite).parquet(r.path)
       df.sparkSession.catalog.refreshByPath(r.path)
+      scanByNameCache.remove(name)
     }
 
   /** Incremental refresh: dynamic-partition overwrite of only the
@@ -85,14 +103,18 @@ object Reflections {
       delta.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       delta.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(r.path)
       delta.sparkSession.catalog.refreshByPath(r.path)
+      scanByNameCache.remove(name)
     }
 
   def drop(name: String): Unit = {
     byName.remove(name).foreach(r => byFingerprint.remove(r.fingerprint))
     planByName.remove(name)
+    scanByNameCache.remove(name)
   }
 
-  def clear(): Unit = { byName.clear(); byFingerprint.clear(); planByName.clear() }
+  def clear(): Unit = {
+    byName.clear(); byFingerprint.clear(); planByName.clear(); scanByNameCache.clear()
+  }
 
   def list: Seq[Reflection] = byName.values.toSeq.sortBy(_.name)
 
@@ -172,7 +194,7 @@ object Reflections {
       val qGroups = q.groupingExpressions.map(nameCanon)
       if (!qGroups.forall(groupCols.contains)) return None
 
-      val scanPlan = spark.read.parquet(r.path).queryExecution.analyzed
+      val scanPlan = reflectionScan(spark, r)
       val scanByName: Map[String, Attribute] = scanPlan.output.map(a => a.name -> a).toMap
       if (!(groupCols.values ++ aggCols.values).forall(scanByName.contains)) return None
 
@@ -235,7 +257,7 @@ object Reflections {
       // guard+body pattern paid canonicalize+MD5 twice per node)
       def exact(sub: LogicalPlan): Option[LogicalPlan] =
         byFingerprint.get(fingerprintPlan(sub)).filter(usable).map { r =>
-          val scan = spark.read.parquet(r.path).queryExecution.analyzed
+          val scan = reflectionScan(spark, r)
           // Re-alias the scan's output to the substituted subtree's exprIds
           // so parent operators keep resolving.
           val aliased: Seq[NamedExpression] = sub.output.zip(scan.output).map {
@@ -245,9 +267,12 @@ object Reflections {
         }
       def subsumed(sub: LogicalPlan): Option[LogicalPlan] = sub match {
         case q: Aggregate =>
-          byName.values.filter(usable).flatMap { r =>
+          // deterministic candidate order (by name): which of several
+          // eligible reflections serves a query is stable across runs
+          // (TrieMap iteration order is not)
+          byName.toSeq.sortBy(_._1).iterator.map(_._2).filter(usable).flatMap { r =>
             planByName.get(r.name).flatMap(rp => rollup(spark, q, r, rp))
-          }.headOption
+          }.nextOption()
         case _ => None
       }
       plan.transformUp {

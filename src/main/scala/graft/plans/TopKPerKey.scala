@@ -150,8 +150,11 @@ private[plans] class TopKPartitionIterator(
     val recs = mutable.ArrayBuffer.empty[Rec]
     heaps.forEach((key, h) => h.foreach(e => recs += toRec(key, e)))
     val sorted = recs.sortWith(recCompare(_, _) < 0)
-    val f = java.io.File.createTempFile("graft_topk_spill", ".run")
-    f.deleteOnExit()
+    // spill lands on the disks provisioned for shuffle (spark.local.dir via
+    // DiskBlockManager), not java.io.tmpdir — ADVICE r2
+    val f = Bridge.createLocalSpillFile()
+    f.deleteOnExit() // backstop for a clean JVM exit mid-query; the
+    // DiskBlockManager work dir covers the killed-executor case
     val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(f)))
     try sorted.foreach { r =>
       out.writeInt(r.keyBytes.length); out.write(r.keyBytes)

@@ -81,7 +81,12 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     val all = commits
     val visible = (version, asOfTsMs) match {
       case (Some(v), _)  => all.takeWhile(_.version <= v)
-      case (_, Some(ts)) => all.takeWhile(_.timestampMs <= ts)
+      case (_, Some(ts)) =>
+        // state as of ts = everything up to the LAST commit with
+        // timestamp <= ts. publish() clamps timestamps monotonic, but scan
+        // (not takeWhile) so logs predating the clamp still travel right.
+        val idx = all.lastIndexWhere(_.timestampMs <= ts)
+        all.take(idx + 1) // idx = -1 → empty → require below reports it
       case _             => all
     }
     require(visible.nonEmpty,
@@ -125,13 +130,51 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
   }
 
   /** Idempotent overwrite: no-op if a commit with `tag` exists (see
-    * appendTagged — the overwrite flavor for maintained materializations). */
-  def overwriteTagged(df: DataFrame, tag: String): Long = {
+    * appendTagged — the overwrite flavor for maintained materializations).
+    * `expectedBase` additionally makes the overwrite conditional: if another
+    * writer has committed past that version, the publish fails with
+    * ConcurrentModificationException instead of silently erasing the
+    * concurrent commit (the Iceberg/Delta validate-at-commit model). */
+  def overwriteTagged(df: DataFrame, tag: String,
+                      expectedBase: Option[Long] = None): Long = {
     require(tag.nonEmpty, "tag must be non-empty")
     commits.find(_.tag == tag) match {
       case Some(c) => c.version
-      case None => commit(df, "overwrite", Nil, tag)
+      case None => commit(df, "overwrite", Nil, tag, expectedBase)
     }
+  }
+
+  /** Conditional overwrite: publishes only if the table is still at
+    * `expectedBase` when the commit lock is held (optimistic concurrency —
+    * the reference model validates the base snapshot at commit time and
+    * fails/retries on conflict rather than last-writer-wins). */
+  def overwriteIf(df: DataFrame, expectedBase: Long): Long =
+    commit(df, "overwrite", Nil, "", Some(expectedBase))
+
+  /** Read-modify-write with conflict detection: pins the latest snapshot,
+    * applies `transform`, and publishes the rewrite ONLY if no other commit
+    * landed in between; on conflict the rewrite is recomputed against the
+    * new base (so a concurrent append is merged, never erased — the lost-
+    * update window the unconditional overwrite had). Data files staged by a
+    * losing attempt become unreferenced orphans, reclaimed by vacuum(). */
+  private def copyOnWrite(transform: DataFrame => DataFrame): Long = {
+    // generous budget: each retry requires a conflicting commit to have
+    // actually landed (system-wide progress), so this bounds pathological
+    // append storms, not steady state — one conflict costs one recompute
+    val maxRetries = 20
+    var attempt = 0
+    while (true) {
+      val base = latestVersion
+      require(base >= 1, s"empty lake table $dir")
+      val rewritten = transform(read(version = Some(base)))
+      try return commit(rewritten, "overwrite", Nil, "", Some(base))
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
   }
 
   /** Append with per-file min/max stats on `statsCols` recorded in the
@@ -195,31 +238,30 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     spark.read.schema(StructType.fromDDL(cs.last.schemaDdl)).parquet(files: _*)
   }
 
-  /** MERGE-by-key (upsert) with snapshot isolation: delta rows replace
-    * same-key target rows, the rest are kept, and the swap is a single
-    * atomic log commit — in-flight readers keep the pre-merge snapshot. */
-  def mergeByKey(delta: DataFrame, key: String): Long = {
-    val base = read() // pinned pre-merge snapshot
-    val merged = base
+  /** MERGE-by-key (upsert) with snapshot isolation AND conflict detection:
+    * delta rows replace same-key target rows, the rest are kept, and the
+    * swap publishes only against the base version it read (retried against
+    * the new base if a concurrent commit lands first). In-flight readers
+    * keep the pre-merge snapshot. */
+  def mergeByKey(delta: DataFrame, key: String): Long = copyOnWrite { base =>
+    base
       .join(delta.select(key).distinct(), Seq(key), "left_anti")
       .unionByName(delta)
-    overwrite(merged)
   }
 
   /** DELETE WHERE: rewrite the table without matching rows, as one atomic
-    * overwrite commit (the reference gets row-level DML from Iceberg
-    * copy-on-write; same shape here). */
+    * conflict-checked overwrite commit (the reference gets row-level DML
+    * from Iceberg copy-on-write; same shape here). */
   def deleteWhere(cond: org.apache.spark.sql.Column): Long =
-    overwrite(read().filter(!cond || cond.isNull))
+    copyOnWrite(base => base.filter(!cond || cond.isNull))
 
   /** UPDATE ... SET: copy-on-write update of matching rows, one atomic
     * commit. `sets` maps column name → new-value expression. All SET
     * expressions are evaluated in ONE projection so they read PRE-update
     * values (SQL UPDATE semantics: `SET a = b, b = a` swaps). */
   def updateWhere(cond: org.apache.spark.sql.Column,
-                  sets: Map[String, org.apache.spark.sql.Column]): Long = {
+                  sets: Map[String, org.apache.spark.sql.Column]): Long = copyOnWrite { base =>
     import org.apache.spark.sql.functions.{col, when}
-    val base = read()
     // resolve SET keys case-insensitively (Spark's default resolver) and
     // FAIL on unknown columns — a silently dropped SET would commit a
     // full rewrite of identical data while the caller believes rows changed
@@ -234,20 +276,21 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
         throw new IllegalArgumentException(
           s"UPDATE SET references unknown column '$k' (have: ${base.columns.mkString(", ")})")) -> v
     }
-    val updated = base.select(base.columns.toIndexedSeq.map { c =>
+    base.select(base.columns.toIndexedSeq.map { c =>
       resolved.get(c) match {
         case Some(v) => when(cond, v).otherwise(col(c)).as(c)
         case None => col(c)
       }
     }: _*)
-    overwrite(updated)
   }
 
   /** Compaction: rewrite the current snapshot into `numFiles` files as one
-    * overwrite commit (the small-files answer for a table fed by many
-    * append commits; Iceberg rewrite_data_files). Readers pinned at older
-    * versions are untouched — old files stay until vacuum(). */
-  def compact(numFiles: Int = 1): Long = overwrite(read().coalesce(numFiles))
+    * conflict-checked overwrite commit (the small-files answer for a table
+    * fed by many append commits; Iceberg rewrite_data_files). A concurrent
+    * append retries the compaction so its rows are never dropped. Readers
+    * pinned at older versions are untouched — old files stay until
+    * vacuum(). */
+  def compact(numFiles: Int = 1): Long = copyOnWrite(_.coalesce(numFiles))
 
   /** Remove data files referenced by NO retained snapshot (the last
     * `retainLast` versions). Time travel to expired versions stops working
@@ -297,9 +340,14 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     doomed
   }
 
-  /** Write data files for the commit, then claim the next version. */
+  /** Write data files for the commit, then claim the next version.
+    * `expectedBase` (overwrites only): fail with
+    * ConcurrentModificationException — inside the lock, before publishing —
+    * if another writer has committed past that version, so a read-modify-
+    * write can never erase a concurrent commit. */
   private def commit(df: DataFrame, action: String,
-                     statsCols: Seq[String] = Nil, tag: String = ""): Long = {
+                     statsCols: Seq[String] = Nil, tag: String = "",
+                     expectedBase: Option[Long] = None): Long = {
     val sub = "data-" + java.util.UUID.randomUUID().toString.take(8)
     df.write.parquet(s"$dir/$sub")
     val dataDir = Paths.get(dir, sub)
@@ -340,8 +388,18 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       log.find(c => tag.nonEmpty && c.tag == tag) match {
         case Some(existing) => existing.version
         case None =>
-          val next = log.lastOption.map(_.version).getOrElse(0L) + 1
-          publish(next, action, files, stats, tag, df.schema.toDDL)
+          val current = log.lastOption.map(_.version).getOrElse(0L)
+          expectedBase.foreach { b =>
+            if (current != b)
+              throw new java.util.ConcurrentModificationException(
+                s"lake table $dir moved from v$b to v$current during a " +
+                  "read-modify-write; rewrite must be recomputed against the new base")
+          }
+          // clamp to the previous commit's timestamp: currentTimeMillis can
+          // step backwards (NTP), and one out-of-order timestamp would hide
+          // all later commits from TIMESTAMP AS OF's log replay
+          val minTs = log.lastOption.map(_.timestampMs).getOrElse(0L)
+          publish(current + 1, action, files, stats, tag, df.schema.toDDL, minTs)
       }
     }
     spark.catalog.refreshByPath(dir)
@@ -350,8 +408,9 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
 
   private def publish(v: Long, action: String, files: Seq[String],
                       stats: Map[String, Map[String, (String, String)]],
-                      tag: String, schemaDdl: String): Long = {
-    val c = LakeCommit(v, action, System.currentTimeMillis(), schemaDdl, files, stats, tag)
+                      tag: String, schemaDdl: String, minTs: Long): Long = {
+    val ts = math.max(System.currentTimeMillis(), minTs)
+    val c = LakeCommit(v, action, ts, schemaDdl, files, stats, tag)
     // unique tmp name: even a misbehaving concurrent writer can't clobber
     // another's staged json
     val tmp = logDir.resolve(

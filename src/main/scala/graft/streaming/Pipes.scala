@@ -93,13 +93,28 @@ object Pipes {
           val n = batch.count()
           val aggs = sumCols.map(c => sum(col(c)).as(c))
           val delta = batch.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
-          val before = lake.latestVersion
-          val combined =
-            if (before == 0L) delta
-            else lake.read().unionByName(delta)
-              .groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
-          val v = lake.overwriteTagged(combined, s"rollup:${pipe.name}:batch:$batchId")
-          if (v > before) total.addAndGet(n) // replayed batches combine nothing
+          // optimistic read-combine-publish: the combine reads the snapshot
+          // at `before` and the tagged overwrite publishes ONLY if the table
+          // is still there (expectedBase) — a commit from another maintainer
+          // landing in between forces a recombine instead of being erased
+          var committed = false
+          var attempts = 0
+          while (!committed) {
+            val before = lake.latestVersion
+            val combined =
+              if (before == 0L) delta
+              else lake.read(version = Some(before)).unionByName(delta)
+                .groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+            try {
+              val v = lake.overwriteTagged(combined,
+                s"rollup:${pipe.name}:batch:$batchId", expectedBase = Some(before))
+              if (v > before) total.addAndGet(n) // replayed batches combine nothing
+              committed = true
+            } catch {
+              case e: java.util.ConcurrentModificationException =>
+                attempts += 1; if (attempts > 5) throw e
+            }
+          }
         } finally batch.unpersist()
         ()
       }

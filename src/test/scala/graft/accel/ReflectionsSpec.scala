@@ -159,4 +159,40 @@ class ReflectionsSpec extends AnyFunSuite {
     assert(rows == Seq(1L, 20L))
     Reflections.clear()
   }
+
+  test("two eligible roll-up reflections: candidate order is deterministic (by name)") {
+    Reflections.clear()
+    Reflections.install(spark)
+    val t = Tables(spark, TestSpark.sf)
+    def roll() = t.lineitem.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("qty"))
+    val dir = Files.createTempDirectory("graft_refl6").toString
+    // both materializations can serve the roll-up; the name-ordered first
+    // ("aa_refl") must win on every planning, not TrieMap iteration luck
+    Reflections.create("zz_refl", aggQuery(), s"$dir/zz_refl")
+    Reflections.create("aa_refl", aggQuery(), s"$dir/aa_refl")
+    (1 to 3).foreach { _ =>
+      val planStr = roll().queryExecution.sparkPlan.toString
+      assert(planStr.contains("/aa_refl"),
+        s"expected the name-ordered first reflection to serve the query:\n$planStr")
+    }
+    Reflections.clear()
+  }
+
+  test("one reflection substituted into two subtrees of one query keeps attributes distinct") {
+    Reflections.clear()
+    Reflections.install(spark)
+    val dir = Files.createTempDirectory("graft_refl7").toString
+    Reflections.create("r7", aggQuery(), s"$dir/r7")
+    // self-join of the accelerated subtree: both sides resolve to the same
+    // cached scan, which must be re-instanced (fresh exprIds) per use
+    val a = aggQuery().as("a")
+    val b = aggQuery().as("b")
+    val q = a.join(b, Seq("l_returnflag", "l_linestatus"))
+      .select(col("l_returnflag"), (col("a.n") + col("b.n")).as("n2"))
+    val planStr = q.queryExecution.sparkPlan.toString
+    assert(planStr.contains("/r7"), s"no substitution in:\n$planStr")
+    assert(q.collect().nonEmpty)
+    Reflections.clear()
+  }
 }

@@ -236,4 +236,64 @@ class SnapshotTableSpec extends AnyFunSuite {
       Seq((1L, "a"), (2L, "B")))
     assert(t.latestVersion == 2L, "merge must be one atomic commit")
   }
+
+  test("overwriteIf rejects a stale base version (optimistic concurrency)") {
+    val dir = fresh("lake_cas")
+    val t = SnapshotTable.create(spark, dir, Seq((1L, "a")).toDF("id", "v"))
+    t.append(Seq((2L, "b")).toDF("id", "v")) // table moves to v2
+    intercept[java.util.ConcurrentModificationException] {
+      t.overwriteIf(Seq((9L, "z")).toDF("id", "v"), expectedBase = 1L)
+    }
+    // the conflicting overwrite published nothing — both rows still there
+    assert(t.read().orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    assert(t.latestVersion == 2L)
+    // at the true base it publishes
+    assert(t.overwriteIf(Seq((9L, "z")).toDF("id", "v"), expectedBase = 2L) == 3L)
+  }
+
+  test("appends racing copy-on-write DML are never lost (lost-update fix)") {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val dir = fresh("lake_lostupd")
+    val t = SnapshotTable.create(spark, dir, Seq((-1L, "seed")).toDF("id", "v"))
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // writer A: 6 appends of distinct keyed rows; writer B: 6 full-table
+      // rewrites (DELETE of a never-matching predicate). Pre-fix, a rewrite
+      // computed from a snapshot read before an append would overwrite the
+      // log and silently erase that append's rows.
+      val appender = Future {
+        (1L to 6L).foreach(i => t.append(Seq((i, s"row$i")).toDF("id", "v")))
+      }
+      val rewriter = Future {
+        (1 to 6).foreach(_ => t.deleteWhere(col("id") < -100L))
+      }
+      Await.result(appender, 120.seconds)
+      Await.result(rewriter, 120.seconds)
+    } finally pool.shutdown()
+    val ids = t.read().select("id").as[Long].collect().toSet
+    assert(ids == (Set(-1L) ++ (1L to 6L)),
+      s"every concurrently appended row must survive the rewrites, got $ids")
+  }
+
+  test("commit timestamps are clamped monotonic for TIMESTAMP AS OF") {
+    val dir = fresh("lake_clock")
+    val t = SnapshotTable.create(spark, dir, Seq((1L, "a")).toDF("id", "v"))
+    // simulate a backwards clock step: doctor v1's timestamp into the future
+    val logDir = Paths.get(dir, SnapshotTable.LogDirName)
+    val v1 = logDir.resolve("v00000001.json")
+    val future = System.currentTimeMillis() + 3600000L
+    val doctored = new String(Files.readAllBytes(v1), "UTF-8")
+      .replaceFirst("\"timestampMs\":\\d+", s""""timestampMs":$future""")
+    Files.write(v1, doctored.getBytes("UTF-8"))
+    t.append(Seq((2L, "b")).toDF("id", "v")) // commits at "now" < doctored ts
+    val ts = t.commits.map(_.timestampMs)
+    assert(ts == ts.sorted, s"commit timestamps must be non-decreasing: $ts")
+    // TIMESTAMP AS OF the doctored instant must see BOTH commits — pre-fix
+    // the out-of-order v2 timestamp hid v2 from takeWhile log replay
+    assert(t.asOfTimestamp(future).count() == 2L)
+  }
 }
