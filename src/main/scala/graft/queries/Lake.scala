@@ -107,8 +107,11 @@ object Lake {
                 ELSE bal END AS bal
     FROM kept ORDER BY s_suppkey"""
 
-  /** Manifest-pruned range scan: range-clustered commit with per-file
-    * min/max stats, point-range read prunes to the matching file(s). */
+  /** Manifest-pruned range scan, driven entirely through plain SQL: the
+    * WHERE reaches LakeFileIndex at plan time and prunes the range-clustered
+    * files from commit stats — no scanRange() opt-in (the everyday path the
+    * reference serves with PruneScanRuleBase). SnapshotTableSpec pins the
+    * plan shape (1 of 4 files read); this entry pins the results. */
   val lakePrunedScan: QueryFn = (s, dir) => {
     val t = Tables.ensure(s, dir)
     val lakeDir = Files.createTempDirectory("graft_lake_stats").toString
@@ -117,8 +120,10 @@ object Lake {
       t.customer.select(col("c_custkey"), col("c_mktsegment"))
         .repartitionByRange(8, col("c_custkey")),
       Seq("c_custkey"))
-    table.scanRange("c_custkey", 100, 200)
-      .orderBy(col("c_custkey"))
+    s.sql(s"CREATE LAKE VIEW lake_pruned_v FROM '$lakeDir'")
+    s.sql("""SELECT c_custkey, c_mktsegment FROM lake_pruned_v
+            |WHERE c_custkey >= 100 AND c_custkey <= 200
+            |ORDER BY c_custkey""".stripMargin)
   }
   val lakePrunedScanSql: String = """
     SELECT c_custkey, c_mktsegment FROM customer

@@ -74,10 +74,9 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
 
   def latestVersion: Long = commits.lastOption.map(_.version).getOrElse(0L)
 
-  /** File set + schema visible at a version / timestamp (None → latest),
-    * by replaying the log: append accumulates, overwrite resets. */
-  def snapshot(version: Option[Long] = None,
-               asOfTsMs: Option[Long] = None): (Seq[String], StructType) = {
+  /** Commits visible at a version / timestamp (None → latest). */
+  private def visibleCommits(version: Option[Long],
+                             asOfTsMs: Option[Long]): Seq[LakeCommit] = {
     val all = commits
     val visible = (version, asOfTsMs) match {
       case (Some(v), _)  => all.takeWhile(_.version <= v)
@@ -93,19 +92,59 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       s"no snapshot at version=$version asOfTs=$asOfTsMs in $dir (latest=$latestVersion)")
     version.foreach(v => require(v <= all.last.version,
       s"VERSION AS OF $v is beyond latest ${all.last.version} in $dir"))
-    val files = visible.foldLeft(Vector.empty[String]) { (acc, c) =>
-      if (c.action == "overwrite") c.files.toVector else acc ++ c.files
-    }
-    (files.map(f => s"$dir/$f"), StructType.fromDDL(visible.last.schemaDdl))
+    visible
   }
 
-  /** Read a snapshot (latest by default). The file list is pinned here —
-    * subsequent commits do not affect this DataFrame. */
-  def read(version: Option[Long] = None, asOfTsMs: Option[Long] = None): DataFrame = {
-    val (files, schema) = snapshot(version, asOfTsMs)
+  /** File set + schema visible at a version / timestamp (None → latest),
+    * by replaying the log: append accumulates, overwrite resets. */
+  def snapshot(version: Option[Long] = None,
+               asOfTsMs: Option[Long] = None): (Seq[String], StructType) = {
+    val (files, schema) = snapshotWithStats(version, asOfTsMs)
+    (files.map(_._1), schema)
+  }
+
+  /** Like `snapshot`, but each file carries its manifest stats (column →
+    * (min, max)) from the commit that added it — the input LakeFileIndex
+    * needs for plan-time pruning. */
+  def snapshotWithStats(version: Option[Long] = None, asOfTsMs: Option[Long] = None)
+      : (Seq[(String, Map[String, (String, String)])], StructType) = {
+    val visible = visibleCommits(version, asOfTsMs)
+    val files = visible.foldLeft(Vector.empty[(String, Map[String, (String, String)])]) {
+      (acc, c) =>
+        val add = c.files.toVector.map(f => f -> c.stats.getOrElse(f, Map.empty))
+        if (c.action == "overwrite") add else acc ++ add
+    }
+    (files.map { case (f, st) => (s"$dir/$f", st) },
+      StructType.fromDDL(visible.last.schemaDdl))
+  }
+
+  /** Scan over an explicit file list through LakeFileIndex, so any filter
+    * the query puts on top prunes files from manifest stats at plan time
+    * (the SQL-path analog of the reference's PruneScanRuleBase —
+    * `exec/planner/logical/partition/PruneScanRuleBase.java:117`). */
+  private def buildScan(files: Seq[(String, Map[String, (String, String)])],
+                        schema: StructType): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else spark.read.schema(schema).parquet(files: _*)
+    else {
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      // nullable: pre-evolution files miss later columns and must read NULL
+      // (DataFrameReader applies the same asNullable on user schemas)
+      val schemaN = org.apache.spark.sql.graft.Bridge.asNullable(schema)
+      val index = new LakeFileIndex(spark, dir, files, schemaN)
+      val rel = HadoopFsRelation(index, new StructType(), schemaN, None,
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+        Map.empty[String, String])(spark)
+      org.apache.spark.sql.graft.Bridge.ofRows(spark, LogicalRelation(rel))
+    }
+
+  /** Read a snapshot (latest by default). The file list is pinned here —
+    * subsequent commits do not affect this DataFrame. A `WHERE` over this
+    * DataFrame (or a lake view built on it) prunes data files from the
+    * commit manifest stats automatically at plan time. */
+  def read(version: Option[Long] = None, asOfTsMs: Option[Long] = None): DataFrame = {
+    val (files, schema) = snapshotWithStats(version, asOfTsMs)
+    buildScan(files, schema)
   }
 
   /** `VERSION AS OF v` (Iceberg/Delta time travel). */
@@ -194,25 +233,19 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     * exact regardless of stats quality. */
   def scanRange(colName: String, lo: Double, hi: Double): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val all = commits
-    require(all.nonEmpty, s"empty lake table $dir")
-    val live = all.foldLeft(Vector.empty[LakeCommit]) { (acc, c) =>
-      if (c.action == "overwrite") Vector(c) else acc :+ c
-    }
-    val kept = live.flatMap { c =>
-      c.files.filter { f =>
-        c.stats.get(f).flatMap(_.get(colName)) match {
-          case Some((mn, mx)) =>
-            try { mx.toDouble >= lo && mn.toDouble <= hi }
-            catch { case _: NumberFormatException => true }
-          case None => true
-        }
+    val (files, schema) = snapshotWithStats()
+    // eager manifest prune (so even DataFrame.inputFiles reflects the cut);
+    // the same stats also back plan-time pruning via LakeFileIndex for any
+    // further filters the caller stacks on top
+    val kept = files.filter { case (_, st) =>
+      st.get(colName) match {
+        case Some((mn, mx)) =>
+          try { mx.toDouble >= lo && mn.toDouble <= hi }
+          catch { case _: NumberFormatException => true }
+        case None => true
       }
     }
-    val schema = StructType.fromDDL(live.last.schemaDdl)
-    val base =
-      if (kept.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else spark.read.schema(schema).parquet(kept.map(f => s"$dir/$f"): _*)
+    val base = buildScan(kept, schema)
     // residual filter with literals of the column's native type: a double
     // comparison would wrap the column in a cast and block parquet
     // row-group pushdown (only manifest pruning would remain)
@@ -234,8 +267,9 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     require(cs.nonEmpty, s"no commits in ($fromVersion, $toVersion]")
     require(cs.forall(_.action == "append"),
       s"incremental scan across an overwrite is not add-only (range ($fromVersion, $toVersion])")
-    val files = cs.flatMap(_.files).map(f => s"$dir/$f")
-    spark.read.schema(StructType.fromDDL(cs.last.schemaDdl)).parquet(files: _*)
+    val files = cs.flatMap(c =>
+      c.files.map(f => (s"$dir/$f", c.stats.getOrElse(f, Map.empty[String, (String, String)]))))
+    buildScan(files, StructType.fromDDL(cs.last.schemaDdl))
   }
 
   /** MERGE-by-key (upsert) with snapshot isolation AND conflict detection:

@@ -11,6 +11,22 @@ object Bridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** DataFrame from a logical plan (`Dataset.ofRows` is `private[sql]`). */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Deep-nullable copy of a schema (`StructType.asNullable` is
+    * `private[spark]`); file sources read absent columns as NULL, so their
+    * data schema must not claim NOT NULL. */
+  def asNullable(s: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    s.asNullable
+
+  /** Session Hadoop configuration (sessionState is `private[sql]`). */
+  def hadoopConf(spark: org.apache.spark.sql.SparkSession): org.apache.hadoop.conf.Configuration =
+    spark.asInstanceOf[classic.SparkSession].sessionState.newHadoopConf()
+
   /** A fresh spill file under Spark's configured local directories
     * (`spark.local.dir` via the executor's DiskBlockManager) rather than
     * `java.io.tmpdir`: on clusters tmpdir is often a small root volume, and
