@@ -48,9 +48,12 @@ final case class LakeCommit(
   *  - Time travel: `VERSION AS OF` / `TIMESTAMP AS OF` replay the log up to
   *    the requested version/timestamp.
   *
-  * Scale notes: the log holds file NAMES, not data — resolving a snapshot
-  * is O(commits) driver-side metadata work, and the scan itself is a plain
-  * multi-file parquet read that keeps pushdown/pruning/vectorization.
+  * Scale notes: the log holds file NAMES, not data. Snapshot resolution is
+  * cached per JVM (one directory listing when the log is unchanged) and
+  * checkpointed every CheckpointInterval commits (cold start reads one
+  * checkpoint + the suffix, not every commit since creation); the scan
+  * itself is a multi-file parquet read through LakeFileIndex that keeps
+  * pushdown/pruning/vectorization and adds manifest-stats file pruning.
   * Compaction (rewriting many small appended files into few) is an
   * `overwrite` commit of the same rows.
   */
@@ -59,18 +62,66 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
 
   private def logDir: Path = Paths.get(dir, LogDirName)
 
+  /** Full commit log, resolved with two scalability devices (the Delta/
+    * Iceberg metadata model — current-pointer + checkpoints — re-expressed
+    * for a file log):
+    *  - a JVM-wide incremental cache keyed by the log's latest file name:
+    *    an unchanged log costs one directory listing and ZERO file reads;
+    *    new commits parse only the suffix the cache hasn't seen. Commit and
+    *    read latency stays flat as the table ages (was O(commits) per op,
+    *    O(commits²) over a table's life).
+    *  - a periodic checkpoint (`ckpt-v%08d.json`, every CheckpointInterval
+    *    commits, written inside the commit lock) holding the whole replayed
+    *    log in one file, so a COLD resolution reads 1 checkpoint + the
+    *    commits after it, not every commit file since table creation.
+    * The log is append-only and data files are immutable, so cache entries
+    * can never go stale: a longer log always extends a shorter prefix. */
   def commits: Seq[LakeCommit] =
     if (!Files.isDirectory(logDir)) Nil
     else {
       val s = Files.list(logDir)
-      try
-        s.iterator.asScala
-          .filter(_.getFileName.toString.matches("v\\d{8}\\.json"))
-          .toVector
-          .sortBy(_.getFileName.toString)
-          .map(p => parseCommit(new String(Files.readAllBytes(p), "UTF-8")))
-      finally s.close()
+      val names =
+        try s.iterator.asScala.map(_.getFileName.toString)
+          .filter(_.matches("v\\d{8}\\.json")).toVector.sorted
+        finally s.close()
+      if (names.isEmpty) Nil
+      else {
+        val key = logDir.toString
+        val prefix: Vector[LakeCommit] = Option(SnapshotTable.logCache.get(key)) match {
+          case Some((last, vec)) if vec.size <= names.size &&
+            names.lift(vec.size - 1).contains(last) => vec
+          case _ => checkpointPrefix(names.size)
+        }
+        val fresh = names.drop(prefix.size).map { n =>
+          commitFilesParsed.incrementAndGet()
+          parseCommit(new String(Files.readAllBytes(logDir.resolve(n)), "UTF-8"))
+        }
+        val all = prefix ++ fresh
+        if (fresh.nonEmpty) SnapshotTable.logCache.put(key, (names.last, all))
+        all
+      }
     }
+
+  /** Longest checkpointed prefix not exceeding the live log length
+    * (a checkpoint beyond the listing would mean a listing race — fall back
+    * to replaying commit files, which is always correct). */
+  private def checkpointPrefix(liveCount: Int): Vector[LakeCommit] = {
+    val s = Files.list(logDir)
+    val ckpts =
+      try s.iterator.asScala.map(_.getFileName.toString)
+        .filter(_.matches("ckpt-v\\d{8}\\.json")).toVector.sorted
+      finally s.close()
+    ckpts.reverseIterator
+      .flatMap { n =>
+        // a checkpoint deleted by a concurrent writer's cleanup between the
+        // listing and this read is simply skipped — older ones / raw
+        // commits still serve
+        try Some(parseCheckpoint(new String(Files.readAllBytes(logDir.resolve(n)), "UTF-8")))
+        catch { case _: java.io.IOException => None }
+      }
+      .find(cs => cs.size <= liveCount && cs.lastOption.forall(_.version == cs.size))
+      .getOrElse(Vector.empty)
+  }
 
   def latestVersion: Long = commits.lastOption.map(_.version).getOrElse(0L)
 
@@ -433,7 +484,7 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
           // step backwards (NTP), and one out-of-order timestamp would hide
           // all later commits from TIMESTAMP AS OF's log replay
           val minTs = log.lastOption.map(_.timestampMs).getOrElse(0L)
-          publish(current + 1, action, files, stats, tag, df.schema.toDDL, minTs)
+          publish(current + 1, action, files, stats, tag, df.schema.toDDL, minTs, log)
       }
     }
     spark.catalog.refreshByPath(dir)
@@ -442,7 +493,8 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
 
   private def publish(v: Long, action: String, files: Seq[String],
                       stats: Map[String, Map[String, (String, String)]],
-                      tag: String, schemaDdl: String, minTs: Long): Long = {
+                      tag: String, schemaDdl: String, minTs: Long,
+                      priorLog: Seq[LakeCommit]): Long = {
     val ts = math.max(System.currentTimeMillis(), minTs)
     val c = LakeCommit(v, action, ts, schemaDdl, files, stats, tag)
     // unique tmp name: even a misbehaving concurrent writer can't clobber
@@ -453,6 +505,29 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       Files.write(tmp, renderCommit(c).getBytes("UTF-8"))
       Files.move(tmp, logDir.resolve(f"v$v%08d.json"), StandardCopyOption.ATOMIC_MOVE)
     } finally Files.deleteIfExists(tmp) // no-op after a successful move
+    // periodic checkpoint (still inside the commit lock, so the full log is
+    // exactly priorLog + this commit): one file replacing v reads at cold
+    // start. A crash between commit and checkpoint only skips the
+    // checkpoint — readers fall back to older checkpoints / raw commits.
+    if (v % CheckpointInterval == 0) {
+      val ckTmp = logDir.resolve(
+        f"ckpt-v$v%08d.json." + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
+      try {
+        Files.write(ckTmp, renderCheckpoint(priorLog :+ c).getBytes("UTF-8"))
+        Files.move(ckTmp, logDir.resolve(f"ckpt-v$v%08d.json"),
+          StandardCopyOption.ATOMIC_MOVE)
+        // superseded checkpoints are pure redundancy (each holds the whole
+        // prefix) — drop them so checkpoint storage stays O(log), not O(log²)
+        val s = Files.list(logDir)
+        try s.iterator.asScala
+          .filter { p =>
+            val n = p.getFileName.toString
+            n.matches("ckpt-v\\d{8}\\.json") && n < f"ckpt-v$v%08d.json"
+          }
+          .foreach(Files.deleteIfExists(_))
+        finally s.close()
+      } finally Files.deleteIfExists(ckTmp)
+    }
     v
   }
 
@@ -484,8 +559,19 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
 
 object SnapshotTable {
   val LogDirName = "_graft_log"
+  /** Checkpoint cadence: one consolidated log file per this many commits. */
+  val CheckpointInterval = 100
   private val jvmLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  // parsed-log cache: logDir -> (latest commit file name, full parsed log).
+  // Append-only log ⇒ a cached prefix is valid forever; revalidation is one
+  // directory listing.
+  private val logCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Vector[LakeCommit])]()
+  // metadata-efficiency instrumentation: commit FILES physically parsed
+  // (SnapshotTableSpec pins that warm operations parse only new commits)
+  private[sources] val commitFilesParsed = new java.util.concurrent.atomic.AtomicLong()
+  private[sources] def invalidateLogCache(): Unit = logCache.clear()
 
   def forPath(spark: SparkSession, dir: String): SnapshotTable =
     new SnapshotTable(spark, dir)
@@ -522,6 +608,18 @@ object SnapshotTable {
     }
     node.toString
   }
+
+  /** A checkpoint is the whole log prefix in one file: {"commits":[...]}. */
+  private[sources] def renderCheckpoint(cs: Seq[LakeCommit]): String = {
+    val node = mapper.createObjectNode()
+    val arr = node.putArray("commits")
+    cs.foreach(c => arr.add(mapper.readTree(renderCommit(c))))
+    node.toString
+  }
+
+  private[sources] def parseCheckpoint(s: String): Vector[LakeCommit] =
+    mapper.readTree(s).get("commits").elements().asScala
+      .map(n => parseCommit(n.toString)).toVector
 
   private[sources] def parseCommit(s: String): LakeCommit = {
     val n = mapper.readTree(s)

@@ -1,6 +1,7 @@
 package graft.sources
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
@@ -270,6 +271,71 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(may(EqualTo(Cast(id, SStr), Literal("150"))))
     // no stats for the column → keep
     assert(may(EqualTo(AttributeReference("other", IntegerType)(), Literal(5))))
+  }
+
+  test("metadata stays flat over a long log: cache parses only new commits, checkpoint bounds cold start") {
+    val dir = fresh("lake_meta")
+    val t = SnapshotTable.create(spark, dir, Seq((1L, "a")).toDF("id", "v"))
+    // synthesize a 600-commit history by writing raw log files (same shape
+    // publish() emits) — keeps the test off 600 Spark write jobs
+    val logDir = Paths.get(dir, SnapshotTable.LogDirName)
+    val base = t.commits.head
+    (2L to 600L).foreach { v =>
+      Files.write(logDir.resolve(f"v$v%08d.json"),
+        SnapshotTable.renderCommit(base.copy(version = v, action = "append",
+          timestampMs = base.timestampMs + v, files = Nil)).getBytes("UTF-8"))
+    }
+    SnapshotTable.invalidateLogCache()
+    SnapshotTable.commitFilesParsed.set(0)
+    assert(t.latestVersion == 600L)
+    val coldParses = SnapshotTable.commitFilesParsed.get()
+    assert(coldParses == 600L, s"cold resolution should parse the full log once, got $coldParses")
+    // warm operations re-list but parse NOTHING
+    (1 to 5).foreach(_ => t.snapshot())
+    assert(SnapshotTable.commitFilesParsed.get() == coldParses,
+      "warm snapshot resolution must not re-parse commit files")
+    // a commit against the warm cache re-parses nothing (its locked log
+    // read is served from cache), and a later read parses ONLY the new file
+    t.append(Seq((2L, "b")).toDF("id", "v"))
+    t.snapshot()
+    val afterCommit = SnapshotTable.commitFilesParsed.get() - coldParses
+    assert(afterCommit <= 1,
+      s"commit + read parsed $afterCommit old files; the log cache is broken")
+  }
+
+  test("checkpoint consolidates the log and bounds cold-start parsing") {
+    val dir = fresh("lake_ckpt")
+    val t = SnapshotTable.create(spark, dir, Seq((1L, "a")).toDF("id", "v"))
+    val logDir = Paths.get(dir, SnapshotTable.LogDirName)
+    val base = t.commits.head
+    // raw history up to one shy of the checkpoint cadence, then a REAL
+    // commit lands exactly on the interval and writes the checkpoint
+    (2L until SnapshotTable.CheckpointInterval).foreach { v =>
+      Files.write(logDir.resolve(f"v$v%08d.json"),
+        SnapshotTable.renderCommit(base.copy(version = v, action = "append",
+          timestampMs = base.timestampMs + v, files = Nil)).getBytes("UTF-8"))
+    }
+    SnapshotTable.invalidateLogCache()
+    t.append(Seq((2L, "b")).toDF("id", "v"))
+    assert(t.latestVersion == SnapshotTable.CheckpointInterval.toLong)
+    val ckpts = Files.list(logDir).iterator.asScala
+      .map(_.getFileName.toString).filter(_.matches("ckpt-v\\d{8}\\.json")).toVector
+    assert(ckpts == Vector(f"ckpt-v${SnapshotTable.CheckpointInterval}%08d.json"),
+      s"expected exactly one checkpoint, got $ckpts")
+    // cold start: only commits AFTER the checkpoint are parsed from files
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    SnapshotTable.invalidateLogCache()
+    SnapshotTable.commitFilesParsed.set(0)
+    val (files, _) = t.snapshot()
+    assert(SnapshotTable.commitFilesParsed.get() == 1L,
+      s"cold start after checkpoint parsed ${SnapshotTable.commitFilesParsed.get()} files, expected 1")
+    // and the replayed state is identical to a full-log replay
+    SnapshotTable.invalidateLogCache()
+    Files.delete(logDir.resolve(f"ckpt-v${SnapshotTable.CheckpointInterval}%08d.json"))
+    val (filesFull, _) = t.snapshot()
+    assert(files == filesFull, "checkpoint replay diverged from raw-log replay")
+    // time travel through the (now deleted) checkpointed range still works
+    assert(t.asOf(1L).count() == 1)
   }
 
   test("compact merges small append files; vacuum drops unreferenced ones") {
