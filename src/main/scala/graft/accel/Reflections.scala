@@ -3,7 +3,7 @@ package graft.accel
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, ExprId, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Expression, ExprId, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -60,15 +60,32 @@ object Reflections {
   def fingerprint(df: DataFrame): String =
     fingerprintPlan(df.queryExecution.optimizedPlan)
 
+  // planning-cost instrumentation: plan-node fingerprints actually computed
+  // (ReflectionsSpec pins that the substitution pass fingerprints only
+  // shape-eligible nodes, not every subtree of every query)
+  private[accel] val fingerprintsComputed = new java.util.concurrent.atomic.AtomicLong()
+
   private def fingerprintPlan(plan: LogicalPlan): String = {
+    fingerprintsComputed.incrementAndGet()
     val canon = plan.canonicalized
     val sb = new StringBuilder(canon.toString)
-    // LocalRelation prints only its schema — two inline rowsets with the
-    // same shape would collide (and a VALUES plan could silently match a
-    // reflection built from different literal data), so fold the rows in.
+    // Two toString blind spots would make DIFFERENT data sources collide
+    // (and a query could silently be served from the wrong materialization;
+    // the substituted scan would even re-match itself and starve the
+    // optimizer's fixed point):
+    //  - LocalRelation prints only its schema, not its rows;
+    //  - LogicalRelation prints "Relation [cols] parquet" without the PATH.
+    // Fold both identities into the digest.
     canon.foreach {
       case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
         sb.append('#').append(lr.data.hashCode())
+      case rel: LogicalRelation =>
+        rel.relation match {
+          case h: HadoopFsRelation =>
+            h.location.rootPaths.map(p => normPath(p.toString)).sorted
+              .foreach(sb.append('@').append(_))
+          case other => sb.append('@').append(other.toString)
+        }
       case _ =>
     }
     java.security.MessageDigest.getInstance("MD5")
@@ -76,16 +93,35 @@ object Reflections {
   }
 
   /** CREATE REFLECTION: materialize the query and register it for
-    * substitution. */
+    * substitution. The defining plan is fingerprinted with substitution
+    * BYPASSED: with another reflection live, `df`'s optimized plan would
+    * otherwise already be a scan of that materialization, and this
+    * reflection would be registered under the wrong identity (matching
+    * other-reflection scans instead of the user's query shape). */
   def create(name: String, df: DataFrame, path: String): Reflection = {
     df.write.mode(SaveMode.Overwrite).parquet(path)
     df.sparkSession.catalog.refreshByPath(path)
-    val r = Reflection(name, fingerprint(df), path)
+    // fresh QueryExecution (the write above may have cached a substituted
+    // optimized plan on df's own QueryExecution)
+    val defining = org.apache.spark.sql.graft.Bridge.ofRows(
+      df.sparkSession, df.queryExecution.logical)
+    val plan = withSubstitutionBypassed { defining.queryExecution.optimizedPlan }
+    val r = Reflection(name, fingerprintPlan(plan), path)
     byName.put(name, r)
     byFingerprint.put(r.fingerprint, r)
-    planByName.put(name, df.queryExecution.optimizedPlan)
+    planByName.put(name, plan)
     scanByNameCache.remove(name) // re-created under the same name → re-read
     r
+  }
+
+  // Substitution is disabled on this thread while a defining query is being
+  // fingerprinted (see create()).
+  private val bypass = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+  private def withSubstitutionBypassed[A](body: => A): A = {
+    bypass.set(java.lang.Boolean.TRUE)
+    try body finally bypass.set(java.lang.Boolean.FALSE)
   }
 
   /** Full refresh: recompute the materialization (fingerprint unchanged). */
@@ -107,7 +143,14 @@ object Reflections {
     }
 
   def drop(name: String): Unit = {
-    byName.remove(name).foreach(r => byFingerprint.remove(r.fingerprint))
+    byName.remove(name).foreach { r =>
+      // two reflections over the SAME defining plan share a fingerprint:
+      // remove the index entry only if it is ours, then re-seat a surviving
+      // same-fingerprint reflection (name order, matching subsumed())
+      byFingerprint.remove(r.fingerprint, r)
+      byName.toSeq.sortBy(_._1).map(_._2).find(_.fingerprint == r.fingerprint)
+        .foreach(o => byFingerprint.putIfAbsent(r.fingerprint, o))
+    }
     planByName.remove(name)
     scanByNameCache.remove(name)
   }
@@ -139,20 +182,26 @@ object Reflections {
         AttributeReference(a.name.toLowerCase, a.dataType, a.nullable)(exprId = ExprId(0L), qualifier = Nil)
     }.toString
 
-  /** Structural key of an aggregate's input subtree, ignoring column-pruning
-    * projections and attribute ids: Filter conditions by nameCanon (conjuncts
-    * sorted), relations by their file-source root paths. None → only exact
-    * matching applies (unknown node in the subtree). */
-  private def structKey(plan: LogicalPlan): Option[String] = plan match {
+  /** Structural decomposition of an aggregate's input subtree, ignoring
+    * column-pruning projections and attribute ids: the base relation (by
+    * file-source root paths) plus the accumulated Filter conjuncts keyed by
+    * nameCanon (the original expression is kept for residual re-binding).
+    * None → only exact matching applies (unknown node in the subtree). */
+  private final case class ScanShape(relKey: String,
+                                     conjuncts: Map[String, Expression])
+
+  private def scanShape(plan: LogicalPlan): Option[ScanShape] = plan match {
     case Project(exprs, child) if exprs.forall(_.isInstanceOf[AttributeReference]) =>
-      structKey(child)
+      scanShape(child)
     case Filter(cond, child) =>
-      val conjuncts = Conjuncts.split(cond).map(nameCanon).sorted.mkString("&")
-      structKey(child).map(k => s"F($conjuncts)/$k")
+      scanShape(child).map(s => s.copy(conjuncts =
+        s.conjuncts ++ Conjuncts.split(cond).map(e => nameCanon(e) -> e)))
     case lr: LogicalRelation =>
       lr.relation match {
         case h: HadoopFsRelation =>
-          Some("R(" + h.location.rootPaths.map(p => normPath(p.toString)).sorted.mkString(",") + ")")
+          Some(ScanShape(
+            "R(" + h.location.rootPaths.map(p => normPath(p.toString)).sorted.mkString(",") + ")",
+            Map.empty))
         case _ => None
       }
     case _ => None
@@ -171,15 +220,30 @@ object Reflections {
     }
 
   /** Try to serve Aggregate `q` from reflection `r` (plan `rp`) by roll-up:
-    * query grouping ⊆ reflection grouping over the same input, and every
-    * query aggregate re-aggregates a reflection output column
-    * (sum→sum, count→sum, min→min, max→max). The reference's most-used
-    * substitution case (`acceleration/substitution/`). */
+    * query grouping ⊆ reflection grouping over the same input, the query's
+    * filter conjuncts a SUPERSET of the reflection's (extra conjuncts become
+    * a residual filter over the materialization, evaluable only when they
+    * reference reflection grouping outputs), and every query aggregate
+    * re-aggregates a reflection output column (sum→sum, count→sum, min→min,
+    * max→max). The reference's most-used substitution case
+    * (`acceleration/substitution/AbstractSubstitutionProvider.java`, residual
+    * handling under `acceleration/normalization/`). */
   private def rollup(spark: SparkSession, q: Aggregate, r: Reflection,
                      rp: LogicalPlan): Option[LogicalPlan] = rp match {
     case ra: Aggregate =>
-      val qKey = structKey(q.child)
-      if (qKey.isEmpty || qKey != structKey(ra.child)) return None
+      val (qShape, rShape) = (scanShape(q.child), scanShape(ra.child)) match {
+        case (Some(a), Some(b)) => (a, b)
+        case _ => return None
+      }
+      if (qShape.relKey != rShape.relKey) return None
+      // reflection's conjuncts must all be present in the query (else the
+      // materialization is missing rows the query needs); what the query
+      // adds on top is the residual, applied to the materialization scan
+      if (!rShape.conjuncts.keySet.subsetOf(qShape.conjuncts.keySet)) return None
+      val residual: Seq[Expression] =
+        (qShape.conjuncts -- rShape.conjuncts.keySet).values.toSeq
+      // a nondeterministic residual (rand() < p) cannot be transplanted
+      if (!residual.forall(_.deterministic)) return None
       val rGroupCanon = ra.groupingExpressions.map(nameCanon).toSet
       // reflection output columns usable as grouping passthroughs / aggs
       val groupCols: Map[String, String] = ra.aggregateExpressions.collect {
@@ -197,6 +261,29 @@ object Reflections {
       val scanPlan = reflectionScan(spark, r)
       val scanByName: Map[String, Attribute] = scanPlan.output.map(a => a.name -> a).toMap
       if (!(groupCols.values ++ aggCols.values).forall(scanByName.contains)) return None
+
+      // Re-bind each residual conjunct onto the materialization scan: every
+      // base-table attribute it references must survive as a reflection
+      // grouping output (a predicate over grouping columns is constant
+      // within each pre-aggregated group, so filtering materialized rows ≡
+      // filtering base rows). Any unmappable attribute → no substitution.
+      def rebind(e: Expression): Option[Expression] = {
+        var ok = true
+        val bound = e.transform {
+          case a: AttributeReference =>
+            groupCols.get(nameCanon(a)).flatMap(scanByName.get) match {
+              case Some(col) => castTo(col, a.dataType)
+              case None => ok = false; a
+            }
+        }
+        if (ok) Some(bound) else None
+      }
+      val residualBound: Seq[Expression] = traverseOpt(residual)(rebind) match {
+        case Some(bs) => bs
+        case None => return None
+      }
+      val filteredScan: LogicalPlan =
+        residualBound.reduceOption(And).map(Filter(_, scanPlan)).getOrElse(scanPlan)
 
       def reAgg(fn: String, col: Attribute): Expression = {
         val f = fn match {
@@ -228,7 +315,7 @@ object Reflections {
         }
       mapped.map { out =>
         val grouping = qGroups.map(g => scanByName(groupCols(g)))
-        Aggregate(grouping, out, scanPlan)
+        Aggregate(grouping, out, filteredScan)
       }
     case _ => None
   }
@@ -243,7 +330,7 @@ object Reflections {
 
   final class Substitute(spark: SparkSession) extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan = {
-      if (byFingerprint.isEmpty) return plan
+      if (byName.isEmpty || bypass.get()) return plan
       // A write whose source matches a reflection defined over the SAME
       // target path must not be rewritten to read its own output mid-
       // overwrite (refresh would otherwise consume the files it deletes).
@@ -253,10 +340,20 @@ object Reflections {
         case _ => Set.empty
       }
       def usable(r: Reflection): Boolean = !excluded.contains(normPath(r.path))
+      // Structural pre-filter: fingerprinting a node costs canonicalize +
+      // toString + MD5 = O(subtree), so attempting it on EVERY subtree makes
+      // the pass O(plan²) in string building on deep plans. A node can only
+      // exact-match a reflection whose defining plan has the same root class
+      // and output arity — both O(1) to read — so anything else is skipped
+      // without fingerprinting. Computed once per apply().
+      val exactShapes: Set[(Class[_], Int)] =
+        byName.keysIterator.flatMap(planByName.get)
+          .map(p => (p.getClass: Class[_], p.output.size)).toSet
       // each node's fingerprint is computed exactly once (the old
       // guard+body pattern paid canonicalize+MD5 twice per node)
       def exact(sub: LogicalPlan): Option[LogicalPlan] =
-        byFingerprint.get(fingerprintPlan(sub)).filter(usable).map { r =>
+        if (!exactShapes.contains((sub.getClass, sub.output.size))) None
+        else byFingerprint.get(fingerprintPlan(sub)).filter(usable).map { r =>
           val scan = reflectionScan(spark, r)
           // Re-alias the scan's output to the substituted subtree's exprIds
           // so parent operators keep resolving.

@@ -179,6 +179,126 @@ class ReflectionsSpec extends AnyFunSuite {
     Reflections.clear()
   }
 
+  test("filter subsumption: narrower query filter served with a residual over the materialization") {
+    Reflections.clear()
+    Reflections.install(spark)
+    val t = Tables(spark, TestSpark.sf)
+    // reflection: WHERE l_quantity > 5 GROUP BY l_returnflag, l_linestatus
+    def wide() = t.lineitem.filter(col("l_quantity") > 5)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("qty"), count(lit(1)).as("n"))
+    // query: strictly narrower filter (extra conjunct on a grouping column),
+    // coarser grouping — answerable from the materialization with a
+    // residual l_linestatus = 'F' on top of the scan
+    def narrow() = t.lineitem
+      .filter(col("l_quantity") > 5 && col("l_linestatus") === "F")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("qty"), count(lit(1)).as("n"))
+    val cold = narrow().orderBy("l_returnflag").collect()
+
+    val dir = Files.createTempDirectory("graft_refl_fsub").toString
+    Reflections.create("r_fsub", wide(), s"$dir/r_fsub")
+    val q = narrow()
+    val planStr = q.queryExecution.sparkPlan.toString
+    assert(planStr.contains("/r_fsub"), s"no filter-subsumption substitution in:\n$planStr")
+    assert(!planStr.contains("lineitem.parquet"), "base table still scanned")
+    val hot = q.orderBy("l_returnflag").collect()
+    assert(cold.sameElements(hot), "residual-filtered answer differs from base answer")
+    Reflections.clear()
+  }
+
+  test("no filter subsumption when the residual references a non-grouping column") {
+    Reflections.clear()
+    Reflections.install(spark)
+    val t = Tables(spark, TestSpark.sf)
+    val dir = Files.createTempDirectory("graft_refl_fsub2").toString
+    Reflections.create("r_fsub2",
+      t.lineitem.filter(col("l_quantity") > 5)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n")),
+      s"$dir/r_fsub2")
+    // residual l_suppkey < 10 isn't evaluable over the materialization
+    // (l_suppkey is not a reflection output) — must fall back to base scan
+    val q = t.lineitem.filter(col("l_quantity") > 5 && col("l_suppkey") < 10)
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    val planStr = q.queryExecution.sparkPlan.toString
+    assert(!planStr.contains("/r_fsub2"), "substituted an unanswerable residual")
+    assert(planStr.contains("lineitem"), "base table should be scanned")
+    Reflections.clear()
+  }
+
+  test("no filter subsumption when the query filter is WIDER than the reflection's") {
+    Reflections.clear()
+    Reflections.install(spark)
+    val t = Tables(spark, TestSpark.sf)
+    val dir = Files.createTempDirectory("graft_refl_fsub3").toString
+    Reflections.create("r_fsub3",
+      t.lineitem.filter(col("l_quantity") > 5 && col("l_linestatus") === "F")
+        .groupBy(col("l_returnflag"), col("l_linestatus")).agg(count(lit(1)).as("n")),
+      s"$dir/r_fsub3")
+    // query needs rows the materialization dropped (only l_quantity > 5)
+    val q = t.lineitem.filter(col("l_quantity") > 5)
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    val planStr = q.queryExecution.sparkPlan.toString
+    assert(!planStr.contains("/r_fsub3"), "substituted a materialization missing rows")
+    Reflections.clear()
+  }
+
+  test("substitution pass fingerprints only shape-eligible nodes on a deep plan") {
+    Reflections.clear()
+    Reflections.install(spark)
+    val t = Tables(spark, TestSpark.sf)
+    val dir = Files.createTempDirectory("graft_refl_cost").toString
+    Reflections.create("r_cost", aggQuery(), s"$dir/r_cost")
+    // a deep multi-join plan with NO aggregate anywhere: nothing matches the
+    // reflection's root shape (Aggregate, 4 cols), so the pass must
+    // fingerprint nothing at all
+    var q = t.nation.select(col("n_nationkey"), col("n_regionkey"))
+    (1 to 10).foreach { i =>
+      q = q.join(t.region.select(col("r_regionkey").as(s"rk_$i")),
+        col("n_regionkey") === col(s"rk_$i")).drop(s"rk_$i")
+    }
+    Reflections.fingerprintsComputed.set(0)
+    q.queryExecution.optimizedPlan // force the optimizer (and the pass) to run
+    val n = Reflections.fingerprintsComputed.get()
+    assert(n == 0L,
+      s"substitution pass fingerprinted $n nodes of a plan with no eligible shapes")
+    Reflections.clear()
+  }
+
+  test("same-schema parquet at a different path is NOT matched (fingerprint includes paths)") {
+    Reflections.clear()
+    Reflections.install(spark)
+    val dir = Files.createTempDirectory("graft_refl_path").toString
+    import spark.implicits._
+    val a = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    val b = Seq((10L, "p"), (20L, "q")).toDF("id", "v")
+    a.write.parquet(s"$dir/a"); b.write.parquet(s"$dir/b")
+    // reflection over a simple scan of A; a scan of B has an IDENTICAL
+    // schema and plan shape — LogicalRelation.toString omits the path, so a
+    // schema-only fingerprint would serve B's query from A's data
+    Reflections.create("r_path", spark.read.parquet(s"$dir/a"), s"$dir/r_path")
+    val got = spark.read.parquet(s"$dir/b").orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(10L, 20L), s"scan of an unrelated same-schema table was hijacked: $got")
+    Reflections.clear()
+  }
+
+  test("creating a reflection while another is live registers the TRUE defining plan") {
+    Reflections.clear()
+    Reflections.install(spark)
+    val t = Tables(spark, TestSpark.sf)
+    val dir = Files.createTempDirectory("graft_refl_live").toString
+    Reflections.create("live_a", aggQuery(), s"$dir/live_a")
+    // live_b's defining query would optimize to a scan of live_a's
+    // materialization; registration must bypass substitution or live_b's
+    // roll-up identity is a reflection scan, not the lineitem aggregate
+    Reflections.create("live_b", aggQuery(), s"$dir/live_b")
+    Reflections.drop("live_a")
+    val q = t.lineitem.groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("qty"))
+    val planStr = q.queryExecution.sparkPlan.toString
+    assert(planStr.contains("/live_b"), s"live_b lost its roll-up identity:\n$planStr")
+    Reflections.clear()
+  }
+
   test("one reflection substituted into two subtrees of one query keeps attributes distinct") {
     Reflections.clear()
     Reflections.install(spark)
