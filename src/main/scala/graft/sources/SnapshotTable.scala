@@ -20,7 +20,14 @@ final case class LakeCommit(
     stats: Map[String, Map[String, (String, String)]] = Map.empty,
     // idempotency tag: a commit attempt with an already-present tag is a
     // no-op (exactly-once for replayed streaming micro-batches)
-    tag: String = "")
+    tag: String = "",
+    // stable field ids (column name -> id), the Iceberg column-identity
+    // model: a RENAME maps a new name to the SAME id, so files written
+    // before the rename still serve their values under the new name (a
+    // name-based read would NULL them). Empty on legacy commits — replay
+    // backfills ids by name inheritance (exact, because renames can only
+    // be produced by code that always records ids).
+    fieldIds: Map[String, Int] = Map.empty)
 
 /** Iceberg-lite snapshot table format ("graft-lake"): a parquet directory
   * plus an append-only commit log of JSON snapshot files under
@@ -159,14 +166,36 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     * needs for plan-time pruning. */
   def snapshotWithStats(version: Option[Long] = None, asOfTsMs: Option[Long] = None)
       : (Seq[(String, Map[String, (String, String)])], StructType) = {
-    val visible = visibleCommits(version, asOfTsMs)
-    val files = visible.foldLeft(Vector.empty[(String, Map[String, (String, String)])]) {
-      (acc, c) =>
-        val add = c.files.toVector.map(f => f -> c.stats.getOrElse(f, Map.empty))
-        if (c.action == "overwrite") add else acc ++ add
+    val (entries, schema, _) = replayEntries(visibleCommits(version, asOfTsMs))
+    (entries.map(e => (e.path, e.stats)), schema)
+  }
+
+  /** One live data file after log replay: absolute path, its manifest
+    * stats, and the field ids in force when it was WRITTEN (column names
+    * inside the file → stable ids — the key to rename-safe reads). */
+  private final case class FileEntry(path: String,
+                                     stats: Map[String, (String, String)],
+                                     writeIds: Map[String, Int])
+
+  /** Replay `visible`: accumulate files (overwrite resets), tracking each
+    * commit's effective field ids. Legacy commits (no recorded ids) are
+    * backfilled by name inheritance — exact, because only id-recording code
+    * can produce a rename. Returns (files, current schema, current ids). */
+  private def replayEntries(visible: Seq[LakeCommit])
+      : (Vector[FileEntry], StructType, Map[String, Int]) = {
+    var eff = Map.empty[String, Int]
+    var maxEver = 0
+    var acc = Vector.empty[FileEntry]
+    visible.foreach { c =>
+      eff =
+        if (c.fieldIds.nonEmpty) c.fieldIds
+        else assignFieldIds(StructType.fromDDL(c.schemaDdl).fieldNames.toSeq, eff, maxEver)
+      maxEver = math.max(maxEver, (eff.valuesIterator ++ Iterator(0)).max)
+      val add = c.files.toVector.map(f =>
+        FileEntry(s"$dir/$f", c.stats.getOrElse(f, Map.empty), eff))
+      acc = if (c.action == "overwrite") add else acc ++ add
     }
-    (files.map { case (f, st) => (s"$dir/$f", st) },
-      StructType.fromDDL(visible.last.schemaDdl))
+    (acc, StructType.fromDDL(visible.last.schemaDdl), eff)
   }
 
   /** Scan over an explicit file list through LakeFileIndex, so any filter
@@ -192,10 +221,55 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
   /** Read a snapshot (latest by default). The file list is pinned here —
     * subsequent commits do not affect this DataFrame. A `WHERE` over this
     * DataFrame (or a lake view built on it) prunes data files from the
-    * commit manifest stats automatically at plan time. */
+    * commit manifest stats automatically at plan time. Files written under
+    * pre-rename column names are read by field id and aliased to the
+    * current names (see buildMappedScan). */
   def read(version: Option[Long] = None, asOfTsMs: Option[Long] = None): DataFrame = {
-    val (files, schema) = snapshotWithStats(version, asOfTsMs)
-    buildScan(files, schema)
+    val (entries, schema, curIds) = replayEntries(visibleCommits(version, asOfTsMs))
+    buildMappedScan(entries, schema, curIds)
+  }
+
+  /** Scan that resolves columns by FIELD ID, not name: files are grouped by
+    * the physical name each current column had when the file was written
+    * (same ids → same group; a table never renamed is exactly one group =
+    * today's plain scan). Each group scans under its write-time names —
+    * keeping parquet pushdown and manifest pruning, whose stats are also
+    * keyed by write-time names — then a zero-cost Project aliases to the
+    * current names, and groups union. A column ADDED after a file was
+    * written maps to no id in that file and reads NULL (under a collision-
+    * proof placeholder name if a later rename reused its name). */
+  private def buildMappedScan(entries: Seq[FileEntry], curSchema: StructType,
+                              curIds: Map[String, Int]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (entries.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], curSchema)
+    val curNames = curSchema.fieldNames.toSeq
+    def physNames(writeIds: Map[String, Int]): Seq[String] = {
+      val byId = writeIds.map(_.swap)
+      val mapped = curNames.map(n => curIds.get(n).flatMap(byId.get))
+      val taken = mapped.flatten.toSet
+      curNames.zip(mapped).map {
+        case (_, Some(pn)) => pn
+        // column has no identity in this file → must read NULL. A plain
+        // name read does that ONLY if the file has no column of that name;
+        // if it does (the name belonged to a different, since-retired or
+        // renamed-away id), a placeholder name forces the NULL — old data
+        // must not resurface under a re-added or rename-freed name.
+        case (n, None) if !writeIds.contains(n) && !taken(n) => n
+        case (n, None) => s"__graft_absent_${curIds.getOrElse(n, 0)}__"
+      }
+    }
+    val parts = entries.groupBy(e => physNames(e.writeIds)).toSeq
+      .sortBy(_._1.mkString(",")) // deterministic group order
+      .map { case (phys, fs) =>
+        val physSchema = StructType(curSchema.fields.zip(phys).map {
+          case (f, pn) => f.copy(name = pn)
+        })
+        val scan = buildScan(fs.map(e => (e.path, e.stats)), physSchema)
+        if (phys == curNames) scan
+        else scan.select(phys.zip(curNames).map { case (pn, cn) => col(pn).as(cn) }: _*)
+      }
+    parts.reduce(_ unionByName _)
   }
 
   /** `VERSION AS OF v` (Iceberg/Delta time travel). */
@@ -284,19 +358,22 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     * exact regardless of stats quality. */
   def scanRange(colName: String, lo: Double, hi: Double): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val (files, schema) = snapshotWithStats()
+    val (entries, schema, curIds) = replayEntries(visibleCommits(None, None))
     // eager manifest prune (so even DataFrame.inputFiles reflects the cut);
     // the same stats also back plan-time pruning via LakeFileIndex for any
-    // further filters the caller stacks on top
-    val kept = files.filter { case (_, st) =>
-      st.get(colName) match {
+    // further filters the caller stacks on top. Stats are keyed by WRITE-
+    // time names — resolve colName per file through its field id.
+    val colId = curIds.get(colName)
+    val kept = entries.filter { e =>
+      val writeName = colId.flatMap(id => e.writeIds.map(_.swap).get(id)).getOrElse(colName)
+      e.stats.get(writeName) match {
         case Some((mn, mx)) =>
           try { mx.toDouble >= lo && mn.toDouble <= hi }
           catch { case _: NumberFormatException => true }
         case None => true
       }
     }
-    val base = buildScan(kept, schema)
+    val base = buildMappedScan(kept, schema, curIds)
     // residual filter with literals of the column's native type: a double
     // comparison would wrap the column in a cast and block parquet
     // row-group pushdown (only manifest pruning would remain)
@@ -314,13 +391,18 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     * `IncrementalUpdateUtils.java`). Only valid across append-only history;
     * an overwrite in the range breaks add-only lineage. */
   def changes(fromVersion: Long, toVersion: Long): DataFrame = {
-    val cs = commits.filter(c => c.version > fromVersion && c.version <= toVersion)
+    val all = commits
+    val cs = all.filter(c => c.version > fromVersion && c.version <= toVersion)
     require(cs.nonEmpty, s"no commits in ($fromVersion, $toVersion]")
     require(cs.forall(_.action == "append"),
       s"incremental scan across an overwrite is not add-only (range ($fromVersion, $toVersion])")
-    val files = cs.flatMap(c =>
-      c.files.map(f => (s"$dir/$f", c.stats.getOrElse(f, Map.empty[String, (String, String)]))))
-    buildScan(files, StructType.fromDDL(cs.last.schemaDdl))
+    // replay the FULL prefix so write-time field ids are chained correctly,
+    // then keep only files the range added (a rename inside the range maps
+    // pre-rename files to the range-end names by id)
+    val (entries, _, endIds) = replayEntries(all.takeWhile(_.version <= toVersion))
+    val inRange = cs.flatMap(c => c.files.map(f => s"$dir/$f")).toSet
+    buildMappedScan(entries.filter(e => inRange(e.path)),
+      StructType.fromDDL(cs.last.schemaDdl), endIds)
   }
 
   /** MERGE-by-key (upsert) with snapshot isolation AND conflict detection:
@@ -425,6 +507,51 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     doomed
   }
 
+  /** ALTER TABLE RENAME COLUMN: a metadata-only commit (no data files)
+    * whose schema carries the new name mapped to the OLD field id, so every
+    * file already on disk keeps serving its values under the new name —
+    * and time travel to a pre-rename version still shows the old name.
+    * (Iceberg column identity; the reference inherits it via
+    * `exec/store/iceberg/` field-id mapping. Name-based evolution would
+    * silently read a rename as drop+add: history goes NULL.) */
+  def renameColumn(oldName: String, newName: String): Long = {
+    val v = withCommitLock {
+      val log = commits
+      require(log.nonEmpty, s"empty lake table $dir")
+      val last = log.last
+      val schema = StructType.fromDDL(last.schemaDdl)
+      require(schema.fieldNames.contains(oldName),
+        s"no column '$oldName' in $dir (have: ${schema.fieldNames.mkString(", ")})")
+      require(!schema.fieldNames.contains(newName),
+        s"column '$newName' already exists in $dir")
+      val (eff, _) = idState(log)
+      val newSchema = StructType(schema.fields.map(f =>
+        if (f.name == oldName) f.copy(name = newName) else f))
+      val newIds = eff.map { case (n, i) => (if (n == oldName) newName else n) -> i }
+      publish(last.version + 1, "append", Nil, Map.empty, "",
+        newSchema.toDDL, last.timestampMs, log, newIds)
+    }
+    spark.catalog.refreshByPath(dir)
+    v
+  }
+
+  /** (current field ids, highest id ever minted) after the last commit.
+    * Legacy logs (written before ids were recorded) are backfilled by
+    * chaining name inheritance from the first commit — exact, since legacy
+    * history cannot contain renames. DDL parsing only happens for the
+    * legacy prefix: once a commit records ids, all later ones do too. */
+  private def idState(log: Seq[LakeCommit]): (Map[String, Int], Int) = {
+    var eff = Map.empty[String, Int]
+    var maxEver = 0
+    log.foreach { c =>
+      eff =
+        if (c.fieldIds.nonEmpty) c.fieldIds
+        else assignFieldIds(StructType.fromDDL(c.schemaDdl).fieldNames.toSeq, eff, maxEver)
+      maxEver = math.max(maxEver, (eff.valuesIterator ++ Iterator(0)).max)
+    }
+    (eff, maxEver)
+  }
+
   /** Write data files for the commit, then claim the next version.
     * `expectedBase` (overwrites only): fail with
     * ConcurrentModificationException — inside the lock, before publishing —
@@ -484,7 +611,11 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
           // step backwards (NTP), and one out-of-order timestamp would hide
           // all later commits from TIMESTAMP AS OF's log replay
           val minTs = log.lastOption.map(_.timestampMs).getOrElse(0L)
-          publish(current + 1, action, files, stats, tag, df.schema.toDDL, minTs, log)
+          // columns keep their stable id when the name survives; new names
+          // get fresh ids (drop+re-add = NEW column, Iceberg semantics)
+          val (prevIds, maxEver) = idState(log)
+          val ids = assignFieldIds(df.schema.fieldNames.toSeq, prevIds, maxEver)
+          publish(current + 1, action, files, stats, tag, df.schema.toDDL, minTs, log, ids)
       }
     }
     spark.catalog.refreshByPath(dir)
@@ -494,9 +625,10 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
   private def publish(v: Long, action: String, files: Seq[String],
                       stats: Map[String, Map[String, (String, String)]],
                       tag: String, schemaDdl: String, minTs: Long,
-                      priorLog: Seq[LakeCommit]): Long = {
+                      priorLog: Seq[LakeCommit],
+                      fieldIds: Map[String, Int]): Long = {
     val ts = math.max(System.currentTimeMillis(), minTs)
-    val c = LakeCommit(v, action, ts, schemaDdl, files, stats, tag)
+    val c = LakeCommit(v, action, ts, schemaDdl, files, stats, tag, fieldIds)
     // unique tmp name: even a misbehaving concurrent writer can't clobber
     // another's staged json
     val tmp = logDir.resolve(
@@ -559,6 +691,19 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
 
 object SnapshotTable {
   val LogDirName = "_graft_log"
+
+  /** Inherit ids for surviving names, mint fresh ids for new ones. `maxUsed`
+    * is the highest id EVER minted on the table (not just currently live):
+    * a name absent from `names` retires its id permanently — fresh ids must
+    * never collide with a retired one, or an old file would serve the
+    * retired column's data under the new column's name. */
+  private[sources] def assignFieldIds(names: Seq[String], prev: Map[String, Int],
+                                      maxUsed: Int): Map[String, Int] = {
+    var next = math.max(maxUsed, (prev.valuesIterator ++ Iterator(0)).max) + 1
+    names.map { n =>
+      n -> prev.getOrElse(n, { val i = next; next += 1; i })
+    }.toMap
+  }
   /** Checkpoint cadence: one consolidated log file per this many commits. */
   val CheckpointInterval = 100
   private val jvmLocks =
@@ -597,6 +742,10 @@ object SnapshotTable {
     val arr = node.putArray("files")
     c.files.foreach(arr.add)
     if (c.tag.nonEmpty) node.put("tag", c.tag)
+    if (c.fieldIds.nonEmpty) {
+      val ids = node.putObject("fieldIds")
+      c.fieldIds.toSeq.sortBy(_._2).foreach { case (n, i) => ids.put(n, i) }
+    }
     if (c.stats.nonEmpty) {
       val st = node.putObject("stats")
       c.stats.foreach { case (f, cols) =>
@@ -638,6 +787,9 @@ object SnapshotTable {
       n.get("schemaDdl").asText(),
       n.get("files").elements().asScala.map(_.asText()).toVector,
       stats,
-      Option(n.get("tag")).map(_.asText()).getOrElse(""))
+      Option(n.get("tag")).map(_.asText()).getOrElse(""),
+      Option(n.get("fieldIds")).map { ids =>
+        ids.properties().asScala.map(e => e.getKey -> e.getValue.asInt()).toMap
+      }.getOrElse(Map.empty))
   }
 }

@@ -182,6 +182,54 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.scanRange("score", 40, 60).count() == 1)
   }
 
+  test("column rename is id-stable: old files serve values under the new name") {
+    val dir = fresh("lake_rename")
+    val t = SnapshotTable.create(spark, dir, Seq((1L, "alpha"), (2L, "beta")).toDF("id", "v"))
+    t.renameColumn("v", "label")
+    // rows written BEFORE the rename must serve their values under the new
+    // name (name-based evolution would NULL them: rename = drop+add)
+    assert(t.read().schema.fieldNames.toSeq == Seq("id", "label"))
+    assert(t.read().orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "alpha"), (2L, "beta")))
+    // post-rename appends mix with pre-rename files transparently
+    t.append(Seq((3L, "gamma")).toDF("id", "label"))
+    assert(t.read().orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")))
+    // time travel to the pre-rename version shows the OLD name + values
+    assert(t.asOf(1L).schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(t.asOf(1L).orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "alpha"), (2L, "beta")))
+    // filters on the renamed column work across old and new files
+    assert(t.read().filter(col("label") === "alpha").count() == 1)
+    // guard rails
+    intercept[IllegalArgumentException] { t.renameColumn("nope", "x") }
+    intercept[IllegalArgumentException] { t.renameColumn("id", "label") }
+  }
+
+  test("rename chains and copy-on-write DML over renamed history stay correct") {
+    val dir = fresh("lake_rename2")
+    val t = SnapshotTable.create(spark, dir, Seq((1L, 10.0), (2L, 20.0)).toDF("id", "amt"))
+    t.renameColumn("amt", "value")
+    t.renameColumn("value", "total") // chained rename: id survives twice
+    assert(t.read().orderBy("id").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 10.0), (2L, 20.0)))
+    // copy-on-write UPDATE over the renamed table (reads old files by id)
+    t.updateWhere(col("id") === 1, Map("total" -> lit(99.0)))
+    assert(t.read().orderBy("id").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 99.0), (2L, 20.0)))
+    // a NEW column re-using the rename-freed name must NOT resurrect the
+    // old column's data from pre-rename files (distinct field id)
+    val t2dir = fresh("lake_rename3")
+    val t2 = SnapshotTable.create(spark, t2dir, Seq((1L, "secret")).toDF("id", "v"))
+    t2.renameColumn("v", "w")
+    t2.append(Seq((2L, "x", "fresh")).toDF("id", "w", "v"))
+    val rows = t2.read().orderBy("id").collect()
+    assert(rows(0).getAs[String]("w") == "secret", "renamed column lost history")
+    assert(rows(0).isNullAt(rows(0).fieldIndex("v")),
+      s"re-added name 'v' must read NULL from pre-rename files, got ${rows(0)}")
+    assert(rows(1).getAs[String]("v") == "fresh")
+  }
+
   test("manifest stats prune files before any is opened") {
     val dir = fresh("lake_stats")
     val t = SnapshotTable.forPath(spark, dir)
