@@ -16,7 +16,9 @@ import graft.sources.SnapshotTable
   */
 object Lake {
 
-  /** MERGE-by-key through the snapshot log: update every 10th customer's
+  /** MERGE-by-key through the snapshot log, driven entirely by SQL text
+    * (`MERGE INTO LAKE ... KEY ... USING <query>`, the reference's MERGE
+    * statement surface — `Parser.tdd:624`): update every 10th customer's
     * balance, insert a shifted copy of the first 50 keys, keep the rest. */
   val lakeMergeByKey: QueryFn = (s, dir) => {
     val t = Tables.ensure(s, dir)
@@ -29,9 +31,11 @@ object Lake {
       .select((col("c_custkey") + 10000000L).as("c_custkey"), col("c_name"),
         dbl(money(col("c_acctbal"))).as("bal"))
     val lakeDir = Files.createTempDirectory("graft_lake_merge").toString
-    val table = SnapshotTable.create(s, lakeDir, base)
-    table.mergeByKey(upd.unionByName(ins), "c_custkey")
-    table.read().orderBy(col("c_custkey"))
+    SnapshotTable.create(s, lakeDir, base)
+    upd.unionByName(ins).createOrReplaceTempView("lake_merge_delta")
+    s.sql(s"MERGE INTO LAKE '$lakeDir' KEY c_custkey USING SELECT * FROM lake_merge_delta")
+    s.sql(s"CREATE LAKE VIEW lake_merge_v FROM '$lakeDir'")
+    s.sql("SELECT c_custkey, c_name, bal FROM lake_merge_v ORDER BY c_custkey")
   }
   val lakeMergeByKeySql: String = """
     WITH base AS (

@@ -40,24 +40,41 @@ object CopyInto {
                schema: StructType, targetDir: String,
                onError: String = "continue"): Result = {
     val df = read(spark, sourcePath, format, schema)
-    val bad = df.filter(col(corruptCol).isNotNull).select(col(corruptCol).as("raw_record"))
-    val good = df.filter(col(corruptCol).isNull).drop(corruptCol)
-    val nBad = bad.count()
-    if (onError == "abort" && nBad > 0)
-      throw new IllegalStateException(s"COPY INTO aborted: $nBad malformed records")
-    // Count the batch (cheap: df is cached), not the target — re-scanning the
-    // target after every load is O(table) per ingest and would dominate at
-    // 100 TB. `loaded` reports THIS batch's rows, matching the reference's
-    // per-COPY job summary.
-    val loaded = good.count()
-    good.write.mode(SaveMode.Append).parquet(targetDir)
-    // copy_errors history (reference exec/tablefunctions/copyerrors/): bad
-    // rows persist next to the target with job metadata, queryable later
-    if (nBad > 0)
-      bad.withColumn("job_ts_ms", lit(System.currentTimeMillis()))
-        .withColumn("source_path", lit(sourcePath))
-        .write.mode(SaveMode.Append).parquet(errorsDir(targetDir))
-    Result(loaded, nBad, bad)
+    // the cache only needs to live for this load: good/bad split + counts +
+    // two writes. A long-lived ingest service doing many COPYs would
+    // otherwise pin every parsed batch in executor memory until session end.
+    try {
+      val bad = df.filter(col(corruptCol).isNotNull).select(col(corruptCol).as("raw_record"))
+      val good = df.filter(col(corruptCol).isNull).drop(corruptCol)
+      val nBad = bad.count()
+      if (onError == "abort" && nBad > 0)
+        throw new IllegalStateException(s"COPY INTO aborted: $nBad malformed records")
+      // Count the batch (cheap: df is cached), not the target — re-scanning the
+      // target after every load is O(table) per ingest and would dominate at
+      // 100 TB. `loaded` reports THIS batch's rows, matching the reference's
+      // per-COPY job summary.
+      val loaded = good.count()
+      good.write.mode(SaveMode.Append).parquet(targetDir)
+      // copy_errors history (reference exec/tablefunctions/copyerrors/): bad
+      // rows persist next to the target with job metadata, queryable later
+      val jobTs = System.currentTimeMillis()
+      if (nBad > 0)
+        bad.withColumn("job_ts_ms", lit(jobTs))
+          .withColumn("source_path", lit(sourcePath))
+          .write.mode(SaveMode.Append).parquet(errorsDir(targetDir))
+      // errorRows reads back from the just-written history, NOT the cached
+      // source: after unpersist, a corrupt-column-only query on raw files is
+      // disallowed (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and the parquet copy
+      // is the durable record anyway
+      val errorRows =
+        if (nBad == 0) spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("raw_record", StringType))))
+        else copyErrors(spark, targetDir)
+          .filter(col("job_ts_ms") === jobTs && col("source_path") === sourcePath)
+          .select("raw_record")
+      Result(loaded, nBad, errorRows)
+    } finally df.unpersist()
   }
 
   private def errorsDir(targetDir: String): String =

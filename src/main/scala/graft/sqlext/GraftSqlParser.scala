@@ -30,6 +30,10 @@ import graft.streaming.{Pipe, Pipes}
   *   CREATE LAKE VIEW <name> FROM '<dir>' [VERSION AS OF <n>]
   *   DELETE FROM LAKE '<dir>' WHERE <cond>      -- copy-on-write DML
   *   UPDATE LAKE '<dir>' SET c = <expr>[, ...] WHERE <cond>
+  *   MERGE INTO LAKE '<dir>' KEY <col> USING <query>   -- upsert by key
+  *   ALTER LAKE '<dir>' RENAME COLUMN <old> TO <new>   -- id-stable rename
+  *   COPY INTO '<targetDir>' FROM '<src>' FORMAT <fmt> SCHEMA '<ddl>'
+  *     [ON_ERROR CONTINUE|ABORT]                -- reference CopyIntoTableContext
   */
 class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends ParserInterface {
 
@@ -58,6 +62,12 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
         val wi = GraftSqlParser.topLevelKeyword(rest, "WHERE")
         require(wi > 0, s"UPDATE LAKE requires a WHERE clause: $t")
         UpdateLakeCommand(dir, rest.take(wi).trim, rest.drop(wi + 5).trim)
+      case MergeLakeRe(dir, key, query) => MergeLakeCommand(dir, key, query)
+      case RenameLakeColRe(dir, oldName, newName) =>
+        RenameLakeColumnCommand(dir, oldName, newName)
+      case CopyIntoRe(target, src, fmt, ddl, onError) =>
+        CopyIntoCommand(target, src, fmt.toLowerCase,
+          ddl, Option(onError).map(_.toLowerCase).getOrElse("continue"))
       case _ => delegate.parsePlan(sqlText)
     }
   }
@@ -95,6 +105,13 @@ object GraftSqlParser {
     """(?is)DELETE\s+FROM\s+LAKE\s+'([^']+)'\s+WHERE\s+(.+?)\s*;?""".r
   private val UpdateLakeRe =
     """(?is)UPDATE\s+LAKE\s+'([^']+)'\s+SET\s+(.+?)\s*;?""".r
+  private val MergeLakeRe =
+    """(?is)MERGE\s+INTO\s+LAKE\s+'([^']+)'\s+KEY\s+(\w+)\s+USING\s+(.+?)\s*;?""".r
+  private val RenameLakeColRe =
+    """(?is)ALTER\s+LAKE\s+'([^']+)'\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?""".r
+  private val CopyIntoRe =
+    ("""(?is)COPY\s+INTO\s+'([^']+)'\s+FROM\s+'([^']+)'\s+FORMAT\s+(\w+)\s+""" +
+      """SCHEMA\s+'([^']+)'(?:\s+ON_ERROR\s+(\w+))?\s*;?""").r
 
   /** Scan `s` outside quotes/parens, handling backslash escapes inside
     * string literals, invoking `f(i, ch)` at each top-level position. */
@@ -240,6 +257,45 @@ object GraftSqlParser {
       val v = graft.sources.SnapshotTable.forPath(spark, dir)
         .updateWhere(org.apache.spark.sql.functions.expr(condSql), sets)
       Seq(Row(v.toString))
+    }
+  }
+
+  /** MERGE INTO LAKE ... KEY ... USING: key-based upsert as one atomic
+    * conflict-checked commit (reference MERGE grammar `Parser.tdd:624`;
+    * the engine-side shape is SnapshotTable.mergeByKey's copy-on-write). */
+  case class MergeLakeCommand(dir: String, key: String, querySql: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("version")
+    override def run(spark: SparkSession): Seq[Row] = {
+      val v = graft.sources.SnapshotTable.forPath(spark, dir)
+        .mergeByKey(spark.sql(querySql), key)
+      Seq(Row(v.toString))
+    }
+  }
+
+  /** ALTER LAKE ... RENAME COLUMN: metadata-only commit; files written
+    * before the rename keep serving values under the new name (field-id
+    * mapping, see SnapshotTable.renameColumn). */
+  case class RenameLakeColumnCommand(dir: String, oldName: String, newName: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("version")
+    override def run(spark: SparkSession): Seq[Row] = {
+      val v = graft.sources.SnapshotTable.forPath(spark, dir)
+        .renameColumn(oldName, newName)
+      Seq(Row(v.toString))
+    }
+  }
+
+  /** COPY INTO: bulk file load with ON_ERROR semantics (reference
+    * `CopyIntoTableContext.java:49`); errors land in the copy_errors
+    * history table next to the target. */
+  case class CopyIntoCommand(target: String, src: String, fmt: String,
+      schemaDdl: String, onError: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("loaded", "errors")
+    override def run(spark: SparkSession): Seq[Row] = {
+      val r = graft.sources.CopyInto.copyInto(
+        spark, src, fmt, StructType.fromDDL(schemaDdl), target, onError)
+      Seq(Row(r.loaded.toString, r.errors.toString))
     }
   }
 

@@ -61,6 +61,22 @@ class CopyIntoSpec extends AnyFunSuite {
     assert(CopyInto.copyErrors(spark, s"$cleanRoot/none").count() == 0)
   }
 
+  test("copyInto leaves no cached data behind (long-lived ingest hygiene)") {
+    val root = Files.createTempDirectory("graft_copy_cache").toString
+    val src = writeCsv(root, Seq("1,alpha,1.5", "bad,row,zz"))
+    CopyInto.copyInto(spark, src, "csv", schema, s"$root/tbl")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "COPY INTO must unpersist its parsed source after the load")
+    // the abort path must release the cache too (throws mid-flight)
+    val src2 = s"$root/in2.csv"
+    Files.write(Paths.get(src2), "id,name,score\nbad,x,y".getBytes)
+    intercept[IllegalStateException] {
+      CopyInto.copyInto(spark, src2, "csv", schema, s"$root/tbl", onError = "abort")
+    }
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "aborted COPY INTO must still unpersist")
+  }
+
   test("mergeByKey upserts: updates matched keys, inserts new, keeps rest") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_merge").toString

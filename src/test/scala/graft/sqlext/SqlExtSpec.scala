@@ -84,6 +84,47 @@ class SqlExtSpec extends AnyFunSuite {
       .as[(Long, String)].head()._2 == "it's big, ok")
   }
 
+  test("MERGE INTO LAKE ... KEY ... USING upserts through SQL text") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sqlmerge").toString
+    graft.sources.SnapshotTable.create(spark, dir,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    Seq((2L, "B"), (4L, "d")).toDF("id", "v").createOrReplaceTempView("merge_delta")
+    val res = spark.sql(s"MERGE INTO LAKE '$dir' KEY id USING SELECT * FROM merge_delta")
+    assert(res.head().getString(0) == "2") // one new commit after create
+    val t = graft.sources.SnapshotTable.forPath(spark, dir)
+    assert(t.read().orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d")))
+    // pre-merge snapshot still time-travels
+    assert(t.asOf(1L).count() == 3)
+  }
+
+  test("ALTER LAKE ... RENAME COLUMN through SQL keeps history readable") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sqlrename").toString
+    graft.sources.SnapshotTable.create(spark, dir,
+      Seq((1L, "alpha")).toDF("id", "v"))
+    spark.sql(s"ALTER LAKE '$dir' RENAME COLUMN v TO label")
+    val t = graft.sources.SnapshotTable.forPath(spark, dir)
+    assert(t.read().schema.fieldNames.toSeq == Seq("id", "label"))
+    assert(t.read().as[(Long, String)].head() == ((1L, "alpha")))
+  }
+
+  test("COPY INTO through SQL loads good rows and reports counts") {
+    val root = Files.createTempDirectory("graft_sqlcopy").toString
+    Files.write(Paths.get(s"$root/in.csv"),
+      "id,name\n1,alpha\nbad_row_no_number,beta\n3,gamma".getBytes)
+    val res = spark.sql(s"COPY INTO '$root/tbl' FROM '$root/in.csv' FORMAT csv " +
+      "SCHEMA 'id BIGINT, name STRING' ON_ERROR CONTINUE").collect()
+    assert(res.head.getString(0) == "2" && res.head.getString(1) == "1")
+    assert(spark.read.parquet(s"$root/tbl").count() == 2)
+    // ABORT mode surfaces the failure through the SQL surface too
+    intercept[Exception] {
+      spark.sql(s"COPY INTO '$root/tbl2' FROM '$root/in.csv' FORMAT csv " +
+        "SCHEMA 'id BIGINT, name STRING' ON_ERROR ABORT").collect()
+    }
+  }
+
   test("ALTER TABLE ... REFRESH METADATA parses and runs") {
     graft.engine.Tables.ensure(spark, TestSpark.sf)
     spark.sql("ALTER TABLE lineitem REFRESH METADATA")
