@@ -131,6 +131,25 @@ object LlmQueries {
   val textLangid: QueryFn = (s, dir) =>
     TextAnalysis.languageId(Tables.ensure(s, dir).documents.filter(col("doc_id") < 500))
       .orderBy(col("doc_id"))
+  /** Deterministic stopword-profile argmax, reproduced in DuckDB: a struct
+    * (score, lang) per profile, sorted DESC (struct comparison = score then
+    * lang, identical to Spark's greatest()), first element wins. */
+  val textLangidSql: String = """
+    WITH toks AS (
+      SELECT doc_id, lang,
+        list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS t
+      FROM documents WHERE doc_id < 500),
+    scored AS (
+      SELECT doc_id, lang, list_sort([
+        {'score': CAST(len(list_filter(t, w -> list_contains(['der','die','und','das','von','zu','mit','den','im','ein'], w))) AS INT), 'lang': 'de'},
+        {'score': CAST(len(list_filter(t, w -> list_contains(['the','a','an','of','and','or','to','in','is','it','for','on','with','as','at','by','from','that','this'], w))) AS INT), 'lang': 'en'},
+        {'score': CAST(len(list_filter(t, w -> list_contains(['el','la','de','que','y','en','un','los','se','del'], w))) AS INT), 'lang': 'es'},
+        {'score': CAST(len(list_filter(t, w -> list_contains(['le','la','de','et','les','des','en','un','du','une'], w))) AS INT), 'lang': 'fr'},
+        {'score': CAST(len(list_filter(t, w -> list_contains(['de','shi','le','wo','ni','ta','men','zai','you','he'], w))) AS INT), 'lang': 'zh'}
+        ], 'DESC')[1] AS best
+      FROM toks)
+    SELECT doc_id, lang AS labeled_lang, best.lang AS predicted_lang, best.score AS score
+    FROM scored ORDER BY doc_id"""
 
   val multimodalFeatures: QueryFn = (s, dir) => {
     val docs = Tables.ensure(s, dir).documents.filter(col("doc_id") < 200)
@@ -159,5 +178,6 @@ object LlmQueries {
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,
-    "text_fingerprint" -> textFingerprintSql)
+    "text_fingerprint" -> textFingerprintSql,
+    "text_langid" -> textLangidSql)
 }

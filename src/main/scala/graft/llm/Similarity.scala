@@ -33,23 +33,51 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cos"), col("rk"))
   }
 
-  /** IVF with geometric buckets: centroids are a deterministic sample of
-    * the corpus (first `nClusters` by vec_id — in production, k-means);
-    * corpus vectors go to their nearest centroid, queries probe their
-    * `nProbe` nearest buckets. Recall@k against brute force is asserted in
-    * SimilaritySpec, so the approximation is falsifiable, not just
-    * non-empty.
+  /** Spherical k-means (Lloyd) centroids, entirely in DataFrame ops: seed
+    * with the first `nClusters` vectors (deterministic), then iterate
+    * assign-by-cosine → per-dimension mean. Each iteration is one
+    * aggregation pass over the corpus (posexplode → groupBy(bucket, pos) →
+    * avg); only the nClusters×dim centroid matrix ever reaches the driver,
+    * so the loop distributes at 100 TB like any other aggregation. */
+  private[llm] def kmeansCentroids(corpus: DataFrame, nClusters: Int,
+                                   iters: Int): Seq[Seq[Float]] = {
+    import org.apache.spark.sql.Row
+    var centroids: Seq[Seq[Float]] = corpus
+      .select(col("vec_id"), col("embedding")).orderBy(col("vec_id"))
+      .limit(nClusters).collect()
+      .map((r: Row) => r.getSeq[Float](1)).toSeq
+    for (_ <- 1 to iters) {
+      val sims = array(centroids.map(c =>
+        Functions.cosine_sim(col("embedding"), typedLit(c))): _*)
+      val means = corpus
+        .withColumn("s", sims)
+        .select((expr("array_position(s, array_max(s))") - 1).cast("int").as("bucket"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("bucket"), col("pos")).agg(avg(col("v")).as("m"))
+        .collect() // nClusters × dim rows — centroid matrix only
+        .groupBy(_.getInt(0))
+      centroids = centroids.indices.map { b =>
+        means.get(b) match {
+          case Some(rows) => rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
+          case None       => centroids(b) // empty cluster keeps its seed
+        }
+      }
+    }
+    centroids
+  }
+
+  /** IVF with k-means coarse quantizer: corpus vectors go to their nearest
+    * centroid, queries probe their `nProbe` nearest buckets. Recall@k
+    * against brute force is asserted in SimilaritySpec, so the
+    * approximation is falsifiable, not just non-empty.
     *
     * Scale: the centroid set is tiny and broadcast inside the assignment
     * expressions (all codegen'd); the join is bucket-local, shrinking each
     * query's scan by ~nClusters/nProbe×. */
   def ivfCentroidTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
-                      nClusters: Int = 4, nProbe: Int = 2): DataFrame = {
-    import org.apache.spark.sql.Row
-    val centroids: Seq[Seq[Float]] = corpus
-      .select(col("vec_id"), col("embedding")).orderBy(col("vec_id"))
-      .limit(nClusters).collect()
-      .map((r: Row) => r.getSeq[Float](1)).toSeq
+                      nClusters: Int = 4, nProbe: Int = 2,
+                      kmeansIters: Int = 3): DataFrame = {
+    val centroids: Seq[Seq[Float]] = kmeansCentroids(corpus, nClusters, kmeansIters)
     // per-centroid cosine columns (codegen'd custom expression)
     def sims(vecCol: Column): Column = array(centroids.map(c =>
       Functions.cosine_sim(vecCol, typedLit(c))): _*)

@@ -68,8 +68,11 @@ object TextAnalysis {
       struct(size(filter(toks, w => array_contains(typedLit(words), w))).as("score"),
         lit(lang).as("lang"))
     }
+    // one greatest() into a temp struct, then project both fields from it
     docs.select(col("doc_id"), col("lang").as("labeled_lang"),
-      greatest(scored: _*).getField("lang").as("predicted_lang"),
-      greatest(scored: _*).getField("score").as("score"))
+        greatest(scored: _*).as("best"))
+      .select(col("doc_id"), col("labeled_lang"),
+        col("best.lang").as("predicted_lang"),
+        col("best.score").as("score"))
   }
 }

@@ -36,9 +36,9 @@ class SimilaritySpec extends AnyFunSuite {
   test("centroid IVF recall@10 vs brute force is numerically bounded") {
     // Falsifiability anchor (VERDICT r1): IVF is an approximation — measure
     // its recall against the exact answer instead of only checking shape.
-    // With 4 deterministic centroids and nProbe=2 on the fixture, measured
-    // recall@10 is 0.81 mean / 0.50 min (deterministic: fixed centroids,
-    // fixed data).
+    // Centroids come from spherical k-means (deterministic seed = first
+    // nClusters vectors, 3 Lloyd iterations over the corpus in DataFrame
+    // aggregations).
     val e = graft.engine.Tables(spark, graft.TestSpark.sf).embeddings
     val qs = e.filter(col("vec_id") < 10)
     val k = 10
@@ -46,14 +46,20 @@ class SimilaritySpec extends AnyFunSuite {
       df.select("q_id", "c_id").as[(Long, Long)].collect()
         .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val bf = topSets(Similarity.bruteForceTopK(e, qs, k))
-    val ivf = topSets(Similarity.ivfCentroidTopK(e, qs, k, nClusters = 4, nProbe = 2))
+    // The fixture embeddings are near-random (no real cluster structure),
+    // the hardest case for IVF: recall is bounded by the probed fraction.
+    // Finer quantization at the same probed fraction recovers most of it —
+    // measured on the fixture (probing 8/16 buckets ≈ half the corpus):
+    // nc=4/np=2 → mean 0.76; nc=8/np=4 → 0.92; nc=16/np=8 → 0.95 (min 0.9).
+    val ivf = topSets(Similarity.ivfCentroidTopK(e, qs, k, nClusters = 16, nProbe = 8))
     val recalls = bf.keys.toSeq.map { q =>
       ivf.getOrElse(q, Set.empty).intersect(bf(q)).size.toDouble / k
     }
     val mean = recalls.sum / recalls.size
+    info(s"kmeans IVF (nc=16, np=8) recall@$k: mean=$mean min=${recalls.min}")
     assert(recalls.size == 10)
-    assert(mean >= 0.75, s"mean recall@$k $mean below floor; per-query $recalls")
-    assert(recalls.min >= 0.4, s"min recall@$k ${recalls.min} below floor")
+    assert(mean >= 0.9, s"mean recall@$k $mean below floor; per-query $recalls")
+    assert(recalls.min >= 0.7, s"min recall@$k ${recalls.min} below floor")
   }
 
   test("centroid IVF plans a broadcast of the probed queries + TopKPerKey") {
