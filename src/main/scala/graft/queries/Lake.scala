@@ -133,8 +133,34 @@ object Lake {
     SELECT c_custkey, c_mktsegment FROM customer
     WHERE c_custkey >= 100 AND c_custkey <= 200 ORDER BY c_custkey"""
 
+  /** Partition-transform pruning through plain SQL (Iceberg partition-spec
+    * model; reference PruneScanRuleBase's transform handling): orders are
+    * written year-partitioned + custkey-bucketed, and a WHERE on the SOURCE
+    * columns prunes whole partitions at plan time. SnapshotTableSpec pins
+    * the pruned file counts; this entry pins the results. */
+  val lakePartitionedScan: QueryFn = (s, dir) => {
+    val t = Tables.ensure(s, dir)
+    val lakeDir = Files.createTempDirectory("graft_lake_part").toString
+    val table = SnapshotTable.forPath(s, lakeDir)
+    table.appendPartitioned(
+      t.orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        dbl(money(col("o_totalprice"))).as("price")),
+      Seq("year(o_orderdate)", "bucket(4,o_custkey)"))
+    s.sql(s"CREATE LAKE VIEW lake_part_q_v FROM '$lakeDir'")
+    s.sql("""SELECT o_orderkey, o_custkey, o_orderdate, price FROM lake_part_q_v
+            |WHERE o_orderdate >= DATE'1996-01-01' AND o_orderdate <= DATE'1996-12-31'
+            |ORDER BY o_orderkey""".stripMargin)
+  }
+  val lakePartitionedScanSql: String = """
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate <= DATE '1996-12-31'
+    ORDER BY o_orderkey"""
+
   val queries: Map[String, QueryFn] = Map(
     "lake_pruned_scan" -> lakePrunedScan,
+    "lake_partitioned_scan" -> lakePartitionedScan,
     "lake_delete_update" -> lakeDeleteUpdate,
     "lake_merge_by_key" -> lakeMergeByKey,
     "lake_time_travel" -> lakeTimeTravel,
@@ -142,6 +168,7 @@ object Lake {
 
   val oracle: Map[String, String] = Map(
     "lake_pruned_scan" -> lakePrunedScanSql,
+    "lake_partitioned_scan" -> lakePartitionedScanSql,
     "lake_delete_update" -> lakeDeleteUpdateSql,
     "lake_merge_by_key" -> lakeMergeByKeySql,
     "lake_time_travel" -> lakeTimeTravelSql,

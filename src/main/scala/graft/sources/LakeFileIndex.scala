@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
-import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Optimizer-integrated manifest pruning for graft-lake scans: a custom
@@ -16,6 +16,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * the Spark-native seat of the reference's planner-side prune rule
   * (dremio-oss `exec/planner/logical/partition/PruneScanRuleBase.java:117`)
   * and the same integration point Delta's TahoeFileIndex uses.
+  *
+  * Two stat families participate:
+  *  - plain column ranges (keyed by column name, from `appendWithStats`);
+  *  - partition-transform values (keyed by the transform's `repr`, from
+  *    partitioned commits): a predicate on the SOURCE column is mapped into
+  *    partition space driver-side (`PartitionTransform.literal`) and
+  *    compared against the file's recorded transform range — the Iceberg
+  *    transform pruning of the reference's rule (bucket prunes equality/IN;
+  *    order-preserving transforms also prune ranges, non-strictly).
   *
   * Pruning is strictly a superset: a file with no recorded stats, or a
   * predicate shape the evaluator doesn't understand, is always read; the
@@ -31,9 +40,10 @@ import org.apache.spark.unsafe.types.UTF8String
 final class LakeFileIndex(
     spark: SparkSession,
     tableDir: String,
-    // absolute path -> column -> (min, max) as manifest strings
+    // absolute path -> column/transform-repr -> (min, max) as manifest strings
     filesWithStats: Seq[(String, Map[String, (String, String)])],
-    dataSchema: StructType) extends FileIndex {
+    dataSchema: StructType,
+    transforms: Seq[PartitionTransform] = Nil) extends FileIndex {
 
   import LakeFileIndex._
 
@@ -50,10 +60,10 @@ final class LakeFileIndex(
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val types: Map[String, org.apache.spark.sql.types.DataType] =
+    val types: Map[String, DataType] =
       dataSchema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
     val kept = statuses.collect {
-      case (fst, stats) if dataFilters.forall(f => mayMatch(stats, types, f)) => fst
+      case (fst, stats) if dataFilters.forall(f => mayMatch(stats, types, f, transforms)) => fst
     }
     Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
   }
@@ -70,66 +80,99 @@ object LakeFileIndex {
     * file (pruning must be a superset of the true result). */
   private[sources] def mayMatch(
       stats: Map[String, (String, String)],
-      types: Map[String, org.apache.spark.sql.types.DataType],
-      e: Expression): Boolean = e match {
-    case And(l, r) => mayMatch(stats, types, l) && mayMatch(stats, types, r)
-    case Or(l, r) => mayMatch(stats, types, l) || mayMatch(stats, types, r)
-    case EqualTo(a: AttributeReference, l: Literal) => rangeHas(stats, types, a, l, l)
-    case EqualTo(l: Literal, a: AttributeReference) => rangeHas(stats, types, a, l, l)
-    case EqualNullSafe(a: AttributeReference, l: Literal) => rangeHas(stats, types, a, l, l)
-    case EqualNullSafe(l: Literal, a: AttributeReference) => rangeHas(stats, types, a, l, l)
-    case GreaterThan(a: AttributeReference, l: Literal) => maxAbove(stats, types, a, l, strict = true)
-    case GreaterThanOrEqual(a: AttributeReference, l: Literal) => maxAbove(stats, types, a, l, strict = false)
-    case LessThan(a: AttributeReference, l: Literal) => minBelow(stats, types, a, l, strict = true)
-    case LessThanOrEqual(a: AttributeReference, l: Literal) => minBelow(stats, types, a, l, strict = false)
-    // literal-on-left comparisons flip
-    case GreaterThan(l: Literal, a: AttributeReference) => minBelow(stats, types, a, l, strict = true)
-    case GreaterThanOrEqual(l: Literal, a: AttributeReference) => minBelow(stats, types, a, l, strict = false)
-    case LessThan(l: Literal, a: AttributeReference) => maxAbove(stats, types, a, l, strict = true)
-    case LessThanOrEqual(l: Literal, a: AttributeReference) => maxAbove(stats, types, a, l, strict = false)
-    case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-      vs.exists(v => rangeHas(stats, types, a, v.asInstanceOf[Literal], v.asInstanceOf[Literal]))
-    case InSet(a: AttributeReference, vs) =>
-      vs.exists(v => rangeHas(stats, types, a, Literal.create(v, a.dataType), Literal.create(v, a.dataType)))
-    // IsNull/IsNotNull/Not/functions/casts: no null counts in the manifest
-    // and no interval algebra for arbitrary exprs — keep the file
-    case _ => true
+      types: Map[String, DataType],
+      e: Expression,
+      transforms: Seq[PartitionTransform] = Nil): Boolean = {
+
+    def colType(a: AttributeReference): Option[DataType] = types.get(a.name.toLowerCase)
+
+    // direct-stat interval checks (keyed by column name) ---------------
+    def statBound(a: AttributeReference): Option[(String, String)] =
+      stats.collectFirst { case (k, v) if k.equalsIgnoreCase(a.name) => v }
+
+    def maxAbove(a: AttributeReference, l: Literal, strict: Boolean): Boolean =
+      statBound(a).forall { case (_, mx) =>
+        cmp(mx, l, colType(a)).forall(c => if (strict) c > 0 else c >= 0)
+      }
+
+    def minBelow(a: AttributeReference, l: Literal, strict: Boolean): Boolean =
+      statBound(a).forall { case (mn, _) =>
+        cmp(mn, l, colType(a)).forall(c => if (strict) c < 0 else c <= 0)
+      }
+
+    def rangeHas(a: AttributeReference, lo: Literal, hi: Literal): Boolean =
+      maxAbove(a, lo, strict = false) && minBelow(a, hi, strict = false)
+
+    // transform-stat checks (keyed by transform repr) ------------------
+    // a predicate `c op L` additionally prunes through every transform on c
+    // whose stat this file recorded: bucket on equality, monotonic
+    // transforms on ranges too (non-strict: transforms are many-to-one)
+    def tOn(a: AttributeReference): Seq[(PartitionTransform, (String, String))] =
+      transforms.filter(_.srcCol.equalsIgnoreCase(a.name)).flatMap(t =>
+        stats.get(t.repr).map(t -> _))
+
+    def tCmp(stat: String, tl: Literal): Option[Int] =
+      cmp(stat, tl, Some(tl.dataType))
+
+    def tEq(a: AttributeReference, l: Literal): Boolean = tOn(a).forall {
+      case (t, (mn, mx)) => t.literal(l).forall(tl =>
+        tCmp(mx, tl).forall(_ >= 0) && tCmp(mn, tl).forall(_ <= 0))
+    }
+
+    def tGe(a: AttributeReference, l: Literal): Boolean = tOn(a).forall {
+      case (t, (_, mx)) if t.monotonic =>
+        t.literal(l).forall(tl => tCmp(mx, tl).forall(_ >= 0))
+      case _ => true
+    }
+
+    def tLe(a: AttributeReference, l: Literal): Boolean = tOn(a).forall {
+      case (t, (mn, _)) if t.monotonic =>
+        t.literal(l).forall(tl => tCmp(mn, tl).forall(_ <= 0))
+      case _ => true
+    }
+
+    // combined leaf checks ---------------------------------------------
+    def eqCheck(a: AttributeReference, l: Literal): Boolean =
+      rangeHas(a, l, l) && tEq(a, l)
+    def geCheck(a: AttributeReference, l: Literal, strict: Boolean): Boolean =
+      maxAbove(a, l, strict) && tGe(a, l)
+    def leCheck(a: AttributeReference, l: Literal, strict: Boolean): Boolean =
+      minBelow(a, l, strict) && tLe(a, l)
+
+    e match {
+      case And(l, r) => mayMatch(stats, types, l, transforms) &&
+        mayMatch(stats, types, r, transforms)
+      case Or(l, r) => mayMatch(stats, types, l, transforms) ||
+        mayMatch(stats, types, r, transforms)
+      case EqualTo(a: AttributeReference, l: Literal) => eqCheck(a, l)
+      case EqualTo(l: Literal, a: AttributeReference) => eqCheck(a, l)
+      case EqualNullSafe(a: AttributeReference, l: Literal) => eqCheck(a, l)
+      case EqualNullSafe(l: Literal, a: AttributeReference) => eqCheck(a, l)
+      case GreaterThan(a: AttributeReference, l: Literal) => geCheck(a, l, strict = true)
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) => geCheck(a, l, strict = false)
+      case LessThan(a: AttributeReference, l: Literal) => leCheck(a, l, strict = true)
+      case LessThanOrEqual(a: AttributeReference, l: Literal) => leCheck(a, l, strict = false)
+      // literal-on-left comparisons flip
+      case GreaterThan(l: Literal, a: AttributeReference) => leCheck(a, l, strict = true)
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) => leCheck(a, l, strict = false)
+      case LessThan(l: Literal, a: AttributeReference) => geCheck(a, l, strict = true)
+      case LessThanOrEqual(l: Literal, a: AttributeReference) => geCheck(a, l, strict = false)
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        vs.exists(v => eqCheck(a, v.asInstanceOf[Literal]))
+      case InSet(a: AttributeReference, vs) =>
+        vs.exists(v => eqCheck(a, Literal.create(v, a.dataType)))
+      // IsNull/IsNotNull/Not/functions/casts: no null counts in the manifest
+      // and no interval algebra for arbitrary exprs — keep the file
+      case _ => true
+    }
   }
-
-  // [min,max] ∩ [lo,hi] ≠ ∅ where lo=hi=the literal for equality
-  private def rangeHas(stats: Map[String, (String, String)],
-                       types: Map[String, org.apache.spark.sql.types.DataType],
-                       a: AttributeReference, lo: Literal, hi: Literal): Boolean =
-    maxAbove(stats, types, a, lo, strict = false) &&
-      minBelow(stats, types, a, hi, strict = false)
-
-  /** false only when the file's max is provably below the literal. */
-  private def maxAbove(stats: Map[String, (String, String)],
-                       types: Map[String, org.apache.spark.sql.types.DataType],
-                       a: AttributeReference, l: Literal, strict: Boolean): Boolean =
-    statBound(stats, a).forall { case (_, mx) =>
-      cmp(mx, l, types.get(a.name.toLowerCase)).forall(c => if (strict) c > 0 else c >= 0)
-    }
-
-  /** false only when the file's min is provably above the literal. */
-  private def minBelow(stats: Map[String, (String, String)],
-                       types: Map[String, org.apache.spark.sql.types.DataType],
-                       a: AttributeReference, l: Literal, strict: Boolean): Boolean =
-    statBound(stats, a).forall { case (mn, _) =>
-      cmp(mn, l, types.get(a.name.toLowerCase)).forall(c => if (strict) c < 0 else c <= 0)
-    }
-
-  private def statBound(stats: Map[String, (String, String)],
-                        a: AttributeReference): Option[(String, String)] =
-    stats.collectFirst { case (k, v) if k.equalsIgnoreCase(a.name) => v }
 
   /** Compare a manifest stat string against a literal. None → incomparable
     * (caller keeps the file). Numeric columns compare as doubles; string
     * columns lexically (manifest stats for strings ARE the string values).
     * Date/timestamp/etc literals carry internal encodings that don't match
     * the manifest's display strings, so they are left incomparable. */
-  private def cmp(stat: String, l: Literal,
-                  dt: Option[org.apache.spark.sql.types.DataType]): Option[Int] = {
+  private def cmp(stat: String, l: Literal, dt: Option[DataType]): Option[Int] = {
     def num(litVal: Double): Option[Int] =
       try Some(java.lang.Double.compare(stat.toDouble, litVal))
       catch { case _: NumberFormatException => None }

@@ -27,7 +27,15 @@ final case class LakeCommit(
     // name-based read would NULL them). Empty on legacy commits — replay
     // backfills ids by name inheritance (exact, because renames can only
     // be produced by code that always records ids).
-    fieldIds: Map[String, Int] = Map.empty)
+    fieldIds: Map[String, Int] = Map.empty,
+    // partition-transform spec in force for this commit's files (string
+    // forms parsed by PartitionTransform.parse); files carry their
+    // transform value ranges in `stats` keyed by the transform repr
+    partitionSpec: Seq[String] = Nil,
+    // plain min/max stats columns this commit recorded — persisted so
+    // copy-on-write rewrites (DML/compaction) re-cluster and re-record
+    // the same stats instead of silently degrading future pruning
+    statsCols: Seq[String] = Nil)
 
 /** Iceberg-lite snapshot table format ("graft-lake"): a parquet directory
   * plus an append-only commit log of JSON snapshot files under
@@ -201,9 +209,12 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
   /** Scan over an explicit file list through LakeFileIndex, so any filter
     * the query puts on top prunes files from manifest stats at plan time
     * (the SQL-path analog of the reference's PruneScanRuleBase —
-    * `exec/planner/logical/partition/PruneScanRuleBase.java:117`). */
+    * `exec/planner/logical/partition/PruneScanRuleBase.java:117`).
+    * `transforms` additionally lets predicates on partition-source columns
+    * prune through the recorded transform values (Iceberg-style). */
   private def buildScan(files: Seq[(String, Map[String, (String, String)])],
-                        schema: StructType): DataFrame =
+                        schema: StructType,
+                        transforms: Seq[PartitionTransform] = Nil): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else {
@@ -211,12 +222,19 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       // nullable: pre-evolution files miss later columns and must read NULL
       // (DataFrameReader applies the same asNullable on user schemas)
       val schemaN = org.apache.spark.sql.graft.Bridge.asNullable(schema)
-      val index = new LakeFileIndex(spark, dir, files, schemaN)
+      val index = new LakeFileIndex(spark, dir, files, schemaN, transforms)
       val rel = HadoopFsRelation(index, new StructType(), schemaN, None,
         new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
         Map.empty[String, String])(spark)
       org.apache.spark.sql.graft.Bridge.ofRows(spark, LogicalRelation(rel))
     }
+
+  /** Transforms recorded by any visible commit (lenient: unknown spec
+    * strings from a newer writer are skipped — files keep being read, only
+    * their partition pruning is lost). */
+  private def specTransforms(visible: Seq[LakeCommit]): Seq[PartitionTransform] =
+    visible.flatMap(_.partitionSpec).distinct.flatMap(s =>
+      scala.util.Try(PartitionTransform.parse(s)).toOption)
 
   /** Read a snapshot (latest by default). The file list is pinned here —
     * subsequent commits do not affect this DataFrame. A `WHERE` over this
@@ -225,8 +243,9 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     * pre-rename column names are read by field id and aliased to the
     * current names (see buildMappedScan). */
   def read(version: Option[Long] = None, asOfTsMs: Option[Long] = None): DataFrame = {
-    val (entries, schema, curIds) = replayEntries(visibleCommits(version, asOfTsMs))
-    buildMappedScan(entries, schema, curIds)
+    val visible = visibleCommits(version, asOfTsMs)
+    val (entries, schema, curIds) = replayEntries(visible)
+    buildMappedScan(entries, schema, curIds, specTransforms(visible))
   }
 
   /** Scan that resolves columns by FIELD ID, not name: files are grouped by
@@ -239,7 +258,8 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     * written maps to no id in that file and reads NULL (under a collision-
     * proof placeholder name if a later rename reused its name). */
   private def buildMappedScan(entries: Seq[FileEntry], curSchema: StructType,
-                              curIds: Map[String, Int]): DataFrame = {
+                              curIds: Map[String, Int],
+                              transforms: Seq[PartitionTransform] = Nil): DataFrame = {
     import org.apache.spark.sql.functions.col
     if (entries.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], curSchema)
@@ -265,7 +285,10 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
         val physSchema = StructType(curSchema.fields.zip(phys).map {
           case (f, pn) => f.copy(name = pn)
         })
-        val scan = buildScan(fs.map(e => (e.path, e.stats)), physSchema)
+        // filters pushed into this group's scan reference the group's
+        // physical (write-time) names — the same namespace the transform
+        // srcCols and stats keys live in
+        val scan = buildScan(fs.map(e => (e.path, e.stats)), physSchema, transforms)
         if (phys == curNames) scan
         else scan.select(phys.zip(curNames).map { case (pn, cn) => col(pn).as(cn) }: _*)
       }
@@ -328,10 +351,21 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     val maxRetries = 20
     var attempt = 0
     while (true) {
-      val base = latestVersion
-      require(base >= 1, s"empty lake table $dir")
+      val log = commits
+      require(log.nonEmpty, s"empty lake table $dir")
+      val base = log.last.version
       val rewritten = transform(read(version = Some(base)))
-      try return commit(rewritten, "overwrite", Nil, "", Some(base))
+      // preserve the table's physical layout across DML/compaction: the
+      // rewrite re-partitions by the base commit's spec and re-records its
+      // stats columns, so pruning doesn't silently degrade after an UPDATE.
+      // Columns no longer present (e.g. renamed since the spec was written)
+      // are dropped from the carried-forward layout rather than failing.
+      val have = rewritten.columns.map(_.toLowerCase).toSet
+      val spec = log.last.partitionSpec
+        .flatMap(s => scala.util.Try(PartitionTransform.parse(s)).toOption)
+        .filter(t => have(t.srcCol.toLowerCase))
+      val stCols = log.last.statsCols.filter(c => have(c.toLowerCase))
+      try return commit(rewritten, "overwrite", stCols, "", Some(base), spec)
       catch {
         case e: java.util.ConcurrentModificationException =>
           attempt += 1
@@ -351,6 +385,26 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
   def appendWithStats(df: DataFrame, statsCols: Seq[String]): Long =
     commit(df, "append", statsCols)
 
+  /** Partitioned append (Iceberg partition-spec model): the batch is
+    * directory-partitioned by the transform values — each data file holds
+    * exactly one partition tuple — and every file's transform range lands
+    * in the commit manifest, so plain SQL predicates on the SOURCE columns
+    * prune whole partitions at plan time (`WHERE o_orderdate >= '1994-03-01'`
+    * over `month(o_orderdate)`, `WHERE id = 7` over `bucket(16, id)`).
+    * `statsCols` optionally adds plain min/max stats on top.
+    *
+    * Scale: this is the layout that carries a 100 TB fact table — a
+    * time-partitioned, bucket-subpartitioned scan touches only the
+    * partitions the query names, independent of table size. */
+  def appendPartitioned(df: DataFrame, spec: Seq[String],
+                        statsCols: Seq[String] = Nil): Long =
+    commit(df, "append", statsCols, partitionBy = spec.map(PartitionTransform.parse))
+
+  /** Partitioned overwrite — same layout on the full-replace path. */
+  def overwritePartitioned(df: DataFrame, spec: Seq[String],
+                           statsCols: Seq[String] = Nil): Long =
+    commit(df, "overwrite", statsCols, partitionBy = spec.map(PartitionTransform.parse))
+
   /** Manifest-pruned scan: only data files whose [min, max] range on
     * `colName` intersects [lo, hi] are read (checked against commit stats;
     * files with no recorded stats are always read — pruning must be a
@@ -358,7 +412,8 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     * exact regardless of stats quality. */
   def scanRange(colName: String, lo: Double, hi: Double): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val (entries, schema, curIds) = replayEntries(visibleCommits(None, None))
+    val visible = visibleCommits(None, None)
+    val (entries, schema, curIds) = replayEntries(visible)
     // eager manifest prune (so even DataFrame.inputFiles reflects the cut);
     // the same stats also back plan-time pruning via LakeFileIndex for any
     // further filters the caller stacks on top. Stats are keyed by WRITE-
@@ -373,7 +428,7 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
         case None => true
       }
     }
-    val base = buildMappedScan(kept, schema, curIds)
+    val base = buildMappedScan(kept, schema, curIds, specTransforms(visible))
     // residual filter with literals of the column's native type: a double
     // comparison would wrap the column in a cast and block parquet
     // row-group pushdown (only manifest pruning would remain)
@@ -399,10 +454,11 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     // replay the FULL prefix so write-time field ids are chained correctly,
     // then keep only files the range added (a rename inside the range maps
     // pre-rename files to the range-end names by id)
-    val (entries, _, endIds) = replayEntries(all.takeWhile(_.version <= toVersion))
+    val prefix = all.takeWhile(_.version <= toVersion)
+    val (entries, _, endIds) = replayEntries(prefix)
     val inRange = cs.flatMap(c => c.files.map(f => s"$dir/$f")).toSet
     buildMappedScan(entries.filter(e => inRange(e.path)),
-      StructType.fromDDL(cs.last.schemaDdl), endIds)
+      StructType.fromDDL(cs.last.schemaDdl), endIds, specTransforms(prefix))
   }
 
   /** MERGE-by-key (upsert) with snapshot isolation AND conflict detection:
@@ -528,8 +584,15 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       val newSchema = StructType(schema.fields.map(f =>
         if (f.name == oldName) f.copy(name = newName) else f))
       val newIds = eff.map { case (n, i) => (if (n == oldName) newName else n) -> i }
+      // layout metadata follows the rename: the spec/statsCols now name the
+      // NEW column, so carried-forward rewrites keep partitioning; files
+      // already on disk keep pruning through their own (old-name) commits
+      val newSpec = last.partitionSpec.map(s =>
+        scala.util.Try(PartitionTransform.rename(PartitionTransform.parse(s),
+          oldName, newName).repr).getOrElse(s))
+      val newStatsCols = last.statsCols.map(c => if (c == oldName) newName else c)
       publish(last.version + 1, "append", Nil, Map.empty, "",
-        newSchema.toDDL, last.timestampMs, log, newIds)
+        newSchema.toDDL, last.timestampMs, log, newIds, newSpec, newStatsCols)
     }
     spark.catalog.refreshByPath(dir)
     v
@@ -556,34 +619,66 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     * `expectedBase` (overwrites only): fail with
     * ConcurrentModificationException — inside the lock, before publishing —
     * if another writer has committed past that version, so a read-modify-
-    * write can never erase a concurrent commit. */
+    * write can never erase a concurrent commit.
+    * `partitionBy` directory-partitions the batch by the transform values
+    * (each data file then holds exactly one partition value) and records
+    * each file's transform range in the manifest under the transform repr. */
   private def commit(df: DataFrame, action: String,
                      statsCols: Seq[String] = Nil, tag: String = "",
-                     expectedBase: Option[Long] = None): Long = {
+                     expectedBase: Option[Long] = None,
+                     partitionBy: Seq[PartitionTransform] = Nil): Long = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     val sub = "data-" + java.util.UUID.randomUUID().toString.take(8)
-    df.write.parquet(s"$dir/$sub")
+    if (partitionBy.isEmpty) df.write.parquet(s"$dir/$sub")
+    else {
+      // helper partition-value columns exist only in the directory layout
+      // (partitionBy moves them out of the files), so file schema == table
+      // schema and the read path needs no knowledge of the helpers
+      val partCols = partitionBy.zipWithIndex.map { case (t, i) =>
+        t.column(col(t.srcCol)).as(s"__gp_$i")
+      }
+      val names = partitionBy.indices.map(i => s"__gp_$i")
+      // cluster rows by partition tuple before the write (Iceberg's hash
+      // write-distribution): each tuple lands in ONE task, so a commit adds
+      // one file per partition value, not one per (task × value)
+      df.select(col("*") +: partCols: _*)
+        .repartition(names.map(col): _*)
+        .write.partitionBy(names: _*)
+        .parquet(s"$dir/$sub")
+    }
     val dataDir = Paths.get(dir, sub)
-    val s = Files.list(dataDir)
-    val files =
-      try s.iterator.asScala.map(_.getFileName.toString)
-        .filter(_.endsWith(".parquet")).toVector.sorted.map(n => s"$sub/$n")
+    val files = { // recursive: partitioned commits nest dirs per value
+      val s = Files.walk(dataDir)
+      try s.iterator.asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .map(p => Paths.get(dir).relativize(p).toString)
+        .toVector.sorted
       finally s.close()
+    }
     val stats: Map[String, Map[String, (String, String)]] =
-      if (statsCols.isEmpty || files.isEmpty) Map.empty
+      if ((statsCols.isEmpty && partitionBy.isEmpty) || files.isEmpty) Map.empty
       else {
-        import org.apache.spark.sql.functions.{col, input_file_name, max, min}
-        val aggs = statsCols.flatMap(c =>
-          Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
+        // transform values are recomputed from the source columns on
+        // read-back (identical expressions to the write side), keyed by the
+        // transform repr; a partitioned file records min == max
+        val keyed: Seq[(String, org.apache.spark.sql.Column)] =
+          statsCols.map(c => c -> col(c)) ++
+            partitionBy.map(t => t.repr -> t.column(col(t.srcCol)))
+        val aggs = keyed.zipWithIndex.flatMap { case ((_, c), i) =>
+          Seq(min(c).as(s"mn_$i"), max(c).as(s"mx_$i"))
+        }
         spark.read.parquet(s"$dir/$sub")
           .groupBy(input_file_name().as("f"))
           .agg(aggs.head, aggs.tail: _*)
           .collect()
           .map { r =>
             val fname = r.getString(0)
-            val rel = sub + "/" + fname.substring(fname.lastIndexOf('/') + 1)
-            rel -> statsCols.map(c =>
-              c -> (String.valueOf(r.getAs[Any](s"mn_$c")),
-                String.valueOf(r.getAs[Any](s"mx_$c")))).toMap
+            // relative to the table root, including partition-value subdirs
+            val rel = fname.substring(fname.indexOf(sub))
+            rel -> keyed.zipWithIndex.map { case ((k, _), i) =>
+              k -> (String.valueOf(r.getAs[Any](s"mn_$i")),
+                String.valueOf(r.getAs[Any](s"mx_$i")))
+            }.toMap
           }.toMap
       }
     Files.createDirectories(logDir)
@@ -615,7 +710,8 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
           // get fresh ids (drop+re-add = NEW column, Iceberg semantics)
           val (prevIds, maxEver) = idState(log)
           val ids = assignFieldIds(df.schema.fieldNames.toSeq, prevIds, maxEver)
-          publish(current + 1, action, files, stats, tag, df.schema.toDDL, minTs, log, ids)
+          publish(current + 1, action, files, stats, tag, df.schema.toDDL, minTs, log, ids,
+            partitionBy.map(_.repr), statsCols)
       }
     }
     spark.catalog.refreshByPath(dir)
@@ -626,9 +722,12 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
                       stats: Map[String, Map[String, (String, String)]],
                       tag: String, schemaDdl: String, minTs: Long,
                       priorLog: Seq[LakeCommit],
-                      fieldIds: Map[String, Int]): Long = {
+                      fieldIds: Map[String, Int],
+                      partitionSpec: Seq[String] = Nil,
+                      statsCols: Seq[String] = Nil): Long = {
     val ts = math.max(System.currentTimeMillis(), minTs)
-    val c = LakeCommit(v, action, ts, schemaDdl, files, stats, tag, fieldIds)
+    val c = LakeCommit(v, action, ts, schemaDdl, files, stats, tag, fieldIds,
+      partitionSpec, statsCols)
     // unique tmp name: even a misbehaving concurrent writer can't clobber
     // another's staged json
     val tmp = logDir.resolve(
@@ -746,6 +845,14 @@ object SnapshotTable {
       val ids = node.putObject("fieldIds")
       c.fieldIds.toSeq.sortBy(_._2).foreach { case (n, i) => ids.put(n, i) }
     }
+    if (c.partitionSpec.nonEmpty) {
+      val ps = node.putArray("partitionSpec")
+      c.partitionSpec.foreach(ps.add)
+    }
+    if (c.statsCols.nonEmpty) {
+      val sc = node.putArray("statsCols")
+      c.statsCols.foreach(sc.add)
+    }
     if (c.stats.nonEmpty) {
       val st = node.putObject("stats")
       c.stats.foreach { case (f, cols) =>
@@ -790,6 +897,10 @@ object SnapshotTable {
       Option(n.get("tag")).map(_.asText()).getOrElse(""),
       Option(n.get("fieldIds")).map { ids =>
         ids.properties().asScala.map(e => e.getKey -> e.getValue.asInt()).toMap
-      }.getOrElse(Map.empty))
+      }.getOrElse(Map.empty),
+      Option(n.get("partitionSpec")).map(_.elements().asScala.map(_.asText()).toVector)
+        .getOrElse(Vector.empty),
+      Option(n.get("statsCols")).map(_.elements().asScala.map(_.asText()).toVector)
+        .getOrElse(Vector.empty))
   }
 }

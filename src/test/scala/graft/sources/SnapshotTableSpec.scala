@@ -13,6 +13,21 @@ class SnapshotTableSpec extends AnyFunSuite {
   private def fresh(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+  private def findScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+    case a: AdaptiveSparkPlanExec => findScans(a.executedPlan)
+    case s: QueryStageExec => findScans(s.plan)
+    case f: FileSourceScanExec => Seq(f)
+    case other => other.children.flatMap(findScans)
+  }
+
+  /** Execute and report how many data files the scan actually opened. */
+  private def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    findScans(df.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
+  }
+
   test("create + append + read roundtrip with schema from the log") {
     val dir = fresh("lake_rt")
     val t = SnapshotTable.create(spark, dir,
@@ -319,6 +334,108 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(may(EqualTo(Cast(id, SStr), Literal("150"))))
     // no stats for the column → keep
     assert(may(EqualTo(AttributeReference("other", IntegerType)(), Literal(5))))
+  }
+
+  test("partition transforms: month + bucket prune partitions from plain SQL") {
+    val dir = fresh("lake_part")
+    val t = SnapshotTable.forPath(spark, dir)
+    // 6 months of data × 4 id-buckets
+    val df = spark.range(0, 600).select(col("id"),
+      date_add(to_date(lit("1994-01-01")), (col("id") % 180).cast("int")).as("d"))
+    t.appendPartitioned(df.toDF(), Seq("month(d)", "bucket(4,id)"))
+    val (files, _) = t.snapshot()
+    assert(files.size == 24, s"expected 6 months × 4 buckets = 24 files, got ${files.size}")
+    // month range predicate on the SOURCE column prunes to one month's files
+    val march = t.read().filter(col("d") >= "1994-03-01" && col("d") <= "1994-03-31")
+    val expected = (0L until 600L).filter { i =>
+      val d = java.time.LocalDate.of(1994, 1, 1).plusDays(i % 180)
+      d.getMonthValue == 3
+    }
+    assert(march.select("id").as[Long].collect().toSet == expected.toSet)
+    assert(filesRead(march.select("id")) == 4,
+      "month predicate should prune to 1 month x 4 buckets")
+    // bucket equality prunes to one bucket per month
+    val one = t.read().filter(col("id") === 7L)
+    assert(one.select("d").as[java.sql.Date].collect().map(_.toString).toSeq ==
+      Seq("1994-01-08"))
+    assert(filesRead(t.read().filter(col("id") === 7L).select("d")) == 6,
+      "equality should prune to 1 bucket x 6 months")
+    // conjunction prunes to a single file
+    val pin = t.read().filter(col("id") === 7L && col("d") >= "1994-01-01"
+      && col("d") <= "1994-01-31").select("id")
+    assert(filesRead(pin) == 1, "month + bucket conjunction should hit one file")
+    // SQL path: same pruning through a lake view
+    spark.sql(s"CREATE LAKE VIEW lake_part_v FROM '$dir'")
+    val q = spark.sql("""SELECT id FROM lake_part_v
+      WHERE d >= DATE'1994-02-01' AND d <= DATE'1994-02-28'""")
+    q.collect()
+    assert(findScans(q.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum == 4)
+  }
+
+  test("partition layout survives copy-on-write DML and renames") {
+    val dir = fresh("lake_part_dml")
+    val t = SnapshotTable.forPath(spark, dir)
+    val df = spark.range(0, 400).select(col("id"),
+      date_add(to_date(lit("1994-01-01")), (col("id") % 120).cast("int")).as("d"))
+    t.appendPartitioned(df.toDF(), Seq("month(d)"), statsCols = Seq("id"))
+    // DML rewrite carries the spec forward: new files are re-partitioned
+    // and re-record transform stats (pruning does not silently degrade)
+    t.deleteWhere(col("id") < 10L)
+    val last = t.commits.last
+    assert(last.partitionSpec == Seq("month(d)"))
+    assert(last.statsCols == Seq("id"))
+    assert(last.stats.nonEmpty &&
+      last.stats.values.forall(m => m.contains("month(d)") && m.contains("id")))
+    val march = t.read().filter(col("d") >= "1994-03-01" && col("d") <= "1994-03-31")
+    val monthsOnDisk = last.stats.values.map(m => m("month(d)")._1).toSet
+    assert(monthsOnDisk.size == 4, s"rewrite should keep 4 month partitions: $monthsOnDisk")
+    assert(filesRead(march.select("id")) < filesRead(t.read().select("id")),
+      "transform pruning should still cut files after the rewrite")
+    // rename: layout metadata follows to the new column name
+    t.renameColumn("d", "event_date")
+    assert(t.commits.last.partitionSpec == Seq("month(event_date)"))
+    t.updateWhere(col("id") === 11L, Map("id" -> lit(10011L)))
+    assert(t.commits.last.partitionSpec == Seq("month(event_date)"))
+    assert(t.read().filter(col("id") === 10011L).count() == 1)
+  }
+
+  test("transform prune evaluator: bucket equality-only, monotonic ranges") {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{DateType, IntegerType, LongType}
+    val bucket = PartitionTransform.parse("bucket(4,id)")
+    val month = PartitionTransform.parse("month(d)")
+    val tfs = Seq(bucket, month)
+    val id = AttributeReference("id", LongType)()
+    val d = AttributeReference("d", DateType)()
+    val types = Map("id" -> (LongType: org.apache.spark.sql.types.DataType),
+      "d" -> (DateType: org.apache.spark.sql.types.DataType))
+    // this file holds bucket 2 and months [290, 291] (1994-03/04)
+    val b2 = {
+      val h = Murmur3Hash(Seq(Literal(7L)), 42).eval(null).asInstanceOf[Int]
+      (((h % 4) + 4) % 4).toString
+    }
+    val stats = Map("bucket(4,id)" -> (b2, b2), "month(d)" -> ("290", "291"))
+    def may(e: Expression): Boolean = LakeFileIndex.mayMatch(stats, types, e, tfs)
+    val mar1 = Literal(java.time.LocalDate.of(1994, 3, 1).toEpochDay.toInt, DateType)
+    val may1 = Literal(java.time.LocalDate.of(1994, 5, 1).toEpochDay.toInt, DateType)
+    val jan1 = Literal(java.time.LocalDate.of(1994, 1, 31).toEpochDay.toInt, DateType)
+    assert(may(EqualTo(id, Literal(7L))), "matching bucket must keep the file")
+    assert(!may(EqualTo(id, Literal(8L))) || {
+      // only assert pruning when 8's bucket genuinely differs from 7's
+      val h8 = Murmur3Hash(Seq(Literal(8L)), 42).eval(null).asInstanceOf[Int]
+      (((h8 % 4) + 4) % 4).toString == b2
+    }, "non-matching bucket must prune")
+    // bucket must NOT prune ranges (hash order is meaningless)
+    assert(may(GreaterThan(id, Literal(100000L))))
+    // month transform prunes date ranges through the source column
+    assert(may(GreaterThanOrEqual(d, mar1)))
+    assert(!may(GreaterThanOrEqual(d, may1)), "file ends in April; May+ must prune")
+    assert(!may(LessThanOrEqual(d, jan1)), "file starts in March; Jan- must prune")
+    assert(may(EqualTo(d, mar1)))
+    assert(!may(EqualTo(d, may1)))
+    // unknown literal shapes keep the file
+    assert(may(EqualTo(d, Literal("1994-03-01"))))
   }
 
   test("metadata stays flat over a long log: cache parses only new commits, checkpoint bounds cold start") {
