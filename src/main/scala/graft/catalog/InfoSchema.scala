@@ -74,8 +74,22 @@ object InfoSchema {
       .toDF("name", "class_name", "is_temporary")
   }
 
-  /** Register all introspection views. */
+  /** sys.queries (reference jobs service / query profiles —
+    * `services/jobs`): the session's completed query actions with duration
+    * and execution metrics, most recent first. */
+  def sysQueries(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    QueryHistory.records
+      .map(r => (r.id, r.action, r.status, r.durationMs, r.outputRows,
+        r.shuffleBytes, r.error, r.plan, r.tsMs))
+      .toDF("id", "action", "status", "duration_ms", "output_rows",
+        "shuffle_bytes", "error", "plan_root", "timestamp_ms")
+  }
+
+  /** Register all introspection views (and start recording query history
+    * for this session, if not already). */
   def register(spark: SparkSession): Unit = {
+    QueryHistory.install(spark)
     tables(spark).createOrReplaceTempView("information_schema_tables")
     columns(spark).createOrReplaceTempView("information_schema_columns")
     sysOptions(spark).createOrReplaceTempView("sys_options")
@@ -83,5 +97,6 @@ object InfoSchema {
     sysReflections(spark).createOrReplaceTempView("sys_reflections")
     sysPipes(spark).createOrReplaceTempView("sys_pipes")
     sysFunctions(spark).createOrReplaceTempView("sys_functions")
+    sysQueries(spark).createOrReplaceTempView("sys_queries")
   }
 }

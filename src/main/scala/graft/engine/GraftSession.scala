@@ -77,6 +77,7 @@ object GraftSession {
     ).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     graft.functions.Functions.registerAll(s)
+    graft.catalog.QueryHistory.install(s)
     s
   }
 }

@@ -344,7 +344,8 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     * new base (so a concurrent append is merged, never erased — the lost-
     * update window the unconditional overwrite had). Data files staged by a
     * losing attempt become unreferenced orphans, reclaimed by vacuum(). */
-  private def copyOnWrite(transform: DataFrame => DataFrame): Long = {
+  private def copyOnWrite(transform: DataFrame => DataFrame,
+                          extraStatsCols: Seq[String] = Nil): Long = {
     // generous budget: each retry requires a conflicting commit to have
     // actually landed (system-wide progress), so this bounds pathological
     // append storms, not steady state — one conflict costs one recompute
@@ -364,7 +365,8 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       val spec = log.last.partitionSpec
         .flatMap(s => scala.util.Try(PartitionTransform.parse(s)).toOption)
         .filter(t => have(t.srcCol.toLowerCase))
-      val stCols = log.last.statsCols.filter(c => have(c.toLowerCase))
+      val stCols = (log.last.statsCols ++ extraStatsCols).distinct
+        .filter(c => have(c.toLowerCase))
       try return commit(rewritten, "overwrite", stCols, "", Some(base), spec)
       catch {
         case e: java.util.ConcurrentModificationException =>
@@ -514,6 +516,24 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     * pinned at older versions are untouched — old files stay until
     * vacuum(). */
   def compact(numFiles: Int = 1): Long = copyOnWrite(_.coalesce(numFiles))
+
+  /** Clustering compaction (Iceberg rewrite_data_files with sort order):
+    * rewrite the current snapshot range-clustered + sorted on `cols` into
+    * ~`numFiles` files, and START recording min/max manifest stats on
+    * those columns — the maintenance op that restores plan-time pruning
+    * after many unclustered appends. One conflict-checked overwrite
+    * commit; the recorded stats columns persist, so later copy-on-write
+    * rewrites keep re-clustering by them. On a partition-transformed table
+    * the spec still wins the file layout (files are per partition tuple);
+    * the sort then clusters rows WITHIN each partition. */
+  def compactSorted(cols: Seq[String], numFiles: Int = 1): Long = {
+    require(cols.nonEmpty, "compactSorted needs at least one cluster column")
+    import org.apache.spark.sql.functions.col
+    copyOnWrite(df =>
+      df.repartitionByRange(math.max(1, numFiles), cols.map(col): _*)
+        .sortWithinPartitions(cols.map(col): _*),
+      extraStatsCols = cols)
+  }
 
   /** Remove data files referenced by NO retained snapshot (the last
     * `retainLast` versions). Time travel to expired versions stops working

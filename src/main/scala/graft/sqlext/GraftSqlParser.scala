@@ -27,7 +27,9 @@ import graft.streaming.{Pipe, Pipes}
   *   SHOW PIPES
   *   ALTER TABLE <ident> REFRESH METADATA
   *   DESCRIBE LAKE '<dir>'                      -- snapshot history
-  *   CREATE LAKE VIEW <name> FROM '<dir>' [VERSION AS OF <n>]
+  *   CREATE LAKE VIEW <name> FROM '<dir>'
+  *     [VERSION AS OF <n> | TIMESTAMP AS OF '<ts>']
+  *   OPTIMIZE LAKE '<dir>' [ORDER BY c[, ...]] [INTO <n> FILES]
   *   DELETE FROM LAKE '<dir>' WHERE <cond>      -- copy-on-write DML
   *   UPDATE LAKE '<dir>' SET c = <expr>[, ...] WHERE <cond>
   *   MERGE INTO LAKE '<dir>' KEY <col> USING <query>   -- upsert by key
@@ -53,9 +55,16 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
       case RefreshMetadataRe(quoted, bare) =>
         RefreshMetadataCommand(Option(quoted).getOrElse(bare))
       case DescribeLakeRe(dir) =>
-        DescribeLakeCommand(dir, out("version", "action", "timestamp_ms", "n_files"))
-      case CreateLakeViewRe(name, dir, version) =>
-        CreateLakeViewCommand(name, dir, Option(version).map(_.toLong))
+        DescribeLakeCommand(dir,
+          out("version", "action", "timestamp_ms", "n_files", "partition_spec"))
+      case CreateLakeViewRe(name, dir, version, asOfTs) =>
+        CreateLakeViewCommand(name, dir, Option(version).map(_.toLong),
+          Option(asOfTs).map(parseTsMillis))
+      case OptimizeLakeRe(dir, orderBy, nFiles) =>
+        OptimizeLakeCommand(dir,
+          Option(orderBy).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            .getOrElse(Nil),
+          Option(nFiles).map(_.toInt).getOrElse(1))
       case DeleteLakeRe(dir, cond) => DeleteLakeCommand(dir, cond)
       case UpdateLakeRe(dir, rest) =>
         // quote-aware split: a 'where' inside a SET string literal is data
@@ -100,7 +109,24 @@ object GraftSqlParser {
     """(?is)ALTER\s+TABLE\s+(?:`([^`]+)`|([\w./]+))\s+REFRESH\s+METADATA\s*;?""".r
   private val DescribeLakeRe = """(?is)DESCRIBE\s+LAKE\s+'([^']+)'\s*;?""".r
   private val CreateLakeViewRe =
-    """(?is)CREATE\s+LAKE\s+VIEW\s+(\w+)\s+FROM\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?""".r
+    ("""(?is)CREATE\s+LAKE\s+VIEW\s+(\w+)\s+FROM\s+'([^']+)'""" +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""" +
+      """(?:\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*;?""").r
+  private val OptimizeLakeRe =
+    ("""(?is)OPTIMIZE\s+LAKE\s+'([^']+)'""" +
+      """(?:\s+ORDER\s+BY\s+([\w\s,.]+?))?(?:\s+INTO\s+(\d+)\s+FILES)?\s*;?""").r
+
+  /** `TIMESTAMP AS OF` accepts epoch millis or an ISO date/datetime
+    * (interpreted in UTC, the engine's session timezone). */
+  private def parseTsMillis(s: String): Long = {
+    val t = s.trim
+    if (t.matches("\\d+")) t.toLong
+    else {
+      val norm = if (t.contains("T") || t.contains(" ")) t.replace(' ', 'T') else t + "T00:00:00"
+      java.time.LocalDateTime.parse(norm)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
+  }
   private val DeleteLakeRe =
     """(?is)DELETE\s+FROM\s+LAKE\s+'([^']+)'\s+WHERE\s+(.+?)\s*;?""".r
   private val UpdateLakeRe =
@@ -218,18 +244,33 @@ object GraftSqlParser {
       extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] =
       graft.sources.SnapshotTable.forPath(spark, dir).commits.map(c =>
-        Row(c.version.toString, c.action, c.timestampMs.toString, c.files.size.toString))
+        Row(c.version.toString, c.action, c.timestampMs.toString,
+          c.files.size.toString, c.partitionSpec.mkString(", ")))
   }
 
   /** CREATE LAKE VIEW: register a (possibly time-traveled) snapshot of a
     * graft-lake table as a temp view for plain-SQL querying. */
-  case class CreateLakeViewCommand(name: String, dir: String, version: Option[Long])
-      extends LeafRunnableCommand {
+  case class CreateLakeViewCommand(name: String, dir: String, version: Option[Long],
+      asOfTsMs: Option[Long] = None) extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("view", "version")
     override def run(spark: SparkSession): Seq[Row] = {
       val t = graft.sources.SnapshotTable.forPath(spark, dir)
-      t.read(version).createOrReplaceTempView(name)
+      t.read(version, asOfTsMs).createOrReplaceTempView(name)
       Seq(Row(name, version.getOrElse(t.latestVersion).toString))
+    }
+  }
+
+  /** OPTIMIZE LAKE: compaction as one conflict-checked overwrite commit —
+    * plain rewrite into N files, or range-clustered + sorted when ORDER BY
+    * is given (Iceberg rewrite_data_files with sort order; stats on the
+    * sort columns start being recorded so pruning improves afterwards). */
+  case class OptimizeLakeCommand(dir: String, orderBy: Seq[String], nFiles: Int)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("version", "n_files")
+    override def run(spark: SparkSession): Seq[Row] = {
+      val t = graft.sources.SnapshotTable.forPath(spark, dir)
+      val v = if (orderBy.isEmpty) t.compact(nFiles) else t.compactSorted(orderBy, nFiles)
+      Seq(Row(v.toString, nFiles.toString))
     }
   }
 

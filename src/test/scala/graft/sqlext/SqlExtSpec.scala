@@ -1,6 +1,7 @@
 package graft.sqlext
 
 import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 import graft.accel.Reflections
@@ -50,6 +51,47 @@ class SqlExtSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM lake_v1").head().getLong(0) == 2)
     spark.sql(s"CREATE LAKE VIEW lake_now FROM '$dir'")
     assert(spark.sql("SELECT v FROM lake_now").head().getString(0) == "z")
+  }
+
+  test("CREATE LAKE VIEW with TIMESTAMP AS OF travels by time through SQL") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sqllake_ts").toString
+    val t = graft.sources.SnapshotTable.create(spark, dir,
+      Seq((1L, "a")).toDF("id", "v"))
+    val tsAfterV1 = t.commits.last.timestampMs
+    Thread.sleep(5)
+    t.overwrite(Seq((9L, "z")).toDF("id", "v"))
+    // epoch-millis form pins the first version
+    spark.sql(s"CREATE LAKE VIEW lake_ts_v FROM '$dir' TIMESTAMP AS OF '$tsAfterV1'")
+    assert(spark.sql("SELECT v FROM lake_ts_v").head().getString(0) == "a")
+    // a far-future ISO datetime resolves to the latest version
+    spark.sql(s"CREATE LAKE VIEW lake_ts_now FROM '$dir' TIMESTAMP AS OF '2099-01-01'")
+    assert(spark.sql("SELECT v FROM lake_ts_now").head().getString(0) == "z")
+  }
+
+  test("OPTIMIZE LAKE compacts; ORDER BY variant restores pruning stats") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sqlopt").toString
+    val t = graft.sources.SnapshotTable.forPath(spark, dir)
+    // 3 unclustered, stat-less appends
+    (0 until 3).foreach(i => t.append(
+      spark.range(i * 100, (i + 1) * 100).select(col("id"), (col("id") * 2).as("x"))
+        .repartition(3).toDF()))
+    assert(t.snapshot()._1.size == 9)
+    spark.sql(s"OPTIMIZE LAKE '$dir' ORDER BY id INTO 4 FILES")
+    val (files, _) = t.snapshot()
+    assert(files.size == 4, s"expected 4 files after OPTIMIZE, got ${files.size}")
+    // the rewrite recorded min/max on the sort column: a plain SQL WHERE
+    // over the view now prunes to a single range-clustered file
+    spark.sql(s"CREATE LAKE VIEW lake_opt_v FROM '$dir'")
+    val q = spark.sql("SELECT id FROM lake_opt_v WHERE id >= 110 AND id <= 120 ORDER BY id")
+    assert(q.collect().map(_.getLong(0)).toSeq == (110L to 120L))
+    assert(t.commits.last.statsCols == Seq("id"))
+    val pruned = t.scanRange("id", 110, 120)
+    assert(pruned.inputFiles.length == 1,
+      s"expected 1 file after clustered compaction, got ${pruned.inputFiles.length}")
+    // DESCRIBE LAKE reports the (empty) partition spec column
+    assert(spark.sql(s"DESCRIBE LAKE '$dir'").columns.contains("partition_spec"))
   }
 
   test("DELETE FROM LAKE and UPDATE LAKE run copy-on-write DML through SQL") {
