@@ -343,9 +343,21 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     * landed in between; on conflict the rewrite is recomputed against the
     * new base (so a concurrent append is merged, never erased — the lost-
     * update window the unconditional overwrite had). Data files staged by a
-    * losing attempt become unreferenced orphans, reclaimed by vacuum(). */
+    * losing attempt become unreferenced orphans, reclaimed by vacuum().
+    *
+    * `touch` (row-level DML): a predicate selecting the rows the DML can
+    * affect. When given, only data files that MAY hold matching rows
+    * (decided from manifest stats with the same conservative evaluator the
+    * scan pruner uses) are rewritten; every other file is carried into the
+    * new snapshot BY REFERENCE, stats and all. A DELETE of one day from a
+    * year-partitioned table rewrites one partition, not the table —
+    * O(affected files), not O(table), the Iceberg copy-on-write granularity
+    * (reference row-level DML inherits exactly this from Iceberg). Renamed
+    * tables fall back to the full rewrite (carried files must share the
+    * current column identity for their stats/ids to stay valid). */
   private def copyOnWrite(transform: DataFrame => DataFrame,
-                          extraStatsCols: Seq[String] = Nil): Long = {
+                          extraStatsCols: Seq[String] = Nil,
+                          touch: Option[org.apache.spark.sql.Column] = None): Long = {
     // generous budget: each retry requires a conflicting commit to have
     // actually landed (system-wide progress), so this bounds pathological
     // append storms, not steady state — one conflict costs one recompute
@@ -355,7 +367,25 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       val log = commits
       require(log.nonEmpty, s"empty lake table $dir")
       val base = log.last.version
-      val rewritten = transform(read(version = Some(base)))
+      val visible = log.takeWhile(_.version <= base)
+      val (entries, schema, curIds) = replayEntries(visible)
+      val tfs = specTransforms(visible)
+      // partial-rewrite eligibility: every live file written under the
+      // current column identity (no rename divergence to misattribute
+      // carried stats/ids to)
+      val uniformIds = entries.forall(_.writeIds == curIds)
+      val (rewriteEntries, carried) = touch match {
+        case Some(cond) if uniformIds =>
+          val full = buildMappedScan(entries, schema, curIds, tfs)
+          resolveCond(full, cond) match {
+            case Some(resolved) =>
+              val types = schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+              entries.partition(e => LakeFileIndex.mayMatch(e.stats, types, resolved, tfs))
+            case None => (entries, Vector.empty[FileEntry])
+          }
+        case _ => (entries, Vector.empty[FileEntry])
+      }
+      val rewritten = transform(buildMappedScan(rewriteEntries, schema, curIds, tfs))
       // preserve the table's physical layout across DML/compaction: the
       // rewrite re-partitions by the base commit's spec and re-records its
       // stats columns, so pruning doesn't silently degrade after an UPDATE.
@@ -367,7 +397,9 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
         .filter(t => have(t.srcCol.toLowerCase))
       val stCols = (log.last.statsCols ++ extraStatsCols).distinct
         .filter(c => have(c.toLowerCase))
-      try return commit(rewritten, "overwrite", stCols, "", Some(base), spec)
+      val carryRel = carried.map(e =>
+        (e.path.stripPrefix(s"$dir/"), e.stats))
+      try return commit(rewritten, "overwrite", stCols, "", Some(base), spec, carryRel)
       catch {
         case e: java.util.ConcurrentModificationException =>
           attempt += 1
@@ -376,6 +408,18 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     }
     -1L // unreachable
   }
+
+  /** Resolve a user condition against the table scan so the prune
+    * evaluator sees typed AttributeReferences + literals. None → treat as
+    * "may touch anything" (full rewrite). */
+  private def resolveCond(df: DataFrame,
+                          cond: org.apache.spark.sql.Column): Option[
+      org.apache.spark.sql.catalyst.expressions.Expression] =
+    scala.util.Try {
+      df.filter(cond).queryExecution.analyzed match {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }
+    }.toOption
 
   /** Append with per-file min/max stats on `statsCols` recorded in the
     * commit manifest (the Iceberg manifest-stats model:
@@ -467,25 +511,38 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     * delta rows replace same-key target rows, the rest are kept, and the
     * swap publishes only against the base version it read (retried against
     * the new base if a concurrent commit lands first). In-flight readers
-    * keep the pre-merge snapshot. */
-  def mergeByKey(delta: DataFrame, key: String): Long = copyOnWrite { base =>
-    base
-      .join(delta.select(key).distinct(), Seq(key), "left_anti")
-      .unionByName(delta)
+    * keep the pre-merge snapshot.
+    *
+    * Granularity: only files whose manifest key range intersects the
+    * delta's [min, max] key span are rewritten (plus stat-less files);
+    * files provably outside it are carried by reference — a merge into a
+    * key-clustered 100 TB table costs O(touched partitions), not O(table). */
+  def mergeByKey(delta: DataFrame, key: String): Long = {
+    import org.apache.spark.sql.functions.{col, lit, max, min}
+    val mm = delta.agg(min(col(key)).as("lo"), max(col(key)).as("hi")).head()
+    val touch =
+      if (mm.isNullAt(0)) lit(false) // empty/all-null delta touches nothing
+      else col(key) >= lit(mm.get(0)) && col(key) <= lit(mm.get(1))
+    copyOnWrite(base =>
+      base
+        .join(delta.select(key).distinct(), Seq(key), "left_anti")
+        .unionByName(delta),
+      touch = Some(touch))
   }
 
-  /** DELETE WHERE: rewrite the table without matching rows, as one atomic
+  /** DELETE WHERE: rewrite only the files that may hold matching rows
+    * (manifest-stats decided), carrying the rest by reference — one atomic
     * conflict-checked overwrite commit (the reference gets row-level DML
-    * from Iceberg copy-on-write; same shape here). */
+    * from Iceberg copy-on-write; same shape AND granularity here). */
   def deleteWhere(cond: org.apache.spark.sql.Column): Long =
-    copyOnWrite(base => base.filter(!cond || cond.isNull))
+    copyOnWrite(base => base.filter(!cond || cond.isNull), touch = Some(cond))
 
   /** UPDATE ... SET: copy-on-write update of matching rows, one atomic
     * commit. `sets` maps column name → new-value expression. All SET
     * expressions are evaluated in ONE projection so they read PRE-update
     * values (SQL UPDATE semantics: `SET a = b, b = a` swaps). */
   def updateWhere(cond: org.apache.spark.sql.Column,
-                  sets: Map[String, org.apache.spark.sql.Column]): Long = copyOnWrite { base =>
+                  sets: Map[String, org.apache.spark.sql.Column]): Long = copyOnWrite({ base =>
     import org.apache.spark.sql.functions.{col, when}
     // resolve SET keys case-insensitively (Spark's default resolver) and
     // FAIL on unknown columns — a silently dropped SET would commit a
@@ -507,7 +564,7 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
         case None => col(c)
       }
     }: _*)
-  }
+  }, touch = Some(cond))
 
   /** Compaction: rewrite the current snapshot into `numFiles` files as one
     * conflict-checked overwrite commit (the small-files answer for a table
@@ -646,7 +703,10 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
   private def commit(df: DataFrame, action: String,
                      statsCols: Seq[String] = Nil, tag: String = "",
                      expectedBase: Option[Long] = None,
-                     partitionBy: Seq[PartitionTransform] = Nil): Long = {
+                     partitionBy: Seq[PartitionTransform] = Nil,
+                     // already-committed files carried into this snapshot by
+                     // reference (partial rewrites): (relative path, stats)
+                     carryFiles: Seq[(String, Map[String, (String, String)])] = Nil): Long = {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     val sub = "data-" + java.util.UUID.randomUUID().toString.take(8)
     if (partitionBy.isEmpty) df.write.parquet(s"$dir/$sub")
@@ -730,7 +790,9 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
           // get fresh ids (drop+re-add = NEW column, Iceberg semantics)
           val (prevIds, maxEver) = idState(log)
           val ids = assignFieldIds(df.schema.fieldNames.toSeq, prevIds, maxEver)
-          publish(current + 1, action, files, stats, tag, df.schema.toDDL, minTs, log, ids,
+          publish(current + 1, action, carryFiles.map(_._1) ++ files,
+            carryFiles.filter(_._2.nonEmpty).toMap ++ stats,
+            tag, df.schema.toDDL, minTs, log, ids,
             partitionBy.map(_.repr), statsCols)
       }
     }

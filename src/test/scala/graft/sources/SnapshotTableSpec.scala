@@ -438,6 +438,54 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(may(EqualTo(d, Literal("1994-03-01"))))
   }
 
+  test("row-level DML rewrites only the files its predicate can touch") {
+    val dir = fresh("lake_partial")
+    val t = SnapshotTable.forPath(spark, dir)
+    t.appendWithStats(
+      spark.range(0, 800).select(col("id"), (col("id") * 2).as("x"))
+        .repartitionByRange(8, col("id")).toDF(),
+      Seq("id"))
+    val before = t.snapshot()._1.toSet
+    assert(before.size == 8)
+
+    // DELETE of one id can only live in one range-clustered file
+    t.deleteWhere(col("id") === 150L)
+    val afterDelete = t.snapshot()._1.toSet
+    assert((before -- afterDelete).size == 1,
+      s"exactly one file should be replaced, got ${(before -- afterDelete).size}")
+    assert((afterDelete -- before).nonEmpty)
+    assert(t.read().count() == 799)
+    assert(t.read().filter(col("id") === 150L).count() == 0)
+    // carried files kept their manifest stats: pruning still works
+    assert(t.scanRange("id", 710, 720).inputFiles.length == 1)
+
+    // UPDATE with a narrow predicate: only that file rewritten
+    val beforeUpd = t.snapshot()._1.toSet
+    t.updateWhere(col("id") === 700L, Map("x" -> lit(-1L)))
+    val afterUpd = t.snapshot()._1.toSet
+    assert((beforeUpd -- afterUpd).size == 1)
+    assert(t.read().filter(col("x") === -1L).count() == 1)
+    assert(t.read().count() == 799)
+
+    // MERGE whose delta spans one file's key range: the rest carried
+    import spark.implicits._
+    val beforeMerge = t.snapshot()._1.toSet
+    t.mergeByKey(Seq((300L, 999L), (310L, 998L)).toDF("id", "x"), "id")
+    val afterMerge = t.snapshot()._1.toSet
+    assert((beforeMerge -- afterMerge).size == 1,
+      s"merge should rewrite 1 file, replaced ${(beforeMerge -- afterMerge).size}")
+    assert(t.read().filter(col("id") === 300L).select("x").as[Long].head() == 999L)
+    assert(t.read().count() == 799)
+
+    // time travel to the pre-DML snapshot still sees the original 8 files
+    assert(t.asOf(1L).count() == 800)
+    // vacuum reclaims exactly the replaced files (grace 0 for the test)
+    val deleted = t.vacuum(retainLast = 1, graceMs = 0)
+    assert(deleted.nonEmpty && deleted.toSet.subsetOf(
+      (before ++ afterDelete ++ afterUpd) -- afterMerge))
+    assert(t.read().count() == 799)
+  }
+
   test("metadata stays flat over a long log: cache parses only new commits, checkpoint bounds cold start") {
     val dir = fresh("lake_meta")
     val t = SnapshotTable.create(spark, dir, Seq((1L, "a")).toDF("id", "v"))
