@@ -37,6 +37,45 @@ object LlmQueries {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** ANN result IDENTITY under a DuckDB oracle: the cosine VALUES diverge
+    * between engines at ~1e-8 (different accumulation order), but the
+    * neighbor ids and ranks are stable — adjacent-rank cosine gaps on the
+    * fixture are ≥2e-4, four orders above the float divergence — so the
+    * id/rank projection is hash-exact and the ANN semantics (who the
+    * neighbors are, in what order) get a real oracle, not a rows-only
+    * check. */
+  val annTopkIds: QueryFn = (s, dir) => {
+    val e = Tables.ensure(s, dir).embeddings
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), k = 10)
+      .select(col("q_id"), col("c_id"), col("rk"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+  val annTopkIdsSql: String = """
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings),
+    s AS (SELECT q_id, c_id,
+            list_cosine_similarity(CAST(q_vec AS DOUBLE[]), CAST(c_vec AS DOUBLE[])) AS cos
+          FROM c, q WHERE q_id <> c_id),
+    r AS (SELECT q_id, c_id,
+            row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM s)
+    SELECT q_id, c_id, CAST(rk AS INT) AS rk FROM r WHERE rk <= 10
+    ORDER BY q_id, rk"""
+
+  /** Embedding near-dup identity under an oracle (same reasoning: the 0.4
+    * threshold margin on the fixture is ≥1.7e-3, so membership is stable
+    * across the engines' 1e-8 cosine divergence). */
+  val dedupEmbeddingIds: QueryFn = (s, dir) =>
+    Dedup.embeddingDups(Tables.ensure(s, dir).embeddings, threshold = 0.4)
+      .select(col("a_id"), col("b_id"), col("label"))
+      .orderBy(col("a_id"), col("b_id"))
+  val dedupEmbeddingIdsSql: String = """
+    WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
+    ORDER BY a_id, b_id"""
+
   val annIvf: QueryFn = (s, dir) => {
     val e = Tables.ensure(s, dir).embeddings
     Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), k = 10)
@@ -166,6 +205,8 @@ object LlmQueries {
     "dedup_embedding_cos" -> dedupEmbedding,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "ann_brute_force" -> annBrute,
+    "ann_topk_ids" -> annTopkIds,
+    "dedup_embedding_ids" -> dedupEmbeddingIds,
     "ann_ivf_label" -> annIvf,
     "text_quality" -> textQuality,
     "text_tokens" -> textTokens,
@@ -179,5 +220,7 @@ object LlmQueries {
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,
     "text_fingerprint" -> textFingerprintSql,
-    "text_langid" -> textLangidSql)
+    "text_langid" -> textLangidSql,
+    "ann_topk_ids" -> annTopkIdsSql,
+    "dedup_embedding_ids" -> dedupEmbeddingIdsSql)
 }

@@ -139,13 +139,14 @@ object Lake {
     * columns prunes whole partitions at plan time. SnapshotTableSpec pins
     * the pruned file counts; this entry pins the results. */
   val lakePartitionedScan: QueryFn = (s, dir) => {
-    val t = Tables.ensure(s, dir)
+    Tables.ensure(s, dir)
     val lakeDir = Files.createTempDirectory("graft_lake_part").toString
-    val table = SnapshotTable.forPath(s, lakeDir)
-    table.appendPartitioned(
-      t.orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
-        dbl(money(col("o_totalprice"))).as("price")),
-      Seq("year(o_orderdate)", "bucket(4,o_custkey)"))
+    // partitioned CTAS driven entirely by SQL text
+    s.sql(s"""CREATE LAKE '$lakeDir'
+             |PARTITION BY (year(o_orderdate), bucket(4,o_custkey))
+             |AS SELECT o_orderkey, o_custkey, o_orderdate,
+             |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+             |FROM orders""".stripMargin)
     s.sql(s"CREATE LAKE VIEW lake_part_q_v FROM '$lakeDir'")
     s.sql("""SELECT o_orderkey, o_custkey, o_orderdate, price FROM lake_part_q_v
             |WHERE o_orderdate >= DATE'1996-01-01' AND o_orderdate <= DATE'1996-12-31'

@@ -27,6 +27,8 @@ import graft.streaming.{Pipe, Pipes}
   *   SHOW PIPES
   *   ALTER TABLE <ident> REFRESH METADATA
   *   DESCRIBE LAKE '<dir>'                      -- snapshot history
+  *   CREATE LAKE '<dir>' [PARTITION BY (t(c), ...)] [STATS (c, ...)]
+  *     AS <query>                               -- partitioned CTAS
   *   CREATE LAKE VIEW <name> FROM '<dir>'
   *     [VERSION AS OF <n> | TIMESTAMP AS OF '<ts>']
   *   OPTIMIZE LAKE '<dir>' [ORDER BY c[, ...]] [INTO <n> FILES]
@@ -57,6 +59,12 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
       case DescribeLakeRe(dir) =>
         DescribeLakeCommand(dir,
           out("version", "action", "timestamp_ms", "n_files", "partition_spec"))
+      case CreateLakeTableRe(dir, spec, statsCols, query) =>
+        CreateLakeTableCommand(dir,
+          Option(spec).map(splitTopLevel).getOrElse(Nil),
+          Option(statsCols).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            .getOrElse(Nil),
+          query)
       case CreateLakeViewRe(name, dir, version, asOfTs) =>
         CreateLakeViewCommand(name, dir, Option(version).map(_.toLong),
           Option(asOfTs).map(parseTsMillis))
@@ -112,6 +120,11 @@ object GraftSqlParser {
     ("""(?is)CREATE\s+LAKE\s+VIEW\s+(\w+)\s+FROM\s+'([^']+)'""" +
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""" +
       """(?:\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*;?""").r
+  // the PARTITION BY list nests one paren level (transform argument lists)
+  private val CreateLakeTableRe =
+    ("""(?is)CREATE\s+LAKE\s+'([^']+)'""" +
+      """(?:\s+PARTITION\s+BY\s+\(((?:[^()]*\([^()]*\))*[^()]*)\))?""" +
+      """(?:\s+STATS\s+\(([^)]*)\))?\s+AS\s+(.+?)\s*;?""").r
   private val OptimizeLakeRe =
     ("""(?is)OPTIMIZE\s+LAKE\s+'([^']+)'""" +
       """(?:\s+ORDER\s+BY\s+([\w\s,.]+?))?(?:\s+INTO\s+(\d+)\s+FILES)?\s*;?""").r
@@ -257,6 +270,22 @@ object GraftSqlParser {
       val t = graft.sources.SnapshotTable.forPath(spark, dir)
       t.read(version, asOfTsMs).createOrReplaceTempView(name)
       Seq(Row(name, version.getOrElse(t.latestVersion).toString))
+    }
+  }
+
+  /** CREATE LAKE ... AS: CTAS into a fresh graft-lake table, optionally
+    * partitioned by Iceberg-style transforms and/or recording min/max
+    * stats columns (reference: Iceberg CTAS with PARTITION BY transforms,
+    * `Parser.tdd` SqlCreateTable + partition transform list). */
+  case class CreateLakeTableCommand(dir: String, spec: Seq[String],
+      statsCols: Seq[String], querySql: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("version", "n_files")
+    override def run(spark: SparkSession): Seq[Row] = {
+      val t = graft.sources.SnapshotTable.forPath(spark, dir)
+      require(t.latestVersion == 0L,
+        s"CREATE LAKE target '$dir' already has commits (use MERGE/OPTIMIZE/appends)")
+      val v = t.overwritePartitioned(spark.sql(querySql), spec, statsCols)
+      Seq(Row(v.toString, t.snapshot()._1.size.toString))
     }
   }
 

@@ -69,6 +69,29 @@ class SqlExtSpec extends AnyFunSuite {
     assert(spark.sql("SELECT v FROM lake_ts_now").head().getString(0) == "z")
   }
 
+  test("CREATE LAKE ... PARTITION BY ... AS builds a partitioned table from SQL") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sqlctas").toString
+    spark.range(0, 200)
+      .select(col("id"), (col("id") % 50).as("k"))
+      .createOrReplaceTempView("ctas_src")
+    spark.sql(s"""CREATE LAKE '$dir' PARTITION BY (bucket(4,k)) STATS (id)
+                 |AS SELECT id, k FROM ctas_src""".stripMargin)
+    val t = graft.sources.SnapshotTable.forPath(spark, dir)
+    assert(t.latestVersion == 1L)
+    assert(t.commits.last.partitionSpec == Seq("bucket(4,k)"))
+    assert(t.commits.last.statsCols == Seq("id"))
+    assert(t.snapshot()._1.size == 4) // one file per bucket
+    assert(t.read().count() == 200)
+    // DESCRIBE LAKE surfaces the spec; a second CTAS at the same dir fails
+    val desc = spark.sql(s"DESCRIBE LAKE '$dir'").collect()
+    assert(desc.head.getString(4) == "bucket(4,k)")
+    val err = intercept[Exception] {
+      spark.sql(s"CREATE LAKE '$dir' AS SELECT 1 AS x")
+    }
+    assert(err.getMessage.contains("already has commits"))
+  }
+
   test("OPTIMIZE LAKE compacts; ORDER BY variant restores pruning stats") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_sqlopt").toString
