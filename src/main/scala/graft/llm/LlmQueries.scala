@@ -82,6 +82,26 @@ object LlmQueries {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** IVF bucket-restricted ANN identity under an oracle (adjacent-rank
+    * gaps ≥1.6e-4 on the fixture — see annTopkIds). */
+  val annIvfIds: QueryFn = (s, dir) => {
+    val e = Tables.ensure(s, dir).embeddings
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), k = 10)
+      .select(col("q_id"), col("label"), col("c_id"), col("rk"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+  val annIvfIdsSql: String = """
+    WITH q AS (SELECT label, vec_id AS q_id, embedding AS q_vec
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT label, vec_id AS c_id, embedding AS c_vec FROM embeddings),
+    s AS (SELECT q.label, q_id, c_id,
+            list_cosine_similarity(CAST(q_vec AS DOUBLE[]), CAST(c_vec AS DOUBLE[])) AS cos
+          FROM c JOIN q USING (label) WHERE q_id <> c_id),
+    r AS (SELECT label, q_id, c_id,
+            row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM s)
+    SELECT q_id, label, c_id, CAST(rk AS INT) AS rk FROM r WHERE rk <= 10
+    ORDER BY q_id, rk"""
+
   val textQuality: QueryFn = (s, dir) =>
     TextAnalysis.qualitySignals(Tables.ensure(s, dir).documents.filter(col("doc_id") < 500))
       .orderBy(col("doc_id"))
@@ -208,6 +228,7 @@ object LlmQueries {
     "ann_topk_ids" -> annTopkIds,
     "dedup_embedding_ids" -> dedupEmbeddingIds,
     "ann_ivf_label" -> annIvf,
+    "ann_ivf_ids" -> annIvfIds,
     "text_quality" -> textQuality,
     "text_tokens" -> textTokens,
     "text_fingerprint" -> textFingerprint,
@@ -222,5 +243,6 @@ object LlmQueries {
     "text_fingerprint" -> textFingerprintSql,
     "text_langid" -> textLangidSql,
     "ann_topk_ids" -> annTopkIdsSql,
+    "ann_ivf_ids" -> annIvfIdsSql,
     "dedup_embedding_ids" -> dedupEmbeddingIdsSql)
 }

@@ -307,12 +307,17 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
   /** Idempotent append: a no-op if a commit with `tag` already exists —
     * the exactly-once contract for replayed streaming micro-batches
     * (checkpoint recovery re-runs foreachBatch with the same batch id).
-    * Returns the committed (or already-present) version. */
-  def appendTagged(df: DataFrame, tag: String): Long = {
+    * Returns the committed (or already-present) version.
+    * `partitionSpec`/`statsCols` make the batch land partitioned/stated
+    * (the streaming-ingest path into a partitioned table). */
+  def appendTagged(df: DataFrame, tag: String,
+                   partitionSpec: Seq[String] = Nil,
+                   statsCols: Seq[String] = Nil): Long = {
     require(tag.nonEmpty, "tag must be non-empty")
     commits.find(_.tag == tag) match {
       case Some(c) => c.version
-      case None => commit(df, "append", Nil, tag)
+      case None => commit(df, "append", statsCols, tag,
+        partitionBy = partitionSpec.map(PartitionTransform.parse))
     }
   }
 

@@ -130,7 +130,16 @@ object Pipes {
     * batches after checkpoint recovery are absorbed by the commit's
     * idempotency tag — exactly-once end to end: the file-source log dedups
     * input files, the tagged commit dedups output batches. */
-  def triggerIntoLake(spark: SparkSession, pipe: Pipe): Long = {
+  def triggerIntoLake(spark: SparkSession, pipe: Pipe): Long =
+    triggerIntoLake(spark, pipe, Nil, Nil)
+
+  /** Partitioned variant: each micro-batch lands as one atomic append
+    * commit clustered by the table's partition transforms (the realistic
+    * 100 TB ingest layout — a day/bucket-partitioned fact table fed by a
+    * pipe prunes from the very first commit; no post-hoc re-layout). */
+  def triggerIntoLake(spark: SparkSession, pipe: Pipe,
+                      partitionSpec: Seq[String],
+                      statsCols: Seq[String]): Long = {
     val reader = spark.readStream.schema(pipe.schema).format(pipe.format)
     val src = pipe.format match {
       case "csv" => reader.option("header", "true").load(pipe.sourceDir)
@@ -147,7 +156,8 @@ object Pipes {
         try {
           val n = batch.count()
           val before = lake.latestVersion
-          val v = lake.appendTagged(batch, s"pipe:${pipe.name}:batch:$batchId")
+          val v = lake.appendTagged(batch, s"pipe:${pipe.name}:batch:$batchId",
+            partitionSpec, statsCols)
           // a replayed batch (checkpoint recovery) is absorbed by the tag
           // and loads nothing — don't count its rows as loaded
           if (v > before) total.addAndGet(n)

@@ -40,6 +40,38 @@ class PipeSpec extends AnyFunSuite {
     assert(rows.select("event_id").distinct().count() == 4)
   }
 
+  test("pipe into a partitioned lake table: batches land clustered + pruned") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_pipe_part").toString
+    val src = s"$root/incoming"; Files.createDirectories(Paths.get(src))
+    val pipe = Pipe("ppart", src, "json", schema, s"$root/lake", s"$root/_chk")
+    def drop(name: String, rows: Seq[String]): Unit =
+      Files.write(Paths.get(s"$src/$name"), rows.mkString("\n").getBytes)
+
+    drop("a.json", (1 to 40).map(i =>
+      s"""{"event_id":$i,"event_type":"t${i % 3}","value":$i.5}"""))
+    val loaded = Pipes.triggerIntoLake(spark, pipe,
+      Seq("identity(event_type)"), Seq("event_id"))
+    assert(loaded == 40)
+    val lake = graft.sources.SnapshotTable.forPath(spark, s"$root/lake")
+    assert(lake.commits.last.partitionSpec == Seq("identity(event_type)"))
+    assert(lake.commits.last.statsCols == Seq("event_id"))
+    // one file per event_type partition value
+    assert(lake.snapshot()._1.size == 3)
+    // equality on the partition source column prunes to one file
+    val one = lake.read().filter(col("event_type") === "t1")
+    one.collect()
+    assert(lake.read().count() == 40)
+    assert(lake.scanRange("event_id", 5, 5).inputFiles.length <= 3)
+    // a second batch appends three more partition files, exactly once
+    drop("b.json", (41 to 46).map(i =>
+      s"""{"event_id":$i,"event_type":"t${i % 3}","value":$i.5}"""))
+    assert(Pipes.triggerIntoLake(spark, pipe,
+      Seq("identity(event_type)"), Seq("event_id")) == 6)
+    assert(lake.read().count() == 46)
+    assert(lake.snapshot()._1.size == 6)
+  }
+
   test("pipe into a lake table: one atomic commit per batch, exactly once") {
     val root = Files.createTempDirectory("graft_pipe_lake").toString
     val src = s"$root/incoming"; Files.createDirectories(Paths.get(src))
