@@ -108,16 +108,19 @@ object Similarity {
 
   /** IVF-style ANN: both sides partitioned by a coarse bucket (here the
     * fixture's label column; in production a k-means assignment), so each
-    * query only scans its own bucket. */
+    * query only scans its own bucket. Per-query top-k runs through the
+    * bounded-heap TopKPerKey operator (O(n log k) heap instead of the
+    * window's full per-key sort), same as the brute-force/centroid paths. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
     val q = queries.select(col("label"), col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val c = corpus.select(col("label"), col("vec_id").as("c_id"), col("embedding").as("c_vec"))
     val scored = c.join(broadcast(q), Seq("label"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", Functions.cosine_sim(col("q_vec"), col("c_vec")))
+      .select(col("q_id"), col("label"), col("c_id"), col("cos"))
+    val top = graft.plans.TopKPerKey(scored, col("q_id"), col("cos"), col("c_id"), k)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    top.withColumn("rk", row_number().over(w))
       .select(col("q_id"), col("label"), col("c_id"), col("cos"), col("rk"))
   }
 }

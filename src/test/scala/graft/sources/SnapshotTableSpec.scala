@@ -436,6 +436,15 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(!may(EqualTo(d, may1)))
     // unknown literal shapes keep the file
     assert(may(EqualTo(d, Literal("1994-03-01"))))
+    // timestamp_ntz literals (the fixture's timestamp flavor) map through
+    // epoch-day arithmetic the same way dates do
+    val ts = AttributeReference("d", org.apache.spark.sql.types.TimestampNTZType)()
+    def ntz(iso: String): Literal = Literal(
+      java.time.LocalDateTime.parse(iso).toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L,
+      org.apache.spark.sql.types.TimestampNTZType)
+    assert(may(GreaterThanOrEqual(ts, ntz("1994-03-15T10:30:00"))))
+    assert(!may(GreaterThanOrEqual(ts, ntz("1994-05-01T00:00:00"))))
+    assert(!may(LessThan(ts, ntz("1994-02-01T00:00:00"))))
   }
 
   test("row-level DML rewrites only the files its predicate can touch") {
