@@ -524,15 +524,21 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     * key-clustered 100 TB table costs O(touched partitions), not O(table). */
   def mergeByKey(delta: DataFrame, key: String): Long = {
     import org.apache.spark.sql.functions.{col, lit, max, min}
-    val mm = delta.agg(min(col(key)).as("lo"), max(col(key)).as("hi")).head()
-    val touch =
-      if (mm.isNullAt(0)) lit(false) // empty/all-null delta touches nothing
-      else col(key) >= lit(mm.get(0)) && col(key) <= lit(mm.get(1))
-    copyOnWrite(base =>
-      base
-        .join(delta.select(key).distinct(), Seq(key), "left_anti")
-        .unionByName(delta),
-      touch = Some(touch))
+    // the delta plan runs several times (key-span probe, anti-join, union —
+    // and again per conflict retry); pin it so an expensive SELECT behind
+    // a SQL MERGE executes once
+    delta.persist()
+    try {
+      val mm = delta.agg(min(col(key)).as("lo"), max(col(key)).as("hi")).head()
+      val touch =
+        if (mm.isNullAt(0)) lit(false) // empty/all-null delta touches nothing
+        else col(key) >= lit(mm.get(0)) && col(key) <= lit(mm.get(1))
+      copyOnWrite(base =>
+        base
+          .join(delta.select(key).distinct(), Seq(key), "left_anti")
+          .unionByName(delta),
+        touch = Some(touch))
+    } finally delta.unpersist()
   }
 
   /** DELETE WHERE: rewrite only the files that may hold matching rows

@@ -32,6 +32,7 @@ import graft.streaming.{Pipe, Pipes}
   *   CREATE LAKE VIEW <name> FROM '<dir>'
   *     [VERSION AS OF <n> | TIMESTAMP AS OF '<ts>']
   *   OPTIMIZE LAKE '<dir>' [ORDER BY c[, ...]] [INTO <n> FILES]
+  *   INSERT INTO LAKE '<dir>' <query>           -- append, inherits layout
   *   DELETE FROM LAKE '<dir>' WHERE <cond>      -- copy-on-write DML
   *   UPDATE LAKE '<dir>' SET c = <expr>[, ...] WHERE <cond>
   *   MERGE INTO LAKE '<dir>' KEY <col> USING <query>   -- upsert by key
@@ -73,6 +74,7 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
           Option(orderBy).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
             .getOrElse(Nil),
           Option(nFiles).map(_.toInt).getOrElse(1))
+      case InsertLakeRe(dir, query) => InsertLakeCommand(dir, query)
       case DeleteLakeRe(dir, cond) => DeleteLakeCommand(dir, cond)
       case UpdateLakeRe(dir, rest) =>
         // quote-aware split: a 'where' inside a SET string literal is data
@@ -140,6 +142,8 @@ object GraftSqlParser {
         .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
     }
   }
+  private val InsertLakeRe =
+    """(?is)INSERT\s+INTO\s+LAKE\s+'([^']+)'\s+(.+?)\s*;?""".r
   private val DeleteLakeRe =
     """(?is)DELETE\s+FROM\s+LAKE\s+'([^']+)'\s+WHERE\s+(.+?)\s*;?""".r
   private val UpdateLakeRe =
@@ -299,6 +303,26 @@ object GraftSqlParser {
     override def run(spark: SparkSession): Seq[Row] = {
       val t = graft.sources.SnapshotTable.forPath(spark, dir)
       val v = if (orderBy.isEmpty) t.compact(nFiles) else t.compactSorted(orderBy, nFiles)
+      Seq(Row(v.toString, nFiles.toString))
+    }
+  }
+
+  /** INSERT INTO LAKE: append as one atomic commit, inheriting the
+    * table's layout — the last commit's partition transforms and stats
+    * columns apply to the new batch, so SQL appends keep a partitioned
+    * table partitioned (sticky layout, Iceberg's write-spec model). */
+  case class InsertLakeCommand(dir: String, querySql: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("version", "n_files")
+    override def run(spark: SparkSession): Seq[Row] = {
+      val t = graft.sources.SnapshotTable.forPath(spark, dir)
+      val df = spark.sql(querySql)
+      val last = t.commits.lastOption
+      val v = t.appendPartitioned(df,
+        last.map(_.partitionSpec).getOrElse(Nil),
+        last.map(_.statsCols).getOrElse(Nil))
+      // report the commit's file count, not a row count — a count() here
+      // would re-execute the whole SELECT a second time
+      val nFiles = t.commits.lastOption.map(_.files.size).getOrElse(0)
       Seq(Row(v.toString, nFiles.toString))
     }
   }

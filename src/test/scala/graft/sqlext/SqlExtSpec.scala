@@ -92,6 +92,28 @@ class SqlExtSpec extends AnyFunSuite {
     assert(err.getMessage.contains("already has commits"))
   }
 
+  test("INSERT INTO LAKE appends and inherits the table's partition layout") {
+    val dir = Files.createTempDirectory("graft_sqlins").toString
+    spark.range(0, 100).select(col("id"), (col("id") % 10).as("k"))
+      .createOrReplaceTempView("ins_src_a")
+    spark.range(100, 160).select(col("id"), (col("id") % 10).as("k"))
+      .createOrReplaceTempView("ins_src_b")
+    spark.sql(s"""CREATE LAKE '$dir' PARTITION BY (bucket(3,k)) STATS (id)
+                 |AS SELECT id, k FROM ins_src_a""".stripMargin)
+    val res = spark.sql(s"INSERT INTO LAKE '$dir' SELECT id, k FROM ins_src_b").collect()
+    assert(res.head.getString(1) == "3") // files added: one per inherited bucket
+    val t = graft.sources.SnapshotTable.forPath(spark, dir)
+    assert(t.latestVersion == 2L)
+    // sticky layout: the append carried the spec + stats forward
+    assert(t.commits.last.partitionSpec == Seq("bucket(3,k)"))
+    assert(t.commits.last.statsCols == Seq("id"))
+    assert(t.read().count() == 160)
+    // 3 bucket files per commit
+    assert(t.snapshot()._1.size == 6)
+    // inherited stats prune: ids 100+ live only in the second commit's files
+    assert(t.scanRange("id", 150, 155).inputFiles.length <= 3)
+  }
+
   test("OPTIMIZE LAKE compacts; ORDER BY variant restores pruning stats") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_sqlopt").toString
