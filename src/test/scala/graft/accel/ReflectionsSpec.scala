@@ -37,6 +37,32 @@ class ReflectionsSpec extends AnyFunSuite {
     Reflections.clear()
   }
 
+  test("reflection accelerates an aggregate over a lake-table scan") {
+    import spark.implicits._
+    Reflections.clear()
+    Reflections.install(spark)
+    val lakeDir = Files.createTempDirectory("graft_refl_lake").toString
+    graft.sources.SnapshotTable.create(spark, lakeDir,
+      spark.range(0, 1000).select(col("id"), (col("id") % 7).as("k"),
+        (col("id") * 2).as("v")).toDF())
+    val lake = graft.sources.SnapshotTable.forPath(spark, lakeDir)
+    def q() = lake.read().groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    val mvDir = Files.createTempDirectory("graft_refl_lake_mv").toString
+    val cold = q().orderBy("k").as[(Long, Long, Long)].collect().toSeq
+    Reflections.create("r_lake_agg", q(), s"$mvDir/r_lake_agg")
+    val planStr = q().queryExecution.sparkPlan.toString
+    assert(planStr.contains("r_lake_agg"), s"no substitution over lake scan:\n$planStr")
+    val hot = q().orderBy("k").as[(Long, Long, Long)].collect().toSeq
+    assert(cold == hot)
+    // projection subsumption over the lake reflection also serves from the MV
+    val rollPlan = lake.read().groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .queryExecution.sparkPlan.toString
+    assert(rollPlan.contains("r_lake_agg"),
+      s"agg-subset query not served from the lake reflection:\n$rollPlan")
+    Reflections.clear()
+  }
+
   test("substitution survives operators stacked on top") {
     Reflections.clear()
     Reflections.install(spark)
