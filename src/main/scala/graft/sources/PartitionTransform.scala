@@ -108,7 +108,12 @@ object PartitionTransform {
     def column(c: Column): Column = substring(c, 1, w)
     def literal(l: Literal): Option[Literal] = l.value match {
       case s: UTF8String =>
-        Some(Literal(UTF8String.fromString(s.toString.take(w)), StringType))
+        // count CODEPOINTS like SQL substring does — String.take(w) counts
+        // UTF-16 units and would disagree on non-BMP text (emoji), making
+        // the prune-side prefix wrong
+        val str = s.toString
+        val cut = str.offsetByCodePoints(0, math.min(w, str.codePointCount(0, str.length)))
+        Some(Literal(UTF8String.fromString(str.substring(0, cut)), StringType))
       case _ => None
     }
     def monotonic = true
