@@ -161,6 +161,15 @@ object LakeFileIndex {
         vs.exists(v => eqCheck(a, v.asInstanceOf[Literal]))
       case InSet(a: AttributeReference, vs) =>
         vs.exists(v => eqCheck(a, Literal.create(v, a.dataType)))
+      // LIKE 'p%' — strings with prefix p form the interval [p, succ(p)):
+      // keep iff the file's max reaches p AND the min's own |p|-codepoint
+      // prefix does not already exceed p
+      case StartsWith(a: AttributeReference, Literal(p: UTF8String, StringType)) =>
+        statBound(a).forall { case (mn, mx) =>
+          val mnU = UTF8String.fromString(mn)
+          UTF8String.fromString(mx).compareTo(p) >= 0 &&
+            mnU.substring(0, p.numChars).compareTo(p) <= 0
+        }
       // IsNull/IsNotNull/Not/functions/casts: no null counts in the manifest
       // and no interval algebra for arbitrary exprs — keep the file
       case _ => true
@@ -169,7 +178,9 @@ object LakeFileIndex {
 
   /** Compare a manifest stat string against a literal. None → incomparable
     * (caller keeps the file). Numeric columns compare as doubles; string
-    * columns lexically (manifest stats for strings ARE the string values).
+    * columns in BINARY UTF-8 order — the ordering Spark's min/max used to
+    * produce the stats (Java String.compareTo is UTF-16 order, which
+    * disagrees above the BMP and would mis-prune emoji-bearing columns).
     * Date/timestamp/etc literals carry internal encodings that don't match
     * the manifest's display strings, so they are left incomparable. */
   private def cmp(stat: String, l: Literal, dt: Option[DataType]): Option[Int] = {
@@ -178,7 +189,8 @@ object LakeFileIndex {
       catch { case _: NumberFormatException => None }
     l.value match {
       case null => None
-      case s: UTF8String if dt.contains(StringType) => Some(stat.compareTo(s.toString))
+      case s: UTF8String if dt.contains(StringType) =>
+        Some(UTF8String.fromString(stat).compareTo(s))
       case d: org.apache.spark.sql.types.Decimal => num(d.toDouble)
       case n: java.lang.Number => num(n.doubleValue())
       case _ => None

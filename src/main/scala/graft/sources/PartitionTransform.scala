@@ -150,6 +150,23 @@ object PartitionTransform {
     def monotonic = true
   }
 
+  /** Hours since epoch (floor) — the finest Iceberg time transform, for
+    * event streams where a day is still too coarse. Double arithmetic on
+    * the write side is exact here: epoch seconds ≪ 2^53 and the relative
+    * error is orders below the 1/3600 floor-boundary gap. */
+  final case class HourT(srcCol: String) extends PartitionTransform {
+    val repr = s"hour($srcCol)"
+    def column(c: Column): Column = // via timestamp so DATE inputs work too
+      floor(c.cast(TimestampType).cast(DoubleType) / lit(3600.0)).cast(LongType)
+    def literal(l: Literal): Option[Literal] = l.dataType match {
+      case TimestampType | TimestampNTZType =>
+        Some(Literal(Math.floorDiv(l.value.asInstanceOf[Long], 3600000000L)))
+      case DateType => Some(Literal(l.value.asInstanceOf[Int].toLong * 24L))
+      case _ => None
+    }
+    def monotonic = true
+  }
+
   /** Same transform over a renamed source column (identity if no match). */
   def rename(t: PartitionTransform, oldName: String, newName: String): PartitionTransform =
     if (!t.srcCol.equalsIgnoreCase(oldName)) t
@@ -161,6 +178,7 @@ object PartitionTransform {
       case YearT(_) => YearT(newName)
       case MonthT(_) => MonthT(newName)
       case DayT(_) => DayT(newName)
+      case HourT(_) => HourT(newName)
     }
 
   private val Re = """(\w+)\s*\(\s*(?:(\d+)\s*,\s*)?([\w.]+)\s*\)""".r
@@ -176,8 +194,10 @@ object PartitionTransform {
     case Re("year", null, c) => YearT(c)
     case Re("month", null, c) => MonthT(c)
     case Re("day", null, c) => DayT(c)
+    case Re("hour", null, c) => HourT(c)
     case other => throw new IllegalArgumentException(
       s"unknown partition transform: '$other' (supported: identity(c), " +
-        "bucket(n,c), truncate(w,c), truncate_str(w,c), year(c), month(c), day(c))")
+        "bucket(n,c), truncate(w,c), truncate_str(w,c), year(c), month(c), " +
+        "day(c), hour(c))")
   }
 }

@@ -75,12 +75,13 @@ class PartitionTransformSpec extends AnyFunSuite {
     }
   }
 
-  test("year/month/day: timestamp columns agree with micros literals (UTC)") {
+  test("year/month/day/hour: timestamp columns agree with micros literals (UTC)") {
     val instants = Seq("1969-07-20T20:17:00Z", "1970-01-01T00:00:00Z",
-      "1994-03-15T23:59:59Z", "2024-02-29T12:00:00Z")
+      "1994-03-15T23:59:59Z", "2024-02-29T12:00:00Z", "2024-06-01T00:59:59.5Z",
+      "2024-06-01T01:00:00Z")
       .map(java.time.Instant.parse)
     val df = instants.toDF("v")
-    for (spec <- Seq("year(v)", "month(v)", "day(v)")) {
+    for (spec <- Seq("year(v)", "month(v)", "day(v)", "hour(v)")) {
       val t = PartitionTransform.parse(spec)
       writeSide(t, df).zip(instants).foreach { case (w, i) =>
         val micros = i.getEpochSecond * 1000000L + i.getNano / 1000L
@@ -88,14 +89,20 @@ class PartitionTransformSpec extends AnyFunSuite {
           s"$spec mismatch for $i")
       }
     }
+    // hour over a DATE column maps through midnight (days * 24)
+    val hd = PartitionTransform.parse("hour(v)")
+    val dateDf = Seq(java.sql.Date.valueOf("1994-03-15")).toDF("v")
+    val d = java.time.LocalDate.parse("1994-03-15").toEpochDay
+    assert(writeSide(hd, dateDf) == Seq(d * 24L))
+    assert(litSide(hd, Literal(d.toInt, DateType)) == d * 24L)
   }
 
   test("identity: literal passes through; parse round-trips every repr") {
     val t = PartitionTransform.parse("identity(v)")
     assert(litSide(t, Literal(42L)) == 42L)
     for (s <- Seq("identity(c)", "bucket(16,c)", "truncate(10,c)",
-      "truncate_str(4,c)", "year(c)", "month(c)", "day(c)"))
+      "truncate_str(4,c)", "year(c)", "month(c)", "day(c)", "hour(c)"))
       assert(PartitionTransform.parse(s).repr == s)
-    intercept[IllegalArgumentException](PartitionTransform.parse("hour(c)"))
+    intercept[IllegalArgumentException](PartitionTransform.parse("minute(c)"))
   }
 }

@@ -329,6 +329,18 @@ class SnapshotTableSpec extends AnyFunSuite {
     // string stats compare lexically
     assert(may(EqualTo(name, Literal("banana"))))
     assert(!may(EqualTo(name, Literal("zebra"))))
+    // LIKE 'p%' prunes through the prefix interval [p, succ(p))
+    assert(may(StartsWith(name, Literal("ma"))))     // mango starts with ma
+    assert(may(StartsWith(name, Literal("b"))))      // b* fits inside [apple, mango]
+    assert(!may(StartsWith(name, Literal("z"))))     // beyond max
+    assert(!may(StartsWith(name, Literal("aa"))))    // min's prefix 'ap' > 'aa'
+    assert(may(StartsWith(name, Literal("apple pie")))) // min <= p <= max
+    // string order is binary UTF-8 (Spark's), not UTF-16: U+1D11E (surrogate
+    // pair) sorts ABOVE U+FFFD in UTF-8; a UTF-16 compare would invert it
+    val uStats = Map("name" -> ("�", "𝄞"))
+    def mayU(e: Expression): Boolean = LakeFileIndex.mayMatch(uStats, types, e)
+    assert(mayU(EqualTo(name, Literal("𝄞"))),
+      "supplementary-plane max must keep its own value under binary order")
     // unknown shapes keep the file (pruning must stay a superset)
     assert(may(IsNull(id)))
     assert(may(EqualTo(Cast(id, SStr), Literal("150"))))
