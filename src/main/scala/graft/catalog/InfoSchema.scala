@@ -1,17 +1,43 @@
 package graft.catalog
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{BaseRelation, TableScan}
+import org.apache.spark.sql.types._
 
 /** INFORMATION_SCHEMA + sys.* introspection tables (reference:
   * `exec/store/ischema/InfoSchemaGroupScan.java` and
   * `exec/store/sys/SystemGroupScan.java`).
   *
-  * Built as plain DataFrames over the session catalog / status tracker and
-  * registered as `information_schema_*` / `sys_*` temp views (Spark temp
-  * views cannot carry a dotted schema prefix).
+  * Registered as `information_schema_*` / `sys_*` temp views (Spark temp
+  * views cannot carry a dotted schema prefix). The mutable-registry views
+  * (`sys_queries`, `sys_reflections`, `sys_pipes`, `sys_options`,
+  * `sys_nodes`) are LIVE: the temp view holds a [[LiveRelation]] whose
+  * `buildScan` re-reads the backing registry every time a query over the
+  * view is planned — `SELECT * FROM sys_queries` after running work shows
+  * that work, with no re-register. The catalog-shaped views
+  * (`information_schema_tables`/`columns`, `sys_functions`) stay
+  * point-in-time snapshots: their rows come from catalog Datasets whose
+  * collection cannot safely run inside another query's planning.
   */
 object InfoSchema {
+
+  /** A view whose rows are re-materialized from a driver-side registry on
+    * every scan. The thunk must be cheap and must NOT execute a Spark
+    * query (it runs during the outer query's planning). */
+  private final class LiveRelation(
+      spark: SparkSession,
+      override val schema: StructType,
+      rows: () => Seq[Row]) extends BaseRelation with TableScan {
+    override def sqlContext: org.apache.spark.sql.SQLContext = spark.sqlContext
+    override def buildScan(): RDD[Row] =
+      spark.sparkContext.parallelize(rows(), numSlices = 1)
+  }
+
+  private def live(spark: SparkSession, schema: StructType,
+                   rows: () => Seq[Row]): DataFrame =
+    spark.baseRelationToDataFrame(new LiveRelation(spark, schema, rows))
 
   def tables(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -35,35 +61,40 @@ object InfoSchema {
       "is_nullable", "is_partition")
   }
 
-  def sysOptions(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    spark.conf.getAll.toSeq.sortBy(_._1).toDF("name", "value")
-  }
+  def sysOptions(spark: SparkSession): DataFrame =
+    live(spark, StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("value", StringType, nullable = true))),
+      () => spark.conf.getAll.toSeq.sortBy(_._1).map(kv => Row(kv._1, kv._2)))
 
-  def sysNodes(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    val sc = spark.sparkContext
-    sc.statusTracker.getExecutorInfos.toSeq
-      .map(e => (e.host(), e.port(), e.numRunningTasks()))
-      .toDF("host", "port", "running_tasks")
-  }
+  def sysNodes(spark: SparkSession): DataFrame =
+    live(spark, StructType(Seq(
+      StructField("host", StringType, nullable = false),
+      StructField("port", IntegerType, nullable = false),
+      StructField("running_tasks", IntegerType, nullable = false))),
+      () => spark.sparkContext.statusTracker.getExecutorInfos.toSeq
+        .map(e => Row(e.host(), e.port(), e.numRunningTasks())))
 
   /** sys.reflections (reference `sys.reflections` over ReflectionManager
     * state): the registered materializations and their fingerprints. */
-  def sysReflections(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    graft.accel.Reflections.list
-      .map(r => (r.name, r.fingerprint, r.path))
-      .toDF("name", "fingerprint", "path")
-  }
+  def sysReflections(spark: SparkSession): DataFrame =
+    live(spark, StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("fingerprint", StringType, nullable = false),
+      StructField("path", StringType, nullable = false))),
+      () => graft.accel.Reflections.list
+        .map(r => Row(r.name, r.fingerprint, r.path)))
 
   /** sys.pipes (reference `sys."pipes"` over the pipe registry). */
-  def sysPipes(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    graft.streaming.Pipes.list
-      .map(p => (p.name, p.sourceDir, p.format, p.targetDir, p.checkpointDir))
-      .toDF("name", "source", "format", "target", "checkpoint")
-  }
+  def sysPipes(spark: SparkSession): DataFrame =
+    live(spark, StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("source", StringType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("target", StringType, nullable = false),
+      StructField("checkpoint", StringType, nullable = false))),
+      () => graft.streaming.Pipes.list
+        .map(p => Row(p.name, p.sourceDir, p.format, p.targetDir, p.checkpointDir)))
 
   /** sys.functions (reference FunctionImplementationRegistry surface):
     * every function callable in this session. */
@@ -76,15 +107,23 @@ object InfoSchema {
 
   /** sys.queries (reference jobs service / query profiles —
     * `services/jobs`): the session's completed query actions with duration
-    * and execution metrics, most recent first. */
-  def sysQueries(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    QueryHistory.records
-      .map(r => (r.id, r.action, r.status, r.durationMs, r.outputRows,
-        r.shuffleBytes, r.error, r.plan, r.tsMs))
-      .toDF("id", "action", "status", "duration_ms", "output_rows",
-        "shuffle_bytes", "error", "plan_root", "timestamp_ms")
-  }
+    * and execution metrics, most recent first. Live: each scan re-reads
+    * the history ring, so the view registered at attach() time reflects
+    * every query run since. */
+  def sysQueries(spark: SparkSession): DataFrame =
+    live(spark, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("action", StringType, nullable = false),
+      StructField("status", StringType, nullable = false),
+      StructField("duration_ms", DoubleType, nullable = false),
+      StructField("output_rows", LongType, nullable = false),
+      StructField("shuffle_bytes", LongType, nullable = false),
+      StructField("error", StringType, nullable = false),
+      StructField("plan_root", StringType, nullable = false),
+      StructField("timestamp_ms", LongType, nullable = false))),
+      () => QueryHistory.records
+        .map(r => Row(r.id, r.action, r.status, r.durationMs, r.outputRows,
+          r.shuffleBytes, r.error, r.plan, r.tsMs)))
 
   /** Register all introspection views (and start recording query history
     * for this session, if not already). */

@@ -56,15 +56,15 @@ object QueryHistory {
       push(funcName, qe, 0L, Some(ex))
   }
 
-  /** Final physical plan, descending through AQE wrappers so metrics
-    * reflect what actually ran. */
-  private def finalPlans(p: SparkPlan): Seq[SparkPlan] = {
-    val self = p match {
-      case a: AdaptiveSparkPlanExec => finalPlans(a.executedPlan)
-      case s: QueryStageExec => finalPlans(s.plan)
-      case other => Seq(other)
-    }
-    self ++ self.flatMap(_.children.flatMap(finalPlans))
+  /** Final physical plan nodes, descending through AQE wrappers so metrics
+    * reflect what actually ran. Each node appears exactly once: an AQE /
+    * query-stage wrapper is REPLACED by its executed subtree (not emitted
+    * and then re-expanded), so summing a metric over the result never
+    * double-counts a stage. */
+  private[catalog] def finalPlans(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => finalPlans(a.executedPlan)
+    case s: QueryStageExec => finalPlans(s.plan)
+    case other => other +: other.children.flatMap(finalPlans)
   }
 
   private def push(action: String, qe: QueryExecution,

@@ -177,22 +177,32 @@ object LakeFileIndex {
   }
 
   /** Compare a manifest stat string against a literal. None → incomparable
-    * (caller keeps the file). Numeric columns compare as doubles; string
-    * columns in BINARY UTF-8 order — the ordering Spark's min/max used to
-    * produce the stats (Java String.compareTo is UTF-16 order, which
-    * disagrees above the BMP and would mis-prune emoji-bearing columns).
-    * Date/timestamp/etc literals carry internal encodings that don't match
-    * the manifest's display strings, so they are left incomparable. */
+    * (caller keeps the file). Numeric columns compare exactly as
+    * BigDecimal — a double round-trip collides distinct longs >= 2^53
+    * (e.g. snowflake ids), and a collision on a strict bound would prune a
+    * file that still holds matches; since copyOnWrite reuses mayMatch to
+    * pick DML rewrite files, that would silently skip rows permanently.
+    * String columns compare in BINARY UTF-8 order — the ordering Spark's
+    * min/max used to produce the stats (Java String.compareTo is UTF-16
+    * order, which disagrees above the BMP and would mis-prune
+    * emoji-bearing columns). Date/timestamp/etc literals carry internal
+    * encodings that don't match the manifest's display strings, so they
+    * are left incomparable ("NaN"/"Infinity" stats also fall out here and
+    * keep the file). */
   private def cmp(stat: String, l: Literal, dt: Option[DataType]): Option[Int] = {
-    def num(litVal: Double): Option[Int] =
-      try Some(java.lang.Double.compare(stat.toDouble, litVal))
+    def num(litVal: BigDecimal): Option[Int] =
+      try Some(BigDecimal(stat.trim).compare(litVal))
       catch { case _: NumberFormatException => None }
     l.value match {
       case null => None
       case s: UTF8String if dt.contains(StringType) =>
         Some(UTF8String.fromString(stat).compareTo(s))
-      case d: org.apache.spark.sql.types.Decimal => num(d.toDouble)
-      case n: java.lang.Number => num(n.doubleValue())
+      case d: org.apache.spark.sql.types.Decimal => num(d.toBigDecimal)
+      case n @ (_: java.lang.Byte | _: java.lang.Short |
+                _: java.lang.Integer | _: java.lang.Long) =>
+        num(BigDecimal(n.asInstanceOf[java.lang.Number].longValue()))
+      case f: java.lang.Float => num(BigDecimal.decimal(f.floatValue()))
+      case n: java.lang.Number => num(BigDecimal.decimal(n.doubleValue()))
       case _ => None
     }
   }

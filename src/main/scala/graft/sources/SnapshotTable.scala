@@ -360,9 +360,23 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     * (reference row-level DML inherits exactly this from Iceberg). Renamed
     * tables fall back to the full rewrite (carried files must share the
     * current column identity for their stats/ids to stay valid). */
+  /** Table-level physical layout (partition spec, stats columns) in force:
+    * inherited from the LATEST commit that declared each, not just the head
+    * commit — a plain append records neither, and reading only `log.last`
+    * would let one un-specced append permanently strip partitioning and
+    * stats from every later INSERT INTO LAKE / DML rewrite (Iceberg keeps
+    * the write spec as table metadata for the same reason). */
+  private def effectiveLayoutOf(log: Seq[LakeCommit]): (Seq[String], Seq[String]) = (
+    log.reverseIterator.find(_.partitionSpec.nonEmpty).map(_.partitionSpec).getOrElse(Nil),
+    log.reverseIterator.find(_.statsCols.nonEmpty).map(_.statsCols).getOrElse(Nil))
+
+  /** Public view of the effective layout, for SQL-surface writers. */
+  def effectiveLayout: (Seq[String], Seq[String]) = effectiveLayoutOf(commits)
+
   private def copyOnWrite(transform: DataFrame => DataFrame,
                           extraStatsCols: Seq[String] = Nil,
-                          touch: Option[org.apache.spark.sql.Column] = None): Long = {
+                          touch: Option[org.apache.spark.sql.Column] = None,
+                          sortCols: Seq[String] = Nil): Long = {
     // generous budget: each retry requires a conflicting commit to have
     // actually landed (system-wide progress), so this bounds pathological
     // append storms, not steady state — one conflict costs one recompute
@@ -397,14 +411,16 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       // Columns no longer present (e.g. renamed since the spec was written)
       // are dropped from the carried-forward layout rather than failing.
       val have = rewritten.columns.map(_.toLowerCase).toSet
-      val spec = log.last.partitionSpec
+      val (effSpec, effStats) = effectiveLayoutOf(log)
+      val spec = effSpec
         .flatMap(s => scala.util.Try(PartitionTransform.parse(s)).toOption)
         .filter(t => have(t.srcCol.toLowerCase))
-      val stCols = (log.last.statsCols ++ extraStatsCols).distinct
+      val stCols = (effStats ++ extraStatsCols).distinct
         .filter(c => have(c.toLowerCase))
       val carryRel = carried.map(e =>
         (e.path.stripPrefix(s"$dir/"), e.stats))
-      try return commit(rewritten, "overwrite", stCols, "", Some(base), spec, carryRel)
+      try return commit(rewritten, "overwrite", stCols, "", Some(base), spec, carryRel,
+        sortCols.filter(c => have(c.toLowerCase)))
       catch {
         case e: java.util.ConcurrentModificationException =>
           attempt += 1
@@ -600,7 +616,11 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     copyOnWrite(df =>
       df.repartitionByRange(math.max(1, numFiles), cols.map(col): _*)
         .sortWithinPartitions(cols.map(col): _*),
-      extraStatsCols = cols)
+      extraStatsCols = cols,
+      // on a partitioned table commit() re-shuffles by partition tuple,
+      // which would discard this clustering — thread the sort columns so
+      // the write re-sorts within each partition
+      sortCols = cols)
   }
 
   /** Remove data files referenced by NO retained snapshot (the last
@@ -675,10 +695,14 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       // layout metadata follows the rename: the spec/statsCols now name the
       // NEW column, so carried-forward rewrites keep partitioning; files
       // already on disk keep pruning through their own (old-name) commits
-      val newSpec = last.partitionSpec.map(s =>
+      // rename re-declares the EFFECTIVE layout (not just the head commit's,
+      // which a plain append may have left empty) under the new name, so
+      // inheritance keeps working across the rename
+      val (effSpec, effStats) = effectiveLayoutOf(log)
+      val newSpec = effSpec.map(s =>
         scala.util.Try(PartitionTransform.rename(PartitionTransform.parse(s),
           oldName, newName).repr).getOrElse(s))
-      val newStatsCols = last.statsCols.map(c => if (c == oldName) newName else c)
+      val newStatsCols = effStats.map(c => if (c == oldName) newName else c)
       publish(last.version + 1, "append", Nil, Map.empty, "",
         newSchema.toDDL, last.timestampMs, log, newIds, newSpec, newStatsCols)
     }
@@ -717,7 +741,10 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
                      partitionBy: Seq[PartitionTransform] = Nil,
                      // already-committed files carried into this snapshot by
                      // reference (partial rewrites): (relative path, stats)
-                     carryFiles: Seq[(String, Map[String, (String, String)])] = Nil): Long = {
+                     carryFiles: Seq[(String, Map[String, (String, String)])] = Nil,
+                     // cluster rows by these columns INSIDE each partition
+                     // (OPTIMIZE ... ORDER BY on a partitioned table)
+                     sortCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     val sub = "data-" + java.util.UUID.randomUUID().toString.take(8)
     if (partitionBy.isEmpty) df.write.parquet(s"$dir/$sub")
@@ -732,10 +759,16 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       // cluster rows by partition tuple before the write (Iceberg's hash
       // write-distribution): each tuple lands in ONE task, so a commit adds
       // one file per partition value, not one per (task × value)
-      df.select(col("*") +: partCols: _*)
+      val distributed = df.select(col("*") +: partCols: _*)
         .repartition(names.map(col): _*)
-        .write.partitionBy(names: _*)
-        .parquet(s"$dir/$sub")
+      // the partition shuffle destroys any upstream ordering; re-sort each
+      // write task by (partition tuple, sort cols) so a requested ORDER BY
+      // clusters rows inside each partition's file — tight parquet
+      // row-group stats, not just tight files
+      val clustered =
+        if (sortCols.isEmpty) distributed
+        else distributed.sortWithinPartitions((names ++ sortCols).map(col): _*)
+      clustered.write.partitionBy(names: _*).parquet(s"$dir/$sub")
     }
     val dataDir = Paths.get(dir, sub)
     val files = { // recursive: partitioned commits nest dirs per value

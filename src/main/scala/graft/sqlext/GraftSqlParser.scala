@@ -308,18 +308,17 @@ object GraftSqlParser {
   }
 
   /** INSERT INTO LAKE: append as one atomic commit, inheriting the
-    * table's layout — the last commit's partition transforms and stats
-    * columns apply to the new batch, so SQL appends keep a partitioned
-    * table partitioned (sticky layout, Iceberg's write-spec model). */
+    * table's EFFECTIVE layout — the latest declared partition transforms
+    * and stats columns apply to the new batch, so SQL appends keep a
+    * partitioned table partitioned even after a plain (layout-less) append
+    * commit (sticky layout, Iceberg's write-spec model). */
   case class InsertLakeCommand(dir: String, querySql: String) extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("version", "n_files")
     override def run(spark: SparkSession): Seq[Row] = {
       val t = graft.sources.SnapshotTable.forPath(spark, dir)
       val df = spark.sql(querySql)
-      val last = t.commits.lastOption
-      val v = t.appendPartitioned(df,
-        last.map(_.partitionSpec).getOrElse(Nil),
-        last.map(_.statsCols).getOrElse(Nil))
+      val (spec, statsCols) = t.effectiveLayout
+      val v = t.appendPartitioned(df, spec, statsCols)
       // report the commit's file count, not a row count — a count() here
       // would re-execute the whole SELECT a second time
       val nFiles = t.commits.lastOption.map(_.files.size).getOrElse(0)

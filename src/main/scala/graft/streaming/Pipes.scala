@@ -130,8 +130,14 @@ object Pipes {
     * batches after checkpoint recovery are absorbed by the commit's
     * idempotency tag — exactly-once end to end: the file-source log dedups
     * input files, the tagged commit dedups output batches. */
-  def triggerIntoLake(spark: SparkSession, pipe: Pipe): Long =
-    triggerIntoLake(spark, pipe, Nil, Nil)
+  def triggerIntoLake(spark: SparkSession, pipe: Pipe): Long = {
+    // inherit the target table's effective layout (sticky spec): a pipe
+    // feeding a partitioned table keeps it partitioned instead of landing
+    // layout-less commits that would degrade pruning
+    val (spec, statsCols) =
+      graft.sources.SnapshotTable.forPath(spark, pipe.targetDir).effectiveLayout
+    triggerIntoLake(spark, pipe, spec, statsCols)
+  }
 
   /** Partitioned variant: each micro-batch lands as one atomic append
     * commit clustered by the table's partition transforms (the realistic

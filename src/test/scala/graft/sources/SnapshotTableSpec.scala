@@ -348,6 +348,40 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(may(EqualTo(AttributeReference("other", IntegerType)(), Literal(5))))
   }
 
+  test("manifest-prune evaluator: long stats >= 2^53 compare exactly, not as doubles") {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.LongType
+    // 2^53 and 2^53+1 collide after a double round-trip; a strict bound on
+    // the collision must NOT prune the file (copyOnWrite reuses this to
+    // pick DML rewrite files, so a mis-prune would silently skip rows)
+    val two53 = 9007199254740992L
+    val stats = Map("id" -> ((two53 + 1).toString, (two53 + 1).toString))
+    val types = Map("id" -> (LongType: org.apache.spark.sql.types.DataType))
+    val id = AttributeReference("id", LongType)()
+    def may(e: Expression): Boolean = LakeFileIndex.mayMatch(stats, types, e)
+    // file holds 2^53+1; predicate id > 2^53 matches it — as doubles the
+    // stat and literal tie and the strict compare used to drop the file
+    assert(may(GreaterThan(id, Literal(two53))),
+      "strict > on a double-rounding tie must keep the file")
+    assert(may(EqualTo(id, Literal(two53 + 1))))
+    // exact compare also prunes what doubles could not distinguish
+    assert(!may(EqualTo(id, Literal(two53))),
+      "equality on the adjacent long must prune under exact comparison")
+    assert(!may(GreaterThan(id, Literal(two53 + 1))))
+    assert(may(GreaterThanOrEqual(id, Literal(two53 + 1))))
+    // decimal literals share the exact path
+    val decStats = Map("d" -> ("123456789012345678.99", "123456789012345679.01"))
+    val dTypes = Map("d" -> (org.apache.spark.sql.types.DecimalType(38, 2):
+      org.apache.spark.sql.types.DataType))
+    val d = AttributeReference("d", org.apache.spark.sql.types.DecimalType(38, 2))()
+    val dec = org.apache.spark.sql.types.Decimal("123456789012345679.00")
+    assert(LakeFileIndex.mayMatch(decStats, dTypes,
+      EqualTo(d, Literal.create(dec, org.apache.spark.sql.types.DecimalType(38, 2)))))
+    val decBelow = org.apache.spark.sql.types.Decimal("123456789012345678.98")
+    assert(!LakeFileIndex.mayMatch(decStats, dTypes,
+      EqualTo(d, Literal.create(decBelow, org.apache.spark.sql.types.DecimalType(38, 2)))))
+  }
+
   test("partition transforms: month + bucket prune partitions from plain SQL") {
     val dir = fresh("lake_part")
     val t = SnapshotTable.forPath(spark, dir)

@@ -139,6 +139,51 @@ class SqlExtSpec extends AnyFunSuite {
     assert(spark.sql(s"DESCRIBE LAKE '$dir'").columns.contains("partition_spec"))
   }
 
+  test("sticky layout survives a plain layout-less append") {
+    val dir = Files.createTempDirectory("graft_sqlsticky").toString
+    spark.range(0, 90).select(col("id"), (col("id") % 3).as("k"))
+      .createOrReplaceTempView("sticky_src")
+    spark.sql(s"""CREATE LAKE '$dir' PARTITION BY (bucket(3,k)) STATS (id)
+                 |AS SELECT id, k FROM sticky_src""".stripMargin)
+    val t = graft.sources.SnapshotTable.forPath(spark, dir)
+    // a plain append records no layout — the head commit's spec is empty
+    t.append(spark.range(90, 120).select(col("id"), (col("id") % 3).as("k")).toDF())
+    assert(t.commits.last.partitionSpec.isEmpty)
+    // but the table-level layout must still be in force for later writers
+    assert(t.effectiveLayout == (Seq("bucket(3,k)"), Seq("id")))
+    // INSERT INTO LAKE inherits it (not the head commit's empty spec)
+    spark.range(120, 150).select(col("id"), (col("id") % 3).as("k"))
+      .createOrReplaceTempView("sticky_src_2")
+    spark.sql(s"INSERT INTO LAKE '$dir' SELECT id, k FROM sticky_src_2")
+    assert(t.commits.last.partitionSpec == Seq("bucket(3,k)"))
+    assert(t.commits.last.statsCols == Seq("id"))
+    // and copy-on-write DML re-partitions by it too
+    spark.sql(s"DELETE FROM LAKE '$dir' WHERE id = 5")
+    assert(t.commits.last.partitionSpec == Seq("bucket(3,k)"))
+    assert(t.read().count() == 149)
+  }
+
+  test("OPTIMIZE ... ORDER BY clusters rows inside each partition's file") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sqloptpart").toString
+    val t = graft.sources.SnapshotTable.forPath(spark, dir)
+    // partitioned table fed with shuffled row order
+    val df = spark.range(0, 300)
+      .select(col("id"), (col("id") % 3).as("k"), (lit(299) - col("id")).as("x"))
+      .orderBy(org.apache.spark.sql.functions.rand(7)).toDF()
+    t.appendPartitioned(df, Seq("identity(k)"))
+    spark.sql(s"OPTIMIZE LAKE '$dir' ORDER BY x INTO 3 FILES")
+    val (files, _) = t.snapshot()
+    assert(files.size == 3, s"one file per k partition, got ${files.size}")
+    // the documented contract: rows are sorted by x WITHIN each file, so
+    // parquet row-group stats on x are tight (not just per-file ranges)
+    files.foreach { f =>
+      val xs = spark.read.parquet(f).select("x").as[Long].collect().toSeq
+      assert(xs == xs.sorted, s"rows in $f not clustered by x")
+    }
+    assert(t.read().count() == 300)
+  }
+
   test("DELETE FROM LAKE and UPDATE LAKE run copy-on-write DML through SQL") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_sqldml").toString
