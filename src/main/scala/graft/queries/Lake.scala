@@ -56,6 +56,91 @@ object Lake {
       UNION ALL SELECT * FROM ins) m
     ORDER BY c_custkey"""
 
+  /** ANSI clause MERGE through SQL (reference SqlMergeIntoTable /
+    * Iceberg copy-on-write MERGE): one statement deletes matched
+    * negative-delta customers, adds the delta to the rest of the matched
+    * set, and inserts the unmatched rows — first-clause-wins semantics,
+    * hash-gated against DuckDB. */
+  val lakeMergeClauses: QueryFn = (s, dir) => {
+    val t = Tables.ensure(s, dir)
+    val base = t.customer
+      .select(col("c_custkey"), col("c_name"), dbl(money(col("c_acctbal"))).as("bal"))
+    // matched rows carry the clause selector in bal: %10 keys go negative
+    // (delete), the rest of the %5 keys carry +10 (update adds it)
+    val upd = t.customer.filter(col("c_custkey") % 5 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        when(col("c_custkey") % 10 === 0, lit(-1.0)).otherwise(lit(10.0)).as("bal"))
+    val ins = t.customer.filter(col("c_custkey") <= 30)
+      .select((col("c_custkey") + 20000000L).as("c_custkey"), col("c_name"),
+        dbl(money(col("c_acctbal"))).as("bal"))
+    val lakeDir = Files.createTempDirectory("graft_lake_clauses").toString
+    SnapshotTable.create(s, lakeDir, base)
+    upd.unionByName(ins).createOrReplaceTempView("lake_clause_delta")
+    s.sql(
+      s"""MERGE INTO LAKE '$lakeDir' ON c_custkey
+         |USING (SELECT * FROM lake_clause_delta)
+         |WHEN MATCHED AND s.bal < 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET bal =
+         |  CAST(CAST(t.bal AS DECIMAL(12,2)) + CAST(s.bal AS DECIMAL(12,2)) AS DOUBLE)
+         |WHEN NOT MATCHED THEN INSERT""".stripMargin)
+    s.sql(s"CREATE LAKE VIEW lake_clause_v FROM '$lakeDir'")
+    s.sql("SELECT c_custkey, c_name, bal FROM lake_clause_v ORDER BY c_custkey")
+  }
+  val lakeMergeClausesSql: String = """
+    WITH base AS (
+      SELECT c_custkey, c_name,
+             CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal
+      FROM customer),
+    merged AS (
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 5 = 0
+                  THEN CAST(CAST(bal AS DECIMAL(12,2)) + CAST(10.0 AS DECIMAL(12,2)) AS DOUBLE)
+                  ELSE bal END AS bal
+      FROM base WHERE c_custkey % 10 <> 0),
+    ins AS (
+      SELECT c_custkey + 20000000 AS c_custkey, c_name,
+             CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal
+      FROM customer WHERE c_custkey <= 30)
+    SELECT c_custkey, c_name, bal FROM (
+      SELECT * FROM merged UNION ALL SELECT * FROM ins) m
+    ORDER BY c_custkey"""
+
+  /** Row-level CDC (SnapshotTable.changesBetween — Delta CDF / Iceberg
+    * changelog surface): DELETE + UPDATE through SQL DML, then read the
+    * change feed across both commits; an update shows as delete(old) +
+    * insert(new), all hash-gated against DuckDB. */
+  val lakeChanges: QueryFn = (s, dir) => {
+    val t = Tables.ensure(s, dir)
+    val base = t.supplier
+      .select(col("s_suppkey"), col("s_nationkey"), dbl(money(col("s_acctbal"))).as("bal"))
+    val lakeDir = Files.createTempDirectory("graft_lake_cdc").toString
+    SnapshotTable.create(s, lakeDir, base)
+    s.sql(s"DELETE FROM LAKE '$lakeDir' WHERE bal < 0")
+    s.sql(s"""UPDATE LAKE '$lakeDir' SET bal =
+             |CAST(CAST(bal AS DECIMAL(12,2)) + 50 AS DOUBLE)
+             |WHERE s_nationkey = 3""".stripMargin)
+    s.sql(s"CREATE LAKE CHANGES VIEW lake_cdc_v FROM '$lakeDir' BETWEEN 1 AND 3")
+    s.sql("""SELECT s_suppkey, s_nationkey, bal, _change_type FROM lake_cdc_v
+            |ORDER BY s_suppkey, _change_type""".stripMargin)
+  }
+  val lakeChangesSql: String = """
+    WITH base AS (
+      SELECT s_suppkey, s_nationkey,
+             CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal
+      FROM supplier)
+    SELECT s_suppkey, s_nationkey, bal, _change_type FROM (
+      SELECT s_suppkey, s_nationkey, bal, 'delete' AS _change_type
+      FROM base WHERE bal < 0
+      UNION ALL
+      SELECT s_suppkey, s_nationkey, bal, 'delete' AS _change_type
+      FROM base WHERE bal >= 0 AND s_nationkey = 3
+      UNION ALL
+      SELECT s_suppkey, s_nationkey,
+             CAST(CAST(bal AS DECIMAL(12,2)) + 50 AS DOUBLE) AS bal,
+             'insert' AS _change_type
+      FROM base WHERE bal >= 0 AND s_nationkey = 3) c
+    ORDER BY s_suppkey, _change_type"""
+
   /** VERSION AS OF: v1 = full nation, v2 overwrites with a filtered set;
     * reading v1 must still return the original rows (time travel). */
   val lakeTimeTravel: QueryFn = (s, dir) => {
@@ -164,6 +249,8 @@ object Lake {
     "lake_partitioned_scan" -> lakePartitionedScan,
     "lake_delete_update" -> lakeDeleteUpdate,
     "lake_merge_by_key" -> lakeMergeByKey,
+    "lake_merge_clauses" -> lakeMergeClauses,
+    "lake_changes" -> lakeChanges,
     "lake_time_travel" -> lakeTimeTravel,
     "lake_incremental_scan" -> lakeIncrementalScan)
 
@@ -172,6 +259,8 @@ object Lake {
     "lake_partitioned_scan" -> lakePartitionedScanSql,
     "lake_delete_update" -> lakeDeleteUpdateSql,
     "lake_merge_by_key" -> lakeMergeByKeySql,
+    "lake_merge_clauses" -> lakeMergeClausesSql,
+    "lake_changes" -> lakeChangesSql,
     "lake_time_travel" -> lakeTimeTravelSql,
     "lake_incremental_scan" -> lakeIncrementalScanSql)
 }

@@ -432,13 +432,22 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
 
   /** Resolve a user condition against the table scan so the prune
     * evaluator sees typed AttributeReferences + literals. None → treat as
-    * "may touch anything" (full rewrite). */
+    * "may touch anything" (full rewrite). Foldable subexpressions are
+    * evaluated to literals: the ANALYZED plan has no constant folding, so
+    * type coercion leaves `id >= 10` (int literal, bigint column) as
+    * `id >= cast(10 as bigint)` — a shape the prune evaluator would treat
+    * as unknown, silently turning every partial rewrite into a full one. */
   private def resolveCond(df: DataFrame,
                           cond: org.apache.spark.sql.Column): Option[
       org.apache.spark.sql.catalyst.expressions.Expression] =
     scala.util.Try {
-      df.filter(cond).queryExecution.analyzed match {
+      import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+      val c = df.filter(cond).queryExecution.analyzed match {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }
+      c.transformUp {
+        case e: Expression if e.foldable && !e.isInstanceOf[Literal] =>
+          Literal.create(e.eval(org.apache.spark.sql.catalyst.InternalRow.empty), e.dataType)
       }
     }.toOption
 
@@ -555,6 +564,128 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
           .unionByName(delta),
         touch = Some(touch))
     } finally delta.unpersist()
+  }
+
+  /** ANSI MERGE with clause semantics (reference SqlMergeIntoTable,
+    * `Parser.tdd:624`; Iceberg copy-on-write MERGE): target rows are
+    * matched to source rows on `key` equality; the FIRST `WHEN MATCHED`
+    * clause (in order) whose condition holds applies UPDATE SET / DELETE
+    * to the pair; a matched row selecting no clause stays unchanged;
+    * source rows matching nothing insert when the `WHEN NOT MATCHED`
+    * clause accepts them. Conditions and SET expressions are SQL text over
+    * aliases `t` (target) and `s` (source), e.g. `"s.bal < t.bal"`.
+    *
+    * Duplicate (non-null) source keys are rejected up front — ANSI MERGE
+    * forbids one target row being updated by several source rows, and
+    * failing deterministically beats nondeterministic clause application.
+    *
+    * Scale shape = mergeByKey's: one conflict-checked copy-on-write
+    * commit whose `touch` predicate is the delta's key span, so only
+    * files that may hold matched keys are rewritten (partial rewrite);
+    * everything else is carried by reference. The insert anti-join runs
+    * against the rewrite subset only, which is sound because every base
+    * row whose key falls inside the span lives in that subset. */
+  def merge(delta: DataFrame, key: String,
+            matched: Seq[SnapshotTable.WhenMatched],
+            notMatched: Option[SnapshotTable.WhenNotMatched]): Long = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{col, expr, lit, max, min, when}
+    import SnapshotTable.{MatchedAction, WhenMatched, WhenNotMatched}
+    require(matched.nonEmpty || notMatched.nonEmpty,
+      "MERGE needs at least one WHEN clause")
+    delta.persist()
+    try {
+      val dup = delta.filter(col(key).isNotNull)
+        .groupBy(col(key)).count()
+        .filter(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"MERGE source has duplicate values of '$key'" +
+          (if (dup.nonEmpty) s" (e.g. ${dup.head.get(0)})" else ""))
+      val mm = delta.agg(min(col(key)).as("lo"), max(col(key)).as("hi")).head()
+      val touch: Column =
+        if (mm.isNullAt(0)) {
+          // no non-null source keys: nothing can match — inserts only
+          if (notMatched.isEmpty) return latestVersion
+          lit(false)
+        } else col(key) >= lit(mm.get(0)) && col(key) <= lit(mm.get(1))
+      copyOnWrite({ base =>
+        val fields = base.schema.fields.toSeq
+        // marker survives the outer join even for all-NULL source rows
+        val src = delta.withColumn("__g_src", lit(true)).alias("s")
+        val joined = base.alias("t")
+          .join(src, col(s"t.`$key`") === col(s"s.`$key`"), "left_outer")
+        val isMatched = col("s.__g_src").isNotNull
+        // first clause (by position) whose condition holds; -1 = keep as-is
+        val sel = matched.zipWithIndex.foldRight(lit(-1)) { case ((wm, i), els) =>
+          when(wm.condSql.map(expr).getOrElse(lit(true)), lit(i)).otherwise(els)
+        }
+        val withAct = joined.withColumn("__g_act",
+          when(isMatched, sel).otherwise(lit(-1)))
+        val deleteIdx = matched.zipWithIndex.collect {
+          case (WhenMatched(_, MatchedAction.Delete), i) => i
+        }
+        val kept = deleteIdx.foldLeft(withAct)((df, i) => df.filter(col("__g_act") =!= i))
+        val projected = fields.map { f =>
+          matched.zipWithIndex.foldRight(col(s"t.`${f.name}`")) { case ((wm, i), els) =>
+            wm.action match {
+              case MatchedAction.Update(sets) =>
+                sets.find(_._1.equalsIgnoreCase(f.name)) match {
+                  case Some((_, e)) => when(col("__g_act") === i, expr(e)).otherwise(els)
+                  case None => els
+                }
+              case MatchedAction.UpdateAll =>
+                when(col("__g_act") === i, col(s"s.`${f.name}`")).otherwise(els)
+              case MatchedAction.Delete => els
+            }
+          }.cast(f.dataType).as(f.name)
+        }
+        val updated = kept.select(projected: _*)
+        notMatched match {
+          case Some(WhenNotMatched(condSql)) =>
+            val ins0 = delta.alias("s").join(
+              base.select(col(key)).distinct().alias("tk"),
+              col(s"s.`$key`") === col(s"tk.`$key`"), "left_anti")
+            val ins = condSql.map(c => ins0.filter(expr(c))).getOrElse(ins0)
+            updated.unionByName(ins.select(
+              fields.map(f => col(s"s.`${f.name}`").cast(f.dataType).as(f.name)): _*))
+          case None => updated
+        }
+      }, touch = Some(touch))
+    } finally delta.unpersist()
+  }
+
+  /** Row-level CDC between two versions at O(changed files): reads ONLY
+    * the data files added or removed in `(fromVersion, toVersion]` and
+    * multiset-diffs them, so unchanged files never leave the manifest and
+    * a partial-rewrite DML's change feed costs O(rewritten files), not
+    * O(table). Returns the table columns plus `_change_type`
+    * ('insert' | 'delete'); an update appears as delete(old row) +
+    * insert(new row). Unlike `changes()` (add-only incremental scan) this
+    * is exact across copy-on-write DML, compaction, and overwrites:
+    * rows a rewrite carried verbatim into new files cancel out of the
+    * multiset diff. (Iceberg's changelog scan / Delta CDF re-expressed as
+    * a file-diff + exceptAll — no change files are ever written.) */
+  def changesBetween(fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(toVersion > fromVersion,
+      s"changesBetween needs fromVersion < toVersion (got $fromVersion, $toVersion)")
+    val fromVis = visibleCommits(Some(fromVersion), None)
+    val toVis = visibleCommits(Some(toVersion), None)
+    val (fromEntries, _, _) = replayEntries(fromVis)
+    val (toEntries, toSchema, toIds) = replayEntries(toVis)
+    val fromPaths = fromEntries.map(_.path).toSet
+    val toPaths = toEntries.map(_.path).toSet
+    val added = toEntries.filterNot(e => fromPaths(e.path))
+    val removed = fromEntries.filterNot(e => toPaths(e.path))
+    val tfs = specTransforms(toVis)
+    // both sides read under the END schema: removed files resolve through
+    // their own write-time field ids, so renames/evolution in the range
+    // diff correctly (an added column reads NULL from pre-evolution files)
+    def scan(es: Vector[FileEntry]): DataFrame = buildMappedScan(es, toSchema, toIds, tfs)
+    val ins = scan(added).exceptAll(scan(removed))
+    val del = scan(removed).exceptAll(scan(added))
+    ins.withColumn("_change_type", lit("insert"))
+      .unionByName(del.withColumn("_change_type", lit("delete")))
   }
 
   /** DELETE WHERE: rewrite only the files that may hold matching rows
@@ -942,6 +1073,22 @@ object SnapshotTable {
   // (SnapshotTableSpec pins that warm operations parse only new commits)
   private[sources] val commitFilesParsed = new java.util.concurrent.atomic.AtomicLong()
   private[sources] def invalidateLogCache(): Unit = logCache.clear()
+
+  /** ANSI MERGE clause model (see [[SnapshotTable.merge]]). Conditions and
+    * SET value expressions are SQL text over aliases `t` (target row) and
+    * `s` (source row). */
+  sealed trait MatchedAction
+  object MatchedAction {
+    /** UPDATE SET col = expr, ... (unlisted columns keep their values). */
+    final case class Update(sets: Seq[(String, String)]) extends MatchedAction
+    /** UPDATE SET * — every column takes the source's value. */
+    case object UpdateAll extends MatchedAction
+    case object Delete extends MatchedAction
+  }
+  final case class WhenMatched(condSql: Option[String], action: MatchedAction)
+  /** WHEN NOT MATCHED [AND cond] THEN INSERT (source must carry every
+    * table column). */
+  final case class WhenNotMatched(condSql: Option[String])
 
   def forPath(spark: SparkSession, dir: String): SnapshotTable =
     new SnapshotTable(spark, dir)

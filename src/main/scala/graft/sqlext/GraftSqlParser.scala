@@ -36,6 +36,13 @@ import graft.streaming.{Pipe, Pipes}
   *   DELETE FROM LAKE '<dir>' WHERE <cond>      -- copy-on-write DML
   *   UPDATE LAKE '<dir>' SET c = <expr>[, ...] WHERE <cond>
   *   MERGE INTO LAKE '<dir>' KEY <col> USING <query>   -- upsert by key
+  *   MERGE INTO LAKE '<dir>' ON <col> USING (<query>)  -- ANSI clause MERGE
+  *     { WHEN MATCHED [AND <cond>] THEN UPDATE SET <c = expr, ...> | *
+  *     | WHEN MATCHED [AND <cond>] THEN DELETE }...
+  *     [WHEN NOT MATCHED [AND <cond>] THEN INSERT]
+  *     (conditions/expressions reference aliases t = target, s = source)
+  *   CREATE LAKE CHANGES VIEW <name> FROM '<dir>' BETWEEN <v1> AND <v2>
+  *     -- row-level CDC: _change_type = insert | delete
   *   ALTER LAKE '<dir>' RENAME COLUMN <old> TO <new>   -- id-stable rename
   *   COPY INTO '<targetDir>' FROM '<src>' FORMAT <fmt> SCHEMA '<ddl>'
   *     [ON_ERROR CONTINUE|ABORT]                -- reference CopyIntoTableContext
@@ -81,7 +88,13 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
         val wi = GraftSqlParser.topLevelKeyword(rest, "WHERE")
         require(wi > 0, s"UPDATE LAKE requires a WHERE clause: $t")
         UpdateLakeCommand(dir, rest.take(wi).trim, rest.drop(wi + 5).trim)
+      case MergeLakeOnRe(dir, key, rest) =>
+        val (querySql, clauseText) = splitParenQuery(rest)
+        val (matched, notMatched) = parseMergeClauses(clauseText)
+        MergeLakeClausesCommand(dir, key, querySql, matched, notMatched)
       case MergeLakeRe(dir, key, query) => MergeLakeCommand(dir, key, query)
+      case LakeChangesViewRe(name, dir, fromV, toV) =>
+        LakeChangesViewCommand(name, dir, fromV.toLong, toV.toLong)
       case RenameLakeColRe(dir, oldName, newName) =>
         RenameLakeColumnCommand(dir, oldName, newName)
       case CopyIntoRe(target, src, fmt, ddl, onError) =>
@@ -150,6 +163,19 @@ object GraftSqlParser {
     """(?is)UPDATE\s+LAKE\s+'([^']+)'\s+SET\s+(.+?)\s*;?""".r
   private val MergeLakeRe =
     """(?is)MERGE\s+INTO\s+LAKE\s+'([^']+)'\s+KEY\s+(\w+)\s+USING\s+(.+?)\s*;?""".r
+  private val MergeLakeOnRe =
+    """(?is)MERGE\s+INTO\s+LAKE\s+'([^']+)'\s+ON\s+(\w+)\s+USING\s+(.+)""".r
+  private val LakeChangesViewRe =
+    ("""(?is)CREATE\s+LAKE\s+CHANGES\s+VIEW\s+(\w+)\s+FROM\s+'([^']+)'""" +
+      """\s+BETWEEN\s+(\d+)\s+AND\s+(\d+)\s*;?""").r
+  private val WhenMatchedDeleteRe =
+    """(?is)WHEN\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+DELETE\s*;?""".r
+  private val WhenMatchedUpdateAllRe =
+    """(?is)WHEN\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+UPDATE\s+SET\s+\*\s*;?""".r
+  private val WhenMatchedUpdateRe =
+    """(?is)WHEN\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+UPDATE\s+SET\s+(.+?)\s*;?""".r
+  private val WhenNotMatchedRe =
+    """(?is)WHEN\s+NOT\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+INSERT(?:\s+\*)?\s*;?""".r
   private val RenameLakeColRe =
     """(?is)ALTER\s+LAKE\s+'([^']+)'\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?""".r
   private val CopyIntoRe =
@@ -202,6 +228,76 @@ object GraftSqlParser {
         found = i
     }
     found
+  }
+
+  /** Split `(<query>) <clauses>` at the close paren matching the leading
+    * one (quote-aware — parens inside string literals don't count). */
+  private[sqlext] def splitParenQuery(rest: String): (String, String) = {
+    val s = rest.trim
+    require(s.startsWith("("),
+      s"MERGE ... ON ... USING requires a parenthesized source query: $s")
+    var depth = 0; var inQuote = false; var close = -1
+    var i = 0
+    while (i < s.length && close < 0) {
+      val ch = s.charAt(i)
+      if (inQuote) {
+        if (ch == '\\') i += 1
+        else if (ch == '\'') inQuote = false
+      } else ch match {
+        case '\'' => inQuote = true
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) close = i
+        case _ =>
+      }
+      i += 1
+    }
+    require(close > 0, s"unbalanced parentheses in MERGE source query: $s")
+    (s.substring(1, close).trim, s.substring(close + 1).trim)
+  }
+
+  /** Parse the WHEN-clause list of an ANSI MERGE. Clause boundaries are
+    * top-level `WHEN [NOT] MATCHED` keywords (a CASE WHEN inside a clause
+    * condition sits behind parens or lacks the MATCHED keyword, so it
+    * never splits). */
+  private[sqlext] def parseMergeClauses(text: String)
+      : (Seq[graft.sources.SnapshotTable.WhenMatched],
+         Option[graft.sources.SnapshotTable.WhenNotMatched]) = {
+    import graft.sources.SnapshotTable.{MatchedAction, WhenMatched, WhenNotMatched}
+    val starts = scala.collection.mutable.ArrayBuffer[Int]()
+    scanTopLevel(text) { (i, _) =>
+      if (text.regionMatches(true, i, "WHEN", 0, 4) &&
+        (i == 0 || Character.isWhitespace(text.charAt(i - 1))) &&
+        text.substring(i + 4).matches("(?is)\\s+(NOT\\s+)?MATCHED\\b.*"))
+        starts += i
+    }
+    require(starts.nonEmpty, s"MERGE requires at least one WHEN clause: $text")
+    require(text.take(starts.head).trim.isEmpty,
+      s"unexpected text before first WHEN clause: ${text.take(starts.head)}")
+    val segs = (starts.toSeq :+ text.length).sliding(2).map {
+      case Seq(a, b) => text.substring(a, b).trim
+    }.toSeq
+    val matched = Seq.newBuilder[WhenMatched]
+    var notMatched: Option[WhenNotMatched] = None
+    segs.foreach {
+      case WhenMatchedDeleteRe(cond) =>
+        matched += WhenMatched(Option(cond).map(_.trim), MatchedAction.Delete)
+      case WhenMatchedUpdateAllRe(cond) =>
+        matched += WhenMatched(Option(cond).map(_.trim), MatchedAction.UpdateAll)
+      case WhenMatchedUpdateRe(cond, sets) =>
+        val assignments = splitTopLevel(sets).map { a =>
+          val eq = a.indexOf('=')
+          require(eq > 0, s"malformed SET assignment in MERGE: $a")
+          a.take(eq).trim -> a.drop(eq + 1).trim
+        }
+        matched += WhenMatched(Option(cond).map(_.trim),
+          MatchedAction.Update(assignments))
+      case WhenNotMatchedRe(cond) =>
+        require(notMatched.isEmpty, "MERGE allows one WHEN NOT MATCHED clause")
+        notMatched = Some(WhenNotMatched(Option(cond).map(_.trim)))
+      case other =>
+        throw new IllegalArgumentException(s"unrecognized MERGE clause: $other")
+    }
+    (matched.result(), notMatched)
   }
 
   private def out(names: String*): Seq[Attribute] =
@@ -363,6 +459,35 @@ object GraftSqlParser {
       val v = graft.sources.SnapshotTable.forPath(spark, dir)
         .mergeByKey(spark.sql(querySql), key)
       Seq(Row(v.toString))
+    }
+  }
+
+  /** MERGE INTO LAKE ... ON ... USING (...) WHEN ...: ANSI clause MERGE
+    * as one atomic conflict-checked commit (reference SqlMergeIntoTable /
+    * Iceberg copy-on-write MERGE; engine shape is SnapshotTable.merge's
+    * partial rewrite over the delta key span). */
+  case class MergeLakeClausesCommand(dir: String, key: String, querySql: String,
+      matched: Seq[graft.sources.SnapshotTable.WhenMatched],
+      notMatched: Option[graft.sources.SnapshotTable.WhenNotMatched])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("version")
+    override def run(spark: SparkSession): Seq[Row] = {
+      val v = graft.sources.SnapshotTable.forPath(spark, dir)
+        .merge(spark.sql(querySql), key, matched, notMatched)
+      Seq(Row(v.toString))
+    }
+  }
+
+  /** CREATE LAKE CHANGES VIEW: register the row-level change feed between
+    * two versions as a temp view (SnapshotTable.changesBetween — Delta CDF
+    * / Iceberg changelog-scan surface). */
+  case class LakeChangesViewCommand(name: String, dir: String, fromV: Long, toV: Long)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("view", "from_version", "to_version")
+    override def run(spark: SparkSession): Seq[Row] = {
+      graft.sources.SnapshotTable.forPath(spark, dir)
+        .changesBetween(fromV, toV).createOrReplaceTempView(name)
+      Seq(Row(name, fromV.toString, toV.toString))
     }
   }
 

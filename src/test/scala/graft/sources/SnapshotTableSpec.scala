@@ -245,6 +245,76 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(rows(1).getAs[String]("v") == "fresh")
   }
 
+  test("ANSI merge: first matching clause per row, delete/update/insert/no-op") {
+    import SnapshotTable.{MatchedAction, WhenMatched, WhenNotMatched}
+    val dir = fresh("lake_ansimerge")
+    val t = SnapshotTable.create(spark, dir,
+      (1L to 10L).map(i => (i, i.toDouble)).toDF("id", "bal"))
+    val delta = Seq(
+      (2L, -5.0),  // matched, s.bal < 0  -> DELETE
+      (3L, 7.0),   // matched, s.bal > 0  -> UPDATE bal = t.bal + s.bal
+      (4L, 0.0),   // matched, NO clause  -> row unchanged
+      (11L, 11.0), // unmatched           -> INSERT
+      (12L, 12.0)).toDF("id", "bal")
+    t.merge(delta, "id",
+      Seq(WhenMatched(Some("s.bal < 0"), MatchedAction.Delete),
+        WhenMatched(Some("s.bal > 0"),
+          MatchedAction.Update(Seq("bal" -> "t.bal + s.bal")))),
+      Some(WhenNotMatched(None)))
+    val got = t.read().orderBy("id").as[(Long, Double)].collect().toSeq
+    val expected = Seq(1L -> 1.0, 3L -> 10.0, 4L -> 4.0, 5L -> 5.0, 6L -> 6.0,
+      7L -> 7.0, 8L -> 8.0, 9L -> 9.0, 10L -> 10.0, 11L -> 11.0, 12L -> 12.0)
+    assert(got == expected)
+    // UPDATE SET * takes every column from the source
+    t.merge(Seq((5L, 500.0)).toDF("id", "bal"), "id",
+      Seq(WhenMatched(None, MatchedAction.UpdateAll)), None)
+    assert(t.read().filter($"id" === 5L).head().getDouble(1) == 500.0)
+    // a conditioned NOT MATCHED clause filters inserts
+    t.merge(Seq((20L, -1.0), (21L, 1.0)).toDF("id", "bal"), "id",
+      Nil, Some(WhenNotMatched(Some("s.bal > 0"))))
+    assert(t.read().filter($"id" >= 20L).as[(Long, Double)].collect().toSeq ==
+      Seq(21L -> 1.0))
+    // duplicate source keys are rejected (ANSI: one source row per target)
+    val err = intercept[IllegalArgumentException] {
+      t.merge(Seq((1L, 1.0), (1L, 2.0)).toDF("id", "bal"), "id",
+        Seq(WhenMatched(None, MatchedAction.UpdateAll)), None)
+    }
+    assert(err.getMessage.contains("duplicate"))
+  }
+
+  test("changesBetween: row-level CDC reads only the files the range touched") {
+    val dir = fresh("lake_cdc")
+    val t = SnapshotTable.forPath(spark, dir)
+    // v1: 4 range-clustered files with stats, so DML rewrites stay partial
+    t.appendWithStats(
+      (0L until 400L).map(i => (i, i.toDouble)).toDF("id", "bal")
+        .repartitionByRange(4, col("id")),
+      Seq("id"))
+    // v2: delete a narrow slice (one file's range)
+    t.deleteWhere(col("id") >= 10 && col("id") <= 19)
+    // v3: update another narrow slice
+    t.updateWhere(col("id") === 250L, Map("bal" -> lit(9999.0)))
+    val changes = t.changesBetween(1L, 3L)
+    val got = changes.orderBy("id", "_change_type")
+      .as[(Long, Double, String)].collect().toSeq
+    val expected =
+      ((10L to 19L).map(i => (i, i.toDouble, "delete")) ++
+        Seq((250L, 250.0, "delete"), (250L, 9999.0, "insert"))).sortBy(r => (r._1, r._3))
+    assert(got == expected)
+    // O(changed files): the diff never opens files carried by reference
+    val (allAtV3, _) = t.snapshot(Some(3L))
+    val touched = changes.inputFiles.toSet
+    assert(touched.size < allAtV3.size + t.snapshot(Some(1L))._1.size,
+      "CDC should read only added+removed files, not both full snapshots")
+    // changes across an overwrite stay exact (multiset diff, not add-only);
+    // bal = -1 so no overwrite row coincides with a v3 row and cancels
+    t.overwrite((0L until 5L).map(i => (i, -1.0)).toDF("id", "bal"))
+    val afterOv = t.changesBetween(3L, 4L)
+    assert(afterOv.filter($"_change_type" === "insert").count() == 5L)
+    assert(afterOv.filter($"_change_type" === "delete").count() ==
+      t.asOf(3L).count())
+  }
+
   test("manifest stats prune files before any is opened") {
     val dir = fresh("lake_stats")
     val t = SnapshotTable.forPath(spark, dir)

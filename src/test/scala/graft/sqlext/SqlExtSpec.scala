@@ -231,6 +231,46 @@ class SqlExtSpec extends AnyFunSuite {
     assert(t.asOf(1L).count() == 3)
   }
 
+  test("MERGE INTO LAKE ON ... with ANSI WHEN clauses through SQL") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sqlansimerge").toString
+    graft.sources.SnapshotTable.create(spark, dir,
+      (1L to 10L).map(i => (i, i.toDouble, "keep")).toDF("id", "bal", "note"))
+    Seq((2L, -5.0, "x"), (3L, 7.0, "upd"), (11L, 11.0, "new"))
+      .toDF("id", "bal", "note").createOrReplaceTempView("ansi_merge_src")
+    spark.sql(
+      s"""MERGE INTO LAKE '$dir' ON id USING (SELECT * FROM ansi_merge_src)
+         |WHEN MATCHED AND s.bal < 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET bal = t.bal + s.bal, note = s.note
+         |WHEN NOT MATCHED THEN INSERT""".stripMargin)
+    val t = graft.sources.SnapshotTable.forPath(spark, dir)
+    val got = t.read().orderBy("id").as[(Long, Double, String)].collect().toSeq
+    assert(!got.exists(_._1 == 2L), "matched+negative row should be deleted")
+    assert(got.find(_._1 == 3L).contains((3L, 10.0, "upd")))
+    assert(got.find(_._1 == 11L).contains((11L, 11.0, "new")))
+    assert(got.find(_._1 == 4L).contains((4L, 4.0, "keep")))
+    // a string literal containing ')' or 'WHEN MATCHED' must not derail
+    // the paren/clause scanners
+    spark.sql(
+      s"""MERGE INTO LAKE '$dir' ON id
+         |USING (SELECT id, bal, ') WHEN MATCHED ' AS note FROM ansi_merge_src WHERE id = 3)
+         |WHEN MATCHED THEN UPDATE SET note = s.note""".stripMargin)
+    assert(t.read().filter($"id" === 3L).head().getString(2) == ") WHEN MATCHED ")
+  }
+
+  test("CREATE LAKE CHANGES VIEW exposes row-level CDC through SQL") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sqlcdc").toString
+    val t = graft.sources.SnapshotTable.create(spark, dir,
+      (1L to 100L).map(i => (i, i * 2.0)).toDF("id", "v"))
+    spark.sql(s"DELETE FROM LAKE '$dir' WHERE id <= 3")
+    spark.sql(s"CREATE LAKE CHANGES VIEW cdc_v FROM '$dir' BETWEEN 1 AND 2")
+    val rows = spark.sql(
+      "SELECT id, v, _change_type FROM cdc_v ORDER BY id")
+      .as[(Long, Double, String)].collect().toSeq
+    assert(rows == Seq((1L, 2.0, "delete"), (2L, 4.0, "delete"), (3L, 6.0, "delete")))
+  }
+
   test("ALTER LAKE ... RENAME COLUMN through SQL keeps history readable") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_sqlrename").toString
