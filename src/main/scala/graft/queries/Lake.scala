@@ -141,6 +141,38 @@ object Lake {
       FROM base WHERE bal >= 0 AND s_nationkey = 3) c
     ORDER BY s_suppkey, _change_type"""
 
+  /** Write-audit-publish through branch SQL (reference Nessie-style
+    * versioning, `versionSupport.ftl:126`): stage an append on a branch
+    * (invisible to main), audit it, fast-forward merge, read the merged
+    * table — all hash-gated against DuckDB computing the same final
+    * state from the raw fixture. */
+  val lakeBranchWap: QueryFn = (s, dir) => {
+    val t = Tables.ensure(s, dir)
+    val base = t.nation.select(col("n_nationkey"), col("n_name"))
+    val lakeDir = Files.createTempDirectory("graft_lake_wap").toString
+    SnapshotTable.create(s, lakeDir, base)
+    s.sql(s"CREATE BRANCH staging FROM LAKE '$lakeDir'")
+    t.region.select((col("r_regionkey") + 100L).as("n_nationkey"),
+        concat(lit("REGION-"), col("r_name")).as("n_name"))
+      .createOrReplaceTempView("lake_wap_delta")
+    s.sql(s"INSERT INTO LAKE '$lakeDir' AT BRANCH staging " +
+      "SELECT n_nationkey, n_name FROM lake_wap_delta")
+    // audit gate: main must not see the staged rows yet
+    val mainCount = SnapshotTable.forPath(s, lakeDir).read().count()
+    require(mainCount == base.count(), s"staged rows leaked to main: $mainCount")
+    s.sql(s"MERGE BRANCH staging INTO LAKE '$lakeDir'")
+    s.sql(s"CREATE LAKE VIEW lake_wap_v FROM '$lakeDir'")
+    s.sql("SELECT n_nationkey, n_name FROM lake_wap_v ORDER BY n_nationkey")
+  }
+  val lakeBranchWapSql: String = """
+    SELECT n_nationkey, n_name FROM (
+      SELECT n_nationkey, n_name FROM nation
+      UNION ALL
+      SELECT r_regionkey + 100 AS n_nationkey,
+             'REGION-' || r_name AS n_name
+      FROM region) m
+    ORDER BY n_nationkey"""
+
   /** VERSION AS OF: v1 = full nation, v2 overwrites with a filtered set;
     * reading v1 must still return the original rows (time travel). */
   val lakeTimeTravel: QueryFn = (s, dir) => {
@@ -251,6 +283,7 @@ object Lake {
     "lake_merge_by_key" -> lakeMergeByKey,
     "lake_merge_clauses" -> lakeMergeClauses,
     "lake_changes" -> lakeChanges,
+    "lake_branch_wap" -> lakeBranchWap,
     "lake_time_travel" -> lakeTimeTravel,
     "lake_incremental_scan" -> lakeIncrementalScan)
 
@@ -261,6 +294,7 @@ object Lake {
     "lake_merge_by_key" -> lakeMergeByKeySql,
     "lake_merge_clauses" -> lakeMergeClausesSql,
     "lake_changes" -> lakeChangesSql,
+    "lake_branch_wap" -> lakeBranchWapSql,
     "lake_time_travel" -> lakeTimeTravelSql,
     "lake_incremental_scan" -> lakeIncrementalScanSql)
 }

@@ -537,6 +537,172 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       StructType.fromDDL(cs.last.schemaDdl), endIds, specTransforms(prefix))
   }
 
+  // ---------- branches & tags (catalog versioning) ----------
+  // The reference exposes Nessie-style refs over its sources: CREATE
+  // BRANCH/TAG, AT BRANCH reads/writes, MERGE BRANCH INTO
+  // (`sabot/grammar/src/main/codegen/includes/versionSupport.ftl:126,589`).
+  // Re-expressed on the snapshot log: a TAG pins a version forever; a
+  // BRANCH forks at a base version and accumulates its own commit chain in
+  // `ref`-namespaced log files, invisible to main readers until a
+  // fast-forward squash merge publishes the final file set as ONE atomic
+  // main commit (the write-audit-publish staging workflow).
+
+  private def refPath(name: String) = logDir.resolve(s"ref-$name.json")
+  private def branchCommitFile(name: String, v: Long) =
+    logDir.resolve(f"br-$name-v$v%08d.json")
+
+  private def requireRefName(name: String): Unit =
+    require(name.matches("[A-Za-z0-9_][A-Za-z0-9_.-]*"),
+      s"ref name must be alphanumeric/_/./- : '$name'")
+
+  def listRefs: Seq[SnapshotTable.LakeRef] =
+    if (!Files.isDirectory(logDir)) Nil
+    else {
+      val s = Files.list(logDir)
+      val names =
+        try s.iterator.asScala.map(_.getFileName.toString)
+          .filter(n => n.startsWith("ref-") && n.endsWith(".json")).toVector.sorted
+        finally s.close()
+      names.flatMap { n =>
+        // a ref dropped between the listing and this read is simply gone
+        try Some(SnapshotTable.parseRef(
+          new String(Files.readAllBytes(logDir.resolve(n)), "UTF-8")))
+        catch { case _: java.io.IOException => None }
+      }
+    }
+
+  def getRef(name: String): SnapshotTable.LakeRef = {
+    requireRefName(name)
+    require(Files.exists(refPath(name)), s"no branch or tag '$name' in $dir")
+    SnapshotTable.parseRef(new String(Files.readAllBytes(refPath(name)), "UTF-8"))
+  }
+
+  private def createRef(name: String, refType: String, atVersion: Option[Long]): SnapshotTable.LakeRef =
+    withCommitLock {
+      requireRefName(name)
+      require(!Files.exists(refPath(name)), s"ref '$name' already exists in $dir")
+      val current = latestVersion
+      require(current > 0, s"cannot create a $refType on empty lake table $dir")
+      val base = atVersion.getOrElse(current)
+      require(base >= 1 && base <= current,
+        s"$refType base v$base out of range [1, $current] in $dir")
+      val ref = SnapshotTable.LakeRef(name, refType, base)
+      Files.write(refPath(name), SnapshotTable.renderRef(ref).getBytes("UTF-8"))
+      ref
+    }
+
+  /** CREATE BRANCH (fork point = `atVersion`, default current). */
+  def createBranch(name: String, atVersion: Option[Long] = None): SnapshotTable.LakeRef =
+    createRef(name, "branch", atVersion)
+
+  /** CREATE TAG: an immutable named pin of a version. */
+  def createTag(name: String, atVersion: Option[Long] = None): SnapshotTable.LakeRef =
+    createRef(name, "tag", atVersion)
+
+  /** DROP BRANCH/TAG: removes the ref and any branch commit files; staged
+    * data files become unreferenced and are reclaimed by vacuum(). */
+  def dropRef(name: String): Unit = withCommitLock {
+    requireRefName(name)
+    require(Files.exists(refPath(name)), s"no branch or tag '$name' in $dir")
+    Files.deleteIfExists(refPath(name))
+    val s = Files.list(logDir)
+    try s.iterator.asScala
+      .filter(_.getFileName.toString.matches(s"br-${java.util.regex.Pattern.quote(name)}-v\\d{8}\\.json"))
+      .foreach(Files.deleteIfExists(_))
+    finally s.close()
+  }
+
+  /** The branch's own commit chain (versions continue from the fork base). */
+  private def branchCommits(name: String): Vector[LakeCommit] = {
+    val s = Files.list(logDir)
+    val names =
+      try s.iterator.asScala.map(_.getFileName.toString)
+        .filter(_.matches(s"br-${java.util.regex.Pattern.quote(name)}-v\\d{8}\\.json"))
+        .toVector.sorted
+      finally s.close()
+    names.map(n => parseCommit(new String(Files.readAllBytes(logDir.resolve(n)), "UTF-8")))
+  }
+
+  /** Full commit view of a ref: main prefix up to the fork base, plus (for
+    * branches) the branch chain. */
+  private def refLog(ref: SnapshotTable.LakeRef): Seq[LakeCommit] = {
+    val prefix = commits.takeWhile(_.version <= ref.baseVersion)
+    if (ref.refType == "tag") prefix else prefix ++ branchCommits(ref.name)
+  }
+
+  /** `AT BRANCH <name>` / `AT TAG <name>` read. */
+  def readRef(name: String): DataFrame = {
+    val visible = refLog(getRef(name))
+    require(visible.nonEmpty, s"ref '$name' resolves to no commits in $dir")
+    val (entries, schema, ids) = replayEntries(visible)
+    buildMappedScan(entries, schema, ids, specTransforms(visible))
+  }
+
+  /** `INSERT INTO ... AT BRANCH`: append a batch to the branch only. Main
+    * readers never see it until mergeBranch. Inherits the branch's
+    * effective layout, so staged batches keep the table partitioned. */
+  def appendToBranch(name: String, df: DataFrame): Long = {
+    val ref = getRef(name)
+    require(ref.refType == "branch", s"'$name' is a tag; only branches accept commits")
+    val prefix = refLog(ref)
+    val (spec, stCols) = effectiveLayoutOf(prefix)
+    val partitionBy = spec.flatMap(s => scala.util.Try(PartitionTransform.parse(s)).toOption)
+    val (files, stats) = writeDataFiles(df, partitionBy, stCols, Nil)
+    withCommitLock {
+      require(Files.exists(refPath(name)), s"branch '$name' was dropped mid-write")
+      val log = refLog(ref)
+      val v = log.lastOption.map(_.version).getOrElse(0L) + 1
+      val minTs = log.lastOption.map(_.timestampMs).getOrElse(0L)
+      val (prevIds, maxEver) = idState(log)
+      val ids = assignFieldIds(df.schema.fieldNames.toSeq, prevIds, maxEver)
+      val c = LakeCommit(v, "append", math.max(System.currentTimeMillis(), minTs),
+        df.schema.toDDL, files, stats, "", ids, spec, stCols)
+      val tmp = logDir.resolve(branchCommitFile(name, v).getFileName.toString +
+        "." + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
+      try {
+        Files.write(tmp, SnapshotTable.renderCommit(c).getBytes("UTF-8"))
+        Files.move(tmp, branchCommitFile(name, v), StandardCopyOption.ATOMIC_MOVE)
+      } finally Files.deleteIfExists(tmp)
+      v
+    }
+  }
+
+  /** `MERGE BRANCH <name> INTO`: fast-forward squash — publish the
+    * branch's final file set as ONE atomic overwrite commit on main
+    * (readers flip from pre-branch to fully-merged; no intermediate
+    * states), then drop the branch. Fails with
+    * ConcurrentModificationException if main moved past the fork base —
+    * like the reference's Nessie merge, the caller re-stages on a fresh
+    * branch. Requires uniform column identity (no renames between fork
+    * and merge) so carried-by-reference files keep correct id mapping. */
+  def mergeBranch(name: String): Long = {
+    val v = withCommitLock {
+      val ref = getRef(name)
+      require(ref.refType == "branch", s"'$name' is a tag and cannot be merged")
+      val log = commits
+      val current = log.lastOption.map(_.version).getOrElse(0L)
+      if (current != ref.baseVersion)
+        throw new java.util.ConcurrentModificationException(
+          s"branch '$name' forked at v${ref.baseVersion} but $dir is at " +
+            s"v$current; create a fresh branch from the new head and re-stage")
+      val bcs = branchCommits(name)
+      require(bcs.nonEmpty, s"branch '$name' has no commits to merge")
+      val all = log ++ bcs
+      val (entries, _, endIds) = replayEntries(all)
+      require(entries.forall(_.writeIds == endIds),
+        s"branch '$name' spans a column rename; merge after OPTIMIZE or re-stage")
+      val rel = entries.map(e => (e.path.stripPrefix(s"$dir/"), e.stats))
+      val (effSpec, effStats) = effectiveLayoutOf(all)
+      publish(current + 1, "overwrite", rel.map(_._1),
+        rel.filter(_._2.nonEmpty).toMap, "", bcs.last.schemaDdl,
+        log.lastOption.map(_.timestampMs).getOrElse(0L), log, endIds,
+        effSpec, effStats)
+    }
+    dropRef(name)
+    spark.catalog.refreshByPath(dir)
+    v
+  }
+
   /** MERGE-by-key (upsert) with snapshot isolation AND conflict detection:
     * delta rows replace same-key target rows, the rest are kept, and the
     * swap publishes only against the base version it read (retried against
@@ -766,8 +932,14 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     val all = commits
     if (all.isEmpty) return Nil
     val keptVersions = all.takeRight(retainLast).map(_.version)
+    // refs pin history beyond the retention window: a tag's snapshot and
+    // every branch's full file view (fork prefix + staged commits) stay
+    // referenced until the ref is dropped
+    val refFiles: Set[String] = listRefs.flatMap { r =>
+      replayEntries(refLog(r))._1.map(_.path)
+    }.toSet
     val referenced: Set[String] =
-      keptVersions.flatMap(v => snapshot(Some(v))._1).toSet
+      keptVersions.flatMap(v => snapshot(Some(v))._1).toSet ++ refFiles
     val cutoff = System.currentTimeMillis() - graceMs
     val dataFiles = {
       val s = Files.walk(Paths.get(dir))
@@ -876,6 +1048,55 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
                      // cluster rows by these columns INSIDE each partition
                      // (OPTIMIZE ... ORDER BY on a partitioned table)
                      sortCols: Seq[String] = Nil): Long = {
+    val (files, stats) = writeDataFiles(df, partitionBy, statsCols, sortCols)
+    Files.createDirectories(logDir)
+    // Publish under a single short-lived commit lock. Data files are
+    // already on disk, so the lock covers only the (tag re-check → version
+    // claim → json publish) critical section, which (a) linearizes
+    // same-tag writers — a replayed batch can never double-commit, (b)
+    // makes versions become VISIBLE in order — no retroactive history
+    // mutation for incremental consumers, and (c) keeps contention
+    // proportional to commit rate, not data size. The log is parsed ONCE
+    // inside the section (tag check + next version from the same read).
+    val v = withCommitLock {
+      val log = commits
+      log.find(c => tag.nonEmpty && c.tag == tag) match {
+        case Some(existing) => existing.version
+        case None =>
+          val current = log.lastOption.map(_.version).getOrElse(0L)
+          expectedBase.foreach { b =>
+            if (current != b)
+              throw new java.util.ConcurrentModificationException(
+                s"lake table $dir moved from v$b to v$current during a " +
+                  "read-modify-write; rewrite must be recomputed against the new base")
+          }
+          // clamp to the previous commit's timestamp: currentTimeMillis can
+          // step backwards (NTP), and one out-of-order timestamp would hide
+          // all later commits from TIMESTAMP AS OF's log replay
+          val minTs = log.lastOption.map(_.timestampMs).getOrElse(0L)
+          // columns keep their stable id when the name survives; new names
+          // get fresh ids (drop+re-add = NEW column, Iceberg semantics)
+          val (prevIds, maxEver) = idState(log)
+          val ids = assignFieldIds(df.schema.fieldNames.toSeq, prevIds, maxEver)
+          publish(current + 1, action, carryFiles.map(_._1) ++ files,
+            carryFiles.filter(_._2.nonEmpty).toMap ++ stats,
+            tag, df.schema.toDDL, minTs, log, ids,
+            partitionBy.map(_.repr), statsCols)
+      }
+    }
+    spark.catalog.refreshByPath(dir)
+    v
+  }
+
+  /** Stage a batch's data files under a fresh subdir and compute their
+    * manifest stats. Pure data-plane work — no log access, no lock; used
+    * by both main-log commits and branch commits. Returns (relative file
+    * paths, per-file stats). */
+  private def writeDataFiles(df: DataFrame,
+                             partitionBy: Seq[PartitionTransform],
+                             statsCols: Seq[String],
+                             sortCols: Seq[String])
+      : (Vector[String], Map[String, Map[String, (String, String)]]) = {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     val sub = "data-" + java.util.UUID.randomUUID().toString.take(8)
     if (partitionBy.isEmpty) df.write.parquet(s"$dir/$sub")
@@ -936,43 +1157,7 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
             }.toMap
           }.toMap
       }
-    Files.createDirectories(logDir)
-    // Publish under a single short-lived commit lock. Data files are
-    // already on disk, so the lock covers only the (tag re-check → version
-    // claim → json publish) critical section, which (a) linearizes
-    // same-tag writers — a replayed batch can never double-commit, (b)
-    // makes versions become VISIBLE in order — no retroactive history
-    // mutation for incremental consumers, and (c) keeps contention
-    // proportional to commit rate, not data size. The log is parsed ONCE
-    // inside the section (tag check + next version from the same read).
-    val v = withCommitLock {
-      val log = commits
-      log.find(c => tag.nonEmpty && c.tag == tag) match {
-        case Some(existing) => existing.version
-        case None =>
-          val current = log.lastOption.map(_.version).getOrElse(0L)
-          expectedBase.foreach { b =>
-            if (current != b)
-              throw new java.util.ConcurrentModificationException(
-                s"lake table $dir moved from v$b to v$current during a " +
-                  "read-modify-write; rewrite must be recomputed against the new base")
-          }
-          // clamp to the previous commit's timestamp: currentTimeMillis can
-          // step backwards (NTP), and one out-of-order timestamp would hide
-          // all later commits from TIMESTAMP AS OF's log replay
-          val minTs = log.lastOption.map(_.timestampMs).getOrElse(0L)
-          // columns keep their stable id when the name survives; new names
-          // get fresh ids (drop+re-add = NEW column, Iceberg semantics)
-          val (prevIds, maxEver) = idState(log)
-          val ids = assignFieldIds(df.schema.fieldNames.toSeq, prevIds, maxEver)
-          publish(current + 1, action, carryFiles.map(_._1) ++ files,
-            carryFiles.filter(_._2.nonEmpty).toMap ++ stats,
-            tag, df.schema.toDDL, minTs, log, ids,
-            partitionBy.map(_.repr), statsCols)
-      }
-    }
-    spark.catalog.refreshByPath(dir)
-    v
+    (files, stats)
   }
 
   private def publish(v: Long, action: String, files: Seq[String],
@@ -1073,6 +1258,25 @@ object SnapshotTable {
   // (SnapshotTableSpec pins that warm operations parse only new commits)
   private[sources] val commitFilesParsed = new java.util.concurrent.atomic.AtomicLong()
   private[sources] def invalidateLogCache(): Unit = logCache.clear()
+
+  /** A named ref over a lake table's history (reference versionSupport
+    * grammar): a `tag` pins `baseVersion` immutably; a `branch` forks
+    * there and owns a commit chain until merged or dropped. */
+  final case class LakeRef(name: String, refType: String, baseVersion: Long)
+
+  private[sources] def renderRef(r: LakeRef): String = {
+    val node = mapper.createObjectNode()
+    node.put("name", r.name)
+    node.put("refType", r.refType)
+    node.put("baseVersion", r.baseVersion)
+    node.toString
+  }
+
+  private[sources] def parseRef(json: String): LakeRef = {
+    val n = mapper.readTree(json)
+    LakeRef(n.get("name").asText(), n.get("refType").asText(),
+      n.get("baseVersion").asLong())
+  }
 
   /** ANSI MERGE clause model (see [[SnapshotTable.merge]]). Conditions and
     * SET value expressions are SQL text over aliases `t` (target row) and

@@ -43,6 +43,13 @@ import graft.streaming.{Pipe, Pipes}
   *     (conditions/expressions reference aliases t = target, s = source)
   *   CREATE LAKE CHANGES VIEW <name> FROM '<dir>' BETWEEN <v1> AND <v2>
   *     -- row-level CDC: _change_type = insert | delete
+  *   CREATE BRANCH <name> FROM LAKE '<dir>' [VERSION AS OF <n>]
+  *   CREATE TAG <name> FROM LAKE '<dir>' [VERSION AS OF <n>]
+  *   DROP BRANCH|TAG <name> FROM LAKE '<dir>'
+  *   SHOW REFS FROM LAKE '<dir>'
+  *   INSERT INTO LAKE '<dir>' AT BRANCH <name> <query>  -- staged append
+  *   CREATE LAKE VIEW <name> FROM '<dir>' AT BRANCH|TAG <ref>
+  *   MERGE BRANCH <name> INTO LAKE '<dir>'   -- fast-forward squash publish
   *   ALTER LAKE '<dir>' RENAME COLUMN <old> TO <new>   -- id-stable rename
   *   COPY INTO '<targetDir>' FROM '<src>' FORMAT <fmt> SCHEMA '<ddl>'
   *     [ON_ERROR CONTINUE|ABORT]                -- reference CopyIntoTableContext
@@ -81,6 +88,16 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
           Option(orderBy).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
             .getOrElse(Nil),
           Option(nFiles).map(_.toInt).getOrElse(1))
+      case CreateRefRe(refType, name, dir, version) =>
+        CreateRefCommand(refType.toLowerCase, name, dir, Option(version).map(_.toLong))
+      case DropRefRe(refType, name, dir) => DropRefCommand(refType.toLowerCase, name, dir)
+      case ShowRefsRe(dir) =>
+        ShowRefsCommand(dir, out("name", "type", "base_version"))
+      case MergeBranchRe(name, dir) => MergeBranchCommand(name, dir)
+      case InsertLakeAtBranchRe(dir, branch, query) =>
+        InsertLakeAtBranchCommand(dir, branch, query)
+      case CreateLakeViewAtRe(name, dir, refName) =>
+        CreateLakeViewAtRefCommand(name, dir, refName)
       case InsertLakeRe(dir, query) => InsertLakeCommand(dir, query)
       case DeleteLakeRe(dir, cond) => DeleteLakeCommand(dir, cond)
       case UpdateLakeRe(dir, rest) =>
@@ -176,6 +193,19 @@ object GraftSqlParser {
     """(?is)WHEN\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+UPDATE\s+SET\s+(.+?)\s*;?""".r
   private val WhenNotMatchedRe =
     """(?is)WHEN\s+NOT\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+INSERT(?:\s+\*)?\s*;?""".r
+  private val CreateRefRe =
+    ("""(?is)CREATE\s+(BRANCH|TAG)\s+([\w.-]+)\s+FROM\s+LAKE\s+'([^']+)'""" +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?""").r
+  private val DropRefRe =
+    """(?is)DROP\s+(BRANCH|TAG)\s+([\w.-]+)\s+FROM\s+LAKE\s+'([^']+)'\s*;?""".r
+  private val ShowRefsRe = """(?is)SHOW\s+REFS\s+FROM\s+LAKE\s+'([^']+)'\s*;?""".r
+  private val MergeBranchRe =
+    """(?is)MERGE\s+BRANCH\s+([\w.-]+)\s+INTO\s+LAKE\s+'([^']+)'\s*;?""".r
+  private val InsertLakeAtBranchRe =
+    """(?is)INSERT\s+INTO\s+LAKE\s+'([^']+)'\s+AT\s+BRANCH\s+([\w.-]+)\s+(.+?)\s*;?""".r
+  private val CreateLakeViewAtRe =
+    ("""(?is)CREATE\s+LAKE\s+VIEW\s+(\w+)\s+FROM\s+'([^']+)'""" +
+      """\s+AT\s+(?:BRANCH|TAG)\s+([\w.-]+)\s*;?""").r
   private val RenameLakeColRe =
     """(?is)ALTER\s+LAKE\s+'([^']+)'\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?""".r
   private val CopyIntoRe =
@@ -488,6 +518,73 @@ object GraftSqlParser {
       graft.sources.SnapshotTable.forPath(spark, dir)
         .changesBetween(fromV, toV).createOrReplaceTempView(name)
       Seq(Row(name, fromV.toString, toV.toString))
+    }
+  }
+
+  /** CREATE BRANCH / CREATE TAG ... FROM LAKE (reference
+    * `versionSupport.ftl:126` SqlCreateBranch/SqlCreateTag). */
+  case class CreateRefCommand(refType: String, name: String, dir: String,
+      atVersion: Option[Long]) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("name", "type", "base_version")
+    override def run(spark: SparkSession): Seq[Row] = {
+      val t = graft.sources.SnapshotTable.forPath(spark, dir)
+      val r = if (refType == "branch") t.createBranch(name, atVersion)
+              else t.createTag(name, atVersion)
+      Seq(Row(r.name, r.refType, r.baseVersion.toString))
+    }
+  }
+
+  /** DROP BRANCH/TAG ... FROM LAKE. */
+  case class DropRefCommand(refType: String, name: String, dir: String)
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val t = graft.sources.SnapshotTable.forPath(spark, dir)
+      val r = t.getRef(name)
+      require(r.refType == refType, s"'$name' is a ${r.refType}, not a $refType")
+      t.dropRef(name)
+      Nil
+    }
+  }
+
+  /** SHOW REFS FROM LAKE: every branch and tag with its base version. */
+  case class ShowRefsCommand(dir: String, override val output: Seq[Attribute])
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] =
+      graft.sources.SnapshotTable.forPath(spark, dir).listRefs
+        .map(r => Row(r.name, r.refType, r.baseVersion.toString))
+  }
+
+  /** MERGE BRANCH ... INTO LAKE: fast-forward squash publish (the
+    * write-audit-publish promotion step). */
+  case class MergeBranchCommand(name: String, dir: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("version")
+    override def run(spark: SparkSession): Seq[Row] = {
+      val v = graft.sources.SnapshotTable.forPath(spark, dir).mergeBranch(name)
+      Seq(Row(v.toString))
+    }
+  }
+
+  /** INSERT INTO LAKE ... AT BRANCH: staged append, invisible to main
+    * readers until the branch is merged. */
+  case class InsertLakeAtBranchCommand(dir: String, branch: String, querySql: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("branch", "version")
+    override def run(spark: SparkSession): Seq[Row] = {
+      val v = graft.sources.SnapshotTable.forPath(spark, dir)
+        .appendToBranch(branch, spark.sql(querySql))
+      Seq(Row(branch, v.toString))
+    }
+  }
+
+  /** CREATE LAKE VIEW ... AT BRANCH|TAG (reference `AT BRANCH` read
+    * syntax, `versionSupport.ftl:589`). */
+  case class CreateLakeViewAtRefCommand(name: String, dir: String, refName: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("view", "ref")
+    override def run(spark: SparkSession): Seq[Row] = {
+      graft.sources.SnapshotTable.forPath(spark, dir)
+        .readRef(refName).createOrReplaceTempView(name)
+      Seq(Row(name, refName))
     }
   }
 

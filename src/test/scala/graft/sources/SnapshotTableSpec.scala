@@ -315,6 +315,65 @@ class SnapshotTableSpec extends AnyFunSuite {
       t.asOf(3L).count())
   }
 
+  test("branches stage commits invisibly and fast-forward merge atomically (WAP)") {
+    val dir = fresh("lake_wap")
+    val t = SnapshotTable.create(spark, dir,
+      (1L to 100L).map(i => (i, "base")).toDF("id", "src"))
+    t.createBranch("etl")
+    // stage two appends on the branch
+    t.appendToBranch("etl", Seq((101L, "staged")).toDF("id", "src"))
+    t.appendToBranch("etl", Seq((102L, "staged")).toDF("id", "src"))
+    // audit: branch sees everything, main sees none of it
+    assert(t.readRef("etl").count() == 102L)
+    assert(t.read().count() == 100L)
+    assert(t.latestVersion == 1L)
+    // publish: one atomic overwrite commit lands the final state
+    val v = t.mergeBranch("etl")
+    assert(v == 2L)
+    assert(t.read().count() == 102L)
+    assert(t.read().filter($"src" === "staged").count() == 2L)
+    assert(t.commits.size == 2)
+    // the branch is gone after the merge
+    intercept[IllegalArgumentException](t.readRef("etl"))
+    // conflict: a branch whose base was overtaken cannot fast-forward
+    t.createBranch("late", atVersion = Some(1L))
+    t.appendToBranch("late", Seq((999L, "x")).toDF("id", "src"))
+    intercept[java.util.ConcurrentModificationException](t.mergeBranch("late"))
+    t.dropRef("late")
+    // tags pin a version immutably and reject commits
+    t.createTag("audit_v1", Some(1L))
+    assert(t.readRef("audit_v1").count() == 100L)
+    intercept[IllegalArgumentException](
+      t.appendToBranch("audit_v1", Seq((1L, "y")).toDF("id", "src")))
+    assert(t.listRefs.map(r => (r.name, r.refType, r.baseVersion)) ==
+      Seq(("audit_v1", "tag", 1L)))
+  }
+
+  test("vacuum keeps files pinned by tags and branches") {
+    val dir = fresh("lake_refvac")
+    val t = SnapshotTable.create(spark, dir, Seq((1L, "a")).toDF("id", "v"))
+    t.createTag("keep_v1")
+    t.createBranch("wip")
+    t.appendToBranch("wip", Seq((2L, "b")).toDF("id", "v"))
+    // overwrite main twice so v1 falls out of the retention window
+    t.overwrite(Seq((9L, "z")).toDF("id", "v"))
+    t.overwrite(Seq((10L, "zz")).toDF("id", "v"))
+    val deleted = t.vacuum(retainLast = 1, graceMs = 0L)
+    // v1's file is referenced by BOTH the tag and the branch prefix; the
+    // branch's staged file is referenced by the branch — neither may go
+    assert(t.readRef("keep_v1").as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+    assert(t.readRef("wip").orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // v2's file (the first overwrite) was truly unreferenced and went
+    assert(deleted.nonEmpty)
+    intercept[Exception](t.asOf(2L).collect())
+    // dropping the refs releases their files to the next vacuum
+    t.dropRef("keep_v1"); t.dropRef("wip")
+    val deleted2 = t.vacuum(retainLast = 1, graceMs = 0L)
+    assert(deleted2.nonEmpty)
+    assert(t.read().as[(Long, String)].collect().toSeq == Seq((10L, "zz")))
+  }
+
   test("manifest stats prune files before any is opened") {
     val dir = fresh("lake_stats")
     val t = SnapshotTable.forPath(spark, dir)

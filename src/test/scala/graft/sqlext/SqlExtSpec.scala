@@ -271,6 +271,34 @@ class SqlExtSpec extends AnyFunSuite {
     assert(rows == Seq((1L, 2.0, "delete"), (2L, 4.0, "delete"), (3L, 6.0, "delete")))
   }
 
+  test("BRANCH/TAG DDL and AT BRANCH reads/writes through SQL (WAP)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sqlwap").toString
+    graft.sources.SnapshotTable.create(spark, dir,
+      (1L to 50L).map(i => (i, "base")).toDF("id", "src"))
+    spark.sql(s"CREATE BRANCH etl FROM LAKE '$dir'")
+    spark.sql(s"CREATE TAG v1 FROM LAKE '$dir' VERSION AS OF 1")
+    val refs = spark.sql(s"SHOW REFS FROM LAKE '$dir'").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(refs == Set(("etl", "branch"), ("v1", "tag")))
+    // staged write lands on the branch only
+    Seq((51L, "staged")).toDF("id", "src").createOrReplaceTempView("wap_src")
+    spark.sql(s"INSERT INTO LAKE '$dir' AT BRANCH etl SELECT id, src FROM wap_src")
+    spark.sql(s"CREATE LAKE VIEW wap_branch_v FROM '$dir' AT BRANCH etl")
+    spark.sql(s"CREATE LAKE VIEW wap_main_v FROM '$dir'")
+    assert(spark.sql("SELECT count(*) FROM wap_branch_v").head().getLong(0) == 51L)
+    assert(spark.sql("SELECT count(*) FROM wap_main_v").head().getLong(0) == 50L)
+    // publish, then main serves the merged state
+    spark.sql(s"MERGE BRANCH etl INTO LAKE '$dir'")
+    spark.sql(s"CREATE LAKE VIEW wap_merged_v FROM '$dir'")
+    assert(spark.sql("SELECT count(*) FROM wap_merged_v").head().getLong(0) == 51L)
+    // the tag still reads the pre-merge state; DROP removes it
+    spark.sql(s"CREATE LAKE VIEW wap_tag_v FROM '$dir' AT TAG v1")
+    assert(spark.sql("SELECT count(*) FROM wap_tag_v").head().getLong(0) == 50L)
+    spark.sql(s"DROP TAG v1 FROM LAKE '$dir'")
+    assert(spark.sql(s"SHOW REFS FROM LAKE '$dir'").collect().isEmpty)
+  }
+
   test("ALTER LAKE ... RENAME COLUMN through SQL keeps history readable") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_sqlrename").toString
