@@ -1013,6 +1013,86 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     v
   }
 
+  /** ALTER TABLE ADD COLUMN: metadata-only commit minting a FRESH field
+    * id for the new (nullable) column. Files already on disk read NULL
+    * for it — and if the name was ever used before, the fresh id keeps
+    * retired data from resurfacing (Iceberg add-column semantics). */
+  def addColumn(name: String, typeDdl: String): Long = {
+    val v = withCommitLock {
+      val log = commits
+      require(log.nonEmpty, s"empty lake table $dir")
+      val last = log.last
+      val schema = StructType.fromDDL(last.schemaDdl)
+      require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+        s"column '$name' already exists in $dir")
+      val dt = org.apache.spark.sql.types.DataType.fromDDL(typeDdl)
+      val newSchema = schema.add(name, dt, nullable = true)
+      val (eff, maxEver) = idState(log)
+      val ids = assignFieldIds(newSchema.fieldNames.toSeq, eff, maxEver)
+      val (effSpec, effStats) = effectiveLayoutOf(log)
+      publish(last.version + 1, "append", Nil, Map.empty, "",
+        newSchema.toDDL, last.timestampMs, log, ids, effSpec, effStats)
+    }
+    spark.catalog.refreshByPath(dir)
+    v
+  }
+
+  /** ALTER TABLE DROP COLUMN: metadata-only commit retiring the column's
+    * field id (a later re-add mints a fresh id, so the dropped data never
+    * resurfaces). Partition transforms and stats columns referencing the
+    * column are dropped from the carried-forward layout. Time travel to a
+    * pre-drop version still shows it. */
+  def dropColumn(name: String): Long = {
+    val v = withCommitLock {
+      val log = commits
+      require(log.nonEmpty, s"empty lake table $dir")
+      val last = log.last
+      val schema = StructType.fromDDL(last.schemaDdl)
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+        s"no column '$name' in $dir (have: ${schema.fieldNames.mkString(", ")})")
+      require(schema.fields.length > 1, s"cannot drop the last column of $dir")
+      val newSchema = StructType(schema.fields.filterNot(_.name.equalsIgnoreCase(name)))
+      val (eff, maxEver) = idState(log)
+      val ids = assignFieldIds(newSchema.fieldNames.toSeq, eff, maxEver)
+      val (effSpec, effStats) = effectiveLayoutOf(log)
+      val newSpec = effSpec.filterNot(s =>
+        scala.util.Try(PartitionTransform.parse(s).srcCol.equalsIgnoreCase(name))
+          .getOrElse(false))
+      val newStats = effStats.filterNot(_.equalsIgnoreCase(name))
+      publish(last.version + 1, "append", Nil, Map.empty, "",
+        newSchema.toDDL, last.timestampMs, log, ids, newSpec, newStats)
+    }
+    spark.catalog.refreshByPath(dir)
+    v
+  }
+
+  /** ROLLBACK TO VERSION: republish version `v`'s exact file set (stats
+    * and all) as a NEW overwrite commit — history stays intact, time
+    * travel to the bad commits still works, and no data is rewritten when
+    * column identity is uniform (carry by reference, O(1) data). A rename
+    * since `v` forces a materializing rewrite so old files aren't
+    * misattributed to current ids (Iceberg rollback_to_snapshot / Delta
+    * RESTORE semantics). */
+  def restoreVersion(v: Long): Long = {
+    val carried = withCommitLock {
+      val log = commits
+      require(log.exists(_.version == v),
+        s"no version $v in $dir (latest=${log.lastOption.map(_.version).getOrElse(0L)})")
+      val visible = log.takeWhile(_.version <= v)
+      val (entries, _, vIds) = replayEntries(visible)
+      if (entries.forall(_.writeIds == vIds)) {
+        val rel = entries.map(e => (e.path.stripPrefix(s"$dir/"), e.stats))
+        val (effSpec, effStats) = effectiveLayoutOf(visible)
+        Some(publish(log.last.version + 1, "overwrite", rel.map(_._1),
+          rel.filter(_._2.nonEmpty).toMap, "", visible.last.schemaDdl,
+          log.last.timestampMs, log, vIds, effSpec, effStats))
+      } else None
+    }
+    val out = carried.getOrElse(overwrite(asOf(v)))
+    spark.catalog.refreshByPath(dir)
+    out
+  }
+
   /** (current field ids, highest id ever minted) after the last commit.
     * Legacy logs (written before ids were recorded) are backfilled by
     * chaining name inheritance from the first commit — exact, since legacy

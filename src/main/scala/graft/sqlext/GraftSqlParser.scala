@@ -51,6 +51,9 @@ import graft.streaming.{Pipe, Pipes}
   *   CREATE LAKE VIEW <name> FROM '<dir>' AT BRANCH|TAG <ref>
   *   MERGE BRANCH <name> INTO LAKE '<dir>'   -- fast-forward squash publish
   *   ALTER LAKE '<dir>' RENAME COLUMN <old> TO <new>   -- id-stable rename
+  *   ALTER LAKE '<dir>' ADD COLUMN <name> <type>       -- fresh field id
+  *   ALTER LAKE '<dir>' DROP COLUMN <name>             -- id retired
+  *   ROLLBACK LAKE '<dir>' TO VERSION <n>   -- restore as a new commit
   *   COPY INTO '<targetDir>' FROM '<src>' FORMAT <fmt> SCHEMA '<ddl>'
   *     [ON_ERROR CONTINUE|ABORT]                -- reference CopyIntoTableContext
   */
@@ -114,6 +117,9 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
         LakeChangesViewCommand(name, dir, fromV.toLong, toV.toLong)
       case RenameLakeColRe(dir, oldName, newName) =>
         RenameLakeColumnCommand(dir, oldName, newName)
+      case AddLakeColRe(dir, name, typeDdl) => AddLakeColumnCommand(dir, name, typeDdl)
+      case DropLakeColRe(dir, name) => DropLakeColumnCommand(dir, name)
+      case RollbackLakeRe(dir, version) => RollbackLakeCommand(dir, version.toLong)
       case CopyIntoRe(target, src, fmt, ddl, onError) =>
         CopyIntoCommand(target, src, fmt.toLowerCase,
           ddl, Option(onError).map(_.toLowerCase).getOrElse("continue"))
@@ -208,6 +214,12 @@ object GraftSqlParser {
       """\s+AT\s+(?:BRANCH|TAG)\s+([\w.-]+)\s*;?""").r
   private val RenameLakeColRe =
     """(?is)ALTER\s+LAKE\s+'([^']+)'\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?""".r
+  private val AddLakeColRe =
+    """(?is)ALTER\s+LAKE\s+'([^']+)'\s+ADD\s+COLUMN\s+(\w+)\s+([\w()<>,\s]+?)\s*;?""".r
+  private val DropLakeColRe =
+    """(?is)ALTER\s+LAKE\s+'([^']+)'\s+DROP\s+COLUMN\s+(\w+)\s*;?""".r
+  private val RollbackLakeRe =
+    """(?is)ROLLBACK\s+LAKE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*;?""".r
   private val CopyIntoRe =
     ("""(?is)COPY\s+INTO\s+'([^']+)'\s+FROM\s+'([^']+)'\s+FORMAT\s+(\w+)\s+""" +
       """SCHEMA\s+'([^']+)'(?:\s+ON_ERROR\s+(\w+))?\s*;?""").r
@@ -599,6 +611,35 @@ object GraftSqlParser {
         .renameColumn(oldName, newName)
       Seq(Row(v.toString))
     }
+  }
+
+  /** ALTER LAKE ... ADD COLUMN: metadata-only commit with a fresh field
+    * id (old files read NULL; retired data never resurfaces). */
+  case class AddLakeColumnCommand(dir: String, name: String, typeDdl: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("version")
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(graft.sources.SnapshotTable.forPath(spark, dir)
+        .addColumn(name, typeDdl).toString))
+  }
+
+  /** ALTER LAKE ... DROP COLUMN: metadata-only commit retiring the id. */
+  case class DropLakeColumnCommand(dir: String, name: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("version")
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(graft.sources.SnapshotTable.forPath(spark, dir)
+        .dropColumn(name).toString))
+  }
+
+  /** ROLLBACK LAKE ... TO VERSION: restore an old snapshot as a NEW
+    * commit (history intact; carry-by-reference when ids are uniform). */
+  case class RollbackLakeCommand(dir: String, version: Long)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("version")
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(graft.sources.SnapshotTable.forPath(spark, dir)
+        .restoreVersion(version).toString))
   }
 
   /** COPY INTO: bulk file load with ON_ERROR semantics (reference

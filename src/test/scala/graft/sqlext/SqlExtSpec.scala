@@ -299,6 +299,34 @@ class SqlExtSpec extends AnyFunSuite {
     assert(spark.sql(s"SHOW REFS FROM LAKE '$dir'").collect().isEmpty)
   }
 
+  test("ALTER LAKE ADD/DROP COLUMN and ROLLBACK TO VERSION through SQL") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sqlddl").toString
+    val t = graft.sources.SnapshotTable.create(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // ADD COLUMN: metadata-only; old files read NULL; new appends fill it
+    spark.sql(s"ALTER LAKE '$dir' ADD COLUMN score DOUBLE")
+    assert(t.read().schema.fieldNames.toSeq == Seq("id", "v", "score"))
+    assert(t.read().filter($"score".isNull).count() == 2L)
+    t.append(Seq((3L, "c", 0.5)).toDF("id", "v", "score"))
+    assert(t.read().filter($"score".isNotNull).count() == 1L)
+    // DROP COLUMN: gone from the current schema, visible via time travel
+    spark.sql(s"ALTER LAKE '$dir' DROP COLUMN v")
+    assert(t.read().schema.fieldNames.toSeq == Seq("id", "score"))
+    assert(t.asOf(1L).schema.fieldNames.toSeq == Seq("id", "v"))
+    // re-adding the dropped name must NOT resurface the old data
+    spark.sql(s"ALTER LAKE '$dir' ADD COLUMN v STRING")
+    assert(t.read().filter($"v".isNotNull).count() == 0L,
+      "retired column data must not resurface under a re-added name")
+    // ROLLBACK restores v1's file set as a new commit, history intact
+    val before = t.latestVersion
+    spark.sql(s"ROLLBACK LAKE '$dir' TO VERSION 1")
+    assert(t.latestVersion == before + 1)
+    assert(t.read().orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    assert(t.asOf(before).schema.fieldNames.toSeq == Seq("id", "score", "v"))
+  }
+
   test("ALTER LAKE ... RENAME COLUMN through SQL keeps history readable") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_sqlrename").toString
