@@ -30,7 +30,13 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   */
 object Reflections {
 
-  final case class Reflection(name: String, fingerprint: String, path: String)
+  /** `baseVersions`: lake-table version per table dir the defining plan
+    * scans, captured at (re)materialization — the staleness anchor
+    * (reference: ReflectionManager tracks dataset versions/refresh
+    * policies in `services/accelerator`). Non-lake sources record
+    * nothing and are assumed fresh (no version authority to consult). */
+  final case class Reflection(name: String, fingerprint: String, path: String,
+                              baseVersions: Map[String, Long] = Map.empty)
 
   private val byFingerprint = TrieMap.empty[String, Reflection]
   private val byName = TrieMap.empty[String, Reflection]
@@ -106,13 +112,47 @@ object Reflections {
     val defining = org.apache.spark.sql.graft.Bridge.ofRows(
       df.sparkSession, df.queryExecution.logical)
     val plan = withSubstitutionBypassed { defining.queryExecution.optimizedPlan }
-    val r = Reflection(name, fingerprintPlan(plan), path)
+    val r = Reflection(name, fingerprintPlan(plan), path,
+      lakeBaseVersions(df.sparkSession, plan))
     byName.put(name, r)
     byFingerprint.put(r.fingerprint, r)
     planByName.put(name, plan)
     scanByNameCache.remove(name) // re-created under the same name → re-read
     r
   }
+
+  /** Lake tables the defining plan scans, with their CURRENT versions. */
+  private def lakeBaseVersions(spark: SparkSession,
+                               plan: LogicalPlan): Map[String, Long] =
+    plan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation =>
+          h.location.rootPaths.map(p => normPath(p.toString))
+        case _ => Nil
+      }
+    }.flatten.distinct
+      .filter(graft.sources.SnapshotTable.isLakeTable)
+      .map(d => d -> graft.sources.SnapshotTable.forPath(spark, d).latestVersion)
+      .toMap
+
+  /** Is the materialization current against every lake table it reads?
+    * One directory listing per lake dir (cheap locally; an object-store
+    * deployment would batch this behind the reflection manager the way
+    * the reference does). */
+  def isFresh(spark: SparkSession, r: Reflection): Boolean =
+    r.baseVersions.forall { case (d, v) =>
+      graft.sources.SnapshotTable.forPath(spark, d).latestVersion == v
+    }
+
+  /** Re-pin a reflection's base versions after a refresh. */
+  private def repin(spark: SparkSession, name: String): Unit =
+    byName.get(name).foreach { r =>
+      val updated = r.copy(baseVersions = r.baseVersions.map { case (d, _) =>
+        d -> graft.sources.SnapshotTable.forPath(spark, d).latestVersion
+      })
+      byName.put(name, updated)
+      byFingerprint.replace(r.fingerprint, r, updated)
+    }
 
   // Substitution is disabled on this thread while a defining query is being
   // fingerprinted (see create()).
@@ -124,12 +164,15 @@ object Reflections {
     try body finally bypass.set(java.lang.Boolean.FALSE)
   }
 
-  /** Full refresh: recompute the materialization (fingerprint unchanged). */
+  /** Full refresh: recompute the materialization (fingerprint unchanged)
+    * and re-pin base lake versions, so the reflection serves again after
+    * its base tables advanced. */
   def refresh(name: String, df: DataFrame): Unit =
     byName.get(name).foreach { r =>
       df.write.mode(SaveMode.Overwrite).parquet(r.path)
       df.sparkSession.catalog.refreshByPath(r.path)
       scanByNameCache.remove(name)
+      repin(df.sparkSession, name)
     }
 
   /** Incremental refresh: dynamic-partition overwrite of only the
@@ -140,6 +183,7 @@ object Reflections {
       delta.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(r.path)
       delta.sparkSession.catalog.refreshByPath(r.path)
       scanByNameCache.remove(name)
+      repin(delta.sparkSession, name)
     }
 
   def drop(name: String): Unit = {
@@ -339,7 +383,15 @@ object Reflections {
           Set(normPath(cmd.outputPath.toString))
         case _ => Set.empty
       }
-      def usable(r: Reflection): Boolean = !excluded.contains(normPath(r.path))
+      // staleness gate, decided ONCE per query plan (not per candidate
+      // node): a reflection whose base lake table advanced since its
+      // materialization must not serve — the fingerprint keys on the
+      // table PATH, which still matches, but the content moved on.
+      // Stale reflections stay registered; a refresh() re-pins them.
+      val fresh: Map[String, Boolean] =
+        byName.iterator.map { case (n, r) => n -> isFresh(spark, r) }.toMap
+      def usable(r: Reflection): Boolean =
+        !excluded.contains(normPath(r.path)) && fresh.getOrElse(r.name, false)
       // Structural pre-filter: fingerprinting a node costs canonicalize +
       // toString + MD5 = O(subtree), so attempting it on EVERY subtree makes
       // the pass O(plan²) in string building on deep plans. A node can only

@@ -76,14 +76,18 @@ object InfoSchema {
         .map(e => Row(e.host(), e.port(), e.numRunningTasks())))
 
   /** sys.reflections (reference `sys.reflections` over ReflectionManager
-    * state): the registered materializations and their fingerprints. */
+    * state): the registered materializations, their fingerprints, and
+    * whether a base lake table has advanced past the materialized state
+    * (stale reflections are skipped by substitution until refreshed). */
   def sysReflections(spark: SparkSession): DataFrame =
     live(spark, StructType(Seq(
       StructField("name", StringType, nullable = false),
       StructField("fingerprint", StringType, nullable = false),
-      StructField("path", StringType, nullable = false))),
+      StructField("path", StringType, nullable = false),
+      StructField("stale", BooleanType, nullable = false))),
       () => graft.accel.Reflections.list
-        .map(r => Row(r.name, r.fingerprint, r.path)))
+        .map(r => Row(r.name, r.fingerprint, r.path,
+          !graft.accel.Reflections.isFresh(spark, r))))
 
   /** sys.pipes (reference `sys."pipes"` over the pipe registry). */
   def sysPipes(spark: SparkSession): DataFrame =

@@ -60,6 +60,24 @@ class ReflectionsSpec extends AnyFunSuite {
       .queryExecution.sparkPlan.toString
     assert(rollPlan.contains("r_lake_agg"),
       s"agg-subset query not served from the lake reflection:\n$rollPlan")
+
+    // STALENESS: the lake advances → the reflection must stop serving
+    // (the fingerprint still matches — it keys on the table PATH — so
+    // without the version gate this query would silently return the
+    // pre-append aggregate)
+    lake.append(spark.range(1000, 1100).select(col("id"), (col("id") % 7).as("k"),
+      (col("id") * 2).as("v")).toDF())
+    val stalePlan = q().queryExecution.sparkPlan.toString
+    assert(!stalePlan.contains("r_lake_agg"),
+      s"stale reflection must not serve after a lake append:\n$stalePlan")
+    val afterAppend = q().orderBy("k").as[(Long, Long, Long)].collect().toSeq
+    assert(afterAppend.map(_._2).sum == 1100L, "post-append query must see new rows")
+    // refresh re-pins the base version and serving resumes
+    Reflections.refresh("r_lake_agg", q())
+    val refreshedPlan = q().queryExecution.sparkPlan.toString
+    assert(refreshedPlan.contains("r_lake_agg"),
+      s"refreshed reflection should serve again:\n$refreshedPlan")
+    assert(q().orderBy("k").as[(Long, Long, Long)].collect().toSeq == afterAppend)
     Reflections.clear()
   }
 
