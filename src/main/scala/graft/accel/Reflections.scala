@@ -36,7 +36,11 @@ object Reflections {
     * policies in `services/accelerator`). Non-lake sources record
     * nothing and are assumed fresh (no version authority to consult). */
   final case class Reflection(name: String, fingerprint: String, path: String,
-                              baseVersions: Map[String, Long] = Map.empty)
+                              baseVersions: Map[String, Long] = Map.empty,
+                              // SQL text of the defining query when created
+                              // through DDL — lets REFRESH REFLECTION re-run
+                              // it without the caller re-supplying the frame
+                              definingSql: Option[String] = None)
 
   private val byFingerprint = TrieMap.empty[String, Reflection]
   private val byName = TrieMap.empty[String, Reflection]
@@ -104,7 +108,8 @@ object Reflections {
     * otherwise already be a scan of that materialization, and this
     * reflection would be registered under the wrong identity (matching
     * other-reflection scans instead of the user's query shape). */
-  def create(name: String, df: DataFrame, path: String): Reflection = {
+  def create(name: String, df: DataFrame, path: String,
+             definingSql: Option[String] = None): Reflection = {
     df.write.mode(SaveMode.Overwrite).parquet(path)
     df.sparkSession.catalog.refreshByPath(path)
     // fresh QueryExecution (the write above may have cached a substituted
@@ -113,7 +118,7 @@ object Reflections {
       df.sparkSession, df.queryExecution.logical)
     val plan = withSubstitutionBypassed { defining.queryExecution.optimizedPlan }
     val r = Reflection(name, fingerprintPlan(plan), path,
-      lakeBaseVersions(df.sparkSession, plan))
+      lakeBaseVersions(df.sparkSession, plan), definingSql)
     byName.put(name, r)
     byFingerprint.put(r.fingerprint, r)
     planByName.put(name, plan)

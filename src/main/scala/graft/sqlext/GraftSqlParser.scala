@@ -19,6 +19,7 @@ import graft.streaming.{Pipe, Pipes}
   *
   * Grammar (whitespace-insensitive, case-insensitive keywords):
   *   CREATE REFLECTION <name> USING PATH '<dir>' AS <query>
+  *   REFRESH REFLECTION <name>      -- re-materialize from stored SQL
   *   DROP REFLECTION <name>
   *   SHOW REFLECTIONS
   *   CREATE PIPE <name> FROM '<srcDir>' FORMAT <fmt> SCHEMA '<ddl>'
@@ -66,6 +67,7 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
     t match {
       case CreateReflectionRe(name, path, query) =>
         CreateReflectionCommand(name, path, query)
+      case RefreshReflectionRe(name) => RefreshReflectionCommand(name)
       case DropReflectionRe(name) => DropReflectionCommand(name)
       case ShowReflectionsRe() => ShowReflectionsCommand(out("name", "fingerprint", "path"))
       case CreatePipeRe(name, src, fmt, ddl, target, chk) =>
@@ -145,6 +147,7 @@ object GraftSqlParser {
   private val CreateReflectionRe =
     """(?is)CREATE\s+REFLECTION\s+(\w+)\s+USING\s+PATH\s+'([^']+)'\s+AS\s+(.+)""".r
   private val DropReflectionRe = """(?is)DROP\s+REFLECTION\s+(\w+)\s*;?""".r
+  private val RefreshReflectionRe = """(?is)REFRESH\s+REFLECTION\s+(\w+)\s*;?""".r
   private val ShowReflectionsRe = """(?is)SHOW\s+REFLECTIONS\s*;?""".r
   private val CreatePipeRe =
     ("""(?is)CREATE\s+PIPE\s+(\w+)\s+FROM\s+'([^']+)'\s+FORMAT\s+(\w+)\s+""" +
@@ -349,8 +352,24 @@ object GraftSqlParser {
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("reflection", "fingerprint")
     override def run(spark: SparkSession): Seq[Row] = {
-      val r = Reflections.create(name, spark.sql(query), path)
+      val r = Reflections.create(name, spark.sql(query), path, Some(query))
       Seq(Row(r.name, r.fingerprint))
+    }
+  }
+
+  /** REFRESH REFLECTION: re-materialize from the stored defining SQL and
+    * re-pin base lake versions, so a reflection that went stale serves
+    * again (reference: ReflectionManager refresh). */
+  case class RefreshReflectionCommand(name: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("reflection")
+    override def run(spark: SparkSession): Seq[Row] = {
+      val r = Reflections.list.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"unknown reflection: $name"))
+      val sql = r.definingSql.getOrElse(throw new IllegalArgumentException(
+        s"reflection '$name' was created via the API; refresh it with " +
+          "Reflections.refresh(name, df)"))
+      Reflections.refresh(name, spark.sql(sql))
+      Seq(Row(name))
     }
   }
 

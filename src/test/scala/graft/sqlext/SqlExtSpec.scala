@@ -17,6 +17,14 @@ class SqlExtSpec extends AnyFunSuite {
       "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag")
     val shown = spark.sql("SHOW REFLECTIONS").collect()
     assert(shown.map(_.getString(0)).contains("rx"))
+    // REFRESH re-materializes from the stored defining SQL
+    spark.sql("REFRESH REFLECTION rx")
+    assert(spark.sql("SHOW REFLECTIONS").collect().map(_.getString(0)).contains("rx"))
+    // API-created reflections carry no SQL and must say so
+    Reflections.create("r_api", spark.sql("SELECT 1 AS one"), s"$dir/r_api")
+    val err = intercept[Exception](spark.sql("REFRESH REFLECTION r_api"))
+    assert(err.getMessage.contains("API"))
+    Reflections.drop("r_api")
     spark.sql("DROP REFLECTION rx")
     assert(spark.sql("SHOW REFLECTIONS").collect().isEmpty)
   }
