@@ -92,6 +92,58 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
 
+  /** Connected components over dup pairs — the step after candidate
+    * generation in a real dedup pipeline: LSH/SimHash emit PAIRS, but
+    * keeping one canonical doc per duplicate GROUP needs the transitive
+    * closure (A~B, B~C ⇒ {A,B,C} is one cluster even when A~C was never
+    * emitted). Hash-to-min label propagation in plain DataFrame ops:
+    * every vertex repeatedly adopts the smallest component id among
+    * itself and its neighbors until a fixpoint — one shuffle join + one
+    * min-aggregate per iteration, converging in O(component diameter)
+    * rounds (dup clusters are near-cliques, so 2-4 in practice; hard cap
+    * `maxIters` turns a pathological chain into an error, not a hang).
+    *
+    * Scale: state per round is (id, component) — 16 bytes/vertex — and
+    * nothing is ever collected to the driver except the per-round 0/1
+    * convergence probe. Each round's labels are `localCheckpoint`ed:
+    * an iterative self-referencing DataFrame otherwise nests the prior
+    * round's plan inside the next (join + union both reference it), so
+    * the logical plan grows EXPONENTIALLY with rounds and planning OOMs
+    * near round 12 — lineage truncation keeps plan depth constant (the
+    * same reason GraphFrames checkpoints its CC loop; on a cluster with
+    * lossy executors, swap in reliable `checkpoint()`).
+    *
+    * Returns (id, component) where component = min id reachable. */
+  def connectedComponents(vertices: DataFrame, pairs: DataFrame,
+                          maxIters: Int = 25): DataFrame = {
+    val aCol = pairs.columns(0); val bCol = pairs.columns(1)
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+    edges.persist()
+    val idCol = vertices.columns(0)
+    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("component"))
+      .localCheckpoint(true)
+    try {
+      var iters = 0
+      while (iters < maxIters) {
+        val viaEdges = edges.join(labels, edges("src") === labels("id"))
+          .select(col("dst").as("id"), col("component"))
+        val next = labels.select(col("id"), col("component")).union(viaEdges)
+          .groupBy("id").agg(min("component").as("component"))
+          .localCheckpoint(true)
+        val improved = next.join(
+          labels.withColumnRenamed("component", "old"), "id")
+          .filter(col("component") < col("old")).limit(1).count() > 0
+        labels = next // superseded rounds' blocks are GC'd by ContextCleaner
+        if (!improved) return labels
+        iters += 1
+      }
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters iterations")
+    } finally edges.unpersist()
+  }
+
   /** Embedding near-dup: cosine > threshold within coarse buckets (label
     * as the IVF-style partition — at scale the bucket is a cluster
     * assignment, so the pairing is bucket-local, not all-pairs). */

@@ -145,8 +145,10 @@ object LlmQueries {
     * candidate pairing is bucket-local ((lang, length-bucket)) so the pair
     * space stays bounded; doc range capped for the oracle's nested-loop
     * containment check. */
-  val dedupNgramJaccard: QueryFn = (s, dir) => {
-    val docs = Tables.ensure(s, dir).documents.filter(col("doc_id") < 500)
+  /** Bucket-local raw-3-gram Jaccard pairs over doc_id < 500 (shared by
+    * the standalone pair query and the connected-components grouping). */
+  private def ngramJaccardPairs(docs: org.apache.spark.sql.DataFrame,
+                                threshold: Double): org.apache.spark.sql.DataFrame = {
     val toks = filter(split(lower(col("text")), "\\s+"), w => length(w) > 0)
     val grams = array_distinct(
       when(size(toks) < 3, array(array_join(toks, " ")))
@@ -161,9 +163,13 @@ object LlmQueries {
     a.join(b, Seq("lang", "bucket")).filter(col("a_id") < col("b_id"))
       .withColumn("jaccard", inter.cast("double") /
         (size(col("a_grams")) + size(col("b_grams")) - inter))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
-      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val dedupNgramJaccard: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents.filter(col("doc_id") < 500)
+    ngramJaccardPairs(docs, 0.5).orderBy(col("a_id"), col("b_id"))
   }
   val dedupNgramJaccardSql: String = """
     WITH toks AS (
@@ -186,6 +192,47 @@ object LlmQueries {
         / (len(a.grams) + len(b.grams)
            - len(list_filter(a.grams, g -> list_contains(b.grams, g)))) >= 0.5
     ORDER BY a_id, b_id"""
+
+  /** Duplicate GROUPS from pairs (the post-LSH step of a real dedup
+    * pipeline): transitive closure over Jaccard pairs via distributed
+    * label propagation; component = min doc_id reachable. The oracle
+    * reproduces it with a recursive CTE, so the grouping semantics —
+    * not just the pairs — are hash-gated. Threshold 0.3 admits enough
+    * pairs that real multi-hop chains exist on the fixture. */
+  val dedupComponents: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents.filter(col("doc_id") < 500)
+    val pairs = ngramJaccardPairs(docs, 0.3).select(col("a_id"), col("b_id"))
+    val out = Dedup.connectedComponents(docs.select(col("doc_id")), pairs)
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy(col("doc_id"))
+    out
+  }
+  val dedupComponentsSql: String = """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, lang, n_chars,
+        list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS t
+      FROM documents WHERE doc_id < 500),
+    d AS (
+      SELECT doc_id, lang, n_chars // 50 AS bucket,
+        list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+          ELSE list_transform(generate_series(1, len(t) - 2),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS grams
+      FROM toks),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM d a JOIN d b
+        ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_filter(a.grams, g -> list_contains(b.grams, g))) AS DOUBLE)
+          / (len(a.grams) + len(b.grams)
+             - len(list_filter(a.grams, g -> list_contains(b.grams, g)))) >= 0.3),
+    edges AS (SELECT a_id AS s, b_id AS t FROM pairs
+              UNION SELECT b_id, a_id FROM pairs),
+    reach(s, t) AS (
+      SELECT doc_id, doc_id FROM documents WHERE doc_id < 500
+      UNION
+      SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s)
+    SELECT s AS doc_id, MIN(t) AS component FROM reach GROUP BY s
+    ORDER BY doc_id"""
 
   val textLangid: QueryFn = (s, dir) =>
     TextAnalysis.languageId(Tables.ensure(s, dir).documents.filter(col("doc_id") < 500))
@@ -224,6 +271,7 @@ object LlmQueries {
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding_cos" -> dedupEmbedding,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_components" -> dedupComponents,
     "ann_brute_force" -> annBrute,
     "ann_topk_ids" -> annTopkIds,
     "dedup_embedding_ids" -> dedupEmbeddingIds,
@@ -238,6 +286,7 @@ object LlmQueries {
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_components" -> dedupComponentsSql,
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,
     "text_fingerprint" -> textFingerprintSql,

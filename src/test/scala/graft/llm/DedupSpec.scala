@@ -71,6 +71,28 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact), s"LSH emitted non-pairs: ${lsh.diff(exact)}")
   }
 
+  test("connected components groups transitive dup chains, leaves isolates alone") {
+    // chain 1-2-3 (2~3 never directly paired), clique 10-11, isolates 20, 21
+    val verts = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(verts, pairs)
+    val comp = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.unpersist()
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 21L))
+    // a longer chain exercises multiple propagation rounds
+    val chainV = (0L to 12L).toDF("id")
+    val chainP = (0L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    val chain = Dedup.connectedComponents(chainV, chainP)
+    val cc = chain.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    chain.unpersist()
+    assert(cc.values.toSet == Set(0L), "a 13-node chain is one component rooted at 0")
+    // pathological: cap exceeded raises instead of hanging
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chainV, chainP, maxIters = 2).collect()
+    }
+  }
+
   test("embedding dups finds planted near-identical vectors") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.1f), 1),
