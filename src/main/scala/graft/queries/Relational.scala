@@ -820,7 +820,44 @@ object Relational {
              ORDER BY n_name LIMIT 2) ln
     ORDER BY r_name, n_name"""
 
+  /** Column profile (reference statistics service,
+    * `services/statistics/StatisticsServiceImpl.java:76`): one aggregation
+    * pass computes every column's count/NDV/min/max; exact NDV here so the
+    * DuckDB oracle can reproduce it bit-for-bit (HLL is the scale path —
+    * see `catalog.Statistics.profile`). */
+  val profileCustomer: QueryFn = (s, dir) => {
+    val t = graft.engine.Tables.ensure(s, dir)
+    graft.catalog.Statistics.profile(
+      t.customer.select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        dbl(money(col("c_acctbal"))).as("bal")),
+      exactNdv = true).orderBy(col("col_name"))
+  }
+  val profileCustomerSql: String = """
+    WITH src AS (
+      SELECT c_custkey, c_name, c_mktsegment,
+             CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal
+      FROM customer)
+    SELECT * FROM (
+      SELECT 'bal' AS col_name, COUNT(*) AS n_rows,
+             COUNT(*) - COUNT(bal) AS n_nulls, COUNT(DISTINCT bal) AS ndv,
+             CAST(MIN(bal) AS VARCHAR) AS min_value,
+             CAST(MAX(bal) AS VARCHAR) AS max_value FROM src
+      UNION ALL
+      SELECT 'c_custkey', COUNT(*), COUNT(*) - COUNT(c_custkey),
+             COUNT(DISTINCT c_custkey),
+             CAST(MIN(c_custkey) AS VARCHAR), CAST(MAX(c_custkey) AS VARCHAR) FROM src
+      UNION ALL
+      SELECT 'c_mktsegment', COUNT(*), COUNT(*) - COUNT(c_mktsegment),
+             COUNT(DISTINCT c_mktsegment),
+             CAST(MIN(c_mktsegment) AS VARCHAR), CAST(MAX(c_mktsegment) AS VARCHAR) FROM src
+      UNION ALL
+      SELECT 'c_name', COUNT(*), COUNT(*) - COUNT(c_name),
+             COUNT(DISTINCT c_name),
+             CAST(MIN(c_name) AS VARCHAR), CAST(MAX(c_name) AS VARCHAR) FROM src) p
+    ORDER BY col_name"""
+
   val queries: Map[String, QueryFn] = Map(
+    "profile_customer" -> profileCustomer,
     "unpivot_part" -> unpivotPart,
     "lateral_top_per_row" -> lateralTopPerRow,
     "join_inner_hash" -> joinInnerHash,
@@ -868,6 +905,7 @@ object Relational {
     "pivot_status" -> pivotStatus)
 
   val oracle: Map[String, String] = Map(
+    "profile_customer" -> profileCustomerSql,
     "unpivot_part" -> unpivotPartSql,
     "lateral_top_per_row" -> lateralTopPerRowSql,
     "join_inner_hash" -> joinInnerHashSql,

@@ -55,6 +55,7 @@ import graft.streaming.{Pipe, Pipes}
   *   ALTER LAKE '<dir>' ADD COLUMN <name> <type>       -- fresh field id
   *   ALTER LAKE '<dir>' DROP COLUMN <name>             -- id retired
   *   ROLLBACK LAKE '<dir>' TO VERSION <n>   -- restore as a new commit
+  *   ANALYZE LAKE '<dir>'   -- one-pass column profile (HLL ndv)
   *   COPY INTO '<targetDir>' FROM '<src>' FORMAT <fmt> SCHEMA '<ddl>'
   *     [ON_ERROR CONTINUE|ABORT]                -- reference CopyIntoTableContext
   */
@@ -122,6 +123,9 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
       case AddLakeColRe(dir, name, typeDdl) => AddLakeColumnCommand(dir, name, typeDdl)
       case DropLakeColRe(dir, name) => DropLakeColumnCommand(dir, name)
       case RollbackLakeRe(dir, version) => RollbackLakeCommand(dir, version.toLong)
+      case AnalyzeLakeRe(dir) =>
+        AnalyzeLakeCommand(dir,
+          out("col_name", "n_rows", "n_nulls", "ndv", "min_value", "max_value"))
       case CopyIntoRe(target, src, fmt, ddl, onError) =>
         CopyIntoCommand(target, src, fmt.toLowerCase,
           ddl, Option(onError).map(_.toLowerCase).getOrElse("continue"))
@@ -223,6 +227,7 @@ object GraftSqlParser {
     """(?is)ALTER\s+LAKE\s+'([^']+)'\s+DROP\s+COLUMN\s+(\w+)\s*;?""".r
   private val RollbackLakeRe =
     """(?is)ROLLBACK\s+LAKE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*;?""".r
+  private val AnalyzeLakeRe = """(?is)ANALYZE\s+LAKE\s+'([^']+)'\s*;?""".r
   private val CopyIntoRe =
     ("""(?is)COPY\s+INTO\s+'([^']+)'\s+FROM\s+'([^']+)'\s+FORMAT\s+(\w+)\s+""" +
       """SCHEMA\s+'([^']+)'(?:\s+ON_ERROR\s+(\w+))?\s*;?""").r
@@ -659,6 +664,20 @@ object GraftSqlParser {
     override def run(spark: SparkSession): Seq[Row] =
       Seq(Row(graft.sources.SnapshotTable.forPath(spark, dir)
         .restoreVersion(version).toString))
+  }
+
+  /** ANALYZE LAKE: one-pass column profile of the current snapshot
+    * (reference SqlAnalyzeTableStatistics →
+    * `services/statistics/StatisticsServiceImpl.java:76`; HLL ndv is the
+    * scale path — see catalog.Statistics). */
+  case class AnalyzeLakeCommand(dir: String, override val output: Seq[Attribute])
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] =
+      graft.catalog.Statistics.profile(
+        graft.sources.SnapshotTable.forPath(spark, dir).read())
+        .collect().toSeq.map(r => Row(
+          r.getString(0), r.getLong(1).toString, r.getLong(2).toString,
+          r.getLong(3).toString, r.getString(4), r.getString(5)))
   }
 
   /** COPY INTO: bulk file load with ON_ERROR semantics (reference
