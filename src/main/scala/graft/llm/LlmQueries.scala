@@ -257,6 +257,54 @@ object LlmQueries {
     SELECT doc_id, lang AS labeled_lang, best.lang AS predicted_lang, best.score AS score
     FROM scored ORDER BY doc_id"""
 
+  /** Stratified deterministic sampling (training-data mixing): upsample
+    * English (every 3rd doc), downsample everything else (every 7th) —
+    * membership is a pure function of per-stratum rank, so DuckDB
+    * reproduces the exact mix. */
+  val sampleStratified: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents
+    Mixing.stratifiedEveryNth(docs, "lang", "doc_id",
+      Map("en" -> 3), defaultEvery = 7)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+  val sampleStratifiedSql: String = """
+    WITH r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents)
+    SELECT doc_id, lang FROM r
+    WHERE (rn - 1) % (CASE WHEN lang = 'en' THEN 3 ELSE 7 END) = 0
+    ORDER BY doc_id"""
+
+  /** End-to-end corpus curation — the composed pipeline a pre-training
+    * run actually executes: quality gate (token count + digit ratio) ∧
+    * exact-dup canonical keeper, in one plan. Each stage is an existing
+    * operator; the composition itself is hash-gated against DuckDB
+    * running the same three stages. */
+  val corpusCuration: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents
+    val quality = TextAnalysis.qualitySignals(docs)
+      .select(col("doc_id"), col("n_tokens"), col("digit_ratio"))
+    val keepers = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
+    docs.join(quality, "doc_id").join(keepers, "doc_id")
+      .filter(col("n_tokens") >= 10 && col("digit_ratio") <= 0.3)
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+  val corpusCurationSql: String = """
+    WITH q AS (
+      SELECT doc_id, lang,
+        len(list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0)) AS n_tokens,
+        CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+          / length(text) AS digit_ratio
+      FROM documents),
+    keepers AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+    SELECT q.doc_id, q.lang, CAST(q.n_tokens AS INT) AS n_tokens
+    FROM q JOIN keepers USING (doc_id)
+    WHERE n_tokens >= 10 AND digit_ratio <= 0.3
+    ORDER BY doc_id"""
+
   val multimodalFeatures: QueryFn = (s, dir) => {
     val docs = Tables.ensure(s, dir).documents.filter(col("doc_id") < 200)
     Multimodal.extractFeatures(Multimodal.asMedia(docs, "doc_id", "text"))
@@ -281,6 +329,8 @@ object LlmQueries {
     "text_tokens" -> textTokens,
     "text_fingerprint" -> textFingerprint,
     "text_langid" -> textLangid,
+    "sample_stratified" -> sampleStratified,
+    "corpus_curation" -> corpusCuration,
     "multimodal_features" -> multimodalFeatures)
 
   val oracle: Map[String, String] = Map(
@@ -291,6 +341,8 @@ object LlmQueries {
     "text_tokens" -> textTokensSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_langid" -> textLangidSql,
+    "sample_stratified" -> sampleStratifiedSql,
+    "corpus_curation" -> corpusCurationSql,
     "ann_topk_ids" -> annTopkIdsSql,
     "ann_ivf_ids" -> annIvfIdsSql,
     "dedup_embedding_ids" -> dedupEmbeddingIdsSql)
