@@ -103,6 +103,8 @@ for name in names:
                 import pandas as pd
                 if isinstance(a, (datetime.date, datetime.datetime)) or \
                    isinstance(b, (datetime.date, datetime.datetime)):
+                    if pd.isna(a) and pd.isna(b):  # NaT != NaT, but both-null is a match
+                        continue
                     if pd.Timestamp(a) != pd.Timestamp(b):
                         exact = False
                         close = False

@@ -305,6 +305,149 @@ object LlmQueries {
     WHERE n_tokens >= 10 AND digit_ratio <= 0.3
     ORDER BY doc_id"""
 
+  /** Benchmark decontamination: eval set = every 97th doc; training docs
+    * sharing >= 5 distinct 3-grams with any eval doc are dropped. */
+  val decontaminate: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents
+    val evalSet = docs.filter(col("doc_id") % 97 === 0)
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+    Decontaminate.clean(train, evalSet, n = 3, minShared = 5)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+  val decontaminateSql: String = """
+    WITH toks AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS t
+      FROM documents),
+    g AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        ELSE list_transform(generate_series(1, len(t) - 2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS gram
+      FROM toks),
+    eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+    shared AS (
+      SELECT g.doc_id, COUNT(*) AS n FROM g JOIN eg USING (gram)
+      WHERE g.doc_id % 97 <> 0 GROUP BY g.doc_id)
+    SELECT d.doc_id, d.lang
+    FROM documents d LEFT JOIN shared s ON d.doc_id = s.doc_id
+    WHERE d.doc_id % 97 <> 0 AND COALESCE(s.n, 0) < 5
+    ORDER BY d.doc_id"""
+
+  /** Sequence packing into 2048-token bins per language stratum. */
+  val packSequences: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents
+    val d = docs.select(col("doc_id"), col("lang"),
+      size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
+    Packing.packGreedy(d, tokenCol = "n_tokens", orderCol = "doc_id",
+      budget = 2048, strata = Seq("lang"))
+      .orderBy(col("doc_id"))
+  }
+  val packSequencesSql: String = """
+    WITH toks AS (
+      SELECT doc_id, lang,
+        CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                             w -> len(w) > 0)) AS INT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+        COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM toks)
+    SELECT doc_id, lang, n_tokens,
+           CAST(cum // 2048 AS BIGINT) AS bin,
+           CAST(cum % 2048 AS BIGINT) AS bin_offset
+    FROM c ORDER BY doc_id"""
+
+  /** PII redaction over text with synthesized PII (the fixture corpus has
+    * none): emails, IPv4s, phone numbers appended deterministically, then
+    * redacted; the md5 of the redacted text gates the full output. */
+  val textPiiRedact: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents.filter(col("doc_id") < 300)
+    val aug = docs.select(col("doc_id"), concat(
+      col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or 10."), (col("doc_id") % 200).cast("string"),
+      lit(".0."), (col("doc_id") % 250).cast("string"),
+      lit(" phone 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+      lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+    TextAnalysis.piiRedact(aug).orderBy(col("doc_id"))
+  }
+  val textPiiRedactSql: String = """
+    WITH aug AS (
+      SELECT doc_id,
+        text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 10.' ||
+        CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) ||
+        ' phone 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents WHERE doc_id < 300)
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+      CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+      CAST(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS INT) AS n_phones,
+      md5(regexp_replace(regexp_replace(regexp_replace(t,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+        '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g')) AS red_md5,
+      CAST(length(regexp_replace(regexp_replace(regexp_replace(t,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+        '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g')) AS INT) AS red_len
+    FROM aug ORDER BY doc_id"""
+
+  /** Gopher-style repetition signals per doc. */
+  val textRepetition: QueryFn = (s, dir) =>
+    TextAnalysis.repetitionSignals(
+      Tables.ensure(s, dir).documents.filter(col("doc_id") < 500))
+      .orderBy(col("doc_id"))
+  val textRepetitionSql: String = """
+    WITH toks AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS t
+      FROM documents WHERE doc_id < 500),
+    b AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+        ELSE list_transform(generate_series(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1]) END) AS gram
+      FROM toks),
+    c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+    a AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+                 COUNT(*) AS n_distinct, CAST(MAX(cnt) AS BIGINT) AS top_n
+          FROM c GROUP BY 1)
+    SELECT doc_id, n_bigrams, n_distinct, top_n,
+      1.0 - CAST(n_distinct AS DOUBLE) / n_bigrams AS dup_bigram_frac,
+      CAST(top_n AS DOUBLE) / n_bigrams AS top_bigram_frac
+    FROM a ORDER BY doc_id"""
+
+  /** Hash-stable train/val/test split (90/5/5 via md5 bucket carving). */
+  val splitAssign: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents
+    Mixing.splitByHash(docs, "doc_id",
+      Seq("train" -> 0.90, "val" -> 0.05, "test" -> 0.05))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("split"), col("lang"))
+  }
+  val splitAssignSql: String = """
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+                ELSE 'test' END AS split,
+           lang, COUNT(*) AS n_docs
+    FROM documents GROUP BY 1, 2 ORDER BY split, lang"""
+
+  /** Deterministic global training order (salted-hash sort), first 100. */
+  val shuffleDeterministic: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents
+    Mixing.deterministicOrder(docs, "doc_id", salt = "graft-shuffle-0")
+      .select(col("doc_id"), col("shuffle_key"))
+      .limit(100)
+  }
+  val shuffleDeterministicSql: String = """
+    SELECT doc_id, md5('graft-shuffle-0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+    FROM documents ORDER BY shuffle_key, doc_id LIMIT 100"""
+
   val multimodalFeatures: QueryFn = (s, dir) => {
     val docs = Tables.ensure(s, dir).documents.filter(col("doc_id") < 200)
     Multimodal.extractFeatures(Multimodal.asMedia(docs, "doc_id", "text"))
@@ -331,6 +474,12 @@ object LlmQueries {
     "text_langid" -> textLangid,
     "sample_stratified" -> sampleStratified,
     "corpus_curation" -> corpusCuration,
+    "decontaminate" -> decontaminate,
+    "pack_sequences" -> packSequences,
+    "text_pii_redact" -> textPiiRedact,
+    "text_repetition" -> textRepetition,
+    "split_assign" -> splitAssign,
+    "shuffle_deterministic" -> shuffleDeterministic,
     "multimodal_features" -> multimodalFeatures)
 
   val oracle: Map[String, String] = Map(
@@ -345,5 +494,11 @@ object LlmQueries {
     "corpus_curation" -> corpusCurationSql,
     "ann_topk_ids" -> annTopkIdsSql,
     "ann_ivf_ids" -> annIvfIdsSql,
-    "dedup_embedding_ids" -> dedupEmbeddingIdsSql)
+    "dedup_embedding_ids" -> dedupEmbeddingIdsSql,
+    "decontaminate" -> decontaminateSql,
+    "pack_sequences" -> packSequencesSql,
+    "text_pii_redact" -> textPiiRedactSql,
+    "text_repetition" -> textRepetitionSql,
+    "split_assign" -> splitAssignSql,
+    "shuffle_deterministic" -> shuffleDeterministicSql)
 }

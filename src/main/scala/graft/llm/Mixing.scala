@@ -36,4 +36,33 @@ object Mixing {
       .filter((col("__g_rn") - 1) % rate === 0)
       .drop("__g_rn")
   }
+
+  /** Stable train/val/test assignment by content-independent hash: bucket
+    * a row id into 256 md5 buckets (first hex byte of md5) and carve the
+    * bucket space by cumulative fraction. Assignment is a pure per-row
+    * function — no shuffle, no RNG, no drift when the corpus grows, and
+    * any engine with md5 reproduces it bit-for-bit. `splits` maps split
+    * name → fraction (fractions quantized to 1/256 bucket boundaries).
+    */
+  def splitByHash(df: DataFrame, idCol: String,
+                  splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val bucket = substring(md5(col(idCol).cast("string")), 1, 2)
+    val bounds = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val assign = splits.map(_._1).zip(bounds).dropRight(1)
+      .foldRight(lit(splits.last._1)) { case ((name, hi), els) =>
+        when(bucket < lit(f"${math.round(hi * 256)}%02x"), lit(name)).otherwise(els)
+      }
+    df.withColumn("split", assign)
+  }
+
+  /** Deterministic global training order: sort by a salted md5 of the row
+    * id. A full-corpus sort is a range shuffle (Spark samples bounds), and
+    * hashes distribute uniformly, so partitions balance perfectly; with a
+    * LIMIT on top Catalyst plans TakeOrderedAndProject instead (per-
+    * partition top-k, no global sort materialized). */
+  def deterministicOrder(df: DataFrame, idCol: String, salt: String): DataFrame =
+    df.withColumn("shuffle_key", md5(concat(lit(salt + ":"), col(idCol).cast("string"))))
+      .orderBy(col("shuffle_key"), col(idCol))
 }

@@ -1,0 +1,42 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: assign documents to fixed-token-budget training bins
+  * ("which context window does this doc land in, at what offset") by
+  * streaming documents in a deterministic order and cutting a new bin each
+  * time the running token total crosses the budget. Documents may straddle
+  * a boundary — the trainer truncates or overflows; what matters here is
+  * that the assignment is a pure function of (stratum, order), so every
+  * run and every engine produces the same packing.
+  *
+  * Scale design: one window (hash shuffle on the strata, per-partition
+  * sort) and codegen'd arithmetic — the same cost shape as sessionization.
+  * Strata double as the parallelism unit: packing a 100 TB corpus in one
+  * global order would serialize into a single sort, so callers pass a
+  * shard column among `strata` (e.g. `pmod(xxhash64(doc_id), 1024)`) and
+  * pack within (stratum, shard) — bins are still deterministic, just
+  * numbered per shard, which is how training shards are consumed anyway.
+  */
+object Packing {
+
+  /** @param tokenCol per-row token count column (integral)
+    * @param orderCol deterministic within-stratum order (unique id)
+    * @param budget   tokens per bin (context length)
+    * @param strata   partition columns (language, source, shard…)
+    * @return input plus `bin` (0-based bin index within the stratum) and
+    *         `bin_offset` (token offset of this doc inside its bin)
+    */
+  def packGreedy(df: DataFrame, tokenCol: String, orderCol: String,
+                 budget: Int, strata: Seq[String]): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(strata.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__g_cum", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .withColumn("bin", floor(col("__g_cum") / budget))
+      .withColumn("bin_offset", col("__g_cum") % budget)
+      .drop("__g_cum")
+  }
+}

@@ -13,7 +13,7 @@ object TextAnalysis {
     "the", "a", "an", "of", "and", "or", "to", "in", "is", "it",
     "for", "on", "with", "as", "at", "by", "from", "that", "this")
 
-  private def tokens(c: Column): Column = filter(split(lower(c), "\\s+"), w => length(w) > 0)
+  private[llm] def tokens(c: Column): Column = filter(split(lower(c), "\\s+"), w => length(w) > 0)
 
   /** Quality signals: length, token stats, punctuation/digit/stopword
     * ratios — the usual pre-training heuristics (cf. C4/Gopher rules). */
@@ -61,6 +61,52 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "une"),
     "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "den", "im", "ein"),
     "zh" -> Seq("de", "shi", "le", "wo", "ni", "ta", "men", "zai", "you", "he"))
+
+  /** PII redaction: replace emails, dotted IPv4s, and NNN-NNN-NNNN phone
+    * numbers with typed placeholder tags, reporting per-doc hit counts and
+    * an md5 of the redacted text (the hash gates the full replacement
+    * output without shipping it). Patterns stay inside the portable
+    * RE2 ∩ java.util.regex dialect so the DuckDB oracle runs them
+    * verbatim. Single codegen'd projection — one pass over the corpus. */
+  def piiRedact(docs: DataFrame): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+    val red = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), emailRe, "[EMAIL]"),
+        ipRe, "[IP]"),
+      phoneRe, "[PHONE]")
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(emailRe)).as("n_emails"),
+      regexp_count(col("text"), lit(ipRe)).as("n_ips"),
+      regexp_count(col("text"), lit(phoneRe)).as("n_phones"),
+      md5(red).as("red_md5"),
+      length(red).as("red_len"))
+  }
+
+  /** Gopher-style repetition signals: per-doc bigram duplication fraction
+    * and top-bigram coverage (a doc whose most common 2-gram covers a
+    * large share of the text is boilerplate/spam). Explode + two-phase
+    * count — both aggregations partial-combine map-side, so the shuffle
+    * carries (doc, gram, partial count), never raw text. */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val bigrams = when(size(toks) < 2, array(array_join(toks, " ")))
+      .otherwise(transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+    docs.select(col("doc_id"), explode(bigrams).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("cnt")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("top_n"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct"), col("top_n"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams"))
+          .as("dup_bigram_frac"),
+        (col("top_n").cast("double") / col("n_bigrams")).as("top_bigram_frac"))
+  }
 
   def languageId(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))

@@ -99,13 +99,98 @@ object Events {
     SELECT CAST(time_bucket(INTERVAL 6 HOUR, ts) AS TIMESTAMP) AS w_start, event_type, COUNT(*) AS n
     FROM events GROUP BY 1, 2 ORDER BY w_start, event_type"""
 
+  /** Backward as-of join: each purchase picks up the latest click at or
+    * before it by the same user (graft.operators.AsOfJoin — union+window,
+    * one shuffle, zero join nodes). The oracle reproduces the same
+    * semantics with a portable union-window formulation (verified
+    * equivalent to DuckDB's native ASOF JOIN on the fixture). */
+  val eventsAsofJoin: QueryFn = (s, dir) => {
+    val ev = Tables.ensure(s, dir).events
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+    graft.operators.AsOfJoin.backward(
+      purchases, clicks, Seq("user_id"), leftTs = "ts", rightTs = "ts")
+      // no-match marker: click_id stays NULL; the ts gets an epoch sentinel
+      // (null-temporal hashing is engine-greyzone, null bigints are proven)
+      .withColumn("click_ts", coalesce(col("click_ts"), tsLit("1970-01-01 00:00:00")))
+      .orderBy(col("event_id"))
+  }
+  val eventsAsofJoinSql: String = """
+    WITH u AS (
+      SELECT user_id, ts, 1 AS side, event_id,
+             CAST(NULL AS BIGINT) AS c_id, CAST(NULL AS TIMESTAMP) AS c_ts
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, 0, NULL, event_id, ts
+      FROM events WHERE event_type = 'click'),
+    w AS (
+      SELECT user_id, ts, side, event_id,
+        last_value(c_id IGNORE NULLS) OVER win AS click_id,
+        last_value(c_ts IGNORE NULLS) OVER win AS click_ts
+      FROM u
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, c_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT event_id, user_id, ts, click_id,
+           COALESCE(click_ts, TIMESTAMP '1970-01-01 00:00:00') AS click_ts
+    FROM w WHERE side = 1 ORDER BY event_id"""
+
+  /** Point-in-interval range join: clicks inside each purchase's
+    * one-hour attribution window (graft.operators.RangeJoin — interval
+    * binning turns the range predicate into a shuffled equi-join; the
+    * reference would nested-loop this, SURVEY §2.3 NLJE). */
+  val eventsRangeJoin: QueryFn = (s, dir) => {
+    val ev = Tables.ensure(s, dir).events
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("w_start"))
+      .withColumn("w_end", col("w_start") + expr("INTERVAL 1 HOUR"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"), col("value").as("c_value"))
+    val joined = graft.operators.RangeJoin.pointInInterval(
+      clicks, purchases, Seq("user_id"),
+      pointTs = "c_ts", startCol = "w_start", endCol = "w_end",
+      binSeconds = 3600)
+    val counts = joined.groupBy(col("p_id"))
+      .agg(count(lit(1)).as("n_clicks"),
+        dbl(sum(money(col("c_value")))).as("click_value"))
+    purchases.join(counts, Seq("p_id"), "left")
+      .select(col("p_id"), col("user_id"), col("w_start"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        coalesce(col("click_value"), lit(0.0)).as("click_value"))
+      .orderBy(col("p_id"))
+  }
+  val eventsRangeJoinSql: String = """
+    WITH p AS (
+      SELECT event_id AS p_id, user_id, ts AS w_start,
+             ts + INTERVAL 1 HOUR AS w_end
+      FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts AS c_ts, value AS c_value
+          FROM events WHERE event_type = 'click'),
+    j AS (
+      SELECT p.p_id, COUNT(*) AS n_clicks,
+             CAST(SUM(CAST(c.c_value AS DECIMAL(12,2))) AS DOUBLE) AS click_value
+      FROM p JOIN c ON p.user_id = c.user_id
+        AND c.c_ts >= p.w_start AND c.c_ts < p.w_end
+      GROUP BY p.p_id)
+    SELECT p.p_id, p.user_id, p.w_start,
+           COALESCE(j.n_clicks, 0) AS n_clicks,
+           COALESCE(j.click_value, 0.0) AS click_value
+    FROM p LEFT JOIN j USING (p_id) ORDER BY p_id"""
+
   val queries: Map[String, QueryFn] = Map(
+    "events_asof_join" -> eventsAsofJoin,
+    "events_range_join" -> eventsRangeJoin,
     "events_hourly" -> eventsHourly,
     "events_sessionize" -> eventsSessionize,
     "events_dedup_latest" -> eventsDedupLatest,
     "events_tumbling" -> eventsTumbling)
 
   val oracle: Map[String, String] = Map(
+    "events_asof_join" -> eventsAsofJoinSql,
+    "events_range_join" -> eventsRangeJoinSql,
     "events_hourly" -> eventsHourlySql,
     "events_sessionize" -> eventsSessionizeSql,
     "events_dedup_latest" -> eventsDedupLatestSql,

@@ -50,4 +50,39 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(1L) == "en")
     assert(got(2L) == "es")
   }
+
+  test("pii redaction replaces emails, ips, and phones with typed tags") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.org from 192.168.1.10 or call 555-867-5309"),
+      (2L, "no pii here, just 3.14 and v1.2 release notes")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.piiRedact(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r1 = rows(1L)
+    assert(r1.getAs[Int]("n_emails") == 1)
+    assert(r1.getAs[Int]("n_ips") == 1)
+    assert(r1.getAs[Int]("n_phones") == 1)
+    // "mail [EMAIL] from [IP] or call [PHONE]"
+    assert(r1.getAs[Int]("red_len") == "mail [EMAIL] from [IP] or call [PHONE]".length)
+    val r2 = rows(2L)
+    assert(r2.getAs[Int]("n_emails") == 0 && r2.getAs[Int]("n_ips") == 0 &&
+      r2.getAs[Int]("n_phones") == 0)
+  }
+
+  test("repetition signals flag duplicated bigrams and boilerplate coverage") {
+    val df = Seq(
+      (1L, "buy now buy now buy now buy now"), // 7 bigrams, 2 distinct
+      (2L, "each word appears exactly once here")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.repetitionSignals(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r1 = rows(1L)
+    assert(r1.getAs[Long]("n_bigrams") == 7L)
+    assert(r1.getAs[Long]("n_distinct") == 2L)
+    assert(r1.getAs[Long]("top_n") == 4L) // "buy now" x4
+    assert(math.abs(r1.getAs[Double]("top_bigram_frac") - 4.0 / 7) < 1e-12)
+    val r2 = rows(2L)
+    assert(r2.getAs[Double]("dup_bigram_frac") == 0.0)
+    assert(r2.getAs[Long]("top_n") == 1L)
+  }
 }
