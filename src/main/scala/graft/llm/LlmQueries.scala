@@ -448,6 +448,34 @@ object LlmQueries {
     SELECT doc_id, md5('graft-shuffle-0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
     FROM documents ORDER BY shuffle_key, doc_id LIMIT 100"""
 
+  /** Int8 embedding quantization (ANN compression, IVF-SQ8 shape): codes
+    * are deterministic double arithmetic, so DuckDB reproduces them
+    * bit-for-bit; the md5 over the joined code string gates every
+    * component of every vector. */
+  val embedQuantize: QueryFn = (s, dir) => {
+    val e = Tables.ensure(s, dir).embeddings
+    Similarity.quantizeInt8(e)
+      .select(col("vec_id"), col("q_min"), col("q_scale"),
+        md5(array_join(transform(col("q_codes"), _.cast("string")), ","))
+          .as("codes_md5"),
+        aggregate(col("q_codes"), lit(0L), (a, x) => a + x).as("codes_sum"))
+      .orderBy(col("vec_id"))
+  }
+  val embedQuantizeSql: String = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e),
+    qq AS (SELECT vec_id, mn,
+            CASE WHEN mx = mn THEN 0.0 ELSE (mx - mn) / 255.0 END AS q_scale,
+            CASE WHEN mx = mn THEN list_transform(v, x -> 0)
+                 ELSE list_transform(v,
+                   x -> CAST(round((x - mn) / ((mx - mn) / 255.0)) AS INT) - 128)
+            END AS codes
+           FROM m)
+    SELECT vec_id, mn AS q_min, q_scale,
+           md5(array_to_string(codes, ',')) AS codes_md5,
+           CAST(list_sum(codes) AS BIGINT) AS codes_sum
+    FROM qq ORDER BY vec_id"""
+
   val multimodalFeatures: QueryFn = (s, dir) => {
     val docs = Tables.ensure(s, dir).documents.filter(col("doc_id") < 200)
     Multimodal.extractFeatures(Multimodal.asMedia(docs, "doc_id", "text"))
@@ -480,6 +508,7 @@ object LlmQueries {
     "text_repetition" -> textRepetition,
     "split_assign" -> splitAssign,
     "shuffle_deterministic" -> shuffleDeterministic,
+    "embed_quantize" -> embedQuantize,
     "multimodal_features" -> multimodalFeatures)
 
   val oracle: Map[String, String] = Map(
@@ -500,5 +529,6 @@ object LlmQueries {
     "text_pii_redact" -> textPiiRedactSql,
     "text_repetition" -> textRepetitionSql,
     "split_assign" -> splitAssignSql,
-    "shuffle_deterministic" -> shuffleDeterministicSql)
+    "shuffle_deterministic" -> shuffleDeterministicSql,
+    "embed_quantize" -> embedQuantizeSql)
 }

@@ -111,6 +111,32 @@ object Similarity {
     * query only scans its own bucket. Per-query top-k runs through the
     * bounded-heap TopKPerKey operator (O(n log k) heap instead of the
     * window's full per-key sort), same as the brute-force/centroid paths. */
+  /** Per-vector affine int8 quantization: codes c = round((x-min)/scale)-128
+    * with scale = (max-min)/255, plus the (q_min, q_scale) needed to
+    * dequantize x' = (c+128)*scale + min. 4× less memory/shuffle than fp32
+    * — the standard ANN compression step (IVF-SQ8); max reconstruction
+    * error is scale/2 per component. All arithmetic in double (floats are
+    * exact in double, IEEE ops are deterministic), so any engine
+    * reproduces the codes bit-for-bit. Pure projection — no shuffle. */
+  def quantizeInt8(df: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val mn = array_min(v)
+    val mx = array_max(v)
+    val scale = (mx - mn) / lit(255.0)
+    val codes = when(mx === mn, transform(v, _ => lit(0).cast("int")))
+      .otherwise(transform(v, x => (round((x - mn) / scale) - 128).cast("int")))
+    df.withColumn("q_min", mn)
+      .withColumn("q_scale", when(mx === mn, lit(0.0)).otherwise(scale))
+      .withColumn("q_codes", codes)
+  }
+
+  /** Dequantize `quantizeInt8` output back to an approximate double
+    * vector (for scoring without re-reading fp32). */
+  def dequantize(df: DataFrame): DataFrame =
+    df.withColumn("deq_vec",
+      transform(col("q_codes"),
+        c => (c.cast("double") + 128.0) * col("q_scale") + col("q_min")))
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
     val q = queries.select(col("label"), col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val c = corpus.select(col("label"), col("vec_id").as("c_id"), col("embedding").as("c_vec"))

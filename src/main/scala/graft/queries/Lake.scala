@@ -276,7 +276,27 @@ object Lake {
     WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate <= DATE '1996-12-31'
     ORDER BY o_orderkey"""
 
+  /** Metadata COUNT(*): two appends and a copy-on-write DELETE, then a
+    * bare count answered from the manifest `__rows` entries with no scan
+    * (plans.CountFromManifest; reference CountOnScanToValuesRule,
+    * PlannerPhase.java:337). The oracle recomputes the same count from
+    * the fixture, so the manifest numbers — written at commit, carried by
+    * reference through DML — are hash-gated against real data. */
+  val lakeCountMeta: QueryFn = (s, dir) => {
+    val t = Tables.ensure(s, dir)
+    val lakeDir = Files.createTempDirectory("graft_lake_count").toString
+    val lake = SnapshotTable.create(s, lakeDir,
+      t.orders.filter(col("o_orderkey") % 2 === 0))
+    lake.append(t.orders.filter(col("o_orderkey") % 2 === 1))
+    lake.deleteWhere(col("o_orderstatus") === "F")
+    s.sql(s"CREATE LAKE VIEW lake_count_v FROM '$lakeDir'")
+    s.sql("SELECT COUNT(*) AS n_rows FROM lake_count_v")
+  }
+  val lakeCountMetaSql: String =
+    "SELECT COUNT(*) AS n_rows FROM orders WHERE o_orderstatus <> 'F'"
+
   val queries: Map[String, QueryFn] = Map(
+    "lake_count_meta" -> lakeCountMeta,
     "lake_pruned_scan" -> lakePrunedScan,
     "lake_partitioned_scan" -> lakePartitionedScan,
     "lake_delete_update" -> lakeDeleteUpdate,
@@ -288,6 +308,7 @@ object Lake {
     "lake_incremental_scan" -> lakeIncrementalScan)
 
   val oracle: Map[String, String] = Map(
+    "lake_count_meta" -> lakeCountMetaSql,
     "lake_pruned_scan" -> lakePrunedScanSql,
     "lake_partitioned_scan" -> lakePartitionedScanSql,
     "lake_delete_update" -> lakeDeleteUpdateSql,

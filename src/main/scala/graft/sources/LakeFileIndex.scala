@@ -71,6 +71,15 @@ final class LakeFileIndex(
   override def inputFiles: Array[String] = filesWithStats.map(_._1).toArray
   override def refresh(): Unit = ()
   override def sizeInBytes: Long = statuses.map(_._1.getLen).sum
+
+  /** Snapshot row count from manifest `__rows` entries — defined only when
+    * EVERY file recorded one (a single legacy file makes the count
+    * unknowable without a scan, so the metadata-count rule must not fire).
+    */
+  def manifestRowCount: Option[Long] = {
+    val ns = filesWithStats.map(_._2.get(SnapshotTable.RowsStatKey))
+    if (ns.forall(_.isDefined)) Some(ns.flatten.map(_._1.toLong).sum) else None
+  }
 }
 
 object LakeFileIndex {

@@ -1211,7 +1211,21 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
         .toVector.sorted
       finally s.close()
     }
-    val stats: Map[String, Map[String, (String, String)]] =
+    // Per-file row counts from the parquet FOOTERS (driver-side metadata
+    // reads, no data scan) ride in the stats map under the `__rows` pseudo
+    // column: carried files keep them verbatim through DML/compaction, and
+    // `LakeFileIndex.manifestRowCount` sums them so a bare COUNT(*) is
+    // answered from the manifest (reference: CountOnScanToValuesRule,
+    // PlannerPhase.java:337). On a cluster this read distributes with the
+    // write tasks; here the commit is already driver-coordinated.
+    val hconf = org.apache.spark.sql.graft.Bridge.hadoopConf(spark)
+    val rowCounts: Map[String, String] = files.map { rel =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$dir/$rel"), hconf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try rel -> r.getRecordCount.toString finally r.close()
+    }.toMap
+    val stats0: Map[String, Map[String, (String, String)]] =
       if ((statsCols.isEmpty && partitionBy.isEmpty) || files.isEmpty) Map.empty
       else {
         // transform values are recomputed from the source columns on
@@ -1237,6 +1251,10 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
             }.toMap
           }.toMap
       }
+    val stats = files.map { f =>
+      val rows = SnapshotTable.RowsStatKey -> (rowCounts(f), rowCounts(f))
+      f -> (stats0.getOrElse(f, Map.empty[String, (String, String)]) + rows)
+    }.toMap
     (files, stats)
   }
 
@@ -1312,6 +1330,11 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
 
 object SnapshotTable {
   val LogDirName = "_graft_log"
+
+  /** Pseudo column carrying per-file parquet row counts inside the stats
+    * map (min == max == count). Never collides with predicate pruning —
+    * lookups there are by real attribute name. */
+  val RowsStatKey = "__rows"
 
   /** Inherit ids for surviving names, mint fresh ids for new ones. `maxUsed`
     * is the highest id EVER minted on the table (not just currently live):

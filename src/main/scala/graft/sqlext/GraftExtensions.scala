@@ -12,6 +12,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
     e.injectOptimizerRule(session => new graft.accel.Reflections.Substitute(session))
+    e.injectOptimizerRule(session => new graft.plans.CountFromManifest(session))
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }

@@ -78,4 +78,44 @@ class SimilaritySpec extends AnyFunSuite {
     val counts = out.groupBy("q_id").count().select("count").as[Long].collect()
     assert(counts.length == 3 && counts.forall(_ == 5))
   }
+
+  test("int8 quantization: codes in range, reconstruction error <= scale/2") {
+    val e = graft.engine.Tables(spark, TestSpark.sf).embeddings
+    val rows = Similarity.dequantize(Similarity.quantizeInt8(e))
+      .select(col("embedding"), col("q_scale"), col("q_codes"), col("deq_vec"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val orig = r.getSeq[Float](0)
+      val scale = r.getDouble(1)
+      val codes = r.getSeq[Int](2)
+      val deq = r.getSeq[Double](3)
+      assert(codes.forall(c => c >= -128 && c <= 127))
+      orig.zip(deq).foreach { case (o, d) =>
+        assert(math.abs(o.toDouble - d) <= scale / 2 + 1e-12,
+          s"reconstruction error ${math.abs(o.toDouble - d)} > ${scale / 2}")
+      }
+    }
+  }
+
+  test("quantized constant vector gets zero codes and zero scale") {
+    val df = Seq((1L, Seq(0.5f, 0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val r = Similarity.quantizeInt8(df).select("q_scale", "q_codes").head()
+    assert(r.getDouble(0) == 0.0)
+    assert(r.getSeq[Int](1) == Seq(0, 0, 0))
+  }
+
+  test("brute-force top-1 on dequantized vectors matches exact top-1 on the fixture") {
+    val e = graft.engine.Tables(spark, TestSpark.sf).embeddings
+    val deq = Similarity.dequantize(Similarity.quantizeInt8(e))
+      .select(col("vec_id"), transform(col("deq_vec"), _.cast("float")).as("embedding"))
+    val exact = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 1)
+      .select(col("q_id"), col("c_id")).as[(Long, Long)].collect().toMap
+    val approx = Similarity.bruteForceTopK(deq, deq.filter(col("vec_id") < 10), k = 1)
+      .select(col("q_id"), col("c_id")).as[(Long, Long)].collect().toMap
+    val agree = exact.keys.count(k => approx.get(k) == exact.get(k))
+    info(s"int8 top-1 agreement: $agree/${exact.size}")
+    assert(agree >= (exact.size * 0.8).toInt,
+      s"quantized top-1 agreement $agree/${exact.size} below 80%")
+  }
 }
