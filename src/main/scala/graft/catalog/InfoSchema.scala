@@ -129,6 +129,24 @@ object InfoSchema {
         .map(r => Row(r.id, r.action, r.status, r.durationMs, r.outputRows,
           r.shuffleBytes, r.error, r.plan, r.tsMs)))
 
+  /** sys.queues (reference WLM queue state — `services/resourcescheduler`
+    * BasicResourceAllocator): per-queue slots, live occupancy, and
+    * admission counters. */
+  def sysQueues(spark: SparkSession): DataFrame =
+    live(spark, StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("slots", IntegerType, nullable = false),
+      StructField("pool", StringType, nullable = false),
+      StructField("timeout_ms", LongType, nullable = false),
+      StructField("running", LongType, nullable = false),
+      StructField("queued", LongType, nullable = false),
+      StructField("admitted", LongType, nullable = false),
+      StructField("timed_out", LongType, nullable = false),
+      StructField("peak_queued", LongType, nullable = false))),
+      () => graft.engine.Queues.status
+        .map(q => Row(q.name, q.slots, q.pool, q.timeoutMs, q.running,
+          q.queued, q.admitted, q.timedOut, q.peakQueued)))
+
   /** Register all introspection views (and start recording query history
     * for this session, if not already). */
   def register(spark: SparkSession): Unit = {
@@ -141,5 +159,6 @@ object InfoSchema {
     sysPipes(spark).createOrReplaceTempView("sys_pipes")
     sysFunctions(spark).createOrReplaceTempView("sys_functions")
     sysQueries(spark).createOrReplaceTempView("sys_queries")
+    sysQueues(spark).createOrReplaceTempView("sys_queues")
   }
 }

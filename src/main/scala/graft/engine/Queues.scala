@@ -1,0 +1,100 @@
+package graft.engine
+
+import java.util.concurrent.{Semaphore, TimeUnit}
+import java.util.concurrent.atomic.AtomicLong
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.SparkSession
+
+/** Workload management: named admission queues with bounded concurrency
+  * and an enqueue timeout, mapped onto Spark's scheduler pools.
+  *
+  * Reference: the resource scheduler queues queries by cost class with a
+  * concurrency limit and a queue-entry timeout
+  * (`services/resourcescheduler/src/main/java/com/dremio/resource/basic/
+  * BasicResourceAllocator.java`, `BasicResourceConstants.java:32`
+  * `exec.queue.timeout_millis`, `QueueType.java` SMALL/LARGE), so a burst
+  * of expensive queries cannot starve interactive ones.
+  *
+  * Spark-first re-expression: admission is a driver-side fair semaphore
+  * per queue (the cluster-level slot ledger), and *execution* isolation is
+  * Spark's own fair scheduler — each queue names a scheduler pool, set via
+  * the `spark.scheduler.pool` thread-local property for the duration of
+  * the admitted action, so the cluster shares resources between queues the
+  * way the reference shares slices between its queues. Everything is
+  * driver-side metadata: zero cost in the data plane.
+  */
+object Queues {
+
+  /** @param slots max queries admitted concurrently
+    * @param timeoutMs max wait for a slot before AdmissionTimeout
+    * @param pool Spark fair-scheduler pool the admitted query runs in */
+  final case class QueueDef(name: String, slots: Int, timeoutMs: Long, pool: String)
+
+  final class AdmissionTimeout(queue: String, timeoutMs: Long)
+    extends RuntimeException(
+      s"query did not enter queue '$queue' within ${timeoutMs}ms")
+
+  private final class State(val defn: QueueDef) {
+    val sem = new Semaphore(defn.slots, true) // fair: FIFO admission order
+    val queued = new AtomicLong(0)
+    val running = new AtomicLong(0)
+    val admitted = new AtomicLong(0)
+    val timedOut = new AtomicLong(0)
+    val peakQueued = new AtomicLong(0)
+  }
+
+  private val states = TrieMap.empty[String, State]
+
+  /** Define (or redefine) a queue. Redefinition replaces the slot ledger —
+    * in-flight queries keep their already-granted slots. */
+  def define(name: String, slots: Int, timeoutMs: Long = 5L * 60 * 1000,
+             pool: String = null): Unit = {
+    require(slots > 0, "queue needs at least one slot")
+    states.put(name, new State(QueueDef(name, slots, timeoutMs,
+      Option(pool).getOrElse(name))))
+  }
+
+  def drop(name: String): Unit = states.remove(name)
+  def clear(): Unit = states.clear()
+
+  /** Run `body` under the queue's admission control: blocks for a slot
+    * (FIFO, up to timeoutMs), tags the calling thread's jobs with the
+    * queue's scheduler pool, and releases the slot when the body returns
+    * or throws. Queries on threads that never go through `run` are
+    * unmanaged — same as the reference with queueing disabled. */
+  def run[T](spark: SparkSession, queueName: String)(body: => T): T = {
+    val st = states.getOrElse(queueName,
+      throw new NoSuchElementException(s"no such queue: $queueName"))
+    val q = st.queued.incrementAndGet()
+    st.peakQueued.getAndUpdate(p => math.max(p, q))
+    val got =
+      try st.sem.tryAcquire(st.defn.timeoutMs, TimeUnit.MILLISECONDS)
+      finally st.queued.decrementAndGet()
+    if (!got) {
+      st.timedOut.incrementAndGet()
+      throw new AdmissionTimeout(queueName, st.defn.timeoutMs)
+    }
+    st.admitted.incrementAndGet()
+    st.running.incrementAndGet()
+    val sc = spark.sparkContext
+    val prevPool = sc.getLocalProperty("spark.scheduler.pool")
+    sc.setLocalProperty("spark.scheduler.pool", st.defn.pool)
+    try body
+    finally {
+      sc.setLocalProperty("spark.scheduler.pool", prevPool)
+      st.running.decrementAndGet()
+      st.sem.release()
+    }
+  }
+
+  /** Live status snapshot (backs the sys_queues view). */
+  final case class QueueStatus(name: String, slots: Int, pool: String,
+                               timeoutMs: Long, running: Long, queued: Long,
+                               admitted: Long, timedOut: Long, peakQueued: Long)
+
+  def status: Seq[QueueStatus] = states.values.toSeq.sortBy(_.defn.name).map { st =>
+    QueueStatus(st.defn.name, st.defn.slots, st.defn.pool, st.defn.timeoutMs,
+      st.running.get, st.queued.get, st.admitted.get, st.timedOut.get,
+      st.peakQueued.get)
+  }
+}

@@ -147,16 +147,24 @@ object LlmQueries {
     * containment check. */
   /** Bucket-local raw-3-gram Jaccard pairs over doc_id < 500 (shared by
     * the standalone pair query and the connected-components grouping). */
-  private def ngramJaccardPairs(docs: org.apache.spark.sql.DataFrame,
-                                threshold: Double): org.apache.spark.sql.DataFrame = {
+  /** (doc_id, lang, bucket, grams): distinct raw 3-word shingles plus the
+    * (lang, length-bucket) locality key shared by the exact-Jaccard pair
+    * queries — candidate pairing stays bucket-local so the pair space is
+    * bounded. */
+  private def gramSets(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val toks = filter(split(lower(col("text")), "\\s+"), w => length(w) > 0)
     val grams = array_distinct(
       when(size(toks) < 3, array(array_join(toks, " ")))
         .otherwise(transform(sequence(lit(1), size(toks) - 2),
           i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
             element_at(toks, i + 2)))))
-    val d = docs.select(col("doc_id"), col("lang"),
+    docs.select(col("doc_id"), col("lang"),
       expr("n_chars div 50").as("bucket"), grams.as("grams"))
+  }
+
+  private def ngramJaccardPairs(docs: org.apache.spark.sql.DataFrame,
+                                threshold: Double): org.apache.spark.sql.DataFrame = {
+    val d = gramSets(docs)
     val a = d.select(col("lang"), col("bucket"), col("doc_id").as("a_id"), col("grams").as("a_grams"))
     val b = d.select(col("lang"), col("bucket"), col("doc_id").as("b_id"), col("grams").as("b_grams"))
     val inter = size(array_intersect(col("a_grams"), col("b_grams")))
@@ -476,6 +484,145 @@ object LlmQueries {
            CAST(list_sum(codes) AS BIGINT) AS codes_sum
     FROM qq ORDER BY vec_id"""
 
+  /** Per-source document cap — "at most K docs per domain", the standard
+    * guard against a single crawl domain dominating the training mix.
+    * Runs through the custom TopKPerKey physical operator (bounded per-key
+    * heaps, O(n log k), spill-capable) instead of a window sort: at 100 TB
+    * a row_number() window would sort whole partitions to keep 20 rows.
+    * The oracle expresses the same semantics with row_number. */
+  val sourceCapTopk: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents
+    graft.plans.TopKPerKey(docs, col("source"), col("n_chars"), col("doc_id"), k = 20)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+  val sourceCapTopkSql: String = """
+    WITH r AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents)
+    SELECT doc_id, source, n_chars FROM r WHERE rn <= 20
+    ORDER BY source, doc_id"""
+
+  /** Incremental corpus dedup — the continuous-ingestion shape: a delta
+    * batch (new crawl) is admitted only where it is NOT a near-dup of the
+    * existing corpus. Same bucket-local exact-Jaccard candidate scheme as
+    * `dedup_ngram_jaccard` (raw shingles, so the oracle reproduces it);
+    * the production scale path swaps the candidate stage for MinHash LSH
+    * (`Dedup.minhashLsh`) with identical join shape. Left-anti join keeps
+    * novel docs — no full-corpus rewrite, O(delta × bucket) work. */
+  val dedupIncremental: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents
+    val corpus = gramSets(docs.filter(col("doc_id") < 300))
+      .select(col("lang"), col("bucket"), col("grams").as("c_grams"))
+    val delta = gramSets(docs.filter(col("doc_id") >= 300 && col("doc_id") < 500))
+    val inter = size(array_intersect(col("grams"), col("c_grams")))
+    val dupIds = delta.join(corpus, Seq("lang", "bucket"))
+      .filter(inter.cast("double") /
+        (size(col("grams")) + size(col("c_grams")) - inter) >= 0.5)
+      .select(col("doc_id")).distinct()
+    delta.join(dupIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+  val dedupIncrementalSql: String = """
+    WITH toks AS (
+      SELECT doc_id, lang, n_chars,
+        list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS t
+      FROM documents WHERE doc_id < 500),
+    d AS (
+      SELECT doc_id, lang, n_chars // 50 AS bucket,
+        list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+          ELSE list_transform(generate_series(1, len(t) - 2),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS grams
+      FROM toks),
+    dup AS (
+      SELECT DISTINCT n.doc_id
+      FROM d n JOIN d c ON n.lang = c.lang AND n.bucket = c.bucket
+      WHERE n.doc_id >= 300 AND c.doc_id < 300
+        AND CAST(len(list_filter(n.grams, g -> list_contains(c.grams, g))) AS DOUBLE)
+            / (len(n.grams) + len(c.grams)
+               - len(list_filter(n.grams, g -> list_contains(c.grams, g)))) >= 0.5)
+    SELECT doc_id, lang FROM d
+    WHERE doc_id >= 300 AND doc_id NOT IN (SELECT doc_id FROM dup)
+    ORDER BY doc_id"""
+
+  /** Token-distribution entropy (boilerplate/spam signal). Entropies are
+    * rounded to 6dp in BOTH engines — float accumulation order differs
+    * across engines at ~1e-14, four orders below the rounding grain. */
+  val textEntropy: QueryFn = (s, dir) =>
+    TextAnalysis.tokenEntropy(
+      Tables.ensure(s, dir).documents.filter(col("doc_id") < 500))
+      .orderBy(col("doc_id"))
+  val textEntropySql: String = """
+    WITH toks AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS t
+      FROM documents WHERE doc_id < 500),
+    u AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    c AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM u GROUP BY 1, 2),
+    a AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+                 COUNT(*) AS n_distinct, SUM(cnt * ln(cnt)) AS s
+          FROM c GROUP BY 1)
+    SELECT doc_id, n_tokens, n_distinct,
+      round(ln(n_tokens) - s / n_tokens, 6) AS token_entropy,
+      CASE WHEN n_distinct = 1 THEN 0.0
+           ELSE round((ln(n_tokens) - s / n_tokens) / ln(n_distinct), 6)
+      END AS norm_entropy
+    FROM a ORDER BY doc_id"""
+
+  /** Power-of-two context-length histogram per language (batch shaping).
+    * Bucket exponent via integer bit-length in both engines — no
+    * floor(log2) float boundary risk. */
+  val lengthBuckets: QueryFn = (s, dir) =>
+    TextAnalysis.lengthBuckets(Tables.ensure(s, dir).documents)
+      .orderBy(col("lang"), col("bucket_log2"))
+  val lengthBucketsSql: String = """
+    WITH toks AS (
+      SELECT lang,
+        len(list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0)) AS n
+      FROM documents),
+    b AS (
+      SELECT lang, n,
+        CASE WHEN n <= 0 THEN -1
+             ELSE CAST(length(bin(CAST(n AS BIGINT))) - 1 AS INT) END AS bucket_log2
+      FROM toks)
+    SELECT lang, bucket_log2, COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS sum_tokens,
+           CAST(MIN(n) AS INT) AS min_tokens,
+           CAST(MAX(n) AS INT) AS max_tokens,
+           CASE WHEN bucket_log2 < 0 THEN 0
+                ELSE CAST(pow(2, bucket_log2) AS BIGINT) END AS bucket_lo
+    FROM b GROUP BY lang, bucket_log2 ORDER BY lang, bucket_log2"""
+
+  /** Overlapping token-window chunking (retrieval/embedding prep): 64-token
+    * windows, stride 48; chunk content gated by md5. */
+  val chunkDocuments: QueryFn = (s, dir) =>
+    Packing.chunkTokens(
+      Tables.ensure(s, dir).documents.filter(col("doc_id") < 300),
+      idCol = "doc_id", textCol = "text", chunkSize = 64, stride = 48)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  val chunkDocumentsSql: String = """
+    WITH toks AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS t
+      FROM documents WHERE doc_id < 300),
+    p AS (
+      SELECT doc_id, t,
+        CASE WHEN len(t) <= 64 THEN 1
+             ELSE CAST(ceil((len(t) - 64) / 48.0) AS BIGINT) + 1 END AS nc
+      FROM toks),
+    x AS (SELECT doc_id, t, unnest(generate_series(0, nc - 1)) AS chunk_idx FROM p),
+    s AS (SELECT doc_id, chunk_idx,
+            CAST(chunk_idx * 48 + 1 AS BIGINT) AS start_tok,
+            t[chunk_idx * 48 + 1 : chunk_idx * 48 + 64] AS ck
+          FROM x)
+    SELECT doc_id, chunk_idx, start_tok,
+           CAST(len(ck) AS INT) AS n_chunk_tokens,
+           md5(COALESCE(array_to_string(ck, ' '), '')) AS chunk_md5
+    FROM s ORDER BY doc_id, chunk_idx"""
+
   val multimodalFeatures: QueryFn = (s, dir) => {
     val docs = Tables.ensure(s, dir).documents.filter(col("doc_id") < 200)
     Multimodal.extractFeatures(Multimodal.asMedia(docs, "doc_id", "text"))
@@ -509,6 +656,11 @@ object LlmQueries {
     "split_assign" -> splitAssign,
     "shuffle_deterministic" -> shuffleDeterministic,
     "embed_quantize" -> embedQuantize,
+    "text_entropy" -> textEntropy,
+    "length_buckets" -> lengthBuckets,
+    "chunk_documents" -> chunkDocuments,
+    "source_cap_topk" -> sourceCapTopk,
+    "dedup_incremental" -> dedupIncremental,
     "multimodal_features" -> multimodalFeatures)
 
   val oracle: Map[String, String] = Map(
@@ -530,5 +682,10 @@ object LlmQueries {
     "text_repetition" -> textRepetitionSql,
     "split_assign" -> splitAssignSql,
     "shuffle_deterministic" -> shuffleDeterministicSql,
-    "embed_quantize" -> embedQuantizeSql)
+    "embed_quantize" -> embedQuantizeSql,
+    "text_entropy" -> textEntropySql,
+    "length_buckets" -> lengthBucketsSql,
+    "chunk_documents" -> chunkDocumentsSql,
+    "source_cap_topk" -> sourceCapTopkSql,
+    "dedup_incremental" -> dedupIncrementalSql)
 }

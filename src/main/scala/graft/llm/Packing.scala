@@ -39,4 +39,36 @@ object Packing {
       .withColumn("bin_offset", col("__g_cum") % budget)
       .drop("__g_cum")
   }
+
+  /** Overlapping token-window chunking — the retrieval/embedding-pipeline
+    * step that splits each document into fixed-size windows with stride
+    * overlap (chunk i covers tokens [i·stride+1, i·stride+chunkSize]).
+    * A doc of n tokens yields 1 chunk when n ≤ chunkSize, else
+    * ceil((n−chunkSize)/stride)+1, so the final window always reaches the
+    * last token. Pure per-row explode (sequence + slice, all codegen'd):
+    * no shuffle at all — at 100 TB this is a map-only pass whose output
+    * fan-out is bounded by n/stride per doc.
+    *
+    * @return idCol, chunk_idx (0-based), start_tok (1-based token offset),
+    *         n_chunk_tokens, chunk_md5 (hash of the space-joined window —
+    *         gates the exact chunk content without shipping it)
+    */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    require(stride > 0 && stride <= chunkSize, "need 0 < stride <= chunkSize")
+    val t = TextAnalysis.tokens(col(textCol))
+    val n = size(t)
+    val nChunks = when(n <= chunkSize, lit(1L))
+      .otherwise(ceil((n - chunkSize).cast("double") / stride) + 1L)
+    val start = col("chunk_idx") * stride + 1L
+    docs.select(col(idCol), t.as("__t"), nChunks.as("__nc"))
+      .select(col(idCol), col("__t"),
+        explode(sequence(lit(0L), col("__nc") - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"), start.as("start_tok"),
+        slice(col("__t"), start, lit(chunkSize)).as("__ck"))
+      .select(col(idCol), col("chunk_idx"), col("start_tok"),
+        size(col("__ck")).as("n_chunk_tokens"),
+        md5(array_join(col("__ck"), " ")).as("chunk_md5"))
+  }
 }

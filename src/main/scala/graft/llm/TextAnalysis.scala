@@ -108,6 +108,52 @@ object TextAnalysis {
         (col("top_n").cast("double") / col("n_bigrams")).as("top_bigram_frac"))
   }
 
+  /** Token-distribution entropy per doc: Shannon entropy of the token
+    * frequency distribution (H = ln N − Σ c·ln c / N) plus the
+    * log-normalized form (H / ln distinct). Low entropy flags boilerplate
+    * and keyword-stuffed spam; it complements the repetition signals.
+    * Same two-phase explode/count shape as [[repetitionSignals]] — both
+    * aggregations partial-combine map-side, the shuffle carries
+    * (doc, token, count). Entropies are rounded to 6 decimals so the
+    * cross-engine float-accumulation-order divergence (~1e-14) can never
+    * flip a hash compare. */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    val h = log(col("n_tokens").cast("double")) - col("__s") / col("n_tokens")
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("cnt").cast("double") * log(col("cnt").cast("double"))).as("__s"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(h, 6).as("token_entropy"),
+        when(col("n_distinct") === 1, lit(0.0))
+          .otherwise(round(h / log(col("n_distinct").cast("double")), 6))
+          .as("norm_entropy"))
+  }
+
+  /** Power-of-two token-length histogram per language — the batch-shaping
+    * profile an inference/training scheduler needs (how many docs land in
+    * each 2^k..2^(k+1) context bucket). The bucket exponent is computed
+    * with integer arithmetic (`length(bin(n)) - 1`), not floor(log2):
+    * log2 via doubles can land on 7.9999… at exact powers of two and
+    * mis-bucket boundary docs differently per engine. Single projection +
+    * one small aggregation. */
+  def lengthBuckets(docs: DataFrame): DataFrame = {
+    val n = size(tokens(col("text")))
+    val bucket = when(n <= 0, lit(-1))
+      .otherwise((length(bin(n.cast("long"))) - 1).cast("int"))
+    docs.select(col("lang"), n.as("n_tokens"), bucket.as("bucket_log2"))
+      .groupBy(col("lang"), col("bucket_log2")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .withColumn("bucket_lo",
+        when(col("bucket_log2") < 0, lit(0L))
+          .otherwise(pow(lit(2.0), col("bucket_log2")).cast("long")))
+  }
+
   def languageId(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val scored = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>

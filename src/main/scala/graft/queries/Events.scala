@@ -180,7 +180,56 @@ object Events {
            COALESCE(j.click_value, 0.0) AS click_value
     FROM p LEFT JOIN j USING (p_id) ORDER BY p_id"""
 
+  /** Gap-filled per-user hourly timeline (time-series densification):
+    * build the complete hour spine per user (sequence + explode — a
+    * map-side fan-out, no driver loop), left-join the observed hourly
+    * rollup, zero-fill counts, and carry the last observed hourly value
+    * forward across gaps (last_value IGNORE NULLS window). Cost shape at
+    * scale: one hash shuffle on user_id for the rollup + one window sort
+    * per user — the spine explode is bounded by span-hours per user.
+    * Money math in decimal for cross-engine hash parity. */
+  val eventsGapFill: QueryFn = (s, dir) => {
+    val t = Tables.ensure(s, dir)
+    val ev = t.events.filter(col("user_id") < 50)
+    val base = ev
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"), dbl(sum(money(col("value")))).as("hour_value"))
+    val spine = ev.groupBy(col("user_id"))
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(base, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("hour_value"), lit(0.0)).as("hour_value"),
+        coalesce(last(col("hour_value"), ignoreNulls = true).over(w), lit(0.0))
+          .as("carry_value"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+  val eventsGapFillSql: String = """
+    WITH ev AS (SELECT user_id, ts, value FROM events WHERE user_id < 50),
+    base AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS hour_value
+      FROM ev GROUP BY 1, 2),
+    span AS (SELECT user_id, date_trunc('hour', MIN(ts)) AS h0,
+                    date_trunc('hour', MAX(ts)) AS h1 FROM ev GROUP BY 1),
+    spine AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+              FROM span)
+    SELECT s.user_id, s.hour,
+           COALESCE(b.n, 0) AS n,
+           COALESCE(b.hour_value, 0.0) AS hour_value,
+           COALESCE(last_value(b.hour_value IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS carry_value
+    FROM spine s LEFT JOIN base b ON s.user_id = b.user_id AND s.hour = b.hour
+    ORDER BY s.user_id, s.hour"""
+
   val queries: Map[String, QueryFn] = Map(
+    "events_gap_fill" -> eventsGapFill,
     "events_asof_join" -> eventsAsofJoin,
     "events_range_join" -> eventsRangeJoin,
     "events_hourly" -> eventsHourly,
@@ -189,6 +238,7 @@ object Events {
     "events_tumbling" -> eventsTumbling)
 
   val oracle: Map[String, String] = Map(
+    "events_gap_fill" -> eventsGapFillSql,
     "events_asof_join" -> eventsAsofJoinSql,
     "events_range_join" -> eventsRangeJoinSql,
     "events_hourly" -> eventsHourlySql,

@@ -75,6 +75,12 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
         CreatePipeCommand(name, src, fmt.toLowerCase, ddl, target, chk)
       case TriggerPipeRe(name) => TriggerPipeCommand(name)
       case ShowPipesRe() => ShowPipesCommand(out("name", "source", "format", "target"))
+      case CreateQueueRe(name, slots, timeout) =>
+        CreateQueueCommand(name, slots.toInt, Option(timeout).map(_.toLong))
+      case DropQueueRe(name) => DropQueueCommand(name)
+      case ShowQueuesRe() =>
+        ShowQueuesCommand(out("name", "slots", "pool", "running", "queued",
+          "admitted", "timed_out"))
       case RefreshMetadataRe(quoted, bare) =>
         RefreshMetadataCommand(Option(quoted).getOrElse(bare))
       case DescribeLakeRe(dir) =>
@@ -158,6 +164,10 @@ object GraftSqlParser {
       """SCHEMA\s+'([^']+)'\s+INTO\s+'([^']+)'\s+CHECKPOINT\s+'([^']+)'\s*;?""").r
   private val TriggerPipeRe = """(?is)TRIGGER\s+PIPE\s+(\w+)\s*;?""".r
   private val ShowPipesRe = """(?is)SHOW\s+PIPES\s*;?""".r
+  private val CreateQueueRe =
+    """(?is)CREATE\s+QUEUE\s+([\w.-]+)\s+SLOTS\s+(\d+)(?:\s+TIMEOUT\s+(\d+))?\s*;?""".r
+  private val DropQueueRe = """(?is)DROP\s+QUEUE\s+([\w.-]+)\s*;?""".r
+  private val ShowQueuesRe = """(?is)SHOW\s+QUEUES\s*;?""".r
   private val RefreshMetadataRe =
     """(?is)ALTER\s+TABLE\s+(?:`([^`]+)`|([\w./]+))\s+REFRESH\s+METADATA\s*;?""".r
   private val DescribeLakeRe = """(?is)DESCRIBE\s+LAKE\s+'([^']+)'\s*;?""".r
@@ -388,6 +398,32 @@ object GraftSqlParser {
   case class ShowReflectionsCommand(override val output: Seq[Attribute]) extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] =
       Reflections.list.map(r => Row(r.name, r.fingerprint, r.path))
+  }
+
+  /** WLM queue DDL (reference `services/resourcescheduler` queue config —
+    * `BasicResourceConstants.java:32` timeout, slot-bounded admission). */
+  case class CreateQueueCommand(name: String, slots: Int, timeoutMs: Option[Long])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("queue")
+    override def run(spark: SparkSession): Seq[Row] = {
+      graft.engine.Queues.define(name, slots,
+        timeoutMs.getOrElse(5L * 60 * 1000))
+      Seq(Row(name))
+    }
+  }
+
+  case class DropQueueCommand(name: String) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      graft.engine.Queues.drop(name); Seq.empty
+    }
+  }
+
+  case class ShowQueuesCommand(override val output: Seq[Attribute])
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] =
+      graft.engine.Queues.status.map(q => Row(q.name, q.slots.toString,
+        q.pool, q.running.toString, q.queued.toString,
+        q.admitted.toString, q.timedOut.toString))
   }
 
   case class CreatePipeCommand(name: String, src: String, fmt: String,

@@ -1,0 +1,95 @@
+package graft.engine
+
+import java.util.concurrent.atomic.AtomicInteger
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class QueuesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private implicit val ec: ExecutionContext = ExecutionContext.global
+
+  test("a 1-slot queue serializes concurrent queries") {
+    Queues.define("serial", slots = 1, timeoutMs = 30000)
+    val inFlight = new AtomicInteger(0)
+    val peak = new AtomicInteger(0)
+    val fs = (1 to 4).map { _ =>
+      Future {
+        Queues.run(spark, "serial") {
+          val now = inFlight.incrementAndGet()
+          peak.getAndUpdate(p => math.max(p, now))
+          Thread.sleep(50)
+          inFlight.decrementAndGet()
+          spark.range(100).count()
+        }
+      }
+    }
+    val counts = Await.result(Future.sequence(fs), 60.seconds)
+    assert(counts.forall(_ == 100L))
+    assert(peak.get() == 1, s"1-slot queue admitted ${peak.get()} at once")
+    Queues.drop("serial")
+  }
+
+  test("a 2-slot queue admits two at once but not three") {
+    Queues.define("duo", slots = 2, timeoutMs = 30000)
+    val inFlight = new AtomicInteger(0)
+    val peak = new AtomicInteger(0)
+    val fs = (1 to 6).map { _ =>
+      Future {
+        Queues.run(spark, "duo") {
+          val now = inFlight.incrementAndGet()
+          peak.getAndUpdate(p => math.max(p, now))
+          Thread.sleep(60)
+          inFlight.decrementAndGet()
+        }
+      }
+    }
+    Await.result(Future.sequence(fs), 60.seconds)
+    assert(peak.get() <= 2, s"2-slot queue admitted ${peak.get()} at once")
+    Queues.drop("duo")
+  }
+
+  test("admission times out when the queue is full") {
+    Queues.define("tiny", slots = 1, timeoutMs = 100)
+    val blocker = Future {
+      Queues.run(spark, "tiny") { Thread.sleep(1500); "held" }
+    }
+    Thread.sleep(200) // let the blocker take the slot
+    val ex = intercept[Queues.AdmissionTimeout] {
+      Queues.run(spark, "tiny") { "never" }
+    }
+    assert(ex.getMessage.contains("tiny"))
+    assert(Await.result(blocker, 30.seconds) == "held")
+    val st = Queues.status.find(_.name == "tiny").get
+    assert(st.timedOut == 1L && st.admitted == 1L)
+    Queues.drop("tiny")
+  }
+
+  test("admitted queries run in the queue's scheduler pool, restored after") {
+    Queues.define("etl", slots = 2, timeoutMs = 5000, pool = "etl_pool")
+    val sc = spark.sparkContext
+    sc.setLocalProperty("spark.scheduler.pool", null)
+    val seen = Queues.run(spark, "etl") {
+      sc.getLocalProperty("spark.scheduler.pool")
+    }
+    assert(seen == "etl_pool")
+    assert(sc.getLocalProperty("spark.scheduler.pool") == null)
+    Queues.drop("etl")
+  }
+
+  test("sys_queues view and SQL DDL surface the queue state live") {
+    spark.sql("CREATE QUEUE adhoc SLOTS 3 TIMEOUT 1000")
+    graft.catalog.InfoSchema.register(spark)
+    Queues.run(spark, "adhoc") { spark.range(10).count() }
+    val row = spark.sql(
+      "SELECT slots, admitted, running FROM sys_queues WHERE name = 'adhoc'").head()
+    assert(row.getInt(0) == 3)
+    assert(row.getLong(1) == 1L)
+    assert(row.getLong(2) == 0L)
+    val shown = spark.sql("SHOW QUEUES").collect().map(_.getString(0))
+    assert(shown.contains("adhoc"))
+    spark.sql("DROP QUEUE adhoc")
+    assert(Queues.status.forall(_.name != "adhoc"))
+  }
+}

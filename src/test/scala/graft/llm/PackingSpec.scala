@@ -25,6 +25,39 @@ class PackingSpec extends AnyFunSuite {
     assert(got(11L) == ((2L, 50L))) // 250 div 100 = bin 2, offset 50
   }
 
+  test("chunkTokens windows cover the doc with stride overlap") {
+    // 10 tokens, chunk 4, stride 3 -> starts 1,4,7 (ceil((10-4)/3)+1 = 3)
+    val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val got = Packing.chunkTokens(df, "doc_id", "text", chunkSize = 4, stride = 3)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "start_tok", "n_chunk_tokens").as[(Long, Long, Int)]
+      .collect().toSeq
+    assert(got == Seq((0L, 1L, 4), (1L, 4L, 4), (2L, 7L, 4)))
+  }
+
+  test("chunkTokens: short doc yields one full-doc chunk; last window ragged") {
+    val short = Seq((1L, "a b")).toDF("doc_id", "text")
+    val s = Packing.chunkTokens(short, "doc_id", "text", 4, 3).collect()
+    assert(s.length == 1 && s.head.getAs[Int]("n_chunk_tokens") == 2)
+    // 9 tokens, chunk 4, stride 3 -> starts 1,4,7; last chunk has 3 tokens
+    val nine = Seq((2L, (1 to 9).map("w" + _).mkString(" "))).toDF("doc_id", "text")
+    val r = Packing.chunkTokens(nine, "doc_id", "text", 4, 3)
+      .orderBy("chunk_idx").select("n_chunk_tokens").as[Int].collect().toSeq
+    assert(r == Seq(4, 4, 3))
+  }
+
+  test("chunkTokens md5 gates chunk content and is deterministic") {
+    val df = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val rows = Packing.chunkTokens(df, "doc_id", "text", 3, 2)
+      .orderBy("chunk_idx").collect()
+    // chunks: [alpha beta gamma], [gamma delta epsilon]
+    assert(rows.length == 2)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def m(s: String) = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(rows(0).getAs[String]("chunk_md5") == m("alpha beta gamma"))
+    assert(rows(1).getAs[String]("chunk_md5") == m("gamma delta epsilon"))
+  }
+
   test("packing is deterministic across runs") {
     val docs = graft.engine.Tables.ensure(spark, TestSpark.sf).documents
       .selectExpr("doc_id", "lang", "n_chars div 5 as n_tokens")

@@ -85,4 +85,42 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r2.getAs[Double]("dup_bigram_frac") == 0.0)
     assert(r2.getAs[Long]("top_n") == 1L)
   }
+
+  test("token entropy: uniform text maxes out, repeated text collapses") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),   // 4 distinct of 4 -> H = ln 4, norm 1
+      (2L, "spam spam spam spam spam"), // 1 distinct -> H = 0, norm 0
+      (3L, "one one two")               // H = ln3 - (2 ln2)/3
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.tokenEntropy(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(math.abs(rows(1L).getAs[Double]("token_entropy") - math.log(4)) < 1e-6)
+    assert(math.abs(rows(1L).getAs[Double]("norm_entropy") - 1.0) < 1e-6)
+    assert(rows(2L).getAs[Double]("token_entropy") == 0.0)
+    assert(rows(2L).getAs[Double]("norm_entropy") == 0.0)
+    val h3 = math.log(3) - 2 * math.log(2) / 3
+    assert(math.abs(rows(3L).getAs[Double]("token_entropy") - h3) < 1e-6)
+    assert(rows(3L).getAs[Long]("n_tokens") == 3L)
+    assert(rows(3L).getAs[Long]("n_distinct") == 2L)
+  }
+
+  test("length buckets use exact power-of-two boundaries") {
+    // 1 token -> bucket 0; 2,3 -> bucket 1; 4..7 -> bucket 2; 8 -> bucket 3
+    val df = Seq(
+      (1L, "en", "w"),
+      (2L, "en", "w w"),
+      (3L, "en", "w w w"),
+      (4L, "en", "w w w w"),
+      (5L, "en", Seq.fill(8)("w").mkString(" ")),
+      (6L, "fr", Seq.fill(7)("w").mkString(" "))
+    ).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.lengthBuckets(df).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Int]("bucket_log2")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("bucket_lo")))).toMap
+    assert(got(("en", 0)) == ((1L, 1L)))
+    assert(got(("en", 1)) == ((2L, 2L)))  // 2- and 3-token docs
+    assert(got(("en", 2)) == ((1L, 4L)))
+    assert(got(("en", 3)) == ((1L, 8L)))  // exactly 8 = 2^3 lands in bucket 3
+    assert(got(("fr", 2)) == ((1L, 4L)))
+  }
 }
