@@ -28,6 +28,8 @@ object Functions {
     col(MinHashSignature(ex(text), numHashes, shingleSize))
   def simhash64(text: Column): Column = col(SimHash64(ex(text)))
   def ngram_hashes(text: Column, n: Int = 3): Column = col(NgramHashes(ex(text), n))
+  def word_ngrams(text: Column, n: Int = 3, distinct: Boolean = true): Column =
+    col(WordNgrams(ex(text), n, distinct))
 
   /** Hamming distance between two 64-bit fingerprints (built-in composition:
     * stays in whole-stage codegen). */
@@ -66,6 +68,7 @@ object Functions {
     one("simhash64", 1)(es => SimHash64(es(0)))
     one("minhash", 1)(es => MinHashSignature(es(0), 64, 3))
     one("ngram_hashes", 1)(es => NgramHashes(es(0), 3))
+    one("word_ngrams", 1)(es => WordNgrams(es(0), 3, distinct = true))
     SqlUdfs.register(spark)
     Aggregators.register(spark)
   }

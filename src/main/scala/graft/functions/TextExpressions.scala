@@ -114,6 +114,39 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** word_ngrams(text, n, distinct) -> array<string> of raw word n-grams of
+  * the lowercased whitespace token stream (whole doc as one gram when
+  * shorter than n tokens). Output-identical to the declarative form
+  * `array_distinct(transform(sequence(1, size(toks)-n+1), i ->
+  * concat_ws(' ', element_at(toks, i), …)))` over
+  * `filter(split(lower(text), '\s+'), w -> length(w) > 0)` — Java regex
+  * `\s` is exactly the six ASCII whitespace chars `tokenize` splits on —
+  * but tokenizes ONCE per document: the lambda form re-evaluates the
+  * split/filter chain inside every `element_at`, making gram construction
+  * O(tokens²) regex work per doc. This is the hot path of every
+  * decontamination / exact-Jaccard sweep, so it must be O(tokens).
+  */
+case class WordNgrams(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "word_ngrams"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val it = TextHashing.shingles(v.asInstanceOf[UTF8String], n)
+    val arr: Array[AnyRef] =
+      if (!distinct) it.toArray[UTF8String].asInstanceOf[Array[AnyRef]]
+      else {
+        // first-occurrence order, matching array_distinct
+        val seen = new java.util.LinkedHashSet[UTF8String]()
+        it.foreach(seen.add)
+        seen.toArray(new Array[AnyRef](seen.size))
+      }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** ngram_set_hashes(text, n) -> sorted distinct array<bigint> of word-ngram
   * hashes; Jaccard between documents is then a cheap array intersection
   * (`array_intersect`/`array_union` on 8-byte keys, not strings).

@@ -20,14 +20,12 @@ import org.apache.spark.sql.functions._
 object Decontaminate {
 
   /** Distinct word n-grams of `text` (whole doc as one gram when shorter
-    * than n tokens — same convention as the Jaccard dedup family). */
-  private[llm] def grams(n: Int): Column = {
-    val toks = filter(split(lower(col("text")), "\\s+"), w => length(w) > 0)
-    array_distinct(
-      when(size(toks) < n, array(array_join(toks, " ")))
-        .otherwise(transform(sequence(lit(1), size(toks) - n + 1),
-          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))))
-  }
+    * than n tokens — same convention as the Jaccard dedup family). Native
+    * tokenize-once expression: the declarative transform/element_at form
+    * re-tokenizes per gram position, O(tokens²) per doc
+    * (`functions.WordNgrams` scaladoc). */
+  private[llm] def grams(n: Int): Column =
+    graft.functions.Functions.word_ngrams(col("text"), n)
 
   /** Per-training-doc count of distinct n-grams shared with the eval set.
     * Docs sharing nothing are absent from the result. */

@@ -151,16 +151,12 @@ object LlmQueries {
     * (lang, length-bucket) locality key shared by the exact-Jaccard pair
     * queries — candidate pairing stays bucket-local so the pair space is
     * bounded. */
-  private def gramSets(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val toks = filter(split(lower(col("text")), "\\s+"), w => length(w) > 0)
-    val grams = array_distinct(
-      when(size(toks) < 3, array(array_join(toks, " ")))
-        .otherwise(transform(sequence(lit(1), size(toks) - 2),
-          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-            element_at(toks, i + 2)))))
+  private def gramSets(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs.select(col("doc_id"), col("lang"),
-      expr("n_chars div 50").as("bucket"), grams.as("grams"))
-  }
+      expr("n_chars div 50").as("bucket"),
+      // native tokenize-once n-gram kernel — the lambda/element_at form
+      // re-tokenizes per gram, O(tokens²) per doc (WordNgrams scaladoc)
+      graft.functions.Functions.word_ngrams(col("text"), 3).as("grams"))
 
   private def ngramJaccardPairs(docs: org.apache.spark.sql.DataFrame,
                                 threshold: Double): org.apache.spark.sql.DataFrame = {

@@ -92,10 +92,8 @@ object TextAnalysis {
     * count — both aggregations partial-combine map-side, so the shuffle
     * carries (doc, gram, partial count), never raw text. */
   def repetitionSignals(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val bigrams = when(size(toks) < 2, array(array_join(toks, " ")))
-      .otherwise(transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+    // native tokenize-once bigram kernel, duplicates kept (distinct=false)
+    val bigrams = graft.functions.Functions.word_ngrams(col("text"), 2, distinct = false)
     docs.select(col("doc_id"), explode(bigrams).as("gram"))
       .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id")).agg(

@@ -85,6 +85,38 @@ class ExpressionSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("word_ngrams matches the declarative transform/element_at form") {
+    import org.apache.spark.sql.functions.{filter => afilter, _}
+    val texts = Seq(
+      "The quick  brown fox\tjumps over the lazy dog the quick brown fox",
+      "Ünïcode   MiXeD CaSe tokens here",
+      "two words", "one", "", "   ",
+      "a b c a b c a b c")
+    val df = texts.toDF("text")
+    val toks = afilter(split(lower(col("text")), "\\s+"), w => length(w) > 0)
+    val declarative = array_distinct(
+      when(size(toks) < 3, array(array_join(toks, " ")))
+        .otherwise(transform(sequence(lit(1), size(toks) - 2),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+            element_at(toks, i + 2)))))
+    val rows = df.select(
+      Functions.word_ngrams(col("text"), 3).as("fast"),
+      declarative.as("slow")).collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"word_ngrams diverged from declarative form on: '$t'")
+    }
+  }
+
+  test("word_ngrams distinct=false keeps duplicate grams in order") {
+    val r = Seq("x y x y x").toDF("t")
+      .select(Functions.word_ngrams(col("t"), 2, distinct = false)).head().getSeq[String](0)
+    assert(r == Seq("x y", "y x", "x y", "y x"))
+    val d = Seq("x y x y x").toDF("t")
+      .select(Functions.word_ngrams(col("t"), 2)).head().getSeq[String](0)
+    assert(d == Seq("x y", "y x"))
+  }
+
   test("geo_distance: Paris to London ~ 344 km") {
     val d = Seq((48.8566, 2.3522, 51.5074, -0.1278)).toDF("lat1", "lon1", "lat2", "lon2")
       .select(Functions.geo_distance(col("lat1"), col("lon1"), col("lat2"), col("lon2")))
