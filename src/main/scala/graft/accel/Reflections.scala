@@ -75,7 +75,7 @@ object Reflections {
   // shape-eligible nodes, not every subtree of every query)
   private[accel] val fingerprintsComputed = new java.util.concurrent.atomic.AtomicLong()
 
-  private def fingerprintPlan(plan: LogicalPlan): String = {
+  private[accel] def fingerprintPlan(plan: LogicalPlan): String = {
     fingerprintsComputed.incrementAndGet()
     val canon = plan.canonicalized
     val sb = new StringBuilder(canon.toString)
@@ -127,8 +127,8 @@ object Reflections {
   }
 
   /** Lake tables the defining plan scans, with their CURRENT versions. */
-  private def lakeBaseVersions(spark: SparkSession,
-                               plan: LogicalPlan): Map[String, Long] =
+  private[accel] def lakeBaseVersions(spark: SparkSession,
+                                      plan: LogicalPlan): Map[String, Long] =
     plan.collect {
       case lr: LogicalRelation => lr.relation match {
         case h: HadoopFsRelation =>

@@ -147,6 +147,16 @@ object InfoSchema {
         .map(q => Row(q.name, q.slots, q.pool, q.timeoutMs, q.running,
           q.queued, q.admitted, q.timedOut, q.peakQueued)))
 
+  /** sys.result_cache (reference plan-cache state —
+    * `exec/planner/plancache/PlanCache.java`). */
+  def sysResultCache(spark: SparkSession): DataFrame =
+    live(spark, StructType(Seq(
+      StructField("fingerprint", StringType, nullable = false),
+      StructField("hits", LongType, nullable = false),
+      StructField("lake_deps", IntegerType, nullable = false))),
+      () => graft.accel.ResultCache.listEntries
+        .map(e => Row(e.fingerprint, e.hits, e.lakeDeps)))
+
   /** Register all introspection views (and start recording query history
     * for this session, if not already). */
   def register(spark: SparkSession): Unit = {
@@ -160,5 +170,6 @@ object InfoSchema {
     sysFunctions(spark).createOrReplaceTempView("sys_functions")
     sysQueries(spark).createOrReplaceTempView("sys_queries")
     sysQueues(spark).createOrReplaceTempView("sys_queues")
+    sysResultCache(spark).createOrReplaceTempView("sys_result_cache")
   }
 }

@@ -144,6 +144,50 @@ object Dedup {
     } finally edges.unpersist()
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup over
+    * embeddings — k-means-cluster the corpus, find cosine-threshold
+    * duplicate pairs WITHIN each cluster only, close them transitively,
+    * and keep one canonical doc per duplicate group: the member closest
+    * to its cluster centroid (tie → lowest id), which the paper argues
+    * best represents the group.
+    *
+    * Pure composition of existing operators: the spherical k-means coarse
+    * quantizer ([[Similarity.kmeansCentroids]] — one aggregation pass per
+    * Lloyd iteration, centroid matrix broadcast in codegen'd cosine
+    * expressions), bucket-local pairing (never all-pairs: candidate space
+    * is Σ cluster² not corpus²), and the label-propagation
+    * [[connectedComponents]]. Output is one row per SURVIVOR with its
+    * cluster, duplicate-group id and size. */
+  def semDedup(corpus: DataFrame, threshold: Double = 0.95,
+               nClusters: Int = 4, kmeansIters: Int = 3): DataFrame = {
+    val centroids = Similarity.kmeansCentroids(corpus, nClusters, kmeansIters)
+    def sims(vecCol: Column): Column = array(centroids.map(c =>
+      Functions.cosine_sim(vecCol, typedLit(c))): _*)
+    val assigned = corpus
+      .withColumn("s", sims(col("embedding")))
+      .select(col("vec_id"), col("embedding"),
+        (expr("array_position(s, array_max(s))") - 1).cast("int").as("bucket"),
+        expr("array_max(s)").as("centroid_cos"))
+    val a = assigned.select(col("bucket"), col("vec_id").as("a_id"),
+      col("embedding").as("a_vec"))
+    val b = assigned.select(col("bucket"), col("vec_id").as("b_id"),
+      col("embedding").as("b_vec"))
+    val pairs = a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
+      .withColumn("cos", Functions.cosine_sim(col("a_vec"), col("b_vec")))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"))
+    val comps = connectedComponents(assigned.select(col("vec_id")), pairs)
+    val ranked = assigned.join(comps, assigned("vec_id") === comps("id"))
+      .select(col("vec_id"), col("bucket"), col("centroid_cos"), col("component"))
+    val byGroup = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+    val w = byGroup.orderBy(col("centroid_cos").desc, col("vec_id"))
+    ranked
+      .withColumn("group_size", count(lit(1)).over(byGroup))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("bucket"), col("component"), col("group_size"))
+  }
+
   /** Embedding near-dup: cosine > threshold within coarse buckets (label
     * as the IVF-style partition — at scale the bucket is a cluster
     * assignment, so the pairing is bucket-local, not all-pairs). */

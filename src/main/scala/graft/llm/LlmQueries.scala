@@ -544,6 +544,16 @@ object LlmQueries {
     WHERE doc_id >= 300 AND doc_id NOT IN (SELECT doc_id FROM dup)
     ORDER BY doc_id"""
 
+  /** SemDeDup survivors over the fixture embeddings (no oracle: k-means
+    * assignments are engine-specific float argmaxes; semantics pinned by
+    * DedupSpec's planted-duplicate fixture instead). Threshold 0.4 marks
+    * the near-dup tail of the near-random fixture vectors, matching
+    * dedup_embedding_cos. */
+  val semdedupKeep: QueryFn = (s, dir) =>
+    Dedup.semDedup(Tables.ensure(s, dir).embeddings, threshold = 0.4,
+      nClusters = 4, kmeansIters = 2)
+      .orderBy(col("vec_id"))
+
   /** Token-distribution entropy (boilerplate/spam signal). Entropies are
     * rounded to 6dp in BOTH engines — float accumulation order differs
     * across engines at ~1e-14, four orders below the rounding grain. */
@@ -657,6 +667,7 @@ object LlmQueries {
     "chunk_documents" -> chunkDocuments,
     "source_cap_topk" -> sourceCapTopk,
     "dedup_incremental" -> dedupIncremental,
+    "semdedup_keep" -> semdedupKeep,
     "multimodal_features" -> multimodalFeatures)
 
   val oracle: Map[String, String] = Map(

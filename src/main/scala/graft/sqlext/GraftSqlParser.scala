@@ -75,6 +75,10 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
         CreatePipeCommand(name, src, fmt.toLowerCase, ddl, target, chk)
       case TriggerPipeRe(name) => TriggerPipeCommand(name)
       case ShowPipesRe() => ShowPipesCommand(out("name", "source", "format", "target"))
+      case ClearResultCacheRe() => ClearResultCacheCommand()
+      case ExplainAccelRe(query) =>
+        ExplainAccelerationCommand(query,
+          out("reflection", "fingerprint", "used", "fresh"))
       case CreateQueueRe(name, slots, timeout) =>
         CreateQueueCommand(name, slots.toInt, Option(timeout).map(_.toLong))
       case DropQueueRe(name) => DropQueueCommand(name)
@@ -164,6 +168,8 @@ object GraftSqlParser {
       """SCHEMA\s+'([^']+)'\s+INTO\s+'([^']+)'\s+CHECKPOINT\s+'([^']+)'\s*;?""").r
   private val TriggerPipeRe = """(?is)TRIGGER\s+PIPE\s+(\w+)\s*;?""".r
   private val ShowPipesRe = """(?is)SHOW\s+PIPES\s*;?""".r
+  private val ClearResultCacheRe = """(?is)(?:ALTER\s+SESSION\s+)?CLEAR\s+RESULT\s+CACHE\s*;?""".r
+  private val ExplainAccelRe = """(?is)EXPLAIN\s+ACCELERATION\s+(.+)""".r
   private val CreateQueueRe =
     """(?is)CREATE\s+QUEUE\s+([\w.-]+)\s+SLOTS\s+(\d+)(?:\s+TIMEOUT\s+(\d+))?\s*;?""".r
   private val DropQueueRe = """(?is)DROP\s+QUEUE\s+([\w.-]+)\s*;?""".r
@@ -398,6 +404,40 @@ object GraftSqlParser {
   case class ShowReflectionsCommand(override val output: Seq[Attribute]) extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] =
       Reflections.list.map(r => Row(r.name, r.fingerprint, r.path))
+  }
+
+  /** EXPLAIN ACCELERATION <query>: per registered reflection, whether the
+    * query's optimized plan actually reads its materialization, and
+    * whether it is fresh against its base lake tables (reference: the job
+    * profile's acceleration section,
+    * `exec/planner/AccelerationDetailsPopulator.java`,
+    * `services/accelerator/AccelerationDetailsUtils.java`). */
+  case class ExplainAccelerationCommand(querySql: String,
+      override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      def norm(p: String): String = p.replaceFirst("^file:/+", "/").stripSuffix("/")
+      val optimized = spark.sql(querySql).queryExecution.optimizedPlan
+      val scanned: Set[String] = optimized.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(p => norm(p.toString))
+            case _ => Nil
+          }
+      }.flatten.toSet
+      Reflections.list.map { r =>
+        Row(r.name, r.fingerprint, scanned.contains(norm(r.path)).toString,
+          Reflections.isFresh(spark, r).toString)
+      }
+    }
+  }
+
+  /** ALTER SESSION CLEAR RESULT CACHE (reference
+    * `exec/planner/sql/parser/SqlAlterClearPlanCache.java`). */
+  case class ClearResultCacheCommand() extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      graft.accel.ResultCache.invalidateAll(); Seq.empty
+    }
   }
 
   /** WLM queue DDL (reference `services/resourcescheduler` queue config —

@@ -80,4 +80,36 @@ class PlanShapeSpec extends AnyFunSuite {
   test("q05 snowflake keeps region/nation on broadcast joins") {
     assert("BroadcastHashJoin".r.findAllIn(plan("tpch_q05")).length >= 2)
   }
+
+  test("source_cap_topk runs through the TopKPerKey physical operator") {
+    // a row_number window would sort whole partitions to keep 20 rows;
+    // the custom operator keeps bounded per-key heaps
+    val p = plan("source_cap_topk")
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("Window"), "per-source cap must not fall back to a window sort")
+  }
+
+  test("chunk_documents is a map-only pass (no exchange before the sink sort)") {
+    // sequence+slice chunking must not shuffle: the only Exchange allowed
+    // is the final presentation orderBy's range partitioning. The AQE
+    // rendering prints the initial plan after the final one — count only
+    // the final section or the same Exchange is seen twice.
+    val p = plan("chunk_documents")
+    val finalSection = p.split("== Initial Plan ==").head
+    assert("Exchange".r.findAllIn(finalSection).length <= 1, p)
+  }
+
+  test("dedup_incremental keeps the corpus join bucket-local and anti-joins novel docs") {
+    val p = plan("dedup_incremental")
+    assert(p.toLowerCase.contains("leftanti"), p)
+  }
+
+  test("events_gap_fill shuffles once per user for rollup + spine + window") {
+    // rollup agg, spine explode and the carry-forward window all hash on
+    // user_id — AQE may reuse but never add a non-user_id exchange; the
+    // presentation orderBy adds one range exchange
+    val p = plan("events_gap_fill")
+    assert(p.contains("Generate"), "hour spine must be an explode, not a driver loop")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+  }
 }

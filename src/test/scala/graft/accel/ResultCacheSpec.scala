@@ -1,0 +1,81 @@
+package graft.accel
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.sources.SnapshotTable
+
+class ResultCacheSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("a repeated query is served from the cache (one hit, one miss)") {
+    ResultCache.clearAll()
+    def q = spark.range(0, 1000).select((col("id") % 7).as("k"))
+      .groupBy("k").count()
+    val a = ResultCache.cached(q)
+    val (_, h0, m0) = ResultCache.stats
+    assert(h0 == 0 && m0 == 1)
+    // a DIFFERENT DataFrame instance with the same semantics hits
+    val b = ResultCache.cached(q)
+    val (_, h1, m1) = ResultCache.stats
+    assert(h1 == 1 && m1 == 1)
+    assert(b.collect().sortBy(_.getLong(0)).toSeq ==
+      a.collect().sortBy(_.getLong(0)).toSeq)
+    // and the hit's plan reads the persisted result, not the source
+    val mem = b.queryExecution.executedPlan.toString
+    assert(mem.contains("InMemory"), s"expected InMemoryTableScan, got:\n$mem")
+    ResultCache.clearAll()
+  }
+
+  test("lake-version gating: a commit to the base table invalidates the entry") {
+    ResultCache.clearAll()
+    val dir = fresh("rc_lake")
+    val t = SnapshotTable.create(spark, dir, Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"))
+    def q = t.read().agg(sum(col("v")).as("total"))
+    assert(ResultCache.cached(q).head().getDouble(0) == 30.0)
+    // cache hit while the table is unchanged
+    assert(ResultCache.cached(q).head().getDouble(0) == 30.0)
+    val (_, h0, m0) = ResultCache.stats
+    assert(h0 == 1 && m0 == 1)
+    // advance the lake table — the cached entry must NOT serve stale data
+    t.append(Seq((3L, 12.5)).toDF("id", "v"))
+    assert(ResultCache.cached(q).head().getDouble(0) == 42.5)
+    val (_, h1, m1) = ResultCache.stats
+    assert(h1 == 1 && m1 == 2, "stale entry was served instead of recomputed")
+    ResultCache.clearAll()
+  }
+
+  test("LRU eviction keeps the cache at maxEntries") {
+    ResultCache.clearAll()
+    val prev = ResultCache.maxEntries
+    ResultCache.maxEntries = 2
+    try {
+      (1 to 4).foreach { i =>
+        ResultCache.cached(spark.range(0, 100L + i).agg(count(lit(1)).as("n")))
+      }
+      val (entries, _, _) = ResultCache.stats
+      assert(entries == 2)
+    } finally {
+      ResultCache.maxEntries = prev
+      ResultCache.clearAll()
+    }
+  }
+
+  test("CLEAR RESULT CACHE statement and sys_result_cache view") {
+    ResultCache.clearAll()
+    graft.catalog.InfoSchema.register(spark)
+    ResultCache.cached(spark.range(0, 50).agg(max(col("id")).as("m")))
+    ResultCache.cached(spark.range(0, 50).agg(max(col("id")).as("m")))
+    val row = spark.sql(
+      "SELECT count(*) AS entries, sum(hits) AS hits FROM sys_result_cache").head()
+    assert(row.getLong(0) == 1L && row.getLong(1) == 1L)
+    spark.sql("ALTER SESSION CLEAR RESULT CACHE")
+    assert(spark.sql("SELECT * FROM sys_result_cache").count() == 0L)
+    ResultCache.clearAll()
+  }
+}

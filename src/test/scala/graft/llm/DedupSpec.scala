@@ -104,4 +104,33 @@ class DedupSpec extends AnyFunSuite {
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L)))
   }
+
+  test("semDedup keeps one canonical per planted duplicate group") {
+    // two well-separated clusters (x-axis and z-axis); a planted near-dup
+    // pair in each, plus one non-dup per cluster. k-means seeds are the
+    // first two ids, one from each cluster, so assignment converges.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),    // cluster A
+      (1L, Array(0.0f, 0.0f, 1.0f, 0.0f)),    // cluster B
+      (2L, Array(2.0f, 0.02f, 0.0f, 0.0f)),   // dup of 0 (cos ≈ 0.99995)
+      (3L, Array(0.7f, 0.7f, 0.0f, 0.0f)),    // cluster A, not a dup (cos ≈ 0.71)
+      (4L, Array(0.0f, 0.0f, 5.0f, 0.05f)),   // dup of 1
+      (5L, Array(0.0f, 0.0f, 0.6f, 0.8f))     // cluster B, not a dup
+    ).toDF("vec_id", "embedding")
+    val kept = Dedup.semDedup(vecs, threshold = 0.95, nClusters = 2, kmeansIters = 3)
+    val rows = kept.collect().map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Long]("group_size")).toMap
+    val ids = rows.keySet
+    assert(ids.size == 4, s"expected 4 survivors, got $ids")
+    assert(ids.contains(3L) && ids.contains(5L), "non-dups must survive")
+    assert(Set(0L, 2L).intersect(ids).size == 1, "exactly one of the A-dups survives")
+    assert(Set(1L, 4L).intersect(ids).size == 1, "exactly one of the B-dups survives")
+    // group sizes: the dup-group survivors report 2, singles report 1
+    assert(rows(3L) == 1L && rows(5L) == 1L)
+    assert(Set(0L, 2L).intersect(ids).forall(rows(_) == 2L))
+    // deterministic across runs
+    val again = Dedup.semDedup(vecs, threshold = 0.95, nClusters = 2, kmeansIters = 3)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(again == ids)
+  }
 }

@@ -29,6 +29,24 @@ class SqlExtSpec extends AnyFunSuite {
     assert(spark.sql("SHOW REFLECTIONS").collect().isEmpty)
   }
 
+  test("EXPLAIN ACCELERATION reports which reflections serve a query") {
+    Reflections.clear()
+    graft.engine.Tables.ensure(spark, TestSpark.sf)
+    val dir = Files.createTempDirectory("graft_explaccel").toString
+    spark.sql(s"CREATE REFLECTION ra USING PATH '$dir/ra' AS " +
+      "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag")
+    val served = spark.sql("EXPLAIN ACCELERATION " +
+      "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag")
+      .collect().map(r => r.getString(0) -> (r.getString(2), r.getString(3))).toMap
+    assert(served("ra") == (("true", "true")), served.toString)
+    val unserved = spark.sql(
+      "EXPLAIN ACCELERATION SELECT count(*) AS n FROM nation")
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(unserved("ra") == "false")
+    spark.sql("DROP REFLECTION ra")
+    Reflections.clear()
+  }
+
   test("CREATE PIPE / TRIGGER PIPE / SHOW PIPES through SQL") {
     val root = Files.createTempDirectory("graft_sqlpipe").toString
     Files.createDirectories(Paths.get(s"$root/in"))
