@@ -376,7 +376,8 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
   private def copyOnWrite(transform: DataFrame => DataFrame,
                           extraStatsCols: Seq[String] = Nil,
                           touch: Option[org.apache.spark.sql.Column] = None,
-                          sortCols: Seq[String] = Nil): Long = {
+                          sortCols: Seq[String] = Nil,
+                          tag: String = ""): Long = {
     // generous budget: each retry requires a conflicting commit to have
     // actually landed (system-wide progress), so this bounds pathological
     // append storms, not steady state — one conflict costs one recompute
@@ -385,6 +386,11 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     while (true) {
       val log = commits
       require(log.nonEmpty, s"empty lake table $dir")
+      // idempotency: a tagged rewrite that already landed (checkpoint
+      // replay, or a concurrent replica winning a retry race — the check
+      // re-runs on every attempt against the fresh log) is a no-op
+      if (tag.nonEmpty)
+        log.find(_.tag == tag).foreach(c => return c.version)
       val base = log.last.version
       val visible = log.takeWhile(_.version <= base)
       val (entries, schema, curIds) = replayEntries(visible)
@@ -419,7 +425,7 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
         .filter(c => have(c.toLowerCase))
       val carryRel = carried.map(e =>
         (e.path.stripPrefix(s"$dir/"), e.stats))
-      try return commit(rewritten, "overwrite", stCols, "", Some(base), spec, carryRel,
+      try return commit(rewritten, "overwrite", stCols, tag, Some(base), spec, carryRel,
         sortCols.filter(c => have(c.toLowerCase)))
       catch {
         case e: java.util.ConcurrentModificationException =>
@@ -713,7 +719,19 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     * delta's [min, max] key span are rewritten (plus stat-less files);
     * files provably outside it are carried by reference — a merge into a
     * key-clustered 100 TB table costs O(touched partitions), not O(table). */
-  def mergeByKey(delta: DataFrame, key: String): Long = {
+  def mergeByKey(delta: DataFrame, key: String): Long =
+    mergeByKeyImpl(delta, key, tag = "")
+
+  /** Idempotent upsert: a no-op returning the original commit's version if
+    * a commit with `tag` already exists — the replay-safety contract a
+    * streaming CDC pipe needs (the tag check re-runs on every optimistic
+    * retry, so a replica winning a retry race is also absorbed). */
+  def mergeByKeyTagged(delta: DataFrame, key: String, tag: String): Long = {
+    require(tag.nonEmpty, "tag must be non-empty")
+    mergeByKeyImpl(delta, key, tag)
+  }
+
+  private def mergeByKeyImpl(delta: DataFrame, key: String, tag: String): Long = {
     import org.apache.spark.sql.functions.{col, lit, max, min}
     // the delta plan runs several times (key-span probe, anti-join, union —
     // and again per conflict retry); pin it so an expensive SELECT behind
@@ -728,7 +746,8 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
         base
           .join(delta.select(key).distinct(), Seq(key), "left_anti")
           .unionByName(delta),
-        touch = Some(touch))
+        touch = Some(touch),
+        tag = tag)
     } finally delta.unpersist()
   }
 

@@ -124,6 +124,42 @@ object Pipes {
     total.get
   }
 
+  /** CDC/upsert pipe: each micro-batch MERGEs into the lake table by key
+    * (last-writer-wins per key within a batch source is the caller's
+    * contract, as in any CDC apply). The merge is a partial copy-on-write
+    * rewrite — only files whose key range overlaps the batch are
+    * rewritten, O(touched files) not O(table) — and each batch commits
+    * under an idempotency tag, so checkpoint-recovery replays apply
+    * exactly once. The target lake table must already exist (create it
+    * with the seed snapshot; a CDC stream without an initial snapshot is
+    * an append pipe). Returns rows applied by THIS trigger. */
+  def triggerMergeIntoLake(spark: SparkSession, pipe: Pipe, key: String): Long = {
+    val reader = spark.readStream.schema(pipe.schema).format(pipe.format)
+    val src = pipe.format match {
+      case "csv" => reader.option("header", "true").load(pipe.sourceDir)
+      case _ => reader.load(pipe.sourceDir)
+    }
+    val lake = graft.sources.SnapshotTable.forPath(spark, pipe.targetDir)
+    val total = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = src.writeStream
+      .option("checkpointLocation", pipe.checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        try {
+          val n = batch.count()
+          val before = lake.latestVersion
+          val v = lake.mergeByKeyTagged(batch, key,
+            s"merge:${pipe.name}:batch:$batchId")
+          if (v > before) total.addAndGet(n) // replayed batches apply nothing
+        } finally batch.unpersist()
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    total.get
+  }
+
   /** TRIGGER PIPE into a graft-lake table: each micro-batch lands as ONE
     * atomic append commit, so downstream readers never see a half-loaded
     * batch (the parquet sink above exposes files as they appear). Replayed

@@ -102,6 +102,51 @@ class PipeSpec extends AnyFunSuite {
     assert(lake.read().count() == before, "replayed batch was re-committed")
   }
 
+  test("CDC merge pipe upserts by key, exactly once across replays") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_pipe_merge").toString
+    val src = s"$root/cdc"; Files.createDirectories(Paths.get(src))
+    val pipe = Pipe("pm", src, "json", schema, s"$root/lake", s"$root/_chk")
+    def drop(name: String, rows: Seq[String]): Unit =
+      Files.write(Paths.get(s"$src/$name"), rows.mkString("\n").getBytes)
+
+    // seed snapshot
+    val lake = graft.sources.SnapshotTable.create(spark, s"$root/lake",
+      Seq((1L, "x", 1.0), (2L, "y", 2.0), (3L, "z", 3.0))
+        .toDF("event_id", "event_type", "value"))
+
+    // batch 1: update key 2, insert key 4
+    drop("c1.json", Seq("""{"event_id":2,"event_type":"y","value":20.0}""",
+      """{"event_id":4,"event_type":"w","value":4.0}"""))
+    assert(Pipes.triggerMergeIntoLake(spark, pipe, "event_id") == 2)
+    val got = lake.read().orderBy("event_id")
+      .select("event_id", "value").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 1.0), (2L, 20.0), (3L, 3.0), (4L, 4.0)))
+    val v1 = lake.latestVersion
+
+    // nothing new → no commit
+    assert(Pipes.triggerMergeIntoLake(spark, pipe, "event_id") == 0)
+    assert(lake.latestVersion == v1)
+
+    // batch 2: update key 1
+    drop("c2.json", Seq("""{"event_id":1,"event_type":"x","value":10.0}"""))
+    assert(Pipes.triggerMergeIntoLake(spark, pipe, "event_id") == 1)
+    assert(lake.read().filter(col("event_id") === 1L)
+      .select("value").as[Double].head() == 10.0)
+
+    // simulated checkpoint-recovery replay: the same batch tag applies
+    // nothing and returns the original commit version
+    val vNow = lake.latestVersion
+    val replayed = lake.mergeByKeyTagged(
+      Seq((1L, "x", 999.0)).toDF("event_id", "event_type", "value"),
+      "event_id", s"merge:pm:batch:1")
+    assert(replayed <= vNow)
+    assert(lake.latestVersion == vNow, "replayed tag must not commit")
+    assert(lake.read().filter(col("event_id") === 1L)
+      .select("value").as[Double].head() == 10.0)
+  }
+
   test("incremental rollup maintenance matches a full batch recompute") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_pipe_rollup").toString
