@@ -46,4 +46,26 @@ object Decontaminate {
       .select(col("doc_id"))
     train.join(contaminated, Seq("doc_id"), "left_anti")
   }
+
+  /** The 100 TB variant promised by the scaladoc above: grams are hashed
+    * to 8-byte xxhash64 keys via the sorted-distinct `NgramHashes`
+    * expression before the broadcast probe — ~10× narrower rows through
+    * the join and a fixed-width broadcast set; collision odds are
+    * ~|eval grams|·|train grams|/2⁶⁴. Same plan shape as [[clean]]
+    * (broadcast eval set, corpus read once, only matches shuffle);
+    * `DecontaminateSpec` pins result equality against the string-gram
+    * path on the fixture. */
+  def cleanHashed(train: DataFrame, evalSet: DataFrame, n: Int = 3,
+                  minShared: Long = 1): DataFrame = {
+    import graft.functions.Functions.ngram_hashes
+    val evalGrams = evalSet
+      .select(explode(ngram_hashes(col("text"), n)).as("gram")).distinct()
+    val contaminated = train
+      .select(col("doc_id"), explode(ngram_hashes(col("text"), n)).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("doc_id"))
+    train.join(contaminated, Seq("doc_id"), "left_anti")
+  }
 }

@@ -585,6 +585,35 @@ object LlmQueries {
       nClusters = 4, kmeansIters = 2)
       .orderBy(col("vec_id"))
 
+  /** Character-class hygiene over text with synthesized mojibake (the
+    * fixture is pure ASCII): bell control chars, accented chars, and
+    * U+FFFD appended deterministically per doc_id, then measured. */
+  val textCharclass: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents.filter(col("doc_id") < 400)
+    val aug = docs.select(col("doc_id"), expr(
+      "concat(text, repeat(chr(7), cast(doc_id % 3 as int)), " +
+        "repeat('é', cast(doc_id % 5 as int)), " +
+        "case when doc_id % 7 = 0 then '�' else '' end)").as("text"))
+    TextAnalysis.charClassSignals(aug).orderBy(col("doc_id"))
+  }
+  val textCharclassSql: String = """
+    WITH aug AS (
+      SELECT doc_id,
+        text || repeat(chr(7), CAST(doc_id % 3 AS INT))
+             || repeat(chr(233), CAST(doc_id % 5 AS INT))
+             || CASE WHEN doc_id % 7 = 0 THEN chr(65533) ELSE '' END AS t
+      FROM documents WHERE doc_id < 400)
+    SELECT doc_id,
+      CAST(length(t) AS INT) AS len_chars,
+      CAST(len(regexp_extract_all(t, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]')) AS INT) AS n_control,
+      CAST(len(regexp_extract_all(t, '[^\x00-\x7F]')) AS INT) AS n_non_ascii,
+      CAST(len(regexp_extract_all(t, chr(65533))) AS INT) AS n_replacement,
+      CAST(len(regexp_extract_all(t, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]')) AS DOUBLE)
+        / length(t) AS control_ratio,
+      CAST(len(regexp_extract_all(t, '[^\x00-\x7F]')) AS DOUBLE)
+        / length(t) AS non_ascii_ratio
+    FROM aug ORDER BY doc_id"""
+
   /** Token-distribution entropy (boilerplate/spam signal). Entropies are
     * rounded to 6dp in BOTH engines — float accumulation order differs
     * across engines at ~1e-14, four orders below the rounding grain. */
@@ -700,6 +729,7 @@ object LlmQueries {
     "dedup_incremental" -> dedupIncremental,
     "semdedup_keep" -> semdedupKeep,
     "ann_quantized_ids" -> annQuantizedIds,
+    "text_charclass" -> textCharclass,
     "multimodal_features" -> multimodalFeatures)
 
   val oracle: Map[String, String] = Map(
@@ -727,5 +757,6 @@ object LlmQueries {
     "chunk_documents" -> chunkDocumentsSql,
     "source_cap_topk" -> sourceCapTopkSql,
     "dedup_incremental" -> dedupIncrementalSql,
-    "ann_quantized_ids" -> annQuantizedIdsSql)
+    "ann_quantized_ids" -> annQuantizedIdsSql,
+    "text_charclass" -> textCharclassSql)
 }

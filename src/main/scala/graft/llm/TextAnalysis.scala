@@ -152,6 +152,26 @@ object TextAnalysis {
           .otherwise(pow(lit(2.0), col("bucket_log2")).cast("long")))
   }
 
+  /** Character-class hygiene signals (C4-style corpus filters): control
+    * characters (minus \t\n\r), non-ASCII fraction, and U+FFFD
+    * replacement characters — the standard mojibake / binary-contamination
+    * detectors. Patterns stay in the portable RE2 ∩ java.util.regex
+    * dialect; single codegen'd projection. */
+  def charClassSignals(docs: DataFrame): DataFrame = {
+    val ctl = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+    val nonAscii = "[^\\x00-\\x7F]"
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("len_chars"),
+      regexp_count(col("text"), lit(ctl)).as("n_control"),
+      regexp_count(col("text"), lit(nonAscii)).as("n_non_ascii"),
+      regexp_count(col("text"), lit("�")).as("n_replacement"),
+      (regexp_count(col("text"), lit(ctl)).cast("double") /
+        length(col("text"))).as("control_ratio"),
+      (regexp_count(col("text"), lit(nonAscii)).cast("double") /
+        length(col("text"))).as("non_ascii_ratio"))
+  }
+
   def languageId(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val scored = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>

@@ -47,6 +47,25 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(kept == Set(3L))
   }
 
+  test("hashed-gram variant matches the string-gram path on the fixture") {
+    val docs = graft.engine.Tables.ensure(spark, TestSpark.sf).documents
+    val ev = docs.filter(col("doc_id") % 97 === 0)
+    val tr = docs.filter(col("doc_id") % 97 =!= 0)
+    val viaStrings = Decontaminate.clean(tr, ev, n = 3, minShared = 5)
+      .select("doc_id").as[Long].collect().toSet
+    val viaHashes = Decontaminate.cleanHashed(tr, ev, n = 3, minShared = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaHashes == viaStrings)
+    // crafted leaks agree too
+    val keptH = Decontaminate.cleanHashed(train, evalSet, n = 3, minShared = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptH == Set(2L, 3L))
+    // and the probe side stays broadcast
+    val plan = Decontaminate.cleanHashed(train, evalSet, n = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+  }
+
   test("eval gram set is broadcast (corpus never shuffles by gram)") {
     val plan = Decontaminate.overlapCounts(train, evalSet, n = 3)
       .queryExecution.executedPlan.toString

@@ -104,6 +104,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows(3L).getAs[Long]("n_distinct") == 2L)
   }
 
+  test("char-class signals count control, non-ascii, and replacement chars") {
+    val df = Seq(
+      (1L, "clean ascii text"),
+      (2L, "bell and tab\t inside"), // \t is NOT control for this filter
+      (3L, "café résumé �")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.charClassSignals(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(1L).getAs[Int]("n_control") == 0)
+    assert(rows(1L).getAs[Int]("n_non_ascii") == 0)
+    assert(rows(2L).getAs[Int]("n_control") == 1) // the bell only
+    assert(rows(3L).getAs[Int]("n_non_ascii") == 4) // 3×é + the replacement char
+    assert(rows(3L).getAs[Int]("n_replacement") == 1)
+    assert(rows(3L).getAs[Double]("non_ascii_ratio") > 0.0)
+  }
+
   test("length buckets use exact power-of-two boundaries") {
     // 1 token -> bucket 0; 2,3 -> bucket 1; 4..7 -> bucket 2; 8 -> bucket 3
     val df = Seq(
