@@ -44,4 +44,13 @@ object Graft {
   /** The copy_errors history for a COPY INTO target. */
   def copyErrors(spark: SparkSession, targetDir: String): DataFrame =
     graft.sources.CopyInto.copyErrors(spark, targetDir)
+
+  /** Run a query action under a WLM admission queue (define queues via
+    * `CREATE QUEUE name SLOTS n` or engine.Queues.define). */
+  def queued[T](spark: SparkSession, queue: String)(body: => T): T =
+    graft.engine.Queues.run(spark, queue)(body)
+
+  /** Serve `df` through the version-gated result cache (repeat queries
+    * return the persisted result until a base lake table advances). */
+  def cached(df: DataFrame): DataFrame = graft.accel.ResultCache.cached(df)
 }

@@ -20,6 +20,9 @@ object Functions {
 
   // ---- vector similarity (LLM extras; custom codegen'd expressions) ----
   def cosine_sim(a: Column, b: Column): Column = col(CosineSimilarity(ex(a), ex(b)))
+  def cosine_sim_d(a: Column, b: Column): Column = col(CosineSimilarityD(ex(a), ex(b)))
+  def dequantize_int8(v: Column): Column = col(DequantizeInt8(ex(v)))
+  def quantize_int8(v: Column): Column = col(QuantizeInt8(ex(v)))
   def dot_product(a: Column, b: Column): Column = col(DotProduct(ex(a), ex(b)))
   def l2_norm(a: Column): Column = col(L2Norm(ex(a)))
 

@@ -3,8 +3,8 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, StructField, StructType}
 
 /** Native vector-similarity kernels over `array<float>` embedding columns.
   *
@@ -49,6 +49,142 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
          |${ev.value} = ($nx == 0.0 || $ny == 0.0) ? 0.0
          |  : java.lang.Math.max(-1.0, java.lang.Math.min(1.0,
          |      $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny))));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** quantize_int8(vec) -> struct<q_min, q_scale, q_codes>: one-pass affine
+  * int8 quantization, output-identical to the declarative
+  * `Similarity.quantizeInt8` column chain (same shortest-repr BigDecimal
+  * HALF_UP rounding + truncating int cast — see [[DequantizeInt8]] for
+  * why, and for the O(dim²) projection-collapse cost this replaces).
+  * Empty input mirrors the declarative nulls (array_min of [] is null). */
+case class QuantizeInt8(child: Expression)
+    extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def prettyName: String = "quantize_int8"
+  override def dataType: DataType = StructType(Seq(
+    StructField("q_min", DoubleType, nullable = true),
+    StructField("q_scale", DoubleType, nullable = true),
+    StructField("q_codes", ArrayType(IntegerType, containsNull = false), nullable = false)))
+
+  private lazy val elemIsFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any = {
+    val in = v.asInstanceOf[ArrayData]
+    val n = in.numElements()
+    if (n == 0)
+      return org.apache.spark.sql.catalyst.InternalRow(
+        null, null, new GenericArrayData(Array.empty[Int]))
+    val xs = new Array[Double](n)
+    var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
+    var i = 0
+    while (i < n) {
+      val d = if (elemIsFloat) in.getFloat(i).toDouble else in.getDouble(i)
+      xs(i) = d; if (d < mn) mn = d; if (d > mx) mx = d; i += 1
+    }
+    val codes = new Array[Int](n)
+    val scale = if (mx == mn) 0.0 else (mx - mn) / 255.0
+    if (mx != mn) {
+      var j = 0
+      while (j < n) {
+        val rounded = scala.math.BigDecimal((xs(j) - mn) / scale)
+          .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+        codes(j) = (rounded - 128.0).toInt
+        j += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(mn, scale, new GenericArrayData(codes))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** dequantize_int8(vec) -> array<double>: affine int8 quantize +
+  * reconstruct in ONE pass — output-identical to the declarative
+  * `Similarity.dequantize(quantizeInt8(df))` chain. The declarative form
+  * collapses into a single projection where `array_min`/`array_max` and
+  * the double-cast transform are inlined into the per-element dequantize
+  * lambda — O(dim²) interpreted HOF work per row (the dominant cost of
+  * the quantized-ANN sweep). Parity details: rounding reproduces Spark's
+  * `round()` exactly (shortest-repr BigDecimal, HALF_UP — NOT
+  * Math.round/rint, which disagree on negative ties and float-boundary
+  * cases), and the code passes through the same truncating int cast. */
+case class DequantizeInt8(child: Expression)
+    extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def prettyName: String = "dequantize_int8"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private lazy val elemIsFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any = {
+    val in = v.asInstanceOf[ArrayData]
+    val n = in.numElements()
+    val xs = new Array[Double](n)
+    var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
+    var i = 0
+    while (i < n) {
+      val d = if (elemIsFloat) in.getFloat(i).toDouble else in.getDouble(i)
+      xs(i) = d; if (d < mn) mn = d; if (d > mx) mx = d; i += 1
+    }
+    val out = new Array[Double](n)
+    if (n > 0 && mx == mn) {
+      java.util.Arrays.fill(out, mn) // codes 0, scale 0: (0+128)*0 + mn
+    } else if (n > 0) {
+      val scale = (mx - mn) / 255.0
+      var j = 0
+      while (j < n) {
+        val rounded = scala.math.BigDecimal((xs(j) - mn) / scale)
+          .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+        val code = (rounded - 128.0).toInt
+        out(j) = (code + 128.0) * scale + mn
+        j += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** cosine_sim_d(a, b) over `array<double>` — the double-precision twin of
+  * [[CosineSimilarity]] for dequantized/reconstructed vectors whose oracle
+  * parity requires staying in doubles end to end. Accumulates in the same
+  * ascending order as a left fold, so it is bit-identical to the
+  * declarative `aggregate(zip_with(...))` form it replaces — which, being
+  * higher-order functions (CodegenFallback), evaluated interpreted at
+  * ~50µs/pair; this stays inside whole-stage codegen. Unclamped (unlike
+  * the float kernel) to mirror the declarative form exactly. */
+case class CosineSimilarityD(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "cosine_sim_d"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toDoubleArray()
+    val y = b.asInstanceOf[ArrayData].toDoubleArray()
+    val n = math.min(x.length, y.length)
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < n) { dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
+    if (nx == 0.0 || ny == 0.0) 0.0
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $n = java.lang.Math.min($l.numElements(), $r.numElements());
+         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = $l.getDouble($i); double $yv = $r.getDouble($i);
+         |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+         |}
+         |${ev.value} = ($nx == 0.0 || $ny == 0.0) ? 0.0
+         |  : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
        """.stripMargin
     })
 

@@ -44,23 +44,22 @@ object Similarity {
     * [[bruteForceTopK]]: broadcast query batch, one corpus pass, bounded
     * per-key heaps. */
   def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    // one-pass native reconstruct: the declarative quantize→dequantize
+    // chain collapses into a projection that re-evaluates array_min/max
+    // inside the per-element lambda — O(dim²) interpreted work per row
+    // (DequantizeInt8 scaladoc); outputs are bit-identical
     def deq(df: DataFrame, idAs: String, vecAs: String): DataFrame =
-      dequantize(quantizeInt8(df))
-        .select(col("vec_id").as(idAs), col("deq_vec").as(vecAs))
+      df.select(col("vec_id").as(idAs),
+        Functions.dequantize_int8(col("embedding")).as(vecAs))
     val q = deq(queries, "q_id", "q_vec")
     val c = deq(corpus, "c_id", "c_vec")
-    // declarative double-precision cosine (zip_with + left-fold aggregate):
-    // the codegen'd CosineSimilarity kernel reads float arrays, and the
-    // reconstruction must stay double for the oracle's bit parity
-    def fold(v: Column): Column = aggregate(v, lit(0.0), (s, x) => s + x)
-    val dot = fold(zip_with(col("q_vec"), col("c_vec"), (x, y) => x * y))
-    val nx = fold(transform(col("q_vec"), x => x * x))
-    val ny = fold(transform(col("c_vec"), x => x * x))
+    // codegen'd double-precision cosine: same left-fold accumulation order
+    // as the declarative aggregate/zip_with form (bit-identical results),
+    // but fused into whole-stage codegen instead of interpreted
+    // CodegenFallback lambdas (~50µs/pair -> sub-µs)
     val scored = c.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("cos",
-        when(nx === 0.0 || ny === 0.0, lit(0.0))
-          .otherwise(dot / (sqrt(nx) * sqrt(ny))))
+      .withColumn("cos", Functions.cosine_sim_d(col("q_vec"), col("c_vec")))
       .select(col("q_id"), col("c_id"), col("cos"))
     val top = graft.plans.TopKPerKey(scored, col("q_id"), col("cos"), col("c_id"), k)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
@@ -154,15 +153,14 @@ object Similarity {
     * exact in double, IEEE ops are deterministic), so any engine
     * reproduces the codes bit-for-bit. Pure projection — no shuffle. */
   def quantizeInt8(df: DataFrame, vecCol: String = "embedding"): DataFrame = {
-    val v = transform(col(vecCol), x => x.cast("double"))
-    val mn = array_min(v)
-    val mx = array_max(v)
-    val scale = (mx - mn) / lit(255.0)
-    val codes = when(mx === mn, transform(v, _ => lit(0).cast("int")))
-      .otherwise(transform(v, x => (round((x - mn) / scale) - 128).cast("int")))
-    df.withColumn("q_min", mn)
-      .withColumn("q_scale", when(mx === mn, lit(0.0)).otherwise(scale))
-      .withColumn("q_codes", codes)
+    // one-pass native kernel (functions.QuantizeInt8): the declarative
+    // column chain (array_min/max + round transform) collapses into a
+    // projection that re-evaluates min/max inside the per-element lambda,
+    // O(dim²) interpreted work per row; outputs are bit-identical
+    val q = Functions.quantize_int8(col(vecCol))
+    df.withColumn("q_min", q.getField("q_min"))
+      .withColumn("q_scale", q.getField("q_scale"))
+      .withColumn("q_codes", q.getField("q_codes"))
   }
 
   /** Dequantize `quantizeInt8` output back to an approximate double

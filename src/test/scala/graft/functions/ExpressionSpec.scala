@@ -108,6 +108,27 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("cosine_sim_d is bit-identical to the declarative double fold") {
+    import org.apache.spark.sql.functions.{aggregate => aagg, _}
+    val df = Seq(
+      (Seq(0.1, -2.5, 3.75, 0.0), Seq(1.5, 0.25, -0.5, 2.0)),
+      (Seq(1e-300, 2e-300, 3e-300), Seq(3e-300, 2e-300, 1e-300)),
+      (Seq(0.0, 0.0), Seq(1.0, 2.0)) // zero norm -> 0.0
+    ).toDF("a", "b")
+    def fold(v: org.apache.spark.sql.Column) = aagg(v, lit(0.0), (s, x) => s + x)
+    val dot = fold(zip_with(col("a"), col("b"), (x, y) => x * y))
+    val nx = fold(transform(col("a"), x => x * x))
+    val ny = fold(transform(col("b"), x => x * x))
+    val rows = df.select(
+      Functions.cosine_sim_d(col("a"), col("b")).as("fast"),
+      when(nx === 0.0 || ny === 0.0, lit(0.0))
+        .otherwise(dot / (sqrt(nx) * sqrt(ny))).as("slow")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
   test("word_ngrams distinct=false keeps duplicate grams in order") {
     val r = Seq("x y x y x").toDF("t")
       .select(Functions.word_ngrams(col("t"), 2, distinct = false)).head().getSeq[String](0)

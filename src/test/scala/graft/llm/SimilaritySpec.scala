@@ -91,6 +91,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.9, s"mean recall@$k $mean below floor; per-query $recalls")
   }
 
+  test("dequantize_int8 kernel is bit-identical to the declarative chain") {
+    val e = graft.engine.Tables(spark, graft.TestSpark.sf).embeddings
+    val declarative = Similarity.dequantize(Similarity.quantizeInt8(e))
+      .select(col("vec_id"), col("deq_vec"))
+    val native = e.select(col("vec_id"),
+      graft.functions.Functions.dequantize_int8(col("embedding")).as("deq_vec"))
+    val d = declarative.orderBy("vec_id").collect().map(_.getSeq[Double](1))
+    val n = native.orderBy("vec_id").collect().map(_.getSeq[Double](1))
+    assert(d.length == n.length && d.length > 0)
+    d.zip(n).foreach { case (a, b) =>
+      assert(a.map(java.lang.Double.doubleToLongBits).toSeq ==
+        b.map(java.lang.Double.doubleToLongBits).toSeq)
+    }
+    // constant vector: zero scale reconstructs the constant
+    import spark.implicits._
+    val const = Seq((1L, Array(2.5f, 2.5f, 2.5f))).toDF("vec_id", "embedding")
+    val got = const.select(graft.functions.Functions.dequantize_int8(col("embedding")))
+      .head().getSeq[Double](0)
+    assert(got == Seq(2.5, 2.5, 2.5))
+  }
+
   test("quantized ANN keeps the broadcast + TopKPerKey plan shape") {
     val e = graft.engine.Tables(spark, graft.TestSpark.sf).embeddings
     val df = Similarity.quantizedTopK(e, e.filter(col("vec_id") < 3), k = 5)
