@@ -145,9 +145,7 @@ object Reflections {
     * deployment would batch this behind the reflection manager the way
     * the reference does). */
   def isFresh(spark: SparkSession, r: Reflection): Boolean =
-    r.baseVersions.forall { case (d, v) =>
-      graft.sources.SnapshotTable.forPath(spark, d).latestVersion == v
-    }
+    versionsCurrent(spark, r.baseVersions)
 
   /** Re-pin a reflection's base versions after a refresh. */
   private def repin(spark: SparkSession, name: String): Unit =
@@ -212,8 +210,17 @@ object Reflections {
 
   /** The substitution rule. Idempotent (a substituted scan has a different
     * fingerprint), so it is safe under the optimizer's fixed-point batch. */
-  private def normPath(p: String): String =
+  private[graft] def normPath(p: String): String =
     p.replaceFirst("^file:/+", "/").stripSuffix("/")
+
+  /** Are all pinned lake versions still the table's latest? (shared
+    * freshness rule: reflections staleness gate + result-cache eviction —
+    * one implementation so the two can never disagree). */
+  private[graft] def versionsCurrent(spark: SparkSession,
+                                     pins: Map[String, Long]): Boolean =
+    pins.forall { case (d, v) =>
+      graft.sources.SnapshotTable.forPath(spark, d).latestVersion == v
+    }
 
   // ---------- subsumption matching helpers ----------
 

@@ -4,6 +4,7 @@ import java.util.concurrent.atomic.AtomicLong
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.storage.StorageLevel
 
 /** Query result cache: serve a repeated query from its previously
@@ -20,21 +21,35 @@ import org.apache.spark.storage.StorageLevel
   * Spark-first re-expression: caching a *physical plan* buys little in
   * Spark (Catalyst re-plans in milliseconds); the expensive thing to reuse
   * is the *result*, so entries pin the result RDD via `persist`
-  * (MEMORY_AND_DISK — spills instead of OOMing on wide results). The key
-  * is the canonicalized optimized-plan fingerprint (same hasher as
-  * reflections — exprIds normalized, source paths folded in), so any
-  * DataFrame with the same semantics hits regardless of how it was built.
-  * Freshness mirrors reflection staleness: lake-table versions are pinned
-  * at insert and checked at lookup; a stale entry is unpersisted and
-  * recomputed. Non-lake sources have no version authority and are assumed
-  * fresh — same contract as reflections.
+  * (MEMORY_AND_DISK — spills instead of OOMing on wide results).
+  *
+  * Cache key = canonical ANALYZED-plan fingerprint (the optimized plan of
+  * a repeat query already holds the CacheManager's InMemoryRelation, so
+  * analyzed is the stable identity) PLUS two identities canonicalization
+  * erases:
+  *  - the output column NAMES (canonicalization normalizes aliases, so
+  *    `sum(v) AS a` and `sum(v) AS b` would otherwise collide and a hit
+  *    would return a DataFrame with the wrong schema);
+  *  - the lake snapshot VERSION each scan actually pinned
+  *    (`LakeFileIndex.snapshotVersion`): a lake scan's path is stable
+  *    across commits while its file list is snapshot-pinned, so without
+  *    the version a DataFrame created before a commit could be registered
+  *    under the same key as one created after — and serve stale rows.
+  *    With the version in the key, an entry can only ever serve callers
+  *    reading the exact same snapshot.
+  *
+  * Freshness mirrors reflection staleness (same `versionsCurrent` rule):
+  * an entry whose pinned snapshot is no longer the table's latest is
+  * dropped and recomputed rather than served — so the cache never pins a
+  * superseded snapshot alive indefinitely. Non-lake sources have no
+  * version authority and are assumed fresh, same contract as reflections.
   */
 object ResultCache {
 
-  private final case class Entry(fingerprint: String, df: DataFrame,
+  private final case class Entry(key: String, df: DataFrame,
                                  baseVersions: Map[String, Long],
-                                 hits: AtomicLong, insertedAtNs: Long,
-                                 lastUsedNs: AtomicLong)
+                                 hits: AtomicLong, insertedAt: Long,
+                                 lastUsed: AtomicLong)
 
   private val cache = TrieMap.empty[String, Entry]
   private val hitCount = new AtomicLong()
@@ -44,45 +59,65 @@ object ResultCache {
   /** Max cached results before LRU eviction (per JVM). */
   @volatile var maxEntries: Int = 32
 
+  /** (plan fingerprint + output names + lake snapshot pins,
+    *  lake dir -> pinned snapshot version). */
+  private def keyOf(df: DataFrame): (String, Map[String, Long]) = {
+    val plan = df.queryExecution.analyzed
+    val pins: Map[String, Long] = plan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation => h.location match {
+          case lfi: graft.sources.LakeFileIndex if lfi.snapshotVersion >= 0 =>
+            Seq(Reflections.normPath(lfi.tableDirPath) -> lfi.snapshotVersion)
+          case _ => Nil
+        }
+        case _ => Nil
+      }
+    }.flatten.toMap
+    val sb = new StringBuilder(Reflections.fingerprintPlan(plan))
+    sb.append('|').append(plan.output.map(_.name).mkString(","))
+    pins.toSeq.sorted.foreach { case (d, v) => sb.append('|').append(d).append('#').append(v) }
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(sb.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (key, pins)
+  }
+
   /** Run `df` through the cache: on a fresh hit, the previously
     * materialized result is returned; otherwise the query executes, its
     * result is persisted and registered. The returned DataFrame is always
-    * semantically `df`. */
+    * semantically (and schema-) equal to `df`. */
   def cached(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    // fingerprint the ANALYZED plan: the optimized plan of a repeat query
-    // already contains the InMemoryRelation the CacheManager substituted
-    // for the first run's persist, so its fingerprint would never match
-    val plan = df.queryExecution.analyzed
-    val fp = Reflections.fingerprintPlan(plan)
-    cache.get(fp) match {
-      case Some(e) if isFresh(spark, e) =>
+    val (key, pins) = keyOf(df)
+    cache.get(key) match {
+      case Some(e) if Reflections.versionsCurrent(spark, e.baseVersions) =>
         hitCount.incrementAndGet(); e.hits.incrementAndGet()
-        e.lastUsedNs.set(tick.incrementAndGet())
+        e.lastUsed.set(tick.incrementAndGet())
         e.df
       case stale =>
-        stale.foreach { e => e.df.unpersist(blocking = false); cache.remove(fp, e) }
+        stale.foreach { e => cache.remove(key, e); e.df.unpersist(blocking = false) }
         missCount.incrementAndGet()
-        val versions = Reflections.lakeBaseVersions(spark, plan)
         df.persist(StorageLevel.MEMORY_AND_DISK)
         df.count() // materialize eagerly: "cached" must mean computed once
         val now = tick.incrementAndGet()
-        cache.put(fp, Entry(fp, df, versions, new AtomicLong(0), now,
-          new AtomicLong(now)))
-        evictIfOver()
-        df
+        val mine = Entry(key, df, pins, new AtomicLong(0), now, new AtomicLong(now))
+        cache.putIfAbsent(key, mine) match {
+          case Some(winner) =>
+            // a concurrent miss registered first: keep the winner's entry,
+            // release our duplicate persist instead of leaking it
+            df.unpersist(blocking = false)
+            winner.lastUsed.set(tick.incrementAndGet())
+            winner.df
+          case None =>
+            evictIfOver()
+            df
+        }
     }
   }
 
-  private def isFresh(spark: org.apache.spark.sql.SparkSession, e: Entry): Boolean =
-    e.baseVersions.forall { case (d, v) =>
-      graft.sources.SnapshotTable.forPath(spark, d).latestVersion == v
-    }
-
   private def evictIfOver(): Unit =
     while (cache.size > maxEntries) {
-      val lru = cache.values.toSeq.minBy(_.lastUsedNs.get)
-      if (cache.remove(lru.fingerprint, lru)) lru.df.unpersist(blocking = false)
+      val lru = cache.values.toSeq.minBy(_.lastUsed.get)
+      if (cache.remove(lru.key, lru)) lru.df.unpersist(blocking = false)
     }
 
   /** ALTER CLEAR PLAN CACHE analogue. */
@@ -96,8 +131,8 @@ object ResultCache {
   /** Live rows for sys_result_cache. */
   final case class CacheRow(fingerprint: String, hits: Long,
                             lakeDeps: Int, insertedAtNs: Long)
-  def listEntries: Seq[CacheRow] = cache.values.toSeq.sortBy(_.insertedAtNs)
-    .map(e => CacheRow(e.fingerprint, e.hits.get, e.baseVersions.size, e.insertedAtNs))
+  def listEntries: Seq[CacheRow] = cache.values.toSeq.sortBy(_.insertedAt)
+    .map(e => CacheRow(e.key, e.hits.get, e.baseVersions.size, e.insertedAt))
 
   /** Test/diagnostic hook: reset counters and entries. */
   def clearAll(): Unit = { invalidateAll(); hitCount.set(0); missCount.set(0) }

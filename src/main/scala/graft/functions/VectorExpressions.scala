@@ -161,6 +161,20 @@ case class DequantizeInt8(child: Expression)
 case class CosineSimilarityD(left: Expression, right: Expression) extends VectorBinaryExpression {
   override def prettyName: String = "cosine_sim_d"
 
+  // getDouble on a float-backed array returns garbage, not an error —
+  // and cosine_sim (float) has the identical signature, so an accidental
+  // swap must fail analysis, not produce wrong numbers
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double> inputs (use cosine_sim for array<float>); " +
+        s"got ${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData].toDoubleArray()
     val y = b.asInstanceOf[ArrayData].toDoubleArray()

@@ -168,6 +168,11 @@ object Dedup {
       .select(col("vec_id"), col("embedding"),
         (expr("array_position(s, array_max(s))") - 1).cast("int").as("bucket"),
         expr("array_max(s)").as("centroid_cos"))
+      // materialize once (eager, lineage-truncated, GC'd with the plan):
+      // both pair sides, the component vertices, and the final rank join
+      // consume this — unmaterialized, each would re-scan the corpus and
+      // re-evaluate the nClusters cosine assignments
+      .localCheckpoint(true)
     val a = assigned.select(col("bucket"), col("vec_id").as("a_id"),
       col("embedding").as("a_vec"))
     val b = assigned.select(col("bucket"), col("vec_id").as("b_id"),

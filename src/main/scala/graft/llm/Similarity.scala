@@ -18,6 +18,17 @@ object Similarity {
   /** Exact brute-force top-k neighbors for each query vector.
     * The query set is broadcast (small side); the corpus streams —
     * at 100 TB this is one pass over the corpus per batch of queries. */
+  /** Shared ranking tail for the ANN family: bounded-heap top-k per q_id
+    * through the custom TopKPerKey operator (O(n log k) instead of the
+    * windowed row_number's full per-key sort) plus a deterministic rank
+    * column (cos desc, c_id asc) — one tie-break convention, one
+    * implementation, appended to whatever columns `scored` carries. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val top = graft.plans.TopKPerKey(scored, col("q_id"), col("cos"), col("c_id"), k)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    top.withColumn("rk", row_number().over(w))
+  }
+
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
@@ -25,12 +36,7 @@ object Similarity {
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", Functions.cosine_sim(col("q_vec"), col("c_vec")))
       .select(col("q_id"), col("c_id"), col("cos"))
-    // custom bounded-heap operator: O(n log k) per query instead of the
-    // windowed row_number's full per-key sort (graft.plans.TopKPerKey)
-    val top = graft.plans.TopKPerKey(scored, col("q_id"), col("cos"), col("c_id"), k)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
-    top.withColumn("rk", row_number().over(w))
-      .select(col("q_id"), col("c_id"), col("cos"), col("rk"))
+    rankTopK(scored, k)
   }
 
   /** ANN over int8-quantized vectors — the IVF-SQ8 *scoring* path: score
@@ -61,10 +67,7 @@ object Similarity {
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", Functions.cosine_sim_d(col("q_vec"), col("c_vec")))
       .select(col("q_id"), col("c_id"), col("cos"))
-    val top = graft.plans.TopKPerKey(scored, col("q_id"), col("cos"), col("c_id"), k)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
-    top.withColumn("rk", row_number().over(w))
-      .select(col("q_id"), col("c_id"), col("cos"), col("rk"))
+    rankTopK(scored, k)
   }
 
   /** Spherical k-means (Lloyd) centroids, entirely in DataFrame ops: seed
@@ -134,10 +137,7 @@ object Similarity {
       .withColumn("cos", Functions.cosine_sim(col("q_vec"), col("c_vec")))
       .select(col("q_id"), col("c_id"), col("cos"))
       .dropDuplicates("q_id", "c_id") // a pair can meet in ≤ nProbe buckets
-    val top = graft.plans.TopKPerKey(scored, col("q_id"), col("cos"), col("c_id"), k)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
-    top.withColumn("rk", row_number().over(w))
-      .select(col("q_id"), col("c_id"), col("cos"), col("rk"))
+    rankTopK(scored, k)
   }
 
   /** IVF-style ANN: both sides partitioned by a coarse bucket (here the
@@ -177,9 +177,6 @@ object Similarity {
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", Functions.cosine_sim(col("q_vec"), col("c_vec")))
       .select(col("q_id"), col("label"), col("c_id"), col("cos"))
-    val top = graft.plans.TopKPerKey(scored, col("q_id"), col("cos"), col("c_id"), k)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
-    top.withColumn("rk", row_number().over(w))
-      .select(col("q_id"), col("label"), col("c_id"), col("cos"), col("rk"))
+    rankTopK(scored, k)
   }
 }

@@ -43,7 +43,16 @@ final class LakeFileIndex(
     // absolute path -> column/transform-repr -> (min, max) as manifest strings
     filesWithStats: Seq[(String, Map[String, (String, String)])],
     dataSchema: StructType,
-    transforms: Seq[PartitionTransform] = Nil) extends FileIndex {
+    transforms: Seq[PartitionTransform] = Nil,
+    /** Lake version of the snapshot this scan pinned at construction (-1
+      * when unknown, e.g. internal rewrite scans). Consumers that cache or
+      * fingerprint results (accel.ResultCache) read THIS — the table's
+      * current latestVersion may already be ahead of what this DataFrame
+      * actually reads. */
+    val snapshotVersion: Long = -1L) extends FileIndex {
+
+  /** The stable table directory (also the single root path). */
+  def tableDirPath: String = tableDir
 
   import LakeFileIndex._
 

@@ -214,7 +214,8 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     * prune through the recorded transform values (Iceberg-style). */
   private def buildScan(files: Seq[(String, Map[String, (String, String)])],
                         schema: StructType,
-                        transforms: Seq[PartitionTransform] = Nil): DataFrame =
+                        transforms: Seq[PartitionTransform] = Nil,
+                        version: Long = -1L): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else {
@@ -222,7 +223,7 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       // nullable: pre-evolution files miss later columns and must read NULL
       // (DataFrameReader applies the same asNullable on user schemas)
       val schemaN = org.apache.spark.sql.graft.Bridge.asNullable(schema)
-      val index = new LakeFileIndex(spark, dir, files, schemaN, transforms)
+      val index = new LakeFileIndex(spark, dir, files, schemaN, transforms, version)
       val rel = HadoopFsRelation(index, new StructType(), schemaN, None,
         new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
         Map.empty[String, String])(spark)
@@ -245,7 +246,8 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
   def read(version: Option[Long] = None, asOfTsMs: Option[Long] = None): DataFrame = {
     val visible = visibleCommits(version, asOfTsMs)
     val (entries, schema, curIds) = replayEntries(visible)
-    buildMappedScan(entries, schema, curIds, specTransforms(visible))
+    buildMappedScan(entries, schema, curIds, specTransforms(visible),
+      visible.lastOption.map(_.version).getOrElse(0L))
   }
 
   /** Scan that resolves columns by FIELD ID, not name: files are grouped by
@@ -259,7 +261,8 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     * proof placeholder name if a later rename reused its name). */
   private def buildMappedScan(entries: Seq[FileEntry], curSchema: StructType,
                               curIds: Map[String, Int],
-                              transforms: Seq[PartitionTransform] = Nil): DataFrame = {
+                              transforms: Seq[PartitionTransform] = Nil,
+                              version: Long = -1L): DataFrame = {
     import org.apache.spark.sql.functions.col
     if (entries.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], curSchema)
@@ -288,7 +291,7 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
         // filters pushed into this group's scan reference the group's
         // physical (write-time) names — the same namespace the transform
         // srcCols and stats keys live in
-        val scan = buildScan(fs.map(e => (e.path, e.stats)), physSchema, transforms)
+        val scan = buildScan(fs.map(e => (e.path, e.stats)), physSchema, transforms, version)
         if (phys == curNames) scan
         else scan.select(phys.zip(curNames).map { case (pn, cn) => col(pn).as(cn) }: _*)
       }
@@ -510,7 +513,8 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
         case None => true
       }
     }
-    val base = buildMappedScan(kept, schema, curIds, specTransforms(visible))
+    val base = buildMappedScan(kept, schema, curIds, specTransforms(visible),
+      visible.lastOption.map(_.version).getOrElse(0L))
     // residual filter with literals of the column's native type: a double
     // comparison would wrap the column in a cast and block parquet
     // row-group pushdown (only manifest pruning would remain)
@@ -641,7 +645,8 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     val visible = refLog(getRef(name))
     require(visible.nonEmpty, s"ref '$name' resolves to no commits in $dir")
     val (entries, schema, ids) = replayEntries(visible)
-    buildMappedScan(entries, schema, ids, specTransforms(visible))
+    buildMappedScan(entries, schema, ids, specTransforms(visible),
+      visible.lastOption.map(_.version).getOrElse(0L))
   }
 
   /** `INSERT INTO ... AT BRANCH`: append a batch to the branch only. Main

@@ -415,18 +415,28 @@ object GraftSqlParser {
   case class ExplainAccelerationCommand(querySql: String,
       override val output: Seq[Attribute]) extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
-      def norm(p: String): String = p.replaceFirst("^file:/+", "/").stripSuffix("/")
-      val optimized = spark.sql(querySql).queryExecution.optimizedPlan
+      // plan WITHOUT executing: spark.sql() runs commands eagerly, so
+      // `EXPLAIN ACCELERATION <DDL/DML>` must be rejected BEFORE building
+      // a Dataset (whose construction executes Command plans)
+      val parsed = spark.sessionState.sqlParser.parsePlan(querySql)
+      val isCommand =
+        parsed.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command] ||
+          parsed.getClass.getSimpleName.startsWith("InsertInto")
+      if (isCommand)
+        throw new IllegalArgumentException(
+          "EXPLAIN ACCELERATION only supports queries, not commands/DML")
+      val optimized = org.apache.spark.sql.graft.Bridge.ofRows(spark, parsed)
+        .queryExecution.optimizedPlan
       val scanned: Set[String] = optimized.collect {
         case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
           lr.relation match {
             case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-              h.location.rootPaths.map(p => norm(p.toString))
+              h.location.rootPaths.map(p => Reflections.normPath(p.toString))
             case _ => Nil
           }
       }.flatten.toSet
       Reflections.list.map { r =>
-        Row(r.name, r.fingerprint, scanned.contains(norm(r.path)).toString,
+        Row(r.name, r.fingerprint, scanned.contains(Reflections.normPath(r.path)).toString,
           Reflections.isFresh(spark, r).toString)
       }
     }

@@ -50,6 +50,31 @@ class ResultCacheSpec extends AnyFunSuite {
     ResultCache.clearAll()
   }
 
+  test("output alias names are part of the key (canonicalization erases them)") {
+    ResultCache.clearAll()
+    val asA = ResultCache.cached(spark.range(0, 100).agg(sum(col("id")).as("a")))
+    val asB = ResultCache.cached(spark.range(0, 100).agg(sum(col("id")).as("b")))
+    assert(asA.columns.toSeq == Seq("a"))
+    assert(asB.columns.toSeq == Seq("b"), "hit returned a DataFrame with the wrong schema")
+    val (_, h, m) = ResultCache.stats
+    assert(h == 0 && m == 2, "same-plan different-alias queries must not collide")
+    ResultCache.clearAll()
+  }
+
+  test("a scan pinned before a commit cannot serve readers of the new snapshot") {
+    ResultCache.clearAll()
+    val dir = fresh("rc_pin")
+    val t = SnapshotTable.create(spark, dir, Seq((1L, 10.0)).toDF("id", "v"))
+    val preCommitDf = t.read().agg(sum(col("v")).as("total")) // pins v1
+    t.append(Seq((2L, 5.0)).toDF("id", "v")) // table moves to v2
+    // caching the v1-pinned frame registers a v1 entry (that IS its meaning)
+    assert(ResultCache.cached(preCommitDf).head().getDouble(0) == 10.0)
+    // a fresh read pins v2 → different key → must recompute, not serve v1
+    assert(ResultCache.cached(t.read().agg(sum(col("v")).as("total")))
+      .head().getDouble(0) == 15.0, "stale pre-commit result served to a new reader")
+    ResultCache.clearAll()
+  }
+
   test("LRU eviction keeps the cache at maxEntries") {
     ResultCache.clearAll()
     val prev = ResultCache.maxEntries

@@ -47,6 +47,15 @@ class SqlExtSpec extends AnyFunSuite {
     Reflections.clear()
   }
 
+  test("EXPLAIN ACCELERATION refuses to execute commands/DML") {
+    val ex = intercept[Exception] {
+      spark.sql("EXPLAIN ACCELERATION CREATE QUEUE zz_never SLOTS 1")
+    }
+    assert(ex.getMessage.toLowerCase.contains("only supports queries"))
+    assert(graft.engine.Queues.status.forall(_.name != "zz_never"),
+      "EXPLAIN ACCELERATION executed the command it was asked to explain")
+  }
+
   test("CREATE PIPE / TRIGGER PIPE / SHOW PIPES through SQL") {
     val root = Files.createTempDirectory("graft_sqlpipe").toString
     Files.createDirectories(Paths.get(s"$root/in"))
