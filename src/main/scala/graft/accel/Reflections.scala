@@ -78,7 +78,15 @@ object Reflections {
   private[accel] def fingerprintPlan(plan: LogicalPlan): String = {
     fingerprintsComputed.incrementAndGet()
     val canon = plan.canonicalized
-    val sb = new StringBuilder(canon.toString)
+    // Render UNTRUNCATED: plain toString elides expression lists longer
+    // than spark.sql.debug.maxToStringFields ("... N more fields"), so two
+    // wide plans differing only in an elided expression would share a
+    // fingerprint — and the result cache / substitution would serve the
+    // wrong result. maxFields = MaxValue keeps every expression in the
+    // rendering.
+    val sb = new StringBuilder(canon.treeString(
+      verbose = true, addSuffix = false, maxFields = Int.MaxValue,
+      printOperatorId = false))
     // Two toString blind spots would make DIFFERENT data sources collide
     // (and a query could silently be served from the wrong materialization;
     // the substituted scan would even re-match itself and starve the

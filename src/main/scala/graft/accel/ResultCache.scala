@@ -96,6 +96,14 @@ object ResultCache {
       case stale =>
         stale.foreach { e => cache.remove(key, e); e.df.unpersist(blocking = false) }
         missCount.incrementAndGet()
+        if (pins.nonEmpty && !Reflections.versionsCurrent(spark, pins)) {
+          // Pinned to an already-superseded snapshot (time-travel read, or
+          // a frame built before a commit): it could never pass the
+          // freshness check on a future call, so registering it would only
+          // burn a slot and pay persist+count for a result that is never
+          // served. Execute uncached.
+          return df
+        }
         df.persist(StorageLevel.MEMORY_AND_DISK)
         df.count() // materialize eagerly: "cached" must mean computed once
         val now = tick.incrementAndGet()

@@ -18,6 +18,19 @@ trait VectorBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
 }
 
+private[functions] object VectorExprChecks {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+  /** Analysis-time guard shared by the quantize kernels: only
+    * array<float> / array<double> inputs are meaningful — getDouble over
+    * an int-backed array would silently bit-reinterpret. */
+  def requireFloatOrDoubleArray(name: String, dt: DataType): TypeCheckResult = dt match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$name requires an array<float> or array<double> input; got ${other.simpleString}")
+  }
+}
+
 /** cosine_sim(a, b) = dot(a,b) / (|a|*|b|); 0.0 when either norm is 0. */
 case class CosineSimilarity(left: Expression, right: Expression) extends VectorBinaryExpression {
   override def prettyName: String = "cosine_sim"
@@ -68,6 +81,13 @@ case class QuantizeInt8(child: Expression)
     StructField("q_min", DoubleType, nullable = true),
     StructField("q_scale", DoubleType, nullable = true),
     StructField("q_codes", ArrayType(IntegerType, containsNull = false), nullable = false)))
+  override def nullable: Boolean = true
+
+  // getDouble on an int/long-backed array bit-reinterprets into garbage
+  // codes rather than erroring — reject anything but array<float|double>
+  // at analysis time (same guard as CosineSimilarityD).
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorExprChecks.requireFloatOrDoubleArray(prettyName, child.dataType)
 
   private lazy val elemIsFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -82,6 +102,7 @@ case class QuantizeInt8(child: Expression)
     var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
     var i = 0
     while (i < n) {
+      if (in.isNullAt(i)) return null // null element: whole result is null
       val d = if (elemIsFloat) in.getFloat(i).toDouble else in.getDouble(i)
       xs(i) = d; if (d < mn) mn = d; if (d > mx) mx = d; i += 1
     }
@@ -116,6 +137,10 @@ case class DequantizeInt8(child: Expression)
     extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   override def prettyName: String = "dequantize_int8"
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorExprChecks.requireFloatOrDoubleArray(prettyName, child.dataType)
 
   private lazy val elemIsFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -127,6 +152,7 @@ case class DequantizeInt8(child: Expression)
     var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
     var i = 0
     while (i < n) {
+      if (in.isNullAt(i)) return null // null element: whole result is null
       val d = if (elemIsFloat) in.getFloat(i).toDouble else in.getDouble(i)
       xs(i) = d; if (d < mn) mn = d; if (d > mx) mx = d; i += 1
     }

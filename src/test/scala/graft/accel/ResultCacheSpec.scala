@@ -67,12 +67,39 @@ class ResultCacheSpec extends AnyFunSuite {
     val t = SnapshotTable.create(spark, dir, Seq((1L, 10.0)).toDF("id", "v"))
     val preCommitDf = t.read().agg(sum(col("v")).as("total")) // pins v1
     t.append(Seq((2L, 5.0)).toDF("id", "v")) // table moves to v2
-    // caching the v1-pinned frame registers a v1 entry (that IS its meaning)
+    // the v1-pinned frame executes correctly but is NOT registered: its
+    // pins are already superseded, so a slot would never serve anyone
     assert(ResultCache.cached(preCommitDf).head().getDouble(0) == 10.0)
+    val (entries0, _, _) = ResultCache.stats
+    assert(entries0 == 0, "stale-pinned frame burned a cache slot")
     // a fresh read pins v2 → different key → must recompute, not serve v1
     assert(ResultCache.cached(t.read().agg(sum(col("v")).as("total")))
       .head().getDouble(0) == 15.0, "stale pre-commit result served to a new reader")
+    val (entries1, _, _) = ResultCache.stats
+    assert(entries1 == 1, "current-snapshot frame should be registered")
     ResultCache.clearAll()
+  }
+
+  test("toString-truncation fingerprint collisions are caught structurally") {
+    ResultCache.clearAll()
+    // TreeNode.toString elides expression lists past maxToStringFields;
+    // force truncation so two different projections share a fingerprint
+    // (same aliases, difference only in an elided expression)
+    val prev = spark.conf.get("spark.sql.debug.maxToStringFields")
+    spark.conf.set("spark.sql.debug.maxToStringFields", "1")
+    try {
+      val q1 = spark.range(0, 10).select((col("id") + 1).as("x"), (col("id") + 2).as("y"))
+      val q2 = spark.range(0, 10).select((col("id") + 1).as("x"), (col("id") + 30).as("y"))
+      assert(ResultCache.cached(q1).agg(sum(col("y"))).head().getLong(0) == 65L)
+      // q2 must NOT be served q1's rows even if the fingerprints collide
+      assert(ResultCache.cached(q2).agg(sum(col("y"))).head().getLong(0) == 345L,
+        "fingerprint collision served the wrong cached result")
+      val (_, h, _) = ResultCache.stats
+      assert(h == 0, "colliding query must miss, not hit")
+    } finally {
+      spark.conf.set("spark.sql.debug.maxToStringFields", prev)
+      ResultCache.clearAll()
+    }
   }
 
   test("LRU eviction keeps the cache at maxEntries") {

@@ -48,6 +48,30 @@ class ExpressionSpec extends AnyFunSuite {
     assert(math.abs(v - 1.0) < eps)
   }
 
+  test("quantize_int8/dequantize_int8 reject non-float/double arrays at analysis") {
+    val ints = Seq(Tuple1(Array(1, 2, 3))).toDF("v")
+    val eQ = intercept[org.apache.spark.sql.AnalysisException] {
+      ints.select(Functions.quantize_int8(col("v"))).schema
+    }
+    assert(eQ.getMessage.contains("quantize_int8"))
+    val eD = intercept[org.apache.spark.sql.AnalysisException] {
+      ints.select(Functions.dequantize_int8(col("v"))).schema
+    }
+    assert(eD.getMessage.contains("dequantize_int8"))
+    // non-array child also fails analysis, not eval
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(Tuple1("s")).toDF("v").select(Functions.quantize_int8(col("v"))).schema
+    }
+  }
+
+  test("quantize_int8/dequantize_int8: a null element yields a null result") {
+    val df = Seq(Tuple1(Array[java.lang.Float](1.0f, null, 3.0f))).toDF("v")
+    val r = df.select(
+      Functions.quantize_int8(col("v")).as("q"),
+      Functions.dequantize_int8(col("v")).as("d")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("minhash: identical texts share full signature; unrelated don't") {
     val df = Seq(
       ("spark makes distributed queries fast and simple to run at scale",
