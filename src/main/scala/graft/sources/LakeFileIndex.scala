@@ -33,9 +33,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Scale: the file list and stats come from the commit log already parsed
   * on the driver — `listFiles` is pure in-memory filtering, O(files ·
-  * conjuncts), no filesystem calls at plan time beyond one `getFileStatus`
-  * per data file (cached for the life of the snapshot; a production log
-  * would carry sizes in the manifest the way Iceberg manifests do).
+  * conjuncts), with ZERO filesystem calls at plan time: per-file sizes
+  * ride in the manifest (`SnapshotTable.BytesStatKey`, the Iceberg
+  * `file_size_in_bytes` field) and FileStatus objects are built straight
+  * from them. Only legacy commits written before sizes were recorded fall
+  * back to one `getFileStatus` per such file (counted in
+  * [[LakeFileIndex.fsStatusCalls]], cached for the life of the snapshot).
   */
 final class LakeFileIndex(
     spark: SparkSession,
@@ -61,10 +64,23 @@ final class LakeFileIndex(
 
   // File list is pinned at construction (snapshot isolation): later commits
   // never mutate committed files, so refresh() has nothing to re-list.
+  // Statuses come from manifest-carried sizes — the filesystem is touched
+  // only for legacy files whose commit predates size recording.
   private lazy val statuses: Seq[(FileStatus, Map[String, (String, String)])] = {
-    val fs = new Path(tableDir).getFileSystem(
+    lazy val fs = new Path(tableDir).getFileSystem(
       org.apache.spark.sql.graft.Bridge.hadoopConf(spark))
-    filesWithStats.map { case (p, st) => fs.getFileStatus(new Path(p)) -> st }
+    filesWithStats.map { case (p, st) =>
+      val path = new Path(p)
+      val fromManifest = st.get(SnapshotTable.BytesStatKey).flatMap {
+        case (len, mtime) => scala.util.Try(
+          new FileStatus(len.toLong, false, 1, DefaultBlockSize,
+            mtime.toLong, path)).toOption
+      }
+      fromManifest.getOrElse {
+        fsStatusCalls.incrementAndGet()
+        fs.getFileStatus(path)
+      } -> st
+    }
   }
 
   override def listFiles(partitionFilters: Seq[Expression],
@@ -92,6 +108,16 @@ final class LakeFileIndex(
 }
 
 object LakeFileIndex {
+
+  /** Nominal block size for manifest-built FileStatus objects. Spark's
+    * split planning uses `spark.sql.files.maxPartitionBytes`, not the
+    * block size, so any positive value works. */
+  private val DefaultBlockSize: Long = 128L * 1024 * 1024
+
+  /** Diagnostic: filesystem `getFileStatus` calls made at scan
+    * construction (legacy-commit fallback only). Specs pin this at zero
+    * for freshly written tables. */
+  val fsStatusCalls = new java.util.concurrent.atomic.AtomicLong()
 
   /** Can a file with these manifest stats contain a row matching `e`?
     * Returns true unless provably false — every unknown shape keeps the

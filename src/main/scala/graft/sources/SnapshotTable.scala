@@ -1227,14 +1227,23 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       clustered.write.partitionBy(names: _*).parquet(s"$dir/$sub")
     }
     val dataDir = Paths.get(dir, sub)
-    val files = { // recursive: partitioned commits nest dirs per value
+    // (relative path -> (size bytes, mtime ms)) captured in the same walk:
+    // recording sizes in the manifest is what lets LakeFileIndex build its
+    // FileStatus list with ZERO filesystem calls at scan time — the
+    // Iceberg `file_size_in_bytes` manifest field (reference
+    // `exec/store/iceberg/IcebergManifestListRecordReader.java`). Without
+    // it, a 10^6-file snapshot paid 10^6 sequential namenode calls per
+    // cold scan.
+    val fileMeta: Map[String, (Long, Long)] = {
       val s = Files.walk(dataDir)
       try s.iterator.asScala
         .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-        .map(p => Paths.get(dir).relativize(p).toString)
-        .toVector.sorted
+        .map(p => Paths.get(dir).relativize(p).toString ->
+          (Files.size(p), Files.getLastModifiedTime(p).toMillis))
+        .toMap
       finally s.close()
     }
+    val files = fileMeta.keysIterator.toVector.sorted // partitioned commits nest dirs per value
     // Per-file row counts from the parquet FOOTERS (driver-side metadata
     // reads, no data scan) ride in the stats map under the `__rows` pseudo
     // column: carried files keep them verbatim through DML/compaction, and
@@ -1277,7 +1286,9 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       }
     val stats = files.map { f =>
       val rows = SnapshotTable.RowsStatKey -> (rowCounts(f), rowCounts(f))
-      f -> (stats0.getOrElse(f, Map.empty[String, (String, String)]) + rows)
+      val (sz, mt) = fileMeta(f)
+      val bytes = SnapshotTable.BytesStatKey -> (sz.toString, mt.toString)
+      f -> (stats0.getOrElse(f, Map.empty[String, (String, String)]) + rows + bytes)
     }.toMap
     (files, stats)
   }
@@ -1359,6 +1370,12 @@ object SnapshotTable {
     * map (min == max == count). Never collides with predicate pruning —
     * lookups there are by real attribute name. */
   val RowsStatKey = "__rows"
+
+  /** Pseudo stat key for a file's (size bytes, mtime ms) — the Iceberg
+    * `file_size_in_bytes` manifest field. Lets the scan build FileStatus
+    * objects from the commit log alone (zero filesystem calls); legacy
+    * commits without it fall back to one getFileStatus per file. */
+  val BytesStatKey = "__bytes"
 
   /** Inherit ids for surviving names, mint fresh ids for new ones. `maxUsed`
     * is the highest id EVER minted on the table (not just currently live):

@@ -806,6 +806,52 @@ class SnapshotTableSpec extends AnyFunSuite {
       s"every concurrently appended row must survive the rewrites, got $ids")
   }
 
+  test("scan construction makes zero filesystem status calls (sizes ride the manifest)") {
+    val dir = fresh("lake_manifest_sizes")
+    val t = SnapshotTable.create(spark, dir,
+      (1 to 300).map(i => (i.toLong, s"r$i")).toDF("id", "s"))
+    t.append((301 to 400).map(i => (i.toLong, s"r$i")).toDF("id", "s"))
+    LakeFileIndex.fsStatusCalls.set(0)
+    val df = t.read()
+    assert(df.count() == 400)
+    // sizeInBytes must come from the manifest too (it drives broadcast
+    // decisions) and match the real on-disk footprint
+    val realBytes = df.inputFiles.map(f =>
+      Files.size(Paths.get(f.stripPrefix("file:")))).sum
+    val planned = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(planned > 0 && planned >= realBytes,
+      s"plan stats $planned vs on-disk $realBytes")
+    assert(LakeFileIndex.fsStatusCalls.get == 0,
+      s"scan construction hit the filesystem ${LakeFileIndex.fsStatusCalls.get} times")
+  }
+
+  test("legacy commits without manifest sizes fall back to getFileStatus") {
+    val dir = fresh("lake_legacy_sizes")
+    val t = SnapshotTable.create(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    // strip __bytes from every commit json — simulating a log written
+    // before sizes were recorded
+    val logDir = Paths.get(dir, "_graft_log")
+    Files.list(logDir).iterator.asScala.filter(_.toString.endsWith(".json")).foreach { p =>
+      val txt = new String(Files.readAllBytes(p), "UTF-8")
+      val cleaned = txt.replaceAll(""""__bytes"\s*:\s*\[[^\]]*\],?""", "")
+        .replaceAll(",\\s*}", "}").replaceAll(",\\s*]", "]")
+      Files.write(p, cleaned.getBytes("UTF-8"))
+    }
+    spark.catalog.refreshByPath(dir)
+    SnapshotTable.invalidateLogCache() // edited json in place: drop parsed prefix
+    val raw = Files.list(logDir).iterator.asScala
+      .filter(_.toString.endsWith(".json"))
+      .map(p => new String(Files.readAllBytes(p), "UTF-8")).mkString
+    assert(!raw.contains("__bytes"), "test setup failed to strip sizes")
+    LakeFileIndex.fsStatusCalls.set(0)
+    val t2 = SnapshotTable.forPath(spark, dir)
+    // a REAL data scan (count() alone is answered from the manifest and
+    // never builds file statuses)
+    assert(t2.read().orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(LakeFileIndex.fsStatusCalls.get > 0,
+      "legacy commits must fall back to filesystem statuses")
+  }
+
   test("commit timestamps are clamped monotonic for TIMESTAMP AS OF") {
     val dir = fresh("lake_clock")
     val t = SnapshotTable.create(spark, dir, Seq((1L, "a")).toDF("id", "v"))
