@@ -29,7 +29,13 @@ object GraftSession {
     java.nio.file.Files.createTempDirectory("graft_metastore").toString
 
   /** Common config applied to every session (Verify, Bench, tests, REPL). */
-  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+  def configure(b: SparkSession.Builder): SparkSession.Builder = {
+    // Reserve the network endpoint's port before the context exists —
+    // Spark snapshots hive.* system properties into the Hadoop conf at
+    // SparkContext creation, and GraftServer can only bind the port that
+    // snapshot carries (see GraftServer.reservePort scaladoc).
+    graft.server.GraftServer.reservePort()
+    b
     .withExtensions(new graft.sqlext.GraftExtensions)
     // Hive-metastore federation (reference plugins/hive*): persistent-table
     // DDL/DML goes through a real HiveExternalCatalog backed by embedded
@@ -65,6 +71,7 @@ object GraftSession {
     // (many micro-batches under AvailableNow)
     .config("spark.sql.streaming.numRecentProgressUpdates", "10000")
     .config("spark.sql.ui.explainMode", "formatted")
+  }
 
   /** Local session for tests / ad-hoc runs. */
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
