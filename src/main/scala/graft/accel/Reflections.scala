@@ -5,7 +5,8 @@ import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Expression, ExprId, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -247,10 +248,15 @@ object Reflections {
     }.toString
 
   /** Structural decomposition of an aggregate's input subtree, ignoring
-    * column-pruning projections and attribute ids: the base relation (by
-    * file-source root paths) plus the accumulated Filter conjuncts keyed by
+    * column-pruning projections and attribute ids: the base relation key
+    * (file-source root paths; for joins, a tree of child keys + join type
+    * + condition canon) plus the accumulated Filter conjuncts keyed by
     * nameCanon (the original expression is kept for residual re-binding).
-    * None → only exact matching applies (unknown node in the subtree). */
+    * Conjuncts are hoisted across joins, so the SAME predicate pushed to
+    * different sides in the query vs the reflection still compares equal
+    * — the reference normalizes plans the same way before matching
+    * (`acceleration/normalization/`). None → only exact matching applies
+    * (unknown node in the subtree). */
   private final case class ScanShape(relKey: String,
                                      conjuncts: Map[String, Expression])
 
@@ -260,6 +266,24 @@ object Reflections {
     case Filter(cond, child) =>
       scanShape(child).map(s => s.copy(conjuncts =
         s.conjuncts ++ Conjuncts.split(cond).map(e => nameCanon(e) -> e)))
+    case j: Join if j.condition.isDefined && j.hint == JoinHint.NONE =>
+      // INNER equi/theta joins only: under outer joins a filter's placement
+      // (pre- vs post-join) changes results, so hoisting conjuncts across
+      // the join for set comparison would be unsound.
+      if (j.joinType != Inner) None
+      // name-canon matching is side-blind, so shared column names across
+      // the two inputs would make grouping/conjunct binding ambiguous
+      else if (j.left.output.map(_.name.toLowerCase).toSet
+          .intersect(j.right.output.map(_.name.toLowerCase).toSet).nonEmpty) None
+      else (scanShape(j.left), scanShape(j.right)) match {
+        // self-joins: hoisted conjuncts lose which SIDE they filtered, so
+        // `o1.x='F'` vs `o2.x='F'` would compare equal — refuse to match
+        case (Some(l), Some(r)) if l.relKey != r.relKey =>
+          Some(ScanShape(
+            s"J(${l.relKey},${r.relKey},${nameCanon(j.condition.get)})",
+            l.conjuncts ++ r.conjuncts))
+        case _ => None
+      }
     case lr: LogicalRelation =>
       lr.relation match {
         case h: HadoopFsRelation =>

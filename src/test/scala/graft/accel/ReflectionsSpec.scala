@@ -309,6 +309,77 @@ class ReflectionsSpec extends AnyFunSuite {
     Reflections.clear()
   }
 
+  test("join subtree: a reflected aggregate joined to another table scans the MV") {
+    Reflections.clear()
+    Reflections.install(spark)
+    val t = Tables(spark, TestSpark.sf)
+    def agg() = t.orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("spend"))
+    def q() = agg().join(t.customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("n_orders"), col("spend"))
+    val cold = q().orderBy("c_name").collect().toSeq
+    val dir = Files.createTempDirectory("graft_refl_join").toString
+    Reflections.create("r_cust_orders", agg(), s"$dir/r_cust_orders")
+    val planStr = q().queryExecution.sparkPlan.toString
+    assert(planStr.contains("r_cust_orders"),
+      s"join subtree not served from the materialization:\n$planStr")
+    assert(!planStr.contains("orders.parquet"), "base orders table still scanned")
+    val hot = q().orderBy("c_name").collect().toSeq
+    assert(cold == hot)
+    Reflections.clear()
+  }
+
+  test("roll-up over a JOIN-defined reflection: coarser grouping + residual filter") {
+    Reflections.clear()
+    Reflections.install(spark)
+    val t = Tables(spark, TestSpark.sf)
+    def joined() = t.orders.join(t.customer, col("o_custkey") === col("c_custkey"))
+    // decimal money: a double sum re-aggregated from partial sums would
+    // differ in rounding from the direct sum and fail exact comparison
+    val price = col("o_totalprice").cast("decimal(18,2)")
+    // reflection: grouped by (c_nationkey, o_orderstatus) over the join
+    def refl() = joined().groupBy(col("c_nationkey"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(price).as("spend"))
+    // query: same join, coarser grouping, plus a residual on a grouping col
+    def q() = joined().where(col("c_nationkey") < 10)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), sum(price).as("spend"))
+    val cold = q().orderBy("c_nationkey").collect().toSeq
+    val dir = Files.createTempDirectory("graft_refl_joindef").toString
+    Reflections.create("r_nation_status", refl(), s"$dir/r_nation_status")
+    val planStr = q().queryExecution.sparkPlan.toString
+    assert(planStr.contains("r_nation_status"),
+      s"join-defined roll-up not served from the materialization:\n$planStr")
+    assert(!planStr.contains("orders.parquet") && !planStr.contains("customer.parquet"),
+      "base tables still scanned")
+    val hot = q().orderBy("c_nationkey").collect().toSeq
+    assert(cold == hot)
+    Reflections.clear()
+  }
+
+  test("join-shape matching refuses outer joins and residuals off grouping keys") {
+    Reflections.clear()
+    Reflections.install(spark)
+    val t = Tables(spark, TestSpark.sf)
+    def refl() = t.orders.join(t.customer, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey")).agg(sum(col("o_totalprice")).as("spend"))
+    val dir = Files.createTempDirectory("graft_refl_joinneg").toString
+    Reflections.create("r_join_neg", refl(), s"$dir/r_join_neg")
+    // LEFT OUTER join with the same shape must NOT be served
+    val outer = t.orders.join(t.customer,
+        col("o_custkey") === col("c_custkey"), "left")
+      .groupBy(col("c_nationkey")).agg(sum(col("o_totalprice")).as("spend"))
+    assert(!outer.queryExecution.sparkPlan.toString.contains("r_join_neg"),
+      "outer join wrongly served from an inner-join materialization")
+    // residual on a NON-grouping column must not be served
+    val badResidual = t.orders.join(t.customer, col("o_custkey") === col("c_custkey"))
+      .where(col("o_orderstatus") === "F")
+      .groupBy(col("c_nationkey")).agg(sum(col("o_totalprice")).as("spend"))
+    assert(!badResidual.queryExecution.sparkPlan.toString.contains("r_join_neg"),
+      "non-grouping residual wrongly transplanted")
+    Reflections.clear()
+  }
+
   test("same-schema parquet at a different path is NOT matched (fingerprint includes paths)") {
     Reflections.clear()
     Reflections.install(spark)
