@@ -8,9 +8,13 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: media as opaque `binary` columns with typed
   * metadata, decoded/feature-extracted per partition.
   *
-  * The decode step is a STUB — image/audio codecs aren't available in this
-  * environment — replaced by a deterministic fake (hash-derived dimensions +
-  * features) so the Spark-side contract is fully real and testable:
+  * IMAGE decode is REAL: payloads sniffed as PNG/JPEG/BMP/GIF by magic
+  * bytes are decoded with the JDK's `javax.imageio` (headless, zero
+  * external dependencies) — true width/height plus a g×g mean-luminance
+  * grid as the feature vector. Non-image payloads (video/audio/unknown)
+  * fall back to the deterministic STUB (hash-derived dimensions +
+  * features): those codecs aren't in this environment, but the Spark-side
+  * contract stays fully real and testable either way:
   *  - schema: (id, media binary, media_meta struct)
   *  - partition-level batch processing via mapPartitions (the Scala analog
   *    of an Arrow-batched python UDF: one decoder init per partition, not
@@ -73,6 +77,66 @@ object Multimodal {
     (w, ht, fakeFeatures(h, dim))
   }
 
+  /** Container sniffing by magic bytes — cheaper and more trustworthy than
+    * the self-declared `media_meta.format` (user metadata lies; bytes
+    * don't). Only formats the JDK decoder handles are claimed. */
+  private[llm] def sniffImageFormat(b: Array[Byte]): Option[String] =
+    if (b.length >= 8 && b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+      Some("image/png")
+    else if (b.length >= 3 && b(0) == 0xFF.toByte && b(1) == 0xD8.toByte)
+      Some("image/jpeg")
+    else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8')
+      Some("image/gif")
+    else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M')
+      Some("image/bmp")
+    else None
+
+  /** Mean luminance (0..1) over a g×g spatial grid, g = floor(sqrt(dim));
+    * remaining positions pad with the global mean so the vector is always
+    * exactly `dim` wide. Real pixels, deterministic, O(pixels) one pass. */
+  private def luminanceGrid(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+    val g = math.max(1, math.sqrt(dim.toDouble).toInt)
+    val (w, h) = (img.getWidth, img.getHeight)
+    val sums = new Array[Double](g * g)
+    val counts = new Array[Long](g * g)
+    var y = 0
+    while (y < h) {
+      val gy = math.min(g - 1, y * g / h)
+      var x = 0
+      while (x < w) {
+        val gx = math.min(g - 1, x * g / w)
+        val rgb = img.getRGB(x, y)
+        val lum = (0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+          0.114 * (rgb & 0xFF)) / 255.0
+        val c = gy * g + gx
+        sums(c) += lum; counts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val cells = Array.tabulate(g * g)(i => if (counts(i) == 0) 0.0f else (sums(i) / counts(i)).toFloat)
+    if (cells.length >= dim) cells.take(dim)
+    else {
+      val mean = (cells.sum / cells.length).toFloat
+      cells ++ Array.fill(dim - cells.length)(mean)
+    }
+  }
+
+  /** Real JDK image decode for sniffed image payloads; None → caller falls
+    * back to the stub (corrupt bytes, or a non-image container). */
+  private def realDecode(bytes: Array[Byte], dim: Int): Option[(Int, Int, Array[Float])] =
+    sniffImageFormat(bytes).flatMap { _ =>
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None // no reader claimed the stream
+        else Some((img.getWidth, img.getHeight, luminanceGrid(img, dim)))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  /** Image payloads decode for real; everything else takes the stub. */
+  private def decode(bytes: Array[Byte], dim: Int): (Int, Int, Array[Float]) =
+    realDecode(bytes, dim).getOrElse(fakeDecode(bytes, dim))
+
   val frameSchema: StructType = StructType(Seq(
     StructField("id", LongType),
     StructField("frame_idx", IntegerType),
@@ -88,7 +152,7 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]]("media")
-          val (w, h, feats) = fakeDecode(if (bytes == null) Array.emptyByteArray else bytes, dim)
+          val (w, h, feats) = decode(if (bytes == null) Array.emptyByteArray else bytes, dim)
           val scale = math.min(1.0f, maxDim.toFloat / math.max(w, h))
           val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
           Row(r.getLong(0), r.getString(2), nw, nh, feats.toSeq, scale < 1.0f, scale)
@@ -132,7 +196,7 @@ object Multimodal {
         // per-partition init happens here (codec handles, model weights…)
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]]("media")
-          val (w, h, feats) = fakeDecode(if (bytes == null) Array.emptyByteArray else bytes, dim)
+          val (w, h, feats) = decode(if (bytes == null) Array.emptyByteArray else bytes, dim)
           Row(r.getLong(0), r.getString(2), w, h, feats.toSeq)
         }
       }(enc)

@@ -61,6 +61,61 @@ class MultimodalSpec extends AnyFunSuite {
     assert(id1feats.distinct.length == id1feats.length, "frames must differ")
   }
 
+  /** Encode a solid-color image in the given container via the JDK. */
+  private def imageBytes(w: Int, h: Int, rgb: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
+    out.toByteArray
+  }
+
+  private def mediaOf(rows: Seq[(Long, Array[Byte])]) = {
+    val media = rows.toDF("doc_id", "payload")
+    media.select(col("doc_id").as("id"), col("payload").as("media"),
+      struct(lit("image/auto").as("format"),
+        length(col("payload")).cast("long").as("n_bytes")).as("media_meta"))
+  }
+
+  test("real image decode: PNG/JPEG/BMP/GIF via javax.imageio, true dims + pixels") {
+    val white = 0xFFFFFF; val black = 0x000000
+    val media = mediaOf(Seq(
+      (1L, imageBytes(100, 50, white, "png")),
+      (2L, imageBytes(32, 64, black, "jpg")),
+      (3L, imageBytes(20, 20, white, "bmp")),
+      (4L, imageBytes(10, 40, black, "gif"))))
+    val feats = Multimodal.extractFeatures(media, dim = 16).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // true container dimensions, not hash-derived stubs
+    assert(feats(1L).getAs[Int]("width") == 100 && feats(1L).getAs[Int]("height") == 50)
+    assert(feats(2L).getAs[Int]("width") == 32 && feats(2L).getAs[Int]("height") == 64)
+    assert(feats(3L).getAs[Int]("width") == 20 && feats(3L).getAs[Int]("height") == 20)
+    assert(feats(4L).getAs[Int]("width") == 10 && feats(4L).getAs[Int]("height") == 40)
+    // real pixel luminance: all-white ≈ 1, all-black ≈ 0, in every grid cell
+    val whiteFeats = feats(1L).getAs[scala.collection.Seq[Float]]("features")
+    val blackFeats = feats(2L).getAs[scala.collection.Seq[Float]]("features")
+    assert(whiteFeats.length == 16 && blackFeats.length == 16)
+    assert(whiteFeats.forall(_ > 0.95f), s"white image luminance: $whiteFeats")
+    assert(blackFeats.forall(_ < 0.05f), s"black image luminance: $blackFeats")
+  }
+
+  test("real decode: resize keeps aspect from true dimensions") {
+    val media = mediaOf(Seq((1L, imageBytes(200, 100, 0x808080, "png"))))
+    val r = Multimodal.resize(media, maxDim = 50).collect().head
+    assert(r.getAs[Int]("width") == 50 && r.getAs[Int]("height") == 25,
+      s"got ${r.getAs[Int]("width")}x${r.getAs[Int]("height")}")
+    assert(r.getAs[Boolean]("resized"))
+  }
+
+  test("corrupt image bytes fall back to the stub instead of failing the task") {
+    val junk = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 1, 2, 3) // PNG magic, garbage body
+    val media = mediaOf(Seq((1L, junk)))
+    val r = Multimodal.extractFeatures(media, dim = 8).collect().head
+    assert(r.getAs[Int]("width") >= 64, "stub fallback dims expected")
+    assert(r.getAs[scala.collection.Seq[Float]]("features").length == 8)
+  }
+
   test("json convert-from infers schema from samples (reference CONVERT_FROM)") {
     val t = graft.engine.Tables(spark, TestSpark.sf)
     val parsed = graft.functions.JsonOps.convertFromJson(t.events, "props", "p")
