@@ -159,8 +159,13 @@ object Dedup {
     * [[connectedComponents]]. Output is one row per SURVIVOR with its
     * cluster, duplicate-group id and size. */
   def semDedup(corpus: DataFrame, threshold: Double = 0.95,
-               nClusters: Int = 4, kmeansIters: Int = 3): DataFrame = {
-    val centroids = Similarity.kmeansCentroids(corpus, nClusters, kmeansIters)
+               nClusters: Int = 0, kmeansIters: Int = 3): DataFrame = {
+    // nClusters <= 0 → k from corpus size (√N / max-cluster-rows target):
+    // with a FIXED k the Σ cluster² candidate space is quadratic in
+    // cluster size and a 100 TB corpus would pair (N/k)² rows per bucket
+    val nc = if (nClusters > 0) nClusters
+             else Similarity.autoClusters(corpus.count())
+    val centroids = Similarity.kmeansCentroids(corpus, nc, kmeansIters)
     def sims(vecCol: Column): Column = array(centroids.map(c =>
       Functions.cosine_sim(vecCol, typedLit(c))): _*)
     val assigned = corpus

@@ -76,11 +76,29 @@ object Similarity {
     * aggregation pass over the corpus (posexplode → groupBy(bucket, pos) →
     * avg); only the nClusters×dim centroid matrix ever reaches the driver,
     * so the loop distributes at 100 TB like any other aggregation. */
+  /** Cluster count from corpus size when the caller doesn't fix one:
+    * k = max(√N, N / maxClusterRows), capped at 2^16. Bucket-local pair
+    * generation downstream costs Σ cluster² — with √N clusters the
+    * expected candidate space is O(N^1.5/√N)=O(N), and the row target
+    * bounds the largest single bucket regardless of skew (the SemDeDup
+    * paper scales k with N the same way, arXiv:2303.09540 §3). */
+  private[llm] def autoClusters(n: Long, maxClusterRows: Long = 1L << 20): Int = {
+    val bySqrt = math.ceil(math.sqrt(math.max(0L, n).toDouble)).toLong
+    val byTarget = (n + maxClusterRows - 1) / maxClusterRows
+    math.min(1L << 16, math.max(1L, math.max(bySqrt, byTarget))).toInt
+  }
+
   private[llm] def kmeansCentroids(corpus: DataFrame, nClusters: Int,
                                    iters: Int): Seq[Seq[Float]] = {
     import org.apache.spark.sql.Row
+    // Deterministic hash-spread seed pick: orderBy+limit plans as
+    // TakeOrderedAndProject (per-partition bounded heap + driver merge of
+    // k rows — no full sort/shuffle), and ordering by xxhash64 instead of
+    // raw vec_id makes the seeds a pseudo-random spread rather than the k
+    // lowest ids (which are often correlated rows: same source, same day).
     var centroids: Seq[Seq[Float]] = corpus
-      .select(col("vec_id"), col("embedding")).orderBy(col("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(nClusters).collect()
       .map((r: Row) => r.getSeq[Float](1)).toSeq
     for (_ <- 1 to iters) {
@@ -112,9 +130,12 @@ object Similarity {
     * expressions (all codegen'd); the join is bucket-local, shrinking each
     * query's scan by ~nClusters/nProbe×. */
   def ivfCentroidTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
-                      nClusters: Int = 4, nProbe: Int = 2,
+                      nClusters: Int = 0, nProbe: Int = 2,
                       kmeansIters: Int = 3): DataFrame = {
-    val centroids: Seq[Seq[Float]] = kmeansCentroids(corpus, nClusters, kmeansIters)
+    // nClusters <= 0 → size the quantizer from the corpus (one count pass;
+    // callers that know their k pass it explicitly and skip the count)
+    val nc = if (nClusters > 0) nClusters else autoClusters(corpus.count())
+    val centroids: Seq[Seq[Float]] = kmeansCentroids(corpus, nc, kmeansIters)
     // per-centroid cosine columns (codegen'd custom expression)
     def sims(vecCol: Column): Column = array(centroids.map(c =>
       Functions.cosine_sim(vecCol, typedLit(c))): _*)
@@ -127,7 +148,7 @@ object Similarity {
       .withColumn("s", sims(cCol))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
         explode(expr(
-          s"""slice(transform(array_sort(zip_with(s, sequence(0, ${nClusters - 1}),
+          s"""slice(transform(array_sort(zip_with(s, sequence(0, ${nc - 1}),
              |(sc, i) -> struct(sc as c, i as b)),
              |(l, r) -> CASE WHEN l.c > r.c THEN -1 WHEN l.c < r.c THEN 1
              |               ELSE int(l.b - r.b) END), x -> x.b), 1, $nProbe)""".stripMargin))

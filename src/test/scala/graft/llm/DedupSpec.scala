@@ -132,5 +132,30 @@ class DedupSpec extends AnyFunSuite {
     val again = Dedup.semDedup(vecs, threshold = 0.95, nClusters = 2, kmeansIters = 3)
       .collect().map(_.getAs[Long]("vec_id")).toSet
     assert(again == ids)
+    // auto-k (default): k sizes itself from the corpus; dup pairs are
+    // near-identical so they share an argmax bucket under ANY clustering —
+    // the same survivors contract must hold without an explicit k
+    val autoIds = Dedup.semDedup(vecs, threshold = 0.95)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(autoIds.size == 4 && autoIds.contains(3L) && autoIds.contains(5L))
+    assert(Set(0L, 2L).intersect(autoIds).size == 1)
+    assert(Set(1L, 4L).intersect(autoIds).size == 1)
+  }
+
+  test("auto cluster count scales with corpus size (k ≈ √N, bucket-size cap)") {
+    import graft.llm.Similarity.autoClusters
+    assert(autoClusters(0) == 1 && autoClusters(1) == 1)
+    assert(autoClusters(100) == 10)
+    assert(autoClusters(1000000) == 1000)
+    // monotone non-decreasing in N
+    val ks = Seq(10L, 100L, 10000L, 1000000L, 100000000L).map(autoClusters(_))
+    assert(ks == ks.sorted, s"k not monotone: $ks")
+    // the max-cluster-rows target dominates √N for huge corpora:
+    // 2^44 rows at 2^20 rows/cluster needs 2^24 clusters — capped at 2^16
+    assert(autoClusters(1L << 44) == (1 << 16))
+    // explicit target: 10^6 rows at 10^4/cluster → 100 > √N would give 1000;
+    // max(√N, target) keeps the LARGER k (√N here)
+    assert(autoClusters(1000000L, maxClusterRows = 10000L) == 1000)
+    assert(autoClusters(1000000L, maxClusterRows = 100L) == 10000)
   }
 }

@@ -36,9 +36,8 @@ class SimilaritySpec extends AnyFunSuite {
   test("centroid IVF recall@10 vs brute force is numerically bounded") {
     // Falsifiability anchor (VERDICT r1): IVF is an approximation — measure
     // its recall against the exact answer instead of only checking shape.
-    // Centroids come from spherical k-means (deterministic seed = first
-    // nClusters vectors, 3 Lloyd iterations over the corpus in DataFrame
-    // aggregations).
+    // Centroids come from spherical k-means (deterministic hash-spread
+    // seeds, 3 Lloyd iterations over the corpus in DataFrame aggregations).
     val e = graft.engine.Tables(spark, graft.TestSpark.sf).embeddings
     val qs = e.filter(col("vec_id") < 10)
     val k = 10
@@ -47,10 +46,13 @@ class SimilaritySpec extends AnyFunSuite {
         .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val bf = topSets(Similarity.bruteForceTopK(e, qs, k))
     // The fixture embeddings are near-random (no real cluster structure),
-    // the hardest case for IVF: recall is bounded by the probed fraction.
-    // Finer quantization at the same probed fraction recovers most of it —
-    // measured on the fixture (probing 8/16 buckets ≈ half the corpus):
-    // nc=4/np=2 → mean 0.76; nc=8/np=4 → 0.92; nc=16/np=8 → 0.95 (min 0.9).
+    // the hardest case for IVF: recall tracks the probed MASS fraction.
+    // Hash-spread seeds give balanced clusters, so probing 8/16 buckets
+    // genuinely scans ~half the corpus → measured mean 0.84, min 0.6.
+    // (The previous first-k-ids seeding measured 0.95 — but only because
+    // its skewed clusters put most of the corpus into the probed buckets,
+    // i.e. high recall bought by scanning more, the failure mode
+    // auto-scaling exists to avoid.)
     val ivf = topSets(Similarity.ivfCentroidTopK(e, qs, k, nClusters = 16, nProbe = 8))
     val recalls = bf.keys.toSeq.map { q =>
       ivf.getOrElse(q, Set.empty).intersect(bf(q)).size.toDouble / k
@@ -58,8 +60,8 @@ class SimilaritySpec extends AnyFunSuite {
     val mean = recalls.sum / recalls.size
     info(s"kmeans IVF (nc=16, np=8) recall@$k: mean=$mean min=${recalls.min}")
     assert(recalls.size == 10)
-    assert(mean >= 0.9, s"mean recall@$k $mean below floor; per-query $recalls")
-    assert(recalls.min >= 0.7, s"min recall@$k ${recalls.min} below floor")
+    assert(mean >= 0.8, s"mean recall@$k $mean below floor; per-query $recalls")
+    assert(recalls.min >= 0.5, s"min recall@$k ${recalls.min} below floor")
   }
 
   test("centroid IVF plans a broadcast of the probed queries + TopKPerKey") {
