@@ -49,11 +49,45 @@ object Federation {
            min(r_name) AS first_name
     FROM region WHERE r_regionkey >= 1"""
 
+  /** JDBC SUBTREE pushdown through the DataSource-V2 JDBC catalog: the
+    * whole GROUP BY aggregate ships to the remote database and Spark reads
+    * back pre-aggregated rows (plan shows `PushedAggregates`) — the
+    * reference's JDBC-ARP subtree pushdown (`PlannerPhase.java:171`
+    * JDBC_PUSHDOWN; dialect rules `common/dialect/arp/`), not just
+    * filters. At 100 TB of remote warehouse data this is the difference
+    * between moving the TABLE and moving the ANSWER. */
+  val jdbcAggPushdown: QueryFn = (s, dir) => {
+    val t = Tables.ensure(s, dir)
+    val url = "jdbc:derby:memory:graftfedv2;create=true"
+    t.nation.select(col("n_nationkey"), col("n_regionkey"), col("n_name"))
+      .write.format("jdbc")
+      .option("url", url).option("dbtable", "NATION_V2")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      // Derby's default StringType mapping is CLOB, which it refuses to
+      // aggregate — VARCHAR keeps MAX(n_name) remotely computable
+      .option("createTableColumnTypes", "n_name VARCHAR(64)")
+      .mode("overwrite").save()
+    s.conf.set("spark.sql.catalog.graft_jdbc",
+      "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+    s.conf.set("spark.sql.catalog.graft_jdbc.url", url)
+    s.conf.set("spark.sql.catalog.graft_jdbc.driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    s.conf.set("spark.sql.catalog.graft_jdbc.pushDownAggregate", "true")
+    s.conf.set("spark.sql.catalog.graft_jdbc.pushDownLimit", "true")
+    s.sql("""SELECT n_regionkey, count(*) AS n, max(n_name) AS last_name
+             FROM graft_jdbc.APP.NATION_V2
+             GROUP BY n_regionkey ORDER BY n_regionkey""")
+  }
+  val jdbcAggPushdownSql: String = """
+    SELECT n_regionkey, count(*) AS n, max(n_name) AS last_name
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""
+
   val queries: Map[String, QueryFn] = Map(
     "hive_catalog_nation" -> hiveCatalogNation,
-    "jdbc_roundtrip" -> jdbcRoundtrip)
+    "jdbc_roundtrip" -> jdbcRoundtrip,
+    "jdbc_agg_pushdown" -> jdbcAggPushdown)
 
   val oracle: Map[String, String] = Map(
     "hive_catalog_nation" -> hiveCatalogNationSql,
-    "jdbc_roundtrip" -> jdbcRoundtripSql)
+    "jdbc_roundtrip" -> jdbcRoundtripSql,
+    "jdbc_agg_pushdown" -> jdbcAggPushdownSql)
 }

@@ -75,4 +75,40 @@ class FederationSpec extends AnyFunSuite {
       s"JDBC filter not pushed:\n$explained")
     assert(back.orderBy("id").select("name").as[String].collect().toSeq == Seq("bb", "cc"))
   }
+
+  test("JDBC V2 catalog pushes whole aggregates and limits to the source") {
+    val url = "jdbc:derby:memory:fedspecv2;create=true"
+    Seq((1L, 10L, "a"), (2L, 10L, "b"), (3L, 20L, "c"), (4L, 20L, "d"), (5L, 20L, "e"))
+      .toDF("id", "grp", "name")
+      .write.format("jdbc")
+      .option("url", url).option("dbtable", "T_AGG")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      // Derby maps StringType to CLOB by default, which it refuses to
+      // MAX over — remote aggregation needs a comparable column type
+      .option("createTableColumnTypes", "name VARCHAR(64)")
+      .mode("overwrite").save()
+    spark.conf.set("spark.sql.catalog.fedspec_jdbc",
+      "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+    spark.conf.set("spark.sql.catalog.fedspec_jdbc.url", url)
+    spark.conf.set("spark.sql.catalog.fedspec_jdbc.driver",
+      "org.apache.derby.jdbc.EmbeddedDriver")
+    spark.conf.set("spark.sql.catalog.fedspec_jdbc.pushDownAggregate", "true")
+    spark.conf.set("spark.sql.catalog.fedspec_jdbc.pushDownLimit", "true")
+    val agg = spark.sql(
+      """SELECT grp, count(*) AS n, max(name) AS mx
+        |FROM fedspec_jdbc.APP.T_AGG GROUP BY grp ORDER BY grp""".stripMargin)
+    val explained = agg.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(explained.contains("PushedAggregates"),
+      s"aggregate not pushed to JDBC source:\n$explained")
+    assert(explained.contains("PushedGroupByExpressions"),
+      s"grouping not pushed to JDBC source:\n$explained")
+    assert(agg.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq((10L, 2L, "b"), (20L, 3L, "e")))
+    // LIMIT cannot push to Derby — Spark's DerbyDialect has no limit
+    // clause (Derby wants FETCH FIRST, dialect returns ""), so assert the
+    // query still answers correctly through the unpushed path
+    val lim = spark.sql("SELECT id FROM fedspec_jdbc.APP.T_AGG LIMIT 2")
+    assert(lim.count() == 2)
+  }
 }
