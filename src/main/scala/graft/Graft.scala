@@ -33,8 +33,22 @@ object Graft {
     t
   }
 
-  /** SQL entry point (reference UserRPCServer → Foreman path ≈ spark.sql). */
-  def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)
+  /** SQL entry point (reference UserRPCServer → Foreman path ≈ spark.sql).
+    *
+    * When the session conf `spark.graft.queue` names a defined WLM queue,
+    * every statement routes through its admission control automatically —
+    * the reference passes ALL queries through the resource scheduler, not
+    * only opt-in ones. Admission covers statement submission: for DDL/DML
+    * commands (the expensive lake rewrites) that is the entire execution;
+    * a SELECT's later actions run on the already-admitted plan. */
+  def sql(spark: SparkSession, query: String): DataFrame =
+    spark.conf.getOption(QueueConf).filter(_.nonEmpty) match {
+      case Some(queue) => graft.engine.Queues.run(spark, queue)(spark.sql(query))
+      case None => spark.sql(query)
+    }
+
+  /** Session conf: route every [[sql]] statement through this WLM queue. */
+  val QueueConf = "spark.graft.queue"
 
   /** A graft-lake snapshot table (atomic commits, time travel, DML,
     * manifest-pruned scans — see sources.SnapshotTable). */

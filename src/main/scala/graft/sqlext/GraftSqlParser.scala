@@ -23,6 +23,10 @@ import graft.streaming.{Pipe, Pipes}
   *   DROP REFLECTION <name>
   *   SHOW REFLECTIONS
   *   CREATE PIPE <name> FROM '<srcDir>' FORMAT <fmt> SCHEMA '<ddl>'
+  *     MERGE KEY <col> INTO LAKE '<dir>' CHECKPOINT '<chk>'  -- CDC upsert pipe
+  *   CREATE PIPE <name> FROM '<srcDir>' FORMAT <fmt> SCHEMA '<ddl>'
+  *     INTO LAKE '<dir>' CHECKPOINT '<chk>'    -- atomic lake append pipe
+  *   CREATE PIPE <name> FROM '<srcDir>' FORMAT <fmt> SCHEMA '<ddl>'
   *     INTO '<targetDir>' CHECKPOINT '<dir>'
   *   TRIGGER PIPE <name>
   *   SHOW PIPES
@@ -71,6 +75,12 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
       case RefreshReflectionRe(name) => RefreshReflectionCommand(name)
       case DropReflectionRe(name) => DropReflectionCommand(name)
       case ShowReflectionsRe() => ShowReflectionsCommand(out("name", "fingerprint", "path"))
+      case CreateCdcPipeRe(name, src, fmt, ddl, key, target, chk) =>
+        CreatePipeCommand(name, src, fmt.toLowerCase, ddl, target, chk,
+          sink = "merge", mergeKey = Some(key))
+      case CreateLakePipeRe(name, src, fmt, ddl, target, chk) =>
+        CreatePipeCommand(name, src, fmt.toLowerCase, ddl, target, chk,
+          sink = "lake")
       case CreatePipeRe(name, src, fmt, ddl, target, chk) =>
         CreatePipeCommand(name, src, fmt.toLowerCase, ddl, target, chk)
       case TriggerPipeRe(name) => TriggerPipeCommand(name)
@@ -166,6 +176,16 @@ object GraftSqlParser {
   private val CreatePipeRe =
     ("""(?is)CREATE\s+PIPE\s+(\w+)\s+FROM\s+'([^']+)'\s+FORMAT\s+(\w+)\s+""" +
       """SCHEMA\s+'([^']+)'\s+INTO\s+'([^']+)'\s+CHECKPOINT\s+'([^']+)'\s*;?""").r
+  // CDC upsert pipe: each TRIGGER merges arriving batches into the lake
+  // table by key (reference ingestion grammar `ingestion.ftl`,
+  // `Parser.tdd:624`)
+  private val CreateCdcPipeRe =
+    ("""(?is)CREATE\s+PIPE\s+(\w+)\s+FROM\s+'([^']+)'\s+FORMAT\s+(\w+)\s+""" +
+      """SCHEMA\s+'([^']+)'\s+MERGE\s+KEY\s+(\w+)\s+INTO\s+LAKE\s+'([^']+)'\s+CHECKPOINT\s+'([^']+)'\s*;?""").r
+  // append pipe landing each batch as one atomic tagged lake commit
+  private val CreateLakePipeRe =
+    ("""(?is)CREATE\s+PIPE\s+(\w+)\s+FROM\s+'([^']+)'\s+FORMAT\s+(\w+)\s+""" +
+      """SCHEMA\s+'([^']+)'\s+INTO\s+LAKE\s+'([^']+)'\s+CHECKPOINT\s+'([^']+)'\s*;?""").r
   private val TriggerPipeRe = """(?is)TRIGGER\s+PIPE\s+(\w+)\s*;?""".r
   private val ShowPipesRe = """(?is)SHOW\s+PIPES\s*;?""".r
   private val ClearResultCacheRe = """(?is)(?:ALTER\s+SESSION\s+)?CLEAR\s+RESULT\s+CACHE\s*;?""".r
@@ -477,11 +497,13 @@ object GraftSqlParser {
   }
 
   case class CreatePipeCommand(name: String, src: String, fmt: String,
-      schemaDdl: String, target: String, checkpoint: String) extends LeafRunnableCommand {
+      schemaDdl: String, target: String, checkpoint: String,
+      sink: String = "parquet", mergeKey: Option[String] = None)
+      extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("pipe")
     override def run(spark: SparkSession): Seq[Row] = {
       val schema = StructType.fromDDL(schemaDdl)
-      Pipes.define(Pipe(name, src, fmt, schema, target, checkpoint))
+      Pipes.define(Pipe(name, src, fmt, schema, target, checkpoint, sink, mergeKey))
       Seq(Row(name))
     }
   }
@@ -493,7 +515,11 @@ object GraftSqlParser {
         throw new IllegalArgumentException(s"unknown pipe: $name"))
       // rows loaded by this trigger, from stream progress — not an O(target)
       // recount of the whole pipe table
-      val loaded = Pipes.trigger(spark, pipe)
+      val loaded = pipe.sink match {
+        case "merge" => Pipes.triggerMergeIntoLake(spark, pipe, pipe.mergeKey.get)
+        case "lake"  => Pipes.triggerIntoLake(spark, pipe)
+        case _       => Pipes.trigger(spark, pipe)
+      }
       Seq(Row(name, loaded.toString))
     }
   }

@@ -21,7 +21,13 @@ final case class Pipe(
     format: String, // "json" | "csv" | "parquet"
     schema: StructType,
     targetDir: String,
-    checkpointDir: String)
+    checkpointDir: String,
+    /** Sink mode: "parquet" (plain dir), "lake" (atomic tagged lake
+      * appends), or "merge" (CDC upsert into a lake table by [[mergeKey]]).
+      * TRIGGER PIPE dispatches on this, so the SQL surface drives every
+      * pipe flavor (reference ingestion grammar `ingestion.ftl`). */
+    sink: String = "parquet",
+    mergeKey: Option[String] = None)
 
 object Pipes {
 

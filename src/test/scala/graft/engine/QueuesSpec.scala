@@ -92,4 +92,40 @@ class QueuesSpec extends AnyFunSuite {
     spark.sql("DROP QUEUE adhoc")
     assert(Queues.status.forall(_.name != "adhoc"))
   }
+
+  test("spark.graft.queue routes every Graft.sql statement through admission") {
+    Queues.define("routed", slots = 1, timeoutMs = 30000)
+    try {
+      val before = Queues.status.find(_.name == "routed").get.admitted
+      spark.conf.set(graft.Graft.QueueConf, "routed")
+      // no explicit Queues.run anywhere — the conf routes the statements
+      assert(graft.Graft.sql(spark, "SELECT 1 AS x").head().getInt(0) == 1)
+      graft.Graft.sql(spark, "SELECT count(*) FROM range(10)").collect()
+      val after = Queues.status.find(_.name == "routed").get.admitted
+      assert(after - before == 2,
+        s"expected 2 admissions via conf routing, got ${after - before}")
+      // a throttled queue still serializes conf-routed statements
+      val inFlight = new AtomicInteger(0); val peak = new AtomicInteger(0)
+      val fs = (1 to 3).map { _ =>
+        Future {
+          Queues.run(spark, "routed") {
+            val now = inFlight.incrementAndGet()
+            peak.getAndUpdate(p => math.max(p, now))
+            Thread.sleep(30)
+            inFlight.decrementAndGet()
+          }
+        }
+      }
+      Await.result(Future.sequence(fs), 60.seconds)
+      assert(peak.get() == 1)
+      // unset conf → statements stop being admission-counted
+      spark.conf.unset(graft.Graft.QueueConf)
+      graft.Graft.sql(spark, "SELECT 2").collect()
+      val fin = Queues.status.find(_.name == "routed").get.admitted
+      assert(fin == after + 3, "unrouted statement was still admitted")
+    } finally {
+      spark.conf.unset(graft.Graft.QueueConf)
+      Queues.drop("routed")
+    }
+  }
 }

@@ -71,6 +71,50 @@ class SqlExtSpec extends AnyFunSuite {
     assert(spark.sql("TRIGGER PIPE psql").collect().head.getString(1) == "0")
   }
 
+  test("CDC pipe by SQL: CREATE PIPE ... MERGE KEY ... INTO LAKE upserts end to end") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cdcpipe").toString
+    Files.createDirectories(Paths.get(s"$root/in"))
+    // seed lake table: ids 1,2
+    val lakeDir = s"$root/lake"
+    graft.sources.SnapshotTable.create(spark, lakeDir,
+      Seq((1L, "one"), (2L, "two")).toDF("id", "v"))
+    // CDC batch 1: update id=2, insert id=3
+    Files.write(Paths.get(s"$root/in/b1.json"),
+      "{\"id\":2,\"v\":\"TWO\"}\n{\"id\":3,\"v\":\"three\"}".getBytes)
+    spark.sql(s"CREATE PIPE pcdc FROM '$root/in' FORMAT json " +
+      s"SCHEMA 'id BIGINT, v STRING' MERGE KEY id INTO LAKE '$lakeDir' " +
+      s"CHECKPOINT '$root/chk'")
+    assert(spark.sql("TRIGGER PIPE pcdc").collect().head.getString(1) == "2")
+    val t = graft.sources.SnapshotTable.forPath(spark, lakeDir)
+    def state() = t.read().orderBy("id").as[(Long, String)].collect().toSeq
+    assert(state() == Seq((1L, "one"), (2L, "TWO"), (3L, "three")))
+    // CDC batch 2: update id=1 — second trigger applies only the new file
+    Files.write(Paths.get(s"$root/in/b2.json"),
+      "{\"id\":1,\"v\":\"ONE\"}".getBytes)
+    assert(spark.sql("TRIGGER PIPE pcdc").collect().head.getString(1) == "1")
+    assert(state() == Seq((1L, "ONE"), (2L, "TWO"), (3L, "three")))
+    // no new files → this trigger applies nothing (exactly-once)
+    assert(spark.sql("TRIGGER PIPE pcdc").collect().head.getString(1) == "0")
+    assert(state() == Seq((1L, "ONE"), (2L, "TWO"), (3L, "three")))
+  }
+
+  test("lake append pipe by SQL: INTO LAKE lands atomic commits") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_lakepipe").toString
+    Files.createDirectories(Paths.get(s"$root/in"))
+    val lakeDir = s"$root/lake"
+    graft.sources.SnapshotTable.create(spark, lakeDir,
+      Seq((1L, "seed")).toDF("id", "v"))
+    Files.write(Paths.get(s"$root/in/a.json"), "{\"id\":2,\"v\":\"x\"}".getBytes)
+    spark.sql(s"CREATE PIPE plake FROM '$root/in' FORMAT json " +
+      s"SCHEMA 'id BIGINT, v STRING' INTO LAKE '$lakeDir' CHECKPOINT '$root/chk'")
+    assert(spark.sql("TRIGGER PIPE plake").collect().head.getString(1) == "1")
+    val t = graft.sources.SnapshotTable.forPath(spark, lakeDir)
+    assert(t.read().count() == 2)
+    assert(t.commits.last.action == "append")
+  }
+
   test("DESCRIBE LAKE + CREATE LAKE VIEW with VERSION AS OF") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_sqllake").toString
