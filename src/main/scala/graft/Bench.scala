@@ -22,21 +22,36 @@ object Bench {
     // Warm the bench dataset too: file listing + parquet footer reads for
     // the timed SF would otherwise be billed to the first timed query.
     graft.engine.Tables.ensure(spark, sfDir).lineitem.count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Option[String]) = {
       val t0 = System.nanoTime()
       // noop sink: materializes every output column (count() would let
       // Catalyst prune the query down to row counting)
       val err =
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); None }
         catch { case e: Throwable => Some(e.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(200)) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      ((System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (t, err) = timeOne(fn)
+      // Sub-second queries are load-noise-dominated in single-shot
+      // snapshots (round-over-round comparisons chased ±40% machine-load
+      // drift): re-run twice and report the median of 3 alongside the
+      // first-run number, which stays in `queries` for driver parity.
+      val median = if (err.isEmpty && t < 1.0) {
+        val ts = (t +: Seq.fill(2)(timeOne(fn)._1)).sorted
+        ts(1)
+      } else t
+      (name, t, median, err)
+    }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
+    val meds = results.map { case (k, _, m, _) => "\"" + k + "\":" + m }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$meds,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

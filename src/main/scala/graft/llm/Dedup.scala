@@ -105,7 +105,9 @@ object Dedup {
     *
     * Scale: state per round is (id, component) — 16 bytes/vertex — and
     * nothing is ever collected to the driver except the per-round 0/1
-    * convergence probe. Each round's labels are `localCheckpoint`ed:
+    * convergence signal, which rides the SAME job that materializes the
+    * round's labels (an `observe` metric on the min-aggregate — no
+    * separate probe join/job). Each round's labels are `localCheckpoint`ed:
     * an iterative self-referencing DataFrame otherwise nests the prior
     * round's plan inside the next (join + union both reference it), so
     * the logical plan grows EXPONENTIALLY with rounds and planning OOMs
@@ -128,13 +130,23 @@ object Dedup {
       var iters = 0
       while (iters < maxIters) {
         val viaEdges = edges.join(labels, edges("src") === labels("id"))
-          .select(col("dst").as("id"), col("component"))
-        val next = labels.select(col("id"), col("component")).union(viaEdges)
-          .groupBy("id").agg(min("component").as("component"))
+          .select(col("dst").as("id"), col("component"),
+            lit(null).cast(labels.schema("component").dataType).as("old"))
+        // the vertex's own row carries its previous label in `old`, so
+        // min-vs-old is computable inside the aggregate itself; the
+        // convergence signal is an observe metric filled by the SAME job
+        // the eager localCheckpoint runs — one job per round, no probe
+        // join (previously: a second join+limit+count job per round)
+        val obs = org.apache.spark.sql.Observation()
+        val next = labels
+          .select(col("id"), col("component"), col("component").as("old"))
+          .union(viaEdges)
+          .groupBy("id").agg(min("component").as("component"), max("old").as("old"))
+          .observe(obs, sum(when(col("component") < col("old"), 1L)
+            .otherwise(0L)).as("improved"))
+          .select(col("id"), col("component"))
           .localCheckpoint(true)
-        val improved = next.join(
-          labels.withColumnRenamed("component", "old"), "id")
-          .filter(col("component") < col("old")).limit(1).count() > 0
+        val improved = obs.get("improved").asInstanceOf[Long] > 0
         labels = next // superseded rounds' blocks are GC'd by ContextCleaner
         if (!improved) return labels
         iters += 1

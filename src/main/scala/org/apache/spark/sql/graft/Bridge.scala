@@ -34,6 +34,11 @@ object Bridge {
     * even when the JVM is killed (deleteOnExit never fires then). Falls
     * back to a plain temp file when no SparkEnv exists (driver-less unit
     * code paths). */
+  /** Drain the listener bus (`private[spark]`) — lets specs assert on
+    * job-count listeners without racing event delivery. */
+  def waitListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   def createLocalSpillFile(): java.io.File = {
     val env = org.apache.spark.SparkEnv.get
     if (env != null && env.blockManager != null)

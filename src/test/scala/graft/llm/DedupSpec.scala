@@ -93,6 +93,28 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("CC runs one Spark job per propagation round (probe rides the aggregate)") {
+    val verts = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val got = Dedup.connectedComponents(verts, pairs)
+      org.apache.spark.sql.graft.Bridge.waitListenerBus(spark)
+      // chain 1-2-3 converges in 3 rounds (2 improving + 1 fixpoint check).
+      // Under AQE each round's checkpoint runs ~3 stage-jobs (join stage,
+      // agg stage, result) — measured 12 total with the observe-based
+      // signal. A reintroduced per-round probe JOIN adds its own stage
+      // jobs (≥2/round → ≥18 total), so 13 is a regression tripwire.
+      assert(jobs.get <= 13, s"${jobs.get} jobs for a 3-round CC — probe job is back?")
+      got.unpersist()
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("embedding dups finds planted near-identical vectors") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.1f), 1),
