@@ -614,6 +614,38 @@ object LlmQueries {
         / length(t) AS non_ascii_ratio
     FROM aug ORDER BY doc_id"""
 
+  /** Corpus bigram-LM quality score (the CCNet/Gopher perplexity-filter
+    * recipe with the corpus itself as the model). The mean of per-bigram
+    * log2 P is rounded to 6dp in BOTH engines — libm log2 and summation
+    * order differ at ~1e-15, nine orders below the rounding grain. */
+  val textLmScore: QueryFn = (s, dir) =>
+    TextAnalysis.lmScore(
+      Tables.ensure(s, dir).documents.filter(col("doc_id") < 500))
+      .orderBy(col("doc_id"))
+  val textLmScoreSql: String = """
+    WITH toks AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS t
+      FROM documents WHERE doc_id < 500),
+    elig AS (SELECT * FROM toks WHERE len(t) >= 2),
+    grams AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+        i -> t[i] || ' ' || t[i+1])) AS gram
+      FROM elig),
+    uni AS (
+      SELECT w1, COUNT(*) AS c_uni
+      FROM (SELECT unnest(t) AS w1 FROM elig) GROUP BY 1),
+    v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+    bi AS (SELECT gram, COUNT(*) AS c_bi FROM grams GROUP BY 1),
+    scored AS (
+      SELECT g.doc_id,
+        log2((b.c_bi + 0.5) / (u.c_uni + 0.5 * (SELECT v FROM v))) AS logp
+      FROM grams g
+      JOIN bi b USING (gram)
+      JOIN uni u ON u.w1 = string_split(g.gram, ' ')[1])
+    SELECT doc_id, COUNT(*) AS n_bigrams, round(avg(logp), 6) AS mean_log2p
+    FROM scored GROUP BY doc_id ORDER BY doc_id"""
+
   /** Token-distribution entropy (boilerplate/spam signal). Entropies are
     * rounded to 6dp in BOTH engines — float accumulation order differs
     * across engines at ~1e-14, four orders below the rounding grain. */
@@ -723,6 +755,7 @@ object LlmQueries {
     "shuffle_deterministic" -> shuffleDeterministic,
     "embed_quantize" -> embedQuantize,
     "text_entropy" -> textEntropy,
+    "text_lm_score" -> textLmScore,
     "length_buckets" -> lengthBuckets,
     "chunk_documents" -> chunkDocuments,
     "source_cap_topk" -> sourceCapTopk,
@@ -753,6 +786,7 @@ object LlmQueries {
     "shuffle_deterministic" -> shuffleDeterministicSql,
     "embed_quantize" -> embedQuantizeSql,
     "text_entropy" -> textEntropySql,
+    "text_lm_score" -> textLmScoreSql,
     "length_buckets" -> lengthBucketsSql,
     "chunk_documents" -> chunkDocumentsSql,
     "source_cap_topk" -> sourceCapTopkSql,

@@ -130,6 +130,43 @@ object TextAnalysis {
           .as("norm_entropy"))
   }
 
+  /** Corpus bigram language-model score per doc: mean log2 of the add-k
+    * smoothed conditional P(w2|w1) = (c(w1 w2)+k)/(c(w1)+k·V) with counts
+    * and vocabulary V taken from the corpus itself. The cheap statistical
+    * stand-in for perplexity-based quality filtering (the CCNet/Gopher
+    * recipe scores docs with a KenLM n-gram model the same way): fluent,
+    * corpus-typical text scores high; gibberish and token-salad score low.
+    * Docs with fewer than 2 tokens have no bigrams and emit no row.
+    *
+    * Scale: two count aggregations (both map-side partial), then the doc
+    * grams re-join the count tables keyed on the gram / first word —
+    * plain shuffle joins that scale with corpus vocabulary; only the
+    * 1-row vocabulary size broadcasts. Tokenization matches [[tokens]]
+    * (lowercased whitespace split) via the tokenize-once `word_ngrams`
+    * kernel. log2 averages are rounded to 6 decimals so accumulation
+    * order can't flip a hash compare. */
+  def lmScore(docs: DataFrame, k: Double = 0.5): DataFrame = {
+    val eligible = docs.filter(size(tokens(col("text"))) >= 2)
+    val grams = eligible.select(col("doc_id"),
+      explode(graft.functions.Functions.word_ngrams(col("text"), 2, distinct = false))
+        .as("gram"))
+    val uni = eligible.select(explode(tokens(col("text"))).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c_uni"))
+    val vocab = uni.agg(count(lit(1)).cast("double").as("v"))
+    grams
+      .join(bi(grams), "gram")
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+      .join(uni, "w1")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        log2((col("c_bi") + lit(k)) / (col("c_uni") + lit(k) * col("v"))).as("logp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("logp")), 6).as("mean_log2p"))
+  }
+
+  private def bi(grams: DataFrame): DataFrame =
+    grams.groupBy("gram").agg(count(lit(1)).as("c_bi"))
+
   /** Power-of-two token-length histogram per language — the batch-shaping
     * profile an inference/training scheduler needs (how many docs land in
     * each 2^k..2^(k+1) context bucket). The bucket exponent is computed

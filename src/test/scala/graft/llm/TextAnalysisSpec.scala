@@ -139,4 +139,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(("en", 3)) == ((1L, 8L)))  // exactly 8 = 2^3 lands in bucket 3
     assert(got(("fr", 2)) == ((1L, 4L)))
   }
+
+  test("bigram LM score: corpus-typical text outscores token salad") {
+    // three docs repeat the same fluent sentence (their bigrams dominate
+    // the corpus counts); one doc is unique gibberish (every bigram is a
+    // smoothed near-zero); one doc is a single token (no bigrams: no row)
+    val fluent = "the quick brown fox jumps over the lazy dog"
+    val df = Seq(
+      (1L, fluent), (2L, fluent), (3L, fluent),
+      (4L, "zq xv wk jj qp mm zz ll pp"),
+      (5L, "loner")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!got.contains(5L), "a 1-token doc has no bigrams and no row")
+    assert(got(1L)._1 == 8 && got(4L)._1 == 8) // both have 8 bigrams
+    assert(got(1L)._2 == got(2L)._2 && got(2L)._2 == got(3L)._2)
+    assert(got(1L)._2 > got(4L)._2 + 0.5,
+      s"fluent ${got(1L)._2} should clearly outscore gibberish ${got(4L)._2}")
+    // deterministic across runs
+    val again = TextAnalysis.lmScore(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.map { case (k, (_, s)) => k -> s } == again)
+  }
 }
