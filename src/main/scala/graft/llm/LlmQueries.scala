@@ -82,6 +82,17 @@ object LlmQueries {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** PQ-compressed ANN (no oracle: codebook k-means argmins are
+    * engine-specific floats; recall vs brute force + code determinism are
+    * pinned in SimilaritySpec). m=8 blocks × 32 centroids: the corpus
+    * resides as 8 codes instead of 64 floats — 32× compression, the
+    * billion-scale IVF-PQ layout. */
+  val annPq: QueryFn = (s, dir) => {
+    val e = Tables.ensure(s, dir).embeddings
+    Similarity.pqTopK(e, e.filter(col("vec_id") < 5), k = 10, m = 8, ksub = 32)
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   /** IVF bucket-restricted ANN identity under an oracle (adjacent-rank
     * gaps ≥1.6e-4 on the fixture — see annTopkIds). */
   val annIvfIds: QueryFn = (s, dir) => {
@@ -741,6 +752,7 @@ object LlmQueries {
     "dedup_embedding_ids" -> dedupEmbeddingIds,
     "ann_ivf_label" -> annIvf,
     "ann_ivf_ids" -> annIvfIds,
+    "ann_pq" -> annPq,
     "text_quality" -> textQuality,
     "text_tokens" -> textTokens,
     "text_fingerprint" -> textFingerprint,

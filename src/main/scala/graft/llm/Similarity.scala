@@ -200,4 +200,109 @@ object Similarity {
       .select(col("q_id"), col("label"), col("c_id"), col("cos"))
     rankTopK(scored, k)
   }
+
+  // ---------- Product quantization (PQ / IVF-PQ compression path) -------
+
+  /** Per-block L2 k-means (Lloyd) for the PQ codebook. Assignment uses
+    * d(x,c) ∝ |c|² − 2·x·c (the row's own |x|² is argmin-invariant, so it
+    * never needs computing), with |c|² folded in driver-side as a literal
+    * — the per-row cost is one codegen'd dot product per centroid. Same
+    * distributed shape as [[kmeansCentroids]]: one aggregation pass per
+    * iteration, only the ksub×dsub centroid matrix on the driver, seeds a
+    * deterministic xxhash64 spread via bounded-heap TopK. */
+  private def kmeansCentroidsL2(blocks: DataFrame, nClusters: Int,
+                                iters: Int): Seq[Seq[Float]] = {
+    import org.apache.spark.sql.Row
+    var centroids: Seq[Seq[Float]] = blocks
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(nClusters).collect()
+      .map((r: Row) => r.getSeq[Float](1)).toSeq
+    for (_ <- 1 to iters) {
+      val dists = array(centroids.map { c =>
+        val cNorm = c.map(v => v.toDouble * v).sum
+        lit(cNorm) - lit(2.0) * Functions.dot_product(col("embedding"), typedLit(c))
+      }: _*)
+      val means = blocks
+        .withColumn("d", dists)
+        .select((expr("array_position(d, array_min(d))") - 1).cast("int").as("bucket"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("bucket"), col("pos")).agg(avg(col("v")).as("m"))
+        .collect() // nClusters × dsub rows — the codebook block only
+        .groupBy(_.getInt(0))
+      centroids = centroids.indices.map { b =>
+        means.get(b) match {
+          case Some(rows) => rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
+          case None       => centroids(b) // empty cluster keeps its seed
+        }
+      }
+    }
+    centroids
+  }
+
+  /** PQ codebook: `m` blocks × `ksub` centroids × (dim/m) values. Block b
+    * quantizes dims [b·dsub, (b+1)·dsub). Codebook training is m
+    * independent sub-space k-means runs — each a handful of aggregation
+    * passes; the full codebook is m·ksub·dsub floats (a few KB),
+    * broadcast inside encode/reconstruct expressions. */
+  def pqCodebook(corpus: DataFrame, m: Int = 4, ksub: Int = 16,
+                 iters: Int = 3): Seq[Seq[Seq[Float]]] = {
+    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"embedding dim $dim must divide into $m blocks")
+    val dsub = dim / m
+    (0 until m).map { b =>
+      kmeansCentroidsL2(
+        corpus.select(col("vec_id"),
+          slice(col("embedding"), b * dsub + 1, dsub).as("embedding")),
+        ksub, iters)
+    }
+  }
+
+  /** Encode each vector as m sub-space centroid indices — m small codes
+    * instead of dim floats (dim=64, m=4, ksub≤256: 4 bytes vs 256, a 64×
+    * corpus-residency cut; the compression step of IVF-PQ, the standard
+    * billion-scale ANN layout). Pure projection over broadcast codebook
+    * literals — no shuffle, deterministic. */
+  def pqEncode(corpus: DataFrame,
+               codebook: Seq[Seq[Seq[Float]]]): DataFrame = {
+    val dsub = codebook.head.head.size
+    var df = corpus.select(col("vec_id"), col("embedding"))
+    codebook.zipWithIndex.foreach { case (cents, b) =>
+      val blk = slice(col("embedding"), b * dsub + 1, dsub)
+      val dists = array(cents.map { c =>
+        val cNorm = c.map(v => v.toDouble * v).sum
+        lit(cNorm) - lit(2.0) * Functions.dot_product(blk, typedLit(c))
+      }: _*)
+      df = df.withColumn(s"__d$b", dists)
+        .withColumn(s"__c$b",
+          (expr(s"array_position(__d$b, array_min(__d$b))") - 1).cast("int"))
+    }
+    df.select(col("vec_id"),
+      array(codebook.indices.map(b => col(s"__c$b")): _*).as("codes"))
+  }
+
+  /** Reconstruct the approximate vector from PQ codes: concatenate the
+    * indexed centroid of each block (codebook rides along as a literal). */
+  def pqReconstruct(codes: Column, codebook: Seq[Seq[Seq[Float]]]): Column =
+    concat(codebook.zipWithIndex.map { case (cents, b) =>
+      element_at(typedLit(cents), element_at(codes, b + 1) + 1)
+    }: _*)
+
+  /** ANN over PQ-reconstructed vectors — the PQ *scoring* path, same plan
+    * shape as [[quantizedTopK]]: encode+reconstruct the corpus in one
+    * projection, broadcast the raw query batch, one corpus pass, bounded
+    * per-key heaps. Recall vs brute force is asserted in SimilaritySpec
+    * (approximation falsifiable, not just non-empty). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+             m: Int = 4, ksub: Int = 16, iters: Int = 3): DataFrame = {
+    val cb = pqCodebook(corpus, m, ksub, iters)
+    val c = pqEncode(corpus, cb)
+      .select(col("vec_id").as("c_id"), pqReconstruct(col("codes"), cb).as("c_vec"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", Functions.cosine_sim(col("q_vec"), col("c_vec")))
+      .select(col("q_id"), col("c_id"), col("cos"))
+    rankTopK(scored, k)
+  }
 }

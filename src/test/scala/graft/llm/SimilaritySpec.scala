@@ -74,6 +74,50 @@ class SimilaritySpec extends AnyFunSuite {
       s"query side not broadcast:\n$plan")
   }
 
+  test("PQ: codes are compact, deterministic, and reconstruct block-wise") {
+    val e = graft.engine.Tables(spark, graft.TestSpark.sf).embeddings
+    val cb = Similarity.pqCodebook(e, m = 4, ksub = 16, iters = 2)
+    assert(cb.size == 4 && cb.forall(_.size == 16) && cb.forall(_.forall(_.size == 16)))
+    val enc = Similarity.pqEncode(e, cb)
+    val rows = enc.collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val codes = r.getAs[scala.collection.Seq[Int]]("codes")
+      assert(codes.length == 4, "one code per block")
+      assert(codes.forall(c => c >= 0 && c < 16), s"code out of range: $codes")
+    }
+    // codebook + encode are deterministic end to end
+    val again = Similarity.pqEncode(e, Similarity.pqCodebook(e, m = 4, ksub = 16, iters = 2))
+      .collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Int]]("codes")).toMap
+    val first = rows.map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Int]]("codes")).toMap
+    assert(first == again)
+    // reconstruction has full dim and finite values
+    val rec = Similarity.pqEncode(e, cb)
+      .select(Similarity.pqReconstruct(col("codes"), cb).as("v")).head()
+      .getAs[scala.collection.Seq[Float]]("v")
+    assert(rec.length == 64 && rec.forall(v => !v.isNaN && !v.isInfinite))
+  }
+
+  test("PQ ANN recall@10 vs brute force is numerically bounded") {
+    // 4×16 codebook = 64 floats compressed to 4 nibble codes (64× less
+    // corpus residency); on near-random fixture vectors the reconstruction
+    // keeps coarse direction only, so the floor is modest but must hold
+    val e = graft.engine.Tables(spark, graft.TestSpark.sf).embeddings
+    val qs = e.filter(col("vec_id") < 10)
+    val k = 10
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("q_id", "c_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val bf = topSets(Similarity.bruteForceTopK(e, qs, k))
+    val pq = topSets(Similarity.pqTopK(e, qs, k, m = 8, ksub = 32, iters = 3))
+    val recalls = bf.keys.toSeq.map { q =>
+      pq.getOrElse(q, Set.empty).intersect(bf(q)).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.size
+    info(s"PQ (m=8, ksub=32) recall@$k: mean=$mean min=${recalls.min}")
+    assert(mean >= 0.25, s"mean recall@$k $mean below floor; per-query $recalls")
+  }
+
   test("quantized ANN recall@10 vs full precision is near-exact") {
     // int8 reconstruction perturbs each component by <= scale/2; on the
     // fixture that flips almost no neighbor memberships
