@@ -440,6 +440,29 @@ object Relational {
     WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderstatus)
     ORDER BY o_orderkey"""
 
+  /** NTILE bucketing (reference WindowFunction NTILE) — the remaining
+    * member of the distribution-window family. The ORDER BY carries a
+    * unique tiebreak (o_orderkey): NTILE assigns by row position, so a
+    * nondeterministic order within equal keys would flip bucket
+    * assignments between engines. */
+  val windowNtile: QueryFn = (s, dir) => {
+    val t = Tables.ensure(s, dir)
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t.orders.select(
+      col("o_orderkey"), col("o_orderpriority"),
+      ntile(8).over(w).as("oct"),
+      ntile(100).over(w).as("pctile"))
+      .orderBy(col("o_orderkey"))
+  }
+  val windowNtileSql: String = """
+    SELECT o_orderkey, o_orderpriority,
+      CAST(NTILE(8) OVER w AS INT) AS oct,
+      CAST(NTILE(100) OVER w AS INT) AS pctile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey"""
+
   /** ROW_NUMBER top-N per group (reference TopN + window pattern). */
   val windowTopnPerGroup: QueryFn = (s, dir) => {
     val t = Tables.ensure(s, dir)
@@ -882,6 +905,7 @@ object Relational {
     "agg_hll_merge" -> aggHllMerge,
     "agg_percentile_approx" -> aggPercentileApprox,
     "window_ranking" -> windowRanking,
+    "window_ntile" -> windowNtile,
     "window_topn_per_group" -> windowTopnPerGroup,
     "window_lead_lag" -> windowLeadLag,
     "window_rows_frame" -> windowRowsFrame,
@@ -927,6 +951,7 @@ object Relational {
     "agg_listagg_wg" -> aggListaggWithinGroupSql,
     "agg_percentile_exact" -> aggPercentileExactSql,
     "window_ranking" -> windowRankingSql,
+    "window_ntile" -> windowNtileSql,
     "window_topn_per_group" -> windowTopnPerGroupSql,
     "window_lead_lag" -> windowLeadLagSql,
     "window_rows_frame" -> windowRowsFrameSql,

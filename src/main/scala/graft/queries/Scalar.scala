@@ -45,6 +45,31 @@ object Scalar {
       replace(p_name, ' ', '_') AS repl
     FROM part WHERE p_partkey <= 200 ORDER BY p_partkey"""
 
+  /** Edit distance + positional string family (reference
+    * StringFunctions LEVENSHTEIN/POSITION/LEFT/RIGHT/ASCII). */
+  val fnEditdist: QueryFn = (s, dir) => {
+    val t = Tables.ensure(s, dir)
+    t.part.filter(col("p_partkey") <= 200)
+      .select(
+        col("p_partkey"),
+        levenshtein(col("p_brand"), col("p_type")).as("lev"),
+        levenshtein(col("p_name"), col("p_type")).as("lev2"),
+        ascii(col("p_name")).as("first_code"),
+        expr("left(p_name, 5)").as("l5"),
+        expr("right(p_type, 4)").as("r4"),
+        instr(col("p_name"), "a").as("pos_a"))
+      .orderBy(col("p_partkey"))
+  }
+  val fnEditdistSql: String = """
+    SELECT p_partkey,
+      CAST(levenshtein(p_brand, p_type) AS INT) AS lev,
+      CAST(levenshtein(p_name, p_type) AS INT) AS lev2,
+      CAST(ascii(p_name) AS INT) AS first_code,
+      left(p_name, 5) AS l5,
+      right(p_type, 4) AS r4,
+      CAST(instr(p_name, 'a') AS INT) AS pos_a
+    FROM part WHERE p_partkey <= 200 ORDER BY p_partkey"""
+
   /** Regex family (regexp_like/extract/replace — StringFunctions.java). */
   val fnRegexp: QueryFn = (s, dir) => {
     val t = Tables.ensure(s, dir)
@@ -205,6 +230,7 @@ object Scalar {
 
   val queries: Map[String, QueryFn] = Map(
     "fn_string" -> fnString,
+    "fn_editdist" -> fnEditdist,
     "fn_regexp" -> fnRegexp,
     "fn_datetime" -> fnDatetime,
     "fn_math" -> fnMath,
@@ -215,6 +241,7 @@ object Scalar {
 
   val oracle: Map[String, String] = Map(
     "fn_string" -> fnStringSql,
+    "fn_editdist" -> fnEditdistSql,
     "fn_regexp" -> fnRegexpSql,
     "fn_datetime" -> fnDatetimeSql,
     "fn_math" -> fnMathSql,
