@@ -55,6 +55,39 @@ class GraftServerSpec extends AnyFunSuite {
     }
   }
 
+  test("concurrent wire connections get isolated sessions and serve in parallel") {
+    val port = GraftServer.port.getOrElse(GraftServer.start(spark))
+    Class.forName("org.apache.hive.jdbc.HiveDriver")
+    def connect() = DriverManager.getConnection(
+      s"jdbc:hive2://localhost:$port/default", "graft", "")
+    val c1 = connect(); val c2 = connect()
+    try {
+      // temp views are session-scoped: same name, different content, no bleed
+      c1.createStatement().execute("CREATE TEMPORARY VIEW iso_v AS SELECT 1 AS v")
+      c2.createStatement().execute("CREATE TEMPORARY VIEW iso_v AS SELECT 2 AS v")
+      val s1 = c1.createStatement(); val s2 = c2.createStatement()
+      assert(fetch(s1, "SELECT v FROM iso_v") == Seq(Seq("1")))
+      assert(fetch(s2, "SELECT v FROM iso_v") == Seq(Seq("2")),
+        "wire sessions shared temp-view state")
+      // concurrent statements over both connections all answer correctly
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val fs = (1 to 6).map { i =>
+        Future {
+          val st = (if (i % 2 == 0) c1 else c2).createStatement()
+          try fetch(st, s"SELECT count(*) AS n FROM range(${i * 100})")
+          finally st.close()
+        }
+      }
+      val got = Await.result(Future.sequence(fs), 120.seconds)
+      assert(got.zipWithIndex.forall { case (rows, idx) =>
+        rows == Seq(Seq(((idx + 1) * 100).toString))
+      }, s"concurrent wire results wrong: $got")
+      s1.close(); s2.close()
+    } finally { c1.close(); c2.close() }
+  }
+
   test("graft lake DDL/DML round-trips through the wire") {
     val dir = java.nio.file.Files.createTempDirectory("wire_lake").toString
     withConnection { conn =>
