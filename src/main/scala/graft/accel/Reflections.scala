@@ -258,7 +258,11 @@ object Reflections {
     * (`acceleration/normalization/`). None → only exact matching applies
     * (unknown node in the subtree). */
   private final case class ScanShape(relKey: String,
-                                     conjuncts: Map[String, Expression])
+                                     conjuncts: Map[String, Expression],
+                                     // lowercase column names of every base
+                                     // relation's FULL schema in this subtree
+                                     // — the cross-side ambiguity authority
+                                     baseNames: Set[String])
 
   private def scanShape(plan: LogicalPlan): Option[ScanShape] = plan match {
     case Project(exprs, child) if exprs.forall(_.isInstanceOf[AttributeReference]) =>
@@ -271,17 +275,20 @@ object Reflections {
       // (pre- vs post-join) changes results, so hoisting conjuncts across
       // the join for set comparison would be unsound.
       if (j.joinType != Inner) None
-      // name-canon matching is side-blind, so shared column names across
-      // the two inputs would make grouping/conjunct binding ambiguous
-      else if (j.left.output.map(_.name.toLowerCase).toSet
-          .intersect(j.right.output.map(_.name.toLowerCase).toSet).nonEmpty) None
       else (scanShape(j.left), scanShape(j.right)) match {
         // self-joins: hoisted conjuncts lose which SIDE they filtered, so
-        // `o1.x='F'` vs `o2.x='F'` would compare equal — refuse to match
-        case (Some(l), Some(r)) if l.relKey != r.relKey =>
+        // `o1.x='F'` vs `o2.x='F'` would compare equal — refuse to match.
+        // Cross-side name ambiguity is judged on the FULL base schemas, not
+        // j.left/right.output: this rule runs post column-pruning, so a
+        // column referenced only by a pushed-down filter (both tables have
+        // a 'status') is absent from the join outputs, yet its side-blind
+        // nameCanon conjunct would still bind across sides (ADVICE r6 high).
+        case (Some(l), Some(r)) if l.relKey != r.relKey &&
+            l.baseNames.intersect(r.baseNames).isEmpty =>
           Some(ScanShape(
             s"J(${l.relKey},${r.relKey},${nameCanon(j.condition.get)})",
-            l.conjuncts ++ r.conjuncts))
+            l.conjuncts ++ r.conjuncts,
+            l.baseNames ++ r.baseNames))
         case _ => None
       }
     case lr: LogicalRelation =>
@@ -289,7 +296,10 @@ object Reflections {
         case h: HadoopFsRelation =>
           Some(ScanShape(
             "R(" + h.location.rootPaths.map(p => normPath(p.toString)).sorted.mkString(",") + ")",
-            Map.empty))
+            Map.empty,
+            // the relation's own schema (data + partition cols), NOT
+            // lr.output — the one authority optimizer pruning never narrows
+            h.schema.fieldNames.map(_.toLowerCase).toSet))
         case _ => None
       }
     case _ => None

@@ -380,6 +380,47 @@ class ReflectionsSpec extends AnyFunSuite {
     Reflections.clear()
   }
 
+  test("same-named filter-only column across join sides refuses the roll-up (side-blind conjuncts)") {
+    // ADVICE r6 high: the ambiguity guard used j.left/right.output, but the
+    // rule runs post column-pruning, so a column referenced ONLY by a
+    // pushed-down filter is absent from the join outputs. Both tables here
+    // carry a 'status' used only in filters: the reflection filters
+    // fact.status, the query filters dim.status — side-blind nameCanon makes
+    // the conjunct sets equal, and the old guard saw disjoint outputs
+    // ({fk,val} vs {dk,name}), so the roll-up silently served WRONG rows.
+    import spark.implicits._
+    Reflections.clear()
+    Reflections.install(spark)
+    val dir = Files.createTempDirectory("graft_refl_sideblind").toString
+    Seq((1L, 10L, "ok"), (1L, 20L, "bad"), (2L, 30L, "ok"))
+      .toDF("fk", "val", "status").write.parquet(s"$dir/fact")
+    Seq((1L, "alpha", "ok"), (2L, "beta", "bad"))
+      .toDF("dk", "name", "status").write.parquet(s"$dir/dim")
+    def fact = spark.read.parquet(s"$dir/fact")
+    def dim = spark.read.parquet(s"$dir/dim")
+    def refl() = fact.where(col("status") === "ok").drop("status")
+      .join(dim.drop("status"), col("fk") === col("dk"))
+      .groupBy(col("name")).agg(sum(col("val")).as("sv"))
+    // query filters the DIM side's status: beta rows must vanish entirely
+    def q() = fact.drop("status")
+      .join(dim.where(col("status") === "ok").drop("status"),
+        col("fk") === col("dk"))
+      .groupBy(col("name")).agg(sum(col("val")).as("sv"))
+    val cold = q().orderBy("name").as[(String, Long)].collect().toSeq
+    assert(cold == Seq(("alpha", 30L)), s"fixture broken: $cold")
+    Reflections.create("r_sideblind", refl(), s"$dir/r_sideblind")
+    val planStr = q().queryExecution.sparkPlan.toString
+    assert(!planStr.contains("r_sideblind"),
+      s"cross-side same-named filter column wrongly matched:\n$planStr")
+    assert(q().orderBy("name").as[(String, Long)].collect().toSeq == cold)
+    // control: the IDENTICAL query to the defining one still serves — the
+    // guard refuses by ambiguity, not by banning shared names outright
+    val exactPlan = refl().queryExecution.sparkPlan.toString
+    assert(exactPlan.contains("r_sideblind"),
+      s"exact match should still serve under the schema guard:\n$exactPlan")
+    Reflections.clear()
+  }
+
   test("same-schema parquet at a different path is NOT matched (fingerprint includes paths)") {
     Reflections.clear()
     Reflections.install(spark)
