@@ -38,12 +38,13 @@ object Graft {
     * When the session conf `spark.graft.queue` names a defined WLM queue,
     * every statement routes through its admission control automatically —
     * the reference passes ALL queries through the resource scheduler, not
-    * only opt-in ones. Admission covers statement submission: for DDL/DML
-    * commands (the expensive lake rewrites) that is the entire execution;
-    * a SELECT's later actions run on the already-admitted plan. */
+    * only opt-in ones. DDL/DML commands execute (and release their slot)
+    * inside admission; a lazy SELECT holds its slot until its first
+    * completed action, so the expensive execution — not just planning — is
+    * throttled (Queues.admitLazy). */
   def sql(spark: SparkSession, query: String): DataFrame =
     spark.conf.getOption(QueueConf).filter(_.nonEmpty) match {
-      case Some(queue) => graft.engine.Queues.run(spark, queue)(spark.sql(query))
+      case Some(queue) => graft.engine.Queues.admitLazy(spark, queue)(spark.sql(query))
       case None => spark.sql(query)
     }
 

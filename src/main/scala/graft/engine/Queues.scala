@@ -1,9 +1,11 @@
 package graft.engine
 
-import java.util.concurrent.{Semaphore, TimeUnit}
-import java.util.concurrent.atomic.AtomicLong
+import java.util.concurrent.{ConcurrentLinkedQueue, Semaphore, TimeUnit}
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
 import scala.collection.concurrent.TrieMap
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Workload management: named admission queues with bounded concurrency
   * and an enqueue timeout, mapped onto Spark's scheduler pools.
@@ -85,6 +87,92 @@ object Queues {
       st.running.decrementAndGet()
       st.sem.release()
     }
+  }
+
+  // ---------- lazy-statement admission (slot held until first action) ----
+
+  private final case class PendingLazy(ref: java.lang.ref.WeakReference[AnyRef],
+                                       released: AtomicBoolean,
+                                       release: () => Unit,
+                                       listener: QueryExecutionListener)
+  private val pendingLazy = new ConcurrentLinkedQueue[PendingLazy]
+
+  /** Failsafe against slot leaks: a lazy statement whose DataFrame was
+    * abandoned without ever running holds no strong reference anywhere once
+    * the caller drops it (the listener only holds a WeakReference), so the
+    * next admission through any queue reaps cleared entries and frees their
+    * slots. Also prunes entries already released by their listener. */
+  private def reapAbandoned(spark: SparkSession): Unit = {
+    val it = pendingLazy.iterator()
+    while (it.hasNext) {
+      val p = it.next()
+      if (p.ref.get == null || p.released.get()) {
+        p.release() // idempotent
+        spark.listenerManager.unregister(p.listener)
+        it.remove()
+      }
+    }
+  }
+
+  /** Admission for a LAZY statement (ADVICE r6): [[run]] releases the slot
+    * when `body` returns, which for a SELECT is before any job runs — the
+    * expensive execution would be unthrottled. Here the slot (and the
+    * queue's scheduler pool, left set on the calling thread for the
+    * statement's lifetime) is held from submission until the statement's
+    * first completed action, detected by a one-shot QueryExecutionListener
+    * keyed on the frame's analyzed plan (actions like head()/count() wrap
+    * the plan, so the match is containment by reference, not equality).
+    * Eagerly-executed commands (DDL/DML — the plan is a Command /
+    * CommandResult) already ran inside admission and release immediately,
+    * preserving [[run]]'s semantics for them. */
+  def admitLazy(spark: SparkSession, queueName: String)(body: => DataFrame): DataFrame = {
+    reapAbandoned(spark)
+    val st = states.getOrElse(queueName,
+      throw new NoSuchElementException(s"no such queue: $queueName"))
+    val q = st.queued.incrementAndGet()
+    st.peakQueued.getAndUpdate(p => math.max(p, q))
+    val got =
+      try st.sem.tryAcquire(st.defn.timeoutMs, TimeUnit.MILLISECONDS)
+      finally st.queued.decrementAndGet()
+    if (!got) {
+      st.timedOut.incrementAndGet()
+      throw new AdmissionTimeout(queueName, st.defn.timeoutMs)
+    }
+    st.admitted.incrementAndGet()
+    st.running.incrementAndGet()
+    val released = new AtomicBoolean(false)
+    def release(): Unit = if (released.compareAndSet(false, true)) {
+      st.running.decrementAndGet(); st.sem.release()
+    }
+    val df =
+      try {
+        // pool tag for the statement's lifetime: the caller's later actions
+        // on this thread schedule into the queue's pool (execution-side WLM)
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", st.defn.pool)
+        body
+      } catch { case t: Throwable => release(); throw t }
+    import org.apache.spark.sql.catalyst.plans.logical.{Command, CommandResult}
+    val analyzed = df.queryExecution.analyzed
+    val alreadyRan = analyzed.isInstanceOf[Command] ||
+      analyzed.isInstanceOf[CommandResult] ||
+      df.queryExecution.logical.isInstanceOf[Command]
+    if (alreadyRan) release()
+    else {
+      val planRef = new java.lang.ref.WeakReference[AnyRef](analyzed)
+      val listener: QueryExecutionListener = new QueryExecutionListener {
+        private def hit(qe: QueryExecution): Boolean = {
+          val p = planRef.get
+          p != null && qe.analyzed.exists(_ eq p)
+        }
+        override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+          if (hit(qe)) { release(); spark.listenerManager.unregister(this) }
+        override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+          if (hit(qe)) { release(); spark.listenerManager.unregister(this) }
+      }
+      spark.listenerManager.register(listener)
+      pendingLazy.add(PendingLazy(planRef, released, () => release(), listener))
+    }
+    df
   }
 
   /** Live status snapshot (backs the sys_queues view). */

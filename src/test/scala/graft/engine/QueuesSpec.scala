@@ -78,6 +78,63 @@ class QueuesSpec extends AnyFunSuite {
     Queues.drop("etl")
   }
 
+  test("lazy SELECT holds its slot until the first action completes (admitLazy)") {
+    Queues.define("lazyq", slots = 1, timeoutMs = 30000)
+    try {
+      spark.conf.set(graft.Graft.QueueConf, "lazyq")
+      val df = graft.Graft.sql(spark, "SELECT count(*) AS n FROM range(1000)")
+      // no action yet: submission is admitted but the slot is NOT released
+      val st0 = Queues.status.find(_.name == "lazyq").get
+      assert(st0.running == 1L,
+        s"slot released before the lazy statement executed (running=${st0.running})")
+      // the statement's lifetime carries the queue's scheduler pool
+      assert(spark.sparkContext.getLocalProperty("spark.scheduler.pool") == "lazyq")
+      assert(df.head().getLong(0) == 1000L)
+      // release rides the (async) QueryExecutionListener bus
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (Queues.status.find(_.name == "lazyq").get.running != 0L
+          && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(Queues.status.find(_.name == "lazyq").get.running == 0L,
+        "slot not released after the statement's first action")
+      // DDL through the same path executes inside admission and frees at once
+      graft.Graft.sql(spark, "CREATE QUEUE lazyq_inner SLOTS 2")
+      assert(Queues.status.find(_.name == "lazyq").get.running == 0L,
+        "eager command held its slot past execution")
+      Queues.drop("lazyq_inner")
+    } finally {
+      spark.conf.unset(graft.Graft.QueueConf)
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+      Queues.drop("lazyq")
+    }
+  }
+
+  test("an abandoned lazy statement's slot is reaped after GC (no permanent leak)") {
+    Queues.define("leakq", slots = 1, timeoutMs = 250)
+    try {
+      spark.conf.set(graft.Graft.QueueConf, "leakq")
+      var df = graft.Graft.sql(spark, "SELECT id FROM range(500)")
+      assert(Queues.status.find(_.name == "leakq").get.running == 1L)
+      df = null // drop the only strong reference to the frame — never executed
+      // next admissions reap cleared WeakReferences; GC timing is the JVM's,
+      // so retry with explicit gc() until the slot frees
+      var freed = false
+      var attempts = 0
+      while (!freed && attempts < 40) {
+        attempts += 1
+        System.gc()
+        try {
+          graft.Graft.sql(spark, "SELECT 1").collect()
+          freed = true
+        } catch { case _: Queues.AdmissionTimeout => }
+      }
+      assert(freed, "abandoned lazy statement leaked its slot permanently")
+    } finally {
+      spark.conf.unset(graft.Graft.QueueConf)
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+      Queues.drop("leakq")
+    }
+  }
+
   test("sys_queues view and SQL DDL surface the queue state live") {
     spark.sql("CREATE QUEUE adhoc SLOTS 3 TIMEOUT 1000")
     graft.catalog.InfoSchema.register(spark)
