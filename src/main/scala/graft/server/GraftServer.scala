@@ -1,6 +1,6 @@
 package graft.server
 
-import java.net.{InetSocketAddress, ServerSocket, Socket}
+import java.net.ServerSocket
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
@@ -74,17 +74,39 @@ object GraftServer {
     running = None
   }
 
-  /** The Thrift services start asynchronously; block until the socket
-    * actually accepts so callers can connect immediately. */
-  private def awaitListening(p: Int, timeoutMs: Long): Unit = {
-    val deadline = System.nanoTime() + timeoutMs * 1000000L
-    var last: Throwable = null
-    while (System.nanoTime() < deadline) {
-      val s = new Socket()
-      try { s.connect(new InetSocketAddress("localhost", p), 1000); return }
-      catch { case e: java.io.IOException => last = e; Thread.sleep(200) }
-      finally s.close()
-    }
-    throw new IllegalStateException(s"thrift endpoint did not accept on port $p", last)
+  /** The Thrift services start asynchronously; block until the endpoint
+    * completes a REAL HiveServer2 handshake (JDBC OpenSession + a trivial
+    * statement), not merely until something accepts the socket: reservePort
+    * frees the probed port before the thrift service binds it (TOCTOU), so
+    * another process could own the port by now — a bare connect would then
+    * report OUR server as up while pointing at a foreign listener (ADVICE
+    * r6). A foreign listener never answers the Thrift SASL handshake, so
+    * the loop times out and start() fails instead of lying. */
+  private[server] def awaitListening(p: Int, timeoutMs: Long): Unit = {
+    Class.forName("org.apache.hive.jdbc.HiveDriver")
+    // a foreign listener may accept TCP and then say NOTHING — without a
+    // login (= socket) timeout the Thrift handshake read blocks forever
+    // and the deadline below is never consulted. DriverManager state is
+    // global, so the previous value is restored on exit.
+    val prevLogin = java.sql.DriverManager.getLoginTimeout
+    java.sql.DriverManager.setLoginTimeout(2)
+    try {
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      var last: Throwable = null
+      while (System.nanoTime() < deadline) {
+        try {
+          val conn = java.sql.DriverManager.getConnection(
+            s"jdbc:hive2://localhost:$p/default", "graft", "")
+          try {
+            val st = conn.createStatement()
+            try { val rs = st.executeQuery("SELECT 1"); rs.next(); rs.close(); return }
+            finally st.close()
+          } finally conn.close()
+        } catch { case e: Exception => last = e; Thread.sleep(200) }
+      }
+      throw new IllegalStateException(
+        s"no HiveServer2 handshake on port $p within ${timeoutMs}ms " +
+          "(port stolen between reserve and bind, or thrift service failed)", last)
+    } finally java.sql.DriverManager.setLoginTimeout(prevLogin)
   }
 }

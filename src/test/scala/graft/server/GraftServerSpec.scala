@@ -37,6 +37,19 @@ class GraftServerSpec extends AnyFunSuite {
       .map(r => (0 until r.length).map(i => String.valueOf(r.get(i))).toSeq)
       .toSeq.sortBy(_.mkString("|"))
 
+  test("a foreign (non-HiveServer2) listener on the port fails the handshake probe") {
+    // TOCTOU guard: reservePort frees the probed port before the thrift
+    // service binds, so a foreign process could own it. awaitListening must
+    // demand a real HiveServer2 handshake and time out against anything else.
+    val foreign = new java.net.ServerSocket(0)
+    try {
+      val ex = intercept[IllegalStateException] {
+        GraftServer.awaitListening(foreign.getLocalPort, timeoutMs = 2500)
+      }
+      assert(ex.getMessage.contains("handshake"), ex.getMessage)
+    } finally foreign.close()
+  }
+
   test("tpch_q01 over the wire matches in-process execution") {
     val q =
       s"""SELECT l_returnflag, l_linestatus,
