@@ -88,6 +88,49 @@ object Similarity {
     math.min(1L << 16, math.max(1L, math.max(bySqrt, byTarget))).toInt
   }
 
+  /** Beyond this many centroids the per-row expression-array assignment
+    * (one cosine_sim column per centroid in a single projection) stops
+    * being a win: codegen/planning cost grows with k and every row pays a
+    * k-wide array materialization. autoClusters can return up to 2^16
+    * (ADVICE r6), so large k switches to a broadcast centroid TABLE —
+    * planning is O(1) in k, the k cosines become join rows, and the
+    * bounded-heap TopKPerKey picks the probe set. */
+  private[llm] val ExprPathMaxCentroids = 256
+
+  /** Add an exploded `bucket` column: each row's `nProbe` nearest centroids
+    * by cosine, ties broken toward the lower bucket id (both paths agree,
+    * so crossing the threshold changes the plan, not the answer). */
+  private[llm] def withProbedBuckets(df: DataFrame, vecCol: String, idCol: String,
+                                     centroids: Seq[Seq[Float]], nProbe: Int): DataFrame = {
+    val k = centroids.size
+    require(nProbe >= 1 && nProbe <= k)
+    if (k <= ExprPathMaxCentroids) {
+      val sims = array(centroids.map(c =>
+        Functions.cosine_sim(col(vecCol), typedLit(c))): _*)
+      val probed =
+        if (nProbe == 1)
+          df.withColumn("__s", sims).withColumn("bucket",
+            (expr("array_position(__s, array_max(__s))") - 1).cast("int"))
+        else
+          df.withColumn("__s", sims).withColumn("bucket",
+            explode(expr(
+              s"""slice(transform(array_sort(zip_with(__s, sequence(0, ${k - 1}),
+                 |(sc, i) -> struct(sc as c, i as b)),
+                 |(l, r) -> CASE WHEN l.c > r.c THEN -1 WHEN l.c < r.c THEN 1
+                 |               ELSE int(l.b - r.b) END), x -> x.b), 1, $nProbe)""".stripMargin)))
+      probed.drop("__s")
+    } else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val cent = centroids.zipWithIndex
+        .map { case (c, i) => (i, c) }.toDF("bucket", "__cvec")
+      val scored = df.crossJoin(broadcast(cent))
+        .withColumn("__cos", Functions.cosine_sim(col(vecCol), col("__cvec")))
+      graft.plans.TopKPerKey(scored, col(idCol), col("__cos"), col("bucket"), nProbe)
+        .drop("__cvec", "__cos")
+    }
+  }
+
   private[llm] def kmeansCentroids(corpus: DataFrame, nClusters: Int,
                                    iters: Int): Seq[Seq[Float]] = {
     import org.apache.spark.sql.Row
@@ -102,12 +145,9 @@ object Similarity {
       .limit(nClusters).collect()
       .map((r: Row) => r.getSeq[Float](1)).toSeq
     for (_ <- 1 to iters) {
-      val sims = array(centroids.map(c =>
-        Functions.cosine_sim(col("embedding"), typedLit(c))): _*)
-      val means = corpus
-        .withColumn("s", sims)
-        .select((expr("array_position(s, array_max(s))") - 1).cast("int").as("bucket"),
-          posexplode(col("embedding")).as(Seq("pos", "v")))
+      val means = withProbedBuckets(corpus.select(col("vec_id"), col("embedding")),
+          "embedding", "vec_id", centroids, nProbe = 1)
+        .select(col("bucket"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("bucket"), col("pos")).agg(avg(col("v")).as("m"))
         .collect() // nClusters × dim rows — centroid matrix only
         .groupBy(_.getInt(0))
@@ -136,23 +176,16 @@ object Similarity {
     // callers that know their k pass it explicitly and skip the count)
     val nc = if (nClusters > 0) nClusters else autoClusters(corpus.count())
     val centroids: Seq[Seq[Float]] = kmeansCentroids(corpus, nc, kmeansIters)
-    // per-centroid cosine columns (codegen'd custom expression)
-    def sims(vecCol: Column): Column = array(centroids.map(c =>
-      Functions.cosine_sim(vecCol, typedLit(c))): _*)
-    val cCol = col("embedding")
-    val corpusAssigned = corpus
-      .withColumn("s", sims(cCol))
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
-        (expr("array_position(s, array_max(s))") - 1).cast("int").as("bucket"))
-    val queriesProbed = queries
-      .withColumn("s", sims(cCol))
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
-        explode(expr(
-          s"""slice(transform(array_sort(zip_with(s, sequence(0, ${nc - 1}),
-             |(sc, i) -> struct(sc as c, i as b)),
-             |(l, r) -> CASE WHEN l.c > r.c THEN -1 WHEN l.c < r.c THEN 1
-             |               ELSE int(l.b - r.b) END), x -> x.b), 1, $nProbe)""".stripMargin))
-          .as("bucket"))
+    // assignment/probing switches plan shape on nc (expression array vs
+    // broadcast centroid table + TopKPerKey) — see withProbedBuckets
+    val corpusAssigned = withProbedBuckets(
+        corpus.select(col("vec_id"), col("embedding")),
+        "embedding", "vec_id", centroids, nProbe = 1)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"), col("bucket"))
+    val queriesProbed = withProbedBuckets(
+        queries.select(col("vec_id"), col("embedding")),
+        "embedding", "vec_id", centroids, nProbe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("bucket"))
     val scored = corpusAssigned.join(broadcast(queriesProbed), Seq("bucket"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", Functions.cosine_sim(col("q_vec"), col("c_vec")))
@@ -206,55 +239,61 @@ object Similarity {
   /** PQ codebook: `m` blocks × `ksub` centroids × (dim/m) values. Block b
     * quantizes dims [b·dsub, (b+1)·dsub).
     *
-    * ALL m sub-space k-means runs train together — the corpus explodes
-    * once into an (vec_id, block, block_vec) table and every Lloyd
-    * iteration is ONE aggregation pass over it (assignment by
-    * d(x,c) ∝ |c|² − 2·x·c, argmin-invariant in the row's own norm;
-    * update = per-(block, bucket, pos) mean). Training m blocks
-    * sequentially would pay m×iters job waves of fixed scheduling
-    * overhead for tiny per-job work — measured 4× slower end to end.
-    * Only the m·ksub·dsub codebook (a few KB) ever reaches the driver;
-    * at 100 TB, train on a bounded sample (standard PQ practice — the
-    * codebook needs ~100k vectors, not the corpus). */
+    * Trains on a deterministic hash-spread SAMPLE of `maxTrain` vectors
+    * fetched in ONE job (orderBy+limit plans as TakeOrderedAndProject:
+    * bounded per-partition heaps + a driver merge of maxTrain rows), with
+    * all Lloyd iterations running driver-side over the sample — standard
+    * PQ practice (the codebook needs ~10⁵ vectors, not the corpus; at
+    * maxTrain=2^17 × 64 floats the sample is ~32 MB). The previous
+    * distributed trainer was algebraically the same but paid ~12
+    * tiny-stage scheduling waves per call — a fixed 3-4 s at ANY corpus
+    * size (VERDICT r6) — where the driver loop is milliseconds.
+    * Assignment uses d(x,c) ∝ |c|² − 2·x·c (argmin-invariant in the row's
+    * own norm, first minimum wins), update is the per-bucket mean; empty
+    * buckets keep their previous centroid. Deterministic end to end. */
   def pqCodebook(corpus: DataFrame, m: Int = 4, ksub: Int = 16,
-                 iters: Int = 3): Seq[Seq[Seq[Float]]] = {
-    import org.apache.spark.sql.Row
-    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
-    require(dim % m == 0, s"embedding dim $dim must divide into $m blocks")
-    val dsub = dim / m
-    val blocks = corpus.select(col("vec_id"),
-      posexplode(array((0 until m).map(b =>
-        slice(col("embedding"), b * dsub + 1, dsub)): _*)).as(Seq("b", "bvec")))
-      .localCheckpoint(true) // reused iters+1 times; same bytes as the corpus
-    // seeds: a deterministic hash-spread of ksub vectors PER BLOCK, one
-    // window pass (bounded per-partition sort over m×N compact rows)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("b"))
+                 iters: Int = 3, maxTrain: Int = 1 << 17): Seq[Seq[Seq[Float]]] = {
+    val sample: Array[Array[Float]] = corpus
+      .select(col("vec_id"), col("embedding"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-    val seedRows = blocks.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= ksub).select(col("b"), col("rk"), col("bvec")).collect()
-    val cents: Array[Array[Seq[Float]]] = Array.tabulate(m) { b =>
-      seedRows.filter(_.getInt(0) == b).sortBy(_.getInt(1))
-        .map((r: Row) => r.getSeq[Float](2)).toArray
+      .limit(maxTrain)
+      .collect().map(_.getSeq[Float](1).toArray)
+    require(sample.nonEmpty, "PQ codebook: empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"embedding dim $dim must divide into $m blocks")
+    require(sample.length >= ksub, s"corpus has fewer than ksub=$ksub vectors")
+    val dsub = dim / m
+    // seeds: the ksub lowest-hash vectors' block slices (the sample is
+    // already in hash order — a pseudo-random spread, not correlated ids)
+    val cents: Array[Array[Array[Float]]] = Array.tabulate(m, ksub) { (b, j) =>
+      java.util.Arrays.copyOfRange(sample(j), b * dsub, (b + 1) * dsub)
     }
-    require(cents.forall(_.length == ksub),
-      s"corpus has fewer than ksub=$ksub vectors")
     for (_ <- 1 to iters) {
-      val centLit = typedLit(cents.map(_.toSeq).toSeq) // array<array<array<float>>>
-      val means = blocks
-        .withColumn("cents", element_at(centLit, col("b") + 1))
-        .withColumn("d", expr(
-          """transform(cents, c -> aggregate(
-            |  zip_with(c, bvec, (x, y) -> CAST(x AS DOUBLE) * x - 2.0D * x * y),
-            |  CAST(0.0 AS DOUBLE), (a, v) -> a + v))""".stripMargin))
-        .withColumn("bucket", (expr("array_position(d, array_min(d))") - 1).cast("int"))
-        .select(col("b"), col("bucket"), posexplode(col("bvec")).as(Seq("pos", "v")))
-        .groupBy(col("b"), col("bucket"), col("pos")).agg(avg(col("v")).as("mn"))
-        .collect() // m × ksub × dsub rows — the codebook only
-      means.groupBy(r => (r.getInt(0), r.getInt(1))).foreach { case ((b, j), rows) =>
-        cents(b)(j) = rows.sortBy(_.getInt(2)).map(_.getDouble(3).toFloat).toSeq
-      } // buckets that attracted nothing keep their previous centroid
+      val sums = Array.fill(m, ksub, dsub)(0.0)
+      val counts = Array.fill(m, ksub)(0L)
+      for (x <- sample) {
+        var b = 0
+        while (b < m) {
+          var best = 0; var bestD = Double.MaxValue; var j = 0
+          while (j < ksub) {
+            val c = cents(b)(j); var d = 0.0; var p = 0
+            while (p < dsub) {
+              val cp = c(p).toDouble
+              d += cp * cp - 2.0 * cp * x(b * dsub + p); p += 1
+            }
+            if (d < bestD) { bestD = d; best = j } // strict <: first min wins
+            j += 1
+          }
+          var p = 0
+          while (p < dsub) { sums(b)(best)(p) += x(b * dsub + p); p += 1 }
+          counts(b)(best) += 1L
+          b += 1
+        }
+      }
+      for (b <- 0 until m; j <- 0 until ksub if counts(b)(j) > 0L; p <- 0 until dsub)
+        cents(b)(j)(p) = (sums(b)(j)(p) / counts(b)(j)).toFloat
     }
-    cents.map(_.toSeq).toSeq
+    cents.map(_.map(_.toSeq).toSeq).toSeq
   }
 
   /** Encode each vector as m sub-space centroid indices — m small codes
@@ -265,19 +304,21 @@ object Similarity {
   def pqEncode(corpus: DataFrame,
                codebook: Seq[Seq[Seq[Float]]]): DataFrame = {
     val dsub = codebook.head.head.size
-    var df = corpus.select(col("vec_id"), col("embedding"))
-    codebook.zipWithIndex.foreach { case (cents, b) =>
+    // ONE select, not 2m chained withColumns: each withColumn re-analyzes
+    // the whole plan, and with m·ksub codegen'd dot-product subtrees that
+    // was O(m²·ksub) driver-side analysis per call — over half the warm
+    // runtime of ann_pq. Whole-stage codegen's subexpression elimination
+    // still evaluates each block's distance array once per row even though
+    // argmin references it twice.
+    val codeCols: Seq[Column] = codebook.zipWithIndex.map { case (cents, b) =>
       val blk = slice(col("embedding"), b * dsub + 1, dsub)
       val dists = array(cents.map { c =>
         val cNorm = c.map(v => v.toDouble * v).sum
         lit(cNorm) - lit(2.0) * Functions.dot_product(blk, typedLit(c))
       }: _*)
-      df = df.withColumn(s"__d$b", dists)
-        .withColumn(s"__c$b",
-          (expr(s"array_position(__d$b, array_min(__d$b))") - 1).cast("int"))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
     }
-    df.select(col("vec_id"),
-      array(codebook.indices.map(b => col(s"__c$b")): _*).as("codes"))
+    corpus.select(col("vec_id"), array(codeCols: _*).as("codes"))
   }
 
   /** Reconstruct the approximate vector from PQ codes: concatenate the

@@ -8,6 +8,45 @@ class SimilaritySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("withProbedBuckets: broadcast-join path (k > threshold) matches the driver oracle and the expression path") {
+    // ADVICE r6: autoClusters can reach 2^16, where a per-centroid
+    // expression array explodes planning/per-row cost. Large k now assigns
+    // via a broadcast centroid TABLE + TopKPerKey; this pins that crossing
+    // the threshold changes the plan, not the answer.
+    val rnd = new scala.util.Random(42)
+    val dim = 8
+    def vec(): Seq[Float] = Seq.fill(dim)(rnd.nextFloat() * 2f - 1f)
+    val rows = (0 until 40).map(i => (i.toLong, vec()))
+    val df = rows.toDF("vec_id", "embedding")
+    val centsBig = Seq.fill(Similarity.ExprPathMaxCentroids + 44)(vec()) // join path
+    val centsSmall = centsBig.take(50)                                   // expression path
+    // replicate CosineSimilarity's arithmetic exactly: float multiply,
+    // double accumulate (the codegen'd kernel does `dot += xv * yv` on floats)
+    def cosd(x: Seq[Float], y: Seq[Float]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < dim) {
+        dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1
+      }
+      if (nx == 0.0 || ny == 0.0) 0.0
+      else math.max(-1.0, math.min(1.0, dot / (math.sqrt(nx) * math.sqrt(ny))))
+    }
+    def expect(cents: Seq[Seq[Float]], nProbe: Int): Map[Long, Set[Int]] =
+      rows.map { case (id, v) =>
+        id -> cents.zipWithIndex.map { case (c, b) => (cosd(v, c), b) }
+          .sortBy { case (sc, b) => (-sc, b) }.take(nProbe).map(_._2).toSet
+      }.toMap
+    def got(cents: Seq[Seq[Float]], nProbe: Int): Map[Long, Set[Int]] =
+      Similarity.withProbedBuckets(df, "embedding", "vec_id", cents, nProbe)
+        .select("vec_id", "bucket").collect()
+        .groupBy(_.getLong(0)).map { case (id, rs) => id -> rs.map(_.getInt(1)).toSet }
+    for (nProbe <- Seq(1, 3)) {
+      assert(got(centsBig, nProbe) == expect(centsBig, nProbe),
+        s"join path diverges from oracle at nProbe=$nProbe")
+      assert(got(centsSmall, nProbe) == expect(centsSmall, nProbe),
+        s"expression path diverges from oracle at nProbe=$nProbe")
+    }
+  }
+
   test("brute-force top-k returns neighbors in correct cosine order") {
     val corpus = Seq(
       (10L, Array(1.0f, 0.0f), 0),
