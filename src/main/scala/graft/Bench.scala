@@ -38,7 +38,10 @@ object Bench {
       // snapshots (round-over-round comparisons chased ±40% machine-load
       // drift): re-run twice and report the median of 3 alongside the
       // first-run number, which stays in `queries` for driver parity.
-      val median = if (err.isEmpty && t < 1.0) {
+      // Stateful queries (SparkEntry.statefulBench) are excluded: a rerun
+      // would repeat their side effects and time warm-cache state, so
+      // their `medians` entry is just the first run.
+      val median = if (err.isEmpty && t < 1.0 && !SparkEntry.statefulBench(name)) {
         val ts = (t +: Seq.fill(2)(timeOne(fn)._1)).sorted
         ts(1)
       } else t

@@ -23,6 +23,13 @@ object SparkEntry {
       graft.queries.Federation.queries ++
       graft.llm.LlmQueries.queries
 
+  /** Queries whose fn mutates external state on every call (rewrites a
+    * Derby table, re-CTAS a metastore table, resets catalog confs): Bench
+    * must not re-run them for medians — the reruns re-execute the side
+    * effects and time warm-cache repeats, not engine cost (ADVICE r6). */
+  val statefulBench: Set[String] =
+    Set("jdbc_roundtrip", "jdbc_agg_pushdown", "hive_catalog_nation")
+
   def oracleSql: Map[String, String] =
     graft.queries.Tpch.oracle ++
       graft.queries.TpchVariants.oracle ++
