@@ -24,6 +24,7 @@ object Functions {
   def dequantize_int8(v: Column): Column = col(DequantizeInt8(ex(v)))
   def quantize_int8(v: Column): Column = col(QuantizeInt8(ex(v)))
   def dot_product(a: Column, b: Column): Column = col(DotProduct(ex(a), ex(b)))
+  def pq_adc_dot(codes: Column, lut: Column): Column = col(PqAdcDot(ex(codes), ex(lut)))
   def l2_norm(a: Column): Column = col(L2Norm(ex(a)))
 
   // ---- text fingerprints (LLM extras) ----
@@ -67,6 +68,7 @@ object Functions {
       }, "built-in")
     one("cosine_sim", 2)(es => CosineSimilarity(es(0), es(1)))
     one("dot_product", 2)(es => DotProduct(es(0), es(1)))
+    one("pq_adc_dot", 2)(es => PqAdcDot(es(0), es(1)))
     one("l2_norm", 1)(es => L2Norm(es(0)))
     one("simhash64", 1)(es => SimHash64(es(0)))
     one("minhash", 1)(es => MinHashSignature(es(0), 64, 3))

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -281,4 +282,50 @@ case class L2Norm(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** pq_adc_dot(codes, lut): asymmetric-distance lookup accumulation — the
+  * PQ scoring kernel. `codes` is a vector's m sub-space centroid indices
+  * (array<int>), `lut` an array of m lookup tables (array<array<double>>):
+  * the result is Σ_b lut[b][codes[b]]. With a per-query table of
+  * query·centroid dot products this scores a corpus row in m lookups+adds
+  * instead of a dim-length dot product (Jégou et al. 2011, IEEE TPAMI
+  * "Product quantization for nearest neighbor search", Eq. 13 — ADC);
+  * with the codebook's per-centroid squared norms it reconstructs |x̂|²
+  * from codes alone. Codegen'd: the inner loop is two array reads and an
+  * add inside whole-stage codegen. */
+case class PqAdcDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "pq_adc_dot"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(IntegerType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs (array<int>, array<array<double>>), got ($l, $r)")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData].toIntArray()
+    val lut = b.asInstanceOf[ArrayData]
+    val m = math.min(codes.length, lut.numElements())
+    var s = 0.0; var i = 0
+    while (i < m) { s += lut.getArray(i).getDouble(codes(i)); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val i = ctx.freshName("i"); val m = ctx.freshName("m"); val s = ctx.freshName("s")
+      s"""
+         |int $m = java.lang.Math.min($l.numElements(), $r.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $m; $i++) {
+         |  $s += $r.getArray($i).getDouble($l.getInt($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }

@@ -178,13 +178,13 @@ object Dedup {
     val nc = if (nClusters > 0) nClusters
              else Similarity.autoClusters(corpus.count())
     val centroids = Similarity.kmeansCentroids(corpus, nc, kmeansIters)
-    def sims(vecCol: Column): Column = array(centroids.map(c =>
-      Functions.cosine_sim(vecCol, typedLit(c))): _*)
-    val assigned = corpus
-      .withColumn("s", sims(col("embedding")))
-      .select(col("vec_id"), col("embedding"),
-        (expr("array_position(s, array_max(s))") - 1).cast("int").as("bucket"),
-        expr("array_max(s)").as("centroid_cos"))
+    // assignment switches plan shape on nc (expression array vs broadcast
+    // centroid table + TopKPerKey) — Similarity.withProbedBuckets
+    val assigned = Similarity.withProbedBuckets(
+        corpus.select(col("vec_id"), col("embedding")),
+        "embedding", "vec_id", centroids, nProbe = 1,
+        cosCol = Some("centroid_cos"))
+      .select(col("vec_id"), col("embedding"), col("bucket"), col("centroid_cos"))
       // materialize once (eager, lineage-truncated, GC'd with the plan):
       // both pair sides, the component vertices, and the final rank join
       // consume this — unmaterialized, each would re-scan the corpus and

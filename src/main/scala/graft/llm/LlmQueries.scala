@@ -93,6 +93,18 @@ object LlmQueries {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** IVF-PQ with ADC scoring (no oracle: k-means + codebook argmins are
+    * engine-specific floats; ADC ≡ reconstruction equality and recall vs
+    * brute force are pinned in SimilaritySpec). The corpus crosses the
+    * bucket join as (bucket, 8 codes, |x̂|²) — no fp32 vectors — and each
+    * candidate scores in m lookups via the codegen'd pq_adc_dot kernel. */
+  val annIvfPq: QueryFn = (s, dir) => {
+    val e = Tables.ensure(s, dir).embeddings
+    Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 5), k = 10,
+      nClusters = 16, nProbe = 4, m = 8, ksub = 32)
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   /** IVF bucket-restricted ANN identity under an oracle (adjacent-rank
     * gaps ≥1.6e-4 on the fixture — see annTopkIds). */
   val annIvfIds: QueryFn = (s, dir) => {
@@ -290,6 +302,32 @@ object LlmQueries {
       FROM documents)
     SELECT doc_id, lang FROM r
     WHERE (rn - 1) % (CASE WHEN lang = 'en' THEN 3 ELSE 7 END) = 0
+    ORDER BY doc_id"""
+
+  /** Temperature-weighted source mixing (α=0.5, the multilingual-BERT/mT5
+    * convention): per-source targets t_s ∝ √n_s scaled to a 2500-row
+    * budget, members picked by exact integer systematic selection — the
+    * whole mix is a pure function of the source counts, so DuckDB
+    * reproduces it row-for-row (IEEE sqrt is correctly rounded; the
+    * survival test is a decimal/hugeint modulo). */
+  val mixTemperature: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents
+    Mixing.temperatureMix(docs, "source", "doc_id", totalOut = 2500, alpha = 0.5)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+  val mixTemperatureSql: String = """
+    WITH stats AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    tot AS (SELECT sum(sqrt(n) ORDER BY source) AS sw FROM stats),
+    tgt AS (SELECT source, n,
+                   LEAST(n, GREATEST(1, CAST(round(2500 * sqrt(n) / sw) AS BIGINT))) AS t
+            FROM stats, tot),
+    ranked AS (SELECT doc_id, source,
+                      row_number() OVER (PARTITION BY source ORDER BY doc_id) AS r
+               FROM documents)
+    SELECT k.doc_id, k.source
+    FROM ranked k JOIN tgt g USING (source)
+    WHERE (CAST(k.r AS HUGEINT) * g.t) % g.n < g.t
     ORDER BY doc_id"""
 
   /** End-to-end corpus curation — the composed pipeline a pre-training
@@ -758,6 +796,7 @@ object LlmQueries {
     "text_fingerprint" -> textFingerprint,
     "text_langid" -> textLangid,
     "sample_stratified" -> sampleStratified,
+    "mix_temperature" -> mixTemperature,
     "corpus_curation" -> corpusCuration,
     "decontaminate" -> decontaminate,
     "pack_sequences" -> packSequences,
@@ -774,6 +813,7 @@ object LlmQueries {
     "dedup_incremental" -> dedupIncremental,
     "semdedup_keep" -> semdedupKeep,
     "ann_quantized_ids" -> annQuantizedIds,
+    "ann_ivf_pq" -> annIvfPq,
     "text_charclass" -> textCharclass,
     "multimodal_features" -> multimodalFeatures)
 
@@ -786,6 +826,7 @@ object LlmQueries {
     "text_fingerprint" -> textFingerprintSql,
     "text_langid" -> textLangidSql,
     "sample_stratified" -> sampleStratifiedSql,
+    "mix_temperature" -> mixTemperatureSql,
     "corpus_curation" -> corpusCurationSql,
     "ann_topk_ids" -> annTopkIdsSql,
     "ann_ivf_ids" -> annIvfIdsSql,

@@ -37,6 +37,55 @@ object Mixing {
       .drop("__g_rn")
   }
 
+  /** Temperature-weighted source mixing — the standard multilingual /
+    * multi-source LLM reweighting (sample source s with probability
+    * ∝ n_s^α, α<1 flattens the distribution so big sources stop drowning
+    * small ones; α=0.5 is the multilingual-BERT/mT5 convention).
+    * Deterministic re-expression: per-source TARGET COUNTS are computed
+    * from the exact source counts (t_s = clamp(round(totalOut·w_s), 1,
+    * n_s), w_s = n_s^α / Σ n^α, sources summed in ascending order), then
+    * exactly t_s of the n_s rows are kept by integer systematic selection
+    * — row ranked r (1-based by `idCol`) survives iff
+    * ⌊r·t/n⌋ > ⌊(r−1)·t/n⌋, which picks an evenly-spaced t-of-n subset.
+    * Membership is a pure integer function of (rank, t, n): no RNG, no
+    * float boundary, any engine reproduces it row-for-row (α=0.5 keeps
+    * even the weights engine-portable — IEEE sqrt is correctly rounded;
+    * arbitrary pow may differ by ulps across libm implementations).
+    *
+    * Scale: one tiny groupBy-count (collected — #sources rows), then one
+    * window rank per source + a codegen'd integer filter. The count pass
+    * and the rank window shuffle on the same source key. */
+  def temperatureMix(df: DataFrame, sourceCol: String, idCol: String,
+                     totalOut: Long, alpha: Double = 0.5): DataFrame = {
+    require(totalOut > 0 && alpha > 0)
+    val counts: Seq[(String, Long)] = df.groupBy(col(sourceCol)).count()
+      .collect().map(r => (r.get(0).toString, r.getLong(1))).toSeq.sortBy(_._1)
+    val ws = counts.map { case (_, n) =>
+      if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
+    }
+    val sumW = ws.sum // fixed ascending-source order — reproducible
+    val targets: Seq[(String, Long, Long)] = counts.zip(ws).map { case ((s, n), w) =>
+      (s, n, math.min(n, math.max(1L, math.round(totalOut * w / sumW))))
+    }
+    val tCol = targets.foldLeft(lit(0L)) { case (els, (s, _, t)) =>
+      when(col(sourceCol) === s, lit(t)).otherwise(els)
+    }
+    val nCol = targets.foldLeft(lit(1L)) { case (els, (s, n, _)) =>
+      when(col(sourceCol) === s, lit(n)).otherwise(els)
+    }
+    val rn = row_number().over(
+      Window.partitionBy(col(sourceCol)).orderBy(col(idCol))).cast("long")
+    // ⌊r·t/n⌋ increments exactly when (r·t) mod n < t (Bresenham), so the
+    // survival test is a single exact modulo — computed in decimal(38,0)
+    // (19+19-digit product) so r·t cannot overflow at any corpus size
+    val rD = col("__r").cast("decimal(19,0)")
+    val tD = col("__t").cast("decimal(19,0)")
+    val nD = col("__n").cast("decimal(19,0)")
+    df.withColumn("__t", tCol).withColumn("__n", nCol).withColumn("__r", rn)
+      .filter((rD * tD) % nD < tD)
+      .drop("__t", "__n", "__r")
+  }
+
   /** Stable train/val/test assignment by content-independent hash: bucket
     * a row id into 256 md5 buckets (first hex byte of md5) and carve the
     * bucket space by cumulative fraction. Assignment is a pure per-row

@@ -99,19 +99,24 @@ object Similarity {
 
   /** Add an exploded `bucket` column: each row's `nProbe` nearest centroids
     * by cosine, ties broken toward the lower bucket id (both paths agree,
-    * so crossing the threshold changes the plan, not the answer). */
+    * so crossing the threshold changes the plan, not the answer).
+    * `cosCol` (nProbe == 1 only) additionally exposes the winning cosine —
+    * SemDeDup ranks group survivors by centroid proximity. */
   private[llm] def withProbedBuckets(df: DataFrame, vecCol: String, idCol: String,
-                                     centroids: Seq[Seq[Float]], nProbe: Int): DataFrame = {
+                                     centroids: Seq[Seq[Float]], nProbe: Int,
+                                     cosCol: Option[String] = None): DataFrame = {
     val k = centroids.size
     require(nProbe >= 1 && nProbe <= k)
+    require(cosCol.isEmpty || nProbe == 1, "cosCol only meaningful for nProbe=1")
     if (k <= ExprPathMaxCentroids) {
       val sims = array(centroids.map(c =>
         Functions.cosine_sim(col(vecCol), typedLit(c))): _*)
       val probed =
-        if (nProbe == 1)
-          df.withColumn("__s", sims).withColumn("bucket",
+        if (nProbe == 1) {
+          val assigned = df.withColumn("__s", sims).withColumn("bucket",
             (expr("array_position(__s, array_max(__s))") - 1).cast("int"))
-        else
+          cosCol.fold(assigned)(c => assigned.withColumn(c, expr("array_max(__s)")))
+        } else
           df.withColumn("__s", sims).withColumn("bucket",
             explode(expr(
               s"""slice(transform(array_sort(zip_with(__s, sequence(0, ${k - 1}),
@@ -126,39 +131,64 @@ object Similarity {
         .map { case (c, i) => (i, c) }.toDF("bucket", "__cvec")
       val scored = df.crossJoin(broadcast(cent))
         .withColumn("__cos", Functions.cosine_sim(col(vecCol), col("__cvec")))
-      graft.plans.TopKPerKey(scored, col(idCol), col("__cos"), col("bucket"), nProbe)
-        .drop("__cvec", "__cos")
+      val top = graft.plans.TopKPerKey(scored, col(idCol), col("__cos"), col("bucket"), nProbe)
+        .drop("__cvec")
+      cosCol.fold(top.drop("__cos"))(c => top.withColumnRenamed("__cos", c))
     }
   }
 
+  /** Spherical k-means (Lloyd) trained on a deterministic hash-spread
+    * SAMPLE of `maxTrain` vectors fetched in ONE job (TakeOrderedAndProject:
+    * bounded per-partition heaps + driver merge; hash order makes seeds a
+    * pseudo-random spread, not correlated low ids), with the iterations
+    * running driver-side over local arrays — the coarse quantizer needs
+    * ~10⁵ vectors, not the corpus. The previous distributed trainer paid
+    * iters× (assignment + shuffle + collect) stage waves of fixed
+    * scheduling cost at ANY corpus size (the ann_pq lesson, VERDICT r6);
+    * only the corpus ASSIGNMENT afterward must scale, and that stays
+    * distributed in the callers via [[withProbedBuckets]]. Assignment by
+    * max cosine (first max wins — same tie rule as the expression path's
+    * array_position), update = per-dimension mean, empty cluster keeps its
+    * centroid. */
   private[llm] def kmeansCentroids(corpus: DataFrame, nClusters: Int,
-                                   iters: Int): Seq[Seq[Float]] = {
-    import org.apache.spark.sql.Row
-    // Deterministic hash-spread seed pick: orderBy+limit plans as
-    // TakeOrderedAndProject (per-partition bounded heap + driver merge of
-    // k rows — no full sort/shuffle), and ordering by xxhash64 instead of
-    // raw vec_id makes the seeds a pseudo-random spread rather than the k
-    // lowest ids (which are often correlated rows: same source, same day).
-    var centroids: Seq[Seq[Float]] = corpus
+                                   iters: Int, maxTrain: Int = 1 << 17): Seq[Seq[Float]] = {
+    val sample: Array[Array[Float]] = corpus
       .select(col("vec_id"), col("embedding"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(nClusters).collect()
-      .map((r: Row) => r.getSeq[Float](1)).toSeq
-    for (_ <- 1 to iters) {
-      val means = withProbedBuckets(corpus.select(col("vec_id"), col("embedding")),
-          "embedding", "vec_id", centroids, nProbe = 1)
-        .select(col("bucket"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("bucket"), col("pos")).agg(avg(col("v")).as("m"))
-        .collect() // nClusters × dim rows — centroid matrix only
-        .groupBy(_.getInt(0))
-      centroids = centroids.indices.map { b =>
-        means.get(b) match {
-          case Some(rows) => rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
-          case None       => centroids(b) // empty cluster keeps its seed
-        }
-      }
+      .limit(math.max(nClusters, maxTrain))
+      .collect().map(_.getSeq[Float](1).toArray)
+    require(sample.nonEmpty, "k-means: empty corpus")
+    val dim = sample.head.length
+    val k = math.min(nClusters, sample.length)
+    val cents: Array[Array[Float]] = Array.tabulate(k)(j => sample(j).clone())
+    // same float-multiply / double-accumulate arithmetic as the codegen'd
+    // CosineSimilarity kernel, so driver training and distributed
+    // assignment rank identically
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < dim) { dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
+      if (nx == 0.0 || ny == 0.0) 0.0
+      else math.max(-1.0, math.min(1.0, dot / (math.sqrt(nx) * math.sqrt(ny))))
     }
-    centroids
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k, dim)(0.0)
+      val counts = Array.fill(k)(0L)
+      for (x <- sample) {
+        var best = 0; var bestS = Double.NegativeInfinity; var j = 0
+        while (j < k) {
+          val s = cos(x, cents(j))
+          if (s > bestS) { bestS = s; best = j } // strict >: first max wins
+          j += 1
+        }
+        var p = 0
+        while (p < dim) { sums(best)(p) += x(p); p += 1 }
+        counts(best) += 1L
+      }
+      for (j <- 0 until k if counts(j) > 0L; p <- 0 until dim)
+        cents(j)(p) = (sums(j)(p) / counts(j)).toFloat
+      // empty clusters keep their previous centroid
+    }
+    cents.map(_.toSeq).toSeq
   }
 
   /** IVF with k-means coarse quantizer: corpus vectors go to their nearest
@@ -301,25 +331,28 @@ object Similarity {
     * corpus-residency cut; the compression step of IVF-PQ, the standard
     * billion-scale ANN layout). Pure projection over broadcast codebook
     * literals — no shuffle, deterministic. */
-  def pqEncode(corpus: DataFrame,
-               codebook: Seq[Seq[Seq[Float]]]): DataFrame = {
+  /** The m PQ code columns as ONE array expression, not 2m chained
+    * withColumns: each withColumn re-analyzes the whole plan, and with
+    * m·ksub codegen'd dot-product subtrees that was O(m²·ksub) driver-side
+    * analysis per call — over half the warm runtime of ann_pq. Whole-stage
+    * codegen's subexpression elimination still evaluates each block's
+    * distance array once per row even though argmin references it twice. */
+  private[llm] def pqCodesCol(vecCol: Column,
+                              codebook: Seq[Seq[Seq[Float]]]): Column = {
     val dsub = codebook.head.head.size
-    // ONE select, not 2m chained withColumns: each withColumn re-analyzes
-    // the whole plan, and with m·ksub codegen'd dot-product subtrees that
-    // was O(m²·ksub) driver-side analysis per call — over half the warm
-    // runtime of ann_pq. Whole-stage codegen's subexpression elimination
-    // still evaluates each block's distance array once per row even though
-    // argmin references it twice.
-    val codeCols: Seq[Column] = codebook.zipWithIndex.map { case (cents, b) =>
-      val blk = slice(col("embedding"), b * dsub + 1, dsub)
+    array(codebook.zipWithIndex.map { case (cents, b) =>
+      val blk = slice(vecCol, b * dsub + 1, dsub)
       val dists = array(cents.map { c =>
         val cNorm = c.map(v => v.toDouble * v).sum
         lit(cNorm) - lit(2.0) * Functions.dot_product(blk, typedLit(c))
       }: _*)
       (array_position(dists, array_min(dists)) - 1).cast("int")
-    }
-    corpus.select(col("vec_id"), array(codeCols: _*).as("codes"))
+    }: _*)
   }
+
+  def pqEncode(corpus: DataFrame,
+               codebook: Seq[Seq[Seq[Float]]]): DataFrame =
+    corpus.select(col("vec_id"), pqCodesCol(col("embedding"), codebook).as("codes"))
 
   /** Reconstruct the approximate vector from PQ codes: concatenate the
     * indexed centroid of each block (codebook rides along as a literal). */
@@ -333,6 +366,56 @@ object Similarity {
     * projection, broadcast the raw query batch, one corpus pass, bounded
     * per-key heaps. Recall vs brute force is asserted in SimilaritySpec
     * (approximation falsifiable, not just non-empty). */
+  /** IVF-PQ with ADC scoring — the billion-scale ANN layout end to end
+    * (Jégou et al. 2011; the FAISS IVFPQ index): a k-means coarse
+    * quantizer restricts each query to its nProbe buckets, the corpus
+    * resides as (bucket, m int8-scale codes, |x̂|²) — NO fp32 vectors cross
+    * the join — and each (query, candidate) pair scores in m table
+    * lookups + adds via the codegen'd [[graft.functions.Functions.pq_adc_dot]]
+    * kernel against a per-query lookup table of query·centroid dot
+    * products (computed ONCE per query: m·ksub small dot products).
+    * Cosine needs norms: |x̂|² reconstructs from the codes against the
+    * codebook's per-centroid squared-norm table with the SAME kernel;
+    * |q| is one self-dot on the broadcast side.
+    *
+    * At 100 TB: corpus residency shrinks dim·4 → m bytes (64× at dim=64,
+    * m=8 after the coarse bucket column), the join is bucket-local, and
+    * per-candidate work drops from a dim-length dot product to m adds —
+    * the three levers that make exhaustive re-ranking affordable. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                nClusters: Int = 0, nProbe: Int = 2, m: Int = 4,
+                ksub: Int = 16, iters: Int = 3): DataFrame = {
+    val nc = if (nClusters > 0) nClusters else autoClusters(corpus.count())
+    val coarse = kmeansCentroids(corpus, nc, iters)
+    val cb = pqCodebook(corpus, m, ksub, iters)
+    val dsub = cb.head.head.size
+    // |centroid|² table: array<array<double>>, m × ksub, a literal
+    val normLut = typedLit(cb.map(_.map(_.map(v => v.toDouble * v).sum)))
+    val c = withProbedBuckets(corpus.select(col("vec_id"), col("embedding")),
+        "embedding", "vec_id", coarse, nProbe = 1)
+      .select(col("vec_id").as("c_id"), col("bucket"),
+        pqCodesCol(col("embedding"), cb).as("codes"))
+      .withColumn("xnormsq", Functions.pq_adc_dot(col("codes"), normLut))
+    // per-query LUT: lut[b][j] = q_block_b · cent_b[j]
+    val lutCol = array((0 until m).map { b =>
+      val blk = slice(col("embedding"), b * dsub + 1, dsub)
+      array(cb(b).map(cent => Functions.dot_product(blk, typedLit(cent))): _*)
+    }: _*)
+    val q = withProbedBuckets(queries.select(col("vec_id"), col("embedding")),
+        "embedding", "vec_id", coarse, nProbe)
+      .select(col("vec_id").as("q_id"), col("bucket"), lutCol.as("lut"),
+        sqrt(Functions.dot_product(col("embedding"), col("embedding"))).as("qnorm"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos",
+        when(col("qnorm") === 0.0 || col("xnormsq") <= 0.0, 0.0)
+          .otherwise(Functions.pq_adc_dot(col("codes"), col("lut")) /
+            (col("qnorm") * sqrt(col("xnormsq")))))
+      .select(col("q_id"), col("c_id"), col("cos"))
+      .dropDuplicates("q_id", "c_id") // a pair can meet in ≤ nProbe buckets
+    rankTopK(scored, k)
+  }
+
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
              m: Int = 4, ksub: Int = 16, iters: Int = 3): DataFrame = {
     val cb = pqCodebook(corpus, m, ksub, iters)

@@ -44,4 +44,26 @@ class MixingSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSeq
     assert(c != a)
   }
+
+  test("temperatureMix: sqrt-weighted targets hit exactly, evenly spaced, deterministic") {
+    import spark.implicits._
+    // sources A:100, B:25, C:4 -> sqrt weights 10/5/2, sum 17; budget 34
+    // -> targets 20/10/4 (C clamped to its size)
+    val rows = (1 to 100).map(i => (i.toLong, "A")) ++
+      (101 to 125).map(i => (i.toLong, "B")) ++ (126 to 129).map(i => (i.toLong, "C"))
+    val df = rows.toDF("doc_id", "source")
+    val kept = Mixing.temperatureMix(df, "source", "doc_id", totalOut = 34)
+      .select("doc_id", "source").as[(Long, String)].collect().sortBy(_._1)
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc == Map("A" -> 20, "B" -> 10, "C" -> 4), s"targets off: $bySrc")
+    // systematic selection spreads evenly: consecutive kept ranks in A are
+    // exactly 5 apart (100/20), and ALL of C survives
+    val aIds = kept.filter(_._2 == "A").map(_._1)
+    assert(aIds.sliding(2).forall(p => p(1) - p(0) == 5L), aIds.mkString(","))
+    assert(kept.filter(_._2 == "C").map(_._1).toSeq == Seq(126L, 127L, 128L, 129L))
+    // pure function of the data: a rerun yields the identical mix
+    val again = Mixing.temperatureMix(df, "source", "doc_id", totalOut = 34)
+      .select("doc_id", "source").as[(Long, String)].collect().sortBy(_._1)
+    assert(kept.toSeq == again.toSeq)
+  }
 }

@@ -157,6 +157,59 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.25, s"mean recall@$k $mean below floor; per-query $recalls")
   }
 
+  test("IVF-PQ ADC: lookup scoring equals reconstructed-vector scoring") {
+    // pq_adc_dot against a per-query LUT must reproduce dot(q, reconstruct
+    // (codes)) — same products, only the summation association differs
+    // (per-block partials vs one pass), so agreement is ~1e-15 relative
+    val e = graft.engine.Tables(spark, graft.TestSpark.sf).embeddings
+    val (m, ksub, dsub) = (8, 32, 8)
+    val cb = Similarity.pqCodebook(e, m, ksub, iters = 2)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
+    val lut: Seq[Seq[Double]] = (0 until m).map { b =>
+      cb(b).map { cent =>
+        var d = 0.0; var i = 0
+        // double product of floats — same as the DotProduct kernel
+        while (i < dsub) { d += q(b * dsub + i).toDouble * cent(i); i += 1 }
+        d
+      }
+    }
+    val enc = Similarity.pqEncode(e, cb)
+    val viaAdc = enc.select(col("vec_id"),
+        graft.functions.Functions.pq_adc_dot(col("codes"), typedLit(lut)).as("adc"))
+      .as[(Long, Double)].collect().toMap
+    val viaRecon = enc.select(col("vec_id"),
+        graft.functions.Functions.dot_product(typedLit(q),
+          Similarity.pqReconstruct(col("codes"), cb)).as("d"))
+      .as[(Long, Double)].collect().toMap
+    assert(viaAdc.keySet == viaRecon.keySet)
+    viaAdc.foreach { case (id, a) =>
+      val r = viaRecon(id)
+      assert(math.abs(a - r) <= 1e-9 * math.max(1.0, math.abs(r)),
+        s"vec $id: adc=$a recon=$r")
+    }
+  }
+
+  test("IVF-PQ ADC recall@10 vs brute force is numerically bounded") {
+    val e = graft.engine.Tables(spark, graft.TestSpark.sf).embeddings
+    val qs = e.filter(col("vec_id") < 10)
+    val k = 10
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("q_id", "c_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val bf = topSets(Similarity.bruteForceTopK(e, qs, k))
+    val ivfpq = topSets(Similarity.ivfPqTopK(e, qs, k,
+      nClusters = 16, nProbe = 4, m = 8, ksub = 32, iters = 3))
+    val recalls = bf.keys.toSeq.map { q =>
+      ivfpq.getOrElse(q, Set.empty).intersect(bf(q)).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.size
+    info(s"IVF-PQ (16 clusters, nProbe=4, m=8, ksub=32) recall@$k: mean=$mean")
+    // bucket restriction + PQ approximation both cost recall on
+    // near-random fixture vectors; the floor pins it is a real ANN,
+    // not noise
+    assert(mean >= 0.2, s"mean recall@$k $mean below floor; per-query $recalls")
+  }
+
   test("quantized ANN recall@10 vs full precision is near-exact") {
     // int8 reconstruction perturbs each component by <= scale/2; on the
     // fixture that flips almost no neighbor memberships
