@@ -944,6 +944,67 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       sortCols = cols)
   }
 
+  /** Multi-column Z-order clustering compaction (the Delta OPTIMIZE
+    * ZORDER BY / Iceberg sort-order analog; reference: sort-optimized
+    * reflection layouts). Each cluster column is normalized to a
+    * `bits`-wide bucket — linear min→max scaling for numeric/date/
+    * timestamp columns (one stats pass over the table), hash-spread for
+    * other types (clusters equal values, so equality predicates still
+    * prune) — the buckets' bits are interleaved into one Z-value, and the
+    * rewrite range-partitions + sorts by it. Unlike [[compactSorted]]
+    * (lexicographic — only the LEADING column's per-file range stays
+    * narrow), Z-order keeps every cluster column's per-file min/max span
+    * a small fraction of its domain, so manifest pruning serves
+    * predicates on ANY clustered column. Stats on the cluster columns are
+    * (re)recorded with the rewrite, so pruning improves immediately. */
+  def compactZorder(cols: Seq[String], numFiles: Int = 1): Long = {
+    require(cols.size >= 2,
+      "Z-order needs at least two cluster columns (one column: compactSorted)")
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    copyOnWrite(df => {
+      val n = cols.size
+      val bits = math.min(16, 63 / n)
+      val maxB = (1L << bits) - 1
+      val fields = cols.map { c =>
+        df.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(s"Z-order: no such column '$c'"))
+      }
+      def linearize(f: StructField): Option[org.apache.spark.sql.Column] =
+        f.dataType match {
+          case _: NumericType => Some(col(f.name).cast("double"))
+          case DateType => Some(unix_date(col(f.name)).cast("double"))
+          case TimestampType | TimestampNTZType =>
+            Some(unix_micros(col(f.name).cast("timestamp")).cast("double"))
+          case _ => None
+        }
+      // one aggregation pass collects min/max for every linearizable column
+      val statAggs = fields.flatMap(f => linearize(f).toSeq.flatMap(e => Seq(min(e), max(e))))
+      val statRow = if (statAggs.nonEmpty) df.agg(statAggs.head, statAggs.tail: _*).head() else null
+      var si = 0
+      val buckets = fields.map { f =>
+        linearize(f) match {
+          case Some(e) =>
+            val (mn, mx) =
+              (if (statRow.isNullAt(si)) 0.0 else statRow.getDouble(si),
+               if (statRow.isNullAt(si + 1)) 0.0 else statRow.getDouble(si + 1))
+            si += 2
+            if (mx <= mn) lit(0L)
+            else least(lit(maxB), greatest(lit(0L),
+              floor((e - lit(mn)) / lit(mx - mn) * lit(maxB.toDouble))))
+          case None => pmod(xxhash64(col(f.name)), lit(maxB + 1))
+        }
+      }.map(b => coalesce(b, lit(0L))) // NULLs cluster at the low corner
+      val z = (0 until bits).flatMap(bit => buckets.zipWithIndex.map { case (b, ci) =>
+        shiftleft(shiftright(b, bit).bitwiseAND(lit(1L)), bit * n + ci)
+      }).reduce(_.bitwiseOR(_))
+      df.withColumn("__z", z)
+        .repartitionByRange(math.max(1, numFiles), col("__z"))
+        .sortWithinPartitions(col("__z"))
+        .drop("__z")
+    }, extraStatsCols = cols, sortCols = cols)
+  }
+
   /** Remove data files referenced by NO retained snapshot (the last
     * `retainLast` versions). Time travel to expired versions stops working
     * — same contract as Iceberg's expire_snapshots. Files younger than

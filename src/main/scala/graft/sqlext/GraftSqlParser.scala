@@ -109,10 +109,10 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
       case CreateLakeViewRe(name, dir, version, asOfTs) =>
         CreateLakeViewCommand(name, dir, Option(version).map(_.toLong),
           Option(asOfTs).map(parseTsMillis))
-      case OptimizeLakeRe(dir, orderBy, nFiles) =>
-        OptimizeLakeCommand(dir,
-          Option(orderBy).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-            .getOrElse(Nil),
+      case OptimizeLakeRe(dir, zorderBy, orderBy, nFiles) =>
+        def cols(s: String): Seq[String] =
+          Option(s).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+        OptimizeLakeCommand(dir, cols(orderBy), cols(zorderBy),
           Option(nFiles).map(_.toInt).getOrElse(1))
       case CreateRefRe(refType, name, dir, version) =>
         CreateRefCommand(refType.toLowerCase, name, dir, Option(version).map(_.toLong))
@@ -208,6 +208,7 @@ object GraftSqlParser {
       """(?:\s+STATS\s+\(([^)]*)\))?\s+AS\s+(.+?)\s*;?""").r
   private val OptimizeLakeRe =
     ("""(?is)OPTIMIZE\s+LAKE\s+'([^']+)'""" +
+      """(?:\s+ZORDER\s+BY\s+\(([^)]*)\))?""" +
       """(?:\s+ORDER\s+BY\s+([\w\s,.]+?))?(?:\s+INTO\s+(\d+)\s+FILES)?\s*;?""").r
 
   /** `TIMESTAMP AS OF` accepts epoch millis or an ISO date/datetime
@@ -568,15 +569,23 @@ object GraftSqlParser {
   }
 
   /** OPTIMIZE LAKE: compaction as one conflict-checked overwrite commit —
-    * plain rewrite into N files, or range-clustered + sorted when ORDER BY
-    * is given (Iceberg rewrite_data_files with sort order; stats on the
-    * sort columns start being recorded so pruning improves afterwards). */
-  case class OptimizeLakeCommand(dir: String, orderBy: Seq[String], nFiles: Int)
+    * plain rewrite into N files, range-clustered + sorted when ORDER BY is
+    * given (Iceberg rewrite_data_files with sort order), or Z-order
+    * clustered when ZORDER BY (a, b, ...) is given (multi-dimensional
+    * locality — every clustered column prunes). Stats on the cluster
+    * columns start being recorded so pruning improves afterwards. */
+  case class OptimizeLakeCommand(dir: String, orderBy: Seq[String],
+                                 zorderBy: Seq[String], nFiles: Int)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("version", "n_files")
     override def run(spark: SparkSession): Seq[Row] = {
+      require(orderBy.isEmpty || zorderBy.isEmpty,
+        "OPTIMIZE LAKE takes ORDER BY or ZORDER BY, not both")
       val t = graft.sources.SnapshotTable.forPath(spark, dir)
-      val v = if (orderBy.isEmpty) t.compact(nFiles) else t.compactSorted(orderBy, nFiles)
+      val v =
+        if (zorderBy.nonEmpty) t.compactZorder(zorderBy, nFiles)
+        else if (orderBy.nonEmpty) t.compactSorted(orderBy, nFiles)
+        else t.compact(nFiles)
       Seq(Row(v.toString, nFiles.toString))
     }
   }

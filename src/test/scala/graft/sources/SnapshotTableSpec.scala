@@ -869,4 +869,39 @@ class SnapshotTableSpec extends AnyFunSuite {
     // the out-of-order v2 timestamp hid v2 from takeWhile log replay
     assert(t.asOfTimestamp(future).count() == 2L)
   }
+
+  test("OPTIMIZE ZORDER BY: every clustered column prunes; lexicographic sort only the first") {
+    import org.apache.spark.sql.functions.col
+    val dir = fresh("lake_zorder")
+    val dirLex = fresh("lake_lex")
+    // 64x64 grid hash-scattered over 16 files: every file spans the full
+    // (x, y) domain, so nothing can prune before clustering
+    val grid = spark.range(0, 4096).select(
+      (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"),
+      col("id").as("payload")).repartition(16)
+    SnapshotTable.create(spark, dir, grid.toDF())
+    SnapshotTable.create(spark, dirLex, grid.toDF())
+    val before = SnapshotTable.forPath(spark, dir).read()
+      .orderBy("payload").collect().toSeq
+
+    spark.sql(s"OPTIMIZE LAKE '$dir' ZORDER BY (x, y) INTO 16 FILES")
+    SnapshotTable.forPath(spark, dirLex).compactSorted(Seq("x", "y"), numFiles = 16)
+
+    // the rewrite is a pure re-layout: identical rows
+    val after = SnapshotTable.forPath(spark, dir).read()
+      .orderBy("payload").collect().toSeq
+    assert(after == before, "Z-order rewrite changed the data")
+
+    // Z-order: BOTH clustered columns prune (each file covers ~a quadrant)
+    val zx = filesRead(SnapshotTable.forPath(spark, dir).read().filter(col("x") < 8))
+    val zy = filesRead(SnapshotTable.forPath(spark, dir).read().filter(col("y") < 8))
+    assert(zx <= 8, s"x predicate read $zx of 16 z-ordered files")
+    assert(zy <= 8, s"y predicate read $zy of 16 z-ordered files")
+    // lexicographic (x, y) sort: x prunes, but every file spans the full
+    // y domain — the second column cannot prune (the gap Z-order closes)
+    val lx = filesRead(SnapshotTable.forPath(spark, dirLex).read().filter(col("x") < 8))
+    val ly = filesRead(SnapshotTable.forPath(spark, dirLex).read().filter(col("y") < 8))
+    assert(lx <= 8, s"x predicate read $lx of 16 lexicographically sorted files")
+    assert(zy < ly, s"Z-order y pruning ($zy) not better than lexicographic ($ly)")
+  }
 }
