@@ -482,6 +482,27 @@ object Relational {
           FROM orders) x
     WHERE rn <= 3 ORDER BY o_custkey, rn"""
 
+  /** QUALIFY clause (graft parser rewrite; Dremio/Snowflake/DuckDB
+    * syntax Spark lacks): filter on a window over post-grouping rows,
+    * referencing a select-list alias. DuckDB runs QUALIFY natively, so
+    * the oracle is the same clause — the rewrite is proven against a
+    * real QUALIFY implementation, not a hand-translated subquery. */
+  val windowQualify: QueryFn = (s, dir) => {
+    Tables.ensure(s, dir)
+    s.sql("""
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders QUALIFY rk <= 5
+      ORDER BY o_orderpriority, rk""")
+  }
+  val windowQualifySql: String = """
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rk
+    FROM orders QUALIFY rk <= 5
+    ORDER BY o_orderpriority, rk"""
+
   /** LEAD/LAG/FIRST_VALUE/LAST_VALUE/NTH_VALUE/NTILE. */
   val windowLeadLag: QueryFn = (s, dir) => {
     val t = Tables.ensure(s, dir)
@@ -907,6 +928,7 @@ object Relational {
     "window_ranking" -> windowRanking,
     "window_ntile" -> windowNtile,
     "window_topn_per_group" -> windowTopnPerGroup,
+    "window_qualify" -> windowQualify,
     "window_lead_lag" -> windowLeadLag,
     "window_rows_frame" -> windowRowsFrame,
     "window_range_frame" -> windowRangeFrame,
@@ -953,6 +975,7 @@ object Relational {
     "window_ranking" -> windowRankingSql,
     "window_ntile" -> windowNtileSql,
     "window_topn_per_group" -> windowTopnPerGroupSql,
+    "window_qualify" -> windowQualifySql,
     "window_lead_lag" -> windowLeadLagSql,
     "window_rows_frame" -> windowRowsFrameSql,
     "window_range_frame" -> windowRangeFrameSql,

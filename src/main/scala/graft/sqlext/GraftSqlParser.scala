@@ -149,6 +149,37 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
       case CopyIntoRe(target, src, fmt, ddl, onError) =>
         CopyIntoCommand(target, src, fmt.toLowerCase,
           ddl, Option(onError).map(_.toLowerCase).getOrElse("continue"))
+      case _ if topLevelMatches(t, QualifyKw).nonEmpty =>
+        // QUALIFY <pred>: filter on window expressions after grouping — the
+        // Dremio/Snowflake/DuckDB clause Spark's parser lacks (reference:
+        // QUALIFY in dremio's calcite parser, `parserImpls.ftl`). Pure
+        // text rewrite, planned by Spark itself:
+        //   SELECT <list> FROM <rest> QUALIFY <pred> [ORDER BY ...] [LIMIT n]
+        // → SELECT * EXCEPT (__qualify) FROM
+        //     (SELECT <list>, (<pred>) AS __qualify FROM <rest>) AS __q
+        //   WHERE __qualify [ORDER BY ...] [LIMIT n]
+        // The predicate joins the ORIGINAL select list, so it sees the
+        // FROM clause's columns (QUALIFY's scope — not just the output)
+        // and, via lateral column aliases, the select-list aliases; its
+        // window functions evaluate over the post-grouping rows. Keyword
+        // scans are depth-0 and quote-aware, so subquery QUALIFYs and
+        // string literals never trigger the rewrite. Not supported: a
+        // QUALIFY directly on a top-level set operation (wrap the branch
+        // in a subquery instead).
+        val (qs, qe) = topLevelMatches(t, QualifyKw).last
+        val base = t.substring(0, qs).trim
+        val after = t.substring(qe).trim.stripSuffix(";")
+        val (pred, trailer) = topLevelMatches(after, TrailerKw).headOption.map(_._1) match {
+          case Some(i) => (after.substring(0, i).trim, after.substring(i).trim)
+          case None => (after, "")
+        }
+        require(pred.nonEmpty && base.nonEmpty, "QUALIFY needs a query and a predicate")
+        val fromPos = topLevelMatches(base, FromKw).headOption.map(_._1).getOrElse(
+          throw new IllegalArgumentException("QUALIFY requires a FROM clause"))
+        parsePlan(
+          s"SELECT * EXCEPT (__qualify) FROM (${base.substring(0, fromPos).trim}, " +
+            s"($pred) AS __qualify ${base.substring(fromPos)}) AS __q " +
+            s"WHERE __qualify $trailer")
       case _ => delegate.parsePlan(sqlText)
     }
   }
@@ -271,6 +302,28 @@ object GraftSqlParser {
 
   /** Scan `s` outside quotes/parens, handling backslash escapes inside
     * string literals, invoking `f(i, ch)` at each top-level position. */
+  /** Indices of `s` at paren depth 0 outside string literals. */
+  private def topLevelIndices(s: String): Set[Int] = {
+    val b = Set.newBuilder[Int]
+    scanTopLevel(s) { (i, _) => b += i }
+    b.result()
+  }
+
+  private[sqlext] val QualifyKw = """(?i)\bQUALIFY\b""".r
+  private[sqlext] val TrailerKw = """(?i)\b(ORDER\s+BY|LIMIT)\b""".r
+  private[sqlext] val FromKw = """(?i)\bFROM\b""".r
+
+  /** Top-level (depth-0, unquoted) matches of `re` in `s` as (start, end). */
+  private[sqlext] def topLevelMatches(
+      s: String, re: scala.util.matching.Regex): Seq[(Int, Int)] = {
+    val ms = re.findAllMatchIn(s).toSeq
+    if (ms.isEmpty) Nil // fast path: no depth scan for keyword-free text
+    else {
+      val top = topLevelIndices(s)
+      ms.filter(m => top.contains(m.start)).map(m => (m.start, m.end))
+    }
+  }
+
   private def scanTopLevel(s: String)(f: (Int, Char) => Unit): Unit = {
     var depth = 0; var inQuote = false
     var i = 0

