@@ -1,6 +1,12 @@
 package graft.sqlext
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, LogicalPlan}
+import org.apache.spark.sql.types._
+
+import graft.sources.SnapshotTable
 
 /** Session extension wiring (the Spark-native analog of the reference's
   * pluggable coordinator: grammar extension + planner rules + function
@@ -9,10 +15,82 @@ import org.apache.spark.sql.SparkSessionExtensions
   * `spark.sql.extensions=graft.sqlext.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
     e.injectOptimizerRule(session => new graft.accel.Reflections.Substitute(session))
     e.injectOptimizerRule(session => new graft.plans.CountFromManifest(session))
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    // Lake metadata table functions — the reference's TABLE(table_files(..))
+    // / table_history / table_snapshot family (dremio `TableMacroNames.java`,
+    // `sys."tables"`): FROM-clause functions over the commit log, joinable
+    // like any relation. Metadata is manifest-resident and driver-small, so
+    // each call plans to a LocalRelation with zero data-file reads.
+    e.injectTableFunction((FunctionIdentifier("lake_files"),
+      info("lake_files", "lake_files('<dir>') — live data files of a lake table with manifest stats"),
+      (args: Seq[Expression]) => lakeFiles(args)))
+    e.injectTableFunction((FunctionIdentifier("lake_history"),
+      info("lake_history", "lake_history('<dir>') — commit log of a lake table"),
+      (args: Seq[Expression]) => lakeHistory(args)))
+    e.injectTableFunction((FunctionIdentifier("lake_refs"),
+      info("lake_refs", "lake_refs('<dir>') — branches and tags of a lake table"),
+      (args: Seq[Expression]) => lakeRefs(args)))
+  }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  /** The single literal-string argument of a metadata function. */
+  private def dirArg(fn: String, args: Seq[Expression]): String = args match {
+    case Seq(e) if e.foldable && e.dataType == StringType && e.eval() != null =>
+      e.eval().toString
+    case _ => throw new IllegalArgumentException(
+      s"$fn expects one string literal argument: $fn('<table dir>')")
+  }
+
+  private def attrs(fields: (String, DataType)*): Seq[Attribute] =
+    fields.map { case (n, t) => AttributeReference(n, t, nullable = true)() }
+
+  private def lakeFiles(args: Seq[Expression]): LogicalPlan = {
+    val t = SnapshotTable.forPath(SparkSession.active, dirArg("lake_files", args))
+    val (files, _) = t.snapshotWithStats()
+    val rows = files.map { case (path, st) =>
+      val user = st -- Seq(SnapshotTable.BytesStatKey, SnapshotTable.RowsStatKey)
+      Row(path,
+        st.get(SnapshotTable.BytesStatKey).flatMap(v => v._1.toLongOption).orNull,
+        st.get(SnapshotTable.RowsStatKey).flatMap(v => v._1.toLongOption).orNull,
+        user.map { case (c, mm) => c -> mm._1 },
+        user.map { case (c, mm) => c -> mm._2 })
+    }
+    LocalRelation.fromExternalRows(
+      attrs("file_path" -> StringType, "size_bytes" -> LongType,
+        "row_count" -> LongType,
+        "stats_min" -> MapType(StringType, StringType),
+        "stats_max" -> MapType(StringType, StringType)),
+      rows)
+  }
+
+  private def lakeHistory(args: Seq[Expression]): LogicalPlan = {
+    val t = SnapshotTable.forPath(SparkSession.active, dirArg("lake_history", args))
+    val rows = t.commits.map(c =>
+      Row(c.version, c.action, c.timestampMs, c.files.size, c.tag))
+    LocalRelation.fromExternalRows(
+      attrs("version" -> LongType, "action" -> StringType,
+        "timestamp_ms" -> LongType, "n_files" -> IntegerType,
+        "tag" -> StringType),
+      rows)
+  }
+
+  private def lakeRefs(args: Seq[Expression]): LogicalPlan = {
+    val t = SnapshotTable.forPath(SparkSession.active, dirArg("lake_refs", args))
+    val rows = t.listRefs.map(r => Row(r.name, r.refType, r.baseVersion))
+    LocalRelation.fromExternalRows(
+      attrs("name" -> StringType, "type" -> StringType,
+        "base_version" -> LongType),
+      rows)
   }
 }

@@ -472,4 +472,32 @@ class SqlExtSpec extends AnyFunSuite {
     val literalQ = spark.sql("SELECT 'QUALIFY rk = 1' AS s").head().getString(0)
     assert(literalQ == "QUALIFY rk = 1", "QUALIFY inside a string literal was rewritten")
   }
+
+  test("lake metadata table functions: lake_files / lake_history / lake_refs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tvf").toString + "/t"
+    spark.sql(s"CREATE LAKE '$dir' STATS (id) AS SELECT id, id * 2 AS v FROM range(100)")
+    spark.sql(s"INSERT INTO LAKE '$dir' SELECT id, id * 2 AS v FROM range(100, 150)")
+    spark.sql(s"CREATE BRANCH exp FROM LAKE '$dir'")
+    // files: manifest-resident rows, joinable like any relation
+    val files = spark.sql(s"SELECT * FROM lake_files('$dir')")
+    assert(files.columns.toSeq ==
+      Seq("file_path", "size_bytes", "row_count", "stats_min", "stats_max"))
+    val totalRows = spark.sql(
+      s"SELECT sum(row_count) FROM lake_files('$dir')").head().getLong(0)
+    assert(totalRows == 150L, s"manifest row_count sum $totalRows")
+    // per-file id stats surfaced from the manifest (STATS (id) at CREATE)
+    val minIds = files.select("stats_min").as[Map[String, String]].collect()
+    assert(minIds.forall(_.contains("id")), "id min/max missing from stats")
+    // history: one row per commit, versions ascending
+    val hist = spark.sql(
+      s"SELECT version, action FROM lake_history('$dir') ORDER BY version")
+      .as[(Long, String)].collect().toSeq
+    assert(hist.map(_._1) == Seq(1L, 2L), s"history $hist")
+    // refs: the branch we just created
+    val refs = spark.sql(s"SELECT name, type FROM lake_refs('$dir')")
+      .as[(String, String)].collect().toSeq
+    assert(refs.contains(("exp", "branch")), s"refs $refs")
+    spark.sql(s"DROP BRANCH exp FROM LAKE '$dir'")
+  }
 }
