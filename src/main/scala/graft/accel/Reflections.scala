@@ -3,9 +3,9 @@ package graft.accel
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Expression, ExprId, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, AttributeSeq, BindReferences, Cast, Expression, ExprId, GenericInternalRow, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -237,83 +237,134 @@ object Reflections {
     def split(e: Expression): Seq[Expression] = splitConjunctivePredicates(e)
   }
 
-  /** Attribute-insensitive canonical string of an expression: attributes are
-    * reduced to lowercase name only, so the same expression over a pruned vs
-    * unpruned child compares equal (the reference's normalization step,
-    * `acceleration/normalization/`). */
-  private def nameCanon(e: Expression): String =
+  /** Side-qualified canonical string of an expression: each attribute is
+    * reduced to `<join-tree-path>:<lowercase name>`, where the path is the
+    * attribute's base relation's position in the join tree ("" at the
+    * subtree root, left child appends '0', right child '1'). Two query
+    * shapes with equal relKeys have identical tree positions, so same-named
+    * columns on DIFFERENT sides (both tables carry a 'status') and the two
+    * legs of a SELF-join stay distinguishable — the reference's
+    * normalization step qualifies columns by originating table the same way
+    * (`acceleration/normalization/`). */
+  private def sideCanon(e: Expression, side: Map[ExprId, String]): String =
     e.transform {
       case a: AttributeReference =>
-        AttributeReference(a.name.toLowerCase, a.dataType, a.nullable)(exprId = ExprId(0L), qualifier = Nil)
+        AttributeReference(side.getOrElse(a.exprId, "?") + ":" + a.name.toLowerCase,
+          a.dataType, a.nullable)(exprId = ExprId(0L), qualifier = Nil)
     }.toString
+
+  /** Does `e` filter out rows where ALL its referenced attributes are NULL?
+    * (Catalyst's null-rejection test, cf. EliminateOuterJoin: bind every
+    * reference to an all-null row and see whether the predicate can still
+    * pass.) Gates serving an INNER query from a LEFT-join materialization:
+    * such a residual drops the MV's null-extended rows. */
+  private def filtersOutAllNull(e: Expression): Boolean = {
+    if (!e.deterministic) return false
+    val attrs = e.references.toSeq
+    if (attrs.isEmpty) return false
+    try {
+      val bound = BindReferences.bindReference(e, AttributeSeq(attrs))
+      val v = bound.eval(new GenericInternalRow(attrs.length))
+      v == null || v == java.lang.Boolean.FALSE
+    } catch { case scala.util.control.NonFatal(_) => false }
+  }
 
   /** Structural decomposition of an aggregate's input subtree, ignoring
     * column-pruning projections and attribute ids: the base relation key
-    * (file-source root paths; for joins, a tree of child keys + join type
-    * + condition canon) plus the accumulated Filter conjuncts keyed by
-    * nameCanon (the original expression is kept for residual re-binding).
-    * Conjuncts are hoisted across joins, so the SAME predicate pushed to
-    * different sides in the query vs the reflection still compares equal
-    * — the reference normalizes plans the same way before matching
-    * (`acceleration/normalization/`). None → only exact matching applies
-    * (unknown node in the subtree). */
+    * (file-source root paths; for joins, a tree of join type + child keys
+    * + side-qualified condition canon) plus the accumulated Filter
+    * conjuncts keyed by `<filter-site path>|<sideCanon>` (the original
+    * expression is kept for residual re-binding). Keying conjuncts by side
+    * makes self-joins and shared-name joins sound to match: `o1.x='F'` and
+    * `o2.x='F'` get different keys. The filter SITE is part of the key
+    * because under a LEFT join pre- vs post-join placement of a right-side
+    * predicate changes results; both plans come out of the same optimizer,
+    * so equivalent predicates land at the same site. `strictKeys` marks
+    * conjuncts below the right side of a LEFT join: those cannot be
+    * replayed post-hoc against the materialization (they fire BEFORE
+    * null-extension), so they must be present in both plans or neither.
+    * None → only exact matching applies (unknown node in the subtree). */
   private final case class ScanShape(relKey: String,
                                      conjuncts: Map[String, Expression],
-                                     // lowercase column names of every base
-                                     // relation's FULL schema in this subtree
-                                     // — the cross-side ambiguity authority
-                                     baseNames: Set[String])
+                                     strictKeys: Set[String],
+                                     // base-relation join-tree path per attribute
+                                     attrSide: Map[ExprId, String],
+                                     // for a root-level LEFT join: the relKey
+                                     // this shape would have as INNER — an
+                                     // inner query can be served from a LEFT
+                                     // MV when its residual is null-rejecting
+                                     // on the right side (rows the MV null-
+                                     // extended are exactly those dropped)
+                                     innerizedKey: Option[String],
+                                     // attr = attr equi-conjuncts of every join
+                                     // condition in the subtree: the authority
+                                     // for recognizing optimizer-INFERRED
+                                     // conjuncts (InferFiltersFromConstraints
+                                     // rewrites a predicate through these
+                                     // equalities onto the other side)
+                                     equiPairs: Seq[(AttributeReference, AttributeReference)])
 
-  private def scanShape(plan: LogicalPlan): Option[ScanShape] = plan match {
+  private def scanShape(plan: LogicalPlan): Option[ScanShape] =
+    scanShapeAt(plan, "")
+
+  private def scanShapeAt(plan: LogicalPlan, path: String): Option[ScanShape] = plan match {
     case Project(exprs, child) if exprs.forall(_.isInstanceOf[AttributeReference]) =>
-      scanShape(child)
+      scanShapeAt(child, path)
     case Filter(cond, child) =>
-      scanShape(child).map(s => s.copy(conjuncts =
-        s.conjuncts ++ Conjuncts.split(cond).map(e => nameCanon(e) -> e)))
-    case j: Join if j.condition.isDefined && j.hint == JoinHint.NONE =>
-      // INNER equi/theta joins only: under outer joins a filter's placement
-      // (pre- vs post-join) changes results, so hoisting conjuncts across
-      // the join for set comparison would be unsound.
-      if (j.joinType != Inner) None
-      else (scanShape(j.left), scanShape(j.right)) match {
-        // self-joins: hoisted conjuncts lose which SIDE they filtered, so
-        // `o1.x='F'` vs `o2.x='F'` would compare equal — refuse to match.
-        // Cross-side name ambiguity is judged on the FULL base schemas, not
-        // j.left/right.output: this rule runs post column-pruning, so a
-        // column referenced only by a pushed-down filter (both tables have
-        // a 'status') is absent from the join outputs, yet its side-blind
-        // nameCanon conjunct would still bind across sides (ADVICE r6 high).
-        case (Some(l), Some(r)) if l.relKey != r.relKey &&
-            l.baseNames.intersect(r.baseNames).isEmpty =>
-          Some(ScanShape(
-            s"J(${l.relKey},${r.relKey},${nameCanon(j.condition.get)})",
-            l.conjuncts ++ r.conjuncts,
-            l.baseNames ++ r.baseNames))
-        case _ => None
+      scanShapeAt(child, path).map(s => s.copy(conjuncts =
+        s.conjuncts ++ Conjuncts.split(cond)
+          .map(e => s"$path|${sideCanon(e, s.attrSide)}" -> e)))
+    case j: Join if j.condition.isDefined && j.hint == JoinHint.NONE &&
+        (j.joinType == Inner || j.joinType == LeftOuter) =>
+      // INNER and LEFT OUTER only: under LEFT, right-side pre-join filters
+      // become strict (placement changes results); FULL/SEMI/ANTI change
+      // row multiplicity or nullability in ways roll-up cannot replay.
+      for {
+        l <- scanShapeAt(j.left, path + "0")
+        r <- scanShapeAt(j.right, path + "1")
+      } yield {
+        val side = l.attrSide ++ r.attrSide
+        val cond = sideCanon(j.condition.get, side)
+        val strict = l.strictKeys ++ r.strictKeys ++
+          (if (j.joinType == LeftOuter) r.conjuncts.keySet else Set.empty)
+        val pairs = Conjuncts.split(j.condition.get).collect {
+          case org.apache.spark.sql.catalyst.expressions.EqualTo(
+            a: AttributeReference, b: AttributeReference) => (a, b)
+        }
+        ScanShape(
+          s"J(${j.joinType},${l.relKey},${r.relKey},$cond)",
+          l.conjuncts ++ r.conjuncts,
+          strict,
+          side,
+          if (path.isEmpty && j.joinType == LeftOuter)
+            Some(s"J($Inner,${l.relKey},${r.relKey},$cond)")
+          else None,
+          pairs ++ l.equiPairs ++ r.equiPairs)
       }
     case lr: LogicalRelation =>
       lr.relation match {
         case h: HadoopFsRelation =>
           Some(ScanShape(
             "R(" + h.location.rootPaths.map(p => normPath(p.toString)).sorted.mkString(",") + ")",
-            Map.empty,
-            // the relation's own schema (data + partition cols), NOT
-            // lr.output — the one authority optimizer pruning never narrows
-            h.schema.fieldNames.map(_.toLowerCase).toSet))
+            Map.empty, Set.empty,
+            lr.output.map(_.exprId -> path).toMap,
+            None, Nil))
         case _ => None
       }
     case _ => None
   }
 
   /** How a reflection output column can serve a query aggregate:
-    * grouping passthrough, or re-aggregable function kind + arg canon. */
-  private def aggKey(ae: AggregateExpression): Option[(String, String)] =
+    * grouping passthrough, or re-aggregable function kind + arg canon
+    * (side-qualified, so sum(o1.x) and sum(o2.x) stay distinct). */
+  private def aggKey(ae: AggregateExpression,
+                     side: Map[ExprId, String]): Option[(String, String)] =
     if (ae.isDistinct || ae.filter.nonEmpty || ae.mode != Complete) None
     else ae.aggregateFunction match {
-      case s: Sum => Some(("sum", nameCanon(s.child)))
-      case c: Count => Some(("count", c.children.map(nameCanon).mkString(",")))
-      case m: Min => Some(("min", nameCanon(m.child)))
-      case m: Max => Some(("max", nameCanon(m.child)))
+      case s: Sum => Some(("sum", sideCanon(s.child, side)))
+      case c: Count => Some(("count", c.children.map(sideCanon(_, side)).mkString(",")))
+      case m: Min => Some(("min", sideCanon(m.child, side)))
+      case m: Max => Some(("max", sideCanon(m.child, side)))
       case _ => None // avg/stddev/... are not directly roll-up-able
     }
 
@@ -333,27 +384,79 @@ object Reflections {
         case (Some(a), Some(b)) => (a, b)
         case _ => return None
       }
-      if (qShape.relKey != rShape.relKey) return None
+      // exact shape match, or an INNER query over a root-level LEFT-join MV
+      // (sound only with a null-rejecting right-side residual, checked below)
+      val innerOverLeft =
+        qShape.relKey != rShape.relKey && rShape.innerizedKey.contains(qShape.relKey)
+      if (qShape.relKey != rShape.relKey && !innerOverLeft) return None
       // reflection's conjuncts must all be present in the query (else the
       // materialization is missing rows the query needs); what the query
       // adds on top is the residual, applied to the materialization scan
       if (!rShape.conjuncts.keySet.subsetOf(qShape.conjuncts.keySet)) return None
-      val residual: Seq[Expression] =
-        (qShape.conjuncts -- rShape.conjuncts.keySet).values.toSeq
+      val qCanon = (e: Expression) => sideCanon(e, qShape.attrSide)
+      // Equi-join equivalence classes (union-find over a=b join conjuncts):
+      // used to recognize conjuncts the optimizer INFERRED across a join
+      // (fk=dk ∧ fk<3 ⟹ dk<3 below the right side). Such a conjunct is
+      // implied by its non-strict counterpart, so it is dropped rather than
+      // replayed: for matched rows it is equivalent through the equality,
+      // and a right row it prunes under a LEFT join could only null-extend
+      // left rows the counterpart conjunct removes anyway.
+      val rep: Map[ExprId, AttributeReference] = {
+        val parent = scala.collection.mutable.Map.empty[ExprId, AttributeReference]
+        def find(a: AttributeReference): AttributeReference = {
+          val p = parent.getOrElse(a.exprId, a)
+          if (p.exprId == a.exprId) a
+          else { val root = find(p); parent(a.exprId) = root; root }
+        }
+        qShape.equiPairs.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra.exprId != rb.exprId) parent(ra.exprId) = rb
+        }
+        qShape.equiPairs.flatMap(p => Seq(p._1, p._2))
+          .map(a => a.exprId -> find(a)).toMap
+      }
+      def repCanon(e: Expression): String = qCanon(e.transform {
+        case a: AttributeReference => rep.getOrElse(a.exprId, a)
+      })
+      val nonStrictCanons: Set[String] = qShape.conjuncts.collect {
+        case (k, e) if !qShape.strictKeys(k) => repCanon(e)
+      }.toSet
+      val residualKept = (qShape.conjuncts -- rShape.conjuncts.keySet)
+        .filterNot { case (k, e) => qShape.strictKeys(k) && nonStrictCanons(repCanon(e)) }
+      // a non-implied conjunct below the right side of a LEFT join fires
+      // before null-extension: it cannot be replayed against the MV
+      if (residualKept.keySet.exists(qShape.strictKeys)) return None
+      val residual: Seq[Expression] = residualKept.values.toSeq
       // a nondeterministic residual (rand() < p) cannot be transplanted
       if (!residual.forall(_.deterministic)) return None
-      val rGroupCanon = ra.groupingExpressions.map(nameCanon).toSet
+      if (innerOverLeft) {
+        // the MV's null-extended rows (no right match) must be filtered out:
+        // some residual conjunct referencing ONLY root-right-side attributes
+        // must reject all-null inputs. Groups can mix a null-extended row
+        // with genuinely-null right values only when right grouping columns
+        // are NULL — and such groups are dropped by the same conjunct, which
+        // the inner query's semantics also drop.
+        val rejects = residual.exists { e =>
+          val refs = e.references.toSeq
+          refs.nonEmpty &&
+            refs.forall(a => qShape.attrSide.get(a.exprId).exists(_.startsWith("1"))) &&
+            filtersOutAllNull(e)
+        }
+        if (!rejects) return None
+      }
+      val rCanon = (e: Expression) => sideCanon(e, rShape.attrSide)
+      val rGroupCanon = ra.groupingExpressions.map(rCanon).toSet
       // reflection output columns usable as grouping passthroughs / aggs
       val groupCols: Map[String, String] = ra.aggregateExpressions.collect {
-        case a: AttributeReference if rGroupCanon(nameCanon(a)) => nameCanon(a) -> a.name
-        case al @ Alias(child, _) if rGroupCanon(nameCanon(child)) => nameCanon(child) -> al.name
+        case a: AttributeReference if rGroupCanon(rCanon(a)) => rCanon(a) -> a.name
+        case al @ Alias(child, _) if rGroupCanon(rCanon(child)) => rCanon(child) -> al.name
       }.toMap
       val aggCols: Map[(String, String), String] = ra.aggregateExpressions.collect {
-        case al @ Alias(ae: AggregateExpression, _) if aggKey(ae).isDefined =>
-          aggKey(ae).get -> al.name
+        case al @ Alias(ae: AggregateExpression, _) if aggKey(ae, rShape.attrSide).isDefined =>
+          aggKey(ae, rShape.attrSide).get -> al.name
       }.toMap
       // every query grouping expression must be a reflection grouping output
-      val qGroups = q.groupingExpressions.map(nameCanon)
+      val qGroups = q.groupingExpressions.map(qCanon)
       if (!qGroups.forall(groupCols.contains)) return None
 
       val scanPlan = reflectionScan(spark, r)
@@ -369,7 +472,7 @@ object Reflections {
         var ok = true
         val bound = e.transform {
           case a: AttributeReference =>
-            groupCols.get(nameCanon(a)).flatMap(scanByName.get) match {
+            groupCols.get(qCanon(a)).flatMap(scanByName.get) match {
               case Some(col) => castTo(col, a.dataType)
               case None => ok = false; a
             }
@@ -400,13 +503,13 @@ object Reflections {
       // map each query output expr onto the reflection scan
       val mapped: Option[Seq[NamedExpression]] =
         traverseOpt(q.aggregateExpressions) {
-          case a: AttributeReference if groupCols.contains(nameCanon(a)) =>
-            Some(Alias(castTo(scanByName(groupCols(nameCanon(a))), a.dataType), a.name)(exprId = a.exprId))
-          case al @ Alias(child, _) if groupCols.contains(nameCanon(child)) =>
-            Some(Alias(castTo(scanByName(groupCols(nameCanon(child))), al.dataType), al.name)(exprId = al.exprId))
+          case a: AttributeReference if groupCols.contains(qCanon(a)) =>
+            Some(Alias(castTo(scanByName(groupCols(qCanon(a))), a.dataType), a.name)(exprId = a.exprId))
+          case al @ Alias(child, _) if groupCols.contains(qCanon(child)) =>
+            Some(Alias(castTo(scanByName(groupCols(qCanon(child))), al.dataType), al.name)(exprId = al.exprId))
           case al @ Alias(ae: AggregateExpression, _) =>
             for {
-              key <- aggKey(ae)
+              key <- aggKey(ae, qShape.attrSide)
               colName <- aggCols.get(key)
             } yield Alias(castTo(reAgg(key._1, scanByName(colName)), al.dataType), al.name)(exprId = al.exprId)
           case _ => None

@@ -421,6 +421,131 @@ class ReflectionsSpec extends AnyFunSuite {
     Reflections.clear()
   }
 
+  test("self-join roll-up: side-qualified conjuncts bind filters to the correct leg") {
+    // both legs are the SAME table, so every column name exists on both
+    // sides — only the join-tree path in the conjunct key tells them apart.
+    // sum() is taken over leg 1's price, so filtering leg 1 vs leg 2 gives
+    // genuinely different answers and a side-blind matcher would serve one
+    // query's plan for the other.
+    Reflections.clear()
+    Reflections.install(spark)
+    val t = Tables(spark, TestSpark.sf)
+    val price = col("o1.o_totalprice").cast("decimal(18,2)")
+    def joined() = t.orders.as("o1")
+      .join(t.orders.as("o2"), col("o1.o_custkey") === col("o2.o_custkey"))
+    def refl() = joined()
+      .groupBy(col("o1.o_orderstatus").as("st1"), col("o2.o_orderstatus").as("st2"))
+      .agg(count(lit(1)).as("n"), sum(price).as("spend"))
+    def q1() = joined().where(col("o1.o_orderstatus") === "F")
+      .groupBy(col("o2.o_orderstatus").as("st"))
+      .agg(count(lit(1)).as("n"), sum(price).as("spend"))
+    def q2() = joined().where(col("o2.o_orderstatus") === "F")
+      .groupBy(col("o1.o_orderstatus").as("st"))
+      .agg(count(lit(1)).as("n"), sum(price).as("spend"))
+    val cold1 = q1().orderBy("st").collect().toSeq
+    val cold2 = q2().orderBy("st").collect().toSeq
+    assert(cold1 != cold2, "fixture: legs must disagree for the test to discriminate")
+    val dir = Files.createTempDirectory("graft_refl_self").toString
+    Reflections.create("r_self", refl(), s"$dir/r_self")
+    val p1 = q1().queryExecution.sparkPlan.toString
+    assert(p1.contains("r_self"), s"self-join roll-up not served:\n$p1")
+    assert(q1().orderBy("st").collect().toSeq == cold1, "leg-1 filter bound to wrong leg")
+    val p2 = q2().queryExecution.sparkPlan.toString
+    assert(p2.contains("r_self"), s"flipped-leg roll-up not served:\n$p2")
+    assert(q2().orderBy("st").collect().toSeq == cold2, "leg-2 filter bound to wrong leg")
+    Reflections.clear()
+  }
+
+  test("LEFT-join MV: left/post-join residuals served, right pre-join filter refused") {
+    import spark.implicits._
+    Reflections.clear()
+    Reflections.install(spark)
+    val dir = Files.createTempDirectory("graft_refl_left").toString
+    // fk=3 has no dim match → the MV carries a null-extended group
+    Seq((1L, 10L), (1L, 20L), (2L, 30L), (3L, 99L))
+      .toDF("fk", "v").write.parquet(s"$dir/fact")
+    Seq((1L, "a"), (2L, "b")).toDF("dk", "g").write.parquet(s"$dir/dim")
+    def fact = spark.read.parquet(s"$dir/fact")
+    def dim = spark.read.parquet(s"$dir/dim")
+    def refl() = fact.join(dim, col("fk") === col("dk"), "left")
+      .groupBy(col("g"), col("fk")).agg(sum(col("v")).as("sv"))
+    // pre-join LEFT-side filter: removes whole left rows the same way pre-
+    // or post-join, so it is residual-safe
+    def qLeft() = fact.where(col("fk") < 3)
+      .join(dim, col("fk") === col("dk"), "left")
+      .groupBy(col("g")).agg(sum(col("v")).as("sv"))
+    // pre-join RIGHT-side filter: fires BEFORE null-extension (fk=2 becomes
+    // a null-extended row, it does not disappear) — not replayable
+    def qRight() = fact.join(dim.where(col("g") === "a"), col("fk") === col("dk"), "left")
+      .groupBy(col("g")).agg(sum(col("v")).as("sv"))
+    // post-join filter (g IS NULL is not null-rejecting, so the optimizer
+    // keeps the join LEFT and the filter above): residual-safe
+    def qPost() = fact.join(dim, col("fk") === col("dk"), "left")
+      .where(col("g").isNull)
+      .groupBy(col("fk")).agg(sum(col("v")).as("sv"))
+    val coldLeft = qLeft().orderBy("g").collect().toSeq
+    val coldRight = qRight().orderBy("g").collect().toSeq
+    val coldPost = qPost().orderBy("fk").collect().toSeq
+    Reflections.create("r_left", refl(), s"$dir/r_left")
+    val pLeft = qLeft().queryExecution.sparkPlan.toString
+    assert(pLeft.contains("r_left"), s"left-side residual over LEFT-join MV not served:\n$pLeft")
+    assert(qLeft().orderBy("g").collect().toSeq == coldLeft)
+    val pRight = qRight().queryExecution.sparkPlan.toString
+    assert(!pRight.contains("r_left"),
+      s"right-side pre-join filter wrongly replayed against a LEFT-join MV:\n$pRight")
+    assert(qRight().orderBy("g").collect().toSeq == coldRight)
+    val pPost = qPost().queryExecution.sparkPlan.toString
+    assert(pPost.contains("r_left"), s"post-join residual over LEFT-join MV not served:\n$pPost")
+    assert(qPost().orderBy("fk").collect().toSeq == coldPost)
+    Reflections.clear()
+  }
+
+  test("INNER query over a LEFT-join MV: served only with a null-rejecting right residual") {
+    import spark.implicits._
+    Reflections.clear()
+    Reflections.install(spark)
+    val dir = Files.createTempDirectory("graft_refl_innerleft").toString
+    Seq((1L, 10L), (1L, 20L), (2L, 30L), (3L, 99L))
+      .toDF("fk", "v").write.parquet(s"$dir/fact")
+    Seq((1L, "a"), (2L, "b")).toDF("dk", "g").write.parquet(s"$dir/dim")
+    def fact = spark.read.parquet(s"$dir/fact")
+    def dim = spark.read.parquet(s"$dir/dim")
+    def refl() = fact.join(dim, col("fk") === col("dk"), "left")
+      .groupBy(col("g"), col("fk")).agg(sum(col("v")).as("sv"))
+    // inner join + null-rejecting filter on a right grouping column: the
+    // residual drops exactly the MV's null-extended rows → sound
+    def qInner() = fact.join(dim, col("fk") === col("dk"))
+      .where(col("g") === "a")
+      .groupBy(col("g")).agg(sum(col("v")).as("sv"))
+    val coldInner = qInner().orderBy("g").collect().toSeq
+    Reflections.create("r_il", refl(), s"$dir/r_il")
+    val pInner = qInner().queryExecution.sparkPlan.toString
+    assert(pInner.contains("r_il"),
+      s"inner query with null-rejecting residual not served from LEFT-join MV:\n$pInner")
+    assert(qInner().orderBy("g").collect().toSeq == coldInner)
+    Reflections.clear()
+
+    // adversarial: join on coalesce(dk,-1)=fk so the optimizer cannot infer
+    // isnotnull on the right key, and filter g IS NULL (NOT null-rejecting).
+    // Without the gate the MV's null-extended group (sv=99) would be served
+    // for a true-inner query whose answer is EMPTY.
+    Reflections.install(spark)
+    def cond = coalesce(col("dk"), lit(-1L)) === col("fk")
+    def reflC() = fact.join(dim, cond, "left")
+      .groupBy(col("g"), col("fk"), col("dk")).agg(sum(col("v")).as("sv"))
+    def qNull() = fact.join(dim, cond)
+      .where(col("g").isNull)
+      .groupBy(col("fk")).agg(sum(col("v")).as("sv"))
+    val coldNull = qNull().orderBy("fk").collect().toSeq
+    assert(coldNull.isEmpty, s"fixture: true inner answer must be empty, got $coldNull")
+    Reflections.create("r_ilc", reflC(), s"$dir/r_ilc")
+    val pNull = qNull().queryExecution.sparkPlan.toString
+    assert(!pNull.contains("r_ilc"),
+      s"non-null-rejecting residual wrongly served an inner query from a LEFT-join MV:\n$pNull")
+    assert(qNull().orderBy("fk").collect().toSeq == coldNull)
+    Reflections.clear()
+  }
+
   test("same-schema parquet at a different path is NOT matched (fingerprint includes paths)") {
     Reflections.clear()
     Reflections.install(spark)
