@@ -9,6 +9,12 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// The Spark Connect JVM client ships in the distro's connect-repl dir (not
+// the main jar dir, so the default unmanagedBase scan misses it). Test-only:
+// the Connect endpoint loopback spec drives the server through the real
+// client. Its grpc/netty are shaded (org.sparkproject.io.*) — no conflicts.
+Test / unmanagedJars +=
+  Attributed.blank(file("/opt/spark/jars/connect-repl/spark-connect-client-jvm_2.13-4.1.2.jar"))
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -36,7 +36,16 @@ object GraftSession {
     // snapshot carries (see GraftServer.reservePort scaladoc).
     graft.server.GraftServer.reservePort()
     b
-    .withExtensions(new graft.sqlext.GraftExtensions)
+    // Extensions ride in the CONF (not builder.withExtensions): sessions
+    // materialized by other front ends over the same context — Spark
+    // Connect's isolated per-client sessions, a Thrift session built from
+    // scratch — read spark.sql.extensions at creation and get the graft
+    // parser/rules; a builder-instance extension would be invisible to them.
+    .config("spark.sql.extensions", "graft.sqlext.GraftExtensions")
+    // Spark Connect gRPC endpoint: ephemeral port, bound only when
+    // GraftConnectServer.start is called (conf must be in the context's
+    // conf before that).
+    .config("spark.connect.grpc.binding.port", "0")
     // Hive-metastore federation (reference plugins/hive*): persistent-table
     // DDL/DML goes through a real HiveExternalCatalog backed by embedded
     // derby, the same embedded-metastore shape the reference CI uses.

@@ -1,0 +1,126 @@
+package graft.server
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+
+import org.apache.spark.sql.SparkSession
+
+/** REST SQL entry point: `POST /sql` with a JSON body `{"sql": "..."}`
+  * returns the result as JSON rows — the reference's third protocol
+  * surface (`dac/backend/src/main/java/com/dremio/dac/api/SQLResource
+  * .java:81`, `POST /api/v3/sql`). JDK-only (`com.sun.net.httpserver`),
+  * no servlet container.
+  *
+  * Response shape mirrors the reference's `QueryResultData`:
+  * `{"rowCount": N, "schema": [{"name": ..., "type": ...}], "rows": [{col:
+  * value, ...}]}`. Rows are capped (`limit` body field, default 500,
+  * max 10k) — the REST surface is for tooling and small results; bulk
+  * extraction belongs to the Arrow wire ([[GraftConnectServer]]).
+  *
+  * Each request executes on a CLONED session (`newSession` over the shared
+  * context), so REST statements get isolated temp-view/conf state but the
+  * same catalog, extensions, and cluster — the same isolation contract as
+  * the Thrift and Connect front ends.
+  */
+object GraftRestServer {
+
+  @volatile private var running: Option[HttpServer] = None
+  @volatile private var boundPort: Option[Int] = None
+
+  def start(spark: SparkSession): Int = synchronized {
+    boundPort.getOrElse {
+      val srv = HttpServer.create(new InetSocketAddress("localhost", 0), 0)
+      srv.createContext("/sql", new SqlHandler(spark))
+      // serve on a small pool: concurrent REST statements run like
+      // concurrent Thrift statements (scheduler handles the rest)
+      srv.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+      srv.start()
+      val p = srv.getAddress.getPort
+      running = Some(srv)
+      boundPort = Some(p)
+      p
+    }
+  }
+
+  def port: Option[Int] = boundPort
+
+  def stop(): Unit = synchronized {
+    running.foreach(_.stop(0))
+    running = None
+    boundPort = None
+  }
+
+  private final class SqlHandler(root: SparkSession) extends HttpHandler {
+    override def handle(ex: HttpExchange): Unit =
+      try {
+        if (ex.getRequestMethod != "POST") { respond(ex, 405, error("POST only")) }
+        else {
+          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          val sql = jsonField(body, "sql").getOrElse("")
+          val limit = jsonField(body, "limit").map(_.toInt).getOrElse(500)
+          if (sql.isEmpty) respond(ex, 400, error("missing \"sql\" field"))
+          else respond(ex, 200, run(sql, math.min(math.max(limit, 1), 10000)))
+        }
+      } catch {
+        case e: Exception => respond(ex, 400, error(e.toString.take(500)))
+      } finally ex.close()
+
+    private def run(sql: String, limit: Int): String = {
+      val session = root.newSession()
+      val df = session.sql(sql)
+      val rows = df.limit(limit).toJSON.collect()
+      val schema = df.schema.fields.map(f =>
+        s"""{"name":${q(f.name)},"type":${q(f.dataType.simpleString)}}""")
+      s"""{"rowCount":${rows.length},"schema":[${schema.mkString(",")}],""" +
+        s""""rows":[${rows.mkString(",")}]}"""
+    }
+  }
+
+  private def q(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
+
+  private def error(msg: String): String = s"""{"error":${q(msg)}}"""
+
+  /** Minimal JSON string/number field extraction — the request body is a
+    * flat object; a full JSON parser would be the only use of one in the
+    * engine. Handles escaped quotes inside the SQL string. */
+  private[server] def jsonField(body: String, name: String): Option[String] = {
+    val key = "\"" + name + "\""
+    val i = body.indexOf(key)
+    if (i < 0) return None
+    var j = body.indexOf(':', i + key.length)
+    if (j < 0) return None
+    j += 1
+    while (j < body.length && body(j).isWhitespace) j += 1
+    if (j >= body.length) return None
+    if (body(j) == '"') {
+      val sb = new StringBuilder
+      var k = j + 1
+      while (k < body.length && body(k) != '"') {
+        if (body(k) == '\\' && k + 1 < body.length) {
+          body(k + 1) match {
+            case 'n' => sb.append('\n'); case 't' => sb.append('\t')
+            case 'r' => sb.append('\r'); case c => sb.append(c)
+          }
+          k += 2
+        } else { sb.append(body(k)); k += 1 }
+      }
+      Some(sb.toString)
+    } else {
+      val end = body.indexWhere(c => !(c.isDigit || c == '-' || c == '+'), j)
+      Some(body.substring(j, if (end < 0) body.length else end).trim)
+        .filter(_.nonEmpty)
+    }
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+}

@@ -36,6 +36,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction((FunctionIdentifier("lake_refs"),
       info("lake_refs", "lake_refs('<dir>') — branches and tags of a lake table"),
       (args: Seq[Expression]) => lakeRefs(args)))
+    // Inline lake relation: query a lake table at its path straight from a
+    // FROM clause (the reference's query-on-path surface, dremio
+    // `dfs."/path"` / TABLE(..) — `FormatCreator` resolves paths to
+    // datasets). Optional second argument time-travels to a version. Plans
+    // to the SAME manifest-pruned scan as CREATE LAKE VIEW.
+    e.injectTableFunction((FunctionIdentifier("lake_scan"),
+      info("lake_scan", "lake_scan('<dir>'[, version]) — scan a lake table at a path"),
+      (args: Seq[Expression]) => lakeScan(args)))
   }
 }
 
@@ -83,6 +91,19 @@ object GraftExtensions {
         "timestamp_ms" -> LongType, "n_files" -> IntegerType,
         "tag" -> StringType),
       rows)
+  }
+
+  private def lakeScan(args: Seq[Expression]): LogicalPlan = {
+    val (dir, version) = args match {
+      case Seq(d) => (dirArg("lake_scan", Seq(d)), None)
+      case Seq(d, v) if v.foldable &&
+          Seq[DataType](ByteType, ShortType, IntegerType, LongType).contains(v.dataType) =>
+        (dirArg("lake_scan", Seq(d)), Some(v.eval().toString.toLong))
+      case _ => throw new IllegalArgumentException(
+        "lake_scan expects lake_scan('<table dir>'[, <version>])")
+    }
+    SnapshotTable.forPath(SparkSession.active, dir)
+      .read(version = version).queryExecution.analyzed
   }
 
   private def lakeRefs(args: Seq[Expression]): LogicalPlan = {

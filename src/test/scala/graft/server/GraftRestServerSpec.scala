@@ -1,0 +1,81 @@
+package graft.server
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Over-loopback proof of the REST SQL endpoint: a plain HTTP client
+  * POSTs SQL to /sql and gets JSON rows matching in-process execution —
+  * mirrors the reference's `POST /api/v3/sql` (SQLResource.java:81). */
+class GraftRestServerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val http = HttpClient.newHttpClient()
+
+  private def post(body: String): (Int, String) = {
+    val port = GraftRestServer.port.getOrElse(GraftRestServer.start(spark))
+    val req = HttpRequest.newBuilder(URI.create(s"http://localhost:$port/sql"))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  private def jsonEscape(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+
+  /** The rows array of a response, as a sorted set of row-object strings. */
+  private def rowsOf(body: String): Seq[String] = {
+    val i = body.indexOf("\"rows\":[")
+    assert(i >= 0, s"no rows array in: ${body.take(300)}")
+    val arr = body.substring(i + 8, body.lastIndexOf("]"))
+    if (arr.isEmpty) Seq.empty
+    else arr.split("(?<=\\}),(?=\\{)").toSeq.sorted
+  }
+
+  test("tpch_q01 over REST matches in-process execution") {
+    val q =
+      s"""SELECT l_returnflag, l_linestatus,
+         |       count(*) AS count_order,
+         |       cast(sum(l_quantity) AS decimal(20,2)) AS sum_qty
+         |FROM parquet.`$sf/lineitem.parquet`
+         |WHERE l_shipdate <= date '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin
+    val (code, body) = post(s"""{"sql": "${jsonEscape(q)}"}""")
+    assert(code == 200, s"HTTP $code: ${body.take(300)}")
+    assert(body.contains("\"rowCount\":6"), s"rowCount wrong: ${body.take(200)}")
+    assert(body.contains("\"schema\":["), "schema missing")
+    val local = spark.sql(q).toJSON.collect().toSeq.sorted
+    assert(rowsOf(body) == local, "REST rows differ from in-process toJSON")
+  }
+
+  test("lake DDL + query round-trips through REST") {
+    val dir = java.nio.file.Files.createTempDirectory("rest_lake").toString
+    val (c1, b1) = post(
+      s"""{"sql": "CREATE LAKE '$dir' AS SELECT id, id * 2 AS v FROM range(50)"}""")
+    assert(c1 == 200, s"DDL failed: $b1")
+    val (c2, b2) = post(s"""{"sql": "SELECT count(*) AS n, sum(v) AS s FROM lake_scan('$dir')"}""")
+    assert(c2 == 200, b2)
+    assert(rowsOf(b2) == Seq(s"""{"n":50,"s":${(0 until 50).map(_ * 2).sum}}"""),
+      s"lake query over REST wrong: $b2")
+  }
+
+  test("limit field caps rows; bad requests get JSON errors") {
+    val (c1, b1) = post("""{"sql": "SELECT id FROM range(100)", "limit": 7}""")
+    assert(c1 == 200 && b1.contains("\"rowCount\":7"), s"limit not applied: ${b1.take(200)}")
+    val (c2, b2) = post("""{"nope": 1}""")
+    assert(c2 == 400 && b2.contains("\"error\""), s"missing-sql not rejected: $b2")
+    val (c3, b3) = post("""{"sql": "SELEKT garbage"}""")
+    assert(c3 == 400 && b3.contains("\"error\""), s"parse error not surfaced: ${b3.take(200)}")
+  }
+
+  test("REST sessions are isolated: temp views do not leak across requests") {
+    val (c1, _) = post("""{"sql": "CREATE TEMPORARY VIEW rest_iso AS SELECT 1 AS v"}""")
+    assert(c1 == 200)
+    val (c2, b2) = post("""{"sql": "SELECT v FROM rest_iso"}""")
+    assert(c2 == 400 && b2.contains("\"error\""),
+      s"temp view leaked across REST sessions: $b2")
+  }
+}

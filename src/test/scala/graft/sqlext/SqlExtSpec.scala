@@ -499,5 +499,19 @@ class SqlExtSpec extends AnyFunSuite {
       .as[(String, String)].collect().toSeq
     assert(refs.contains(("exp", "branch")), s"refs $refs")
     spark.sql(s"DROP BRANCH exp FROM LAKE '$dir'")
+    // inline relation: query the table at its path, with time travel
+    val n = spark.sql(s"SELECT count(*) AS n FROM lake_scan('$dir')")
+      .head().getLong(0)
+    assert(n == 150L, s"lake_scan rows $n")
+    val nV1 = spark.sql(s"SELECT count(*) AS n FROM lake_scan('$dir', 1)")
+      .head().getLong(0)
+    assert(nV1 == 100L, s"lake_scan at version 1 rows $nV1")
+    // joins like any relation: manifest stats vs live scan agree
+    val joined = spark.sql(
+      s"""SELECT f.total, s.n FROM
+         |  (SELECT sum(row_count) AS total FROM lake_files('$dir')) f,
+         |  (SELECT count(*) AS n FROM lake_scan('$dir')) s""".stripMargin)
+      .head()
+    assert(joined.getLong(0) == joined.getLong(1), s"manifest/scan disagree: $joined")
   }
 }
