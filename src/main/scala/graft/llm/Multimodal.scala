@@ -11,10 +11,12 @@ import org.apache.spark.sql.types._
   * IMAGE decode is REAL: payloads sniffed as PNG/JPEG/BMP/GIF by magic
   * bytes are decoded with the JDK's `javax.imageio` (headless, zero
   * external dependencies) — true width/height plus a g×g mean-luminance
-  * grid as the feature vector. Non-image payloads (video/audio/unknown)
-  * fall back to the deterministic STUB (hash-derived dimensions +
-  * features): those codecs aren't in this environment, but the Spark-side
-  * contract stays fully real and testable either way:
+  * grid as the feature vector. AUDIO decode is REAL the same way:
+  * WAV/AIFF/AU payloads decode through `javax.sound.sampled` to true
+  * (sample rate, channels) plus a dim-window RMS envelope. Remaining
+  * payloads (video/unknown — no codec ships in the JDK) fall back to the
+  * deterministic STUB (hash-derived dimensions + features); the
+  * Spark-side contract stays fully real and testable either way:
   *  - schema: (id, media binary, media_meta struct)
   *  - partition-level batch processing via mapPartitions (the Scala analog
   *    of an Arrow-batched python UDF: one decoder init per partition, not
@@ -133,9 +135,77 @@ object Multimodal {
       } catch { case scala.util.control.NonFatal(_) => None }
     }
 
-  /** Image payloads decode for real; everything else takes the stub. */
+  /** Audio container sniffing: the formats `javax.sound.sampled` reads
+    * headless with zero external jars (same move as the ImageIO image
+    * path). RIFF/WAVE, FORM/AIFF, .snd (AU). */
+  private[llm] def sniffAudioFormat(b: Array[Byte]): Option[String] =
+    if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')
+      Some("audio/wav")
+    else if (b.length >= 12 && b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M' &&
+        b(8) == 'A' && b(9) == 'I' && b(10) == 'F' && b(11) == 'F')
+      Some("audio/aiff")
+    else if (b.length >= 4 && b(0) == 0x2E.toByte && b(1) == 's' && b(2) == 'n' && b(3) == 'd')
+      Some("audio/basic")
+    else None
+
+  /** Per-window RMS amplitude (0..1) over `dim` equal time windows of the
+    * decoded PCM stream — the audio analog of the image luminance grid:
+    * real samples, deterministic, O(samples) one pass, O(dim) memory. */
+  private def rmsGrid(samples: Array[Double], dim: Int): Array[Float] = {
+    if (samples.isEmpty) return new Array[Float](dim)
+    val sums = new Array[Double](dim)
+    val counts = new Array[Long](dim)
+    var i = 0
+    while (i < samples.length) {
+      val w = math.min(dim - 1, (i.toLong * dim / samples.length).toInt)
+      sums(w) += samples(i) * samples(i); counts(w) += 1
+      i += 1
+    }
+    Array.tabulate(dim)(w =>
+      if (counts(w) == 0) 0.0f else math.sqrt(sums(w) / counts(w)).toFloat)
+  }
+
+  /** Real JDK audio decode for sniffed WAV/AIFF/AU payloads: true sample
+    * rate and channel count plus a dim-window RMS envelope as features
+    * (PCM decoded via `javax.sound.sampled`, normalized to 16-bit signed).
+    * (width, height) carry (sample rate Hz, channels) in the feature
+    * contract. None → stub fallback (corrupt bytes / unsupported codec). */
+  private def realAudioDecode(bytes: Array[Byte], dim: Int): Option[(Int, Int, Array[Float])] =
+    sniffAudioFormat(bytes).flatMap { _ =>
+      try {
+        val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val f = src.getFormat
+          val target = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            f.getSampleRate, 16, f.getChannels, 2 * f.getChannels,
+            f.getSampleRate, false)
+          val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, src)
+          try {
+            val raw = pcm.readAllBytes()
+            val n = raw.length / 2
+            val samples = new Array[Double](n)
+            var i = 0
+            while (i < n) {
+              val lo = raw(2 * i) & 0xFF
+              val hi = raw(2 * i + 1).toInt
+              samples(i) = ((hi << 8) | lo) / 32768.0
+              i += 1
+            }
+            Some((f.getSampleRate.toInt, f.getChannels, rmsGrid(samples, dim)))
+          } finally pcm.close()
+        } finally src.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  /** Image and audio payloads decode for real; everything else (video —
+    * no codec in the JDK) takes the deterministic stub. */
   private def decode(bytes: Array[Byte], dim: Int): (Int, Int, Array[Float]) =
-    realDecode(bytes, dim).getOrElse(fakeDecode(bytes, dim))
+    realDecode(bytes, dim)
+      .orElse(realAudioDecode(bytes, dim))
+      .getOrElse(fakeDecode(bytes, dim))
 
   val frameSchema: StructType = StructType(Seq(
     StructField("id", LongType),
