@@ -30,4 +30,26 @@ object JsonOps {
 
   /** COMPLEX_TO_JSON (dremio-oss `exec/physical/config/ComplexToJson.java`). */
   def complexToJson(c: Column): Column = to_json(c)
+
+  // ---------- mixed-type columns (the reference's UNION type) ----------
+  // The reference's schema-free JSON reader gives one field different types
+  // on different rows (`CompleteType.java:143-171` UNION; accessors return
+  // NULL on type mismatch). Spark-first re-expression: Spark 4's VARIANT
+  // type — binary-encoded semi-structured values with per-row runtime
+  // types, codegen'd accessors, and shreddable storage. No custom type
+  // system needed; these helpers pin the union-semantics mapping.
+
+  /** Parse a raw JSON text column into a VARIANT (invalid JSON → NULL,
+    * like the reference's error-tolerant union reader). */
+  def variantFromJson(df: DataFrame, jsonCol: String, outCol: String): DataFrame =
+    df.withColumn(outCol, try_parse_json(col(jsonCol)))
+
+  /** Per-row runtime type tag of a variant value (the union tag):
+    * "BIGINT", "STRING", "ARRAY<BIGINT>", "OBJECT<...>", ... */
+  def variantTypeOf(c: Column): Column = schema_of_variant(c)
+
+  /** Typed accessor with union semantics: value at `path` cast to
+    * `targetType`, NULL when the row's runtime type doesn't fit. */
+  def variantGet(c: Column, path: String, targetType: String): Column =
+    try_variant_get(c, path, targetType)
 }

@@ -100,6 +100,58 @@ class SourceFormatsSpec extends AnyFunSuite {
     assert(byId(1).getAs[Double]("score") == 2.5)
   }
 
+  test("json: mixed-type column reads as VARIANT with per-row type tags (reference UNION)") {
+    // the reference's UNION type (CompleteType.java:143-171): one field,
+    // different runtime types per record; accessors are NULL on mismatch
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_variant").toString
+    val lines = Seq(
+      """{"id":1,"v":42}""",
+      """{"id":2,"v":"hello"}""",
+      """{"id":3,"v":[1,2,3]}""",
+      """{"id":4,"v":2.5}""",
+      """{"id":5,"v":true}""",
+      """{"id":6,"v":{"a":7}}""")
+    Files.write(Paths.get(dir, "mixed.json"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val df = spark.read.schema("id BIGINT, v VARIANT").json(dir)
+    // per-row runtime type tags survive the read
+    val tags = df.select($"id", graft.functions.JsonOps.variantTypeOf($"v").as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(tags(1L) == "BIGINT" && tags(2L) == "STRING" && tags(5L) == "BOOLEAN",
+      s"scalar tags wrong: $tags")
+    assert(tags(3L).startsWith("ARRAY"), s"array tag: ${tags(3L)}")
+    assert(tags(4L) == "DOUBLE" || tags(4L).startsWith("DECIMAL"), s"num tag: ${tags(4L)}")
+    assert(tags(6L).startsWith("OBJECT"), s"object tag: ${tags(6L)}")
+    // union accessors: typed get is NULL on mismatch, value on match
+    val asLong = df.select($"id",
+      graft.functions.JsonOps.variantGet($"v", "$", "bigint").as("l"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(asLong(1L).contains(42L) && asLong(2L).isEmpty && asLong(3L).isEmpty,
+      s"bigint accessor union semantics wrong: $asLong")
+    // path accessors reach inside rows whose runtime type is nested
+    val inner = df.where($"id" === 6)
+      .select(graft.functions.JsonOps.variantGet($"v", "$.a", "bigint"))
+      .collect().head.getLong(0)
+    assert(inner == 7L)
+    val elem = df.where($"id" === 3)
+      .select(graft.functions.JsonOps.variantGet($"v", "$[2]", "bigint"))
+      .collect().head.getLong(0)
+    assert(elem == 3L)
+    // round-trip: the variant re-renders to the original JSON literal
+    val rendered = df.select($"id", to_json($"v").as("j")).as[(Long, String)]
+      .collect().toMap
+    assert(rendered(1L) == "42" && rendered(2L) == "\"hello\"" &&
+      rendered(3L) == "[1,2,3]" && rendered(6L) == """{"a":7}""",
+      s"round-trip wrong: $rendered")
+    // and a raw-text column parses to the same variants (variantFromJson)
+    val fromText = graft.functions.JsonOps.variantFromJson(
+      lines.toDF("raw"), "raw", "var")
+    val n = fromText.where(graft.functions.JsonOps.variantTypeOf(
+      graft.functions.JsonOps.variantGet($"var", "$.v", "variant")).isNotNull).count()
+    assert(n == lines.size.toLong)
+  }
+
   test("avro/iceberg/delta: not bundled in this runtime (documented divergence)") {
     // Spark's own spark-avro module and the Iceberg/Delta runtimes are
     // separate jars not present under /opt/spark/jars; their reader paths
