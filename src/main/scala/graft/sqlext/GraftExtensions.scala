@@ -44,6 +44,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction((FunctionIdentifier("lake_scan"),
       info("lake_scan", "lake_scan('<dir>'[, version]) — scan a lake table at a path"),
       (args: Seq[Expression]) => lakeScan(args)))
+    // Result cache as a FROM-clause surface: serve the inner SELECT from
+    // the version-gated result cache (accel.ResultCache — the reference's
+    // plan cache, `PlanCache.java`). This is what makes the cache reachable
+    // from every network front end (Thrift/Connect/REST) — wire sessions
+    // share the cache registry and the context's CacheManager, so a hit is
+    // the persisted result, and a lake commit on any session invalidates.
+    // The inner query materializes on first use (eager, like a command).
+    e.injectTableFunction((FunctionIdentifier("cached"),
+      info("cached", "cached('<select sql>') — serve from the version-gated result cache"),
+      (args: Seq[Expression]) => cachedResult(args)))
   }
 }
 
@@ -104,6 +114,12 @@ object GraftExtensions {
     }
     SnapshotTable.forPath(SparkSession.active, dir)
       .read(version = version).queryExecution.analyzed
+  }
+
+  private def cachedResult(args: Seq[Expression]): LogicalPlan = {
+    val sql = dirArg("cached", args)
+    val spark = SparkSession.active
+    graft.accel.ResultCache.cached(spark.sql(sql)).queryExecution.analyzed
   }
 
   private def lakeRefs(args: Seq[Expression]): LogicalPlan = {

@@ -123,4 +123,31 @@ class GraftServerSpec extends AnyFunSuite {
       assert(t.read().count() == 150)
     }
   }
+
+  test("wire queries serve from the result cache until a lake commit advances the base") {
+    graft.accel.ResultCache.clearAll()
+    val dir = java.nio.file.Files.createTempDirectory("wire_cache").toString
+    spark.sql(s"CREATE LAKE '$dir' AS SELECT id, id * 2 AS v FROM range(100)")
+    // lake_scan's quote doubles inside the cached('...') string literal
+    val q = s"SELECT * FROM cached('SELECT count(*) AS n, sum(v) AS s FROM lake_scan(''$dir'')')"
+    withConnection { conn =>
+      val st = conn.createStatement()
+      val first = fetch(st, q)
+      assert(first == Seq(Seq("100", (0 until 100).map(_ * 2L).sum.toString)))
+      val (_, h1, m1) = graft.accel.ResultCache.stats
+      // repeat over the wire: a HIT on the shared registry, same rows
+      assert(fetch(st, q) == first)
+      val (_, h2, m2) = graft.accel.ResultCache.stats
+      assert(h2 == h1 + 1 && m2 == m1, s"expected wire cache hit: $h1->$h2, $m1->$m2")
+      // a lake commit THROUGH THE WIRE advances the base table: the entry
+      // is stale, the next wire query recomputes against the new snapshot
+      st.execute(s"INSERT INTO LAKE '$dir' SELECT id, id * 2 AS v FROM range(100, 120)")
+      val after = fetch(st, q)
+      assert(after == Seq(Seq("120", (0 until 120).map(_ * 2L).sum.toString)),
+        s"stale cached result served after a wire commit: $after")
+      val (_, h3, m3) = graft.accel.ResultCache.stats
+      assert(m3 == m2 + 1, s"expected staleness miss after commit: $m2->$m3 (hits $h2->$h3)")
+      st.close()
+    }
+  }
 }
