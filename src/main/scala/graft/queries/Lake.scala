@@ -295,7 +295,43 @@ object Lake {
   val lakeCountMetaSql: String =
     "SELECT COUNT(*) AS n_rows FROM orders WHERE o_orderstatus <> 'F'"
 
+  /** Inline lake relation through the `lake_scan` table function: query a
+    * lake table (and a time-travel snapshot of it) straight from a FROM
+    * clause — the reference's query-on-path surface (`dfs."/path"`,
+    * FormatCreator). Version-1 row count rides along as a scalar subquery,
+    * so both the current and the historical snapshot are hash-gated. */
+  val lakeScanTvf: QueryFn = (s, dir) => {
+    val t = Tables.ensure(s, dir)
+    val lakeDir = Files.createTempDirectory("graft_lake_scantvf").toString
+    SnapshotTable.create(s, lakeDir,
+      t.supplier.select(col("s_suppkey"), col("s_nationkey"),
+        dbl(money(col("s_acctbal"))).as("bal")))
+    s.sql(s"INSERT INTO LAKE '$lakeDir' " +
+      "SELECT s_suppkey + 1000000 AS s_suppkey, s_nationkey, " +
+      "CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal " +
+      "FROM supplier WHERE s_suppkey <= 100")
+    s.sql(
+      s"""SELECT s.s_suppkey, s.s_nationkey, s.bal,
+         |       (SELECT count(*) FROM lake_scan('$lakeDir', 1)) AS n_v1
+         |FROM lake_scan('$lakeDir') s
+         |WHERE s.s_suppkey % 7 = 0
+         |ORDER BY s.s_suppkey""".stripMargin)
+  }
+  val lakeScanTvfSql: String = """
+    WITH lake AS (
+      SELECT s_suppkey, s_nationkey,
+             CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal
+      FROM supplier
+      UNION ALL
+      SELECT s_suppkey + 1000000, s_nationkey,
+             CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE)
+      FROM supplier WHERE s_suppkey <= 100)
+    SELECT s_suppkey, s_nationkey, bal,
+           (SELECT count(*) FROM supplier) AS n_v1
+    FROM lake WHERE s_suppkey % 7 = 0 ORDER BY s_suppkey"""
+
   val queries: Map[String, QueryFn] = Map(
+    "lake_scan_tvf" -> lakeScanTvf,
     "lake_count_meta" -> lakeCountMeta,
     "lake_pruned_scan" -> lakePrunedScan,
     "lake_partitioned_scan" -> lakePartitionedScan,
@@ -308,6 +344,7 @@ object Lake {
     "lake_incremental_scan" -> lakeIncrementalScan)
 
   val oracle: Map[String, String] = Map(
+    "lake_scan_tvf" -> lakeScanTvfSql,
     "lake_count_meta" -> lakeCountMetaSql,
     "lake_pruned_scan" -> lakePrunedScanSql,
     "lake_partitioned_scan" -> lakePartitionedScanSql,

@@ -228,6 +228,52 @@ object Scalar {
       CAST(json_extract_string(props, '$.k') AS INT) AS k_typed
     FROM events WHERE event_id < 500 ORDER BY event_id"""
 
+  /** Mixed-type UNION column (reference `CompleteType.java:143-171`): one
+    * payload column carrying a JSON number, string, or array depending on
+    * the row, parsed into Spark's VARIANT type. Per-row runtime type tags
+    * and union accessors (NULL on type mismatch) are oracle-checked
+    * against DuckDB's JSON type system, both mapped to canonical tags. */
+  val fnVariant: QueryFn = (s, dir) => {
+    val t = Tables.ensure(s, dir)
+    t.orders.filter(col("o_orderkey") < 2000)
+      .withColumn("v", expr(
+        """try_parse_json(CASE CAST(o_orderkey % 3 AS INT)
+          |  WHEN 0 THEN CAST(o_custkey AS STRING)
+          |  WHEN 1 THEN concat('"', o_orderstatus, '"')
+          |  ELSE concat('[', CAST(o_orderkey AS STRING), ',', CAST(o_custkey AS STRING), ']')
+          |END)""".stripMargin))
+      .select(
+        col("o_orderkey"),
+        expr(
+          """CASE WHEN schema_of_variant(v) = 'STRING' THEN 'str'
+            |     WHEN schema_of_variant(v) LIKE 'ARRAY%' THEN 'arr'
+            |     ELSE 'num' END""".stripMargin).as("tag"),
+        expr("try_variant_get(v, '$', 'bigint')").as("as_num"),
+        expr("CASE WHEN schema_of_variant(v) = 'STRING' " +
+          "THEN try_variant_get(v, '$', 'string') END").as("as_str"),
+        expr("try_variant_get(v, '$[0]', 'bigint')").as("first_elem"))
+      .orderBy(col("o_orderkey"))
+  }
+  val fnVariantSql: String = """
+    WITH p AS (
+      SELECT o_orderkey,
+        CASE CAST(o_orderkey % 3 AS INT)
+          WHEN 0 THEN CAST(o_custkey AS VARCHAR)
+          WHEN 1 THEN concat('"', o_orderstatus, '"')
+          ELSE concat('[', CAST(o_orderkey AS VARCHAR), ',', CAST(o_custkey AS VARCHAR), ']')
+        END AS payload
+      FROM orders WHERE o_orderkey < 2000)
+    SELECT o_orderkey,
+      CASE WHEN json_type(payload::JSON) = 'VARCHAR' THEN 'str'
+           WHEN json_type(payload::JSON) = 'ARRAY' THEN 'arr'
+           ELSE 'num' END AS tag,
+      TRY_CAST(CASE WHEN json_type(payload::JSON) IN ('ARRAY', 'OBJECT') THEN NULL
+                    ELSE json_extract_string(payload::JSON, '$') END AS BIGINT) AS as_num,
+      CASE WHEN json_type(payload::JSON) = 'VARCHAR'
+           THEN json_extract_string(payload::JSON, '$') END AS as_str,
+      TRY_CAST(json_extract(payload::JSON, '$[0]') AS BIGINT) AS first_elem
+    FROM p ORDER BY o_orderkey"""
+
   val queries: Map[String, QueryFn] = Map(
     "fn_string" -> fnString,
     "fn_editdist" -> fnEditdist,
@@ -237,7 +283,8 @@ object Scalar {
     "fn_conditional" -> fnConditional,
     "fn_hash" -> fnHash,
     "fn_array" -> fnArray,
-    "fn_json" -> fnJson)
+    "fn_json" -> fnJson,
+    "fn_variant" -> fnVariant)
 
   val oracle: Map[String, String] = Map(
     "fn_string" -> fnStringSql,
@@ -248,5 +295,6 @@ object Scalar {
     "fn_conditional" -> fnConditionalSql,
     "fn_hash" -> fnHashSql,
     "fn_array" -> fnArraySql,
-    "fn_json" -> fnJsonSql)
+    "fn_json" -> fnJsonSql,
+    "fn_variant" -> fnVariantSql)
 }
