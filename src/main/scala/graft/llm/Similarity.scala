@@ -150,13 +150,22 @@ object Similarity {
     * max cosine (first max wins — same tie rule as the expression path's
     * array_position), update = per-dimension mean, empty cluster keeps its
     * centroid. */
-  private[llm] def kmeansCentroids(corpus: DataFrame, nClusters: Int,
-                                   iters: Int, maxTrain: Int = 1 << 17): Seq[Seq[Float]] = {
-    val sample: Array[Array[Float]] = corpus
-      .select(col("vec_id"), col("embedding"))
+  /** The deterministic hash-spread training sample (ONE job:
+    * TakeOrderedAndProject = bounded per-partition heaps + driver merge).
+    * Callers composing several trainers over the same corpus (IVF-PQ:
+    * coarse k-means + PQ codebook) fetch this once and pass it to both —
+    * one corpus pass instead of two. */
+  private[llm] def hashSample(corpus: DataFrame, n: Int): Array[Array[Float]] =
+    corpus.select(col("vec_id"), col("embedding"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(math.max(nClusters, maxTrain))
+      .limit(n)
       .collect().map(_.getSeq[Float](1).toArray)
+
+  private[llm] def kmeansCentroids(corpus: DataFrame, nClusters: Int,
+                                   iters: Int, maxTrain: Int = 1 << 17,
+                                   presampled: Option[Array[Array[Float]]] = None): Seq[Seq[Float]] = {
+    val sample: Array[Array[Float]] =
+      presampled.getOrElse(hashSample(corpus, math.max(nClusters, maxTrain)))
     require(sample.nonEmpty, "k-means: empty corpus")
     val dim = sample.head.length
     val k = math.min(nClusters, sample.length)
@@ -282,12 +291,10 @@ object Similarity {
     * own norm, first minimum wins), update is the per-bucket mean; empty
     * buckets keep their previous centroid. Deterministic end to end. */
   def pqCodebook(corpus: DataFrame, m: Int = 4, ksub: Int = 16,
-                 iters: Int = 3, maxTrain: Int = 1 << 17): Seq[Seq[Seq[Float]]] = {
-    val sample: Array[Array[Float]] = corpus
-      .select(col("vec_id"), col("embedding"))
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(maxTrain)
-      .collect().map(_.getSeq[Float](1).toArray)
+                 iters: Int = 3, maxTrain: Int = 1 << 17,
+                 presampled: Option[Array[Array[Float]]] = None): Seq[Seq[Seq[Float]]] = {
+    val sample: Array[Array[Float]] =
+      presampled.map(_.take(maxTrain)).getOrElse(hashSample(corpus, maxTrain))
     require(sample.nonEmpty, "PQ codebook: empty corpus")
     val dim = sample.head.length
     require(dim % m == 0, s"embedding dim $dim must divide into $m blocks")
@@ -386,8 +393,12 @@ object Similarity {
                 nClusters: Int = 0, nProbe: Int = 2, m: Int = 4,
                 ksub: Int = 16, iters: Int = 3): DataFrame = {
     val nc = if (nClusters > 0) nClusters else autoClusters(corpus.count())
-    val coarse = kmeansCentroids(corpus, nc, iters)
-    val cb = pqCodebook(corpus, m, ksub, iters)
+    // ONE sample fetch feeds both trainers (the hash order is identical, so
+    // results equal the per-call paths exactly) — at scale this halves the
+    // training-side corpus passes
+    val sample = hashSample(corpus, math.max(nc, 1 << 17))
+    val coarse = kmeansCentroids(corpus, nc, iters, presampled = Some(sample))
+    val cb = pqCodebook(corpus, m, ksub, iters, presampled = Some(sample))
     val dsub = cb.head.head.size
     // |centroid|² table: array<array<double>>, m × ksub, a literal
     val normLut = typedLit(cb.map(_.map(_.map(v => v.toDouble * v).sum)))

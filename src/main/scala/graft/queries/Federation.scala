@@ -81,13 +81,35 @@ object Federation {
     SELECT n_regionkey, count(*) AS n, max(n_name) AS last_name
     FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""
 
+  /** Arrow IPC easy-format round trip (reference `exec/store/easy/arrow`):
+    * export a supplier selection as Arrow record-batch files with the
+    * distributed writer, read them back with the distributed reader, and
+    * hash-gate the result against the raw fixture. */
+  val arrowRoundtrip: QueryFn = (s, dir) => {
+    val t = graft.engine.Tables.ensure(s, dir)
+    val arrowDir = java.nio.file.Files
+      .createTempDirectory("graft_arrow_rt").toString + "/supplier"
+    graft.sources.ArrowFiles.write(
+      t.supplier.select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        dbl(money(col("s_acctbal"))).as("bal"))
+        .filter(col("s_suppkey") % 3 === 0),
+      arrowDir)
+    graft.sources.ArrowFiles.read(s, arrowDir).orderBy(col("s_suppkey"))
+  }
+  val arrowRoundtripSql: String = """
+    SELECT s_suppkey, s_name, s_nationkey,
+           CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal
+    FROM supplier WHERE s_suppkey % 3 = 0 ORDER BY s_suppkey"""
+
   val queries: Map[String, QueryFn] = Map(
     "hive_catalog_nation" -> hiveCatalogNation,
     "jdbc_roundtrip" -> jdbcRoundtrip,
-    "jdbc_agg_pushdown" -> jdbcAggPushdown)
+    "jdbc_agg_pushdown" -> jdbcAggPushdown,
+    "arrow_roundtrip" -> arrowRoundtrip)
 
   val oracle: Map[String, String] = Map(
     "hive_catalog_nation" -> hiveCatalogNationSql,
     "jdbc_roundtrip" -> jdbcRoundtripSql,
-    "jdbc_agg_pushdown" -> jdbcAggPushdownSql)
+    "jdbc_agg_pushdown" -> jdbcAggPushdownSql,
+    "arrow_roundtrip" -> arrowRoundtripSql)
 }

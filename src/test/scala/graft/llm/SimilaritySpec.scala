@@ -70,6 +70,13 @@ class SimilaritySpec extends AnyFunSuite {
     val kmSample = Similarity.kmeansCentroids(sampleOnly, nClusters = 6, iters = 2, maxTrain = n)
     assert(kmFull == kmSample,
       "k-means centroids saw rows outside the bounded hash-sample")
+    // a SHARED pre-fetched sample (ivfPqTopK: one corpus pass feeds both
+    // trainers) yields exactly the per-call results
+    val shared = Similarity.hashSample(corpus, n)
+    assert(Similarity.kmeansCentroids(corpus, 6, 2, maxTrain = n,
+      presampled = Some(shared)) == kmFull, "shared-sample k-means diverged")
+    assert(Similarity.pqCodebook(corpus, m = 4, ksub = 8, iters = 2, maxTrain = n,
+      presampled = Some(shared)) == cbFull, "shared-sample PQ codebook diverged")
   }
 
   test("brute-force top-k returns neighbors in correct cosine order") {
