@@ -210,6 +210,61 @@ object Dedup {
       .select(col("vec_id"), col("bucket"), col("component"), col("group_size"))
   }
 
+  /** Exact-substring duplication (Lee et al. 2022, arXiv:2107.06499
+    * "Deduplicating Training Data Makes Language Models Better"): mark
+    * n-token spans that occur VERBATIM in more than one document. The
+    * paper builds a single-machine suffix array; the distributed
+    * re-expression is positional n-gram fingerprints — explode
+    * (gram, doc, pos), count distinct docs per gram (two-phase agg, no
+    * per-gram doc lists, so boilerplate grams cost one combiner row per
+    * partition), join duplicated grams back, and fold each doc's sorted
+    * duplicate positions through an interval merge (`aggregate` lambda —
+    * no UDF) into union token coverage + maximal-span count. Adjacent
+    * spans ([p, p+n) touching the previous end) merge.
+    *
+    * Output per doc: n_grams, dup_grams, dup_tokens (union coverage),
+    * dup_spans (merged maximal intervals). The caller cuts or drops
+    * spans; coverage/n_grams is the doc's duplication score.
+    *
+    * Scale: one explode of ~tokens rows/doc (string gram key here for the
+    * oracle; the hashed variant drops the shuffle key to 8 bytes exactly
+    * like `Decontaminate.cleanHashed`), one count agg, one join back on
+    * the same key, one per-doc agg. No cross-doc pair generation at all —
+    * this family member is LINEAR in corpus size where MinHash/SimHash
+    * candidate generation is bucket-quadratic. */
+  def substringDuplication(docs: DataFrame, idCol: String = "doc_id",
+                           textCol: String = "text", n: Int = 8): DataFrame = {
+    val grams = docs.select(col(idCol),
+        posexplode(Functions.word_ngrams(col(textCol), n, distinct = false)))
+      .withColumnRenamed("col", "gram")
+    val dup = grams.groupBy("gram")
+      .agg(countDistinct(col(idCol)).as("nd")).where(col("nd") > 1)
+      .select("gram")
+    val perDoc = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    val dupPerDoc = grams.join(dup, "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("dup_grams"),
+        sort_array(collect_list(col("pos"))).as("ps"))
+      .withColumn("dup_tokens", expr(
+        s"""aggregate(ps, named_struct('last', -1, 'cov', 0),
+           |  (st, p) -> named_struct(
+           |     'last', greatest(st.last, p + $n),
+           |     'cov', st.cov + greatest(0, p + $n - greatest(st.last, p))),
+           |  st -> st.cov)""".stripMargin))
+      .withColumn("dup_spans", expr(
+        s"""aggregate(ps, named_struct('last', -1, 'k', 0),
+           |  (st, p) -> named_struct(
+           |     'last', greatest(st.last, p + $n),
+           |     'k', st.k + if(p > st.last, 1, 0)),
+           |  st -> st.k)""".stripMargin))
+      .drop("ps")
+    perDoc.join(dupPerDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
+        coalesce(col("dup_tokens"), lit(0)).cast("long").as("dup_tokens"),
+        coalesce(col("dup_spans"), lit(0)).cast("long").as("dup_spans"))
+  }
+
   /** Embedding near-dup: cosine > threshold within coarse buckets (label
     * as the IVF-style partition — at scale the bucket is a cluster
     * assignment, so the pairing is bucket-local, not all-pairs). */

@@ -778,7 +778,60 @@ object LlmQueries {
       .orderBy(col("id"))
   }
 
+  /** Exact-substring duplication scores (Lee et al. 2022) over documents:
+    * per-doc duplicated-gram counts plus the interval-merged token
+    * coverage. The oracle reproduces the positional grams with a lateral
+    * index scan and the interval union with gaps-and-islands windows. */
+  val dedupSubstring: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents.filter(col("doc_id") < 400)
+    Dedup.substringDuplication(docs, n = 5).orderBy(col("doc_id"))
+  }
+  val dedupSubstringSql: String = """
+    WITH toks AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS t
+      FROM documents WHERE doc_id < 400),
+    g AS (
+      SELECT doc_id, i - 1 AS pos,
+        COALESCE(array_to_string(t[i:least(i + 4, len(t))], ' '), '') AS gram
+      FROM (
+        SELECT doc_id, t,
+          unnest(generate_series(1,
+            CASE WHEN len(t) >= 5 THEN len(t) - 4 ELSE 1 END)) AS i
+        FROM toks)),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1),
+    per_doc AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
+    dg AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+    isl AS (
+      SELECT doc_id, pos,
+        CASE WHEN pos > COALESCE(MAX(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS new_i
+      FROM dg),
+    isl2 AS (
+      SELECT doc_id, pos,
+        SUM(new_i) OVER (PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM isl),
+    spans AS (
+      SELECT doc_id, island, MAX(pos) + 5 - MIN(pos) AS cov
+      FROM isl2 GROUP BY doc_id, island),
+    da AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_spans,
+             CAST(SUM(cov) AS BIGINT) AS dup_tokens
+      FROM spans GROUP BY doc_id),
+    dc AS (SELECT doc_id, COUNT(*) AS dup_grams FROM dg GROUP BY doc_id)
+    SELECT p.doc_id, p.n_grams,
+           COALESCE(dc.dup_grams, 0) AS dup_grams,
+           COALESCE(da.dup_tokens, 0) AS dup_tokens,
+           COALESCE(da.dup_spans, 0) AS dup_spans
+    FROM per_doc p
+    LEFT JOIN dc USING (doc_id)
+    LEFT JOIN da USING (doc_id)
+    ORDER BY doc_id"""
+
   val queries: Map[String, QueryFn] = Map(
+    "dedup_substring" -> dedupSubstring,
     "dedup_exact" -> dedupExact,
     "dedup_minhash_lsh" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
@@ -818,6 +871,7 @@ object LlmQueries {
     "multimodal_features" -> multimodalFeatures)
 
   val oracle: Map[String, String] = Map(
+    "dedup_substring" -> dedupSubstringSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_components" -> dedupComponentsSql,

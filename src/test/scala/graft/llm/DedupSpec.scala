@@ -71,6 +71,35 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact), s"LSH emitted non-pairs: ${lsh.diff(exact)}")
   }
 
+  test("substring duplication: planted verbatim passage detected, spans merge, unique docs zero") {
+    // doc 1 and 2 share a verbatim 8-token passage embedded in different
+    // surroundings; doc 3 is unrelated; doc 4 repeats the passage TWICE
+    // (overlapping grams must merge into maximal spans, not double-count)
+    val passage = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = Seq(
+      (1L, s"intro words here $passage and some trailing text"),
+      (2L, s"$passage completely different ending follows now"),
+      (3L, "nothing in this document matches anything else at all okay"),
+      (4L, s"$passage $passage")
+    ).toDF("doc_id", "text")
+    val n = 5
+    val got = Dedup.substringDuplication(docs, n = n).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // unrelated doc: zero duplication
+    assert(got(3L) == (6L, 0L, 0L, 0L), s"doc3 ${got(3L)}")
+    // docs 1/2: every gram inside the 10-token passage is shared (6 grams
+    // of n=5), one merged span covering exactly the passage's 10 tokens
+    assert(got(1L)._2 == 6L && got(1L)._3 == 10L && got(1L)._4 == 1L, s"doc1 ${got(1L)}")
+    assert(got(2L)._2 == 6L && got(2L)._3 == 10L && got(2L)._4 == 1L, s"doc2 ${got(2L)}")
+    // doc 4 = passage twice: the 12 shared grams (6 per occurrence; the 4
+    // boundary-spanning grams exist only here) tile all 20 tokens, and the
+    // two occurrences' intervals touch (pos 10 == previous end) → ONE span
+    assert(got(4L)._2 == 12L && got(4L)._3 == 20L && got(4L)._4 == 1L, s"doc4 ${got(4L)}")
+    // oracle-free invariant: coverage never exceeds token count
+    assert(got.values.forall { case (ng, dg, dt, ds) => dt <= ng + n - 1 && ds <= dg })
+  }
+
   test("connected components groups transitive dup chains, leaves isolates alone") {
     // chain 1-2-3 (2~3 never directly paired), clique 10-11, isolates 20, 21
     val verts = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("id")
