@@ -233,10 +233,28 @@ object Dedup {
     * this family member is LINEAR in corpus size where MinHash/SimHash
     * candidate generation is bucket-quadratic. */
   def substringDuplication(docs: DataFrame, idCol: String = "doc_id",
-                           textCol: String = "text", n: Int = 8): DataFrame = {
-    val grams = docs.select(col(idCol),
-        posexplode(Functions.word_ngrams(col(textCol), n, distinct = false)))
-      .withColumnRenamed("col", "gram")
+                           textCol: String = "text", n: Int = 8): DataFrame =
+    substringDuplicationOn(docs, idCol, textCol, n, hashedKey = false)
+
+  /** The 100 TB path of [[substringDuplication]]: identical plan, but the
+    * gram SHUFFLE KEY is `xxhash64(gram)` — 8 bytes instead of an n-token
+    * string (n=8 grams average ~50 B), cutting both shuffles (the count
+    * agg and the join back) by the same factor as
+    * `Decontaminate.cleanHashed`. Hash collisions can only OVER-mark a
+    * span as duplicated (never miss one) at 2⁻⁶⁴ per gram pair —
+    * `DedupSpec` pins path equality on the fixture. */
+  def substringDuplicationHashed(docs: DataFrame, idCol: String = "doc_id",
+                                 textCol: String = "text", n: Int = 8): DataFrame =
+    substringDuplicationOn(docs, idCol, textCol, n, hashedKey = true)
+
+  private def substringDuplicationOn(docs: DataFrame, idCol: String,
+                                     textCol: String, n: Int,
+                                     hashedKey: Boolean): DataFrame = {
+    val raw = docs.select(col(idCol),
+      posexplode(Functions.word_ngrams(col(textCol), n, distinct = false)))
+    val grams =
+      if (hashedKey) raw.select(col(idCol), col("pos"), xxhash64(col("col")).as("gram"))
+      else raw.withColumnRenamed("col", "gram")
     val dup = grams.groupBy("gram")
       .agg(countDistinct(col(idCol)).as("nd")).where(col("nd") > 1)
       .select("gram")

@@ -330,7 +330,40 @@ object Lake {
            (SELECT count(*) FROM supplier) AS n_v1
     FROM lake WHERE s_suppkey % 7 = 0 ORDER BY s_suppkey"""
 
+  /** Metadata MIN/MAX/COUNT: stats-covered lake table built from orders
+    * (two commits + a copy-on-write DELETE), then a bare extremum query
+    * answered from the manifest's per-file min/max (plans.CountFromManifest;
+    * the Iceberg-style aggregate-from-metadata extension of the reference's
+    * CountOnScanToValuesRule). The oracle recomputes the same extrema from
+    * the fixture, so manifest stats — written at commit, re-recorded
+    * through DML — are hash-gated against real data. */
+  val lakeMinmaxMeta: QueryFn = (s, dir) => {
+    val t = Tables.ensure(s, dir)
+    val lakeDir = Files.createTempDirectory("graft_lake_minmax").toString
+    t.orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .createOrReplaceTempView("lake_minmax_src_even")
+    t.orders.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .createOrReplaceTempView("lake_minmax_src_odd")
+    s.sql(s"CREATE LAKE '$lakeDir' STATS (o_custkey, o_orderdate) AS " +
+      "SELECT * FROM lake_minmax_src_even")
+    s.sql(s"INSERT INTO LAKE '$lakeDir' SELECT * FROM lake_minmax_src_odd")
+    s.sql(s"DELETE FROM LAKE '$lakeDir' WHERE o_custkey < 100")
+    s.sql(s"CREATE LAKE VIEW lake_minmax_v FROM '$lakeDir'")
+    s.sql("""SELECT min(o_custkey) AS mn_c, max(o_custkey) AS mx_c,
+            |       min(o_orderdate) AS mn_d, max(o_orderdate) AS mx_d,
+            |       count(*) AS n
+            |FROM lake_minmax_v""".stripMargin)
+  }
+  val lakeMinmaxMetaSql: String = """
+    SELECT min(o_custkey) AS mn_c, max(o_custkey) AS mx_c,
+           min(o_orderdate) AS mn_d, max(o_orderdate) AS mx_d,
+           count(*) AS n
+    FROM orders WHERE o_custkey >= 100"""
+
   val queries: Map[String, QueryFn] = Map(
+    "lake_minmax_meta" -> lakeMinmaxMeta,
     "lake_scan_tvf" -> lakeScanTvf,
     "lake_count_meta" -> lakeCountMeta,
     "lake_pruned_scan" -> lakePrunedScan,
@@ -344,6 +377,7 @@ object Lake {
     "lake_incremental_scan" -> lakeIncrementalScan)
 
   val oracle: Map[String, String] = Map(
+    "lake_minmax_meta" -> lakeMinmaxMetaSql,
     "lake_scan_tvf" -> lakeScanTvfSql,
     "lake_count_meta" -> lakeCountMetaSql,
     "lake_pruned_scan" -> lakePrunedScanSql,

@@ -105,6 +105,28 @@ final class LakeFileIndex(
     val ns = filesWithStats.map(_._2.get(SnapshotTable.RowsStatKey))
     if (ns.forall(_.isDefined)) Some(ns.flatten.map(_._1.toLong).sum) else None
   }
+
+  /** Per-file manifest (min, max) stat strings for a COLUMN, defined only
+    * when EVERY file in the snapshot either recorded one or provably holds
+    * zero rows (`__rows` = 0 — the stats aggregation groups by
+    * input_file_name, so an empty part file never gets a column entry, yet
+    * contributes nothing to any extremum). One stats-less NON-empty file
+    * makes a global extremum unknowable without a scan → None. The
+    * internal `__rows`/`__bytes` keys are not columns. */
+  def columnStats(name: String): Option[Seq[(String, String)]] = {
+    val internal = Set(SnapshotTable.RowsStatKey, SnapshotTable.BytesStatKey)
+    val per: Seq[Option[Option[(String, String)]]] = filesWithStats.map { case (_, st) =>
+      st.collectFirst {
+        case (k, v) if !internal(k) && k.equalsIgnoreCase(name) => v
+      } match {
+        case Some(v) => Some(Some(v))
+        case None if st.get(SnapshotTable.RowsStatKey).exists(_._1.toLong == 0L) =>
+          Some(None)
+        case None => None
+      }
+    }
+    if (per.forall(_.isDefined)) Some(per.flatten.flatten) else None
+  }
 }
 
 object LakeFileIndex {

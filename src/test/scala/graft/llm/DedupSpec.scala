@@ -98,6 +98,11 @@ class DedupSpec extends AnyFunSuite {
     assert(got(4L)._2 == 12L && got(4L)._3 == 20L && got(4L)._4 == 1L, s"doc4 ${got(4L)}")
     // oracle-free invariant: coverage never exceeds token count
     assert(got.values.forall { case (ng, dg, dt, ds) => dt <= ng + n - 1 && ds <= dg })
+    // the hashed scale path (8-byte shuffle keys) is value-identical
+    val hashed = Dedup.substringDuplicationHashed(docs, n = n).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(hashed == got, s"hashed substring path diverged: $hashed vs $got")
   }
 
   test("connected components groups transitive dup chains, leaves isolates alone") {
