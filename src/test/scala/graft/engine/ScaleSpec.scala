@@ -11,6 +11,45 @@ import graft.TestSpark
 class ScaleSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("AQE splits a planted skewed join partition at runtime (skew=true)") {
+    import spark.implicits._
+    // one key carries ~90% of the left side; with broadcast disabled the
+    // join must shuffle, and AQE's OptimizeSkewedJoin should split the hot
+    // partition at runtime — the mechanism that absorbs power-law keys at
+    // 100 TB without manual salting
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(keys(0), "16384")
+      spark.conf.set(keys(1), "2")
+      spark.conf.set(keys(2), "8192")
+      spark.conf.set(keys(3), "-1")
+      spark.conf.set(keys(4), "-1")
+      // md5 payload: incompressible, so shuffle-size stats see the skew
+      val left = spark.range(0, 200000)
+        .select(when(col("id") % 10 === 0, col("id") % 1000).otherwise(0L).as("k"),
+          md5(col("id").cast("string")).as("payload"))
+      val right = spark.range(0, 1000).select(col("id").as("k"),
+        concat(lit("r"), col("id")).as("rv"))
+      val joined = left.join(right, "k")
+      // run the join's OWN QueryExecution (count() would plan a separate
+      // aggregate query and leave this one un-executed / un-adapted)
+      val n = joined.collect().length
+      assert(n == 200000, s"join row count $n")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n${plan.take(4000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join returns identical results to the plain join") {
     val t = Tables(spark, TestSpark.sf)
     val plain = t.lineitem.join(t.supplier, col("l_suppkey") === col("s_suppkey"))
