@@ -28,6 +28,8 @@ import graft.streaming.{Pipe, Pipes}
   *     INTO LAKE '<dir>' CHECKPOINT '<chk>'    -- atomic lake append pipe
   *   CREATE PIPE <name> FROM '<srcDir>' FORMAT <fmt> SCHEMA '<ddl>'
   *     INTO '<targetDir>' CHECKPOINT '<dir>'
+  *   CREATE PIPE <name> FROM LAKE '<srcTable>' [MERGE KEY <col>]
+  *     INTO LAKE '<dstTable>' CHECKPOINT '<chk>'  -- incremental lake→lake
   *   TRIGGER PIPE <name>
   *   SHOW PIPES
   *   ALTER TABLE <ident> REFRESH METADATA
@@ -75,6 +77,12 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
       case RefreshReflectionRe(name) => RefreshReflectionCommand(name)
       case DropReflectionRe(name) => DropReflectionCommand(name)
       case ShowReflectionsRe() => ShowReflectionsCommand(out("name", "fingerprint", "path"))
+      case CreateLakeSrcCdcPipeRe(name, srcDir, key, target, chk) =>
+        CreatePipeCommand(name, srcDir, "lakesource", "", target, chk,
+          sink = "merge", mergeKey = Some(key))
+      case CreateLakeSrcPipeRe(name, srcDir, target, chk) =>
+        CreatePipeCommand(name, srcDir, "lakesource", "", target, chk,
+          sink = "lake")
       case CreateCdcPipeRe(name, src, fmt, ddl, key, target, chk) =>
         CreatePipeCommand(name, src, fmt.toLowerCase, ddl, target, chk,
           sink = "merge", mergeKey = Some(key))
@@ -207,6 +215,15 @@ object GraftSqlParser {
   private val CreatePipeRe =
     ("""(?is)CREATE\s+PIPE\s+(\w+)\s+FROM\s+'([^']+)'\s+FORMAT\s+(\w+)\s+""" +
       """SCHEMA\s+'([^']+)'\s+INTO\s+'([^']+)'\s+CHECKPOINT\s+'([^']+)'\s*;?""").r
+  // lake-SOURCE pipes: incremental replication over the snapshot log —
+  // TRIGGER ships source commits (checkpointed, latest] into the target
+  // (append flavor: one tagged commit; MERGE KEY flavor: row-level CDC)
+  private val CreateLakeSrcCdcPipeRe =
+    ("""(?is)CREATE\s+PIPE\s+(\w+)\s+FROM\s+LAKE\s+'([^']+)'\s+""" +
+      """MERGE\s+KEY\s+(\w+)\s+INTO\s+LAKE\s+'([^']+)'\s+CHECKPOINT\s+'([^']+)'\s*;?""").r
+  private val CreateLakeSrcPipeRe =
+    ("""(?is)CREATE\s+PIPE\s+(\w+)\s+FROM\s+LAKE\s+'([^']+)'\s+""" +
+      """INTO\s+LAKE\s+'([^']+)'\s+CHECKPOINT\s+'([^']+)'\s*;?""").r
   // CDC upsert pipe: each TRIGGER merges arriving batches into the lake
   // table by key (reference ingestion grammar `ingestion.ftl`,
   // `Parser.tdd:624`)
@@ -556,7 +573,10 @@ object GraftSqlParser {
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("pipe")
     override def run(spark: SparkSession): Seq[Row] = {
-      val schema = StructType.fromDDL(schemaDdl)
+      // lake-source pipes carry no DDL: the source table's schema IS the
+      // schema (resolved at trigger time from its snapshot)
+      val schema =
+        if (schemaDdl.isEmpty) new StructType() else StructType.fromDDL(schemaDdl)
       Pipes.define(Pipe(name, src, fmt, schema, target, checkpoint, sink, mergeKey))
       Seq(Row(name))
     }
@@ -569,10 +589,11 @@ object GraftSqlParser {
         throw new IllegalArgumentException(s"unknown pipe: $name"))
       // rows loaded by this trigger, from stream progress — not an O(target)
       // recount of the whole pipe table
-      val loaded = pipe.sink match {
-        case "merge" => Pipes.triggerMergeIntoLake(spark, pipe, pipe.mergeKey.get)
-        case "lake"  => Pipes.triggerIntoLake(spark, pipe)
-        case _       => Pipes.trigger(spark, pipe)
+      val loaded = (pipe.format, pipe.sink) match {
+        case ("lakesource", _) => Pipes.triggerFromLake(spark, pipe)
+        case (_, "merge") => Pipes.triggerMergeIntoLake(spark, pipe, pipe.mergeKey.get)
+        case (_, "lake")  => Pipes.triggerIntoLake(spark, pipe)
+        case _            => Pipes.trigger(spark, pipe)
       }
       Seq(Row(name, loaded.toString))
     }

@@ -473,6 +473,47 @@ class SqlExtSpec extends AnyFunSuite {
     assert(literalQ == "QUALIFY rk = 1", "QUALIFY inside a string literal was rewritten")
   }
 
+  test("lake-source pipes: incremental append replication and CDC merge through SQL") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_lakepipe").toString
+    val (srcDir, dstDir) = (s"$base/src", s"$base/dst")
+    spark.sql(s"CREATE LAKE '$srcDir' AS SELECT id, id * 2 AS v FROM range(100)")
+    spark.sql(s"CREATE PIPE lp_app FROM LAKE '$srcDir' INTO LAKE '$dstDir' CHECKPOINT '$base/chk1'")
+    // initial sync ships the full snapshot
+    val r1 = spark.sql("TRIGGER PIPE lp_app").collect()(0)
+    assert(r1.getString(1) == "100", s"initial sync loaded ${r1.getString(1)}")
+    def cnt(dir: String): Long =
+      spark.sql(s"SELECT count(*) FROM lake_scan('$dir')").head().getLong(0)
+    assert(cnt(dstDir) == 100L)
+    // nothing new → no-op trigger (and no new target commit)
+    val dstCommits = graft.sources.SnapshotTable.forPath(spark, dstDir).commits.size
+    assert(spark.sql("TRIGGER PIPE lp_app").collect()(0).getString(1) == "0")
+    assert(graft.sources.SnapshotTable.forPath(spark, dstDir).commits.size == dstCommits)
+    // appends replicate incrementally
+    spark.sql(s"INSERT INTO LAKE '$srcDir' SELECT id, id * 2 AS v FROM range(100, 150)")
+    assert(spark.sql("TRIGGER PIPE lp_app").collect()(0).getString(1) == "50")
+    assert(cnt(dstDir) == 150L)
+    // CDC pipe: bootstrap, then row-level DML replication by key
+    val dst2 = s"$base/dst2"
+    spark.sql(s"CREATE PIPE lp_cdc FROM LAKE '$srcDir' MERGE KEY id INTO LAKE '$dst2' CHECKPOINT '$base/chk2'")
+    spark.sql("TRIGGER PIPE lp_cdc")
+    assert(cnt(dst2) == 150L)
+    spark.sql(s"DELETE FROM LAKE '$srcDir' WHERE id >= 140")
+    spark.sql(s"UPDATE LAKE '$srcDir' SET v = id * 3 WHERE id < 10")
+    spark.sql("TRIGGER PIPE lp_cdc")
+    val want = spark.sql(s"SELECT id, v FROM lake_scan('$srcDir')")
+      .as[(Long, Long)].collect().toSet
+    val got = spark.sql(s"SELECT id, v FROM lake_scan('$dst2')")
+      .as[(Long, Long)].collect().toSet
+    assert(got == want, s"CDC replica diverged: ${got.diff(want)} / ${want.diff(got)}")
+    assert(got.size == 140 && got(({(5L, 15L)}: (Long, Long))), s"updated row missing")
+    // the APPEND pipe must refuse to cross the source's DML commits
+    val ex = intercept[Exception] { spark.sql("TRIGGER PIPE lp_app").collect() }
+    assert(ex.getMessage.toLowerCase.contains("add-only") ||
+      ex.getMessage.toLowerCase.contains("append"), ex.getMessage)
+    spark.sql("SHOW PIPES").collect() // surface intact after the failure
+  }
+
   test("lake metadata table functions: lake_files / lake_history / lake_refs") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_tvf").toString + "/t"
