@@ -69,7 +69,9 @@ object GraftRestServer {
 
     private def run(sql: String, limit: Int): String = {
       val session = root.newSession()
-      val df = session.sql(sql)
+      // Graft.sql, not session.sql: a session conf `spark.graft.queue`
+      // routes REST statements through WLM admission like any other
+      val df = graft.Graft.sql(session, sql)
       val rows = df.limit(limit).toJSON.collect()
       val schema = df.schema.fields.map(f =>
         s"""{"name":${q(f.name)},"type":${q(f.dataType.simpleString)}}""")

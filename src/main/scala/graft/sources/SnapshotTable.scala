@@ -922,6 +922,15 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     * vacuum(). */
   def compact(numFiles: Int = 1): Long = copyOnWrite(_.coalesce(numFiles))
 
+  /** Partition-scoped compaction (Iceberg `rewrite_data_files` with a row
+    * filter): rewrite into `numFiles` only the files whose MANIFEST stats
+    * say they may hold rows matching `cond` — a hot partition's small
+    * files re-lay-out while cold data is carried by reference, so the
+    * commit costs O(touched files), not O(table). Rows are never filtered
+    * (the transform is a pure coalesce); `cond` only SELECTS files. */
+  def compactWhere(cond: org.apache.spark.sql.Column, numFiles: Int = 1): Long =
+    copyOnWrite(_.coalesce(numFiles), touch = Some(cond))
+
   /** Clustering compaction (Iceberg rewrite_data_files with sort order):
     * rewrite the current snapshot range-clustered + sorted on `cols` into
     * ~`numFiles` files, and START recording min/max manifest stats on

@@ -38,7 +38,7 @@ import graft.streaming.{Pipe, Pipes}
   *     AS <query>                               -- partitioned CTAS
   *   CREATE LAKE VIEW <name> FROM '<dir>'
   *     [VERSION AS OF <n> | TIMESTAMP AS OF '<ts>']
-  *   OPTIMIZE LAKE '<dir>' [ORDER BY c[, ...]] [INTO <n> FILES]
+  *   OPTIMIZE LAKE '<dir>' [ORDER BY c[, ...]] [INTO <n> FILES] [WHERE cond]
   *   INSERT INTO LAKE '<dir>' <query>           -- append, inherits layout
   *   DELETE FROM LAKE '<dir>' WHERE <cond>      -- copy-on-write DML
   *   UPDATE LAKE '<dir>' SET c = <expr>[, ...] WHERE <cond>
@@ -117,11 +117,12 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
       case CreateLakeViewRe(name, dir, version, asOfTs) =>
         CreateLakeViewCommand(name, dir, Option(version).map(_.toLong),
           Option(asOfTs).map(parseTsMillis))
-      case OptimizeLakeRe(dir, zorderBy, orderBy, nFiles) =>
+      case OptimizeLakeRe(dir, zorderBy, orderBy, nFiles, whereSql) =>
         def cols(s: String): Seq[String] =
           Option(s).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
         OptimizeLakeCommand(dir, cols(orderBy), cols(zorderBy),
-          Option(nFiles).map(_.toInt).getOrElse(1))
+          Option(nFiles).map(_.toInt).getOrElse(1),
+          Option(whereSql).map(_.trim).filter(_.nonEmpty))
       case CreateRefRe(refType, name, dir, version) =>
         CreateRefCommand(refType.toLowerCase, name, dir, Option(version).map(_.toLong))
       case DropRefRe(refType, name, dir) => DropRefCommand(refType.toLowerCase, name, dir)
@@ -257,7 +258,8 @@ object GraftSqlParser {
   private val OptimizeLakeRe =
     ("""(?is)OPTIMIZE\s+LAKE\s+'([^']+)'""" +
       """(?:\s+ZORDER\s+BY\s+\(([^)]*)\))?""" +
-      """(?:\s+ORDER\s+BY\s+([\w\s,.]+?))?(?:\s+INTO\s+(\d+)\s+FILES)?\s*;?""").r
+      """(?:\s+ORDER\s+BY\s+([\w\s,.]+?))?(?:\s+INTO\s+(\d+)\s+FILES)?""" +
+      """(?:\s+WHERE\s+(.+?))?\s*;?""").r
 
   /** `TIMESTAMP AS OF` accepts epoch millis or an ISO date/datetime
     * (interpreted in UTC, the engine's session timezone). */
@@ -649,17 +651,23 @@ object GraftSqlParser {
     * locality — every clustered column prunes). Stats on the cluster
     * columns start being recorded so pruning improves afterwards. */
   case class OptimizeLakeCommand(dir: String, orderBy: Seq[String],
-                                 zorderBy: Seq[String], nFiles: Int)
+                                 zorderBy: Seq[String], nFiles: Int,
+                                 whereSql: Option[String] = None)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("version", "n_files")
     override def run(spark: SparkSession): Seq[Row] = {
       require(orderBy.isEmpty || zorderBy.isEmpty,
         "OPTIMIZE LAKE takes ORDER BY or ZORDER BY, not both")
+      require(whereSql.isEmpty || (orderBy.isEmpty && zorderBy.isEmpty),
+        "OPTIMIZE LAKE ... WHERE is plain compaction (no ORDER/ZORDER BY)")
       val t = graft.sources.SnapshotTable.forPath(spark, dir)
       val v =
         if (zorderBy.nonEmpty) t.compactZorder(zorderBy, nFiles)
         else if (orderBy.nonEmpty) t.compactSorted(orderBy, nFiles)
-        else t.compact(nFiles)
+        else whereSql match {
+          case Some(w) => t.compactWhere(org.apache.spark.sql.functions.expr(w), nFiles)
+          case None => t.compact(nFiles)
+        }
       Seq(Row(v.toString, nFiles.toString))
     }
   }

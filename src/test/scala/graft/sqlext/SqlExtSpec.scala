@@ -473,6 +473,43 @@ class SqlExtSpec extends AnyFunSuite {
     assert(literalQ == "QUALIFY rk = 1", "QUALIFY inside a string literal was rewritten")
   }
 
+  test("OPTIMIZE LAKE ... WHERE compacts only the touched files (partial rewrite)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_opt_where").toString + "/t"
+    // partitioned by grp → files are per-partition; stats give the pruner
+    // per-file grp ranges, so WHERE grp = 1 touches exactly that partition
+    spark.sql(s"CREATE LAKE '$dir' PARTITION BY (identity(grp)) STATS (grp) AS " +
+      "SELECT id, CAST(id % 3 AS INT) AS grp FROM range(300)")
+    // several appends fragment partition 1
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO LAKE '$dir' " +
+        s"SELECT id + ${1000 * (i + 1)} AS id, 1 AS grp FROM range(10)")
+    }
+    // classify files by their manifest grp stat (partition files carry
+    // min==max); paths are opaque, the manifest is the authority
+    def filesByGrp(): Map[String, Set[String]] = spark.sql(
+      s"SELECT file_path, stats_min['grp'] AS g FROM lake_files('$dir')")
+      .as[(String, String)].collect().toSeq
+      .groupBy(x => String.valueOf(x._2)).view.mapValues(_.map(_._1).toSet).toMap
+    val before = filesByGrp()
+    assert(before("1").size >= 4, s"fixture: grp=1 should be fragmented: $before")
+    val cold = spark.sql(s"SELECT id, grp FROM lake_scan('$dir') ORDER BY id")
+      .as[(Long, Int)].collect().toSeq
+    spark.sql(s"OPTIMIZE LAKE '$dir' INTO 1 FILES WHERE grp = 1")
+    val after = filesByGrp()
+    // untouched partitions carried BY REFERENCE (same physical files)
+    assert(after("0") == before("0") && after("2") == before("2"),
+      s"untouched files were rewritten:\nbefore $before\nafter $after")
+    // partition 1 compacted: fewer files, none of the old ones survive
+    assert(after("1").intersect(before("1")).isEmpty &&
+      after("1").size < before("1").size,
+      s"grp=1 not compacted: ${before("1").size} -> ${after("1").size}")
+    // rows unchanged
+    val hot = spark.sql(s"SELECT id, grp FROM lake_scan('$dir') ORDER BY id")
+      .as[(Long, Int)].collect().toSeq
+    assert(hot == cold, "partial compaction changed table contents")
+  }
+
   test("lake-source pipes: incremental append replication and CDC merge through SQL") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_lakepipe").toString
