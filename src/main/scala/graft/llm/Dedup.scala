@@ -147,7 +147,13 @@ object Dedup {
           .select(col("id"), col("component"))
           .localCheckpoint(true)
         val improved = obs.get("improved").asInstanceOf[Long] > 0
-        labels = next // superseded rounds' blocks are GC'd by ContextCleaner
+        // `next` is eagerly materialized, so the superseded round's blocks
+        // can be dropped NOW — deterministic O(1)-rounds memory instead of
+        // waiting on the ContextCleaner's GC cadence. Only the RESULT's
+        // checkpoint survives (its lifetime belongs to the caller).
+        val prev = labels
+        labels = next
+        prev.unpersist(blocking = false)
         if (!improved) return labels
         iters += 1
       }

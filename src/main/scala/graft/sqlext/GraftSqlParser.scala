@@ -61,6 +61,7 @@ import graft.streaming.{Pipe, Pipes}
   *   ALTER LAKE '<dir>' ADD COLUMN <name> <type>       -- fresh field id
   *   ALTER LAKE '<dir>' DROP COLUMN <name>             -- id retired
   *   ROLLBACK LAKE '<dir>' TO VERSION <n>   -- restore as a new commit
+  *   VACUUM LAKE '<dir>' [RETAIN <n> VERSIONS] [GRACE <ms>]  -- expire + delete
   *   ANALYZE LAKE '<dir>'   -- one-pass column profile (HLL ndv)
   *   COPY INTO '<targetDir>' FROM '<src>' FORMAT <fmt> SCHEMA '<ddl>'
   *     [ON_ERROR CONTINUE|ABORT]                -- reference CopyIntoTableContext
@@ -152,6 +153,10 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
       case AddLakeColRe(dir, name, typeDdl) => AddLakeColumnCommand(dir, name, typeDdl)
       case DropLakeColRe(dir, name) => DropLakeColumnCommand(dir, name)
       case RollbackLakeRe(dir, version) => RollbackLakeCommand(dir, version.toLong)
+      case VacuumLakeRe(dir, retain, grace) =>
+        VacuumLakeCommand(dir,
+          Option(retain).map(_.toInt).getOrElse(2),
+          Option(grace).map(_.toLong).getOrElse(3600000L))
       case AnalyzeLakeRe(dir) =>
         AnalyzeLakeCommand(dir,
           out("col_name", "n_rows", "n_nulls", "ndv", "min_value", "max_value"))
@@ -255,6 +260,12 @@ object GraftSqlParser {
     ("""(?is)CREATE\s+LAKE\s+'([^']+)'""" +
       """(?:\s+PARTITION\s+BY\s+\(((?:[^()]*\([^()]*\))*[^()]*)\))?""" +
       """(?:\s+STATS\s+\(([^)]*)\))?\s+AS\s+(.+?)\s*;?""").r
+  // expire old snapshots + delete unreferenced data files (Iceberg
+  // expire_snapshots / Delta VACUUM); GRACE (ms) keeps young orphans for
+  // in-flight writers — sub-hour values are for tests
+  private val VacuumLakeRe =
+    ("""(?is)VACUUM\s+LAKE\s+'([^']+)'""" +
+      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(?:\s+GRACE\s+(\d+))?\s*;?""").r
   private val OptimizeLakeRe =
     ("""(?is)OPTIMIZE\s+LAKE\s+'([^']+)'""" +
       """(?:\s+ZORDER\s+BY\s+\(([^)]*)\))?""" +
@@ -650,6 +661,18 @@ object GraftSqlParser {
     * clustered when ZORDER BY (a, b, ...) is given (multi-dimensional
     * locality — every clustered column prunes). Stats on the cluster
     * columns start being recorded so pruning improves afterwards. */
+  /** VACUUM LAKE: expire history to the last `retain` versions and delete
+    * data files no retained snapshot (or ref) references. */
+  case class VacuumLakeCommand(dir: String, retain: Int, graceMs: Long)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("n_deleted")
+    override def run(spark: SparkSession): Seq[Row] = {
+      val deleted = graft.sources.SnapshotTable.forPath(spark, dir)
+        .vacuum(retain, graceMs)
+      Seq(Row(deleted.size.toString))
+    }
+  }
+
   case class OptimizeLakeCommand(dir: String, orderBy: Seq[String],
                                  zorderBy: Seq[String], nFiles: Int,
                                  whereSql: Option[String] = None)

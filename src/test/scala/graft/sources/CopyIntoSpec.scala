@@ -63,18 +63,23 @@ class CopyIntoSpec extends AnyFunSuite {
 
   test("copyInto leaves no cached data behind (long-lived ingest hygiene)") {
     val root = Files.createTempDirectory("graft_copy_cache").toString
+    // delta-based: other operators legitimately hand back persisted
+    // results (a CC's final localCheckpoint) — COPY INTO must add NOTHING
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    def leaked = spark.sparkContext.getPersistentRDDs.filterNot {
+      case (id, _) => before(id)
+    }
     val src = writeCsv(root, Seq("1,alpha,1.5", "bad,row,zz"))
     CopyInto.copyInto(spark, src, "csv", schema, s"$root/tbl")
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      "COPY INTO must unpersist its parsed source after the load")
+    assert(leaked.isEmpty,
+      s"COPY INTO must unpersist its parsed source after the load: $leaked")
     // the abort path must release the cache too (throws mid-flight)
     val src2 = s"$root/in2.csv"
     Files.write(Paths.get(src2), "id,name,score\nbad,x,y".getBytes)
     intercept[IllegalStateException] {
       CopyInto.copyInto(spark, src2, "csv", schema, s"$root/tbl", onError = "abort")
     }
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      "aborted COPY INTO must still unpersist")
+    assert(leaked.isEmpty, s"aborted COPY INTO must still unpersist: $leaked")
   }
 
   test("mergeByKey upserts: updates matched keys, inserts new, keeps rest") {

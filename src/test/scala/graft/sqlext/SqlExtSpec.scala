@@ -473,6 +473,29 @@ class SqlExtSpec extends AnyFunSuite {
     assert(literalQ == "QUALIFY rk = 1", "QUALIFY inside a string literal was rewritten")
   }
 
+  test("VACUUM LAKE through SQL expires history and deletes unreferenced files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_vacuum_sql").toString + "/t"
+    spark.sql(s"CREATE LAKE '$dir' AS SELECT id FROM range(50)")
+    spark.sql(s"INSERT INTO LAKE '$dir' SELECT id FROM range(50, 80)")
+    // full overwrite makes version-1/2 files unreferenced by the head
+    graft.sources.SnapshotTable.forPath(spark, dir)
+      .overwrite(spark.range(200, 210).toDF("id"))
+    val deleted = spark.sql(s"VACUUM LAKE '$dir' RETAIN 1 VERSIONS GRACE 0")
+      .head().getString(0).toInt
+    assert(deleted > 0, "no unreferenced files deleted")
+    // current snapshot reads fine; expired time travel fails on the
+    // deleted files (sum() — a bare count would be answered from the
+    // manifest without ever touching data files)
+    assert(spark.sql(s"SELECT count(*) FROM lake_scan('$dir')").head().getLong(0) == 10L)
+    assert(spark.sql(s"SELECT sum(id) FROM lake_scan('$dir')").head().getLong(0) ==
+      (200L until 210L).sum)
+    val ex = intercept[Exception] {
+      spark.sql(s"SELECT sum(id) FROM lake_scan('$dir', 1)").collect()
+    }
+    assert(ex != null)
+  }
+
   test("OPTIMIZE LAKE ... WHERE compacts only the touched files (partial rewrite)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_opt_where").toString + "/t"
