@@ -104,16 +104,22 @@ object GraftExtensions {
   }
 
   private def lakeScan(args: Seq[Expression]): LogicalPlan = {
-    val (dir, version) = args match {
-      case Seq(d) => (dirArg("lake_scan", Seq(d)), None)
+    val spark = SparkSession.active
+    args match {
+      case Seq(d) =>
+        SnapshotTable.forPath(spark, dirArg("lake_scan", Seq(d)))
+          .read().queryExecution.analyzed
       case Seq(d, v) if v.foldable &&
           Seq[DataType](ByteType, ShortType, IntegerType, LongType).contains(v.dataType) =>
-        (dirArg("lake_scan", Seq(d)), Some(v.eval().toString.toLong))
+        SnapshotTable.forPath(spark, dirArg("lake_scan", Seq(d)))
+          .read(version = Some(v.eval().toString.toLong)).queryExecution.analyzed
+      case Seq(d, r) if r.foldable && r.dataType == StringType && r.eval() != null =>
+        // string second argument = branch or tag name (AT BRANCH|TAG inline)
+        SnapshotTable.forPath(spark, dirArg("lake_scan", Seq(d)))
+          .readRef(r.eval().toString).queryExecution.analyzed
       case _ => throw new IllegalArgumentException(
-        "lake_scan expects lake_scan('<table dir>'[, <version>])")
+        "lake_scan expects lake_scan('<table dir>'[, <version> | '<branch|tag>'])")
     }
-    SnapshotTable.forPath(SparkSession.active, dir)
-      .read(version = version).queryExecution.analyzed
   }
 
   private def cachedResult(args: Seq[Expression]): LogicalPlan = {

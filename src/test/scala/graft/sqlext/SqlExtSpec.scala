@@ -614,5 +614,14 @@ class SqlExtSpec extends AnyFunSuite {
          |  (SELECT count(*) AS n FROM lake_scan('$dir')) s""".stripMargin)
       .head()
     assert(joined.getLong(0) == joined.getLong(1), s"manifest/scan disagree: $joined")
+    // string second argument reads a BRANCH or TAG inline
+    spark.sql(s"CREATE BRANCH scanref FROM LAKE '$dir' VERSION AS OF 1")
+    spark.sql(s"INSERT INTO LAKE '$dir' AT BRANCH scanref SELECT id, id AS v FROM range(7)")
+    val nBranch = spark.sql(s"SELECT count(*) AS n FROM lake_scan('$dir', 'scanref')")
+      .head().getLong(0)
+    assert(nBranch == 107L, s"branch scan rows $nBranch")
+    assert(spark.sql(s"SELECT count(*) FROM lake_scan('$dir')").head().getLong(0) == 150L,
+      "main must not see staged branch rows")
+    spark.sql(s"DROP BRANCH scanref FROM LAKE '$dir'")
   }
 }
