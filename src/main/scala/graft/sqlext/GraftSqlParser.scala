@@ -62,6 +62,7 @@ import graft.streaming.{Pipe, Pipes}
   *   ALTER LAKE '<dir>' DROP COLUMN <name>             -- id retired
   *   ROLLBACK LAKE '<dir>' TO VERSION <n>   -- restore as a new commit
   *   VACUUM LAKE '<dir>' [RETAIN <n> VERSIONS] [GRACE <ms>]  -- expire + delete
+  *   SHOW CREATE LAKE '<dir>'   -- column DDL + sticky layout + head version
   *   ANALYZE LAKE '<dir>'   -- one-pass column profile (HLL ndv)
   *   COPY INTO '<targetDir>' FROM '<src>' FORMAT <fmt> SCHEMA '<ddl>'
   *     [ON_ERROR CONTINUE|ABORT]                -- reference CopyIntoTableContext
@@ -153,6 +154,9 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
       case AddLakeColRe(dir, name, typeDdl) => AddLakeColumnCommand(dir, name, typeDdl)
       case DropLakeColRe(dir, name) => DropLakeColumnCommand(dir, name)
       case RollbackLakeRe(dir, version) => RollbackLakeCommand(dir, version.toLong)
+      case ShowCreateLakeRe(dir) =>
+        ShowCreateLakeCommand(dir,
+          out("column_ddl", "partition_spec", "stats_cols", "version"))
       case VacuumLakeRe(dir, retain, grace) =>
         VacuumLakeCommand(dir,
           Option(retain).map(_.toInt).getOrElse(2),
@@ -260,6 +264,8 @@ object GraftSqlParser {
     ("""(?is)CREATE\s+LAKE\s+'([^']+)'""" +
       """(?:\s+PARTITION\s+BY\s+\(((?:[^()]*\([^()]*\))*[^()]*)\))?""" +
       """(?:\s+STATS\s+\(([^)]*)\))?\s+AS\s+(.+?)\s*;?""").r
+  private val ShowCreateLakeRe =
+    """(?is)SHOW\s+CREATE\s+LAKE\s+'([^']+)'\s*;?""".r
   // expire old snapshots + delete unreferenced data files (Iceberg
   // expire_snapshots / Delta VACUUM); GRACE (ms) keeps young orphans for
   // in-flight writers — sub-hour values are for tests
@@ -661,6 +667,23 @@ object GraftSqlParser {
     * clustered when ZORDER BY (a, b, ...) is given (multi-dimensional
     * locality — every clustered column prunes). Stats on the cluster
     * columns start being recorded so pruning improves afterwards. */
+  /** SHOW CREATE LAKE: the table's current definition — column DDL (from
+    * the head commit's schema), effective sticky layout (partition
+    * transforms + stats columns), and head version (the reference's SHOW
+    * CREATE surface over versioned tables). */
+  case class ShowCreateLakeCommand(dir: String,
+                                   override val output: Seq[Attribute])
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val t = graft.sources.SnapshotTable.forPath(spark, dir)
+      val cs = t.commits
+      require(cs.nonEmpty, s"empty lake table $dir")
+      val (spec, statsCols) = t.effectiveLayout
+      Seq(Row(cs.last.schemaDdl, spec.mkString(", "),
+        statsCols.mkString(", "), cs.last.version.toString))
+    }
+  }
+
   /** VACUUM LAKE: expire history to the last `retain` versions and delete
     * data files no retained snapshot (or ref) references. */
   case class VacuumLakeCommand(dir: String, retain: Int, graceMs: Long)

@@ -473,6 +473,24 @@ class SqlExtSpec extends AnyFunSuite {
     assert(literalQ == "QUALIFY rk = 1", "QUALIFY inside a string literal was rewritten")
   }
 
+  test("SHOW CREATE LAKE reports column DDL, sticky layout, head version") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_showcreate").toString + "/t"
+    spark.sql(s"CREATE LAKE '$dir' PARTITION BY (identity(grp)) STATS (id) AS " +
+      "SELECT id, CAST(id % 3 AS INT) AS grp FROM range(30)")
+    spark.sql(s"INSERT INTO LAKE '$dir' SELECT id, CAST(id % 3 AS INT) AS grp FROM range(30, 40)")
+    val r = spark.sql(s"SHOW CREATE LAKE '$dir'").head()
+    assert(r.getString(0).toLowerCase.contains("id") &&
+      r.getString(0).toLowerCase.contains("grp"), s"column ddl: ${r.getString(0)}")
+    assert(r.getString(1) == "identity(grp)", s"partition spec: ${r.getString(1)}")
+    assert(r.getString(2) == "id", s"stats cols: ${r.getString(2)}")
+    assert(r.getString(3) == "2", s"head version: ${r.getString(3)}")
+    // schema evolution reflects in the reported DDL
+    spark.sql(s"ALTER LAKE '$dir' ADD COLUMN note STRING")
+    val r2 = spark.sql(s"SHOW CREATE LAKE '$dir'").head()
+    assert(r2.getString(0).toLowerCase.contains("note"), s"evolved ddl: ${r2.getString(0)}")
+    assert(r2.getString(3) == "3")
+  }
+
   test("VACUUM LAKE through SQL expires history and deletes unreferenced files") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_vacuum_sql").toString + "/t"
