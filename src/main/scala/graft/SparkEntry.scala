@@ -21,6 +21,7 @@ object SparkEntry {
       graft.queries.Events.queries ++
       graft.queries.Lake.queries ++
       graft.queries.Federation.queries ++
+      graft.queries.Explore.queries ++
       graft.llm.LlmQueries.queries
 
   /** Queries whose fn mutates external state on every call (rewrites a
@@ -38,5 +39,6 @@ object SparkEntry {
       graft.queries.Events.oracle ++
       graft.queries.Lake.oracle ++
       graft.queries.Federation.oracle ++
+      graft.queries.Explore.oracle ++
       graft.llm.LlmQueries.oracle
 }
