@@ -129,6 +129,22 @@ object InfoSchema {
         .map(r => Row(r.id, r.action, r.status, r.durationMs, r.outputRows,
           r.shuffleBytes, r.error, r.plan, r.tsMs)))
 
+  /** sys.join_analysis (reference per-job `JoinAnalysis` —
+    * `JobsBasedRecommender.java:108` consumes it): every equi-join a
+    * completed action ran, resolved to base tables, most recent first. */
+  def sysJoinAnalysis(spark: SparkSession): DataFrame =
+    live(spark, StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("left_table", StringType, nullable = false),
+      StructField("right_table", StringType, nullable = false),
+      StructField("join_type", StringType, nullable = false),
+      StructField("left_keys", ArrayType(StringType), nullable = false),
+      StructField("right_keys", ArrayType(StringType), nullable = false),
+      StructField("timestamp_ms", LongType, nullable = false))),
+      () => QueryHistory.joinObservations
+        .map(o => Row(o.queryId, o.leftTable, o.rightTable, o.joinType,
+          o.leftKeys, o.rightKeys, o.tsMs)))
+
   /** sys.queues (reference WLM queue state — `services/resourcescheduler`
     * BasicResourceAllocator): per-queue slots, live occupancy, and
     * admission counters. */
@@ -169,6 +185,7 @@ object InfoSchema {
     sysPipes(spark).createOrReplaceTempView("sys_pipes")
     sysFunctions(spark).createOrReplaceTempView("sys_functions")
     sysQueries(spark).createOrReplaceTempView("sys_queries")
+    sysJoinAnalysis(spark).createOrReplaceTempView("sys_join_analysis")
     sysQueues(spark).createOrReplaceTempView("sys_queues")
     sysResultCache(spark).createOrReplaceTempView("sys_result_cache")
   }

@@ -5,8 +5,13 @@ import java.util.concurrent.atomic.AtomicLong
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, ExprId, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.execution.{QueryExecution, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.catalyst.catalog.HiveTableRelation
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.util.QueryExecutionListener
 
 /** One completed (or failed) query action, as `sys_queries` reports it. */
@@ -19,6 +24,20 @@ final case class QueryRecord(
     shuffleBytes: Long,
     error: String,
     plan: String, // one-line physical summary
+    tsMs: Long)
+
+/** One equi-join a successful query actually ran, resolved to its base
+  * tables — the Spark-native seat of the reference's per-job
+  * `JoinAnalysis` (join tables + conditions recorded on every job attempt,
+  * `JobsBasedRecommender.java:108-135` consumes them). Keys are listed
+  * pairwise: `leftKeys(i) = rightKeys(i)`. */
+final case class JoinObservation(
+    queryId: Long,
+    leftTable: String,
+    rightTable: String,
+    joinType: String,
+    leftKeys: Seq[String],
+    rightKeys: Seq[String],
     tsMs: Long)
 
 /** Session-wide query history (the Spark-native seat of the reference's
@@ -34,6 +53,7 @@ object QueryHistory {
   val MaxEntries = 1000
 
   private val ring = new ConcurrentLinkedDeque[QueryRecord]()
+  private val joinRing = new ConcurrentLinkedDeque[JoinObservation]()
   private val ids = new AtomicLong()
   // weak keys: sessions come and go in tests; the registry must not pin them
   private val installed = java.util.Collections.synchronizedSet(
@@ -47,7 +67,9 @@ object QueryHistory {
 
   def records: Seq[QueryRecord] = ring.iterator().asScala.toVector
 
-  private[catalog] def clear(): Unit = ring.clear()
+  def joinObservations: Seq[JoinObservation] = joinRing.iterator().asScala.toVector
+
+  private[catalog] def clear(): Unit = { ring.clear(); joinRing.clear() }
 
   private final class Listener extends QueryExecutionListener {
     override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
@@ -88,5 +110,62 @@ object QueryHistory {
     }
     ring.addFirst(rec)
     while (ring.size() > MaxEntries) ring.pollLast()
+    if (err.isEmpty) { // reference: only COMPLETED jobs feed join analysis
+      try extractJoins(qe.analyzed, rec.id, rec.tsMs).foreach { o =>
+        joinRing.addFirst(o)
+        while (joinRing.size() > MaxEntries) joinRing.pollLast()
+      } catch { case _: Throwable => () }
+    }
   }
+
+  // ------------------------------------------------------------ join analysis
+
+  private object Conjuncts extends PredicateHelper {
+    def split(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      splitConjunctivePredicates(e)
+  }
+
+  /** The stable identity of a base relation: catalog name when it has one,
+    * else the normalized root path of the file relation. */
+  private def leafTable(p: LogicalPlan): Option[String] = p match {
+    case l: LogicalRelation =>
+      l.catalogTable.map(_.identifier.unquotedString).orElse(l.relation match {
+        case h: HadoopFsRelation =>
+          h.location.rootPaths.headOption
+            .map(rp => graft.accel.Reflections.normPath(rp.toString))
+        case _ => None
+      })
+    case h: HiveTableRelation => Some(h.tableMeta.identifier.unquotedString)
+    case d: DataSourceV2Relation => Option(d.table).map(_.name())
+    case _ => None
+  }
+
+  /** Every equi-join in the analyzed plan whose keys resolve (by ExprId,
+    * through any Project/Filter/alias chain) to two base relations. A
+    * condition mixing several leaf pairs yields one observation per pair. */
+  private[catalog] def extractJoins(plan: LogicalPlan, qid: Long,
+                                    ts: Long): Seq[JoinObservation] =
+    plan.collect {
+      case Join(left, right, jt, Some(cond), _) =>
+        def originMap(side: LogicalPlan): Map[ExprId, (String, String)] =
+          side.collectLeaves().flatMap { lf =>
+            leafTable(lf).toSeq.flatMap(t => lf.output.map(a => a.exprId -> (t, a.name)))
+          }.toMap
+        val lm = originMap(left)
+        val rm = originMap(right)
+        Conjuncts.split(cond)
+          .collect {
+            case EqualTo(a: AttributeReference, b: AttributeReference)
+                if lm.contains(a.exprId) && rm.contains(b.exprId) =>
+              (lm(a.exprId), rm(b.exprId))
+            case EqualTo(a: AttributeReference, b: AttributeReference)
+                if lm.contains(b.exprId) && rm.contains(a.exprId) =>
+              (lm(b.exprId), rm(a.exprId))
+          }
+          .groupBy { case ((lt, _), (rt, _)) => (lt, rt) }
+          .map { case ((lt, rt), pairs) =>
+            JoinObservation(qid, lt, rt, jt.sql,
+              pairs.map(_._1._2), pairs.map(_._2._2), ts)
+          }
+    }.flatten
 }

@@ -54,6 +54,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction((FunctionIdentifier("cached"),
       info("cached", "cached('<select sql>') — serve from the version-gated result cache"),
       (args: Seq[Expression]) => cachedResult(args)))
+    // Join recommendations from job history (reference
+    // `JobsBasedRecommender.java:74` via `DatasetVersionResource.java:1306`):
+    // every equi-join completed jobs ran against the named dataset, merged
+    // and ranked by (job count, recency). Driver-side metadata only.
+    e.injectTableFunction((FunctionIdentifier("join_recommendations"),
+      info("join_recommendations",
+        "join_recommendations('<table>') — ranked joins other jobs ran against this dataset"),
+      (args: Seq[Expression]) => joinRecos(args)))
   }
 }
 
@@ -72,6 +80,18 @@ object GraftExtensions {
 
   private def attrs(fields: (String, DataType)*): Seq[Attribute] =
     fields.map { case (n, t) => AttributeReference(n, t, nullable = true)() }
+
+  private def joinRecos(args: Seq[Expression]): LogicalPlan = {
+    val recos = graft.explore.JoinRecommender
+      .recommend(dirArg("join_recommendations", args))
+    LocalRelation.fromExternalRows(
+      attrs("other_table" -> StringType, "join_type" -> StringType,
+        "target_keys" -> ArrayType(StringType),
+        "other_keys" -> ArrayType(StringType),
+        "job_count" -> LongType, "last_used_ms" -> LongType),
+      recos.map(r => Row(r.otherTable, r.joinType,
+        r.keys.map(_._1), r.keys.map(_._2), r.jobCount, r.lastUsedMs)))
+  }
 
   private def lakeFiles(args: Seq[Expression]): LogicalPlan = {
     val t = SnapshotTable.forPath(SparkSession.active, dirArg("lake_files", args))
