@@ -115,6 +115,71 @@ object Recommenders {
     position ++ charGroups
   }
 
+  // ----------------------------------------------------- extract list / map
+
+  /** Array-element extract rules (`ExtractListRecommender.java:49-82`): the
+    * selection's character range in the JSON-rendered cell locates array
+    * positions via [[JsonSelections]]. One element ⇒ the single-element
+    * card; a range ⇒ the four sublist anchorings (each end measured from
+    * the start or from the end), exactly the reference's `ListSelection`
+    * fan-out. Offsets measured from the end use the SAMPLE cell's length —
+    * that is the rule's meaning on every other row. */
+  def extractListRules(sel: Selection): Seq[Card] = {
+    val (ps, pe) = JsonSelections.locate(sel.cellText, sel.offset, sel.offset + sel.length)
+      .getOrElse(throw new IllegalArgumentException(
+        s"invalid JSON selection: ${sel.cellText}"))
+    def lastIdx(p: List[JsonSelections.PathElem]): Int = p.reverse.collectFirst {
+      case JsonSelections.Idx(i) => i
+    }.getOrElse(throw new IllegalArgumentException(
+      "list extract selection must cover array elements"))
+    val s = lastIdx(ps)
+    val e = lastIdx(pe)
+    // length of the sample cell's array, for from-the-end offsets
+    val n = JsonSelections.topLevelCount(sel.cellText)
+    if (s == e)
+      Seq(Card("extract", s"Element: $s",
+        matchSql = c => s"$c[$s] IS NOT NULL",
+        applySql = Some(c => s"$c[$s]")))
+    else {
+      val j = n - 1 - s // start offset from the end
+      val k = n - 1 - e // end offset from the end
+      def guard(cond: String => String, body: String => String): String => String =
+        c => s"CASE WHEN ${cond(c)} THEN ${body(c)} ELSE NULL END"
+      def card(desc: String, apply: String => String): Card =
+        Card("extract", desc,
+          matchSql = c => s"size(${apply(c)}) > 0",
+          applySql = Some(apply))
+      Seq(
+        card(s"Elements: $s - $e",
+          guard(c => s"size($c) > $e", c => s"slice($c, ${s + 1}, ${e - s + 1})")),
+        card(s"Elements: $s - $k (from the end)",
+          guard(c => s"size($c) > ${k + s}",
+            c => s"slice($c, ${s + 1}, size($c) - ${k + s})")),
+        card(s"Elements: $j (from the end) - $e",
+          guard(c => s"size($c) > $j AND ${e + j + 2} - size($c) > 0",
+            c => s"slice($c, size($c) - $j, ${e + j + 2} - size($c))")),
+        card(s"Elements: $j - $k (both from the end)",
+          guard(c => s"size($c) > ${math.max(j, k)}",
+            c => s"slice($c, size($c) - $j, ${j - k + 1})")))
+    }
+  }
+
+  /** Struct/map path extract (`ExtractMapRecommender.java:37-99`): the UI
+    * hands the key path directly (`MapSelection.mapPathList`); the card is
+    * the bracket-path extraction with an IS NOT NULL match. Path syntax:
+    * dot-separated keys with optional `[i]` array steps — `a.b[2]`. */
+  def extractMapRules(path: String): Seq[Card] = {
+    val steps: Seq[String] = path.split('.').toSeq.flatMap { seg =>
+      val base = seg.takeWhile(_ != '[')
+      val idxs = "\\[(\\d+)\\]".r.findAllMatchIn(seg).map(_.group(1)).toSeq
+      (if (base.nonEmpty) Seq(q(base)) else Nil) ++ idxs
+    }
+    def apply(c: String) = steps.foldLeft(c)((acc, s) => s"$acc[$s]")
+    Seq(Card("extract", s"extract from map $path",
+      matchSql = c => s"${apply(c)} IS NOT NULL",
+      applySql = Some(apply)))
+  }
+
   // ------------------------------------------------------------------ split
 
   /** Split-on-delimiter rules (`SplitRecommender.java:43-57`): the selected

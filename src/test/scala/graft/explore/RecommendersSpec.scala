@@ -113,6 +113,60 @@ class RecommendersSpec extends AnyFunSuite with Matchers {
     replaced should contain("not a phone") // untouched
   }
 
+  test("extract list: selection locates array elements; single + four sublist anchorings") {
+    val cell = """["a","b","c","d"]"""
+    val offB = cell.indexOf("\"b\"")
+    val offC = cell.indexOf("\"c\"")
+
+    val single = extractListRules(Selection(cell, offB, 3))
+    single.map(_.description) shouldBe List("Element: 1")
+    val df = Seq(Seq("a", "b", "c", "d"), Seq("x", "y"), Seq("p")).toDF("arr")
+    df.selectExpr(single.head.applySql.get("arr")).as[String].collect() shouldBe
+      Array("b", "y", null)
+
+    val multi = extractListRules(Selection(cell, offB, offC + 3 - offB))
+    multi.map(_.description) shouldBe List(
+      "Elements: 1 - 2", "Elements: 1 - 1 (from the end)",
+      "Elements: 2 (from the end) - 2", "Elements: 2 - 1 (both from the end)")
+    // on a cell-shaped row every anchoring recovers the selection
+    val orig = Seq(Seq("a", "b", "c", "d")).toDF("arr")
+    multi.foreach { c =>
+      orig.selectExpr(c.applySql.get("arr")).as[Seq[String]].head() shouldBe Seq("b", "c")
+    }
+    // on a longer row the anchorings diverge, each honoring its offsets
+    val longer = Seq(Seq("v", "w", "x", "y", "z")).toDF("arr")
+    def on(card: Card) = longer.selectExpr(card.applySql.get("arr")).as[Seq[String]].head()
+    on(multi(0)) shouldBe Seq("w", "x") // 1 - 2 from the start
+    on(multi(1)) shouldBe Seq("w", "x", "y") // 1 from start .. 1 from end
+    on(multi(2)) shouldBe Seq("x") // 2 from end .. index 2
+    on(multi(3)) shouldBe Seq("x", "y") // 2 from end .. 1 from end
+
+    // nested: the selection's innermost array position is the element
+    val inner = extractListRules(Selection("""{"k":[10,20]}""", 9, 2)) // "20"
+    inner.map(_.description) shouldBe List("Element: 1")
+    // selecting the whole array (no element position) is rejected, like the
+    // reference's extractArrayIndex on a non-array path element
+    an[IllegalArgumentException] should be thrownBy
+      extractListRules(Selection("""{"k":[10,20]}""", 5, 7))
+  }
+
+  test("extract map: key path card with bracket extraction and IS NOT NULL match") {
+    val cards = extractMapRules("a.b")
+    cards.map(_.description) shouldBe List("extract from map a.b")
+    val df = spark.sql(
+      "SELECT named_struct('a', named_struct('b', 7), 'z', 1) AS m " +
+        "UNION ALL SELECT named_struct('a', named_struct('b', CAST(NULL AS INT)), 'z', 2)")
+    df.selectExpr(cards.head.applySql.get("m")).as[Option[Int]].collect().toSet shouldBe
+      Set(Some(7), None)
+    val scored = evaluate(df, "m", cards)
+    scored.head.matchCount shouldBe 1 // NULL leaf doesn't match
+
+    // array steps in the path
+    val withArr = extractMapRules("a[1]")
+    spark.sql("SELECT named_struct('a', array(10, 20, 30)) AS m")
+      .selectExpr(withArr.head.applySql.get("m")).as[Int].head() shouldBe 20
+  }
+
   test("recommend: full deck is ranked by match count and scoring is one job") {
     val sel = Selection("25-989-741-2988", 3, 3)
     val scored = recommend(phones, "phone", sel)
