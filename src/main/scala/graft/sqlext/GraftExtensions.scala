@@ -62,6 +62,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("join_recommendations",
         "join_recommendations('<table>') — ranked joins other jobs ran against this dataset"),
       (args: Seq[Expression]) => joinRecos(args)))
+    // Stats-driven reflection suggestions (reference `ReflectionSuggester
+    // .java:57` behind the suggestion REST surface): profile the dataset
+    // in one aggregate pass, return RAW + AGG layout proposals.
+    e.injectTableFunction((FunctionIdentifier("suggest_reflections"),
+      info("suggest_reflections",
+        "suggest_reflections('<dir>') — RAW/AGG reflection layouts from a one-pass column profile"),
+      (args: Seq[Expression]) => suggestReflections(args)))
   }
 }
 
@@ -91,6 +98,23 @@ object GraftExtensions {
         "job_count" -> LongType, "last_used_ms" -> LongType),
       recos.map(r => Row(r.otherTable, r.joinType,
         r.keys.map(_._1), r.keys.map(_._2), r.jobCount, r.lastUsedMs)))
+  }
+
+  private def suggestReflections(args: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    val dir = dirArg("suggest_reflections", args)
+    val df =
+      if (SnapshotTable.isLakeTable(dir)) SnapshotTable.forPath(spark, dir).read()
+      else spark.read.parquet(dir)
+    val dataset = dir.replaceAll("/+$", "").split('/').last.stripSuffix(".parquet")
+    val rows = graft.accel.ReflectionSuggester.suggest(df, dataset).map(s =>
+      Row(s.name, s.rtype, s.displayFields, s.dimensions, s.measures))
+    LocalRelation.fromExternalRows(
+      attrs("name" -> StringType, "type" -> StringType,
+        "display_fields" -> ArrayType(StringType),
+        "dimensions" -> ArrayType(StringType),
+        "measures" -> ArrayType(StringType)),
+      rows)
   }
 
   private def lakeFiles(args: Seq[Expression]): LogicalPlan = {
