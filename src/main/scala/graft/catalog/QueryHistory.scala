@@ -31,6 +31,18 @@ final case class QueryRecord(
   * `JoinAnalysis` (join tables + conditions recorded on every job attempt,
   * `JobsBasedRecommender.java:108-135` consumes them). Keys are listed
   * pairwise: `leftKeys(i) = rightKeys(i)`. */
+/** One physical operator of a completed query, with its executed metric
+  * values — the per-operator rows of the reference's query profile
+  * (`UserBitShared.OperatorProfile`, rendered by the profile viewer's
+  * operator table). */
+final case class OperatorProfile(
+    queryId: Long,
+    opId: Int, // preorder position in the final executed plan
+    depth: Int,
+    operator: String, // node name, e.g. HashAggregate
+    detail: String, // truncated simpleString
+    metrics: Map[String, Long])
+
 final case class JoinObservation(
     queryId: Long,
     leftTable: String,
@@ -51,9 +63,14 @@ final case class JoinObservation(
 object QueryHistory {
 
   val MaxEntries = 1000
+  /** Per-operator profiles are larger than records; keep fewer. */
+  val MaxProfiles = 100
+  /** Operator cap per profile — a runaway plan doesn't bloat the ring. */
+  val MaxOpsPerProfile = 200
 
   private val ring = new ConcurrentLinkedDeque[QueryRecord]()
   private val joinRing = new ConcurrentLinkedDeque[JoinObservation]()
+  private val profiles = new ConcurrentLinkedDeque[(Long, Seq[OperatorProfile])]()
   private val ids = new AtomicLong()
   // weak keys: sessions come and go in tests; the registry must not pin them
   private val installed = java.util.Collections.synchronizedSet(
@@ -69,7 +86,17 @@ object QueryHistory {
 
   def joinObservations: Seq[JoinObservation] = joinRing.iterator().asScala.toVector
 
-  private[catalog] def clear(): Unit = { ring.clear(); joinRing.clear() }
+  /** Executed per-operator metrics of a completed query (the reference's
+    * profile-viewer operator table). Empty when the id has rolled out of
+    * the bounded profile ring. */
+  def profileOf(id: Long): Seq[OperatorProfile] =
+    profiles.iterator().asScala.find(_._1 == id).map(_._2).getOrElse(Nil)
+
+  /** Most recently profiled query id, if any. */
+  def latestProfiledId: Option[Long] =
+    Option(profiles.peekFirst()).map(_._1)
+
+  private[catalog] def clear(): Unit = { ring.clear(); joinRing.clear(); profiles.clear() }
 
   private final class Listener extends QueryExecutionListener {
     override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
@@ -115,7 +142,25 @@ object QueryHistory {
         joinRing.addFirst(o)
         while (joinRing.size() > MaxEntries) joinRing.pollLast()
       } catch { case _: Throwable => () }
+      try {
+        val ops = finalPlansDepth(qe.executedPlan, 0).take(MaxOpsPerProfile)
+          .zipWithIndex.map { case ((n, d), i) =>
+            OperatorProfile(rec.id, i, d, n.nodeName,
+              n.simpleString(25).take(500),
+              n.metrics.map { case (k, m) => k -> m.value })
+          }
+        profiles.addFirst(rec.id -> ops)
+        while (profiles.size() > MaxProfiles) profiles.pollLast()
+      } catch { case _: Throwable => () }
     }
+  }
+
+  /** [[finalPlans]] with tree depth preserved (AQE wrappers are
+    * transparent: the executed subtree keeps the wrapper's depth). */
+  private def finalPlansDepth(p: SparkPlan, d: Int): Seq[(SparkPlan, Int)] = p match {
+    case a: AdaptiveSparkPlanExec => finalPlansDepth(a.executedPlan, d)
+    case s: QueryStageExec => finalPlansDepth(s.plan, d)
+    case other => (other, d) +: other.children.flatMap(c => finalPlansDepth(c, d + 1))
   }
 
   // ------------------------------------------------------------ join analysis

@@ -69,6 +69,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("suggest_reflections",
         "suggest_reflections('<dir>') — RAW/AGG reflection layouts from a one-pass column profile"),
       (args: Seq[Expression]) => suggestReflections(args)))
+    // Per-operator query profile (reference profile viewer's operator
+    // table, `UserBitShared.OperatorProfile`): executed plan nodes of a
+    // completed query with their metric values, straight from the bounded
+    // profile ring — sys_queries holds the id.
+    e.injectTableFunction((FunctionIdentifier("query_profile"),
+      info("query_profile",
+        "query_profile([id]) — executed operators + metrics of a completed query (default: latest)"),
+      (args: Seq[Expression]) => queryProfile(args)))
   }
 }
 
@@ -98,6 +106,24 @@ object GraftExtensions {
         "job_count" -> LongType, "last_used_ms" -> LongType),
       recos.map(r => Row(r.otherTable, r.joinType,
         r.keys.map(_._1), r.keys.map(_._2), r.jobCount, r.lastUsedMs)))
+  }
+
+  private def queryProfile(args: Seq[Expression]): LogicalPlan = {
+    import graft.catalog.QueryHistory
+    val id: Option[Long] = args match {
+      case Seq() => QueryHistory.latestProfiledId
+      case Seq(e) if e.foldable && e.eval() != null &&
+          Seq[DataType](ByteType, ShortType, IntegerType, LongType).contains(e.dataType) =>
+        Some(e.eval().toString.toLong)
+      case _ => throw new IllegalArgumentException(
+        "query_profile expects no argument or one integer query id")
+    }
+    val ops = id.map(QueryHistory.profileOf).getOrElse(Nil)
+    LocalRelation.fromExternalRows(
+      attrs("query_id" -> LongType, "op_id" -> IntegerType,
+        "depth" -> IntegerType, "operator" -> StringType,
+        "detail" -> StringType, "metrics" -> MapType(StringType, LongType)),
+      ops.map(o => Row(o.queryId, o.opId, o.depth, o.operator, o.detail, o.metrics)))
   }
 
   private def suggestReflections(args: Seq[Expression]): LogicalPlan = {
