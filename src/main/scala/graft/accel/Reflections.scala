@@ -135,6 +135,34 @@ object Reflections {
     r
   }
 
+  /** Register a USER-MANAGED materialization as a reflection (the
+    * reference's external reflections — `SqlAddExternalReflection.java`,
+    * `AccelAddExternalReflectionHandler.java`): the data at `path` was
+    * produced outside the engine (an upstream job, another system) and is
+    * NOT written here; we only validate it carries the defining query's
+    * columns and register the plan for substitution. Freshness pins work
+    * like any reflection; refresh stays the owner's job. */
+  def createExternal(name: String, df: DataFrame, path: String,
+                     definingSql: Option[String] = None): Reflection = {
+    val spark = df.sparkSession
+    val have = spark.read.parquet(path).schema.fieldNames.toSet
+    val want = df.schema.fieldNames.toSet
+    require(want.subsetOf(have),
+      s"external materialization at $path lacks columns of the defining " +
+        s"query: ${(want -- have).toSeq.sorted.mkString(", ")}")
+    spark.catalog.refreshByPath(path)
+    val defining = org.apache.spark.sql.graft.Bridge.ofRows(
+      spark, df.queryExecution.logical)
+    val plan = withSubstitutionBypassed { defining.queryExecution.optimizedPlan }
+    val r = Reflection(name, fingerprintPlan(plan), path,
+      lakeBaseVersions(spark, plan), definingSql)
+    byName.put(name, r)
+    byFingerprint.put(r.fingerprint, r)
+    planByName.put(name, plan)
+    scanByNameCache.remove(name)
+    r
+  }
+
   /** Lake tables the defining plan scans, with their CURRENT versions. */
   private[accel] def lakeBaseVersions(spark: SparkSession,
                                       plan: LogicalPlan): Map[String, Long] =

@@ -74,6 +74,8 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
   override def parsePlan(sqlText: String): LogicalPlan = {
     val t = sqlText.trim
     t match {
+      case CreateExternalReflectionRe(name, path, query) =>
+        CreateExternalReflectionCommand(name, path, query)
       case CreateReflectionRe(name, path, query) =>
         CreateReflectionCommand(name, path, query)
       case RefreshReflectionRe(name) => RefreshReflectionCommand(name)
@@ -217,6 +219,8 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
 }
 
 object GraftSqlParser {
+  private val CreateExternalReflectionRe =
+    """(?is)CREATE\s+EXTERNAL\s+REFLECTION\s+(\w+)\s+USING\s+PATH\s+'([^']+)'\s+AS\s+(.+)""".r
   private val CreateReflectionRe =
     """(?is)CREATE\s+REFLECTION\s+(\w+)\s+USING\s+PATH\s+'([^']+)'\s+AS\s+(.+)""".r
   private val DropReflectionRe = """(?is)DROP\s+REFLECTION\s+(\w+)\s*;?""".r
@@ -484,6 +488,18 @@ object GraftSqlParser {
     override val output: Seq[Attribute] = out("reflection", "fingerprint")
     override def run(spark: SparkSession): Seq[Row] = {
       val r = Reflections.create(name, spark.sql(query), path, Some(query))
+      Seq(Row(r.name, r.fingerprint))
+    }
+  }
+
+  /** CREATE EXTERNAL REFLECTION: register a user-managed materialization
+    * (reference `SqlAddExternalReflection.java` — the target data is NOT
+    * written by the engine, only validated and registered). */
+  case class CreateExternalReflectionCommand(name: String, path: String, query: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("reflection", "fingerprint")
+    override def run(spark: SparkSession): Seq[Row] = {
+      val r = Reflections.createExternal(name, spark.sql(query), path, Some(query))
       Seq(Row(r.name, r.fingerprint))
     }
   }

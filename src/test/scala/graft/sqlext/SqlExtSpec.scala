@@ -29,6 +29,34 @@ class SqlExtSpec extends AnyFunSuite {
     assert(spark.sql("SHOW REFLECTIONS").collect().isEmpty)
   }
 
+  test("CREATE EXTERNAL REFLECTION registers user-managed data without rewriting it") {
+    Reflections.clear()
+    graft.engine.Tables.ensure(spark, TestSpark.sf)
+    val dir = Files.createTempDirectory("graft_extrefl").toString
+    val defining = "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag"
+
+    // an "upstream job" materialized the aggregate itself — with doctored
+    // counts, so serving from it is distinguishable from recomputation
+    spark.sql(defining).withColumn("n", col("n") * 2)
+      .write.parquet(s"$dir/ext")
+    spark.sql(s"CREATE EXTERNAL REFLECTION extr USING PATH '$dir/ext' AS $defining")
+
+    val served = spark.sql(defining).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Reflections.drop("extr")
+    val direct = spark.sql(defining).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(served.keySet == direct.keySet)
+    direct.foreach { case (k, n) =>
+      assert(served(k) == 2 * n, s"external data not served for $k") }
+
+    // a materialization missing the defining columns is refused
+    spark.sql("SELECT l_returnflag AS other_col FROM lineitem LIMIT 1")
+      .write.parquet(s"$dir/bad")
+    val err = intercept[Exception](spark.sql(
+      s"CREATE EXTERNAL REFLECTION bad USING PATH '$dir/bad' AS $defining"))
+    assert(err.getMessage.contains("lacks columns"))
+    Reflections.clear()
+  }
+
   test("EXPLAIN ACCELERATION reports which reflections serve a query") {
     Reflections.clear()
     graft.engine.Tables.ensure(spark, TestSpark.sf)
