@@ -54,6 +54,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction((FunctionIdentifier("cached"),
       info("cached", "cached('<select sql>') — serve from the version-gated result cache"),
       (args: Seq[Expression]) => cachedResult(args)))
+    // Excel workbooks straight from a FROM clause (reference easy-format
+    // path-query surface, `ExcelFormatPlugin.java`): first sheet by
+    // default, optional sheet name as the second argument.
+    e.injectTableFunction((FunctionIdentifier("excel_scan"),
+      info("excel_scan", "excel_scan('<path>'[, '<sheet>']) — read .xlsx workbooks"),
+      (args: Seq[Expression]) => excelScan(args)))
     // Join recommendations from job history (reference
     // `JobsBasedRecommender.java:74` via `DatasetVersionResource.java:1306`):
     // every equi-join completed jobs ran against the named dataset, merged
@@ -95,6 +101,22 @@ object GraftExtensions {
 
   private def attrs(fields: (String, DataType)*): Seq[Attribute] =
     fields.map { case (n, t) => AttributeReference(n, t, nullable = true)() }
+
+  private def excelScan(args: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    def str(e: Expression): Option[String] =
+      if (e.foldable && e.dataType == StringType && e.eval() != null)
+        Some(e.eval().toString) else None
+    args match {
+      case Seq(p) if str(p).isDefined =>
+        graft.sources.ExcelFiles.read(spark, str(p).get).queryExecution.analyzed
+      case Seq(p, s) if str(p).isDefined && str(s).isDefined =>
+        graft.sources.ExcelFiles.read(spark, str(p).get, sheet = str(s))
+          .queryExecution.analyzed
+      case _ => throw new IllegalArgumentException(
+        "excel_scan expects excel_scan('<path>'[, '<sheet>'])")
+    }
+  }
 
   private def joinRecos(args: Seq[Expression]): LogicalPlan = {
     val recos = graft.explore.JoinRecommender

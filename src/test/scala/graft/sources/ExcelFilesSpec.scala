@@ -138,6 +138,18 @@ class ExcelFilesSpec extends AnyFunSuite with Matchers {
     expanded.where("grp = 'north'").count() shouldBe 2
   }
 
+  test("excel_scan('<path>'[, sheet]) reads workbooks from a FROM clause") {
+    val dir = Files.createTempDirectory("graft_xlsx_tvf").toString
+    writeXlsx(s"$dir/t.xlsx", Seq(
+      "main" -> Seq(Seq(s("k"), s("v")), Seq(n("1"), s("one")), Seq(n("2"), s("two"))),
+      "other" -> Seq(Seq(s("z")), Seq(n("9")))))
+    val rows = spark.sql(
+      s"SELECT k, v FROM excel_scan('$dir/t.xlsx') WHERE k = '2'").collect()
+    rows.map(r => (r.getString(0), r.getString(1))).toSeq shouldBe Seq(("2", "two"))
+    spark.sql(s"SELECT z FROM excel_scan('$dir/t.xlsx', 'other')")
+      .collect().map(_.getString(0)).toSeq shouldBe Seq("9")
+  }
+
   test("a directory of workbooks parses distributed, one file per task") {
     val dir = Files.createTempDirectory("graft_xlsx5").toString
     (1 to 3).foreach { i =>
