@@ -37,9 +37,18 @@ object ExcelFiles {
   private def colIndex(ref: String): Int =
     ref.takeWhile(_.isLetter).foldLeft(0)((a, c) => a * 26 + (c - 'A' + 1)) - 1
 
-  /** One parsed sheet: rows of (possibly null) cell strings, ragged. */
+  /** One parsed sheet: rows of (possibly null) cell strings, ragged.
+    * Dispatches on the container magic — PK zip ⇒ xlsx, D0CF11E0 OLE2 ⇒
+    * legacy BIFF8 .xls ([[XlsFiles]]) — so a directory may mix dialects. */
   private[sources] def parseWorkbook(in: InputStream, sheet: Option[String],
                                      expandMerged: Boolean): Seq[Array[String]] = {
+    val bytes = in.readAllBytes(); in.close()
+    if (XlsFiles.isCfb(bytes)) XlsFiles.parseWorkbook(bytes, sheet, expandMerged)
+    else parseXlsx(new ByteArrayInputStream(bytes), sheet, expandMerged)
+  }
+
+  private def parseXlsx(in: InputStream, sheet: Option[String],
+                        expandMerged: Boolean): Seq[Array[String]] = {
     // buffer the parts we need (an xlsx zip's entry order is arbitrary)
     val parts = mutable.Map[String, Array[Byte]]()
     val zin = new ZipInputStream(in)
