@@ -39,12 +39,15 @@ object Bench {
       // let a load-inflated normally-0.5 s query skip its re-run and land
       // a phantom 2.5 s in the ledger — VERDICT r6): re-run twice and
       // report the median of 3 alongside the first-run number, which stays
-      // in `queries` for driver parity. The 5 s bar medians ~95% of the
-      // suite while keeping the handful of genuinely long queries single-
-      // shot. Stateful queries (SparkEntry.statefulBench) are excluded: a
-      // rerun would repeat their side effects and time warm-cache state,
-      // so their `medians` entry is just the first run.
-      val median = if (err.isEmpty && t < 5.0 && !SparkEntry.statefulBench(name)) {
+      // in `queries` for driver parity. No time cutoff: a query whose cold
+      // run pays one-time training/codegen cost (ann_ivf_pq: ~7 s cold,
+      // ~2 s warm) would otherwise be the ONLY one exempt from medians —
+      // exactly the row where a steady-state number matters most, and the
+      // warm reruns cost far less than the cold run did. Stateful queries
+      // (SparkEntry.statefulBench) are excluded: a rerun would repeat
+      // their side effects and time warm-cache state, so their `medians`
+      // entry is just the first run.
+      val median = if (err.isEmpty && !SparkEntry.statefulBench(name)) {
         val ts = (t +: Seq.fill(2)(timeOne(fn)._1)).sorted
         ts(1)
       } else t
