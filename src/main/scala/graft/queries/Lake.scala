@@ -362,7 +362,42 @@ object Lake {
            count(*) AS n
     FROM orders WHERE o_custkey >= 100"""
 
+  /** Co-located join over co-bucketed lake tables: both sides are written
+    * PARTITION BY (bucket(8, custkey)), so their scans report
+    * HashPartitioning(custkey, 8) and the join + per-customer aggregation
+    * plan with zero exchanges (BucketedLakeSpec pins the plan shape; this
+    * query hash-gates the VALUES the shuffle-free plan produces against
+    * DuckDB's plain join). The 100 TB path: the one big fact-to-fact
+    * shuffle is paid once at write time, then every join on the bucket
+    * key skips it (reference: hash-distribution elision,
+    * `exec/planner/physical/HashToRandomExchangePrel.java`). */
+  val lakeBucketJoin: QueryFn = (s, dir) => {
+    Tables.ensure(s, dir)
+    val cd = Files.createTempDirectory("graft_lake_bkt_c").toString
+    val od = Files.createTempDirectory("graft_lake_bkt_o").toString
+    s.sql(s"""CREATE LAKE '$cd' PARTITION BY (bucket(8,c_custkey))
+             |AS SELECT c_custkey, c_name FROM customer""".stripMargin)
+    s.sql(s"""CREATE LAKE '$od' PARTITION BY (bucket(8,o_custkey))
+             |AS SELECT o_orderkey, o_custkey,
+             |  CAST(o_totalprice AS DECIMAL(12,2)) AS price
+             |FROM orders""".stripMargin)
+    s.sql(s"CREATE LAKE VIEW lake_bkt_c FROM '$cd'")
+    s.sql(s"CREATE LAKE VIEW lake_bkt_o FROM '$od'")
+    s.sql("""SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+            |  CAST(SUM(price) AS DOUBLE) AS total
+            |FROM lake_bkt_c c JOIN lake_bkt_o o ON c.c_custkey = o.o_custkey
+            |GROUP BY c_custkey, c_name
+            |ORDER BY c_custkey""".stripMargin)
+  }
+  val lakeBucketJoinSql: String = """
+    SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY c_custkey"""
+
   val queries: Map[String, QueryFn] = Map(
+    "lake_bucket_join" -> lakeBucketJoin,
     "lake_minmax_meta" -> lakeMinmaxMeta,
     "lake_scan_tvf" -> lakeScanTvf,
     "lake_count_meta" -> lakeCountMeta,
@@ -377,6 +412,7 @@ object Lake {
     "lake_incremental_scan" -> lakeIncrementalScan)
 
   val oracle: Map[String, String] = Map(
+    "lake_bucket_join" -> lakeBucketJoinSql,
     "lake_minmax_meta" -> lakeMinmaxMetaSql,
     "lake_scan_tvf" -> lakeScanTvfSql,
     "lake_count_meta" -> lakeCountMetaSql,

@@ -224,7 +224,32 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       // (DataFrameReader applies the same asNullable on user schemas)
       val schemaN = org.apache.spark.sql.graft.Bridge.asNullable(schema)
       val index = new LakeFileIndex(spark, dir, files, schemaN, transforms, version)
-      val rel = HadoopFsRelation(index, new StructType(), schemaN, None,
+      // A layout with exactly one bucket transform whose files ALL carry a
+      // valid bucket-id name (stamped by writeDataFiles, preserved by
+      // copy-on-write DML and compaction, which re-route through it) reads
+      // as a Spark bucketed table: the scan reports
+      // HashPartitioning(srcCol, n), so joins between co-bucketed lake
+      // tables and aggregations on the bucket column need NO exchange —
+      // at 100 TB the shuffle they skip is the query's dominant cost. The
+      // per-file name check is the invariant carrier: legacy files, a
+      // changed bucket count, or a foreign writer fall back to a plain
+      // scan (still correct, just shuffled). DisableUnnecessaryBucketedScan
+      // keeps size-based splits for scans with no interesting-partition
+      // consumer, so small-n buckets don't throttle plain reads.
+      val bucketSpec = transforms.collect {
+        case b: PartitionTransform.BucketT => b
+      } match {
+        case Seq(b) if schemaN.fieldNames.contains(b.srcCol) &&
+            files.forall { case (p, _) =>
+              org.apache.spark.sql.graft.Bridge
+                .bucketId(p.substring(p.lastIndexOf('/') + 1))
+                .exists(id => id >= 0 && id < b.n)
+            } =>
+          Some(org.apache.spark.sql.catalyst.catalog.BucketSpec(
+            b.n, Seq(b.srcCol), Nil))
+        case _ => None
+      }
+      val rel = HadoopFsRelation(index, new StructType(), schemaN, bucketSpec,
         new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
         Map.empty[String, String])(spark)
       org.apache.spark.sql.graft.Bridge.ofRows(spark, LogicalRelation(rel))
@@ -1297,6 +1322,41 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       clustered.write.partitionBy(names: _*).parquet(s"$dir/$sub")
     }
     val dataDir = Paths.get(dir, sub)
+    // A layout with exactly ONE bucket transform stamps each staged file
+    // with its Spark bucket id (`part-..._00003.parquet`): the directory's
+    // partition value IS Spark's bucket id, because BucketT.column is
+    // pmod(hash(c), n) — the very HashPartitioning.partitionIdExpression
+    // bucketed tables use. buildScan later verifies these names and
+    // attaches a BucketSpec, so co-bucketed joins and bucket-column
+    // aggregations run with zero exchanges (Iceberg bucket transform +
+    // storage-partitioned join; reference's hash-distribution elision in
+    // HashToRandomExchangePrel). Spark part names carry no underscores, so
+    // the suffix can't be mis-parsed from a pre-existing name.
+    partitionBy.zipWithIndex.collect {
+      case (b: PartitionTransform.BucketT, i) => (b, i)
+    } match {
+      case Seq((_, bi)) =>
+        val pre = s"__gp_$bi="
+        val s = Files.walk(dataDir)
+        try s.iterator.asScala
+          .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+          .toVector
+          .foreach { p =>
+            val id = p.iterator.asScala.map(_.toString)
+              .find(_.startsWith(pre)).map(_.substring(pre.length))
+              .filter(v => v.nonEmpty && v.forall(_.isDigit))
+            id.foreach { v =>
+              val base = p.getFileName.toString
+              val dot = base.indexOf('.')
+              val renamed = base.substring(0, dot) +
+                org.apache.spark.sql.graft.Bridge.bucketSuffix(v.toInt) +
+                base.substring(dot)
+              Files.move(p, p.resolveSibling(renamed))
+            }
+          }
+        finally s.close()
+      case _ => ()
+    }
     // (relative path -> (size bytes, mtime ms)) captured in the same walk:
     // recording sizes in the manifest is what lets LakeFileIndex build its
     // FileStatus list with ZERO filesystem calls at scan time — the

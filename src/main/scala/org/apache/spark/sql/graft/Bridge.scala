@@ -27,6 +27,15 @@ object Bridge {
   def hadoopConf(spark: org.apache.spark.sql.SparkSession): org.apache.hadoop.conf.Configuration =
     spark.asInstanceOf[classic.SparkSession].sessionState.newHadoopConf()
 
+  /** Spark's bucket-file naming scheme (`BucketingUtils` is `private[sql]`):
+    * a data file named `..._00003.parquet` belongs to bucket 3. Writing
+    * these names is what lets a scan attach a `BucketSpec` and report
+    * `HashPartitioning` — the DSv1 bucketed-read contract. */
+  def bucketId(fileName: String): Option[Int] =
+    org.apache.spark.sql.execution.datasources.BucketingUtils.getBucketId(fileName)
+  def bucketSuffix(id: Int): String =
+    org.apache.spark.sql.execution.datasources.BucketingUtils.bucketIdToString(id)
+
   /** A fresh spill file under Spark's configured local directories
     * (`spark.local.dir` via the executor's DiskBlockManager) rather than
     * `java.io.tmpdir`: on clusters tmpdir is often a small root volume, and
