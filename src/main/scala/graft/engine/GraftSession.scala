@@ -58,6 +58,16 @@ object GraftSession {
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    // Co-bucketed lake tables whose bucket counts differ by a power-of-two
+    // ratio (8 vs 4) still join shuffle-free: the larger side coalesces
+    // buckets instead of both sides re-shuffling.
+    .config("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
+    // Let sorted bucketed scans CLAIM their per-file sort order so merge
+    // joins skip the sort as well as the shuffle. Off by default because
+    // it lists files at planning time — our bucketed scans are lake scans
+    // whose file listing comes from the commit manifest (zero FS calls),
+    // so the guard's cost concern doesn't apply.
+    .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     .config("spark.sql.cbo.enabled", "true")
     .config("spark.sql.cbo.joinReorder.enabled", "true")
     // Dremio coerces promiscuously (varchar<->numeric in comparisons,

@@ -114,7 +114,8 @@ final class LakeFileIndex(
     * makes a global extremum unknowable without a scan → None. The
     * internal `__rows`/`__bytes` keys are not columns. */
   def columnStats(name: String): Option[Seq[(String, String)]] = {
-    val internal = Set(SnapshotTable.RowsStatKey, SnapshotTable.BytesStatKey)
+    val internal = Set(SnapshotTable.RowsStatKey, SnapshotTable.BytesStatKey,
+      SnapshotTable.SortStatKey)
     val per: Seq[Option[Option[(String, String)]]] = filesWithStats.map { case (_, st) =>
       st.collectFirst {
         case (k, v) if !internal(k) && k.equalsIgnoreCase(name) => v

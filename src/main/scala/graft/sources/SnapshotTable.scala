@@ -245,8 +245,21 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
                 .bucketId(p.substring(p.lastIndexOf('/') + 1))
                 .exists(id => id >= 0 && id < b.n)
             } =>
+          // every live file carrying the SAME sort marker upgrades the
+          // spec to a sorted bucketed table: Spark claims outputOrdering
+          // for single-file buckets and merge joins skip the sort too.
+          // One unmarked file (unsorted DML rewrite, legacy commit) and
+          // the claim drops — the marker is per-file ground truth.
+          val sortedBy: Seq[String] = files.headOption
+            .flatMap(_._2.get(SnapshotTable.SortStatKey)).map(_._1) match {
+            case Some(csv) if csv.nonEmpty &&
+                files.forall(_._2.get(SnapshotTable.SortStatKey).exists(_._1 == csv)) =>
+              val cols = csv.split(",").toSeq
+              if (cols.forall(schemaN.fieldNames.contains)) cols else Nil
+            case _ => Nil
+          }
           Some(org.apache.spark.sql.catalyst.catalog.BucketSpec(
-            b.n, Seq(b.srcCol), Nil))
+            b.n, Seq(b.srcCol), sortedBy))
         case _ => None
       }
       val rel = HadoopFsRelation(index, new StructType(), schemaN, bucketSpec,
@@ -507,13 +520,21 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     * time-partitioned, bucket-subpartitioned scan touches only the
     * partitions the query names, independent of table size. */
   def appendPartitioned(df: DataFrame, spec: Seq[String],
-                        statsCols: Seq[String] = Nil): Long =
-    commit(df, "append", statsCols, partitionBy = spec.map(PartitionTransform.parse))
+                        statsCols: Seq[String] = Nil,
+                        sortCols: Seq[String] = Nil): Long =
+    commit(df, "append", statsCols,
+      partitionBy = spec.map(PartitionTransform.parse), sortCols = sortCols)
 
-  /** Partitioned overwrite — same layout on the full-replace path. */
+  /** Partitioned overwrite — same layout on the full-replace path.
+    * `sortCols` sorts each data file's rows (recorded per file in the
+    * manifest): with a bucket layout the table becomes a SORTED bucketed
+    * table and merge joins on the bucket key need neither shuffle nor
+    * sort. */
   def overwritePartitioned(df: DataFrame, spec: Seq[String],
-                           statsCols: Seq[String] = Nil): Long =
-    commit(df, "overwrite", statsCols, partitionBy = spec.map(PartitionTransform.parse))
+                           statsCols: Seq[String] = Nil,
+                           sortCols: Seq[String] = Nil): Long =
+    commit(df, "overwrite", statsCols,
+      partitionBy = spec.map(PartitionTransform.parse), sortCols = sortCols)
 
   /** Manifest-pruned scan: only data files whose [min, max] range on
     * `colName` intersects [lo, hi] are read (checked against commit stats;
@@ -1414,11 +1435,22 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
             }.toMap
           }.toMap
       }
+    // sort marker: ONLY the partitioned branch re-sorts each file itself
+    // (sortWithinPartitions(tuple ++ sortCols)), so only there is "this
+    // file is sorted by sortCols" a fact this function can assert. The
+    // unpartitioned branch writes the caller's df as-is (compactZorder's
+    // files are Z-ordered, NOT lexicographically sorted) — no marker.
+    val sortMarker: Option[(String, (String, String))] =
+      if (partitionBy.nonEmpty && sortCols.nonEmpty) {
+        val csv = sortCols.mkString(",")
+        Some(SnapshotTable.SortStatKey -> (csv, csv))
+      } else None
     val stats = files.map { f =>
       val rows = SnapshotTable.RowsStatKey -> (rowCounts(f), rowCounts(f))
       val (sz, mt) = fileMeta(f)
       val bytes = SnapshotTable.BytesStatKey -> (sz.toString, mt.toString)
-      f -> (stats0.getOrElse(f, Map.empty[String, (String, String)]) + rows + bytes)
+      f -> (stats0.getOrElse(f, Map.empty[String, (String, String)])
+        + rows + bytes ++ sortMarker)
     }.toMap
     (files, stats)
   }
@@ -1506,6 +1538,17 @@ object SnapshotTable {
     * objects from the commit log alone (zero filesystem calls); legacy
     * commits without it fall back to one getFileStatus per file. */
   val BytesStatKey = "__bytes"
+
+  /** Pseudo stat key recording that a file's ROWS are sorted by these
+    * columns (comma-joined; min == max). Written only by the partitioned
+    * write path, which itself performs the per-file sort — so the marker
+    * is a per-file ground truth that rides through carry-by-reference
+    * rewrites, and a later unsorted rewrite of the same rows simply lacks
+    * it. When a bucketed scan sees the SAME marker on every live file it
+    * declares the sort in its BucketSpec, and Spark then claims
+    * outputOrdering for single-file buckets — merge joins with neither
+    * shuffle NOR sort (the Iceberg write-ordered table contract). */
+  val SortStatKey = "__sort"
 
   /** Inherit ids for surviving names, mint fresh ids for new ones. `maxUsed`
     * is the highest id EVER minted on the table (not just currently live):

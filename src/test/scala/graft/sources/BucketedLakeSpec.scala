@@ -114,7 +114,7 @@ class BucketedLakeSpec extends AnyFunSuite {
     }
   }
 
-  test("differing bucket counts stay correct (one side re-shuffles)") {
+  test("differing power-of-two bucket counts coalesce instead of shuffling") {
     val cd = fresh("bkt_c8"); val od = fresh("bkt_o4")
     val c = SnapshotTable.create(spark, cd, custDf)
     c.overwritePartitioned(custDf, Seq("bucket(8,cust_id)"))
@@ -123,6 +123,52 @@ class BucketedLakeSpec extends AnyFunSuite {
     noBroadcast {
       val j = c.read().join(o.read().withColumnRenamed("name", "_n"), Seq("cust_id"))
       assert(j.count() == 2000)
+      assert(shuffles(j) == 0, j.queryExecution.executedPlan.toString)
+    }
+  }
+
+  test("sorted co-bucketed tables merge-join with neither shuffle nor sort") {
+    val cd = fresh("bkt_c_sorted"); val od = fresh("bkt_o_sorted")
+    val c = SnapshotTable.create(spark, cd, custDf)
+    c.overwritePartitioned(custDf, Seq("bucket(4,cust_id)"),
+      sortCols = Seq("cust_id"))
+    val o = SnapshotTable.create(spark, od, ordDf)
+    o.overwritePartitioned(ordDf, Seq("bucket(4,cust_id)"),
+      sortCols = Seq("cust_id"))
+    noBroadcast {
+      val j = c.read().join(o.read().withColumnRenamed("name", "_n"), Seq("cust_id"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), plan)
+      // "Sort [" is SortExec's render; SortMergeJoin prints "SortMergeJoin ["
+      assert(!plan.contains("Sort ["), plan)
+      assert(j.count() == 2000)
+    }
+  }
+
+  test("an unsorted rewrite drops the per-file sort claim but keeps bucketing") {
+    val od = fresh("bkt_sort_dml")
+    val o = SnapshotTable.create(spark, od, ordDf)
+    o.overwritePartitioned(ordDf, Seq("bucket(4,cust_id)"),
+      sortCols = Seq("cust_id"))
+    o.deleteWhere(col("amount") > 2400.0) // COW rewrite, no sortCols threaded
+    noBroadcast {
+      val self = o.read().groupBy("cust_id").agg(sum("amount").as("amt"))
+      assert(shuffles(self) == 0, self.queryExecution.executedPlan.toString)
+    }
+    // compactSorted restores the marker table-wide
+    o.compactSorted(Seq("cust_id"))
+    noBroadcast {
+      val cd = fresh("bkt_sort_dml_c")
+      val c = SnapshotTable.create(spark, cd, custDf)
+      c.overwritePartitioned(custDf, Seq("bucket(4,cust_id)"),
+        sortCols = Seq("cust_id"))
+      val j = c.read().join(o.read().withColumnRenamed("name", "_n"), Seq("cust_id"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      assert(!plan.contains("Sort ["), plan)
     }
   }
 
