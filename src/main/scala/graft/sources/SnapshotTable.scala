@@ -35,7 +35,13 @@ final case class LakeCommit(
     // plain min/max stats columns this commit recorded — persisted so
     // copy-on-write rewrites (DML/compaction) re-cluster and re-record
     // the same stats instead of silently degrading future pruning
-    statsCols: Seq[String] = Nil)
+    statsCols: Seq[String] = Nil,
+    // declared per-file sort order for this commit's files (Iceberg
+    // write sort order): sticky like partitionSpec — DML rewrites and
+    // layout-inheriting appends re-sort by it, so a sorted bucketed
+    // table stays merge-join-ready across its lifetime. Per-file truth
+    // lives in the `__sort` stats marker; this is the declared intent.
+    sortSpec: Seq[String] = Nil)
 
 /** Iceberg-lite snapshot table format ("graft-lake"): a parquet directory
   * plus an append-only commit log of JSON snapshot files under
@@ -407,12 +413,15 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     * would let one un-specced append permanently strip partitioning and
     * stats from every later INSERT INTO LAKE / DML rewrite (Iceberg keeps
     * the write spec as table metadata for the same reason). */
-  private def effectiveLayoutOf(log: Seq[LakeCommit]): (Seq[String], Seq[String]) = (
+  private def effectiveLayoutOf(log: Seq[LakeCommit])
+      : (Seq[String], Seq[String], Seq[String]) = (
     log.reverseIterator.find(_.partitionSpec.nonEmpty).map(_.partitionSpec).getOrElse(Nil),
-    log.reverseIterator.find(_.statsCols.nonEmpty).map(_.statsCols).getOrElse(Nil))
+    log.reverseIterator.find(_.statsCols.nonEmpty).map(_.statsCols).getOrElse(Nil),
+    log.reverseIterator.find(_.sortSpec.nonEmpty).map(_.sortSpec).getOrElse(Nil))
 
   /** Public view of the effective layout, for SQL-surface writers. */
-  def effectiveLayout: (Seq[String], Seq[String]) = effectiveLayoutOf(commits)
+  def effectiveLayout: (Seq[String], Seq[String], Seq[String]) =
+    effectiveLayoutOf(commits)
 
   private def copyOnWrite(transform: DataFrame => DataFrame,
                           extraStatsCols: Seq[String] = Nil,
@@ -458,16 +467,21 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       // Columns no longer present (e.g. renamed since the spec was written)
       // are dropped from the carried-forward layout rather than failing.
       val have = rewritten.columns.map(_.toLowerCase).toSet
-      val (effSpec, effStats) = effectiveLayoutOf(log)
+      val (effSpec, effStats, effSort) = effectiveLayoutOf(log)
       val spec = effSpec
         .flatMap(s => scala.util.Try(PartitionTransform.parse(s)).toOption)
         .filter(t => have(t.srcCol.toLowerCase))
       val stCols = (effStats ++ extraStatsCols).distinct
         .filter(c => have(c.toLowerCase))
+      // explicit sort (OPTIMIZE ... ORDER BY) re-declares the layout;
+      // otherwise the table's declared sort carries through the rewrite,
+      // so DML keeps a sorted bucketed table merge-join-ready
+      val sortBy = (if (sortCols.nonEmpty) sortCols else effSort)
+        .filter(c => have(c.toLowerCase))
       val carryRel = carried.map(e =>
         (e.path.stripPrefix(s"$dir/"), e.stats))
       try return commit(rewritten, "overwrite", stCols, tag, Some(base), spec, carryRel,
-        sortCols.filter(c => have(c.toLowerCase)))
+        sortBy)
       catch {
         case e: java.util.ConcurrentModificationException =>
           attempt += 1
@@ -702,9 +716,9 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     val ref = getRef(name)
     require(ref.refType == "branch", s"'$name' is a tag; only branches accept commits")
     val prefix = refLog(ref)
-    val (spec, stCols) = effectiveLayoutOf(prefix)
+    val (spec, stCols, sortBy) = effectiveLayoutOf(prefix)
     val partitionBy = spec.flatMap(s => scala.util.Try(PartitionTransform.parse(s)).toOption)
-    val (files, stats) = writeDataFiles(df, partitionBy, stCols, Nil)
+    val (files, stats) = writeDataFiles(df, partitionBy, stCols, sortBy)
     withCommitLock {
       require(Files.exists(refPath(name)), s"branch '$name' was dropped mid-write")
       val log = refLog(ref)
@@ -713,7 +727,7 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       val (prevIds, maxEver) = idState(log)
       val ids = assignFieldIds(df.schema.fieldNames.toSeq, prevIds, maxEver)
       val c = LakeCommit(v, "append", math.max(System.currentTimeMillis(), minTs),
-        df.schema.toDDL, files, stats, "", ids, spec, stCols)
+        df.schema.toDDL, files, stats, "", ids, spec, stCols, sortBy)
       val tmp = logDir.resolve(branchCommitFile(name, v).getFileName.toString +
         "." + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
       try {
@@ -749,11 +763,11 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       require(entries.forall(_.writeIds == endIds),
         s"branch '$name' spans a column rename; merge after OPTIMIZE or re-stage")
       val rel = entries.map(e => (e.path.stripPrefix(s"$dir/"), e.stats))
-      val (effSpec, effStats) = effectiveLayoutOf(all)
+      val (effSpec, effStats, effSort) = effectiveLayoutOf(all)
       publish(current + 1, "overwrite", rel.map(_._1),
         rel.filter(_._2.nonEmpty).toMap, "", bcs.last.schemaDdl,
         log.lastOption.map(_.timestampMs).getOrElse(0L), log, endIds,
-        effSpec, effStats)
+        effSpec, effStats, effSort)
     }
     dropRef(name)
     spark.catalog.refreshByPath(dir)
@@ -1141,13 +1155,15 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       // rename re-declares the EFFECTIVE layout (not just the head commit's,
       // which a plain append may have left empty) under the new name, so
       // inheritance keeps working across the rename
-      val (effSpec, effStats) = effectiveLayoutOf(log)
+      val (effSpec, effStats, effSort) = effectiveLayoutOf(log)
       val newSpec = effSpec.map(s =>
         scala.util.Try(PartitionTransform.rename(PartitionTransform.parse(s),
           oldName, newName).repr).getOrElse(s))
       val newStatsCols = effStats.map(c => if (c == oldName) newName else c)
+      val newSort = effSort.map(c => if (c == oldName) newName else c)
       publish(last.version + 1, "append", Nil, Map.empty, "",
-        newSchema.toDDL, last.timestampMs, log, newIds, newSpec, newStatsCols)
+        newSchema.toDDL, last.timestampMs, log, newIds, newSpec, newStatsCols,
+        newSort)
     }
     spark.catalog.refreshByPath(dir)
     v
@@ -1169,9 +1185,9 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       val newSchema = schema.add(name, dt, nullable = true)
       val (eff, maxEver) = idState(log)
       val ids = assignFieldIds(newSchema.fieldNames.toSeq, eff, maxEver)
-      val (effSpec, effStats) = effectiveLayoutOf(log)
+      val (effSpec, effStats, effSort) = effectiveLayoutOf(log)
       publish(last.version + 1, "append", Nil, Map.empty, "",
-        newSchema.toDDL, last.timestampMs, log, ids, effSpec, effStats)
+        newSchema.toDDL, last.timestampMs, log, ids, effSpec, effStats, effSort)
     }
     spark.catalog.refreshByPath(dir)
     v
@@ -1194,13 +1210,14 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       val newSchema = StructType(schema.fields.filterNot(_.name.equalsIgnoreCase(name)))
       val (eff, maxEver) = idState(log)
       val ids = assignFieldIds(newSchema.fieldNames.toSeq, eff, maxEver)
-      val (effSpec, effStats) = effectiveLayoutOf(log)
+      val (effSpec, effStats, effSort) = effectiveLayoutOf(log)
       val newSpec = effSpec.filterNot(s =>
         scala.util.Try(PartitionTransform.parse(s).srcCol.equalsIgnoreCase(name))
           .getOrElse(false))
       val newStats = effStats.filterNot(_.equalsIgnoreCase(name))
+      val newSort = effSort.filterNot(_.equalsIgnoreCase(name))
       publish(last.version + 1, "append", Nil, Map.empty, "",
-        newSchema.toDDL, last.timestampMs, log, ids, newSpec, newStats)
+        newSchema.toDDL, last.timestampMs, log, ids, newSpec, newStats, newSort)
     }
     spark.catalog.refreshByPath(dir)
     v
@@ -1222,10 +1239,10 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       val (entries, _, vIds) = replayEntries(visible)
       if (entries.forall(_.writeIds == vIds)) {
         val rel = entries.map(e => (e.path.stripPrefix(s"$dir/"), e.stats))
-        val (effSpec, effStats) = effectiveLayoutOf(visible)
+        val (effSpec, effStats, effSort) = effectiveLayoutOf(visible)
         Some(publish(log.last.version + 1, "overwrite", rel.map(_._1),
           rel.filter(_._2.nonEmpty).toMap, "", visible.last.schemaDdl,
-          log.last.timestampMs, log, vIds, effSpec, effStats))
+          log.last.timestampMs, log, vIds, effSpec, effStats, effSort))
       } else None
     }
     val out = carried.getOrElse(overwrite(asOf(v)))
@@ -1301,7 +1318,7 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
           publish(current + 1, action, carryFiles.map(_._1) ++ files,
             carryFiles.filter(_._2.nonEmpty).toMap ++ stats,
             tag, df.schema.toDDL, minTs, log, ids,
-            partitionBy.map(_.repr), statsCols)
+            partitionBy.map(_.repr), statsCols, sortCols)
       }
     }
     spark.catalog.refreshByPath(dir)
@@ -1461,10 +1478,11 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
                       priorLog: Seq[LakeCommit],
                       fieldIds: Map[String, Int],
                       partitionSpec: Seq[String] = Nil,
-                      statsCols: Seq[String] = Nil): Long = {
+                      statsCols: Seq[String] = Nil,
+                      sortSpec: Seq[String] = Nil): Long = {
     val ts = math.max(System.currentTimeMillis(), minTs)
     val c = LakeCommit(v, action, ts, schemaDdl, files, stats, tag, fieldIds,
-      partitionSpec, statsCols)
+      partitionSpec, statsCols, sortSpec)
     // unique tmp name: even a misbehaving concurrent writer can't clobber
     // another's staged json
     val tmp = logDir.resolve(
@@ -1647,6 +1665,10 @@ object SnapshotTable {
       val sc = node.putArray("statsCols")
       c.statsCols.foreach(sc.add)
     }
+    if (c.sortSpec.nonEmpty) {
+      val so = node.putArray("sortSpec")
+      c.sortSpec.foreach(so.add)
+    }
     if (c.stats.nonEmpty) {
       val st = node.putObject("stats")
       c.stats.foreach { case (f, cols) =>
@@ -1695,6 +1717,8 @@ object SnapshotTable {
       Option(n.get("partitionSpec")).map(_.elements().asScala.map(_.asText()).toVector)
         .getOrElse(Vector.empty),
       Option(n.get("statsCols")).map(_.elements().asScala.map(_.asText()).toVector)
+        .getOrElse(Vector.empty),
+      Option(n.get("sortSpec")).map(_.elements().asScala.map(_.asText()).toVector)
         .getOrElse(Vector.empty))
   }
 }

@@ -35,7 +35,9 @@ import graft.streaming.{Pipe, Pipes}
   *   ALTER TABLE <ident> REFRESH METADATA
   *   DESCRIBE LAKE '<dir>'                      -- snapshot history
   *   CREATE LAKE '<dir>' [PARTITION BY (t(c), ...)] [STATS (c, ...)]
-  *     AS <query>                               -- partitioned CTAS
+  *     [SORT BY (c, ...)] AS <query>            -- partitioned CTAS;
+  *     SORT BY sorts each data file (with a bucket transform: a SORTED
+  *     bucketed table — merge joins need neither shuffle nor sort)
   *   CREATE LAKE VIEW <name> FROM '<dir>'
   *     [VERSION AS OF <n> | TIMESTAMP AS OF '<ts>']
   *   OPTIMIZE LAKE '<dir>' [ORDER BY c[, ...]] [INTO <n> FILES] [WHERE cond]
@@ -112,10 +114,12 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
       case DescribeLakeRe(dir) =>
         DescribeLakeCommand(dir,
           out("version", "action", "timestamp_ms", "n_files", "partition_spec"))
-      case CreateLakeTableRe(dir, spec, statsCols, query) =>
+      case CreateLakeTableRe(dir, spec, statsCols, sortBy, query) =>
         CreateLakeTableCommand(dir,
           Option(spec).map(splitTopLevel).getOrElse(Nil),
           Option(statsCols).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            .getOrElse(Nil),
+          Option(sortBy).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
             .getOrElse(Nil),
           query)
       case CreateLakeViewRe(name, dir, version, asOfTs) =>
@@ -158,7 +162,7 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
       case RollbackLakeRe(dir, version) => RollbackLakeCommand(dir, version.toLong)
       case ShowCreateLakeRe(dir) =>
         ShowCreateLakeCommand(dir,
-          out("column_ddl", "partition_spec", "stats_cols", "version"))
+          out("column_ddl", "partition_spec", "stats_cols", "sort_by", "version"))
       case VacuumLakeRe(dir, retain, grace) =>
         VacuumLakeCommand(dir,
           Option(retain).map(_.toInt).getOrElse(2),
@@ -267,7 +271,8 @@ object GraftSqlParser {
   private val CreateLakeTableRe =
     ("""(?is)CREATE\s+LAKE\s+'([^']+)'""" +
       """(?:\s+PARTITION\s+BY\s+\(((?:[^()]*\([^()]*\))*[^()]*)\))?""" +
-      """(?:\s+STATS\s+\(([^)]*)\))?\s+AS\s+(.+?)\s*;?""").r
+      """(?:\s+STATS\s+\(([^)]*)\))?""" +
+      """(?:\s+SORT\s+BY\s+\(([^)]*)\))?\s+AS\s+(.+?)\s*;?""").r
   private val ShowCreateLakeRe =
     """(?is)SHOW\s+CREATE\s+LAKE\s+'([^']+)'\s*;?""".r
   // expire old snapshots + delete unreferenced data files (Iceberg
@@ -666,13 +671,14 @@ object GraftSqlParser {
     * stats columns (reference: Iceberg CTAS with PARTITION BY transforms,
     * `Parser.tdd` SqlCreateTable + partition transform list). */
   case class CreateLakeTableCommand(dir: String, spec: Seq[String],
-      statsCols: Seq[String], querySql: String) extends LeafRunnableCommand {
+      statsCols: Seq[String], sortBy: Seq[String],
+      querySql: String) extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("version", "n_files")
     override def run(spark: SparkSession): Seq[Row] = {
       val t = graft.sources.SnapshotTable.forPath(spark, dir)
       require(t.latestVersion == 0L,
         s"CREATE LAKE target '$dir' already has commits (use MERGE/OPTIMIZE/appends)")
-      val v = t.overwritePartitioned(spark.sql(querySql), spec, statsCols)
+      val v = t.overwritePartitioned(spark.sql(querySql), spec, statsCols, sortBy)
       Seq(Row(v.toString, t.snapshot()._1.size.toString))
     }
   }
@@ -694,9 +700,10 @@ object GraftSqlParser {
       val t = graft.sources.SnapshotTable.forPath(spark, dir)
       val cs = t.commits
       require(cs.nonEmpty, s"empty lake table $dir")
-      val (spec, statsCols) = t.effectiveLayout
+      val (spec, statsCols, sortBy) = t.effectiveLayout
       Seq(Row(cs.last.schemaDdl, spec.mkString(", "),
-        statsCols.mkString(", "), cs.last.version.toString))
+        statsCols.mkString(", "), sortBy.mkString(", "),
+        cs.last.version.toString))
     }
   }
 
@@ -744,8 +751,8 @@ object GraftSqlParser {
     override def run(spark: SparkSession): Seq[Row] = {
       val t = graft.sources.SnapshotTable.forPath(spark, dir)
       val df = spark.sql(querySql)
-      val (spec, statsCols) = t.effectiveLayout
-      val v = t.appendPartitioned(df, spec, statsCols)
+      val (spec, statsCols, sortBy) = t.effectiveLayout
+      val v = t.appendPartitioned(df, spec, statsCols, sortBy)
       // report the commit's file count, not a row count — a count() here
       // would re-execute the whole SELECT a second time
       val nFiles = t.commits.lastOption.map(_.files.size).getOrElse(0)

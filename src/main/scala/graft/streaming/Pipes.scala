@@ -176,7 +176,7 @@ object Pipes {
     // inherit the target table's effective layout (sticky spec): a pipe
     // feeding a partitioned table keeps it partitioned instead of landing
     // layout-less commits that would degrade pruning
-    val (spec, statsCols) =
+    val (spec, statsCols, _) =
       graft.sources.SnapshotTable.forPath(spark, pipe.targetDir).effectiveLayout
     triggerIntoLake(spark, pipe, spec, statsCols)
   }
@@ -262,7 +262,7 @@ object Pipes {
         // tagged commit (a changes-scan from version 0 cannot cross the
         // source's CTAS overwrite), then go incremental from curV
         val batch = src.read()
-        val (spec, statsCols) = target.effectiveLayout
+        val (spec, statsCols, _) = target.effectiveLayout
         val before = target.latestVersion
         val v =
           if (pipe.sink == "merge" && before > 0L)
@@ -296,7 +296,7 @@ object Pipes {
         } finally changes.unpersist()
       case _ =>
         val batch = src.changes(lastV, curV) // refuses non-append ranges
-        val (spec, statsCols) = target.effectiveLayout
+        val (spec, statsCols, _) = target.effectiveLayout
         val before = target.latestVersion
         val v = target.appendTagged(batch, tag, spec, statsCols)
         if (v > before)

@@ -147,7 +147,7 @@ class BucketedLakeSpec extends AnyFunSuite {
     }
   }
 
-  test("an unsorted rewrite drops the per-file sort claim but keeps bucketing") {
+  test("declared sort is sticky: a DML rewrite re-sorts and stays merge-join-ready") {
     val od = fresh("bkt_sort_dml")
     val o = SnapshotTable.create(spark, od, ordDf)
     o.overwritePartitioned(ordDf, Seq("bucket(4,cust_id)"),
@@ -157,8 +157,9 @@ class BucketedLakeSpec extends AnyFunSuite {
       val self = o.read().groupBy("cust_id").agg(sum("amount").as("amt"))
       assert(shuffles(self) == 0, self.queryExecution.executedPlan.toString)
     }
-    // compactSorted restores the marker table-wide
-    o.compactSorted(Seq("cust_id"))
+    // the rewrite inherited the table's declared sort (like its partition
+    // spec) — merge joins still need neither shuffle nor sort, no
+    // compactSorted required
     noBroadcast {
       val cd = fresh("bkt_sort_dml_c")
       val c = SnapshotTable.create(spark, cd, custDf)
@@ -169,6 +170,41 @@ class BucketedLakeSpec extends AnyFunSuite {
       val plan = j.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), plan)
       assert(!plan.contains("Sort ["), plan)
+      assert(j.count() == ordDf.where(col("amount") <= 2400.0).count())
+    }
+  }
+
+  test("CREATE LAKE ... SORT BY declares the layout through SQL; appends inherit it") {
+    val cd = fresh("bkt_sql_c"); val od = fresh("bkt_sql_o")
+    custDf.createOrReplaceTempView("bkt_sql_cust")
+    ordDf.limit(1500).createOrReplaceTempView("bkt_sql_ord")
+    ordDf.filter(col("order_id") > 1500).createOrReplaceTempView("bkt_sql_ord_tail")
+    spark.sql(s"""CREATE LAKE '$cd' PARTITION BY (bucket(4,cust_id))
+                 |SORT BY (cust_id) AS SELECT * FROM bkt_sql_cust""".stripMargin)
+    spark.sql(s"""CREATE LAKE '$od' PARTITION BY (bucket(4,cust_id))
+                 |SORT BY (cust_id) AS SELECT * FROM bkt_sql_ord""".stripMargin)
+    assert(spark.sql(s"SHOW CREATE LAKE '$od'").head().getString(3) == "cust_id")
+    // a plain INSERT INTO LAKE carries no sort of its own — it must
+    // inherit the declared one, or the table silently stops merge-joining
+    spark.sql(s"INSERT INTO LAKE '$od' SELECT * FROM bkt_sql_ord_tail")
+    val o = SnapshotTable.forPath(spark, od)
+    assert(o.commits.last.action == "append")
+    assert(o.commits.last.stats.values.forall(
+      _.get(SnapshotTable.SortStatKey).exists(_._1 == "cust_id")),
+      "appended files must carry the inherited per-file sort marker")
+    // two files per bucket now — Spark claims no ordering, so compact.
+    // Plain compact() (no sort argument!) must inherit the declared sort,
+    // exactly like it inherits the partition spec.
+    o.compact()
+    noBroadcast {
+      val c = SnapshotTable.forPath(spark, cd)
+      val j = c.read().join(o.read().withColumnRenamed("name", "_n"), Seq("cust_id"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), plan)
+      assert(!plan.contains("Sort ["), plan)
+      assert(j.count() == 2000)
     }
   }
 

@@ -257,7 +257,7 @@ class SqlExtSpec extends AnyFunSuite {
     t.append(spark.range(90, 120).select(col("id"), (col("id") % 3).as("k")).toDF())
     assert(t.commits.last.partitionSpec.isEmpty)
     // but the table-level layout must still be in force for later writers
-    assert(t.effectiveLayout == (Seq("bucket(3,k)"), Seq("id")))
+    assert(t.effectiveLayout == (Seq("bucket(3,k)"), Seq("id"), Nil))
     // INSERT INTO LAKE inherits it (not the head commit's empty spec)
     spark.range(120, 150).select(col("id"), (col("id") % 3).as("k"))
       .createOrReplaceTempView("sticky_src_2")
@@ -511,12 +511,13 @@ class SqlExtSpec extends AnyFunSuite {
       r.getString(0).toLowerCase.contains("grp"), s"column ddl: ${r.getString(0)}")
     assert(r.getString(1) == "identity(grp)", s"partition spec: ${r.getString(1)}")
     assert(r.getString(2) == "id", s"stats cols: ${r.getString(2)}")
-    assert(r.getString(3) == "2", s"head version: ${r.getString(3)}")
+    assert(r.getString(3) == "", s"sort by: ${r.getString(3)}")
+    assert(r.getString(4) == "2", s"head version: ${r.getString(4)}")
     // schema evolution reflects in the reported DDL
     spark.sql(s"ALTER LAKE '$dir' ADD COLUMN note STRING")
     val r2 = spark.sql(s"SHOW CREATE LAKE '$dir'").head()
     assert(r2.getString(0).toLowerCase.contains("note"), s"evolved ddl: ${r2.getString(0)}")
-    assert(r2.getString(3) == "3")
+    assert(r2.getString(4) == "3")
   }
 
   test("VACUUM LAKE through SQL expires history and deletes unreferenced files") {
