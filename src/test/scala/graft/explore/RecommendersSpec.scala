@@ -174,17 +174,30 @@ class RecommendersSpec extends AnyFunSuite with Matchers {
     // the deck includes all three transform families
     scored.map(_.card.transform).distinct.sorted shouldBe List("extract", "replace", "split")
 
-    // ONE aggregate pass: the scoring plan is a single global aggregate,
-    // not a per-card job — verify via the query-history row count delta
-    graft.catalog.QueryHistory.install(spark)
-    val before = graft.catalog.QueryHistory.records.size
-    evaluate(phones, "phone", extractRules(sel), exampleRows = 0)
-    // listener delivery is async; give it a beat, then bound the job count
-    val deadline = System.nanoTime() + 5e9.toLong
-    var after = graft.catalog.QueryHistory.records.size
-    while (after == before && System.nanoTime() < deadline) {
-      Thread.sleep(50); after = graft.catalog.QueryHistory.records.size
+    // ONE aggregate pass: the scoring runs as a single SQL execution, not a
+    // per-card action. Count distinct execution ids of jobs tagged with a
+    // dedicated job group — the group id is thread-local, so concurrent
+    // suites sharing the session can't inflate (or starve) the count the
+    // way a global query-history size delta can once its ring saturates.
+    val group = "graft-recommender-onepass"
+    val execIds = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (js.properties != null && group == js.properties.getProperty("spark.jobGroup.id"))
+          Option(js.properties.getProperty("spark.sql.execution.id")).foreach(execIds.add)
     }
-    (after - before) should (be >= 1 and be <= 2) // one scoring agg, no per-card jobs
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sparkContext.setJobGroup(group, "one-pass scoring check", interruptOnCancel = false)
+      evaluate(phones, "phone", extractRules(sel), exampleRows = 0)
+      spark.sparkContext.clearJobGroup()
+      // listener bus delivery is async; wait for the first tagged job
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (execIds.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      execIds.size should (be >= 1 and be <= 2) // one scoring agg, no per-card jobs
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
   }
 }
