@@ -41,15 +41,92 @@ object Graft {
     * only opt-in ones. DDL/DML commands execute (and release their slot)
     * inside admission; a lazy SELECT holds its slot until its first
     * completed action, so the expensive execution — not just planning — is
-    * throttled (Queues.admitLazy). */
+    * throttled (Queues.admitLazy).
+    *
+    * With no explicit queue named and `spark.graft.queue.auto=true`, the
+    * statement is routed BY ESTIMATED COST the way the reference's basic
+    * resource allocator picks SMALL vs LARGE
+    * (`services/resourcescheduler/.../BasicResourceAllocator.java:143-157`:
+    * `cost > exec.queue.threshold → LARGE`): the planned input size of the
+    * optimized-but-unexecuted plan is compared against
+    * `spark.graft.queue.threshold` (bytes) and the statement admits into
+    * the queue named by `spark.graft.queue.small` / `.large`. Reflection
+    * maintenance statements route to `spark.graft.queue.reflection` when
+    * that queue exists (the reference's ReflectionRoutingManager sends
+    * refresh jobs to their own queues). A routed-to queue that is not
+    * defined leaves the statement unmanaged — the reference with queueing
+    * disabled — while an EXPLICIT `spark.graft.queue` naming a missing
+    * queue still fails loudly. */
   def sql(spark: SparkSession, query: String): DataFrame =
     spark.conf.getOption(QueueConf).filter(_.nonEmpty) match {
       case Some(queue) => graft.engine.Queues.admitLazy(spark, queue)(spark.sql(query))
-      case None => spark.sql(query)
+      case None =>
+        autoQueue(spark, query) match {
+          case Some(queue) => graft.engine.Queues.admitLazy(spark, queue)(spark.sql(query))
+          case None => spark.sql(query)
+        }
     }
+
+  /** Cost-based queue choice for [[sql]], or None for unmanaged. */
+  private def autoQueue(spark: SparkSession, query: String): Option[String] = {
+    import scala.util.control.NonFatal
+    if (!spark.conf.getOption(QueueAutoConf).exists(_.equalsIgnoreCase("true"))) return None
+    val parsed =
+      try spark.sessionState.sqlParser.parsePlan(query)
+      catch { case NonFatal(_) => return None } // surface the parse error unqueued
+    val reflectionQueue =
+      if (parsed.getClass.getSimpleName.contains("Reflection"))
+        spark.conf.getOption(QueueReflectionConf).filter(_.nonEmpty)
+          .filter(graft.engine.Queues.defined)
+      else None
+    reflectionQueue.orElse {
+      val threshold = BigInt(spark.conf.getOption(QueueThresholdConf)
+        .map(_.toLong).getOrElse(DefaultQueueThreshold))
+      val name =
+        if (estimateCost(spark, parsed) > threshold) spark.conf.get(QueueLargeConf, "large")
+        else spark.conf.get(QueueSmallConf, "small")
+      Some(name).filter(graft.engine.Queues.defined)
+    }
+  }
+
+  /** Planned input bytes of a statement WITHOUT executing it: the plan is
+    * analyzed + optimized under CommandExecutionMode.SKIP (eager commands
+    * stay unexecuted — routing must precede admission), then sized via
+    * Catalyst statistics. Commands themselves are leaves with no
+    * meaningful size; their cost is the largest embedded query subtree
+    * (CTAS routes by its SELECT). Unknown cost estimates route LARGE —
+    * over-admitting an expensive query never starves the interactive
+    * queue, the reverse does. */
+  private def estimateCost(spark: SparkSession,
+                           parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): BigInt = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Command, LogicalPlan}
+    import org.apache.spark.sql.execution.CommandExecutionMode
+    import scala.util.control.NonFatal
+    def sizeOf(p: LogicalPlan): BigInt =
+      try p.stats.sizeInBytes catch { case NonFatal(_) => BigInt(0) }
+    try {
+      val qe = spark.sessionState.executePlan(parsed, CommandExecutionMode.SKIP)
+      qe.optimizedPlan match {
+        case c: Command =>
+          (c.children ++ c.innerChildren.collect { case p: LogicalPlan => p })
+            .map(sizeOf).foldLeft(BigInt(0))(_ max _)
+        case p => sizeOf(p)
+      }
+    } catch { case NonFatal(_) => BigInt(Long.MaxValue) }
+  }
 
   /** Session conf: route every [[sql]] statement through this WLM queue. */
   val QueueConf = "spark.graft.queue"
+  /** Session conf: `true` enables cost-based small/large routing. */
+  val QueueAutoConf = "spark.graft.queue.auto"
+  /** Session conf: planned-bytes boundary between small and large
+    * (reference `exec.queue.threshold`, `BasicResourceConstants.java:51`). */
+  val QueueThresholdConf = "spark.graft.queue.threshold"
+  /** Session confs: queue names the router targets. */
+  val QueueSmallConf = "spark.graft.queue.small"
+  val QueueLargeConf = "spark.graft.queue.large"
+  val QueueReflectionConf = "spark.graft.queue.reflection"
+  val DefaultQueueThreshold: Long = 30000000L
 
   /** A graft-lake snapshot table (atomic commits, time travel, DML,
     * manifest-pruned scans — see sources.SnapshotTable). */

@@ -185,4 +185,62 @@ class QueuesSpec extends AnyFunSuite {
       Queues.drop("routed")
     }
   }
+
+  test("cost-based auto routing picks SMALL vs LARGE by planned bytes") {
+    // reference BasicResourceAllocator.java:143-157 — cost > threshold → LARGE
+    Queues.define("small", slots = 4, timeoutMs = 30000)
+    Queues.define("large", slots = 4, timeoutMs = 30000)
+    try {
+      spark.conf.set(graft.Graft.QueueAutoConf, "true")
+      // huge threshold: everything is small
+      spark.conf.set(graft.Graft.QueueThresholdConf, Long.MaxValue.toString)
+      assert(graft.Graft.sql(spark, "SELECT count(*) AS n FROM range(100)")
+        .head().getLong(0) == 100L)
+      assert(Queues.status.find(_.name == "small").get.admitted == 1L)
+      assert(Queues.status.find(_.name == "large").get.admitted == 0L)
+      // zero threshold: any nonzero-size plan is large
+      spark.conf.set(graft.Graft.QueueThresholdConf, "0")
+      graft.Graft.sql(spark, "SELECT count(*) AS n FROM range(100)").collect()
+      assert(Queues.status.find(_.name == "large").get.admitted == 1L)
+      assert(Queues.status.find(_.name == "small").get.admitted == 1L)
+      // an explicitly named queue beats the router
+      Queues.define("explicitq", slots = 1, timeoutMs = 30000)
+      spark.conf.set(graft.Graft.QueueConf, "explicitq")
+      graft.Graft.sql(spark, "SELECT 1").collect()
+      assert(Queues.status.find(_.name == "explicitq").get.admitted == 1L)
+      assert(Queues.status.find(_.name == "large").get.admitted == 1L)
+      spark.conf.unset(graft.Graft.QueueConf)
+      Queues.drop("explicitq")
+    } finally {
+      spark.conf.unset(graft.Graft.QueueConf)
+      spark.conf.unset(graft.Graft.QueueAutoConf)
+      spark.conf.unset(graft.Graft.QueueThresholdConf)
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+      Queues.drop("small"); Queues.drop("large")
+    }
+  }
+
+  test("reflection statements route to their own queue; a missing routed queue leaves the statement unmanaged") {
+    Queues.define("refl", slots = 2, timeoutMs = 30000)
+    try {
+      spark.conf.set(graft.Graft.QueueAutoConf, "true")
+      spark.conf.set(graft.Graft.QueueReflectionConf, "refl")
+      // reference ReflectionRoutingManager: reflection maintenance gets its
+      // own queue rather than competing with user queries
+      graft.Graft.sql(spark, "SHOW REFLECTIONS").collect()
+      assert(Queues.status.find(_.name == "refl").get.admitted == 1L)
+      // cost routing targets "large" here (threshold 0) but no such queue
+      // exists: the statement runs unmanaged, like the reference with
+      // queueing disabled — no error, no admission anywhere
+      spark.conf.set(graft.Graft.QueueThresholdConf, "0")
+      assert(graft.Graft.sql(spark, "SELECT 41 + 1 AS v").head().getInt(0) == 42)
+      assert(Queues.status.find(_.name == "refl").get.admitted == 1L)
+    } finally {
+      spark.conf.unset(graft.Graft.QueueAutoConf)
+      spark.conf.unset(graft.Graft.QueueReflectionConf)
+      spark.conf.unset(graft.Graft.QueueThresholdConf)
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+      Queues.drop("refl")
+    }
+  }
 }
