@@ -58,13 +58,15 @@ object Graft {
     * disabled — while an EXPLICIT `spark.graft.queue` naming a missing
     * queue still fails loudly. */
   def sql(spark: SparkSession, query: String): DataFrame =
-    spark.conf.getOption(QueueConf).filter(_.nonEmpty) match {
-      case Some(queue) => graft.engine.Queues.admitLazy(spark, queue)(spark.sql(query))
-      case None =>
-        autoQueue(spark, query) match {
-          case Some(queue) => graft.engine.Queues.admitLazy(spark, queue)(spark.sql(query))
-          case None => spark.sql(query)
-        }
+    graft.engine.RunningQueries.tracked(spark, query) {
+      spark.conf.getOption(QueueConf).filter(_.nonEmpty) match {
+        case Some(queue) => graft.engine.Queues.admitLazy(spark, queue)(spark.sql(query))
+        case None =>
+          autoQueue(spark, query) match {
+            case Some(queue) => graft.engine.Queues.admitLazy(spark, queue)(spark.sql(query))
+            case None => spark.sql(query)
+          }
+      }
     }
 
   /** Cost-based queue choice for [[sql]], or None for unmanaged. */

@@ -163,6 +163,19 @@ object InfoSchema {
         .map(q => Row(q.name, q.slots, q.pool, q.timeoutMs, q.running,
           q.queued, q.admitted, q.timedOut, q.peakQueued)))
 
+  /** sys.running_queries — in-flight statements with their job group, the
+    * live half of the jobs service (finished work is sys_queries). CANCEL
+    * QUERY <id> kills an entry (reference `LocalJobsService.java:3060`). */
+  def sysRunningQueries(spark: SparkSession): DataFrame =
+    live(spark, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("statement", StringType, nullable = false),
+      StructField("job_group", StringType, nullable = false),
+      StructField("started_ms", LongType, nullable = false))),
+      () => graft.engine.RunningQueries.list
+        .map(r => Row(r.id, r.statement,
+          graft.engine.RunningQueries.group(r.id), r.startedMs)))
+
   /** sys.result_cache (reference plan-cache state —
     * `exec/planner/plancache/PlanCache.java`). */
   def sysResultCache(spark: SparkSession): DataFrame =
@@ -187,6 +200,7 @@ object InfoSchema {
     sysQueries(spark).createOrReplaceTempView("sys_queries")
     sysJoinAnalysis(spark).createOrReplaceTempView("sys_join_analysis")
     sysQueues(spark).createOrReplaceTempView("sys_queues")
+    sysRunningQueries(spark).createOrReplaceTempView("sys_running_queries")
     sysResultCache(spark).createOrReplaceTempView("sys_result_cache")
   }
 }

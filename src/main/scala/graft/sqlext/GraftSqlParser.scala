@@ -103,6 +103,7 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
       case ExplainAccelRe(query) =>
         ExplainAccelerationCommand(query,
           out("reflection", "fingerprint", "used", "fresh"))
+      case CancelQueryRe(id) => CancelQueryCommand(id.toLong, out("cancelled"))
       case CreateQueueRe(name, slots, timeout) =>
         CreateQueueCommand(name, slots.toInt, Option(timeout).map(_.toLong))
       case DropQueueRe(name) => DropQueueCommand(name)
@@ -260,6 +261,7 @@ object GraftSqlParser {
     """(?is)CREATE\s+QUEUE\s+([\w.-]+)\s+SLOTS\s+(\d+)(?:\s+TIMEOUT\s+(\d+))?\s*;?""".r
   private val DropQueueRe = """(?is)DROP\s+QUEUE\s+([\w.-]+)\s*;?""".r
   private val ShowQueuesRe = """(?is)SHOW\s+QUEUES\s*;?""".r
+  private val CancelQueryRe = """(?is)CANCEL\s+QUERY\s+(\d+)\s*;?""".r
   private val RefreshMetadataRe =
     """(?is)ALTER\s+TABLE\s+(?:`([^`]+)`|([\w./]+))\s+REFRESH\s+METADATA\s*;?""".r
   private val DescribeLakeRe = """(?is)DESCRIBE\s+LAKE\s+'([^']+)'\s*;?""".r
@@ -579,6 +581,17 @@ object GraftSqlParser {
     override def run(spark: SparkSession): Seq[Row] = {
       graft.accel.ResultCache.invalidateAll(); Seq.empty
     }
+  }
+
+  /** Cancel a RUNNING statement by its sys_running_queries id (reference
+    * jobs-service cancel, `LocalJobsService.java:3060` — routed to the
+    * foreman's requestCancelQuery; here: kill the statement's job group).
+    * Returns whether anything was cancelled — false mirrors the
+    * reference's not-found ack for finished/unknown jobs. */
+  case class CancelQueryCommand(id: Long, override val output: Seq[Attribute])
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(String.valueOf(graft.engine.RunningQueries.cancel(spark, id))))
   }
 
   /** WLM queue DDL (reference `services/resourcescheduler` queue config —
