@@ -34,6 +34,8 @@ object Functions {
   def ngram_hashes(text: Column, n: Int = 3): Column = col(NgramHashes(ex(text), n))
   def word_ngrams(text: Column, n: Int = 3, distinct: Boolean = true): Column =
     col(WordNgrams(ex(text), n, distinct))
+  def bpe_encode(text: Column, merges: Seq[(String, String)]): Column =
+    col(BpeEncode(ex(text), merges))
 
   /** Hamming distance between two 64-bit fingerprints (built-in composition:
     * stays in whole-stage codegen). */

@@ -164,3 +164,92 @@ case class NgramHashes(child: Expression, n: Int)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Executor-side BPE kernel shared by [[graft.llm.Bpe]] training (driver)
+  * and the [[BpeEncode]] expression (tasks): one algorithm, one marker
+  * convention, so a word encodes to exactly the symbols training produced
+  * for it. Symbols split on code points (a non-BMP char is one symbol, not
+  * two surrogate halves). */
+object BpeKernel {
+  /** Pre-token pattern — letter runs, digit runs, single punctuation
+    * (matches TextAnalysis's `bpeish_tokens` segmentation). */
+  val PreTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  /** End-of-word marker on a word's final symbol (Sennrich arXiv:1508.07909). */
+  val EndOfWord = "</w>"
+
+  /** A word's initial symbol sequence: code points, marker appended to the
+    * last. Empty input yields an empty array. */
+  def initialSymbols(word: String): Array[String] = {
+    val cps = word.codePoints().toArray
+    val syms = new Array[String](cps.length)
+    var i = 0
+    while (i < cps.length) { syms(i) = new String(Character.toChars(cps(i))); i += 1 }
+    if (syms.nonEmpty) syms(syms.length - 1) = syms(syms.length - 1) + EndOfWord
+    syms
+  }
+
+  /** Greedy rank-order merging: repeatedly merge the adjacent pair with the
+    * lowest merge rank until none applies — the canonical BPE encoder. */
+  def encodeWord(word: String, ranks: Map[(String, String), Int]): Array[String] = {
+    var syms = initialSymbols(word)
+    var continue = syms.length > 1
+    while (continue) {
+      var bestRank = Int.MaxValue
+      var bestAt = -1
+      var j = 0
+      while (j < syms.length - 1) {
+        val r = ranks.getOrElse((syms(j), syms(j + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestAt = j }
+        j += 1
+      }
+      if (bestAt < 0) continue = false
+      else {
+        val merged = new Array[String](syms.length - 1)
+        System.arraycopy(syms, 0, merged, 0, bestAt)
+        merged(bestAt) = syms(bestAt) + syms(bestAt + 1)
+        System.arraycopy(syms, bestAt + 2, merged, bestAt + 1,
+          syms.length - bestAt - 2)
+        syms = merged
+        continue = syms.length > 1
+      }
+    }
+    syms
+  }
+}
+
+/** bpe_encode(text, merges) -> array<string>: the document's BPE token
+  * stream under a trained merge table (see [[graft.llm.Bpe]]). The merge
+  * table is part of the expression — a few KB riding the serialized plan,
+  * the broadcast-variable shape for plan-embedded constants — and each
+  * executor memoizes the encoding per word TYPE (Zipf: a handful of common
+  * words dominate any corpus), so the per-token cost is one hash probe. */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "bpe_encode"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val ranks: Map[(String, String), Int] =
+    merges.iterator.zipWithIndex.toMap
+  @transient private lazy val pattern =
+    java.util.regex.Pattern.compile(BpeKernel.PreTokenPattern)
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[UTF8String]]()
+  private val CacheCap = 100000 // word TYPES; reset beyond (no LRU bookkeeping)
+
+  override def nullSafeEval(v: Any): Any = {
+    val text = v.asInstanceOf[UTF8String].toString
+    val out = new java.util.ArrayList[AnyRef]()
+    val m = pattern.matcher(text)
+    while (m.find()) {
+      val word = m.group()
+      if (cache.size() > CacheCap) cache.clear()
+      val toks = cache.computeIfAbsent(word,
+        w => BpeKernel.encodeWord(w, ranks).map(UTF8String.fromString))
+      var i = 0
+      while (i < toks.length) { out.add(toks(i)); i += 1 }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -634,6 +634,43 @@ object LlmQueries {
       nClusters = 4, kmeansIters = 2)
       .orderBy(col("vec_id"))
 
+  /** Corpus-trained BPE merge table (no oracle: iterative dict merging is
+    * not SQL-expressible; the merge loop is pinned against a hand-derived
+    * sequence in BpeSpec). Deterministic given the corpus. */
+  val bpeTrainMerges: QueryFn = (s, dir) => {
+    import s.implicits._
+    val v = Bpe.train(Tables.ensure(s, dir).documents,
+      numMerges = 200, maxWordTypes = 50000)
+    v.merges.zipWithIndex
+      .map { case ((l, r), i) => (i, l, r) }
+      .toDF("rank", "left_sym", "right_sym")
+      .orderBy(col("rank"))
+  }
+
+  /** Corpus tokenized with its own trained BPE vocabulary (no oracle;
+    * round-trip + compression + determinism pinned in BpeSpec). */
+  val bpeTokens: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents
+    val v = Bpe.train(docs, numMerges = 200, maxWordTypes = 50000)
+    Bpe.encode(docs, v)
+      .select(col("doc_id"), col("n_tokens"),
+        md5(concat_ws("", col("tokens"))).as("tokens_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** BPE encoding plumbing under an oracle: with ZERO merges every
+    * pre-token encodes to its code points, so the token count per doc is
+    * exactly its non-whitespace character count — which DuckDB computes
+    * independently of the tokenizer. */
+  val bpeCharTokens: QueryFn = (s, dir) =>
+    Bpe.encode(Tables.ensure(s, dir).documents, Bpe.BpeVocab(Vector.empty))
+      .select(col("doc_id"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  val bpeCharTokensSql: String = """
+    SELECT doc_id,
+           CAST(length(regexp_replace(text, '\s', '', 'g')) AS INT) AS n_tokens
+    FROM documents ORDER BY doc_id"""
+
   /** Character-class hygiene over text with synthesized mojibake (the
     * fixture is pure ASCII): bell control chars, accented chars, and
     * U+FFFD appended deterministically per doc_id, then measured. */
@@ -868,6 +905,9 @@ object LlmQueries {
     "ann_quantized_ids" -> annQuantizedIds,
     "ann_ivf_pq" -> annIvfPq,
     "text_charclass" -> textCharclass,
+    "bpe_train_merges" -> bpeTrainMerges,
+    "bpe_tokens" -> bpeTokens,
+    "bpe_char_tokens" -> bpeCharTokens,
     "multimodal_features" -> multimodalFeatures)
 
   val oracle: Map[String, String] = Map(
@@ -899,5 +939,6 @@ object LlmQueries {
     "source_cap_topk" -> sourceCapTopkSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "ann_quantized_ids" -> annQuantizedIdsSql,
-    "text_charclass" -> textCharclassSql)
+    "text_charclass" -> textCharclassSql,
+    "bpe_char_tokens" -> bpeCharTokensSql)
 }
