@@ -83,6 +83,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("query_profile",
         "query_profile([id]) — executed operators + metrics of a completed query (default: latest)"),
       (args: Seq[Expression]) => queryProfile(args)))
+    // Column lineage (reference FieldOriginExtractor behind the catalog
+    // lineage graph API, `QueryMetadata.java:374`): output field → base
+    // (table, column) origins with a derived flag. Analysis-only — the
+    // inner statement never executes.
+    e.injectTableFunction((FunctionIdentifier("column_origins"),
+      info("column_origins",
+        "column_origins('<select sql>') — base-column origins of each output field"),
+      (args: Seq[Expression]) => columnOrigins(args)))
   }
 }
 
@@ -116,6 +124,19 @@ object GraftExtensions {
       case _ => throw new IllegalArgumentException(
         "excel_scan expects excel_scan('<path>'[, '<sheet>'])")
     }
+  }
+
+  private def columnOrigins(args: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    val fos = graft.catalog.FieldOrigins.of(spark,
+      dirArg("column_origins", args))
+    LocalRelation.fromExternalRows(
+      attrs("field" -> StringType, "origin_table" -> StringType,
+        "origin_column" -> StringType, "derived" -> BooleanType),
+      fos.flatMap { fo =>
+        if (fo.origins.isEmpty) Seq(Row(fo.field, null, null, fo.derived))
+        else fo.origins.map(o => Row(fo.field, o.table, o.column, fo.derived))
+      })
   }
 
   private def joinRecos(args: Seq[Expression]): LogicalPlan = {
