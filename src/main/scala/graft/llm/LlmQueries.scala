@@ -143,6 +143,45 @@ object LlmQueries {
       CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS distinct_token_ratio
     FROM toks ORDER BY doc_id"""
 
+  /** URL-filter stage over deterministically synthesized URLs (the fixture
+    * has no url column; host/domain/depth/blocklist semantics are what's
+    * under test, and DuckDB recomputes all of them from the same urls). */
+  val urlFilter: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents
+    val withUrl = docs.select(col("doc_id"), expr(
+      "concat('https://', " +
+        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.' ELSE '' END, " +
+        "source, " +
+        "CASE CAST(doc_id % 2 AS INT) WHEN 0 THEN '.example.com' ELSE '.example.org' END, " +
+        "'/', lang, '/p/', CAST(doc_id AS STRING))").as("url"))
+    TextAnalysis.urlSignals(withUrl,
+        blocklist = Seq("example.org", "cdn.src3.example.com"))
+      .select(col("doc_id"), col("host"), col("registrable_domain"),
+        col("path_depth"), col("blocked"))
+      .orderBy(col("doc_id"))
+  }
+  val urlFilterSql: String = """
+    WITH u AS (
+      SELECT doc_id,
+        concat('https://',
+          CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.' ELSE '' END,
+          source,
+          CASE CAST(doc_id % 2 AS INT) WHEN 0 THEN '.example.com' ELSE '.example.org' END,
+          '/', lang, '/p/', CAST(doc_id AS VARCHAR)) AS url
+      FROM documents),
+    h AS (SELECT doc_id, url,
+            lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)) AS host
+          FROM u)
+    SELECT doc_id, host,
+      regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS registrable_domain,
+      CAST(len(list_filter(string_split(
+        regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1), '/'),
+        x -> x <> '')) AS INT) AS path_depth,
+      (host = 'example.org' OR host LIKE '%.example.org'
+       OR host = 'cdn.src3.example.com' OR host LIKE '%.cdn.src3.example.com')
+        AS blocked
+    FROM h ORDER BY doc_id"""
+
   val textTokens: QueryFn = (s, dir) =>
     TextAnalysis.tokenCounts(Tables.ensure(s, dir).documents.filter(col("doc_id") < 500))
       .orderBy(col("doc_id"))
@@ -905,6 +944,7 @@ object LlmQueries {
     "ann_quantized_ids" -> annQuantizedIds,
     "ann_ivf_pq" -> annIvfPq,
     "text_charclass" -> textCharclass,
+    "url_filter" -> urlFilter,
     "bpe_train_merges" -> bpeTrainMerges,
     "bpe_tokens" -> bpeTokens,
     "bpe_char_tokens" -> bpeCharTokens,
@@ -940,5 +980,6 @@ object LlmQueries {
     "dedup_incremental" -> dedupIncrementalSql,
     "ann_quantized_ids" -> annQuantizedIdsSql,
     "text_charclass" -> textCharclassSql,
+    "url_filter" -> urlFilterSql,
     "bpe_char_tokens" -> bpeCharTokensSql)
 }

@@ -35,6 +35,32 @@ object TextAnalysis {
       (size(array_distinct(toks)).cast("double") / nToks).as("distinct_token_ratio"))
   }
 
+  /** URL curation signals (the C4/RefinedWeb URL-filter stage: drop
+    * documents by source host before reading a byte of text): lowercased
+    * host, registrable domain (last-two-label heuristic — a public-suffix
+    * list drops into the same expression), path depth, and a blocklist
+    * verdict matched on domain SUFFIX (blocking `example.com` blocks
+    * `www.sub.example.com` but not `notexample.com`). Pure column
+    * expressions over `parse_url`; the blocklist is a plan literal —
+    * thousands of entries ride the broadcast the way every dim-table
+    * filter does, with zero extra scans. */
+  def urlSignals(docs: DataFrame, urlCol: String = "url",
+                 blocklist: Seq[String] = Nil): DataFrame = {
+    val host = lower(parse_url(col(urlCol), lit("HOST")))
+    val path = coalesce(parse_url(col(urlCol), lit("PATH")), lit(""))
+    val withHost = docs.withColumn("host", host)
+    val blocked =
+      if (blocklist.isEmpty) lit(false)
+      else exists(typedLit(blocklist.map(_.toLowerCase)),
+        b => col("host") === b || col("host").endsWith(concat(lit("."), b)))
+    withHost
+      .withColumn("registrable_domain",
+        concat_ws(".", slice(split(col("host"), "\\."), -2, 2)))
+      .withColumn("path_depth",
+        size(filter(split(path, "/"), s => length(s) > 0)))
+      .withColumn("blocked", blocked)
+  }
+
   /** Token counting: whitespace tokens plus a BPE-ish regex segmentation
     * (letters / digits / single punctuation as separate tokens). */
   def tokenCounts(docs: DataFrame): DataFrame =
