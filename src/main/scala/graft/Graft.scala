@@ -82,8 +82,10 @@ object Graft {
           .filter(graft.engine.Queues.defined)
       else None
     reflectionQueue.orElse {
+      // a malformed threshold degrades to the default rather than failing
+      // every statement while auto-routing is on (ADVICE r7)
       val threshold = BigInt(spark.conf.getOption(QueueThresholdConf)
-        .map(_.toLong).getOrElse(DefaultQueueThreshold))
+        .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(DefaultQueueThreshold))
       val name =
         if (estimateCost(spark, parsed) > threshold) spark.conf.get(QueueLargeConf, "large")
         else spark.conf.get(QueueSmallConf, "small")

@@ -81,13 +81,18 @@ object FieldOrigins {
     case s: SubqueryAlias =>
       val cm = build(s.child)
       // the INNERMOST alias directly over a relation is the dataset's
-      // user-facing name (a view registration); outer aliases are query
-      // text (`FROM orders o`) and must not mask it
+      // user-facing name ONLY when it is a view registration (a View node
+      // beneath) or the relation has no catalog identity of its own; a
+      // query-text alias over an identified relation (`FROM
+      // parquet.`/path` p`) must NOT mask the relation's real identity —
+      // the reference reports the dataset's namespace key, not the alias
       def skipViews(q: LogicalPlan): LogicalPlan = q match {
         case v: View => skipViews(v.child)
         case other => other
       }
-      if (isRelation(skipViews(s.child)))
+      val inner = skipViews(s.child)
+      val isRegistration = s.child.isInstanceOf[View]
+      if (isRelation(inner) && (isRegistration || relationName(inner).isEmpty))
         cm.map { case (id, (os, d)) =>
           id -> (os.map(_.copy(table = s.identifier.name)), d)
         }

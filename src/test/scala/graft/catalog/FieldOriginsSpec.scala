@@ -70,6 +70,17 @@ class FieldOriginsSpec extends AnyFunSuite with Matchers {
     g("tok").derived shouldBe true
   }
 
+  test("a query-text alias does not mask a path relation's real identity") {
+    // ADVICE r7: `FROM parquet.`/path` p` used to report table "p"; the
+    // reference reports the dataset's namespace key (here: the root path)
+    val p = Tables(spark, graft.TestSpark.sf).path("nation")
+    val m = of(s"SELECT p.n_name FROM parquet.`$p` p")
+    val o = m("n_name").origins.head
+    o.table should not be "p"
+    (o.table should include("nation"))
+    o.column shouldBe "n_name"
+  }
+
   test("column_origins TVF surfaces lineage from a FROM clause") {
     val rows = spark.sql(
       """SELECT * FROM column_origins(

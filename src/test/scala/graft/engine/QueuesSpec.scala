@@ -188,35 +188,59 @@ class QueuesSpec extends AnyFunSuite {
 
   test("cost-based auto routing picks SMALL vs LARGE by planned bytes") {
     // reference BasicResourceAllocator.java:143-157 — cost > threshold → LARGE
-    Queues.define("small", slots = 4, timeoutMs = 30000)
-    Queues.define("large", slots = 4, timeoutMs = 30000)
+    // Test-unique router targets (via the small/large confs) + delta
+    // assertions: exact counts on queues literally named small/large would
+    // flake if any concurrent suite issued Graft.sql in this window
+    // (ADVICE r7).
+    val qSmall = "qspec_auto_small"; val qLarge = "qspec_auto_large"
+    Queues.define(qSmall, slots = 4, timeoutMs = 30000)
+    Queues.define(qLarge, slots = 4, timeoutMs = 30000)
+    def admitted(n: String) = Queues.status.find(_.name == n).get.admitted
     try {
+      spark.conf.set(graft.Graft.QueueSmallConf, qSmall)
+      spark.conf.set(graft.Graft.QueueLargeConf, qLarge)
       spark.conf.set(graft.Graft.QueueAutoConf, "true")
       // huge threshold: everything is small
       spark.conf.set(graft.Graft.QueueThresholdConf, Long.MaxValue.toString)
+      val (s0, l0) = (admitted(qSmall), admitted(qLarge))
       assert(graft.Graft.sql(spark, "SELECT count(*) AS n FROM range(100)")
         .head().getLong(0) == 100L)
-      assert(Queues.status.find(_.name == "small").get.admitted == 1L)
-      assert(Queues.status.find(_.name == "large").get.admitted == 0L)
+      assert(admitted(qSmall) - s0 == 1L)
+      assert(admitted(qLarge) - l0 == 0L)
       // zero threshold: any nonzero-size plan is large
       spark.conf.set(graft.Graft.QueueThresholdConf, "0")
       graft.Graft.sql(spark, "SELECT count(*) AS n FROM range(100)").collect()
-      assert(Queues.status.find(_.name == "large").get.admitted == 1L)
-      assert(Queues.status.find(_.name == "small").get.admitted == 1L)
+      assert(admitted(qLarge) - l0 == 1L)
+      assert(admitted(qSmall) - s0 == 1L)
       // an explicitly named queue beats the router
       Queues.define("explicitq", slots = 1, timeoutMs = 30000)
       spark.conf.set(graft.Graft.QueueConf, "explicitq")
       graft.Graft.sql(spark, "SELECT 1").collect()
-      assert(Queues.status.find(_.name == "explicitq").get.admitted == 1L)
-      assert(Queues.status.find(_.name == "large").get.admitted == 1L)
+      assert(admitted("explicitq") == 1L)
+      assert(admitted(qLarge) - l0 == 1L)
       spark.conf.unset(graft.Graft.QueueConf)
       Queues.drop("explicitq")
     } finally {
       spark.conf.unset(graft.Graft.QueueConf)
       spark.conf.unset(graft.Graft.QueueAutoConf)
       spark.conf.unset(graft.Graft.QueueThresholdConf)
+      spark.conf.unset(graft.Graft.QueueSmallConf)
+      spark.conf.unset(graft.Graft.QueueLargeConf)
       spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
-      Queues.drop("small"); Queues.drop("large")
+      Queues.drop(qSmall); Queues.drop(qLarge)
+    }
+  }
+
+  test("a malformed queue threshold degrades to the default instead of failing every statement") {
+    try {
+      spark.conf.set(graft.Graft.QueueAutoConf, "true")
+      spark.conf.set(graft.Graft.QueueThresholdConf, "not-a-number")
+      // ADVICE r7: this used to throw NumberFormatException out of Graft.sql
+      assert(graft.Graft.sql(spark, "SELECT 5 AS x").head().getInt(0) == 5)
+    } finally {
+      spark.conf.unset(graft.Graft.QueueAutoConf)
+      spark.conf.unset(graft.Graft.QueueThresholdConf)
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
     }
   }
 

@@ -50,17 +50,12 @@ class RunningQueriesSpec extends AnyFunSuite {
       s"SELECT statement, job_group FROM sys_running_queries WHERE id = $id").head()
     assert(viewRow.getString(0).contains("60000000000"))
     assert(viewRow.getString(1) == RunningQueries.group(id))
-    // cancel until the action dies (covers the submit/cancel race: the
-    // first cancel may land before the job is submitted)
+    // ONE cancel through the SQL surface must suffice, whichever side of
+    // the submit/cancel race it lands on: a pre-submission cancel marks
+    // the id so the job is killed at start by the job-start listener, and
+    // a post-submission cancel kills the recorded job ids directly.
     val cancelled = spark.sql(s"CANCEL QUERY $id").head().getString(0)
-    assert(cancelled == "true", "first CANCEL QUERY did not find the statement")
-    // cancelJobGroup only kills already-submitted jobs; if the cancel won
-    // the race against job submission, re-kill the group until the action
-    // surfaces the cancellation
-    while (!victim.isCompleted) {
-      spark.sparkContext.cancelJobGroup(RunningQueries.group(id))
-      Thread.sleep(100)
-    }
+    assert(cancelled == "true", "CANCEL QUERY did not find the statement")
     val outcome = Await.ready(victim, 60.seconds).value.get
     assert(outcome.isFailure, "cancelled query returned a result")
     val msg = String.valueOf(outcome.failed.get.getMessage).toLowerCase
