@@ -22,6 +22,7 @@ object SparkEntry {
       graft.queries.Lake.queries ++
       graft.queries.Federation.queries ++
       graft.queries.Explore.queries ++
+      graft.queries.Auth.queries ++
       graft.llm.LlmQueries.queries
 
   /** Queries whose fn mutates external state on every call (rewrites a
@@ -40,5 +41,6 @@ object SparkEntry {
       graft.queries.Lake.oracle ++
       graft.queries.Federation.oracle ++
       graft.queries.Explore.oracle ++
+      graft.queries.Auth.oracle ++
       graft.llm.LlmQueries.oracle
 }

@@ -118,8 +118,10 @@ object Reflections {
     * reflection would be registered under the wrong identity (matching
     * other-reflection scans instead of the user's query shape). */
   def create(name: String, df: DataFrame, path: String,
-             definingSql: Option[String] = None): Reflection = {
-    df.write.mode(SaveMode.Overwrite).parquet(path)
+             definingSql: Option[String] = None,
+             partitionBy: Seq[String] = Nil): Reflection = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
     df.sparkSession.catalog.refreshByPath(path)
     // fresh QueryExecution (the write above may have cached a substituted
     // optimized plan on df's own QueryExecution)

@@ -1,0 +1,221 @@
+package graft.auth
+
+import java.security.{MessageDigest, SecureRandom}
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.SparkSession
+
+/** Users, roles, and object privileges — the reference's access-control
+  * surface (`sabot/grammar/src/main/codegen/data/Parser.tdd:656-660`
+  * `SqlCreateUser()`/`SqlCreateRole()`/`SqlGrant()`,
+  * `includes/grant.ftl`, `role.ftl`; enforcement lives in dac). A
+  * three-protocol server without authz means every connection is root —
+  * this registry closes that.
+  *
+  * Spark-first shape: the registry is coordinator-side metadata (JVM-wide,
+  * like [[graft.engine.Queues]]); enforcement is an analysis-time CHECK
+  * RULE injected via `SparkSessionExtensions.injectCheckRule`, so it
+  * guards every surface that plans SQL — in-process `Graft.sql`, Thrift
+  * JDBC, Spark Connect, and REST — with zero cost on the data path
+  * (nothing is added to the physical plan).
+  *
+  * Model:
+  *  - `CREATE USER u PASSWORD 'pw' [ADMIN]` — salted-SHA-256 credential.
+  *  - `CREATE ROLE r`, `GRANT ROLE r TO USER u` — role membership.
+  *  - `GRANT SELECT|ALL ON <object> TO USER u|ROLE r` — object is a table
+  *    or view name, a lake/parquet path (quoted), or `*`.
+  *  - Sessions bind a principal with `AUTHENTICATE USER u PASSWORD 'pw'`,
+  *    which stores a random token in the session conf; claiming
+  *    `spark.graft.user` without the matching token is ignored (identity
+  *    is authenticated, not self-declared).
+  *  - While enforcement is ON (`ALTER AUTH ENFORCE ON`), every query that
+  *    reads an identified relation requires SELECT on it (or on a granted
+  *    view ABOVE it — views act as the security layer, so a grant on a
+  *    view does not require grants on its base tables); admins bypass.
+  *    Sessions with no authenticated principal are refused. Relations
+  *    with no catalog identity (VALUES, range, in-memory) pass — they
+  *    carry no persisted data.
+  * Grant checks are per-statement at analysis time; the registry is
+  * driver-small (names and hashes), nothing scales with data.
+  */
+object Privileges {
+
+  final case class User(name: String, hash: String, salt: String,
+                        admin: Boolean, roles: Set[String])
+
+  /** Built-in admin role: membership confers every privilege. */
+  val AdminRole = "admin"
+
+  private val users = TrieMap.empty[String, User]
+  private val roles = TrieMap.empty[String, Boolean]
+  /** (kind, grantee) -> set of (action, object). Objects are lowercased;
+    * paths are normalized. */
+  private val grants = TrieMap.empty[(String, String), Set[(String, String)]]
+  private val tokens = TrieMap.empty[String, String] // token -> user
+  @volatile private var enforceFlag = false
+  private val rng = new SecureRandom()
+
+  roles.put(AdminRole, true)
+
+  /** Session conf key holding the authenticated session token. */
+  val TokenConf = "spark.graft.token"
+  /** Session conf key mirroring the authenticated user name (display). */
+  val UserConf = "spark.graft.user"
+
+  def enforcing: Boolean = enforceFlag
+
+  /** Turn enforcement on/off. Turning it ON requires an admin user to
+    * exist (otherwise the system would lock everyone out) and — when
+    * already enforcing — an admin principal on the calling session. */
+  def setEnforce(spark: SparkSession, on: Boolean): Unit = synchronized {
+    if (on) require(users.values.exists(_.admin),
+      "cannot enable auth enforcement: no admin user exists (CREATE USER ... ADMIN first)")
+    requireAdmin(spark, if (on) "ALTER AUTH ENFORCE ON" else "ALTER AUTH ENFORCE OFF")
+    enforceFlag = on
+  }
+
+  private def sha(s: String): String =
+    MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  def createUser(spark: SparkSession, name: String, password: String,
+                 admin: Boolean = false): Unit = {
+    requireAdmin(spark, s"CREATE USER $name")
+    val salt = new Array[Byte](16); rng.nextBytes(salt)
+    val s = salt.map("%02x".format(_)).mkString
+    val u = User(name.toLowerCase, sha(s + password), s, admin,
+      if (admin) Set(AdminRole) else Set.empty)
+    require(users.putIfAbsent(u.name, u).isEmpty, s"user '$name' already exists")
+  }
+
+  def dropUser(spark: SparkSession, name: String): Unit = {
+    requireAdmin(spark, s"DROP USER $name")
+    users.remove(name.toLowerCase)
+    grants.remove(("user", name.toLowerCase))
+    tokens.filterInPlace((_, u) => u != name.toLowerCase)
+  }
+
+  def createRole(spark: SparkSession, name: String): Unit = {
+    requireAdmin(spark, s"CREATE ROLE $name")
+    require(roles.putIfAbsent(name.toLowerCase, true).isEmpty,
+      s"role '$name' already exists")
+  }
+
+  def dropRole(spark: SparkSession, name: String): Unit = {
+    requireAdmin(spark, s"DROP ROLE $name")
+    require(name.toLowerCase != AdminRole, "cannot drop the built-in admin role")
+    roles.remove(name.toLowerCase)
+    grants.remove(("role", name.toLowerCase))
+    users.mapValuesInPlace((_, u) => u.copy(roles = u.roles - name.toLowerCase))
+  }
+
+  def grantRole(spark: SparkSession, role: String, user: String): Unit = {
+    requireAdmin(spark, s"GRANT ROLE $role")
+    val r = role.toLowerCase
+    require(roles.contains(r), s"unknown role: $role")
+    val u = users.getOrElse(user.toLowerCase,
+      throw new IllegalArgumentException(s"unknown user: $user"))
+    users.put(u.name, u.copy(roles = u.roles + r,
+      admin = u.admin || r == AdminRole))
+  }
+
+  def revokeRole(spark: SparkSession, role: String, user: String): Unit = {
+    requireAdmin(spark, s"REVOKE ROLE $role")
+    val r = role.toLowerCase
+    users.get(user.toLowerCase).foreach(u =>
+      users.put(u.name, u.copy(roles = u.roles - r,
+        admin = u.admin && r != AdminRole)))
+  }
+
+  /** Normalize a privilege object: names lowercase; paths (anything with a
+    * '/') through the reflection path normalizer so grants match scans. */
+  def normObj(obj: String): String =
+    if (obj.contains("/")) graft.accel.Reflections.normPath(obj).toLowerCase
+    else obj.toLowerCase
+
+  def grant(spark: SparkSession, action: String, obj: String,
+            kind: String, grantee: String): Unit = {
+    requireAdmin(spark, s"GRANT $action ON $obj")
+    val k = (kind.toLowerCase, grantee.toLowerCase)
+    if (kind.equalsIgnoreCase("user")) require(users.contains(k._2), s"unknown user: $grantee")
+    else require(roles.contains(k._2), s"unknown role: $grantee")
+    grants.updateWith(k) {
+      case Some(s) => Some(s + ((action.toLowerCase, normObj(obj))))
+      case None => Some(Set((action.toLowerCase, normObj(obj))))
+    }
+  }
+
+  def revoke(spark: SparkSession, action: String, obj: String,
+             kind: String, grantee: String): Unit = {
+    requireAdmin(spark, s"REVOKE $action ON $obj")
+    grants.updateWith((kind.toLowerCase, grantee.toLowerCase)) {
+      case Some(s) => Some(s - ((action.toLowerCase, normObj(obj))))
+      case None => None
+    }
+  }
+
+  /** Verify credentials and bind the principal to the session (random
+    * token in the session conf — the conf alone, without a valid token,
+    * never authenticates). Returns the token. */
+  def login(spark: SparkSession, name: String, password: String): String = {
+    val u = users.getOrElse(name.toLowerCase,
+      throw new SecurityException(s"authentication failed for '$name'"))
+    if (sha(u.salt + password) != u.hash)
+      throw new SecurityException(s"authentication failed for '$name'")
+    val tok = { val b = new Array[Byte](24); rng.nextBytes(b)
+      b.map("%02x".format(_)).mkString }
+    tokens.put(tok, u.name)
+    spark.conf.set(TokenConf, tok)
+    spark.conf.set(UserConf, u.name)
+    tok
+  }
+
+  /** The session's AUTHENTICATED principal, or None. */
+  def principalOf(spark: SparkSession): Option[User] =
+    spark.conf.getOption(TokenConf).flatMap(tokens.get).flatMap(users.get)
+
+  def isAdminSession(spark: SparkSession): Boolean =
+    principalOf(spark).exists(_.admin)
+
+  /** Admin gate for auth DDL: free while enforcement is off (bootstrap),
+    * admin-principal-only while on. */
+  def requireAdmin(spark: SparkSession, what: String): Unit =
+    if (enforceFlag && !isAdminSession(spark))
+      throw new SecurityException(
+        s"$what requires an authenticated admin principal " +
+          s"(principal: ${principalOf(spark).map(_.name).getOrElse("<none>")})")
+
+  /** Every (action, object) the user holds, directly or via roles. */
+  private def effectiveGrants(u: User): Set[(String, String)] =
+    grants.getOrElse(("user", u.name), Set.empty) ++
+      u.roles.flatMap(r => grants.getOrElse(("role", r), Set.empty))
+
+  /** Does the user hold `action` (or ALL) on `obj` (or `*`)? `obj` must
+    * already be normalized. */
+  def allowed(u: User, action: String, obj: String): Boolean =
+    u.admin || {
+      val gs = effectiveGrants(u)
+      val acts = Set(action.toLowerCase, "all")
+      gs.exists { case (a, o) => acts(a) && (o == "*" || o == obj) }
+    }
+
+  /** Every object name the user holds SELECT (or ALL) on, directly or via
+    * roles — used by the check rule's granted-view-body cover. */
+  def grantedObjects(u: User): Set[String] =
+    effectiveGrants(u).collect { case (a, o) if a == "select" || a == "all" => o }
+
+  /** sys_privileges rows: (grantee_kind, grantee, action, object). */
+  def listGrants: Seq[(String, String, String, String)] =
+    grants.toSeq.flatMap { case ((k, g), s) =>
+      s.toSeq.map { case (a, o) => (k, g, a, o) } }.sorted
+
+  def listUsers: Seq[User] = users.values.toSeq.sortBy(_.name)
+  def listRoles: Seq[String] = roles.keys.toSeq.sorted
+
+  /** Test/bootstrap reset: drops everything and disables enforcement. */
+  def clear(): Unit = synchronized {
+    users.clear(); roles.clear(); grants.clear(); tokens.clear()
+    roles.put(AdminRole, true)
+    enforceFlag = false
+  }
+}

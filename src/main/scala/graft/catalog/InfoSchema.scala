@@ -186,6 +186,32 @@ object InfoSchema {
       () => graft.accel.ResultCache.listEntries
         .map(e => Row(e.fingerprint, e.hits, e.lakeDeps)))
 
+  /** Object privileges (reference `sys.privileges` over the dac grant
+    * store; grammar `includes/grant.ftl`). */
+  def sysPrivileges(spark: SparkSession): DataFrame =
+    live(spark, StructType(Seq(
+      StructField("grantee_type", StringType, nullable = false),
+      StructField("grantee", StringType, nullable = false),
+      StructField("privilege", StringType, nullable = false),
+      StructField("object", StringType, nullable = false))),
+      () => graft.auth.Privileges.listGrants
+        .map { case (k, g, a, o) => Row(k, g, a, o) })
+
+  /** Registered users with role memberships (reference `sys.\"user\"`). */
+  def sysUsers(spark: SparkSession): DataFrame =
+    live(spark, StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("is_admin", BooleanType, nullable = false),
+      StructField("roles", StringType, nullable = false))),
+      () => graft.auth.Privileges.listUsers
+        .map(u => Row(u.name, u.admin, u.roles.toSeq.sorted.mkString(","))))
+
+  /** Registered roles (reference `sys.roles`). */
+  def sysRoles(spark: SparkSession): DataFrame =
+    live(spark, StructType(Seq(
+      StructField("name", StringType, nullable = false))),
+      () => graft.auth.Privileges.listRoles.map(Row(_)))
+
   /** Register all introspection views (and start recording query history
     * for this session, if not already). */
   def register(spark: SparkSession): Unit = {
@@ -202,5 +228,8 @@ object InfoSchema {
     sysQueues(spark).createOrReplaceTempView("sys_queues")
     sysRunningQueries(spark).createOrReplaceTempView("sys_running_queries")
     sysResultCache(spark).createOrReplaceTempView("sys_result_cache")
+    sysPrivileges(spark).createOrReplaceTempView("sys_privileges")
+    sysUsers(spark).createOrReplaceTempView("sys_users")
+    sysRoles(spark).createOrReplaceTempView("sys_roles")
   }
 }

@@ -60,15 +60,26 @@ object GraftRestServer {
           val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
           val sql = jsonField(body, "sql").getOrElse("")
           val limit = jsonField(body, "limit").map(_.toInt).getOrElse(500)
+          val user = jsonField(body, "user")
+          val password = jsonField(body, "password")
           if (sql.isEmpty) respond(ex, 400, error("missing \"sql\" field"))
-          else respond(ex, 200, run(sql, math.min(math.max(limit, 1), 10000)))
+          else respond(ex, 200,
+            run(sql, math.min(math.max(limit, 1), 10000), user, password))
         }
       } catch {
         case e: Exception => respond(ex, 400, error(e.toString.take(500)))
       } finally ex.close()
 
-    private def run(sql: String, limit: Int): String = {
+    private def run(sql: String, limit: Int,
+                    user: Option[String], password: Option[String]): String = {
       val session = root.newSession()
+      // REST is stateless (a fresh cloned session per request), so the
+      // principal binds via optional body credentials rather than an
+      // AUTHENTICATE statement on a long-lived connection; while auth
+      // enforcement is on, credential-less requests run anonymous and the
+      // check rule refuses guarded reads.
+      user.foreach(u =>
+        graft.auth.Privileges.login(session, u, password.getOrElse("")))
       // Graft.sql, not session.sql: a session conf `spark.graft.queue`
       // routes REST statements through WLM admission like any other
       val df = graft.Graft.sql(session, sql)

@@ -19,6 +19,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
+    // Authorization: analysis-time SELECT checks against the privilege
+    // registry while enforcement is on (CREATE USER/ROLE + GRANT surface,
+    // reference Parser.tdd:656-660). A check rule guards every front end
+    // that plans SQL — in-process, Thrift, Connect, REST — for free.
+    e.injectCheckRule(session => new graft.auth.AuthorizeRule(session))
     e.injectOptimizerRule(session => new graft.accel.Reflections.Substitute(session))
     e.injectOptimizerRule(session => new graft.plans.CountFromManifest(session))
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)

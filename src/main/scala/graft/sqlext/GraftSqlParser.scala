@@ -104,12 +104,37 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
         ExplainAccelerationCommand(query,
           out("reflection", "fingerprint", "used", "fresh"))
       case CancelQueryRe(id) => CancelQueryCommand(id.toLong, out("cancelled"))
+      case CreateUserRe(name, pw, adminFlag) =>
+        CreateUserCommand(name, pw, adminFlag != null, out("user"))
+      case DropUserRe(name) => DropUserCommand(name)
+      case CreateRoleRe(name) => CreateRoleCommand(name, out("role"))
+      case DropRoleRe(name) => DropRoleCommand(name)
+      case GrantRoleRe(role, user) => GrantRoleCommand(role, user, granting = true)
+      case RevokeRoleRe(role, user) => GrantRoleCommand(role, user, granting = false)
+      case GrantRe(action, qobj, obj, kind, grantee) =>
+        GrantCommand(action, Option(qobj).getOrElse(obj), kind, grantee, granting = true)
+      case RevokeRe(action, qobj, obj, kind, grantee) =>
+        GrantCommand(action, Option(qobj).getOrElse(obj), kind, grantee, granting = false)
+      case AuthenticateRe(name, pw) =>
+        AuthenticateCommand(name, pw, out("user", "token"))
+      case ShowGrantsRe(who) =>
+        ShowGrantsCommand(Option(who),
+          out("grantee_type", "grantee", "privilege", "object"))
+      case AlterAuthRe(onOff) => AlterAuthCommand(onOff.equalsIgnoreCase("ON"))
       case CreateQueueRe(name, slots, timeout) =>
         CreateQueueCommand(name, slots.toInt, Option(timeout).map(_.toLong))
       case DropQueueRe(name) => DropQueueCommand(name)
       case ShowQueuesRe() =>
         ShowQueuesCommand(out("name", "slots", "pool", "running", "queued",
           "admitted", "timed_out"))
+      case CreateAggReflectionRe(table, name, path, dims, measures, partBy) =>
+        CreateAggReflectionCommand(table, name, path,
+          splitCols(dims), splitCols(measures), splitCols(partBy),
+          out("reflection", "fingerprint"))
+      case CreateRawReflectionRe(table, name, path, display, partBy) =>
+        CreateRawReflectionCommand(table, name, path,
+          splitCols(display), splitCols(partBy),
+          out("reflection", "fingerprint"))
       case RefreshMetadataRe(quoted, bare) =>
         RefreshMetadataCommand(Option(quoted).getOrElse(bare))
       case DescribeLakeRe(dir) =>
@@ -262,8 +287,47 @@ object GraftSqlParser {
   private val DropQueueRe = """(?is)DROP\s+QUEUE\s+([\w.-]+)\s*;?""".r
   private val ShowQueuesRe = """(?is)SHOW\s+QUEUES\s*;?""".r
   private val CancelQueryRe = """(?is)CANCEL\s+QUERY\s+(\d+)\s*;?""".r
+  // ---- users / roles / privileges (reference Parser.tdd:656-660 —
+  // SqlCreateUser/SqlCreateRole/SqlGrant; grant.ftl, role.ftl) ----
+  private val CreateUserRe =
+    """(?is)CREATE\s+USER\s+([\w.-]+)\s+PASSWORD\s+'([^']*)'(\s+ADMIN)?\s*;?""".r
+  private val DropUserRe = """(?is)DROP\s+USER\s+([\w.-]+)\s*;?""".r
+  private val CreateRoleRe = """(?is)CREATE\s+ROLE\s+([\w.-]+)\s*;?""".r
+  private val DropRoleRe = """(?is)DROP\s+ROLE\s+([\w.-]+)\s*;?""".r
+  private val GrantRoleRe =
+    """(?is)GRANT\s+ROLE\s+([\w.-]+)\s+TO\s+USER\s+([\w.-]+)\s*;?""".r
+  private val RevokeRoleRe =
+    """(?is)REVOKE\s+ROLE\s+([\w.-]+)\s+FROM\s+USER\s+([\w.-]+)\s*;?""".r
+  // object: a bare name (table/view/*) or a quoted path (lake dir)
+  private val GrantRe =
+    ("""(?is)GRANT\s+(SELECT|ALL)\s+ON\s+(?:'([^']+)'|([\w.*/]+))\s+""" +
+      """TO\s+(USER|ROLE)\s+([\w.-]+)\s*;?""").r
+  private val RevokeRe =
+    ("""(?is)REVOKE\s+(SELECT|ALL)\s+ON\s+(?:'([^']+)'|([\w.*/]+))\s+""" +
+      """FROM\s+(USER|ROLE)\s+([\w.-]+)\s*;?""").r
+  private val AuthenticateRe =
+    """(?is)AUTHENTICATE\s+USER\s+([\w.-]+)\s+PASSWORD\s+'([^']*)'\s*;?""".r
+  private val ShowGrantsRe = """(?is)SHOW\s+GRANTS(?:\s+FOR\s+([\w.-]+))?\s*;?""".r
+  private val AlterAuthRe = """(?is)ALTER\s+AUTH\s+ENFORCE\s+(ON|OFF)\s*;?""".r
   private val RefreshMetadataRe =
     """(?is)ALTER\s+TABLE\s+(?:`([^`]+)`|([\w./]+))\s+REFRESH\s+METADATA\s*;?""".r
+  // Declarative reflection DDL (reference `alter.ftl:434,591` — ALTER
+  // TABLE ... CREATE AGGREGATE|RAW REFLECTION with DIMENSIONS/MEASURES/
+  // DISPLAY field lists + layout clauses). USING PATH names the
+  // materialization dir (ours is file-addressed where the reference's
+  // reflection store is managed).
+  private val CreateAggReflectionRe =
+    ("""(?is)ALTER\s+TABLE\s+([\w.]+)\s+CREATE\s+AGGREGATE\s+REFLECTION\s+(\w+)\s+""" +
+      """USING\s+PATH\s+'([^']+)'\s+DIMENSIONS\s*\(([^)]*)\)\s+MEASURES\s*\(([^)]*)\)""" +
+      """(?:\s+PARTITION\s+BY\s*\(([^)]*)\))?\s*;?""").r
+  private val CreateRawReflectionRe =
+    ("""(?is)ALTER\s+TABLE\s+([\w.]+)\s+CREATE\s+RAW\s+REFLECTION\s+(\w+)\s+""" +
+      """USING\s+PATH\s+'([^']+)'\s+DISPLAY\s*\(([^)]*)\)""" +
+      """(?:\s+PARTITION\s+BY\s*\(([^)]*)\))?\s*;?""").r
+
+  /** Comma-split a (possibly null) DDL column list. */
+  private def splitCols(s: String): Seq[String] =
+    Option(s).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
   private val DescribeLakeRe = """(?is)DESCRIBE\s+LAKE\s+'([^']+)'\s*;?""".r
   private val CreateLakeViewRe =
     ("""(?is)CREATE\s+LAKE\s+VIEW\s+(\w+)\s+FROM\s+'([^']+)'""" +
@@ -511,6 +575,45 @@ object GraftSqlParser {
     }
   }
 
+  /** ALTER TABLE ... CREATE AGGREGATE REFLECTION ... DIMENSIONS(...)
+    * MEASURES(...) [PARTITION BY (...)]: the declarative BI-admin surface
+    * (reference `alter.ftl:434,591`, `SqlCreateReflection.java`) lowered
+    * onto the same materialize/serve machinery as CREATE REFLECTION — the
+    * generated defining query is the canonical roll-up shape
+    * (per-group COUNT + SUM/MIN/MAX per measure, the reference's default
+    * measures) that [[graft.accel.Reflections.Substitute]] serves
+    * aggregates from, and REFRESH REFLECTION re-materializes from the
+    * stored SQL like any other reflection. */
+  case class CreateAggReflectionCommand(table: String, name: String,
+      path: String, dimensions: Seq[String], measures: Seq[String],
+      partitionBy: Seq[String], override val output: Seq[Attribute])
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      require(dimensions.nonEmpty, "DIMENSIONS must name at least one column")
+      val aggCols = "count(1) AS cnt" +: measures.flatMap(m => Seq(
+        s"sum($m) AS sum_$m", s"min($m) AS min_$m", s"max($m) AS max_$m"))
+      val sql = s"SELECT ${(dimensions ++ aggCols).mkString(", ")} " +
+        s"FROM $table GROUP BY ${dimensions.mkString(", ")}"
+      val r = Reflections.create(name, spark.sql(sql), path, Some(sql), partitionBy)
+      Seq(Row(r.name, r.fingerprint))
+    }
+  }
+
+  /** ALTER TABLE ... CREATE RAW REFLECTION ... DISPLAY(...): declarative
+    * raw reflection — a column-pruned copy of the dataset, optionally
+    * partitioned, served to any query touching only the displayed
+    * columns. */
+  case class CreateRawReflectionCommand(table: String, name: String,
+      path: String, display: Seq[String], partitionBy: Seq[String],
+      override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      require(display.nonEmpty, "DISPLAY must name at least one column")
+      val sql = s"SELECT ${display.mkString(", ")} FROM $table"
+      val r = Reflections.create(name, spark.sql(sql), path, Some(sql), partitionBy)
+      Seq(Row(r.name, r.fingerprint))
+    }
+  }
+
   /** REFRESH REFLECTION: re-materialize from the stored defining SQL and
     * re-pin base lake versions, so a reflection that went stale serves
     * again (reference: ReflectionManager refresh). */
@@ -592,6 +695,89 @@ object GraftSqlParser {
       extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] =
       Seq(Row(String.valueOf(graft.engine.RunningQueries.cancel(spark, id))))
+  }
+
+  // ---- users / roles / privileges (reference Parser.tdd:656-660;
+  // enforcement: graft.auth.AuthorizeRule check rule + Privileges) ----
+
+  /** CREATE USER name PASSWORD '...' [ADMIN] — salted-SHA-256 credential
+    * (reference SqlCreateUser, `role.ftl`). Free while enforcement is off
+    * (bootstrap); admin-only while on. */
+  case class CreateUserCommand(name: String, password: String, admin: Boolean,
+      override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      graft.auth.Privileges.createUser(spark, name, password, admin)
+      Seq(Row(name.toLowerCase))
+    }
+  }
+
+  case class DropUserCommand(name: String) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      graft.auth.Privileges.dropUser(spark, name); Nil
+    }
+  }
+
+  case class CreateRoleCommand(name: String, override val output: Seq[Attribute])
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      graft.auth.Privileges.createRole(spark, name)
+      Seq(Row(name.toLowerCase))
+    }
+  }
+
+  case class DropRoleCommand(name: String) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      graft.auth.Privileges.dropRole(spark, name); Nil
+    }
+  }
+
+  /** GRANT/REVOKE ROLE r TO/FROM USER u — role membership. */
+  case class GrantRoleCommand(role: String, user: String, granting: Boolean)
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      if (granting) graft.auth.Privileges.grantRole(spark, role, user)
+      else graft.auth.Privileges.revokeRole(spark, role, user)
+      Nil
+    }
+  }
+
+  /** GRANT/REVOKE SELECT|ALL ON obj TO/FROM USER|ROLE g — object is a
+    * table/view name, a quoted lake/parquet path, or `*`. */
+  case class GrantCommand(action: String, obj: String, kind: String,
+      grantee: String, granting: Boolean) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      if (granting) graft.auth.Privileges.grant(spark, action, obj, kind, grantee)
+      else graft.auth.Privileges.revoke(spark, action, obj, kind, grantee)
+      Nil
+    }
+  }
+
+  /** AUTHENTICATE USER u PASSWORD '...': verify credentials and bind the
+    * principal to THIS session (token in the session conf). The wire
+    * surfaces authenticate with the same statement — each Thrift/Connect
+    * connection owns a cloned session, so the binding is per-connection. */
+  case class AuthenticateCommand(name: String, password: String,
+      override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val tok = graft.auth.Privileges.login(spark, name, password)
+      Seq(Row(name.toLowerCase, tok))
+    }
+  }
+
+  /** SHOW GRANTS [FOR grantee]: the privilege table, optionally filtered. */
+  case class ShowGrantsCommand(who: Option[String],
+      override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] =
+      graft.auth.Privileges.listGrants
+        .filter(g => who.forall(w => g._2 == w.toLowerCase))
+        .map { case (k, g, a, o) => Row(k, g, a, o) }
+  }
+
+  /** ALTER AUTH ENFORCE ON|OFF: flip analysis-time privilege checks. */
+  case class AlterAuthCommand(on: Boolean) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      graft.auth.Privileges.setEnforce(spark, on); Nil
+    }
   }
 
   /** WLM queue DDL (reference `services/resourcescheduler` queue config —

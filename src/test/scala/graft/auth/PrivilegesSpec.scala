@@ -1,0 +1,143 @@
+package graft.auth
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.engine.Tables
+
+/** Users/roles/privileges semantics pinned against the reference's grant
+  * model (Parser.tdd:656-660, grant.ftl/role.ftl; dac enforcement):
+  * authenticated principals, analysis-time SELECT checks, grants via users
+  * and roles, views as the security layer, admin bypass, and the admin
+  * gate on auth DDL while enforcement is on. */
+class PrivilegesSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    Tables.ensure(s, TestSpark.sf)
+    graft.catalog.InfoSchema.register(s)
+    s
+  }
+
+  private def asPrincipal(user: String, pw: String): Unit =
+    spark.sql(s"AUTHENTICATE USER $user PASSWORD '$pw'")
+
+  private def anonymous(): Unit = {
+    spark.conf.unset(Privileges.TokenConf)
+    spark.conf.unset(Privileges.UserConf)
+  }
+
+  private def withAuthWorld(body: => Unit): Unit = {
+    Privileges.clear(); anonymous()
+    try body
+    finally { Privileges.clear(); anonymous() }
+  }
+
+  test("user/role DDL, grants, SHOW GRANTS and sys views") {
+    withAuthWorld {
+      spark.sql("CREATE USER root_u PASSWORD 'rp' ADMIN")
+      spark.sql("CREATE USER alice PASSWORD 'ap'")
+      spark.sql("CREATE ROLE analyst")
+      spark.sql("GRANT ROLE analyst TO USER alice")
+      spark.sql("GRANT SELECT ON nation TO USER alice")
+      spark.sql("GRANT SELECT ON region TO ROLE analyst")
+      val grants = spark.sql("SHOW GRANTS FOR alice").collect()
+        .map(r => (r.getString(0), r.getString(2), r.getString(3))).toSet
+      assert(grants == Set(("user", "select", "nation")))
+      val sysP = spark.sql(
+        "SELECT object FROM sys_privileges WHERE grantee = 'analyst'").collect()
+      assert(sysP.map(_.getString(0)).toSeq == Seq("region"))
+      val u = spark.sql(
+        "SELECT is_admin, roles FROM sys_users WHERE name = 'alice'").head()
+      assert(!u.getBoolean(0) && u.getString(1) == "analyst")
+      assert(spark.sql("SELECT * FROM sys_roles").collect()
+        .map(_.getString(0)).toSet == Set("admin", "analyst"))
+      // wrong password refuses
+      intercept[SecurityException](spark.sql("AUTHENTICATE USER alice PASSWORD 'no'"))
+    }
+  }
+
+  test("enforcement: anonymous and ungranted reads refuse; grants, roles, and admin allow") {
+    withAuthWorld {
+      spark.sql("CREATE USER root_u PASSWORD 'rp' ADMIN")
+      spark.sql("CREATE USER alice PASSWORD 'ap'")
+      spark.sql("CREATE USER bob PASSWORD 'bp'")
+      spark.sql("CREATE ROLE analyst")
+      spark.sql("GRANT ROLE analyst TO USER bob")
+      spark.sql("GRANT SELECT ON nation TO USER alice")
+      spark.sql("GRANT SELECT ON nation TO ROLE analyst")
+      spark.sql("ALTER AUTH ENFORCE ON")
+      // anonymous session: guarded read refused, relation-free SQL fine
+      val e1 = intercept[Exception](spark.sql("SELECT * FROM nation"))
+      assert(e1.toString.contains("lacks SELECT"), e1.toString)
+      assert(spark.sql("SELECT 1 AS x").head().getInt(0) == 1)
+      // authenticated but ungranted object
+      asPrincipal("alice", "ap")
+      assert(spark.sql("SELECT count(*) AS n FROM nation").head().getLong(0) == 25L)
+      val e2 = intercept[Exception](spark.sql("SELECT * FROM region"))
+      assert(e2.toString.contains("lacks SELECT"), e2.toString)
+      // via role membership
+      asPrincipal("bob", "bp")
+      assert(spark.sql("SELECT count(*) AS n FROM nation").head().getLong(0) == 25L)
+      // revoke closes the door again
+      asPrincipal("root_u", "rp")
+      spark.sql("REVOKE SELECT ON nation FROM ROLE analyst")
+      asPrincipal("bob", "bp")
+      intercept[Exception](spark.sql("SELECT count(*) FROM nation"))
+      // admin reads anything
+      asPrincipal("root_u", "rp")
+      assert(spark.sql("SELECT count(*) AS n FROM region").head().getLong(0) == 5L)
+      spark.sql("ALTER AUTH ENFORCE OFF")
+    }
+  }
+
+  test("a granted view covers its subtree — base tables need no grant") {
+    withAuthWorld {
+      spark.sql("CREATE USER root_u PASSWORD 'rp' ADMIN")
+      spark.sql("CREATE USER carol PASSWORD 'cp'")
+      spark.sql("""CREATE OR REPLACE TEMP VIEW auth_secure_v AS
+                   SELECT n_regionkey, count(*) AS n FROM nation GROUP BY n_regionkey""")
+      spark.sql("GRANT SELECT ON auth_secure_v TO USER carol")
+      spark.sql("ALTER AUTH ENFORCE ON")
+      asPrincipal("carol", "cp")
+      // the curated view serves...
+      assert(spark.sql("SELECT sum(n) AS s FROM auth_secure_v").head().getLong(0) == 25L)
+      // ...but the base table stays refused
+      intercept[Exception](spark.sql("SELECT * FROM nation"))
+      asPrincipal("root_u", "rp")
+      spark.sql("ALTER AUTH ENFORCE OFF")
+    }
+  }
+
+  test("auth DDL is admin-gated while enforcing; enforcement needs an admin to exist") {
+    withAuthWorld {
+      // no admin user yet: enforcement refuses to lock everyone out
+      intercept[Exception](spark.sql("ALTER AUTH ENFORCE ON"))
+      spark.sql("CREATE USER root_u PASSWORD 'rp' ADMIN")
+      spark.sql("CREATE USER mallory PASSWORD 'mp'")
+      spark.sql("ALTER AUTH ENFORCE ON")
+      // a non-admin principal cannot mint users, grants, or disable auth
+      asPrincipal("mallory", "mp")
+      intercept[SecurityException](spark.sql("CREATE USER eve PASSWORD 'e'"))
+      intercept[SecurityException](
+        spark.sql("GRANT SELECT ON nation TO USER mallory"))
+      intercept[SecurityException](spark.sql("ALTER AUTH ENFORCE OFF"))
+      asPrincipal("root_u", "rp")
+      spark.sql("ALTER AUTH ENFORCE OFF")
+    }
+  }
+
+  test("grants on quoted paths guard path-addressed reads") {
+    withAuthWorld {
+      val p = Tables(spark, TestSpark.sf).path("region")
+      spark.sql("CREATE USER root_u PASSWORD 'rp' ADMIN")
+      spark.sql("CREATE USER dave PASSWORD 'dp'")
+      spark.sql(s"GRANT SELECT ON '$p' TO USER dave")
+      spark.sql("ALTER AUTH ENFORCE ON")
+      asPrincipal("dave", "dp")
+      assert(spark.sql(s"SELECT count(*) AS n FROM parquet.`$p`").head().getLong(0) == 5L)
+      val other = Tables(spark, TestSpark.sf).path("nation")
+      intercept[Exception](spark.sql(s"SELECT * FROM parquet.`$other`"))
+      asPrincipal("root_u", "rp")
+      spark.sql("ALTER AUTH ENFORCE OFF")
+    }
+  }
+}

@@ -54,6 +54,30 @@ class GraftConnectServerSpec extends AnyFunSuite {
     }
   }
 
+  test("auth enforcement over the Connect wire: grant-less refused, authenticated grantee served") {
+    import graft.auth.Privileges
+    Privileges.clear()
+    try {
+      spark.sql("CREATE USER conn_admin PASSWORD 'cp' ADMIN")
+      spark.sql("CREATE USER conn_bob PASSWORD 'bp'")
+      spark.sql(s"GRANT SELECT ON '$sf/region.parquet' TO USER conn_bob")
+      spark.sql("ALTER AUTH ENFORCE ON")
+      withClient { client =>
+        val q = s"SELECT count(*) AS n FROM parquet.`$sf/region.parquet`"
+        // anonymous Connect session: refused at analysis
+        val e0 = intercept[Exception](client.sql(q).collect())
+        assert(e0.toString.contains("lacks SELECT"), e0.toString)
+        // AUTHENTICATE binds the principal to this client's server session
+        client.sql("AUTHENTICATE USER conn_bob PASSWORD 'bp'").collect()
+        assert(client.sql(q).collect().head.getLong(0) == 5L)
+      }
+    } finally {
+      Privileges.clear()
+      spark.conf.unset(Privileges.TokenConf)
+      spark.conf.unset(Privileges.UserConf)
+    }
+  }
+
   test("graft lake DDL/DML round-trips through the Connect wire") {
     val dir = java.nio.file.Files.createTempDirectory("connect_lake").toString
     withClient { client =>

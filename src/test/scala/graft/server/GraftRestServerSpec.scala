@@ -71,6 +71,38 @@ class GraftRestServerSpec extends AnyFunSuite {
     assert(c3 == 400 && b3.contains("\"error\""), s"parse error not surfaced: ${b3.take(200)}")
   }
 
+  test("auth enforcement over REST: anonymous and grant-less refused, granted principal served") {
+    import graft.auth.Privileges
+    Privileges.clear()
+    try {
+      spark.sql("CREATE USER rest_admin PASSWORD 'rp' ADMIN")
+      spark.sql("CREATE USER rest_alice PASSWORD 'ap'")
+      spark.sql("ALTER AUTH ENFORCE ON")
+      val q = s"SELECT count(*) AS n FROM parquet.`$sf/region.parquet`"
+      // anonymous request: refused by the analysis-time check
+      val (c0, b0) = post(s"""{"sql": "${jsonEscape(q)}"}""")
+      assert(c0 == 400 && b0.contains("lacks SELECT"), s"anonymous not refused: $b0")
+      // authenticated but grant-less: refused
+      val (c1, b1) = post(
+        s"""{"sql": "${jsonEscape(q)}", "user": "rest_alice", "password": "ap"}""")
+      assert(c1 == 400 && b1.contains("lacks SELECT"), s"grant-less not refused: $b1")
+      // wrong password: authentication itself refuses
+      val (c2, b2) = post(
+        s"""{"sql": "${jsonEscape(q)}", "user": "rest_alice", "password": "wrong"}""")
+      assert(c2 == 400 && b2.contains("authentication failed"), s"bad pw accepted: $b2")
+      // grant (admin, in-process) → the same request serves
+      spark.sql("AUTHENTICATE USER rest_admin PASSWORD 'rp'")
+      spark.sql(s"GRANT SELECT ON '$sf/region.parquet' TO USER rest_alice")
+      val (c3, b3) = post(
+        s"""{"sql": "${jsonEscape(q)}", "user": "rest_alice", "password": "ap"}""")
+      assert(c3 == 200 && b3.contains("\"n\":5"), s"granted read failed: $b3")
+    } finally {
+      Privileges.clear()
+      spark.conf.unset(graft.auth.Privileges.TokenConf)
+      spark.conf.unset(graft.auth.Privileges.UserConf)
+    }
+  }
+
   test("REST sessions are isolated: temp views do not leak across requests") {
     val (c1, _) = post("""{"sql": "CREATE TEMPORARY VIEW rest_iso AS SELECT 1 AS v"}""")
     assert(c1 == 200)

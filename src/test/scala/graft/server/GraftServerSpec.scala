@@ -124,6 +124,37 @@ class GraftServerSpec extends AnyFunSuite {
     }
   }
 
+  test("auth enforcement over the Thrift wire: AUTHENTICATE binds the connection's principal") {
+    import graft.auth.Privileges
+    Privileges.clear()
+    try {
+      spark.sql("CREATE USER wire_admin PASSWORD 'wp' ADMIN")
+      spark.sql("CREATE USER wire_alice PASSWORD 'ap'")
+      val p = s"$sf/region.parquet"
+      spark.sql("ALTER AUTH ENFORCE ON")
+      withConnection { conn =>
+        val st = conn.createStatement()
+        val q = s"SELECT count(*) AS n FROM parquet.`$p`"
+        // the wire session starts anonymous: guarded read refused
+        val e0 = intercept[Exception](fetch(st, q))
+        assert(e0.toString.contains("lacks SELECT"), e0.toString)
+        // authenticated but grant-less: still refused
+        st.execute("AUTHENTICATE USER wire_alice PASSWORD 'ap'")
+        val e1 = intercept[Exception](fetch(st, q))
+        assert(e1.toString.contains("lacks SELECT"), e1.toString)
+        // grant lands (admin, in-process) and the SAME connection serves
+        spark.sql("AUTHENTICATE USER wire_admin PASSWORD 'wp'")
+        spark.sql(s"GRANT SELECT ON '$p' TO USER wire_alice")
+        assert(fetch(st, q) == Seq(Seq("5")))
+        st.close()
+      }
+    } finally {
+      Privileges.clear()
+      spark.conf.unset(Privileges.TokenConf)
+      spark.conf.unset(Privileges.UserConf)
+    }
+  }
+
   test("wire queries serve from the result cache until a lake commit advances the base") {
     graft.accel.ResultCache.clearAll()
     val dir = java.nio.file.Files.createTempDirectory("wire_cache").toString

@@ -29,6 +29,57 @@ class SqlExtSpec extends AnyFunSuite {
     assert(spark.sql("SHOW REFLECTIONS").collect().isEmpty)
   }
 
+  test("declarative CREATE AGGREGATE REFLECTION: DIMENSIONS/MEASURES DDL serves a roll-up without a user-written SELECT") {
+    Reflections.clear()
+    graft.engine.Tables.ensure(spark, TestSpark.sf)
+    val dir = Files.createTempDirectory("graft_aggrefl").toString
+    // reference alter.ftl:434,591 — the BI-admin surface: no defining query,
+    // just dimension and measure field lists
+    val created = spark.sql(
+      s"""ALTER TABLE lineitem CREATE AGGREGATE REFLECTION agg_ddl
+          USING PATH '$dir/agg' DIMENSIONS (l_returnflag, l_linestatus)
+          MEASURES (l_quantity, l_extendedprice)""").collect()
+    assert(created.head.getString(0) == "agg_ddl")
+    // a matching roll-up is SERVED from the materialization (no base scan)
+    val q = spark.sql(
+      """SELECT l_returnflag, sum(l_quantity) AS sq, count(*) AS n
+         FROM lineitem GROUP BY l_returnflag""")
+    val plan = q.queryExecution.sparkPlan.toString
+    assert(plan.contains(dir), s"roll-up not served by the DDL reflection:\n$plan")
+    assert(!plan.contains("lineitem.parquet"), "base table still scanned")
+    // values match the base-table truth
+    val viaRefl = q.collect().map(r =>
+      (r.getString(0), String.valueOf(r.get(1)), r.getLong(2))).toSet
+    Reflections.clear()
+    val truth = spark.sql(
+      """SELECT l_returnflag, sum(l_quantity) AS sq, count(*) AS n
+         FROM lineitem GROUP BY l_returnflag""").collect().map(r =>
+      (r.getString(0), String.valueOf(r.get(1)), r.getLong(2))).toSet
+    assert(viaRefl == truth, s"reflection roll-up diverges: $viaRefl vs $truth")
+  }
+
+  test("declarative CREATE AGGREGATE REFLECTION refreshes from its generated SQL; RAW DISPLAY variant partitions") {
+    Reflections.clear()
+    graft.engine.Tables.ensure(spark, TestSpark.sf)
+    val dir = Files.createTempDirectory("graft_declrefl").toString
+    spark.sql(
+      s"""ALTER TABLE orders CREATE AGGREGATE REFLECTION agg_r
+          USING PATH '$dir/agg' DIMENSIONS (o_orderstatus)
+          MEASURES (o_totalprice)""")
+    // the generated defining SQL is stored — REFRESH works like any other
+    spark.sql("REFRESH REFLECTION agg_r")
+    assert(spark.sql("SHOW REFLECTIONS").collect().map(_.getString(0)).contains("agg_r"))
+    // RAW variant with PARTITION BY writes a partitioned materialization
+    spark.sql(
+      s"""ALTER TABLE orders CREATE RAW REFLECTION raw_r
+          USING PATH '$dir/raw' DISPLAY (o_orderkey, o_orderstatus, o_totalprice)
+          PARTITION BY (o_orderstatus)""")
+    val parts = new java.io.File(s"$dir/raw").listFiles()
+      .filter(_.getName.startsWith("o_orderstatus="))
+    assert(parts.nonEmpty, "RAW reflection not partitioned by o_orderstatus")
+    Reflections.clear()
+  }
+
   test("CREATE EXTERNAL REFLECTION registers user-managed data without rewriting it") {
     Reflections.clear()
     graft.engine.Tables.ensure(spark, TestSpark.sf)
