@@ -17,6 +17,9 @@ Test / unmanagedJars +=
   Attributed.blank(file("/opt/spark/jars/connect-repl/spark-connect-client-jvm_2.13-4.1.2.jar"))
 Test / fork := true
 run / fork := true
+// Opt-in scale-stress tier: `sbt -Dgraft.scale=1 "testOnly *ScaleStressSpec"`
+// forwards the flag into the forked test JVM (ScaleStressSpec gates on it).
+Test / javaOptions ++= sys.props.get("graft.scale").map(v => s"-Dgraft.scale=$v").toSeq
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

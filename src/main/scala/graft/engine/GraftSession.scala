@@ -28,8 +28,31 @@ object GraftSession {
   private lazy val metastoreDir =
     java.nio.file.Files.createTempDirectory("graft_metastore").toString
 
+  /** Modules Spark 4.x + Arrow must be able to reflect into on JDK 17+.
+    * spark-submit and build.sbt inject the matching `--add-opens` flags; a
+    * raw `java -cp … graft.Bench` without them dies much later with an
+    * opaque `ExceptionInInitializerError` in Arrow's MemoryUtil (first
+    * Arrow/Hive touch), so fail fast here with the exact flags instead. */
+  private def assertModuleOpens(): Unit = {
+    val required = Seq(
+      "java.lang", "java.lang.invoke", "java.io", "java.net", "java.nio",
+      "java.util", "java.util.concurrent", "sun.nio.ch", "sun.security.action")
+    val base = classOf[Object].getModule
+    val unnamed = getClass.getClassLoader.getUnnamedModule
+    val missing = required.filterNot(p => base.isOpen(p, unnamed))
+    if (missing.nonEmpty) {
+      val flags = missing.map(p => s"--add-opens=java.base/$p=ALL-UNNAMED").mkString(" ")
+      throw new IllegalStateException(
+        s"""JVM is missing module opens required by Spark/Arrow on JDK 17+.
+           |Restart the JVM with: $flags
+           |(spark-submit and sbt add these automatically; a bare `java -cp`
+           |launch must pass them — see scripts/run-main.sh).""".stripMargin)
+    }
+  }
+
   /** Common config applied to every session (Verify, Bench, tests, REPL). */
   def configure(b: SparkSession.Builder): SparkSession.Builder = {
+    assertModuleOpens()
     // Reserve the network endpoint's port before the context exists —
     // Spark snapshots hive.* system properties into the Hadoop conf at
     // SparkContext creation, and GraftServer can only bind the port that

@@ -87,8 +87,7 @@ object Federation {
     * hash-gate the result against the raw fixture. */
   val arrowRoundtrip: QueryFn = (s, dir) => {
     val t = graft.engine.Tables.ensure(s, dir)
-    val arrowDir = java.nio.file.Files
-      .createTempDirectory("graft_arrow_rt").toString + "/supplier"
+    val arrowDir = Lake.scratchDir("graft_arrow_rt") + "/supplier"
     graft.sources.ArrowFiles.write(
       t.supplier.select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
         dbl(money(col("s_acctbal"))).as("bal"))

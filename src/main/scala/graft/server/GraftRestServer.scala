@@ -33,6 +33,8 @@ object GraftRestServer {
     boundPort.getOrElse {
       val srv = HttpServer.create(new InetSocketAddress("localhost", 0), 0)
       srv.createContext("/sql", new SqlHandler(spark))
+      srv.createContext("/catalog", new CatalogHandler(spark))
+      srv.createContext("/jobs", new JobsHandler)
       // serve on a small pool: concurrent REST statements run like
       // concurrent Thrift statements (scheduler handles the rest)
       srv.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
@@ -89,6 +91,89 @@ object GraftRestServer {
       s"""{"rowCount":${rows.length},"schema":[${schema.mkString(",")}],""" +
         s""""rows":[${rows.mkString(",")}]}"""
     }
+  }
+
+  /** `GET /catalog` — entity listing; `GET /catalog/<name>` — dataset
+    * detail with its field list. The reference's catalog API surface
+    * (`dac/backend/src/main/java/com/dremio/dac/api/CatalogResource.java`
+    * — `GET /api/v3/catalog[/{id}]`) served from the same
+    * INFORMATION_SCHEMA relations the SQL surface exposes. */
+  private final class CatalogHandler(root: SparkSession) extends HttpHandler {
+    override def handle(ex: HttpExchange): Unit =
+      try {
+        if (ex.getRequestMethod != "GET") respond(ex, 405, error("GET only"))
+        else {
+          val rest = ex.getRequestURI.getPath.stripPrefix("/catalog")
+            .stripPrefix("/").trim
+          // read-only metadata listing over the SERVER's session: a cloned
+          // session would hide the server's registered temp views, which
+          // are exactly the entities the catalog API reports
+          val session = root
+          if (rest.isEmpty) {
+            val items = graft.catalog.InfoSchema.tables(session)
+              .toJSON.collect().mkString(",")
+            respond(ex, 200, s"""{"data":[$items]}""")
+          } else {
+            import org.apache.spark.sql.functions.col
+            val cols = graft.catalog.InfoSchema.columns(session)
+              .filter(col("table_name") === rest)
+              .toJSON.collect()
+            if (cols.isEmpty) respond(ex, 404, error(s"no dataset named '$rest'"))
+            else respond(ex, 200,
+              s"""{"name":${q(rest)},"fields":[${cols.mkString(",")}]}""")
+          }
+        }
+      } catch {
+        case e: Exception => respond(ex, 500, error(e.toString.take(500)))
+      } finally ex.close()
+  }
+
+  /** `GET /jobs` — recent completed statements; `GET /jobs/<id>` — one
+    * record; `GET /jobs/<id>/profile` — its per-operator executed metrics.
+    * The reference's jobs service + profile viewer rows
+    * (`dac/backend/.../resource/JobResource.java`, job profile
+    * `UserBitShared.OperatorProfile`) served from QueryHistory's ring. */
+  private final class JobsHandler extends HttpHandler {
+    override def handle(ex: HttpExchange): Unit =
+      try {
+        if (ex.getRequestMethod != "GET") respond(ex, 405, error("GET only"))
+        else {
+          val parts = ex.getRequestURI.getPath.stripPrefix("/jobs")
+            .stripPrefix("/").split("/").filter(_.nonEmpty)
+          parts match {
+            case Array() =>
+              val items = graft.catalog.QueryHistory.records.map(recordJson)
+              respond(ex, 200, s"""{"jobs":[${items.mkString(",")}]}""")
+            case Array(id) =>
+              graft.catalog.QueryHistory.records.find(_.id == id.toLong) match {
+                case Some(r) => respond(ex, 200, recordJson(r))
+                case None    => respond(ex, 404, error(s"no job $id"))
+              }
+            case Array(id, "profile") =>
+              val ops = graft.catalog.QueryHistory.profileOf(id.toLong)
+              if (ops.isEmpty) respond(ex, 404, error(s"no profile for job $id"))
+              else {
+                val rows = ops.map { o =>
+                  val ms = o.metrics.toSeq.sortBy(_._1)
+                    .map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+                  s"""{"opId":${o.opId},"depth":${o.depth},"operator":${q(o.operator)},""" +
+                    s""""detail":${q(o.detail)},"metrics":$ms}"""
+                }
+                respond(ex, 200,
+                  s"""{"jobId":$id,"operators":[${rows.mkString(",")}]}""")
+              }
+            case _ => respond(ex, 404, error("unknown jobs path"))
+          }
+        }
+      } catch {
+        case _: NumberFormatException => respond(ex, 400, error("job id must be numeric"))
+        case e: Exception => respond(ex, 500, error(e.toString.take(500)))
+      } finally ex.close()
+
+    private def recordJson(r: graft.catalog.QueryRecord): String =
+      s"""{"id":${r.id},"action":${q(r.action)},"status":${q(r.status)},""" +
+        s""""durationMs":${r.durationMs},"outputRows":${r.outputRows},""" +
+        s""""shuffleBytes":${r.shuffleBytes},"plan":${q(r.plan)},"tsMs":${r.tsMs}}"""
   }
 
   private def q(s: String): String =

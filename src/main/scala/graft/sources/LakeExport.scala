@@ -1,0 +1,419 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Export a graft-lake snapshot as an interop tree other engines can read
+  * (reference: Iceberg table layout served to external readers,
+  * `exec/store/iceberg/IcebergScanPrel.java:96`, table metadata model
+  * `exec/store/iceberg/model/IcebergTableProps.java`):
+  *
+  * ```
+  * dst/
+  *   data/                    plain (optionally hive-partitioned) parquet —
+  *                            readable by ANY engine via spark.read.parquet
+  *                            / DuckDB read_parquet, no graft code needed
+  *   metadata/
+  *     v1.metadata.json       Iceberg v2 table metadata (spec §"Table Metadata")
+  *     snap-<id>-1-<uuid>.avro  manifest list (one manifest_file entry)
+  *     <uuid>-m0.avro           manifest (one manifest_entry per data file,
+  *                              record counts + value bounds)
+  *   _graft_export.json       provenance tag: source table, version, schema
+  * ```
+  *
+  * The metadata tree follows the PUBLIC Iceberg spec (format-version 2):
+  * field-ids are assigned 1..N in schema order and a
+  * `schema.name-mapping.default` property maps the parquet columns (written
+  * without embedded field ids) by name — the published mechanism for
+  * migrated/imported files. No Iceberg runtime exists in this environment,
+  * so compliance evidence is structural: LakeExportSpec re-reads the avro
+  * manifests with the Avro reader and checks paths/counts/bounds against
+  * the data, and the plain-parquet round trip is oracle-gated
+  * (`lake_export` in CORRECTNESS).
+  *
+  * Scale: the export is one distributed parquet write plus ONE aggregate
+  * pass over the written files for per-file counts/bounds (grouped by
+  * `input_file_name()`, two-phase partial agg). Manifest/metadata writes
+  * are per-FILE driver work, same O as any Iceberg commit.
+  */
+object LakeExport {
+
+  final case class ExportResult(version: Long, nFiles: Long, nRows: Long,
+                                metadataJson: String)
+
+  /** Bounds-capable leaf types: Iceberg single-value binary serialization
+    * (spec §"Binary single-value serialization"). */
+  private def boundBytes(dt: DataType, v: Any): Option[Array[Byte]] = {
+    def le(n: Int)(fill: ByteBuffer => Unit): Array[Byte] = {
+      val b = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN); fill(b); b.array()
+    }
+    (dt, v) match {
+      case (_, null)                 => None
+      case (IntegerType, i: Int)     => Some(le(4)(_.putInt(i)))
+      case (LongType, l: Long)       => Some(le(8)(_.putLong(l)))
+      case (FloatType, f: Float)     => Some(le(4)(_.putFloat(f)))
+      case (DoubleType, d: Double)   => Some(le(8)(_.putDouble(d)))
+      case (StringType, s: String)   =>
+        Some(s.getBytes(StandardCharsets.UTF_8).take(16))
+      case (DateType, d: java.sql.Date) =>
+        Some(le(4)(_.putInt(d.toLocalDate.toEpochDay.toInt)))
+      case (TimestampType, t: java.sql.Timestamp) =>
+        Some(le(8)(_.putLong(t.getTime * 1000L + (t.getNanos / 1000) % 1000)))
+      case (_: DecimalType, d: java.math.BigDecimal) =>
+        Some(d.unscaledValue.toByteArray) // minimal big-endian, per spec
+      case _ => None
+    }
+  }
+
+  private def boundable(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | FloatType | DoubleType | StringType |
+         DateType | TimestampType | _: DecimalType => true
+    case _ => false
+  }
+
+  /** Iceberg type string for a Spark leaf type (spec §"Schemas and Data
+    * Types"); nested types handled structurally in schemaField. */
+  private def icebergPrimitive(dt: DataType): String = dt match {
+    case BooleanType      => "boolean"
+    case IntegerType | ShortType | ByteType => "int"
+    case LongType         => "long"
+    case FloatType        => "float"
+    case DoubleType       => "double"
+    case StringType       => "string"
+    case BinaryType       => "binary"
+    case DateType         => "date"
+    case TimestampType    => "timestamptz" // Spark TIMESTAMP = UTC-adjusted
+    case TimestampNTZType => "timestamp"
+    case d: DecimalType   => s"decimal(${d.precision}, ${d.scale})"
+    case other => throw new IllegalArgumentException(
+      s"lake export: no Iceberg mapping for type $other")
+  }
+
+  /** One schema field (or nested type) as Iceberg JSON, minting nested ids
+    * from `nextId`. Returns the JSON value for the field's type. */
+  private def icebergType(dt: DataType, nextId: () => Int): Any = dt match {
+    case s: StructType =>
+      Map("type" -> "struct", "fields" -> s.fields.toSeq.map { f =>
+        val id = nextId()
+        Map("id" -> id, "name" -> f.name, "required" -> !f.nullable,
+          "type" -> icebergType(f.dataType, nextId))
+      })
+    case a: ArrayType =>
+      Map("type" -> "list", "element-id" -> nextId(),
+        "element" -> icebergType(a.elementType, nextId),
+        "element-required" -> !a.containsNull)
+    case m: MapType =>
+      Map("type" -> "map", "key-id" -> nextId(), "value-id" -> nextId(),
+        "key" -> icebergType(m.keyType, nextId),
+        "value" -> icebergType(m.valueType, nextId),
+        "value-required" -> !m.valueContainsNull)
+    case p => icebergPrimitive(p)
+  }
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private def toJson(v: Any): String = {
+    import com.fasterxml.jackson.databind.JsonNode
+    def conv(x: Any): Object = x match {
+      case m: Map[_, _] =>
+        val o = mapper.createObjectNode()
+        m.foreach { case (k, v) =>
+          o.set[JsonNode](k.toString, mapper.readTree(toJson(v)))
+        }
+        o
+      case s: Seq[_] =>
+        val a = mapper.createArrayNode()
+        s.foreach(e => a.add(mapper.readTree(toJson(e))))
+        a
+      case other => other.asInstanceOf[Object]
+    }
+    mapper.writeValueAsString(conv(v))
+  }
+
+  // ---- Avro schemas for the two Iceberg metadata file kinds (spec
+  // §"Manifests" / §"Snapshots"): field-id props are what make these the
+  // Iceberg schemas rather than arbitrary avro.
+
+  private def boundsMapSchema(keyId: Int, valId: Int, rec: String): String =
+    s"""{"type":"array","logicalType":"map","items":{"type":"record","name":"$rec","fields":[
+       |{"name":"key","type":"int","field-id":$keyId},
+       |{"name":"value","type":"bytes","field-id":$valId}]}}""".stripMargin
+
+  /** manifest_entry with an identity-partition record for `partCols`
+    * ((name, icebergType, fieldId) triples; empty for unpartitioned). */
+  private def manifestEntrySchema(partCols: Seq[(String, String, Int)]): Schema = {
+    val partFields = partCols.map { case (n, t, id) =>
+      s"""{"name":"$n","type":["null","$t"],"default":null,"field-id":$id}"""
+    }.mkString(",")
+    new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         |{"name":"status","type":"int","field-id":0},
+         |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+         |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+         |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+         |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+         |{"name":"content","type":"int","field-id":134},
+         |{"name":"file_path","type":"string","field-id":100},
+         |{"name":"file_format","type":"string","field-id":101},
+         |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$partFields]}},
+         |{"name":"record_count","type":"long","field-id":103},
+         |{"name":"file_size_in_bytes","type":"long","field-id":104},
+         |{"name":"lower_bounds","type":["null",${boundsMapSchema(126, 127, "k126_v127")}],"default":null,"field-id":125},
+         |{"name":"upper_bounds","type":["null",${boundsMapSchema(129, 130, "k129_v130")}],"default":null,"field-id":128}
+         |]}}]}""".stripMargin)
+  }
+
+  private val manifestFileSchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string","field-id":500},
+      |{"name":"manifest_length","type":"long","field-id":501},
+      |{"name":"partition_spec_id","type":"int","field-id":502},
+      |{"name":"content","type":"int","field-id":517},
+      |{"name":"sequence_number","type":"long","field-id":515},
+      |{"name":"min_sequence_number","type":"long","field-id":516},
+      |{"name":"added_snapshot_id","type":"long","field-id":503},
+      |{"name":"added_files_count","type":"int","field-id":504},
+      |{"name":"existing_files_count","type":"int","field-id":505},
+      |{"name":"deleted_files_count","type":"int","field-id":506},
+      |{"name":"added_rows_count","type":"long","field-id":512},
+      |{"name":"existing_rows_count","type":"long","field-id":513},
+      |{"name":"deleted_rows_count","type":"long","field-id":514}
+      |]}""".stripMargin)
+
+  /** Export `srcDir`'s snapshot (at `version`, default latest) to `dstDir`.
+    * `partitionBy` hive-partitions the plain-parquet layout and becomes the
+    * Iceberg identity partition spec. */
+  def exportTo(spark: SparkSession, srcDir: String, dstDir: String,
+               version: Option[Long] = None,
+               partitionBy: Seq[String] = Nil): ExportResult = {
+    val t = SnapshotTable.forPath(spark, srcDir)
+    val v = version.getOrElse(t.latestVersion)
+    val df = t.read(version)
+    val dataDir = s"$dstDir/data"
+    require(!Files.exists(Paths.get(dstDir)) ||
+        Files.list(Paths.get(dstDir)).iterator.asScala.isEmpty,
+      s"EXPORT LAKE target '$dstDir' is not empty")
+
+    val w = df.write.mode("errorifexists")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(dataDir)
+
+    // Re-read what was written (hive partitioning moves partition columns
+    // to path segments; this read restores them as columns) and take ONE
+    // distributed stats pass: per-file row count + bounds per leaf column.
+    val written = spark.read.parquet(dataDir)
+    val schema = written.schema // export-tree column order (partition cols last)
+    val statCols = schema.fields.toSeq.filter(f => boundable(f.dataType))
+    val aggs = count(lit(1)).as("__n") +:
+      statCols.flatMap(f => Seq(
+        min(col(f.name)).as(s"__mn_${f.name}"), max(col(f.name)).as(s"__mx_${f.name}")))
+    val partVals = partitionBy.map(c => first(col(c)).as(s"__pv_$c"))
+    val perFile = written
+      .groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, (aggs.tail ++ partVals): _*)
+      .collect() // one row per data FILE — driver-small by construction
+
+    // field ids 1..N in schema order (files are freshly written → name
+    // mapping, not embedded ids, is the read path)
+    var idCounter = 0
+    def nextId(): Int = { idCounter += 1; idCounter }
+    val topIds = schema.fields.toSeq.map { f => (f.name, nextId()) }.toMap
+    val fieldsJson = schema.fields.toSeq.map { f =>
+      Map("id" -> topIds(f.name), "name" -> f.name, "required" -> !f.nullable,
+        "type" -> icebergType(f.dataType, () => nextId()))
+    }
+    val nameMapping = schema.fields.toSeq.map(f =>
+      Map("field-id" -> topIds(f.name), "names" -> Seq(f.name)))
+
+    val snapshotId = v // deterministic: snapshot id == source lake version
+    val uuid = java.util.UUID.nameUUIDFromBytes(
+      s"graft-export:$srcDir:$v".getBytes(StandardCharsets.UTF_8)).toString
+    val metaDir = Paths.get(dstDir, "metadata")
+    Files.createDirectories(metaDir)
+
+    // ---- manifest (one entry per data file)
+    val partColTriples = partitionBy.zipWithIndex.map { case (c, i) =>
+      val dt = schema(c).dataType
+      (c, icebergPrimitive(dt), 1000 + i)
+    }
+    val entrySchema = manifestEntrySchema(partColTriples)
+    val dataFileSchema = entrySchema.getField("data_file").schema()
+    val partSchema = dataFileSchema.getField("partition").schema()
+    val manifestPath = metaDir.resolve(s"$uuid-m0.avro")
+    var totalRows = 0L
+    val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](entrySchema))
+    writer.setMeta("schema", toJson(Map("type" -> "struct", "schema-id" -> 0,
+      "fields" -> fieldsJson)))
+    writer.setMeta("partition-spec", toJson(partColTriples.map { case (c, _, id) =>
+      Map("name" -> c, "transform" -> "identity",
+        "source-id" -> topIds(c), "field-id" -> id)
+    }))
+    writer.setMeta("partition-spec-id", "0")
+    writer.setMeta("format-version", "2")
+    writer.setMeta("content", "data")
+    writer.create(entrySchema, manifestPath.toFile)
+    try perFile.foreach { row =>
+      val filePath = row.getAs[String]("__file")
+      val n = row.getAs[Long]("__n")
+      totalRows += n
+      val localPath = filePath.stripPrefix("file:")
+      val sizeBytes = try Files.size(Paths.get(localPath)) catch { case _: Throwable => 0L }
+      def boundsArray(lower: Boolean): java.util.List[GenericRecord] = {
+        val mapItem = entrySchema.getField("data_file").schema()
+          .getField(if (lower) "lower_bounds" else "upper_bounds")
+          .schema().getTypes.get(1).getElementType
+        statCols.flatMap { f =>
+          val raw = row.getAs[Any](s"__${if (lower) "mn" else "mx"}_${f.name}")
+          boundBytes(f.dataType, raw).map { bytes =>
+            val r = new GenericData.Record(mapItem)
+            r.put("key", topIds(f.name))
+            r.put("value", ByteBuffer.wrap(bytes))
+            r: GenericRecord
+          }
+        }.asJava
+      }
+      val part = new GenericData.Record(partSchema)
+      partitionBy.foreach { c =>
+        val raw = row.getAs[Any](s"__pv_$c")
+        part.put(c, raw match {
+          case s: String => s
+          case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+          case other => other
+        })
+      }
+      val dataFile = new GenericData.Record(dataFileSchema)
+      dataFile.put("content", 0)
+      dataFile.put("file_path", localPath)
+      dataFile.put("file_format", "PARQUET")
+      dataFile.put("partition", part)
+      dataFile.put("record_count", n)
+      dataFile.put("file_size_in_bytes", sizeBytes)
+      dataFile.put("lower_bounds", boundsArray(lower = true))
+      dataFile.put("upper_bounds", boundsArray(lower = false))
+      val entry = new GenericData.Record(entrySchema)
+      entry.put("status", 1) // ADDED
+      entry.put("snapshot_id", snapshotId)
+      entry.put("sequence_number", 1L)
+      entry.put("file_sequence_number", 1L)
+      entry.put("data_file", dataFile)
+      writer.append(entry)
+    } finally writer.close()
+
+    // ---- manifest list
+    val listPath = metaDir.resolve(s"snap-$snapshotId-1-$uuid.avro")
+    val listWriter = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](manifestFileSchema))
+    listWriter.setMeta("format-version", "2")
+    listWriter.create(manifestFileSchema, listPath.toFile)
+    try {
+      val mf = new GenericData.Record(manifestFileSchema)
+      mf.put("manifest_path", manifestPath.toString)
+      mf.put("manifest_length", Files.size(manifestPath))
+      mf.put("partition_spec_id", 0)
+      mf.put("content", 0)
+      mf.put("sequence_number", 1L)
+      mf.put("min_sequence_number", 1L)
+      mf.put("added_snapshot_id", snapshotId)
+      mf.put("added_files_count", perFile.length)
+      mf.put("existing_files_count", 0)
+      mf.put("deleted_files_count", 0)
+      mf.put("added_rows_count", totalRows)
+      mf.put("existing_rows_count", 0L)
+      mf.put("deleted_rows_count", 0L)
+      listWriter.append(mf)
+    } finally listWriter.close()
+
+    // ---- table metadata
+    val nowMs = System.currentTimeMillis()
+    val metadata = Map(
+      "format-version" -> 2,
+      "table-uuid" -> uuid,
+      "location" -> dstDir,
+      "last-sequence-number" -> 1,
+      "last-updated-ms" -> nowMs,
+      "last-column-id" -> idCounter,
+      "current-schema-id" -> 0,
+      "schemas" -> Seq(Map("type" -> "struct", "schema-id" -> 0, "fields" -> fieldsJson)),
+      "default-spec-id" -> 0,
+      "partition-specs" -> Seq(Map("spec-id" -> 0,
+        "fields" -> partColTriples.map { case (c, _, id) =>
+          Map("name" -> c, "transform" -> "identity",
+            "source-id" -> topIds(c), "field-id" -> id)
+        })),
+      "last-partition-id" -> (999 + partColTriples.size),
+      "default-sort-order-id" -> 0,
+      "sort-orders" -> Seq(Map("order-id" -> 0, "fields" -> Seq.empty[Any])),
+      "properties" -> Map(
+        "schema.name-mapping.default" -> toJson(nameMapping),
+        "write.format.default" -> "parquet"),
+      "current-snapshot-id" -> snapshotId,
+      "snapshots" -> Seq(Map(
+        "snapshot-id" -> snapshotId, "sequence-number" -> 1,
+        "timestamp-ms" -> nowMs, "manifest-list" -> listPath.toString,
+        "summary" -> Map("operation" -> "append",
+          "added-data-files" -> perFile.length.toString,
+          "added-records" -> totalRows.toString),
+        "schema-id" -> 0)),
+      "snapshot-log" -> Seq(Map("timestamp-ms" -> nowMs, "snapshot-id" -> snapshotId)),
+      "metadata-log" -> Seq.empty[Any])
+    val metadataJson = toJson(metadata)
+    Files.write(metaDir.resolve("v1.metadata.json"),
+      metadataJson.getBytes(StandardCharsets.UTF_8))
+    Files.write(metaDir.resolve("version-hint.text"),
+      "1".getBytes(StandardCharsets.UTF_8))
+
+    Files.write(Paths.get(dstDir, "_graft_export.json"),
+      toJson(Map("source" -> srcDir, "version" -> v,
+        "exported_ms" -> nowMs, "schema_ddl" -> df.schema.toDDL,
+        "partition_by" -> partitionBy,
+        "n_files" -> perFile.length, "n_rows" -> totalRows))
+        .getBytes(StandardCharsets.UTF_8))
+
+    ExportResult(v, perFile.length.toLong, totalRows, metadataJson)
+  }
+
+  /** Parse back an exported tree's manifests (spec evidence + tooling):
+    * (file path, record count, lower bounds, upper bounds) per data file,
+    * bounds keyed by field id. */
+  def readManifests(dstDir: String): Seq[(String, Long, Map[Int, Array[Byte]], Map[Int, Array[Byte]])] = {
+    val metaDir = Paths.get(dstDir, "metadata")
+    val metaJson = mapper.readTree(Files.readAllBytes(metaDir.resolve("v1.metadata.json")))
+    val listPath = metaJson.get("snapshots").get(0).get("manifest-list").asText()
+    val listReader = new DataFileReader[GenericRecord](
+      new java.io.File(listPath), new GenericDatumReader[GenericRecord]())
+    val manifestPaths =
+      try listReader.iterator.asScala.map(_.get("manifest_path").toString).toVector
+      finally listReader.close()
+    manifestPaths.flatMap { mp =>
+      val r = new DataFileReader[GenericRecord](
+        new java.io.File(mp), new GenericDatumReader[GenericRecord]())
+      try r.iterator.asScala.map { e =>
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        def bounds(field: String): Map[Int, Array[Byte]] =
+          Option(df.get(field)) match {
+            case Some(arr: java.util.Collection[_]) =>
+              arr.asScala.map { kv =>
+                val rec = kv.asInstanceOf[GenericRecord]
+                val buf = rec.get("value").asInstanceOf[ByteBuffer]
+                val bytes = new Array[Byte](buf.remaining()); buf.duplicate().get(bytes)
+                rec.get("key").asInstanceOf[Int] -> bytes
+              }.toMap
+            case _ => Map.empty[Int, Array[Byte]]
+          }
+        (df.get("file_path").toString,
+          df.get("record_count").asInstanceOf[Long],
+          bounds("lower_bounds"), bounds("upper_bounds"))
+      }.toVector
+      finally r.close()
+    }
+  }
+}

@@ -193,6 +193,9 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
         VacuumLakeCommand(dir,
           Option(retain).map(_.toInt).getOrElse(2),
           Option(grace).map(_.toLong).getOrElse(3600000L))
+      case ExportLakeRe(src, dst, version, partBy) =>
+        ExportLakeCommand(src, dst, Option(version).map(_.toLong),
+          splitCols(partBy))
       case AnalyzeLakeRe(dir) =>
         AnalyzeLakeCommand(dir,
           out("col_name", "n_rows", "n_nulls", "ndv", "min_value", "max_value"))
@@ -347,6 +350,13 @@ object GraftSqlParser {
   private val VacuumLakeRe =
     ("""(?is)VACUUM\s+LAKE\s+'([^']+)'""" +
       """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(?:\s+GRACE\s+(\d+))?\s*;?""").r
+  // interop bridge: snapshot → plain parquet + Iceberg v2 metadata tree
+  // (reference `exec/store/iceberg/` — table layout served to external
+  // readers; see sources.LakeExport)
+  private val ExportLakeRe =
+    ("""(?is)EXPORT\s+LAKE\s+'([^']+)'\s+TO\s+'([^']+)'""" +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""" +
+      """(?:\s+PARTITION\s+BY\s*\(([^)]*)\))?\s*;?""").r
   private val OptimizeLakeRe =
     ("""(?is)OPTIMIZE\s+LAKE\s+'([^']+)'""" +
       """(?:\s+ZORDER\s+BY\s+\(([^)]*)\))?""" +
@@ -903,6 +913,19 @@ object GraftSqlParser {
       Seq(Row(cs.last.schemaDdl, spec.mkString(", "),
         statsCols.mkString(", "), sortBy.mkString(", "),
         cs.last.version.toString))
+    }
+  }
+
+  /** EXPORT LAKE ... TO: write the snapshot as an engine-neutral tree —
+    * plain (optionally hive-partitioned) parquet under data/ plus an
+    * Iceberg v2 metadata tree (LakeExport scaladoc; reference
+    * `exec/store/iceberg/`). */
+  case class ExportLakeCommand(src: String, dst: String, version: Option[Long],
+      partitionBy: Seq[String]) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("version", "n_files", "n_rows")
+    override def run(spark: SparkSession): Seq[Row] = {
+      val r = graft.sources.LakeExport.exportTo(spark, src, dst, version, partitionBy)
+      Seq(Row(r.version.toString, r.nFiles.toString, r.nRows.toString))
     }
   }
 

@@ -103,6 +103,51 @@ class GraftRestServerSpec extends AnyFunSuite {
     }
   }
 
+  private def get(path: String): (Int, String) = {
+    val port = GraftRestServer.port.getOrElse(GraftRestServer.start(spark))
+    val req = HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path")).GET().build()
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  test("GET /catalog lists datasets and /catalog/<name> serves its fields") {
+    spark.sql("SELECT 1 AS a, 'x' AS b").createOrReplaceTempView("rest_cat_v")
+    val (c1, b1) = get("/catalog")
+    assert(c1 == 200 && b1.contains("rest_cat_v"), s"catalog listing missing view: ${b1.take(300)}")
+    val inProc = graft.catalog.InfoSchema.tables(spark).count()
+    // every in-process row appears in the REST body (same relation)
+    assert(b1.count(_ == '{') - 1 >= inProc - 1)
+    val (c2, b2) = get("/catalog/rest_cat_v")
+    assert(c2 == 200 && b2.contains("\"fields\":["), b2.take(300))
+    assert(b2.contains("\"a\"") && b2.contains("\"b\""), s"fields missing: ${b2.take(300)}")
+    val (c3, b3) = get("/catalog/no_such_dataset_xyz")
+    assert(c3 == 404 && b3.contains("\"error\""), b3.take(200))
+  }
+
+  test("GET /jobs lists history and /jobs/<id>/profile matches in-process metrics") {
+    // run a tracked statement so history + profile exist
+    spark.sql(s"SELECT count(*) AS n FROM parquet.`$sf/nation.parquet`").collect()
+    val recs = graft.catalog.QueryHistory.records
+    assert(recs.nonEmpty)
+    val (c1, b1) = get("/jobs")
+    assert(c1 == 200, b1.take(300))
+    val latest = recs.last
+    assert(b1.contains(s"\"id\":${latest.id}"), s"latest job missing from listing: ${b1.take(300)}")
+    val (c2, b2) = get(s"/jobs/${latest.id}")
+    assert(c2 == 200 && b2.contains("\"durationMs\":"), b2.take(300))
+    // profile: use the latest profiled id (profiles ride successful actions)
+    val pid = graft.catalog.QueryHistory.latestProfiledId.get
+    val ops = graft.catalog.QueryHistory.profileOf(pid)
+    val (c3, b3) = get(s"/jobs/$pid/profile")
+    assert(c3 == 200, b3.take(300))
+    ops.foreach(o => assert(b3.contains(s"""\"operator\":\"${o.operator}\""""),
+      s"operator ${o.operator} missing from REST profile"))
+    val (c4, b4) = get("/jobs/999999999/profile")
+    assert(c4 == 404 && b4.contains("\"error\""), b4.take(200))
+    val (c5, b5) = get("/jobs/not_a_number")
+    assert(c5 == 400, b5.take(200))
+  }
+
   test("REST sessions are isolated: temp views do not leak across requests") {
     val (c1, _) = post("""{"sql": "CREATE TEMPORARY VIEW rest_iso AS SELECT 1 AS v"}""")
     assert(c1 == 200)
