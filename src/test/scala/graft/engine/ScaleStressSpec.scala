@@ -1,0 +1,180 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Opt-in scale-stress tier (`sbt -Dgraft.scale=1 "testOnly *ScaleStressSpec"`):
+  * synthesizes ~20× the sf0.1 fixture volumes WITH a planted ~10%-skew key
+  * and executes the five scale-critical operators, asserting the structural
+  * properties the 100 TB design arguments rest on — bounded candidate
+  * generation, O(diameter) job counts, spill-path activation, zero-exchange
+  * co-located joins — never wall time (load noise is the bench's problem,
+  * not correctness's).
+  *
+  * Skipped (canceled, not failed) unless -Dgraft.scale=1 so the default
+  * test wall time stays flat; build.sbt forwards the flag into the forked
+  * test JVM.
+  */
+class ScaleStressSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val enabled = sys.props.get("graft.scale").contains("1")
+  private def gate(): Unit = assume(enabled, "opt-in: run with -Dgraft.scale=1")
+
+  /** ~30 unique pseudo-words per doc, deterministic in (seed, i). */
+  private def wordsExpr(seed: String, n: Int) =
+    expr(s"concat_ws(' ', transform(sequence(0, ${n - 1}), " +
+      s"i -> substring(md5(concat($seed, '_', cast(i AS string))), 1, 8)))")
+
+  test("MinHash LSH at 100k docs: hot boilerplate bucket stays bounded, planted near-dups found") {
+    gate()
+    // 10% of the corpus is ONE identical boilerplate text (the pathological
+    // LSH bucket: all 16 bands collide for all 10k docs). The rest form
+    // 45k planted near-dup pairs (28 of 30 words shared).
+    val docs = spark.range(100000).select(
+      col("id").as("doc_id"),
+      when(col("id") % 10 === 0, lit("the quick brown fox jumps over the lazy dog " * 4))
+        .otherwise(concat(
+          wordsExpr("cast(id DIV 2 AS string)", 28), lit(" "),
+          wordsExpr("cast(id AS string)", 2))).as("text"))
+      .localCheckpoint(true)
+    val pairs = graft.llm.Dedup.minhashLsh(docs, jaccardThreshold = 0.5)
+      .localCheckpoint(true)
+    // bucket cap: the 10k-doc boilerplate bucket may contribute at most
+    // C(maxBucket=64, 2) distinct pairs — NOT C(10k, 2) ≈ 50M. This is the
+    // difference between a plan that survives 100 TB and one that doesn't.
+    val boiler = pairs
+      .filter(col("a_id") % 10 === 0 && col("b_id") % 10 === 0).count()
+    assert(boiler > 0 && boiler <= 64L * 63 / 2,
+      s"boilerplate bucket produced $boiler pairs (cap is ${64 * 63 / 2})")
+    // planted recall: pair (2i, 2i+1) shares 28/30 words (Jaccard of
+    // 3-shingles ≈ 0.87 → 16-band detection probability ≈ 1)
+    val planted = pairs.filter(col("a_id") % 10 =!= 0 && col("b_id") === col("a_id") + 1 &&
+      col("a_id") % 2 === 0).count()
+    val plantedTotal = docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 10 =!= 0)
+      .filter((col("doc_id") + 1) % 10 =!= 0).count()
+    assert(planted >= (plantedTotal * 0.95).toLong,
+      s"LSH recall too low: $planted of $plantedTotal planted pairs")
+  }
+
+  test("connected components at 200k vertices with a 20k-spoke star: O(diameter) jobs") {
+    gate()
+    // one hub (10% of the star ids) + 36k chains of 5 — the skewed shape
+    // label propagation must absorb without per-key blowup
+    val vertices = spark.range(200000).select(col("id"))
+    val starEdges = spark.range(1, 20000).select(lit(0L).as("a"), col("id").as("b"))
+    val chainEdges = spark.range(20000, 200000)
+      .filter(col("id") % 5 =!= 4)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+    val edges = starEdges.union(chainEdges).localCheckpoint(true)
+
+    val sc = spark.sparkContext
+    sc.setJobGroup("scale_cc", "scale-stress cc", interruptOnCancel = false)
+    val labels =
+      try graft.llm.Dedup.connectedComponents(vertices, edges).localCheckpoint(true)
+      finally sc.clearJobGroup()
+    val jobs = sc.statusTracker.getJobIdsForGroup("scale_cc").length
+    // diameter is 5 (chains); hash-to-min converges in O(diameter) rounds
+    // and each round is a constant number of jobs. 80 is generous; an
+    // O(N)-rounds regression would be tens of thousands.
+    assert(jobs > 0 && jobs <= 80, s"CC ran $jobs jobs for a diameter-5 graph")
+    val comps = labels.groupBy(col("component")).count().localCheckpoint(true)
+    assert(comps.count() == 1 + 36000,
+      s"expected 36001 components, got ${comps.count()}")
+    val starSize = labels.filter(col("id") === 0)
+      .join(labels.withColumnRenamed("id", "id2"), "component")
+      .count()
+    assert(starSize == 20000L, s"star component has $starSize members, want 20000")
+  }
+
+  test("semDedup at 40k embeddings: self-scaling k, planted duplicate groups collapse") {
+    gate()
+    // 1000 planted groups of 4 IDENTICAL vectors (ids 0..3999, group =
+    // id/4), 36k unique tails — k must self-scale to ≥ √N so bucket-local
+    // pair space stays O(N)
+    val vec = (seed: String) =>
+      expr(s"transform(sequence(0, 31), j -> cast(pmod(hash($seed, j), 1000) / 1000.0 AS float))")
+    val corpus = spark.range(40000).select(
+      col("id").as("vec_id"),
+      when(col("id") < 4000, vec("cast(id DIV 4 AS string)"))
+        .otherwise(vec("cast(id AS string)")).as("embedding"))
+      .localCheckpoint(true)
+    val kept = graft.llm.Dedup.semDedup(corpus, threshold = 0.999)
+      .localCheckpoint(true)
+    // every planted group: identical vectors → same bucket, cos = 1 →
+    // one component of (at least) 4 → exactly one keeper
+    val plantedKeepers = kept.filter(col("vec_id") < 4000)
+    assert(plantedKeepers.count() == 1000L,
+      s"planted groups kept ${plantedKeepers.count()} reps, want 1000")
+    assert(plantedKeepers.filter(col("group_size") < 4).count() == 0L,
+      "a planted group of 4 identical vectors was split across components")
+    // uniques stay: total keepers = 1000 groups + 36000 singletons
+    assert(kept.count() == 37000L, s"total keepers ${kept.count()}, want 37000")
+  }
+
+  test("TopKPerKey at 12M rows / 600k keys under a 1MB budget: spills and stays correct") {
+    gate()
+    import graft.plans.{TopKPerKey, TopKPerKeyExec}
+    val df = spark.range(12000000L).select(
+      (col("id") % 600000).as("k"),
+      pmod(col("id") * 2654435761L, lit(1000000L)).cast("double").as("s"),
+      col("id").as("tie"))
+    spark.conf.set("spark.graft.topKPerKey.memoryBytes", (1024 * 1024).toString)
+    try {
+      val topk = TopKPerKey(df, col("k"), col("s"), col("tie"), 3)
+      val n = topk.count()
+      assert(n == 600000L * 3, s"got $n rows")
+      // re-run as collect on one probed key and validate against a direct sort
+      val probe = TopKPerKey(df, col("k"), col("s"), col("tie"), 3)
+      val got = probe.collect().filter(_.getLong(0) == 0L)
+        .map(r => (r.getDouble(1), r.getLong(2))).sortBy(x => (-x._1, x._2)).toSeq
+      val want = df.filter(col("k") === 0L).orderBy(col("s").desc, col("tie"))
+        .limit(3).collect().map(r => (r.getDouble(1), r.getLong(2))).toSeq
+      assert(got == want, s"top-3 for key 0 diverged: $got vs $want")
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def findTopK(p: SparkPlan): Option[TopKPerKeyExec] = p match {
+        case e: TopKPerKeyExec => Some(e)
+        case a: AdaptiveSparkPlanExec => findTopK(a.executedPlan)
+        case q: QueryStageExec => findTopK(q.plan)
+        case other => other.children.iterator.map(findTopK).collectFirst { case Some(e) => e }
+      }
+      val node = findTopK(probe.queryExecution.executedPlan)
+      assert(node.exists(_.metrics("spilledRuns").value > 0),
+        s"no spilled runs at 12M rows under a 1MB budget: ${node.map(_.metrics("spilledRuns").value)}")
+    } finally spark.conf.unset("spark.graft.topKPerKey.memoryBytes")
+  }
+
+  test("co-bucketed lake join at 1.2M rows with a 10% hot key: zero exchanges") {
+    gate()
+    val cd = graft.queries.Lake.scratchDir("scale_bkt_c")
+    val od = graft.queries.Lake.scratchDir("scale_bkt_o")
+    spark.range(60000).select(col("id").as("c_custkey"),
+        concat(lit("c"), col("id")).as("c_name"))
+      .createOrReplaceTempView("scale_customers")
+    // 10% of all orders land on custkey 42 — bucket-pruned storage joins
+    // must survive key skew without re-shuffling either side
+    spark.range(1200000L).select(col("id").as("o_orderkey"),
+        when(col("id") % 10 === 0, lit(42L)).otherwise(col("id") % 60000).as("o_custkey"))
+      .createOrReplaceTempView("scale_orders")
+    spark.sql(s"""CREATE LAKE '$cd' PARTITION BY (bucket(8,c_custkey))
+                 |AS SELECT * FROM scale_customers""".stripMargin)
+    spark.sql(s"""CREATE LAKE '$od' PARTITION BY (bucket(8,o_custkey))
+                 |AS SELECT * FROM scale_orders""".stripMargin)
+    spark.sql(s"CREATE LAKE VIEW scale_bkt_c FROM '$cd'")
+    spark.sql(s"CREATE LAKE VIEW scale_bkt_o FROM '$od'")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("scale_bkt_c")
+        .join(spark.table("scale_bkt_o"), col("c_custkey") === col("o_custkey"))
+      assert(joined.count() == 1200000L)
+      val hot = joined.filter(col("o_custkey") === 42).count()
+      assert(hot == 120000L + 20L, s"hot key rows $hot") // 120k planted + 20 natural
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"co-bucketed join re-shuffled under skew:\n${plan.take(3000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
