@@ -449,7 +449,62 @@ object Lake {
     WHERE CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) >= 0
     ORDER BY s_suppkey"""
 
+  /** Iceberg interop READ leg: lake snapshot → EXPORT LAKE (Iceberg v2
+    * metadata tree) → read back THROUGH the metadata tree with the
+    * `iceberg_scan` TVF (manifest-list → manifests → file list; the
+    * identity-partition column restored from manifest partition records,
+    * since the hive-layout files omit it) — reference native Iceberg scan
+    * `exec/store/iceberg/IcebergScanPrel.java:96`. */
+  val icebergRead: QueryFn = (s, dir) => {
+    val t = Tables.ensure(s, dir)
+    val base = t.supplier.select(col("s_suppkey"), col("s_name"),
+      col("s_nationkey"), dbl(money(col("s_acctbal"))).as("bal"))
+    val lakeDir = scratchDir("graft_iceberg_src")
+    SnapshotTable.create(s, lakeDir, base)
+    s.sql(s"DELETE FROM LAKE '$lakeDir' WHERE bal < 0")
+    val expDir = scratchDir("graft_iceberg_dst") + "/tree"
+    s.sql(s"EXPORT LAKE '$lakeDir' TO '$expDir' PARTITION BY (s_nationkey)")
+    s.sql(s"""SELECT s_nationkey, COUNT(*) AS n_suppliers,
+             |  CAST(SUM(CAST(bal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+             |FROM iceberg_scan('$expDir')
+             |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
+  }
+  val icebergReadSql: String = """
+    SELECT s_nationkey, COUNT(*) AS n_suppliers,
+           CAST(SUM(CAST(CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+    FROM supplier
+    WHERE CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) >= 0
+    GROUP BY s_nationkey ORDER BY s_nationkey"""
+
+  /** Delta interop round trip: lake snapshot → EXPORT LAKE FORMAT DELTA
+    * (parquet + `_delta_log` commit 0 with add actions/stats) → read back
+    * by REPLAYING the log with the `delta_scan` TVF, partition columns
+    * restored from the log's partitionValues (Delta data files omit them)
+    * — reference `exec/store/deltalake/DeltaLakeFormatPlugin.java`. */
+  val deltaRoundtrip: QueryFn = (s, dir) => {
+    val t = Tables.ensure(s, dir)
+    val base = t.orders.select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderpriority"), dbl(money(col("o_totalprice"))).as("price"))
+    val lakeDir = scratchDir("graft_delta_src")
+    SnapshotTable.create(s, lakeDir, base)
+    s.sql(s"DELETE FROM LAKE '$lakeDir' WHERE o_orderkey % 7 = 0")
+    val expDir = scratchDir("graft_delta_dst") + "/tbl"
+    s.sql(s"EXPORT LAKE '$lakeDir' TO '$expDir' PARTITION BY (o_orderpriority) FORMAT DELTA")
+    s.sql(s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+             |  CAST(SUM(CAST(price AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+             |FROM delta_scan('$expDir')
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+  val deltaRoundtripSql: String = """
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderkey % 7 <> 0
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   val queries: Map[String, QueryFn] = Map(
+    "iceberg_read" -> icebergRead,
+    "delta_roundtrip" -> deltaRoundtrip,
     "lake_export" -> lakeExport,
     "lake_bucket_join" -> lakeBucketJoin,
     "lake_minmax_meta" -> lakeMinmaxMeta,
@@ -466,6 +521,8 @@ object Lake {
     "lake_incremental_scan" -> lakeIncrementalScan)
 
   val oracle: Map[String, String] = Map(
+    "iceberg_read" -> icebergReadSql,
+    "delta_roundtrip" -> deltaRoundtripSql,
     "lake_export" -> lakeExportSql,
     "lake_bucket_join" -> lakeBucketJoinSql,
     "lake_minmax_meta" -> lakeMinmaxMetaSql,

@@ -1,0 +1,363 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Delta Lake interop without delta jars: read any Delta table by replaying
+  * its PUBLIC `_delta_log` (JSON commits + parquet checkpoints), and export
+  * a graft-lake snapshot AS a Delta table other engines (Spark+delta,
+  * delta-rs, DuckDB delta) can open. The reference ships the same
+  * capability as a native format reader (`exec/store/deltalake/
+  * DeltaLakeFormatPlugin.java`, log replay `DeltaLogReader.java`) — this is
+  * the Spark-first equivalent, and the second leg of the EXPORT LAKE
+  * interop bridge next to the Iceberg tree (`LakeExport`).
+  *
+  * Log replay, per the Delta protocol spec:
+  *  - `_delta_log/_last_checkpoint` → `%020d.checkpoint.parquet` (read as
+  *    parquet: one row per action with `add`/`remove`/`metaData` structs),
+  *    then every `%020d.json` after it, each line one action.
+  *  - state = latest `metaData` (its `schemaString` IS Spark schema JSON),
+  *    live files = adds minus removes (later action wins per path).
+  *  - time travel: replay stops at `VERSION AS OF` (checkpoint used only if
+  *    at-or-before the target).
+  *
+  * Partition values live ONLY in the log (Delta data files omit partition
+  * columns), serialized as strings — the scan restores them as typed
+  * literal columns per partition group, exactly how delta readers do.
+  *
+  * Scale: checkpoint replay is a parquet read + driver fold over FILE
+  * entries (same O as any delta client's snapshot construction); data reads
+  * are ONE `spark.read.parquet` per partition group over explicit pruned
+  * file lists. Unsupported, loudly: deletion vectors / column mapping
+  * (protocol readerFeatures beyond plain v1/v2 reads).
+  */
+object DeltaInterop {
+
+  final case class AddFile(path: String, partitionValues: Map[String, String],
+                           size: Long, numRecords: Option[Long])
+  final case class DeltaState(version: Long, schema: StructType,
+                              partitionCols: Seq[String], files: Seq[AddFile])
+  final case class ExportResult(version: Long, nFiles: Long, nRows: Long)
+
+  private val mapper = new ObjectMapper()
+
+  // ---- log replay ------------------------------------------------------
+
+  private def logDir(dir: String) = Paths.get(dir, "_delta_log")
+
+  private def commitVersion(name: String): Option[Long] =
+    "^(\\d{20})\\.json$".r.findFirstMatchIn(name).map(_.group(1).toLong)
+  private def checkpointVersion(name: String): Option[Long] =
+    "^(\\d{20})\\.checkpoint\\.parquet$".r.findFirstMatchIn(name).map(_.group(1).toLong)
+
+  /** Replay the log to `version` (default: latest). */
+  def readState(spark: SparkSession, dir: String,
+                version: Option[Long] = None): DeltaState = {
+    val ld = logDir(dir)
+    require(Files.isDirectory(ld), s"not a Delta table (no _delta_log/): $dir")
+    val names = Files.list(ld).iterator.asScala.map(_.getFileName.toString).toVector
+    val commits = names.flatMap(n => commitVersion(n).map(_ -> n)).sortBy(_._1)
+    require(commits.nonEmpty, s"empty _delta_log in $dir")
+    val target = version.getOrElse(commits.last._1)
+    require(commits.exists(_._1 == target) ||
+        names.flatMap(checkpointVersion).contains(target),
+      s"delta read: no commit version $target in $dir (have ${commits.map(_._1).mkString(",")})")
+
+    val cp = names.flatMap(checkpointVersion).filter(_ <= target).sorted.lastOption
+
+    var schema: Option[StructType] = None
+    var partCols: Seq[String] = Nil
+    // later action per path wins; LinkedHashMap keeps add order deterministic
+    val files = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+
+    def applyMeta(schemaString: String, pc: Seq[String]): Unit = {
+      schema = Some(DataType.fromJson(schemaString).asInstanceOf[StructType])
+      partCols = pc
+    }
+    def applyAdd(path: String, pv: Map[String, String], size: Long,
+                 stats: Option[String]): Unit = {
+      val n = stats.flatMap(s => Option(mapper.readTree(s).get("numRecords")).map(_.asLong()))
+      files(path) = AddFile(path, pv, size, n)
+    }
+    def checkProtocol(minReader: Int, readerFeatures: Seq[String]): Unit = {
+      val unsupported = readerFeatures.filterNot(Set("timestampNtz", "v2Checkpoint"))
+      require(minReader <= 2 || unsupported.isEmpty,
+        s"delta read: unsupported reader features ${unsupported.mkString(",")} " +
+          s"(minReaderVersion=$minReader) — plain copy-on-write tables only")
+    }
+
+    cp.foreach { cpv =>
+      val cpDf = spark.read.parquet(ld.resolve(f"$cpv%020d.checkpoint.parquet").toString)
+      val cols = cpDf.columns.toSet
+      cpDf.collect().foreach { row =>
+        if (cols("metaData")) Option(row.getAs[org.apache.spark.sql.Row]("metaData")).foreach { m =>
+          applyMeta(m.getAs[String]("schemaString"),
+            Option(m.getAs[scala.collection.Seq[String]]("partitionColumns"))
+              .map(_.toSeq).getOrElse(Nil))
+        }
+        if (cols("protocol")) Option(row.getAs[org.apache.spark.sql.Row]("protocol")).foreach { p =>
+          val feats = if (p.schema.fieldNames.contains("readerFeatures"))
+            Option(p.getAs[scala.collection.Seq[String]]("readerFeatures"))
+              .map(_.toSeq).getOrElse(Nil) else Nil
+          checkProtocol(p.getAs[Int]("minReaderVersion"), feats)
+        }
+        if (cols("add")) Option(row.getAs[org.apache.spark.sql.Row]("add")).foreach { a =>
+          val fn = a.schema.fieldNames.toSet
+          require(!fn.contains("deletionVector") ||
+              a.getAs[AnyRef]("deletionVector") == null,
+            "delta read: deletion vectors unsupported")
+          applyAdd(a.getAs[String]("path"),
+            Option(a.getAs[scala.collection.Map[String, String]]("partitionValues"))
+              .map(_.toMap).getOrElse(Map.empty),
+            a.getAs[Long]("size"),
+            if (fn.contains("stats")) Option(a.getAs[String]("stats")) else None)
+        }
+        if (cols("remove")) Option(row.getAs[org.apache.spark.sql.Row]("remove")).foreach { r =>
+          files.remove(r.getAs[String]("path"))
+        }
+      }
+    }
+
+    commits.filter { case (v, _) => v > cp.getOrElse(-1L) && v <= target }
+      .foreach { case (_, name) =>
+        Files.readAllLines(ld.resolve(name), StandardCharsets.UTF_8).asScala
+          .filter(_.trim.nonEmpty).foreach { line =>
+            val a = mapper.readTree(line)
+            Option(a.get("metaData")).foreach { m =>
+              applyMeta(m.get("schemaString").asText(),
+                Option(m.get("partitionColumns")).toSeq
+                  .flatMap(_.elements.asScala.map(_.asText())))
+            }
+            Option(a.get("protocol")).foreach { p =>
+              checkProtocol(p.get("minReaderVersion").asInt(),
+                Option(p.get("readerFeatures")).toSeq
+                  .flatMap(_.elements.asScala.map(_.asText())))
+            }
+            Option(a.get("add")).foreach { ad =>
+              require(!ad.has("deletionVector") || ad.get("deletionVector").isNull,
+                "delta read: deletion vectors unsupported")
+              applyAdd(ad.get("path").asText(),
+                Option(ad.get("partitionValues")).map(pv =>
+                  pv.properties.asScala.map(e =>
+                    e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
+                  .getOrElse(Map.empty),
+                Option(ad.get("size")).map(_.asLong()).getOrElse(0L),
+                Option(ad.get("stats")).filterNot(_.isNull).map(_.asText()))
+            }
+            Option(a.get("remove")).foreach(r => files.remove(r.get("path").asText()))
+          }
+      }
+
+    DeltaState(target,
+      schema.getOrElse(throw new IllegalArgumentException(
+        s"delta read: no metaData action found in $dir")),
+      partCols, files.values.toVector)
+  }
+
+  // ---- scan ------------------------------------------------------------
+
+  /** Delta partition-value string → typed literal (protocol §"Partition
+    * Value Serialization": canonical string forms; null/absent → null). */
+  private def partitionLit(dt: DataType, s: String): Column =
+    if (s == null) lit(null).cast(dt) else lit(s).cast(dt)
+
+  def scan(spark: SparkSession, dir: String,
+           version: Option[Long] = None): DataFrame = {
+    val st = readState(spark, dir, version)
+    if (st.files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st.schema)
+    val dataSchema = StructType(
+      st.schema.fields.filterNot(f => st.partitionCols.contains(f.name)))
+    val partFields = st.partitionCols.map(c => st.schema(c))
+
+    val grouped = st.files.groupBy(f =>
+      st.partitionCols.map(c => f.partitionValues.getOrElse(c, null)))
+    val parts = grouped.toSeq.map { case (vals, fs) =>
+      val paths = fs.map(f =>
+        s"$dir/${java.net.URLDecoder.decode(f.path, "UTF-8")}")
+      val df0 = spark.read.schema(dataSchema).parquet(paths: _*)
+      partFields.zip(vals).foldLeft(df0) { case (df, (field, v)) =>
+        df.withColumn(field.name, partitionLit(field.dataType, v))
+      }
+    }
+    parts.reduce(_ unionByName _).select(st.schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  // ---- export ----------------------------------------------------------
+
+  private def deltaPartitionString(v: Any): String = v match {
+    case null => null
+    case d: java.sql.Date => d.toLocalDate.toString
+    case t: java.sql.Timestamp => t.toLocalDateTime.toString.replace('T', ' ')
+    case other => other.toString
+  }
+
+  private def statsJson(row: org.apache.spark.sql.Row, n: Long,
+                        statCols: Seq[StructField]): String = {
+    val o = mapper.createObjectNode()
+    o.put("numRecords", n)
+    def side(tag: String, pre: String): Unit = {
+      val node = o.putObject(tag)
+      statCols.foreach { f =>
+        row.getAs[Any](s"$pre${f.name}") match {
+          case null => ()
+          case i: Int => node.put(f.name, i)
+          case l: Long => node.put(f.name, l)
+          case fl: Float => node.put(f.name, fl)
+          case d: Double => node.put(f.name, d)
+          case s: String => node.put(f.name, s)
+          case d: java.sql.Date => node.put(f.name, d.toLocalDate.toString)
+          case bd: java.math.BigDecimal => node.put(f.name, bd)
+          case other => node.put(f.name, other.toString)
+        }
+      }
+    }
+    side("minValues", "__mn_"); side("maxValues", "__mx_")
+    mapper.writeValueAsString(o)
+  }
+
+  /** Export `srcDir`'s lake snapshot (at `version`, default latest) as a
+    * Delta table at `dstDir`: hive-partitioned parquet + a single commit 0
+    * with protocol/metaData/add actions carrying per-file stats. */
+  def exportTo(spark: SparkSession, srcDir: String, dstDir: String,
+               version: Option[Long] = None,
+               partitionBy: Seq[String] = Nil): ExportResult = {
+    val t = SnapshotTable.forPath(spark, srcDir)
+    val v = version.getOrElse(t.latestVersion)
+    val df = t.read(version)
+    require(!Files.exists(Paths.get(dstDir)) ||
+        Files.list(Paths.get(dstDir)).iterator.asScala.isEmpty,
+      s"EXPORT LAKE target '$dstDir' is not empty")
+
+    val w = df.write.mode("errorifexists")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(dstDir)
+    // Spark leaves a _SUCCESS marker; harmless to delta readers, drop anyway
+    Files.deleteIfExists(Paths.get(dstDir, "_SUCCESS"))
+
+    val written = spark.read.parquet(dstDir)
+    val schema = written.schema
+    val statCols = schema.fields.toSeq.filter { f =>
+      !partitionBy.contains(f.name) && (f.dataType match {
+        case IntegerType | LongType | FloatType | DoubleType | StringType |
+             DateType | _: DecimalType => true
+        case _ => false
+      })
+    }
+    val aggs = count(lit(1)).as("__n") +:
+      (statCols.flatMap(f => Seq(
+        min(col(f.name)).as(s"__mn_${f.name}"), max(col(f.name)).as(s"__mx_${f.name}"))) ++
+        partitionBy.map(c => first(col(c)).as(s"__pv_$c")))
+    val perFile = written
+      .groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // one row per data FILE
+
+    val nowMs = System.currentTimeMillis()
+    val ld = logDir(dstDir)
+    Files.createDirectories(ld)
+    val lines = Vector.newBuilder[String]
+
+    val protocol = mapper.createObjectNode()
+    protocol.putObject("protocol").put("minReaderVersion", 1).put("minWriterVersion", 2)
+    lines += mapper.writeValueAsString(protocol)
+
+    val meta = mapper.createObjectNode()
+    val m = meta.putObject("metaData")
+    m.put("id", java.util.UUID.nameUUIDFromBytes(
+      s"graft-delta-export:$srcDir:$v".getBytes(StandardCharsets.UTF_8)).toString)
+    m.putObject("format").put("provider", "parquet").putObject("options")
+    m.put("schemaString", schema.json)
+    val pcArr = m.putArray("partitionColumns")
+    partitionBy.foreach(pcArr.add)
+    m.putObject("configuration")
+    m.put("createdTime", nowMs)
+    lines += mapper.writeValueAsString(meta)
+
+    var totalRows = 0L
+    perFile.foreach { row =>
+      val abs = row.getAs[String]("__file").stripPrefix("file:")
+      val n = row.getAs[Long]("__n")
+      totalRows += n
+      val rel = Paths.get(dstDir).toAbsolutePath.relativize(
+        Paths.get(abs).toAbsolutePath).toString
+      val action = mapper.createObjectNode()
+      val add = action.putObject("add")
+      add.put("path", rel)
+      val pv = add.putObject("partitionValues")
+      partitionBy.foreach { c =>
+        val s = deltaPartitionString(row.getAs[Any](s"__pv_$c"))
+        if (s == null) pv.putNull(c) else pv.put(c, s)
+      }
+      add.put("size", try Files.size(Paths.get(abs)) catch { case _: Throwable => 0L })
+      add.put("modificationTime", nowMs)
+      add.put("dataChange", true)
+      add.put("stats", statsJson(row, n, statCols))
+      lines += mapper.writeValueAsString(action)
+    }
+
+    val commit = mapper.createObjectNode()
+    val ci = commit.putObject("commitInfo")
+    ci.put("timestamp", nowMs)
+    ci.put("operation", "WRITE")
+    ci.put("engineInfo", s"graft export of lake $srcDir@$v")
+    lines += mapper.writeValueAsString(commit)
+
+    Files.write(ld.resolve(f"${0L}%020d.json"),
+      lines.result().mkString("\n").getBytes(StandardCharsets.UTF_8))
+    ExportResult(v, perFile.length.toLong, totalRows)
+  }
+
+  /** Write a parquet checkpoint for the state at `version` plus the
+    * `_last_checkpoint` pointer — the compaction step real delta writers
+    * take every N commits so replay cost stays bounded; also what lets the
+    * reader spec prove checkpoint-based replay on a real file. */
+  def writeCheckpoint(spark: SparkSession, dir: String, version: Long): Unit = {
+    val st = readState(spark, dir, Some(version))
+    val addType = StructType(Seq(
+      StructField("path", StringType, nullable = false),
+      StructField("partitionValues", MapType(StringType, StringType, true)),
+      StructField("size", LongType, nullable = false),
+      StructField("modificationTime", LongType, nullable = false),
+      StructField("dataChange", BooleanType, nullable = false)))
+    val metaType = StructType(Seq(
+      StructField("id", StringType), StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("createdTime", LongType)))
+    val protoType = StructType(Seq(
+      StructField("minReaderVersion", IntegerType, nullable = false),
+      StructField("minWriterVersion", IntegerType, nullable = false)))
+    val cpSchema = StructType(Seq(
+      StructField("protocol", protoType), StructField("metaData", metaType),
+      StructField("add", addType)))
+    import org.apache.spark.sql.Row
+    val rows =
+      Row(Row(1, 2), null, null) +:
+      Row(null, Row("graft-checkpoint", st.schema.json,
+        st.partitionCols, System.currentTimeMillis()), null) +:
+      st.files.map(f => Row(null, null,
+        Row(f.path, f.partitionValues, f.size, 0L, true)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), cpSchema)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(logDir(dir).resolve(f"$version%020d.checkpoint.tmp").toString)
+    // single parquet part → canonical checkpoint name
+    val tmp = logDir(dir).resolve(f"$version%020d.checkpoint.tmp")
+    val part = Files.list(tmp).iterator.asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(part, logDir(dir).resolve(f"$version%020d.checkpoint.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Files.walk(tmp).iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    val lc = mapper.createObjectNode()
+    lc.put("version", version).put("size", rows.size)
+    Files.write(logDir(dir).resolve("_last_checkpoint"),
+      mapper.writeValueAsString(lc).getBytes(StandardCharsets.UTF_8))
+  }
+}

@@ -1,0 +1,391 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.avro.file.DataFileReader
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Read an Iceberg v1/v2 table from its PUBLIC metadata tree — no Iceberg
+  * runtime jars needed (reference reads Iceberg natively through its own
+  * metadata reader the same way: `exec/store/iceberg/model/IcebergBaseModel.java`,
+  * scan planning `exec/store/iceberg/IcebergScanPrel.java:96`). This closes
+  * the interop loop that `LakeExport` opens: tables written by OTHER engines
+  * (or by EXPORT LAKE) are queryable by path.
+  *
+  * What is parsed, per the Iceberg spec:
+  *  - `metadata/version-hint.text` → `v<N>.metadata.json` (file-system
+  *    tables); falls back to the highest `*.metadata.json` present.
+  *  - table metadata: current schema (id-addressed), identity partition
+  *    spec, snapshots + snapshot-log (time travel by snapshot id OR
+  *    timestamp).
+  *  - manifest list (avro) → data manifests → `manifest_entry` rows:
+  *    live files (status != DELETED), record counts, identity partition
+  *    values, and per-field lower/upper bounds (single-value binary
+  *    serialization) for scan pruning.
+  *
+  * Scan shape: ONE `spark.read.parquet` over the live file list (grouped by
+  * identity-partition value when the files physically omit the source
+  * column — the hive-migrated layout `schema.name-mapping.default` exists
+  * for). File pruning happens BEFORE the scan from manifest bounds, so a
+  * bounded predicate never touches non-overlapping files — at 100 TB the
+  * manifests (KBs per thousands of files) are the only metadata read, the
+  * same plan-time I/O profile as the native readers.
+  *
+  * Unsupported (loud errors, not wrong answers): merge-on-read delete
+  * files (manifest content=DELETES) — the COW subset every engine writes
+  * by default round-trips.
+  */
+object IcebergRead {
+
+  final case class Snapshot(id: Long, timestampMs: Long, manifestList: String)
+  final case class TableMeta(location: String,
+                             schema: StructType,
+                             fieldIdOf: Map[String, Int],
+                             identityPartitionCols: Seq[String],
+                             snapshots: Seq[Snapshot],
+                             snapshotLog: Seq[(Long, Long)], // (timestampMs, snapshotId)
+                             currentSnapshotId: Option[Long],
+                             properties: Map[String, String])
+  final case class DataFile(path: String,
+                            recordCount: Long,
+                            partition: Map[String, Any],
+                            lower: Map[Int, Array[Byte]],
+                            upper: Map[Int, Array[Byte]])
+
+  private val mapper = new ObjectMapper()
+
+  // ---- metadata location ----------------------------------------------
+
+  /** Resolve the current metadata JSON of a file-system table directory
+    * (`<dir>/metadata/v<N>.metadata.json` + `version-hint.text`, the
+    * HadoopTables layout every engine writes for path-based tables). */
+  private def metadataFile(dir: String): java.nio.file.Path = {
+    val metaDir = Paths.get(dir, "metadata")
+    require(Files.isDirectory(metaDir), s"not an Iceberg table (no metadata/): $dir")
+    val hint = metaDir.resolve("version-hint.text")
+    val hinted =
+      if (Files.exists(hint))
+        Some(metaDir.resolve(s"v${new String(Files.readAllBytes(hint), StandardCharsets.UTF_8).trim}.metadata.json"))
+          .filter(Files.exists(_))
+      else None
+    hinted.getOrElse {
+      val cands = Files.list(metaDir).iterator.asScala
+        .filter(_.getFileName.toString.endsWith(".metadata.json")).toVector
+      require(cands.nonEmpty, s"no *.metadata.json under $metaDir")
+      // v12 > v9: numeric-aware ordering on the leading v<N> when present,
+      // lexicographic otherwise (UUID-named metadata from catalogs)
+      cands.maxBy { p =>
+        val n = p.getFileName.toString
+        "^v(\\d+)\\.".r.findFirstMatchIn(n).map(_.group(1).toLong).getOrElse(-1L) -> n
+      }
+    }
+  }
+
+  // ---- schema ----------------------------------------------------------
+
+  /** Iceberg JSON type → Spark DataType (inverse of LakeExport.icebergType;
+    * spec §"Schemas and Data Types"). */
+  private[sources] def sparkType(t: JsonNode): DataType =
+    if (t.isTextual) {
+      val s = t.asText()
+      val dec = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+      s match {
+        case "boolean"      => BooleanType
+        case "int"          => IntegerType
+        case "long"         => LongType
+        case "float"        => FloatType
+        case "double"       => DoubleType
+        case "string"       => StringType
+        case "binary"       => BinaryType
+        case "date"         => DateType
+        case "timestamptz"  => TimestampType
+        case "timestamp"    => TimestampNTZType
+        case "uuid"         => StringType
+        case dec(p, sc)     => DecimalType(p.toInt, sc.toInt)
+        case other if other.startsWith("fixed") => BinaryType
+        case other => throw new IllegalArgumentException(
+          s"iceberg read: unsupported type '$other'")
+      }
+    } else t.get("type").asText() match {
+      case "struct" =>
+        StructType(t.get("fields").elements.asScala.map { f =>
+          StructField(f.get("name").asText(), sparkType(f.get("type")),
+            nullable = !f.get("required").asBoolean(false))
+        }.toSeq)
+      case "list" =>
+        ArrayType(sparkType(t.get("element")),
+          containsNull = !t.get("element-required").asBoolean(false))
+      case "map" =>
+        MapType(sparkType(t.get("key")), sparkType(t.get("value")),
+          valueContainsNull = !t.get("value-required").asBoolean(false))
+      case other => throw new IllegalArgumentException(
+        s"iceberg read: unsupported nested type '$other'")
+    }
+
+  def loadMetadata(dir: String): TableMeta = {
+    val root = mapper.readTree(Files.readAllBytes(metadataFile(dir)))
+    val schemaJson: JsonNode = Option(root.get("schemas")) match {
+      case Some(schemas) =>
+        val cur = Option(root.get("current-schema-id")).map(_.asInt()).getOrElse(0)
+        schemas.elements.asScala
+          .find(s => Option(s.get("schema-id")).forall(_.asInt() == cur))
+          .getOrElse(schemas.elements.asScala.toSeq.head)
+      case None => root.get("schema") // format v1 single-schema form
+    }
+    val fields = schemaJson.get("fields").elements.asScala.toVector
+    val schema = StructType(fields.map { f =>
+      StructField(f.get("name").asText(), sparkType(f.get("type")),
+        nullable = !f.get("required").asBoolean(false))
+    })
+    val fieldIdOf = fields.map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
+
+    val specJson: Option[JsonNode] = Option(root.get("partition-specs")).map { specs =>
+      val cur = Option(root.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+      specs.elements.asScala
+        .find(s => Option(s.get("spec-id")).forall(_.asInt() == cur))
+        .getOrElse(specs.elements.asScala.toSeq.head)
+    }.orElse(Option(root.get("partition-spec")).map { flds => // v1 flat form
+      val o = mapper.createObjectNode(); o.set[JsonNode]("fields", flds); o
+    })
+    val idToName = fieldIdOf.map(_.swap)
+    val identityCols = specJson.toSeq.flatMap(_.get("fields").elements.asScala)
+      .filter(_.get("transform").asText() == "identity")
+      .flatMap(f => idToName.get(f.get("source-id").asInt()))
+
+    val snapshots = Option(root.get("snapshots")).toSeq
+      .flatMap(_.elements.asScala).map { s =>
+        Snapshot(s.get("snapshot-id").asLong(), s.get("timestamp-ms").asLong(),
+          Option(s.get("manifest-list")).map(_.asText()).getOrElse(
+            throw new IllegalArgumentException(
+              "iceberg read: v1 inline-manifests snapshots unsupported (no manifest-list)")))
+      }.toVector
+    val snapLog = Option(root.get("snapshot-log")).toSeq
+      .flatMap(_.elements.asScala)
+      .map(e => (e.get("timestamp-ms").asLong(), e.get("snapshot-id").asLong())).toVector
+    val props = Option(root.get("properties")).map(p =>
+      p.properties.asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+      .getOrElse(Map.empty)
+    TableMeta(dir, schema, fieldIdOf, identityCols, snapshots, snapLog,
+      Option(root.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L), props)
+  }
+
+  // ---- manifests -------------------------------------------------------
+
+  /** Pick the snapshot: explicit id, else last snapshot-log entry at or
+    * before `asOfMs`, else the current snapshot. */
+  private def pickSnapshot(meta: TableMeta, snapshotId: Option[Long],
+                           asOfMs: Option[Long]): Snapshot = {
+    val id = (snapshotId, asOfMs) match {
+      case (Some(s), _) => s
+      case (None, Some(ts)) =>
+        val log = if (meta.snapshotLog.nonEmpty) meta.snapshotLog
+                  else meta.snapshots.map(s => (s.timestampMs, s.id))
+        log.filter(_._1 <= ts).lastOption.map(_._2).getOrElse(
+          throw new IllegalArgumentException(
+            s"iceberg read: no snapshot at or before $ts"))
+      case (None, None) => meta.currentSnapshotId.getOrElse(
+        throw new IllegalArgumentException("iceberg read: table has no current snapshot"))
+    }
+    meta.snapshots.find(_.id == id).getOrElse(
+      throw new IllegalArgumentException(s"iceberg read: unknown snapshot id $id"))
+  }
+
+  /** Paths in metadata may be absolute or table-location-relative. */
+  private def resolvePath(dir: String, p: String): String = {
+    val clean = p.stripPrefix("file:")
+    if (Paths.get(clean).isAbsolute) clean else s"$dir/$clean"
+  }
+
+  /** Live data files of a snapshot straight from the avro manifests. */
+  def dataFiles(meta: TableMeta, snapshotId: Option[Long] = None,
+                asOfMs: Option[Long] = None): Seq[DataFile] = {
+    val snap = pickSnapshot(meta, snapshotId, asOfMs)
+    val listReader = new DataFileReader[GenericRecord](
+      new java.io.File(resolvePath(meta.location, snap.manifestList)),
+      new GenericDatumReader[GenericRecord]())
+    val manifests =
+      try listReader.iterator.asScala.map { m =>
+        val content = Option(m.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
+        (m.get("manifest_path").toString, content)
+      }.toVector
+      finally listReader.close()
+    require(manifests.forall(_._2 == 0),
+      "iceberg read: merge-on-read delete manifests unsupported (copy-on-write tables only)")
+
+    manifests.flatMap { case (mp, _) =>
+      val r = new DataFileReader[GenericRecord](
+        new java.io.File(resolvePath(meta.location, mp)),
+        new GenericDatumReader[GenericRecord]())
+      try r.iterator.asScala.flatMap { e =>
+        val status = e.get("status").asInstanceOf[Int]
+        if (status == 2) None // DELETED entry
+        else {
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          val fileContent = Option(df.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
+          require(fileContent == 0,
+            "iceberg read: position/equality delete files unsupported")
+          val part = Option(df.get("partition")) match {
+            case Some(p: GenericRecord) =>
+              p.getSchema.getFields.asScala.map { f =>
+                f.name() -> (p.get(f.name()) match {
+                  case u: org.apache.avro.util.Utf8 => u.toString
+                  case other => other
+                })
+              }.toMap
+            case _ => Map.empty[String, Any]
+          }
+          def bounds(field: String): Map[Int, Array[Byte]] =
+            Option(df.get(field)) match {
+              case Some(arr: java.util.Collection[_]) => // array-encoded map
+                arr.asScala.map { kv =>
+                  val rec = kv.asInstanceOf[GenericRecord]
+                  val buf = rec.get("value").asInstanceOf[ByteBuffer]
+                  val bytes = new Array[Byte](buf.remaining()); buf.duplicate().get(bytes)
+                  rec.get("key").asInstanceOf[Int] -> bytes
+                }.toMap
+              case Some(m: java.util.Map[_, _]) => // true-map encoding
+                m.asScala.map { case (k, v) =>
+                  val buf = v.asInstanceOf[ByteBuffer]
+                  val bytes = new Array[Byte](buf.remaining()); buf.duplicate().get(bytes)
+                  k.toString.toInt -> bytes
+                }.toMap
+              case _ => Map.empty
+            }
+          Some(DataFile(df.get("file_path").toString,
+            df.get("record_count").asInstanceOf[Long],
+            part, bounds("lower_bounds"), bounds("upper_bounds")))
+        }
+      }.toVector
+      finally r.close()
+    }
+  }
+
+  // ---- bounds decode + pruning ----------------------------------------
+
+  /** Iceberg single-value binary → comparable value (inverse of
+    * LakeExport.boundBytes). Strings may be TRUNCATED bounds — correct for
+    * pruning (lower truncation only loosens), surfaced as-is. */
+  private[sources] def decodeBound(dt: DataType, bytes: Array[Byte]): Any = {
+    def le = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    dt match {
+      case IntegerType => le.getInt
+      case LongType    => le.getLong
+      case FloatType   => le.getFloat
+      case DoubleType  => le.getDouble
+      case DateType    => le.getInt // epoch days
+      case TimestampType | TimestampNTZType => le.getLong // epoch micros
+      case StringType  => new String(bytes, StandardCharsets.UTF_8)
+      case d: DecimalType =>
+        BigDecimal(new java.math.BigInteger(bytes), d.scale)
+      case other => throw new IllegalArgumentException(
+        s"iceberg read: no bound decoding for $other")
+    }
+  }
+
+  private def cmp(dt: DataType, a: Any, b: Any): Int = (a, b) match {
+    case (x: Int, y: Int)       => java.lang.Integer.compare(x, y)
+    case (x: Long, y: Long)     => java.lang.Long.compare(x, y)
+    case (x: Float, y: Float)   => java.lang.Float.compare(x, y)
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: String, y: String) => x.compareTo(y)
+    case (x: BigDecimal, y: BigDecimal) => x.compare(y)
+    case _ => throw new IllegalArgumentException(s"iceberg read: cannot compare $dt bounds")
+  }
+
+  /** Files whose [lower, upper] range can overlap [lo, hi] (inclusive;
+    * either side open). Files without bounds for the column are kept —
+    * pruning must never drop a possible match. */
+  def pruneByBounds(meta: TableMeta, files: Seq[DataFile], column: String,
+                    lo: Option[Any], hi: Option[Any]): Seq[DataFile] = {
+    val fid = meta.fieldIdOf.getOrElse(column,
+      throw new IllegalArgumentException(s"iceberg read: no column '$column'"))
+    val dt = meta.schema(column).dataType
+    files.filter { f =>
+      val fLo = f.lower.get(fid).map(decodeBound(dt, _))
+      val fHi = f.upper.get(fid).map(decodeBound(dt, _))
+      val aboveLo = (lo, fHi) match {
+        case (Some(l), Some(u)) => cmp(dt, u, l) >= 0
+        case _ => true
+      }
+      val belowHi = (hi, fLo) match {
+        // string lower bounds may be truncated DOWN → still conservative
+        case (Some(h), Some(l)) => cmp(dt, l, h) <= 0
+        case _ => true
+      }
+      aboveLo && belowHi
+    }
+  }
+
+  // ---- scan ------------------------------------------------------------
+
+  /** Avro-decoded identity partition value → Spark literal of the table
+    * column's type (dates ride as epoch-day ints per spec). */
+  private def partitionLit(dt: DataType, v: Any): Column = (dt, v) match {
+    case (_, null)          => lit(null).cast(dt)
+    case (DateType, i: Int) => lit(java.time.LocalDate.ofEpochDay(i.toLong))
+    case (TimestampType, l: Long) =>
+      lit(java.time.Instant.EPOCH.plus(l, java.time.temporal.ChronoUnit.MICROS))
+    case (d: DecimalType, b: java.nio.ByteBuffer) =>
+      val bytes = new Array[Byte](b.remaining()); b.duplicate().get(bytes)
+      lit(BigDecimal(new java.math.BigInteger(bytes), d.scale)).cast(d)
+    case _ => lit(v).cast(dt)
+  }
+
+  /** DataFrame over the chosen snapshot's live files. `files` overrides the
+    * manifest listing (pass `pruneByBounds` output to skip files before the
+    * scan). */
+  def scan(spark: SparkSession, dir: String,
+           snapshotId: Option[Long] = None, asOfMs: Option[Long] = None,
+           files: Option[Seq[DataFile]] = None): DataFrame = {
+    val meta = loadMetadata(dir)
+    val live = files.getOrElse(dataFiles(meta, snapshotId, asOfMs))
+    if (live.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
+
+    // Which table columns are physically in the files? (identity-partition
+    // source columns may live only in the manifest partition record —
+    // hive-migrated / EXPORT LAKE layouts)
+    val firstPath = resolvePath(dir, live.head.path)
+    val physicalCols =
+      spark.read.parquet(firstPath).schema.fieldNames.toSet
+    val missing = meta.schema.fields.toSeq
+      .filter(f => !physicalCols.contains(f.name) &&
+        meta.identityPartitionCols.contains(f.name))
+    val unreadable = meta.schema.fieldNames.toSet -- physicalCols -- missing.map(_.name)
+    require(unreadable.isEmpty,
+      s"iceberg read: columns ${unreadable.mkString(", ")} absent from data files " +
+        "and not identity-partitioned")
+    val physicalSchema = StructType(meta.schema.fields.filter(f => physicalCols(f.name)))
+
+    val grouped = live.groupBy(f => missing.map(m => f.partition.getOrElse(m.name, null)))
+    val parts = grouped.toSeq.map { case (vals, fs) =>
+      val df0 = spark.read.schema(physicalSchema)
+        .parquet(fs.map(f => resolvePath(dir, f.path)): _*)
+      missing.zip(vals).foldLeft(df0) { case (df, (field, v)) =>
+        df.withColumn(field.name, partitionLit(field.dataType, v))
+      }
+    }
+    parts.reduce(_ unionByName _).select(meta.schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** Bounds-pruned scan: keep only files whose manifest [min,max] for
+    * `column` overlaps [lo, hi], then scan those. Returns the pruned
+    * DataFrame and how many of the live files survived (spec evidence). */
+  def scanPruned(spark: SparkSession, dir: String, column: String,
+                 lo: Option[Any], hi: Option[Any],
+                 snapshotId: Option[Long] = None): (DataFrame, Int, Int) = {
+    val meta = loadMetadata(dir)
+    val live = dataFiles(meta, snapshotId)
+    val kept = pruneByBounds(meta, live, column, lo, hi)
+    (scan(spark, dir, snapshotId, None, Some(kept)), kept.size, live.size)
+  }
+}

@@ -65,6 +65,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction((FunctionIdentifier("excel_scan"),
       info("excel_scan", "excel_scan('<path>'[, '<sheet>']) — read .xlsx workbooks"),
       (args: Seq[Expression]) => excelScan(args)))
+    // Interop format readers: Iceberg v1/v2 metadata trees and Delta
+    // `_delta_log` tables written by ANY engine, queryable by path with no
+    // format-runtime jars (reference native readers `exec/store/iceberg/`,
+    // `exec/store/deltalake/`; see sources.IcebergRead / DeltaInterop).
+    // Optional second argument time-travels (Iceberg: snapshot id; Delta:
+    // log version).
+    e.injectTableFunction((FunctionIdentifier("iceberg_scan"),
+      info("iceberg_scan", "iceberg_scan('<dir>'[, snapshot_id]) — read an Iceberg table"),
+      (args: Seq[Expression]) => icebergScan(args)))
+    e.injectTableFunction((FunctionIdentifier("delta_scan"),
+      info("delta_scan", "delta_scan('<dir>'[, version]) — read a Delta Lake table"),
+      (args: Seq[Expression]) => deltaScan(args)))
     // Join recommendations from job history (reference
     // `JobsBasedRecommender.java:74` via `DatasetVersionResource.java:1306`):
     // every equi-join completed jobs ran against the named dataset, merged
@@ -129,6 +141,30 @@ object GraftExtensions {
       case _ => throw new IllegalArgumentException(
         "excel_scan expects excel_scan('<path>'[, '<sheet>'])")
     }
+  }
+
+  /** ('<dir>' [, <integer version>]) argument shapes shared by the two
+    * interop scan TVFs. */
+  private def interopArgs(fn: String, args: Seq[Expression]): (String, Option[Long]) =
+    args match {
+      case Seq(d) => (dirArg(fn, Seq(d)), None)
+      case Seq(d, v) if v.foldable &&
+          Seq[DataType](ByteType, ShortType, IntegerType, LongType).contains(v.dataType) =>
+        (dirArg(fn, Seq(d)), Some(v.eval().toString.toLong))
+      case _ => throw new IllegalArgumentException(
+        s"$fn expects $fn('<dir>'[, <version>])")
+    }
+
+  private def icebergScan(args: Seq[Expression]): LogicalPlan = {
+    val (dir, snap) = interopArgs("iceberg_scan", args)
+    graft.sources.IcebergRead.scan(SparkSession.active, dir, snapshotId = snap)
+      .queryExecution.analyzed
+  }
+
+  private def deltaScan(args: Seq[Expression]): LogicalPlan = {
+    val (dir, v) = interopArgs("delta_scan", args)
+    graft.sources.DeltaInterop.scan(SparkSession.active, dir, version = v)
+      .queryExecution.analyzed
   }
 
   private def columnOrigins(args: Seq[Expression]): LogicalPlan = {

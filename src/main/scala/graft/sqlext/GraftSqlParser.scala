@@ -193,9 +193,10 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
         VacuumLakeCommand(dir,
           Option(retain).map(_.toInt).getOrElse(2),
           Option(grace).map(_.toLong).getOrElse(3600000L))
-      case ExportLakeRe(src, dst, version, partBy) =>
+      case ExportLakeRe(src, dst, version, partBy, format) =>
         ExportLakeCommand(src, dst, Option(version).map(_.toLong),
-          splitCols(partBy))
+          splitCols(partBy),
+          Option(format).map(_.toUpperCase).getOrElse("ICEBERG"))
       case AnalyzeLakeRe(dir) =>
         AnalyzeLakeCommand(dir,
           out("col_name", "n_rows", "n_nulls", "ndv", "min_value", "max_value"))
@@ -356,7 +357,8 @@ object GraftSqlParser {
   private val ExportLakeRe =
     ("""(?is)EXPORT\s+LAKE\s+'([^']+)'\s+TO\s+'([^']+)'""" +
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""" +
-      """(?:\s+PARTITION\s+BY\s*\(([^)]*)\))?\s*;?""").r
+      """(?:\s+PARTITION\s+BY\s*\(([^)]*)\))?""" +
+      """(?:\s+FORMAT\s+(ICEBERG|DELTA))?\s*;?""").r
   private val OptimizeLakeRe =
     ("""(?is)OPTIMIZE\s+LAKE\s+'([^']+)'""" +
       """(?:\s+ZORDER\s+BY\s+\(([^)]*)\))?""" +
@@ -921,11 +923,16 @@ object GraftSqlParser {
     * Iceberg v2 metadata tree (LakeExport scaladoc; reference
     * `exec/store/iceberg/`). */
   case class ExportLakeCommand(src: String, dst: String, version: Option[Long],
-      partitionBy: Seq[String]) extends LeafRunnableCommand {
+      partitionBy: Seq[String], format: String = "ICEBERG")
+      extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("version", "n_files", "n_rows")
-    override def run(spark: SparkSession): Seq[Row] = {
-      val r = graft.sources.LakeExport.exportTo(spark, src, dst, version, partitionBy)
-      Seq(Row(r.version.toString, r.nFiles.toString, r.nRows.toString))
+    override def run(spark: SparkSession): Seq[Row] = format match {
+      case "DELTA" =>
+        val r = graft.sources.DeltaInterop.exportTo(spark, src, dst, version, partitionBy)
+        Seq(Row(r.version.toString, r.nFiles.toString, r.nRows.toString))
+      case _ =>
+        val r = graft.sources.LakeExport.exportTo(spark, src, dst, version, partitionBy)
+        Seq(Row(r.version.toString, r.nFiles.toString, r.nRows.toString))
     }
   }
 

@@ -1,0 +1,172 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Delta Lake interop (DeltaInterop): log replay (JSON commits +
+  * checkpoint parquet), partition-value restoration, version time travel,
+  * deletion-vector refusal — plus the EXPORT LAKE FORMAT DELTA writer the
+  * reader round-trips against. Multi-commit logs are hand-written per the
+  * public protocol spec, exactly what another engine would produce. */
+class DeltaInteropSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def exportedDelta(partitionBy: Seq[String] = Nil): (String, SnapshotTable) = {
+    val src = fresh("dl_src")
+    val df = (1 to 120).map(i => (i.toLong, s"name_$i", i % 3, i * 2.5))
+      .toDF("id", "name", "grp", "score")
+    val t = SnapshotTable.create(spark, src, df)
+    t.deleteWhere(col("id") > 100)
+    val dst = fresh("dl_dst") + "/tbl"
+    DeltaInterop.exportTo(spark, src, dst, partitionBy = partitionBy)
+    (dst, t)
+  }
+
+  test("export → replay round trip (unpartitioned)") {
+    val (dst, t) = exportedDelta()
+    val back = DeltaInterop.scan(spark, dst)
+      .select("id", "name", "grp", "score").orderBy("id").collect().toSeq
+    val want = t.read().select("id", "name", "grp", "score").orderBy("id").collect().toSeq
+    assert(back == want)
+    val st = DeltaInterop.readState(spark, dst)
+    assert(st.files.map(_.numRecords.getOrElse(0L)).sum == 100L) // stats ride the log
+  }
+
+  test("partition columns restored from the log, typed (files omit them)") {
+    val (dst, t) = exportedDelta(partitionBy = Seq("grp"))
+    val st = DeltaInterop.readState(spark, dst)
+    assert(st.partitionCols == Seq("grp"))
+    // physical files omit grp
+    val f0 = s"$dst/${st.files.head.path}"
+    assert(!spark.read.parquet(f0).schema.fieldNames.contains("grp"))
+    val back = DeltaInterop.scan(spark, dst)
+    assert(back.schema("grp").dataType == IntegerType)
+    assert(back.select("id", "grp").orderBy("id").collect().toSeq ==
+      t.read().select("id", "grp").orderBy("id").collect().toSeq)
+  }
+
+  /** Append commit 1 to an exported table: remove one file, add a fresh
+    * parquet file — the multi-writer history shape. */
+  private def appendCommit1(dst: String): (String, String) = {
+    val st = DeltaInterop.readState(spark, dst)
+    val removed = st.files.head.path
+    // new data file with ids 1000..1009
+    val extra = (1000 to 1009).map(i => (i.toLong, s"x_$i", 9, 0.0))
+      .toDF("id", "name", "grp", "score").coalesce(1)
+    val tmp = fresh("dl_extra") + "/out"
+    extra.write.parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).iterator()
+    val src = Iterator.continually(part).takeWhile(_.hasNext).map(_.next())
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val newName = "part-extra-0001.parquet"
+    Files.copy(src, Paths.get(dst, newName))
+    val lines = Seq(
+      s"""{"remove":{"path":"$removed","deletionTimestamp":1,"dataChange":true}}""",
+      s"""{"add":{"path":"$newName","partitionValues":{},"size":${Files.size(Paths.get(dst, newName))},"modificationTime":1,"dataChange":true,"stats":"{\\"numRecords\\":10}"}}""")
+    Files.write(Paths.get(dst, "_delta_log", f"${1L}%020d.json"),
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    (removed, newName)
+  }
+
+  test("multi-commit replay: remove + add in commit 1, version time travel") {
+    val (dst, t) = exportedDelta()
+    val n0 = DeltaInterop.scan(spark, dst).count()
+    val (removed, added) = appendCommit1(dst)
+    val st1 = DeltaInterop.readState(spark, dst)
+    assert(st1.version == 1L)
+    assert(!st1.files.exists(_.path == removed))
+    assert(st1.files.exists(_.path == added))
+    val ids1 = DeltaInterop.scan(spark, dst).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert((1000L to 1009L).forall(ids1.contains))
+    // VERSION AS OF 0 reproduces the original snapshot
+    assert(DeltaInterop.scan(spark, dst, version = Some(0L)).count() == n0)
+    assert(DeltaInterop.scan(spark, dst).count() ==
+      n0 - DeltaInterop.readState(spark, dst, Some(0L))
+        .files.find(_.path == removed).get.numRecords.get + 10)
+  }
+
+  test("checkpoint replay: state from checkpoint parquet + later commits only") {
+    val (dst, _) = exportedDelta()
+    appendCommit1(dst)
+    DeltaInterop.writeCheckpoint(spark, dst, 1L)
+    val before = DeltaInterop.scan(spark, dst).select("id")
+      .collect().map(_.getLong(0)).toSet
+    // delete the JSON commits the checkpoint covers — replay must not need them
+    Files.delete(Paths.get(dst, "_delta_log", f"${0L}%020d.json"))
+    Files.delete(Paths.get(dst, "_delta_log", f"${1L}%020d.json"))
+    // commit 2: add nothing, remove the extra file
+    Files.write(Paths.get(dst, "_delta_log", f"${2L}%020d.json"),
+      s"""{"remove":{"path":"part-extra-0001.parquet","deletionTimestamp":2,"dataChange":true}}"""
+        .getBytes(StandardCharsets.UTF_8))
+    val after = DeltaInterop.scan(spark, dst).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(after == before -- (1000L to 1009L))
+    // time travel TO the checkpoint version still works with its json gone
+    assert(DeltaInterop.scan(spark, dst, version = Some(1L)).select("id")
+      .collect().map(_.getLong(0)).toSet == before)
+  }
+
+  test("deletion vectors and unknown reader features are refused loudly") {
+    val (dst, _) = exportedDelta()
+    Files.write(Paths.get(dst, "_delta_log", f"${1L}%020d.json"),
+      s"""{"add":{"path":"x.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"d","offset":1,"sizeInBytes":1,"cardinality":1}}}"""
+        .getBytes(StandardCharsets.UTF_8))
+    val e = intercept[IllegalArgumentException](DeltaInterop.readState(spark, dst))
+    assert(e.getMessage.contains("deletion vectors"))
+
+    Files.write(Paths.get(dst, "_delta_log", f"${1L}%020d.json"),
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}"""
+        .getBytes(StandardCharsets.UTF_8))
+    val e2 = intercept[IllegalArgumentException](DeltaInterop.readState(spark, dst))
+    assert(e2.getMessage.contains("unsupported reader features"))
+  }
+
+  test("null partition value becomes a typed null column") {
+    val dst = fresh("dl_null") + "/tbl"
+    val data = Seq((1L, "a"), (2L, "b")).toDF("id", "name").coalesce(1)
+    Files.createDirectories(Paths.get(dst))
+    data.write.parquet(s"$dst/files")
+    val part = Files.list(Paths.get(dst, "files")).iterator()
+    val pf = Iterator.continually(part).takeWhile(_.hasNext).map(_.next())
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.copy(pf, Paths.get(dst, "d1.parquet"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("day", DateType)))
+    Files.createDirectories(Paths.get(dst, "_delta_log"))
+    val lines = Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${com.fasterxml.jackson.databind.json.JsonMapper.builder.build.writeValueAsString(schema.json)},"partitionColumns":["day"],"configuration":{},"createdTime":1}}""",
+      s"""{"add":{"path":"d1.parquet","partitionValues":{"day":null},"size":${Files.size(Paths.get(dst, "d1.parquet"))},"modificationTime":1,"dataChange":true}}""")
+    Files.write(Paths.get(dst, "_delta_log", f"${0L}%020d.json"),
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val back = DeltaInterop.scan(spark, dst)
+    assert(back.schema("day").dataType == DateType)
+    val rows = back.orderBy("id").collect()
+    assert(rows.length == 2 && rows.forall(_.isNullAt(2)))
+  }
+
+  test("EXPORT LAKE ... FORMAT DELTA + delta_scan TVF from SQL") {
+    val src = fresh("dl_sql_src")
+    val df = (1 to 50).map(i => (i.toLong, i % 5)).toDF("id", "grp")
+    SnapshotTable.create(spark, src, df)
+    val dst = fresh("dl_sql_dst") + "/tbl"
+    spark.sql(s"EXPORT LAKE '$src' TO '$dst' PARTITION BY (grp) FORMAT DELTA")
+    val n = spark.sql(s"SELECT COUNT(*) AS n FROM delta_scan('$dst')")
+      .collect().head.getLong(0)
+    assert(n == 50)
+    val v0 = spark.sql(s"SELECT COUNT(*) AS n FROM delta_scan('$dst', 0)")
+      .collect().head.getLong(0)
+    assert(v0 == 50)
+  }
+}
