@@ -78,5 +78,6 @@ object Functions {
     one("word_ngrams", 1)(es => WordNgrams(es(0), 3, distinct = true))
     SqlUdfs.register(spark)
     Aggregators.register(spark)
+    DremioSurface.register(spark)
   }
 }

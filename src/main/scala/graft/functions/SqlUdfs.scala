@@ -43,6 +43,40 @@ object SqlUdfs {
     "CREATE OR REPLACE TEMPORARY FUNCTION geo_nearby(" +
       "lat1 DOUBLE, lon1 DOUBLE, lat2 DOUBLE, lon2 DOUBLE, dist DOUBLE) " +
       "RETURNS BOOLEAN RETURN geo_distance(lat1, lon1, lat2, lon2) <= dist",
+    "CREATE OR REPLACE TEMPORARY FUNCTION geo_beyond(" +
+      "lat1 DOUBLE, lon1 DOUBLE, lat2 DOUBLE, lon2 DOUBLE, dist DOUBLE) " +
+      "RETURNS BOOLEAN RETURN geo_distance(lat1, lon1, lat2, lon2) > dist",
+    // remaining masking family (reference MaskingFunctions.java HIVE_MASK*
+    // ids: mask/show first/last n; n > length degrades to whole string)
+    "CREATE OR REPLACE TEMPORARY FUNCTION mask_first_n(s STRING, n INT) " +
+      "RETURNS STRING RETURN concat(mask(substring(s, 1, n)), " +
+      "substring(s, n + 1))",
+    "CREATE OR REPLACE TEMPORARY FUNCTION mask_last_n(s STRING, n INT) " +
+      "RETURNS STRING RETURN concat(substring(s, 1, greatest(length(s) - n, 0)), " +
+      "mask(substring(s, greatest(length(s) - n, 0) + 1)))",
+    "CREATE OR REPLACE TEMPORARY FUNCTION mask_show_first_n(s STRING, n INT) " +
+      "RETURNS STRING RETURN concat(substring(s, 1, n), " +
+      "mask(substring(s, n + 1)))",
+    // UTC/context time surface (DremioSqlOperatorTable CURRENT_*_UTC,
+    // STATEMENT_TIMESTAMP/TRANSACTION_TIMESTAMP/TIMEOFDAY; single-JVM
+    // sessions have no txn scope beyond the statement, same as reference
+    // coordinators treat autocommitted queries)
+    "CREATE OR REPLACE TEMPORARY FUNCTION current_timestamp_utc() " +
+      "RETURNS TIMESTAMP RETURN to_utc_timestamp(current_timestamp(), current_timezone())",
+    "CREATE OR REPLACE TEMPORARY FUNCTION current_date_utc() " +
+      "RETURNS DATE RETURN to_date(to_utc_timestamp(current_timestamp(), current_timezone()))",
+    "CREATE OR REPLACE TEMPORARY FUNCTION current_time_utc() " +
+      "RETURNS STRING RETURN date_format(to_utc_timestamp(current_timestamp(), current_timezone()), 'HH:mm:ss')",
+    "CREATE OR REPLACE TEMPORARY FUNCTION statement_timestamp() " +
+      "RETURNS TIMESTAMP RETURN current_timestamp()",
+    "CREATE OR REPLACE TEMPORARY FUNCTION transaction_timestamp() " +
+      "RETURNS TIMESTAMP RETURN current_timestamp()",
+    "CREATE OR REPLACE TEMPORARY FUNCTION timeofday() " +
+      "RETURNS STRING RETURN date_format(current_timestamp(), 'EEE MMM dd HH:mm:ss.SSS zzz yyyy')",
+    "CREATE OR REPLACE TEMPORARY FUNCTION system_user() " +
+      "RETURNS STRING RETURN current_user()",
+    "CREATE OR REPLACE TEMPORARY FUNCTION empty_array() " +
+      "RETURNS ARRAY<STRING> RETURN array()",
     // ARRAY_FREQUENCY (reference exec/expr/fn/impl/array/ArrayFrequency):
     // value → occurrence-count map, composed from higher-order builtins
     // NULL elements are dropped (a null map key is illegal, and `y = x`

@@ -209,6 +209,37 @@ object Scalar {
       array_to_string(list_sort(string_split(p_name, ' '))[1:2], '+') AS sorted2
     FROM part WHERE p_partkey <= 200 ORDER BY p_partkey"""
 
+  /** Reference custom-operator surface (DremioSqlOperatorTable.java:67
+    * names registered by functions.DremioSurface) exercised over fixture
+    * rows — regexp_split/array_slice/array_to_string/array_length/truncate
+    * run through SQL TEXT so the whole registry path is oracle-gated, not
+    * just the Column API. DuckDB equivalents: str_split_regex (≡ ALL-mode
+    * split with no cap), 1-based inclusive list slicing, floor arithmetic
+    * for decimal-place truncation. */
+  val fnDremioOps: QueryFn = (s, dir) => {
+    Tables.ensure(s, dir)
+    s.sql("""
+      SELECT p_partkey,
+        array_length(regexp_split(p_name, ' ', 'ALL', 100)) AS n_tokens,
+        array_to_string(array_slice(regexp_split(p_name, ' ', 'ALL', 100), 0, 2), '-') AS first2,
+        regexp_split(p_name, ' ', 'FIRST', 0)[0] AS head_word,
+        CAST(truncate(p_retailprice, 1) AS DOUBLE) AS trunc_price,
+        CAST(truncate(p_retailprice) AS DOUBLE) AS trunc_whole,
+        CAST(bitwise_and(p_partkey, 255) AS INT) AS low_byte,
+        hashsha256(p_brand) AS brand_sha
+      FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""")
+  }
+  val fnDremioOpsSql: String = """
+    SELECT p_partkey,
+      CAST(len(str_split_regex(p_name, ' ')) AS INT) AS n_tokens,
+      array_to_string(str_split_regex(p_name, ' ')[1:2], '-') AS first2,
+      str_split_regex(p_name, ' ')[1] AS head_word,
+      floor(p_retailprice * 10) / 10 AS trunc_price,
+      floor(p_retailprice) AS trunc_whole,
+      CAST(p_partkey % 256 AS INT) AS low_byte,
+      sha256(p_brand) AS brand_sha
+    FROM part WHERE p_partkey <= 200 ORDER BY p_partkey"""
+
   /** JSON extraction (ConvertFromJsonOperator surface; events.props holds
     * string-embedded JSON per FIXTURES.md). Typed via from_json with an
     * explicit schema + path via get_json_object. */
@@ -283,10 +314,12 @@ object Scalar {
     "fn_conditional" -> fnConditional,
     "fn_hash" -> fnHash,
     "fn_array" -> fnArray,
+    "fn_dremio_ops" -> fnDremioOps,
     "fn_json" -> fnJson,
     "fn_variant" -> fnVariant)
 
   val oracle: Map[String, String] = Map(
+    "fn_dremio_ops" -> fnDremioOpsSql,
     "fn_string" -> fnStringSql,
     "fn_editdist" -> fnEditdistSql,
     "fn_regexp" -> fnRegexpSql,

@@ -11,6 +11,14 @@ object Bridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Eagerly convert a DSL-composed Column into a plain catalyst tree
+    * (UnresolvedFunction nodes the analyzer then resolves). `expression`
+    * above returns a lazy ColumnNode wrapper, which is fine as a child
+    * HANDED to a custom expression but never resolves when RETURNED from a
+    * FunctionRegistry builder — this converter is the registry-safe path. */
+  def toCatalyst(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter.apply(c.node)
+
   /** DataFrame from a logical plan (`Dataset.ofRows` is `private[sql]`). */
   def ofRows(spark: org.apache.spark.sql.SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
