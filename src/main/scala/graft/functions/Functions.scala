@@ -31,6 +31,7 @@ object Functions {
   def minhash(text: Column, numHashes: Int = 64, shingleSize: Int = 3): Column =
     col(MinHashSignature(ex(text), numHashes, shingleSize))
   def simhash64(text: Column): Column = col(SimHash64(ex(text)))
+  def srp_sign64(vec: Column, seed: Long = 0L): Column = col(SrpSign64(ex(vec), seed))
   def ngram_hashes(text: Column, n: Int = 3): Column = col(NgramHashes(ex(text), n))
   def word_ngrams(text: Column, n: Int = 3, distinct: Boolean = true): Column =
     col(WordNgrams(ex(text), n, distinct))
@@ -73,6 +74,7 @@ object Functions {
     one("pq_adc_dot", 2)(es => PqAdcDot(es(0), es(1)))
     one("l2_norm", 1)(es => L2Norm(es(0)))
     one("simhash64", 1)(es => SimHash64(es(0)))
+    one("srp_sign64", 1)(es => SrpSign64(es(0)))
     one("minhash", 1)(es => MinHashSignature(es(0), 64, 3))
     one("ngram_hashes", 1)(es => NgramHashes(es(0), 3))
     one("word_ngrams", 1)(es => WordNgrams(es(0), 3, distinct = true))

@@ -329,3 +329,62 @@ case class PqAdcDot(left: Expression, right: Expression) extends BinaryExpressio
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
+
+/** Signed-random-projection kernel: deterministic pseudo-random hyperplane
+  * components from XXH64 of (bit, dimension) — no stored projection
+  * matrix, so the "matrix" never ships with the plan and two engines (or
+  * two years of runs) agree bit-for-bit. Uniform in [-1, 1): symmetric,
+  * which is all SRP's collision bound needs (Charikar 2002,
+  * sim(θ) = 1 - θ/π). */
+object SrpKernel {
+  /** Component of hyperplane `bit` at dimension `d`, in [-1, 1). */
+  @inline def component(seed: Long, bit: Int, d: Int): Double = {
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashLong((bit.toLong << 32) | (d.toLong & 0xFFFFFFFFL), seed)
+    ((h >>> 11) * (1.0 / (1L << 53))) * 2.0 - 1.0
+  }
+
+  /** 64-bit SRP signature of a float vector: bit b = sign(v · plane_b). */
+  def sign64(v: ArrayData, seed: Long): Long = {
+    val n = v.numElements()
+    val acc = new Array[Double](64)
+    var d = 0
+    while (d < n) {
+      val x = v.getFloat(d)
+      if (x != 0.0f) {
+        var b = 0
+        while (b < 64) { acc(b) += x * component(seed, b, d); b += 1 }
+      }
+      d += 1
+    }
+    var bits = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0.0) bits |= (1L << b); b += 1 }
+    bits
+  }
+}
+
+/** srp_sign64(vec) -> 64-bit signed-random-projection signature. Cosine
+  * analog of SimHash for text: Hamming distance between signatures
+  * estimates the angle (E[h] = 64·θ/π), so banded equality on signature
+  * chunks is the LSH candidate stage for embedding near-dup at 100 TB —
+  * no all-pairs, no stored matrix. Codegen calls the static kernel; the
+  * loop is 64 fused multiply-adds per non-zero dimension. */
+case class SrpSign64(child: Expression, seed: Long = 0L) extends UnaryExpression {
+  override def prettyName: String = "srp_sign64"
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>; got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    SrpKernel.sign64(v.asInstanceOf[ArrayData], seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.SrpKernel.sign64($v, ${seed}L);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -216,6 +216,40 @@ object Dedup {
       .select(col("vec_id"), col("bucket"), col("component"), col("group_size"))
   }
 
+  /** Embedding near-duplicate pairs by signed-random-projection LSH
+    * (Charikar 2002 cosine sketches — the embedding analog of the SimHash
+    * text path): 64-bit SRP signature per vector (native codegen'd
+    * `srp_sign64`, hyperplanes derived from hashes so no matrix ships),
+    * banded 4×16-bit chunk equi-join for candidates (pigeonhole
+    * guarantees every pair within Hamming 3; E[h] = 64·θ/π puts
+    * cos ≥ 0.995 pairs at h ≈ 2), then EXACT cosine verification ≥
+    * `threshold`, so emitted pairs are never false positives.
+    *
+    * vs [[semDedup]]: no clustering passes — one map for signatures, one
+    * banded self-join on an 8-byte key, exact verify on candidates only.
+    * The scale shape for "find exact/near-exact embedding copies in 100 TB"
+    * when cluster structure isn't wanted. */
+  def embeddingLshPairs(embeddings: DataFrame, threshold: Double = 0.99,
+                        maxHamming: Int = 6): DataFrame = {
+    val sig = embeddings.select(col("vec_id"), col("embedding"),
+      Functions.srp_sign64(col("embedding")).as("sig"))
+    val chunked = sig.select(col("vec_id"), col("embedding"), col("sig"),
+      explode(expr("transform(sequence(0, 3), c -> struct(c as chunk, " +
+        "cast(shiftright(sig, c * 16) & 65535 as int) as ck))")).as("cc"))
+      .select(col("vec_id"), col("embedding"), col("sig"), col("cc.chunk"), col("cc.ck"))
+    val a = chunked.select(col("chunk"), col("ck"), col("vec_id").as("a_id"),
+      col("embedding").as("a_vec"), col("sig").as("a_sig"))
+    val b = chunked.select(col("chunk"), col("ck"), col("vec_id").as("b_id"),
+      col("embedding").as("b_vec"), col("sig").as("b_sig"))
+    a.join(b, Seq("chunk", "ck")).filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("hamming", Functions.hamming64(col("a_sig"), col("b_sig")))
+      .filter(col("hamming") <= maxHamming)
+      .withColumn("cos", Functions.cosine_sim(col("a_vec"), col("b_vec")))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), col("hamming"), col("cos"))
+  }
+
   /** Exact-substring duplication (Lee et al. 2022, arXiv:2107.06499
     * "Deduplicating Training Data Makes Language Models Better"): mark
     * n-token spans that occur VERBATIM in more than one document. The

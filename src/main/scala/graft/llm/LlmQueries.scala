@@ -31,6 +31,46 @@ object LlmQueries {
     Dedup.embeddingDups(Tables.ensure(s, dir).embeddings, threshold = 0.4)
       .orderBy(col("a_id"), col("b_id"))
 
+  /** SRP-LSH embedding near-dup (Dedup.embeddingLshPairs). The fixture's
+    * near-random embeddings have no cos ≥ 0.99 pairs, so the query plants
+    * exact copies of the first 20 vectors under shifted ids — every
+    * planted pair has Hamming 0 and cosine 1, so the LSH path must emit
+    * exactly those pairs (verified-exact output → deterministic). */
+  val dedupEmbeddingLsh: QueryFn = (s, dir) => {
+    val e = Tables.ensure(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+    val planted = e.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    Dedup.embeddingLshPairs(e.unionByName(planted), threshold = 0.99)
+      .select(col("a_id"), col("b_id"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+  val dedupEmbeddingLshSql: String = """
+    SELECT vec_id AS a_id, vec_id + 1000000 AS b_id
+    FROM embeddings WHERE vec_id < 20 ORDER BY a_id, b_id"""
+
+  /** Perceptual-hash image near-dup (Multimodal.imageNearDups) over
+    * deterministic stub payloads built from document text — the planted
+    * copies (same payload re-keyed) are the only Hamming-0 pairs, so the
+    * banded join + verify must return exactly them. Real-pixel aHash/dHash
+    * semantics are pinned in MultimodalSpec with synthesized PNGs. */
+  val imagePhashDups: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents.filter(col("doc_id") < 300)
+    val media = Multimodal.asMedia(docs, "doc_id", "text")
+    val planted = Multimodal.asMedia(
+      docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .filter(col("doc_id") < 1000020L), "doc_id", "text")
+    Multimodal.imageNearDups(media.unionByName(planted), maxHamming = 0)
+      .select(col("a_id"), col("b_id"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+  val imagePhashDupsSql: String = """
+    WITH d AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id < 300),
+    p AS (SELECT doc_id + 1000000 AS doc_id, h FROM d WHERE doc_id + 1000000 < 1000020),
+    u AS (SELECT * FROM d UNION ALL SELECT * FROM p)
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM u a JOIN u b ON a.h = b.h AND a.doc_id < b.doc_id
+    ORDER BY a_id, b_id"""
+
   val annBrute: QueryFn = (s, dir) => {
     val e = Tables.ensure(s, dir).embeddings
     Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), k = 10)
@@ -142,6 +182,47 @@ object LlmQueries {
       CAST(len(list_filter(t, w -> list_contains(['the','a','an','of','and','or','to','in','is','it','for','on','with','as','at','by','from','that','this'], w))) AS DOUBLE) / len(t) AS stopword_ratio,
       CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS distinct_token_ratio
     FROM toks ORDER BY doc_id"""
+
+  /** Gopher rule gate (TextAnalysis.gopherRules — arXiv:2112.11446 App. A)
+    * with fixture-sized thresholds so both verdicts appear; DuckDB
+    * recomputes every signal from the same rules. */
+  val qualityGopher: QueryFn = (s, dir) =>
+    TextAnalysis.gopherRules(
+        Tables.ensure(s, dir).documents.filter(col("doc_id") < 500),
+        minWords = 10, minMeanWordLen = 3.0, maxMeanWordLen = 10.0,
+        minAlphaFrac = 0.8, minStopwords = 1)
+      .orderBy(col("doc_id"))
+  val qualityGopherSql: String = """
+    WITH t AS (
+      SELECT doc_id, text,
+        list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS toks,
+        string_split(text, chr(10)) AS lines
+      FROM documents WHERE doc_id < 500)
+    SELECT doc_id,
+      CAST(len(toks) AS INT) AS n_words,
+      CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / len(toks) AS mean_word_len,
+      (length(regexp_replace(text, '[^#]', '', 'g')) +
+        (length(text) - length(regexp_replace(text, '\.\.\.', '', 'g'))) / 3) / len(toks) AS symbol_ratio,
+      CAST(len(list_filter(lines, l -> starts_with(ltrim(l), '-') OR
+        starts_with(ltrim(l), '*') OR starts_with(ltrim(l), '•'))) AS DOUBLE) / len(lines) AS bullet_frac,
+      CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...') OR
+        ends_with(rtrim(l), '…'))) AS DOUBLE) / len(lines) AS ellipsis_frac,
+      CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / len(toks) AS alpha_frac,
+      CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        sw -> list_contains(toks, sw))) AS INT) AS n_stop_hits,
+      (len(toks) >= 10 AND len(toks) <= 100000 AND
+        CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / len(toks) >= 3.0 AND
+        CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / len(toks) <= 10.0 AND
+        (length(regexp_replace(text, '[^#]', '', 'g')) +
+          (length(text) - length(regexp_replace(text, '\.\.\.', '', 'g'))) / 3) / len(toks) <= 0.1 AND
+        CAST(len(list_filter(lines, l -> starts_with(ltrim(l), '-') OR
+          starts_with(ltrim(l), '*') OR starts_with(ltrim(l), '•'))) AS DOUBLE) / len(lines) <= 0.9 AND
+        CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...') OR
+          ends_with(rtrim(l), '…'))) AS DOUBLE) / len(lines) <= 0.3 AND
+        CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / len(toks) >= 0.8 AND
+        len(list_filter(['the','be','to','of','and','that','have','with'],
+          sw -> list_contains(toks, sw))) >= 1) AS pass
+    FROM t ORDER BY doc_id"""
 
   /** URL-filter stage over deterministically synthesized URLs (the fixture
     * has no url column; host/domain/depth/blocklist semantics are what's
@@ -912,6 +993,8 @@ object LlmQueries {
     "dedup_minhash_lsh" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding_cos" -> dedupEmbedding,
+    "dedup_embedding_lsh" -> dedupEmbeddingLsh,
+    "image_phash_dups" -> imagePhashDups,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_components" -> dedupComponents,
     "ann_brute_force" -> annBrute,
@@ -921,6 +1004,7 @@ object LlmQueries {
     "ann_ivf_ids" -> annIvfIds,
     "ann_pq" -> annPq,
     "text_quality" -> textQuality,
+    "quality_gopher" -> qualityGopher,
     "text_tokens" -> textTokens,
     "text_fingerprint" -> textFingerprint,
     "text_langid" -> textLangid,
@@ -956,6 +1040,7 @@ object LlmQueries {
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_components" -> dedupComponentsSql,
     "text_quality" -> textQualitySql,
+    "quality_gopher" -> qualityGopherSql,
     "text_tokens" -> textTokensSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_langid" -> textLangidSql,
@@ -965,6 +1050,8 @@ object LlmQueries {
     "ann_topk_ids" -> annTopkIdsSql,
     "ann_ivf_ids" -> annIvfIdsSql,
     "dedup_embedding_ids" -> dedupEmbeddingIdsSql,
+    "dedup_embedding_lsh" -> dedupEmbeddingLshSql,
+    "image_phash_dups" -> imagePhashDupsSql,
     "decontaminate" -> decontaminateSql,
     "pack_sequences" -> packSequencesSql,
     "text_pii_redact" -> textPiiRedactSql,

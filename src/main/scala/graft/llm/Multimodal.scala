@@ -257,6 +257,111 @@ object Multimodal {
       }(enc)
   }
 
+  /** Mean luminance (0..1) over an ARBITRARY gw×gh grid, row-major — the
+    * perceptual-hash kernel (aHash wants 8×8, dHash 9×8). Same one-pass
+    * real-pixel walk as luminanceGrid. */
+  private def lumCells(img: java.awt.image.BufferedImage, gw: Int, gh: Int): Array[Double] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val sums = new Array[Double](gw * gh)
+    val counts = new Array[Long](gw * gh)
+    var y = 0
+    while (y < h) {
+      val gy = math.min(gh - 1, y * gh / h)
+      var x = 0
+      while (x < w) {
+        val gx = math.min(gw - 1, x * gw / w)
+        val rgb = img.getRGB(x, y)
+        val lum = (0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+          0.114 * (rgb & 0xFF)) / 255.0
+        val c = gy * gw + gx
+        sums(c) += lum; counts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(gw * gh)(i => if (counts(i) == 0) 0.0 else sums(i) / counts(i))
+  }
+
+  /** aHash: 8×8 grid, bit set where the cell beats the grid mean. */
+  private[llm] def aHash64(img: java.awt.image.BufferedImage): Long = {
+    val cells = lumCells(img, 8, 8)
+    val mean = cells.sum / cells.length
+    var bits = 0L
+    var i = 0
+    while (i < 64) { if (cells(i) > mean) bits |= (1L << i); i += 1 }
+    bits
+  }
+
+  /** dHash: 9×8 grid, bit r*8+c set where cell(r,c+1) > cell(r,c) —
+    * horizontal gradient sign, the more rotation/brightness-robust of the
+    * two classic hashes. */
+  private[llm] def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val cells = lumCells(img, 9, 8)
+    var bits = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (cells(r * 9 + c + 1) > cells(r * 9 + c)) bits |= (1L << (r * 8 + c))
+        c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
+  val phashSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("format", StringType),
+    StructField("phash", LongType),
+    StructField("decoded", BooleanType)))
+
+  /** 64-bit perceptual hash per media row over REAL decoded pixels
+    * (`ahash` | `dhash`); non-image payloads hash deterministically from
+    * bytes (decoded=false) so the column is total. The near-dup key for
+    * images the way MinHash is for text: map-only, one decode per row,
+    * one decoder init per partition. */
+  def perceptualHash(media: DataFrame, kind: String = "dhash"): DataFrame = {
+    require(kind == "ahash" || kind == "dhash", s"perceptualHash: unknown kind '$kind'")
+    val enc = org.apache.spark.sql.Encoders.row(phashSchema)
+    media.select(col("id"), col("media"), col("media_meta.format").as("format"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = Option(r.getAs[Array[Byte]]("media")).getOrElse(Array.emptyByteArray)
+          val decoded = sniffImageFormat(bytes).flatMap { _ =>
+            try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+            catch { case scala.util.control.NonFatal(_) => None }
+          }
+          val hash = decoded match {
+            case Some(img) => if (kind == "ahash") aHash64(img) else dHash64(img)
+            case None      => payloadHash(bytes) // deterministic fallback
+          }
+          Row(r.getLong(0), r.getString(2), hash, decoded.isDefined)
+        }
+      }(enc)
+  }
+
+  /** Image near-duplicate pairs by perceptual hash: band the 64-bit hash
+    * into 4×16-bit chunks and equi-join per chunk (pigeonhole: hamming ≤ 3
+    * guarantees a shared chunk; larger budgets trade recall, same contract
+    * as the SimHash text path), then verify true hamming ≤ `maxHamming`.
+    * Banded join on an 8-byte key — no all-pairs stage at any scale. */
+  def imageNearDups(media: DataFrame, maxHamming: Int = 3,
+                    kind: String = "dhash"): DataFrame = {
+    val sig = perceptualHash(media, kind).select(col("id"), col("phash"))
+    val chunked = sig.select(col("id"), col("phash"),
+      explode(expr("transform(sequence(0, 3), c -> struct(c as chunk, " +
+        "cast(shiftright(phash, c * 16) & 65535 as int) as ck))")).as("cc"))
+      .select(col("id"), col("phash"), col("cc.chunk"), col("cc.ck"))
+    val a = chunked.select(col("chunk"), col("ck"), col("id").as("a_id"), col("phash").as("a_hash"))
+    val b = chunked.select(col("chunk"), col("ck"), col("id").as("b_id"), col("phash").as("b_hash"))
+    a.join(b, Seq("chunk", "ck")).filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("hamming", graft.functions.Functions.hamming64(col("a_hash"), col("b_hash")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
   /** Decode + feature-extract, one decoder per partition. */
   def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
     val spark = media.sparkSession

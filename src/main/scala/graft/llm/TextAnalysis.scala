@@ -112,6 +112,58 @@ object TextAnalysis {
       length(red).as("red_len"))
   }
 
+  /** The Gopher document-quality rule set (Rae et al. 2021,
+    * arXiv:2112.11446 Appendix A — the standard pre-training gate, also
+    * the core of RefinedWeb/Dolma curation): word-count bounds, mean word
+    * length bounds, symbol-to-word ratio (# and ellipsis), bullet-line /
+    * ellipsis-line fractions, alphabetic-word fraction, and a minimum
+    * count of distinct common English stopwords. One map-only pass of
+    * pure column expressions — no shuffle, no UDF; at 100 TB this is a
+    * scan-rate filter like every other row predicate. Returns every
+    * signal plus the composite `pass` verdict so thresholds can be
+    * re-tuned without recomputing. */
+  def gopherRules(docs: DataFrame,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1,
+                  maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
+                  minAlphaFrac: Double = 0.8, minStopwords: Int = 2): DataFrame = {
+    val gopherStopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val meanWordLen =
+      aggregate(transform(toks, w => length(w)), lit(0), (a, x) => a + x)
+        .cast("double") / n
+    val nHash = length(regexp_replace(col("text"), "[^#]", ""))
+    val nEllipsis =
+      (length(col("text")) - length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3
+    val symbolRatio = (nHash + nEllipsis).cast("double") / n
+    val lines = split(col("text"), "\n")
+    val nLines = size(lines)
+    val bulletFrac = size(filter(lines, l =>
+      ltrim(l).startsWith("-") || ltrim(l).startsWith("*") ||
+        ltrim(l).startsWith("•"))).cast("double") / nLines
+    val ellipsisFrac = size(filter(lines, l =>
+      rtrim(l).endsWith("...") || rtrim(l).endsWith("…")))
+      .cast("double") / nLines
+    val alphaFrac = size(filter(toks, w => w.rlike("[a-z]"))).cast("double") / n
+    val nStop = size(filter(typedLit(gopherStopwords), sw => array_contains(toks, sw)))
+    docs.select(
+      col("doc_id"),
+      n.as("n_words"),
+      meanWordLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"),
+      bulletFrac.as("bullet_frac"),
+      ellipsisFrac.as("ellipsis_frac"),
+      alphaFrac.as("alpha_frac"),
+      nStop.as("n_stop_hits"),
+      (n >= minWords && n <= maxWords &&
+        meanWordLen >= minMeanWordLen && meanWordLen <= maxMeanWordLen &&
+        symbolRatio <= maxSymbolRatio &&
+        bulletFrac <= maxBulletFrac && ellipsisFrac <= maxEllipsisFrac &&
+        alphaFrac >= minAlphaFrac && nStop >= minStopwords).as("pass"))
+  }
+
   /** Gopher-style repetition signals: per-doc bigram duplication fraction
     * and top-bigram coverage (a doc whose most common 2-gram covers a
     * large share of the text is boilerplate/spam). Explode + two-phase

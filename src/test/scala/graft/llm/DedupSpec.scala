@@ -214,4 +214,36 @@ class DedupSpec extends AnyFunSuite {
     assert(autoClusters(1000000L, maxClusterRows = 10000L) == 1000)
     assert(autoClusters(1000000L, maxClusterRows = 100L) == 10000)
   }
+
+  test("SRP-LSH embedding pairs: planted copies found, verified-exact, no false positives") {
+    // deterministic pseudo-random base vectors + exact/near-exact copies
+    def vec(seed: Int): Array[Float] = Array.tabulate(32) { d =>
+      val m = (seed * 73856093) ^ (d * 19349663)
+      (((m >>> 7) & 0xFFFF) / 65536.0f) - 0.5f
+    }
+    val base = (0 until 40).map(i => (i.toLong, vec(i)))
+    val copies = (0 until 8).map(i => (1000L + i, vec(i).clone)) // exact dups of 0..7
+    val jiggled = { val v = vec(0).clone; v(0) += 1e-4f; Seq((2000L, v)) } // near-dup of 0
+    val df = (base ++ copies ++ jiggled).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingLshPairs(df, threshold = 0.999)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val want = (0 until 8).map(i => (i.toLong, 1000L + i)).toSet ++
+      Set((0L, 2000L), (1000L, 2000L))
+    assert(pairs == want, s"got $pairs")
+  }
+
+  test("SRP signature: identical vectors collide; hamming tracks the angle") {
+    import graft.functions.Functions
+    val a = Array.tabulate(32)(d => math.sin(d * 1.7).toFloat)
+    val tilt = a.zipWithIndex.map { case (x, d) => x + 0.02f * math.cos(d * 0.9).toFloat }
+    val opp = a.map(-_)
+    val df = Seq((1L, a), (2L, a.clone), (3L, tilt), (4L, opp)).toDF("id", "v")
+      .select(col("id"), Functions.srp_sign64(col("v")).as("sig"))
+    val sig = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(sig(1L) == sig(2L))
+    assert(ham(sig(1L), sig(3L)) < 12, s"small tilt: ${ham(sig(1L), sig(3L))}")
+    // opposite vector flips every hyperplane side: E[h] = 64
+    assert(ham(sig(1L), sig(4L)) >= 56, s"antipode: ${ham(sig(1L), sig(4L))}")
+  }
 }

@@ -166,4 +166,78 @@ class MultimodalSpec extends AnyFunSuite {
     val k = parsed.select(col("p.k")).na.drop().count()
     assert(k > 0)
   }
+
+  /** Deterministic block-pattern image: 8x8-px blocks whose gray level is
+    * a hash of (block, seed) — rich enough that perceptual hashes are
+    * non-degenerate, unlike solid colors or clean gradients. */
+  private def patternBytes(w: Int, h: Int, seed: Int,
+                           edit: Option[(Int, Int, Int)] = None): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (bx, by) = (x / 8, y / 8)
+      val g = edit match {
+        case Some((ex, ey, v)) if ex == bx && ey == by => v
+        case _ =>
+          // seed must mix multiplicatively: a plain XOR shifts every block
+          // by the same constant and can preserve all neighbor comparisons
+          val m = (((bx * 73856093) ^ (by * 19349663)) + seed) * (2 * seed + 83492791)
+          ((m >>> 8) ^ m) & 0xFF
+      }
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", out))
+    out.toByteArray
+  }
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("perceptual hashes: identical collide, one-block edit near, different pattern far") {
+    for (kind <- Seq("ahash", "dhash")) {
+      val media = mediaOf(Seq(
+        (1L, patternBytes(64, 64, seed = 7)),
+        (2L, patternBytes(64, 64, seed = 7)),                         // identical
+        (3L, patternBytes(64, 64, seed = 7, edit = Some((3, 3, 255)))), // one block changed
+        (4L, patternBytes(64, 64, seed = 99))))                       // different image
+      val hs = Multimodal.perceptualHash(media, kind).collect()
+        .map(r => r.getLong(0) -> r).toMap
+      assert(hs.values.forall(_.getAs[Boolean]("decoded")), s"$kind: real decode expected")
+      val h = hs.view.mapValues(_.getAs[Long]("phash")).toMap
+      assert(h(1L) == h(2L), s"$kind: identical images must collide")
+      val near = hamming(h(1L), h(3L))
+      val far = hamming(h(1L), h(4L))
+      assert(near <= 10, s"$kind: one-block edit moved $near bits")
+      assert(far >= 16, s"$kind: different pattern only $far bits apart")
+      assert(near < far, s"$kind: near ($near) must beat far ($far)")
+    }
+  }
+
+  test("non-image payloads hash deterministically with decoded=false") {
+    val media = Multimodal.asMedia(
+      Seq((1L, "some text payload"), (2L, "some text payload"), (3L, "other"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    val hs = Multimodal.perceptualHash(media).collect().map(r => r.getLong(0) -> r).toMap
+    assert(hs.values.forall(!_.getAs[Boolean]("decoded")))
+    assert(hs(1L).getAs[Long]("phash") == hs(2L).getAs[Long]("phash"))
+    assert(hs(1L).getAs[Long]("phash") != hs(3L).getAs[Long]("phash"))
+  }
+
+  test("imageNearDups: banded join returns exactly the planted near-dup pairs") {
+    val media = mediaOf(Seq(
+      (1L, patternBytes(64, 64, seed = 7)),
+      (2L, patternBytes(64, 64, seed = 7)),                          // dup of 1
+      (3L, patternBytes(64, 64, seed = 7, edit = Some((3, 3, 255)))), // near-dup of 1
+      (4L, patternBytes(64, 64, seed = 99)),
+      (5L, patternBytes(64, 64, seed = 123))))
+    val exact = Multimodal.imageNearDups(media, maxHamming = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((1L, 2L)), s"exact pairs: $exact")
+    val near = Multimodal.imageNearDups(media, maxHamming = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(near.contains((1L, 2L)) && near.contains((1L, 3L)) && near.contains((2L, 3L)),
+      s"near pairs: $near")
+    assert(!near.exists(p => p._1 == 4L || p._2 == 4L || p._1 == 5L || p._2 == 5L),
+      s"distinct images must not pair: $near")
+  }
 }
