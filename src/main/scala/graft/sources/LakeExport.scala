@@ -190,20 +190,43 @@ object LakeExport {
       |{"name":"deleted_rows_count","type":"long","field-id":514}
       |]}""".stripMargin)
 
-  /** Export `srcDir`'s snapshot (at `version`, default latest) to `dstDir`.
-    * `partitionBy` hive-partitions the plain-parquet layout and becomes the
-    * Iceberg identity partition spec. */
-  def exportTo(spark: SparkSession, srcDir: String, dstDir: String,
-               version: Option[Long] = None,
-               partitionBy: Seq[String] = Nil): ExportResult = {
-    val t = SnapshotTable.forPath(spark, srcDir)
-    val v = version.getOrElse(t.latestVersion)
-    val df = t.read(version)
-    val dataDir = s"$dstDir/data"
-    require(!Files.exists(Paths.get(dstDir)) ||
-        Files.list(Paths.get(dstDir)).iterator.asScala.isEmpty,
-      s"EXPORT LAKE target '$dstDir' is not empty")
+  /** Iceberg schema JSON with field ids minted 1..N in schema order (files
+    * are freshly written → name mapping, not embedded ids, is the read
+    * path). Deterministic, so the APPEND pre-check can predict the post-
+    * write schema without writing a byte. */
+  private def schemaFieldsJson(schema: StructType)
+      : (Seq[Map[String, Any]], Map[String, Int], Int) = {
+    var idCounter = 0
+    def nextId(): Int = { idCounter += 1; idCounter }
+    val topIds = schema.fields.toSeq.map { f => (f.name, nextId()) }.toMap
+    val fieldsJson = schema.fields.toSeq.map { f =>
+      Map("id" -> topIds(f.name), "name" -> f.name, "required" -> !f.nullable,
+        "type" -> icebergType(f.dataType, () => nextId()))
+    }
+    (fieldsJson, topIds, idCounter)
+  }
 
+  /** The schema the export tree will declare for `df` written with
+    * `partitionBy`: hive layout moves partition columns to the END, and a
+    * parquet re-read surfaces every column nullable. */
+  private def writtenSchema(df: DataFrame, partitionBy: Seq[String]): StructType =
+    org.apache.spark.sql.graft.Bridge.asNullable(StructType(
+      df.schema.fields.filterNot(f => partitionBy.contains(f.name)) ++
+        partitionBy.map(c => df.schema(c))))
+
+  /** Everything one published snapshot needs: data files + stats pass +
+    * avro manifest + manifest list. Shared by the fresh export and APPEND. */
+  private final case class SnapshotArtifacts(
+      uuid: String, snapshotId: Long, idCounter: Int,
+      fieldsJson: Seq[Map[String, Any]], nameMapping: Seq[Map[String, Any]],
+      partColTriples: Seq[(String, String, Int)], topIds: Map[String, Int],
+      listPath: java.nio.file.Path, metaDir: java.nio.file.Path,
+      nFiles: Int, totalRows: Long)
+
+  private def writeSnapshot(spark: SparkSession, df: DataFrame, srcDir: String,
+                            dstDir: String, dataDir: String, v: Long,
+                            sequenceNumber: Long,
+                            partitionBy: Seq[String]): SnapshotArtifacts = {
     val w = df.write.mode("errorifexists")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(dataDir)
 
@@ -222,15 +245,7 @@ object LakeExport {
       .agg(aggs.head, (aggs.tail ++ partVals): _*)
       .collect() // one row per data FILE — driver-small by construction
 
-    // field ids 1..N in schema order (files are freshly written → name
-    // mapping, not embedded ids, is the read path)
-    var idCounter = 0
-    def nextId(): Int = { idCounter += 1; idCounter }
-    val topIds = schema.fields.toSeq.map { f => (f.name, nextId()) }.toMap
-    val fieldsJson = schema.fields.toSeq.map { f =>
-      Map("id" -> topIds(f.name), "name" -> f.name, "required" -> !f.nullable,
-        "type" -> icebergType(f.dataType, () => nextId()))
-    }
+    val (fieldsJson, topIds, idCounter) = schemaFieldsJson(schema)
     val nameMapping = schema.fields.toSeq.map(f =>
       Map("field-id" -> topIds(f.name), "names" -> Seq(f.name)))
 
@@ -302,14 +317,14 @@ object LakeExport {
       val entry = new GenericData.Record(entrySchema)
       entry.put("status", 1) // ADDED
       entry.put("snapshot_id", snapshotId)
-      entry.put("sequence_number", 1L)
-      entry.put("file_sequence_number", 1L)
+      entry.put("sequence_number", sequenceNumber)
+      entry.put("file_sequence_number", sequenceNumber)
       entry.put("data_file", dataFile)
       writer.append(entry)
     } finally writer.close()
 
-    // ---- manifest list
-    val listPath = metaDir.resolve(s"snap-$snapshotId-1-$uuid.avro")
+    // ---- manifest list (one manifest: the snapshot's complete file set)
+    val listPath = metaDir.resolve(s"snap-$snapshotId-$sequenceNumber-$uuid.avro")
     val listWriter = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](manifestFileSchema))
     listWriter.setMeta("format-version", "2")
@@ -320,8 +335,8 @@ object LakeExport {
       mf.put("manifest_length", Files.size(manifestPath))
       mf.put("partition_spec_id", 0)
       mf.put("content", 0)
-      mf.put("sequence_number", 1L)
-      mf.put("min_sequence_number", 1L)
+      mf.put("sequence_number", sequenceNumber)
+      mf.put("min_sequence_number", sequenceNumber)
       mf.put("added_snapshot_id", snapshotId)
       mf.put("added_files_count", perFile.length)
       mf.put("existing_files_count", 0)
@@ -331,6 +346,28 @@ object LakeExport {
       mf.put("deleted_rows_count", 0L)
       listWriter.append(mf)
     } finally listWriter.close()
+
+    SnapshotArtifacts(uuid, snapshotId, idCounter, fieldsJson, nameMapping,
+      partColTriples, topIds, listPath, metaDir, perFile.length, totalRows)
+  }
+
+  /** Export `srcDir`'s snapshot (at `version`, default latest) to `dstDir`.
+    * `partitionBy` hive-partitions the plain-parquet layout and becomes the
+    * Iceberg identity partition spec. */
+  def exportTo(spark: SparkSession, srcDir: String, dstDir: String,
+               version: Option[Long] = None,
+               partitionBy: Seq[String] = Nil): ExportResult = {
+    val t = SnapshotTable.forPath(spark, srcDir)
+    val v = version.getOrElse(t.latestVersion)
+    val df = t.read(version)
+    val dataDir = s"$dstDir/data"
+    require(!Files.exists(Paths.get(dstDir)) ||
+        Files.list(Paths.get(dstDir)).iterator.asScala.isEmpty,
+      s"EXPORT LAKE target '$dstDir' is not empty (EXPORT ... APPEND publishes a new snapshot)")
+
+    val art = writeSnapshot(spark, df, srcDir, dstDir, dataDir, v,
+      sequenceNumber = 1L, partitionBy)
+    import art._
 
     // ---- table metadata
     val nowMs = System.currentTimeMillis()
@@ -360,7 +397,7 @@ object LakeExport {
         "snapshot-id" -> snapshotId, "sequence-number" -> 1,
         "timestamp-ms" -> nowMs, "manifest-list" -> listPath.toString,
         "summary" -> Map("operation" -> "append",
-          "added-data-files" -> perFile.length.toString,
+          "added-data-files" -> nFiles.toString,
           "added-records" -> totalRows.toString),
         "schema-id" -> 0)),
       "snapshot-log" -> Seq(Map("timestamp-ms" -> nowMs, "snapshot-id" -> snapshotId)),
@@ -375,10 +412,90 @@ object LakeExport {
       toJson(Map("source" -> srcDir, "version" -> v,
         "exported_ms" -> nowMs, "schema_ddl" -> df.schema.toDDL,
         "partition_by" -> partitionBy,
-        "n_files" -> perFile.length, "n_rows" -> totalRows))
+        "n_files" -> nFiles, "n_rows" -> totalRows))
         .getBytes(StandardCharsets.UTF_8))
 
-    ExportResult(v, perFile.length.toLong, totalRows, metadataJson)
+    ExportResult(v, nFiles.toLong, totalRows, metadataJson)
+  }
+
+  /** Publish another lake version into an EXISTING exported tree as a new
+    * Iceberg snapshot (the incremental-publish leg of the interop bridge —
+    * what the reference's periodic Iceberg materializations do). The new
+    * snapshot's manifest list carries its COMPLETE file set (operation
+    * `overwrite`), data files land under `data_v<version>/` so earlier
+    * snapshots' files stay untouched, and the metadata file rolls
+    * v<N>.metadata.json → v<N+1> with the snapshot appended to
+    * `snapshots` + `snapshot-log` — so `iceberg_scan('<dir>', <snap>)`
+    * and timestamp travel work across every published version. */
+  def appendTo(spark: SparkSession, srcDir: String, dstDir: String,
+               version: Option[Long] = None,
+               partitionBy: Seq[String] = Nil): ExportResult = {
+    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+    val t = SnapshotTable.forPath(spark, srcDir)
+    val v = version.getOrElse(t.latestVersion)
+    val df = t.read(version)
+    val metaDir = Paths.get(dstDir, "metadata")
+    require(Files.isDirectory(metaDir),
+      s"EXPORT LAKE ... APPEND: '$dstDir' is not an exported Iceberg tree")
+    val hint = new String(Files.readAllBytes(metaDir.resolve("version-hint.text")),
+      StandardCharsets.UTF_8).trim.toInt
+    val root = mapper.readTree(
+      Files.readAllBytes(metaDir.resolve(s"v$hint.metadata.json"))).asInstanceOf[ObjectNode]
+    // schema + partition spec must match what the tree already declares —
+    // Iceberg schema evolution is out of scope for the bridge, and a
+    // silent mismatch would corrupt every reader. Checked BEFORE any file
+    // writes (predicted from df's schema), so a refused APPEND leaves the
+    // tree untouched.
+    val (expFields, expIds, _) = schemaFieldsJson(writtenSchema(df, partitionBy))
+    val curSchemaId = Option(root.get("current-schema-id")).map(_.asInt()).getOrElse(0)
+    val curFields = root.get("schemas").elements.asScala
+      .find(s => s.get("schema-id").asInt() == curSchemaId)
+      .getOrElse(root.get("schemas").elements.asScala.toSeq.head).get("fields")
+    require(curFields == mapper.readTree(toJson(expFields)),
+      "EXPORT LAKE ... APPEND: schema differs from the exported table's schema")
+    val curSpec = root.get("partition-specs").elements.asScala.toSeq.head.get("fields")
+    val newSpec = mapper.readTree(toJson(partitionBy.zipWithIndex.map { case (c, i) =>
+      Map("name" -> c, "transform" -> "identity",
+        "source-id" -> expIds(c), "field-id" -> (1000 + i))
+    }))
+    require(curSpec == newSpec,
+      "EXPORT LAKE ... APPEND: PARTITION BY differs from the exported table's spec")
+    require(!root.get("snapshots").elements.asScala
+        .exists(_.get("snapshot-id").asLong() == v),
+      s"EXPORT LAKE ... APPEND: snapshot $v is already published in '$dstDir'")
+    val lastSeq = root.get("last-sequence-number").asLong()
+
+    val dataDir = s"$dstDir/data_v$v"
+    val art = writeSnapshot(spark, df, srcDir, dstDir, dataDir, v,
+      sequenceNumber = lastSeq + 1, partitionBy)
+
+    val nowMs = System.currentTimeMillis()
+    root.put("last-sequence-number", lastSeq + 1)
+    root.put("last-updated-ms", nowMs)
+    root.put("current-snapshot-id", v)
+    val snap = mapper.createObjectNode()
+    snap.put("snapshot-id", v)
+    snap.put("sequence-number", lastSeq + 1)
+    snap.put("timestamp-ms", nowMs)
+    snap.put("manifest-list", art.listPath.toString)
+    snap.putObject("summary")
+      .put("operation", "overwrite")
+      .put("added-data-files", art.nFiles.toString)
+      .put("added-records", art.totalRows.toString)
+    snap.put("schema-id", curSchemaId)
+    root.get("snapshots").asInstanceOf[ArrayNode].add(snap)
+    root.get("snapshot-log").asInstanceOf[ArrayNode].add(
+      mapper.createObjectNode().put("timestamp-ms", nowMs).put("snapshot-id", v))
+    root.get("metadata-log").asInstanceOf[ArrayNode].add(
+      mapper.createObjectNode().put("timestamp-ms", nowMs)
+        .put("metadata-file", metaDir.resolve(s"v$hint.metadata.json").toString))
+
+    val newJson = mapper.writeValueAsString(root)
+    Files.write(metaDir.resolve(s"v${hint + 1}.metadata.json"),
+      newJson.getBytes(StandardCharsets.UTF_8))
+    Files.write(metaDir.resolve("version-hint.text"),
+      (hint + 1).toString.getBytes(StandardCharsets.UTF_8))
+    ExportResult(v, art.nFiles.toLong, art.totalRows, newJson)
   }
 
   /** Parse back an exported tree's manifests (spec evidence + tooling):
@@ -386,8 +503,13 @@ object LakeExport {
     * bounds keyed by field id. */
   def readManifests(dstDir: String): Seq[(String, Long, Map[Int, Array[Byte]], Map[Int, Array[Byte]])] = {
     val metaDir = Paths.get(dstDir, "metadata")
-    val metaJson = mapper.readTree(Files.readAllBytes(metaDir.resolve("v1.metadata.json")))
-    val listPath = metaJson.get("snapshots").get(0).get("manifest-list").asText()
+    val hint = new String(Files.readAllBytes(metaDir.resolve("version-hint.text")),
+      StandardCharsets.UTF_8).trim.toInt
+    val metaJson = mapper.readTree(Files.readAllBytes(metaDir.resolve(s"v$hint.metadata.json")))
+    val current = metaJson.get("current-snapshot-id").asLong()
+    val listPath = metaJson.get("snapshots").elements.asScala
+      .find(_.get("snapshot-id").asLong() == current).get
+      .get("manifest-list").asText()
     val listReader = new DataFileReader[GenericRecord](
       new java.io.File(listPath), new GenericDatumReader[GenericRecord]())
     val manifestPaths =

@@ -77,6 +77,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction((FunctionIdentifier("delta_scan"),
       info("delta_scan", "delta_scan('<dir>'[, version]) — read a Delta Lake table"),
       (args: Seq[Expression]) => deltaScan(args)))
+    // Iceberg metadata tables (the reference's TABLE(table_snapshots(..)) /
+    // table_files(..) over Iceberg trees — `TableMacroNames.java`): rows
+    // come straight from metadata.json + avro manifests, zero data reads.
+    e.injectTableFunction((FunctionIdentifier("iceberg_snapshots"),
+      info("iceberg_snapshots",
+        "iceberg_snapshots('<dir>') — published snapshots of an Iceberg table"),
+      (args: Seq[Expression]) => icebergSnapshots(args)))
+    e.injectTableFunction((FunctionIdentifier("iceberg_files"),
+      info("iceberg_files",
+        "iceberg_files('<dir>'[, snapshot_id]) — live data files with manifest stats"),
+      (args: Seq[Expression]) => icebergFiles(args)))
     // Join recommendations from job history (reference
     // `JobsBasedRecommender.java:74` via `DatasetVersionResource.java:1306`):
     // every equi-join completed jobs ran against the named dataset, merged
@@ -165,6 +176,27 @@ object GraftExtensions {
     val (dir, v) = interopArgs("delta_scan", args)
     graft.sources.DeltaInterop.scan(SparkSession.active, dir, version = v)
       .queryExecution.analyzed
+  }
+
+  private def icebergSnapshots(args: Seq[Expression]): LogicalPlan = {
+    val meta = graft.sources.IcebergRead.loadMetadata(
+      dirArg("iceberg_snapshots", args))
+    LocalRelation.fromExternalRows(
+      attrs("snapshot_id" -> LongType, "committed_at_ms" -> LongType,
+        "is_current" -> BooleanType, "manifest_list" -> StringType),
+      meta.snapshots.map(s => Row(s.id, s.timestampMs,
+        meta.currentSnapshotId.contains(s.id), s.manifestList)))
+  }
+
+  private def icebergFiles(args: Seq[Expression]): LogicalPlan = {
+    val (dir, snap) = interopArgs("iceberg_files", args)
+    val meta = graft.sources.IcebergRead.loadMetadata(dir)
+    val files = graft.sources.IcebergRead.dataFiles(meta, snapshotId = snap)
+    LocalRelation.fromExternalRows(
+      attrs("file_path" -> StringType, "record_count" -> LongType,
+        "partition" -> StringType),
+      files.map(f => Row(f.path, f.recordCount,
+        f.partition.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(", "))))
   }
 
   private def columnOrigins(args: Seq[Expression]): LogicalPlan = {

@@ -193,10 +193,11 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
         VacuumLakeCommand(dir,
           Option(retain).map(_.toInt).getOrElse(2),
           Option(grace).map(_.toLong).getOrElse(3600000L))
-      case ExportLakeRe(src, dst, version, partBy, format) =>
+      case ExportLakeRe(src, dst, version, partBy, format, append) =>
         ExportLakeCommand(src, dst, Option(version).map(_.toLong),
           splitCols(partBy),
-          Option(format).map(_.toUpperCase).getOrElse("ICEBERG"))
+          Option(format).map(_.toUpperCase).getOrElse("ICEBERG"),
+          append != null)
       case AnalyzeLakeRe(dir) =>
         AnalyzeLakeCommand(dir,
           out("col_name", "n_rows", "n_nulls", "ndv", "min_value", "max_value"))
@@ -358,7 +359,7 @@ object GraftSqlParser {
     ("""(?is)EXPORT\s+LAKE\s+'([^']+)'\s+TO\s+'([^']+)'""" +
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""" +
       """(?:\s+PARTITION\s+BY\s*\(([^)]*)\))?""" +
-      """(?:\s+FORMAT\s+(ICEBERG|DELTA))?\s*;?""").r
+      """(?:\s+FORMAT\s+(ICEBERG|DELTA))?(?:\s+(APPEND))?\s*;?""").r
   private val OptimizeLakeRe =
     ("""(?is)OPTIMIZE\s+LAKE\s+'([^']+)'""" +
       """(?:\s+ZORDER\s+BY\s+\(([^)]*)\))?""" +
@@ -923,15 +924,20 @@ object GraftSqlParser {
     * Iceberg v2 metadata tree (LakeExport scaladoc; reference
     * `exec/store/iceberg/`). */
   case class ExportLakeCommand(src: String, dst: String, version: Option[Long],
-      partitionBy: Seq[String], format: String = "ICEBERG")
+      partitionBy: Seq[String], format: String = "ICEBERG",
+      append: Boolean = false)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("version", "n_files", "n_rows")
     override def run(spark: SparkSession): Seq[Row] = format match {
       case "DELTA" =>
+        require(!append, "EXPORT LAKE ... FORMAT DELTA APPEND is not supported " +
+          "(the Delta bridge publishes single-commit tables)")
         val r = graft.sources.DeltaInterop.exportTo(spark, src, dst, version, partitionBy)
         Seq(Row(r.version.toString, r.nFiles.toString, r.nRows.toString))
       case _ =>
-        val r = graft.sources.LakeExport.exportTo(spark, src, dst, version, partitionBy)
+        val r =
+          if (append) graft.sources.LakeExport.appendTo(spark, src, dst, version, partitionBy)
+          else graft.sources.LakeExport.exportTo(spark, src, dst, version, partitionBy)
         Seq(Row(r.version.toString, r.nFiles.toString, r.nRows.toString))
     }
   }

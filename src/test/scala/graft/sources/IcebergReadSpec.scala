@@ -115,4 +115,62 @@ class IcebergReadSpec extends AnyFunSuite {
       .collect().head.getLong(0)
     assert(bySnap == 180)
   }
+
+  test("EXPORT APPEND publishes new snapshots: time travel across versions, metadata TVFs") {
+    val src = fresh("ib_app_src")
+    val df = (1 to 200).map(i => (i.toLong, s"n_$i", i % 4)).toDF("id", "name", "grp")
+    val t = SnapshotTable.create(spark, src, df)
+    val dst = fresh("ib_app_dst") + "/tree"
+    val v1 = t.latestVersion
+    LakeExport.exportTo(spark, src, dst)
+
+    t.deleteWhere(col("id") > 150)
+    val v2 = t.latestVersion
+    spark.sql(s"EXPORT LAKE '$src' TO '$dst' APPEND")
+
+    t.deleteWhere(col("id") > 100)
+    val v3 = t.latestVersion
+    LakeExport.appendTo(spark, src, dst)
+
+    // current scan = latest snapshot; explicit ids travel back
+    assert(IcebergRead.scan(spark, dst).count() == 100)
+    assert(IcebergRead.scan(spark, dst, snapshotId = Some(v2)).count() == 150)
+    assert(IcebergRead.scan(spark, dst, snapshotId = Some(v1)).count() == 200)
+    // rolled metadata: version-hint advanced, all snapshots listed
+    assert(new String(Files.readAllBytes(
+      Paths.get(dst, "metadata", "version-hint.text"))).trim == "3")
+    val snaps = spark.sql(s"SELECT * FROM iceberg_snapshots('$dst') ORDER BY snapshot_id")
+      .collect()
+    assert(snaps.map(_.getLong(0)).toSeq == Seq(v1, v2, v3))
+    assert(snaps.filter(_.getBoolean(2)).map(_.getLong(0)).toSeq == Seq(v3))
+    // files TVF: per-snapshot file sets from the manifests alone
+    val filesNow = spark.sql(s"SELECT SUM(record_count) FROM iceberg_files('$dst')")
+      .collect().head.getLong(0)
+    assert(filesNow == 100)
+    val filesV1 = spark.sql(
+      s"SELECT SUM(record_count) FROM iceberg_files('$dst', $v1)")
+      .collect().head.getLong(0)
+    assert(filesV1 == 200)
+    // timestamp travel: as-of between the first and second publish
+    val meta = IcebergRead.loadMetadata(dst)
+    val tsBetween = meta.snapshots.find(_.id == v2).get.timestampMs
+    assert(IcebergRead.scan(spark, dst, asOfMs = Some(tsBetween)).count() == 150)
+  }
+
+  test("EXPORT APPEND refuses schema drift and double publish") {
+    val src = fresh("ib_ref_src")
+    val t = SnapshotTable.create(spark, src,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    val dst = fresh("ib_ref_dst") + "/tree"
+    LakeExport.exportTo(spark, src, dst)
+    val e1 = intercept[IllegalArgumentException](LakeExport.appendTo(spark, src, dst))
+    assert(e1.getMessage.contains("already published"))
+
+    val src2 = fresh("ib_ref_src2")
+    SnapshotTable.create(spark, src2,
+      Seq((1L, "a", 1.0)).toDF("id", "name", "extra"))
+    val e2 = intercept[IllegalArgumentException](
+      LakeExport.appendTo(spark, src2, dst))
+    assert(e2.getMessage.contains("schema differs"))
+  }
 }
