@@ -42,7 +42,9 @@ import org.apache.spark.sql.types._
 object DeltaInterop {
 
   final case class AddFile(path: String, partitionValues: Map[String, String],
-                           size: Long, numRecords: Option[Long])
+                           size: Long, numRecords: Option[Long],
+                           minValues: Map[String, JsonNode] = Map.empty,
+                           maxValues: Map[String, JsonNode] = Map.empty)
   final case class DeltaState(version: Long, schema: StructType,
                               partitionCols: Seq[String], files: Seq[AddFile])
   final case class ExportResult(version: Long, nFiles: Long, nRows: Long)
@@ -84,8 +86,13 @@ object DeltaInterop {
     }
     def applyAdd(path: String, pv: Map[String, String], size: Long,
                  stats: Option[String]): Unit = {
-      val n = stats.flatMap(s => Option(mapper.readTree(s).get("numRecords")).map(_.asLong()))
-      files(path) = AddFile(path, pv, size, n)
+      val parsed = stats.map(mapper.readTree)
+      val n = parsed.flatMap(s => Option(s.get("numRecords")).map(_.asLong()))
+      def side(tag: String): Map[String, JsonNode] =
+        parsed.flatMap(s => Option(s.get(tag))).map { node =>
+          node.properties.asScala.map(e => e.getKey -> e.getValue).toMap
+        }.getOrElse(Map.empty)
+      files(path) = AddFile(path, pv, size, n, side("minValues"), side("maxValues"))
     }
     def checkProtocol(minReader: Int, readerFeatures: Seq[String]): Unit = {
       val unsupported = readerFeatures.filterNot(Set("timestampNtz", "v2Checkpoint"))
@@ -170,8 +177,63 @@ object DeltaInterop {
     if (s == null) lit(null).cast(dt) else lit(s).cast(dt)
 
   def scan(spark: SparkSession, dir: String,
-           version: Option[Long] = None): DataFrame = {
+           version: Option[Long] = None): DataFrame =
+    scanFiles(spark, dir, readState(spark, dir, version), None)
+
+  /** File pruning from the log's per-file stats (add.stats minValues/
+    * maxValues; partition columns compare against partitionValues) — the
+    * delta-client data-skipping step, done BEFORE the scan so a bounded
+    * predicate never opens non-overlapping files. Files without stats for
+    * the column are kept (pruning must never drop a possible match).
+    * Returns (df over kept files, kept count, live count). */
+  def scanPruned(spark: SparkSession, dir: String, column: String,
+                 lo: Option[Any], hi: Option[Any],
+                 version: Option[Long] = None): (DataFrame, Int, Int) = {
     val st = readState(spark, dir, version)
+    val dt = st.schema(column).dataType
+    val isPart = st.partitionCols.contains(column)
+    def numeric(v: Any): Option[Double] = v match {
+      case n: Number => Some(n.doubleValue)
+      case j: JsonNode if j.isNumber => Some(j.asDouble)
+      case s: String => scala.util.Try(s.toDouble).toOption
+      case j: JsonNode if j.isTextual && (dt match {
+        case _: NumericType => true; case _ => false
+      }) => scala.util.Try(j.asText.toDouble).toOption
+      case _ => None
+    }
+    def text(v: Any): String = v match {
+      case j: JsonNode => j.asText
+      case other => String.valueOf(other)
+    }
+    // numeric compare when both sides parse, else lexicographic (ISO
+    // dates/timestamps and plain strings both order correctly that way)
+    def cmp(a: Any, b: Any): Int = (numeric(a), numeric(b)) match {
+      case (Some(x), Some(y)) => java.lang.Double.compare(x, y)
+      case _ => text(a).compareTo(text(b))
+    }
+    def fileBounds(f: AddFile): (Option[Any], Option[Any]) =
+      if (isPart) {
+        val pv = f.partitionValues.get(column).flatMap(Option(_))
+        (pv, pv)
+      } else (f.minValues.get(column), f.maxValues.get(column))
+    val kept = st.files.filter { f =>
+      val (fMin, fMax) = fileBounds(f)
+      val aboveLo = (lo, fMax) match {
+        case (Some(l), Some(mx)) => cmp(mx, l) >= 0
+        case _ => true
+      }
+      val belowHi = (hi, fMin) match {
+        case (Some(h), Some(mn)) => cmp(mn, h) <= 0
+        case _ => true
+      }
+      aboveLo && belowHi
+    }
+    (scanFiles(spark, dir, st, Some(kept)), kept.size, st.files.size)
+  }
+
+  private def scanFiles(spark: SparkSession, dir: String, st0: DeltaState,
+                        subset: Option[Seq[AddFile]]): DataFrame = {
+    val st = subset.map(fs => st0.copy(files = fs)).getOrElse(st0)
     if (st.files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st.schema)

@@ -169,4 +169,31 @@ class DeltaInteropSpec extends AnyFunSuite {
       .collect().head.getLong(0)
     assert(v0 == 50)
   }
+
+  test("scanPruned skips files via add.stats bounds and partitionValues") {
+    val src = fresh("dl_pr_src")
+    // band = (id-1)/40 is monotone in id → per-band files carry DISJOINT
+    // id ranges in their stats
+    val df = (1 to 120).map(i => (i.toLong, (i - 1) / 40, s"n_$i"))
+      .toDF("id", "band", "name")
+    SnapshotTable.create(spark, src, df)
+    val dst = fresh("dl_pr_dst") + "/tbl"
+    DeltaInterop.exportTo(spark, src, dst, partitionBy = Seq("band"))
+
+    // stats path: ids 50..70 live only in band 1's file
+    val (pruned, kept, total) = DeltaInterop.scanPruned(spark, dst, "id",
+      Some(50L), Some(70L))
+    assert(total >= 3 && kept < total, s"kept $kept of $total")
+    val ids = pruned.filter(col("id").between(50, 70))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == (50L to 70L))
+
+    // partition-value path: exactly band 2's files survive
+    val (pruned2, kept2, total2) = DeltaInterop.scanPruned(spark, dst, "band",
+      Some(2), Some(2))
+    val band2Files = DeltaInterop.readState(spark, dst).files
+      .count(_.partitionValues.get("band").contains("2"))
+    assert(kept2 == band2Files && kept2 < total2, s"kept2 = $kept2 of $total2")
+    assert(pruned2.filter(col("band") === 2).count() == 40)
+  }
 }

@@ -100,4 +100,35 @@ class StatefulStreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(got == Seq((1L, 15.0), (2L, 7.0)))
   }
+
+  test("watermarked stream-stream interval join (impressions x clicks)") {
+    val root = Files.createTempDirectory("graft_stream5").toString
+    val impDir = s"$root/imp"; Files.createDirectories(Paths.get(impDir))
+    val clkDir = s"$root/clk"; Files.createDirectories(Paths.get(clkDir))
+    streamFromJson(impDir, Seq(
+      """{"user_id":1,"ts":"2024-01-01 00:00:00","value":10.0}""",
+      """{"user_id":2,"ts":"2024-01-01 00:00:00","value":20.0}""",
+      """{"user_id":3,"ts":"2024-01-01 00:00:00","value":30.0}"""))
+    streamFromJson(clkDir, Seq(
+      """{"user_id":1,"ts":"2024-01-01 00:02:00","value":1.0}""",  // within 5m of imp
+      """{"user_id":2,"ts":"2024-01-01 00:30:00","value":1.0}"""))  // outside the interval
+    val imps = spark.readStream.schema(schemaDdl).json(impDir)
+      .withColumnRenamed("ts", "imp_ts").withColumnRenamed("value", "imp_v")
+      .withWatermark("imp_ts", "10 minutes")
+    val clicks = spark.readStream.schema(schemaDdl).json(clkDir)
+      .withColumnRenamed("ts", "clk_ts").withColumnRenamed("value", "clk_v")
+      .withWatermark("clk_ts", "10 minutes")
+    // click must land within (imp_ts, imp_ts + 5 min] — the standard
+    // attribution join; watermarks bound both sides' state
+    val joined = imps.join(clicks,
+      imps("user_id") === clicks("user_id") &&
+        col("clk_ts") > col("imp_ts") &&
+        col("clk_ts") <= col("imp_ts") + expr("INTERVAL 5 MINUTES"))
+    val q = joined.select(imps("user_id").as("uid"), col("imp_v"), col("clk_v"))
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.sql("SELECT uid, imp_v FROM ss_join ORDER BY uid").collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((1L, 10.0)))
+  }
 }
