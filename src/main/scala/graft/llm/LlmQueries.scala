@@ -71,6 +71,28 @@ object LlmQueries {
     FROM u a JOIN u b ON a.h = b.h AND a.doc_id < b.doc_id
     ORDER BY a_id, b_id"""
 
+  /** One-pass PCA to 8 dims over the embedding corpus (Projection.pca:
+    * treeAggregate covariance sketch + driver Jacobi; projection in pure
+    * codegen'd lambdas). Signs/rotations are eigen-solver-specific →
+    * rows-only; ProjectionSpec pins recovery, ordering, isometry. */
+  val embedPca: QueryFn = (s, dir) => {
+    val e = Tables.ensure(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+    val (proj, model) = Projection.pca(e, k = 8)
+    proj.select(col("vec_id"), col("pca"),
+        lit(model.varianceCaptured(8)).as("variance_captured"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Johnson–Lindenstrauss random projection (no fit pass; hash-derived
+    * deterministic planes shared with srp_sign64). */
+  val embedRandomProject: QueryFn = (s, dir) => {
+    val e = Tables.ensure(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+    val d = e.select(size(col("embedding"))).head().getInt(0)
+    e.select(col("vec_id"),
+        Projection.randomProjectCol(col("embedding"), k = 16, d = d).as("rp"))
+      .orderBy(col("vec_id"))
+  }
+
   val annBrute: QueryFn = (s, dir) => {
     val e = Tables.ensure(s, dir).embeddings
     Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), k = 10)
@@ -995,6 +1017,8 @@ object LlmQueries {
     "dedup_embedding_cos" -> dedupEmbedding,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,
     "image_phash_dups" -> imagePhashDups,
+    "embed_pca" -> embedPca,
+    "embed_random_project" -> embedRandomProject,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_components" -> dedupComponents,
     "ann_brute_force" -> annBrute,

@@ -173,4 +173,16 @@ class IcebergReadSpec extends AnyFunSuite {
       LakeExport.appendTo(spark, src2, dst))
     assert(e2.getMessage.contains("schema differs"))
   }
+
+  test("predicates and projection push through the interop scan to the parquet readers") {
+    val (dst, _) = exported(partitionBy = Seq("grp"))
+    val df = IcebergRead.scan(spark, dst)
+      .filter(col("id") > 100).select("id", "score")
+    val plan = df.queryExecution.executedPlan.toString
+    // filter reaches the scan (PushedFilters) and only needed columns read
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,100)]"), plan)
+    assert("ReadSchema:[^\n]*score".r.findFirstIn(plan).isDefined, plan)
+    assert(!"ReadSchema:[^\n]*name".r.findFirstIn(plan).isDefined,
+      "projection must prune unused columns\n" + plan)
+  }
 }
