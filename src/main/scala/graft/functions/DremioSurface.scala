@@ -1,5 +1,6 @@
 package graft.functions
 
+import java.nio.charset.StandardCharsets
 import java.util.regex.Pattern
 
 import org.apache.spark.sql.{Column, SparkSession}
@@ -78,6 +79,159 @@ object DremioSurface {
     }
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(input = c)
+  }
+
+  /** NORMALIZE_STRING(s, 'NFC'|'NFD'|'NFKC'|'NFKD') — unicode normalization
+    * (reference `NORMALIZE_STRING.yaml`; java.text.Normalizer). */
+  case class NormalizeString(input: Expression, form: String)
+      extends UnaryLikeExpr with CodegenFallback {
+    override def child: Expression = input
+    override def dataType: DataType = StringType
+    @transient private lazy val f = java.text.Normalizer.Form.valueOf(form.toUpperCase)
+    override def nullSafeEval(in: Any): Any = UTF8String.fromString(
+      java.text.Normalizer.normalize(in.asInstanceOf[UTF8String].toString, f))
+    override protected def withNewChildInternal(c: Expression): Expression = copy(input = c)
+  }
+
+  /** CONVERT_REPLACEUTF8(bytes, replacement) — decode as UTF-8, invalid
+    * sequences become the replacement string (reference
+    * `CONVERT_REPLACEUTF8.yaml`). */
+  case class ConvertReplaceUtf8(input: Expression, replacement: String)
+      extends UnaryLikeExpr with CodegenFallback {
+    override def child: Expression = input
+    override def dataType: DataType = StringType
+    override def nullSafeEval(in: Any): Any = {
+      val dec = StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+        .replaceWith(replacement)
+      UTF8String.fromString(
+        dec.decode(java.nio.ByteBuffer.wrap(in.asInstanceOf[Array[Byte]])).toString)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(input = c)
+  }
+
+  /** IS_UTF8(bytes) — strict UTF-8 validity (reference `IS_UTF8.yaml`). */
+  case class IsUtf8(input: Expression) extends UnaryLikeExpr with CodegenFallback {
+    override def child: Expression = input
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(in: Any): Any =
+      try {
+        StandardCharsets.UTF_8.newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+          .decode(java.nio.ByteBuffer.wrap(in.asInstanceOf[Array[Byte]]))
+        true
+      } catch { case _: java.nio.charset.CharacterCodingException => false }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(input = c)
+  }
+
+  /** STRING_BINARY(bytes) — printable chars pass through, everything else
+    * escapes as \\xNN (reference `STRING_BINARY.yaml`). */
+  case class StringBinary(input: Expression) extends UnaryLikeExpr with CodegenFallback {
+    override def child: Expression = input
+    override def dataType: DataType = StringType
+    override def nullSafeEval(in: Any): Any = {
+      val bytes = in.asInstanceOf[Array[Byte]]
+      val sb = new java.lang.StringBuilder(bytes.length)
+      bytes.foreach { b =>
+        if (b >= 0x20 && b < 0x7F) sb.append(b.toChar)
+        else sb.append(f"\\x${b & 0xFF}%02X")
+      }
+      UTF8String.fromString(sb.toString)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(input = c)
+  }
+
+  // ---- geohash (reference GeoFunctions ST_GEOHASH / ST_FROMGEOHASH) ----
+  private val GeohashBase32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  private[functions] def geohashEncode(lat: Double, lon: Double, precision: Int): String = {
+    var (latLo, latHi, lonLo, lonHi) = (-90.0, 90.0, -180.0, 180.0)
+    val sb = new java.lang.StringBuilder(precision)
+    var bits = 0; var bitCount = 0; var even = true
+    while (sb.length < precision) {
+      if (even) {
+        val mid = (lonLo + lonHi) / 2
+        if (lon >= mid) { bits = (bits << 1) | 1; lonLo = mid }
+        else { bits <<= 1; lonHi = mid }
+      } else {
+        val mid = (latLo + latHi) / 2
+        if (lat >= mid) { bits = (bits << 1) | 1; latLo = mid }
+        else { bits <<= 1; latHi = mid }
+      }
+      even = !even
+      bitCount += 1
+      if (bitCount == 5) { sb.append(GeohashBase32(bits)); bits = 0; bitCount = 0 }
+    }
+    sb.toString
+  }
+
+  private[functions] def geohashDecode(h: String): (Double, Double) = {
+    var (latLo, latHi, lonLo, lonHi) = (-90.0, 90.0, -180.0, 180.0)
+    var even = true
+    h.foreach { ch =>
+      val cd = GeohashBase32.indexOf(ch.toLower)
+      require(cd >= 0, s"st_fromgeohash: invalid geohash character '$ch'")
+      var mask = 16
+      while (mask > 0) {
+        if (even) {
+          val mid = (lonLo + lonHi) / 2
+          if ((cd & mask) != 0) lonLo = mid else lonHi = mid
+        } else {
+          val mid = (latLo + latHi) / 2
+          if ((cd & mask) != 0) latLo = mid else latHi = mid
+        }
+        even = !even
+        mask >>= 1
+      }
+    }
+    ((latLo + latHi) / 2, (lonLo + lonHi) / 2)
+  }
+
+  case class GeohashEncodeExpr(lat: Expression, lon: Expression, precision: Int)
+      extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = Seq(lat, lon)
+    override def nullable: Boolean = true
+    override def dataType: DataType = StringType
+    override def eval(row: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val a = lat.eval(row); val b = lon.eval(row)
+      if (a == null || b == null) null
+      else UTF8String.fromString(geohashEncode(
+        a.asInstanceOf[Number].doubleValue, b.asInstanceOf[Number].doubleValue, precision))
+    }
+    override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+      copy(lat = cs(0), lon = cs(1))
+  }
+
+  case class GeohashDecodeExpr(input: Expression)
+      extends UnaryLikeExpr with CodegenFallback {
+    override def child: Expression = input
+    override def dataType: DataType = StructType(Seq(
+      StructField("latitude", DoubleType, nullable = false),
+      StructField("longitude", DoubleType, nullable = false)))
+    override def nullSafeEval(in: Any): Any = {
+      val (la, lo) = geohashDecode(in.asInstanceOf[UTF8String].toString)
+      org.apache.spark.sql.catalyst.InternalRow(la, lo)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(input = c)
+  }
+
+  /** SQL `SIMILAR TO` pattern → Java regex (reference SIMILAR_TO function
+    * form): % → .*, _ → ., [] classes pass through, other regex
+    * metacharacters are literal. */
+  private[functions] def similarToRegex(pat: String): String = {
+    val sb = new java.lang.StringBuilder(pat.length + 8)
+    var inClass = false
+    pat.foreach {
+      case '%' if !inClass => sb.append(".*")
+      case '_' if !inClass => sb.append('.')
+      case '[' => inClass = true; sb.append('[')
+      case ']' => inClass = false; sb.append(']')
+      case c if !inClass && "\\.^$*+?()|{}".indexOf(c) >= 0 => sb.append('\\').append(c)
+      case c => sb.append(c)
+    }
+    "^" + sb + "$"
   }
 
   /** Minimal single-child base (avoids depending on non-public helpers). */
@@ -208,6 +362,97 @@ object DremioSurface {
         foldString("regexp_split", es(2), "mode").toUpperCase,
         foldInt("regexp_split", es(3), "parameter"))
     }
+
+    // ---- documented-name aliases over Spark built-ins (reference
+    // function_specs/documented/*.yaml — same semantics, different name) ----
+    one("from_hex", Set(1))(es => ex(unhex(c(es(0)))))
+    one("to_hex", Set(1))(es => ex(hex(c(es(0)))))
+    one("hash64", Set.empty)(es => ex(xxhash64(es.map(c): _*)))
+    one("lshift", Set(2))(es =>
+      org.apache.spark.sql.catalyst.expressions.ShiftLeft(es(0), es(1)))
+    one("rshift", Set(2))(es =>
+      org.apache.spark.sql.catalyst.expressions.ShiftRight(es(0), es(1)))
+    one("rshiftunsigned", Set(2))(es =>
+      org.apache.spark.sql.catalyst.expressions.ShiftRightUnsigned(es(0), es(1)))
+    one("repeatstr", Set(2))(es => ex(repeat(c(es(0)), c(es(1)).cast("int"))))
+    one("collect", Set(1))(es => ex(collect_list(c(es(0)))))
+    one("ndv", Set(1))(es => ex(approx_count_distinct(c(es(0)))))
+    one("hll", Set(1))(es => ex(hll_sketch_agg(c(es(0)))))
+    one("regexp_col_matches", Set(2))(es => ex(regexp_like(c(es(0)), c(es(1)))))
+    one("xor", Set(2))(es => ex(c(es(0)).bitwiseXOR(c(es(1)))))
+    one("bitwise_or", Set(2))(es => ex(c(es(0)).bitwiseOR(c(es(1)))))
+    one("bitwise_xor", Set(2))(es => ex(c(es(0)).bitwiseXOR(c(es(1)))))
+    one("bitwise_not", Set(1))(es =>
+      org.apache.spark.sql.catalyst.expressions.BitwiseNot(es(0)))
+    one("random", Set(0, 1))(es =>
+      if (es.isEmpty) ex(rand()) else ex(rand(es.head.eval().toString.toLong)))
+    one("datetype", Set(1))(es => ex(c(es(0)).cast("date")))
+    one("timestamptype", Set(1))(es => ex(c(es(0)).cast("timestamp_ntz")))
+    // CONVERT_FROM/CONVERT_TO (reference conv family, `exec/expr/fn/impl/
+    // conv/`): the two formats with cross-engine meaning — JSON (→ Spark 4
+    // VARIANT, the reference's union-typed result) and UTF8
+    one("convert_from", Set(2)) { es =>
+      foldString("convert_from", es(1), "format").toUpperCase match {
+        case "JSON" => ex(parse_json(c(es(0)).cast("string")))
+        case "UTF8" => ex(decode(c(es(0)).cast("binary"), "UTF-8"))
+        case other => throw new IllegalArgumentException(
+          s"convert_from: unsupported format '$other' (JSON, UTF8)")
+      }
+    }
+    one("convert_to", Set(2)) { es =>
+      foldString("convert_to", es(1), "format").toUpperCase match {
+        case "JSON" => ex(to_json(c(es(0))))
+        case "UTF8" => ex(encode(c(es(0)).cast("string"), "UTF-8"))
+        case other => throw new IllegalArgumentException(
+          s"convert_to: unsupported format '$other' (JSON, UTF8)")
+      }
+    }
+    one("to_utf8", Set(1))(es => ex(encode(c(es(0)).cast("string"), "UTF-8")))
+    one("binary_string", Set(1))(es => ex(c(es(0)).cast("binary")))
+    one("yearweek", Set(1))(es => ex(weekofyear(c(es(0)).cast("date"))))
+    one("string_binary", Set(1))(es => StringBinary(es(0)))
+    // TOASCII(s, charset): reinterpret s's code units as charset bytes →
+    // UTF-8 string (the read-as-wrong-encoding repair the reference doc
+    // describes)
+    one("toascii", Set(2)) { es =>
+      ex(decode(encode(c(es(0)), "ISO-8859-1"),
+        foldString("toascii", es(1), "charset")))
+    }
+    one("normalize_string", Set(2))(es =>
+      NormalizeString(es(0), foldString("normalize_string", es(1), "form")))
+    one("convert_replaceutf8", Set(2))(es =>
+      ConvertReplaceUtf8(es(0), foldString("convert_replaceutf8", es(1), "replacement")))
+    one("is_utf8", Set(1))(es => IsUtf8(es(0)))
+    one("st_geohash", Set(2, 3)) { es =>
+      val prec = if (es.length == 3) foldInt("st_geohash", es(2), "precision") else 12
+      // decimal literals would reach eval as spark Decimal — normalize
+      GeohashEncodeExpr(ex(c(es(0)).cast("double")), ex(c(es(1)).cast("double")), prec)
+    }
+    one("st_fromgeohash", Set(1))(es => GeohashDecodeExpr(es(0)))
+    one("similar_to", Set(2))(es =>
+      ex(regexp_like(c(es(0)),
+        lit(similarToRegex(foldString("similar_to", es(1), "pattern"))))))
+
+    // type-introspection family (ISNUMERIC/IS_INT/...): resolved from the
+    // STATIC type when it is conclusive; string inputs degrade to a
+    // runtime try_cast probe (the value-level check the reference applies
+    // to varchar input)
+    def typeCheck(name: String, matches: DataType => Boolean, castTo: String) =
+      one(name, Set(1)) { es =>
+        es(0).dataType match {
+          case dt if matches(dt) => Literal(true)
+          case StringType => ex(c(es(0)).try_cast(castTo).isNotNull)
+          case _ => Literal(false)
+        }
+      }
+    typeCheck("isnumeric", {
+      case _: NumericType => true; case BinaryType => true; case _ => false
+    }, "double")
+    typeCheck("is_int", { case IntegerType | ShortType | ByteType => true; case _ => false }, "int")
+    typeCheck("is_bigint", { case LongType => true; case _ => false }, "bigint")
+    typeCheck("is_date", { case DateType => true; case _ => false }, "date")
+    one("is_varchar", Set(1))(es => Literal(es(0).dataType == StringType))
+    one("is_list", Set(1))(es => Literal(es(0).dataType.isInstanceOf[ArrayType]))
 
     // ---- context functions → plan-time literals (ContextFunctions.java;
     // the reference also resolves these against the session) ----

@@ -77,6 +77,18 @@ object SqlUdfs {
       "RETURNS STRING RETURN current_user()",
     "CREATE OR REPLACE TEMPORARY FUNCTION empty_array() " +
       "RETURNS ARRAY<STRING> RETURN array()",
+    // boolean predicates (reference ISTRUE/ISFALSE/ISNULL docs)
+    "CREATE OR REPLACE TEMPORARY FUNCTION istrue(b BOOLEAN) " +
+      "RETURNS BOOLEAN RETURN b IS TRUE",
+    "CREATE OR REPLACE TEMPORARY FUNCTION isfalse(b BOOLEAN) " +
+      "RETURNS BOOLEAN RETURN b IS FALSE",
+    // ISNULL needs no shim: Spark ships isnull(x) under the same name
+    // TIME surface (reference CURRENT_TIME/LOCALTIME/TO_TIME; graft's TIME
+    // convention is INT millis-of-day — functions.TimeConv)
+    // CURRENT_TIME / TO_TIME need no shim: Spark 4.1's TIME type ships
+    // current_time() and to_time() under the reference's names
+    "CREATE OR REPLACE TEMPORARY FUNCTION localtime() " +
+      "RETURNS STRING RETURN date_format(localtimestamp(), 'HH:mm:ss')",
     // ARRAY_FREQUENCY (reference exec/expr/fn/impl/array/ArrayFrequency):
     // value → occurrence-count map, composed from higher-order builtins
     // NULL elements are dropped (a null map key is illegal, and `y = x`
