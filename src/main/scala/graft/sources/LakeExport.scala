@@ -491,8 +491,13 @@ object LakeExport {
         .put("metadata-file", metaDir.resolve(s"v$hint.metadata.json").toString))
 
     val newJson = mapper.writeValueAsString(root)
+    // CREATE_NEW = the Iceberg commit rule (exactly one writer claims
+    // v<N+1>.metadata.json): a racing APPEND that read the same base
+    // version fails here instead of silently clobbering the other commit
     Files.write(metaDir.resolve(s"v${hint + 1}.metadata.json"),
-      newJson.getBytes(StandardCharsets.UTF_8))
+      newJson.getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW,
+      java.nio.file.StandardOpenOption.WRITE)
     Files.write(metaDir.resolve("version-hint.text"),
       (hint + 1).toString.getBytes(StandardCharsets.UTF_8))
     ExportResult(v, art.nFiles.toLong, art.totalRows, newJson)

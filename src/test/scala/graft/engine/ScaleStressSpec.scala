@@ -177,4 +177,60 @@ class ScaleStressSpec extends AnyFunSuite {
         s"co-bucketed join re-shuffled under skew:\n${plan.take(3000)}")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("SRP-LSH at 60k embeddings with a 10%-identical hot vector: candidates stay banded, no false positives") {
+    gate()
+    // 6k copies of ONE vector (the pathological SRP bucket: every band
+    // collides for all 6k) + 54k distinct vectors + 100 planted dup pairs
+    val vecs = spark.range(60000).select(
+      col("id").as("vec_id"),
+      when(col("id") % 10 === 0,
+        expr("transform(sequence(0, 31), i -> CAST(sin(i * 0.7) AS FLOAT))"))
+        .otherwise(when(col("id") < 200,
+          // ids 0..199: pairs (2k, 2k+1) share a vector → planted dups
+          expr("transform(sequence(0, 31), i -> CAST(sin((CAST(id DIV 2 AS INT) * 37 + i) * 1.3) + cos(i * 0.31 * (id DIV 2 + 2)) AS FLOAT))"))
+        .otherwise(
+          expr("transform(sequence(0, 31), i -> CAST(sin((id * 37 + i) * 1.3) + cos(i * 0.31 * (id + 2)) AS FLOAT))")))
+        .as("embedding"))
+      .localCheckpoint(true)
+    val pairs = graft.llm.Dedup.embeddingLshPairs(vecs, threshold = 0.9999)
+      .localCheckpoint(true)
+    // exact-cosine verification: every emitted pair really is a duplicate
+    assert(pairs.filter(col("cos") < 0.9999).count() == 0)
+    // the planted distinct-id dup pairs are all found (hamming 0 → banded
+    // join must surface them); hot-vector pairs are capped by the same
+    // dropDuplicates+verify pipeline, not quadratic materialization
+    val planted = pairs.filter(col("a_id") < 200 && col("b_id") < 200 &&
+      col("a_id") % 10 =!= 0 && col("b_id") % 10 =!= 0)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (0L until 200L by 2).map(k => (k, k + 1))
+      .filter { case (a, b) => a % 10 != 0 && b % 10 != 0 }.toSet
+    assert(want.subsetOf(planted), s"missing ${(want -- planted).size} planted pairs")
+  }
+
+  test("PCA at 50k x 64-dim embeddings: one treeAggregate pass, planted axis recovered") {
+    gate()
+    // variance concentrated on a planted direction: x = a * u + noise
+    val d = 64
+    val vecs = spark.range(50000).select(
+      col("id").as("vec_id"),
+      expr(s"""transform(sequence(0, ${d - 1}), i ->
+        CAST((CAST(id % 41 AS DOUBLE) - 20) * cos(i * 0.7) / 8 +
+             sin((id * $d + i) * 2.1) * 0.05 AS FLOAT))""").as("embedding"))
+      .localCheckpoint(true)
+    spark.sparkContext.setJobGroup("scale_pca", "scale-stress pca", interruptOnCancel = false)
+    val model = graft.llm.Projection.fitPca(vecs)
+    spark.sparkContext.clearJobGroup()
+    org.apache.spark.sql.graft.Bridge.waitListenerBus(spark)
+    // ONE corpus pass: the fit runs a single treeAggregate job (+ the
+    // first() dimension probe)
+    val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup("scale_pca").length
+    assert(jobs <= 3, s"PCA fit ran $jobs jobs — the design is one aggregate pass")
+    val u = Array.tabulate(d)(i => math.cos(i * 0.7))
+    val un = { val n = math.sqrt(u.map(x => x * x).sum); u.map(_ / n) }
+    val cos = math.abs(model.components(0).zip(un).map { case (a, b) => a * b }.sum)
+    assert(cos > 0.99, s"planted axis alignment $cos")
+    assert(model.varianceCaptured(1) > 0.8, s"var ${model.varianceCaptured(1)}")
+  }
 }
