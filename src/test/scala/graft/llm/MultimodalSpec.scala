@@ -240,4 +240,63 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!near.exists(p => p._1 == 4L || p._2 == 4L || p._1 == 5L || p._2 == 5L),
       s"distinct images must not pair: $near")
   }
+
+  /** Minimal spec-conformant MJPEG AVI: RIFF('AVI ') + LIST(hdrl){avih}
+    * + LIST(movi){00dc JPEG frames}. Each frame is a solid-gray JPEG
+    * encoded by the JDK — exactly what an MJPEG encoder emits. */
+  private def mjpegAvi(frames: Seq[Array[Byte]]): Array[Byte] = {
+    def le(n: Int): Array[Byte] =
+      Array((n & 0xFF).toByte, ((n >> 8) & 0xFF).toByte,
+        ((n >> 16) & 0xFF).toByte, ((n >> 24) & 0xFF).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if (data.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray
+      id.getBytes("US-ASCII") ++ le(data.length) ++ data ++ pad
+    }
+    def list(typ: String, subs: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes("US-ASCII") ++ subs)
+    val avih = chunk("avih", new Array[Byte](56))
+    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = "AVI ".getBytes("US-ASCII") ++ list("hdrl", avih) ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le(body.length) ++ body
+  }
+
+  test("real MJPEG-AVI video decode: true dims, per-frame luminance, stride-only decode") {
+    // 6 frames, brightness ramp 0, 40, 80, ... 200
+    val frames = (0 until 6).map { i =>
+      val g = i * 40
+      imageBytes(48, 32, (g << 16) | (g << 8) | g, "jpg")
+    }
+    val avi = mjpegAvi(frames)
+    assert(Multimodal.sniffVideoFormat(avi).contains("video/avi"))
+    assert(Multimodal.aviFrameChunks(avi).length == 6)
+
+    val media = mediaOf(Seq((1L, avi)))
+    // extractFeatures: first-frame truth
+    val feat = Multimodal.extractFeatures(media, dim = 4).collect().head
+    assert(feat.getAs[Int]("width") == 48 && feat.getAs[Int]("height") == 32)
+    assert(feat.getAs[scala.collection.Seq[Float]]("features").forall(_ < 0.05f),
+      "frame 0 is black")
+
+    // sampleFrames: every 2nd of 6 → idx 0, 2, 4 with RISING true luminance
+    val rows = Multimodal.sampleFrames(media, everyNth = 2, maxFrames = 8, dim = 4)
+      .collect().sortBy(_.getInt(1))
+    assert(rows.map(_.getInt(1)).toSeq == Seq(0, 2, 4))
+    val lums = rows.map(_.getAs[scala.collection.Seq[Float]]("features"))
+      .map(f => f.sum / f.length)
+    assert(lums(0) < 0.05f, s"frame 0 luminance ${lums(0)}")
+    assert(lums(0) < lums(1) && lums(1) < lums(2),
+      s"luminance must rise with the planted ramp: ${lums.toSeq}")
+    assert(math.abs(lums(2) - 160 / 255.0f) < 0.1f, s"frame 4 ≈ gray 160: ${lums(2)}")
+  }
+
+  test("corrupt AVI bytes fall back to the stub instead of failing") {
+    val avi = mjpegAvi(Seq(imageBytes(16, 16, 0xFFFFFF, "jpg")))
+    val corrupt = avi.take(40).toArray // movi truncated away
+    val media = mediaOf(Seq((1L, corrupt)))
+    val feat = Multimodal.extractFeatures(media, dim = 4).collect().head
+    assert(feat.getAs[Int]("width") >= 64) // stub's hash-derived dims
+    // and sampleFrames still yields deterministic stub frames
+    val n = Multimodal.sampleFrames(media, everyNth = 1, maxFrames = 4, dim = 4).count()
+    assert(n >= 1)
+  }
 }
