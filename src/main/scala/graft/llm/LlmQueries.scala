@@ -692,6 +692,33 @@ object LlmQueries {
     SELECT doc_id, source, n_chars FROM r WHERE rn <= 20
     ORDER BY source, doc_id"""
 
+  /** Uniform-without-replacement sample of K docs per source — the
+    * "cap every domain at K RANDOM docs" mix stage (vs source_cap_topk's
+    * top-K-by-length). Scoring by a salted md5 makes the sample
+    * deterministic and engine-reproducible, and the bounded-heap
+    * TopKPerKey operator keeps K rows per key in O(n log k) with spill —
+    * no window sort of whole partitions at 100 TB. The oracle ranks by
+    * the same hash: fixed-width hex orders identically as string (DuckDB)
+    * and as parsed number (Spark), so both engines pick the same docs. */
+  val samplePerSource: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents
+    val h = conv(substring(
+      md5(concat(lit("s8|"), col("doc_id").cast("string"))), 1, 12), 16, 10)
+      .cast("double")
+    graft.plans.TopKPerKey(docs.withColumn("h", h),
+        col("source"), col("h"), col("doc_id"), k = 10)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+  val samplePerSourceSql: String = """
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY substr(md5(concat('s8|', CAST(doc_id AS VARCHAR))), 1, 12) DESC,
+                        doc_id) AS rn
+      FROM documents)
+    SELECT doc_id, source FROM r WHERE rn <= 10 ORDER BY source, doc_id"""
+
   /** Incremental corpus dedup — the continuous-ingestion shape: a delta
     * batch (new crawl) is admitted only where it is NOT a near-dup of the
     * existing corpus. Same bucket-local exact-Jaccard candidate scheme as
@@ -1047,6 +1074,7 @@ object LlmQueries {
     "length_buckets" -> lengthBuckets,
     "chunk_documents" -> chunkDocuments,
     "source_cap_topk" -> sourceCapTopk,
+    "sample_per_source" -> samplePerSource,
     "dedup_incremental" -> dedupIncremental,
     "semdedup_keep" -> semdedupKeep,
     "ann_quantized_ids" -> annQuantizedIds,
@@ -1088,6 +1116,7 @@ object LlmQueries {
     "length_buckets" -> lengthBucketsSql,
     "chunk_documents" -> chunkDocumentsSql,
     "source_cap_topk" -> sourceCapTopkSql,
+    "sample_per_source" -> samplePerSourceSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "ann_quantized_ids" -> annQuantizedIdsSql,
     "text_charclass" -> textCharclassSql,
