@@ -632,6 +632,35 @@ object LlmQueries {
            lang, COUNT(*) AS n_docs
     FROM documents GROUP BY 1, 2 ORDER BY split, lang"""
 
+  /** Leakage-safe split assignment: duplicate documents must land in the
+    * SAME split (a train/test pair of near-identical docs is benchmark
+    * leakage — the reason Lee et al. 2022 dedup before splitting). The
+    * split hash is taken over the doc's DUP-GROUP id (min doc_id of the
+    * md5(text) group here; the LSH/SimHash component id drops into the
+    * same slot at scale), so a whole group moves together. One shuffle on
+    * the content hash, then the same shuffle-free md5-bucket carving as
+    * split_assign. */
+  val splitLeakageSafe: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents
+    val grouped = docs.withColumn("grp_id",
+      min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))))
+    Mixing.splitByHash(grouped, "grp_id",
+      Seq("train" -> 0.90, "val" -> 0.05, "test" -> 0.05))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("split"), col("lang"))
+  }
+  val splitLeakageSafeSql: String = """
+    WITH g AS (
+      SELECT lang, min(doc_id) OVER (PARTITION BY md5(text)) AS grp_id
+      FROM documents)
+    SELECT CASE WHEN substr(md5(CAST(grp_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+                WHEN substr(md5(CAST(grp_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+                ELSE 'test' END AS split,
+           lang, COUNT(*) AS n_docs
+    FROM g GROUP BY 1, 2 ORDER BY split, lang"""
+
   /** Deterministic global training order (salted-hash sort), first 100. */
   val shuffleDeterministic: QueryFn = (s, dir) => {
     val docs = Tables.ensure(s, dir).documents
@@ -1067,6 +1096,7 @@ object LlmQueries {
     "text_pii_redact" -> textPiiRedact,
     "text_repetition" -> textRepetition,
     "split_assign" -> splitAssign,
+    "split_leakage_safe" -> splitLeakageSafe,
     "shuffle_deterministic" -> shuffleDeterministic,
     "embed_quantize" -> embedQuantize,
     "text_entropy" -> textEntropy,
@@ -1109,6 +1139,7 @@ object LlmQueries {
     "text_pii_redact" -> textPiiRedactSql,
     "text_repetition" -> textRepetitionSql,
     "split_assign" -> splitAssignSql,
+    "split_leakage_safe" -> splitLeakageSafeSql,
     "shuffle_deterministic" -> shuffleDeterministicSql,
     "embed_quantize" -> embedQuantizeSql,
     "text_entropy" -> textEntropySql,

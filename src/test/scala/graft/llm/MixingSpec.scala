@@ -1,5 +1,6 @@
 package graft.llm
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
@@ -65,5 +66,30 @@ class MixingSpec extends AnyFunSuite {
     val again = Mixing.temperatureMix(df, "source", "doc_id", totalOut = 34)
       .select("doc_id", "source").as[(Long, String)].collect().sortBy(_._1)
     assert(kept.toSeq == again.toSeq)
+  }
+
+  test("leakage-safe split: every duplicate group lands in exactly one split") {
+    import org.apache.spark.sql.expressions.Window
+    // 30 groups of 1-4 identical texts each
+    val docs = (0 until 90).map { i =>
+      val g = i % 30
+      (i.toLong, s"text of group $g repeated content")
+    }.toDF("doc_id", "text")
+    val grouped = docs.withColumn("grp_id",
+      min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+    val assigned = Mixing.splitByHash(grouped, "grp_id",
+      Seq("train" -> 0.7, "val" -> 0.15, "test" -> 0.15))
+    // each text (dup group) maps to exactly one split — no leakage
+    val perGroup = assigned.groupBy("text")
+      .agg(countDistinct(col("split")).as("n_splits")).collect()
+    assert(perGroup.forall(_.getLong(1) == 1L),
+      "a duplicate group straddled splits")
+    // contrast: splitting by doc_id DOES leak on this fixture
+    val naive = Mixing.splitByHash(docs, "doc_id",
+      Seq("train" -> 0.7, "val" -> 0.15, "test" -> 0.15))
+    val leaked = naive.groupBy("text")
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1).count()
+    assert(leaked > 0, "fixture should demonstrate naive-split leakage")
   }
 }
