@@ -71,6 +71,19 @@ object LlmQueries {
     FROM u a JOIN u b ON a.h = b.h AND a.doc_id < b.doc_id
     ORDER BY a_id, b_id"""
 
+  /** Corpus topic map (Clustering.documentClusters): k-means clusters over
+    * embeddings + per-cluster tf-idf distinctive terms via TopKPerKey.
+    * Cluster identities are kmeans-engine-specific → rows-only;
+    * ClusteringSpec pins topic recovery on planted corpora. */
+  val clusterDocuments: QueryFn = (s, dir) => {
+    val t = Tables.ensure(s, dir)
+    val joined = t.documents.select(col("doc_id"), col("text"))
+      .join(t.embeddings.select(col("vec_id"), col("embedding")),
+        col("doc_id") === col("vec_id"))
+    Clustering.documentClusters(joined, k = 8, topTerms = 5)
+      .orderBy(col("cluster"))
+  }
+
   /** One-pass PCA to 8 dims over the embedding corpus (Projection.pca:
     * treeAggregate covariance sketch + driver Jacobi; projection in pure
     * codegen'd lambdas). Signs/rotations are eigen-solver-specific →
@@ -1075,6 +1088,7 @@ object LlmQueries {
     "image_phash_dups" -> imagePhashDups,
     "embed_pca" -> embedPca,
     "embed_random_project" -> embedRandomProject,
+    "cluster_documents" -> clusterDocuments,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_components" -> dedupComponents,
     "ann_brute_force" -> annBrute,

@@ -53,7 +53,8 @@ object IcebergRead {
                              snapshots: Seq[Snapshot],
                              snapshotLog: Seq[(Long, Long)], // (timestampMs, snapshotId)
                              currentSnapshotId: Option[Long],
-                             properties: Map[String, String])
+                             properties: Map[String, String],
+                             refs: Map[String, Long] = Map.empty) // branch/tag → snapshot
   final case class DataFile(path: String,
                             recordCount: Long,
                             partition: Map[String, Any],
@@ -173,8 +174,15 @@ object IcebergRead {
     val props = Option(root.get("properties")).map(p =>
       p.properties.asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
       .getOrElse(Map.empty)
+    // spec §"Refs": named branches/tags → snapshot ids (catalog-written
+    // trees carry these; our exports don't — map stays empty)
+    val refs = Option(root.get("refs")).map(r =>
+      r.properties.asScala.map(e =>
+        e.getKey -> e.getValue.get("snapshot-id").asLong()).toMap)
+      .getOrElse(Map.empty)
     TableMeta(dir, schema, fieldIdOf, identityCols, snapshots, snapLog,
-      Option(root.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L), props)
+      Option(root.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L),
+      props, refs)
   }
 
   // ---- manifests -------------------------------------------------------
@@ -339,14 +347,22 @@ object IcebergRead {
     case _ => lit(v).cast(dt)
   }
 
+  /** Resolve a named branch/tag to its snapshot id. */
+  def refSnapshot(meta: TableMeta, ref: String): Long =
+    meta.refs.getOrElse(ref, throw new IllegalArgumentException(
+      s"iceberg read: no branch or tag '$ref' " +
+        s"(have: ${meta.refs.keys.toSeq.sorted.mkString(", ")})"))
+
   /** DataFrame over the chosen snapshot's live files. `files` overrides the
     * manifest listing (pass `pruneByBounds` output to skip files before the
-    * scan). */
+    * scan); `ref` reads AT BRANCH|TAG. */
   def scan(spark: SparkSession, dir: String,
            snapshotId: Option[Long] = None, asOfMs: Option[Long] = None,
-           files: Option[Seq[DataFile]] = None): DataFrame = {
+           files: Option[Seq[DataFile]] = None,
+           ref: Option[String] = None): DataFrame = {
     val meta = loadMetadata(dir)
-    val live = files.getOrElse(dataFiles(meta, snapshotId, asOfMs))
+    val snapId = ref.map(r => refSnapshot(meta, r)).orElse(snapshotId)
+    val live = files.getOrElse(dataFiles(meta, snapId, asOfMs))
     if (live.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)

@@ -167,9 +167,18 @@ object GraftExtensions {
     }
 
   private def icebergScan(args: Seq[Expression]): LogicalPlan = {
-    val (dir, snap) = interopArgs("iceberg_scan", args)
-    graft.sources.IcebergRead.scan(SparkSession.active, dir, snapshotId = snap)
-      .queryExecution.analyzed
+    // string second argument = branch or tag name (AT BRANCH|TAG inline,
+    // same convention as lake_scan)
+    args match {
+      case Seq(d, r) if r.foldable && r.dataType == StringType && r.eval() != null =>
+        graft.sources.IcebergRead.scan(SparkSession.active,
+            dirArg("iceberg_scan", Seq(d)), ref = Some(r.eval().toString))
+          .queryExecution.analyzed
+      case _ =>
+        val (dir, snap) = interopArgs("iceberg_scan", args)
+        graft.sources.IcebergRead.scan(SparkSession.active, dir, snapshotId = snap)
+          .queryExecution.analyzed
+    }
   }
 
   private def deltaScan(args: Seq[Expression]): LogicalPlan = {

@@ -185,4 +185,37 @@ class IcebergReadSpec extends AnyFunSuite {
     assert(!"ReadSchema:[^\n]*name".r.findFirstIn(plan).isDefined,
       "projection must prune unused columns\n" + plan)
   }
+
+  test("branch/tag refs resolve (catalog-written trees): iceberg_scan('<dir>', '<ref>')") {
+    val src = fresh("ib_ref2_src")
+    val df = (1 to 100).map(i => (i.toLong, i % 3)).toDF("id", "grp")
+    val t = SnapshotTable.create(spark, src, df)
+    val dst = fresh("ib_ref2_dst") + "/tree"
+    val v1 = t.latestVersion
+    LakeExport.exportTo(spark, src, dst)
+    t.deleteWhere(col("id") > 50)
+    val v2 = t.latestVersion
+    LakeExport.appendTo(spark, src, dst)
+    // add a refs node the way a catalog writer would (spec §Refs)
+    val metaDir = Paths.get(dst, "metadata")
+    val hint = new String(Files.readAllBytes(metaDir.resolve("version-hint.text"))).trim
+    val p = metaDir.resolve(s"v$hint.metadata.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(Files.readAllBytes(p))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val refs = root.putObject("refs")
+    refs.putObject("main").put("snapshot-id", v2).put("type", "branch")
+    refs.putObject("audit").put("snapshot-id", v1).put("type", "tag")
+    Files.write(p, mapper.writeValueAsString(root).getBytes("UTF-8"))
+
+    val meta = IcebergRead.loadMetadata(dst)
+    assert(meta.refs == Map("main" -> v2, "audit" -> v1))
+    assert(spark.sql(s"SELECT COUNT(*) FROM iceberg_scan('$dst', 'audit')")
+      .collect().head.getLong(0) == 100)
+    assert(spark.sql(s"SELECT COUNT(*) FROM iceberg_scan('$dst', 'main')")
+      .collect().head.getLong(0) == 50)
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM iceberg_scan('$dst', 'nope')").collect())
+    assert(e.getMessage.contains("no branch or tag"))
+  }
 }
