@@ -88,6 +88,22 @@ object Privileges {
     require(users.putIfAbsent(u.name, u).isEmpty, s"user '$name' already exists")
   }
 
+  /** ALTER USER ... SET PASSWORD (reference `SqlAlterUser`): admins may
+    * change anyone's; a user may change their OWN. Existing session
+    * tokens for the user are revoked (a changed credential invalidates
+    * outstanding logins). */
+  def alterPassword(spark: SparkSession, name: String, password: String): Unit = {
+    val n = name.toLowerCase
+    val self = principalOf(spark).exists(_.name == n)
+    if (!self) requireAdmin(spark, s"ALTER USER $name")
+    val u = users.getOrElse(n,
+      throw new IllegalArgumentException(s"unknown user: $name"))
+    val salt = new Array[Byte](16); rng.nextBytes(salt)
+    val s = salt.map("%02x".format(_)).mkString
+    users.put(n, u.copy(hash = sha(s + password), salt = s))
+    tokens.filterInPlace((_, user) => user != n)
+  }
+
   def dropUser(spark: SparkSession, name: String): Unit = {
     requireAdmin(spark, s"DROP USER $name")
     users.remove(name.toLowerCase)

@@ -669,6 +669,29 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
   def createTag(name: String, atVersion: Option[Long] = None): SnapshotTable.LakeRef =
     createRef(name, "tag", atVersion)
 
+  /** ASSIGN BRANCH|TAG (reference `SqlAssignBranch`/`SqlAssignTag` —
+    * Nessie `assign`): repoint the ref at `toVersion` of main. A branch's
+    * staged commit chain is DISCARDED (assign moves the head, exactly
+    * Nessie's semantics — staged files become vacuum-reclaimable); a tag
+    * simply re-pins. */
+  def assignRef(name: String, toVersion: Long): SnapshotTable.LakeRef = withCommitLock {
+    val old = getRef(name)
+    val current = latestVersion
+    require(toVersion >= 1 && toVersion <= current,
+      s"ASSIGN ${old.refType.toUpperCase} $name: v$toVersion out of range [1, $current] in $dir")
+    if (old.refType == "branch") {
+      val s = Files.list(logDir)
+      try s.iterator.asScala
+        .filter(_.getFileName.toString.matches(
+          s"br-${java.util.regex.Pattern.quote(name)}-v\\d{8}\\.json"))
+        .foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
+    val ref = old.copy(baseVersion = toVersion)
+    Files.write(refPath(name), SnapshotTable.renderRef(ref).getBytes("UTF-8"))
+    ref
+  }
+
   /** DROP BRANCH/TAG: removes the ref and any branch commit files; staged
     * data files become unreferenced and are reclaimed by vacuum(). */
   def dropRef(name: String): Unit = withCommitLock {

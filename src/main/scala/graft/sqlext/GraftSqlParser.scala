@@ -162,6 +162,15 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
       case DropRefRe(refType, name, dir) => DropRefCommand(refType.toLowerCase, name, dir)
       case ShowRefsRe(dir) =>
         ShowRefsCommand(dir, out("name", "type", "base_version"))
+      case ShowRefsKindRe(kind, dir) =>
+        ShowRefsCommand(dir, out("name", "type", "base_version"),
+          kindFilter = Some(kind.toLowerCase.stripSuffix("s") match {
+            case "branche" => "branch"; case k => k
+          }))
+      case AssignRefRe(refType, name, version, dir) =>
+        AssignRefCommand(refType.toLowerCase, name, version.toLong, dir)
+      case AlterUserRe(name, password) =>
+        AlterUserCommand(name, password, out("user"))
       case MergeBranchRe(name, dir) => MergeBranchCommand(name, dir)
       case InsertLakeAtBranchRe(dir, branch, query) =>
         InsertLakeAtBranchCommand(dir, branch, query)
@@ -404,6 +413,17 @@ object GraftSqlParser {
   private val DropRefRe =
     """(?is)DROP\s+(BRANCH|TAG)\s+([\w.-]+)\s+FROM\s+LAKE\s+'([^']+)'\s*;?""".r
   private val ShowRefsRe = """(?is)SHOW\s+REFS\s+FROM\s+LAKE\s+'([^']+)'\s*;?""".r
+  // reference statement-name parity (SqlShowBranches / SqlShowTags):
+  // filtered forms of SHOW REFS
+  private val ShowRefsKindRe =
+    """(?is)SHOW\s+(BRANCHES|TAGS)\s+FROM\s+LAKE\s+'([^']+)'\s*;?""".r
+  // ALTER BRANCH|TAG ... ASSIGN (SqlAssignBranch/SqlAssignTag — Nessie
+  // assign): repoint a ref; a branch's staged commits are discarded
+  private val AssignRefRe =
+    ("""(?is)ALTER\s+(BRANCH|TAG)\s+([\w.-]+)\s+ASSIGN\s+VERSION\s+(\d+)""" +
+      """\s+IN\s+LAKE\s+'([^']+)'\s*;?""").r
+  private val AlterUserRe =
+    """(?is)ALTER\s+USER\s+([\w.-]+)\s+SET\s+PASSWORD\s+'([^']*)'\s*;?""".r
   private val MergeBranchRe =
     """(?is)MERGE\s+BRANCH\s+([\w.-]+)\s+INTO\s+LAKE\s+'([^']+)'\s*;?""".r
   private val InsertLakeAtBranchRe =
@@ -1090,11 +1110,35 @@ object GraftSqlParser {
   }
 
   /** SHOW REFS FROM LAKE: every branch and tag with its base version. */
-  case class ShowRefsCommand(dir: String, override val output: Seq[Attribute])
+  case class ShowRefsCommand(dir: String, override val output: Seq[Attribute],
+      kindFilter: Option[String] = None)
       extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] =
       graft.sources.SnapshotTable.forPath(spark, dir).listRefs
+        .filter(r => kindFilter.forall(_ == r.refType))
         .map(r => Row(r.name, r.refType, r.baseVersion.toString))
+  }
+
+  /** ALTER BRANCH|TAG ... ASSIGN VERSION (SqlAssignBranch/SqlAssignTag). */
+  case class AssignRefCommand(refType: String, name: String, toVersion: Long,
+      dir: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("name", "type", "base_version")
+    override def run(spark: SparkSession): Seq[Row] = {
+      val t = graft.sources.SnapshotTable.forPath(spark, dir)
+      require(t.getRef(name).refType == refType,
+        s"'$name' is a ${t.getRef(name).refType}, not a $refType")
+      val r = t.assignRef(name, toVersion)
+      Seq(Row(r.name, r.refType, r.baseVersion.toString))
+    }
+  }
+
+  /** ALTER USER ... SET PASSWORD (SqlAlterUser). */
+  case class AlterUserCommand(name: String, password: String,
+      override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      graft.auth.Privileges.alterPassword(spark, name, password)
+      Seq(Row(name.toLowerCase))
+    }
   }
 
   /** MERGE BRANCH ... INTO LAKE: fast-forward squash publish (the

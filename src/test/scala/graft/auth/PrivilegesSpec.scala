@@ -140,4 +140,25 @@ class PrivilegesSpec extends AnyFunSuite {
       spark.sql("ALTER AUTH ENFORCE OFF")
     }
   }
+
+  test("ALTER USER SET PASSWORD: self or admin; old tokens revoked") {
+    withAuthWorld {
+      spark.sql("CREATE USER root_u PASSWORD 'rp' ADMIN")
+      spark.sql("CREATE USER bob PASSWORD 'old'")
+      spark.sql("ALTER AUTH ENFORCE ON") // admin gate active (off = bootstrap)
+      // self-service change
+      asPrincipal("bob", "old")
+      spark.sql("ALTER USER bob SET PASSWORD 'new'")
+      // the change revoked bob's token — the session is anonymous again
+      assert(Privileges.principalOf(spark).isEmpty)
+      intercept[SecurityException](asPrincipal("bob", "old"))
+      asPrincipal("bob", "new") // new credential works
+      // a non-admin cannot change ANOTHER user's password
+      intercept[Exception](spark.sql("ALTER USER root_u SET PASSWORD 'x'"))
+      // an admin can
+      asPrincipal("root_u", "rp")
+      spark.sql("ALTER USER bob SET PASSWORD 'admin_set'")
+      asPrincipal("bob", "admin_set")
+    }
+  }
 }

@@ -349,6 +349,33 @@ class SnapshotTableSpec extends AnyFunSuite {
       Seq(("audit_v1", "tag", 1L)))
   }
 
+  test("ALTER BRANCH|TAG ASSIGN repoints refs; branch staged commits are discarded") {
+    val dir = fresh("lake_assign")
+    val t = SnapshotTable.create(spark, dir,
+      (1L to 50L).map(i => (i, "v1")).toDF("id", "src"))
+    t.deleteWhere($"id" > 40) // v2
+    t.createTag("rel", Some(1L))
+    t.createBranch("wip", Some(2L))
+    t.appendToBranch("wip", Seq((900L, "staged")).toDF("id", "src"))
+    assert(t.readRef("wip").count() == 41L)
+
+    // tag re-pins
+    spark.sql(s"ALTER TAG rel ASSIGN VERSION 2 IN LAKE '$dir'")
+    assert(t.getRef("rel").baseVersion == 2L)
+    // branch assign resets the head and DROPS staged commits (Nessie assign)
+    spark.sql(s"ALTER BRANCH wip ASSIGN VERSION 1 IN LAKE '$dir'")
+    assert(t.getRef("wip").baseVersion == 1L)
+    assert(t.readRef("wip").count() == 50L, "staged commit must be gone")
+    // filtered SHOW forms (reference SqlShowBranches/SqlShowTags)
+    val branches = spark.sql(s"SHOW BRANCHES FROM LAKE '$dir'").collect()
+    val tags = spark.sql(s"SHOW TAGS FROM LAKE '$dir'").collect()
+    assert(branches.map(_.getString(0)).toSeq == Seq("wip"))
+    assert(tags.map(_.getString(0)).toSeq == Seq("rel"))
+    // kind mismatch and out-of-range are refused
+    assertThrows[Exception](spark.sql(s"ALTER BRANCH rel ASSIGN VERSION 1 IN LAKE '$dir'"))
+    assertThrows[Exception](spark.sql(s"ALTER TAG rel ASSIGN VERSION 99 IN LAKE '$dir'"))
+  }
+
   test("vacuum keeps files pinned by tags and branches") {
     val dir = fresh("lake_refvac")
     val t = SnapshotTable.create(spark, dir, Seq((1L, "a")).toDF("id", "v"))
