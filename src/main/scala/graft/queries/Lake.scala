@@ -199,6 +199,40 @@ object Lake {
       FROM region) m
     ORDER BY n_nationkey"""
 
+  /** Session version context (reference SqlUseVersion — USE BRANCH): pin
+    * the session to a branch, insert WITHOUT an AT clause (routes to the
+    * branch), and scan WITHOUT an AT clause (reads the branch). The main
+    * head is audited untouched mid-query, then the session is unpinned and
+    * the branch published — final state hash-gated against DuckDB. */
+  val lakeSessionRef: QueryFn = (s, dir) => {
+    val t = Tables.ensure(s, dir)
+    val base = t.nation.select(col("n_nationkey"), col("n_name"))
+    val lakeDir = scratchDir("graft_lake_useref")
+    SnapshotTable.create(s, lakeDir, base)
+    s.sql(s"CREATE BRANCH dev FROM LAKE '$lakeDir'")
+    s.sql(s"USE BRANCH dev IN LAKE '$lakeDir'")
+    try {
+      t.region.select((col("r_regionkey") + 200L).as("n_nationkey"),
+          concat(lit("DEV-"), col("r_name")).as("n_name"))
+        .createOrReplaceTempView("lake_useref_delta")
+      // no AT clause anywhere below: the session pin does the routing
+      s.sql(s"INSERT INTO LAKE '$lakeDir' " +
+        "SELECT n_nationkey, n_name FROM lake_useref_delta")
+      val mainCount = SnapshotTable.forPath(s, lakeDir).read().count()
+      require(mainCount == base.count(), s"session insert leaked to main: $mainCount")
+      s.sql(s"SELECT n_nationkey, n_name FROM lake_scan('$lakeDir') " +
+        "ORDER BY n_nationkey")
+    } finally s.sql(s"USE DEFAULT IN LAKE '$lakeDir'")
+  }
+  val lakeSessionRefSql: String = """
+    SELECT n_nationkey, n_name FROM (
+      SELECT n_nationkey, n_name FROM nation
+      UNION ALL
+      SELECT r_regionkey + 200 AS n_nationkey,
+             'DEV-' || r_name AS n_name
+      FROM region) m
+    ORDER BY n_nationkey"""
+
   /** VERSION AS OF: v1 = full nation, v2 overwrites with a filtered set;
     * reading v1 must still return the original rows (time travel). */
   val lakeTimeTravel: QueryFn = (s, dir) => {
@@ -517,6 +551,7 @@ object Lake {
     "lake_merge_clauses" -> lakeMergeClauses,
     "lake_changes" -> lakeChanges,
     "lake_branch_wap" -> lakeBranchWap,
+    "lake_session_ref" -> lakeSessionRef,
     "lake_time_travel" -> lakeTimeTravel,
     "lake_incremental_scan" -> lakeIncrementalScan)
 
@@ -535,6 +570,7 @@ object Lake {
     "lake_merge_clauses" -> lakeMergeClausesSql,
     "lake_changes" -> lakeChangesSql,
     "lake_branch_wap" -> lakeBranchWapSql,
+    "lake_session_ref" -> lakeSessionRefSql,
     "lake_time_travel" -> lakeTimeTravelSql,
     "lake_incremental_scan" -> lakeIncrementalScanSql)
 }

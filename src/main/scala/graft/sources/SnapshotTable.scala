@@ -723,6 +723,13 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     if (ref.refType == "tag") prefix else prefix ++ branchCommits(ref.name)
   }
 
+  /** SHOW LOGS (reference `SqlShowLogs`, versionSupport.ftl): the commit
+    * log of main, or of a branch/tag when `ref` is given — a tag shows
+    * the prefix up to its pin, a branch the shared prefix plus its staged
+    * chain. */
+  def log(ref: Option[String] = None): Seq[LakeCommit] =
+    ref.map(n => refLog(getRef(n))).getOrElse(commits)
+
   /** `AT BRANCH <name>` / `AT TAG <name>` read. */
   def readRef(name: String): DataFrame = {
     val visible = refLog(getRef(name))

@@ -302,8 +302,13 @@ object GraftExtensions {
     val spark = SparkSession.active
     args match {
       case Seq(d) =>
-        SnapshotTable.forPath(spark, dirArg("lake_scan", Seq(d)))
-          .read().queryExecution.analyzed
+        // a session USE BRANCH|TAG pin re-points the default-head read
+        // (reference SqlUseVersion semantics); explicit version/ref args
+        // below always win
+        val dir = dirArg("lake_scan", Seq(d))
+        val t = SnapshotTable.forPath(spark, dir)
+        graft.sources.SessionRefs.get(spark, dir).map(t.readRef)
+          .getOrElse(t.read()).queryExecution.analyzed
       case Seq(d, v) if v.foldable &&
           Seq[DataType](ByteType, ShortType, IntegerType, LongType).contains(v.dataType) =>
         SnapshotTable.forPath(spark, dirArg("lake_scan", Seq(d)))

@@ -99,6 +99,32 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
         CreatePipeCommand(name, src, fmt.toLowerCase, ddl, target, chk)
       case TriggerPipeRe(name) => TriggerPipeCommand(name)
       case ShowPipesRe() => ShowPipesCommand(out("name", "source", "format", "target"))
+      case AlterPipeStatusRe(name, flag) =>
+        AlterPipeStatusCommand(name, flag.equalsIgnoreCase("TRUE"))
+      case AlterPipeDefRe() =>
+        // redefinition form (SqlAlterPipe ... AS <load spec>): same tail
+        // grammar as CREATE PIPE, but the pipe must already exist and its
+        // paused state survives the redefinition
+        parsePlan(t.replaceFirst("(?is)^\\s*ALTER", "CREATE")) match {
+          case c: CreatePipeCommand => AlterPipeDefCommand(c)
+          case _ => throw new IllegalArgumentException(
+            s"cannot parse ALTER PIPE definition: $t")
+        }
+      case DropPipeRe(ifExists, name) => DropPipeCommand(name, ifExists != null)
+      case DescribePipeRe(name) =>
+        DescribePipeCommand(name, out("name", "source", "format", "target",
+          "checkpoint", "sink", "merge_key", "running"))
+      case UseRefRe(refType, name, dir) =>
+        UseRefCommand(refType.toLowerCase, name, dir,
+          out("ref", "type", "base_version"))
+      case UseDefaultRe(dir) =>
+        UseDefaultCommand(dir, out("ref", "type", "base_version"))
+      case ShowLogsRe(refType, refName, dir) =>
+        ShowLogsCommand(Option(refType).map(_.toLowerCase), Option(refName), dir,
+          out("version", "action", "timestamp_ms", "n_files", "tag"))
+      case ShowFilesLakeRe(dir) =>
+        ShowFilesLakeCommand(dir, out("file_path", "size_bytes", "row_count"))
+      case TruncateLakeRe(dir) => TruncateLakeCommand(dir, out("version"))
       case ClearResultCacheRe() => ClearResultCacheCommand()
       case ExplainAccelRe(query) =>
         ExplainAccelerationCommand(query,
@@ -294,6 +320,28 @@ object GraftSqlParser {
       """SCHEMA\s+'([^']+)'\s+INTO\s+LAKE\s+'([^']+)'\s+CHECKPOINT\s+'([^']+)'\s*;?""").r
   private val TriggerPipeRe = """(?is)TRIGGER\s+PIPE\s+(\w+)\s*;?""".r
   private val ShowPipesRe = """(?is)SHOW\s+PIPES\s*;?""".r
+  // pipe lifecycle (reference ingestion.ftl: SqlAlterPipeStatus,
+  // SqlAlterPipe, SqlDropPipe, SqlDescribePipe)
+  private val AlterPipeStatusRe =
+    """(?is)ALTER\s+PIPE\s+(\w+)\s+SET\s+PIPE_EXECUTION_RUNNING\s*=\s*(TRUE|FALSE)\s*;?""".r
+  private val AlterPipeDefRe = """(?is)ALTER\s+PIPE\s+\w+\s+FROM\s+.+""".r
+  private val DropPipeRe =
+    """(?is)DROP\s+PIPE\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*;?""".r
+  private val DescribePipeRe = """(?is)DESC(?:RIBE)?\s+PIPE\s+(\w+)\s*;?""".r
+  // session version context + lake statement forms (reference
+  // versionSupport.ftl SqlUseVersion/SqlShowLogs, parserImpls.ftl
+  // SqlShowFiles, Parser.tdd SqlTruncateTable)
+  private val UseRefRe =
+    """(?is)USE\s+(BRANCH|TAG)\s+([\w.-]+)\s+IN\s+LAKE\s+'([^']+)'\s*;?""".r
+  private val UseDefaultRe =
+    """(?is)USE\s+DEFAULT\s+IN\s+LAKE\s+'([^']+)'\s*;?""".r
+  private val ShowLogsRe =
+    ("""(?is)SHOW\s+LOGS?(?:\s+AT\s+(BRANCH|TAG)\s+([\w.-]+))?""" +
+      """\s+IN\s+LAKE\s+'([^']+)'\s*;?""").r
+  private val ShowFilesLakeRe =
+    """(?is)SHOW\s+FILES\s+IN\s+LAKE\s+'([^']+)'\s*;?""".r
+  private val TruncateLakeRe =
+    """(?is)TRUNCATE\s+LAKE\s+'([^']+)'\s*;?""".r
   private val ClearResultCacheRe = """(?is)(?:ALTER\s+SESSION\s+)?CLEAR\s+RESULT\s+CACHE\s*;?""".r
   private val ExplainAccelRe = """(?is)EXPLAIN\s+ACCELERATION\s+(.+)""".r
   private val CreateQueueRe =
@@ -859,6 +907,9 @@ object GraftSqlParser {
     override def run(spark: SparkSession): Seq[Row] = {
       val pipe = Pipes.get(name).getOrElse(
         throw new IllegalArgumentException(s"unknown pipe: $name"))
+      require(!pipe.paused,
+        s"pipe '$name' is paused (PIPE_EXECUTION_RUNNING = FALSE); " +
+          s"resume with ALTER PIPE $name SET PIPE_EXECUTION_RUNNING = TRUE")
       // rows loaded by this trigger, from stream progress — not an O(target)
       // recount of the whole pipe table
       val loaded = (pipe.format, pipe.sink) match {
@@ -874,6 +925,128 @@ object GraftSqlParser {
   case class ShowPipesCommand(override val output: Seq[Attribute]) extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] =
       Pipes.list.map(p => Row(p.name, p.sourceDir, p.format, p.targetDir))
+  }
+
+  /** ALTER PIPE ... SET PIPE_EXECUTION_RUNNING (SqlAlterPipeStatus). */
+  case class AlterPipeStatusCommand(name: String, running: Boolean)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("pipe", "running")
+    override def run(spark: SparkSession): Seq[Row] = {
+      val p = Pipes.setRunning(name, running)
+      Seq(Row(p.name, (!p.paused).toString))
+    }
+  }
+
+  /** ALTER PIPE redefinition (SqlAlterPipe): CREATE PIPE grammar tail on
+    * an EXISTING pipe; the paused flag survives. */
+  case class AlterPipeDefCommand(create: CreatePipeCommand)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("pipe")
+    override def run(spark: SparkSession): Seq[Row] = {
+      val old = Pipes.get(create.name).getOrElse(
+        throw new IllegalArgumentException(
+          s"unknown pipe: ${create.name} (ALTER redefines; use CREATE PIPE)"))
+      create.run(spark)
+      if (old.paused) Pipes.setRunning(create.name, running = false)
+      Seq(Row(create.name))
+    }
+  }
+
+  /** DROP PIPE [IF EXISTS] (SqlDropPipe). */
+  case class DropPipeCommand(name: String, ifExists: Boolean)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("pipe")
+    override def run(spark: SparkSession): Seq[Row] = {
+      if (Pipes.get(name).isEmpty && !ifExists)
+        throw new IllegalArgumentException(s"unknown pipe: $name")
+      Pipes.drop(name)
+      Seq(Row(name))
+    }
+  }
+
+  /** DESCRIBE PIPE (SqlDescribePipe). */
+  case class DescribePipeCommand(name: String, override val output: Seq[Attribute])
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val p = Pipes.get(name).getOrElse(
+        throw new IllegalArgumentException(s"unknown pipe: $name"))
+      Seq(Row(p.name, p.sourceDir, p.format, p.targetDir, p.checkpointDir,
+        p.sink, p.mergeKey.orNull, (!p.paused).toString))
+    }
+  }
+
+  /** USE BRANCH|TAG ... IN LAKE (SqlUseVersion): pin the session's default
+    * ref for the table. `USE BRANCH main` restores the default head (main
+    * is the implicit trunk, as in Nessie). */
+  case class UseRefCommand(refType: String, name: String, dir: String,
+      override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val t = graft.sources.SnapshotTable.forPath(spark, dir)
+      if (refType == "branch" && name.equalsIgnoreCase("main")) {
+        graft.sources.SessionRefs.clear(spark, dir)
+        Seq(Row("main", "branch", t.latestVersion.toString))
+      } else {
+        val ref = t.getRef(name)
+        require(ref.refType == refType,
+          s"'$name' is a ${ref.refType}, not a $refType")
+        graft.sources.SessionRefs.set(spark, dir, name)
+        Seq(Row(ref.name, ref.refType, ref.baseVersion.toString))
+      }
+    }
+  }
+
+  /** USE DEFAULT IN LAKE: drop the session ref pin. */
+  case class UseDefaultCommand(dir: String, override val output: Seq[Attribute])
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      graft.sources.SessionRefs.clear(spark, dir)
+      Seq(Row("main", "branch",
+        graft.sources.SnapshotTable.forPath(spark, dir).latestVersion.toString))
+    }
+  }
+
+  /** SHOW LOGS [AT BRANCH|TAG ...] IN LAKE (SqlShowLogs): the commit log
+    * of main, an explicit ref, or the session ref when one is pinned. */
+  case class ShowLogsCommand(refType: Option[String], refName: Option[String],
+      dir: String, override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val t = graft.sources.SnapshotTable.forPath(spark, dir)
+      refName.foreach { n =>
+        val ref = t.getRef(n)
+        require(refType.forall(_ == ref.refType),
+          s"'$n' is a ${ref.refType}, not a ${refType.getOrElse("")}")
+      }
+      val effective = refName.orElse(graft.sources.SessionRefs.get(spark, dir))
+      t.log(effective).map(c => Row(c.version.toString, c.action,
+        c.timestampMs.toString, c.files.size.toString, c.tag))
+    }
+  }
+
+  /** SHOW FILES IN LAKE (SqlShowFiles): live data files with manifest
+    * stats — the statement form of the lake_files TVF. */
+  case class ShowFilesLakeCommand(dir: String, override val output: Seq[Attribute])
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val t = graft.sources.SnapshotTable.forPath(spark, dir)
+      val (files, _) = t.snapshotWithStats()
+      files.map { case (path, st) =>
+        Row(path,
+          st.get(graft.sources.SnapshotTable.BytesStatKey).map(_._1).orNull,
+          st.get(graft.sources.SnapshotTable.RowsStatKey).map(_._1).orNull)
+      }
+    }
+  }
+
+  /** TRUNCATE LAKE (SqlTruncateTable): delete every row as one atomic
+    * copy-on-write commit; history and time travel stay intact. */
+  case class TruncateLakeCommand(dir: String, override val output: Seq[Attribute])
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      graft.sources.SessionRefs.requireDefault(spark, dir, "TRUNCATE LAKE")
+      val v = graft.sources.SnapshotTable.forPath(spark, dir)
+        .deleteWhere(org.apache.spark.sql.functions.lit(true))
+      Seq(Row(v.toString))
+    }
   }
 
   /** DESCRIBE LAKE: the snapshot history of a graft-lake table (the
@@ -1006,12 +1179,25 @@ object GraftSqlParser {
     override def run(spark: SparkSession): Seq[Row] = {
       val t = graft.sources.SnapshotTable.forPath(spark, dir)
       val df = spark.sql(querySql)
-      val (spec, statsCols, sortBy) = t.effectiveLayout
-      val v = t.appendPartitioned(df, spec, statsCols, sortBy)
-      // report the commit's file count, not a row count — a count() here
-      // would re-execute the whole SELECT a second time
-      val nFiles = t.commits.lastOption.map(_.files.size).getOrElse(0)
-      Seq(Row(v.toString, nFiles.toString))
+      // a session USE BRANCH pin routes the append to the branch (the
+      // reference's Nessie session context); a tag pin refuses — tags are
+      // immutable
+      graft.sources.SessionRefs.get(spark, dir) match {
+        case Some(ref) =>
+          require(t.getRef(ref).refType == "branch",
+            s"INSERT INTO LAKE: session is pinned to tag '$ref' — tags are " +
+              "immutable; USE DEFAULT or USE BRANCH first")
+          val v = t.appendToBranch(ref, df)
+          val nFiles = t.log(Some(ref)).lastOption.map(_.files.size).getOrElse(0)
+          Seq(Row(v.toString, nFiles.toString))
+        case None =>
+          val (spec, statsCols, sortBy) = t.effectiveLayout
+          val v = t.appendPartitioned(df, spec, statsCols, sortBy)
+          // report the commit's file count, not a row count — a count()
+          // here would re-execute the whole SELECT a second time
+          val nFiles = t.commits.lastOption.map(_.files.size).getOrElse(0)
+          Seq(Row(v.toString, nFiles.toString))
+      }
     }
   }
 
@@ -1019,6 +1205,7 @@ object GraftSqlParser {
   case class DeleteLakeCommand(dir: String, condSql: String) extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("version")
     override def run(spark: SparkSession): Seq[Row] = {
+      graft.sources.SessionRefs.requireDefault(spark, dir, "DELETE FROM LAKE")
       val v = graft.sources.SnapshotTable.forPath(spark, dir)
         .deleteWhere(org.apache.spark.sql.functions.expr(condSql))
       Seq(Row(v.toString))
@@ -1030,6 +1217,7 @@ object GraftSqlParser {
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("version")
     override def run(spark: SparkSession): Seq[Row] = {
+      graft.sources.SessionRefs.requireDefault(spark, dir, "UPDATE LAKE")
       val sets = splitTopLevel(setsSql).map { assignment =>
         val eq = assignment.indexOf('=')
         require(eq > 0, s"malformed SET assignment: $assignment")
@@ -1049,6 +1237,7 @@ object GraftSqlParser {
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("version")
     override def run(spark: SparkSession): Seq[Row] = {
+      graft.sources.SessionRefs.requireDefault(spark, dir, "MERGE INTO LAKE")
       val v = graft.sources.SnapshotTable.forPath(spark, dir)
         .mergeByKey(spark.sql(querySql), key)
       Seq(Row(v.toString))
@@ -1065,6 +1254,7 @@ object GraftSqlParser {
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("version")
     override def run(spark: SparkSession): Seq[Row] = {
+      graft.sources.SessionRefs.requireDefault(spark, dir, "MERGE INTO LAKE")
       val v = graft.sources.SnapshotTable.forPath(spark, dir)
         .merge(spark.sql(querySql), key, matched, notMatched)
       Seq(Row(v.toString))

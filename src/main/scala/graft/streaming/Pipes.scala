@@ -27,7 +27,11 @@ final case class Pipe(
       * TRIGGER PIPE dispatches on this, so the SQL surface drives every
       * pipe flavor (reference ingestion grammar `ingestion.ftl`). */
     sink: String = "parquet",
-    mergeKey: Option[String] = None)
+    mergeKey: Option[String] = None,
+    /** ALTER PIPE ... SET PIPE_EXECUTION_RUNNING = FALSE (reference
+      * `SqlAlterPipeStatus`, ingestion.ftl): a paused pipe keeps its
+      * definition and checkpoint but refuses TRIGGER until resumed. */
+    paused: Boolean = false)
 
 object Pipes {
 
@@ -38,6 +42,15 @@ object Pipes {
   def get(name: String): Option[Pipe] = registry.get(name)
   def list: Seq[Pipe] = registry.values.toSeq.sortBy(_.name)
   def drop(name: String): Unit = registry.remove(name)
+
+  /** ALTER PIPE ... SET PIPE_EXECUTION_RUNNING = TRUE|FALSE. */
+  def setRunning(name: String, running: Boolean): Pipe = {
+    val p = registry.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown pipe: $name"))
+    val updated = p.copy(paused = !running)
+    registry.put(name, updated)
+    updated
+  }
 
   /** TRIGGER PIPE: drain all currently-available files into the target
     * (parquet), exactly once across repeated invocations. Blocks until the

@@ -376,6 +376,68 @@ class SnapshotTableSpec extends AnyFunSuite {
     assertThrows[Exception](spark.sql(s"ALTER TAG rel ASSIGN VERSION 99 IN LAKE '$dir'"))
   }
 
+  test("USE BRANCH pins the session's default read/insert; DML refuses; USE DEFAULT restores") {
+    val dir = fresh("lake_useref")
+    val t = SnapshotTable.create(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.createBranch("dev")
+    t.createTag("pin")
+
+    spark.sql(s"USE BRANCH dev IN LAKE '$dir'")
+    // INSERT routes to the branch; main is untouched
+    Seq((3L, "staged")).toDF("id", "v").createOrReplaceTempView("useref_delta")
+    spark.sql(s"INSERT INTO LAKE '$dir' SELECT id, v FROM useref_delta")
+    assert(t.read().count() == 2L, "session insert leaked to main")
+    // default-head scan under the pin sees the branch
+    assert(spark.sql(s"SELECT * FROM lake_scan('$dir')").count() == 3L)
+    // SHOW LOGS under the pin shows the branch chain
+    assert(spark.sql(s"SHOW LOGS IN LAKE '$dir'").count() == 2L)
+    // DML under a pin is refused loudly
+    val dml = intercept[Exception](
+      spark.sql(s"DELETE FROM LAKE '$dir' WHERE id = 1"))
+    assert(dml.getMessage.contains("pinned"))
+
+    spark.sql(s"USE DEFAULT IN LAKE '$dir'")
+    assert(spark.sql(s"SELECT * FROM lake_scan('$dir')").count() == 2L)
+    assert(spark.sql(s"SHOW LOGS IN LAKE '$dir'").count() == 1L)
+
+    // tag pin: reads re-point, inserts refuse (immutable)
+    spark.sql(s"USE TAG pin IN LAKE '$dir'")
+    assert(spark.sql(s"SELECT * FROM lake_scan('$dir')").count() == 2L)
+    val ins = intercept[Exception](
+      spark.sql(s"INSERT INTO LAKE '$dir' SELECT id, v FROM useref_delta"))
+    assert(ins.getMessage.contains("immutable"))
+    // USE BRANCH main = back to trunk (Nessie's implicit default branch)
+    spark.sql(s"USE BRANCH main IN LAKE '$dir'")
+    assert(spark.sql(s"SELECT * FROM lake_scan('$dir')").count() == 2L)
+    // kind mismatch refused
+    assertThrows[Exception](spark.sql(s"USE BRANCH pin IN LAKE '$dir'"))
+  }
+
+  test("SHOW LOGS/FILES and TRUNCATE LAKE statement forms") {
+    val dir = fresh("lake_stmts")
+    val t = SnapshotTable.create(spark, dir,
+      (1L to 10L).map(i => (i, s"r$i")).toDF("id", "v"))
+    t.append(Seq((11L, "r11")).toDF("id", "v"))
+    t.createBranch("b1", Some(1L))
+
+    val logs = spark.sql(s"SHOW LOGS IN LAKE '$dir'").collect()
+    assert(logs.map(_.getString(0)).toSeq == Seq("1", "2"))
+    assert(logs.map(_.getString(1)).toSeq == Seq("overwrite", "append"))
+    // AT BRANCH shows only the prefix visible to the branch
+    assert(spark.sql(s"SHOW LOGS AT BRANCH b1 IN LAKE '$dir'").count() == 1L)
+    assertThrows[Exception](spark.sql(s"SHOW LOGS AT TAG b1 IN LAKE '$dir'"))
+
+    val files = spark.sql(s"SHOW FILES IN LAKE '$dir'").collect()
+    assert(files.nonEmpty && files.forall(_.getString(0).endsWith(".parquet")))
+    assert(files.map(_.getString(2).toLong).sum == 11L, "manifest row counts")
+
+    // TRUNCATE: empty head, history intact, time travel still works
+    spark.sql(s"TRUNCATE LAKE '$dir'")
+    assert(t.read().count() == 0L)
+    assert(t.asOf(2L).count() == 11L)
+  }
+
   test("vacuum keeps files pinned by tags and branches") {
     val dir = fresh("lake_refvac")
     val t = SnapshotTable.create(spark, dir, Seq((1L, "a")).toDF("id", "v"))

@@ -180,4 +180,45 @@ class PipeSpec extends AnyFunSuite {
     lake.overwriteTagged(lake.read(), "rollup:pr:batch:0")
     assert(lake.latestVersion == v, "replayed rollup batch re-committed")
   }
+
+  test("pipe lifecycle DDL: ALTER status pauses, DESCRIBE reflects, DROP removes") {
+    val root = Files.createTempDirectory("graft_pipe_ddl").toString
+    val src = s"$root/in"; Files.createDirectories(Paths.get(src))
+    Files.write(Paths.get(s"$src/a.json"),
+      """{"event_id":1,"event_type":"x","value":1.0}""".getBytes)
+
+    spark.sql(s"CREATE PIPE pddl FROM '$src' FORMAT json " +
+      s"SCHEMA 'event_id BIGINT, event_type STRING, value DOUBLE' " +
+      s"INTO '$root/out' CHECKPOINT '$root/_ck'")
+
+    // pause → TRIGGER refuses; DESCRIBE shows running=false
+    spark.sql("ALTER PIPE pddl SET PIPE_EXECUTION_RUNNING = FALSE")
+    val paused = intercept[Exception](spark.sql("TRIGGER PIPE pddl"))
+    assert(paused.getMessage.contains("paused"))
+    val desc = spark.sql("DESCRIBE PIPE pddl").collect().head
+    assert(desc.getString(0) == "pddl" && desc.getString(7) == "false")
+
+    // resume → TRIGGER drains
+    spark.sql("ALTER PIPE pddl SET PIPE_EXECUTION_RUNNING = TRUE")
+    assert(spark.sql("TRIGGER PIPE pddl").collect().head.getString(1) == "1")
+
+    // ALTER redefinition keeps the name but swaps the source; pipe must exist
+    val src2 = s"$root/in2"; Files.createDirectories(Paths.get(src2))
+    Files.write(Paths.get(s"$src2/b.json"),
+      """{"event_id":2,"event_type":"y","value":2.0}""".getBytes)
+    spark.sql(s"ALTER PIPE pddl FROM '$src2' FORMAT json " +
+      s"SCHEMA 'event_id BIGINT, event_type STRING, value DOUBLE' " +
+      s"INTO '$root/out' CHECKPOINT '$root/_ck2'")
+    assert(Pipes.get("pddl").get.sourceDir == src2)
+    val noSuch = intercept[Exception](
+      spark.sql(s"ALTER PIPE ghost FROM '$src2' FORMAT json " +
+        s"SCHEMA 'event_id BIGINT' INTO '$root/out' CHECKPOINT '$root/_ck3'"))
+    assert(noSuch.getMessage.contains("unknown pipe"))
+
+    // DROP: strict without IF EXISTS, quiet with
+    spark.sql("DROP PIPE pddl")
+    assert(Pipes.get("pddl").isEmpty)
+    intercept[Exception](spark.sql("DROP PIPE pddl"))
+    spark.sql("DROP PIPE IF EXISTS pddl") // no-op, no throw
+  }
 }
