@@ -323,6 +323,51 @@ object Dedup {
         coalesce(col("dup_spans"), lit(0)).cast("long").as("dup_spans"))
   }
 
+  /** Repeated-segment (boilerplate) removal — the RefinedWeb/CCNet
+    * line-dedup recipe: cut every document into non-overlapping
+    * `window`-word segments, drop every segment that occurs in at least
+    * `minDocs` DISTINCT documents anywhere in the corpus (headers,
+    * footers, navigation chrome, license blurbs), and rebuild each
+    * document from its surviving segments in original order.
+    *
+    * Returns one row per input document: `(doc_id, n_segments,
+    * n_dropped, text_dedup)` — a fully-boilerplate document survives
+    * with an empty `text_dedup`, never silently disappears.
+    *
+    * Scale (100 TB): segments shuffle on an 8-byte xxhash64 of the
+    * segment text (CCNet hashes lines the same way — a 64-bit collision
+    * needs ~2^32 distinct segments in one corpus), the duplicated-set is
+    * the output of one count-distinct aggregate and is typically a tiny
+    * fraction of the corpus (AQE broadcasts the anti-join side when it
+    * fits), and the rebuild is one groupBy(doc_id) with an array_sort —
+    * no windows, no global sort, no driver materialization. */
+  def dedupSegments(docs: DataFrame, window: Int = 8, minDocs: Int = 2,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val words = expr(s"filter(split($textCol, '\\\\s+'), w -> length(w) > 0)")
+    val nSegs = ceil(size(words).cast("double") / window).cast("int")
+    val segList = expr(
+      s"transform(sequence(0, cast(ceil(size(ws) / ${window}d) as int) - 1, 1), " +
+        s"i -> struct(i as idx, concat_ws(' ', slice(ws, i * $window + 1, $window)) as seg))")
+    val segs = docs.select(col(idCol), words.as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col(idCol), explode(segList).as("s"))
+      .select(col(idCol), col("s.idx").as("idx"), col("s.seg").as("seg"))
+      .withColumn("h", xxhash64(col("seg")))
+    val dupSegs = segs.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs).select("h")
+    val rebuilt = segs.join(dupSegs, Seq("h"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", expr("transform(array_sort(collect_list(struct(idx, seg))), x -> x.seg)"))
+          .as("text_dedup"))
+    docs.select(col(idCol), nSegs.as("n_segments"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_segments"),
+        (col("n_segments") - coalesce(col("n_kept"), lit(0L))).cast("long").as("n_dropped"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
   /** Embedding near-dup: cosine > threshold within coarse buckets (label
     * as the IVF-style partition — at scale the bucket is a cluster
     * assignment, so the pairing is bucket-local, not all-pairs). */

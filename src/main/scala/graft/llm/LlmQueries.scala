@@ -1026,6 +1026,83 @@ object LlmQueries {
       .orderBy(col("id"))
   }
 
+  /** Repeated-segment boilerplate removal (the RefinedWeb/CCNet line-dedup
+    * recipe): drop every 8-word segment occurring in ≥2 distinct docs and
+    * rebuild each doc from its survivors — the oracle reproduces the
+    * segmentation with 1-based list slicing and the rebuild with an
+    * ordered string_agg. */
+  val dedupSegments: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents.filter(col("doc_id") < 400)
+    Dedup.dedupSegments(docs, window = 8, minDocs = 2).orderBy(col("doc_id"))
+  }
+  val dedupSegmentsSql: String = """
+    WITH ws AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0) AS w
+      FROM documents WHERE doc_id < 400),
+    segs AS (
+      SELECT doc_id, i - 1 AS idx,
+        array_to_string(w[(i-1)*8+1 : i*8], ' ') AS seg
+      FROM (SELECT doc_id, w,
+              unnest(generate_series(1, CAST(ceil(len(w)/8.0) AS BIGINT))) AS i
+            FROM ws WHERE len(w) > 0)),
+    dup AS (SELECT seg FROM segs GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 2),
+    kept AS (
+      SELECT s.doc_id, s.idx, s.seg FROM segs s
+      WHERE s.seg NOT IN (SELECT seg FROM dup)),
+    rebuilt AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+        string_agg(seg, ' ' ORDER BY idx) AS text_dedup
+      FROM kept GROUP BY doc_id)
+    SELECT w.doc_id,
+      CAST(ceil(len(w.w)/8.0) AS INT) AS n_segments,
+      CAST(ceil(len(w.w)/8.0) AS BIGINT) - COALESCE(r.n_kept, 0) AS n_dropped,
+      COALESCE(r.text_dedup, '') AS text_dedup
+    FROM ws w LEFT JOIN rebuilt r USING (doc_id)
+    ORDER BY w.doc_id"""
+
+  /** CCNet perplexity tiers: corpus-LM score cut at exact 1/3 and 2/3
+    * percentiles → head/middle/tail. Both engines round the cuts to 6dp
+    * before comparing so interpolation noise can't flip boundary docs. */
+  val qualityPerplexityBuckets: QueryFn = (s, dir) =>
+    TextAnalysis.perplexityBuckets(
+      Tables.ensure(s, dir).documents.filter(col("doc_id") < 500))
+      .orderBy(col("doc_id"))
+  val qualityPerplexityBucketsSql: String = """
+    WITH toks AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS t
+      FROM documents WHERE doc_id < 500),
+    elig AS (SELECT * FROM toks WHERE len(t) >= 2),
+    grams AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+        i -> t[i] || ' ' || t[i+1])) AS gram
+      FROM elig),
+    uni AS (
+      SELECT w1, COUNT(*) AS c_uni
+      FROM (SELECT unnest(t) AS w1 FROM elig) GROUP BY 1),
+    v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+    bi AS (SELECT gram, COUNT(*) AS c_bi FROM grams GROUP BY 1),
+    scored AS (
+      SELECT g.doc_id,
+        log2((b.c_bi + 0.5) / (u.c_uni + 0.5 * (SELECT v FROM v))) AS logp
+      FROM grams g
+      JOIN bi b USING (gram)
+      JOIN uni u ON u.w1 = string_split(g.gram, ' ')[1]),
+    per_doc AS (
+      SELECT doc_id, round(avg(logp), 6) AS mean_log2p
+      FROM scored GROUP BY doc_id),
+    cuts AS (
+      SELECT round(quantile_cont(mean_log2p, 1.0/3), 6) AS p33,
+             round(quantile_cont(mean_log2p, 2.0/3), 6) AS p66
+      FROM per_doc)
+    SELECT d.doc_id, d.mean_log2p,
+      CASE WHEN d.mean_log2p > c.p66 THEN 'head'
+           WHEN d.mean_log2p > c.p33 THEN 'middle'
+           ELSE 'tail' END AS bucket
+    FROM per_doc d, cuts c
+    ORDER BY d.doc_id"""
+
   /** Exact-substring duplication scores (Lee et al. 2022) over documents:
     * per-doc duplicated-gram counts plus the interval-merged token
     * coverage. The oracle reproduces the positional grams with a lateral
@@ -1080,6 +1157,8 @@ object LlmQueries {
 
   val queries: Map[String, QueryFn] = Map(
     "dedup_substring" -> dedupSubstring,
+    "dedup_segments" -> dedupSegments,
+    "quality_perplexity_buckets" -> qualityPerplexityBuckets,
     "dedup_exact" -> dedupExact,
     "dedup_minhash_lsh" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
@@ -1132,6 +1211,8 @@ object LlmQueries {
 
   val oracle: Map[String, String] = Map(
     "dedup_substring" -> dedupSubstringSql,
+    "dedup_segments" -> dedupSegmentsSql,
+    "quality_perplexity_buckets" -> qualityPerplexityBucketsSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_components" -> dedupComponentsSql,

@@ -245,6 +245,30 @@ object TextAnalysis {
   private def bi(grams: DataFrame): DataFrame =
     grams.groupBy("gram").agg(count(lit(1)).as("c_bi"))
 
+  /** CCNet-style perplexity tiers: score every doc with the corpus bigram
+    * LM ([[lmScore]]), cut the score distribution at the exact 1/3 and 2/3
+    * percentiles, and label each doc `head` (most fluent), `middle`, or
+    * `tail` — the bucketing CCNet uses to keep/downsample/drop web text by
+    * LM perplexity.
+    *
+    * Scale: the cuts are ONE tiny aggregate (two numbers) broadcast back
+    * over the scored set — bucket assignment is an embarrassingly parallel
+    * comparison, NOT a global NTILE sort (a single-partition window over
+    * 100 TB of scores would serialize; two percentiles + a broadcast
+    * doesn't). Cuts are rounded to 6dp so libm/summation-order noise in
+    * the interpolation can't flip a boundary doc between engines. */
+  def perplexityBuckets(docs: DataFrame, k: Double = 0.5): DataFrame = {
+    val scored = lmScore(docs, k)
+    val cuts = scored.agg(
+      round(expr("percentile(mean_log2p, 1.0d/3)"), 6).as("p33"),
+      round(expr("percentile(mean_log2p, 2.0d/3)"), 6).as("p66"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("mean_log2p"),
+        when(col("mean_log2p") > col("p66"), lit("head"))
+          .when(col("mean_log2p") > col("p33"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Power-of-two token-length histogram per language — the batch-shaping
     * profile an inference/training scheduler needs (how many docs land in
     * each 2^k..2^(k+1) context bucket). The bucket exponent is computed

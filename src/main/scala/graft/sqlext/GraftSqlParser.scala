@@ -129,6 +129,13 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
       case ExplainAccelRe(query) =>
         ExplainAccelerationCommand(query,
           out("reflection", "fingerprint", "used", "fresh"))
+      case ExplainJsonRe(phase, query) =>
+        ExplainJsonCommand(Option(phase).map(_.toLowerCase).getOrElse("physical"),
+          query, out("phase", "plan_json"))
+      case CreateFolderRe(ifNotExists, name) =>
+        FolderCommand(name, create = true, ifNotExists != null, out("folder"))
+      case DropFolderRe(ifExists, name) =>
+        FolderCommand(name, create = false, ifExists != null, out("folder"))
       case CancelQueryRe(id) => CancelQueryCommand(id.toLong, out("cancelled"))
       case CreateUserRe(name, pw, adminFlag) =>
         CreateUserCommand(name, pw, adminFlag != null, out("user"))
@@ -344,6 +351,17 @@ object GraftSqlParser {
     """(?is)TRUNCATE\s+LAKE\s+'([^']+)'\s*;?""".r
   private val ClearResultCacheRe = """(?is)(?:ALTER\s+SESSION\s+)?CLEAR\s+RESULT\s+CACHE\s*;?""".r
   private val ExplainAccelRe = """(?is)EXPLAIN\s+ACCELERATION\s+(.+)""".r
+  // EXPLAIN JSON [phase] FOR <query> (reference explainjson.ftl):
+  // machine-readable plan dump at a named planner phase
+  private val ExplainJsonRe =
+    """(?is)EXPLAIN\s+JSON\s+(?:(\w+)\s+)?FOR\s+(.+)""".r
+  // catalog folders (reference parserImpls.ftl SqlCreateFolder/SqlDropFolder):
+  // organizational namespaces — the Spark-native mapping is a namespace in
+  // the session catalog
+  private val CreateFolderRe =
+    """(?is)CREATE\s+FOLDER\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w.]+)\s*;?""".r
+  private val DropFolderRe =
+    """(?is)DROP\s+FOLDER\s+(?:(IF\s+EXISTS)\s+)?([\w.]+)\s*;?""".r
   private val CreateQueueRe =
     """(?is)CREATE\s+QUEUE\s+([\w.-]+)\s+SLOTS\s+(\d+)(?:\s+TIMEOUT\s+(\d+))?\s*;?""".r
   private val DropQueueRe = """(?is)DROP\s+QUEUE\s+([\w.-]+)\s*;?""".r
@@ -925,6 +943,42 @@ object GraftSqlParser {
   case class ShowPipesCommand(override val output: Seq[Attribute]) extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] =
       Pipes.list.map(p => Row(p.name, p.sourceDir, p.format, p.targetDir))
+  }
+
+  /** EXPLAIN JSON [phase] FOR <query> (reference SqlExplainJson,
+    * explainjson.ftl): machine-readable plan at a named planner phase.
+    * Phases map onto Spark's QueryExecution stages: `parsed`, `analyzed`,
+    * `optimized` (logical, post-Catalyst), `physical` (executed plan,
+    * default — the reference's default is likewise the final phase). */
+  case class ExplainJsonCommand(phase: String, querySql: String,
+      override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val qe = spark.sql(querySql).queryExecution
+      val json = phase match {
+        case "parsed" => qe.logical.toJSON
+        case "analyzed" => qe.analyzed.toJSON
+        case "optimized" | "logical" => qe.optimizedPlan.toJSON
+        case "physical" => qe.executedPlan.toJSON
+        case other => throw new IllegalArgumentException(
+          s"EXPLAIN JSON: unknown phase '$other' " +
+            "(have: parsed, analyzed, optimized, physical)")
+      }
+      Seq(Row(phase, json))
+    }
+  }
+
+  /** CREATE/DROP FOLDER (SqlCreateFolder/SqlDropFolder): catalog
+    * organization — a namespace in the session catalog. */
+  case class FolderCommand(name: String, create: Boolean, ifClause: Boolean,
+      override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val guard =
+        if (!ifClause) ""
+        else if (create) "IF NOT EXISTS " else "IF EXISTS "
+      if (create) spark.sql(s"CREATE NAMESPACE $guard$name")
+      else spark.sql(s"DROP NAMESPACE $guard$name")
+      Seq(Row(name))
+    }
   }
 
   /** ALTER PIPE ... SET PIPE_EXECUTION_RUNNING (SqlAlterPipeStatus). */

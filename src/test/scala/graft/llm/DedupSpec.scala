@@ -246,4 +246,50 @@ class DedupSpec extends AnyFunSuite {
     // opposite vector flips every hyperplane side: E[h] = 64
     assert(ham(sig(1L), sig(4L)) >= 56, s"antipode: ${ham(sig(1L), sig(4L))}")
   }
+
+  test("segment dedup strips planted boilerplate, keeps unique prose, order intact") {
+    // 8-word boilerplate header planted in three docs; bodies unique
+    val header = "subscribe to our newsletter for weekly updates today"
+    val docs = Seq(
+      (0L, s"$header alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, s"$header one two three four five six seven eight"),
+      (2L, s"$header red orange yellow green blue indigo violet ultraviolet"),
+      (3L, "completely unrelated standalone document with its own words here"),
+      (4L, header) // all-boilerplate doc: survives as an empty row
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSegments(docs, window = 8, minDocs = 2)
+      .orderBy("doc_id").collect()
+    assert(out.length == 5, "every input doc must emit a row")
+    // header segment dropped everywhere, bodies kept verbatim in order
+    assert(out(0).getAs[String]("text_dedup") ==
+      "alpha beta gamma delta epsilon zeta eta theta")
+    assert(out(1).getAs[String]("text_dedup") ==
+      "one two three four five six seven eight")
+    assert(out(3).getAs[String]("text_dedup") ==
+      "completely unrelated standalone document with its own words here")
+    assert(out(4).getAs[String]("text_dedup") == "" &&
+      out(4).getAs[Long]("n_dropped") == 1L, "all-boilerplate doc goes empty")
+    assert(out.take(3).forall(_.getAs[Long]("n_dropped") == 1L))
+    // raising minDocs above the plant count (4 docs carry the header) keeps everything
+    val keepAll = Dedup.dedupSegments(docs, window = 8, minDocs = 5)
+    assert(keepAll.agg(sum("n_dropped")).head.getLong(0) == 0L)
+  }
+
+  test("perplexity buckets: thirds of the corpus per tier, fluent docs in head") {
+    val t = graft.engine.Tables.ensure(spark, graft.TestSpark.sf)
+    val out = TextAnalysis.perplexityBuckets(t.documents.filter(col("doc_id") < 300))
+    val counts = out.groupBy("bucket").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("head", "middle", "tail"))
+    val n = counts.values.sum
+    // exact-percentile cuts put ~n/3 per tier (ties can shift a few)
+    counts.values.foreach(c =>
+      assert(math.abs(c - n / 3.0) < n * 0.1, s"skewed tiers: $counts"))
+    // every head doc scores above every tail doc
+    val minHead = out.filter(col("bucket") === "head")
+      .agg(min("mean_log2p")).head.getDouble(0)
+    val maxTail = out.filter(col("bucket") === "tail")
+      .agg(max("mean_log2p")).head.getDouble(0)
+    assert(minHead > maxTail)
+  }
 }

@@ -722,4 +722,31 @@ class SqlExtSpec extends AnyFunSuite {
       "main must not see staged branch rows")
     spark.sql(s"DROP BRANCH scanref FROM LAKE '$dir'")
   }
+
+  test("EXPLAIN JSON emits a parseable plan per phase") {
+    graft.engine.Tables.ensure(spark, TestSpark.sf)
+    val q = "SELECT l_returnflag, count(*) AS n FROM lineitem " +
+      "WHERE l_quantity > 10 GROUP BY l_returnflag"
+    for (phase <- Seq("parsed", "analyzed", "optimized", "physical")) {
+      val row = spark.sql(s"EXPLAIN JSON $phase FOR $q").collect().head
+      assert(row.getString(0) == phase)
+      val json = row.getString(1)
+      assert(json.startsWith("[") && json.contains("\"class\""),
+        s"phase $phase not JSON: ${json.take(80)}")
+    }
+    // default phase is the final (physical) plan; unknown phases refuse
+    assert(spark.sql(s"EXPLAIN JSON FOR $q").collect().head.getString(0) == "physical")
+    intercept[Exception](spark.sql(s"EXPLAIN JSON bogus FOR $q").collect())
+  }
+
+  test("CREATE/DROP FOLDER map to catalog namespaces") {
+    spark.sql("CREATE FOLDER graft_folder_x")
+    assert(spark.catalog.databaseExists("graft_folder_x"))
+    intercept[Exception](spark.sql("CREATE FOLDER graft_folder_x"))
+    spark.sql("CREATE FOLDER IF NOT EXISTS graft_folder_x") // quiet
+    spark.sql("DROP FOLDER graft_folder_x")
+    assert(!spark.catalog.databaseExists("graft_folder_x"))
+    intercept[Exception](spark.sql("DROP FOLDER graft_folder_x"))
+    spark.sql("DROP FOLDER IF EXISTS graft_folder_x") // quiet
+  }
 }
