@@ -137,6 +137,39 @@ object Reflections {
     r
   }
 
+  /** COMPACT MATERIALIZATION (reference `SqlCompactMaterialization` —
+    * services/accelerator's compaction of accumulated refresh deltas):
+    * rewrite the reflection's parquet materialization into `numFiles`
+    * files. The rewrite lands in a sibling temp dir and swaps in with two
+    * directory renames, so a concurrently substituted query resolves
+    * either the old or the new file set — never a half-written mix.
+    * Freshness pins and the registered plan are untouched (compaction
+    * changes layout, not content). Returns the new file count. */
+  def compact(spark: SparkSession, name: String, numFiles: Int = 1): Int = {
+    require(numFiles > 0, "COMPACT MATERIALIZATION needs at least one file")
+    val r = byName.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown reflection: $name"))
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = r.path + s".compact-$token"
+    withSubstitutionBypassed {
+      spark.read.parquet(r.path).repartition(numFiles)
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+    }
+    val p = java.nio.file.Paths.get(r.path)
+    val old = java.nio.file.Paths.get(r.path + s".old-$token")
+    java.nio.file.Files.move(p, old)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), p)
+    // best-effort cleanup of the displaced generation
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(old).iterator.asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+    spark.catalog.refreshByPath(r.path)
+    scanByNameCache.remove(name)
+    val s = java.nio.file.Files.list(p)
+    try s.iterator.asScala.count(_.getFileName.toString.endsWith(".parquet"))
+    finally s.close()
+  }
+
   /** Register a USER-MANAGED materialization as a reflection (the
     * reference's external reflections — `SqlAddExternalReflection.java`,
     * `AccelAddExternalReflectionHandler.java`): the data at `path` was

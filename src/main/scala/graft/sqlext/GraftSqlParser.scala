@@ -156,6 +156,11 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
       case AlterAuthRe(onOff) => AlterAuthCommand(onOff.equalsIgnoreCase("ON"))
       case CreateQueueRe(name, slots, timeout) =>
         CreateQueueCommand(name, slots.toInt, Option(timeout).map(_.toLong))
+      case AlterQueueRe(name, slots, timeout) =>
+        AlterQueueCommand(name, slots.toInt, Option(timeout).map(_.toLong))
+      case CompactMaterializationRe(name, nFiles) =>
+        CompactMaterializationCommand(name,
+          Option(nFiles).map(_.toInt).getOrElse(1), out("reflection", "files"))
       case DropQueueRe(name) => DropQueueCommand(name)
       case ShowQueuesRe() =>
         ShowQueuesCommand(out("name", "slots", "pool", "running", "queued",
@@ -364,6 +369,13 @@ object GraftSqlParser {
     """(?is)DROP\s+FOLDER\s+(?:(IF\s+EXISTS)\s+)?([\w.]+)\s*;?""".r
   private val CreateQueueRe =
     """(?is)CREATE\s+QUEUE\s+([\w.-]+)\s+SLOTS\s+(\d+)(?:\s+TIMEOUT\s+(\d+))?\s*;?""".r
+  // ALTER QUEUE (reference SqlAlterEngine: resize an execution engine's
+  // replica band — the queue-slot analog) + COMPACT MATERIALIZATION
+  // (reference SqlCompactMaterialization: merge refresh deltas)
+  private val AlterQueueRe =
+    """(?is)ALTER\s+QUEUE\s+([\w.-]+)\s+SLOTS\s+(\d+)(?:\s+TIMEOUT\s+(\d+))?\s*;?""".r
+  private val CompactMaterializationRe =
+    """(?is)COMPACT\s+MATERIALIZATION\s+(\w+)(?:\s+INTO\s+(\d+)\s+FILES)?\s*;?""".r
   private val DropQueueRe = """(?is)DROP\s+QUEUE\s+([\w.-]+)\s*;?""".r
   private val ShowQueuesRe = """(?is)SHOW\s+QUEUES\s*;?""".r
   private val CancelQueryRe = """(?is)CANCEL\s+QUERY\s+(\d+)\s*;?""".r
@@ -888,6 +900,29 @@ object GraftSqlParser {
       graft.engine.Queues.define(name, slots,
         timeoutMs.getOrElse(5L * 60 * 1000))
       Seq(Row(name))
+    }
+  }
+
+  /** ALTER QUEUE (reference SqlAlterEngine — resize): redefine an EXISTING
+    * queue's slot band; in-flight queries keep their granted slots. */
+  case class AlterQueueCommand(name: String, slots: Int, timeoutMs: Option[Long])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("queue", "slots")
+    override def run(spark: SparkSession): Seq[Row] = {
+      require(graft.engine.Queues.defined(name),
+        s"unknown queue: $name (ALTER resizes; use CREATE QUEUE)")
+      graft.engine.Queues.define(name, slots,
+        timeoutMs.getOrElse(5L * 60 * 1000))
+      Seq(Row(name, slots.toString))
+    }
+  }
+
+  /** COMPACT MATERIALIZATION (reference SqlCompactMaterialization). */
+  case class CompactMaterializationCommand(name: String, numFiles: Int,
+      override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val n = graft.accel.Reflections.compact(spark, name, numFiles)
+      Seq(Row(name, n.toString))
     }
   }
 

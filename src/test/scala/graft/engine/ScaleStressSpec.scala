@@ -233,4 +233,31 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(cos > 0.99, s"planted axis alignment $cos")
     assert(model.varianceCaptured(1) > 0.8, s"var ${model.varianceCaptured(1)}")
   }
+
+  test("segment dedup at 300k docs with a 10% hot boilerplate header: linear, header stripped everywhere") {
+    gate()
+    // 30k docs share ONE 8-word header segment (the pathological hot key:
+    // a single xxhash64 shuffle key carrying 10% of the corpus) followed by
+    // a unique 8-word body; the other 270k docs are 16 unique words. The
+    // op must stay LINEAR — per-doc output rows, no pair generation — and
+    // strip the hot segment from every carrier without touching bodies.
+    val header = "subscribe to our newsletter for weekly updates now"
+    val docs = spark.range(300000).select(
+      col("id").as("doc_id"),
+      when(col("id") % 10 === 0,
+        concat(lit(header + " "), wordsExpr("cast(id AS string)", 8)))
+        .otherwise(wordsExpr("cast(id AS string)", 16)).as("text"))
+      .localCheckpoint(true)
+    val out = graft.llm.Dedup.dedupSegments(docs, window = 8, minDocs = 2)
+      .localCheckpoint(true)
+    assert(out.count() == 300000L, "one output row per input doc — linear, no pairs")
+    val carriers = out.filter(col("doc_id") % 10 === 0)
+    assert(carriers.filter(col("n_dropped") =!= 1L).count() == 0,
+      "every carrier loses exactly the header segment")
+    assert(carriers.filter(col("text_dedup").contains("subscribe")).count() == 0,
+      "hot header must be stripped from all 30k carriers")
+    assert(out.filter(col("doc_id") % 10 =!= 0)
+      .filter(col("n_dropped") =!= 0L).count() == 0,
+      "unique-body docs must be untouched")
+  }
 }

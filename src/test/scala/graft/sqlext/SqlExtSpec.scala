@@ -739,6 +739,38 @@ class SqlExtSpec extends AnyFunSuite {
     intercept[Exception](spark.sql(s"EXPLAIN JSON bogus FOR $q").collect())
   }
 
+  test("COMPACT MATERIALIZATION merges files, content and substitution intact") {
+    Reflections.clear()
+    graft.engine.Tables.ensure(spark, TestSpark.sf)
+    val dir = Files.createTempDirectory("graft_compact").toString
+    spark.sql(s"CREATE REFLECTION cmx USING PATH '$dir/cmx' AS " +
+      "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag")
+    // splinter the materialization into many files (refresh-delta analog)
+    val before = spark.read.parquet(s"$dir/cmx")
+    before.repartition(17).write.mode("overwrite").parquet(s"$dir/cmx")
+    val want = spark.read.parquet(s"$dir/cmx").orderBy("l_returnflag")
+      .collect().toSeq
+    val out = spark.sql("COMPACT MATERIALIZATION cmx INTO 2 FILES").collect().head
+    assert(out.getString(0) == "cmx" && out.getString(1) == "2")
+    assert(spark.read.parquet(s"$dir/cmx").orderBy("l_returnflag")
+      .collect().toSeq == want, "compaction changed content")
+    // the reflection still serves the defining query
+    val served = spark.sql("EXPLAIN ACCELERATION SELECT l_returnflag, count(*) " +
+      "AS n FROM lineitem GROUP BY l_returnflag").collect()
+    assert(served.exists(_.getString(2) == "true"), "substitution lost after compaction")
+    intercept[Exception](spark.sql("COMPACT MATERIALIZATION ghost"))
+    Reflections.clear()
+  }
+
+  test("ALTER QUEUE resizes an existing queue; unknown queue refuses") {
+    spark.sql("CREATE QUEUE alterq SLOTS 2")
+    val row = spark.sql("ALTER QUEUE alterq SLOTS 5").collect().head
+    assert(row.getString(0) == "alterq" && row.getString(1) == "5")
+    assert(graft.engine.Queues.status.find(_.name == "alterq").get.slots == 5)
+    intercept[Exception](spark.sql("ALTER QUEUE no_such_queue SLOTS 3"))
+    spark.sql("DROP QUEUE alterq")
+  }
+
   test("CREATE/DROP FOLDER map to catalog namespaces") {
     spark.sql("CREATE FOLDER graft_folder_x")
     assert(spark.catalog.databaseExists("graft_folder_x"))
