@@ -107,6 +107,19 @@ object Reflections {
         }
       case _ =>
     }
+    // Third blind spot: SQLScalarFunction (a SQL-defined UDF call) renders
+    // only `name(inputs)` — its analyzed BODY rides in `child` and never
+    // prints. Two plans calling the same UDF whose bodies folded
+    // differently (graft_principal() → per-principal literal, policy
+    // views) would share a rendering — and the result cache would serve
+    // one principal's rows to another. Fold every body into the digest.
+    canon.foreach { n =>
+      n.expressions.foreach(_.foreach {
+        case s: org.apache.spark.sql.catalyst.analysis.SQLScalarFunction =>
+          sb.append('$').append(s.child.toString)
+        case _ =>
+      })
+    }
     java.security.MessageDigest.getInstance("MD5")
       .digest(sb.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }

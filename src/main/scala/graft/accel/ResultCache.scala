@@ -76,6 +76,11 @@ object ResultCache {
     val sb = new StringBuilder(Reflections.fingerprintPlan(plan))
     sb.append('|').append(plan.output.map(_.name).mkString(","))
     pins.toSeq.sorted.foreach { case (d, v) => sb.append('|').append(d).append('#').append(v) }
+    // Principal-dependence needs no special term here: graft_principal()
+    // folds to a literal during ANALYSIS (GraftExtensions), so two
+    // principals' plans already differ in the fingerprint — including
+    // inside SQL-UDF bodies via fingerprintPlan's SQLScalarFunction term
+    // (PoliciesSpec pins the no-cross-principal-leak property).
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(sb.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
     (key, pins)

@@ -30,9 +30,12 @@ object SqlUdfs {
       "substring(s, greatest(length(s) - n + 1, 1)))",
     "CREATE OR REPLACE TEMPORARY FUNCTION mask_hash(s STRING) " +
       "RETURNS STRING RETURN sha2(s, 256)",
-    // context functions (reference ContextFunctions.java)
+    // context functions (reference ContextFunctions.java): query_user()
+    // is the QUERY executor's identity — the AUTHENTICATEd principal when
+    // one exists (graft_principal() folds per query in the optimizer),
+    // else the Spark session user
     "CREATE OR REPLACE TEMPORARY FUNCTION query_user() " +
-      "RETURNS STRING RETURN current_user()",
+      "RETURNS STRING RETURN coalesce(graft_principal(), current_user())",
     "CREATE OR REPLACE TEMPORARY FUNCTION session_user_name() " +
       "RETURNS STRING RETURN session_user()",
     // geo (reference GeoFunctions.java) — haversine meters

@@ -24,6 +24,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // reference Parser.tdd:656-660). A check rule guards every front end
     // that plans SQL — in-process, Thrift, Connect, REST — for free.
     e.injectCheckRule(session => new graft.auth.AuthorizeRule(session))
+    // graft_principal(): the AUTHENTICATEd principal (reference
+    // ContextFunctions.java, same plan-time-literal mechanism as
+    // is_member/last_query_id in DremioSurface). Folding at ANALYSIS is
+    // load-bearing for security: the literal lands in the analyzed plan,
+    // so two principals' queries differ structurally where Spark's
+    // CacheManager and the result cache compare plans — SQL-UDF bodies
+    // that hide the fold are covered by the SQLScalarFunction term in
+    // Reflections.fingerprintPlan. Policy views (auth.Policies) register
+    // as SQL TEXT, re-analyzed per use, so each statement folds the
+    // CURRENT principal.
+    e.injectFunction((FunctionIdentifier("graft_principal"),
+      info("graft_principal", "graft_principal() — authenticated session principal (NULL if anonymous)"),
+      (_: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          graft.auth.Privileges.principalOf(SparkSession.active)
+            .map(_.name).orNull, StringType)))
     e.injectOptimizerRule(session => new graft.accel.Reflections.Substitute(session))
     e.injectOptimizerRule(session => new graft.plans.CountFromManifest(session))
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)

@@ -209,6 +209,18 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
         AssignRefCommand(refType.toLowerCase, name, version.toLong, dir)
       case AlterUserRe(name, password) =>
         AlterUserCommand(name, password, out("user"))
+      case AddRowPolicyRe(view, fn, args) =>
+        PolicyCommand(view, "add_row", None, fn, splitArgs(args), out("dataset", "policy"))
+      case DropRowPolicyRe(view, fn) =>
+        PolicyCommand(view, "drop_row", None, fn, Nil, out("dataset", "policy"))
+      case SetMaskingRe(view, column, fn, args) =>
+        PolicyCommand(view, "set_mask", Some(column), fn, splitArgs(args),
+          out("dataset", "policy"))
+      case UnsetMaskingRe(view, column, fn) =>
+        PolicyCommand(view, "unset_mask", Some(column), fn, Nil,
+          out("dataset", "policy"))
+      case ShowPoliciesRe() =>
+        ShowPoliciesCommand(out("dataset", "kind", "policy"))
       case MergeBranchRe(name, dir) => MergeBranchCommand(name, dir)
       case InsertLakeAtBranchRe(dir, branch, query) =>
         InsertLakeAtBranchCommand(dir, branch, query)
@@ -502,6 +514,23 @@ object GraftSqlParser {
       """\s+IN\s+LAKE\s+'([^']+)'\s*;?""").r
   private val AlterUserRe =
     """(?is)ALTER\s+USER\s+([\w.-]+)\s+SET\s+PASSWORD\s+'([^']*)'\s*;?""".r
+  // row-access + column-masking policies (reference alter.ftl:92,162 —
+  // SqlAlterTableAddRowAccessPolicy / SqlAlterTableSetColumnMasking;
+  // policy = UDF name + argument columns, parser/SqlPolicy.java)
+  private val DatasetKw = """(?:TABLE|VIEW|VDS|PDS|DATASET)"""
+  private val AddRowPolicyRe =
+    (s"""(?is)ALTER\\s+$DatasetKw\\s+([\\w.]+)\\s+ADD\\s+ROW\\s+ACCESS\\s+""" +
+      """POLICY\s+(\w+)\s*\(\s*([^)]*)\s*\)\s*;?""").r
+  private val DropRowPolicyRe =
+    (s"""(?is)ALTER\\s+$DatasetKw\\s+([\\w.]+)\\s+DROP\\s+ROW\\s+ACCESS\\s+""" +
+      """POLICY\s+(\w+)\s*(?:\(\s*[^)]*\s*\))?\s*;?""").r
+  private val SetMaskingRe =
+    (s"""(?is)ALTER\\s+$DatasetKw\\s+([\\w.]+)\\s+(?:MODIFY|CHANGE|ALTER)\\s+""" +
+      """(?:COLUMN\s+)?(\w+)\s+SET\s+MASKING\s+POLICY\s+(\w+)\s*\(\s*([^)]*)\s*\)\s*;?""").r
+  private val UnsetMaskingRe =
+    (s"""(?is)ALTER\\s+$DatasetKw\\s+([\\w.]+)\\s+(?:MODIFY|CHANGE|ALTER)\\s+""" +
+      """(?:COLUMN\s+)?(\w+)\s+UNSET\s+MASKING\s+POLICY\s+(\w+)\s*(?:\(\s*\))?\s*;?""").r
+  private val ShowPoliciesRe = """(?is)SHOW\s+POLICIES\s*;?""".r
   private val MergeBranchRe =
     """(?is)MERGE\s+BRANCH\s+([\w.-]+)\s+INTO\s+LAKE\s+'([^']+)'\s*;?""".r
   private val InsertLakeAtBranchRe =
@@ -1418,6 +1447,34 @@ object GraftSqlParser {
       graft.auth.Privileges.alterPassword(spark, name, password)
       Seq(Row(name.toLowerCase))
     }
+  }
+
+  private def splitArgs(s: String): Seq[String] =
+    s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** Row-access / column-masking policy DDL (SqlAlterTableAddRowAccessPolicy,
+    * SqlAlterTableSetColumnMasking and their drop/unset forms). */
+  case class PolicyCommand(view: String, action: String, column: Option[String],
+      fn: String, args: Seq[String], override val output: Seq[Attribute])
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      import graft.auth.Policies
+      val p = Policies.Policy(fn, args)
+      action match {
+        case "add_row" => Policies.addRowPolicy(spark, view, p)
+        case "drop_row" => Policies.dropRowPolicy(spark, view, fn)
+        case "set_mask" => Policies.setMasking(spark, view, column.get, p)
+        case "unset_mask" => Policies.unsetMasking(spark, view, column.get, fn)
+      }
+      Seq(Row(view, if (args.nonEmpty) p.sql else fn))
+    }
+  }
+
+  /** SHOW POLICIES: every attached row-access/masking policy. */
+  case class ShowPoliciesCommand(override val output: Seq[Attribute])
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] =
+      graft.auth.Policies.list.map { case (v, k, p) => Row(v, k, p) }
   }
 
   /** MERGE BRANCH ... INTO LAKE: fast-forward squash publish (the
