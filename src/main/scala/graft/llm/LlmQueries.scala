@@ -136,6 +136,32 @@ object LlmQueries {
     SELECT q_id, c_id, CAST(rk AS INT) AS rk FROM r WHERE rk <= 10
     ORDER BY q_id, rk"""
 
+  /** Binary-quantized ANN: sign-bit packing (32 dims per long word) +
+    * integer Hamming ranking — ids, ranks AND distances are bit-exact in
+    * both engines (no float argument needed; ties break by c_id). */
+  val annBinaryHamming: QueryFn = (s, dir) => {
+    val e = Tables.ensure(s, dir).embeddings
+    Similarity.binaryHammingTopK(e, e.filter(col("vec_id") < 5), k = 10)
+      .orderBy(col("q_id"), col("rk"))
+  }
+  val annBinaryHammingSql: String = """
+    WITH e AS (SELECT vec_id,
+      list_transform(generate_series(0, CAST(ceil(len(embedding)/32.0) AS BIGINT) - 1),
+        w -> list_sum(list_transform(generate_series(w*32 + 1, least(w*32 + 32, len(embedding))),
+          i -> CASE WHEN embedding[i] > 0 THEN (CAST(1 AS BIGINT) << ((i-1) % 32))
+               ELSE CAST(0 AS BIGINT) END))) AS bits
+      FROM embeddings),
+    q AS (SELECT vec_id AS q_id, bits AS qb FROM e WHERE vec_id < 5),
+    c AS (SELECT vec_id AS c_id, bits AS cb FROM e),
+    s AS (SELECT q_id, c_id,
+            CAST(list_sum(list_transform(generate_series(1, len(qb)),
+              w -> bit_count(xor(qb[w], cb[w])))) AS INT) AS hamming
+          FROM c, q WHERE q_id <> c_id),
+    r AS (SELECT q_id, c_id, hamming,
+            row_number() OVER (PARTITION BY q_id ORDER BY hamming, c_id) AS rk FROM s)
+    SELECT q_id, c_id, hamming, CAST(rk AS INT) AS rk FROM r WHERE rk <= 10
+    ORDER BY q_id, rk"""
+
   /** Embedding near-dup identity under an oracle (same reasoning: the 0.4
     * threshold margin on the fixture is ≥1.7e-3, so membership is stable
     * across the engines' 1e-8 cosine divergence). */
@@ -1172,6 +1198,7 @@ object LlmQueries {
     "dedup_components" -> dedupComponents,
     "ann_brute_force" -> annBrute,
     "ann_topk_ids" -> annTopkIds,
+    "ann_binary_hamming" -> annBinaryHamming,
     "dedup_embedding_ids" -> dedupEmbeddingIds,
     "ann_ivf_label" -> annIvf,
     "ann_ivf_ids" -> annIvfIds,
@@ -1225,6 +1252,7 @@ object LlmQueries {
     "mix_temperature" -> mixTemperatureSql,
     "corpus_curation" -> corpusCurationSql,
     "ann_topk_ids" -> annTopkIdsSql,
+    "ann_binary_hamming" -> annBinaryHammingSql,
     "ann_ivf_ids" -> annIvfIdsSql,
     "dedup_embedding_ids" -> dedupEmbeddingIdsSql,
     "dedup_embedding_lsh" -> dedupEmbeddingLshSql,

@@ -49,6 +49,38 @@ object Similarity {
     * float-accumulation divergence (~1e-13). Same plan shape as
     * [[bruteForceTopK]]: broadcast query batch, one corpus pass, bounded
     * per-key heaps. */
+  /** Binary (sign-bit) quantization + Hamming ANN — the 1-bit residency
+    * path for billion-vector retrieval: each d-dim float vector packs to
+    * ceil(d/32) longs of sign bits (32 dims per word — bit 31 is the top
+    * used bit, so the identical packing runs in engines with CHECKED
+    * shifts), a 32× memory/shuffle reduction over fp32, and neighbor
+    * ranking is integer Hamming distance (xor + bit_count) — bit-exact in
+    * every engine, so ids, ranks AND distances carry a full DuckDB oracle
+    * with no float-divergence argument needed (ties break by c_id).
+    *
+    * Plan shape matches [[bruteForceTopK]]: the corpus packs in one
+    * map-only pass, the packed query batch broadcasts, TopKPerKey keeps
+    * bounded per-query heaps. */
+  def binaryHammingTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    def packed(src: DataFrame, idAs: String, bitsAs: String) =
+      src.select(col("vec_id").as(idAs), expr(
+        """transform(sequence(0, cast(ceil(size(embedding) / 32.0) as int) - 1, 1),
+          |  w -> aggregate(sequence(w * 32, least(w * 32 + 31, size(embedding) - 1), 1),
+          |    0L, (acc, i) -> acc + IF(element_at(embedding, i + 1) > 0.0,
+          |      shiftleft(1L, i % 32), 0L)))""".stripMargin.replace("\n", " "))
+        .as(bitsAs))
+    val q = packed(queries, "q_id", "q_bits")
+    val c = packed(corpus, "c_id", "c_bits")
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("hamming", expr(
+        "aggregate(zip_with(q_bits, c_bits, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)"))
+      // rankTopK orders by "cos" DESC; negate the distance into it
+      .select(col("q_id"), col("c_id"), col("hamming"),
+        -col("hamming").cast("double") as "cos")
+    rankTopK(scored, k).select(col("q_id"), col("c_id"), col("hamming"), col("rk"))
+  }
+
   def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
     // one-pass native reconstruct: the declarative quantize→dequantize
     // chain collapses into a projection that re-evaluates array_min/max

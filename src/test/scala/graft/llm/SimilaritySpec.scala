@@ -338,4 +338,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(agree >= (exact.size * 0.8).toInt,
       s"quantized top-1 agreement $agree/${exact.size} below 80%")
   }
+
+  test("binary Hamming ANN: exact copy at distance 0, sign-flip antipode at distance d") {
+    val t = graft.engine.Tables.ensure(spark, graft.TestSpark.sf)
+    val base = t.embeddings.filter(col("vec_id") < 100)
+    // plant an exact copy (id 9000 = copy of 0) and a full sign flip (9001)
+    val copyRow = base.filter(col("vec_id") === 0)
+      .select(lit(9000L).as("vec_id"), col("embedding"), col("label"))
+    val flipRow = base.filter(col("vec_id") === 0)
+      .select(lit(9001L).as("vec_id"),
+        expr("transform(embedding, x -> -x)").as("embedding"), col("label"))
+    val corpus = base.unionByName(copyRow).unionByName(flipRow)
+    val out = Similarity.binaryHammingTopK(corpus,
+      corpus.filter(col("vec_id") === 0), k = corpus.count().toInt)
+      .collect().map(r => r.getAs[Long]("c_id") -> r.getAs[Int]("hamming")).toMap
+    assert(out(9000L) == 0, s"exact copy must be Hamming 0: ${out(9000L)}")
+    assert(out(9001L) == 64, s"sign flip must flip all 64 bits: ${out(9001L)}")
+    // distances bounded by dimension
+    assert(out.values.forall(h => h >= 0 && h <= 64))
+    // top-1 is the planted copy
+    val top1 = Similarity.binaryHammingTopK(corpus,
+      corpus.filter(col("vec_id") === 0), k = 1)
+      .head.getAs[Long]("c_id")
+    assert(top1 == 9000L, s"top-1 must be the exact copy, got $top1")
+  }
 }
