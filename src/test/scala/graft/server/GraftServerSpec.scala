@@ -155,6 +155,46 @@ class GraftServerSpec extends AnyFunSuite {
     }
   }
 
+  test("row policies and USE BRANCH discriminate principals per wire session") {
+    import graft.auth.{Policies, Privileges}
+    Privileges.clear(); Policies.clear()
+    try {
+      spark.sql("CREATE USER wp_alice PASSWORD 'ap'")
+      spark.sql("CREATE USER wp_bob PASSWORD 'bp'")
+      withConnection { conn =>
+        val st = conn.createStatement()
+        // dataset + policy defined ON the wire session (temp views are
+        // session-scoped; the policy registry rewrites this session's view)
+        st.execute("CREATE TEMPORARY VIEW wp_acct AS SELECT * FROM VALUES " +
+          "(1, 'wp_alice'), (2, 'wp_alice'), (3, 'wp_bob') AS t(id, owner)")
+        st.execute("CREATE OR REPLACE TEMPORARY FUNCTION wp_own(o STRING) " +
+          "RETURNS BOOLEAN RETURN graft_principal() IS NULL OR o = graft_principal()")
+        st.execute("ALTER TABLE wp_acct ADD ROW ACCESS POLICY wp_own(owner)")
+        assert(fetch(st, "SELECT count(*) AS n FROM wp_acct") == Seq(Seq("3")))
+        st.execute("AUTHENTICATE USER wp_alice PASSWORD 'ap'")
+        assert(fetch(st, "SELECT count(*) AS n FROM wp_acct") == Seq(Seq("2")))
+        st.execute("AUTHENTICATE USER wp_bob PASSWORD 'bp'")
+        assert(fetch(st, "SELECT count(*) AS n FROM wp_acct") == Seq(Seq("1")))
+
+        // session version context travels the wire too: pin the session to
+        // a branch, stage a row, read it back — main stays clean
+        val dir = java.nio.file.Files.createTempDirectory("wire_useref").toString
+        st.execute(s"CREATE LAKE '$dir' AS SELECT 1 AS id")
+        st.execute(s"CREATE BRANCH wb FROM LAKE '$dir'")
+        st.execute(s"USE BRANCH wb IN LAKE '$dir'")
+        st.execute(s"INSERT INTO LAKE '$dir' SELECT 2 AS id")
+        assert(fetch(st, s"SELECT count(*) AS n FROM lake_scan('$dir')") == Seq(Seq("2")))
+        st.execute(s"USE DEFAULT IN LAKE '$dir'")
+        assert(fetch(st, s"SELECT count(*) AS n FROM lake_scan('$dir')") == Seq(Seq("1")))
+        st.close()
+      }
+    } finally {
+      Privileges.clear(); Policies.clear()
+      spark.conf.unset(Privileges.TokenConf)
+      spark.conf.unset(Privileges.UserConf)
+    }
+  }
+
   test("wire queries serve from the result cache until a lake commit advances the base") {
     graft.accel.ResultCache.clearAll()
     val dir = java.nio.file.Files.createTempDirectory("wire_cache").toString
