@@ -74,7 +74,11 @@ object Bench {
         val skip = pass > 0 && (SparkEntry.statefulBench(name) || firstErr.contains(name))
         if (!skip) {
           val (t, gc, err) = timeOne(fn)
-          err.foreach(e => if (pass == 0) firstErr(name) = e)
+          // a pass>0 failure of a query that succeeded cold is ALSO a
+          // defect — record it (prefixed) instead of silently reporting
+          // only the clean first-run time
+          err.foreach(e => firstErr.getOrElseUpdate(name,
+            (if (pass > 0) s"rerun pass $pass: " else "") + e))
           if (err.isEmpty || pass == 0)
             runs.getOrElseUpdate(name, mutable.ArrayBuffer.empty) += ((t, gc))
         }

@@ -197,6 +197,15 @@ object InfoSchema {
       () => graft.auth.Privileges.listGrants
         .map { case (k, g, a, o) => Row(k, g, a, o) })
 
+  /** Attached row-access / column-masking policies (reference catalog
+    * policy attachments — alter.ftl:92,162). */
+  def sysPolicies(spark: SparkSession): DataFrame =
+    live(spark, StructType(Seq(
+      StructField("dataset", StringType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("policy", StringType, nullable = false))),
+      () => graft.auth.Policies.list.map { case (v, k, p) => Row(v, k, p) })
+
   /** Registered users with role memberships (reference `sys.\"user\"`). */
   def sysUsers(spark: SparkSession): DataFrame =
     live(spark, StructType(Seq(
@@ -229,6 +238,7 @@ object InfoSchema {
     sysRunningQueries(spark).createOrReplaceTempView("sys_running_queries")
     sysResultCache(spark).createOrReplaceTempView("sys_result_cache")
     sysPrivileges(spark).createOrReplaceTempView("sys_privileges")
+    sysPolicies(spark).createOrReplaceTempView("sys_policies")
     sysUsers(spark).createOrReplaceTempView("sys_users")
     sysRoles(spark).createOrReplaceTempView("sys_roles")
   }

@@ -108,9 +108,15 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       if (names.isEmpty) Nil
       else {
         val key = logDir.toString
+        def stat(n: String): (Long, Long) =
+          try {
+            val p = logDir.resolve(n)
+            (Files.size(p), Files.getLastModifiedTime(p).toMillis)
+          } catch { case _: java.io.IOException => (-1L, -1L) }
         val prefix: Vector[LakeCommit] = Option(SnapshotTable.logCache.get(key)) match {
-          case Some((last, vec)) if vec.size <= names.size &&
-            names.lift(vec.size - 1).contains(last) => vec
+          case Some((last, lastSize, lastMtime, vec)) if vec.size <= names.size &&
+            names.lift(vec.size - 1).contains(last) &&
+            stat(last) == ((lastSize, lastMtime)) => vec
           case _ => checkpointPrefix(names.size)
         }
         val fresh = names.drop(prefix.size).map { n =>
@@ -118,7 +124,10 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
           parseCommit(new String(Files.readAllBytes(logDir.resolve(n)), "UTF-8"))
         }
         val all = prefix ++ fresh
-        if (fresh.nonEmpty) SnapshotTable.logCache.put(key, (names.last, all))
+        if (fresh.nonEmpty) {
+          val (sz, mt) = stat(names.last)
+          SnapshotTable.logCache.put(key, (names.last, sz, mt, all))
+        }
         all
       }
     }
@@ -1614,11 +1623,17 @@ object SnapshotTable {
   val CheckpointInterval = 100
   private val jvmLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  // parsed-log cache: logDir -> (latest commit file name, full parsed log).
-  // Append-only log ⇒ a cached prefix is valid forever; revalidation is one
-  // directory listing.
-  private val logCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Vector[LakeCommit])]()
+  // parsed-log cache: logDir -> (latest commit file name, its size, its
+  // mtime, full parsed log). Append-only log ⇒ a cached prefix is valid
+  // forever — UNLESS the table is deleted and recreated at the same path:
+  // version numbering restarts, so a NAME-only check would validate
+  // against the new incarnation's identically-named v00000001.json and
+  // serve the DEAD incarnation's file list (observed as FILE_NOT_EXIST
+  // under bench reruns that rebuild scratch lakes in place). The
+  // (size, mtime) pair of the last cached commit file is the incarnation
+  // identity: two stat calls per revalidation, no file reads.
+  private val logCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Long, Long, Vector[LakeCommit])]()
   // metadata-efficiency instrumentation: commit FILES physically parsed
   // (SnapshotTableSpec pins that warm operations parse only new commits)
   private[sources] val commitFilesParsed = new java.util.concurrent.atomic.AtomicLong()
@@ -1665,9 +1680,13 @@ object SnapshotTable {
   def isLakeTable(dir: String): Boolean =
     Files.isDirectory(Paths.get(dir, LogDirName))
 
-  /** CTAS into a fresh lake table (first commit is an overwrite). */
+  /** CTAS into a fresh lake table (first commit is an overwrite). A
+    * create over a previously-wiped path starts a NEW incarnation — drop
+    * any cached log of the dead one deterministically (the stat-based
+    * validation in `commits` is the backstop for out-of-band wipes). */
   def create(spark: SparkSession, dir: String, df: DataFrame): SnapshotTable = {
     val t = forPath(spark, dir)
+    logCache.remove(Paths.get(dir, LogDirName).toString)
     t.overwrite(df)
     t
   }

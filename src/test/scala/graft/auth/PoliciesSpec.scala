@@ -13,6 +13,7 @@ class PoliciesSpec extends AnyFunSuite {
   private lazy val spark = {
     val s = TestSpark.spark
     Tables.ensure(s, TestSpark.sf)
+    graft.catalog.InfoSchema.register(s)
     s
   }
 
@@ -68,10 +69,13 @@ class PoliciesSpec extends AnyFunSuite {
       assert(spark.sql("SELECT id FROM accounts ORDER BY id").collect()
         .map(_.getLong(0)).toSeq == Seq(3L, 4L))
 
-      // SHOW POLICIES lists both attachments
+      // SHOW POLICIES and the live sys_policies view list both attachments
       val shown = spark.sql("SHOW POLICIES").collect()
         .map(r => (r.getString(0), r.getString(1))).toSet
       assert(shown == Set(("accounts", "row_access"), ("accounts", "masking:amount")))
+      val sysP = spark.sql("SELECT dataset, kind FROM sys_policies").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(sysP == shown, s"sys_policies diverged from SHOW POLICIES: $sysP")
 
       // policy DDL is admin-gated while enforcement is on
       spark.sql("ALTER AUTH ENFORCE ON")

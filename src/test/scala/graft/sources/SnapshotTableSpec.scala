@@ -438,6 +438,37 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.asOf(2L).count() == 11L)
   }
 
+  test("recreating a lake at a wiped path never serves the dead incarnation's log") {
+    def wipe(dir: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(java.nio.file.Paths.get(dir)).iterator.asScala.toSeq
+        .reverse.foreach(Files.deleteIfExists(_))
+      Files.createDirectories(java.nio.file.Paths.get(dir))
+    }
+    val dir = fresh("lake_reincarnate")
+    val t1 = SnapshotTable.create(spark, dir, Seq((1L, "a")).toDF("id", "v"))
+    assert(t1.read().count() == 1L)
+
+    // same-path recreation through the API: create() invalidates the cache
+    wipe(dir)
+    Thread.sleep(5) // keep the incarnations' commit mtimes distinct
+    val t2 = SnapshotTable.create(spark, dir,
+      Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "v"))
+    assert(t2.read().count() == 3L,
+      "create() after an in-place wipe must not list the dead incarnation's files")
+
+    // out-of-band recreation (no create() call): the version numbering
+    // restarts, so the cached last-name matches — the stat-based
+    // (size, mtime) identity must reject the dead cache entry
+    t2.read().count() // warm the cache on incarnation 2
+    wipe(dir)
+    Thread.sleep(5)
+    val t3 = SnapshotTable.forPath(spark, dir)
+    t3.overwrite((1L to 4L).map(i => (i, s"r$i")).toDF("id", "v"))
+    assert(t3.read().count() == 4L,
+      "stat revalidation must reject a cache entry from a wiped incarnation")
+  }
+
   test("vacuum keeps files pinned by tags and branches") {
     val dir = fresh("lake_refvac")
     val t = SnapshotTable.create(spark, dir, Seq((1L, "a")).toDF("id", "v"))
