@@ -357,7 +357,51 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
   /** `TIMESTAMP AS OF ts` (epoch millis). */
   def asOfTimestamp(tsMs: Long): DataFrame = read(asOfTsMs = Some(tsMs))
 
-  def append(df: DataFrame): Long = commit(df, "append")
+  def append(df: DataFrame): Long = {
+    val v = commit(df, "append")
+    maybeAutoCompact()
+    v
+  }
+
+  /** Auto-compaction on ingest (the Delta `autoCompact` / Iceberg
+    * maintenance-on-write analog; the reference runs the same upkeep as a
+    * service plus explicit OPTIMIZE): with session conf
+    * `spark.graft.lake.autocompact.files` = N (> 0; default off), an
+    * append that leaves the live snapshot with MORE than N data files
+    * triggers a follow-on compaction commit through the sticky layout
+    * (partitioning and sort order survive, like any OPTIMIZE). The
+    * steady-state ingest cost stays amortized O(1) rewrites per
+    * compaction window instead of file counts growing without bound —
+    * the small-files problem is the top operational failure of streaming
+    * ingest at 100 TB. Maintenance failures (e.g. losing the optimistic
+    * race to a concurrent writer) never fail the ingest that triggered
+    * them: the appended data is already durable, upkeep retries on the
+    * next append. */
+  private def maybeAutoCompact(): Unit = {
+    val threshold = spark.conf.getOption("spark.graft.lake.autocompact.files")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(0)
+    if (threshold > 0) {
+      val liveFiles = snapshotWithStats()._1.size
+      if (liveFiles > threshold)
+        try {
+          val (spec, statsCols, sortBy) = effectiveLayout
+          if (sortBy.nonEmpty) compactSorted(sortBy, math.max(1, threshold / 2))
+          else if (spec.nonEmpty) compactPartitioned(spec, statsCols)
+          else compact(math.max(1, threshold / 2))
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            org.slf4j.LoggerFactory.getLogger(getClass)
+              .warn(s"auto-compaction skipped for $dir: ${e.getMessage}")
+        }
+    }
+  }
+
+  /** Layout-preserving full compaction for auto-compact on a partitioned
+    * table: rewrite the snapshot through the sticky partition spec (the
+    * commit path re-clusters by partition tuple, one file per live
+    * partition chunk). */
+  private def compactPartitioned(spec: Seq[String], statsCols: Seq[String]): Long =
+    overwritePartitioned(read(), spec, statsCols)
   def overwrite(df: DataFrame): Long = commit(df, "overwrite")
 
   /** Idempotent append: a no-op if a commit with `tag` already exists —
@@ -372,8 +416,11 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     require(tag.nonEmpty, "tag must be non-empty")
     commits.find(_.tag == tag) match {
       case Some(c) => c.version
-      case None => commit(df, "append", statsCols, tag,
-        partitionBy = partitionSpec.map(PartitionTransform.parse))
+      case None =>
+        val v = commit(df, "append", statsCols, tag,
+          partitionBy = partitionSpec.map(PartitionTransform.parse))
+        maybeAutoCompact()
+        v
     }
   }
 
@@ -544,9 +591,12 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     * partitions the query names, independent of table size. */
   def appendPartitioned(df: DataFrame, spec: Seq[String],
                         statsCols: Seq[String] = Nil,
-                        sortCols: Seq[String] = Nil): Long =
-    commit(df, "append", statsCols,
+                        sortCols: Seq[String] = Nil): Long = {
+    val v = commit(df, "append", statsCols,
       partitionBy = spec.map(PartitionTransform.parse), sortCols = sortCols)
+    maybeAutoCompact()
+    v
+  }
 
   /** Partitioned overwrite — same layout on the full-replace path.
     * `sortCols` sorts each data file's rows (recorded per file in the

@@ -438,6 +438,40 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.asOf(2L).count() == 11L)
   }
 
+  test("auto-compaction bounds ingest file counts; off by default; layout survives") {
+    val dir = fresh("lake_autocompact")
+    val t = SnapshotTable.create(spark, dir, Seq((0L, "seed")).toDF("id", "v"))
+    // default off: small appends accumulate files unboundedly
+    (1 to 5).foreach(i => t.append(Seq((i.toLong, s"r$i")).toDF("id", "v")))
+    assert(t.snapshotWithStats()._1.size >= 6)
+
+    spark.conf.set("spark.graft.lake.autocompact.files", "4")
+    try {
+      t.append(Seq((100L, "x")).toDF("id", "v"))
+      val after = t.snapshotWithStats()._1.size
+      assert(after <= 4, s"auto-compact must bound live files, got $after")
+      assert(t.read().count() == 7L, "compaction must not change content")
+      assert(t.commits.last.action == "overwrite", "history shows the upkeep commit")
+      // steady state: counts oscillate in [compacted, threshold+1], never grow
+      (1 to 4).foreach(i => t.append(Seq((200L + i, "y")).toDF("id", "v")))
+      assert(t.snapshotWithStats()._1.size <= 5)
+      assert(t.read().count() == 11L)
+
+      // partitioned table: upkeep rewrites THROUGH the sticky layout
+      val pd2 = fresh("lake_autocompact_part2")
+      spark.sql(s"""CREATE LAKE '$pd2' PARTITION BY (bucket(4,id))
+                   |AS SELECT id, CAST(id AS STRING) AS v FROM range(100)""".stripMargin)
+      val pt2 = SnapshotTable.forPath(spark, pd2)
+      (1 to 6).foreach(i =>
+        pt2.appendPartitioned(Seq((1000L + i, s"p$i")).toDF("id", "v"),
+          pt2.effectiveLayout._1))
+      assert(pt2.snapshotWithStats()._1.size <= 8,
+        "partitioned auto-compact must bound files per partition layout")
+      assert(pt2.effectiveLayout._1.nonEmpty, "sticky partition spec must survive upkeep")
+      assert(pt2.read().count() == 106L)
+    } finally spark.conf.unset("spark.graft.lake.autocompact.files")
+  }
+
   test("recreating a lake at a wiped path never serves the dead incarnation's log") {
     def wipe(dir: String): Unit = {
       import scala.jdk.CollectionConverters._
