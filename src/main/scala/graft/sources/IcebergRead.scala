@@ -225,10 +225,8 @@ object IcebergRead {
         (m.get("manifest_path").toString, content)
       }.toVector
       finally listReader.close()
-    require(manifests.forall(_._2 == 0),
-      "iceberg read: merge-on-read delete manifests unsupported (copy-on-write tables only)")
 
-    manifests.flatMap { case (mp, _) =>
+    manifests.filter(_._2 == 0).flatMap { case (mp, _) =>
       val r = new DataFileReader[GenericRecord](
         new java.io.File(resolvePath(meta.location, mp)),
         new GenericDatumReader[GenericRecord]())
@@ -239,7 +237,7 @@ object IcebergRead {
           val df = e.get("data_file").asInstanceOf[GenericRecord]
           val fileContent = Option(df.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
           require(fileContent == 0,
-            "iceberg read: position/equality delete files unsupported")
+            "iceberg read: non-data file in a data manifest")
           val part = Option(df.get("partition")) match {
             case Some(p: GenericRecord) =>
               p.getSchema.getFields.asScala.map { f =>
@@ -270,6 +268,45 @@ object IcebergRead {
           Some(DataFile(df.get("file_path").toString,
             df.get("record_count").asInstanceOf[Long],
             part, bounds("lower_bounds"), bounds("upper_bounds")))
+        }
+      }.toVector
+      finally r.close()
+    }
+  }
+
+  /** POSITION-delete files of a snapshot (v2 merge-on-read — spec
+    * §"Position Delete Files": parquet files of `(file_path, pos)` rows
+    * naming exact deleted row positions). EQUALITY deletes are refused
+    * loudly: applying them correctly requires per-entry sequence-number
+    * ordering against every data file, and a wrong answer would be
+    * silent. Position deletes need no sequence comparison here: they
+    * reference exact `(file_path, pos)` pairs and data files are
+    * immutable with never-reused paths, so a match is a match regardless
+    * of commit order. */
+  def positionDeleteFiles(meta: TableMeta, snapshotId: Option[Long] = None,
+                          asOfMs: Option[Long] = None): Seq[String] = {
+    val snap = pickSnapshot(meta, snapshotId, asOfMs)
+    val listReader = new DataFileReader[GenericRecord](
+      new java.io.File(resolvePath(meta.location, snap.manifestList)),
+      new GenericDatumReader[GenericRecord]())
+    val deleteManifests =
+      try listReader.iterator.asScala.flatMap { m =>
+        val content = Option(m.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
+        if (content == 1) Some(m.get("manifest_path").toString) else None
+      }.toVector
+      finally listReader.close()
+    deleteManifests.flatMap { mp =>
+      val r = new DataFileReader[GenericRecord](
+        new java.io.File(resolvePath(meta.location, mp)),
+        new GenericDatumReader[GenericRecord]())
+      try r.iterator.asScala.flatMap { e =>
+        if (e.get("status").asInstanceOf[Int] == 2) None // DELETED entry
+        else {
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          val c = Option(df.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
+          require(c == 1,
+            "iceberg read: equality delete files unsupported (position deletes only)")
+          Some(df.get("file_path").toString)
         }
       }.toVector
       finally r.close()
@@ -382,15 +419,41 @@ object IcebergRead {
         "and not identity-partitioned")
     val physicalSchema = StructType(meta.schema.fields.filter(f => physicalCols(f.name)))
 
+    // v2 merge-on-read: position deletes subtract exact (file, row) pairs.
+    // Spark's file metadata columns supply the data side (_metadata
+    // .file_path/row_index — no custom reader needed); the delete side is
+    // a plain parquet read; subtraction is ONE left_anti join on an
+    // 8-byte+path key that AQE broadcasts when the delete set is small
+    // (the overwhelmingly common case — deletes are a fraction of data).
+    // writers disagree on URI spelling ("file:///p", "file:/p", "///p",
+    // "/p" all name the same local file) — collapse scheme + slash runs
+    val delFiles = positionDeleteFiles(meta, snapId, asOfMs)
+    val normPath = (c: org.apache.spark.sql.Column) =>
+      regexp_replace(c, "^(file:)?/+", "/")
+
     val grouped = live.groupBy(f => missing.map(m => f.partition.getOrElse(m.name, null)))
     val parts = grouped.toSeq.map { case (vals, fs) =>
       val df0 = spark.read.schema(physicalSchema)
         .parquet(fs.map(f => resolvePath(dir, f.path)): _*)
-      missing.zip(vals).foldLeft(df0) { case (df, (field, v)) =>
+      val df1 =
+        if (delFiles.isEmpty) df0
+        else df0.select((df0.columns.map(col) :+
+          normPath(col("_metadata.file_path")).as("__ice_fp") :+
+          col("_metadata.row_index").as("__ice_pos")).toIndexedSeq: _*)
+      missing.zip(vals).foldLeft(df1) { case (df, (field, v)) =>
         df.withColumn(field.name, partitionLit(field.dataType, v))
       }
     }
-    parts.reduce(_ unionByName _).select(meta.schema.fieldNames.map(col).toSeq: _*)
+    val all = parts.reduce(_ unionByName _)
+    val undeleted =
+      if (delFiles.isEmpty) all
+      else {
+        val dels = spark.read.parquet(delFiles.map(p => resolvePath(dir, p)): _*)
+          .select(normPath(col("file_path")).as("__ice_fp"),
+            col("pos").cast("long").as("__ice_pos"))
+        all.join(dels, Seq("__ice_fp", "__ice_pos"), "left_anti")
+      }
+    undeleted.select(meta.schema.fieldNames.map(col).toSeq: _*)
   }
 
   /** Bounds-pruned scan: keep only files whose manifest [min,max] for

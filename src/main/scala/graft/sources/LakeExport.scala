@@ -503,6 +503,142 @@ object LakeExport {
     ExportResult(v, art.nFiles.toLong, art.totalRows, newJson)
   }
 
+  /** Publish POSITION DELETES against an exported tree's current snapshot
+    * (Iceberg v2 merge-on-read — spec §"Position Delete Files",
+    * §"Delete Manifests"): writes ONE delete parquet of sorted
+    * `(file_path, pos)` rows, a delete manifest (list entry content=1,
+    * data_file content=1), and a new snapshot whose manifest list is the
+    * current snapshot's manifests PLUS the delete manifest — data files
+    * untouched, so earlier snapshots time-travel cleanly past the delete.
+    * `deletes` maps data-file paths (exactly as the tree's manifests
+    * record them) to 0-based row positions. The metadata commit follows
+    * the same CREATE_NEW single-winner rule as APPEND. Returns the new
+    * snapshot id. */
+  def publishPositionDeletes(spark: SparkSession, dstDir: String,
+                             deletes: Map[String, Seq[Long]]): Long = {
+    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+    require(deletes.nonEmpty && deletes.values.forall(_.nonEmpty),
+      "publishPositionDeletes: empty delete set")
+    val metaDir = Paths.get(dstDir, "metadata")
+    require(Files.isDirectory(metaDir),
+      s"'$dstDir' is not an exported Iceberg tree")
+    val hint = new String(Files.readAllBytes(metaDir.resolve("version-hint.text")),
+      StandardCharsets.UTF_8).trim.toInt
+    val root = mapper.readTree(
+      Files.readAllBytes(metaDir.resolve(s"v$hint.metadata.json"))).asInstanceOf[ObjectNode]
+    val curSnapId = root.get("current-snapshot-id").asLong()
+    val lastSeq = root.get("last-sequence-number").asLong()
+    val newSeq = lastSeq + 1
+    val newSnapId = root.get("snapshots").elements.asScala
+      .map(_.get("snapshot-id").asLong()).max + 1
+    val curList = root.get("snapshots").elements.asScala
+      .find(_.get("snapshot-id").asLong() == curSnapId)
+      .getOrElse(throw new IllegalStateException("current snapshot missing"))
+      .get("manifest-list").asText()
+
+    // ---- delete parquet: (file_path, pos) sorted, one file
+    import spark.implicits._
+    val rows = deletes.toSeq.flatMap { case (f, ps) => ps.map(p => (f, p)) }.sorted
+    val delDataDir = Paths.get(dstDir, s"data_del_$newSeq")
+    rows.toDF("file_path", "pos").coalesce(1)
+      .sortWithinPartitions("file_path", "pos")
+      .write.parquet(delDataDir.toString)
+    val s0 = Files.list(delDataDir)
+    val delFile =
+      try s0.iterator.asScala.map(_.toString).filter(_.endsWith(".parquet")).toSeq.head
+      finally s0.close()
+
+    // ---- delete manifest (unpartitioned entry; partition fields are all
+    // null-defaulted unions, valid for any spec)
+    val uuid = java.util.UUID.nameUUIDFromBytes(
+      s"graft-posdel:$dstDir:$newSeq".getBytes(StandardCharsets.UTF_8)).toString
+    val entrySchema = manifestEntrySchema(Nil)
+    val dataFileSchema = entrySchema.getField("data_file").schema()
+    val manifestPath = metaDir.resolve(s"$uuid-del-m0.avro")
+    val writer = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](entrySchema))
+    writer.setMeta("format-version", "2")
+    writer.setMeta("content", "deletes")
+    writer.setMeta("partition-spec-id", "0")
+    writer.create(entrySchema, manifestPath.toFile)
+    try {
+      val df = new GenericData.Record(dataFileSchema)
+      df.put("content", 1) // POSITION_DELETES
+      df.put("file_path", delFile)
+      df.put("file_format", "PARQUET")
+      df.put("partition", new GenericData.Record(
+        dataFileSchema.getField("partition").schema()))
+      df.put("record_count", rows.size.toLong)
+      df.put("file_size_in_bytes", Files.size(Paths.get(delFile)))
+      val entry = new GenericData.Record(entrySchema)
+      entry.put("status", 1)
+      entry.put("snapshot_id", newSnapId)
+      entry.put("sequence_number", newSeq)
+      entry.put("file_sequence_number", newSeq)
+      entry.put("data_file", df)
+      writer.append(entry)
+    } finally writer.close()
+
+    // ---- new manifest list: current snapshot's manifests + the delete one
+    val listPath = metaDir.resolve(s"snap-$newSnapId-$newSeq-$uuid.avro")
+    val listWriter = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](manifestFileSchema))
+    listWriter.setMeta("format-version", "2")
+    listWriter.create(manifestFileSchema, listPath.toFile)
+    try {
+      val prior = new DataFileReader[GenericRecord](
+        new java.io.File(curList), new GenericDatumReader[GenericRecord]())
+      try prior.iterator.asScala.foreach { m =>
+        val copy = new GenericData.Record(manifestFileSchema)
+        manifestFileSchema.getFields.asScala.foreach(f =>
+          copy.put(f.name(), m.get(f.name())))
+        listWriter.append(copy)
+      } finally prior.close()
+      val mf = new GenericData.Record(manifestFileSchema)
+      mf.put("manifest_path", manifestPath.toString)
+      mf.put("manifest_length", Files.size(manifestPath))
+      mf.put("partition_spec_id", 0)
+      mf.put("content", 1) // DELETES manifest
+      mf.put("sequence_number", newSeq)
+      mf.put("min_sequence_number", newSeq)
+      mf.put("added_snapshot_id", newSnapId)
+      mf.put("added_files_count", 1)
+      mf.put("existing_files_count", 0)
+      mf.put("deleted_files_count", 0)
+      mf.put("added_rows_count", rows.size.toLong)
+      mf.put("existing_rows_count", 0L)
+      mf.put("deleted_rows_count", 0L)
+      listWriter.append(mf)
+    } finally listWriter.close()
+
+    // ---- metadata roll (same commit rule as APPEND)
+    val nowMs = System.currentTimeMillis()
+    root.put("last-sequence-number", newSeq)
+    root.put("last-updated-ms", nowMs)
+    root.put("current-snapshot-id", newSnapId)
+    val snap = mapper.createObjectNode()
+    snap.put("snapshot-id", newSnapId)
+    snap.put("sequence-number", newSeq)
+    snap.put("timestamp-ms", nowMs)
+    snap.put("manifest-list", listPath.toString)
+    snap.putObject("summary")
+      .put("operation", "delete")
+      .put("added-delete-files", "1")
+      .put("added-position-deletes", rows.size.toString)
+    snap.put("schema-id",
+      Option(root.get("current-schema-id")).map(_.asInt()).getOrElse(0))
+    root.get("snapshots").asInstanceOf[ArrayNode].add(snap)
+    root.get("snapshot-log").asInstanceOf[ArrayNode].add(
+      mapper.createObjectNode().put("timestamp-ms", nowMs).put("snapshot-id", newSnapId))
+    Files.write(metaDir.resolve(s"v${hint + 1}.metadata.json"),
+      mapper.writeValueAsString(root).getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW,
+      java.nio.file.StandardOpenOption.WRITE)
+    Files.write(metaDir.resolve("version-hint.text"),
+      (hint + 1).toString.getBytes(StandardCharsets.UTF_8))
+    newSnapId
+  }
+
   /** Parse back an exported tree's manifests (spec evidence + tooling):
     * (file path, record count, lower bounds, upper bounds) per data file,
     * bounds keyed by field id. */

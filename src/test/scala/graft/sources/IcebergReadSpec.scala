@@ -218,4 +218,61 @@ class IcebergReadSpec extends AnyFunSuite {
       spark.sql(s"SELECT * FROM iceberg_scan('$dst', 'nope')").collect())
     assert(e.getMessage.contains("no branch or tag"))
   }
+
+  test("v2 position deletes: published rows vanish, earlier snapshots time-travel intact") {
+    val (dst, _) = exported()
+    val before = IcebergRead.scan(spark, dst)
+    assert(before.count() == 180L)
+    val beforeSnap = IcebergRead.loadMetadata(dst).currentSnapshotId.get
+
+    // delete rows at positions 0,1,2 of one file and 5 of another —
+    // by exact (file_path, pos), the merge-on-read contract
+    val meta = IcebergRead.loadMetadata(dst)
+    val files = IcebergRead.dataFiles(meta).map(_.path).sorted
+    assert(files.nonEmpty)
+    val victim = files.head
+    val deletes: Map[String, Seq[Long]] =
+      if (files.size > 1) Map(victim -> Seq(0L, 1L, 2L), files(1) -> Seq(5L))
+      else Map(victim -> Seq(0L, 1L, 2L, 5L))
+    val delSnap = LakeExport.publishPositionDeletes(spark, dst, deletes)
+
+    val after = IcebergRead.scan(spark, dst)
+    assert(after.count() == 176L, s"4 positions deleted: ${after.count()}")
+    // the EXACT rows at those positions are the ones gone
+    val victimRows = spark.read.parquet(victim)
+      .selectExpr("id", "_metadata.row_index AS pos").collect()
+      .filter(r => deletes(victim).contains(r.getLong(1))).map(_.getLong(0)).toSet
+    val afterIds = after.select("id").collect().map(_.getLong(0)).toSet
+    assert(victimRows.nonEmpty && victimRows.forall(!afterIds.contains(_)),
+      s"deleted positions still visible: ${victimRows & afterIds}")
+    // time travel to the pre-delete snapshot still sees all 180
+    assert(IcebergRead.scan(spark, dst, snapshotId = Some(beforeSnap)).count() == 180L)
+    // the TVF serves the merge-on-read snapshot too
+    assert(spark.sql(s"SELECT count(*) FROM iceberg_scan('$dst', $delSnap)")
+      .collect().head.getLong(0) == 176L)
+
+    // equality deletes refuse loudly (doctor the delete manifest's content)
+    val metaDir = Paths.get(dst, "metadata")
+    val s2 = Files.list(metaDir)
+    val dm =
+      try {
+        import scala.jdk.CollectionConverters._
+        s2.iterator().asScala.find(_.getFileName.toString.contains("-del-m0")).get
+      } finally s2.close()
+    // rewrite the avro with content=2 via the generic API
+    val reader = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+      dm.toFile, new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    val entries = try { import scala.jdk.CollectionConverters._; reader.iterator().asScala.toVector } finally reader.close()
+    val schema = entries.head.getSchema
+    val w = new org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord](
+      new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](schema))
+    w.create(schema, dm.toFile)
+    try entries.foreach { e =>
+      e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+        .asInstanceOf[org.apache.avro.generic.GenericData.Record].put("content", 2)
+      w.append(e)
+    } finally w.close()
+    val eq = intercept[Exception](IcebergRead.scan(spark, dst).collect())
+    assert(eq.getMessage.contains("equality delete"), eq.getMessage)
+  }
 }
