@@ -503,6 +503,41 @@ object Lake {
              |FROM iceberg_scan('$expDir')
              |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
   }
+  /** Iceberg v2 merge-on-read: export, compute the exact (file, position)
+    * pairs of every supplier with s_suppkey % 7 = 0 FROM THE PUBLISHED
+    * FILES (layout-independent — positions come from _metadata.row_index
+    * at run time), publish them as position deletes, and read the table
+    * back through the deletes. Hash-gated against DuckDB filtering the
+    * raw fixture — the MOR subtraction must be value-exact. */
+  val icebergPosDelete: QueryFn = (s, dir) => {
+    val t = Tables.ensure(s, dir)
+    val base = t.supplier.select(col("s_suppkey"), col("s_name"),
+      col("s_nationkey"), dbl(money(col("s_acctbal"))).as("bal"))
+    val lakeDir = scratchDir("graft_iceberg_mor_src")
+    SnapshotTable.create(s, lakeDir, base)
+    val expDir = scratchDir("graft_iceberg_mor_dst") + "/tree"
+    s.sql(s"EXPORT LAKE '$lakeDir' TO '$expDir'")
+    val victims = s.read.parquet(s"$expDir/data")
+      .selectExpr("_metadata.file_path AS fp", "_metadata.row_index AS pos",
+        "s_suppkey")
+      .filter(col("s_suppkey") % 7 === 0)
+      .collect() // driver-small: |supplier|/7 rows of (path, long)
+      .groupBy(_.getString(0)).map { case (f, rs) =>
+        f.replaceFirst("^file:", "") -> rs.map(_.getLong(1)).toSeq
+      }
+    graft.sources.LakeExport.publishPositionDeletes(s, expDir, victims)
+    s.sql(s"""SELECT s_nationkey, COUNT(*) AS n_suppliers,
+             |  CAST(SUM(CAST(bal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+             |FROM iceberg_scan('$expDir')
+             |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
+  }
+  val icebergPosDeleteSql: String = """
+    SELECT s_nationkey, COUNT(*) AS n_suppliers,
+           CAST(SUM(CAST(CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+    FROM supplier
+    WHERE s_suppkey % 7 <> 0
+    GROUP BY s_nationkey ORDER BY s_nationkey"""
+
   val icebergReadSql: String = """
     SELECT s_nationkey, COUNT(*) AS n_suppliers,
            CAST(SUM(CAST(CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
@@ -529,6 +564,42 @@ object Lake {
              |FROM delta_scan('$expDir')
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   }
+  /** Delta merge-on-read through DELETION VECTORS: export, compute the
+    * exact (file, position) of every order with o_orderkey % 9 = 0 from
+    * the published files at run time (layout-independent), publish them
+    * as a DV commit (Z85 path, RoaringBitmapArray bitmap, CRC framing),
+    * and read the table back through the vectors — hash-gated vs DuckDB
+    * filtering the raw fixture. */
+  val deltaDvRead: QueryFn = (s, dir) => {
+    val t = Tables.ensure(s, dir)
+    val base = t.orders.select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderpriority"), dbl(money(col("o_totalprice"))).as("price"))
+    val lakeDir = scratchDir("graft_delta_dv_src")
+    SnapshotTable.create(s, lakeDir, base)
+    val expDir = scratchDir("graft_delta_dv_dst") + "/tbl"
+    graft.sources.DeltaInterop.exportTo(s, lakeDir, expDir)
+    val st = graft.sources.DeltaInterop.readState(s, expDir)
+    val victims = s.read.parquet(st.files.map(f => s"$expDir/${f.path}"): _*)
+      .selectExpr("o_orderkey", "_metadata.file_path AS fp",
+        "_metadata.row_index AS pos")
+      .filter(col("o_orderkey") % 9 === 0)
+      .collect() // driver-small: |orders|/9 descriptor rows
+      .groupBy(r => st.files.map(_.path)
+        .find(p => r.getString(1).endsWith(p)).get)
+      .map { case (p, rs) => p -> rs.map(_.getLong(2)).toSeq }
+    graft.sources.DeltaInterop.publishDeletionVectors(s, expDir, victims)
+    s.sql(s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+             |  CAST(SUM(CAST(price AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+             |FROM delta_scan('$expDir')
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+  val deltaDvReadSql: String = """
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderkey % 9 <> 0
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   val deltaRoundtripSql: String = """
     SELECT o_orderpriority, COUNT(*) AS n_orders,
            CAST(SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS DECIMAL(14,2))) AS DOUBLE) AS total_price
@@ -538,7 +609,9 @@ object Lake {
 
   val queries: Map[String, QueryFn] = Map(
     "iceberg_read" -> icebergRead,
+    "iceberg_pos_delete" -> icebergPosDelete,
     "delta_roundtrip" -> deltaRoundtrip,
+    "delta_dv_read" -> deltaDvRead,
     "lake_export" -> lakeExport,
     "lake_bucket_join" -> lakeBucketJoin,
     "lake_minmax_meta" -> lakeMinmaxMeta,
@@ -557,7 +630,9 @@ object Lake {
 
   val oracle: Map[String, String] = Map(
     "iceberg_read" -> icebergReadSql,
+    "iceberg_pos_delete" -> icebergPosDeleteSql,
     "delta_roundtrip" -> deltaRoundtripSql,
+    "delta_dv_read" -> deltaDvReadSql,
     "lake_export" -> lakeExportSql,
     "lake_bucket_join" -> lakeBucketJoinSql,
     "lake_minmax_meta" -> lakeMinmaxMetaSql,

@@ -44,7 +44,12 @@ object DeltaInterop {
   final case class AddFile(path: String, partitionValues: Map[String, String],
                            size: Long, numRecords: Option[Long],
                            minValues: Map[String, JsonNode] = Map.empty,
-                           maxValues: Map[String, JsonNode] = Map.empty)
+                           maxValues: Map[String, JsonNode] = Map.empty,
+                           dv: Option[DeltaDeletionVectors.Descriptor] = None,
+                           // verbatim stats JSON — re-emitted when a commit
+                           // replaces this entry (DV attach), so data
+                           // skipping survives the rewrite
+                           rawStats: Option[String] = None)
   final case class DeltaState(version: Long, schema: StructType,
                               partitionCols: Seq[String], files: Seq[AddFile])
   final case class ExportResult(version: Long, nFiles: Long, nRows: Long)
@@ -85,17 +90,20 @@ object DeltaInterop {
       partCols = pc
     }
     def applyAdd(path: String, pv: Map[String, String], size: Long,
-                 stats: Option[String]): Unit = {
+                 stats: Option[String],
+                 dv: Option[DeltaDeletionVectors.Descriptor]): Unit = {
       val parsed = stats.map(mapper.readTree)
       val n = parsed.flatMap(s => Option(s.get("numRecords")).map(_.asLong()))
       def side(tag: String): Map[String, JsonNode] =
         parsed.flatMap(s => Option(s.get(tag))).map { node =>
           node.properties.asScala.map(e => e.getKey -> e.getValue).toMap
         }.getOrElse(Map.empty)
-      files(path) = AddFile(path, pv, size, n, side("minValues"), side("maxValues"))
+      files(path) = AddFile(path, pv, size, n, side("minValues"), side("maxValues"),
+        dv, stats)
     }
     def checkProtocol(minReader: Int, readerFeatures: Seq[String]): Unit = {
-      val unsupported = readerFeatures.filterNot(Set("timestampNtz", "v2Checkpoint"))
+      val unsupported = readerFeatures.filterNot(
+        Set("timestampNtz", "v2Checkpoint", "deletionVectors"))
       require(minReader <= 2 || unsupported.isEmpty,
         s"delta read: unsupported reader features ${unsupported.mkString(",")} " +
           s"(minReaderVersion=$minReader) — plain copy-on-write tables only")
@@ -118,14 +126,21 @@ object DeltaInterop {
         }
         if (cols("add")) Option(row.getAs[org.apache.spark.sql.Row]("add")).foreach { a =>
           val fn = a.schema.fieldNames.toSet
-          require(!fn.contains("deletionVector") ||
-              a.getAs[AnyRef]("deletionVector") == null,
-            "delta read: deletion vectors unsupported")
+          val dv =
+            if (!fn.contains("deletionVector")) None
+            else Option(a.getAs[org.apache.spark.sql.Row]("deletionVector")).map { d =>
+              DeltaDeletionVectors.Descriptor(
+                d.getAs[String]("storageType"), d.getAs[String]("pathOrInlineDv"),
+                Option(d.getAs[Any]("offset")).map(_.toString.toInt),
+                d.getAs[Any]("sizeInBytes").toString.toInt,
+                d.getAs[Any]("cardinality").toString.toLong)
+            }
           applyAdd(a.getAs[String]("path"),
             Option(a.getAs[scala.collection.Map[String, String]]("partitionValues"))
               .map(_.toMap).getOrElse(Map.empty),
             a.getAs[Long]("size"),
-            if (fn.contains("stats")) Option(a.getAs[String]("stats")) else None)
+            if (fn.contains("stats")) Option(a.getAs[String]("stats")) else None,
+            dv)
         }
         if (cols("remove")) Option(row.getAs[org.apache.spark.sql.Row]("remove")).foreach { r =>
           files.remove(r.getAs[String]("path"))
@@ -149,15 +164,21 @@ object DeltaInterop {
                   .flatMap(_.elements.asScala.map(_.asText())))
             }
             Option(a.get("add")).foreach { ad =>
-              require(!ad.has("deletionVector") || ad.get("deletionVector").isNull,
-                "delta read: deletion vectors unsupported")
+              val dv = Option(ad.get("deletionVector")).filterNot(_.isNull).map { d =>
+                DeltaDeletionVectors.Descriptor(
+                  d.get("storageType").asText(), d.get("pathOrInlineDv").asText(),
+                  Option(d.get("offset")).filterNot(_.isNull).map(_.asInt()),
+                  d.get("sizeInBytes").asInt(),
+                  Option(d.get("cardinality")).map(_.asLong()).getOrElse(-1L))
+              }
               applyAdd(ad.get("path").asText(),
                 Option(ad.get("partitionValues")).map(pv =>
                   pv.properties.asScala.map(e =>
                     e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
                   .getOrElse(Map.empty),
                 Option(ad.get("size")).map(_.asLong()).getOrElse(0L),
-                Option(ad.get("stats")).filterNot(_.isNull).map(_.asText()))
+                Option(ad.get("stats")).filterNot(_.isNull).map(_.asText()),
+                dv)
             }
             Option(a.get("remove")).foreach(r => files.remove(r.get("path").asText()))
           }
@@ -241,17 +262,45 @@ object DeltaInterop {
       st.schema.fields.filterNot(f => st.partitionCols.contains(f.name)))
     val partFields = st.partitionCols.map(c => st.schema(c))
 
+    // merge-on-read deletion vectors: deleted (file, row_index) pairs come
+    // from the descriptors, parsed once here (driver: ~8 bytes per deleted
+    // row while building; at cluster scale a distributed parse over the
+    // descriptor list is the same join), subtracted with ONE left_anti
+    // join on _metadata.file_path/row_index — AQE broadcasts the deleted
+    // set when it is small, the overwhelmingly common case.
+    val dvFiles = st.files.filter(_.dv.isDefined)
+    val normPath = (c: Column) => regexp_replace(c, "^(file:)?/+", "/")
+
     val grouped = st.files.groupBy(f =>
       st.partitionCols.map(c => f.partitionValues.getOrElse(c, null)))
     val parts = grouped.toSeq.map { case (vals, fs) =>
       val paths = fs.map(f =>
         s"$dir/${java.net.URLDecoder.decode(f.path, "UTF-8")}")
       val df0 = spark.read.schema(dataSchema).parquet(paths: _*)
-      partFields.zip(vals).foldLeft(df0) { case (df, (field, v)) =>
+      val df1 =
+        if (dvFiles.isEmpty) df0
+        else df0.select((df0.columns.map(col) :+
+          normPath(col("_metadata.file_path")).as("__dv_fp") :+
+          col("_metadata.row_index").as("__dv_pos")).toIndexedSeq: _*)
+      partFields.zip(vals).foldLeft(df1) { case (df, (field, v)) =>
         df.withColumn(field.name, partitionLit(field.dataType, v))
       }
     }
-    parts.reduce(_ unionByName _).select(st.schema.fieldNames.map(col).toSeq: _*)
+    val all = parts.reduce(_ unionByName _)
+    val undeleted =
+      if (dvFiles.isEmpty) all
+      else {
+        import spark.implicits._
+        val deleted: Seq[(String, Long)] = dvFiles.flatMap { f =>
+          val abs = Paths.get(dir, java.net.URLDecoder.decode(f.path, "UTF-8"))
+            .toAbsolutePath.toString
+          DeltaDeletionVectors.positionsOf(dir, f.dv.get).map(abs -> _)
+        }
+        val dels = deleted.toDF("__dv_fp", "__dv_pos")
+          .select(normPath(col("__dv_fp")).as("__dv_fp"), col("__dv_pos"))
+        all.join(dels, Seq("__dv_fp", "__dv_pos"), "left_anti")
+      }
+    undeleted.select(st.schema.fieldNames.map(col).toSeq: _*)
   }
 
   // ---- export ----------------------------------------------------------
@@ -376,6 +425,75 @@ object DeltaInterop {
     Files.write(ld.resolve(f"${0L}%020d.json"),
       lines.result().mkString("\n").getBytes(StandardCharsets.UTF_8))
     ExportResult(v, perFile.length.toLong, totalRows)
+  }
+
+  /** Attach DELETION VECTORS to live files as one new commit — the
+    * merge-on-read DELETE a DV-enabled delta writer produces (protocol
+    * §"Deletion Vectors", "Writer Requirements for Deletion Vectors"):
+    * for each file, merge any existing DV positions, write a
+    * `deletion_vector_<uuid>.bin` ("u" storage, Z85 uuid), and commit
+    * `remove` (old entry) + `add` (same path, new descriptor, verbatim
+    * stats so data skipping survives) plus the protocol upgrade to
+    * readerFeatures=[deletionVectors]. `deletes` maps RELATIVE data paths
+    * (as the log records them) to 0-based row positions. Returns the new
+    * log version. */
+  def publishDeletionVectors(spark: SparkSession, dir: String,
+                             deletes: Map[String, Seq[Long]]): Long = {
+    require(deletes.nonEmpty && deletes.values.forall(_.nonEmpty),
+      "publishDeletionVectors: empty delete set")
+    val st = readState(spark, dir)
+    val byPath = st.files.map(f => f.path -> f).toMap
+    val unknown = deletes.keys.filterNot(byPath.contains)
+    require(unknown.isEmpty,
+      s"publishDeletionVectors: not live data files: ${unknown.mkString(", ")}")
+    val nowMs = System.currentTimeMillis()
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    lines += mapper.writeValueAsString {
+      val p = mapper.createObjectNode()
+      val pr = p.putObject("protocol")
+      pr.put("minReaderVersion", 3).put("minWriterVersion", 7)
+      pr.putArray("readerFeatures").add("deletionVectors")
+      pr.putArray("writerFeatures").add("deletionVectors")
+      p
+    }
+    deletes.toSeq.sortBy(_._1).foreach { case (relPath, positions) =>
+      val f = byPath(relPath)
+      val merged = (positions ++ f.dv.toSeq.flatMap(d =>
+        DeltaDeletionVectors.positionsOf(dir, d))).distinct.sorted.toArray
+      val uuid = java.util.UUID.randomUUID()
+      val bb = java.nio.ByteBuffer.allocate(16)
+      bb.putLong(uuid.getMostSignificantBits).putLong(uuid.getLeastSignificantBits)
+      val (offset, size) = DeltaDeletionVectors.writeDvFile(
+        Paths.get(dir, s"deletion_vector_$uuid.bin").toString, merged)
+      val rm = mapper.createObjectNode()
+      rm.putObject("remove").put("path", relPath)
+        .put("deletionTimestamp", nowMs).put("dataChange", true)
+      lines += mapper.writeValueAsString(rm)
+      val addNode = mapper.createObjectNode()
+      val add = addNode.putObject("add")
+      add.put("path", relPath)
+      val pv = add.putObject("partitionValues")
+      f.partitionValues.foreach { case (k, v) =>
+        if (v == null) pv.putNull(k) else pv.put(k, v) }
+      add.put("size", f.size)
+      add.put("modificationTime", nowMs)
+      add.put("dataChange", true)
+      f.rawStats.foreach(s => add.put("stats", s))
+      add.putObject("deletionVector")
+        .put("storageType", "u")
+        .put("pathOrInlineDv", DeltaDeletionVectors.z85Encode(bb.array()))
+        .put("offset", offset)
+        .put("sizeInBytes", size)
+        .put("cardinality", merged.length.toLong)
+      lines += mapper.writeValueAsString(addNode)
+    }
+    val newV = st.version + 1
+    // CREATE_NEW = the delta commit rule: one writer wins the version file
+    Files.write(logDir(dir).resolve(f"$newV%020d.json"),
+      lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW,
+      java.nio.file.StandardOpenOption.WRITE)
+    newV
   }
 
   /** Write a parquet checkpoint for the state at `version` plus the

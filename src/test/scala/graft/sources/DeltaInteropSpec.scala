@@ -116,19 +116,82 @@ class DeltaInteropSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet == before)
   }
 
-  test("deletion vectors and unknown reader features are refused loudly") {
+  test("unknown reader features are refused loudly; deletionVectors is supported") {
     val (dst, _) = exportedDelta()
     Files.write(Paths.get(dst, "_delta_log", f"${1L}%020d.json"),
-      s"""{"add":{"path":"x.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"d","offset":1,"sizeInBytes":1,"cardinality":1}}}"""
-        .getBytes(StandardCharsets.UTF_8))
-    val e = intercept[IllegalArgumentException](DeltaInterop.readState(spark, dst))
-    assert(e.getMessage.contains("deletion vectors"))
-
-    Files.write(Paths.get(dst, "_delta_log", f"${1L}%020d.json"),
-      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}"""
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping"]}}"""
         .getBytes(StandardCharsets.UTF_8))
     val e2 = intercept[IllegalArgumentException](DeltaInterop.readState(spark, dst))
     assert(e2.getMessage.contains("unsupported reader features"))
+    Files.write(Paths.get(dst, "_delta_log", f"${1L}%020d.json"),
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}"""
+        .getBytes(StandardCharsets.UTF_8))
+    DeltaInterop.readState(spark, dst) // no throw
+  }
+
+  test("RoaringBitmapArray codec: round trip across container kinds and key buckets") {
+    import DeltaDeletionVectors._
+    // array container, bitmap container (>4096 dense), multi-bucket highs
+    val positions: Array[Long] =
+      (Array(0L, 1L, 5L, 65535L, 65536L, 70000L) ++          // array containers, 2 keys
+        (100000L until 105000L).toArray ++                    // bitmap container (5000 dense)
+        Array((1L << 32) + 7L, (1L << 32) + 8L, (5L << 32))) // high-key buckets
+    val got = deserialize(serialize(positions))
+    assert(got.toSeq == positions.distinct.sorted.toSeq)
+    // z85 round trip (16-byte uuid shape)
+    val bytes = Array.tabulate[Byte](16)(i => (i * 17 + 3).toByte)
+    assert(z85Decode(z85Encode(bytes)).toSeq == bytes.toSeq)
+  }
+
+  test("deletion vectors end-to-end: published rows vanish, stats survive, corrupt DV refused") {
+    val (dst, _) = exportedDelta()
+    assert(DeltaInterop.scan(spark, dst).count() == 100L)
+
+    // delete ids 1..10: find their (file, row_index) from the data files
+    val st = DeltaInterop.readState(spark, dst)
+    val victims = spark.read.parquet(
+        st.files.map(f => s"$dst/${f.path}"): _*)
+      .selectExpr("id", "_metadata.file_path AS fp", "_metadata.row_index AS pos")
+      .filter(col("id") <= 10).collect()
+    val byFile: Map[String, Seq[Long]] = victims
+      .groupBy(r => st.files.map(_.path)
+        .find(p => r.getString(1).endsWith(p)).get)
+      .map { case (p, rs) => p -> rs.map(_.getLong(2)).toSeq }
+    val v1 = DeltaInterop.publishDeletionVectors(spark, dst, byFile)
+
+    val after = DeltaInterop.scan(spark, dst)
+    assert(after.count() == 90L, s"10 rows DV-deleted: ${after.count()}")
+    assert(after.filter(col("id") <= 10).count() == 0L)
+    // time travel to the pre-DV version still sees all rows
+    assert(DeltaInterop.scan(spark, dst, Some(v1 - 1)).count() == 100L)
+    // stats survived the DV attach: skipping still prunes
+    val reSt = DeltaInterop.readState(spark, dst)
+    assert(reSt.files.forall(_.rawStats.isDefined), "stats dropped by DV commit")
+    // incremental DVs merge: delete 5 more rows from one of the same files
+    val more = spark.read.parquet(st.files.map(f => s"$dst/${f.path}"): _*)
+      .selectExpr("id", "_metadata.file_path AS fp", "_metadata.row_index AS pos")
+      .filter(col("id").between(11, 15)).collect()
+    val byFile2 = more.groupBy(r => st.files.map(_.path)
+        .find(p => r.getString(1).endsWith(p)).get)
+      .map { case (p, rs) => p -> rs.map(_.getLong(2)).toSeq }
+    DeltaInterop.publishDeletionVectors(spark, dst, byFile2)
+    assert(DeltaInterop.scan(spark, dst).count() == 85L, "merged DVs")
+    // TVF serves the DV snapshot
+    assert(spark.sql(s"SELECT count(*) FROM delta_scan('$dst')")
+      .collect().head.getLong(0) == 85L)
+
+    // corrupt a DV file byte → checksum refusal, loud not wrong
+    val dvFile = {
+      import scala.jdk.CollectionConverters._
+      Files.list(Paths.get(dst)).iterator.asScala
+        .find(_.getFileName.toString.startsWith("deletion_vector_")).get
+    }
+    val raw = Files.readAllBytes(dvFile)
+    raw(raw.length / 2) = (raw(raw.length / 2) ^ 0x7f).toByte
+    Files.write(dvFile, raw)
+    val e = intercept[Exception](DeltaInterop.scan(spark, dst).count())
+    assert(e.getMessage.contains("checksum") || e.getMessage.contains("magic"),
+      e.getMessage)
   }
 
   test("null partition value becomes a typed null column") {
