@@ -59,7 +59,12 @@ object IcebergRead {
                             recordCount: Long,
                             partition: Map[String, Any],
                             lower: Map[Int, Array[Byte]],
-                            upper: Map[Int, Array[Byte]])
+                            upper: Map[Int, Array[Byte]],
+                            // data sequence number (entry's, inherited from
+                            // the manifest when absent) — what equality
+                            // deletes compare against
+                            seq: Long = 0L)
+  final case class EqualityDelete(path: String, seq: Long, fieldIds: Seq[Int])
 
   private val mapper = new ObjectMapper()
 
@@ -222,11 +227,12 @@ object IcebergRead {
     val manifests =
       try listReader.iterator.asScala.map { m =>
         val content = Option(m.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
-        (m.get("manifest_path").toString, content)
+        val seq = Option(m.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(0L)
+        (m.get("manifest_path").toString, content, seq)
       }.toVector
       finally listReader.close()
 
-    manifests.filter(_._2 == 0).flatMap { case (mp, _) =>
+    manifests.filter(_._2 == 0).flatMap { case (mp, _, mSeq) =>
       val r = new DataFileReader[GenericRecord](
         new java.io.File(resolvePath(meta.location, mp)),
         new GenericDatumReader[GenericRecord]())
@@ -234,6 +240,8 @@ object IcebergRead {
         val status = e.get("status").asInstanceOf[Int]
         if (status == 2) None // DELETED entry
         else {
+          val entrySeq = Option(e.get("sequence_number"))
+            .map(_.asInstanceOf[Long]).getOrElse(mSeq) // inherit (spec rule)
           val df = e.get("data_file").asInstanceOf[GenericRecord]
           val fileContent = Option(df.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
           require(fileContent == 0,
@@ -267,24 +275,24 @@ object IcebergRead {
             }
           Some(DataFile(df.get("file_path").toString,
             df.get("record_count").asInstanceOf[Long],
-            part, bounds("lower_bounds"), bounds("upper_bounds")))
+            part, bounds("lower_bounds"), bounds("upper_bounds"), entrySeq))
         }
       }.toVector
       finally r.close()
     }
   }
 
-  /** POSITION-delete files of a snapshot (v2 merge-on-read — spec
-    * §"Position Delete Files": parquet files of `(file_path, pos)` rows
-    * naming exact deleted row positions). EQUALITY deletes are refused
-    * loudly: applying them correctly requires per-entry sequence-number
-    * ordering against every data file, and a wrong answer would be
-    * silent. Position deletes need no sequence comparison here: they
-    * reference exact `(file_path, pos)` pairs and data files are
-    * immutable with never-reused paths, so a match is a match regardless
-    * of commit order. */
-  def positionDeleteFiles(meta: TableMeta, snapshotId: Option[Long] = None,
-                          asOfMs: Option[Long] = None): Seq[String] = {
+  /** Delete files of a snapshot (v2 merge-on-read): POSITION deletes
+    * (spec §"Position Delete Files" — parquet of `(file_path, pos)` rows)
+    * and EQUALITY deletes (spec §"Equality Delete Files" — parquet rows
+    * whose `equality_ids` columns name deleted value tuples, applying to
+    * data files with data sequence number STRICTLY LESS than the
+    * delete's). Position deletes need no sequence comparison: they
+    * reference exact `(file_path, pos)` pairs and data-file paths are
+    * never reused; equality deletes carry their sequence for the scan's
+    * `data.seq < delete.seq` predicate. */
+  def deleteFiles(meta: TableMeta, snapshotId: Option[Long] = None,
+                  asOfMs: Option[Long] = None): (Seq[String], Seq[EqualityDelete]) = {
     val snap = pickSnapshot(meta, snapshotId, asOfMs)
     val listReader = new DataFileReader[GenericRecord](
       new java.io.File(resolvePath(meta.location, snap.manifestList)),
@@ -292,26 +300,48 @@ object IcebergRead {
     val deleteManifests =
       try listReader.iterator.asScala.flatMap { m =>
         val content = Option(m.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
-        if (content == 1) Some(m.get("manifest_path").toString) else None
+        val seq = Option(m.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(0L)
+        if (content == 1) Some((m.get("manifest_path").toString, seq)) else None
       }.toVector
       finally listReader.close()
-    deleteManifests.flatMap { mp =>
+    val pos = Vector.newBuilder[String]
+    val eq = Vector.newBuilder[EqualityDelete]
+    deleteManifests.foreach { case (mp, mSeq) =>
       val r = new DataFileReader[GenericRecord](
         new java.io.File(resolvePath(meta.location, mp)),
         new GenericDatumReader[GenericRecord]())
-      try r.iterator.asScala.flatMap { e =>
-        if (e.get("status").asInstanceOf[Int] == 2) None // DELETED entry
-        else {
+      try r.iterator.asScala.foreach { e =>
+        if (e.get("status").asInstanceOf[Int] != 2) {
+          val entrySeq = Option(e.get("sequence_number"))
+            .map(_.asInstanceOf[Long]).getOrElse(mSeq)
           val df = e.get("data_file").asInstanceOf[GenericRecord]
           val c = Option(df.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
-          require(c == 1,
-            "iceberg read: equality delete files unsupported (position deletes only)")
-          Some(df.get("file_path").toString)
+          c match {
+            case 1 => pos += df.get("file_path").toString
+            case 2 =>
+              val ids =
+                if (df.getSchema.getField("equality_ids") == null) Seq.empty
+                else Option(df.get("equality_ids")) match {
+                  case Some(arr: java.util.Collection[_]) =>
+                    arr.asScala.map(_.asInstanceOf[Int]).toSeq
+                  case _ => Seq.empty
+                }
+              require(ids.nonEmpty,
+                "iceberg read: equality delete file without equality_ids")
+              eq += EqualityDelete(df.get("file_path").toString, entrySeq, ids)
+            case other => throw new IllegalArgumentException(
+              s"iceberg read: unknown delete file content $other")
+          }
         }
-      }.toVector
-      finally r.close()
+      } finally r.close()
     }
+    (pos.result(), eq.result())
   }
+
+  /** Back-compat alias: position-delete paths only. */
+  def positionDeleteFiles(meta: TableMeta, snapshotId: Option[Long] = None,
+                          asOfMs: Option[Long] = None): Seq[String] =
+    deleteFiles(meta, snapshotId, asOfMs)._1
 
   // ---- bounds decode + pruning ----------------------------------------
 
@@ -419,24 +449,27 @@ object IcebergRead {
         "and not identity-partitioned")
     val physicalSchema = StructType(meta.schema.fields.filter(f => physicalCols(f.name)))
 
-    // v2 merge-on-read: position deletes subtract exact (file, row) pairs.
-    // Spark's file metadata columns supply the data side (_metadata
-    // .file_path/row_index — no custom reader needed); the delete side is
-    // a plain parquet read; subtraction is ONE left_anti join on an
-    // 8-byte+path key that AQE broadcasts when the delete set is small
-    // (the overwhelmingly common case — deletes are a fraction of data).
+    // v2 merge-on-read: position deletes subtract exact (file, row) pairs;
+    // equality deletes subtract value tuples from data files with data
+    // sequence number < the delete's. Spark's file metadata columns
+    // supply the data side (_metadata.file_path/row_index — no custom
+    // reader needed); delete sides are plain parquet reads; each
+    // subtraction is ONE left_anti join that AQE broadcasts when the
+    // delete set is small (the overwhelmingly common case).
     // writers disagree on URI spelling ("file:///p", "file:/p", "///p",
     // "/p" all name the same local file) — collapse scheme + slash runs
-    val delFiles = positionDeleteFiles(meta, snapId, asOfMs)
+    val (posDels, eqDels) = deleteFiles(meta, snapId, asOfMs)
+    val needMeta = posDels.nonEmpty || eqDels.nonEmpty
     val normPath = (c: org.apache.spark.sql.Column) =>
       regexp_replace(c, "^(file:)?/+", "/")
+    def normStr(p: String): String = p.replaceFirst("^(file:)?/+", "/")
 
     val grouped = live.groupBy(f => missing.map(m => f.partition.getOrElse(m.name, null)))
     val parts = grouped.toSeq.map { case (vals, fs) =>
       val df0 = spark.read.schema(physicalSchema)
         .parquet(fs.map(f => resolvePath(dir, f.path)): _*)
       val df1 =
-        if (delFiles.isEmpty) df0
+        if (!needMeta) df0
         else df0.select((df0.columns.map(col) :+
           normPath(col("_metadata.file_path")).as("__ice_fp") :+
           col("_metadata.row_index").as("__ice_pos")).toIndexedSeq: _*)
@@ -445,15 +478,44 @@ object IcebergRead {
       }
     }
     val all = parts.reduce(_ unionByName _)
-    val undeleted =
-      if (delFiles.isEmpty) all
+    val afterPos =
+      if (posDels.isEmpty) all
       else {
-        val dels = spark.read.parquet(delFiles.map(p => resolvePath(dir, p)): _*)
+        val dels = spark.read.parquet(posDels.map(p => resolvePath(dir, p)): _*)
           .select(normPath(col("file_path")).as("__ice_fp"),
             col("pos").cast("long").as("__ice_pos"))
         all.join(dels, Seq("__ice_fp", "__ice_pos"), "left_anti")
       }
-    undeleted.select(meta.schema.fieldNames.map(col).toSeq: _*)
+    val afterEq =
+      if (eqDels.isEmpty) afterPos
+      else {
+        val nameOf = meta.fieldIdOf.map(_.swap)
+        // per-file data sequence numbers ride in on a tiny broadcast map
+        import spark.implicits._
+        val seqDf = broadcast(live
+          .map(f => normStr(resolvePath(dir, f.path)) -> f.seq)
+          .toDF("__ice_fp", "__ice_seq"))
+        val withSeq = afterPos.join(seqDf, Seq("__ice_fp"), "left")
+        // group delete files by their equality column set: one anti-join
+        // per distinct set, delete rows tagged with their sequence
+        eqDels.groupBy(_.fieldIds).toSeq.foldLeft(withSeq) {
+          case (acc, (ids, dels)) =>
+            val cols = ids.map(id => nameOf.getOrElse(id,
+              throw new IllegalArgumentException(
+                s"iceberg read: equality_ids field $id not in schema")))
+            val delDf = dels.map { d =>
+              spark.read.parquet(resolvePath(dir, d.path))
+                .select(cols.map(col): _*)
+                .withColumn("__del_seq", lit(d.seq))
+            }.reduce(_ unionByName _)
+            // null-safe value match (spec: null equals null here) AND the
+            // strict sequence rule — newer data files survive the delete
+            val cond = cols.map(c => acc(c) <=> delDf(c))
+              .reduce(_ && _) && acc("__ice_seq") < delDf("__del_seq")
+            acc.join(delDf, cond, "left_anti")
+        }
+      }
+    afterEq.select(meta.schema.fieldNames.map(col).toSeq: _*)
   }
 
   /** Bounds-pruned scan: keep only files whose manifest [min,max] for

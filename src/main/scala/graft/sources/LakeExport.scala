@@ -150,11 +150,17 @@ object LakeExport {
        |{"name":"value","type":"bytes","field-id":$valId}]}}""".stripMargin
 
   /** manifest_entry with an identity-partition record for `partCols`
-    * ((name, icebergType, fieldId) triples; empty for unpartitioned). */
-  private def manifestEntrySchema(partCols: Seq[(String, String, Int)]): Schema = {
+    * ((name, icebergType, fieldId) triples; empty for unpartitioned).
+    * `withEqualityIds` adds the spec's field 135 for equality-delete
+    * manifests. */
+  private def manifestEntrySchema(partCols: Seq[(String, String, Int)],
+                                  withEqualityIds: Boolean = false): Schema = {
     val partFields = partCols.map { case (n, t, id) =>
       s"""{"name":"$n","type":["null","$t"],"default":null,"field-id":$id}"""
     }.mkString(",")
+    val eqField =
+      if (!withEqualityIds) ""
+      else """,{"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}"""
     new Schema.Parser().parse(
       s"""{"type":"record","name":"manifest_entry","fields":[
          |{"name":"status","type":"int","field-id":0},
@@ -170,6 +176,7 @@ object LakeExport {
          |{"name":"file_size_in_bytes","type":"long","field-id":104},
          |{"name":"lower_bounds","type":["null",${boundsMapSchema(126, 127, "k126_v127")}],"default":null,"field-id":125},
          |{"name":"upper_bounds","type":["null",${boundsMapSchema(129, 130, "k129_v130")}],"default":null,"field-id":128}
+         |$eqField
          |]}}]}""".stripMargin)
   }
 
@@ -548,11 +555,70 @@ object LakeExport {
       try s0.iterator.asScala.map(_.toString).filter(_.endsWith(".parquet")).toSeq.head
       finally s0.close()
 
-    // ---- delete manifest (unpartitioned entry; partition fields are all
-    // null-defaulted unions, valid for any spec)
+    writeDeleteArtifacts(metaDir, delFile, rows.size.toLong, fileContent = 1,
+      equalityIds = Nil, newSnapId, newSeq, curList, root, hint,
+      opName = "delete", posDeleteCount = rows.size.toLong)
+    newSnapId
+  }
+
+  /** Publish EQUALITY DELETES against an exported tree's current snapshot
+    * (spec §"Equality Delete Files"): the rows of `values` (exactly the
+    * named `cols`) are deleted wherever a data row matches on all columns
+    * (null matches null) AND the data file's sequence number is strictly
+    * below this delete's — so data published AFTER the delete survives
+    * it, the spec's ordering rule. Returns the new snapshot id. */
+  def publishEqualityDeletes(spark: SparkSession, dstDir: String,
+                             cols: Seq[String], values: DataFrame): Long = {
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    require(cols.nonEmpty, "publishEqualityDeletes: no equality columns")
+    val metaDir = Paths.get(dstDir, "metadata")
+    require(Files.isDirectory(metaDir), s"'$dstDir' is not an exported Iceberg tree")
+    val hint = new String(Files.readAllBytes(metaDir.resolve("version-hint.text")),
+      StandardCharsets.UTF_8).trim.toInt
+    val root = mapper.readTree(
+      Files.readAllBytes(metaDir.resolve(s"v$hint.metadata.json"))).asInstanceOf[ObjectNode]
+    val curSnapId = root.get("current-snapshot-id").asLong()
+    val lastSeq = root.get("last-sequence-number").asLong()
+    val newSeq = lastSeq + 1
+    val newSnapId = root.get("snapshots").elements.asScala
+      .map(_.get("snapshot-id").asLong()).max + 1
+    val curList = root.get("snapshots").elements.asScala
+      .find(_.get("snapshot-id").asLong() == curSnapId).get
+      .get("manifest-list").asText()
+    // field ids from the tree's declared schema
+    val schemaNode = root.get("schemas").elements.asScala.toSeq.head
+    val idOf = schemaNode.get("fields").elements.asScala
+      .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
+    val ids = cols.map(c => idOf.getOrElse(c,
+      throw new IllegalArgumentException(s"equality column '$c' not in exported schema")))
+
+    val delDataDir = Paths.get(dstDir, s"data_del_$newSeq")
+    val n = values.count()
+    require(n > 0, "publishEqualityDeletes: empty delete set")
+    values.select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .coalesce(1).write.parquet(delDataDir.toString)
+    val s0 = Files.list(delDataDir)
+    val delFile =
+      try s0.iterator.asScala.map(_.toString).filter(_.endsWith(".parquet")).toSeq.head
+      finally s0.close()
+
+    writeDeleteArtifacts(metaDir, delFile, n, fileContent = 2,
+      equalityIds = ids, newSnapId, newSeq, curList, root, hint,
+      opName = "delete", posDeleteCount = 0L)
+    newSnapId
+  }
+
+  /** Shared delete-snapshot publication: delete manifest + new manifest
+    * list (current manifests carried + the delete one) + metadata roll. */
+  private def writeDeleteArtifacts(metaDir: java.nio.file.Path, delFile: String,
+      nRows: Long, fileContent: Int, equalityIds: Seq[Int], newSnapId: Long,
+      newSeq: Long, curList: String,
+      root: com.fasterxml.jackson.databind.node.ObjectNode, hint: Int,
+      opName: String, posDeleteCount: Long): Unit = {
+    import com.fasterxml.jackson.databind.node.ArrayNode
     val uuid = java.util.UUID.nameUUIDFromBytes(
-      s"graft-posdel:$dstDir:$newSeq".getBytes(StandardCharsets.UTF_8)).toString
-    val entrySchema = manifestEntrySchema(Nil)
+      s"graft-del:$metaDir:$newSeq".getBytes(StandardCharsets.UTF_8)).toString
+    val entrySchema = manifestEntrySchema(Nil, withEqualityIds = equalityIds.nonEmpty)
     val dataFileSchema = entrySchema.getField("data_file").schema()
     val manifestPath = metaDir.resolve(s"$uuid-del-m0.avro")
     val writer = new DataFileWriter[GenericRecord](
@@ -563,13 +629,15 @@ object LakeExport {
     writer.create(entrySchema, manifestPath.toFile)
     try {
       val df = new GenericData.Record(dataFileSchema)
-      df.put("content", 1) // POSITION_DELETES
+      df.put("content", fileContent) // 1=POSITION_DELETES, 2=EQUALITY_DELETES
       df.put("file_path", delFile)
       df.put("file_format", "PARQUET")
       df.put("partition", new GenericData.Record(
         dataFileSchema.getField("partition").schema()))
-      df.put("record_count", rows.size.toLong)
+      df.put("record_count", nRows)
       df.put("file_size_in_bytes", Files.size(Paths.get(delFile)))
+      if (equalityIds.nonEmpty)
+        df.put("equality_ids", equalityIds.map(Int.box).asJava)
       val entry = new GenericData.Record(entrySchema)
       entry.put("status", 1)
       entry.put("snapshot_id", newSnapId)
@@ -605,7 +673,7 @@ object LakeExport {
       mf.put("added_files_count", 1)
       mf.put("existing_files_count", 0)
       mf.put("deleted_files_count", 0)
-      mf.put("added_rows_count", rows.size.toLong)
+      mf.put("added_rows_count", nRows)
       mf.put("existing_rows_count", 0L)
       mf.put("deleted_rows_count", 0L)
       listWriter.append(mf)
@@ -621,10 +689,10 @@ object LakeExport {
     snap.put("sequence-number", newSeq)
     snap.put("timestamp-ms", nowMs)
     snap.put("manifest-list", listPath.toString)
-    snap.putObject("summary")
-      .put("operation", "delete")
-      .put("added-delete-files", "1")
-      .put("added-position-deletes", rows.size.toString)
+    val summary = snap.putObject("summary")
+    summary.put("operation", opName).put("added-delete-files", "1")
+    if (fileContent == 1) summary.put("added-position-deletes", posDeleteCount.toString)
+    else summary.put("added-equality-deletes", nRows.toString)
     snap.put("schema-id",
       Option(root.get("current-schema-id")).map(_.asInt()).getOrElse(0))
     root.get("snapshots").asInstanceOf[ArrayNode].add(snap)
@@ -636,7 +704,6 @@ object LakeExport {
       java.nio.file.StandardOpenOption.WRITE)
     Files.write(metaDir.resolve("version-hint.text"),
       (hint + 1).toString.getBytes(StandardCharsets.UTF_8))
-    newSnapId
   }
 
   /** Parse back an exported tree's manifests (spec evidence + tooling):

@@ -275,4 +275,40 @@ class IcebergReadSpec extends AnyFunSuite {
     val eq = intercept[Exception](IcebergRead.scan(spark, dst).collect())
     assert(eq.getMessage.contains("equality delete"), eq.getMessage)
   }
+
+  test("v2 equality deletes: tuples vanish under the strict sequence rule") {
+    val (dst, _) = exported() // 180 rows, grp = id % 4
+    assert(IcebergRead.scan(spark, dst).count() == 180L)
+    val v = LakeExport.publishEqualityDeletes(spark, dst,
+      Seq("grp"), Seq(1).toDF("grp"))
+    val after = IcebergRead.scan(spark, dst)
+    assert(after.filter(col("grp") === 1).count() == 0L,
+      "every grp=1 tuple must be equality-deleted")
+    assert(after.count() == 135L, s"180 - 45 grp=1 rows: ${after.count()}")
+    // the TVF serves it, and snapshot time travel to pre-delete is intact
+    assert(spark.sql(s"SELECT count(*) FROM iceberg_scan('$dst', $v)")
+      .collect().head.getLong(0) == 135L)
+    val firstSnap = IcebergRead.loadMetadata(dst).snapshots.head.id
+    assert(IcebergRead.scan(spark, dst, snapshotId = Some(firstSnap)).count() == 180L)
+
+    // the STRICT ordering rule: a delete whose sequence is NOT above the
+    // data's (doctored 2 → 1, equal to the data files' sequence) deletes
+    // NOTHING — data at-or-after the delete survives
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(Paths.get(dst, "metadata"))
+    val dm =
+      try s.iterator().asScala.find(_.getFileName.toString.contains("-del-m0")).get
+      finally s.close()
+    val reader = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+      dm.toFile, new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    val entries = try reader.iterator().asScala.toVector finally reader.close()
+    val w = new org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord](
+      new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](
+        entries.head.getSchema))
+    w.create(entries.head.getSchema, dm.toFile)
+    try entries.foreach { e => e.put("sequence_number", 1L); w.append(e) }
+    finally w.close()
+    assert(IcebergRead.scan(spark, dst).count() == 180L,
+      "an equal-sequence equality delete must not apply (strict less-than)")
+  }
 }
