@@ -36,8 +36,10 @@ import org.apache.spark.sql.types._
   * Scale: checkpoint replay is a parquet read + driver fold over FILE
   * entries (same O as any delta client's snapshot construction); data reads
   * are ONE `spark.read.parquet` per partition group over explicit pruned
-  * file lists. Unsupported, loudly: deletion vectors / column mapping
-  * (protocol readerFeatures beyond plain v1/v2 reads).
+  * file lists. Deletion vectors (merge-on-read) and column mapping
+  * ("name"/"id" — physical `col-<uuid>` file columns renamed back through
+  * the schemaString's field metadata) are read natively; any OTHER
+  * readerFeature is refused loudly.
   */
 object DeltaInterop {
 
@@ -51,7 +53,9 @@ object DeltaInterop {
                            // skipping survives the rewrite
                            rawStats: Option[String] = None)
   final case class DeltaState(version: Long, schema: StructType,
-                              partitionCols: Seq[String], files: Seq[AddFile])
+                              partitionCols: Seq[String], files: Seq[AddFile],
+                              // "none" | "name" | "id" (delta.columnMapping.mode)
+                              columnMapping: String = "none")
   final case class ExportResult(version: Long, nFiles: Long, nRows: Long)
 
   private val mapper = new ObjectMapper()
@@ -85,9 +89,12 @@ object DeltaInterop {
     // later action per path wins; LinkedHashMap keeps add order deterministic
     val files = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
 
-    def applyMeta(schemaString: String, pc: Seq[String]): Unit = {
+    var mappingMode = "none"
+    def applyMeta(schemaString: String, pc: Seq[String],
+                  conf: Map[String, String]): Unit = {
       schema = Some(DataType.fromJson(schemaString).asInstanceOf[StructType])
       partCols = pc
+      mappingMode = conf.getOrElse("delta.columnMapping.mode", "none")
     }
     def applyAdd(path: String, pv: Map[String, String], size: Long,
                  stats: Option[String],
@@ -103,7 +110,7 @@ object DeltaInterop {
     }
     def checkProtocol(minReader: Int, readerFeatures: Seq[String]): Unit = {
       val unsupported = readerFeatures.filterNot(
-        Set("timestampNtz", "v2Checkpoint", "deletionVectors"))
+        Set("timestampNtz", "v2Checkpoint", "deletionVectors", "columnMapping"))
       require(minReader <= 2 || unsupported.isEmpty,
         s"delta read: unsupported reader features ${unsupported.mkString(",")} " +
           s"(minReaderVersion=$minReader) — plain copy-on-write tables only")
@@ -116,7 +123,11 @@ object DeltaInterop {
         if (cols("metaData")) Option(row.getAs[org.apache.spark.sql.Row]("metaData")).foreach { m =>
           applyMeta(m.getAs[String]("schemaString"),
             Option(m.getAs[scala.collection.Seq[String]]("partitionColumns"))
-              .map(_.toSeq).getOrElse(Nil))
+              .map(_.toSeq).getOrElse(Nil),
+            if (m.schema.fieldNames.contains("configuration"))
+              Option(m.getAs[scala.collection.Map[String, String]]("configuration"))
+                .map(_.toMap).getOrElse(Map.empty)
+            else Map.empty)
         }
         if (cols("protocol")) Option(row.getAs[org.apache.spark.sql.Row]("protocol")).foreach { p =>
           val feats = if (p.schema.fieldNames.contains("readerFeatures"))
@@ -156,7 +167,10 @@ object DeltaInterop {
             Option(a.get("metaData")).foreach { m =>
               applyMeta(m.get("schemaString").asText(),
                 Option(m.get("partitionColumns")).toSeq
-                  .flatMap(_.elements.asScala.map(_.asText())))
+                  .flatMap(_.elements.asScala.map(_.asText())),
+                Option(m.get("configuration")).filterNot(_.isNull).map(c =>
+                  c.properties.asScala.map(e =>
+                    e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty))
             }
             Option(a.get("protocol")).foreach { p =>
               checkProtocol(p.get("minReaderVersion").asInt(),
@@ -184,10 +198,42 @@ object DeltaInterop {
           }
       }
 
-    DeltaState(target,
-      schema.getOrElse(throw new IllegalArgumentException(
-        s"delta read: no metaData action found in $dir")),
-      partCols, files.values.toVector)
+    val logicalSchema = schema.getOrElse(throw new IllegalArgumentException(
+      s"delta read: no metaData action found in $dir"))
+    // column mapping: the LOG keys partitionValues/stats by PHYSICAL
+    // column names — remap to logical once here so every downstream
+    // consumer (partition restore, stats skipping) stays name-agnostic
+    val remapped =
+      if (mappingMode == "none") files.values.toVector
+      else {
+        val toLogical = logicalSchema.fields.map(f =>
+          physicalFieldName(f) -> f.name).toMap
+        def remapKeys[V](m: Map[String, V]): Map[String, V] =
+          m.map { case (k, v) => toLogical.getOrElse(k, k) -> v }
+        files.values.toVector.map(f => f.copy(
+          partitionValues = remapKeys(f.partitionValues),
+          minValues = remapKeys(f.minValues),
+          maxValues = remapKeys(f.maxValues)))
+      }
+    DeltaState(target, logicalSchema, partCols, remapped, mappingMode)
+  }
+
+  /** Physical name of a mapped field (protocol §"Column Mapping":
+    * `delta.columnMapping.physicalName` in the field metadata; falls back
+    * to the logical name for unmapped fields). */
+  private def physicalFieldName(f: StructField): String =
+    if (f.metadata.contains("delta.columnMapping.physicalName"))
+      f.metadata.getString("delta.columnMapping.physicalName")
+    else f.name
+
+  /** The physical (on-disk) rendering of a logical type tree. */
+  private def physicalType(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      StructField(physicalFieldName(f), physicalType(f.dataType), f.nullable)))
+    case a: ArrayType => a.copy(elementType = physicalType(a.elementType))
+    case m: MapType =>
+      m.copy(keyType = physicalType(m.keyType), valueType = physicalType(m.valueType))
+    case other => other
   }
 
   // ---- scan ------------------------------------------------------------
@@ -271,17 +317,36 @@ object DeltaInterop {
     val dvFiles = st.files.filter(_.dv.isDefined)
     val normPath = (c: Column) => regexp_replace(c, "^(file:)?/+", "/")
 
+    // column mapping ("name"/"id" modes): files carry PHYSICAL column
+    // names (col-<uuid>), the log's schemaString carries the logical↔
+    // physical mapping in field metadata. Read with the physical schema
+    // tree, then rename back with one projection — nested structs rename
+    // positionally via cast (physical and logical trees are congruent by
+    // construction).
+    val mapped = st.columnMapping != "none"
+    val physDataSchema =
+      if (!mapped) dataSchema
+      else physicalType(dataSchema).asInstanceOf[StructType]
+
     val grouped = st.files.groupBy(f =>
       st.partitionCols.map(c => f.partitionValues.getOrElse(c, null)))
     val parts = grouped.toSeq.map { case (vals, fs) =>
       val paths = fs.map(f =>
         s"$dir/${java.net.URLDecoder.decode(f.path, "UTF-8")}")
-      val df0 = spark.read.schema(dataSchema).parquet(paths: _*)
+      val dfP = spark.read.schema(physDataSchema).parquet(paths: _*)
+      // ONE projection: logical rename + (when DVs exist) the _metadata
+      // columns — _metadata resolves only directly on the file relation
+      val dataCols: Seq[Column] =
+        if (!mapped) dfP.columns.toIndexedSeq.map(col)
+        else dataSchema.fields.toIndexedSeq.map(f =>
+          col(s"`${physicalFieldName(f)}`").cast(f.dataType).as(f.name))
+      val metaCols: Seq[Column] =
+        if (dvFiles.isEmpty) Nil
+        else Seq(normPath(col("_metadata.file_path")).as("__dv_fp"),
+          col("_metadata.row_index").as("__dv_pos"))
       val df1 =
-        if (dvFiles.isEmpty) df0
-        else df0.select((df0.columns.map(col) :+
-          normPath(col("_metadata.file_path")).as("__dv_fp") :+
-          col("_metadata.row_index").as("__dv_pos")).toIndexedSeq: _*)
+        if (!mapped && dvFiles.isEmpty) dfP
+        else dfP.select((dataCols ++ metaCols): _*)
       partFields.zip(vals).foldLeft(df1) { case (df, (field, v)) =>
         df.withColumn(field.name, partitionLit(field.dataType, v))
       }

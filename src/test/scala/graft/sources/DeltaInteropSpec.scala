@@ -119,7 +119,7 @@ class DeltaInteropSpec extends AnyFunSuite {
   test("unknown reader features are refused loudly; deletionVectors is supported") {
     val (dst, _) = exportedDelta()
     Files.write(Paths.get(dst, "_delta_log", f"${1L}%020d.json"),
-      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping"]}}"""
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["someFutureFeature"]}}"""
         .getBytes(StandardCharsets.UTF_8))
     val e2 = intercept[IllegalArgumentException](DeltaInterop.readState(spark, dst))
     assert(e2.getMessage.contains("unsupported reader features"))
@@ -127,6 +127,61 @@ class DeltaInteropSpec extends AnyFunSuite {
       s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}"""
         .getBytes(StandardCharsets.UTF_8))
     DeltaInterop.readState(spark, dst) // no throw
+  }
+
+  test("column mapping (name mode): col-uuid files read back logically; nested, partition, skipping") {
+    val dir = fresh("dl_cmap")
+    Files.createDirectories(Paths.get(dir, "_delta_log"))
+    // physical data files: col-pa (logical id), col-pb{col-pc} (rec.v);
+    // partition column col-pd (grp) lives only in the log
+    def writeFile(name: String, rows: Seq[(Long, String)]): Long = {
+      val tmp = fresh("dl_cmap_w") + "/out"
+      rows.toDF("a", "b")
+        .select(col("a").as("col-pa"), struct(col("b").as("col-pc")).as("col-pb"))
+        .coalesce(1).write.parquet(tmp)
+      val part = {
+        import scala.jdk.CollectionConverters._
+        Files.list(Paths.get(tmp)).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+      }
+      Files.copy(part, Paths.get(dir, name))
+      Files.size(Paths.get(dir, name))
+    }
+    val s1 = writeFile("d1.parquet", Seq((1L, "x1"), (2L, "x2")))
+    val s2 = writeFile("d2.parquet", Seq((10L, "y1"), (20L, "y2"), (30L, "y3")))
+
+    val schemaString =
+      """{\"type\":\"struct\",\"fields\":[""" +
+        """{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{\"delta.columnMapping.id\":1,\"delta.columnMapping.physicalName\":\"col-pa\"}},""" +
+        """{\"name\":\"rec\",\"type\":{\"type\":\"struct\",\"fields\":[{\"name\":\"v\",\"type\":\"string\",\"nullable\":true,\"metadata\":{\"delta.columnMapping.id\":3,\"delta.columnMapping.physicalName\":\"col-pc\"}}]},\"nullable\":true,\"metadata\":{\"delta.columnMapping.id\":2,\"delta.columnMapping.physicalName\":\"col-pb\"}},""" +
+        """{\"name\":\"grp\",\"type\":\"integer\",\"nullable\":true,\"metadata\":{\"delta.columnMapping.id\":4,\"delta.columnMapping.physicalName\":\"col-pd\"}}]}"""
+    val lines = Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"cmap-test","format":{"provider":"parquet","options":{}},"schemaString":"$schemaString","partitionColumns":["grp"],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"4"},"createdTime":1}}""",
+      s"""{"add":{"path":"d1.parquet","partitionValues":{"col-pd":"1"},"size":$s1,"modificationTime":1,"dataChange":true,"stats":"{\\"numRecords\\":2,\\"minValues\\":{\\"col-pa\\":1},\\"maxValues\\":{\\"col-pa\\":2}}"}}""",
+      s"""{"add":{"path":"d2.parquet","partitionValues":{"col-pd":"2"},"size":$s2,"modificationTime":1,"dataChange":true,"stats":"{\\"numRecords\\":3,\\"minValues\\":{\\"col-pa\\":10},\\"maxValues\\":{\\"col-pa\\":30}}"}}""")
+    Files.write(Paths.get(dir, "_delta_log", f"${0L}%020d.json"),
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+    val st = DeltaInterop.readState(spark, dir)
+    assert(st.columnMapping == "name")
+    assert(st.schema.fieldNames.toSeq == Seq("id", "rec", "grp"))
+    assert(st.files.forall(f => f.partitionValues.keySet == Set("grp")),
+      "physical partition keys must remap to logical")
+
+    val back = DeltaInterop.scan(spark, dir)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "rec", "grp"))
+    val got = back.selectExpr("id", "rec.v", "grp").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(got == Seq((1L, "x1", 1), (2L, "x2", 1),
+      (10L, "y1", 2), (20L, "y2", 2), (30L, "y3", 2)),
+      s"logical values wrong: $got")
+
+    // stats-based skipping works through the logical remap
+    val (pruned, kept, total) = DeltaInterop.scanPruned(spark, dir, "id",
+      Some(15L), Some(25L))
+    assert(kept == 1 && total == 2, s"kept $kept of $total")
+    assert(pruned.filter(col("id").between(15, 25)).count() == 1L)
   }
 
   test("RoaringBitmapArray codec: round trip across container kinds and key buckets") {
