@@ -38,13 +38,27 @@ object Policies {
                                  row: Option[Policy],
                                  masks: Map[String, Policy])
 
-  private val entries = TrieMap.empty[String, Entry]
+  /** Registry scoped PER SESSION, like the temp views policies rewrite:
+    * two wire sessions each defining a view `accounts` must not share
+    * policy state (a name-keyed global would let one session's detach
+    * restore the OTHER session's base plan). Weak keys let a closed
+    * session's entries be collected with it. */
+  private val bySession =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, TrieMap[String, Entry]]())
+
+  private def entriesOf(spark: SparkSession): TrieMap[String, Entry] =
+    bySession.synchronized {
+      var m = bySession.get(spark)
+      if (m == null) { m = TrieMap.empty[String, Entry]; bySession.put(spark, m) }
+      m
+    }
 
   private def requireAdminForPolicy(spark: SparkSession, what: String): Unit =
     if (Privileges.enforcing) Privileges.requireAdmin(spark, what)
 
   private def currentEntry(spark: SparkSession, view: String): Entry =
-    entries.getOrElse(view.toLowerCase, {
+    entriesOf(spark).getOrElse(view.toLowerCase, {
       val cat = spark.sessionState.catalog
       val id = spark.sessionState.sqlParser.parseTableIdentifier(view)
       val plan = cat.getTempView(id.table)
@@ -81,7 +95,7 @@ object Policies {
       org.apache.spark.sql.graft.Bridge.ofRows(spark, e.base)
         .createOrReplaceTempView(view)
       spark.catalog.dropTempView(hiddenName(view))
-      entries.remove(view.toLowerCase)
+      entriesOf(spark).remove(view.toLowerCase)
     } else {
       org.apache.spark.sql.graft.Bridge.ofRows(spark, e.base)
         .createOrReplaceTempView(hiddenName(view))
@@ -94,7 +108,7 @@ object Policies {
       val where = e.row.map(p => s" WHERE ${p.sql}").getOrElse("")
       spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW `$view` AS " +
         s"SELECT $select FROM `${hiddenName(view)}`$where")
-      entries.put(view.toLowerCase, e)
+      entriesOf(spark).put(view.toLowerCase, e)
     }
   }
 
@@ -150,12 +164,12 @@ object Policies {
       .select(org.apache.spark.sql.functions.expr(p.sql)).queryExecution.analyzed
   }
 
-  /** sys_policies: every attached policy. */
-  def list: Seq[(String, String, String)] =
-    entries.toSeq.sortBy(_._1).flatMap { case (v, e) =>
+  /** sys_policies / SHOW POLICIES: this session's attached policies. */
+  def list(spark: SparkSession): Seq[(String, String, String)] =
+    entriesOf(spark).toSeq.sortBy(_._1).flatMap { case (v, e) =>
       e.row.map(p => (v, "row_access", p.sql)).toSeq ++
         e.masks.toSeq.sortBy(_._1).map { case (c, p) => (v, s"masking:$c", p.sql) }
     }
 
-  def clear(): Unit = entries.clear()
+  def clear(): Unit = bySession.synchronized(bySession.clear())
 }

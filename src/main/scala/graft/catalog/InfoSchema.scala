@@ -204,7 +204,7 @@ object InfoSchema {
       StructField("dataset", StringType, nullable = false),
       StructField("kind", StringType, nullable = false),
       StructField("policy", StringType, nullable = false))),
-      () => graft.auth.Policies.list.map { case (v, k, p) => Row(v, k, p) })
+      () => graft.auth.Policies.list(spark).map { case (v, k, p) => Row(v, k, p) })
 
   /** Registered users with role memberships (reference `sys.\"user\"`). */
   def sysUsers(spark: SparkSession): DataFrame =

@@ -1474,7 +1474,7 @@ object GraftSqlParser {
   case class ShowPoliciesCommand(override val output: Seq[Attribute])
       extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] =
-      graft.auth.Policies.list.map { case (v, k, p) => Row(v, k, p) }
+      graft.auth.Policies.list(spark).map { case (v, k, p) => Row(v, k, p) }
   }
 
   /** MERGE BRANCH ... INTO LAKE: fast-forward squash publish (the
