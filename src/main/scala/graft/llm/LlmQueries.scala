@@ -1087,6 +1087,32 @@ object LlmQueries {
     FROM ws w LEFT JOIN rebuilt r USING (doc_id)
     ORDER BY w.doc_id"""
 
+  /** TF-IDF keyword extraction: top-3 distinctive terms per doc, scores
+    * rounded 6dp, ties by term — bounded-heap TopKPerKey, not a
+    * vocabulary sort. */
+  val textTfidf: QueryFn = (s, dir) =>
+    TextAnalysis.tfidfTopTerms(
+      Tables.ensure(s, dir).documents.filter(col("doc_id") < 500), k = 3)
+      .orderBy(col("doc_id"), col("rank"))
+  val textTfidfSql: String = """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        w -> len(w) > 0)) AS term
+      FROM documents WHERE doc_id < 500),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n
+          FROM documents WHERE doc_id < 500),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+        round(tf.tf * (ln((n.n + 1) / (dfq.df + 1)) + 1), 6) AS tfidf
+      FROM tf JOIN dfq USING (term) CROSS JOIN n),
+    r AS (SELECT doc_id, term, tfidf,
+            row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+          FROM scored)
+    SELECT doc_id, CAST(rank AS INT) AS rank, term, tfidf
+    FROM r WHERE rank <= 3 ORDER BY doc_id, rank"""
+
   /** CCNet perplexity tiers: corpus-LM score cut at exact 1/3 and 2/3
     * percentiles → head/middle/tail. Both engines round the cuts to 6dp
     * before comparing so interpolation noise can't flip boundary docs. */
@@ -1185,6 +1211,7 @@ object LlmQueries {
     "dedup_substring" -> dedupSubstring,
     "dedup_segments" -> dedupSegments,
     "quality_perplexity_buckets" -> qualityPerplexityBuckets,
+    "text_tfidf" -> textTfidf,
     "dedup_exact" -> dedupExact,
     "dedup_minhash_lsh" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
@@ -1240,6 +1267,7 @@ object LlmQueries {
     "dedup_substring" -> dedupSubstringSql,
     "dedup_segments" -> dedupSegmentsSql,
     "quality_perplexity_buckets" -> qualityPerplexityBucketsSql,
+    "text_tfidf" -> textTfidfSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_components" -> dedupComponentsSql,

@@ -245,6 +245,34 @@ object TextAnalysis {
   private def bi(grams: DataFrame): DataFrame =
     grams.groupBy("gram").agg(count(lit(1)).as("c_bi"))
 
+  /** TF-IDF keyword extraction: the top-k most distinctive terms per
+    * document against the corpus (tf × smoothed idf — the classic
+    * `ln((N+1)/(df+1)) + 1` form), the standard featurization for
+    * quality/topic signals and near-neighbor blocking.
+    *
+    * Scale: term frequencies are one two-phase aggregate on (doc, term);
+    * document frequencies one aggregate on term (8-byte-ish keys after
+    * dictionary hashing at real scale; raw terms here for oracle
+    * bit-exactness); N is a 1-row broadcast; the per-doc top-k window
+    * partitions by doc_id, so each partition sorts only ONE document's
+    * distinct terms (bounded by doc length — never the vocabulary).
+    * Scores round to 6dp so accumulation order can't flip a hash
+    * compare; ties break by term ascending. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(countDistinct(col("doc_id")).cast("double").as("n"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * (log((col("n") + 1) / (col("df") + 1)) + 1), 6).as("tfidf"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
+  }
+
   /** CCNet-style perplexity tiers: score every doc with the corpus bigram
     * LM ([[lmScore]]), cut the score distribution at the exact 1/3 and 2/3
     * percentiles, and label each doc `head` (most fluent), `middle`, or

@@ -38,11 +38,21 @@ case class TopKPerKey(
 
 object TopKPerKey {
   /** Column-API entry: top `k` rows per `key`, highest `score` first,
-    * `tieBreak` ascending within equal scores. */
+    * `tieBreak` ascending within equal scores. The tie column must be
+    * NUMERIC (it rides the heap as a long): a string tie would cast to
+    * null and silently collapse every tie — refuse at build time instead
+    * (hash the string, or use a per-key window when partitions are
+    * small). */
   def apply(df: DataFrame, key: Column, score: Column, tieBreak: Column, k: Int): DataFrame = {
     // Resolve the Columns against df by analyzing a throwaway projection —
     // a bare Column holds a lazily-converted (unresolved) node that only
     // standard Dataset operations resolve.
+    val probe = df.select(tieBreak).queryExecution.analyzed.output.head.dataType
+    require(probe.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+        probe == org.apache.spark.sql.types.DateType ||
+        probe == org.apache.spark.sql.types.TimestampType,
+      s"TopKPerKey: tie-break column must be numeric/date/timestamp, got $probe " +
+        "(a string tie casts to NULL and loses determinism)")
     val analyzedProj = df.select(key, score.cast("double"), tieBreak.cast("long"))
       .queryExecution.analyzed.asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]
     val Seq(keyE, scoreE, tieE) = analyzedProj.projectList.map {

@@ -43,6 +43,19 @@ object SessionRefs {
   def get(spark: SparkSession, dir: String): Option[String] =
     spark.conf.getOption(key(dir))
 
+  /** USE VERSION (reference `USE COMMIT`): pin reads to a FIXED version —
+    * an anonymous tag, immutable by construction. */
+  def setVersion(spark: SparkSession, dir: String, v: Long): Unit =
+    spark.conf.set(key(dir), s"version:$v")
+
+  /** The active pin, decoded: Left(version) for a USE VERSION pin,
+    * Right(refName) for USE BRANCH|TAG. */
+  def pin(spark: SparkSession, dir: String): Option[Either[Long, String]] =
+    get(spark, dir).map { v =>
+      if (v.startsWith("version:")) Left(v.stripPrefix("version:").toLong)
+      else Right(v)
+    }
+
   /** Loud guard for DML statements that have no branch-routed form. */
   def requireDefault(spark: SparkSession, dir: String, statement: String): Unit =
     get(spark, dir).foreach { ref =>

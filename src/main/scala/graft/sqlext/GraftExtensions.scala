@@ -318,13 +318,15 @@ object GraftExtensions {
     val spark = SparkSession.active
     args match {
       case Seq(d) =>
-        // a session USE BRANCH|TAG pin re-points the default-head read
-        // (reference SqlUseVersion semantics); explicit version/ref args
-        // below always win
+        // a session USE BRANCH|TAG|VERSION pin re-points the default-head
+        // read (reference SqlUseVersion semantics); explicit version/ref
+        // args below always win
         val dir = dirArg("lake_scan", Seq(d))
         val t = SnapshotTable.forPath(spark, dir)
-        graft.sources.SessionRefs.get(spark, dir).map(t.readRef)
-          .getOrElse(t.read()).queryExecution.analyzed
+        graft.sources.SessionRefs.pin(spark, dir).map {
+          case Left(v) => t.read(version = Some(v))
+          case Right(ref) => t.readRef(ref)
+        }.getOrElse(t.read()).queryExecution.analyzed
       case Seq(d, v) if v.foldable &&
           Seq[DataType](ByteType, ShortType, IntegerType, LongType).contains(v.dataType) =>
         SnapshotTable.forPath(spark, dirArg("lake_scan", Seq(d)))

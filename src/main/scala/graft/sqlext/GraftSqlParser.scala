@@ -117,6 +117,8 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
       case UseRefRe(refType, name, dir) =>
         UseRefCommand(refType.toLowerCase, name, dir,
           out("ref", "type", "base_version"))
+      case UseVersionRe(version, dir) =>
+        UseVersionCommand(version.toLong, dir, out("ref", "type", "base_version"))
       case UseDefaultRe(dir) =>
         UseDefaultCommand(dir, out("ref", "type", "base_version"))
       case ShowLogsRe(refType, refName, dir) =>
@@ -357,6 +359,9 @@ object GraftSqlParser {
   // SqlShowFiles, Parser.tdd SqlTruncateTable)
   private val UseRefRe =
     """(?is)USE\s+(BRANCH|TAG)\s+([\w.-]+)\s+IN\s+LAKE\s+'([^']+)'\s*;?""".r
+  // USE VERSION n (reference USE COMMIT — pin reads at a fixed version)
+  private val UseVersionRe =
+    """(?is)USE\s+VERSION\s+(\d+)\s+IN\s+LAKE\s+'([^']+)'\s*;?""".r
   private val UseDefaultRe =
     """(?is)USE\s+DEFAULT\s+IN\s+LAKE\s+'([^']+)'\s*;?""".r
   private val ShowLogsRe =
@@ -1113,6 +1118,19 @@ object GraftSqlParser {
     }
   }
 
+  /** USE VERSION ... IN LAKE (reference USE COMMIT): pin the session's
+    * reads at a fixed version — immutable, like an anonymous tag. */
+  case class UseVersionCommand(version: Long, dir: String,
+      override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val t = graft.sources.SnapshotTable.forPath(spark, dir)
+      require(version >= 1 && version <= t.latestVersion,
+        s"USE VERSION $version: out of range [1, ${t.latestVersion}] in $dir")
+      graft.sources.SessionRefs.setVersion(spark, dir, version)
+      Seq(Row(s"v$version", "version", version.toString))
+    }
+  }
+
   /** USE DEFAULT IN LAKE: drop the session ref pin. */
   case class UseDefaultCommand(dir: String, override val output: Seq[Attribute])
       extends LeafRunnableCommand {
@@ -1134,8 +1152,17 @@ object GraftSqlParser {
         require(refType.forall(_ == ref.refType),
           s"'$n' is a ${ref.refType}, not a ${refType.getOrElse("")}")
       }
-      val effective = refName.orElse(graft.sources.SessionRefs.get(spark, dir))
-      t.log(effective).map(c => Row(c.version.toString, c.action,
+      // explicit AT wins; else the session pin (a version pin shows the
+      // log prefix up to that version — the commit-id view of USE COMMIT)
+      val commits = refName match {
+        case Some(_) => t.log(refName)
+        case None => graft.sources.SessionRefs.pin(spark, dir) match {
+          case Some(Left(v)) => t.log(None).filter(_.version <= v)
+          case Some(Right(ref)) => t.log(Some(ref))
+          case None => t.log(None)
+        }
+      }
+      commits.map(c => Row(c.version.toString, c.action,
         c.timestampMs.toString, c.files.size.toString, c.tag))
     }
   }
@@ -1298,10 +1325,14 @@ object GraftSqlParser {
       val t = graft.sources.SnapshotTable.forPath(spark, dir)
       val df = spark.sql(querySql)
       // a session USE BRANCH pin routes the append to the branch (the
-      // reference's Nessie session context); a tag pin refuses — tags are
-      // immutable
-      graft.sources.SessionRefs.get(spark, dir) match {
-        case Some(ref) =>
+      // reference's Nessie session context); a tag or version pin
+      // refuses — both are immutable
+      graft.sources.SessionRefs.pin(spark, dir) match {
+        case Some(Left(v)) =>
+          throw new IllegalStateException(
+            s"INSERT INTO LAKE: session is pinned to version $v — versions " +
+              "are immutable; USE DEFAULT or USE BRANCH first")
+        case Some(Right(ref)) =>
           require(t.getRef(ref).refType == "branch",
             s"INSERT INTO LAKE: session is pinned to tag '$ref' — tags are " +
               "immutable; USE DEFAULT or USE BRANCH first")

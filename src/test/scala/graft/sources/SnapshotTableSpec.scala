@@ -412,6 +412,18 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT * FROM lake_scan('$dir')").count() == 2L)
     // kind mismatch refused
     assertThrows[Exception](spark.sql(s"USE BRANCH pin IN LAKE '$dir'"))
+
+    // USE VERSION: immutable pin at a fixed version (reference USE COMMIT)
+    t.append(Seq((9L, "late")).toDF("id", "v")) // main v2
+    spark.sql(s"USE VERSION 1 IN LAKE '$dir'")
+    assert(spark.sql(s"SELECT * FROM lake_scan('$dir')").count() == 2L)
+    assert(spark.sql(s"SHOW LOGS IN LAKE '$dir'").count() == 1L)
+    val insV = intercept[Exception](
+      spark.sql(s"INSERT INTO LAKE '$dir' SELECT id, v FROM useref_delta"))
+    assert(insV.getMessage.contains("immutable"))
+    assertThrows[Exception](spark.sql(s"USE VERSION 99 IN LAKE '$dir'"))
+    spark.sql(s"USE DEFAULT IN LAKE '$dir'")
+    assert(spark.sql(s"SELECT * FROM lake_scan('$dir')").count() == 3L)
   }
 
   test("SHOW LOGS/FILES and TRUNCATE LAKE statement forms") {
