@@ -1173,7 +1173,11 @@ object GraftSqlParser {
       extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
       val t = graft.sources.SnapshotTable.forPath(spark, dir)
-      val (files, _) = t.snapshotWithStats()
+      // a session USE VERSION pin shows that snapshot's files (ref pins
+      // list the head here — branch file listings ride lake_files)
+      val pinnedVersion = graft.sources.SessionRefs.pin(spark, dir)
+        .collect { case Left(v) => v }
+      val (files, _) = t.snapshotWithStats(version = pinnedVersion)
       files.map { case (path, st) =>
         Row(path,
           st.get(graft.sources.SnapshotTable.BytesStatKey).map(_._1).orNull,

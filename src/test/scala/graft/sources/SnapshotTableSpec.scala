@@ -443,6 +443,11 @@ class SnapshotTableSpec extends AnyFunSuite {
     val files = spark.sql(s"SHOW FILES IN LAKE '$dir'").collect()
     assert(files.nonEmpty && files.forall(_.getString(0).endsWith(".parquet")))
     assert(files.map(_.getString(2).toLong).sum == 11L, "manifest row counts")
+    // a version pin scopes the file listing to that snapshot
+    spark.sql(s"USE VERSION 1 IN LAKE '$dir'")
+    val pinned = spark.sql(s"SHOW FILES IN LAKE '$dir'").collect()
+    assert(pinned.map(_.getString(2).toLong).sum == 10L, "v1 files only")
+    spark.sql(s"USE DEFAULT IN LAKE '$dir'")
 
     // TRUNCATE: empty head, history intact, time travel still works
     spark.sql(s"TRUNCATE LAKE '$dir'")
