@@ -154,10 +154,14 @@ object Reflections {
     * services/accelerator's compaction of accumulated refresh deltas):
     * rewrite the reflection's parquet materialization into `numFiles`
     * files. The rewrite lands in a sibling temp dir and swaps in with two
-    * directory renames, so a concurrently substituted query resolves
-    * either the old or the new file set — never a half-written mix.
-    * Freshness pins and the registered plan are untouched (compaction
-    * changes layout, not content). Returns the new file count. */
+    * directory renames; the DISPLACED generation is retained (and only
+    * reaped by the NEXT compaction), so a query that already resolved the
+    * old file set keeps its files. The swap itself leaves a microsecond
+    * window where the path is absent — a concurrent query planning in
+    * exactly that window fails resolution and retries cleanly (never a
+    * half-written mix, never silently wrong data). Freshness pins and the
+    * registered plan are untouched (compaction changes layout, not
+    * content). Returns the new file count. */
   def compact(spark: SparkSession, name: String, numFiles: Int = 1): Int = {
     require(numFiles > 0, "COMPACT MATERIALIZATION needs at least one file")
     val r = byName.getOrElse(name,
@@ -170,12 +174,22 @@ object Reflections {
     }
     val p = java.nio.file.Paths.get(r.path)
     val old = java.nio.file.Paths.get(r.path + s".old-$token")
+    // reap generations displaced by PREVIOUS compactions — anything still
+    // scanning them has long finished; the one displaced NOW is retained
+    import scala.jdk.CollectionConverters._
+    val parent = p.toAbsolutePath.getParent
+    val prevOld = {
+      val s0 = java.nio.file.Files.list(parent)
+      try s0.iterator.asScala.filter(_.getFileName.toString
+        .startsWith(p.getFileName.toString + ".old-")).toVector
+      finally s0.close()
+    }
+    prevOld.foreach { d =>
+      java.nio.file.Files.walk(d).iterator.asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
     java.nio.file.Files.move(p, old)
     java.nio.file.Files.move(java.nio.file.Paths.get(tmp), p)
-    // best-effort cleanup of the displaced generation
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(old).iterator.asScala.toSeq.reverse
-      .foreach(java.nio.file.Files.deleteIfExists(_))
     spark.catalog.refreshByPath(r.path)
     scanByNameCache.remove(name)
     val s = java.nio.file.Files.list(p)

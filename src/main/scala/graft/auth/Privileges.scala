@@ -51,7 +51,16 @@ object Privileges {
   /** (kind, grantee) -> set of (action, object). Objects are lowercased;
     * paths are normalized. */
   private val grants = TrieMap.empty[(String, String), Set[(String, String)]]
-  private val tokens = TrieMap.empty[String, String] // token -> user
+  // token -> user, BOUNDED (insertion-order eviction): a long-running
+  // server whose clients authenticate per request would otherwise grow an
+  // unbounded map of still-valid credentials. 16k live sessions is far
+  // beyond any single-JVM deployment; the oldest login simply re-auths.
+  private val MaxTokens = 16384
+  private val tokens = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, String]() {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, String]): Boolean =
+        size() > MaxTokens
+    })
   @volatile private var enforceFlag = false
   private val rng = new SecureRandom()
 
@@ -101,14 +110,14 @@ object Privileges {
     val salt = new Array[Byte](16); rng.nextBytes(salt)
     val s = salt.map("%02x".format(_)).mkString
     users.put(n, u.copy(hash = sha(s + password), salt = s))
-    tokens.filterInPlace((_, user) => user != n)
+    tokens.synchronized(tokens.values.removeIf(_ == n))
   }
 
   def dropUser(spark: SparkSession, name: String): Unit = {
     requireAdmin(spark, s"DROP USER $name")
     users.remove(name.toLowerCase)
     grants.remove(("user", name.toLowerCase))
-    tokens.filterInPlace((_, u) => u != name.toLowerCase)
+    tokens.synchronized(tokens.values.removeIf(_ == name.toLowerCase))
   }
 
   def createRole(spark: SparkSession, name: String): Unit = {
@@ -143,10 +152,12 @@ object Privileges {
         admin = u.admin && r != AdminRole)))
   }
 
-  /** Normalize a privilege object: names lowercase; paths (anything with a
-    * '/') through the reflection path normalizer so grants match scans. */
+  /** Normalize a privilege object: catalog NAMES lowercase (SQL identifier
+    * folding); PATHS keep their case — the filesystem is case-sensitive,
+    * and folding would let a grant on `/data/Public.parquet` authorize
+    * reads of a distinct `/data/public.parquet`. */
   def normObj(obj: String): String =
-    if (obj.contains("/")) graft.accel.Reflections.normPath(obj).toLowerCase
+    if (obj.contains("/")) graft.accel.Reflections.normPath(obj)
     else obj.toLowerCase
 
   def grant(spark: SparkSession, action: String, obj: String,
@@ -161,11 +172,26 @@ object Privileges {
     }
   }
 
+  /** REVOKE. `REVOKE ALL` strips EVERY action on the object (the revoke
+    * an operator means when locking a dataset down); `REVOKE SELECT`
+    * against a standing ALL grant REFUSES loudly — silently removing the
+    * (select, obj) pair would leave the implying (all, obj) pair behind
+    * and the principal would keep reading after a revocation the
+    * operator believes took effect. */
   def revoke(spark: SparkSession, action: String, obj: String,
              kind: String, grantee: String): Unit = {
     requireAdmin(spark, s"REVOKE $action ON $obj")
+    val a = action.toLowerCase
+    val o = normObj(obj)
     grants.updateWith((kind.toLowerCase, grantee.toLowerCase)) {
-      case Some(s) => Some(s - ((action.toLowerCase, normObj(obj))))
+      case Some(s) =>
+        if (a == "all") Some(s.filterNot(_._2 == o))
+        else {
+          require(!s.contains(("all", o)),
+            s"REVOKE $action ON $obj: grantee holds ALL on the object — " +
+              "REVOKE ALL instead (removing only SELECT would leave access intact)")
+          Some(s - ((a, o)))
+        }
       case None => None
     }
   }
@@ -188,7 +214,8 @@ object Privileges {
 
   /** The session's AUTHENTICATED principal, or None. */
   def principalOf(spark: SparkSession): Option[User] =
-    spark.conf.getOption(TokenConf).flatMap(tokens.get).flatMap(users.get)
+    spark.conf.getOption(TokenConf).flatMap(t => Option(tokens.get(t)))
+      .flatMap(users.get)
 
   def isAdminSession(spark: SparkSession): Boolean =
     principalOf(spark).exists(_.admin)
@@ -230,7 +257,8 @@ object Privileges {
 
   /** Test/bootstrap reset: drops everything and disables enforcement. */
   def clear(): Unit = synchronized {
-    users.clear(); roles.clear(); grants.clear(); tokens.clear()
+    users.clear(); roles.clear(); grants.clear()
+    tokens.synchronized(tokens.clear())
     roles.put(AdminRole, true)
     enforceFlag = false
   }

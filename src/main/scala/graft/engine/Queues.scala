@@ -59,6 +59,7 @@ object Queues {
   def drop(name: String): Unit = states.remove(name)
   def clear(): Unit = states.clear()
   def defined(name: String): Boolean = states.contains(name)
+  def definition(name: String): Option[QueueDef] = states.get(name).map(_.defn)
 
   /** Run `body` under the queue's admission control: blocks for a slot
     * (FIFO, up to timeoutMs), tags the calling thread's jobs with the

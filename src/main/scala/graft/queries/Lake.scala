@@ -19,7 +19,12 @@ object Lake {
   /** Stable per-JVM scratch dir for a named lake fixture: re-runs (bench
     * does 3 interleaved passes) wipe and reuse the same path instead of
     * leaking a fresh `graft_lake_*` temp dir per invocation, and the whole
-    * root is removed on JVM exit. */
+    * root is removed on JVM exit.
+    *
+    * NOT safe for CONCURRENT invocations of the same named query in one
+    * JVM (the wipe would race a mid-flight run) — acceptable because the
+    * registered queries are a sequential verification/bench corpus, not a
+    * serving surface; the bench and Verify both run them one at a time. */
   def scratchDir(name: String): String = {
     val p = ScratchRoot.resolve(name)
     if (Files.exists(p)) deleteTree(p)

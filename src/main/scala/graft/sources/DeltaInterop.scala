@@ -83,6 +83,17 @@ object DeltaInterop {
       s"delta read: no commit version $target in $dir (have ${commits.map(_._1).mkString(",")})")
 
     val cp = names.flatMap(checkpointVersion).filter(_ <= target).sorted.lastOption
+    // replay completeness: without a classic checkpoint the JSON chain
+    // must reach version 0, or adds recorded only in cleaned-up commits
+    // (or in a v2/UUID checkpoint this reader does not parse) would be
+    // silently missing from the state — refuse instead
+    val firstNeeded = cp.map(_ + 1).getOrElse(0L)
+    val covered = commits.map(_._1).filter(v => v >= firstNeeded && v <= target)
+    val expected = (firstNeeded to target)
+    require(covered == expected,
+      s"delta read: incomplete log replay for version $target — commits " +
+        s"${expected.diff(covered).mkString(",")} are missing and no classic " +
+        "checkpoint covers them (v2/UUID checkpoints are not supported)")
 
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Nil
@@ -259,25 +270,30 @@ object DeltaInterop {
     val st = readState(spark, dir, version)
     val dt = st.schema(column).dataType
     val isPart = st.partitionCols.contains(column)
+    // the COLUMN TYPE — not value parseability — decides the comparison:
+    // delta records string stats lexicographically, and a numeric-looking
+    // string column (min="100", max="9") compared numerically would prune
+    // files that hold matching rows. Numeric columns compare numerically
+    // (their JSON stats are numbers or numeric strings); everything else
+    // compares lexicographically (ISO dates/timestamps order correctly).
+    val numericCol = dt match { case _: NumericType => true; case _ => false }
     def numeric(v: Any): Option[Double] = v match {
       case n: Number => Some(n.doubleValue)
       case j: JsonNode if j.isNumber => Some(j.asDouble)
       case s: String => scala.util.Try(s.toDouble).toOption
-      case j: JsonNode if j.isTextual && (dt match {
-        case _: NumericType => true; case _ => false
-      }) => scala.util.Try(j.asText.toDouble).toOption
+      case j: JsonNode if j.isTextual => scala.util.Try(j.asText.toDouble).toOption
       case _ => None
     }
     def text(v: Any): String = v match {
       case j: JsonNode => j.asText
       case other => String.valueOf(other)
     }
-    // numeric compare when both sides parse, else lexicographic (ISO
-    // dates/timestamps and plain strings both order correctly that way)
-    def cmp(a: Any, b: Any): Int = (numeric(a), numeric(b)) match {
-      case (Some(x), Some(y)) => java.lang.Double.compare(x, y)
-      case _ => text(a).compareTo(text(b))
-    }
+    def cmp(a: Any, b: Any): Int =
+      if (numericCol) (numeric(a), numeric(b)) match {
+        case (Some(x), Some(y)) => java.lang.Double.compare(x, y)
+        case _ => text(a).compareTo(text(b)) // malformed stat — degrade
+      }
+      else text(a).compareTo(text(b))
     def fileBounds(f: AddFile): (Option[Any], Option[Any]) =
       if (isPart) {
         val pv = f.partitionValues.get(column).flatMap(Option(_))

@@ -54,7 +54,19 @@ object LakeExport {
 
   /** Bounds-capable leaf types: Iceberg single-value binary serialization
     * (spec §"Binary single-value serialization"). */
-  private def boundBytes(dt: DataType, v: Any): Option[Array[Byte]] = {
+  private def boundBytes(dt: DataType, v: Any): Option[Array[Byte]] =
+    boundBytes(dt, v, lower = true)
+
+  /** Iceberg single-value bound bytes. Strings longer than 16 chars are
+    * TRUNCATED; a truncated LOWER bound only loosens, but a truncated
+    * UPPER bound must round UP (increment the last kept code point — spec
+    * `UnicodeUtil.truncateStringMax`) or it would claim a maximum BELOW
+    * real data and third-party engines (and our own pruneByBounds) would
+    * silently skip files holding matching rows. If every kept code point
+    * is already at the maximum, no valid upper exists — omit the bound
+    * (never prunes, always safe). Truncation cuts at CODE POINTS, not
+    * bytes, so a bound can never end mid-UTF-8-sequence. */
+  private def boundBytes(dt: DataType, v: Any, lower: Boolean): Option[Array[Byte]] = {
     def le(n: Int)(fill: ByteBuffer => Unit): Array[Byte] = {
       val b = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN); fill(b); b.array()
     }
@@ -65,7 +77,26 @@ object LakeExport {
       case (FloatType, f: Float)     => Some(le(4)(_.putFloat(f)))
       case (DoubleType, d: Double)   => Some(le(8)(_.putDouble(d)))
       case (StringType, s: String)   =>
-        Some(s.getBytes(StandardCharsets.UTF_8).take(16))
+        val MaxChars = 16
+        if (s.codePointCount(0, s.length) <= MaxChars)
+          Some(s.getBytes(StandardCharsets.UTF_8))
+        else {
+          val cut = s.offsetByCodePoints(0, MaxChars)
+          val prefix = s.substring(0, cut)
+          if (lower) Some(prefix.getBytes(StandardCharsets.UTF_8))
+          else {
+            // round the truncated prefix UP: bump the last code point that
+            // can be bumped, dropping everything after it
+            val cps = prefix.codePoints().toArray
+            val i = cps.lastIndexWhere(_ < Character.MAX_CODE_POINT)
+            if (i < 0) None // unboundable — omit rather than lie
+            else {
+              val bumped = new String(cps.take(i), 0, i) +
+                new String(Character.toChars(cps(i) + 1))
+              Some(bumped.getBytes(StandardCharsets.UTF_8))
+            }
+          }
+        }
       case (DateType, d: java.sql.Date) =>
         Some(le(4)(_.putInt(d.toLocalDate.toEpochDay.toInt)))
       case (TimestampType, t: java.sql.Timestamp) =>
@@ -295,7 +326,7 @@ object LakeExport {
           .schema().getTypes.get(1).getElementType
         statCols.flatMap { f =>
           val raw = row.getAs[Any](s"__${if (lower) "mn" else "mx"}_${f.name}")
-          boundBytes(f.dataType, raw).map { bytes =>
+          boundBytes(f.dataType, raw, lower).map { bytes =>
             val r = new GenericData.Record(mapItem)
             r.put("key", topIds(f.name))
             r.put("value", ByteBuffer.wrap(bytes))

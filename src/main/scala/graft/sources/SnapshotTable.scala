@@ -111,7 +111,11 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
         def stat(n: String): (Long, Long) =
           try {
             val p = logDir.resolve(n)
-            (Files.size(p), Files.getLastModifiedTime(p).toMillis)
+            // nanosecond mtime where the FS provides it (ext4/xfs do) —
+            // millisecond granularity could validate a same-size commit
+            // file recreated within the same tick
+            (Files.size(p),
+              Files.getLastModifiedTime(p).to(java.util.concurrent.TimeUnit.NANOSECONDS))
           } catch { case _: java.io.IOException => (-1L, -1L) }
         val prefix: Vector[LakeCommit] = Option(SnapshotTable.logCache.get(key)) match {
           case Some((last, lastSize, lastMtime, vec)) if vec.size <= names.size &&

@@ -938,15 +938,18 @@ object GraftSqlParser {
   }
 
   /** ALTER QUEUE (reference SqlAlterEngine — resize): redefine an EXISTING
-    * queue's slot band; in-flight queries keep their granted slots. */
+    * queue's slot band; in-flight queries keep their granted slots. An
+    * omitted TIMEOUT keeps the queue's current timeout and pool — ALTER
+    * changes only what the statement names. */
   case class AlterQueueCommand(name: String, slots: Int, timeoutMs: Option[Long])
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("queue", "slots")
     override def run(spark: SparkSession): Seq[Row] = {
-      require(graft.engine.Queues.defined(name),
-        s"unknown queue: $name (ALTER resizes; use CREATE QUEUE)")
+      val cur = graft.engine.Queues.definition(name).getOrElse(
+        throw new IllegalArgumentException(
+          s"unknown queue: $name (ALTER resizes; use CREATE QUEUE)"))
       graft.engine.Queues.define(name, slots,
-        timeoutMs.getOrElse(5L * 60 * 1000))
+        timeoutMs.getOrElse(cur.timeoutMs), cur.pool)
       Seq(Row(name, slots.toString))
     }
   }

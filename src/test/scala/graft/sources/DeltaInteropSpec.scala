@@ -235,15 +235,19 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM delta_scan('$dst')")
       .collect().head.getLong(0) == 85L)
 
-    // corrupt a DV file byte → checksum refusal, loud not wrong
-    val dvFile = {
+    // corrupt every DV file (only the latest generation is referenced;
+    // listing order must not decide which one we hit) → checksum refusal
+    val dvFiles = {
       import scala.jdk.CollectionConverters._
       Files.list(Paths.get(dst)).iterator.asScala
-        .find(_.getFileName.toString.startsWith("deletion_vector_")).get
+        .filter(_.getFileName.toString.startsWith("deletion_vector_")).toVector
     }
-    val raw = Files.readAllBytes(dvFile)
-    raw(raw.length / 2) = (raw(raw.length / 2) ^ 0x7f).toByte
-    Files.write(dvFile, raw)
+    assert(dvFiles.nonEmpty)
+    dvFiles.foreach { f =>
+      val raw = Files.readAllBytes(f)
+      raw(raw.length / 2) = (raw(raw.length / 2) ^ 0x7f).toByte
+      Files.write(f, raw)
+    }
     val e = intercept[Exception](DeltaInterop.scan(spark, dst).count())
     assert(e.getMessage.contains("checksum") || e.getMessage.contains("magic"),
       e.getMessage)
