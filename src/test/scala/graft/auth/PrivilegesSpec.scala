@@ -141,6 +141,33 @@ class PrivilegesSpec extends AnyFunSuite {
     }
   }
 
+  test("REVOKE vs ALL: REVOKE ALL strips everything; REVOKE SELECT against ALL refuses") {
+    withAuthWorld {
+      spark.sql("CREATE USER root_u PASSWORD 'rp' ADMIN")
+      spark.sql("CREATE USER carol PASSWORD 'cp'")
+      spark.sql("GRANT ALL ON nation TO USER carol")
+      spark.sql("ALTER AUTH ENFORCE ON")
+      asPrincipal("carol", "cp")
+      assert(spark.sql("SELECT count(*) FROM nation").head.getLong(0) > 0)
+      // a SELECT-only revoke against a standing ALL grant is refused loudly
+      asPrincipal("root_u", "rp")
+      val e = intercept[Exception](
+        spark.sql("REVOKE SELECT ON nation FROM USER carol"))
+      assert(e.getMessage.contains("REVOKE ALL"), e.getMessage)
+      // carol still reads (nothing silently half-revoked)...
+      asPrincipal("carol", "cp")
+      assert(spark.sql("SELECT count(*) FROM nation").head.getLong(0) > 0)
+      // ...until REVOKE ALL strips every action on the object
+      asPrincipal("root_u", "rp")
+      spark.sql("REVOKE ALL ON nation FROM USER carol")
+      asPrincipal("carol", "cp")
+      val denied = intercept[Exception](spark.sql("SELECT count(*) FROM nation").collect())
+      assert(denied.toString.contains("lacks SELECT"), denied.toString)
+      asPrincipal("root_u", "rp")
+      spark.sql("ALTER AUTH ENFORCE OFF")
+    }
+  }
+
   test("ALTER USER SET PASSWORD: self or admin; old tokens revoked") {
     withAuthWorld {
       spark.sql("CREATE USER root_u PASSWORD 'rp' ADMIN")

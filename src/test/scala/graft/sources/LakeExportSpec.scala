@@ -110,4 +110,33 @@ class LakeExportSpec extends AnyFunSuite {
     assert(r.head.getString(2) == "100")
     assert(spark.read.parquet(s"$dst2/data").count() == 100L)
   }
+
+  test("long-string bounds: truncated upper rounds UP, pruning never loses rows") {
+    import spark.implicits._
+    val src = fresh("lake_exp_strb")
+    // 20-char strings: the 16-char truncation point sits INSIDE the value,
+    // so a naive prefix upper ("aaaaaaaaaaaaaaaa") would sort BELOW the
+    // data and bounds pruning would drop the file
+    val df = (1 to 40).map(i => (i.toLong, f"aaaaaaaaaaaaaaaaz$i%03d"))
+      .toDF("id", "s")
+    SnapshotTable.create(spark, src, df)
+    val dst = fresh("lake_exp_strb_dst") + "/tree"
+    LakeExport.exportTo(spark, src, dst)
+    // the exported upper bound for s must be STRICTLY ABOVE every value
+    val meta = IcebergRead.loadMetadata(dst)
+    val sId = meta.fieldIdOf("s")
+    IcebergRead.dataFiles(meta).foreach { f =>
+      val upper = new String(f.upper(sId), "UTF-8")
+      assert(upper > "aaaaaaaaaaaaaaaaz999",
+        s"upper bound '$upper' must round UP past the data")
+      val lower = new String(f.lower(sId), "UTF-8")
+      assert(lower <= "aaaaaaaaaaaaaaaaz001", s"lower '$lower' must not exceed data")
+    }
+    // and a bounds-pruned scan over the truncation region keeps the rows
+    val (pruned, kept, total) = IcebergRead.scanPruned(spark, dst, "s",
+      Some("aaaaaaaaaaaaaaaaz005"), Some("aaaaaaaaaaaaaaaaz010"))
+    assert(kept == total, "files holding matching rows must survive pruning")
+    assert(pruned.filter(col("s").between("aaaaaaaaaaaaaaaaz005", "aaaaaaaaaaaaaaaaz010"))
+      .count() == 6L)
+  }
 }
