@@ -234,6 +234,34 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(model.varianceCaptured(1) > 0.8, s"var ${model.varianceCaptured(1)}")
   }
 
+  test("Delta deletion vectors at 1M rows / 100k deletions: bitmap codec + anti-join stay exact") {
+    gate()
+    import graft.sources.{DeltaInterop, SnapshotTable}
+    val src = java.nio.file.Files.createTempDirectory("scale_dv_src").toString
+    val df = spark.range(1000000).select(col("id"),
+      (col("id") % 97).as("bucket"), md5(col("id").cast("string")).as("v"))
+    SnapshotTable.create(spark, src, df)
+    val dst = java.nio.file.Files.createTempDirectory("scale_dv_dst").toString + "/tbl"
+    DeltaInterop.exportTo(spark, src, dst)
+    val st = DeltaInterop.readState(spark, dst)
+    // every 10th row by position across all files: 100k (file, pos) pairs
+    // through the real RoaringBitmapArray serializer (bitmap + array
+    // containers at this density)
+    val victims = spark.read.parquet(st.files.map(f => s"$dst/${f.path}"): _*)
+      .selectExpr("id", "_metadata.file_path AS fp", "_metadata.row_index AS pos")
+      .filter(col("id") % 10 === 0).collect()
+    assert(victims.length == 100000)
+    val byFile = victims.groupBy(r => st.files.map(_.path)
+        .find(p => r.getString(1).endsWith(p)).get)
+      .map { case (p, rs) => p -> rs.map(_.getLong(2)).toSeq }
+    DeltaInterop.publishDeletionVectors(spark, dst, byFile)
+    val after = DeltaInterop.scan(spark, dst)
+    assert(after.count() == 900000L, "exactly the 100k DV positions removed")
+    assert(after.filter(col("id") % 10 === 0).count() == 0L,
+      "no deleted row may survive the bitmap anti-join")
+    // checksum + cardinality validated per vector on read (positionsOf)
+  }
+
   test("segment dedup at 300k docs with a 10% hot boilerplate header: linear, header stripped everywhere") {
     gate()
     // 30k docs share ONE 8-word header segment (the pathological hot key:
