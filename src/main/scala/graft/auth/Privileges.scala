@@ -162,7 +162,7 @@ object Privileges {
 
   def grant(spark: SparkSession, action: String, obj: String,
             kind: String, grantee: String): Unit = {
-    requireAdmin(spark, s"GRANT $action ON $obj")
+    requireAdminOrOwner(spark, normObj(obj), s"GRANT $action ON $obj")
     val k = (kind.toLowerCase, grantee.toLowerCase)
     if (kind.equalsIgnoreCase("user")) require(users.contains(k._2), s"unknown user: $grantee")
     else require(roles.contains(k._2), s"unknown role: $grantee")
@@ -180,7 +180,7 @@ object Privileges {
     * operator believes took effect. */
   def revoke(spark: SparkSession, action: String, obj: String,
              kind: String, grantee: String): Unit = {
-    requireAdmin(spark, s"REVOKE $action ON $obj")
+    requireAdminOrOwner(spark, normObj(obj), s"REVOKE $action ON $obj")
     val a = action.toLowerCase
     val o = normObj(obj)
     grants.updateWith((kind.toLowerCase, grantee.toLowerCase)) {
@@ -236,11 +236,48 @@ object Privileges {
   /** Does the user hold `action` (or ALL) on `obj` (or `*`)? `obj` must
     * already be normalized. */
   def allowed(u: User, action: String, obj: String): Boolean =
-    u.admin || {
+    u.admin || isOwner(u, obj) || {
       val gs = effectiveGrants(u)
       val acts = Set(action.toLowerCase, "all")
       gs.exists { case (a, o) => acts(a) && (o == "*" || o == obj) }
     }
+
+  // ---- ownership (reference SqlGrantOwnership, grant.ftl:708): the owner
+  // of an object holds every privilege on it AND may GRANT/REVOKE on it —
+  // delegated administration without the admin role ----
+
+  private val owners = TrieMap.empty[String, (String, String)] // obj -> (kind, grantee)
+
+  /** Does the user own `obj` (directly or via a role)? `obj` normalized. */
+  def isOwner(u: User, obj: String): Boolean = owners.get(obj).exists {
+    case ("user", g) => g == u.name
+    case ("role", g) => u.roles.contains(g)
+    case _ => false
+  }
+
+  /** GRANT OWNERSHIP ON obj TO USER|ROLE g — admin or CURRENT owner only
+    * (ownership transfers, it doesn't fan out). */
+  def grantOwnership(spark: SparkSession, obj: String, kind: String,
+                     grantee: String): Unit = {
+    val o = normObj(obj)
+    requireAdminOrOwner(spark, o, s"GRANT OWNERSHIP ON $obj")
+    val k = kind.toLowerCase
+    val g = grantee.toLowerCase
+    if (k == "user") require(users.contains(g), s"unknown user: $grantee")
+    else require(roles.contains(g), s"unknown role: $grantee")
+    owners.put(o, (k, g))
+  }
+
+  def ownerOf(obj: String): Option[(String, String)] = owners.get(normObj(obj))
+
+  /** Admin, or the object's owner — the gate for per-object GRANT/REVOKE
+    * and ownership transfer. */
+  def requireAdminOrOwner(spark: SparkSession, normedObj: String, what: String): Unit =
+    if (enforceFlag && !isAdminSession(spark) &&
+        !principalOf(spark).exists(isOwner(_, normedObj)))
+      throw new SecurityException(
+        s"$what requires an admin principal or the object's owner " +
+          s"(principal: ${principalOf(spark).map(_.name).getOrElse("<none>")})")
 
   /** Every object name the user holds SELECT (or ALL) on, directly or via
     * roles — used by the check rule's granted-view-body cover. */
@@ -257,7 +294,7 @@ object Privileges {
 
   /** Test/bootstrap reset: drops everything and disables enforcement. */
   def clear(): Unit = synchronized {
-    users.clear(); roles.clear(); grants.clear()
+    users.clear(); roles.clear(); grants.clear(); owners.clear()
     tokens.synchronized(tokens.clear())
     roles.put(AdminRole, true)
     enforceFlag = false

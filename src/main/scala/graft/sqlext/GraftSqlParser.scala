@@ -152,6 +152,12 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
         GrantCommand(action, Option(qobj).getOrElse(obj), kind, grantee, granting = false)
       case AuthenticateRe(name, pw) =>
         AuthenticateCommand(name, pw, out("user", "token"))
+      case GrantOwnershipRe(qobj, obj, kind, grantee) =>
+        GrantOwnershipCommand(Option(qobj).getOrElse(obj), kind, grantee,
+          out("object", "owner_type", "owner"))
+      case ShowGrantsOnRe(qobj, obj) =>
+        ShowGrantsOnCommand(Option(qobj).getOrElse(obj),
+          out("grantee_type", "grantee", "privilege"))
       case ShowGrantsRe(who) =>
         ShowGrantsCommand(Option(who),
           out("grantee_type", "grantee", "privilege", "object"))
@@ -411,6 +417,14 @@ object GraftSqlParser {
   private val GrantRe =
     ("""(?is)GRANT\s+(SELECT|ALL)\s+ON\s+(?:'([^']+)'|([\w.*/]+))\s+""" +
       """TO\s+(USER|ROLE)\s+([\w.-]+)\s*;?""").r
+  // GRANT OWNERSHIP (reference SqlGrantOwnership, grant.ftl:708): transfer
+  // an object's owner; owners hold every privilege on it and may
+  // GRANT/REVOKE on it — delegated administration
+  private val GrantOwnershipRe =
+    ("""(?is)GRANT\s+OWNERSHIP\s+ON\s+(?:'([^']+)'|([\w.*/]+))\s+""" +
+      """TO\s+(USER|ROLE)\s+([\w.-]+)\s*;?""").r
+  private val ShowGrantsOnRe =
+    """(?is)SHOW\s+GRANTS\s+ON\s+(?:'([^']+)'|([\w.*/]+))\s*;?""".r
   private val RevokeRe =
     ("""(?is)REVOKE\s+(SELECT|ALL)\s+ON\s+(?:'([^']+)'|([\w.*/]+))\s+""" +
       """FROM\s+(USER|ROLE)\s+([\w.-]+)\s*;?""").r
@@ -916,6 +930,29 @@ object GraftSqlParser {
       graft.auth.Privileges.listGrants
         .filter(g => who.forall(w => g._2 == w.toLowerCase))
         .map { case (k, g, a, o) => Row(k, g, a, o) }
+  }
+
+  /** GRANT OWNERSHIP (SqlGrantOwnership): transfer an object's owner. */
+  case class GrantOwnershipCommand(obj: String, kind: String, grantee: String,
+      override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      graft.auth.Privileges.grantOwnership(spark, obj, kind, grantee)
+      Seq(Row(graft.auth.Privileges.normObj(obj), kind.toLowerCase,
+        grantee.toLowerCase))
+    }
+  }
+
+  /** SHOW GRANTS ON <object>: every grantee of the object, owner first. */
+  case class ShowGrantsOnCommand(obj: String,
+      override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val o = graft.auth.Privileges.normObj(obj)
+      val owner = graft.auth.Privileges.ownerOf(obj).toSeq
+        .map { case (k, g) => Row(k, g, "ownership") }
+      owner ++ graft.auth.Privileges.listGrants
+        .filter(_._4 == o)
+        .map { case (k, g, a, _) => Row(k, g, a) }
+    }
   }
 
   /** ALTER AUTH ENFORCE ON|OFF: flip analysis-time privilege checks. */

@@ -141,6 +141,37 @@ class PrivilegesSpec extends AnyFunSuite {
     }
   }
 
+  test("GRANT OWNERSHIP: owners read, delegate grants, and transfer; non-owners refused") {
+    withAuthWorld {
+      spark.sql("CREATE USER root_u PASSWORD 'rp' ADMIN")
+      spark.sql("CREATE USER owner_o PASSWORD 'op'")
+      spark.sql("CREATE USER reader_r PASSWORD 'xp'")
+      spark.sql("GRANT OWNERSHIP ON nation TO USER owner_o")
+      spark.sql("ALTER AUTH ENFORCE ON")
+      // the owner reads WITHOUT any select grant
+      asPrincipal("owner_o", "op")
+      assert(spark.sql("SELECT count(*) FROM nation").head.getLong(0) > 0)
+      // the owner may GRANT on the owned object (delegated administration)
+      spark.sql("GRANT SELECT ON nation TO USER reader_r")
+      asPrincipal("reader_r", "xp")
+      assert(spark.sql("SELECT count(*) FROM nation").head.getLong(0) > 0)
+      // a non-owner non-admin may NOT grant on it, nor take ownership
+      intercept[Exception](spark.sql("GRANT SELECT ON nation TO USER reader_r"))
+      intercept[Exception](spark.sql("GRANT OWNERSHIP ON nation TO USER reader_r"))
+      // the owner transfers ownership; the old owner loses its powers
+      asPrincipal("owner_o", "op")
+      spark.sql("GRANT OWNERSHIP ON nation TO USER reader_r")
+      intercept[Exception](spark.sql("GRANT SELECT ON nation TO USER owner_o"))
+      // SHOW GRANTS ON lists the owner first, then grantees
+      asPrincipal("root_u", "rp")
+      val rows = spark.sql("SHOW GRANTS ON nation").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      assert(rows.head == ("reader_r", "ownership"), rows.toString)
+      assert(rows.contains(("reader_r", "select")))
+      spark.sql("ALTER AUTH ENFORCE OFF")
+    }
+  }
+
   test("REVOKE vs ALL: REVOKE ALL strips everything; REVOKE SELECT against ALL refuses") {
     withAuthWorld {
       spark.sql("CREATE USER root_u PASSWORD 'rp' ADMIN")
