@@ -34,7 +34,7 @@ object GraftRestServer {
       val srv = HttpServer.create(new InetSocketAddress("localhost", 0), 0)
       srv.createContext("/sql", new SqlHandler(spark))
       srv.createContext("/catalog", new CatalogHandler(spark))
-      srv.createContext("/jobs", new JobsHandler)
+      srv.createContext("/jobs", new JobsHandler(spark))
       // serve on a small pool: concurrent REST statements run like
       // concurrent Thrift statements (scheduler handles the rest)
       srv.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
@@ -129,17 +129,26 @@ object GraftRestServer {
   }
 
   /** `GET /jobs` — recent completed statements; `GET /jobs/<id>` — one
-    * record; `GET /jobs/<id>/profile` — its per-operator executed metrics.
-    * The reference's jobs service + profile viewer rows
-    * (`dac/backend/.../resource/JobResource.java`, job profile
-    * `UserBitShared.OperatorProfile`) served from QueryHistory's ring. */
-  private final class JobsHandler extends HttpHandler {
+    * record; `GET /jobs/<id>/profile` — its per-operator executed metrics;
+    * `POST /jobs/<id>/cancel` — kill a RUNNING statement (reference
+    * `POST /api/v3/job/{id}/cancel`, `JobResource.java`).
+    * Served from QueryHistory's ring / the live RunningQueries ledger. */
+  private final class JobsHandler(spark: org.apache.spark.sql.SparkSession)
+      extends HttpHandler {
     override def handle(ex: HttpExchange): Unit =
       try {
-        if (ex.getRequestMethod != "GET") respond(ex, 405, error("GET only"))
+        val parts0 = ex.getRequestURI.getPath.stripPrefix("/jobs")
+          .stripPrefix("/").split("/").filter(_.nonEmpty)
+        if (ex.getRequestMethod == "POST") parts0 match {
+          case Array(id, "cancel") =>
+            val ok = graft.engine.RunningQueries.cancel(spark, id.toLong)
+            if (ok) respond(ex, 200, s"""{"cancelled":$id}""")
+            else respond(ex, 404, error(s"no running query $id"))
+          case _ => respond(ex, 405, error("POST supports /jobs/<id>/cancel only"))
+        }
+        else if (ex.getRequestMethod != "GET") respond(ex, 405, error("GET only"))
         else {
-          val parts = ex.getRequestURI.getPath.stripPrefix("/jobs")
-            .stripPrefix("/").split("/").filter(_.nonEmpty)
+          val parts = parts0
           parts match {
             case Array() =>
               val items = graft.catalog.QueryHistory.records.map(recordJson)

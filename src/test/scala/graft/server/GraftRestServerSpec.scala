@@ -155,4 +155,36 @@ class GraftRestServerSpec extends AnyFunSuite {
     assert(c2 == 400 && b2.contains("\"error\""),
       s"temp view leaked across REST sessions: $b2")
   }
+
+  test("POST /jobs/<id>/cancel kills a running statement over the wire") {
+    import graft.engine.RunningQueries
+    import scala.concurrent.{ExecutionContext, Future}
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val port = GraftRestServer.port.getOrElse(GraftRestServer.start(spark))
+    val before = RunningQueries.list.map(_.id).toSet
+    val victim = Future {
+      scala.util.Try(graft.Graft.sql(spark,
+        "SELECT sum(id * id) AS s FROM range(60000000000)").collect())
+    }
+    val deadline = System.nanoTime() + 30e9.toLong
+    def fresh = RunningQueries.list.filterNot(r => before(r.id))
+    while (fresh.isEmpty && System.nanoTime() < deadline) Thread.sleep(20)
+    val id = fresh.head.id
+    val req = HttpRequest.newBuilder(
+        URI.create(s"http://localhost:$port/jobs/$id/cancel"))
+      .POST(HttpRequest.BodyPublishers.noBody()).build()
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+    assert(resp.statusCode() == 200 && resp.body().contains("cancelled"),
+      s"${resp.statusCode()}: ${resp.body()}")
+    // the victim dies (cancelled) instead of running 60B rows
+    val r = scala.concurrent.Await.result(victim,
+      scala.concurrent.duration.Duration(120, "s"))
+    assert(r.isFailure, "cancelled statement must not complete")
+    // unknown id → 404
+    val miss = http.send(HttpRequest.newBuilder(
+        URI.create(s"http://localhost:$port/jobs/999999/cancel"))
+      .POST(HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(miss.statusCode() == 404)
+  }
 }
