@@ -96,9 +96,11 @@ object InfoSchema {
       StructField("source", StringType, nullable = false),
       StructField("format", StringType, nullable = false),
       StructField("target", StringType, nullable = false),
-      StructField("checkpoint", StringType, nullable = false))),
+      StructField("checkpoint", StringType, nullable = false),
+      StructField("running", BooleanType, nullable = false))),
       () => graft.streaming.Pipes.list
-        .map(p => Row(p.name, p.sourceDir, p.format, p.targetDir, p.checkpointDir)))
+        .map(p => Row(p.name, p.sourceDir, p.format, p.targetDir,
+          p.checkpointDir, !p.paused)))
 
   /** sys.functions (reference FunctionImplementationRegistry surface):
     * every function callable in this session. */
