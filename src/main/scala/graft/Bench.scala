@@ -106,7 +106,20 @@ object Bench {
     val errs = jmap(results.collect { case (k, _, _, _, _, Some(e)) => k -> ("\"" + e + "\"") })
     val loadsJson = loads.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$meds,"mins":$mins,"gc_sec_at_min":$gcs,"loadavg_per_pass":$loadsJson,"errors":$errs,"sf":"$sfDir"}""")
+    // Full per-query record (first/median/min/gc for all ~170 queries,
+    // ~15 KB) goes to a file; the driver's stdout tail capture is ~2 KB,
+    // so a 15 KB line gets cut mid-JSON and the whole round's timings are
+    // lost (VERDICT r8 #2). The LAST stdout line is a compact summary that
+    // always fits: total, loadavg per pass, all errors, and the slowest 15
+    // per-query MINS rounded to ms.
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$meds,"mins":$mins,"gc_sec_at_min":$gcs,"loadavg_per_pass":$loadsJson,"errors":$errs,"sf":"$sfDir"}"""
+    val fullPath = java.nio.file.Paths.get("target/bench_full.json")
+    java.nio.file.Files.createDirectories(fullPath.getParent)
+    java.nio.file.Files.writeString(fullPath, fullJson + "\n")
+    def ms(v: Double): String = (math.round(v * 1000) / 1000.0).toString
+    val slowest = jmap(results.sortBy { case (_, _, _, m, _, _) => -m }.take(15)
+      .map { case (k, _, _, m, _, _) => k -> ms(m) })
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"loadavg_per_pass":$loadsJson,"errors":$errs,"full":"target/bench_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

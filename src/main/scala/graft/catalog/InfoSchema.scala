@@ -173,10 +173,12 @@ object InfoSchema {
       StructField("id", LongType, nullable = false),
       StructField("statement", StringType, nullable = false),
       StructField("job_group", StringType, nullable = false),
-      StructField("started_ms", LongType, nullable = false))),
+      StructField("started_ms", LongType, nullable = false),
+      StructField("user_name", StringType, nullable = true))),
       () => graft.engine.RunningQueries.list
         .map(r => Row(r.id, r.statement,
-          graft.engine.RunningQueries.group(r.id), r.startedMs)))
+          graft.engine.RunningQueries.group(r.id), r.startedMs,
+          r.owner.orNull)))
 
   /** sys.result_cache (reference plan-cache state —
     * `exec/planner/plancache/PlanCache.java`). */

@@ -42,7 +42,8 @@ import org.apache.spark.sql.util.QueryExecutionListener
   */
 object RunningQueries {
 
-  final case class Running(id: Long, statement: String, startedMs: Long)
+  final case class Running(id: Long, statement: String, startedMs: Long,
+                           owner: Option[String] = None)
 
   private val ids = new AtomicLong()
   private val running = TrieMap.empty[Long, Running]
@@ -93,7 +94,8 @@ object RunningQueries {
     ensureJobListener(spark.sparkContext)
     val id = ids.incrementAndGet()
     spark.sparkContext.setJobGroup(group(id), statement.take(200), interruptOnCancel = true)
-    running.put(id, Running(id, statement.take(500), System.currentTimeMillis()))
+    running.put(id, Running(id, statement.take(500), System.currentTimeMillis(),
+      graft.auth.Privileges.principalOf(spark).map(_.name)))
     val df =
       try body
       catch { case t: Throwable => running.remove(id); throw t }

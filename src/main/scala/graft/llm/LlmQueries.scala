@@ -74,13 +74,17 @@ object LlmQueries {
   /** Corpus topic map (Clustering.documentClusters): k-means clusters over
     * embeddings + per-cluster tf-idf distinctive terms via TopKPerKey.
     * Cluster identities are kmeans-engine-specific → rows-only;
-    * ClusteringSpec pins topic recovery on planted corpora. */
+    * ClusteringSpec pins topic recovery on planted corpora. The terms
+    * array is emitted as a JSON string so every output column is a
+    * flat scalar the rows-only harness can sort. */
   val clusterDocuments: QueryFn = (s, dir) => {
     val t = Tables.ensure(s, dir)
     val joined = t.documents.select(col("doc_id"), col("text"))
       .join(t.embeddings.select(col("vec_id"), col("embedding")),
         col("doc_id") === col("vec_id"))
     Clustering.documentClusters(joined, k = 8, topTerms = 5)
+      .select(col("cluster"), col("n_docs"),
+        to_json(col("top_terms")).as("top_terms_json"))
       .orderBy(col("cluster"))
   }
 
@@ -91,8 +95,13 @@ object LlmQueries {
   val embedPca: QueryFn = (s, dir) => {
     val e = Tables.ensure(s, dir).embeddings.select(col("vec_id"), col("embedding"))
     val (proj, model) = Projection.pca(e, k = 8)
-    proj.select(col("vec_id"), col("pca"),
-        lit(model.varianceCaptured(8)).as("variance_captured"))
+    // flat scalars only: rounded-JSON vector (sortable string), the
+    // projected norm, and the captured-variance ratio
+    proj.select(col("vec_id"),
+        to_json(transform(col("pca"), x => round(x, 6))).as("pca_json"),
+        round(sqrt(aggregate(col("pca"), lit(0.0d), (a, x) => a + x * x)), 6)
+          .as("pca_norm"),
+        round(lit(model.varianceCaptured(8)), 6).as("variance_captured"))
       .orderBy(col("vec_id"))
   }
 
@@ -102,7 +111,9 @@ object LlmQueries {
     val e = Tables.ensure(s, dir).embeddings.select(col("vec_id"), col("embedding"))
     val d = e.select(size(col("embedding"))).head().getInt(0)
     e.select(col("vec_id"),
-        Projection.randomProjectCol(col("embedding"), k = 16, d = d).as("rp"))
+        to_json(transform(
+          Projection.randomProjectCol(col("embedding"), k = 16, d = d),
+          x => round(x, 6))).as("rp_json"))
       .orderBy(col("vec_id"))
   }
 

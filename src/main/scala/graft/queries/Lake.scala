@@ -584,13 +584,17 @@ object Lake {
     val expDir = scratchDir("graft_delta_dv_dst") + "/tbl"
     graft.sources.DeltaInterop.exportTo(s, lakeDir, expDir)
     val st = graft.sources.DeltaInterop.readState(s, expDir)
+    // absolute scan path (scheme-normalized) → log-relative path, so the
+    // victim grouping is one hash lookup per row, not a linear scan of
+    // the file list (O(victims×files) driver work otherwise)
+    def norm(p: String) = p.replaceFirst("^(file:)?/+", "/")
+    val relOf = st.files.map(f => norm(s"$expDir/${f.path}") -> f.path).toMap
     val victims = s.read.parquet(st.files.map(f => s"$expDir/${f.path}"): _*)
       .selectExpr("o_orderkey", "_metadata.file_path AS fp",
         "_metadata.row_index AS pos")
       .filter(col("o_orderkey") % 9 === 0)
       .collect() // driver-small: |orders|/9 descriptor rows
-      .groupBy(r => st.files.map(_.path)
-        .find(p => r.getString(1).endsWith(p)).get)
+      .groupBy(r => relOf(norm(r.getString(1))))
       .map { case (p, rs) => p -> rs.map(_.getLong(2)).toSeq }
     graft.sources.DeltaInterop.publishDeletionVectors(s, expDir, victims)
     s.sql(s"""SELECT o_orderpriority, COUNT(*) AS n_orders,

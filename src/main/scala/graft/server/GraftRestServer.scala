@@ -141,9 +141,44 @@ object GraftRestServer {
           .stripPrefix("/").split("/").filter(_.nonEmpty)
         if (ex.getRequestMethod == "POST") parts0 match {
           case Array(id, "cancel") =>
-            val ok = graft.engine.RunningQueries.cancel(spark, id.toLong)
-            if (ok) respond(ex, 200, s"""{"cancelled":$id}""")
-            else respond(ex, 404, error(s"no running query $id"))
+            // while auth enforcement is on, killing a statement needs an
+            // authenticated principal — admin, or the statement's owner
+            // (same optional body credentials the /sql route takes);
+            // without it any client reaching the port could kill any job
+            val body = new String(ex.getRequestBody.readAllBytes(),
+              StandardCharsets.UTF_8)
+            val denial: Option[(Int, String)] =
+              if (!graft.auth.Privileges.enforcing) None
+              else {
+                val user = jsonField(body, "user")
+                val password = jsonField(body, "password")
+                user match {
+                  case None => Some(401 ->
+                    "cancel requires credentials while auth enforcement is on")
+                  case Some(u) =>
+                    try {
+                      val s = spark.newSession()
+                      graft.auth.Privileges.login(s, u, password.getOrElse(""))
+                      val p = graft.auth.Privileges.principalOf(s)
+                      val target = graft.engine.RunningQueries.list
+                        .find(_.id == id.toLong)
+                      val owns = target.exists(_.owner.exists(_.equalsIgnoreCase(u)))
+                      // unknown id falls through to cancel's 404
+                      if (p.exists(_.admin) || owns || target.isEmpty) None
+                      else Some(403 ->
+                        s"user '$u' is neither admin nor the owner of query $id")
+                    } catch {
+                      case e: Exception => Some(401 -> e.getMessage.take(300))
+                    }
+                }
+              }
+            denial match {
+              case Some((code, msg)) => respond(ex, code, error(msg))
+              case None =>
+                val ok = graft.engine.RunningQueries.cancel(spark, id.toLong)
+                if (ok) respond(ex, 200, s"""{"cancelled":$id}""")
+                else respond(ex, 404, error(s"no running query $id"))
+            }
           case _ => respond(ex, 405, error("POST supports /jobs/<id>/cancel only"))
         }
         else if (ex.getRequestMethod != "GET") respond(ex, 405, error("GET only"))

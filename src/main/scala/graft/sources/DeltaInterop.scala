@@ -52,10 +52,18 @@ object DeltaInterop {
                            // replaces this entry (DV attach), so data
                            // skipping survives the rewrite
                            rawStats: Option[String] = None)
+  final case class Protocol(minReader: Int, minWriter: Int,
+                            readerFeatures: Seq[String] = Nil,
+                            writerFeatures: Seq[String] = Nil)
   final case class DeltaState(version: Long, schema: StructType,
                               partitionCols: Seq[String], files: Seq[AddFile],
                               // "none" | "name" | "id" (delta.columnMapping.mode)
-                              columnMapping: String = "none")
+                              columnMapping: String = "none",
+                              // last protocol action seen in replay — a
+                              // checkpoint must re-emit it verbatim, or it
+                              // would advertise a version below the
+                              // features (DVs) the files still carry
+                              protocol: Protocol = Protocol(1, 2))
   final case class ExportResult(version: Long, nFiles: Long, nRows: Long)
 
   private val mapper = new ObjectMapper()
@@ -119,12 +127,15 @@ object DeltaInterop {
       files(path) = AddFile(path, pv, size, n, side("minValues"), side("maxValues"),
         dv, stats)
     }
-    def checkProtocol(minReader: Int, readerFeatures: Seq[String]): Unit = {
+    var proto = Protocol(1, 2)
+    def checkProtocol(minReader: Int, minWriter: Int, readerFeatures: Seq[String],
+                      writerFeatures: Seq[String]): Unit = {
       val unsupported = readerFeatures.filterNot(
         Set("timestampNtz", "v2Checkpoint", "deletionVectors", "columnMapping"))
       require(minReader <= 2 || unsupported.isEmpty,
         s"delta read: unsupported reader features ${unsupported.mkString(",")} " +
           s"(minReaderVersion=$minReader) — plain copy-on-write tables only")
+      proto = Protocol(minReader, minWriter, readerFeatures, writerFeatures)
     }
 
     cp.foreach { cpv =>
@@ -141,10 +152,13 @@ object DeltaInterop {
             else Map.empty)
         }
         if (cols("protocol")) Option(row.getAs[org.apache.spark.sql.Row]("protocol")).foreach { p =>
-          val feats = if (p.schema.fieldNames.contains("readerFeatures"))
-            Option(p.getAs[scala.collection.Seq[String]]("readerFeatures"))
-              .map(_.toSeq).getOrElse(Nil) else Nil
-          checkProtocol(p.getAs[Int]("minReaderVersion"), feats)
+          def feats(fld: String): Seq[String] =
+            if (p.schema.fieldNames.contains(fld))
+              Option(p.getAs[scala.collection.Seq[String]](fld))
+                .map(_.toSeq).getOrElse(Nil) else Nil
+          checkProtocol(p.getAs[Int]("minReaderVersion"),
+            p.getAs[Int]("minWriterVersion"),
+            feats("readerFeatures"), feats("writerFeatures"))
         }
         if (cols("add")) Option(row.getAs[org.apache.spark.sql.Row]("add")).foreach { a =>
           val fn = a.schema.fieldNames.toSet
@@ -164,14 +178,26 @@ object DeltaInterop {
             if (fn.contains("stats")) Option(a.getAs[String]("stats")) else None,
             dv)
         }
-        if (cols("remove")) Option(row.getAs[org.apache.spark.sql.Row]("remove")).foreach { r =>
-          files.remove(r.getAs[String]("path"))
-        }
+        // checkpoint `remove` rows are IGNORED on purpose: per the Delta
+        // protocol a checkpoint's live set is its add entries; remove
+        // entries there are only vacuum tombstones, and action order in
+        // the parquet is not guaranteed — treating them as state
+        // mutations would let a tombstone remove(p, null) that happens to
+        // serialize after add(p, dv) silently drop a live file
+        // (delta-spark writes exactly that pair after DELETE-with-DV).
       }
     }
 
     commits.filter { case (v, _) => v > cp.getOrElse(-1L) && v <= target }
       .foreach { case (_, name) =>
+        // JSON action order inside one commit is not guaranteed either:
+        // reconcile PER VERSION with add winning over remove for the same
+        // path (a DV update commits remove(p, old) + add(p, new) — net
+        // state is p live with the new metadata). Removes are collected
+        // during the line scan and applied after it, minus this
+        // version's adds.
+        val versionAdds = scala.collection.mutable.Set.empty[String]
+        val versionRemoves = scala.collection.mutable.Set.empty[String]
         Files.readAllLines(ld.resolve(name), StandardCharsets.UTF_8).asScala
           .filter(_.trim.nonEmpty).foreach { line =>
             val a = mapper.readTree(line)
@@ -184,9 +210,11 @@ object DeltaInterop {
                     e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty))
             }
             Option(a.get("protocol")).foreach { p =>
+              def feats(fld: String): Seq[String] = Option(p.get(fld)).toSeq
+                .flatMap(_.elements.asScala.map(_.asText()))
               checkProtocol(p.get("minReaderVersion").asInt(),
-                Option(p.get("readerFeatures")).toSeq
-                  .flatMap(_.elements.asScala.map(_.asText())))
+                Option(p.get("minWriterVersion")).map(_.asInt()).getOrElse(2),
+                feats("readerFeatures"), feats("writerFeatures"))
             }
             Option(a.get("add")).foreach { ad =>
               val dv = Option(ad.get("deletionVector")).filterNot(_.isNull).map { d =>
@@ -196,6 +224,7 @@ object DeltaInterop {
                   d.get("sizeInBytes").asInt(),
                   Option(d.get("cardinality")).map(_.asLong()).getOrElse(-1L))
               }
+              versionAdds += ad.get("path").asText()
               applyAdd(ad.get("path").asText(),
                 Option(ad.get("partitionValues")).map(pv =>
                   pv.properties.asScala.map(e =>
@@ -205,8 +234,9 @@ object DeltaInterop {
                 Option(ad.get("stats")).filterNot(_.isNull).map(_.asText()),
                 dv)
             }
-            Option(a.get("remove")).foreach(r => files.remove(r.get("path").asText()))
+            Option(a.get("remove")).foreach(r => versionRemoves += r.get("path").asText())
           }
+        (versionRemoves -- versionAdds).foreach(files.remove)
       }
 
     val logicalSchema = schema.getOrElse(throw new IllegalArgumentException(
@@ -226,7 +256,7 @@ object DeltaInterop {
           minValues = remapKeys(f.minValues),
           maxValues = remapKeys(f.maxValues)))
       }
-    DeltaState(target, logicalSchema, partCols, remapped, mappingMode)
+    DeltaState(target, logicalSchema, partCols, remapped, mappingMode, proto)
   }
 
   /** Physical name of a mapped field (protocol §"Column Mapping":
@@ -583,29 +613,51 @@ object DeltaInterop {
     * reader spec prove checkpoint-based replay on a real file. */
   def writeCheckpoint(spark: SparkSession, dir: String, version: Long): Unit = {
     val st = readState(spark, dir, Some(version))
+    val dvType = StructType(Seq(
+      StructField("storageType", StringType),
+      StructField("pathOrInlineDv", StringType),
+      StructField("offset", IntegerType),
+      StructField("sizeInBytes", IntegerType),
+      StructField("cardinality", LongType)))
     val addType = StructType(Seq(
       StructField("path", StringType, nullable = false),
       StructField("partitionValues", MapType(StringType, StringType, true)),
       StructField("size", LongType, nullable = false),
       StructField("modificationTime", LongType, nullable = false),
-      StructField("dataChange", BooleanType, nullable = false)))
+      StructField("dataChange", BooleanType, nullable = false),
+      // stats + deletionVector MUST survive checkpointing: replaying from
+      // a checkpoint that dropped them would resurrect DV-deleted rows
+      // and lose data skipping
+      StructField("stats", StringType),
+      StructField("deletionVector", dvType)))
     val metaType = StructType(Seq(
       StructField("id", StringType), StructField("schemaString", StringType),
       StructField("partitionColumns", ArrayType(StringType)),
       StructField("createdTime", LongType)))
     val protoType = StructType(Seq(
       StructField("minReaderVersion", IntegerType, nullable = false),
-      StructField("minWriterVersion", IntegerType, nullable = false)))
+      StructField("minWriterVersion", IntegerType, nullable = false),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType))))
     val cpSchema = StructType(Seq(
       StructField("protocol", protoType), StructField("metaData", metaType),
       StructField("add", addType)))
     import org.apache.spark.sql.Row
+    // re-emit the protocol the replay saw (feature lists only when the
+    // versions require them — a v1/v2 protocol with feature fields would
+    // be malformed for strict readers)
+    val protoRow = Row(st.protocol.minReader, st.protocol.minWriter,
+      if (st.protocol.minReader >= 3) st.protocol.readerFeatures else null,
+      if (st.protocol.minWriter >= 7) st.protocol.writerFeatures else null)
     val rows =
-      Row(Row(1, 2), null, null) +:
+      Row(protoRow, null, null) +:
       Row(null, Row("graft-checkpoint", st.schema.json,
         st.partitionCols, System.currentTimeMillis()), null) +:
       st.files.map(f => Row(null, null,
-        Row(f.path, f.partitionValues, f.size, 0L, true)))
+        Row(f.path, f.partitionValues, f.size, 0L, true,
+          f.rawStats.orNull,
+          f.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
+            d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull)))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), cpSchema)
       .coalesce(1).write.mode("overwrite")
       .parquet(logDir(dir).resolve(f"$version%020d.checkpoint.tmp").toString)

@@ -64,7 +64,13 @@ object IcebergRead {
                             // the manifest when absent) — what equality
                             // deletes compare against
                             seq: Long = 0L)
-  final case class EqualityDelete(path: String, seq: Long, fieldIds: Seq[Int])
+  /** `scope`: the delete file's partition tuple as (source column →
+    * avro value) pairs — a partition-scoped equality delete (spec
+    * §"Scan Planning": "applied to data files in the same partition")
+    * must only subtract rows IN that partition; empty = unpartitioned
+    * spec = table-global. */
+  final case class EqualityDelete(path: String, seq: Long, fieldIds: Seq[Int],
+                                  scope: Seq[(String, Any)] = Nil)
 
   private val mapper = new ObjectMapper()
 
@@ -306,10 +312,21 @@ object IcebergRead {
       finally listReader.close()
     val pos = Vector.newBuilder[String]
     val eq = Vector.newBuilder[EqualityDelete]
+    val idToName = meta.fieldIdOf.map(_.swap)
     deleteManifests.foreach { case (mp, mSeq) =>
       val r = new DataFileReader[GenericRecord](
         new java.io.File(resolvePath(meta.location, mp)),
         new GenericDatumReader[GenericRecord]())
+      // partition-field name → (transform, source column) from the
+      // manifest header's own spec (delete manifests may be written under
+      // an older spec than the table default)
+      val specFields: Map[String, (String, Option[String])] =
+        Option(r.getMetaString("partition-spec")).map { js =>
+          mapper.readTree(js).elements.asScala.map { f =>
+            f.get("name").asText() -> (f.get("transform").asText(),
+              idToName.get(f.get("source-id").asInt()))
+          }.toMap
+        }.getOrElse(Map.empty)
       try r.iterator.asScala.foreach { e =>
         if (e.get("status").asInstanceOf[Int] != 2) {
           val entrySeq = Option(e.get("sequence_number"))
@@ -328,7 +345,33 @@ object IcebergRead {
                 }
               require(ids.nonEmpty,
                 "iceberg read: equality delete file without equality_ids")
-              eq += EqualityDelete(df.get("file_path").toString, entrySeq, ids)
+              // partition scope: identity fields become data-side equality
+              // predicates; a non-identity-partitioned delete (Flink CDC
+              // bucket spec, say) can't be scoped without evaluating the
+              // transform — refuse loudly rather than over-delete
+              val scope: Seq[(String, Any)] = Option(df.get("partition")) match {
+                case Some(p: GenericRecord) =>
+                  p.getSchema.getFields.asScala.toSeq.map { f =>
+                    val v = p.get(f.name()) match {
+                      case u: org.apache.avro.util.Utf8 => u.toString
+                      case other => other
+                    }
+                    val (transform, srcCol) = specFields.getOrElse(f.name(),
+                      ("identity", Some(f.name())))
+                    if (transform == "identity")
+                      srcCol.getOrElse(throw new IllegalArgumentException(
+                        s"iceberg read: partition field ${f.name()} has no " +
+                          "source column in the current schema")) -> v
+                    else if (transform == "void" || v == null) null
+                    else throw new IllegalArgumentException(
+                      s"iceberg read: partition-scoped equality delete with " +
+                        s"non-identity transform '$transform' on field " +
+                        s"${f.name()} is not supported — refusing rather " +
+                        "than applying the delete table-wide")
+                  }.filter(_ != null)
+                case _ => Nil
+              }
+              eq += EqualityDelete(df.get("file_path").toString, entrySeq, ids, scope)
             case other => throw new IllegalArgumentException(
               s"iceberg read: unknown delete file content $other")
           }
@@ -496,10 +539,13 @@ object IcebergRead {
           .map(f => normStr(resolvePath(dir, f.path)) -> f.seq)
           .toDF("__ice_fp", "__ice_seq"))
         val withSeq = afterPos.join(seqDf, Seq("__ice_fp"), "left")
-        // group delete files by their equality column set: one anti-join
-        // per distinct set, delete rows tagged with their sequence
-        eqDels.groupBy(_.fieldIds).toSeq.foldLeft(withSeq) {
-          case (acc, (ids, dels)) =>
+        // group delete files by (equality column set, partition scope):
+        // one anti-join per distinct group, delete rows tagged with their
+        // sequence; a partition-scoped delete only subtracts data rows IN
+        // its partition (matching tuples elsewhere stay live, spec §"Scan
+        // Planning")
+        eqDels.groupBy(d => (d.fieldIds, d.scope)).toSeq.foldLeft(withSeq) {
+          case (acc, ((ids, scope), dels)) =>
             val cols = ids.map(id => nameOf.getOrElse(id,
               throw new IllegalArgumentException(
                 s"iceberg read: equality_ids field $id not in schema")))
@@ -510,8 +556,12 @@ object IcebergRead {
             }.reduce(_ unionByName _)
             // null-safe value match (spec: null equals null here) AND the
             // strict sequence rule — newer data files survive the delete
-            val cond = cols.map(c => acc(c) <=> delDf(c))
+            val valueCond = cols.map(c => acc(c) <=> delDf(c))
               .reduce(_ && _) && acc("__ice_seq") < delDf("__del_seq")
+            val cond = scope.foldLeft(valueCond) { case (cnd, (srcCol, v)) =>
+              val dt = meta.schema(srcCol).dataType
+              cnd && (acc(srcCol) <=> partitionLit(dt, v))
+            }
             acc.join(delDf, cond, "left_anti")
         }
       }

@@ -87,12 +87,22 @@ object LakeExport {
           else {
             // round the truncated prefix UP: bump the last code point that
             // can be bumped, dropping everything after it
+            // +1 must skip U+D800..U+DFFF: an unpaired surrogate is not a
+            // Unicode scalar, and String.getBytes(UTF_8) encodes it as
+            // '?' (0x3F) — an upper bound BELOW the real data, so engines
+            // would prune files that hold matching rows (spec
+            // UnicodeUtil.truncateStringMax skips to U+E000)
+            def bump(cp: Int): Int = {
+              val n = cp + 1
+              if (n >= Character.MIN_SURROGATE.toInt &&
+                  n <= Character.MAX_SURROGATE.toInt) 0xE000 else n
+            }
             val cps = prefix.codePoints().toArray
             val i = cps.lastIndexWhere(_ < Character.MAX_CODE_POINT)
             if (i < 0) None // unboundable — omit rather than lie
             else {
               val bumped = new String(cps.take(i), 0, i) +
-                new String(Character.toChars(cps(i) + 1))
+                new String(Character.toChars(bump(cps(i))))
               Some(bumped.getBytes(StandardCharsets.UTF_8))
             }
           }
@@ -598,8 +608,13 @@ object LakeExport {
     * (null matches null) AND the data file's sequence number is strictly
     * below this delete's — so data published AFTER the delete survives
     * it, the spec's ordering rule. Returns the new snapshot id. */
+  /** `scope`: optional identity-partition tuple (column → value) the
+    * delete is scoped to — written as the delete manifest's partition
+    * record + spec, so spec-compliant readers (ours included) apply the
+    * delete only inside that partition (the Flink CDC write shape). */
   def publishEqualityDeletes(spark: SparkSession, dstDir: String,
-                             cols: Seq[String], values: DataFrame): Long = {
+                             cols: Seq[String], values: DataFrame,
+                             scope: Seq[(String, Any)] = Nil): Long = {
     import com.fasterxml.jackson.databind.node.ObjectNode
     require(cols.nonEmpty, "publishEqualityDeletes: no equality columns")
     val metaDir = Paths.get(dstDir, "metadata")
@@ -633,9 +648,17 @@ object LakeExport {
       try s0.iterator.asScala.map(_.toString).filter(_.endsWith(".parquet")).toSeq.head
       finally s0.close()
 
+    val schemaFields = schemaNode.get("fields").elements.asScala.toSeq
+    val typeOf = schemaFields.map(f =>
+      f.get("name").asText() -> f.get("type").asText()).toMap
+    val scopeTriples = scope.map { case (c, v) =>
+      (c, typeOf.getOrElse(c, throw new IllegalArgumentException(
+        s"scope column '$c' not in exported schema")),
+        idOf(c), v)
+    }
     writeDeleteArtifacts(metaDir, delFile, n, fileContent = 2,
       equalityIds = ids, newSnapId, newSeq, curList, root, hint,
-      opName = "delete", posDeleteCount = 0L)
+      opName = "delete", posDeleteCount = 0L, scope = scopeTriples)
     newSnapId
   }
 
@@ -645,17 +668,28 @@ object LakeExport {
       nRows: Long, fileContent: Int, equalityIds: Seq[Int], newSnapId: Long,
       newSeq: Long, curList: String,
       root: com.fasterxml.jackson.databind.node.ObjectNode, hint: Int,
-      opName: String, posDeleteCount: Long): Unit = {
+      opName: String, posDeleteCount: Long,
+      // (column, iceberg type, source field id, value) — identity scope
+      scope: Seq[(String, String, Int, Any)] = Nil): Unit = {
     import com.fasterxml.jackson.databind.node.ArrayNode
     val uuid = java.util.UUID.nameUUIDFromBytes(
       s"graft-del:$metaDir:$newSeq".getBytes(StandardCharsets.UTF_8)).toString
-    val entrySchema = manifestEntrySchema(Nil, withEqualityIds = equalityIds.nonEmpty)
+    val scopeTriples = scope.zipWithIndex.map { case ((c, t, _, _), i) =>
+      (c, t, 1000 + i) }
+    val entrySchema = manifestEntrySchema(scopeTriples,
+      withEqualityIds = equalityIds.nonEmpty)
     val dataFileSchema = entrySchema.getField("data_file").schema()
     val manifestPath = metaDir.resolve(s"$uuid-del-m0.avro")
     val writer = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](entrySchema))
     writer.setMeta("format-version", "2")
     writer.setMeta("content", "deletes")
+    if (scope.nonEmpty)
+      writer.setMeta("partition-spec", toJson(scope.zipWithIndex.map {
+        case ((c, _, srcId, _), i) =>
+          Map("name" -> c, "transform" -> "identity",
+            "source-id" -> srcId, "field-id" -> (1000 + i))
+      }))
     writer.setMeta("partition-spec-id", "0")
     writer.create(entrySchema, manifestPath.toFile)
     try {
@@ -663,8 +697,10 @@ object LakeExport {
       df.put("content", fileContent) // 1=POSITION_DELETES, 2=EQUALITY_DELETES
       df.put("file_path", delFile)
       df.put("file_format", "PARQUET")
-      df.put("partition", new GenericData.Record(
-        dataFileSchema.getField("partition").schema()))
+      val partRec = new GenericData.Record(
+        dataFileSchema.getField("partition").schema())
+      scope.foreach { case (c, _, _, v) => partRec.put(c, v) }
+      df.put("partition", partRec)
       df.put("record_count", nRows)
       df.put("file_size_in_bytes", Files.size(Paths.get(delFile)))
       if (equalityIds.nonEmpty)

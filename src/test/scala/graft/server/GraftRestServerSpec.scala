@@ -187,4 +187,60 @@ class GraftRestServerSpec extends AnyFunSuite {
       HttpResponse.BodyHandlers.ofString())
     assert(miss.statusCode() == 404)
   }
+
+  test("cancel is auth-gated while enforcing: anonymous 401, non-owner 403, owner 200") {
+    import graft.auth.Privileges
+    import graft.engine.RunningQueries
+    import scala.concurrent.{ExecutionContext, Future}
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val port = GraftRestServer.port.getOrElse(GraftRestServer.start(spark))
+    def cancel(id: Long, body: String): (Int, String) = {
+      val resp = http.send(HttpRequest.newBuilder(
+          URI.create(s"http://localhost:$port/jobs/$id/cancel"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
+    }
+    Privileges.clear()
+    try {
+      spark.sql("CREATE USER root_u PASSWORD 'rp' ADMIN")
+      spark.sql("CREATE USER mallory PASSWORD 'mp'")
+      spark.sql("CREATE USER owner_u PASSWORD 'op'")
+      spark.sql("ALTER AUTH ENFORCE ON")
+      // long-running statement owned by owner_u on its own session
+      val sess = spark.newSession()
+      Privileges.login(sess, "owner_u", "op")
+      val before = RunningQueries.list.map(_.id).toSet
+      val victim = Future {
+        scala.util.Try(graft.Graft.sql(sess,
+          "SELECT sum(id * id) AS s FROM range(60000000000)").collect())
+      }
+      val deadline = System.nanoTime() + 30e9.toLong
+      def fresh = RunningQueries.list.filterNot(r => before(r.id))
+      while (fresh.isEmpty && System.nanoTime() < deadline) Thread.sleep(20)
+      val run = fresh.head
+      assert(run.owner.contains("owner_u"), s"ledger owner: ${run.owner}")
+      // anonymous → 401
+      val (cAnon, bAnon) = cancel(run.id, "")
+      assert(cAnon == 401 && bAnon.contains("credentials"), s"$cAnon $bAnon")
+      // bad password → 401
+      assert(cancel(run.id, """{"user":"mallory","password":"wrong"}""")._1 == 401)
+      // authenticated non-owner, non-admin → 403
+      val (cMal, bMal) = cancel(run.id, """{"user":"mallory","password":"mp"}""")
+      assert(cMal == 403 && bMal.contains("neither admin nor the owner"),
+        s"$cMal $bMal")
+      assert(RunningQueries.list.exists(_.id == run.id),
+        "refused cancel must not kill the statement")
+      // the owner may kill their own statement
+      val (cOwn, bOwn) = cancel(run.id, """{"user":"owner_u","password":"op"}""")
+      assert(cOwn == 200 && bOwn.contains("cancelled"), s"$cOwn $bOwn")
+      val r = scala.concurrent.Await.result(victim,
+        scala.concurrent.duration.Duration(120, "s"))
+      assert(r.isFailure, "cancelled statement must not complete")
+    } finally {
+      Privileges.clear()
+      spark.conf.unset(Privileges.TokenConf)
+      spark.conf.unset(Privileges.UserConf)
+    }
+  }
 }

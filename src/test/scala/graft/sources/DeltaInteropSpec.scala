@@ -318,4 +318,112 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(kept2 == band2Files && kept2 < total2, s"kept2 = $kept2 of $total2")
     assert(pruned2.filter(col("band") === 2).count() == 40)
   }
+
+  test("same-version remove after add: add wins regardless of line order (DV-attach shape)") {
+    val (dst, _) = exportedDelta()
+    val st = DeltaInterop.readState(spark, dst)
+    val p = st.files.head.path
+    val n0 = DeltaInterop.scan(spark, dst).count()
+    // a real DV/RESTORE commit carries remove(p, old) + add(p, new); the
+    // protocol keys state by path — line order must NOT decide liveness
+    val lines = Seq(
+      s"""{"add":{"path":"$p","partitionValues":{},"size":${st.files.head.size},"modificationTime":9,"dataChange":true,"stats":${new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(st.files.head.rawStats.get)}}}""",
+      s"""{"remove":{"path":"$p","deletionTimestamp":9,"dataChange":true}}""")
+    Files.write(Paths.get(dst, "_delta_log", f"${1L}%020d.json"),
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val st1 = DeltaInterop.readState(spark, dst)
+    assert(st1.files.exists(_.path == p), "add must win over same-version remove")
+    assert(DeltaInterop.scan(spark, dst).count() == n0)
+  }
+
+  test("checkpoint remove rows are vacuum tombstones, not state mutations") {
+    val dst = fresh("dl_cp_tomb") + "/tbl"
+    Files.createDirectories(Paths.get(dst, "_delta_log"))
+    val data = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name").coalesce(1)
+    val tmp = fresh("dl_cp_w") + "/out"
+    data.write.parquet(tmp)
+    val pf = {
+      import scala.jdk.CollectionConverters._
+      Files.list(Paths.get(tmp)).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+    }
+    Files.copy(pf, Paths.get(dst, "d1.parquet"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    // commit 0 exists (replay requires a commit chain) …
+    Files.write(Paths.get(dst, "_delta_log", f"${0L}%020d.json"),
+      (s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" + "\n" +
+        s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${com.fasterxml.jackson.databind.json.JsonMapper.builder.build.writeValueAsString(schema.json)},"partitionColumns":[],"configuration":{},"createdTime":1}}""" + "\n" +
+        s"""{"add":{"path":"d1.parquet","partitionValues":{},"size":${Files.size(Paths.get(dst, "d1.parquet"))},"modificationTime":1,"dataChange":true}}""")
+        .getBytes(StandardCharsets.UTF_8))
+    // … and a checkpoint at 0 whose parquet carries add(d1) THEN a vacuum
+    // tombstone remove(d1, null) — the order a real writer is free to emit
+    import org.apache.spark.sql.Row
+    val addType = StructType(Seq(
+      StructField("path", StringType), StructField("partitionValues",
+        MapType(StringType, StringType, true)),
+      StructField("size", LongType), StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType)))
+    val cpSchema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType), StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("createdTime", LongType)))),
+      StructField("add", addType),
+      StructField("remove", StructType(Seq(
+        StructField("path", StringType),
+        StructField("deletionTimestamp", LongType))))))
+    val rows = Seq(
+      Row(Row(1, 2), null, null, null),
+      Row(null, Row("t", schema.json, Seq.empty[String], 1L), null, null),
+      Row(null, null, Row("d1.parquet", Map.empty[String, String],
+        Files.size(Paths.get(dst, "d1.parquet")), 1L, true), null),
+      Row(null, null, null, Row("d1.parquet", 1L)))
+    val cpTmp = fresh("dl_cp_p") + "/out"
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), cpSchema)
+      .coalesce(1).write.parquet(cpTmp)
+    val cpPart = {
+      import scala.jdk.CollectionConverters._
+      Files.list(Paths.get(cpTmp)).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+    }
+    Files.copy(cpPart,
+      Paths.get(dst, "_delta_log", f"${0L}%020d.checkpoint.parquet"))
+    val st = DeltaInterop.readState(spark, dst)
+    assert(st.files.exists(_.path == "d1.parquet"),
+      "checkpoint tombstone must not drop the live file")
+    assert(DeltaInterop.scan(spark, dst).count() == 3L)
+  }
+
+  test("checkpoint after DV publish: DVs+stats+protocol survive replay-from-checkpoint") {
+    val (dst, _) = exportedDelta()
+    val st = DeltaInterop.readState(spark, dst)
+    val victims = spark.read.parquet(st.files.map(f => s"$dst/${f.path}"): _*)
+      .selectExpr("id", "_metadata.file_path AS fp", "_metadata.row_index AS pos")
+      .filter(col("id") <= 10).collect()
+    val byFile: Map[String, Seq[Long]] = victims
+      .groupBy(r => st.files.map(_.path).find(p => r.getString(1).endsWith(p)).get)
+      .map { case (p, rs) => p -> rs.map(_.getLong(2)).toSeq }
+    val v1 = DeltaInterop.publishDeletionVectors(spark, dst, byFile)
+    DeltaInterop.writeCheckpoint(spark, dst, v1)
+    // drop every JSON commit the checkpoint covers: state must come from
+    // the checkpoint parquet alone (one empty commitInfo-only commit after
+    // it keeps the log non-empty, like a real vacuumed table)
+    (0L to v1).foreach(v =>
+      Files.deleteIfExists(Paths.get(dst, "_delta_log", f"$v%020d.json")))
+    Files.write(Paths.get(dst, "_delta_log", f"${v1 + 1}%020d.json"),
+      """{"commitInfo":{"operation":"VACUUM"}}""".getBytes(StandardCharsets.UTF_8))
+    val re = DeltaInterop.readState(spark, dst)
+    assert(re.protocol.minReader == 3 && re.protocol.minWriter == 7,
+      s"protocol downgraded by checkpoint: ${re.protocol}")
+    assert(re.protocol.readerFeatures.contains("deletionVectors"))
+    assert(re.files.exists(_.dv.isDefined), "DV descriptors lost in checkpoint")
+    assert(re.files.forall(_.rawStats.isDefined), "stats lost in checkpoint")
+    val back = DeltaInterop.scan(spark, dst)
+    assert(back.count() == 90L, s"DV-deleted rows resurrected: ${back.count()}")
+    assert(back.filter(col("id") <= 10).count() == 0L)
+  }
 }

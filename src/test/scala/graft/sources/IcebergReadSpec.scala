@@ -311,4 +311,60 @@ class IcebergReadSpec extends AnyFunSuite {
     assert(IcebergRead.scan(spark, dst).count() == 180L,
       "an equal-sequence equality delete must not apply (strict less-than)")
   }
+
+  test("partition-scoped equality delete applies ONLY inside its partition") {
+    // grp = id % 4 → grp 1 holds ids 1,5,9,…; band = (id-1)/50 repeats the
+    // SAME grp values across bands. Delete tuple grp-scoped: matching
+    // values in other partitions must stay live (the Flink CDC shape the
+    // spec's "same partition" rule exists for).
+    val (dst, _) = exported(partitionBy = Seq("grp"))
+    assert(IcebergRead.scan(spark, dst).count() == 180L)
+    import spark.implicits._
+    // equality columns (band): band=0 rows exist in EVERY grp partition
+    val v = LakeExport.publishEqualityDeletes(spark, dst,
+      Seq("band"), Seq(0).toDF("band"), scope = Seq("grp" -> Int.box(1)))
+    val after = IcebergRead.scan(spark, dst)
+    // in-scope: grp=1 ∧ band=0 rows gone
+    assert(after.filter(col("grp") === 1 && col("band") === 0).count() == 0L,
+      "scoped delete must clear the tuple inside its partition")
+    // out-of-scope: band=0 rows in every OTHER grp survive untouched
+    val outOfScope = after.filter(col("grp") =!= 1 && col("band") === 0).count()
+    val expectedOut = (1 to 180).count(i => i % 4 != 1 && (i - 1) / 50 == 0)
+    assert(outOfScope == expectedOut.toLong,
+      s"out-of-partition tuples wrongly deleted: $outOfScope != $expectedOut")
+    val inScope = (1 to 180).count(i => i % 4 == 1 && (i - 1) / 50 == 0)
+    assert(after.count() == (180 - inScope).toLong)
+    // the TVF serves the scoped snapshot too
+    assert(spark.sql(s"SELECT count(*) FROM iceberg_scan('$dst', $v)")
+      .collect().head.getLong(0) == (180 - inScope).toLong)
+  }
+
+  test("non-identity partition-scoped equality delete is refused, not applied table-wide") {
+    val (dst, _) = exported(partitionBy = Seq("grp"))
+    import spark.implicits._
+    LakeExport.publishEqualityDeletes(spark, dst,
+      Seq("band"), Seq(0).toDF("band"), scope = Seq("grp" -> Int.box(1)))
+    // doctor the delete manifest's spec metadata: identity → bucket[4]
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(Paths.get(dst, "metadata"))
+    val dm =
+      try s.iterator().asScala.find(_.getFileName.toString.contains("-del-m0")).get
+      finally s.close()
+    val reader = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+      dm.toFile, new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    val (entries, specMeta) =
+      try (reader.iterator().asScala.toVector, reader.getMetaString("partition-spec"))
+      finally reader.close()
+    val w = new org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord](
+      new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](
+        entries.head.getSchema))
+    w.setMeta("format-version", "2")
+    w.setMeta("content", "deletes")
+    w.setMeta("partition-spec", specMeta.replace("\"identity\"", "\"bucket[4]\""))
+    w.setMeta("partition-spec-id", "0")
+    w.create(entries.head.getSchema, dm.toFile)
+    try entries.foreach(w.append) finally w.close()
+    val e = intercept[Exception](IcebergRead.scan(spark, dst).collect())
+    assert(e.getMessage.contains("non-identity transform"), e.getMessage)
+  }
 }

@@ -139,4 +139,30 @@ class LakeExportSpec extends AnyFunSuite {
     assert(pruned.filter(col("s").between("aaaaaaaaaaaaaaaaz005", "aaaaaaaaaaaaaaaaz010"))
       .count() == 6L)
   }
+
+  test("truncated upper bound at U+D7FF skips the surrogate range (U+E000, never '?')") {
+    import spark.implicits._
+    val src = fresh("lake_exp_surr")
+    // 16th code point is U+D7FF: a naive +1 lands on the unpaired
+    // surrogate U+D800, which UTF-8-encodes as '?' (0x3F) — an upper
+    // bound BELOW the data. The spec rounding jumps to U+E000.
+    val base = "a" * 15 + "\uD7FF"
+    val df = (1 to 20).map(i => (i.toLong, base + f"z$i%03d")).toDF("id", "s")
+    SnapshotTable.create(spark, src, df)
+    val dst = fresh("lake_exp_surr_dst") + "/tree"
+    LakeExport.exportTo(spark, src, dst)
+    val meta = IcebergRead.loadMetadata(dst)
+    val sId = meta.fieldIdOf("s")
+    IcebergRead.dataFiles(meta).foreach { f =>
+      val upper = new String(f.upper(sId), "UTF-8")
+      assert(upper == "a" * 15 + "\uE000",
+        s"expected U+E000 bump, got ${upper.map(c => f"U+${c.toInt}%04X").mkString(",")}")
+      assert(upper > base + "z999", "bound must sort above every value")
+    }
+    val (pruned, kept, total) = IcebergRead.scanPruned(spark, dst, "s",
+      Some(base + "z005"), Some(base + "z010"))
+    assert(kept == total, "files holding matching rows must survive pruning")
+    assert(pruned.filter(col("s").between(base + "z005", base + "z010"))
+      .count() == 6L)
+  }
 }
