@@ -56,6 +56,29 @@ object Bridge {
   def waitListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
 
+  /** Arrow schema of a DataFrame's result, using the session's timezone
+    * and large-var-types settings (both `private[sql]` conf entries) so
+    * the schema agrees bit-for-bit with the batches
+    * [[arrowBatches]] produces. */
+  def arrowSchema(df: org.apache.spark.sql.DataFrame)
+      : org.apache.arrow.vector.types.pojo.Schema = {
+    val ds = df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+    val conf = ds.sparkSession.sessionState.conf
+    org.apache.spark.sql.util.ArrowUtils.toArrowSchema(
+      ds.schema, conf.sessionLocalTimeZone,
+      errorOnDuplicatedFieldNames = true, largeVarTypes = conf.arrowUseLargeVarTypes)
+  }
+
+  /** Result of a DataFrame as encapsulated Arrow IPC RecordBatch
+    * messages ([continuation][len][flatbuffer][body] framing), one
+    * element per produced batch, streamed partition-by-partition
+    * (`Dataset.toArrowBatchRdd` is `private[sql]`). This is the columnar
+    * result path a wire protocol serves without ever materializing rows
+    * on the driver. */
+  def arrowBatches(df: org.apache.spark.sql.DataFrame): Iterator[Array[Byte]] =
+    df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+      .toArrowBatchRdd.toLocalIterator
+
   def createLocalSpillFile(): java.io.File = {
     val env = org.apache.spark.SparkEnv.get
     if (env != null && env.blockManager != null)
