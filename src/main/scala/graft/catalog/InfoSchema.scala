@@ -126,10 +126,11 @@ object InfoSchema {
       StructField("shuffle_bytes", LongType, nullable = false),
       StructField("error", StringType, nullable = false),
       StructField("plan_root", StringType, nullable = false),
-      StructField("timestamp_ms", LongType, nullable = false))),
+      StructField("timestamp_ms", LongType, nullable = false),
+      StructField("user_name", StringType, nullable = false))),
       () => QueryHistory.records
         .map(r => Row(r.id, r.action, r.status, r.durationMs, r.outputRows,
-          r.shuffleBytes, r.error, r.plan, r.tsMs)))
+          r.shuffleBytes, r.error, r.plan, r.tsMs, r.userName)))
 
   /** sys.join_analysis (reference per-job `JoinAnalysis` —
     * `JobsBasedRecommender.java:108` consumes it): every equi-join a

@@ -24,7 +24,10 @@ final case class QueryRecord(
     shuffleBytes: Long,
     error: String,
     plan: String, // one-line physical summary
-    tsMs: Long)
+    tsMs: Long,
+    // authenticated principal of the issuing session, "" when anonymous
+    // — wire statements (Thrift/Connect/REST/Flight) carry their user
+    userName: String = "")
 
 /** One equi-join a successful query actually ran, resolved to its base
   * tables — the Spark-native seat of the reference's per-job
@@ -77,10 +80,20 @@ object QueryHistory {
     java.util.Collections.newSetFromMap(
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
-  /** Register the listener once per session (idempotent). */
-  def install(spark: SparkSession): Unit =
-    if (installed.add(spark))
-      spark.listenerManager.register(new Listener)
+  /** Register the listener once per session (idempotent). Sessions built
+    * by [[graft.engine.GraftSession.configure]] already instantiate
+    * [[QueryHistoryListener]] through the `spark.sql.queryExecutionListeners`
+    * conf — that path covers EVERY cloned wire session (Thrift, Connect,
+    * REST, Flight) automatically, so install() must not double-register
+    * there (each action would be recorded twice). */
+  def install(spark: SparkSession): Unit = {
+    val viaConf =
+      try spark.conf.get("spark.sql.queryExecutionListeners", "")
+        .contains("QueryHistoryListener")
+      catch { case _: Exception => false }
+    if (!viaConf && installed.add(spark))
+      spark.listenerManager.register(new QueryHistoryListener)
+  }
 
   def records: Seq[QueryRecord] = ring.iterator().asScala.toVector
 
@@ -98,12 +111,9 @@ object QueryHistory {
 
   private[catalog] def clear(): Unit = { ring.clear(); joinRing.clear(); profiles.clear() }
 
-  private final class Listener extends QueryExecutionListener {
-    override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-      push(funcName, qe, durationNs, None)
-    override def onFailure(funcName: String, qe: QueryExecution, ex: Exception): Unit =
-      push(funcName, qe, 0L, Some(ex))
-  }
+  private[catalog] def record(funcName: String, qe: QueryExecution,
+                              durationNs: Long, err: Option[Exception]): Unit =
+    push(funcName, qe, durationNs, err)
 
   /** Final physical plan nodes, descending through AQE wrappers so metrics
     * reflect what actually ran. Each node appears exactly once: an AQE /
@@ -116,6 +126,10 @@ object QueryHistory {
     case other => other +: other.children.flatMap(finalPlans)
   }
 
+  private def principal(qe: QueryExecution): String =
+    try graft.auth.Privileges.principalOf(qe.sparkSession).map(_.name).getOrElse("")
+    catch { case _: Throwable => "" }
+
   private def push(action: String, qe: QueryExecution,
                    durationNs: Long, err: Option[Exception]): Unit = {
     val rec = try {
@@ -127,13 +141,13 @@ object QueryHistory {
         if (err.isEmpty) "SUCCESS" else "FAILURE",
         durationNs / 1e6, rows, shuffled,
         err.map(e => String.valueOf(e.getMessage).take(500)).getOrElse(""),
-        qe.executedPlan.nodeName, System.currentTimeMillis())
+        qe.executedPlan.nodeName, System.currentTimeMillis(), principal(qe))
     } catch {
       case _: Throwable => // a half-built plan (early analysis failure)
         QueryRecord(ids.incrementAndGet(), action,
           if (err.isEmpty) "SUCCESS" else "FAILURE", durationNs / 1e6, -1L, 0L,
           err.map(e => String.valueOf(e.getMessage).take(500)).getOrElse(""),
-          "", System.currentTimeMillis())
+          "", System.currentTimeMillis(), principal(qe))
     }
     ring.addFirst(rec)
     while (ring.size() > MaxEntries) ring.pollLast()
@@ -213,4 +227,16 @@ object QueryHistory {
               pairs.map(_._1._2), pairs.map(_._2._2), ts)
           }
     }.flatten
+}
+
+/** Zero-arg [[QueryExecutionListener]] for the
+  * `spark.sql.queryExecutionListeners` conf: Spark instantiates one per
+  * NEW session (cloned wire sessions included), all feeding the shared
+  * [[QueryHistory]] ring — the jobs service is wire-first, like the
+  * reference's. */
+final class QueryHistoryListener extends QueryExecutionListener {
+  override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+    QueryHistory.record(funcName, qe, durationNs, None)
+  override def onFailure(funcName: String, qe: QueryExecution, ex: Exception): Unit =
+    QueryHistory.record(funcName, qe, 0L, Some(ex))
 }

@@ -113,6 +113,12 @@ object GraftSession {
     // (many micro-batches under AvailableNow)
     .config("spark.sql.streaming.numRecentProgressUpdates", "10000")
     .config("spark.sql.ui.explainMode", "formatted")
+    // Jobs service is wire-first (reference LocalJobsService): EVERY
+    // session over this context — Thrift, Connect, REST, Flight clones
+    // included — instantiates the history listener at creation, so their
+    // statements land in the sys_queries ring with their principals.
+    .config("spark.sql.queryExecutionListeners",
+      "graft.catalog.QueryHistoryListener")
   }
 
   /** Local session for tests / ad-hoc runs. */

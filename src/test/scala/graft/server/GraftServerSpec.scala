@@ -155,6 +155,37 @@ class GraftServerSpec extends AnyFunSuite {
     }
   }
 
+  test("wire statements land in sys_queries with their principal (jobs service is wire-first)") {
+    import graft.auth.Privileges
+    Privileges.clear()
+    try {
+      spark.sql("CREATE USER hist_user PASSWORD 'hp'")
+      val before = graft.catalog.QueryHistory.records.map(_.id).toSet
+      withConnection { conn =>
+        val st = conn.createStatement()
+        st.execute("AUTHENTICATE USER hist_user PASSWORD 'hp'")
+        assert(fetch(st, s"SELECT count(*) AS n FROM parquet.`$sf/nation.parquet`")
+          == Seq(Seq("25")))
+        st.close()
+      }
+      val fresh = graft.catalog.QueryHistory.records.filterNot(r => before(r.id))
+      val mine = fresh.filter(_.userName == "hist_user")
+      assert(mine.nonEmpty,
+        s"no history record for the wire principal; fresh: ${fresh.map(r => (r.action, r.userName)).take(10)}")
+      val r = mine.head
+      assert(r.status == "SUCCESS" && r.durationMs >= 0.0 && r.tsMs > 0)
+      // and the sys view serves the principal column
+      graft.catalog.InfoSchema.register(spark)
+      val viewRows = spark.sql(
+        "SELECT user_name FROM sys_queries WHERE user_name = 'hist_user'").collect()
+      assert(viewRows.nonEmpty)
+    } finally {
+      Privileges.clear()
+      spark.conf.unset(Privileges.TokenConf)
+      spark.conf.unset(Privileges.UserConf)
+    }
+  }
+
   test("row policies and USE BRANCH discriminate principals per wire session") {
     import graft.auth.{Policies, Privileges}
     Privileges.clear(); Policies.clear()
