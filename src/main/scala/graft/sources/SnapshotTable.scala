@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.ObjectMapper
@@ -81,7 +80,7 @@ final case class LakeCommit(
 final class SnapshotTable private (spark: SparkSession, val dir: String) {
   import SnapshotTable._
 
-  private def logDir: Path = Paths.get(dir, LogDirName)
+  private def logDir: LakeIO.LPath = LakeIO.path(dir, LogDirName)
 
   /** Full commit log, resolved with two scalability devices (the Delta/
     * Iceberg metadata model — current-pointer + checkpoints — re-expressed
@@ -98,25 +97,21 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     * The log is append-only and data files are immutable, so cache entries
     * can never go stale: a longer log always extends a shorter prefix. */
   def commits: Seq[LakeCommit] =
-    if (!Files.isDirectory(logDir)) Nil
+    if (!LakeIO.isDirectory(logDir)) Nil
     else {
-      val s = Files.list(logDir)
-      val names =
-        try s.iterator.asScala.map(_.getFileName.toString)
-          .filter(_.matches("v\\d{8}\\.json")).toVector.sorted
-        finally s.close()
+      val names = LakeIO.listNames(logDir)
+        .filter(_.matches("v\\d{8}\\.json")).sorted
       if (names.isEmpty) Nil
       else {
         val key = logDir.toString
         def stat(n: String): (Long, Long) =
-          try {
-            val p = logDir.resolve(n)
-            // nanosecond mtime where the FS provides it (ext4/xfs do) —
-            // millisecond granularity could validate a same-size commit
-            // file recreated within the same tick
-            (Files.size(p),
-              Files.getLastModifiedTime(p).to(java.util.concurrent.TimeUnit.NANOSECONDS))
-          } catch { case _: java.io.IOException => (-1L, -1L) }
+          try
+            // nanosecond mtime where the FS provides it (ext4/xfs do;
+            // Hadoop-backed stores report milliseconds) — coarse
+            // granularity could validate a same-size commit file
+            // recreated within the same tick
+            LakeIO.sizeAndMtimeNanos(logDir.resolve(n))
+          catch { case _: java.io.IOException => (-1L, -1L) }
         val prefix: Vector[LakeCommit] = Option(SnapshotTable.logCache.get(key)) match {
           case Some((last, lastSize, lastMtime, vec)) if vec.size <= names.size &&
             names.lift(vec.size - 1).contains(last) &&
@@ -125,7 +120,7 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
         }
         val fresh = names.drop(prefix.size).map { n =>
           commitFilesParsed.incrementAndGet()
-          parseCommit(new String(Files.readAllBytes(logDir.resolve(n)), "UTF-8"))
+          parseCommit(LakeIO.readString(logDir.resolve(n)))
         }
         val all = prefix ++ fresh
         if (fresh.nonEmpty) {
@@ -140,17 +135,14 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     * (a checkpoint beyond the listing would mean a listing race — fall back
     * to replaying commit files, which is always correct). */
   private def checkpointPrefix(liveCount: Int): Vector[LakeCommit] = {
-    val s = Files.list(logDir)
-    val ckpts =
-      try s.iterator.asScala.map(_.getFileName.toString)
-        .filter(_.matches("ckpt-v\\d{8}\\.json")).toVector.sorted
-      finally s.close()
+    val ckpts = LakeIO.listNames(logDir)
+      .filter(_.matches("ckpt-v\\d{8}\\.json")).sorted
     ckpts.reverseIterator
       .flatMap { n =>
         // a checkpoint deleted by a concurrent writer's cleanup between the
         // listing and this read is simply skipped — older ones / raw
         // commits still serve
-        try Some(parseCheckpoint(new String(Files.readAllBytes(logDir.resolve(n)), "UTF-8")))
+        try Some(parseCheckpoint(LakeIO.readString(logDir.resolve(n))))
         catch { case _: java.io.IOException => None }
       }
       .find(cs => cs.size <= liveCount && cs.lastOption.forall(_.version == cs.size))
@@ -689,38 +681,32 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       s"ref name must be alphanumeric/_/./- : '$name'")
 
   def listRefs: Seq[SnapshotTable.LakeRef] =
-    if (!Files.isDirectory(logDir)) Nil
-    else {
-      val s = Files.list(logDir)
-      val names =
-        try s.iterator.asScala.map(_.getFileName.toString)
-          .filter(n => n.startsWith("ref-") && n.endsWith(".json")).toVector.sorted
-        finally s.close()
-      names.flatMap { n =>
+    if (!LakeIO.isDirectory(logDir)) Nil
+    else LakeIO.listNames(logDir)
+      .filter(n => n.startsWith("ref-") && n.endsWith(".json")).sorted
+      .flatMap { n =>
         // a ref dropped between the listing and this read is simply gone
-        try Some(SnapshotTable.parseRef(
-          new String(Files.readAllBytes(logDir.resolve(n)), "UTF-8")))
+        try Some(SnapshotTable.parseRef(LakeIO.readString(logDir.resolve(n))))
         catch { case _: java.io.IOException => None }
       }
-    }
 
   def getRef(name: String): SnapshotTable.LakeRef = {
     requireRefName(name)
-    require(Files.exists(refPath(name)), s"no branch or tag '$name' in $dir")
-    SnapshotTable.parseRef(new String(Files.readAllBytes(refPath(name)), "UTF-8"))
+    require(LakeIO.exists(refPath(name)), s"no branch or tag '$name' in $dir")
+    SnapshotTable.parseRef(LakeIO.readString(refPath(name)))
   }
 
   private def createRef(name: String, refType: String, atVersion: Option[Long]): SnapshotTable.LakeRef =
     withCommitLock {
       requireRefName(name)
-      require(!Files.exists(refPath(name)), s"ref '$name' already exists in $dir")
+      require(!LakeIO.exists(refPath(name)), s"ref '$name' already exists in $dir")
       val current = latestVersion
       require(current > 0, s"cannot create a $refType on empty lake table $dir")
       val base = atVersion.getOrElse(current)
       require(base >= 1 && base <= current,
         s"$refType base v$base out of range [1, $current] in $dir")
       val ref = SnapshotTable.LakeRef(name, refType, base)
-      Files.write(refPath(name), SnapshotTable.renderRef(ref).getBytes("UTF-8"))
+      LakeIO.writeString(refPath(name), SnapshotTable.renderRef(ref))
       ref
     }
 
@@ -742,16 +728,12 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     val current = latestVersion
     require(toVersion >= 1 && toVersion <= current,
       s"ASSIGN ${old.refType.toUpperCase} $name: v$toVersion out of range [1, $current] in $dir")
-    if (old.refType == "branch") {
-      val s = Files.list(logDir)
-      try s.iterator.asScala
-        .filter(_.getFileName.toString.matches(
-          s"br-${java.util.regex.Pattern.quote(name)}-v\\d{8}\\.json"))
-        .foreach(Files.deleteIfExists(_))
-      finally s.close()
-    }
+    if (old.refType == "branch")
+      LakeIO.listNames(logDir)
+        .filter(_.matches(s"br-${java.util.regex.Pattern.quote(name)}-v\\d{8}\\.json"))
+        .foreach(n => LakeIO.deleteIfExists(logDir.resolve(n)))
     val ref = old.copy(baseVersion = toVersion)
-    Files.write(refPath(name), SnapshotTable.renderRef(ref).getBytes("UTF-8"))
+    LakeIO.writeString(refPath(name), SnapshotTable.renderRef(ref))
     ref
   }
 
@@ -759,25 +741,19 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     * data files become unreferenced and are reclaimed by vacuum(). */
   def dropRef(name: String): Unit = withCommitLock {
     requireRefName(name)
-    require(Files.exists(refPath(name)), s"no branch or tag '$name' in $dir")
-    Files.deleteIfExists(refPath(name))
-    val s = Files.list(logDir)
-    try s.iterator.asScala
-      .filter(_.getFileName.toString.matches(s"br-${java.util.regex.Pattern.quote(name)}-v\\d{8}\\.json"))
-      .foreach(Files.deleteIfExists(_))
-    finally s.close()
+    require(LakeIO.exists(refPath(name)), s"no branch or tag '$name' in $dir")
+    LakeIO.deleteIfExists(refPath(name))
+    LakeIO.listNames(logDir)
+      .filter(_.matches(s"br-${java.util.regex.Pattern.quote(name)}-v\\d{8}\\.json"))
+      .foreach(n => LakeIO.deleteIfExists(logDir.resolve(n)))
   }
 
   /** The branch's own commit chain (versions continue from the fork base). */
-  private def branchCommits(name: String): Vector[LakeCommit] = {
-    val s = Files.list(logDir)
-    val names =
-      try s.iterator.asScala.map(_.getFileName.toString)
-        .filter(_.matches(s"br-${java.util.regex.Pattern.quote(name)}-v\\d{8}\\.json"))
-        .toVector.sorted
-      finally s.close()
-    names.map(n => parseCommit(new String(Files.readAllBytes(logDir.resolve(n)), "UTF-8")))
-  }
+  private def branchCommits(name: String): Vector[LakeCommit] =
+    LakeIO.listNames(logDir)
+      .filter(_.matches(s"br-${java.util.regex.Pattern.quote(name)}-v\\d{8}\\.json"))
+      .sorted
+      .map(n => parseCommit(LakeIO.readString(logDir.resolve(n))))
 
   /** Full commit view of a ref: main prefix up to the fork base, plus (for
     * branches) the branch chain. */
@@ -813,7 +789,7 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     val partitionBy = spec.flatMap(s => scala.util.Try(PartitionTransform.parse(s)).toOption)
     val (files, stats) = writeDataFiles(df, partitionBy, stCols, sortBy)
     withCommitLock {
-      require(Files.exists(refPath(name)), s"branch '$name' was dropped mid-write")
+      require(LakeIO.exists(refPath(name)), s"branch '$name' was dropped mid-write")
       val log = refLog(ref)
       val v = log.lastOption.map(_.version).getOrElse(0L) + 1
       val minTs = log.lastOption.map(_.timestampMs).getOrElse(0L)
@@ -821,12 +797,12 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       val ids = assignFieldIds(df.schema.fieldNames.toSeq, prevIds, maxEver)
       val c = LakeCommit(v, "append", math.max(System.currentTimeMillis(), minTs),
         df.schema.toDDL, files, stats, "", ids, spec, stCols, sortBy)
-      val tmp = logDir.resolve(branchCommitFile(name, v).getFileName.toString +
+      val tmp = logDir.resolve(branchCommitFile(name, v).fileName +
         "." + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
       try {
-        Files.write(tmp, SnapshotTable.renderCommit(c).getBytes("UTF-8"))
-        Files.move(tmp, branchCommitFile(name, v), StandardCopyOption.ATOMIC_MOVE)
-      } finally Files.deleteIfExists(tmp)
+        LakeIO.writeString(tmp, SnapshotTable.renderCommit(c))
+        LakeIO.atomicMove(tmp, branchCommitFile(name, v))
+      } finally LakeIO.deleteIfExists(tmp)
       v
     }
   }
@@ -1188,35 +1164,30 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     val referenced: Set[String] =
       keptVersions.flatMap(v => snapshot(Some(v))._1).toSet ++ refFiles
     val cutoff = System.currentTimeMillis() - graceMs
-    val dataFiles = {
-      val s = Files.walk(Paths.get(dir))
-      try s.iterator.asScala
-        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-        .filter(p => !p.startsWith(logDir))
-        .filter { p =>
-          // a file deleted by a concurrent vacuum between walk and stat is
-          // simply no longer our problem — skip, don't abort
-          try Files.getLastModifiedTime(p).toMillis < cutoff
-          catch { case _: java.nio.file.NoSuchFileException => false }
-        }
-        .map(_.toString).toVector
-      finally s.close()
-    }
+    val root = LakeIO.path(dir)
+    val dataFiles = LakeIO.walkParquet(root)
+      .filter(p => !p.raw.startsWith(logDir.raw + "/"))
+      .filter { p =>
+        // a file deleted by a concurrent vacuum between walk and stat is
+        // simply no longer our problem — skip, don't abort
+        try LakeIO.mtimeMillis(p) < cutoff
+        catch { case _: java.io.IOException => false
+                case _: java.io.UncheckedIOException => false }
+      }
+      .map(_.raw)
     val doomed = dataFiles.filterNot(referenced.contains)
-    doomed.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    doomed.foreach(p => LakeIO.deleteIfExists(LakeIO.path(p)))
     // also sweep staging leftovers from writers that died pre-publish
     // (UUID-named *.tmp in the log dir), under the same grace window
-    if (Files.isDirectory(logDir)) {
-      val s = Files.list(logDir)
-      try s.iterator.asScala
-        .filter(_.getFileName.toString.endsWith(".tmp"))
-        .filter { p =>
-          try Files.getLastModifiedTime(p).toMillis < cutoff
-          catch { case _: java.nio.file.NoSuchFileException => false }
+    if (LakeIO.isDirectory(logDir))
+      LakeIO.listNames(logDir)
+        .filter(_.endsWith(".tmp"))
+        .filter { n =>
+          try LakeIO.mtimeMillis(logDir.resolve(n)) < cutoff
+          catch { case _: java.io.IOException => false
+                  case _: java.io.UncheckedIOException => false }
         }
-        .foreach(Files.deleteIfExists(_))
-      finally s.close()
-    }
+        .foreach(n => LakeIO.deleteIfExists(logDir.resolve(n)))
     spark.catalog.refreshByPath(dir)
     doomed
   }
@@ -1379,7 +1350,7 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
                      // (OPTIMIZE ... ORDER BY on a partitioned table)
                      sortCols: Seq[String] = Nil): Long = {
     val (files, stats) = writeDataFiles(df, partitionBy, statsCols, sortCols)
-    Files.createDirectories(logDir)
+    LakeIO.createDirectories(logDir)
     // Publish under a single short-lived commit lock. Data files are
     // already on disk, so the lock covers only the (tag re-check → version
     // claim → json publish) critical section, which (a) linearizes
@@ -1452,7 +1423,7 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
         else distributed.sortWithinPartitions((names ++ sortCols).map(col): _*)
       clustered.write.partitionBy(names: _*).parquet(s"$dir/$sub")
     }
-    val dataDir = Paths.get(dir, sub)
+    val dataDir = LakeIO.path(dir, sub)
     // A layout with exactly ONE bucket transform stamps each staged file
     // with its Spark bucket id (`part-..._00003.parquet`): the directory's
     // partition value IS Spark's bucket id, because BucketT.column is
@@ -1468,24 +1439,19 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     } match {
       case Seq((_, bi)) =>
         val pre = s"__gp_$bi="
-        val s = Files.walk(dataDir)
-        try s.iterator.asScala
-          .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-          .toVector
-          .foreach { p =>
-            val id = p.iterator.asScala.map(_.toString)
-              .find(_.startsWith(pre)).map(_.substring(pre.length))
-              .filter(v => v.nonEmpty && v.forall(_.isDigit))
-            id.foreach { v =>
-              val base = p.getFileName.toString
-              val dot = base.indexOf('.')
-              val renamed = base.substring(0, dot) +
-                org.apache.spark.sql.graft.Bridge.bucketSuffix(v.toInt) +
-                base.substring(dot)
-              Files.move(p, p.resolveSibling(renamed))
-            }
+        LakeIO.walkParquet(dataDir).foreach { p =>
+          val id = p.raw.split('/')
+            .find(_.startsWith(pre)).map(_.substring(pre.length))
+            .filter(v => v.nonEmpty && v.forall(_.isDigit))
+          id.foreach { v =>
+            val base = p.fileName
+            val dot = base.indexOf('.')
+            val renamed = base.substring(0, dot) +
+              org.apache.spark.sql.graft.Bridge.bucketSuffix(v.toInt) +
+              base.substring(dot)
+            LakeIO.renameSibling(p, renamed)
           }
-        finally s.close()
+        }
       case _ => ()
     }
     // (relative path -> (size bytes, mtime ms)) captured in the same walk:
@@ -1496,13 +1462,13 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     // it, a 10^6-file snapshot paid 10^6 sequential namenode calls per
     // cold scan.
     val fileMeta: Map[String, (Long, Long)] = {
-      val s = Files.walk(dataDir)
-      try s.iterator.asScala
-        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-        .map(p => Paths.get(dir).relativize(p).toString ->
-          (Files.size(p), Files.getLastModifiedTime(p).toMillis))
+      val root = LakeIO.path(dir)
+      LakeIO.walkParquet(dataDir)
+        .map { p =>
+          val (sz, mtNs) = LakeIO.sizeAndMtimeNanos(p)
+          LakeIO.relativize(root, p) -> (sz, mtNs / 1000000L)
+        }
         .toMap
-      finally s.close()
     }
     val files = fileMeta.keysIterator.toVector.sorted // partitioned commits nest dirs per value
     // Per-file row counts from the parquet FOOTERS (driver-side metadata
@@ -1581,9 +1547,9 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     val tmp = logDir.resolve(
       f"v$v%08d.json." + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
     try {
-      Files.write(tmp, renderCommit(c).getBytes("UTF-8"))
-      Files.move(tmp, logDir.resolve(f"v$v%08d.json"), StandardCopyOption.ATOMIC_MOVE)
-    } finally Files.deleteIfExists(tmp) // no-op after a successful move
+      LakeIO.writeString(tmp, renderCommit(c))
+      LakeIO.atomicMove(tmp, logDir.resolve(f"v$v%08d.json"))
+    } finally LakeIO.deleteIfExists(tmp) // no-op after a successful move
     // periodic checkpoint (still inside the commit lock, so the full log is
     // exactly priorLog + this commit): one file replacing v reads at cold
     // start. A crash between commit and checkpoint only skips the
@@ -1592,20 +1558,14 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       val ckTmp = logDir.resolve(
         f"ckpt-v$v%08d.json." + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
       try {
-        Files.write(ckTmp, renderCheckpoint(priorLog :+ c).getBytes("UTF-8"))
-        Files.move(ckTmp, logDir.resolve(f"ckpt-v$v%08d.json"),
-          StandardCopyOption.ATOMIC_MOVE)
+        LakeIO.writeString(ckTmp, renderCheckpoint(priorLog :+ c))
+        LakeIO.atomicMove(ckTmp, logDir.resolve(f"ckpt-v$v%08d.json"))
         // superseded checkpoints are pure redundancy (each holds the whole
         // prefix) — drop them so checkpoint storage stays O(log), not O(log²)
-        val s = Files.list(logDir)
-        try s.iterator.asScala
-          .filter { p =>
-            val n = p.getFileName.toString
-            n.matches("ckpt-v\\d{8}\\.json") && n < f"ckpt-v$v%08d.json"
-          }
-          .foreach(Files.deleteIfExists(_))
-        finally s.close()
-      } finally Files.deleteIfExists(ckTmp)
+        LakeIO.listNames(logDir)
+          .filter(n => n.matches("ckpt-v\\d{8}\\.json") && n < f"ckpt-v$v%08d.json")
+          .foreach(n => LakeIO.deleteIfExists(logDir.resolve(n)))
+      } finally LakeIO.deleteIfExists(ckTmp)
     }
     v
   }
@@ -1618,22 +1578,8 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     * OverlappingFileLockException. (NFS caveat: advisory locks there are
     * only as good as the NFS lock manager; object-store deployments should
     * back the log with a catalog service, as Iceberg does.) */
-  private def withCommitLock[T](body: => T): T = {
-    import java.nio.file.StandardOpenOption.{CREATE, WRITE}
-    // resolve symlinks/.. so aliased paths to the same table share one
-    // monitor (two aliases would otherwise race to the OS lock and the
-    // second would get OverlappingFileLockException instead of waiting)
-    val lockPath = logDir.toRealPath().resolve("commit.lock")
-    val monitor = SnapshotTable.jvmLocks
-      .computeIfAbsent(lockPath.toString, _ => new Object)
-    monitor.synchronized {
-      val ch = java.nio.channels.FileChannel.open(lockPath, CREATE, WRITE)
-      try {
-        val fl = ch.lock() // blocks until the OS grants exclusivity
-        try body finally fl.release()
-      } finally ch.close()
-    }
-  }
+  private def withCommitLock[T](body: => T): T =
+    LakeIO.withCommitLock(logDir)(body)
 }
 
 object SnapshotTable {
@@ -1675,8 +1621,6 @@ object SnapshotTable {
   }
   /** Checkpoint cadence: one consolidated log file per this many commits. */
   val CheckpointInterval = 100
-  private val jvmLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
   // parsed-log cache: logDir -> (latest commit file name, its size, its
   // mtime, full parsed log). Append-only log ⇒ a cached prefix is valid
   // forever — UNLESS the table is deleted and recreated at the same path:
@@ -1732,7 +1676,7 @@ object SnapshotTable {
     new SnapshotTable(spark, dir)
 
   def isLakeTable(dir: String): Boolean =
-    Files.isDirectory(Paths.get(dir, LogDirName))
+    LakeIO.isDirectory(LakeIO.path(dir, LogDirName))
 
   /** CTAS into a fresh lake table (first commit is an overwrite). A
     * create over a previously-wiped path starts a NEW incarnation — drop
@@ -1740,7 +1684,7 @@ object SnapshotTable {
     * validation in `commits` is the backstop for out-of-band wipes). */
   def create(spark: SparkSession, dir: String, df: DataFrame): SnapshotTable = {
     val t = forPath(spark, dir)
-    logCache.remove(Paths.get(dir, LogDirName).toString)
+    logCache.remove(LakeIO.path(dir, LogDirName).toString)
     t.overwrite(df)
     t
   }

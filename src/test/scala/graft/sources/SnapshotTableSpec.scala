@@ -1075,4 +1075,37 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(lx <= 8, s"x predicate read $lx of 16 lexicographically sorted files")
     assert(zy < ly, s"Z-order y pruning ($zy) not better than lexicographic ($ly)")
   }
+
+  test("commit log drives the Hadoop FileSystem API for scheme'd table paths") {
+    // the WHOLE metadata life cycle — create, append, DML, refs, time
+    // travel, checkpointless replay, vacuum — at a `file:`-scheme
+    // location: every log I/O goes through Hadoop FileSystem (LakeIO's
+    // scheme'd branch), the precondition for a lake at s3a://…/abfs://…
+    val dir = "file:" + fresh("lake_hdfs")
+    val t = SnapshotTable.create(spark, dir,
+      (1 to 100).map(i => (i.toLong, s"n_$i", i % 4)).toDF("id", "name", "grp"))
+    t.append((101 to 120).map(i => (i.toLong, s"n_$i", i % 4)).toDF("id", "name", "grp"))
+    assert(t.latestVersion == 2L)
+    assert(t.read().count() == 120L)
+    // copy-on-write DML through the scheme'd log
+    t.deleteWhere(col("id") > 110)
+    assert(t.read().count() == 110L)
+    // time travel across the scheme'd commit chain
+    assert(t.read(Some(1L)).count() == 100L)
+    assert(t.read(Some(2L)).count() == 120L)
+    // refs (write + list + read + drop) on the Hadoop path
+    t.createTag("prewipe", Some(2L))
+    assert(t.listRefs.map(_.name) == Seq("prewipe"))
+    assert(t.readRef("prewipe").count() == 120L)
+    // vacuum reclaims the DML-orphaned files without touching live ones
+    t.dropRef("prewipe")
+    val doomed = t.vacuum(retainLast = 1, graceMs = 0L)
+    assert(doomed.nonEmpty, "vacuum found nothing to reclaim after COW DML")
+    assert(t.read().count() == 110L)
+    assert(t.read().filter(col("grp") === 1).count() ===
+      (1 to 110).count(_ % 4 == 1).toLong)
+    // and SQL sees the same table through the TVF surface
+    assert(spark.sql(s"SELECT count(*) FROM lake_scan('$dir')")
+      .collect().head.getLong(0) == 110L)
+  }
 }
