@@ -81,6 +81,45 @@ object Federation {
     SELECT n_regionkey, count(*) AS n, max(n_name) AS last_name
     FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""
 
+  /** JDBC JOIN-subtree pushdown (reference ARP full-subtree pushdown,
+    * `PlannerPhase.java:171`): two tables in the SAME remote Derby
+    * database join REMOTELY — the graft Derby dialect declares
+    * `supportsJoin`, `spark.sql.optimizer.datasourceV2JoinPushdown`
+    * turns the optimizer rule on, and the plan collapses to ONE JDBC
+    * scan whose SQL is the join (FederationSpec pins the plan shape).
+    * At warehouse scale this moves the joined ANSWER instead of two
+    * whole tables. */
+  val jdbcJoinPushdown: QueryFn = (s, dir) => {
+    org.apache.spark.sql.jdbc.GraftDerbyJoinDialect.ensureRegistered
+    val t = Tables.ensure(s, dir)
+    val url = "jdbc:derby:memory:graftfedj;create=true"
+    t.nation.select(col("n_nationkey"), col("n_regionkey"), col("n_name"))
+      .write.format("jdbc")
+      .option("url", url).option("dbtable", "NATION_FJ")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .option("createTableColumnTypes", "n_name VARCHAR(64)")
+      .mode("overwrite").save()
+    t.region.select(col("r_regionkey"), col("r_name"))
+      .write.format("jdbc")
+      .option("url", url).option("dbtable", "REGION_FJ")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .option("createTableColumnTypes", "r_name VARCHAR(64)")
+      .mode("overwrite").save()
+    s.conf.set("spark.sql.catalog.graft_jdbcj",
+      "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+    s.conf.set("spark.sql.catalog.graft_jdbcj.url", url)
+    s.conf.set("spark.sql.catalog.graft_jdbcj.driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    s.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
+    s.sql("""SELECT n.n_nationkey, n.n_name, r.r_name
+             FROM graft_jdbcj.APP.NATION_FJ n
+             JOIN graft_jdbcj.APP.REGION_FJ r ON n.n_regionkey = r.r_regionkey
+             ORDER BY n.n_nationkey""")
+  }
+  val jdbcJoinPushdownSql: String = """
+    SELECT n_nationkey, n_name, r_name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    ORDER BY n_nationkey"""
+
   /** Arrow IPC easy-format round trip (reference `exec/store/easy/arrow`):
     * export a supplier selection as Arrow record-batch files with the
     * distributed writer, read them back with the distributed reader, and
@@ -104,11 +143,13 @@ object Federation {
     "hive_catalog_nation" -> hiveCatalogNation,
     "jdbc_roundtrip" -> jdbcRoundtrip,
     "jdbc_agg_pushdown" -> jdbcAggPushdown,
+    "jdbc_join_pushdown" -> jdbcJoinPushdown,
     "arrow_roundtrip" -> arrowRoundtrip)
 
   val oracle: Map[String, String] = Map(
     "hive_catalog_nation" -> hiveCatalogNationSql,
     "jdbc_roundtrip" -> jdbcRoundtripSql,
     "jdbc_agg_pushdown" -> jdbcAggPushdownSql,
+    "jdbc_join_pushdown" -> jdbcJoinPushdownSql,
     "arrow_roundtrip" -> arrowRoundtripSql)
 }

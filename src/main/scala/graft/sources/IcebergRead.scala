@@ -46,6 +46,11 @@ import org.apache.spark.sql.types._
 object IcebergRead {
 
   final case class Snapshot(id: Long, timestampMs: Long, manifestList: String)
+  /** One field of the table's default partition spec: partition-record
+    * field name, transform string (`identity`, `bucket[16]`,
+    * `truncate[4]`, `year|month|day|hour`, `void`), and the source
+    * column's name in the current schema. */
+  final case class SpecField(name: String, transform: String, srcCol: Option[String])
   final case class TableMeta(location: String,
                              schema: StructType,
                              fieldIdOf: Map[String, Int],
@@ -54,7 +59,8 @@ object IcebergRead {
                              snapshotLog: Seq[(Long, Long)], // (timestampMs, snapshotId)
                              currentSnapshotId: Option[Long],
                              properties: Map[String, String],
-                             refs: Map[String, Long] = Map.empty) // branch/tag → snapshot
+                             refs: Map[String, Long] = Map.empty, // branch/tag → snapshot
+                             specFields: Seq[SpecField] = Nil)
   final case class DataFile(path: String,
                             recordCount: Long,
                             partition: Map[String, Any],
@@ -168,9 +174,10 @@ object IcebergRead {
       val o = mapper.createObjectNode(); o.set[JsonNode]("fields", flds); o
     })
     val idToName = fieldIdOf.map(_.swap)
-    val identityCols = specJson.toSeq.flatMap(_.get("fields").elements.asScala)
-      .filter(_.get("transform").asText() == "identity")
-      .flatMap(f => idToName.get(f.get("source-id").asInt()))
+    val specFields = specJson.toSeq.flatMap(_.get("fields").elements.asScala)
+      .map(f => SpecField(f.get("name").asText(), f.get("transform").asText(),
+        idToName.get(f.get("source-id").asInt())))
+    val identityCols = specFields.filter(_.transform == "identity").flatMap(_.srcCol)
 
     val snapshots = Option(root.get("snapshots")).toSeq
       .flatMap(_.elements.asScala).map { s =>
@@ -193,7 +200,7 @@ object IcebergRead {
       .getOrElse(Map.empty)
     TableMeta(dir, schema, fieldIdOf, identityCols, snapshots, snapLog,
       Option(root.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L),
-      props, refs)
+      props, refs, specFields)
   }
 
   // ---- manifests -------------------------------------------------------
@@ -421,6 +428,160 @@ object IcebergRead {
   /** Files whose [lower, upper] range can overlap [lo, hi] (inclusive;
     * either side open). Files without bounds for the column are kept —
     * pruning must never drop a possible match. */
+  /** Iceberg's bucket-transform hash (spec Appendix B "32-bit Murmur3,
+    * x86 variant, seed 0" over the value's canonical bytes) — NOT Spark's
+    * `hash()` (different seed and int widening), so it is implemented
+    * from the public spec and pinned against the spec's own test vectors
+    * in IcebergReadSpec. int/long/date/timestamp hash as the 8-byte
+    * little-endian long; strings as UTF-8 bytes. */
+  object IcebergBucket {
+    private def murmur3(data: Array[Byte], seed: Int): Int = {
+      val c1 = 0xcc9e2d51; val c2 = 0x1b873593
+      var h = seed
+      val nBlocks = data.length / 4
+      var i = 0
+      while (i < nBlocks) {
+        val o = i * 4
+        var k = (data(o) & 0xff) | ((data(o + 1) & 0xff) << 8) |
+          ((data(o + 2) & 0xff) << 16) | ((data(o + 3) & 0xff) << 24)
+        k *= c1; k = Integer.rotateLeft(k, 15); k *= c2
+        h ^= k; h = Integer.rotateLeft(h, 13); h = h * 5 + 0xe6546b64
+        i += 1
+      }
+      var k1 = 0
+      val tail = nBlocks * 4
+      (data.length & 3) match {
+        case 3 =>
+          k1 ^= (data(tail + 2) & 0xff) << 16
+          k1 ^= (data(tail + 1) & 0xff) << 8
+          k1 ^= data(tail) & 0xff
+        case 2 =>
+          k1 ^= (data(tail + 1) & 0xff) << 8
+          k1 ^= data(tail) & 0xff
+        case 1 => k1 ^= data(tail) & 0xff
+        case _ => ()
+      }
+      if ((data.length & 3) != 0) {
+        k1 *= c1; k1 = Integer.rotateLeft(k1, 15); k1 *= c2; h ^= k1
+      }
+      h ^= data.length
+      h ^= h >>> 16; h *= 0x85ebca6b; h ^= h >>> 13; h *= 0xc2b2ae35; h ^= h >>> 16
+      h
+    }
+    private def longBytes(v: Long): Array[Byte] =
+      java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(v).array()
+    def hash(v: Any): Int = v match {
+      case i: Int => murmur3(longBytes(i.toLong), 0)
+      case l: Long => murmur3(longBytes(l), 0)
+      case s: String => murmur3(s.getBytes(StandardCharsets.UTF_8), 0)
+      case d: java.sql.Date => murmur3(longBytes(d.toLocalDate.toEpochDay), 0)
+      case d: java.time.LocalDate => murmur3(longBytes(d.toEpochDay), 0)
+      case other => throw new IllegalArgumentException(
+        s"iceberg bucket: unsupported value type ${other.getClass.getName}")
+    }
+    def bucket(v: Any, n: Int): Int = (hash(v) & Integer.MAX_VALUE) % n
+  }
+
+  private val BucketRe = """bucket\[(\d+)\]""".r
+  private val TruncateRe = """truncate\[(\d+)\]""".r
+
+  /** Driver-side ordinal of a time transform for a predicate literal. */
+  private def timeOrdinal(transform: String, v: Any): Option[Long] = {
+    def epochDay: Option[Long] = v match {
+      case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+      case d: java.time.LocalDate => Some(d.toEpochDay)
+      case t: java.sql.Timestamp =>
+        Some(Math.floorDiv(t.getTime, 86400000L))
+      case t: java.time.Instant => Some(Math.floorDiv(t.toEpochMilli, 86400000L))
+      case _ => None
+    }
+    def epochHour: Option[Long] = v match {
+      case t: java.sql.Timestamp => Some(Math.floorDiv(t.getTime, 3600000L))
+      case t: java.time.Instant => Some(Math.floorDiv(t.toEpochMilli, 3600000L))
+      case d: java.sql.Date => Some(d.toLocalDate.toEpochDay * 24L)
+      case _ => None
+    }
+    transform match {
+      case "day" => epochDay
+      case "year" => epochDay.map(d =>
+        (java.time.LocalDate.ofEpochDay(d).getYear - 1970).toLong)
+      case "month" => epochDay.map { d =>
+        val ld = java.time.LocalDate.ofEpochDay(d)
+        ((ld.getYear - 1970) * 12 + ld.getMonthValue - 1).toLong
+      }
+      case "hour" => epochHour
+      case _ => None
+    }
+  }
+
+  private def cmpPart(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: Number, y: Number)
+        if !x.isInstanceOf[java.lang.Double] && !x.isInstanceOf[java.lang.Float] &&
+           !y.isInstanceOf[java.lang.Double] && !y.isInstanceOf[java.lang.Float] =>
+      Some(java.lang.Long.compare(x.longValue(), y.longValue()))
+    case _ => None // unknown comparison → caller keeps the file
+  }
+
+  /** Partition-tuple pruning through NON-identity transforms (spec
+    * §"Partition Transforms") — the file-skipping a foreign
+    * `bucket(n, col)` / `day(col)` / `truncate[w]` layout entitles a
+    * reader to, on top of manifest column bounds:
+    *  - bucket[n]: an equality predicate keeps only files whose partition
+    *    value equals `IcebergBucket.bucket(lit, n)`;
+    *  - truncate/year/month/day/hour are order-preserving: range
+    *    predicates compare the transformed bounds;
+    *  - identity compares directly; unknown transforms never prune.
+    * Conservative on every unknown: a file is only dropped when a
+    * recorded partition value PROVABLY excludes the range. */
+  def pruneByPartition(meta: TableMeta, files: Seq[DataFile], column: String,
+                       lo: Option[Any], hi: Option[Any]): Seq[DataFile] = {
+    val fields = meta.specFields.filter(_.srcCol.contains(column))
+    if (fields.isEmpty) files
+    else files.filter { f =>
+      fields.forall { sf =>
+        f.partition.get(sf.name) match {
+          case None | Some(null) => true // nothing recorded → cannot prune
+          case Some(pv) =>
+            sf.transform match {
+              case "identity" =>
+                val aboveLo = lo.flatMap(l => cmpPart(pv, l)).forall(_ >= 0)
+                val belowHi = hi.flatMap(h => cmpPart(pv, h)).forall(_ <= 0)
+                aboveLo && belowHi
+              case BucketRe(n) =>
+                (lo, hi) match {
+                  case (Some(l), Some(h)) if l == h =>
+                    cmpPart(pv, Int.box(IcebergBucket.bucket(l, n.toInt)))
+                      .forall(_ == 0)
+                  case _ => true // bucket prunes equality only
+                }
+              case TruncateRe(w) =>
+                def trunc(v: Any): Option[Any] = v match {
+                  case s: String =>
+                    val cut = s.offsetByCodePoints(0,
+                      math.min(w.toInt, s.codePointCount(0, s.length)))
+                    Some(s.substring(0, cut))
+                  case nvar: Number if cmpPart(nvar, Long.box(0L)).isDefined =>
+                    Some(Long.box(Math.floorDiv(nvar.longValue(), w.toLong) * w.toLong))
+                  case _ => None
+                }
+                val aboveLo = lo.flatMap(trunc).flatMap(l => cmpPart(pv, l)).forall(_ >= 0)
+                val belowHi = hi.flatMap(trunc).flatMap(h => cmpPart(pv, h)).forall(_ <= 0)
+                aboveLo && belowHi
+              case t @ ("year" | "month" | "day" | "hour") =>
+                val aboveLo = lo.flatMap(timeOrdinal(t, _))
+                  .flatMap(l => cmpPart(pv, Long.box(l))).forall(_ >= 0)
+                val belowHi = hi.flatMap(timeOrdinal(t, _))
+                  .flatMap(h => cmpPart(pv, Long.box(h))).forall(_ <= 0)
+                aboveLo && belowHi
+              case _ => true // void / unknown transform
+            }
+        }
+      }
+    }
+  }
+
   def pruneByBounds(meta: TableMeta, files: Seq[DataFile], column: String,
                     lo: Option[Any], hi: Option[Any]): Seq[DataFile] = {
     val fid = meta.fieldIdOf.getOrElse(column,
@@ -576,7 +737,8 @@ object IcebergRead {
                  snapshotId: Option[Long] = None): (DataFrame, Int, Int) = {
     val meta = loadMetadata(dir)
     val live = dataFiles(meta, snapshotId)
-    val kept = pruneByBounds(meta, live, column, lo, hi)
+    val kept = pruneByPartition(meta,
+      pruneByBounds(meta, live, column, lo, hi), column, lo, hi)
     (scan(spark, dir, snapshotId, None, Some(kept)), kept.size, live.size)
   }
 }

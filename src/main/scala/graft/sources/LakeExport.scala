@@ -194,7 +194,7 @@ object LakeExport {
     * ((name, icebergType, fieldId) triples; empty for unpartitioned).
     * `withEqualityIds` adds the spec's field 135 for equality-delete
     * manifests. */
-  private def manifestEntrySchema(partCols: Seq[(String, String, Int)],
+  private[sources] def manifestEntrySchema(partCols: Seq[(String, String, Int)],
                                   withEqualityIds: Boolean = false): Schema = {
     val partFields = partCols.map { case (n, t, id) =>
       s"""{"name":"$n","type":["null","$t"],"default":null,"field-id":$id}"""
@@ -221,7 +221,7 @@ object LakeExport {
          |]}}]}""".stripMargin)
   }
 
-  private val manifestFileSchema: Schema = new Schema.Parser().parse(
+  private[sources] val manifestFileSchema: Schema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
       |{"name":"manifest_path","type":"string","field-id":500},
       |{"name":"manifest_length","type":"long","field-id":501},

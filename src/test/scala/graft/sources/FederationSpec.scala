@@ -111,4 +111,45 @@ class FederationSpec extends AnyFunSuite {
     val lim = spark.sql("SELECT id FROM fedspec_jdbc.APP.T_AGG LIMIT 2")
     assert(lim.count() == 2)
   }
+
+  test("JDBC V2 catalog pushes a whole JOIN subtree: one remote scan, one remote SQL") {
+    import spark.implicits._
+    org.apache.spark.sql.jdbc.GraftDerbyJoinDialect.ensureRegistered
+    val url = "jdbc:derby:memory:fedspecjoin;create=true"
+    def save(df: org.apache.spark.sql.DataFrame, table: String, types: String): Unit =
+      df.write.format("jdbc")
+        .option("url", url).option("dbtable", table)
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .option("createTableColumnTypes", types)
+        .mode("overwrite").save()
+    save(Seq((1L, 10L, "a1"), (2L, 20L, "a2"), (3L, 10L, "a3"))
+      .toDF("id", "fk", "name"), "T_FACT", "name VARCHAR(64)")
+    save(Seq((10L, "dim10"), (20L, "dim20"), (30L, "dim30"))
+      .toDF("pk", "label"), "T_DIM", "label VARCHAR(64)")
+    spark.conf.set("spark.sql.catalog.fedspec_join",
+      "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+    spark.conf.set("spark.sql.catalog.fedspec_join.url", url)
+    spark.conf.set("spark.sql.catalog.fedspec_join.driver",
+      "org.apache.derby.jdbc.EmbeddedDriver")
+    spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
+    val q = spark.sql(
+      """SELECT f.id, f.name, d.label
+        |FROM fedspec_join.APP.T_FACT f
+        |JOIN fedspec_join.APP.T_DIM d ON f.fk = d.pk
+        |ORDER BY f.id""".stripMargin)
+    val explained = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // ONE scan node carrying the pushed join — no Spark-side join at all
+    assert(explained.contains("PushedJoins"),
+      s"join not pushed to the JDBC source:\n$explained")
+    assert(!explained.contains("SortMergeJoin") &&
+      !explained.contains("BroadcastHashJoin") &&
+      !explained.contains("ShuffledHashJoin"),
+      s"a Spark-side join remains in the plan:\n$explained")
+    assert(explained.contains("T_FACT") && explained.contains("T_DIM"),
+      s"both relations must appear inside the single pushed scan:\n$explained")
+    // values unchanged through the remote join
+    assert(q.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq((1L, "a1", "dim10"), (2L, "a2", "dim20"), (3L, "a3", "dim10")))
+  }
 }

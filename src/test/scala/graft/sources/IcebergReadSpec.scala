@@ -339,6 +339,120 @@ class IcebergReadSpec extends AnyFunSuite {
       .collect().head.getLong(0) == (180 - inScope).toLong)
   }
 
+  test("IcebergBucket matches the spec's published test vectors (Appendix B)") {
+    import IcebergRead.IcebergBucket
+    // the Iceberg spec's own hash examples — an oracle INDEPENDENT of this
+    // implementation: int/long 34 → 2017239379, string "iceberg" →
+    // 1210000089, date 2017-11-16 (epoch day 17486) → -653330422
+    assert(IcebergBucket.hash(34) == 2017239379)
+    assert(IcebergBucket.hash(34L) == 2017239379)
+    assert(IcebergBucket.hash("iceberg") == 1210000089)
+    assert(IcebergBucket.hash(java.time.LocalDate.ofEpochDay(17486L)) == -653330422)
+    assert(IcebergBucket.bucket(34, 16) == 2017239379 % 16)
+  }
+
+  test("foreign bucket-partitioned table: equality predicate prunes to the matching files") {
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import IcebergRead.IcebergBucket
+    val dir = fresh("ib_bucket") + "/tbl"
+    val metaDir = Paths.get(dir, "metadata")
+    Files.createDirectories(metaDir)
+    // four data files, one per bucket of bucket(4, id) — the layout a
+    // foreign Flink/Spark-Iceberg writer produces
+    import spark.implicits._
+    val byBucket = (1L to 40L).groupBy(id => IcebergBucket.bucket(id, 4))
+    assert(byBucket.size == 4, s"fixture must cover all 4 buckets: ${byBucket.keys}")
+    val fileOf = byBucket.toSeq.sortBy(_._1).map { case (b, ids) =>
+      val tmp = fresh("ib_bucket_w") + "/out"
+      ids.map(i => (i, s"n_$i")).toDF("id", "name").coalesce(1).write.parquet(tmp)
+      val part = {
+        import scala.jdk.CollectionConverters._
+        Files.list(Paths.get(tmp)).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+      }
+      val name = s"b$b.parquet"
+      Files.copy(part, Paths.get(dir, name))
+      (b, name, ids.size.toLong)
+    }
+    // manifest: partition record {id_bucket: b} per entry
+    val entrySchema = LakeExport.manifestEntrySchema(Seq(("id_bucket", "int", 1000)))
+    val dfSchema = entrySchema.getField("data_file").schema()
+    val manifestPath = metaDir.resolve("m0.avro")
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](entrySchema))
+    w.setMeta("format-version", "2")
+    w.setMeta("content", "data")
+    w.setMeta("partition-spec-id", "0")
+    w.create(entrySchema, manifestPath.toFile)
+    try fileOf.foreach { case (b, name, n) =>
+      val df = new GenericData.Record(dfSchema)
+      df.put("content", 0)
+      df.put("file_path", s"$dir/$name")
+      df.put("file_format", "PARQUET")
+      val part = new GenericData.Record(dfSchema.getField("partition").schema())
+      part.put("id_bucket", b)
+      df.put("partition", part)
+      df.put("record_count", n)
+      df.put("file_size_in_bytes", Files.size(Paths.get(dir, name)))
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1); e.put("snapshot_id", 99L)
+      e.put("sequence_number", 1L); e.put("file_sequence_number", 1L)
+      e.put("data_file", df)
+      w.append(e)
+    } finally w.close()
+    // manifest list + metadata json
+    val listPath = metaDir.resolve("snap-99.avro")
+    val lw = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](LakeExport.manifestFileSchema))
+    lw.setMeta("format-version", "2")
+    lw.create(LakeExport.manifestFileSchema, listPath.toFile)
+    try {
+      val mf = new GenericData.Record(LakeExport.manifestFileSchema)
+      mf.put("manifest_path", manifestPath.toString)
+      mf.put("manifest_length", Files.size(manifestPath))
+      mf.put("partition_spec_id", 0); mf.put("content", 0)
+      mf.put("sequence_number", 1L); mf.put("min_sequence_number", 1L)
+      mf.put("added_snapshot_id", 99L)
+      mf.put("added_files_count", 4); mf.put("existing_files_count", 0)
+      mf.put("deleted_files_count", 0)
+      mf.put("added_rows_count", 40L); mf.put("existing_rows_count", 0L)
+      mf.put("deleted_rows_count", 0L)
+      lw.append(mf)
+    } finally lw.close()
+    val metadata =
+      s"""{"format-version":2,"table-uuid":"t","location":"$dir",
+         |"last-sequence-number":1,"last-updated-ms":1,"last-column-id":2,
+         |"current-schema-id":0,"schemas":[{"type":"struct","schema-id":0,"fields":[
+         |{"id":1,"name":"id","required":false,"type":"long"},
+         |{"id":2,"name":"name","required":false,"type":"string"}]}],
+         |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[
+         |{"name":"id_bucket","transform":"bucket[4]","source-id":1,"field-id":1000}]}],
+         |"current-snapshot-id":99,
+         |"snapshots":[{"snapshot-id":99,"timestamp-ms":1,"sequence-number":1,
+         |"manifest-list":"$listPath","summary":{"operation":"append"}}],
+         |"snapshot-log":[{"timestamp-ms":1,"snapshot-id":99}]}""".stripMargin
+    Files.write(metaDir.resolve("v1.metadata.json"),
+      metadata.getBytes("UTF-8"))
+    Files.write(metaDir.resolve("version-hint.text"), "1".getBytes("UTF-8"))
+
+    // the table reads whole
+    assert(IcebergRead.scan(spark, dir).count() == 40L)
+    // equality on the bucketed source column prunes to ONE file via the
+    // ICEBERG hash (Spark's own hash() would pick the wrong bucket)
+    val (pruned, kept, total) = IcebergRead.scanPruned(spark, dir, "id",
+      Some(34L), Some(34L))
+    assert(total == 4 && kept == 1, s"kept $kept of $total")
+    val rows = pruned.filter(col("id") === 34L).collect()
+    assert(rows.length == 1 && rows.head.getString(1) == "n_34")
+    // a range predicate cannot prune through bucket (non-monotonic): all
+    // files survive, values unchanged
+    val (allF, keptR, totalR) = IcebergRead.scanPruned(spark, dir, "id",
+      Some(10L), Some(20L))
+    assert(keptR == totalR)
+    assert(allF.filter(col("id").between(10, 20)).count() == 11L)
+  }
+
   test("non-identity partition-scoped equality delete is refused, not applied table-wide") {
     val (dst, _) = exported(partitionBy = Seq("grp"))
     import spark.implicits._
