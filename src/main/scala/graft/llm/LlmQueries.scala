@@ -255,6 +255,52 @@ object LlmQueries {
       CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS distinct_token_ratio
     FROM toks ORDER BY doc_id"""
 
+  /** C4 cleaning gate (TextAnalysis.c4Rules — arXiv:1910.10683 §2.2).
+    * The fixture corpus is single-line and unpunctuated, so the query
+    * first DOCTORS it deterministically (same expressions on both
+    * engines): ' value ' becomes a sentence break + newline, and
+    * doc_id-keyed suffixes inject javascript lines, curly braces, and
+    * lorem ipsum so every rule fires on some docs and not others. */
+  val textC4Rules: QueryFn = (s, dir) => {
+    val base = Tables.ensure(s, dir).documents.filter(col("doc_id") < 500)
+    val doctored = base.select(col("doc_id"), concat(
+      expr("replace(text, ' value ', concat('.', chr(10)))"),
+      when(col("doc_id") % 5 === 0, lit("\nuses javascript here.")).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit("\ncode { x }")).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0, lit("\nLorem Ipsum dolor sit.")).otherwise(lit("")),
+      lit("\nshort line\nthis line ends properly.")).as("text"))
+    TextAnalysis.c4Rules(doctored, minLineWords = 3, minSentences = 3)
+      .orderBy(col("doc_id"))
+  }
+  val textC4RulesSql: String = """
+    WITH d AS (
+      SELECT doc_id,
+        replace(text, ' value ', '.' || chr(10)) ||
+        CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'uses javascript here.' ELSE '' END ||
+        CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'code { x }' ELSE '' END ||
+        CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'Lorem Ipsum dolor sit.' ELSE '' END ||
+        chr(10) || 'short line' || chr(10) || 'this line ends properly.' AS text
+      FROM documents WHERE doc_id < 500),
+    l AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM d),
+    k AS (SELECT doc_id, text, lines,
+        list_filter(lines, x -> regexp_matches(trim(x), '[.!?"]$')
+          AND len(string_split_regex(trim(x), '\s+')) >= 3
+          AND NOT contains(lower(x), 'javascript')) AS kept
+      FROM l),
+    c AS (SELECT doc_id, text, lines, kept,
+        array_to_string(kept, chr(10)) AS cleaned FROM k)
+    SELECT doc_id,
+      CAST(len(lines) AS INT) AS n_lines,
+      CAST(len(kept) AS INT) AS n_lines_kept,
+      CAST(length(regexp_replace(cleaned, '[^.!?]', '', 'g')) AS INT) AS n_sentences,
+      contains(lower(text), 'lorem ipsum') AS has_lorem,
+      contains(text, '{') AS has_brace,
+      (NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')
+        AND length(regexp_replace(cleaned, '[^.!?]', '', 'g')) >= 3) AS page_keep,
+      md5(cleaned) AS clean_md5,
+      CAST(length(cleaned) AS INT) AS clean_len
+    FROM c ORDER BY doc_id"""
+
   /** Gopher rule gate (TextAnalysis.gopherRules — arXiv:2112.11446 App. A)
     * with fixture-sized thresholds so both verdicts appear; DuckDB
     * recomputes every signal from the same rules. */
@@ -1243,6 +1289,7 @@ object LlmQueries {
     "ann_pq" -> annPq,
     "text_quality" -> textQuality,
     "quality_gopher" -> qualityGopher,
+    "text_c4_rules" -> textC4Rules,
     "text_tokens" -> textTokens,
     "text_fingerprint" -> textFingerprint,
     "text_langid" -> textLangid,
@@ -1284,6 +1331,7 @@ object LlmQueries {
     "dedup_components" -> dedupComponentsSql,
     "text_quality" -> textQualitySql,
     "quality_gopher" -> qualityGopherSql,
+    "text_c4_rules" -> textC4RulesSql,
     "text_tokens" -> textTokensSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_langid" -> textLangidSql,

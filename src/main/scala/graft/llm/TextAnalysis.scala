@@ -164,6 +164,50 @@ object TextAnalysis {
         alphaFrac >= minAlphaFrac && nStop >= minStopwords).as("pass"))
   }
 
+  /** The C4 cleaning rule set (Raffel et al. 2020, arXiv:1910.10683
+    * §2.2 — the other canonical pre-training gate next to
+    * [[gopherRules]]): line-level keeps + page-level drops.
+    *  - keep a line only if its trimmed form ends in terminal
+    *    punctuation (`. ! ? "`), has ≥ `minLineWords` words, and does
+    *    not mention "javascript";
+    *  - drop the whole page when it contains "lorem ipsum" or a curly
+    *    brace (code), when any configured bad word appears, or when the
+    *    CLEANED page has fewer than `minSentences` sentences.
+    * One map-only pass of column expressions (no UDF, no shuffle — a
+    * scan-rate filter at 100 TB). Returns per-line/page signals plus the
+    * cleaned text's md5/length, so thresholds re-tune without recompute.
+    * The bad-word list is a parameter (C4's published list is an
+    * external artifact); default empty. */
+  def c4Rules(docs: DataFrame, minLineWords: Int = 3, minSentences: Int = 5,
+              badwords: Seq[String] = Nil): DataFrame = {
+    val lines = split(col("text"), "\n")
+    def keepLine(l: Column): Column = {
+      val t = trim(l)
+      t.rlike("[.!?\"]$") &&
+        size(split(t, "\\s+")) >= minLineWords &&
+        !lower(t).contains("javascript")
+    }
+    val kept = filter(lines, keepLine _)
+    val cleaned = array_join(kept, "\n")
+    val nSentences = length(regexp_replace(cleaned, "[^.!?]", ""))
+    val hasLorem = lower(col("text")).contains("lorem ipsum")
+    val hasBrace = col("text").contains("{")
+    val hasBadword = badwords.foldLeft(lit(false)) { (acc, w) =>
+      acc || lower(col("text")).contains(w.toLowerCase)
+    }
+    docs.select(
+      col("doc_id"),
+      size(lines).as("n_lines"),
+      size(kept).as("n_lines_kept"),
+      nSentences.as("n_sentences"),
+      hasLorem.as("has_lorem"),
+      hasBrace.as("has_brace"),
+      (!hasLorem && !hasBrace && !hasBadword &&
+        nSentences >= minSentences).as("page_keep"),
+      md5(cleaned).as("clean_md5"),
+      length(cleaned).as("clean_len"))
+  }
+
   /** Gopher-style repetition signals: per-doc bigram duplication fraction
     * and top-bigram coverage (a doc whose most common 2-gram covers a
     * large share of the text is boilerplate/spam). Explode + two-phase

@@ -190,11 +190,17 @@ object GraftFlightServer {
     val listFlights = method("ListFlights", grpc.MethodDescriptor.MethodType.SERVER_STREAMING)
     val listActions = method("ListActions", grpc.MethodDescriptor.MethodType.SERVER_STREAMING)
 
-    def sqlOf(desc: Pb.FlightDescriptor): String = {
-      require(desc.descType == 2 && desc.cmd.nonEmpty,
-        "flight: submit statements as a CMD descriptor whose bytes are the SQL text")
-      new String(desc.cmd, StandardCharsets.UTF_8)
-    }
+    def sqlOf(desc: Pb.FlightDescriptor): String =
+      if (desc.descType == 2 && desc.cmd.nonEmpty)
+        new String(desc.cmd, StandardCharsets.UTF_8)
+      else if (desc.descType == 1 && desc.path.nonEmpty)
+        // PATH descriptor names a catalog dataset (the reference serves
+        // both shapes) — quote each segment so odd names can't inject
+        "SELECT * FROM " +
+          desc.path.map(p => "`" + p.replace("`", "``") + "`").mkString(".")
+      else throw grpc.Status.INVALID_ARGUMENT.withDescription(
+        "flight: submit a CMD descriptor (SQL bytes) or a PATH descriptor " +
+          "(catalog dataset)").asRuntimeException()
 
     val infoHandler = ServerCalls.asyncUnaryCall(
       new ServerCalls.UnaryMethod[Array[Byte], Array[Byte]] {
@@ -306,6 +312,34 @@ object GraftFlightServer {
         }
       })
 
+    // ListFlights: one FlightInfo per catalog dataset (PATH descriptor +
+    // SELECT * ticket) — the reference's dataset enumeration. Metadata is
+    // listed over the server's own session (clones would hide its temp
+    // views, same choice as the REST catalog API); statements still
+    // execute on per-call cloned sessions.
+    val listFlightsHandler = ServerCalls.asyncServerStreamingCall(
+      new ServerCalls.ServerStreamingMethod[Array[Byte], Array[Byte]] {
+        override def invoke(req: Array[Byte], obs: StreamObserver[Array[Byte]]): Unit =
+          try {
+            bindPrincipal(root, root.newSession()) // auth gate only
+            root.catalog.listTables().collect().take(500).foreach { t =>
+              try {
+                val df = root.table(t.name)
+                val schema = org.apache.spark.sql.graft.Bridge.arrowSchema(df)
+                val ident = "`" + t.name.replace("`", "``") + "`"
+                val desc = Pb.writeDescriptor(
+                  Pb.FlightDescriptor(1, Array.emptyByteArray, Seq(t.name)))
+                val endpoint = Pb.writeEndpoint(
+                  s"SELECT * FROM $ident".getBytes(StandardCharsets.UTF_8),
+                  Seq(s"grpc://localhost:${boundPort.getOrElse(0)}"))
+                obs.onNext(Pb.writeFlightInfo(schemaIpcBytes(schema), desc,
+                  Seq(endpoint), totalRecords = -1L, totalBytes = -1L))
+              } catch { case _: Exception => () } // unreadable entry → skip
+            }
+            obs.onCompleted()
+          } catch { case t: Throwable => fail(obs, t) }
+      })
+
     val emptyStream = ServerCalls.asyncServerStreamingCall(
       new ServerCalls.ServerStreamingMethod[Array[Byte], Array[Byte]] {
         override def invoke(req: Array[Byte], obs: StreamObserver[Array[Byte]]): Unit =
@@ -317,7 +351,7 @@ object GraftFlightServer {
       .addMethod(getSchema, schemaHandler)
       .addMethod(doGet, doGetHandler)
       .addMethod(handshake, handshakeHandler)
-      .addMethod(listFlights, emptyStream)
+      .addMethod(listFlights, listFlightsHandler)
       .addMethod(listActions, emptyStream)
       .build()
   }

@@ -35,15 +35,27 @@ class GraftFlightServerSpec extends AnyFunSuite {
         |    assert pair[0] == b"authorization" and pair[1].startswith(b"Bearer "), pair
         |    opts = fl.FlightCallOptions(headers=[pair])
         |try:
-        |    desc = fl.FlightDescriptor.for_command(sql.encode())
-        |    info = client.get_flight_info(desc, opts) if opts else client.get_flight_info(desc)
-        |    t = info.endpoints[0].ticket
-        |    reader = client.do_get(t, opts) if opts else client.do_get(t)
-        |    table = reader.read_all()
-        |    print("RESULT " + json.dumps({
-        |        "cols": table.schema.names,
-        |        "rows": sorted(json.dumps(r, default=str, sort_keys=True)
-        |                       for r in table.to_pylist())}))
+        |    if mode == "list":
+        |        infos = list(client.list_flights())
+        |        names = sorted(i.descriptor.path[0].decode() for i in infos)
+        |        print("LIST " + json.dumps(names))
+        |        target = [i for i in infos if i.descriptor.path[0].decode() == sql]
+        |        if target:
+        |            table = client.do_get(target[0].endpoints[0].ticket).read_all()
+        |            print("LISTED_ROWS " + str(table.num_rows))
+        |    else:
+        |        if mode == "path":
+        |            desc = fl.FlightDescriptor.for_path(*sql.split("/"))
+        |        else:
+        |            desc = fl.FlightDescriptor.for_command(sql.encode())
+        |        info = client.get_flight_info(desc, opts) if opts else client.get_flight_info(desc)
+        |        t = info.endpoints[0].ticket
+        |        reader = client.do_get(t, opts) if opts else client.do_get(t)
+        |        table = reader.read_all()
+        |        print("RESULT " + json.dumps({
+        |            "cols": table.schema.names,
+        |            "rows": sorted(json.dumps(r, default=str, sort_keys=True)
+        |                           for r in table.to_pylist())}))
         |except fl.FlightUnauthenticatedError as e:
         |    print("UNAUTHENTICATED " + str(e)[:120])
         |except fl.FlightError as e:
@@ -114,6 +126,21 @@ class GraftFlightServerSpec extends AnyFunSuite {
     val (_, rd) = runClient(port.toString,
       s"SELECT count(*) AS n, sum(v) AS s FROM lake_scan('$dir')", "anon")
     assert(rd.contains("\\\"n\\\": 40") && rd.contains("\\\"s\\\": 2340"), rd.take(400))
+  }
+
+  test("ListFlights enumerates catalog datasets; PATH descriptors read them") {
+    assume(pyflight, "pyarrow.flight not available in this environment")
+    spark.sql("DROP TABLE IF EXISTS flight_cat_t")
+    spark.sql("CREATE TABLE flight_cat_t STORED AS PARQUET AS " +
+      "SELECT id, id * 2 AS v FROM range(17)")
+    try {
+      val (_, listed) = runClient(port.toString, "flight_cat_t", "list")
+      assert(listed.contains("\"flight_cat_t\""), listed.take(500))
+      assert(listed.contains("LISTED_ROWS 17"), listed.take(500))
+      val (_, byPath) = runClient(port.toString, "flight_cat_t", "path")
+      assert(byPath.contains("RESULT ") && byPath.contains("\\\"id\\\": 16"),
+        byPath.take(500))
+    } finally spark.sql("DROP TABLE IF EXISTS flight_cat_t")
   }
 
   test("auth over Flight: anonymous refused while enforcing; basic token flow serves") {
