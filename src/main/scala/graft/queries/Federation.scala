@@ -120,6 +120,34 @@ object Federation {
     FROM nation JOIN region ON n_regionkey = r_regionkey
     ORDER BY n_nationkey"""
 
+  /** EXTERNAL QUERY (reference `ExternalQueryTranslatableTable.java` —
+    * `source.external_query('sql')`): raw remote-dialect SQL ships
+    * verbatim to the registered JDBC source; Spark reads back only the
+    * result rows. */
+  val jdbcExternalQuery: QueryFn = (s, dir) => {
+    val t = Tables.ensure(s, dir)
+    val url = "jdbc:derby:memory:graftfedx;create=true"
+    t.region.select(col("r_regionkey"), col("r_name"))
+      .write.format("jdbc")
+      .option("url", url).option("dbtable", "REGION_EQ")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .option("createTableColumnTypes", "r_name VARCHAR(64)")
+      .mode("overwrite").save()
+    s.conf.set("spark.sql.catalog.graft_jdbcx.url", url)
+    s.conf.set("spark.sql.catalog.graft_jdbcx.driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    // Derby-dialect SQL (FETCH FIRST + quoted lowercase identifiers —
+    // Spark could not have generated this text)
+    s.sql("""SELECT r_regionkey, r_name
+             FROM external_query('graft_jdbcx',
+               'SELECT "r_regionkey", "r_name" FROM APP.REGION_EQ
+                WHERE "r_regionkey" >= 1 ORDER BY "r_regionkey"
+                FETCH FIRST 3 ROWS ONLY')
+             ORDER BY r_regionkey""")
+  }
+  val jdbcExternalQuerySql: String = """
+    SELECT r_regionkey, r_name FROM region
+    WHERE r_regionkey >= 1 ORDER BY r_regionkey LIMIT 3"""
+
   /** Arrow IPC easy-format round trip (reference `exec/store/easy/arrow`):
     * export a supplier selection as Arrow record-batch files with the
     * distributed writer, read them back with the distributed reader, and
@@ -144,6 +172,7 @@ object Federation {
     "jdbc_roundtrip" -> jdbcRoundtrip,
     "jdbc_agg_pushdown" -> jdbcAggPushdown,
     "jdbc_join_pushdown" -> jdbcJoinPushdown,
+    "jdbc_external_query" -> jdbcExternalQuery,
     "arrow_roundtrip" -> arrowRoundtrip)
 
   val oracle: Map[String, String] = Map(
@@ -151,5 +180,6 @@ object Federation {
     "jdbc_roundtrip" -> jdbcRoundtripSql,
     "jdbc_agg_pushdown" -> jdbcAggPushdownSql,
     "jdbc_join_pushdown" -> jdbcJoinPushdownSql,
+    "jdbc_external_query" -> jdbcExternalQuerySql,
     "arrow_roundtrip" -> arrowRoundtripSql)
 }

@@ -341,6 +341,24 @@ object Lake {
     WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate <= DATE '1996-12-31'
     ORDER BY o_orderkey"""
 
+  /** Per-partition totals straight from the manifest (reference
+    * `table_partitions(..)`, `MetadataFunctionsMacro.java:40`): the
+    * row counts come from the commit log's per-file stats — ZERO data
+    * reads — and must equal DuckDB grouping the raw fixture. */
+  val lakePartitionsMeta: QueryFn = (s, dir) => {
+    Tables.ensure(s, dir)
+    val lakeDir = scratchDir("graft_lake_partmeta")
+    s.sql(s"""CREATE LAKE '$lakeDir' PARTITION BY (identity(o_orderpriority))
+             |AS SELECT o_orderkey, o_orderpriority FROM orders""".stripMargin)
+    s.sql(s"""SELECT partition['o_orderpriority'] AS o_orderpriority,
+             |  row_count
+             |FROM lake_partitions('$lakeDir')
+             |ORDER BY o_orderpriority""".stripMargin)
+  }
+  val lakePartitionsMetaSql: String = """
+    SELECT o_orderpriority, count(*) AS row_count
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   /** Metadata COUNT(*): two appends and a copy-on-write DELETE, then a
     * bare count answered from the manifest `__rows` entries with no scan
     * (plans.CountFromManifest; reference CountOnScanToValuesRule,
@@ -628,6 +646,7 @@ object Lake {
     "lake_count_meta" -> lakeCountMeta,
     "lake_pruned_scan" -> lakePrunedScan,
     "lake_partitioned_scan" -> lakePartitionedScan,
+    "lake_partitions_meta" -> lakePartitionsMeta,
     "lake_delete_update" -> lakeDeleteUpdate,
     "lake_merge_by_key" -> lakeMergeByKey,
     "lake_merge_clauses" -> lakeMergeClauses,
@@ -649,6 +668,7 @@ object Lake {
     "lake_count_meta" -> lakeCountMetaSql,
     "lake_pruned_scan" -> lakePrunedScanSql,
     "lake_partitioned_scan" -> lakePartitionedScanSql,
+    "lake_partitions_meta" -> lakePartitionsMetaSql,
     "lake_delete_update" -> lakeDeleteUpdateSql,
     "lake_merge_by_key" -> lakeMergeByKeySql,
     "lake_merge_clauses" -> lakeMergeClausesSql,

@@ -277,6 +277,35 @@ object DeltaInterop {
     case other => other
   }
 
+  /** DESCRIBE HISTORY for a Delta table (the reference's history surface
+    * over `exec/store/deltalake/` tables): one row per JSON commit —
+    * version, commitInfo timestamp/operation when recorded, and add/
+    * remove action counts. Checkpoint-only versions (JSON cleaned up)
+    * are absent, like delta-spark's own history after log retention. */
+  final case class HistoryEntry(version: Long, timestampMs: Long,
+                                operation: String, nAdds: Int, nRemoves: Int)
+  def history(dir: String): Seq[HistoryEntry] = {
+    val ld = logDir(dir)
+    require(Files.isDirectory(ld), s"not a Delta table (no _delta_log/): $dir")
+    val commits = Files.list(ld).iterator.asScala
+      .map(_.getFileName.toString).flatMap(n => commitVersion(n).map(_ -> n))
+      .toVector.sortBy(_._1)
+    commits.map { case (v, name) =>
+      var ts = 0L; var op = ""; var adds = 0; var removes = 0
+      Files.readAllLines(ld.resolve(name), StandardCharsets.UTF_8).asScala
+        .filter(_.trim.nonEmpty).foreach { line =>
+          val a = mapper.readTree(line)
+          Option(a.get("commitInfo")).foreach { ci =>
+            ts = Option(ci.get("timestamp")).map(_.asLong()).getOrElse(ts)
+            op = Option(ci.get("operation")).map(_.asText()).getOrElse(op)
+          }
+          if (a.has("add")) adds += 1
+          if (a.has("remove")) removes += 1
+        }
+      HistoryEntry(v, ts, op, adds, removes)
+    }
+  }
+
   // ---- scan ------------------------------------------------------------
 
   /** Delta partition-value string → typed literal (protocol §"Partition

@@ -230,6 +230,35 @@ object IcebergRead {
     if (Paths.get(clean).isAbsolute) clean else s"$dir/$clean"
   }
 
+  /** One row per manifest-list entry of a snapshot (the reference's
+    * `table_manifests(..)` metadata function,
+    * `MetadataFunctionsMacro.java:37`): path, length, content kind
+    * (0=data, 1=deletes), sequence number, and the added/existing/deleted
+    * file counts the list carries. Metadata-only — no manifest bodies
+    * are opened. */
+  final case class ManifestInfo(path: String, length: Long, content: Int,
+                                sequenceNumber: Long, addedFiles: Int,
+                                existingFiles: Int, deletedFiles: Int,
+                                addedRows: Long)
+  def manifests(meta: TableMeta, snapshotId: Option[Long] = None): Seq[ManifestInfo] = {
+    val snap = pickSnapshot(meta, snapshotId, None)
+    val r = new DataFileReader[GenericRecord](
+      new java.io.File(resolvePath(meta.location, snap.manifestList)),
+      new GenericDatumReader[GenericRecord]())
+    def int(rec: GenericRecord, f: String): Int =
+      Option(rec.get(f)).map(_.asInstanceOf[Number].intValue()).getOrElse(0)
+    def long(rec: GenericRecord, f: String): Long =
+      Option(rec.get(f)).map(_.asInstanceOf[Number].longValue()).getOrElse(0L)
+    try r.iterator.asScala.map { m =>
+      ManifestInfo(m.get("manifest_path").toString,
+        long(m, "manifest_length"), int(m, "content"),
+        long(m, "sequence_number"),
+        int(m, "added_files_count"), int(m, "existing_files_count"),
+        int(m, "deleted_files_count"), long(m, "added_rows_count"))
+    }.toVector
+    finally r.close()
+  }
+
   /** Live data files of a snapshot straight from the avro manifests. */
   def dataFiles(meta: TableMeta, snapshotId: Option[Long] = None,
                 asOfMs: Option[Long] = None): Seq[DataFile] = {

@@ -93,6 +93,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction((FunctionIdentifier("delta_scan"),
       info("delta_scan", "delta_scan('<dir>'[, version]) — read a Delta Lake table"),
       (args: Seq[Expression]) => deltaScan(args)))
+    // EXTERNAL QUERY (reference `ExternalQueryTranslatableTable.java`,
+    // `source.external_query('sql')` and the dedicated EXTERNAL QUERY
+    // grant in SqlGrant.java): ship RAW SQL verbatim to a registered JDBC
+    // source and read the result back as a relation — the escape hatch
+    // for remote-dialect SQL the planner can't translate.
+    e.injectTableFunction((FunctionIdentifier("external_query"),
+      info("external_query",
+        "external_query('<source>', '<sql>') — run raw SQL on a JDBC source"),
+      (args: Seq[Expression]) => externalQuery(args)))
     // Iceberg metadata tables (the reference's TABLE(table_snapshots(..)) /
     // table_files(..) over Iceberg trees — `TableMacroNames.java`): rows
     // come straight from metadata.json + avro manifests, zero data reads.
@@ -104,6 +113,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("iceberg_files",
         "iceberg_files('<dir>'[, snapshot_id]) — live data files with manifest stats"),
       (args: Seq[Expression]) => icebergFiles(args)))
+    // the rest of the reference's metadata-function family
+    // (`MetadataFunctionsMacro.java`: table_manifests / table_partitions /
+    // table_history across formats) — all manifest/log-resident,
+    // zero data-file reads
+    e.injectTableFunction((FunctionIdentifier("iceberg_manifests"),
+      info("iceberg_manifests",
+        "iceberg_manifests('<dir>'[, snapshot_id]) — manifest-list entries"),
+      (args: Seq[Expression]) => icebergManifests(args)))
+    e.injectTableFunction((FunctionIdentifier("iceberg_partitions"),
+      info("iceberg_partitions",
+        "iceberg_partitions('<dir>'[, snapshot_id]) — per-partition file/row totals"),
+      (args: Seq[Expression]) => icebergPartitions(args)))
+    e.injectTableFunction((FunctionIdentifier("lake_partitions"),
+      info("lake_partitions",
+        "lake_partitions('<dir>') — per-partition file/row/byte totals of a lake table"),
+      (args: Seq[Expression]) => lakePartitions(args)))
+    e.injectTableFunction((FunctionIdentifier("delta_history"),
+      info("delta_history",
+        "delta_history('<dir>') — commit history of a Delta table"),
+      (args: Seq[Expression]) => deltaHistory(args)))
     // Join recommendations from job history (reference
     // `JobsBasedRecommender.java:74` via `DatasetVersionResource.java:1306`):
     // every equi-join completed jobs ran against the named dataset, merged
@@ -153,6 +182,44 @@ object GraftExtensions {
 
   private def attrs(fields: (String, DataType)*): Seq[Attribute] =
     fields.map { case (n, t) => AttributeReference(n, t, nullable = true)() }
+
+  /** EXTERNAL QUERY: the source name resolves through the session's JDBC
+    * catalog confs (`spark.sql.catalog.<name>.url` / `.driver`, the same
+    * registration JDBC federation uses) and the SQL ships VERBATIM as a
+    * JDBC `query` — remote dialect is the source's business, exactly the
+    * reference's contract. While auth enforcement is on, the caller needs
+    * SELECT on `external:<source>` (the analysis-time check rule can't see
+    * inside raw remote SQL, so the grant is on the source itself — the
+    * reference gates EXTERNAL QUERY per-source the same way). */
+  private def externalQuery(args: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    args match {
+      case Seq(s, q) if s.foldable && s.dataType == StringType && s.eval() != null &&
+          q.foldable && q.dataType == StringType && q.eval() != null =>
+        val source = s.eval().toString
+        val sql = q.eval().toString
+        val p = graft.auth.Privileges
+        if (p.enforcing) {
+          val principal = p.principalOf(spark)
+          val ok = principal.exists(u => p.allowed(u, "select", s"external:${source.toLowerCase}"))
+          if (!ok) throw new SecurityException(
+            s"principal ${principal.map(_.name).getOrElse("<anonymous>")} lacks SELECT " +
+              s"on external:$source (EXTERNAL QUERY ships raw SQL — it is granted " +
+              "per source, not per table)")
+        }
+        val url = spark.conf.getOption(s"spark.sql.catalog.$source.url").getOrElse(
+          throw new IllegalArgumentException(
+            s"external_query: no JDBC source '$source' " +
+              s"(set spark.sql.catalog.$source.url)"))
+        val reader = spark.read.format("jdbc")
+          .option("url", url).option("query", sql)
+        spark.conf.getOption(s"spark.sql.catalog.$source.driver")
+          .fold(reader)(d => reader.option("driver", d))
+          .load().queryExecution.analyzed
+      case _ => throw new IllegalArgumentException(
+        "external_query expects two string literals: external_query('<source>', '<sql>')")
+    }
+  }
 
   private def excelScan(args: Seq[Expression]): LogicalPlan = {
     val spark = SparkSession.active
@@ -311,6 +378,84 @@ object GraftExtensions {
       attrs("version" -> LongType, "action" -> StringType,
         "timestamp_ms" -> LongType, "n_files" -> IntegerType,
         "tag" -> StringType),
+      rows)
+  }
+
+  private def icebergManifests(args: Seq[Expression]): LogicalPlan = {
+    val (dir, snap) = interopArgs("iceberg_manifests", args)
+    val meta = graft.sources.IcebergRead.loadMetadata(dir)
+    val rows = graft.sources.IcebergRead.manifests(meta, snap).map(m =>
+      Row(m.path, m.length, if (m.content == 1) "deletes" else "data",
+        m.sequenceNumber, m.addedFiles, m.existingFiles, m.deletedFiles,
+        m.addedRows))
+    LocalRelation.fromExternalRows(
+      attrs("manifest_path" -> StringType, "manifest_length" -> LongType,
+        "content" -> StringType, "sequence_number" -> LongType,
+        "added_files" -> IntegerType, "existing_files" -> IntegerType,
+        "deleted_files" -> IntegerType, "added_rows" -> LongType),
+      rows)
+  }
+
+  private def icebergPartitions(args: Seq[Expression]): LogicalPlan = {
+    val (dir, snap) = interopArgs("iceberg_partitions", args)
+    val meta = graft.sources.IcebergRead.loadMetadata(dir)
+    val rows = graft.sources.IcebergRead.dataFiles(meta, snap)
+      .groupBy(_.partition.map { case (k, v) => k -> String.valueOf(v) })
+      .toSeq.map { case (part, fs) =>
+        Row(part, fs.size, fs.map(_.recordCount).sum)
+      }
+    LocalRelation.fromExternalRows(
+      attrs("partition" -> MapType(StringType, StringType),
+        "n_files" -> IntegerType, "row_count" -> LongType),
+      rows)
+  }
+
+  private def lakePartitions(args: Seq[Expression]): LogicalPlan = {
+    val dir = dirArg("lake_partitions", args)
+    val t = SnapshotTable.forPath(SparkSession.active, dir)
+    val (files, _) = t.snapshotWithStats()
+    // hive dirs are written under generated `__gp_<i>` names; translate
+    // back through the layout's transform list — identity shows as its
+    // source column, other transforms under their repr (bucket(4,c) …)
+    val transforms = t.effectiveLayout._1
+      .flatMap(s => scala.util.Try(
+        graft.sources.PartitionTransform.parse(s)).toOption)
+    def keyOf(seg: String): String = {
+      val raw = seg.substring(0, seg.indexOf('='))
+      if (!raw.startsWith("__gp_")) raw
+      else transforms.lift(raw.stripPrefix("__gp_").toInt).map {
+        case t: graft.sources.PartitionTransform.IdentityT => t.srcCol
+        case other => other.repr
+      }.getOrElse(raw)
+    }
+    val rows = files.groupBy { case (path, _) =>
+        path.stripPrefix(dir).split('/').dropRight(1)
+          .filter(_.contains('=')).toSeq
+      }.toSeq.map { case (segs, fs) =>
+        val kv = segs.map { seg =>
+          keyOf(seg) -> seg.substring(seg.indexOf('=') + 1)
+        }.toMap
+        Row(kv, fs.size,
+          fs.flatMap(_._2.get(SnapshotTable.RowsStatKey))
+            .flatMap(_._1.toLongOption).sum,
+          fs.flatMap(_._2.get(SnapshotTable.BytesStatKey))
+            .flatMap(_._1.toLongOption).sum)
+      }
+    LocalRelation.fromExternalRows(
+      attrs("partition" -> MapType(StringType, StringType),
+        "n_files" -> IntegerType, "row_count" -> LongType,
+        "size_bytes" -> LongType),
+      rows)
+  }
+
+  private def deltaHistory(args: Seq[Expression]): LogicalPlan = {
+    val dir = dirArg("delta_history", args)
+    val rows = graft.sources.DeltaInterop.history(dir).map(h =>
+      Row(h.version, h.timestampMs, h.operation, h.nAdds, h.nRemoves))
+    LocalRelation.fromExternalRows(
+      attrs("version" -> LongType, "timestamp_ms" -> LongType,
+        "operation" -> StringType, "n_adds" -> IntegerType,
+        "n_removes" -> IntegerType),
       rows)
   }
 

@@ -343,4 +343,44 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(after.count() == 1000000L -
       spark.range(1000000).filter(col("id") % 10 === 3 && col("id") % 100 === 0).count())
   }
+
+  test("Flight DoGet at 5M rows: the columnar wire streams exact results in many batches") {
+    gate()
+    val pyflight =
+      try new ProcessBuilder("python3", "-c", "import pyarrow.flight")
+        .start().waitFor() == 0
+      catch { case _: Exception => false }
+    assume(pyflight, "pyarrow.flight not available")
+    val port = graft.server.flight.GraftFlightServer.port
+      .getOrElse(graft.server.flight.GraftFlightServer.start(spark))
+    // 5M rows ≈ hundreds of MB of Arrow batches: the server must stream
+    // (toLocalIterator, one partition at a time), never collect; the
+    // client checksums WITHOUT materializing python objects
+    val script = java.nio.file.Files.createTempFile("flight_scale", ".py")
+    java.nio.file.Files.writeString(script,
+      """import sys
+        |import pyarrow.flight as fl
+        |import pyarrow.compute as pc
+        |client = fl.connect(f"grpc://localhost:{sys.argv[1]}")
+        |sql = "SELECT id, id * 2 AS v FROM range(5000000)"
+        |info = client.get_flight_info(fl.FlightDescriptor.for_command(sql.encode()))
+        |reader = client.do_get(info.endpoints[0].ticket)
+        |rows = 0; batches = 0; vsum = 0
+        |for chunk in reader:
+        |    b = chunk.data
+        |    rows += b.num_rows; batches += 1
+        |    vsum += pc.sum(b.column(1)).as_py()
+        |print(f"ROWS {rows} BATCHES {batches} VSUM {vsum}")
+        |""".stripMargin)
+    val p = new ProcessBuilder("python3", script.toString, port.toString)
+      .redirectErrorStream(true).start()
+    val out = new String(p.getInputStream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(p.waitFor() == 0, out.take(600))
+    assert(out.contains("ROWS 5000000"), out.take(600))
+    // expected Σ 2i for i in [0, 5M) = 5M * (5M - 1)
+    assert(out.contains(s"VSUM ${5000000L * 4999999L}"), out.take(600))
+    val batches = "BATCHES (\\d+)".r.findFirstMatchIn(out).get.group(1).toInt
+    assert(batches > 1, s"result must stream in multiple record batches: $out")
+  }
 }

@@ -781,4 +781,78 @@ class SqlExtSpec extends AnyFunSuite {
     intercept[Exception](spark.sql("DROP FOLDER graft_folder_x"))
     spark.sql("DROP FOLDER IF EXISTS graft_folder_x") // quiet
   }
+
+  test("metadata TVF family: lake_partitions / iceberg_manifests / iceberg_partitions / delta_history") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("sqlext_meta").toString
+    spark.sql(s"""CREATE LAKE '$src' PARTITION BY (identity(grp))
+                 |AS SELECT id, CAST(id % 3 AS INT) AS grp FROM range(90)""".stripMargin)
+    // lake_partitions: per-partition totals straight from the manifest
+    val parts = spark.sql(
+      s"""SELECT partition['grp'] AS grp, n_files, row_count
+         |FROM lake_partitions('$src') ORDER BY grp""".stripMargin).collect()
+    assert(parts.map(_.getString(0)).toSeq == Seq("0", "1", "2"))
+    assert(parts.map(_.getLong(2)).toSeq == Seq(30L, 30L, 30L))
+    assert(parts.forall(_.getInt(1) >= 1))
+    // iceberg side: export, then manifests + per-partition totals
+    val ice = java.nio.file.Files.createTempDirectory("sqlext_meta_ice").toString + "/tree"
+    spark.sql(s"EXPORT LAKE '$src' TO '$ice' PARTITION BY (grp)")
+    val man = spark.sql(s"SELECT * FROM iceberg_manifests('$ice')").collect()
+    assert(man.nonEmpty && man.forall(_.getAs[String]("content") == "data"))
+    assert(man.map(_.getAs[Long]("added_rows")).sum == 90L)
+    val ipart = spark.sql(
+      s"""SELECT partition['grp'] AS grp, row_count
+         |FROM iceberg_partitions('$ice') ORDER BY grp""".stripMargin).collect()
+    assert(ipart.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("0", 30L), ("1", 30L), ("2", 30L)))
+    // delta side: export + a DV commit → history shows both versions
+    val dl = java.nio.file.Files.createTempDirectory("sqlext_meta_dl").toString + "/tbl"
+    spark.sql(s"EXPORT LAKE '$src' TO '$dl' FORMAT DELTA")
+    val hist = spark.sql(s"SELECT * FROM delta_history('$dl') ORDER BY version").collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(0L))
+    assert(hist.head.getAs[Int]("n_adds") >= 1 && hist.head.getAs[Int]("n_removes") == 0)
+  }
+
+  test("external_query ships raw remote-dialect SQL; enforcement gates per source") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:sqlext_eq;create=true"
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name")
+      .write.format("jdbc")
+      .option("url", url).option("dbtable", "EQ_T")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .option("createTableColumnTypes", "name VARCHAR(32)")
+      .mode("overwrite").save()
+    spark.conf.set("spark.sql.catalog.sqlext_eq.url", url)
+    spark.conf.set("spark.sql.catalog.sqlext_eq.driver",
+      "org.apache.derby.jdbc.EmbeddedDriver")
+    // Derby-only syntax (FETCH FIRST) passes through verbatim
+    val q = """SELECT id, name FROM external_query('sqlext_eq',
+              |  'SELECT "id", "name" FROM APP.EQ_T ORDER BY "id"
+              |   FETCH FIRST 2 ROWS ONLY') ORDER BY id""".stripMargin
+    assert(spark.sql(q).collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // unknown source refuses loudly
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM external_query('no_such_src', 'SELECT 1')"))
+    assert(e.getMessage.contains("no JDBC source"), e.getMessage)
+    // enforcement: EXTERNAL QUERY is granted per SOURCE (raw SQL is
+    // opaque to the table-level check rule)
+    import graft.auth.Privileges
+    Privileges.clear()
+    try {
+      spark.sql("CREATE USER eq_admin PASSWORD 'xp' ADMIN")
+      spark.sql("CREATE USER eq_user PASSWORD 'up'")
+      spark.sql("ALTER AUTH ENFORCE ON")
+      val denied = intercept[Exception](spark.sql(q))
+      assert(denied.getMessage.contains("external:sqlext_eq"), denied.getMessage)
+      spark.sql("AUTHENTICATE USER eq_admin PASSWORD 'xp'")
+      spark.sql("GRANT SELECT ON 'external:sqlext_eq' TO USER eq_user")
+      spark.sql("AUTHENTICATE USER eq_user PASSWORD 'up'")
+      assert(spark.sql(q).count() == 2L)
+    } finally {
+      Privileges.clear()
+      spark.conf.unset(Privileges.TokenConf)
+      spark.conf.unset(Privileges.UserConf)
+    }
+  }
 }
