@@ -111,8 +111,8 @@ object QueryHistory {
 
   private[catalog] def clear(): Unit = { ring.clear(); joinRing.clear(); profiles.clear() }
 
-  private[catalog] def record(funcName: String, qe: QueryExecution,
-                              durationNs: Long, err: Option[Exception]): Unit =
+  private[graft] def record(funcName: String, qe: QueryExecution,
+                            durationNs: Long, err: Option[Exception]): Unit =
     push(funcName, qe, durationNs, err)
 
   /** Final physical plan nodes, descending through AQE wrappers so metrics

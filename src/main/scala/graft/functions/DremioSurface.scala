@@ -234,6 +234,41 @@ object DremioSurface {
     "^" + sb + "$"
   }
 
+  /** MAXDIR/MINDIR/IMAXDIR/IMINDIR (reference FS-dataset directory
+    * helpers, `DremioSqlOperatorTable` — the canonical use is resolving
+    * the newest date-named partition directory:
+    * `WHERE dir0 = MAXDIR('dfs', '/events')`). One or two string args
+    * (a path, or a root + relative path joined); returns the
+    * lexicographically max/min immediate SUBDIRECTORY name, the I-
+    * variants comparing case-insensitively while returning the original
+    * name. Listing goes through the Hadoop FileSystem client (works on
+    * file:/hdfs/s3a paths alike); no subdirectories → NULL. Metadata
+    * helper, not a hot-path kernel → eval with CodegenFallback. */
+  case class DirExtreme(children: Seq[Expression], wantMax: Boolean,
+                        caseInsensitive: Boolean)
+      extends Expression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def eval(row: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val parts = children.map(_.eval(row))
+      if (parts.contains(null)) return null
+      val path = parts.map(_.toString.stripSuffix("/")).mkString("/")
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(Bridge.hadoopConf(SparkSession.active))
+      if (!fs.exists(hp)) return null
+      val names = fs.listStatus(hp).filter(_.isDirectory).map(_.getPath.getName)
+      if (names.isEmpty) null
+      else {
+        val key: String => String =
+          if (caseInsensitive) _.toLowerCase else identity
+        val pick = if (wantMax) names.maxBy(key) else names.minBy(key)
+        UTF8String.fromString(pick)
+      }
+    }
+    override protected def withNewChildrenInternal(
+        cs: IndexedSeq[Expression]): Expression = copy(children = cs)
+  }
+
   /** Minimal single-child base (avoids depending on non-public helpers). */
   abstract class UnaryLikeExpr extends Expression {
     def child: Expression
@@ -285,6 +320,12 @@ object DremioSurface {
       }, "built-in")
 
     // ---- array family (exec/expr/fn/impl/array/, convertlets) ----
+    // ---- filesystem-directory helpers (MAXDIR family) ----
+    one("maxdir", Set(1, 2))(es => DirExtreme(es, wantMax = true, caseInsensitive = false))
+    one("mindir", Set(1, 2))(es => DirExtreme(es, wantMax = false, caseInsensitive = false))
+    one("imaxdir", Set(1, 2))(es => DirExtreme(es, wantMax = true, caseInsensitive = true))
+    one("imindir", Set(1, 2))(es => DirExtreme(es, wantMax = false, caseInsensitive = true))
+
     one("array_cat", Set(2))(es => ex(concat(c(es(0)), c(es(1)))))
     one("array_concat", Set.empty)(es => ex(concat(es.map(c): _*)))
     one("array_intersection", Set(2))(es => ex(array_intersect(c(es(0)), c(es(1)))))

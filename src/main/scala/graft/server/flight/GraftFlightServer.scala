@@ -167,9 +167,16 @@ object GraftFlightServer {
     * (stateless DoGet, reference getStream shape) for pure reads. */
   private final case class Pending(df: DataFrame, owner: Option[String], bornMs: Long)
   private val pending = scala.collection.concurrent.TrieMap.empty[String, Pending]
+  private val MaxPending = 1000
   private def reapPending(): Unit = {
     val cutoff = System.currentTimeMillis() - 10 * 60 * 1000L
     pending.filterInPlace((_, p) => p.bornMs >= cutoff)
+    // size backstop: clients that plan but never DoGet must not pin
+    // unbounded plans — oldest tickets expire first
+    if (pending.size > MaxPending)
+      pending.toSeq.sortBy(_._2.bornMs)
+        .take(pending.size - MaxPending)
+        .foreach { case (k, _) => pending.remove(k) }
   }
 
   private def fail(obs: StreamObserver[Array[Byte]], t: Throwable): Unit = t match {
@@ -255,14 +262,35 @@ object GraftFlightServer {
                 p.df
               case None => statementOf(root, tk) // stateless SQL-in-ticket
             }
-            val schema = org.apache.spark.sql.graft.Bridge.arrowSchema(df)
-            obs.onNext(Pb.writeFlightData(schemaHeaderBytes(schema),
-              Array.emptyByteArray))
-            org.apache.spark.sql.graft.Bridge.arrowBatches(df).foreach { ipc =>
-              val (header, body) = splitIpcMessage(ipc)
-              obs.onNext(Pb.writeFlightData(header, body))
+            // flow control: honor the transport's readiness signal so a
+            // slow client backpressures the batch iterator instead of the
+            // whole result buffering in gRPC — the "streams off
+            // toLocalIterator" property would otherwise be a lie for any
+            // consumer slower than the cluster
+            val sObs = obs.asInstanceOf[
+              org.sparkproject.connect.grpc.stub.ServerCallStreamObserver[Array[Byte]]]
+            def send(frame: Array[Byte]): Boolean = {
+              while (!sObs.isReady) {
+                if (sObs.isCancelled) return false
+                Thread.sleep(1)
+              }
+              sObs.onNext(frame); true
             }
-            obs.onCompleted()
+            val schema = org.apache.spark.sql.graft.Bridge.arrowSchema(df)
+            val t0 = System.nanoTime()
+            var live = send(Pb.writeFlightData(schemaHeaderBytes(schema),
+              Array.emptyByteArray))
+            val it = org.apache.spark.sql.graft.Bridge.arrowBatches(df)
+            while (live && it.hasNext) {
+              val (header, body) = splitIpcMessage(it.next())
+              live = send(Pb.writeFlightData(header, body))
+            }
+            // the RDD stream path bypasses Dataset actions, so the
+            // QueryExecutionListener never fires — feed the wire-first
+            // jobs service explicitly (principal rides the df's session)
+            graft.catalog.QueryHistory.record("flightDoGet",
+              df.queryExecution, System.nanoTime() - t0, None)
+            if (live) obs.onCompleted()
           } catch { case t: Throwable => fail(obs, t) }
       })
 

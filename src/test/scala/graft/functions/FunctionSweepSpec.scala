@@ -185,14 +185,15 @@ class FunctionSweepSpec extends AnyFunSuite {
     "VAR_POP" -> "VAR_POP(x) FROM VALUES (1.0),(2.0) t(x)",
     "VAR_SAMP" -> "VAR_SAMP(x) FROM VALUES (1.0),(2.0) t(x)",
     "WEEKOFYEAR" -> "WEEKOFYEAR(DATE '2024-01-15')",
-    "XOR" -> "XOR(3, 1)", "YEARWEEK" -> "YEARWEEK(DATE '2024-02-01')")
+    "XOR" -> "XOR(3, 1)", "YEARWEEK" -> "YEARWEEK(DATE '2024-02-01')",
+    // filesystem-directory helpers resolve against a real directory tree
+    "MAXDIR" -> "MAXDIR('/root/testdata')",
+    "MINDIR" -> "MINDIR('/root/testdata')",
+    "IMAXDIR" -> "IMAXDIR('/root', 'testdata')",
+    "IMINDIR" -> "IMINDIR('/root', 'testdata')")
 
   /** Documented names NOT runnable here, each with why. */
-  private val divergences: Map[String, String] = Map(
-    "IMAXDIR" -> "filesystem-directory helper over the reference's FS dataset abstraction",
-    "IMINDIR" -> "filesystem-directory helper over the reference's FS dataset abstraction",
-    "MAXDIR" -> "filesystem-directory helper over the reference's FS dataset abstraction",
-    "MINDIR" -> "filesystem-directory helper over the reference's FS dataset abstraction")
+  private val divergences: Map[String, String] = Map.empty
 
   test("every documented reference function name executes (230-name sweep)") {
     val failures = calls.flatMap { case (name, body) =>
@@ -205,6 +206,23 @@ class FunctionSweepSpec extends AnyFunSuite {
     assert(calls.size + divergences.size == 230,
       s"sweep covers ${calls.size} + ${divergences.size} divergences; expected 230")
     assert(calls.map(_._1).toSet.intersect(divergences.keySet).isEmpty)
+  }
+
+  test("MAXDIR family picks directory extremes (case-sensitive and -insensitive)") {
+    val root = java.nio.file.Files.createTempDirectory("sweep_dirs")
+    Seq("alpha", "Bravo", "charlie", "delta").foreach(n =>
+      java.nio.file.Files.createDirectory(root.resolve(n)))
+    java.nio.file.Files.createFile(root.resolve("zz_not_a_dir.txt")) // ignored
+    def one(sql: String): Any = spark.sql(s"SELECT $sql AS v").collect().head.get(0)
+    // case-sensitive: uppercase sorts below lowercase ('B' < 'a')
+    assert(one(s"MAXDIR('$root')") == "delta")
+    assert(one(s"MINDIR('$root')") == "Bravo")
+    // case-insensitive compare, original name returned
+    assert(one(s"IMAXDIR('$root')") == "delta")
+    assert(one(s"IMINDIR('$root')") == "alpha")
+    // two-arg (root, relative) form; missing path → NULL
+    assert(one(s"MAXDIR('${root.getParent}', '${root.getFileName}')") == "delta")
+    assert(one(s"MAXDIR('$root/nope')") == null)
   }
 
   test("value pins for the names this sweep introduced") {

@@ -167,6 +167,10 @@ class GraftFlightServerSpec extends AnyFunSuite {
       spark.sql(s"GRANT SELECT ON '$sf/region.parquet' TO USER fl_alice")
       val (_, ok) = runClient(port.toString, q, "basic", "fl_alice", "ap")
       assert(ok.contains("\\\"n\\\": 5"), ok.take(400))
+      // the statement landed in the wire-first jobs service under the
+      // Flight principal (same ring Thrift/REST/in-process feed)
+      assert(graft.catalog.QueryHistory.records.exists(_.userName == "fl_alice"),
+        "Flight statement missing from sys_queries history with its principal")
     } finally {
       Privileges.clear()
       spark.conf.unset(graft.auth.Privileges.TokenConf)
