@@ -14,10 +14,11 @@ import org.apache.spark.sql.types._
   * grid as the feature vector. AUDIO decode is REAL the same way:
   * WAV/AIFF/AU payloads decode through `javax.sound.sampled` to true
   * (sample rate, channels) plus a dim-window RMS envelope. VIDEO decode
-  * is REAL for MJPEG-in-AVI: the RIFF container walk is ~60 lines here
+  * is REAL for MJPEG-in-AVI (the RIFF container walk is ~60 lines here
   * and every frame chunk is a standalone JPEG the image path already
-  * decodes — true dimensions, true per-frame luminance, frame sampling
-  * that only touches selected frames. Remaining payloads (non-MJPEG
+  * decodes) AND for animated GIF (ImageIO addresses frames by index) —
+  * true dimensions, true per-frame luminance, frame sampling that only
+  * touches selected frames. Remaining payloads (non-MJPEG/GIF
   * codecs — no JDK decoder) fall back to the
   * deterministic STUB (hash-derived dimensions + features); the
   * Spark-side contract stays fully real and testable either way:
@@ -259,6 +260,45 @@ object Multimodal {
       new java.io.ByteArrayInputStream(b, off, size)))
     catch { case scala.util.control.NonFatal(_) => None }
 
+  // ---- video #2: animated GIF — the other multi-frame format the JDK
+  // decodes natively. ImageIO's gif reader addresses frames by index, so
+  // stride sampling decodes ONLY the selected frames.
+
+  /** Frame count of an animated GIF (≥2 = treat as video), 0 when the
+    * payload is not a GIF or the reader balks. */
+  private[llm] def gifFrameCount(b: Array[Byte]): Int =
+    if (sniffImageFormat(b).contains("image/gif")) {
+      val it = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+      if (!it.hasNext) 0
+      else {
+        val reader = it.next()
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(b))
+        try { reader.setInput(iis, false, true); reader.getNumImages(true) }
+        catch { case scala.util.control.NonFatal(_) => 0 }
+        finally { reader.dispose(); iis.close() }
+      }
+    } else 0
+
+  /** Decode exactly the requested GIF frame indexes (one reader pass). */
+  private[llm] def decodeGifFrames(b: Array[Byte], idxs: Seq[Int])
+      : Map[Int, java.awt.image.BufferedImage] = {
+    val it = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+    if (!it.hasNext) return Map.empty
+    val reader = it.next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try {
+      reader.setInput(iis, false, true)
+      val n = reader.getNumImages(true)
+      idxs.filter(i => i >= 0 && i < n).flatMap { i =>
+        try Some(i -> reader.read(i))
+        catch { case scala.util.control.NonFatal(_) => None }
+      }.toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    finally { reader.dispose(); iis.close() }
+  }
+
   /** Real MJPEG-AVI decode: true first-frame dimensions + luminance grid.
     * None → not an AVI / no decodable frames → stub fallback. */
   private def realVideoDecode(bytes: Array[Byte], dim: Int): Option[(Int, Int, Array[Float])] =
@@ -322,12 +362,24 @@ object Multimodal {
           val safe = if (bytes == null) Array.emptyByteArray else bytes
           val aviFrames =
             if (sniffVideoFormat(safe).isDefined) aviFrameChunks(safe) else Vector.empty
+          val gifFrames = if (aviFrames.nonEmpty) 0 else gifFrameCount(safe)
           if (aviFrames.nonEmpty) {
             val h = payloadHash(safe)
             Iterator.range(0, aviFrames.length, everyNth).take(maxFrames).map { f =>
               val (off, size) = aviFrames(f)
               val feats = decodeAviFrame(safe, off, size)
                 .map(luminanceGrid(_, dim))
+                .getOrElse(fakeFeatures(h * 31 + f, dim)) // corrupt frame
+              Row(r.getLong(0), f, feats.toSeq)
+            }
+          } else if (gifFrames >= 2) {
+            // animated GIF = the JDK's other REAL multi-frame decode:
+            // only the stride-selected frames are read
+            val h = payloadHash(safe)
+            val picked = Range(0, gifFrames, everyNth).take(maxFrames)
+            val decoded = decodeGifFrames(safe, picked)
+            picked.iterator.map { f =>
+              val feats = decoded.get(f).map(luminanceGrid(_, dim))
                 .getOrElse(fakeFeatures(h * 31 + f, dim)) // corrupt frame
               Row(r.getLong(0), f, feats.toSeq)
             }

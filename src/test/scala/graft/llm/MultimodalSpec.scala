@@ -299,4 +299,43 @@ class MultimodalSpec extends AnyFunSuite {
     val n = Multimodal.sampleFrames(media, everyNth = 1, maxFrames = 4, dim = 4).count()
     assert(n >= 1)
   }
+
+  /** Animated GIF via the JDK's own sequence writer: `n` solid-gray
+    * frames with a brightness ramp — what any GIF encoder emits. */
+  private def animatedGif(n: Int, w: Int = 32, h: Int = 24): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until n).foreach { i =>
+      val g = math.min(255, i * 40)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val gr = img.createGraphics()
+      gr.setColor(new java.awt.Color(g, g, g)); gr.fillRect(0, 0, w, h); gr.dispose()
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    out.toByteArray
+  }
+
+  test("real animated-GIF video decode: frame count, stride-only decode, true luminance ramp") {
+    val gif = animatedGif(6)
+    assert(Multimodal.gifFrameCount(gif) == 6)
+    // a single-frame GIF is an IMAGE, not a video
+    assert(Multimodal.gifFrameCount(animatedGif(1)) == 1)
+    val media = mediaOf(Seq((1L, gif)))
+    // every 2nd of 6 → frames 0, 2, 4 with RISING true luminance
+    val rows = Multimodal.sampleFrames(media, everyNth = 2, maxFrames = 8, dim = 4)
+      .collect().sortBy(_.getInt(1))
+    assert(rows.map(_.getInt(1)).toSeq == Seq(0, 2, 4))
+    val lums = rows.map(_.getAs[scala.collection.Seq[Float]]("features"))
+      .map(f => f.sum / f.length)
+    assert(lums(0) < 0.05f, s"frame 0 is black: ${lums(0)}")
+    assert(lums(0) < lums(1) && lums(1) < lums(2),
+      s"luminance must rise with the planted ramp: ${lums.toSeq}")
+    // GIF quantizes the palette — generous tolerance, still a REAL pixel read
+    assert(math.abs(lums(2) - 160 / 255.0f) < 0.15f, s"frame 4 ≈ gray 160: ${lums(2)}")
+  }
 }
