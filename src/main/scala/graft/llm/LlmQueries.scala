@@ -994,6 +994,65 @@ object LlmQueries {
         / length(t) AS non_ascii_ratio
     FROM aug ORDER BY doc_id"""
 
+  /** Trigram stupid-backoff LM (Brants 2007): train on docs < 400, score
+    * docs 400-499 — unseen trigrams exercise the backoff chain, counted
+    * per doc in `n_backoffs`. Means rounded 6dp in both engines. */
+  val textTrigramLm: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents
+    TextAnalysis.trigramLmScore(
+        docs.filter(col("doc_id") < 400),
+        docs.filter(col("doc_id") >= 400 && col("doc_id") < 500))
+      .orderBy(col("doc_id"))
+  }
+  val textTrigramLmSql: String = """
+    WITH tr AS (
+      SELECT list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS t
+      FROM documents WHERE doc_id < 400),
+    tri AS (
+      SELECT g3, COUNT(*) AS c123 FROM (
+        SELECT unnest(list_transform(generate_series(1, len(t) - 2),
+          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g3 FROM tr WHERE len(t) >= 3)
+      GROUP BY 1),
+    big AS (
+      SELECT g2, COUNT(*) AS c12 FROM (
+        SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+          i -> t[i] || ' ' || t[i+1])) AS g2 FROM tr WHERE len(t) >= 2)
+      GROUP BY 1),
+    uni AS (SELECT w, COUNT(*) AS c1 FROM (SELECT unnest(t) AS w FROM tr) GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c1) AS DOUBLE) AS n, CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+    sc AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS t
+      FROM documents WHERE doc_id >= 400 AND doc_id < 500),
+    grams AS (
+      SELECT doc_id,
+        t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g3,
+        t[i] || ' ' || t[i+1] AS g12,
+        t[i+1] || ' ' || t[i+2] AS g23,
+        t[i+1] AS w2, t[i+2] AS w3
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+            FROM sc WHERE len(t) >= 3)),
+    scored AS (
+      SELECT g.doc_id,
+        CASE WHEN tri.c123 IS NOT NULL AND b12.c12 IS NOT NULL
+             THEN CAST(tri.c123 AS DOUBLE) / b12.c12
+             ELSE 0.4 * (CASE WHEN b23.c12 IS NOT NULL AND u2.c1 IS NOT NULL
+                              THEN CAST(b23.c12 AS DOUBLE) / u2.c1
+                              ELSE 0.4 * (COALESCE(u3.c1, 0) + 0.5) /
+                                   ((SELECT n FROM tot) + 0.5 * (SELECT v FROM tot))
+                         END)
+        END AS s,
+        CASE WHEN tri.c123 IS NULL THEN 1 ELSE 0 END AS backed_off
+      FROM grams g
+      LEFT JOIN tri ON tri.g3 = g.g3
+      LEFT JOIN big b12 ON b12.g2 = g.g12
+      LEFT JOIN big b23 ON b23.g2 = g.g23
+      LEFT JOIN uni u2 ON u2.w = g.w2
+      LEFT JOIN uni u3 ON u3.w = g.w3)
+    SELECT doc_id, COUNT(*) AS n_trigrams,
+      CAST(SUM(backed_off) AS BIGINT) AS n_backoffs,
+      round(avg(log2(s)), 6) AS mean_log2s
+    FROM scored GROUP BY doc_id ORDER BY doc_id"""
+
   /** Corpus bigram-LM quality score (the CCNet/Gopher perplexity-filter
     * recipe with the corpus itself as the model). The mean of per-bigram
     * log2 P is rounded to 6dp in BOTH engines — libm log2 and summation
@@ -1306,6 +1365,7 @@ object LlmQueries {
     "embed_quantize" -> embedQuantize,
     "text_entropy" -> textEntropy,
     "text_lm_score" -> textLmScore,
+    "text_trigram_lm" -> textTrigramLm,
     "length_buckets" -> lengthBuckets,
     "chunk_documents" -> chunkDocuments,
     "source_cap_topk" -> sourceCapTopk,
@@ -1354,6 +1414,7 @@ object LlmQueries {
     "embed_quantize" -> embedQuantizeSql,
     "text_entropy" -> textEntropySql,
     "text_lm_score" -> textLmScoreSql,
+    "text_trigram_lm" -> textTrigramLmSql,
     "length_buckets" -> lengthBucketsSql,
     "chunk_documents" -> chunkDocumentsSql,
     "source_cap_topk" -> sourceCapTopkSql,

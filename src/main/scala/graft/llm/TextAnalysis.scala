@@ -289,6 +289,67 @@ object TextAnalysis {
   private def bi(grams: DataFrame): DataFrame =
     grams.groupBy("gram").agg(count(lit(1)).as("c_bi"))
 
+  /** Trigram LM with STUPID BACKOFF (Brants et al. 2007, "Large Language
+    * Models in Machine Translation" — the web-scale LM scoring recipe):
+    * S(w3|w1w2) = c123/c12, backing off to 0.4·c23/c2, then to an add-k
+    * smoothed unigram floor 0.4²·(c3+k)/(N+kV) so out-of-vocabulary
+    * words score finite instead of log(0). The model trains on `train`
+    * and scores `score` — the real deployment shape (reference corpus →
+    * candidate corpus), and what actually exercises the backoff chain.
+    *
+    * Scale: three count aggregates over the training corpus (all
+    * map-side partial, gram-keyed shuffles), then the scored docs' grams
+    * LEFT-join the count tables; only the 1-row (N, V) totals broadcast.
+    * Means round to 6dp so accumulation order can't flip a hash
+    * compare. */
+  def trigramLmScore(train: DataFrame, score: DataFrame,
+                     alpha: Double = 0.4, k: Double = 0.5): DataFrame = {
+    val tri = train.select(explode(
+        graft.functions.Functions.word_ngrams(col("text"), 3, distinct = false))
+        .as("g3")).groupBy("g3").agg(count(lit(1)).as("c123"))
+    val big = train.select(explode(
+        graft.functions.Functions.word_ngrams(col("text"), 2, distinct = false))
+        .as("g2")).groupBy("g2").agg(count(lit(1)).as("c12"))
+    val uni = train.select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val totals = uni.agg(sum(col("c1")).cast("double").as("n"),
+      count(lit(1)).cast("double").as("v"))
+
+    val grams = score.filter(size(tokens(col("text"))) >= 3)
+      .select(col("doc_id"), explode(
+        graft.functions.Functions.word_ngrams(col("text"), 3, distinct = false))
+        .as("g3"))
+      .withColumn("w1", substring_index(col("g3"), " ", 1))
+      .withColumn("w3", substring_index(col("g3"), " ", -1))
+      .withColumn("w2",
+        substring_index(substring_index(col("g3"), " ", 2), " ", -1))
+      .withColumn("g12", concat_ws(" ", col("w1"), col("w2")))
+      .withColumn("g23", concat_ws(" ", col("w2"), col("w3")))
+
+    val biAs = (a: String) => big.select(col("g2").as(a + "_g"), col("c12").as("c_" + a))
+    val scored = grams
+      .join(tri, Seq("g3"), "left")
+      .join(biAs("b12"), grams("g12") === col("b12_g"), "left")
+      .join(biAs("b23"), grams("g23") === col("b23_g"), "left")
+      .join(uni.select(col("w").as("w2"), col("c1").as("c_w2")), Seq("w2"), "left")
+      .join(uni.select(col("w").as("w3"), col("c1").as("c_w3")), Seq("w3"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        when(col("c123").isNotNull && col("c_b12").isNotNull,
+          col("c123").cast("double") / col("c_b12"))
+          .otherwise(lit(alpha) *
+            when(col("c_b23").isNotNull && col("c_w2").isNotNull,
+              col("c_b23").cast("double") / col("c_w2"))
+              .otherwise(lit(alpha) *
+                (coalesce(col("c_w3").cast("double"), lit(0.0)) + lit(k)) /
+                (col("n") + lit(k) * col("v")))).as("s"),
+        col("c123").isNull.cast("int").as("backed_off"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(col("backed_off")).as("n_backoffs"),
+        round(avg(log2(col("s"))), 6).as("mean_log2s"))
+  }
+
   /** TF-IDF keyword extraction: the top-k most distinctive terms per
     * document against the corpus (tf × smoothed idf — the classic
     * `ln((N+1)/(df+1)) + 1` form), the standard featurization for

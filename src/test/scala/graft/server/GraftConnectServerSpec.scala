@@ -70,6 +70,11 @@ class GraftConnectServerSpec extends AnyFunSuite {
         // AUTHENTICATE binds the principal to this client's server session
         client.sql("AUTHENTICATE USER conn_bob PASSWORD 'bp'").collect()
         assert(client.sql(q).collect().head.getLong(0) == 5L)
+        // wire-first jobs service: the Connect statement landed in the
+        // shared history ring under the bound principal
+        org.apache.spark.sql.graft.Bridge.waitListenerBus(spark)
+        assert(graft.catalog.QueryHistory.records.exists(_.userName == "conn_bob"),
+          "Connect statement missing from sys_queries with its principal")
       }
     } finally {
       Privileges.clear()
