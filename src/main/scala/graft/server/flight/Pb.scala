@@ -39,8 +39,16 @@ object Pb {
       if (b.nonEmpty) { tag(field, 2); varintRaw(b.length.toLong); out.write(b) }
       this
     }
+    /** LEN field emitted even when empty — REQUIRED for repeated-field
+      * elements, where proto3 default-skipping does not apply (an empty
+      * path segment must survive the round trip). */
+    def bytesAlways(field: Int, b: Array[Byte]): this.type = {
+      tag(field, 2); varintRaw(b.length.toLong); out.write(b); this
+    }
     def string(field: Int, s: String): this.type =
       bytes(field, s.getBytes(StandardCharsets.UTF_8))
+    def stringAlways(field: Int, s: String): this.type =
+      bytesAlways(field, s.getBytes(StandardCharsets.UTF_8))
     def message(field: Int, m: Array[Byte]): this.type = bytes(field, m)
 
     def result: Array[Byte] = out.toByteArray
@@ -105,7 +113,7 @@ object Pb {
   }
   def writeDescriptor(d: FlightDescriptor): Array[Byte] =
     d.path.foldLeft(new Writer().int(1, d.descType.toLong).bytes(2, d.cmd)) {
-      (w, p) => w.string(3, p)
+      (w, p) => w.stringAlways(3, p) // repeated: empty segments must survive
     }.result
 
   /** Ticket: {1: bytes}. */

@@ -1400,7 +1400,17 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       : (Vector[String], Map[String, Map[String, (String, String)]]) = {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     val sub = "data-" + java.util.UUID.randomUUID().toString.take(8)
-    if (partitionBy.isEmpty) df.write.parquet(s"$dir/$sub")
+    // declared STATS columns additionally get parquet BLOOM FILTERS: the
+    // manifest min/max prune files, the bloom prunes row groups INSIDE a
+    // kept file on point predicates — the within-file skipping lever for
+    // high-cardinality lookup keys at 100 TB (Iceberg write property
+    // `write.parquet.bloom-filter-enabled.column.*`, same contract)
+    def withBlooms(w: org.apache.spark.sql.DataFrameWriter[Row])
+        : org.apache.spark.sql.DataFrameWriter[Row] =
+      statsCols.filter(df.schema.fieldNames.contains)
+        .foldLeft(w)((acc, c) =>
+          acc.option(s"parquet.bloom.filter.enabled#$c", "true"))
+    if (partitionBy.isEmpty) withBlooms(df.write).parquet(s"$dir/$sub")
     else {
       // helper partition-value columns exist only in the directory layout
       // (partitionBy moves them out of the files), so file schema == table
@@ -1421,7 +1431,7 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       val clustered =
         if (sortCols.isEmpty) distributed
         else distributed.sortWithinPartitions((names ++ sortCols).map(col): _*)
-      clustered.write.partitionBy(names: _*).parquet(s"$dir/$sub")
+      withBlooms(clustered.write).partitionBy(names: _*).parquet(s"$dir/$sub")
     }
     val dataDir = LakeIO.path(dir, sub)
     // A layout with exactly ONE bucket transform stamps each staged file

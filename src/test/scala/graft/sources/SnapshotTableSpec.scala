@@ -1076,6 +1076,38 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(zy < ly, s"Z-order y pruning ($zy) not better than lexicographic ($ly)")
   }
 
+  test("STATS columns write parquet bloom filters (within-file skipping for point lookups)") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    def bloomOffsets(dir: String): Map[String, Long] = {
+      val file = SnapshotTable.forPath(spark, dir).snapshot()._1.head
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file),
+        org.apache.spark.sql.graft.Bridge.hadoopConf(spark)))
+      try reader.getFooter.getBlocks.get(0).getColumns.asScala
+        .map(c => c.getPath.toDotString -> c.getBloomFilterOffset).toMap
+      finally reader.close()
+    }
+    val df = (1 to 5000).map(i => (i.toLong, s"k_$i", i % 7)).toDF("id", "key", "grp")
+    // STATS (key) → bloom filter on key only
+    val withStats = fresh("lake_bloom_on")
+    spark.sql(s"DROP TABLE IF EXISTS __nonexistent") // keep session warm
+    SnapshotTable.create(spark, withStats, df) // plain create: no stats cols
+    val plain = bloomOffsets(withStats)
+    assert(plain.values.forall(_ < 0), s"no STATS → no blooms: $plain")
+    val declared = fresh("lake_bloom_decl")
+    spark.sql(s"""CREATE LAKE '$declared' STATS (key)
+                 |AS SELECT id, concat('k_', id) AS key, id % 7 AS grp
+                 |FROM range(1, 5001)""".stripMargin)
+    val offs = bloomOffsets(declared)
+    assert(offs("key") >= 0, s"STATS column must carry a bloom filter: $offs")
+    assert(offs("id") < 0 && offs("grp") < 0,
+      s"undeclared columns must not pay for blooms: $offs")
+    // values unchanged through the bloom-bearing files
+    assert(SnapshotTable.forPath(spark, declared).read()
+      .filter(col("key") === "k_1234").count() == 1L)
+  }
+
   test("commit log drives the Hadoop FileSystem API for scheme'd table paths") {
     // the WHOLE metadata life cycle — create, append, DML, refs, time
     // travel, checkpointless replay, vacuum — at a `file:`-scheme
