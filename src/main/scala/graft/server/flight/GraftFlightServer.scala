@@ -132,7 +132,8 @@ object GraftFlightServer {
   private def schemaHeaderBytes(schema: org.apache.arrow.vector.types.pojo.Schema)
       : Array[Byte] = {
     val bb = org.apache.arrow.vector.ipc.message.MessageSerializer
-      .serializeMetadata(schema)
+      .serializeMetadata(schema,
+        org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT)
     val b = new Array[Byte](bb.remaining()); bb.duplicate().get(b); b
   }
 

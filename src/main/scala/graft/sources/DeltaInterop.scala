@@ -236,7 +236,7 @@ object DeltaInterop {
             }
             Option(a.get("remove")).foreach(r => versionRemoves += r.get("path").asText())
           }
-        (versionRemoves -- versionAdds).foreach(files.remove)
+        versionRemoves.diff(versionAdds).foreach(files.remove)
       }
 
     val logicalSchema = schema.getOrElse(throw new IllegalArgumentException(
