@@ -17,6 +17,13 @@ Test / unmanagedJars +=
   Attributed.blank(file("/opt/spark/jars/connect-repl/spark-connect-client-jvm_2.13-4.1.2.jar"))
 Test / fork := true
 run / fork := true
+// Driver contract: the bench/verify mains must end stdout with ONE raw JSON
+// line. StdoutOutput passes the forked JVM's stdout/stderr straight through
+// (no "[info] "/"[error] " prefixes), and showSuccess drops sbt's trailing
+// "[success] Total time…" line that otherwise follows the JSON.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Opt-in scale-stress tier: `sbt -Dgraft.scale=1 "testOnly *ScaleStressSpec"`
 // forwards the flag into the forked test JVM (ScaleStressSpec gates on it).
 Test / javaOptions ++= sys.props.get("graft.scale").map(v => s"-Dgraft.scale=$v").toSeq

@@ -26,7 +26,10 @@ object Bench {
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.ui.enabled", "false")
     ).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver's parser reads the LAST stdout line as the
+    // bench record, and WARN-level chatter (function re-registration, Hive
+    // metastore probes) otherwise lands after/around it in the captured tail.
+    spark.sparkContext.setLogLevel("ERROR")
     graft.functions.Functions.registerAll(spark)
     // Warm the JVM/codegen paths once so per-query numbers measure the
     // query, not first-touch class loading — through the SAME noop sink the
@@ -119,7 +122,10 @@ object Bench {
     def ms(v: Double): String = (math.round(v * 1000) / 1000.0).toString
     val slowest = jmap(results.sortBy { case (_, _, _, m, _, _) => -m }.take(15)
       .map { case (k, _, _, m, _, _) => k -> ms(m) })
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"loadavg_per_pass":$loadsJson,"errors":$errs,"full":"target/bench_full.json","sf":"$sfDir"}""")
+    // Stop Spark BEFORE printing so executor/session teardown logging cannot
+    // land after the summary; the JSON must be the final stdout line.
     spark.stop()
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"loadavg_per_pass":$loadsJson,"errors":$errs,"full":"target/bench_full.json","sf":"$sfDir"}""")
+    System.out.flush()
   }
 }

@@ -242,31 +242,38 @@ object DremioSurface {
     * lexicographically max/min immediate SUBDIRECTORY name, the I-
     * variants comparing case-insensitively while returning the original
     * name. Listing goes through the Hadoop FileSystem client (works on
-    * file:/hdfs/s3a paths alike); no subdirectories → NULL. Metadata
-    * helper, not a hot-path kernel → eval with CodegenFallback. */
-  case class DirExtreme(children: Seq[Expression], wantMax: Boolean,
-                        caseInsensitive: Boolean)
-      extends Expression with CodegenFallback {
-    override def dataType: DataType = StringType
-    override def nullable: Boolean = true
-    override def eval(row: org.apache.spark.sql.catalyst.InternalRow): Any = {
-      val parts = children.map(_.eval(row))
-      if (parts.contains(null)) return null
-      val path = parts.map(_.toString.stripSuffix("/")).mkString("/")
-      val hp = new org.apache.hadoop.fs.Path(path)
-      val fs = hp.getFileSystem(Bridge.hadoopConf(SparkSession.active))
-      if (!fs.exists(hp)) return null
-      val names = fs.listStatus(hp).filter(_.isDirectory).map(_.getPath.getName)
-      if (names.isEmpty) null
+    * file:/hdfs/s3a paths alike); no subdirectories → NULL.
+    *
+    * The arguments must be literals, so the extreme is resolved ONCE on
+    * the driver at function-build (analysis) time and substituted as a
+    * Literal — a per-row expression would issue one Hadoop listStatus per
+    * input row and could not run on remote executors at all (no active
+    * session there). The folded Literal also lets Catalyst constant-fold
+    * the enclosing predicate into partition pruning. */
+  private[functions] def dirExtreme(fn: String, es: Seq[Expression],
+                                    wantMax: Boolean,
+                                    caseInsensitive: Boolean): Expression = {
+    require(es.forall(e => e.foldable && e.dataType == StringType),
+      s"$fn: arguments must be string literals (a path, or root + relative path)")
+    val parts = es.map(_.eval())
+    val pick: Any =
+      if (parts.contains(null)) null
       else {
-        val key: String => String =
-          if (caseInsensitive) _.toLowerCase else identity
-        val pick = if (wantMax) names.maxBy(key) else names.minBy(key)
-        UTF8String.fromString(pick)
+        val path = parts.map(_.toString.stripSuffix("/")).mkString("/")
+        val hp = new org.apache.hadoop.fs.Path(path)
+        val fs = hp.getFileSystem(Bridge.hadoopConf(SparkSession.active))
+        if (!fs.exists(hp)) null
+        else {
+          val names = fs.listStatus(hp).filter(_.isDirectory).map(_.getPath.getName)
+          if (names.isEmpty) null
+          else {
+            val key: String => String =
+              if (caseInsensitive) _.toLowerCase else identity
+            if (wantMax) names.maxBy(key) else names.minBy(key)
+          }
+        }
       }
-    }
-    override protected def withNewChildrenInternal(
-        cs: IndexedSeq[Expression]): Expression = copy(children = cs)
+    org.apache.spark.sql.catalyst.expressions.Literal.create(pick, StringType)
   }
 
   /** Minimal single-child base (avoids depending on non-public helpers). */
@@ -321,10 +328,10 @@ object DremioSurface {
 
     // ---- array family (exec/expr/fn/impl/array/, convertlets) ----
     // ---- filesystem-directory helpers (MAXDIR family) ----
-    one("maxdir", Set(1, 2))(es => DirExtreme(es, wantMax = true, caseInsensitive = false))
-    one("mindir", Set(1, 2))(es => DirExtreme(es, wantMax = false, caseInsensitive = false))
-    one("imaxdir", Set(1, 2))(es => DirExtreme(es, wantMax = true, caseInsensitive = true))
-    one("imindir", Set(1, 2))(es => DirExtreme(es, wantMax = false, caseInsensitive = true))
+    one("maxdir", Set(1, 2))(es => dirExtreme("maxdir", es, wantMax = true, caseInsensitive = false))
+    one("mindir", Set(1, 2))(es => dirExtreme("mindir", es, wantMax = false, caseInsensitive = false))
+    one("imaxdir", Set(1, 2))(es => dirExtreme("imaxdir", es, wantMax = true, caseInsensitive = true))
+    one("imindir", Set(1, 2))(es => dirExtreme("imindir", es, wantMax = false, caseInsensitive = true))
 
     one("array_cat", Set(2))(es => ex(concat(c(es(0)), c(es(1)))))
     one("array_concat", Set.empty)(es => ex(concat(es.map(c): _*)))

@@ -106,15 +106,37 @@ object LlmQueries {
   }
 
   /** Johnson–Lindenstrauss random projection (no fit pass; hash-derived
-    * deterministic planes shared with srp_sign64). */
+    * deterministic planes shared with srp_sign64). Output is the exploded
+    * (vec_id, coordinate j, value rounded to 6dp) relation so the DuckDB
+    * oracle — which recomputes the SAME left-associated double dot
+    * products from the SAME literal plane weights
+    * ([[Projection.randomProjectWeights]] is a pure function of
+    * (seed,k,d)) — hash-matches it exactly (r9 VERDICT #6: rows-only →
+    * full oracle). */
   val embedRandomProject: QueryFn = (s, dir) => {
     val e = Tables.ensure(s, dir).embeddings.select(col("vec_id"), col("embedding"))
     val d = e.select(size(col("embedding"))).head().getInt(0)
+    val coords = Projection.randomProjectCoords(col("embedding"), k = 16, d = d)
     e.select(col("vec_id"),
-        to_json(transform(
-          Projection.randomProjectCol(col("embedding"), k = 16, d = d),
-          x => round(x, 6))).as("rp_json"))
-      .orderBy(col("vec_id"))
+        posexplode(array(coords.map(c => round(c, 6)): _*)))
+      .withColumnRenamed("pos", "j").withColumnRenamed("col", "rp")
+      .orderBy(col("vec_id"), col("j"))
+  }
+
+  /** The oracle recomputes each coordinate as the literal-weighted
+    * left-associated sum `0.0 + v[1]*w0 + v[2]*w1 + …` — identical
+    * fold order and identical double literals (Double.toString
+    * round-trips through DuckDB's decimal parser), so the doubles agree
+    * bit-for-bit before the 6dp round. Fixture embeddings are d=64. */
+  val embedRandomProjectSql: String = {
+    val weights = Projection.randomProjectWeights(k = 16, d = 64)
+    val branches = weights.zipWithIndex.map { case (row, j) =>
+      val terms = row.zipWithIndex.map { case (w, dim) =>
+        s"CAST(embedding[${dim + 1}] AS DOUBLE) * $w"
+      }.mkString(" + ")
+      s"SELECT vec_id, $j AS j, round(0.0 + $terms, 6) AS rp FROM embeddings"
+    }
+    branches.mkString("", "\nUNION ALL\n", "\nORDER BY vec_id, j")
   }
 
   val annBrute: QueryFn = (s, dir) => {
@@ -1412,6 +1434,7 @@ object LlmQueries {
     "split_leakage_safe" -> splitLeakageSafeSql,
     "shuffle_deterministic" -> shuffleDeterministicSql,
     "embed_quantize" -> embedQuantizeSql,
+    "embed_random_project" -> embedRandomProjectSql,
     "text_entropy" -> textEntropySql,
     "text_lm_score" -> textLmScoreSql,
     "text_trigram_lm" -> textTrigramLmSql,

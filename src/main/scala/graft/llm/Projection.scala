@@ -162,20 +162,31 @@ object Projection {
     (df.withColumn(outCol, pcaProjectCol(col(vecCol), model, k)), model)
   }
 
+  /** The JL projection matrix: row j = scaled plane weights for output
+    * coordinate j. Pure function of (seed, k, d) — the same doubles on
+    * every engine, which is what lets the DuckDB oracle recompute the
+    * projection bit-for-bit from literals. */
+  def randomProjectWeights(k: Int, d: Int, seed: Long = 0L): Seq[Seq[Double]] = {
+    val scale = math.sqrt(3.0 / k)
+    (0 until k).map { j =>
+      (0 until d).map(dim =>
+        graft.functions.SrpKernel.component(seed, j, dim) * scale).toSeq
+    }
+  }
+
+  /** Per-coordinate JL projections as DOUBLE columns (the exact sums —
+    * left-to-right fold over dims, so an oracle writing the same
+    * left-associated sum reproduces them bit-for-bit). */
+  def randomProjectCoords(vec: Column, k: Int, d: Int, seed: Long = 0L): Seq[Column] =
+    randomProjectWeights(k, d, seed).map { row =>
+      aggregate(zip_with(vec, typedLit(row), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, x) => acc + x)
+    }
+
   /** Johnson–Lindenstrauss random projection to k dims with NO fit pass:
     * plane components from the SrpKernel hash generator (uniform [-1,1),
     * variance 1/3), scaled √(3/k) so E[‖proj‖²] = ‖x‖². Deterministic
     * across runs and engines — the matrix is a function of (seed, k). */
-  def randomProjectCol(vec: Column, k: Int, d: Int, seed: Long = 0L): Column = {
-    val scale = math.sqrt(3.0 / k)
-    val rows = (0 until k).map { j =>
-      (0 until d).map(dim =>
-        graft.functions.SrpKernel.component(seed, j, dim) * scale).toSeq
-    }
-    val coords = rows.map { row =>
-      aggregate(zip_with(vec, typedLit(row), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, x) => acc + x)
-    }
-    array(coords.map(_.cast("float")): _*)
-  }
+  def randomProjectCol(vec: Column, k: Int, d: Int, seed: Long = 0L): Column =
+    array(randomProjectCoords(vec, k, d, seed).map(_.cast("float")): _*)
 }

@@ -48,6 +48,8 @@ object GraftFlightServer {
 
   private val ServiceName = "arrow.flight.protocol.FlightService"
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   @volatile private var running: Option[grpc.Server] = None
   @volatile private var boundPort: Option[Int] = None
 
@@ -137,6 +139,26 @@ object GraftFlightServer {
     val b = new Array[Byte](bb.remaining()); bb.duplicate().get(b); b
   }
 
+  private[flight] def schemaIpcBytesOf(df: DataFrame): Array[Byte] =
+    schemaIpcBytes(org.apache.spark.sql.graft.Bridge.arrowSchema(df))
+
+  /** Inverse of [[splitIpcMessage]]: re-frame a FlightData
+    * (data_header, data_body) pair as one encapsulated IPC message —
+    * [continuation 0xFFFFFFFF][metadata len][flatbuffer, zero-padded to
+    * 8-byte alignment][body] — the form ArrowConverters.fromIPCStream
+    * consumes. The metadata length covers the padding, per the IPC spec
+    * (the body must start 8-byte aligned). */
+  private[flight] def frameIpcMessage(header: Array[Byte], body: Array[Byte])
+      : Array[Byte] = {
+    val padded = (header.length + 7) / 8 * 8
+    val bb = java.nio.ByteBuffer.allocate(8 + padded + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(-1).putInt(padded).put(header)
+    bb.position(8 + padded)
+    bb.put(body)
+    bb.array()
+  }
+
   /** Split one encapsulated IPC message (what Bridge.arrowBatches emits)
     * into (metadata flatbuffer, body) — the FlightData frame pair. */
   private[flight] def splitIpcMessage(msg: Array[Byte]): (Array[Byte], Array[Byte]) = {
@@ -180,6 +202,125 @@ object GraftFlightServer {
         .foreach { case (k, _) => pending.remove(k) }
   }
 
+  /** Stream `df` to the client as Arrow FlightData frames (schema frame
+    * first, then each IPC batch split into {data_header, data_body}).
+    *
+    * Flow control is the non-blocking gRPC idiom: frames are pushed only
+    * while the transport reports ready, and `setOnReadyHandler` re-enters
+    * the drain when a slow client's window reopens — no executor thread is
+    * pinned per slow consumer (the r9 busy-wait is gone). gRPC serializes
+    * the initial call thread and onReady callbacks per call, so the frame
+    * iterator needs no locking.
+    *
+    * The RDD stream path bypasses Dataset actions, so the
+    * QueryExecutionListener never fires — the wire-first jobs service is
+    * fed explicitly, EXCEPT for eager commands, which already executed
+    * (and were listener-recorded) at submission: recording again here
+    * would double-count the statement in sys_queries. */
+  private def streamResult(df: DataFrame, action: String,
+                           obs: StreamObserver[Array[Byte]]): Unit = {
+    val schema = org.apache.spark.sql.graft.Bridge.arrowSchema(df)
+    val t0 = System.nanoTime()
+    val frames: Iterator[Array[Byte]] =
+      Iterator.single(Pb.writeFlightData(schemaHeaderBytes(schema),
+        Array.emptyByteArray)) ++
+        org.apache.spark.sql.graft.Bridge.arrowBatches(df).map { m =>
+          val (header, body) = splitIpcMessage(m)
+          Pb.writeFlightData(header, body)
+        }
+    streamFrames(frames, obs, onDone = () => {
+      if (!df.queryExecution.logical.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.CommandResult])
+        graft.catalog.QueryHistory.record(action, df.queryExecution,
+          System.nanoTime() - t0, None)
+    })
+  }
+
+  /** Stream pre-built Arrow IPC messages (schema + batches) as FlightData
+    * frames — the non-DataFrame result path (GetSqlInfo's dense-union
+    * batch). */
+  private def streamIpc(schema: org.apache.arrow.vector.types.pojo.Schema,
+                        batches: Seq[Array[Byte]],
+                        obs: StreamObserver[Array[Byte]]): Unit =
+    streamFrames(
+      Iterator.single(Pb.writeFlightData(schemaHeaderBytes(schema),
+        Array.emptyByteArray)) ++
+        batches.iterator.map { m =>
+          val (header, body) = splitIpcMessage(m)
+          Pb.writeFlightData(header, body)
+        },
+      obs, onDone = () => ())
+
+  private def streamFrames(frames: Iterator[Array[Byte]],
+                           obs: StreamObserver[Array[Byte]],
+                           onDone: () => Unit): Unit = {
+    val sObs = obs.asInstanceOf[
+      org.sparkproject.connect.grpc.stub.ServerCallStreamObserver[Array[Byte]]]
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def finish(): Unit = if (done.compareAndSet(false, true)) {
+      onDone()
+      obs.onCompleted()
+    }
+    val drain: Runnable = () => {
+      try {
+        if (!done.get()) {
+          while (sObs.isReady && !sObs.isCancelled && frames.hasNext)
+            sObs.onNext(frames.next())
+          if (sObs.isCancelled) done.set(true)
+          else if (!frames.hasNext) finish()
+          // else: transport window closed — the onReady handler re-enters
+        }
+      } catch {
+        case t: Throwable => if (done.compareAndSet(false, true)) fail(obs, t)
+      }
+    }
+    sObs.setOnCancelHandler(new Runnable { def run(): Unit = done.set(true) })
+    sObs.setOnReadyHandler(drain)
+    drain.run()
+  }
+
+  /** DoPut upload cap: the decoded rows materialize on the driver before
+    * the distributed write (Spark Connect's local-relation contract), so
+    * the accepted volume is bounded; bulk loads belong to COPY INTO. */
+  private val MaxPutBytes: Long = 512L * 1024 * 1024
+
+  /** Land a DoPut upload: PATH naming a lake directory (contains '/') →
+    * atomic lake append/create; PATH naming a catalog dataset → INSERT
+    * INTO the existing table. Requires INSERT on the target while
+    * enforcement is on. Returns the ingested row count. */
+  private def ingestPut(root: SparkSession, session: SparkSession,
+                        desc: Pb.FlightDescriptor, df: DataFrame): Long = {
+    def requireInsert(obj: String): Unit = {
+      val p = graft.auth.Privileges
+      if (p.enforcing) {
+        val u = p.principalOf(session).getOrElse(throw unauthenticated(
+          "flight: DoPut requires credentials while auth enforcement is on"))
+        if (!p.allowed(u, "insert", p.normObj(obj)))
+          throw grpc.Status.PERMISSION_DENIED.withDescription(
+            s"flight: principal '${u.name}' lacks INSERT on $obj")
+            .asRuntimeException()
+      }
+    }
+    if (desc.descType != 1 || desc.path.isEmpty)
+      throw grpc.Status.INVALID_ARGUMENT.withDescription(
+        "flight: DoPut needs a PATH descriptor naming a lake directory " +
+          "or a catalog table").asRuntimeException()
+    val rows = df.count()
+    desc.path match {
+      case Seq(dir) if dir.contains("/") =>
+        requireInsert(dir)
+        if (graft.sources.SnapshotTable.isLakeTable(dir))
+          graft.sources.SnapshotTable.forPath(session, dir).append(df)
+        else graft.sources.SnapshotTable.create(session, dir, df)
+      case segments =>
+        val name = segments.map(s => "`" + s.replace("`", "``") + "`").mkString(".")
+        requireInsert(segments.mkString("."))
+        // existing catalog table, by-position append (listener records it)
+        df.write.insertInto(name)
+    }
+    rows
+  }
+
   private def fail(obs: StreamObserver[Array[Byte]], t: Throwable): Unit = t match {
     case s: grpc.StatusRuntimeException => obs.onError(s)
     case e =>
@@ -194,9 +335,13 @@ object GraftFlightServer {
     val getFlightInfo = method("GetFlightInfo", grpc.MethodDescriptor.MethodType.UNARY)
     val getSchema = method("GetSchema", grpc.MethodDescriptor.MethodType.UNARY)
     val doGet = method("DoGet", grpc.MethodDescriptor.MethodType.SERVER_STREAMING)
+    val doPut = method("DoPut", grpc.MethodDescriptor.MethodType.BIDI_STREAMING)
+    val doAction = method("DoAction", grpc.MethodDescriptor.MethodType.SERVER_STREAMING)
     val handshake = method("Handshake", grpc.MethodDescriptor.MethodType.BIDI_STREAMING)
     val listFlights = method("ListFlights", grpc.MethodDescriptor.MethodType.SERVER_STREAMING)
     val listActions = method("ListActions", grpc.MethodDescriptor.MethodType.SERVER_STREAMING)
+
+    def locations = Seq(s"grpc://localhost:${boundPort.getOrElse(0)}")
 
     def sqlOf(desc: Pb.FlightDescriptor): String =
       if (desc.descType == 2 && desc.cmd.nonEmpty)
@@ -210,26 +355,113 @@ object GraftFlightServer {
         "flight: submit a CMD descriptor (SQL bytes) or a PATH descriptor " +
           "(catalog dataset)").asRuntimeException()
 
+    def notFound(msg: String): grpc.StatusRuntimeException =
+      grpc.Status.NOT_FOUND.withDescription(msg).asRuntimeException()
+    def unimplemented(msg: String): grpc.StatusRuntimeException =
+      grpc.Status.UNIMPLEMENTED.withDescription(msg).asRuntimeException()
+
+    /** Schema of a prepared statement WITHOUT executing it: pure queries
+      * analyze lazily; statements that parse to commands (or that only the
+      * graft extension parser accepts — they run eagerly when planned)
+      * report the empty schema. GetFlightInfo/GetSchema on a prepared
+      * handle must never run the statement — only DoGet executes. */
+    def preparedSchemaIpc(session: SparkSession, sql: String): Array[Byte] =
+      try {
+        val parsed = session.sessionState.sqlParser.parsePlan(sql)
+        if (parsed.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.logical.Command])
+          schemaIpcBytes(new org.apache.arrow.vector.types.pojo.Schema(
+            java.util.List.of()))
+        else schemaIpcBytesOf(org.apache.spark.sql.graft.Bridge.ofRows(session, parsed))
+      } catch { case _: org.apache.spark.sql.catalyst.parser.ParseException =>
+        schemaIpcBytes(new org.apache.arrow.vector.types.pojo.Schema(
+          java.util.List.of()))
+      }
+
+    /** Look up a prepared statement for the bound caller (owner check). */
+    def preparedFor(session: SparkSession, handleBytes: Array[Byte])
+        : (String, GraftFlightSql.Prepared) = {
+      val handle = new String(handleBytes, StandardCharsets.UTF_8)
+      val ps = GraftFlightSql.getPrepared(handle).getOrElse(
+        throw notFound(s"flight sql: unknown prepared statement handle"))
+      val caller = graft.auth.Privileges.principalOf(session).map(_.name)
+      if (ps.owner != caller)
+        throw unauthenticated(
+          "flight sql: prepared statement belongs to a different principal")
+      (handle, ps)
+    }
+
+    /** Catalog-metadata command → result DataFrame (None for commands
+      * whose result is not DataFrame-expressible, i.e. GetSqlInfo). */
+    def catalogDf(session: SparkSession, kind: String, v: Array[Byte])
+        : Option[DataFrame] = kind match {
+      case "CommandGetCatalogs" => Some(GraftFlightSql.catalogsDf(root))
+      case "CommandGetDbSchemas" =>
+        Some(GraftFlightSql.dbSchemasDf(root, PbSql.readGetDbSchemas(v)))
+      case "CommandGetTables" =>
+        Some(GraftFlightSql.tablesDf(root, session, PbSql.readGetTables(v)))
+      case "CommandGetTableTypes" => Some(GraftFlightSql.tableTypesDf(root))
+      case _ => None
+    }
+
+    /** GetFlightInfo: dual dispatch, exactly the reference's shape
+      * (DremioFlightProducer.java:217-236) — an Any-wrapped Flight SQL
+      * command when the descriptor parses as one, else the legacy
+      * raw-SQL/PATH form. Ad-hoc statements plan (and, for eager
+      * commands, execute) ONCE here; their ticket names the stashed
+      * plan. Stateless commands (prepared/catalog) carry the command
+      * itself as the ticket. */
     val infoHandler = ServerCalls.asyncUnaryCall(
       new ServerCalls.UnaryMethod[Array[Byte], Array[Byte]] {
         override def invoke(req: Array[Byte], obs: StreamObserver[Array[Byte]]): Unit =
           try {
             reapPending()
             val desc = Pb.readDescriptor(req)
-            val session = root.newSession()
-            bindPrincipal(root, session)
-            val df = graft.Graft.sql(session, sqlOf(desc))
-            val schema = org.apache.spark.sql.graft.Bridge.arrowSchema(df)
-            val ticket = java.util.UUID.randomUUID().toString
-            pending.put(ticket, Pending(df,
-              graft.auth.Privileges.principalOf(session).map(_.name),
-              System.currentTimeMillis()))
-            val endpoint = Pb.writeEndpoint(
-              ticket.getBytes(StandardCharsets.UTF_8),
-              Seq(s"grpc://localhost:${boundPort.getOrElse(0)}"))
-            obs.onNext(Pb.writeFlightInfo(schemaIpcBytes(schema), req,
-              Seq(endpoint), totalRecords = -1L, totalBytes = -1L))
-            obs.onCompleted()
+
+            def reply(schemaIpc: Array[Byte], ticket: Array[Byte]): Unit = {
+              val endpoint = Pb.writeEndpoint(ticket, locations)
+              obs.onNext(Pb.writeFlightInfo(schemaIpc, req,
+                Seq(endpoint), totalRecords = -1L, totalBytes = -1L))
+              obs.onCompleted()
+            }
+            def planStatement(sql: String, mkTicket: String => Array[Byte]): Unit = {
+              val session = root.newSession()
+              bindPrincipal(root, session)
+              val df = graft.Graft.sql(session, sql)
+              val ticket = java.util.UUID.randomUUID().toString
+              pending.put(ticket, Pending(df,
+                graft.auth.Privileges.principalOf(session).map(_.name),
+                System.currentTimeMillis()))
+              reply(schemaIpcBytesOf(df), mkTicket(ticket))
+            }
+
+            val anyCmd = if (desc.descType == 2) PbSql.readAny(desc.cmd) else None
+            anyCmd match {
+              case Some(("CommandStatementQuery", v)) =>
+                planStatement(PbSql.readStatementQuery(v), uuid =>
+                  PbSql.writeAny("TicketStatementQuery",
+                    PbSql.writeTicketStatementQuery(PbSql.utf8(uuid))))
+              case Some(("CommandPreparedStatementQuery", v)) =>
+                val session = root.newSession()
+                bindPrincipal(root, session)
+                val (_, ps) = preparedFor(session, PbSql.readHandle(v))
+                // schema only — execution happens at DoGet, exactly once
+                reply(preparedSchemaIpc(session, ps.sql), desc.cmd)
+              case Some(("CommandGetSqlInfo", v)) =>
+                bindPrincipal(root, root.newSession())
+                val (schema, _) = GraftFlightSql.sqlInfoIpc(PbSql.readGetSqlInfo(v))
+                reply(schemaIpcBytes(schema), desc.cmd)
+              case Some((kind, v)) =>
+                val session = root.newSession()
+                bindPrincipal(root, session)
+                catalogDf(session, kind, v) match {
+                  case Some(df) => reply(schemaIpcBytesOf(df), desc.cmd)
+                  case None => throw unimplemented(s"flight sql: $kind")
+                }
+              case None => // legacy raw-SQL CMD / PATH descriptor
+                planStatement(sqlOf(desc),
+                  uuid => uuid.getBytes(StandardCharsets.UTF_8))
+            }
           } catch { case t: Throwable => fail(obs, t) }
       })
 
@@ -237,62 +469,246 @@ object GraftFlightServer {
       new ServerCalls.UnaryMethod[Array[Byte], Array[Byte]] {
         override def invoke(req: Array[Byte], obs: StreamObserver[Array[Byte]]): Unit =
           try {
-            val df = statementOf(root, sqlOf(Pb.readDescriptor(req)))
-            val schema = org.apache.spark.sql.graft.Bridge.arrowSchema(df)
-            obs.onNext(Pb.writeSchemaResult(schemaIpcBytes(schema)))
-            obs.onCompleted()
+            val desc = Pb.readDescriptor(req)
+            def reply(schemaIpc: Array[Byte]): Unit = {
+              obs.onNext(Pb.writeSchemaResult(schemaIpc))
+              obs.onCompleted()
+            }
+            val anyCmd = if (desc.descType == 2) PbSql.readAny(desc.cmd) else None
+            anyCmd match {
+              case Some(("CommandStatementQuery", v)) =>
+                reply(schemaIpcBytesOf(
+                  statementOf(root, PbSql.readStatementQuery(v))))
+              case Some(("CommandPreparedStatementQuery", v)) =>
+                val session = root.newSession()
+                bindPrincipal(root, session)
+                val (_, ps) = preparedFor(session, PbSql.readHandle(v))
+                reply(preparedSchemaIpc(session, ps.sql))
+              case Some(("CommandGetSqlInfo", v)) =>
+                bindPrincipal(root, root.newSession())
+                reply(schemaIpcBytes(
+                  GraftFlightSql.sqlInfoIpc(PbSql.readGetSqlInfo(v))._1))
+              case Some((kind, v)) =>
+                val session = root.newSession()
+                bindPrincipal(root, session)
+                catalogDf(session, kind, v) match {
+                  case Some(df) => reply(schemaIpcBytesOf(df))
+                  case None => throw unimplemented(s"flight sql: $kind")
+                }
+              case None => reply(schemaIpcBytesOf(statementOf(root, sqlOf(desc))))
+            }
           } catch { case t: Throwable => fail(obs, t) }
       })
+
+    /** Consume a stashed ad-hoc statement ticket: validate the caller
+      * BEFORE removing — a missing/invalid credential or the wrong
+      * principal must leave the submitted plan intact so the rightful
+      * owner's retry still finds it. */
+    def consumePending(tk: String): Option[DataFrame] =
+      pending.get(tk).map { p =>
+        val session = root.newSession()
+        bindPrincipal(root, session)
+        val caller = graft.auth.Privileges.principalOf(session).map(_.name)
+        if (p.owner != caller)
+          throw unauthenticated(
+            "flight: ticket was issued to a different principal")
+        // consume exactly once, only now that the caller is valid
+        if (!pending.remove(tk, p))
+          throw notFound("flight: ticket already consumed")
+        p.df
+      }
 
     val doGetHandler = ServerCalls.asyncServerStreamingCall(
       new ServerCalls.ServerStreamingMethod[Array[Byte], Array[Byte]] {
         override def invoke(req: Array[Byte], obs: StreamObserver[Array[Byte]]): Unit =
           try {
-            val tk = new String(Pb.readTicket(req), StandardCharsets.UTF_8)
-            require(tk.nonEmpty, "flight: empty ticket")
-            val df = pending.remove(tk) match {
-              case Some(p) =>
-                // the planned statement belongs to the principal that
-                // submitted it — a different caller must not stream it
+            val tkBytes = Pb.readTicket(req)
+            require(tkBytes.nonEmpty, "flight: empty ticket")
+            PbSql.readAny(tkBytes) match {
+              case Some(("TicketStatementQuery", v)) =>
+                val handle = new String(PbSql.readHandle(v), StandardCharsets.UTF_8)
+                val df = consumePending(handle).getOrElse(
+                  throw notFound("flight sql: unknown or expired statement handle"))
+                streamResult(df, "flightDoGet", obs)
+              case Some(("CommandPreparedStatementQuery", v)) =>
                 val session = root.newSession()
                 bindPrincipal(root, session)
-                val caller = graft.auth.Privileges.principalOf(session).map(_.name)
-                if (p.owner != caller)
-                  throw unauthenticated(
-                    "flight: ticket was issued to a different principal")
-                p.df
-              case None => statementOf(root, tk) // stateless SQL-in-ticket
+                val (_, ps) = preparedFor(session, PbSql.readHandle(v))
+                // re-planned per execution: prepared statements are
+                // re-executable until closed, each run over current data
+                streamResult(graft.Graft.sql(session, ps.sql),
+                  "flightPreparedQuery", obs)
+              case Some(("CommandGetSqlInfo", v)) =>
+                bindPrincipal(root, root.newSession())
+                val (schema, batches) =
+                  GraftFlightSql.sqlInfoIpc(PbSql.readGetSqlInfo(v))
+                streamIpc(schema, batches, obs)
+              case Some((kind, v)) =>
+                val session = root.newSession()
+                bindPrincipal(root, session)
+                catalogDf(session, kind, v) match {
+                  case Some(df) => streamResult(df, "flightCatalogCmd", obs)
+                  case None => throw unimplemented(s"flight sql: $kind")
+                }
+              case None =>
+                val tk = new String(tkBytes, StandardCharsets.UTF_8)
+                val df = consumePending(tk)
+                  .getOrElse(statementOf(root, tk)) // stateless SQL-in-ticket
+                streamResult(df, "flightDoGet", obs)
             }
-            // flow control: honor the transport's readiness signal so a
-            // slow client backpressures the batch iterator instead of the
-            // whole result buffering in gRPC — the "streams off
-            // toLocalIterator" property would otherwise be a lie for any
-            // consumer slower than the cluster
-            val sObs = obs.asInstanceOf[
-              org.sparkproject.connect.grpc.stub.ServerCallStreamObserver[Array[Byte]]]
-            def send(frame: Array[Byte]): Boolean = {
-              while (!sObs.isReady) {
-                if (sObs.isCancelled) return false
-                Thread.sleep(1)
-              }
-              sObs.onNext(frame); true
-            }
-            val schema = org.apache.spark.sql.graft.Bridge.arrowSchema(df)
-            val t0 = System.nanoTime()
-            var live = send(Pb.writeFlightData(schemaHeaderBytes(schema),
-              Array.emptyByteArray))
-            val it = org.apache.spark.sql.graft.Bridge.arrowBatches(df)
-            while (live && it.hasNext) {
-              val (header, body) = splitIpcMessage(it.next())
-              live = send(Pb.writeFlightData(header, body))
-            }
-            // the RDD stream path bypasses Dataset actions, so the
-            // QueryExecutionListener never fires — feed the wire-first
-            // jobs service explicitly (principal rides the df's session)
-            graft.catalog.QueryHistory.record("flightDoGet",
-              df.queryExecution, System.nanoTime() - t0, None)
-            if (live) obs.onCompleted()
           } catch { case t: Throwable => fail(obs, t) }
+      })
+
+    /** DoAction: the prepared-statement lifecycle (reference
+      * DremioFlightProducer.java:236 getFlightInfoPreparedStatement /
+      * ActionCreatePreparedStatementRequest). The action body is the
+      * Any-wrapped request, the result body the Any-wrapped result —
+      * the Flight SQL wire contract. */
+    val doActionHandler = ServerCalls.asyncServerStreamingCall(
+      new ServerCalls.ServerStreamingMethod[Array[Byte], Array[Byte]] {
+        override def invoke(req: Array[Byte], obs: StreamObserver[Array[Byte]]): Unit =
+          try {
+            val action = PbSql.readAction(req)
+            action.tpe match {
+              case "CreatePreparedStatement" =>
+                val session = root.newSession()
+                bindPrincipal(root, session)
+                val sql = PbSql.readAny(action.body) match {
+                  case Some(("ActionCreatePreparedStatementRequest", v)) =>
+                    PbSql.readCreatePreparedRequest(v)
+                  case _ => throw grpc.Status.INVALID_ARGUMENT.withDescription(
+                    "flight sql: CreatePreparedStatement body must be an " +
+                      "Any-wrapped ActionCreatePreparedStatementRequest")
+                    .asRuntimeException()
+                }
+                // Preparation must NOT execute: pure queries are analyzed
+                // lazily for their dataset schema; statements the stock
+                // parser rejects or that parse to commands (DDL/DML — they
+                // would run eagerly if planned) report an empty dataset
+                // schema, which the spec allows for update-style
+                // statements.
+                val t0 = System.nanoTime()
+                val schemaBytes =
+                  try {
+                    val parsed = session.sessionState.sqlParser.parsePlan(sql)
+                    if (parsed.isInstanceOf[
+                        org.apache.spark.sql.catalyst.plans.logical.Command])
+                      Array.emptyByteArray
+                    else {
+                      val df = org.apache.spark.sql.graft.Bridge.ofRows(session, parsed)
+                      graft.catalog.QueryHistory.record("flightPrepare",
+                        df.queryExecution, System.nanoTime() - t0, None)
+                      schemaIpcBytesOf(df)
+                    }
+                  } catch { case _: org.apache.spark.sql.catalyst.parser.ParseException =>
+                    Array.emptyByteArray // graft-extension statement
+                  }
+                val handle = GraftFlightSql.createPrepared(sql,
+                  graft.auth.Privileges.principalOf(session).map(_.name))
+                obs.onNext(PbSql.writeResult(PbSql.writeAny(
+                  "ActionCreatePreparedStatementResult",
+                  PbSql.writeCreatePreparedResult(PbSql.utf8(handle),
+                    schemaBytes, Array.emptyByteArray))))
+                obs.onCompleted()
+              case "ClosePreparedStatement" =>
+                val session = root.newSession()
+                bindPrincipal(root, session)
+                val handleBytes = PbSql.readAny(action.body) match {
+                  case Some(("ActionClosePreparedStatementRequest", v)) =>
+                    PbSql.readHandle(v)
+                  case _ => PbSql.readHandle(action.body) // tolerate unwrapped
+                }
+                val (handle, _) = preparedFor(session, handleBytes)
+                GraftFlightSql.closePrepared(handle)
+                obs.onCompleted()
+              case other => throw unimplemented(s"flight action: $other")
+            }
+          } catch { case t: Throwable => fail(obs, t) }
+      })
+
+    /** DoPut: wire ingest (reference acceptPut,
+      * DremioFlightProducer.java:267). The first FlightData frame carries
+      * the target descriptor + the Arrow schema header; subsequent frames
+      * carry record batches. The upload lands as an atomic lake append
+      * (PATH naming a lake directory) or an INSERT into a catalog table
+      * (PATH naming a dataset), under the caller's INSERT privilege while
+      * enforcement is on. Rows materialize on the driver (the Spark
+      * Connect local-relation contract) — bounded by [[MaxPutBytes]]; the
+      * write itself distributes normally. */
+    val doPutHandler = ServerCalls.asyncBidiStreamingCall(
+      new ServerCalls.BidiStreamingMethod[Array[Byte], Array[Byte]] {
+        override def invoke(obs: StreamObserver[Array[Byte]])
+            : StreamObserver[Array[Byte]] =
+          new StreamObserver[Array[Byte]] {
+            private var desc: Option[Pb.FlightDescriptor] = None
+            private val chunks = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+            private var totalBytes = 0L
+            private var failed = false
+            override def onNext(b: Array[Byte]): Unit =
+              try {
+                if (failed) return
+                val fd = PbSql.readFlightData(b)
+                if (desc.isEmpty) desc = fd.descriptor
+                if (fd.dataHeader.nonEmpty) {
+                  val framed = frameIpcMessage(fd.dataHeader, fd.dataBody)
+                  totalBytes += framed.length
+                  if (totalBytes > MaxPutBytes)
+                    throw grpc.Status.RESOURCE_EXHAUSTED.withDescription(
+                      s"flight: DoPut upload exceeds $MaxPutBytes bytes — " +
+                        "use COPY INTO over a staged file for bulk loads")
+                      .asRuntimeException()
+                  chunks += framed
+                }
+              } catch { case t: Throwable => failed = true; fail(obs, t) }
+            override def onError(t: Throwable): Unit = ()
+            override def onCompleted(): Unit =
+              try {
+                if (failed) return
+                val d = desc.getOrElse(throw grpc.Status.INVALID_ARGUMENT
+                  .withDescription("flight: DoPut stream carried no descriptor")
+                  .asRuntimeException())
+                val session = root.newSession()
+                bindPrincipal(root, session)
+                val anyCmd = if (d.descType == 2) PbSql.readAny(d.cmd) else None
+                anyCmd match {
+                  // Flight SQL update path (ADBC's DML shape): the command
+                  // IS the work — any uploaded batches are parameter rows,
+                  // which this engine's prepared statements don't take.
+                  // Eager commands execute here (and are listener-recorded);
+                  // the ack is a raw DoPutUpdateResult in app_metadata.
+                  case Some(("CommandStatementUpdate", v)) =>
+                    graft.Graft.sql(session, PbSql.readStatementQuery(v))
+                    obs.onNext(PbSql.writePutResult(
+                      PbSql.writeDoPutUpdateResult(-1L)))
+                    obs.onCompleted()
+                  case Some(("CommandPreparedStatementUpdate", v)) =>
+                    val ps = GraftFlightSql.getPrepared(
+                      new String(PbSql.readHandle(v), StandardCharsets.UTF_8))
+                      .getOrElse(throw grpc.Status.NOT_FOUND.withDescription(
+                        "flight sql: unknown prepared statement handle")
+                        .asRuntimeException())
+                    val caller = graft.auth.Privileges.principalOf(session).map(_.name)
+                    if (ps.owner != caller)
+                      throw unauthenticated("flight sql: prepared statement " +
+                        "belongs to a different principal")
+                    graft.Graft.sql(session, ps.sql)
+                    obs.onNext(PbSql.writePutResult(
+                      PbSql.writeDoPutUpdateResult(-1L)))
+                    obs.onCompleted()
+                  case Some((kind, _)) =>
+                    throw grpc.Status.UNIMPLEMENTED
+                      .withDescription(s"flight sql DoPut: $kind")
+                      .asRuntimeException()
+                  case None =>
+                    val df = org.apache.spark.sql.graft.Bridge
+                      .dataFrameFromIPCStream(session, chunks.iterator)
+                    val rows = ingestPut(root, session, d, df)
+                    obs.onNext(PbSql.writePutResult(
+                      PbSql.utf8(s"""{"rows":$rows}""")))
+                    obs.onCompleted()
+                }
+              } catch { case t: Throwable => fail(obs, t) }
+          }
       })
 
     val handshakeHandler = ServerCalls.asyncBidiStreamingCall(
@@ -345,13 +761,28 @@ object GraftFlightServer {
     // SELECT * ticket) — the reference's dataset enumeration. Metadata is
     // listed over the server's own session (clones would hide its temp
     // views, same choice as the REST catalog API); statements still
-    // execute on per-call cloned sessions.
+    // execute on per-call cloned sessions. While enforcement is on, the
+    // listing shows only datasets the bound principal can SELECT — the
+    // same visibility rule statement execution enforces (schema disclosure
+    // of ungranted tables is a leak even when DoGet would refuse the read).
     val listFlightsHandler = ServerCalls.asyncServerStreamingCall(
       new ServerCalls.ServerStreamingMethod[Array[Byte], Array[Byte]] {
         override def invoke(req: Array[Byte], obs: StreamObserver[Array[Byte]]): Unit =
           try {
-            bindPrincipal(root, root.newSession()) // auth gate only
-            root.catalog.listTables().collect().take(500).foreach { t =>
+            val session = root.newSession()
+            bindPrincipal(root, session)
+            val p = graft.auth.Privileges
+            val principal = p.principalOf(session)
+            def visible(name: String): Boolean =
+              !p.enforcing || principal.exists(u =>
+                p.allowed(u, "select", p.normObj(name)))
+            val granted = root.catalog.listTables().collect()
+              .filter(t => visible(t.name))
+            val listed = granted.take(500)
+            if (granted.length > listed.length)
+              log.warn(s"flight ListFlights: catalog has ${granted.length} " +
+                s"visible datasets, listing truncated to ${listed.length}")
+            listed.foreach { t =>
               try {
                 val df = root.table(t.name)
                 val schema = org.apache.spark.sql.graft.Bridge.arrowSchema(df)
@@ -363,25 +794,36 @@ object GraftFlightServer {
                   Seq(s"grpc://localhost:${boundPort.getOrElse(0)}"))
                 obs.onNext(Pb.writeFlightInfo(schemaIpcBytes(schema), desc,
                   Seq(endpoint), totalRecords = -1L, totalBytes = -1L))
-              } catch { case _: Exception => () } // unreadable entry → skip
+              } catch { // unreadable entry → skip, but leave a trace
+                case e: Exception =>
+                  log.warn(s"flight ListFlights: skipping unreadable dataset " +
+                    s"'${t.name}': ${e.getMessage}")
+              }
             }
             obs.onCompleted()
           } catch { case t: Throwable => fail(obs, t) }
       })
 
-    val emptyStream = ServerCalls.asyncServerStreamingCall(
+    val listActionsHandler = ServerCalls.asyncServerStreamingCall(
       new ServerCalls.ServerStreamingMethod[Array[Byte], Array[Byte]] {
-        override def invoke(req: Array[Byte], obs: StreamObserver[Array[Byte]]): Unit =
+        override def invoke(req: Array[Byte], obs: StreamObserver[Array[Byte]]): Unit = {
+          obs.onNext(Pb.writeActionType("CreatePreparedStatement",
+            "Create a reusable prepared statement (Flight SQL)"))
+          obs.onNext(Pb.writeActionType("ClosePreparedStatement",
+            "Release a prepared statement handle (Flight SQL)"))
           obs.onCompleted()
+        }
       })
 
     grpc.ServerServiceDefinition.builder(ServiceName)
       .addMethod(getFlightInfo, infoHandler)
       .addMethod(getSchema, schemaHandler)
       .addMethod(doGet, doGetHandler)
+      .addMethod(doPut, doPutHandler)
+      .addMethod(doAction, doActionHandler)
       .addMethod(handshake, handshakeHandler)
       .addMethod(listFlights, listFlightsHandler)
-      .addMethod(listActions, emptyStream)
+      .addMethod(listActions, listActionsHandler)
       .build()
   }
 

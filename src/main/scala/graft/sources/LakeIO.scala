@@ -115,6 +115,81 @@ private[sources] object LakeIO {
     if (p.hadoop) { p.fs.mkdirs(p.hpath); () }
     else { Files.createDirectories(p.nio); () }
 
+  // ---- pluggable commit coordination ------------------------------------
+
+  /** Commit-publish coordination seam. The default ([[RenameCommitArbiter]])
+    * relies on the store's rename semantics (atomic on local/HDFS,
+    * copy+delete and NOT atomic on S3-like stores — single-writer there).
+    * [[PointerCommitArbiter]] instead serializes publishes through an
+    * atomic-claim location with create-new semantics (a POSIX dir, an
+    * NFS mount, a leader-held volume) — the Iceberg catalog-pointer
+    * pattern: the claim, not the data-store rename, decides the winner,
+    * so multi-writer commits are safe on stores whose rename can race. */
+  trait CommitArbiter {
+    /** Atomically publish fully-staged `src` as `dst`; must throw
+      * ConcurrentModificationException when another writer already owns
+      * `dst`, and must never leave a partially-visible `dst`. */
+    def publish(src: LPath, dst: LPath): Unit
+  }
+
+  object RenameCommitArbiter extends CommitArbiter {
+    override def publish(src: LPath, dst: LPath): Unit = atomicMove(src, dst)
+  }
+
+  /** Claim-then-write coordination: winning `dst` = atomically creating
+    * `<coordDir>/<hash(dst)>.claim` (POSIX create-new, atomic on any real
+    * filesystem). Only the claim winner writes `dst`; losers get
+    * ConcurrentModificationException WITHOUT touching the data store, so
+    * a non-atomic object-store rename can no longer lose a commit.
+    * A writer that crashes between claim and write leaves an orphaned
+    * claim — [[recover]] releases it once `dst` is verified absent
+    * (operator action, same contract as un-sticking a stale catalog
+    * pointer). */
+  final class PointerCommitArbiter(coordDir: String) extends CommitArbiter {
+    private val root = Paths.get(coordDir)
+    private def claimFor(dst: LPath): java.nio.file.Path = {
+      val h = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dst.raw.getBytes(StandardCharsets.UTF_8))
+        .take(16).map("%02x".format(_)).mkString
+      root.resolve(s"$h.claim")
+    }
+    override def publish(src: LPath, dst: LPath): Unit = {
+      Files.createDirectories(root)
+      try Files.write(claimFor(dst), dst.raw.getBytes(StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new java.util.ConcurrentModificationException(
+            s"commit conflict: ${dst.raw} already claimed by another writer " +
+              s"(coordination at $coordDir)")
+      }
+      // claim won: the copy below cannot race anyone
+      writeString(dst, readString(src))
+      deleteIfExists(src)
+    }
+    def recover(dst: LPath): Unit = {
+      require(!exists(dst), s"refusing to release claim: ${dst.raw} exists")
+      Files.deleteIfExists(claimFor(dst)); ()
+    }
+  }
+
+  private val arbiters = scala.collection.concurrent.TrieMap.empty[String, CommitArbiter]
+
+  /** Route commit publishes for table paths under `prefix` through
+    * `arbiter` (longest-prefix match wins; default = rename). */
+  def registerArbiter(prefix: String, arbiter: CommitArbiter): Unit =
+    arbiters.put(prefix, arbiter)
+  def unregisterArbiter(prefix: String): Unit = { arbiters.remove(prefix); () }
+
+  /** Commit publish: the coordination-aware entry every metadata publish
+    * goes through. */
+  def publish(src: LPath, dst: LPath): Unit =
+    arbiters.keys.filter(dst.raw.startsWith).toSeq.sortBy(-_.length).headOption
+      .map(arbiters(_)) match {
+      case Some(a) => a.publish(src, dst)
+      case None => atomicMove(src, dst)
+    }
+
   /** Atomic publish rename (see object scaladoc for per-store semantics). */
   def atomicMove(src: LPath, dst: LPath): Unit =
     if (src.hadoop) {
@@ -152,6 +227,16 @@ private[sources] object LakeIO {
         finally s.close()
       }
     }
+
+  /** Fully-qualified canonical spelling: Hadoop `makeQualified` for
+    * scheme'd paths, absolute+normalized for local — so the same file
+    * reached via `file:///x`, `file:/x`, or a redundant `.`/`..` segment
+    * compares equal. Vacuum compares referenced-vs-walked sets through
+    * this (an equivalent-but-different spelling must never make a live
+    * file look unreferenced). */
+  def qualified(p: LPath): String =
+    if (p.hadoop) p.fs.makeQualified(p.hpath).toString
+    else p.nio.toAbsolutePath.normalize.toString
 
   /** `p` relative to `base` (both under the same root). */
   def relativize(base: LPath, p: LPath): String =

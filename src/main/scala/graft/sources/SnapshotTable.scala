@@ -801,7 +801,7 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
         "." + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
       try {
         LakeIO.writeString(tmp, SnapshotTable.renderCommit(c))
-        LakeIO.atomicMove(tmp, branchCommitFile(name, v))
+        LakeIO.publish(tmp, branchCommitFile(name, v))
       } finally LakeIO.deleteIfExists(tmp)
       v
     }
@@ -1165,8 +1165,25 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       keptVersions.flatMap(v => snapshot(Some(v))._1).toSet ++ refFiles
     val cutoff = System.currentTimeMillis() - graceMs
     val root = LakeIO.path(dir)
-    val dataFiles = LakeIO.walkParquet(root)
-      .filter(p => !p.raw.startsWith(logDir.raw + "/"))
+    // Compare referenced-vs-walked through ONE canonical spelling: the log
+    // records `$dir/$file` in the caller's spelling while walkParquet yields
+    // Hadoop-qualified URIs (file:///x vs file:/x would otherwise make every
+    // live file look unreferenced and vacuum would eat the table).
+    def norm(raw: String): String = LakeIO.qualified(LakeIO.path(raw))
+    val logPrefix = norm(logDir.raw) + "/"
+    val referencedNorm = referenced.map(norm)
+    val walked = LakeIO.walkParquet(root)
+      .filter(p => !norm(p.raw).startsWith(logPrefix))
+    // Sanity guard: the retained snapshot's files MUST be on disk, so if the
+    // table references files but the walk matched none of them, the spelling
+    // or the walk is broken — refuse rather than delete all live data.
+    if (referencedNorm.nonEmpty && walked.nonEmpty &&
+        !walked.exists(p => referencedNorm.contains(norm(p.raw))))
+      throw new IllegalStateException(
+        s"vacuum refused for $dir: none of the ${referencedNorm.size} " +
+        s"referenced data files matched any of the ${walked.size} files on " +
+        "disk — path-spelling mismatch would delete all live data")
+    val dataFiles = walked
       .filter { p =>
         // a file deleted by a concurrent vacuum between walk and stat is
         // simply no longer our problem — skip, don't abort
@@ -1175,7 +1192,7 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
                 case _: java.io.UncheckedIOException => false }
       }
       .map(_.raw)
-    val doomed = dataFiles.filterNot(referenced.contains)
+    val doomed = dataFiles.filterNot(p => referencedNorm.contains(norm(p)))
     doomed.foreach(p => LakeIO.deleteIfExists(LakeIO.path(p)))
     // also sweep staging leftovers from writers that died pre-publish
     // (UUID-named *.tmp in the log dir), under the same grace window
@@ -1558,7 +1575,7 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       f"v$v%08d.json." + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
     try {
       LakeIO.writeString(tmp, renderCommit(c))
-      LakeIO.atomicMove(tmp, logDir.resolve(f"v$v%08d.json"))
+      LakeIO.publish(tmp, logDir.resolve(f"v$v%08d.json"))
     } finally LakeIO.deleteIfExists(tmp) // no-op after a successful move
     // periodic checkpoint (still inside the commit lock, so the full log is
     // exactly priorLog + this commit): one file replacing v reads at cold
@@ -1569,7 +1586,7 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
         f"ckpt-v$v%08d.json." + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
       try {
         LakeIO.writeString(ckTmp, renderCheckpoint(priorLog :+ c))
-        LakeIO.atomicMove(ckTmp, logDir.resolve(f"ckpt-v$v%08d.json"))
+        LakeIO.publish(ckTmp, logDir.resolve(f"ckpt-v$v%08d.json"))
         // superseded checkpoints are pure redundancy (each holds the whole
         // prefix) — drop them so checkpoint storage stays O(log), not O(log²)
         LakeIO.listNames(logDir)
@@ -1687,6 +1704,20 @@ object SnapshotTable {
 
   def isLakeTable(dir: String): Boolean =
     LakeIO.isDirectory(LakeIO.path(dir, LogDirName))
+
+  /** Route commit publishes for lake tables under `pathPrefix` through a
+    * claim-based coordinator rooted at `coordDir` (a path with atomic
+    * create-new semantics — POSIX dir, NFS mount, leader-held volume).
+    * This is the multi-writer deployment story for object stores whose
+    * rename is copy+delete (S3A): the claim, not the store's rename,
+    * decides each commit's winner — the Iceberg catalog-pointer pattern
+    * (SURVEY §2.1; LakeIO scaladoc documents the per-store semantics this
+    * replaces). Losers observe ConcurrentModificationException and can
+    * re-read + retry. */
+  def useCommitCoordination(pathPrefix: String, coordDir: String): Unit =
+    LakeIO.registerArbiter(pathPrefix, new LakeIO.PointerCommitArbiter(coordDir))
+  def dropCommitCoordination(pathPrefix: String): Unit =
+    LakeIO.unregisterArbiter(pathPrefix)
 
   /** CTAS into a fresh lake table (first commit is an overwrite). A
     * create over a previously-wiped path starts a NEW incarnation — drop

@@ -413,9 +413,11 @@ object GraftSqlParser {
     """(?is)GRANT\s+ROLE\s+([\w.-]+)\s+TO\s+USER\s+([\w.-]+)\s*;?""".r
   private val RevokeRoleRe =
     """(?is)REVOKE\s+ROLE\s+([\w.-]+)\s+FROM\s+USER\s+([\w.-]+)\s*;?""".r
-  // object: a bare name (table/view/*) or a quoted path (lake dir)
+  // object: a bare name (table/view/*) or a quoted path (lake dir);
+  // privilege list per the reference grant.ftl (SELECT/INSERT/UPDATE/
+  // DELETE/ALTER/DROP/EXECUTE, or ALL)
   private val GrantRe =
-    ("""(?is)GRANT\s+(SELECT|ALL)\s+ON\s+(?:'([^']+)'|([\w.*/]+))\s+""" +
+    ("""(?is)GRANT\s+(SELECT|INSERT|UPDATE|DELETE|ALTER|DROP|EXECUTE|ALL)\s+ON\s+(?:'([^']+)'|([\w.*/]+))\s+""" +
       """TO\s+(USER|ROLE)\s+([\w.-]+)\s*;?""").r
   // GRANT OWNERSHIP (reference SqlGrantOwnership, grant.ftl:708): transfer
   // an object's owner; owners hold every privilege on it and may
@@ -426,7 +428,7 @@ object GraftSqlParser {
   private val ShowGrantsOnRe =
     """(?is)SHOW\s+GRANTS\s+ON\s+(?:'([^']+)'|([\w.*/]+))\s*;?""".r
   private val RevokeRe =
-    ("""(?is)REVOKE\s+(SELECT|ALL)\s+ON\s+(?:'([^']+)'|([\w.*/]+))\s+""" +
+    ("""(?is)REVOKE\s+(SELECT|INSERT|UPDATE|DELETE|ALTER|DROP|EXECUTE|ALL)\s+ON\s+(?:'([^']+)'|([\w.*/]+))\s+""" +
       """FROM\s+(USER|ROLE)\s+([\w.-]+)\s*;?""").r
   private val AuthenticateRe =
     """(?is)AUTHENTICATE\s+USER\s+([\w.-]+)\s+PASSWORD\s+'([^']*)'\s*;?""".r

@@ -79,6 +79,42 @@ object Bridge {
     df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
       .toArrowBatchRdd.toLocalIterator
 
+  /** Inverse of [[arrowBatches]]: decode an Arrow IPC stream (framed
+    * schema + record-batch messages, in chunks) into a local DataFrame
+    * (`ArrowConverters.fromIPCStream` is `private[sql]`). The rows
+    * materialize on the driver — the same contract as Spark Connect's
+    * local-relation uploads — so callers cap the accepted byte volume;
+    * the subsequent write distributes normally. */
+  def dataFrameFromIPCStream(spark: org.apache.spark.sql.SparkSession,
+                             chunks: Iterator[Array[Byte]])
+      : org.apache.spark.sql.DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val all = new java.io.ByteArrayOutputStream()
+    chunks.foreach(all.write)
+    val allocator = org.apache.spark.sql.util.ArrowUtils.rootAllocator
+      .newChildAllocator("graftFromIPCStream", 0, Long.MaxValue)
+    val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+      new java.io.ByteArrayInputStream(all.toByteArray), allocator)
+    try {
+      val root = reader.getVectorSchemaRoot
+      val schema = org.apache.spark.sql.util.ArrowUtils.fromArrowSchema(root.getSchema)
+      val rows = Vector.newBuilder[org.apache.spark.sql.catalyst.InternalRow]
+      while (reader.loadNextBatch()) {
+        val cols = root.getFieldVectors.asScala
+          .map(v => new org.apache.spark.sql.vectorized.ArrowColumnVector(v)
+            : org.apache.spark.sql.vectorized.ColumnVector).toArray
+        val batch = new org.apache.spark.sql.vectorized.ColumnarBatch(cols, root.getRowCount)
+        batch.rowIterator().asScala.foreach(r => rows += r.copy())
+      }
+      ofRows(spark, org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+        org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema),
+        rows.result()))
+    } finally {
+      reader.close()
+      allocator.close()
+    }
+  }
+
   def createLocalSpillFile(): java.io.File = {
     val env = org.apache.spark.SparkEnv.get
     if (env != null && env.blockManager != null)

@@ -1,0 +1,327 @@
+package graft.server.flight
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+import java.util.Base64
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Flight SQL command layer over loopback with a REAL third-party
+  * transport: pyarrow.flight carries the hand-framed
+  * `google.protobuf.Any`-wrapped Flight SQL commands ([[PbSql]]) that a
+  * stock ADBC/Flight SQL client emits — CommandStatementQuery, the
+  * prepared-statement DoAction lifecycle, the catalog commands, and
+  * DoPut ingest. The sandbox ships no ADBC driver, so the commands are
+  * framed by our own codec and the RESPONSES are decoded by it too —
+  * both directions of the public wire shape are asserted against a
+  * third-party peer. */
+class GraftFlightSqlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val pyflight: Boolean =
+    try new ProcessBuilder("python3", "-c", "import pyarrow.flight")
+      .start().waitFor() == 0
+    catch { case _: Exception => false }
+
+  private lazy val script: String = {
+    val f = Files.createTempFile("flightsql_client", ".py")
+    Files.writeString(f,
+      """import sys, json, base64
+        |import pyarrow as pa
+        |import pyarrow.flight as fl
+        |
+        |args = sys.argv[1:]
+        |port, mode = args[0], args[1]
+        |rest = args[2:]
+        |client = fl.connect(f"grpc://localhost:{port}")
+        |opts = None
+        |if len(rest) >= 3 and rest[-3] == "basic":
+        |    pair = client.authenticate_basic_token(rest[-2].encode(), rest[-1].encode())
+        |    opts = fl.FlightCallOptions(headers=[pair])
+        |    rest = rest[:-3]
+        |
+        |def show(reader):
+        |    table = reader.read_all()
+        |    print("RESULT " + json.dumps({
+        |        "cols": table.schema.names,
+        |        "rows": sorted(json.dumps(r, default=str, sort_keys=True)
+        |                       for r in table.to_pylist())}))
+        |
+        |try:
+        |    if mode == "cmd":
+        |        desc = fl.FlightDescriptor.for_command(base64.b64decode(rest[0]))
+        |        info = client.get_flight_info(desc, opts) if opts else client.get_flight_info(desc)
+        |        tk = info.endpoints[0].ticket
+        |        print("TICKET " + base64.b64encode(tk.ticket).decode())
+        |        show(client.do_get(tk, opts) if opts else client.do_get(tk))
+        |    elif mode == "ticket":
+        |        tk = fl.Ticket(base64.b64decode(rest[0]))
+        |        show(client.do_get(tk, opts) if opts else client.do_get(tk))
+        |    elif mode == "action":
+        |        act = fl.Action(rest[0], base64.b64decode(rest[1]) if len(rest) > 1 else b"")
+        |        it = client.do_action(act, opts) if opts else client.do_action(act)
+        |        for r in it:
+        |            print("RESULTBODY " + base64.b64encode(r.body.to_pybytes()).decode())
+        |        print("ACTION_DONE")
+        |    elif mode == "put":
+        |        path, n = rest[0], int(rest[1])
+        |        table = pa.table({"id": pa.array(range(n), pa.int64()),
+        |                          "v": pa.array([f"row{i}" for i in range(n)])})
+        |        desc = fl.FlightDescriptor.for_path(path)
+        |        w, meta = client.do_put(desc, table.schema, opts) if opts else client.do_put(desc, table.schema)
+        |        w.write_table(table)
+        |        w.done_writing()
+        |        buf = meta.read()
+        |        print("PUTMETA " + (buf.to_pybytes().decode() if buf is not None else "none"))
+        |        w.close()
+        |    elif mode == "info":
+        |        desc = fl.FlightDescriptor.for_command(base64.b64decode(rest[0]))
+        |        info = client.get_flight_info(desc, opts) if opts else client.get_flight_info(desc)
+        |        print("INFO_FIELDS " + json.dumps(info.schema.names))
+        |    elif mode == "update":
+        |        desc = fl.FlightDescriptor.for_command(base64.b64decode(rest[0]))
+        |        w, meta = client.do_put(desc, pa.schema([]), opts) if opts else client.do_put(desc, pa.schema([]))
+        |        w.done_writing()
+        |        buf = meta.read()
+        |        print("UPDATEMETA " + (base64.b64encode(buf.to_pybytes()).decode() if buf is not None else "none"))
+        |        w.close()
+        |    elif mode == "listactions":
+        |        for a in client.list_actions(opts) if opts else client.list_actions():
+        |            print("ACTIONTYPE " + a.type)
+        |except fl.FlightUnauthenticatedError as e:
+        |    print("UNAUTHENTICATED " + str(e)[:120])
+        |except fl.FlightError as e:
+        |    print("FLIGHT_ERROR " + str(e)[:300])
+        |except Exception as e:
+        |    # pyarrow maps some gRPC statuses (NOT_FOUND, INVALID_ARGUMENT)
+        |    # to plain Arrow exceptions rather than FlightError subclasses
+        |    print("CLIENT_ERROR " + type(e).__name__ + " " + str(e)[:300])
+        |""".stripMargin)
+    f.toString
+  }
+
+  /** Run the client; returns combined output. */
+  private def runClient(args: String*): String = {
+    val pb = new ProcessBuilder(("python3" +: script +: args): _*)
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
+    p.waitFor()
+    out
+  }
+
+  private def port: Int =
+    GraftFlightServer.port.getOrElse(GraftFlightServer.start(spark))
+  private def b64(b: Array[Byte]): String = Base64.getEncoder.encodeToString(b)
+  private def unb64(s: String): Array[Byte] = Base64.getDecoder.decode(s)
+  private def firstLine(out: String, prefix: String): String =
+    out.linesIterator.find(_.startsWith(prefix))
+      .getOrElse(fail(s"no '$prefix' line in: ${out.take(600)}"))
+      .stripPrefix(prefix)
+
+  test("CommandStatementQuery executes ad-hoc SQL; ticket is an Any-wrapped TicketStatementQuery") {
+    assume(pyflight, "pyarrow.flight not available in this environment")
+    val q = s"SELECT r_regionkey, r_name FROM parquet.`$sf/region.parquet` ORDER BY r_regionkey"
+    val cmd = PbSql.writeAny("CommandStatementQuery", PbSql.writeStatementQuery(q))
+    val out = runClient(port.toString, "cmd", b64(cmd))
+    // the ticket the server minted parses as Any(TicketStatementQuery)
+    val ticket = unb64(firstLine(out, "TICKET "))
+    PbSql.readAny(ticket) match {
+      case Some(("TicketStatementQuery", v)) =>
+        assert(PbSql.readHandle(v).nonEmpty, "empty statement handle")
+      case other => fail(s"ticket was not Any(TicketStatementQuery): $other")
+    }
+    val got = firstLine(out, "RESULT ")
+    assert(got.contains(""""cols": ["r_regionkey", "r_name"]"""), got.take(300))
+    val want = spark.sql(q).collect()
+    assert(got.contains(s""""rows": """) && want.length == 5)
+    want.foreach { r =>
+      assert(got.contains(s"""\\"r_name\\": \\"${r.getString(1)}\\""""), got.take(600))
+    }
+  }
+
+  test("prepared statement lifecycle: create via DoAction, execute twice, close, stale handle refused") {
+    assume(pyflight, "pyarrow.flight not available in this environment")
+    val prepRunsBefore = graft.catalog.QueryHistory.records
+      .count(_.action == "flightPreparedQuery")
+    val q = s"SELECT count(*) AS n FROM parquet.`$sf/nation.parquet`"
+    val createBody = PbSql.writeAny("ActionCreatePreparedStatementRequest",
+      PbSql.writeCreatePreparedRequest(q))
+    val created = runClient(port.toString, "action", "CreatePreparedStatement", b64(createBody))
+    val resultBody = unb64(firstLine(created, "RESULTBODY "))
+    val (handle, datasetSchema, paramSchema) = PbSql.readAny(resultBody) match {
+      case Some(("ActionCreatePreparedStatementResult", v)) =>
+        PbSql.readCreatePreparedResult(v)
+      case other => fail(s"result was not Any(ActionCreatePreparedStatementResult): $other")
+    }
+    assert(handle.nonEmpty && paramSchema.isEmpty)
+    // the dataset schema is a real IPC-encapsulated Arrow schema
+    assert(datasetSchema.nonEmpty, "prepared SELECT must report its dataset schema")
+    val schema = org.apache.arrow.vector.ipc.message.MessageSerializer.deserializeSchema(
+      new org.apache.arrow.vector.ipc.ReadChannel(
+        java.nio.channels.Channels.newChannel(
+          new java.io.ByteArrayInputStream(datasetSchema))))
+    assert(schema.getFields.size() == 1 && schema.getFields.get(0).getName == "n")
+
+    // execute twice through the Any(CommandPreparedStatementQuery) ticket:
+    // prepared statements are re-executable until closed
+    val execTicket = PbSql.writeAny("CommandPreparedStatementQuery",
+      PbSql.writePreparedStatementQuery(handle))
+    (1 to 2).foreach { _ =>
+      val out = runClient(port.toString, "ticket", b64(execTicket))
+      assert(firstLine(out, "RESULT ").contains("\\\"n\\\": 25"), out.take(400))
+    }
+    // each execution lands in the jobs service with the prepared marker
+    // (reference jobs-service prepared/executed distinction)
+    val prepRuns = graft.catalog.QueryHistory.records
+      .count(_.action == "flightPreparedQuery") - prepRunsBefore
+    assert(prepRuns == 2, s"expected 2 flightPreparedQuery records, got $prepRuns")
+
+    val closeBody = PbSql.writeAny("ActionClosePreparedStatementRequest",
+      PbSql.writeTicketStatementQuery(handle)) // same {1: handle} layout
+    val closed = runClient(port.toString, "action", "ClosePreparedStatement", b64(closeBody))
+    assert(closed.contains("ACTION_DONE"), closed.take(300))
+    val stale = runClient(port.toString, "ticket", b64(execTicket))
+    assert(stale.contains("unknown prepared"), stale.take(300))
+  }
+
+  test("catalog commands: GetCatalogs, GetDbSchemas, GetTables (+schema), GetTableTypes") {
+    assume(pyflight, "pyarrow.flight not available in this environment")
+    spark.sql("DROP TABLE IF EXISTS flightsql_cat_t")
+    spark.sql("CREATE TABLE flightsql_cat_t STORED AS PARQUET AS " +
+      "SELECT id, CAST(id AS STRING) AS s FROM range(7)")
+    try {
+      val cats = runClient(port.toString, "cmd",
+        b64(PbSql.writeAny("CommandGetCatalogs", Array.emptyByteArray)))
+      assert(firstLine(cats, "RESULT ").contains("spark_catalog"), cats.take(300))
+
+      val dbs = runClient(port.toString, "cmd",
+        b64(PbSql.writeAny("CommandGetDbSchemas", Array.emptyByteArray)))
+      val dbsGot = firstLine(dbs, "RESULT ")
+      assert(dbsGot.contains("db_schema_name") && dbsGot.contains("default"), dbsGot.take(300))
+
+      val tables = runClient(port.toString, "cmd",
+        b64(PbSql.writeAny("CommandGetTables", PbSql.writeGetTables(
+          PbSql.GetTables(None, None, Some("flightsql_cat_%"), Nil,
+            includeSchema = false)))))
+      val tGot = firstLine(tables, "RESULT ")
+      assert(tGot.contains("flightsql_cat_t") && tGot.contains("TABLE"), tGot.take(400))
+
+      // include_schema=true serves IPC schema bytes per table
+      val withSchema = runClient(port.toString, "cmd",
+        b64(PbSql.writeAny("CommandGetTables", PbSql.writeGetTables(
+          PbSql.GetTables(None, None, Some("flightsql_cat_t"), Nil,
+            includeSchema = true)))))
+      val wsGot = firstLine(withSchema, "RESULT ")
+      assert(wsGot.contains("table_schema"), wsGot.take(400))
+
+      val types = runClient(port.toString, "cmd",
+        b64(PbSql.writeAny("CommandGetTableTypes", Array.emptyByteArray)))
+      val tyGot = firstLine(types, "RESULT ")
+      assert(tyGot.contains("TABLE") && tyGot.contains("VIEW"), tyGot.take(300))
+    } finally spark.sql("DROP TABLE IF EXISTS flightsql_cat_t")
+  }
+
+  test("GetSqlInfo serves the dense-union info batch a stock client decodes") {
+    assume(pyflight, "pyarrow.flight not available in this environment")
+    val out = runClient(port.toString, "cmd",
+      b64(PbSql.writeAny("CommandGetSqlInfo", Array.emptyByteArray)))
+    val got = firstLine(out, "RESULT ")
+    assert(got.contains(""""cols": ["info_name", "value"]"""), got.take(300))
+    assert(got.contains("graft") && got.contains("0.1.0"), got.take(400))
+  }
+
+  test("ListActions advertises the prepared-statement lifecycle") {
+    assume(pyflight, "pyarrow.flight not available in this environment")
+    val out = runClient(port.toString, "listactions")
+    assert(out.contains("ACTIONTYPE CreatePreparedStatement") &&
+      out.contains("ACTIONTYPE ClosePreparedStatement"), out.take(300))
+  }
+
+  test("DoPut ingests into a lake table; DoGet reads the rows back exactly") {
+    assume(pyflight, "pyarrow.flight not available in this environment")
+    val dir = Files.createTempDirectory("flight_put").toString + "/t"
+    val put = runClient(port.toString, "put", dir, "123")
+    assert(firstLine(put, "PUTMETA ") == """{"rows":123}""", put.take(400))
+    // append a second batch onto the now-existing lake table
+    val put2 = runClient(port.toString, "put", dir, "7")
+    assert(firstLine(put2, "PUTMETA ") == """{"rows":7}""", put2.take(400))
+    val back = spark.sql(s"SELECT count(*) AS n, sum(id) AS s FROM lake_scan('$dir')")
+      .collect().head
+    assert(back.getLong(0) == 130)
+    assert(back.getLong(1) == (0 until 123).sum + (0 until 7).sum)
+    // and over the wire too
+    val rd = runClient(port.toString, "cmd",
+      b64(PbSql.writeAny("CommandStatementQuery", PbSql.writeStatementQuery(
+        s"SELECT count(*) AS n FROM lake_scan('$dir')"))))
+    assert(firstLine(rd, "RESULT ").contains("\\\"n\\\": 130"), rd.take(300))
+  }
+
+  test("prepared DDL never executes at GetFlightInfo — only DoGet runs it, once") {
+    assume(pyflight, "pyarrow.flight not available in this environment")
+    val dir = Files.createTempDirectory("flight_prep_ddl").toString + "/t"
+    val createBody = PbSql.writeAny("ActionCreatePreparedStatementRequest",
+      PbSql.writeCreatePreparedRequest(
+        s"CREATE LAKE '$dir' AS SELECT id FROM range(9)"))
+    val created = runClient(port.toString, "action", "CreatePreparedStatement", b64(createBody))
+    val (handle, ds, _) = PbSql.readAny(unb64(firstLine(created, "RESULTBODY "))) match {
+      case Some(("ActionCreatePreparedStatementResult", v)) => PbSql.readCreatePreparedResult(v)
+      case other => fail(s"unexpected action result: $other")
+    }
+    assert(ds.isEmpty, "a prepared command reports no dataset schema")
+    assert(!graft.sources.SnapshotTable.isLakeTable(dir),
+      "preparing a DDL must not execute it")
+    val execTicket = PbSql.writeAny("CommandPreparedStatementQuery",
+      PbSql.writePreparedStatementQuery(handle))
+    val info = runClient(port.toString, "info", b64(execTicket))
+    assert(info.contains("INFO_FIELDS"), info.take(300))
+    assert(!graft.sources.SnapshotTable.isLakeTable(dir),
+      "GetFlightInfo on a prepared DDL must not execute it")
+    runClient(port.toString, "ticket", b64(execTicket))
+    assert(graft.sources.SnapshotTable.isLakeTable(dir), "DoGet executes the DDL")
+    assert(spark.sql(s"SELECT count(*) AS n FROM lake_scan('$dir')").head().getLong(0) == 9)
+  }
+
+  test("CommandStatementUpdate over DoPut runs DML and acks with DoPutUpdateResult") {
+    assume(pyflight, "pyarrow.flight not available in this environment")
+    val dir = Files.createTempDirectory("flight_upd").toString + "/t"
+    spark.sql(s"CREATE LAKE '$dir' AS SELECT id, id * 2 AS v FROM range(50)")
+    val upd = PbSql.writeAny("CommandStatementUpdate", PbSql.writeStatementQuery(
+      s"DELETE FROM LAKE '$dir' WHERE id >= 40"))
+    val out = runClient(port.toString, "update", b64(upd))
+    val meta = unb64(firstLine(out, "UPDATEMETA "))
+    assert(PbSql.readDoPutUpdateResult(meta) == -1L) // count unknown, spec-legal
+    assert(spark.sql(s"SELECT count(*) AS n FROM lake_scan('$dir')")
+      .head().getLong(0) == 40)
+  }
+
+  test("DoPut under enforcement: refused without INSERT, lands with it") {
+    assume(pyflight, "pyarrow.flight not available in this environment")
+    import graft.auth.Privileges
+    Privileges.clear()
+    val dir = Files.createTempDirectory("flight_put_auth").toString + "/t"
+    try {
+      spark.sql("CREATE USER fp_admin PASSWORD 'pp' ADMIN")
+      spark.sql("CREATE USER fp_bob PASSWORD 'bp'")
+      spark.sql("ALTER AUTH ENFORCE ON")
+      val anon = runClient(port.toString, "put", dir, "5")
+      assert(anon.contains("UNAUTHENTICATED") || anon.contains("FLIGHT_ERROR"),
+        anon.take(400))
+      val denied = runClient(port.toString, "put", dir, "5", "basic", "fp_bob", "bp")
+      assert(denied.contains("lacks INSERT") || denied.contains("FLIGHT_ERROR"),
+        denied.take(400))
+      assert(!graft.sources.SnapshotTable.isLakeTable(dir),
+        "refused DoPut must not create the table")
+      spark.sql("AUTHENTICATE USER fp_admin PASSWORD 'pp'")
+      spark.sql(s"GRANT INSERT ON '$dir' TO USER fp_bob")
+      val ok = runClient(port.toString, "put", dir, "5", "basic", "fp_bob", "bp")
+      assert(firstLine(ok, "PUTMETA ") == """{"rows":5}""", ok.take(400))
+    } finally {
+      Privileges.clear()
+      spark.conf.unset(graft.auth.Privileges.TokenConf)
+      spark.conf.unset(graft.auth.Privileges.UserConf)
+    }
+  }
+}
