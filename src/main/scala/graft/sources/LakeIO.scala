@@ -238,12 +238,17 @@ private[sources] object LakeIO {
     if (p.hadoop) p.fs.makeQualified(p.hpath).toString
     else p.nio.toAbsolutePath.normalize.toString
 
-  /** `p` relative to `base` (both under the same root). */
+  /** `p` relative to `base` (both under the same root). Compared through
+    * [[qualified]] spellings: `base` arrives in the caller's spelling
+    * (`file:///x`) while walked paths are Hadoop-qualified (`file:/x`) —
+    * the raw prefix test would reject every file under an
+    * equivalent-but-different spelling. */
   def relativize(base: LPath, p: LPath): String =
     if (base.hadoop || p.hadoop) {
-      val b = base.raw.stripSuffix("/") + "/"
-      require(p.raw.startsWith(b), s"relativize: ${p.raw} not under ${base.raw}")
-      p.raw.substring(b.length)
+      val b = qualified(base).stripSuffix("/") + "/"
+      val q = qualified(p)
+      require(q.startsWith(b), s"relativize: ${p.raw} not under ${base.raw}")
+      q.substring(b.length)
     } else base.nio.relativize(p.nio).toString
 
   /** Rename within the same directory. */

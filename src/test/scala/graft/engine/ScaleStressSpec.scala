@@ -383,4 +383,80 @@ class ScaleStressSpec extends AnyFunSuite {
     val batches = "BATCHES (\\d+)".r.findFirstMatchIn(out).get.group(1).toInt
     assert(batches > 1, s"result must stream in multiple record batches: $out")
   }
+
+  test("Flight DoPut at 1M rows: multi-batch wire ingest lands one atomic lake commit, exact") {
+    gate()
+    val pyflight =
+      try new ProcessBuilder("python3", "-c", "import pyarrow.flight")
+        .start().waitFor() == 0
+      catch { case _: Exception => false }
+    assume(pyflight, "pyarrow.flight not available")
+    val port = graft.server.flight.GraftFlightServer.port
+      .getOrElse(graft.server.flight.GraftFlightServer.start(spark))
+    val dir = java.nio.file.Files.createTempDirectory("flight_put_scale")
+      .toString + "/t"
+    val script = java.nio.file.Files.createTempFile("flight_put_scale", ".py")
+    java.nio.file.Files.writeString(script,
+      """import sys
+        |import pyarrow as pa
+        |import pyarrow.flight as fl
+        |client = fl.connect(f"grpc://localhost:{sys.argv[1]}")
+        |n, chunk = 1000000, 100000
+        |desc = fl.FlightDescriptor.for_path(sys.argv[2])
+        |schema = pa.schema([("id", pa.int64()), ("v", pa.int64())])
+        |w, meta = client.do_put(desc, schema)
+        |for lo in range(0, n, chunk):
+        |    ids = pa.array(range(lo, lo + chunk), pa.int64())
+        |    vs = pa.array(range(2 * lo, 2 * (lo + chunk), 2), pa.int64())
+        |    w.write_batch(pa.record_batch([ids, vs], schema=schema))
+        |w.done_writing()
+        |print("PUTMETA " + meta.read().to_pybytes().decode())
+        |w.close()
+        |""".stripMargin)
+    val p = new ProcessBuilder("python3", script.toString, port.toString, dir)
+      .redirectErrorStream(true).start()
+    val out = new String(p.getInputStream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(p.waitFor() == 0, out.take(600))
+    assert(out.contains("""PUTMETA {"rows":1000000}"""), out.take(600))
+    // one atomic commit, exact content (Σ 2i for i in [0, 1M))
+    val t = graft.sources.SnapshotTable.forPath(spark, dir)
+    assert(t.latestVersion == 1L)
+    val row = t.read().agg(count(lit(1)), sum(col("v"))).head()
+    assert(row.getLong(0) == 1000000L)
+    assert(row.getLong(1) == 1000000L * 999999L)
+  }
+
+  test("40 coordinated commits from 8 concurrent writers on a blind-overwrite store: none lost") {
+    gate()
+    spark.sparkContext.hadoopConfiguration.set("fs.s3mock.impl",
+      classOf[graft.sources.S3MockFileSystem].getName)
+    val dir = "s3mock:" + java.nio.file.Files
+      .createTempDirectory("arb_scale").toString + "/t"
+    val coord = java.nio.file.Files.createTempDirectory("arb_scale_coord").toString
+    graft.sources.SnapshotTable.useCommitCoordination("s3mock:", coord)
+    try {
+      import spark.implicits._
+      val t = graft.sources.SnapshotTable.create(spark, dir,
+        Seq((0L, 0L)).toDF("writer", "seq"))
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (1 to 8).map { w =>
+        new Thread(() => {
+          try (1 to 5).foreach { s =>
+            graft.sources.SnapshotTable.forPath(spark, dir)
+              .append(Seq((w.toLong, s.toLong)).toDF("writer", "seq"))
+          } catch { case e: Throwable => errors.add(e) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join(120000))
+      assert(errors.isEmpty, s"writer failed: ${errors.peek()}")
+      // every one of the 40 concurrent appends is visible — nothing lost
+      // to the store's blind-overwrite rename — and each claimed its own
+      // version in the coordination dir
+      assert(t.latestVersion == 41L)
+      assert(t.read().count() == 41L)
+      assert(t.read().filter(col("writer") > 0).count() == 40L)
+      assert(java.nio.file.Files.list(java.nio.file.Paths.get(coord)).count() >= 41L)
+    } finally graft.sources.SnapshotTable.dropCommitCoordination("s3mock:")
+  }
 }

@@ -1140,4 +1140,24 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM lake_scan('$dir')")
       .collect().head.getLong(0) == 110L)
   }
+
+  test("equivalent-but-different path spellings (file:///) commit, scan, and vacuum safely") {
+    // ADVICE r9: the commit log records `$dir/$file` in the CALLER's
+    // spelling while walks yield Hadoop-qualified URIs (file:/x) — an
+    // aliased spelling like file:///x must neither break writes
+    // (relativize) nor make vacuum treat every live file as unreferenced
+    val dir = "file://" + fresh("lake_alias") // → file:///tmp/… triple slash
+    val t = SnapshotTable.create(spark, dir,
+      (1 to 50).map(i => (i.toLong, i % 3)).toDF("id", "grp"))
+    t.append((51 to 60).map(i => (i.toLong, i % 3)).toDF("id", "grp"))
+    t.deleteWhere(col("id") > 55)
+    assert(t.read().count() == 55L)
+    // vacuum under the aliased spelling reclaims ONLY the COW-orphaned
+    // files; live data survives and the table still reads
+    val doomed = t.vacuum(retainLast = 1, graceMs = 0L)
+    assert(doomed.nonEmpty, "vacuum found nothing to reclaim after COW DML")
+    assert(t.read().count() == 55L, "vacuum under an aliased spelling ate live data")
+    assert(t.read().agg(org.apache.spark.sql.functions.sum(col("id"))).head().getLong(0)
+      == (1 to 55).map(_.toLong).sum)
+  }
 }
