@@ -1107,6 +1107,45 @@ object LlmQueries {
     SELECT doc_id, COUNT(*) AS n_bigrams, round(avg(logp), 6) AS mean_log2p
     FROM scored GROUP BY doc_id ORDER BY doc_id"""
 
+  /** DSIR importance weights against a 3-source "target domain": which
+    * raw documents look like the curated sources. The oracle recomputes
+    * the hashed-ngram bucket distributions, the Laplace-smoothed
+    * log-ratio lookup, and the per-doc sums — buckets come from an
+    * md5-prefix both engines share, so the whole pipeline (not just the
+    * output shape) is cross-checked. */
+  val dsirWeights: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents
+    TextAnalysis.dsirWeights(docs,
+        col("source").isin("src1", "src2", "src3"), buckets = 1024)
+      .orderBy(col("doc_id"))
+  }
+  val dsirWeightsSql: String = """
+    WITH toks AS (
+      SELECT doc_id, source,
+        list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS t
+      FROM documents),
+    f AS (
+      SELECT doc_id, source IN ('src1','src2','src3') AS is_t,
+        list_concat(t, list_transform(generate_series(1, len(t) - 1),
+          i -> t[i] || ' ' || t[i+1])) AS fs
+      FROM toks WHERE len(t) >= 1),
+    e AS (
+      SELECT doc_id, is_t,
+        CAST(concat('0x', substr(md5(tok), 1, 6)) AS BIGINT) % 1024 AS bk
+      FROM (SELECT doc_id, is_t, unnest(fs) AS tok FROM f)),
+    dist AS (
+      SELECT bk, SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct, COUNT(*) AS cr
+      FROM e GROUP BY bk),
+    tot AS (SELECT CAST(SUM(ct) AS DOUBLE) AS tt, CAST(SUM(cr) AS DOUBLE) AS tr FROM dist),
+    lut AS (
+      SELECT bk, ln((ct + 1.0) / (tt + 1024)) - ln((cr + 1.0) / (tr + 1024)) AS w
+      FROM dist, tot),
+    scored AS (
+      SELECT doc_id, round(SUM(w), 6) AS dsir_lw
+      FROM e JOIN lut USING (bk) GROUP BY doc_id)
+    SELECT f.doc_id, CAST(len(f.fs) AS INT) AS n_feats, s.dsir_lw
+    FROM f JOIN scored s USING (doc_id) ORDER BY doc_id"""
+
   /** Token-distribution entropy (boilerplate/spam signal). Entropies are
     * rounded to 6dp in BOTH engines — float accumulation order differs
     * across engines at ~1e-14, four orders below the rounding grain. */
@@ -1387,6 +1426,7 @@ object LlmQueries {
     "embed_quantize" -> embedQuantize,
     "text_entropy" -> textEntropy,
     "text_lm_score" -> textLmScore,
+    "dsir_weights" -> dsirWeights,
     "text_trigram_lm" -> textTrigramLm,
     "length_buckets" -> lengthBuckets,
     "chunk_documents" -> chunkDocuments,
@@ -1437,6 +1477,7 @@ object LlmQueries {
     "embed_random_project" -> embedRandomProjectSql,
     "text_entropy" -> textEntropySql,
     "text_lm_score" -> textLmScoreSql,
+    "dsir_weights" -> dsirWeightsSql,
     "text_trigram_lm" -> textTrigramLmSql,
     "length_buckets" -> lengthBucketsSql,
     "chunk_documents" -> chunkDocumentsSql,

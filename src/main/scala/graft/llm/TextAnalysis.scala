@@ -444,6 +444,53 @@ object TextAnalysis {
         length(col("text"))).as("non_ascii_ratio"))
   }
 
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169): rank a raw corpus by how target-like each
+    * document is. Features are hashed bag-of-ngrams (word unigrams +
+    * bigrams → md5-derived buckets, so ANY engine reproduces them);
+    * the target and raw bucket distributions are Laplace-smoothed, and a
+    * document's log importance weight is
+    * Σ_features [ln p̂_target(bucket) − ln p̂_raw(bucket)] — high weight =
+    * looks like the target domain, the paper's selection criterion
+    * (downstream: top-k or Gumbel resampling).
+    *
+    * Scale: ONE count aggregate over `buckets` keys (map-side partial;
+    * B=1024 keys is a trivial shuffle) produces both distributions; they
+    * return to the plan as one broadcast B-entry literal lookup array and
+    * scoring is a single map-only pass — no join, no window, nothing
+    * driver-side beyond the bounded B-row distribution (the accepted
+    * codebook pattern). Weights round to 6dp so engine-specific float
+    * accumulation order (~1e-13) can't flip a hash compare. */
+  def dsirWeights(docs: DataFrame, isTarget: Column,
+                  buckets: Int = 1024): DataFrame = {
+    val b = buckets
+    def feats(text: Column): Column = concat(tokens(text),
+      graft.functions.Functions.word_ngrams(text, 2, distinct = false))
+    def bucketOf(tok: Column): Column =
+      pmod(conv(substring(md5(tok.cast("binary")), 1, 6), 16, 10).cast("long"),
+        lit(b.toLong))
+    val withF = docs
+      .select(col("doc_id"), isTarget.as("is_t"), feats(col("text")).as("fs"))
+      .filter(size(col("fs")) >= 1)
+    val dist = withF.select(col("is_t"), explode(col("fs")).as("f"))
+      .select(col("is_t"), bucketOf(col("f")).as("bk"))
+      .groupBy("bk").agg(
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+      .collect() // bounded: exactly `buckets` rows
+    val ct = new Array[Long](b); val cr = new Array[Long](b)
+    dist.foreach { r =>
+      val i = r.getLong(0).toInt; ct(i) = r.getLong(1); cr(i) = r.getLong(2)
+    }
+    val totT = ct.sum.toDouble; val totR = cr.sum.toDouble
+    val lut: Seq[Double] = (0 until b).map(i =>
+      math.log((ct(i) + 1.0) / (totT + b)) - math.log((cr(i) + 1.0) / (totR + b)))
+    withF.select(col("doc_id"), size(col("fs")).as("n_feats"),
+      round(aggregate(col("fs"), lit(0.0), (acc, f) =>
+        acc + element_at(typedLit(lut), (bucketOf(f) + 1).cast("int"))), 6)
+        .as("dsir_lw"))
+  }
+
   def languageId(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val scored = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>

@@ -401,6 +401,9 @@ object GraftFlightServer {
       case "CommandGetTables" =>
         Some(GraftFlightSql.tablesDf(root, session, PbSql.readGetTables(v)))
       case "CommandGetTableTypes" => Some(GraftFlightSql.tableTypesDf(root))
+      case "CommandGetPrimaryKeys" => Some(GraftFlightSql.primaryKeysDf(root))
+      case "CommandGetImportedKeys" | "CommandGetExportedKeys" |
+           "CommandGetCrossReference" => Some(GraftFlightSql.foreignKeysDf(root))
       case _ => None
     }
 

@@ -132,6 +132,33 @@ private[flight] object GraftFlightSql {
     if (cmd.includeSchema) df else df.drop("table_schema")
   }
 
+  /** CommandGetPrimaryKeys / Get{Imported,Exported}Keys /
+    * GetCrossReference: this engine declares no key constraints (Spark
+    * tables carry none), so the results are EMPTY — but with the spec's
+    * column contract, because ADBC probes these on connect and chokes on
+    * a refused RPC where an empty relation is the correct answer. */
+  def primaryKeysDf(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("catalog_name", StringType), StructField("db_schema_name", StringType),
+        StructField("table_name", StringType), StructField("column_name", StringType),
+        StructField("key_name", StringType), StructField("key_sequence", IntegerType))))
+  }
+  def foreignKeysDf(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("pk_catalog_name", StringType), StructField("pk_db_schema_name", StringType),
+        StructField("pk_table_name", StringType), StructField("pk_column_name", StringType),
+        StructField("fk_catalog_name", StringType), StructField("fk_db_schema_name", StringType),
+        StructField("fk_table_name", StringType), StructField("fk_column_name", StringType),
+        StructField("key_sequence", IntegerType), StructField("fk_key_name", StringType),
+        StructField("pk_key_name", StringType),
+        // spec says uint8; Spark's closest Arrow-expressible type is int8
+        StructField("update_rule", ByteType), StructField("delete_rule", ByteType))))
+  }
+
   // ---- GetSqlInfo (dense-union result, hand-built) -----------------------
 
   /** FlightSql.proto SqlInfo keys served. */

@@ -137,9 +137,11 @@ object PbSql {
   }
   def writeGetTables(t: GetTables): Array[Byte] = {
     val w = new Pb.Writer()
-    t.catalog.foreach(w.string(1, _))
-    t.dbPattern.foreach(w.string(2, _))
-    t.tablePattern.foreach(w.string(3, _))
+    // FlightSql.proto declares the filters `optional` (explicit presence):
+    // Some("") must hit the wire, so no default-elision here
+    t.catalog.foreach(w.stringAlways(1, _))
+    t.dbPattern.foreach(w.stringAlways(2, _))
+    t.tablePattern.foreach(w.stringAlways(3, _))
     t.tableTypes.foreach(w.stringAlways(4, _))
     w.int(5, if (t.includeSchema) 1L else 0L).result
   }

@@ -162,4 +162,41 @@ class TextAnalysisSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(got.map { case (k, (_, s)) => k -> s } == again)
   }
+
+  test("DSIR: target-vocabulary documents outweigh off-domain ones; weights are deterministic") {
+    // target domain talks about chemistry; raw pool adds sports chatter.
+    // A held-out chemistry doc must score ABOVE every sports doc: its
+    // hashed-ngram buckets are dense in p_target relative to p_raw.
+    val chem = Seq("molecule bond reaction catalyst electron orbital",
+      "acid base titration molar reaction yield",
+      "catalyst electron bond energy orbital state")
+    val sport = Seq("goal match striker penalty league score",
+      "race lap driver pit overtake podium finish")
+    val docs = (
+      chem.zipWithIndex.map { case (t, i) => (i.toLong, t, true) } ++
+      Seq((10L, "reaction catalyst molecule electron bond", false)) ++ // held-out chem
+      sport.zipWithIndex.map { case (t, i) => (20L + i, t, false) }
+    ).toDF("doc_id", "text", "is_target")
+    val w = TextAnalysis.dsirWeights(docs, col("is_target"), buckets = 256)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val heldOut = w(10L)
+    Seq(20L, 21L).foreach { s =>
+      assert(heldOut > w(s),
+        s"held-out target-domain doc ($heldOut) must outweigh sports doc $s (${w(s)})")
+    }
+    // deterministic: same inputs, same weights (hash-derived buckets, no RNG)
+    val again = TextAnalysis.dsirWeights(docs, col("is_target"), buckets = 256)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w == again)
+  }
+
+  test("DSIR scoring plan is map-only: no join, no window, one scan") {
+    val docs = (0L to 30L).map(i =>
+      (i, s"word$i token${i % 5} filler common text", i % 3 == 0))
+      .toDF("doc_id", "text", "is_target")
+    val df = TextAnalysis.dsirWeights(docs, col("is_target"), buckets = 64)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"DSIR scoring must not join:\n$plan")
+    assert(!plan.contains("Window"), s"DSIR scoring must not window:\n$plan")
+  }
 }

@@ -221,6 +221,19 @@ class GraftFlightSqlSpec extends AnyFunSuite {
         b64(PbSql.writeAny("CommandGetTableTypes", Array.emptyByteArray)))
       val tyGot = firstLine(types, "RESULT ")
       assert(tyGot.contains("TABLE") && tyGot.contains("VIEW"), tyGot.take(300))
+
+      // no key constraints exist → empty relations with the spec's columns
+      // (ADBC probes these; a refused RPC would be wrong, empty is right)
+      val pks = runClient(port.toString, "cmd",
+        b64(PbSql.writeAny("CommandGetPrimaryKeys", Array.emptyByteArray)))
+      val pkGot = firstLine(pks, "RESULT ")
+      assert(pkGot.contains("key_sequence") && pkGot.contains(""""rows": []"""),
+        pkGot.take(300))
+      val fks = runClient(port.toString, "cmd",
+        b64(PbSql.writeAny("CommandGetImportedKeys", Array.emptyByteArray)))
+      val fkGot = firstLine(fks, "RESULT ")
+      assert(fkGot.contains("pk_table_name") && fkGot.contains("update_rule") &&
+        fkGot.contains(""""rows": []"""), fkGot.take(400))
     } finally spark.sql("DROP TABLE IF EXISTS flightsql_cat_t")
   }
 
