@@ -279,6 +279,21 @@ object Privileges {
         s"$what requires an admin principal or the object's owner " +
           s"(principal: ${principalOf(spark).map(_.name).getOrElse("<none>")})")
 
+  /** Write-side gate (reference grant.ftl privilege checks): while
+    * enforcement is on, a mutation needs the matching action (or ALL) on
+    * the object, ownership, or admin — the same rule the Flight DoPut
+    * ingest applies, now uniform across every SQL mutation surface. */
+  def requireAction(spark: SparkSession, action: String, obj: String,
+                    what: String): Unit =
+    if (enforceFlag) {
+      val u = principalOf(spark).getOrElse(throw new SecurityException(
+        s"$what requires an authenticated principal while auth enforcement is on"))
+      if (!allowed(u, action, normObj(obj)))
+        throw new SecurityException(
+          s"principal '${u.name}' lacks ${action.toUpperCase} on $obj " +
+            s"(GRANT ${action.toUpperCase} ON ... TO USER|ROLE ... to allow)")
+    }
+
   /** Every object name the user holds SELECT (or ALL) on, directly or via
     * roles — used by the check rule's granted-view-body cover. */
   def grantedObjects(u: User): Set[String] =

@@ -1233,6 +1233,7 @@ object GraftSqlParser {
   case class TruncateLakeCommand(dir: String, override val output: Seq[Attribute])
       extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
+      graft.auth.Privileges.requireAction(spark, "delete", dir, "TRUNCATE LAKE")
       graft.sources.SessionRefs.requireDefault(spark, dir, "TRUNCATE LAKE")
       val v = graft.sources.SnapshotTable.forPath(spark, dir)
         .deleteWhere(org.apache.spark.sql.functions.lit(true))
@@ -1332,6 +1333,7 @@ object GraftSqlParser {
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("n_deleted")
     override def run(spark: SparkSession): Seq[Row] = {
+      graft.auth.Privileges.requireAction(spark, "alter", dir, "VACUUM LAKE")
       val deleted = graft.sources.SnapshotTable.forPath(spark, dir)
         .vacuum(retain, graceMs)
       Seq(Row(deleted.size.toString))
@@ -1344,6 +1346,7 @@ object GraftSqlParser {
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("version", "n_files")
     override def run(spark: SparkSession): Seq[Row] = {
+      graft.auth.Privileges.requireAction(spark, "alter", dir, "OPTIMIZE LAKE")
       require(orderBy.isEmpty || zorderBy.isEmpty,
         "OPTIMIZE LAKE takes ORDER BY or ZORDER BY, not both")
       require(whereSql.isEmpty || (orderBy.isEmpty && zorderBy.isEmpty),
@@ -1368,6 +1371,7 @@ object GraftSqlParser {
   case class InsertLakeCommand(dir: String, querySql: String) extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("version", "n_files")
     override def run(spark: SparkSession): Seq[Row] = {
+      graft.auth.Privileges.requireAction(spark, "insert", dir, "INSERT INTO LAKE")
       val t = graft.sources.SnapshotTable.forPath(spark, dir)
       val df = spark.sql(querySql)
       // a session USE BRANCH pin routes the append to the branch (the
@@ -1400,6 +1404,7 @@ object GraftSqlParser {
   case class DeleteLakeCommand(dir: String, condSql: String) extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("version")
     override def run(spark: SparkSession): Seq[Row] = {
+      graft.auth.Privileges.requireAction(spark, "delete", dir, "DELETE FROM LAKE")
       graft.sources.SessionRefs.requireDefault(spark, dir, "DELETE FROM LAKE")
       val v = graft.sources.SnapshotTable.forPath(spark, dir)
         .deleteWhere(org.apache.spark.sql.functions.expr(condSql))
@@ -1412,6 +1417,7 @@ object GraftSqlParser {
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("version")
     override def run(spark: SparkSession): Seq[Row] = {
+      graft.auth.Privileges.requireAction(spark, "update", dir, "UPDATE LAKE")
       graft.sources.SessionRefs.requireDefault(spark, dir, "UPDATE LAKE")
       val sets = splitTopLevel(setsSql).map { assignment =>
         val eq = assignment.indexOf('=')
@@ -1432,6 +1438,7 @@ object GraftSqlParser {
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("version")
     override def run(spark: SparkSession): Seq[Row] = {
+      graft.auth.Privileges.requireAction(spark, "update", dir, "MERGE INTO LAKE")
       graft.sources.SessionRefs.requireDefault(spark, dir, "MERGE INTO LAKE")
       val v = graft.sources.SnapshotTable.forPath(spark, dir)
         .mergeByKey(spark.sql(querySql), key)
@@ -1449,6 +1456,7 @@ object GraftSqlParser {
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("version")
     override def run(spark: SparkSession): Seq[Row] = {
+      graft.auth.Privileges.requireAction(spark, "update", dir, "MERGE INTO LAKE")
       graft.sources.SessionRefs.requireDefault(spark, dir, "MERGE INTO LAKE")
       val v = graft.sources.SnapshotTable.forPath(spark, dir)
         .merge(spark.sql(querySql), key, matched, notMatched)
@@ -1559,6 +1567,7 @@ object GraftSqlParser {
   case class MergeBranchCommand(name: String, dir: String) extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("version")
     override def run(spark: SparkSession): Seq[Row] = {
+      graft.auth.Privileges.requireAction(spark, "alter", dir, "MERGE BRANCH")
       val v = graft.sources.SnapshotTable.forPath(spark, dir).mergeBranch(name)
       Seq(Row(v.toString))
     }
@@ -1570,6 +1579,7 @@ object GraftSqlParser {
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("branch", "version")
     override def run(spark: SparkSession): Seq[Row] = {
+      graft.auth.Privileges.requireAction(spark, "insert", dir, "INSERT INTO LAKE AT BRANCH")
       val v = graft.sources.SnapshotTable.forPath(spark, dir)
         .appendToBranch(branch, spark.sql(querySql))
       Seq(Row(branch, v.toString))
@@ -1595,6 +1605,7 @@ object GraftSqlParser {
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("version")
     override def run(spark: SparkSession): Seq[Row] = {
+      graft.auth.Privileges.requireAction(spark, "alter", dir, "ALTER LAKE RENAME COLUMN")
       val v = graft.sources.SnapshotTable.forPath(spark, dir)
         .renameColumn(oldName, newName)
       Seq(Row(v.toString))
@@ -1606,18 +1617,22 @@ object GraftSqlParser {
   case class AddLakeColumnCommand(dir: String, name: String, typeDdl: String)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("version")
-    override def run(spark: SparkSession): Seq[Row] =
+    override def run(spark: SparkSession): Seq[Row] = {
+      graft.auth.Privileges.requireAction(spark, "alter", dir, "ALTER LAKE ADD COLUMN")
       Seq(Row(graft.sources.SnapshotTable.forPath(spark, dir)
         .addColumn(name, typeDdl).toString))
+    }
   }
 
   /** ALTER LAKE ... DROP COLUMN: metadata-only commit retiring the id. */
   case class DropLakeColumnCommand(dir: String, name: String)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("version")
-    override def run(spark: SparkSession): Seq[Row] =
+    override def run(spark: SparkSession): Seq[Row] = {
+      graft.auth.Privileges.requireAction(spark, "alter", dir, "ALTER LAKE DROP COLUMN")
       Seq(Row(graft.sources.SnapshotTable.forPath(spark, dir)
         .dropColumn(name).toString))
+    }
   }
 
   /** ROLLBACK LAKE ... TO VERSION: restore an old snapshot as a NEW
@@ -1625,9 +1640,11 @@ object GraftSqlParser {
   case class RollbackLakeCommand(dir: String, version: Long)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("version")
-    override def run(spark: SparkSession): Seq[Row] =
+    override def run(spark: SparkSession): Seq[Row] = {
+      graft.auth.Privileges.requireAction(spark, "alter", dir, "ROLLBACK LAKE")
       Seq(Row(graft.sources.SnapshotTable.forPath(spark, dir)
         .restoreVersion(version).toString))
+    }
   }
 
   /** ANALYZE LAKE: one-pass column profile of the current snapshot
@@ -1651,6 +1668,7 @@ object GraftSqlParser {
       schemaDdl: String, onError: String) extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("loaded", "errors")
     override def run(spark: SparkSession): Seq[Row] = {
+      graft.auth.Privileges.requireAction(spark, "insert", target, "COPY INTO")
       val r = graft.sources.CopyInto.copyInto(
         spark, src, fmt, StructType.fromDDL(schemaDdl), target, onError)
       Seq(Row(r.loaded.toString, r.errors.toString))

@@ -219,4 +219,51 @@ class PrivilegesSpec extends AnyFunSuite {
       asPrincipal("bob", "admin_set")
     }
   }
+
+  test("write-side enforcement: lake mutations need the matching privilege, per action") {
+    withAuthWorld {
+      val dir = java.nio.file.Files.createTempDirectory("auth_dml").toString + "/t"
+      spark.sql(s"CREATE LAKE '$dir' AS SELECT id, id * 2 AS v FROM range(30)")
+      spark.sql("CREATE USER root_u PASSWORD 'rp' ADMIN")
+      spark.sql("CREATE USER dana PASSWORD 'dp'")
+      spark.sql(s"GRANT SELECT ON '$dir' TO USER dana")
+      spark.sql("ALTER AUTH ENFORCE ON")
+      asPrincipal("dana", "dp")
+      // SELECT grant covers reads but NOT mutations — each verb has its own
+      val ins = intercept[Exception](
+        spark.sql(s"INSERT INTO LAKE '$dir' SELECT id, id FROM range(5)"))
+      assert(ins.toString.contains("lacks INSERT"), ins.toString)
+      val del = intercept[Exception](
+        spark.sql(s"DELETE FROM LAKE '$dir' WHERE id > 20"))
+      assert(del.toString.contains("lacks DELETE"), del.toString)
+      val upd = intercept[Exception](
+        spark.sql(s"UPDATE LAKE '$dir' SET v = 0 WHERE id = 1"))
+      assert(upd.toString.contains("lacks UPDATE"), upd.toString)
+      val opt = intercept[Exception](spark.sql(s"OPTIMIZE LAKE '$dir'"))
+      assert(opt.toString.contains("lacks ALTER"), opt.toString)
+      // refused mutations left the table untouched
+      assert(spark.sql(s"SELECT count(*) AS n FROM lake_scan('$dir')")
+        .head().getLong(0) == 30L)
+      // grant the verbs: each unlocks exactly its statement
+      asPrincipal("root_u", "rp")
+      spark.sql(s"GRANT INSERT ON '$dir' TO USER dana")
+      spark.sql(s"GRANT DELETE ON '$dir' TO USER dana")
+      asPrincipal("dana", "dp")
+      spark.sql(s"INSERT INTO LAKE '$dir' SELECT id + 100 AS id, id AS v FROM range(5)")
+      spark.sql(s"DELETE FROM LAKE '$dir' WHERE id >= 25 AND id < 30")
+      assert(spark.sql(s"SELECT count(*) AS n FROM lake_scan('$dir')")
+        .head().getLong(0) == 30L) // +5 inserted, -5 deleted
+      // still no UPDATE/ALTER
+      intercept[Exception](spark.sql(s"UPDATE LAKE '$dir' SET v = 0 WHERE id = 1"))
+      // the owner needs no grants: ownership covers every action
+      asPrincipal("root_u", "rp")
+      spark.sql(s"GRANT OWNERSHIP ON '$dir' TO USER dana")
+      asPrincipal("dana", "dp")
+      spark.sql(s"UPDATE LAKE '$dir' SET v = 99 WHERE id = 1")
+      assert(spark.sql(s"SELECT v FROM lake_scan('$dir') WHERE id = 1")
+        .head().getLong(0) == 99L)
+      asPrincipal("root_u", "rp") // only an admin may flip enforcement
+      spark.sql("ALTER AUTH ENFORCE OFF")
+    }
+  }
 }
