@@ -277,6 +277,77 @@ object LlmQueries {
       CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS distinct_token_ratio
     FROM toks ORDER BY doc_id"""
 
+  /** BM25 top-k lexical retrieval (Retrieval.bm25TopK) over four fixed
+    * keyword queries in the corpus vocabulary. The oracle recomputes tf,
+    * doc length, document frequency, the Lucene idf, and the rank — so
+    * the whole scorer, not just the output shape, is hash-gated. Scores
+    * round to 6dp BEFORE ranking on both engines; ties break on doc_id. */
+  val bm25Search: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents
+    Retrieval.bm25TopK(docs, Seq(
+      0 -> "hash join table", 1 -> "window agg batch",
+      2 -> "fast scan filter", 3 -> "customer query line value"), k = 10)
+  }
+  val bm25SearchSql: String = """
+    WITH toks AS (
+      SELECT doc_id, unnest(
+        list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0)) AS w
+      FROM documents),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY doc_id, w),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    totals AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl),
+    q(q_id, q_text) AS (VALUES
+      (0, 'hash join table'), (1, 'window agg batch'),
+      (2, 'fast scan filter'), (3, 'customer query line value')),
+    qt AS (SELECT DISTINCT q_id, unnest(
+        list_filter(string_split_regex(lower(q_text), '\s+'), w -> len(w) > 0)) AS w
+      FROM q),
+    dft AS (
+      SELECT w, COUNT(*) AS df FROM tf
+      WHERE w IN (SELECT w FROM qt) GROUP BY w),
+    scored AS (
+      SELECT qt.q_id, tf.doc_id,
+        round(SUM(ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf * 2.2) /
+                  (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25
+      FROM tf JOIN qt USING (w) JOIN dft USING (w) JOIN dl USING (doc_id), totals
+      GROUP BY qt.q_id, tf.doc_id),
+    ranked AS (SELECT *, row_number() OVER
+        (PARTITION BY q_id ORDER BY bm25 DESC, doc_id) AS rn FROM scored)
+    SELECT q_id, doc_id, bm25 FROM ranked WHERE rn <= 10
+    ORDER BY q_id, bm25 DESC, doc_id"""
+
+  /** Within-document line dedup (TextAnalysis.dedupLinesInDoc). The
+    * fixture corpus has no naturally repeated lines, so the query doctors
+    * it deterministically (same expressions both engines): ' value '
+    * becomes a line break, then the doc's own first line and a doubled
+    * nav line are appended — every doc has true intra-doc duplicates and
+    * the rebuilt text's md5 is hash-gated. */
+  val textLineDedup: QueryFn = (s, dir) => {
+    val base = Tables.ensure(s, dir).documents.filter(col("doc_id") < 500)
+    val t = expr("replace(text, ' value ', chr(10))")
+    val doctored = base.select(col("doc_id"),
+      concat(t, lit("\n"), substring_index(t, "\n", 1),
+        lit("\nnav menu\nnav menu")).as("text"))
+    TextAnalysis.dedupLinesInDoc(doctored).orderBy(col("doc_id"))
+  }
+  val textLineDedupSql: String = """
+    WITH d AS (
+      SELECT doc_id,
+        replace(text, ' value ', chr(10)) || chr(10) ||
+        split_part(replace(text, ' value ', chr(10)), chr(10), 1) ||
+        chr(10) || 'nav menu' || chr(10) || 'nav menu' AS text
+      FROM documents WHERE doc_id < 500),
+    l AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM d),
+    k AS (SELECT doc_id, lines,
+            list_filter(lines, (x, i) -> list_position(lines, x) = i) AS kept
+          FROM l)
+    SELECT doc_id,
+      CAST(len(lines) AS INT) AS n_lines,
+      CAST(len(kept) AS INT) AS n_kept,
+      CAST(len(array_to_string(kept, chr(10))) AS INT) AS clean_chars,
+      md5(array_to_string(kept, chr(10))) AS clean_md5
+    FROM k ORDER BY doc_id"""
+
   /** C4 cleaning gate (TextAnalysis.c4Rules — arXiv:1910.10683 §2.2).
     * The fixture corpus is single-line and unpunctuated, so the query
     * first DOCTORS it deterministically (same expressions on both
@@ -1146,6 +1217,43 @@ object LlmQueries {
     SELECT f.doc_id, CAST(len(f.fs) AS INT) AS n_feats, s.dsir_lw
     FROM f JOIN scored s USING (doc_id) ORDER BY doc_id"""
 
+  /** Naive-Bayes target-vs-rest classifier log-odds (the CCNet/GPT-3
+    * fastText-style quality filter shape): src0 is the "curated" domain,
+    * everything else the raw pool. The oracle retrains the whole model —
+    * token counts, smoothed likelihoods, prior — in SQL, so training and
+    * scoring are both hash-gated, not just the output shape. */
+  val textNbClassifier: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents
+    TextAnalysis.nbDomainLogOdds(docs, col("source") === "src0")
+      .orderBy(col("doc_id"))
+  }
+  val textNbClassifierSql: String = """
+    WITH d AS (
+      SELECT doc_id, source = 'src0' AS is_t,
+        list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS t
+      FROM documents),
+    tok AS (SELECT doc_id, is_t, unnest(t) AS w FROM d),
+    counts AS (
+      SELECT w, SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_t, COUNT(*) AS c_all
+      FROM tok GROUP BY w),
+    totals AS (
+      SELECT CAST(SUM(c_t) AS DOUBLE) AS n_t,
+             CAST(SUM(c_all - c_t) AS DOUBLE) AS n_o,
+             CAST(COUNT(*) AS DOUBLE) AS v
+      FROM counts),
+    prior AS (
+      SELECT ln(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) * 1.0 /
+                SUM(CASE WHEN is_t THEN 0 ELSE 1 END)) AS lp
+      FROM d),
+    s AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+        SUM(ln((c_t + 0.5) / (n_t + 0.5 * v)) -
+            ln((c_all - c_t + 0.5) / (n_o + 0.5 * v))) AS s
+      FROM tok JOIN counts USING (w), totals GROUP BY doc_id)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      round(s.s + prior.lp, 6) AS nb_logodds
+    FROM s, prior ORDER BY doc_id"""
+
   /** Token-distribution entropy (boilerplate/spam signal). Entropies are
     * rounded to 6dp in BOTH engines — float accumulation order differs
     * across engines at ~1e-14, four orders below the rounding grain. */
@@ -1410,6 +1518,8 @@ object LlmQueries {
     "text_quality" -> textQuality,
     "quality_gopher" -> qualityGopher,
     "text_c4_rules" -> textC4Rules,
+    "text_line_dedup" -> textLineDedup,
+    "bm25_search" -> bm25Search,
     "text_tokens" -> textTokens,
     "text_fingerprint" -> textFingerprint,
     "text_langid" -> textLangid,
@@ -1427,6 +1537,7 @@ object LlmQueries {
     "text_entropy" -> textEntropy,
     "text_lm_score" -> textLmScore,
     "dsir_weights" -> dsirWeights,
+    "text_nb_classifier" -> textNbClassifier,
     "text_trigram_lm" -> textTrigramLm,
     "length_buckets" -> lengthBuckets,
     "chunk_documents" -> chunkDocuments,
@@ -1454,6 +1565,8 @@ object LlmQueries {
     "text_quality" -> textQualitySql,
     "quality_gopher" -> qualityGopherSql,
     "text_c4_rules" -> textC4RulesSql,
+    "text_line_dedup" -> textLineDedupSql,
+    "bm25_search" -> bm25SearchSql,
     "text_tokens" -> textTokensSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_langid" -> textLangidSql,
@@ -1478,6 +1591,7 @@ object LlmQueries {
     "text_entropy" -> textEntropySql,
     "text_lm_score" -> textLmScoreSql,
     "dsir_weights" -> dsirWeightsSql,
+    "text_nb_classifier" -> textNbClassifierSql,
     "text_trigram_lm" -> textTrigramLmSql,
     "length_buckets" -> lengthBucketsSql,
     "chunk_documents" -> chunkDocumentsSql,

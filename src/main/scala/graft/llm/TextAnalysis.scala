@@ -164,6 +164,31 @@ object TextAnalysis {
         alphaFrac >= minAlphaFrac && nStop >= minStopwords).as("pass"))
   }
 
+  /** Within-document line dedup (the Dolma/RefinedWeb "remove duplicated
+    * lines inside a page" repair step — nav bars and footers repeat
+    * INSIDE a page, not only across pages, and C4 §2.2 removes them
+    * per-page before any corpus-level dedup): keep only each line's
+    * FIRST occurrence, preserving order, and rebuild the document.
+    * Returns line counts plus the cleaned text's md5/length so the
+    * rebuild itself is checkable, not just the counts.
+    *
+    * One map-only pass of array expressions (no UDF, no shuffle, no
+    * per-doc window — a scan-rate transform at 100 TB); the
+    * first-occurrence test is `array_position(lines, x) == i+1` inside
+    * a codegen'd higher-order filter, quadratic only in the per-doc
+    * line count. */
+  def dedupLinesInDoc(docs: DataFrame): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val kept = filter(lines, (x, i) =>
+      array_position(lines, x) === (i + lit(1)).cast("long"))
+    val clean = array_join(kept, "\n")
+    docs.select(col("doc_id"),
+      size(lines).as("n_lines"),
+      size(kept).as("n_kept"),
+      length(clean).as("clean_chars"),
+      md5(clean.cast("binary")).as("clean_md5"))
+  }
+
   /** The C4 cleaning rule set (Raffel et al. 2020, arXiv:1910.10683
     * §2.2 — the other canonical pre-training gate next to
     * [[gopherRules]]): line-level keeps + page-level drops.
@@ -489,6 +514,50 @@ object TextAnalysis {
       round(aggregate(col("fs"), lit(0.0), (acc, f) =>
         acc + element_at(typedLit(lut), (bucketOf(f) + 1).cast("int"))), 6)
         .as("dsir_lw"))
+  }
+
+  /** Multinomial Naive-Bayes domain/quality classifier — the statistical
+    * core of the fastText-style filters the big pipelines train on a
+    * target corpus vs the raw crawl (CCNet's Wikipedia-vs-CommonCrawl
+    * filter; the GPT-3 quality classifier scored the same way, with docs
+    * kept by thresholding the log-odds). Trains and scores in one
+    * distributed pass: per-token class counts give the add-k smoothed
+    * per-class likelihoods, and each doc's score is
+    * `log P(doc|target) − log P(doc|rest) + log(prior odds)` — positive
+    * means target-like.
+    *
+    * Scale: ONE token-count aggregate (map-side partial) builds the
+    * model; the vocabulary table never leaves the cluster — scoring
+    * re-joins the exploded tokens on the word key (a plain shuffle join
+    * that scales with corpus vocabulary), and only the 1-row totals and
+    * prior broadcast. Log-odds round to 6 decimals so accumulation order
+    * can't flip a hash compare. Zero-token docs emit no row. */
+  def nbDomainLogOdds(docs: DataFrame, isTarget: Column,
+                      k: Double = 0.5): DataFrame = {
+    val labeled = docs.select(col("doc_id"), isTarget.as("is_t"), col("text"))
+    val toks = labeled.select(col("doc_id"), col("is_t"),
+      explode(tokens(col("text"))).as("w"))
+    val counts = toks.groupBy("w").agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"),
+      count(lit(1)).as("c_all"))
+    val totals = counts.agg(
+      sum(col("c_t")).as("n_t"),
+      sum(col("c_all") - col("c_t")).as("n_o"),
+      count(lit(1)).cast("double").as("v"))
+    val prior = labeled.agg(
+      log(sum(when(col("is_t"), 1L).otherwise(0L)).cast("double") /
+        sum(when(col("is_t"), 0L).otherwise(1L)).cast("double")).as("lp"))
+    toks.join(counts, "w")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        (log((col("c_t") + lit(k)) / (col("n_t") + lit(k) * col("v"))) -
+          log((col("c_all") - col("c_t") + lit(k)) /
+            (col("n_o") + lit(k) * col("v")))).as("lo"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lo")).as("s"))
+      .crossJoin(broadcast(prior))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("s") + col("lp"), 6).as("nb_logodds"))
   }
 
   def languageId(docs: DataFrame): DataFrame = {

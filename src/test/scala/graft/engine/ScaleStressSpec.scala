@@ -459,4 +459,36 @@ class ScaleStressSpec extends AnyFunSuite {
       assert(java.nio.file.Files.list(java.nio.file.Paths.get(coord)).count() >= 41L)
     } finally graft.sources.SnapshotTable.dropCommitCoordination("s3mock:")
   }
+
+  test("BM25 at 200k docs: planted needle ranks first, k bounds hold, no global sort") {
+    gate()
+    // 200k docs of deterministic filler vocabulary; one needle doc with a
+    // rare term repeated (high tf, df=2: the needle + one weak mention).
+    // BM25's idf must rank the needle first for its query even though
+    // every doc matches the common term.
+    val docs = spark.range(200000).select(
+      col("id").as("doc_id"),
+      concat(
+        wordsExpr("cast(id % 1000 AS string)", 20),
+        lit(" common common"),
+        when(col("id") === 123456L, lit(" zebra zebra zebra zebra"))
+          .when(col("id") === 7L, lit(" zebra"))
+          .otherwise(lit(""))).as("text"))
+      .localCheckpoint(true)
+    val top = graft.llm.Retrieval.bm25TopK(docs,
+      Seq(0 -> "zebra common", 1 -> "common"), k = 10)
+      .collect()
+    val q0 = top.filter(_.getInt(0) == 0).map(r => (r.getLong(1), r.getDouble(2)))
+    assert(q0.length == 10, s"k bound: ${q0.length}")
+    assert(q0.head._1 == 123456L,
+      s"high-tf rare-term doc must rank first: ${q0.take(3).toSeq}")
+    assert(q0(1)._1 == 7L, s"the weak mention ranks second: ${q0.take(3).toSeq}")
+    assert(q0.map(_._2).sliding(2).forall(p => p.head >= p.last), "scores descend")
+    val q1 = top.filter(_.getInt(0) == 1)
+    assert(q1.length == 10, s"k bound on the all-match query: ${q1.length}")
+    // the ranking operator is the bounded-heap TopKPerKey, not a global sort
+    val plan = graft.llm.Retrieval.bm25TopK(docs, Seq(0 -> "zebra"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"expected TopKPerKey in:\n$plan")
+  }
 }

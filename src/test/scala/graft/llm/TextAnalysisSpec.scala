@@ -190,6 +190,52 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(w == again)
   }
 
+  test("NB classifier: held-out target-vocab doc scores positive, off-domain negative; hand-checked value") {
+    // target corpus = chemistry vocabulary, rest = sports. A held-out doc
+    // written in target vocabulary must get POSITIVE log-odds even though
+    // it is labeled rest (that mislabeled-doc recovery is exactly what the
+    // CCNet-style filter is for); pure sports docs must score negative.
+    val docs = (
+      Seq("molecule bond reaction catalyst electron orbital",
+          "acid base titration molar reaction yield",
+          "catalyst electron bond energy orbital state")
+        .zipWithIndex.map { case (t, i) => (i.toLong, t, true) } ++
+      Seq((10L, "reaction catalyst molecule electron bond", false)) ++
+      Seq("goal match striker penalty league score",
+          "race lap driver pit overtake podium finish")
+        .zipWithIndex.map { case (t, i) => (20L + i, t, false) }
+    ).toDF("doc_id", "text", "is_target")
+    val got = TextAnalysis.nbDomainLogOdds(docs, col("is_target"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(10L) > 0, s"held-out chemistry doc must score target-like: ${got(10L)}")
+    Seq(20L, 21L).foreach(s =>
+      assert(got(s) < 0, s"sports doc $s must score rest-like: ${got(s)}"))
+    // hand-checked minimal model: target tokens {a,a}; rest tokens {b}
+    // (doc2) and {a} (doc3 — its own token trains the rest class too).
+    // V=2, k=0.5, n_t=2, n_o=2:
+    //   P(a|t) = (2+0.5)/(2+1) = 5/6;  P(a|o) = (1+0.5)/(2+1) = 1/2
+    //   prior  = ln(d_t/d_o) = ln(1/2)
+    //   score(doc3) = ln(5/6) - ln(1/2) + ln(1/2) = ln(5/6)
+    val tiny = Seq((1L, "a a", true), (2L, "b", false), (3L, "a", false))
+      .toDF("doc_id", "text", "is_target")
+    val t3 = TextAnalysis.nbDomainLogOdds(tiny, col("is_target"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val expect = math.log(5.0 / 6.0)
+    assert(math.abs(t3(3L) - expect) < 1e-6, s"got ${t3(3L)}, want $expect")
+  }
+
+  test("intra-doc line dedup keeps first occurrences in order; md5 pinned cross-engine") {
+    val docs = Seq((1L, "a\nb\na\nc\nb"), (2L, "solo line")).toDF("doc_id", "text")
+    val got = TextAnalysis.dedupLinesInDoc(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(4)))).toMap
+    // value computed independently with DuckDB: md5('a\nb\nc')
+    assert(got(1L) == ((5, 3, "c32b2057b9bd62caa835386346177935")))
+    assert(got(2L)._1 == 1 && got(2L)._2 == 1)
+    // map-only: no shuffle in the plan
+    val plan = TextAnalysis.dedupLinesInDoc(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"line dedup must be map-only:\n$plan")
+  }
+
   test("DSIR scoring plan is map-only: no join, no window, one scan") {
     val docs = (0L to 30L).map(i =>
       (i, s"word$i token${i % 5} filler common text", i % 3 == 0))
