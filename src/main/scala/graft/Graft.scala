@@ -59,15 +59,46 @@ object Graft {
     * queue still fails loudly. */
   def sql(spark: SparkSession, query: String): DataFrame =
     graft.engine.RunningQueries.tracked(spark, query) {
+      // every statement surface probes the plan cache (reference: the
+      // NormalHandler plan-cache probe precedes planning for all queries)
+      def run = graft.accel.PlanCache.sql(spark, query)
       spark.conf.getOption(QueueConf).filter(_.nonEmpty) match {
-        case Some(queue) => graft.engine.Queues.admitLazy(spark, queue)(spark.sql(query))
+        case Some(queue) => graft.engine.Queues.admitLazy(spark, queue)(run)
         case None =>
-          autoQueue(spark, query) match {
-            case Some(queue) => graft.engine.Queues.admitLazy(spark, queue)(spark.sql(query))
-            case None => spark.sql(query)
+          routeByRule(spark, query).orElse(autoQueue(spark, query)) match {
+            case Some(queue) => graft.engine.Queues.admitLazy(spark, queue)(run)
+            case None => run
           }
       }
     }
+
+  /** Rule-based queue choice (reference `RuleBasedEngineSelector.java:22`
+    * — evaluated before the cost fallback, the way the reference consults
+    * the rule engine before basic allocation; an explicit
+    * `spark.graft.queue` still wins). The context a rule sees:
+    * `user_name` (authenticated principal or ''), `roles`, `query_type`
+    * ('command' for statement-shaped plans, 'query' otherwise),
+    * `statement` (the raw SQL — LIKE-able), `est_cost` (planned input
+    * bytes, computed only when some rule reads it). */
+  private def routeByRule(spark: SparkSession, query: String): Option[String] = {
+    import scala.util.control.NonFatal
+    val queues = graft.engine.Queues
+    if (!queues.hasRules) return None
+    val parsed =
+      try spark.sessionState.sqlParser.parsePlan(query)
+      catch { case NonFatal(_) => return None } // surface the parse error unqueued
+    val qt =
+      if (parsed.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command])
+        "command" else "query"
+    val u = graft.auth.Privileges.principalOf(spark)
+    val cost =
+      if (queues.anyRuleNeedsCost)
+        estimateCost(spark, parsed).min(BigInt(Long.MaxValue)).toLong
+      else 0L
+    queues.route(spark, queues.RouteCtx(
+      u.map(_.name).getOrElse(""), u.map(_.roles.toSeq.sorted).getOrElse(Nil),
+      qt, query, cost))
+  }
 
   /** Cost-based queue choice for [[sql]], or None for unmanaged. */
   private def autoQueue(spark: SparkSession, query: String): Option[String] = {

@@ -191,6 +191,28 @@ object InfoSchema {
       () => graft.accel.ResultCache.listEntries
         .map(e => Row(e.fingerprint, e.hits, e.lakeDeps)))
 
+  /** sys.routing_rules (reference `RuleBasedEngineSelector.java` — the
+    * rule set the workload manager consults per statement). */
+  def sysRoutingRules(spark: SparkSession): DataFrame =
+    live(spark, StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("priority", IntegerType, nullable = false),
+      StructField("condition", StringType, nullable = false),
+      StructField("queue", StringType, nullable = false))),
+      () => graft.engine.Queues.listRules
+        .map(r => Row(r.name, r.priority, r.cond, r.queue)))
+
+  /** sys.plan_cache (reference `exec/planner/plancache/CachedPlan.java`
+    * use counts surfaced per cached statement plan). */
+  def sysPlanCache(spark: SparkSession): DataFrame =
+    live(spark, StructType(Seq(
+      StructField("fingerprint", StringType, nullable = false),
+      StructField("statement", StringType, nullable = false),
+      StructField("hits", LongType, nullable = false),
+      StructField("lake_deps", IntegerType, nullable = false))),
+      () => graft.accel.PlanCache.listEntries
+        .map(e => Row(e.fingerprint, e.statement, e.hits, e.lakeDeps)))
+
   /** Object privileges (reference `sys.privileges` over the dac grant
     * store; grammar `includes/grant.ftl`). */
   def sysPrivileges(spark: SparkSession): DataFrame =
@@ -242,6 +264,8 @@ object InfoSchema {
     sysQueues(spark).createOrReplaceTempView("sys_queues")
     sysRunningQueries(spark).createOrReplaceTempView("sys_running_queries")
     sysResultCache(spark).createOrReplaceTempView("sys_result_cache")
+    sysPlanCache(spark).createOrReplaceTempView("sys_plan_cache")
+    sysRoutingRules(spark).createOrReplaceTempView("sys_routing_rules")
     sysPrivileges(spark).createOrReplaceTempView("sys_privileges")
     sysPolicies(spark).createOrReplaceTempView("sys_policies")
     sysUsers(spark).createOrReplaceTempView("sys_users")

@@ -94,6 +94,7 @@ object Queues {
   // ---------- lazy-statement admission (slot held until first action) ----
 
   private final case class PendingLazy(ref: java.lang.ref.WeakReference[AnyRef],
+                                       dfRef: java.lang.ref.WeakReference[AnyRef],
                                        released: AtomicBoolean,
                                        release: () => Unit,
                                        listener: QueryExecutionListener)
@@ -101,14 +102,17 @@ object Queues {
 
   /** Failsafe against slot leaks: a lazy statement whose DataFrame was
     * abandoned without ever running holds no strong reference anywhere once
-    * the caller drops it (the listener only holds a WeakReference), so the
+    * the caller drops it (the listener only holds WeakReferences), so the
     * next admission through any queue reaps cleared entries and frees their
-    * slots. Also prunes entries already released by their listener. */
+    * slots. Abandonment keys on the caller-owned DATASET, not the analyzed
+    * plan — the plan cache may strongly hold the plan long after every
+    * caller dropped their handle. Also prunes entries already released by
+    * their listener. */
   private def reapAbandoned(spark: SparkSession): Unit = {
     val it = pendingLazy.iterator()
     while (it.hasNext) {
       val p = it.next()
-      if (p.ref.get == null || p.released.get()) {
+      if (p.dfRef.get == null || p.released.get()) {
         p.release() // idempotent
         spark.listenerManager.unregister(p.listener)
         it.remove()
@@ -172,9 +176,66 @@ object Queues {
           if (hit(qe)) { release(); spark.listenerManager.unregister(this) }
       }
       spark.listenerManager.register(listener)
-      pendingLazy.add(PendingLazy(planRef, released, () => release(), listener))
+      pendingLazy.add(PendingLazy(planRef,
+        new java.lang.ref.WeakReference[AnyRef](df), released,
+        () => release(), listener))
     }
     df
+  }
+
+  // ---- rule-based routing (reference `RuleBasedEngineSelector.java:22`:
+  // ordered rules evaluated against the query context pick the target
+  // engine; the OSS tree ships the seam — `resolveAndUpdateEngine` wired
+  // through Foreman/AttemptManager — with the rule evaluation behind it.
+  // Re-expression: ordered rules, each an arbitrary SQL boolean over the
+  // statement context (user_name, roles, query_type, statement,
+  // est_cost), first match by (priority, name) routes to its queue.
+  // Rules are driver-side metadata; with none defined the path is free.)
+
+  final case class RoutingRule(name: String, priority: Int,
+                               cond: String, queue: String)
+
+  /** The 1-row statement context a rule's condition sees. */
+  final case class RouteCtx(user_name: String, roles: Seq[String],
+                            query_type: String, statement: String,
+                            est_cost: Long)
+
+  private val rules = TrieMap.empty[String, RoutingRule]
+
+  /** Define (or redefine) a routing rule. The target queue must exist at
+    * definition time (the reference errors on an unknown engine). */
+  def defineRule(name: String, priority: Int, cond: String, queue: String): Unit = {
+    require(defined(queue),
+      s"ROUTE TO names an undefined queue: $queue (CREATE QUEUE first)")
+    val n = name.toLowerCase
+    rules.put(n, RoutingRule(n, priority, cond, queue))
+  }
+  def dropRule(name: String): Unit = rules.remove(name.toLowerCase)
+  def clearRules(): Unit = rules.clear()
+  def listRules: Seq[RoutingRule] =
+    rules.values.toSeq.sortBy(r => (r.priority, r.name))
+  def hasRules: Boolean = rules.nonEmpty
+  /** Cost estimation is only worth paying when some rule reads it. */
+  def anyRuleNeedsCost: Boolean =
+    rules.values.exists(_.cond.toLowerCase.contains("est_cost"))
+
+  /** First matching rule's queue for the statement context. A rule whose
+    * queue was dropped since definition is skipped; a rule whose
+    * condition fails to evaluate is skipped (one broken rule must not
+    * take down every statement). Evaluation runs the session's analyzer
+    * over a 1-row local relation — full SQL expressivity (LIKE, IN,
+    * array_contains on roles), no cluster job. */
+  def route(spark: SparkSession, ctx: RouteCtx): Option[String] = {
+    if (rules.isEmpty) return None
+    import scala.util.control.NonFatal
+    import org.apache.spark.sql.functions.expr
+    import spark.implicits._
+    lazy val row = Seq(ctx).toDS()
+    listRules.find { r =>
+      defined(r.queue) &&
+        (try row.filter(expr(r.cond)).head(1).nonEmpty
+         catch { case NonFatal(_) => false })
+    }.map(_.queue)
   }
 
   /** Live status snapshot (backs the sys_queues view). */

@@ -48,8 +48,11 @@ object RunningQueries {
   private val ids = new AtomicLong()
   private val running = TrieMap.empty[Long, Running]
 
+  // abandonment keys on the caller-owned Dataset (dfRef) — the plan cache
+  // may strongly hold the analyzed plan long after the caller dropped it
   private final case class Tracked(id: Long,
                                    ref: java.lang.ref.WeakReference[AnyRef],
+                                   dfRef: java.lang.ref.WeakReference[AnyRef],
                                    listener: QueryExecutionListener)
   private val pending = new ConcurrentLinkedQueue[Tracked]
   /** Statement ids cancelled while jobs may still be submitted: any job
@@ -123,7 +126,8 @@ object RunningQueries {
           if (hit(qe)) retire()
       }
       spark.listenerManager.register(listener)
-      pending.add(Tracked(id, planRef, listener))
+      pending.add(Tracked(id, planRef,
+        new java.lang.ref.WeakReference[AnyRef](df), listener))
     }
     df
   }
@@ -174,7 +178,7 @@ object RunningQueries {
     val it = pending.iterator()
     while (it.hasNext) {
       val t = it.next()
-      val gone = t.ref.get == null
+      val gone = t.dfRef.get == null
       if (gone || (!running.contains(t.id) && !cancelledIds.contains(t.id))) {
         retireState(t.id)
         spark.listenerManager.unregister(t.listener)

@@ -128,6 +128,7 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
         ShowFilesLakeCommand(dir, out("file_path", "size_bytes", "row_count"))
       case TruncateLakeRe(dir) => TruncateLakeCommand(dir, out("version"))
       case ClearResultCacheRe() => ClearResultCacheCommand()
+      case ClearPlanCacheRe() => ClearPlanCacheCommand()
       case ExplainAccelRe(query) =>
         ExplainAccelerationCommand(query,
           out("reflection", "fingerprint", "used", "fresh"))
@@ -173,6 +174,11 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
       case ShowQueuesRe() =>
         ShowQueuesCommand(out("name", "slots", "pool", "running", "queued",
           "admitted", "timed_out"))
+      case CreateRoutingRuleRe(name, priority, cond, queue) =>
+        CreateRoutingRuleCommand(name, priority.toInt, cond.trim, queue)
+      case DropRoutingRuleRe(name) => DropRoutingRuleCommand(name)
+      case ShowRoutingRulesRe() =>
+        ShowRoutingRulesCommand(out("name", "priority", "condition", "queue"))
       case CreateAggReflectionRe(table, name, path, dims, measures, partBy) =>
         CreateAggReflectionCommand(table, name, path,
           splitCols(dims), splitCols(measures), splitCols(partBy),
@@ -378,6 +384,7 @@ object GraftSqlParser {
   private val TruncateLakeRe =
     """(?is)TRUNCATE\s+LAKE\s+'([^']+)'\s*;?""".r
   private val ClearResultCacheRe = """(?is)(?:ALTER\s+SESSION\s+)?CLEAR\s+RESULT\s+CACHE\s*;?""".r
+  private val ClearPlanCacheRe = """(?is)(?:ALTER\s+SESSION\s+)?CLEAR\s+PLAN\s+CACHE\s*;?""".r
   private val ExplainAccelRe = """(?is)EXPLAIN\s+ACCELERATION\s+(.+)""".r
   // EXPLAIN JSON [phase] FOR <query> (reference explainjson.ftl):
   // machine-readable plan dump at a named planner phase
@@ -401,6 +408,13 @@ object GraftSqlParser {
     """(?is)COMPACT\s+MATERIALIZATION\s+(\w+)(?:\s+INTO\s+(\d+)\s+FILES)?\s*;?""".r
   private val DropQueueRe = """(?is)DROP\s+QUEUE\s+([\w.-]+)\s*;?""".r
   private val ShowQueuesRe = """(?is)SHOW\s+QUEUES\s*;?""".r
+  // rule-based queue routing (reference RuleBasedEngineSelector.java:22)
+  private val CreateRoutingRuleRe =
+    ("""(?is)CREATE\s+ROUTING\s+RULE\s+([\w.-]+)\s+PRIORITY\s+(\d+)\s+""" +
+      """WHEN\s+(.+?)\s+ROUTE\s+TO\s+([\w.-]+)\s*;?""").r
+  private val DropRoutingRuleRe =
+    """(?is)DROP\s+ROUTING\s+RULE\s+([\w.-]+)\s*;?""".r
+  private val ShowRoutingRulesRe = """(?is)SHOW\s+ROUTING\s+RULES\s*;?""".r
   private val CancelQueryRe = """(?is)CANCEL\s+QUERY\s+(\d+)\s*;?""".r
   // ---- users / roles / privileges (reference Parser.tdd:656-660 —
   // SqlCreateUser/SqlCreateRole/SqlGrant; grant.ftl, role.ftl) ----
@@ -847,6 +861,16 @@ object GraftSqlParser {
     }
   }
 
+  /** ALTER SESSION CLEAR PLAN CACHE (reference
+    * `exec/planner/sql/parser/SqlAlterClearPlanCache.java` — this is the
+    * statement that clears the PLAN cache; the result-cache twin above
+    * keeps its historical spelling). */
+  case class ClearPlanCacheCommand() extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      graft.accel.PlanCache.invalidateAll(); Seq.empty
+    }
+  }
+
   /** Cancel a RUNNING statement by its sys_running_queries id (reference
     * jobs-service cancel, `LocalJobsService.java:3060` — routed to the
     * foreman's requestCancelQuery; here: kill the statement's job group).
@@ -1006,6 +1030,35 @@ object GraftSqlParser {
     override def run(spark: SparkSession): Seq[Row] = {
       graft.engine.Queues.drop(name); Seq.empty
     }
+  }
+
+  /** CREATE ROUTING RULE name PRIORITY n WHEN <bool-expr> ROUTE TO queue
+    * (reference `RuleBasedEngineSelector.java:22` — rules against the
+    * query context select the engine; see Queues.route for the context
+    * columns a condition may use). Admin-gated while auth enforcement is
+    * on — routing is an operator-level control. */
+  case class CreateRoutingRuleCommand(name: String, priority: Int,
+      cond: String, queue: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("rule", "queue")
+    override def run(spark: SparkSession): Seq[Row] = {
+      graft.auth.Privileges.requireAdmin(spark, "CREATE ROUTING RULE")
+      graft.engine.Queues.defineRule(name, priority, cond, queue)
+      Seq(Row(name.toLowerCase, queue))
+    }
+  }
+
+  case class DropRoutingRuleCommand(name: String) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      graft.auth.Privileges.requireAdmin(spark, "DROP ROUTING RULE")
+      graft.engine.Queues.dropRule(name); Seq.empty
+    }
+  }
+
+  case class ShowRoutingRulesCommand(override val output: Seq[Attribute])
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] =
+      graft.engine.Queues.listRules.map(r =>
+        Row(r.name, r.priority.toString, r.cond, r.queue))
   }
 
   case class ShowQueuesCommand(override val output: Seq[Attribute])

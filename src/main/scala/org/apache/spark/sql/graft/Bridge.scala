@@ -31,6 +31,26 @@ object Bridge {
   def asNullable(s: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
     s.asNullable
 
+  /** The planning artifact behind a DataFrame — its QueryExecution (which
+    * memoizes analyzed/optimized/executedPlan) and row encoder (both
+    * `private[sql]`). The plan cache stores THESE rather than the Dataset:
+    * every caller gets a fresh wrapper from [[datasetOf]], so abandoning a
+    * statement's Dataset still lets the GC-backstop reapers (queue slots,
+    * running-queries ledger) fire even while the plan stays cached. */
+  def planArtifact(df: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.execution.QueryExecution, AnyRef) = {
+    val ds = df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+    (ds.queryExecution, ds.exprEnc)
+  }
+
+  /** Fresh Dataset sharing an existing QueryExecution — planning phases
+    * are reused (memoized in the QueryExecution); the wrapper itself is
+    * caller-owned. `enc` must come from [[planArtifact]]. */
+  def datasetOf(qe: org.apache.spark.sql.execution.QueryExecution,
+                enc: AnyRef): org.apache.spark.sql.DataFrame =
+    new classic.Dataset[org.apache.spark.sql.Row](qe,
+      enc.asInstanceOf[org.apache.spark.sql.Encoder[org.apache.spark.sql.Row]])
+
   /** Session Hadoop configuration (sessionState is `private[sql]`). */
   def hadoopConf(spark: org.apache.spark.sql.SparkSession): org.apache.hadoop.conf.Configuration =
     spark.asInstanceOf[classic.SparkSession].sessionState.newHadoopConf()

@@ -267,4 +267,78 @@ class QueuesSpec extends AnyFunSuite {
       Queues.drop("refl")
     }
   }
+
+  test("routing rules: first match by priority routes; non-matching statements stay unmanaged") {
+    try {
+      graft.Graft.sql(spark, "CREATE QUEUE rr_heavy SLOTS 4")
+      graft.Graft.sql(spark, "CREATE QUEUE rr_light SLOTS 4")
+      // higher-priority (lower number) rule must win when both match
+      graft.Graft.sql(spark,
+        "CREATE ROUTING RULE rr_a PRIORITY 10 WHEN statement LIKE '%rr_probe%' ROUTE TO rr_heavy")
+      graft.Graft.sql(spark,
+        "CREATE ROUTING RULE rr_b PRIORITY 20 WHEN statement LIKE '%rr_probe%' ROUTE TO rr_light")
+      def admitted(q: String): Long =
+        Queues.status.find(_.name == q).map(_.admitted).getOrElse(-1L)
+      val h0 = admitted("rr_heavy"); val l0 = admitted("rr_light")
+      graft.Graft.sql(spark, "SELECT 1 AS rr_probe").collect()
+      assert(admitted("rr_heavy") == h0 + 1, "matching statement routes to the priority-10 queue")
+      assert(admitted("rr_light") == l0, "the lower-priority rule never fires")
+      graft.Graft.sql(spark, "SELECT 2 AS unrouted").collect()
+      assert(admitted("rr_heavy") == h0 + 1 && admitted("rr_light") == l0,
+        "non-matching statements bypass the rules")
+      // sys view + SHOW surface the rules in priority order
+      val shown = graft.Graft.sql(spark, "SHOW ROUTING RULES").collect()
+        .map(r => (r.getString(0), r.getString(3))).toSeq
+      assert(shown == Seq(("rr_a", "rr_heavy"), ("rr_b", "rr_light")))
+      assert(spark.sql("SELECT queue FROM sys_routing_rules WHERE name = 'rr_a'")
+        .head().getString(0) == "rr_heavy")
+    } finally { Queues.clearRules(); Queues.drop("rr_heavy"); Queues.drop("rr_light") }
+  }
+
+  test("routing rules: broken conditions are skipped; ROUTE TO an undefined queue refuses") {
+    try {
+      graft.Graft.sql(spark, "CREATE QUEUE rr_q SLOTS 4")
+      val e = intercept[Exception](graft.Graft.sql(spark,
+        "CREATE ROUTING RULE rr_bad PRIORITY 1 WHEN 1=1 ROUTE TO rr_missing"))
+      assert(e.getMessage.contains("undefined queue"))
+      // a rule whose condition errors at eval must not block the statement
+      graft.Graft.sql(spark,
+        "CREATE ROUTING RULE rr_broken PRIORITY 1 WHEN no_such_col = 1 ROUTE TO rr_q")
+      graft.Graft.sql(spark,
+        "CREATE ROUTING RULE rr_ok PRIORITY 2 WHEN query_type = 'query' ROUTE TO rr_q")
+      val a0 = Queues.status.find(_.name == "rr_q").get.admitted
+      graft.Graft.sql(spark, "SELECT 42 AS rr_ctx_probe").collect()
+      assert(Queues.status.find(_.name == "rr_q").get.admitted == a0 + 1,
+        "the healthy query_type rule still routes after the broken rule is skipped")
+      graft.Graft.sql(spark, "DROP ROUTING RULE rr_broken")
+      graft.Graft.sql(spark, "DROP ROUTING RULE rr_ok")
+      assert(graft.Graft.sql(spark, "SHOW ROUTING RULES").collect().isEmpty)
+    } finally { Queues.clearRules(); Queues.drop("rr_q") }
+  }
+
+  test("routing rules: user_name and roles context routes per principal") {
+    try {
+      graft.auth.Privileges.clear()
+      spark.conf.unset(graft.auth.Privileges.TokenConf)
+      spark.conf.unset(graft.auth.Privileges.UserConf)
+      graft.Graft.sql(spark, "CREATE QUEUE rr_vip SLOTS 4")
+      graft.Graft.sql(spark, "CREATE USER rr_alice PASSWORD 'ap'")
+      graft.Graft.sql(spark, "CREATE ROLE rr_gold")
+      graft.Graft.sql(spark, "GRANT ROLE rr_gold TO USER rr_alice")
+      graft.Graft.sql(spark,
+        "CREATE ROUTING RULE rr_u PRIORITY 1 WHEN array_contains(roles, 'rr_gold') ROUTE TO rr_vip")
+      def admitted: Long = Queues.status.find(_.name == "rr_vip").get.admitted
+      val a0 = admitted
+      graft.Graft.sql(spark, "SELECT 1 AS anon_probe").collect()
+      assert(admitted == a0, "anonymous session has no roles — rule must not fire")
+      graft.Graft.sql(spark, "AUTHENTICATE USER rr_alice PASSWORD 'ap'")
+      graft.Graft.sql(spark, "SELECT 1 AS alice_probe").collect()
+      assert(admitted == a0 + 1, "role-bearing principal routes to the vip queue")
+    } finally {
+      Queues.clearRules(); Queues.drop("rr_vip")
+      graft.auth.Privileges.clear()
+      spark.conf.unset(graft.auth.Privileges.TokenConf)
+      spark.conf.unset(graft.auth.Privileges.UserConf)
+    }
+  }
 }

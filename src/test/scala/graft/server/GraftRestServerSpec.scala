@@ -62,6 +62,20 @@ class GraftRestServerSpec extends AnyFunSuite {
       s"lake query over REST wrong: $b2")
   }
 
+  test("repeated REST statements hit the plan cache across per-request sessions") {
+    graft.accel.PlanCache.clearAll()
+    try {
+      val q = """{"sql": "SELECT count(*) AS n_pc_rest FROM range(4096)"}"""
+      val (c1, b1) = post(q); assert(c1 == 200, b1)
+      val (_, hits0, _) = graft.accel.PlanCache.stats
+      val (c2, b2) = post(q); assert(c2 == 200, b2)
+      assert(rowsOf(b2) == Seq("""{"n_pc_rest":4096}"""))
+      val (_, hits1, _) = graft.accel.PlanCache.stats
+      assert(hits1 == hits0 + 1,
+        s"second REST request must reuse the first's plan (hits $hits0 -> $hits1)")
+    } finally graft.accel.PlanCache.clearAll()
+  }
+
   test("limit field caps rows; bad requests get JSON errors") {
     val (c1, b1) = post("""{"sql": "SELECT id FROM range(100)", "limit": 7}""")
     assert(c1 == 200 && b1.contains("\"rowCount\":7"), s"limit not applied: ${b1.take(200)}")
