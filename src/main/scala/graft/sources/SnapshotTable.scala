@@ -40,7 +40,12 @@ final case class LakeCommit(
     // layout-inheriting appends re-sort by it, so a sorted bucketed
     // table stays merge-join-ready across its lifetime. Per-file truth
     // lives in the `__sort` stats marker; this is the declared intent.
-    sortSpec: Seq[String] = Nil)
+    sortSpec: Seq[String] = Nil,
+    // table properties (reference SqlAlterTableProperties / Iceberg table
+    // properties): None = this commit inherits, Some(m) = this commit
+    // DECLARES the full current property map (Some(empty) = cleared —
+    // distinct from inherit, so UNSET of the last key sticks)
+    tableProps: Option[Map[String, String]] = None)
 
 /** Iceberg-lite snapshot table format ("graft-lake"): a parquet directory
   * plus an append-only commit log of JSON snapshot files under
@@ -374,7 +379,11 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     * them: the appended data is already durable, upkeep retries on the
     * next append. */
   private def maybeAutoCompact(): Unit = {
-    val threshold = spark.conf.getOption("spark.graft.lake.autocompact.files")
+    // per-table property beats the session conf (the reference configures
+    // maintenance per table via table properties — Delta's autoOptimize
+    // analog); tables not opted in fall back to the session-wide setting
+    val threshold = properties.get("autocompact.files")
+      .orElse(spark.conf.getOption("spark.graft.lake.autocompact.files"))
       .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(0)
     if (threshold > 0) {
       val liveFiles = snapshotWithStats()._1.size
@@ -1216,6 +1225,55 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     * (Iceberg column identity; the reference inherits it via
     * `exec/store/iceberg/` field-id mapping. Name-based evolution would
     * silently read a rename as drop+add: history goes NULL.) */
+  /** Current table properties (reference SqlShowTableProperties /
+    * `AlterTablePropertiesHandler.java`): the last commit that DECLARED a
+    * property map wins; commits in between inherit. */
+  def properties: Map[String, String] =
+    commits.reverseIterator.collectFirst {
+      case c if c.tableProps.isDefined => c.tableProps.get
+    }.getOrElse(Map.empty)
+
+  /** ALTER ... SET TBLPROPERTIES: metadata-only commit declaring the
+    * merged map (existing keys overwritten, others kept). */
+  def setProperties(kvs: Map[String, String]): Long = {
+    val v = withCommitLock {
+      val log = commits
+      require(log.nonEmpty, s"empty lake table $dir")
+      val last = log.last
+      val cur = log.reverseIterator.collectFirst {
+        case c if c.tableProps.isDefined => c.tableProps.get
+      }.getOrElse(Map.empty)
+      val (eff, _) = idState(log)
+      val (effSpec, effStats, effSort) = effectiveLayoutOf(log)
+      publish(last.version + 1, "append", Nil, Map.empty, "",
+        last.schemaDdl, last.timestampMs, log, eff, effSpec, effStats,
+        effSort, Some(cur ++ kvs))
+    }
+    spark.catalog.refreshByPath(dir)
+    v
+  }
+
+  /** ALTER ... UNSET TBLPROPERTIES: metadata-only commit declaring the
+    * map without the named keys (absent keys are a no-op, like the
+    * reference's IF EXISTS-free unset). */
+  def unsetProperties(keys: Seq[String]): Long = {
+    val v = withCommitLock {
+      val log = commits
+      require(log.nonEmpty, s"empty lake table $dir")
+      val last = log.last
+      val cur = log.reverseIterator.collectFirst {
+        case c if c.tableProps.isDefined => c.tableProps.get
+      }.getOrElse(Map.empty)
+      val (eff, _) = idState(log)
+      val (effSpec, effStats, effSort) = effectiveLayoutOf(log)
+      publish(last.version + 1, "append", Nil, Map.empty, "",
+        last.schemaDdl, last.timestampMs, log, eff, effSpec, effStats,
+        effSort, Some(cur -- keys))
+    }
+    spark.catalog.refreshByPath(dir)
+    v
+  }
+
   def renameColumn(oldName: String, newName: String): Long = {
     val v = withCommitLock {
       val log = commits
@@ -1565,10 +1623,11 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
                       fieldIds: Map[String, Int],
                       partitionSpec: Seq[String] = Nil,
                       statsCols: Seq[String] = Nil,
-                      sortSpec: Seq[String] = Nil): Long = {
+                      sortSpec: Seq[String] = Nil,
+                      tableProps: Option[Map[String, String]] = None): Long = {
     val ts = math.max(System.currentTimeMillis(), minTs)
     val c = LakeCommit(v, action, ts, schemaDdl, files, stats, tag, fieldIds,
-      partitionSpec, statsCols, sortSpec)
+      partitionSpec, statsCols, sortSpec, tableProps)
     // unique tmp name: even a misbehaving concurrent writer can't clobber
     // another's staged json
     val tmp = logDir.resolve(
@@ -1757,6 +1816,11 @@ object SnapshotTable {
       val so = node.putArray("sortSpec")
       c.sortSpec.foreach(so.add)
     }
+    c.tableProps.foreach { m =>
+      // present-but-empty object = cleared; absent = inherit
+      val tp = node.putObject("tableProps")
+      m.toSeq.sortBy(_._1).foreach { case (k, v) => tp.put(k, v) }
+    }
     if (c.stats.nonEmpty) {
       val st = node.putObject("stats")
       c.stats.foreach { case (f, cols) =>
@@ -1807,6 +1871,8 @@ object SnapshotTable {
       Option(n.get("statsCols")).map(_.elements().asScala.map(_.asText()).toVector)
         .getOrElse(Vector.empty),
       Option(n.get("sortSpec")).map(_.elements().asScala.map(_.asText()).toVector)
-        .getOrElse(Vector.empty))
+        .getOrElse(Vector.empty),
+      Option(n.get("tableProps")).map(tp =>
+        tp.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap))
   }
 }

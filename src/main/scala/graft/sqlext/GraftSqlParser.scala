@@ -258,6 +258,14 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
         RenameLakeColumnCommand(dir, oldName, newName)
       case AddLakeColRe(dir, name, typeDdl) => AddLakeColumnCommand(dir, name, typeDdl)
       case DropLakeColRe(dir, name) => DropLakeColumnCommand(dir, name)
+      case AlterLakeSetPropsRe(dir, pairs) =>
+        SetLakePropertiesCommand(dir,
+          PropPairRe.findAllMatchIn(pairs).map(m => m.group(1) -> m.group(2)).toMap)
+      case AlterLakeUnsetPropsRe(dir, keys) =>
+        UnsetLakePropertiesCommand(dir,
+          PropKeyRe.findAllMatchIn(keys).map(_.group(1)).toSeq)
+      case ShowTblPropsRe(dir) =>
+        ShowLakePropertiesCommand(dir, out("key", "value"))
       case RollbackLakeRe(dir, version) => RollbackLakeCommand(dir, version.toLong)
       case ShowCreateLakeRe(dir) =>
         ShowCreateLakeCommand(dir,
@@ -408,6 +416,18 @@ object GraftSqlParser {
     """(?is)COMPACT\s+MATERIALIZATION\s+(\w+)(?:\s+INTO\s+(\d+)\s+FILES)?\s*;?""".r
   private val DropQueueRe = """(?is)DROP\s+QUEUE\s+([\w.-]+)\s*;?""".r
   private val ShowQueuesRe = """(?is)SHOW\s+QUEUES\s*;?""".r
+  // table properties (reference SqlAlterTableProperties / parserImpls.ftl
+  // SHOW TBLPROPERTIES, SqlShowTableProperties.java)
+  private val AlterLakeSetPropsRe =
+    ("""(?is)ALTER\s+LAKE\s+'([^']+)'\s+SET\s+TBLPROPERTIES\s*""" +
+      """\(\s*((?:'[^']*'\s*=\s*'[^']*'\s*,?\s*)+)\)\s*;?""").r
+  private val AlterLakeUnsetPropsRe =
+    ("""(?is)ALTER\s+LAKE\s+'([^']+)'\s+UNSET\s+TBLPROPERTIES\s*""" +
+      """\(\s*((?:'[^']*'\s*,?\s*)+)\)\s*;?""").r
+  private val ShowTblPropsRe =
+    """(?is)SHOW\s+TBLPROPERTIES\s+IN\s+LAKE\s+'([^']+)'\s*;?""".r
+  private val PropPairRe = """'([^']*)'\s*=\s*'([^']*)'""".r
+  private val PropKeyRe = """'([^']*)'""".r
   // rule-based queue routing (reference RuleBasedEngineSelector.java:22)
   private val CreateRoutingRuleRe =
     ("""(?is)CREATE\s+ROUTING\s+RULE\s+([\w.-]+)\s+PRIORITY\s+(\d+)\s+""" +
@@ -1649,6 +1669,43 @@ object GraftSqlParser {
         .readRef(refName).createOrReplaceTempView(name)
       Seq(Row(name, refName))
     }
+  }
+
+  /** ALTER LAKE ... SET TBLPROPERTIES (reference SqlAlterTableProperties,
+    * `AlterTablePropertiesHandler.java`; grammar parserImpls.ftl:878):
+    * metadata-only commit merging the pairs into the table's property
+    * map. Functional, not cosmetic: `autocompact.files` configures
+    * per-table ingest maintenance (beats the session conf). */
+  case class SetLakePropertiesCommand(dir: String, kvs: Map[String, String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("version")
+    override def run(spark: SparkSession): Seq[Row] = {
+      graft.auth.Privileges.requireAction(spark, "alter", dir, "ALTER LAKE SET TBLPROPERTIES")
+      require(kvs.nonEmpty, "SET TBLPROPERTIES needs at least one 'k' = 'v' pair")
+      Seq(Row(graft.sources.SnapshotTable.forPath(spark, dir)
+        .setProperties(kvs).toString))
+    }
+  }
+
+  /** ALTER LAKE ... UNSET TBLPROPERTIES: metadata-only commit dropping
+    * the named keys (absent keys are a no-op). */
+  case class UnsetLakePropertiesCommand(dir: String, keys: Seq[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("version")
+    override def run(spark: SparkSession): Seq[Row] = {
+      graft.auth.Privileges.requireAction(spark, "alter", dir, "ALTER LAKE UNSET TBLPROPERTIES")
+      Seq(Row(graft.sources.SnapshotTable.forPath(spark, dir)
+        .unsetProperties(keys).toString))
+    }
+  }
+
+  /** SHOW TBLPROPERTIES IN LAKE (reference SqlShowTableProperties,
+    * parserImpls.ftl:150): the current effective property map. */
+  case class ShowLakePropertiesCommand(dir: String,
+      override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] =
+      graft.sources.SnapshotTable.forPath(spark, dir).properties
+        .toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
   }
 
   /** ALTER LAKE ... RENAME COLUMN: metadata-only commit; files written

@@ -1160,4 +1160,37 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.read().agg(org.apache.spark.sql.functions.sum(col("id"))).head().getLong(0)
       == (1 to 55).map(_.toLong).sum)
   }
+
+  test("table properties: SET/UNSET/SHOW, inheritance across commits, checkpoint replay, per-table autocompact") {
+    val dir = fresh("lake_props")
+    val t = SnapshotTable.create(spark, dir,
+      (1 to 20).map(i => (i.toLong, i.toString)).toDF("id", "s"))
+    assert(t.properties.isEmpty)
+    spark.sql(s"ALTER LAKE '$dir' SET TBLPROPERTIES ('owner.team' = 'data', 'autocompact.files' = '3')")
+    val shown = spark.sql(s"SHOW TBLPROPERTIES IN LAKE '$dir'").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(shown == Seq(("autocompact.files", "3"), ("owner.team", "data")))
+    // properties survive unrelated commits (inheritance, not re-declaration)
+    t.append((21 to 25).map(i => (i.toLong, i.toString)).toDF("id", "s"))
+    assert(SnapshotTable.forPath(spark, dir).properties ==
+      Map("owner.team" -> "data", "autocompact.files" -> "3"))
+    // the per-table autocompact property fires without ANY session conf:
+    // appends above pushed live files past 3, so upkeep compacted
+    val live = SnapshotTable.forPath(spark, dir).snapshotWithStats()._1.size
+    assert(live <= 3, s"autocompact.files='3' property did not compact ($live live files)")
+    assert(SnapshotTable.forPath(spark, dir).read().count() == 25L)
+    // UNSET drops one key, keeps the other; unsetting the last key yields
+    // EMPTY (declared), not inherit-from-older-commit
+    spark.sql(s"ALTER LAKE '$dir' UNSET TBLPROPERTIES ('autocompact.files')")
+    assert(SnapshotTable.forPath(spark, dir).properties == Map("owner.team" -> "data"))
+    spark.sql(s"ALTER LAKE '$dir' UNSET TBLPROPERTIES ('owner.team')")
+    assert(SnapshotTable.forPath(spark, dir).properties.isEmpty,
+      "cleared property map must not resurrect older declarations")
+    // codec roundtrip including checkpoint replay: force enough commits to
+    // cross a checkpoint boundary and re-read cold
+    spark.sql(s"ALTER LAKE '$dir' SET TBLPROPERTIES ('k' = 'v2')")
+    (1 to 12).foreach(i => SnapshotTable.forPath(spark, dir)
+      .append(Seq((100L + i, "x")).toDF("id", "s")))
+    assert(SnapshotTable.forPath(spark, dir).properties == Map("k" -> "v2"))
+  }
 }
