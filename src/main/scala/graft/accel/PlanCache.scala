@@ -162,45 +162,56 @@ object PlanCache {
       refPins).mkString("|")
   }
 
-  /** The statement entry point: [[graft.Graft.sql]] routes through here. */
+  /** The statement entry point: [[graft.Graft.sql]] routes through here.
+    *
+    * A session with `spark.graft.plan.cache=false` skips the probe and the
+    * insert but NOT the command classification below: DDL/GRANT/REVOKE
+    * executed from a cache-disabled session must still retire other
+    * sessions' cached plans, or an authorization-stale plan (post-REVOKE)
+    * would keep being served — the epoch bump is a global freshness
+    * protocol, not a per-session optimization. */
   def sql(spark: SparkSession, text: String): DataFrame = {
-    if (!enabledFor(spark)) return spark.sql(text)
-    val key = md5(s"${envKey(spark)}|$text")
-    cache.get(key) match {
+    val enabled = enabledFor(spark)
+    val key = if (enabled) md5(s"${envKey(spark)}|$text") else ""
+    if (enabled) cache.get(key) match {
       case Some(e) if fresh(spark, e) =>
         hitCount.incrementAndGet(); e.hits.incrementAndGet()
         e.lastUsed.set(tick.incrementAndGet())
-        org.apache.spark.sql.graft.Bridge.datasetOf(e.qe, e.enc)
+        // rebound to the CALLING session: QueryExecutionListeners (WLM
+        // slot release, running-queries retirement) are delivered only
+        // for executions owned by the listener's session
+        return org.apache.spark.sql.graft.Bridge.datasetOf(spark, e.qe, e.enc)
       case stale =>
         stale.foreach(e => cache.remove(e.key, e))
         missCount.incrementAndGet()
-        val df = spark.sql(text)
-        val analyzed = df.queryExecution.analyzed
-        analyzed match {
-          case c: Command =>
-            // executed eagerly inside spark.sql — a statement, not a plan
-            // (the analyzed plan of an eager command IS the command; the
-            // CommandResult wrapper only appears post-execution)
-            if (retiresPlans(c.getClass.getSimpleName)) bump()
-          case cr: CommandResult =>
-            if (retiresPlans(cr.commandLogicalPlan.getClass.getSimpleName)) bump()
-          case p if p.exists(_.isInstanceOf[Command]) => bump()
-          case p if p.isStreaming || uncacheable(p) => ()
-          case p =>
-            val pins = lakePins(p)
-            if (pins.isEmpty || Reflections.versionsCurrent(spark, pins)) {
-              val now = tick.incrementAndGet()
-              val (qe, enc) = org.apache.spark.sql.graft.Bridge.planArtifact(df)
-              cache.putIfAbsent(key, Entry(key,
-                text.linesIterator.mkString(" ").take(200), qe, enc, pins,
-                tempViewIds(spark, text), epoch.get,
-                new AtomicLong(0), now, new AtomicLong(now)))
-              evictIfOver()
-            } // else: pinned to a superseded snapshot (time travel) —
-              // it could never pass a future freshness check
-        }
-        df
     }
+    val df = spark.sql(text)
+    val analyzed = df.queryExecution.analyzed
+    analyzed match {
+      case c: Command =>
+        // executed eagerly inside spark.sql — a statement, not a plan
+        // (the analyzed plan of an eager command IS the command; the
+        // CommandResult wrapper only appears post-execution)
+        if (retiresPlans(c.getClass.getSimpleName)) bump()
+      case cr: CommandResult =>
+        if (retiresPlans(cr.commandLogicalPlan.getClass.getSimpleName)) bump()
+      case p if p.exists(_.isInstanceOf[Command]) => bump()
+      case p if p.isStreaming || uncacheable(p) => ()
+      case p if !enabled => ()
+      case p =>
+        val pins = lakePins(p)
+        if (pins.isEmpty || Reflections.versionsCurrent(spark, pins)) {
+          val now = tick.incrementAndGet()
+          val (qe, enc) = org.apache.spark.sql.graft.Bridge.planArtifact(df)
+          cache.putIfAbsent(key, Entry(key,
+            text.linesIterator.mkString(" ").take(200), qe, enc, pins,
+            tempViewIds(spark, text), epoch.get,
+            new AtomicLong(0), now, new AtomicLong(now)))
+          evictIfOver()
+        } // else: pinned to a superseded snapshot (time travel) —
+          // it could never pass a future freshness check
+    }
+    df
   }
 
   /** Entry still serveable: same catalog epoch, every lake pin still the
@@ -224,13 +235,25 @@ object PlanCache {
       }
     }.flatten).toMap
 
+  /** Marks a Literal whose value was folded from a live filesystem
+    * listing at analysis time (MAXDIR/MINDIR family): the plan is
+    * deterministic to Catalyst but its folded value goes stale the moment
+    * the directory changes, and it carries no lake pin — so it must never
+    * be cached. Set by [[graft.functions.DremioSurface]] at
+    * function-build time; checked on the ANALYZED tree (before the
+    * optimizer can copy the node and drop the tag). */
+  val VolatileFoldTag: org.apache.spark.sql.catalyst.trees.TreeNodeTag[Unit] =
+    org.apache.spark.sql.catalyst.trees.TreeNodeTag[Unit]("graft.volatileFold")
+
   /** Wall-clock or non-deterministic expressions anywhere in the plan
     * (incl. subqueries): their optimized form freezes a per-execution
-    * value, so the plan must be rebuilt each statement. */
+    * value, so the plan must be rebuilt each statement. Ditto literals
+    * folded from a filesystem listing ([[VolatileFoldTag]]). */
   private def uncacheable(analyzed: LogicalPlan): Boolean =
     (analyzed +: analyzed.subqueriesAll).exists(p =>
       p.exists(_.expressions.exists(_.exists {
         case _: CurrentTimestampLike | _: CurrentDate | _: LocalTimestamp => true
+        case e if e.getTagValue(VolatileFoldTag).isDefined => true
         case e => !e.deterministic
       })))
 

@@ -273,7 +273,12 @@ object DremioSurface {
           }
         }
       }
-    org.apache.spark.sql.catalyst.expressions.Literal.create(pick, StringType)
+    val lit = org.apache.spark.sql.catalyst.expressions.Literal.create(pick, StringType)
+    // the folded value is a live filesystem listing: deterministic to
+    // Catalyst, stale the moment the directory changes — the plan cache
+    // must never memoize a statement built through it
+    lit.setTagValue(graft.accel.PlanCache.VolatileFoldTag, ())
+    lit
   }
 
   /** Minimal single-child base (avoids depending on non-public helpers). */

@@ -163,9 +163,16 @@ private[sources] object LakeIO {
             s"commit conflict: ${dst.raw} already claimed by another writer " +
               s"(coordination at $coordDir)")
       }
-      // claim won: the copy below cannot race anyone
-      writeString(dst, readString(src))
-      deleteIfExists(src)
+      // claim won: single-writer from here. Publish by MOVING the staged
+      // src (already fully written) rather than re-writing dst in place —
+      // a concurrent log reader polling dst must never observe a
+      // truncated commit JSON (the CommitArbiter contract: never a
+      // partially-visible dst; a rename/PUT lands whole-or-absent even on
+      // copy+delete stores, unlike an in-place streaming write).
+      if (exists(dst))
+        throw new java.util.ConcurrentModificationException(
+          s"commit conflict: ${dst.raw} already published (claim was stale)")
+      atomicMove(src, dst)
     }
     def recover(dst: LPath): Unit = {
       require(!exists(dst), s"refusing to release claim: ${dst.raw} exists")

@@ -43,13 +43,41 @@ object Bridge {
     (ds.queryExecution, ds.exprEnc)
   }
 
-  /** Fresh Dataset sharing an existing QueryExecution — planning phases
-    * are reused (memoized in the QueryExecution); the wrapper itself is
-    * caller-owned. `enc` must come from [[planArtifact]]. */
-  def datasetOf(qe: org.apache.spark.sql.execution.QueryExecution,
-                enc: AnyRef): org.apache.spark.sql.DataFrame =
-    new classic.Dataset[org.apache.spark.sql.Row](qe,
+  /** A QueryExecution owned by `session` that delegates every planning
+    * phase to `src` (whose LazyTry fields memoize them) — the phases are
+    * shared, the OWNERSHIP is rebound. Spark's ExecutionListenerBus
+    * delivers onSuccess/onFailure only for QueryExecutions whose
+    * `sparkSession` is the listening session's own, so a cached plan
+    * served to a DIFFERENT session (the plan cache's primary case: wire
+    * front ends clone a session per statement) must be rebound or the
+    * calling session's WLM-slot and running-queries listeners never fire
+    * and slots retire only via the GC backstop. */
+  private final class ReboundQueryExecution(
+      session: classic.SparkSession,
+      src: org.apache.spark.sql.execution.QueryExecution)
+    extends org.apache.spark.sql.execution.QueryExecution(
+      session, src.logical, src.tracker, src.mode, src.shuffleCleanupMode) {
+    override def analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = src.analyzed
+    override def commandExecuted: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = src.commandExecuted
+    override def normalized: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = src.normalized
+    override def withCachedData: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = src.withCachedData
+    override def optimizedPlan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = src.optimizedPlan
+    override def sparkPlan: org.apache.spark.sql.execution.SparkPlan = src.sparkPlan
+    override def executedPlan: org.apache.spark.sql.execution.SparkPlan = src.executedPlan
+  }
+
+  /** Fresh Dataset sharing an existing QueryExecution's memoized planning
+    * phases, owned by `spark` (rebound when the artifact came from a
+    * different session — see [[ReboundQueryExecution]]); the wrapper
+    * itself is caller-owned. `enc` must come from [[planArtifact]]. */
+  def datasetOf(spark: org.apache.spark.sql.SparkSession,
+                qe: org.apache.spark.sql.execution.QueryExecution,
+                enc: AnyRef): org.apache.spark.sql.DataFrame = {
+    val s = spark.asInstanceOf[classic.SparkSession]
+    val bound = if (qe.sparkSession eq s) qe else new ReboundQueryExecution(s, qe)
+    new classic.Dataset[org.apache.spark.sql.Row](bound,
       enc.asInstanceOf[org.apache.spark.sql.Encoder[org.apache.spark.sql.Row]])
+  }
 
   /** Session Hadoop configuration (sessionState is `private[sql]`). */
   def hadoopConf(spark: org.apache.spark.sql.SparkSession): org.apache.hadoop.conf.Configuration =

@@ -160,8 +160,14 @@ class PlanCacheSpec extends AnyFunSuite {
       val q = "SELECT count(*) AS n FROM range(100)"
       val s1 = spark.newSession(); val s2 = spark.newSession()
       val a = Graft.sql(s1, q)
-      assert(sameQe(Graft.sql(s2, q), a),
+      // cross-session hits REBIND ownership (fresh QueryExecution owned by
+      // the caller) while sharing every memoized planning phase — plan
+      // reuse is analyzed-tree identity, not wrapper identity
+      val b = Graft.sql(s2, q)
+      assert(b.queryExecution.analyzed eq a.queryExecution.analyzed,
         "per-statement wire clones must reuse each other's plans")
+      assert(b.queryExecution.executedPlan eq a.queryExecution.executedPlan,
+        "the physical plan is shared too — no replanning on a hit")
       // a session whose temp views shadow a name can never be served an
       // entry planned without the shadow (identity revalidation)
       val qv = "SELECT sum(x) AS s FROM pc_xsession_view"
@@ -198,6 +204,64 @@ class PlanCacheSpec extends AnyFunSuite {
         assert(!sameQe(Graft.sql(spark, q), Graft.sql(spark, q)))
         assert(PlanCache.stats._1 == 0)
       } finally spark.conf.unset("spark.graft.plan.cache")
+    }
+  }
+
+  test("a cross-session hit fires the CALLING session's QueryExecutionListener") {
+    withCleanCache {
+      val q = "SELECT sum(id) AS s FROM range(1000)"
+      val s1 = spark.newSession(); val s2 = spark.newSession()
+      val a = Graft.sql(s1, q); a.collect()
+      val fired = new java.util.concurrent.atomic.AtomicInteger()
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+          fired.incrementAndGet()
+        override def onFailure(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+      }
+      s2.listenerManager.register(listener)
+      try {
+        val b = Graft.sql(s2, q)
+        assert(b.queryExecution.analyzed eq a.queryExecution.analyzed, "must be a hit")
+        b.collect()
+        org.apache.spark.sql.graft.Bridge.waitListenerBus(s2)
+        assert(fired.get >= 1,
+          "the calling session's listener must fire on a cached-plan action — " +
+            "WLM slots and running-queries entries retire through it")
+      } finally s2.listenerManager.unregister(listener)
+    }
+  }
+
+  test("DDL from a cache-DISABLED session still retires other sessions' entries") {
+    withCleanCache {
+      val q = "SELECT count(*) AS n FROM part"
+      val a = Graft.sql(spark, q)
+      assert(sameQe(Graft.sql(spark, q), a), "warm before the disabled-session DDL")
+      val off = spark.newSession()
+      off.conf.set("spark.graft.plan.cache", "false")
+      Graft.sql(off, "CREATE OR REPLACE TEMP VIEW pc_off_probe AS SELECT 1 AS one")
+      assert(!sameQe(Graft.sql(spark, q), a),
+        "plan-retiring commands must bump the epoch even from a session " +
+          "that opted out of the cache (REVOKE from such a session must " +
+          "never leave authorization-stale plans serveable)")
+    }
+  }
+
+  test("statements folding a live directory listing (MAXDIR family) never cache") {
+    withCleanCache {
+      val root = java.nio.file.Files.createTempDirectory("pc_maxdir")
+      java.nio.file.Files.createDirectory(root.resolve("alpha"))
+      java.nio.file.Files.createDirectory(root.resolve("beta"))
+      val q = s"SELECT MAXDIR('$root') AS d"
+      val a = Graft.sql(spark, q)
+      assert(a.head().getString(0) == "beta")
+      assert(!sameQe(Graft.sql(spark, q), a),
+        "the folded Literal is a live filesystem read — caching it would " +
+          "serve a stale directory extreme with no pin to invalidate it")
+      // and the fold stays CURRENT statement-to-statement
+      java.nio.file.Files.createDirectory(root.resolve("gamma"))
+      assert(Graft.sql(spark, q).head().getString(0) == "gamma")
     }
   }
 }
