@@ -58,10 +58,71 @@ object Graft {
     * disabled — while an EXPLICIT `spark.graft.queue` naming a missing
     * queue still fails loudly. */
   def sql(spark: SparkSession, query: String): DataFrame =
+    managed(spark, query)(graft.accel.PlanCache.sql(spark, query))
+
+  /** Positional-parameter statement entry: `args` bind the statement's
+    * `?` markers in order (Spark's parameterized-SQL contract — each
+    * value folds in as a Literal at analysis). The Flight SQL
+    * parameter-binding path (`acceptPutPreparedStatementQuery`) lands
+    * here. Same WLM routing and job tracking as [[sql]]; never probes
+    * the plan cache — each binding folds different literals, so a cached
+    * plan would freeze the first execution's values.
+    *
+    * Statements in the graft extension grammar (lake DML, reflections,
+    * pipes — regex-parsed, so Spark's analyzer-side binding never sees
+    * their markers) bind by SQL-literal TEXT substitution instead:
+    * values render as quoted/escaped literals, marker scanning skips
+    * string and identifier quoting, and arity mismatches refuse loudly
+    * — the same contract either way. */
+  def sql(spark: SparkSession, query: String, args: Array[Any]): DataFrame = {
+    import scala.util.control.NonFatal
+    val graftGrammar =
+      try spark.sessionState.sqlParser.parsePlan(query)
+        .getClass.getName.startsWith("graft.")
+      catch { case NonFatal(_) => false }
+    if (graftGrammar) sql(spark, substitutePositional(query, args))
+    else managed(spark, query)(spark.sql(query, args))
+  }
+
+  /** `?` markers outside quotes replaced by rendered SQL literals. */
+  private def substitutePositional(query: String, args: Array[Any]): String = {
+    val sb = new StringBuilder(query.length + 32)
+    var inStr = false; var inIdent = false; var argIdx = 0
+    query.foreach {
+      case '\'' if !inIdent => inStr = !inStr; sb.append('\'')
+      case '`' if !inStr => inIdent = !inIdent; sb.append('`')
+      case '?' if !inStr && !inIdent =>
+        require(argIdx < args.length,
+          s"statement has more `?` markers than the ${args.length} bound values")
+        sb.append(sqlLiteral(args(argIdx))); argIdx += 1
+      case c => sb.append(c)
+    }
+    require(argIdx == args.length,
+      s"${args.length} values bound but the statement has $argIdx `?` markers")
+    sb.toString
+  }
+
+  private def sqlLiteral(v: Any): String = v match {
+    case null => "NULL"
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case b: Array[Byte] => "X'" + b.map("%02X".format(_)).mkString + "'"
+    case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
+    case d: java.sql.Date => s"DATE '$d'"
+    case d: java.math.BigDecimal => d.toPlainString
+    case n: java.lang.Number => n.toString
+    case b: java.lang.Boolean => b.toString
+    case other => throw new IllegalArgumentException(
+      s"cannot render a SQL literal for parameter type ${other.getClass.getName}")
+  }
+
+  /** The statement wrapper both entries share: jobs-ledger tracking +
+    * WLM queue routing (explicit conf, then rules, then cost). */
+  private def managed(spark: SparkSession, query: String)
+                     (body: => DataFrame): DataFrame =
     graft.engine.RunningQueries.tracked(spark, query) {
       // every statement surface probes the plan cache (reference: the
       // NormalHandler plan-cache probe precedes planning for all queries)
-      def run = graft.accel.PlanCache.sql(spark, query)
+      def run = body
       spark.conf.getOption(QueueConf).filter(_.nonEmpty) match {
         case Some(queue) => graft.engine.Queues.admitLazy(spark, queue)(run)
         case None =>

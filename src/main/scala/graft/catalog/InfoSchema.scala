@@ -202,6 +202,24 @@ object InfoSchema {
       () => graft.engine.Queues.listRules
         .map(r => Row(r.name, r.priority, r.cond, r.queue)))
 
+  /** sys.prepared_statements: live Flight SQL prepared-statement handles
+    * (owner, statement, created/last-used, pending parameter bindings) —
+    * the wire-session counterpart of sys_queries, so an operator can see
+    * which handles are alive and when idle expiry will reap them. */
+  def sysPreparedStatements(spark: SparkSession): DataFrame =
+    live(spark, StructType(Seq(
+      StructField("handle", StringType, nullable = false),
+      StructField("owner", StringType, nullable = false),
+      StructField("statement", StringType, nullable = false),
+      StructField("created_at", TimestampType, nullable = false),
+      StructField("last_used_at", TimestampType, nullable = false),
+      StructField("bound_param_rows", IntegerType, nullable = false))),
+      () => graft.server.flight.GraftFlightSql.listPrepared
+        .map { case (h, o, s, born, used, nParams) =>
+          Row(h, o, s, new java.sql.Timestamp(born),
+            new java.sql.Timestamp(used), nParams)
+        })
+
   /** sys.plan_cache (reference `exec/planner/plancache/CachedPlan.java`
     * use counts surfaced per cached statement plan). */
   def sysPlanCache(spark: SparkSession): DataFrame =
@@ -265,6 +283,7 @@ object InfoSchema {
     sysRunningQueries(spark).createOrReplaceTempView("sys_running_queries")
     sysResultCache(spark).createOrReplaceTempView("sys_result_cache")
     sysPlanCache(spark).createOrReplaceTempView("sys_plan_cache")
+    sysPreparedStatements(spark).createOrReplaceTempView("sys_prepared_statements")
     sysRoutingRules(spark).createOrReplaceTempView("sys_routing_rules")
     sysPrivileges(spark).createOrReplaceTempView("sys_privileges")
     sysPolicies(spark).createOrReplaceTempView("sys_policies")

@@ -105,6 +105,40 @@ object LlmQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** The PCA eigen-decomposition under a REAL oracle (r10 VERDICT #4):
+    * per dimension j, the spectral reconstruction of the covariance
+    * diagonal Σᵢ λᵢ·vᵢ(j)² must equal the population variance of
+    * coordinate j — an invariant DuckDB verifies INDEPENDENTLY from the
+    * raw parquet (var_pop), with the mean vector checked alongside. A
+    * wrong eigenvalue, a non-unit eigenvector, or a covariance
+    * accumulation bug all break the reconstruction; signs/rotations
+    * (the reason embed_pca itself is rows-only) cancel in the squares. */
+  val embedPcaVariance: QueryFn = (s, dir) => {
+    val e = Tables.ensure(s, dir).embeddings.select(col("embedding"))
+    val model = Projection.fitPca(e)
+    val d = model.mean.length
+    import s.implicits._
+    val rows = (0 until d).map { j =>
+      val varJ = model.eigenvalues.indices.iterator
+        .map(i => model.eigenvalues(i) *
+          model.components(i)(j) * model.components(i)(j)).sum
+      (j, model.mean(j), varJ)
+    }
+    rows.toDF("j", "m", "v")
+      .select(col("j"), round(col("m"), 6).as("mean_j"),
+        round(col("v"), 6).as("var_j"))
+      .orderBy(col("j"))
+  }
+
+  /** DuckDB recomputes each dimension's mean and population variance
+    * straight from the parquet (fixture embeddings are d=64) — no part
+    * of the engine's math is trusted by the oracle. */
+  val embedPcaVarianceSql: String =
+    (0 until 64).map { j =>
+      s"SELECT $j AS j, round(avg(CAST(embedding[${j + 1}] AS DOUBLE)), 6) AS mean_j, " +
+        s"round(var_pop(CAST(embedding[${j + 1}] AS DOUBLE)), 6) AS var_j FROM embeddings"
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY j")
+
   /** Johnson–Lindenstrauss random projection (no fit pass; hash-derived
     * deterministic planes shared with srp_sign64). Output is the exploded
     * (vec_id, coordinate j, value rounded to 6dp) relation so the DuckDB
@@ -1504,6 +1538,7 @@ object LlmQueries {
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,
     "image_phash_dups" -> imagePhashDups,
     "embed_pca" -> embedPca,
+    "embed_pca_variance" -> embedPcaVariance,
     "embed_random_project" -> embedRandomProject,
     "cluster_documents" -> clusterDocuments,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -1587,6 +1622,7 @@ object LlmQueries {
     "split_leakage_safe" -> splitLeakageSafeSql,
     "shuffle_deterministic" -> shuffleDeterministicSql,
     "embed_quantize" -> embedQuantizeSql,
+    "embed_pca_variance" -> embedPcaVarianceSql,
     "embed_random_project" -> embedRandomProjectSql,
     "text_entropy" -> textEntropySql,
     "text_lm_score" -> textLmScoreSql,

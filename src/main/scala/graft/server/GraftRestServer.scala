@@ -93,35 +93,105 @@ object GraftRestServer {
     }
   }
 
-  /** `GET /catalog` — entity listing; `GET /catalog/<name>` — dataset
-    * detail with its field list. The reference's catalog API surface
-    * (`dac/backend/src/main/java/com/dremio/dac/api/CatalogResource.java`
-    * — `GET /api/v3/catalog[/{id}]`) served from the same
-    * INFORMATION_SCHEMA relations the SQL surface exposes. */
+  /** The read-only catalog tree (reference
+    * `dac/backend/src/main/java/com/dremio/dac/api/CatalogResource.java:60`
+    * — `GET /api/v3/catalog[/{id}]`):
+    *  - `GET /catalog` — datasets (grant-filtered while enforcement is
+    *    on) + the reflection inventory;
+    *  - `GET /catalog/<name>` — one dataset's field list, SELECT-gated;
+    *  - `GET /catalog/lake?path=<dir>` — a lake table's version info
+    *    (latest snapshot, branches/tags), SELECT-gated on the path.
+    * Auth is a standard `Authorization: Basic` header; while enforcement
+    * is on an absent/invalid header is 401 and an ungranted dataset 403 —
+    * schema disclosure is a leak even when the read itself would refuse
+    * (same rule as Flight's ListFlights). */
   private final class CatalogHandler(root: SparkSession) extends HttpHandler {
+    private def basicPrincipal(ex: HttpExchange)
+        : Either[(Int, String), Option[graft.auth.Privileges.User]] = {
+      val p = graft.auth.Privileges
+      if (!p.enforcing) Right(None)
+      else Option(ex.getRequestHeaders.getFirst("Authorization")) match {
+        case None => Left(401 ->
+          "catalog requires Authorization: Basic while auth enforcement is on")
+        case Some(h) if h.regionMatches(true, 0, "Basic ", 0, 6) =>
+          try {
+            val raw = new String(java.util.Base64.getDecoder
+              .decode(h.substring(6).trim), StandardCharsets.UTF_8)
+            val i = raw.indexOf(':')
+            if (i < 0) Left(401 -> "malformed basic credentials")
+            else {
+              val s = root.newSession()
+              p.login(s, raw.substring(0, i), raw.substring(i + 1))
+              p.principalOf(s) match {
+                case Some(u) => Right(Some(u))
+                case None => Left(401 -> "invalid basic credentials")
+              }
+            }
+          } catch { case e: Exception => Left(401 -> e.getMessage.take(300)) }
+        case Some(_) => Left(401 -> "unsupported authorization scheme (Basic only)")
+      }
+    }
+
     override def handle(ex: HttpExchange): Unit =
       try {
         if (ex.getRequestMethod != "GET") respond(ex, 405, error("GET only"))
-        else {
-          val rest = ex.getRequestURI.getPath.stripPrefix("/catalog")
-            .stripPrefix("/").trim
-          // read-only metadata listing over the SERVER's session: a cloned
-          // session would hide the server's registered temp views, which
-          // are exactly the entities the catalog API reports
-          val session = root
-          if (rest.isEmpty) {
-            val items = graft.catalog.InfoSchema.tables(session)
-              .toJSON.collect().mkString(",")
-            respond(ex, 200, s"""{"data":[$items]}""")
-          } else {
-            import org.apache.spark.sql.functions.col
-            val cols = graft.catalog.InfoSchema.columns(session)
-              .filter(col("table_name") === rest)
-              .toJSON.collect()
-            if (cols.isEmpty) respond(ex, 404, error(s"no dataset named '$rest'"))
-            else respond(ex, 200,
-              s"""{"name":${q(rest)},"fields":[${cols.mkString(",")}]}""")
-          }
+        else basicPrincipal(ex) match {
+          case Left((code, msg)) => respond(ex, code, error(msg))
+          case Right(principal) =>
+            val p = graft.auth.Privileges
+            def visible(obj: String): Boolean =
+              !p.enforcing ||
+                principal.exists(u => p.allowed(u, "select", p.normObj(obj)))
+            val rest = ex.getRequestURI.getPath.stripPrefix("/catalog")
+              .stripPrefix("/").trim
+            // read-only metadata listing over the SERVER's session: a
+            // cloned session would hide the server's registered temp
+            // views, which are exactly the entities the API reports
+            val session = root
+            if (rest.isEmpty) {
+              import org.apache.spark.sql.functions.col
+              val names = graft.catalog.InfoSchema.tables(session)
+                .select(col("table_name")).collect().map(_.getString(0))
+                .filter(visible).toSet
+              val items = graft.catalog.InfoSchema.tables(session)
+                .filter(col("table_name").isInCollection(
+                  if (names.isEmpty) Set("") else names))
+                .toJSON.collect().mkString(",")
+              val refl = graft.accel.Reflections.list.map(r =>
+                s"""{"name":${q(r.name)},"path":${q(r.path)},""" +
+                  s""""fingerprint":${q(r.fingerprint)}}""").mkString(",")
+              respond(ex, 200, s"""{"data":[$items],"reflections":[$refl]}""")
+            } else if (rest == "lake") {
+              val dir = Option(ex.getRequestURI.getQuery).getOrElse("")
+                .split("&").collectFirst {
+                  case kv if kv.startsWith("path=") => java.net.URLDecoder
+                    .decode(kv.stripPrefix("path="), StandardCharsets.UTF_8)
+                }.getOrElse("")
+              if (dir.isEmpty) respond(ex, 400, error("lake needs ?path=<dir>"))
+              else if (!visible(dir)) respond(ex, 403,
+                error(s"no SELECT grant on '$dir'"))
+              else if (!graft.sources.SnapshotTable.isLakeTable(dir))
+                respond(ex, 404, error(s"no lake table at '$dir'"))
+              else {
+                val t = graft.sources.SnapshotTable.forPath(session, dir)
+                val refs = t.listRefs.map(r =>
+                  s"""{"name":${q(r.name)},"type":${q(r.refType)},""" +
+                    s""""baseVersion":${r.baseVersion}}""").mkString(",")
+                respond(ex, 200,
+                  s"""{"path":${q(dir)},"version":${t.latestVersion},""" +
+                    s""""refs":[$refs]}""")
+              }
+            } else if (!visible(rest)) {
+              respond(ex, 403, error(s"no SELECT grant on '$rest'"))
+            } else {
+              import org.apache.spark.sql.functions.col
+              val cols = graft.catalog.InfoSchema.columns(session)
+                .filter(col("table_name") === rest)
+                .toJSON.collect()
+              if (cols.isEmpty) respond(ex, 404, error(s"no dataset named '$rest'"))
+              else respond(ex, 200,
+                s"""{"name":${q(rest)},"fields":[${cols.mkString(",")}]}""")
+            }
         }
       } catch {
         case e: Exception => respond(ex, 500, error(e.toString.take(500)))

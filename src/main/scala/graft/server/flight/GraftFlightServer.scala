@@ -279,10 +279,99 @@ object GraftFlightServer {
     drain.run()
   }
 
-  /** DoPut upload cap: the decoded rows materialize on the driver before
-    * the distributed write (Spark Connect's local-relation contract), so
-    * the accepted volume is bounded; bulk loads belong to COPY INTO. */
+  /** Cap for DoPut streams that CANNOT spill (parameter bindings and
+    * uploads whose Arrow types the staged-file reader doesn't cover):
+    * those decode through a driver-materialized local relation (Spark
+    * Connect's contract), so the accepted volume is bounded. Bulk-shaped
+    * ingest never hits this — it spills to staged Arrow files
+    * ([[PutStage]]) and lands via a distributed read. */
   private val MaxPutBytes: Long = 512L * 1024 * 1024
+
+  /** Disk guard for spilled DoPut ingest (staged bytes, not heap). */
+  private val MaxPutStagedBytes: Long = 64L * 1024 * 1024 * 1024
+
+  /** Staged files roll at this size so the landing read parallelizes. */
+  private val PutRollBytes: Long = 128L * 1024 * 1024
+
+  /** Test/diagnostic: how many DoPut streams landed via the spill path. */
+  private[graft] val spilledPuts = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Rolling spill of an incoming DoPut ingest stream to staged Arrow IPC
+    * *file*-format files: each arriving record batch deserializes off the
+    * wire, writes through an ArrowFileWriter, and is released — driver
+    * memory stays O(one batch) regardless of upload size (the r10 review's
+    * bulk-ingest gap). Files roll at [[PutRollBytes]] so the landing
+    * [[graft.sources.ArrowFiles.read]] distributes one task per file.
+    * The staging directory must be shared storage on multi-node
+    * deployments (`spark.graft.flight.staging`, default local tmp —
+    * correct for local mode). */
+  private final class PutStage(dir: java.nio.file.Path) {
+    import org.apache.arrow.vector.ipc.message.MessageSerializer
+    private val alloc = new org.apache.arrow.memory.RootAllocator()
+    private var schema: org.apache.arrow.vector.types.pojo.Schema = _
+    private var root: org.apache.arrow.vector.VectorSchemaRoot = _
+    private var loader: org.apache.arrow.vector.VectorLoader = _
+    private var writer: org.apache.arrow.vector.ipc.ArrowFileWriter = _
+    private var channel: java.nio.channels.WritableByteChannel = _
+    private var fileIdx = 0
+    private var fileBytes = 0L
+    var stagedBytes = 0L
+
+    private def readChannel(framed: Array[Byte]) =
+      new org.apache.arrow.vector.ipc.ReadChannel(Channels.newChannel(
+        new ByteArrayInputStream(framed)))
+
+    def start(schemaFramed: Array[Byte]): Unit = {
+      schema = MessageSerializer.deserializeSchema(readChannel(schemaFramed))
+      root = org.apache.arrow.vector.VectorSchemaRoot.create(schema, alloc)
+      loader = new org.apache.arrow.vector.VectorLoader(root)
+      openFile()
+    }
+    private def openFile(): Unit = {
+      val p = dir.resolve(f"part-$fileIdx%05d.arrow")
+      channel = java.nio.channels.Channels.newChannel(
+        java.nio.file.Files.newOutputStream(p))
+      writer = new org.apache.arrow.vector.ipc.ArrowFileWriter(root, null, channel)
+      writer.start()
+      fileIdx += 1; fileBytes = 0L
+    }
+    def writeBatch(framed: Array[Byte]): Unit = {
+      if (fileBytes >= PutRollBytes) { writer.end(); writer.close(); openFile() }
+      val batch = MessageSerializer.deserializeRecordBatch(readChannel(framed), alloc)
+      try { loader.load(batch); writer.writeBatch() }
+      finally { batch.close(); root.clear() }
+      fileBytes += framed.length; stagedBytes += framed.length
+      if (stagedBytes > MaxPutStagedBytes)
+        throw grpc.Status.RESOURCE_EXHAUSTED.withDescription(
+          s"flight: DoPut staged volume exceeds $MaxPutStagedBytes bytes")
+          .asRuntimeException()
+    }
+    def finish(): Unit = { if (writer != null) { writer.end(); writer.close() }; cleanup() }
+    def cleanup(): Unit = {
+      if (root != null) { root.close(); root = null }
+      alloc.close()
+    }
+  }
+
+  /** Arrow field types [[graft.sources.ArrowFiles]]'s distributed reader
+    * decodes — uploads outside this set fall back to the driver-local
+    * path (capped), keeping full Arrow type coverage for small puts. */
+  private def stageable(schemaFramed: Array[Byte]): Boolean =
+    try {
+      import scala.jdk.CollectionConverters._
+      val s = org.apache.arrow.vector.ipc.message.MessageSerializer
+        .deserializeSchema(new org.apache.arrow.vector.ipc.ReadChannel(
+          Channels.newChannel(new ByteArrayInputStream(schemaFramed))))
+      s.getFields.asScala.forall { f =>
+        import org.apache.arrow.vector.types.pojo.ArrowType
+        f.getType match {
+          case i: ArrowType.Int => Seq(8, 16, 32, 64).contains(i.getBitWidth)
+          case _: ArrowType.FloatingPoint | _: ArrowType.Utf8 |
+               _: ArrowType.Bool | _: ArrowType.Binary => true
+          case _ => false
+        }
+      }
+    } catch { case _: Exception => false }
 
   /** Land a DoPut upload: PATH naming a lake directory (contains '/') →
     * atomic lake append/create; PATH naming a catalog dataset → INSERT
@@ -363,8 +452,11 @@ object GraftFlightServer {
     /** Schema of a prepared statement WITHOUT executing it: pure queries
       * analyze lazily; statements that parse to commands (or that only the
       * graft extension parser accepts — they run eagerly when planned)
-      * report the empty schema. GetFlightInfo/GetSchema on a prepared
-      * handle must never run the statement — only DoGet executes. */
+      * report the empty schema, as do statements with unbound `?`
+      * parameter markers (their schema is knowable only at execution,
+      * once parameters are bound — the spec allows the empty dataset
+      * schema). GetFlightInfo/GetSchema on a prepared handle must never
+      * run the statement — only DoGet executes. */
     def preparedSchemaIpc(session: SparkSession, sql: String): Array[Byte] =
       try {
         val parsed = session.sessionState.sqlParser.parsePlan(sql)
@@ -373,9 +465,11 @@ object GraftFlightServer {
           schemaIpcBytes(new org.apache.arrow.vector.types.pojo.Schema(
             java.util.List.of()))
         else schemaIpcBytesOf(org.apache.spark.sql.graft.Bridge.ofRows(session, parsed))
-      } catch { case _: org.apache.spark.sql.catalyst.parser.ParseException =>
-        schemaIpcBytes(new org.apache.arrow.vector.types.pojo.Schema(
-          java.util.List.of()))
+      } catch {
+        case _: org.apache.spark.sql.catalyst.parser.ParseException |
+             _: org.apache.spark.sql.AnalysisException =>
+          schemaIpcBytes(new org.apache.arrow.vector.types.pojo.Schema(
+            java.util.List.of()))
       }
 
     /** Look up a prepared statement for the bound caller (owner check). */
@@ -383,7 +477,8 @@ object GraftFlightServer {
         : (String, GraftFlightSql.Prepared) = {
       val handle = new String(handleBytes, StandardCharsets.UTF_8)
       val ps = GraftFlightSql.getPrepared(handle).getOrElse(
-        throw notFound(s"flight sql: unknown prepared statement handle"))
+        throw notFound("flight sql: unknown prepared statement handle " +
+          GraftFlightSql.expiryHint))
       val caller = graft.auth.Privileges.principalOf(session).map(_.name)
       if (ps.owner != caller)
         throw unauthenticated(
@@ -404,6 +499,8 @@ object GraftFlightServer {
       case "CommandGetPrimaryKeys" => Some(GraftFlightSql.primaryKeysDf(root))
       case "CommandGetImportedKeys" | "CommandGetExportedKeys" |
            "CommandGetCrossReference" => Some(GraftFlightSql.foreignKeysDf(root))
+      case "CommandGetXdbcTypeInfo" =>
+        Some(GraftFlightSql.typeInfoDf(root, PbSql.readGetXdbcTypeInfo(v)))
       case _ => None
     }
 
@@ -538,9 +635,20 @@ object GraftFlightServer {
                 bindPrincipal(root, session)
                 val (_, ps) = preparedFor(session, PbSql.readHandle(v))
                 // re-planned per execution: prepared statements are
-                // re-executable until closed, each run over current data
-                streamResult(graft.Graft.sql(session, ps.sql),
-                  "flightPreparedQuery", obs)
+                // re-executable until closed, each run over current data.
+                // Parameters bound via DoPut substitute the statement's
+                // `?` markers positionally; they stay bound until the
+                // client re-binds (ADBC re-binds before each execute).
+                val df = ps.params.get() match {
+                  case Seq() => graft.Graft.sql(session, ps.sql)
+                  case Seq(row) => graft.Graft.sql(session, ps.sql, row)
+                  case many => throw grpc.Status.INVALID_ARGUMENT
+                    .withDescription(s"flight sql: a query execution binds " +
+                      s"exactly one parameter row, got ${many.size} " +
+                      "(batch bindings drive prepared UPDATE/DELETE, not SELECT)")
+                    .asRuntimeException()
+                }
+                streamResult(df, "flightPreparedQuery", obs)
               case Some(("CommandGetSqlInfo", v)) =>
                 bindPrincipal(root, root.newSession())
                 val (schema, batches) =
@@ -603,8 +711,11 @@ object GraftFlightServer {
                         df.queryExecution, System.nanoTime() - t0, None)
                       schemaIpcBytesOf(df)
                     }
-                  } catch { case _: org.apache.spark.sql.catalyst.parser.ParseException =>
-                    Array.emptyByteArray // graft-extension statement
+                  } catch {
+                    case _: org.apache.spark.sql.catalyst.parser.ParseException =>
+                      Array.emptyByteArray // graft-extension statement
+                    case _: org.apache.spark.sql.AnalysisException =>
+                      Array.emptyByteArray // unbound `?` markers — schema at execution
                   }
                 val handle = GraftFlightSql.createPrepared(sql,
                   graft.auth.Privileges.principalOf(session).map(_.name))
@@ -645,8 +756,40 @@ object GraftFlightServer {
           new StreamObserver[Array[Byte]] {
             private var desc: Option[Pb.FlightDescriptor] = None
             private val chunks = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+            private var stage: PutStage = null
+            private var stageDir: java.nio.file.Path = null
+            private var decided = false
             private var totalBytes = 0L
             private var failed = false
+
+            private def cleanupStage(): Unit = if (stageDir != null) {
+              try {
+                if (stage != null) stage.cleanup()
+                import scala.jdk.CollectionConverters._
+                java.nio.file.Files.walk(stageDir).sorted(
+                  java.util.Comparator.reverseOrder[java.nio.file.Path]())
+                  .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+              } catch { case _: Exception => () }
+            }
+
+            /** Ingest-shaped (PATH / raw-CMD descriptor) streams of
+              * stageable types spill; command-shaped streams (parameter
+              * bindings — small by contract) stay driver-local. */
+            private def decideMode(schemaFramed: Array[Byte]): Unit = {
+              decided = true
+              val ingestShaped = desc.exists(d =>
+                d.descType == 1 || (d.descType == 2 && PbSql.readAny(d.cmd).isEmpty))
+              if (ingestShaped && stageable(schemaFramed)) {
+                stageDir = root.conf.getOption("spark.graft.flight.staging") match {
+                  case Some(base) => java.nio.file.Files.createTempDirectory(
+                    java.nio.file.Paths.get(base), "graft_put_")
+                  case None => java.nio.file.Files.createTempDirectory("graft_put_")
+                }
+                stage = new PutStage(stageDir)
+                stage.start(schemaFramed)
+              }
+            }
+
             override def onNext(b: Array[Byte]): Unit =
               try {
                 if (failed) return
@@ -654,16 +797,21 @@ object GraftFlightServer {
                 if (desc.isEmpty) desc = fd.descriptor
                 if (fd.dataHeader.nonEmpty) {
                   val framed = frameIpcMessage(fd.dataHeader, fd.dataBody)
-                  totalBytes += framed.length
-                  if (totalBytes > MaxPutBytes)
-                    throw grpc.Status.RESOURCE_EXHAUSTED.withDescription(
-                      s"flight: DoPut upload exceeds $MaxPutBytes bytes — " +
-                        "use COPY INTO over a staged file for bulk loads")
-                      .asRuntimeException()
-                  chunks += framed
+                  if (!decided) { decideMode(framed); if (stage != null) return }
+                  if (stage != null) stage.writeBatch(framed)
+                  else {
+                    totalBytes += framed.length
+                    if (totalBytes > MaxPutBytes)
+                      throw grpc.Status.RESOURCE_EXHAUSTED.withDescription(
+                        s"flight: driver-local DoPut exceeds $MaxPutBytes bytes " +
+                          "(non-stageable Arrow types) — use COPY INTO for bulk loads")
+                        .asRuntimeException()
+                    chunks += framed
+                  }
                 }
-              } catch { case t: Throwable => failed = true; fail(obs, t) }
-            override def onError(t: Throwable): Unit = ()
+              } catch { case t: Throwable =>
+                failed = true; cleanupStage(); fail(obs, t) }
+            override def onError(t: Throwable): Unit = { failed = true; cleanupStage() }
             override def onCompleted(): Unit =
               try {
                 if (failed) return
@@ -673,44 +821,85 @@ object GraftFlightServer {
                 val session = root.newSession()
                 bindPrincipal(root, session)
                 val anyCmd = if (d.descType == 2) PbSql.readAny(d.cmd) else None
+                // decode uploaded Arrow batches into local parameter rows
+                // (small by contract — parameter bindings, not data)
+                def paramRows(): Seq[Array[Any]] =
+                  if (chunks.isEmpty) Nil
+                  else org.apache.spark.sql.graft.Bridge
+                    .dataFrameFromIPCStream(session, chunks.iterator)
+                    .collect().toSeq
+                    .map(r => Array.tabulate[Any](r.length)(r.get))
+                def preparedOf(v: Array[Byte]): GraftFlightSql.Prepared = {
+                  val ps = GraftFlightSql.getPrepared(
+                    new String(PbSql.readHandle(v), StandardCharsets.UTF_8))
+                    .getOrElse(throw grpc.Status.NOT_FOUND.withDescription(
+                      "flight sql: unknown prepared statement handle " +
+                        GraftFlightSql.expiryHint).asRuntimeException())
+                  val caller = graft.auth.Privileges.principalOf(session).map(_.name)
+                  if (ps.owner != caller)
+                    throw unauthenticated("flight sql: prepared statement " +
+                      "belongs to a different principal")
+                  ps
+                }
                 anyCmd match {
                   // Flight SQL update path (ADBC's DML shape): the command
-                  // IS the work — any uploaded batches are parameter rows,
-                  // which this engine's prepared statements don't take.
-                  // Eager commands execute here (and are listener-recorded);
-                  // the ack is a raw DoPutUpdateResult in app_metadata.
+                  // IS the work. Eager commands execute here (and are
+                  // listener-recorded); the ack is a raw DoPutUpdateResult
+                  // in app_metadata.
                   case Some(("CommandStatementUpdate", v)) =>
                     graft.Graft.sql(session, PbSql.readStatementQuery(v))
                     obs.onNext(PbSql.writePutResult(
                       PbSql.writeDoPutUpdateResult(-1L)))
                     obs.onCompleted()
                   case Some(("CommandPreparedStatementUpdate", v)) =>
-                    val ps = GraftFlightSql.getPrepared(
-                      new String(PbSql.readHandle(v), StandardCharsets.UTF_8))
-                      .getOrElse(throw grpc.Status.NOT_FOUND.withDescription(
-                        "flight sql: unknown prepared statement handle")
-                        .asRuntimeException())
-                    val caller = graft.auth.Privileges.principalOf(session).map(_.name)
-                    if (ps.owner != caller)
-                      throw unauthenticated("flight sql: prepared statement " +
-                        "belongs to a different principal")
-                    graft.Graft.sql(session, ps.sql)
+                    val ps = preparedOf(v)
+                    // batch semantics: with bound rows, the statement runs
+                    // once per row (ADBC executemany); with none, once
+                    paramRows() match {
+                      case Seq() => graft.Graft.sql(session, ps.sql)
+                      case rows => rows.foreach(row =>
+                        graft.Graft.sql(session, ps.sql, row))
+                    }
                     obs.onNext(PbSql.writePutResult(
                       PbSql.writeDoPutUpdateResult(-1L)))
+                    obs.onCompleted()
+                  // parameter binding (reference DremioFlightProducer.java:437
+                  // acceptPutPreparedStatementQuery): the uploaded batch's
+                  // rows become the handle's positional `?` bindings,
+                  // consumed by subsequent DoGet executions
+                  case Some(("CommandPreparedStatementQuery", v)) =>
+                    val ps = preparedOf(v)
+                    val rows = paramRows()
+                    if (rows.isEmpty)
+                      throw grpc.Status.INVALID_ARGUMENT.withDescription(
+                        "flight sql: parameter DoPut carried no rows")
+                        .asRuntimeException()
+                    ps.params.set(rows)
+                    obs.onNext(PbSql.writePutResult(PbSql.writeAny(
+                      "DoPutPreparedStatementResult",
+                      PbSql.writeDoPutPreparedResult(PbSql.readHandle(v)))))
                     obs.onCompleted()
                   case Some((kind, _)) =>
                     throw grpc.Status.UNIMPLEMENTED
                       .withDescription(s"flight sql DoPut: $kind")
                       .asRuntimeException()
                   case None =>
-                    val df = org.apache.spark.sql.graft.Bridge
-                      .dataFrameFromIPCStream(session, chunks.iterator)
+                    val df =
+                      if (stage != null) {
+                        // bulk path: land from the staged Arrow files via a
+                        // distributed read — no driver materialization
+                        stage.finish(); stage = null
+                        spilledPuts.incrementAndGet()
+                        graft.sources.ArrowFiles.read(session, stageDir.toString)
+                      } else org.apache.spark.sql.graft.Bridge
+                        .dataFrameFromIPCStream(session, chunks.iterator)
                     val rows = ingestPut(root, session, d, df)
                     obs.onNext(PbSql.writePutResult(
                       PbSql.utf8(s"""{"rows":$rows}""")))
                     obs.onCompleted()
                 }
               } catch { case t: Throwable => fail(obs, t) }
+              finally cleanupStage()
           }
       })
 

@@ -3,6 +3,7 @@ package graft.server.flight
 import java.nio.charset.StandardCharsets
 
 import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -26,7 +27,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * arrow-vector and serialized through the same IPC framing as every
   * other stream.
   */
-private[flight] object GraftFlightSql {
+private[graft] object GraftFlightSql {
 
   // ---- prepared statements ----------------------------------------------
 
@@ -34,24 +35,53 @@ private[flight] object GraftFlightSql {
     * contract) — unlike ad-hoc statement tickets, which die at first
     * DoGet. The SQL text is re-planned per execution so each run sees
     * current data; the handle is owned by the principal that prepared
-    * it. */
-  final case class Prepared(sql: String, owner: Option[String], bornMs: Long)
+    * it. `params` holds the positional parameter rows a client bound via
+    * DoPut(CommandPreparedStatementQuery) — the
+    * `acceptPutPreparedStatementQuery` path (reference
+    * `DremioFlightProducer.java:437`) — consumed by the next execution;
+    * each row's values substitute the statement's `?` markers in order. */
+  final class Prepared(val sql: String, val owner: Option[String], val bornMs: Long) {
+    val lastUsedMs = new java.util.concurrent.atomic.AtomicLong(bornMs)
+    val params = new java.util.concurrent.atomic.AtomicReference[Seq[Array[Any]]](Nil)
+  }
   private val prepared = TrieMap.empty[String, Prepared]
   private val MaxPrepared = 1000
+  /** Handles expire on IDLE time (refreshed at every lookup), not age —
+    * an actively-used handle on a long-lived ADBC/JDBC connection must
+    * never silently disappear mid-session. */
+  val IdleExpiryMs: Long = 60 * 60 * 1000L
+  /** The expiry policy, spelled out in NOT_FOUND refusals so a client
+    * holding a reaped handle learns why. */
+  def expiryHint: String =
+    s"(prepared statements expire after ${IdleExpiryMs / 60000} minutes idle)"
 
   def createPrepared(sql: String, owner: Option[String]): String = {
     reap()
     val handle = java.util.UUID.randomUUID().toString
-    prepared.put(handle, Prepared(sql, owner, System.currentTimeMillis()))
+    prepared.put(handle, new Prepared(sql, owner, System.currentTimeMillis()))
     handle
   }
-  def getPrepared(handle: String): Option[Prepared] = prepared.get(handle)
+  def getPrepared(handle: String): Option[Prepared] = {
+    reap()
+    val p = prepared.get(handle)
+    p.foreach(_.lastUsedMs.set(System.currentTimeMillis()))
+    p
+  }
   def closePrepared(handle: String): Unit = { prepared.remove(handle); () }
+  /** Live rows for sys_prepared_statements: (handle, owner, statement,
+    * created ms, last-used ms, pending bound param rows). */
+  def listPrepared: Seq[(String, String, String, Long, Long, Int)] = {
+    reap()
+    prepared.toSeq.sortBy(_._2.bornMs).map { case (h, p) =>
+      (h, p.owner.getOrElse(""), p.sql.linesIterator.mkString(" ").take(200),
+        p.bornMs, p.lastUsedMs.get, p.params.get.size)
+    }
+  }
   private def reap(): Unit = {
-    val cutoff = System.currentTimeMillis() - 60 * 60 * 1000L
-    prepared.filterInPlace((_, p) => p.bornMs >= cutoff)
+    val cutoff = System.currentTimeMillis() - IdleExpiryMs
+    prepared.filterInPlace((_, p) => p.lastUsedMs.get >= cutoff)
     if (prepared.size > MaxPrepared)
-      prepared.toSeq.sortBy(_._2.bornMs)
+      prepared.toSeq.sortBy(_._2.lastUsedMs.get)
         .take(prepared.size - MaxPrepared)
         .foreach { case (k, _) => prepared.remove(k) }
   }
@@ -159,33 +189,137 @@ private[flight] object GraftFlightSql {
         StructField("update_rule", ByteType), StructField("delete_rule", ByteType))))
   }
 
+  /** CommandGetXdbcTypeInfo (reference `DremioFlightProducer.java:480
+    * getFlightInfoTypeInfo` / `:491 getStreamTypeInfo`): one row per SQL
+    * type this engine surfaces, with the spec's column contract —
+    * ADBC/JDBC drivers probe it on connect to build their type mapping.
+    * `data_type` codes are the XDBC (java.sql.Types) constants; the
+    * optional filter narrows to one code. */
+  def typeInfoDf(spark: SparkSession, dataType: Option[Int]): DataFrame = {
+    import org.apache.spark.sql.types._
+    // (type_name, data_type, column_size, literal_prefix, literal_suffix,
+    //  create_params, nullable, case_sensitive, searchable,
+    //  unsigned_attribute, fixed_prec_scale, auto_increment,
+    //  local_type_name, minimum_scale, maximum_scale, sql_data_type,
+    //  datetime_subcode, num_prec_radix, interval_precision)
+    // nullable: 1 = NULLABLE; searchable: 3 = SEARCHABLE (all predicates)
+    def row(name: String, code: Int, size: Integer, prefix: String,
+            suffix: String, params: Seq[String], caseSens: Boolean,
+            unsigned: java.lang.Boolean, fixedPrec: Boolean,
+            minScale: Integer, maxScale: Integer, radix: Integer,
+            subcode: Integer = null) =
+      org.apache.spark.sql.Row(name, code, size, prefix, suffix,
+        params, 1, caseSens, 3, unsigned, fixedPrec, false,
+        name, minScale, maxScale, code, subcode, radix, null)
+    val I = (i: Int) => Integer.valueOf(i)
+    val rows: Seq[org.apache.spark.sql.Row] = Seq(
+      row("BOOLEAN", 16, I(1), null, null, Nil, caseSens = false, null, fixedPrec = false, null, null, null),
+      row("TINYINT", -6, I(3), null, null, Nil, caseSens = false, false, fixedPrec = false, I(0), I(0), I(10)),
+      row("SMALLINT", 5, I(5), null, null, Nil, caseSens = false, false, fixedPrec = false, I(0), I(0), I(10)),
+      row("INTEGER", 4, I(10), null, null, Nil, caseSens = false, false, fixedPrec = false, I(0), I(0), I(10)),
+      row("BIGINT", -5, I(19), null, null, Nil, caseSens = false, false, fixedPrec = false, I(0), I(0), I(10)),
+      row("FLOAT", 6, I(7), null, null, Nil, caseSens = false, false, fixedPrec = false, null, null, I(2)),
+      row("DOUBLE", 8, I(15), null, null, Nil, caseSens = false, false, fixedPrec = false, null, null, I(2)),
+      row("DECIMAL", 3, I(38), null, null, Seq("precision", "scale"), caseSens = false, false, fixedPrec = true, I(0), I(38), I(10)),
+      row("VARCHAR", 12, I(65536), "'", "'", Seq("length"), caseSens = true, null, fixedPrec = false, null, null, null),
+      row("VARBINARY", -3, I(65536), "X'", "'", Nil, caseSens = false, null, fixedPrec = false, null, null, null),
+      row("DATE", 91, I(10), "DATE '", "'", Nil, caseSens = false, null, fixedPrec = false, null, null, null, subcode = I(1)),
+      row("TIMESTAMP", 93, I(29), "TIMESTAMP '", "'", Nil, caseSens = false, null, fixedPrec = false, I(0), I(6), null, subcode = I(3)),
+    ).filter(r => dataType.forall(_ == r.getInt(1)))
+    val schema = StructType(Seq(
+      StructField("type_name", StringType, nullable = false),
+      StructField("data_type", IntegerType, nullable = false),
+      StructField("column_size", IntegerType),
+      StructField("literal_prefix", StringType),
+      StructField("literal_suffix", StringType),
+      StructField("create_params", ArrayType(StringType, containsNull = false)),
+      StructField("nullable", IntegerType, nullable = false),
+      StructField("case_sensitive", BooleanType, nullable = false),
+      StructField("searchable", IntegerType, nullable = false),
+      StructField("unsigned_attribute", BooleanType),
+      StructField("fixed_prec_scale", BooleanType, nullable = false),
+      StructField("auto_increment", BooleanType),
+      StructField("local_type_name", StringType),
+      StructField("minimum_scale", IntegerType),
+      StructField("maximum_scale", IntegerType),
+      StructField("sql_data_type", IntegerType, nullable = false),
+      StructField("datetime_subcode", IntegerType),
+      StructField("num_prec_radix", IntegerType),
+      StructField("interval_precision", IntegerType)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava), schema)
+  }
+
   // ---- GetSqlInfo (dense-union result, hand-built) -----------------------
 
-  /** FlightSql.proto SqlInfo keys served. */
-  private val ServerName = 0    // string
-  private val ServerVersion = 1 // string
-  private val ArrowVersion = 2  // string
-  private val ReadOnly = 3      // bool
+  /** FlightSql.proto SqlInfo keys served (the set a stock ADBC driver
+    * probes on connect: server identity, mutability, identifier quoting
+    * and case rules, NULL ordering, keyword list). */
+  private val ServerName = 0         // string
+  private val ServerVersion = 1      // string
+  private val ArrowVersion = 2       // string
+  private val ReadOnly = 3           // bool
+  private val ServerSql = 4          // bool  (FLIGHT_SQL_SERVER_SQL)
+  private val DdlCatalog = 500       // bool  (SQL_DDL_CATALOG)
+  private val DdlSchema = 501        // bool  (SQL_DDL_SCHEMA)
+  private val DdlTable = 502         // bool  (SQL_DDL_TABLE)
+  private val IdentifierCase = 503   // int64 (SqlSupportedCaseSensitivity)
+  private val IdentifierQuote = 504  // string
+  private val QuotedIdentCase = 505  // int64
+  private val AllTablesSelectable = 506 // bool
+  private val NullOrdering = 507     // int64 (SqlNullOrdering)
+  private val Keywords = 508         // list<utf8>
+
+  /** SqlSupportedCaseSensitivity.SQL_CASE_SENSITIVITY_CASE_INSENSITIVE:
+    * Spark resolves identifiers case-insensitively by default (and so
+    * does this engine — `spark.sql.caseSensitive=false`). */
+  private val CaseInsensitive = 1L
+  /** SqlNullOrdering.SQL_NULLS_SORTED_LOW: Spark sorts NULLS FIRST
+    * ascending / LAST descending — nulls compare low. */
+  private val NullsSortedLow = 1L
+
+  /** Non-reserved engine keyword list served for SQL_KEYWORDS (the
+    * extension surface beyond entry-level SQL — what JDBC's
+    * getSQLKeywords reports). */
+  private val KeywordList: Seq[String] = Seq(
+    "LAKE", "REFLECTION", "PIPE", "QUEUE", "BRANCH", "TAG", "MATERIALIZATION",
+    "QUALIFY", "SEMI", "ANTI", "MINUS", "OPTIMIZE", "VACUUM", "ROLLBACK")
+
+  private sealed trait InfoVal
+  private final case class SVal(s: String) extends InfoVal
+  private final case class BVal(b: Boolean) extends InfoVal
+  private final case class IVal(i: Long) extends InfoVal
+  private final case class LVal(xs: Seq[String]) extends InfoVal
 
   /** The GetSqlInfo result as (IPC schema frame payloads): one schema
     * header + one record batch, framed exactly like every other stream.
-    * Schema per the spec: info_name uint32 not null,
-    * value dense_union<string_value, bool_value>.
+    * Schema per the spec: info_name uint32 not null, value
+    * dense_union<string_value, bool_value, bigint_value, string_list>.
     * Returns (schema, encapsulated IPC batch messages). */
   def sqlInfoIpc(requested: Seq[Int])
       : (org.apache.arrow.vector.types.pojo.Schema, Seq[Array[Byte]]) = {
     import org.apache.arrow.memory.RootAllocator
-    import org.apache.arrow.vector.{UInt4Vector, VarCharVector, BitVector, VectorSchemaRoot, VectorUnloader}
-    import org.apache.arrow.vector.complex.DenseUnionVector
-    import org.apache.arrow.vector.holders.{NullableVarCharHolder, NullableBitHolder}
+    import org.apache.arrow.vector.{BigIntVector, UInt4Vector, VarCharVector, BitVector, VectorSchemaRoot, VectorUnloader}
+    import org.apache.arrow.vector.complex.{DenseUnionVector, ListVector}
+    import org.apache.arrow.vector.holders.{NullableVarCharHolder, NullableBitHolder, NullableBigIntHolder}
     import org.apache.arrow.vector.ipc.message.MessageSerializer
     import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType}
 
-    val infos: Seq[(Int, Either[String, Boolean])] = Seq(
-      ServerName -> Left("graft"),
-      ServerVersion -> Left("0.1.0"),
-      ArrowVersion -> Left("18.3.0"),
-      ReadOnly -> Right(false),
+    val infos: Seq[(Int, InfoVal)] = Seq(
+      ServerName -> SVal("graft"),
+      ServerVersion -> SVal("0.1.0"),
+      ArrowVersion -> SVal("18.3.0"),
+      ReadOnly -> BVal(false),
+      ServerSql -> BVal(true),
+      DdlCatalog -> BVal(false),
+      DdlSchema -> BVal(true),
+      DdlTable -> BVal(true),
+      IdentifierCase -> IVal(CaseInsensitive),
+      IdentifierQuote -> SVal("`"),
+      QuotedIdentCase -> IVal(CaseInsensitive),
+      AllTablesSelectable -> BVal(true),
+      NullOrdering -> IVal(NullsSortedLow),
+      Keywords -> LVal(KeywordList),
     ).filter { case (k, _) => requested.isEmpty || requested.contains(k) }
 
     val allocator = new RootAllocator()
@@ -197,13 +331,28 @@ private[flight] object GraftFlightSql {
       val duv = DenseUnionVector.empty("value", allocator)
       val strId = duv.registerNewTypeId(Field.nullable("string_value", ArrowType.Utf8.INSTANCE))
       val boolId = duv.registerNewTypeId(Field.nullable("bool_value", ArrowType.Bool.INSTANCE))
+      val intId = duv.registerNewTypeId(Field.nullable("bigint_value", new ArrowType.Int(64, true)))
+      val listId = duv.registerNewTypeId(new Field("string_list",
+        FieldType.nullable(ArrowType.List.INSTANCE),
+        java.util.List.of(Field.nullable("item", ArrowType.Utf8.INSTANCE))))
       duv.addVector(strId, new VarCharVector("string_value", allocator))
       duv.addVector(boolId, new BitVector("bool_value", allocator))
+      duv.addVector(intId, new BigIntVector("bigint_value", allocator))
+      // addVector TRANSFERS into an internal child and returns it — all
+      // writes must go through the returned vector, not the donor
+      val listVec = {
+        val donor = ListVector.empty("string_list", allocator)
+        donor.addOrGetVector[org.apache.arrow.vector.VarCharVector](
+          FieldType.nullable(ArrowType.Utf8.INSTANCE))
+        try duv.addVector(listId, donor).asInstanceOf[ListVector]
+        finally donor.close()
+      }
       duv.allocateNew(); nameVec.allocateNew()
+      var listRows = 0
       infos.zipWithIndex.foreach { case ((key, value), i) =>
         nameVec.setSafe(i, key)
         value match {
-          case Left(s) =>
+          case SVal(s) =>
             duv.setTypeId(i, strId)
             val h = new NullableVarCharHolder
             val bytes = s.getBytes(StandardCharsets.UTF_8)
@@ -213,13 +362,31 @@ private[flight] object GraftFlightSql {
               h.isSet = 1; h.buffer = buf; h.start = 0; h.end = bytes.length
               duv.setSafe(i, h)
             } finally buf.close()
-          case Right(b) =>
+          case BVal(b) =>
             duv.setTypeId(i, boolId)
             val h = new NullableBitHolder
             h.isSet = 1; h.value = if (b) 1 else 0
             duv.setSafe(i, h)
+          case IVal(v) =>
+            duv.setTypeId(i, intId)
+            val h = new NullableBigIntHolder
+            h.isSet = 1; h.value = v
+            duv.setSafe(i, h)
+          case LVal(xs) =>
+            // complex union child: write the list at the child's own next
+            // index, then point the union's (type, offset) at it by hand —
+            // the scalar setSafe helpers only cover holder types
+            val w = listVec.getWriter
+            w.setPosition(listRows)
+            w.startList()
+            xs.foreach(s => w.varChar().writeVarChar(s))
+            w.endList()
+            duv.setTypeId(i, listId)
+            duv.setOffset(i, listRows)
+            listRows += 1
         }
       }
+      listVec.setValueCount(listRows)
       nameVec.setValueCount(infos.size); duv.setValueCount(infos.size)
       val root = new VectorSchemaRoot(java.util.List.of(
         nameVec.asInstanceOf[org.apache.arrow.vector.FieldVector],

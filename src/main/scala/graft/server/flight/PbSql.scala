@@ -146,6 +146,29 @@ object PbSql {
     w.int(5, if (t.includeSchema) 1L else 0L).result
   }
 
+  /** CommandGetXdbcTypeInfo {1: optional int32 data_type} — the
+    * ODBC/JDBC type-mapping probe ADBC drivers issue on connect. */
+  def readGetXdbcTypeInfo(b: Array[Byte]): Option[Int] = {
+    val r = new Pb.Reader(b); var dt: Option[Int] = None
+    while (r.hasNext) r.nextTag() match {
+      case (1, 0) => dt = Some(r.readVarint().toInt)
+      case (_, w) => r.skip(w)
+    }
+    dt
+  }
+  def writeGetXdbcTypeInfo(dataType: Option[Int]): Array[Byte] = {
+    val w = new Pb.Writer()
+    dataType.foreach(dt => w.int(1, dt.toLong))
+    w.result
+  }
+
+  /** DoPutPreparedStatementResult {1: optional bytes
+    * prepared_statement_handle} — the ack for a parameter-binding DoPut
+    * (acceptPutPreparedStatementQuery); Any-wrapped in the PutResult's
+    * app_metadata per the Flight SQL contract. */
+  def writeDoPutPreparedResult(handle: Array[Byte]): Array[Byte] =
+    new Pb.Writer().bytes(1, handle).result
+
   /** CommandGetSqlInfo {1: repeated uint32 info} — packed (proto3
     * default) AND unpacked encodings both accepted, as protobuf requires
     * of readers. Empty list = "everything you know". */

@@ -73,7 +73,22 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
 
   import GraftSqlParser._
 
-  override def parsePlan(sqlText: String): LogicalPlan = {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    parseWith(sqlText, delegate.parsePlan)
+
+  /** Spark 4 routes `spark.sql(text, args)` through THIS method, and the
+    * ParserInterface DEFAULT silently drops the parameter context (it
+    * just calls parsePlan) — a wrapping parser that doesn't forward it
+    * leaves every `?`/`:name` marker unbound at analysis. Graft-grammar
+    * statements take no parameters; everything else reaches the
+    * delegate's binding-aware override. */
+  override def parsePlanWithParameters(sqlText: String,
+      parameters: org.apache.spark.sql.catalyst.parser.ParameterContext)
+      : LogicalPlan =
+    parseWith(sqlText, delegate.parsePlanWithParameters(_, parameters))
+
+  private def parseWith(sqlText: String,
+                        fallback: String => LogicalPlan): LogicalPlan = {
     val t = sqlText.trim
     t match {
       case CreateExternalReflectionRe(name, path, query) =>
@@ -316,7 +331,7 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
           s"SELECT * EXCEPT (__qualify) FROM (${base.substring(0, fromPos).trim}, " +
             s"($pred) AS __qualify ${base.substring(fromPos)}) AS __q " +
             s"WHERE __qualify $trailer")
-      case _ => delegate.parsePlan(sqlText)
+      case _ => fallback(sqlText)
     }
   }
 
@@ -1062,7 +1077,7 @@ object GraftSqlParser {
     override val output: Seq[Attribute] = out("rule", "queue")
     override def run(spark: SparkSession): Seq[Row] = {
       graft.auth.Privileges.requireAdmin(spark, "CREATE ROUTING RULE")
-      graft.engine.Queues.defineRule(name, priority, cond, queue)
+      graft.engine.Queues.defineRule(spark, name, priority, cond, queue)
       Seq(Row(name.toLowerCase, queue))
     }
   }

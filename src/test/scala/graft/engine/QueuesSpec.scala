@@ -295,22 +295,38 @@ class QueuesSpec extends AnyFunSuite {
     } finally { Queues.clearRules(); Queues.drop("rr_heavy"); Queues.drop("rr_light") }
   }
 
-  test("routing rules: broken conditions are skipped; ROUTE TO an undefined queue refuses") {
+  test("routing rules: malformed conditions refuse at DEFINE; ROUTE TO an undefined queue refuses") {
     try {
       graft.Graft.sql(spark, "CREATE QUEUE rr_q SLOTS 4")
       val e = intercept[Exception](graft.Graft.sql(spark,
         "CREATE ROUTING RULE rr_bad PRIORITY 1 WHEN 1=1 ROUTE TO rr_missing"))
       assert(e.getMessage.contains("undefined queue"))
-      // a rule whose condition errors at eval must not block the statement
-      graft.Graft.sql(spark,
-        "CREATE ROUTING RULE rr_broken PRIORITY 1 WHEN no_such_col = 1 ROUTE TO rr_q")
+      // a condition that can't analyze against the context schema fails
+      // LOUDLY at definition (r10 VERDICT #5 — previously it silently
+      // never matched, per statement, forever)
+      val bad = intercept[Exception](graft.Graft.sql(spark,
+        "CREATE ROUTING RULE rr_broken PRIORITY 1 WHEN no_such_col = 1 ROUTE TO rr_q"))
+      assert(bad.getMessage.contains("no_such_col") ||
+        bad.getMessage.contains("UNRESOLVED"), bad.getMessage.take(200))
+      assert(graft.Graft.sql(spark, "SHOW ROUTING RULES").collect().isEmpty,
+        "a refused rule must not be registered")
       graft.Graft.sql(spark,
         "CREATE ROUTING RULE rr_ok PRIORITY 2 WHEN query_type = 'query' ROUTE TO rr_q")
       val a0 = Queues.status.find(_.name == "rr_q").get.admitted
       graft.Graft.sql(spark, "SELECT 42 AS rr_ctx_probe").collect()
       assert(Queues.status.find(_.name == "rr_q").get.admitted == a0 + 1,
-        "the healthy query_type rule still routes after the broken rule is skipped")
-      graft.Graft.sql(spark, "DROP ROUTING RULE rr_broken")
+        "the healthy query_type rule routes")
+      // a rule whose TARGET QUEUE vanished after definition is skipped at
+      // routing time (the surviving runtime-skip case)
+      graft.Graft.sql(spark, "CREATE QUEUE rr_gone SLOTS 1")
+      graft.Graft.sql(spark,
+        "CREATE ROUTING RULE rr_stale PRIORITY 1 WHEN query_type = 'query' ROUTE TO rr_gone")
+      Queues.drop("rr_gone")
+      val a1 = Queues.status.find(_.name == "rr_q").get.admitted
+      graft.Graft.sql(spark, "SELECT 43 AS rr_ctx_probe2").collect()
+      assert(Queues.status.find(_.name == "rr_q").get.admitted == a1 + 1,
+        "a rule whose queue was dropped is skipped; the next rule routes")
+      graft.Graft.sql(spark, "DROP ROUTING RULE rr_stale")
       graft.Graft.sql(spark, "DROP ROUTING RULE rr_ok")
       assert(graft.Graft.sql(spark, "SHOW ROUTING RULES").collect().isEmpty)
     } finally { Queues.clearRules(); Queues.drop("rr_q") }

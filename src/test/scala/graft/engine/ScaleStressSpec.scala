@@ -413,12 +413,18 @@ class ScaleStressSpec extends AnyFunSuite {
         |print("PUTMETA " + meta.read().to_pybytes().decode())
         |w.close()
         |""".stripMargin)
+    val spilledBefore = graft.server.flight.GraftFlightServer.spilledPuts.get
     val p = new ProcessBuilder("python3", script.toString, port.toString, dir)
       .redirectErrorStream(true).start()
     val out = new String(p.getInputStream.readAllBytes(),
       java.nio.charset.StandardCharsets.UTF_8)
     assert(p.waitFor() == 0, out.take(600))
     assert(out.contains("""PUTMETA {"rows":1000000}"""), out.take(600))
+    // bounded driver heap: the bulk upload must take the staged-spill
+    // path (one batch in memory at a time), never a driver-materialized
+    // local relation (r10 VERDICT #3)
+    assert(graft.server.flight.GraftFlightServer.spilledPuts.get > spilledBefore,
+      "1M-row DoPut must land via staged Arrow files, not driver memory")
     // one atomic commit, exact content (Σ 2i for i in [0, 1M))
     val t = graft.sources.SnapshotTable.forPath(spark, dir)
     assert(t.latestVersion == 1L)

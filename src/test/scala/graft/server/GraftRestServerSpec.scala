@@ -138,6 +138,75 @@ class GraftRestServerSpec extends AnyFunSuite {
     assert(c3 == 404 && b3.contains("\"error\""), b3.take(200))
   }
 
+  private def getAuthed(path: String, user: String, pw: String): (Int, String) = {
+    val port = GraftRestServer.port.getOrElse(GraftRestServer.start(spark))
+    val cred = java.util.Base64.getEncoder.encodeToString(s"$user:$pw".getBytes)
+    val req = HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
+      .header("Authorization", s"Basic $cred").GET().build()
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  test("GET /catalog tree: reflections listed, lake version info served") {
+    // a reflection appears in the tree (reference CatalogResource's
+    // entity inventory includes acceleration objects)
+    val rdir = java.nio.file.Files.createTempDirectory("rest_refl").toString + "/r"
+    spark.sql(s"CREATE REFLECTION rest_cat_refl USING PATH '$rdir' AS " +
+      s"SELECT n_nationkey, n_name FROM parquet.`$sf/nation.parquet`")
+    try {
+      val (c1, b1) = get("/catalog")
+      assert(c1 == 200 && b1.contains("\"reflections\":[") &&
+        b1.contains("rest_cat_refl"), b1.take(400))
+    } finally spark.sql("DROP REFLECTION rest_cat_refl")
+    // lake version info: latest snapshot + refs over the wire
+    val dir = java.nio.file.Files.createTempDirectory("rest_lake").toString + "/t"
+    spark.sql(s"CREATE LAKE '$dir' AS SELECT id FROM range(10)")
+    spark.sql(s"INSERT INTO LAKE '$dir' SELECT id + 10 AS id FROM range(5)")
+    spark.sql(s"CREATE BRANCH rest_b FROM LAKE '$dir'")
+    val enc = java.net.URLEncoder.encode(dir, "UTF-8")
+    val (c2, b2) = get(s"/catalog/lake?path=$enc")
+    assert(c2 == 200 && b2.contains("\"version\":2"), b2.take(300))
+    assert(b2.contains("\"rest_b\"") && b2.contains("\"branch\""), b2.take(400))
+    val (c3, b3) = get("/catalog/lake?path=/no/such/dir")
+    assert(c3 == 404 && b3.contains("error"), b3.take(200))
+  }
+
+  test("GET /catalog honors grants while enforcing: 401 anonymous, 403 ungranted, tree filtered") {
+    import graft.auth.Privileges
+    Privileges.clear()
+    spark.sql("SELECT 1 AS a").createOrReplaceTempView("rest_gated_v")
+    spark.sql("SELECT 2 AS b").createOrReplaceTempView("rest_hidden_v")
+    try {
+      spark.sql("CREATE USER rc_admin PASSWORD 'ap' ADMIN")
+      spark.sql("CREATE USER rc_carol PASSWORD 'cp'")
+      spark.sql("GRANT SELECT ON rest_gated_v TO USER rc_carol")
+      spark.sql("ALTER AUTH ENFORCE ON")
+      // anonymous: refused outright
+      val (ca, _) = get("/catalog")
+      assert(ca == 401)
+      val (cb, _) = get("/catalog/rest_gated_v")
+      assert(cb == 401)
+      // carol: sees only her granted dataset in the tree
+      val (cc, bc) = getAuthed("/catalog", "rc_carol", "cp")
+      assert(cc == 200 && bc.contains("rest_gated_v") &&
+        !bc.contains("rest_hidden_v"), bc.take(400))
+      // detail: granted 200, ungranted 403 (schema disclosure is a leak)
+      val (cd, bd) = getAuthed("/catalog/rest_gated_v", "rc_carol", "cp")
+      assert(cd == 200 && bd.contains("\"a\""), bd.take(300))
+      val (ce, _) = getAuthed("/catalog/rest_hidden_v", "rc_carol", "cp")
+      assert(ce == 403)
+      // bad credentials: 401
+      val (cf, _) = getAuthed("/catalog", "rc_carol", "wrong")
+      assert(cf == 401)
+    } finally {
+      Privileges.clear()
+      spark.conf.unset(graft.auth.Privileges.TokenConf)
+      spark.conf.unset(graft.auth.Privileges.UserConf)
+      spark.catalog.dropTempView("rest_gated_v")
+      spark.catalog.dropTempView("rest_hidden_v")
+    }
+  }
+
   test("GET /jobs lists history and /jobs/<id>/profile matches in-process metrics") {
     // run a tracked statement so history + profile exist
     spark.sql(s"SELECT count(*) AS n FROM parquet.`$sf/nation.parquet`").collect()

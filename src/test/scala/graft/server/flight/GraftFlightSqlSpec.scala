@@ -87,6 +87,24 @@ class GraftFlightSqlSpec extends AnyFunSuite {
         |        buf = meta.read()
         |        print("UPDATEMETA " + (base64.b64encode(buf.to_pybytes()).decode() if buf is not None else "none"))
         |        w.close()
+        |    elif mode == "putcmd":
+        |        # DoPut against an Any-wrapped command descriptor (parameter
+        |        # binding): rest[0]=b64 command, rest[1]=JSON {names, cols}
+        |        desc = fl.FlightDescriptor.for_command(base64.b64decode(rest[0]))
+        |        spec = json.loads(rest[1])
+        |        arrays = []
+        |        for col in spec["cols"]:
+        |            if all(isinstance(v, int) for v in col):
+        |                arrays.append(pa.array(col, pa.int64()))
+        |            else:
+        |                arrays.append(pa.array([str(v) for v in col], pa.string()))
+        |        table = pa.table(dict(zip(spec["names"], arrays)))
+        |        w, meta = client.do_put(desc, table.schema, opts) if opts else client.do_put(desc, table.schema)
+        |        w.write_table(table)
+        |        w.done_writing()
+        |        buf = meta.read()
+        |        print("PUTMETA " + (base64.b64encode(buf.to_pybytes()).decode() if buf is not None else "none"))
+        |        w.close()
         |    elif mode == "listactions":
         |        for a in client.list_actions(opts) if opts else client.list_actions():
         |            print("ACTIONTYPE " + a.type)
@@ -308,6 +326,147 @@ class GraftFlightSqlSpec extends AnyFunSuite {
     assert(PbSql.readDoPutUpdateResult(meta) == -1L) // count unknown, spec-legal
     assert(spark.sql(s"SELECT count(*) AS n FROM lake_scan('$dir')")
       .head().getLong(0) == 40)
+  }
+
+  test("prepared-statement parameter binding: DoPut params, execute, rebind, refuse mismatches") {
+    assume(pyflight, "pyarrow.flight not available in this environment")
+    // prepare a `?`-parameterized query (reference
+    // acceptPutPreparedStatementQuery, DremioFlightProducer.java:437)
+    val q = s"SELECT n_name FROM parquet.`$sf/nation.parquet` WHERE n_nationkey = ?"
+    val created = runClient(port.toString, "action", "CreatePreparedStatement",
+      b64(PbSql.writeAny("ActionCreatePreparedStatementRequest",
+        PbSql.writeCreatePreparedRequest(q))))
+    val (handle, _, _) = PbSql.readAny(unb64(firstLine(created, "RESULTBODY "))) match {
+      case Some(("ActionCreatePreparedStatementResult", v)) => PbSql.readCreatePreparedResult(v)
+      case other => fail(s"unexpected action result: $other")
+    }
+    val cmd = PbSql.writeAny("CommandPreparedStatementQuery",
+      PbSql.writePreparedStatementQuery(handle))
+
+    // bind [3], execute → the row with key 3, same as inline literal
+    val bind3 = runClient(port.toString, "putcmd", b64(cmd),
+      """{"names":["p0"],"cols":[[3]]}""")
+    assert(firstLine(bind3, "PUTMETA ").nonEmpty, bind3.take(400))
+    val want3 = spark.sql(q.replace("?", "3")).head().getString(0)
+    val got3 = firstLine(runClient(port.toString, "ticket", b64(cmd)), "RESULT ")
+    assert(got3.contains(s"""\\"n_name\\": \\"$want3\\""""), got3.take(400))
+
+    // rebind [7] → a DIFFERENT result (params substitute per execution)
+    runClient(port.toString, "putcmd", b64(cmd), """{"names":["p0"],"cols":[[7]]}""")
+    val want7 = spark.sql(q.replace("?", "7")).head().getString(0)
+    val got7 = firstLine(runClient(port.toString, "ticket", b64(cmd)), "RESULT ")
+    assert(got7.contains(s"""\\"n_name\\": \\"$want7\\"""") && want3 != want7, got7.take(400))
+
+    // a multi-row binding is refused for a query execution
+    runClient(port.toString, "putcmd", b64(cmd),
+      """{"names":["p0"],"cols":[[1,2]]}""")
+    val multi = runClient(port.toString, "ticket", b64(cmd))
+    assert(multi.contains("exactly one parameter row"), multi.take(400))
+
+    // arity mismatch: two markers, one bound value → refused at execution
+    val q2 = s"SELECT n_name FROM parquet.`$sf/nation.parquet` " +
+      "WHERE n_nationkey = ? AND n_regionkey = ?"
+    val created2 = runClient(port.toString, "action", "CreatePreparedStatement",
+      b64(PbSql.writeAny("ActionCreatePreparedStatementRequest",
+        PbSql.writeCreatePreparedRequest(q2))))
+    val (handle2, _, _) = PbSql.readAny(unb64(firstLine(created2, "RESULTBODY "))) match {
+      case Some(("ActionCreatePreparedStatementResult", v)) => PbSql.readCreatePreparedResult(v)
+      case other => fail(s"unexpected action result: $other")
+    }
+    val cmd2 = PbSql.writeAny("CommandPreparedStatementQuery",
+      PbSql.writePreparedStatementQuery(handle2))
+    runClient(port.toString, "putcmd", b64(cmd2), """{"names":["p0"],"cols":[[3]]}""")
+    val short = runClient(port.toString, "ticket", b64(cmd2))
+    assert(!short.contains("RESULT "), short.take(400))
+  }
+
+  test("parameterized prepared UPDATE over DoPut runs once per bound row") {
+    assume(pyflight, "pyarrow.flight not available in this environment")
+    val dir = Files.createTempDirectory("flight_pupd").toString + "/t"
+    spark.sql(s"CREATE LAKE '$dir' AS SELECT id, CAST(0 AS BIGINT) AS v FROM range(10)")
+    val created = runClient(port.toString, "action", "CreatePreparedStatement",
+      b64(PbSql.writeAny("ActionCreatePreparedStatementRequest",
+        PbSql.writeCreatePreparedRequest(
+          s"UPDATE LAKE '$dir' SET v = 1 WHERE id = ?"))))
+    val (handle, _, _) = PbSql.readAny(unb64(firstLine(created, "RESULTBODY "))) match {
+      case Some(("ActionCreatePreparedStatementResult", v)) => PbSql.readCreatePreparedResult(v)
+      case other => fail(s"unexpected action result: $other")
+    }
+    // CommandPreparedStatementUpdate with a 3-row batch = 3 executions
+    val upd = PbSql.writeAny("CommandPreparedStatementUpdate",
+      PbSql.writePreparedStatementQuery(handle))
+    val out = runClient(port.toString, "putcmd", b64(upd),
+      """{"names":["p0"],"cols":[[2,5,8]]}""")
+    assert(firstLine(out, "PUTMETA ").nonEmpty, out.take(400))
+    assert(spark.sql(s"SELECT sum(v) AS s FROM lake_scan('$dir')")
+      .head().getLong(0) == 3L, "each bound row must drive one execution")
+  }
+
+  test("CommandGetXdbcTypeInfo serves the ODBC type-mapping probe, filterable by code") {
+    assume(pyflight, "pyarrow.flight not available in this environment")
+    val all = runClient(port.toString, "cmd",
+      b64(PbSql.writeAny("CommandGetXdbcTypeInfo",
+        PbSql.writeGetXdbcTypeInfo(None))))
+    val got = firstLine(all, "RESULT ")
+    assert(got.contains("type_name") && got.contains("VARCHAR") &&
+      got.contains("BIGINT") && got.contains("TIMESTAMP"), got.take(500))
+    // data_type filter narrows to one code (12 = VARCHAR)
+    val one = firstLine(runClient(port.toString, "cmd",
+      b64(PbSql.writeAny("CommandGetXdbcTypeInfo",
+        PbSql.writeGetXdbcTypeInfo(Some(12))))), "RESULT ")
+    assert(one.contains("VARCHAR") && !one.contains("BIGINT"), one.take(400))
+  }
+
+  test("GetSqlInfo breadth: quoting, identifier case, null ordering, keyword list") {
+    assume(pyflight, "pyarrow.flight not available in this environment")
+    val out = runClient(port.toString, "cmd",
+      b64(PbSql.writeAny("CommandGetSqlInfo", Array.emptyByteArray)))
+    val got = firstLine(out, "RESULT ")
+    // 504 IDENTIFIER_QUOTE_CHAR = ` ; 503/505 case-insensitive (1);
+    // 507 nulls sorted low (1); 508 keyword list decodes as a real list
+    assert(got.contains(""""info_name\": 504""") && got.contains("""`"""), got.take(900))
+    assert(got.contains(""""info_name\": 503"""), got.take(900))
+    assert(got.contains(""""info_name\": 508""") && got.contains("QUALIFY"), got.take(1200))
+  }
+
+  test("sys_prepared_statements: handle visible on create, gone on close; idle expiry reaps") {
+    val h = GraftFlightSql.createPrepared("SELECT 1 AS one", Some("sysps_user"))
+    try {
+      graft.catalog.InfoSchema.register(spark)
+      val row = spark.sql(
+        s"SELECT owner, statement, bound_param_rows FROM sys_prepared_statements WHERE handle = '$h'")
+        .collect()
+      assert(row.length == 1 && row.head.getString(0) == "sysps_user" &&
+        row.head.getString(1) == "SELECT 1 AS one" && row.head.getInt(2) == 0)
+      // binding params surfaces in the view
+      GraftFlightSql.getPrepared(h).get.params.set(Seq(Array[Any](1L)))
+      assert(spark.sql(
+        s"SELECT bound_param_rows FROM sys_prepared_statements WHERE handle = '$h'")
+        .head().getInt(0) == 1)
+    } finally GraftFlightSql.closePrepared(h)
+    assert(spark.sql(
+      s"SELECT * FROM sys_prepared_statements WHERE handle = '$h'").count() == 0)
+
+    // idle expiry: age the handle's lastUsed past the idle window — the
+    // next lookup reaps it and the refusal names the policy
+    val h2 = GraftFlightSql.createPrepared("SELECT 2 AS two", None)
+    GraftFlightSql.getPrepared(h2).get.lastUsedMs
+      .set(System.currentTimeMillis() - GraftFlightSql.IdleExpiryMs - 1000)
+    assert(GraftFlightSql.getPrepared(h2).isEmpty, "idle handles reap on lookup")
+    assert(GraftFlightSql.expiryHint.contains("minutes idle"))
+  }
+
+  test("bulk DoPut spills to staged Arrow files and lands via a distributed read") {
+    assume(pyflight, "pyarrow.flight not available in this environment")
+    val before = GraftFlightServer.spilledPuts.get
+    val dir = Files.createTempDirectory("flight_put_spill").toString + "/t"
+    val put = runClient(port.toString, "put", dir, "20000")
+    assert(firstLine(put, "PUTMETA ") == """{"rows":20000}""", put.take(400))
+    assert(GraftFlightServer.spilledPuts.get > before,
+      "ingest-shaped DoPut must take the staged spill path, not driver memory")
+    val back = spark.sql(s"SELECT count(*) AS n, sum(id) AS s FROM lake_scan('$dir')")
+      .collect().head
+    assert(back.getLong(0) == 20000 && back.getLong(1) == (0L until 20000L).sum)
   }
 
   test("DoPut under enforcement: refused without INSERT, lands with it") {
