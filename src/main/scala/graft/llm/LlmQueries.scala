@@ -316,11 +316,15 @@ object LlmQueries {
     * doc length, document frequency, the Lucene idf, and the rank — so
     * the whole scorer, not just the output shape, is hash-gated. Scores
     * round to 6dp BEFORE ranking on both engines; ties break on doc_id. */
+  /** Shared retrieval seed set: 4 keyword queries whose ids double as the
+    * seed DOCUMENT ids for the dense half of hybrid search. */
+  private val retrievalSeeds = Seq(
+    0 -> "hash join table", 1 -> "window agg batch",
+    2 -> "fast scan filter", 3 -> "customer query line value")
+
   val bm25Search: QueryFn = (s, dir) => {
     val docs = Tables.ensure(s, dir).documents
-    Retrieval.bm25TopK(docs, Seq(
-      0 -> "hash join table", 1 -> "window agg batch",
-      2 -> "fast scan filter", 3 -> "customer query line value"), k = 10)
+    Retrieval.bm25TopK(docs, retrievalSeeds, k = 10)
   }
   val bm25SearchSql: String = """
     WITH toks AS (
@@ -349,6 +353,90 @@ object LlmQueries {
         (PARTITION BY q_id ORDER BY bm25 DESC, doc_id) AS rn FROM scored)
     SELECT q_id, doc_id, bm25 FROM ranked WHERE rn <= 10
     ORDER BY q_id, bm25 DESC, doc_id"""
+
+  /** The lexical-candidate CTE chain shared by the hybrid-retrieval
+    * oracles: BM25 over `documents` for the 4 seed queries, ranked, pool
+    * of 50 (mirrors `Retrieval.bm25Ranked`). */
+  private val lexPoolCtes: String = """
+    toks AS (
+      SELECT doc_id, unnest(
+        list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0)) AS w
+      FROM documents),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY doc_id, w),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    totals AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl),
+    q(q_id, q_text) AS (VALUES
+      (0, 'hash join table'), (1, 'window agg batch'),
+      (2, 'fast scan filter'), (3, 'customer query line value')),
+    qt AS (SELECT DISTINCT q_id, unnest(
+        list_filter(string_split_regex(lower(q_text), '\s+'), w -> len(w) > 0)) AS w
+      FROM q),
+    dft AS (
+      SELECT w, COUNT(*) AS df FROM tf
+      WHERE w IN (SELECT w FROM qt) GROUP BY w),
+    lscored AS (
+      SELECT qt.q_id, tf.doc_id,
+        round(SUM(ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf * 2.2) /
+                  (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25
+      FROM tf JOIN qt USING (w) JOIN dft USING (w) JOIN dl USING (doc_id), totals
+      GROUP BY qt.q_id, tf.doc_id),
+    lexr AS (SELECT q_id, doc_id, CAST(row_number() OVER
+        (PARTITION BY q_id ORDER BY bm25 DESC, doc_id) AS INT) AS lex_rk FROM lscored),
+    lex AS (SELECT * FROM lexr WHERE lex_rk <= 50)"""
+
+  /** Dense-candidate CTE chain: cosine top-50 of each seed document's
+    * embedding (vec_id ≡ doc_id; mirrors `Retrieval.denseRanked`). */
+  private val densePoolCtes: String = """
+    qe AS (SELECT CAST(vec_id AS INT) AS q_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 4),
+    ds AS (SELECT q_id, vec_id AS doc_id,
+             list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS cos
+           FROM embeddings, qe WHERE vec_id <> q_id),
+    dsr AS (SELECT q_id, doc_id, CAST(row_number() OVER
+        (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS INT) AS dense_rk FROM ds),
+    dense AS (SELECT q_id, doc_id, dense_rk FROM dsr WHERE dense_rk <= 50)"""
+
+  /** Hybrid retrieval: reciprocal-rank fusion of the BM25 and dense-cosine
+    * candidate lists of 4 seed docs (ids double as keyword queries and as
+    * dense query vectors) — rrf ranked on the unrounded fused score,
+    * reported at 6dp. */
+  val hybridRrf: QueryFn = (s, dir) => {
+    val t = Tables.ensure(s, dir)
+    Retrieval.hybridRrfTopK(t.documents, t.embeddings, retrievalSeeds, k = 10)
+  }
+  val hybridRrfSql: String = s"""
+    WITH $lexPoolCtes, $densePoolCtes,
+    fused AS (
+      SELECT coalesce(lex.q_id, dense.q_id) AS q_id,
+             coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+             lex.lex_rk, dense.dense_rk,
+             coalesce(1.0 / (60 + lex.lex_rk), 0) +
+             coalesce(1.0 / (60 + dense.dense_rk), 0) AS rrf_raw
+      FROM lex FULL JOIN dense
+        ON lex.q_id = dense.q_id AND lex.doc_id = dense.doc_id),
+    rr AS (SELECT *, row_number() OVER
+        (PARTITION BY q_id ORDER BY rrf_raw DESC, doc_id) AS rn FROM fused)
+    SELECT q_id, doc_id, lex_rk, dense_rk, round(rrf_raw, 6) AS rrf
+    FROM rr WHERE rn <= 10
+    ORDER BY q_id, rrf_raw DESC, doc_id"""
+
+  /** DPR-style hard negatives: lexically top-ranked docs absent from the
+    * dense candidate pool — the training negatives a retriever learns the
+    * most from. */
+  val retrievalHardNegatives: QueryFn = (s, dir) => {
+    val t = Tables.ensure(s, dir)
+    Retrieval.hardNegatives(t.documents, t.embeddings, retrievalSeeds, k = 10)
+  }
+  val retrievalHardNegativesSql: String = s"""
+    WITH $lexPoolCtes, $densePoolCtes,
+    neg AS (
+      SELECT lex.* FROM lex
+      WHERE NOT EXISTS (SELECT 1 FROM dense
+        WHERE dense.q_id = lex.q_id AND dense.doc_id = lex.doc_id)),
+    rr AS (SELECT *, row_number() OVER
+        (PARTITION BY q_id ORDER BY lex_rk, doc_id) AS rn FROM neg)
+    SELECT q_id, doc_id, lex_rk FROM rr WHERE rn <= 10
+    ORDER BY q_id, lex_rk, doc_id"""
 
   /** Within-document line dedup (TextAnalysis.dedupLinesInDoc). The
     * fixture corpus has no naturally repeated lines, so the query doctors
@@ -1555,6 +1643,8 @@ object LlmQueries {
     "text_c4_rules" -> textC4Rules,
     "text_line_dedup" -> textLineDedup,
     "bm25_search" -> bm25Search,
+    "hybrid_rrf" -> hybridRrf,
+    "retrieval_hard_negatives" -> retrievalHardNegatives,
     "text_tokens" -> textTokens,
     "text_fingerprint" -> textFingerprint,
     "text_langid" -> textLangid,
@@ -1602,6 +1692,8 @@ object LlmQueries {
     "text_c4_rules" -> textC4RulesSql,
     "text_line_dedup" -> textLineDedupSql,
     "bm25_search" -> bm25SearchSql,
+    "hybrid_rrf" -> hybridRrfSql,
+    "retrieval_hard_negatives" -> retrievalHardNegativesSql,
     "text_tokens" -> textTokensSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_langid" -> textLangidSql,

@@ -58,4 +58,68 @@ object Retrieval {
     graft.plans.TopKPerKey(scored, col("q_id"), col("bm25"), col("doc_id"), k)
       .orderBy(col("q_id"), col("bm25").desc, col("doc_id"))
   }
+
+  /** BM25 candidates with their per-query rank (1-based; ties break on
+    * doc_id — the same deterministic convention the ANN family uses). */
+  private def bm25Ranked(docs: DataFrame, queries: Seq[(Int, String)],
+                         poolK: Int, k1: Double, b: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("bm25").desc, col("doc_id"))
+    bm25TopK(docs, queries, poolK, k1, b)
+      .withColumn("lex_rk", row_number().over(w))
+      .select(col("q_id"), col("doc_id"), col("lex_rk"))
+  }
+
+  /** Dense candidates: cosine top-`poolK` of each seed document's
+    * embedding over the corpus (vec_id ≡ doc_id), ranked. */
+  private def denseRanked(embeddings: DataFrame, queryIds: Seq[Int],
+                          poolK: Int): DataFrame =
+    Similarity.bruteForceTopK(
+        embeddings, embeddings.filter(col("vec_id").isin(queryIds.map(_.toLong): _*)),
+        poolK)
+      .select(col("q_id").cast("int").as("q_id"), col("c_id").as("doc_id"),
+        col("rk").as("dense_rk"))
+
+  /** Hybrid retrieval by reciprocal-rank fusion (Cormack, Clarke &
+    * Buettcher 2009): fuse the lexical (BM25) and dense (cosine) candidate
+    * lists of each seed query as Σ 1/(kRrf + rank), the standard first
+    * stage of a modern retrieval stack (seed-set expansion over a training
+    * corpus: "more docs like these", robust to either ranker's blind
+    * spots). A doc absent from one list contributes 0 from it.
+    *
+    * Scale: both candidate pools are already bounded (TopKPerKey heaps, no
+    * global sort), so the fusion join touches O(|queries| · poolK) rows —
+    * independent of corpus size; ranking is by the UNROUNDED fused score
+    * (bit-identical across engines — it is built from integer ranks), the
+    * reported score rounds to 6dp. */
+  def hybridRrfTopK(docs: DataFrame, embeddings: DataFrame,
+                    queries: Seq[(Int, String)], k: Int = 10, poolK: Int = 50,
+                    kRrf: Int = 60, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val lex = bm25Ranked(docs, queries, poolK, k1, b)
+    val dense = denseRanked(embeddings, queries.map(_._1), poolK)
+    val fused = lex.join(dense, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf_raw",
+        coalesce(lit(1.0) / (lit(kRrf) + col("lex_rk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("dense_rk")), lit(0.0)))
+    graft.plans.TopKPerKey(fused, col("q_id"), col("rrf_raw"), col("doc_id"), k)
+      .select(col("q_id"), col("doc_id"), col("lex_rk"), col("dense_rk"),
+        round(col("rrf_raw"), 6).as("rrf"), col("rrf_raw"))
+      .orderBy(col("q_id"), col("rrf_raw").desc, col("doc_id"))
+      .drop("rrf_raw")
+  }
+
+  /** DPR-style hard-negative mining (Karpukhin et al. 2020): for each seed
+    * query, the top lexically-retrieved docs the DENSE ranker does NOT
+    * place in its own candidate pool — lexically plausible but semantically
+    * far, the highest-value negatives for training a retriever. Anti-join
+    * of two already-bounded candidate lists: O(|queries| · poolK). */
+  def hardNegatives(docs: DataFrame, embeddings: DataFrame,
+                    queries: Seq[(Int, String)], k: Int = 10,
+                    poolK: Int = 50): DataFrame = {
+    val lex = bm25Ranked(docs, queries, poolK, k1 = 1.2, b = 0.75)
+    val dense = denseRanked(embeddings, queries.map(_._1), poolK)
+    val neg = lex.join(dense, Seq("q_id", "doc_id"), "left_anti")
+    graft.plans.TopKPerKey(neg, col("q_id"), -col("lex_rk"), col("doc_id"), k)
+      .orderBy(col("q_id"), col("lex_rk"), col("doc_id"))
+  }
 }

@@ -671,6 +671,42 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       StructType.fromDDL(cs.last.schemaDdl), endIds, specTransforms(prefix))
   }
 
+  /** Streaming micro-batch scan: rows ADDED by append commits in
+    * (fromVersion, toVersion]. The fail-loud default mirrors [[changes]]
+    * (a rewritten file would replay already-delivered rows); with
+    * `skipChanges` (the Delta `skipChangeCommits` contract) non-append
+    * commits in the range are passed over — the streaming source clamps
+    * its offset ranges so skipped change commits only ever appear BEFORE
+    * the range's appends, which keeps the range-end replay complete (an
+    * overwrite after an in-range append could compact its file away).
+    * An empty range (or one holding only skipped commits) yields an empty
+    * batch under the range-end schema. */
+  def appendsBetween(fromVersion: Long, toVersion: Long,
+                     skipChanges: Boolean = false): DataFrame = {
+    val all = commits
+    val cs = all.filter(c => c.version > fromVersion && c.version <= toVersion)
+    val apps =
+      if (skipChanges) cs.filter(_.action == "append")
+      else {
+        require(cs.forall(_.action == "append"),
+          s"streaming read hit a non-append commit in ($fromVersion, $toVersion]: " +
+            "rewritten files would replay rows — restart from a fresh offset " +
+            "or set skipChangeCommits=true to pass over change commits")
+        cs
+      }
+    val prefix = all.takeWhile(_.version <= toVersion)
+    require(prefix.nonEmpty, s"no commits at or before version $toVersion")
+    val schema = StructType.fromDDL(prefix.last.schemaDdl)
+    if (apps.isEmpty)
+      spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+    else {
+      val (entries, _, endIds) = replayEntries(prefix)
+      val inRange = apps.flatMap(c => c.files.map(f => s"$dir/$f")).toSet
+      buildMappedScan(entries.filter(e => inRange(e.path)), schema, endIds,
+        specTransforms(prefix))
+    }
+  }
+
   // ---------- branches & tags (catalog versioning) ----------
   // The reference exposes Nessie-style refs over its sources: CREATE
   // BRANCH/TAG, AT BRANCH reads/writes, MERGE BRANCH INTO

@@ -1,0 +1,202 @@
+package graft.streaming
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{DataFrame, Row, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.SnapshotTable
+
+/** Structured Streaming connector for the graft-lake snapshot format —
+  * `spark.readStream.format("graft-lake")` and
+  * `df.writeStream.format("graft-lake")`, the continuous generalization of
+  * the trigger-driven [[Pipes]] (reference incremental refresh,
+  * `IncrementalUpdateUtils.java`; the design follows the public Delta
+  * connector's source/sink semantics re-expressed on the graft commit log).
+  *
+  * Source: offsets are commit VERSIONS. The first batch is the full table
+  * snapshot at stream start (or, with `startingVersion`, the appends since
+  * that version); every later batch is `appendsBetween(last, end]` — a
+  * manifest-resolved multi-file parquet scan of exactly the newly appended
+  * files, with pushdown/pruning intact and zero data-file rewrites. A
+  * non-append commit (DML/compaction/overwrite) fails the stream loudly by
+  * default — rewritten files would replay delivered rows — or is passed
+  * over with `skipChangeCommits=true`. `maxVersionsPerTrigger` bounds how
+  * many commits one micro-batch may cover (ingest-spike control: at 100 TB
+  * a backlogged stream must chew history in bounded bites, not one giant
+  * recovery batch). Offset ranges are clamped so a skipped change commit
+  * never lands BETWEEN appends of one batch — the range-end file replay
+  * stays complete.
+  *
+  * Sink: each micro-batch lands as ONE idempotent tagged commit
+  * (`stream:<queryId>:<batchId>` — the query id is stable across restarts
+  * from the same checkpoint), so checkpoint-recovery replays are absorbed
+  * by the tag: exactly-once, the same contract the reference's pipe ingest
+  * and Delta's `txnVersion` use. Append mode appends (optionally
+  * partitioned via `partitionBy` or a `partitionSpec` option with
+  * transforms, plus `statsCols` for manifest min/max pruning); Complete
+  * mode overwrites. The lake table's auto-compaction property then keeps
+  * the small-files problem bounded under continuous ingest.
+  */
+final class LakeStreamProvider
+    extends StreamSourceProvider with StreamSinkProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-lake"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-lake stream needs a table path: .load(path) / .option(\"path\", ...)"))
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    val t = SnapshotTable.forPath(sqlContext.sparkSession, pathOf(parameters))
+    require(t.latestVersion > 0,
+      s"graft-lake stream source: no commit log at ${pathOf(parameters)}")
+    (shortName(), schema.getOrElse(t.read().schema))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source =
+    new LakeStreamSource(sqlContext, pathOf(parameters), parameters)
+
+  override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
+                          partitionColumns: Seq[String], outputMode: OutputMode): Sink =
+    new LakeStreamSink(sqlContext, pathOf(parameters), parameters,
+      partitionColumns, outputMode)
+}
+
+/** Version-valued stream offset: "commits with version <= `version` have
+  * been delivered". */
+final case class LakeSourceOffset(version: Long) extends Offset {
+  override def json: String = s"""{"version":$version}"""
+}
+
+object LakeSourceOffset {
+  private val mapper = new ObjectMapper()
+  /** Parse any offset the engine hands back (checkpoint recovery wraps
+    * offsets as SerializedOffset — only the json survives). */
+  def versionOf(o: org.apache.spark.sql.connector.read.streaming.Offset): Long = o match {
+    case LakeSourceOffset(v) => v
+    case other => mapper.readTree(other.json).get("version").asLong()
+  }
+}
+
+final class LakeStreamSource(sqlContext: SQLContext, path: String,
+                             parameters: Map[String, String]) extends Source {
+  private val spark = sqlContext.sparkSession
+  private val table = SnapshotTable.forPath(spark, path)
+
+  private val startingVersion: Option[Long] =
+    parameters.get("startingVersion").map(_.toLong)
+  private val maxVersions: Int =
+    parameters.get("maxVersionsPerTrigger").map(_.toInt).getOrElse(Int.MaxValue)
+  private val skipChanges: Boolean =
+    parameters.get("skipChangeCommits").exists(_.toBoolean)
+  require(maxVersions > 0, "maxVersionsPerTrigger must be positive")
+
+  override val schema: StructType = table.read().schema
+
+  /** Version of the newest offset this source has handed the engine —
+    * getOffset clamps ranges forward from here. Synced from recovered
+    * offsets in getBatch, so a restart never regresses it. */
+  @volatile private var lastSeen: Long = Long.MinValue
+  /** True once the initial full-snapshot batch has been planned (only the
+    * no-startingVersion mode has one). */
+  @volatile private var snapshotDone: Boolean = startingVersion.isDefined
+
+  override def getOffset: Option[Offset] = {
+    val cs = table.commits
+    if (cs.isEmpty) return None
+    if (!snapshotDone && lastSeen == Long.MinValue) {
+      // first batch = whole table at head, pinned to the head version
+      lastSeen = cs.last.version
+      return Some(LakeSourceOffset(lastSeen))
+    }
+    val from = if (lastSeen != Long.MinValue) lastSeen else startingVersion.get - 1
+    val pending = cs.filter(_.version > from)
+    if (pending.isEmpty)
+      return if (from == startingVersion.getOrElse(Long.MinValue) - 1) None
+             else Some(LakeSourceOffset(from))
+    // clamp: consecutive appends (bounded by maxVersionsPerTrigger); a
+    // change commit either leads the range alone (skipChanges absorbs it,
+    // fail-loud surfaces it in getBatch) or ends the range BEFORE itself
+    var end = from
+    var appends = 0
+    var done = false
+    pending.foreach { c =>
+      if (!done) c.action match {
+        case "append" if appends < maxVersions => end = c.version; appends += 1
+        case "append" => done = true
+        case _ if appends == 0 => end = c.version; if (!skipChanges) done = true
+        case _ => done = true
+      }
+    }
+    if (end == from) None
+    else { lastSeen = math.max(lastSeen, end); Some(LakeSourceOffset(end)) }
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val e = LakeSourceOffset.versionOf(end)
+    if (e > lastSeen) lastSeen = e // checkpoint-recovery sync
+    val batch = start match {
+      case None if startingVersion.isEmpty =>
+        snapshotDone = true
+        table.read(version = Some(e)) // initial snapshot, pinned
+      case _ =>
+        val s = start.map(LakeSourceOffset.versionOf)
+          .getOrElse(startingVersion.get - 1)
+        if (e <= s)
+          spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+        else table.appendsBetween(s, e, skipChanges)
+    }
+    require(batch.schema.map(f => (f.name, f.dataType)) ==
+              schema.map(f => (f.name, f.dataType)),
+      s"graft-lake table $path changed schema mid-stream " +
+        s"(now ${batch.schema.simpleString}) — restart the stream to adopt it")
+    Bridge.asStreaming(batch)
+  }
+
+  override def stop(): Unit = ()
+  override def toString: String = s"LakeStreamSource[$path]"
+}
+
+final class LakeStreamSink(sqlContext: SQLContext, path: String,
+                           parameters: Map[String, String],
+                           partitionColumns: Seq[String],
+                           outputMode: OutputMode) extends Sink {
+  private val spark = sqlContext.sparkSession
+  private val partitionSpec: Seq[String] =
+    parameters.get("partitionSpec")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(partitionColumns)
+      // bare column names are identity transforms (`.partitionBy("c")`)
+      .map(s => if (s.contains("(")) s else s"identity($s)")
+  private val statsCols: Seq[String] =
+    parameters.get("statsCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+
+  require(outputMode == OutputMode.Append() || outputMode == OutputMode.Complete(),
+    s"graft-lake sink supports Append and Complete output modes, not $outputMode " +
+      "(for upsert semantics use a CDC merge pipe: CREATE PIPE ... MERGE KEY)")
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // identity for exactly-once: the query id is constant across restarts
+    // from one checkpoint, so a replayed batch re-presents the same tag and
+    // the commit log absorbs it
+    val qid = Bridge.streamingQueryId(spark)
+      .orElse(parameters.get("checkpointLocation")).getOrElse("anon")
+    val tag = s"stream:$qid:$batchId"
+    val df = Bridge.materializedCopy(data)
+    val table = SnapshotTable.forPath(spark, path)
+    if (outputMode == OutputMode.Complete()) table.overwriteTagged(df, tag)
+    else table.appendTagged(df, tag, partitionSpec, statsCols)
+  }
+
+  override def toString: String = s"LakeStreamSink[$path]"
+}

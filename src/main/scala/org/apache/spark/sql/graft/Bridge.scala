@@ -163,6 +163,47 @@ object Bridge {
     }
   }
 
+  /** One-shot materializing copy of a micro-batch DataFrame for a v1
+    * streaming Sink: `addBatch`'s argument wraps the micro-batch's
+    * IncrementalExecution, and handing it to a writer would re-plan the
+    * streaming logical plan as a batch query. The v1-sink convention
+    * (Spark's own MemorySink/console path) is to consume
+    * `queryExecution.toRdd` and rewrap — the batch executes exactly once,
+    * through the plan the stream engine already built. */
+  def materializedCopy(data: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ds = data.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd.map(_.copy()), ds.schema, isStreaming = false)
+  }
+
+  /** Flag a batch-built DataFrame as a streaming micro-batch: the v1
+    * Source contract asserts `isStreaming` on the plan getBatch returns.
+    * File-backed scans keep their ENTIRE lazy plan (pushdown, pruning,
+    * vectorized parquet) — only the LogicalRelation leaves are re-flagged,
+    * the same shape Delta's source produces; plans with no such leaf
+    * (empty LocalRelation batches) fall back to wrapping the executed RDD. */
+  def asStreaming(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val ds = df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+    var changed = false
+    val marked = ds.queryExecution.analyzed.transform {
+      case lr: LogicalRelation if !lr.isStreaming =>
+        changed = true
+        lr.copy(isStreaming = true)
+    }
+    if (changed) ofRows(ds.sparkSession, marked)
+    else ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd.map(_.copy()), ds.schema, isStreaming = true)
+  }
+
+  /** The running streaming query's stable id (constant across restarts
+    * from the same checkpoint — StreamExecution publishes it as a local
+    * property on every micro-batch thread). The identity a streaming sink
+    * needs for idempotent commit tags. */
+  def streamingQueryId(spark: org.apache.spark.sql.SparkSession): Option[String] =
+    Option(spark.sparkContext.getLocalProperty(
+      org.apache.spark.sql.execution.streaming.runtime.StreamExecution.QUERY_ID_KEY))
+
   def createLocalSpillFile(): java.io.File = {
     val env = org.apache.spark.SparkEnv.get
     if (env != null && env.blockManager != null)
