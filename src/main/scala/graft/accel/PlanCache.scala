@@ -98,6 +98,11 @@ object PlanCache {
   /** Retire every entry (catalog-shape change the pins can't express). */
   def bump(): Unit = epoch.incrementAndGet()
 
+  /** Current DDL epoch — a freshness token other metadata caches (e.g.
+    * the Flight GetTables schema cache) key on: any plan-retiring DDL
+    * invalidates them for free. */
+  def currentEpoch: Long = epoch.get
+
   /** Lake DML / maintenance commands whose only planning-visible effect
     * is advancing a snapshot version — the per-entry pins already govern
     * those, so they must NOT retire unrelated entries (the reference

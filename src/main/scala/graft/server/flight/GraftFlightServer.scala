@@ -618,6 +618,21 @@ object GraftFlightServer {
         p.df
       }
 
+    /** Revoke a stashed statement ticket for CancelQuery: same
+      * owner-before-removal discipline as [[consumePending]] — a caller
+      * can only cancel queries issued to them. Returns true when the
+      * ticket existed and was revoked. */
+    def cancelPending(tk: String): Boolean =
+      pending.get(tk).exists { p =>
+        val session = root.newSession()
+        bindPrincipal(root, session)
+        val caller = graft.auth.Privileges.principalOf(session).map(_.name)
+        if (p.owner != caller)
+          throw unauthenticated(
+            "flight: ticket was issued to a different principal")
+        pending.remove(tk, p)
+      }
+
     val doGetHandler = ServerCalls.asyncServerStreamingCall(
       new ServerCalls.ServerStreamingMethod[Array[Byte], Array[Byte]] {
         override def invoke(req: Array[Byte], obs: StreamObserver[Array[Byte]]): Unit =
@@ -734,6 +749,32 @@ object GraftFlightServer {
                 }
                 val (handle, _) = preparedFor(session, handleBytes)
                 GraftFlightSql.closePrepared(handle)
+                obs.onCompleted()
+              case "CancelQuery" =>
+                // Flight SQL ActionCancelQueryRequest: the client returns
+                // the FlightInfo it was issued; every endpoint ticket that
+                // still names an un-consumed stashed plan is revoked (the
+                // query can no longer start). Already-consumed, prepared
+                // and catalog tickets have no queued server state →
+                // NOT_CANCELLABLE. CancelResult: 1=CANCELLED,
+                // 3=NOT_CANCELLABLE.
+                val info = PbSql.readAny(action.body) match {
+                  case Some(("ActionCancelQueryRequest", v)) =>
+                    PbSql.readCancelQueryRequest(v)
+                  case _ => PbSql.readCancelQueryRequest(action.body) // tolerate unwrapped
+                }
+                val revoked = Pb.readFlightInfoTickets(info).map { tkBytes =>
+                  val uuid = PbSql.readAny(tkBytes) match {
+                    case Some(("TicketStatementQuery", v)) =>
+                      new String(PbSql.readHandle(v), StandardCharsets.UTF_8)
+                    case Some(_) => "" // stateless command ticket — nothing queued
+                    case None => new String(tkBytes, StandardCharsets.UTF_8)
+                  }
+                  uuid.nonEmpty && cancelPending(uuid)
+                }
+                val status = if (revoked.contains(true)) 1 else 3
+                obs.onNext(PbSql.writeResult(PbSql.writeAny(
+                  "ActionCancelQueryResult", PbSql.writeCancelQueryResult(status))))
                 obs.onCompleted()
               case other => throw unimplemented(s"flight action: $other")
             }
@@ -1003,6 +1044,8 @@ object GraftFlightServer {
             "Create a reusable prepared statement (Flight SQL)"))
           obs.onNext(Pb.writeActionType("ClosePreparedStatement",
             "Release a prepared statement handle (Flight SQL)"))
+          obs.onNext(Pb.writeActionType("CancelQuery",
+            "Revoke an issued FlightInfo's un-consumed statement tickets (Flight SQL)"))
           obs.onCompleted()
         }
       })

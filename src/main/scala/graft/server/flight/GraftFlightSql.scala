@@ -121,6 +121,32 @@ private[graft] object GraftFlightSql {
     Seq("TABLE", "VIEW").toDF("table_type")
   }
 
+  /** Arrow-schema bytes per table for `include_schema` GetTables calls,
+    * keyed by the plan cache's DDL epoch: resolving every visible table
+    * is O(catalog) analyzer work per call, and ADBC clients issue the
+    * probe on every connect. Any plan-retiring DDL bumps the epoch and
+    * clears the map wholesale (no per-table invalidation to get wrong);
+    * bounded so a huge catalog can't pin unbounded schema bytes. */
+  private val schemaCache = TrieMap.empty[String, Array[Byte]]
+  private val schemaCacheEpoch = new java.util.concurrent.atomic.AtomicLong(-1L)
+  private val MaxSchemaCache = 4096
+  private def cachedSchemaBytes(root: SparkSession, name: String,
+                                cacheable: Boolean): Array[Byte] = {
+    def resolve(): Array[Byte] =
+      try GraftFlightServer.schemaIpcBytesOf(root.table(name))
+      catch { case _: Exception => Array.emptyByteArray }
+    // temp views redefine without any DDL epoch bump — never cache them
+    if (!cacheable) resolve()
+    else {
+      val now = graft.accel.PlanCache.currentEpoch
+      if (schemaCacheEpoch.getAndSet(now) != now) schemaCache.clear()
+      schemaCache.getOrElseUpdate(name, {
+        if (schemaCache.size >= MaxSchemaCache) schemaCache.clear()
+        resolve()
+      })
+    }
+  }
+
   /** One row per visible dataset; `table_schema` (IPC-encapsulated Arrow
     * schema bytes) only when the client asked for it. Grant visibility
     * mirrors ListFlights: while enforcement is on, only datasets the
@@ -149,9 +175,8 @@ private[graft] object GraftFlightSql {
           else {
             val schemaBytes =
               if (!cmd.includeSchema) Array.emptyByteArray
-              else
-                try GraftFlightServer.schemaIpcBytesOf(root.table(t.name))
-                catch { case _: Exception => Array.emptyByteArray }
+              else cachedSchemaBytes(root, t.name,
+                cacheable = Option(t.database).exists(_.nonEmpty))
             Some((CatalogName, Option(t.database).getOrElse(""),
               t.name, tableType, schemaBytes))
           }

@@ -127,6 +127,25 @@ object Pb {
     t
   }
 
+  /** Ticket bytes of every endpoint in a serialized FlightInfo —
+    * FlightInfo {3: repeated FlightEndpoint{1: Ticket{1: bytes}}}. The
+    * read side of [[writeFlightInfo]], used by CancelQuery (the client
+    * proves which query by returning the FlightInfo it was issued). */
+  def readFlightInfoTickets(b: Array[Byte]): Seq[Array[Byte]] = {
+    val out = Seq.newBuilder[Array[Byte]]
+    val r = new Reader(b)
+    while (r.hasNext) r.nextTag() match {
+      case (3, 2) =>
+        val er = new Reader(r.readBytes())
+        while (er.hasNext) er.nextTag() match {
+          case (1, 2) => out += readTicket(er.readBytes())
+          case (_, w) => er.skip(w)
+        }
+      case (_, w) => r.skip(w)
+    }
+    out.result()
+  }
+
   /** FlightEndpoint: {1: Ticket, 2: repeated Location{1: uri}}. */
   def writeEndpoint(ticket: Array[Byte], locations: Seq[String]): Array[Byte] =
     locations.foldLeft(new Writer().message(1, writeTicket(ticket))) { (w, uri) =>

@@ -188,6 +188,32 @@ object PbSql {
   // ---- DoAction / DoPut envelope messages (Flight.proto) -----------------
 
   /** Action {1: type, 2: body}. */
+  /** ActionCancelQueryRequest {1: bytes info} → the serialized FlightInfo
+    * whose endpoints name the query to cancel. */
+  def readCancelQueryRequest(b: Array[Byte]): Array[Byte] = {
+    val r = new Pb.Reader(b); var info = Array.emptyByteArray
+    while (r.hasNext) r.nextTag() match {
+      case (1, 2) => info = r.readBytes()
+      case (_, w) => r.skip(w)
+    }
+    info
+  }
+  def writeCancelQueryRequest(info: Array[Byte]): Array[Byte] =
+    new Pb.Writer().bytes(1, info).result
+
+  /** ActionCancelQueryResult {1: CancelResult enum}: 1 = CANCELLED,
+    * 2 = CANCELLING, 3 = NOT_CANCELLABLE. */
+  def writeCancelQueryResult(status: Int): Array[Byte] =
+    new Pb.Writer().int(1, status.toLong).result
+  def readCancelQueryResult(b: Array[Byte]): Int = {
+    val r = new Pb.Reader(b); var s = 0
+    while (r.hasNext) r.nextTag() match {
+      case (1, 0) => s = r.readVarint().toInt
+      case (_, w) => r.skip(w)
+    }
+    s
+  }
+
   final case class Action(tpe: String, body: Array[Byte])
   def readAction(b: Array[Byte]): Action = {
     val r = new Pb.Reader(b); var t = ""; var body = Array.emptyByteArray

@@ -105,6 +105,35 @@ class GraftFlightSqlSpec extends AnyFunSuite {
         |        buf = meta.read()
         |        print("PUTMETA " + (base64.b64encode(buf.to_pybytes()).decode() if buf is not None else "none"))
         |        w.close()
+        |    elif mode == "cancel":
+        |        # GetFlightInfo for a command, CancelQuery with the issued
+        |        # FlightInfo, then try the (revoked) ticket, then cancel again
+        |        def varint(n):
+        |            out = b""
+        |            while True:
+        |                lo = n & 0x7F; n >>= 7
+        |                out += bytes([lo | 0x80]) if n else bytes([lo])
+        |                if not n: return out
+        |        def ld(field, payload):
+        |            return bytes([field << 3 | 2]) + varint(len(payload)) + payload
+        |        desc = fl.FlightDescriptor.for_command(base64.b64decode(rest[0]))
+        |        info = client.get_flight_info(desc, opts) if opts else client.get_flight_info(desc)
+        |        ser = info.serialize()
+        |        req = ld(1, ser.to_pybytes() if hasattr(ser, "to_pybytes") else bytes(ser))
+        |        anyb = (ld(1, b"type.googleapis.com/arrow.flight.protocol.sql.ActionCancelQueryRequest")
+        |                + ld(2, req))
+        |        def cancel_once():
+        |            act = fl.Action("CancelQuery", anyb)
+        |            for r in (client.do_action(act, opts) if opts else client.do_action(act)):
+        |                print("CANCELBODY " + base64.b64encode(r.body.to_pybytes()).decode())
+        |        cancel_once()
+        |        try:
+        |            tk = info.endpoints[0].ticket
+        |            (client.do_get(tk, opts) if opts else client.do_get(tk)).read_all()
+        |            print("TICKET_STILL_LIVE")
+        |        except Exception as e:
+        |            print("TICKET_REVOKED " + str(e)[:120])
+        |        cancel_once()
         |    elif mode == "listactions":
         |        for a in client.list_actions(opts) if opts else client.list_actions():
         |            print("ACTIONTYPE " + a.type)
@@ -268,7 +297,27 @@ class GraftFlightSqlSpec extends AnyFunSuite {
     assume(pyflight, "pyarrow.flight not available in this environment")
     val out = runClient(port.toString, "listactions")
     assert(out.contains("ACTIONTYPE CreatePreparedStatement") &&
-      out.contains("ACTIONTYPE ClosePreparedStatement"), out.take(300))
+      out.contains("ACTIONTYPE ClosePreparedStatement") &&
+      out.contains("ACTIONTYPE CancelQuery"), out.take(300))
+  }
+
+  test("CancelQuery revokes an issued statement ticket; re-cancel is NOT_CANCELLABLE") {
+    assume(pyflight, "pyarrow.flight not available in this environment")
+    val cmd = PbSql.writeAny("CommandStatementQuery",
+      PbSql.writeStatementQuery("SELECT id, id * 2 AS twice FROM range(5)"))
+    val out = runClient(port.toString, "cancel", b64(cmd))
+    val bodies = out.linesIterator.filter(_.startsWith("CANCELBODY "))
+      .map(l => java.util.Base64.getDecoder.decode(l.stripPrefix("CANCELBODY ")))
+      .toSeq
+    assert(bodies.size == 2, out.take(400))
+    def statusOf(b: Array[Byte]): Int =
+      PbSql.readAny(b) match {
+        case Some(("ActionCancelQueryResult", v)) => PbSql.readCancelQueryResult(v)
+        case other => fail(s"unexpected cancel result: $other")
+      }
+    assert(statusOf(bodies(0)) == 1, "first cancel must report CANCELLED")   // CANCELLED
+    assert(out.contains("TICKET_REVOKED"), out.take(400))
+    assert(statusOf(bodies(1)) == 3, "re-cancel must report NOT_CANCELLABLE")
   }
 
   test("DoPut ingests into a lake table; DoGet reads the rows back exactly") {
