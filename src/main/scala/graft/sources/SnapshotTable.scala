@@ -1052,6 +1052,41 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       .unionByName(del.withColumn("_change_type", lit("delete")))
   }
 
+  /** Streaming change feed over `(fromVersion, toVersion]`: the table
+    * columns plus `_change_type` ('insert' | 'delete') and
+    * `_commit_version`, emitted PER COMMIT so a micro-batch covering
+    * several versions still attributes every row to the commit that
+    * produced it (the Delta CDF / Iceberg changelog-scan column contract).
+    * Append commits short-circuit to a direct scan of their added files
+    * tagged 'insert' — zero diff work, the overwhelmingly common case
+    * under continuous ingest; only DML/compaction/overwrite commits pay
+    * [[changesBetween]]'s O(rewritten files) multiset diff. All frames
+    * must resolve to one schema — mid-range schema evolution is refused
+    * (the streaming source pins its schema anyway). */
+  def changeFeed(fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(toVersion > fromVersion,
+      s"changeFeed needs fromVersion < toVersion (got $fromVersion, $toVersion)")
+    val cs = commits.filter(c => c.version > fromVersion && c.version <= toVersion)
+    require(cs.nonEmpty, s"no commits in ($fromVersion, $toVersion]")
+    val perVersion = cs.map { c =>
+      val changed =
+        if (c.action == "append")
+          appendsBetween(c.version - 1, c.version)
+            .withColumn("_change_type", lit("insert"))
+        else changesBetween(c.version - 1, c.version)
+      changed.withColumn("_commit_version", lit(c.version))
+    }
+    val head = perVersion.head
+    perVersion.tail.foreach { df =>
+      require(df.schema.map(f => (f.name, f.dataType)) ==
+                head.schema.map(f => (f.name, f.dataType)),
+        s"change feed crosses a schema change inside ($fromVersion, $toVersion] " +
+          "— restart the stream to adopt the new schema")
+    }
+    perVersion.reduce(_.unionByName(_))
+  }
+
   /** DELETE WHERE: rewrite only the files that may hold matching rows
     * (manifest-stats decided), carrying the rest by reference — one atomic
     * conflict-checked overwrite commit (the reference gets row-level DML

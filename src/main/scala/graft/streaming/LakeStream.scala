@@ -29,7 +29,12 @@ import graft.sources.SnapshotTable
   * a backlogged stream must chew history in bounded bites, not one giant
   * recovery batch). Offset ranges are clamped so a skipped change commit
   * never lands BETWEEN appends of one batch — the range-end file replay
-  * stays complete.
+  * stays complete. With `readChangeFeed=true` the source switches to CDC
+  * delivery (the Delta CDF contract): every commit — append, DML,
+  * compaction, overwrite — arrives as row-level changes stamped
+  * `_change_type`/`_commit_version`, the starting snapshot as inserts;
+  * append commits scan only their added files (zero diff work), rewrites
+  * pay an O(rewritten files) multiset diff.
   *
   * Sink: each micro-batch lands as ONE idempotent tagged commit
   * (`stream:<queryId>:<batchId>` — the query id is stable across restarts
@@ -57,7 +62,15 @@ final class LakeStreamProvider
     val t = SnapshotTable.forPath(sqlContext.sparkSession, pathOf(parameters))
     require(t.latestVersion > 0,
       s"graft-lake stream source: no commit log at ${pathOf(parameters)}")
-    (shortName(), schema.getOrElse(t.read().schema))
+    val base = schema.getOrElse(t.read().schema)
+    val withCdc =
+      if (!parameters.get("readChangeFeed").exists(_.toBoolean)) base
+      else StructType(base.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    (shortName(), withCdc)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -98,9 +111,24 @@ final class LakeStreamSource(sqlContext: SQLContext, path: String,
     parameters.get("maxVersionsPerTrigger").map(_.toInt).getOrElse(Int.MaxValue)
   private val skipChanges: Boolean =
     parameters.get("skipChangeCommits").exists(_.toBoolean)
+  /** CDC mode (the Delta `readChangeFeed` contract): micro-batches carry
+    * row-level changes — table columns + `_change_type`/`_commit_version`
+    * — across EVERY commit action, so DML/compaction never fails or skips;
+    * an update arrives as delete(old)+insert(new) under one version. */
+  private val cdc: Boolean =
+    parameters.get("readChangeFeed").exists(_.toBoolean)
   require(maxVersions > 0, "maxVersionsPerTrigger must be positive")
+  require(!(cdc && skipChanges),
+    "readChangeFeed delivers change commits as row-level changes — " +
+      "skipChangeCommits contradicts it; drop one of the two options")
 
-  override val schema: StructType = table.read().schema
+  override val schema: StructType =
+    if (!cdc) table.read().schema
+    else StructType(table.read().schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType, nullable = false)))
 
   /** Version of the newest offset this source has handed the engine —
     * getOffset clamps ranges forward from here. Synced from recovered
@@ -131,6 +159,11 @@ final class LakeStreamSource(sqlContext: SQLContext, path: String,
     var done = false
     pending.foreach { c =>
       if (!done) c.action match {
+        // CDC delivers every action as row-level changes — only the
+        // trigger bound clamps the range
+        case _ if cdc =>
+          if (appends < maxVersions) { end = c.version; appends += 1 }
+          else done = true
         case "append" if appends < maxVersions => end = c.version; appends += 1
         case "append" => done = true
         case _ if appends == 0 => end = c.version; if (!skipChanges) done = true
@@ -147,19 +180,26 @@ final class LakeStreamSource(sqlContext: SQLContext, path: String,
     val batch = start match {
       case None if startingVersion.isEmpty =>
         snapshotDone = true
-        table.read(version = Some(e)) // initial snapshot, pinned
+        val snap = table.read(version = Some(e)) // initial snapshot, pinned
+        if (!cdc) snap
+        else snap // CDF semantics: the starting snapshot arrives as inserts
+          .withColumn("_change_type", org.apache.spark.sql.functions.lit("insert"))
+          .withColumn("_commit_version", org.apache.spark.sql.functions.lit(e))
       case _ =>
         val s = start.map(LakeSourceOffset.versionOf)
           .getOrElse(startingVersion.get - 1)
         if (e <= s)
           spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+        else if (cdc) table.changeFeed(s, e)
         else table.appendsBetween(s, e, skipChanges)
     }
     require(batch.schema.map(f => (f.name, f.dataType)) ==
               schema.map(f => (f.name, f.dataType)),
       s"graft-lake table $path changed schema mid-stream " +
         s"(now ${batch.schema.simpleString}) — restart the stream to adopt it")
-    Bridge.asStreaming(batch)
+    // CDC batches may hold a multiset diff (exceptAll) — those operators
+    // must stay batch-planned, not become stateful streaming ops
+    if (cdc) Bridge.asStreamingOpaque(batch) else Bridge.asStreaming(batch)
   }
 
   override def stop(): Unit = ()

@@ -196,6 +196,19 @@ object Bridge {
       ds.queryExecution.toRdd.map(_.copy()), ds.schema, isStreaming = true)
   }
 
+  /** [[asStreaming]] for batch plans holding joins/set-ops/aggregates
+    * (e.g. a CDC multiset diff): re-flagging their LEAVES would make the
+    * streaming planner treat those operators as stateful-across-batches
+    * (state-store-backed), which a per-batch-computed diff is not. The
+    * whole batch plan stays a BATCH plan compiled once here; only its
+    * result RDD — still computed distributed, never on the driver — is
+    * wrapped as the streaming micro-batch. */
+  def asStreamingOpaque(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd.map(_.copy()), ds.schema, isStreaming = true)
+  }
+
   /** The running streaming query's stable id (constant across restarts
     * from the same checkpoint — StreamExecution publishes it as a local
     * property on every micro-batch thread). The identity a streaming sink

@@ -209,6 +209,60 @@ class LakeStreamSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("readChangeFeed: snapshot as inserts, then DML arrives as row-level changes") {
+    val dir = tmp("lss_cdc")
+    val t = lakeWith(dir, Seq(1, 2, 3))
+    val q = memQuery(dir, "lss_cdc", Map("readChangeFeed" -> "true"))
+    try {
+      q.processAllAvailable()
+      val snap = spark.table("lss_cdc")
+        .select("v", "_change_type", "_commit_version")
+        .as[(Int, String, Long)].collect().sorted.toSeq
+      // starting snapshot delivered as inserts pinned to the head version
+      assert(snap == Seq((1, "insert", 1L), (2, "insert", 1L), (3, "insert", 1L)))
+      t.deleteWhere(col("v") === 2) // version 2: rewrite commit
+      t.append(Seq(4).toDF("v"))    // version 3: append commit
+      q.processAllAvailable()
+      val changes = spark.table("lss_cdc")
+        .filter(col("_commit_version") > 1)
+        .select("v", "_change_type", "_commit_version")
+        .as[(Int, String, Long)].collect().sorted.toSeq
+      // the delete surfaces ONLY the deleted row (rows carried verbatim by
+      // the rewrite cancel out); the append surfaces its insert
+      assert(changes == Seq((2, "delete", 2L), (4, "insert", 3L)))
+    } finally q.stop()
+  }
+
+  test("readChangeFeed: an upsert arrives as delete(old)+insert(new) under one version") {
+    val dir = tmp("lss_cdc_up")
+    val t = SnapshotTable.forPath(spark, dir)
+    t.append(Seq((1, "a"), (2, "b")).toDF("k", "s"))
+    val q = memQuery(dir, "lss_cdc_up",
+      Map("readChangeFeed" -> "true", "startingVersion" -> "2"))
+    try {
+      t.mergeByKey(Seq((2, "B"), (3, "c")).toDF("k", "s"), "k") // version 2
+      q.processAllAvailable()
+      val changes = spark.table("lss_cdc_up")
+        .select("k", "s", "_change_type", "_commit_version")
+        .as[(Int, String, String, Long)].collect().sortBy(r => (r._1, r._3)).toSeq
+      assert(changes == Seq(
+        (2, "b", "delete", 2L), (2, "B", "insert", 2L), (3, "c", "insert", 2L)))
+    } finally q.stop()
+  }
+
+  test("readChangeFeed contradicts skipChangeCommits and is refused") {
+    val dir = tmp("lss_cdc_bad")
+    lakeWith(dir, Seq(1))
+    val e = intercept[Exception] {
+      val q = memQuery(dir, "lss_cdc_bad",
+        Map("readChangeFeed" -> "true", "skipChangeCommits" -> "true"))
+      try q.processAllAvailable() finally q.stop()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("contradicts")), e.toString.take(300))
+  }
+
   test("source schema is pinned; update output mode is refused") {
     val dir = tmp("lss_refuse")
     lakeWith(dir, Seq(1))
