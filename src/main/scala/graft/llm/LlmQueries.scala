@@ -438,6 +438,60 @@ object LlmQueries {
     SELECT q_id, doc_id, lex_rk FROM rr WHERE rn <= 10
     ORDER BY q_id, lex_rk, doc_id"""
 
+  /** MMR diversified re-ranking under a full identity oracle: DuckDB
+    * replays the greedy λ·rel − (1−λ)·max-sim selection as a recursive
+    * CTE carrying the chosen set per query (6dp-rounded argmax, c_id
+    * ties — winner-vs-runner-up margins on the fixture are ≥5.6e-4, four
+    * orders above cross-engine cosine divergence). */
+  val retrievalMmr: QueryFn = (s, dir) => {
+    val e = Tables.ensure(s, dir).embeddings
+    Retrieval.mmrDiversify(e, Seq(0, 1, 2), k = 8, poolK = 20, lambda = 0.7)
+      .orderBy(col("q_id"), col("rk"))
+  }
+  val retrievalMmrSql: String = """
+    WITH RECURSIVE
+    cand0 AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])) AS rel,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])) DESC,
+               c.vec_id) AS rk
+      FROM embeddings q, embeddings c
+      WHERE q.vec_id < 3 AND q.vec_id <> c.vec_id),
+    cand AS (SELECT q_id, c_id, rel FROM cand0 WHERE rk <= 20),
+    psim AS (
+      SELECT a.q_id, a.c_id AS a_id, b.c_id AS b_id,
+             list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                    CAST(eb.embedding AS DOUBLE[])) AS sim
+      FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.c_id <> b.c_id
+      JOIN embeddings ea ON ea.vec_id = a.c_id
+      JOIN embeddings eb ON eb.vec_id = b.c_id),
+    sel(q_id, step, chosen) AS (
+      SELECT q_id, 1, [c_id] FROM cand0 WHERE rk = 1
+      UNION ALL
+      SELECT q_id, step + 1, list_append(chosen, pick)
+      FROM (
+        SELECT g.q_id, g.step, g.chosen, g.c_id AS pick,
+               row_number() OVER (PARTITION BY g.q_id
+                                  ORDER BY g.score DESC, g.c_id) AS rn
+        FROM (
+          SELECT s.q_id, s.step, s.chosen, c.c_id,
+                 round(0.7 * any_value(c.rel) - 0.3 * max(p.sim), 6) AS score
+          FROM sel s
+          JOIN cand c ON c.q_id = s.q_id AND NOT list_contains(s.chosen, c.c_id)
+          JOIN psim p ON p.q_id = s.q_id AND p.a_id = c.c_id
+                     AND list_contains(s.chosen, p.b_id)
+          WHERE s.step < 8
+          GROUP BY s.q_id, s.step, s.chosen, c.c_id
+        ) g
+      ) x WHERE rn = 1)
+    SELECT q_id, chosen[rk] AS c_id, CAST(rk AS INT) AS rk
+    FROM sel, generate_series(1, 8) AS t(rk)
+    WHERE step = 8
+    ORDER BY q_id, rk"""
+
   /** Within-document line dedup (TextAnalysis.dedupLinesInDoc). The
     * fixture corpus has no naturally repeated lines, so the query doctors
     * it deterministically (same expressions both engines): ' value '
@@ -1645,6 +1699,7 @@ object LlmQueries {
     "bm25_search" -> bm25Search,
     "hybrid_rrf" -> hybridRrf,
     "retrieval_hard_negatives" -> retrievalHardNegatives,
+    "retrieval_mmr" -> retrievalMmr,
     "text_tokens" -> textTokens,
     "text_fingerprint" -> textFingerprint,
     "text_langid" -> textLangid,
@@ -1694,6 +1749,7 @@ object LlmQueries {
     "bm25_search" -> bm25SearchSql,
     "hybrid_rrf" -> hybridRrfSql,
     "retrieval_hard_negatives" -> retrievalHardNegativesSql,
+    "retrieval_mmr" -> retrievalMmrSql,
     "text_tokens" -> textTokensSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_langid" -> textLangidSql,

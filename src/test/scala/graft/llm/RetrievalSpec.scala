@@ -43,4 +43,44 @@ class RetrievalSpec extends AnyFunSuite {
       .collect().map(_.getLong(1)).toSeq
     assert(got == Seq(10L, 11L), s"identical scores keep lowest doc_ids: $got")
   }
+
+  /** Planted MMR fixture: the query sits at e0; candidate 10 is closest,
+    * candidate 11 is a near-copy of 10 (redundant), candidate 12 points
+    * along a different axis (diverse but less relevant). Pure relevance
+    * ranks 10, 11, 12 — MMR must defer the near-copy: 10, 12, 11. */
+  private def mmrFixture = {
+    def v(x: Double, y: Double, z: Double) = Array(x.toFloat, y.toFloat, z.toFloat)
+    Seq(
+      (0L, v(1, 0, 0)),          // the query vector
+      (10L, v(0.98, 0.20, 0)),   // most relevant
+      (11L, v(0.97, 0.22, 0.01)),// near-copy of 10
+      (12L, v(0.70, 0, 0.71))    // diverse, less relevant
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("MMR: the near-duplicate of a chosen doc is deferred behind a diverse doc") {
+    val got = Retrieval.mmrDiversify(mmrFixture, Seq(0), k = 3, poolK = 10,
+        lambda = 0.5)
+      .orderBy("rk").collect().map(_.getLong(1)).toSeq
+    assert(got == Seq(10L, 12L, 11L), s"MMR must break up the near-dups: $got")
+    // and pure relevance (lambda=1) keeps the similarity order
+    val rel = Retrieval.mmrDiversify(mmrFixture, Seq(0), k = 3, poolK = 10,
+        lambda = 1.0)
+      .orderBy("rk").collect().map(_.getLong(1)).toSeq
+    assert(rel == Seq(10L, 11L, 12L), s"lambda=1 is pure relevance: $rel")
+  }
+
+  test("MMR: first pick is the relevance argmax; k and pool bound the output") {
+    val got = Retrieval.mmrDiversify(mmrFixture, Seq(0), k = 2, poolK = 2,
+        lambda = 0.7).orderBy("rk").collect()
+    assert(got.length == 2)
+    assert(got.head.getLong(1) == 10L, "first pick = top relevance")
+    assert(got.map(_.getInt(2)).toSeq == Seq(1, 2), "ranks are 1..k")
+  }
+
+  test("MMR: deterministic across runs") {
+    def run() = Retrieval.mmrDiversify(mmrFixture, Seq(0), k = 3, poolK = 10,
+      lambda = 0.5).orderBy("rk").collect().map(r => (r.getLong(1), r.getInt(2))).toSeq
+    assert(run() == run())
+  }
 }
