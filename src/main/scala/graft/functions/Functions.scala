@@ -37,6 +37,8 @@ object Functions {
     col(WordNgrams(ex(text), n, distinct))
   def bpe_encode(text: Column, merges: Seq[(String, String)]): Column =
     col(BpeEncode(ex(text), merges))
+  def unigram_encode(text: Column, vocab: Seq[(String, Double)]): Column =
+    col(UnigramEncode(ex(text), vocab))
 
   /** Hamming distance between two 64-bit fingerprints (built-in composition:
     * stays in whole-stage codegen). */

@@ -253,3 +253,41 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** unigram_encode(text, vocab) -> array<string>: Viterbi (max-likelihood)
+  * token stream under a trained unigram-LM vocabulary (see
+  * [[graft.llm.Unigram]]). Same deployment shape as [[BpeEncode]]: the
+  * vocabulary rides the serialized plan, pre-tokens segment independently
+  * and each executor memoizes the segmentation per word TYPE. */
+case class UnigramEncode(child: Expression, vocab: Seq[(String, Double)])
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "unigram_encode"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val logp: Map[String, Double] = vocab.toMap
+  @transient private lazy val maxLen: Int =
+    if (vocab.isEmpty) 1 else vocab.iterator.map(_._1.length).max
+  @transient private lazy val pattern =
+    java.util.regex.Pattern.compile(BpeKernel.PreTokenPattern)
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[UTF8String]]()
+  private val CacheCap = 100000 // word TYPES; reset beyond (no LRU bookkeeping)
+
+  override def nullSafeEval(v: Any): Any = {
+    val text = v.asInstanceOf[UTF8String].toString
+    val out = new java.util.ArrayList[AnyRef]()
+    val m = pattern.matcher(text)
+    while (m.find()) {
+      val word = m.group()
+      if (cache.size() > CacheCap) cache.clear()
+      val toks = cache.computeIfAbsent(word,
+        w => graft.llm.Unigram.viterbiWord(w, logp, maxLen)
+          .map(t => UTF8String.fromString(t)))
+      var i = 0
+      while (i < toks.length) { out.add(toks(i)); i += 1 }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -1234,6 +1234,47 @@ object LlmQueries {
            CAST(length(regexp_replace(text, '\s', '', 'g')) AS INT) AS n_tokens
     FROM documents ORDER BY doc_id"""
 
+  /** Corpus-trained unigram-LM vocabulary (Kudo 2018 / SentencePiece; no
+    * oracle: the EM fixed point is not SQL-expressible — forward-backward,
+    * Viterbi tie-breaks and the training loop are pinned in UnigramSpec).
+    * Deterministic given the corpus. */
+  val unigramTrainPieces: QueryFn = (s, dir) => {
+    import s.implicits._
+    val v = Unigram.train(Tables.ensure(s, dir).documents, vocabSize = 300,
+      maxPieceLen = 8, seedSize = 1000, emSubIters = 1, shrink = 0.5)
+    v.pieces.zipWithIndex
+      .map { case ((p, lp), i) =>
+        (i, p, BigDecimal(lp).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .toDF("rank", "piece", "logp").orderBy(col("rank"))
+  }
+
+  /** Corpus tokenized by its own trained unigram vocabulary (rows-only;
+    * Viterbi semantics pinned in UnigramSpec). */
+  val unigramTokens: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents
+    val v = Unigram.train(docs, vocabSize = 300, maxPieceLen = 8,
+      seedSize = 1000, emSubIters = 1, shrink = 0.5)
+    Unigram.encode(docs, v)
+      .select(col("doc_id"), size(col("tokens")).as("n_tokens"),
+        md5(concat_ws("", col("tokens"))).as("tokens_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Unigram ENCODING plumbing under an oracle: with an empty vocabulary
+    * every pre-token Viterbi-decodes through the per-char fallback, so
+    * the token count per doc is exactly its non-whitespace character
+    * count — which DuckDB computes independently of the tokenizer. */
+  val unigramCharTokens: QueryFn = (s, dir) =>
+    Unigram.encode(Tables.ensure(s, dir).documents,
+        Unigram.UnigramVocab(Vector.empty))
+      .select(col("doc_id"), size(col("tokens")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  val unigramCharTokensSql: String = """
+    SELECT doc_id,
+           CAST(length(regexp_replace(text, '\s', '', 'g')) AS INT) AS n_tokens
+    FROM documents ORDER BY doc_id"""
+
   /** Character-class hygiene over text with synthesized mojibake (the
     * fixture is pure ASCII): bell control chars, accented chars, and
     * U+FFFD appended deterministically per doc_id, then measured. */
@@ -1732,6 +1773,9 @@ object LlmQueries {
     "bpe_train_merges" -> bpeTrainMerges,
     "bpe_tokens" -> bpeTokens,
     "bpe_char_tokens" -> bpeCharTokens,
+    "unigram_train_pieces" -> unigramTrainPieces,
+    "unigram_tokens" -> unigramTokens,
+    "unigram_char_tokens" -> unigramCharTokens,
     "multimodal_features" -> multimodalFeatures)
 
   val oracle: Map[String, String] = Map(
@@ -1785,5 +1829,6 @@ object LlmQueries {
     "ann_quantized_ids" -> annQuantizedIdsSql,
     "text_charclass" -> textCharclassSql,
     "url_filter" -> urlFilterSql,
-    "bpe_char_tokens" -> bpeCharTokensSql)
+    "bpe_char_tokens" -> bpeCharTokensSql,
+    "unigram_char_tokens" -> unigramCharTokensSql)
 }
