@@ -1234,6 +1234,50 @@ object LlmQueries {
            CAST(length(regexp_replace(text, '\s', '', 'g')) AS INT) AS n_tokens
     FROM documents ORDER BY doc_id"""
 
+  /** Streaming near-dup admission ([[graft.streaming.StreamingDedup]])
+    * replayed as two micro-batches under a FULL oracle: in `exactVerify`
+    * mode at threshold 0.999, exact set Jaccard over the ≤40-element
+    * shingle sets can only fire at J = 1 — identical lowercased-3-gram
+    * shingle SETS — so DuckDB reproduces admission as first-occurrence
+    * per shingle set in (batch, doc_id) order, with zero estimator
+    * variance. Batch 2 plants 50 exact re-crawls of batch-1 docs (new
+    * ids, old text): all must drop against the lake state. */
+  val dedupStreamingAdmit: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents.select(col("doc_id"), col("text"))
+    val state = graft.queries.Lake.scratchDir("llm_sdd_state")
+    val out = graft.queries.Lake.scratchDir("llm_sdd_out")
+    val b1 = docs.filter(col("doc_id") < 300)
+    val b2 = docs.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 300).as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") >= 350 && col("doc_id") < 500))
+    graft.streaming.StreamingDedup.admitBatch(s, b1, state, out, "q:1",
+      jaccardThreshold = 0.999, exactVerify = true)
+    graft.streaming.StreamingDedup.admitBatch(s, b2, state, out, "q:2",
+      jaccardThreshold = 0.999, exactVerify = true)
+    graft.sources.SnapshotTable.forPath(s, out).read()
+      .select(col("doc_id")).orderBy(col("doc_id"))
+  }
+  val dedupStreamingAdmitSql: String = """
+    WITH b1 AS (SELECT doc_id, text, 1 AS b FROM documents WHERE doc_id < 300),
+    b2 AS (
+      SELECT doc_id + 300 AS doc_id, text, 2 AS b FROM documents WHERE doc_id < 50
+      UNION ALL
+      SELECT doc_id, text, 2 AS b FROM documents
+      WHERE doc_id >= 350 AND doc_id < 500),
+    u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+    toks AS (SELECT doc_id, b,
+      list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS t
+      FROM u),
+    g AS (SELECT doc_id, b, array_to_string(list_sort(list_distinct(
+        CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        ELSE list_transform(generate_series(1, len(t) - 2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)), chr(10)) AS gk
+      FROM toks),
+    r AS (SELECT doc_id, b,
+            row_number() OVER (PARTITION BY gk ORDER BY b, doc_id) AS rn
+          FROM g)
+    SELECT doc_id FROM r WHERE rn = 1 ORDER BY doc_id"""
+
   /** Corpus-trained unigram-LM vocabulary (Kudo 2018 / SentencePiece; no
     * oracle: the EM fixed point is not SQL-expressible — forward-backward,
     * Viterbi tie-breaks and the training loop are pinned in UnigramSpec).
@@ -1765,6 +1809,7 @@ object LlmQueries {
     "source_cap_topk" -> sourceCapTopk,
     "sample_per_source" -> samplePerSource,
     "dedup_incremental" -> dedupIncremental,
+    "dedup_streaming_admit" -> dedupStreamingAdmit,
     "semdedup_keep" -> semdedupKeep,
     "ann_quantized_ids" -> annQuantizedIds,
     "ann_ivf_pq" -> annIvfPq,
@@ -1826,6 +1871,7 @@ object LlmQueries {
     "source_cap_topk" -> sourceCapTopkSql,
     "sample_per_source" -> samplePerSourceSql,
     "dedup_incremental" -> dedupIncrementalSql,
+    "dedup_streaming_admit" -> dedupStreamingAdmitSql,
     "ann_quantized_ids" -> annQuantizedIdsSql,
     "text_charclass" -> textCharclassSql,
     "url_filter" -> urlFilterSql,

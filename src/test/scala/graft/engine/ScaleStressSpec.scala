@@ -497,4 +497,68 @@ class ScaleStressSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerKey"), s"expected TopKPerKey in:\n$plan")
   }
+
+  test("CDC streaming at 1M rows: row-level change feed exact across append + DML") {
+    gate()
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_scale_cdc").toString
+    val t = graft.sources.SnapshotTable.forPath(spark, dir)
+    t.append(spark.range(1000000).select(col("id").as("k"),
+      (col("id") % 1000).as("g")))                       // v1: 1M rows
+    t.append(spark.range(1000000, 1010000).select(col("id").as("k"),
+      (col("id") % 1000).as("g")))                       // v2: +10k append
+    t.deleteWhere(col("k") >= 999000 && col("k") < 1000000) // v3: 1k deletes
+    val q = spark.readStream.format("graft-lake")
+      .option("readChangeFeed", "true").option("startingVersion", "2")
+      .load(dir)
+      .writeStream.format("memory").queryName("scale_cdc")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_scale_cdc_ck").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val byType = spark.table("scale_cdc")
+        .groupBy("_change_type", "_commit_version").count()
+        .as[(String, Long, Long)].collect().toSet
+      // v2 appends arrive as 10k inserts with ZERO diff work (direct
+      // added-file scan); v3's rewrite diffs to exactly the 1k deleted
+      // rows — rows the rewrite carried verbatim cancel out
+      assert(byType == Set(("insert", 2L, 10000L), ("delete", 3L, 1000L)), byType)
+      val deletedKeys = spark.table("scale_cdc")
+        .filter(col("_change_type") === "delete")
+        .agg(min("k"), max("k")).as[(Long, Long)].head()
+      assert(deletedKeys == ((999000L, 999999L)), deletedKeys.toString)
+    } finally q.stop()
+  }
+
+  test("streaming near-dup admission at 100k state docs: re-crawl batch drops, bucket cap holds") {
+    gate()
+    val state = java.nio.file.Files.createTempDirectory("graft_scale_sdd_s").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_scale_sdd_o").toString
+    // batch 1: 100k distinct docs PLUS a 10% boilerplate flood (the
+    // pathological bucket — all bands collide); cap must keep the
+    // candidate join bounded while the flood still collapses to one
+    val b1 = spark.range(100000).select(
+      col("id").as("doc_id"),
+      when(col("id") % 10 === 0, lit("the quick brown fox jumps over the lazy dog " * 4))
+        .otherwise(wordsExpr("cast(id AS string)", 30)).as("text"))
+      .localCheckpoint(true)
+    graft.streaming.StreamingDedup.admitBatch(spark, b1, state, out, "t:1",
+      jaccardThreshold = 0.5)
+    val admitted1 = graft.sources.SnapshotTable.forPath(spark, out).read().count()
+    // one boilerplate representative (doc 0) + 90k distinct docs
+    assert(admitted1 == 90001L, s"batch-1 admissions: $admitted1")
+    // batch 2: a 10k "re-crawl" — 5k exact re-fetches of admitted batch-1
+    // docs (shifted ids) + 5k genuinely new docs
+    val b2 = spark.range(10000).select(
+      (col("id") + 1000000).as("doc_id"),
+      when(col("id") < 5000, wordsExpr("cast((id * 2 + 1) AS string)", 30)) // re-crawl of odd (admitted) docs
+        .otherwise(wordsExpr("cast((id + 5000000) AS string)", 30)).as("text"))
+      .localCheckpoint(true)
+    graft.streaming.StreamingDedup.admitBatch(spark, b2, state, out, "t:2",
+      jaccardThreshold = 0.5)
+    val total = graft.sources.SnapshotTable.forPath(spark, out).read().count()
+    assert(total == admitted1 + 5000L,
+      s"all 5k re-crawls must drop against the lake state: $total")
+  }
 }
