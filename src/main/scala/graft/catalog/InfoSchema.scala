@@ -102,6 +102,38 @@ object InfoSchema {
         .map(p => Row(p.name, p.sourceDir, p.format, p.targetDir,
           p.checkpointDir, !p.paused)))
 
+  /** sys.streams: every ACTIVE Structured Streaming query on the shared
+    * context (pipes started RUN CONTINUOUS, graft-lake streams, dedup
+    * admission streams), with its latest micro-batch progress — the
+    * streaming face of the jobs surface (reference jobs service lists
+    * running reflections/pipe refreshes the same way). Live: each scan
+    * re-reads `spark.streams.active`. */
+  def sysStreams(spark: SparkSession): DataFrame =
+    live(spark, StructType(Seq(
+      StructField("id", StringType, nullable = false),
+      StructField("run_id", StringType, nullable = false),
+      StructField("name", StringType, nullable = false),
+      StructField("batch_id", LongType, nullable = false),
+      StructField("input_rows_per_sec", DoubleType, nullable = false),
+      StructField("processed_rows_per_sec", DoubleType, nullable = false),
+      StructField("num_input_rows", LongType, nullable = false),
+      StructField("source", StringType, nullable = false),
+      StructField("sink", StringType, nullable = false),
+      StructField("status", StringType, nullable = false),
+      StructField("is_data_available", BooleanType, nullable = false))),
+      () => spark.streams.active.toSeq.map { q =>
+        val p = Option(q.lastProgress)
+        def d(x: Option[Double]) = x.filterNot(_.isNaN).getOrElse(0.0)
+        Row(q.id.toString, q.runId.toString, Option(q.name).getOrElse(""),
+          p.map(_.batchId).getOrElse(-1L),
+          d(p.map(_.inputRowsPerSecond)),
+          d(p.map(_.processedRowsPerSecond)),
+          p.map(_.numInputRows).getOrElse(0L),
+          p.flatMap(_.sources.headOption).map(_.description).getOrElse(""),
+          p.map(_.sink.description).getOrElse(""),
+          q.status.message, q.status.isDataAvailable)
+      })
+
   /** sys.functions (reference FunctionImplementationRegistry surface):
     * every function callable in this session. */
   def sysFunctions(spark: SparkSession): DataFrame = {
@@ -276,6 +308,7 @@ object InfoSchema {
     sysNodes(spark).createOrReplaceTempView("sys_nodes")
     sysReflections(spark).createOrReplaceTempView("sys_reflections")
     sysPipes(spark).createOrReplaceTempView("sys_pipes")
+    sysStreams(spark).createOrReplaceTempView("sys_streams")
     sysFunctions(spark).createOrReplaceTempView("sys_functions")
     sysQueries(spark).createOrReplaceTempView("sys_queries")
     sysJoinAnalysis(spark).createOrReplaceTempView("sys_join_analysis")

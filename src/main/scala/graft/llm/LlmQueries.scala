@@ -1234,6 +1234,42 @@ object LlmQueries {
            CAST(length(regexp_replace(text, '\s', '', 'g')) AS INT) AS n_tokens
     FROM documents ORDER BY doc_id"""
 
+  /** Whole-document next-fit packing under a FULL oracle: DuckDB replays
+    * the sequential next-fit fold per language as a recursive CTE carrying
+    * (bin, remaining) — bins, offsets and fragmentation all hash-gated. */
+  val packNextFit: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents.filter(col("doc_id") < 500)
+      .select(col("doc_id"), col("lang"),
+        size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
+    Packing.packNextFit(docs, "n_tokens", "doc_id", budget = 64, Seq("lang"))
+      .select(col("lang"), col("doc_id"), col("n_tokens"), col("bin"),
+        col("bin_offset"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+  val packNextFitSql: String = """
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, lang,
+      len(list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0)) AS n_tokens
+      FROM documents WHERE doc_id < 500),
+    o AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+          FROM toks),
+    st(lang, rn, doc_id, n_tokens, bin, off, rem) AS (
+      SELECT lang, rn, doc_id, n_tokens, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             64 - n_tokens
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT o.lang, o.rn, o.doc_id, o.n_tokens,
+        CASE WHEN o.n_tokens <= st.rem OR st.rem = 64
+             THEN st.bin ELSE st.bin + 1 END,
+        CASE WHEN o.n_tokens <= st.rem OR st.rem = 64
+             THEN 64 - st.rem ELSE CAST(0 AS BIGINT) END,
+        CASE WHEN o.n_tokens <= st.rem OR st.rem = 64
+             THEN st.rem - o.n_tokens ELSE 64 - o.n_tokens END
+      FROM st JOIN o ON o.lang = st.lang AND o.rn = st.rn + 1)
+    SELECT lang, doc_id, CAST(n_tokens AS INT) AS n_tokens, bin,
+           off AS bin_offset
+    FROM st ORDER BY lang, doc_id"""
+
   /** Streaming near-dup admission ([[graft.streaming.StreamingDedup]])
     * replayed as two micro-batches under a FULL oracle: in `exactVerify`
     * mode at threshold 0.999, exact set Jaccard over the ≤40-element
@@ -1793,6 +1829,7 @@ object LlmQueries {
     "corpus_curation" -> corpusCuration,
     "decontaminate" -> decontaminate,
     "pack_sequences" -> packSequences,
+    "pack_next_fit" -> packNextFit,
     "text_pii_redact" -> textPiiRedact,
     "text_repetition" -> textRepetition,
     "split_assign" -> splitAssign,
@@ -1853,6 +1890,7 @@ object LlmQueries {
     "image_phash_dups" -> imagePhashDupsSql,
     "decontaminate" -> decontaminateSql,
     "pack_sequences" -> packSequencesSql,
+    "pack_next_fit" -> packNextFitSql,
     "text_pii_redact" -> textPiiRedactSql,
     "text_repetition" -> textRepetitionSql,
     "split_assign" -> splitAssignSql,

@@ -71,4 +71,55 @@ object Packing {
         size(col("__ck")).as("n_chunk_tokens"),
         md5(array_join(col("__ck"), " ")).as("chunk_md5"))
   }
+
+  /** Whole-document next-fit packing — the "sample packing" used for
+    * instruction tuning, where a document must NOT straddle a context
+    * boundary: scanning each stratum in deterministic order, a doc joins
+    * the current bin when it fits, else opens the next bin. A doc larger
+    * than the budget gets a bin of its own (placed when the current bin
+    * is still empty). Unlike [[packGreedy]] no doc is ever split, at the
+    * cost of internal fragmentation (next-fit is the streaming-friendly
+    * member of the bin-packing family — one O(1) state scan, no
+    * lookback).
+    *
+    * Scale: hash shuffle on the strata + per-partition sort (the
+    * packGreedy cost shape), then ONE forward iterator pass per
+    * partition carrying two longs of state — no window materialization,
+    * no collect; strata/shards are the parallelism unit exactly as in
+    * [[packGreedy]].
+    *
+    * @return input plus `bin` (0-based within stratum) and `bin_offset`
+    *         (token offset of this doc inside its bin)
+    */
+  def packNextFit(df: DataFrame, tokenCol: String, orderCol: String,
+                  budget: Int, strata: Seq[String]): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(strata.nonEmpty, "pass at least one stratum/shard column")
+    val cols = df.columns.toSeq
+    val sIdx = strata.map(cols.indexOf)
+    val tIdx = cols.indexOf(tokenCol)
+    require(tIdx >= 0 && sIdx.forall(_ >= 0), "unknown column")
+    val outSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("bin",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("bin_offset",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    val sorted = df.repartition(strata.map(col): _*)
+      .sortWithinPartitions((strata :+ orderCol).map(col): _*)
+    sorted.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var bin = 0L
+      var rem = 0L
+      it.map { r =>
+        val key = sIdx.map(r.get)
+        val t = r.get(tIdx).asInstanceOf[Number].longValue()
+        if (key != curKey) { curKey = key; bin = 0L; rem = budget.toLong }
+        else if (t > rem && rem != budget.toLong) { bin += 1; rem = budget.toLong }
+        val off = budget.toLong - rem
+        rem -= t
+        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(bin, off))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
 }

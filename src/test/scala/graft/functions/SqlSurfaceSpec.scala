@@ -97,6 +97,28 @@ class SqlSurfaceSpec extends AnyFunSuite {
     graft.streaming.Pipes.drop("sysv_p")
   }
 
+  test("sys_streams lists an active streaming query with progress, empties on stop") {
+    import java.nio.file.Files
+    graft.catalog.InfoSchema.register(spark)
+    val in = Files.createTempDirectory("graft_sysstr_in").toString
+    Files.write(java.nio.file.Paths.get(in, "a.json"), """{"id":1}""".getBytes)
+    val q = spark.readStream.schema("id LONG").json(in)
+      .writeStream.format("memory").queryName("sysstr_q")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_sysstr_ck").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT name, batch_id, num_input_rows FROM sys_streams WHERE name = 'sysstr_q'")
+        .collect()
+      assert(rows.length == 1, s"expected the active stream: ${rows.toSeq}")
+      assert(rows.head.getLong(1) >= 0L && rows.head.getLong(2) >= 1L, rows.head.toString)
+    } finally q.stop()
+    assert(spark.sql("SELECT * FROM sys_streams WHERE name = 'sysstr_q'").count() == 0,
+      "a stopped stream must leave the view")
+  }
+
   test("information_schema and sys views are queryable") {
     graft.engine.Tables.ensure(spark, TestSpark.sf)
     graft.catalog.InfoSchema.register(spark)

@@ -25,6 +25,41 @@ class PackingSpec extends AnyFunSuite {
     assert(got(11L) == ((2L, 50L))) // 250 div 100 = bin 2, offset 50
   }
 
+  test("packNextFit keeps docs whole: no straddling, oversized doc owns its bin") {
+    val docs = Seq(
+      // stratum "a", budget 100: 60 -> bin0@0; 50 doesn't fit (rem 40) ->
+      // bin1@0; 40 fits bin1 (rem 50->10) @50; 20 doesn't fit -> bin2@0
+      (1L, "a", 60), (2L, "a", 50), (3L, "a", 40), (4L, "a", 20),
+      // stratum "b": oversized 250 lands alone in bin0; next opens bin1
+      (10L, "b", 250), (11L, "b", 10),
+      // stratum "c": a zero-token doc needs no space — it shares even a
+      // FULL bin (zero-length placement at the boundary)
+      (20L, "c", 100), (21L, "c", 0)
+    ).toDF("doc_id", "lang", "n_tokens")
+    val got = Packing.packNextFit(docs, "n_tokens", "doc_id", 100, Seq("lang"))
+      .select("doc_id", "bin", "bin_offset")
+      .as[(Long, Long, Long)].collect().map { case (k, b, o) => k -> ((b, o)) }.toMap
+    assert(got(1L) == ((0L, 0L)))
+    assert(got(2L) == ((1L, 0L)), s"no straddle: $got")
+    assert(got(3L) == ((1L, 50L)))
+    assert(got(4L) == ((2L, 0L)))
+    assert(got(10L) == ((0L, 0L)), "oversized doc placed while bin empty")
+    assert(got(11L) == ((1L, 0L)))
+    assert(got(20L) == ((0L, 0L)))
+    assert(got(21L) == ((0L, 100L)), "0-token doc: zero-length boundary placement")
+  }
+
+  test("packNextFit: every bin except possibly the last respects the budget") {
+    val docs = (1 to 200).map(i => (i.toLong, "x", 7 + (i % 23))).toDF("doc_id", "lang", "n_tokens")
+    val packed = Packing.packNextFit(docs, "n_tokens", "doc_id", 64, Seq("lang"))
+    val byBin = packed.groupBy("bin")
+      .agg(org.apache.spark.sql.functions.sum("n_tokens").as("t"))
+      .as[(Long, Long)].collect().toMap
+    assert(byBin.values.forall(_ <= 64), s"bin overflow: $byBin")
+    // and packing is a permutation of the input (no doc lost or split)
+    assert(packed.count() == 200)
+  }
+
   test("chunkTokens windows cover the doc with stride overlap") {
     // 10 tokens, chunk 4, stride 3 -> starts 1,4,7 (ceil((10-4)/3)+1 = 3)
     val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
