@@ -32,6 +32,7 @@ import graft.streaming.{Pipe, Pipes}
   *     INTO LAKE '<dstTable>' CHECKPOINT '<chk>'  -- incremental lake→lake
   *   TRIGGER PIPE <name>
   *   SHOW PIPES
+  *   SHOW STREAMS                               -- active streaming queries
   *   ALTER TABLE <ident> REFRESH METADATA
   *   DESCRIBE LAKE '<dir>'                      -- snapshot history
   *   CREATE LAKE '<dir>' [PARTITION BY (t(c), ...)] [STATS (c, ...)]
@@ -114,6 +115,8 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
         CreatePipeCommand(name, src, fmt.toLowerCase, ddl, target, chk)
       case TriggerPipeRe(name) => TriggerPipeCommand(name)
       case ShowPipesRe() => ShowPipesCommand(out("name", "source", "format", "target"))
+      case ShowStreamsRe() => ShowStreamsCommand(out("id", "name", "batch_id",
+        "num_input_rows", "status"))
       case AlterPipeStatusRe(name, flag) =>
         AlterPipeStatusCommand(name, flag.equalsIgnoreCase("TRUE"))
       case AlterPipeDefRe() =>
@@ -381,6 +384,7 @@ object GraftSqlParser {
       """SCHEMA\s+'([^']+)'\s+INTO\s+LAKE\s+'([^']+)'\s+CHECKPOINT\s+'([^']+)'\s*;?""").r
   private val TriggerPipeRe = """(?is)TRIGGER\s+PIPE\s+(\w+)\s*;?""".r
   private val ShowPipesRe = """(?is)SHOW\s+PIPES\s*;?""".r
+  private val ShowStreamsRe = """(?is)SHOW\s+STREAMS\s*;?""".r
   // pipe lifecycle (reference ingestion.ftl: SqlAlterPipeStatus,
   // SqlAlterPipe, SqlDropPipe, SqlDescribePipe)
   private val AlterPipeStatusRe =
@@ -1142,6 +1146,20 @@ object GraftSqlParser {
   case class ShowPipesCommand(override val output: Seq[Attribute]) extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] =
       Pipes.list.map(p => Row(p.name, p.sourceDir, p.format, p.targetDir))
+  }
+
+  /** SHOW STREAMS: every active Structured Streaming query on the shared
+    * context with its latest progress (the SQL face of `sys_streams`). */
+  case class ShowStreamsCommand(override val output: Seq[Attribute])
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] =
+      spark.streams.active.toSeq.map { q =>
+        val p = Option(q.lastProgress)
+        Row(q.id.toString, Option(q.name).getOrElse(""),
+          p.map(_.batchId).getOrElse(-1L).toString,
+          p.map(_.numInputRows).getOrElse(0L).toString,
+          q.status.message)
+      }
   }
 
   /** EXPLAIN JSON [phase] FOR <query> (reference SqlExplainJson,

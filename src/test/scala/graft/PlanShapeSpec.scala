@@ -104,6 +104,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.toLowerCase.contains("leftanti"), p)
   }
 
+  test("retrieval_mmr: broadcast query batch, bounded-heap pool, greedy stays per-group") {
+    // stage 1 must broadcast the tiny query side over the streamed corpus
+    // and bound the pool with TopKPerKey heaps; the greedy itself is a
+    // typed per-query mapGroups — ONE group exchange, never an all-pairs
+    val p = plan("retrieval_mmr")
+    assert(p.contains("TopKPerKey"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query batch must broadcast over the corpus: " + p)
+    assert(p.contains("MapGroups") || p.contains("FlatMapGroups"),
+      "greedy selection must be a grouped operator: " + p)
+  }
+
+  test("pack_next_fit: one stratum shuffle + a map pass, no window materialization") {
+    // next-fit is an O(1)-state iterator fold after the stratum
+    // repartition+sort — a Window here would mean the fold fell back to
+    // materializing per-stratum frames
+    val p = plan("pack_next_fit")
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(!finalSection.contains("Window"),
+      "no window frames in the packing fold: " + p)
+    assert(finalSection.contains("MapPartitions") ||
+      finalSection.contains("SerializeFromObject"), p)
+  }
+
   test("events_gap_fill shuffles once per user for rollup + spine + window") {
     // rollup agg, spine explode and the carry-forward window all hash on
     // user_id — AQE may reuse but never add a non-user_id exchange; the

@@ -114,6 +114,11 @@ class SqlSurfaceSpec extends AnyFunSuite {
         .collect()
       assert(rows.length == 1, s"expected the active stream: ${rows.toSeq}")
       assert(rows.head.getLong(1) >= 0L && rows.head.getLong(2) >= 1L, rows.head.toString)
+      // and the SQL verb face of the same listing
+      val shown = spark.sql("SHOW STREAMS").collect()
+        .map(r => (r.getString(1), r.getString(3)))
+      assert(shown.exists { case (n, in) => n == "sysstr_q" && in.toLong >= 1L },
+        s"SHOW STREAMS must list the active query: ${shown.toSeq}")
     } finally q.stop()
     assert(spark.sql("SELECT * FROM sys_streams WHERE name = 'sysstr_q'").count() == 0,
       "a stopped stream must leave the view")

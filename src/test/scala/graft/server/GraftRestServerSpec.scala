@@ -214,14 +214,29 @@ class GraftRestServerSpec extends AnyFunSuite {
     assert(recs.nonEmpty)
     val (c1, b1) = get("/jobs")
     assert(c1 == 200, b1.take(300))
-    val latest = recs.last
-    assert(b1.contains(s"\"id\":${latest.id}"), s"latest job missing from listing: ${b1.take(300)}")
-    val (c2, b2) = get(s"/jobs/${latest.id}")
+    // the history ring is SHARED across the JVM — concurrently-running
+    // suites may append (and evict) between our snapshot and the GET, so
+    // assert on the listing's own newest id (must be at least as new as
+    // our statement) and fetch the detail by a LISTED id, never by a
+    // possibly-evicted one
+    val idRe = "\"id\":(\\d+)".r
+    val listedIds = idRe.findAllMatchIn(b1).map(_.group(1).toLong).toSeq
+    assert(listedIds.nonEmpty && listedIds.head >= recs.last.id,
+      s"listing must lead with a job at least as new as ours: ${b1.take(300)}")
+    val (c2, b2) = get(s"/jobs/${listedIds.head}")
     assert(c2 == 200 && b2.contains("\"durationMs\":"), b2.take(300))
-    // profile: use the latest profiled id (profiles ride successful actions)
-    val pid = graft.catalog.QueryHistory.latestProfiledId.get
-    val ops = graft.catalog.QueryHistory.profileOf(pid)
-    val (c3, b3) = get(s"/jobs/$pid/profile")
+    // profile: use the latest profiled id (profiles ride successful
+    // actions); retry once if a concurrent storm evicted it mid-check
+    def profileRound(): (Int, String, Seq[graft.catalog.OperatorProfile]) = {
+      val pid = graft.catalog.QueryHistory.latestProfiledId.get
+      val ops = graft.catalog.QueryHistory.profileOf(pid)
+      val (c, b) = get(s"/jobs/$pid/profile")
+      (c, b, ops)
+    }
+    val (c3, b3, ops) = profileRound() match {
+      case (404, _, _) => profileRound()
+      case ok => ok
+    }
     assert(c3 == 200, b3.take(300))
     ops.foreach(o => assert(b3.contains(s"""\"operator\":\"${o.operator}\""""),
       s"operator ${o.operator} missing from REST profile"))
