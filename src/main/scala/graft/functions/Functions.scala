@@ -39,6 +39,8 @@ object Functions {
     col(BpeEncode(ex(text), merges))
   def unigram_encode(text: Column, vocab: Seq[(String, Double)]): Column =
     col(UnigramEncode(ex(text), vocab))
+  def wordpiece_encode(text: Column, pieces: Seq[String]): Column =
+    col(WordPieceEncode(ex(text), pieces))
 
   /** Hamming distance between two 64-bit fingerprints (built-in composition:
     * stays in whole-stage codegen). */

@@ -291,3 +291,46 @@ case class UnigramEncode(child: Expression, vocab: Seq[(String, Double)])
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** wordpiece_encode(text, pieces) -> array<string>: greedy longest-match
+  * (BERT `WordpieceTokenizer`) token stream under a trained WordPiece
+  * vocabulary (see [[graft.llm.WordPiece]] — `##` continuations, whole-
+  * word `[UNK]` fallback). Same deployment shape as [[BpeEncode]]: the
+  * vocabulary rides the serialized plan, pre-tokens segment independently
+  * and each executor memoizes the encoding per word TYPE. */
+case class WordPieceEncode(child: Expression, pieces: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "wordpiece_encode"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val vocab: Set[String] = pieces.toSet
+  @transient private lazy val maxContentLen: Int =
+    if (pieces.isEmpty) 1
+    else pieces.iterator
+      .map(p => if (p.startsWith(graft.llm.WordPiece.Continuation)) p.length - 2
+                else p.length)
+      .max
+  @transient private lazy val pattern =
+    java.util.regex.Pattern.compile(BpeKernel.PreTokenPattern)
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[UTF8String]]()
+  private val CacheCap = 100000 // word TYPES; reset beyond (no LRU bookkeeping)
+
+  override def nullSafeEval(v: Any): Any = {
+    val text = v.asInstanceOf[UTF8String].toString
+    val out = new java.util.ArrayList[AnyRef]()
+    val m = pattern.matcher(text)
+    while (m.find()) {
+      val word = m.group()
+      if (cache.size() > CacheCap) cache.clear()
+      val toks = cache.computeIfAbsent(word,
+        w => graft.llm.WordPiece.encodeWord(w, vocab, maxContentLen)
+          .map(UTF8String.fromString))
+      var i = 0
+      while (i < toks.length) { out.add(toks(i)); i += 1 }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -1355,6 +1355,111 @@ object LlmQueries {
            CAST(length(regexp_replace(text, '\s', '', 'g')) AS INT) AS n_tokens
     FROM documents ORDER BY doc_id"""
 
+  /** Corpus-trained WordPiece vocabulary (Schuster & Nakajima 2012 / BERT;
+    * no oracle: the likelihood-scored merge loop is not SQL-expressible —
+    * score semantics pinned against hand-computed merges in
+    * WordPieceSpec). Deterministic given the corpus. */
+  val wordpieceTrainPieces: QueryFn = (s, dir) => {
+    import s.implicits._
+    val v = WordPiece.train(Tables.ensure(s, dir).documents, vocabSize = 300,
+      maxWordTypes = 50000)
+    v.pieces.zipWithIndex.map { case (p, i) => (i, p) }
+      .toDF("rank", "piece").orderBy(col("rank"))
+  }
+
+  /** Corpus tokenized with its own trained WordPiece vocabulary
+    * (rows-only; greedy longest-match semantics pinned in WordPieceSpec
+    * and by the FULL `wordpiece_fixed_tokens` oracle below). */
+  val wordpieceTokens: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents
+    val v = WordPiece.train(docs, vocabSize = 300, maxWordTypes = 50000)
+    WordPiece.encode(docs, v)
+      .select(col("doc_id"), col("n_tokens"),
+        md5(concat_ws("", col("tokens"))).as("tokens_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The fixed vocabulary for the oracle-gated WordPiece query: all ASCII
+    * letters (plain + `##` continuation) plus a handful of multi-char
+    * pieces. Digits and punctuation are deliberately ABSENT so the
+    * whole-word `[UNK]` fallback fires on every digit-run/punctuation
+    * pre-token — the oracle covers both paths. MUST stay in lockstep with
+    * `wordpieceFixedTokensSql`'s `v` CTE. */
+  private val WpFixedVocab: Vector[String] = {
+    val letters = (('a' to 'z') ++ ('A' to 'Z')).map(_.toString)
+    val multi = Vector("the", "in", "re", "an", "on", "at", "or", "en",
+      "th", "er", "##ing", "##ed", "##er", "##s", "##th", "##e", "##t",
+      "##d", "##ion", "##ly")
+    (letters ++ letters.map("##" + _) ++ multi).distinct.toVector
+  }
+
+  /** WordPiece greedy longest-match encoding under a FULL oracle: with a
+    * FIXED vocabulary the greedy walk is deterministic, and DuckDB replays
+    * it exactly — per distinct word type, a non-recursive join computes
+    * the longest piece matching at every cursor position, then a
+    * recursive CTE follows that `next` table (greedy = a chain, so the
+    * recursion is pure joins — no aggregates in the recursive term).
+    * Per-doc token and `[UNK]` counts are then frequency-weighted sums
+    * over word types. Covers: longest-match-wins, `##` continuation
+    * positioning, whole-word [UNK] on uncovered chars (digits/punct). */
+  val wordpieceFixedTokens: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents.filter(col("doc_id") < 300)
+    WordPiece.encode(docs, WordPiece.WordPieceVocab(WpFixedVocab))
+      .select(col("doc_id"), col("n_tokens"),
+        size(filter(col("tokens"), t => t === lit(WordPiece.Unk))).as("n_unk"))
+      .orderBy(col("doc_id"))
+  }
+  val wordpieceFixedTokensSql: String = """
+    WITH RECURSIVE
+    letters AS (
+      SELECT chr(CAST(x AS INT)) AS c FROM generate_series(97, 122) t(x)
+      UNION ALL SELECT chr(CAST(x AS INT)) FROM generate_series(65, 90) t(x)),
+    multi(piece) AS (SELECT * FROM (VALUES ('the'),('in'),('re'),('an'),
+      ('on'),('at'),('or'),('en'),('th'),('er'),('##ing'),('##ed'),('##er'),
+      ('##s'),('##th'),('##e'),('##t'),('##d'),('##ion'),('##ly')) vv(piece)),
+    v AS (
+      SELECT DISTINCT piece,
+        CASE WHEN piece LIKE '##%' THEN substr(piece, 3) ELSE piece END AS content,
+        (piece LIKE '##%') AS cont
+      FROM (SELECT c AS piece FROM letters
+            UNION ALL SELECT '##' || c FROM letters
+            UNION ALL SELECT piece FROM multi)),
+    docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+    w AS (SELECT doc_id,
+            unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS word
+          FROM docs),
+    wc AS (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY 1, 2),
+    wt AS (SELECT DISTINCT word FROM wc),
+    pos AS (SELECT word, CAST(unnest(range(0, len(word))) AS INT) AS p FROM wt),
+    m AS (
+      SELECT pos.word, pos.p, len(v.content) AS clen,
+        row_number() OVER (PARTITION BY pos.word, pos.p
+                           ORDER BY len(v.content) DESC, v.piece) AS rk
+      FROM pos JOIN v ON v.cont = (pos.p > 0)
+        AND len(v.content) <= len(pos.word) - pos.p
+        AND substr(pos.word, pos.p + 1, len(v.content)) = v.content),
+    step AS (SELECT word, p, clen FROM m WHERE rk = 1),
+    walk(word, p, n, unk) AS (
+      SELECT word, 0, 0, len(word) > 100 FROM wt
+      UNION ALL
+      SELECT wk.word,
+        CAST(COALESCE(wk.p + s.clen, len(wk.word)) AS INT),
+        wk.n + 1,
+        s.p IS NULL
+      FROM walk wk LEFT JOIN step s ON s.word = wk.word AND s.p = wk.p
+      WHERE wk.p < len(wk.word) AND NOT wk.unk),
+    enc AS (
+      SELECT word, CASE WHEN unk THEN 1 ELSE n END AS n_toks,
+             CASE WHEN unk THEN 1 ELSE 0 END AS n_unk
+      FROM walk WHERE unk OR p >= len(word)),
+    agg AS (
+      SELECT wc.doc_id, sum(wc.cnt * enc.n_toks) AS n_tokens,
+             sum(wc.cnt * enc.n_unk) AS n_unk
+      FROM wc JOIN enc ON enc.word = wc.word GROUP BY 1)
+    SELECT d.doc_id, CAST(COALESCE(a.n_tokens, 0) AS INT) AS n_tokens,
+           CAST(COALESCE(a.n_unk, 0) AS INT) AS n_unk
+    FROM docs d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"""
+
   /** Character-class hygiene over text with synthesized mojibake (the
     * fixture is pure ASCII): bell control chars, accented chars, and
     * U+FFFD appended deterministically per doc_id, then measured. */
@@ -1858,6 +1963,9 @@ object LlmQueries {
     "unigram_train_pieces" -> unigramTrainPieces,
     "unigram_tokens" -> unigramTokens,
     "unigram_char_tokens" -> unigramCharTokens,
+    "wordpiece_train_pieces" -> wordpieceTrainPieces,
+    "wordpiece_tokens" -> wordpieceTokens,
+    "wordpiece_fixed_tokens" -> wordpieceFixedTokens,
     "multimodal_features" -> multimodalFeatures)
 
   val oracle: Map[String, String] = Map(
@@ -1914,5 +2022,6 @@ object LlmQueries {
     "text_charclass" -> textCharclassSql,
     "url_filter" -> urlFilterSql,
     "bpe_char_tokens" -> bpeCharTokensSql,
-    "unigram_char_tokens" -> unigramCharTokensSql)
+    "unigram_char_tokens" -> unigramCharTokensSql,
+    "wordpiece_fixed_tokens" -> wordpieceFixedTokensSql)
 }
