@@ -1355,6 +1355,93 @@ object LlmQueries {
            CAST(length(regexp_replace(text, '\s', '', 'g')) AS INT) AS n_tokens
     FROM documents ORDER BY doc_id"""
 
+  /** SFT chat-template rendering + loss-mask spans under a FULL oracle
+    * ([[SftFormat.renderChatMl]]): conversations are derived
+    * deterministically from documents (sentence-split alternating
+    * user/assistant turns under a fixed system prompt), rendered to
+    * ChatML, and every assistant span is emitted with its character
+    * range plus md5 of BOTH the rendered conversation and the substring
+    * the span addresses — DuckDB re-renders and re-slices independently,
+    * so template chrome, offset arithmetic, and span/content agreement
+    * are all hash-gated. */
+  val sftChatmlSpans: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents
+      .filter(col("doc_id") < 300 && length(trim(col("text"))) > 0)
+    // turns = consecutive 12-word chunks (the fixture has no sentence
+    // punctuation), odd chunks user / even chunks assistant
+    val numbered = docs
+      .select(col("doc_id"),
+        expr("filter(split(text, '\\\\s+'), w -> length(w) > 0)").as("words"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, cast(ceil(size(words) / 12.0) as int) - 1), " +
+          "i -> array_join(slice(words, i * 12 + 1, 12), ' '))")))
+      .select(col("doc_id").as("conv_id"), (col("pos") + 1).as("turn_idx"),
+        col("col").as("content"))
+      .select(col("conv_id"), col("turn_idx"),
+        when(col("turn_idx") % 2 === 1, "user").otherwise("assistant").as("role"),
+        col("content"))
+    val turns = docs
+      .select(col("doc_id").as("conv_id"), lit(0).as("turn_idx"),
+        lit("system").as("role"),
+        lit("You are a helpful assistant.").as("content"))
+      .unionByName(numbered)
+    SftFormat.renderChatMl(turns)
+      .select(col("conv_id"), col("n_turns"), col("n_mask_chars"),
+        col("text"), explode(col("mask_spans")).as("sp"))
+      .select(col("conv_id"), col("n_turns"), col("n_mask_chars"),
+        md5(col("text")).as("text_md5"), col("sp.turn_idx").as("turn_idx"),
+        col("sp.start").as("span_start"), col("sp.end").as("span_end"),
+        md5(expr("substring(text, cast(sp.start + 1 as int), " +
+          "cast(sp.end - sp.start as int))")).as("span_md5"))
+      .orderBy(col("conv_id"), col("turn_idx"))
+  }
+  val sftChatmlSpansSql: String = """
+    WITH docs AS (SELECT doc_id, text FROM documents
+                  WHERE doc_id < 300 AND len(trim(text)) > 0),
+    p AS (SELECT doc_id,
+            list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0) AS words
+          FROM docs),
+    numbered AS (SELECT doc_id,
+        CAST(u.i + 1 AS INT) AS turn_idx, u.c AS content
+      FROM (SELECT doc_id, unnest(list_transform(
+              generate_series(0, CAST(ceil(len(words) / 12.0) AS INT) - 1),
+              i -> {'i': i, 'c': array_to_string(
+                      list_slice(words, i * 12 + 1, i * 12 + 12), ' ')})) AS u
+            FROM p) q),
+    turns AS (
+      SELECT doc_id AS conv_id, 0 AS turn_idx, 'system' AS role,
+             'You are a helpful assistant.' AS content FROM docs
+      UNION ALL
+      SELECT doc_id, turn_idx,
+             CASE WHEN turn_idx % 2 = 1 THEN 'user' ELSE 'assistant' END,
+             content FROM numbered),
+    r AS (SELECT conv_id, turn_idx, role, content,
+            '<|im_start|>' || role || chr(10) || content || '<|im_end|>' || chr(10)
+              AS rendered
+          FROM turns),
+    o AS (SELECT *,
+            CAST(COALESCE(sum(length(rendered)) OVER (
+              PARTITION BY conv_id ORDER BY turn_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+              AS turn_start
+          FROM r),
+    sp AS (SELECT conv_id, turn_idx, role,
+            turn_start + 12 + length(role) + 1 AS span_start,
+            turn_start + 12 + length(role) + 1 + length(content) AS span_end
+          FROM o),
+    conv AS (SELECT conv_id, string_agg(rendered, '' ORDER BY turn_idx) AS text,
+                    count(*) AS n_turns
+             FROM o GROUP BY conv_id),
+    mask AS (SELECT conv_id, CAST(sum(span_end - span_start) AS BIGINT) AS n_mask_chars
+             FROM sp WHERE role = 'assistant' GROUP BY conv_id)
+    SELECT s.conv_id, c.n_turns, m.n_mask_chars, md5(c.text) AS text_md5,
+           s.turn_idx, s.span_start, s.span_end,
+           md5(substr(c.text, CAST(s.span_start + 1 AS INT),
+                      CAST(s.span_end - s.span_start AS INT))) AS span_md5
+    FROM sp s JOIN conv c USING (conv_id) JOIN mask m USING (conv_id)
+    WHERE s.role = 'assistant'
+    ORDER BY conv_id, turn_idx"""
+
   /** Corpus-trained WordPiece vocabulary (Schuster & Nakajima 2012 / BERT;
     * no oracle: the likelihood-scored merge loop is not SQL-expressible —
     * score semantics pinned against hand-computed merges in
@@ -1963,6 +2050,7 @@ object LlmQueries {
     "unigram_train_pieces" -> unigramTrainPieces,
     "unigram_tokens" -> unigramTokens,
     "unigram_char_tokens" -> unigramCharTokens,
+    "sft_chatml_spans" -> sftChatmlSpans,
     "wordpiece_train_pieces" -> wordpieceTrainPieces,
     "wordpiece_tokens" -> wordpieceTokens,
     "wordpiece_fixed_tokens" -> wordpieceFixedTokens,
@@ -2023,5 +2111,6 @@ object LlmQueries {
     "url_filter" -> urlFilterSql,
     "bpe_char_tokens" -> bpeCharTokensSql,
     "unigram_char_tokens" -> unigramCharTokensSql,
-    "wordpiece_fixed_tokens" -> wordpieceFixedTokensSql)
+    "wordpiece_fixed_tokens" -> wordpieceFixedTokensSql,
+    "sft_chatml_spans" -> sftChatmlSpansSql)
 }
