@@ -1187,6 +1187,62 @@ object LlmQueries {
     SELECT q_id, c_id, CAST(rk AS INT) AS rk FROM r WHERE rk <= 10
     ORDER BY q_id, rk"""
 
+  /** Persisted IVF-SQ8 index, built then served ([[VectorIndex]]): the
+    * coarse quantizer is FIXED to the first four corpus vectors so DuckDB
+    * can replay the whole pipeline — assignment (argmax centroid cosine,
+    * ties toward the lower bucket), per-query 2-probe, int8
+    * dequantization (bit-identical doubles), candidate scoring and
+    * ranking. The Spark side must round-trip everything through the two
+    * lake tables on disk: nothing is recomputed from the in-memory
+    * corpus at search time. Assignment/probe argmax margins on the
+    * near-random fixture are orders above cross-engine float-vs-double
+    * cosine divergence (~1e-8); scoring itself is exact doubles. */
+  val annIndexPersisted: QueryFn = (s, dir) => {
+    val e = Tables.ensure(s, dir).embeddings
+    val idx = graft.queries.Lake.scratchDir("llm_vec_index")
+    val cents = e.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
+    VectorIndex.build(e, idx, centroids = Some(cents))
+    VectorIndex.search(s, idx, e.filter(col("vec_id") < 6), k = 10, nProbe = 2)
+      .select(col("q_id"), col("c_id"), col("rk"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+  val annIndexPersistedSql: String = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT CAST(vec_id AS INT) AS bucket, v AS cv FROM e WHERE vec_id < 4),
+    asg AS (SELECT e.vec_id, c.bucket,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.bucket) AS rn
+            FROM e CROSS JOIN cents c),
+    cbucket AS (SELECT vec_id, bucket FROM asg WHERE rn = 1),
+    m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e),
+    dq AS (SELECT vec_id,
+            CASE WHEN mx = mn THEN list_transform(v, x -> mn)
+                 ELSE list_transform(v, x ->
+                   CAST(round((x - mn) / ((mx - mn) / 255.0)) AS INT)
+                     * ((mx - mn) / 255.0) + mn)
+            END AS dv
+           FROM m),
+    qp AS (SELECT e.vec_id AS q_id, c.bucket,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.bucket) AS rn
+           FROM e CROSS JOIN cents c WHERE e.vec_id < 6),
+    probe AS (SELECT q_id, bucket FROM qp WHERE rn <= 2),
+    qv AS (SELECT vec_id AS q_id, v AS qvec FROM e WHERE vec_id < 6),
+    cand AS (SELECT DISTINCT p.q_id, cb.vec_id AS c_id
+             FROM probe p JOIN cbucket cb ON cb.bucket = p.bucket
+             WHERE cb.vec_id <> p.q_id),
+    s AS (SELECT cand.q_id, cand.c_id,
+            list_cosine_similarity(qv.qvec, dq.dv) AS cos
+          FROM cand JOIN qv ON qv.q_id = cand.q_id
+                    JOIN dq ON dq.vec_id = cand.c_id),
+    r AS (SELECT q_id, c_id,
+            row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
+          FROM s)
+    SELECT q_id, c_id, CAST(rk AS INT) AS rk FROM r WHERE rk <= 10
+    ORDER BY q_id, rk"""
+
   /** SemDeDup survivors over the fixture embeddings (no oracle: k-means
     * assignments are engine-specific float argmaxes; semantics pinned by
     * DedupSpec's planted-duplicate fixture instead). Threshold 0.4 marks
@@ -2041,6 +2097,7 @@ object LlmQueries {
     "dedup_streaming_admit" -> dedupStreamingAdmit,
     "semdedup_keep" -> semdedupKeep,
     "ann_quantized_ids" -> annQuantizedIds,
+    "ann_index_persisted" -> annIndexPersisted,
     "ann_ivf_pq" -> annIvfPq,
     "text_charclass" -> textCharclass,
     "url_filter" -> urlFilter,
@@ -2107,6 +2164,7 @@ object LlmQueries {
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_streaming_admit" -> dedupStreamingAdmitSql,
     "ann_quantized_ids" -> annQuantizedIdsSql,
+    "ann_index_persisted" -> annIndexPersistedSql,
     "text_charclass" -> textCharclassSql,
     "url_filter" -> urlFilterSql,
     "bpe_char_tokens" -> bpeCharTokensSql,
