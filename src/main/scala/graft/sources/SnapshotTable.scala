@@ -1230,6 +1230,20 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     * data BEFORE publishing its commit, and deleting those files would
     * corrupt the commit it is about to make (Iceberg's orphan-file
     * retention window, default 1 h). Returns deleted paths. */
+  /** Timestamp-based expiry (reference `SqlVacuumTable`'s
+    * `EXPIRE SNAPSHOTS OLDER_THAN ts [RETAIN_LAST n]`, Iceberg
+    * `expire_snapshots(older_than =>)`): keep every commit stamped at or
+    * after `cutoffMs`, but never fewer than `retainLast` (floor 1), then
+    * delete what nothing retained references — the age rule and the count
+    * rule compose as a max, exactly Iceberg's contract. */
+  def vacuumOlderThan(cutoffMs: Long, retainLast: Int = 1,
+                      graceMs: Long = 3600000L): Seq[String] = {
+    val all = commits
+    if (all.isEmpty) return Nil
+    val byAge = all.count(_.timestampMs >= cutoffMs)
+    vacuum(math.max(1, math.max(byAge, retainLast)), graceMs)
+  }
+
   def vacuum(retainLast: Int, graceMs: Long = 3600000L): Seq[String] = {
     require(retainLast >= 1, "vacuum must retain at least the current snapshot")
     val all = commits
@@ -1834,6 +1848,22 @@ object SnapshotTable {
 
   def isLakeTable(dir: String): Boolean =
     LakeIO.isDirectory(LakeIO.path(dir, LogDirName))
+
+  /** Lake tables under `root` (VACUUM CATALOG's sweep set): recursive
+    * directory walk that never descends INTO a found table (partition
+    * subdirs aren't tables) and skips internal/hidden names. Depth-capped
+    * defensively. */
+  def findLakeTables(root: String, depth: Int = 0): Seq[String] =
+    if (isLakeTable(root)) Seq(root)
+    else if (depth >= 16 || !LakeIO.isDirectory(LakeIO.path(root))) Nil
+    else {
+      val p = LakeIO.path(root)
+      LakeIO.listNames(p)
+        .filterNot(n => n.startsWith("_") || n.startsWith("."))
+        .map(p.resolve(_))
+        .filter(LakeIO.isDirectory)
+        .flatMap(c => findLakeTables(c.raw, depth + 1))
+    }
 
   /** Route commit publishes for lake tables under `pathPrefix` through a
     * claim-based coordinator rooted at `coordDir` (a path with atomic

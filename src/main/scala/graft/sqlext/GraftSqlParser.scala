@@ -64,7 +64,8 @@ import graft.streaming.{Pipe, Pipes}
   *   ALTER LAKE '<dir>' ADD COLUMN <name> <type>       -- fresh field id
   *   ALTER LAKE '<dir>' DROP COLUMN <name>             -- id retired
   *   ROLLBACK LAKE '<dir>' TO VERSION <n>   -- restore as a new commit
-  *   VACUUM LAKE '<dir>' [RETAIN <n> VERSIONS] [GRACE <ms>]  -- expire + delete
+  *   VACUUM LAKE '<dir>' [OLDER_THAN '<ts>'] [RETAIN <n> VERSIONS] [GRACE <ms>]
+  *   VACUUM CATALOG '<root>' [OLDER_THAN '<ts>'] [RETAIN <n> VERSIONS] [GRACE <ms>]
   *   SHOW CREATE LAKE '<dir>'   -- column DDL + sticky layout + head version
   *   ANALYZE LAKE '<dir>'   -- one-pass column profile (HLL ndv)
   *   COPY INTO '<targetDir>' FROM '<src>' FORMAT <fmt> SCHEMA '<ddl>'
@@ -288,10 +289,19 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
       case ShowCreateLakeRe(dir) =>
         ShowCreateLakeCommand(dir,
           out("column_ddl", "partition_spec", "stats_cols", "sort_by", "version"))
-      case VacuumLakeRe(dir, retain, grace) =>
+      case VacuumLakeRe(dir, olderThan, retain, grace) =>
         VacuumLakeCommand(dir,
-          Option(retain).map(_.toInt).getOrElse(2),
-          Option(grace).map(_.toLong).getOrElse(3600000L))
+          Option(retain).map(_.toInt).getOrElse(
+            if (olderThan != null) 1 else 2),
+          Option(grace).map(_.toLong).getOrElse(3600000L),
+          Option(olderThan).map(parseTsMillis))
+      case VacuumCatalogRe(root, olderThan, retain, grace) =>
+        VacuumCatalogCommand(root,
+          Option(retain).map(_.toInt).getOrElse(
+            if (olderThan != null) 1 else 2),
+          Option(grace).map(_.toLong).getOrElse(3600000L),
+          Option(olderThan).map(parseTsMillis),
+          out("table", "n_deleted"))
       case ExportLakeRe(src, dst, version, partBy, format, append) =>
         ExportLakeCommand(src, dst, Option(version).map(_.toLong),
           splitCols(partBy),
@@ -524,6 +534,15 @@ object GraftSqlParser {
   // in-flight writers — sub-hour values are for tests
   private val VacuumLakeRe =
     ("""(?is)VACUUM\s+LAKE\s+'([^']+)'""" +
+      """(?:\s+OLDER_THAN\s+'([^']+)')?""" +
+      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(?:\s+GRACE\s+(\d+))?\s*;?""").r
+  // catalog-wide sweep (reference SqlVacuumCatalog — `VACUUM CATALOG c`
+  // expires + orphan-sweeps EVERY table in the catalog): every graft-lake
+  // table under the root, authorization checked for ALL tables BEFORE the
+  // first deletion (a half-vacuumed catalog helps nobody)
+  private val VacuumCatalogRe =
+    ("""(?is)VACUUM\s+CATALOG\s+'([^']+)'""" +
+      """(?:\s+OLDER_THAN\s+'([^']+)')?""" +
       """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(?:\s+GRACE\s+(\d+))?\s*;?""").r
   // interop bridge: snapshot → plain parquet + Iceberg v2 metadata tree
   // (reference `exec/store/iceberg/` — table layout served to external
@@ -1433,16 +1452,47 @@ object GraftSqlParser {
     }
   }
 
-  /** VACUUM LAKE: expire history to the last `retain` versions and delete
-    * data files no retained snapshot (or ref) references. */
-  case class VacuumLakeCommand(dir: String, retain: Int, graceMs: Long)
+  /** VACUUM LAKE: expire history to the last `retain` versions — or, with
+    * OLDER_THAN, to every commit at/after the timestamp with `retain` as
+    * the floor (reference SqlVacuumTable's expire-snapshots options) —
+    * and delete data files no retained snapshot (or ref) references. */
+  case class VacuumLakeCommand(dir: String, retain: Int, graceMs: Long,
+                               olderThanMs: Option[Long] = None)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("n_deleted")
     override def run(spark: SparkSession): Seq[Row] = {
       graft.auth.Privileges.requireAction(spark, "alter", dir, "VACUUM LAKE")
-      val deleted = graft.sources.SnapshotTable.forPath(spark, dir)
-        .vacuum(retain, graceMs)
+      val t = graft.sources.SnapshotTable.forPath(spark, dir)
+      val deleted = olderThanMs match {
+        case Some(ts) => t.vacuumOlderThan(ts, retain, graceMs)
+        case None => t.vacuum(retain, graceMs)
+      }
       Seq(Row(deleted.size.toString))
+    }
+  }
+
+  /** VACUUM CATALOG (reference SqlVacuumCatalog): sweep EVERY graft-lake
+    * table under the root — same expiry options as VACUUM LAKE applied
+    * per table. ALTER is checked for every table BEFORE any deletion so
+    * an authorization failure can't leave the catalog half-vacuumed. */
+  case class VacuumCatalogCommand(root: String, retain: Int, graceMs: Long,
+                                  olderThanMs: Option[Long],
+                                  override val output: Seq[Attribute])
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val tables = graft.sources.SnapshotTable.findLakeTables(root).sorted
+      require(tables.nonEmpty,
+        s"VACUUM CATALOG: no lake tables under: $root")
+      tables.foreach(t =>
+        graft.auth.Privileges.requireAction(spark, "alter", t, "VACUUM CATALOG"))
+      tables.map { dir =>
+        val t = graft.sources.SnapshotTable.forPath(spark, dir)
+        val deleted = olderThanMs match {
+          case Some(ts) => t.vacuumOlderThan(ts, retain, graceMs)
+          case None => t.vacuum(retain, graceMs)
+        }
+        Row(dir, deleted.size.toString)
+      }
     }
   }
 

@@ -594,6 +594,49 @@ class SqlExtSpec extends AnyFunSuite {
     assert(ex != null)
   }
 
+  test("VACUUM LAKE OLDER_THAN keeps commits at/after the cutoff") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vacuum_older").toString + "/t"
+    spark.sql(s"CREATE LAKE '$dir' AS SELECT id FROM range(50)")
+    val t = graft.sources.SnapshotTable.forPath(spark, dir)
+    t.overwrite(spark.range(100, 120).toDF("id"))
+    // cutoff BETWEEN the two commits: v1 expires, v2 stays
+    val tsBetween = (t.commits.head.timestampMs + t.commits.last.timestampMs) / 2 + 1
+    val iso = new java.sql.Timestamp(tsBetween).toString
+    val deleted = spark.sql(
+      s"VACUUM LAKE '$dir' OLDER_THAN '$iso' GRACE 0").head().getString(0).toInt
+    assert(deleted > 0, "v1's files should be unreferenced and deleted")
+    assert(spark.sql(s"SELECT count(*) FROM lake_scan('$dir')").head().getLong(0) == 20L)
+    // a cutoff before BOTH commits expires nothing (age rule keeps both)
+    val t2dir = java.nio.file.Files.createTempDirectory("graft_vacuum_older2").toString + "/t"
+    spark.sql(s"CREATE LAKE '$t2dir' AS SELECT id FROM range(10)")
+    graft.sources.SnapshotTable.forPath(spark, t2dir)
+      .overwrite(spark.range(5).toDF("id"))
+    val deleted2 = spark.sql(
+      s"VACUUM LAKE '$t2dir' OLDER_THAN '1970-01-01 00:00:00' GRACE 0")
+      .head().getString(0).toInt
+    assert(deleted2 == 0, s"nothing is older than epoch, deleted $deleted2")
+  }
+
+  test("VACUUM CATALOG sweeps every lake table under the root") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vacuum_cat").toString
+    // two tables at different nesting depths + one non-table dir
+    spark.sql(s"CREATE LAKE '$root/a' AS SELECT id FROM range(30)")
+    spark.sql(s"CREATE LAKE '$root/nested/b' AS SELECT id FROM range(30)")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/empty"))
+    for (d <- Seq(s"$root/a", s"$root/nested/b"))
+      graft.sources.SnapshotTable.forPath(spark, d)
+        .overwrite(spark.range(5).toDF("id"))
+    val rows = spark.sql(s"VACUUM CATALOG '$root' RETAIN 1 VERSIONS GRACE 0")
+      .collect().map(r => (r.getString(0), r.getString(1).toInt)).toMap
+    assert(rows.size == 2, rows.toString)
+    assert(rows.keys.exists(_.endsWith("/a")) &&
+      rows.keys.exists(_.endsWith("/nested/b")), rows.keys.toString)
+    assert(rows.values.forall(_ > 0), s"both tables had unreferenced files: $rows")
+    // both still serve their current snapshots
+    assert(spark.sql(s"SELECT count(*) FROM lake_scan('$root/a')").head().getLong(0) == 5L)
+    assert(spark.sql(s"SELECT count(*) FROM lake_scan('$root/nested/b')").head().getLong(0) == 5L)
+  }
+
   test("OPTIMIZE LAKE ... WHERE compacts only the touched files (partial rewrite)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_opt_where").toString + "/t"
