@@ -561,4 +561,58 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(total == admitted1 + 5000L,
       s"all 5k re-crawls must drop against the lake state: $total")
   }
+
+  test("persisted IVF index at 1M vectors: serve path opens only probed partitions") {
+    gate()
+    val dir = java.nio.file.Files.createTempDirectory("graft_scale_vidx").toString
+    // 1M deterministic pseudo-random 16-dim vectors; vector 999_999 is an
+    // EXACT copy of vector 5 (the planted needle — SQ8 of identical input
+    // dequantizes identically, so its cosine is exactly 1.0)
+    val vecExpr = "transform(sequence(0, 15), j -> " +
+      "cast(pmod(xxhash64(vid * 16 + j), 2001) - 1000 AS float) / 1000.0)"
+    val corpus = spark.range(1000000).select(
+      col("id").as("vec_id"),
+      expr(vecExpr.replace("vid", "CASE WHEN id = 999999 THEN 5 ELSE id END"))
+        .as("embedding"))
+      .localCheckpoint(true)
+    // 64 supplied pseudo-random centroids (a Knuth-hash spread — the tier
+    // tests the LAYOUT, not k-means, which has its own specs)
+    val cents: Seq[Seq[Float]] = Seq.tabulate(64)(c =>
+      Seq.tabulate(16) { j =>
+        val h = ((c * 16 + j + 1) * 2654435761L) >>> 16
+        ((h % 2001L) - 1000L) / 1000.0f
+      })
+    graft.llm.VectorIndex.build(corpus, dir, centroids = Some(cents))
+    val postings = graft.sources.SnapshotTable.forPath(spark, s"$dir/postings").read()
+    val allFiles = postings.inputFiles.length
+    val nBuckets = postings.select(col("bucket")).distinct().count()
+    assert(nBuckets >= 32, s"degenerate quantizer: only $nBuckets buckets won vectors")
+    assert(allFiles >= nBuckets, s"expected >= $nBuckets posting files, got $allFiles")
+    assert(postings.count() == 1000000L)
+    // a 3-query batch probing 2 of 64 buckets must OPEN at most 6 buckets'
+    // files — the partition-pruned serve path, independent of corpus size
+    val queries = corpus.filter(col("vec_id").isin(5L, 77777L, 555555L))
+    val res = graft.llm.VectorIndex.search(spark, dir, queries, k = 10, nProbe = 2)
+    val rows = res.collect() // execute ONCE; metrics read from this run
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def findScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => findScans(a.executedPlan)
+      case s: QueryStageExec => findScans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(findScans)
+    }
+    val opened = findScans(res.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+    // ≤ 6 of ≥32 buckets probed → the scan must open well under a quarter
+    // of the files; at a real corpus this is the O(probed bytes) property
+    assert(opened > 0 && opened <= allFiles / 4,
+      s"serve path opened $opened of $allFiles files (≤ ${allFiles / 4} allowed)")
+    // the planted exact duplicate ranks FIRST for query 5 (same bucket by
+    // construction, cosine exactly 1.0 after dequantization)
+    val top = rows.find(r =>
+      r.getAs[Long]("q_id") == 5L && r.getAs[Int]("rk") == 1).get
+    assert(top.getAs[Long]("c_id") == 999999L && top.getAs[Double]("cos") >= 0.9999,
+      top.toString)
+  }
 }
