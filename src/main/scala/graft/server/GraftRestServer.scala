@@ -132,9 +132,78 @@ object GraftRestServer {
       }
     }
 
+    /** `GET|POST /catalog/<name>/collaboration/wiki|tag` (reference
+      * `CollaborationResource.java:40`): wiki text and tags with the
+      * reference's optimistic version handshake — POST must present the
+      * stored version (absent on first save); a stale version is 409.
+      * GET needs SELECT visibility, POST needs ALTER (or admin) while
+      * enforcement is on; an unknown dataset is 404 either way. */
+    private def handleCollab(ex: HttpExchange,
+                             principal: Option[graft.auth.Privileges.User],
+                             name: String, kind: String): Unit = {
+      val p = graft.auth.Privileges
+      import org.apache.spark.sql.functions.col
+      val exists = graft.catalog.InfoSchema.tables(root)
+        .filter(col("table_name") === name).limit(1).count() > 0
+      val verb = if (ex.getRequestMethod == "POST") "alter" else "select"
+      val allowed = !p.enforcing || principal.exists(u =>
+        u.admin || p.allowed(u, verb, p.normObj(name)))
+      if (!allowed)
+        respond(ex, 403, error(s"no ${verb.toUpperCase} grant on '$name'"))
+      else if (!exists) respond(ex, 404, error(s"no dataset named '$name'"))
+      else if (ex.getRequestMethod == "GET") {
+        val c = graft.catalog.Collaboration
+        if (kind == "wiki") {
+          val w = c.getWiki(name)
+          respond(ex, 200, s"""{"text":${q(w.map(_.text).getOrElse(""))},""" +
+            s""""version":${w.map(_.version.toString).getOrElse("null")}}""")
+        } else {
+          val t = c.getTags(name)
+          val tags = t.map(_.tags).getOrElse(Nil).map(q).mkString(",")
+          respond(ex, 200, s"""{"tags":[$tags],""" +
+            s""""version":${t.map(_.version.toString).getOrElse("null")}}""")
+        }
+      } else {
+        val body = new String(ex.getRequestBody.readAllBytes(),
+          StandardCharsets.UTF_8)
+        val version = jsonField(body, "version").map(_.toLong)
+        try {
+          if (kind == "wiki") {
+            val w = graft.catalog.Collaboration.setWiki(name,
+              jsonField(body, "text").getOrElse(""), version)
+            respond(ex, 200, s"""{"text":${q(w.text)},"version":${w.version}}""")
+          } else {
+            // tags is a flat array of strings: slice the brackets
+            val arr = {
+              val i = body.indexOf("\"tags\"")
+              val open = if (i < 0) -1 else body.indexOf('[', i)
+              val close = if (open < 0) -1 else body.indexOf(']', open)
+              if (open < 0 || close < 0) "" else body.substring(open, close)
+            }
+            val tags = "\"([^\"]*)\"".r.findAllMatchIn(arr).map(_.group(1)).toSeq
+            val t = graft.catalog.Collaboration.setTags(name, tags, version)
+            respond(ex, 200, s"""{"tags":[${t.tags.map(q).mkString(",")}],""" +
+              s""""version":${t.version}}""")
+          }
+        } catch {
+          case e: java.util.ConcurrentModificationException =>
+            respond(ex, 409, error(e.getMessage))
+          case e: IllegalArgumentException =>
+            respond(ex, 400, error(e.getMessage))
+        }
+      }
+    }
+
     override def handle(ex: HttpExchange): Unit =
       try {
-        if (ex.getRequestMethod != "GET") respond(ex, 405, error("GET only"))
+        val collabParts = ex.getRequestURI.getPath.stripPrefix("/catalog")
+          .stripPrefix("/").split("/")
+        val isCollab = collabParts.length == 3 &&
+          collabParts(1) == "collaboration" &&
+          (collabParts(2) == "wiki" || collabParts(2) == "tag")
+        if (ex.getRequestMethod != "GET" &&
+            !(isCollab && ex.getRequestMethod == "POST"))
+          respond(ex, 405, error("GET only (collaboration also takes POST)"))
         else basicPrincipal(ex) match {
           case Left((code, msg)) => respond(ex, code, error(msg))
           case Right(principal) =>
@@ -142,6 +211,10 @@ object GraftRestServer {
             def visible(obj: String): Boolean =
               !p.enforcing ||
                 principal.exists(u => p.allowed(u, "select", p.normObj(obj)))
+            if (isCollab) {
+              handleCollab(ex, principal, collabParts(0), collabParts(2))
+              return
+            }
             val rest = ex.getRequestURI.getPath.stripPrefix("/catalog")
               .stripPrefix("/").trim
             // read-only metadata listing over the SERVER's session: a

@@ -138,6 +138,52 @@ class GraftRestServerSpec extends AnyFunSuite {
     assert(c3 == 404 && b3.contains("\"error\""), b3.take(200))
   }
 
+  private def postRaw(path: String, body: String): (Int, String) = {
+    val port = GraftRestServer.port.getOrElse(GraftRestServer.start(spark))
+    val req = HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  test("collaboration wiki + tags: version handshake, 409 on stale, 404 on unknown") {
+    graft.catalog.Collaboration.reset()
+    spark.sql("SELECT 1 AS a").createOrReplaceTempView("rest_collab_v")
+    // empty defaults before anything is saved
+    val (g0, b0) = get("/catalog/rest_collab_v/collaboration/wiki")
+    assert(g0 == 200 && b0.contains("\"text\":\"\"") && b0.contains("\"version\":null"), b0)
+    val (t0, tb0) = get("/catalog/rest_collab_v/collaboration/tag")
+    assert(t0 == 200 && tb0.contains("\"tags\":[]"), tb0)
+    // first save: no version field
+    val (w1, wb1) = postRaw("/catalog/rest_collab_v/collaboration/wiki",
+      """{"text": "the events table wiki"}""")
+    assert(w1 == 200 && wb1.contains("\"version\":0"), wb1)
+    // update MUST present the stored version; bumps it
+    val (w2, wb2) = postRaw("/catalog/rest_collab_v/collaboration/wiki",
+      """{"text": "updated", "version": 0}""")
+    assert(w2 == 200 && wb2.contains("\"version\":1"), wb2)
+    // a stale version is the reference's ConcurrentModification -> 409
+    val (w3, wb3) = postRaw("/catalog/rest_collab_v/collaboration/wiki",
+      """{"text": "lost update", "version": 0}""")
+    assert(w3 == 409 && wb3.contains("does not match"), s"$w3 $wb3")
+    val (g1, gb1) = get("/catalog/rest_collab_v/collaboration/wiki")
+    assert(g1 == 200 && gb1.contains("\"text\":\"updated\""), gb1)
+    // tags: save, read back, duplicate refused as 400
+    val (tg1, tgb1) = postRaw("/catalog/rest_collab_v/collaboration/tag",
+      """{"tags": ["gold", "pii"]}""")
+    assert(tg1 == 200 && tgb1.contains("\"gold\"") && tgb1.contains("\"version\":0"), tgb1)
+    val (tg2, tgb2) = postRaw("/catalog/rest_collab_v/collaboration/tag",
+      """{"tags": ["gold", "gold"], "version": 0}""")
+    assert(tg2 == 400 && tgb2.contains("unique"), s"$tg2 $tgb2")
+    // unknown dataset is 404 for both verbs
+    val (u1, _) = get("/catalog/no_such_ds_zzz/collaboration/wiki")
+    assert(u1 == 404)
+    val (u2, _) = postRaw("/catalog/no_such_ds_zzz/collaboration/wiki",
+      """{"text": "x"}""")
+    assert(u2 == 404)
+  }
+
   private def getAuthed(path: String, user: String, pw: String): (Int, String) = {
     val port = GraftRestServer.port.getOrElse(GraftRestServer.start(spark))
     val cred = java.util.Base64.getEncoder.encodeToString(s"$user:$pw".getBytes)
