@@ -1187,6 +1187,39 @@ object LlmQueries {
     SELECT q_id, c_id, CAST(rk AS INT) AS rk FROM r WHERE rk <= 10
     ORDER BY q_id, rk"""
 
+  /** Winnowing fingerprints (MOSS) under a FULL oracle: the gram hash is
+    * fixed-width md5 hex, so window minima — and with them every
+    * selection, including rightmost-tie positions — agree across engines
+    * as plain string comparisons; DuckDB replays grams, windows, minima
+    * and the distinct selection set, and the per-doc fingerprint list is
+    * md5-gated in sorted order. */
+  val textWinnow: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents.filter(col("doc_id") < 300)
+    TextAnalysis.winnowFingerprints(docs, k = 8, w = 5)
+      .select(col("doc_id"), col("n_grams"), col("n_fps"),
+        md5(array_join(array_sort(col("fingerprints")), ",")).as("fps_md5"))
+      .orderBy(col("doc_id"))
+  }
+  val textWinnowSql: String = """
+    WITH d AS (SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 300),
+    g AS (SELECT doc_id,
+            CASE WHEN length(t) < 8 THEN []
+                 ELSE list_transform(generate_series(1, length(t) - 8 + 1),
+                        i -> substr(md5(substr(t, i, 8)), 1, 12)) END AS gr
+          FROM d),
+    f AS (SELECT doc_id, len(gr) AS n_grams,
+            CASE WHEN len(gr) < 5 THEN []
+                 ELSE list_distinct(list_transform(generate_series(1, len(gr) - 5 + 1),
+                   j -> list_min(gr[j : j + 4]) || ':' ||
+                        CAST(j + 5 - list_position(list_reverse(gr[j : j + 4]),
+                                                   list_min(gr[j : j + 4])) AS VARCHAR)))
+            END AS fps
+          FROM g)
+    SELECT doc_id, CAST(n_grams AS INT) AS n_grams,
+           CAST(len(fps) AS INT) AS n_fps,
+           md5(array_to_string(list_sort(fps), ',')) AS fps_md5
+    FROM f ORDER BY doc_id"""
+
   /** Persisted IVF-SQ8 index, built then served ([[VectorIndex]]): the
     * coarse quantizer is FIXED to the first four corpus vectors so DuckDB
     * can replay the whole pipeline — assignment (argmax centroid cosine,
@@ -2071,6 +2104,7 @@ object LlmQueries {
     "retrieval_mmr" -> retrievalMmr,
     "text_tokens" -> textTokens,
     "text_fingerprint" -> textFingerprint,
+    "text_winnow" -> textWinnow,
     "text_langid" -> textLangid,
     "sample_stratified" -> sampleStratified,
     "mix_temperature" -> mixTemperature,
@@ -2131,6 +2165,7 @@ object LlmQueries {
     "retrieval_mmr" -> retrievalMmrSql,
     "text_tokens" -> textTokensSql,
     "text_fingerprint" -> textFingerprintSql,
+    "text_winnow" -> textWinnowSql,
     "text_langid" -> textLangidSql,
     "sample_stratified" -> sampleStratifiedSql,
     "mix_temperature" -> mixTemperatureSql,

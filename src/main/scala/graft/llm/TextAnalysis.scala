@@ -76,6 +76,45 @@ object TextAnalysis {
     docs.select(col("doc_id"),
       md5(array_join(array_sort(array_distinct(tokens(col("text")))), " ")).as("fp"))
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+    * the MOSS algorithm): hash every k-gram of the lowercased text, slide
+    * a window of `w` hashes, select each window's MINIMUM hash (ties →
+    * the RIGHTMOST occurrence), and keep the distinct (hash, position)
+    * selections. Guarantee: any substring match of length ≥ w + k − 1
+    * shares at least one fingerprint — the local, position-robust
+    * alternative to MinHash for copy/plagiarism/near-dup detection.
+    *
+    * Hashes are the first 12 hex chars of md5(gram): fixed-width hex
+    * minimizes IDENTICALLY as a string in any engine, which is what makes
+    * the selection (and so the whole fingerprint set) oracle-exact. A
+    * production run at 100 TB would swap md5 for the engine-native
+    * xxhash64 — same plan, cheaper kernel; the selection logic is
+    * unchanged. Map-only column expressions: one pass, zero shuffles,
+    * scan-rate at any corpus size. Fingerprints are `"<hash>:<gramPos>"`
+    * strings (1-based position in the gram sequence). */
+  def winnowFingerprints(docs: DataFrame, k: Int = 8, w: Int = 5,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(k >= 1 && w >= 1)
+    val grams =
+      s"""CASE WHEN length(lower($textCol)) < $k THEN array()
+         |ELSE transform(sequence(1, length(lower($textCol)) - $k + 1),
+         |  i -> substring(md5(substring(lower($textCol), i, $k)), 1, 12)) END"""
+        .stripMargin.replace("\n", " ")
+    val sel =
+      s"""CASE WHEN size(__g) < $w THEN array()
+         |ELSE array_distinct(transform(sequence(1, size(__g) - $w + 1),
+         |  j -> concat(array_min(slice(__g, j, $w)), ':',
+         |    j + $w - array_position(reverse(slice(__g, j, $w)),
+         |                            array_min(slice(__g, j, $w))))))
+         |END""".stripMargin.replace("\n", " ")
+    docs
+      .withColumn("__g", expr(grams))
+      .select(col(idCol), size(col("__g")).as("n_grams"),
+        expr(sel).as("fingerprints"))
+      .withColumn("n_fps", size(col("fingerprints")))
+  }
+
   /** Stopword-profile language ID: score each candidate language by hit
     * count of its function-word list; argmax wins (ties → highest score
     * first, then lexicographic). A real deployment swaps in char-n-gram

@@ -245,4 +245,43 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"DSIR scoring must not join:\n$plan")
     assert(!plan.contains("Window"), s"DSIR scoring must not window:\n$plan")
   }
+
+  test("winnowing: the w+k-1 match guarantee holds on planted overlap") {
+    // k=4, w=3 -> any shared substring of length >= 6 must share a
+    // fingerprint HASH (positions may differ)
+    val shared = "xyzuvw" // length k + w - 1 = 6
+    val df = Seq(
+      (1L, s"aaaa${shared}bbbb"),
+      (2L, s"cccccc${shared}dddd"),
+      (3L, "completely unrelated text")).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(df, k = 4, w = 3)
+      .select($"doc_id", $"fingerprints").as[(Long, Seq[String])].collect()
+      .map { case (id, f) => id -> f.map(_.split(":")(0)).toSet }.toMap
+    assert(fps(1L).intersect(fps(2L)).nonEmpty,
+      s"docs sharing a ${shared.length}-char substring must share a fingerprint")
+    assert(fps(1L).intersect(fps(3L)).isEmpty ||
+      fps(2L).intersect(fps(3L)).isEmpty, "unrelated doc matched both (hash fluke)")
+  }
+
+  test("winnowing: identical grams tie to the RIGHTMOST selection per window") {
+    // "aaaaaaaa" with k=3: 6 identical grams; w=3 windows at j=1..4 each
+    // pick the rightmost minimum -> positions w..n_grams, one per window
+    val df = Seq((1L, "aaaaaaaa")).toDF("doc_id", "text")
+    val r = TextAnalysis.winnowFingerprints(df, k = 3, w = 3).head()
+    assert(r.getAs[Int]("n_grams") == 6)
+    val fps = r.getSeq[String](r.fieldIndex("fingerprints"))
+    val positions = fps.map(_.split(":")(1).toLong).sorted
+    assert(positions == Seq(3L, 4L, 5L, 6L), s"rightmost ties: $positions")
+    assert(fps.map(_.split(":")(0)).distinct.size == 1, "one distinct hash")
+  }
+
+  test("winnowing: short texts degrade to empty, never error") {
+    val df = Seq((1L, "ab"), (2L, "abcdefgh"), (3L, "")).toDF("doc_id", "text")
+    val rows = TextAnalysis.winnowFingerprints(df, k = 8, w = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_grams"), r.getAs[Int]("n_fps"))).toMap
+    assert(rows(1L) == ((0, 0)))    // shorter than k
+    assert(rows(2L) == ((1, 0)))    // one gram, fewer than w
+    assert(rows(3L) == ((0, 0)))
+  }
 }
