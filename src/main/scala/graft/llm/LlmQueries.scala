@@ -1187,6 +1187,134 @@ object LlmQueries {
     SELECT q_id, c_id, CAST(rk AS INT) AS rk FROM r WHERE rk <= 10
     ORDER BY q_id, rk"""
 
+  /** HTML → text extraction under a FULL oracle: documents are wrapped in
+    * deterministic synthetic HTML (title/style/optional script blocks,
+    * comments, headings, links, pre-escaped entities) and the WARC→WET
+    * extraction ([[TextAnalysis.htmlExtract]]) runs on both engines —
+    * block handling, tag stripping, entity-decode ORDER (`&amp;lt;` must
+    * yield `&lt;`), whitespace normalization, and the link/script counts
+    * are all hash-gated. */
+  val htmlExtract: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents.filter(col("doc_id") < 300)
+    val html = docs.select(col("doc_id"), expr(
+      """concat('<html><head><title>Doc ', CAST(doc_id AS STRING),
+        |'</title><style>p {color: red}</style>',
+        |CASE WHEN doc_id % 3 = 0
+        |  THEN '<script type="text/js">var x = 1 < 2;</script>' ELSE '' END,
+        |'</head><body><!-- hidden --><h1>Doc ', CAST(doc_id AS STRING),
+        |'</h1><p>', text, '</p>',
+        |'<div><a href="https://x.test/1">one</a> &amp;
+        |<a href="https://x.test/2">two</a></div>',
+        |'tail &amp;lt; &lt;b&gt; &#39;q&#39;&nbsp;end</body></html>')"""
+        .stripMargin.replace("\n", " ")).as("html"))
+    TextAnalysis.htmlExtract(html)
+      .select(col("doc_id"), col("n_links"), col("n_scripts"),
+        md5(col("text")).as("text_md5"),
+        round(col("extract_ratio"), 6).as("extract_ratio"))
+      .orderBy(col("doc_id"))
+  }
+  val htmlExtractSql: String = """
+    WITH h AS (
+      SELECT doc_id,
+        concat('<html><head><title>Doc ', CAST(doc_id AS VARCHAR),
+          '</title><style>p {color: red}</style>',
+          CASE WHEN doc_id % 3 = 0
+            THEN '<script type="text/js">var x = 1 < 2;</script>' ELSE '' END,
+          '</head><body><!-- hidden --><h1>Doc ', CAST(doc_id AS VARCHAR),
+          '</h1><p>', text, '</p>',
+          '<div><a href="https://x.test/1">one</a> &amp; ',
+          '<a href="https://x.test/2">two</a></div>',
+          'tail &amp;lt; &lt;b&gt; &#39;q&#39;&nbsp;end</body></html>') AS html
+      FROM documents WHERE doc_id < 300),
+    e AS (
+      SELECT doc_id, html,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(
+            html,
+            '(?is)<script\b[^>]*>.*?</script>', '', 'g'),
+            '(?is)<style\b[^>]*>.*?</style>', '', 'g'),
+            '(?s)<!--.*?-->', '', 'g'),
+            '(?i)<(br|/p|/div|/li|/h[1-6]|/tr|/ul|/ol|/table)\b[^>]*>', chr(10), 'g'),
+            '(?s)<[^>]*>', '', 'g'),
+            '&nbsp;', ' ', 'g'),
+            '&lt;', '<', 'g'),
+            '&gt;', '>', 'g'),
+            '&quot;', '"', 'g'),
+            '&#39;', chr(39), 'g'),
+            '&amp;', '&', 'g'),
+            '[ \t]+', ' ', 'g'),
+            ' ?\n ?', chr(10), 'g'),
+            '\n{3,}', chr(10) || chr(10), 'g') AS t0
+      FROM h),
+    c AS (SELECT doc_id, html,
+            regexp_replace(t0, '^\s+|\s+$', '', 'g') AS text
+          FROM e)
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(html, '(?i)<a\b')) AS INT) AS n_links,
+      CAST(len(regexp_extract_all(html, '(?is)<script\b[^>]*>')) AS INT) AS n_scripts,
+      md5(text) AS text_md5,
+      round(CAST(length(text) AS DOUBLE) / length(html), 6) AS extract_ratio
+    FROM c ORDER BY doc_id"""
+
+  /** URL canonicalization under a FULL oracle: messy synthetic URLs
+    * (shouting scheme/host case, default ports, tracking params in
+    * scrambled order, fragments) normalize identically on both engines —
+    * the key-building step before URL-keyed crawl dedup. */
+  val urlCanonicalize: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents
+    val withUrl = docs.select(col("doc_id"), expr(
+      """concat(
+        |CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'hTTps://' END,
+        |CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE 'www.' END,
+        |source, '.Example.COM',
+        |CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END,
+        |'/Path', CAST(doc_id AS STRING),
+        |CASE WHEN doc_id % 5 = 0 THEN '?utm_source=news&gclid=9'
+        |     ELSE concat('?b=2&utm_campaign=x&a=', lang) END,
+        |'#Sec', CAST(doc_id AS STRING))""".stripMargin.replace("\n", " "))
+      .as("url"))
+    TextAnalysis.canonicalizeUrls(withUrl)
+      .select(col("doc_id"), col("url"), col("url_canonical"))
+      .orderBy(col("doc_id"))
+  }
+  val urlCanonicalizeSql: String = """
+    WITH u AS (
+      SELECT doc_id,
+        concat(
+          CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'hTTps://' END,
+          CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE 'www.' END,
+          source, '.Example.COM',
+          CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END,
+          '/Path', CAST(doc_id AS VARCHAR),
+          CASE WHEN doc_id % 5 = 0 THEN '?utm_source=news&gclid=9'
+               ELSE concat('?b=2&utm_campaign=x&a=', lang) END,
+          '#Sec', CAST(doc_id AS VARCHAR)) AS url
+      FROM documents),
+    s1 AS (SELECT doc_id, url,
+             regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+    s2 AS (SELECT doc_id, url,
+             regexp_replace(nofrag, '\?.*$', '') AS base,
+             regexp_extract(nofrag, '\?(.*)$', 1) AS query FROM s1),
+    s3 AS (SELECT doc_id, url, query,
+             lower(regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1))
+               || regexp_replace(base, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*', '')
+               AS lowered FROM s2),
+    s4 AS (SELECT doc_id, url, query,
+             regexp_replace(regexp_replace(lowered,
+               '^(http://[^/:]+):80(/.*)?$', '\1\2'),
+               '^(https://[^/:]+):443(/.*)?$', '\1\2') AS noport FROM s3),
+    s5 AS (SELECT doc_id, url, noport,
+             list_sort(list_filter(string_split(query, '&'),
+               p -> len(p) > 0 AND NOT regexp_matches(p,
+                      '^(utm_[^=]*|gclid|fbclid|ref)='))) AS params FROM s4)
+    SELECT doc_id, url,
+      noport || CASE WHEN len(params) > 0
+                     THEN '?' || array_to_string(params, '&') ELSE '' END
+        AS url_canonical
+    FROM s5 ORDER BY doc_id"""
+
   /** Winnowing fingerprints (MOSS) under a FULL oracle: the gram hash is
     * fixed-width md5 hex, so window minima — and with them every
     * selection, including rightmost-tie positions — agree across engines
@@ -2105,6 +2233,8 @@ object LlmQueries {
     "text_tokens" -> textTokens,
     "text_fingerprint" -> textFingerprint,
     "text_winnow" -> textWinnow,
+    "html_extract" -> htmlExtract,
+    "url_canonicalize" -> urlCanonicalize,
     "text_langid" -> textLangid,
     "sample_stratified" -> sampleStratified,
     "mix_temperature" -> mixTemperature,
@@ -2166,6 +2296,8 @@ object LlmQueries {
     "text_tokens" -> textTokensSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_winnow" -> textWinnowSql,
+    "html_extract" -> htmlExtractSql,
+    "url_canonicalize" -> urlCanonicalizeSql,
     "text_langid" -> textLangidSql,
     "sample_stratified" -> sampleStratifiedSql,
     "mix_temperature" -> mixTemperatureSql,

@@ -76,6 +76,70 @@ object TextAnalysis {
     docs.select(col("doc_id"),
       md5(array_join(array_sort(array_distinct(tokens(col("text")))), " ")).as("fp"))
 
+  /** HTML → text extraction — the WARC→WET step at the head of every web
+    * corpus pipeline (CommonCrawl WET, trafilatura/jusText's baseline):
+    * drop script/style/comment blocks, turn block-level closers into
+    * newlines, strip the remaining tags, decode the common entities, and
+    * normalize whitespace — plus the link/script counts quality filters
+    * key on. Regex-based by design (RE2 ∩ java.util.regex dialect so the
+    * DuckDB oracle runs the same patterns): NOT a conforming HTML5
+    * parser — CDATA, conditional comments and broken markup degrade
+    * gracefully rather than parse exactly, the standard trade at
+    * scan-rate. One map-only projection, zero shuffles.
+    *
+    * Entity order matters: named entities decode BEFORE `&amp;` so
+    * `&amp;lt;` yields `&lt;` (the text the author wrote), not `<`. */
+  def htmlExtract(docs: DataFrame, htmlCol: String = "html"): DataFrame = {
+    val h = col(htmlCol)
+    val noScript = regexp_replace(
+      regexp_replace(h, "(?is)<script\\b[^>]*>.*?</script>", ""),
+      "(?is)<style\\b[^>]*>.*?</style>", "")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", "")
+    val blocks = regexp_replace(noComment,
+      "(?i)<(br|/p|/div|/li|/h[1-6]|/tr|/ul|/ol|/table)\\b[^>]*>", "\n")
+    val noTags = regexp_replace(blocks, "(?s)<[^>]*>", "")
+    val entities = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, v)) => regexp_replace(c, e, v) }
+    val cleaned = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      entities, "[ \\t]+", " "), " ?\\n ?", "\n"), "\\n{3,}", "\n\n"),
+      "^\\s+|\\s+$", "")
+    docs
+      .withColumn("n_links", regexp_count(h, lit("(?i)<a\\b")))
+      .withColumn("n_scripts", regexp_count(h, lit("(?is)<script\\b[^>]*>")))
+      .withColumn("text", cleaned)
+      .withColumn("extract_ratio",
+        when(length(h) === 0, 0.0)
+          .otherwise(length(col("text")).cast("double") / length(h)))
+  }
+
+  /** URL canonicalization — the normalization step BEFORE URL-keyed dedup
+    * (a crawl sees the same page as `HTTP://Host:80/p?b=2&utm_source=x&a=1#f`
+    * and `http://host/p?a=1&b=2`): lowercase scheme+authority, strip the
+    * fragment, strip default ports (http:80 / https:443), drop tracking
+    * parameters (`utm_*`, `gclid`, `fbclid`, `ref`), and SORT the
+    * surviving query parameters. The path keeps its case (paths are
+    * case-sensitive per RFC 3986; the authority is not). Pure column
+    * expressions in the RE2 ∩ java dialect — map-only, oracle-replayable. */
+  def canonicalizeUrls(df: DataFrame, urlCol: String = "url"): DataFrame = {
+    val noFrag = regexp_replace(col(urlCol), "#.*$", "")
+    val base = regexp_replace(noFrag, "\\?.*$", "")
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+    // lowercase scheme://authority, keep the path's case
+    val authLower = concat(
+      lower(regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)", 1)),
+      regexp_replace(base, "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", ""))
+    val noPort = regexp_replace(
+      regexp_replace(authLower, "^(http://[^/:]+):80(/.*)?$", "$1$2"),
+      "^(https://[^/:]+):443(/.*)?$", "$1$2")
+    val params = sort_array(filter(split(query, "&"), p =>
+      length(p) > 0 && !p.rlike("^(utm_[^=]*|gclid|fbclid|ref)=")))
+    df.withColumn("url_canonical",
+      concat(noPort,
+        when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+          .otherwise(lit(""))))
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
     * the MOSS algorithm): hash every k-gram of the lowercased text, slide
     * a window of `w` hashes, select each window's MINIMUM hash (ties →

@@ -246,6 +246,40 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"DSIR scoring must not window:\n$plan")
   }
 
+  test("html extraction: blocks, entity order, counts pinned on a crafted page") {
+    val page = "<html><head><style>b{}</style>" +
+      "<script>if (1 < 2) alert('x')</script></head>" +
+      "<body><!-- c --><h1>Title</h1><p>Para &amp;lt; &lt;tag&gt; &amp; more</p>" +
+      "<div><a href='u1'>l1</a> and <a href='u2'>l2</a></div></body></html>"
+    val r = TextAnalysis.htmlExtract(Seq((1L, page)).toDF("doc_id", "html")).head()
+    assert(r.getAs[Int]("n_links") == 2)
+    assert(r.getAs[Int]("n_scripts") == 1)
+    // &amp;lt; decodes to the TEXT "&lt;" (author-escaped), &lt;tag&gt; to "<tag>"
+    assert(r.getAs[String]("text") ==
+      "Title\nPara &lt; <tag> & more\nl1 and l2", r.getAs[String]("text"))
+  }
+
+  test("html extraction: script content with tags inside never leaks") {
+    val page = "<body><script>document.write('<p>injected</p>')</script>real</body>"
+    val r = TextAnalysis.htmlExtract(Seq((1L, page)).toDF("doc_id", "html")).head()
+    assert(r.getAs[String]("text") == "real", r.getAs[String]("text"))
+  }
+
+  test("url canonicalization: case, ports, tracking params, ordering, fragment") {
+    val cases = Seq(
+      ("HTTP://Www.Ex.COM:80/A/B?b=2&utm_source=x&a=1#frag",
+       "http://www.ex.com/A/B?a=1&b=2"),
+      ("https://host.test:443/p?gclid=1&fbclid=2&ref=3", "https://host.test/p"),
+      ("https://host.test:8443/p?z=1", "https://host.test:8443/p?z=1"), // non-default port kept
+      ("http://h.test/CaSe", "http://h.test/CaSe"), // path case preserved
+      ("http://h.test:80", "http://h.test"))
+    val df = cases.zipWithIndex.map { case ((u, _), i) => (i.toLong, u) }
+      .toDF("doc_id", "url")
+    val got = TextAnalysis.canonicalizeUrls(df)
+      .orderBy($"doc_id").select("url_canonical").as[String].collect().toSeq
+    assert(got == cases.map(_._2), got.mkString("\n"))
+  }
+
   test("winnowing: the w+k-1 match guarantee holds on planted overlap") {
     // k=4, w=3 -> any shared substring of length >= 6 must share a
     // fingerprint HASH (positions may differ)
