@@ -54,16 +54,65 @@ object VectorIndex {
     val cdf = cents.zipWithIndex
       .map { case (c, i) => (i, c) }.toDF("bucket", "centroid")
     SnapshotTable.create(spark, s"$dir/centroids", cdf)
-    val postings = Similarity.quantizeInt8(
+    SnapshotTable.forPath(spark, s"$dir/postings")
+      .overwritePartitioned(postingsFor(corpus, cents), Seq("identity(bucket)"))
+    cents.size
+  }
+
+  /** The persisted coarse quantizer, in bucket order (k rows). */
+  private def readCentroids(spark: SparkSession, dir: String): Seq[Seq[Float]] =
+    SnapshotTable.forPath(spark, s"$dir/centroids").read()
+      .orderBy(col("bucket")).collect()
+      .map(_.getSeq[Float](1).toSeq).toSeq
+
+  /** SQ8 postings rows (bucket, vec_id, q_min, q_scale, q_codes) for a
+    * vector batch, assigned against `cents` — shared by build and the
+    * incremental append path. */
+  private def postingsFor(vectors: DataFrame,
+                          cents: Seq[Seq[Float]]): DataFrame =
+    Similarity.quantizeInt8(
       Similarity.withProbedBuckets(
-        corpus.select(col("vec_id"), col("embedding")),
+        vectors.select(col("vec_id"), col("embedding")),
         "embedding", "vec_id", cents, nProbe = 1))
       .select(col("bucket"), col("vec_id"), col("q_min"), col("q_scale"),
         col("q_codes"))
-    SnapshotTable.forPath(spark, s"$dir/postings")
-      .overwritePartitioned(postings, Seq("identity(bucket)"))
-    cents.size
+
+  /** Incremental maintenance: append a batch of NEW vectors against the
+    * PERSISTED quantizer — no retraining, no rewrite of existing
+    * postings; the batch lands as one partitioned commit (idempotent
+    * under `tag` when non-empty, so a replayed micro-batch is absorbed).
+    * Centroids drift as the corpus grows — rebuild with [[build]] when
+    * recall decays; serving continues against the old quantizer
+    * meanwhile (the FAISS add-vs-train split). Returns the postings
+    * commit version. */
+  def append(newVectors: DataFrame, dir: String, tag: String = ""): Long = {
+    val spark = newVectors.sparkSession
+    val cents = readCentroids(spark, dir)
+    require(cents.nonEmpty, s"no index at $dir")
+    val rows = postingsFor(newVectors, cents)
+    val t = SnapshotTable.forPath(spark, s"$dir/postings")
+    if (tag.nonEmpty) t.appendTagged(rows, tag, Seq("identity(bucket)"), Nil)
+    else t.appendPartitioned(rows, Seq("identity(bucket)"))
   }
+
+  /** Continuous indexing: every micro-batch of `stream` (schema must
+    * include `vec_id`, `embedding`) appends to the index under an
+    * idempotent per-batch tag — exactly-once postings under checkpoint
+    * replay, same contract as the lake sink. */
+  def startIndexing(stream: DataFrame, dir: String,
+                    checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (data: DataFrame, batchId: Long) =>
+        val spark = data.sparkSession
+        val qid = org.apache.spark.sql.graft.Bridge.streamingQueryId(spark)
+          .getOrElse(checkpointDir)
+        val batch = org.apache.spark.sql.graft.Bridge.materializedCopy(data)
+        append(batch, dir, s"vecidx:$qid:$batchId")
+        ()
+      }
+      .start()
 
   /** Search a persisted index: top-`k` neighbors per query vector by
     * cosine over the dequantized reconstruction. Output:
@@ -71,10 +120,7 @@ object VectorIndex {
     * excluded (self-match). */
   def search(spark: SparkSession, dir: String, queries: DataFrame,
              k: Int = 10, nProbe: Int = 2): DataFrame = {
-    val cents: Seq[Seq[Float]] =
-      SnapshotTable.forPath(spark, s"$dir/centroids").read()
-        .orderBy(col("bucket")).collect()
-        .map(_.getSeq[Float](1).toSeq).toSeq
+    val cents: Seq[Seq[Float]] = readCentroids(spark, dir)
     require(cents.nonEmpty, s"no index at $dir")
     val q = Similarity.withProbedBuckets(
         queries.select(col("vec_id"), col("embedding")),

@@ -94,6 +94,47 @@ class VectorIndexSpec extends AnyFunSuite {
       s"mean recall ${recalls.sum / recalls.size} too low: $recalls")
   }
 
+  test("incremental append: new vectors searchable, no retrain, replay absorbed") {
+    val dir = tmp("vecidx_append")
+    val cents = Seq(
+      Seq(1.0f, 0f, 0f, 0f), Seq(0f, 1.0f, 0f, 0f), Seq(0f, 0f, 1.0f, 0f))
+    VectorIndex.build(clusteredCorpus(), dir, centroids = Some(cents))
+    // a new cluster-0 vector arrives after the build
+    val fresh = Seq((100L, Seq(0.99f, 0.01f, 0f, 0f))).toDF("vec_id", "embedding")
+    VectorIndex.append(fresh, dir, tag = "b:1")
+    val q = clusteredCorpus().filter(col("vec_id") === 0L)
+    val ids = VectorIndex.search(spark, dir, q, k = 25, nProbe = 1)
+      .select("c_id").as[Long].collect().toSet
+    assert(ids.contains(100L), s"appended vector must be served: $ids")
+    // replaying the SAME tag is absorbed (exactly-once under recovery)
+    val before = graft.sources.SnapshotTable.forPath(spark, s"$dir/postings")
+      .read().count()
+    VectorIndex.append(fresh, dir, tag = "b:1")
+    val after = graft.sources.SnapshotTable.forPath(spark, s"$dir/postings")
+      .read().count()
+    assert(after == before, s"replayed tag must not double-index: $before -> $after")
+  }
+
+  test("continuous indexing: a streamed batch lands exactly once") {
+    val dir = tmp("vecidx_stream")
+    val chk = tmp("vecidx_stream_chk")
+    VectorIndex.build(clusteredCorpus(), dir,
+      centroids = Some(Seq(Seq(1.0f, 0f, 0f, 0f), Seq(0f, 1.0f, 0f, 0f))))
+    val base = graft.sources.SnapshotTable.forPath(spark, s"$dir/postings")
+      .read().count()
+    val in = tmp("vecidx_stream_in")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(in, "b1.json"),
+      """{"vec_id": 200, "embedding": [0.9, 0.1, 0.0, 0.0]}
+        |{"vec_id": 201, "embedding": [0.1, 0.9, 0.0, 0.0]}""".stripMargin)
+    val stream = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>").json(in)
+    val q = VectorIndex.startIndexing(stream, dir, chk)
+    try q.processAllAvailable() finally q.stop()
+    val postings = graft.sources.SnapshotTable.forPath(spark, s"$dir/postings").read()
+    assert(postings.count() == base + 2, s"streamed vectors must index once")
+    assert(postings.filter(col("vec_id") === 200L).count() == 1)
+  }
+
   test("rebuild replaces the index wholesale") {
     val dir = tmp("vecidx_rebuild")
     val cents = Seq(Seq(1.0f, 0f, 0f, 0f), Seq(0f, 1.0f, 0f, 0f))
