@@ -74,28 +74,53 @@ object Graft {
     * values render as quoted/escaped literals, marker scanning skips
     * string and identifier quoting, and arity mismatches refuse loudly
     * — the same contract either way. */
-  def sql(spark: SparkSession, query: String, args: Array[Any]): DataFrame = {
-    import scala.util.control.NonFatal
-    val graftGrammar =
-      try spark.sessionState.sqlParser.parsePlan(query)
-        .getClass.getName.startsWith("graft.")
-      catch { case NonFatal(_) => false }
-    if (graftGrammar) sql(spark, substitutePositional(query, args))
+  def sql(spark: SparkSession, query: String, args: Array[Any]): DataFrame =
+    if (isGraftGrammar(spark, query)) sql(spark, substitutePositional(query, args))
     else managed(spark, query)(spark.sql(query, args))
+
+  /** Batch form of the positional entry (ADBC `executemany`): the grammar
+    * detection — a full parse — runs ONCE for the whole binding set, not
+    * once per bound row; each row still executes as its own managed
+    * statement (ledger + WLM), same as N single calls. */
+  def sqlBatch(spark: SparkSession, query: String, rows: Seq[Array[Any]]): Unit = {
+    val graft = isGraftGrammar(spark, query)
+    rows.foreach { row =>
+      if (graft) sql(spark, substitutePositional(query, row))
+      else managed(spark, query)(spark.sql(query, row))
+      ()
+    }
   }
 
-  /** `?` markers outside quotes replaced by rendered SQL literals. */
+  /** Does the statement parse into the graft extension grammar (whose
+    * commands Spark's analyzer-side parameter binding never sees)? */
+  private def isGraftGrammar(spark: SparkSession, query: String): Boolean = {
+    import scala.util.control.NonFatal
+    try spark.sessionState.sqlParser.parsePlan(query)
+      .getClass.getName.startsWith("graft.")
+    catch { case NonFatal(_) => false }
+  }
+
+  /** `?` markers outside quotes replaced by rendered SQL literals. The
+    * scanner honors backslash escapes inside string literals (Spark's
+    * default literal dialect): `'it\'s ?'` must not flip the in-string
+    * state and hand its `?` a value. */
   private def substitutePositional(query: String, args: Array[Any]): String = {
     val sb = new StringBuilder(query.length + 32)
     var inStr = false; var inIdent = false; var argIdx = 0
-    query.foreach {
-      case '\'' if !inIdent => inStr = !inStr; sb.append('\'')
-      case '`' if !inStr => inIdent = !inIdent; sb.append('`')
-      case '?' if !inStr && !inIdent =>
-        require(argIdx < args.length,
-          s"statement has more `?` markers than the ${args.length} bound values")
-        sb.append(sqlLiteral(args(argIdx))); argIdx += 1
-      case c => sb.append(c)
+    var i = 0
+    while (i < query.length) {
+      query(i) match {
+        case '\\' if inStr && i + 1 < query.length =>
+          sb.append('\\').append(query(i + 1)); i += 1
+        case '\'' if !inIdent => inStr = !inStr; sb.append('\'')
+        case '`' if !inStr => inIdent = !inIdent; sb.append('`')
+        case '?' if !inStr && !inIdent =>
+          require(argIdx < args.length,
+            s"statement has more `?` markers than the ${args.length} bound values")
+          sb.append(sqlLiteral(args(argIdx))); argIdx += 1
+        case c => sb.append(c)
+      }
+      i += 1
     }
     require(argIdx == args.length,
       s"${args.length} values bound but the statement has $argIdx `?` markers")
@@ -104,7 +129,11 @@ object Graft {
 
   private def sqlLiteral(v: Any): String = v match {
     case null => "NULL"
-    case s: String => "'" + s.replace("'", "''") + "'"
+    // Spark's default literal dialect treats backslash as an escape:
+    // double it FIRST, then double quotes — else a value ending in '\'
+    // escapes its own closing quote (injection surface) and 'C:\tmp'
+    // silently stores a TAB
+    case s: String => "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
     case b: Array[Byte] => "X'" + b.map("%02X".format(_)).mkString + "'"
     case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
     case d: java.sql.Date => s"DATE '$d'"

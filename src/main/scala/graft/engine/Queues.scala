@@ -246,7 +246,22 @@ object Queues {
       .resolveAndBind()
     val serializer = enc.createSerializer()
     val lock = new Object
-    ctx => lock.synchronized { bound.eval(serializer(ctx)) == true }
+    val pred: RouteCtx => Boolean =
+      ctx => lock.synchronized { bound.eval(serializer(ctx)) == true }
+    // probe once: a condition that ANALYZES but cannot EVALUATE as a
+    // bound raw predicate (scalar subqueries, exists, ...) must refuse at
+    // DEFINE time — route()'s NonFatal skip would otherwise silence it on
+    // every statement forever, the exact failure mode compiling was
+    // supposed to eliminate
+    try pred(RouteCtx("", Nil, "", "", 0L))
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        throw new IllegalArgumentException(
+          s"WHEN condition cannot be evaluated as a routing predicate " +
+            s"(subqueries are not supported here): $cond — " +
+            s"${Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}")
+    }
+    pred
   }
 
   def dropRule(name: String): Unit = rules.remove(name.toLowerCase)

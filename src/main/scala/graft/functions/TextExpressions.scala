@@ -217,19 +217,20 @@ object BpeKernel {
   }
 }
 
-/** bpe_encode(text, merges) -> array<string>: the document's BPE token
-  * stream under a trained merge table (see [[graft.llm.Bpe]]). The merge
-  * table is part of the expression — a few KB riding the serialized plan,
-  * the broadcast-variable shape for plan-embedded constants — and each
-  * executor memoizes the encoding per word TYPE (Zipf: a handful of common
-  * words dominate any corpus), so the per-token cost is one hash probe. */
-case class BpeEncode(child: Expression, merges: Seq[(String, String)])
-    extends UnaryExpression with CodegenFallback {
-  override def prettyName: String = "bpe_encode"
+/** Shared deployment shape of the tokenizer-encode expression family
+  * (BPE / unigram-LM / WordPiece): the trained vocabulary rides the
+  * serialized plan (a few KB — the broadcast-variable shape for
+  * plan-embedded constants), pre-tokens segment independently, and each
+  * executor memoizes encodings per word TYPE (Zipf: a handful of common
+  * words dominate any corpus), so the per-token cost is one hash probe.
+  * Subclasses supply only the per-word kernel — the segmentation regex,
+  * cache policy, and emit loop exist ONCE. */
+abstract class TokenizerEncode extends UnaryExpression with CodegenFallback {
+  /** Encode one pre-token (the algorithm-specific kernel). */
+  protected def encodeWord(word: String): Array[UTF8String]
+
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  @transient private lazy val ranks: Map[(String, String), Int] =
-    merges.iterator.zipWithIndex.toMap
   @transient private lazy val pattern =
     java.util.regex.Pattern.compile(BpeKernel.PreTokenPattern)
   @transient private lazy val cache =
@@ -243,66 +244,48 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     while (m.find()) {
       val word = m.group()
       if (cache.size() > CacheCap) cache.clear()
-      val toks = cache.computeIfAbsent(word,
-        w => BpeKernel.encodeWord(w, ranks).map(UTF8String.fromString))
+      val toks = cache.computeIfAbsent(word, w => encodeWord(w))
       var i = 0
       while (i < toks.length) { out.add(toks(i)); i += 1 }
     }
     new GenericArrayData(out.toArray)
   }
+}
 
+/** bpe_encode(text, merges) -> array<string>: the document's BPE token
+  * stream under a trained merge table (see [[graft.llm.Bpe]]). */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+    extends TokenizerEncode {
+  override def prettyName: String = "bpe_encode"
+  @transient private lazy val ranks: Map[(String, String), Int] =
+    merges.iterator.zipWithIndex.toMap
+  override protected def encodeWord(word: String): Array[UTF8String] =
+    BpeKernel.encodeWord(word, ranks).map(UTF8String.fromString)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** unigram_encode(text, vocab) -> array<string>: Viterbi (max-likelihood)
   * token stream under a trained unigram-LM vocabulary (see
-  * [[graft.llm.Unigram]]). Same deployment shape as [[BpeEncode]]: the
-  * vocabulary rides the serialized plan, pre-tokens segment independently
-  * and each executor memoizes the segmentation per word TYPE. */
+  * [[graft.llm.Unigram]]). */
 case class UnigramEncode(child: Expression, vocab: Seq[(String, Double)])
-    extends UnaryExpression with CodegenFallback {
+    extends TokenizerEncode {
   override def prettyName: String = "unigram_encode"
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-
   @transient private lazy val logp: Map[String, Double] = vocab.toMap
   @transient private lazy val maxLen: Int =
     if (vocab.isEmpty) 1 else vocab.iterator.map(_._1.length).max
-  @transient private lazy val pattern =
-    java.util.regex.Pattern.compile(BpeKernel.PreTokenPattern)
-  @transient private lazy val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[UTF8String]]()
-  private val CacheCap = 100000 // word TYPES; reset beyond (no LRU bookkeeping)
-
-  override def nullSafeEval(v: Any): Any = {
-    val text = v.asInstanceOf[UTF8String].toString
-    val out = new java.util.ArrayList[AnyRef]()
-    val m = pattern.matcher(text)
-    while (m.find()) {
-      val word = m.group()
-      if (cache.size() > CacheCap) cache.clear()
-      val toks = cache.computeIfAbsent(word,
-        w => graft.llm.Unigram.viterbiWord(w, logp, maxLen)
-          .map(t => UTF8String.fromString(t)))
-      var i = 0
-      while (i < toks.length) { out.add(toks(i)); i += 1 }
-    }
-    new GenericArrayData(out.toArray)
-  }
-
+  override protected def encodeWord(word: String): Array[UTF8String] =
+    graft.llm.Unigram.viterbiWord(word, logp, maxLen)
+      .map(t => UTF8String.fromString(t))
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** wordpiece_encode(text, pieces) -> array<string>: greedy longest-match
   * (BERT `WordpieceTokenizer`) token stream under a trained WordPiece
   * vocabulary (see [[graft.llm.WordPiece]] — `##` continuations, whole-
-  * word `[UNK]` fallback). Same deployment shape as [[BpeEncode]]: the
-  * vocabulary rides the serialized plan, pre-tokens segment independently
-  * and each executor memoizes the encoding per word TYPE. */
+  * word `[UNK]` fallback). */
 case class WordPieceEncode(child: Expression, pieces: Seq[String])
-    extends UnaryExpression with CodegenFallback {
+    extends TokenizerEncode {
   override def prettyName: String = "wordpiece_encode"
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-
   @transient private lazy val vocab: Set[String] = pieces.toSet
   @transient private lazy val maxContentLen: Int =
     if (pieces.isEmpty) 1
@@ -310,27 +293,8 @@ case class WordPieceEncode(child: Expression, pieces: Seq[String])
       .map(p => if (p.startsWith(graft.llm.WordPiece.Continuation)) p.length - 2
                 else p.length)
       .max
-  @transient private lazy val pattern =
-    java.util.regex.Pattern.compile(BpeKernel.PreTokenPattern)
-  @transient private lazy val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[UTF8String]]()
-  private val CacheCap = 100000 // word TYPES; reset beyond (no LRU bookkeeping)
-
-  override def nullSafeEval(v: Any): Any = {
-    val text = v.asInstanceOf[UTF8String].toString
-    val out = new java.util.ArrayList[AnyRef]()
-    val m = pattern.matcher(text)
-    while (m.find()) {
-      val word = m.group()
-      if (cache.size() > CacheCap) cache.clear()
-      val toks = cache.computeIfAbsent(word,
-        w => graft.llm.WordPiece.encodeWord(w, vocab, maxContentLen)
-          .map(UTF8String.fromString))
-      var i = 0
-      while (i < toks.length) { out.add(toks(i)); i += 1 }
-    }
-    new GenericArrayData(out.toArray)
-  }
-
+  override protected def encodeWord(word: String): Array[UTF8String] =
+    graft.llm.WordPiece.encodeWord(word, vocab, maxContentLen)
+      .map(UTF8String.fromString)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -222,14 +222,15 @@ object GraftRestServer {
             // views, which are exactly the entities the API reports
             val session = root
             if (rest.isEmpty) {
-              import org.apache.spark.sql.functions.col
-              val names = graft.catalog.InfoSchema.tables(session)
-                .select(col("table_name")).collect().map(_.getString(0))
-                .filter(visible).toSet
+              import org.apache.spark.sql.functions.{col, struct, to_json}
+              // ONE materialization of the O(catalog) relation: name for
+              // the visibility filter, the row's JSON alongside
               val items = graft.catalog.InfoSchema.tables(session)
-                .filter(col("table_name").isInCollection(
-                  if (names.isEmpty) Set("") else names))
-                .toJSON.collect().mkString(",")
+                .select(col("table_name"),
+                  to_json(struct(col("*"))).as("__j"))
+                .collect()
+                .filter(r => visible(r.getString(0)))
+                .map(_.getString(1)).mkString(",")
               val refl = graft.accel.Reflections.list.map(r =>
                 s"""{"name":${q(r.name)},"path":${q(r.path)},""" +
                   s""""fingerprint":${q(r.fingerprint)}}""").mkString(",")

@@ -898,8 +898,7 @@ object GraftFlightServer {
                     // once per row (ADBC executemany); with none, once
                     paramRows() match {
                       case Seq() => graft.Graft.sql(session, ps.sql)
-                      case rows => rows.foreach(row =>
-                        graft.Graft.sql(session, ps.sql, row))
+                      case rows => graft.Graft.sqlBatch(session, ps.sql, rows)
                     }
                     obs.onNext(PbSql.writePutResult(
                       PbSql.writeDoPutUpdateResult(-1L)))

@@ -132,18 +132,26 @@ private[graft] object GraftFlightSql {
   private val MaxSchemaCache = 4096
   private def cachedSchemaBytes(root: SparkSession, name: String,
                                 cacheable: Boolean): Array[Byte] = {
-    def resolve(): Array[Byte] =
-      try GraftFlightServer.schemaIpcBytesOf(root.table(name))
-      catch { case _: Exception => Array.emptyByteArray }
+    // a transient resolve failure returns empty bytes for THIS response
+    // but must never be memoized — the epoch only bumps on DDL, so a
+    // cached failure would serve an empty schema to every later connect
+    def resolve(): Option[Array[Byte]] =
+      try Some(GraftFlightServer.schemaIpcBytesOf(root.table(name)))
+      catch { case _: Exception => None }
     // temp views redefine without any DDL epoch bump — never cache them
-    if (!cacheable) resolve()
+    if (!cacheable) resolve().getOrElse(Array.emptyByteArray)
     else {
       val now = graft.accel.PlanCache.currentEpoch
       if (schemaCacheEpoch.getAndSet(now) != now) schemaCache.clear()
-      schemaCache.getOrElseUpdate(name, {
-        if (schemaCache.size >= MaxSchemaCache) schemaCache.clear()
-        resolve()
-      })
+      schemaCache.get(name) match {
+        case Some(bytes) => bytes
+        case None =>
+          if (schemaCache.size >= MaxSchemaCache) schemaCache.clear()
+          resolve() match {
+            case Some(bytes) => schemaCache.putIfAbsent(name, bytes); bytes
+            case None => Array.emptyByteArray
+          }
+      }
     }
   }
 

@@ -1168,17 +1168,19 @@ object GraftSqlParser {
   }
 
   /** SHOW STREAMS: every active Structured Streaming query on the shared
-    * context with its latest progress (the SQL face of `sys_streams`). */
+    * context with its latest progress — the SQL verb face of
+    * `sys_streams`, selected FROM the same relation so the two can never
+    * drift. */
   case class ShowStreamsCommand(override val output: Seq[Attribute])
       extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] =
-      spark.streams.active.toSeq.map { q =>
-        val p = Option(q.lastProgress)
-        Row(q.id.toString, Option(q.name).getOrElse(""),
-          p.map(_.batchId).getOrElse(-1L).toString,
-          p.map(_.numInputRows).getOrElse(0L).toString,
-          q.status.message)
-      }
+      graft.catalog.InfoSchema.sysStreams(spark)
+        .collect().toSeq.map { r =>
+          Row(r.getAs[String]("id"), r.getAs[String]("name"),
+            r.getAs[Long]("batch_id").toString,
+            r.getAs[Long]("num_input_rows").toString,
+            r.getAs[String]("status"))
+        }
   }
 
   /** EXPLAIN JSON [phase] FOR <query> (reference SqlExplainJson,

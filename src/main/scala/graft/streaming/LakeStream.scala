@@ -62,7 +62,15 @@ final class LakeStreamProvider
     val t = SnapshotTable.forPath(sqlContext.sparkSession, pathOf(parameters))
     require(t.latestVersion > 0,
       s"graft-lake stream source: no commit log at ${pathOf(parameters)}")
-    val base = schema.getOrElse(t.read().schema)
+    val base = t.read().schema
+    // a user-declared schema the source would not deliver must refuse
+    // UP FRONT, not surface as a runtime row-format error mid-stream
+    schema.foreach { u =>
+      require(u.map(f => (f.name, f.dataType)) == base.map(f => (f.name, f.dataType)),
+        s"graft-lake stream source serves the table's own schema " +
+          s"(${base.simpleString}); the declared read schema " +
+          s"(${u.simpleString}) differs — drop .schema(...) or evolve the table")
+    }
     val withCdc =
       if (!parameters.get("readChangeFeed").exists(_.toBoolean)) base
       else StructType(base.fields ++ Seq(
@@ -76,7 +84,7 @@ final class LakeStreamProvider
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source =
-    new LakeStreamSource(sqlContext, pathOf(parameters), parameters)
+    new LakeStreamSource(sqlContext, pathOf(parameters), parameters, metadataPath)
 
   override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
                           partitionColumns: Seq[String], outputMode: OutputMode): Sink =
@@ -101,7 +109,8 @@ object LakeSourceOffset {
 }
 
 final class LakeStreamSource(sqlContext: SQLContext, path: String,
-                             parameters: Map[String, String]) extends Source {
+                             parameters: Map[String, String],
+                             metadataPath: String = "") extends Source {
   private val spark = sqlContext.sparkSession
   private val table = SnapshotTable.forPath(spark, path)
 
@@ -130,13 +139,62 @@ final class LakeStreamSource(sqlContext: SQLContext, path: String,
       org.apache.spark.sql.types.StructField("_commit_version",
         org.apache.spark.sql.types.LongType, nullable = false)))
 
+  /** High-water-mark file under the stream's checkpoint: the newest
+    * version this source ever HANDED OUT. Spark's v1 engine only replays
+    * getBatch on restart when the last batch was UNCOMMITTED — after a
+    * clean stop the first call is getOffset, and a source with no
+    * persisted state would treat the restart as a fresh stream:
+    * re-planning the snapshot, bypassing `maxVersionsPerTrigger` and the
+    * change-commit clamp (a skipped compaction inside one giant recovery
+    * range silently loses the appends it rewrote), and in
+    * `startingVersion` mode regressing the offset log and re-delivering
+    * committed versions. Persisting the mark write-ahead (before the
+    * offset is returned) keeps restarts monotonic: recovering a mark for
+    * a batch Spark never committed only means the next range starts where
+    * the handed-out one ended — exactly the v1 contract. */
+  private val markPath: Option[org.apache.hadoop.fs.Path] =
+    if (metadataPath.isEmpty) None
+    else Some(new org.apache.hadoop.fs.Path(metadataPath, "graft-lake-mark"))
+  private def markFs: org.apache.hadoop.fs.FileSystem =
+    markPath.get.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def readMark(): Option[Long] = markPath.flatMap { p =>
+    try {
+      val fs = markFs
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+        finally in.close()
+      }
+    } catch { case _: Exception => None } // unreadable mark = fresh start
+  }
+
+  private def writeMark(v: Long): Unit = markPath.foreach { p =>
+    try {
+      val fs = markFs
+      val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+        p.getName + "." + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
+      fs.mkdirs(p.getParent)
+      val out = fs.create(tmp, true)
+      try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (fs.exists(p)) fs.delete(p, false)
+      if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+    } catch { case _: Exception => () } // best-effort: worst case = r10 behavior
+  }
+
   /** Version of the newest offset this source has handed the engine —
-    * getOffset clamps ranges forward from here. Synced from recovered
-    * offsets in getBatch, so a restart never regresses it. */
-  @volatile private var lastSeen: Long = Long.MinValue
+    * getOffset clamps ranges forward from here. Recovered from the
+    * checkpoint mark at restart; synced from recovered offsets in
+    * getBatch as the uncommitted-replay backstop. */
+  @volatile private var lastSeen: Long = readMark().getOrElse(Long.MinValue)
   /** True once the initial full-snapshot batch has been planned (only the
-    * no-startingVersion mode has one). */
-  @volatile private var snapshotDone: Boolean = startingVersion.isDefined
+    * no-startingVersion mode has one; a recovered mark means it already
+    * was, in this stream's earlier life). */
+  @volatile private var snapshotDone: Boolean =
+    startingVersion.isDefined || lastSeen != Long.MinValue
 
   override def getOffset: Option[Offset] = {
     val cs = table.commits
@@ -144,6 +202,7 @@ final class LakeStreamSource(sqlContext: SQLContext, path: String,
     if (!snapshotDone && lastSeen == Long.MinValue) {
       // first batch = whole table at head, pinned to the head version
       lastSeen = cs.last.version
+      writeMark(lastSeen)
       return Some(LakeSourceOffset(lastSeen))
     }
     val from = if (lastSeen != Long.MinValue) lastSeen else startingVersion.get - 1
@@ -171,12 +230,16 @@ final class LakeStreamSource(sqlContext: SQLContext, path: String,
       }
     }
     if (end == from) None
-    else { lastSeen = math.max(lastSeen, end); Some(LakeSourceOffset(end)) }
+    else {
+      lastSeen = math.max(lastSeen, end)
+      writeMark(lastSeen)
+      Some(LakeSourceOffset(end))
+    }
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val e = LakeSourceOffset.versionOf(end)
-    if (e > lastSeen) lastSeen = e // checkpoint-recovery sync
+    if (e > lastSeen) { lastSeen = e; writeMark(e) } // uncommitted-replay sync
     val batch = start match {
       case None if startingVersion.isEmpty =>
         snapshotDone = true

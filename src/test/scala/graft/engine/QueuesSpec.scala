@@ -310,6 +310,17 @@ class QueuesSpec extends AnyFunSuite {
         bad.getMessage.contains("UNRESOLVED"), bad.getMessage.take(200))
       assert(graft.Graft.sql(spark, "SHOW ROUTING RULES").collect().isEmpty,
         "a refused rule must not be registered")
+      // a condition that ANALYZES but cannot EVALUATE as a bound raw
+      // predicate (scalar subquery) must also refuse at DEFINE — route()'s
+      // NonFatal skip would otherwise silence it per statement forever
+      val sub = intercept[Exception](graft.Graft.sql(spark,
+        "CREATE ROUTING RULE rr_sub PRIORITY 1 " +
+          "WHEN est_cost > (SELECT 5) ROUTE TO rr_q"))
+      assert(sub.getMessage != null &&
+        (sub.getMessage.contains("cannot be evaluated") ||
+          sub.getMessage.contains("subquer")), sub.getMessage.take(300))
+      assert(graft.Graft.sql(spark, "SHOW ROUTING RULES").collect().isEmpty,
+        "a non-evaluable rule must not be registered")
       graft.Graft.sql(spark,
         "CREATE ROUTING RULE rr_ok PRIORITY 2 WHEN query_type = 'query' ROUTE TO rr_q")
       val a0 = Queues.status.find(_.name == "rr_q").get.admitted

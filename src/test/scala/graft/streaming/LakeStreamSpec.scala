@@ -209,6 +209,77 @@ class LakeStreamSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("clean-stop restart keeps the change-commit clamp and trigger bound") {
+    // after a CLEAN stop (all batches committed) Spark never replays
+    // getBatch, so the source must recover its high-water mark itself; an
+    // amnesiac source would plan ONE giant unclamped recovery range in
+    // which a compaction rewrote the backlog appends' files — losing them
+    // under skipChangeCommits
+    val dir = tmp("lss_amnesia"); val ck = tmp("lss_amnesia_ck")
+    val dst = tmp("lss_amnesia_out")
+    val t = lakeWith(dir, Seq(1, 2))
+    def start() =
+      spark.readStream.format("graft-lake")
+        .option("skipChangeCommits", "true")
+        .option("maxVersionsPerTrigger", "1")
+        .load(dir).writeStream.format("graft-lake")
+        .option("checkpointLocation", ck).start(dst)
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    // backlog while the stream is down: appends, then a compaction that
+    // rewrites their files
+    t.append(Seq(3).toDF("v"))
+    t.append(Seq(4).toDF("v"))
+    t.compact(1)
+    t.append(Seq(5).toDF("v"))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // every backlog append delivered exactly once; the compaction was
+      // passed over BETWEEN batches, never inside one
+      assert(SnapshotTable.forPath(spark, dst).read()
+        .as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4, 5))
+    } finally q2.stop()
+  }
+
+  test("clean-stop restart with startingVersion never regresses the offset log") {
+    val dir = tmp("lss_sv_restart"); val ck = tmp("lss_sv_restart_ck")
+    val dst = tmp("lss_sv_restart_out")
+    val t = lakeWith(dir, Seq(1), Seq(2), Seq(3))
+    def start() =
+      spark.readStream.format("graft-lake")
+        .option("startingVersion", "2")
+        .option("maxVersionsPerTrigger", "1")
+        .load(dir).writeStream.format("graft-lake")
+        .option("checkpointLocation", ck).start(dst)
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    assert(SnapshotTable.forPath(spark, dst).read()
+      .as[Int].collect().sorted.toSeq == Seq(2, 3))
+    t.append(Seq(4).toDF("v"))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // an amnesiac source would restart from startingVersion-1 and
+      // re-deliver committed versions 2 and 3 under FRESH batch ids the
+      // sink tag cannot absorb
+      assert(SnapshotTable.forPath(spark, dst).read()
+        .as[Int].collect().sorted.toSeq == Seq(2, 3, 4),
+        "committed versions must not re-deliver")
+    } finally q2.stop()
+  }
+
+  test("declared read schema that differs from the table is refused up front") {
+    val dir = tmp("lss_schema")
+    lakeWith(dir, Seq(1, 2))
+    val ex = intercept[Exception] {
+      spark.readStream.schema("v STRING").format("graft-lake").load(dir)
+        .writeStream.format("memory").queryName("lss_schema_q")
+        .option("checkpointLocation", tmp("lss_schema_ck")).start()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("schema"), ex.toString)
+  }
+
   test("readChangeFeed: snapshot as inserts, then DML arrives as row-level changes") {
     val dir = tmp("lss_cdc")
     val t = lakeWith(dir, Seq(1, 2, 3))
