@@ -41,6 +41,9 @@ object Functions {
     col(UnigramEncode(ex(text), vocab))
   def wordpiece_encode(text: Column, pieces: Seq[String]): Column =
     col(WordPieceEncode(ex(text), pieces))
+  def unicode_normalize(text: Column, form: String = "NFC"): Column =
+    col(UnicodeNormalize(ex(text), form))
+  def strip_accents(text: Column): Column = col(StripAccents(ex(text)))
 
   /** Hamming distance between two 64-bit fingerprints (built-in composition:
     * stays in whole-stage codegen). */
@@ -82,6 +85,13 @@ object Functions {
     one("minhash", 1)(es => MinHashSignature(es(0), 64, 3))
     one("ngram_hashes", 1)(es => NgramHashes(es(0), 3))
     one("word_ngrams", 1)(es => WordNgrams(es(0), 3, distinct = true))
+    one("strip_accents", 1)(es => StripAccents(es(0)))
+    one("unicode_normalize", 2)(es => UnicodeNormalize(es(0),
+      es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(s, _) => s.toString
+        case other => throw new IllegalArgumentException(
+          s"unicode_normalize form must be a literal NFC/NFD/NFKC/NFKD, got $other")
+      }))
     SqlUdfs.register(spark)
     Aggregators.register(spark)
     DremioSurface.register(spark)

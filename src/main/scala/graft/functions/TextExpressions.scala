@@ -217,6 +217,47 @@ object BpeKernel {
   }
 }
 
+/** unicode_normalize(text, form) -> string: java.text.Normalizer under
+  * the standard forms (NFC/NFD/NFKC/NFKD) — the canonicalization step
+  * BEFORE any hashing/dedup/tokenization of multi-source web text (the
+  * same page crawled twice can differ only in composed vs combining
+  * accents; every hash-keyed operator downstream would miss the dup).
+  * Matches DuckDB's `nfc_normalize` for form=NFC (both implement UAX #15),
+  * which is what makes the oracle exact. */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "unicode_normalize"
+  override def dataType: DataType = StringType
+  @transient private lazy val f = java.text.Normalizer.Form.valueOf(form.toUpperCase)
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(v.asInstanceOf[UTF8String].toString, f))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** strip_accents(text) -> string: NFD-decompose, drop combining marks
+  * (Unicode category Mn) — `Ünïçödé` → `Unicode`, the BERT-uncased /
+  * fastText preprocessing convention. Semantics match DuckDB's
+  * `strip_accents` (utf8proc) on Latin-script text. */
+case class StripAccents(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "strip_accents"
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = {
+    val d = java.text.Normalizer.normalize(
+      v.asInstanceOf[UTF8String].toString, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(d.length)
+    var i = 0
+    while (i < d.length) {
+      val c = d.charAt(i)
+      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Shared deployment shape of the tokenizer-encode expression family
   * (BPE / unigram-LM / WordPiece): the trained vocabulary rides the
   * serialized plan (a few KB — the broadcast-variable shape for

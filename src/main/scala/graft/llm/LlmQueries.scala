@@ -1187,6 +1187,42 @@ object LlmQueries {
     SELECT q_id, c_id, CAST(rk AS INT) AS rk FROM r WHERE rk <= 10
     ORDER BY q_id, rk"""
 
+  /** Unicode text normalization under a FULL oracle: documents doctored
+    * with accented and COMBINING-mark text run the canonical
+    * pre-tokenization chain — NFC normalize (composes e+U+0301 into é),
+    * strip accents (NFD + drop Mn: Ünïçödé→Unicode), lowercase — on both
+    * engines; UAX #15 and utf8proc agree on Latin script, which the md5
+    * gate proves. The step every hash-keyed dedup needs FIRST: the same
+    * page crawled twice can differ only in accent composition. */
+  val textNormalize: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents.filter(col("doc_id") < 300)
+    // explicit escapes, byte-identical to the oracle's chr()-built tail:
+    // precomposed accents + COMBINING acute sequences (the NFC work)
+    val doctored = docs.select(col("doc_id"),
+      concat(col("text"), lit(" \u00dcn\u00ef\u00e7\u00f6d\u00e9 " +
+        "\u00f1a\u00efve e\u0301to\u0301")).as("t"))
+    doctored.select(col("doc_id"),
+        length(col("t")).as("len_before"),
+        lower(graft.functions.Functions.strip_accents(
+          graft.functions.Functions.unicode_normalize(col("t")))).as("norm"))
+      .select(col("doc_id"), col("len_before"), length(col("norm")).as("len_after"),
+        md5(col("norm")).as("norm_md5"))
+      .orderBy(col("doc_id"))
+  }
+  val textNormalizeSql: String = """
+    WITH d AS (
+      SELECT doc_id,
+        text || ' ' || chr(220) || 'n' || chr(239) || chr(231) || chr(246)
+             || 'd' || chr(233) || ' ' || chr(241) || 'a' || chr(239) || 've '
+             || 'e' || chr(769) || 'to' || chr(769) AS t
+      FROM documents WHERE doc_id < 300),
+    n AS (SELECT doc_id, length(t) AS len_before,
+            lower(strip_accents(nfc_normalize(t))) AS norm
+          FROM d)
+    SELECT doc_id, CAST(len_before AS INT) AS len_before,
+           CAST(length(norm) AS INT) AS len_after, md5(norm) AS norm_md5
+    FROM n ORDER BY doc_id"""
+
   /** HTML → text extraction under a FULL oracle: documents are wrapped in
     * deterministic synthetic HTML (title/style/optional script blocks,
     * comments, headings, links, pre-escaped entities) and the WARC→WET
@@ -2234,6 +2270,7 @@ object LlmQueries {
     "text_fingerprint" -> textFingerprint,
     "text_winnow" -> textWinnow,
     "html_extract" -> htmlExtract,
+    "text_normalize" -> textNormalize,
     "url_canonicalize" -> urlCanonicalize,
     "text_langid" -> textLangid,
     "sample_stratified" -> sampleStratified,
@@ -2297,6 +2334,7 @@ object LlmQueries {
     "text_fingerprint" -> textFingerprintSql,
     "text_winnow" -> textWinnowSql,
     "html_extract" -> htmlExtractSql,
+    "text_normalize" -> textNormalizeSql,
     "url_canonicalize" -> urlCanonicalizeSql,
     "text_langid" -> textLangidSql,
     "sample_stratified" -> sampleStratifiedSql,

@@ -246,6 +246,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"DSIR scoring must not window:\n$plan")
   }
 
+  test("unicode normalization: NFC composes, strip_accents drops marks, SQL face registered") {
+    import graft.functions.Functions.{strip_accents, unicode_normalize}
+    // combining-acute sequences + precomposed accents, explicit escapes
+    val df = Seq((1L, "e\u0301to\u0301 \u00dcn\u00ef\u00e7\u00f6d\u00e9"))
+      .toDF("doc_id", "t")
+    val r = df.select(
+      org.apache.spark.sql.functions.length(unicode_normalize($"t")).as("nfc_len"),
+      strip_accents($"t").as("stripped")).head()
+    // NFC composes the two base+COMBINING ACUTE pairs: 13 chars -> 11
+    assert(r.getAs[Int]("nfc_len") == 11, r.toString)
+    assert(r.getAs[String]("stripped") == "eto Unicode", r.getAs[String]("stripped"))
+    graft.functions.Functions.registerAll(spark)
+    val sqlR = spark.sql(
+      "SELECT strip_accents('\u00e9\u00f1'), unicode_normalize('e\u0301', 'NFC')").head()
+    assert(sqlR.getString(0) == "en" && sqlR.getString(1) == "\u00e9", sqlR.toString)
+    // non-literal form argument refuses loudly
+    val bad = intercept[Exception](
+      spark.sql("SELECT unicode_normalize('x', lower('NFC'))").collect())
+    assert(bad.getMessage.contains("literal"), bad.getMessage.take(200))
+  }
+
   test("html extraction: blocks, entity order, counts pinned on a crafted page") {
     val page = "<html><head><style>b{}</style>" +
       "<script>if (1 < 2) alert('x')</script></head>" +
