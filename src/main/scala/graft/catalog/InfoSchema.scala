@@ -298,10 +298,33 @@ object InfoSchema {
       StructField("name", StringType, nullable = false))),
       () => graft.auth.Privileges.listRoles.map(Row(_)))
 
+  /** Per-batch streaming progress history ([[StreamHistory]]): the trail
+    * behind `sys_streams`' live snapshot — every micro-batch's rates plus
+    * start/termination (incl. error) markers, surviving the query. */
+  def sysStreamProgress(spark: SparkSession): DataFrame =
+    live(spark, StructType(Seq(
+      StructField("id", StringType, nullable = false),
+      StructField("run_id", StringType, nullable = false),
+      StructField("name", StringType, nullable = false),
+      StructField("batch_id", LongType, nullable = false),
+      StructField("ts_ms", LongType, nullable = false),
+      StructField("event", StringType, nullable = false),
+      StructField("num_input_rows", LongType, nullable = false),
+      StructField("input_rows_per_sec", DoubleType, nullable = false),
+      StructField("processed_rows_per_sec", DoubleType, nullable = false),
+      StructField("trigger_ms", LongType, nullable = false),
+      StructField("source", StringType, nullable = false),
+      StructField("sink", StringType, nullable = false))),
+      () => StreamHistory.records.map(r =>
+        Row(r.queryId, r.runId, r.name, r.batchId, r.tsMs, r.event,
+          r.numInputRows, r.inputRowsPerSec, r.processedRowsPerSec,
+          r.triggerMs, r.source, r.sink)))
+
   /** Register all introspection views (and start recording query history
     * for this session, if not already). */
   def register(spark: SparkSession): Unit = {
     QueryHistory.install(spark)
+    StreamHistory.install(spark)
     tables(spark).createOrReplaceTempView("information_schema_tables")
     columns(spark).createOrReplaceTempView("information_schema_columns")
     sysOptions(spark).createOrReplaceTempView("sys_options")
@@ -309,6 +332,7 @@ object InfoSchema {
     sysReflections(spark).createOrReplaceTempView("sys_reflections")
     sysPipes(spark).createOrReplaceTempView("sys_pipes")
     sysStreams(spark).createOrReplaceTempView("sys_streams")
+    sysStreamProgress(spark).createOrReplaceTempView("sys_stream_progress")
     sysFunctions(spark).createOrReplaceTempView("sys_functions")
     sysQueries(spark).createOrReplaceTempView("sys_queries")
     sysJoinAnalysis(spark).createOrReplaceTempView("sys_join_analysis")

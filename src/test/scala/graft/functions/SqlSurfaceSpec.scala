@@ -122,6 +122,21 @@ class SqlSurfaceSpec extends AnyFunSuite {
     } finally q.stop()
     assert(spark.sql("SELECT * FROM sys_streams WHERE name = 'sysstr_q'").count() == 0,
       "a stopped stream must leave the view")
+    // the HISTORY ring keeps the trail the live view just dropped:
+    // a start marker, at least one progress batch with rows, and (listener
+    // delivery is async) eventually a termination marker under the id
+    val qid = q.id.toString
+    def hist() = spark.sql(
+      s"SELECT event, batch_id, num_input_rows FROM sys_stream_progress " +
+        s"WHERE id = '$qid'").collect()
+    val deadline = System.currentTimeMillis() + 10000
+    while (!hist().exists(_.getString(0) == "terminated") &&
+           System.currentTimeMillis() < deadline) Thread.sleep(100)
+    val h = hist()
+    assert(h.exists(_.getString(0) == "started"), h.mkString(","))
+    assert(h.exists(r => r.getString(0) == "progress" && r.getLong(2) >= 1L),
+      s"a progress record with rows must persist: ${h.mkString(",")}")
+    assert(h.exists(_.getString(0) == "terminated"), h.mkString(","))
   }
 
   test("information_schema and sys views are queryable") {
