@@ -484,6 +484,12 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
   def effectiveLayout: (Seq[String], Seq[String], Seq[String]) =
     effectiveLayoutOf(commits)
 
+  /** The effective layout as a BRANCH/TAG sees it (SHOW CREATE ... AT):
+    * computed over the ref's visible log, so a branch that evolved its
+    * layout reports its own, not main's. */
+  def effectiveLayoutAt(ref: String): (Seq[String], Seq[String], Seq[String]) =
+    effectiveLayoutOf(log(Some(ref)))
+
   private def copyOnWrite(transform: DataFrame => DataFrame,
                           extraStatsCols: Seq[String] = Nil,
                           touch: Option[org.apache.spark.sql.Column] = None,

@@ -66,7 +66,7 @@ import graft.streaming.{Pipe, Pipes}
   *   ROLLBACK LAKE '<dir>' TO VERSION <n>   -- restore as a new commit
   *   VACUUM LAKE '<dir>' [OLDER_THAN '<ts>'] [RETAIN <n> VERSIONS] [GRACE <ms>]
   *   VACUUM CATALOG '<root>' [OLDER_THAN '<ts>'] [RETAIN <n> VERSIONS] [GRACE <ms>]
-  *   SHOW CREATE LAKE '<dir>'   -- column DDL + sticky layout + head version
+  *   SHOW CREATE LAKE '<dir>' [AT BRANCH|TAG <ref>]  -- DDL + layout + head version
   *   ANALYZE LAKE '<dir>'   -- one-pass column profile (HLL ndv)
   *   COPY INTO '<targetDir>' FROM '<src>' FORMAT <fmt> SCHEMA '<ddl>'
   *     [ON_ERROR CONTINUE|ABORT]                -- reference CopyIntoTableContext
@@ -286,9 +286,10 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
       case ShowTblPropsRe(dir) =>
         ShowLakePropertiesCommand(dir, out("key", "value"))
       case RollbackLakeRe(dir, version) => RollbackLakeCommand(dir, version.toLong)
-      case ShowCreateLakeRe(dir) =>
+      case ShowCreateLakeRe(dir, ref) =>
         ShowCreateLakeCommand(dir,
-          out("column_ddl", "partition_spec", "stats_cols", "sort_by", "version"))
+          out("column_ddl", "partition_spec", "stats_cols", "sort_by", "version"),
+          Option(ref))
       case VacuumLakeRe(dir, olderThan, retain, grace) =>
         VacuumLakeCommand(dir,
           Option(retain).map(_.toInt).getOrElse(
@@ -528,7 +529,8 @@ object GraftSqlParser {
       """(?:\s+STATS\s+\(([^)]*)\))?""" +
       """(?:\s+SORT\s+BY\s+\(([^)]*)\))?\s+AS\s+(.+?)\s*;?""").r
   private val ShowCreateLakeRe =
-    """(?is)SHOW\s+CREATE\s+LAKE\s+'([^']+)'\s*;?""".r
+    ("""(?is)SHOW\s+CREATE\s+LAKE\s+'([^']+)'""" +
+      """(?:\s+AT\s+(?:BRANCH|TAG)\s+([\w.-]+))?\s*;?""").r
   // expire old snapshots + delete unreferenced data files (Iceberg
   // expire_snapshots / Delta VACUUM); GRACE (ms) keeps young orphans for
   // in-flight writers — sub-hour values are for tests
@@ -1418,13 +1420,16 @@ object GraftSqlParser {
     * transforms + stats columns), and head version (the reference's SHOW
     * CREATE surface over versioned tables). */
   case class ShowCreateLakeCommand(dir: String,
-                                   override val output: Seq[Attribute])
+                                   override val output: Seq[Attribute],
+                                   ref: Option[String] = None)
       extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
       val t = graft.sources.SnapshotTable.forPath(spark, dir)
-      val cs = t.commits
-      require(cs.nonEmpty, s"empty lake table $dir")
-      val (spec, statsCols, sortBy) = t.effectiveLayout
+      val cs = t.log(ref)
+      require(cs.nonEmpty,
+        s"empty lake table $dir${ref.map(r => s" at ref $r").getOrElse("")}")
+      val (spec, statsCols, sortBy) =
+        ref.map(t.effectiveLayoutAt).getOrElse(t.effectiveLayout)
       Seq(Row(cs.last.schemaDdl, spec.mkString(", "),
         statsCols.mkString(", "), sortBy.mkString(", "),
         cs.last.version.toString))

@@ -569,6 +569,15 @@ class SqlExtSpec extends AnyFunSuite {
     val r2 = spark.sql(s"SHOW CREATE LAKE '$dir'").head()
     assert(r2.getString(0).toLowerCase.contains("note"), s"evolved ddl: ${r2.getString(0)}")
     assert(r2.getString(4) == "3")
+    // SHOW CREATE ... AT: a TAG pinned before the evolution reports the
+    // OLD definition while main reports the new one (reference
+    // SqlShowCreate's version context)
+    spark.sql(s"CREATE TAG sc_pin FROM LAKE '$dir' VERSION AS OF 2")
+    val r3 = spark.sql(s"SHOW CREATE LAKE '$dir' AT TAG sc_pin").head()
+    assert(!r3.getString(0).toLowerCase.contains("note"),
+      s"tag-pinned ddl must predate the evolution: ${r3.getString(0)}")
+    assert(r3.getString(4) == "2", r3.getString(4))
+    assert(r3.getString(1) == "identity(grp)", r3.getString(1))
   }
 
   test("VACUUM LAKE through SQL expires history and deletes unreferenced files") {
