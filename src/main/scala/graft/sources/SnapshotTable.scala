@@ -476,7 +476,9 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     * the write spec as table metadata for the same reason). */
   private def effectiveLayoutOf(log: Seq[LakeCommit])
       : (Seq[String], Seq[String], Seq[String]) = (
-    log.reverseIterator.find(_.partitionSpec.nonEmpty).map(_.partitionSpec).getOrElse(Nil),
+    log.reverseIterator.find(_.partitionSpec.nonEmpty).map(_.partitionSpec)
+      .map(s => if (s == Seq(SnapshotTable.UnpartitionedSentinel)) Nil else s)
+      .getOrElse(Nil),
     log.reverseIterator.find(_.statsCols.nonEmpty).map(_.statsCols).getOrElse(Nil),
     log.reverseIterator.find(_.sortSpec.nonEmpty).map(_.sortSpec).getOrElse(Nil))
 
@@ -1344,6 +1346,48 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     v
   }
 
+  /** ALTER ... SET PARTITION SPEC: partition-spec EVOLUTION as a
+    * metadata-only commit (the Iceberg `ALTER TABLE ... ADD PARTITION
+    * FIELD` contract, whole-spec form): the new sticky spec applies to
+    * every FUTURE write — existing data files keep the layout they were
+    * written under, stay readable, and keep pruning through their
+    * per-file transform ranges (the manifest records each file's own
+    * ranges, so mixed-era scans prune correctly without rewrites).
+    * An empty spec drops partitioning for future writes. Transforms are
+    * validated against [[PartitionTransform.parse]] and the current
+    * schema's columns before the commit publishes. */
+  def setPartitionSpec(spec: Seq[String]): Long = {
+    val parsed = spec.map(PartitionTransform.parse)
+    val v = withCommitLock {
+      val log = commits
+      require(log.nonEmpty, s"empty lake table $dir")
+      val last = log.last
+      val cols = org.apache.spark.sql.types.StructType
+        .fromDDL(last.schemaDdl).fieldNames.map(_.toLowerCase).toSet
+      parsed.foreach(t => require(cols.contains(t.srcCol.toLowerCase),
+        s"partition transform ${t.repr} names an unknown column " +
+          s"(table has: ${cols.toSeq.sorted.mkString(", ")})"))
+      val cur = log.reverseIterator.collectFirst {
+        case c if c.tableProps.isDefined => c.tableProps.get
+      }
+      val (eff, _) = idState(log)
+      val (_, effStats, effSort) = effectiveLayoutOf(log)
+      // empty spec must still DECLARE itself sticky: a marker transform
+      // would complicate readers, so record a single no-op-free empty
+      // list via a props-style tombstone — effectiveLayoutOf picks the
+      // NEWEST non-empty spec, so "drop partitioning" writes a 1-element
+      // sentinel the writer side treats as none
+      val declared =
+        if (parsed.isEmpty) Seq(SnapshotTable.UnpartitionedSentinel)
+        else parsed.map(_.repr) // canonical spelling, matches write-side records
+      publish(last.version + 1, "append", Nil, Map.empty, "",
+        last.schemaDdl, last.timestampMs, log, eff, declared, effStats,
+        effSort, cur)
+    }
+    spark.catalog.refreshByPath(dir)
+    v
+  }
+
   /** ALTER ... UNSET TBLPROPERTIES: metadata-only commit declaring the
     * map without the named keys (absent keys are a no-op, like the
     * reference's IF EXISTS-free unset). */
@@ -1761,6 +1805,11 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
 
 object SnapshotTable {
   val LogDirName = "_graft_log"
+  /** "Drop partitioning for future writes" marker: the sticky-layout
+    * resolver ([[SnapshotTable.effectiveLayoutOf]]) maps a spec that is
+    * exactly this to Nil, and the lenient reader-side transform parse
+    * skips it like any unknown spec string from a newer writer. */
+  val UnpartitionedSentinel = "unpartitioned()"
 
   /** Pseudo column carrying per-file parquet row counts inside the stats
     * map (min == max == count). Never collides with predicate pruning —

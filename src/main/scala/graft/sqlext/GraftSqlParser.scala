@@ -33,6 +33,7 @@ import graft.streaming.{Pipe, Pipes}
   *   TRIGGER PIPE <name>
   *   SHOW PIPES
   *   SHOW STREAMS                               -- active streaming queries
+  *   ALTER LAKE '<dir>' SET PARTITION SPEC (t(c), ...)  -- partition evolution
   *   ALTER TABLE <ident> REFRESH METADATA
   *   DESCRIBE LAKE '<dir>'                      -- snapshot history
   *   CREATE LAKE '<dir>' [PARTITION BY (t(c), ...)] [STATS (c, ...)]
@@ -277,6 +278,9 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
         RenameLakeColumnCommand(dir, oldName, newName)
       case AddLakeColRe(dir, name, typeDdl) => AddLakeColumnCommand(dir, name, typeDdl)
       case DropLakeColRe(dir, name) => DropLakeColumnCommand(dir, name)
+      case AlterLakeSetSpecRe(dir, spec) =>
+        SetLakePartitionSpecCommand(dir,
+          Option(spec).map(splitTopLevel).getOrElse(Nil))
       case AlterLakeSetPropsRe(dir, pairs) =>
         SetLakePropertiesCommand(dir,
           PropPairRe.findAllMatchIn(pairs).map(m => m.group(1) -> m.group(2)).toMap)
@@ -448,6 +452,10 @@ object GraftSqlParser {
   private val ShowQueuesRe = """(?is)SHOW\s+QUEUES\s*;?""".r
   // table properties (reference SqlAlterTableProperties / parserImpls.ftl
   // SHOW TBLPROPERTIES, SqlShowTableProperties.java)
+  // the spec list nests one paren level (transform argument lists)
+  private val AlterLakeSetSpecRe =
+    ("""(?is)ALTER\s+LAKE\s+'([^']+)'\s+SET\s+PARTITION\s+SPEC\s*""" +
+      """\(((?:[^()]*\([^()]*\))*[^()]*)\)\s*;?""").r
   private val AlterLakeSetPropsRe =
     ("""(?is)ALTER\s+LAKE\s+'([^']+)'\s+SET\s+TBLPROPERTIES\s*""" +
       """\(\s*((?:'[^']*'\s*=\s*'[^']*'\s*,?\s*)+)\)\s*;?""").r
@@ -1766,6 +1774,22 @@ object GraftSqlParser {
     * metadata-only commit merging the pairs into the table's property
     * map. Functional, not cosmetic: `autocompact.files` configures
     * per-table ingest maintenance (beats the session conf). */
+  /** ALTER LAKE ... SET PARTITION SPEC (partition evolution — the Iceberg
+    * `ALTER TABLE ... ADD/DROP PARTITION FIELD` contract in whole-spec
+    * form): future writes land under the new transforms, existing files
+    * keep their own layout and keep pruning. Empty parens drop
+    * partitioning for future writes. */
+  case class SetLakePartitionSpecCommand(dir: String, spec: Seq[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("version")
+    override def run(spark: SparkSession): Seq[Row] = {
+      graft.auth.Privileges.requireAction(spark, "alter", dir,
+        "ALTER LAKE SET PARTITION SPEC")
+      Seq(Row(graft.sources.SnapshotTable.forPath(spark, dir)
+        .setPartitionSpec(spec).toString))
+    }
+  }
+
   case class SetLakePropertiesCommand(dir: String, kvs: Map[String, String])
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("version")

@@ -603,6 +603,48 @@ class SqlExtSpec extends AnyFunSuite {
     assert(ex != null)
   }
 
+  test("ALTER LAKE SET PARTITION SPEC: future writes evolve, old files keep pruning") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def findScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => findScans(a.executedPlan)
+      case s: QueryStageExec => findScans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(findScans)
+    }
+    val dir = Files.createTempDirectory("graft_specevo").toString + "/t"
+    spark.sql(s"CREATE LAKE '$dir' PARTITION BY (identity(grp)) AS " +
+      "SELECT id, CAST(id % 3 AS INT) AS grp FROM range(90)")
+    // evolve: future writes bucket on id instead
+    spark.sql(s"ALTER LAKE '$dir' SET PARTITION SPEC (bucket(4, id))")
+    val shown = spark.sql(s"SHOW CREATE LAKE '$dir'").head()
+    assert(shown.getString(1) == "bucket(4,id)", shown.getString(1))
+    spark.sql(s"INSERT INTO LAKE '$dir' SELECT id, 9 AS grp FROM range(1000, 1090)")
+    // everything reads; both eras present
+    val t = graft.sources.SnapshotTable.forPath(spark, dir)
+    assert(t.read().count() == 180)
+    // an OLD-era partition predicate still prunes the old files (per-file
+    // transform ranges survive the evolution)
+    val q = t.read().filter(col("grp") === 1)
+    assert(q.count() == 30)
+    val opened = findScans(q.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+    val all = t.read().inputFiles.length
+    assert(opened < all, s"grp=1 must prune old-era files: $opened of $all")
+    // a NEW-era bucket predicate prunes the new files
+    val q2 = t.read().filter(col("id") === 1001L)
+    assert(q2.count() == 1)
+    // empty spec drops partitioning for future writes
+    spark.sql(s"ALTER LAKE '$dir' SET PARTITION SPEC ()")
+    assert(t.effectiveLayout._1.isEmpty, t.effectiveLayout.toString)
+    spark.sql(s"INSERT INTO LAKE '$dir' SELECT id, 0 AS grp FROM range(5000, 5010)")
+    assert(t.read().count() == 190)
+    // unknown column refused before any commit
+    val bad = intercept[Exception](spark.sql(
+      s"ALTER LAKE '$dir' SET PARTITION SPEC (identity(nope))"))
+    assert(bad.getMessage.contains("unknown column"), bad.getMessage.take(200))
+  }
+
   test("VACUUM LAKE OLDER_THAN keeps commits at/after the cutoff") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vacuum_older").toString + "/t"
     spark.sql(s"CREATE LAKE '$dir' AS SELECT id FROM range(50)")
