@@ -475,12 +475,15 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     * stats from every later INSERT INTO LAKE / DML rewrite (Iceberg keeps
     * the write spec as table metadata for the same reason). */
   private def effectiveLayoutOf(log: Seq[LakeCommit])
-      : (Seq[String], Seq[String], Seq[String]) = (
-    log.reverseIterator.find(_.partitionSpec.nonEmpty).map(_.partitionSpec)
-      .map(s => if (s == Seq(SnapshotTable.UnpartitionedSentinel)) Nil else s)
-      .getOrElse(Nil),
-    log.reverseIterator.find(_.statsCols.nonEmpty).map(_.statsCols).getOrElse(Nil),
-    log.reverseIterator.find(_.sortSpec.nonEmpty).map(_.sortSpec).getOrElse(Nil))
+      : (Seq[String], Seq[String], Seq[String]) = {
+    def sticky(pick: LakeCommit => Seq[String]): Seq[String] =
+      log.reverseIterator.find(pick(_).nonEmpty).map(pick)
+        .map(s => if (s == Seq(SnapshotTable.UnpartitionedSentinel)) Nil else s)
+        .getOrElse(Nil)
+    (sticky(_.partitionSpec),
+      log.reverseIterator.find(_.statsCols.nonEmpty).map(_.statsCols).getOrElse(Nil),
+      sticky(_.sortSpec))
+  }
 
   /** Public view of the effective layout, for SQL-surface writers. */
   def effectiveLayout: (Seq[String], Seq[String], Seq[String]) =
@@ -1388,6 +1391,36 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     v
   }
 
+  /** ALTER ... SET SORT ORDER: sort-order EVOLUTION (the Iceberg
+    * `ALTER TABLE ... WRITE ORDERED BY` contract) — a metadata-only
+    * commit makes every future write/compaction sort its data files by
+    * the new columns; existing files keep their recorded order. Empty
+    * parens drop the sticky order for future writes. */
+  def setSortOrder(cols: Seq[String]): Long = {
+    val v = withCommitLock {
+      val log = commits
+      require(log.nonEmpty, s"empty lake table $dir")
+      val last = log.last
+      val schemaCols = org.apache.spark.sql.types.StructType
+        .fromDDL(last.schemaDdl).fieldNames.map(_.toLowerCase).toSet
+      cols.foreach(c => require(schemaCols.contains(c.toLowerCase),
+        s"sort column '$c' is not in the table schema " +
+          s"(${schemaCols.toSeq.sorted.mkString(", ")})"))
+      val cur = log.reverseIterator.collectFirst {
+        case c if c.tableProps.isDefined => c.tableProps.get
+      }
+      val (eff, _) = idState(log)
+      val (effSpec, effStats, _) = effectiveLayoutOf(log)
+      val declared =
+        if (cols.isEmpty) Seq(SnapshotTable.UnpartitionedSentinel) else cols
+      publish(last.version + 1, "append", Nil, Map.empty, "",
+        last.schemaDdl, last.timestampMs, log, eff, effSpec, effStats,
+        declared, cur)
+    }
+    spark.catalog.refreshByPath(dir)
+    v
+  }
+
   /** ALTER ... UNSET TBLPROPERTIES: metadata-only commit declaring the
     * map without the named keys (absent keys are a no-op, like the
     * reference's IF EXISTS-free unset). */
@@ -1620,7 +1653,15 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       statsCols.filter(df.schema.fieldNames.contains)
         .foldLeft(w)((acc, c) =>
           acc.option(s"parquet.bloom.filter.enabled#$c", "true"))
-    if (partitionBy.isEmpty) withBlooms(df.write).parquet(s"$dir/$sub")
+    if (partitionBy.isEmpty) {
+      // a sticky sort order applies to UNPARTITIONED writes too: each data
+      // file's rows cluster by the sort columns (same per-file contract as
+      // the partitioned path below)
+      val src =
+        if (sortCols.isEmpty) df
+        else df.sortWithinPartitions(sortCols.map(col): _*)
+      withBlooms(src.write).parquet(s"$dir/$sub")
+    }
     else {
       // helper partition-value columns exist only in the directory layout
       // (partitionBy moves them out of the files), so file schema == table

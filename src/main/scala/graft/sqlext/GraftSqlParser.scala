@@ -281,6 +281,8 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
       case AlterLakeSetSpecRe(dir, spec) =>
         SetLakePartitionSpecCommand(dir,
           Option(spec).map(splitTopLevel).getOrElse(Nil))
+      case AlterLakeSetSortRe(dir, cols) =>
+        SetLakeSortOrderCommand(dir, splitCols(cols))
       case AlterLakeSetPropsRe(dir, pairs) =>
         SetLakePropertiesCommand(dir,
           PropPairRe.findAllMatchIn(pairs).map(m => m.group(1) -> m.group(2)).toMap)
@@ -456,6 +458,8 @@ object GraftSqlParser {
   private val AlterLakeSetSpecRe =
     ("""(?is)ALTER\s+LAKE\s+'([^']+)'\s+SET\s+PARTITION\s+SPEC\s*""" +
       """\(((?:[^()]*\([^()]*\))*[^()]*)\)\s*;?""").r
+  private val AlterLakeSetSortRe =
+    """(?is)ALTER\s+LAKE\s+'([^']+)'\s+SET\s+SORT\s+ORDER\s*\(([^)]*)\)\s*;?""".r
   private val AlterLakeSetPropsRe =
     ("""(?is)ALTER\s+LAKE\s+'([^']+)'\s+SET\s+TBLPROPERTIES\s*""" +
       """\(\s*((?:'[^']*'\s*=\s*'[^']*'\s*,?\s*)+)\)\s*;?""").r
@@ -1787,6 +1791,21 @@ object GraftSqlParser {
         "ALTER LAKE SET PARTITION SPEC")
       Seq(Row(graft.sources.SnapshotTable.forPath(spark, dir)
         .setPartitionSpec(spec).toString))
+    }
+  }
+
+  /** ALTER LAKE ... SET SORT ORDER (sort-order evolution — the Iceberg
+    * `WRITE ORDERED BY` contract): future writes/compactions sort by the
+    * new columns, existing files keep their recorded order. Empty parens
+    * drop the sticky order. */
+  case class SetLakeSortOrderCommand(dir: String, cols: Seq[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("version")
+    override def run(spark: SparkSession): Seq[Row] = {
+      graft.auth.Privileges.requireAction(spark, "alter", dir,
+        "ALTER LAKE SET SORT ORDER")
+      Seq(Row(graft.sources.SnapshotTable.forPath(spark, dir)
+        .setSortOrder(cols).toString))
     }
   }
 

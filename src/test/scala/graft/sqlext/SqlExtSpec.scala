@@ -645,6 +645,30 @@ class SqlExtSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("unknown column"), bad.getMessage.take(200))
   }
 
+  test("ALTER LAKE SET SORT ORDER: future writes sort, SHOW CREATE reports it") {
+    val dir = Files.createTempDirectory("graft_sortevo").toString + "/t"
+    spark.sql(s"CREATE LAKE '$dir' AS SELECT id, id % 7 AS k FROM range(100)")
+    spark.sql(s"ALTER LAKE '$dir' SET SORT ORDER (k)")
+    assert(spark.sql(s"SHOW CREATE LAKE '$dir'").head().getString(3) == "k")
+    // a write after the evolution lands sorted by k within each file
+    spark.sql(s"INSERT INTO LAKE '$dir' SELECT id, id % 5 AS k FROM range(200, 260)")
+    val t = graft.sources.SnapshotTable.forPath(spark, dir)
+    val newFiles = t.commits.last.files
+    assert(newFiles.nonEmpty)
+    newFiles.foreach { f =>
+      val ks = spark.read.parquet(s"$dir/$f")
+        .select("k").collect().map(_.getLong(0)).toSeq
+      assert(ks == ks.sorted, s"file $f not sorted by k: ${ks.take(10)}")
+    }
+    // empty parens drop the sticky order
+    spark.sql(s"ALTER LAKE '$dir' SET SORT ORDER ()")
+    assert(t.effectiveLayout._3.isEmpty, t.effectiveLayout.toString)
+    // unknown column refused
+    val bad = intercept[Exception](spark.sql(
+      s"ALTER LAKE '$dir' SET SORT ORDER (nope)"))
+    assert(bad.getMessage.contains("not in the table schema"), bad.getMessage.take(200))
+  }
+
   test("VACUUM LAKE OLDER_THAN keeps commits at/after the cutoff") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vacuum_older").toString + "/t"
     spark.sql(s"CREATE LAKE '$dir' AS SELECT id FROM range(50)")
