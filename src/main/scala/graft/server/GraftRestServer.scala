@@ -223,13 +223,29 @@ object GraftRestServer {
             val session = root
             if (rest.isEmpty) {
               import org.apache.spark.sql.functions.{col, struct, to_json}
+              // optional search (`?q=`, reference dac catalog search):
+              // case-insensitive match over the dataset NAME, its TAGS,
+              // and its WIKI text — collaboration metadata is part of the
+              // search index, exactly why it exists
+              val q0 = Option(ex.getRequestURI.getQuery).getOrElse("")
+                .split("&").collectFirst {
+                  case kv if kv.startsWith("q=") => java.net.URLDecoder
+                    .decode(kv.stripPrefix("q="), StandardCharsets.UTF_8)
+                }.map(_.toLowerCase).filter(_.nonEmpty)
+              def matches(name: String): Boolean = q0.forall { needle =>
+                name.toLowerCase.contains(needle) ||
+                  graft.catalog.Collaboration.getTags(name)
+                    .exists(_.tags.exists(_.toLowerCase.contains(needle))) ||
+                  graft.catalog.Collaboration.getWiki(name)
+                    .exists(_.text.toLowerCase.contains(needle))
+              }
               // ONE materialization of the O(catalog) relation: name for
               // the visibility filter, the row's JSON alongside
               val items = graft.catalog.InfoSchema.tables(session)
                 .select(col("table_name"),
                   to_json(struct(col("*"))).as("__j"))
                 .collect()
-                .filter(r => visible(r.getString(0)))
+                .filter(r => visible(r.getString(0)) && matches(r.getString(0)))
                 .map(_.getString(1)).mkString(",")
               val refl = graft.accel.Reflections.list.map(r =>
                 s"""{"name":${q(r.name)},"path":${q(r.path)},""" +

@@ -184,6 +184,27 @@ class GraftRestServerSpec extends AnyFunSuite {
     assert(u2 == 404)
   }
 
+  test("GET /catalog?q= searches names, tags, and wiki text") {
+    graft.catalog.Collaboration.reset()
+    spark.sql("SELECT 1 AS a").createOrReplaceTempView("search_alpha")
+    spark.sql("SELECT 1 AS a").createOrReplaceTempView("search_beta")
+    graft.catalog.Collaboration.setTags("search_beta", Seq("goldset"), None)
+    graft.catalog.Collaboration.setWiki("search_alpha",
+      "curated quarterly revenue numbers", None)
+    // name match
+    val (c1, b1) = get("/catalog?q=search_al")
+    assert(c1 == 200 && b1.contains("search_alpha") && !b1.contains("search_beta"), b1.take(300))
+    // tag match finds beta only
+    val (c2, b2) = get("/catalog?q=goldset")
+    assert(c2 == 200 && b2.contains("search_beta") && !b2.contains("search_alpha"), b2.take(300))
+    // wiki text match finds alpha only
+    val (c3, b3) = get("/catalog?q=quarterly%20revenue")
+    assert(c3 == 200 && b3.contains("search_alpha") && !b3.contains("search_beta"), b3.take(300))
+    // no match -> empty data array, still 200
+    val (c4, b4) = get("/catalog?q=zzz_nothing_matches")
+    assert(c4 == 200 && b4.contains("\"data\":[]"), b4.take(200))
+  }
+
   private def getAuthed(path: String, user: String, pw: String): (Int, String) = {
     val port = GraftRestServer.port.getOrElse(GraftRestServer.start(spark))
     val cred = java.util.Base64.getEncoder.encodeToString(s"$user:$pw".getBytes)
