@@ -88,9 +88,14 @@ object Functions {
     one("strip_accents", 1)(es => StripAccents(es(0)))
     one("unicode_normalize", 2)(es => UnicodeNormalize(es(0),
       es(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(s, _) => s.toString
+        case org.apache.spark.sql.catalyst.expressions.Literal(s, _)
+            if s != null &&
+              scala.util.Try(java.text.Normalizer.Form.valueOf(
+                s.toString.toUpperCase)).isSuccess =>
+          s.toString
         case other => throw new IllegalArgumentException(
-          s"unicode_normalize form must be a literal NFC/NFD/NFKC/NFKD, got $other")
+          "unicode_normalize form must be a literal NFC/NFD/NFKC/NFKD, " +
+            s"got $other")
       }))
     SqlUdfs.register(spark)
     Aggregators.register(spark)

@@ -248,10 +248,14 @@ case class StripAccents(child: Expression)
       v.asInstanceOf[UTF8String].toString, java.text.Normalizer.Form.NFD)
     val sb = new java.lang.StringBuilder(d.length)
     var i = 0
+    // iterate CODE POINTS: Character.getType(char) on a surrogate half
+    // reports SURROGATE, so supplementary-plane combining marks would
+    // survive a code-unit loop (utf8proc strips them — oracle parity)
     while (i < d.length) {
-      val c = d.charAt(i)
-      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
-      i += 1
+      val cp = d.codePointAt(i)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK)
+        sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
     }
     UTF8String.fromString(sb.toString)
   }

@@ -227,11 +227,7 @@ object GraftRestServer {
               // case-insensitive match over the dataset NAME, its TAGS,
               // and its WIKI text — collaboration metadata is part of the
               // search index, exactly why it exists
-              val q0 = Option(ex.getRequestURI.getQuery).getOrElse("")
-                .split("&").collectFirst {
-                  case kv if kv.startsWith("q=") => java.net.URLDecoder
-                    .decode(kv.stripPrefix("q="), StandardCharsets.UTF_8)
-                }.map(_.toLowerCase).filter(_.nonEmpty)
+              val q0 = queryParam(ex, "q").map(_.toLowerCase).filter(_.nonEmpty)
               def matches(name: String): Boolean = q0.forall { needle =>
                 name.toLowerCase.contains(needle) ||
                   graft.catalog.Collaboration.getTags(name)
@@ -252,11 +248,7 @@ object GraftRestServer {
                   s""""fingerprint":${q(r.fingerprint)}}""").mkString(",")
               respond(ex, 200, s"""{"data":[$items],"reflections":[$refl]}""")
             } else if (rest == "lake") {
-              val dir = Option(ex.getRequestURI.getQuery).getOrElse("")
-                .split("&").collectFirst {
-                  case kv if kv.startsWith("path=") => java.net.URLDecoder
-                    .decode(kv.stripPrefix("path="), StandardCharsets.UTF_8)
-                }.getOrElse("")
+              val dir = queryParam(ex, "path").getOrElse("")
               if (dir.isEmpty) respond(ex, 400, error("lake needs ?path=<dir>"))
               else if (!visible(dir)) respond(ex, 403,
                 error(s"no SELECT grant on '$dir'"))
@@ -379,6 +371,16 @@ object GraftRestServer {
         s""""durationMs":${r.durationMs},"outputRows":${r.outputRows},""" +
         s""""shuffleBytes":${r.shuffleBytes},"plan":${q(r.plan)},"tsMs":${r.tsMs}}"""
   }
+
+  /** One query parameter, percent-decoded exactly ONCE: parse the RAW
+    * query (URI.getQuery pre-decodes, so decoding its output again breaks
+    * values containing '%' and loses '+'/'&' content). */
+  private def queryParam(ex: HttpExchange, name: String): Option[String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      .split("&").collectFirst {
+        case kv if kv.startsWith(name + "=") => java.net.URLDecoder
+          .decode(kv.stripPrefix(name + "="), StandardCharsets.UTF_8)
+      }
 
   private def q(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")

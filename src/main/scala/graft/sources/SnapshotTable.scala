@@ -478,7 +478,7 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       : (Seq[String], Seq[String], Seq[String]) = {
     def sticky(pick: LakeCommit => Seq[String]): Seq[String] =
       log.reverseIterator.find(pick(_).nonEmpty).map(pick)
-        .map(s => if (s == Seq(SnapshotTable.UnpartitionedSentinel)) Nil else s)
+        .map(s => if (s == Seq(SnapshotTable.ClearedLayoutSentinel)) Nil else s)
         .getOrElse(Nil)
     (sticky(_.partitionSpec),
       log.reverseIterator.find(_.statsCols.nonEmpty).map(_.statsCols).getOrElse(Nil),
@@ -489,17 +489,21 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
   def effectiveLayout: (Seq[String], Seq[String], Seq[String]) =
     effectiveLayoutOf(commits)
 
-  /** The effective layout as a BRANCH/TAG sees it (SHOW CREATE ... AT):
-    * computed over the ref's visible log, so a branch that evolved its
-    * layout reports its own, not main's. */
-  def effectiveLayoutAt(ref: String): (Seq[String], Seq[String], Seq[String]) =
-    effectiveLayoutOf(log(Some(ref)))
+  /** Layout resolution over a log the caller ALREADY read (one log read
+    * serves both the head row and the layout — no torn snapshot between
+    * two reads under a concurrent commit). */
+  def effectiveLayoutOfCommits(cs: Seq[LakeCommit])
+      : (Seq[String], Seq[String], Seq[String]) = effectiveLayoutOf(cs)
 
   private def copyOnWrite(transform: DataFrame => DataFrame,
                           extraStatsCols: Seq[String] = Nil,
                           touch: Option[org.apache.spark.sql.Column] = None,
                           sortCols: Seq[String] = Nil,
-                          tag: String = ""): Long = {
+                          tag: String = "",
+                          // the transform already arranged rows itself
+                          // (range-cluster+sort, Z-order): the write must
+                          // not re-sort what it was handed
+                          presorted: Boolean = false): Long = {
     // generous budget: each retry requires a conflicting commit to have
     // actually landed (system-wide progress), so this bounds pathological
     // append storms, not steady state — one conflict costs one recompute
@@ -553,7 +557,7 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       val carryRel = carried.map(e =>
         (e.path.stripPrefix(s"$dir/"), e.stats))
       try return commit(rewritten, "overwrite", stCols, tag, Some(base), spec, carryRel,
-        sortBy)
+        sortBy, presorted)
       catch {
         case e: java.util.ConcurrentModificationException =>
           attempt += 1
@@ -1170,7 +1174,7 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       // on a partitioned table commit() re-shuffles by partition tuple,
       // which would discard this clustering — thread the sort columns so
       // the write re-sorts within each partition
-      sortCols = cols)
+      sortCols = cols, presorted = true)
   }
 
   /** Multi-column Z-order clustering compaction (the Delta OPTIMIZE
@@ -1231,7 +1235,7 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
         .repartitionByRange(math.max(1, numFiles), col("__z"))
         .sortWithinPartitions(col("__z"))
         .drop("__z")
-    }, extraStatsCols = cols, sortCols = cols)
+    }, extraStatsCols = cols, sortCols = cols, presorted = true)
   }
 
   /** Remove data files referenced by NO retained snapshot (the last
@@ -1381,7 +1385,7 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       // NEWEST non-empty spec, so "drop partitioning" writes a 1-element
       // sentinel the writer side treats as none
       val declared =
-        if (parsed.isEmpty) Seq(SnapshotTable.UnpartitionedSentinel)
+        if (parsed.isEmpty) Seq(SnapshotTable.ClearedLayoutSentinel)
         else parsed.map(_.repr) // canonical spelling, matches write-side records
       publish(last.version + 1, "append", Nil, Map.empty, "",
         last.schemaDdl, last.timestampMs, log, eff, declared, effStats,
@@ -1412,7 +1416,7 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       val (eff, _) = idState(log)
       val (effSpec, effStats, _) = effectiveLayoutOf(log)
       val declared =
-        if (cols.isEmpty) Seq(SnapshotTable.UnpartitionedSentinel) else cols
+        if (cols.isEmpty) Seq(SnapshotTable.ClearedLayoutSentinel) else cols
       publish(last.version + 1, "append", Nil, Map.empty, "",
         last.schemaDdl, last.timestampMs, log, eff, effSpec, effStats,
         declared, cur)
@@ -1591,8 +1595,9 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
                      carryFiles: Seq[(String, Map[String, (String, String)])] = Nil,
                      // cluster rows by these columns INSIDE each partition
                      // (OPTIMIZE ... ORDER BY on a partitioned table)
-                     sortCols: Seq[String] = Nil): Long = {
-    val (files, stats) = writeDataFiles(df, partitionBy, statsCols, sortCols)
+                     sortCols: Seq[String] = Nil,
+                     presorted: Boolean = false): Long = {
+    val (files, stats) = writeDataFiles(df, partitionBy, statsCols, sortCols, presorted)
     LakeIO.createDirectories(logDir)
     // Publish under a single short-lived commit lock. Data files are
     // already on disk, so the lock covers only the (tag re-check → version
@@ -1639,7 +1644,8 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
   private def writeDataFiles(df: DataFrame,
                              partitionBy: Seq[PartitionTransform],
                              statsCols: Seq[String],
-                             sortCols: Seq[String])
+                             sortCols: Seq[String],
+                             presorted: Boolean = false)
       : (Vector[String], Map[String, Map[String, (String, String)]]) = {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     val sub = "data-" + java.util.UUID.randomUUID().toString.take(8)
@@ -1656,9 +1662,11 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     if (partitionBy.isEmpty) {
       // a sticky sort order applies to UNPARTITIONED writes too: each data
       // file's rows cluster by the sort columns (same per-file contract as
-      // the partitioned path below)
+      // the partitioned path below) — UNLESS the caller pre-arranged the
+      // rows itself (compactSorted's global sort, compactZorder's Z-curve:
+      // a lexicographic re-sort here would destroy the Z-order clustering)
       val src =
-        if (sortCols.isEmpty) df
+        if (sortCols.isEmpty || presorted) df
         else df.sortWithinPartitions(sortCols.map(col): _*)
       withBlooms(src.write).parquet(s"$dir/$sub")
     }
@@ -1772,13 +1780,13 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
             }.toMap
           }.toMap
       }
-    // sort marker: ONLY the partitioned branch re-sorts each file itself
-    // (sortWithinPartitions(tuple ++ sortCols)), so only there is "this
-    // file is sorted by sortCols" a fact this function can assert. The
-    // unpartitioned branch writes the caller's df as-is (compactZorder's
-    // files are Z-ordered, NOT lexicographically sorted) — no marker.
+    // sort marker: recorded when THIS function sorted each file itself —
+    // the partitioned branch always re-sorts (the shuffle destroyed any
+    // upstream order), the unpartitioned branch only when not presorted
+    // (a presorted df may be Z-ordered, which is NOT a lexicographic sort
+    // this marker could truthfully assert).
     val sortMarker: Option[(String, (String, String))] =
-      if (partitionBy.nonEmpty && sortCols.nonEmpty) {
+      if (sortCols.nonEmpty && (partitionBy.nonEmpty || !presorted)) {
         val csv = sortCols.mkString(",")
         Some(SnapshotTable.SortStatKey -> (csv, csv))
       } else None
@@ -1846,11 +1854,13 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
 
 object SnapshotTable {
   val LogDirName = "_graft_log"
-  /** "Drop partitioning for future writes" marker: the sticky-layout
-    * resolver ([[SnapshotTable.effectiveLayoutOf]]) maps a spec that is
-    * exactly this to Nil, and the lenient reader-side transform parse
-    * skips it like any unknown spec string from a newer writer. */
-  val UnpartitionedSentinel = "unpartitioned()"
+  /** "Clear this sticky layout field for future writes" marker (SET
+    * PARTITION SPEC () / SET SORT ORDER ()): the sticky-layout resolver
+    * maps a field that is exactly this to Nil, and the lenient
+    * reader-side transform parse skips it like any unknown spec string
+    * from a newer writer. It can surface raw in per-commit listings
+    * (DESCRIBE LAKE) — hence the neutral spelling. */
+  val ClearedLayoutSentinel = "none()"
 
   /** Pseudo column carrying per-file parquet row counts inside the stats
     * map (min == max == count). Never collides with predicate pruning —

@@ -1440,8 +1440,9 @@ object GraftSqlParser {
       val cs = t.log(ref)
       require(cs.nonEmpty,
         s"empty lake table $dir${ref.map(r => s" at ref $r").getOrElse("")}")
-      val (spec, statsCols, sortBy) =
-        ref.map(t.effectiveLayoutAt).getOrElse(t.effectiveLayout)
+      // ONE log read serves both the head row and the layout: a second
+      // read could see a concurrent commit and report a torn definition
+      val (spec, statsCols, sortBy) = t.effectiveLayoutOfCommits(cs)
       Seq(Row(cs.last.schemaDdl, spec.mkString(", "),
         statsCols.mkString(", "), sortBy.mkString(", "),
         cs.last.version.toString))

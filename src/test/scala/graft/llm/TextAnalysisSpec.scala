@@ -261,10 +261,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     val sqlR = spark.sql(
       "SELECT strip_accents('\u00e9\u00f1'), unicode_normalize('e\u0301', 'NFC')").head()
     assert(sqlR.getString(0) == "en" && sqlR.getString(1) == "\u00e9", sqlR.toString)
-    // non-literal form argument refuses loudly
+    // non-literal form argument refuses loudly, and so does a bad form
     val bad = intercept[Exception](
       spark.sql("SELECT unicode_normalize('x', lower('NFC'))").collect())
     assert(bad.getMessage.contains("literal"), bad.getMessage.take(200))
+    val badForm = intercept[Exception](
+      spark.sql("SELECT unicode_normalize('x', 'NFX')").collect())
+    assert(badForm.getMessage.contains("NFC/NFD"), badForm.getMessage.take(200))
+    // supplementary-plane combining marks strip too (code-point iteration:
+    // U+1E008 is category Mn but needs two UTF-16 units)
+    val astral = new String(Character.toChars(0x1E008))
+    val s2 = Seq((1L, "a" + astral + "b")).toDF("doc_id", "t")
+      .select(strip_accents($"t")).head().getString(0)
+    assert(s2 == "ab", s2.map(_.toInt).mkString(","))
   }
 
   test("html extraction: blocks, entity order, counts pinned on a crafted page") {
