@@ -203,6 +203,13 @@ class GraftRestServerSpec extends AnyFunSuite {
     // no match -> empty data array, still 200
     val (c4, b4) = get("/catalog?q=zzz_nothing_matches")
     assert(c4 == 200 && b4.contains("\"data\":[]"), b4.take(200))
+    // percent-encoded specials decode exactly once: '%' and '&' inside the
+    // needle must neither 500 nor split the parameter
+    graft.catalog.Collaboration.setWiki("search_beta", "grew 50% y/y", None)
+    val (c5, b5) = get("/catalog?q=50%25")
+    assert(c5 == 200 && b5.contains("search_beta"), s"$c5 ${b5.take(200)}")
+    val (c6, b6) = get("/catalog?q=a%26b_no_such")
+    assert(c6 == 200 && b6.contains("\"data\":[]"), s"$c6 ${b6.take(200)}")
   }
 
   private def getAuthed(path: String, user: String, pw: String): (Int, String) = {
