@@ -1695,6 +1695,23 @@ object LlmQueries {
     WHERE s.role = 'assistant'
     ORDER BY conv_id, turn_idx"""
 
+  /** Train-once/encode-many round-trip under the SAME oracle as
+    * `wordpiece_fixed_tokens`: the fixed vocabulary is PERSISTED as a
+    * lake table ([[TokenizerStore]]), reloaded from disk, and only then
+    * encoded — any loss of order, pieces, or dtype in the round trip
+    * breaks the hash match. The production tokenizer deployment shape
+    * (train corpus-side, ship the artifact, encode map-only anywhere). */
+  val wordpiecePersistedTokens: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents.filter(col("doc_id") < 300)
+    val store = graft.queries.Lake.scratchDir("llm_wp_vocab")
+    TokenizerStore.saveWordPiece(s, store, WordPiece.WordPieceVocab(WpFixedVocab))
+    val loaded = TokenizerStore.loadWordPiece(s, store)
+    WordPiece.encode(docs, loaded)
+      .select(col("doc_id"), col("n_tokens"),
+        size(filter(col("tokens"), t => t === lit(WordPiece.Unk))).as("n_unk"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus-trained WordPiece vocabulary (Schuster & Nakajima 2012 / BERT;
     * no oracle: the likelihood-scored merge loop is not SQL-expressible —
     * score semantics pinned against hand-computed merges in
@@ -2312,6 +2329,7 @@ object LlmQueries {
     "wordpiece_train_pieces" -> wordpieceTrainPieces,
     "wordpiece_tokens" -> wordpieceTokens,
     "wordpiece_fixed_tokens" -> wordpieceFixedTokens,
+    "wordpiece_persisted_tokens" -> wordpiecePersistedTokens,
     "multimodal_features" -> multimodalFeatures)
 
   val oracle: Map[String, String] = Map(
@@ -2375,5 +2393,6 @@ object LlmQueries {
     "bpe_char_tokens" -> bpeCharTokensSql,
     "unigram_char_tokens" -> unigramCharTokensSql,
     "wordpiece_fixed_tokens" -> wordpieceFixedTokensSql,
+    "wordpiece_persisted_tokens" -> wordpieceFixedTokensSql,
     "sft_chatml_spans" -> sftChatmlSpansSql)
 }
