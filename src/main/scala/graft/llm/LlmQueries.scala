@@ -1440,6 +1440,20 @@ object LlmQueries {
     SELECT q_id, c_id, CAST(rk AS INT) AS rk FROM r WHERE rk <= 10
     ORDER BY q_id, rk"""
 
+  /** Persisted IVF-PQ index (the 64× residency tier of [[VectorIndex]]):
+    * built to disk — centroids + per-block codebook + m-code postings —
+    * then served with ADC scoring entirely from the persisted artifacts
+    * (no oracle: the PQ codebook is driver-trained k-means; recall floor
+    * + pruning + serve-from-disk identity pinned in VectorIndexSpec). */
+  val annIndexPqPersisted: QueryFn = (s, dir) => {
+    val e = Tables.ensure(s, dir).embeddings
+    val idx = graft.queries.Lake.scratchDir("llm_vec_index_pq")
+    VectorIndex.buildPq(e, idx, nClusters = 4, m = 4, ksub = 16, iters = 2)
+    VectorIndex.searchPq(s, idx, e.filter(col("vec_id") < 5), k = 10, nProbe = 2)
+      .select(col("q_id"), col("c_id"), col("rk"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   /** SemDeDup survivors over the fixture embeddings (no oracle: k-means
     * assignments are engine-specific float argmaxes; semantics pinned by
     * DedupSpec's planted-duplicate fixture instead). Threshold 0.4 marks
@@ -2316,6 +2330,7 @@ object LlmQueries {
     "semdedup_keep" -> semdedupKeep,
     "ann_quantized_ids" -> annQuantizedIds,
     "ann_index_persisted" -> annIndexPersisted,
+    "ann_index_pq_persisted" -> annIndexPqPersisted,
     "ann_ivf_pq" -> annIvfPq,
     "text_charclass" -> textCharclass,
     "url_filter" -> urlFilter,

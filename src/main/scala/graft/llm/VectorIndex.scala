@@ -114,6 +114,90 @@ object VectorIndex {
       }
       .start()
 
+  // ---------- persisted IVF-PQ (the 64× residency tier) ------------------
+
+  /** Build the PQ variant at `dir`: same `centroids` table, but postings
+    * carry m sub-space CODES per vector (bucket, vec_id, codes) — dim·4
+    * bytes shrink to m (the FAISS `IndexIVFPQ` persisted layout) — plus a
+    * `codebook` table ((block, code) → sub-centroid). Codebook and coarse
+    * quantizer train on ONE bounded hash-spread sample; at serve time the
+    * codebook is a bounded driver read and scoring is m table lookups per
+    * candidate via the codegen'd ADC kernel. */
+  def buildPq(corpus: DataFrame, dir: String, nClusters: Int = 0,
+              m: Int = 4, ksub: Int = 16, iters: Int = 3,
+              centroids: Option[Seq[Seq[Float]]] = None): Int = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample = Similarity.hashSample(corpus, 1 << 17)
+    val cents: Seq[Seq[Float]] = centroids.getOrElse {
+      val nc = if (nClusters > 0) nClusters
+               else Similarity.autoClusters(corpus.count())
+      Similarity.kmeansCentroids(corpus, nc, iters, presampled = Some(sample))
+    }
+    val cb = Similarity.pqCodebook(corpus, m, ksub, iters,
+      presampled = Some(sample))
+    SnapshotTable.create(spark, s"$dir/centroids",
+      cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("bucket", "centroid"))
+    SnapshotTable.create(spark, s"$dir/codebook",
+      cb.zipWithIndex.flatMap { case (cents0, b) =>
+        cents0.zipWithIndex.map { case (sub, j) => (b, j, sub) }
+      }.toDF("block", "code", "sub_centroid"))
+    val postings = Similarity.withProbedBuckets(
+        corpus.select(col("vec_id"), col("embedding")),
+        "embedding", "vec_id", cents, nProbe = 1)
+      .select(col("bucket"), col("vec_id"),
+        Similarity.pqCodesCol(col("embedding"), cb).as("codes"))
+    SnapshotTable.forPath(spark, s"$dir/postings")
+      .overwritePartitioned(postings, Seq("identity(bucket)"))
+    cents.size
+  }
+
+  /** Search a PQ index: ADC scoring against per-query lookup tables —
+    * NO reconstruction, no fp32 vectors in the candidate stream; cosine
+    * norms come from the codebook's per-centroid squared-norm table via
+    * the same ADC kernel (mirrors [[Similarity.ivfPqTopK]], but every
+    * trained artifact comes OFF DISK). Output: (q_id, c_id, cos, rk). */
+  def searchPq(spark: SparkSession, dir: String, queries: DataFrame,
+               k: Int = 10, nProbe: Int = 2): DataFrame = {
+    val cents = readCentroids(spark, dir)
+    require(cents.nonEmpty, s"no index at $dir")
+    val cbRows = SnapshotTable.forPath(spark, s"$dir/codebook").read()
+      .orderBy(col("block"), col("code")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toSeq))
+    val m = cbRows.map(_._1).max + 1
+    val cb: Seq[Seq[Seq[Float]]] = (0 until m).map(b =>
+      cbRows.filter(_._1 == b).sortBy(_._2).map(_._3).toSeq)
+    val dsub = cb.head.head.size
+    val normLut = typedLit(cb.map(_.map(_.map(v => v.toDouble * v).sum)))
+    val lutCol = array((0 until m).map { b =>
+      val blk = slice(col("embedding"), b * dsub + 1, dsub)
+      array(cb(b).map(cent => Functions.dot_product(blk, typedLit(cent))): _*)
+    }: _*)
+    val q = Similarity.withProbedBuckets(
+        queries.select(col("vec_id"), col("embedding")),
+        "embedding", "vec_id", cents, nProbe)
+      .select(col("vec_id").as("q_id"), col("bucket"), lutCol.as("lut"),
+        sqrt(Functions.dot_product(col("embedding"), col("embedding"))).as("qnorm"))
+    val probed = q.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val cand = SnapshotTable.forPath(spark, s"$dir/postings").read()
+      .filter(col("bucket").isin(probed.map(Integer.valueOf).toSeq: _*))
+      .select(col("bucket"), col("vec_id").as("c_id"), col("codes"))
+      .withColumn("xnormsq", Functions.pq_adc_dot(col("codes"), normLut))
+    val scored = cand.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos",
+        when(col("qnorm") === 0.0 || col("xnormsq") <= 0.0, 0.0)
+          .otherwise(Functions.pq_adc_dot(col("codes"), col("lut")) /
+            (col("qnorm") * sqrt(col("xnormsq")))))
+      .select(col("q_id"), col("c_id"), col("cos"))
+      .dropDuplicates("q_id", "c_id")
+    val top = graft.plans.TopKPerKey(scored, col("q_id"), col("cos"), col("c_id"), k)
+    top.withColumn("rk", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))))
+  }
+
   /** Search a persisted index: top-`k` neighbors per query vector by
     * cosine over the dequantized reconstruction. Output:
     * (q_id, c_id, cos, rk). Queries whose id equals a candidate id are

@@ -135,6 +135,37 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(postings.filter(col("vec_id") === 200L).count() == 1)
   }
 
+  test("PQ index: serve-from-disk ADC recall@10 floor vs brute force, pruned scan") {
+    val e = graft.engine.Tables.ensure(spark, "/root/testdata/sf0.001").embeddings
+    val dir = tmp("vecidx_pq")
+    VectorIndex.buildPq(e, dir, nClusters = 16, m = 8, ksub = 32, iters = 3)
+    // postings carry CODES, never fp32 vectors
+    val post = graft.sources.SnapshotTable.forPath(spark, s"$dir/postings").read()
+    assert(post.columns.toSet == Set("bucket", "vec_id", "codes"), post.columns.toSeq)
+    val queries = e.filter(col("vec_id") < 5)
+    val res = VectorIndex.searchPq(spark, dir, queries, k = 10, nProbe = 4)
+    val got = res.select("q_id", "c_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val bf = Similarity.bruteForceTopK(e, queries, k = 10)
+      .select("q_id", "c_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // same floor SimilaritySpec pins for the in-memory IVF-PQ at these
+    // parameters: the approximation is a real ANN, not noise
+    val recalls = bf.keys.toSeq.map { q =>
+      got.getOrElse(q, Set.empty).intersect(bf(q)).size.toDouble / bf(q).size
+    }
+    assert(recalls.sum / recalls.size >= 0.2,
+      s"ADC recall floor failed: $recalls")
+    // identical PQ scoring from the IN-MEMORY path: persisted artifacts
+    // must not change a single neighbor or rank
+    val mem = Similarity.ivfPqTopK(e, queries, k = 10, nClusters = 16,
+      nProbe = 4, m = 8, ksub = 32, iters = 3)
+      .select("q_id", "c_id", "rk").as[(Long, Long, Int)].collect().toSet
+    val disk = res.select("q_id", "c_id", "rk")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(disk == mem, "persisted-PQ results diverge from the in-memory IVF-PQ")
+  }
+
   test("rebuild replaces the index wholesale") {
     val dir = tmp("vecidx_rebuild")
     val cents = Seq(Seq(1.0f, 0f, 0f, 0f), Seq(0f, 1.0f, 0f, 0f))
