@@ -865,6 +865,58 @@ object LlmQueries {
     WHERE n_tokens >= 10 AND digit_ratio <= 0.3
     ORDER BY doc_id"""
 
+  /** The curation FUNNEL report — per-stage drop attribution, the
+    * ablation bookkeeping every data team builds NEXT to the pipeline
+    * (`corpus_curation` emits the survivors; this explains the rest):
+    * per language, how many documents entered, how many each stage
+    * removed, how many survived. Attribution convention: the EARLIEST
+    * failing stage owns the drop (a duplicate that also fails quality
+    * counts as a quality drop) — fixed order, so the numbers add up. */
+  val corpusFunnel: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents
+    val quality = TextAnalysis.qualitySignals(docs)
+      .select(col("doc_id"), col("n_tokens"), col("digit_ratio"))
+    val keepers = Dedup.exact(docs)
+      .select(col("keep_id").as("doc_id"), lit(true).as("is_canonical"))
+    val staged = docs.join(quality, "doc_id")
+      .join(keepers, Seq("doc_id"), "left")
+      .withColumn("verdict",
+        when(!(col("n_tokens") >= 10 && col("digit_ratio") <= 0.3),
+          "fail_quality")
+          .when(!coalesce(col("is_canonical"), lit(false)), "dup_dropped")
+          .otherwise("kept"))
+    staged.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_input"),
+        sum(when(col("verdict") === "fail_quality", 1L).otherwise(0L))
+          .as("n_fail_quality"),
+        sum(when(col("verdict") === "dup_dropped", 1L).otherwise(0L))
+          .as("n_dup_dropped"),
+        sum(when(col("verdict") === "kept", 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+  val corpusFunnelSql: String = """
+    WITH q AS (
+      SELECT doc_id, lang, text,
+        len(list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0)) AS n_tokens,
+        CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+          / length(text) AS digit_ratio
+      FROM documents),
+    keepers AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    staged AS (
+      SELECT q.lang,
+        CASE WHEN NOT (q.n_tokens >= 10 AND q.digit_ratio <= 0.3)
+               THEN 'fail_quality'
+             WHEN k.doc_id IS NULL THEN 'dup_dropped'
+             ELSE 'kept' END AS verdict
+      FROM q LEFT JOIN keepers k USING (doc_id))
+    SELECT lang, COUNT(*) AS n_input,
+      CAST(sum(CASE WHEN verdict = 'fail_quality' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_fail_quality,
+      CAST(sum(CASE WHEN verdict = 'dup_dropped' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_dup_dropped,
+      CAST(sum(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM staged GROUP BY lang ORDER BY lang"""
+
   /** Benchmark decontamination: eval set = every 97th doc; training docs
     * sharing >= 5 distinct 3-grams with any eval doc are dropped. */
   val decontaminate: QueryFn = (s, dir) => {
@@ -2307,6 +2359,7 @@ object LlmQueries {
     "sample_stratified" -> sampleStratified,
     "mix_temperature" -> mixTemperature,
     "corpus_curation" -> corpusCuration,
+    "corpus_funnel" -> corpusFunnel,
     "decontaminate" -> decontaminate,
     "pack_sequences" -> packSequences,
     "pack_next_fit" -> packNextFit,
@@ -2373,6 +2426,7 @@ object LlmQueries {
     "sample_stratified" -> sampleStratifiedSql,
     "mix_temperature" -> mixTemperatureSql,
     "corpus_curation" -> corpusCurationSql,
+    "corpus_funnel" -> corpusFunnelSql,
     "ann_topk_ids" -> annTopkIdsSql,
     "ann_binary_hamming" -> annBinaryHammingSql,
     "ann_ivf_ids" -> annIvfIdsSql,
