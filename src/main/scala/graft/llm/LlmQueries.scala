@@ -1403,6 +1403,48 @@ object LlmQueries {
         AS url_canonical
     FROM s5 ORDER BY doc_id"""
 
+  /** URL-level decontamination under a FULL oracle: training docs whose
+    * CANONICAL url matches any benchmark/eval url are dropped (the
+    * address-level first pass before content-level `decontaminate` —
+    * an eval page re-crawled under a differently-spelled url must still
+    * match, which is exactly what canonicalization buys). Anti-join on
+    * the canonical key: one shuffle, O(corpus) + O(eval). */
+  val decontaminateByUrl: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents
+    val withUrl = docs.select(col("doc_id"), col("lang"), expr(
+      """concat(
+        |CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'http://' END,
+        |'www.', source, '.example.com',
+        |CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END,
+        |'/p/', CAST(doc_id % 200 AS STRING),
+        |'?utm_source=x#f')""".stripMargin.replace("\n", " ")).as("url"))
+    // the "benchmark" set: cleanly-spelled urls for doc ids 0..49 — every
+    // TRAINING doc whose id ≡ an eval id (mod 200) canonicalizes onto it
+    val evalUrls = docs.filter(col("doc_id") < 50)
+      .select(concat(lit("http://www."), col("source"),
+        lit(".example.com/p/"), col("doc_id").cast("string")).as("url"))
+    val canon = TextAnalysis.canonicalizeUrls(withUrl)
+    val evalCanon = TextAnalysis.canonicalizeUrls(evalUrls)
+      .select(col("url_canonical"))
+    canon.join(evalCanon, Seq("url_canonical"), "left_anti")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+  val decontaminateByUrlSql: String = """
+    WITH t AS (
+      SELECT doc_id, lang,
+        'http://www.' || source || '.example.com/p/'
+          || CAST(doc_id % 200 AS VARCHAR) AS url_canonical
+      FROM documents),
+    e AS (
+      SELECT DISTINCT 'http://www.' || source || '.example.com/p/'
+          || CAST(doc_id AS VARCHAR) AS url_canonical
+      FROM documents WHERE doc_id < 50)
+    SELECT lang, COUNT(*) AS n_kept
+    FROM t LEFT JOIN e USING (url_canonical)
+    WHERE e.url_canonical IS NULL
+    GROUP BY lang ORDER BY lang"""
+
   /** Winnowing fingerprints (MOSS) under a FULL oracle: the gram hash is
     * fixed-width md5 hex, so window minima — and with them every
     * selection, including rightmost-tie positions — agree across engines
@@ -2360,6 +2402,7 @@ object LlmQueries {
     "mix_temperature" -> mixTemperature,
     "corpus_curation" -> corpusCuration,
     "corpus_funnel" -> corpusFunnel,
+    "decontaminate_by_url" -> decontaminateByUrl,
     "decontaminate" -> decontaminate,
     "pack_sequences" -> packSequences,
     "pack_next_fit" -> packNextFit,
@@ -2427,6 +2470,7 @@ object LlmQueries {
     "mix_temperature" -> mixTemperatureSql,
     "corpus_curation" -> corpusCurationSql,
     "corpus_funnel" -> corpusFunnelSql,
+    "decontaminate_by_url" -> decontaminateByUrlSql,
     "ann_topk_ids" -> annTopkIdsSql,
     "ann_binary_hamming" -> annBinaryHammingSql,
     "ann_ivf_ids" -> annIvfIdsSql,
