@@ -103,8 +103,29 @@ object Graft {
   /** `?` markers outside quotes replaced by rendered SQL literals. The
     * scanner honors backslash escapes inside string literals (Spark's
     * default literal dialect): `'it\'s ?'` must not flip the in-string
-    * state and hand its `?` a value. */
+    * state and hand its `?` a value.
+    *
+    * Escape-dialect note: this path only runs for statements the GRAFT
+    * grammar parses, and there a marker can only sit inside a SQL
+    * sub-query tail (`CREATE REFLECTION ... AS <query>`) — the grammar's
+    * own quoted captures (`'path'`) regex-require quotes, so a template
+    * with a bare `?` in that position never matches the grammar in the
+    * first place. The tail is re-parsed by SPARK, so Spark-dialect
+    * escaping (`\\`, `''`) is the correct rendering. A string value whose
+    * rendering DIFFERS between the two dialects (contains `\` or `'`)
+    * is refused loudly rather than risk landing verbatim in a grammar
+    * capture that never unescapes — inline such literals instead. */
   private def substitutePositional(query: String, args: Array[Any]): String = {
+    args.foreach {
+      case s: String if s.contains('\\') || s.contains('\'') =>
+        throw new IllegalArgumentException(
+          "cannot bind a string containing a backslash or quote into a " +
+          "graft-extension statement: the extension grammar's string " +
+          "literals are verbatim (no escape processing), so the rendered " +
+          "value would be ambiguous between the Spark and graft dialects; " +
+          "inline the literal in the statement text instead")
+      case _ => ()
+    }
     val sb = new StringBuilder(query.length + 32)
     var inStr = false; var inIdent = false; var argIdx = 0
     var i = 0

@@ -100,14 +100,20 @@ object Unigram {
       def emStep(cur: Vector[(String, Double)]): Vector[(String, Double)] = {
         val bc = spark.sparkContext.broadcast(cur.toMap)
         val maxLen = cur.iterator.map(_._1.length).max
-        val counts = words.mapPartitions { it =>
-          val lp = bc.value
-          it.flatMap { case (word, freq) =>
-            expectedCounts(word, freq, lp, maxLen)
-          }
-        }.toDF("piece", "c")
-          .groupBy("piece").agg(sum(col("c")).as("c"))
-          .as[(String, Double)].collect()
+        val counts = try {
+          words.mapPartitions { it =>
+            val lp = bc.value
+            it.flatMap { case (word, freq) =>
+              expectedCounts(word, freq, lp, maxLen)
+            }
+          }.toDF("piece", "c")
+            .groupBy("piece").agg(sum(col("c")).as("c"))
+            .as[(String, Double)].collect()
+          // the aggregate is fully materialized here, so the per-iteration
+          // vocabulary broadcast can be torn down eagerly — dozens of EM
+          // iterations per train call would otherwise pin dozens of copies
+          // on the driver and every executor for the session's lifetime
+        } finally bc.destroy()
         val cm = counts.toMap
         val z = counts.map(_._2).sum
         // ML M-step: p = c / Z; unseen pieces get a floor far below any

@@ -204,6 +204,50 @@ object Lake {
       FROM region) m
     ORDER BY n_nationkey"""
 
+  /** Diverged-base three-way merge (reference Nessie merge,
+    * `versionSupport.ftl:589`): the branch stages a DELETE and an append,
+    * MAIN takes a concurrent append past the fork base, and MERGE BRANCH
+    * still publishes — the two sides' file diffs commute (disjoint
+    * removal sets), so the merged table carries the branch's deletion,
+    * the branch's rows, AND main's rows. Hash-gated against DuckDB
+    * computing the same final state from the raw fixtures. */
+  val lakeBranchMerge3: QueryFn = (s, dir) => {
+    val t = Tables.ensure(s, dir)
+    val base = t.nation.select(col("n_nationkey"), col("n_name"))
+    val lakeDir = scratchDir("graft_lake_merge3")
+    SnapshotTable.create(s, lakeDir, base)
+    s.sql(s"CREATE BRANCH etl FROM LAKE '$lakeDir'")
+    // branch-side copy-on-write DML: invisible to main until the merge
+    SnapshotTable.forPath(s, lakeDir)
+      .deleteFromBranch("etl", col("n_nationkey") >= 20)
+    t.region.select((col("r_regionkey") + 100L).as("n_nationkey"),
+        concat(lit("ETL-"), col("r_name")).as("n_name"))
+      .createOrReplaceTempView("lake_merge3_etl")
+    s.sql(s"INSERT INTO LAKE '$lakeDir' AT BRANCH etl " +
+      "SELECT n_nationkey, n_name FROM lake_merge3_etl")
+    // concurrent ingest on MAIN moves the head past the fork base
+    t.region.select((col("r_regionkey") + 200L).as("n_nationkey"),
+        concat(lit("MAIN-"), col("r_name")).as("n_name"))
+      .createOrReplaceTempView("lake_merge3_main")
+    s.sql(s"INSERT INTO LAKE '$lakeDir' " +
+      "SELECT n_nationkey, n_name FROM lake_merge3_main")
+    require(SnapshotTable.forPath(s, lakeDir).read().count() ==
+      base.count() + 5, "main head should have only its own append")
+    s.sql(s"MERGE BRANCH etl INTO LAKE '$lakeDir'")
+    s.sql(s"CREATE LAKE VIEW lake_merge3_v FROM '$lakeDir'")
+    s.sql("SELECT n_nationkey, n_name FROM lake_merge3_v ORDER BY n_nationkey")
+  }
+  val lakeBranchMerge3Sql: String = """
+    SELECT n_nationkey, n_name FROM (
+      SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 20
+      UNION ALL
+      SELECT r_regionkey + 100 AS n_nationkey,
+             'ETL-' || r_name AS n_name FROM region
+      UNION ALL
+      SELECT r_regionkey + 200 AS n_nationkey,
+             'MAIN-' || r_name AS n_name FROM region) m
+    ORDER BY n_nationkey"""
+
   /** Session version context (reference SqlUseVersion — USE BRANCH): pin
     * the session to a branch, insert WITHOUT an AT clause (routes to the
     * branch), and scan WITHOUT an AT clause (reads the branch). The main
@@ -652,6 +696,7 @@ object Lake {
     "lake_merge_clauses" -> lakeMergeClauses,
     "lake_changes" -> lakeChanges,
     "lake_branch_wap" -> lakeBranchWap,
+    "lake_branch_merge3" -> lakeBranchMerge3,
     "lake_session_ref" -> lakeSessionRef,
     "lake_time_travel" -> lakeTimeTravel,
     "lake_incremental_scan" -> lakeIncrementalScan)
@@ -674,6 +719,7 @@ object Lake {
     "lake_merge_clauses" -> lakeMergeClausesSql,
     "lake_changes" -> lakeChangesSql,
     "lake_branch_wap" -> lakeBranchWapSql,
+    "lake_branch_merge3" -> lakeBranchMerge3Sql,
     "lake_session_ref" -> lakeSessionRefSql,
     "lake_time_travel" -> lakeTimeTravelSql,
     "lake_incremental_scan" -> lakeIncrementalScanSql)

@@ -124,10 +124,14 @@ private[graft] object GraftFlightSql {
   /** Arrow-schema bytes per table for `include_schema` GetTables calls,
     * keyed by the plan cache's DDL epoch: resolving every visible table
     * is O(catalog) analyzer work per call, and ADBC clients issue the
-    * probe on every connect. Any plan-retiring DDL bumps the epoch and
-    * clears the map wholesale (no per-table invalidation to get wrong);
+    * probe on every connect. Any plan-retiring DDL bumps the epoch; the
+    * EPOCH IS PART OF THE KEY, so a thread that resolved a schema under
+    * the old epoch and inserts after another thread observed the new one
+    * can only create an orphan entry that no post-DDL read ever matches
+    * (a getAndSet+clear scheme has exactly that stale-serve race). The
+    * wholesale clear on epoch change is memory reclaim, not correctness;
     * bounded so a huge catalog can't pin unbounded schema bytes. */
-  private val schemaCache = TrieMap.empty[String, Array[Byte]]
+  private val schemaCache = TrieMap.empty[(Long, String), Array[Byte]]
   private val schemaCacheEpoch = new java.util.concurrent.atomic.AtomicLong(-1L)
   private val MaxSchemaCache = 4096
   private def cachedSchemaBytes(root: SparkSession, name: String,
@@ -142,13 +146,14 @@ private[graft] object GraftFlightSql {
     if (!cacheable) resolve().getOrElse(Array.emptyByteArray)
     else {
       val now = graft.accel.PlanCache.currentEpoch
-      if (schemaCacheEpoch.getAndSet(now) != now) schemaCache.clear()
-      schemaCache.get(name) match {
+      if (schemaCacheEpoch.getAndSet(now) != now)
+        schemaCache.keysIterator.filter(_._1 != now).foreach(schemaCache.remove)
+      schemaCache.get((now, name)) match {
         case Some(bytes) => bytes
         case None =>
           if (schemaCache.size >= MaxSchemaCache) schemaCache.clear()
           resolve() match {
-            case Some(bytes) => schemaCache.putIfAbsent(name, bytes); bytes
+            case Some(bytes) => schemaCache.putIfAbsent((now, name), bytes); bytes
             case None => Array.emptyByteArray
           }
       }

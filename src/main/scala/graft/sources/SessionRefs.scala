@@ -12,10 +12,12 @@ import org.apache.spark.sql.SparkSession
   * unqualified table access until reset.
   *
   * Statement-level `AT BRANCH|TAG` always wins over the session context
-  * (same precedence as the reference). Mutating DML (DELETE/UPDATE/MERGE/
-  * TRUNCATE) under a session ref is REFUSED loudly: branches accept only
-  * staged appends here, and silently applying DML to main while the
-  * session is pinned elsewhere would be a correctness trap.
+  * (same precedence as the reference). Under a BRANCH pin, row-level DML
+  * (DELETE/UPDATE) stages on the branch via copy-on-write; under a tag or
+  * USE VERSION pin any mutation is REFUSED loudly (immutable views), as
+  * are statements with no branch-routed form (MERGE/TRUNCATE) — silently
+  * applying those to main while the session is pinned elsewhere would be
+  * a correctness trap.
   *
   * Storage: the SparkSession's RuntimeConfig (session-scoped, inherited
   * by `newSession()` clones like every other session conf) under a key

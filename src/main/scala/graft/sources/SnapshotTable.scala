@@ -867,40 +867,197 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     }
   }
 
-  /** `MERGE BRANCH <name> INTO`: fast-forward squash — publish the
-    * branch's final file set as ONE atomic overwrite commit on main
-    * (readers flip from pre-branch to fully-merged; no intermediate
-    * states), then drop the branch. Fails with
-    * ConcurrentModificationException if main moved past the fork base —
-    * like the reference's Nessie merge, the caller re-stages on a fresh
-    * branch. Requires uniform column identity (no renames between fork
-    * and merge) so carried-by-reference files keep correct id mapping. */
+  /** Branch-scoped copy-on-write DML (the reference's Nessie branches
+    * take full DML, not just staged appends): rewrite only the
+    * branch-visible files whose manifest stats may hold matching rows,
+    * carry the rest by reference, and publish ONE branch `overwrite`
+    * commit. Main readers never see it until mergeBranch; the three-way
+    * merge then treats the rewritten base files as the branch's removal
+    * set for conflict detection. Data files stage BEFORE the commit lock
+    * (same crash discipline as every writer); the publish refuses if the
+    * branch advanced while the rewrite ran — one staging writer per
+    * branch is the expected regime, so the caller simply retries. */
+  private def copyOnWriteBranch(name: String, transform: DataFrame => DataFrame,
+                                touch: Option[org.apache.spark.sql.Column]): Long = {
+    val ref = getRef(name)
+    require(ref.refType == "branch", s"'$name' is a tag; only branches accept commits")
+    val log0 = refLog(ref)
+    require(log0.nonEmpty, s"branch '$name' resolves to no commits in $dir")
+    val plannedHead = log0.last.version
+    val (entries, schema, curIds) = replayEntries(log0)
+    val tfs = specTransforms(log0)
+    val uniformIds = entries.forall(_.writeIds == curIds)
+    val (rewriteEntries, carried) = touch match {
+      case Some(cond) if uniformIds =>
+        val full = buildMappedScan(entries, schema, curIds, tfs)
+        resolveCond(full, cond) match {
+          case Some(resolved) =>
+            val types = schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+            entries.partition(e => LakeFileIndex.mayMatch(e.stats, types, resolved, tfs))
+          case None => (entries, Vector.empty[FileEntry])
+        }
+      case _ => (entries, Vector.empty[FileEntry])
+    }
+    val rewritten = transform(buildMappedScan(rewriteEntries, schema, curIds, tfs))
+    val have = rewritten.columns.map(_.toLowerCase).toSet
+    val (effSpec, effStats, effSort) = effectiveLayoutOf(log0)
+    val partitionBy = effSpec
+      .flatMap(s => scala.util.Try(PartitionTransform.parse(s)).toOption)
+      .filter(t => have(t.srcCol.toLowerCase))
+    val stCols = effStats.filter(c => have(c.toLowerCase))
+    val sortBy = effSort.filter(c => have(c.toLowerCase))
+    val (files, stats) = writeDataFiles(rewritten, partitionBy, stCols, sortBy)
+    withCommitLock {
+      require(LakeIO.exists(refPath(name)), s"branch '$name' was dropped mid-write")
+      val log = refLog(getRef(name))
+      if (log.last.version != plannedHead)
+        throw new java.util.ConcurrentModificationException(
+          s"branch '$name' advanced from v$plannedHead to v${log.last.version} " +
+            "while the rewrite ran; retry the statement")
+      val v = plannedHead + 1
+      val minTs = log.last.timestampMs
+      val (prevIds, maxEver) = idState(log)
+      val ids = assignFieldIds(rewritten.schema.fieldNames.toSeq, prevIds, maxEver)
+      val carryRel = carried.map(e => (e.path.stripPrefix(s"$dir/"), e.stats))
+      val c = LakeCommit(v, "overwrite", math.max(System.currentTimeMillis(), minTs),
+        rewritten.schema.toDDL, carryRel.map(_._1) ++ files,
+        carryRel.filter(_._2.nonEmpty).toMap ++ stats, "", ids,
+        effSpec, stCols, sortBy)
+      val tmp = logDir.resolve(branchCommitFile(name, v).fileName +
+        "." + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
+      try {
+        LakeIO.writeString(tmp, SnapshotTable.renderCommit(c))
+        LakeIO.publish(tmp, branchCommitFile(name, v))
+      } finally LakeIO.deleteIfExists(tmp)
+      v
+    }
+  }
+
+  /** `DELETE FROM LAKE ... ` routed to a branch (session `USE BRANCH` pin):
+    * copy-on-write deletion staged on the branch only. */
+  def deleteFromBranch(name: String, cond: org.apache.spark.sql.Column): Long =
+    copyOnWriteBranch(name, base => base.filter(!cond || cond.isNull), Some(cond))
+
+  /** `UPDATE LAKE ... SET` routed to a branch: copy-on-write update staged
+    * on the branch only (same single-projection SET semantics as main). */
+  def updateBranchWhere(name: String, cond: org.apache.spark.sql.Column,
+                        sets: Map[String, org.apache.spark.sql.Column]): Long =
+    copyOnWriteBranch(name, updateProjection(cond, sets), Some(cond))
+
+  /** `MERGE BRANCH <name> INTO`: publish the branch's work as ONE atomic
+    * overwrite commit on main (readers flip from pre-branch to
+    * fully-merged; no intermediate states), then drop the branch.
+    *
+    * Two regimes, mirroring Nessie's merge (reference grammar
+    * `sabot/grammar/src/main/codegen/includes/versionSupport.ftl:589`):
+    *  - main still at the fork base → fast-forward squash of the branch's
+    *    final file set.
+    *  - main advanced past the fork base → THREE-WAY merge with
+    *    content-level conflict detection at file granularity. Each side's
+    *    change since the fork base is a (removed, added) file-set diff;
+    *    the diffs commute iff no base file was rewritten/removed by BOTH
+    *    sides (two appends, or DML touching different files, always
+    *    merge — concurrent ingest on main no longer forces a re-stage).
+    *    A shared removal means both sides rewrote the same rows: refuse
+    *    with the conflicting files named, and the caller re-stages.
+    *    Schema and layout merge by the same three-way rule: the side that
+    *    changed them since the base wins; both changing differently is a
+    *    conflict.
+    *
+    * Requires uniform column identity (no renames between fork and merge)
+    * so carried-by-reference files keep correct id mapping. */
   def mergeBranch(name: String): Long = {
     val v = withCommitLock {
       val ref = getRef(name)
       require(ref.refType == "branch", s"'$name' is a tag and cannot be merged")
       val log = commits
       val current = log.lastOption.map(_.version).getOrElse(0L)
-      if (current != ref.baseVersion)
-        throw new java.util.ConcurrentModificationException(
-          s"branch '$name' forked at v${ref.baseVersion} but $dir is at " +
-            s"v$current; create a fresh branch from the new head and re-stage")
       val bcs = branchCommits(name)
       require(bcs.nonEmpty, s"branch '$name' has no commits to merge")
-      val all = log ++ bcs
-      val (entries, _, endIds) = replayEntries(all)
-      require(entries.forall(_.writeIds == endIds),
-        s"branch '$name' spans a column rename; merge after OPTIMIZE or re-stage")
-      val rel = entries.map(e => (e.path.stripPrefix(s"$dir/"), e.stats))
-      val (effSpec, effStats, effSort) = effectiveLayoutOf(all)
-      publish(current + 1, "overwrite", rel.map(_._1),
-        rel.filter(_._2.nonEmpty).toMap, "", bcs.last.schemaDdl,
-        log.lastOption.map(_.timestampMs).getOrElse(0L), log, endIds,
-        effSpec, effStats, effSort)
+      val basePrefix = log.takeWhile(_.version <= ref.baseVersion)
+      val branchLog = basePrefix ++ bcs
+      if (current == ref.baseVersion) {
+        // fast-forward: the branch view IS the merged view
+        val (entries, _, endIds) = replayEntries(branchLog)
+        require(entries.forall(_.writeIds == endIds),
+          s"branch '$name' spans a column rename; merge after OPTIMIZE or re-stage")
+        val rel = entries.map(e => (e.path.stripPrefix(s"$dir/"), e.stats))
+        val (effSpec, effStats, effSort) = effectiveLayoutOf(branchLog)
+        publish(current + 1, "overwrite", rel.map(_._1),
+          rel.filter(_._2.nonEmpty).toMap, "", bcs.last.schemaDdl,
+          log.lastOption.map(_.timestampMs).getOrElse(0L), log, endIds,
+          effSpec, effStats, effSort)
+      } else {
+        threeWayMerge(name, ref, log, basePrefix, branchLog, bcs, current)
+      }
     }
     dropRef(name)
     spark.catalog.refreshByPath(dir)
     v
+  }
+
+  /** Diverged-base merge: main moved past the fork. Computes each side's
+    * file-set diff against the shared base snapshot and publishes the
+    * union when the diffs commute (disjoint removal sets). Data files are
+    * immutable and never reused across commits, so file identity IS
+    * content identity: a file removed by both sides means both rewrote
+    * (or deleted) the same rows — a genuine content conflict. */
+  private def threeWayMerge(name: String, ref: SnapshotTable.LakeRef,
+                            log: Seq[LakeCommit], basePrefix: Seq[LakeCommit],
+                            branchLog: Seq[LakeCommit], bcs: Seq[LakeCommit],
+                            current: Long): Long = {
+    require(basePrefix.nonEmpty,
+      s"branch '$name' fork base v${ref.baseVersion} predates the log in $dir")
+    val (baseEntries, _, _) = replayEntries(basePrefix)
+    val (mainEntries, _, mainIds) = replayEntries(log)
+    val (brEntries, _, brIds) = replayEntries(branchLog)
+    val basePaths = baseEntries.map(_.path).toSet
+    val mainRemoved = basePaths -- mainEntries.map(_.path).toSet
+    val brRemoved = basePaths -- brEntries.map(_.path).toSet
+    val clash = mainRemoved.intersect(brRemoved)
+    if (clash.nonEmpty)
+      throw new java.util.ConcurrentModificationException(
+        s"MERGE BRANCH $name: content conflict — both the branch and main " +
+          s"rewrote ${clash.size} file(s) since fork base v${ref.baseVersion}: " +
+          clash.toSeq.sorted.take(3).map(_.stripPrefix(s"$dir/")).mkString(", ") +
+          (if (clash.size > 3) ", …" else "") +
+          "; re-stage the conflicting change on a fresh branch")
+    val baseDdl = basePrefix.last.schemaDdl
+    val mainDdl = log.last.schemaDdl
+    val brDdl = bcs.last.schemaDdl
+    val mergedDdl =
+      if (mainDdl == baseDdl) brDdl
+      else if (brDdl == baseDdl || brDdl == mainDdl) mainDdl
+      else throw new java.util.ConcurrentModificationException(
+        s"MERGE BRANCH $name: schema conflict — both sides evolved the " +
+          "schema differently since the fork; re-stage on a fresh branch")
+    // column identity must agree (neither side renamed, or both renamed
+    // identically) for the carried files of BOTH sides to map correctly;
+    // checked AFTER the schema rule so a double-evolution reports as the
+    // schema conflict it is, not as a rename
+    require(mainIds == brIds,
+      s"MERGE BRANCH $name: main and branch diverge on column identity " +
+        "(a rename since the fork); re-stage on a fresh branch")
+    def layoutOf(l: Seq[LakeCommit]) = effectiveLayoutOf(l)
+    val (baseLay, mainLay, brLay) = (layoutOf(basePrefix), layoutOf(log), layoutOf(branchLog))
+    val mergedLay =
+      if (mainLay == baseLay) brLay
+      else if (brLay == baseLay || brLay == mainLay) mainLay
+      else throw new java.util.ConcurrentModificationException(
+        s"MERGE BRANCH $name: layout conflict — both sides changed the " +
+          "partition/sort layout differently since the fork; re-stage")
+    // merged view = main's survivors minus the branch's removals, plus the
+    // branch's additions (staged under UUID subdirs — never colliding with
+    // main's). Each entry carries its own manifest stats.
+    val merged = mainEntries.filterNot(e => brRemoved.contains(e.path)) ++
+      brEntries.filterNot(e => basePaths.contains(e.path))
+    require(merged.forall(_.writeIds == brIds),
+      s"branch '$name' spans a column rename; merge after OPTIMIZE or re-stage")
+    val rel = merged.map(e => (e.path.stripPrefix(s"$dir/"), e.stats))
+    publish(current + 1, "overwrite", rel.map(_._1),
+      rel.filter(_._2.nonEmpty).toMap, "", mergedDdl,
+      log.lastOption.map(_.timestampMs).getOrElse(0L), log, brIds,
+      mergedLay._1, mergedLay._2, mergedLay._3)
   }
 
   /** MERGE-by-key (upsert) with snapshot isolation AND conflict detection:
@@ -1114,7 +1271,15 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     * expressions are evaluated in ONE projection so they read PRE-update
     * values (SQL UPDATE semantics: `SET a = b, b = a` swaps). */
   def updateWhere(cond: org.apache.spark.sql.Column,
-                  sets: Map[String, org.apache.spark.sql.Column]): Long = copyOnWrite({ base =>
+                  sets: Map[String, org.apache.spark.sql.Column]): Long =
+    copyOnWrite(updateProjection(cond, sets), touch = Some(cond))
+
+  /** The UPDATE rewrite as a reusable transform (main and branch DML share
+    * it): all SET expressions evaluate in ONE projection so they read
+    * PRE-update values (SQL UPDATE semantics: `SET a = b, b = a` swaps). */
+  private def updateProjection(cond: org.apache.spark.sql.Column,
+                               sets: Map[String, org.apache.spark.sql.Column])
+      : DataFrame => DataFrame = { base =>
     import org.apache.spark.sql.functions.{col, when}
     // resolve SET keys case-insensitively (Spark's default resolver) and
     // FAIL on unknown columns — a silently dropped SET would commit a
@@ -1136,7 +1301,7 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
         case None => col(c)
       }
     }: _*)
-  }, touch = Some(cond))
+  }
 
   /** Compaction: rewrite the current snapshot into `numFiles` files as one
     * conflict-checked overwrite commit (the small-files answer for a table
@@ -1255,7 +1420,15 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
                       graceMs: Long = 3600000L): Seq[String] = {
     val all = commits
     if (all.isEmpty) return Nil
-    val byAge = all.count(_.timestampMs >= cutoffMs)
+    // Retained set = the suffix starting at the FIRST commit stamped at or
+    // after the cutoff (snapshots are cumulative, so retention must be a
+    // version suffix). Selecting by position-of-first-match rather than by
+    // count keeps the rule honest under writer clock skew: a late commit
+    // carrying an early timestamp stays retained because a commit at/after
+    // the cutoff precedes it, instead of silently pushing a genuinely
+    // at-cutoff commit out of a count-sized window.
+    val idx = all.indexWhere(_.timestampMs >= cutoffMs)
+    val byAge = if (idx < 0) 0 else all.length - idx
     vacuum(math.max(1, math.max(byAge, retainLast)), graceMs)
   }
 

@@ -1576,33 +1576,59 @@ object GraftSqlParser {
     }
   }
 
-  /** DELETE FROM LAKE: copy-on-write row deletion as one atomic commit. */
+  /** The session pin, resolved for row-level DML: None → apply to main;
+    * Some(branch) → stage on the branch (the reference's Nessie branches
+    * take full DML under USE BRANCH). A tag or USE VERSION pin refuses —
+    * those are immutable views. */
+  private def dmlBranchPin(spark: SparkSession, dir: String,
+                           statement: String): Option[String] =
+    graft.sources.SessionRefs.pin(spark, dir).map {
+      case Left(v) => throw new IllegalStateException(
+        s"$statement: session is pinned to VERSION $v for lake '$dir' — " +
+          s"an immutable view; run USE DEFAULT IN LAKE '$dir' first")
+      case Right(refName) =>
+        val ref = graft.sources.SnapshotTable.forPath(spark, dir).getRef(refName)
+        if (ref.refType != "branch") throw new IllegalStateException(
+          s"$statement: session is pinned to tag '$refName' for lake '$dir' — " +
+            s"tags are immutable; run USE DEFAULT IN LAKE '$dir' first")
+        refName
+    }
+
+  /** DELETE FROM LAKE: copy-on-write row deletion as one atomic commit —
+    * on main, or staged on the session's pinned branch. */
   case class DeleteLakeCommand(dir: String, condSql: String) extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("version")
     override def run(spark: SparkSession): Seq[Row] = {
       graft.auth.Privileges.requireAction(spark, "delete", dir, "DELETE FROM LAKE")
-      graft.sources.SessionRefs.requireDefault(spark, dir, "DELETE FROM LAKE")
-      val v = graft.sources.SnapshotTable.forPath(spark, dir)
-        .deleteWhere(org.apache.spark.sql.functions.expr(condSql))
+      val t = graft.sources.SnapshotTable.forPath(spark, dir)
+      val cond = org.apache.spark.sql.functions.expr(condSql)
+      val v = dmlBranchPin(spark, dir, "DELETE FROM LAKE") match {
+        case Some(branch) => t.deleteFromBranch(branch, cond)
+        case None => t.deleteWhere(cond)
+      }
       Seq(Row(v.toString))
     }
   }
 
-  /** UPDATE LAKE ... SET: copy-on-write update as one atomic commit. */
+  /** UPDATE LAKE ... SET: copy-on-write update as one atomic commit —
+    * on main, or staged on the session's pinned branch. */
   case class UpdateLakeCommand(dir: String, setsSql: String, condSql: String)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("version")
     override def run(spark: SparkSession): Seq[Row] = {
       graft.auth.Privileges.requireAction(spark, "update", dir, "UPDATE LAKE")
-      graft.sources.SessionRefs.requireDefault(spark, dir, "UPDATE LAKE")
       val sets = splitTopLevel(setsSql).map { assignment =>
         val eq = assignment.indexOf('=')
         require(eq > 0, s"malformed SET assignment: $assignment")
         assignment.take(eq).trim ->
           org.apache.spark.sql.functions.expr(assignment.drop(eq + 1).trim)
       }.toMap
-      val v = graft.sources.SnapshotTable.forPath(spark, dir)
-        .updateWhere(org.apache.spark.sql.functions.expr(condSql), sets)
+      val t = graft.sources.SnapshotTable.forPath(spark, dir)
+      val cond = org.apache.spark.sql.functions.expr(condSql)
+      val v = dmlBranchPin(spark, dir, "UPDATE LAKE") match {
+        case Some(branch) => t.updateBranchWhere(branch, cond, sets)
+        case None => t.updateWhere(cond, sets)
+      }
       Seq(Row(v.toString))
     }
   }

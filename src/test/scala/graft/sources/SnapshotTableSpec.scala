@@ -335,11 +335,14 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.commits.size == 2)
     // the branch is gone after the merge
     intercept[IllegalArgumentException](t.readRef("etl"))
-    // conflict: a branch whose base was overtaken cannot fast-forward
+    // a branch whose base was overtaken three-way merges: the branch's
+    // append and main's post-fork commits are disjoint diffs, so both
+    // sides' rows land (concurrent ingest no longer forces a re-stage)
     t.createBranch("late", atVersion = Some(1L))
     t.appendToBranch("late", Seq((999L, "x")).toDF("id", "src"))
-    intercept[java.util.ConcurrentModificationException](t.mergeBranch("late"))
-    t.dropRef("late")
+    t.mergeBranch("late")
+    assert(t.read().count() == 103L)
+    assert(t.read().filter($"id" === 999L).count() == 1L)
     // tags pin a version immutably and reject commits
     t.createTag("audit_v1", Some(1L))
     assert(t.readRef("audit_v1").count() == 100L)
@@ -347,6 +350,74 @@ class SnapshotTableSpec extends AnyFunSuite {
       t.appendToBranch("audit_v1", Seq((1L, "y")).toDF("id", "src")))
     assert(t.listRefs.map(r => (r.name, r.refType, r.baseVersion)) ==
       Seq(("audit_v1", "tag", 1L)))
+  }
+
+  test("three-way MERGE BRANCH: commuting diffs merge, same-file rewrites conflict") {
+    val dir = fresh("lake_merge3")
+    // two range-clustered files so DML touches ONE of them provably
+    val t = SnapshotTable.create(spark, dir,
+      (1L to 100L).map(i => (i, "base")).toDF("id", "src")
+        .repartitionByRange(2, $"id"))
+    // re-land with stats so deleteWhere's touch-pruning is file-precise
+    t.compactSorted(Seq("id"), numFiles = 2) // v2
+    val fork = t.latestVersion
+
+    // branch deletes low ids (rewrites the low file); main appends
+    t.createBranch("dev")
+    t.deleteFromBranch("dev", $"id" <= 10)
+    t.append(Seq((500L, "main")).toDF("id", "src")) // main moves past fork
+    assert(t.read().count() == 101L)
+    assert(t.readRef("dev").count() == 90L)
+    t.mergeBranch("dev")
+    // merged: branch's delete applied AND main's append kept
+    assert(t.read().count() == 91L)
+    assert(t.read().filter($"id" <= 10).count() == 0L)
+    assert(t.read().filter($"src" === "main").count() == 1L)
+
+    // main DML + branch append to "different partitions" also commutes
+    t.compactSorted(Seq("id"), numFiles = 2)
+    t.createBranch("ingest")
+    t.appendToBranch("ingest", Seq((600L, "staged")).toDF("id", "src"))
+    t.deleteWhere($"id" === 500L) // main rewrites the high file
+    t.mergeBranch("ingest")
+    assert(t.read().filter($"id" === 600L).count() == 1L)
+    assert(t.read().filter($"id" === 500L).count() == 0L)
+
+    // CONFLICT: both sides rewrite the same file → refuse, naming it
+    t.compactSorted(Seq("id"), numFiles = 2)
+    t.createBranch("clash")
+    t.deleteFromBranch("clash", $"id" === 20L)
+    t.deleteWhere($"id" === 21L) // same low file on main
+    val ex = intercept[java.util.ConcurrentModificationException](t.mergeBranch("clash"))
+    assert(ex.getMessage.contains("content conflict"))
+    assert(ex.getMessage.contains("data-"), "conflict message should name the file(s)")
+    t.dropRef("clash")
+
+    // SQL surface: USE BRANCH routes DELETE to the branch; tag pins refuse
+    t.createBranch("sqlbr")
+    spark.sql(s"USE BRANCH sqlbr IN LAKE '$dir'")
+    try {
+      spark.sql(s"DELETE FROM LAKE '$dir' WHERE id = 30")
+      assert(t.readRef("sqlbr").filter($"id" === 30L).count() == 0L)
+    } finally spark.sql(s"USE DEFAULT IN LAKE '$dir'")
+    assert(t.read().filter($"id" === 30L).count() == 1L, "main untouched")
+    spark.sql(s"MERGE BRANCH sqlbr INTO LAKE '$dir'")
+    assert(t.read().filter($"id" === 30L).count() == 0L)
+    t.createTag("pin")
+    spark.sql(s"USE TAG pin IN LAKE '$dir'")
+    try assertThrows[IllegalStateException](
+      spark.sql(s"DELETE FROM LAKE '$dir' WHERE id = 31"))
+    finally spark.sql(s"USE DEFAULT IN LAKE '$dir'")
+    t.dropRef("pin")
+
+    // schema conflict: both sides evolve differently since the fork
+    t.createBranch("schemad")
+    t.appendToBranch("schemad",
+      Seq((700L, "b", 1.0)).toDF("id", "src", "extra_b"))
+    t.append(Seq((701L, "m", true)).toDF("id", "src", "extra_m"))
+    val ex2 = intercept[java.util.ConcurrentModificationException](t.mergeBranch("schemad"))
+    assert(ex2.getMessage.contains("schema conflict"))
+    t.dropRef("schemad")
   }
 
   test("ALTER BRANCH|TAG ASSIGN repoints refs; branch staged commits are discarded") {
@@ -392,9 +463,13 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT * FROM lake_scan('$dir')").count() == 3L)
     // SHOW LOGS under the pin shows the branch chain
     assert(spark.sql(s"SHOW LOGS IN LAKE '$dir'").count() == 2L)
-    // DML under a pin is refused loudly
+    // row-level DML under a BRANCH pin stages on the branch (Nessie DML)
+    spark.sql(s"DELETE FROM LAKE '$dir' WHERE id = 1")
+    assert(t.read().count() == 2L, "branch DML leaked to main")
+    assert(spark.sql(s"SELECT * FROM lake_scan('$dir')").count() == 2L)
+    // statements with no branch-routed form are still refused loudly
     val dml = intercept[Exception](
-      spark.sql(s"DELETE FROM LAKE '$dir' WHERE id = 1"))
+      spark.sql(s"TRUNCATE LAKE '$dir'"))
     assert(dml.getMessage.contains("pinned"))
 
     spark.sql(s"USE DEFAULT IN LAKE '$dir'")
