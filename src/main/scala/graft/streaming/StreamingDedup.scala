@@ -47,19 +47,25 @@ import graft.sources.SnapshotTable
   * all chain members are near the same cluster and the cluster already
   * has an admitted representative or gets one this batch).
   *
-  * Scale: per batch, ONE scan of the state table (broadcast-probed, no
-  * shuffle of state rows) + the batch-local work; intra-batch comparison
+  * Scale: per batch, ONE manifest-PRUNED scan of the state table — state
+  * rows write range-clustered on `bh` with per-file min/max stats, and
+  * the batch's distinct band keys fold into a static IN-filter on the
+  * read ([[prunedStateScan]]), so only the state FILES whose bh range
+  * holds a candidate bucket ever open; the kept files stream past the
+  * broadcast batch (no shuffle of state rows). Intra-batch comparison
   * is bounded at |bucket|·`maxBucket` (every doc vs its bucket's first
   * arrivals — an identical flood collapses onto its first rep, a
   * pathological bucket can't go quadratic), and state buckets hold only
-  * admitted (deduplicated) docs. Compact the state table (OPTIMIZE …
-  * ZORDER BY bh) to keep the scan sequential as it grows.
+  * admitted (deduplicated) docs. Compact the state table periodically
+  * (OPTIMIZE … ORDER BY bh / `compactSorted(Seq("bh"))`) so accumulated
+  * per-batch files re-cluster into disjoint ranges and the prune rate
+  * stays high as state grows toward corpus size.
   */
 object StreamingDedup {
 
   /** Band rows for a doc batch: (doc_id, band, bh, sig[, ngrams]). */
-  private def banded(docs: DataFrame, numHashes: Int, bands: Int,
-                     exactVerify: Boolean): DataFrame = {
+  private[graft] def banded(docs: DataFrame, numHashes: Int, bands: Int,
+                            exactVerify: Boolean): DataFrame = {
     val rows = numHashes / bands
     val signed = docs
       .withColumn("sig", Functions.minhash(col("text"), numHashes, 3))
@@ -73,6 +79,30 @@ object StreamingDedup {
             s"xxhash64(b, ${(0 until rows).map(r => s"sig[b * $rows + $r]").mkString(", ")}) as bh))"))
           .as("bb"))
       .select(col("doc_id"), col("sig"), col("ngrams"), col("bb.band"), col("bb.bh"))
+  }
+
+  /** Per-batch state read, manifest-pruned by the batch's band keys: the
+    * batch's distinct `bh` set is metadata-sized for real micro-batches
+    * (|docs|·bands 8-byte hashes), so it folds into a static IN-filter on
+    * the state scan — the same trick VectorIndex.search plays with probed
+    * buckets — and state FILES whose recorded [min, max] bh range meets
+    * no batch key never open. State appends are range-clustered on `bh`
+    * (and OPTIMIZE re-clusters), so ranges are tight: per batch the scan
+    * cost is O(files holding candidate buckets), not O(state). The filter
+    * is a pure superset of the equi-join's own `bh` condition, so results
+    * are identical. Batches with more than `maxPruneKeys` distinct band
+    * keys (a bulk backfill, not a stream) fall back to the full scan —
+    * the IN-fold's plan-time prune walk is O(files·keys) and must stay
+    * bounded. */
+  private[graft] def prunedStateScan(state: SnapshotTable,
+                                     batchBands: DataFrame,
+                                     maxPruneKeys: Int = 8192): DataFrame = {
+    val base = state.read()
+    val keys = batchBands.select(col("bh")).distinct()
+      .limit(maxPruneKeys + 1).collect().map(_.getLong(0))
+    if (keys.isEmpty) base.limit(0)
+    else if (keys.length > maxPruneKeys) base
+    else base.filter(col("bh").isin(keys.map(java.lang.Long.valueOf).toSeq: _*))
   }
 
   /** Signature-estimated Jaccard: fraction of equal MinHash components. */
@@ -104,13 +134,15 @@ object StreamingDedup {
       val batchBands = b.select(col("doc_id"), col("sig"), col("ngrams"),
         col("band"), col("bh"))
 
-      // vs state: broadcast the (small) batch bands; the state table
-      // streams past them — no shuffle of state rows. State buckets stay
-      // naturally small: only ADMITTED (already-deduplicated) docs land
-      // band rows, so a boilerplate flood is one state representative.
+      // vs state: broadcast the (small) batch bands; the state scan is
+      // manifest-pruned to the files holding the batch's band keys
+      // (prunedStateScan) and streams past the broadcast — no shuffle of
+      // state rows. State buckets stay naturally small: only ADMITTED
+      // (already-deduplicated) docs land band rows, so a boilerplate
+      // flood is one state representative.
       val vsState: DataFrame =
         if (state.latestVersion == 0) spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
-        else state.read()
+        else prunedStateScan(state, batchBands)
           .select(col("band"), col("bh"), col("sig").as("s_sig"),
             col("ngrams").as("s_ngrams"))
           .join(broadcast(batchBands), Seq("band", "bh"))
@@ -142,14 +174,27 @@ object StreamingDedup {
         .select(col("b_id").as("doc_id")).distinct()
 
       val dropIds = vsState.unionByName(intra).distinct()
-      val admitted = batchDocs.join(dropIds, Seq("doc_id"), "left_anti")
-
-      val n = out.appendTagged(admitted, tag, Nil, Nil)
-      val stateRows = b
-        .join(admitted.select("doc_id"), Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), col("band"), col("bh"), col("sig"), col("ngrams"))
-      state.appendTagged(stateRows, s"$tag:state", Nil, Nil)
-      n
+      // pinned: the admission plan feeds the out-append, the state-append
+      // semi-join, AND the file-count sizing below — execute it once
+      val admitted = batchDocs.join(dropIds, Seq("doc_id"), "left_anti").persist()
+      try {
+        val n = out.appendTagged(admitted, tag, Nil, Nil)
+        // state rows land RANGE-CLUSTERED on bh with per-file min/max (and
+        // bloom) stats: each file covers a narrow bh interval, which is
+        // what makes prunedStateScan's IN-fold drop files at plan time.
+        // File count scales with the batch (one file per ~500k band rows;
+        // a typical micro-batch is one file), so a bulk initial load does
+        // not produce a single monster file.
+        val stateRowCount = admitted.count() * bands
+        val nf = math.max(1, math.ceil(stateRowCount / 500000.0).toInt)
+        val stateRows = b
+          .join(admitted.select("doc_id"), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("band"), col("bh"), col("sig"), col("ngrams"))
+          .repartitionByRange(nf, col("bh"))
+          .sortWithinPartitions(col("bh"))
+        state.appendTagged(stateRows, s"$tag:state", Nil, Seq("bh"))
+        n
+      } finally admitted.unpersist()
     } finally b.unpersist()
   }
 

@@ -560,6 +560,46 @@ class ScaleStressSpec extends AnyFunSuite {
     val total = graft.sources.SnapshotTable.forPath(spark, out).read().count()
     assert(total == admitted1 + 5000L,
       s"all 5k re-crawls must drop against the lake state: $total")
+
+    // r12: manifest-pruned per-batch state scans. Re-cluster the state
+    // into disjoint bh ranges (the recommended maintenance op), then a
+    // small trigger batch must OPEN only the files its band keys land in
+    // — the scan cost scales with the BATCH, not the state. 4 docs × 16
+    // bands = 64 keys against 512 range-files → ≲ 60 files expected.
+    val st = graft.sources.SnapshotTable.forPath(spark, state)
+    st.compactSorted(Seq("bh"), numFiles = 512)
+    val stateFiles = st.read().inputFiles.length
+    assert(stateFiles >= 256, s"compaction should leave many files: $stateFiles")
+    val b3 = spark.range(4).select((col("id") + 2000000).as("doc_id"),
+      wordsExpr("cast((id + 9000000) AS string)", 30).as("text"))
+    val bands3 = graft.streaming.StreamingDedup.banded(b3, 64, 16, exactVerify = false)
+      .localCheckpoint(true)
+    val scan = graft.streaming.StreamingDedup.prunedStateScan(st, bands3)
+    scan.collect() // execute ONCE; metrics read from this run
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def findScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => findScans(a.executedPlan)
+      case s: QueryStageExec => findScans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(findScans)
+    }
+    val opened = findScans(scan.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+    assert(opened > 0 && opened <= stateFiles / 4,
+      s"pruned state scan opened $opened of $stateFiles files " +
+        s"(≤ ${stateFiles / 4} allowed)")
+    // and admission through the pruned path stays exact: a re-crawl of an
+    // admitted doc still drops, a fresh doc still lands
+    val b4 = spark.range(2).select((col("id") + 3000000).as("doc_id"),
+      when(col("id") === 0, wordsExpr("cast(1 AS string)", 30)) // re-crawl of admitted doc 1
+        .otherwise(wordsExpr("cast(7777777 AS string)", 30)).as("text"))
+      .localCheckpoint(true)
+    graft.streaming.StreamingDedup.admitBatch(spark, b4, state, out, "t:4",
+      jaccardThreshold = 0.5)
+    val total4 = graft.sources.SnapshotTable.forPath(spark, out).read().count()
+    assert(total4 == total + 1L,
+      s"pruned admission must drop the re-crawl and admit the fresh doc: $total4")
   }
 
   test("persisted IVF index at 1M vectors: serve path opens only probed partitions") {
