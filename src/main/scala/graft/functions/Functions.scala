@@ -37,6 +37,8 @@ object Functions {
     col(WordNgrams(ex(text), n, distinct))
   def bpe_encode(text: Column, merges: Seq[(String, String)]): Column =
     col(BpeEncode(ex(text), merges))
+  def bpe_byte_encode(text: Column, merges: Seq[(String, String)]): Column =
+    col(ByteBpeEncode(ex(text), merges))
   def unigram_encode(text: Column, vocab: Seq[(String, Double)]): Column =
     col(UnigramEncode(ex(text), vocab))
   def wordpiece_encode(text: Column, pieces: Seq[String]): Column =

@@ -190,8 +190,15 @@ object BpeKernel {
 
   /** Greedy rank-order merging: repeatedly merge the adjacent pair with the
     * lowest merge rank until none applies — the canonical BPE encoder. */
-  def encodeWord(word: String, ranks: Map[(String, String), Int]): Array[String] = {
-    var syms = initialSymbols(word)
+  def encodeWord(word: String, ranks: Map[(String, String), Int]): Array[String] =
+    mergeGreedy(initialSymbols(word), ranks)
+
+  /** The merge loop alone, over caller-supplied initial symbols (shared by
+    * the character-level encoder above and the byte-level GPT-2 family,
+    * which differ only in how a pre-token becomes symbols). */
+  def mergeGreedy(init: Array[String],
+                  ranks: Map[(String, String), Int]): Array[String] = {
+    var syms = init
     var continue = syms.length > 1
     while (continue) {
       var bestRank = Int.MaxValue
@@ -274,10 +281,13 @@ abstract class TokenizerEncode extends UnaryExpression with CodegenFallback {
   /** Encode one pre-token (the algorithm-specific kernel). */
   protected def encodeWord(word: String): Array[UTF8String]
 
+  /** The segmentation regex (byte-level BPE overrides with GPT-2's). */
+  protected def preTokenPattern: String = BpeKernel.PreTokenPattern
+
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   @transient private lazy val pattern =
-    java.util.regex.Pattern.compile(BpeKernel.PreTokenPattern)
+    java.util.regex.Pattern.compile(preTokenPattern)
   @transient private lazy val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[UTF8String]]()
   private val CacheCap = 100000 // word TYPES; reset beyond (no LRU bookkeeping)
@@ -306,6 +316,24 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     merges.iterator.zipWithIndex.toMap
   override protected def encodeWord(word: String): Array[UTF8String] =
     BpeKernel.encodeWord(word, ranks).map(UTF8String.fromString)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** bpe_byte_encode(text, merges) -> array<string>: byte-level BPE token
+  * stream (the GPT-2/tiktoken family — Radford et al. 2019): GPT-2
+  * pre-tokenization, each pre-token's UTF-8 bytes remapped to printable
+  * chars, then the shared greedy merge loop. Tokens are remapped-char
+  * strings ("Ġthe"-style); [[graft.llm.ByteBpe.decode]] inverts exactly. */
+case class ByteBpeEncode(child: Expression, merges: Seq[(String, String)])
+    extends TokenizerEncode {
+  override def prettyName: String = "bpe_byte_encode"
+  override protected def preTokenPattern: String =
+    graft.llm.ByteBpe.PreTokenPattern
+  @transient private lazy val ranks: Map[(String, String), Int] =
+    merges.iterator.zipWithIndex.toMap
+  override protected def encodeWord(word: String): Array[UTF8String] =
+    BpeKernel.mergeGreedy(graft.llm.ByteBpe.toSymbols(word), ranks)
+      .map(UTF8String.fromString)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

@@ -71,11 +71,14 @@ object Bpe {
     * (left, right) — fully deterministic. Stops early when the best pair
     * occurs only once (a merge that can never generalize). */
   private[llm] def trainFromFreqs(freqs: Seq[(String, Long)],
-                                  numMerges: Int): Vector[(String, String)] = {
-    // symbol sequences per word type (code-point split, marker on the last)
+                                  numMerges: Int,
+                                  initSyms: String => Array[String] =
+                                    graft.functions.BpeKernel.initialSymbols)
+      : Vector[(String, String)] = {
+    // symbol sequences per word type (default: code-point split with the
+    // marker on the last; ByteBpe passes its byte-remap split instead)
     val words: Array[mutable.ArrayBuffer[String]] = freqs.map { case (w, _) =>
-      val syms = mutable.ArrayBuffer(
-        graft.functions.BpeKernel.initialSymbols(w).toSeq: _*)
+      val syms = mutable.ArrayBuffer(initSyms(w).toSeq: _*)
       syms
     }.toArray
     val wfreq: Array[Long] = freqs.map(_._2).toArray

@@ -1595,6 +1595,37 @@ object LlmQueries {
            CAST(length(regexp_replace(text, '\s', '', 'g')) AS INT) AS n_tokens
     FROM documents ORDER BY doc_id"""
 
+  /** Byte-level BPE plumbing under an oracle: GPT-2's pre-tokens jointly
+    * PARTITION the text, and with zero merges every pre-token encodes to
+    * one remapped char per UTF-8 byte — so the token count per document
+    * is exactly its UTF-8 byte length, which DuckDB computes with
+    * octet_length, independent of the tokenizer. */
+  val bpeByteTokens: QueryFn = (s, dir) =>
+    ByteBpe.encode(Tables.ensure(s, dir).documents,
+        ByteBpe.ByteBpeVocab(Vector.empty))
+      .select(col("doc_id"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  val bpeByteTokensSql: String = """
+    SELECT doc_id, CAST(strlen(text) AS INT) AS n_tokens
+    FROM documents ORDER BY doc_id"""
+
+  /** Corpus tokenized with its own trained byte-level vocabulary, via a
+    * PERSISTED lake round trip (train → save → load → encode); no oracle —
+    * byte-remap pins, emoji round trip and compression are in ByteBpeSpec. */
+  val bpeByteTrainMerges: QueryFn = (s, dir) => {
+    import s.implicits._
+    val docs = Tables.ensure(s, dir).documents
+    val v = ByteBpe.train(docs, numMerges = 200, maxWordTypes = 50000)
+    val store = graft.queries.Lake.scratchDir("graft_tok_bpe_byte")
+    TokenizerStore.saveByteBpe(s, store, v)
+    val loaded = TokenizerStore.loadByteBpe(s, store)
+    require(loaded.merges == v.merges, "byte-BPE vocabulary round trip")
+    v.merges.zipWithIndex
+      .map { case ((l, r), i) => (i, l, r) }
+      .toDF("rank", "left_sym", "right_sym")
+      .orderBy(col("rank"))
+  }
+
   /** Whole-document next-fit packing under a FULL oracle: DuckDB replays
     * the sequential next-fit fold per language as a recursive CTE carrying
     * (bin, remaining) — bins, offsets and fragmentation all hash-gated. */
@@ -2433,6 +2464,8 @@ object LlmQueries {
     "bpe_train_merges" -> bpeTrainMerges,
     "bpe_tokens" -> bpeTokens,
     "bpe_char_tokens" -> bpeCharTokens,
+    "bpe_byte_tokens" -> bpeByteTokens,
+    "bpe_byte_train_merges" -> bpeByteTrainMerges,
     "unigram_train_pieces" -> unigramTrainPieces,
     "unigram_tokens" -> unigramTokens,
     "unigram_char_tokens" -> unigramCharTokens,
@@ -2504,6 +2537,7 @@ object LlmQueries {
     "text_charclass" -> textCharclassSql,
     "url_filter" -> urlFilterSql,
     "bpe_char_tokens" -> bpeCharTokensSql,
+    "bpe_byte_tokens" -> bpeByteTokensSql,
     "unigram_char_tokens" -> unigramCharTokensSql,
     "wordpiece_fixed_tokens" -> wordpieceFixedTokensSql,
     "wordpiece_persisted_tokens" -> wordpieceFixedTokensSql,

@@ -9,9 +9,9 @@ import graft.sources.SnapshotTable
   * privileges gate who can swap it, branches stage a retrain). Training
   * is expensive and corpus-wide; encoding is map-only and runs
   * everywhere — the split only works if the trained artifact round-trips
-  * exactly, which the schema here guarantees for all three families:
+  * exactly, which the schema here guarantees for all four families:
   *
-  *  - BPE: ordered merge pairs (rank, left, right)
+  *  - BPE / byte-level BPE: ordered merge pairs (rank, left, right)
   *  - Unigram-LM: (rank, piece, logp) in probability order
   *  - WordPiece: (rank, piece) in vocabulary order
   *
@@ -20,13 +20,22 @@ import graft.sources.SnapshotTable
   * the in-memory form the encode expressions take. */
 object TokenizerStore {
 
-  private val Kinds = Set("bpe", "unigram", "wordpiece")
+  private val Kinds = Set("bpe", "bpe_byte", "unigram", "wordpiece")
 
   def saveBpe(spark: SparkSession, dir: String, v: Bpe.BpeVocab): Unit = {
     import spark.implicits._
     SnapshotTable.create(spark, dir,
       v.merges.zipWithIndex.map { case ((l, r), i) =>
         ("bpe", i, l, r, 0.0)
+      }.toDF("kind", "rank", "piece", "right", "weight"))
+  }
+
+  def saveByteBpe(spark: SparkSession, dir: String,
+                  v: ByteBpe.ByteBpeVocab): Unit = {
+    import spark.implicits._
+    SnapshotTable.create(spark, dir,
+      v.merges.zipWithIndex.map { case ((l, r), i) =>
+        ("bpe_byte", i, l, r, 0.0)
       }.toDF("kind", "rank", "piece", "right", "weight"))
   }
 
@@ -71,6 +80,10 @@ object TokenizerStore {
 
   def loadBpe(spark: SparkSession, dir: String): Bpe.BpeVocab =
     Bpe.BpeVocab(rows(spark, dir, "bpe")
+      .map { case (_, l, r, _) => (l, r) }.toVector)
+
+  def loadByteBpe(spark: SparkSession, dir: String): ByteBpe.ByteBpeVocab =
+    ByteBpe.ByteBpeVocab(rows(spark, dir, "bpe_byte")
       .map { case (_, l, r, _) => (l, r) }.toVector)
 
   def loadUnigram(spark: SparkSession, dir: String): Unigram.UnigramVocab =
