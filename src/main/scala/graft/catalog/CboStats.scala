@@ -1,0 +1,139 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics, CatalogStorageFormat, CatalogTable, CatalogTableType}
+import org.apache.spark.sql.catalyst.plans.logical.{Histogram, HistogramBin}
+import org.apache.spark.sql.types._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** Persisted CBO statistics for lake tables — the bridge between
+  * `ANALYZE LAKE ... COMPUTE STATISTICS` and Spark's cost-based optimizer
+  * (reference: `services/statistics/StatisticsServiceImpl.java:465-502`
+  * feeds t-digest histograms + NDV into the planner's selectivity; Spark's
+  * native channel for the same information is `CatalogStatistics` with
+  * equi-height `Histogram`s, consumed by `FilterEstimation`/`JoinEstimation`
+  * when `spark.sql.cbo.enabled` is on).
+  *
+  * Storage: the stats ride the lake table's TBLPROPERTIES (a metadata-only
+  * commit) under `graft.stats.*` keys — versioned, time-travelable and
+  * branch-aware like every other table property, and snapshot resolution
+  * already reads them for free. Scans of a full snapshot attach a synthetic
+  * `CatalogTable` carrying the decoded `CatalogStatistics`, which is ALL
+  * `LogicalRelation.computeStats` needs to hand CBO real row counts,
+  * per-column NDV/null/min/max, and histograms. Stats are estimates by
+  * contract: they go stale under DML until the next ANALYZE (exactly the
+  * reference's model) and never affect results, only plan choice.
+  *
+  * min/max/histograms are injected for NUMERIC columns only — their
+  * external-string round trip through `CatalogColumnStat.fromExternalString`
+  * is dialect-free, and numeric range predicates are where histogram
+  * selectivity pays (skewed ids, amounts, sizes). Other columns still get
+  * NDV + null counts (safe in any dialect). */
+object CboStats {
+
+  val RowCountKey = "graft.stats.rowCount"
+  val SizeKey = "graft.stats.sizeInBytes"
+  val VersionKey = "graft.stats.analyzedVersion"
+  val ColPrefix = "graft.stats.col."
+
+  private val mapper = new ObjectMapper()
+
+  /** Encode a profile (+ optional histograms) into TBLPROPERTIES pairs.
+    * `profileRows` are [[Statistics.profile]] rows. */
+  def encode(schema: StructType,
+             profileRows: Seq[(String, Long, Long, Long, String, String)],
+             hists: Map[String, (Double, Seq[(Double, Double, Long)])],
+             sizeInBytes: Long, analyzedVersion: Long): Map[String, String] = {
+    val numeric = schema.fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType] => f.name
+    }.toSet
+    val cols = profileRows.map { case (name, _, nulls, ndv, mn, mx) =>
+      val node = mapper.createObjectNode()
+      node.put("nulls", nulls)
+      node.put("ndv", ndv)
+      if (numeric(name) && mn != null && mx != null) {
+        node.put("min", mn)
+        node.put("max", mx)
+        hists.get(name).foreach { case (height, bins) =>
+          val h = node.putObject("hist")
+          h.put("height", height)
+          val arr = h.putArray("bins")
+          bins.foreach { case (lo, hi, bndv) =>
+            val b = mapper.createArrayNode()
+            b.add(lo); b.add(hi); b.add(bndv)
+            arr.add(b); ()
+          }
+        }
+      }
+      (ColPrefix + name) -> node.toString
+    }
+    val nRows = profileRows.headOption.map(_._2).getOrElse(0L)
+    (cols :+ (RowCountKey -> nRows.toString)
+      :+ (SizeKey -> sizeInBytes.toString)
+      :+ (VersionKey -> analyzedVersion.toString)).toMap
+  }
+
+  /** Decode stored properties into the synthetic CatalogTable a lake scan
+    * attaches (None when the table was never ANALYZEd with persistence). */
+  def catalogTableFor(dir: String, schema: StructType,
+                      props: Map[String, String]): Option[CatalogTable] =
+    props.get(RowCountKey).flatMap { rc =>
+      scala.util.Try {
+        val colStats: Map[String, CatalogColumnStat] =
+          schema.fields.flatMap { f =>
+            props.get(ColPrefix + f.name).map { js =>
+              val n = mapper.readTree(js)
+              val hist = Option(n.get("hist")).map { h =>
+                val bins = h.get("bins").elements()
+                val buf = Vector.newBuilder[HistogramBin]
+                while (bins.hasNext) {
+                  val b = bins.next()
+                  buf += HistogramBin(b.get(0).asDouble(), b.get(1).asDouble(),
+                    b.get(2).asLong())
+                }
+                Histogram(h.get("height").asDouble(), buf.result().toArray)
+              }
+              f.name -> CatalogColumnStat(
+                distinctCount = Some(BigInt(n.get("ndv").asLong())),
+                min = Option(n.get("min")).map(_.asText()),
+                max = Option(n.get("max")).map(_.asText()),
+                nullCount = Some(BigInt(n.get("nulls").asLong())),
+                histogram = hist)
+            }
+          }.toMap
+        CatalogTable(
+          identifier = TableIdentifier(
+            "graft_lake_" + Integer.toHexString(dir.hashCode)),
+          tableType = CatalogTableType.EXTERNAL,
+          storage = CatalogStorageFormat.empty,
+          schema = schema,
+          provider = Some("parquet"),
+          stats = Some(CatalogStatistics(
+            sizeInBytes = BigInt(props.getOrElse(SizeKey, "0")),
+            rowCount = Some(BigInt(rc)),
+            colStats = colStats)))
+      }.toOption
+    }
+
+  /** Compute + persist stats for a lake table (the ANALYZE LAKE ...
+    * COMPUTE STATISTICS body): one profile pass (+ two histogram passes
+    * when requested), one metadata-only commit. Returns the profile. */
+  def analyze(spark: SparkSession, dir: String, withHistogram: Boolean,
+              buckets: Int = 16): DataFrame = {
+    val t = graft.sources.SnapshotTable.forPath(spark, dir)
+    val df = t.read()
+    val prof = Statistics.profile(df)
+    val rows = prof.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toSeq
+    val hists =
+      if (withHistogram)
+        Statistics.histograms(df, df.columns.toSeq, bins = buckets)
+      else Map.empty[String, (Double, Seq[(Double, Double, Long)])]
+    val size = t.snapshotSizeInBytes
+    t.setProperties(encode(df.schema, rows, hists, size, t.latestVersion))
+    prof
+  }
+}

@@ -56,6 +56,67 @@ object Statistics {
         StructField("max_value", StringType, nullable = true))))
   }
 
+  /** Equi-height histogram per numeric column (the reference's t-digest
+    * histograms — `services/statistics/StatisticsServiceImpl.java:465` —
+    * re-expressed as Spark CBO's native equi-height form, the shape
+    * `FilterEstimation` consumes for range-predicate selectivity).
+    *
+    * Two distributed passes, same as Spark's own ANALYZE ... FOR COLUMNS
+    * under `spark.sql.statistics.histogram.enabled`:
+    *  1. ONE aggregate computes every column's bin endpoints
+    *     (`percentile_approx` at 0, 1/b, …, 1) and non-null count;
+    *  2. ONE aggregate computes every bin's NDV (`approx_count_distinct`
+    *     restricted to the bin's interval).
+    * Returns col → (height, bins[(lo, hi, ndv)]); height = nonNull / b
+    * (equi-height by construction — each bin holds the same row mass, so
+    * a range predicate's selectivity is bins-covered / b plus partial-bin
+    * interpolation, robust to skew where min/max-linear is not). */
+  def histograms(df: DataFrame, columns: Seq[String], bins: Int = 16,
+                 percentileAccuracy: Int = 10000)
+      : Map[String, (Double, Seq[(Double, Double, Long)])] = {
+    require(bins >= 2, "a histogram needs at least 2 buckets")
+    val numeric = df.schema.fields
+      .filter(f => columns.contains(f.name) && (f.dataType match {
+        case _: NumericType => true
+        case _ => false
+      })).map(_.name).toSeq
+    if (numeric.isEmpty) return Map.empty
+    val probs = (0 to bins).map(_.toDouble / bins)
+    val pass1 = numeric.zipWithIndex.flatMap { case (c, i) =>
+      Seq(
+        percentile_approx(col(c).cast("double"),
+          array(probs.map(lit): _*), lit(percentileAccuracy)).as(s"ep_$i"),
+        count(col(c)).as(s"nn_$i"))
+    }
+    val r1 = df.agg(pass1.head, pass1.tail: _*).head()
+    val endpoints: Map[String, Seq[Double]] = numeric.zipWithIndex.map {
+      case (c, i) => c -> Option(r1.getSeq[Double](r1.fieldIndex(s"ep_$i")))
+        .getOrElse(Seq.empty)
+    }.toMap
+    val nonNull: Map[String, Long] = numeric.zipWithIndex.map {
+      case (c, i) => c -> r1.getAs[Long](s"nn_$i")
+    }.toMap
+    val live = numeric.filter(c => endpoints(c).size == bins + 1 && nonNull(c) > 0)
+    if (live.isEmpty) return Map.empty
+    val pass2 = live.zipWithIndex.flatMap { case (c, i) =>
+      val ep = endpoints(c)
+      (0 until bins).map { j =>
+        val v = col(c).cast("double")
+        val in =
+          if (j == 0) v >= lit(ep(0)) && v <= lit(ep(1))
+          else v > lit(ep(j)) && v <= lit(ep(j + 1))
+        approx_count_distinct(when(in, v)).as(s"bn_${i}_$j")
+      }
+    }
+    val r2 = df.agg(pass2.head, pass2.tail: _*).head()
+    live.zipWithIndex.map { case (c, i) =>
+      val ep = endpoints(c)
+      val bs = (0 until bins).map(j =>
+        (ep(j), ep(j + 1), math.max(1L, r2.getAs[Long](s"bn_${i}_$j"))))
+      c -> (nonNull(c).toDouble / bins, bs)
+    }.toMap
+  }
+
   /** Frequent items for one column (the reference's ItemsSketch surface):
     * exact top-k by count with a deterministic tiebreak. Two-phase
     * hash aggregate + a k-row ordered limit — no sketch needed until

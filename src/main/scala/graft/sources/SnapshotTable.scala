@@ -194,6 +194,14 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     (entries.map(e => (e.path, e.stats)), schema)
   }
 
+  /** Total data bytes of the current snapshot, from manifest-carried
+    * sizes (zero FS calls; legacy files without a recorded size count 0 —
+    * this feeds plan ESTIMATES, never results). */
+  def snapshotSizeInBytes: Long =
+    snapshotWithStats()._1
+      .flatMap(_._2.get(SnapshotTable.BytesStatKey))
+      .flatMap(v => scala.util.Try(v._1.toLong).toOption).sum
+
   /** One live data file after log replay: absolute path, its manifest
     * stats, and the field ids in force when it was WRITTEN (column names
     * inside the file → stable ids — the key to rename-safe reads). */
@@ -281,7 +289,20 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       val rel = HadoopFsRelation(index, new StructType(), schemaN, bucketSpec,
         new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
         Map.empty[String, String])(spark)
-      org.apache.spark.sql.graft.Bridge.ofRows(spark, LogicalRelation(rel))
+      // Full-snapshot scans (version >= 0: read()/readRef(), not diff or
+      // rewrite subsets) attach persisted ANALYZE stats as a synthetic
+      // CatalogTable, which is the channel LogicalRelation.computeStats
+      // feeds CBO from: row counts, per-column NDV/nulls/min/max and
+      // equi-height histograms drive filter selectivity and join sizing.
+      // Estimates only — stale-under-DML by the same contract as the
+      // reference's statistics service.
+      val plan =
+        if (version >= 0)
+          graft.catalog.CboStats.catalogTableFor(dir, schemaN, properties)
+            .map(ct => LogicalRelation(rel, ct))
+            .getOrElse(LogicalRelation(rel))
+        else LogicalRelation(rel)
+      org.apache.spark.sql.graft.Bridge.ofRows(spark, plan)
     }
 
   /** Transforms recorded by any visible commit (lenient: unknown spec

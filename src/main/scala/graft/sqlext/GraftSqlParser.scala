@@ -314,9 +314,11 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
           splitCols(partBy),
           Option(format).map(_.toUpperCase).getOrElse("ICEBERG"),
           append != null)
-      case AnalyzeLakeRe(dir) =>
+      case AnalyzeLakeRe(dir, compute, hist, _, buckets) =>
         AnalyzeLakeCommand(dir,
-          out("col_name", "n_rows", "n_nulls", "ndv", "min_value", "max_value"))
+          out("col_name", "n_rows", "n_nulls", "ndv", "min_value", "max_value"),
+          persist = compute != null, histogram = hist != null,
+          buckets = Option(buckets).map(_.toInt).getOrElse(16))
       case CopyIntoRe(target, src, fmt, ddl, onError) =>
         CopyIntoCommand(target, src, fmt.toLowerCase,
           ddl, Option(onError).map(_.toLowerCase).getOrElse("continue"))
@@ -653,7 +655,9 @@ object GraftSqlParser {
     """(?is)ALTER\s+LAKE\s+'([^']+)'\s+DROP\s+COLUMN\s+(\w+)\s*;?""".r
   private val RollbackLakeRe =
     """(?is)ROLLBACK\s+LAKE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*;?""".r
-  private val AnalyzeLakeRe = """(?is)ANALYZE\s+LAKE\s+'([^']+)'\s*;?""".r
+  private val AnalyzeLakeRe =
+    ("""(?is)ANALYZE\s+LAKE\s+'([^']+)'""" +
+      """(\s+COMPUTE\s+STATISTICS(\s+WITH\s+HISTOGRAM(\s+(\d+)\s+BUCKETS)?)?)?\s*;?""").r
   private val CopyIntoRe =
     ("""(?is)COPY\s+INTO\s+'([^']+)'\s+FROM\s+'([^']+)'\s+FORMAT\s+(\w+)\s+""" +
       """SCHEMA\s+'([^']+)'(?:\s+ON_ERROR\s+(\w+))?\s*;?""").r
@@ -1921,14 +1925,22 @@ object GraftSqlParser {
     * (reference SqlAnalyzeTableStatistics →
     * `services/statistics/StatisticsServiceImpl.java:76`; HLL ndv is the
     * scale path — see catalog.Statistics). */
-  case class AnalyzeLakeCommand(dir: String, override val output: Seq[Attribute])
+  case class AnalyzeLakeCommand(dir: String, override val output: Seq[Attribute],
+      persist: Boolean = false, histogram: Boolean = false, buckets: Int = 16)
       extends LeafRunnableCommand {
-    override def run(spark: SparkSession): Seq[Row] =
-      graft.catalog.Statistics.profile(
-        graft.sources.SnapshotTable.forPath(spark, dir).read())
-        .collect().toSeq.map(r => Row(
-          r.getString(0), r.getLong(1).toString, r.getLong(2).toString,
-          r.getLong(3).toString, r.getString(4), r.getString(5)))
+    override def run(spark: SparkSession): Seq[Row] = {
+      // COMPUTE STATISTICS persists the profile (plus equi-height
+      // histograms under WITH HISTOGRAM) into TBLPROPERTIES, where full
+      // snapshot scans feed it to CBO (see graft.catalog.CboStats); the
+      // bare form stays a read-only profile
+      val prof =
+        if (persist) graft.catalog.CboStats.analyze(spark, dir, histogram, buckets)
+        else graft.catalog.Statistics.profile(
+          graft.sources.SnapshotTable.forPath(spark, dir).read())
+      prof.collect().toSeq.map(r => Row(
+        r.getString(0), r.getLong(1).toString, r.getLong(2).toString,
+        r.getLong(3).toString, r.getString(4), r.getString(5)))
+    }
   }
 
   /** COPY INTO: bulk file load with ON_ERROR semantics (reference

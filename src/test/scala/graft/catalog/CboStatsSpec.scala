@@ -1,0 +1,111 @@
+package graft.catalog
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.sources.SnapshotTable
+
+/** ANALYZE LAKE ... COMPUTE STATISTICS feeding Spark CBO: persisted row
+  * counts/NDV/min/max give the planner real cardinalities, and the
+  * equi-height histogram fixes range-predicate selectivity on SKEWED
+  * columns where min/max-linear interpolation is catastrophically wrong —
+  * asserted both at the estimate level (within 2× of truth) and at the
+  * plan level (a join flips to broadcast that min/max stats alone would
+  * plan as sort-merge). */
+class CboStatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 400k rows; 95% of v mass at 1..10, 5% spread over 500..999 (the skew)
+  private def skewed(n: Int) = spark.range(n).select(
+    col("id"),
+    when(col("id") % 20 =!= 0, col("id") % 10 + 1)
+      .otherwise(lit(500) + col("id") % 500).as("v"))
+
+  private def filterEstimate(df: org.apache.spark.sql.DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.stats.rowCount.getOrElse(BigInt(-1))
+
+  test("histogram fixes skewed range selectivity; min/max alone does not") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cbo_hist").toString
+    val n = 400000
+    SnapshotTable.create(spark, dir, skewed(n))
+    val truth = SnapshotTable.forPath(spark, dir).read()
+      .filter(col("v") >= 700).count()
+    assert(truth == n / 20 * 300 / 500, s"fixture skew drifted: $truth")
+
+    // min/max only: linear interpolation over [1, 999] estimates ~30% of
+    // rows for v >= 700 — an order of magnitude over the 3% truth
+    spark.sql(s"ANALYZE LAKE '$dir' COMPUTE STATISTICS")
+    val linear = filterEstimate(
+      SnapshotTable.forPath(spark, dir).read().filter(col("v") >= 700))
+    assert(linear > BigInt(truth) * 5,
+      s"min/max-linear should badly overestimate: $linear vs truth $truth")
+
+    // with the histogram the estimate lands within 2× of truth
+    spark.sql(s"ANALYZE LAKE '$dir' COMPUTE STATISTICS WITH HISTOGRAM")
+    val hist = filterEstimate(
+      SnapshotTable.forPath(spark, dir).read().filter(col("v") >= 700))
+    assert(hist > 0 && hist <= BigInt(truth) * 2 && hist * 2 >= BigInt(truth),
+      s"histogram estimate $hist not within 2x of truth $truth")
+  }
+
+  test("histogram selectivity flips a join to broadcast that min/max stats would not") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cbo_join_a").toString
+    val dim = java.nio.file.Files.createTempDirectory("graft_cbo_join_b").toString
+    val n = 400000
+    SnapshotTable.create(spark, dir, skewed(n))
+    // the other side: big enough that ITS raw bytes exceed the threshold
+    SnapshotTable.create(spark, dim,
+      spark.range(n).select(col("id"), (col("id") * 7).as("w")))
+
+    def joinPlan(): org.apache.spark.sql.execution.SparkPlan = {
+      val fact = SnapshotTable.forPath(spark, dir).read().filter(col("v") >= 700)
+      val other = SnapshotTable.forPath(spark, dim).read()
+      fact.join(other, "id").queryExecution.sparkPlan
+    }
+    def hasBroadcast(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }.nonEmpty
+
+    val conf = spark.conf
+    val oldAqe = conf.get("spark.sql.adaptive.enabled")
+    val oldThresh = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // static planning decision under test: AQE re-plans from runtime sizes
+    // and would mask the CBO-side estimate either way
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", (512 * 1024).toString)
+    try {
+      spark.sql(s"ANALYZE LAKE '$dir' COMPUTE STATISTICS")
+      assert(!hasBroadcast(joinPlan()),
+        "min/max-linear overestimate must keep the join sort-merge")
+      spark.sql(s"ANALYZE LAKE '$dir' COMPUTE STATISTICS WITH HISTOGRAM")
+      assert(hasBroadcast(joinPlan()),
+        "histogram selectivity must shrink the filtered side under the " +
+          "broadcast threshold")
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", oldAqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
+    }
+  }
+
+  test("stats survive the lake round trip and diff scans skip them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cbo_rt").toString
+    SnapshotTable.create(spark, dir, skewed(10000))
+    spark.sql(s"ANALYZE LAKE '$dir' COMPUTE STATISTICS WITH HISTOGRAM 8 BUCKETS")
+    val t = SnapshotTable.forPath(spark, dir)
+    val props = t.properties
+    assert(props(CboStats.RowCountKey) == "10000")
+    assert(props.contains(CboStats.ColPrefix + "v"))
+    assert(props(CboStats.ColPrefix + "v").contains("\"hist\""))
+    // the full scan reports the analyzed row count to the planner
+    assert(t.read().queryExecution.optimizedPlan.stats.rowCount
+      .contains(BigInt(10000)))
+    // a non-full scan (version = -1 path, e.g. the CDC diff) must not
+    // inherit full-table cardinality
+    t.append(skewed(100))
+    val diff = t.changesBetween(1L, 2L)
+    val rc = diff.queryExecution.optimizedPlan.stats.rowCount
+    assert(rc.forall(_ < BigInt(10000)), s"diff scan inherited stats: $rc")
+  }
+}
