@@ -1787,6 +1787,90 @@ object LlmQueries {
           "cast(sp.end - sp.start as int))")).as("span_md5"))
       .orderBy(col("conv_id"), col("turn_idx"))
   }
+  /** DPO preference pairs under a FULL oracle: DuckDB re-renders BOTH
+    * sides from the raw fixture, re-derives the shared prefix (prompt +
+    * assistant header) and each side's loss span, and hash-gates the
+    * texts, the prefix bytes and the span substrings. Every 7th pair has
+    * an EMPTY rejected response (the degenerate shape a pipeline must
+    * carry, not crash on). */
+  val dpoPairsSpans: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents
+      .filter(col("doc_id") < 300 && length(trim(col("text"))) > 0)
+    val parts = docs
+      .select(col("doc_id"),
+        expr("filter(split(text, '\\\\s+'), w -> length(w) > 0)").as("words"))
+      .select(col("doc_id"),
+        expr("array_join(slice(words, 1, 12), ' ')").as("user_c"),
+        expr("array_join(slice(words, 13, 12), ' ')").as("chosen"),
+        expr("CASE WHEN doc_id % 7 = 0 THEN '' " +
+          "ELSE array_join(slice(words, 25, 12), ' ') END").as("rejected"))
+    val promptTurns = parts
+      .select(col("doc_id").as("pair_id"), lit(0).as("turn_idx"),
+        lit("system").as("role"),
+        lit("You are a helpful assistant.").as("content"))
+      .unionByName(parts.select(col("doc_id").as("pair_id"),
+        lit(1).as("turn_idx"), lit("user").as("role"),
+        col("user_c").as("content")))
+    val responses = parts.select(col("doc_id").as("pair_id"),
+      col("chosen"), col("rejected"))
+    SftFormat.renderDpoPairs(promptTurns, responses)
+      .select(col("pair_id"), col("n_prompt_turns"), col("prefix_len"),
+        md5(col("chosen_text")).as("chosen_md5"),
+        md5(col("rejected_text")).as("rejected_md5"),
+        md5(expr("substring(chosen_text, 1, cast(prefix_len as int))"))
+          .as("prefix_md5"),
+        (expr("substring(chosen_text, 1, cast(prefix_len as int))") ===
+          expr("substring(rejected_text, 1, cast(prefix_len as int))"))
+          .as("prefix_shared"),
+        col("chosen_start"), col("chosen_end"),
+        col("rejected_start"), col("rejected_end"),
+        md5(expr("substring(chosen_text, cast(chosen_start + 1 as int), " +
+          "cast(chosen_end - chosen_start as int))")).as("chosen_span_md5"),
+        md5(expr("substring(rejected_text, cast(rejected_start + 1 as int), " +
+          "cast(rejected_end - rejected_start as int))")).as("rejected_span_md5"))
+      .orderBy(col("pair_id"))
+  }
+  val dpoPairsSpansSql: String = """
+    WITH docs AS (SELECT doc_id, text FROM documents
+                  WHERE doc_id < 300 AND len(trim(text)) > 0),
+    p AS (SELECT doc_id,
+            list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0) AS words
+          FROM docs),
+    parts AS (SELECT doc_id,
+            COALESCE(array_to_string(list_slice(words, 1, 12), ' '), '') AS user_c,
+            COALESCE(array_to_string(list_slice(words, 13, 24), ' '), '') AS chosen,
+            CASE WHEN doc_id % 7 = 0 THEN ''
+                 ELSE COALESCE(array_to_string(list_slice(words, 25, 36), ' '), '')
+            END AS rejected
+          FROM p),
+    r AS (SELECT doc_id AS pair_id,
+            '<|im_start|>system' || chr(10) || 'You are a helpful assistant.'
+              || '<|im_end|>' || chr(10)
+              || '<|im_start|>user' || chr(10) || user_c || '<|im_end|>' || chr(10)
+              || '<|im_start|>assistant' || chr(10) AS prefix,
+            chosen, rejected
+          FROM parts),
+    t AS (SELECT pair_id, prefix,
+            CAST(length(prefix) AS BIGINT) AS prefix_len,
+            prefix || chosen || '<|im_end|>' || chr(10) AS chosen_text,
+            prefix || rejected || '<|im_end|>' || chr(10) AS rejected_text,
+            CAST(length(chosen) AS BIGINT) AS c_len,
+            CAST(length(rejected) AS BIGINT) AS r_len
+          FROM r)
+    SELECT pair_id, CAST(2 AS BIGINT) AS n_prompt_turns, prefix_len,
+           md5(chosen_text) AS chosen_md5,
+           md5(rejected_text) AS rejected_md5,
+           md5(substr(chosen_text, 1, CAST(prefix_len AS INT))) AS prefix_md5,
+           substr(chosen_text, 1, CAST(prefix_len AS INT)) =
+             substr(rejected_text, 1, CAST(prefix_len AS INT)) AS prefix_shared,
+           prefix_len AS chosen_start, prefix_len + c_len AS chosen_end,
+           prefix_len AS rejected_start, prefix_len + r_len AS rejected_end,
+           md5(substr(chosen_text, CAST(prefix_len + 1 AS INT),
+                      CAST(c_len AS INT))) AS chosen_span_md5,
+           md5(substr(rejected_text, CAST(prefix_len + 1 AS INT),
+                      CAST(r_len AS INT))) AS rejected_span_md5
+    FROM t ORDER BY pair_id"""
+
   val sftChatmlSpansSql: String = """
     WITH docs AS (SELECT doc_id, text FROM documents
                   WHERE doc_id < 300 AND len(trim(text)) > 0),
@@ -2470,6 +2554,7 @@ object LlmQueries {
     "unigram_tokens" -> unigramTokens,
     "unigram_char_tokens" -> unigramCharTokens,
     "sft_chatml_spans" -> sftChatmlSpans,
+    "dpo_pairs_spans" -> dpoPairsSpans,
     "wordpiece_train_pieces" -> wordpieceTrainPieces,
     "wordpiece_tokens" -> wordpieceTokens,
     "wordpiece_fixed_tokens" -> wordpieceFixedTokens,
@@ -2541,5 +2626,6 @@ object LlmQueries {
     "unigram_char_tokens" -> unigramCharTokensSql,
     "wordpiece_fixed_tokens" -> wordpieceFixedTokensSql,
     "wordpiece_persisted_tokens" -> wordpieceFixedTokensSql,
-    "sft_chatml_spans" -> sftChatmlSpansSql)
+    "sft_chatml_spans" -> sftChatmlSpansSql,
+    "dpo_pairs_spans" -> dpoPairsSpansSql)
 }

@@ -30,6 +30,65 @@ object SftFormat {
   val ImStart = "<|im_start|>"
   val ImEnd = "<|im_end|>"
 
+  /** Preference-pair (DPO/RLHF) formatting: render (prompt, chosen,
+    * rejected) triples with the same ChatML template and emit what a
+    * preference trainer consumes — the SHARED-PREFIX length (prompt +
+    * assistant header, identical on both sides by construction: DPO
+    * implementations cache its KV/logits once) and each side's loss span
+    * (the response content's half-open character range in its rendered
+    * text).
+    *
+    * Input: `promptTurns` — one row per prompt turn (`pairCol`, `idxCol`,
+    * `roleCol`, `contentCol`; any row order, turns render by ascending
+    * idx); `responses` — one row per pair (`pairCol`, `chosenCol`,
+    * `rejectedCol`). An empty rejected string renders to an empty span
+    * (start == end) — the degenerate-pair shape, kept rather than dropped
+    * so the caller decides.
+    *
+    * Output per pair: `pair_id`, `n_prompt_turns`, `prefix_len`,
+    * `chosen_text`, `rejected_text`, `chosen_start/end`,
+    * `rejected_start/end`. Invariants (spec- and oracle-pinned):
+    * both texts share their first `prefix_len` chars exactly, and
+    * `substring(side_text, start+1, end-start)` is that side's response.
+    *
+    * Scale: the prompt render is [[renderChatMl]]'s single hash shuffle;
+    * the response join is one more equi-join on the pair key (broadcast
+    * when the pair table is dimension-sized). Map-rate per row after. */
+  def renderDpoPairs(promptTurns: DataFrame, responses: DataFrame,
+                     pairCol: String = "pair_id", idxCol: String = "turn_idx",
+                     roleCol: String = "role", contentCol: String = "content",
+                     chosenCol: String = "chosen",
+                     rejectedCol: String = "rejected",
+                     responseRole: String = "assistant"): DataFrame = {
+    val header = ImStart + responseRole + "\n"
+    val tail = ImEnd + "\n"
+    val prompts = renderChatMl(promptTurns, maskRoles = Nil, convCol = pairCol,
+        idxCol = idxCol, roleCol = roleCol, contentCol = contentCol)
+      .select(col("conv_id").as("pair_id"), col("text").as("prompt_text"),
+        col("n_turns").as("n_prompt_turns"))
+    prompts
+      .join(responses.select(col(pairCol).as("pair_id"),
+        col(chosenCol).as("chosen"), col(rejectedCol).as("rejected")),
+        Seq("pair_id"))
+      .select(
+        col("pair_id"), col("n_prompt_turns"),
+        (length(col("prompt_text")) + lit(header.length)).cast("long")
+          .as("prefix_len"),
+        concat(col("prompt_text"), lit(header), col("chosen"), lit(tail))
+          .as("chosen_text"),
+        concat(col("prompt_text"), lit(header), col("rejected"), lit(tail))
+          .as("rejected_text"),
+        length(col("chosen")).cast("long").as("chosen_len"),
+        length(col("rejected")).cast("long").as("rejected_len"))
+      .select(
+        col("pair_id"), col("n_prompt_turns"), col("prefix_len"),
+        col("chosen_text"), col("rejected_text"),
+        col("prefix_len").as("chosen_start"),
+        (col("prefix_len") + col("chosen_len")).as("chosen_end"),
+        col("prefix_len").as("rejected_start"),
+        (col("prefix_len") + col("rejected_len")).as("rejected_end"))
+  }
+
   /** Render conversations into ChatML + loss-mask spans.
     *
     * Input: one row per turn — (`convCol`, `idxCol`, `roleCol`,

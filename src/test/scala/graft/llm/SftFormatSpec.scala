@@ -86,4 +86,53 @@ class SftFormatSpec extends AnyFunSuite {
     val at = sp.getAs[Long]("start").toInt
     assert(text.charAt(at - 1) == '\n' && text.startsWith(SftFormat.ImEnd, at))
   }
+
+  // ---- DPO preference pairs ----
+
+  private def pairsDf(rows: (Long, String, String)*) =
+    rows.toDF("pair_id", "chosen", "rejected")
+
+  test("DPO pair: exact texts, shared prefix, per-side spans") {
+    val prompts = Seq((7L, 0, "system", "Be terse."), (7L, 1, "user", "2+2?"))
+      .toDF("pair_id", "turn_idx", "role", "content")
+    val r = SftFormat.renderDpoPairs(prompts, pairsDf((7L, "4", "five maybe")))
+      .collect().head
+    val prefix = "<|im_start|>system\nBe terse.<|im_end|>\n" +
+      "<|im_start|>user\n2+2?<|im_end|>\n<|im_start|>assistant\n"
+    val chosenText = r.getAs[String]("chosen_text")
+    val rejectedText = r.getAs[String]("rejected_text")
+    assert(chosenText == prefix + "4<|im_end|>\n", chosenText)
+    assert(rejectedText == prefix + "five maybe<|im_end|>\n", rejectedText)
+    assert(r.getAs[Long]("prefix_len") == prefix.length.toLong)
+    assert(chosenText.take(prefix.length) == rejectedText.take(prefix.length))
+    val (cs, ce) = (r.getAs[Long]("chosen_start"), r.getAs[Long]("chosen_end"))
+    val (rs, re) = (r.getAs[Long]("rejected_start"), r.getAs[Long]("rejected_end"))
+    assert(chosenText.substring(cs.toInt, ce.toInt) == "4")
+    assert(rejectedText.substring(rs.toInt, re.toInt) == "five maybe")
+    assert(r.getAs[Long]("n_prompt_turns") == 2L)
+  }
+
+  test("DPO prompt turns render by turn_idx regardless of input row order") {
+    val shuffled = Seq((1L, 2, "user", "second"), (1L, 0, "system", "s"),
+      (1L, 1, "user", "first"))
+      .toDF("pair_id", "turn_idx", "role", "content")
+    val r = SftFormat.renderDpoPairs(shuffled, pairsDf((1L, "ok", "no")))
+      .collect().head
+    val t = r.getAs[String]("chosen_text")
+    assert(t.indexOf("first") >= 0 && t.indexOf("first") < t.indexOf("second"), t)
+    assert(t.indexOf("\ns<|im_end|>") < t.indexOf("first"), t)
+  }
+
+  test("DPO empty rejected: empty span at the prefix boundary, prefix still shared") {
+    val prompts = Seq((3L, 0, "user", "hi"))
+      .toDF("pair_id", "turn_idx", "role", "content")
+    val r = SftFormat.renderDpoPairs(prompts, pairsDf((3L, "yes", "")))
+      .collect().head
+    val (rs, re) = (r.getAs[Long]("rejected_start"), r.getAs[Long]("rejected_end"))
+    assert(rs == re && rs == r.getAs[Long]("prefix_len"))
+    val rejectedText = r.getAs[String]("rejected_text")
+    assert(rejectedText.startsWith(
+      r.getAs[String]("chosen_text").take(r.getAs[Long]("prefix_len").toInt)))
+    assert(rejectedText.drop(rs.toInt) == SftFormat.ImEnd + "\n")
+  }
 }
