@@ -175,21 +175,35 @@ object Dedup {
     * expressions), bucket-local pairing (never all-pairs: candidate space
     * is Σ cluster² not corpus²), and the label-propagation
     * [[connectedComponents]]. Output is one row per SURVIVOR with its
-    * cluster, duplicate-group id and size. */
+    * cluster, duplicate-group id and size.
+    *
+    * `centroids`: a SUPPLIED coarse-quantizer set replaces training — the
+    * oracle-able path (same contract as VectorIndex.build's fixed
+    * quantizer): with fixed centroids every downstream decision
+    * (assignment argmax, threshold pairing, keeper ranking) is a pure
+    * function of the data, and the cosines compute in DOUBLE precision
+    * with in-order accumulation so an external engine doing IEEE double
+    * dot products (DuckDB list_cosine_similarity) replays them
+    * bit-exactly. The trained path keeps the float kernel (faster; its
+    * semantics are pinned by planted-duplicate specs instead). */
   def semDedup(corpus: DataFrame, threshold: Double = 0.95,
-               nClusters: Int = 0, kmeansIters: Int = 3): DataFrame = {
+               nClusters: Int = 0, kmeansIters: Int = 3,
+               centroids: Option[Seq[Seq[Float]]] = None): DataFrame = {
     // nClusters <= 0 → k from corpus size (√N / max-cluster-rows target):
     // with a FIXED k the Σ cluster² candidate space is quadratic in
     // cluster size and a 100 TB corpus would pair (N/k)² rows per bucket
-    val nc = if (nClusters > 0) nClusters
-             else Similarity.autoClusters(corpus.count())
-    val centroids = Similarity.kmeansCentroids(corpus, nc, kmeansIters)
+    val cents = centroids.getOrElse {
+      val nc = if (nClusters > 0) nClusters
+               else Similarity.autoClusters(corpus.count())
+      Similarity.kmeansCentroids(corpus, nc, kmeansIters)
+    }
+    val doublePrec = centroids.isDefined
     // assignment switches plan shape on nc (expression array vs broadcast
     // centroid table + TopKPerKey) — Similarity.withProbedBuckets
     val assigned = Similarity.withProbedBuckets(
         corpus.select(col("vec_id"), col("embedding")),
-        "embedding", "vec_id", centroids, nProbe = 1,
-        cosCol = Some("centroid_cos"))
+        "embedding", "vec_id", cents, nProbe = 1,
+        cosCol = Some("centroid_cos"), doublePrec = doublePrec)
       .select(col("vec_id"), col("embedding"), col("bucket"), col("centroid_cos"))
       // materialize once (eager, lineage-truncated, GC'd with the plan):
       // both pair sides, the component vertices, and the final rank join
@@ -201,7 +215,11 @@ object Dedup {
     val b = assigned.select(col("bucket"), col("vec_id").as("b_id"),
       col("embedding").as("b_vec"))
     val pairs = a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
-      .withColumn("cos", Functions.cosine_sim(col("a_vec"), col("b_vec")))
+      .withColumn("cos",
+        if (doublePrec)
+          Functions.cosine_sim_d(col("a_vec").cast("array<double>"),
+            col("b_vec").cast("array<double>"))
+        else Functions.cosine_sim(col("a_vec"), col("b_vec")))
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"))
     val comps = connectedComponents(assigned.select(col("vec_id")), pairs)

@@ -1548,15 +1548,56 @@ object LlmQueries {
       .orderBy(col("q_id"), col("rk"))
   }
 
-  /** SemDeDup survivors over the fixture embeddings (no oracle: k-means
-    * assignments are engine-specific float argmaxes; semantics pinned by
-    * DedupSpec's planted-duplicate fixture instead). Threshold 0.4 marks
-    * the near-dup tail of the near-random fixture vectors, matching
-    * dedup_embedding_cos. */
-  val semdedupKeep: QueryFn = (s, dir) =>
-    Dedup.semDedup(Tables.ensure(s, dir).embeddings, threshold = 0.4,
-      nClusters = 4, kmeansIters = 2)
+  /** SemDeDup survivors under a FULL oracle: the coarse quantizer is
+    * FIXED to the first four corpus vectors (the VectorIndex.build
+    * contract), so DuckDB replays the whole pipeline — assignment
+    * (argmax centroid cosine, ties toward the lower bucket), in-bucket
+    * threshold pairing, transitive closure as a recursive CTE
+    * (component = min reachable id, the connectedComponents label), and
+    * keeper selection (highest centroid cosine, tie → lowest id). The
+    * fixed-centroid path computes cosines in DOUBLE with in-order
+    * accumulation, bit-identical to list_cosine_similarity, so the
+    * threshold and both argmaxes cannot flip between engines. Threshold
+    * 0.4 marks the near-dup tail of the near-random fixture vectors,
+    * matching dedup_embedding_cos. */
+  val semdedupKeep: QueryFn = (s, dir) => {
+    val e = Tables.ensure(s, dir).embeddings
+    val cents = e.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
+    Dedup.semDedup(e, threshold = 0.4, centroids = Some(cents))
       .orderBy(col("vec_id"))
+  }
+  val semdedupKeepSql: String = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT CAST(vec_id AS INT) AS bucket, v AS cv FROM e WHERE vec_id < 4),
+    asg0 AS (SELECT e.vec_id, c.bucket,
+               list_cosine_similarity(e.v, c.cv) AS ccos,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.bucket) AS rn
+             FROM e CROSS JOIN cents c),
+    asg AS (SELECT vec_id, bucket, ccos AS centroid_cos FROM asg0 WHERE rn = 1),
+    pr AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+           FROM asg a JOIN asg b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           JOIN e ea ON ea.vec_id = a.vec_id
+           JOIN e eb ON eb.vec_id = b.vec_id
+           WHERE list_cosine_similarity(ea.v, eb.v) >= 0.4),
+    edges AS (SELECT a_id AS src, b_id AS dst FROM pr
+              UNION SELECT b_id, a_id FROM pr),
+    reach AS (
+      WITH RECURSIVE r(id, n) AS (
+        SELECT vec_id, vec_id FROM asg
+        UNION
+        SELECT r.id, e2.dst FROM r JOIN edges e2 ON e2.src = r.n)
+      SELECT id, min(n) AS component FROM r GROUP BY id),
+    ranked AS (SELECT a.vec_id, a.bucket, a.centroid_cos, c.component,
+                 count(*) OVER (PARTITION BY c.component) AS group_size,
+                 row_number() OVER (PARTITION BY c.component
+                   ORDER BY a.centroid_cos DESC, a.vec_id) AS rk
+               FROM asg a JOIN reach c ON c.id = a.vec_id)
+    SELECT vec_id, bucket, CAST(component AS BIGINT) AS component,
+           CAST(group_size AS BIGINT) AS group_size
+    FROM ranked WHERE rk = 1 ORDER BY vec_id"""
 
   /** Corpus-trained BPE merge table (no oracle: iterative dict merging is
     * not SQL-expressible; the merge loop is pinned against a hand-derived
@@ -2562,6 +2603,7 @@ object LlmQueries {
     "multimodal_features" -> multimodalFeatures)
 
   val oracle: Map[String, String] = Map(
+    "semdedup_keep" -> semdedupKeepSql,
     "dedup_substring" -> dedupSubstringSql,
     "dedup_segments" -> dedupSegmentsSql,
     "quality_perplexity_buckets" -> qualityPerplexityBucketsSql,

@@ -133,16 +133,26 @@ object Similarity {
     * by cosine, ties broken toward the lower bucket id (both paths agree,
     * so crossing the threshold changes the plan, not the answer).
     * `cosCol` (nProbe == 1 only) additionally exposes the winning cosine —
-    * SemDeDup ranks group survivors by centroid proximity. */
+    * SemDeDup ranks group survivors by centroid proximity.
+    * `doublePrec` computes the cosines over double-cast vectors with
+    * sequential double accumulation — bit-identical to any engine's IEEE
+    * double dot product in index order (DuckDB's
+    * list_cosine_similarity), which is what makes a FIXED-centroid
+    * pipeline exactly replayable by an external oracle. */
   private[llm] def withProbedBuckets(df: DataFrame, vecCol: String, idCol: String,
                                      centroids: Seq[Seq[Float]], nProbe: Int,
-                                     cosCol: Option[String] = None): DataFrame = {
+                                     cosCol: Option[String] = None,
+                                     doublePrec: Boolean = false): DataFrame = {
     val k = centroids.size
     require(nProbe >= 1 && nProbe <= k)
     require(cosCol.isEmpty || nProbe == 1, "cosCol only meaningful for nProbe=1")
+    def cosTo(c: Seq[Float]) =
+      if (doublePrec)
+        Functions.cosine_sim_d(col(vecCol).cast("array<double>"),
+          typedLit(c.map(_.toDouble)))
+      else Functions.cosine_sim(col(vecCol), typedLit(c))
     if (k <= ExprPathMaxCentroids) {
-      val sims = array(centroids.map(c =>
-        Functions.cosine_sim(col(vecCol), typedLit(c))): _*)
+      val sims = array(centroids.map(cosTo): _*)
       val probed =
         if (nProbe == 1) {
           val assigned = df.withColumn("__s", sims).withColumn("bucket",
@@ -162,7 +172,11 @@ object Similarity {
       val cent = centroids.zipWithIndex
         .map { case (c, i) => (i, c) }.toDF("bucket", "__cvec")
       val scored = df.crossJoin(broadcast(cent))
-        .withColumn("__cos", Functions.cosine_sim(col(vecCol), col("__cvec")))
+        .withColumn("__cos",
+          if (doublePrec)
+            Functions.cosine_sim_d(col(vecCol).cast("array<double>"),
+              col("__cvec").cast("array<double>"))
+          else Functions.cosine_sim(col(vecCol), col("__cvec")))
       val top = graft.plans.TopKPerKey(scored, col(idCol), col("__cos"), col("bucket"), nProbe)
         .drop("__cvec")
       cosCol.fold(top.drop("__cos"))(c => top.withColumnRenamed("__cos", c))
