@@ -54,6 +54,33 @@ object GraftRestServer {
     boundPort = None
   }
 
+  /** Promoted datasets (reference `CatalogResource.java:60` — format a
+    * folder into a dataset): name → (path, format). `/sql` serves from
+    * per-request session clones which see only the shared catalog, and a
+    * persistent view cannot reference the session-injected scan TVFs, so
+    * promotions re-register into each request session — a fresh scan per
+    * request, which is also what keeps a promoted LAKE dataset reading
+    * its current snapshot rather than a frozen file list. */
+  private val promotions =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def promotedDf(session: SparkSession, path: String,
+                         fmt: String): org.apache.spark.sql.DataFrame =
+    fmt match {
+      case "lake" => graft.sources.SnapshotTable.forPath(session, path).read()
+      case "delta" => graft.sources.DeltaInterop.scan(session, path)
+      case _ => session.read.parquet(path)
+    }
+
+  /** Register every promoted dataset as a temp view on `session` (a
+    * broken promotion — folder since deleted — must not take down
+    * unrelated statements: it is skipped and surfaces when queried). */
+  private def applyPromotions(session: SparkSession): Unit =
+    promotions.forEach { (name, pf) =>
+      try promotedDf(session, pf._1, pf._2).createOrReplaceTempView(name)
+      catch { case _: Exception => () }
+    }
+
   private final class SqlHandler(root: SparkSession) extends HttpHandler {
     override def handle(ex: HttpExchange): Unit =
       try {
@@ -82,6 +109,7 @@ object GraftRestServer {
       // check rule refuses guarded reads.
       user.foreach(u =>
         graft.auth.Privileges.login(session, u, password.getOrElse("")))
+      applyPromotions(session)
       // Graft.sql, not session.sql: a session conf `spark.graft.queue`
       // routes REST statements through WLM admission like any other
       val df = graft.Graft.sql(session, sql)
@@ -194,6 +222,70 @@ object GraftRestServer {
       }
     }
 
+    /** `POST /catalog/promote` (reference `CatalogResource.java:60` —
+      * format a folder into a dataset): body `{"path": "<dir>", "name":
+      * "<dataset>"[, "format": "lake|delta|parquet"]}`, format inferred
+      * from the folder when absent (graft-lake log → lake, `_delta_log`
+      * → delta, else parquet). Registers a PERSISTENT view in the shared
+      * catalog (not a temp view — `/sql` serves from per-request session
+      * clones, which only see the shared catalog), defined over the
+      * format's scan TVF so every query re-resolves the folder's CURRENT
+      * snapshot. Immediately queryable through `/sql` and listed by
+      * `GET /catalog`. ALTER (or admin) on the PATH while enforcement
+      * is on. `DELETE /catalog/<name>` unpromotes (DROP on the name). */
+    private def handlePromote(ex: HttpExchange,
+                              principal: Option[graft.auth.Privileges.User]): Unit = {
+      val p = graft.auth.Privileges
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val path = jsonField(body, "path").getOrElse("")
+      val name = jsonField(body, "name").getOrElse("")
+      if (path.isEmpty || name.isEmpty)
+        respond(ex, 400, error("promote needs \"path\" and \"name\""))
+      else if (!name.matches("[A-Za-z_][A-Za-z0-9_]*"))
+        respond(ex, 400, error(s"invalid dataset name '$name'"))
+      else if (p.enforcing && !principal.exists(u =>
+          u.admin || p.allowed(u, "alter", p.normObj(path))))
+        respond(ex, 403, error(s"no ALTER grant on '$path'"))
+      else {
+        val fmt = jsonField(body, "format").map(_.toLowerCase).getOrElse {
+          if (graft.sources.SnapshotTable.isLakeTable(path)) "lake"
+          else if (new java.io.File(path, "_delta_log").isDirectory) "delta"
+          else "parquet"
+        }
+        if (!Set("lake", "delta", "parquet")(fmt))
+          respond(ex, 400, error(s"unsupported format '$fmt'"))
+        else
+          try {
+            // register eagerly on the server session: validates the path
+            // NOW (a bad folder is a 400, not a later query failure) and
+            // makes the dataset visible to GET /catalog immediately
+            promotedDf(root, path, fmt).createOrReplaceTempView(name)
+            promotions.put(name, (path, fmt))
+            respond(ex, 200,
+              s"""{"name":${q(name)},"path":${q(path)},"format":${q(fmt)}}""")
+          } catch {
+            case e: Exception =>
+              respond(ex, 400, error(s"cannot promote '$path' as $fmt: " +
+                e.getMessage.take(300)))
+          }
+      }
+    }
+
+    private def handleUnpromote(ex: HttpExchange,
+                                principal: Option[graft.auth.Privileges.User],
+                                name: String): Unit = {
+      val p = graft.auth.Privileges
+      if (p.enforcing && !principal.exists(u =>
+          u.admin || p.allowed(u, "drop", p.normObj(name))))
+        respond(ex, 403, error(s"no DROP grant on '$name'"))
+      else if (promotions.remove(name) == null)
+        respond(ex, 404, error(s"no promoted dataset named '$name'"))
+      else {
+        root.catalog.dropTempView(name)
+        respond(ex, 200, s"""{"name":${q(name)},"dropped":true}""")
+      }
+    }
+
     override def handle(ex: HttpExchange): Unit =
       try {
         val collabParts = ex.getRequestURI.getPath.stripPrefix("/catalog")
@@ -201,9 +293,15 @@ object GraftRestServer {
         val isCollab = collabParts.length == 3 &&
           collabParts(1) == "collaboration" &&
           (collabParts(2) == "wiki" || collabParts(2) == "tag")
+        val isPromote = collabParts.length == 1 && collabParts(0) == "promote" &&
+          ex.getRequestMethod == "POST"
+        val isUnpromote = collabParts.length == 1 && collabParts(0).nonEmpty &&
+          ex.getRequestMethod == "DELETE"
         if (ex.getRequestMethod != "GET" &&
-            !(isCollab && ex.getRequestMethod == "POST"))
-          respond(ex, 405, error("GET only (collaboration also takes POST)"))
+            !(isCollab && ex.getRequestMethod == "POST") &&
+            !isPromote && !isUnpromote)
+          respond(ex, 405, error(
+            "GET only (collaboration takes POST; promote takes POST/DELETE)"))
         else basicPrincipal(ex) match {
           case Left((code, msg)) => respond(ex, code, error(msg))
           case Right(principal) =>
@@ -215,6 +313,8 @@ object GraftRestServer {
               handleCollab(ex, principal, collabParts(0), collabParts(2))
               return
             }
+            if (isPromote) { handlePromote(ex, principal); return }
+            if (isUnpromote) { handleUnpromote(ex, principal, collabParts(0)); return }
             val rest = ex.getRequestURI.getPath.stripPrefix("/catalog")
               .stripPrefix("/").trim
             // read-only metadata listing over the SERVER's session: a

@@ -171,7 +171,16 @@ final class LakeStreamSource(sqlContext: SQLContext, path: String,
     } catch { case _: Exception => None } // unreadable mark = fresh start
   }
 
-  private def writeMark(v: Long): Unit = markPath.foreach { p =>
+  /** Consecutive mark-write failures. A single transient failure only
+    * costs the restart-monotonicity guarantee for THAT window (tolerable);
+    * a PERSISTENT failure (checkpoint dir unwritable) would silently
+    * reintroduce the restart-amnesia bug the mark exists to fix — so the
+    * first failure WARNs with the path and the cause, and hitting
+    * `MaxMarkFailures` in a row fails the stream loudly. */
+  @volatile private var markFailures = 0
+  private val MaxMarkFailures = 3
+
+  private[streaming] def writeMark(v: Long): Unit = markPath.foreach { p =>
     try {
       val fs = markFs
       val tmp = new org.apache.hadoop.fs.Path(p.getParent,
@@ -182,8 +191,23 @@ final class LakeStreamSource(sqlContext: SQLContext, path: String,
       finally out.close()
       if (fs.exists(p)) fs.delete(p, false)
       if (!fs.rename(tmp, p)) fs.delete(tmp, false)
-    } catch { case _: Exception => () } // best-effort: worst case = r10 behavior
+      markFailures = 0
+    } catch {
+      case e: Exception =>
+        markFailures += 1
+        if (markFailures >= MaxMarkFailures)
+          throw new java.io.IOException(
+            s"graft-lake stream: $markFailures consecutive failures writing " +
+              s"the restart mark at $p — restarts would silently forget " +
+              "handed-out offsets (amnesia); fix the checkpoint location",
+            e)
+        logWarn(s"graft-lake stream: failed to write restart mark $p " +
+          s"(attempt $markFailures/$MaxMarkFailures): ${e.getMessage}")
+    }
   }
+
+  private def logWarn(msg: String): Unit =
+    org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
 
   /** Version of the newest offset this source has handed the engine —
     * getOffset clamps ranges forward from here. Recovered from the

@@ -415,4 +415,46 @@ class GraftRestServerSpec extends AnyFunSuite {
       spark.conf.unset(Privileges.UserConf)
     }
   }
+
+  private def delete(path: String): (Int, String) = {
+    val port = GraftRestServer.port.getOrElse(GraftRestServer.start(spark))
+    val req = HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
+      .DELETE().build()
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  test("POST /catalog/promote formats a folder into a dataset; DELETE unpromotes") {
+    import spark.implicits._
+    // a plain parquet folder → inferred format, registered, queryable
+    val pq = java.nio.file.Files.createTempDirectory("rest_promote_pq").toString
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .write.mode("overwrite").parquet(pq)
+    val (c1, b1) = postRaw("/catalog/promote",
+      s"""{"path":"$pq","name":"rest_promoted"}""")
+    assert(c1 == 200 && b1.contains("\"format\":\"parquet\""), b1.take(300))
+    // immediately queryable through /sql and listed by /catalog
+    val (c2, b2) = post("""{"sql":"SELECT count(*) AS n FROM rest_promoted"}""")
+    assert(c2 == 200 && b2.contains("\"n\":3"), b2.take(300))
+    assert(get("/catalog")._2.contains("rest_promoted"))
+    // a graft-lake folder infers format "lake" and serves versioned reads
+    val lakeDir = java.nio.file.Files.createTempDirectory("rest_promote_lake").toString
+    graft.sources.SnapshotTable.create(spark, lakeDir,
+      Seq((10L, "x")).toDF("id", "v"))
+    val (c3, b3) = postRaw("/catalog/promote",
+      s"""{"path":"$lakeDir","name":"rest_promoted_lake"}""")
+    assert(c3 == 200 && b3.contains("\"format\":\"lake\""), b3.take(300))
+    val (c4, b4) = post("""{"sql":"SELECT v FROM rest_promoted_lake"}""")
+    assert(c4 == 200 && b4.contains("\"v\":\"x\""), b4.take(300))
+    // malformed requests refuse
+    assert(postRaw("/catalog/promote", """{"name":"only_name"}""")._1 == 400)
+    assert(postRaw("/catalog/promote",
+      s"""{"path":"$pq","name":"bad name!"}""")._1 == 400)
+    // unpromote drops the dataset; a second delete is 404
+    val (c5, b5) = delete("/catalog/rest_promoted")
+    assert(c5 == 200 && b5.contains("\"dropped\":true"), b5.take(200))
+    assert(post("""{"sql":"SELECT * FROM rest_promoted"}""")._2.contains("error"))
+    assert(delete("/catalog/rest_promoted")._1 == 404)
+    delete("/catalog/rest_promoted_lake")
+  }
 }

@@ -342,4 +342,28 @@ class LakeStreamSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("Append and Complete"))
   }
+
+  test("persistently unwritable restart mark fails the stream loudly, not silently") {
+    val dir = tmp("lss_mark")
+    lakeWith(dir, Seq(1, 2))
+    // sabotage: the mark's metadata path nests under a plain FILE, so
+    // every mkdirs/create in writeMark throws — the permanently-broken
+    // checkpoint shape (unwritable dir behaves identically)
+    val blocker = Files.createTempFile("graft_mark_blocker", ".f").toString
+    val src = new LakeStreamSource(spark.sqlContext, dir, Map.empty,
+      metadataPath = s"$blocker/sources/0")
+    // transient failures only WARN (restart monotonicity degrades for that
+    // window); the Nth consecutive failure must surface as an error naming
+    // the mark, because a silent mark loss reintroduces restart amnesia
+    src.writeMark(1L)
+    src.writeMark(2L)
+    val e = intercept[java.io.IOException](src.writeMark(3L))
+    assert(e.getMessage.contains("restart mark") &&
+      e.getMessage.contains("amnesia"), e.getMessage)
+    // a recovered filesystem resets the failure budget
+    val okPath = tmp("lss_mark_ok")
+    val healthy = new LakeStreamSource(spark.sqlContext, dir, Map.empty,
+      metadataPath = s"$okPath/sources/0")
+    (1 to 5).foreach(i => healthy.writeMark(i.toLong))
+  }
 }
