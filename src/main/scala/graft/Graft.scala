@@ -75,8 +75,22 @@ object Graft {
     * string and identifier quoting, and arity mismatches refuse loudly
     * — the same contract either way. */
   def sql(spark: SparkSession, query: String, args: Array[Any]): DataFrame =
-    if (isGraftGrammar(spark, query)) sql(spark, substitutePositional(query, args))
-    else managed(spark, query)(spark.sql(query, args))
+    if (isGraftGrammar(spark, query)) {
+      val bound = substitutePositional(query, args)
+      // Dialect guard: a marker in a graft statement can only sit inside a
+      // Spark-parsed sub-query tail (the grammar's own quoted captures
+      // regex-REQUIRE quotes, so a template with a bare `?` there never
+      // matches the grammar in the first place) — which is why the
+      // Spark-dialect escaping below is the correct rendering. If a
+      // rendered literal ever DID break the statement out of the grammar
+      // (so its escapes would reach a verbatim-capturing arm or a
+      // different parser), refuse rather than execute the corrupted text.
+      require(isGraftGrammar(spark, bound),
+        "bound parameter corrupted a graft-extension statement: the " +
+          "substituted text no longer parses into the extension grammar; " +
+          "inline the literal in the statement text instead")
+      sql(spark, bound)
+    } else managed(spark, query)(spark.sql(query, args))
 
   /** Batch form of the positional entry (ADBC `executemany`): the grammar
     * detection — a full parse — runs ONCE for the whole binding set, not
@@ -107,25 +121,15 @@ object Graft {
     *
     * Escape-dialect note: this path only runs for statements the GRAFT
     * grammar parses, and there a marker can only sit inside a SQL
-    * sub-query tail (`CREATE REFLECTION ... AS <query>`) — the grammar's
-    * own quoted captures (`'path'`) regex-require quotes, so a template
-    * with a bare `?` in that position never matches the grammar in the
-    * first place. The tail is re-parsed by SPARK, so Spark-dialect
-    * escaping (`\\`, `''`) is the correct rendering. A string value whose
-    * rendering DIFFERS between the two dialects (contains `\` or `'`)
-    * is refused loudly rather than risk landing verbatim in a grammar
-    * capture that never unescapes — inline such literals instead. */
+    * sub-query tail (`INSERT INTO LAKE ... SELECT ?`,
+    * `CREATE REFLECTION ... AS <query>`) — the grammar's own quoted
+    * captures (`'path'`) regex-require quotes, so a template with a bare
+    * `?` in that position never matches the grammar in the first place.
+    * The tail is re-parsed by SPARK, so Spark-dialect escaping (`\\`,
+    * `''`) is the correct rendering for every reachable marker; the
+    * caller additionally re-checks that the bound statement still parses
+    * into the grammar, closing the corruption path structurally. */
   private def substitutePositional(query: String, args: Array[Any]): String = {
-    args.foreach {
-      case s: String if s.contains('\\') || s.contains('\'') =>
-        throw new IllegalArgumentException(
-          "cannot bind a string containing a backslash or quote into a " +
-          "graft-extension statement: the extension grammar's string " +
-          "literals are verbatim (no escape processing), so the rendered " +
-          "value would be ambiguous between the Spark and graft dialects; " +
-          "inline the literal in the statement text instead")
-      case _ => ()
-    }
     val sb = new StringBuilder(query.length + 32)
     var inStr = false; var inIdent = false; var argIdx = 0
     var i = 0

@@ -68,4 +68,55 @@ object Decontaminate {
       .select(col("doc_id"))
     train.join(contaminated, Seq("doc_id"), "left_anti")
   }
+
+  /** Semantic (embedding-level) decontamination — the THIRD modality next
+    * to n-gram overlap and URL identity: a training document whose
+    * embedding sits within `threshold` cosine of an eval/benchmark
+    * embedding is flagged even when a paraphrase or light rewrite leaves
+    * no shared n-grams (the leakage n-gram decontamination provably
+    * misses).
+    *
+    * Scale shape: eval embeddings are benchmark-sized (thousands), so the
+    * eval side BROADCASTS; candidate generation goes through the shared
+    * coarse-quantizer bucketing ([[Similarity.withProbedBuckets]]) — each
+    * corpus vector compares only against eval vectors probing its bucket,
+    * never all-pairs, and the corpus is read once with no shuffle (the
+    * join key arrives broadcast). Probing `nProbe` buckets on the EVAL
+    * side (not the corpus side, which stays single-assignment map-rate)
+    * is the standard IVF recall lever for pairs straddling a bucket
+    * boundary. With a SUPPLIED centroid set the whole pipeline computes
+    * in double precision ([[Similarity.withProbedBuckets]] doublePrec) —
+    * assignment, probing and scoring replay bit-exactly in an external
+    * engine, the same oracle contract as [[Dedup.semDedup]].
+    *
+    * Returns flagged pairs (vec_id, eval_id, cos) — every corpus/eval
+    * pair at or above the threshold that met in a probed bucket. */
+  def semanticMatches(corpus: DataFrame, evalSet: DataFrame,
+                      centroids: Seq[Seq[Float]], threshold: Double,
+                      nProbe: Int = 2): DataFrame = {
+    val c = Similarity.withProbedBuckets(
+        corpus.select(col("vec_id"), col("embedding")),
+        "embedding", "vec_id", centroids, nProbe = 1, doublePrec = true)
+      .select(col("vec_id"), col("embedding").as("c_vec"), col("bucket"))
+    val e = Similarity.withProbedBuckets(
+        evalSet.select(col("vec_id").as("eval_id"), col("embedding")),
+        "embedding", "eval_id", centroids, nProbe, doublePrec = true)
+      .select(col("eval_id"), col("embedding").as("e_vec"), col("bucket"))
+    c.join(broadcast(e), Seq("bucket"))
+      .withColumn("cos", graft.functions.Functions.cosine_sim_d(
+        col("c_vec").cast("array<double>"), col("e_vec").cast("array<double>")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_id"), col("eval_id"), col("cos"))
+      .dropDuplicates("vec_id", "eval_id") // a pair can meet in ≤ nProbe buckets
+  }
+
+  /** Training set with semantically contaminated documents dropped
+    * (anti-join on the flagged id set). */
+  def semanticClean(corpus: DataFrame, evalSet: DataFrame,
+                    centroids: Seq[Seq[Float]], threshold: Double,
+                    nProbe: Int = 2): DataFrame =
+    corpus.join(
+      semanticMatches(corpus, evalSet, centroids, threshold, nProbe)
+        .select(col("vec_id")).distinct(),
+      Seq("vec_id"), "left_anti")
 }

@@ -1430,6 +1430,54 @@ object LlmQueries {
       .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
       .orderBy(col("lang"))
   }
+  /** Semantic decontamination under a FULL oracle: embeddings with
+    * vec_id % 10 == 0 pose as the benchmark, the rest as the corpus; the
+    * coarse quantizer is FIXED to the first four vectors, so DuckDB
+    * replays corpus assignment (argmax), eval 2-probe, bucket-joined
+    * double-precision cosine scoring against the 0.4 threshold, and the
+    * best-match-per-doc ranking — flagged ids, matched eval ids and the
+    * cosines themselves all hash-gated (both engines compute the same
+    * IEEE doubles). */
+  val decontaminateSemantic: QueryFn = (s, dir) => {
+    val e = Tables.ensure(s, dir).embeddings
+    val cents = e.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
+    val corpus = e.filter(col("vec_id") % 10 =!= 0)
+    val evalSet = e.filter(col("vec_id") % 10 === 0)
+    Decontaminate.semanticMatches(corpus, evalSet, cents, threshold = 0.4)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos").desc, col("eval_id"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("eval_id"), col("cos"))
+      .orderBy(col("vec_id"))
+  }
+  val decontaminateSemanticSql: String = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT CAST(vec_id AS INT) AS bucket, v AS cv FROM e WHERE vec_id < 4),
+    corpus AS (SELECT vec_id, v FROM e WHERE vec_id % 10 <> 0),
+    evals AS (SELECT vec_id AS eval_id, v FROM e WHERE vec_id % 10 = 0),
+    casg AS (SELECT c.vec_id, c.v, ct.bucket,
+               row_number() OVER (PARTITION BY c.vec_id
+                 ORDER BY list_cosine_similarity(c.v, ct.cv) DESC, ct.bucket) AS rn
+             FROM corpus c CROSS JOIN cents ct),
+    cb AS (SELECT vec_id, v, bucket FROM casg WHERE rn = 1),
+    easg AS (SELECT ev.eval_id, ev.v, ct.bucket,
+               row_number() OVER (PARTITION BY ev.eval_id
+                 ORDER BY list_cosine_similarity(ev.v, ct.cv) DESC, ct.bucket) AS rn
+             FROM evals ev CROSS JOIN cents ct),
+    eb AS (SELECT eval_id, v, bucket FROM easg WHERE rn <= 2),
+    pairs AS (SELECT DISTINCT cb.vec_id, eb.eval_id,
+                list_cosine_similarity(cb.v, eb.v) AS cos
+              FROM cb JOIN eb ON cb.bucket = eb.bucket
+              WHERE list_cosine_similarity(cb.v, eb.v) >= 0.4),
+    best AS (SELECT vec_id, eval_id, cos,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cos DESC, eval_id) AS rk
+             FROM pairs)
+    SELECT vec_id, eval_id, cos FROM best WHERE rk = 1 ORDER BY vec_id"""
+
   val decontaminateByUrlSql: String = """
     WITH t AS (
       SELECT doc_id, lang,
@@ -2559,6 +2607,7 @@ object LlmQueries {
     "corpus_curation" -> corpusCuration,
     "corpus_funnel" -> corpusFunnel,
     "decontaminate_by_url" -> decontaminateByUrl,
+    "decontaminate_semantic" -> decontaminateSemantic,
     "decontaminate" -> decontaminate,
     "pack_sequences" -> packSequences,
     "pack_next_fit" -> packNextFit,
@@ -2631,6 +2680,7 @@ object LlmQueries {
     "corpus_curation" -> corpusCurationSql,
     "corpus_funnel" -> corpusFunnelSql,
     "decontaminate_by_url" -> decontaminateByUrlSql,
+    "decontaminate_semantic" -> decontaminateSemanticSql,
     "ann_topk_ids" -> annTopkIdsSql,
     "ann_binary_hamming" -> annBinaryHammingSql,
     "ann_ivf_ids" -> annIvfIdsSql,

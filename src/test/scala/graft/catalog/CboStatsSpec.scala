@@ -13,7 +13,12 @@ import graft.sources.SnapshotTable
   * plan level (a join flips to broadcast that min/max stats alone would
   * plan as sort-merge). */
 class CboStatsSpec extends AnyFunSuite {
-  private lazy val spark = TestSpark.spark
+  // A CLONED session: suites run in parallel on one shared session, and
+  // this spec both toggles plan-shaping confs (AQE, broadcast threshold)
+  // and asserts conf-sensitive plan choices — a clone's SQLConf is
+  // isolated in both directions (e.g. BucketedLakeSpec sets
+  // autoBroadcastJoinThreshold=-1 on the shared session mid-run).
+  private lazy val spark = TestSpark.spark.newSession()
   import spark.implicits._
 
   // 400k rows; 95% of v mass at 1..10, 5% spread over 500..999 (the skew)
@@ -22,8 +27,18 @@ class CboStatsSpec extends AnyFunSuite {
     when(col("id") % 20 =!= 0, col("id") % 10 + 1)
       .otherwise(lit(500) + col("id") % 500).as("v"))
 
+  /** Plan-stats access is LAZY and reads the thread's active-session conf
+    * (SQLConf.get) at evaluation time — under parallel suites the pool
+    * thread may carry another session's context, so pin ours first (the
+    * production consumers, FilterEstimation inside planning, always run
+    * under the owning session's withActive). */
+  private def withOurConf[A](body: => A): A = {
+    org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    body
+  }
+
   private def filterEstimate(df: org.apache.spark.sql.DataFrame): BigInt =
-    df.queryExecution.optimizedPlan.stats.rowCount.getOrElse(BigInt(-1))
+    withOurConf(df.queryExecution.optimizedPlan.stats.rowCount.getOrElse(BigInt(-1)))
 
   test("histogram fixes skewed range selectivity; min/max alone does not") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cbo_hist").toString
@@ -99,13 +114,13 @@ class CboStatsSpec extends AnyFunSuite {
     assert(props.contains(CboStats.ColPrefix + "v"))
     assert(props(CboStats.ColPrefix + "v").contains("\"hist\""))
     // the full scan reports the analyzed row count to the planner
-    assert(t.read().queryExecution.optimizedPlan.stats.rowCount
+    assert(withOurConf(t.read().queryExecution.optimizedPlan.stats.rowCount)
       .contains(BigInt(10000)))
     // a non-full scan (version = -1 path, e.g. the CDC diff) must not
     // inherit full-table cardinality
     t.append(skewed(100))
     val diff = t.changesBetween(1L, 2L)
-    val rc = diff.queryExecution.optimizedPlan.stats.rowCount
+    val rc = withOurConf(diff.queryExecution.optimizedPlan.stats.rowCount)
     assert(rc.forall(_ < BigInt(10000)), s"diff scan inherited stats: $rc")
   }
 }

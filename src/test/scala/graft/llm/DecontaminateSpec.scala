@@ -71,4 +71,37 @@ class DecontaminateSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
   }
+
+  test("semantic decontamination flags paraphrase-level matches n-grams miss") {
+    // 8-dim embeddings; eval doc 100 has a planted NEAR-COPY in the corpus
+    // (vec 1, tiny perturbation → cosine ≈ 1) and the rest are axis-ish
+    // vectors far from everything. Centroids = two separated anchors.
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val corpus = Seq(
+      (1L, v(1, 0.01, 0, 0)),   // paraphrase of eval 100
+      (2L, v(0, 0, 0.5, 0.5)),  // cos ≈ 0.707 to eval 101: under 0.95, over 0.4
+      (3L, v(-1, 0.5, 0.5, 0))) // unrelated
+      .toDF("vec_id", "embedding")
+    val evalSet = Seq(
+      (100L, v(1, 0, 0, 0)),
+      (101L, v(0, 0, 0, 1)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq(v(1, 0, 0, 0), v(0, 0, 0, 1))
+    val flagged = Decontaminate
+      .semanticMatches(corpus, evalSet, cents, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flagged == Set((1L, 100L)), flagged.toString)
+    // clean keeps everything except the flagged doc
+    val kept = Decontaminate
+      .semanticClean(corpus, evalSet, cents, threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L), kept.toString)
+    // eval-side multi-probe rescues a boundary-straddling pair: corpus
+    // vec 2 assigns to bucket 1 (axis w), eval 101 also bucket 1 — at a
+    // looser threshold it flags through the probed bucket
+    val loose = Decontaminate
+      .semanticMatches(corpus, evalSet, cents, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose.contains((2L, 101L)), loose.toString)
+  }
 }
