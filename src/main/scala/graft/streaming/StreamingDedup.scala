@@ -96,8 +96,12 @@ object StreamingDedup {
     * bounded. */
   private[graft] def prunedStateScan(state: SnapshotTable,
                                      batchBands: DataFrame,
-                                     maxPruneKeys: Int = 8192): DataFrame = {
+                                     maxPruneKeys: Int = 8192,
+                                     minStateFiles: Int = 64): DataFrame = {
     val base = state.read()
+    // pruning pays when the state is many files; below the floor the
+    // key-collect + IN-fold costs more plan time than the read it saves
+    if (state.snapshotWithStats()._1.size < minStateFiles) return base
     val keys = batchBands.select(col("bh")).distinct()
       .limit(maxPruneKeys + 1).collect().map(_.getLong(0))
     if (keys.isEmpty) base.limit(0)
@@ -187,11 +191,16 @@ object StreamingDedup {
         // not produce a single monster file.
         val stateRowCount = admitted.count() * bands
         val nf = math.max(1, math.ceil(stateRowCount / 500000.0).toInt)
-        val stateRows = b
+        val stateRows0 = b
           .join(admitted.select("doc_id"), Seq("doc_id"), "left_semi")
           .select(col("doc_id"), col("band"), col("bh"), col("sig"), col("ngrams"))
-          .repartitionByRange(nf, col("bh"))
-          .sortWithinPartitions(col("bh"))
+        // one file (the typical micro-batch): a plain coalesce+sort gives
+        // the same tight per-file bh range without repartitionByRange's
+        // extra boundary-sampling job and shuffle
+        val stateRows =
+          if (nf == 1) stateRows0.coalesce(1).sortWithinPartitions(col("bh"))
+          else stateRows0.repartitionByRange(nf, col("bh"))
+            .sortWithinPartitions(col("bh"))
         state.appendTagged(stateRows, s"$tag:state", Nil, Seq("bh"))
         n
       } finally admitted.unpersist()

@@ -466,6 +466,51 @@ class ScaleStressSpec extends AnyFunSuite {
     } finally graft.sources.SnapshotTable.dropCommitCoordination("s3mock:")
   }
 
+  test("three-way MERGE BRANCH at 1M rows under concurrent main ingest: metadata-only, exact") {
+    gate()
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("merge3_scale").toString
+    val t = graft.sources.SnapshotTable.create(spark, dir,
+      spark.range(1000000).select(col("id"), (col("id") % 97).as("v"))
+        .repartitionByRange(16, col("id")))
+    t.compactSorted(Seq("id"), numFiles = 16) // disjoint id ranges per file
+    // branch stages a file-precise DELETE (manifest prunes to the low
+    // files) while EIGHT writers keep appending to main concurrently
+    t.createBranch("audit")
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writers = (1 to 8).map { w =>
+      new Thread(() => {
+        try (1 to 3).foreach { s =>
+          graft.sources.SnapshotTable.forPath(spark, dir).append(
+            Seq((2000000L + w * 10L + s, 7L)).toDF("id", "v"))
+        } catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    writers.foreach(_.start())
+    t.deleteFromBranch("audit", col("id") < 50000)
+    writers.foreach(_.join(120000))
+    assert(errors.isEmpty, s"main writer failed: ${errors.peek()}")
+    assert(t.read().count() == 1000024L, "main must carry all appends pre-merge")
+    // capture both sides' physical files: the merge must publish by
+    // REFERENCE (metadata-only commit), never rewrite data
+    val before = (t.read().inputFiles ++ t.readRef("audit").inputFiles).toSet
+    t.mergeBranch("audit")
+    val after = t.read()
+    assert(after.inputFiles.toSet.subsetOf(before),
+      "diverged merge must not write new data files")
+    // exact: branch's delete applied AND every concurrent append kept
+    assert(after.count() == 1000000L - 50000L + 24L)
+    assert(after.filter(col("id") < 50000).count() == 0L)
+    assert(after.filter(col("id") >= 2000000L).count() == 24L)
+    // a genuinely conflicting branch still refuses: same-file rewrite
+    t.compactSorted(Seq("id"), numFiles = 16)
+    t.createBranch("clash")
+    t.deleteFromBranch("clash", col("id") === 60000L)
+    t.deleteWhere(col("id") === 60001L) // same low file on main
+    intercept[java.util.ConcurrentModificationException](t.mergeBranch("clash"))
+    t.dropRef("clash")
+  }
+
   test("BM25 at 200k docs: planted needle ranks first, k bounds hold, no global sort") {
     gate()
     // 200k docs of deterministic filler vocabulary; one needle doc with a
