@@ -59,8 +59,12 @@ import graft.streaming.{Pipe, Pipes}
   *   DROP BRANCH|TAG <name> FROM LAKE '<dir>'
   *   SHOW REFS FROM LAKE '<dir>'
   *   INSERT INTO LAKE '<dir>' AT BRANCH <name> <query>  -- staged append
+  *   DELETE FROM LAKE '<dir>' AT BRANCH <name> WHERE <cond>  -- staged COW
+  *   UPDATE LAKE '<dir>' AT BRANCH <name> SET ... WHERE ...  -- staged COW
   *   CREATE LAKE VIEW <name> FROM '<dir>' AT BRANCH|TAG <ref>
-  *   MERGE BRANCH <name> INTO LAKE '<dir>'   -- fast-forward squash publish
+  *   MERGE BRANCH <name> INTO LAKE '<dir>'
+  *     -- fast-forward squash at the fork base; three-way merge with
+  *     -- file-granular conflict detection when main diverged
   *   ALTER LAKE '<dir>' RENAME COLUMN <old> TO <new>   -- id-stable rename
   *   ALTER LAKE '<dir>' ADD COLUMN <name> <type>       -- fresh field id
   *   ALTER LAKE '<dir>' DROP COLUMN <name>             -- id retired
@@ -261,6 +265,15 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
       case CreateLakeViewAtRe(name, dir, refName) =>
         CreateLakeViewAtRefCommand(name, dir, refName)
       case InsertLakeRe(dir, query) => InsertLakeCommand(dir, query)
+      // statement-level version context beats the session pin (reference
+      // precedence): AT BRANCH DML stages on the named branch explicitly
+      case DeleteLakeAtBranchRe(dir, branch, cond) =>
+        DeleteLakeCommand(dir, cond, atBranch = Some(branch))
+      case UpdateLakeAtBranchRe(dir, branch, rest) =>
+        val wi = GraftSqlParser.topLevelKeyword(rest, "WHERE")
+        require(wi > 0, s"UPDATE LAKE requires a WHERE clause: $t")
+        UpdateLakeCommand(dir, rest.take(wi).trim, rest.drop(wi + 5).trim,
+          atBranch = Some(branch))
       case DeleteLakeRe(dir, cond) => DeleteLakeCommand(dir, cond)
       case UpdateLakeRe(dir, rest) =>
         // quote-aware split: a 'where' inside a SET string literal is data
@@ -644,6 +657,12 @@ object GraftSqlParser {
     """(?is)MERGE\s+BRANCH\s+([\w.-]+)\s+INTO\s+LAKE\s+'([^']+)'\s*;?""".r
   private val InsertLakeAtBranchRe =
     """(?is)INSERT\s+INTO\s+LAKE\s+'([^']+)'\s+AT\s+BRANCH\s+([\w.-]+)\s+(.+?)\s*;?""".r
+  private val DeleteLakeAtBranchRe =
+    ("""(?is)DELETE\s+FROM\s+LAKE\s+'([^']+)'\s+AT\s+BRANCH\s+([\w.-]+)""" +
+      """\s+WHERE\s+(.+?)\s*;?""").r
+  private val UpdateLakeAtBranchRe =
+    ("""(?is)UPDATE\s+LAKE\s+'([^']+)'\s+AT\s+BRANCH\s+([\w.-]+)""" +
+      """\s+SET\s+(.+?)\s*;?""").r
   private val CreateLakeViewAtRe =
     ("""(?is)CREATE\s+LAKE\s+VIEW\s+(\w+)\s+FROM\s+'([^']+)'""" +
       """\s+AT\s+(?:BRANCH|TAG)\s+([\w.-]+)\s*;?""").r
@@ -1599,14 +1618,16 @@ object GraftSqlParser {
     }
 
   /** DELETE FROM LAKE: copy-on-write row deletion as one atomic commit —
-    * on main, or staged on the session's pinned branch. */
-  case class DeleteLakeCommand(dir: String, condSql: String) extends LeafRunnableCommand {
+    * on main, on an explicit `AT BRANCH`, or on the session's pinned
+    * branch (statement-level AT wins, reference precedence). */
+  case class DeleteLakeCommand(dir: String, condSql: String,
+      atBranch: Option[String] = None) extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("version")
     override def run(spark: SparkSession): Seq[Row] = {
       graft.auth.Privileges.requireAction(spark, "delete", dir, "DELETE FROM LAKE")
       val t = graft.sources.SnapshotTable.forPath(spark, dir)
       val cond = org.apache.spark.sql.functions.expr(condSql)
-      val v = dmlBranchPin(spark, dir, "DELETE FROM LAKE") match {
+      val v = atBranch.orElse(dmlBranchPin(spark, dir, "DELETE FROM LAKE")) match {
         case Some(branch) => t.deleteFromBranch(branch, cond)
         case None => t.deleteWhere(cond)
       }
@@ -1615,9 +1636,10 @@ object GraftSqlParser {
   }
 
   /** UPDATE LAKE ... SET: copy-on-write update as one atomic commit —
-    * on main, or staged on the session's pinned branch. */
-  case class UpdateLakeCommand(dir: String, setsSql: String, condSql: String)
-      extends LeafRunnableCommand {
+    * on main, on an explicit `AT BRANCH`, or on the session's pinned
+    * branch (statement-level AT wins, reference precedence). */
+  case class UpdateLakeCommand(dir: String, setsSql: String, condSql: String,
+      atBranch: Option[String] = None) extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("version")
     override def run(spark: SparkSession): Seq[Row] = {
       graft.auth.Privileges.requireAction(spark, "update", dir, "UPDATE LAKE")
@@ -1629,7 +1651,7 @@ object GraftSqlParser {
       }.toMap
       val t = graft.sources.SnapshotTable.forPath(spark, dir)
       val cond = org.apache.spark.sql.functions.expr(condSql)
-      val v = dmlBranchPin(spark, dir, "UPDATE LAKE") match {
+      val v = atBranch.orElse(dmlBranchPin(spark, dir, "UPDATE LAKE")) match {
         case Some(branch) => t.updateBranchWhere(branch, cond, sets)
         case None => t.updateWhere(cond, sets)
       }

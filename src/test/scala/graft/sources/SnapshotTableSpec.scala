@@ -401,6 +401,14 @@ class SnapshotTableSpec extends AnyFunSuite {
       assert(t.readRef("sqlbr").filter($"id" === 30L).count() == 0L)
     } finally spark.sql(s"USE DEFAULT IN LAKE '$dir'")
     assert(t.read().filter($"id" === 30L).count() == 1L, "main untouched")
+    // statement-level AT BRANCH form needs no session pin (and UPDATE too)
+    spark.sql(s"UPDATE LAKE '$dir' AT BRANCH sqlbr SET src = 'branched' WHERE id = 31")
+    assert(t.readRef("sqlbr").filter($"id" === 31L)
+      .head().getAs[String]("src") == "branched")
+    assert(t.read().filter($"src" === "branched").count() == 0L, "main untouched")
+    spark.sql(s"DELETE FROM LAKE '$dir' AT BRANCH sqlbr WHERE id = 32")
+    assert(t.readRef("sqlbr").filter($"id" === 32L).count() == 0L)
+    assert(t.read().filter($"id" === 32L).count() == 1L, "main untouched")
     spark.sql(s"MERGE BRANCH sqlbr INTO LAKE '$dir'")
     assert(t.read().filter($"id" === 30L).count() == 0L)
     t.createTag("pin")
