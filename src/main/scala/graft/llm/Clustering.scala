@@ -22,19 +22,30 @@ object Clustering {
   /** One row per cluster: (cluster, n_docs, top_terms) where top_terms
     * are the `topTerms` highest tf-idf tokens (count in cluster ×
     * ln(N/df), df = docs containing the term corpus-wide). `docs` needs
-    * (idCol, textCol, vecCol). `k <= 0` self-scales like SemDeDup. */
+    * (idCol, textCol, vecCol). `k <= 0` self-scales like SemDeDup.
+    *
+    * `centroids`: a SUPPLIED quantizer set replaces k-means training —
+    * the oracle-able path ([[Dedup.semDedup]] contract): assignment runs
+    * in double precision and every downstream number (sizes, tf-idf
+    * scores, term ranking) is a pure replayable function of the data,
+    * with term ties broken lexicographically (dialect-free). The trained
+    * path keeps the bounded-heap ranking with a hashed tie. */
   def documentClusters(docs: DataFrame, k: Int = 0, topTerms: Int = 5,
                        idCol: String = "doc_id", textCol: String = "text",
                        vecCol: String = "embedding",
-                       kmeansIters: Int = 3): DataFrame = {
+                       kmeansIters: Int = 3,
+                       centroids: Option[Seq[Seq[Float]]] = None): DataFrame = {
     val corpus = docs.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
       col(textCol).as("text"))
     val n = corpus.count()
-    val nc = if (k > 0) k else Similarity.autoClusters(n)
-    val centroids = Similarity.kmeansCentroids(
-      corpus.select(col("vec_id"), col("embedding")), nc, kmeansIters)
+    val cents = centroids.getOrElse {
+      val nc = if (k > 0) k else Similarity.autoClusters(n)
+      Similarity.kmeansCentroids(
+        corpus.select(col("vec_id"), col("embedding")), nc, kmeansIters)
+    }
     val assigned = Similarity.withProbedBuckets(
-        corpus, "embedding", "vec_id", centroids, nProbe = 1)
+        corpus, "embedding", "vec_id", cents, nProbe = 1,
+        doublePrec = centroids.isDefined)
       .select(col("vec_id"), col("bucket"), col("text"))
       .localCheckpoint(true) // sizes + terms + ranking all reuse this
 
@@ -50,12 +61,26 @@ object Clustering {
     val scored = perCluster.join(dfTerm, Seq("term"))
       .withColumn("score", col("cnt") * log(lit(n.toDouble) / col("df")))
 
-    val top = graft.plans.TopKPerKey(scored,
-        col("bucket"), col("score"), xxhash64(col("term")), k = topTerms)
-      .select(col("bucket"), col("term"), col("score"))
+    // Trained path: bounded-heap TopKPerKey (no per-bucket sort), hashed
+    // numeric tie — deterministic within this engine. Fixed-centroid path:
+    // rank with (score desc, term asc) — ties break on the term ITSELF so
+    // any engine with binary string ordering replays the selection; the
+    // per-bucket window sort is fine there because the oracle-able path
+    // is about replayability, not the 100 TB ranking shape.
+    val top =
+      if (centroids.isDefined)
+        scored.withColumn("__rk", org.apache.spark.sql.functions.row_number()
+            .over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("bucket"))
+              .orderBy(col("score").desc, col("term"))))
+          .filter(col("__rk") <= topTerms)
+          .select(col("bucket"), col("term"), col("score"))
+      else graft.plans.TopKPerKey(scored,
+          col("bucket"), col("score"), xxhash64(col("term")), k = topTerms)
+        .select(col("bucket"), col("term"), col("score"))
     val topAgg = top.groupBy(col("bucket"))
       .agg(transform(
-        reverse(array_sort(collect_list(struct(col("score"), col("term"))))),
+        array_sort(collect_list(struct((-col("score")).as("nscore"), col("term")))),
         e => e("term")).as("top_terms"))
 
     sizes.join(topAgg, Seq("bucket"), "left")

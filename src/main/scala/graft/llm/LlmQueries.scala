@@ -77,16 +77,56 @@ object LlmQueries {
     * ClusteringSpec pins topic recovery on planted corpora. The terms
     * array is emitted as a JSON string so every output column is a
     * flat scalar the rows-only harness can sort. */
+  /** Corpus topic map under a FULL oracle: the quantizer is FIXED to the
+    * first four embeddings (the semDedup/VectorIndex contract), so DuckDB
+    * replays assignment (double-precision argmax), cluster sizes, the
+    * whole tf-idf computation (cnt × ln(N/df) — identical IEEE doubles),
+    * and the per-cluster term ranking with its lexicographic tie-break. */
   val clusterDocuments: QueryFn = (s, dir) => {
     val t = Tables.ensure(s, dir)
+    val cents = t.embeddings.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
     val joined = t.documents.select(col("doc_id"), col("text"))
       .join(t.embeddings.select(col("vec_id"), col("embedding")),
         col("doc_id") === col("vec_id"))
-    Clustering.documentClusters(joined, k = 8, topTerms = 5)
+    Clustering.documentClusters(joined, topTerms = 5, centroids = Some(cents))
       .select(col("cluster"), col("n_docs"),
         to_json(col("top_terms")).as("top_terms_json"))
       .orderBy(col("cluster"))
   }
+  val clusterDocumentsSql: String = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT CAST(vec_id AS INT) AS bucket, v AS cv FROM e WHERE vec_id < 4),
+    corpus AS (SELECT d.doc_id, d.text, e.v
+               FROM documents d JOIN e ON e.vec_id = d.doc_id),
+    nn AS (SELECT count(*) AS n FROM corpus),
+    asg0 AS (SELECT c.doc_id, ct.bucket,
+               row_number() OVER (PARTITION BY c.doc_id
+                 ORDER BY list_cosine_similarity(c.v, ct.cv) DESC, ct.bucket) AS rn
+             FROM corpus c CROSS JOIN cents ct),
+    asg AS (SELECT doc_id, bucket FROM asg0 WHERE rn = 1),
+    sizes AS (SELECT bucket, count(*) AS n_docs FROM asg GROUP BY bucket),
+    terms AS (SELECT a.bucket, u.term
+              FROM corpus c JOIN asg a USING (doc_id),
+              unnest(list_distinct(list_filter(
+                string_split_regex(lower(c.text), '\s+'),
+                w -> len(w) > 0))) AS u(term)),
+    pc AS (SELECT bucket, term, count(*) AS cnt FROM terms GROUP BY bucket, term),
+    dft AS (SELECT term, sum(cnt) AS df FROM pc GROUP BY term),
+    scored AS (SELECT pc.bucket, pc.term,
+                 pc.cnt * ln(CAST(nn.n AS DOUBLE) / dft.df) AS score
+               FROM pc JOIN dft USING (term) CROSS JOIN nn),
+    ranked AS (SELECT bucket, term, score,
+                 row_number() OVER (PARTITION BY bucket
+                   ORDER BY score DESC, term) AS rk
+               FROM scored),
+    topt AS (SELECT bucket,
+               to_json(array_agg(term ORDER BY score DESC, term)) AS top_terms_json
+             FROM ranked WHERE rk <= 5 GROUP BY bucket)
+    SELECT s.bucket AS cluster, s.n_docs, t.top_terms_json
+    FROM sizes s LEFT JOIN topt t USING (bucket)
+    ORDER BY cluster"""
 
   /** One-pass PCA to 8 dims over the embedding corpus (Projection.pca:
     * treeAggregate covariance sketch + driver Jacobi; projection in pure
@@ -2679,6 +2719,7 @@ object LlmQueries {
     "mix_temperature" -> mixTemperatureSql,
     "corpus_curation" -> corpusCurationSql,
     "corpus_funnel" -> corpusFunnelSql,
+    "cluster_documents" -> clusterDocumentsSql,
     "decontaminate_by_url" -> decontaminateByUrlSql,
     "decontaminate_semantic" -> decontaminateSemanticSql,
     "ann_topk_ids" -> annTopkIdsSql,
