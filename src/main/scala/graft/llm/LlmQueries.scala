@@ -213,11 +213,27 @@ object LlmQueries {
     branches.mkString("", "\nUNION ALL\n", "\nORDER BY vec_id, j")
   }
 
+  /** Exact ANN baseline under a FULL oracle (r12): the double-precision
+    * scoring path makes ids, ranks AND the cosine values bit-identical to
+    * DuckDB's list_cosine_similarity — no margins argument needed. */
   val annBrute: QueryFn = (s, dir) => {
     val e = Tables.ensure(s, dir).embeddings
-    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), k = 10)
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), k = 10,
+        doublePrec = true)
       .orderBy(col("q_id"), col("rk"))
   }
+  val annBruteSql: String = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+    s AS (SELECT q.q_id, e.vec_id AS c_id,
+            list_cosine_similarity(q.qv, e.v) AS cos
+          FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+    r AS (SELECT q_id, c_id, cos,
+            row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, c_id) AS rk
+          FROM s)
+    SELECT q_id, c_id, cos, CAST(rk AS INT) AS rk FROM r WHERE rk <= 10
+    ORDER BY q_id, rk"""
 
   /** ANN result IDENTITY under a DuckDB oracle: the cosine VALUES diverge
     * between engines at ~1e-8 (different accumulation order), but the
@@ -2720,6 +2736,7 @@ object LlmQueries {
     "corpus_curation" -> corpusCurationSql,
     "corpus_funnel" -> corpusFunnelSql,
     "cluster_documents" -> clusterDocumentsSql,
+    "ann_brute_force" -> annBruteSql,
     "decontaminate_by_url" -> decontaminateByUrlSql,
     "decontaminate_semantic" -> decontaminateSemanticSql,
     "ann_topk_ids" -> annTopkIdsSql,

@@ -29,12 +29,23 @@ object Similarity {
     top.withColumn("rk", row_number().over(w))
   }
 
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+  /** Exact top-k by cosine: broadcast query batch, one corpus pass,
+    * bounded per-key heaps. `doublePrec` scores over double-cast vectors
+    * with in-order accumulation — bit-identical to any engine's IEEE
+    * double dot product, so ids, ranks AND the cosines themselves carry
+    * a full external oracle (the float kernel is marginally faster and
+    * keeps the id/rank-stability contract instead). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                     doublePrec: Boolean = false): DataFrame = {
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("cos", Functions.cosine_sim(col("q_vec"), col("c_vec")))
+      .withColumn("cos",
+        if (doublePrec)
+          Functions.cosine_sim_d(col("q_vec").cast("array<double>"),
+            col("c_vec").cast("array<double>"))
+        else Functions.cosine_sim(col("q_vec"), col("c_vec")))
       .select(col("q_id"), col("c_id"), col("cos"))
     rankTopK(scored, k)
   }
