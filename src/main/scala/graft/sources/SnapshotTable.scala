@@ -1017,16 +1017,24 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     v
   }
 
-  /** Diverged-base merge: main moved past the fork. Computes each side's
-    * file-set diff against the shared base snapshot and publishes the
-    * union when the diffs commute (disjoint removal sets). Data files are
-    * immutable and never reused across commits, so file identity IS
-    * content identity: a file removed by both sides means both rewrote
-    * (or deleted) the same rows — a genuine content conflict. */
-  private def threeWayMerge(name: String, ref: SnapshotTable.LakeRef,
-                            log: Seq[LakeCommit], basePrefix: Seq[LakeCommit],
-                            branchLog: Seq[LakeCommit], bcs: Seq[LakeCommit],
-                            current: Long): Long = {
+  /** Outcome of the three-way analysis: either the conflict messages, or
+    * everything `publish` needs for the merged commit. */
+  private final case class MergePlan(entries: Vector[FileEntry],
+                                     schemaDdl: String,
+                                     ids: Map[String, Int],
+                                     layout: (Seq[String], Seq[String], Seq[String]))
+
+  /** Pure analysis of a diverged-base merge: each side's file-set diff
+    * against the shared base snapshot. Data files are immutable and never
+    * reused across commits, so file identity IS content identity: a file
+    * removed by both sides means both rewrote (or deleted) the same rows
+    * — a genuine content conflict. Schema/layout merge by the same
+    * three-way rule. Shared by [[mergeBranch]] (publish or throw) and
+    * [[mergeDryRun]] (report). */
+  private def threeWayAnalysis(name: String, ref: SnapshotTable.LakeRef,
+                               log: Seq[LakeCommit], basePrefix: Seq[LakeCommit],
+                               branchLog: Seq[LakeCommit], bcs: Seq[LakeCommit])
+      : Either[Seq[String], MergePlan] = {
     require(basePrefix.nonEmpty,
       s"branch '$name' fork base v${ref.baseVersion} predates the log in $dir")
     val (baseEntries, _, _) = replayEntries(basePrefix)
@@ -1035,50 +1043,81 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     val basePaths = baseEntries.map(_.path).toSet
     val mainRemoved = basePaths -- mainEntries.map(_.path).toSet
     val brRemoved = basePaths -- brEntries.map(_.path).toSet
+    val conflicts = Seq.newBuilder[String]
     val clash = mainRemoved.intersect(brRemoved)
     if (clash.nonEmpty)
-      throw new java.util.ConcurrentModificationException(
-        s"MERGE BRANCH $name: content conflict — both the branch and main " +
-          s"rewrote ${clash.size} file(s) since fork base v${ref.baseVersion}: " +
-          clash.toSeq.sorted.take(3).map(_.stripPrefix(s"$dir/")).mkString(", ") +
-          (if (clash.size > 3) ", …" else "") +
-          "; re-stage the conflicting change on a fresh branch")
+      conflicts += (s"content conflict — both the branch and main " +
+        s"rewrote ${clash.size} file(s) since fork base v${ref.baseVersion}: " +
+        clash.toSeq.sorted.take(3).map(_.stripPrefix(s"$dir/")).mkString(", ") +
+        (if (clash.size > 3) ", …" else ""))
     val baseDdl = basePrefix.last.schemaDdl
     val mainDdl = log.last.schemaDdl
     val brDdl = bcs.last.schemaDdl
     val mergedDdl =
-      if (mainDdl == baseDdl) brDdl
-      else if (brDdl == baseDdl || brDdl == mainDdl) mainDdl
-      else throw new java.util.ConcurrentModificationException(
-        s"MERGE BRANCH $name: schema conflict — both sides evolved the " +
-          "schema differently since the fork; re-stage on a fresh branch")
+      if (mainDdl == baseDdl) Some(brDdl)
+      else if (brDdl == baseDdl || brDdl == mainDdl) Some(mainDdl)
+      else { conflicts += ("schema conflict — both sides evolved the " +
+        "schema differently since the fork"); None }
     // column identity must agree (neither side renamed, or both renamed
     // identically) for the carried files of BOTH sides to map correctly;
     // checked AFTER the schema rule so a double-evolution reports as the
     // schema conflict it is, not as a rename
-    require(mainIds == brIds,
-      s"MERGE BRANCH $name: main and branch diverge on column identity " +
-        "(a rename since the fork); re-stage on a fresh branch")
+    if (mergedDdl.isDefined && mainIds != brIds)
+      conflicts += ("main and branch diverge on column identity " +
+        "(a rename since the fork)")
     def layoutOf(l: Seq[LakeCommit]) = effectiveLayoutOf(l)
     val (baseLay, mainLay, brLay) = (layoutOf(basePrefix), layoutOf(log), layoutOf(branchLog))
     val mergedLay =
-      if (mainLay == baseLay) brLay
-      else if (brLay == baseLay || brLay == mainLay) mainLay
-      else throw new java.util.ConcurrentModificationException(
-        s"MERGE BRANCH $name: layout conflict — both sides changed the " +
-          "partition/sort layout differently since the fork; re-stage")
+      if (mainLay == baseLay) Some(brLay)
+      else if (brLay == baseLay || brLay == mainLay) Some(mainLay)
+      else { conflicts += ("layout conflict — both sides changed the " +
+        "partition/sort layout differently since the fork"); None }
     // merged view = main's survivors minus the branch's removals, plus the
     // branch's additions (staged under UUID subdirs — never colliding with
     // main's). Each entry carries its own manifest stats.
     val merged = mainEntries.filterNot(e => brRemoved.contains(e.path)) ++
       brEntries.filterNot(e => basePaths.contains(e.path))
-    require(merged.forall(_.writeIds == brIds),
-      s"branch '$name' spans a column rename; merge after OPTIMIZE or re-stage")
-    val rel = merged.map(e => (e.path.stripPrefix(s"$dir/"), e.stats))
-    publish(current + 1, "overwrite", rel.map(_._1),
-      rel.filter(_._2.nonEmpty).toMap, "", mergedDdl,
-      log.lastOption.map(_.timestampMs).getOrElse(0L), log, brIds,
-      mergedLay._1, mergedLay._2, mergedLay._3)
+    if (!merged.forall(_.writeIds == brIds))
+      conflicts += s"branch '$name' spans a column rename; merge after OPTIMIZE"
+    val cs = conflicts.result()
+    if (cs.nonEmpty) Left(cs)
+    else Right(MergePlan(merged, mergedDdl.get, brIds, mergedLay.get))
+  }
+
+  private def threeWayMerge(name: String, ref: SnapshotTable.LakeRef,
+                            log: Seq[LakeCommit], basePrefix: Seq[LakeCommit],
+                            branchLog: Seq[LakeCommit], bcs: Seq[LakeCommit],
+                            current: Long): Long =
+    threeWayAnalysis(name, ref, log, basePrefix, branchLog, bcs) match {
+      case Left(cs) => throw new java.util.ConcurrentModificationException(
+        s"MERGE BRANCH $name: ${cs.mkString("; ")}; re-stage the " +
+          "conflicting change on a fresh branch")
+      case Right(plan) =>
+        val rel = plan.entries.map(e => (e.path.stripPrefix(s"$dir/"), e.stats))
+        publish(current + 1, "overwrite", rel.map(_._1),
+          rel.filter(_._2.nonEmpty).toMap, "", plan.schemaDdl,
+          log.lastOption.map(_.timestampMs).getOrElse(0L), log, plan.ids,
+          plan.layout._1, plan.layout._2, plan.layout._3)
+    }
+
+  /** `MERGE BRANCH ... DRY RUN` (Nessie merge's dry-run flag): report what
+    * the merge WOULD do — "fast_forward", "three_way" (clean), or
+    * "conflict" with the messages — without publishing anything. Advisory
+    * by nature (no lock held): a commit landing after the answer can
+    * change it, exactly like Nessie's. */
+  def mergeDryRun(name: String): (String, Seq[String]) = {
+    val ref = getRef(name)
+    require(ref.refType == "branch", s"'$name' is a tag and cannot be merged")
+    val log = commits
+    val current = log.lastOption.map(_.version).getOrElse(0L)
+    val bcs = branchCommits(name)
+    if (bcs.isEmpty) return ("empty", Seq("branch has no commits to merge"))
+    val basePrefix = log.takeWhile(_.version <= ref.baseVersion)
+    if (current == ref.baseVersion) return ("fast_forward", Nil)
+    threeWayAnalysis(name, ref, log, basePrefix, basePrefix ++ bcs, bcs) match {
+      case Left(cs) => ("conflict", cs)
+      case Right(_) => ("three_way", Nil)
+    }
   }
 
   /** MERGE-by-key (upsert) with snapshot isolation AND conflict detection:

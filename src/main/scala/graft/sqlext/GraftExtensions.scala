@@ -57,6 +57,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction((FunctionIdentifier("lake_refs"),
       info("lake_refs", "lake_refs('<dir>') — branches and tags of a lake table"),
       (args: Seq[Expression]) => lakeRefs(args)))
+    // Observability for ANALYZE LAKE ... COMPUTE STATISTICS (reference
+    // sys.table_statistics): the persisted CBO stats per column, straight
+    // from TBLPROPERTIES — what the planner will actually use.
+    e.injectTableFunction((FunctionIdentifier("lake_stats"),
+      info("lake_stats",
+        "lake_stats('<dir>') — persisted ANALYZE statistics of a lake table"),
+      (args: Seq[Expression]) => lakeStats(args)))
     // Inline lake relation: query a lake table at its path straight from a
     // FROM clause (the reference's query-on-path surface, dremio
     // `dfs."/path"` / TABLE(..) — `FormatCreator` resolves paths to
@@ -378,6 +385,37 @@ object GraftExtensions {
       attrs("version" -> LongType, "action" -> StringType,
         "timestamp_ms" -> LongType, "n_files" -> IntegerType,
         "tag" -> StringType),
+      rows)
+  }
+
+  private def lakeStats(args: Seq[Expression]): LogicalPlan = {
+    val dir = dirArg("lake_stats", args)
+    val t = SnapshotTable.forPath(SparkSession.active, dir)
+    val props = t.properties
+    val rowCount = props.get(graft.catalog.CboStats.RowCountKey)
+    val version = props.get(graft.catalog.CboStats.VersionKey)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rows = props.toSeq
+      .filter(_._1.startsWith(graft.catalog.CboStats.ColPrefix))
+      .sortBy(_._1)
+      .map { case (k, js) =>
+        val n = mapper.readTree(js)
+        val hist = Option(n.get("hist"))
+        Row(k.stripPrefix(graft.catalog.CboStats.ColPrefix),
+          rowCount.map(_.toLong).getOrElse(0L),
+          n.get("nulls").asLong(), n.get("ndv").asLong(),
+          Option(n.get("min")).map(_.asText()).orNull,
+          Option(n.get("max")).map(_.asText()).orNull,
+          hist.map(_.get("bins").size()).map(Int.box).orNull,
+          hist.map(_.toString).orNull,
+          version.map(_.toLong).map(Long.box).orNull)
+      }
+    LocalRelation.fromExternalRows(
+      attrs("col_name" -> StringType, "n_rows" -> LongType,
+        "n_nulls" -> LongType, "ndv" -> LongType,
+        "min_value" -> StringType, "max_value" -> StringType,
+        "histogram_bins" -> IntegerType, "histogram" -> StringType,
+        "analyzed_version" -> LongType),
       rows)
   }
 

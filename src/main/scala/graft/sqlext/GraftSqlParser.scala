@@ -259,7 +259,10 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
           out("dataset", "policy"))
       case ShowPoliciesRe() =>
         ShowPoliciesCommand(out("dataset", "kind", "policy"))
-      case MergeBranchRe(name, dir) => MergeBranchCommand(name, dir)
+      case MergeBranchRe(name, dir, dry) =>
+        if (dry != null) MergeBranchDryRunCommand(name, dir,
+          out("status", "detail"))
+        else MergeBranchCommand(name, dir)
       case InsertLakeAtBranchRe(dir, branch, query) =>
         InsertLakeAtBranchCommand(dir, branch, query)
       case CreateLakeViewAtRe(name, dir, refName) =>
@@ -654,7 +657,7 @@ object GraftSqlParser {
       """(?:COLUMN\s+)?(\w+)\s+UNSET\s+MASKING\s+POLICY\s+(\w+)\s*(?:\(\s*\))?\s*;?""").r
   private val ShowPoliciesRe = """(?is)SHOW\s+POLICIES\s*;?""".r
   private val MergeBranchRe =
-    """(?is)MERGE\s+BRANCH\s+([\w.-]+)\s+INTO\s+LAKE\s+'([^']+)'\s*;?""".r
+    """(?is)MERGE\s+BRANCH\s+([\w.-]+)\s+INTO\s+LAKE\s+'([^']+)'(\s+DRY\s+RUN)?\s*;?""".r
   private val InsertLakeAtBranchRe =
     """(?is)INSERT\s+INTO\s+LAKE\s+'([^']+)'\s+AT\s+BRANCH\s+([\w.-]+)\s+(.+?)\s*;?""".r
   private val DeleteLakeAtBranchRe =
@@ -1798,6 +1801,21 @@ object GraftSqlParser {
       graft.auth.Privileges.requireAction(spark, "alter", dir, "MERGE BRANCH")
       val v = graft.sources.SnapshotTable.forPath(spark, dir).mergeBranch(name)
       Seq(Row(v.toString))
+    }
+  }
+
+  /** MERGE BRANCH ... DRY RUN (Nessie merge dry-run): one row per finding
+    * — ("fast_forward"|"three_way", "") when the merge would publish, or
+    * ("conflict", <message>) rows naming each conflict. Advisory: no lock,
+    * nothing publishes. SELECT-gated (it reveals only metadata). */
+  case class MergeBranchDryRunCommand(name: String, dir: String,
+      override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      graft.auth.Privileges.requireAction(spark, "select", dir, "MERGE BRANCH DRY RUN")
+      val (status, details) =
+        graft.sources.SnapshotTable.forPath(spark, dir).mergeDryRun(name)
+      if (details.isEmpty) Seq(Row(status, ""))
+      else details.map(d => Row(status, d))
     }
   }
 

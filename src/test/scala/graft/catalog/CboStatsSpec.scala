@@ -122,5 +122,14 @@ class CboStatsSpec extends AnyFunSuite {
     val diff = t.changesBetween(1L, 2L)
     val rc = withOurConf(diff.queryExecution.optimizedPlan.stats.rowCount)
     assert(rc.forall(_ < BigInt(10000)), s"diff scan inherited stats: $rc")
+    // lake_stats TVF surfaces what the planner will use
+    val stats = spark.sql(s"SELECT * FROM lake_stats('$dir')").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(stats.keySet == Set("id", "v"))
+    assert(stats("v").getAs[Long]("n_rows") == 10000L)
+    assert(stats("v").getAs[Int]("histogram_bins") == 8)
+    assert(stats("v").getAs[String]("histogram").contains("\"bins\""))
+    assert(stats("id").getAs[Long]("n_nulls") == 0L)
+    assert(stats("id").getAs[Long]("analyzed_version") == 1L)
   }
 }

@@ -418,6 +418,26 @@ class SnapshotTableSpec extends AnyFunSuite {
     finally spark.sql(s"USE DEFAULT IN LAKE '$dir'")
     t.dropRef("pin")
 
+    // DRY RUN reports the outcome without publishing (Nessie dry-run)
+    t.createBranch("dryb")
+    t.appendToBranch("dryb", Seq((800L, "d")).toDF("id", "src"))
+    val ffDry = spark.sql(s"MERGE BRANCH dryb INTO LAKE '$dir' DRY RUN").collect()
+    assert(ffDry.map(_.getString(0)).toSeq == Seq("fast_forward"))
+    t.append(Seq((801L, "m")).toDF("id", "src")) // diverge main
+    val twDry = spark.sql(s"MERGE BRANCH dryb INTO LAKE '$dir' DRY RUN").collect()
+    assert(twDry.map(_.getString(0)).toSeq == Seq("three_way"))
+    val headBefore = t.latestVersion
+    assert(t.latestVersion == headBefore, "dry run must not publish")
+    t.dropRef("dryb")
+    t.compactSorted(Seq("id"), numFiles = 2)
+    t.createBranch("dryc")
+    t.deleteFromBranch("dryc", $"id" === 40L)
+    t.deleteWhere($"id" === 41L) // same low file → conflict
+    val cfDry = spark.sql(s"MERGE BRANCH dryc INTO LAKE '$dir' DRY RUN").collect()
+    assert(cfDry.forall(_.getString(0) == "conflict") &&
+      cfDry.exists(_.getString(1).contains("content conflict")), cfDry.mkString)
+    t.dropRef("dryc")
+
     // schema conflict: both sides evolve differently since the fork
     t.createBranch("schemad")
     t.appendToBranch("schemad",
