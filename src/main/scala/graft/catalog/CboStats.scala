@@ -26,11 +26,15 @@ import com.fasterxml.jackson.databind.ObjectMapper
   * contract: they go stale under DML until the next ANALYZE (exactly the
   * reference's model) and never affect results, only plan choice.
   *
-  * min/max/histograms are injected for NUMERIC columns only — their
-  * external-string round trip through `CatalogColumnStat.fromExternalString`
-  * is dialect-free, and numeric range predicates are where histogram
-  * selectivity pays (skewed ids, amounts, sizes). Other columns still get
-  * NDV + null counts (safe in any dialect). */
+  * min/max/histograms are injected for NUMERIC and DATE columns — the
+  * external-string round trip through
+  * `CatalogColumnStat.fromExternalString` is dialect-free for both
+  * (numerics as plain numbers, dates as calendar-date strings, which is
+  * exactly what the profile's cast-to-string yields and is
+  * timezone-free); date HISTOGRAM bins are epoch-day doubles, the unit
+  * FilterEstimation converts date literals to. Numeric and date range
+  * predicates are where histogram selectivity pays (skewed ids, amounts,
+  * event dates). Other columns still get NDV + null counts. */
 object CboStats {
 
   val RowCountKey = "graft.stats.rowCount"
@@ -46,14 +50,15 @@ object CboStats {
              profileRows: Seq[(String, Long, Long, Long, String, String)],
              hists: Map[String, (Double, Seq[(Double, Double, Long)])],
              sizeInBytes: Long, analyzedVersion: Long): Map[String, String] = {
-    val numeric = schema.fields.collect {
-      case f if f.dataType.isInstanceOf[NumericType] => f.name
+    val eligible = schema.fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType] || f.dataType == DateType =>
+        f.name
     }.toSet
     val cols = profileRows.map { case (name, _, nulls, ndv, mn, mx) =>
       val node = mapper.createObjectNode()
       node.put("nulls", nulls)
       node.put("ndv", ndv)
-      if (numeric(name) && mn != null && mx != null) {
+      if (eligible(name) && mn != null && mx != null) {
         node.put("min", mn)
         node.put("max", mx)
         hists.get(name).foreach { case (height, bins) =>

@@ -71,20 +71,31 @@ object Statistics {
     * (equi-height by construction — each bin holds the same row mass, so
     * a range predicate's selectivity is bins-covered / b plus partial-bin
     * interpolation, robust to skew where min/max-linear is not). */
+  /** The double-valued form CBO's estimator compares against: numerics
+    * cast directly; DATE becomes epoch DAYS (the unit FilterEstimation
+    * converts date literals to when probing histogram bins). */
+  private[catalog] def asCboDouble(f: StructField): Option[org.apache.spark.sql.Column] =
+    f.dataType match {
+      case _: NumericType => Some(col(f.name).cast("double"))
+      case DateType => Some(datediff(col(f.name),
+        to_date(lit("1970-01-01"))).cast("double"))
+      case _ => None
+    }
+
   def histograms(df: DataFrame, columns: Seq[String], bins: Int = 16,
                  percentileAccuracy: Int = 10000)
       : Map[String, (Double, Seq[(Double, Double, Long)])] = {
     require(bins >= 2, "a histogram needs at least 2 buckets")
-    val numeric = df.schema.fields
-      .filter(f => columns.contains(f.name) && (f.dataType match {
-        case _: NumericType => true
-        case _ => false
-      })).map(_.name).toSeq
+    val exprsByCol: Map[String, org.apache.spark.sql.Column] =
+      df.schema.fields
+        .filter(f => columns.contains(f.name))
+        .flatMap(f => asCboDouble(f).map(f.name -> _)).toMap
+    val numeric = df.schema.fieldNames.filter(exprsByCol.contains).toSeq
     if (numeric.isEmpty) return Map.empty
     val probs = (0 to bins).map(_.toDouble / bins)
     val pass1 = numeric.zipWithIndex.flatMap { case (c, i) =>
       Seq(
-        percentile_approx(col(c).cast("double"),
+        percentile_approx(exprsByCol(c),
           array(probs.map(lit): _*), lit(percentileAccuracy)).as(s"ep_$i"),
         count(col(c)).as(s"nn_$i"))
     }
@@ -101,7 +112,7 @@ object Statistics {
     val pass2 = live.zipWithIndex.flatMap { case (c, i) =>
       val ep = endpoints(c)
       (0 until bins).map { j =>
-        val v = col(c).cast("double")
+        val v = exprsByCol(c)
         val in =
           if (j == 0) v >= lit(ep(0)) && v <= lit(ep(1))
           else v > lit(ep(j)) && v <= lit(ep(j + 1))

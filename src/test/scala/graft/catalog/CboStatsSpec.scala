@@ -104,6 +104,38 @@ class CboStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("DATE columns get v2-form min/max and day-unit histograms") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cbo_date").toString
+    val n = 200000
+    // 95% of events in one week of 2024; 5% spread over 2020..2029
+    val df = spark.range(n).select(
+      col("id"),
+      when(col("id") % 20 =!= 0,
+        date_add(lit(java.sql.Date.valueOf("2024-06-01")),
+          (col("id") % 7).cast("int")))
+        .otherwise(date_add(lit(java.sql.Date.valueOf("2020-01-01")),
+          (col("id") % 3650).cast("int"))).as("d"))
+    SnapshotTable.create(spark, dir, df)
+    val t = SnapshotTable.forPath(spark, dir)
+    val truth = t.read().filter(col("d") >= lit(java.sql.Date.valueOf("2027-01-01"))).count()
+    assert(truth > 0 && truth < n / 10, s"fixture drifted: $truth")
+    spark.sql(s"ANALYZE LAKE '$dir' COMPUTE STATISTICS")
+    val linear = filterEstimate(t.read().filter(col("d") >= lit(java.sql.Date.valueOf("2027-01-01"))))
+    assert(linear > BigInt(truth) * 4,
+      s"min/max-linear should badly overestimate the date range: $linear vs $truth")
+    spark.sql(s"ANALYZE LAKE '$dir' COMPUTE STATISTICS WITH HISTOGRAM 32 BUCKETS")
+    val hist = filterEstimate(t.read().filter(col("d") >= lit(java.sql.Date.valueOf("2027-01-01"))))
+    assert(hist > 0 && hist <= BigInt(truth) * 2 && hist * 2 >= BigInt(truth),
+      s"date histogram estimate $hist not within 2x of truth $truth")
+    // external form: calendar-date strings for min/max (the v2 decode
+    // parses them directly), epoch-DAY doubles for the histogram bins
+    // (the unit FilterEstimation converts date literals to)
+    val props = t.properties
+    val dNode = props(CboStats.ColPrefix + "d")
+    assert(dNode.contains("\"min\":\"2020-01-01\""), dNode)
+    assert(dNode.contains("\"hist\"") && dNode.contains("19"), dNode)
+  }
+
   test("stats survive the lake round trip and diff scans skip them") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cbo_rt").toString
     SnapshotTable.create(spark, dir, skewed(10000))
