@@ -49,12 +49,15 @@ object CboStats {
   def encode(schema: StructType,
              profileRows: Seq[(String, Long, Long, Long, String, String)],
              hists: Map[String, (Double, Seq[(Double, Double, Long)])],
-             sizeInBytes: Long, analyzedVersion: Long): Map[String, String] = {
+             sizeInBytes: Long, analyzedVersion: Long,
+             minMaxOverride: Map[String, (String, String)] = Map.empty)
+      : Map[String, String] = {
     val eligible = schema.fields.collect {
-      case f if f.dataType.isInstanceOf[NumericType] || f.dataType == DateType =>
-        f.name
+      case f if f.dataType.isInstanceOf[NumericType] ||
+        f.dataType == DateType || f.dataType == TimestampType => f.name
     }.toSet
-    val cols = profileRows.map { case (name, _, nulls, ndv, mn, mx) =>
+    val cols = profileRows.map { case (name, _, nulls, ndv, mn0, mx0) =>
+      val (mn, mx) = minMaxOverride.getOrElse(name, (mn0, mx0))
       val node = mapper.createObjectNode()
       node.put("nulls", nulls)
       node.put("ndv", ndv)
@@ -137,8 +140,39 @@ object CboStats {
       if (withHistogram)
         Statistics.histograms(df, df.columns.toSeq, bins = buckets)
       else Map.empty[String, (Double, Seq[(Double, Double, Long)])]
+    // TIMESTAMP min/max must carry the exact external form the planner's
+    // v2 parser expects (fraction included; the profile's cast-to-string
+    // drops a zero fraction and fails the decode). Compute epoch micros
+    // numerically and render "yyyy-MM-dd HH:mm:ss.SSSSSS" in UTC — the
+    // engine pins the session timezone to UTC, so encode and decode agree.
+    val tsCols = df.schema.fields
+      .filter(_.dataType == TimestampType).map(_.name).toSeq
+    val tsMinMax: Map[String, (String, String)] =
+      if (tsCols.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.functions.{col, max, min, unix_micros}
+        val aggs = tsCols.flatMap(c => Seq(
+          min(unix_micros(col(c))).as(s"mn_$c"),
+          max(unix_micros(col(c))).as(s"mx_$c")))
+        val r = df.agg(aggs.head, aggs.tail: _*).head()
+        def render(micros: Long): String = {
+          val i = java.time.Instant.ofEpochSecond(
+            Math.floorDiv(micros, 1000000L),
+            Math.floorMod(micros, 1000000L) * 1000L)
+          java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .withZone(java.time.ZoneOffset.UTC).format(i)
+        }
+        tsCols.flatMap { c =>
+          val (mi, ma) = (r.getAs[Any](s"mn_$c"), r.getAs[Any](s"mx_$c"))
+          if (mi == null || ma == null) None
+          else Some(c -> (render(mi.asInstanceOf[Long]),
+            render(ma.asInstanceOf[Long])))
+        }.toMap
+      }
     val size = t.snapshotSizeInBytes
-    t.setProperties(encode(df.schema, rows, hists, size, t.latestVersion))
+    t.setProperties(encode(df.schema, rows, hists, size, t.latestVersion,
+      tsMinMax))
     prof
   }
 }

@@ -72,13 +72,15 @@ object Statistics {
     * a range predicate's selectivity is bins-covered / b plus partial-bin
     * interpolation, robust to skew where min/max-linear is not). */
   /** The double-valued form CBO's estimator compares against: numerics
-    * cast directly; DATE becomes epoch DAYS (the unit FilterEstimation
-    * converts date literals to when probing histogram bins). */
+    * cast directly; DATE becomes epoch DAYS and TIMESTAMP epoch MICROS
+    * (the units FilterEstimation converts date/timestamp literals to when
+    * probing histogram bins). */
   private[catalog] def asCboDouble(f: StructField): Option[org.apache.spark.sql.Column] =
     f.dataType match {
       case _: NumericType => Some(col(f.name).cast("double"))
       case DateType => Some(datediff(col(f.name),
         to_date(lit("1970-01-01"))).cast("double"))
+      case TimestampType => Some(unix_micros(col(f.name)).cast("double"))
       case _ => None
     }
 

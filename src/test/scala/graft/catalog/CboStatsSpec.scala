@@ -136,6 +136,32 @@ class CboStatsSpec extends AnyFunSuite {
     assert(dNode.contains("\"hist\"") && dNode.contains("19"), dNode)
   }
 
+  test("TIMESTAMP columns estimate ranges through micros-unit histograms") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cbo_ts").toString
+    val n = 200000
+    // 95% of events in one hour; 5% spread over a year
+    val base = lit(java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
+    val df = spark.range(n).select(
+      col("id"),
+      when(col("id") % 20 =!= 0,
+        timestamp_add("SECOND", (col("id") % 3600).cast("int"), base))
+        .otherwise(timestamp_add("HOUR", (col("id") % 8760).cast("int"), base))
+        .as("ts"))
+    SnapshotTable.create(spark, dir, df)
+    val t = SnapshotTable.forPath(spark, dir)
+    val cut = lit(java.sql.Timestamp.valueOf("2024-12-01 00:00:00"))
+    val truth = t.read().filter(col("ts") >= cut).count()
+    assert(truth > 0 && truth < n / 10, s"fixture drifted: $truth")
+    spark.sql(s"ANALYZE LAKE '$dir' COMPUTE STATISTICS")
+    val linear = filterEstimate(t.read().filter(col("ts") >= cut))
+    assert(linear > BigInt(truth) * 4,
+      s"min/max-linear should badly overestimate: $linear vs $truth")
+    spark.sql(s"ANALYZE LAKE '$dir' COMPUTE STATISTICS WITH HISTOGRAM 32 BUCKETS")
+    val hist = filterEstimate(t.read().filter(col("ts") >= cut))
+    assert(hist > 0 && hist <= BigInt(truth) * 2 && hist * 2 >= BigInt(truth),
+      s"timestamp histogram estimate $hist not within 2x of truth $truth")
+  }
+
   test("stats survive the lake round trip and diff scans skip them") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cbo_rt").toString
     SnapshotTable.create(spark, dir, skewed(10000))
