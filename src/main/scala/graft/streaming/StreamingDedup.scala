@@ -209,11 +209,19 @@ object StreamingDedup {
 
   /** Continuous near-dup-filtered ingest: every micro-batch of `stream`
     * (schema must include `doc_id`, `text`) runs [[admitBatch]] with an
-    * idempotent per-batch tag. */
+    * idempotent per-batch tag.
+    *
+    * `compactStateEvery` (0 = off): every Nth batch re-clusters the state
+    * table by band hash (`compactSorted(bh)`) so accumulated per-batch
+    * files merge into disjoint bh ranges and [[prunedStateScan]]'s prune
+    * rate holds as state grows — the maintenance the scaladoc otherwise
+    * asks the operator to schedule. The rewrite is copy-on-write with
+    * conflict retry, and a checkpoint-replayed trigger just compacts
+    * again (harmless): admission exactness never depends on it. */
   def start(stream: DataFrame, stateDir: String, outDir: String,
             checkpointDir: String, jaccardThreshold: Double = 0.7,
             numHashes: Int = 64, bands: Int = 16,
-            maxBucket: Int = 64): StreamingQuery =
+            maxBucket: Int = 64, compactStateEvery: Int = 0): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (data: DataFrame, batchId: Long) =>
@@ -222,6 +230,16 @@ object StreamingDedup {
         val batch = Bridge.materializedCopy(data)
         admitBatch(spark, batch, stateDir, outDir, s"dedup:$qid:$batchId",
           jaccardThreshold, numHashes, bands, maxBucket)
+        if (compactStateEvery > 0 && batchId > 0 &&
+            batchId % compactStateEvery == 0) {
+          val st = SnapshotTable.forPath(spark, stateDir)
+          if (st.latestVersion > 0) {
+            // target ~500k band rows per file, same sizing as the appends
+            val rows = st.read().count()
+            st.compactSorted(Seq("bh"),
+              numFiles = math.max(1, math.ceil(rows / 500000.0).toInt))
+          }
+        }
         ()
       }
       .start()

@@ -81,4 +81,31 @@ class StreamingDedupSpec extends AnyFunSuite {
       assert(outT.commits.forall(_.tag.startsWith("dedup:")), "tagged commits")
     } finally q.stop()
   }
+
+  test("compactStateEvery re-clusters state mid-stream; admission stays exact") {
+    val state = tmp("sdc_state"); val out = tmp("sdc_out")
+    val in = tmp("sdc_in"); val ck = tmp("sdc_ck")
+    def writeDoc(name: String, id: Long, text: String): Unit =
+      Files.write(Paths.get(in, name),
+        s"""{"doc_id":$id,"text":"$text"}""".getBytes)
+    writeDoc("a.json", 1L, base)
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1").json(in)
+    val q = StreamingDedup.start(stream, state, out, ck,
+      jaccardThreshold = 0.5, compactStateEvery = 2)
+    try {
+      q.processAllAvailable()
+      writeDoc("b.json", 2L, distinct1)
+      writeDoc("c.json", 3L, distinct2)
+      writeDoc("d.json", 4L, nearCopy(4)) // dup of state doc 1 POST-compaction
+      q.processAllAvailable()
+      val got = SnapshotTable.forPath(spark, out).read()
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(got == Seq(1L, 2L, 3L), s"4 must drop against compacted state: $got")
+      // a compaction commit (overwrite) landed between the tagged appends
+      val st = SnapshotTable.forPath(spark, state)
+      assert(st.commits.exists(c => c.action == "overwrite" && c.tag.isEmpty),
+        st.commits.map(c => (c.action, c.tag)).mkString(","))
+    } finally q.stop()
+  }
 }
