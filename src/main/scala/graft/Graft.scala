@@ -75,31 +75,38 @@ object Graft {
     * string and identifier quoting, and arity mismatches refuse loudly
     * — the same contract either way. */
   def sql(spark: SparkSession, query: String, args: Array[Any]): DataFrame =
-    if (isGraftGrammar(spark, query)) {
-      val bound = substitutePositional(query, args)
-      // Dialect guard: a marker in a graft statement can only sit inside a
-      // Spark-parsed sub-query tail (the grammar's own quoted captures
-      // regex-REQUIRE quotes, so a template with a bare `?` there never
-      // matches the grammar in the first place) — which is why the
-      // Spark-dialect escaping below is the correct rendering. If a
-      // rendered literal ever DID break the statement out of the grammar
-      // (so its escapes would reach a verbatim-capturing arm or a
-      // different parser), refuse rather than execute the corrupted text.
-      require(isGraftGrammar(spark, bound),
-        "bound parameter corrupted a graft-extension statement: the " +
-          "substituted text no longer parses into the extension grammar; " +
-          "inline the literal in the statement text instead")
-      sql(spark, bound)
-    } else managed(spark, query)(spark.sql(query, args))
+    // Dialect note: a marker in a graft statement can only sit inside a
+    // Spark-parsed sub-query tail (the grammar's own quoted captures
+    // regex-REQUIRE quotes, so a template with a bare `?` there never
+    // matches the grammar in the first place) — which is why the
+    // Spark-dialect escaping is the correct rendering; bindGraft guards
+    // the residual corruption case.
+    if (isGraftGrammar(spark, query)) bindGraft(spark, query, args)
+    else managed(spark, query)(spark.sql(query, args))
+
+  /** The graft-grammar binding step shared by the single and batch
+    * entries: substitute, then REFUSE unless the bound text still parses
+    * into the extension grammar (a rendered literal that broke out of it
+    * would reach a verbatim-capturing arm or a different parser). */
+  private def bindGraft(spark: SparkSession, query: String,
+                        args: Array[Any]): DataFrame = {
+    val bound = substitutePositional(query, args)
+    require(isGraftGrammar(spark, bound),
+      "bound parameter corrupted a graft-extension statement: the " +
+        "substituted text no longer parses into the extension grammar; " +
+        "inline the literal in the statement text instead")
+    sql(spark, bound)
+  }
 
   /** Batch form of the positional entry (ADBC `executemany`): the grammar
     * detection — a full parse — runs ONCE for the whole binding set, not
     * once per bound row; each row still executes as its own managed
-    * statement (ledger + WLM), same as N single calls. */
+    * statement (ledger + WLM) with the same post-substitution grammar
+    * guard as the single entry. */
   def sqlBatch(spark: SparkSession, query: String, rows: Seq[Array[Any]]): Unit = {
     val graft = isGraftGrammar(spark, query)
     rows.foreach { row =>
-      if (graft) sql(spark, substitutePositional(query, row))
+      if (graft) bindGraft(spark, query, row)
       else managed(spark, query)(spark.sql(query, row))
       ()
     }

@@ -56,11 +56,17 @@ object CboStats {
       case f if f.dataType.isInstanceOf[NumericType] ||
         f.dataType == DateType || f.dataType == TimestampType => f.name
     }.toSet
+    val typeOf = schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
     val cols = profileRows.map { case (name, _, nulls, ndv, mn0, mx0) =>
       val (mn, mx) = minMaxOverride.getOrElse(name, (mn0, mx0))
       val node = mapper.createObjectNode()
       node.put("nulls", nulls)
       node.put("ndv", ndv)
+      // the ANALYZE-time type rides along: min/max/hist are only valid
+      // for the type they were computed under (a DROP+re-ADD of the same
+      // NAME with a new type must not feed the old external strings to
+      // the planner's decoder — that would fail every scan's planning)
+      typeOf.get(name).foreach(t => node.put("t", t))
       if (eligible(name) && mn != null && mx != null) {
         node.put("min", mn)
         node.put("max", mx)
@@ -93,20 +99,29 @@ object CboStats {
           schema.fields.flatMap { f =>
             props.get(ColPrefix + f.name).map { js =>
               val n = mapper.readTree(js)
-              val hist = Option(n.get("hist")).map { h =>
-                val bins = h.get("bins").elements()
-                val buf = Vector.newBuilder[HistogramBin]
-                while (bins.hasNext) {
-                  val b = bins.next()
-                  buf += HistogramBin(b.get(0).asDouble(), b.get(1).asDouble(),
-                    b.get(2).asLong())
+              // type gate: a column dropped and re-added under the same
+              // name with a DIFFERENT type must not inherit the old
+              // min/max/hist — the planner's external-string decode is
+              // type-directed and would throw at planning time. NDV and
+              // null counts are type-free and stay (stale, like any
+              // pre-re-ANALYZE statistic).
+              val typeMatches = Option(n.get("t"))
+                .forall(_.asText() == f.dataType.simpleString)
+              val hist = if (!typeMatches) None
+                else Option(n.get("hist")).map { h =>
+                  val bins = h.get("bins").elements()
+                  val buf = Vector.newBuilder[HistogramBin]
+                  while (bins.hasNext) {
+                    val b = bins.next()
+                    buf += HistogramBin(b.get(0).asDouble(), b.get(1).asDouble(),
+                      b.get(2).asLong())
+                  }
+                  Histogram(h.get("height").asDouble(), buf.result().toArray)
                 }
-                Histogram(h.get("height").asDouble(), buf.result().toArray)
-              }
               f.name -> CatalogColumnStat(
                 distinctCount = Some(BigInt(n.get("ndv").asLong())),
-                min = Option(n.get("min")).map(_.asText()),
-                max = Option(n.get("max")).map(_.asText()),
+                min = if (typeMatches) Option(n.get("min")).map(_.asText()) else None,
+                max = if (typeMatches) Option(n.get("max")).map(_.asText()) else None,
                 nullCount = Some(BigInt(n.get("nulls").asLong())),
                 histogram = hist)
             }

@@ -63,21 +63,49 @@ object GraftRestServer {
     * its current snapshot rather than a frozen file list. */
   private val promotions =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  /** Per-promotion plan cache: name → (freshness key, DataFrame). Lake
+    * promotions key on the table's current version (so a commit
+    * re-resolves the snapshot); parquet/delta pin the listing taken at
+    * promote time (re-promote to refresh) — re-listing a folder per
+    * request would make every /sql statement pay O(promotions) metadata
+    * I/O whether or not it references them. */
+  private val promotedPlans = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)]()
 
-  private def promotedDf(session: SparkSession, path: String,
-                         fmt: String): org.apache.spark.sql.DataFrame =
-    fmt match {
-      case "lake" => graft.sources.SnapshotTable.forPath(session, path).read()
-      case "delta" => graft.sources.DeltaInterop.scan(session, path)
-      case _ => session.read.parquet(path)
+  /** The promoted dataset's resolved LOGICAL plan (session-independent —
+    * a DataFrame binds to its creating session, so caching one would
+    * register views into a dead request session). */
+  private def promotedPlan(session: SparkSession, name: String, path: String,
+      fmt: String): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val freshness = fmt match {
+      case "lake" => graft.sources.SnapshotTable.forPath(session, path).latestVersion
+      case _ => 0L
     }
+    val cached = promotedPlans.get(name)
+    if (cached != null && cached._1 == freshness) cached._2
+    else {
+      val df = fmt match {
+        case "lake" => graft.sources.SnapshotTable.forPath(session, path).read()
+        case "delta" => graft.sources.DeltaInterop.scan(session, path)
+        case _ => session.read.parquet(path)
+      }
+      val plan = df.queryExecution.analyzed
+      promotedPlans.put(name, (freshness, plan))
+      plan
+    }
+  }
+
+  private def promotedDf(session: SparkSession, name: String, path: String,
+                         fmt: String): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.graft.Bridge.ofRows(session,
+      promotedPlan(session, name, path, fmt))
 
   /** Register every promoted dataset as a temp view on `session` (a
     * broken promotion — folder since deleted — must not take down
     * unrelated statements: it is skipped and surfaces when queried). */
   private def applyPromotions(session: SparkSession): Unit =
     promotions.forEach { (name, pf) =>
-      try promotedDf(session, pf._1, pf._2).createOrReplaceTempView(name)
+      try promotedDf(session, name, pf._1, pf._2).createOrReplaceTempView(name)
       catch { case _: Exception => () }
     }
 
@@ -226,13 +254,19 @@ object GraftRestServer {
       * format a folder into a dataset): body `{"path": "<dir>", "name":
       * "<dataset>"[, "format": "lake|delta|parquet"]}`, format inferred
       * from the folder when absent (graft-lake log → lake, `_delta_log`
-      * → delta, else parquet). Registers a PERSISTENT view in the shared
-      * catalog (not a temp view — `/sql` serves from per-request session
-      * clones, which only see the shared catalog), defined over the
-      * format's scan TVF so every query re-resolves the folder's CURRENT
-      * snapshot. Immediately queryable through `/sql` and listed by
-      * `GET /catalog`. ALTER (or admin) on the PATH while enforcement
-      * is on. `DELETE /catalog/<name>` unpromotes (DROP on the name). */
+      * → delta, else parquet). The promotion lives in a server-side
+      * registry and re-registers as a TEMP VIEW into every `/sql` request
+      * session (clones see only the shared catalog, and a persistent view
+      * cannot reference the injected scan TVFs); the resolved plan is
+      * cached per promotion — lake promotions re-resolve when the table's
+      * version advances, parquet/delta pin the promote-time listing
+      * (re-promote to refresh). Immediately queryable through `/sql` and
+      * listed by `GET /catalog`. Privileges while enforcement is on:
+      * ALTER (or admin) on the PATH, and — when the name already exists
+      * as a promotion or catalog entry — ALTER (or admin) on the NAME,
+      * so a path grant cannot shadow someone else's dataset name and
+      * hijack their queries. `DELETE /catalog/<name>` unpromotes (DROP
+      * on the name). */
     private def handlePromote(ex: HttpExchange,
                               principal: Option[graft.auth.Privileges.User]): Unit = {
       val p = graft.auth.Privileges
@@ -246,6 +280,17 @@ object GraftRestServer {
       else if (p.enforcing && !principal.exists(u =>
           u.admin || p.allowed(u, "alter", p.normObj(path))))
         respond(ex, 403, error(s"no ALTER grant on '$path'"))
+      else if ({
+          // name-shadow gate: re-pointing an EXISTING dataset name (another
+          // promotion, or any catalog-visible entity — temp views shadow
+          // catalog tables at resolution) needs authority over the NAME,
+          // not just over some folder the caller happens to own
+          val taken = promotions.containsKey(name) || root.catalog.tableExists(name)
+          taken && p.enforcing && !principal.exists(u =>
+            u.admin || p.allowed(u, "alter", p.normObj(name)))
+        })
+        respond(ex, 403, error(
+          s"dataset '$name' already exists; re-promoting it needs ALTER on the name"))
       else {
         val fmt = jsonField(body, "format").map(_.toLowerCase).getOrElse {
           if (graft.sources.SnapshotTable.isLakeTable(path)) "lake"
@@ -259,7 +304,8 @@ object GraftRestServer {
             // register eagerly on the server session: validates the path
             // NOW (a bad folder is a 400, not a later query failure) and
             // makes the dataset visible to GET /catalog immediately
-            promotedDf(root, path, fmt).createOrReplaceTempView(name)
+            promotedPlans.remove(name) // a re-promotion must not serve a stale plan
+            promotedDf(root, name, path, fmt).createOrReplaceTempView(name)
             promotions.put(name, (path, fmt))
             respond(ex, 200,
               s"""{"name":${q(name)},"path":${q(path)},"format":${q(fmt)}}""")
@@ -281,6 +327,7 @@ object GraftRestServer {
       else if (promotions.remove(name) == null)
         respond(ex, 404, error(s"no promoted dataset named '$name'"))
       else {
+        promotedPlans.remove(name)
         root.catalog.dropTempView(name)
         respond(ex, 200, s"""{"name":${q(name)},"dropped":true}""")
       }

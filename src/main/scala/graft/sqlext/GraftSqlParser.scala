@@ -1971,8 +1971,12 @@ object GraftSqlParser {
     override def run(spark: SparkSession): Seq[Row] = {
       // COMPUTE STATISTICS persists the profile (plus equi-height
       // histograms under WITH HISTOGRAM) into TBLPROPERTIES, where full
-      // snapshot scans feed it to CBO (see graft.catalog.CboStats); the
-      // bare form stays a read-only profile
+      // snapshot scans feed it to CBO (see graft.catalog.CboStats) — a
+      // table MUTATION (a metadata commit), so it carries the same ALTER
+      // gate as SET TBLPROPERTIES; the bare form stays a read-only
+      // profile and needs only SELECT
+      val action = if (persist) "alter" else "select"
+      graft.auth.Privileges.requireAction(spark, action, dir, "ANALYZE LAKE")
       val prof =
         if (persist) graft.catalog.CboStats.analyze(spark, dir, histogram, buckets)
         else graft.catalog.Statistics.profile(

@@ -190,7 +190,13 @@ final class LakeStreamSource(sqlContext: SQLContext, path: String,
       try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       if (fs.exists(p)) fs.delete(p, false)
-      if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+      // rename returning FALSE is a failure, not a soft no-op: the old
+      // mark is already gone at this point, so silently accepting it
+      // destroys the mark without ever tripping the failure budget
+      if (!fs.rename(tmp, p)) {
+        fs.delete(tmp, false)
+        throw new java.io.IOException(s"rename to $p returned false")
+      }
       markFailures = 0
     } catch {
       case e: Exception =>

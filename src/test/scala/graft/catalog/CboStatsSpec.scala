@@ -180,6 +180,17 @@ class CboStatsSpec extends AnyFunSuite {
     val diff = t.changesBetween(1L, 2L)
     val rc = withOurConf(diff.queryExecution.optimizedPlan.stats.rowCount)
     assert(rc.forall(_ < BigInt(10000)), s"diff scan inherited stats: $rc")
+    // a DROP + re-ADD of the same NAME with a different type must not
+    // feed the old typed min/max to the planner's decoder (it would
+    // throw during planning); NDV/nulls stay, min/max/hist drop
+    spark.sql(s"ALTER LAKE '$dir' DROP COLUMN v")
+    spark.sql(s"ALTER LAKE '$dir' ADD COLUMN v STRING")
+    val swapped = t.read().filter(col("v").isNotNull)
+    val rcSwap = withOurConf(swapped.queryExecution.optimizedPlan.stats.rowCount)
+    assert(rcSwap.isDefined, "type-swapped column must not break planning")
+    spark.sql(s"ALTER LAKE '$dir' DROP COLUMN v")
+    spark.sql(s"ALTER LAKE '$dir' ADD COLUMN v BIGINT")
+
     // lake_stats TVF surfaces what the planner will use
     val stats = spark.sql(s"SELECT * FROM lake_stats('$dir')").collect()
       .map(r => r.getString(0) -> r).toMap

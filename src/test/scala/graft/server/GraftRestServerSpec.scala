@@ -457,4 +457,56 @@ class GraftRestServerSpec extends AnyFunSuite {
     assert(delete("/catalog/rest_promoted")._1 == 404)
     delete("/catalog/rest_promoted_lake")
   }
+
+  private def postRawAuthed(path: String, body: String,
+                            user: String, pw: String): (Int, String) = {
+    val port = GraftRestServer.port.getOrElse(GraftRestServer.start(spark))
+    val cred = java.util.Base64.getEncoder.encodeToString(s"$user:$pw".getBytes)
+    val req = HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
+      .header("Authorization", s"Basic $cred")
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  test("promotion cannot shadow an existing dataset name without authority over it") {
+    import spark.implicits._
+    import graft.auth.Privileges
+    Privileges.clear()
+    val mine = java.nio.file.Files.createTempDirectory("rest_shadow_eve").toString
+    val shared = java.nio.file.Files.createTempDirectory("rest_shadow_adm").toString
+    Seq((1L, "eve")).toDF("id", "who").write.mode("overwrite").parquet(mine)
+    Seq((1L, "real")).toDF("id", "who").write.mode("overwrite").parquet(shared)
+    try {
+      spark.sql("CREATE USER shadow_admin PASSWORD 'sp' ADMIN")
+      spark.sql("CREATE USER shadow_eve PASSWORD 'ep'")
+      spark.sql("ALTER AUTH ENFORCE ON")
+      spark.sql("AUTHENTICATE USER shadow_admin PASSWORD 'sp'")
+      spark.sql(s"GRANT ALTER ON '$mine' TO USER shadow_eve")
+      // admin promotes the shared dataset name
+      val (ca, ba) = postRawAuthed("/catalog/promote",
+        s"""{"path":"$shared","name":"shadow_ds"}""", "shadow_admin", "sp")
+      assert(ca == 200, ba.take(200))
+      // eve holds ALTER on HER path — but re-pointing the TAKEN name
+      // would hijack everyone's queries: 403 on the name
+      val (ce, be) = postRawAuthed("/catalog/promote",
+        s"""{"path":"$mine","name":"shadow_ds"}""", "shadow_eve", "ep")
+      assert(ce == 403 && be.contains("already exists"), s"$ce ${be.take(200)}")
+      // a FREE name under her own path grant is fine
+      val (cf, bf) = postRawAuthed("/catalog/promote",
+        s"""{"path":"$mine","name":"shadow_eve_ds"}""", "shadow_eve", "ep")
+      assert(cf == 200, bf.take(200))
+      // the admin may re-point the taken name (authority over the name)
+      val (cr, br) = postRawAuthed("/catalog/promote",
+        s"""{"path":"$shared","name":"shadow_ds"}""", "shadow_admin", "sp")
+      assert(cr == 200, br.take(200))
+    } finally {
+      Privileges.clear()
+      spark.conf.unset(Privileges.TokenConf)
+      spark.conf.unset(Privileges.UserConf)
+      delete("/catalog/shadow_ds")
+      delete("/catalog/shadow_eve_ds")
+    }
+  }
 }
