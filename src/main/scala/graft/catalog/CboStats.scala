@@ -142,11 +142,17 @@ object CboStats {
 
   /** Compute + persist stats for a lake table (the ANALYZE LAKE ...
     * COMPUTE STATISTICS body): one profile pass (+ two histogram passes
-    * when requested), one metadata-only commit. Returns the profile. */
+    * when requested), one metadata-only commit. Returns the profile.
+    * `columns` scopes the pass (empty = all); a scoped run MERGES into
+    * the stored map — other columns' stats survive untouched, so a wide
+    * table can maintain stats per key group on different cadences. */
   def analyze(spark: SparkSession, dir: String, withHistogram: Boolean,
-              buckets: Int = 16): DataFrame = {
+              buckets: Int = 16, columns: Seq[String] = Nil): DataFrame = {
     val t = graft.sources.SnapshotTable.forPath(spark, dir)
-    val df = t.read()
+    val full = t.read()
+    val df =
+      if (columns.isEmpty) full
+      else full.select(columns.map(org.apache.spark.sql.functions.col): _*)
     val prof = Statistics.profile(df)
     val rows = prof.collect().map(r =>
       (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),

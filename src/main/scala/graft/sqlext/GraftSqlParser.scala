@@ -330,11 +330,13 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
           splitCols(partBy),
           Option(format).map(_.toUpperCase).getOrElse("ICEBERG"),
           append != null)
-      case AnalyzeLakeRe(dir, compute, hist, _, buckets) =>
+      case AnalyzeLakeRe(dir, forCols, compute, hist, _, buckets) =>
         AnalyzeLakeCommand(dir,
           out("col_name", "n_rows", "n_nulls", "ndv", "min_value", "max_value"),
           persist = compute != null, histogram = hist != null,
-          buckets = Option(buckets).map(_.toInt).getOrElse(16))
+          buckets = Option(buckets).map(_.toInt).getOrElse(16),
+          columns = Option(forCols).map(
+            _.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
       case CopyIntoRe(target, src, fmt, ddl, onError) =>
         CopyIntoCommand(target, src, fmt.toLowerCase,
           ddl, Option(onError).map(_.toLowerCase).getOrElse("continue"))
@@ -679,6 +681,7 @@ object GraftSqlParser {
     """(?is)ROLLBACK\s+LAKE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*;?""".r
   private val AnalyzeLakeRe =
     ("""(?is)ANALYZE\s+LAKE\s+'([^']+)'""" +
+      """(?:\s+FOR\s+COLUMNS\s*\(([^)]*)\))?""" +
       """(\s+COMPUTE\s+STATISTICS(\s+WITH\s+HISTOGRAM(\s+(\d+)\s+BUCKETS)?)?)?\s*;?""").r
   private val CopyIntoRe =
     ("""(?is)COPY\s+INTO\s+'([^']+)'\s+FROM\s+'([^']+)'\s+FORMAT\s+(\w+)\s+""" +
@@ -1966,7 +1969,8 @@ object GraftSqlParser {
     * `services/statistics/StatisticsServiceImpl.java:76`; HLL ndv is the
     * scale path — see catalog.Statistics). */
   case class AnalyzeLakeCommand(dir: String, override val output: Seq[Attribute],
-      persist: Boolean = false, histogram: Boolean = false, buckets: Int = 16)
+      persist: Boolean = false, histogram: Boolean = false, buckets: Int = 16,
+      columns: Seq[String] = Nil)
       extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
       // COMPUTE STATISTICS persists the profile (plus equi-height
@@ -1974,13 +1978,22 @@ object GraftSqlParser {
       // snapshot scans feed it to CBO (see graft.catalog.CboStats) — a
       // table MUTATION (a metadata commit), so it carries the same ALTER
       // gate as SET TBLPROPERTIES; the bare form stays a read-only
-      // profile and needs only SELECT
+      // profile and needs only SELECT. FOR COLUMNS scopes the pass to the
+      // named columns (the reference's column-scoped analyze — a wide
+      // 100 TB table profiles its join/filter keys, not every column);
+      // scoped persistence MERGES with other columns' existing stats.
       val action = if (persist) "alter" else "select"
       graft.auth.Privileges.requireAction(spark, action, dir, "ANALYZE LAKE")
       val prof =
-        if (persist) graft.catalog.CboStats.analyze(spark, dir, histogram, buckets)
-        else graft.catalog.Statistics.profile(
-          graft.sources.SnapshotTable.forPath(spark, dir).read())
+        if (persist)
+          graft.catalog.CboStats.analyze(spark, dir, histogram, buckets, columns)
+        else {
+          val full = graft.sources.SnapshotTable.forPath(spark, dir).read()
+          graft.catalog.Statistics.profile(
+            if (columns.isEmpty) full
+            else full.select(columns.map(
+              org.apache.spark.sql.functions.col): _*))
+        }
       prof.collect().toSeq.map(r => Row(
         r.getString(0), r.getLong(1).toString, r.getLong(2).toString,
         r.getLong(3).toString, r.getString(4), r.getString(5)))

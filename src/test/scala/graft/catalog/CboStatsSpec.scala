@@ -162,6 +162,26 @@ class CboStatsSpec extends AnyFunSuite {
       s"timestamp histogram estimate $hist not within 2x of truth $truth")
   }
 
+  test("FOR COLUMNS scopes the pass; scoped persistence merges, not replaces") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cbo_cols").toString
+    SnapshotTable.create(spark, dir, skewed(5000)
+      .withColumn("w", col("id") * 3))
+    // full analyze, then re-analyze ONLY v with a histogram
+    spark.sql(s"ANALYZE LAKE '$dir' COMPUTE STATISTICS")
+    spark.sql(s"ANALYZE LAKE '$dir' FOR COLUMNS (v) " +
+      "COMPUTE STATISTICS WITH HISTOGRAM 8 BUCKETS")
+    val t = SnapshotTable.forPath(spark, dir)
+    val props = t.properties
+    // v gained its histogram; id and w keep their earlier stats
+    assert(props(CboStats.ColPrefix + "v").contains("\"hist\""))
+    assert(props.contains(CboStats.ColPrefix + "id"))
+    assert(props.contains(CboStats.ColPrefix + "w"))
+    assert(!props(CboStats.ColPrefix + "w").contains("\"hist\""))
+    // the scoped read-only profile reports only the named columns
+    val rows = spark.sql(s"ANALYZE LAKE '$dir' FOR COLUMNS (w, v)").collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("v", "w"))
+  }
+
   test("stats survive the lake round trip and diff scans skip them") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cbo_rt").toString
     SnapshotTable.create(spark, dir, skewed(10000))
