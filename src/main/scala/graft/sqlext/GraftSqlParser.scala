@@ -72,7 +72,11 @@ import graft.streaming.{Pipe, Pipes}
   *   VACUUM LAKE '<dir>' [OLDER_THAN '<ts>'] [RETAIN <n> VERSIONS] [GRACE <ms>]
   *   VACUUM CATALOG '<root>' [OLDER_THAN '<ts>'] [RETAIN <n> VERSIONS] [GRACE <ms>]
   *   SHOW CREATE LAKE '<dir>' [AT BRANCH|TAG <ref>]  -- DDL + layout + head version
-  *   ANALYZE LAKE '<dir>'   -- one-pass column profile (HLL ndv)
+  *   ANALYZE LAKE '<dir>' [FOR COLUMNS (a, b)]
+  *     [COMPUTE STATISTICS [WITH HISTOGRAM [n BUCKETS]]]
+  *     -- one-pass column profile (HLL ndv); COMPUTE STATISTICS persists
+  *     -- row count / NDV / nulls / min-max / equi-height histograms into
+  *     -- TBLPROPERTIES where full-snapshot scans feed Spark CBO
   *   COPY INTO '<targetDir>' FROM '<src>' FORMAT <fmt> SCHEMA '<ddl>'
   *     [ON_ERROR CONTINUE|ABORT]                -- reference CopyIntoTableContext
   */
