@@ -42,6 +42,10 @@ object GraftRestServer {
       val p = srv.getAddress.getPort
       running = Some(srv)
       boundPort = Some(p)
+      // reload the durable promotion registry: a restarted server must
+      // keep serving every promoted dataset (the reference persists
+      // dataset configs in the namespace KV store)
+      loadRegistry(spark)
       p
     }
   }
@@ -52,6 +56,10 @@ object GraftRestServer {
     running.foreach(_.stop(0))
     running = None
     boundPort = None
+    // drop in-memory state so the next start() is a genuine reload from
+    // the durable registry (and a later session can't see stale plans)
+    promotions.clear()
+    promotedPlans.clear()
   }
 
   /** Promoted datasets (reference `CatalogResource.java:60` — format a
@@ -63,14 +71,23 @@ object GraftRestServer {
     * its current snapshot rather than a frozen file list. */
   private val promotions =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
-  /** Per-promotion plan cache: name → (freshness key, DataFrame). Lake
-    * promotions key on the table's current version (so a commit
-    * re-resolves the snapshot); parquet/delta pin the listing taken at
-    * promote time (re-promote to refresh) — re-listing a folder per
-    * request would make every /sql statement pay O(promotions) metadata
-    * I/O whether or not it references them. */
+  /** Per-promotion plan cache keyed by the FULL promotion identity
+    * (name, path, format) → (freshness key, plan). Lake promotions key
+    * on the table's current version (so a commit re-resolves the
+    * snapshot); parquet/delta pin the listing taken at promote time
+    * (re-promote to refresh) — re-listing a folder per request would
+    * make every /sql statement pay O(promotions) metadata I/O whether or
+    * not it references them. Path+format in the KEY is load-bearing: a
+    * re-promote to a different path races concurrent /sql requests
+    * holding the old entry, and a stale name-keyed re-insert would serve
+    * the OLD path's data forever after. */
   private val promotedPlans = new java.util.concurrent.ConcurrentHashMap[
-    String, (Long, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)]()
+    (String, String, String),
+    (Long, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)]()
+
+  /** Drop every cached plan for `name`, whatever path it pointed at. */
+  private def evictPlans(name: String): Unit =
+    promotedPlans.keySet.removeIf(_._1 == name)
 
   /** The promoted dataset's resolved LOGICAL plan (session-independent —
     * a DataFrame binds to its creating session, so caching one would
@@ -81,7 +98,8 @@ object GraftRestServer {
       case "lake" => graft.sources.SnapshotTable.forPath(session, path).latestVersion
       case _ => 0L
     }
-    val cached = promotedPlans.get(name)
+    val key = (name, path, fmt)
+    val cached = promotedPlans.get(key)
     if (cached != null && cached._1 == freshness) cached._2
     else {
       val df = fmt match {
@@ -90,10 +108,70 @@ object GraftRestServer {
         case _ => session.read.parquet(path)
       }
       val plan = df.queryExecution.analyzed
-      promotedPlans.put(name, (freshness, plan))
+      promotedPlans.put(key, (freshness, plan))
       plan
     }
   }
+
+  /** Durable promotion registry: a flat JSON file rewritten on every
+    * promote/unpromote and reloaded by [[start]] — a server restart must
+    * not silently drop promoted datasets (the reference keeps dataset
+    * configs in the namespace KV store, `services/namespace`). Location:
+    * `spark.graft.rest.promotionsFile`, else
+    * `<spark.sql.warehouse.dir>/graft_rest_promotions.json`. Hadoop FS
+    * API throughout, so the registry can live beside the data on any
+    * scheme. */
+  private def registryPath(spark: SparkSession): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.getOption("spark.graft.rest.promotionsFile").getOrElse(
+        spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+          "/graft_rest_promotions.json"))
+
+  private def saveRegistry(spark: SparkSession): Unit =
+    try {
+      val p = registryPath(spark)
+      val fs = p.getFileSystem(org.apache.spark.sql.graft.Bridge.hadoopConf(spark))
+      val items = new java.util.ArrayList[String]()
+      promotions.forEach { (name, pf) =>
+        items.add(s"""{"name":${q(name)},"path":${q(pf._1)},"format":${q(pf._2)}}""")
+        ()
+      }
+      val body = s"""{"promotions":[${String.join(",", items)}]}"""
+      val tmp = new org.apache.hadoop.fs.Path(
+        p.getParent, p.getName + "." + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
+      val os = fs.create(tmp, true)
+      try os.write(body.getBytes(StandardCharsets.UTF_8)) finally os.close()
+      if (fs.exists(p)) fs.delete(p, false)
+      fs.rename(tmp, p)
+      ()
+    } catch {
+      // registry durability is best-effort per request: the promotion is
+      // live in memory either way, and the next successful save rewrites
+      // the full map
+      case _: java.io.IOException => ()
+    }
+
+  private def loadRegistry(spark: SparkSession): Unit =
+    try {
+      val p = registryPath(spark)
+      val fs = p.getFileSystem(org.apache.spark.sql.graft.Bridge.hadoopConf(spark))
+      if (!fs.exists(p)) return
+      val in = fs.open(p)
+      val body = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      promotions.clear()
+      promotedPlans.clear()
+      val obj = """\{"name":"((?:[^"\\]|\\.)*)","path":"((?:[^"\\]|\\.)*)","format":"((?:[^"\\]|\\.)*)"\}""".r
+      obj.findAllMatchIn(body).foreach { m =>
+        val (name, path, fmt) = (unq(m.group(1)), unq(m.group(2)), unq(m.group(3)))
+        promotions.put(name, (path, fmt))
+        // re-register on the server session; a since-deleted folder must
+        // not block startup — it surfaces when queried (applyPromotions
+        // skips it the same way)
+        try promotedDf(spark, name, path, fmt).createOrReplaceTempView(name)
+        catch { case _: Exception => () }
+      }
+    } catch { case _: java.io.IOException => () }
 
   private def promotedDf(session: SparkSession, name: String, path: String,
                          fmt: String): org.apache.spark.sql.DataFrame =
@@ -293,8 +371,18 @@ object GraftRestServer {
           s"dataset '$name' already exists; re-promoting it needs ALTER on the name"))
       else {
         val fmt = jsonField(body, "format").map(_.toLowerCase).getOrElse {
+          // probe via the Hadoop FS API, not java.io.File: a delta table
+          // on a non-local scheme (hdfs, s3a) promoted without an explicit
+          // format must not silently infer parquet and read raw data files
+          // past its delta log
+          def hasDeltaLog: Boolean =
+            try {
+              val dl = new org.apache.hadoop.fs.Path(path, "_delta_log")
+              dl.getFileSystem(org.apache.spark.sql.graft.Bridge.hadoopConf(root))
+                .getFileStatus(dl).isDirectory
+            } catch { case _: java.io.IOException => false }
           if (graft.sources.SnapshotTable.isLakeTable(path)) "lake"
-          else if (new java.io.File(path, "_delta_log").isDirectory) "delta"
+          else if (hasDeltaLog) "delta"
           else "parquet"
         }
         if (!Set("lake", "delta", "parquet")(fmt))
@@ -304,9 +392,10 @@ object GraftRestServer {
             // register eagerly on the server session: validates the path
             // NOW (a bad folder is a 400, not a later query failure) and
             // makes the dataset visible to GET /catalog immediately
-            promotedPlans.remove(name) // a re-promotion must not serve a stale plan
+            evictPlans(name) // a re-promotion must not serve a stale plan
             promotedDf(root, name, path, fmt).createOrReplaceTempView(name)
             promotions.put(name, (path, fmt))
+            saveRegistry(root)
             respond(ex, 200,
               s"""{"name":${q(name)},"path":${q(path)},"format":${q(fmt)}}""")
           } catch {
@@ -327,8 +416,9 @@ object GraftRestServer {
       else if (promotions.remove(name) == null)
         respond(ex, 404, error(s"no promoted dataset named '$name'"))
       else {
-        promotedPlans.remove(name)
+        evictPlans(name)
         root.catalog.dropTempView(name)
+        saveRegistry(root)
         respond(ex, 200, s"""{"name":${q(name)},"dropped":true}""")
       }
     }
@@ -532,6 +622,22 @@ object GraftRestServer {
   private def q(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
+
+  /** Inverse of [[q]]'s escaping for registry reload. */
+  private def unq(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '\\' && i + 1 < s.length) {
+        s(i + 1) match {
+          case 'n' => sb.append('\n'); case 'r' => sb.append('\r')
+          case 't' => sb.append('\t'); case c => sb.append(c)
+        }
+        i += 2
+      } else { sb.append(s(i)); i += 1 }
+    }
+    sb.toString
+  }
 
   private def error(msg: String): String = s"""{"error":${q(msg)}}"""
 

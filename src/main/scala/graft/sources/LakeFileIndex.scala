@@ -87,8 +87,14 @@ final class LakeFileIndex(
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val types: Map[String, DataType] =
       dataSchema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+    // one probe cache per planning pass: IN-list literal sets sort ONCE
+    // and every file's [min,max] range binary-searches them — O(files ·
+    // log keys), not O(files · keys); at 10⁵ state files × 8k-key static
+    // IN filters the naive walk is a hundred-million-comparison stall
+    val cache = new java.util.IdentityHashMap[Expression, AnyRef]()
     val kept = statuses.collect {
-      case (fst, stats) if dataFilters.forall(f => mayMatch(stats, types, f, transforms)) => fst
+      case (fst, stats) if dataFilters.forall(f =>
+        mayMatch(stats, types, f, transforms, cache)) => fst
     }
     Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
   }
@@ -142,14 +148,73 @@ object LakeFileIndex {
     * for freshly written tables. */
   val fsStatusCalls = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Comparisons spent evaluating In/InSet prune checks (diagnostic;
+    * specs pin that the sorted-probe fast path keeps this
+    * O(files · log keys) where the naive per-key walk is O(files · keys)). */
+  val inPruneComparisons = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Pre-sorted IN-list probe, built once per (planning pass, IN
+    * expression) and binary-searched against each file's [min, max]. */
+  private sealed trait InProbe
+  /** Values not rangewise comparable (nulls, dates, mixed types) — keep
+    * every file, exactly like the legacy per-key walk would. */
+  private case object InKeepAll extends InProbe
+  private final case class NumProbe(sorted: Array[BigDecimal]) extends InProbe
+  private final case class StrProbe(sorted: Array[UTF8String]) extends InProbe
+
+  /** Catalyst literal value → probe key, mirroring [[cmp]]'s comparability
+    * rules; None for shapes cmp treats as incomparable (keeps files). */
+  private def probeKey(v: Any, dt: DataType): Option[scala.util.Either[BigDecimal, UTF8String]] =
+    v match {
+      case null => None
+      case s: UTF8String if dt == StringType => Some(scala.util.Right(s))
+      case d: org.apache.spark.sql.types.Decimal => Some(scala.util.Left(d.toBigDecimal))
+      case n @ (_: java.lang.Byte | _: java.lang.Short |
+                _: java.lang.Integer | _: java.lang.Long) =>
+        Some(scala.util.Left(BigDecimal(n.asInstanceOf[java.lang.Number].longValue())))
+      case f: java.lang.Float => Some(scala.util.Left(BigDecimal.decimal(f.floatValue())))
+      case n: java.lang.Number => Some(scala.util.Left(BigDecimal.decimal(n.doubleValue())))
+      case _ => None
+    }
+
+  private def buildProbe(vals: Iterable[(Any, DataType)]): InProbe = {
+    val keys = vals.map { case (v, dt) => probeKey(v, dt) }
+    if (keys.exists(_.isEmpty)) InKeepAll
+    else {
+      val (nums, strs) = keys.flatten.partition(_.isLeft)
+      if (strs.isEmpty) NumProbe(nums.collect { case scala.util.Left(b) => b }.toArray.sorted)
+      else if (nums.isEmpty)
+        StrProbe(strs.collect { case scala.util.Right(s) => s }.toArray.sortWith(_.compareTo(_) < 0))
+      else InKeepAll // mixed numeric/string set — incomparable as a range
+    }
+  }
+
+  /** Does any probe value fall in [lo, hi]? Lower-bound binary search,
+    * counting comparisons into [[inPruneComparisons]]. */
+  private def probeHits[T](sorted: Array[T], lo: T, hi: T,
+                           compare: (T, T) => Int): Boolean = {
+    var l = 0; var r = sorted.length; var steps = 0L
+    while (l < r) {
+      val m = (l + r) >>> 1
+      steps += 1
+      if (compare(sorted(m), lo) < 0) l = m + 1 else r = m
+    }
+    inPruneComparisons.addAndGet(steps + 1)
+    l < sorted.length && compare(sorted(l), hi) <= 0
+  }
+
   /** Can a file with these manifest stats contain a row matching `e`?
     * Returns true unless provably false — every unknown shape keeps the
-    * file (pruning must be a superset of the true result). */
+    * file (pruning must be a superset of the true result). `probeCache`
+    * (one per planning pass) memoizes sorted IN-list probes across the
+    * per-file calls; without one, IN checks fall back to the per-key
+    * walk. */
   private[sources] def mayMatch(
       stats: Map[String, (String, String)],
       types: Map[String, DataType],
       e: Expression,
-      transforms: Seq[PartitionTransform] = Nil): Boolean = {
+      transforms: Seq[PartitionTransform] = Nil,
+      probeCache: java.util.Map[Expression, AnyRef] = null): Boolean = {
 
     def colType(a: AttributeReference): Option[DataType] = types.get(a.name.toLowerCase)
 
@@ -206,11 +271,37 @@ object LakeFileIndex {
     def leCheck(a: AttributeReference, l: Literal, strict: Boolean): Boolean =
       minBelow(a, l, strict) && tLe(a, l)
 
+    // sorted-probe IN check: engages only with a planning-pass cache and
+    // no transform stats on the column (bucket pruning needs the per-key
+    // transform mapping); falls back to the exact per-key walk otherwise
+    def fastIn(a: AttributeReference, key: Expression,
+               vals: => Iterable[(Any, DataType)]): Option[Boolean] = {
+      if (probeCache == null ||
+          transforms.exists(_.srcCol.equalsIgnoreCase(a.name))) None
+      else probeCache.computeIfAbsent(key, _ => buildProbe(vals)) match {
+        case InKeepAll => Some(true)
+        case NumProbe(sorted) =>
+          Some(statBound(a).forall { case (mn, mx) =>
+            (try Some((BigDecimal(mn.trim), BigDecimal(mx.trim)))
+             catch { case _: NumberFormatException => None }) match {
+              case Some((lo, hi)) => probeHits[BigDecimal](sorted, lo, hi, _.compare(_))
+              case None => true
+            }
+          })
+        case StrProbe(sorted) if colType(a).contains(StringType) =>
+          Some(statBound(a).forall { case (mn, mx) =>
+            probeHits[UTF8String](sorted, UTF8String.fromString(mn),
+              UTF8String.fromString(mx), _.compareTo(_))
+          })
+        case _ => Some(true) // string probe on a non-string column: keep
+      }
+    }
+
     e match {
-      case And(l, r) => mayMatch(stats, types, l, transforms) &&
-        mayMatch(stats, types, r, transforms)
-      case Or(l, r) => mayMatch(stats, types, l, transforms) ||
-        mayMatch(stats, types, r, transforms)
+      case And(l, r) => mayMatch(stats, types, l, transforms, probeCache) &&
+        mayMatch(stats, types, r, transforms, probeCache)
+      case Or(l, r) => mayMatch(stats, types, l, transforms, probeCache) ||
+        mayMatch(stats, types, r, transforms, probeCache)
       case EqualTo(a: AttributeReference, l: Literal) => eqCheck(a, l)
       case EqualTo(l: Literal, a: AttributeReference) => eqCheck(a, l)
       case EqualNullSafe(a: AttributeReference, l: Literal) => eqCheck(a, l)
@@ -225,9 +316,18 @@ object LakeFileIndex {
       case LessThan(l: Literal, a: AttributeReference) => geCheck(a, l, strict = true)
       case LessThanOrEqual(l: Literal, a: AttributeReference) => geCheck(a, l, strict = false)
       case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-        vs.exists(v => eqCheck(a, v.asInstanceOf[Literal]))
+        fastIn(a, e, vs.map(l0 => {
+          val l = l0.asInstanceOf[Literal]; (l.value, l.dataType)
+        })).getOrElse(vs.exists { v =>
+          inPruneComparisons.incrementAndGet()
+          eqCheck(a, v.asInstanceOf[Literal])
+        })
       case InSet(a: AttributeReference, vs) =>
-        vs.exists(v => eqCheck(a, Literal.create(v, a.dataType)))
+        fastIn(a, e, vs.toSeq.map(v => (v, a.dataType)))
+          .getOrElse(vs.exists { v =>
+            inPruneComparisons.incrementAndGet()
+            eqCheck(a, Literal.create(v, a.dataType))
+          })
       // LIKE 'p%' — strings with prefix p form the interval [p, succ(p)):
       // keep iff the file's max reaches p AND the min's own |p|-codepoint
       // prefix does not already exceed p

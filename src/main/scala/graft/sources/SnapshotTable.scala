@@ -194,6 +194,19 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     (entries.map(e => (e.path, e.stats)), schema)
   }
 
+  /** Snapshot row count from manifest `__rows` stats alone (zero data
+    * reads); None when any live file predates row-count recording —
+    * callers that need a guaranteed count fall back to `read().count()`.
+    * Sizing decisions (compaction targets, file counts) should prefer
+    * this: at billion-row state a sizing count would cost more than the
+    * operation it sizes. */
+  def manifestRowCount: Option[Long] = {
+    val ns = snapshotWithStats()._1.map(_._2.get(SnapshotTable.RowsStatKey))
+    if (ns.nonEmpty && ns.forall(_.isDefined))
+      scala.util.Try(ns.flatten.map(_._1.toLong).sum).toOption
+    else None
+  }
+
   /** Total data bytes of the current snapshot, from manifest-carried
     * sizes (zero FS calls; legacy files without a recorded size count 0 —
     * this feeds plan ESTIMATES, never results). */
@@ -239,7 +252,8 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
   private def buildScan(files: Seq[(String, Map[String, (String, String)])],
                         schema: StructType,
                         transforms: Seq[PartitionTransform] = Nil,
-                        version: Long = -1L): DataFrame =
+                        version: Long = -1L,
+                        attachStats: Boolean = false): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else {
@@ -289,15 +303,18 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       val rel = HadoopFsRelation(index, new StructType(), schemaN, bucketSpec,
         new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
         Map.empty[String, String])(spark)
-      // Full-snapshot scans (version >= 0: read()/readRef(), not diff or
+      // HEAD-snapshot scans (attachStats: read()/readRef() resolving to
+      // the main log's tip — not time travel, branch-staged state, diff or
       // rewrite subsets) attach persisted ANALYZE stats as a synthetic
       // CatalogTable, which is the channel LogicalRelation.computeStats
       // feeds CBO from: row counts, per-column NDV/nulls/min/max and
       // equi-height histograms drive filter selectivity and join sizing.
       // Estimates only — stale-under-DML by the same contract as the
-      // reference's statistics service.
+      // reference's statistics service. Historical/branch snapshots get
+      // NO stats rather than the head's systematically-wrong ones (the
+      // stored stats describe the snapshot ANALYZE ran on).
       val plan =
-        if (version >= 0)
+        if (version >= 0 && attachStats)
           graft.catalog.CboStats.catalogTableFor(dir, schemaN, properties)
             .map(ct => LogicalRelation(rel, ct))
             .getOrElse(LogicalRelation(rel))
@@ -321,8 +338,12 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
   def read(version: Option[Long] = None, asOfTsMs: Option[Long] = None): DataFrame = {
     val visible = visibleCommits(version, asOfTsMs)
     val (entries, schema, curIds) = replayEntries(visible)
+    // stats attach only when this scan IS the head snapshot (read() with
+    // no pin, or an explicit pin that happens to equal the tip) — time
+    // travel must not inherit the head's cardinalities
     buildMappedScan(entries, schema, curIds, specTransforms(visible),
-      visible.lastOption.map(_.version).getOrElse(0L))
+      visible.lastOption.map(_.version).getOrElse(0L),
+      attachStats = visible.lastOption.exists(_.version == latestVersion))
   }
 
   /** Scan that resolves columns by FIELD ID, not name: files are grouped by
@@ -337,7 +358,8 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
   private def buildMappedScan(entries: Seq[FileEntry], curSchema: StructType,
                               curIds: Map[String, Int],
                               transforms: Seq[PartitionTransform] = Nil,
-                              version: Long = -1L): DataFrame = {
+                              version: Long = -1L,
+                              attachStats: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
     if (entries.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], curSchema)
@@ -366,7 +388,8 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
         // filters pushed into this group's scan reference the group's
         // physical (write-time) names — the same namespace the transform
         // srcCols and stats keys live in
-        val scan = buildScan(fs.map(e => (e.path, e.stats)), physSchema, transforms, version)
+        val scan = buildScan(fs.map(e => (e.path, e.stats)), physSchema, transforms, version,
+          attachStats)
         if (phys == curNames) scan
         else scan.select(phys.zip(curNames).map { case (pn, cn) => col(pn).as(cn) }: _*)
       }
@@ -552,7 +575,11 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
           resolveCond(full, cond) match {
             case Some(resolved) =>
               val types = schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
-              entries.partition(e => LakeFileIndex.mayMatch(e.stats, types, resolved, tfs))
+              // one probe cache across the per-entry walk: IN-heavy DML
+              // predicates sort their key sets once (see LakeFileIndex)
+              val pc = new java.util.IdentityHashMap[
+                org.apache.spark.sql.catalyst.expressions.Expression, AnyRef]()
+              entries.partition(e => LakeFileIndex.mayMatch(e.stats, types, resolved, tfs, pc))
             case None => (entries, Vector.empty[FileEntry])
           }
         case _ => (entries, Vector.empty[FileEntry])
@@ -855,8 +882,12 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     val visible = refLog(getRef(name))
     require(visible.nonEmpty, s"ref '$name' resolves to no commits in $dir")
     val (entries, schema, ids) = replayEntries(visible)
+    // stats attach only when the ref view IS the main head (a tag pinned
+    // at the tip, or a branch with nothing staged) — a staged branch or an
+    // old pin reads a different snapshot than ANALYZE profiled
     buildMappedScan(entries, schema, ids, specTransforms(visible),
-      visible.lastOption.map(_.version).getOrElse(0L))
+      visible.lastOption.map(_.version).getOrElse(0L),
+      attachStats = visible == commits)
   }
 
   /** `INSERT INTO ... AT BRANCH`: append a batch to the branch only. Main
@@ -914,7 +945,11 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
         resolveCond(full, cond) match {
           case Some(resolved) =>
             val types = schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
-            entries.partition(e => LakeFileIndex.mayMatch(e.stats, types, resolved, tfs))
+            // one probe cache across the per-entry walk: IN-heavy DML
+            // predicates sort their key sets once (see LakeFileIndex)
+            val pc = new java.util.IdentityHashMap[
+              org.apache.spark.sql.catalyst.expressions.Expression, AnyRef]()
+            entries.partition(e => LakeFileIndex.mayMatch(e.stats, types, resolved, tfs, pc))
           case None => (entries, Vector.empty[FileEntry])
         }
       case _ => (entries, Vector.empty[FileEntry])
@@ -1000,7 +1035,7 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       if (current == ref.baseVersion) {
         // fast-forward: the branch view IS the merged view
         val (entries, _, endIds) = replayEntries(branchLog)
-        require(entries.forall(_.writeIds == endIds),
+        require(entries.forall(e => SnapshotTable.idCompatible(e.writeIds, endIds)),
           s"branch '$name' spans a column rename; merge after OPTIMIZE or re-stage")
         val rel = entries.map(e => (e.path.stripPrefix(s"$dir/"), e.stats))
         val (effSpec, effStats, effSort) = effectiveLayoutOf(branchLog)
@@ -1037,7 +1072,7 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       : Either[Seq[String], MergePlan] = {
     require(basePrefix.nonEmpty,
       s"branch '$name' fork base v${ref.baseVersion} predates the log in $dir")
-    val (baseEntries, _, _) = replayEntries(basePrefix)
+    val (baseEntries, _, baseIds) = replayEntries(basePrefix)
     val (mainEntries, _, mainIds) = replayEntries(log)
     val (brEntries, _, brIds) = replayEntries(branchLog)
     val basePaths = baseEntries.map(_.path).toSet
@@ -1058,13 +1093,20 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       else if (brDdl == baseDdl || brDdl == mainDdl) Some(mainDdl)
       else { conflicts += ("schema conflict — both sides evolved the " +
         "schema differently since the fork"); None }
-    // column identity must agree (neither side renamed, or both renamed
-    // identically) for the carried files of BOTH sides to map correctly;
-    // checked AFTER the schema rule so a double-evolution reports as the
-    // schema conflict it is, not as a rename
-    if (mergedDdl.isDefined && mainIds != brIds)
-      conflicts += ("main and branch diverge on column identity " +
-        "(a rename since the fork)")
+    // column identity merges by the SAME three-way rule as the DDL: the
+    // side that changed ids since the base wins (a one-sided ADD COLUMN is
+    // a benign id-map change, not a rename conflict); both changing
+    // differently is a genuine divergence. Checked AFTER the schema rule
+    // so a double-evolution reports as the schema conflict it is.
+    val mergedIds: Option[Map[String, Int]] =
+      if (mainIds == baseIds) Some(brIds)
+      else if (brIds == baseIds || brIds == mainIds) Some(mainIds)
+      else {
+        if (mergedDdl.isDefined)
+          conflicts += ("main and branch diverge on column identity " +
+            "(both sides renamed/added/dropped columns since the fork)")
+        None
+      }
     def layoutOf(l: Seq[LakeCommit]) = effectiveLayoutOf(l)
     val (baseLay, mainLay, brLay) = (layoutOf(basePrefix), layoutOf(log), layoutOf(branchLog))
     val mergedLay =
@@ -1077,11 +1119,15 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     // main's). Each entry carries its own manifest stats.
     val merged = mainEntries.filterNot(e => brRemoved.contains(e.path)) ++
       brEntries.filterNot(e => basePaths.contains(e.path))
-    if (!merged.forall(_.writeIds == brIds))
+    // every carried file must map correctly under the FLATTENED merged id
+    // map the overwrite commit records — a spanning rename breaks that
+    // (an added-after-write column reading NULL is the normal contract)
+    if (mergedIds.exists(m => !merged.forall(e =>
+        SnapshotTable.idCompatible(e.writeIds, m))))
       conflicts += s"branch '$name' spans a column rename; merge after OPTIMIZE"
     val cs = conflicts.result()
     if (cs.nonEmpty) Left(cs)
-    else Right(MergePlan(merged, mergedDdl.get, brIds, mergedLay.get))
+    else Right(MergePlan(merged, mergedDdl.get, mergedIds.get, mergedLay.get))
   }
 
   private def threeWayMerge(name: String, ref: SnapshotTable.LakeRef,
@@ -2087,6 +2133,22 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
 
 object SnapshotTable {
   val LogDirName = "_graft_log"
+
+  /** Can files written under id map `w` be carried into a FLATTENED
+    * commit (merge/fast-forward overwrite) recording id map `m`? Safe iff
+    * no id changed NAME between the maps (a spanning rename would read
+    * NULL where the data lives under the old physical name) and no name
+    * was reused for a DIFFERENT id (retired data must not resurface). A
+    * column added after the file was written (name only in `m`) reads
+    * NULL through the parquet missing-column path — the normal schema-
+    * evolution contract, not a conflict. */
+  private[sources] def idCompatible(w: Map[String, Int],
+                                    m: Map[String, Int]): Boolean = {
+    val wById = w.map(_.swap)
+    m.forall { case (n, id) =>
+      wById.get(id).forall(_ == n) && w.get(n).forall(_ == id)
+    }
+  }
   /** "Clear this sticky layout field for future writes" marker (SET
     * PARTITION SPEC () / SET SORT ORDER ()): the sticky-layout resolver
     * maps a field that is exactly this to Nil, and the lenient

@@ -102,6 +102,11 @@ object StreamingDedup {
     // pruning pays when the state is many files; below the floor the
     // key-collect + IN-fold costs more plan time than the read it saves
     if (state.snapshotWithStats()._1.size < minStateFiles) return base
+    // cheap overflow gate BEFORE the distinct+collect: band rows (a plain
+    // count on the cached batch, no shuffle) upper-bound the distinct band
+    // keys, so a bulk backfill skips straight to the full scan instead of
+    // paying a distinct over millions of rows only to discard its result
+    if (batchBands.count() > maxPruneKeys) return base
     val keys = batchBands.select(col("bh")).distinct()
       .limit(maxPruneKeys + 1).collect().map(_.getLong(0))
     if (keys.isEmpty) base.limit(0)
@@ -234,8 +239,12 @@ object StreamingDedup {
             batchId % compactStateEvery == 0) {
           val st = SnapshotTable.forPath(spark, stateDir)
           if (st.latestVersion > 0) {
-            // target ~500k band rows per file, same sizing as the appends
-            val rows = st.read().count()
+            // target ~500k band rows per file, same sizing as the appends;
+            // sized from manifest row counts — at billion-row state a
+            // sizing scan would cost more than the compaction it sizes
+            // (dedup state files always record __rows, so the count()
+            // fallback only fires on a foreign-written state table)
+            val rows = st.manifestRowCount.getOrElse(st.read().count())
             st.compactSorted(Seq("bh"),
               numFiles = math.max(1, math.ceil(rows / 500000.0).toInt))
           }

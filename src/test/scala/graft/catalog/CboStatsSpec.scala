@@ -182,6 +182,33 @@ class CboStatsSpec extends AnyFunSuite {
     assert(rows.map(_.getString(0)).sorted.toSeq == Seq("v", "w"))
   }
 
+  test("time-travel and branch-staged scans do not inherit head stats") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cbo_tt").toString
+    SnapshotTable.create(spark, dir, skewed(10000)) // v1
+    val t = SnapshotTable.forPath(spark, dir)
+    t.append(skewed(30000)) // v2 — head now 40000 rows
+    spark.sql(s"ANALYZE LAKE '$dir' COMPUTE STATISTICS")
+    def rc(df: org.apache.spark.sql.DataFrame): Option[BigInt] =
+      withOurConf(df.queryExecution.optimizedPlan.stats.rowCount)
+    // head scan (and an explicit pin AT the head — note ANALYZE itself
+    // commits the props, so the head moved past v2) carries the count
+    assert(rc(t.read()).contains(BigInt(40000)))
+    assert(rc(t.asOf(t.latestVersion)).contains(BigInt(40000)))
+    // VERSION AS OF an older snapshot describes 10000 rows — the head's
+    // 40000-row stats must NOT attach (systematically wrong cardinality)
+    assert(rc(t.asOf(1L)).forall(_ != BigInt(40000)),
+      s"time travel inherited head stats: ${rc(t.asOf(1L))}")
+    // a branch with staged commits reads a different snapshot too
+    t.createBranch("staged")
+    t.appendToBranch("staged", skewed(5))
+    assert(rc(t.readRef("staged")).forall(_ != BigInt(40000)),
+      s"branch scan inherited head stats: ${rc(t.readRef("staged"))}")
+    // but a tag pinned AT the tip IS the head snapshot — stats apply
+    t.createTag("tip")
+    assert(rc(t.readRef("tip")).contains(BigInt(40000)))
+    t.dropRef("staged"); t.dropRef("tip")
+  }
+
   test("stats survive the lake round trip and diff scans skip them") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cbo_rt").toString
     SnapshotTable.create(spark, dir, skewed(10000))

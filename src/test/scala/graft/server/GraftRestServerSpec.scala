@@ -458,6 +458,38 @@ class GraftRestServerSpec extends AnyFunSuite {
     delete("/catalog/rest_promoted_lake")
   }
 
+  test("promotions survive a server restart via the durable registry") {
+    import spark.implicits._
+    val reg = java.nio.file.Files.createTempDirectory("rest_reg").toString +
+      "/promotions.json"
+    val data = java.nio.file.Files.createTempDirectory("rest_durable").toString
+    Seq((1L, "keep")).toDF("id", "v").write.mode("overwrite").parquet(data)
+    spark.conf.set("spark.graft.rest.promotionsFile", reg)
+    try {
+      GraftRestServer.stop() // fresh start under the conf'd registry path
+      val (c1, b1) = postRaw("/catalog/promote",
+        s"""{"path":"$data","name":"durable_ds"}""")
+      assert(c1 == 200, b1.take(200))
+      assert(new java.io.File(reg).exists,
+        "registry file must be written on promote")
+      // full restart: stop() drops ALL in-memory promotion state, so the
+      // dataset can only come back through the registry reload
+      GraftRestServer.stop()
+      GraftRestServer.start(spark)
+      val (c2, b2) = post("""{"sql":"SELECT v FROM durable_ds"}""")
+      assert(c2 == 200 && b2.contains("\"v\":\"keep\""), b2.take(300))
+      // unpromote persists the removal — a further restart must not
+      // resurrect the dataset
+      assert(delete("/catalog/durable_ds")._1 == 200)
+      GraftRestServer.stop()
+      GraftRestServer.start(spark)
+      assert(post("""{"sql":"SELECT v FROM durable_ds"}""")._2.contains("error"))
+    } finally {
+      spark.conf.unset("spark.graft.rest.promotionsFile")
+      delete("/catalog/durable_ds")
+    }
+  }
+
   private def postRawAuthed(path: String, body: String,
                             user: String, pw: String): (Int, String) = {
     val port = GraftRestServer.port.getOrElse(GraftRestServer.start(spark))

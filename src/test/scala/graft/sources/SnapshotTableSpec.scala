@@ -448,6 +448,37 @@ class SnapshotTableSpec extends AnyFunSuite {
     t.dropRef("schemad")
   }
 
+  test("three-way MERGE BRANCH: one-sided ADD COLUMN merges; it is not a rename conflict") {
+    val dir = fresh("lake_merge_addcol")
+    val t = SnapshotTable.create(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "src"))
+    // branch stages a same-schema append; MAIN adds a column via a
+    // widened append — a benign one-sided id-map change that the schema
+    // three-way rule lets win, and must not refuse as a "rename"
+    t.createBranch("feed")
+    t.appendToBranch("feed", Seq((10L, "staged")).toDF("id", "src"))
+    t.append(Seq((3L, "m", 7.5)).toDF("id", "src", "extra"))
+    t.mergeBranch("feed")
+    val m = t.read()
+    assert(m.count() == 4L)
+    assert(m.columns.toSeq == Seq("id", "src", "extra"))
+    assert(m.filter($"id" === 10L).head().isNullAt(2),
+      "pre-add files must read NULL for the added column")
+    assert(m.filter($"id" === 3L).head().getDouble(2) == 7.5)
+
+    // mirror: the BRANCH adds a column, main appends current-schema rows
+    t.createBranch("wide")
+    t.appendToBranch("wide", Seq((20L, "w", 1.0, true)).toDF("id", "src", "extra", "flag"))
+    t.append(Seq((4L, "m2", 2.0)).toDF("id", "src", "extra"))
+    t.mergeBranch("wide")
+    val m2 = t.read()
+    assert(m2.columns.toSeq == Seq("id", "src", "extra", "flag"))
+    assert(m2.count() == 6L)
+    assert(m2.filter($"id" === 20L).head().getBoolean(3))
+    assert(m2.filter($"id" === 4L).head().isNullAt(3),
+      "main's post-fork file must read NULL for the branch-added column")
+  }
+
   test("ALTER BRANCH|TAG ASSIGN repoints refs; branch staged commits are discarded") {
     val dir = fresh("lake_assign")
     val t = SnapshotTable.create(spark, dir,
@@ -673,6 +704,48 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(explained.contains("GreaterThanOrEqual(id,110)") &&
       explained.contains("LessThanOrEqual(id,120)"),
       s"range not pushed to parquet:\n$explained")
+  }
+
+  test("IN-list pruning binary-searches sorted keys: O(files·log keys) plan time, exact result") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In, Literal}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    // 20k synthetic manifest entries with disjoint [lo, hi] ranges (the
+    // post-re-clustering streaming-dedup state shape) — no real files
+    // needed, listFiles is pure in-memory manifest filtering
+    val nFiles = 20000
+    val files = (0 until nFiles).map { i =>
+      val lo = i * 100L
+      (s"/graft-fake/data-$i.parquet", Map(
+        "bh" -> (lo.toString, (lo + 99L).toString),
+        SnapshotTable.BytesStatKey -> ("1000", "0")))
+    }
+    val idx = new LakeFileIndex(spark, "/graft-fake", files,
+      StructType(Seq(StructField("bh", LongType))))
+    // 8192-key IN filter; key k targets file 16k (keys past the last file
+    // hit nothing), so exactly ceil(20000/16) = 1250 files survive
+    val keys: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      (0 until 8192).map(k => Literal(k * 1600L + 5L))
+    val filter = In(AttributeReference("bh", LongType)(), keys)
+    val before = LakeFileIndex.inPruneComparisons.get()
+    val kept = idx.listFiles(Nil, Seq(filter)).head.files
+    val comparisons = LakeFileIndex.inPruneComparisons.get() - before
+    assert(kept.length == 1250, s"kept ${kept.length} files")
+    // naive walk = files·keys = 164M comparisons; sorted-probe fast path
+    // = files·(log2(8192)+1) ≈ 300k (bound is generous: the counter is
+    // shared, parallel suites may add noise)
+    assert(comparisons < 2000000L,
+      s"IN prune walk cost $comparisons comparisons — fast path not engaged")
+    // parity with the per-key reference walk on a sample of files
+    files.take(512).foreach { case (_, st) =>
+      val types = Map("bh" -> (LongType: org.apache.spark.sql.types.DataType))
+      val fast = {
+        val c = new java.util.IdentityHashMap[
+          org.apache.spark.sql.catalyst.expressions.Expression, AnyRef]()
+        LakeFileIndex.mayMatch(st, types, filter, Nil, c)
+      }
+      val slow = LakeFileIndex.mayMatch(st, types, filter, Nil, null)
+      assert(fast == slow, s"fast/slow prune disagree on $st")
+    }
   }
 
   test("plain SQL WHERE over a lake view prunes files from manifest stats") {
