@@ -300,33 +300,156 @@ object LlmQueries {
                                  CAST(b.embedding AS DOUBLE[])) >= 0.4
     ORDER BY a_id, b_id"""
 
+  // ----- in-order double-fold SQL fragments (DuckDB list_reduce IS a
+  // strict left fold — unlike list_sum/list_inner_product, whose block
+  // accumulation diverges from sequential IEEE addition at 1 ulp — so
+  // these replay DotProduct/CosineSimilarityD bit-for-bit) -----
+  private def drDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(generate_series(1, len($a)), " +
+      s"i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+  private def drNsq(a: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform($a, x -> x * x)), (acc, x) -> acc + x)"
+  private def drCos(a: String, b: String): String =
+    s"(CASE WHEN ${drNsq(a)} = 0.0 OR ${drNsq(b)} = 0.0 THEN 0.0 " +
+      s"ELSE ${drDot(a, b)} / (sqrt(${drNsq(a)}) * sqrt(${drNsq(b)})) END)"
+
+  /** Label-bucketed IVF ANN under a FULL oracle: double-precision scoring
+    * (in-order accumulation) makes ids, ranks AND the cosines themselves
+    * bit-identical to the DuckDB fold replay. */
   val annIvf: QueryFn = (s, dir) => {
     val e = Tables.ensure(s, dir).embeddings
-    Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), k = 10)
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), k = 10, doublePrec = true)
       .orderBy(col("q_id"), col("rk"))
   }
+  val annIvfSql: String = s"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT label, vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+    s AS (SELECT q.label, q_id, e.vec_id AS c_id, ${drCos("q.qv", "e.v")} AS cos
+          FROM e JOIN q USING (label) WHERE e.vec_id <> q.q_id),
+    r AS (SELECT label, q_id, c_id, cos,
+            row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM s)
+    SELECT q_id, label, c_id, cos, CAST(rk AS INT) AS rk FROM r WHERE rk <= 10
+    ORDER BY q_id, rk"""
 
-  /** PQ-compressed ANN (no oracle: codebook k-means argmins are
-    * engine-specific floats; recall vs brute force + code determinism are
-    * pinned in SimilaritySpec). m=8 blocks × 32 centroids: the corpus
-    * resides as 8 codes instead of 64 floats — 32× compression, the
-    * billion-scale IVF-PQ layout. */
+  /** PQ-compressed ANN under a FULL oracle (r13): the codebook is FIXED
+    * to data slices — block b, centroid j = block b of the vector with
+    * the j-th smallest id ([[Similarity.pqCodebookFixed]]) — and every
+    * arithmetic step (|c|²−2x·c encode argmin, reconstruction, cosine)
+    * runs as in-order IEEE-double folds, so DuckDB rebuilds the codebook
+    * from the raw table and replays codes, reconstructions, cosines and
+    * ranks bit-for-bit. m=8 blocks × 32 centroids: the corpus resides as
+    * 8 codes instead of 64 floats — 32× compression, the billion-scale
+    * IVF-PQ layout. The TRAINED-codebook path (k-means Lloyd) stays
+    * pinned by recall floors + determinism in SimilaritySpec. */
   val annPq: QueryFn = (s, dir) => {
     val e = Tables.ensure(s, dir).embeddings
-    Similarity.pqTopK(e, e.filter(col("vec_id") < 5), k = 10, m = 8, ksub = 32)
+    val cb = Similarity.pqCodebookFixed(e, m = 8, ksub = 32)
+    Similarity.pqTopK(e, e.filter(col("vec_id") < 5), k = 10, m = 8, ksub = 32,
+      codebook0 = Some(cb), doublePrec = true)
       .orderBy(col("q_id"), col("rk"))
   }
+  val annPqSql: String = {
+    val bdot = "list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8), " +
+      "i -> ev.v[c.b*8 + i] * c.c[i])), (acc, x) -> acc + x)"
+    s"""
+    WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    blk AS (SELECT b FROM generate_series(0, 7) t(b)),
+    cents AS (SELECT blk.b, CAST(e.vec_id AS INT) AS j,
+                e.v[blk.b*8+1 : blk.b*8+8] AS c
+              FROM ev e CROSS JOIN blk WHERE e.vec_id < 32),
+    d AS (SELECT ev.vec_id, c.b, c.j, ${drNsq("c.c")} - 2.0 * $bdot AS dist
+          FROM ev CROSS JOIN cents c),
+    codes AS (SELECT vec_id, b, j FROM (
+        SELECT vec_id, b, j,
+          row_number() OVER (PARTITION BY vec_id, b ORDER BY dist, j) AS rn FROM d) t
+      WHERE rn = 1),
+    rec AS (SELECT codes.vec_id, flatten(list(cents.c ORDER BY codes.b)) AS rv
+            FROM codes JOIN cents ON cents.b = codes.b AND cents.j = codes.j
+            GROUP BY codes.vec_id),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM ev WHERE vec_id < 5),
+    s AS (SELECT q_id, r.vec_id AS c_id, ${drCos("q.qv", "r.rv")} AS cos
+          FROM rec r CROSS JOIN q WHERE r.vec_id <> q.q_id),
+    rk AS (SELECT q_id, c_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM s)
+    SELECT q_id, c_id, cos, CAST(rk AS INT) AS rk FROM rk WHERE rk <= 10
+    ORDER BY q_id, rk"""
+  }
 
-  /** IVF-PQ with ADC scoring (no oracle: k-means + codebook argmins are
-    * engine-specific floats; ADC ≡ reconstruction equality and recall vs
-    * brute force are pinned in SimilaritySpec). The corpus crosses the
-    * bucket join as (bucket, 8 codes, |x̂|²) — no fp32 vectors — and each
-    * candidate scores in m lookups via the codegen'd pq_adc_dot kernel. */
+  /** IVF-PQ with ADC scoring under a FULL oracle (r13): coarse centroids
+    * FIXED to the 16 lowest-id vectors, PQ codebook FIXED to data slices,
+    * coarse assignment in double-precision cosines — so bucket argmax,
+    * probe sets, codes, the per-query LUTs, the ADC sums (sequential over
+    * blocks, exactly [[graft.functions.Functions.pq_adc_dot]]'s loop) and
+    * the final cosines all replay in DuckDB as in-order double folds. The
+    * corpus crosses the bucket join as (bucket, 8 codes, |x̂|²) — no fp32
+    * vectors — and each candidate scores in m lookups via the codegen'd
+    * pq_adc_dot kernel. Trained path: SimilaritySpec. */
   val annIvfPq: QueryFn = (s, dir) => {
     val e = Tables.ensure(s, dir).embeddings
+    val cents = e.filter(col("vec_id") < 16).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
+    val cb = Similarity.pqCodebookFixed(e, m = 8, ksub = 32)
     Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 5), k = 10,
-      nClusters = 16, nProbe = 4, m = 8, ksub = 32)
+      nClusters = 16, nProbe = 4, m = 8, ksub = 32,
+      coarse0 = Some(cents), codebook0 = Some(cb), doublePrec = true)
       .orderBy(col("q_id"), col("rk"))
+  }
+  val annIvfPqSql: String = {
+    val bdot = "list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8), " +
+      "i -> ev.v[c.b*8 + i] * c.c[i])), (acc, x) -> acc + x)"
+    val qbdot = "list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8), " +
+      "i -> q.qv[c.b*8 + i] * c.c[i])), (acc, x) -> acc + x)"
+    s"""
+    WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    blk AS (SELECT b FROM generate_series(0, 7) t(b)),
+    cents AS (SELECT blk.b, CAST(e.vec_id AS INT) AS j,
+                e.v[blk.b*8+1 : blk.b*8+8] AS c,
+                ${drNsq("e.v[blk.b*8+1 : blk.b*8+8]")} AS cn
+              FROM ev e CROSS JOIN blk WHERE e.vec_id < 32),
+    coarse AS (SELECT CAST(vec_id AS INT) AS bucket, v AS cv FROM ev WHERE vec_id < 16),
+    casg AS (SELECT ev.vec_id, co.bucket,
+               row_number() OVER (PARTITION BY ev.vec_id
+                 ORDER BY ${drCos("ev.v", "co.cv")} DESC, co.bucket) AS rn
+             FROM ev CROSS JOIN coarse co),
+    cbk AS (SELECT vec_id, bucket FROM casg WHERE rn = 1),
+    d AS (SELECT ev.vec_id, c.b, c.j, c.cn - 2.0 * $bdot AS dist
+          FROM ev CROSS JOIN cents c),
+    codes AS (SELECT vec_id, b, j FROM (
+        SELECT vec_id, b, j,
+          row_number() OVER (PARTITION BY vec_id, b ORDER BY dist, j) AS rn FROM d) t
+      WHERE rn = 1),
+    xn AS (SELECT codes.vec_id,
+             list_reduce(list_prepend(0.0, list(cents.cn ORDER BY codes.b)),
+               (acc, x) -> acc + x) AS xnormsq
+           FROM codes JOIN cents ON cents.b = codes.b AND cents.j = codes.j
+           GROUP BY codes.vec_id),
+    q AS (SELECT vec_id AS q_id, v AS qv, sqrt(${drNsq("v")}) AS qnorm
+          FROM ev WHERE vec_id < 5),
+    qp AS (SELECT q.q_id, co.bucket,
+             row_number() OVER (PARTITION BY q.q_id
+               ORDER BY ${drCos("q.qv", "co.cv")} DESC, co.bucket) AS rn
+           FROM q CROSS JOIN coarse co),
+    probe AS (SELECT q_id, bucket FROM qp WHERE rn <= 4),
+    lut AS (SELECT q.q_id, c.b, c.j, $qbdot AS lv FROM q CROSS JOIN cents c),
+    cand AS (SELECT DISTINCT p.q_id, cb2.vec_id AS c_id
+             FROM probe p JOIN cbk cb2 ON cb2.bucket = p.bucket
+             WHERE cb2.vec_id <> p.q_id),
+    adc AS (SELECT cand.q_id, cand.c_id,
+              list_reduce(list_prepend(0.0, list(lut.lv ORDER BY codes.b)),
+                (acc, x) -> acc + x) AS adcv
+            FROM cand JOIN codes ON codes.vec_id = cand.c_id
+                      JOIN lut ON lut.q_id = cand.q_id AND lut.b = codes.b
+                               AND lut.j = codes.j
+            GROUP BY cand.q_id, cand.c_id),
+    s AS (SELECT adc.q_id, adc.c_id,
+            CASE WHEN q.qnorm = 0.0 OR xn.xnormsq <= 0.0 THEN 0.0
+                 ELSE adc.adcv / (q.qnorm * sqrt(xn.xnormsq)) END AS cos
+          FROM adc JOIN q ON q.q_id = adc.q_id JOIN xn ON xn.vec_id = adc.c_id),
+    rk AS (SELECT q_id, c_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM s)
+    SELECT q_id, c_id, cos, CAST(rk AS INT) AS rk FROM rk WHERE rk <= 10
+    ORDER BY q_id, rk"""
   }
 
   /** IVF bucket-restricted ANN identity under an oracle (adjacent-rank
@@ -1638,18 +1761,84 @@ object LlmQueries {
     SELECT q_id, c_id, CAST(rk AS INT) AS rk FROM r WHERE rk <= 10
     ORDER BY q_id, rk"""
 
-  /** Persisted IVF-PQ index (the 64× residency tier of [[VectorIndex]]):
-    * built to disk — centroids + per-block codebook + m-code postings —
-    * then served with ADC scoring entirely from the persisted artifacts
-    * (no oracle: the PQ codebook is driver-trained k-means; recall floor
-    * + pruning + serve-from-disk identity pinned in VectorIndexSpec). */
+  /** Persisted IVF-PQ index (the 64× residency tier of [[VectorIndex]])
+    * under a FULL oracle (r13): coarse quantizer FIXED to the first four
+    * corpus vectors (the VectorIndex.build contract annIndexPersisted
+    * already uses) and the codebook FIXED to data slices, so every
+    * persisted artifact is reproducible from the raw table — floats
+    * round-trip parquet exactly — and DuckDB replays assignment (argmax
+    * centroid cosine, the annIndexPersisted margin argument), codes, ADC
+    * sums and ranks. Output is ids+ranks; the cos stays internal. The
+    * TRAINED build keeps its recall floor + serve-from-disk identity in
+    * VectorIndexSpec. */
   val annIndexPqPersisted: QueryFn = (s, dir) => {
     val e = Tables.ensure(s, dir).embeddings
     val idx = graft.queries.Lake.scratchDir("llm_vec_index_pq")
-    VectorIndex.buildPq(e, idx, nClusters = 4, m = 4, ksub = 16, iters = 2)
+    val cents = e.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
+    val cb = Similarity.pqCodebookFixed(e, m = 4, ksub = 16)
+    VectorIndex.buildPq(e, idx, m = 4, ksub = 16,
+      centroids = Some(cents), codebook = Some(cb))
     VectorIndex.searchPq(s, idx, e.filter(col("vec_id") < 5), k = 10, nProbe = 2)
       .select(col("q_id"), col("c_id"), col("rk"))
       .orderBy(col("q_id"), col("rk"))
+  }
+  val annIndexPqPersistedSql: String = {
+    val bdot = "list_reduce(list_prepend(0.0, list_transform(generate_series(1, 16), " +
+      "i -> ev.v[c.b*16 + i] * c.c[i])), (acc, x) -> acc + x)"
+    val qbdot = "list_reduce(list_prepend(0.0, list_transform(generate_series(1, 16), " +
+      "i -> q.qv[c.b*16 + i] * c.c[i])), (acc, x) -> acc + x)"
+    s"""
+    WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    blk AS (SELECT b FROM generate_series(0, 3) t(b)),
+    cents AS (SELECT blk.b, CAST(e.vec_id AS INT) AS j,
+                e.v[blk.b*16+1 : blk.b*16+16] AS c,
+                ${drNsq("e.v[blk.b*16+1 : blk.b*16+16]")} AS cn
+              FROM ev e CROSS JOIN blk WHERE e.vec_id < 16),
+    coarse AS (SELECT CAST(vec_id AS INT) AS bucket, v AS cv FROM ev WHERE vec_id < 4),
+    casg AS (SELECT ev.vec_id, co.bucket,
+               row_number() OVER (PARTITION BY ev.vec_id
+                 ORDER BY ${drCos("ev.v", "co.cv")} DESC, co.bucket) AS rn
+             FROM ev CROSS JOIN coarse co),
+    cbk AS (SELECT vec_id, bucket FROM casg WHERE rn = 1),
+    d AS (SELECT ev.vec_id, c.b, c.j, c.cn - 2.0 * $bdot AS dist
+          FROM ev CROSS JOIN cents c),
+    codes AS (SELECT vec_id, b, j FROM (
+        SELECT vec_id, b, j,
+          row_number() OVER (PARTITION BY vec_id, b ORDER BY dist, j) AS rn FROM d) t
+      WHERE rn = 1),
+    xn AS (SELECT codes.vec_id,
+             list_reduce(list_prepend(0.0, list(cents.cn ORDER BY codes.b)),
+               (acc, x) -> acc + x) AS xnormsq
+           FROM codes JOIN cents ON cents.b = codes.b AND cents.j = codes.j
+           GROUP BY codes.vec_id),
+    q AS (SELECT vec_id AS q_id, v AS qv, sqrt(${drNsq("v")}) AS qnorm
+          FROM ev WHERE vec_id < 5),
+    qp AS (SELECT q.q_id, co.bucket,
+             row_number() OVER (PARTITION BY q.q_id
+               ORDER BY ${drCos("q.qv", "co.cv")} DESC, co.bucket) AS rn
+           FROM q CROSS JOIN coarse co),
+    probe AS (SELECT q_id, bucket FROM qp WHERE rn <= 2),
+    lut AS (SELECT q.q_id, c.b, c.j, $qbdot AS lv FROM q CROSS JOIN cents c),
+    cand AS (SELECT DISTINCT p.q_id, cb2.vec_id AS c_id
+             FROM probe p JOIN cbk cb2 ON cb2.bucket = p.bucket
+             WHERE cb2.vec_id <> p.q_id),
+    adc AS (SELECT cand.q_id, cand.c_id,
+              list_reduce(list_prepend(0.0, list(lut.lv ORDER BY codes.b)),
+                (acc, x) -> acc + x) AS adcv
+            FROM cand JOIN codes ON codes.vec_id = cand.c_id
+                      JOIN lut ON lut.q_id = cand.q_id AND lut.b = codes.b
+                               AND lut.j = codes.j
+            GROUP BY cand.q_id, cand.c_id),
+    s AS (SELECT adc.q_id, adc.c_id,
+            CASE WHEN q.qnorm = 0.0 OR xn.xnormsq <= 0.0 THEN 0.0
+                 ELSE adc.adcv / (q.qnorm * sqrt(xn.xnormsq)) END AS cos
+          FROM adc JOIN q ON q.q_id = adc.q_id JOIN xn ON xn.vec_id = adc.c_id),
+    rk AS (SELECT q_id, c_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM s)
+    SELECT q_id, c_id, CAST(rk AS INT) AS rk FROM rk WHERE rk <= 10
+    ORDER BY q_id, rk"""
   }
 
   /** SemDeDup survivors under a FULL oracle: the coarse quantizer is
@@ -2769,6 +2958,10 @@ object LlmQueries {
     "dedup_streaming_admit" -> dedupStreamingAdmitSql,
     "ann_quantized_ids" -> annQuantizedIdsSql,
     "ann_index_persisted" -> annIndexPersistedSql,
+    "ann_ivf_label" -> annIvfSql,
+    "ann_pq" -> annPqSql,
+    "ann_ivf_pq" -> annIvfPqSql,
+    "ann_index_pq_persisted" -> annIndexPqPersistedSql,
     "text_charclass" -> textCharclassSql,
     "url_filter" -> urlFilterSql,
     "bpe_char_tokens" -> bpeCharTokensSql,

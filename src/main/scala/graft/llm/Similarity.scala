@@ -320,12 +320,20 @@ object Similarity {
       transform(col("q_codes"),
         c => (c.cast("double") + 128.0) * col("q_scale") + col("q_min")))
 
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
-    val q = queries.select(col("label"), col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    val c = corpus.select(col("label"), col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+              doublePrec: Boolean = false): DataFrame = {
+    // doublePrec mirrors bruteForceTopK: in-order double accumulation
+    // makes ids, ranks AND the cosine values externally replayable
+    def vec(c: Column) = if (doublePrec) c.cast("array<double>") else c
+    val q = queries.select(col("label"), col("vec_id").as("q_id"),
+      vec(col("embedding")).as("q_vec"))
+    val c = corpus.select(col("label"), col("vec_id").as("c_id"),
+      vec(col("embedding")).as("c_vec"))
     val scored = c.join(broadcast(q), Seq("label"))
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("cos", Functions.cosine_sim(col("q_vec"), col("c_vec")))
+      .withColumn("cos",
+        if (doublePrec) Functions.cosine_sim_d(col("q_vec"), col("c_vec"))
+        else Functions.cosine_sim(col("q_vec"), col("c_vec")))
       .select(col("q_id"), col("label"), col("c_id"), col("cos"))
     rankTopK(scored, k)
   }
@@ -390,6 +398,27 @@ object Similarity {
     cents.map(_.map(_.toSeq).toSeq).toSeq
   }
 
+  /** Deterministic DATA-SLICE PQ codebook: block b's centroid j is the
+    * b-th block of the corpus vector with the j-th smallest id — no
+    * k-means, no sample ordering, so an EXTERNAL engine can rebuild the
+    * identical codebook from the raw table and replay encode + scoring in
+    * IEEE doubles (the oracle trick that graduated cluster_documents /
+    * decontaminate_semantic: fix the trained artifact to a reproducible
+    * slice of the data). Quality is below a trained codebook — this is
+    * the verification path; production uses [[pqCodebook]]. */
+  def pqCodebookFixed(corpus: DataFrame, m: Int, ksub: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Seq[Seq[Seq[Float]]] = {
+    val rows = corpus.orderBy(col(idCol)).limit(ksub)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
+    require(rows.length == ksub, s"corpus has fewer than ksub=$ksub vectors")
+    val dim = rows.head.length
+    require(dim % m == 0, s"embedding dim $dim must divide into $m blocks")
+    val dsub = dim / m
+    (0 until m).map(b =>
+      (0 until ksub).map(j => rows(j).slice(b * dsub, (b + 1) * dsub).toSeq))
+  }
+
   /** Encode each vector as m sub-space centroid indices — m small codes
     * instead of dim floats (dim=64, m=4, ksub≤256: 4 bytes vs 256, a 64×
     * corpus-residency cut; the compression step of IVF-PQ, the standard
@@ -448,19 +477,32 @@ object Similarity {
     * the three levers that make exhaustive re-ranking affordable. */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
                 nClusters: Int = 0, nProbe: Int = 2, m: Int = 4,
-                ksub: Int = 16, iters: Int = 3): DataFrame = {
-    val nc = if (nClusters > 0) nClusters else autoClusters(corpus.count())
-    // ONE sample fetch feeds both trainers (the hash order is identical, so
-    // results equal the per-call paths exactly) — at scale this halves the
-    // training-side corpus passes
-    val sample = hashSample(corpus, math.max(nc, 1 << 17))
-    val coarse = kmeansCentroids(corpus, nc, iters, presampled = Some(sample))
-    val cb = pqCodebook(corpus, m, ksub, iters, presampled = Some(sample))
+                ksub: Int = 16, iters: Int = 3,
+                coarse0: Option[Seq[Seq[Float]]] = None,
+                codebook0: Option[Seq[Seq[Seq[Float]]]] = None,
+                doublePrec: Boolean = false): DataFrame = {
+    // coarse0/codebook0 pin both trained artifacts (fixed data slices →
+    // externally replayable, the oracle path); doublePrec routes the
+    // coarse assignment through in-order double cosines so even the
+    // bucket argmax is bit-replayable
+    val (coarse, cb) = (coarse0, codebook0) match {
+      case (Some(cc), Some(cbb)) => (cc, cbb)
+      case _ =>
+        val nc = if (nClusters > 0) nClusters else autoClusters(corpus.count())
+        // ONE sample fetch feeds both trainers (the hash order is identical,
+        // so results equal the per-call paths exactly) — at scale this
+        // halves the training-side corpus passes
+        val sample = hashSample(corpus, math.max(nc, 1 << 17))
+        (coarse0.getOrElse(
+           kmeansCentroids(corpus, nc, iters, presampled = Some(sample))),
+         codebook0.getOrElse(
+           pqCodebook(corpus, m, ksub, iters, presampled = Some(sample))))
+    }
     val dsub = cb.head.head.size
     // |centroid|² table: array<array<double>>, m × ksub, a literal
     val normLut = typedLit(cb.map(_.map(_.map(v => v.toDouble * v).sum)))
     val c = withProbedBuckets(corpus.select(col("vec_id"), col("embedding")),
-        "embedding", "vec_id", coarse, nProbe = 1)
+        "embedding", "vec_id", coarse, nProbe = 1, doublePrec = doublePrec)
       .select(col("vec_id").as("c_id"), col("bucket"),
         pqCodesCol(col("embedding"), cb).as("codes"))
       .withColumn("xnormsq", Functions.pq_adc_dot(col("codes"), normLut))
@@ -470,7 +512,7 @@ object Similarity {
       array(cb(b).map(cent => Functions.dot_product(blk, typedLit(cent))): _*)
     }: _*)
     val q = withProbedBuckets(queries.select(col("vec_id"), col("embedding")),
-        "embedding", "vec_id", coarse, nProbe)
+        "embedding", "vec_id", coarse, nProbe, doublePrec = doublePrec)
       .select(col("vec_id").as("q_id"), col("bucket"), lutCol.as("lut"),
         sqrt(Functions.dot_product(col("embedding"), col("embedding"))).as("qnorm"))
     val scored = c.join(broadcast(q), Seq("bucket"))
@@ -485,14 +527,24 @@ object Similarity {
   }
 
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
-             m: Int = 4, ksub: Int = 16, iters: Int = 3): DataFrame = {
-    val cb = pqCodebook(corpus, m, ksub, iters)
+             m: Int = 4, ksub: Int = 16, iters: Int = 3,
+             codebook0: Option[Seq[Seq[Seq[Float]]]] = None,
+             doublePrec: Boolean = false): DataFrame = {
+    // codebook0 pins the codebook (a fixed data slice → DuckDB rebuilds
+    // it from the raw table and replays encode + scoring); doublePrec
+    // scores the reconstruction with in-order double cosines so the
+    // values themselves are bit-replayable, not just the ranks
+    val cb = codebook0.getOrElse(pqCodebook(corpus, m, ksub, iters))
     val c = pqEncode(corpus, cb)
       .select(col("vec_id").as("c_id"), pqReconstruct(col("codes"), cb).as("c_vec"))
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("cos", Functions.cosine_sim(col("q_vec"), col("c_vec")))
+      .withColumn("cos",
+        if (doublePrec)
+          Functions.cosine_sim_d(col("q_vec").cast("array<double>"),
+            col("c_vec").cast("array<double>"))
+        else Functions.cosine_sim(col("q_vec"), col("c_vec")))
       .select(col("q_id"), col("c_id"), col("cos"))
     rankTopK(scored, k)
   }

@@ -125,17 +125,21 @@ object VectorIndex {
     * candidate via the codegen'd ADC kernel. */
   def buildPq(corpus: DataFrame, dir: String, nClusters: Int = 0,
               m: Int = 4, ksub: Int = 16, iters: Int = 3,
-              centroids: Option[Seq[Seq[Float]]] = None): Int = {
+              centroids: Option[Seq[Seq[Float]]] = None,
+              codebook: Option[Seq[Seq[Seq[Float]]]] = None): Int = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val sample = Similarity.hashSample(corpus, 1 << 17)
+    // the sample feeds whichever trainer still needs one; fully pinned
+    // builds (fixed centroids AND codebook — the reproducible/oracle
+    // path) skip the corpus pass entirely
+    lazy val sample = Similarity.hashSample(corpus, 1 << 17)
     val cents: Seq[Seq[Float]] = centroids.getOrElse {
       val nc = if (nClusters > 0) nClusters
                else Similarity.autoClusters(corpus.count())
       Similarity.kmeansCentroids(corpus, nc, iters, presampled = Some(sample))
     }
-    val cb = Similarity.pqCodebook(corpus, m, ksub, iters,
-      presampled = Some(sample))
+    val cb = codebook.getOrElse(Similarity.pqCodebook(corpus, m, ksub, iters,
+      presampled = Some(sample)))
     SnapshotTable.create(spark, s"$dir/centroids",
       cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("bucket", "centroid"))
     SnapshotTable.create(spark, s"$dir/codebook",
