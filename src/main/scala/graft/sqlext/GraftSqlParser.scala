@@ -118,11 +118,12 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
       case CreateCdcPipeRe(name, src, fmt, ddl, key, target, chk) =>
         CreatePipeCommand(name, src, fmt.toLowerCase, ddl, target, chk,
           sink = "merge", mergeKey = Some(key))
-      case CreateLakePipeRe(name, src, fmt, ddl, target, chk) =>
+      case CreateLakePipeRe(name, src, fmt, ddl, target, chk, prov, queue) =>
         CreatePipeCommand(name, src, fmt.toLowerCase, ddl, target, chk,
-          sink = "lake")
-      case CreatePipeRe(name, src, fmt, ddl, target, chk) =>
-        CreatePipeCommand(name, src, fmt.toLowerCase, ddl, target, chk)
+          sink = "lake", notifyProvider = Option(prov), notifyQueue = Option(queue))
+      case CreatePipeRe(name, src, fmt, ddl, target, chk, prov, queue) =>
+        CreatePipeCommand(name, src, fmt.toLowerCase, ddl, target, chk,
+          notifyProvider = Option(prov), notifyQueue = Option(queue))
       case TriggerPipeRe(name) => TriggerPipeCommand(name)
       case ShowPipesRe() => ShowPipesCommand(out("name", "source", "format", "target"))
       case ShowStreamsRe() => ShowStreamsCommand(out("id", "name", "batch_id",
@@ -141,7 +142,7 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
       case DropPipeRe(ifExists, name) => DropPipeCommand(name, ifExists != null)
       case DescribePipeRe(name) =>
         DescribePipeCommand(name, out("name", "source", "format", "target",
-          "checkpoint", "sink", "merge_key", "running"))
+          "checkpoint", "sink", "merge_key", "running", "notification"))
       case UseRefRe(refType, name, dir) =>
         UseRefCommand(refType.toLowerCase, name, dir,
           out("ref", "type", "base_version"))
@@ -401,9 +402,16 @@ object GraftSqlParser {
   private val DropReflectionRe = """(?is)DROP\s+REFLECTION\s+(\w+)\s*;?""".r
   private val RefreshReflectionRe = """(?is)REFRESH\s+REFLECTION\s+(\w+)\s*;?""".r
   private val ShowReflectionsRe = """(?is)SHOW\s+REFLECTIONS\s*;?""".r
+  // optional event-driven tail (reference ingestion.ftl:190-214):
+  // NOTIFICATION_PROVIDER <name> NOTIFICATION_QUEUE_REFERENCE '<ref>' —
+  // TRIGGER then loads exactly the files named by pending queue events
+  // instead of listing the source directory (graft.streaming.Notifications)
+  private val NotifyTail =
+    """(?:\s+NOTIFICATION_PROVIDER\s+(\w+)\s+NOTIFICATION_QUEUE_REFERENCE\s+'([^']+)')?"""
   private val CreatePipeRe =
     ("""(?is)CREATE\s+PIPE\s+(\w+)\s+FROM\s+'([^']+)'\s+FORMAT\s+(\w+)\s+""" +
-      """SCHEMA\s+'([^']+)'\s+INTO\s+'([^']+)'\s+CHECKPOINT\s+'([^']+)'\s*;?""").r
+      """SCHEMA\s+'([^']+)'\s+INTO\s+'([^']+)'\s+CHECKPOINT\s+'([^']+)'""" +
+      NotifyTail + """\s*;?""").r
   // lake-SOURCE pipes: incremental replication over the snapshot log —
   // TRIGGER ships source commits (checkpointed, latest] into the target
   // (append flavor: one tagged commit; MERGE KEY flavor: row-level CDC)
@@ -422,7 +430,8 @@ object GraftSqlParser {
   // append pipe landing each batch as one atomic tagged lake commit
   private val CreateLakePipeRe =
     ("""(?is)CREATE\s+PIPE\s+(\w+)\s+FROM\s+'([^']+)'\s+FORMAT\s+(\w+)\s+""" +
-      """SCHEMA\s+'([^']+)'\s+INTO\s+LAKE\s+'([^']+)'\s+CHECKPOINT\s+'([^']+)'\s*;?""").r
+      """SCHEMA\s+'([^']+)'\s+INTO\s+LAKE\s+'([^']+)'\s+CHECKPOINT\s+'([^']+)'""" +
+      NotifyTail + """\s*;?""").r
   private val TriggerPipeRe = """(?is)TRIGGER\s+PIPE\s+(\w+)\s*;?""".r
   private val ShowPipesRe = """(?is)SHOW\s+PIPES\s*;?""".r
   private val ShowStreamsRe = """(?is)SHOW\s+STREAMS\s*;?""".r
@@ -1176,15 +1185,30 @@ object GraftSqlParser {
 
   case class CreatePipeCommand(name: String, src: String, fmt: String,
       schemaDdl: String, target: String, checkpoint: String,
-      sink: String = "parquet", mergeKey: Option[String] = None)
+      sink: String = "parquet", mergeKey: Option[String] = None,
+      notifyProvider: Option[String] = None, notifyQueue: Option[String] = None)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("pipe")
     override def run(spark: SparkSession): Seq[Row] = {
+      // an unknown provider refuses at CREATE (caller typo), not at the
+      // first TRIGGER hours later; recognized-but-unwired cloud providers
+      // are accepted here and refuse at TRIGGER (the environment seam)
+      notifyProvider.foreach(p => require(
+        graft.streaming.Notifications.recognized(p),
+        s"unknown NOTIFICATION_PROVIDER '$p' (have: " +
+          graft.streaming.Notifications.RecognizedProviders.toSeq.sorted
+            .mkString(", ") + ")"))
+      if (notifyProvider.isDefined)
+        require(notifyQueue.isDefined,
+          "NOTIFICATION_PROVIDER needs NOTIFICATION_QUEUE_REFERENCE")
       // lake-source pipes carry no DDL: the source table's schema IS the
       // schema (resolved at trigger time from its snapshot)
       val schema =
         if (schemaDdl.isEmpty) new StructType() else StructType.fromDDL(schemaDdl)
-      Pipes.define(Pipe(name, src, fmt, schema, target, checkpoint, sink, mergeKey))
+      Pipes.define(Pipe(name, src, fmt, schema, target, checkpoint, sink,
+        mergeKey, notificationProvider = notifyProvider.map(
+          _.toUpperCase(java.util.Locale.ROOT)),
+        notificationQueue = notifyQueue))
       Seq(Row(name))
     }
   }
@@ -1200,6 +1224,9 @@ object GraftSqlParser {
       // rows loaded by this trigger, from stream progress — not an O(target)
       // recount of the whole pipe table
       val loaded = (pipe.format, pipe.sink) match {
+        case _ if pipe.notificationProvider.isDefined =>
+          // event-driven: load exactly the notified files, no listing
+          Pipes.triggerNotified(spark, pipe)
         case ("lakesource", _) => Pipes.triggerFromLake(spark, pipe)
         case (_, "merge") => Pipes.triggerMergeIntoLake(spark, pipe, pipe.mergeKey.get)
         case (_, "lake")  => Pipes.triggerIntoLake(spark, pipe)
@@ -1310,7 +1337,9 @@ object GraftSqlParser {
       val p = Pipes.get(name).getOrElse(
         throw new IllegalArgumentException(s"unknown pipe: $name"))
       Seq(Row(p.name, p.sourceDir, p.format, p.targetDir, p.checkpointDir,
-        p.sink, p.mergeKey.orNull, (!p.paused).toString))
+        p.sink, p.mergeKey.orNull, (!p.paused).toString,
+        p.notificationProvider.map(pr =>
+          s"$pr:${p.notificationQueue.getOrElse("")}").orNull))
     }
   }
 

@@ -31,7 +31,16 @@ final case class Pipe(
     /** ALTER PIPE ... SET PIPE_EXECUTION_RUNNING = FALSE (reference
       * `SqlAlterPipeStatus`, ingestion.ftl): a paused pipe keeps its
       * definition and checkpoint but refuses TRIGGER until resumed. */
-    paused: Boolean = false)
+    paused: Boolean = false,
+    /** Event-driven ingestion (reference ingestion.ftl:190-214
+      * `NOTIFICATION_PROVIDER`): when set, TRIGGER PIPE loads exactly the
+      * files named by the provider's pending events instead of listing
+      * the source directory — see [[Notifications]]. */
+    notificationProvider: Option[String] = None,
+    /** The provider's queue reference (`NOTIFICATION_QUEUE_REFERENCE`):
+      * an SQS queue URL, an Azure queue name, or for LOCAL_DIR the spool
+      * directory path. */
+    notificationQueue: Option[String] = None)
 
 object Pipes {
 
@@ -79,6 +88,80 @@ object Pipes {
   /** Current target contents (the pipe's table). */
   def table(spark: SparkSession, pipe: Pipe): DataFrame =
     spark.read.schema(pipe.schema).parquet(pipe.targetDir)
+
+  /** Event-driven TRIGGER (reference NOTIFICATION_PROVIDER pipes): load
+    * exactly the files named by the provider's pending events — NO
+    * source-directory listing, so trigger cost is O(arrived files) and
+    * never O(source prefix). Exactly-once layering:
+    *  1. events poll non-destructively (SQS receive semantics);
+    *  2. already-loaded paths (the pipe's loaded-files log — the same
+    *     file-identity dedup the reference implements, and the
+    *     DEDUPE_LOOKBACK surface) are dropped, so a replayed or duplicate
+    *     event loads nothing;
+    *  3. a lake sink lands the batch as ONE tagged commit (tag = digest
+    *     of the file set) — crash-replays are absorbed by the tag;
+    *  4. the log advances (atomic tmp+move), THEN events ack. A crash
+    *     anywhere re-polls the same events into step 2's filter.
+    * Returns rows loaded by THIS trigger. */
+  def triggerNotified(spark: SparkSession, pipe: Pipe): Long = {
+    val provider = pipe.notificationProvider.getOrElse(
+      throw new IllegalStateException(s"pipe ${pipe.name} has no NOTIFICATION_PROVIDER"))
+    val queueRef = pipe.notificationQueue.getOrElse(
+      throw new IllegalArgumentException(
+        s"pipe ${pipe.name}: NOTIFICATION_PROVIDER needs NOTIFICATION_QUEUE_REFERENCE"))
+    val source = Notifications.sourceFor(provider)
+    val events = source.poll(queueRef)
+    if (events.isEmpty) return 0L
+    val ckDir = java.nio.file.Paths.get(pipe.checkpointDir)
+    java.nio.file.Files.createDirectories(ckDir)
+    val logFile = ckDir.resolve("notified-files.log")
+    val loaded: Set[String] =
+      if (java.nio.file.Files.exists(logFile))
+        new String(java.nio.file.Files.readAllBytes(logFile), "UTF-8")
+          .split("\n").map(_.trim).filter(_.nonEmpty).toSet
+      else Set.empty
+    val fresh = events.map(_.path).distinct.filterNot(loaded)
+    val n: Long =
+      if (fresh.isEmpty) 0L
+      else {
+        val reader = spark.read.schema(pipe.schema).format(pipe.format)
+        val batch = (pipe.format match {
+          case "csv" => reader.option("header", "true")
+          case _ => reader
+        }).load(fresh: _*).persist()
+        try {
+          val rows = batch.count()
+          pipe.sink match {
+            case "lake" =>
+              val lake = graft.sources.SnapshotTable.forPath(spark, pipe.targetDir)
+              val (spec, statsCols, _) = lake.effectiveLayout
+              val digest = java.security.MessageDigest.getInstance("MD5")
+                .digest(fresh.sorted.mkString("\n").getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString
+              val before = lake.latestVersion
+              val v = lake.appendTagged(batch,
+                s"pipe:${pipe.name}:notified:$digest", spec, statsCols)
+              if (v > before) rows else 0L
+            case _ =>
+              // plain parquet sink: no commit tag exists to absorb a crash
+              // between write and log advance — the lake sink is the
+              // exactly-once target (same caveat as the reference's plain
+              // file sinks)
+              batch.write.mode("append").parquet(pipe.targetDir)
+              rows
+          }
+        } finally { batch.unpersist(); () }
+      }
+    // advance the log atomically, then ack — see the ordering contract above
+    val tmp = ckDir.resolve(".notified-files.log.tmp")
+    java.nio.file.Files.write(tmp,
+      (loaded ++ fresh).toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, logFile,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    source.ack(queueRef, events)
+    n
+  }
 
   /** Incremental materialized-view maintenance from a file stream
     * (SURVEY §2.10 / reference IncrementalUpdateUtils: recompute

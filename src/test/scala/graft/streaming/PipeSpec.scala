@@ -40,6 +40,76 @@ class PipeSpec extends AnyFunSuite {
     assert(rows.select("event_id").distinct().count() == 4)
   }
 
+  test("notified pipe loads exactly the event-named files, with no source listing") {
+    val root = Files.createTempDirectory("graft_pipe_notify").toString
+    val spool = s"$root/spool"; Files.createDirectories(Paths.get(spool))
+    val data = s"$root/data"; Files.createDirectories(Paths.get(data))
+    // the pipe's FROM directory is never created: any listing-driven
+    // trigger would find nothing (or fail) — loading can only come from
+    // the event-named paths, which live elsewhere
+    val ghost = s"$root/never-created"
+    spark.sql(s"CREATE PIPE np FROM '$ghost' FORMAT json " +
+      "SCHEMA 'event_id BIGINT, event_type STRING, value DOUBLE' " +
+      s"INTO LAKE '$root/lake' CHECKPOINT '$root/_chk' " +
+      s"NOTIFICATION_PROVIDER local_dir NOTIFICATION_QUEUE_REFERENCE '$spool'")
+    def drop(name: String, rows: Seq[String]): String = {
+      val p = Paths.get(s"$data/$name")
+      Files.write(p, rows.mkString("\n").getBytes)
+      p.toString
+    }
+    def notify(evt: String, path: String): Unit =
+      Files.write(Paths.get(s"$spool/$evt"), path.getBytes)
+    val f1 = drop("f1.json", Seq(
+      """{"event_id":1,"event_type":"x","value":1.5}""",
+      """{"event_id":2,"event_type":"y","value":2.5}"""))
+    val f2 = drop("f2.json", Seq("""{"event_id":3,"event_type":"z","value":3.5}"""))
+
+    // only f1 is notified: exactly its rows land, f2 is invisible
+    notify("evt-001", f1)
+    assert(spark.sql("TRIGGER PIPE np").collect().head.getString(1) == "2")
+    val lake = graft.sources.SnapshotTable.forPath(spark, s"$root/lake")
+    assert(lake.read().count() == 2L)
+    assert(lake.read().filter(org.apache.spark.sql.functions.col("event_id") === 3L)
+      .count() == 0L, "un-notified file must not load")
+    // the event was acked (spool drained)
+    assert(Pipes.get("np").isDefined)
+    assert(!Files.exists(Paths.get(s"$spool/evt-001")))
+
+    // duplicate/replayed event: the loaded-files log absorbs it
+    notify("evt-002", f1)
+    assert(spark.sql("TRIGGER PIPE np").collect().head.getString(1) == "0")
+    assert(lake.read().count() == 2L)
+
+    // a new event for f2 loads just f2
+    notify("evt-003", f2)
+    assert(spark.sql("TRIGGER PIPE np").collect().head.getString(1) == "1")
+    assert(lake.read().count() == 3L)
+
+    // no pending events → trigger is a no-op
+    assert(spark.sql("TRIGGER PIPE np").collect().head.getString(1) == "0")
+
+    // DESCRIBE PIPE surfaces the notification binding
+    val desc = spark.sql("DESCRIBE PIPE np").collect().head
+    assert(desc.getString(8) == s"LOCAL_DIR:$spool", desc.toString)
+
+    // unknown provider refuses at CREATE, naming the valid set
+    val ex = intercept[Exception](spark.sql(
+      s"CREATE PIPE npbad FROM '$ghost' FORMAT json SCHEMA 'a BIGINT' " +
+        s"INTO LAKE '$root/lake2' CHECKPOINT '$root/_chk2' " +
+        s"NOTIFICATION_PROVIDER kafka NOTIFICATION_QUEUE_REFERENCE 'q'"))
+    assert(ex.getMessage.contains("unknown NOTIFICATION_PROVIDER"), ex.getMessage)
+
+    // cloud providers keep the grammar slot (reference AWS_SQS) but
+    // refuse loudly at TRIGGER until an environment registers a client
+    spark.sql(s"CREATE PIPE npsqs FROM '$ghost' FORMAT json SCHEMA 'a BIGINT' " +
+      s"INTO LAKE '$root/lake3' CHECKPOINT '$root/_chk3' " +
+      "NOTIFICATION_PROVIDER AWS_SQS " +
+      "NOTIFICATION_QUEUE_REFERENCE 'https://sqs.example/queue'")
+    val ex2 = intercept[Exception](spark.sql("TRIGGER PIPE npsqs"))
+    assert(ex2.getMessage.contains("no client is registered"), ex2.getMessage)
+    spark.sql("DROP PIPE np"); spark.sql("DROP PIPE npsqs")
+  }
+
   test("pipe into a partitioned lake table: batches land clustered + pruned") {
     import org.apache.spark.sql.functions.col
     val root = Files.createTempDirectory("graft_pipe_part").toString
