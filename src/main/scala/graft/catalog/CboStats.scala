@@ -42,15 +42,26 @@ object CboStats {
   val VersionKey = "graft.stats.analyzedVersion"
   val ColPrefix = "graft.stats.col."
 
+  /** Max distinct values for a string column to be treated as
+    * CATEGORICAL (frequent items computed and persisted). Above this a
+    * top-k groupBy would scan-shuffle a near-key column for items no
+    * equality predicate will ever hit. */
+  val MaxCategoricalNdv = 4096L
+  /** Frequent items kept per categorical column (the reference keeps an
+    * ItemsSketch per column — `StatisticsServiceImpl.java:502`). */
+  val FreqItemsK = 8
+
   private val mapper = new ObjectMapper()
 
-  /** Encode a profile (+ optional histograms) into TBLPROPERTIES pairs.
-    * `profileRows` are [[Statistics.profile]] rows. */
+  /** Encode a profile (+ optional histograms and per-string-column
+    * frequent items) into TBLPROPERTIES pairs. `profileRows` are
+    * [[Statistics.profile]] rows. */
   def encode(schema: StructType,
              profileRows: Seq[(String, Long, Long, Long, String, String)],
              hists: Map[String, (Double, Seq[(Double, Double, Long)])],
              sizeInBytes: Long, analyzedVersion: Long,
-             minMaxOverride: Map[String, (String, String)] = Map.empty)
+             minMaxOverride: Map[String, (String, String)] = Map.empty,
+             freqItems: Map[String, Seq[(String, Long)]] = Map.empty)
       : Map[String, String] = {
     val eligible = schema.fields.collect {
       case f if f.dataType.isInstanceOf[NumericType] ||
@@ -81,6 +92,18 @@ object CboStats {
           }
         }
       }
+      // categorical frequent items ([item, count] pairs, top-k by count):
+      // the string-column analog of the histogram — Spark CBO's string
+      // contract is NDV-only, so these feed the categorical-equality
+      // estimation hook (plans.CategoricalSelectivity) instead
+      freqItems.get(name).foreach { items =>
+        val arr = node.putArray("freq")
+        items.foreach { case (item, cnt) =>
+          val b = mapper.createArrayNode()
+          b.add(item); b.add(cnt)
+          arr.add(b); ()
+        }
+      }
       (ColPrefix + name) -> node.toString
     }
     val nRows = profileRows.headOption.map(_._2).getOrElse(0L)
@@ -88,6 +111,29 @@ object CboStats {
       :+ (SizeKey -> sizeInBytes.toString)
       :+ (VersionKey -> analyzedVersion.toString)).toMap
   }
+
+  /** Decoded frequent items for one column: (item, count) pairs, or
+    * empty when none are stored or the column's analyzed type no longer
+    * matches (same drop/re-ADD gate as min/max). */
+  def frequentItemsFor(props: Map[String, String],
+                       field: StructField): Seq[(String, Long)] =
+    props.get(ColPrefix + field.name).toSeq.flatMap { js =>
+      scala.util.Try {
+        val n = mapper.readTree(js)
+        val typeMatches = Option(n.get("t"))
+          .forall(_.asText() == field.dataType.simpleString)
+        if (!typeMatches) Seq.empty
+        else Option(n.get("freq")).toSeq.flatMap { f =>
+          val it = f.elements()
+          val buf = Seq.newBuilder[(String, Long)]
+          while (it.hasNext) {
+            val e = it.next()
+            buf += ((e.get(0).asText(), e.get(1).asLong()))
+          }
+          buf.result()
+        }
+      }.getOrElse(Seq.empty)
+    }
 
   /** Decode stored properties into the synthetic CatalogTable a lake scan
     * attaches (None when the table was never ANALYZEd with persistence). */
@@ -191,9 +237,22 @@ object CboStats {
             render(ma.asInstanceOf[Long])))
         }.toMap
       }
+    // categorical frequent items: STRING columns whose profiled NDV says
+    // "genuinely categorical" get an exact top-k (one bounded groupBy per
+    // such column — status/flag/code columns, never free text, which the
+    // NDV gate excludes before any shuffle)
+    val ndvOf = rows.map(r => (r._1, r._4)).toMap
+    val freq: Map[String, Seq[(String, Long)]] = df.schema.fields.collect {
+      case f if f.dataType == StringType &&
+          ndvOf.getOrElse(f.name, Long.MaxValue) <= MaxCategoricalNdv =>
+        val items = Statistics.frequentItems(df, f.name, FreqItemsK).collect()
+          .flatMap(r => Option(r.getString(0)).map(v => (v, r.getLong(1))))
+          .filter(_._1.length <= 1024).toSeq
+        f.name -> items
+    }.filter(_._2.nonEmpty).toMap
     val size = t.snapshotSizeInBytes
     t.setProperties(encode(df.schema, rows, hists, size, t.latestVersion,
-      tsMinMax))
+      tsMinMax, freq))
     prof
   }
 }

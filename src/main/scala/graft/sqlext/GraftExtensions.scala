@@ -42,6 +42,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             .map(_.name).orNull, StringType)))
     e.injectOptimizerRule(session => new graft.accel.Reflections.Substitute(session))
     e.injectOptimizerRule(session => new graft.plans.CountFromManifest(session))
+    e.injectOptimizerRule(session => new graft.plans.CategoricalSelectivity(session))
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     // Lake metadata table functions — the reference's TABLE(table_files(..))
     // / table_history / table_snapshot family (dremio `TableMacroNames.java`,
@@ -408,6 +409,10 @@ object GraftExtensions {
           Option(n.get("max")).map(_.asText()).orNull,
           hist.map(_.get("bins").size()).map(Int.box).orNull,
           hist.map(_.toString).orNull,
+          // categorical frequent items ([item, count] pairs) — the
+          // string-column analog of the histogram, feeding the
+          // equality-selectivity hook (plans.CategoricalSelectivity)
+          Option(n.get("freq")).map(_.toString).orNull,
           version.map(_.toLong).map(Long.box).orNull)
       }
     LocalRelation.fromExternalRows(
@@ -415,6 +420,7 @@ object GraftExtensions {
         "n_nulls" -> LongType, "ndv" -> LongType,
         "min_value" -> StringType, "max_value" -> StringType,
         "histogram_bins" -> IntegerType, "histogram" -> StringType,
+        "frequent_items" -> StringType,
         "analyzed_version" -> LongType),
       rows)
   }

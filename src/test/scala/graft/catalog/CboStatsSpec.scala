@@ -182,6 +182,91 @@ class CboStatsSpec extends AnyFunSuite {
     assert(rows.map(_.getString(0)).sorted.toSeq == Seq("v", "w"))
   }
 
+  test("categorical equality selectivity: frequent items fix the 1/NDV estimate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cbo_cat").toString
+    val n = 200000
+    // status: 60% 'HOT', the rest spread over 1000 cold values
+    val df = spark.range(n).select(
+      col("id"),
+      when(col("id") % 5 < 3, lit("HOT"))
+        .otherwise(concat(lit("cold_"), (col("id") % 1000).cast("string")))
+        .as("status"))
+    SnapshotTable.create(spark, dir, df)
+    val t = SnapshotTable.forPath(spark, dir)
+    val truth = t.read().filter(col("status") === "HOT").count()
+    assert(truth == n / 5 * 3, s"fixture drifted: $truth")
+    spark.sql(s"ANALYZE LAKE '$dir' COMPUTE STATISTICS")
+
+    // with the hook disabled the estimate is the string contract's 1/NDV
+    // — three orders of magnitude under the 60% truth
+    spark.conf.set("spark.graft.cbo.categorical", "false")
+    val naive =
+      try filterEstimate(t.read().filter(col("status") === "HOT"))
+      finally spark.conf.set("spark.graft.cbo.categorical", "true")
+    assert(naive > 0 && naive * 50 < BigInt(truth),
+      s"1/NDV should badly underestimate the hot item: $naive vs $truth")
+
+    // frequent items put the estimate within 2x of truth
+    val est = filterEstimate(t.read().filter(col("status") === "HOT"))
+    assert(est <= BigInt(truth) * 2 && est * 2 >= BigInt(truth),
+      s"frequent-item estimate $est not within 2x of truth $truth")
+    // IN over two KNOWN items estimates their combined mass (pick a cold
+    // item actually stored in the top-k; an item outside the top-k
+    // disables the adjust, as the cold_42 probe below pins)
+    val storedCold = {
+      val fi = spark.sql(s"SELECT frequent_items FROM lake_stats('$dir') " +
+        "WHERE col_name = 'status'").head().getString(0)
+      "\"(cold_\\d+)\"".r.findFirstMatchIn(fi)
+        .map(_.group(1)).getOrElse(fail(s"no cold item in top-k: $fi"))
+    }
+    val inTruth = t.read().filter(col("status").isin("HOT", storedCold)).count()
+    val inEst = filterEstimate(
+      t.read().filter(col("status").isin("HOT", storedCold)))
+    assert(inEst <= BigInt(inTruth) * 2 && inEst * 2 >= BigInt(inTruth),
+      s"IN estimate $inEst not within 2x of truth $inTruth ($storedCold)")
+    // an unknown literal keeps the conservative default (no freq entry)
+    val cold = filterEstimate(t.read().filter(col("status") === "cold_42"))
+    assert(cold < BigInt(truth) / 50, s"cold literal should stay ~1/NDV: $cold")
+
+    // the broadcast decision visibly improves: under 1/NDV the filtered
+    // fact side looks tiny and gets BROADCAST — the classic skew OOM —
+    // with the true 60% mass it correctly stays sort-merge
+    val dim = java.nio.file.Files.createTempDirectory("graft_cbo_cat_d").toString
+    SnapshotTable.create(spark, dim,
+      spark.range(n).select(col("id"), (col("id") * 3).as("w")))
+    def joinPlan(): org.apache.spark.sql.execution.SparkPlan = {
+      val fact = t.read().filter(col("status") === "HOT")
+      val other = SnapshotTable.forPath(spark, dim).read()
+      withOurConf(fact.join(other, "id").queryExecution.sparkPlan)
+    }
+    def hasBroadcast(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }.nonEmpty
+    val conf = spark.conf
+    val oldAqe = conf.get("spark.sql.adaptive.enabled")
+    val oldThresh = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", (512 * 1024).toString)
+    try {
+      conf.set("spark.graft.cbo.categorical", "false")
+      assert(hasBroadcast(joinPlan()),
+        "1/NDV underestimate should (wrongly) choose broadcast")
+      conf.set("spark.graft.cbo.categorical", "true")
+      assert(!hasBroadcast(joinPlan()),
+        "the frequent-item estimate must keep the 120k-row side off the " +
+          "broadcast path")
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", oldAqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
+    }
+
+    // lake_stats exposes the items
+    val fi = spark.sql(s"SELECT frequent_items FROM lake_stats('$dir') " +
+      "WHERE col_name = 'status'").head().getString(0)
+    assert(fi != null && fi.contains("\"HOT\"") && fi.contains(truth.toString), fi)
+  }
+
   test("time-travel and branch-staged scans do not inherit head stats") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cbo_tt").toString
     SnapshotTable.create(spark, dir, skewed(10000)) // v1
