@@ -27,4 +27,29 @@ class SmokeSpec extends AnyFunSuite {
       assert(df.count() >= 0)
     }
   }
+
+  test("sample_bernoulli: pinned admitted-id digest (silent RNG-drift tripwire)") {
+    // sample_bernoulli stays no_oracle (seeded RNG is engine-specific by
+    // contract), but the seed and the sampler are OURS: pinning the exact
+    // admitted-row digest makes a Spark upgrade that silently changes the
+    // Bernoulli sampler (or the fixture scan's partitioning, which the
+    // per-partition random stream keys on) fail HERE instead of surfacing
+    // as an unexplained downstream data shift.
+    import org.apache.spark.sql.functions._
+    val t = graft.engine.Tables.ensure(spark, TestSpark.sf)
+    def digest(): (Long, String) = {
+      val ids = t.lineitem
+        .sample(withReplacement = false, fraction = 0.01, seed = 42L)
+        .select(concat_ws(":", col("l_orderkey"), col("l_linenumber")))
+        .collect().map(_.getString(0)).sorted
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(ids.mkString("\n").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (ids.length.toLong, md5)
+    }
+    val first = digest()
+    assert(first == digest(), "same-session rerun must be identical")
+    assert(first == ((68L, "d6faba8d22d7671d6ed8401a3d14f392")),
+      s"pinned Bernoulli sample drifted: got $first")
+  }
 }
