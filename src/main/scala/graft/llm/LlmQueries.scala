@@ -386,13 +386,16 @@ object LlmQueries {
     * pq_adc_dot kernel. Trained path: SimilaritySpec. */
   val annIvfPq: QueryFn = (s, dir) => {
     val e = Tables.ensure(s, dir).embeddings
-    val cents = e.filter(col("vec_id") < 16).orderBy(col("vec_id"))
+    // ONE bounded fetch pins both artifacts: the 32 lowest-id vectors are
+    // the codebook seed, their first 16 the coarse centroids
+    val seed = e.orderBy(col("vec_id")).limit(32)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toSeq).toSeq
-    val cb = Similarity.pqCodebookFixed(e, m = 8, ksub = 32)
     Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 5), k = 10,
       nClusters = 16, nProbe = 4, m = 8, ksub = 32,
-      coarse0 = Some(cents), codebook0 = Some(cb), doublePrec = true)
+      coarse0 = Some(seed.take(16)),
+      codebook0 = Some(Similarity.pqCodebookFromRows(seed, m = 8, ksub = 32)),
+      doublePrec = true)
       .orderBy(col("q_id"), col("rk"))
   }
   val annIvfPqSql: String = {
@@ -1774,12 +1777,14 @@ object LlmQueries {
   val annIndexPqPersisted: QueryFn = (s, dir) => {
     val e = Tables.ensure(s, dir).embeddings
     val idx = graft.queries.Lake.scratchDir("llm_vec_index_pq")
-    val cents = e.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+    // ONE bounded fetch pins both artifacts: 16 codebook seed vectors,
+    // their first 4 the coarse quantizer
+    val seed = e.orderBy(col("vec_id")).limit(16)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toSeq).toSeq
-    val cb = Similarity.pqCodebookFixed(e, m = 4, ksub = 16)
     VectorIndex.buildPq(e, idx, m = 4, ksub = 16,
-      centroids = Some(cents), codebook = Some(cb))
+      centroids = Some(seed.take(4)),
+      codebook = Some(Similarity.pqCodebookFromRows(seed, m = 4, ksub = 16)))
     VectorIndex.searchPq(s, idx, e.filter(col("vec_id") < 5), k = 10, nProbe = 2)
       .select(col("q_id"), col("c_id"), col("rk"))
       .orderBy(col("q_id"), col("rk"))

@@ -408,15 +408,23 @@ object Similarity {
     * the verification path; production uses [[pqCodebook]]. */
   def pqCodebookFixed(corpus: DataFrame, m: Int, ksub: Int,
                       idCol: String = "vec_id",
-                      vecCol: String = "embedding"): Seq[Seq[Seq[Float]]] = {
-    val rows = corpus.orderBy(col(idCol)).limit(ksub)
-      .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
-    require(rows.length == ksub, s"corpus has fewer than ksub=$ksub vectors")
+                      vecCol: String = "embedding"): Seq[Seq[Seq[Float]]] =
+    pqCodebookFromRows(
+      corpus.orderBy(col(idCol)).limit(ksub)
+        .select(col(vecCol)).collect().map(_.getSeq[Float](0).toSeq).toSeq,
+      m, ksub)
+
+  /** Slice an already-fetched seed-vector list into the fixed codebook —
+    * callers that also pin coarse centroids to a prefix of the same seed
+    * rows pay ONE bounded fetch for both artifacts. */
+  def pqCodebookFromRows(rows: Seq[Seq[Float]], m: Int,
+                         ksub: Int): Seq[Seq[Seq[Float]]] = {
+    require(rows.length >= ksub, s"need ksub=$ksub seed vectors, have ${rows.length}")
     val dim = rows.head.length
     require(dim % m == 0, s"embedding dim $dim must divide into $m blocks")
     val dsub = dim / m
     (0 until m).map(b =>
-      (0 until ksub).map(j => rows(j).slice(b * dsub, (b + 1) * dsub).toSeq))
+      (0 until ksub).map(j => rows(j).slice(b * dsub, (b + 1) * dsub)))
   }
 
   /** Encode each vector as m sub-space centroid indices — m small codes
