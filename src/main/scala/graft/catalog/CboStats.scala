@@ -238,18 +238,18 @@ object CboStats {
         }.toMap
       }
     // categorical frequent items: STRING columns whose profiled NDV says
-    // "genuinely categorical" get an exact top-k (one bounded groupBy per
-    // such column — status/flag/code columns, never free text, which the
-    // NDV gate excludes before any shuffle)
+    // "genuinely categorical" get an exact top-k — ALL such columns in
+    // ONE corpus pass (frequentItemsMulti; status/flag/code columns,
+    // never free text, which the NDV gate excludes before any shuffle)
     val ndvOf = rows.map(r => (r._1, r._4)).toMap
-    val freq: Map[String, Seq[(String, Long)]] = df.schema.fields.collect {
+    val catCols = df.schema.fields.collect {
       case f if f.dataType == StringType &&
-          ndvOf.getOrElse(f.name, Long.MaxValue) <= MaxCategoricalNdv =>
-        val items = Statistics.frequentItems(df, f.name, FreqItemsK).collect()
-          .flatMap(r => Option(r.getString(0)).map(v => (v, r.getLong(1))))
-          .filter(_._1.length <= 1024).toSeq
-        f.name -> items
-    }.filter(_._2.nonEmpty).toMap
+          ndvOf.getOrElse(f.name, Long.MaxValue) <= MaxCategoricalNdv => f.name
+    }.toSeq
+    val freq: Map[String, Seq[(String, Long)]] =
+      Statistics.frequentItemsMulti(df, catCols, FreqItemsK)
+        .map { case (c, items) => c -> items.filter(_._1.length <= 1024) }
+        .filter(_._2.nonEmpty)
     val size = t.snapshotSizeInBytes
     t.setProperties(encode(df.schema, rows, hists, size, t.latestVersion,
       tsMinMax, freq))

@@ -138,4 +138,33 @@ object Statistics {
     df.groupBy(col(column)).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col(column))
       .limit(k)
+
+  /** Frequent items for MANY string columns in ONE corpus pass: the
+    * per-column form costs a full scan + shuffle each — at 100 TB an
+    * ANALYZE over five categorical columns must not read the table five
+    * times. One explode to (col, value) rows (map-side), one partial-
+    * aggregated count shuffle keyed (col, value) — bounded by the
+    * categorical-NDV gate upstream — then a per-column top-k window over
+    * the tiny aggregate. Null values are excluded (they are the
+    * profile's null count, not an item). Ties break by value, matching
+    * [[frequentItems]]. */
+  def frequentItemsMulti(df: DataFrame, columns: Seq[String],
+                         k: Int): Map[String, Seq[(String, Long)]] = {
+    if (columns.isEmpty) return Map.empty
+    val pairs = df.select(explode(array(columns.map(c =>
+      struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*)).as("p"))
+      .select(col("p.c").as("c"), col("p.v").as("v"))
+      .filter(col("v").isNotNull)
+    val counts = pairs.groupBy(col("c"), col("v")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c")).orderBy(col("n").desc, col("v"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (c, rows) =>
+        c -> rows.sortBy(_.getAs[Int]("rk"))
+          .map(r => (r.getString(1), r.getAs[Long]("n"))).toSeq
+      }
+  }
 }

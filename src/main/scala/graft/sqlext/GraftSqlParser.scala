@@ -118,12 +118,14 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
       case CreateCdcPipeRe(name, src, fmt, ddl, key, target, chk) =>
         CreatePipeCommand(name, src, fmt.toLowerCase, ddl, target, chk,
           sink = "merge", mergeKey = Some(key))
-      case CreateLakePipeRe(name, src, fmt, ddl, target, chk, prov, queue) =>
+      case CreateLakePipeRe(name, lookback, src, fmt, ddl, target, chk, prov, queue) =>
         CreatePipeCommand(name, src, fmt.toLowerCase, ddl, target, chk,
-          sink = "lake", notifyProvider = Option(prov), notifyQueue = Option(queue))
-      case CreatePipeRe(name, src, fmt, ddl, target, chk, prov, queue) =>
+          sink = "lake", notifyProvider = Option(prov), notifyQueue = Option(queue),
+          lookbackDays = Option(lookback).map(_.toInt))
+      case CreatePipeRe(name, lookback, src, fmt, ddl, target, chk, prov, queue) =>
         CreatePipeCommand(name, src, fmt.toLowerCase, ddl, target, chk,
-          notifyProvider = Option(prov), notifyQueue = Option(queue))
+          notifyProvider = Option(prov), notifyQueue = Option(queue),
+          lookbackDays = Option(lookback).map(_.toInt))
       case TriggerPipeRe(name) => TriggerPipeCommand(name)
       case ShowPipesRe() => ShowPipesCommand(out("name", "source", "format", "target"))
       case ShowStreamsRe() => ShowStreamsCommand(out("id", "name", "batch_id",
@@ -142,7 +144,8 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
       case DropPipeRe(ifExists, name) => DropPipeCommand(name, ifExists != null)
       case DescribePipeRe(name) =>
         DescribePipeCommand(name, out("name", "source", "format", "target",
-          "checkpoint", "sink", "merge_key", "running", "notification"))
+          "checkpoint", "sink", "merge_key", "running", "notification",
+          "dedupe_lookback_days"))
       case UseRefRe(refType, name, dir) =>
         UseRefCommand(refType.toLowerCase, name, dir,
           out("ref", "type", "base_version"))
@@ -408,8 +411,14 @@ object GraftSqlParser {
   // instead of listing the source directory (graft.streaming.Notifications)
   private val NotifyTail =
     """(?:\s+NOTIFICATION_PROVIDER\s+(\w+)\s+NOTIFICATION_QUEUE_REFERENCE\s+'([^']+)')?"""
+  // optional bounded dedup memory (reference ingestion.ftl:
+  // DEDUPE_LOOKBACK_PERIOD <days>) — after the window a re-arriving file
+  // re-ingests; notified pipes trim their loaded-files log, listing
+  // pipes map it to the file source's maxFileAge
+  private val LookbackHead = """(?:\s+DEDUPE_LOOKBACK_PERIOD\s+(\d+))?"""
   private val CreatePipeRe =
-    ("""(?is)CREATE\s+PIPE\s+(\w+)\s+FROM\s+'([^']+)'\s+FORMAT\s+(\w+)\s+""" +
+    ("""(?is)CREATE\s+PIPE\s+(\w+)""" + LookbackHead +
+      """\s+FROM\s+'([^']+)'\s+FORMAT\s+(\w+)\s+""" +
       """SCHEMA\s+'([^']+)'\s+INTO\s+'([^']+)'\s+CHECKPOINT\s+'([^']+)'""" +
       NotifyTail + """\s*;?""").r
   // lake-SOURCE pipes: incremental replication over the snapshot log —
@@ -429,7 +438,8 @@ object GraftSqlParser {
       """SCHEMA\s+'([^']+)'\s+MERGE\s+KEY\s+(\w+)\s+INTO\s+LAKE\s+'([^']+)'\s+CHECKPOINT\s+'([^']+)'\s*;?""").r
   // append pipe landing each batch as one atomic tagged lake commit
   private val CreateLakePipeRe =
-    ("""(?is)CREATE\s+PIPE\s+(\w+)\s+FROM\s+'([^']+)'\s+FORMAT\s+(\w+)\s+""" +
+    ("""(?is)CREATE\s+PIPE\s+(\w+)""" + LookbackHead +
+      """\s+FROM\s+'([^']+)'\s+FORMAT\s+(\w+)\s+""" +
       """SCHEMA\s+'([^']+)'\s+INTO\s+LAKE\s+'([^']+)'\s+CHECKPOINT\s+'([^']+)'""" +
       NotifyTail + """\s*;?""").r
   private val TriggerPipeRe = """(?is)TRIGGER\s+PIPE\s+(\w+)\s*;?""".r
@@ -1186,7 +1196,8 @@ object GraftSqlParser {
   case class CreatePipeCommand(name: String, src: String, fmt: String,
       schemaDdl: String, target: String, checkpoint: String,
       sink: String = "parquet", mergeKey: Option[String] = None,
-      notifyProvider: Option[String] = None, notifyQueue: Option[String] = None)
+      notifyProvider: Option[String] = None, notifyQueue: Option[String] = None,
+      lookbackDays: Option[Int] = None)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("pipe")
     override def run(spark: SparkSession): Seq[Row] = {
@@ -1208,7 +1219,8 @@ object GraftSqlParser {
       Pipes.define(Pipe(name, src, fmt, schema, target, checkpoint, sink,
         mergeKey, notificationProvider = notifyProvider.map(
           _.toUpperCase(java.util.Locale.ROOT)),
-        notificationQueue = notifyQueue))
+        notificationQueue = notifyQueue,
+        dedupeLookbackDays = lookbackDays))
       Seq(Row(name))
     }
   }
@@ -1339,7 +1351,8 @@ object GraftSqlParser {
       Seq(Row(p.name, p.sourceDir, p.format, p.targetDir, p.checkpointDir,
         p.sink, p.mergeKey.orNull, (!p.paused).toString,
         p.notificationProvider.map(pr =>
-          s"$pr:${p.notificationQueue.getOrElse("")}").orNull))
+          s"$pr:${p.notificationQueue.getOrElse("")}").orNull,
+        p.dedupeLookbackDays.map(_.toString).orNull))
     }
   }
 

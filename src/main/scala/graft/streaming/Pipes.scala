@@ -40,7 +40,14 @@ final case class Pipe(
     /** The provider's queue reference (`NOTIFICATION_QUEUE_REFERENCE`):
       * an SQS queue URL, an Azure queue name, or for LOCAL_DIR the spool
       * directory path. */
-    notificationQueue: Option[String] = None)
+    notificationQueue: Option[String] = None,
+    /** `DEDUPE_LOOKBACK_PERIOD <days>` (reference ingestion.ftl): bound
+      * the file-identity dedup memory — a file seen longer ago than the
+      * window may re-ingest (the reference's accepted contract; the
+      * alternative is dedup state that grows with every file ever
+      * loaded). Notified pipes trim their loaded-files log to the
+      * window; listing pipes map it to the file source's `maxFileAge`. */
+    dedupeLookbackDays: Option[Int] = None)
 
 object Pipes {
 
@@ -61,16 +68,25 @@ object Pipes {
     updated
   }
 
+  /** Streaming source frame for a listing (non-notified) pipe. A
+    * DEDUPE_LOOKBACK_PERIOD maps to the file source's own bounded-memory
+    * knob (`maxFileAge`): the source log stops tracking — and stops
+    * deduping — files older than the window, the same contract as the
+    * notified log's trim. */
+  private def srcStream(spark: SparkSession, pipe: Pipe): DataFrame = {
+    var reader = spark.readStream.schema(pipe.schema).format(pipe.format)
+    pipe.dedupeLookbackDays.foreach(d =>
+      reader = reader.option("maxFileAge", s"${d}d"))
+    if (pipe.format == "csv") reader = reader.option("header", "true")
+    reader.load(pipe.sourceDir)
+  }
+
   /** TRIGGER PIPE: drain all currently-available files into the target
     * (parquet), exactly once across repeated invocations. Blocks until the
     * drain completes. Returns the number of rows loaded by THIS trigger
     * (from the stream's progress metrics — no O(target) recount). */
   def trigger(spark: SparkSession, pipe: Pipe): Long = {
-    val reader = spark.readStream.schema(pipe.schema).format(pipe.format)
-    val src = pipe.format match {
-      case "csv" => reader.option("header", "true").load(pipe.sourceDir)
-      case _ => reader.load(pipe.sourceDir)
-    }
+    val src = srcStream(spark, pipe)
     val q = src.writeStream
       .format("parquet")
       .option("path", pipe.targetDir)
@@ -115,11 +131,33 @@ object Pipes {
     val ckDir = java.nio.file.Paths.get(pipe.checkpointDir)
     java.nio.file.Files.createDirectories(ckDir)
     val logFile = ckDir.resolve("notified-files.log")
-    val loaded: Set[String] =
-      if (java.nio.file.Files.exists(logFile))
-        new String(java.nio.file.Files.readAllBytes(logFile), "UTF-8")
-          .split("\n").map(_.trim).filter(_.nonEmpty).toSet
-      else Set.empty
+    // log format: "#gen=<n>" header, then "<epochMs>\t<path>" lines. The
+    // generation stamps each trigger's commit tag, so a file legitimately
+    // RE-ingested after its log entry expired (DEDUPE_LOOKBACK_PERIOD)
+    // lands under a new tag while a crash-replay of the SAME trigger
+    // (log not yet advanced → same generation, same file set) is still
+    // absorbed by the original tag.
+    val (gen, entries): (Long, Seq[(Long, String)]) =
+      if (!java.nio.file.Files.exists(logFile)) (0L, Nil)
+      else {
+        val lines = new String(java.nio.file.Files.readAllBytes(logFile), "UTF-8")
+          .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+        val g = lines.headOption.filter(_.startsWith("#gen="))
+          .map(_.stripPrefix("#gen=").toLong).getOrElse(0L)
+        val es = lines.filterNot(_.startsWith("#")).map { l =>
+          val i = l.indexOf('\t')
+          if (i < 0) (0L, l) // legacy line: path only, epoch 0 (always expired under a window)
+          else (l.substring(0, i).toLong, l.substring(i + 1))
+        }
+        (g, es)
+      }
+    val now = System.currentTimeMillis()
+    // DEDUPE_LOOKBACK_PERIOD: entries older than the window fall out of
+    // the dedup memory — the log stays O(files in window), and a file
+    // re-arriving after the window re-ingests (the reference's contract)
+    val cutoff = pipe.dedupeLookbackDays.map(d => now - d * 86400000L)
+    val live = cutoff.fold(entries)(c => entries.filter(_._1 >= c))
+    val loaded: Set[String] = live.map(_._2).toSet
     val fresh = events.map(_.path).distinct.filterNot(loaded)
     val n: Long =
       if (fresh.isEmpty) 0L
@@ -139,8 +177,11 @@ object Pipes {
                 .digest(fresh.sorted.mkString("\n").getBytes("UTF-8"))
                 .map("%02x".format(_)).mkString
               val before = lake.latestVersion
+              // generation in the tag: crash-replay (log not advanced →
+              // same gen) absorbs; a post-expiry re-ingest (gen moved on)
+              // legitimately lands as a new commit
               val v = lake.appendTagged(batch,
-                s"pipe:${pipe.name}:notified:$digest", spec, statsCols)
+                s"pipe:${pipe.name}:notified:$gen:$digest", spec, statsCols)
               if (v > before) rows else 0L
             case _ =>
               // plain parquet sink: no commit tag exists to absorb a crash
@@ -152,13 +193,19 @@ object Pipes {
           }
         } finally { batch.unpersist(); () }
       }
-    // advance the log atomically, then ack — see the ordering contract above
-    val tmp = ckDir.resolve(".notified-files.log.tmp")
-    java.nio.file.Files.write(tmp,
-      (loaded ++ fresh).toSeq.sorted.mkString("\n").getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, logFile,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // advance the log atomically (trimmed to the lookback window, new
+    // generation), then ack — see the ordering contract above
+    if (fresh.nonEmpty || live.size != entries.size) {
+      val body = (s"#gen=${gen + 1}" +:
+        (live ++ fresh.map(p => (now, p)))
+          .sortBy(e => (e._2, e._1))
+          .map { case (ts, p) => s"$ts\t$p" }).mkString("\n")
+      val tmp = ckDir.resolve(".notified-files.log.tmp")
+      java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, logFile,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
     source.ack(queueRef, events)
     n
   }
@@ -180,11 +227,7 @@ object Pipes {
                                keyCols: Seq[String], sumCols: Seq[String],
                                lakeDir: String): Long = {
     import org.apache.spark.sql.functions.{col, sum}
-    val reader = spark.readStream.schema(pipe.schema).format(pipe.format)
-    val src = pipe.format match {
-      case "csv" => reader.option("header", "true").load(pipe.sourceDir)
-      case _ => reader.load(pipe.sourceDir)
-    }
+    val src = srcStream(spark, pipe)
     val lake = graft.sources.SnapshotTable.forPath(spark, lakeDir)
     val total = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = src.writeStream
@@ -236,11 +279,7 @@ object Pipes {
     * with the seed snapshot; a CDC stream without an initial snapshot is
     * an append pipe). Returns rows applied by THIS trigger. */
   def triggerMergeIntoLake(spark: SparkSession, pipe: Pipe, key: String): Long = {
-    val reader = spark.readStream.schema(pipe.schema).format(pipe.format)
-    val src = pipe.format match {
-      case "csv" => reader.option("header", "true").load(pipe.sourceDir)
-      case _ => reader.load(pipe.sourceDir)
-    }
+    val src = srcStream(spark, pipe)
     val lake = graft.sources.SnapshotTable.forPath(spark, pipe.targetDir)
     val total = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = src.writeStream
@@ -284,11 +323,7 @@ object Pipes {
   def triggerIntoLake(spark: SparkSession, pipe: Pipe,
                       partitionSpec: Seq[String],
                       statsCols: Seq[String]): Long = {
-    val reader = spark.readStream.schema(pipe.schema).format(pipe.format)
-    val src = pipe.format match {
-      case "csv" => reader.option("header", "true").load(pipe.sourceDir)
-      case _ => reader.load(pipe.sourceDir)
-    }
+    val src = srcStream(spark, pipe)
     val lake = graft.sources.SnapshotTable.forPath(spark, pipe.targetDir)
     // exact count accumulated in foreachBatch — recentProgress is a
     // bounded ring buffer and would silently undercount very large drains

@@ -110,6 +110,46 @@ class PipeSpec extends AnyFunSuite {
     spark.sql("DROP PIPE np"); spark.sql("DROP PIPE npsqs")
   }
 
+  test("DEDUPE_LOOKBACK_PERIOD bounds the notified dedup memory; expiry re-ingests") {
+    val root = Files.createTempDirectory("graft_pipe_lookback").toString
+    val spool = s"$root/spool"; Files.createDirectories(Paths.get(spool))
+    val data = s"$root/data"; Files.createDirectories(Paths.get(data))
+    spark.sql(s"CREATE PIPE lbp DEDUPE_LOOKBACK_PERIOD 1 FROM '$root/ghost' " +
+      "FORMAT json SCHEMA 'event_id BIGINT, value DOUBLE' " +
+      s"INTO LAKE '$root/lake' CHECKPOINT '$root/_chk' " +
+      s"NOTIFICATION_PROVIDER LOCAL_DIR NOTIFICATION_QUEUE_REFERENCE '$spool'")
+    assert(spark.sql("DESCRIBE PIPE lbp").collect().head.getString(9) == "1")
+    val f = Paths.get(s"$data/a.json")
+    Files.write(f, """{"event_id":1,"value":1.5}""".getBytes)
+    def notify(evt: String): Unit =
+      Files.write(Paths.get(s"$spool/$evt"), f.toString.getBytes)
+    notify("e1")
+    assert(spark.sql("TRIGGER PIPE lbp").collect().head.getString(1) == "1")
+    // inside the window: the duplicate event is absorbed
+    notify("e2")
+    assert(spark.sql("TRIGGER PIPE lbp").collect().head.getString(1) == "0")
+    // age the log entry past the 1-day window (rewrite its timestamp —
+    // the trim is pure arithmetic over the recorded epoch)
+    val log = Paths.get(s"$root/_chk/notified-files.log")
+    val aged = new String(Files.readAllBytes(log), "UTF-8").split("\n").map {
+      case l if l.startsWith("#") => l
+      case l =>
+        val i = l.indexOf('\t')
+        s"${l.substring(0, i).toLong - 2L * 86400000L}${l.substring(i)}"
+    }.mkString("\n")
+    Files.write(log, aged.getBytes("UTF-8"))
+    // expired: the same file legitimately RE-ingests (the reference's
+    // bounded-memory contract), under a NEW generation tag
+    notify("e3")
+    assert(spark.sql("TRIGGER PIPE lbp").collect().head.getString(1) == "1")
+    val lake = graft.sources.SnapshotTable.forPath(spark, s"$root/lake")
+    assert(lake.read().count() == 2L, "post-expiry re-ingest must land")
+    // and the refreshed entry dedups again
+    notify("e4")
+    assert(spark.sql("TRIGGER PIPE lbp").collect().head.getString(1) == "0")
+    spark.sql("DROP PIPE lbp")
+  }
+
   test("pipe into a partitioned lake table: batches land clustered + pruned") {
     import org.apache.spark.sql.functions.col
     val root = Files.createTempDirectory("graft_pipe_part").toString
