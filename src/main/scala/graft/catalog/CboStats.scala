@@ -179,6 +179,11 @@ object CboStats {
           storage = CatalogStorageFormat.empty,
           schema = schema,
           provider = Some("parquet"),
+          // the raw graft.stats.* nodes ride along so downstream
+          // consumers (plans.CategoricalSelectivity's frequent-item
+          // lookup) read them IN-MEMORY instead of re-listing the
+          // commit log per optimizer-fixpoint iteration
+          properties = props.filter(_._1.startsWith(ColPrefix)),
           stats = Some(CatalogStatistics(
             sizeInBytes = BigInt(props.getOrElse(SizeKey, "0")),
             rowCount = Some(BigInt(rc)),

@@ -76,11 +76,8 @@ class CategoricalSelectivity(session: SparkSession) extends Rule[LogicalPlan] {
     val stats = ct.stats.getOrElse(return None)
     val nRows = stats.rowCount.getOrElse(return None)
     if (nRows <= 0) return None
-    val dir = lr.relation match {
-      case h: HadoopFsRelation => h.location match {
-        case l: graft.sources.LakeFileIndex => l.tableDirPath
-        case _ => return None
-      }
+    lr.relation match {
+      case h: HadoopFsRelation if h.location.isInstanceOf[graft.sources.LakeFileIndex] => ()
       case _ => return None
     }
     val eqSets = stringEqSets(cond)
@@ -91,7 +88,11 @@ class CategoricalSelectivity(session: SparkSession) extends Rule[LogicalPlan] {
       case (c, Seq((_, lits))) => c -> lits
     }
     if (perCol.isEmpty) return None
-    lazy val props = graft.sources.SnapshotTable.forPath(session, dir).properties
+    // frequent items ride IN the synthetic CatalogTable's properties
+    // (CboStats.catalogTableFor) — a pure in-memory lookup; re-reading
+    // the commit log here would tax every fixpoint iteration of every
+    // filtered query with metadata I/O
+    val props = ct.properties
     val adjusted: Map[String, BigInt] = perCol.flatMap { case (colName, lits) =>
       ct.schema.fields.find(_.name.equalsIgnoreCase(colName)).flatMap { field =>
         val freq = graft.catalog.CboStats.frequentItemsFor(props, field).toMap

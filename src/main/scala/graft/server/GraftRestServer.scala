@@ -38,14 +38,16 @@ object GraftRestServer {
       // serve on a small pool: concurrent REST statements run like
       // concurrent Thrift statements (scheduler handles the rest)
       srv.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+      // reload the durable promotion registry BEFORE the port opens: a
+      // restarted server must keep serving every promoted dataset (the
+      // reference persists dataset configs in the namespace KV store),
+      // and a request racing the reload must not see a half-registered
+      // catalog
+      loadRegistry(spark)
       srv.start()
       val p = srv.getAddress.getPort
       running = Some(srv)
       boundPort = Some(p)
-      // reload the durable promotion registry: a restarted server must
-      // keep serving every promoted dataset (the reference persists
-      // dataset configs in the namespace KV store)
-      loadRegistry(spark)
       p
     }
   }
@@ -141,14 +143,23 @@ object GraftRestServer {
         p.getParent, p.getName + "." + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
       val os = fs.create(tmp, true)
       try os.write(body.getBytes(StandardCharsets.UTF_8)) finally os.close()
-      if (fs.exists(p)) fs.delete(p, false)
-      fs.rename(tmp, p)
+      // ATOMIC overwrite-rename via FileContext: the naive delete-then-
+      // rename has a crash window that loses the whole registry (the one
+      // artifact this feature exists to preserve), and FileSystem.rename
+      // reports failure as a silent false
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        p.toUri, org.apache.spark.sql.graft.Bridge.hadoopConf(spark))
+      fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
       ()
     } catch {
       // registry durability is best-effort per request: the promotion is
       // live in memory either way, and the next successful save rewrites
-      // the full map
-      case _: java.io.IOException => ()
+      // the full map (rename failures now surface here instead of being
+      // swallowed as a false return) — WARN so operators see the
+      // durability gap before a restart loses it
+      case e: java.io.IOException =>
+        System.err.println(
+          s"[graft-rest] WARN: promotion registry save failed: $e")
     }
 
   private def loadRegistry(spark: SparkSession): Unit =

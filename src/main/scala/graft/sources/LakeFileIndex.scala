@@ -104,13 +104,11 @@ final class LakeFileIndex(
   override def sizeInBytes: Long = statuses.map(_._1.getLen).sum
 
   /** Snapshot row count from manifest `__rows` entries — defined only when
-    * EVERY file recorded one (a single legacy file makes the count
-    * unknowable without a scan, so the metadata-count rule must not fire).
-    */
-  def manifestRowCount: Option[Long] = {
-    val ns = filesWithStats.map(_._2.get(SnapshotTable.RowsStatKey))
-    if (ns.forall(_.isDefined)) Some(ns.flatten.map(_._1.toLong).sum) else None
-  }
+    * EVERY file recorded a parseable one (a single legacy file makes the
+    * count unknowable without a scan, so the metadata-count rule must not
+    * fire). Shared definition: [[SnapshotTable.rowsFromStats]]. */
+  def manifestRowCount: Option[Long] =
+    SnapshotTable.rowsFromStats(filesWithStats.map(_._2))
 
   /** Per-file manifest (min, max) stat strings for a COLUMN, defined only
     * when EVERY file in the snapshot either recorded one or provably holds
@@ -172,8 +170,16 @@ object LakeFileIndex {
       case n @ (_: java.lang.Byte | _: java.lang.Short |
                 _: java.lang.Integer | _: java.lang.Long) =>
         Some(scala.util.Left(BigDecimal(n.asInstanceOf[java.lang.Number].longValue())))
-      case f: java.lang.Float => Some(scala.util.Left(BigDecimal.decimal(f.floatValue())))
-      case n: java.lang.Number => Some(scala.util.Left(BigDecimal.decimal(n.doubleValue())))
+      // NaN/Infinity have no BigDecimal form — BigDecimal.decimal throws,
+      // and a planning-time throw would fail the QUERY; incomparable →
+      // keep files, same as cmp's contract
+      case f: java.lang.Float =>
+        if (f.isNaN || f.isInfinite) None
+        else Some(scala.util.Left(BigDecimal.decimal(f.floatValue())))
+      case n: java.lang.Number =>
+        val d = n.doubleValue()
+        if (d.isNaN || d.isInfinite) None
+        else Some(scala.util.Left(BigDecimal.decimal(d)))
       case _ => None
     }
 
@@ -368,8 +374,13 @@ object LakeFileIndex {
       case n @ (_: java.lang.Byte | _: java.lang.Short |
                 _: java.lang.Integer | _: java.lang.Long) =>
         num(BigDecimal(n.asInstanceOf[java.lang.Number].longValue()))
-      case f: java.lang.Float => num(BigDecimal.decimal(f.floatValue()))
-      case n: java.lang.Number => num(BigDecimal.decimal(n.doubleValue()))
+      // a NaN/Infinity LITERAL has no BigDecimal form (decimal() throws,
+      // which would fail query planning) — incomparable, keep the file
+      case f: java.lang.Float =>
+        if (f.isNaN || f.isInfinite) None else num(BigDecimal.decimal(f.floatValue()))
+      case n: java.lang.Number =>
+        val dv = n.doubleValue()
+        if (dv.isNaN || dv.isInfinite) None else num(BigDecimal.decimal(dv))
       case _ => None
     }
   }

@@ -199,13 +199,12 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     * callers that need a guaranteed count fall back to `read().count()`.
     * Sizing decisions (compaction targets, file counts) should prefer
     * this: at billion-row state a sizing count would cost more than the
-    * operation it sizes. */
-  def manifestRowCount: Option[Long] = {
-    val ns = snapshotWithStats()._1.map(_._2.get(SnapshotTable.RowsStatKey))
-    if (ns.nonEmpty && ns.forall(_.isDefined))
-      scala.util.Try(ns.flatten.map(_._1.toLong).sum).toOption
-    else None
-  }
+    * operation it sizes. Same rule as the scan-side
+    * [[LakeFileIndex.manifestRowCount]] — ONE definition
+    * ([[SnapshotTable.rowsFromStats]]) so the metadata-count optimizer
+    * and maintenance sizing can never disagree. */
+  def manifestRowCount: Option[Long] =
+    SnapshotTable.rowsFromStats(snapshotWithStats()._1.map(_._2))
 
   /** Total data bytes of the current snapshot, from manifest-carried
     * sizes (zero FS calls; legacy files without a recorded size count 0 —
@@ -2161,6 +2160,20 @@ object SnapshotTable {
     * map (min == max == count). Never collides with predicate pruning —
     * lookups there are by real attribute name. */
   val RowsStatKey = "__rows"
+
+  /** Sum of manifest `__rows` over a per-file-stats list: Some(total)
+    * only when EVERY file recorded a parseable count (one legacy or
+    * malformed entry makes the total unknowable without a scan → None,
+    * callers fall back). An EMPTY list is Some(0) — an empty snapshot's
+    * row count is knowable. The single definition behind both the
+    * metadata-count rule (via [[LakeFileIndex.manifestRowCount]]) and
+    * maintenance sizing ([[SnapshotTable.manifestRowCount]]). */
+  private[graft] def rowsFromStats(
+      stats: Seq[Map[String, (String, String)]]): Option[Long] = {
+    val ns = stats.map(_.get(RowsStatKey))
+    if (!ns.forall(_.isDefined)) None
+    else scala.util.Try(ns.flatten.map(_._1.toLong).sum).toOption
+  }
 
   /** Pseudo stat key for a file's (size bytes, mtime ms) — the Iceberg
     * `file_size_in_bytes` manifest field. Lets the scan build FileStatus

@@ -1212,6 +1212,14 @@ object GraftSqlParser {
       if (notifyProvider.isDefined)
         require(notifyQueue.isDefined,
           "NOTIFICATION_PROVIDER needs NOTIFICATION_QUEUE_REFERENCE")
+      // the lookback trims the NOTIFIED loaded-files log; a listing
+      // pipe's Spark file-source log has no loss-free equivalent
+      // (maxFileAge silently skips old-mtime backfills), so refuse
+      // rather than quietly meaning something different
+      if (lookbackDays.isDefined)
+        require(notifyProvider.isDefined,
+          "DEDUPE_LOOKBACK_PERIOD applies to NOTIFICATION_PROVIDER pipes " +
+            "(listing pipes dedup through the stream checkpoint, unbounded)")
       // lake-source pipes carry no DDL: the source table's schema IS the
       // schema (resolved at trigger time from its snapshot)
       val schema =

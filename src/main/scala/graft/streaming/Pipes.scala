@@ -45,8 +45,10 @@ final case class Pipe(
       * the file-identity dedup memory — a file seen longer ago than the
       * window may re-ingest (the reference's accepted contract; the
       * alternative is dedup state that grows with every file ever
-      * loaded). Notified pipes trim their loaded-files log to the
-      * window; listing pipes map it to the file source's `maxFileAge`. */
+      * loaded). NOTIFIED pipes only (they own the loaded-files log this
+      * trims); a listing pipe's Spark file-source log has no
+      * loss-free equivalent — `maxFileAge` would silently SKIP
+      * old-mtime backfills — so CREATE refuses the combination. */
     dedupeLookbackDays: Option[Int] = None)
 
 object Pipes {
@@ -68,15 +70,15 @@ object Pipes {
     updated
   }
 
-  /** Streaming source frame for a listing (non-notified) pipe. A
-    * DEDUPE_LOOKBACK_PERIOD maps to the file source's own bounded-memory
-    * knob (`maxFileAge`): the source log stops tracking — and stops
-    * deduping — files older than the window, the same contract as the
-    * notified log's trim. */
+  /** Streaming source frame for a listing (non-notified) pipe. NOTE:
+    * DEDUPE_LOOKBACK_PERIOD deliberately does NOT map to the file
+    * source's `maxFileAge` — that knob SKIPS files whose mtime falls
+    * below latest−age (a backfill copied in with a preserved old mtime
+    * would silently never load), which is data loss, not bounded dedup
+    * memory. The lookback therefore applies only to notified pipes,
+    * whose loaded-files log we own; CREATE enforces the pairing. */
   private def srcStream(spark: SparkSession, pipe: Pipe): DataFrame = {
     var reader = spark.readStream.schema(pipe.schema).format(pipe.format)
-    pipe.dedupeLookbackDays.foreach(d =>
-      reader = reader.option("maxFileAge", s"${d}d"))
     if (pipe.format == "csv") reader = reader.option("header", "true")
     reader.load(pipe.sourceDir)
   }
@@ -127,9 +129,13 @@ object Pipes {
         s"pipe ${pipe.name}: NOTIFICATION_PROVIDER needs NOTIFICATION_QUEUE_REFERENCE"))
     val source = Notifications.sourceFor(provider)
     val events = source.poll(queueRef)
-    if (events.isEmpty) return 0L
     val ckDir = java.nio.file.Paths.get(pipe.checkpointDir)
     java.nio.file.Files.createDirectories(ckDir)
+    // an in-flight pending intent must complete even if the queue looks
+    // empty (a crash window may sit between its commit and its ack)
+    if (events.isEmpty &&
+        !java.nio.file.Files.exists(ckDir.resolve("notified-pending")))
+      return 0L
     val logFile = ckDir.resolve("notified-files.log")
     // log format: "#gen=<n>" header, then "<epochMs>\t<path>" lines. The
     // generation stamps each trigger's commit tag, so a file legitimately
@@ -158,7 +164,35 @@ object Pipes {
     val cutoff = pipe.dedupeLookbackDays.map(d => now - d * 86400000L)
     val live = cutoff.fold(entries)(c => entries.filter(_._1 >= c))
     val loaded: Set[String] = live.map(_._2).toSet
-    val fresh = events.map(_.path).distinct.filterNot(loaded)
+    // PENDING intent: the file set of an in-flight trigger is pinned to
+    // disk BEFORE its commit, so a crash-replay re-commits exactly that
+    // set under exactly that tag even if NEW events arrived in between —
+    // tagging the replay by the (grown) polled set would land the old
+    // files twice. A pending record whose generation no longer matches
+    // the log is from a crash AFTER the log advanced: discard it.
+    val pendingFile = ckDir.resolve("notified-pending")
+    val pending: Option[Seq[String]] =
+      if (!java.nio.file.Files.exists(pendingFile)) None
+      else {
+        val lines = new String(
+          java.nio.file.Files.readAllBytes(pendingFile), "UTF-8")
+          .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+        val pGen = lines.headOption.filter(_.startsWith("#gen="))
+          .map(_.stripPrefix("#gen=").toLong)
+        if (pGen.contains(gen)) Some(lines.filterNot(_.startsWith("#")))
+        else { java.nio.file.Files.deleteIfExists(pendingFile); None }
+      }
+    val fresh = pending.getOrElse(
+      events.map(_.path).distinct.filterNot(loaded))
+    if (pending.isEmpty && fresh.nonEmpty) {
+      // pin the intent atomically before any data moves
+      val tmp = ckDir.resolve(".notified-pending.tmp")
+      java.nio.file.Files.write(tmp,
+        (s"#gen=$gen" +: fresh).mkString("\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, pendingFile,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
     val n: Long =
       if (fresh.isEmpty) 0L
       else {
@@ -194,7 +228,9 @@ object Pipes {
         } finally { batch.unpersist(); () }
       }
     // advance the log atomically (trimmed to the lookback window, new
-    // generation), then ack — see the ordering contract above
+    // generation), clear the pending intent, then ack ONLY the events
+    // this trigger handled — an event for a file outside the pinned
+    // pending set must survive in the queue for the next trigger
     if (fresh.nonEmpty || live.size != entries.size) {
       val body = (s"#gen=${gen + 1}" +:
         (live ++ fresh.map(p => (now, p)))
@@ -206,7 +242,9 @@ object Pipes {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
-    source.ack(queueRef, events)
+    java.nio.file.Files.deleteIfExists(pendingFile)
+    val handled = loaded ++ fresh
+    source.ack(queueRef, events.filter(e => handled(e.path)))
     n
   }
 

@@ -102,11 +102,17 @@ object StreamingDedup {
     // pruning pays when the state is many files; below the floor the
     // key-collect + IN-fold costs more plan time than the read it saves
     if (state.snapshotWithStats()._1.size < minStateFiles) return base
-    // cheap overflow gate BEFORE the distinct+collect: band rows (a plain
-    // count on the cached batch, no shuffle) upper-bound the distinct band
-    // keys, so a bulk backfill skips straight to the full scan instead of
-    // paying a distinct over millions of rows only to discard its result
-    if (batchBands.count() > maxPruneKeys) return base
+    // cheap overflow gate BEFORE the distinct+collect: an approximate
+    // distinct over the cached batch (map-side partial, one tiny agg row
+    // — no shuffle of the values themselves) decides whether the prune
+    // set would overflow, so a bulk backfill skips straight to the full
+    // scan instead of paying an exact distinct it would discard — while
+    // a duplicate-heavy FLOOD (many rows, few distinct band keys: the
+    // dedup workload itself) keeps its pruning. The exact distinct below
+    // still backstops an approx under-estimate.
+    val approxKeys = batchBands
+      .agg(approx_count_distinct(col("bh")).as("k")).head().getLong(0)
+    if (approxKeys > maxPruneKeys.toLong * 11 / 10) return base
     val keys = batchBands.select(col("bh")).distinct()
       .limit(maxPruneKeys + 1).collect().map(_.getLong(0))
     if (keys.isEmpty) base.limit(0)

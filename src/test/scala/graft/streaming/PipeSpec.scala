@@ -110,6 +110,51 @@ class PipeSpec extends AnyFunSuite {
     spark.sql("DROP PIPE np"); spark.sql("DROP PIPE npsqs")
   }
 
+  test("notified pipe crash-replay: pending intent pins the commit set, new events wait") {
+    val root = Files.createTempDirectory("graft_pipe_pending").toString
+    val spool = s"$root/spool"; Files.createDirectories(Paths.get(spool))
+    val data = s"$root/data"; Files.createDirectories(Paths.get(data))
+    spark.sql(s"CREATE PIPE npp FROM '$root/ghost' FORMAT json " +
+      "SCHEMA 'event_id BIGINT, value DOUBLE' " +
+      s"INTO LAKE '$root/lake' CHECKPOINT '$root/_chk' " +
+      s"NOTIFICATION_PROVIDER LOCAL_DIR NOTIFICATION_QUEUE_REFERENCE '$spool'")
+    def drop(name: String, id: Long): String = {
+      val p = Paths.get(s"$data/$name")
+      Files.write(p, s"""{"event_id":$id,"value":1.0}""".getBytes)
+      p.toString
+    }
+    def notify(evt: String, path: String): Unit =
+      Files.write(Paths.get(s"$spool/$evt"), path.getBytes)
+    val f1 = drop("f1.json", 1L); val f2 = drop("f2.json", 2L)
+    notify("e1", f1); notify("e2", f2)
+    assert(spark.sql("TRIGGER PIPE npp").collect().head.getString(1) == "2")
+    val lake = graft.sources.SnapshotTable.forPath(spark, s"$root/lake")
+    assert(lake.read().count() == 2L)
+
+    // simulate a crash BETWEEN the lake commit and the log advance/ack:
+    // the loaded-files log never advanced (delete it) but the pending
+    // intent from that trigger is on disk, and the un-acked events are
+    // back in the queue — PLUS a new event for f3 arrived meanwhile.
+    // Without the pinned intent, the replay would tag by the GROWN
+    // polled set and re-land f1/f2 as duplicates.
+    val ck = Paths.get(s"$root/_chk")
+    Files.delete(ck.resolve("notified-files.log"))
+    Files.write(ck.resolve("notified-pending"),
+      s"#gen=0\n$f1\n$f2".getBytes("UTF-8"))
+    val f3 = drop("f3.json", 3L)
+    notify("e1", f1); notify("e2", f2); notify("e3", f3)
+    assert(spark.sql("TRIGGER PIPE npp").collect().head.getString(1) == "0",
+      "the replayed commit must be absorbed by the original generation tag")
+    assert(lake.read().count() == 2L, "no duplicate rows from the replay")
+    // the new event was NOT handled by the replay and must survive un-acked
+    assert(Files.exists(Paths.get(s"$spool/e3")), "f3's event must stay queued")
+    assert(!Files.exists(ck.resolve("notified-pending")), "intent cleared")
+    // the next trigger drains f3 normally
+    assert(spark.sql("TRIGGER PIPE npp").collect().head.getString(1) == "1")
+    assert(lake.read().count() == 3L)
+    spark.sql("DROP PIPE npp")
+  }
+
   test("DEDUPE_LOOKBACK_PERIOD bounds the notified dedup memory; expiry re-ingests") {
     val root = Files.createTempDirectory("graft_pipe_lookback").toString
     val spool = s"$root/spool"; Files.createDirectories(Paths.get(spool))
