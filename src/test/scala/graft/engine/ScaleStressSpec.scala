@@ -27,6 +27,51 @@ class ScaleStressSpec extends AnyFunSuite {
     expr(s"concat_ws(' ', transform(sequence(0, ${n - 1}), " +
       s"i -> substring(md5(concat($seed, '_', cast(i AS string))), 1, 8)))")
 
+  test("notified pipe at 2k events: one exactly-once batch, O(events) trigger, bounded log") {
+    gate()
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_scale_pipe").toString
+    val spool = s"$root/spool"; Files.createDirectories(Paths.get(spool))
+    val data = s"$root/data"; Files.createDirectories(Paths.get(data))
+    // 2000 arrived files, each with 5 rows; the pipe's FROM directory is
+    // never created, so only the event-named paths can feed the load —
+    // trigger cost is O(events), never O(source prefix)
+    val n = 2000
+    (0 until n).foreach { i =>
+      val rows = (0 until 5).map(j =>
+        s"""{"event_id":${i * 5 + j},"value":$i.5}""").mkString("\n")
+      Files.write(Paths.get(f"$data/f$i%05d.json"), rows.getBytes)
+      Files.write(Paths.get(f"$spool/evt-$i%05d"),
+        f"$data/f$i%05d.json".getBytes)
+      ()
+    }
+    spark.sql(s"CREATE PIPE scale_np DEDUPE_LOOKBACK_PERIOD 7 FROM '$root/ghost' " +
+      "FORMAT json SCHEMA 'event_id BIGINT, value DOUBLE' " +
+      s"INTO LAKE '$root/lake' CHECKPOINT '$root/_chk' " +
+      s"NOTIFICATION_PROVIDER LOCAL_DIR NOTIFICATION_QUEUE_REFERENCE '$spool'")
+    try {
+      assert(spark.sql("TRIGGER PIPE scale_np").collect()
+        .head.getString(1) == (n * 5).toString)
+      val lake = graft.sources.SnapshotTable.forPath(spark, s"$root/lake")
+      assert(lake.read().count() == n * 5L)
+      assert(lake.latestVersion == 1L, "one trigger = ONE atomic commit")
+      // the spool drained and a replayed trigger is a no-op
+      val spoolLeft = {
+        val s = Files.list(Paths.get(spool))
+        try s.count() finally s.close()
+      }
+      assert(spoolLeft == 0L, s"spool acked, $spoolLeft left")
+      assert(spark.sql("TRIGGER PIPE scale_np").collect().head.getString(1) == "0")
+      // the dedup log holds exactly the in-window file set (one line per
+      // file + the generation header) — the lookback keeps it O(window),
+      // and nothing in the checkpoint scales with files-ever-loaded
+      val log = new String(Files.readAllBytes(
+        Paths.get(s"$root/_chk/notified-files.log")), "UTF-8")
+        .split("\n").filter(_.nonEmpty)
+      assert(log.length == n + 1, s"log lines: ${log.length}")
+    } finally spark.sql("DROP PIPE scale_np")
+  }
+
   test("MinHash LSH at 100k docs: hot boilerplate bucket stays bounded, planted near-dups found") {
     gate()
     // 10% of the corpus is ONE identical boilerplate text (the pathological
