@@ -57,9 +57,49 @@ object Queues {
   }
 
   def drop(name: String): Unit = states.remove(name)
-  def clear(): Unit = states.clear()
+  def clear(): Unit = { states.clear(); engines.clear() }
   def defined(name: String): Boolean = states.contains(name)
   def definition(name: String): Option[QueueDef] = states.get(name).map(_.defn)
+
+  // ----- elastic engines (reference SqlAlterEngine, parserImpls.ftl:1877:
+  // ALTER ENGINE <name> SET (MIN_REPLICAS = n, MAX_REPLICAS = m)) -------
+
+  /** Declared replica bounds for an engine. The reference resizes an
+    * elastic engine's executor replica range; on Spark the executor
+    * count belongs to the cluster manager (dynamic allocation is a
+    * launch-time contract), so the engine's Spark-side lever is
+    * ADMISSION CONCURRENCY: the engine's same-named WLM queue resizes
+    * its slots to maxReplicas, while the declared bounds stay visible as
+    * metadata (`SHOW ENGINES`). Routing rules already target queues by
+    * name, so "engine" and "queue" share the namespace exactly like the
+    * reference's queue→engine binding. */
+  final case class EngineDef(name: String, minReplicas: Int, maxReplicas: Int)
+
+  private val engines = TrieMap.empty[String, EngineDef]
+
+  /** ALTER ENGINE: update whichever bounds were given (the reference
+    * allows either, in either order), validate, and resize the
+    * same-named queue's admission slots to the new maximum. */
+  def alterEngine(name: String, minReplicas: Option[Int],
+                  maxReplicas: Option[Int]): EngineDef = {
+    val cur = engines.getOrElse(name,
+      EngineDef(name, 0, definition(name).map(_.slots).getOrElse(1)))
+    val nd = EngineDef(name,
+      minReplicas.getOrElse(cur.minReplicas),
+      maxReplicas.getOrElse(cur.maxReplicas))
+    require(nd.minReplicas >= 0, s"MIN_REPLICAS must be >= 0: ${nd.minReplicas}")
+    require(nd.maxReplicas >= 1 && nd.maxReplicas >= nd.minReplicas,
+      s"MAX_REPLICAS (${nd.maxReplicas}) must be >= 1 and >= MIN_REPLICAS " +
+        s"(${nd.minReplicas})")
+    engines.put(name, nd)
+    definition(name) match {
+      case Some(q) => define(name, nd.maxReplicas, q.timeoutMs, q.pool)
+      case None    => define(name, nd.maxReplicas)
+    }
+    nd
+  }
+
+  def listEngines: Seq[EngineDef] = engines.values.toSeq.sortBy(_.name)
 
   /** Run `body` under the queue's admission control: blocks for a slot
     * (FIFO, up to timeoutMs), tags the calling thread's jobs with the

@@ -203,6 +203,10 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
         CompactMaterializationCommand(name,
           Option(nFiles).map(_.toInt).getOrElse(1), out("reflection", "files"))
       case DropQueueRe(name) => DropQueueCommand(name)
+      case AlterEngineRe(name, body) => AlterEngineCommand(name, body,
+        out("engine", "min_replicas", "max_replicas", "queue_slots"))
+      case ShowEnginesRe() => ShowEnginesCommand(
+        out("engine", "min_replicas", "max_replicas", "queue_slots"))
       case ShowQueuesRe() =>
         ShowQueuesCommand(out("name", "slots", "pool", "running", "queued",
           "admitted", "timed_out"))
@@ -491,6 +495,12 @@ object GraftSqlParser {
   // (reference SqlCompactMaterialization: merge refresh deltas)
   private val AlterQueueRe =
     """(?is)ALTER\s+QUEUE\s+([\w.-]+)\s+SLOTS\s+(\d+)(?:\s+TIMEOUT\s+(\d+))?\s*;?""".r
+  // reference SqlAlterEngine (parserImpls.ftl:1877): ALTER ENGINE <name>
+  // SET (MIN_REPLICAS = n, MAX_REPLICAS = m) — either key, either order;
+  // the paren body is validated by the command
+  private val AlterEngineRe =
+    """(?is)ALTER\s+ENGINE\s+([\w.-]+)\s+SET\s*\(([^)]*)\)\s*;?""".r
+  private val ShowEnginesRe = """(?is)SHOW\s+ENGINES\s*;?""".r
   private val CompactMaterializationRe =
     """(?is)COMPACT\s+MATERIALIZATION\s+(\w+)(?:\s+INTO\s+(\d+)\s+FILES)?\s*;?""".r
   private val DropQueueRe = """(?is)DROP\s+QUEUE\s+([\w.-]+)\s*;?""".r
@@ -1191,6 +1201,43 @@ object GraftSqlParser {
       graft.engine.Queues.status.map(q => Row(q.name, q.slots.toString,
         q.pool, q.running.toString, q.queued.toString,
         q.admitted.toString, q.timedOut.toString))
+  }
+
+  /** ALTER ENGINE <name> SET (MIN_REPLICAS = n, MAX_REPLICAS = m)
+    * (reference SqlAlterEngine, parserImpls.ftl:1877): parse the paren
+    * body strictly — either key, either order, nothing else — then
+    * resize the engine through [[graft.engine.Queues.alterEngine]]. */
+  case class AlterEngineCommand(name: String, body: String,
+      override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val assign = """(?is)\s*(MIN_REPLICAS|MAX_REPLICAS)\s*=\s*(\d+)\s*""".r
+      val parts =
+        if (body.trim.isEmpty) Seq.empty
+        else body.split(",", -1).toSeq.map {
+          case assign(k, v) => k.toUpperCase(java.util.Locale.ROOT) -> v.toInt
+          case other => throw new IllegalArgumentException(
+            s"ALTER ENGINE: cannot parse '${other.trim}' " +
+              "(expected MIN_REPLICAS = <n> and/or MAX_REPLICAS = <n>)")
+        }
+      require(parts.map(_._1).distinct.size == parts.size,
+        "ALTER ENGINE: duplicate replica bound")
+      val kv = parts.toMap
+      val d = graft.engine.Queues.alterEngine(name,
+        kv.get("MIN_REPLICAS"), kv.get("MAX_REPLICAS"))
+      val slots = graft.engine.Queues.definition(name).map(_.slots).getOrElse(0)
+      Seq(Row(d.name, d.minReplicas.toString, d.maxReplicas.toString,
+        slots.toString))
+    }
+  }
+
+  case class ShowEnginesCommand(override val output: Seq[Attribute])
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] =
+      graft.engine.Queues.listEngines.map { e =>
+        val slots = graft.engine.Queues.definition(e.name).map(_.slots).getOrElse(0)
+        Row(e.name, e.minReplicas.toString, e.maxReplicas.toString,
+          slots.toString)
+      }
   }
 
   case class CreatePipeCommand(name: String, src: String, fmt: String,

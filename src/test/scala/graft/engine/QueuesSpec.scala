@@ -368,4 +368,31 @@ class QueuesSpec extends AnyFunSuite {
       spark.conf.unset(graft.auth.Privileges.UserConf)
     }
   }
+
+  test("ALTER ENGINE resizes admission; SHOW ENGINES reports; malformed refuses") {
+    try {
+      // engine with an existing queue: slots resize to MAX_REPLICAS
+      Queues.define("eng1", slots = 2)
+      val r = spark.sql(
+        "ALTER ENGINE eng1 SET (MIN_REPLICAS = 1, MAX_REPLICAS = 6)").collect().head
+      assert(r.getString(1) == "1" && r.getString(2) == "6" && r.getString(3) == "6")
+      assert(Queues.definition("eng1").get.slots == 6)
+      // reversed key order (the reference grammar allows both)
+      spark.sql("ALTER ENGINE eng1 SET (MAX_REPLICAS = 4, MIN_REPLICAS = 2)")
+      assert(Queues.definition("eng1").get.slots == 4)
+      // single-bound form keeps the other bound
+      spark.sql("ALTER ENGINE eng1 SET (MAX_REPLICAS = 8)")
+      val shown = spark.sql("SHOW ENGINES").collect()
+        .map(x => (x.getString(0), x.getString(1), x.getString(2))).toSeq
+      assert(shown.contains(("eng1", "2", "8")), shown.mkString)
+      // an engine with no prior queue gets one sized to the max
+      spark.sql("ALTER ENGINE eng_new SET (MAX_REPLICAS = 3)")
+      assert(Queues.definition("eng_new").get.slots == 3)
+      // invalid bounds and junk bodies refuse loudly
+      assertThrows[Exception](spark.sql(
+        "ALTER ENGINE eng1 SET (MIN_REPLICAS = 9, MAX_REPLICAS = 2)"))
+      assertThrows[Exception](spark.sql(
+        "ALTER ENGINE eng1 SET (REPLICAS = 2)"))
+    } finally { Queues.drop("eng1"); Queues.drop("eng_new") }
+  }
 }
