@@ -496,7 +496,8 @@ object GraftFlightServer {
       case "CommandGetTables" =>
         Some(GraftFlightSql.tablesDf(root, session, PbSql.readGetTables(v)))
       case "CommandGetTableTypes" => Some(GraftFlightSql.tableTypesDf(root))
-      case "CommandGetPrimaryKeys" => Some(GraftFlightSql.primaryKeysDf(root))
+      case "CommandGetPrimaryKeys" =>
+        Some(GraftFlightSql.primaryKeysDf(root, PbSql.readGetPrimaryKeys(v)))
       case "CommandGetImportedKeys" | "CommandGetExportedKeys" |
            "CommandGetCrossReference" => Some(GraftFlightSql.foreignKeysDf(root))
       case "CommandGetXdbcTypeInfo" =>

@@ -200,14 +200,31 @@ private[graft] object GraftFlightSql {
     if (cmd.includeSchema) df else df.drop("table_schema")
   }
 
-  /** CommandGetPrimaryKeys / Get{Imported,Exported}Keys /
-    * GetCrossReference: this engine declares no key constraints (Spark
-    * tables carry none), so the results are EMPTY — but with the spec's
-    * column contract, because ADBC probes these on connect and chokes on
-    * a refused RPC where an empty relation is the correct answer. */
-  def primaryKeysDf(spark: SparkSession): DataFrame = {
+  /** CommandGetPrimaryKeys: lake views whose backing table declares an
+    * (informational) PRIMARY KEY — `ALTER LAKE ... ADD PRIMARY KEY` —
+    * report it here, one row per key column with its 1-based sequence
+    * (the JDBC/ADBC contract). Tables without a declared key — and a
+    * command without the spec-required `table` filter — yield the empty
+    * relation with the spec's column contract (ADBC probes these on
+    * connect and chokes on a refused RPC where empty is the answer).
+    * Imported/exported keys stay empty: the engine declares no foreign
+    * keys. */
+  def primaryKeysDf(spark: SparkSession, table: Option[String]): DataFrame = {
     import org.apache.spark.sql.types._
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    val rows: Seq[org.apache.spark.sql.Row] = table.toSeq.flatMap { t =>
+      graft.catalog.LakeViews.dirOf(t).toSeq
+        // the registry is advisory: the view must still exist
+        .filter(_ => scala.util.Try(spark.catalog.tableExists(t)).getOrElse(false))
+        .flatMap { dir =>
+          graft.sources.SnapshotTable.forPath(spark, dir).primaryKey
+            .zipWithIndex.map { case (c, i) =>
+              org.apache.spark.sql.Row("graft", "session", t.toLowerCase,
+                c, s"pk_${t.toLowerCase}", i + 1)
+            }
+        }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, numSlices = 1),
       StructType(Seq(
         StructField("catalog_name", StringType), StructField("db_schema_name", StringType),
         StructField("table_name", StringType), StructField("column_name", StringType),

@@ -148,6 +148,22 @@ object PbSql {
 
   /** CommandGetXdbcTypeInfo {1: optional int32 data_type} — the
     * ODBC/JDBC type-mapping probe ADBC drivers issue on connect. */
+  /** CommandGetPrimaryKeys: (catalog?, db_schema?, table). The spec
+    * marks `table` required — absent/empty means an empty result, never
+    * "all tables" (ADBC probes with real names only). */
+  def readGetPrimaryKeys(b: Array[Byte]): Option[String] = {
+    val r = new Pb.Reader(b)
+    var table: Option[String] = None
+    while (r.hasNext) r.nextTag() match {
+      case (3, 2) => table = Some(r.readString()).filter(_.nonEmpty)
+      case (_, w) => r.skip(w)
+    }
+    table
+  }
+
+  def writeGetPrimaryKeys(table: String): Array[Byte] =
+    new Pb.Writer().stringAlways(3, table).result
+
   def readGetXdbcTypeInfo(b: Array[Byte]): Option[Int] = {
     val r = new Pb.Reader(b); var dt: Option[Int] = None
     while (r.hasNext) r.nextTag() match {

@@ -1611,6 +1611,30 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       case c if c.tableProps.isDefined => c.tableProps.get
     }.getOrElse(Map.empty)
 
+  /** ALTER ... ADD PRIMARY KEY (reference SqlAlterTableAddPrimaryKey,
+    * `alter.ftl`): INFORMATIONAL key metadata, exactly the reference's
+    * contract — never enforced on write (no engine at this scale
+    * validates uniqueness per commit), consumed by catalog surfaces
+    * (Flight SQL GetPrimaryKeys, SHOW CREATE LAKE) and available to
+    * planners/joiner tooling. Stored as a table property, so it is
+    * versioned, branch-aware and survives DML like any other metadata. */
+  def setPrimaryKey(cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "PRIMARY KEY needs at least one column")
+    val have = snapshot()._2.fieldNames.map(_.toLowerCase).toSet
+    val missing = cols.filterNot(c => have(c.toLowerCase))
+    require(missing.isEmpty,
+      s"PRIMARY KEY columns not in schema: ${missing.mkString(", ")}")
+    setProperties(Map(SnapshotTable.PkPropKey -> cols.mkString(",")))
+  }
+
+  /** ALTER ... DROP PRIMARY KEY. */
+  def dropPrimaryKey(): Long = unsetProperties(Seq(SnapshotTable.PkPropKey))
+
+  /** Declared (informational) primary-key columns, empty when none. */
+  def primaryKey: Seq[String] =
+    properties.get(SnapshotTable.PkPropKey).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+
   /** ALTER ... SET TBLPROPERTIES: metadata-only commit declaring the
     * merged map (existing keys overwritten, others kept). */
   def setProperties(kvs: Map[String, String]): Long = {
@@ -2155,6 +2179,10 @@ object SnapshotTable {
     * from a newer writer. It can surface raw in per-commit listings
     * (DESCRIBE LAKE) — hence the neutral spelling. */
   val ClearedLayoutSentinel = "none()"
+
+  /** Table property holding the declared (informational) primary key as
+    * a column CSV — reference SqlAlterTableAddPrimaryKey metadata. */
+  val PkPropKey = "graft.pk"
 
   /** Pseudo column carrying per-file parquet row counts inside the stats
     * map (min == max == count). Never collides with predicate pruning —

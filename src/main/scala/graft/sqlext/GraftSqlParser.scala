@@ -311,6 +311,12 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
           Option(spec).map(splitTopLevel).getOrElse(Nil))
       case AlterLakeSetSortRe(dir, cols) =>
         SetLakeSortOrderCommand(dir, splitCols(cols))
+      case AlterLakeAddPkRe(dir, cols) =>
+        AlterLakePkCommand(dir,
+          cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          out("table", "primary_key"))
+      case AlterLakeDropPkRe(dir) =>
+        AlterLakePkCommand(dir, Nil, out("table", "primary_key"))
       case AlterLakeSetPropsRe(dir, pairs) =>
         SetLakePropertiesCommand(dir,
           PropPairRe.findAllMatchIn(pairs).map(m => m.group(1) -> m.group(2)).toMap)
@@ -322,7 +328,8 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
       case RollbackLakeRe(dir, version) => RollbackLakeCommand(dir, version.toLong)
       case ShowCreateLakeRe(dir, ref) =>
         ShowCreateLakeCommand(dir,
-          out("column_ddl", "partition_spec", "stats_cols", "sort_by", "version"),
+          out("column_ddl", "partition_spec", "stats_cols", "sort_by",
+            "primary_key", "version"),
           Option(ref))
       case VacuumLakeRe(dir, olderThan, retain, grace) =>
         VacuumLakeCommand(dir,
@@ -513,6 +520,12 @@ object GraftSqlParser {
       """\(((?:[^()]*\([^()]*\))*[^()]*)\)\s*;?""").r
   private val AlterLakeSetSortRe =
     """(?is)ALTER\s+LAKE\s+'([^']+)'\s+SET\s+SORT\s+ORDER\s*\(([^)]*)\)\s*;?""".r
+  // informational PRIMARY KEY metadata (reference
+  // SqlAlterTableAddPrimaryKey / SqlAlterTableDropPrimaryKey, alter.ftl)
+  private val AlterLakeAddPkRe =
+    """(?is)ALTER\s+LAKE\s+'([^']+)'\s+ADD\s+PRIMARY\s+KEY\s*\(([^)]*)\)\s*;?""".r
+  private val AlterLakeDropPkRe =
+    """(?is)ALTER\s+LAKE\s+'([^']+)'\s+DROP\s+PRIMARY\s+KEY\s*;?""".r
   private val AlterLakeSetPropsRe =
     ("""(?is)ALTER\s+LAKE\s+'([^']+)'\s+SET\s+TBLPROPERTIES\s*""" +
       """\(\s*((?:'[^']*'\s*=\s*'[^']*'\s*,?\s*)+)\)\s*;?""").r
@@ -1524,12 +1537,27 @@ object GraftSqlParser {
 
   /** CREATE LAKE VIEW: register a (possibly time-traveled) snapshot of a
     * graft-lake table as a temp view for plain-SQL querying. */
+  /** ADD/DROP PRIMARY KEY (empty cols = DROP): informational metadata,
+    * never enforced — the reference's contract; consumed by Flight SQL
+    * GetPrimaryKeys and SHOW CREATE LAKE. */
+  case class AlterLakePkCommand(dir: String, cols: Seq[String],
+      override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val t = graft.sources.SnapshotTable.forPath(spark, dir)
+      if (cols.isEmpty) t.dropPrimaryKey() else t.setPrimaryKey(cols)
+      Seq(Row(dir, t.primaryKey.mkString(",")))
+    }
+  }
+
   case class CreateLakeViewCommand(name: String, dir: String, version: Option[Long],
       asOfTsMs: Option[Long] = None) extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("view", "version")
     override def run(spark: SparkSession): Seq[Row] = {
       val t = graft.sources.SnapshotTable.forPath(spark, dir)
       t.read(version, asOfTsMs).createOrReplaceTempView(name)
+      // name → dir registry: table-level metadata surfaces (Flight SQL
+      // GetPrimaryKeys) resolve the backing table through it
+      graft.catalog.LakeViews.register(name, dir)
       Seq(Row(name, version.getOrElse(t.latestVersion).toString))
     }
   }
@@ -1573,8 +1601,13 @@ object GraftSqlParser {
       // ONE log read serves both the head row and the layout: a second
       // read could see a concurrent commit and report a torn definition
       val (spec, statsCols, sortBy) = t.effectiveLayoutOfCommits(cs)
+      // declared (informational) primary key as of the shown ref
+      val pk = cs.reverseIterator.collectFirst {
+        case c if c.tableProps.isDefined => c.tableProps.get
+      }.getOrElse(Map.empty)
+        .getOrElse(graft.sources.SnapshotTable.PkPropKey, "")
       Seq(Row(cs.last.schemaDdl, spec.mkString(", "),
-        statsCols.mkString(", "), sortBy.mkString(", "),
+        statsCols.mkString(", "), sortBy.mkString(", "), pk,
         cs.last.version.toString))
     }
   }

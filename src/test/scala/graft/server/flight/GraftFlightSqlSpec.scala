@@ -269,13 +269,28 @@ class GraftFlightSqlSpec extends AnyFunSuite {
       val tyGot = firstLine(types, "RESULT ")
       assert(tyGot.contains("TABLE") && tyGot.contains("VIEW"), tyGot.take(300))
 
-      // no key constraints exist → empty relations with the spec's columns
-      // (ADBC probes these; a refused RPC would be wrong, empty is right)
+      // without the spec-required table filter → empty relation with the
+      // spec's columns (ADBC probes these; a refused RPC would be wrong)
       val pks = runClient(port.toString, "cmd",
         b64(PbSql.writeAny("CommandGetPrimaryKeys", Array.emptyByteArray)))
       val pkGot = firstLine(pks, "RESULT ")
       assert(pkGot.contains("key_sequence") && pkGot.contains(""""rows": []"""),
         pkGot.take(300))
+      // a lake view whose table DECLARES a primary key reports it, one
+      // row per column with 1-based sequence (ALTER LAKE ... ADD PRIMARY KEY)
+      val pkDir = java.nio.file.Files.createTempDirectory("graft_fsql_pk").toString + "/t"
+      spark.sql(s"CREATE LAKE '$pkDir' AS SELECT id, CAST(id AS STRING) AS nm FROM range(5)")
+      spark.sql(s"ALTER LAKE '$pkDir' ADD PRIMARY KEY (id, nm)")
+      spark.sql(s"CREATE LAKE VIEW flightsql_pk_v FROM '$pkDir'")
+      val pks2 = runClient(port.toString, "cmd",
+        b64(PbSql.writeAny("CommandGetPrimaryKeys",
+          PbSql.writeGetPrimaryKeys("flightsql_pk_v"))))
+      val pk2Got = firstLine(pks2, "RESULT ")
+      assert(pk2Got.contains("pk_flightsql_pk_v") &&
+        pk2Got.contains("""\"column_name\": \"id\"""") &&
+        pk2Got.contains("""\"column_name\": \"nm\"""") &&
+        pk2Got.contains("""\"key_sequence\": 2"""),
+        pk2Got.take(500))
       val fks = runClient(port.toString, "cmd",
         b64(PbSql.writeAny("CommandGetImportedKeys", Array.emptyByteArray)))
       val fkGot = firstLine(fks, "RESULT ")

@@ -552,6 +552,29 @@ class SqlExtSpec extends AnyFunSuite {
     assert(literalQ == "QUALIFY rk = 1", "QUALIFY inside a string literal was rewritten")
   }
 
+  test("ADD/DROP PRIMARY KEY: informational metadata, validated, versioned, shown") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pk").toString + "/t"
+    spark.sql(s"CREATE LAKE '$dir' AS SELECT id, CAST(id % 3 AS INT) AS grp, " +
+      "CONCAT('n', id) AS nm FROM range(30)")
+    spark.sql(s"ALTER LAKE '$dir' ADD PRIMARY KEY (id, grp)")
+    val t = graft.sources.SnapshotTable.forPath(spark, dir)
+    assert(t.primaryKey == Seq("id", "grp"))
+    assert(spark.sql(s"SHOW CREATE LAKE '$dir'").head().getString(4) == "id,grp")
+    // unknown column refuses loudly
+    val ex = intercept[Exception](
+      spark.sql(s"ALTER LAKE '$dir' ADD PRIMARY KEY (nope)"))
+    assert(ex.getMessage.contains("not in schema"), ex.getMessage)
+    // informational by contract: duplicate key values still ingest
+    spark.sql(s"INSERT INTO LAKE '$dir' SELECT id, CAST(id % 3 AS INT), " +
+      "CONCAT('d', id) FROM range(30)")
+    assert(t.read().count() == 60L, "PK is metadata, never enforcement")
+    // time travel predates the declaration; DROP clears it
+    assert(!t.log(None).find(_.version == 1L).exists(_.tableProps.exists(_.contains(
+      graft.sources.SnapshotTable.PkPropKey))))
+    spark.sql(s"ALTER LAKE '$dir' DROP PRIMARY KEY")
+    assert(t.primaryKey.isEmpty)
+  }
+
   test("SHOW CREATE LAKE reports column DDL, sticky layout, head version") {
     val dir = java.nio.file.Files.createTempDirectory("graft_showcreate").toString + "/t"
     spark.sql(s"CREATE LAKE '$dir' PARTITION BY (identity(grp)) STATS (id) AS " +
@@ -563,12 +586,13 @@ class SqlExtSpec extends AnyFunSuite {
     assert(r.getString(1) == "identity(grp)", s"partition spec: ${r.getString(1)}")
     assert(r.getString(2) == "id", s"stats cols: ${r.getString(2)}")
     assert(r.getString(3) == "", s"sort by: ${r.getString(3)}")
-    assert(r.getString(4) == "2", s"head version: ${r.getString(4)}")
+    assert(r.getString(4) == "", s"primary key: ${r.getString(4)}")
+    assert(r.getString(5) == "2", s"head version: ${r.getString(5)}")
     // schema evolution reflects in the reported DDL
     spark.sql(s"ALTER LAKE '$dir' ADD COLUMN note STRING")
     val r2 = spark.sql(s"SHOW CREATE LAKE '$dir'").head()
     assert(r2.getString(0).toLowerCase.contains("note"), s"evolved ddl: ${r2.getString(0)}")
-    assert(r2.getString(4) == "3")
+    assert(r2.getString(5) == "3")
     // SHOW CREATE ... AT: a TAG pinned before the evolution reports the
     // OLD definition while main reports the new one (reference
     // SqlShowCreate's version context)
@@ -576,7 +600,7 @@ class SqlExtSpec extends AnyFunSuite {
     val r3 = spark.sql(s"SHOW CREATE LAKE '$dir' AT TAG sc_pin").head()
     assert(!r3.getString(0).toLowerCase.contains("note"),
       s"tag-pinned ddl must predate the evolution: ${r3.getString(0)}")
-    assert(r3.getString(4) == "2", r3.getString(4))
+    assert(r3.getString(5) == "2", r3.getString(5))
     assert(r3.getString(1) == "identity(grp)", r3.getString(1))
   }
 
