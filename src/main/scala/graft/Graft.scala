@@ -230,10 +230,25 @@ object Graft {
       try spark.sessionState.sqlParser.parsePlan(query)
       catch { case NonFatal(_) => return None } // surface the parse error unqueued
     val reflectionQueue =
-      if (parsed.getClass.getSimpleName.contains("Reflection"))
-        spark.conf.getOption(QueueReflectionConf).filter(_.nonEmpty)
-          .filter(graft.engine.Queues.defined)
-      else None
+      if (parsed.getClass.getSimpleName.contains("Reflection")) {
+        // per-dataset routing first (reference ReflectionRoutingManager:
+        // ALTER ... ROUTE ALL REFLECTIONS TO QUEUE q binds ONE dataset's
+        // refresh statements), then the global reflection queue
+        val perDataset = parsed match {
+          case r: graft.sqlext.GraftSqlParser.RefreshReflectionCommand =>
+            // the route is declared on the SOURCE dataset (the reference
+            // routes by the reflection's anchor table) — the defining
+            // plan's scanned lake dirs are exactly baseVersions' keys
+            graft.accel.Reflections.list.find(_.name == r.name)
+              .flatMap(_.baseVersions.keys.toSeq.sorted
+                .flatMap(graft.accel.Reflections.routingFor).headOption)
+              .filter(graft.engine.Queues.defined)
+          case _ => None
+        }
+        perDataset.orElse(
+          spark.conf.getOption(QueueReflectionConf).filter(_.nonEmpty)
+            .filter(graft.engine.Queues.defined))
+      } else None
     reflectionQueue.orElse {
       // a malformed threshold degrades to the default rather than failing
       // every statement while auto-routing is on (ADVICE r7)

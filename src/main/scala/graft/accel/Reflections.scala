@@ -302,10 +302,42 @@ object Reflections {
   }
 
   def clear(): Unit = {
-    byName.clear(); byFingerprint.clear(); planByName.clear(); scanByNameCache.clear()
+    byName.clear(); byFingerprint.clear(); planByName.clear()
+    scanByNameCache.clear(); routing.clear()
   }
 
   def list: Seq[Reflection] = byName.values.toSeq.sortBy(_.name)
+
+  // ----- per-dataset reflection routing (reference
+  // SqlAlterDatasetReflectionRouting, alter.ftl:625: ALTER TABLE t ROUTE
+  // ALL REFLECTIONS TO QUEUE|ENGINE name — the ReflectionRoutingManager
+  // binding refresh jobs of ONE dataset to a queue/engine, overriding
+  // the global reflection queue) -------------------------------------
+
+  private val routing = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Route refresh statements for reflections over `path` to `queue`
+    * (None = back to DEFAULT, i.e. the global reflection queue). */
+  def setRouting(path: String, queue: Option[String]): Unit = queue match {
+    case Some(q) => routing.put(normPath(path), q); ()
+    case None    => routing.remove(normPath(path)); ()
+  }
+
+  /** The routed queue for a dataset path, if declared. The reference
+    * routes at dataset, FOLDER and SPACE granularity
+    * (`SqlAlterDatasetReflectionRouting.RoutingType`); a folder route is
+    * a path-prefix route here, and the dataset's own route wins over any
+    * ancestor's (deepest match), matching the reference's most-specific
+    * resolution. */
+  def routingFor(path: String): Option[String] = {
+    val p = normPath(path)
+    routing.get(p).orElse {
+      // walk ancestors: nearest declared folder route wins
+      Iterator.iterate(p)(s => s.substring(0, s.lastIndexOf('/').max(0)))
+        .drop(1).takeWhile(_.nonEmpty)
+        .map(routing.get).collectFirst { case Some(q) => q }
+    }
+  }
 
   /** The substitution rule. Idempotent (a substituted scan has a different
     * fingerprint), so it is safe under the optimizer's fixed-point batch. */

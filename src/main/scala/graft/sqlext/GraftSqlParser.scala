@@ -311,6 +311,9 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
           Option(spec).map(splitTopLevel).getOrElse(Nil))
       case AlterLakeSetSortRe(dir, cols) =>
         SetLakeSortOrderCommand(dir, splitCols(cols))
+      case AlterLakeRouteReflectionsRe(dir, dflt, queue) =>
+        RouteReflectionsCommand(dir, Option(dflt).isDefined, Option(queue),
+          out("path", "queue"))
       case AlterLakeAddPkRe(dir, cols) =>
         AlterLakePkCommand(dir,
           cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
@@ -522,6 +525,13 @@ object GraftSqlParser {
     """(?is)ALTER\s+LAKE\s+'([^']+)'\s+SET\s+SORT\s+ORDER\s*\(([^)]*)\)\s*;?""".r
   // informational PRIMARY KEY metadata (reference
   // SqlAlterTableAddPrimaryKey / SqlAlterTableDropPrimaryKey, alter.ftl)
+  // per-dataset AND per-folder reflection routing (reference
+  // SqlAlterDatasetReflectionRouting, alter.ftl:625 — RoutingType
+  // TABLE|FOLDER|SPACE; a FOLDER route here is a path-prefix route and
+  // the dataset's own route wins over any ancestor's)
+  private val AlterLakeRouteReflectionsRe =
+    ("""(?is)ALTER\s+(?:LAKE|FOLDER)\s+'([^']+)'\s+ROUTE\s+(?:ALL\s+)?REFLECTIONS\s+TO\s+""" +
+      """(?:(DEFAULT)\s+)?(?:QUEUE|ENGINE)(?:\s+([\w.-]+))?\s*;?""").r
   private val AlterLakeAddPkRe =
     """(?is)ALTER\s+LAKE\s+'([^']+)'\s+ADD\s+PRIMARY\s+KEY\s*\(([^)]*)\)\s*;?""".r
   private val AlterLakeDropPkRe =
@@ -1546,6 +1556,30 @@ object GraftSqlParser {
       val t = graft.sources.SnapshotTable.forPath(spark, dir)
       if (cols.isEmpty) t.dropPrimaryKey() else t.setPrimaryKey(cols)
       Seq(Row(dir, t.primaryKey.mkString(",")))
+    }
+  }
+
+  /** ALTER LAKE ... ROUTE ALL REFLECTIONS TO [DEFAULT] QUEUE|ENGINE [q]
+    * (reference SqlAlterDatasetReflectionRouting): refresh statements for
+    * this dataset's reflections admit into the named queue, overriding
+    * the global `spark.graft.queue.reflection`; DEFAULT clears the
+    * override. QUEUE and ENGINE share a namespace (see AlterEngine). */
+  case class RouteReflectionsCommand(dir: String, isDefault: Boolean,
+      queue: Option[String], override val output: Seq[Attribute])
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      if (isDefault) {
+        require(queue.isEmpty, "ROUTE REFLECTIONS: DEFAULT takes no name")
+        graft.accel.Reflections.setRouting(dir, None)
+        Seq(Row(dir, "DEFAULT"))
+      } else {
+        val q = queue.getOrElse(throw new IllegalArgumentException(
+          "ROUTE REFLECTIONS TO QUEUE|ENGINE needs a name (or DEFAULT)"))
+        require(graft.engine.Queues.defined(q),
+          s"ROUTE REFLECTIONS: no such queue/engine '$q'")
+        graft.accel.Reflections.setRouting(dir, Some(q))
+        Seq(Row(dir, q))
+      }
     }
   }
 

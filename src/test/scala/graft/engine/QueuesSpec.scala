@@ -268,6 +268,79 @@ class QueuesSpec extends AnyFunSuite {
     }
   }
 
+  test("ROUTE ALL REFLECTIONS TO QUEUE: per-dataset override beats the global reflection queue") {
+    Queues.define("refl_g", slots = 2, timeoutMs = 30000)
+    Queues.define("refl_ds", slots = 2, timeoutMs = 30000)
+    val dir = java.nio.file.Files.createTempDirectory("graft_rroute").toString + "/t"
+    try {
+      spark.sql(s"CREATE LAKE '$dir' AS SELECT id FROM range(10)")
+      spark.sql(s"CREATE LAKE VIEW rroute_v FROM '$dir'")
+      spark.sql("CREATE REFLECTION rroute_r USING PATH " +
+        s"'${java.nio.file.Files.createTempDirectory("graft_rroute_m")}' AS " +
+        "SELECT id FROM rroute_v")
+      spark.conf.set(graft.Graft.QueueAutoConf, "true")
+      spark.conf.set(graft.Graft.QueueReflectionConf, "refl_g")
+      def admitted(q: String): Long = Queues.status.find(_.name == q).get.admitted
+      // no per-dataset route yet: the global reflection queue admits
+      graft.Graft.sql(spark, "REFRESH REFLECTION rroute_r").collect()
+      assert(admitted("refl_g") == 1L && admitted("refl_ds") == 0L)
+      // the dataset's own route now wins (reference
+      // SqlAlterDatasetReflectionRouting / ReflectionRoutingManager)...
+      spark.sql(s"ALTER LAKE '$dir' ROUTE ALL REFLECTIONS TO QUEUE refl_ds")
+      graft.Graft.sql(spark, "REFRESH REFLECTION rroute_r").collect()
+      assert(admitted("refl_ds") == 1L && admitted("refl_g") == 1L)
+      // ...and DEFAULT clears it back to the global queue
+      spark.sql(s"ALTER LAKE '$dir' ROUTE ALL REFLECTIONS TO DEFAULT QUEUE")
+      graft.Graft.sql(spark, "REFRESH REFLECTION rroute_r").collect()
+      assert(admitted("refl_g") == 2L && admitted("refl_ds") == 1L)
+      // routing to an undefined queue refuses at DDL time
+      assertThrows[Exception](spark.sql(
+        s"ALTER LAKE '$dir' ROUTE ALL REFLECTIONS TO QUEUE nope_q"))
+    } finally {
+      spark.conf.unset(graft.Graft.QueueAutoConf)
+      spark.conf.unset(graft.Graft.QueueReflectionConf)
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+      spark.sql("DROP REFLECTION rroute_r")
+      graft.accel.Reflections.setRouting(dir, None)
+      Queues.drop("refl_g"); Queues.drop("refl_ds")
+    }
+  }
+
+  test("ALTER FOLDER ROUTE REFLECTIONS: prefix route applies to children; the dataset's own route wins") {
+    Queues.define("refl_f", slots = 2, timeoutMs = 30000)
+    Queues.define("refl_own", slots = 2, timeoutMs = 30000)
+    val folder = java.nio.file.Files.createTempDirectory("graft_froute").toString
+    val dir = folder + "/sub/t"
+    try {
+      spark.sql(s"CREATE LAKE '$dir' AS SELECT id FROM range(10)")
+      spark.sql(s"CREATE LAKE VIEW froute_v FROM '$dir'")
+      spark.sql("CREATE REFLECTION froute_r USING PATH " +
+        s"'${java.nio.file.Files.createTempDirectory("graft_froute_m")}' AS " +
+        "SELECT id FROM froute_v")
+      spark.conf.set(graft.Graft.QueueAutoConf, "true")
+      def admitted(q: String): Long = Queues.status.find(_.name == q).get.admitted
+      // a route on an ANCESTOR folder catches the nested dataset's refresh
+      spark.sql(s"ALTER FOLDER '$folder' ROUTE ALL REFLECTIONS TO QUEUE refl_f")
+      graft.Graft.sql(spark, "REFRESH REFLECTION froute_r").collect()
+      assert(admitted("refl_f") == 1L)
+      // the dataset's own route is more specific and wins over the folder's
+      spark.sql(s"ALTER LAKE '$dir' ROUTE ALL REFLECTIONS TO QUEUE refl_own")
+      graft.Graft.sql(spark, "REFRESH REFLECTION froute_r").collect()
+      assert(admitted("refl_own") == 1L && admitted("refl_f") == 1L)
+      // dropping the dataset route falls back to the folder route
+      spark.sql(s"ALTER LAKE '$dir' ROUTE ALL REFLECTIONS TO DEFAULT QUEUE")
+      graft.Graft.sql(spark, "REFRESH REFLECTION froute_r").collect()
+      assert(admitted("refl_f") == 2L && admitted("refl_own") == 1L)
+    } finally {
+      spark.conf.unset(graft.Graft.QueueAutoConf)
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+      spark.sql("DROP REFLECTION froute_r")
+      graft.accel.Reflections.setRouting(folder, None)
+      graft.accel.Reflections.setRouting(dir, None)
+      Queues.drop("refl_f"); Queues.drop("refl_own")
+    }
+  }
+
   test("routing rules: first match by priority routes; non-matching statements stay unmanaged") {
     try {
       graft.Graft.sql(spark, "CREATE QUEUE rr_heavy SLOTS 4")
