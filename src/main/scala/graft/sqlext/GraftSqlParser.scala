@@ -68,6 +68,10 @@ import graft.streaming.{Pipe, Pipes}
   *   ALTER LAKE '<dir>' RENAME COLUMN <old> TO <new>   -- id-stable rename
   *   ALTER LAKE '<dir>' ADD COLUMN <name> <type>       -- fresh field id
   *   ALTER LAKE '<dir>' DROP COLUMN <name>             -- id retired
+  *   ALTER LAKE '<dir>' CLUSTER BY (c1, c2)   -- clustering keys: sticky
+  *     -- sort order + marker property; keyless OPTIMIZE rewrites
+  *     -- Z-order-clustered (reference SqlAlterTableClusterKey)
+  *   ALTER LAKE '<dir>' DROP CLUSTERING KEY
   *   ROLLBACK LAKE '<dir>' TO VERSION <n>   -- restore as a new commit
   *   VACUUM LAKE '<dir>' [OLDER_THAN '<ts>'] [RETAIN <n> VERSIONS] [GRACE <ms>]
   *   VACUUM CATALOG '<root>' [OLDER_THAN '<ts>'] [RETAIN <n> VERSIONS] [GRACE <ms>]
@@ -314,6 +318,10 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
       case AlterLakeRouteReflectionsRe(dir, dflt, queue) =>
         RouteReflectionsCommand(dir, Option(dflt).isDefined, Option(queue),
           out("path", "queue"))
+      case AlterLakeClusterByRe(dir, cols) =>
+        ClusterKeyCommand(dir, splitCols(cols), out("table", "cluster_key"))
+      case AlterLakeDropClusterRe(dir) =>
+        ClusterKeyCommand(dir, Nil, out("table", "cluster_key"))
       case AlterLakeAddPkRe(dir, cols) =>
         AlterLakePkCommand(dir,
           cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
@@ -412,6 +420,11 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
 }
 
 object GraftSqlParser {
+  /** TBLPROPERTIES marker set by ALTER ... CLUSTER BY: the sort-order
+    * slot holds CLUSTERING keys (reference
+    * `SystemSchemas.CLUSTERING_TABLE_PROPERTY` —
+    * "use sort order as clustering columns"). */
+  val ClusteringProp = "graft.clustering"
   private val CreateExternalReflectionRe =
     """(?is)CREATE\s+EXTERNAL\s+REFLECTION\s+(\w+)\s+USING\s+PATH\s+'([^']+)'\s+AS\s+(.+)""".r
   private val CreateReflectionRe =
@@ -532,6 +545,13 @@ object GraftSqlParser {
   private val AlterLakeRouteReflectionsRe =
     ("""(?is)ALTER\s+(?:LAKE|FOLDER)\s+'([^']+)'\s+ROUTE\s+(?:ALL\s+)?REFLECTIONS\s+TO\s+""" +
       """(?:(DEFAULT)\s+)?(?:QUEUE|ENGINE)(?:\s+([\w.-]+))?\s*;?""").r
+  // clustering keys (reference SqlAlterTableClusterKey, alter.ftl:280 +
+  // AlterTableClusterKeyHandler: CLUSTER BY sets the sort order AND a
+  // clustering table property; OPTIMIZE then rewrites clustered)
+  private val AlterLakeClusterByRe =
+    """(?is)ALTER\s+LAKE\s+'([^']+)'\s+CLUSTER\s+BY\s*\(([^)]*)\)\s*;?""".r
+  private val AlterLakeDropClusterRe =
+    """(?is)ALTER\s+LAKE\s+'([^']+)'\s+DROP\s+CLUSTERING\s+KEY\s*;?""".r
   private val AlterLakeAddPkRe =
     """(?is)ALTER\s+LAKE\s+'([^']+)'\s+ADD\s+PRIMARY\s+KEY\s*\(([^)]*)\)\s*;?""".r
   private val AlterLakeDropPkRe =
@@ -1583,6 +1603,44 @@ object GraftSqlParser {
     }
   }
 
+  /** ALTER LAKE ... CLUSTER BY (c1, c2) / DROP CLUSTERING KEY (reference
+    * SqlAlterTableClusterKey + AlterTableClusterKeyHandler): clustering
+    * keys are declared as the table's sticky SORT ORDER plus a marker
+    * table property, and a keyless OPTIMIZE then rewrites the data
+    * clustered (Z-order for ≥2 keys — every key's per-file range stays
+    * narrow, so manifest pruning serves predicates on ANY clustered
+    * column at 100 TB; lexicographic for one key). The reference's
+    * preconditions apply: only non-partitioned tables (partition pruning
+    * and clustering would fight over file layout), and a table with a
+    * manually declared sort order refuses until that order is dropped —
+    * CLUSTER BY owns the sort-order slot while the marker is set. */
+  case class ClusterKeyCommand(dir: String, cols: Seq[String],
+      override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      graft.auth.Privileges.requireAction(spark, "alter", dir, "ALTER LAKE CLUSTER")
+      val t = graft.sources.SnapshotTable.forPath(spark, dir)
+      val clustered = t.properties.get(ClusteringProp).exists(_.toBoolean)
+      if (cols.isEmpty) {
+        require(clustered,
+          s"DROP CLUSTERING KEY: lake '$dir' has no clustering key defined")
+        t.setSortOrder(Nil)
+        t.unsetProperties(Seq(ClusteringProp))
+        Seq(Row(dir, "DROPPED"))
+      } else {
+        val (spec, _, sortBy) = t.effectiveLayout
+        require(spec.isEmpty,
+          s"CLUSTER BY: lake '$dir' is partitioned — clustering keys apply " +
+            "only to non-partitioned tables (drop the partition spec first)")
+        require(clustered || sortBy.isEmpty,
+          s"CLUSTER BY: lake '$dir' has a sort order already defined — " +
+            "unset it (SET SORT ORDER ()) before declaring clustering keys")
+        t.setSortOrder(cols) // validates the columns against the schema
+        if (!clustered) t.setProperties(Map(ClusteringProp -> "true"))
+        Seq(Row(dir, cols.mkString(",")))
+      }
+    }
+  }
+
   case class CreateLakeViewCommand(name: String, dir: String, version: Option[Long],
       asOfTsMs: Option[Long] = None) extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("view", "version")
@@ -1725,9 +1783,19 @@ object GraftSqlParser {
       require(whereSql.isEmpty || (orderBy.isEmpty && zorderBy.isEmpty),
         "OPTIMIZE LAKE ... WHERE is plain compaction (no ORDER/ZORDER BY)")
       val t = graft.sources.SnapshotTable.forPath(spark, dir)
+      // declared clustering keys (ALTER ... CLUSTER BY) make a keyless
+      // OPTIMIZE rewrite clustered — the reference's auto-clustering
+      // contract: the clustering columns live in the sort-order slot
+      val clusterKeys =
+        if (orderBy.isEmpty && zorderBy.isEmpty && whereSql.isEmpty &&
+            t.properties.get(ClusteringProp).exists(_.toBoolean))
+          t.effectiveLayout._3
+        else Nil
       val v =
         if (zorderBy.nonEmpty) t.compactZorder(zorderBy, nFiles)
         else if (orderBy.nonEmpty) t.compactSorted(orderBy, nFiles)
+        else if (clusterKeys.size >= 2) t.compactZorder(clusterKeys, nFiles)
+        else if (clusterKeys.size == 1) t.compactSorted(clusterKeys, nFiles)
         else whereSql match {
           case Some(w) => t.compactWhere(org.apache.spark.sql.functions.expr(w), nFiles)
           case None => t.compact(nFiles)

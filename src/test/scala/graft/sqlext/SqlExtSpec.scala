@@ -693,6 +693,60 @@ class SqlExtSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("not in the table schema"), bad.getMessage.take(200))
   }
 
+  test("ALTER LAKE CLUSTER BY: keyless OPTIMIZE rewrites Z-order-clustered; reference preconditions refuse") {
+    val dir = Files.createTempDirectory("graft_cluster").toString + "/t"
+    spark.sql(s"CREATE LAKE '$dir' AS " +
+      "SELECT id AS a, (id * 37) % 1000 AS b FROM range(10000)")
+    val t = graft.sources.SnapshotTable.forPath(spark, dir)
+    // scatter the data across files so clustering has something to fix
+    spark.sql(s"INSERT INTO LAKE '$dir' SELECT (id * 13) % 10000 AS a, " +
+      "(id * 7) % 1000 AS b FROM range(10000, 20000)")
+    spark.sql(s"ALTER LAKE '$dir' CLUSTER BY (a, b)")
+    // the keys live in the sort-order slot + the marker property
+    assert(t.effectiveLayout._3 == Seq("a", "b"))
+    assert(t.properties.get(graft.sqlext.GraftSqlParser.ClusteringProp).contains("true"))
+    // a manual sort order may not shadow a clustering key silently:
+    // re-declaring CLUSTER BY is allowed, SET SORT ORDER still works for
+    // the drop path; a NON-clustered table with a sort order refuses
+    val dir2 = Files.createTempDirectory("graft_cluster2").toString + "/t"
+    spark.sql(s"CREATE LAKE '$dir2' AS SELECT id AS a, id % 3 AS b FROM range(10)")
+    spark.sql(s"ALTER LAKE '$dir2' SET SORT ORDER (a)")
+    val sortClash = intercept[Exception](spark.sql(s"ALTER LAKE '$dir2' CLUSTER BY (a, b)"))
+    assert(sortClash.getMessage.contains("sort order already defined"),
+      sortClash.getMessage.take(200))
+    // keyless OPTIMIZE rewrites clustered: with 8 output files, every
+    // file's per-column span must be a small fraction of both domains
+    // (lexicographic sort would leave b spanning its whole domain)
+    spark.sql(s"OPTIMIZE LAKE '$dir' INTO 8 FILES")
+    val files = t.commits.last.files
+    assert(files.size == 8, files.toString)
+    val spans = files.map { f =>
+      val r = spark.read.parquet(s"$dir/$f")
+        .agg(org.apache.spark.sql.functions.max("a").minus(org.apache.spark.sql.functions.min("a")),
+             org.apache.spark.sql.functions.max("b").minus(org.apache.spark.sql.functions.min("b")))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // every file keeps b (the SECOND key) narrow — lexicographic sort by
+    // (a, b) would leave b spanning ~its whole 1000-wide domain in every
+    // file — and a stays narrow too except possibly a Z-range boundary
+    // straddler (row-count-equal range splits need not align with Z bits)
+    assert(spans.forall(_._2 <= 700), s"b not clustered: spans=$spans")
+    assert(spans.count(_._1 <= 6000) >= 6, s"a not clustered: spans=$spans")
+    // partitioned tables refuse (the reference's precondition)
+    val pdir = Files.createTempDirectory("graft_cluster_p").toString + "/t"
+    spark.sql(s"CREATE LAKE '$pdir' PARTITION BY (identity(b)) AS " +
+      "SELECT id AS a, id % 3 AS b FROM range(30)")
+    val partClash = intercept[Exception](spark.sql(s"ALTER LAKE '$pdir' CLUSTER BY (a)"))
+    assert(partClash.getMessage.contains("partitioned"), partClash.getMessage.take(200))
+    // DROP CLUSTERING KEY clears both slots; dropping twice refuses
+    spark.sql(s"ALTER LAKE '$dir' DROP CLUSTERING KEY")
+    assert(t.effectiveLayout._3.isEmpty)
+    assert(!t.properties.contains(graft.sqlext.GraftSqlParser.ClusteringProp))
+    val noKey = intercept[Exception](spark.sql(s"ALTER LAKE '$dir' DROP CLUSTERING KEY"))
+    assert(noKey.getMessage.contains("no clustering key"), noKey.getMessage.take(200))
+  }
+
   test("VACUUM LAKE OLDER_THAN keeps commits at/after the cutoff") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vacuum_older").toString + "/t"
     spark.sql(s"CREATE LAKE '$dir' AS SELECT id FROM range(50)")
