@@ -1596,6 +1596,58 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     doomed
   }
 
+  /** VACUUM LAKE ... REMOVE ORPHAN FILES (reference `SqlVacuumTable`'s
+    * `REMOVE ORPHAN FILES [OLDER_THAN ts] [LOCATION p]`,
+    * `VacuumTableRemoveOrphanFilesOptions` — the Iceberg
+    * `remove_orphan_files` action): delete files under the table root (or
+    * the narrower `location`) that NO commit — any version on main, any
+    * branch/tag — references: crashed-writer leftovers, files from
+    * aborted compactions. Unlike [[vacuum]]/[[vacuumOlderThan]] this
+    * expires NOTHING — every snapshot stays time-travelable, which is why
+    * the referenced set is the union over ALL commits (each file any
+    * snapshot serves appears in the commit that added it), not a retained
+    * suffix. `cutoffMs` age-gates deletion so an in-flight writer's
+    * staged-but-unpublished files survive (Iceberg's 3-day default lives
+    * in the SQL layer). Metadata-only cost: one log read + one tree walk;
+    * no data file is opened. Returns deleted paths. */
+  def removeOrphanFiles(cutoffMs: Long, location: Option[String] = None): Seq[String] = {
+    val all = commits
+    if (all.isEmpty) return Nil
+    val referenced: Set[String] =
+      (all.flatMap(_.files).map(f => s"$dir/$f") ++
+        listRefs.flatMap(r => replayEntries(refLog(r))._1.map(_.path))).toSet
+    def norm(raw: String): String = LakeIO.qualified(LakeIO.path(raw))
+    val logPrefix = norm(logDir.raw) + "/"
+    val referencedNorm = referenced.map(norm)
+    val scope = location.map(l => norm(l) + "/")
+    scope.foreach(s => require(s.startsWith(norm(dir) + "/") || s == norm(dir) + "/",
+      s"REMOVE ORPHAN FILES: LOCATION must be under the table root $dir"))
+    val walked = LakeIO.walkParquet(LakeIO.path(dir))
+      .filter(p => !norm(p.raw).startsWith(logPrefix))
+      .filter(p => scope.forall(s => (norm(p.raw) + "/").startsWith(s) ||
+        norm(p.raw).startsWith(s)))
+    // same sanity guard as vacuum: if NO referenced file matches the walk,
+    // the path spelling is broken — refuse rather than eat live data
+    if (referencedNorm.nonEmpty && walked.nonEmpty && scope.isEmpty &&
+        !walked.exists(p => referencedNorm.contains(norm(p.raw))))
+      throw new IllegalStateException(
+        s"remove orphan files refused for $dir: none of the " +
+          s"${referencedNorm.size} referenced data files matched any of the " +
+          s"${walked.size} files on disk — path-spelling mismatch would " +
+          "delete all live data")
+    val doomed = walked
+      .filter { p =>
+        try LakeIO.mtimeMillis(p) < cutoffMs
+        catch { case _: java.io.IOException => false
+                case _: java.io.UncheckedIOException => false }
+      }
+      .map(_.raw)
+      .filterNot(p => referencedNorm.contains(norm(p)))
+    doomed.foreach(p => LakeIO.deleteIfExists(LakeIO.path(p)))
+    spark.catalog.refreshByPath(dir)
+    doomed
+  }
+
   /** ALTER TABLE RENAME COLUMN: a metadata-only commit (no data files)
     * whose schema carries the new name mapped to the OLD field id, so every
     * file already on disk keeps serving its values under the new name —

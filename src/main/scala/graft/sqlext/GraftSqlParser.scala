@@ -74,6 +74,9 @@ import graft.streaming.{Pipe, Pipes}
   *   ALTER LAKE '<dir>' DROP CLUSTERING KEY
   *   ROLLBACK LAKE '<dir>' TO VERSION <n>   -- restore as a new commit
   *   VACUUM LAKE '<dir>' [OLDER_THAN '<ts>'] [RETAIN <n> VERSIONS] [GRACE <ms>]
+  *   VACUUM LAKE '<dir>' REMOVE ORPHAN FILES [OLDER_THAN '<ts>'] [LOCATION '<p>']
+  *     -- unreferenced-file sweep, NO history expiry (every snapshot
+  *     -- stays time-travelable); OLDER_THAN defaults to 3 days ago
   *   VACUUM CATALOG '<root>' [OLDER_THAN '<ts>'] [RETAIN <n> VERSIONS] [GRACE <ms>]
   *   SHOW CREATE LAKE '<dir>' [AT BRANCH|TAG <ref>]  -- DDL + layout + head version
   *   ANALYZE LAKE '<dir>' [FOR COLUMNS (a, b)]
@@ -342,6 +345,9 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
           out("column_ddl", "partition_spec", "stats_cols", "sort_by",
             "primary_key", "version"),
           Option(ref))
+      case VacuumOrphanRe(dir, olderThan, location) =>
+        RemoveOrphanFilesCommand(dir,
+          Option(olderThan).map(parseTsMillis), Option(location))
       case VacuumLakeRe(dir, olderThan, retain, grace) =>
         VacuumLakeCommand(dir,
           Option(retain).map(_.toInt).getOrElse(
@@ -646,6 +652,12 @@ object GraftSqlParser {
     ("""(?is)VACUUM\s+LAKE\s+'([^']+)'""" +
       """(?:\s+OLDER_THAN\s+'([^']+)')?""" +
       """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(?:\s+GRACE\s+(\d+))?\s*;?""").r
+  // orphan sweep without history expiry (reference SqlVacuumTable's
+  // REMOVE ORPHAN FILES branch, VacuumTableRemoveOrphanFilesOptions)
+  private val VacuumOrphanRe =
+    ("""(?is)VACUUM\s+LAKE\s+'([^']+)'\s+REMOVE\s+ORPHAN\s+FILES""" +
+      """(?:\s+OLDER_THAN\s+'([^']+)')?""" +
+      """(?:\s+LOCATION\s+'([^']+)')?\s*;?""").r
   // catalog-wide sweep (reference SqlVacuumCatalog — `VACUUM CATALOG c`
   // expires + orphan-sweeps EVERY table in the catalog): every graft-lake
   // table under the root, authorization checked for ALL tables BEFORE the
@@ -1743,6 +1755,25 @@ object GraftSqlParser {
         case None => t.vacuum(retain, graceMs)
       }
       Seq(Row(deleted.size.toString))
+    }
+  }
+
+  /** VACUUM LAKE ... REMOVE ORPHAN FILES (reference SqlVacuumTable's
+    * REMOVE ORPHAN FILES branch): sweep unreferenced files WITHOUT
+    * expiring snapshots — complementary to the EXPIRE-style VACUUM LAKE.
+    * OLDER_THAN defaults to 3 days ago (the Iceberg remove_orphan_files
+    * default), protecting in-flight writers' staged files. */
+  case class RemoveOrphanFilesCommand(dir: String, olderThanMs: Option[Long],
+                                      location: Option[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("n_deleted")
+    override def run(spark: SparkSession): Seq[Row] = {
+      graft.auth.Privileges.requireAction(spark, "alter", dir,
+        "VACUUM LAKE REMOVE ORPHAN FILES")
+      val cutoff = olderThanMs.getOrElse(
+        System.currentTimeMillis() - 3L * 24 * 3600 * 1000)
+      val t = graft.sources.SnapshotTable.forPath(spark, dir)
+      Seq(Row(t.removeOrphanFiles(cutoff, location).size.toString))
     }
   }
 

@@ -770,6 +770,50 @@ class SqlExtSpec extends AnyFunSuite {
     assert(deleted2 == 0, s"nothing is older than epoch, deleted $deleted2")
   }
 
+  test("VACUUM LAKE REMOVE ORPHAN FILES deletes only unreferenced files, expires nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orphan").toString + "/t"
+    spark.sql(s"CREATE LAKE '$dir' AS SELECT id FROM range(100)")
+    val t = graft.sources.SnapshotTable.forPath(spark, dir)
+    t.overwrite(spark.range(200, 260).toDF("id")) // v1: v0's files now history-only
+    // plant orphans: a crashed writer's data file at the root and one in a
+    // subdirectory, plus a young orphan that must survive the age gate
+    spark.range(5).toDF("id").coalesce(1)
+      .write.mode("append").parquet(s"$dir/__orphans")
+    val orphans = new java.io.File(s"$dir/__orphans").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(orphans.nonEmpty)
+    java.nio.file.Files.copy(orphans.head.toPath,
+      java.nio.file.Paths.get(s"$dir/orphan_root.parquet"))
+    val rowsBefore = t.read().count()
+    val historyBefore = t.commits.size
+    // everything on disk is younger than 3 days, so the default age gate
+    // deletes nothing — the in-flight-writer protection
+    assert(spark.sql(s"VACUUM LAKE '$dir' REMOVE ORPHAN FILES").head().getString(0) == "0")
+    // explicit OLDER_THAN in the future sweeps the orphans...
+    val future = new java.sql.Timestamp(System.currentTimeMillis() + 60000).toString
+    val n = spark.sql(
+      s"VACUUM LAKE '$dir' REMOVE ORPHAN FILES OLDER_THAN '$future'").head().getString(0)
+    assert(n.toInt >= 2, s"deleted $n")
+    assert(!new java.io.File(s"$dir/orphan_root.parquet").exists())
+    // ...but expires NOTHING: same rows, same history, v0 still travels
+    assert(t.read().count() == rowsBefore)
+    assert(t.commits.size == historyBefore)
+    assert(t.read(Some(t.commits.head.version)).count() == 100)
+    // LOCATION narrows the sweep to a subtree; outside it nothing moves
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/${t.commits.last.files.head}"),
+      java.nio.file.Paths.get(s"$dir/orphan_again.parquet"))
+    spark.range(3).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/__scoped")
+    val n2 = spark.sql(s"VACUUM LAKE '$dir' REMOVE ORPHAN FILES " +
+      s"OLDER_THAN '$future' LOCATION '$dir/__scoped'").head().getString(0)
+    assert(n2.toInt >= 1)
+    assert(new java.io.File(s"$dir/orphan_again.parquet").exists())
+    // a LOCATION outside the table root refuses
+    assertThrows[Exception](spark.sql(
+      s"VACUUM LAKE '$dir' REMOVE ORPHAN FILES LOCATION '/tmp/elsewhere'"))
+  }
+
   test("VACUUM CATALOG sweeps every lake table under the root") {
     val root = java.nio.file.Files.createTempDirectory("graft_vacuum_cat").toString
     // two tables at different nesting depths + one non-table dir
