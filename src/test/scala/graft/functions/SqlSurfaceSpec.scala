@@ -46,6 +46,25 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(d.toString == "2024-03-05")
   }
 
+  test("SHOW FUNCTIONS LIKE / DESCRIBE FUNCTION surface the SQL UDF registry") {
+    // reference SqlShowFunctions (`SHOW FUNCTIONS [LIKE 'pattern']`) and
+    // SqlDescribeFunction — served by Spark's native statements, which see
+    // every CREATE FUNCTION the registry installs
+    Functions.registerAll(spark)
+    val shown = spark.sql("SHOW USER FUNCTIONS LIKE 'geo*'")
+      .collect().map(_.getString(0)).toSet
+    assert(Set("geo_distance", "geo_nearby", "geo_beyond").subsetOf(shown), shown.toString)
+    val desc = spark.sql("DESCRIBE FUNCTION EXTENDED geo_distance")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("geo_distance"), desc)
+    assert(desc.toLowerCase.contains("asin"), desc) // the SQL body is surfaced
+    // a user-created function shows up immediately
+    spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION show_fn_probe(x INT) " +
+      "RETURNS INT RETURN x + 41")
+    assert(spark.sql("SHOW USER FUNCTIONS LIKE 'show_fn*'").count() == 1)
+    assert(spark.sql("SELECT show_fn_probe(1)").head().getInt(0) == 42)
+  }
+
   test("tabular SQL UDF is usable in a FROM clause") {
     Functions.registerAll(spark)
     // generic TVF from the registry
