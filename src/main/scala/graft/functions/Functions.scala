@@ -43,6 +43,10 @@ object Functions {
     col(UnigramEncode(ex(text), vocab))
   def wordpiece_encode(text: Column, pieces: Seq[String]): Column =
     col(WordPieceEncode(ex(text), pieces))
+  /** Lucene query-string predicate (reference CONTAINS — SqlContains.java;
+    * full syntax in [[Lucene]]'s scaladoc). Query must be a literal. */
+  def lucene_match(text: Column, query: String): Column =
+    col(LuceneMatch(ex(text), ex(lit(query))))
   def unicode_normalize(text: Column, form: String = "NFC"): Column =
     col(UnicodeNormalize(ex(text), form))
   def strip_accents(text: Column): Column = col(StripAccents(ex(text)))
@@ -88,6 +92,7 @@ object Functions {
     one("ngram_hashes", 1)(es => NgramHashes(es(0), 3))
     one("word_ngrams", 1)(es => WordNgrams(es(0), 3, distinct = true))
     one("strip_accents", 1)(es => StripAccents(es(0)))
+    one("lucene_match", 2)(es => LuceneMatch(es(0), es(1)))
     one("unicode_normalize", 2)(es => UnicodeNormalize(es(0),
       es(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(s, _)

@@ -796,6 +796,50 @@ object LlmQueries {
   /** URL-filter stage over deterministically synthesized URLs (the fixture
     * has no url column; host/domain/depth/blocklist semantics are what's
     * under test, and DuckDB recomputes all of them from the same urls). */
+  /** CONTAINS / lucene_match over the corpus (reference `SqlContains` +
+    * `lucene.ftl` — the Lucene query-string predicate; here evaluated
+    * natively, a codegen'd map-only filter). Exercises field scoping over
+    * a struct, prefix wildcard, sloppy phrase, NOT, fuzzy, range — every
+    * piece replayed exactly by DuckDB over the same analyzer
+    * (`regexp_split_to_array(lower(text), '[^a-z0-9]+')`). */
+  val luceneContains: QueryFn = (s, dir) => {
+    import graft.functions.{Functions => F}
+    Tables.ensure(s, dir).documents
+      .where(F.lucene_match(struct(col("text"), col("lang")),
+        "lang:en AND (text:scan* OR text:\"hash join\"~1) AND NOT text:vector"))
+      .select(col("doc_id"),
+        F.lucene_match(col("text"), "\"merge join\"~2").as("near_phrase"),
+        F.lucene_match(col("text"), "vektor~1").as("fuzzy_hit"),
+        F.lucene_match(col("text"), "[wind TO windz]").as("range_hit"))
+      .orderBy(col("doc_id"))
+  }
+  val luceneContainsSql: String = """
+    WITH t AS (
+      SELECT doc_id, lang,
+        list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '') AS toks
+      FROM documents
+    ), m AS (
+      SELECT doc_id, lang, toks,
+        len(list_filter(range(1, len(toks) + 1), i ->
+          toks[i] = 'hash' AND ((i + 1 <= len(toks) AND toks[i+1] = 'join')
+            OR (i + 2 <= len(toks) AND toks[i+2] = 'join')))) > 0 AS hash_join_1,
+        len(list_filter(toks, x -> x LIKE 'scan%')) > 0 AS scan_pre,
+        list_contains(toks, 'vector') AS has_vector
+      FROM t
+    )
+    SELECT doc_id,
+      len(list_filter(range(1, len(toks) + 1), i ->
+        toks[i] = 'merge' AND ((i + 1 <= len(toks) AND toks[i+1] = 'join')
+          OR (i + 2 <= len(toks) AND toks[i+2] = 'join')
+          OR (i + 3 <= len(toks) AND toks[i+3] = 'join')))) > 0 AS near_phrase,
+      len(list_filter(toks, x ->
+        damerau_levenshtein(x, 'vektor') <= 1)) > 0 AS fuzzy_hit,
+      len(list_filter(toks, x -> x >= 'wind' AND x <= 'windz')) > 0 AS range_hit
+    FROM m
+    WHERE lang = 'en' AND (scan_pre OR hash_join_1) AND NOT has_vector
+    ORDER BY doc_id"""
+
   val urlFilter: QueryFn = (s, dir) => {
     val docs = Tables.ensure(s, dir).documents
     val withUrl = docs.select(col("doc_id"), expr(
@@ -2885,6 +2929,7 @@ object LlmQueries {
     "ann_ivf_pq" -> annIvfPq,
     "text_charclass" -> textCharclass,
     "url_filter" -> urlFilter,
+    "lucene_contains" -> luceneContains,
     "bpe_train_merges" -> bpeTrainMerges,
     "bpe_tokens" -> bpeTokens,
     "bpe_char_tokens" -> bpeCharTokens,
@@ -2969,6 +3014,7 @@ object LlmQueries {
     "ann_index_pq_persisted" -> annIndexPqPersistedSql,
     "text_charclass" -> textCharclassSql,
     "url_filter" -> urlFilterSql,
+    "lucene_contains" -> luceneContainsSql,
     "bpe_char_tokens" -> bpeCharTokensSql,
     "bpe_byte_tokens" -> bpeByteTokensSql,
     "unigram_char_tokens" -> unigramCharTokensSql,
