@@ -28,8 +28,13 @@ object GraftRestServer {
 
   @volatile private var running: Option[HttpServer] = None
   @volatile private var boundPort: Option[Int] = None
+  /** The session start() was given — registry I/O must read ITS conf
+    * (per-request newSession() clones don't inherit runtime-set confs,
+    * so saving through one would write a different registry file). */
+  @volatile private var rootSession: Option[SparkSession] = None
 
   def start(spark: SparkSession): Int = synchronized {
+    rootSession = Some(spark)
     boundPort.getOrElse {
       val srv = HttpServer.create(new InetSocketAddress("localhost", 0), 0)
       srv.createContext("/sql", new SqlHandler(spark))
@@ -62,6 +67,7 @@ object GraftRestServer {
     // the durable registry (and a later session can't see stale plans)
     promotions.clear()
     promotedPlans.clear()
+    schemaPins.clear()
   }
 
   /** Promoted datasets (reference `CatalogResource.java:60` — format a
@@ -91,6 +97,38 @@ object GraftRestServer {
   private def evictPlans(name: String): Unit =
     promotedPlans.keySet.removeIf(_._1 == name)
 
+  /** Schema pins (reference `SqlAlterTableToggleSchemaLearning` +
+    * `SqlAlterTableToggleSchemaLearningHandler` — schema learning is ON
+    * by default for promoted physical datasets and DISABLE freezes the
+    * dataset's schema): name → the schema captured at DISABLE time.
+    * A pinned promotion projects exactly the pinned columns — drift adds
+    * nothing, a since-removed column reads NULL — until ENABLE re-learns. */
+  private val schemaPins =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  /** ALTER TABLE <name> ENABLE|DISABLE SCHEMA LEARNING over a promoted
+    * dataset. DISABLE captures the current LEARNED schema as the pin;
+    * ENABLE drops the pin. Durable through the promotion registry. */
+  def setSchemaLearning(spark: SparkSession, name: String, on: Boolean): Unit = {
+    val pf = promotions.get(name)
+    require(pf != null, s"SCHEMA LEARNING: '$name' is not a promoted dataset")
+    graft.auth.Privileges.requireAction(spark, "alter", pf._1,
+      s"ALTER $name SCHEMA LEARNING")
+    schemaPins.remove(name)
+    evictPlans(name)
+    if (!on)
+      schemaPins.put(name, promotedDf(spark, name, pf._1, pf._2).schema)
+    evictPlans(name)
+    saveRegistry(rootSession.getOrElse(spark))
+  }
+
+  /** REFRESH METADATA over a promoted dataset (reference SqlRefreshDataset
+    * re-profiles the promoted folder): drop its cached plans so the next
+    * request re-lists the folder and — with schema learning on —
+    * re-infers the schema. Returns whether `name` was a promotion. */
+  def refreshPromotion(name: String): Boolean =
+    if (promotions.containsKey(name)) { evictPlans(name); true } else false
+
   /** The promoted dataset's resolved LOGICAL plan (session-independent —
     * a DataFrame binds to its creating session, so caching one would
     * register views into a dead request session). */
@@ -104,10 +142,24 @@ object GraftRestServer {
     val cached = promotedPlans.get(key)
     if (cached != null && cached._1 == freshness) cached._2
     else {
-      val df = fmt match {
+      val learned = fmt match {
         case "lake" => graft.sources.SnapshotTable.forPath(session, path).read()
         case "delta" => graft.sources.DeltaInterop.scan(session, path)
-        case _ => session.read.parquet(path)
+        // mergeSchema: schema learning must see the union of drifted
+        // footers, not whichever single file Spark samples first
+        case _ => session.read.option("mergeSchema", "true").parquet(path)
+      }
+      // a schema pin (DISABLE SCHEMA LEARNING) projects exactly the pinned
+      // columns: drifted-in columns vanish, drifted-out columns read NULL
+      val df = schemaPins.get(name) match {
+        case null => learned
+        case pinned =>
+          val have = learned.schema.fieldNames.map(_.toLowerCase).toSet
+          import org.apache.spark.sql.functions.{col, lit}
+          learned.select(pinned.fields.toSeq.map { f =>
+            if (have(f.name.toLowerCase)) col(f.name).cast(f.dataType).as(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }: _*)
       }
       val plan = df.queryExecution.analyzed
       promotedPlans.put(key, (freshness, plan))
@@ -135,7 +187,9 @@ object GraftRestServer {
       val fs = p.getFileSystem(org.apache.spark.sql.graft.Bridge.hadoopConf(spark))
       val items = new java.util.ArrayList[String]()
       promotions.forEach { (name, pf) =>
-        items.add(s"""{"name":${q(name)},"path":${q(pf._1)},"format":${q(pf._2)}}""")
+        val pin = Option(schemaPins.get(name))
+          .map(st => s""","schema":${q(st.toDDL)}""").getOrElse("")
+        items.add(s"""{"name":${q(name)},"path":${q(pf._1)},"format":${q(pf._2)}$pin}""")
         ()
       }
       val body = s"""{"promotions":[${String.join(",", items)}]}"""
@@ -172,10 +226,17 @@ object GraftRestServer {
         finally in.close()
       promotions.clear()
       promotedPlans.clear()
-      val obj = """\{"name":"((?:[^"\\]|\\.)*)","path":"((?:[^"\\]|\\.)*)","format":"((?:[^"\\]|\\.)*)"\}""".r
+      schemaPins.clear()
+      val obj = ("""\{"name":"((?:[^"\\]|\\.)*)","path":"((?:[^"\\]|\\.)*)","format":"((?:[^"\\]|\\.)*)"""" +
+        """(?:,"schema":"((?:[^"\\]|\\.)*)")?\}""").r
       obj.findAllMatchIn(body).foreach { m =>
         val (name, path, fmt) = (unq(m.group(1)), unq(m.group(2)), unq(m.group(3)))
         promotions.put(name, (path, fmt))
+        Option(m.group(4)).foreach { ddl =>
+          try schemaPins.put(name,
+            org.apache.spark.sql.types.StructType.fromDDL(unq(ddl)))
+          catch { case _: Exception => () } // an unparseable pin re-learns
+        }
         // re-register on the server session; a since-deleted folder must
         // not block startup — it surfaces when queried (applyPromotions
         // skips it the same way)

@@ -232,6 +232,9 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
           out("reflection", "fingerprint"))
       case RefreshMetadataRe(quoted, bare) =>
         RefreshMetadataCommand(Option(quoted).getOrElse(bare))
+      case ToggleSchemaLearnRe(name, mode) =>
+        ToggleSchemaLearningCommand(name, mode.equalsIgnoreCase("ENABLE"),
+          out("dataset", "schema_learning"))
       case DescribeLakeRe(dir) =>
         DescribeLakeCommand(dir,
           out("version", "action", "timestamp_ms", "n_files", "partition_spec"))
@@ -614,6 +617,11 @@ object GraftSqlParser {
   private val AlterAuthRe = """(?is)ALTER\s+AUTH\s+ENFORCE\s+(ON|OFF)\s*;?""".r
   private val RefreshMetadataRe =
     """(?is)ALTER\s+TABLE\s+(?:`([^`]+)`|([\w./]+))\s+REFRESH\s+METADATA\s*;?""".r
+  // schema learning toggle for promoted datasets (reference
+  // SqlAlterTableToggleSchemaLearning / ...Handler.java)
+  private val ToggleSchemaLearnRe =
+    ("""(?is)ALTER\s+(?:TABLE|PDS|DATASET)\s+([\w.]+)\s+""" +
+      """(ENABLE|DISABLE)\s+SCHEMA\s+LEARNING\s*;?""").r
   // Declarative reflection DDL (reference `alter.ftl:434,591` — ALTER
   // TABLE ... CREATE AGGREGATE|RAW REFLECTION with DIMENSIONS/MEASURES/
   // DISPLAY field lists + layout clauses). USING PATH names the
@@ -2283,12 +2291,31 @@ object GraftSqlParser {
 
   /** ALTER TABLE ... REFRESH METADATA (reference SqlRefreshDataset,
     * Parser.tdd:624): re-profile the source — in Spark, invalidate the
-    * cached file listing / catalog entry. */
+    * cached file listing / catalog entry. A REST-promoted dataset drops
+    * its cached plan, so the next request re-lists its folder and (with
+    * schema learning on) re-infers the schema. */
   case class RefreshMetadataCommand(ident: String) extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
       if (ident.contains("/")) spark.catalog.refreshByPath(ident)
-      else spark.catalog.refreshTable(ident)
+      else {
+        val promoted = graft.server.GraftRestServer.refreshPromotion(ident)
+        try spark.catalog.refreshTable(ident)
+        catch { case e: Exception if promoted => () } // view lives per request
+      }
       Nil
+    }
+  }
+
+  /** ALTER TABLE <name> ENABLE|DISABLE SCHEMA LEARNING (reference
+    * SqlAlterTableToggleSchemaLearning): schema learning is ON by default
+    * for promoted datasets — re-inference on REFRESH METADATA picks up
+    * drift; DISABLE pins the schema captured now (drifted-in columns
+    * vanish, drifted-out columns read NULL) until ENABLE re-learns. */
+  case class ToggleSchemaLearningCommand(name: String, on: Boolean,
+      override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      graft.server.GraftRestServer.setSchemaLearning(spark, name, on)
+      Seq(Row(name, if (on) "ENABLED" else "DISABLED"))
     }
   }
 }

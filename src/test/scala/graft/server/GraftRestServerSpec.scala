@@ -458,6 +458,51 @@ class GraftRestServerSpec extends AnyFunSuite {
     delete("/catalog/rest_promoted_lake")
   }
 
+  test("schema learning: REFRESH METADATA learns drift, DISABLE pins, pin survives restart") {
+    import spark.implicits._
+    val reg = java.nio.file.Files.createTempDirectory("rest_sl_reg").toString +
+      "/promotions.json"
+    val folder = java.nio.file.Files.createTempDirectory("rest_schema_learn").toString
+    Seq((1L, "a")).toDF("id", "v").write.mode("append").parquet(folder)
+    spark.conf.set("spark.graft.rest.promotionsFile", reg)
+    try {
+      GraftRestServer.stop()
+      assert(postRaw("/catalog/promote",
+        s"""{"path":"$folder","name":"sl_ds"}""")._1 == 200)
+      def cols(): Set[String] = {
+        val (c, b) = post("""{"sql":"SELECT * FROM sl_ds LIMIT 1"}""")
+        assert(c == 200, b.take(300))
+        """\{"name":"(\w+)"""".r.findAllMatchIn(b).map(_.group(1)).toSet
+      }
+      assert(cols() == Set("id", "v"))
+      // drift a new column in; the frozen listing serves until REFRESH
+      Seq((2L, "b", 9L)).toDF("id", "v", "extra")
+        .write.mode("append").parquet(folder)
+      assert(post("""{"sql":"ALTER TABLE sl_ds REFRESH METADATA"}""")._1 == 200)
+      assert(cols() == Set("id", "v", "extra")) // learning ON by default
+      // DISABLE pins the schema captured now — remove a column on disk,
+      // the pinned read serves it as NULL and never shows new drift
+      assert(post("""{"sql":"ALTER TABLE sl_ds DISABLE SCHEMA LEARNING"}""")._1 == 200)
+      Seq((3L, "c", 1L, 2L)).toDF("id", "v", "extra", "extra2")
+        .write.mode("append").parquet(folder)
+      assert(post("""{"sql":"ALTER TABLE sl_ds REFRESH METADATA"}""")._1 == 200)
+      assert(cols() == Set("id", "v", "extra")) // extra2 not learned
+      // the pin is durable: a restart reloads it from the registry
+      GraftRestServer.stop()
+      assert(cols() == Set("id", "v", "extra"))
+      // ENABLE re-learns everything on disk
+      assert(post("""{"sql":"ALTER TABLE sl_ds ENABLE SCHEMA LEARNING"}""")._1 == 200)
+      assert(cols() == Set("id", "v", "extra", "extra2"))
+      // toggling a non-promoted name refuses
+      assert(post("""{"sql":"ALTER TABLE nope_ds DISABLE SCHEMA LEARNING"}""")
+        ._2.contains("not a promoted dataset"))
+    } finally {
+      delete("/catalog/sl_ds")
+      spark.conf.unset("spark.graft.rest.promotionsFile")
+      GraftRestServer.stop()
+    }
+  }
+
   test("promotions survive a server restart via the durable registry") {
     import spark.implicits._
     val reg = java.nio.file.Files.createTempDirectory("rest_reg").toString +
