@@ -122,6 +122,21 @@ object GraftRestServer {
     saveRegistry(rootSession.getOrElse(spark))
   }
 
+  /** ALTER TABLE <name> FORGET METADATA (reference SqlForgetTable): drop
+    * the promotion definition, keep the data — the SQL twin of
+    * `DELETE /catalog/<name>`, sharing its DROP-on-name gate. */
+  def forgetPromotion(spark: SparkSession, name: String): Unit = {
+    require(promotions.containsKey(name),
+      s"FORGET METADATA: '$name' is not a promoted dataset")
+    graft.auth.Privileges.requireAction(spark, "drop", name,
+      s"ALTER $name FORGET METADATA")
+    promotions.remove(name)
+    schemaPins.remove(name)
+    evictPlans(name)
+    rootSession.foreach(_.catalog.dropTempView(name))
+    saveRegistry(rootSession.getOrElse(spark))
+  }
+
   /** REFRESH METADATA over a promoted dataset (reference SqlRefreshDataset
     * re-profiles the promoted folder): drop its cached plans so the next
     * request re-lists the folder and — with schema learning on —

@@ -1858,6 +1858,51 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     v
   }
 
+  /** ALTER TABLE CHANGE COLUMN — type WIDENING (reference
+    * `SqlAlterTableChangeColumn`; the Iceberg type-promotion contract):
+    * int→bigint, float→double, and decimal(p,s)→decimal(p',s) with p'>p
+    * are metadata-only commits — the new schema carries the SAME field id
+    * so every file on disk keeps serving, upcast at read (Spark 4's
+    * parquet reader widens int32→int64/float64 natively). Anything
+    * narrower or shape-changing refuses: a narrowing read would truncate
+    * silently and Iceberg forbids it for the same reason. Time travel to
+    * a pre-change version still reads the old type. */
+  def changeColumnType(name: String, newTypeDdl: String): Long = {
+    import org.apache.spark.sql.types._
+    val v = withCommitLock {
+      val log = commits
+      require(log.nonEmpty, s"empty lake table $dir")
+      val last = log.last
+      val schema = StructType.fromDDL(last.schemaDdl)
+      val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+      require(i >= 0, s"no column '$name' in $dir " +
+        s"(have: ${schema.fieldNames.mkString(", ")})")
+      val from = schema.fields(i).dataType
+      val to = DataType.fromDDL(newTypeDdl)
+      val widens = (from, to) match {
+        case (a, b) if a == b => true
+        case (IntegerType, LongType) => true
+        case (ShortType, IntegerType | LongType) => true
+        case (ByteType, ShortType | IntegerType | LongType) => true
+        case (FloatType, DoubleType) => true
+        case (a: DecimalType, b: DecimalType) =>
+          b.scale == a.scale && b.precision > a.precision
+        case _ => false
+      }
+      require(widens,
+        s"CHANGE COLUMN $name: $from -> $to is not a widening promotion " +
+          "(allowed: int->bigint, float->double, decimal precision growth)")
+      val newSchema = StructType(schema.fields.updated(i,
+        schema.fields(i).copy(dataType = to)))
+      val (eff, _) = idState(log)
+      val (effSpec, effStats, effSort) = effectiveLayoutOf(log)
+      publish(last.version + 1, "append", Nil, Map.empty, "",
+        newSchema.toDDL, last.timestampMs, log, eff, effSpec, effStats, effSort)
+    }
+    spark.catalog.refreshByPath(dir)
+    v
+  }
+
   /** ALTER TABLE DROP COLUMN: metadata-only commit retiring the column's
     * field id (a later re-add mints a fresh id, so the dropped data never
     * resurfaces). Partition transforms and stats columns referencing the

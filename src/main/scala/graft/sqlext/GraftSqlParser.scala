@@ -68,6 +68,11 @@ import graft.streaming.{Pipe, Pipes}
   *   ALTER LAKE '<dir>' RENAME COLUMN <old> TO <new>   -- id-stable rename
   *   ALTER LAKE '<dir>' ADD COLUMN <name> <type>       -- fresh field id
   *   ALTER LAKE '<dir>' DROP COLUMN <name>             -- id retired
+  *   ALTER LAKE '<dir>' CHANGE|MODIFY [COLUMN] <old> <new> <type>
+  *     -- rename + widening retype, both metadata-only
+  *   ALTER LAKE|TABLE '<dir>' REFRESH REFLECTIONS  -- bulk anchored refresh
+  *   ALTER TABLE <name> FORGET METADATA        -- drop a promotion, keep data
+  *   ALTER TABLE <name> ENABLE|DISABLE SCHEMA LEARNING  -- promoted datasets
   *   ALTER LAKE '<dir>' CLUSTER BY (c1, c2)   -- clustering keys: sticky
   *     -- sort order + marker property; keyless OPTIMIZE rewrites
   *     -- Z-order-clustered (reference SqlAlterTableClusterKey)
@@ -114,6 +119,10 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
       case CreateReflectionRe(name, path, query) =>
         CreateReflectionCommand(name, path, query)
       case RefreshReflectionRe(name) => RefreshReflectionCommand(name)
+      case RefreshReflectionsForRe(dir) =>
+        RefreshReflectionsForDatasetCommand(dir, out("reflection"))
+      case ForgetMetadataRe(name) =>
+        ForgetMetadataCommand(name, out("dataset"))
       case DropReflectionRe(name) => DropReflectionCommand(name)
       case ShowReflectionsRe() => ShowReflectionsCommand(out("name", "fingerprint", "path"))
       case CreateLakeSrcCdcPipeRe(name, srcDir, key, target, chk) =>
@@ -315,6 +324,9 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
       case RenameLakeColRe(dir, oldName, newName) =>
         RenameLakeColumnCommand(dir, oldName, newName)
       case AddLakeColRe(dir, name, typeDdl) => AddLakeColumnCommand(dir, name, typeDdl)
+      case ChangeLakeColRe(dir, oldName, newName, typeDdl) =>
+        ChangeLakeColumnCommand(dir, oldName, newName, typeDdl,
+          out("column", "type"))
       case DropLakeColRe(dir, name) => DropLakeColumnCommand(dir, name)
       case AlterLakeSetSpecRe(dir, spec) =>
         SetLakePartitionSpecCommand(dir,
@@ -440,6 +452,14 @@ object GraftSqlParser {
     """(?is)CREATE\s+REFLECTION\s+(\w+)\s+USING\s+PATH\s+'([^']+)'\s+AS\s+(.+)""".r
   private val DropReflectionRe = """(?is)DROP\s+REFLECTION\s+(\w+)\s*;?""".r
   private val RefreshReflectionRe = """(?is)REFRESH\s+REFLECTION\s+(\w+)\s*;?""".r
+  // bulk per-dataset refresh (reference SqlRefreshReflectionsForDataset,
+  // alter.ftl:198 — ALTER TABLE t REFRESH REFLECTIONS)
+  private val RefreshReflectionsForRe =
+    """(?is)ALTER\s+(?:LAKE|TABLE)\s+'([^']+)'\s+REFRESH\s+REFLECTIONS\s*;?""".r
+  // forget the dataset definition without touching data (reference
+  // SqlForgetTable, alter.ftl:200 — ALTER TABLE t FORGET METADATA)
+  private val ForgetMetadataRe =
+    """(?is)ALTER\s+(?:TABLE|PDS|DATASET)\s+([\w.]+)\s+FORGET\s+METADATA\s*;?""".r
   private val ShowReflectionsRe = """(?is)SHOW\s+REFLECTIONS\s*;?""".r
   // optional event-driven tail (reference ingestion.ftl:190-214):
   // NOTIFICATION_PROVIDER <name> NOTIFICATION_QUEUE_REFERENCE '<ref>' —
@@ -771,6 +791,11 @@ object GraftSqlParser {
     """(?is)ALTER\s+LAKE\s+'([^']+)'\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?""".r
   private val AddLakeColRe =
     """(?is)ALTER\s+LAKE\s+'([^']+)'\s+ADD\s+COLUMN\s+(\w+)\s+([\w()<>,\s]+?)\s*;?""".r
+  // rename+retype in one statement (reference SqlAlterTableChangeColumn:
+  // ALTER TABLE t CHANGE [COLUMN] old newName newType)
+  private val ChangeLakeColRe =
+    ("""(?is)ALTER\s+LAKE\s+'([^']+)'\s+(?:CHANGE|MODIFY)\s+(?:COLUMN\s+)?""" +
+      """(\w+)\s+(\w+)\s+([\w()<>,\s]+?)\s*;?""").r
   private val DropLakeColRe =
     """(?is)ALTER\s+LAKE\s+'([^']+)'\s+DROP\s+COLUMN\s+(\w+)\s*;?""".r
   private val RollbackLakeRe =
@@ -1004,6 +1029,41 @@ object GraftSqlParser {
 
   case class DropReflectionCommand(name: String) extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = { Reflections.drop(name); Nil }
+  }
+
+  /** ALTER LAKE '<dir>' REFRESH REFLECTIONS (reference
+    * SqlRefreshReflectionsForDataset): refresh every SQL-defined
+    * reflection anchored on the dataset — the anchors are exactly the
+    * reflection's baseVersions keys. API-created reflections (no defining
+    * SQL) are skipped rather than failing the bulk statement; the class
+    * name carries "Reflection" so WLM auto-routing sends this to the
+    * reflection queue like single refreshes. */
+  case class RefreshReflectionsForDatasetCommand(dir: String,
+      override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val target = Reflections.normPath(dir)
+      val anchored = Reflections.list.filter(
+        _.baseVersions.keys.exists(Reflections.normPath(_) == target))
+      require(anchored.nonEmpty,
+        s"REFRESH REFLECTIONS: no reflections anchored on '$dir'")
+      anchored.flatMap { r =>
+        r.definingSql.map { sql =>
+          Reflections.refresh(r.name, spark.sql(sql)); Row(r.name)
+        }
+      }
+    }
+  }
+
+  /** ALTER TABLE <name> FORGET METADATA (reference SqlForgetTable):
+    * remove the promoted dataset's DEFINITION — the folder and its data
+    * are untouched, only the promotion is forgotten (re-promote to get it
+    * back). The SQL twin of `DELETE /catalog/<name>`. */
+  case class ForgetMetadataCommand(name: String,
+      override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      graft.server.GraftRestServer.forgetPromotion(spark, name)
+      Seq(Row(name))
+    }
   }
 
   // output as a constructor member: TreeNode.makeCopy requires a
@@ -1620,6 +1680,30 @@ object GraftSqlParser {
         graft.accel.Reflections.setRouting(dir, Some(q))
         Seq(Row(dir, q))
       }
+    }
+  }
+
+  /** ALTER LAKE ... CHANGE COLUMN old new type (reference
+    * SqlAlterTableChangeColumn — rename and retype in one statement,
+    * composing the id-stable rename with a widening-only type promotion;
+    * both halves are metadata-only commits). */
+  case class ChangeLakeColumnCommand(dir: String, oldName: String,
+      newName: String, typeDdl: String,
+      override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      graft.auth.Privileges.requireAction(spark, "alter", dir, "ALTER LAKE CHANGE")
+      val t = graft.sources.SnapshotTable.forPath(spark, dir)
+      val rename = !oldName.equalsIgnoreCase(newName)
+      // pre-validate the rename target BEFORE the retype commit publishes,
+      // so a doomed statement leaves no half-applied state behind
+      if (rename) {
+        val names = t.read().schema.fieldNames
+        require(!names.exists(_.equalsIgnoreCase(newName)),
+          s"CHANGE COLUMN: '$newName' already exists in $dir")
+      }
+      t.changeColumnType(oldName, typeDdl)
+      if (rename) t.renameColumn(oldName, newName)
+      Seq(Row(newName, typeDdl.trim))
     }
   }
 

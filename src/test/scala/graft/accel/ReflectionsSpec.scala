@@ -596,4 +596,37 @@ class ReflectionsSpec extends AnyFunSuite {
     assert(q.collect().nonEmpty)
     Reflections.clear()
   }
+
+  test("ALTER LAKE REFRESH REFLECTIONS: bulk refresh of every reflection anchored on the dataset") {
+    import spark.implicits._
+    Reflections.clear()
+    Reflections.install(spark)
+    val lakeDir = Files.createTempDirectory("graft_refl_bulk").toString + "/t"
+    spark.sql(s"CREATE LAKE '$lakeDir' AS " +
+      "SELECT id, id % 7 AS k, id * 2 AS v FROM range(1000)")
+    spark.sql(s"CREATE LAKE VIEW refl_bulk_v FROM '$lakeDir'")
+    val mv = Files.createTempDirectory("graft_refl_bulk_mv").toString
+    spark.sql(s"CREATE REFLECTION rb_sum USING PATH '$mv/rb_sum' AS " +
+      "SELECT k, sum(v) AS sv FROM refl_bulk_v GROUP BY k")
+    spark.sql(s"CREATE REFLECTION rb_cnt USING PATH '$mv/rb_cnt' AS " +
+      "SELECT k, count(*) AS n FROM refl_bulk_v GROUP BY k")
+    // both go stale after an append...
+    spark.sql(s"INSERT INTO LAKE '$lakeDir' " +
+      "SELECT id, id % 7 AS k, id * 2 AS v FROM range(1000, 1100)")
+    def fresh(): Map[String, Boolean] =
+      Reflections.list.map(r => r.name -> Reflections.isFresh(spark, r)).toMap
+    assert(fresh() == Map("rb_sum" -> false, "rb_cnt" -> false), fresh().toString)
+    // ...ONE dataset-scoped statement refreshes both (reference
+    // SqlRefreshReflectionsForDataset)
+    val refreshed = spark.sql(s"ALTER LAKE '$lakeDir' REFRESH REFLECTIONS")
+      .collect().map(_.getString(0)).toSet
+    assert(refreshed == Set("rb_sum", "rb_cnt"))
+    assert(fresh() == Map("rb_sum" -> true, "rb_cnt" -> true), fresh().toString)
+    // a dataset with no anchored reflections refuses loudly
+    val empty = Files.createTempDirectory("graft_refl_none").toString + "/t"
+    spark.sql(s"CREATE LAKE '$empty' AS SELECT id FROM range(5)")
+    assertThrows[Exception](spark.sql(s"ALTER LAKE '$empty' REFRESH REFLECTIONS"))
+    spark.sql("DROP REFLECTION rb_sum"); spark.sql("DROP REFLECTION rb_cnt")
+    Reflections.clear()
+  }
 }

@@ -503,6 +503,25 @@ class GraftRestServerSpec extends AnyFunSuite {
     }
   }
 
+  test("ALTER TABLE FORGET METADATA drops the promotion, keeps the data, refuses unknowns") {
+    import spark.implicits._
+    val folder = java.nio.file.Files.createTempDirectory("rest_forget").toString
+    Seq((1L, "x")).toDF("id", "v").write.mode("overwrite").parquet(folder)
+    assert(postRaw("/catalog/promote",
+      s"""{"path":"$folder","name":"forget_ds"}""")._1 == 200)
+    assert(post("""{"sql":"SELECT count(*) AS n FROM forget_ds"}""")._2.contains("\"n\":1"))
+    // FORGET drops only the DEFINITION (reference SqlForgetTable)
+    assert(post("""{"sql":"ALTER TABLE forget_ds FORGET METADATA"}""")._1 == 200)
+    assert(post("""{"sql":"SELECT * FROM forget_ds"}""")._2.contains("error"))
+    assert(spark.read.parquet(folder).count() == 1) // data untouched
+    // forgotten → re-promotable; unknown names refuse
+    assert(postRaw("/catalog/promote",
+      s"""{"path":"$folder","name":"forget_ds"}""")._1 == 200)
+    assert(post("""{"sql":"ALTER TABLE never_was FORGET METADATA"}""")
+      ._2.contains("not a promoted dataset"))
+    delete("/catalog/forget_ds")
+  }
+
   test("promotions survive a server restart via the durable registry") {
     import spark.implicits._
     val reg = java.nio.file.Files.createTempDirectory("rest_reg").toString +

@@ -693,6 +693,44 @@ class SqlExtSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("not in the table schema"), bad.getMessage.take(200))
   }
 
+  test("ALTER LAKE CHANGE COLUMN: widening retype + rename are metadata-only; narrowing refuses") {
+    val dir = Files.createTempDirectory("graft_retype").toString + "/t"
+    spark.sql(s"CREATE LAKE '$dir' AS " +
+      "SELECT CAST(id AS INT) AS n, CAST(id AS FLOAT) AS f, id AS tag FROM range(100)")
+    val t = graft.sources.SnapshotTable.forPath(spark, dir)
+    val filesBefore = t.commits.flatMap(_.files).toSet
+    // int -> bigint, keeping the name: files on disk stay, values upcast
+    spark.sql(s"ALTER LAKE '$dir' MODIFY COLUMN n n BIGINT")
+    assert(t.read().schema("n").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(t.read().agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0) == 4950L)
+    // float -> double with a RENAME in one statement (reference
+    // SqlAlterTableChangeColumn's TypedElement carries both)
+    spark.sql(s"ALTER LAKE '$dir' CHANGE COLUMN f f2 DOUBLE")
+    val sch = t.read().schema
+    assert(sch("f2").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(!sch.fieldNames.contains("f"))
+    assert(t.read().where("f2 = 42.0").count() == 1)
+    // both changes were metadata-only commits — zero files rewritten
+    assert(t.commits.flatMap(_.files).toSet == filesBefore)
+    // time travel still reads the PRE-change types
+    val v0 = t.read(Some(t.commits.head.version)).schema
+    assert(v0("n").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(v0("f").dataType == org.apache.spark.sql.types.FloatType)
+    // narrowing and shape changes refuse
+    val narrow = intercept[Exception](
+      spark.sql(s"ALTER LAKE '$dir' MODIFY COLUMN n n INT"))
+    assert(narrow.getMessage.contains("not a widening"), narrow.getMessage.take(200))
+    assertThrows[Exception](
+      spark.sql(s"ALTER LAKE '$dir' MODIFY COLUMN tag tag STRING"))
+    // rename onto an existing name refuses BEFORE any commit publishes
+    val head = t.latestVersion
+    val clash = intercept[Exception](
+      spark.sql(s"ALTER LAKE '$dir' CHANGE COLUMN n tag BIGINT"))
+    assert(clash.getMessage.contains("already exists"), clash.getMessage.take(200))
+    assert(t.latestVersion == head, "doomed CHANGE must publish nothing")
+  }
+
   test("ALTER LAKE CLUSTER BY: keyless OPTIMIZE rewrites Z-order-clustered; reference preconditions refuse") {
     val dir = Files.createTempDirectory("graft_cluster").toString + "/t"
     spark.sql(s"CREATE LAKE '$dir' AS " +
