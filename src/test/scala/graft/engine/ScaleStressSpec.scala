@@ -745,4 +745,59 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(top.getAs[Long]("c_id") == 999999L && top.getAs[Double]("cos") >= 0.9999,
       top.toString)
   }
+
+  test("lucene_match at 300k docs: exact planted hits, map-only exchange-free plan") {
+    gate()
+    graft.functions.Functions.registerAll(spark)
+    // 300k filler docs; three planted shapes exercise phrase / NOT /
+    // wildcard together — the compound query must hit exactly two of them
+    val docs = spark.range(300000).select(
+      col("id").as("doc_id"),
+      concat(
+        wordsExpr("cast(id % 997 AS string)", 25),
+        when(col("id") === 111L, lit(" fatal heap overflow detected"))
+          .when(col("id") === 222L, lit(" fatal heap overflow but benign"))
+          .when(col("id") === 333L, lit(" heap overflow without the f-word"))
+          .otherwise(lit(""))).as("text"))
+      .localCheckpoint(true)
+    val q = docs.where(graft.functions.Functions.lucene_match(col("text"),
+      "\"heap overflow\" AND fat* AND NOT benign"))
+    val hits = q.collect().map(_.getLong(0)).toSet
+    assert(hits == Set(111L), s"hits=$hits")
+    val two = docs.where(graft.functions.Functions.lucene_match(col("text"),
+      "\"heap overflow\" AND fat*")).count()
+    assert(two == 2L)
+    // the predicate is a map-only filter: no exchange anywhere in the plan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"lucene filter must not shuffle:\n$plan")
+    assert(plan.contains("Filter lucene_match"), plan)
+  }
+
+  test("REMOVE ORPHAN FILES with 3k orphans: zero Spark jobs, live snapshot untouched") {
+    gate()
+    val dir = java.nio.file.Files.createTempDirectory("graft_scale_orphan").toString + "/t"
+    spark.sql(s"CREATE LAKE '$dir' AS SELECT id FROM range(100000)")
+    val t = graft.sources.SnapshotTable.forPath(spark, dir)
+    t.overwrite(spark.range(500).toDF("id")) // history version to protect
+    // plant 3k orphans across nested directories (crashed-writer shape)
+    val seed = java.nio.file.Paths.get(s"$dir/${t.commits.head.files.head}")
+    (0 until 3000).foreach { i =>
+      val sub = java.nio.file.Paths.get(s"$dir/stage_${i % 7}")
+      java.nio.file.Files.createDirectories(sub)
+      java.nio.file.Files.copy(seed, sub.resolve(s"orphan_$i.parquet"))
+    }
+    val future = System.currentTimeMillis() + 60000
+    spark.sparkContext.setJobGroup("scale_orphan", "orphan sweep", interruptOnCancel = false)
+    val deleted = t.removeOrphanFiles(future)
+    spark.sparkContext.clearJobGroup()
+    org.apache.spark.sql.graft.Bridge.waitListenerBus(spark)
+    assert(deleted.size == 3000, s"deleted ${deleted.size}")
+    // the sweep is metadata-only: one log read + one tree walk, NO Spark
+    // job — at 100 TB an executor-side orphan scan would be the bug
+    val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup("scale_orphan").length
+    assert(jobs == 0, s"orphan sweep ran $jobs Spark jobs — must be driver metadata only")
+    // every snapshot still reads exactly (history expiry is NOT this op)
+    assert(t.read().count() == 500L)
+    assert(t.read(Some(t.commits.head.version)).count() == 100000L)
+  }
 }
