@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fuzzy string self-join: all pairs within a bounded edit distance,
+  * WITHOUT the all-pairs cross product.
+  *
+  * Candidate generation is the SymSpell deletion-neighborhood scheme
+  * (Garbe's symmetric delete algorithm, public): every string emits all
+  * variants reachable by deleting up to `maxEdits` characters; two
+  * strings within Levenshtein distance k ALWAYS share at least one
+  * deletion variant (substitution: delete the differing position on both
+  * sides; insertion/deletion: the shorter string is a variant of the
+  * longer; compositions for k=2). Candidates therefore come from an
+  * equi-join on the variant hash — a plain shuffle join — and the exact
+  * `levenshtein` builtin (codegen'd) verifies each candidate once.
+  *
+  * Scale shape (100 TB): variant fan-out is len+1 per row at k=1 and
+  * O(len²/2) at k=2 — bounded by `keyPrefixLen`, which caps the keyed
+  * prefix (pairs differing only beyond the prefix are then missed;
+  * callers trade recall for fan-out explicitly). The equi-join shuffles
+  * on the variant hash; `maxBucket` drops degenerate hot variants (a
+  * variant shared by thousands of strings is a near-duplicate CLUSTER —
+  * exact dedup territory, not pairwise fuzzy matching) the same way the
+  * LSH paths cap their buckets, so no reducer sees a quadratic bucket.
+  * Dedup via the min-variant trick would double the shuffle; a
+  * `dropDuplicates` on the pair key keeps it one pass.
+  *
+  * The reference has no engine-side fuzzy join (its fuzzy matching lives
+  * in Elasticsearch pushdown, `CONTAINS(f:term~2)` — see
+  * [[graft.functions.Lucene]]); a training-data pipeline needs one for
+  * entity resolution / near-key dedup, so it is first-class here.
+  */
+object FuzzyJoin {
+
+  /** All (a, b) pairs with `levenshtein(a.str, b.str) <= maxEdits` and
+    * `a.id < b.id`. Output columns: a_id, b_id, a_<str>, b_<str>, dist.
+    *
+    * @param maxEdits     1 or 2 (the deletion-neighborhood sizes beyond 2
+    *                     explode combinatorially; use LSH shingles there)
+    * @param maxBucket    drop variant buckets larger than this (hot-key cap)
+    * @param keyPrefixLen variants are generated from the lowercased first
+    *                     N chars; the exact verify still runs on the FULL
+    *                     strings, so a long-tail difference past the
+    *                     prefix widens distance but never creates a false
+    *                     positive — only prefix-identical misses possible
+    */
+  def selfJoin(df: DataFrame, idCol: String, strCol: String,
+               maxEdits: Int = 1, maxBucket: Int = 1024,
+               keyPrefixLen: Int = 64): DataFrame = {
+    require(maxEdits == 1 || maxEdits == 2,
+      s"fuzzy join supports maxEdits 1 or 2, got $maxEdits")
+    val key = s"lower(substring($strCol, 1, $keyPrefixLen))"
+    // deletion variants of one string as a SQL higher-order expression —
+    // pure builtins, no UDF, stays in codegen
+    def dels(v: String): String =
+      s"""transform(sequence(1, greatest(length($v), 1)), i ->
+            concat(substring($v, 1, i - 1), substring($v, i + 1)))"""
+    val variantsExpr =
+      if (maxEdits == 1) s"array_distinct(array_union(array($key), ${dels(key)}))"
+      else s"""array_distinct(array_union(
+                 array_union(array($key), ${dels(key)}),
+                 flatten(transform(${dels(key)}, v -> ${dels("v")}))))"""
+    val exploded = df.select(
+        col(idCol).as("id"), col(strCol).as("s"),
+        explode(expr(variantsExpr)).as("variant"))
+      .select(col("id"), col("s"), xxhash64(col("variant")).as("vh"))
+    // hot-variant cap: a variant shared by > maxBucket strings would hand
+    // one reducer a quadratic bucket — drop it (documented recall trade)
+    val capped = exploded
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("vh"))))
+      .where(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val a = capped.select(col("id").as("a_id"), col("s").as("a_s"), col("vh"))
+    val b = capped.select(col("id").as("b_id"), col("s").as("b_s"), col("vh"))
+    a.join(b, a("vh") === b("vh") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_s"), col("b_s"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("dist", levenshtein(col("a_s"), col("b_s")))
+      .where(col("dist") <= maxEdits)
+      .withColumnRenamed("a_s", s"a_$strCol")
+      .withColumnRenamed("b_s", s"b_$strCol")
+  }
+
+  /** Fuzzy LEFT-to-RIGHT lookup join: for every left row, all right rows
+    * within `maxEdits` — the entity-resolution shape (dirty keys against
+    * a reference list). Same candidate scheme; output keeps both ids and
+    * the distance. */
+  def lookupJoin(left: DataFrame, leftId: String, leftStr: String,
+                 right: DataFrame, rightId: String, rightStr: String,
+                 maxEdits: Int = 1, maxBucket: Int = 1024,
+                 keyPrefixLen: Int = 64): DataFrame = {
+    require(maxEdits == 1 || maxEdits == 2,
+      s"fuzzy join supports maxEdits 1 or 2, got $maxEdits")
+    def sideVariants(df: DataFrame, id: String, s: String, pre: String): DataFrame = {
+      val key = s"lower(substring($s, 1, $keyPrefixLen))"
+      def dels(v: String): String =
+        s"""transform(sequence(1, greatest(length($v), 1)), i ->
+              concat(substring($v, 1, i - 1), substring($v, i + 1)))"""
+      val ve =
+        if (maxEdits == 1) s"array_distinct(array_union(array($key), ${dels(key)}))"
+        else s"""array_distinct(array_union(
+                   array_union(array($key), ${dels(key)}),
+                   flatten(transform(${dels(key)}, v -> ${dels("v")}))))"""
+      df.select(col(id).as(s"${pre}_id"), col(s).as(s"${pre}_s"),
+        explode(expr(ve)).as("variant"))
+        .select(col(s"${pre}_id"), col(s"${pre}_s"),
+          xxhash64(col("variant")).as("vh"))
+    }
+    val l = sideVariants(left, leftId, leftStr, "l")
+    val rRaw = sideVariants(right, rightId, rightStr, "r")
+    val r = rRaw
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("vh"))))
+      .where(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    l.join(r, "vh")
+      .select(col("l_id"), col("r_id"), col("l_s"), col("r_s"))
+      .dropDuplicates("l_id", "r_id")
+      .withColumn("dist", levenshtein(col("l_s"), col("r_s")))
+      .where(col("dist") <= maxEdits)
+  }
+}

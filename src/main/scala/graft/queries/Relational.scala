@@ -754,6 +754,25 @@ object Relational {
       NTILE(5) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS bucket5
     FROM events ORDER BY user_id, event_id"""
 
+  /** Fuzzy self-join on customer names within edit distance 1
+    * ([[graft.operators.FuzzyJoin]] — SymSpell deletion-neighborhood
+    * candidates + exact levenshtein verify; never all-pairs). DuckDB
+    * replays it AS the all-pairs join, which is exactly the point: same
+    * answer, quadratic oracle vs linear-fan-out engine. */
+  val fuzzyJoinNames: QueryFn = (s, dir) => {
+    val c = Tables.ensure(s, dir).customer
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    graft.operators.FuzzyJoin.selfJoin(c, "id", "name", maxEdits = 1)
+      .select(col("a_id"), col("b_id"), col("dist"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+  val fuzzyJoinNamesSql: String = """
+    SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ORDER BY a_id, b_id"""
+
   /** Literal VALUES rowset through the SQL entry (reference ValuesCreator). */
   val valuesInline: QueryFn = (s, dir) => {
     s.sql("""
@@ -945,6 +964,7 @@ object Relational {
     "setop_intersect_all" -> setopIntersectAll,
     "window_ignore_nulls" -> windowIgnoreNulls,
     "values_inline" -> valuesInline,
+    "fuzzy_join_names" -> fuzzyJoinNames,
     "in_subquery" -> inSubquery,
     "scalar_subquery" -> scalarSubquery,
     "explode_pos" -> explodePos,
@@ -991,6 +1011,7 @@ object Relational {
     "setop_intersect_all" -> setopIntersectAllSql,
     "window_ignore_nulls" -> windowIgnoreNullsSql,
     "values_inline" -> valuesInlineSql,
+    "fuzzy_join_names" -> fuzzyJoinNamesSql,
     "in_subquery" -> inSubquerySql,
     "scalar_subquery" -> scalarSubquerySql,
     "explode_pos" -> explodePosSql,
