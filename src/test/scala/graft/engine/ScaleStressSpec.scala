@@ -773,6 +773,38 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(plan.contains("Filter lucene_match"), plan)
   }
 
+  test("fuzzy join at 500k keys: planted typo pairs found, equi-join only, hot cluster capped") {
+    gate()
+    // 500k distinct keys (zero-padded ids: neighbors differ by >=1 digit);
+    // plant 3 typo'd copies of key 123456 under high ids, plus a 2k-row
+    // identical-key cluster that the hot-variant cap must absorb
+    val base = spark.range(500000).select(
+      col("id"),
+      concat(lit("rec_"), lpad(col("id").cast("string"), 9, "0")).as("name"))
+    val planted = spark.createDataFrame(Seq(
+      (9000001L, "rec_00012345x"), // substitution of the last digit region
+      (9000002L, "rec_00123456"),  // one-char deletion of rec_000123456
+      (9000003L, "rec_000123456")  // insertion
+    )).toDF("id", "name")
+    val hot = spark.range(2000).select(
+      (col("id") + 8000000L).as("id"), lit("rec_hothothot").as("name"))
+    val df = base.union(planted).union(hot).localCheckpoint(true)
+    val out = graft.operators.FuzzyJoin.selfJoin(df, "id", "name",
+      maxEdits = 1, maxBucket = 256)
+    // the planted deletion/insertion pair with the base key:
+    // "rec_000123456" (id 123456) vs its planted variants
+    val withBase = out.where(col("a_id") === 123456L || col("b_id") === 123456L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(withBase.contains((123456L, 9000002L)), s"deletion pair missing: $withBase")
+    assert(withBase.contains((123456L, 9000003L)), s"insertion pair missing: $withBase")
+    // the 2k identical-key cluster would be ~2M pairs — the cap absorbs it
+    val hotPairs = out.where(col("a_id") >= 8000000L && col("a_id") < 9000000L).count()
+    assert(hotPairs == 0L, s"hot cluster must be capped, got $hotPairs pairs")
+    // equi-join shape at scale: no cartesian/BNLJ anywhere
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("REMOVE ORPHAN FILES with 3k orphans: zero Spark jobs, live snapshot untouched") {
     gate()
     val dir = java.nio.file.Files.createTempDirectory("graft_scale_orphan").toString + "/t"
