@@ -37,7 +37,11 @@ import graft.streaming.{Pipe, Pipes}
   *   ALTER TABLE <ident> REFRESH METADATA
   *   DESCRIBE LAKE '<dir>'                      -- snapshot history
   *   CREATE LAKE '<dir>' [PARTITION BY (t(c), ...)] [STATS (c, ...)]
-  *     [SORT BY (c, ...)] AS <query>            -- partitioned CTAS;
+  *     [DISTRIBUTE BY (c, ...)] [SORT|LOCALSORT BY (c, ...)]
+  *     [CLUSTER BY (c, ...)] [WITH SINGLE WRITER] AS <query>
+  *     -- partitioned CTAS; CLUSTER BY declares clustering keys
+  *     -- (exclusive with PARTITION BY / SORT BY); DISTRIBUTE BY
+  *     -- hash-clusters rows across writers; SINGLE WRITER -> one file;
   *     SORT BY sorts each data file (with a bucket transform: a SORTED
   *     bucketed table — merge joins need neither shuffle nor sort)
   *   CREATE LAKE VIEW <name> FROM '<dir>'
@@ -247,14 +251,20 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
       case DescribeLakeRe(dir) =>
         DescribeLakeCommand(dir,
           out("version", "action", "timestamp_ms", "n_files", "partition_spec"))
-      case CreateLakeTableRe(dir, spec, statsCols, sortBy, query) =>
+      case CreateLakeTableRe(dir, spec, distBy, statsCols, sortBy, clusterBy,
+                             single, query) =>
         CreateLakeTableCommand(dir,
           Option(spec).map(splitTopLevel).getOrElse(Nil),
           Option(statsCols).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
             .getOrElse(Nil),
           Option(sortBy).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
             .getOrElse(Nil),
-          query)
+          query,
+          Option(clusterBy).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            .getOrElse(Nil),
+          Option(distBy).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            .getOrElse(Nil),
+          single != null)
       case CreateLakeViewRe(name, dir, version, asOfTs) =>
         CreateLakeViewCommand(name, dir, Option(version).map(_.toLong),
           Option(asOfTs).map(parseTsMillis))
@@ -668,8 +678,11 @@ object GraftSqlParser {
   private val CreateLakeTableRe =
     ("""(?is)CREATE\s+LAKE\s+'([^']+)'""" +
       """(?:\s+PARTITION\s+BY\s+\(((?:[^()]*\([^()]*\))*[^()]*)\))?""" +
+      """(?:\s+DISTRIBUTE\s+BY\s+\(([^)]*)\))?""" +
       """(?:\s+STATS\s+\(([^)]*)\))?""" +
-      """(?:\s+SORT\s+BY\s+\(([^)]*)\))?\s+AS\s+(.+?)\s*;?""").r
+      """(?:\s+(?:SORT|LOCALSORT)\s+BY\s+\(([^)]*)\))?""" +
+      """(?:\s+CLUSTER\s+BY\s+\(([^)]*)\))?""" +
+      """(?:\s+WITH\s+(SINGLE)\s+WRITER)?\s+AS\s+(.+?)\s*;?""").r
   private val ShowCreateLakeRe =
     ("""(?is)SHOW\s+CREATE\s+LAKE\s+'([^']+)'""" +
       """(?:\s+AT\s+(?:BRANCH|TAG)\s+([\w.-]+))?\s*;?""").r
@@ -1764,13 +1777,32 @@ object GraftSqlParser {
     * `Parser.tdd` SqlCreateTable + partition transform list). */
   case class CreateLakeTableCommand(dir: String, spec: Seq[String],
       statsCols: Seq[String], sortBy: Seq[String],
-      querySql: String) extends LeafRunnableCommand {
+      querySql: String, clusterBy: Seq[String] = Nil,
+      distributeBy: Seq[String] = Nil, singleWriter: Boolean = false)
+      extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("version", "n_files")
     override def run(spark: SparkSession): Seq[Row] = {
+      // CTAS-time clustering keys (reference SqlCreateTable's CLUSTER BY
+      // slot): same rules as ALTER — exclusive with partitioning and an
+      // explicit sort order; keys land in the sort-order slot + marker
+      require(clusterBy.isEmpty || (spec.isEmpty && sortBy.isEmpty),
+        "CREATE LAKE: CLUSTER BY excludes PARTITION BY and SORT BY")
       val t = graft.sources.SnapshotTable.forPath(spark, dir)
       require(t.latestVersion == 0L,
         s"CREATE LAKE target '$dir' already has commits (use MERGE/OPTIMIZE/appends)")
-      val v = t.overwritePartitioned(spark.sql(querySql), spec, statsCols, sortBy)
+      // write-shape knobs (reference SqlCreateTable): DISTRIBUTE BY
+      // hash-clusters rows across writers without partition directories
+      // (one file per key-cluster, skew-resistant); WITH SINGLE WRITER
+      // funnels the write through one task (small dims, ordered output)
+      val src0 = spark.sql(querySql)
+      val src =
+        if (singleWriter) src0.coalesce(1)
+        else if (distributeBy.nonEmpty)
+          src0.repartition(distributeBy.map(org.apache.spark.sql.functions.col): _*)
+        else src0
+      val v = t.overwritePartitioned(src, spec, statsCols,
+        if (clusterBy.nonEmpty) clusterBy else sortBy)
+      if (clusterBy.nonEmpty) t.setProperties(Map(ClusteringProp -> "true"))
       Seq(Row(v.toString, t.snapshot()._1.size.toString))
     }
   }

@@ -777,6 +777,33 @@ class SqlExtSpec extends AnyFunSuite {
       "SELECT id AS a, id % 3 AS b FROM range(30)")
     val partClash = intercept[Exception](spark.sql(s"ALTER LAKE '$pdir' CLUSTER BY (a)"))
     assert(partClash.getMessage.contains("partitioned"), partClash.getMessage.take(200))
+    // CTAS-time clustering keys (reference SqlCreateTable CLUSTER BY slot)
+    // land in the same two slots; combining with PARTITION BY refuses
+    val cdir = Files.createTempDirectory("graft_cluster_ctas").toString + "/t"
+    spark.sql(s"CREATE LAKE '$cdir' CLUSTER BY (a, b) AS " +
+      "SELECT id AS a, id % 9 AS b FROM range(200)")
+    val ct = graft.sources.SnapshotTable.forPath(spark, cdir)
+    assert(ct.effectiveLayout._3 == Seq("a", "b"))
+    assert(ct.properties.get(graft.sqlext.GraftSqlParser.ClusteringProp).contains("true"))
+    assertThrows[Exception](spark.sql(
+      s"CREATE LAKE '${cdir}2' PARTITION BY (identity(b)) CLUSTER BY (a) AS " +
+        "SELECT id AS a, id % 9 AS b FROM range(10)"))
+    // DISTRIBUTE BY hash-clusters rows across writers: every b value
+    // lands in exactly ONE file (no partition directories involved)
+    val ddir = Files.createTempDirectory("graft_distby").toString + "/t"
+    spark.sql(s"CREATE LAKE '$ddir' DISTRIBUTE BY (b) AS " +
+      "SELECT id AS a, id % 5 AS b FROM range(5000)")
+    val dt = graft.sources.SnapshotTable.forPath(spark, ddir)
+    val perValue = dt.commits.last.files.flatMap { f =>
+      spark.read.parquet(s"$ddir/$f").select("b").distinct()
+        .collect().map(r => (r.getLong(0), f))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size)
+    assert(perValue.values.forall(_ == 1),
+      s"DISTRIBUTE BY must co-locate each key in one file: $perValue")
+    // WITH SINGLE WRITER funnels the CTAS through one task -> one file
+    val sdir = Files.createTempDirectory("graft_singlew").toString + "/t"
+    spark.sql(s"CREATE LAKE '$sdir' WITH SINGLE WRITER AS SELECT id FROM range(1000)")
+    assert(graft.sources.SnapshotTable.forPath(spark, sdir).commits.last.files.size == 1)
     // DROP CLUSTERING KEY clears both slots; dropping twice refuses
     spark.sql(s"ALTER LAKE '$dir' DROP CLUSTERING KEY")
     assert(t.effectiveLayout._3.isEmpty)
