@@ -68,6 +68,7 @@ object GraftRestServer {
     promotions.clear()
     promotedPlans.clear()
     schemaPins.clear()
+    planEpoch.clear()
   }
 
   /** Promoted datasets (reference `CatalogResource.java:60` — format a
@@ -88,14 +89,28 @@ object GraftRestServer {
     * not it references them. Path+format in the KEY is load-bearing: a
     * re-promote to a different path races concurrent /sql requests
     * holding the old entry, and a stale name-keyed re-insert would serve
-    * the OLD path's data forever after. */
+    * the OLD path's data forever after. The METADATA EPOCH in the key is
+    * load-bearing the same way: a request that resolved the plan BEFORE a
+    * schema-learning toggle / REFRESH METADATA can only re-insert under
+    * the OLD epoch, which no post-toggle read matches (the Flight
+    * GetTables epoch-key pattern — eviction is memory reclaim, never the
+    * correctness mechanism). */
   private val promotedPlans = new java.util.concurrent.ConcurrentHashMap[
-    (String, String, String),
+    (String, String, String, Long),
     (Long, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)]()
 
-  /** Drop every cached plan for `name`, whatever path it pointed at. */
-  private def evictPlans(name: String): Unit =
+  /** Per-name metadata epoch, bumped by every schema-learning toggle and
+    * promotion refresh; part of the plan-cache key. */
+  private val planEpoch =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Drop every cached plan for `name` AND bump its epoch so an in-flight
+    * request's stale re-insert can never match a future read. */
+  private def evictPlans(name: String): Unit = {
+    planEpoch.merge(name, java.lang.Long.valueOf(1L),
+      (a, b) => java.lang.Long.valueOf(a.longValue() + b.longValue()))
     promotedPlans.keySet.removeIf(_._1 == name)
+  }
 
   /** Schema pins (reference `SqlAlterTableToggleSchemaLearning` +
     * `SqlAlterTableToggleSchemaLearningHandler` — schema learning is ON
@@ -153,7 +168,8 @@ object GraftRestServer {
       case "lake" => graft.sources.SnapshotTable.forPath(session, path).latestVersion
       case _ => 0L
     }
-    val key = (name, path, fmt)
+    val key = (name, path, fmt,
+      Option(planEpoch.get(name)).map(_.longValue()).getOrElse(0L))
     val cached = promotedPlans.get(key)
     if (cached != null && cached._1 == freshness) cached._2
     else {
