@@ -1892,6 +1892,18 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       require(widens,
         s"CHANGE COLUMN $name: $from -> $to is not a widening promotion " +
           "(allowed: int->bigint, float->double, decimal precision growth)")
+      // a bucket(n) transform hashes by TYPE (Murmur3 of int 5 != long 5):
+      // retyping a bucketed column would make prune-side literals hash to
+      // the wrong bucket and silently SKIP matching files — refuse if any
+      // commit ever declared a bucket transform on this column (old files
+      // keep their recorded bucket values forever)
+      val bucketed = log.exists(_.partitionSpec.exists(r =>
+        r.replaceAll("\\s", "").toLowerCase
+          .matches(s"bucket\\(\\d+,${java.util.regex.Pattern.quote(name.toLowerCase)}\\)")))
+      require(!bucketed,
+        s"CHANGE COLUMN $name: the column is (or was) a bucket-transform " +
+          "partition source; retyping would corrupt bucket pruning " +
+          "(rewrite the table into a new layout first)")
       val newSchema = StructType(schema.fields.updated(i,
         schema.fields(i).copy(dataType = to)))
       val (eff, _) = idState(log)

@@ -723,6 +723,14 @@ class SqlExtSpec extends AnyFunSuite {
     assert(narrow.getMessage.contains("not a widening"), narrow.getMessage.take(200))
     assertThrows[Exception](
       spark.sql(s"ALTER LAKE '$dir' MODIFY COLUMN tag tag STRING"))
+    // retyping a bucket-partition source refuses: Murmur3 hashes int 5
+    // and long 5 differently, so pruning would silently skip files
+    val bdir = Files.createTempDirectory("graft_retype_bucket").toString + "/t"
+    spark.sql(s"CREATE LAKE '$bdir' PARTITION BY (bucket(4, k)) AS " +
+      "SELECT CAST(id AS INT) AS k, id AS v FROM range(100)")
+    val bucketClash = intercept[Exception](
+      spark.sql(s"ALTER LAKE '$bdir' MODIFY COLUMN k k BIGINT"))
+    assert(bucketClash.getMessage.contains("bucket"), bucketClash.getMessage.take(200))
     // rename onto an existing name refuses BEFORE any commit publishes
     val head = t.latestVersion
     val clash = intercept[Exception](
