@@ -146,7 +146,8 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
         CreatePipeCommand(name, src, fmt.toLowerCase, ddl, target, chk,
           notifyProvider = Option(prov), notifyQueue = Option(queue),
           lookbackDays = Option(lookback).map(_.toInt))
-      case TriggerPipeRe(name) => TriggerPipeCommand(name)
+      case TriggerPipeRe(name, batch) =>
+        TriggerPipeCommand(name, Option(batch).map(_.toLong))
       case ShowPipesRe() => ShowPipesCommand(out("name", "source", "format", "target"))
       case ShowStreamsRe() => ShowStreamsCommand(out("id", "name", "batch_id",
         "num_input_rows", "status"))
@@ -508,7 +509,10 @@ object GraftSqlParser {
       """\s+FROM\s+'([^']+)'\s+FORMAT\s+(\w+)\s+""" +
       """SCHEMA\s+'([^']+)'\s+INTO\s+LAKE\s+'([^']+)'\s+CHECKPOINT\s+'([^']+)'""" +
       NotifyTail + """\s*;?""").r
-  private val TriggerPipeRe = """(?is)TRIGGER\s+PIPE\s+(\w+)\s*;?""".r
+  // FOR BATCH <gen>: manual retry of one recorded ingestion batch
+  // (reference SqlTriggerPipe's optional FOR BATCH arm, ingestion.ftl:308)
+  private val TriggerPipeRe =
+    """(?is)TRIGGER\s+PIPE\s+(\w+)(?:\s+FOR\s+BATCH\s+(\d+))?\s*;?""".r
   private val ShowPipesRe = """(?is)SHOW\s+PIPES\s*;?""".r
   private val ShowStreamsRe = """(?is)SHOW\s+STREAMS\s*;?""".r
   // pipe lifecycle (reference ingestion.ftl: SqlAlterPipeStatus,
@@ -1416,7 +1420,8 @@ object GraftSqlParser {
     }
   }
 
-  case class TriggerPipeCommand(name: String) extends LeafRunnableCommand {
+  case class TriggerPipeCommand(name: String, forBatch: Option[Long] = None)
+      extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("pipe", "rows_loaded")
     override def run(spark: SparkSession): Seq[Row] = {
       val pipe = Pipes.get(name).getOrElse(
@@ -1424,6 +1429,9 @@ object GraftSqlParser {
       require(!pipe.paused,
         s"pipe '$name' is paused (PIPE_EXECUTION_RUNNING = FALSE); " +
           s"resume with ALTER PIPE $name SET PIPE_EXECUTION_RUNNING = TRUE")
+      forBatch.foreach { gen =>
+        return Seq(Row(name, Pipes.triggerForBatch(spark, pipe, gen).toString))
+      }
       // rows loaded by this trigger, from stream progress — not an O(target)
       // recount of the whole pipe table
       val loaded = (pipe.format, pipe.sink) match {

@@ -70,6 +70,63 @@ object Pipes {
     updated
   }
 
+  /** The notified loaded-files log: "#gen=<n>" header, then
+    * "<epochMs>\t<gen>\t<path>" lines (the generation that TAGGED the
+    * file's commit — what TRIGGER ... FOR BATCH retries by). Legacy
+    * 2-field lines read as generation 0; path-only lines as epoch 0. */
+  private[streaming] def readNotifiedLog(logFile: java.nio.file.Path)
+      : (Long, Seq[(Long, Long, String)]) =
+    if (!java.nio.file.Files.exists(logFile)) (0L, Nil)
+    else {
+      val lines = new String(java.nio.file.Files.readAllBytes(logFile), "UTF-8")
+        .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+      val g = lines.headOption.filter(_.startsWith("#gen="))
+        .map(_.stripPrefix("#gen=").toLong).getOrElse(0L)
+      val es = lines.filterNot(_.startsWith("#")).map { l =>
+        l.split("\t", 3) match {
+          case Array(ts, gn, p) => (ts.toLong, gn.toLong, p)
+          case Array(ts, p)     => (ts.toLong, 0L, p)
+          case _                => (0L, 0L, l)
+        }
+      }
+      (g, es)
+    }
+
+  /** TRIGGER PIPE <name> FOR BATCH <gen> (reference `SqlTriggerPipe`'s
+    * `FOR BATCH` arm — manual retry of ONE recorded ingestion batch):
+    * re-land exactly the files the named generation loaded, under the
+    * ORIGINAL idempotency tag — if the batch's commit exists the retry is
+    * absorbed (returns 0), if a crash lost it between log-advance and
+    * publish the retry lands it. Notified lake-sink pipes only: they are
+    * the pipes whose batches have durable identities. */
+  def triggerForBatch(spark: SparkSession, pipe: Pipe, batchGen: Long): Long = {
+    require(pipe.notificationProvider.isDefined && pipe.sink == "lake",
+      s"TRIGGER ... FOR BATCH: pipe '${pipe.name}' is not a notified " +
+        "lake-sink pipe — only those record retryable batch identities")
+    val logFile = java.nio.file.Paths.get(pipe.checkpointDir)
+      .resolve("notified-files.log")
+    val (_, entries) = readNotifiedLog(logFile)
+    val files = entries.filter(_._2 == batchGen).map(_._3).distinct
+    require(files.nonEmpty,
+      s"TRIGGER ... FOR BATCH: pipe '${pipe.name}' has no batch $batchGen " +
+        "in its loaded-files log (expired from DEDUPE_LOOKBACK_PERIOD, or never ran)")
+    val reader = spark.read.schema(pipe.schema).format(pipe.format)
+    val batch = (pipe.format match {
+      case "csv" => reader.option("header", "true")
+      case _ => reader
+    }).load(files: _*)
+    val lake = graft.sources.SnapshotTable.forPath(spark, pipe.targetDir)
+    val (spec, statsCols, _) = lake.effectiveLayout
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(files.sorted.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val before = lake.latestVersion
+    val rows = batch.count()
+    val v = lake.appendTagged(batch,
+      s"pipe:${pipe.name}:notified:$batchGen:$digest", spec, statsCols)
+    if (v > before) rows else 0L
+  }
+
   /** Streaming source frame for a listing (non-notified) pipe. NOTE:
     * DEDUPE_LOOKBACK_PERIOD deliberately does NOT map to the file
     * source's `maxFileAge` — that knob SKIPS files whose mtime falls
@@ -143,27 +200,14 @@ object Pipes {
     // lands under a new tag while a crash-replay of the SAME trigger
     // (log not yet advanced → same generation, same file set) is still
     // absorbed by the original tag.
-    val (gen, entries): (Long, Seq[(Long, String)]) =
-      if (!java.nio.file.Files.exists(logFile)) (0L, Nil)
-      else {
-        val lines = new String(java.nio.file.Files.readAllBytes(logFile), "UTF-8")
-          .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
-        val g = lines.headOption.filter(_.startsWith("#gen="))
-          .map(_.stripPrefix("#gen=").toLong).getOrElse(0L)
-        val es = lines.filterNot(_.startsWith("#")).map { l =>
-          val i = l.indexOf('\t')
-          if (i < 0) (0L, l) // legacy line: path only, epoch 0 (always expired under a window)
-          else (l.substring(0, i).toLong, l.substring(i + 1))
-        }
-        (g, es)
-      }
+    val (gen, entries) = readNotifiedLog(logFile)
     val now = System.currentTimeMillis()
     // DEDUPE_LOOKBACK_PERIOD: entries older than the window fall out of
     // the dedup memory — the log stays O(files in window), and a file
     // re-arriving after the window re-ingests (the reference's contract)
     val cutoff = pipe.dedupeLookbackDays.map(d => now - d * 86400000L)
     val live = cutoff.fold(entries)(c => entries.filter(_._1 >= c))
-    val loaded: Set[String] = live.map(_._2).toSet
+    val loaded: Set[String] = live.map(_._3).toSet
     // PENDING intent: the file set of an in-flight trigger is pinned to
     // disk BEFORE its commit, so a crash-replay re-commits exactly that
     // set under exactly that tag even if NEW events arrived in between —
@@ -233,9 +277,9 @@ object Pipes {
     // pending set must survive in the queue for the next trigger
     if (fresh.nonEmpty || live.size != entries.size) {
       val body = (s"#gen=${gen + 1}" +:
-        (live ++ fresh.map(p => (now, p)))
-          .sortBy(e => (e._2, e._1))
-          .map { case (ts, p) => s"$ts\t$p" }).mkString("\n")
+        (live ++ fresh.map(p => (now, gen, p)))
+          .sortBy(e => (e._3, e._1))
+          .map { case (ts, g, p) => s"$ts\t$g\t$p" }).mkString("\n")
       val tmp = ckDir.resolve(".notified-files.log.tmp")
       java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
       java.nio.file.Files.move(tmp, logFile,

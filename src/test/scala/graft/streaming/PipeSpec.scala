@@ -110,6 +110,56 @@ class PipeSpec extends AnyFunSuite {
     spark.sql("DROP PIPE np"); spark.sql("DROP PIPE npsqs")
   }
 
+  test("TRIGGER PIPE FOR BATCH retries one recorded generation, absorbed when already landed") {
+    val root = Files.createTempDirectory("graft_pipe_forbatch").toString
+    val spool = s"$root/spool"; Files.createDirectories(Paths.get(spool))
+    val data = s"$root/data"; Files.createDirectories(Paths.get(data))
+    spark.sql(s"CREATE PIPE fbp FROM '$root/ghost' FORMAT json " +
+      "SCHEMA 'event_id BIGINT, value DOUBLE' " +
+      s"INTO LAKE '$root/lake' CHECKPOINT '$root/_chk' " +
+      s"NOTIFICATION_PROVIDER local_dir NOTIFICATION_QUEUE_REFERENCE '$spool'")
+    def drop(name: String, rows: Seq[String]): String = {
+      val p = Paths.get(s"$data/$name")
+      Files.write(p, rows.mkString("\n").getBytes); p.toString
+    }
+    // two generations: gen 0 loads f1 (2 rows), gen 1 loads f2 (1 row)
+    Files.write(Paths.get(s"$spool/e1"),
+      drop("f1.json", Seq("""{"event_id":1,"value":1.0}""",
+        """{"event_id":2,"value":2.0}""")).getBytes)
+    assert(spark.sql("TRIGGER PIPE fbp").collect().head.getString(1) == "2")
+    Files.write(Paths.get(s"$spool/e2"),
+      drop("f2.json", Seq("""{"event_id":3,"value":3.0}""")).getBytes)
+    assert(spark.sql("TRIGGER PIPE fbp").collect().head.getString(1) == "1")
+    val lake = graft.sources.SnapshotTable.forPath(spark, s"$root/lake")
+    assert(lake.read().count() == 3L)
+    // a retry of a LANDED batch is absorbed by its original tag: zero rows
+    assert(spark.sql("TRIGGER PIPE fbp FOR BATCH 0").collect().head.getString(1) == "0")
+    assert(spark.sql("TRIGGER PIPE fbp FOR BATCH 1").collect().head.getString(1) == "0")
+    assert(lake.read().count() == 3L)
+    // simulate THE crash this arm repairs: the loaded-files log advanced
+    // (the file is recorded under generation 5) but its commit never
+    // published — FOR BATCH 5 re-lands exactly that file, once
+    val f3 = drop("f3.json", Seq("""{"event_id":9,"value":9.0}"""))
+    val logFile = Paths.get(s"$root/_chk/notified-files.log")
+    val old = new String(Files.readAllBytes(logFile), "UTF-8")
+      .split("\n").filterNot(_.startsWith("#gen=")).mkString("\n")
+    Files.write(logFile,
+      (s"#gen=6\n$old\n${System.currentTimeMillis()}\t5\t$f3").getBytes)
+    assert(spark.sql("TRIGGER PIPE fbp FOR BATCH 5").collect().head.getString(1) == "1")
+    assert(lake.read().count() == 4L)
+    // the retry is idempotent: a second FOR BATCH 5 is absorbed by the tag
+    assert(spark.sql("TRIGGER PIPE fbp FOR BATCH 5").collect().head.getString(1) == "0")
+    assert(lake.read().count() == 4L)
+    // unknown batch ids refuse loudly; listing pipes refuse the arm
+    val noBatch = intercept[Exception](spark.sql("TRIGGER PIPE fbp FOR BATCH 9"))
+    assert(noBatch.getMessage.contains("no batch 9"), noBatch.getMessage.take(200))
+    spark.sql(s"CREATE PIPE fbl FROM '$data' FORMAT json SCHEMA 'event_id BIGINT, value DOUBLE' " +
+      s"INTO '$root/plain' CHECKPOINT '$root/_chk_plain'")
+    val wrongKind = intercept[Exception](spark.sql("TRIGGER PIPE fbl FOR BATCH 0"))
+    assert(wrongKind.getMessage.contains("notified"), wrongKind.getMessage.take(200))
+    spark.sql("DROP PIPE fbp"); spark.sql("DROP PIPE fbl")
+  }
+
   test("notified pipe crash-replay: pending intent pins the commit set, new events wait") {
     val root = Files.createTempDirectory("graft_pipe_pending").toString
     val spool = s"$root/spool"; Files.createDirectories(Paths.get(spool))
