@@ -13,12 +13,22 @@ import scala.collection.concurrent.TrieMap
 object LakeViews {
 
   private val views = TrieMap.empty[String, String]
+  /** name → the exact CREATE statement (reference SqlShowCreate's VIEW
+    * arm: `SHOW CREATE VIEW name` prints the stored definition). */
+  private val ddls = TrieMap.empty[String, String]
 
-  def register(name: String, dir: String): Unit =
-    views.put(name.toLowerCase(java.util.Locale.ROOT), dir)
+  def register(name: String, dir: String, ddl: String = ""): Unit = {
+    val k = name.toLowerCase(java.util.Locale.ROOT)
+    views.put(k, dir)
+    ddls.put(k, if (ddl.nonEmpty) ddl else s"CREATE LAKE VIEW $name FROM '$dir'")
+    ()
+  }
 
   def dirOf(name: String): Option[String] =
     views.get(name.toLowerCase(java.util.Locale.ROOT))
+
+  def ddlOf(name: String): Option[String] =
+    ddls.get(name.toLowerCase(java.util.Locale.ROOT))
 
   def list: Seq[(String, String)] = views.toSeq.sortBy(_._1)
 }

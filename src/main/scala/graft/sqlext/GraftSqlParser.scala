@@ -366,6 +366,8 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
       case ShowTblPropsRe(dir) =>
         ShowLakePropertiesCommand(dir, out("key", "value"))
       case RollbackLakeRe(dir, version) => RollbackLakeCommand(dir, version.toLong)
+      case ShowCreateViewRe(name) =>
+        ShowCreateViewCommand(name, out("view", "definition"))
       case ShowCreateLakeRe(dir, ref) =>
         ShowCreateLakeCommand(dir,
           out("column_ddl", "partition_spec", "stats_cols", "sort_by",
@@ -690,6 +692,9 @@ object GraftSqlParser {
   private val ShowCreateLakeRe =
     ("""(?is)SHOW\s+CREATE\s+LAKE\s+'([^']+)'""" +
       """(?:\s+AT\s+(?:BRANCH|TAG)\s+([\w.-]+))?\s*;?""").r
+  // reference SqlShowCreate's VIEW arm (parserImpls.ftl:1834)
+  private val ShowCreateViewRe =
+    """(?is)SHOW\s+CREATE\s+(?:LAKE\s+)?VIEW\s+(\w+)\s*;?""".r
   // expire old snapshots + delete unreferenced data files (Iceberg
   // expire_snapshots / Delta VACUUM); GRACE (ms) keeps young orphans for
   // in-flight writers — sub-hour values are for tests
@@ -1766,6 +1771,19 @@ object GraftSqlParser {
     }
   }
 
+  /** SHOW CREATE [LAKE] VIEW <name> (reference SqlShowCreate's VIEW arm):
+    * print the stored definition of a lake view — including its version
+    * or branch/tag pin — from the registry CREATE populated. */
+  case class ShowCreateViewCommand(name: String,
+      override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val ddl = graft.catalog.LakeViews.ddlOf(name).getOrElse(
+        throw new IllegalArgumentException(
+          s"SHOW CREATE VIEW: no lake view named '$name'"))
+      Seq(Row(name, ddl))
+    }
+  }
+
   case class CreateLakeViewCommand(name: String, dir: String, version: Option[Long],
       asOfTsMs: Option[Long] = None) extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("view", "version")
@@ -1773,8 +1791,13 @@ object GraftSqlParser {
       val t = graft.sources.SnapshotTable.forPath(spark, dir)
       t.read(version, asOfTsMs).createOrReplaceTempView(name)
       // name → dir registry: table-level metadata surfaces (Flight SQL
-      // GetPrimaryKeys) resolve the backing table through it
-      graft.catalog.LakeViews.register(name, dir)
+      // GetPrimaryKeys, SHOW CREATE VIEW) resolve the backing table
+      val pin = version.map(v => s" VERSION AS OF $v")
+        .orElse(asOfTsMs.map(ts =>
+          s" TIMESTAMP AS OF '${new java.sql.Timestamp(ts)}'"))
+        .getOrElse("")
+      graft.catalog.LakeViews.register(name, dir,
+        s"CREATE LAKE VIEW $name FROM '$dir'$pin")
       Seq(Row(name, version.getOrElse(t.latestVersion).toString))
     }
   }
@@ -2240,8 +2263,11 @@ object GraftSqlParser {
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("view", "ref")
     override def run(spark: SparkSession): Seq[Row] = {
-      graft.sources.SnapshotTable.forPath(spark, dir)
-        .readRef(refName).createOrReplaceTempView(name)
+      val t = graft.sources.SnapshotTable.forPath(spark, dir)
+      t.readRef(refName).createOrReplaceTempView(name)
+      val kind = t.getRef(refName).refType.toUpperCase(java.util.Locale.ROOT)
+      graft.catalog.LakeViews.register(name, dir,
+        s"CREATE LAKE VIEW $name FROM '$dir' AT $kind $refName")
       Seq(Row(name, refName))
     }
   }

@@ -843,6 +843,24 @@ class SqlExtSpec extends AnyFunSuite {
     assert(deleted2 == 0, s"nothing is older than epoch, deleted $deleted2")
   }
 
+  test("SHOW CREATE VIEW prints the stored lake-view definition with its pin") {
+    val dir = Files.createTempDirectory("graft_scv").toString + "/t"
+    spark.sql(s"CREATE LAKE '$dir' AS SELECT id FROM range(10)")
+    spark.sql(s"CREATE LAKE VIEW scv_plain FROM '$dir'")
+    assert(spark.sql("SHOW CREATE VIEW scv_plain").head().getString(1) ==
+      s"CREATE LAKE VIEW scv_plain FROM '$dir'")
+    val t = graft.sources.SnapshotTable.forPath(spark, dir)
+    spark.sql(s"CREATE LAKE VIEW scv_v FROM '$dir' VERSION AS OF ${t.latestVersion}")
+    assert(spark.sql("SHOW CREATE LAKE VIEW scv_v").head().getString(1) ==
+      s"CREATE LAKE VIEW scv_v FROM '$dir' VERSION AS OF ${t.latestVersion}")
+    spark.sql(s"CREATE BRANCH scv_b FROM LAKE '$dir'")
+    spark.sql(s"CREATE LAKE VIEW scv_ref FROM '$dir' AT BRANCH scv_b")
+    assert(spark.sql("SHOW CREATE VIEW scv_ref").head().getString(1) ==
+      s"CREATE LAKE VIEW scv_ref FROM '$dir' AT BRANCH scv_b")
+    val unknown = intercept[Exception](spark.sql("SHOW CREATE VIEW nope_view"))
+    assert(unknown.getMessage.contains("no lake view"), unknown.getMessage.take(200))
+  }
+
   test("VACUUM LAKE REMOVE ORPHAN FILES deletes only unreferenced files, expires nothing") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orphan").toString + "/t"
     spark.sql(s"CREATE LAKE '$dir' AS SELECT id FROM range(100)")
