@@ -508,6 +508,45 @@ object LlmQueries {
     val docs = Tables.ensure(s, dir).documents
     Retrieval.bm25TopK(docs, retrievalSeeds, k = 10)
   }
+  /** BM25 served from the PERSISTED inverted index ([[TextIndex]] —
+    * build-once/serve-many; probed term buckets fold into a static
+    * IN-filter so the postings scan is partition-pruned). The oracle
+    * recomputes the same ranking from the raw corpus: Spark must
+    * round-trip tf/dl/df/N/avgdl through the on-disk tables exactly. */
+  val bm25IndexSearch: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents
+    val idx = graft.queries.Lake.scratchDir("llm_text_index")
+    TextIndex.build(docs, idx, nBuckets = 16)
+    TextIndex.search(s, idx,
+      Seq(0 -> "hash join table", 1 -> "window agg batch"), k = 10)
+      .select(col("q_id"), col("doc_id"), col("bm25"), col("rk"))
+  }
+  val bm25IndexSearchSql: String = """
+    WITH toks AS (
+      SELECT doc_id, unnest(
+        list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0)) AS w
+      FROM documents),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY doc_id, w),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    totals AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl),
+    q(q_id, q_text) AS (VALUES (0, 'hash join table'), (1, 'window agg batch')),
+    qt AS (SELECT DISTINCT q_id, unnest(
+        list_filter(string_split_regex(lower(q_text), '\s+'), w -> len(w) > 0)) AS w
+      FROM q),
+    dft AS (
+      SELECT w, COUNT(*) AS df FROM tf
+      WHERE w IN (SELECT w FROM qt) GROUP BY w),
+    scored AS (
+      SELECT qt.q_id, tf.doc_id,
+        round(SUM(ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf * 2.2) /
+                  (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25
+      FROM tf JOIN qt USING (w) JOIN dft USING (w) JOIN dl USING (doc_id), totals
+      GROUP BY qt.q_id, tf.doc_id),
+    ranked AS (SELECT *, row_number() OVER
+        (PARTITION BY q_id ORDER BY bm25 DESC, doc_id) AS rn FROM scored)
+    SELECT q_id, doc_id, bm25, CAST(rn AS INT) AS rk FROM ranked WHERE rn <= 10
+    ORDER BY q_id, bm25 DESC, doc_id"""
+
   val bm25SearchSql: String = """
     WITH toks AS (
       SELECT doc_id, unnest(
@@ -2886,6 +2925,7 @@ object LlmQueries {
     "text_c4_rules" -> textC4Rules,
     "text_line_dedup" -> textLineDedup,
     "bm25_search" -> bm25Search,
+    "bm25_index_search" -> bm25IndexSearch,
     "hybrid_rrf" -> hybridRrf,
     "retrieval_hard_negatives" -> retrievalHardNegatives,
     "retrieval_mmr" -> retrievalMmr,
@@ -2960,6 +3000,7 @@ object LlmQueries {
     "text_c4_rules" -> textC4RulesSql,
     "text_line_dedup" -> textLineDedupSql,
     "bm25_search" -> bm25SearchSql,
+    "bm25_index_search" -> bm25IndexSearchSql,
     "hybrid_rrf" -> hybridRrfSql,
     "retrieval_hard_negatives" -> retrievalHardNegativesSql,
     "retrieval_mmr" -> retrievalMmrSql,
