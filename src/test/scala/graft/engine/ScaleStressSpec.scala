@@ -773,6 +773,44 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(plan.contains("Filter lucene_match"), plan)
   }
 
+  test("persisted BM25 index at 150k docs: serve opens only probed buckets, needle ranks first") {
+    gate()
+    val docs = spark.range(150000).select(
+      col("id").as("doc_id"),
+      concat(
+        wordsExpr("cast(id % 1000 AS string)", 20),
+        lit(" common common"),
+        when(col("id") === 54321L, lit(" qzneedle qzneedle qzneedle"))
+          .when(col("id") === 11L, lit(" qzneedle"))
+          .otherwise(lit(""))).as("text"))
+      .localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_scale_txtidx").toString + "/idx"
+    graft.llm.TextIndex.build(docs, dir, nBuckets = 64)
+    val all = graft.sources.SnapshotTable.forPath(spark, s"$dir/postings")
+      .snapshot()._1.size
+    assert(all >= 32, s"postings should spread wide, got $all files")
+    val res = graft.llm.TextIndex.search(spark, dir,
+      Seq(0 -> "qzneedle common"), k = 10)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def findScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => findScans(a.executedPlan)
+      case s: QueryStageExec => findScans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(findScans)
+    }
+    val top = res.collect()
+    // the high-tf rare-term doc outranks everything; the weak mention next
+    assert(top.head.getLong(1) == 54321L, top.take(3).toSeq.toString)
+    assert(top(1).getLong(1) == 11L, top.take(3).toSeq.toString)
+    // 2 query terms → ≤ 2 of 64 buckets' files open — the serve cost is
+    // O(query-term postings), not O(corpus)
+    val opened = findScans(res.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+    assert(opened <= all / 8,
+      s"bucket pruning failed at scale: opened $opened of $all files")
+  }
+
   test("fuzzy join at 500k keys: planted typo pairs found, equi-join only, hot cluster capped") {
     gate()
     // 500k distinct keys (zero-padded ids: neighbors differ by >=1 digit);
