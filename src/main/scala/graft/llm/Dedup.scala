@@ -389,11 +389,19 @@ object Dedup {
   /** Embedding near-dup: cosine > threshold within coarse buckets (label
     * as the IVF-style partition — at scale the bucket is a cluster
     * assignment, so the pairing is bucket-local, not all-pairs). */
-  def embeddingDups(embeddings: DataFrame, threshold: Double = 0.95): DataFrame = {
+  def embeddingDups(embeddings: DataFrame, threshold: Double = 0.95,
+                    doublePrec: Boolean = false): DataFrame = {
     val a = embeddings.select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_vec"))
     val b = embeddings.select(col("label"), col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+    // doublePrec: in-order double folds — bit-identical in any engine
+    // (DuckDB's list_cosine_similarity over DOUBLE[] replays it exactly,
+    // which is what graduates the registered query to a full oracle)
+    val cosine =
+      if (doublePrec) Functions.cosine_sim_d(
+        col("a_vec").cast("array<double>"), col("b_vec").cast("array<double>"))
+      else Functions.cosine_sim(col("a_vec"), col("b_vec"))
     a.join(b, Seq("label")).filter(col("a_id") < col("b_id"))
-      .withColumn("cos", Functions.cosine_sim(col("a_vec"), col("b_vec")))
+      .withColumn("cos", cosine)
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), col("label"), col("cos"))
   }

@@ -28,8 +28,20 @@ object LlmQueries {
   val dedupEmbedding: QueryFn = (s, dir) =>
     // Fixture embeddings are near-random (max within-label cosine ≈ 0.47),
     // so 0.4 marks the "suspiciously similar" tail; real corpora use ~0.95.
-    Dedup.embeddingDups(Tables.ensure(s, dir).embeddings, threshold = 0.4)
+    // Double-precision scoring makes DuckDB an exact replay (the same
+    // graduation as ann_brute_force): in-order double folds are
+    // bit-identical to list_cosine_similarity over DOUBLE[].
+    Dedup.embeddingDups(Tables.ensure(s, dir).embeddings, threshold = 0.4,
+        doublePrec = true)
       .orderBy(col("a_id"), col("b_id"))
+  val dedupEmbeddingSql: String = """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings)
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
+           list_cosine_similarity(a.v, b.v) AS cos
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+    ORDER BY a_id, b_id"""
 
   /** SRP-LSH embedding near-dup (Dedup.embeddingLshPairs). The fixture's
     * near-random embeddings have no cos ≥ 0.99 pairs, so the query plants
@@ -3000,6 +3012,7 @@ object LlmQueries {
     "text_c4_rules" -> textC4RulesSql,
     "text_line_dedup" -> textLineDedupSql,
     "bm25_search" -> bm25SearchSql,
+    "dedup_embedding_cos" -> dedupEmbeddingSql,
     "bm25_index_search" -> bm25IndexSearchSql,
     "hybrid_rrf" -> hybridRrfSql,
     "retrieval_hard_negatives" -> retrievalHardNegativesSql,

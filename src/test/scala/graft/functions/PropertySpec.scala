@@ -80,4 +80,40 @@ class PropertySpec extends AnyFunSuite {
     val got = df.select(Functions.hamming64(col("a"), col("b"))).collect().map(_.getInt(0))
     got.zip(triples).foreach { case (g, (a, b, _)) => assert(g == h(a, b)) }
   }
+
+  test("lucene parser never crashes on arbitrary input; term queries agree with token containment") {
+    // robustness: any string either parses or refuses with the typed
+    // IllegalArgumentException — no stack overflow, no NPE, no hang
+    val junkGen = Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(
+        '(', ')', '"', '[', ']', '{', '}', '+', '-', '!', '~', '^', ':',
+        '*', '?', '/', '\\', ' ', '\t')))).map(_.mkString)
+    samples(junkGen, 400).foreach { s =>
+      try { Lucene.parse(s); () }
+      catch {
+        case _: IllegalArgumentException => ()
+        case e: Throwable => fail(s"parser blew up on ${s.take(60)}: $e")
+      }
+    }
+    // semantics: a single analyzed term matches iff the analyzed doc
+    // contains it; AND of two terms iff both do
+    samples(Gen.zip(textGen, wordGen, wordGen), 150).foreach { case (doc, w1, w2) =>
+      val toks = Lucene.analyze(doc).toSet
+      val rt1 = new Lucene.Runtime(w1, Array("_text"))
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(doc)
+      assert(rt1.matches(u) == toks.contains(w1),
+        s"term '$w1' vs doc '${doc.take(40)}'")
+      val rtAnd = new Lucene.Runtime(s"$w1 AND $w2", Array("_text"))
+      assert(rtAnd.matches(u) == (toks.contains(w1) && toks.contains(w2)))
+      val rtNot = new Lucene.Runtime(s"$w1 AND NOT $w2", Array("_text"))
+      assert(rtNot.matches(u) == (toks.contains(w1) && !toks.contains(w2)))
+    }
+    // fuzzy agrees with the exact Damerau-Levenshtein on the token set
+    samples(Gen.zip(textGen, wordGen), 100).foreach { case (doc, w) =>
+      val rt = new Lucene.Runtime(s"$w~1", Array("_text"))
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(doc)
+      val expect = Lucene.analyze(doc).exists(t => Lucene.editsWithin(w, t, 1))
+      assert(rt.matches(u) == expect, s"fuzzy '$w~1' vs '${doc.take(40)}'")
+    }
+  }
 }
