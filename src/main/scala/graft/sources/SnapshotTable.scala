@@ -546,7 +546,11 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
                           // the transform already arranged rows itself
                           // (range-cluster+sort, Z-order): the write must
                           // not re-sort what it was handed
-                          presorted: Boolean = false): Long = {
+                          presorted: Boolean = false,
+                          // FILE-level rewrite selection (size-based
+                          // bin-pack); non-selected files carry by
+                          // reference like untouched DML files
+                          selectFiles: Option[FileEntry => Boolean] = None): Long = {
     // generous budget: each retry requires a conflicting commit to have
     // actually landed (system-wide progress), so this bounds pathological
     // append storms, not steady state — one conflict costs one recompute
@@ -568,8 +572,9 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
       // current column identity (no rename divergence to misattribute
       // carried stats/ids to)
       val uniformIds = entries.forall(_.writeIds == curIds)
-      val (rewriteEntries, carried) = touch match {
-        case Some(cond) if uniformIds =>
+      val (rewriteEntries, carried) = (selectFiles, touch) match {
+        case (Some(sel), _) if uniformIds => entries.partition(sel)
+        case (_, Some(cond)) if uniformIds =>
           val full = buildMappedScan(entries, schema, curIds, tfs)
           resolveCond(full, cond) match {
             case Some(resolved) =>
@@ -1424,6 +1429,60 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     * (the transform is a pure coalesce); `cond` only SELECTS files. */
   def compactWhere(cond: org.apache.spark.sql.Column, numFiles: Int = 1): Long =
     copyOnWrite(_.coalesce(numFiles), touch = Some(cond))
+
+  /** Size-based BIN_PACK compaction (reference SqlOptimize's
+    * MIN/MAX/TARGET_FILE_SIZE_MB + MIN_INPUT_FILES options; the Iceberg
+    * rewrite_data_files bin-pack contract): ONLY files outside the healthy
+    * [minFileBytes, maxFileBytes] band rewrite — packed into
+    * ceil(candidate bytes / targetFileBytes) files — and every healthy
+    * file carries by reference, untouched. The candidate census comes
+    * from manifest-carried sizes (zero filesystem calls); fewer than
+    * `minInputFiles` candidates is a NO-OP returning the current version
+    * (maintenance must not churn versions for nothing). At 100 TB this is
+    * THE compaction shape: bin-pack the small-file tail of a streaming
+    * ingest without ever rewriting the petabytes of healthy data. */
+  def compactBySize(minFileBytes: Long,
+                    maxFileBytes: Long = Long.MaxValue,
+                    targetFileBytes: Long = 256L * 1024 * 1024,
+                    minInputFiles: Int = 1): Long = {
+    def sizeOf(st: Map[String, (String, String)]): Option[Long] =
+      st.get(SnapshotTable.BytesStatKey).map(_._1.toLong)
+    // a file with no recorded size (legacy commit) counts as a candidate —
+    // conservative: it gets rewritten and gains a size record
+    def isCandidate(st: Map[String, (String, String)]): Boolean =
+      sizeOf(st).forall(s => s < minFileBytes || s > maxFileBytes)
+    val entries = snapshotWithStats()._1
+    val cands = entries.filter(e => isCandidate(e._2))
+    if (cands.size < math.max(1, minInputFiles)) return latestVersion
+    val bytes = cands.flatMap(e => sizeOf(e._2)).sum
+    val n = math.max(1, math.ceil(bytes.toDouble /
+      math.max(1L, targetFileBytes)).toInt)
+    copyOnWrite(_.coalesce(n), selectFiles = Some(e => isCandidate(e.stats)))
+  }
+
+  /** OPTIMIZE ... REWRITE MANIFESTS (reference SqlOptimize's manifest arm;
+    * Iceberg rewrite_manifests): compact the METADATA only — write a log
+    * checkpoint at the current head so a cold reader replays ONE file
+    * instead of O(versions) commit jsons, and drop superseded checkpoints.
+    * Zero data files move; idempotent at an already-checkpointed head. */
+  def rewriteManifests(): Long = withCommitLock {
+    val log = commits
+    require(log.nonEmpty, s"empty lake table $dir")
+    val v = log.last.version
+    val name = f"ckpt-v$v%08d.json"
+    if (!LakeIO.listNames(logDir).contains(name)) {
+      val ckTmp = logDir.resolve(
+        name + "." + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
+      try {
+        LakeIO.writeString(ckTmp, renderCheckpoint(log))
+        LakeIO.publish(ckTmp, logDir.resolve(name))
+        LakeIO.listNames(logDir)
+          .filter(n => n.matches("ckpt-v\\d{8}\\.json") && n < name)
+          .foreach(n => LakeIO.deleteIfExists(logDir.resolve(n)))
+      } finally LakeIO.deleteIfExists(ckTmp)
+    }
+    v
+  }
 
   /** Clustering compaction (Iceberg rewrite_data_files with sort order):
     * rewrite the current snapshot range-clustered + sorted on `cols` into

@@ -47,6 +47,11 @@ import graft.streaming.{Pipe, Pipes}
   *   CREATE LAKE VIEW <name> FROM '<dir>'
   *     [VERSION AS OF <n> | TIMESTAMP AS OF '<ts>']
   *   OPTIMIZE LAKE '<dir>' [ORDER BY c[, ...]] [INTO <n> FILES] [WHERE cond]
+  *   OPTIMIZE LAKE '<dir>' REWRITE MANIFESTS   -- metadata-only checkpoint
+  *   OPTIMIZE LAKE '<dir>' REWRITE DATA [USING BIN_PACK]
+  *     [FOR PARTITIONS (<cond>)] [(MIN_INPUT_FILES = n,
+  *     TARGET_FILE_SIZE_MB = t, MIN_FILE_SIZE_MB = a, MAX_FILE_SIZE_MB = b)]
+  *     -- size-banded bin-pack: only unhealthy files rewrite
   *   INSERT INTO LAKE '<dir>' <query>           -- append, inherits layout
   *   DELETE FROM LAKE '<dir>' WHERE <cond>      -- copy-on-write DML
   *   UPDATE LAKE '<dir>' SET c = <expr>[, ...] WHERE <cond>
@@ -269,6 +274,11 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
       case CreateLakeViewRe(name, dir, version, asOfTs) =>
         CreateLakeViewCommand(name, dir, Option(version).map(_.toLong),
           Option(asOfTs).map(parseTsMillis))
+      case OptimizeManifestsRe(dir) =>
+        RewriteManifestsCommand(dir, out("version"))
+      case OptimizeRewriteDataRe(dir, cond, opts) =>
+        OptimizeRewriteDataCommand(dir, Option(cond),
+          Option(opts).getOrElse(""), out("version"))
       case OptimizeLakeRe(dir, zorderBy, orderBy, nFiles, whereSql) =>
         def cols(s: String): Seq[String] =
           Option(s).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
@@ -724,6 +734,16 @@ object GraftSqlParser {
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""" +
       """(?:\s+PARTITION\s+BY\s*\(([^)]*)\))?""" +
       """(?:\s+FORMAT\s+(ICEBERG|DELTA))?(?:\s+(APPEND))?\s*;?""").r
+  // reference SqlOptimize's two explicit arms (parserImpls.ftl:1542):
+  // REWRITE MANIFESTS (metadata-only checkpoint) and REWRITE DATA USING
+  // BIN_PACK with FOR PARTITIONS / size options
+  private val OptimizeManifestsRe =
+    """(?is)OPTIMIZE\s+LAKE\s+'([^']+)'\s+REWRITE\s+MANIFESTS\s*;?""".r
+  private val OptimizeRewriteDataRe =
+    ("""(?is)OPTIMIZE\s+LAKE\s+'([^']+)'\s+REWRITE\s+DATA""" +
+      """(?:\s+USING\s+BIN_PACK)?""" +
+      """(?:\s+FOR\s+PARTITIONS\s+\((.+?)\))?""" +
+      """(?:\s*\(([^)]*=[^)]*)\))?\s*;?""").r
   private val OptimizeLakeRe =
     ("""(?is)OPTIMIZE\s+LAKE\s+'([^']+)'""" +
       """(?:\s+ZORDER\s+BY\s+\(([^)]*)\))?""" +
@@ -1954,6 +1974,60 @@ object GraftSqlParser {
         }
         Row(dir, deleted.size.toString)
       }
+    }
+  }
+
+  /** OPTIMIZE LAKE ... REWRITE MANIFESTS: metadata-only checkpoint of the
+    * commit log at the head (zero data files move). */
+  case class RewriteManifestsCommand(dir: String,
+      override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      graft.auth.Privileges.requireAction(spark, "alter", dir, "OPTIMIZE LAKE")
+      Seq(Row(graft.sources.SnapshotTable.forPath(spark, dir)
+        .rewriteManifests().toString))
+    }
+  }
+
+  /** OPTIMIZE LAKE ... REWRITE DATA [USING BIN_PACK]
+    * [FOR PARTITIONS (<cond>)] [(MIN_INPUT_FILES = n,
+    * TARGET_FILE_SIZE_MB = t, MIN_FILE_SIZE_MB = a, MAX_FILE_SIZE_MB = b)]
+    * (reference SqlOptimize + ParseOptimizeOptions): size-banded bin-pack
+    * — only unhealthy files rewrite, sized from manifest bytes; defaults
+    * follow the Iceberg rewrite action (target 256 MB, min 0.75×target,
+    * max 1.8×target, 5 input files). FOR PARTITIONS routes to the
+    * predicate-scoped partial compaction; combining it with size options
+    * refuses (pick one selection rule per statement). */
+  case class OptimizeRewriteDataCommand(dir: String, cond: Option[String],
+      optsText: String, override val output: Seq[Attribute])
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      graft.auth.Privileges.requireAction(spark, "alter", dir, "OPTIMIZE LAKE")
+      val kv = """(\w+)\s*=\s*(\d+)""".r.findAllMatchIn(optsText)
+        .map(m => m.group(1).toLowerCase -> m.group(2).toLong).toMap
+      val unknown = kv.keySet -- Set("min_input_files", "target_file_size_mb",
+        "min_file_size_mb", "max_file_size_mb")
+      require(unknown.isEmpty, s"OPTIMIZE: unknown options $unknown " +
+        "(valid: MIN_INPUT_FILES, TARGET_FILE_SIZE_MB, MIN_FILE_SIZE_MB, " +
+        "MAX_FILE_SIZE_MB)")
+      val t = graft.sources.SnapshotTable.forPath(spark, dir)
+      val v = cond match {
+        case Some(c) =>
+          require(kv.isEmpty,
+            "OPTIMIZE: FOR PARTITIONS and size options are mutually " +
+              "exclusive — one selection rule per statement")
+          t.compactWhere(org.apache.spark.sql.functions.expr(c))
+        case None =>
+          val mb = 1024L * 1024
+          val target = kv.getOrElse("target_file_size_mb", 256L) * mb
+          t.compactBySize(
+            minFileBytes = kv.get("min_file_size_mb").map(_ * mb)
+              .getOrElse(target * 3 / 4),
+            maxFileBytes = kv.get("max_file_size_mb").map(_ * mb)
+              .getOrElse(target * 9 / 5),
+            targetFileBytes = target,
+            minInputFiles = kv.getOrElse("min_input_files", 5L).toInt)
+      }
+      Seq(Row(v.toString))
     }
   }
 

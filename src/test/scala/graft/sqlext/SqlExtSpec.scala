@@ -925,6 +925,55 @@ class SqlExtSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM lake_scan('$root/nested/b')").head().getLong(0) == 5L)
   }
 
+  test("OPTIMIZE REWRITE DATA bin-packs only the small-file tail; REWRITE MANIFESTS is metadata-only") {
+    val dir = Files.createTempDirectory("graft_binpack").toString + "/t"
+    // one HEALTHY file (incompressible random doubles, well over 1 MB)
+    // + five tiny commits
+    spark.sql(s"CREATE LAKE '$dir' WITH SINGLE WRITER AS " +
+      "SELECT id, rand(42) AS r1, rand(43) AS r2 FROM range(200000)")
+    (0 until 5).foreach(i => spark.sql(
+      s"INSERT INTO LAKE '$dir' SELECT id, rand(1) AS r1, rand(2) AS r2 " +
+        s"FROM range(${1000 + i}, ${1010 + i})"))
+    val t = graft.sources.SnapshotTable.forPath(spark, dir)
+    val healthy = t.commits.head.files.head
+    val tinyFiles = t.snapshot()._1.size - 1 // inserts may split into tasks
+    assert(tinyFiles >= 5)
+    val rowsBefore = t.read().count()
+    // fewer candidates than MIN_INPUT_FILES -> NO-OP, version unchanged
+    val v0 = t.latestVersion
+    spark.sql(s"OPTIMIZE LAKE '$dir' REWRITE DATA USING BIN_PACK " +
+      s"(MIN_INPUT_FILES = ${tinyFiles + 5}, MIN_FILE_SIZE_MB = 1, TARGET_FILE_SIZE_MB = 1)")
+    assert(t.latestVersion == v0, "below MIN_INPUT_FILES must be a no-op")
+    // the five tiny files pack into one; the healthy file carries BY
+    // REFERENCE (same path, not rewritten)
+    spark.sql(s"OPTIMIZE LAKE '$dir' REWRITE DATA USING BIN_PACK " +
+      "(MIN_INPUT_FILES = 2, MIN_FILE_SIZE_MB = 1, TARGET_FILE_SIZE_MB = 1, " +
+      "MAX_FILE_SIZE_MB = 1000)")
+    assert(t.latestVersion == v0 + 1)
+    val after = t.snapshot()._1.map(_.stripPrefix(s"$dir/"))
+    assert(after.size == 2, s"expected packed+carried, got $after")
+    assert(after.contains(healthy), "healthy file must carry by reference")
+    assert(t.read().count() == rowsBefore)
+    // unknown options refuse loudly
+    val bad = intercept[Exception](spark.sql(
+      s"OPTIMIZE LAKE '$dir' REWRITE DATA (NOPE_OPT = 3)"))
+    assert(bad.getMessage.contains("unknown options"), bad.getMessage.take(200))
+    // FOR PARTITIONS + size options refuse together
+    assertThrows[Exception](spark.sql(s"OPTIMIZE LAKE '$dir' REWRITE DATA " +
+      "FOR PARTITIONS (id < 10) (MIN_INPUT_FILES = 1)"))
+    // REWRITE MANIFESTS: checkpoint lands at the head, data untouched,
+    // idempotent, and a cold re-read replays exactly
+    val filesBefore = t.snapshot()._1.toSet
+    spark.sql(s"OPTIMIZE LAKE '$dir' REWRITE MANIFESTS")
+    val ck = new java.io.File(s"$dir/_graft_log").listFiles()
+      .map(_.getName).filter(_.startsWith("ckpt-v"))
+    assert(ck.length == 1, ck.toSeq.toString)
+    assert(ck.head == f"ckpt-v${t.latestVersion}%08d.json", ck.head)
+    spark.sql(s"OPTIMIZE LAKE '$dir' REWRITE MANIFESTS") // idempotent
+    assert(t.snapshot()._1.toSet == filesBefore)
+    assert(t.read().count() == rowsBefore)
+  }
+
   test("OPTIMIZE LAKE ... WHERE compacts only the touched files (partial rewrite)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_opt_where").toString + "/t"
