@@ -61,6 +61,34 @@ class FuzzyJoinSpec extends AnyFunSuite {
       s"fuzzy join must be an equi-join:\n$plan")
   }
 
+  test("property: selfJoin equals the brute-force all-pairs on random corpora (k=1 and k=2)") {
+    import spark.implicits._
+    // random lowercase words over a SMALL alphabet so near-pairs actually
+    // occur; fixed seeds for reproducibility
+    val gen = org.scalacheck.Gen.chooseNum(1, 8).flatMap(n =>
+      org.scalacheck.Gen.listOfN(n, org.scalacheck.Gen.oneOf('a', 'b', 'c')))
+      .map(_.mkString)
+    val params = org.scalacheck.Gen.Parameters.default
+    (0 until 4).foreach { round =>
+      val words = (0 until 60).flatMap(i =>
+        gen.apply(params, org.scalacheck.rng.Seed(round * 1000L + i)))
+      val rows = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      val df = rows.toDF("id", "name")
+      (1 to 2).foreach { k =>
+        val got = FuzzyJoin.selfJoin(df, "id", "name", maxEdits = k,
+            maxBucket = 10000)
+          .select("a_id", "b_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val want = (for {
+          (ai, as) <- rows; (bi, bs) <- rows
+          if ai < bi && levenshteinScala(as, bs) <= k
+        } yield (ai, bi)).toSet
+        assert(got == want,
+          s"round=$round k=$k missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+      }
+    }
+  }
+
   private def levenshteinScala(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
     for (i <- 1 to a.length; j <- 1 to b.length)
