@@ -243,6 +243,10 @@ object Graft {
               .flatMap(_.baseVersions.keys.toSeq.sorted
                 .flatMap(graft.accel.Reflections.routingFor).headOption)
               .filter(graft.engine.Queues.defined)
+          case r: graft.sqlext.GraftSqlParser.RefreshReflectionsForDatasetCommand =>
+            // the bulk per-dataset refresh names its anchor directly
+            graft.accel.Reflections.routingFor(r.dir)
+              .filter(graft.engine.Queues.defined)
           case _ => None
         }
         perDataset.orElse(

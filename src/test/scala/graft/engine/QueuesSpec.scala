@@ -289,10 +289,13 @@ class QueuesSpec extends AnyFunSuite {
       spark.sql(s"ALTER LAKE '$dir' ROUTE ALL REFLECTIONS TO QUEUE refl_ds")
       graft.Graft.sql(spark, "REFRESH REFLECTION rroute_r").collect()
       assert(admitted("refl_ds") == 1L && admitted("refl_g") == 1L)
+      // the BULK per-dataset refresh honors the same route
+      graft.Graft.sql(spark, s"ALTER LAKE '$dir' REFRESH REFLECTIONS").collect()
+      assert(admitted("refl_ds") == 2L && admitted("refl_g") == 1L)
       // ...and DEFAULT clears it back to the global queue
       spark.sql(s"ALTER LAKE '$dir' ROUTE ALL REFLECTIONS TO DEFAULT QUEUE")
       graft.Graft.sql(spark, "REFRESH REFLECTION rroute_r").collect()
-      assert(admitted("refl_g") == 2L && admitted("refl_ds") == 1L)
+      assert(admitted("refl_g") == 2L && admitted("refl_ds") == 2L)
       // routing to an undefined queue refuses at DDL time
       assertThrows[Exception](spark.sql(
         s"ALTER LAKE '$dir' ROUTE ALL REFLECTIONS TO QUEUE nope_q"))
