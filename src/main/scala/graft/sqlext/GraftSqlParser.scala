@@ -254,9 +254,10 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
       case ToggleSchemaLearnRe(name, mode) =>
         ToggleSchemaLearningCommand(name, mode.equalsIgnoreCase("ENABLE"),
           out("dataset", "schema_learning"))
-      case DescribeLakeRe(dir) =>
+      case DescribeLakeRe(dir, ref) =>
         DescribeLakeCommand(dir,
-          out("version", "action", "timestamp_ms", "n_files", "partition_spec"))
+          out("version", "action", "timestamp_ms", "n_files", "partition_spec"),
+          Option(ref))
       case CreateLakeTableRe(dir, spec, distBy, statsCols, sortBy, clusterBy,
                              single, query) =>
         CreateLakeTableCommand(dir,
@@ -685,7 +686,9 @@ object GraftSqlParser {
   /** Comma-split a (possibly null) DDL column list. */
   private def splitCols(s: String): Seq[String] =
     Option(s).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-  private val DescribeLakeRe = """(?is)DESCRIBE\s+LAKE\s+'([^']+)'\s*;?""".r
+  private val DescribeLakeRe =
+    ("""(?is)DESCRIBE\s+LAKE\s+'([^']+)'""" +
+      """(?:\s+AT\s+(?:BRANCH|TAG)\s+([\w.-]+))?\s*;?""").r
   private val CreateLakeViewRe =
     ("""(?is)CREATE\s+LAKE\s+VIEW\s+(\w+)\s+FROM\s+'([^']+)'""" +
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""" +
@@ -1683,10 +1686,13 @@ object GraftSqlParser {
 
   /** DESCRIBE LAKE: the snapshot history of a graft-lake table (the
     * Iceberg `snapshots` metadata-table / Delta DESCRIBE HISTORY analog). */
-  case class DescribeLakeCommand(dir: String, override val output: Seq[Attribute])
-      extends LeafRunnableCommand {
+  case class DescribeLakeCommand(dir: String, override val output: Seq[Attribute],
+      ref: Option[String] = None) extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] =
-      graft.sources.SnapshotTable.forPath(spark, dir).commits.map(c =>
+      // AT BRANCH|TAG describes the REF's visible log (fork prefix +
+      // staged commits for a branch, the pinned prefix for a tag) — the
+      // reference's version-context DESCRIBE
+      graft.sources.SnapshotTable.forPath(spark, dir).log(ref).map(c =>
         Row(c.version.toString, c.action, c.timestampMs.toString,
           c.files.size.toString, c.partitionSpec.mkString(", ")))
   }

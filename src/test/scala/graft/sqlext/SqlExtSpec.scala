@@ -843,6 +843,27 @@ class SqlExtSpec extends AnyFunSuite {
     assert(deleted2 == 0, s"nothing is older than epoch, deleted $deleted2")
   }
 
+  test("DESCRIBE LAKE AT BRANCH shows the ref's visible log") {
+    val dir = Files.createTempDirectory("graft_desc_ref").toString + "/t"
+    spark.sql(s"CREATE LAKE '$dir' AS SELECT id FROM range(10)")
+    spark.sql(s"CREATE BRANCH db FROM LAKE '$dir'")
+    spark.sql(s"INSERT INTO LAKE '$dir' AT BRANCH db SELECT id FROM range(10, 15)")
+    spark.sql(s"INSERT INTO LAKE '$dir' SELECT id FROM range(20, 40)") // main only
+    val main = spark.sql(s"DESCRIBE LAKE '$dir'").count()
+    val branch = spark.sql(s"DESCRIBE LAKE '$dir' AT BRANCH db").count()
+    // both sides advanced once past the shared fork commit(s)
+    assert(main == branch, s"main=$main branch=$branch")
+    // the branch's LAST commit is its staged append, not main's
+    val bLast = spark.sql(s"DESCRIBE LAKE '$dir' AT BRANCH db")
+      .collect().last
+    val mLast = spark.sql(s"DESCRIBE LAKE '$dir'").collect().last
+    assert(bLast.getString(3) != mLast.getString(3) ||
+           bLast.getString(2) != mLast.getString(2),
+      s"branch log must diverge from main: $bLast vs $mLast")
+    assertThrows[Exception](
+      spark.sql(s"DESCRIBE LAKE '$dir' AT BRANCH nope").collect())
+  }
+
   test("SHOW CREATE VIEW prints the stored lake-view definition with its pin") {
     val dir = Files.createTempDirectory("graft_scv").toString + "/t"
     spark.sql(s"CREATE LAKE '$dir' AS SELECT id FROM range(10)")
