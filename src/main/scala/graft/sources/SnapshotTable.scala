@@ -435,7 +435,19 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
           val (spec, statsCols, sortBy) = effectiveLayout
           if (sortBy.nonEmpty) compactSorted(sortBy, math.max(1, threshold / 2))
           else if (spec.nonEmpty) compactPartitioned(spec, statsCols)
-          else compact(math.max(1, threshold / 2))
+          else {
+            // size-banded: pack ONLY the small-file tail (files under
+            // 0.75× the target); a healthy file NEVER rewrites — at
+            // 100 TB the upkeep cost tracks the ingest tail, not the
+            // table ("autocompact.target.mb", default 128)
+            val targetMb = properties.get("autocompact.target.mb")
+              .orElse(spark.conf.getOption("spark.graft.lake.autocompact.target.mb"))
+              .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(128L)
+            val target = math.max(1L, targetMb) * 1024 * 1024
+            compactBySize(minFileBytes = target * 3 / 4,
+              maxFileBytes = Long.MaxValue,
+              targetFileBytes = target, minInputFiles = 2)
+          }
         } catch {
           case scala.util.control.NonFatal(e) =>
             org.slf4j.LoggerFactory.getLogger(getClass)
