@@ -136,10 +136,17 @@ object CboStats {
     }
 
   /** Decode stored properties into the synthetic CatalogTable a lake scan
-    * attaches (None when the table was never ANALYZEd with persistence). */
+    * attaches (None when the table was never ANALYZEd with persistence AND
+    * carries no planner-relevant table flags). The CatalogTable is also
+    * the in-memory carrier for per-table planner opt-ins — today the
+    * APPROXIMATE STATS flag ([[graft.sources.SnapshotTable.ApproxStatsKey]],
+    * read by [[graft.plans.ApproxCountDistinct]]) — so a flagged table
+    * gets one even before its first ANALYZE (stats = None; size falls
+    * back to the relation estimate). */
   def catalogTableFor(dir: String, schema: StructType,
-                      props: Map[String, String]): Option[CatalogTable] =
-    props.get(RowCountKey).flatMap { rc =>
+                      props: Map[String, String]): Option[CatalogTable] = {
+    val approxKey = graft.sources.SnapshotTable.ApproxStatsKey
+    val stats: Option[CatalogStatistics] = props.get(RowCountKey).flatMap { rc =>
       scala.util.Try {
         val colStats: Map[String, CatalogColumnStat] =
           schema.fields.flatMap { f =>
@@ -172,24 +179,29 @@ object CboStats {
                 histogram = hist)
             }
           }.toMap
-        CatalogTable(
-          identifier = TableIdentifier(
-            "graft_lake_" + Integer.toHexString(dir.hashCode)),
-          tableType = CatalogTableType.EXTERNAL,
-          storage = CatalogStorageFormat.empty,
-          schema = schema,
-          provider = Some("parquet"),
-          // the raw graft.stats.* nodes ride along so downstream
-          // consumers (plans.CategoricalSelectivity's frequent-item
-          // lookup) read them IN-MEMORY instead of re-listing the
-          // commit log per optimizer-fixpoint iteration
-          properties = props.filter(_._1.startsWith(ColPrefix)),
-          stats = Some(CatalogStatistics(
-            sizeInBytes = BigInt(props.getOrElse(SizeKey, "0")),
-            rowCount = Some(BigInt(rc)),
-            colStats = colStats)))
+        CatalogStatistics(
+          sizeInBytes = BigInt(props.getOrElse(SizeKey, "0")),
+          rowCount = Some(BigInt(rc)),
+          colStats = colStats)
       }.toOption
     }
+    if (stats.isEmpty && !props.get(approxKey).contains("true")) None
+    else Some(CatalogTable(
+      identifier = TableIdentifier(
+        "graft_lake_" + Integer.toHexString(dir.hashCode)),
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty,
+      schema = schema,
+      provider = Some("parquet"),
+      // the raw graft.stats.* nodes (and the approx flag) ride along so
+      // downstream consumers (plans.CategoricalSelectivity's frequent-item
+      // lookup, plans.ApproxCountDistinct's opt-in check) read them
+      // IN-MEMORY instead of re-listing the commit log per
+      // optimizer-fixpoint iteration
+      properties = props.filter { case (k, _) =>
+        k.startsWith(ColPrefix) || k == approxKey },
+      stats = stats))
+  }
 
   /** Compute + persist stats for a lake table (the ANALYZE LAKE ...
     * COMPUTE STATISTICS body): one profile pass (+ two histogram passes

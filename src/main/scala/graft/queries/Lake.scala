@@ -678,7 +678,37 @@ object Lake {
     WHERE o_orderkey % 7 <> 0
     GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  /** COUNT(DISTINCT) through the APPROXIMATE STATS opt-in (reference
+    * SqlSetApprox → CountDistinctConvertlet): the table is flagged, so the
+    * optimizer plans the distinct counts as HLL++ sketches — no Expand,
+    * no second shuffle keyed on the values. The fixture columns' distinct
+    * sets sit in the sketch's linear-counting range where the estimate IS
+    * the exact count (value-set-dependent, not row-count-dependent, so it
+    * holds at every SF — `ApproxStatsSpec` pins both the plan rewrite and
+    * the exactness), which is what lets DuckDB's exact replay hash-match
+    * an approximate plan. */
+  val lakeApproxNdv: QueryFn = (s, dir) => {
+    val t = Tables.ensure(s, dir)
+    val lakeDir = scratchDir("graft_lake_approx")
+    val table = SnapshotTable.forPath(s, lakeDir)
+    table.append(t.customer.select(
+      col("c_custkey"), col("c_mktsegment"), col("c_nationkey")))
+    s.sql(s"ALTER LAKE '$lakeDir' ENABLE APPROXIMATE STATS")
+    s.sql(s"CREATE LAKE VIEW lake_approx_v FROM '$lakeDir'")
+    s.sql("""SELECT c_nationkey % 5 AS grp,
+            |  count(distinct c_mktsegment) AS ndv_seg,
+            |  count(*) AS n_rows
+            |FROM lake_approx_v
+            |GROUP BY c_nationkey % 5 ORDER BY grp""".stripMargin)
+  }
+  val lakeApproxNdvSql: String = """
+    SELECT c_nationkey % 5 AS grp,
+           count(distinct c_mktsegment) AS ndv_seg,
+           count(*) AS n_rows
+    FROM customer GROUP BY 1 ORDER BY grp"""
+
   val queries: Map[String, QueryFn] = Map(
+    "lake_approx_ndv" -> lakeApproxNdv,
     "iceberg_read" -> icebergRead,
     "iceberg_pos_delete" -> icebergPosDelete,
     "delta_roundtrip" -> deltaRoundtrip,
@@ -711,6 +741,7 @@ object Lake {
     "lake_minmax_meta" -> lakeMinmaxMetaSql,
     "lake_scan_tvf" -> lakeScanTvfSql,
     "lake_count_meta" -> lakeCountMetaSql,
+    "lake_approx_ndv" -> lakeApproxNdvSql,
     "lake_pruned_scan" -> lakePrunedScanSql,
     "lake_partitioned_scan" -> lakePartitionedScanSql,
     "lake_partitions_meta" -> lakePartitionsMetaSql,

@@ -2364,6 +2364,14 @@ object SnapshotTable {
     * a column CSV — reference SqlAlterTableAddPrimaryKey metadata. */
   val PkPropKey = "graft.pk"
 
+  /** Table property set by ALTER LAKE ... ENABLE APPROXIMATE STATS
+    * (reference `SqlSetApprox` → `PhysicalDataset.allowApproxStats`,
+    * consumed by `CountDistinctConvertlet.java:95`): when "true",
+    * COUNT(DISTINCT col) over columns originating from this table may be
+    * planned as an NDV sketch. The per-table opt-in is the contract —
+    * approximation never applies to tables that didn't ask for it. */
+  val ApproxStatsKey = "graft.approx.stats"
+
   /** Pseudo column carrying per-file parquet row counts inside the stats
     * map (min == max == count). Never collides with predicate pruning —
     * lookups there are by real attribute name. */

@@ -43,6 +43,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(session => new graft.accel.Reflections.Substitute(session))
     e.injectOptimizerRule(session => new graft.plans.CountFromManifest(session))
     e.injectOptimizerRule(session => new graft.plans.CategoricalSelectivity(session))
+    e.injectOptimizerRule(session => new graft.plans.ApproxCountDistinct(session))
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     // Lake metadata table functions — the reference's TABLE(table_files(..))
     // / table_history / table_snapshot family (dremio `TableMacroNames.java`,

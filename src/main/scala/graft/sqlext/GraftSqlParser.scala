@@ -371,6 +371,8 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
       case AlterLakeSetPropsRe(dir, pairs) =>
         SetLakePropertiesCommand(dir,
           PropPairRe.findAllMatchIn(pairs).map(m => m.group(1) -> m.group(2)).toMap)
+      case AlterLakeApproxRe(dir, toggle) =>
+        SetApproxStatsCommand(dir, toggle.equalsIgnoreCase("ENABLE"))
       case AlterLakeUnsetPropsRe(dir, keys) =>
         UnsetLakePropertiesCommand(dir,
           PropKeyRe.findAllMatchIn(keys).map(_.group(1)).toSeq)
@@ -615,6 +617,10 @@ object GraftSqlParser {
   private val AlterLakeSetPropsRe =
     ("""(?is)ALTER\s+LAKE\s+'([^']+)'\s+SET\s+TBLPROPERTIES\s*""" +
       """\(\s*((?:'[^']*'\s*=\s*'[^']*'\s*,?\s*)+)\)\s*;?""").r
+  // reference SqlSetApprox (alter.ftl:242,260): per-table opt-in to
+  // NDV-sketch COUNT(DISTINCT) planning
+  private val AlterLakeApproxRe =
+    """(?is)ALTER\s+LAKE\s+'([^']+)'\s+(ENABLE|DISABLE)\s+APPROXIMATE\s+STATS\s*;?""".r
   private val AlterLakeUnsetPropsRe =
     ("""(?is)ALTER\s+LAKE\s+'([^']+)'\s+UNSET\s+TBLPROPERTIES\s*""" +
       """\(\s*((?:'[^']*'\s*,?\s*)+)\)\s*;?""").r
@@ -2385,6 +2391,24 @@ object GraftSqlParser {
         "ALTER LAKE SET SORT ORDER")
       Seq(Row(graft.sources.SnapshotTable.forPath(spark, dir)
         .setSortOrder(cols).toString))
+    }
+  }
+
+  /** ALTER LAKE ... ENABLE|DISABLE APPROXIMATE STATS (reference
+    * SqlSetApprox → `SetApproxHandler.java` →
+    * `PhysicalDataset.allowApproxStats`): a metadata-only property commit
+    * that opts the table's columns into NDV-sketch COUNT(DISTINCT)
+    * planning ([[graft.plans.ApproxCountDistinct]]). */
+  case class SetApproxStatsCommand(dir: String, enable: Boolean)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = out("version")
+    override def run(spark: SparkSession): Seq[Row] = {
+      graft.auth.Privileges.requireAction(spark, "alter", dir,
+        "ALTER LAKE ENABLE|DISABLE APPROXIMATE STATS")
+      Seq(Row(graft.sources.SnapshotTable.forPath(spark, dir)
+        .setProperties(Map(
+          graft.sources.SnapshotTable.ApproxStatsKey -> enable.toString))
+        .toString))
     }
   }
 
