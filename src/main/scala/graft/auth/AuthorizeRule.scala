@@ -55,8 +55,13 @@ class AuthorizeRule(session: SparkSession) extends (LogicalPlan => Unit) {
       case _ => Nil
     }
 
-    def granted(names: Seq[String]): Boolean = principal.exists(u =>
-      names.exists(n => Privileges.allowed(u, "select", Privileges.normObj(n))))
+    def granted(names: Seq[String]): Boolean = names.exists { n =>
+      val o = Privileges.normObj(n)
+      // statement-scoped cover: a branch write the command layer already
+      // authorized may plan copy-on-write reads of its own table's files
+      Privileges.statementAuthorizedFor(o) ||
+        principal.exists(u => Privileges.allowed(u, "select", o))
+    }
 
     def deny(obj: String): Nothing = throw new SecurityException(
       s"principal '${principal.map(_.name).getOrElse("<anonymous>")}' lacks " +

@@ -294,6 +294,195 @@ object Privileges {
             s"(GRANT ${action.toUpperCase} ON ... TO USER|ROLE ... to allow)")
     }
 
+  // ---- reference-scoped grants (reference SqlGrantOnReference,
+  // grant.ftl:240-256 `GRANT ... ON BRANCH|TAG ref IN CATALOG cat TO ...`;
+  // the OSS edition parses but refuses at CommandCreator.java:669 — we
+  // implement the semantics): a privilege held on ONE branch or tag of a
+  // lake table, narrower than a table-wide grant. COMMIT authorizes
+  // mutations targeting that branch; USAGE authorizes pinning reads to
+  // the ref. Table-wide grants stay sufficient (broad covers narrow);
+  // ref grants never leak to main or to sibling refs. ----
+
+  /** Valid privileges on a reference (subset of the reference's
+    * SqlGrantCatalog.Privilege that is meaningful per-ref). */
+  val RefPrivileges: Set[String] = Set("usage", "commit", "all")
+  /** Valid privileges on a catalog as a whole (SqlGrantCatalog.Privilege):
+    * CREATE_BRANCH/CREATE_TAG gate ref creation; the rest fold into the
+    * table-wide grant model. */
+  val CatalogPrivileges: Set[String] =
+    Set("usage", "manage_grants", "create_branch", "create_tag",
+      "modify", "commit", "all")
+
+  /** Storage key for a ref-scoped grant: the normalized table path plus a
+    * `@branch:`/`@tag:` suffix. Never collides with a plain object —
+    * normObj output for paths/names contains no '@'. */
+  def refObj(dir: String, refType: String, ref: String): String =
+    normObj(dir) + "@" + refType.toLowerCase + ":" + ref.toLowerCase
+
+  /** GRANT p1[,...] ON BRANCH|TAG ref IN CATALOG '<dir>' TO USER|ROLE g.
+    * Same admin-or-owner gate as a table grant (owner of the TABLE may
+    * delegate per-ref access). */
+  def grantOnRef(spark: SparkSession, actions: Seq[String], dir: String,
+                 refType: String, ref: String, kind: String,
+                 grantee: String): Unit = {
+    requireAdminOrOwner(spark, normObj(dir), s"GRANT ON $refType $ref")
+    val bad = actions.map(_.toLowerCase).filterNot(RefPrivileges)
+    require(bad.isEmpty,
+      s"privilege ${bad.mkString(", ").toUpperCase} not grantable on a " +
+        s"$refType (valid: ${RefPrivileges.map(_.toUpperCase).mkString(", ")})")
+    val k = (kind.toLowerCase, grantee.toLowerCase)
+    if (kind.equalsIgnoreCase("user")) require(users.contains(k._2), s"unknown user: $grantee")
+    else require(roles.contains(k._2), s"unknown role: $grantee")
+    val o = refObj(dir, refType, ref)
+    val add = actions.map(a => (a.toLowerCase, o)).toSet
+    grants.updateWith(k) {
+      case Some(s) => Some(s ++ add)
+      case None => Some(add)
+    }
+  }
+
+  /** REVOKE ... ON BRANCH|TAG ... FROM — same ALL-vs-narrow contract as
+    * [[revoke]]: revoking a single privilege while ALL stands refuses. */
+  def revokeOnRef(spark: SparkSession, actions: Seq[String], dir: String,
+                  refType: String, ref: String, kind: String,
+                  grantee: String): Unit = {
+    requireAdminOrOwner(spark, normObj(dir), s"REVOKE ON $refType $ref")
+    val o = refObj(dir, refType, ref)
+    val as = actions.map(_.toLowerCase)
+    grants.updateWith((kind.toLowerCase, grantee.toLowerCase)) {
+      case Some(s) =>
+        if (as.contains("all")) Some(s.filterNot(_._2 == o))
+        else {
+          require(!s.contains(("all", o)),
+            s"REVOKE on $refType $ref: grantee holds ALL on the ref — " +
+              "REVOKE ALL instead (removing one privilege would leave access intact)")
+          Some(s -- as.map(a => (a, o)))
+        }
+      case None => None
+    }
+  }
+
+  /** Does the user hold `action` (or ALL) on the specific ref? */
+  def allowedOnRef(u: User, action: String, dir: String, refType: String,
+                   ref: String): Boolean =
+    allowed(u, action, refObj(dir, refType, ref))
+
+  /** Gate for a mutation targeting a BRANCH (statement-level AT BRANCH or
+    * a session pin): the table-wide action suffices, and so does COMMIT
+    * on that branch — the reference's per-ref write privilege. */
+  def requireBranchAction(spark: SparkSession, tableAction: String,
+                          dir: String, branch: String, what: String): Unit =
+    if (enforceFlag) {
+      val u = principalOf(spark).getOrElse(throw new SecurityException(
+        s"$what requires an authenticated principal while auth enforcement is on"))
+      if (!allowed(u, tableAction, normObj(dir)) &&
+          !allowedOnRef(u, "commit", dir, "branch", branch))
+        throw new SecurityException(
+          s"principal '${u.name}' lacks ${tableAction.toUpperCase} on $dir " +
+            s"and COMMIT on branch '$branch' (GRANT COMMIT ON BRANCH $branch " +
+            s"IN CATALOG '$dir' TO USER|ROLE ... to allow branch-scoped writes)")
+    }
+
+  // A branch write is authorized as a STATEMENT (requireBranchAction
+  // passed), but its copy-on-write implementation plans reads of the
+  // table's own files — and the analysis-time check rule would demand
+  // table-wide SELECT the grantee deliberately doesn't hold. The command
+  // layer wraps exactly those engine calls in withStatementAuthorized:
+  // reads of THAT table's files are pre-authorized for the wrapped body
+  // (same thread — Spark analysis runs on the calling thread), nothing
+  // else is. The user-supplied query text is analyzed BEFORE the wrap,
+  // so it can't smuggle reads of other tables through the window.
+  private val stmtAuthorized = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
+  }
+
+  /** Run `body` with reads of `dir`'s files pre-authorized on this
+    * thread (see above). Nests and restores on exit. */
+  def withStatementAuthorized[T](dir: String)(body: => T): T = {
+    val prev = stmtAuthorized.get()
+    stmtAuthorized.set(prev + normObj(dir))
+    try body finally stmtAuthorized.set(prev)
+  }
+
+  /** Is `objNorm` (a normalized table path or one of its files) covered
+    * by an active statement authorization on this thread? */
+  def statementAuthorizedFor(objNorm: String): Boolean =
+    stmtAuthorized.get().exists(d => objNorm == d || objNorm.startsWith(d + "/"))
+
+  /** Gate for pinning reads to a ref (USE BRANCH|TAG, CREATE LAKE VIEW AT,
+    * MERGE DRY RUN): table-wide SELECT suffices, and so does USAGE on the
+    * ref. */
+  def requireRefUsage(spark: SparkSession, dir: String, refType: String,
+                      ref: String, what: String): Unit =
+    if (enforceFlag) {
+      val u = principalOf(spark).getOrElse(throw new SecurityException(
+        s"$what requires an authenticated principal while auth enforcement is on"))
+      if (!allowed(u, "select", normObj(dir)) &&
+          !allowedOnRef(u, "usage", dir, refType, ref))
+        throw new SecurityException(
+          s"principal '${u.name}' lacks SELECT on $dir and USAGE on " +
+            s"$refType '$ref' (GRANT USAGE ON ${refType.toUpperCase} $ref " +
+            s"IN CATALOG '$dir' TO USER|ROLE ... to allow)")
+    }
+
+  /** Gate for CREATE BRANCH|TAG: table-wide ALTER suffices, and so does a
+    * catalog-level CREATE_BRANCH/CREATE_TAG grant on the table
+    * (SqlGrantCatalog.Privilege). */
+  def requireCreateRef(spark: SparkSession, dir: String, refType: String,
+                       what: String): Unit =
+    if (enforceFlag) {
+      val u = principalOf(spark).getOrElse(throw new SecurityException(
+        s"$what requires an authenticated principal while auth enforcement is on"))
+      val createPriv = s"create_$refType"
+      if (!allowed(u, "alter", normObj(dir)) &&
+          !allowed(u, createPriv, normObj(dir)))
+        throw new SecurityException(
+          s"principal '${u.name}' lacks ALTER and ${createPriv.toUpperCase} " +
+            s"on $dir (GRANT ${createPriv.toUpperCase} ON CATALOG '$dir' " +
+            "TO USER|ROLE ... to allow)")
+    }
+
+  /** Gate for DROP BRANCH|TAG: table-wide ALTER suffices, and so does
+    * COMMIT on the ref itself (you may retire a ref you can write). */
+  def requireRefDrop(spark: SparkSession, dir: String, refType: String,
+                     ref: String, what: String): Unit =
+    if (enforceFlag) {
+      val u = principalOf(spark).getOrElse(throw new SecurityException(
+        s"$what requires an authenticated principal while auth enforcement is on"))
+      if (!allowed(u, "alter", normObj(dir)) &&
+          !allowedOnRef(u, "commit", dir, refType, ref))
+        throw new SecurityException(
+          s"principal '${u.name}' lacks ALTER on $dir and COMMIT on " +
+            s"$refType '$ref'")
+    }
+
+  /** GRANT p1[,...] ON CATALOG '<dir>' TO — catalog-level privileges
+    * (SqlGrantCatalog); CREATE_BRANCH/CREATE_TAG feed [[requireCreateRef]],
+    * the rest are held-and-listable (their enforcement surface is the
+    * table-wide grant model). */
+  def grantOnCatalog(spark: SparkSession, actions: Seq[String], dir: String,
+                     kind: String, grantee: String, granting: Boolean): Unit = {
+    requireAdminOrOwner(spark, normObj(dir),
+      s"${if (granting) "GRANT" else "REVOKE"} ON CATALOG $dir")
+    val bad = actions.map(_.toLowerCase).filterNot(CatalogPrivileges)
+    require(bad.isEmpty,
+      s"privilege ${bad.mkString(", ").toUpperCase} not valid ON CATALOG " +
+        s"(valid: ${CatalogPrivileges.map(_.toUpperCase).mkString(", ")})")
+    val k = (kind.toLowerCase, grantee.toLowerCase)
+    if (granting) {
+      if (kind.equalsIgnoreCase("user")) require(users.contains(k._2), s"unknown user: $grantee")
+      else require(roles.contains(k._2), s"unknown role: $grantee")
+    }
+    val o = normObj(dir)
+    val pairs = actions.map(a => (a.toLowerCase, o)).toSet
+    grants.updateWith(k) {
+      case Some(s) => Some(if (granting) s ++ pairs
+        else if (actions.exists(_.equalsIgnoreCase("all"))) s.filterNot(_._2 == o)
+        else s -- pairs)
+      case None => if (granting) Some(pairs) else None
+    }
+  }
+
   /** Every object name the user holds SELECT (or ALL) on, directly or via
     * roles — used by the check rule's granted-view-body cover. */
   def grantedObjects(u: User): Set[String] =

@@ -205,6 +205,19 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
       case DropRoleRe(name) => DropRoleCommand(name)
       case GrantRoleRe(role, user) => GrantRoleCommand(role, user, granting = true)
       case RevokeRoleRe(role, user) => GrantRoleCommand(role, user, granting = false)
+      case GrantOnRefRe(privs, refType, ref, dir, kind, grantee) =>
+        GrantOnRefCommand(splitPrivs(privs), refType.toLowerCase, ref, dir,
+          kind, grantee, granting = true)
+      case RevokeOnRefRe(privs, refType, ref, dir, kind, grantee) =>
+        GrantOnRefCommand(splitPrivs(privs), refType.toLowerCase, ref, dir,
+          kind, grantee, granting = false)
+      case GrantOnCatalogRe(privs, dir, kind, grantee) =>
+        GrantOnCatalogCommand(splitPrivs(privs), dir, kind, grantee, granting = true)
+      case RevokeOnCatalogRe(privs, dir, kind, grantee) =>
+        GrantOnCatalogCommand(splitPrivs(privs), dir, kind, grantee, granting = false)
+      case ShowGrantsOnRefRe(refType, ref, dir) =>
+        ShowGrantsOnRefCommand(refType.toLowerCase, ref, dir,
+          out("grantee_type", "grantee", "privilege"))
       case GrantRe(action, qobj, obj, kind, grantee) =>
         GrantCommand(action, Option(qobj).getOrElse(obj), kind, grantee, granting = true)
       case RevokeRe(action, qobj, obj, kind, grantee) =>
@@ -653,6 +666,26 @@ object GraftSqlParser {
   private val GrantRe =
     ("""(?is)GRANT\s+(SELECT|INSERT|UPDATE|DELETE|ALTER|DROP|EXECUTE|ALL)\s+ON\s+(?:'([^']+)'|([\w.*/]+))\s+""" +
       """TO\s+(USER|ROLE)\s+([\w.-]+)\s*;?""").r
+  // GRANT/REVOKE ... ON BRANCH|TAG ref IN CATALOG '<dir>' (reference
+  // SqlGrantOnReference/SqlRevokeOnReference, grant.ftl:240-256 — parsed
+  // but refused in the OSS edition, CommandCreator.java:669; we implement
+  // the semantics: COMMIT = branch-scoped writes, USAGE = ref-pinned reads)
+  private val GrantOnRefRe =
+    ("""(?is)GRANT\s+([A-Z_]+(?:\s*,\s*[A-Z_]+)*)\s+ON\s+(BRANCH|TAG)\s+([\w.-]+)\s+""" +
+      """IN\s+CATALOG\s+'([^']+)'\s+TO\s+(USER|ROLE)\s+([\w.-]+)\s*;?""").r
+  private val RevokeOnRefRe =
+    ("""(?is)REVOKE\s+([A-Z_]+(?:\s*,\s*[A-Z_]+)*)\s+ON\s+(BRANCH|TAG)\s+([\w.-]+)\s+""" +
+      """IN\s+CATALOG\s+'([^']+)'\s+FROM\s+(USER|ROLE)\s+([\w.-]+)\s*;?""").r
+  // GRANT/REVOKE ... ON CATALOG '<dir>' (SqlGrantCatalog):
+  // CREATE_BRANCH/CREATE_TAG gate ref creation on the table
+  private val GrantOnCatalogRe =
+    ("""(?is)GRANT\s+([A-Z_]+(?:\s*,\s*[A-Z_]+)*)\s+ON\s+CATALOG\s+'([^']+)'\s+""" +
+      """TO\s+(USER|ROLE)\s+([\w.-]+)\s*;?""").r
+  private val RevokeOnCatalogRe =
+    ("""(?is)REVOKE\s+([A-Z_]+(?:\s*,\s*[A-Z_]+)*)\s+ON\s+CATALOG\s+'([^']+)'\s+""" +
+      """FROM\s+(USER|ROLE)\s+([\w.-]+)\s*;?""").r
+  private val ShowGrantsOnRefRe =
+    """(?is)SHOW\s+GRANTS\s+ON\s+(BRANCH|TAG)\s+([\w.-]+)\s+IN\s+CATALOG\s+'([^']+)'\s*;?""".r
   // GRANT OWNERSHIP (reference SqlGrantOwnership, grant.ftl:708): transfer
   // an object's owner; owners hold every privilege on it and may
   // GRANT/REVOKE on it — delegated administration
@@ -1234,6 +1267,59 @@ object GraftSqlParser {
     }
   }
 
+  /** Comma-split a privilege list (`USAGE, COMMIT`). */
+  private def splitPrivs(privs: String): Seq[String] =
+    privs.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** GRANT/REVOKE ... ON BRANCH|TAG ref IN CATALOG '<dir>'
+    * (SqlGrantOnReference): a privilege scoped to ONE ref of a lake
+    * table. COMMIT authorizes mutations targeting that branch without
+    * table-wide DML grants (main and sibling branches stay refused);
+    * USAGE authorizes pinning reads to the ref without table-wide
+    * SELECT. Granting requires the ref to exist (a grant on a typo'd
+    * name would silently never apply); revoking doesn't (refs get
+    * dropped, revocations must still land). */
+  case class GrantOnRefCommand(actions: Seq[String], refType: String,
+      ref: String, dir: String, kind: String, grantee: String,
+      granting: Boolean) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      if (granting) {
+        val r = graft.sources.SnapshotTable.forPath(spark, dir).getRef(ref)
+        require(r.refType == refType,
+          s"'$ref' is a ${r.refType}, not a $refType")
+        graft.auth.Privileges.grantOnRef(spark, actions, dir, refType, ref,
+          kind, grantee)
+      } else {
+        graft.auth.Privileges.revokeOnRef(spark, actions, dir, refType, ref,
+          kind, grantee)
+      }
+      Nil
+    }
+  }
+
+  /** GRANT/REVOKE ... ON CATALOG '<dir>' (SqlGrantCatalog):
+    * CREATE_BRANCH/CREATE_TAG gate CREATE BRANCH|TAG on the table. */
+  case class GrantOnCatalogCommand(actions: Seq[String], dir: String,
+      kind: String, grantee: String, granting: Boolean)
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      graft.auth.Privileges.grantOnCatalog(spark, actions, dir, kind,
+        grantee, granting)
+      Nil
+    }
+  }
+
+  /** SHOW GRANTS ON BRANCH|TAG ref IN CATALOG '<dir>': every grantee of
+    * the ref-scoped object. */
+  case class ShowGrantsOnRefCommand(refType: String, ref: String, dir: String,
+      override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val o = graft.auth.Privileges.refObj(dir, refType, ref)
+      graft.auth.Privileges.listGrants.filter(_._4 == o)
+        .map { case (k, g, a, _) => Row(k, g, a) }
+    }
+  }
+
   /** GRANT/REVOKE SELECT|ALL ON obj TO/FROM USER|ROLE g — object is a
     * table/view name, a quoted lake/parquet path, or `*`. */
   case class GrantCommand(action: String, obj: String, kind: String,
@@ -1603,6 +1689,8 @@ object GraftSqlParser {
         val ref = t.getRef(name)
         require(ref.refType == refType,
           s"'$name' is a ${ref.refType}, not a $refType")
+        graft.auth.Privileges.requireRefUsage(spark, dir, refType, name,
+          s"USE ${refType.toUpperCase(java.util.Locale.ROOT)}")
         graft.sources.SessionRefs.set(spark, dir, name)
         Seq(Row(ref.name, ref.refType, ref.baseVersion.toString))
       }
@@ -2084,12 +2172,13 @@ object GraftSqlParser {
   case class InsertLakeCommand(dir: String, querySql: String) extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("version", "n_files")
     override def run(spark: SparkSession): Seq[Row] = {
-      graft.auth.Privileges.requireAction(spark, "insert", dir, "INSERT INTO LAKE")
       val t = graft.sources.SnapshotTable.forPath(spark, dir)
       val df = spark.sql(querySql)
       // a session USE BRANCH pin routes the append to the branch (the
       // reference's Nessie session context); a tag or version pin
-      // refuses — both are immutable
+      // refuses — both are immutable. The privilege gate follows the
+      // TARGET: main needs table-wide INSERT, a pinned branch also
+      // accepts COMMIT on that branch (SqlGrantOnReference)
       graft.sources.SessionRefs.pin(spark, dir) match {
         case Some(Left(v)) =>
           throw new IllegalStateException(
@@ -2099,10 +2188,16 @@ object GraftSqlParser {
           require(t.getRef(ref).refType == "branch",
             s"INSERT INTO LAKE: session is pinned to tag '$ref' — tags are " +
               "immutable; USE DEFAULT or USE BRANCH first")
-          val v = t.appendToBranch(ref, df)
+          graft.auth.Privileges.requireBranchAction(spark, "insert", dir, ref,
+            "INSERT INTO LAKE")
+          val v = graft.auth.Privileges.withStatementAuthorized(dir) {
+            t.appendToBranch(ref, df)
+          }
           val nFiles = t.log(Some(ref)).lastOption.map(_.files.size).getOrElse(0)
           Seq(Row(v.toString, nFiles.toString))
         case None =>
+          graft.auth.Privileges.requireAction(spark, "insert", dir,
+            "INSERT INTO LAKE")
           val (spec, statsCols, sortBy) = t.effectiveLayout
           val v = t.appendPartitioned(df, spec, statsCols, sortBy)
           // report the commit's file count, not a row count — a count()
@@ -2138,12 +2233,20 @@ object GraftSqlParser {
       atBranch: Option[String] = None) extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("version")
     override def run(spark: SparkSession): Seq[Row] = {
-      graft.auth.Privileges.requireAction(spark, "delete", dir, "DELETE FROM LAKE")
       val t = graft.sources.SnapshotTable.forPath(spark, dir)
       val cond = org.apache.spark.sql.functions.expr(condSql)
+      // privilege follows the TARGET: a branch-staged delete also accepts
+      // COMMIT on that branch (SqlGrantOnReference); main needs DELETE
       val v = atBranch.orElse(dmlBranchPin(spark, dir, "DELETE FROM LAKE")) match {
-        case Some(branch) => t.deleteFromBranch(branch, cond)
-        case None => t.deleteWhere(cond)
+        case Some(branch) =>
+          graft.auth.Privileges.requireBranchAction(spark, "delete", dir,
+            branch, "DELETE FROM LAKE AT BRANCH")
+          graft.auth.Privileges.withStatementAuthorized(dir) {
+            t.deleteFromBranch(branch, cond)
+          }
+        case None =>
+          graft.auth.Privileges.requireAction(spark, "delete", dir, "DELETE FROM LAKE")
+          t.deleteWhere(cond)
       }
       Seq(Row(v.toString))
     }
@@ -2156,7 +2259,6 @@ object GraftSqlParser {
       atBranch: Option[String] = None) extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("version")
     override def run(spark: SparkSession): Seq[Row] = {
-      graft.auth.Privileges.requireAction(spark, "update", dir, "UPDATE LAKE")
       val sets = splitTopLevel(setsSql).map { assignment =>
         val eq = assignment.indexOf('=')
         require(eq > 0, s"malformed SET assignment: $assignment")
@@ -2166,8 +2268,15 @@ object GraftSqlParser {
       val t = graft.sources.SnapshotTable.forPath(spark, dir)
       val cond = org.apache.spark.sql.functions.expr(condSql)
       val v = atBranch.orElse(dmlBranchPin(spark, dir, "UPDATE LAKE")) match {
-        case Some(branch) => t.updateBranchWhere(branch, cond, sets)
-        case None => t.updateWhere(cond, sets)
+        case Some(branch) =>
+          graft.auth.Privileges.requireBranchAction(spark, "update", dir,
+            branch, "UPDATE LAKE AT BRANCH")
+          graft.auth.Privileges.withStatementAuthorized(dir) {
+            t.updateBranchWhere(branch, cond, sets)
+          }
+        case None =>
+          graft.auth.Privileges.requireAction(spark, "update", dir, "UPDATE LAKE")
+          t.updateWhere(cond, sets)
       }
       Seq(Row(v.toString))
     }
@@ -2225,6 +2334,8 @@ object GraftSqlParser {
       atVersion: Option[Long]) extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("name", "type", "base_version")
     override def run(spark: SparkSession): Seq[Row] = {
+      graft.auth.Privileges.requireCreateRef(spark, dir, refType,
+        s"CREATE ${refType.toUpperCase(java.util.Locale.ROOT)}")
       val t = graft.sources.SnapshotTable.forPath(spark, dir)
       val r = if (refType == "branch") t.createBranch(name, atVersion)
               else t.createTag(name, atVersion)
@@ -2236,6 +2347,8 @@ object GraftSqlParser {
   case class DropRefCommand(refType: String, name: String, dir: String)
       extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
+      graft.auth.Privileges.requireRefDrop(spark, dir, refType, name,
+        s"DROP ${refType.toUpperCase(java.util.Locale.ROOT)}")
       val t = graft.sources.SnapshotTable.forPath(spark, dir)
       val r = t.getRef(name)
       require(r.refType == refType, s"'$name' is a ${r.refType}, not a $refType")
@@ -2322,7 +2435,10 @@ object GraftSqlParser {
   case class MergeBranchDryRunCommand(name: String, dir: String,
       override val output: Seq[Attribute]) extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
-      graft.auth.Privileges.requireAction(spark, "select", dir, "MERGE BRANCH DRY RUN")
+      // table-wide SELECT or USAGE on the source branch — the dry run
+      // reveals only that branch's metadata
+      graft.auth.Privileges.requireRefUsage(spark, dir, "branch", name,
+        "MERGE BRANCH DRY RUN")
       val (status, details) =
         graft.sources.SnapshotTable.forPath(spark, dir).mergeDryRun(name)
       if (details.isEmpty) Seq(Row(status, ""))
@@ -2336,9 +2452,14 @@ object GraftSqlParser {
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("branch", "version")
     override def run(spark: SparkSession): Seq[Row] = {
-      graft.auth.Privileges.requireAction(spark, "insert", dir, "INSERT INTO LAKE AT BRANCH")
-      val v = graft.sources.SnapshotTable.forPath(spark, dir)
-        .appendToBranch(branch, spark.sql(querySql))
+      graft.auth.Privileges.requireBranchAction(spark, "insert", dir, branch,
+        "INSERT INTO LAKE AT BRANCH")
+      // analyze the user's query OUTSIDE the statement-authorization
+      // window — its own reads must pass the check rule on their own
+      val df = spark.sql(querySql)
+      val v = graft.auth.Privileges.withStatementAuthorized(dir) {
+        graft.sources.SnapshotTable.forPath(spark, dir).appendToBranch(branch, df)
+      }
       Seq(Row(branch, v.toString))
     }
   }
@@ -2350,6 +2471,8 @@ object GraftSqlParser {
     override val output: Seq[Attribute] = out("view", "ref")
     override def run(spark: SparkSession): Seq[Row] = {
       val t = graft.sources.SnapshotTable.forPath(spark, dir)
+      graft.auth.Privileges.requireRefUsage(spark, dir,
+        t.getRef(refName).refType, refName, "CREATE LAKE VIEW AT REF")
       t.readRef(refName).createOrReplaceTempView(name)
       val kind = t.getRef(refName).refType.toUpperCase(java.util.Locale.ROOT)
       graft.catalog.LakeViews.register(name, dir,
