@@ -117,6 +117,7 @@ object Privileges {
     requireAdmin(spark, s"DROP USER $name")
     users.remove(name.toLowerCase)
     grants.remove(("user", name.toLowerCase))
+    invalidateClosures()
     tokens.synchronized(tokens.values.removeIf(_ == name.toLowerCase))
   }
 
@@ -131,6 +132,7 @@ object Privileges {
     require(name.toLowerCase != AdminRole, "cannot drop the built-in admin role")
     roles.remove(name.toLowerCase)
     grants.remove(("role", name.toLowerCase))
+    invalidateClosures()
     users.mapValuesInPlace((_, u) => u.copy(roles = u.roles - name.toLowerCase))
   }
 
@@ -170,6 +172,7 @@ object Privileges {
       case Some(s) => Some(s + ((action.toLowerCase, normObj(obj))))
       case None => Some(Set((action.toLowerCase, normObj(obj))))
     }
+    invalidateClosures()
   }
 
   /** REVOKE. `REVOKE ALL` strips EVERY action on the object (the revoke
@@ -194,6 +197,7 @@ object Privileges {
         }
       case None => None
     }
+    invalidateClosures()
   }
 
   /** Verify credentials and bind the principal to the session (random
@@ -228,10 +232,33 @@ object Privileges {
         s"$what requires an authenticated admin principal " +
           s"(principal: ${principalOf(spark).map(_.name).getOrElse("<none>")})")
 
+  // ---- permission cache (reference SqlClearSourcePermissionCache,
+  // alter.ftl:60): the grant CLOSURE (user ∪ role grants) is evaluated
+  // per identified relation per statement by the check rule — at
+  // wire-serving rates that union is recomputed thousands of times for
+  // an unchanged registry, so it's memoized per user and invalidated
+  // wholesale on ANY grant/role mutation (invalidation-on-write keeps
+  // revocations instant; the cache can never serve a stale DENY-to-ALLOW
+  // or ALLOW-to-DENY transition). `ALTER SOURCE ... CLEAR PERMISSION
+  // CACHE` drops it explicitly — engine-wide, since our grants are one
+  // registry rather than per-external-ACL (documented divergence: the
+  // sandbox has no external ACL systems to cache). ----
+  private val grantClosures = TrieMap.empty[String, Set[(String, String)]]
+
+  private def invalidateClosures(): Unit = grantClosures.clear()
+
+  /** Drop every memoized grant closure; returns how many were held. */
+  def clearPermissionCache(): Int = {
+    val n = grantClosures.size
+    grantClosures.clear()
+    n
+  }
+
   /** Every (action, object) the user holds, directly or via roles. */
   private def effectiveGrants(u: User): Set[(String, String)] =
-    grants.getOrElse(("user", u.name), Set.empty) ++
-      u.roles.flatMap(r => grants.getOrElse(("role", r), Set.empty))
+    grantClosures.getOrElseUpdate(u.name + "|" + u.roles.toSeq.sorted.mkString(","),
+      grants.getOrElse(("user", u.name), Set.empty) ++
+        u.roles.flatMap(r => grants.getOrElse(("role", r), Set.empty)))
 
   /** Does the user hold `action` (or ALL) on `obj` (or `*`)? `obj` must
     * already be normalized. */
@@ -339,6 +366,7 @@ object Privileges {
       case Some(s) => Some(s ++ add)
       case None => Some(add)
     }
+    invalidateClosures()
   }
 
   /** REVOKE ... ON BRANCH|TAG ... FROM — same ALL-vs-narrow contract as
@@ -360,6 +388,7 @@ object Privileges {
         }
       case None => None
     }
+    invalidateClosures()
   }
 
   /** Does the user hold `action` (or ALL) on the specific ref? */
@@ -481,6 +510,7 @@ object Privileges {
         else s -- pairs)
       case None => if (granting) Some(pairs) else None
     }
+    invalidateClosures()
   }
 
   /** Every object name the user holds SELECT (or ALL) on, directly or via
@@ -499,6 +529,7 @@ object Privileges {
   /** Test/bootstrap reset: drops everything and disables enforcement. */
   def clear(): Unit = synchronized {
     users.clear(); roles.clear(); grants.clear(); owners.clear()
+    grantClosures.clear()
     tokens.synchronized(tokens.clear())
     roles.put(AdminRole, true)
     enforceFlag = false

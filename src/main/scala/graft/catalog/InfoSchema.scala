@@ -292,6 +292,18 @@ object InfoSchema {
       () => graft.auth.Privileges.listUsers
         .map(u => Row(u.name, u.admin, u.roles.toSeq.sorted.mkString(","))))
 
+  /** Registered external sources with live probe state (reference
+    * source catalog / SourceState — [[Sources]]). */
+  def sysSources(spark: SparkSession): DataFrame =
+    live(spark, StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("type", StringType, nullable = false),
+      StructField("status", StringType, nullable = false),
+      StructField("message", StringType, nullable = false),
+      StructField("last_probe_ms", LongType, nullable = false))),
+      () => Sources.list.map(s =>
+        Row(s.name, s.kind, s.status, s.message, s.lastProbeMs)))
+
   /** Registered roles (reference `sys.roles`). */
   def sysRoles(spark: SparkSession): DataFrame =
     live(spark, StructType(Seq(
@@ -346,5 +358,6 @@ object InfoSchema {
     sysPolicies(spark).createOrReplaceTempView("sys_policies")
     sysUsers(spark).createOrReplaceTempView("sys_users")
     sysRoles(spark).createOrReplaceTempView("sys_roles")
+    sysSources(spark).createOrReplaceTempView("sys_sources")
   }
 }

@@ -302,6 +302,18 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
       case CreateRefRe(refType, name, dir, version) =>
         CreateRefCommand(refType.toLowerCase, name, dir, Option(version).map(_.toLong))
       case DropRefRe(refType, name, dir) => DropRefCommand(refType.toLowerCase, name, dir)
+      case CreateSourceRe(ine, name, kind, props) =>
+        CreateSourceCommand(name, kind,
+          Option(props).map(p => PropPairRe.findAllMatchIn(p)
+            .map(m => m.group(1) -> m.group(2)).toMap).getOrElse(Map.empty),
+          ine != null, out("source", "type", "status", "message"))
+      case DropSourceRe(name) => DropSourceCommand(name)
+      case RefreshSourceStatusRe(name) =>
+        RefreshSourceStatusCommand(name, out("source", "status", "message"))
+      case ClearPermissionCacheRe(name) =>
+        ClearPermissionCacheCommand(name, out("source", "entries_dropped"))
+      case ShowSourcesRe() =>
+        ShowSourcesCommand(out("name", "type", "status", "message", "last_probe_ms"))
       case ShowRefsRe(dir) =>
         ShowRefsCommand(dir, out("name", "type", "base_version"))
       case ShowRefsKindRe(kind, dir) =>
@@ -640,6 +652,18 @@ object GraftSqlParser {
   private val ShowTblPropsRe =
     """(?is)SHOW\s+TBLPROPERTIES\s+IN\s+LAKE\s+'([^']+)'\s*;?""".r
   private val PropPairRe = """'([^']*)'\s*=\s*'([^']*)'""".r
+  // ---- named external sources (reference dac SourceResource lifecycle;
+  // ALTER SOURCE statements are SQL grammar: alter.ftl:58-60
+  // SqlRefreshSourceStatus / SqlClearSourcePermissionCache) ----
+  private val CreateSourceRe =
+    ("""(?is)CREATE\s+SOURCE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([\w.-]+)\s+TYPE\s+(\w+)""" +
+      """(?:\s*\(\s*((?:'[^']*'\s*=\s*'[^']*'\s*,?\s*)*)\))?\s*;?""").r
+  private val DropSourceRe = """(?is)DROP\s+SOURCE\s+([\w.-]+)\s*;?""".r
+  private val RefreshSourceStatusRe =
+    """(?is)ALTER\s+SOURCE\s+([\w.-]+)\s+REFRESH\s+STATUS\s*;?""".r
+  private val ClearPermissionCacheRe =
+    """(?is)ALTER\s+SOURCE\s+([\w.-]+)\s+CLEAR\s+PERMISSION\s+CACHE\s*;?""".r
+  private val ShowSourcesRe = """(?is)SHOW\s+SOURCES\s*;?""".r
   private val PropKeyRe = """'([^']*)'""".r
   // rule-based queue routing (reference RuleBasedEngineSelector.java:22)
   private val CreateRoutingRuleRe =
@@ -1318,6 +1342,65 @@ object GraftSqlParser {
       graft.auth.Privileges.listGrants.filter(_._4 == o)
         .map { case (k, g, a, _) => Row(k, g, a) }
     }
+  }
+
+  /** CREATE SOURCE name TYPE jdbc|files|lake|hive ('k'='v', ...)
+    * (reference dac SourceResource creates sources; our SQL DDL is the
+    * engine-surface glue for the same lifecycle). Admin-gated: sources
+    * are global infrastructure. Registers the name, publishes jdbc conf
+    * keys for `external_query`/EXTERNAL QUERY, and runs the first real
+    * connectivity probe — the returned row carries the probed state. */
+  case class CreateSourceCommand(name: String, kind: String,
+      props: Map[String, String], ifNotExists: Boolean,
+      override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      graft.auth.Privileges.requireAdmin(spark, s"CREATE SOURCE $name")
+      val s = graft.catalog.Sources.create(spark, name, kind, props, ifNotExists)
+      Seq(Row(s.name, s.kind, s.status, s.message))
+    }
+  }
+
+  /** DROP SOURCE name — unregisters and clears its published conf. */
+  case class DropSourceCommand(name: String) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      graft.auth.Privileges.requireAdmin(spark, s"DROP SOURCE $name")
+      graft.catalog.Sources.drop(spark, name)
+      Nil
+    }
+  }
+
+  /** ALTER SOURCE name REFRESH STATUS (SqlRefreshSourceStatus →
+    * RefreshSourceStatusHandler): re-probe connectivity and store the
+    * new state. The statement reports a bad probe rather than failing —
+    * exactly the handler's "Failed to refresh status" success-row. */
+  case class RefreshSourceStatusCommand(name: String,
+      override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val s = graft.catalog.Sources.refreshStatus(spark, name)
+      Seq(Row(s.name, s.status, s.message))
+    }
+  }
+
+  /** ALTER SOURCE name CLEAR PERMISSION CACHE
+    * (SqlClearSourcePermissionCache): drop the memoized grant closures.
+    * Ours is one engine-wide registry (no per-external-ACL caches in the
+    * sandbox), so the statement validates the source name and clears the
+    * whole cache — reporting how many closures were held. */
+  case class ClearPermissionCacheCommand(name: String,
+      override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      graft.catalog.Sources.get(name) // unknown source refuses loudly
+      Seq(Row(name.toLowerCase, graft.auth.Privileges.clearPermissionCache().toString))
+    }
+  }
+
+  /** SHOW SOURCES: the registry with live states (reference sys sources
+    * surface). */
+  case class ShowSourcesCommand(override val output: Seq[Attribute])
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] =
+      graft.catalog.Sources.list.map(s =>
+        Row(s.name, s.kind, s.status, s.message, s.lastProbeMs.toString))
   }
 
   /** GRANT/REVOKE SELECT|ALL ON obj TO/FROM USER|ROLE g — object is a

@@ -1,0 +1,143 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.auth.Privileges
+
+/** Named-source lifecycle + live state (reference dac SourceResource /
+  * SourceState; `ALTER SOURCE ... REFRESH STATUS` =
+  * `RefreshSourceStatusHandler.java:49`, `... CLEAR PERMISSION CACHE` =
+  * SqlClearSourcePermissionCache, alter.ftl:58-60). Pinned:
+  *  - probes are REAL: jdbc opens a connection, files/lake stat the FS,
+  *    a broken target reports `bad` with the failure message;
+  *  - CREATE SOURCE TYPE jdbc publishes the conf `external_query`
+  *    resolves — a new source is immediately queryable;
+  *  - REFRESH STATUS observes state transitions (dir deleted → bad);
+  *  - the permission cache memoizes grant closures but is invalidated
+  *    on every grant/revoke — a revocation is NEVER served stale — and
+  *    CLEAR PERMISSION CACHE drops the memo explicitly.
+  */
+class SourcesSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    graft.catalog.InfoSchema.register(s)
+    s
+  }
+
+  private def withSources(body: => Unit): Unit =
+    try body finally Sources.clear(spark)
+
+  test("jdbc source: real probe, external_query through the registered name") {
+    withSources {
+      import spark.implicits._
+      val url = "jdbc:derby:memory:srcspec;create=true"
+      Seq((1L, "x"), (2L, "y")).toDF("id", "name")
+        .write.format("jdbc")
+        .option("url", url).option("dbtable", "SRC_T")
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .option("createTableColumnTypes", "name VARCHAR(32)")
+        .mode("overwrite").save()
+      val row = spark.sql(
+        s"""CREATE SOURCE remote_db TYPE jdbc (
+           |  'url' = '$url',
+           |  'driver' = 'org.apache.derby.jdbc.EmbeddedDriver')""".stripMargin).head()
+      assert(row.getString(2) == "good", row.toString)
+      // the registered name IS an external_query source — no manual conf
+      val got = spark.sql(
+        """SELECT id FROM external_query('remote_db',
+          |  'SELECT "id" FROM APP.SRC_T ORDER BY "id"')""".stripMargin)
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(1L, 2L))
+      // a jdbc source pointing nowhere probes bad, not thrown
+      val bad = spark.sql(
+        "CREATE SOURCE broken_db TYPE jdbc ('url' = 'jdbc:derby:memory:nope')")
+        .head()
+      assert(bad.getString(2) == "bad" && bad.getString(3).nonEmpty, bad.toString)
+      // duplicate refuses; IF NOT EXISTS passes through
+      intercept[Exception](spark.sql(
+        s"CREATE SOURCE remote_db TYPE jdbc ('url' = '$url')"))
+      spark.sql(s"CREATE SOURCE IF NOT EXISTS remote_db TYPE jdbc ('url' = '$url')")
+      // drop unregisters and clears the published conf
+      spark.sql("DROP SOURCE remote_db")
+      intercept[Exception](spark.sql(
+        "SELECT * FROM external_query('remote_db', 'SELECT 1')"))
+    }
+  }
+
+  test("files/lake probes, REFRESH STATUS transitions, SHOW SOURCES, sys_sources") {
+    withSources {
+      import spark.implicits._
+      val dir = Files.createTempDirectory("srcfiles").toString
+      assert(spark.sql(
+        s"CREATE SOURCE staging TYPE files ('path' = '$dir')").head().getString(2) == "good")
+      // a plain dir is a WARN lake (exists, no commit log); a real lake is good
+      assert(spark.sql(
+        s"CREATE SOURCE notlake TYPE lake ('path' = '$dir')").head().getString(2) == "warn")
+      val lakeDir = Files.createTempDirectory("srclake").toString
+      graft.sources.SnapshotTable.forPath(spark, lakeDir)
+        .append(Seq((1, "a")).toDF("id", "v"))
+      assert(spark.sql(
+        s"CREATE SOURCE mylake TYPE lake ('path' = '$lakeDir')").head().getString(2) == "good")
+      // unknown type refuses loudly
+      val e = intercept[Exception](spark.sql(
+        "CREATE SOURCE z TYPE mongo ('path' = '/x')"))
+      assert(e.getMessage.contains("unknown source type"), e.getMessage)
+
+      // deleting the dir flips the NEXT refresh to bad, with the path named
+      assert(new java.io.File(dir).delete())
+      val r = spark.sql("ALTER SOURCE staging REFRESH STATUS").head()
+      assert(r.getString(1) == "bad" && r.getString(2).contains(dir), r.toString)
+      // ...and the stored state reflects it everywhere
+      val shown = spark.sql("SHOW SOURCES").collect()
+        .map(x => (x.getString(0), x.getString(2))).toMap
+      assert(shown("staging") == "bad" && shown("mylake") == "good")
+      assert(spark.sql(
+        "SELECT status FROM sys_sources WHERE name = 'staging'").head().getString(0) == "bad")
+      // unknown source refuses on both ALTER forms
+      intercept[Exception](spark.sql("ALTER SOURCE nope REFRESH STATUS"))
+      intercept[Exception](spark.sql("ALTER SOURCE nope CLEAR PERMISSION CACHE"))
+    }
+  }
+
+  test("permission cache: memoized closures never serve a stale revocation; CLEAR drops them") {
+    withSources {
+      val dir = Files.createTempDirectory("srcperm").toString
+      spark.sql(s"CREATE SOURCE permsrc TYPE files ('path' = '$dir')")
+      Privileges.clear()
+      spark.conf.unset(Privileges.TokenConf)
+      try {
+        spark.sql("CREATE USER root_u PASSWORD 'rp' ADMIN")
+        spark.sql("CREATE USER gina PASSWORD 'gp'")
+        spark.sql("GRANT SELECT ON nation TO USER gina")
+        graft.engine.Tables.ensure(spark, TestSpark.sf)
+        spark.sql("ALTER AUTH ENFORCE ON")
+        spark.sql("AUTHENTICATE USER gina PASSWORD 'gp'")
+        // warm the closure memo, read allowed
+        assert(spark.sql("SELECT count(*) AS n FROM nation").head().getLong(0) == 25L)
+        // revocation invalidates the memo in-line: the very next read refuses
+        spark.sql("AUTHENTICATE USER root_u PASSWORD 'rp'")
+        spark.sql("REVOKE ALL ON nation FROM USER gina")
+        spark.sql("AUTHENTICATE USER gina PASSWORD 'gp'")
+        intercept[Exception](spark.sql("SELECT count(*) FROM nation"))
+        // re-grant, warm again, then CLEAR PERMISSION CACHE reports the
+        // dropped closures and the world keeps working
+        spark.sql("AUTHENTICATE USER root_u PASSWORD 'rp'")
+        spark.sql("GRANT SELECT ON nation TO USER gina")
+        spark.sql("AUTHENTICATE USER gina PASSWORD 'gp'")
+        assert(spark.sql("SELECT count(*) AS n FROM nation").head().getLong(0) == 25L)
+        spark.sql("AUTHENTICATE USER root_u PASSWORD 'rp'")
+        val dropped = spark.sql("ALTER SOURCE permsrc CLEAR PERMISSION CACHE")
+          .head().getString(1).toInt
+        assert(dropped >= 1, s"expected warm closures, got $dropped")
+        spark.sql("AUTHENTICATE USER gina PASSWORD 'gp'")
+        assert(spark.sql("SELECT count(*) AS n FROM nation").head().getLong(0) == 25L)
+      } finally {
+        Privileges.clear()
+        spark.conf.unset(Privileges.TokenConf)
+        spark.conf.unset(Privileges.UserConf)
+      }
+    }
+  }
+}
