@@ -69,6 +69,8 @@ object GraftRestServer {
     promotedPlans.clear()
     schemaPins.clear()
     planEpoch.clear()
+    fileListings.clear()
+    refreshLocks.clear()
   }
 
   /** Promoted datasets (reference `CatalogResource.java:60` — format a
@@ -103,6 +105,44 @@ object GraftRestServer {
     * promotion refresh; part of the plan-cache key. */
   private val planEpoch =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Maintained file index for promoted PARQUET datasets (reference
+    * "unlimited splits" metadata: `SqlRefreshDataset` maintains dataset
+    * metadata in the KV store so planning never re-lists the source).
+    * Scans plan from THIS listing — zero directory listings per query —
+    * and `REFRESH DATASET FOR FILES|PARTITIONS|REGEX` patches it
+    * incrementally: at a 100M-file dataset a full re-list is O(dataset)
+    * remote metadata calls, a file-scoped refresh is O(changed). Lake and
+    * delta promotions don't ride this map — their commit logs ARE the
+    * file index. */
+  private val fileListings =
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[String]]()
+
+  /** Per-dataset refresh serialization (reference
+    * `errorOnConcurrentRefresh`): one refresh at a time per name; the
+    * flag turns waiting into a loud refusal. */
+  private val refreshLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
+
+  /** Every visible data file under `path` (Hadoop FS, any scheme);
+    * hidden files and hidden directories (`_`/`.` prefixes — _delta_log,
+    * _SUCCESS, checkpoints) are skipped. */
+  private def listDataFiles(spark: SparkSession, path: String): Vector[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(org.apache.spark.sql.graft.Bridge.hadoopConf(spark))
+    val rootStr = fs.makeQualified(root).toString
+    def hiddenTail(p: String): Boolean =
+      p.stripPrefix(rootStr).split('/')
+        .exists(seg => seg.startsWith("_") || seg.startsWith("."))
+    val out = Vector.newBuilder[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val s = st.getPath.toString
+      if (st.isFile && !hiddenTail(s)) out += s
+    }
+    out.result().sorted
+  }
 
   /** Drop every cached plan for `name` AND bump its epoch so an in-flight
     * request's stale re-insert can never match a future read. */
@@ -147,6 +187,7 @@ object GraftRestServer {
       s"ALTER $name FORGET METADATA")
     promotions.remove(name)
     schemaPins.remove(name)
+    fileListings.remove(name)
     evictPlans(name)
     rootSession.foreach(_.catalog.dropTempView(name))
     saveRegistry(rootSession.getOrElse(spark))
@@ -157,7 +198,152 @@ object GraftRestServer {
     * request re-lists the folder and — with schema learning on —
     * re-infers the schema. Returns whether `name` was a promotion. */
   def refreshPromotion(name: String): Boolean =
-    if (promotions.containsKey(name)) { evictPlans(name); true } else false
+    if (promotions.containsKey(name)) {
+      fileListings.remove(name) // full refresh: next plan re-lists
+      evictPlans(name)
+      true
+    } else false
+
+  /** REFRESH DATASET scope: which slice of the file index to reconcile. */
+  sealed trait RefreshScope
+  object RefreshScope {
+    case object All extends RefreshScope
+    final case class Files(names: Seq[String]) extends RefreshScope
+    final case class Partitions(specs: Seq[(String, String)]) extends RefreshScope
+    final case class Regex(pattern: String) extends RefreshScope
+  }
+
+  /** `REFRESH DATASET` (reference SqlRefreshDataset,
+    * `parserImpls.ftl:1475` → the unlimited-splits incremental metadata
+    * refresh): reconcile the maintained file index against the
+    * filesystem and invalidate cached plans.
+    *
+    *  - bare / FOR ALL FILES / FOR ALL PARTITIONS — full re-list.
+    *  - FOR FILES ('f', ...) — stat ONLY the named files (relative to
+    *    the dataset root or absolute): present → enter the index,
+    *    missing → dropped under DELETE WHEN MISSING (the default) or
+    *    kept under MAINTAIN WHEN MISSING. O(changed), never O(dataset).
+    *  - FOR PARTITIONS (col = 'v', ...) — re-list ONLY the hive-layout
+    *    partition directory; entries outside the prefix are untouched.
+    *  - FOR REGEX 'pat' — re-list, but only entries whose root-relative
+    *    path matches the pattern are reconciled; non-matching survivors
+    *    stay as indexed.
+    *  - AUTO PROMOTION — a quoted path that isn't promoted yet is
+    *    promoted first (format inferred), the reference's auto-promote.
+    *  - FORCE UPDATE re-resolves the plan eagerly (the statement pays);
+    *    default/LAZY UPDATE leaves the rebuild to the next query.
+    *  - ERROR ON CONCURRENT REFRESH refuses if another refresh of the
+    *    same dataset is in flight; default waits its turn.
+    *
+    * Returns (dataset, format, files_total, files_added, files_removed,
+    * status). Lake/delta promotions carry their own log-backed file
+    * index: any scoped form refuses, the bare form evicts cached plans. */
+  def refreshDataset(spark: SparkSession, nameOrPath: String,
+      scope: RefreshScope, autoPromotion: Option[Boolean],
+      force: Option[Boolean], deleteWhenMissing: Option[Boolean],
+      errorOnConcurrent: Boolean): (String, String, Int, Int, Int, String) = {
+    val session = rootSession.getOrElse(spark)
+    var name = nameOrPath
+    var justPromoted = false
+    if (!promotions.containsKey(name)) {
+      val isPath = nameOrPath.contains("/")
+      if (autoPromotion.contains(true) && isPath) {
+        // auto-promote the path: name = last segment, format inferred the
+        // same way POST /catalog/promote infers
+        val base = nameOrPath.stripSuffix("/")
+        name = base.substring(base.lastIndexOf('/') + 1)
+        require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+          s"AUTO PROMOTION: folder name '$name' is not a valid dataset name")
+        graft.auth.Privileges.requireAction(spark, "alter", nameOrPath,
+          "REFRESH DATASET AUTO PROMOTION")
+        val fmt =
+          if (graft.sources.SnapshotTable.isLakeTable(base)) "lake"
+          else {
+            val dl = new org.apache.hadoop.fs.Path(base, "_delta_log")
+            val isDelta = try dl.getFileSystem(
+              org.apache.spark.sql.graft.Bridge.hadoopConf(session))
+              .getFileStatus(dl).isDirectory catch { case _: java.io.IOException => false }
+            if (isDelta) "delta" else "parquet"
+          }
+        promotions.put(name, (base, fmt))
+        saveRegistry(session)
+        justPromoted = true
+      } else throw new IllegalArgumentException(
+        s"REFRESH DATASET: '$nameOrPath' is not a promoted dataset" +
+          (if (isPath) " (add AUTO PROMOTION to promote the path)" else ""))
+    }
+    // auto-promotion was already gated on the PATH; an existing dataset
+    // refreshes under ALTER on its name
+    if (!justPromoted)
+      graft.auth.Privileges.requireAction(spark, "alter", name, "REFRESH DATASET")
+    val (path, fmt) = promotions.get(name)
+    if (fmt != "parquet") {
+      require(scope == RefreshScope.All,
+        s"REFRESH DATASET FOR ...: '$name' is a $fmt dataset — its commit " +
+          "log is the file index; only the bare form applies")
+      evictPlans(name)
+      return (name, fmt, -1, 0, 0, "log-backed dataset; cached plans evicted")
+    }
+    val lock = refreshLocks.computeIfAbsent(name,
+      _ => new java.util.concurrent.locks.ReentrantLock())
+    if (!lock.tryLock()) {
+      if (errorOnConcurrent) throw new IllegalStateException(
+        s"REFRESH DATASET: a concurrent refresh of '$name' is in flight " +
+          "(ERROR ON CONCURRENT REFRESH)")
+      lock.lock()
+    }
+    try {
+      val qualify: String => String = f => {
+        val p = new org.apache.hadoop.fs.Path(f)
+        if (p.isAbsolute && f.contains(":/")) f
+        else {
+          val root = new org.apache.hadoop.fs.Path(path)
+          val fs = root.getFileSystem(org.apache.spark.sql.graft.Bridge.hadoopConf(session))
+          fs.makeQualified(new org.apache.hadoop.fs.Path(root, f)).toString
+        }
+      }
+      val old = fileListings.computeIfAbsent(name, _ => listDataFiles(session, path))
+      val rootQ = {
+        val root = new org.apache.hadoop.fs.Path(path)
+        root.getFileSystem(org.apache.spark.sql.graft.Bridge.hadoopConf(session))
+          .makeQualified(root).toString
+      }
+      val next: Vector[String] = scope match {
+        case RefreshScope.All => listDataFiles(session, path)
+        case RefreshScope.Files(names) =>
+          val fs = new org.apache.hadoop.fs.Path(path)
+            .getFileSystem(org.apache.spark.sql.graft.Bridge.hadoopConf(session))
+          val drop = deleteWhenMissing.getOrElse(true)
+          names.foldLeft(old) { (acc, n) =>
+            val q = qualify(n)
+            if (fs.exists(new org.apache.hadoop.fs.Path(q)))
+              if (acc.contains(q)) acc else (acc :+ q).sorted
+            else if (drop) acc.filterNot(_ == q)
+            else acc // MAINTAIN WHEN MISSING: keep the entry as indexed
+          }
+        case RefreshScope.Partitions(specs) =>
+          val prefix = specs.map { case (c, v) => s"$c=$v" }
+            .mkString(rootQ + "/", "/", "")
+          val fresh = try listDataFiles(session, prefix)
+                      catch { case _: java.io.FileNotFoundException => Vector.empty }
+          (old.filterNot(_.startsWith(prefix + "/")) ++ fresh).sorted
+        case RefreshScope.Regex(pat) =>
+          val re = pat.r
+          def matches(f: String): Boolean =
+            re.findFirstIn(f.stripPrefix(rootQ).stripPrefix("/")).isDefined
+          val fresh = listDataFiles(session, path).filter(matches)
+          (old.filterNot(matches) ++ fresh).sorted
+      }
+      fileListings.put(name, next)
+      evictPlans(name)
+      if (force.contains(true)) promotedPlan(session, name, path, fmt)
+      val added = next.diff(old).size
+      val removed = old.diff(next).size
+      (name, fmt, next.size, added, removed,
+        if (force.contains(true)) "refreshed; plan rebuilt"
+        else "refreshed; plan rebuilds on next query")
+    } finally lock.unlock()
+  }
 
   /** The promoted dataset's resolved LOGICAL plan (session-independent —
     * a DataFrame binds to its creating session, so caching one would
@@ -177,8 +363,18 @@ object GraftRestServer {
         case "lake" => graft.sources.SnapshotTable.forPath(session, path).read()
         case "delta" => graft.sources.DeltaInterop.scan(session, path)
         // mergeSchema: schema learning must see the union of drifted
-        // footers, not whichever single file Spark samples first
-        case _ => session.read.option("mergeSchema", "true").parquet(path)
+        // footers, not whichever single file Spark samples first.
+        // The scan plans from the MAINTAINED file index (listed once,
+        // patched by REFRESH DATASET) — not a per-plan directory walk;
+        // basePath keeps hive-layout partition columns on explicit-file
+        // reads
+        case _ =>
+          val files = fileListings.computeIfAbsent(name,
+            _ => listDataFiles(session, path))
+          require(files.nonEmpty, s"promoted dataset '$name' has no data files " +
+            s"under $path (REFRESH DATASET after files arrive)")
+          session.read.option("mergeSchema", "true")
+            .option("basePath", path).parquet(files: _*)
       }
       // a schema pin (DISABLE SCHEMA LEARNING) projects exactly the pinned
       // columns: drifted-in columns vanish, drifted-out columns read NULL
@@ -496,6 +692,7 @@ object GraftRestServer {
             // NOW (a bad folder is a 400, not a later query failure) and
             // makes the dataset visible to GET /catalog immediately
             evictPlans(name) // a re-promotion must not serve a stale plan
+            fileListings.remove(name) // ...nor a stale file index
             promotedDf(root, name, path, fmt).createOrReplaceTempView(name)
             promotions.put(name, (path, fmt))
             saveRegistry(root)

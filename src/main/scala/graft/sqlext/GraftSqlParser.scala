@@ -262,6 +262,20 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
         CreateRawReflectionCommand(table, name, path,
           splitCols(display), splitCols(partBy),
           out("reflection", "fingerprint"))
+      case RefreshDatasetRe(qpath, bare, filesList, partList, regex,
+          promo, forceKw, missingKw, errConc) =>
+        RefreshDatasetCommand(Option(qpath).getOrElse(bare),
+          filesList = Option(filesList).map(fl =>
+            PropKeyRe.findAllMatchIn(fl).map(_.group(1)).toSeq),
+          partSpecs = Option(partList).map(pl =>
+            PartSpecPairRe.findAllMatchIn(pl).map(m => m.group(1) -> m.group(2)).toSeq),
+          regex = Option(regex),
+          promo = Option(promo).map(_.equalsIgnoreCase("AUTO")),
+          force = Option(forceKw).map(_.equalsIgnoreCase("FORCE")),
+          deleteWhenMissing = Option(missingKw).map(_.equalsIgnoreCase("DELETE")),
+          errorOnConcurrent = errConc != null,
+          out("dataset", "format", "files_total", "files_added",
+            "files_removed", "status"))
       case RefreshMetadataRe(quoted, bare) =>
         RefreshMetadataCommand(Option(quoted).getOrElse(bare))
       case ToggleSchemaLearnRe(name, mode) =>
@@ -727,6 +741,19 @@ object GraftSqlParser {
   private val AlterAuthRe = """(?is)ALTER\s+AUTH\s+ENFORCE\s+(ON|OFF)\s*;?""".r
   private val RefreshMetadataRe =
     """(?is)ALTER\s+TABLE\s+(?:`([^`]+)`|([\w./]+))\s+REFRESH\s+METADATA\s*;?""".r
+  // REFRESH DATASET (reference SqlRefreshDataset, parserImpls.ftl:1475):
+  // incremental maintenance of a promoted dataset's file index
+  private val RefreshDatasetRe =
+    ("""(?is)REFRESH\s+DATASET\s+(?:'([^']+)'|([\w]+))""" +
+      """(?:\s+FOR\s+ALL\s+(?:FILES|PARTITIONS))?""" +
+      """(?:\s+FOR\s+FILES\s*\(\s*((?:'[^']*'\s*,?\s*)+)\))?""" +
+      """(?:\s+FOR\s+PARTITIONS\s*\(\s*([^)]*)\))?""" +
+      """(?:\s+FOR\s+REGEX\s+'([^']*)')?""" +
+      """(?:\s+(AUTO|AVOID)\s+PROMOTION)?""" +
+      """(?:\s+(FORCE|LAZY)\s+UPDATE)?""" +
+      """(?:\s+(DELETE|MAINTAIN)\s+WHEN\s+MISSING)?""" +
+      """(\s+ERROR\s+ON\s+CONCURRENT\s+REFRESH)?\s*;?""").r
+  private val PartSpecPairRe = """(\w+)\s*=\s*'([^']*)'""".r
   // schema learning toggle for promoted datasets (reference
   // SqlAlterTableToggleSchemaLearning / ...Handler.java)
   private val ToggleSchemaLearnRe =
@@ -1341,6 +1368,33 @@ object GraftSqlParser {
       val o = graft.auth.Privileges.refObj(dir, refType, ref)
       graft.auth.Privileges.listGrants.filter(_._4 == o)
         .map { case (k, g, a, _) => Row(k, g, a) }
+    }
+  }
+
+  /** REFRESH DATASET (reference SqlRefreshDataset → the unlimited-splits
+    * incremental metadata refresh): reconcile a promoted dataset's
+    * maintained file index — whole, per-file, per-partition or
+    * regex-scoped — against the filesystem; AUTO PROMOTION promotes a
+    * quoted path first. See [[graft.server.GraftRestServer.refreshDataset]]. */
+  case class RefreshDatasetCommand(nameOrPath: String,
+      filesList: Option[Seq[String]], partSpecs: Option[Seq[(String, String)]],
+      regex: Option[String], promo: Option[Boolean], force: Option[Boolean],
+      deleteWhenMissing: Option[Boolean], errorOnConcurrent: Boolean,
+      override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      import graft.server.GraftRestServer
+      val scopes = Seq(filesList.isDefined, partSpecs.isDefined, regex.isDefined)
+      require(scopes.count(identity) <= 1,
+        "REFRESH DATASET takes at most one FOR FILES|PARTITIONS|REGEX scope")
+      val scope: GraftRestServer.RefreshScope =
+        if (filesList.isDefined) GraftRestServer.RefreshScope.Files(filesList.get)
+        else if (partSpecs.isDefined) GraftRestServer.RefreshScope.Partitions(partSpecs.get)
+        else if (regex.isDefined) GraftRestServer.RefreshScope.Regex(regex.get)
+        else GraftRestServer.RefreshScope.All
+      val (ds, fmt, total, added, removed, status) =
+        GraftRestServer.refreshDataset(spark, nameOrPath, scope, promo,
+          force, deleteWhenMissing, errorOnConcurrent)
+      Seq(Row(ds, fmt, total.toString, added.toString, removed.toString, status))
     }
   }
 
