@@ -124,10 +124,20 @@ object GraftRestServer {
   private val refreshLocks =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
 
+  /** Directory listings performed (observability for the scale tier: a
+    * file-scoped REFRESH must finish without bumping this — the whole
+    * point of the maintained index is O(changed) metadata calls). */
+  private[graft] val listingCount = new java.util.concurrent.atomic.AtomicLong()
+
+  /** The maintained index size for a promoted dataset (test hook). */
+  private[graft] def indexedFileCount(name: String): Int =
+    Option(fileListings.get(name)).map(_.size).getOrElse(-1)
+
   /** Every visible data file under `path` (Hadoop FS, any scheme);
     * hidden files and hidden directories (`_`/`.` prefixes — _delta_log,
     * _SUCCESS, checkpoints) are skipped. */
   private def listDataFiles(spark: SparkSession, path: String): Vector[String] = {
+    listingCount.incrementAndGet()
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(org.apache.spark.sql.graft.Bridge.hadoopConf(spark))
     val rootStr = fs.makeQualified(root).toString

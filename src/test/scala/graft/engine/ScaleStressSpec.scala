@@ -870,4 +870,51 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(t.read().count() == 500L)
     assert(t.read(Some(t.commits.head.version)).count() == 100000L)
   }
+
+  test("REFRESH DATASET FOR FILES at 3k files: O(changed) metadata calls, zero re-lists") {
+    gate()
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_scale_rfds").toString + "/ds"
+    // one job, ~3000 part files — the promoted dataset a slow full
+    // listing would hurt (at 100M files the per-query/-refresh re-list
+    // IS the planning bottleneck)
+    spark.range(150000).toDF("id").repartition(3000)
+      .write.parquet(dir)
+    // AUTO PROMOTION lists ONCE and pins the index
+    val r0 = spark.sql(s"REFRESH DATASET '$dir' AUTO PROMOTION").head()
+    assert(r0.getString(0) == "ds", r0.toString)
+    val total0 = r0.getString(2).toInt
+    assert(total0 >= 2990, s"expected ~3000 files, got $total0")
+    val listingsAfterPromote = graft.server.GraftRestServer.listingCount.get()
+
+    // one late file arrives; the scoped refresh stats THAT file only
+    val tmp = java.nio.file.Files.createTempDirectory("rfds_late").toString
+    Seq(999999L).toDF("id").coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$dir/late_arrival.parquet"))
+    val r1 = spark.sql(
+      "REFRESH DATASET ds FOR FILES ('late_arrival.parquet')").head()
+    assert(r1.getString(3) == "1" && r1.getString(2).toInt == total0 + 1, r1.toString)
+    assert(graft.server.GraftRestServer.listingCount.get() == listingsAfterPromote,
+      "file-scoped refresh re-listed the directory — must be O(changed)")
+    assert(graft.server.GraftRestServer.indexedFileCount("ds") == total0 + 1)
+
+    // serving plans from the index: the promoted scan reads exactly the
+    // indexed rows, still without a directory listing
+    val port = graft.server.GraftRestServer.port
+      .getOrElse(graft.server.GraftRestServer.start(spark))
+    val http = java.net.http.HttpClient.newHttpClient()
+    val req = java.net.http.HttpRequest.newBuilder(
+      java.net.URI.create(s"http://localhost:$port/sql"))
+      .header("Content-Type", "application/json")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+        """{"sql": "SELECT count(*) AS n, max(id) AS m FROM ds"}""")).build()
+    val body = http.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+    assert(body.contains("\"n\":150001") && body.contains("\"m\":999999"), body.take(300))
+    assert(graft.server.GraftRestServer.listingCount.get() == listingsAfterPromote,
+      "promoted scan re-listed the directory — must plan from the index")
+  }
 }
