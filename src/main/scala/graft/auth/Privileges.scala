@@ -243,22 +243,36 @@ object Privileges {
   // CACHE` drops it explicitly — engine-wide, since our grants are one
   // registry rather than per-external-ACL (documented divergence: the
   // sandbox has no external ACL systems to cache). ----
-  private val grantClosures = TrieMap.empty[String, Set[(String, String)]]
+  // The cache key carries a GENERATION stamp read before the closure is
+  // computed: invalidation bumps the generation AFTER the grants-map
+  // mutation, so a reader preempted between computing a closure from
+  // pre-revoke grants and inserting it can only insert under the OLD
+  // generation — a key no post-revoke lookup ever reads. A bare
+  // clear()-only design would race exactly there and cache a stale
+  // ALLOW in the security path. The clear on bump is memory reclaim.
+  private val grantClosures = TrieMap.empty[(Long, String), Set[(String, String)]]
+  private val closureGen = new java.util.concurrent.atomic.AtomicLong()
 
-  private def invalidateClosures(): Unit = grantClosures.clear()
+  private def invalidateClosures(): Unit = {
+    closureGen.incrementAndGet()
+    grantClosures.clear()
+  }
 
   /** Drop every memoized grant closure; returns how many were held. */
   def clearPermissionCache(): Int = {
     val n = grantClosures.size
-    grantClosures.clear()
+    invalidateClosures()
     n
   }
 
   /** Every (action, object) the user holds, directly or via roles. */
-  private def effectiveGrants(u: User): Set[(String, String)] =
-    grantClosures.getOrElseUpdate(u.name + "|" + u.roles.toSeq.sorted.mkString(","),
+  private def effectiveGrants(u: User): Set[(String, String)] = {
+    val gen = closureGen.get() // MUST be read before the grants maps
+    grantClosures.getOrElseUpdate(
+      (gen, u.name + "|" + u.roles.toSeq.sorted.mkString(",")),
       grants.getOrElse(("user", u.name), Set.empty) ++
         u.roles.flatMap(r => grants.getOrElse(("role", r), Set.empty)))
+  }
 
   /** Does the user hold `action` (or ALL) on `obj` (or `*`)? `obj` must
     * already be normalized. */
@@ -375,6 +389,11 @@ object Privileges {
                   refType: String, ref: String, kind: String,
                   grantee: String): Unit = {
     requireAdminOrOwner(spark, normObj(dir), s"REVOKE ON $refType $ref")
+    val badR = actions.map(_.toLowerCase).filterNot(RefPrivileges)
+    require(badR.isEmpty,
+      s"privilege ${badR.mkString(", ").toUpperCase} not revocable on a " +
+        s"$refType (valid: ${RefPrivileges.map(_.toUpperCase).mkString(", ")}) — " +
+        "a typo'd revoke must not silently leave access standing")
     val o = refObj(dir, refType, ref)
     val as = actions.map(_.toLowerCase)
     grants.updateWith((kind.toLowerCase, grantee.toLowerCase)) {
@@ -464,7 +483,7 @@ object Privileges {
         s"$what requires an authenticated principal while auth enforcement is on"))
       val createPriv = s"create_$refType"
       if (!allowed(u, "alter", normObj(dir)) &&
-          !allowed(u, createPriv, normObj(dir)))
+          !allowed(u, createPriv, catalogObj(dir)))
         throw new SecurityException(
           s"principal '${u.name}' lacks ALTER and ${createPriv.toUpperCase} " +
             s"on $dir (GRANT ${createPriv.toUpperCase} ON CATALOG '$dir' " +
@@ -489,6 +508,11 @@ object Privileges {
     * (SqlGrantCatalog); CREATE_BRANCH/CREATE_TAG feed [[requireCreateRef]],
     * the rest are held-and-listable (their enforcement surface is the
     * table-wide grant model). */
+  /** Storage key for catalog-level privileges: DISTINCT from the plain
+    * table object so `REVOKE ALL ON CATALOG` can never silently strip a
+    * grantee's table grants on the same dir (and vice versa). */
+  def catalogObj(dir: String): String = normObj(dir) + "@catalog"
+
   def grantOnCatalog(spark: SparkSession, actions: Seq[String], dir: String,
                      kind: String, grantee: String, granting: Boolean): Unit = {
     requireAdminOrOwner(spark, normObj(dir),
@@ -502,12 +526,17 @@ object Privileges {
       if (kind.equalsIgnoreCase("user")) require(users.contains(k._2), s"unknown user: $grantee")
       else require(roles.contains(k._2), s"unknown role: $grantee")
     }
-    val o = normObj(dir)
+    val o = catalogObj(dir)
     val pairs = actions.map(a => (a.toLowerCase, o)).toSet
     grants.updateWith(k) {
       case Some(s) => Some(if (granting) s ++ pairs
         else if (actions.exists(_.equalsIgnoreCase("all"))) s.filterNot(_._2 == o)
-        else s -- pairs)
+        else {
+          require(!s.contains(("all", o)),
+            s"REVOKE ON CATALOG $dir: grantee holds ALL on the catalog — " +
+              "REVOKE ALL instead (removing one privilege would leave access intact)")
+          s -- pairs
+        })
       case None => if (granting) Some(pairs) else None
     }
     invalidateClosures()
@@ -529,7 +558,7 @@ object Privileges {
   /** Test/bootstrap reset: drops everything and disables enforcement. */
   def clear(): Unit = synchronized {
     users.clear(); roles.clear(); grants.clear(); owners.clear()
-    grantClosures.clear()
+    invalidateClosures()
     tokens.synchronized(tokens.clear())
     roles.put(AdminRole, true)
     enforceFlag = false

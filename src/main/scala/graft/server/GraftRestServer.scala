@@ -255,6 +255,7 @@ object GraftRestServer {
     val session = rootSession.getOrElse(spark)
     var name = nameOrPath
     var justPromoted = false
+    var seeded: Option[Vector[String]] = None
     if (!promotions.containsKey(name)) {
       val isPath = nameOrPath.contains("/")
       if (autoPromotion.contains(true) && isPath) {
@@ -264,6 +265,11 @@ object GraftRestServer {
         name = base.substring(base.lastIndexOf('/') + 1)
         require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
           s"AUTO PROMOTION: folder name '$name' is not a valid dataset name")
+        // the derived NAME may already be a dataset pointing elsewhere —
+        // overwriting it here would hijack it (and serve its stale index)
+        require(!promotions.containsKey(name),
+          s"AUTO PROMOTION: dataset '$name' already exists — " +
+            s"REFRESH DATASET $name to refresh it, or unpromote it first")
         graft.auth.Privileges.requireAction(spark, "alter", nameOrPath,
           "REFRESH DATASET AUTO PROMOTION")
         val fmt =
@@ -275,7 +281,22 @@ object GraftRestServer {
               .getFileStatus(dl).isDirectory catch { case _: java.io.IOException => false }
             if (isDelta) "delta" else "parquet"
           }
+        // VALIDATE BEFORE persisting (the POST /catalog/promote contract:
+        // a bad folder is an error now, not a broken registry entry that
+        // survives restarts) — for parquet this is also the ONE listing
+        // the whole statement performs
+        if (fmt == "parquet") {
+          val listed = listDataFiles(session, base)
+          require(listed.nonEmpty, s"AUTO PROMOTION: no data files under $base")
+          seeded = Some(listed)
+        }
         promotions.put(name, (base, fmt))
+        seeded.foreach(fileListings.put(name, _))
+        // the dataset must be queryable from the surface that created it,
+        // not only from later REST requests (POST /catalog/promote parity)
+        try promotedDf(session, name, base, fmt).createOrReplaceTempView(name)
+        catch { case e: Exception =>
+          promotions.remove(name); fileListings.remove(name); throw e }
         saveRegistry(session)
         justPromoted = true
       } else throw new IllegalArgumentException(
@@ -292,6 +313,8 @@ object GraftRestServer {
         s"REFRESH DATASET FOR ...: '$name' is a $fmt dataset — its commit " +
           "log is the file index; only the bare form applies")
       evictPlans(name)
+      try promotedDf(session, name, path, fmt).createOrReplaceTempView(name)
+      catch { case _: Exception => () } // path since broken: surfaces on query
       return (name, fmt, -1, 0, 0, "log-backed dataset; cached plans evicted")
     }
     val lock = refreshLocks.computeIfAbsent(name,
@@ -312,20 +335,37 @@ object GraftRestServer {
           fs.makeQualified(new org.apache.hadoop.fs.Path(root, f)).toString
         }
       }
-      val old = fileListings.computeIfAbsent(name, _ => listDataFiles(session, path))
+      // For a FULL reconcile the prior index is only the added/removed
+      // report baseline — listing it via computeIfAbsent would make the
+      // statement pay TWO O(dataset) walks; scoped forms genuinely need
+      // the baseline as the carry-forward set
+      val old: Vector[String] =
+        if (scope == RefreshScope.All)
+          // just-promoted: everything indexed counts as added
+          (if (justPromoted) Vector.empty
+           else Option(fileListings.get(name)).getOrElse(Vector.empty))
+        else fileListings.computeIfAbsent(name, _ => listDataFiles(session, path))
       val rootQ = {
         val root = new org.apache.hadoop.fs.Path(path)
         root.getFileSystem(org.apache.spark.sql.graft.Bridge.hadoopConf(session))
           .makeQualified(root).toString
       }
       val next: Vector[String] = scope match {
-        case RefreshScope.All => listDataFiles(session, path)
+        case RefreshScope.All =>
+          // a just-auto-promoted dataset was listed during validation —
+          // that listing IS this statement's reconcile
+          seeded.getOrElse(listDataFiles(session, path))
         case RefreshScope.Files(names) =>
           val fs = new org.apache.hadoop.fs.Path(path)
             .getFileSystem(org.apache.spark.sql.graft.Bridge.hadoopConf(session))
           val drop = deleteWhenMissing.getOrElse(true)
           names.foldLeft(old) { (acc, n) =>
             val q = qualify(n)
+            // an out-of-root file would brick every later scan (basePath
+            // resolution) — refuse it here, at the statement that named it
+            require(q == rootQ || q.startsWith(rootQ + "/"),
+              s"REFRESH DATASET FOR FILES: '$n' resolves outside the " +
+                s"dataset root $rootQ")
             if (fs.exists(new org.apache.hadoop.fs.Path(q)))
               if (acc.contains(q)) acc else (acc :+ q).sorted
             else if (drop) acc.filterNot(_ == q)
@@ -346,12 +386,20 @@ object GraftRestServer {
       }
       fileListings.put(name, next)
       evictPlans(name)
-      if (force.contains(true)) promotedPlan(session, name, path, fmt)
+      // default/FORCE: the refresh IS the metadata job — rebuild the plan
+      // and re-register the server-session temp view now (the view binds
+      // a PLAN, not a name; without this, in-session readers keep the old
+      // file set — REST request sessions re-register per request
+      // regardless). LAZY UPDATE defers all of it to the next query.
+      val lazyUp = force.contains(false)
+      if (!lazyUp)
+        try promotedDf(session, name, path, fmt).createOrReplaceTempView(name)
+        catch { case _: Exception => () } // empty/broken set: surfaces on query
       val added = next.diff(old).size
       val removed = old.diff(next).size
       (name, fmt, next.size, added, removed,
-        if (force.contains(true)) "refreshed; plan rebuilt"
-        else "refreshed; plan rebuilds on next query")
+        if (lazyUp) "refreshed; plan rebuilds on next query"
+        else "refreshed; plan rebuilt")
     } finally lock.unlock()
   }
 

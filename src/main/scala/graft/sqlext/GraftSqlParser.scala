@@ -1335,6 +1335,11 @@ object GraftSqlParser {
       granting: Boolean) extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
       if (granting) {
+        // authorization FIRST: resolving the ref before the gate would
+        // let unprivileged principals probe a table's branch namespace
+        // through error-message differences
+        graft.auth.Privileges.requireAdminOrOwner(spark,
+          graft.auth.Privileges.normObj(dir), s"GRANT ON $refType $ref")
         val r = graft.sources.SnapshotTable.forPath(spark, dir).getRef(ref)
         require(r.refType == refType,
           s"'$ref' is a ${r.refType}, not a $refType")
@@ -1430,6 +1435,10 @@ object GraftSqlParser {
   case class RefreshSourceStatusCommand(name: String,
       override val output: Seq[Attribute]) extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
+      // admin-gated like the rest of the source lifecycle: an anonymous
+      // principal must not be able to drive server-side connection
+      // attempts against registered URLs
+      graft.auth.Privileges.requireAdmin(spark, s"ALTER SOURCE $name REFRESH STATUS")
       val s = graft.catalog.Sources.refreshStatus(spark, name)
       Seq(Row(s.name, s.status, s.message))
     }
@@ -1443,6 +1452,8 @@ object GraftSqlParser {
   case class ClearPermissionCacheCommand(name: String,
       override val output: Seq[Attribute]) extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
+      graft.auth.Privileges.requireAdmin(spark,
+        s"ALTER SOURCE $name CLEAR PERMISSION CACHE")
       graft.catalog.Sources.get(name) // unknown source refuses loudly
       Seq(Row(name.toLowerCase, graft.auth.Privileges.clearPermissionCache().toString))
     }

@@ -213,6 +213,43 @@ class RefGrantsSpec extends AnyFunSuite {
       val sysRows = spark.sql(
         s"SELECT privilege FROM sys_privileges WHERE object = '$obj'").collect()
       assert(sysRows.map(_.getString(0)).toSet == Set("usage", "commit"))
+      // a typo'd ref-privilege REVOKE refuses loudly instead of silently
+      // leaving access standing
+      val e3 = intercept[Exception](spark.sql(
+        s"REVOKE COMIT ON BRANCH dev IN CATALOG '$dir' FROM USER fred"))
+      assert(e3.getMessage.contains("not revocable"), e3.getMessage)
+    }
+  }
+
+  test("catalog privileges live under their own key: REVOKE ALL ON CATALOG can't strip table grants") {
+    withAuthWorld {
+      val dir = freshLake()
+      spark.sql("CREATE USER root_u PASSWORD 'rp' ADMIN")
+      spark.sql("CREATE USER hank PASSWORD 'hp'")
+      spark.sql(s"GRANT SELECT ON '$dir' TO USER hank")
+      spark.sql(s"GRANT INSERT ON '$dir' TO USER hank")
+      spark.sql(s"GRANT CREATE_BRANCH ON CATALOG '$dir' TO USER hank")
+      spark.sql("ALTER AUTH ENFORCE ON")
+      asPrincipal("root_u", "rp")
+      // revoking every CATALOG privilege must not touch the table grants
+      spark.sql(s"REVOKE ALL ON CATALOG '$dir' FROM USER hank")
+      asPrincipal("hank", "hp")
+      spark.sql(s"INSERT INTO LAKE '$dir' SELECT * FROM refgrants_feed") // INSERT intact
+      intercept[SecurityException](spark.sql(s"CREATE BRANCH h1 FROM LAKE '$dir'"))
+      // ...and the table-side REVOKE ALL leaves a standing catalog grant
+      asPrincipal("root_u", "rp")
+      spark.sql(s"GRANT CREATE_TAG ON CATALOG '$dir' TO USER hank")
+      spark.sql(s"REVOKE ALL ON '$dir' FROM USER hank")
+      asPrincipal("hank", "hp")
+      spark.sql(s"CREATE TAG htag FROM LAKE '$dir'") // catalog grant intact
+      intercept[SecurityException](spark.sql(
+        s"INSERT INTO LAKE '$dir' SELECT * FROM refgrants_feed"))
+      // narrow catalog revoke under a standing catalog ALL refuses
+      asPrincipal("root_u", "rp")
+      spark.sql(s"GRANT ALL ON CATALOG '$dir' TO USER hank")
+      val e = intercept[Exception](spark.sql(
+        s"REVOKE CREATE_TAG ON CATALOG '$dir' FROM USER hank"))
+      assert(e.getMessage.contains("REVOKE ALL"), e.getMessage)
     }
   }
 }

@@ -133,6 +133,13 @@ class SourcesSpec extends AnyFunSuite {
         assert(dropped >= 1, s"expected warm closures, got $dropped")
         spark.sql("AUTHENTICATE USER gina PASSWORD 'gp'")
         assert(spark.sql("SELECT count(*) AS n FROM nation").head().getLong(0) == 25L)
+        // both ALTER SOURCE forms are admin-gated under enforcement: a
+        // non-admin must not drop the engine cache or drive server-side
+        // connection attempts
+        intercept[SecurityException](
+          spark.sql("ALTER SOURCE permsrc CLEAR PERMISSION CACHE"))
+        intercept[SecurityException](
+          spark.sql("ALTER SOURCE permsrc REFRESH STATUS"))
       } finally {
         Privileges.clear()
         spark.conf.unset(Privileges.TokenConf)

@@ -880,12 +880,16 @@ class ScaleStressSpec extends AnyFunSuite {
     // IS the planning bottleneck)
     spark.range(150000).toDF("id").repartition(3000)
       .write.parquet(dir)
-    // AUTO PROMOTION lists ONCE and pins the index
+    // AUTO PROMOTION lists EXACTLY ONCE (validation listing doubles as
+    // the reconcile) and pins the index
+    val listingsBefore = graft.server.GraftRestServer.listingCount.get()
     val r0 = spark.sql(s"REFRESH DATASET '$dir' AUTO PROMOTION").head()
     assert(r0.getString(0) == "ds", r0.toString)
     val total0 = r0.getString(2).toInt
     assert(total0 >= 2990, s"expected ~3000 files, got $total0")
     val listingsAfterPromote = graft.server.GraftRestServer.listingCount.get()
+    assert(listingsAfterPromote == listingsBefore + 1,
+      s"AUTO PROMOTION listed ${listingsAfterPromote - listingsBefore} times — must be once")
 
     // one late file arrives; the scoped refresh stats THAT file only
     val tmp = java.nio.file.Files.createTempDirectory("rfds_late").toString

@@ -126,5 +126,38 @@ class RefreshDatasetSpec extends AnyFunSuite {
     assert(r1.getString(3) == "1" && r1.getString(4) == "0", r1.toString)
     assert(sqlRest("SELECT count(*) AS n FROM pds WHERE p = 2")._2.contains("\"n\":2"))
     assert(sqlRest("SELECT count(*) AS n FROM pds")._2.contains("\"n\":4"))
+    // the dataset the statement created is queryable from the SAME
+    // surface (POST /catalog/promote parity), not only via REST
+    assert(spark.sql("SELECT count(*) AS n FROM pds").head().getLong(0) == 4L)
+  }
+
+  test("AUTO PROMOTION guards: name collision refuses, bad path persists nothing, out-of-root file refused") {
+    import spark.implicits._
+    // collision: a dataset named like the folder tail already exists
+    val d1 = Files.createTempDirectory("rfds_c1").toString + "/coll"
+    writeOne(Seq(1L).toDF("id"), s"$d1/f.parquet")
+    assert(post("/catalog/promote", s"""{"path":"$d1","name":"coll"}""")._1 == 200)
+    val d2 = Files.createTempDirectory("rfds_c2").toString + "/coll"
+    writeOne(Seq(2L).toDF("id"), s"$d2/f.parquet")
+    val e1 = intercept[Exception](spark.sql(s"REFRESH DATASET '$d2' AUTO PROMOTION"))
+    assert(e1.getMessage.contains("already exists"), e1.getMessage)
+    // the original dataset still serves ITS path
+    assert(sqlRest("SELECT max(id) AS m FROM coll")._2.contains("\"m\":1"))
+
+    // a bad path must not leave a broken registry entry behind
+    val e2 = intercept[Exception](
+      spark.sql("REFRESH DATASET '/no/such/dir_rfds' AUTO PROMOTION"))
+    assert(e2 != null)
+    val e3 = intercept[Exception](spark.sql("REFRESH DATASET dir_rfds"))
+    assert(e3.getMessage.contains("not a promoted dataset"), e3.getMessage)
+
+    // an out-of-root file argument is refused at refresh time (indexed,
+    // it would brick every later scan on basePath resolution)
+    val stray = Files.createTempDirectory("rfds_stray").toString
+    writeOne(Seq(9L).toDF("id"), s"$stray/s.parquet")
+    val e4 = intercept[Exception](spark.sql(
+      s"REFRESH DATASET coll FOR FILES ('$stray/s.parquet')"))
+    assert(e4.getMessage.contains("outside the dataset root"), e4.getMessage)
+    assert(sqlRest("SELECT count(*) AS n FROM coll")._2.contains("\"n\":1"))
   }
 }
