@@ -40,6 +40,7 @@ object GraftRestServer {
       srv.createContext("/sql", new SqlHandler(spark))
       srv.createContext("/catalog", new CatalogHandler(spark))
       srv.createContext("/jobs", new JobsHandler(spark))
+      srv.createContext("/source", new SourceHandler(spark))
       // serve on a small pool: concurrent REST statements run like
       // concurrent Thrift statements (scheduler handles the rest)
       srv.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
@@ -596,32 +597,116 @@ object GraftRestServer {
     * is on an absent/invalid header is 401 and an ungranted dataset 403 —
     * schema disclosure is a leak even when the read itself would refuse
     * (same rule as Flight's ListFlights). */
-  private final class CatalogHandler(root: SparkSession) extends HttpHandler {
-    private def basicPrincipal(ex: HttpExchange)
-        : Either[(Int, String), Option[graft.auth.Privileges.User]] = {
-      val p = graft.auth.Privileges
-      if (!p.enforcing) Right(None)
-      else Option(ex.getRequestHeaders.getFirst("Authorization")) match {
-        case None => Left(401 ->
-          "catalog requires Authorization: Basic while auth enforcement is on")
-        case Some(h) if h.regionMatches(true, 0, "Basic ", 0, 6) =>
-          try {
-            val raw = new String(java.util.Base64.getDecoder
-              .decode(h.substring(6).trim), StandardCharsets.UTF_8)
-            val i = raw.indexOf(':')
-            if (i < 0) Left(401 -> "malformed basic credentials")
-            else {
-              val s = root.newSession()
-              p.login(s, raw.substring(0, i), raw.substring(i + 1))
-              p.principalOf(s) match {
-                case Some(u) => Right(Some(u))
-                case None => Left(401 -> "invalid basic credentials")
-              }
+  /** Resolve the `Authorization: Basic` principal (shared by the catalog
+    * and source handlers): Right(None) while enforcement is off; 401
+    * Lefts for absent/malformed/invalid credentials while on. */
+  private def basicPrincipal(root: SparkSession, ex: HttpExchange)
+      : Either[(Int, String), Option[graft.auth.Privileges.User]] = {
+    val p = graft.auth.Privileges
+    if (!p.enforcing) Right(None)
+    else Option(ex.getRequestHeaders.getFirst("Authorization")) match {
+      case None => Left(401 ->
+        "this endpoint requires Authorization: Basic while auth enforcement is on")
+      case Some(h) if h.regionMatches(true, 0, "Basic ", 0, 6) =>
+        try {
+          val raw = new String(java.util.Base64.getDecoder
+            .decode(h.substring(6).trim), StandardCharsets.UTF_8)
+          val i = raw.indexOf(':')
+          if (i < 0) Left(401 -> "malformed basic credentials")
+          else {
+            val s = root.newSession()
+            p.login(s, raw.substring(0, i), raw.substring(i + 1))
+            p.principalOf(s) match {
+              case Some(u) => Right(Some(u))
+              case None => Left(401 -> "invalid basic credentials")
             }
-          } catch { case e: Exception => Left(401 -> e.getMessage.take(300)) }
-        case Some(_) => Left(401 -> "unsupported authorization scheme (Basic only)")
-      }
+          }
+        } catch { case e: Exception => Left(401 -> e.getMessage.take(300)) }
+      case Some(_) => Left(401 -> "unsupported authorization scheme (Basic only)")
     }
+  }
+
+  /** `/source` — the reference's source-management REST surface
+    * (`dac/.../SourceResource.java`: GET/PUT/DELETE per source; state in
+    * the response). Delegates to [[graft.catalog.Sources]] (the SQL
+    * CREATE/DROP SOURCE twin):
+    *   GET    /source            → every registered source with state
+    *   GET    /source/<name>     → one source, 404 unknown
+    *   PUT    /source/<name>     → create-or-replace from a JSON body
+    *                               {"type": "...", "url"|"path"|...: "..."}
+    *   DELETE /source/<name>     → unregister
+    *   POST   /source/<name>/refresh → re-probe (ALTER SOURCE ... REFRESH
+    *                               STATUS over the wire)
+    * Mutations and refresh are ADMIN-gated while enforcement is on (the
+    * same contract as the SQL statements — sources are global infra);
+    * GETs need any authenticated principal. */
+  private final class SourceHandler(root: SparkSession) extends HttpHandler {
+    private def sourceJson(s: graft.catalog.Sources.Source): String = {
+      val props = s.props.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString(",")
+      s"""{"name":${q(s.name)},"type":${q(s.kind)},"status":${q(s.status)},""" +
+        s""""message":${q(s.message)},"lastProbeMs":${s.lastProbeMs},""" +
+        s""""config":{$props}}"""
+    }
+
+    override def handle(ex: HttpExchange): Unit =
+      try {
+        basicPrincipal(root, ex) match {
+          case Left((code, msg)) => respond(ex, code, error(msg))
+          case Right(principal) =>
+            val parts = ex.getRequestURI.getPath.stripPrefix("/source")
+              .stripPrefix("/").split("/").filter(_.nonEmpty)
+            val admin = !graft.auth.Privileges.enforcing || principal.exists(_.admin)
+            (ex.getRequestMethod, parts.toList) match {
+              case ("GET", Nil) =>
+                respond(ex, 200, "{\"sources\":[" +
+                  graft.catalog.Sources.list.map(sourceJson).mkString(",") + "]}")
+              case ("GET", name :: Nil) =>
+                try respond(ex, 200, sourceJson(graft.catalog.Sources.get(name)))
+                catch { case _: IllegalArgumentException =>
+                  respond(ex, 404, error(s"no source named '$name'")) }
+              case ("PUT", name :: Nil) if !admin =>
+                respond(ex, 403, error("source management requires an admin principal"))
+              case ("PUT", name :: Nil) =>
+                val body = new String(ex.getRequestBody.readAllBytes(),
+                  StandardCharsets.UTF_8)
+                val kind = jsonField(body, "type").getOrElse("")
+                // config keys ride as flat top-level string fields
+                val props = Seq("url", "driver", "path")
+                  .flatMap(k => jsonField(body, k).map(k -> _)).toMap
+                try {
+                  // PUT is create-or-replace (SourceResource update)
+                  if (scala.util.Try(graft.catalog.Sources.get(name)).isSuccess) {
+                    val adminSession = root.newSession()
+                    graft.catalog.Sources.drop(adminSession, name)
+                  }
+                  val s = graft.catalog.Sources.create(root, name, kind, props,
+                    ifNotExists = false)
+                  respond(ex, 200, sourceJson(s))
+                } catch { case e: Exception =>
+                  respond(ex, 400, error(e.getMessage.take(300))) }
+              case ("DELETE", name :: Nil) if !admin =>
+                respond(ex, 403, error("source management requires an admin principal"))
+              case ("DELETE", name :: Nil) =>
+                try { graft.catalog.Sources.drop(root, name); respond(ex, 200, "{}") }
+                catch { case _: IllegalArgumentException =>
+                  respond(ex, 404, error(s"no source named '$name'")) }
+              case ("POST", name :: "refresh" :: Nil) if !admin =>
+                respond(ex, 403, error("source refresh requires an admin principal"))
+              case ("POST", name :: "refresh" :: Nil) =>
+                try respond(ex, 200,
+                  sourceJson(graft.catalog.Sources.refreshStatus(root, name)))
+                catch { case _: IllegalArgumentException =>
+                  respond(ex, 404, error(s"no source named '$name'")) }
+              case _ => respond(ex, 405, error("unsupported source operation"))
+            }
+        }
+      } catch {
+        case e: Exception => respond(ex, 500, error(e.getMessage.take(300)))
+      }
+  }
+
+  private final class CatalogHandler(root: SparkSession) extends HttpHandler {
 
     /** `GET|POST /catalog/<name>/collaboration/wiki|tag` (reference
       * `CollaborationResource.java:40`): wiki text and tags with the
@@ -797,7 +882,7 @@ object GraftRestServer {
             !isPromote && !isUnpromote)
           respond(ex, 405, error(
             "GET only (collaboration takes POST; promote takes POST/DELETE)"))
-        else basicPrincipal(ex) match {
+        else basicPrincipal(root, ex) match {
           case Left((code, msg)) => respond(ex, code, error(msg))
           case Right(principal) =>
             val p = graft.auth.Privileges

@@ -101,6 +101,47 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("REST /source lifecycle mirrors the SQL DDL (SourceResource parity)") {
+    withSources {
+      val http = java.net.http.HttpClient.newHttpClient()
+      val port = graft.server.GraftRestServer.port
+        .getOrElse(graft.server.GraftRestServer.start(spark))
+      def call(method: String, path: String, body: String = ""): (Int, String) = {
+        val b = java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://localhost:$port$path"))
+        val req = (method match {
+          case "GET" => b.GET()
+          case "DELETE" => b.DELETE()
+          case m => b.method(m,
+            java.net.http.HttpRequest.BodyPublishers.ofString(body))
+        }).build()
+        val r = http.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      val dir = Files.createTempDirectory("srcrest").toString
+      // PUT creates (with a real probe), GET reads it back, list includes it
+      val (c1, b1) = call("PUT", "/source/rest_files",
+        s"""{"type":"files","path":"$dir"}""")
+      assert(c1 == 200 && b1.contains("\"status\":\"good\""), b1)
+      assert(call("GET", "/source/rest_files")._2.contains(s""""path":"$dir""""))
+      assert(call("GET", "/source")._2.contains("rest_files"))
+      // the SQL surface sees REST-created sources and vice versa
+      assert(spark.sql("SHOW SOURCES").collect().exists(_.getString(0) == "rest_files"))
+      // POST refresh re-probes: deleting the dir flips to bad
+      assert(new java.io.File(dir).delete())
+      val (c2, b2) = call("POST", "/source/rest_files/refresh")
+      assert(c2 == 200 && b2.contains("\"status\":\"bad\""), b2)
+      // PUT replaces; DELETE unregisters; unknown is 404
+      val dir2 = Files.createTempDirectory("srcrest2").toString
+      val (c3, b3) = call("PUT", "/source/rest_files",
+        s"""{"type":"files","path":"$dir2"}""")
+      assert(c3 == 200 && b3.contains("\"status\":\"good\""), b3)
+      assert(call("DELETE", "/source/rest_files")._1 == 200)
+      assert(call("GET", "/source/rest_files")._1 == 404)
+      assert(call("POST", "/source/nope/refresh")._1 == 404)
+    }
+  }
+
   test("permission cache: memoized closures never serve a stale revocation; CLEAR drops them") {
     withSources {
       val dir = Files.createTempDirectory("srcperm").toString
@@ -146,5 +187,32 @@ class SourcesSpec extends AnyFunSuite {
         spark.conf.unset(Privileges.UserConf)
       }
     }
+  }
+
+  test("permission-cache generation stamp: a completed revoke is never served stale under racing readers") {
+    Privileges.clear()
+    try {
+      spark.sql("CREATE USER root_u PASSWORD 'rp' ADMIN")
+      spark.sql("CREATE USER rex PASSWORD 'xp'")
+      val user = Privileges.listUsers.find(_.name == "rex").get
+      // reader threads hammer the memoized closure path, maximizing the
+      // window where a pre-revoke closure could be inserted post-clear —
+      // the generation-stamped key makes such inserts unreachable
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      (1 to 4).foreach(_ => pool.submit(new Runnable {
+        override def run(): Unit =
+          while (!stop.get()) Privileges.allowed(user, "select", "nation")
+      }))
+      try {
+        for (i <- 1 to 300) {
+          Privileges.grant(spark, "select", "nation", "user", "rex")
+          assert(Privileges.allowed(user, "select", "nation"), s"grant lost at $i")
+          Privileges.revoke(spark, "select", "nation", "user", "rex")
+          assert(!Privileges.allowed(user, "select", "nation"),
+            s"STALE ALLOW after completed revoke at iteration $i")
+        }
+      } finally { stop.set(true); pool.shutdownNow() }
+    } finally Privileges.clear()
   }
 }
