@@ -1388,6 +1388,42 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
   def deleteWhere(cond: org.apache.spark.sql.Column): Long =
     copyOnWrite(base => base.filter(!cond || cond.isNull), touch = Some(cond))
 
+  /** Dry-run analysis of a copy-on-write DML (reference
+    * SqlExplainQueryDML — `EXPLAIN PLAN FOR DELETE|UPDATE` without
+    * executing): the exact manifest prune the real statement's
+    * `copyOnWrite(touch = cond)` performs, reported instead of applied.
+    * Returns (live files, files the rewrite would touch, files carried by
+    * reference, upper bound on rewritten rows when every candidate
+    * recorded a manifest count, bytes to rewrite when recorded,
+    * partial-rewrite eligible). METADATA-ONLY — zero data files open; at
+    * a 100 TB table this is how an operator checks a DELETE will rewrite
+    * 3 files and not 30,000 before running it. */
+  def explainDml(cond: org.apache.spark.sql.Column)
+      : (Int, Int, Int, Option[Long], Option[Long], Boolean) = {
+    val log = commits
+    val (entries, schema, curIds) = replayEntries(log)
+    val tfs = specTransforms(log)
+    val uniformIds = entries.forall(_.writeIds == curIds)
+    val resolvedOpt =
+      if (!uniformIds) None
+      else resolveCond(buildMappedScan(entries, schema, curIds, tfs), cond)
+    val (rewriteEntries, carried) = resolvedOpt match {
+      case Some(resolved) =>
+        val types = schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+        val pc = new java.util.IdentityHashMap[
+          org.apache.spark.sql.catalyst.expressions.Expression, AnyRef]()
+        entries.partition(e => LakeFileIndex.mayMatch(e.stats, types, resolved, tfs, pc))
+      case None => (entries, Vector.empty[FileEntry])
+    }
+    val rows = SnapshotTable.rowsFromStats(rewriteEntries.map(_.stats))
+    val bytesEach = rewriteEntries
+      .map(_.stats.get(SnapshotTable.BytesStatKey)
+        .flatMap(v => scala.util.Try(v._1.toLong).toOption))
+    val bytes = if (bytesEach.forall(_.isDefined)) Some(bytesEach.flatten.sum) else None
+    (entries.size, rewriteEntries.size, carried.size, rows, bytes,
+      resolvedOpt.isDefined)
+  }
+
   /** UPDATE ... SET: copy-on-write update of matching rows, one atomic
     * commit. `sets` maps column name → new-value expression. All SET
     * expressions are evaluated in ONE projection so they read PRE-update

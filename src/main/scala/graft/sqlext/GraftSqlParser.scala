@@ -369,6 +369,14 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
         require(wi > 0, s"UPDATE LAKE requires a WHERE clause: $t")
         UpdateLakeCommand(dir, rest.take(wi).trim, rest.drop(wi + 5).trim,
           atBranch = Some(branch))
+      case ExplainDeleteLakeRe(dir, cond) =>
+        ExplainLakeDmlCommand(dir, cond, "copy-on-write delete",
+          out("mode", "files_total", "files_rewritten", "files_carried",
+            "rows_rewritten_max", "bytes_rewritten", "partial_rewrite"))
+      case ExplainUpdateLakeRe(dir, cond) =>
+        ExplainLakeDmlCommand(dir, cond, "copy-on-write update",
+          out("mode", "files_total", "files_rewritten", "files_carried",
+            "rows_rewritten_max", "bytes_rewritten", "partial_rewrite"))
       case DeleteLakeRe(dir, cond) => DeleteLakeCommand(dir, cond)
       case UpdateLakeRe(dir, rest) =>
         // quote-aware split: a 'where' inside a SET string literal is data
@@ -858,6 +866,15 @@ object GraftSqlParser {
     """(?is)INSERT\s+INTO\s+LAKE\s+'([^']+)'\s+(.+?)\s*;?""".r
   private val DeleteLakeRe =
     """(?is)DELETE\s+FROM\s+LAKE\s+'([^']+)'\s+WHERE\s+(.+?)\s*;?""".r
+  // EXPLAIN [PLAN FOR] lake DML (reference SqlExplainQueryDML,
+  // parserImpls.ftl:1726 — EXPLAIN PLAN FOR INSERT|DELETE|UPDATE): the
+  // copy-on-write analysis without execution
+  private val ExplainDeleteLakeRe =
+    ("""(?is)EXPLAIN\s+(?:PLAN\s+FOR\s+)?DELETE\s+FROM\s+LAKE\s+'([^']+)'""" +
+      """\s+WHERE\s+(.+?)\s*;?""").r
+  private val ExplainUpdateLakeRe =
+    ("""(?is)EXPLAIN\s+(?:PLAN\s+FOR\s+)?UPDATE\s+LAKE\s+'([^']+)'""" +
+      """\s+SET\s+.+?\s+WHERE\s+(.+?)\s*;?""").r
   private val UpdateLakeRe =
     """(?is)UPDATE\s+LAKE\s+'([^']+)'\s+SET\s+(.+?)\s*;?""".r
   private val MergeLakeRe =
@@ -2373,6 +2390,25 @@ object GraftSqlParser {
             s"tags are immutable; run USE DEFAULT IN LAKE '$dir' first")
         refName
     }
+
+  /** EXPLAIN [PLAN FOR] DELETE|UPDATE ... LAKE (reference
+    * SqlExplainQueryDML): the copy-on-write manifest analysis the real
+    * statement would perform, reported instead of applied — metadata-only,
+    * zero data files open. SELECT-gated (it reveals manifest shape, not
+    * data). */
+  case class ExplainLakeDmlCommand(dir: String, condSql: String, mode: String,
+      override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      graft.auth.Privileges.requireAction(spark, "select", dir, "EXPLAIN LAKE DML")
+      val (total, rewrite, carried, rows, bytes, partial) =
+        graft.sources.SnapshotTable.forPath(spark, dir)
+          .explainDml(org.apache.spark.sql.functions.expr(condSql))
+      Seq(Row(mode, total.toString, rewrite.toString, carried.toString,
+        rows.map(_.toString).getOrElse("unknown"),
+        bytes.map(_.toString).getOrElse("unknown"),
+        partial.toString))
+    }
+  }
 
   /** DELETE FROM LAKE: copy-on-write row deletion as one atomic commit —
     * on main, on an explicit `AT BRANCH`, or on the session's pinned

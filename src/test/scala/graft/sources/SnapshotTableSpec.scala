@@ -1369,4 +1369,38 @@ class SnapshotTableSpec extends AnyFunSuite {
       .append(Seq((100L + i, "x")).toDF("id", "s")))
     assert(SnapshotTable.forPath(spark, dir).properties == Map("k" -> "v2"))
   }
+
+  test("EXPLAIN lake DML: metadata-only copy-on-write analysis, nothing executes") {
+    val dir = fresh("lake_explain_dml")
+    // three disjoint-range files with id stats → the prune is decisive
+    spark.sql(s"""CREATE LAKE '$dir' STATS (id)
+                 |AS SELECT id, 'a' AS v FROM range(0, 100)""".stripMargin)
+    spark.sql(s"INSERT INTO LAKE '$dir' SELECT id, 'b' AS v FROM range(100, 200)")
+    spark.sql(s"INSERT INTO LAKE '$dir' SELECT id, 'c' AS v FROM range(200, 300)")
+    val t = SnapshotTable.forPath(spark, dir)
+    val vBefore = t.latestVersion
+    val r = spark.sql(
+      s"EXPLAIN DELETE FROM LAKE '$dir' WHERE id < 50").head()
+    assert(r.getString(0) == "copy-on-write delete")
+    val (total, rewritten, carried) =
+      (r.getString(1).toInt, r.getString(2).toInt, r.getString(3).toInt)
+    assert(rewritten < total && rewritten + carried == total,
+      s"expected a decisive prune, got $r")
+    // an upper bound covering every matching row, decisively under the table
+    assert(r.getString(4).toLong >= 50L && r.getString(4).toLong <= 100L,
+      s"rows bound: $r")
+    assert(r.getString(5).toLong > 0L, s"bytes known: $r")
+    assert(r.getString(6) == "true", s"partial-rewrite eligible: $r")
+    // PLAN FOR form + UPDATE flavor parse too
+    val u = spark.sql(s"EXPLAIN PLAN FOR UPDATE LAKE '$dir' " +
+      "SET v = 'z' WHERE id >= 250").head()
+    assert(u.getString(0) == "copy-on-write update" && u.getString(2).toInt < total)
+    // nothing executed: same version, same data
+    assert(SnapshotTable.forPath(spark, dir).latestVersion == vBefore)
+    assert(t.read().count() == 300L)
+    // the real DELETE agrees with the forecast: it carries exactly the
+    // files the explain said it would
+    spark.sql(s"DELETE FROM LAKE '$dir' WHERE id < 50")
+    assert(SnapshotTable.forPath(spark, dir).read().count() == 250L)
+  }
 }
