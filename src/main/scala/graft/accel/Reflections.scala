@@ -303,10 +303,47 @@ object Reflections {
 
   def clear(): Unit = {
     byName.clear(); byFingerprint.clear(); planByName.clear()
-    scanByNameCache.clear(); routing.clear()
+    scanByNameCache.clear(); routing.clear(); accelOff.clear()
   }
 
   def list: Seq[Reflection] = byName.values.toSeq.sortBy(_.name)
+
+  // ---- per-dataset acceleration toggles (reference SqlAccelToggle,
+  // alter.ftl: ALTER <dataset> ENABLE|DISABLE RAW|AGGREGATE ACCELERATION
+  // → AccelToggleHandler): a dataset opts its reflections of one KIND out
+  // of substitution without dropping them. Kind is decided by the
+  // reflection's defining plan (an Aggregate root = aggregate reflection,
+  // anything else = raw), anchor = the lake dirs its plan scans. ----
+  private val accelOff = TrieMap.empty[String, Set[String]]
+
+  /** ENABLE/DISABLE RAW|AGGREGATE ACCELERATION on a dataset (lake dir). */
+  def setAccelToggle(dir: String, kind: String, enable: Boolean): Unit = {
+    val k = kind.toLowerCase
+    require(k == "raw" || k == "aggregate", s"unknown acceleration kind: $kind")
+    val d = normPath(dir)
+    accelOff.updateWith(d) {
+      case Some(s) => val n = if (enable) s - k else s + k
+        if (n.isEmpty) None else Some(n)
+      case None => if (enable) None else Some(Set(k))
+    }
+  }
+
+  /** Disabled kinds for a dataset (sys/DESCRIBE surface). */
+  def accelToggles(dir: String): Set[String] =
+    accelOff.getOrElse(normPath(dir), Set.empty)
+
+  /** Is `r`, serving as `kind`, disabled by any dataset it anchors on? */
+  private def accelDisabled(r: Reflection, kind: String): Boolean =
+    r.baseVersions.keysIterator.exists(d =>
+      accelOff.getOrElse(normPath(d), Set.empty).contains(kind))
+
+  /** The reflection's kind under the reference's taxonomy: an Aggregate
+    * defining plan is an aggregate reflection, anything else raw. */
+  private def kindOf(r: Reflection): String =
+    if (planByName.get(r.name).exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate]))
+      "aggregate"
+    else "raw"
 
   // ----- per-dataset reflection routing (reference
   // SqlAlterDatasetReflectionRouting, alter.ftl:625: ALTER TABLE t ROUTE
@@ -670,7 +707,8 @@ object Reflections {
       val fresh: Map[String, Boolean] =
         byName.iterator.map { case (n, r) => n -> isFresh(spark, r) }.toMap
       def usable(r: Reflection): Boolean =
-        !excluded.contains(normPath(r.path)) && fresh.getOrElse(r.name, false)
+        !excluded.contains(normPath(r.path)) && fresh.getOrElse(r.name, false) &&
+          !accelDisabled(r, kindOf(r)) // SqlAccelToggle: dataset opted out
       // Structural pre-filter: fingerprinting a node costs canonicalize +
       // toString + MD5 = O(subtree), so attempting it on EVERY subtree makes
       // the pass O(plan²) in string building on deep plans. A node can only

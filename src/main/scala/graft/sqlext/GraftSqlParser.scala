@@ -278,6 +278,10 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
             "files_removed", "status"))
       case RefreshMetadataRe(quoted, bare) =>
         RefreshMetadataCommand(Option(quoted).getOrElse(bare))
+      case AccelToggleRe(qdir, bare, onOff, kind) =>
+        AccelToggleCommand(Option(qdir).getOrElse(bare), kind,
+          onOff.equalsIgnoreCase("ENABLE"),
+          out("dataset", "kind", "acceleration"))
       case ToggleSchemaLearnRe(name, mode) =>
         ToggleSchemaLearningCommand(name, mode.equalsIgnoreCase("ENABLE"),
           out("dataset", "schema_learning"))
@@ -762,6 +766,11 @@ object GraftSqlParser {
       """(?:\s+(DELETE|MAINTAIN)\s+WHEN\s+MISSING)?""" +
       """(\s+ERROR\s+ON\s+CONCURRENT\s+REFRESH)?\s*;?""").r
   private val PartSpecPairRe = """(\w+)\s*=\s*'([^']*)'""".r
+  // per-dataset acceleration toggle (reference SqlAccelToggle, alter.ftl:
+  // ALTER <dataset> ENABLE|DISABLE RAW|AGGREGATE ACCELERATION)
+  private val AccelToggleRe =
+    ("""(?is)ALTER\s+(?:TABLE|LAKE|PDS|VDS|DATASET)\s+(?:'([^']+)'|([\w./]+))\s+""" +
+      """(ENABLE|DISABLE)\s+(RAW|AGGREGATE)\s+ACCELERATION\s*;?""").r
   // schema learning toggle for promoted datasets (reference
   // SqlAlterTableToggleSchemaLearning / ...Handler.java)
   private val ToggleSchemaLearnRe =
@@ -2390,6 +2399,20 @@ object GraftSqlParser {
             s"tags are immutable; run USE DEFAULT IN LAKE '$dir' first")
         refName
     }
+
+  /** ALTER <dataset> ENABLE|DISABLE RAW|AGGREGATE ACCELERATION (reference
+    * SqlAccelToggle): opt the dataset's reflections of one kind out of
+    * substitution without dropping them — raw = pass-through serving,
+    * aggregate = roll-up serving. */
+  case class AccelToggleCommand(dir: String, kind: String, enable: Boolean,
+      override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      graft.auth.Privileges.requireAction(spark, "alter", dir,
+        "ALTER ... ENABLE|DISABLE ACCELERATION")
+      graft.accel.Reflections.setAccelToggle(dir, kind, enable)
+      Seq(Row(dir, kind.toLowerCase, if (enable) "enabled" else "disabled"))
+    }
+  }
 
   /** EXPLAIN [PLAN FOR] DELETE|UPDATE ... LAKE (reference
     * SqlExplainQueryDML): the copy-on-write manifest analysis the real

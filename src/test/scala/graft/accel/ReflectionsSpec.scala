@@ -629,4 +629,41 @@ class ReflectionsSpec extends AnyFunSuite {
     spark.sql("DROP REFLECTION rb_sum"); spark.sql("DROP REFLECTION rb_cnt")
     Reflections.clear()
   }
+
+  test("ENABLE|DISABLE RAW|AGGREGATE ACCELERATION: per-dataset, per-kind opt-out of substitution") {
+    import spark.implicits._
+    Reflections.clear()
+    Reflections.install(spark)
+    val lakeDir = Files.createTempDirectory("graft_accel_tog").toString + "/t"
+    spark.sql(s"CREATE LAKE '$lakeDir' AS " +
+      "SELECT id, id % 5 AS k, id * 3 AS v FROM range(500)")
+    spark.sql(s"CREATE LAKE VIEW accel_tog_v FROM '$lakeDir'")
+    val mv = Files.createTempDirectory("graft_accel_tog_mv").toString
+    // one aggregate reflection (Aggregate defining plan)
+    spark.sql(s"CREATE REFLECTION tog_agg USING PATH '$mv/agg' AS " +
+      "SELECT k, sum(v) AS sv FROM accel_tog_v GROUP BY k")
+    val q = "SELECT k, sum(v) AS sv FROM accel_tog_v GROUP BY k"
+    def served(): Boolean =
+      spark.sql(q).queryExecution.sparkPlan.toString.contains("/agg")
+    assert(served(), "aggregate reflection must serve before any toggle")
+    // disabling RAW acceleration must NOT affect an aggregate reflection
+    spark.sql(s"ALTER LAKE '$lakeDir' DISABLE RAW ACCELERATION")
+    assert(served(), "RAW toggle must not gate an aggregate reflection")
+    // disabling AGGREGATE acceleration stops substitution without dropping
+    spark.sql(s"ALTER LAKE '$lakeDir' DISABLE AGGREGATE ACCELERATION")
+    assert(!served(), "aggregate substitution must stop while disabled")
+    assert(Reflections.list.exists(_.name == "tog_agg"), "reflection stays registered")
+    assert(Reflections.accelToggles(lakeDir) == Set("raw", "aggregate"))
+    // results stay correct either way (base-table plan serves)
+    assert(spark.sql(q).collect().map(_.getLong(1)).sum ==
+      (0L until 500L).map(_ * 3).sum)
+    // re-enable restores serving
+    spark.sql(s"ALTER LAKE '$lakeDir' ENABLE AGGREGATE ACCELERATION")
+    assert(served(), "substitution must resume after ENABLE")
+    // unknown kind refuses
+    assertThrows[Exception](
+      Reflections.setAccelToggle(lakeDir, "fancy", enable = false))
+    spark.sql("DROP REFLECTION tog_agg")
+    Reflections.clear()
+  }
 }
