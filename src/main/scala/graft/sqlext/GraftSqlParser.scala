@@ -262,6 +262,20 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
         CreateRawReflectionCommand(table, name, path,
           splitCols(display), splitCols(partBy),
           out("reflection", "fingerprint"))
+      case AlterRefreshScopedRe(qpath, bare, filesList, partList, regex,
+          promo, forceKw, missingKw, errConc) =>
+        RefreshDatasetCommand(Option(qpath).getOrElse(bare),
+          filesList = Option(filesList).map(fl =>
+            PropKeyRe.findAllMatchIn(fl).map(_.group(1)).toSeq),
+          partSpecs = Option(partList).map(pl =>
+            PartSpecPairRe.findAllMatchIn(pl).map(m => m.group(1) -> m.group(2)).toSeq),
+          regex = Option(regex),
+          promo = Option(promo).map(_.equalsIgnoreCase("AUTO")),
+          force = Option(forceKw).map(_.equalsIgnoreCase("FORCE")),
+          deleteWhenMissing = Option(missingKw).map(_.equalsIgnoreCase("DELETE")),
+          errorOnConcurrent = errConc != null,
+          out("dataset", "format", "files_total", "files_added",
+            "files_removed", "status"))
       case RefreshDatasetRe(qpath, bare, filesList, partList, regex,
           promo, forceKw, missingKw, errConc) =>
         RefreshDatasetCommand(Option(qpath).getOrElse(bare),
@@ -754,17 +768,28 @@ object GraftSqlParser {
   private val RefreshMetadataRe =
     """(?is)ALTER\s+TABLE\s+(?:`([^`]+)`|([\w./]+))\s+REFRESH\s+METADATA\s*;?""".r
   // REFRESH DATASET (reference SqlRefreshDataset, parserImpls.ftl:1475):
-  // incremental maintenance of a promoted dataset's file index
-  private val RefreshDatasetRe =
-    ("""(?is)REFRESH\s+DATASET\s+(?:'([^']+)'|([\w]+))""" +
-      """(?:\s+FOR\s+ALL\s+(?:FILES|PARTITIONS))?""" +
+  // incremental maintenance of a promoted dataset's file index. The
+  // clause tail is shared with the ALTER form (SqlRefreshTable,
+  // alter.ftl `ALTER TABLE ... REFRESH METADATA FOR ...`) — same
+  // options, same handler in the reference.
+  private val RefreshTail =
+    """(?:\s+FOR\s+ALL\s+(?:FILES|PARTITIONS))?""" +
       """(?:\s+FOR\s+FILES\s*\(\s*((?:'[^']*'\s*,?\s*)+)\))?""" +
       """(?:\s+FOR\s+PARTITIONS\s*\(\s*([^)]*)\))?""" +
       """(?:\s+FOR\s+REGEX\s+'([^']*)')?""" +
       """(?:\s+(AUTO|AVOID)\s+PROMOTION)?""" +
       """(?:\s+(FORCE|LAZY)\s+UPDATE)?""" +
       """(?:\s+(DELETE|MAINTAIN)\s+WHEN\s+MISSING)?""" +
-      """(\s+ERROR\s+ON\s+CONCURRENT\s+REFRESH)?\s*;?""").r
+      """(\s+ERROR\s+ON\s+CONCURRENT\s+REFRESH)?\s*;?"""
+  private val RefreshDatasetRe =
+    ("""(?is)REFRESH\s+DATASET\s+(?:'([^']+)'|([\w]+))""" + RefreshTail).r
+  // the ALTER spelling of the same statement — SCOPED forms only (the
+  // bare ALTER ... REFRESH METADATA keeps its broader legacy handler:
+  // promotions AND path datasets)
+  private val AlterRefreshScopedRe =
+    ("""(?is)ALTER\s+(?:TABLE|PDS|DATASET)\s+(?:'([^']+)'|([\w]+))""" +
+      """\s+REFRESH\s+METADATA(?=\s+(?:FOR|AUTO|AVOID|FORCE|LAZY|DELETE|MAINTAIN|ERROR)\b)""" +
+      RefreshTail).r
   private val PartSpecPairRe = """(\w+)\s*=\s*'([^']*)'""".r
   // per-dataset acceleration toggle (reference SqlAccelToggle, alter.ftl:
   // ALTER <dataset> ENABLE|DISABLE RAW|AGGREGATE ACCELERATION)

@@ -108,6 +108,11 @@ class RefreshDatasetSpec extends AnyFunSuite {
     // unpromoted name refuses with guidance
     val e2 = intercept[Exception](spark.sql("REFRESH DATASET nonesuch"))
     assert(e2.getMessage.contains("not a promoted dataset"), e2.getMessage)
+    // the ALTER spelling (SqlRefreshTable) routes the scoped clauses to
+    // the same handler; a no-change regex refresh reports 0/0
+    val r3 = spark.sql(
+      "ALTER DATASET rfds_rx REFRESH METADATA FOR REGEX 'b_.*' LAZY UPDATE").head()
+    assert(r3.getString(3) == "0" && r3.getString(4) == "0", r3.toString)
   }
 
   test("FOR PARTITIONS re-lists one hive directory; AUTO PROMOTION promotes a path") {
