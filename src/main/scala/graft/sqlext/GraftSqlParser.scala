@@ -387,6 +387,10 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
         require(wi > 0, s"UPDATE LAKE requires a WHERE clause: $t")
         UpdateLakeCommand(dir, rest.take(wi).trim, rest.drop(wi + 5).trim,
           atBranch = Some(branch))
+      case ExplainMergeLakeRe(dir, key, rest) =>
+        ExplainLakeMergeCommand(dir, key, splitParenQuery(rest)._1,
+          out("mode", "files_total", "files_rewritten", "files_carried",
+            "rows_rewritten_max", "bytes_rewritten", "partial_rewrite"))
       case ExplainDeleteLakeRe(dir, cond) =>
         ExplainLakeDmlCommand(dir, cond, "copy-on-write delete",
           out("mode", "files_total", "files_rewritten", "files_carried",
@@ -909,6 +913,9 @@ object GraftSqlParser {
   private val ExplainUpdateLakeRe =
     ("""(?is)EXPLAIN\s+(?:PLAN\s+FOR\s+)?UPDATE\s+LAKE\s+'([^']+)'""" +
       """\s+SET\s+.+?\s+WHERE\s+(.+?)\s*;?""").r
+  private val ExplainMergeLakeRe =
+    ("""(?is)EXPLAIN\s+(?:PLAN\s+FOR\s+)?MERGE\s+INTO\s+LAKE\s+'([^']+)'""" +
+      """\s+ON\s+(\w+)\s+USING\s+(.+)""").r
   private val UpdateLakeRe =
     """(?is)UPDATE\s+LAKE\s+'([^']+)'\s+SET\s+(.+?)\s*;?""".r
   private val MergeLakeRe =
@@ -2455,6 +2462,28 @@ object GraftSqlParser {
         rows.map(_.toString).getOrElse("unknown"),
         bytes.map(_.toString).getOrElse("unknown"),
         partial.toString))
+    }
+  }
+
+  /** EXPLAIN [PLAN FOR] MERGE INTO LAKE ... ON k USING (...): the span
+    * prune the real clause-MERGE would perform — the source's key
+    * min/max (ONE small aggregate job, no writes) bounds the rewrite to
+    * files whose key range intersects it. */
+  case class ExplainLakeMergeCommand(dir: String, key: String, querySql: String,
+      override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      graft.auth.Privileges.requireAction(spark, "select", dir, "EXPLAIN LAKE MERGE")
+      import org.apache.spark.sql.functions.{col, lit, max, min}
+      val mm = spark.sql(querySql)
+        .agg(min(col(key)).as("lo"), max(col(key)).as("hi")).head()
+      val touch =
+        if (mm.isNullAt(0)) lit(false) // no non-null keys: inserts only
+        else col(key) >= lit(mm.get(0)) && col(key) <= lit(mm.get(1))
+      val (total, rewrite, carried, rows, bytes, partial) =
+        graft.sources.SnapshotTable.forPath(spark, dir).explainDml(touch)
+      Seq(Row("copy-on-write merge (key span)", total.toString, rewrite.toString,
+        carried.toString, rows.map(_.toString).getOrElse("unknown"),
+        bytes.map(_.toString).getOrElse("unknown"), partial.toString))
     }
   }
 

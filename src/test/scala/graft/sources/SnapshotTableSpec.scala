@@ -1402,5 +1402,12 @@ class SnapshotTableSpec extends AnyFunSuite {
     // files the explain said it would
     spark.sql(s"DELETE FROM LAKE '$dir' WHERE id < 50")
     assert(SnapshotTable.forPath(spark, dir).read().count() == 250L)
+    // MERGE flavor: the source's key span (260..280) bounds the rewrite
+    val m = spark.sql(s"EXPLAIN MERGE INTO LAKE '$dir' ON id USING " +
+      "(SELECT id, 'm' AS v FROM range(260, 280)) " +
+      "WHEN MATCHED THEN UPDATE SET v = 'm'").head()
+    assert(m.getString(0).startsWith("copy-on-write merge"))
+    assert(m.getString(2).toInt < m.getString(1).toInt, s"span prune: $m")
+    assert(SnapshotTable.forPath(spark, dir).read().count() == 250L) // dry
   }
 }
