@@ -47,6 +47,11 @@ object Functions {
     * full syntax in [[Lucene]]'s scaladoc). Query must be a literal. */
   def lucene_match(text: Column, query: String): Column =
     col(LuceneMatch(ex(text), ex(lit(query))))
+  /** Aho–Corasick multi-phrase scan: distinct phrases contained in the
+    * text, in list order — O(text + hits) per row at ANY phrase count
+    * (see [[AhoCorasick]]). */
+  def phrase_hits(text: Column, phrases: Seq[String]): Column =
+    col(PhraseHits(ex(text), ex(lit(phrases.toArray))))
   def unicode_normalize(text: Column, form: String = "NFC"): Column =
     col(UnicodeNormalize(ex(text), form))
   def strip_accents(text: Column): Column = col(StripAccents(ex(text)))
@@ -93,6 +98,7 @@ object Functions {
     one("word_ngrams", 1)(es => WordNgrams(es(0), 3, distinct = true))
     one("strip_accents", 1)(es => StripAccents(es(0)))
     one("lucene_match", 2)(es => LuceneMatch(es(0), es(1)))
+    one("phrase_hits", 2)(es => PhraseHits(es(0), es(1)))
     one("unicode_normalize", 2)(es => UnicodeNormalize(es(0),
       es(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(s, _)

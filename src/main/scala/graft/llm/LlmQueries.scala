@@ -891,6 +891,34 @@ object LlmQueries {
     WHERE lang = 'en' AND (scan_pre OR hash_join_1) AND NOT has_vector
     ORDER BY doc_id"""
 
+  /** Blocklist scan via the Aho–Corasick expression ([[graft.functions
+    * .PhraseHits]]): every phrase of a literal list matched in ONE
+    * automaton pass per document — O(text + hits) regardless of phrase
+    * count, where OR'ed LIKEs are O(text × phrases). Map-only, stays in
+    * whole-stage codegen via the reference-object kernel. DuckDB replays
+    * with per-phrase position() containment — exact. */
+  val blocklistPhrases: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents
+    val phrases = Seq("scan slow", "table part", "merge batch",
+      "hash value", "value table part", "a a the")
+    docs.select(col("doc_id"),
+        graft.functions.Functions.phrase_hits(col("text"), phrases).as("h"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(col("h")).cast("long").as("n_hits"),
+        org.apache.spark.sql.functions.array_join(col("h"), ",").as("hits_csv"))
+      .orderBy(col("doc_id"))
+  }
+  val blocklistPhrasesSql: String = """
+    WITH p(ph, ord) AS (VALUES
+      ('scan slow', 1), ('table part', 2), ('merge batch', 3),
+      ('hash value', 4), ('value table part', 5), ('a a the', 6))
+    SELECT d.doc_id,
+           count(p.ph) AS n_hits,
+           coalesce(string_agg(p.ph, ',' ORDER BY p.ord), '') AS hits_csv
+    FROM documents d
+    LEFT JOIN p ON position(p.ph IN d.text) > 0
+    GROUP BY d.doc_id ORDER BY d.doc_id"""
+
   val urlFilter: QueryFn = (s, dir) => {
     val docs = Tables.ensure(s, dir).documents
     val withUrl = docs.select(col("doc_id"), expr(
@@ -2980,6 +3008,7 @@ object LlmQueries {
     "ann_index_pq_persisted" -> annIndexPqPersisted,
     "ann_ivf_pq" -> annIvfPq,
     "text_charclass" -> textCharclass,
+    "blocklist_phrases" -> blocklistPhrases,
     "url_filter" -> urlFilter,
     "lucene_contains" -> luceneContains,
     "bpe_train_merges" -> bpeTrainMerges,
@@ -3067,6 +3096,7 @@ object LlmQueries {
     "ann_ivf_pq" -> annIvfPqSql,
     "ann_index_pq_persisted" -> annIndexPqPersistedSql,
     "text_charclass" -> textCharclassSql,
+    "blocklist_phrases" -> blocklistPhrasesSql,
     "url_filter" -> urlFilterSql,
     "lucene_contains" -> luceneContainsSql,
     "bpe_char_tokens" -> bpeCharTokensSql,
