@@ -871,6 +871,30 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(t.read(Some(t.commits.head.version)).count() == 100000L)
   }
 
+  test("phrase_hits at 10k phrases x 100k docs: one automaton pass, map-only, planted hits exact") {
+    gate()
+    import spark.implicits._
+    import graft.functions.Functions
+    // a 10k-phrase blocklist — the regime where OR'ed LIKEs/regex
+    // alternations are O(text × phrases) and unusable
+    val phrases = (0 until 10000).map(i => s"blk${i}marker")
+    val docs = spark.range(100000).toDF("doc_id")
+      .withColumn("text", expr(
+        // every 97th doc carries exactly one planted phrase
+        "concat('filler text before ', " +
+          "CASE WHEN doc_id % 97 = 0 THEN concat('blk', CAST((doc_id / 97) % 10000 AS INT), 'marker') ELSE 'clean' END, " +
+          "' filler after')"))
+    val hits = docs.select(col("doc_id"),
+      Functions.phrase_hits(col("text"), phrases).as("h"))
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"phrase scan must be map-only:\n$plan")
+    val n = hits.selectExpr("sum(size(h)) AS s").head().getLong(0)
+    assert(n == (100000L + 96) / 97, s"planted hit count: $n")
+    // spot-check one planted doc resolves to ITS phrase
+    val one = hits.filter(col("doc_id") === 97L * 5).head().getSeq[String](1)
+    assert(one == Seq("blk5marker"), one.toString)
+  }
+
   test("REFRESH DATASET FOR FILES at 3k files: O(changed) metadata calls, zero re-lists") {
     gate()
     import spark.implicits._
