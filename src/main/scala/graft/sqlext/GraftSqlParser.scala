@@ -387,6 +387,10 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
         require(wi > 0, s"UPDATE LAKE requires a WHERE clause: $t")
         UpdateLakeCommand(dir, rest.take(wi).trim, rest.drop(wi + 5).trim,
           atBranch = Some(branch))
+      case ExplainInsertLakeRe(dir, query) =>
+        ExplainLakeInsertCommand(dir, query,
+          out("mode", "partition_spec", "stats_columns", "sort_order",
+            "source_rows_estimate", "next_version"))
       case ExplainMergeLakeRe(dir, key, rest) =>
         ExplainLakeMergeCommand(dir, key, splitParenQuery(rest)._1,
           out("mode", "files_total", "files_rewritten", "files_carried",
@@ -916,6 +920,9 @@ object GraftSqlParser {
   private val ExplainMergeLakeRe =
     ("""(?is)EXPLAIN\s+(?:PLAN\s+FOR\s+)?MERGE\s+INTO\s+LAKE\s+'([^']+)'""" +
       """\s+ON\s+(\w+)\s+USING\s+(.+)""").r
+  private val ExplainInsertLakeRe =
+    ("""(?is)EXPLAIN\s+(?:PLAN\s+FOR\s+)?INSERT\s+INTO\s+LAKE\s+'([^']+)'""" +
+      """\s+(.+?)\s*;?""").r
   private val UpdateLakeRe =
     """(?is)UPDATE\s+LAKE\s+'([^']+)'\s+SET\s+(.+?)\s*;?""".r
   private val MergeLakeRe =
@@ -2462,6 +2469,26 @@ object GraftSqlParser {
         rows.map(_.toString).getOrElse("unknown"),
         bytes.map(_.toString).getOrElse("unknown"),
         partial.toString))
+    }
+  }
+
+  /** EXPLAIN [PLAN FOR] INSERT INTO LAKE: the append forecast — the
+    * sticky layout the batch will land under (partition transforms,
+    * stats/bloom columns, sort order), the optimizer's row estimate for
+    * the source (no execution), and the version the commit would take.
+    * Appends rewrite nothing, so there is no prune to report. */
+  case class ExplainLakeInsertCommand(dir: String, querySql: String,
+      override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      graft.auth.Privileges.requireAction(spark, "select", dir, "EXPLAIN LAKE INSERT")
+      val t = graft.sources.SnapshotTable.forPath(spark, dir)
+      val (spec, statsCols, sortBy) = t.effectiveLayout
+      // analyzed + optimized, never executed: the CBO row estimate is the
+      // same number a real INSERT's planning would see
+      val est = spark.sql(querySql).queryExecution.optimizedPlan
+        .stats.rowCount.map(_.toString).getOrElse("unknown")
+      Seq(Row("append", spec.mkString(", "), statsCols.mkString(", "),
+        sortBy.mkString(", "), est, (t.latestVersion + 1).toString))
     }
   }
 

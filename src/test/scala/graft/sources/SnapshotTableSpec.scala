@@ -1409,5 +1409,13 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(m.getString(0).startsWith("copy-on-write merge"))
     assert(m.getString(2).toInt < m.getString(1).toInt, s"span prune: $m")
     assert(SnapshotTable.forPath(spark, dir).read().count() == 250L) // dry
+    // INSERT flavor: append forecast — sticky layout + next version,
+    // source never executes
+    val ins = spark.sql(s"EXPLAIN INSERT INTO LAKE '$dir' " +
+      "SELECT id, 'n' AS v FROM range(10)").head()
+    assert(ins.getString(0) == "append" && ins.getString(2) == "id", ins.toString)
+    assert(ins.getString(5).toLong ==
+      SnapshotTable.forPath(spark, dir).latestVersion + 1)
+    assert(SnapshotTable.forPath(spark, dir).read().count() == 250L) // dry
   }
 }
