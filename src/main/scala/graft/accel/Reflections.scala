@@ -337,11 +337,14 @@ object Reflections {
     r.baseVersions.keysIterator.exists(d =>
       accelOff.getOrElse(normPath(d), Set.empty).contains(kind))
 
-  /** The reflection's kind under the reference's taxonomy: an Aggregate
-    * defining plan is an aggregate reflection, anything else raw. */
+  /** The reflection's kind under the reference's taxonomy: a defining
+    * plan that AGGREGATES (anywhere — an ORDER BY/LIMIT over a GROUP BY
+    * still materializes pre-aggregated data, and the optimized ROOT is
+    * then Sort/Limit, not Aggregate) is an aggregate reflection;
+    * anything else is raw. */
   private def kindOf(r: Reflection): String =
-    if (planByName.get(r.name).exists(
-        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate]))
+    if (planByName.get(r.name).exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate])))
       "aggregate"
     else "raw"
 

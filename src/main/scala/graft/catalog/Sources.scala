@@ -38,24 +38,33 @@ object Sources {
 
   private val reg = TrieMap.empty[String, Source]
 
+  /** Structural validation shared by CREATE SOURCE and the REST PUT's
+    * validate-then-swap (an update must refuse a bad body BEFORE touching
+    * the existing registration). Throws IllegalArgumentException. */
+  def validateConfig(kind: String, props: Map[String, String]): Unit = {
+    val k = kind.toLowerCase
+    require(Kinds(k), s"unknown source type '$kind' (one of: ${Kinds.mkString(", ")})")
+    if (k == "jdbc")
+      require(props.contains("url"), "a jdbc source needs 'url' = '<jdbc url>'")
+    if (k == "files" || k == "lake")
+      require(props.contains("path"), s"a $k source needs 'path' = '<dir>'")
+  }
+
   /** CREATE SOURCE: validate, publish jdbc conf keys, run the first
     * probe. Admin-gated by the caller (source DDL is global infra). */
   def create(spark: SparkSession, name: String, kind: String,
              props: Map[String, String], ifNotExists: Boolean): Source = {
     val n = name.toLowerCase
     val k = kind.toLowerCase
-    require(Kinds(k), s"unknown source type '$kind' (one of: ${Kinds.mkString(", ")})")
+    validateConfig(k, props)
     if (reg.contains(n)) {
       if (ifNotExists) return reg(n)
       throw new IllegalArgumentException(s"source '$name' already exists")
     }
     if (k == "jdbc") {
-      require(props.contains("url"), "a jdbc source needs 'url' = '<jdbc url>'")
       spark.conf.set(s"spark.sql.catalog.$n.url", props("url"))
       props.get("driver").foreach(d => spark.conf.set(s"spark.sql.catalog.$n.driver", d))
     }
-    if (k == "files" || k == "lake")
-      require(props.contains("path"), s"a $k source needs 'path' = '<dir>'")
     val probed = probe(spark, n, k, props)
     reg.put(n, probed)
     probed

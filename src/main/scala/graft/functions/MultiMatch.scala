@@ -22,16 +22,49 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 final class AhoCorasick(val phrases: Array[String]) extends Serializable {
   require(phrases.nonEmpty, "multi-phrase matcher needs at least one phrase")
-  require(phrases.forall(_.nonEmpty), "phrases must be non-empty strings")
+  require(phrases.forall(p => p != null && p.nonEmpty),
+    "phrases must be non-null, non-empty strings")
 
-  // trie: growable parallel structures; children as per-node HashMap
-  // (phrase alphabets are sparse; a dense char table would be 128KB/node)
-  private val children = scala.collection.mutable.ArrayBuffer(
-    new java.util.HashMap[Char, Integer]())
-  private val fail = scala.collection.mutable.ArrayBuffer(0)
-  private val out = scala.collection.mutable.ArrayBuffer[List[Int]](Nil)
+  // Only the flattened arrays are fields — the build-time trie buffers
+  // live in the builder's scope, so the serialized reference object the
+  // codegen ships to executors carries the automaton exactly once.
+  private val (childArr, failArr, outArr) = AhoCorasick.build(phrases)
 
-  locally {
+  /** Distinct matched phrases, in PHRASE-LIST order (deterministic). */
+  def hits(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val seen = new Array[Boolean](phrases.length)
+    var node = 0
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      var next = childArr(node).get(ch)
+      while (next == null && node != 0) {
+        node = failArr(node)
+        next = childArr(node).get(ch)
+      }
+      node = if (next != null) next.intValue() else 0
+      val os = outArr(node)
+      var j = 0
+      while (j < os.length) { seen(os(j)) = true; j += 1 }
+      i += 1
+    }
+    val found = phrases.indices.filter(seen)
+    new GenericArrayData(found.map(i => UTF8String.fromString(phrases(i))).toArray[Any])
+  }
+}
+
+object AhoCorasick {
+  /** Classic two-phase construction; returns only the flattened match
+    * structures (children maps, failure links, pre-merged outputs). */
+  private def build(phrases: Array[String])
+      : (Array[java.util.HashMap[Char, Integer]], Array[Int], Array[Array[Int]]) = {
+    // trie: growable parallel structures; children as per-node HashMap
+    // (phrase alphabets are sparse; a dense char table would be 128KB/node)
+    val children = scala.collection.mutable.ArrayBuffer(
+      new java.util.HashMap[Char, Integer]())
+    val fail = scala.collection.mutable.ArrayBuffer(0)
+    val out = scala.collection.mutable.ArrayBuffer[List[Int]](Nil)
     // phase 1: trie of all phrases
     phrases.zipWithIndex.foreach { case (p, id) =>
       var node = 0
@@ -63,33 +96,7 @@ final class AhoCorasick(val phrases: Array[String]) extends Serializable {
         queue.add(child)
       }
     }
-  }
-
-  private val childArr: Array[java.util.HashMap[Char, Integer]] = children.toArray
-  private val failArr: Array[Int] = fail.toArray
-  private val outArr: Array[Array[Int]] = out.map(_.toArray).toArray
-
-  /** Distinct matched phrases, in PHRASE-LIST order (deterministic). */
-  def hits(text: UTF8String): ArrayData = {
-    val s = text.toString
-    val seen = new Array[Boolean](phrases.length)
-    var node = 0
-    var i = 0
-    while (i < s.length) {
-      val ch = s.charAt(i)
-      var next = childArr(node).get(ch)
-      while (next == null && node != 0) {
-        node = failArr(node)
-        next = childArr(node).get(ch)
-      }
-      node = if (next != null) next.intValue() else 0
-      val os = outArr(node)
-      var j = 0
-      while (j < os.length) { seen(os(j)) = true; j += 1 }
-      i += 1
-    }
-    val found = phrases.indices.filter(seen)
-    new GenericArrayData(found.map(i => UTF8String.fromString(phrases(i))).toArray[Any])
+    (children.toArray, fail.toArray, out.map(_.toArray).toArray)
   }
 }
 
@@ -108,7 +115,10 @@ case class PhraseHits(left: Expression, right: Expression)
       "phrase_hits: phrases must be a literal ARRAY<STRING>")
     val arr = right.eval()
     require(arr != null, "phrase_hits: phrase array must not be null")
-    arr.asInstanceOf[ArrayData].toArray[UTF8String](StringType).map(_.toString)
+    val elems = arr.asInstanceOf[ArrayData].toArray[UTF8String](StringType)
+    require(elems.forall(_ != null),
+      "phrase_hits: phrase array must not contain null elements")
+    elems.map(_.toString)
   }
 
   @transient private lazy val ac = new AhoCorasick(phraseList)

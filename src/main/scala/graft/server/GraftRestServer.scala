@@ -641,12 +641,19 @@ object GraftRestServer {
     * same contract as the SQL statements — sources are global infra);
     * GETs need any authenticated principal. */
   private final class SourceHandler(root: SparkSession) extends HttpHandler {
-    private def sourceJson(s: graft.catalog.Sources.Source): String = {
-      val props = s.props.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString(",")
-      s"""{"name":${q(s.name)},"type":${q(s.kind)},"status":${q(s.status)},""" +
-        s""""message":${q(s.message)},"lastProbeMs":${s.lastProbeMs},""" +
-        s""""config":{$props}}"""
+    /** Connection config (urls may embed credentials) is ADMIN-only —
+      * the SQL twin (SHOW SOURCES/sys_sources) never exposes props, and
+      * source mutations are admin-gated for the same reason. */
+    private def sourceJson(s: graft.catalog.Sources.Source,
+                           includeConfig: Boolean): String = {
+      val base = s"""{"name":${q(s.name)},"type":${q(s.kind)},"status":${q(s.status)},""" +
+        s""""message":${q(s.message)},"lastProbeMs":${s.lastProbeMs}"""
+      if (!includeConfig) base + "}"
+      else {
+        val props = s.props.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString(",")
+        base + s""","config":{$props}}"""
+      }
     }
 
     override def handle(ex: HttpExchange): Unit =
@@ -660,9 +667,11 @@ object GraftRestServer {
             (ex.getRequestMethod, parts.toList) match {
               case ("GET", Nil) =>
                 respond(ex, 200, "{\"sources\":[" +
-                  graft.catalog.Sources.list.map(sourceJson).mkString(",") + "]}")
+                  graft.catalog.Sources.list.map(sourceJson(_, admin))
+                    .mkString(",") + "]}")
               case ("GET", name :: Nil) =>
-                try respond(ex, 200, sourceJson(graft.catalog.Sources.get(name)))
+                try respond(ex, 200,
+                  sourceJson(graft.catalog.Sources.get(name), admin))
                 catch { case _: IllegalArgumentException =>
                   respond(ex, 404, error(s"no source named '$name'")) }
               case ("PUT", name :: Nil) if !admin =>
@@ -675,14 +684,15 @@ object GraftRestServer {
                 val props = Seq("url", "driver", "path")
                   .flatMap(k => jsonField(body, k).map(k -> _)).toMap
                 try {
-                  // PUT is create-or-replace (SourceResource update)
-                  if (scala.util.Try(graft.catalog.Sources.get(name)).isSuccess) {
-                    val adminSession = root.newSession()
-                    graft.catalog.Sources.drop(adminSession, name)
-                  }
+                  // PUT is create-or-replace (SourceResource update):
+                  // VALIDATE before touching the existing registration —
+                  // a bad body must not destroy a working source
+                  graft.catalog.Sources.validateConfig(kind, props)
+                  if (scala.util.Try(graft.catalog.Sources.get(name)).isSuccess)
+                    graft.catalog.Sources.drop(root.newSession(), name)
                   val s = graft.catalog.Sources.create(root, name, kind, props,
                     ifNotExists = false)
-                  respond(ex, 200, sourceJson(s))
+                  respond(ex, 200, sourceJson(s, admin))
                 } catch { case e: Exception =>
                   respond(ex, 400, error(e.getMessage.take(300))) }
               case ("DELETE", name :: Nil) if !admin =>
@@ -695,7 +705,7 @@ object GraftRestServer {
                 respond(ex, 403, error("source refresh requires an admin principal"))
               case ("POST", name :: "refresh" :: Nil) =>
                 try respond(ex, 200,
-                  sourceJson(graft.catalog.Sources.refreshStatus(root, name)))
+                  sourceJson(graft.catalog.Sources.refreshStatus(root, name), admin))
                 catch { case _: IllegalArgumentException =>
                   respond(ex, 404, error(s"no source named '$name'")) }
               case _ => respond(ex, 405, error("unsupported source operation"))

@@ -1398,9 +1398,12 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     * partial-rewrite eligible). METADATA-ONLY — zero data files open; at
     * a 100 TB table this is how an operator checks a DELETE will rewrite
     * 3 files and not 30,000 before running it. */
-  def explainDml(cond: org.apache.spark.sql.Column)
+  def explainDml(cond: org.apache.spark.sql.Column,
+                 ref: Option[String] = None)
       : (Int, Int, Int, Option[Long], Option[Long], Boolean) = {
-    val log = commits
+    // forecast against the SAME snapshot the real statement would touch:
+    // a branch ref replays the branch-visible log, not main's
+    val log = this.log(ref)
     val (entries, schema, curIds) = replayEntries(log)
     val tfs = specTransforms(log)
     val uniformIds = entries.forall(_.writeIds == curIds)

@@ -264,32 +264,12 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
           out("reflection", "fingerprint"))
       case AlterRefreshScopedRe(qpath, bare, filesList, partList, regex,
           promo, forceKw, missingKw, errConc) =>
-        RefreshDatasetCommand(Option(qpath).getOrElse(bare),
-          filesList = Option(filesList).map(fl =>
-            PropKeyRe.findAllMatchIn(fl).map(_.group(1)).toSeq),
-          partSpecs = Option(partList).map(pl =>
-            PartSpecPairRe.findAllMatchIn(pl).map(m => m.group(1) -> m.group(2)).toSeq),
-          regex = Option(regex),
-          promo = Option(promo).map(_.equalsIgnoreCase("AUTO")),
-          force = Option(forceKw).map(_.equalsIgnoreCase("FORCE")),
-          deleteWhenMissing = Option(missingKw).map(_.equalsIgnoreCase("DELETE")),
-          errorOnConcurrent = errConc != null,
-          out("dataset", "format", "files_total", "files_added",
-            "files_removed", "status"))
+        refreshDatasetCommand(qpath, bare, filesList, partList, regex,
+          promo, forceKw, missingKw, errConc)
       case RefreshDatasetRe(qpath, bare, filesList, partList, regex,
           promo, forceKw, missingKw, errConc) =>
-        RefreshDatasetCommand(Option(qpath).getOrElse(bare),
-          filesList = Option(filesList).map(fl =>
-            PropKeyRe.findAllMatchIn(fl).map(_.group(1)).toSeq),
-          partSpecs = Option(partList).map(pl =>
-            PartSpecPairRe.findAllMatchIn(pl).map(m => m.group(1) -> m.group(2)).toSeq),
-          regex = Option(regex),
-          promo = Option(promo).map(_.equalsIgnoreCase("AUTO")),
-          force = Option(forceKw).map(_.equalsIgnoreCase("FORCE")),
-          deleteWhenMissing = Option(missingKw).map(_.equalsIgnoreCase("DELETE")),
-          errorOnConcurrent = errConc != null,
-          out("dataset", "format", "files_total", "files_added",
-            "files_removed", "status"))
+        refreshDatasetCommand(qpath, bare, filesList, partList, regex,
+          promo, forceKw, missingKw, errConc)
       case RefreshMetadataRe(quoted, bare) =>
         RefreshMetadataCommand(Option(quoted).getOrElse(bare))
       case AccelToggleRe(qdir, bare, onOff, kind) =>
@@ -395,12 +375,18 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
         ExplainLakeMergeCommand(dir, key, splitParenQuery(rest)._1,
           out("mode", "files_total", "files_rewritten", "files_carried",
             "rows_rewritten_max", "bytes_rewritten", "partial_rewrite"))
-      case ExplainDeleteLakeRe(dir, cond) =>
+      case ExplainDeleteLakeRe(dir, atBranch, cond) =>
         ExplainLakeDmlCommand(dir, cond, "copy-on-write delete",
+          Option(atBranch),
           out("mode", "files_total", "files_rewritten", "files_carried",
             "rows_rewritten_max", "bytes_rewritten", "partial_rewrite"))
-      case ExplainUpdateLakeRe(dir, cond) =>
-        ExplainLakeDmlCommand(dir, cond, "copy-on-write update",
+      case ExplainUpdateLakeRe(dir, atBranch, rest) =>
+        // quote-aware split: a 'where' inside a SET string literal is
+        // data (same rule as the executing UPDATE form)
+        val wi = GraftSqlParser.topLevelKeyword(rest, "WHERE")
+        require(wi > 0, s"EXPLAIN UPDATE LAKE requires a WHERE clause: $t")
+        ExplainLakeDmlCommand(dir, rest.drop(wi + 5).trim, "copy-on-write update",
+          Option(atBranch),
           out("mode", "files_total", "files_rewritten", "files_carried",
             "rows_rewritten_max", "bytes_rewritten", "partial_rewrite"))
       case DeleteLakeRe(dir, cond) => DeleteLakeCommand(dir, cond)
@@ -913,10 +899,13 @@ object GraftSqlParser {
   // copy-on-write analysis without execution
   private val ExplainDeleteLakeRe =
     ("""(?is)EXPLAIN\s+(?:PLAN\s+FOR\s+)?DELETE\s+FROM\s+LAKE\s+'([^']+)'""" +
-      """\s+WHERE\s+(.+?)\s*;?""").r
+      """(?:\s+AT\s+BRANCH\s+([\w.-]+))?\s+WHERE\s+(.+?)\s*;?""").r
+  // the UPDATE tail is captured whole and split on the TOP-LEVEL WHERE
+  // by the dispatch (a 'where' inside a SET string literal is data —
+  // same rule as the executing form)
   private val ExplainUpdateLakeRe =
     ("""(?is)EXPLAIN\s+(?:PLAN\s+FOR\s+)?UPDATE\s+LAKE\s+'([^']+)'""" +
-      """\s+SET\s+.+?\s+WHERE\s+(.+?)\s*;?""").r
+      """(?:\s+AT\s+BRANCH\s+([\w.-]+))?\s+SET\s+(.+?)\s*;?""").r
   private val ExplainMergeLakeRe =
     ("""(?is)EXPLAIN\s+(?:PLAN\s+FOR\s+)?MERGE\s+INTO\s+LAKE\s+'([^']+)'""" +
       """\s+ON\s+(\w+)\s+USING\s+(.+)""").r
@@ -1382,6 +1371,39 @@ object GraftSqlParser {
       Nil
     }
   }
+
+  /** Parse a forecaster body and REFUSE commands/DML: Dataset creation
+    * executes command plans eagerly, so an EXPLAIN whose contract is
+    * "never executes" must reject them BEFORE building the DataFrame
+    * (both Command nodes from this parser and Spark's unresolved
+    * *Statement forms like InsertIntoStatement). */
+  private def queryOnlyDf(spark: SparkSession, sql: String, what: String)
+      : org.apache.spark.sql.DataFrame = {
+    val parsed = spark.sessionState.sqlParser.parsePlan(sql)
+    require(!parsed.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command] &&
+      !parsed.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.ParsedStatement],
+      s"$what only accepts a QUERY body — commands/DML would execute")
+    org.apache.spark.sql.graft.Bridge.ofRows(spark, parsed)
+  }
+
+  /** One builder for BOTH refresh spellings (REFRESH DATASET and
+    * ALTER ... REFRESH METADATA share the clause tail — option parsing
+    * must not diverge between them). Raw capture groups in, command out. */
+  private def refreshDatasetCommand(qpath: String, bare: String,
+      filesList: String, partList: String, regex: String, promo: String,
+      forceKw: String, missingKw: String, errConc: String): RefreshDatasetCommand =
+    RefreshDatasetCommand(Option(qpath).getOrElse(bare),
+      filesList = Option(filesList).map(fl =>
+        PropKeyRe.findAllMatchIn(fl).map(_.group(1)).toSeq),
+      partSpecs = Option(partList).map(pl =>
+        PartSpecPairRe.findAllMatchIn(pl).map(m => m.group(1) -> m.group(2)).toSeq),
+      regex = Option(regex),
+      promo = Option(promo).map(_.equalsIgnoreCase("AUTO")),
+      force = Option(forceKw).map(_.equalsIgnoreCase("FORCE")),
+      deleteWhenMissing = Option(missingKw).map(_.equalsIgnoreCase("DELETE")),
+      errorOnConcurrent = errConc != null,
+      out("dataset", "format", "files_total", "files_added",
+        "files_removed", "status"))
 
   /** Comma-split a privilege list (`USAGE, COMMIT`). */
   private def splitPrivs(privs: String): Seq[String] =
@@ -2448,6 +2470,12 @@ object GraftSqlParser {
     override def run(spark: SparkSession): Seq[Row] = {
       graft.auth.Privileges.requireAction(spark, "alter", dir,
         "ALTER ... ENABLE|DISABLE ACCELERATION")
+      // the toggle anchors on reflection baseVersions, which only lake
+      // sources record — a mistyped path or non-lake dataset would
+      // "succeed" while substitution continued unchanged
+      require(graft.sources.SnapshotTable.isLakeTable(dir),
+        s"ENABLE|DISABLE ACCELERATION: '$dir' is not a lake table " +
+          "(acceleration toggles anchor on lake datasets)")
       graft.accel.Reflections.setAccelToggle(dir, kind, enable)
       Seq(Row(dir, kind.toLowerCase, if (enable) "enabled" else "disabled"))
     }
@@ -2459,12 +2487,17 @@ object GraftSqlParser {
     * zero data files open. SELECT-gated (it reveals manifest shape, not
     * data). */
   case class ExplainLakeDmlCommand(dir: String, condSql: String, mode: String,
+      atBranch: Option[String] = None,
       override val output: Seq[Attribute]) extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
       graft.auth.Privileges.requireAction(spark, "select", dir, "EXPLAIN LAKE DML")
+      // the forecast must target what the STATEMENT would touch: explicit
+      // AT BRANCH wins, else the session pin routes exactly like the real
+      // DML (a tag/VERSION pin refuses here too — the statement would)
+      val branch = atBranch.orElse(dmlBranchPin(spark, dir, s"EXPLAIN $mode"))
       val (total, rewrite, carried, rows, bytes, partial) =
         graft.sources.SnapshotTable.forPath(spark, dir)
-          .explainDml(org.apache.spark.sql.functions.expr(condSql))
+          .explainDml(org.apache.spark.sql.functions.expr(condSql), branch)
       Seq(Row(mode, total.toString, rewrite.toString, carried.toString,
         rows.map(_.toString).getOrElse("unknown"),
         bytes.map(_.toString).getOrElse("unknown"),
@@ -2485,7 +2518,8 @@ object GraftSqlParser {
       val (spec, statsCols, sortBy) = t.effectiveLayout
       // analyzed + optimized, never executed: the CBO row estimate is the
       // same number a real INSERT's planning would see
-      val est = spark.sql(querySql).queryExecution.optimizedPlan
+      val est = queryOnlyDf(spark, querySql, "EXPLAIN INSERT INTO LAKE")
+        .queryExecution.optimizedPlan
         .stats.rowCount.map(_.toString).getOrElse("unknown")
       Seq(Row("append", spec.mkString(", "), statsCols.mkString(", "),
         sortBy.mkString(", "), est, (t.latestVersion + 1).toString))
@@ -2501,7 +2535,7 @@ object GraftSqlParser {
     override def run(spark: SparkSession): Seq[Row] = {
       graft.auth.Privileges.requireAction(spark, "select", dir, "EXPLAIN LAKE MERGE")
       import org.apache.spark.sql.functions.{col, lit, max, min}
-      val mm = spark.sql(querySql)
+      val mm = queryOnlyDf(spark, querySql, "EXPLAIN MERGE INTO LAKE")
         .agg(min(col(key)).as("lo"), max(col(key)).as("hi")).head()
       val touch =
         if (mm.isNullAt(0)) lit(false) // no non-null keys: inserts only

@@ -131,6 +131,14 @@ class SourcesSpec extends AnyFunSuite {
       assert(new java.io.File(dir).delete())
       val (c2, b2) = call("POST", "/source/rest_files/refresh")
       assert(c2 == 200 && b2.contains("\"status\":\"bad\""), b2)
+      // PUT is validate-then-swap: a bad update body must NOT destroy the
+      // existing source
+      val (cBad, _) = call("PUT", "/source/rest_files", """{"type":"bogus"}""")
+      assert(cBad == 400)
+      val (cBad2, _) = call("PUT", "/source/rest_files", """{"type":"jdbc"}""")
+      assert(cBad2 == 400) // jdbc without url
+      assert(call("GET", "/source/rest_files")._1 == 200,
+        "a refused update destroyed the existing source")
       // PUT replaces; DELETE unregisters; unknown is 404
       val dir2 = Files.createTempDirectory("srcrest2").toString
       val (c3, b3) = call("PUT", "/source/rest_files",
@@ -181,6 +189,23 @@ class SourcesSpec extends AnyFunSuite {
           spark.sql("ALTER SOURCE permsrc CLEAR PERMISSION CACHE"))
         intercept[SecurityException](
           spark.sql("ALTER SOURCE permsrc REFRESH STATUS"))
+        // REST GET /source hides connection config (urls may carry
+        // credentials) from non-admin principals under enforcement
+        val http = java.net.http.HttpClient.newHttpClient()
+        val port = graft.server.GraftRestServer.port
+          .getOrElse(graft.server.GraftRestServer.start(spark))
+        def getAs(user: String, pw: String): String = {
+          val cred = java.util.Base64.getEncoder
+            .encodeToString(s"$user:$pw".getBytes("UTF-8"))
+          val req = java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://localhost:$port/source/permsrc"))
+            .header("Authorization", s"Basic $cred").GET().build()
+          http.send(req, java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+        }
+        assert(!getAs("gina", "gp").contains("\"config\""),
+          "non-admin GET /source must not see connection config")
+        assert(getAs("root_u", "rp").contains("\"config\""),
+          "admin GET /source must see connection config")
       } finally {
         Privileges.clear()
         spark.conf.unset(Privileges.TokenConf)

@@ -45,6 +45,10 @@ class MultiMatchSpec extends AnyFunSuite {
     val e = intercept[Exception](spark.sql(
       "SELECT phrase_hits(t, array(t)) FROM VALUES ('a') v(t)").collect())
     assert(e.getMessage.toLowerCase.contains("literal"), e.getMessage)
+    // a null ELEMENT refuses with a named error, not a raw NPE
+    val e2 = intercept[Exception](spark.sql(
+      "SELECT phrase_hits('abc', array('a', cast(null AS string)))").collect())
+    assert(e2.getMessage.contains("null elements"), e2.getMessage)
     // scale sanity: 5k phrases compile once and match in one pass
     val many = (0 until 5000).map(i => s"tok$i phrase")
     val got = hitsOf("prefix tok4321 phrase suffix tok17 phrase", many)

@@ -1417,5 +1417,33 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(ins.getString(5).toLong ==
       SnapshotTable.forPath(spark, dir).latestVersion + 1)
     assert(SnapshotTable.forPath(spark, dir).read().count() == 250L) // dry
+    // a command body inside the forecaster is refused BEFORE executing —
+    // the never-executes contract would otherwise commit a real append
+    val other = fresh("lake_explain_other")
+    spark.sql(s"CREATE LAKE '$other' AS SELECT id FROM range(3)")
+    val eCmd = intercept[Exception](spark.sql(
+      s"EXPLAIN INSERT INTO LAKE '$dir' INSERT INTO LAKE '$other' SELECT id, 'x' AS v FROM range(5)"))
+    assert(eCmd.getMessage.contains("QUERY body"), eCmd.getMessage)
+    assert(SnapshotTable.forPath(spark, other).read().count() == 3L,
+      "the nested command must not have executed")
+    // a SET string literal containing 'where' is data, not the split point
+    val lit = spark.sql(s"EXPLAIN UPDATE LAKE '$dir' " +
+      "SET v = 'keep where possible' WHERE id >= 250").head()
+    assert(lit.getString(0) == "copy-on-write update", lit.toString)
+    // EXPLAIN under a session branch pin forecasts the BRANCH's snapshot
+    spark.sql(s"CREATE BRANCH fc FROM LAKE '$dir'")
+    spark.sql(s"DELETE FROM LAKE '$dir' AT BRANCH fc WHERE id < 100")
+    spark.sql(s"USE BRANCH fc IN LAKE '$dir'")
+    try {
+      val br = spark.sql(s"EXPLAIN DELETE FROM LAKE '$dir' WHERE id < 100").head()
+      // main still holds ids [50,100); the branch deleted them — the
+      // branch forecast has zero ROWS left to rewrite (a statless empty
+      // COW output may still count as a touchable file, conservatively)
+      assert(br.getString(4).toLong == 0L,
+        s"branch forecast must see the branch's snapshot: $br")
+    } finally spark.sql(s"USE DEFAULT IN LAKE '$dir'")
+    val mainFc = spark.sql(s"EXPLAIN DELETE FROM LAKE '$dir' WHERE id < 100").head()
+    assert(mainFc.getString(2).toInt > 0 && mainFc.getString(4).toLong >= 50L,
+      s"main forecast: $mainFc")
   }
 }
