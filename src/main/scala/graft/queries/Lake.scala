@@ -707,7 +707,41 @@ object Lake {
            count(*) AS n_rows
     FROM customer GROUP BY 1 ORDER BY grp"""
 
+  /** REFRESH DATASET end-to-end through the maintained file index
+    * (reference SqlRefreshDataset): auto-promote a parquet folder, drop
+    * a late file in (INVISIBLE — scans plan from the index, not a
+    * listing), pick it up with a FILE-SCOPED refresh, and read the
+    * reconciled dataset back. The oracle is plain `nation` — both
+    * halves together are exactly the fixture. */
+  val refreshDatasetScan: QueryFn = (s, dir) => {
+    val t = Tables.ensure(s, dir)
+    // repeated invocations (bench passes) must re-promote cleanly
+    try s.sql("ALTER TABLE rds_nation FORGET METADATA")
+    catch { case _: Exception => () }
+    val scratch = scratchDir("graft_rfds_q")
+    val base = s"$scratch/rds_nation"
+    t.nation.filter(col("n_nationkey") < 20)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .coalesce(1).write.parquet(base)
+    s.sql(s"REFRESH DATASET '$base' AUTO PROMOTION")
+    // the late arrival lands as a FILE in the folder, bypassing the index
+    val tmp = s"$scratch/late_stage"
+    t.nation.filter(col("n_nationkey") >= 20)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$base/late.parquet"))
+    s.sql("REFRESH DATASET rds_nation FOR FILES ('late.parquet')")
+    s.sql("""SELECT n_nationkey, n_name, n_regionkey FROM rds_nation
+            |ORDER BY n_nationkey""".stripMargin)
+  }
+  val refreshDatasetScanSql: String = """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"""
+
   val queries: Map[String, QueryFn] = Map(
+    "refresh_dataset_scan" -> refreshDatasetScan,
     "lake_approx_ndv" -> lakeApproxNdv,
     "iceberg_read" -> icebergRead,
     "iceberg_pos_delete" -> icebergPosDelete,
@@ -742,6 +776,7 @@ object Lake {
     "lake_scan_tvf" -> lakeScanTvfSql,
     "lake_count_meta" -> lakeCountMetaSql,
     "lake_approx_ndv" -> lakeApproxNdvSql,
+    "refresh_dataset_scan" -> refreshDatasetScanSql,
     "lake_pruned_scan" -> lakePrunedScanSql,
     "lake_partitioned_scan" -> lakePartitionedScanSql,
     "lake_partitions_meta" -> lakePartitionsMetaSql,
