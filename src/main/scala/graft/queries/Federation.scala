@@ -148,6 +148,35 @@ object Federation {
     SELECT r_regionkey, r_name FROM region
     WHERE r_regionkey >= 1 ORDER BY r_regionkey LIMIT 3"""
 
+  /** The same external read routed through the SOURCE LIFECYCLE
+    * (reference SourceResource → source catalog): CREATE SOURCE probes
+    * the connection and publishes the name `external_query` resolves —
+    * the registry, not hand-set conf keys, is what makes the remote
+    * reachable. */
+  val sourceLifecycleQuery: QueryFn = (s, dir) => {
+    val t = Tables.ensure(s, dir)
+    val url = "jdbc:derby:memory:graftsrclc;create=true"
+    t.nation.select(col("n_nationkey"), col("n_name"))
+      .write.format("jdbc")
+      .option("url", url).option("dbtable", "NATION_SRC")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .option("createTableColumnTypes", "n_name VARCHAR(64)")
+      .mode("overwrite").save()
+    val row = s.sql(
+      s"""CREATE SOURCE IF NOT EXISTS fed_lifecycle TYPE jdbc (
+         |  'url' = '$url',
+         |  'driver' = 'org.apache.derby.jdbc.EmbeddedDriver')""".stripMargin).head()
+    require(row.getString(2) == "good", s"source probe failed: $row")
+    s.sql("""SELECT n_nationkey, n_name
+             FROM external_query('fed_lifecycle',
+               'SELECT "n_nationkey", "n_name" FROM APP.NATION_SRC
+                WHERE "n_nationkey" < 10 ORDER BY "n_nationkey"')
+             ORDER BY n_nationkey""")
+  }
+  val sourceLifecycleQuerySql: String = """
+    SELECT n_nationkey, n_name FROM nation
+    WHERE n_nationkey < 10 ORDER BY n_nationkey"""
+
   /** Arrow IPC easy-format round trip (reference `exec/store/easy/arrow`):
     * export a supplier selection as Arrow record-batch files with the
     * distributed writer, read them back with the distributed reader, and
@@ -173,6 +202,7 @@ object Federation {
     "jdbc_agg_pushdown" -> jdbcAggPushdown,
     "jdbc_join_pushdown" -> jdbcJoinPushdown,
     "jdbc_external_query" -> jdbcExternalQuery,
+    "source_lifecycle_query" -> sourceLifecycleQuery,
     "arrow_roundtrip" -> arrowRoundtrip)
 
   val oracle: Map[String, String] = Map(
@@ -181,5 +211,6 @@ object Federation {
     "jdbc_agg_pushdown" -> jdbcAggPushdownSql,
     "jdbc_join_pushdown" -> jdbcJoinPushdownSql,
     "jdbc_external_query" -> jdbcExternalQuerySql,
+    "source_lifecycle_query" -> sourceLifecycleQuerySql,
     "arrow_roundtrip" -> arrowRoundtripSql)
 }
