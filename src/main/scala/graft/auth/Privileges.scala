@@ -542,6 +542,32 @@ object Privileges {
     invalidateClosures()
   }
 
+  /** Store-layer grant/revoke on a PRE-BUILT object key (script grants —
+    * [[graft.catalog.Scripts]] owns the authorization gate and the key
+    * spelling; grantee validation and the ALL-vs-narrow revoke contract
+    * live here with the store). */
+  def grantRaw(spark: SparkSession, actions: Seq[String], obj: String,
+               kind: String, grantee: String, granting: Boolean): Unit = {
+    val k = (kind.toLowerCase, grantee.toLowerCase)
+    if (granting) {
+      if (kind.equalsIgnoreCase("user")) require(users.contains(k._2), s"unknown user: $grantee")
+      else require(roles.contains(k._2), s"unknown role: $grantee")
+    }
+    val pairs = actions.map(a => (a.toLowerCase, obj)).toSet
+    grants.updateWith(k) {
+      case Some(s) => Some(if (granting) s ++ pairs
+        else if (actions.exists(_.equalsIgnoreCase("all"))) s.filterNot(_._2 == obj)
+        else {
+          require(!s.contains(("all", obj)),
+            s"REVOKE on $obj: grantee holds ALL — REVOKE ALL instead " +
+              "(removing one privilege would leave access intact)")
+          s -- pairs
+        })
+      case None => if (granting) Some(pairs) else None
+    }
+    invalidateClosures()
+  }
+
   /** Every object name the user holds SELECT (or ALL) on, directly or via
     * roles — used by the check rule's granted-view-body cover. */
   def grantedObjects(u: User): Set[String] =

@@ -304,6 +304,17 @@ object InfoSchema {
       () => Sources.list.map(s =>
         Row(s.name, s.kind, s.status, s.message, s.lastProbeMs)))
 
+  /** Saved scripts (reference `services/script`): metadata only —
+    * content stays behind the VIEW gate (DESCRIBE SCRIPT). */
+  def sysScripts(spark: SparkSession): DataFrame =
+    live(spark, StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("owner", StringType, nullable = false),
+      StructField("created_ms", LongType, nullable = false),
+      StructField("modified_ms", LongType, nullable = false))),
+      () => Scripts.listAll.map(s =>
+        Row(s.name, s.owner, s.createdMs, s.modifiedMs)))
+
   /** Registered roles (reference `sys.roles`). */
   def sysRoles(spark: SparkSession): DataFrame =
     live(spark, StructType(Seq(
@@ -359,5 +370,6 @@ object InfoSchema {
     sysUsers(spark).createOrReplaceTempView("sys_users")
     sysRoles(spark).createOrReplaceTempView("sys_roles")
     sysSources(spark).createOrReplaceTempView("sys_sources")
+    sysScripts(spark).createOrReplaceTempView("sys_scripts")
   }
 }

@@ -119,6 +119,21 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
       : LogicalPlan =
     parseWith(sqlText, delegate.parsePlanWithParameters(_, parameters))
 
+  /** RUN SCRIPT resolves to the INNER statement's plan (full result
+    * pass-through; the saved text is analyzed and privilege-checked
+    * under the CALLER, like the reference's SQL runner — stored SQL is
+    * not stored authority). Depth-capped against script cycles. */
+  private val runScriptDepth = new ThreadLocal[Integer] {
+    override def initialValue(): Integer = 0
+  }
+  private def runScriptPlan(name: String): LogicalPlan = {
+    val d = runScriptDepth.get().intValue()
+    require(d < 10, s"RUN SCRIPT $name: nesting exceeds 10 levels (cycle?)")
+    val content = graft.catalog.Scripts.read(spark, name).content
+    runScriptDepth.set(d + 1)
+    try parsePlan(content) finally runScriptDepth.set(d)
+  }
+
   private def parseWith(sqlText: String,
                         fallback: String => LogicalPlan): LogicalPlan = {
     val t = sqlText.trim
@@ -218,6 +233,23 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
       case ShowGrantsOnRefRe(refType, ref, dir) =>
         ShowGrantsOnRefCommand(refType.toLowerCase, ref, dir,
           out("grantee_type", "grantee", "privilege"))
+      case CreateScriptRe(name, content) =>
+        ScriptDdlCommand(name, Some(content.replace("''", "'")), create = true,
+          out("script", "owner"))
+      case AlterScriptRe(name, content) =>
+        ScriptDdlCommand(name, Some(content.replace("''", "'")), create = false,
+          out("script", "owner"))
+      case DropScriptRe(name) => DropScriptCommand(name)
+      case DescribeScriptRe(name) =>
+        DescribeScriptCommand(name,
+          out("script", "owner", "content", "created_ms", "modified_ms"))
+      case RunScriptRe(name) => runScriptPlan(name)
+      case ShowScriptsRe() =>
+        ShowScriptsCommand(out("script", "owner", "modified_ms"))
+      case GrantOnScriptRe(privs, name, kind, grantee) =>
+        GrantOnScriptCommand(splitPrivs(privs), name, kind, grantee, granting = true)
+      case RevokeOnScriptRe(privs, name, kind, grantee) =>
+        GrantOnScriptCommand(splitPrivs(privs), name, kind, grantee, granting = false)
       case GrantRe(action, qobj, obj, kind, grantee) =>
         GrantCommand(action, Option(qobj).getOrElse(obj), kind, grantee, granting = true)
       case RevokeRe(action, qobj, obj, kind, grantee) =>
@@ -744,6 +776,25 @@ object GraftSqlParser {
       """FROM\s+(USER|ROLE)\s+([\w.-]+)\s*;?""").r
   private val ShowGrantsOnRefRe =
     """(?is)SHOW\s+GRANTS\s+ON\s+(BRANCH|TAG)\s+([\w.-]+)\s+IN\s+CATALOG\s+'([^']+)'\s*;?""".r
+  // ---- saved SQL scripts (reference services/script ScriptServiceImpl;
+  // GRANT ON SCRIPT = SqlGrantOnScript, grant.ftl:191; privileges
+  // VIEW/MODIFY/DELETE/MANAGE_GRANTS). Content is a single-quoted SQL
+  // string with '' escaping. ----
+  private val CreateScriptRe =
+    """(?is)CREATE\s+SCRIPT\s+([\w.-]+)\s+AS\s+'((?:[^']|'')*)'\s*;?""".r
+  private val AlterScriptRe =
+    """(?is)ALTER\s+SCRIPT\s+([\w.-]+)\s+AS\s+'((?:[^']|'')*)'\s*;?""".r
+  private val DropScriptRe = """(?is)DROP\s+SCRIPT\s+([\w.-]+)\s*;?""".r
+  private val DescribeScriptRe =
+    """(?is)DESCRIBE\s+SCRIPT\s+([\w.-]+)\s*;?""".r
+  private val RunScriptRe = """(?is)RUN\s+SCRIPT\s+([\w.-]+)\s*;?""".r
+  private val ShowScriptsRe = """(?is)SHOW\s+SCRIPTS\s*;?""".r
+  private val GrantOnScriptRe =
+    ("""(?is)GRANT\s+([A-Z_]+(?:\s*,\s*[A-Z_]+)*)\s+ON\s+SCRIPT\s+([\w.-]+)\s+""" +
+      """TO\s+(USER|ROLE)\s+([\w.-]+)\s*;?""").r
+  private val RevokeOnScriptRe =
+    ("""(?is)REVOKE\s+([A-Z_]+(?:\s*,\s*[A-Z_]+)*)\s+ON\s+SCRIPT\s+([\w.-]+)\s+""" +
+      """FROM\s+(USER|ROLE)\s+([\w.-]+)\s*;?""").r
   // GRANT OWNERSHIP (reference SqlGrantOwnership, grant.ftl:708): transfer
   // an object's owner; owners hold every privilege on it and may
   // GRANT/REVOKE on it — delegated administration
@@ -1553,6 +1604,56 @@ object GraftSqlParser {
     override def run(spark: SparkSession): Seq[Row] =
       graft.catalog.Sources.list.map(s =>
         Row(s.name, s.kind, s.status, s.message, s.lastProbeMs.toString))
+  }
+
+  /** CREATE|ALTER SCRIPT name AS '<sql>' (reference ScriptServiceImpl
+    * create/updateScript; limits enforced there). */
+  case class ScriptDdlCommand(name: String, content: Option[String],
+      create: Boolean, override val output: Seq[Attribute])
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val s = if (create) graft.catalog.Scripts.create(spark, name, content.get)
+              else graft.catalog.Scripts.update(spark, name, content.get)
+      Seq(Row(s.name, s.owner))
+    }
+  }
+
+  /** DROP SCRIPT (DELETE-gated: owner/admin/grantee). */
+  case class DropScriptCommand(name: String) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      graft.catalog.Scripts.drop(spark, name); Nil
+    }
+  }
+
+  /** DESCRIBE SCRIPT (VIEW-gated): the stored text and its metadata. */
+  case class DescribeScriptCommand(name: String,
+      override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val s = graft.catalog.Scripts.read(spark, name)
+      Seq(Row(s.name, s.owner, s.content, s.createdMs.toString,
+        s.modifiedMs.toString))
+    }
+  }
+
+  /** SHOW SCRIPTS: the scripts VISIBLE to this session (own +
+    * VIEW-granted; admins see all; everything while enforcement is off). */
+  case class ShowScriptsCommand(override val output: Seq[Attribute])
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] =
+      graft.catalog.Scripts.visible(spark).map(s =>
+        Row(s.name, s.owner, s.modifiedMs.toString))
+  }
+
+  /** GRANT/REVOKE VIEW|MODIFY|DELETE|MANAGE_GRANTS ON SCRIPT
+    * (SqlGrantOnScript): owner, admin, or a MANAGE_GRANTS holder shares. */
+  case class GrantOnScriptCommand(actions: Seq[String], name: String,
+      kind: String, grantee: String, granting: Boolean)
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      graft.catalog.Scripts.grantOnScript(spark, actions, name, kind,
+        grantee, granting)
+      Nil
+    }
   }
 
   /** GRANT/REVOKE SELECT|ALL ON obj TO/FROM USER|ROLE g — object is a

@@ -1,0 +1,108 @@
+package graft.catalog
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.auth.Privileges
+
+/** Saved SQL scripts (reference `services/script/ScriptServiceImpl` +
+  * `SqlGrantOnScript`, grant.ftl:191): lifecycle, reference limits,
+  * owner/admin/grant access matrix, RUN SCRIPT as plan pass-through
+  * executing UNDER THE CALLER's privileges, cycle cap, sys_scripts. */
+class ScriptsSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    graft.engine.Tables.ensure(s, TestSpark.sf)
+    graft.catalog.InfoSchema.register(s)
+    s
+  }
+
+  private def asPrincipal(user: String, pw: String): Unit =
+    spark.sql(s"AUTHENTICATE USER $user PASSWORD '$pw'")
+
+  private def withWorld(body: => Unit): Unit = {
+    Privileges.clear(); Scripts.clear()
+    spark.conf.unset(Privileges.TokenConf)
+    try body
+    finally {
+      Privileges.clear(); Scripts.clear()
+      spark.conf.unset(Privileges.TokenConf)
+      spark.conf.unset(Privileges.UserConf)
+    }
+  }
+
+  test("lifecycle, RUN pass-through, limits, sys_scripts") {
+    withWorld {
+      spark.sql("CREATE SCRIPT top_nations AS " +
+        "'SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey LIMIT 3'")
+      // RUN SCRIPT returns the inner statement's own result shape
+      val rows = spark.sql("RUN SCRIPT top_nations").collect()
+      assert(rows.length == 3 && rows.head.getAs[Number](0).longValue() == 0L)
+      // quote escaping: '' in the stored text round-trips as '
+      spark.sql("CREATE SCRIPT quoted AS 'SELECT ''x'' AS s'")
+      assert(spark.sql("RUN SCRIPT quoted").head().getString(0) == "x")
+      assert(spark.sql("DESCRIBE SCRIPT quoted").head().getString(2) ==
+        "SELECT 'x' AS s")
+      // ALTER replaces content; DROP removes; unknown refuses
+      spark.sql("ALTER SCRIPT quoted AS 'SELECT 1 AS one'")
+      assert(spark.sql("RUN SCRIPT quoted").head().getInt(0) == 1)
+      spark.sql("DROP SCRIPT quoted")
+      intercept[Exception](spark.sql("RUN SCRIPT quoted"))
+      // duplicate name refuses; reference limits enforced
+      intercept[Exception](spark.sql("CREATE SCRIPT top_nations AS 'SELECT 2'"))
+      intercept[Exception](spark.sql(
+        s"CREATE SCRIPT ${"x" * 200} AS 'SELECT 1'"))
+      // a script chain runs; a CYCLE is cut at the depth cap
+      spark.sql("CREATE SCRIPT outer_s AS 'RUN SCRIPT top_nations'")
+      assert(spark.sql("RUN SCRIPT outer_s").count() == 3)
+      spark.sql("CREATE SCRIPT loop_s AS 'RUN SCRIPT loop_s'")
+      val e = intercept[Exception](spark.sql("RUN SCRIPT loop_s"))
+      assert(e.getMessage.contains("nesting"), e.getMessage)
+      // metadata (no content) rides sys_scripts
+      val sys = spark.sql("SELECT name FROM sys_scripts ORDER BY name")
+        .collect().map(_.getString(0)).toSeq
+      assert(sys == Seq("loop_s", "outer_s", "top_nations"))
+    }
+  }
+
+  test("access matrix: owner/admin/VIEW-MODIFY-DELETE grants; run is caller-privileged") {
+    withWorld {
+      spark.sql("CREATE USER root_u PASSWORD 'rp' ADMIN")
+      spark.sql("CREATE USER ana PASSWORD 'ap'")
+      spark.sql("CREATE USER ben PASSWORD 'bp'")
+      spark.sql("GRANT SELECT ON nation TO USER ana")
+      spark.sql("ALTER AUTH ENFORCE ON")
+      asPrincipal("ana", "ap")
+      spark.sql("CREATE SCRIPT ana_q AS 'SELECT count(*) AS n FROM nation'")
+      assert(spark.sql("RUN SCRIPT ana_q").head().getLong(0) == 25L)
+      // ben: invisible, unreadable, unrunnable, unmodifiable
+      asPrincipal("ben", "bp")
+      assert(spark.sql("SHOW SCRIPTS").count() == 0)
+      intercept[SecurityException](spark.sql("DESCRIBE SCRIPT ana_q"))
+      intercept[Exception](spark.sql("RUN SCRIPT ana_q"))
+      intercept[SecurityException](spark.sql("ALTER SCRIPT ana_q AS 'SELECT 1'"))
+      // only the owner (or admin/MANAGE_GRANTS) may share
+      intercept[SecurityException](spark.sql(
+        "GRANT VIEW ON SCRIPT ana_q TO USER ben"))
+      asPrincipal("ana", "ap")
+      spark.sql("GRANT VIEW ON SCRIPT ana_q TO USER ben")
+      asPrincipal("ben", "bp")
+      assert(spark.sql("SHOW SCRIPTS").count() == 1)
+      assert(spark.sql("DESCRIBE SCRIPT ana_q").head().getString(1) == "ana")
+      // RUN executes under the CALLER: ben holds VIEW on the script but
+      // no SELECT on nation — stored SQL is not stored authority
+      val e = intercept[Exception](spark.sql("RUN SCRIPT ana_q").collect())
+      assert(e.getMessage.contains("lacks SELECT"), e.getMessage)
+      // MODIFY unlocks ALTER but not DROP; invalid privilege refuses
+      intercept[SecurityException](spark.sql("DROP SCRIPT ana_q"))
+      asPrincipal("root_u", "rp")
+      spark.sql("GRANT MODIFY ON SCRIPT ana_q TO USER ben") // admin may share
+      intercept[Exception](spark.sql("GRANT SELECT ON SCRIPT ana_q TO USER ben"))
+      asPrincipal("ben", "bp")
+      spark.sql("ALTER SCRIPT ana_q AS 'SELECT 42 AS n'")
+      intercept[SecurityException](spark.sql("DROP SCRIPT ana_q"))
+      // owner always drops
+      asPrincipal("ana", "ap")
+      spark.sql("DROP SCRIPT ana_q")
+    }
+  }
+}
