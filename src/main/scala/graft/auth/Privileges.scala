@@ -274,14 +274,31 @@ object Privileges {
         u.roles.flatMap(r => grants.getOrElse(("role", r), Set.empty)))
   }
 
-  /** Does the user hold `action` (or ALL) on `obj` (or `*`)? `obj` must
-    * already be normalized. */
+  /** Does the user hold `action` (or ALL) on `obj` (or `*`, or a
+    * covering CONTAINER grant)? `obj` must already be normalized.
+    * Container grants (reference `GRANT ... ON ALL DATASETS IN
+    * FOLDER|SOURCE`, grant.ftl:215) store as the normalized path plus
+    * a star suffix and cover every dataset path under the prefix. */
   def allowed(u: User, action: String, obj: String): Boolean =
     u.admin || isOwner(u, obj) || {
       val gs = effectiveGrants(u)
       val acts = Set(action.toLowerCase, "all")
-      gs.exists { case (a, o) => acts(a) && (o == "*" || o == obj) }
+      gs.exists { case (a, o) => acts(a) && (o == "*" || o == obj ||
+        (o.endsWith("/*") && obj.startsWith(o.dropRight(1)))) }
     }
+
+  /** GRANT/REVOKE ... ON ALL DATASETS IN FOLDER '<dir>' (grant.ftl:215
+    * SqlGrantOnAllDatasets): one grant covering every dataset path under
+    * the container — the team-gets-the-warehouse-subtree shape. Admin or
+    * the container path's owner may issue it. */
+  def grantOnAllDatasets(spark: SparkSession, action: String, dir: String,
+                         kind: String, grantee: String,
+                         granting: Boolean): Unit = {
+    val o = normObj(dir).stripSuffix("/") + "/*"
+    requireAdminOrOwner(spark, normObj(dir),
+      s"${if (granting) "GRANT" else "REVOKE"} ON ALL DATASETS IN $dir")
+    grantRaw(spark, Seq(action), o, kind, grantee, granting)
+  }
 
   // ---- ownership (reference SqlGrantOwnership, grant.ftl:708): the owner
   // of an object holds every privilege on it AND may GRANT/REVOKE on it —

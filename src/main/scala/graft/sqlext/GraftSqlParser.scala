@@ -246,6 +246,12 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
       case RunScriptRe(name) => runScriptPlan(name)
       case ShowScriptsRe() =>
         ShowScriptsCommand(out("script", "owner", "modified_ms"))
+      case GrantAllDatasetsRe(action, container, qpath, bare, kind, grantee) =>
+        GrantAllDatasetsCommand(action, container.toLowerCase,
+          Option(qpath).getOrElse(bare), kind, grantee, granting = true)
+      case RevokeAllDatasetsRe(action, container, qpath, bare, kind, grantee) =>
+        GrantAllDatasetsCommand(action, container.toLowerCase,
+          Option(qpath).getOrElse(bare), kind, grantee, granting = false)
       case GrantOnScriptRe(privs, name, kind, grantee) =>
         GrantOnScriptCommand(splitPrivs(privs), name, kind, grantee, granting = true)
       case RevokeOnScriptRe(privs, name, kind, grantee) =>
@@ -789,6 +795,14 @@ object GraftSqlParser {
     """(?is)DESCRIBE\s+SCRIPT\s+([\w.-]+)\s*;?""".r
   private val RunScriptRe = """(?is)RUN\s+SCRIPT\s+([\w.-]+)\s*;?""".r
   private val ShowScriptsRe = """(?is)SHOW\s+SCRIPTS\s*;?""".r
+  // GRANT ... ON ALL DATASETS IN FOLDER|SOURCE (grant.ftl:215
+  // SqlGrantOnAllDatasets): one container grant covers the subtree
+  private val GrantAllDatasetsRe =
+    ("""(?is)GRANT\s+(SELECT|INSERT|UPDATE|DELETE|ALTER|DROP|ALL)\s+ON\s+ALL\s+DATASETS\s+IN\s+""" +
+      """(FOLDER|SOURCE)\s+(?:'([^']+)'|([\w.-]+))\s+TO\s+(USER|ROLE)\s+([\w.-]+)\s*;?""").r
+  private val RevokeAllDatasetsRe =
+    ("""(?is)REVOKE\s+(SELECT|INSERT|UPDATE|DELETE|ALTER|DROP|ALL)\s+ON\s+ALL\s+DATASETS\s+IN\s+""" +
+      """(FOLDER|SOURCE)\s+(?:'([^']+)'|([\w.-]+))\s+FROM\s+(USER|ROLE)\s+([\w.-]+)\s*;?""").r
   private val GrantOnScriptRe =
     ("""(?is)GRANT\s+([A-Z_]+(?:\s*,\s*[A-Z_]+)*)\s+ON\s+SCRIPT\s+([\w.-]+)\s+""" +
       """TO\s+(USER|ROLE)\s+([\w.-]+)\s*;?""").r
@@ -1642,6 +1656,33 @@ object GraftSqlParser {
     override def run(spark: SparkSession): Seq[Row] =
       graft.catalog.Scripts.visible(spark).map(s =>
         Row(s.name, s.owner, s.modifiedMs.toString))
+  }
+
+  /** GRANT/REVOKE ... ON ALL DATASETS IN FOLDER '<dir>' | SOURCE <name>
+    * (SqlGrantOnAllDatasets): a container grant covering every dataset
+    * path under the prefix. A SOURCE resolves through the registry to
+    * its path (files/lake); jdbc sources refuse — remote access is
+    * granted per source via `GRANT ... ON 'external:<name>'`. */
+  case class GrantAllDatasetsCommand(action: String, container: String,
+      target: String, kind: String, grantee: String, granting: Boolean)
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val dir = container match {
+        case "folder" =>
+          require(target.contains("/"),
+            "GRANT ON ALL DATASETS IN FOLDER expects a quoted path")
+          target
+        case "source" =>
+          val s = graft.catalog.Sources.get(target)
+          require(s.kind == "files" || s.kind == "lake",
+            s"ON ALL DATASETS IN SOURCE: '$target' is a ${s.kind} source — " +
+              s"grant remote access per source via 'external:${s.name}'")
+          s.props("path")
+      }
+      graft.auth.Privileges.grantOnAllDatasets(spark, action, dir, kind,
+        grantee, granting)
+      Nil
+    }
   }
 
   /** GRANT/REVOKE VIEW|MODIFY|DELETE|MANAGE_GRANTS ON SCRIPT

@@ -221,6 +221,51 @@ class RefGrantsSpec extends AnyFunSuite {
     }
   }
 
+  test("GRANT ON ALL DATASETS IN FOLDER|SOURCE: one container grant covers the subtree") {
+    withAuthWorld {
+      import spark.implicits._
+      val root = java.nio.file.Files.createTempDirectory("bulkgrant").toString
+      spark.sql(s"CREATE LAKE '$root/t1' AS SELECT id FROM range(5)")
+      spark.sql(s"CREATE LAKE '$root/sub/t2' AS SELECT id FROM range(7)")
+      spark.sql("CREATE USER root_u PASSWORD 'rp' ADMIN")
+      spark.sql("CREATE USER ivy PASSWORD 'ip'")
+      spark.sql("ALTER AUTH ENFORCE ON")
+      asPrincipal("ivy", "ip")
+      intercept[Exception](spark.sql(s"SELECT count(*) FROM lake_scan('$root/t1')"))
+      asPrincipal("root_u", "rp")
+      spark.sql(s"GRANT SELECT ON ALL DATASETS IN FOLDER '$root' TO USER ivy")
+      asPrincipal("ivy", "ip")
+      // both nested datasets covered by the ONE container grant
+      assert(spark.sql(s"SELECT count(*) AS n FROM lake_scan('$root/t1')")
+        .head().getLong(0) == 5L)
+      assert(spark.sql(s"SELECT count(*) AS n FROM lake_scan('$root/sub/t2')")
+        .head().getLong(0) == 7L)
+      // read-only: the container grant was SELECT
+      intercept[SecurityException](spark.sql(
+        s"DELETE FROM LAKE '$root/t1' WHERE id = 1"))
+      // a sibling OUTSIDE the prefix stays refused
+      val other = java.nio.file.Files.createTempDirectory("bulkother").toString
+      asPrincipal("root_u", "rp")
+      spark.sql(s"CREATE LAKE '$other/t3' AS SELECT id FROM range(3)")
+      asPrincipal("ivy", "ip")
+      intercept[Exception](spark.sql(s"SELECT count(*) FROM lake_scan('$other/t3')"))
+      // the SOURCE spelling resolves through the registry; jdbc refuses
+      asPrincipal("root_u", "rp")
+      spark.sql(s"REVOKE SELECT ON ALL DATASETS IN FOLDER '$root' FROM USER ivy")
+      spark.sql(s"CREATE SOURCE bulk_src TYPE files ('path' = '$root')")
+      spark.sql("GRANT SELECT ON ALL DATASETS IN SOURCE bulk_src TO USER ivy")
+      asPrincipal("ivy", "ip")
+      assert(spark.sql(s"SELECT count(*) AS n FROM lake_scan('$root/sub/t2')")
+        .head().getLong(0) == 7L)
+      asPrincipal("root_u", "rp")
+      spark.sql("CREATE SOURCE bulk_jdbc TYPE jdbc ('url' = 'jdbc:derby:memory:bulkg;create=true')")
+      val e = intercept[Exception](spark.sql(
+        "GRANT SELECT ON ALL DATASETS IN SOURCE bulk_jdbc TO USER ivy"))
+      assert(e.getMessage.contains("external:"), e.getMessage)
+      graft.catalog.Sources.clear(spark)
+    }
+  }
+
   test("catalog privileges live under their own key: REVOKE ALL ON CATALOG can't strip table grants") {
     withAuthWorld {
       val dir = freshLake()
