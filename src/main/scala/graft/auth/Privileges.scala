@@ -538,25 +538,7 @@ object Privileges {
     require(bad.isEmpty,
       s"privilege ${bad.mkString(", ").toUpperCase} not valid ON CATALOG " +
         s"(valid: ${CatalogPrivileges.map(_.toUpperCase).mkString(", ")})")
-    val k = (kind.toLowerCase, grantee.toLowerCase)
-    if (granting) {
-      if (kind.equalsIgnoreCase("user")) require(users.contains(k._2), s"unknown user: $grantee")
-      else require(roles.contains(k._2), s"unknown role: $grantee")
-    }
-    val o = catalogObj(dir)
-    val pairs = actions.map(a => (a.toLowerCase, o)).toSet
-    grants.updateWith(k) {
-      case Some(s) => Some(if (granting) s ++ pairs
-        else if (actions.exists(_.equalsIgnoreCase("all"))) s.filterNot(_._2 == o)
-        else {
-          require(!s.contains(("all", o)),
-            s"REVOKE ON CATALOG $dir: grantee holds ALL on the catalog — " +
-              "REVOKE ALL instead (removing one privilege would leave access intact)")
-          s -- pairs
-        })
-      case None => if (granting) Some(pairs) else None
-    }
-    invalidateClosures()
+    grantRaw(spark, actions, catalogObj(dir), kind, grantee, granting)
   }
 
   /** Store-layer grant/revoke on a PRE-BUILT object key (script grants —
@@ -581,6 +563,21 @@ object Privileges {
           s -- pairs
         })
       case None => if (granting) Some(pairs) else None
+    }
+    invalidateClosures()
+  }
+
+  /** Remove EVERY grant on a pre-built object key, for all grantees —
+    * an object's grants die with the object (DROP SCRIPT), never to
+    * resurrect onto a later namesake. */
+  def purgeObject(obj: String): Unit = {
+    grants.keys.toSeq.foreach { k =>
+      grants.updateWith(k) {
+        case Some(s) =>
+          val n = s.filterNot(_._2 == obj)
+          if (n.isEmpty) None else Some(n)
+        case None => None
+      }
     }
     invalidateClosures()
   }

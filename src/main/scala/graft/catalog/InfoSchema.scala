@@ -304,15 +304,16 @@ object InfoSchema {
       () => Sources.list.map(s =>
         Row(s.name, s.kind, s.status, s.message, s.lastProbeMs)))
 
-  /** Saved scripts (reference `services/script`): metadata only —
-    * content stays behind the VIEW gate (DESCRIBE SCRIPT). */
+  /** Saved scripts (reference `services/script`): VISIBILITY-scoped like
+    * SHOW SCRIPTS (script names can themselves be sensitive), metadata
+    * only — content stays behind the VIEW gate (DESCRIBE SCRIPT). */
   def sysScripts(spark: SparkSession): DataFrame =
     live(spark, StructType(Seq(
       StructField("name", StringType, nullable = false),
       StructField("owner", StringType, nullable = false),
       StructField("created_ms", LongType, nullable = false),
       StructField("modified_ms", LongType, nullable = false))),
-      () => Scripts.listAll.map(s =>
+      () => Scripts.visible(spark).map(s =>
         Row(s.name, s.owner, s.createdMs, s.modifiedMs)))
 
   /** Registered roles (reference `sys.roles`). */

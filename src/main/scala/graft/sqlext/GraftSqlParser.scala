@@ -1673,6 +1673,12 @@ object GraftSqlParser {
             "GRANT ON ALL DATASETS IN FOLDER expects a quoted path")
           target
         case "source" =>
+          // admin gate FIRST: resolving the source before any
+          // authorization would let non-admins probe source existence
+          // and kind through error differences (sources are global
+          // infra; their bulk grants are admin-issued)
+          graft.auth.Privileges.requireAdmin(spark,
+            "GRANT ON ALL DATASETS IN SOURCE")
           val s = graft.catalog.Sources.get(target)
           require(s.kind == "files" || s.kind == "lake",
             s"ON ALL DATASETS IN SOURCE: '$target' is a ${s.kind} source — " +

@@ -74,15 +74,20 @@ class ScriptsSpec extends AnyFunSuite {
       asPrincipal("ana", "ap")
       spark.sql("CREATE SCRIPT ana_q AS 'SELECT count(*) AS n FROM nation'")
       assert(spark.sql("RUN SCRIPT ana_q").head().getLong(0) == 25L)
-      // ben: invisible, unreadable, unrunnable, unmodifiable
+      // ben: the script is not merely refused — it's INVISIBLE (the
+      // per-owner namespace never discloses existence to strangers)
       asPrincipal("ben", "bp")
       assert(spark.sql("SHOW SCRIPTS").count() == 0)
-      intercept[SecurityException](spark.sql("DESCRIBE SCRIPT ana_q"))
+      val eInv = intercept[Exception](spark.sql("DESCRIBE SCRIPT ana_q"))
+      assert(eInv.getMessage.contains("unknown script"), eInv.getMessage)
       intercept[Exception](spark.sql("RUN SCRIPT ana_q"))
-      intercept[SecurityException](spark.sql("ALTER SCRIPT ana_q AS 'SELECT 1'"))
-      // only the owner (or admin/MANAGE_GRANTS) may share
-      intercept[SecurityException](spark.sql(
-        "GRANT VIEW ON SCRIPT ana_q TO USER ben"))
+      intercept[Exception](spark.sql("ALTER SCRIPT ana_q AS 'SELECT 1'"))
+      intercept[Exception](spark.sql("GRANT VIEW ON SCRIPT ana_q TO USER ben"))
+      // ben may even own a SAME-NAMED script without colliding with
+      // ana's (per-user namespace); resolution prefers his own
+      spark.sql("CREATE SCRIPT ana_q AS 'SELECT 7 AS mine'")
+      assert(spark.sql("RUN SCRIPT ana_q").head().getInt(0) == 7)
+      spark.sql("DROP SCRIPT ana_q")
       asPrincipal("ana", "ap")
       spark.sql("GRANT VIEW ON SCRIPT ana_q TO USER ben")
       asPrincipal("ben", "bp")
@@ -100,9 +105,22 @@ class ScriptsSpec extends AnyFunSuite {
       asPrincipal("ben", "bp")
       spark.sql("ALTER SCRIPT ana_q AS 'SELECT 42 AS n'")
       intercept[SecurityException](spark.sql("DROP SCRIPT ana_q"))
-      // owner always drops
+      // owner always drops — and the script's grants die with it: a
+      // recreated namesake starts with a clean slate
       asPrincipal("ana", "ap")
       spark.sql("DROP SCRIPT ana_q")
+      spark.sql("CREATE SCRIPT ana_q AS 'SELECT 1 AS n'")
+      asPrincipal("ben", "bp")
+      assert(spark.sql("SHOW SCRIPTS").count() == 0,
+        "stale grants resurrected onto the recreated script")
+      intercept[Exception](spark.sql("DESCRIBE SCRIPT ana_q"))
+      // sys_scripts is visibility-scoped like SHOW SCRIPTS
+      assert(spark.sql("SELECT * FROM sys_scripts").count() == 0)
+      // CREATE requires a principal while enforcement is on
+      spark.conf.unset(Privileges.TokenConf)
+      val eAnon = intercept[SecurityException](
+        spark.sql("CREATE SCRIPT anon_s AS 'SELECT 1'"))
+      assert(eAnon.getMessage.contains("authenticated"), eAnon.getMessage)
     }
   }
 }
