@@ -252,6 +252,9 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
       case RevokeAllDatasetsRe(action, container, qpath, bare, kind, grantee) =>
         GrantAllDatasetsCommand(action, container.toLowerCase,
           Option(qpath).getOrElse(bare), kind, grantee, granting = false)
+      case ShowGrantsOnScriptRe(name) =>
+        ShowGrantsOnScriptCommand(name,
+          out("grantee_type", "grantee", "privilege"))
       case GrantOnScriptRe(privs, name, kind, grantee) =>
         GrantOnScriptCommand(splitPrivs(privs), name, kind, grantee, granting = true)
       case RevokeOnScriptRe(privs, name, kind, grantee) =>
@@ -803,6 +806,8 @@ object GraftSqlParser {
   private val RevokeAllDatasetsRe =
     ("""(?is)REVOKE\s+(SELECT|INSERT|UPDATE|DELETE|ALTER|DROP|ALL)\s+ON\s+ALL\s+DATASETS\s+IN\s+""" +
       """(FOLDER|SOURCE)\s+(?:'([^']+)'|([\w.-]+))\s+FROM\s+(USER|ROLE)\s+([\w.-]+)\s*;?""").r
+  private val ShowGrantsOnScriptRe =
+    """(?is)SHOW\s+GRANTS\s+ON\s+SCRIPT\s+([\w.-]+)\s*;?""".r
   private val GrantOnScriptRe =
     ("""(?is)GRANT\s+([A-Z_]+(?:\s*,\s*[A-Z_]+)*)\s+ON\s+SCRIPT\s+([\w.-]+)\s+""" +
       """TO\s+(USER|ROLE)\s+([\w.-]+)\s*;?""").r
@@ -1688,6 +1693,19 @@ object GraftSqlParser {
       graft.auth.Privileges.grantOnAllDatasets(spark, action, dir, kind,
         grantee, granting)
       Nil
+    }
+  }
+
+  /** SHOW GRANTS ON SCRIPT: grantees of the resolved script (VIEW-gated
+    * resolution — strangers get "unknown script", never a grant list). */
+  case class ShowGrantsOnScriptCommand(name: String,
+      override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val sc = graft.catalog.Scripts.read(spark, name)
+      val o = graft.catalog.Scripts.scriptObj(sc.owner, sc.name)
+      Row("owner", sc.owner, "ownership") +:
+        graft.auth.Privileges.listGrants.filter(_._4 == o)
+          .map { case (k, g, a, _) => Row(k, g, a) }
     }
   }
 

@@ -93,6 +93,11 @@ class ScriptsSpec extends AnyFunSuite {
       asPrincipal("ben", "bp")
       assert(spark.sql("SHOW SCRIPTS").count() == 1)
       assert(spark.sql("DESCRIBE SCRIPT ana_q").head().getString(1) == "ana")
+      // SHOW GRANTS ON SCRIPT lists owner + grantees for anyone who may
+      // see the script
+      val g = spark.sql("SHOW GRANTS ON SCRIPT ana_q").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSet
+      assert(g == Set(("ana", "ownership"), ("ben", "view")), g.toString)
       // RUN executes under the CALLER: ben holds VIEW on the script but
       // no SELECT on nation — stored SQL is not stored authority
       val e = intercept[Exception](spark.sql("RUN SCRIPT ana_q").collect())
