@@ -67,12 +67,16 @@ object FuzzyJoin {
         explode(expr(variantsExpr)).as("variant"))
       .select(col("id"), col("s"), xxhash64(col("variant")).as("vh"))
     // hot-variant cap: a variant shared by > maxBucket strings would hand
-    // one reducer a quadratic bucket — drop it (documented recall trade)
-    val capped = exploded
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("vh"))))
-      .where(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+    // one reducer a quadratic bucket — drop it (documented recall trade).
+    // Computed as an AGGREGATE (map-side combinable) + broadcast anti-join
+    // of the tiny over-cap set, NOT a window count: a window forces a full
+    // sort within every hash partition of a table that is len+1× the
+    // corpus, while the hot set (only variants with > maxBucket members)
+    // is by construction ≤ |corpus|/maxBucket rows — broadcastable.
+    val capped = exploded.join(
+      broadcast(exploded.groupBy(col("vh")).agg(count(lit(1)).as("bucket_n"))
+        .where(col("bucket_n") > maxBucket).select(col("vh"))),
+      Seq("vh"), "left_anti")
     val a = capped.select(col("id").as("a_id"), col("s").as("a_s"), col("vh"))
     val b = capped.select(col("id").as("b_id"), col("s").as("b_s"), col("vh"))
     a.join(b, a("vh") === b("vh") && col("a_id") < col("b_id"))
@@ -111,11 +115,12 @@ object FuzzyJoin {
     }
     val l = sideVariants(left, leftId, leftStr, "l")
     val rRaw = sideVariants(right, rightId, rightStr, "r")
-    val r = rRaw
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("vh"))))
-      .where(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+    // same aggregate + broadcast anti-join hot-cap as selfJoin (no window
+    // sort over the exploded variant table)
+    val r = rRaw.join(
+      broadcast(rRaw.groupBy(col("vh")).agg(count(lit(1)).as("bucket_n"))
+        .where(col("bucket_n") > maxBucket).select(col("vh"))),
+      Seq("vh"), "left_anti")
     l.join(r, "vh")
       .select(col("l_id"), col("r_id"), col("l_s"), col("r_s"))
       .dropDuplicates("l_id", "r_id")

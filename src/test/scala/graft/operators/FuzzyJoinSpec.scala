@@ -59,6 +59,12 @@ class FuzzyJoinSpec extends AnyFunSuite {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       s"fuzzy join must be an equi-join:\n$plan")
+    // the hot-cap is an aggregate + broadcast anti-join, NOT a window: a
+    // window count would sort every hash partition of the len+1×-corpus
+    // variant table (VERDICT r13)
+    assert(!plan.contains("Window"),
+      s"hot-variant cap must not plan a Window over the variant table:\n$plan")
+    assert(plan.contains("LeftAnti"), s"expected broadcast anti-join cap:\n$plan")
   }
 
   test("property: selfJoin equals the brute-force all-pairs on random corpora (k=1 and k=2)") {
