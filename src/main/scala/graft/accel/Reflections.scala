@@ -57,8 +57,16 @@ object Reflections {
   private val scanByNameCache = TrieMap.empty[String, LogicalPlan]
 
   private def reflectionScan(spark: SparkSession, r: Reflection): LogicalPlan = {
+    // SYSTEM context: the materialization is ENGINE-owned storage — a
+    // user whose query substitutes to it holds grants on the BASE tables
+    // (already check-ruled on the pre-substitution plan); demanding a
+    // grant on the internal mv path would break acceleration for every
+    // non-admin (the reference serves materializations under its SYSTEM
+    // user the same way).
     val base = scanByNameCache.getOrElseUpdate(r.name,
-      spark.read.parquet(r.path).queryExecution.analyzed)
+      graft.auth.Privileges.withSystemContext {
+        spark.read.parquet(r.path).queryExecution.analyzed
+      })
     base match {
       case m: org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation =>
         m.newInstance().asInstanceOf[LogicalPlan]
@@ -147,6 +155,8 @@ object Reflections {
     byFingerprint.put(r.fingerprint, r)
     planByName.put(name, plan)
     scanByNameCache.remove(name) // re-created under the same name → re-read
+    noteRefreshed(name, System.currentTimeMillis())
+    persist()
     r
   }
 
@@ -222,6 +232,7 @@ object Reflections {
     byFingerprint.put(r.fingerprint, r)
     planByName.put(name, plan)
     scanByNameCache.remove(name)
+    persist()
     r
   }
 
@@ -254,6 +265,7 @@ object Reflections {
       })
       byName.put(name, updated)
       byFingerprint.replace(r.fingerprint, r, updated)
+      persist()
     }
 
   // Substitution is disabled on this thread while a defining query is being
@@ -261,9 +273,10 @@ object Reflections {
   private val bypass = new ThreadLocal[java.lang.Boolean] {
     override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
   }
-  private def withSubstitutionBypassed[A](body: => A): A = {
+  private[accel] def withSubstitutionBypassed[A](body: => A): A = {
+    val prev = bypass.get()
     bypass.set(java.lang.Boolean.TRUE)
-    try body finally bypass.set(java.lang.Boolean.FALSE)
+    try body finally bypass.set(prev)
   }
 
   /** Full refresh: recompute the materialization (fingerprint unchanged)
@@ -274,6 +287,7 @@ object Reflections {
       df.write.mode(SaveMode.Overwrite).parquet(r.path)
       df.sparkSession.catalog.refreshByPath(r.path)
       scanByNameCache.remove(name)
+      noteRefreshed(name, System.currentTimeMillis())
       repin(df.sparkSession, name)
     }
 
@@ -285,6 +299,7 @@ object Reflections {
       delta.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(r.path)
       delta.sparkSession.catalog.refreshByPath(r.path)
       scanByNameCache.remove(name)
+      noteRefreshed(name, System.currentTimeMillis())
       repin(delta.sparkSession, name)
     }
 
@@ -299,14 +314,237 @@ object Reflections {
     }
     planByName.remove(name)
     scanByNameCache.remove(name)
+    pendingReattach.remove(name)
+    refreshEvery.remove(name)
+    lastRefreshed.remove(name)
+    persist()
   }
 
   def clear(): Unit = {
     byName.clear(); byFingerprint.clear(); planByName.clear()
     scanByNameCache.clear(); routing.clear(); accelOff.clear()
+    pendingReattach.clear(); refreshEvery.clear(); lastRefreshed.clear()
+    graft.catalog.GraftStore.sessionForPersist
+      .foreach(s => graft.catalog.GraftStore.delete(s, "reflections"))
   }
 
   def list: Seq[Reflection] = byName.values.toSeq.sortBy(_.name)
+
+  // ---- durability (GraftStore section "reflections"; reference persists
+  // reflection GOALS in services/accelerator's KV store and re-derives
+  // the rest). What persists is the goal: name, materialization path,
+  // defining SQL, pinned base versions, plus the routing and
+  // acceleration-toggle maps. The optimized defining PLAN is rebuilt by
+  // re-analyzing the SQL at load — plans are not serializable state, and
+  // re-deriving them also re-fingerprints against the live catalog.
+  // API-created reflections with no defining SQL are non-durable by
+  // construction (nothing to re-analyze) — the DDL surface always
+  // records SQL. A defining query whose referenced temp views are not
+  // registered yet stays PENDING and reattaches on the next loadFrom
+  // without losing its store entry. ----
+
+  private val pendingReattach =
+    TrieMap.empty[String, (String, String, Map[String, Long])]
+
+  private def persist(): Unit =
+    graft.catalog.GraftStore.sessionForPersist.foreach { spark =>
+      val st = graft.catalog.GraftStore
+      val root = st.newObject
+      val arr = root.putArray("reflections")
+      val durable =
+        byName.values.toSeq.collect {
+          case r if r.definingSql.isDefined =>
+            (r.name, r.path, r.definingSql.get, r.baseVersions)
+        } ++ pendingReattach.toSeq.map { case (n, (p, sql, bv)) => (n, p, sql, bv) }
+      durable.sortBy(_._1).foreach { case (name, path, sql, bv) =>
+        val o = arr.addObject()
+        o.put("name", name); o.put("path", path); o.put("sql", sql)
+        refreshEvery.get(name).foreach(m => o.put("refreshEveryMin", m))
+        lastRefreshed.get(name).foreach(t => o.put("lastRefreshMs", t))
+        val vs = o.putObject("baseVersions")
+        bv.toSeq.sortBy(_._1).foreach { case (d, v) => vs.put(d, v) }
+      }
+      val rt = root.putObject("routing")
+      routing.toSeq.sortBy(_._1).foreach { case (p, q) => rt.put(p, q) }
+      val at = root.putObject("accelOff")
+      accelOff.toSeq.sortBy(_._1).foreach { case (d, ks) =>
+        val a = at.putArray(d); ks.toSeq.sorted.foreach(a.add)
+      }
+      st.save(spark, "reflections", root)
+    }
+
+  /** Reload reflection goals: re-analyze each stored defining SQL against
+    * the live session, restore the STORED base-version pins (staleness
+    * must survive a restart — re-pinning to current versions would mark a
+    * stale materialization fresh), and keep un-analyzable goals pending
+    * rather than dropping them from the store. */
+  def loadFrom(spark: SparkSession): Unit =
+    graft.catalog.GraftStore.load(spark, "reflections").foreach { root =>
+      root.path("routing").fields().forEachRemaining(e =>
+        routing.put(e.getKey, e.getValue.asText()))
+      root.path("accelOff").fields().forEachRemaining { e =>
+        val ks = scala.collection.mutable.Set.empty[String]
+        e.getValue.forEach(k => ks.add(k.asText()))
+        accelOff.put(e.getKey, ks.toSet)
+      }
+      root.path("reflections").forEach { o =>
+        val name = o.path("name").asText()
+        val bv = scala.collection.mutable.Map.empty[String, Long]
+        o.path("baseVersions").fields().forEachRemaining(e =>
+          bv.put(e.getKey, e.getValue.asLong()))
+        if (o.has("refreshEveryMin"))
+          refreshEvery.put(name, o.path("refreshEveryMin").asLong())
+        if (o.has("lastRefreshMs"))
+          lastRefreshed.put(name, o.path("lastRefreshMs").asLong())
+        pendingReattach.put(name,
+          (o.path("path").asText(), o.path("sql").asText(), bv.toMap))
+      }
+      reattachPending(spark)
+    }
+
+  /** Try to re-register every pending goal (called by loadFrom; safe to
+    * call again after session views appear). Already-registered names are
+    * left alone — a live registration is newer than the stored goal. */
+  def reattachPending(spark: SparkSession): Unit =
+    pendingReattach.toSeq.sortBy(_._1).foreach { case (name, (path, sql, bv)) =>
+      if (byName.contains(name)) pendingReattach.remove(name)
+      else try {
+        // SYSTEM context: startup has no end-user principal, and the goal's
+        // SQL was authorized when the reflection was created (the reference
+        // runs reflection maintenance as its SYSTEM user)
+        val plan = graft.auth.Privileges.withSystemContext {
+          val df = spark.sql(sql)
+          val defining = org.apache.spark.sql.graft.Bridge.ofRows(
+            spark, df.queryExecution.logical)
+          withSubstitutionBypassed { defining.queryExecution.optimizedPlan }
+        }
+        val r = Reflection(name, fingerprintPlan(plan), path, bv, Some(sql))
+        byName.put(name, r)
+        byFingerprint.put(r.fingerprint, r)
+        planByName.put(name, plan)
+        scanByNameCache.remove(name)
+        pendingReattach.remove(name)
+        ()
+      } catch {
+        case e: Exception =>
+          System.err.println(
+            s"[graft-reflections] goal '$name' kept pending (defining SQL " +
+              s"not analyzable yet): ${Option(e.getMessage).getOrElse(e).toString.take(160)}")
+      }
+    }
+
+  /** Restart simulation for specs: in-memory only, store survives. */
+  private[graft] def resetMemoryForTest(): Unit = {
+    byName.clear(); byFingerprint.clear(); planByName.clear()
+    scanByNameCache.clear(); routing.clear(); accelOff.clear()
+    pendingReattach.clear(); refreshEvery.clear(); lastRefreshed.clear()
+  }
+
+  // ---- dependency-ordered, schedulable refresh (reference
+  // services/accelerator DependencyGraph.java + ReflectionManager.java:
+  // the manager refreshes reflections through a dependency graph —
+  // a reflection whose defining query READS another reflection's
+  // materialization must refresh AFTER it, or it rebuilds from stale
+  // upstream data; refresh periods are per-goal metadata). The scheduler
+  // SEAM is the explicit MAINTAIN REFLECTIONS statement — an operator
+  // cron (or the reference's background manager) calls it; the sandbox
+  // needs no daemon thread. ----
+
+  /** Reflection name → names it depends on: its defining plan scans a
+    * path at-or-under the other's materialization path. Driver-side over
+    * registered plans — O(reflections²) path prefix checks on metadata,
+    * nothing touches data. */
+  def dependencies(): Map[String, Set[String]] = {
+    val mats = byName.values.map(r => r.name -> normPath(r.path)).toMap
+    byName.keys.map { n =>
+      val scanned: Set[String] = planByName.get(n).map(_.collect {
+        case lr: LogicalRelation => lr.relation match {
+          case h: HadoopFsRelation =>
+            h.location.rootPaths.map(p => normPath(p.toString)).toSeq
+          case _ => Nil
+        }
+      }.flatten.toSet).getOrElse(Set.empty)
+      n -> mats.collect { case (o, p) if o != n &&
+        scanned.exists(s => s == p || s.startsWith(p + "/")) => o }.toSet
+    }.toMap
+  }
+
+  /** Dependency-first order over `names` (edges restricted to the set —
+    * an upstream OUTSIDE the refresh set is someone else's schedule). A
+    * cycle refuses loudly, naming its members: refreshing a cycle in any
+    * order rebuilds someone from stale data. */
+  def refreshOrder(names: Seq[String]): Seq[String] = {
+    val deps = dependencies()
+    val within = names.toSet
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val state = scala.collection.mutable.Map.empty[String, Int] // 0=visiting 1=done
+    def visit(n: String, stack: List[String]): Unit = state.get(n) match {
+      case Some(1) => ()
+      case Some(0) =>
+        val cycle = (n :: stack.takeWhile(_ != n)).reverse :+ n
+        throw new IllegalStateException(
+          s"reflection dependency cycle: ${cycle.mkString(" -> ")} — " +
+            "break the cycle (drop or redefine one) before bulk refresh")
+      case None =>
+        state(n) = 0
+        deps.getOrElse(n, Set.empty).toSeq.sorted.filter(within)
+          .foreach(visit(_, n :: stack))
+        state(n) = 1
+        out += n
+        ()
+    }
+    names.sorted.foreach(visit(_, Nil))
+    out.toSeq
+  }
+
+  /** Refresh the named SQL-defined reflections in dependency order and
+    * return the order used. Substitution is BYPASSED while the defining
+    * queries re-run: a due-but-still-fresh reflection would otherwise be
+    * served from its own materialization — a self-copy at best, a read
+    * of files being overwritten at worst. */
+  def refreshChain(spark: SparkSession, names: Seq[String]): Seq[String] = {
+    val ordered = refreshOrder(names)
+    ordered.foreach { n =>
+      byName.get(n).flatMap(_.definingSql).foreach { sql =>
+        withSubstitutionBypassed { refresh(n, spark.sql(sql)) }
+      }
+    }
+    ordered
+  }
+
+  // Refresh-period metadata (reference AccelerationSettings.refreshPeriod,
+  // persisted with the goal): minutes between refreshes; absent = manual.
+  private val refreshEvery = TrieMap.empty[String, Long]
+  private val lastRefreshed = TrieMap.empty[String, Long]
+
+  /** ALTER REFLECTION ... REFRESH EVERY n MINUTES | REFRESH MANUAL. */
+  def setRefreshPolicy(name: String, minutes: Option[Long]): Unit = {
+    require(byName.contains(name), s"unknown reflection: $name")
+    minutes match {
+      case Some(m) =>
+        require(m > 0, "REFRESH EVERY period must be positive")
+        refreshEvery.put(name, m); ()
+      case None => refreshEvery.remove(name); ()
+    }
+    persist()
+  }
+
+  def refreshPolicyOf(name: String): Option[Long] = refreshEvery.get(name)
+  def lastRefreshOf(name: String): Option[Long] = lastRefreshed.get(name)
+
+  /** Names due under their refresh policy at `nowMs` (never refreshed =
+    * due immediately; no policy = never due — manual reflections are the
+    * operator's business). */
+  def dueForMaintain(nowMs: Long): Seq[String] =
+    refreshEvery.toSeq.collect {
+      case (n, mins) if byName.contains(n) &&
+        nowMs - lastRefreshed.getOrElse(n, 0L) >= mins * 60000L => n
+    }.sorted
+
+  private[accel] def noteRefreshed(name: String, nowMs: Long): Unit = {
+    lastRefreshed.put(name, nowMs)
+    ()
+  }
 
   // ---- per-dataset acceleration toggles (reference SqlAccelToggle,
   // alter.ftl: ALTER <dataset> ENABLE|DISABLE RAW|AGGREGATE ACCELERATION
@@ -326,6 +564,7 @@ object Reflections {
         if (n.isEmpty) None else Some(n)
       case None => if (enable) None else Some(Set(k))
     }
+    persist()
   }
 
   /** Disabled kinds for a dataset (sys/DESCRIBE surface). */
@@ -358,9 +597,12 @@ object Reflections {
 
   /** Route refresh statements for reflections over `path` to `queue`
     * (None = back to DEFAULT, i.e. the global reflection queue). */
-  def setRouting(path: String, queue: Option[String]): Unit = queue match {
-    case Some(q) => routing.put(normPath(path), q); ()
-    case None    => routing.remove(normPath(path)); ()
+  def setRouting(path: String, queue: Option[String]): Unit = {
+    queue match {
+      case Some(q) => routing.put(normPath(path), q); ()
+      case None    => routing.remove(normPath(path)); ()
+    }
+    persist()
   }
 
   /** The routed queue for a dataset path, if declared. The reference

@@ -23,6 +23,9 @@ class AuthorizeRule(session: SparkSession) extends (LogicalPlan => Unit) {
 
   override def apply(plan: LogicalPlan): Unit = {
     if (!Privileges.enforcing) return
+    // engine-internal re-analysis (reflection-goal reattach at startup)
+    // runs as SYSTEM — the reference's ReflectionManager identity
+    if (Privileges.inSystemContext) return
     val principal = Privileges.principalOf(session)
     if (principal.exists(_.admin)) return
     // The analyzer ALSO check-rules a view's resolved body ALONE while

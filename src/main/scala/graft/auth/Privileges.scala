@@ -81,6 +81,7 @@ object Privileges {
       "cannot enable auth enforcement: no admin user exists (CREATE USER ... ADMIN first)")
     requireAdmin(spark, if (on) "ALTER AUTH ENFORCE ON" else "ALTER AUTH ENFORCE OFF")
     enforceFlag = on
+    persist()
   }
 
   private def sha(s: String): String =
@@ -95,6 +96,7 @@ object Privileges {
     val u = User(name.toLowerCase, sha(s + password), s, admin,
       if (admin) Set(AdminRole) else Set.empty)
     require(users.putIfAbsent(u.name, u).isEmpty, s"user '$name' already exists")
+    persist()
   }
 
   /** ALTER USER ... SET PASSWORD (reference `SqlAlterUser`): admins may
@@ -111,6 +113,7 @@ object Privileges {
     val s = salt.map("%02x".format(_)).mkString
     users.put(n, u.copy(hash = sha(s + password), salt = s))
     tokens.synchronized(tokens.values.removeIf(_ == n))
+    persist()
   }
 
   def dropUser(spark: SparkSession, name: String): Unit = {
@@ -119,12 +122,14 @@ object Privileges {
     grants.remove(("user", name.toLowerCase))
     invalidateClosures()
     tokens.synchronized(tokens.values.removeIf(_ == name.toLowerCase))
+    persist()
   }
 
   def createRole(spark: SparkSession, name: String): Unit = {
     requireAdmin(spark, s"CREATE ROLE $name")
     require(roles.putIfAbsent(name.toLowerCase, true).isEmpty,
       s"role '$name' already exists")
+    persist()
   }
 
   def dropRole(spark: SparkSession, name: String): Unit = {
@@ -134,6 +139,7 @@ object Privileges {
     grants.remove(("role", name.toLowerCase))
     invalidateClosures()
     users.mapValuesInPlace((_, u) => u.copy(roles = u.roles - name.toLowerCase))
+    persist()
   }
 
   def grantRole(spark: SparkSession, role: String, user: String): Unit = {
@@ -144,6 +150,7 @@ object Privileges {
       throw new IllegalArgumentException(s"unknown user: $user"))
     users.put(u.name, u.copy(roles = u.roles + r,
       admin = u.admin || r == AdminRole))
+    persist()
   }
 
   def revokeRole(spark: SparkSession, role: String, user: String): Unit = {
@@ -152,6 +159,7 @@ object Privileges {
     users.get(user.toLowerCase).foreach(u =>
       users.put(u.name, u.copy(roles = u.roles - r,
         admin = u.admin && r != AdminRole)))
+    persist()
   }
 
   /** Normalize a privilege object: catalog NAMES lowercase (SQL identifier
@@ -173,6 +181,7 @@ object Privileges {
       case None => Some(Set((action.toLowerCase, normObj(obj))))
     }
     invalidateClosures()
+    persist()
   }
 
   /** REVOKE. `REVOKE ALL` strips EVERY action on the object (the revoke
@@ -198,6 +207,7 @@ object Privileges {
       case None => None
     }
     invalidateClosures()
+    persist()
   }
 
   /** Verify credentials and bind the principal to the session (random
@@ -283,8 +293,15 @@ object Privileges {
     u.admin || isOwner(u, obj) || {
       val gs = effectiveGrants(u)
       val acts = Set(action.toLowerCase, "all")
+      // Container grants cover DATASET paths only: the synthetic sub-object
+      // keys under a folder (refObj `path@branch:`/`@tag:`, catalogObj
+      // `path@catalog`) carry '@' — which normObj never emits — and must
+      // NOT ride a GRANT ... ON ALL DATASETS IN FOLDER (it would silently
+      // convey per-ref COMMIT and catalog CREATE_BRANCH/CREATE_TAG beyond
+      // the datasets the statement names).
       gs.exists { case (a, o) => acts(a) && (o == "*" || o == obj ||
-        (o.endsWith("/*") && obj.startsWith(o.dropRight(1)))) }
+        (o.endsWith("/*") && obj.startsWith(o.dropRight(1)) &&
+          obj.indexOf('@', o.length - 1) < 0)) }
     }
 
   /** GRANT/REVOKE ... ON ALL DATASETS IN FOLDER '<dir>' (grant.ftl:215
@@ -324,6 +341,7 @@ object Privileges {
     if (k == "user") require(users.contains(g), s"unknown user: $grantee")
     else require(roles.contains(g), s"unknown role: $grantee")
     owners.put(o, (k, g))
+    persist()
   }
 
   def ownerOf(obj: String): Option[(String, String)] = owners.get(normObj(obj))
@@ -398,6 +416,7 @@ object Privileges {
       case None => Some(add)
     }
     invalidateClosures()
+    persist()
   }
 
   /** REVOKE ... ON BRANCH|TAG ... FROM — same ALL-vs-narrow contract as
@@ -425,6 +444,7 @@ object Privileges {
       case None => None
     }
     invalidateClosures()
+    persist()
   }
 
   /** Does the user hold `action` (or ALL) on the specific ref? */
@@ -473,6 +493,25 @@ object Privileges {
     * by an active statement authorization on this thread? */
   def statementAuthorizedFor(objNorm: String): Boolean =
     stmtAuthorized.get().exists(d => objNorm == d || objNorm.startsWith(d + "/"))
+
+  // SYSTEM context (the reference runs reflection maintenance under its
+  // SYSTEM user — ReflectionManager's refresh jobs don't carry an end-user
+  // principal): engine-INTERNAL re-analysis, e.g. reattaching persisted
+  // reflection goals at startup, runs with the check rule bypassed on this
+  // thread. The SQL being re-analyzed was authorized when the goal was
+  // created; startup has no principal to re-authorize it as. Never wraps
+  // user-supplied statements.
+  private val systemContext = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
+  def inSystemContext: Boolean = systemContext.get()
+
+  def withSystemContext[T](body: => T): T = {
+    val prev = systemContext.get()
+    systemContext.set(java.lang.Boolean.TRUE)
+    try body finally systemContext.set(prev)
+  }
 
   /** Gate for pinning reads to a ref (USE BRANCH|TAG, CREATE LAKE VIEW AT,
     * MERGE DRY RUN): table-wide SELECT suffices, and so does USAGE on the
@@ -565,6 +604,7 @@ object Privileges {
       case None => if (granting) Some(pairs) else None
     }
     invalidateClosures()
+    persist()
   }
 
   /** Remove EVERY grant on a pre-built object key, for all grantees —
@@ -580,6 +620,7 @@ object Privileges {
       }
     }
     invalidateClosures()
+    persist()
   }
 
   /** Every object name the user holds SELECT (or ALL) on, directly or via
@@ -595,12 +636,100 @@ object Privileges {
   def listUsers: Seq[User] = users.values.toSeq.sortBy(_.name)
   def listRoles: Seq[String] = roles.keys.toSeq.sorted
 
-  /** Test/bootstrap reset: drops everything and disables enforcement. */
+  /** Test/bootstrap reset: drops everything and disables enforcement —
+    * including the durable section (a deliberate reset must not
+    * resurrect on the next load). */
   def clear(): Unit = synchronized {
+    resetMemory()
+    graft.catalog.GraftStore.sessionForPersist
+      .foreach(s => graft.catalog.GraftStore.delete(s, "auth"))
+  }
+
+  // ---- durability (GraftStore section "auth"; reference services/users +
+  // the RBAC grants the enterprise edition keeps in the KV store) ----
+
+  private def resetMemory(keepTokens: Boolean = false): Unit = {
     users.clear(); roles.clear(); grants.clear(); owners.clear()
     invalidateClosures()
-    tokens.synchronized(tokens.clear())
+    // a RESTART starts with zero tokens (clients re-auth), but loadFrom
+    // on an already-serving JVM (REST server starting mid-session) must
+    // not log out live principals whose users the store still carries
+    if (!keepTokens) tokens.synchronized(tokens.clear())
     roles.put(AdminRole, true)
     enforceFlag = false
   }
+
+  /** Persist the full auth world after a mutation. Session tokens are
+    * deliberately NOT persisted: a restart invalidates outstanding
+    * logins (clients re-authenticate — credentials, not sessions, are
+    * the durable artifact). */
+  private def persist(): Unit =
+    graft.catalog.GraftStore.sessionForPersist.foreach { spark =>
+      val st = graft.catalog.GraftStore
+      val root = st.newObject
+      root.put("enforce", enforceFlag)
+      val us = root.putArray("users")
+      users.values.toSeq.sortBy(_.name).foreach { u =>
+        val o = us.addObject()
+        o.put("name", u.name); o.put("hash", u.hash); o.put("salt", u.salt)
+        o.put("admin", u.admin)
+        val rs = o.putArray("roles")
+        u.roles.toSeq.sorted.foreach(rs.add)
+      }
+      val rl = root.putArray("roles")
+      roles.keys.toSeq.sorted.foreach(rl.add)
+      val gs = root.putArray("grants")
+      grants.toSeq.sortBy(t => (t._1._1, t._1._2)).foreach { case ((k, g), set) =>
+        set.toSeq.sorted.foreach { case (a, ob) =>
+          val o = gs.addObject()
+          o.put("kind", k); o.put("grantee", g); o.put("action", a); o.put("obj", ob)
+        }
+      }
+      val ow = root.putArray("owners")
+      owners.toSeq.sortBy(_._1).foreach { case (ob, (k, g)) =>
+        val o = ow.addObject()
+        o.put("obj", ob); o.put("kind", k); o.put("grantee", g)
+      }
+      st.save(spark, "auth", root)
+    }
+
+  /** Reload the auth world from the durable store (no-op when the store
+    * holds no section — a fresh deployment starts empty). Pre-restart
+    * grants enforce again immediately; tokens start empty (re-auth). */
+  def loadFrom(spark: SparkSession): Unit = synchronized {
+    graft.catalog.GraftStore.load(spark, "auth").foreach { root =>
+      resetMemory(keepTokens = true)
+      // stale tokens for users the store no longer carries die here
+      val storedNames = scala.collection.mutable.Set.empty[String]
+      root.path("users").forEach(u => storedNames.add(u.path("name").asText()))
+      tokens.synchronized(tokens.values.removeIf(n => !storedNames.contains(n)))
+      root.path("roles").forEach(r => roles.put(r.asText(), true))
+      roles.put(AdminRole, true)
+      root.path("users").forEach { u =>
+        val rs = scala.collection.mutable.Set.empty[String]
+        u.path("roles").forEach(r => rs.add(r.asText()))
+        users.put(u.path("name").asText(), User(u.path("name").asText(),
+          u.path("hash").asText(), u.path("salt").asText(),
+          u.path("admin").asBoolean(false), rs.toSet))
+      }
+      root.path("grants").forEach { g =>
+        val k = (g.path("kind").asText(), g.path("grantee").asText())
+        val pair = (g.path("action").asText(), g.path("obj").asText())
+        grants.updateWith(k) {
+          case Some(s) => Some(s + pair)
+          case None => Some(Set(pair))
+        }
+      }
+      root.path("owners").forEach { o =>
+        owners.put(o.path("obj").asText(),
+          (o.path("kind").asText(), o.path("grantee").asText()))
+      }
+      enforceFlag = root.path("enforce").asBoolean(false)
+      invalidateClosures()
+    }
+  }
+
+  /** Restart simulation for specs: drop ONLY the in-memory world (the
+    * durable section survives, exactly like a process exit). */
+  private[graft] def resetMemoryForTest(): Unit = synchronized { resetMemory() }
 }

@@ -23,6 +23,17 @@ import org.apache.spark.sql.SparkSession
   * the name (by anyone) starts with a clean slate.
   *
   * Registry is coordinator-side metadata; nothing scales with data.
+  *
+  * Anonymous ownership: while auth enforcement is OFF, scripts create
+  * under the synthetic owner `<anonymous>` (single-user mode has no
+  * principal to bind). This is a deliberate, documented contract — once
+  * enforcement is later turned ON, no principal can match that owner,
+  * so pre-enforcement scripts become ADMIN-managed (admins can view,
+  * run, re-grant or drop them; an admin GRANT can re-share one to a
+  * real user), and they pool under the one `<anonymous>` per-user cap.
+  * `ScriptsSpec` pins this fate explicitly. The alternative — refusing
+  * CREATE SCRIPT without a principal even while enforcement is off —
+  * would break the engine's no-auth single-user mode.
   */
 object Scripts {
 
@@ -85,6 +96,7 @@ object Scripts {
     val s = Script(n, content, owner, now, now)
     require(reg.putIfAbsent(s"$owner/$n", s).isEmpty,
       s"you already have a script named '$name'")
+    persist(spark)
     s
   }
 
@@ -95,6 +107,7 @@ object Scripts {
       s"script content must be 1..$ContentMaxLength characters")
     val updated = s.copy(content = content, modifiedMs = System.currentTimeMillis())
     reg.put(s"${s.owner}/${s.name}", updated)
+    persist(spark)
     updated
   }
 
@@ -105,6 +118,7 @@ object Scripts {
     // grants must die with the script: a future script reusing the name
     // must not inherit them
     graft.auth.Privileges.purgeObject(scriptObj(s.owner, s.name))
+    persist(spark)
   }
 
   /** The script, VIEW-gated (DESCRIBE and RUN share this). */
@@ -158,19 +172,63 @@ object Scripts {
   }
 
   /** Scripts visible to the session: all while enforcement is off;
-    * otherwise own + admin-all + VIEW-granted. */
-  def visible(spark: SparkSession): Seq[Script] = {
+    * otherwise own + admin-all + VIEW-granted. With `limit`, the first k
+    * of the (name, owner) order are selected via a BOUNDED heap over the
+    * visibility-filtered iterator — O(n log k) and O(k) memory instead of
+    * materializing + sorting the whole registry on the driver (SHOW
+    * SCRIPTS LIMIT n against a full multi-tenant store). */
+  def visible(spark: SparkSession, limit: Option[Int] = None): Seq[Script] = {
     val p = graft.auth.Privileges
-    val all = reg.values.toSeq.sortBy(s => (s.name, s.owner))
-    if (!p.enforcing) all
-    else p.principalOf(spark) match {
-      case None => Nil
-      case Some(u) if u.admin => all
-      case Some(u) => all.filter(s =>
-        s.owner == u.name || p.allowed(u, "view", scriptObj(s.owner, s.name)))
+    val pred: Script => Boolean =
+      if (!p.enforcing) _ => true
+      else p.principalOf(spark) match {
+        case None => _ => false
+        case Some(u) if u.admin => _ => true
+        case Some(u) => s =>
+          s.owner == u.name || p.allowed(u, "view", scriptObj(s.owner, s.name))
+      }
+    implicit val ord: Ordering[Script] = Ordering.by(s => (s.name, s.owner))
+    limit match {
+      case Some(k) => GraftStore.boundedTake(reg.values.iterator.filter(pred), k)
+      case None => reg.values.toSeq.filter(pred).sorted
     }
   }
 
-  /** Test/bootstrap reset. */
-  def clear(): Unit = reg.clear()
+  /** Test/bootstrap reset — durable section included. */
+  def clear(): Unit = {
+    reg.clear()
+    GraftStore.sessionForPersist.foreach(s => GraftStore.delete(s, "scripts"))
+  }
+
+  // ---- durability (GraftStore section "scripts"; reference
+  // services/script/.../ScriptStore.java persists scripts in the KV
+  // store). Grants on script objects ride the "auth" section — the two
+  // sections reload independently and agree because grant keys are
+  // owner-qualified strings, not references. ----
+
+  private def persist(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val root = GraftStore.newObject
+    val arr = root.putArray("scripts")
+    reg.values.toSeq.sortBy(s => (s.owner, s.name)).foreach { s =>
+      val o = arr.addObject()
+      o.put("name", s.name); o.put("owner", s.owner)
+      o.put("content", s.content)
+      o.put("createdMs", s.createdMs); o.put("modifiedMs", s.modifiedMs)
+    }
+    GraftStore.save(spark, "scripts", root)
+  }
+
+  def loadFrom(spark: org.apache.spark.sql.SparkSession): Unit =
+    GraftStore.load(spark, "scripts").foreach { root =>
+      reg.clear()
+      root.path("scripts").forEach { o =>
+        val s = Script(o.path("name").asText(), o.path("content").asText(),
+          o.path("owner").asText(), o.path("createdMs").asLong(0L),
+          o.path("modifiedMs").asLong(0L))
+        reg.put(s"${s.owner}/${s.name}", s)
+      }
+    }
+
+  /** Restart simulation for specs: in-memory only, store survives. */
+  private[graft] def resetMemoryForTest(): Unit = reg.clear()
 }

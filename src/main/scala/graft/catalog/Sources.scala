@@ -12,10 +12,16 @@ import org.apache.spark.sql.SparkSession
   *
   * Spark-first shape: a source is a NAME bound to connection properties;
   * the engine consumes it wherever federation already reaches —
-  * registering a `jdbc` source publishes `spark.sql.catalog.<name>.url`
-  * (+driver), which is exactly what `external_query('<name>', '<sql>')`
-  * and the EXTERNAL QUERY statement resolve, so a freshly created source
-  * is immediately queryable. Probes are REAL connectivity checks, not
+  * `external_query('<name>', '<sql>')` and the EXTERNAL QUERY statement
+  * resolve the name through THIS registry (JVM-wide, like the reference's
+  * namespace-stored SourceConfig), so a freshly created source is
+  * immediately queryable from EVERY session, and DROP SOURCE from any
+  * session unregisters it everywhere. Per-session
+  * `spark.sql.catalog.<name>.url` runtime conf is deliberately NOT the
+  * registration channel — newSession() clones don't inherit runtime
+  * conf, so conf-published sources would be invisible cross-session
+  * (external_query still honors such keys as a fallback for direct-conf
+  * federation setups that never issue CREATE SOURCE). Probes are REAL connectivity checks, not
   * metadata flips: jdbc opens (and closes) a connection, files/lake stat
   * the filesystem through the Hadoop FS API (any scheme), hive lists the
   * metastore's databases. The registry is coordinator-side metadata
@@ -50,8 +56,9 @@ object Sources {
       require(props.contains("path"), s"a $k source needs 'path' = '<dir>'")
   }
 
-  /** CREATE SOURCE: validate, publish jdbc conf keys, run the first
-    * probe. Admin-gated by the caller (source DDL is global infra). */
+  /** CREATE SOURCE: validate, register (the registry IS the resolution
+    * channel — see the class doc), run the first probe. Admin-gated by
+    * the caller (source DDL is global infra). */
   def create(spark: SparkSession, name: String, kind: String,
              props: Map[String, String], ifNotExists: Boolean): Source = {
     val n = name.toLowerCase
@@ -61,29 +68,31 @@ object Sources {
       if (ifNotExists) return reg(n)
       throw new IllegalArgumentException(s"source '$name' already exists")
     }
-    if (k == "jdbc") {
-      spark.conf.set(s"spark.sql.catalog.$n.url", props("url"))
-      props.get("driver").foreach(d => spark.conf.set(s"spark.sql.catalog.$n.driver", d))
-    }
     val probed = probe(spark, n, k, props)
     reg.put(n, probed)
+    persist(spark)
     probed
   }
 
   def drop(spark: SparkSession, name: String): Unit = {
     val n = name.toLowerCase
-    val s = reg.remove(n).getOrElse(
+    reg.remove(n).getOrElse(
       throw new IllegalArgumentException(s"unknown source: $name"))
-    if (s.kind == "jdbc") {
-      spark.conf.unset(s"spark.sql.catalog.$n.url")
-      spark.conf.unset(s"spark.sql.catalog.$n.driver")
-    }
+    persist(spark)
   }
 
   def get(name: String): Source = reg.getOrElse(name.toLowerCase,
     throw new IllegalArgumentException(s"unknown source: $name"))
 
   def list: Seq[Source] = reg.values.toSeq.sortBy(_.name)
+
+  /** First k sources by name via a bounded heap (SHOW SOURCES LIMIT n —
+    * see [[GraftStore.boundedTake]]). */
+  def list(limit: Option[Int]): Seq[Source] = limit match {
+    case Some(k) =>
+      GraftStore.boundedTake(reg.values.iterator, k)(Ordering.by(_.name))
+    case None => list
+  }
 
   /** ALTER SOURCE ... REFRESH STATUS: re-probe and store the new state
     * (RefreshSourceStatusHandler's contract — the statement returns the
@@ -92,6 +101,7 @@ object Sources {
     val s = get(name)
     val probed = probe(spark, s.name, s.kind, s.props)
     reg.put(s.name, probed)
+    persist(spark)
     probed
   }
 
@@ -123,9 +133,49 @@ object Sources {
     Source(name, kind, props, status, msg, System.currentTimeMillis())
   }
 
-  /** Test/bootstrap reset. */
+  /** Test/bootstrap reset — durable section included (a deliberate reset
+    * must not resurrect on the next load). */
   def clear(spark: SparkSession): Unit = {
     reg.keys.toSeq.foreach(n => scala.util.Try(drop(spark, n)))
     reg.clear()
+    GraftStore.delete(spark, "sources")
   }
+
+  // ---- durability (GraftStore section "sources"; reference persists
+  // SourceConfig in the namespace KV store) ----
+
+  private def persist(spark: SparkSession): Unit = {
+    val root = GraftStore.newObject
+    val arr = root.putArray("sources")
+    reg.values.toSeq.sortBy(_.name).foreach { s =>
+      val o = arr.addObject()
+      o.put("name", s.name); o.put("kind", s.kind)
+      o.put("status", s.status); o.put("message", s.message)
+      o.put("lastProbeMs", s.lastProbeMs)
+      val ps = o.putObject("props")
+      s.props.toSeq.sortBy(_._1).foreach { case (k, v) => ps.put(k, v) }
+    }
+    GraftStore.save(spark, "sources", root)
+  }
+
+  /** Reload from the durable store. The stored probe state is kept AS IS
+    * — load never dials remote endpoints (a registry of 100 sources must
+    * not serialize 100 connection attempts into startup); ALTER SOURCE
+    * ... REFRESH STATUS re-probes on demand. */
+  def loadFrom(spark: SparkSession): Unit =
+    GraftStore.load(spark, "sources").foreach { root =>
+      reg.clear()
+      root.path("sources").forEach { o =>
+        val props = scala.collection.mutable.Map.empty[String, String]
+        o.path("props").fields().forEachRemaining(e =>
+          props.put(e.getKey, e.getValue.asText()))
+        val s = Source(o.path("name").asText(), o.path("kind").asText(),
+          props.toMap, o.path("status").asText(), o.path("message").asText(),
+          o.path("lastProbeMs").asLong(0L))
+        reg.put(s.name, s)
+      }
+    }
+
+  /** Restart simulation for specs: in-memory only, store survives. */
+  private[graft] def resetMemoryForTest(): Unit = reg.clear()
 }

@@ -133,6 +133,12 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     graft.functions.Functions.registerAll(s)
     graft.catalog.QueryHistory.install(s)
+    // Reload the durable control plane BEFORE anything serves: users/
+    // roles/grants enforce again, saved scripts run, named sources
+    // resolve, pipes trigger against their existing checkpoints and
+    // reflection goals reattach — the reference reloads its KV store the
+    // same way at coordinator start (services/datastore).
+    graft.catalog.GraftStore.loadAll(s)
     s
   }
 }

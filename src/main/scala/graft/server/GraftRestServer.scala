@@ -50,6 +50,10 @@ object GraftRestServer {
       // and a request racing the reload must not see a half-registered
       // catalog
       loadRegistry(spark)
+      // same contract for the rest of the control plane (grants, saved
+      // scripts, named sources, pipes, reflection goals): a REST request
+      // arriving the instant the port opens must already see them
+      graft.catalog.GraftStore.loadAll(spark)
       srv.start()
       val p = srv.getAddress.getPort
       running = Some(srv)
@@ -291,7 +295,15 @@ object GraftRestServer {
           require(listed.nonEmpty, s"AUTO PROMOTION: no data files under $base")
           seeded = Some(listed)
         }
-        promotions.put(name, (base, fmt))
+        // putIfAbsent, not put: the containsKey probe above is check-then-
+        // act across concurrent REFRESH DATASET statements (the per-name
+        // refresh lock is only taken later, for parquet reconcile) — two
+        // concurrent auto-promotions of different paths whose last segment
+        // collides must not silently overwrite each other's registration
+        if (promotions.putIfAbsent(name, (base, fmt)) != null)
+          throw new IllegalArgumentException(
+            s"AUTO PROMOTION: dataset '$name' already exists — " +
+              s"REFRESH DATASET $name to refresh it, or unpromote it first")
         seeded.foreach(fileListings.put(name, _))
         // the dataset must be queryable from the surface that created it,
         // not only from later REST requests (POST /catalog/promote parity)
@@ -688,8 +700,12 @@ object GraftRestServer {
                   // VALIDATE before touching the existing registration —
                   // a bad body must not destroy a working source
                   graft.catalog.Sources.validateConfig(kind, props)
+                  // drop on ROOT (the session whose conf create() published
+                  // to): runtime conf is per-session, so unsetting the old
+                  // jdbc url/driver on a throwaway newSession() would leave
+                  // the replaced connection live on the serving session
                   if (scala.util.Try(graft.catalog.Sources.get(name)).isSuccess)
-                    graft.catalog.Sources.drop(root.newSession(), name)
+                    graft.catalog.Sources.drop(root, name)
                   val s = graft.catalog.Sources.create(root, name, kind, props,
                     ifNotExists = false)
                   respond(ex, 200, sourceJson(s, admin))

@@ -216,14 +216,25 @@ object GraftExtensions {
               s"on external:$source (EXTERNAL QUERY ships raw SQL — it is granted " +
               "per source, not per table)")
         }
-        val url = spark.conf.getOption(s"spark.sql.catalog.$source.url").getOrElse(
-          throw new IllegalArgumentException(
+        // Resolution authority is the JVM-wide Sources registry FIRST
+        // (CREATE SOURCE from any session is immediately queryable from
+        // every other session — the registry contract), with the
+        // session's own `spark.sql.catalog.<name>.url` conf as fallback
+        // for direct-conf federation setups that never issued CREATE
+        // SOURCE. Session conf alone would break cross-session use:
+        // newSession() clones don't inherit runtime conf.
+        val reg = scala.util.Try(graft.catalog.Sources.get(source)).toOption
+          .filter(_.kind == "jdbc")
+        val url = reg.flatMap(_.props.get("url"))
+          .orElse(spark.conf.getOption(s"spark.sql.catalog.$source.url"))
+          .getOrElse(throw new IllegalArgumentException(
             s"external_query: no JDBC source '$source' " +
-              s"(set spark.sql.catalog.$source.url)"))
+              s"(CREATE SOURCE $source TYPE jdbc, or set spark.sql.catalog.$source.url)"))
+        val driver = reg.flatMap(_.props.get("driver"))
+          .orElse(spark.conf.getOption(s"spark.sql.catalog.$source.driver"))
         val reader = spark.read.format("jdbc")
           .option("url", url).option("query", sql)
-        spark.conf.getOption(s"spark.sql.catalog.$source.driver")
-          .fold(reader)(d => reader.option("driver", d))
+        driver.fold(reader)(d => reader.option("driver", d))
           .load().queryExecution.analyzed
       case _ => throw new IllegalArgumentException(
         "external_query expects two string literals: external_query('<source>', '<sql>')")

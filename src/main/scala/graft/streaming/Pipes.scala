@@ -56,10 +56,10 @@ object Pipes {
   private val registry = scala.collection.concurrent.TrieMap.empty[String, Pipe]
 
   /** CREATE PIPE: register a pipe definition. */
-  def define(pipe: Pipe): Unit = registry.put(pipe.name, pipe)
+  def define(pipe: Pipe): Unit = { registry.put(pipe.name, pipe); persist() }
   def get(name: String): Option[Pipe] = registry.get(name)
   def list: Seq[Pipe] = registry.values.toSeq.sortBy(_.name)
-  def drop(name: String): Unit = registry.remove(name)
+  def drop(name: String): Unit = { registry.remove(name); persist() }
 
   /** ALTER PIPE ... SET PIPE_EXECUTION_RUNNING = TRUE|FALSE. */
   def setRunning(name: String, running: Boolean): Pipe = {
@@ -67,8 +67,65 @@ object Pipes {
       throw new IllegalArgumentException(s"unknown pipe: $name"))
     val updated = p.copy(paused = !running)
     registry.put(name, updated)
+    persist()
     updated
   }
+
+  // ---- durability (GraftStore section "pipes"): pipe CHECKPOINTS and
+  // loaded-file logs already survive on disk, but the definitions that
+  // drive them lived in JVM memory — a coordinator restart would keep the
+  // exactly-once state while losing every pipe. Definitions persist on
+  // each mutation; a reloaded pipe TRIGGERs against its existing
+  // checkpoint, so no file double-loads across the restart. ----
+
+  private def persist(): Unit =
+    graft.catalog.GraftStore.sessionForPersist.foreach { spark =>
+      val st = graft.catalog.GraftStore
+      val root = st.newObject
+      val arr = root.putArray("pipes")
+      registry.values.toSeq.sortBy(_.name).foreach { p =>
+        val o = arr.addObject()
+        o.put("name", p.name); o.put("sourceDir", p.sourceDir)
+        o.put("format", p.format); o.put("schema", p.schema.toDDL)
+        o.put("targetDir", p.targetDir); o.put("checkpointDir", p.checkpointDir)
+        o.put("sink", p.sink)
+        p.mergeKey.foreach(o.put("mergeKey", _))
+        o.put("paused", p.paused)
+        p.notificationProvider.foreach(o.put("notificationProvider", _))
+        p.notificationQueue.foreach(o.put("notificationQueue", _))
+        p.dedupeLookbackDays.foreach(o.put("dedupeLookbackDays", _))
+      }
+      st.save(spark, "pipes", root)
+    }
+
+  def loadFrom(spark: org.apache.spark.sql.SparkSession): Unit =
+    graft.catalog.GraftStore.load(spark, "pipes").foreach { root =>
+      registry.clear()
+      root.path("pipes").forEach { o =>
+        def opt(f: String): Option[String] =
+          if (o.has(f)) Some(o.path(f).asText()) else None
+        val p = Pipe(o.path("name").asText(), o.path("sourceDir").asText(),
+          o.path("format").asText(),
+          StructType.fromDDL(o.path("schema").asText()),
+          o.path("targetDir").asText(), o.path("checkpointDir").asText(),
+          o.path("sink").asText(), opt("mergeKey"),
+          o.path("paused").asBoolean(false),
+          opt("notificationProvider"), opt("notificationQueue"),
+          if (o.has("dedupeLookbackDays"))
+            Some(o.path("dedupeLookbackDays").asInt()) else None)
+        registry.put(p.name, p)
+      }
+    }
+
+  /** Test/bootstrap reset — durable section included. */
+  def clear(): Unit = {
+    registry.clear()
+    graft.catalog.GraftStore.sessionForPersist
+      .foreach(s => graft.catalog.GraftStore.delete(s, "pipes"))
+  }
+
+  /** Restart simulation for specs: in-memory only, store survives. */
+  private[graft] def resetMemoryForTest(): Unit = registry.clear()
 
   /** The notified loaded-files log: "#gen=<n>" header, then
     * "<epochMs>\t<gen>\t<path>" lines (the generation that TAGGED the

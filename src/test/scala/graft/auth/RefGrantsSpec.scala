@@ -297,4 +297,44 @@ class RefGrantsSpec extends AnyFunSuite {
       assert(e.getMessage.contains("REVOKE ALL"), e.getMessage)
     }
   }
+
+  test("container grants cover dataset paths only, never the synthetic @ref/@catalog keys") {
+    withAuthWorld {
+      import spark.implicits._
+      val root = Files.createTempDirectory("contgrant").toString
+      val dir = s"$root/t1"
+      val t = graft.sources.SnapshotTable.forPath(spark, dir)
+      t.append(Seq((1, "a")).toDF("id", "v"))
+      spark.sql(s"CREATE BRANCH dev FROM LAKE '$dir'")
+      spark.sql("CREATE USER root_u PASSWORD 'rp' ADMIN")
+      spark.sql("CREATE USER judy PASSWORD 'jp'")
+      // a NARROW container grant (not ALL): COMMIT+USAGE on all datasets
+      // in the folder must convey those actions on the DATASET paths, but
+      // not on the per-ref (@branch:/@tag:) or @catalog sub-object keys —
+      // GRANT ON ALL DATASETS names datasets, not branch/catalog scopes
+      Privileges.grantOnAllDatasets(spark, "commit", root, "user", "judy",
+        granting = true)
+      Privileges.grantOnAllDatasets(spark, "usage", root, "user", "judy",
+        granting = true)
+      spark.sql("ALTER AUTH ENFORCE ON")
+      asPrincipal("judy", "jp")
+      val u = Privileges.principalOf(spark).get
+      // dataset-path coverage stands...
+      assert(Privileges.allowed(u, "commit", Privileges.normObj(dir)))
+      // ...but the synthetic keys are NOT covered by the container prefix
+      assert(!Privileges.allowedOnRef(u, "commit", dir, "branch", "dev"))
+      assert(!Privileges.allowedOnRef(u, "usage", dir, "branch", "dev"))
+      assert(!Privileges.allowed(u, "create_branch", Privileges.catalogObj(dir)))
+      // behavioral: USE BRANCH needs SELECT on the table or USAGE on the
+      // ref — the container USAGE grant supplies neither
+      intercept[SecurityException](
+        Privileges.requireRefUsage(spark, dir, "branch", "dev", "USE BRANCH"))
+      // an EXPLICIT per-ref grant still works (the fix must not break the
+      // real per-ref surface)
+      asPrincipal("root_u", "rp")
+      spark.sql(s"GRANT USAGE ON BRANCH dev IN CATALOG '$dir' TO USER judy")
+      asPrincipal("judy", "jp")
+      Privileges.requireRefUsage(spark, dir, "branch", "dev", "USE BRANCH")
+    }
+  }
 }

@@ -1,0 +1,167 @@
+package graft.catalog
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.auth.Privileges
+
+/** Durable control plane (GraftStore — the reference's KV store,
+  * `services/datastore`): a coordinator restart must keep every GRANT
+  * enforced, every saved script runnable, every named source queryable,
+  * every pipe triggerable against its EXISTING checkpoint, and every
+  * reflection goal substituting. The "restart" here is the real thing as
+  * far as the registries are concerned: in-memory state is dropped
+  * wholesale (`resetMemoryForTest`), then [[GraftStore.loadAll]] rebuilds
+  * it from disk exactly as `GraftSession.local` / `GraftRestServer.start`
+  * do at process start. Session tokens deliberately do NOT survive —
+  * clients re-authenticate after a restart. */
+class DurableStoreSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    graft.catalog.InfoSchema.register(s)
+    s
+  }
+
+  private def asPrincipal(user: String, pw: String): Unit =
+    spark.sql(s"AUTHENTICATE USER $user PASSWORD '$pw'")
+
+  private def clearAll(): Unit = {
+    Privileges.clear(); Scripts.clear(); Sources.clear(spark)
+    graft.streaming.Pipes.clear(); graft.accel.Reflections.clear()
+    spark.conf.unset(Privileges.TokenConf)
+    spark.conf.unset(Privileges.UserConf)
+  }
+
+  private def simulateRestart(): Unit = {
+    Privileges.resetMemoryForTest()
+    Scripts.resetMemoryForTest()
+    Sources.resetMemoryForTest()
+    graft.streaming.Pipes.resetMemoryForTest()
+    graft.accel.Reflections.resetMemoryForTest()
+    GraftStore.loadAll(spark)
+  }
+
+  test("restart: grants enforce, scripts run, sources resolve, pipes keep their checkpoints, reflections substitute") {
+    // the DEFAULT store dir (<warehouse>/graft_store) is what a real
+    // deployment gets, and the warehouse is a STATIC conf shared by every
+    // session over the context — so persist (mutator session), delete
+    // (whatever session is active at clear()) and loadAll all resolve the
+    // same directory. DirConf is a launch-time override, not a
+    // per-session one; the spec exercises the default path.
+    clearAll()
+    try {
+      graft.accel.Reflections.install(spark)
+      val root = Files.createTempDirectory("graft_store_world").toString
+
+      // -- world: a lake table, a second (ungranted) table --------------
+      spark.sql(s"CREATE LAKE '$root/granted' AS " +
+        "SELECT id, id % 7 AS k, id * 2 AS v FROM range(1000)")
+      spark.sql(s"CREATE LAKE '$root/private' AS SELECT id FROM range(5)")
+
+      // auth: admin + a user with ONE dataset grant, then enforce
+      spark.sql("CREATE USER adm PASSWORD 'ap' ADMIN")
+      spark.sql("CREATE USER bob PASSWORD 'bp'")
+      spark.sql(s"GRANT SELECT ON '$root/granted' TO USER bob")
+      spark.sql("ALTER AUTH ENFORCE ON")
+      asPrincipal("adm", "ap")
+
+      // saved script (owner adm)
+      spark.sql("CREATE SCRIPT sum_by_k AS " +
+        s"'SELECT k, sum(v) AS sv FROM lake_scan(''$root/granted'') GROUP BY k'")
+
+      // named jdbc source with a real table behind it
+      val url = "jdbc:derby:memory:durspec;create=true"
+      import spark.implicits._
+      Seq((1L, "x")).toDF("id", "name").write.format("jdbc")
+        .option("url", url).option("dbtable", "DUR_T")
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .option("createTableColumnTypes", "name VARCHAR(16)")
+        .mode("overwrite").save()
+      spark.sql(s"""CREATE SOURCE dur_src TYPE jdbc (
+        |  'url' = '$url',
+        |  'driver' = 'org.apache.derby.jdbc.EmbeddedDriver')""".stripMargin)
+
+      // pipe over a listing dir; first TRIGGER loads f1 into the checkpoint
+      val data = s"$root/pipe_in"; Files.createDirectories(Paths.get(data))
+      Files.write(Paths.get(s"$data/f1.json"), """{"a":1}""".getBytes)
+      spark.sql(s"CREATE PIPE dur_pipe FROM '$data' FORMAT json " +
+        s"SCHEMA 'a BIGINT' INTO LAKE '$root/pipe_out' CHECKPOINT '$root/pipe_chk'")
+      assert(spark.sql("TRIGGER PIPE dur_pipe").collect().head.getString(1) == "1")
+
+      // reflection goal through DDL (defining SQL persists)
+      spark.sql(s"CREATE REFLECTION dur_refl USING PATH '$root/mv/dur_refl' AS " +
+        s"SELECT k, sum(v) AS sv FROM lake_scan('$root/granted') GROUP BY k")
+      val served = spark.sql(
+        s"SELECT k, sum(v) AS sv FROM lake_scan('$root/granted') GROUP BY k")
+      assert(served.queryExecution.sparkPlan.toString.contains("dur_refl"),
+        "reflection must serve before the restart")
+      val want = served.orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+      // -- RESTART -------------------------------------------------------
+      simulateRestart()
+
+      // tokens are gone: the old session token no longer authenticates
+      assert(Privileges.principalOf(spark).isEmpty,
+        "session tokens must not survive a restart")
+      // enforcement itself survived: anonymous reads refuse
+      intercept[Exception](
+        spark.sql(s"SELECT count(*) FROM lake_scan('$root/granted')").collect())
+
+      // the pre-restart GRANT still enforces after re-auth: bob reads his
+      // granted dataset, nothing else
+      asPrincipal("bob", "bp")
+      assert(spark.sql(s"SELECT count(*) AS n FROM lake_scan('$root/granted')")
+        .head().getLong(0) == 1000L)
+      intercept[SecurityException](
+        spark.sql(s"SELECT count(*) FROM lake_scan('$root/private')").collect())
+
+      asPrincipal("adm", "ap")
+      // script still runs (ownership survived with it)
+      assert(spark.sql("RUN SCRIPT sum_by_k").count() == 7)
+      assert(Scripts.read(spark, "sum_by_k").owner == "adm")
+      // source still resolves from the registry
+      assert(spark.sql(
+        """SELECT id FROM external_query('dur_src', 'SELECT "id" FROM APP.DUR_T')""")
+        .head().getLong(0) == 1L)
+      // pipe triggers against its EXISTING checkpoint: only the new file
+      // lands, f1 is not double-loaded
+      Files.write(Paths.get(s"$data/f2.json"), """{"a":2}""".getBytes)
+      assert(spark.sql("TRIGGER PIPE dur_pipe").collect().head.getString(1) == "1")
+      assert(graft.sources.SnapshotTable.forPath(spark, s"$root/pipe_out")
+        .read().count() == 2)
+      // reflection goal reattached: same plan substitution, same rows
+      val again = spark.sql(
+        s"SELECT k, sum(v) AS sv FROM lake_scan('$root/granted') GROUP BY k")
+      assert(again.queryExecution.sparkPlan.toString.contains("dur_refl"),
+        "reflection must keep serving after the restart")
+      assert(again.orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq == want)
+
+      // a restart must also preserve STALENESS: append, reflection stops
+      // serving until refreshed (base-version pins came from the store)
+      spark.sql(s"INSERT INTO LAKE '$root/granted' " +
+        "SELECT id, id % 7 AS k, id * 2 AS v FROM range(1000, 1010)")
+      simulateRestart()
+      asPrincipal("adm", "ap")
+      val r = graft.accel.Reflections.list.find(_.name == "dur_refl").get
+      assert(!graft.accel.Reflections.isFresh(spark, r),
+        "stored base-version pins must keep a stale reflection stale")
+    } finally {
+      clearAll()
+    }
+  }
+
+  test("clear() deletes the durable section: a deliberate reset does not resurrect") {
+    clearAll()
+    try {
+      spark.sql("CREATE USER ghost PASSWORD 'gp' ADMIN")
+      Privileges.clear()
+      simulateRestart()
+      assert(Privileges.listUsers.isEmpty,
+        "cleared users must not come back from the store")
+    } finally {
+      clearAll()
+    }
+  }
+}

@@ -66,6 +66,40 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("registry is the resolution authority: cross-session create/drop coherence") {
+    withSources {
+      import spark.implicits._
+      val url = "jdbc:derby:memory:srcxsess;create=true"
+      Seq((7L, "q")).toDF("id", "name")
+        .write.format("jdbc")
+        .option("url", url).option("dbtable", "XS_T")
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .option("createTableColumnTypes", "name VARCHAR(32)")
+        .mode("overwrite").save()
+      spark.sql(
+        s"""CREATE SOURCE xsess_db TYPE jdbc (
+           |  'url' = '$url',
+           |  'driver' = 'org.apache.derby.jdbc.EmbeddedDriver')""".stripMargin)
+      // a DIFFERENT session (runtime conf NOT inherited by newSession)
+      // resolves the source immediately — the registry, not session conf,
+      // is the channel
+      val other = spark.newSession()
+      val got = other.sql(
+        """SELECT id FROM external_query('xsess_db',
+          |  'SELECT "id" FROM APP.XS_T')""".stripMargin)
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(7L))
+      // DROP issued from the OTHER session unregisters it for everyone —
+      // including the creating session (no stale per-session conf keys
+      // keep the supposedly-dropped connection reachable)
+      other.sql("DROP SOURCE xsess_db")
+      intercept[Exception](other.sql(
+        "SELECT * FROM external_query('xsess_db', 'SELECT 1')"))
+      intercept[Exception](spark.sql(
+        "SELECT * FROM external_query('xsess_db', 'SELECT 1')"))
+    }
+  }
+
   test("files/lake probes, REFRESH STATUS transitions, SHOW SOURCES, sys_sources") {
     withSources {
       import spark.implicits._
