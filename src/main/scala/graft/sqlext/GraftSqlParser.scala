@@ -145,6 +145,13 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
       case RefreshReflectionRe(name) => RefreshReflectionCommand(name)
       case RefreshReflectionsForRe(dir) =>
         RefreshReflectionsForDatasetCommand(dir, out("reflection"))
+      case RefreshAllReflectionsRe() =>
+        RefreshAllReflectionsCommand(out("reflection"))
+      case MaintainReflectionsRe() =>
+        MaintainReflectionsCommand(out("reflection", "action"))
+      case AlterReflectionPolicyRe(name, minutes) =>
+        AlterReflectionPolicyCommand(name,
+          Option(minutes).map(_.trim.toLong), out("reflection", "policy"))
       case ForgetMetadataRe(name) =>
         ForgetMetadataCommand(name, out("dataset"))
       case DropReflectionRe(name) => DropReflectionCommand(name)
@@ -244,8 +251,9 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
         DescribeScriptCommand(name,
           out("script", "owner", "content", "created_ms", "modified_ms"))
       case RunScriptRe(name) => runScriptPlan(name)
-      case ShowScriptsRe() =>
-        ShowScriptsCommand(out("script", "owner", "modified_ms"))
+      case ShowScriptsRe(limit) =>
+        ShowScriptsCommand(Option(limit).map(_.toInt),
+          out("script", "owner", "modified_ms"))
       case GrantAllDatasetsRe(action, container, qpath, bare, kind, grantee) =>
         GrantAllDatasetsCommand(action, container.toLowerCase,
           Option(qpath).getOrElse(bare), kind, grantee, granting = true)
@@ -365,8 +373,9 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
         RefreshSourceStatusCommand(name, out("source", "status", "message"))
       case ClearPermissionCacheRe(name) =>
         ClearPermissionCacheCommand(name, out("source", "entries_dropped"))
-      case ShowSourcesRe() =>
-        ShowSourcesCommand(out("name", "type", "status", "message", "last_probe_ms"))
+      case ShowSourcesRe(limit) =>
+        ShowSourcesCommand(Option(limit).map(_.toInt),
+          out("name", "type", "status", "message", "last_probe_ms"))
       case ShowRefsRe(dir) =>
         ShowRefsCommand(dir, out("name", "type", "base_version"))
       case ShowRefsKindRe(kind, dir) =>
@@ -578,6 +587,15 @@ object GraftSqlParser {
     """(?is)CREATE\s+REFLECTION\s+(\w+)\s+USING\s+PATH\s+'([^']+)'\s+AS\s+(.+)""".r
   private val DropReflectionRe = """(?is)DROP\s+REFLECTION\s+(\w+)\s*;?""".r
   private val RefreshReflectionRe = """(?is)REFRESH\s+REFLECTION\s+(\w+)\s*;?""".r
+  // global dependency-ordered bulk refresh (reference ReflectionManager's
+  // full pass, ordered by services/accelerator DependencyGraph)
+  private val RefreshAllReflectionsRe = """(?is)REFRESH\s+REFLECTIONS\s*;?""".r
+  // the scheduler seam: refresh only goals whose REFRESH EVERY period has
+  // elapsed (an operator cron calls this; no background thread needed)
+  private val MaintainReflectionsRe = """(?is)MAINTAIN\s+REFLECTIONS\s*;?""".r
+  // per-goal refresh period (reference AccelerationSettings.refreshPeriod)
+  private val AlterReflectionPolicyRe =
+    """(?is)ALTER\s+REFLECTION\s+(\w+)\s+REFRESH\s+(?:EVERY\s+(\d+)\s+MINUTES?|(?:MANUAL))\s*;?""".r
   // bulk per-dataset refresh (reference SqlRefreshReflectionsForDataset,
   // alter.ftl:198 — ALTER TABLE t REFRESH REFLECTIONS)
   private val RefreshReflectionsForRe =
@@ -738,7 +756,7 @@ object GraftSqlParser {
     """(?is)ALTER\s+SOURCE\s+([\w.-]+)\s+REFRESH\s+STATUS\s*;?""".r
   private val ClearPermissionCacheRe =
     """(?is)ALTER\s+SOURCE\s+([\w.-]+)\s+CLEAR\s+PERMISSION\s+CACHE\s*;?""".r
-  private val ShowSourcesRe = """(?is)SHOW\s+SOURCES\s*;?""".r
+  private val ShowSourcesRe = """(?is)SHOW\s+SOURCES(?:\s+LIMIT\s+(\d+))?\s*;?""".r
   private val PropKeyRe = """'([^']*)'""".r
   // rule-based queue routing (reference RuleBasedEngineSelector.java:22)
   private val CreateRoutingRuleRe =
@@ -797,7 +815,7 @@ object GraftSqlParser {
   private val DescribeScriptRe =
     """(?is)DESCRIBE\s+SCRIPT\s+([\w.-]+)\s*;?""".r
   private val RunScriptRe = """(?is)RUN\s+SCRIPT\s+([\w.-]+)\s*;?""".r
-  private val ShowScriptsRe = """(?is)SHOW\s+SCRIPTS\s*;?""".r
+  private val ShowScriptsRe = """(?is)SHOW\s+SCRIPTS(?:\s+LIMIT\s+(\d+))?\s*;?""".r
   // GRANT ... ON ALL DATASETS IN FOLDER|SOURCE (grant.ftl:215
   // SqlGrantOnAllDatasets): one container grant covers the subtree
   private val GrantAllDatasetsRe =
@@ -1305,11 +1323,54 @@ object GraftSqlParser {
         _.baseVersions.keys.exists(Reflections.normPath(_) == target))
       require(anchored.nonEmpty,
         s"REFRESH REFLECTIONS: no reflections anchored on '$dir'")
-      anchored.flatMap { r =>
-        r.definingSql.map { sql =>
-          Reflections.refresh(r.name, spark.sql(sql)); Row(r.name)
-        }
-      }
+      // dependency order WITHIN the anchored set too: one anchored
+      // reflection may read another's materialization
+      Reflections.refreshChain(spark,
+        anchored.filter(_.definingSql.isDefined).map(_.name)).map(Row(_))
+    }
+  }
+
+  /** REFRESH REFLECTIONS (no dataset): dependency-ordered bulk refresh of
+    * every SQL-defined reflection — the reference ReflectionManager's
+    * full pass, ordered through its DependencyGraph (a reflection whose
+    * defining query reads another's materialization refreshes AFTER it,
+    * or it would rebuild from stale upstream data). Cycles refuse loudly.
+    * API-created reflections (no stored SQL) are skipped — nothing to
+    * re-run. Returns the order used. */
+  case class RefreshAllReflectionsCommand(
+      override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val names = Reflections.list.filter(_.definingSql.isDefined).map(_.name)
+      require(names.nonEmpty, "REFRESH REFLECTIONS: no SQL-defined reflections")
+      Reflections.refreshChain(spark, names).map(Row(_))
+    }
+  }
+
+  /** MAINTAIN REFLECTIONS — the scheduler SEAM (reference
+    * ReflectionManager wakes periodically and refreshes goals whose
+    * refresh period elapsed; here an operator cron issues this statement,
+    * so the sandbox needs no daemon): refresh every reflection whose
+    * `REFRESH EVERY n MINUTES` policy is due, in dependency order, and
+    * report what ran vs what was current. */
+  case class MaintainReflectionsCommand(
+      override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val due = Reflections.dueForMaintain(System.currentTimeMillis())
+        .filter(n => Reflections.list.exists(r => r.name == n && r.definingSql.isDefined))
+      val refreshed = Reflections.refreshChain(spark, due)
+      val current = Reflections.list.map(_.name).filterNot(refreshed.contains(_))
+      refreshed.map(Row(_, "refreshed")) ++ current.sorted.map(Row(_, "current"))
+    }
+  }
+
+  /** ALTER REFLECTION r REFRESH EVERY n MINUTES | REFRESH MANUAL —
+    * per-goal refresh period (reference AccelerationSettings
+    * refreshPeriod; MANUAL clears it). Metadata only; MAINTAIN honors it. */
+  case class AlterReflectionPolicyCommand(name: String, minutes: Option[Long],
+      override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      Reflections.setRefreshPolicy(name, minutes)
+      Seq(Row(name, minutes.map(m => s"every $m min").getOrElse("manual")))
     }
   }
 
@@ -1618,10 +1679,10 @@ object GraftSqlParser {
 
   /** SHOW SOURCES: the registry with live states (reference sys sources
     * surface). */
-  case class ShowSourcesCommand(override val output: Seq[Attribute])
-      extends LeafRunnableCommand {
+  case class ShowSourcesCommand(limit: Option[Int],
+      override val output: Seq[Attribute]) extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] =
-      graft.catalog.Sources.list.map(s =>
+      graft.catalog.Sources.list(limit).map(s =>
         Row(s.name, s.kind, s.status, s.message, s.lastProbeMs.toString))
   }
 
@@ -1656,10 +1717,10 @@ object GraftSqlParser {
 
   /** SHOW SCRIPTS: the scripts VISIBLE to this session (own +
     * VIEW-granted; admins see all; everything while enforcement is off). */
-  case class ShowScriptsCommand(override val output: Seq[Attribute])
-      extends LeafRunnableCommand {
+  case class ShowScriptsCommand(limit: Option[Int],
+      override val output: Seq[Attribute]) extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] =
-      graft.catalog.Scripts.visible(spark).map(s =>
+      graft.catalog.Scripts.visible(spark, limit).map(s =>
         Row(s.name, s.owner, s.modifiedMs.toString))
   }
 

@@ -666,4 +666,67 @@ class ReflectionsSpec extends AnyFunSuite {
     spark.sql("DROP REFLECTION tog_agg")
     Reflections.clear()
   }
+
+  test("dependency-ordered bulk refresh: upstream first, data flows through the chain, cycles refuse") {
+    Reflections.clear()
+    Reflections.install(spark)
+    val root = Files.createTempDirectory("graft_refl_dep").toString
+    val t = s"$root/t"
+    spark.sql(s"CREATE LAKE '$t' AS SELECT id, id % 5 AS k, id AS v FROM range(100)")
+    // A aggregates the base table; B aggregates A's MATERIALIZATION —
+    // the reference DependencyGraph shape (B must rebuild after A)
+    spark.sql(s"CREATE REFLECTION dep_a USING PATH '$root/mv/a' AS " +
+      s"SELECT k, sum(v) AS sv FROM lake_scan('$t') GROUP BY k")
+    spark.sql(s"CREATE REFLECTION dep_b USING PATH '$root/mv/b' AS " +
+      s"SELECT sum(sv) AS total FROM parquet.`$root/mv/a`")
+    assert(Reflections.dependencies()("dep_b") == Set("dep_a"))
+    assert(Reflections.dependencies()("dep_a") == Set.empty)
+    // one statement refreshes the whole chain, upstream first
+    spark.sql(s"INSERT INTO LAKE '$t' SELECT id, id % 5 AS k, id AS v FROM range(100, 150)")
+    val order = spark.sql("REFRESH REFLECTIONS").collect().map(_.getString(0)).toSeq
+    assert(order.indexOf("dep_a") >= 0 && order.indexOf("dep_b") > order.indexOf("dep_a"),
+      s"upstream must refresh first: $order")
+    // ...and B's data went THROUGH refreshed A: total = sum over 150 rows
+    val total = spark.read.parquet(s"$root/mv/b").head().getLong(0)
+    assert(total == (0L until 150L).sum, s"stale chain: $total")
+    // a cycle refuses loudly, naming its members: redefine A (at its SAME
+    // materialization path, which B reads) to read B's materialization
+    spark.sql("DROP REFLECTION dep_a")
+    spark.sql(s"CREATE REFLECTION dep_a USING PATH '$root/mv/a' AS " +
+      s"SELECT total AS t2 FROM parquet.`$root/mv/b`")
+    val e = intercept[Exception](spark.sql("REFRESH REFLECTIONS").collect())
+    assert(e.getMessage != null && e.getMessage.contains("cycle"), e.toString)
+    Reflections.clear()
+  }
+
+  test("MAINTAIN REFLECTIONS: refresh-period metadata honored, current goals untouched") {
+    Reflections.clear()
+    Reflections.install(spark)
+    val root = Files.createTempDirectory("graft_refl_maint").toString
+    spark.sql(s"CREATE LAKE '$root/t' AS SELECT id, id % 3 AS k FROM range(30)")
+    spark.sql(s"CREATE REFLECTION mnt_a USING PATH '$root/mv/a' AS " +
+      s"SELECT k, count(*) AS n FROM lake_scan('$root/t') GROUP BY k")
+    // no policy → MAINTAIN is a no-op on it (manual reflections are the
+    // operator's business)
+    val none = spark.sql("MAINTAIN REFLECTIONS").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(none("mnt_a") == "current")
+    // policy set, but the goal was just refreshed → still current
+    spark.sql("ALTER REFLECTION mnt_a REFRESH EVERY 5 MINUTES")
+    assert(Reflections.refreshPolicyOf("mnt_a").contains(5L))
+    val fresh = spark.sql("MAINTAIN REFLECTIONS").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(fresh("mnt_a") == "current")
+    // age the goal past its period → MAINTAIN refreshes it
+    Reflections.noteRefreshed("mnt_a", System.currentTimeMillis() - 6 * 60000L)
+    val due = spark.sql("MAINTAIN REFLECTIONS").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(due("mnt_a") == "refreshed", due.toString)
+    // MANUAL clears the policy; unknown reflection refuses
+    spark.sql("ALTER REFLECTION mnt_a REFRESH MANUAL")
+    assert(Reflections.refreshPolicyOf("mnt_a").isEmpty)
+    intercept[Exception](
+      spark.sql("ALTER REFLECTION nope REFRESH EVERY 1 MINUTES"))
+    Reflections.clear()
+  }
 }

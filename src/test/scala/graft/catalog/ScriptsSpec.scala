@@ -128,4 +128,55 @@ class ScriptsSpec extends AnyFunSuite {
       assert(eAnon.getMessage.contains("authenticated"), eAnon.getMessage)
     }
   }
+
+  test("SHOW SCRIPTS|SOURCES LIMIT n: bounded-heap selection over a >cap registry") {
+    withWorld {
+      // two owners so the registry exceeds the 1000-per-user cap overall
+      (0 until 600).foreach(i => Scripts.create(spark, f"pag_a_$i%04d", "SELECT 1"))
+      spark.sql("CREATE USER pag PASSWORD 'pp'")
+      asPrincipal("pag", "pp")
+      (0 until 600).foreach(i => Scripts.create(spark, f"pag_b_$i%04d", "SELECT 1"))
+      assert(Scripts.visible(spark).size == 1200)
+      // LIMIT selects the first k of the (name, owner) order WITHOUT a
+      // full-registry driver sort (bounded heap, O(n log k))
+      val limited = spark.sql("SHOW SCRIPTS LIMIT 7").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(limited == Scripts.visible(spark).take(7).map(s => (s.name, s.owner)))
+      assert(spark.sql("SHOW SCRIPTS LIMIT 0").count() == 0)
+      // sources ride the same shape
+      val d = java.nio.file.Files.createTempDirectory("pag_src").toString
+      Seq("src_c", "src_a", "src_b").foreach(n =>
+        spark.sql(s"CREATE SOURCE $n TYPE files ('path' = '$d')"))
+      val srcs = spark.sql("SHOW SOURCES LIMIT 2").collect().map(_.getString(0)).toSeq
+      assert(srcs == Seq("src_a", "src_b"), srcs.toString)
+      Sources.clear(spark)
+    }
+  }
+
+  test("pre-enforcement <anonymous> scripts become admin-managed once enforcement turns on") {
+    withWorld {
+      // single-user mode: no principal, enforcement off — creation is
+      // allowed under the synthetic <anonymous> owner (documented contract)
+      spark.sql("CREATE SCRIPT legacy_s AS 'SELECT 11 AS n'")
+      assert(spark.sql("RUN SCRIPT legacy_s").head().getInt(0) == 11)
+      spark.sql("CREATE USER adm PASSWORD 'ap' ADMIN")
+      spark.sql("CREATE USER norm PASSWORD 'np'")
+      spark.sql("ALTER AUTH ENFORCE ON")
+      // no principal can ever authenticate as <anonymous>: a regular user
+      // neither sees nor manages the pre-enforcement script...
+      asPrincipal("norm", "np")
+      assert(spark.sql("SHOW SCRIPTS").count() == 0)
+      intercept[Exception](spark.sql("RUN SCRIPT legacy_s"))
+      intercept[Exception](spark.sql("ALTER SCRIPT legacy_s AS 'SELECT 0'"))
+      // ...an ADMIN still can (view, run, re-share to a real user, drop)
+      asPrincipal("adm", "ap")
+      assert(spark.sql("RUN SCRIPT legacy_s").head().getInt(0) == 11)
+      spark.sql("GRANT VIEW ON SCRIPT legacy_s TO USER norm")
+      asPrincipal("norm", "np")
+      assert(spark.sql("RUN SCRIPT legacy_s").head().getInt(0) == 11)
+      asPrincipal("adm", "ap")
+      spark.sql("DROP SCRIPT legacy_s")
+      assert(spark.sql("SHOW SCRIPTS").count() == 0)
+    }
+  }
 }
