@@ -2057,6 +2057,85 @@ object LlmQueries {
            CAST(length(regexp_replace(text, '\s', '', 'g')) AS INT) AS n_tokens
     FROM documents ORDER BY doc_id"""
 
+  /** Pinned merge table for the FULL BPE encode oracle. A VALID merge
+    * sequence (each side is a single symbol — possibly marker-carrying —
+    * or the output of an EARLIER merge), which is the invariant every
+    * trained table satisfies and the one that makes the DuckDB replay
+    * below exact: applying merges in ascending rank to a fixed point can
+    * then never re-enable an earlier rank (merging only ever creates
+    * tokens whose own pairs rank LATER, and never makes two preexisting
+    * symbols adjacent), so rank-ordered replay ≡ the encoder's
+    * min-rank-first greedy loop. MUST stay in lockstep with
+    * `bpeFixedTokensSql`'s `m` VALUES list. */
+  private val BpeFixedMerges: Vector[(String, String)] = Vector(
+    ("t", "h"), ("th", "e</w>"), ("a", "n"), ("i", "n"), ("e", "r"),
+    ("o", "n"), ("r", "e"), ("an", "d</w>"), ("in", "g</w>"), ("e", "d</w>"),
+    ("e", "n"), ("o", "r"), ("e", "s</w>"), ("t", "o</w>"), ("o", "f</w>"),
+    ("i", "s</w>"), ("a", "t</w>"), ("e", "r</w>"), ("s", "t"), ("a", "r"),
+    ("o", "u"), ("l", "e"), ("c", "h"), ("t", "i"), ("w", "h"), ("wh", "i"),
+    ("th", "i"), ("1", "0</w>"), ("2", "0</w>"), ("c", "o"), ("co", "m"),
+    ("p", "a"), ("s", "e"), ("m", "a"), ("d", "e"), ("l", "l"), ("u", "r"),
+    ("ou", "r</w>"))
+
+  /** BPE greedy encoding under a FULL oracle: with a PINNED merge table
+    * the encoder is deterministic and DuckDB replays it exactly — per
+    * distinct word type, a recursive CTE walks the merge table in rank
+    * order, applying each merge to a fixed point via `replace` over the
+    * separator-joined symbol string (see [[BpeFixedMerges]] for why
+    * rank-ordered replay equals the min-rank greedy loop). Output hashes
+    * the FULL per-doc token sequence, so merge boundaries, `</w>`
+    * placement, and cross-word ordering are all hash-gated. */
+  val bpeFixedTokens: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents.filter(col("doc_id") < 300)
+    Bpe.encode(docs, Bpe.BpeVocab(BpeFixedMerges))
+      .select(col("doc_id"), col("n_tokens"),
+        md5(array_join(col("tokens"), "|")).as("tokens_md5"))
+      .orderBy(col("doc_id"))
+  }
+  val bpeFixedTokensSql: String = {
+    val merges = BpeFixedMerges.zipWithIndex
+      .map { case ((l, r), i) => s"($i,'$l','$r')" }.mkString(",")
+    s"""
+    WITH RECURSIVE
+    docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+    m(rank, l, r) AS (SELECT * FROM (VALUES $merges) v(rank, l, r)),
+    w AS (SELECT doc_id,
+            unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS word,
+            generate_subscripts(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'), 1) AS pos
+          FROM docs),
+    wt AS (SELECT DISTINCT word FROM w),
+    init AS (
+      SELECT word,
+        chr(31) || array_to_string(list_transform(range(1, len(word)+1),
+          i -> substr(word, CAST(i AS INT), 1) ||
+               CASE WHEN i = len(word) THEN '</w>' ELSE '' END), chr(31)) || chr(31) AS seq
+      FROM wt),
+    walk(word, seq, rk) AS (
+      SELECT word, seq, 0 FROM init
+      UNION ALL
+      SELECT w.word,
+        replace(w.seq, chr(31) || m.l || chr(31) || m.r || chr(31),
+                       chr(31) || m.l || m.r || chr(31)),
+        CASE WHEN replace(w.seq, chr(31) || m.l || chr(31) || m.r || chr(31),
+                          chr(31) || m.l || m.r || chr(31)) <> w.seq
+             THEN w.rk ELSE w.rk + 1 END
+      FROM walk w
+      JOIN m ON m.rank = w.rk
+      WHERE w.rk < ${BpeFixedMerges.length}),
+    enc AS (
+      SELECT word,
+        len(seq) - len(replace(seq, chr(31), '')) - 1 AS n_toks,
+        replace(trim(seq, chr(31)), chr(31), '|') AS toks
+      FROM walk WHERE rk = ${BpeFixedMerges.length}),
+    agg AS (
+      SELECT w.doc_id, sum(e.n_toks) AS n_tokens,
+             md5(string_agg(e.toks, '|' ORDER BY w.pos)) AS tokens_md5
+      FROM w JOIN enc e ON e.word = w.word GROUP BY 1)
+    SELECT d.doc_id, CAST(COALESCE(a.n_tokens, 0) AS INT) AS n_tokens,
+           COALESCE(a.tokens_md5, md5('')) AS tokens_md5
+    FROM docs d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"""
+  }
+
   /** Byte-level BPE plumbing under an oracle: GPT-2's pre-tokens jointly
     * PARTITION the text, and with zero merges every pre-token encodes to
     * one remapped char per UTF-8 byte — so the token count per document
@@ -2208,6 +2287,102 @@ object LlmQueries {
     SELECT doc_id,
            CAST(length(regexp_replace(text, '\s', '', 'g')) AS INT) AS n_tokens
     FROM documents ORDER BY doc_id"""
+
+  /** Pinned vocabulary for the FULL Viterbi oracle. Log-probs are EXACT
+    * binary fractions (multiples of 1/8) so Spark's and DuckDB's double
+    * sums are bit-identical and score comparisons can never drift; `ab`
+    * is pinned at exactly lp(a)+lp(b) to hash-gate the longer-piece
+    * tie-break. Letters/digits cover every alphanumeric char; `,` and
+    * the other punctuation are deliberately ABSENT so the single-char
+    * floor fallback (`n_oov`) is exercised. MUST stay in lockstep with
+    * `unigramFixedTokensSql`'s `voc` VALUES list. */
+  private val UniFixedVocab: Vector[(String, Double)] = {
+    val singles =
+      (('a' to 'z') ++ ('A' to 'Z')).map(_.toString -> -2.5) ++
+        ('0' to '9').map(_.toString -> -2.0) ++ Seq("." -> -3.0)
+    val multi = Vector(
+      "th" -> -1.5, "in" -> -1.5, "er" -> -1.5, "an" -> -1.5,
+      "on" -> -1.625, "re" -> -1.625, "at" -> -1.75, "en" -> -1.75,
+      "ed" -> -1.75, "es" -> -1.75, "or" -> -1.75, "the" -> -1.75,
+      "ti" -> -1.875, "st" -> -1.875, "ar" -> -1.875, "ou" -> -1.875,
+      "and" -> -2.0, "ing" -> -2.25, "ion" -> -2.25, "tion" -> -2.5,
+      "ab" -> -5.0)
+    (singles ++ multi).toVector
+  }
+
+  /** Unigram-LM Viterbi encoding under a FULL oracle: with a PINNED
+    * vocabulary the max-likelihood segmentation is deterministic, and
+    * DuckDB replays the DP exactly — a recursive CTE advances one
+    * position per step carrying the whole best/back arrays as LISTS,
+    * candidate pieces join against the vocab, and a window `row_number`
+    * (score DESC, length DESC — the encoder's longer-piece tie-break)
+    * picks each cell's winner; a second recursion backtraces the split.
+    * Covers: DP scoring, exact tie-breaks, the single-char floor
+    * fallback (`n_oov`), and the full token sequence via md5. */
+  val unigramFixedTokens: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents.filter(col("doc_id") < 300)
+    val pieces = UniFixedVocab.map(_._1)
+    Unigram.encode(docs, Unigram.UnigramVocab(UniFixedVocab))
+      .select(col("doc_id"), size(col("tokens")).as("n_tokens"),
+        size(filter(col("tokens"),
+          t => !array_contains(typedLit(pieces), t))).as("n_oov"),
+        md5(array_join(col("tokens"), "|")).as("tokens_md5"))
+      .orderBy(col("doc_id"))
+  }
+  val unigramFixedTokensSql: String = {
+    val vocab = UniFixedVocab
+      .map { case (p, lp) => s"('${p.replace("'", "''")}',CAST($lp AS DOUBLE))" }
+      .mkString(",")
+    val maxLen = UniFixedVocab.map(_._1.length).max
+    s"""
+    WITH RECURSIVE
+    docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+    voc(piece, lp) AS (SELECT * FROM (VALUES $vocab) v(piece, lp)),
+    lens(l) AS (SELECT CAST(unnest(range(1, $maxLen + 1)) AS INT)),
+    w AS (SELECT doc_id,
+            unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS word,
+            generate_subscripts(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'), 1) AS pos
+          FROM docs),
+    wt AS (SELECT DISTINCT word FROM w),
+    dp(word, i, bests, backs) AS (
+      SELECT word, 1, [CAST(0.0 AS DOUBLE)], CAST([] AS INT[]) FROM wt
+      UNION ALL
+      SELECT word, i + 1,
+             list_append(bests, bests[i - l + 1] + plp),
+             list_append(backs, l)
+      FROM (
+        SELECT d.word, d.i, d.bests, d.backs, ln.l,
+               COALESCE(v.lp, CASE WHEN ln.l = 1 THEN -1e9 END) AS plp
+        FROM dp d
+        JOIN lens ln ON ln.l <= least($maxLen, d.i)
+        LEFT JOIN voc v ON v.piece = substr(d.word, d.i - ln.l + 1, ln.l)
+        WHERE d.i <= len(d.word)
+      )
+      WHERE plp IS NOT NULL
+      QUALIFY row_number() OVER (
+        PARTITION BY word
+        ORDER BY bests[i - l + 1] + plp DESC, l DESC) = 1),
+    bt(word, at, n, oov, toks) AS (
+      SELECT word, len(word), 0, 0, '' FROM dp WHERE i = len(word) + 1
+      UNION ALL
+      SELECT b.word, b.at - d.backs[b.at], b.n + 1,
+             b.oov + CASE WHEN v.piece IS NULL THEN 1 ELSE 0 END,
+             substr(b.word, b.at - d.backs[b.at] + 1, d.backs[b.at]) ||
+               CASE WHEN b.toks = '' THEN '' ELSE '|' END || b.toks
+      FROM bt b
+      JOIN dp d ON d.word = b.word AND d.i = len(b.word) + 1
+      LEFT JOIN voc v ON v.piece = substr(b.word, b.at - d.backs[b.at] + 1, d.backs[b.at])
+      WHERE b.at > 0),
+    enc AS (SELECT word, n AS n_toks, oov, toks FROM bt WHERE at = 0),
+    agg AS (
+      SELECT w.doc_id, sum(e.n_toks) AS n_tokens, sum(e.oov) AS n_oov,
+             md5(string_agg(e.toks, '|' ORDER BY w.pos)) AS tokens_md5
+      FROM w JOIN enc e ON e.word = w.word GROUP BY 1)
+    SELECT d.doc_id, CAST(COALESCE(a.n_tokens, 0) AS INT) AS n_tokens,
+           CAST(COALESCE(a.n_oov, 0) AS INT) AS n_oov,
+           COALESCE(a.tokens_md5, md5('')) AS tokens_md5
+    FROM docs d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"""
+  }
 
   /** SFT chat-template rendering + loss-mask spans under a FULL oracle
     * ([[SftFormat.renderChatMl]]): conversations are derived
@@ -3014,11 +3189,13 @@ object LlmQueries {
     "bpe_train_merges" -> bpeTrainMerges,
     "bpe_tokens" -> bpeTokens,
     "bpe_char_tokens" -> bpeCharTokens,
+    "bpe_fixed_tokens" -> bpeFixedTokens,
     "bpe_byte_tokens" -> bpeByteTokens,
     "bpe_byte_train_merges" -> bpeByteTrainMerges,
     "unigram_train_pieces" -> unigramTrainPieces,
     "unigram_tokens" -> unigramTokens,
     "unigram_char_tokens" -> unigramCharTokens,
+    "unigram_fixed_tokens" -> unigramFixedTokens,
     "sft_chatml_spans" -> sftChatmlSpans,
     "dpo_pairs_spans" -> dpoPairsSpans,
     "wordpiece_train_pieces" -> wordpieceTrainPieces,
@@ -3100,8 +3277,10 @@ object LlmQueries {
     "url_filter" -> urlFilterSql,
     "lucene_contains" -> luceneContainsSql,
     "bpe_char_tokens" -> bpeCharTokensSql,
+    "bpe_fixed_tokens" -> bpeFixedTokensSql,
     "bpe_byte_tokens" -> bpeByteTokensSql,
     "unigram_char_tokens" -> unigramCharTokensSql,
+    "unigram_fixed_tokens" -> unigramFixedTokensSql,
     "wordpiece_fixed_tokens" -> wordpieceFixedTokensSql,
     "wordpiece_persisted_tokens" -> wordpieceFixedTokensSql,
     "sft_chatml_spans" -> sftChatmlSpansSql,
