@@ -2610,6 +2610,87 @@ object LlmQueries {
     (letters ++ letters.map("##" + _) ++ multi).distinct.toVector
   }
 
+  /** Pinned byte-level merge table (GPT-2 family): symbols are remapped
+    * UTF-8 bytes — `Ġ` is the remapped space ("Ġ", GPT-2's
+    * bytes_to_unicode of 0x20). Same training-validity invariant as
+    * [[BpeFixedMerges]]; MUST stay in lockstep with
+    * `bpeByteFixedTokensSql`'s `m` VALUES list. */
+  private val ByteBpeFixedMerges: Vector[(String, String)] = Vector(
+    ("Ġ", "t"), ("Ġ", "a"), ("h", "e"), ("i", "n"),
+    ("Ġt", "he"), ("e", "r"), ("Ġ", "s"), ("o", "n"),
+    ("Ġa", "n"), ("r", "e"), ("Ġ", "w"), ("n", "d"),
+    ("Ġan", "d"), ("e", "s"), ("Ġ", "o"), ("Ġ", "c"),
+    ("in", "g"), ("o", "r"), ("Ġ", "b"), ("a", "t"), ("e", "n"),
+    ("s", "t"), ("1", "0"), ("Ġ", "1"), ("a", "r"), ("o", "u"),
+    ("Ġw", "h"), ("e", "d"), ("Ġs", "t"))
+
+  /** Byte-level (GPT-2) BPE under a FULL oracle. GPT-2's pre-token regex
+    * carries a lookahead (`\s+(?!\S)`) RE2 cannot run, but on text with
+    * no consecutive/leading/trailing whitespace and no non-ASCII byte the
+    * pattern provably degenerates to the lookahead-free
+    * contractions | ` ?letters` | ` ?digits` | ` ?punct` form (every
+    * space attaches to its following pre-token, no whitespace-run tokens
+    * exist), and the byte remap degenerates to space→Ġ with all other
+    * printable ASCII mapping to themselves. BOTH sides therefore filter
+    * to exactly that doc shape with the same regex, and DuckDB replays
+    * the remap + the rank-ordered merge walk precisely (same fixed-point
+    * scheme as `bpe_fixed_tokens`). The full per-doc token stream is
+    * md5-gated. */
+  val bpeByteFixedTokens: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents
+      .filter(col("doc_id") < 300)
+      .filter(expr("NOT regexp_like(text, '[^ -~]|  |^ | $')"))
+    ByteBpe.encode(docs, ByteBpe.ByteBpeVocab(ByteBpeFixedMerges))
+      .select(col("doc_id"), col("n_tokens"),
+        md5(array_join(col("tokens"), "|")).as("tokens_md5"))
+      .orderBy(col("doc_id"))
+  }
+  val bpeByteFixedTokensSql: String = {
+    val merges = ByteBpeFixedMerges.zipWithIndex
+      .map { case ((l, r), i) =>
+        s"($i,'${l.replace("Ġ", "' || chr(288) || '")}','$r')" }
+      .mkString(",")
+    val pretok = "''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+"
+    s"""
+    WITH RECURSIVE
+    docs AS (SELECT doc_id, text FROM documents
+             WHERE doc_id < 300 AND NOT regexp_matches(text, '[^ -~]|  |^ | ${"$"}')),
+    m(rank, l, r) AS (SELECT * FROM (VALUES $merges) v(rank, l, r)),
+    w AS (SELECT doc_id,
+            unnest(regexp_extract_all(text, '$pretok')) AS word,
+            generate_subscripts(regexp_extract_all(text, '$pretok'), 1) AS pos
+          FROM docs),
+    wt AS (SELECT DISTINCT replace(word, ' ', chr(288)) AS word FROM w),
+    init AS (
+      SELECT word,
+        chr(31) || array_to_string(list_transform(range(1, len(word)+1),
+          i -> substr(word, CAST(i AS INT), 1)), chr(31)) || chr(31) AS seq
+      FROM wt),
+    walk(word, seq, rk) AS (
+      SELECT word, seq, 0 FROM init
+      UNION ALL
+      SELECT w.word,
+        replace(w.seq, chr(31) || m.l || chr(31) || m.r || chr(31),
+                       chr(31) || m.l || m.r || chr(31)),
+        CASE WHEN replace(w.seq, chr(31) || m.l || chr(31) || m.r || chr(31),
+                          chr(31) || m.l || m.r || chr(31)) <> w.seq
+             THEN w.rk ELSE w.rk + 1 END
+      FROM walk w JOIN m ON m.rank = w.rk
+      WHERE w.rk < ${ByteBpeFixedMerges.length}),
+    enc AS (
+      SELECT word,
+        len(seq) - len(replace(seq, chr(31), '')) - 1 AS n_toks,
+        replace(trim(seq, chr(31)), chr(31), '|') AS toks
+      FROM walk WHERE rk = ${ByteBpeFixedMerges.length}),
+    agg AS (
+      SELECT w.doc_id, sum(e.n_toks) AS n_tokens,
+             md5(string_agg(e.toks, '|' ORDER BY w.pos)) AS tokens_md5
+      FROM w JOIN enc e ON e.word = replace(w.word, ' ', chr(288)) GROUP BY 1)
+    SELECT d.doc_id, CAST(COALESCE(a.n_tokens, 0) AS INT) AS n_tokens,
+           COALESCE(a.tokens_md5, md5('')) AS tokens_md5
+    FROM docs d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"""
+  }
+
   /** WordPiece greedy longest-match encoding under a FULL oracle: with a
     * FIXED vocabulary the greedy walk is deterministic, and DuckDB replays
     * it exactly — per distinct word type, a non-recursive join computes
@@ -3190,6 +3271,7 @@ object LlmQueries {
     "bpe_tokens" -> bpeTokens,
     "bpe_char_tokens" -> bpeCharTokens,
     "bpe_fixed_tokens" -> bpeFixedTokens,
+    "bpe_byte_fixed_tokens" -> bpeByteFixedTokens,
     "bpe_byte_tokens" -> bpeByteTokens,
     "bpe_byte_train_merges" -> bpeByteTrainMerges,
     "unigram_train_pieces" -> unigramTrainPieces,
@@ -3278,6 +3360,7 @@ object LlmQueries {
     "lucene_contains" -> luceneContainsSql,
     "bpe_char_tokens" -> bpeCharTokensSql,
     "bpe_fixed_tokens" -> bpeFixedTokensSql,
+    "bpe_byte_fixed_tokens" -> bpeByteFixedTokensSql,
     "bpe_byte_tokens" -> bpeByteTokensSql,
     "unigram_char_tokens" -> unigramCharTokensSql,
     "unigram_fixed_tokens" -> unigramFixedTokensSql,
