@@ -512,6 +512,34 @@ object Reflections {
     ordered
   }
 
+  /** LOAD MATERIALIZATION (reference `$LOAD MATERIALIZATION METADATA`,
+    * `services/reflection/load/LoadMaterializationHandler.java` — the
+    * accelerator-internal statement that takes a just-(re)built
+    * materialization live): the data at the reflection's path was
+    * rewritten OUT OF BAND (an upstream job, the external-reflection
+    * owner); re-validate it still carries the defining query's columns,
+    * drop the cached scan plan, and re-pin base versions + refresh time —
+    * queries substitute the new content from the next statement on.
+    * Validation happens BEFORE any state changes: a broken rebuild must
+    * not take down a serving reflection. */
+  def loadMaterialization(spark: SparkSession, name: String): Reflection = {
+    val r = byName.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown reflection: $name"))
+    val have = graft.auth.Privileges.withSystemContext {
+      spark.read.parquet(r.path).schema.fieldNames.toSet
+    }
+    val want = planByName.get(name).map(_.output.map(_.name).toSet)
+      .getOrElse(Set.empty[String])
+    require(want.subsetOf(have),
+      s"LOAD MATERIALIZATION: data at ${r.path} lacks columns of the " +
+        s"defining query: ${(want -- have).toSeq.sorted.mkString(", ")}")
+    spark.catalog.refreshByPath(r.path)
+    scanByNameCache.remove(name)
+    noteRefreshed(name, System.currentTimeMillis())
+    repin(spark, name)
+    byName(name)
+  }
+
   // Refresh-period metadata (reference AccelerationSettings.refreshPeriod,
   // persisted with the goal): minutes between refreshes; absent = manual.
   private val refreshEvery = TrieMap.empty[String, Long]

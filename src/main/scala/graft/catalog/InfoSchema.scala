@@ -84,10 +84,23 @@ object InfoSchema {
       StructField("name", StringType, nullable = false),
       StructField("fingerprint", StringType, nullable = false),
       StructField("path", StringType, nullable = false),
-      StructField("stale", BooleanType, nullable = false))),
-      () => graft.accel.Reflections.list
-        .map(r => Row(r.name, r.fingerprint, r.path,
-          !graft.accel.Reflections.isFresh(spark, r))))
+      StructField("stale", BooleanType, nullable = false),
+      // refresh-period policy + dependency edges (reference sys.reflections
+      // carries refresh settings; dependencies from DependencyGraph)
+      StructField("refresh_every_min", StringType, nullable = false),
+      StructField("last_refresh_ms", StringType, nullable = false),
+      StructField("depends_on", StringType, nullable = false))),
+      () => {
+        val deps = graft.accel.Reflections.dependencies()
+        graft.accel.Reflections.list
+          .map(r => Row(r.name, r.fingerprint, r.path,
+            !graft.accel.Reflections.isFresh(spark, r),
+            graft.accel.Reflections.refreshPolicyOf(r.name)
+              .map(_.toString).getOrElse("manual"),
+            graft.accel.Reflections.lastRefreshOf(r.name)
+              .map(_.toString).getOrElse(""),
+            deps.getOrElse(r.name, Set.empty).toSeq.sorted.mkString(",")))
+      })
 
   /** sys.pipes (reference `sys."pipes"` over the pipe registry). */
   def sysPipes(spark: SparkSession): DataFrame =

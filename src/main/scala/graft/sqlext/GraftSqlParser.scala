@@ -152,6 +152,8 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
       case AlterReflectionPolicyRe(name, minutes) =>
         AlterReflectionPolicyCommand(name,
           Option(minutes).map(_.trim.toLong), out("reflection", "policy"))
+      case LoadMaterializationRe(name) =>
+        LoadMaterializationCommand(name, out("reflection", "path"))
       case ForgetMetadataRe(name) =>
         ForgetMetadataCommand(name, out("dataset"))
       case DropReflectionRe(name) => DropReflectionCommand(name)
@@ -596,6 +598,10 @@ object GraftSqlParser {
   // per-goal refresh period (reference AccelerationSettings.refreshPeriod)
   private val AlterReflectionPolicyRe =
     """(?is)ALTER\s+REFLECTION\s+(\w+)\s+REFRESH\s+(?:EVERY\s+(\d+)\s+MINUTES?|(?:MANUAL))\s*;?""".r
+  // accelerator-internal: take an out-of-band rebuilt materialization live
+  // (reference $LOAD MATERIALIZATION METADATA, LoadMaterializationHandler)
+  private val LoadMaterializationRe =
+    """(?is)LOAD\s+MATERIALIZATION\s+(\w+)\s*;?""".r
   // bulk per-dataset refresh (reference SqlRefreshReflectionsForDataset,
   // alter.ftl:198 — ALTER TABLE t REFRESH REFLECTIONS)
   private val RefreshReflectionsForRe =
@@ -1360,6 +1366,18 @@ object GraftSqlParser {
       val refreshed = Reflections.refreshChain(spark, due)
       val current = Reflections.list.map(_.name).filterNot(refreshed.contains(_))
       refreshed.map(Row(_, "refreshed")) ++ current.sorted.map(Row(_, "current"))
+    }
+  }
+
+  /** LOAD MATERIALIZATION r (reference internal `LOAD MATERIALIZATION
+    * METADATA` statement, LoadMaterializationHandler.java): the reflection's
+    * materialization was rebuilt out of band — validate and take it
+    * live (cache drop + re-pin). */
+  case class LoadMaterializationCommand(name: String,
+      override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val r = Reflections.loadMaterialization(spark, name)
+      Seq(Row(r.name, r.path))
     }
   }
 

@@ -699,6 +699,40 @@ class ReflectionsSpec extends AnyFunSuite {
     Reflections.clear()
   }
 
+  test("LOAD MATERIALIZATION: out-of-band rebuild taken live after validation") {
+    Reflections.clear()
+    Reflections.install(spark)
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_refl_load").toString
+    val mv = s"$root/mv"
+    // the materialization is OWNED by an upstream job (external shape)
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "sv").write.parquet(mv)
+    spark.sql(s"CREATE LAKE '$root/t' AS SELECT id % 3 AS k, id AS v FROM range(30)")
+    Reflections.createExternal("ld_r",
+      spark.sql(s"SELECT k, sum(v) AS sv FROM lake_scan('$root/t') GROUP BY k"),
+      mv, Some(s"SELECT k, sum(v) AS sv FROM lake_scan('$root/t') GROUP BY k"))
+    // upstream rebuilds the materialization out of band...
+    Seq((1L, 11L), (2L, 21L), (3L, 31L)).toDF("k", "sv")
+      .write.mode("overwrite").parquet(mv)
+    // ...LOAD takes it live: the substituted answer shows the NEW rows
+    val row = spark.sql("LOAD MATERIALIZATION ld_r").head()
+    assert(row.getString(0) == "ld_r")
+    val served = spark.sql(s"SELECT k, sum(v) AS sv FROM lake_scan('$root/t') GROUP BY k")
+    assert(served.queryExecution.sparkPlan.toString.contains("/mv"),
+      "must serve from the materialization")
+    assert(served.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 11L), (2L, 21L), (3L, 31L)))
+    // a broken rebuild (missing defining columns) refuses and changes nothing
+    Seq((1L, "x")).toDF("k", "other").write.mode("overwrite").parquet(s"$root/mv2")
+    val r0 = Reflections.list.find(_.name == "ld_r").get
+    Seq((9L, "y")).toDF("wrong", "cols").write.mode("overwrite").parquet(mv)
+    val e = intercept[Exception](spark.sql("LOAD MATERIALIZATION ld_r").collect())
+    assert(e.getMessage.contains("lacks columns"), e.getMessage)
+    assert(Reflections.list.find(_.name == "ld_r").get.baseVersions == r0.baseVersions)
+    intercept[Exception](spark.sql("LOAD MATERIALIZATION nope").collect())
+    Reflections.clear()
+  }
+
   test("MAINTAIN REFLECTIONS: refresh-period metadata honored, current goals untouched") {
     Reflections.clear()
     Reflections.install(spark)
