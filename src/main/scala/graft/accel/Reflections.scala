@@ -155,6 +155,10 @@ object Reflections {
     byFingerprint.put(r.fingerprint, r)
     planByName.put(name, plan)
     scanByNameCache.remove(name) // re-created under the same name → re-read
+    // a live re-create supersedes any still-pending stored goal of the
+    // same name — otherwise persist() would write BOTH entries and the
+    // stale one would win the next restart's last-wins load
+    pendingReattach.remove(name)
     noteRefreshed(name, System.currentTimeMillis())
     persist()
     r
@@ -232,6 +236,7 @@ object Reflections {
     byFingerprint.put(r.fingerprint, r)
     planByName.put(name, plan)
     scanByNameCache.remove(name)
+    pendingReattach.remove(name)
     persist()
     r
   }
@@ -351,11 +356,16 @@ object Reflections {
       val st = graft.catalog.GraftStore
       val root = st.newObject
       val arr = root.putArray("reflections")
-      val durable =
-        byName.values.toSeq.collect {
-          case r if r.definingSql.isDefined =>
-            (r.name, r.path, r.definingSql.get, r.baseVersions)
-        } ++ pendingReattach.toSeq.map { case (n, (p, sql, bv)) => (n, p, sql, bv) }
+      // live registrations WIN over same-named pending goals (a pending
+      // entry surviving next to a live one would resurrect stale state on
+      // the next last-wins load)
+      val live = byName.values.toSeq.collect {
+        case r if r.definingSql.isDefined =>
+          (r.name, r.path, r.definingSql.get, r.baseVersions)
+      }
+      val liveNames = live.map(_._1).toSet
+      val durable = live ++ pendingReattach.toSeq
+        .collect { case (n, (p, sql, bv)) if !liveNames(n) => (n, p, sql, bv) }
       durable.sortBy(_._1).foreach { case (name, path, sql, bv) =>
         val o = arr.addObject()
         o.put("name", name); o.put("path", path); o.put("sql", sql)
@@ -497,19 +507,37 @@ object Reflections {
     out.toSeq
   }
 
-  /** Refresh the named SQL-defined reflections in dependency order and
-    * return the order used. Substitution is BYPASSED while the defining
-    * queries re-run: a due-but-still-fresh reflection would otherwise be
-    * served from its own materialization — a self-copy at best, a read
-    * of files being overwritten at worst. */
-  def refreshChain(spark: SparkSession, names: Seq[String]): Seq[String] = {
+  /** Refresh the named SQL-defined reflections in dependency order;
+    * returns (name, status) per goal in the order used. Substitution is
+    * BYPASSED while the defining queries re-run: a due-but-still-fresh
+    * reflection would otherwise be served from its own materialization —
+    * a self-copy at best, a read of files being overwritten at worst.
+    * Failures are ISOLATED per goal (the reference manager's contract):
+    * one permanently broken reflection must not wedge the maintenance of
+    * every other goal forever — but a goal is SKIPPED (not attempted)
+    * when one of its own upstreams failed this pass, since rebuilding
+    * from a known-failed upstream would materialize stale data as fresh.
+    * Cycles still refuse loudly before anything runs. */
+  def refreshChain(spark: SparkSession,
+                   names: Seq[String]): Seq[(String, String)] = {
     val ordered = refreshOrder(names)
-    ordered.foreach { n =>
-      byName.get(n).flatMap(_.definingSql).foreach { sql =>
-        withSubstitutionBypassed { refresh(n, spark.sql(sql)) }
+    val deps = dependencies()
+    val failed = scala.collection.mutable.Set.empty[String]
+    ordered.map { n =>
+      val badUp = deps.getOrElse(n, Set.empty).intersect(failed)
+      if (badUp.nonEmpty) {
+        failed += n
+        n -> s"skipped: upstream failed (${badUp.toSeq.sorted.mkString(", ")})"
+      } else byName.get(n).flatMap(_.definingSql) match {
+        case None => n -> "skipped: no stored SQL"
+        case Some(sql) =>
+          try { withSubstitutionBypassed { refresh(n, spark.sql(sql)) }; n -> "refreshed" }
+          catch { case e: Exception =>
+            failed += n
+            n -> s"failed: ${Option(e.getMessage).getOrElse(e).toString.take(160)}"
+          }
       }
     }
-    ordered
   }
 
   /** LOAD MATERIALIZATION (reference `$LOAD MATERIALIZATION METADATA`,
@@ -523,6 +551,12 @@ object Reflections {
     * Validation happens BEFORE any state changes: a broken rebuild must
     * not take down a serving reflection. */
   def loadMaterialization(spark: SparkSession, name: String): Reflection = {
+    // admin-gated BEFORE resolution (the reference statement is
+    // accelerator-internal, issued by the SYSTEM user): an ungated repin
+    // would let any principal mark a stale materialization fresh and make
+    // the engine serve stale data to everyone — and resolving first would
+    // leak reflection existence through error differences
+    graft.auth.Privileges.requireAdmin(spark, s"LOAD MATERIALIZATION $name")
     val r = byName.getOrElse(name,
       throw new IllegalArgumentException(s"unknown reflection: $name"))
     val have = graft.auth.Privileges.withSystemContext {

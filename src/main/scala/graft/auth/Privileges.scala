@@ -295,14 +295,32 @@ object Privileges {
       val acts = Set(action.toLowerCase, "all")
       // Container grants cover DATASET paths only: the synthetic sub-object
       // keys under a folder (refObj `path@branch:`/`@tag:`, catalogObj
-      // `path@catalog`) carry '@' — which normObj never emits — and must
-      // NOT ride a GRANT ... ON ALL DATASETS IN FOLDER (it would silently
-      // convey per-ref COMMIT and catalog CREATE_BRANCH/CREATE_TAG beyond
-      // the datasets the statement names).
+      // `path@catalog`) must NOT ride a GRANT ... ON ALL DATASETS IN
+      // FOLDER (it would silently convey per-ref COMMIT and catalog
+      // CREATE_BRANCH/CREATE_TAG beyond the datasets the statement
+      // names). The exclusion matches the EXACT synthetic suffixes, not
+      // any '@' — '@' is a legal path character (user dirs, emails), and
+      // a dataset at /data/team@eu/t must stay covered.
       gs.exists { case (a, o) => acts(a) && (o == "*" || o == obj ||
         (o.endsWith("/*") && obj.startsWith(o.dropRight(1)) &&
-          obj.indexOf('@', o.length - 1) < 0)) }
+          !syntheticSubObject(obj, o.length - 1))) }
     }
+
+  /** Does `obj` carry one of the engine's synthetic sub-object suffixes
+    * ([[refObj]] `@branch:`/`@tag:`, [[catalogObj]] `@catalog`) at or
+    * after `from`? A directory literally named `x@branch:y` would
+    * false-positive here — accepted: the synthetic namespace is the
+    * engine's own convention and documented as reserved. */
+  private def syntheticSubObject(obj: String, from: Int): Boolean = {
+    var i = obj.indexOf('@', math.max(from, 0))
+    while (i >= 0) {
+      val rest = obj.substring(i + 1)
+      if (rest.startsWith("branch:") || rest.startsWith("tag:") ||
+          rest == "catalog") return true
+      i = obj.indexOf('@', i + 1)
+    }
+    false
+  }
 
   /** GRANT/REVOKE ... ON ALL DATASETS IN FOLDER '<dir>' (grant.ftl:215
     * SqlGrantOnAllDatasets): one grant covering every dataset path under

@@ -73,6 +73,14 @@ object FuzzyJoin {
     // sort within every hash partition of a table that is len+1× the
     // corpus, while the hot set (only variants with > maxBucket members)
     // is by construction ≤ |corpus|/maxBucket rows — broadcastable.
+    // DELIBERATE trade: `exploded` is evaluated twice (count branch +
+    // probe side), so the map-only explode+hash pass runs again — measured
+    // ~+45% wall at sf0.1/local (3.2s → 4.7s, quiet box) where everything
+    // fits in memory and fixed stage overheads dominate. At 100 TB the
+    // balance inverts: the removed sort is O(n log n) WITH SPILL over the
+    // len+1×-corpus shuffle, while the second explode is pure map-side CPU
+    // with no shuffle and no disk — recompute beats sort-and-spill. The
+    // 500k-key scale tier pins the no-cartesian/no-window shape.
     val capped = exploded.join(
       broadcast(exploded.groupBy(col("vh")).agg(count(lit(1)).as("bucket_n"))
         .where(col("bucket_n") > maxBucket).select(col("vh"))),

@@ -144,9 +144,9 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
         CreateReflectionCommand(name, path, query)
       case RefreshReflectionRe(name) => RefreshReflectionCommand(name)
       case RefreshReflectionsForRe(dir) =>
-        RefreshReflectionsForDatasetCommand(dir, out("reflection"))
+        RefreshReflectionsForDatasetCommand(dir, out("reflection", "status"))
       case RefreshAllReflectionsRe() =>
-        RefreshAllReflectionsCommand(out("reflection"))
+        RefreshAllReflectionsCommand(out("reflection", "status"))
       case MaintainReflectionsRe() =>
         MaintainReflectionsCommand(out("reflection", "action"))
       case AlterReflectionPolicyRe(name, minutes) =>
@@ -1332,7 +1332,8 @@ object GraftSqlParser {
       // dependency order WITHIN the anchored set too: one anchored
       // reflection may read another's materialization
       Reflections.refreshChain(spark,
-        anchored.filter(_.definingSql.isDefined).map(_.name)).map(Row(_))
+        anchored.filter(_.definingSql.isDefined).map(_.name))
+        .map { case (n, st) => Row(n, st) }
     }
   }
 
@@ -1348,7 +1349,7 @@ object GraftSqlParser {
     override def run(spark: SparkSession): Seq[Row] = {
       val names = Reflections.list.filter(_.definingSql.isDefined).map(_.name)
       require(names.nonEmpty, "REFRESH REFLECTIONS: no SQL-defined reflections")
-      Reflections.refreshChain(spark, names).map(Row(_))
+      Reflections.refreshChain(spark, names).map { case (n, st) => Row(n, st) }
     }
   }
 
@@ -1363,9 +1364,11 @@ object GraftSqlParser {
     override def run(spark: SparkSession): Seq[Row] = {
       val due = Reflections.dueForMaintain(System.currentTimeMillis())
         .filter(n => Reflections.list.exists(r => r.name == n && r.definingSql.isDefined))
-      val refreshed = Reflections.refreshChain(spark, due)
-      val current = Reflections.list.map(_.name).filterNot(refreshed.contains(_))
-      refreshed.map(Row(_, "refreshed")) ++ current.sorted.map(Row(_, "current"))
+      val ran = Reflections.refreshChain(spark, due)
+      val ranNames = ran.map(_._1).toSet
+      val current = Reflections.list.map(_.name).filterNot(ranNames)
+      ran.map { case (n, st) => Row(n, st) } ++
+        current.sorted.map(Row(_, "current"))
     }
   }
 

@@ -335,6 +335,14 @@ class RefGrantsSpec extends AnyFunSuite {
       spark.sql(s"GRANT USAGE ON BRANCH dev IN CATALOG '$dir' TO USER judy")
       asPrincipal("judy", "jp")
       Privileges.requireRefUsage(spark, dir, "branch", "dev", "USE BRANCH")
+      // '@' is a LEGAL path character: a dataset under the folder whose
+      // path contains '@' (user dirs, emails) stays covered — only the
+      // exact synthetic @branch:/@tag:/@catalog suffixes are excluded
+      val u2 = Privileges.principalOf(spark).get
+      assert(Privileges.allowed(u2, "commit",
+        Privileges.normObj(s"$root/team@eu/t")))
+      assert(!Privileges.allowed(u2, "commit",
+        Privileges.normObj(s"$root/team@eu/t") + "@branch:dev"))
     }
   }
 }
