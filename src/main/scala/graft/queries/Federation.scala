@@ -196,6 +196,59 @@ object Federation {
            CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal
     FROM supplier WHERE s_suppkey % 3 = 0 ORDER BY s_suppkey"""
 
+  /** WET round trip: export the documents fixture as WET-style WARC
+    * (conversion records, one gzip member per record — the Common-Crawl
+    * layout), stream it back with the record reader, and reconstruct
+    * doc_id + text from the container fields. Oracle = the raw fixture. */
+  val warcRoundtrip: QueryFn = (s, dir) => {
+    val t = graft.engine.Tables.ensure(s, dir)
+    val warcDir = Lake.scratchDir("graft_warc_rt") + "/wet"
+    graft.sources.WarcFiles.write(
+      t.documents.select(
+        concat(lit("https://corpus.example/doc/"), col("doc_id")).as("target_uri"),
+        col("text")),
+      warcDir)
+    graft.sources.WarcFiles.readText(s, warcDir)
+      .select(
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("bigint").as("doc_id"),
+        col("text"))
+      .orderBy(col("doc_id"))
+  }
+  val warcRoundtripSql: String =
+    "SELECT doc_id, text FROM documents ORDER BY doc_id"
+
+  /** WARC response scan: wrap each document in a deterministic HTTP
+    * envelope (status varies by doc_id), write `response` records, read
+    * back through the HTTP view which parses status/content-type/body out
+    * of the payload — the raw-crawl half of the WARC surface. */
+  val warcHttpScan: QueryFn = (s, dir) => {
+    val t = graft.engine.Tables.ensure(s, dir)
+    val warcDir = Lake.scratchDir("graft_warc_http") + "/crawl"
+    val status = when(col("doc_id") % 7 === 0, lit(404)).otherwise(lit(200))
+    val reason = when(col("doc_id") % 7 === 0, lit("Not Found")).otherwise(lit("OK"))
+    graft.sources.WarcFiles.write(
+      t.documents.select(
+        concat(lit("https://corpus.example/doc/"), col("doc_id")).as("target_uri"),
+        encode(concat(
+          lit("HTTP/1.1 "), status, lit(" "), reason, lit("\r\n"),
+          lit("Content-Type: text/html; charset=UTF-8\r\n\r\n"),
+          col("text")), "UTF-8").as("payload")),
+      warcDir, warcType = "response")
+    graft.sources.WarcFiles.readHttp(s, warcDir)
+      .select(
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("bigint").as("doc_id"),
+        col("http_status").cast("int").as("http_status"),
+        col("http_content_type"),
+        decode(col("body"), "UTF-8").as("body_text"))
+      .orderBy(col("doc_id"))
+  }
+  val warcHttpScanSql: String = """
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS INT) AS http_status,
+           'text/html; charset=UTF-8' AS http_content_type,
+           text AS body_text
+    FROM documents ORDER BY doc_id"""
+
   val queries: Map[String, QueryFn] = Map(
     "hive_catalog_nation" -> hiveCatalogNation,
     "jdbc_roundtrip" -> jdbcRoundtrip,
@@ -203,7 +256,9 @@ object Federation {
     "jdbc_join_pushdown" -> jdbcJoinPushdown,
     "jdbc_external_query" -> jdbcExternalQuery,
     "source_lifecycle_query" -> sourceLifecycleQuery,
-    "arrow_roundtrip" -> arrowRoundtrip)
+    "arrow_roundtrip" -> arrowRoundtrip,
+    "warc_roundtrip" -> warcRoundtrip,
+    "warc_http_scan" -> warcHttpScan)
 
   val oracle: Map[String, String] = Map(
     "hive_catalog_nation" -> hiveCatalogNationSql,
@@ -212,5 +267,7 @@ object Federation {
     "jdbc_join_pushdown" -> jdbcJoinPushdownSql,
     "jdbc_external_query" -> jdbcExternalQuerySql,
     "source_lifecycle_query" -> sourceLifecycleQuerySql,
-    "arrow_roundtrip" -> arrowRoundtripSql)
+    "arrow_roundtrip" -> arrowRoundtripSql,
+    "warc_roundtrip" -> warcRoundtripSql,
+    "warc_http_scan" -> warcHttpScanSql)
 }

@@ -1,0 +1,312 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, EOFException, InputStream}
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** WARC / WET web-archive source — the ingestion head of a web-scale
+  * training-data pipeline. Common Crawl (the dominant public corpus for
+  * LLM pretraining) ships as WARC (ISO 28500: raw HTTP captures) and WET
+  * (the same container with `WARC-Type: conversion` records holding
+  * extracted plain text); this reader turns either into a DataFrame that
+  * feeds the rest of the pipeline (html_to_text, quality scoring, dedup).
+  * The reference engine has no web-archive plugin — this is one of the
+  * beyond-the-reference LLM-pipeline sources the build mandates.
+  *
+  * Spark-first shape, same contract as the easy-format readers
+  * ([[ArrowFiles]], [[ExcelFiles]]): the driver lists file NAMES once, the
+  * path list is distributed, and each task streams its files record by
+  * record. Unlike the Arrow reader (whole-file buffer — IPC needs a
+  * seekable footer), WARC is a strictly sequential format, so the task
+  * reads through a bounded 64 KiB buffer and holds ONE record's payload at
+  * a time: task memory is O(largest record), never O(file), which is what
+  * lets a 1 GiB Common-Crawl segment file stream through a 4 GiB executor.
+  * Files are the parallelism unit — `.warc.gz` members are back-to-back
+  * gzip streams with no external index, so a single file is unsplittable
+  * (exactly how Common Crawl is consumed: thousands of ~1 GiB segment
+  * files, one task each). No pushdown into the container; Spark
+  * prunes/filters the produced rows in the plan above.
+  *
+  * Format notes (ISO 28500 / WARC 1.1):
+  *  - record = version line `WARC/1.x`, named headers, blank line,
+  *    `Content-Length` bytes of payload, two blank lines;
+  *  - header lines fold: a continuation line starts with SP or HT;
+  *  - `.gz` files hold one gzip MEMBER per record, concatenated —
+  *    `java.util.zip.GZIPInputStream` walks concatenated members natively;
+  *  - `response` payloads are full HTTP messages (status line + headers +
+  *    CRLFCRLF + body); `conversion` (WET) payloads are plain UTF-8 text.
+  */
+object WarcFiles {
+
+  val schema: StructType = StructType(Seq(
+    StructField("warc_file", StringType, nullable = false),
+    StructField("warc_type", StringType, nullable = true),
+    StructField("record_id", StringType, nullable = true),
+    StructField("target_uri", StringType, nullable = true),
+    StructField("warc_date", StringType, nullable = true),
+    StructField("content_type", StringType, nullable = true),
+    StructField("content_length", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true)))
+
+  /** HTTP view of `response` records: status/content-type parsed out of the
+    * payload's HTTP envelope, `body` the bytes after the header block. */
+  val httpSchema: StructType = StructType(schema.fields.toSeq ++ Seq(
+    StructField("http_status", IntegerType, nullable = true),
+    StructField("http_content_type", StringType, nullable = true),
+    StructField("body", BinaryType, nullable = true)))
+
+  private def listWarcFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stat = fs.getFileStatus(path)
+    val files =
+      if (stat.isDirectory) fs.listStatus(path).toSeq.filter(_.isFile).map(_.getPath)
+      else Seq(path)
+    files.map(_.toString)
+      .filter { p =>
+        val n = p.substring(p.lastIndexOf('/') + 1)
+        !n.startsWith(".") && !n.startsWith("_") &&
+          (n.endsWith(".warc") || n.endsWith(".wet") ||
+            n.endsWith(".warc.gz") || n.endsWith(".wet.gz"))
+      }.sorted
+  }
+
+  /** All records of all WARC/WET files under `dir`. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val files = listWarcFiles(spark, dir)
+    require(files.nonEmpty, s"no warc/wet files under $dir")
+    import spark.implicits._
+    val parallelism = math.min(math.max(files.size, 1),
+      spark.sparkContext.defaultParallelism)
+    spark.createDataset(files).repartition(parallelism)
+      .mapPartitions(paths => paths.flatMap(p => fileRecords(p)))(Encoders.row(schema))
+  }
+
+  /** WET text view: `conversion`/`resource` records with their payload
+    * decoded as UTF-8 — (target_uri, warc_date, text). */
+  def readText(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    read(spark, dir)
+      .filter(col("warc_type").isin("conversion", "resource"))
+      .select(col("target_uri"), col("warc_date"),
+        decode(col("payload"), "UTF-8").as("text"))
+  }
+
+  /** HTTP view of `response` records (see [[httpSchema]]). Parsing happens
+    * task-side inside the same streaming pass — no second read. */
+  def readHttp(spark: SparkSession, dir: String): DataFrame = {
+    val files = listWarcFiles(spark, dir)
+    require(files.nonEmpty, s"no warc/wet files under $dir")
+    import spark.implicits._
+    val parallelism = math.min(math.max(files.size, 1),
+      spark.sparkContext.defaultParallelism)
+    spark.createDataset(files).repartition(parallelism)
+      .mapPartitions(paths => paths.flatMap(p =>
+        fileRecords(p).filter(_.getString(1) == "response").map { r =>
+          val payload = r.get(7).asInstanceOf[Array[Byte]]
+          val (status, ctype, body) = parseHttp(payload)
+          Row.fromSeq(r.toSeq ++ Seq(status, ctype, body))
+        }))(Encoders.row(httpSchema))
+  }
+
+  // ---------- streaming record parser ----------
+
+  /** Lazy record iterator over one file; the stream closes at EOF. */
+  private def fileRecords(file: String): Iterator[Row] = {
+    val path = new org.apache.hadoop.fs.Path(file)
+    val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val raw = fs.open(path)
+    val in: InputStream =
+      if (file.endsWith(".gz")) new GZIPInputStream(new BufferedInputStream(raw, 1 << 16), 1 << 16)
+      else new BufferedInputStream(raw, 1 << 16)
+
+    new Iterator[Row] {
+      private var nextRow: Row = null
+      private var done = false
+
+      private def advance(): Unit = {
+        while (nextRow == null && !done) {
+          // skip record separators / stray blank lines, find a version line
+          var line = readLine(in)
+          while (line != null && line.isEmpty) line = readLine(in)
+          if (line == null) { done = true; in.close() }
+          else if (!line.startsWith("WARC/")) {
+            in.close()
+            throw new IllegalArgumentException(
+              s"$file: expected WARC/1.x version line, got '${line.take(40)}'")
+          } else {
+            // headers with ISO 28500 folding (SP/HT continuation lines)
+            val headers = scala.collection.mutable.LinkedHashMap[String, String]()
+            var lastKey: String = null
+            var h = readLine(in)
+            while (h != null && h.nonEmpty) {
+              if ((h.charAt(0) == ' ' || h.charAt(0) == '\t') && lastKey != null) {
+                headers(lastKey) = headers(lastKey) + " " + h.trim
+              } else {
+                val i = h.indexOf(':')
+                require(i > 0, s"$file: malformed WARC header line '${h.take(40)}'")
+                lastKey = h.substring(0, i).trim.toLowerCase
+                headers(lastKey) = h.substring(i + 1).trim
+              }
+              h = readLine(in)
+            }
+            val len = headers.getOrElse("content-length",
+              throw new IllegalArgumentException(s"$file: record missing Content-Length"))
+              .toLong
+            require(len <= Int.MaxValue - 8, s"$file: record of $len bytes exceeds the 2 GiB row limit")
+            val payload = new Array[Byte](len.toInt)
+            readFully(in, payload)
+            nextRow = Row(file,
+              headers.getOrElse("warc-type", null),
+              headers.getOrElse("warc-record-id", null),
+              headers.getOrElse("warc-target-uri", null),
+              headers.getOrElse("warc-date", null),
+              headers.getOrElse("content-type", null),
+              len, payload)
+          }
+        }
+      }
+
+      override def hasNext: Boolean = { advance(); nextRow != null }
+      override def next(): Row = {
+        advance()
+        if (nextRow == null) throw new NoSuchElementException
+        val r = nextRow; nextRow = null; r
+      }
+    }
+  }
+
+  /** One header line: bytes to LF, CR stripped, ISO-8859-1-safe decode
+    * (WARC named headers are ASCII; URIs may carry raw high bytes). Returns
+    * null at EOF. */
+  private def readLine(in: InputStream): String = {
+    val buf = new java.io.ByteArrayOutputStream(96)
+    var b = in.read()
+    if (b < 0) return null
+    while (b >= 0 && b != '\n') { buf.write(b); b = in.read() }
+    val bytes = buf.toByteArray
+    val n = if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r') bytes.length - 1 else bytes.length
+    new String(bytes, 0, n, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  private def readFully(in: InputStream, buf: Array[Byte]): Unit = {
+    var off = 0
+    while (off < buf.length) {
+      val n = in.read(buf, off, buf.length - off)
+      if (n < 0) throw new EOFException(
+        s"WARC payload truncated: got $off of ${buf.length} bytes")
+      off += n
+    }
+  }
+
+  /** (status, content-type, body) out of an HTTP response payload; nulls if
+    * the payload is not an HTTP message. Tolerates LF-only messages. */
+  private[sources] def parseHttp(payload: Array[Byte]): (Integer, String, Array[Byte]) = {
+    if (payload == null) return (null, null, null)
+    // header block = up to the first CRLFCRLF (or LFLF)
+    var split = -1; var sepLen = 0
+    var i = 0
+    while (split < 0 && i < payload.length - 1) {
+      if (payload(i) == '\n' &&
+          (payload(i + 1) == '\n' ||
+            (payload(i + 1) == '\r' && i + 2 < payload.length && payload(i + 2) == '\n'))) {
+        split = i + 1; sepLen = if (payload(i + 1) == '\n') 1 else 2
+      }
+      i += 1
+    }
+    val headerEnd = if (split < 0) payload.length else split
+    val head = new String(payload, 0, headerEnd, java.nio.charset.StandardCharsets.UTF_8)
+    val lines = head.split("\r?\n")
+    if (lines.isEmpty || !lines(0).startsWith("HTTP/")) return (null, null, payload)
+    val statusTok = lines(0).split(" ", 3)
+    val status: Integer =
+      if (statusTok.length >= 2 && statusTok(1).forall(_.isDigit)) Integer.valueOf(statusTok(1))
+      else null
+    val ctype = lines.drop(1)
+      .find(_.toLowerCase.startsWith("content-type:"))
+      .map(_.substring("content-type:".length).trim).orNull
+    val body =
+      if (split < 0) Array.emptyByteArray
+      else java.util.Arrays.copyOfRange(payload, headerEnd + sepLen, payload.length)
+    (status, ctype, body)
+  }
+
+  // ---------- writer ----------
+
+  /** Write `df` as WET-style WARC files: one `.warc.gz` per partition, each
+    * record its own gzip member (the Common-Crawl layout — a downstream
+    * member-aware reader can fan out records without decompressing
+    * neighbors). Input columns: `target_uri` (string) plus either `text`
+    * (string → UTF-8 payload) or `payload` (binary); optional `warc_date`
+    * and `content_type` override the defaults. Record IDs are
+    * deterministic (name-UUID of uri+date+length) so re-exports are
+    * byte-identical — which is also what keeps the round-trip oracle and
+    * digest pins meaningful.
+    *
+    * For `warcType="response"` the payload must already be a full HTTP
+    * message; this writer never fabricates HTTP envelopes. */
+  def write(df: DataFrame, dir: String, warcType: String = "conversion",
+            defaultDate: String = "2024-01-01T00:00:00Z"): Unit = {
+    val cols = df.columns.toSet
+    require(cols.contains("target_uri"), "WARC writer needs a target_uri column")
+    require(cols.contains("text") || cols.contains("payload"),
+      "WARC writer needs a text (string) or payload (binary) column")
+    val hasText = cols.contains("text")
+    val hasDate = cols.contains("warc_date")
+    val hasCtype = cols.contains("content_type")
+    val defaultCtype = if (warcType == "response") "application/http; msgtype=response"
+      else "text/plain"
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      .mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val schema = df.schema
+    val uriIdx = schema.fieldIndex("target_uri")
+    val bodyIdx = schema.fieldIndex(if (hasText) "text" else "payload")
+    val dateIdx = if (hasDate) schema.fieldIndex("warc_date") else -1
+    val ctypeIdx = if (hasCtype) schema.fieldIndex("content_type") else -1
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.hasNext) {
+        val path = new org.apache.hadoop.fs.Path(
+          dir, s"part-${java.util.UUID.randomUUID()}.warc.gz")
+        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = fs.create(path)
+        try {
+          while (rows.hasNext) {
+            val r = rows.next()
+            val uri = r.getString(uriIdx)
+            val date = if (dateIdx >= 0 && !r.isNullAt(dateIdx)) r.getString(dateIdx)
+              else defaultDate
+            val ctype = if (ctypeIdx >= 0 && !r.isNullAt(ctypeIdx)) r.getString(ctypeIdx)
+              else defaultCtype
+            val payload: Array[Byte] =
+              if (r.isNullAt(bodyIdx)) Array.emptyByteArray
+              else if (hasText) r.getString(bodyIdx).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              else r.get(bodyIdx).asInstanceOf[Array[Byte]]
+            val rid = java.util.UUID.nameUUIDFromBytes(
+              (s"$uri|$date|${payload.length}").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val header = new StringBuilder(192)
+            header.append("WARC/1.0\r\n")
+            header.append("WARC-Type: ").append(warcType).append("\r\n")
+            header.append("WARC-Record-ID: <urn:uuid:").append(rid).append(">\r\n")
+            header.append("WARC-Date: ").append(date).append("\r\n")
+            if (uri != null) header.append("WARC-Target-URI: ").append(uri).append("\r\n")
+            header.append("Content-Type: ").append(ctype).append("\r\n")
+            header.append("Content-Length: ").append(payload.length).append("\r\n\r\n")
+            // one gzip member per record: finish() flushes the member
+            // trailer without closing the file stream; end() releases the
+            // native Deflater now instead of at GC (one per record)
+            val gz = new GZIPOutputStream(out, 1 << 16) {
+              override def close(): Unit = { finish(); `def`.end() }
+            }
+            gz.write(header.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            gz.write(payload)
+            gz.write("\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            gz.close()
+          }
+        } finally out.close()
+      }
+    }
+  }
+}
