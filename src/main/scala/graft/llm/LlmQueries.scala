@@ -2954,6 +2954,71 @@ object LlmQueries {
       round(s.s + prior.lp, 6) AS nb_logodds
     FROM s, prior ORDER BY doc_id"""
 
+  /** Trained quality classifier ([[QualityClassifier]]): logistic
+    * regression over the qualitySignals features, weak-labeled by the
+    * Gopher rule gate — filter DISTILLATION (train a smooth scorer to
+    * mimic a hard rule set, the standard move for turning threshold
+    * filters into calibrated keep-probabilities that can be traded off
+    * against token budget). Output is the model itself (coefficients at
+    * 6dp + train accuracy), rows-only with a digest pin: the fixed-point
+    * long-sum gradient makes the trajectory bit-deterministic under any
+    * partitioning. */
+  val lrQualityTrain: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents
+    // distillation target: the Gopher gate parameterized for this corpus
+    // (the synthetic vocabulary has no English stopwords, so the
+    // stopword rule is disabled and the length/word-size thresholds sit
+    // inside the fixture's distribution — two rules genuinely bind)
+    val labels = TextAnalysis.gopherRules(docs,
+      minWords = 55, maxMeanWordLen = 4.55, minStopwords = 0)
+      .select(col("doc_id"), col("pass").cast("int").as("label"))
+    val feats = QualityClassifier.featurize(docs).join(labels, "doc_id")
+    val m = QualityClassifier.train(feats, QualityClassifier.defaultFeatures.map(_._1))
+    QualityClassifier.modelRows(s, m)
+  }
+
+  /** The same classifier SERVING with pinned coefficients (the
+    * sf0.01-trained model): logit + keep verdict per document, under a
+    * FULL oracle — the logit is a fixed-order chain of IEEE-exact +,×,÷
+    * (no transcendentals reach the output; thresholding the logit at 0 is
+    * thresholding the probability at 0.5), so DuckDB replays it bit for
+    * bit from the raw text. */
+  val lrQualityScore: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents.filter(col("doc_id") < 500)
+    QualityClassifier.score(docs, LrPinnedWeights, LrPinnedIntercept)
+      .orderBy(col("doc_id"))
+  }
+  // pinned coefficients = lr_quality_train output on the sf0.01 fixture
+  // (punct/digit ratios are constant 0 in the synthetic corpus, so their
+  // coefficients are exactly 0 under the ridge)
+  private val LrPinnedIntercept = 44.286864
+  private val LrPinnedWeights: Seq[(String, Double)] = Seq(
+    "tokens_per_100" -> 0.819132,
+    "avg_token_span_per_10" -> -69.15527,
+    "punct_ratio" -> 0.0,
+    "digit_ratio" -> 0.0,
+    "stopword_ratio" -> -1.999377,
+    "distinct_token_ratio" -> -17.592625)
+  val lrQualityScoreSql: String = """
+    WITH toks AS (
+      SELECT doc_id, text,
+        list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS t
+      FROM documents WHERE doc_id < 500),
+    f AS (SELECT doc_id,
+      CAST(len(t) AS DOUBLE) / 100.0 AS f1,
+      (CAST(length(text) AS DOUBLE) / len(t)) / 10.0 AS f2,
+      CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS DOUBLE) / length(text) AS f3,
+      CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) AS f4,
+      CAST(len(list_filter(t, w -> list_contains(['the','a','an','of','and','or','to','in','is','it','for','on','with','as','at','by','from','that','this'], w))) AS DOUBLE) / len(t) AS f5,
+      CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS f6
+      FROM toks),
+    z AS (SELECT doc_id,
+      44.286864 + 0.819132 * f1 + -69.15527 * f2 + 0.0 * f3 +
+      0.0 * f4 + -1.999377 * f5 + -17.592625 * f6 AS z
+      FROM f)
+    SELECT doc_id, round(z, 6) AS lr_logit, z > 0 AS keep
+    FROM z ORDER BY doc_id"""
+
   /** Token-distribution entropy (boilerplate/spam signal). Entropies are
     * rounded to 6dp in BOTH engines — float accumulation order differs
     * across engines at ~1e-14, four orders below the rounding grain. */
@@ -3251,6 +3316,8 @@ object LlmQueries {
     "text_lm_score" -> textLmScore,
     "dsir_weights" -> dsirWeights,
     "text_nb_classifier" -> textNbClassifier,
+    "lr_quality_train" -> lrQualityTrain,
+    "lr_quality_score" -> lrQualityScore,
     "text_trigram_lm" -> textTrigramLm,
     "length_buckets" -> lengthBuckets,
     "chunk_documents" -> chunkDocuments,
@@ -3341,6 +3408,7 @@ object LlmQueries {
     "text_lm_score" -> textLmScoreSql,
     "dsir_weights" -> dsirWeightsSql,
     "text_nb_classifier" -> textNbClassifierSql,
+    "lr_quality_score" -> lrQualityScoreSql,
     "text_trigram_lm" -> textTrigramLmSql,
     "length_buckets" -> lengthBucketsSql,
     "chunk_documents" -> chunkDocumentsSql,

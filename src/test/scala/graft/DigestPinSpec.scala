@@ -36,7 +36,10 @@ class DigestPinSpec extends AnyFunSuite {
     "unigram_train_pieces" -> ((262L, "cc655cae89920b71f726ac999ea1e8d1")),
     "wordpiece_train_pieces" -> ((139L, "39753983bbbfcd3fcfac03fd0f7415b8")),
     "embed_pca" -> ((500L, "fe16c9de31e33faf8a558dbb1a79ad3d")),
-    "multimodal_features" -> ((200L, "d2ef9701a799e1dbaf731f45fd5edc2c")))
+    "multimodal_features" -> ((200L, "d2ef9701a799e1dbaf731f45fd5edc2c")),
+    // deterministic by construction (fixed-point IRLS), so this pin holds
+    // under ANY partitioning, not just the session's
+    "lr_quality_train" -> ((9L, "160a6ce3fc8c7b3bb8374560e84287c2")))
 
   for ((name, expected) <- pins.toSeq.sortBy(_._1)) {
     test(s"$name: pinned rows-only output digest") {
