@@ -2991,14 +2991,14 @@ object LlmQueries {
   // pinned coefficients = lr_quality_train output on the sf0.01 fixture
   // (punct/digit ratios are constant 0 in the synthetic corpus, so their
   // coefficients are exactly 0 under the ridge)
-  private val LrPinnedIntercept = 44.286864
+  private val LrPinnedIntercept = 44.287077
   private val LrPinnedWeights: Seq[(String, Double)] = Seq(
-    "tokens_per_100" -> 0.819132,
-    "avg_token_span_per_10" -> -69.15527,
+    "tokens_per_100" -> 0.819094,
+    "avg_token_span_per_10" -> -69.155524,
     "punct_ratio" -> 0.0,
     "digit_ratio" -> 0.0,
-    "stopword_ratio" -> -1.999377,
-    "distinct_token_ratio" -> -17.592625)
+    "stopword_ratio" -> -1.999443,
+    "distinct_token_ratio" -> -17.592736)
   val lrQualityScoreSql: String = """
     WITH toks AS (
       SELECT doc_id, text,
@@ -3013,8 +3013,8 @@ object LlmQueries {
       CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS f6
       FROM toks),
     z AS (SELECT doc_id,
-      44.286864 + 0.819132 * f1 + -69.15527 * f2 + 0.0 * f3 +
-      0.0 * f4 + -1.999377 * f5 + -17.592625 * f6 AS z
+      44.287077 + 0.819094 * f1 + -69.155524 * f2 + 0.0 * f3 +
+      0.0 * f4 + -1.999443 * f5 + -17.592736 * f6 AS z
       FROM f)
     SELECT doc_id, round(z, 6) AS lr_logit, z > 0 AS keep
     FROM z ORDER BY doc_id"""

@@ -63,7 +63,8 @@ object QualityClassifier {
     * quadratic model can't catapult the weights while the data is still
     * separable. */
   def train(features: DataFrame, featureNames: Seq[String],
-            iters: Int = 20, ridge: Double = 1e-5, maxStep: Double = 20.0): Model = {
+            iters: Int = 20, ridge: Double = 1e-5, maxStep: Double = 20.0,
+            tol: Double = 1e-3): Model = {
     val d = featureNames.size
     val cached = features.select(
       (col("label").cast("double").as("y") +:
@@ -118,6 +119,11 @@ object QualityClassifier {
         j = 0
         while (j < k) { w(j) -= scaleStep * delta(j); j += 1 }
         it += 1
+        // deterministic early stop: the applied step is at the fixed-point
+        // quantization floor — further rounds only re-buy the same answer
+        // (δ is itself bit-deterministic, so every retrain stops at the
+        // same round)
+        if (scaleStep * m < tol) it = iters
       }
       val zFinal = featureNames.zipWithIndex.foldLeft(lit(w(0)): Column) {
         case (acc, (fn, j)) => acc + lit(w(j + 1)) * col(fn)

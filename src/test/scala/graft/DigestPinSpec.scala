@@ -39,7 +39,7 @@ class DigestPinSpec extends AnyFunSuite {
     "multimodal_features" -> ((200L, "d2ef9701a799e1dbaf731f45fd5edc2c")),
     // deterministic by construction (fixed-point IRLS), so this pin holds
     // under ANY partitioning, not just the session's
-    "lr_quality_train" -> ((9L, "160a6ce3fc8c7b3bb8374560e84287c2")))
+    "lr_quality_train" -> ((9L, "2d4ebe6dd37fb376854a6aba2ceb8cc5")))
 
   for ((name, expected) <- pins.toSeq.sortBy(_._1)) {
     test(s"$name: pinned rows-only output digest") {
