@@ -159,7 +159,7 @@ object Reflections {
     // same name — otherwise persist() would write BOTH entries and the
     // stale one would win the next restart's last-wins load
     pendingReattach.remove(name)
-    noteRefreshed(name, System.currentTimeMillis())
+    noteRefreshed(name, System.currentTimeMillis(), kind = "create")
     persist()
     r
   }
@@ -304,7 +304,7 @@ object Reflections {
       delta.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(r.path)
       delta.sparkSession.catalog.refreshByPath(r.path)
       scanByNameCache.remove(name)
-      noteRefreshed(name, System.currentTimeMillis())
+      noteRefreshed(name, System.currentTimeMillis(), kind = "incremental")
       repin(delta.sparkSession, name)
     }
 
@@ -334,6 +334,20 @@ object Reflections {
   }
 
   def list: Seq[Reflection] = byName.values.toSeq.sortBy(_.name)
+
+  /** Dataset anchors of a goal's defining plan — every file-source root it
+    * scans (sys.dependencies DATASET rows; a superset of `baseVersions`,
+    * which records only LAKE tables because only those have a version
+    * authority for staleness). */
+  def baseDatasetsOf(name: String): Seq[String] =
+    planByName.get(name).toSeq.flatMap { plan =>
+      plan.collect {
+        case rel: LogicalRelation => rel.relation match {
+          case h: HadoopFsRelation => h.location.rootPaths.map(p => normPath(p.toString))
+          case _ => Nil
+        }
+      }.flatten
+    }.distinct.sorted
 
   // ---- durability (GraftStore section "reflections"; reference persists
   // reflection GOALS in services/accelerator's KV store and re-derives
@@ -569,7 +583,7 @@ object Reflections {
         s"defining query: ${(want -- have).toSeq.sorted.mkString(", ")}")
     spark.catalog.refreshByPath(r.path)
     scanByNameCache.remove(name)
-    noteRefreshed(name, System.currentTimeMillis())
+    noteRefreshed(name, System.currentTimeMillis(), kind = "load")
     repin(spark, name)
     byName(name)
   }
@@ -603,7 +617,31 @@ object Reflections {
         nowMs - lastRefreshed.getOrElse(n, 0L) >= mins * 60000L => n
     }.sorted
 
-  private[accel] def noteRefreshed(name: String, nowMs: Long): Unit = {
+  /** One row of `sys.refreshes` (reference AccelerationListManager
+    * .RefreshInfo — the refresh HISTORY behind the live goal state). */
+  final case class RefreshEvent(refreshId: String, reflection: String,
+                                kind: String, atMs: Long, path: String,
+                                seriesOrdinal: Int)
+
+  private val refreshLog = new java.util.concurrent.ConcurrentLinkedDeque[RefreshEvent]()
+  private val RefreshLogCap = 1000
+
+  /** Refresh history, newest first, bounded at [[RefreshLogCap]]. */
+  def refreshes: Seq[RefreshEvent] = {
+    import scala.jdk.CollectionConverters._
+    refreshLog.iterator().asScala.toSeq
+  }
+
+  private[accel] def noteRefreshed(name: String, nowMs: Long,
+                                   kind: String = "full"): Unit = {
+    val ordinal = refreshLog.iterator()
+    var n = 0
+    while (ordinal.hasNext) { if (ordinal.next().reflection == name) n += 1 }
+    refreshLog.addFirst(RefreshEvent(
+      java.util.UUID.nameUUIDFromBytes(s"$name|$nowMs|$n".getBytes("UTF-8")).toString,
+      name, kind, nowMs,
+      byName.get(name).map(_.path).getOrElse(""), n + 1))
+    while (refreshLog.size() > RefreshLogCap) refreshLog.pollLast()
     lastRefreshed.put(name, nowMs)
     ()
   }

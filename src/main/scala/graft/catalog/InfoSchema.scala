@@ -357,6 +357,177 @@ object InfoSchema {
           r.numInputRows, r.inputRowsPerSec, r.processedRowsPerSec,
           r.triggerMs, r.source, r.sink)))
 
+  /** sys.version (reference VersionIterator.VersionInfo — build identity;
+    * the reference itself defaults every field to "Unknown" when the
+    * build-info resource is absent). */
+  def sysVersion(spark: SparkSession): DataFrame =
+    live(spark, StructType(Seq(
+      StructField("version", StringType, nullable = false),
+      StructField("commit_id", StringType, nullable = false),
+      StructField("commit_message", StringType, nullable = false),
+      StructField("commit_time", StringType, nullable = false),
+      StructField("build_email", StringType, nullable = false),
+      StructField("build_time", StringType, nullable = false))),
+      () => Seq(Row(s"graft-on-spark-${org.apache.spark.SPARK_VERSION}",
+        "Unknown", "", "", "Unknown", "")))
+
+  /** sys.memory (reference MemoryIterator.MemoryInfo): heap + direct
+    * buffer occupancy per node — in local mode, the one driver JVM. */
+  def sysMemory(spark: SparkSession): DataFrame =
+    live(spark, StructType(Seq(
+      StructField("node_id", StringType, nullable = false),
+      StructField("hostname", StringType, nullable = false),
+      StructField("fabric_port", LongType, nullable = false),
+      StructField("heap_current", LongType, nullable = false),
+      StructField("heap_max", LongType, nullable = false),
+      StructField("direct_current", LongType, nullable = false),
+      StructField("direct_max", LongType, nullable = false))),
+      () => {
+        import scala.jdk.CollectionConverters._
+        val heap = java.lang.management.ManagementFactory.getMemoryMXBean.getHeapMemoryUsage
+        val direct = java.lang.management.ManagementFactory
+          .getPlatformMXBeans(classOf[java.lang.management.BufferPoolMXBean]).asScala
+          .find(_.getName == "direct")
+        spark.sparkContext.statusTracker.getExecutorInfos.toSeq.map { e =>
+          Row(s"${e.host()}:${e.port()}", e.host(), e.port().toLong,
+            heap.getUsed, heap.getMax,
+            direct.map(_.getMemoryUsed).getOrElse(0L),
+            direct.map(_.getTotalCapacity).getOrElse(0L))
+        }
+      })
+
+  /** sys.threads (reference ThreadsIterator.ThreadSummary): JVM thread
+    * snapshot with per-thread cpu/user time. */
+  def sysThreads(spark: SparkSession): DataFrame =
+    live(spark, StructType(Seq(
+      StructField("hostname", StringType, nullable = false),
+      StructField("thread_id", LongType, nullable = false),
+      StructField("thread_name", StringType, nullable = false),
+      StructField("thread_state", StringType, nullable = false),
+      StructField("cpu_time_ms", LongType, nullable = false),
+      StructField("user_time_ms", LongType, nullable = false))),
+      () => {
+        val tm = java.lang.management.ManagementFactory.getThreadMXBean
+        val host = java.net.InetAddress.getLocalHost.getHostName
+        tm.getThreadInfo(tm.getAllThreadIds).toSeq.filter(_ != null).map { ti =>
+          Row(host, ti.getThreadId, ti.getThreadName, ti.getThreadState.name,
+            math.max(tm.getThreadCpuTime(ti.getThreadId), 0L) / 1000000L,
+            math.max(tm.getThreadUserTime(ti.getThreadId), 0L) / 1000000L)
+        }
+      })
+
+  /** sys.materializations (reference AccelerationListManager
+    * .MaterializationInfo): one row per live materialization with its
+    * on-disk footprint. The FS walk is driver-side metadata IO over a
+    * human-scale registry — never a Spark job. */
+  def sysMaterializations(spark: SparkSession): DataFrame =
+    live(spark, StructType(Seq(
+      StructField("reflection_id", StringType, nullable = false),
+      StructField("materialization_id", StringType, nullable = false),
+      StructField("path", StringType, nullable = false),
+      StructField("bytes", LongType, nullable = false),
+      StructField("data_files", LongType, nullable = false),
+      StructField("state", StringType, nullable = false),
+      StructField("last_refresh_ms", LongType, nullable = false))),
+      () => graft.accel.Reflections.list.map { r =>
+        val p = new org.apache.hadoop.fs.Path(r.path)
+        val (bytes, files) =
+          try {
+            val fs = p.getFileSystem(org.apache.spark.sql.graft.Bridge.hadoopConf(spark))
+            val su = fs.getContentSummary(p)
+            (su.getLength, su.getFileCount)
+          } catch { case _: Exception => (-1L, -1L) }
+        Row(r.name, r.fingerprint, r.path, bytes, files,
+          if (graft.accel.Reflections.isFresh(spark, r)) "CAN_ACCELERATE" else "STALE",
+          graft.accel.Reflections.lastRefreshOf(r.name).getOrElse(0L))
+      })
+
+  /** sys.refreshes (reference AccelerationListManager.RefreshInfo): the
+    * refresh HISTORY (bounded ring) behind the live goal state. */
+  def sysRefreshes(spark: SparkSession): DataFrame =
+    live(spark, StructType(Seq(
+      StructField("refresh_id", StringType, nullable = false),
+      StructField("reflection_id", StringType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("created_at_ms", LongType, nullable = false),
+      StructField("path", StringType, nullable = false),
+      StructField("series_ordinal", IntegerType, nullable = false))),
+      () => graft.accel.Reflections.refreshes.map(e =>
+        Row(e.refreshId, e.reflection, e.kind, e.atMs, e.path, e.seriesOrdinal)))
+
+  /** sys.dependencies (reference AccelerationListManager.DependencyInfo —
+    * the DependencyGraph rows): reflection→reflection edges from the r14
+    * dependency-ordered maintenance graph, plus each goal's base DATASET
+    * anchors. */
+  def sysDependencies(spark: SparkSession): DataFrame =
+    live(spark, StructType(Seq(
+      StructField("reflection_id", StringType, nullable = false),
+      StructField("dependency_id", StringType, nullable = false),
+      StructField("dependency_type", StringType, nullable = false),
+      StructField("dependency_path", StringType, nullable = false))),
+      () => {
+        val refl = graft.accel.Reflections.list
+        val byName = refl.map(r => r.name -> r).toMap
+        val reflEdges = graft.accel.Reflections.dependencies().toSeq.flatMap {
+          case (from, ups) => ups.toSeq.sorted.map(up =>
+            Row(from, up, "REFLECTION", byName.get(up).map(_.path).getOrElse("")))
+        }
+        val dataEdges = refl.flatMap(r =>
+          graft.accel.Reflections.baseDatasetsOf(r.name)
+            .map(d => Row(r.name, d, "DATASET", d)))
+        (reflEdges ++ dataEdges).sortBy(r => (r.getString(0), r.getString(2), r.getString(1)))
+      })
+
+  /** sys.membership (reference SystemTable.MEMBERSHIP): user→role edges —
+    * the flattened view behind sys_users' roles column. */
+  def sysMembership(spark: SparkSession): DataFrame =
+    live(spark, StructType(Seq(
+      StructField("role_name", StringType, nullable = false),
+      StructField("member_name", StringType, nullable = false),
+      StructField("member_type", StringType, nullable = false))),
+      () => graft.auth.Privileges.listUsers.flatMap(u =>
+        u.roles.toSeq.sorted.map(r => Row(r, u.name, "USER"))))
+
+  /** sys.timezone_names + sys.timezone_abbreviations (reference
+    * TimezoneNames/TimezoneAbbreviations static tables). DERIVED from
+    * `java.time` (zone rules at a fixed instant pair — Jan/Jul 2024 — so
+    * both standard and DST forms appear), not a copied literal table. */
+  def sysTimezoneNames(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import java.time._
+    val jan = Instant.parse("2024-01-15T00:00:00Z")
+    val jul = Instant.parse("2024-07-15T00:00:00Z")
+    ZoneId.getAvailableZoneIds.toArray(Array.empty[String]).toSeq.sorted.map { zid =>
+      val z = ZoneId.of(zid)
+      val rules = z.getRules
+      def off(i: Instant) = rules.getOffset(i).getId.replace("Z", "+00:00")
+      (zid, off(jan), off(jul),
+        rules.isDaylightSavings(jan) || rules.isDaylightSavings(jul))
+    }.toDF("name", "offset_jan", "offset_jul", "observes_dst")
+  }
+
+  def sysTimezoneAbbreviations(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import java.time._
+    import java.time.format.TextStyle
+    import java.util.Locale
+    val jan = ZonedDateTime.ofInstant(Instant.parse("2024-01-15T00:00:00Z"), ZoneOffset.UTC)
+    val jul = ZonedDateTime.ofInstant(Instant.parse("2024-07-15T00:00:00Z"), ZoneOffset.UTC)
+    val rows = ZoneId.getAvailableZoneIds.toArray(Array.empty[String]).toSeq.flatMap { zid =>
+      val z = ZoneId.of(zid)
+      Seq(jan, jul).flatMap { t =>
+        val at = t.withZoneSameInstant(z)
+        val abbr = z.getDisplayName(TextStyle.SHORT_STANDALONE, Locale.US)
+        val resolved = at.format(java.time.format.DateTimeFormatter.ofPattern("zzz", Locale.US))
+        val dst = z.getRules.isDaylightSavings(at.toInstant)
+        val off = z.getRules.getOffset(at.toInstant).getId.replace("Z", "+00:00")
+        Seq(resolved, abbr).filter(a => a.nonEmpty && !a.startsWith("GMT") && !a.contains("/"))
+          .map(a => (a, off, dst))
+      }
+    }.distinct.sortBy(r => (r._1, r._2))
+    rows.toDF("abbreviation", "offset", "is_dst")
+  }
+
   /** Register all introspection views (and start recording query history
     * for this session, if not already). */
   def register(spark: SparkSession): Unit = {
@@ -385,5 +556,14 @@ object InfoSchema {
     sysRoles(spark).createOrReplaceTempView("sys_roles")
     sysSources(spark).createOrReplaceTempView("sys_sources")
     sysScripts(spark).createOrReplaceTempView("sys_scripts")
+    sysVersion(spark).createOrReplaceTempView("sys_version")
+    sysMemory(spark).createOrReplaceTempView("sys_memory")
+    sysThreads(spark).createOrReplaceTempView("sys_threads")
+    sysMaterializations(spark).createOrReplaceTempView("sys_materializations")
+    sysRefreshes(spark).createOrReplaceTempView("sys_refreshes")
+    sysDependencies(spark).createOrReplaceTempView("sys_dependencies")
+    sysMembership(spark).createOrReplaceTempView("sys_membership")
+    sysTimezoneNames(spark).createOrReplaceTempView("sys_timezone_names")
+    sysTimezoneAbbreviations(spark).createOrReplaceTempView("sys_timezone_abbreviations")
   }
 }

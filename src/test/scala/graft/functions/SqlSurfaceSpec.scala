@@ -172,4 +172,67 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM sys_options WHERE name LIKE 'spark.sql%'").count() > 0)
     assert(spark.sql("SELECT * FROM sys_nodes").count() >= 0)
   }
+
+  test("sys introspection parity: version/memory/threads/timezones (r14)") {
+    graft.engine.Tables.ensure(spark, graft.TestSpark.sf)
+    val v = spark.sql("SELECT * FROM sys_version").collect()
+    assert(v.length == 1 && v(0).getString(0).startsWith("graft-on-spark-"))
+    val mem = spark.sql(
+      "SELECT heap_current, heap_max FROM sys_memory").collect()
+    assert(mem.nonEmpty && mem.forall(r => r.getLong(0) > 0 && r.getLong(1) >= r.getLong(0)))
+    val th = spark.sql(
+      "SELECT thread_name, thread_state FROM sys_threads").collect()
+    assert(th.length > 5 && th.exists(_.getString(0).toLowerCase.contains("main")))
+    // timezone tables derive from java.time, never a copied literal map
+    val tz = spark.sql(
+      "SELECT offset_jan, offset_jul, observes_dst FROM sys_timezone_names " +
+        "WHERE name = 'Europe/Berlin'").collect()
+    assert(tz.length == 1 && tz(0).getString(0) == "+01:00" &&
+      tz(0).getString(1) == "+02:00" && tz(0).getBoolean(2))
+    val utc = spark.sql(
+      "SELECT offset_jan FROM sys_timezone_names WHERE name = 'UTC'").collect()
+    assert(utc.length == 1 && utc(0).getString(0) == "+00:00")
+    val abbrs = spark.sql(
+      "SELECT abbreviation, offset, is_dst FROM sys_timezone_abbreviations").collect()
+    assert(abbrs.map(_.getString(0)).toSet.intersect(Set("CET", "CEST", "UTC")).size >= 2)
+    val cest = abbrs.filter(_.getString(0) == "CEST")
+    assert(cest.forall(r => r.getBoolean(2) && r.getString(1) == "+02:00"))
+  }
+
+  test("sys accel introspection: materializations/refreshes/dependencies (r14)") {
+    val t = graft.engine.Tables.ensure(spark, graft.TestSpark.sf)
+    val dir = java.nio.file.Files.createTempDirectory("sys_accel").toString
+    val before = spark.sql(
+      "SELECT count(*) FROM sys_refreshes").head().getLong(0)
+    graft.accel.Reflections.create("sys_mat_probe",
+      t.nation.groupBy("n_regionkey").count(), s"$dir/mv")
+    try {
+      val m = spark.sql("""SELECT bytes, data_files, state FROM sys_materializations
+        WHERE reflection_id = 'sys_mat_probe'""").collect()
+      assert(m.length == 1 && m(0).getLong(0) > 0 && m(0).getLong(1) > 0)
+      assert(m(0).getString(2) == "CAN_ACCELERATE")
+      val rf = spark.sql("""SELECT kind, series_ordinal FROM sys_refreshes
+        WHERE reflection_id = 'sys_mat_probe'""").collect()
+      assert(rf.length == 1 && rf(0).getString(0) == "create" && rf(0).getInt(1) == 1)
+      assert(spark.sql("SELECT count(*) FROM sys_refreshes").head().getLong(0) == before + 1)
+      val deps = spark.sql("""SELECT dependency_type, dependency_id FROM sys_dependencies
+        WHERE reflection_id = 'sys_mat_probe'""").collect()
+      assert(deps.nonEmpty && deps.forall(_.getString(0) == "DATASET"))
+    } finally graft.accel.Reflections.drop("sys_mat_probe")
+  }
+
+  test("sys_membership flattens user role edges (r14)") {
+    spark.sql("CREATE USER sysm_user PASSWORD 'x'")
+    spark.sql("CREATE ROLE sysm_role")
+    spark.sql("GRANT ROLE sysm_role TO USER sysm_user")
+    try {
+      val rows = spark.sql("""SELECT member_name, member_type FROM sys_membership
+        WHERE role_name = 'sysm_role'""").collect()
+      assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq
+        .contains(("sysm_user", "USER")))
+    } finally {
+      spark.sql("DROP ROLE sysm_role")
+      spark.sql("DROP USER sysm_user")
+    }
+  }
 }
