@@ -90,6 +90,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction((FunctionIdentifier("excel_scan"),
       info("excel_scan", "excel_scan('<path>'[, '<sheet>']) — read .xlsx workbooks"),
       (args: Seq[Expression]) => excelScan(args)))
+    // Web archives straight from a FROM clause (sources.WarcFiles — the
+    // Common-Crawl WARC/WET ingestion head): raw records, the WET text
+    // view, and the parsed-HTTP response view.
+    e.injectTableFunction((FunctionIdentifier("warc_scan"),
+      info("warc_scan", "warc_scan('<dir>') — raw WARC/WET records"),
+      (args: Seq[Expression]) => warcScan(args, "warc_scan")))
+    e.injectTableFunction((FunctionIdentifier("warc_text"),
+      info("warc_text", "warc_text('<dir>') — WET conversion records as (target_uri, warc_date, text)"),
+      (args: Seq[Expression]) => warcScan(args, "warc_text")))
+    e.injectTableFunction((FunctionIdentifier("warc_http"),
+      info("warc_http", "warc_http('<dir>') — response records with parsed http_status/content-type/body"),
+      (args: Seq[Expression]) => warcScan(args, "warc_http")))
     // Interop format readers: Iceberg v1/v2 metadata trees and Delta
     // `_delta_log` tables written by ANY engine, queryable by path with no
     // format-runtime jars (reference native readers `exec/store/iceberg/`,
@@ -239,6 +251,17 @@ object GraftExtensions {
       case _ => throw new IllegalArgumentException(
         "external_query expects two string literals: external_query('<source>', '<sql>')")
     }
+  }
+
+  private def warcScan(args: Seq[Expression], fn: String): LogicalPlan = {
+    val spark = SparkSession.active
+    val dir = dirArg(fn, args)
+    val df = fn match {
+      case "warc_text" => graft.sources.WarcFiles.readText(spark, dir)
+      case "warc_http" => graft.sources.WarcFiles.readHttp(spark, dir)
+      case _ => graft.sources.WarcFiles.read(spark, dir)
+    }
+    df.queryExecution.analyzed
   }
 
   private def excelScan(args: Seq[Expression]): LogicalPlan = {

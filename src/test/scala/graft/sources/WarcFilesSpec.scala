@@ -147,6 +147,28 @@ class WarcFilesSpec extends AnyFunSuite {
     assert(chainMentions(e2, "WARC/1.x"), s"unexpected: $e2")
   }
 
+  test("SQL surface: warc_scan / warc_text / warc_http table functions") {
+    import spark.implicits._
+    val dir = tmpDir("warc_tvf")
+    WarcFiles.write(Seq(
+      ("https://t.example/1", "tvf one"),
+      ("https://t.example/2", "tvf two")).toDF("target_uri", "text").repartition(1), dir)
+    val httpDir = tmpDir("warc_tvf_http")
+    WarcFiles.write(Seq(
+      ("https://t.example/h", "HTTP/1.1 200 OK\r\nContent-Type: a/b\r\n\r\nbody".getBytes("UTF-8")))
+      .toDF("target_uri", "payload").repartition(1), httpDir, warcType = "response")
+    assert(spark.sql(s"SELECT count(*) FROM warc_scan('$dir')").head().getLong(0) == 2)
+    val texts = spark.sql(
+      s"SELECT text FROM warc_text('$dir') ORDER BY target_uri")
+      .collect().map(_.getString(0)).toSeq
+    assert(texts == Seq("tvf one", "tvf two"))
+    val http = spark.sql(
+      s"SELECT http_status, http_content_type FROM warc_http('$httpDir')").collect()
+    assert(http.length == 1 && http(0).getInt(0) == 200 && http(0).getString(1) == "a/b")
+    val e = intercept[Exception] { spark.sql("SELECT * FROM warc_scan(42)").collect() }
+    assert(e.getMessage.contains("warc_scan") || chainMentions(e, "warc_scan"))
+  }
+
   test("scale tier: 60k records / 8 files stream through with bounded memory shape") {
     assume(sys.props.get("graft.scale").contains("1"), "opt-in: run with -Dgraft.scale=1")
     import spark.implicits._
