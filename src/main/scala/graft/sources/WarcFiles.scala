@@ -73,10 +73,16 @@ object WarcFiles {
       }.sorted
   }
 
-  /** All records of all WARC/WET files under `dir`. */
-  def read(spark: SparkSession, dir: String): DataFrame = {
-    val files = listWarcFiles(spark, dir)
-    require(files.nonEmpty, s"no warc/wet files under $dir")
+  /** The WET text view's schema — the fixed shape `readText` produces
+    * (and the one a FORMAT WARC pipe must declare). */
+  val textSchema: StructType = StructType(Seq(
+    StructField("target_uri", StringType, nullable = true),
+    StructField("warc_date", StringType, nullable = true),
+    StructField("text", StringType, nullable = true)))
+
+  /** All records of the given WARC/WET files (one task per file). */
+  def readFiles(spark: SparkSession, files: Seq[String]): DataFrame = {
+    require(files.nonEmpty, "no warc/wet files to read")
     import spark.implicits._
     val parallelism = math.min(math.max(files.size, 1),
       spark.sparkContext.defaultParallelism)
@@ -84,15 +90,30 @@ object WarcFiles {
       .mapPartitions(paths => paths.flatMap(p => fileRecords(p)))(Encoders.row(schema))
   }
 
-  /** WET text view: `conversion`/`resource` records with their payload
-    * decoded as UTF-8 — (target_uri, warc_date, text). */
-  def readText(spark: SparkSession, dir: String): DataFrame = {
+  /** All records of all WARC/WET files under `dir`. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val files = listWarcFiles(spark, dir)
+    require(files.nonEmpty, s"no warc/wet files under $dir")
+    readFiles(spark, files)
+  }
+
+  private def textView(records: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    read(spark, dir)
+    records
       .filter(col("warc_type").isin("conversion", "resource"))
       .select(col("target_uri"), col("warc_date"),
         decode(col("payload"), "UTF-8").as("text"))
   }
+
+  /** WET text view: `conversion`/`resource` records with their payload
+    * decoded as UTF-8 — (target_uri, warc_date, text). */
+  def readText(spark: SparkSession, dir: String): DataFrame =
+    textView(read(spark, dir))
+
+  /** WET text view over an explicit file list (the notified-pipe path:
+    * load exactly the event-named archives, no directory listing). */
+  def readTextFiles(spark: SparkSession, files: Seq[String]): DataFrame =
+    textView(readFiles(spark, files))
 
   /** HTTP view of `response` records (see [[httpSchema]]). Parsing happens
     * task-side inside the same streaming pass — no second read. */

@@ -2010,6 +2010,19 @@ object GraftSqlParser {
         require(notifyProvider.isDefined,
           "DEDUPE_LOOKBACK_PERIOD applies to NOTIFICATION_PROVIDER pipes " +
             "(listing pipes dedup through the stream checkpoint, unbounded)")
+      // FORMAT WARC pipes: the WET text view is the fixed row shape, and
+      // only the notified trigger path can read it (web archives arrive as
+      // drop events; the listing path is a Spark file-stream with no WARC
+      // source) — refuse at CREATE, not at the first TRIGGER
+      if (fmt == "warc") {
+        require(notifyProvider.isDefined,
+          "FORMAT WARC pipes must declare a NOTIFICATION_PROVIDER")
+        val want = graft.sources.WarcFiles.textSchema
+        val got = StructType.fromDDL(schemaDdl)
+        require(got.fields.map(f => (f.name.toLowerCase, f.dataType)).toSeq ==
+          want.fields.map(f => (f.name.toLowerCase, f.dataType)).toSeq,
+          s"FORMAT WARC pipes produce the WET text shape: ${want.toDDL}")
+      }
       // lake-source pipes carry no DDL: the source table's schema IS the
       // schema (resolved at trigger time from its snapshot)
       val schema =

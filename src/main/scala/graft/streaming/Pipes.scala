@@ -167,11 +167,7 @@ object Pipes {
     require(files.nonEmpty,
       s"TRIGGER ... FOR BATCH: pipe '${pipe.name}' has no batch $batchGen " +
         "in its loaded-files log (expired from DEDUPE_LOOKBACK_PERIOD, or never ran)")
-    val reader = spark.read.schema(pipe.schema).format(pipe.format)
-    val batch = (pipe.format match {
-      case "csv" => reader.option("header", "true")
-      case _ => reader
-    }).load(files: _*)
+    val batch = readBatch(spark, pipe, files)
     val lake = graft.sources.SnapshotTable.forPath(spark, pipe.targetDir)
     val (spec, statsCols, _) = lake.effectiveLayout
     val digest = java.security.MessageDigest.getInstance("MD5")
@@ -191,7 +187,23 @@ object Pipes {
     * would silently never load), which is data loss, not bounded dedup
     * memory. The lookback therefore applies only to notified pipes,
     * whose loaded-files log we own; CREATE enforces the pairing. */
+  /** Batch load of an explicit file list — the notified-pipe read path.
+    * WARC goes through the streaming record reader (not a Spark
+    * DataSource): the WET text view over exactly the named archives. */
+  private def readBatch(spark: SparkSession, pipe: Pipe,
+                        files: Seq[String]): DataFrame =
+    pipe.format match {
+      case "warc" => graft.sources.WarcFiles.readTextFiles(spark, files)
+      case "csv" => spark.read.schema(pipe.schema).format("csv")
+        .option("header", "true").load(files: _*)
+      case f => spark.read.schema(pipe.schema).format(f).load(files: _*)
+    }
+
   private def srcStream(spark: SparkSession, pipe: Pipe): DataFrame = {
+    require(pipe.format != "warc",
+      s"pipe '${pipe.name}': FORMAT WARC pipes must be NOTIFIED " +
+        "(web archives arrive as drop events; the listing path is a " +
+        "Spark file-stream, which has no WARC source)")
     var reader = spark.readStream.schema(pipe.schema).format(pipe.format)
     if (pipe.format == "csv") reader = reader.option("header", "true")
     reader.load(pipe.sourceDir)
@@ -297,11 +309,7 @@ object Pipes {
     val n: Long =
       if (fresh.isEmpty) 0L
       else {
-        val reader = spark.read.schema(pipe.schema).format(pipe.format)
-        val batch = (pipe.format match {
-          case "csv" => reader.option("header", "true")
-          case _ => reader
-        }).load(fresh: _*).persist()
+        val batch = readBatch(spark, pipe, fresh).persist()
         try {
           val rows = batch.count()
           pipe.sink match {

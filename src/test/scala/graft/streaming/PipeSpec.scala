@@ -426,4 +426,55 @@ class PipeSpec extends AnyFunSuite {
     intercept[Exception](spark.sql("DROP PIPE pddl"))
     spark.sql("DROP PIPE IF EXISTS pddl") // no-op, no throw
   }
+
+  test("FORMAT WARC pipe: notified web-archive ingestion, exactly-once into the lake") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_pipe_warc").toString
+    val spool = s"$root/spool"; Files.createDirectories(Paths.get(spool))
+    val drops = s"$root/drops"; Files.createDirectories(Paths.get(drops))
+    // a listing WARC pipe refuses at CREATE; schema must be the WET shape
+    val e1 = intercept[Exception] {
+      spark.sql(s"CREATE PIPE wp_bad FROM '$root/x' FORMAT warc " +
+        "SCHEMA 'target_uri STRING, warc_date STRING, text STRING' " +
+        s"INTO LAKE '$root/lake0' CHECKPOINT '$root/_chk0'")
+    }
+    assert(e1.getMessage.contains("NOTIFICATION_PROVIDER"))
+    val e2 = intercept[Exception] {
+      spark.sql(s"CREATE PIPE wp_bad2 FROM '$root/x' FORMAT warc " +
+        "SCHEMA 'a INT' " +
+        s"INTO LAKE '$root/lake0' CHECKPOINT '$root/_chk0' " +
+        s"NOTIFICATION_PROVIDER local_dir NOTIFICATION_QUEUE_REFERENCE '$spool'")
+    }
+    assert(e2.getMessage.contains("WET text shape"))
+    spark.sql(s"CREATE PIPE wp FROM '$root/never-created' FORMAT warc " +
+      "SCHEMA 'target_uri STRING, warc_date STRING, text STRING' " +
+      s"INTO LAKE '$root/lake' CHECKPOINT '$root/_chk' " +
+      s"NOTIFICATION_PROVIDER local_dir NOTIFICATION_QUEUE_REFERENCE '$spool'")
+    // two archive drops; only the first is notified
+    graft.sources.WarcFiles.write(Seq(
+      ("https://w.example/1", "warc pipe doc one"),
+      ("https://w.example/2", "warc pipe doc two")).toDF("target_uri", "text")
+      .repartition(1), s"$drops/a")
+    graft.sources.WarcFiles.write(Seq(
+      ("https://w.example/3", "warc pipe doc three")).toDF("target_uri", "text")
+      .repartition(1), s"$drops/b")
+    val fa = new java.io.File(s"$drops/a").listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).head.getAbsolutePath
+    val fb = new java.io.File(s"$drops/b").listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).head.getAbsolutePath
+    Files.write(Paths.get(s"$spool/e1"), fa.getBytes)
+    assert(spark.sql("TRIGGER PIPE wp").collect().head.getString(1) == "2")
+    val lake = graft.sources.SnapshotTable.forPath(spark, s"$root/lake")
+    assert(lake.read().count() == 2L)
+    assert(lake.read().select("text").as[String].collect().toSet ==
+      Set("warc pipe doc one", "warc pipe doc two"))
+    // duplicate event absorbed by the loaded-files log
+    Files.write(Paths.get(s"$spool/e2"), fa.getBytes)
+    assert(spark.sql("TRIGGER PIPE wp").collect().head.getString(1) == "0")
+    // the second archive lands exactly once
+    Files.write(Paths.get(s"$spool/e3"), fb.getBytes)
+    assert(spark.sql("TRIGGER PIPE wp").collect().head.getString(1) == "1")
+    assert(lake.read().count() == 3L)
+    spark.sql("DROP PIPE wp")
+  }
 }
