@@ -488,6 +488,28 @@ object InfoSchema {
       () => graft.auth.Privileges.listUsers.flatMap(u =>
         u.roles.toSeq.sorted.map(r => Row(r, u.name, "USER"))))
 
+  /** sys.services (reference ServicesIterator): the wire front ends live
+    * in this JVM right now, with their bound ports. */
+  def sysServices(spark: SparkSession): DataFrame =
+    live(spark, StructType(Seq(
+      StructField("service", StringType, nullable = false),
+      StructField("port", IntegerType, nullable = false),
+      StructField("started_ms", LongType, nullable = false))),
+      () => graft.server.Services.list.map(s => Row(s.name, s.port, s.startedMs)))
+
+  /** sys.boot (reference BootStrapContext options): the STATIC SparkConf
+    * the context booted with — frozen at startup, unlike sys_options'
+    * live session conf. */
+  def sysBoot(spark: SparkSession): DataFrame =
+    live(spark, StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("value", StringType, nullable = true))),
+      () => spark.sparkContext.getConf.getAll.toSeq.sortBy(_._1)
+        .map { case (k, v) =>
+          Row(k, if (k.toLowerCase.contains("password") ||
+            k.toLowerCase.contains("secret")) "***" else v)
+        })
+
   /** sys.timezone_names + sys.timezone_abbreviations (reference
     * TimezoneNames/TimezoneAbbreviations static tables). DERIVED from
     * `java.time` (zone rules at a fixed instant pair — Jan/Jul 2024 — so
@@ -565,5 +587,7 @@ object InfoSchema {
     sysMembership(spark).createOrReplaceTempView("sys_membership")
     sysTimezoneNames(spark).createOrReplaceTempView("sys_timezone_names")
     sysTimezoneAbbreviations(spark).createOrReplaceTempView("sys_timezone_abbreviations")
+    sysServices(spark).createOrReplaceTempView("sys_services")
+    sysBoot(spark).createOrReplaceTempView("sys_boot")
   }
 }

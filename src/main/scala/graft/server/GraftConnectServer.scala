@@ -44,6 +44,7 @@ object GraftConnectServer {
       val p = srv.getClass.getMethod("getPort").invoke(srv)
         .asInstanceOf[java.lang.Integer].intValue()
       boundPort = Some(p)
+      Services.note("spark-connect", p)
       p
     }
   }
@@ -53,6 +54,7 @@ object GraftConnectServer {
 
   def stop(): Unit = synchronized {
     if (boundPort.nonEmpty) {
+      Services.clear("spark-connect")
       SparkConnectService.stop(None, None)
       boundPort = None
     }

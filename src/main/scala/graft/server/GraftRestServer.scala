@@ -58,6 +58,7 @@ object GraftRestServer {
       val p = srv.getAddress.getPort
       running = Some(srv)
       boundPort = Some(p)
+      Services.note("rest", p)
       p
     }
   }
@@ -65,6 +66,7 @@ object GraftRestServer {
   def port: Option[Int] = boundPort
 
   def stop(): Unit = synchronized {
+    Services.clear("rest")
     running.foreach(_.stop(0))
     running = None
     boundPort = None

@@ -63,6 +63,7 @@ object GraftServer {
     try awaitListening(p, timeoutMs = 60000L)
     catch { case e: Throwable => srv.stop(); throw e }
     running = Some((srv, p))
+    Services.note("jdbc-thrift", p)
     p
   }
 
@@ -70,6 +71,7 @@ object GraftServer {
   def port: Option[Int] = running.map(_._2)
 
   def stop(): Unit = synchronized {
+    Services.clear("jdbc-thrift")
     running.foreach(_._1.stop())
     running = None
   }

@@ -1105,6 +1105,7 @@ object GraftFlightServer {
         .build().start()
       running = Some(srv)
       boundPort = Some(srv.getPort)
+      graft.server.Services.note("arrow-flight", srv.getPort)
       srv.getPort
     }
   }
@@ -1112,6 +1113,7 @@ object GraftFlightServer {
   def port: Option[Int] = boundPort
 
   def stop(): Unit = synchronized {
+    graft.server.Services.clear("arrow-flight")
     running.foreach(_.shutdownNow())
     running = None
     boundPort = None
