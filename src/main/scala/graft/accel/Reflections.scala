@@ -335,19 +335,26 @@ object Reflections {
 
   def list: Seq[Reflection] = byName.values.toSeq.sortBy(_.name)
 
+  /** Every file-source root a plan scans, normalized — the shared walk
+    * behind dependency edges and dataset anchors. */
+  private[accel] def scannedRoots(plan: LogicalPlan): Seq[String] =
+    plan.collect {
+      case rel: LogicalRelation => rel.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.map(p => normPath(p.toString)).toSeq
+        case _ => Nil
+      }
+    }.flatten.distinct.sorted
+
   /** Dataset anchors of a goal's defining plan — every file-source root it
-    * scans (sys.dependencies DATASET rows; a superset of `baseVersions`,
-    * which records only LAKE tables because only those have a version
-    * authority for staleness). */
-  def baseDatasetsOf(name: String): Seq[String] =
-    planByName.get(name).toSeq.flatMap { plan =>
-      plan.collect {
-        case rel: LogicalRelation => rel.relation match {
-          case h: HadoopFsRelation => h.location.rootPaths.map(p => normPath(p.toString))
-          case _ => Nil
-        }
-      }.flatten
-    }.distinct.sorted
+    * scans that is NOT another reflection's materialization (those are
+    * REFLECTION dependencies, reported separately by [[dependencies]]; a
+    * superset of `baseVersions`, which records only LAKE tables because
+    * only those have a version authority for staleness). */
+  def baseDatasetsOf(name: String): Seq[String] = {
+    val mats = byName.values.filter(_.name != name).map(r => normPath(r.path)).toSet
+    planByName.get(name).toSeq.flatMap(scannedRoots)
+      .filterNot(s => mats.exists(p => s == p || s.startsWith(p + "/")))
+  }
 
   // ---- durability (GraftStore section "reflections"; reference persists
   // reflection GOALS in services/accelerator's KV store and re-derives
@@ -481,13 +488,7 @@ object Reflections {
   def dependencies(): Map[String, Set[String]] = {
     val mats = byName.values.map(r => r.name -> normPath(r.path)).toMap
     byName.keys.map { n =>
-      val scanned: Set[String] = planByName.get(n).map(_.collect {
-        case lr: LogicalRelation => lr.relation match {
-          case h: HadoopFsRelation =>
-            h.location.rootPaths.map(p => normPath(p.toString)).toSeq
-          case _ => Nil
-        }
-      }.flatten.toSet).getOrElse(Set.empty)
+      val scanned = planByName.get(n).map(scannedRoots(_).toSet).getOrElse(Set.empty)
       n -> mats.collect { case (o, p) if o != n &&
         scanned.exists(s => s == p || s.startsWith(p + "/")) => o }.toSet
     }.toMap
@@ -625,6 +626,10 @@ object Reflections {
 
   private val refreshLog = new java.util.concurrent.ConcurrentLinkedDeque[RefreshEvent]()
   private val RefreshLogCap = 1000
+  // monotonic per-goal series counters — NOT derived from the bounded ring
+  // (eviction would reset them) and bumped under the log lock (concurrent
+  // refreshes must not share an ordinal)
+  private val refreshSeries = TrieMap.empty[String, Int]
 
   /** Refresh history, newest first, bounded at [[RefreshLogCap]]. */
   def refreshes: Seq[RefreshEvent] = {
@@ -633,18 +638,21 @@ object Reflections {
   }
 
   private[accel] def noteRefreshed(name: String, nowMs: Long,
-                                   kind: String = "full"): Unit = {
-    val ordinal = refreshLog.iterator()
-    var n = 0
-    while (ordinal.hasNext) { if (ordinal.next().reflection == name) n += 1 }
-    refreshLog.addFirst(RefreshEvent(
-      java.util.UUID.nameUUIDFromBytes(s"$name|$nowMs|$n".getBytes("UTF-8")).toString,
-      name, kind, nowMs,
-      byName.get(name).map(_.path).getOrElse(""), n + 1))
-    while (refreshLog.size() > RefreshLogCap) refreshLog.pollLast()
-    lastRefreshed.put(name, nowMs)
-    ()
-  }
+                                   kind: String = "full"): Unit =
+    refreshLog.synchronized {
+      val ordinal = refreshSeries.updateWith(name) {
+        case Some(n) => Some(n + 1)
+        case None => Some(1)
+      }.get
+      refreshLog.addFirst(RefreshEvent(
+        java.util.UUID.nameUUIDFromBytes(
+          s"$name|$nowMs|$ordinal".getBytes("UTF-8")).toString,
+        name, kind, nowMs,
+        byName.get(name).map(_.path).getOrElse(""), ordinal))
+      while (refreshLog.size() > RefreshLogCap) refreshLog.pollLast()
+      lastRefreshed.put(name, nowMs)
+      ()
+    }
 
   // ---- per-dataset acceleration toggles (reference SqlAccelToggle,
   // alter.ftl: ALTER <dataset> ENABLE|DISABLE RAW|AGGREGATE ACCELERATION

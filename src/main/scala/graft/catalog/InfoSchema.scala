@@ -372,12 +372,13 @@ object InfoSchema {
         "Unknown", "", "", "Unknown", "")))
 
   /** sys.memory (reference MemoryIterator.MemoryInfo): heap + direct
-    * buffer occupancy per node — in local mode, the one driver JVM. */
+    * buffer occupancy of THIS JVM — one honest driver row, not per-node
+    * rows filled with the driver's numbers (executor memory lives in the
+    * Spark metrics system; a cluster deployment would join those in). */
   def sysMemory(spark: SparkSession): DataFrame =
     live(spark, StructType(Seq(
       StructField("node_id", StringType, nullable = false),
       StructField("hostname", StringType, nullable = false),
-      StructField("fabric_port", LongType, nullable = false),
       StructField("heap_current", LongType, nullable = false),
       StructField("heap_max", LongType, nullable = false),
       StructField("direct_current", LongType, nullable = false),
@@ -388,12 +389,10 @@ object InfoSchema {
         val direct = java.lang.management.ManagementFactory
           .getPlatformMXBeans(classOf[java.lang.management.BufferPoolMXBean]).asScala
           .find(_.getName == "direct")
-        spark.sparkContext.statusTracker.getExecutorInfos.toSeq.map { e =>
-          Row(s"${e.host()}:${e.port()}", e.host(), e.port().toLong,
-            heap.getUsed, heap.getMax,
-            direct.map(_.getMemoryUsed).getOrElse(0L),
-            direct.map(_.getTotalCapacity).getOrElse(0L))
-        }
+        Seq(Row("driver", java.net.InetAddress.getLocalHost.getHostName,
+          heap.getUsed, heap.getMax,
+          direct.map(_.getMemoryUsed).getOrElse(0L),
+          direct.map(_.getTotalCapacity).getOrElse(0L)))
       })
 
   /** sys.threads (reference ThreadsIterator.ThreadSummary): JVM thread
@@ -504,11 +503,15 @@ object InfoSchema {
     live(spark, StructType(Seq(
       StructField("name", StringType, nullable = false),
       StructField("value", StringType, nullable = true))),
-      () => spark.sparkContext.getConf.getAll.toSeq.sortBy(_._1)
-        .map { case (k, v) =>
-          Row(k, if (k.toLowerCase.contains("password") ||
-            k.toLowerCase.contains("secret")) "***" else v)
-        })
+      () => {
+        // Spark's own redaction default — anything narrower would leak
+        // values Spark itself masks in its UI/logs
+        val redact = spark.sparkContext.getConf
+          .get("spark.redaction.regex", "(?i)secret|password|token|access[.]key").r
+        spark.sparkContext.getConf.getAll.toSeq.sortBy(_._1).map { case (k, v) =>
+          Row(k, if (redact.findFirstIn(k).isDefined) "***" else v)
+        }
+      })
 
   /** sys.timezone_names + sys.timezone_abbreviations (reference
     * TimezoneNames/TimezoneAbbreviations static tables). DERIVED from
@@ -538,12 +541,14 @@ object InfoSchema {
     val rows = ZoneId.getAvailableZoneIds.toArray(Array.empty[String]).toSeq.flatMap { zid =>
       val z = ZoneId.of(zid)
       Seq(jan, jul).flatMap { t =>
+        // only the per-INSTANT resolved short name (CET in January, CEST
+        // in July): a zone's fixed standalone abbreviation paired with a
+        // DST-instant offset would fabricate rows like (CET, +02:00)
         val at = t.withZoneSameInstant(z)
-        val abbr = z.getDisplayName(TextStyle.SHORT_STANDALONE, Locale.US)
         val resolved = at.format(java.time.format.DateTimeFormatter.ofPattern("zzz", Locale.US))
         val dst = z.getRules.isDaylightSavings(at.toInstant)
         val off = z.getRules.getOffset(at.toInstant).getId.replace("Z", "+00:00")
-        Seq(resolved, abbr).filter(a => a.nonEmpty && !a.startsWith("GMT") && !a.contains("/"))
+        Some(resolved).filter(a => a.nonEmpty && !a.startsWith("GMT") && !a.contains("/"))
           .map(a => (a, off, dst))
       }
     }.distinct.sortBy(r => (r._1, r._2))

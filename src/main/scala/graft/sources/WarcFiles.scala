@@ -134,7 +134,10 @@ object WarcFiles {
 
   // ---------- streaming record parser ----------
 
-  /** Lazy record iterator over one file; the stream closes at EOF. */
+  /** Lazy record iterator over one file; the stream closes at EOF, on any
+    * parse error, and — via a task completion listener — when the task
+    * abandons the iterator early (LIMIT/CollectLimit stops pulling), so
+    * neither the file handle nor the gzip Inflater can outlive the task. */
   private def fileRecords(file: String): Iterator[Row] = {
     val path = new org.apache.hadoop.fs.Path(file)
     val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
@@ -147,7 +150,20 @@ object WarcFiles {
       private var nextRow: Row = null
       private var done = false
 
-      private def advance(): Unit = {
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit] { _ => closeQuietly() })
+
+      private def closeQuietly(): Unit =
+        if (!done) {
+          done = true
+          try in.close() catch { case _: Exception => () }
+        }
+
+      private def advance(): Unit = try advanceImpl() catch {
+        case e: Throwable => closeQuietly(); throw e
+      }
+
+      private def advanceImpl(): Unit = {
         while (nextRow == null && !done) {
           // skip record separators / stray blank lines, find a version line
           var line = readLine(in)
@@ -199,9 +215,10 @@ object WarcFiles {
     }
   }
 
-  /** One header line: bytes to LF, CR stripped, ISO-8859-1-safe decode
-    * (WARC named headers are ASCII; URIs may carry raw high bytes). Returns
-    * null at EOF. */
+  /** One header line: bytes to LF, CR stripped, UTF-8 decode (WARC named
+    * headers are ASCII; a URI carrying invalid UTF-8 high bytes decodes
+    * those bytes to U+FFFD — headers are metadata, payload bytes are
+    * untouched). Returns null at EOF. */
   private def readLine(in: InputStream): String = {
     val buf = new java.io.ByteArrayOutputStream(96)
     var b = in.read()
@@ -241,9 +258,12 @@ object WarcFiles {
     val head = new String(payload, 0, headerEnd, java.nio.charset.StandardCharsets.UTF_8)
     val lines = head.split("\r?\n")
     if (lines.isEmpty || !lines(0).startsWith("HTTP/")) return (null, null, payload)
-    val statusTok = lines(0).split(" ", 3)
+    // tokenize on runs of spaces: real crawls carry double/trailing spaces
+    // in status lines, and an empty token must yield null, not a throw
+    val statusTok = lines(0).trim.split(" +", 3)
     val status: Integer =
-      if (statusTok.length >= 2 && statusTok(1).forall(_.isDigit)) Integer.valueOf(statusTok(1))
+      if (statusTok.length >= 2 && statusTok(1).nonEmpty &&
+        statusTok(1).forall(_.isDigit)) Integer.valueOf(statusTok(1))
       else null
     val ctype = lines.drop(1)
       .find(_.toLowerCase.startsWith("content-type:"))
@@ -305,8 +325,12 @@ object WarcFiles {
               if (r.isNullAt(bodyIdx)) Array.emptyByteArray
               else if (hasText) r.getString(bodyIdx).getBytes(java.nio.charset.StandardCharsets.UTF_8)
               else r.get(bodyIdx).asInstanceOf[Array[Byte]]
+            // content hash, not length: equal-length recaptures of the same
+            // uri must not collide (ISO 28500 wants globally-unique ids)
+            val payloadMd5 = java.security.MessageDigest.getInstance("MD5")
+              .digest(payload).map("%02x".format(_)).mkString
             val rid = java.util.UUID.nameUUIDFromBytes(
-              (s"$uri|$date|${payload.length}").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              (s"$uri|$date|$payloadMd5").getBytes(java.nio.charset.StandardCharsets.UTF_8))
             val header = new StringBuilder(192)
             header.append("WARC/1.0\r\n")
             header.append("WARC-Type: ").append(warcType).append("\r\n")
