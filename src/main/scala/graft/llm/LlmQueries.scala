@@ -3019,6 +3019,44 @@ object LlmQueries {
     SELECT doc_id, round(z, 6) AS lr_logit, z > 0 AS keep
     FROM z ORDER BY doc_id"""
 
+  /** Token-budget corpus selection ([[Mixing.budgetSelect]]): fill a fixed
+    * token budget with the highest-LR-scored documents. The engine runs
+    * the threshold-bin plan (per-bin aggregate + driver prefix sum +
+    * codegen'd keep filter; only the boundary bin sorts); the oracle
+    * replays the NAIVE global prefix-sum window — the two must agree row
+    * for row, which is exactly the scalability claim (the threshold scan
+    * IS the global cumsum, without the single-partition sort). */
+  val budgetSelect: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents
+    val scored = QualityClassifier.score(docs, LrPinnedWeights, LrPinnedIntercept)
+      .join(TextAnalysis.qualitySignals(docs).select(col("doc_id"), col("n_tokens")), "doc_id")
+    Mixing.budgetSelect(scored, "lr_logit", "n_tokens", "doc_id", budget = 13000L)
+      .select(col("doc_id"), col("n_tokens"), col("lr_logit"))
+      .orderBy(col("doc_id"))
+  }
+  val budgetSelectSql: String = """
+    WITH toks AS (
+      SELECT doc_id, text,
+        list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS t
+      FROM documents),
+    f AS (SELECT doc_id,
+      CAST(len(t) AS INT) AS n_tokens,
+      CAST(len(t) AS DOUBLE) / 100.0 AS f1,
+      (CAST(length(text) AS DOUBLE) / len(t)) / 10.0 AS f2,
+      CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS DOUBLE) / length(text) AS f3,
+      CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) AS f4,
+      CAST(len(list_filter(t, w -> list_contains(['the','a','an','of','and','or','to','in','is','it','for','on','with','as','at','by','from','that','this'], w))) AS DOUBLE) / len(t) AS f5,
+      CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS f6
+      FROM toks),
+    z AS (SELECT doc_id, n_tokens, round(
+      44.287077 + 0.819094 * f1 + -69.155524 * f2 + 0.0 * f3 +
+      0.0 * f4 + -1.999443 * f5 + -17.592736 * f6, 6) AS lr_logit
+      FROM f),
+    ord AS (SELECT *, sum(n_tokens) OVER (ORDER BY lr_logit DESC, doc_id) AS cum
+      FROM z)
+    SELECT doc_id, n_tokens, lr_logit FROM ord WHERE cum <= 13000
+    ORDER BY doc_id"""
+
   /** Token-distribution entropy (boilerplate/spam signal). Entropies are
     * rounded to 6dp in BOTH engines — float accumulation order differs
     * across engines at ~1e-14, four orders below the rounding grain. */
@@ -3318,6 +3356,7 @@ object LlmQueries {
     "text_nb_classifier" -> textNbClassifier,
     "lr_quality_train" -> lrQualityTrain,
     "lr_quality_score" -> lrQualityScore,
+    "budget_select" -> budgetSelect,
     "text_trigram_lm" -> textTrigramLm,
     "length_buckets" -> lengthBuckets,
     "chunk_documents" -> chunkDocuments,
@@ -3409,6 +3448,7 @@ object LlmQueries {
     "dsir_weights" -> dsirWeightsSql,
     "text_nb_classifier" -> textNbClassifierSql,
     "lr_quality_score" -> lrQualityScoreSql,
+    "budget_select" -> budgetSelectSql,
     "text_trigram_lm" -> textTrigramLmSql,
     "length_buckets" -> lengthBucketsSql,
     "chunk_documents" -> chunkDocumentsSql,

@@ -114,4 +114,60 @@ object Mixing {
   def deterministicOrder(df: DataFrame, idCol: String, salt: String): DataFrame =
     df.withColumn("shuffle_key", md5(concat(lit(salt + ":"), col(idCol).cast("string"))))
       .orderBy(col("shuffle_key"), col(idCol))
+
+  /** Token-budget corpus selection: keep the highest-`scoreCol` documents
+    * whose running token total fits `budget` — "fill a 1T-token training
+    * budget with the best documents", the selection step between quality
+    * scoring and tokenization in every budgeted pretraining mix.
+    *
+    * Semantics = the global prefix sum: a doc is kept iff
+    * `sum(tokens) OVER (ORDER BY score DESC, id) <= budget` — but a
+    * global-order window collapses to ONE partition, so at scale this
+    * computes the same answer as a THRESHOLD scan instead:
+    *  1. coarse score bins (`floor(score·100)`, value-disjoint) → one
+    *     map-side-combinable aggregate of per-bin token totals;
+    *  2. the driver prefix-sums the (few hundred) bins descending and
+    *     finds the boundary bin where the budget crosses;
+    *  3. every doc ABOVE the boundary bin keeps outright (a codegen'd
+    *     filter — no sort anywhere); only the boundary BIN's docs (1/bins
+    *     of the corpus) sort for the partial fill, inside one window
+    *     whose input is already filtered to that bin.
+    * Bins are value-disjoint in the sort key, so the result is
+    * bit-identical to the naive global window (the oracle replays that
+    * form). Ties inside the boundary bin break on `idCol`.
+    *
+    * Returns the kept rows with their bin and the within-bin running
+    * total for the boundary bin (null elsewhere). */
+  def budgetSelect(df: DataFrame, scoreCol: String, tokensCol: String,
+                   idCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val bin = floor(col(scoreCol) * lit(100.0)).cast("long")
+    val binned = df.withColumn("score_bin", bin)
+    val totals = binned.groupBy(col("score_bin"))
+      .agg(sum(col(tokensCol)).as("bin_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(-_._1)
+    var acc = 0L
+    var boundary: Option[(Long, Long)] = None // (bin, budget left before it)
+    var fullBinsAbove = Long.MinValue // keep bins strictly above this outright
+    val it = totals.iterator
+    while (boundary.isEmpty && it.hasNext) {
+      val (b, t) = it.next()
+      if (acc + t > budget) { boundary = Some((b, budget - acc)); fullBinsAbove = b }
+      else acc += t
+    }
+    boundary match {
+      case None => // whole corpus fits
+        binned.withColumn("boundary_cum", lit(null).cast("long"))
+      case Some((b, left)) =>
+        val above = binned.filter(col("score_bin") > lit(b))
+          .withColumn("boundary_cum", lit(null).cast("long"))
+        val w = Window.partitionBy(col("score_bin"))
+          .orderBy(col(scoreCol).desc, col(idCol))
+        val atBoundary = binned.filter(col("score_bin") === lit(b))
+          .withColumn("boundary_cum", sum(col(tokensCol)).over(w))
+          .filter(col("boundary_cum") <= lit(left))
+        above.unionByName(atBoundary)
+    }
+  }
 }

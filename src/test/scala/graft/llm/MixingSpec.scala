@@ -92,4 +92,32 @@ class MixingSpec extends AnyFunSuite {
       .filter(col("n_splits") > 1).count()
     assert(leaked > 0, "fixture should demonstrate naive-split leakage")
   }
+
+  test("budgetSelect equals the naive global prefix-sum window (threshold-bin parity)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // adversarial scores: duplicates, negatives, values straddling bin
+    // edges (x.00 exactly), varied token counts
+    val rows = (0 until 400).map { i =>
+      val score = math.rint(((i * 37) % 97 - 48) / 7.0 * 1e6) / 1e6
+      (i.toLong, score, 1 + (i * 13) % 50)
+    }
+    val df = rows.toDF("doc_id", "s", "tok").repartition(7)
+    val naive = df.withColumn("cum",
+        sum(col("tok")).over(Window.orderBy(col("s").desc, col("doc_id"))))
+      .filter(col("cum") <= 3000).select("doc_id").as[Long].collect().sorted.toSeq
+    val fast = Mixing.budgetSelect(df, "s", "tok", "doc_id", 3000L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(fast == naive)
+    assert(fast.nonEmpty && fast.size < rows.size, "budget must bind")
+    // budget 0 keeps nothing; budget >= total keeps everything
+    assert(Mixing.budgetSelect(df, "s", "tok", "doc_id", 0L).count() == 0)
+    val total = rows.map(_._3.toLong).sum
+    assert(Mixing.budgetSelect(df, "s", "tok", "doc_id", total).count() == rows.size)
+    // only the boundary bin carries a running total; higher bins skip the sort
+    val out = Mixing.budgetSelect(df, "s", "tok", "doc_id", 3000L)
+    val binsWithCum = out.filter(col("boundary_cum").isNotNull)
+      .select("score_bin").distinct().count()
+    assert(binsWithCum <= 1)
+  }
 }
