@@ -149,11 +149,10 @@ object Mixing {
       .sortBy(-_._1)
     var acc = 0L
     var boundary: Option[(Long, Long)] = None // (bin, budget left before it)
-    var fullBinsAbove = Long.MinValue // keep bins strictly above this outright
     val it = totals.iterator
     while (boundary.isEmpty && it.hasNext) {
       val (b, t) = it.next()
-      if (acc + t > budget) { boundary = Some((b, budget - acc)); fullBinsAbove = b }
+      if (acc + t > budget) boundary = Some((b, budget - acc))
       else acc += t
     }
     boundary match {

@@ -224,17 +224,19 @@ class SqlSurfaceSpec extends AnyFunSuite {
   test("sys_services tracks live wire endpoints; sys_boot is the static conf (r14)") {
     val boot = spark.sql("SELECT value FROM sys_boot WHERE name = 'spark.master'").collect()
     assert(boot.length == 1 && boot(0).getString(0).startsWith("local["))
-    val before = spark.sql("SELECT service FROM sys_services").collect()
-      .map(_.getString(0)).toSet
-    assert(!before.contains("rest"))
+    // another suite may have left the REST endpoint up (suites share the
+    // JVM); start() is idempotent, so only stop if WE started it
+    val wasRunning = graft.server.GraftRestServer.port.isDefined
     val port = graft.server.GraftRestServer.start(spark)
     try {
       val rows = spark.sql(
         "SELECT service, port FROM sys_services WHERE service = 'rest'").collect()
       assert(rows.length == 1 && rows(0).getInt(1) == port)
-    } finally graft.server.GraftRestServer.stop()
-    assert(spark.sql(
-      "SELECT count(*) FROM sys_services WHERE service = 'rest'").head().getLong(0) == 0)
+    } finally if (!wasRunning) {
+      graft.server.GraftRestServer.stop()
+      assert(spark.sql(
+        "SELECT count(*) FROM sys_services WHERE service = 'rest'").head().getLong(0) == 0)
+    }
   }
 
   test("sys_membership flattens user role edges (r14)") {
