@@ -2999,23 +2999,35 @@ object LlmQueries {
     "digit_ratio" -> 0.0,
     "stopword_ratio" -> -1.999443,
     "distinct_token_ratio" -> -17.592736)
-  val lrQualityScoreSql: String = """
+  /** Shared oracle fragments: the qualitySignals feature CTE and the
+    * pinned linear form, interpolated from the ONE Scala constant so the
+    * score and budget oracles can never drift from the pinned model. */
+  private def lrFeatureCte(where: String): String = s"""
     WITH toks AS (
       SELECT doc_id, text,
-        list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS t
-      FROM documents WHERE doc_id < 500),
+        list_filter(string_split_regex(lower(text), '\\s+'), w -> len(w) > 0) AS t
+      FROM documents $where),
     f AS (SELECT doc_id,
+      CAST(len(t) AS INT) AS n_tokens,
       CAST(len(t) AS DOUBLE) / 100.0 AS f1,
       (CAST(length(text) AS DOUBLE) / len(t)) / 10.0 AS f2,
       CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS DOUBLE) / length(text) AS f3,
       CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) AS f4,
       CAST(len(list_filter(t, w -> list_contains(['the','a','an','of','and','or','to','in','is','it','for','on','with','as','at','by','from','that','this'], w))) AS DOUBLE) / len(t) AS f5,
       CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS f6
-      FROM toks),
-    z AS (SELECT doc_id,
-      44.287077 + 0.819094 * f1 + -69.155524 * f2 + 0.0 * f3 +
-      0.0 * f4 + -1.999443 * f5 + -17.592736 * f6 AS z
-      FROM f)
+      FROM toks)"""
+
+  /** `w0 + w1*f1 + ... + w6*f6` rendered from the pinned constants —
+    * plain toString keeps the exact decimal literals both engines parse
+    * to the same doubles. */
+  private def lrLinearSql: String =
+    LrPinnedIntercept.toString + LrPinnedWeights.zipWithIndex.map {
+      case ((_, w), i) => s" + $w * f${i + 1}"
+    }.mkString
+
+  val lrQualityScoreSql: String = s"""
+    ${lrFeatureCte("WHERE doc_id < 500")},
+    z AS (SELECT doc_id, $lrLinearSql AS z FROM f)
     SELECT doc_id, round(z, 6) AS lr_logit, z > 0 AS keep
     FROM z ORDER BY doc_id"""
 
@@ -3034,24 +3046,9 @@ object LlmQueries {
       .select(col("doc_id"), col("n_tokens"), col("lr_logit"))
       .orderBy(col("doc_id"))
   }
-  val budgetSelectSql: String = """
-    WITH toks AS (
-      SELECT doc_id, text,
-        list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS t
-      FROM documents),
-    f AS (SELECT doc_id,
-      CAST(len(t) AS INT) AS n_tokens,
-      CAST(len(t) AS DOUBLE) / 100.0 AS f1,
-      (CAST(length(text) AS DOUBLE) / len(t)) / 10.0 AS f2,
-      CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS DOUBLE) / length(text) AS f3,
-      CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) AS f4,
-      CAST(len(list_filter(t, w -> list_contains(['the','a','an','of','and','or','to','in','is','it','for','on','with','as','at','by','from','that','this'], w))) AS DOUBLE) / len(t) AS f5,
-      CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS f6
-      FROM toks),
-    z AS (SELECT doc_id, n_tokens, round(
-      44.287077 + 0.819094 * f1 + -69.155524 * f2 + 0.0 * f3 +
-      0.0 * f4 + -1.999443 * f5 + -17.592736 * f6, 6) AS lr_logit
-      FROM f),
+  val budgetSelectSql: String = s"""
+    ${lrFeatureCte("")},
+    z AS (SELECT doc_id, n_tokens, round($lrLinearSql, 6) AS lr_logit FROM f),
     ord AS (SELECT *, sum(n_tokens) OVER (ORDER BY lr_logit DESC, doc_id) AS cum
       FROM z)
     SELECT doc_id, n_tokens, lr_logit FROM ord WHERE cum <= 13000

@@ -136,37 +136,66 @@ object Mixing {
     * bit-identical to the naive global window (the oracle replays that
     * form). Ties inside the boundary bin break on `idCol`.
     *
-    * Returns the kept rows with their bin and the within-bin running
-    * total for the boundary bin (null elsewhere). */
+    * Rows whose score or token count is NULL are dropped (no quality
+    * score = not a selection candidate); negative token counts refuse
+    * loudly — a non-monotone cumsum has no single-threshold equivalent,
+    * so silently diverging from the naive-window contract is worse than
+    * an error.
+    *
+    * Memory shape: the input projection is cached for the run (callers
+    * should pass the (id, score, tokens) metadata, not document bodies —
+    * tens of bytes per doc) and the RESULT materializes via
+    * localCheckpoint before the cache releases, so the returned frame
+    * never re-executes the upstream scoring plan; its size is the kept
+    * set's metadata, bounded by the budget. Returns the kept rows with
+    * their bin and the within-bin running total for the boundary bin
+    * (null elsewhere). */
   def budgetSelect(df: DataFrame, scoreCol: String, tokensCol: String,
                    idCol: String, budget: Long): DataFrame = {
     require(budget >= 0, "budget must be non-negative")
     val bin = floor(col(scoreCol) * lit(100.0)).cast("long")
-    val binned = df.withColumn("score_bin", bin)
-    val totals = binned.groupBy(col("score_bin"))
-      .agg(sum(col(tokensCol)).as("bin_tokens"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-      .sortBy(-_._1)
-    var acc = 0L
-    var boundary: Option[(Long, Long)] = None // (bin, budget left before it)
-    val it = totals.iterator
-    while (boundary.isEmpty && it.hasNext) {
-      val (b, t) = it.next()
-      if (acc + t > budget) boundary = Some((b, budget - acc))
-      else acc += t
-    }
-    boundary match {
-      case None => // whole corpus fits
-        binned.withColumn("boundary_cum", lit(null).cast("long"))
-      case Some((b, left)) =>
-        val above = binned.filter(col("score_bin") > lit(b))
-          .withColumn("boundary_cum", lit(null).cast("long"))
-        val w = Window.partitionBy(col("score_bin"))
-          .orderBy(col(scoreCol).desc, col(idCol))
-        val atBoundary = binned.filter(col("score_bin") === lit(b))
-          .withColumn("boundary_cum", sum(col(tokensCol)).over(w))
-          .filter(col("boundary_cum") <= lit(left))
-        above.unionByName(atBoundary)
-    }
+    // cache: the bin totals, the above-boundary keep and the boundary
+    // window each consume this projection — without the cache the whole
+    // upstream scoring plan would execute three times
+    val binned = df
+      .filter(col(scoreCol).isNotNull && col(tokensCol).isNotNull)
+      .withColumn("score_bin", bin).cache()
+    try {
+      // min rides the same aggregate as the totals: the non-negativity
+      // gate costs no extra pass
+      val totals = binned.groupBy(col("score_bin"))
+        .agg(sum(col(tokensCol)).as("bin_tokens"),
+          min(col(tokensCol).cast("long")).as("min_tok"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(-_._1)
+      require(totals.forall(_._3 >= 0L),
+        s"budgetSelect: negative $tokensCol values — the running total is " +
+          "non-monotone and has no threshold-scan equivalent")
+      var acc = 0L
+      var boundary: Option[(Long, Long)] = None // (bin, budget left before it)
+      val it = totals.iterator
+      while (boundary.isEmpty && it.hasNext) {
+        val (b, t, _) = it.next()
+        if (acc + t > budget) boundary = Some((b, budget - acc))
+        else acc += t
+      }
+      val result = boundary match {
+        case None => // whole corpus fits
+          binned.withColumn("boundary_cum", lit(null).cast("long"))
+        case Some((b, left)) =>
+          val above = binned.filter(col("score_bin") > lit(b))
+            .withColumn("boundary_cum", lit(null).cast("long"))
+          val w = Window.partitionBy(col("score_bin"))
+            .orderBy(col(scoreCol).desc, col(idCol))
+          val atBoundary = binned.filter(col("score_bin") === lit(b))
+            .withColumn("boundary_cum", sum(col(tokensCol)).over(w))
+            .filter(col("boundary_cum") <= lit(left))
+          above.unionByName(atBoundary)
+      }
+      // materialize off the cache before releasing it: the caller gets a
+      // localCheckpoint-backed frame instead of a plan over unpersisted data
+      result.localCheckpoint(eager = true)
+    } finally { binned.unpersist(); () }
   }
 }

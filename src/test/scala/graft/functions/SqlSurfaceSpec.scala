@@ -232,11 +232,11 @@ class SqlSurfaceSpec extends AnyFunSuite {
       val rows = spark.sql(
         "SELECT service, port FROM sys_services WHERE service = 'rest'").collect()
       assert(rows.length == 1 && rows(0).getInt(1) == port)
-    } finally if (!wasRunning) {
-      graft.server.GraftRestServer.stop()
-      assert(spark.sql(
-        "SELECT count(*) FROM sys_services WHERE service = 'rest'").head().getLong(0) == 0)
-    }
+    } finally if (!wasRunning) graft.server.GraftRestServer.stop()
+    // outside the finally: a cleanup-assertion failure must not mask the
+    // try-body's own failure
+    if (!wasRunning) assert(spark.sql(
+      "SELECT count(*) FROM sys_services WHERE service = 'rest'").head().getLong(0) == 0)
   }
 
   test("sys_membership flattens user role edges (r14)") {
