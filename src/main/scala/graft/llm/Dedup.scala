@@ -47,12 +47,14 @@ object Dedup {
       .select(col("doc_id"), col("bb.band"), col("bb.bh"))
 
     // Cap pathological buckets (e.g. empty/boilerplate docs) so the
-    // within-bucket pair count stays bounded.
-    val bucketed = banded
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("bh")).orderBy(col("doc_id"))))
-      .filter(col("rk") <= maxBucket)
+    // within-bucket pair count stays bounded. TopKPerKey bounded heaps,
+    // NOT row_number over a (band, bh) window: the banded table is
+    // bands× the corpus, and a window would SORT all of it inside every
+    // hash partition (spilling at scale) to keep only `maxBucket` rows
+    // per bucket — the heap keeps the identical selection (the
+    // `maxBucket` smallest doc_ids per bucket) in O(n log k).
+    val bucketed = graft.plans.TopKPerKey(banded,
+        Seq(col("band"), col("bh")), lit(0.0), col("doc_id"), maxBucket)
       .select(col("band"), col("bh"), col("doc_id"))
 
     val a = bucketed.select(col("band"), col("bh"), col("doc_id").as("a_id"))
@@ -206,7 +208,7 @@ object Dedup {
         cosCol = Some("centroid_cos"), doublePrec = doublePrec)
       .select(col("vec_id"), col("embedding"), col("bucket"), col("centroid_cos"))
       // materialize once (eager, lineage-truncated, GC'd with the plan):
-      // both pair sides, the component vertices, and the final rank join
+      // both pair sides, the component vertices, and the final keeper join
       // consume this — unmaterialized, each would re-scan the corpus and
       // re-evaluate the nClusters cosine assignments
       .localCheckpoint(true)
@@ -225,13 +227,18 @@ object Dedup {
     val comps = connectedComponents(assigned.select(col("vec_id")), pairs)
     val ranked = assigned.join(comps, assigned("vec_id") === comps("id"))
       .select(col("vec_id"), col("bucket"), col("centroid_cos"), col("component"))
-    val byGroup = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
-    val w = byGroup.orderBy(col("centroid_cos").desc, col("vec_id"))
-    ranked
-      .withColumn("group_size", count(lit(1)).over(byGroup))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("bucket"), col("component"), col("group_size"))
+    // Keeper per component = ONE map-side-combinable aggregate (arg-max by
+    // (centroid_cos, then lowest vec_id), group size riding the same agg)
+    // — not a row_number window, which would sort every component's rows
+    // corpus-wide just to keep row 1. Negating vec_id makes the struct
+    // ordering total, so max_by is deterministic under any partitioning.
+    ranked.groupBy(col("component"))
+      .agg(
+        max_by(struct(col("vec_id"), col("bucket")),
+          struct(col("centroid_cos"), (-col("vec_id")).as("neg_id"))).as("keep"),
+        count(lit(1)).as("group_size"))
+      .select(col("keep.vec_id").as("vec_id"), col("keep.bucket").as("bucket"),
+        col("component"), col("group_size"))
   }
 
   /** Embedding near-duplicate pairs by signed-random-projection LSH

@@ -20,6 +20,36 @@ object LlmQueries {
   val dedupMinhash: QueryFn = (s, dir) =>
     Dedup.minhashLsh(Tables.ensure(s, dir).documents)
       .orderBy(col("a_id"), col("b_id"))
+  /** FULL oracle: at oracle scale (500 docs) DuckDB replays the exact
+    * quadratic word-3-gram Jaccard join — the selection LSH approximates.
+    * Coincidence is a MEASURED fixture property, not an assumption: every
+    * sf0.01 pair at J ≥ 0.5 actually sits at J ≥ 0.9 (nothing in
+    * 0.3–0.9), where the 16-band×4-row banding's miss probability is
+    * (1−0.9⁴)¹⁶ ≈ 4e-8 — and the minhash seeds are fixed, so the match
+    * is deterministic once green, and DedupSpec's recall==1.0 pin guards
+    * the property. Jaccard VALUES agree because the 64-bit ngram hashes
+    * are collision-free at this gram cardinality, so both engines divide
+    * identical integer counts (IEEE-exact). */
+  val dedupMinhashSql: String = """
+    WITH toks AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS t
+      FROM documents),
+    d AS (
+      SELECT doc_id,
+        list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+          ELSE list_transform(generate_series(1, len(t) - 2),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS grams
+      FROM toks)
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      CAST(len(list_filter(a.grams, g -> list_contains(b.grams, g))) AS DOUBLE)
+        / (len(a.grams) + len(b.grams)
+           - len(list_filter(a.grams, g -> list_contains(b.grams, g)))) AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_filter(a.grams, g -> list_contains(b.grams, g))) AS DOUBLE)
+        / (len(a.grams) + len(b.grams)
+           - len(list_filter(a.grams, g -> list_contains(b.grams, g)))) >= 0.5
+    ORDER BY a_id, b_id"""
 
   val dedupSimhash: QueryFn = (s, dir) =>
     Dedup.simhashPairs(Tables.ensure(s, dir).documents, maxHamming = 6)
@@ -3396,6 +3426,7 @@ object LlmQueries {
     "quality_perplexity_buckets" -> qualityPerplexityBucketsSql,
     "text_tfidf" -> textTfidfSql,
     "dedup_exact" -> dedupExactSql,
+    "dedup_minhash_lsh" -> dedupMinhashSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_components" -> dedupComponentsSql,
     "text_quality" -> textQualitySql,

@@ -130,8 +130,11 @@ object Mixing {
     *     finds the boundary bin where the budget crosses;
     *  3. every doc ABOVE the boundary bin keeps outright (a codegen'd
     *     filter — no sort anywhere); only the boundary BIN's docs (1/bins
-    *     of the corpus) sort for the partial fill, inside one window
-    *     whose input is already filtered to that bin.
+    *     of the corpus, but possibly the whole corpus when scores
+    *     cluster) partial-fill via a RANGE-partitioned parallel prefix
+    *     sum — per-partition cumsum windows lifted by driver-prefix-
+    *     summed offsets — so even a degenerate single bin sorts 1/nParts
+    *     per task, never in one partition.
     * Bins are value-disjoint in the sort key, so the result is
     * bit-identical to the naive global window (the oracle replays that
     * form). Ties inside the boundary bin break on `idCol`.
@@ -186,11 +189,43 @@ object Mixing {
         case Some((b, left)) =>
           val above = binned.filter(col("score_bin") > lit(b))
             .withColumn("boundary_cum", lit(null).cast("long"))
-          val w = Window.partitionBy(col("score_bin"))
+          // Boundary partial fill WITHOUT a single-partition window: a
+          // score-clustered corpus (a saturated classifier emitting ≈1.0
+          // for everything) can make the boundary bin the WHOLE corpus,
+          // and `Window.partitionBy(score_bin)` would then sort it in ONE
+          // task. Range-partition the bin by the fill order instead (the
+          // range sampler IS a rank-quantile re-binner — it splits equal
+          // scores by id, which score-refinement never could), cumsum
+          // inside each range partition in parallel, and lift to the
+          // global running total with per-partition offsets. Sort work is
+          // 1/nParts per task under ANY score distribution, and the
+          // result is bit-identical to the naive global window because
+          // (score desc, id) is a total order, so the running total of a
+          // row is independent of where partition boundaries fall.
+          val spark = df.sparkSession
+          val nParts = math.max(1,
+            spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+          val ranged = binned.filter(col("score_bin") === lit(b))
+            .repartitionByRange(nParts, col(scoreCol).desc, col(idCol))
+            .withColumn("__pid", spark_partition_id())
+            // pin partition assignment: the range sampler must not re-draw
+            // boundaries between the offsets job and the fill job
+            .localCheckpoint(true)
+          val partTotals = ranged.groupBy(col("__pid"))
+            .agg(sum(col(tokensCol).cast("long")).as("__ptok"))
+            .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+          var run = 0L
+          val offRows = partTotals.map { case (pid, t) =>
+            val o = run; run += t; (pid, o)
+          }.toSeq
+          val offDf = spark.createDataFrame(offRows).toDF("__pid", "__off")
+          val w = Window.partitionBy(col("__pid"))
             .orderBy(col(scoreCol).desc, col(idCol))
-          val atBoundary = binned.filter(col("score_bin") === lit(b))
-            .withColumn("boundary_cum", sum(col(tokensCol)).over(w))
+          val atBoundary = ranged
+            .join(broadcast(offDf), Seq("__pid"))
+            .withColumn("boundary_cum", sum(col(tokensCol)).over(w) + col("__off"))
             .filter(col("boundary_cum") <= lit(left))
+            .drop("__pid", "__off")
           above.unionByName(atBoundary)
       }
       // materialize off the cache before releasing it: the caller gets a

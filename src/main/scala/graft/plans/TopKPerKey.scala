@@ -43,7 +43,15 @@ object TopKPerKey {
     * null and silently collapse every tie — refuse at build time instead
     * (hash the string, or use a per-key window when partitions are
     * small). */
-  def apply(df: DataFrame, key: Column, score: Column, tieBreak: Column, k: Int): DataFrame = {
+  def apply(df: DataFrame, key: Column, score: Column, tieBreak: Column, k: Int): DataFrame =
+    apply(df, Seq(key), score, tieBreak, k)
+
+  /** Compound-key entry: top `k` per distinct combination of `keys` —
+    * the bucket-cap shape (e.g. LSH (band, bandHash) buckets) without
+    * packing the keys into a struct on the caller side. */
+  def apply(df: DataFrame, keys: Seq[Column], score: Column, tieBreak: Column,
+            k: Int): DataFrame = {
+    require(keys.nonEmpty, "TopKPerKey: at least one key column")
     // Resolve the Columns against df by analyzing a throwaway projection —
     // a bare Column holds a lazily-converted (unresolved) node that only
     // standard Dataset operations resolve.
@@ -53,14 +61,15 @@ object TopKPerKey {
         probe == org.apache.spark.sql.types.TimestampType,
       s"TopKPerKey: tie-break column must be numeric/date/timestamp, got $probe " +
         "(a string tie casts to NULL and loses determinism)")
-    val analyzedProj = df.select(key, score.cast("double"), tieBreak.cast("long"))
+    val analyzedProj = df.select(keys :+ score.cast("double") :+ tieBreak.cast("long"): _*)
       .queryExecution.analyzed.asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]
-    val Seq(keyE, scoreE, tieE) = analyzedProj.projectList.map {
+    val exprs = analyzedProj.projectList.map {
       case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
       case e => e
     }
+    val Seq(scoreE, tieE) = exprs.takeRight(2)
     Rows.ofRows(df.sparkSession,
-      TopKPerKey(Seq(keyE), scoreE, tieE, k, analyzedProj.child))
+      TopKPerKey(exprs.dropRight(2), scoreE, tieE, k, analyzedProj.child))
   }
 }
 

@@ -172,11 +172,8 @@ object StreamingDedup {
       // rep) while a pathological bucket can't go quadratic. Docs beyond
       // the cap whose only near-dups are ALSO beyond it trade recall for
       // the bound, exactly like the batch sweep's cap.
-      val reps = batchBands
-        .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("band"), col("bh")).orderBy(col("doc_id"))))
-        .filter(col("rk") <= maxBucket)
+      val reps = graft.plans.TopKPerKey(batchBands,
+          Seq(col("band"), col("bh")), lit(0.0), col("doc_id"), maxBucket)
         .select(col("band"), col("bh"), col("doc_id").as("a_id"),
           col("sig").as("a_sig"), col("ngrams").as("a_ngrams"))
       val intra = reps

@@ -198,6 +198,31 @@ class DedupSpec extends AnyFunSuite {
     assert(Set(1L, 4L).intersect(autoIds).size == 1)
   }
 
+  test("LSH bucket cap and semDedup keeper plan without Window sorts") {
+    // The bucket cap must be TopKPerKey bounded heaps, not row_number over
+    // a (band, bh) window: the banded table is bands× the corpus and a
+    // window would fully sort it inside every hash partition. Same class
+    // as the r14 FuzzyJoin fix.
+    val lshPlan = Dedup.minhashLsh(corpus).queryExecution.executedPlan.toString
+    assert(lshPlan.contains("TopKPerKey"),
+      s"LSH bucket cap should plan TopKPerKey bounded heaps:\n$lshPlan")
+    assert(!lshPlan.contains("Window"),
+      s"LSH bucket cap must not plan a Window over the banded table:\n$lshPlan")
+
+    // Keeper-per-component must be one aggregate (max_by + count riding a
+    // hash agg), not two corpus-wide windows over the component join.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (2L, Array(2.0f, 0.02f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = Some(Seq(Seq(1.0f, 0.0f, 0.0f, 0.0f), Seq(0.0f, 0.0f, 1.0f, 0.0f)))
+    val keepPlan = Dedup.semDedup(vecs, threshold = 0.95, centroids = cents)
+      .queryExecution.executedPlan.toString
+    assert(!keepPlan.contains("Window"),
+      s"semDedup keeper selection must not plan a Window:\n$keepPlan")
+  }
+
   test("auto cluster count scales with corpus size (k ≈ √N, bucket-size cap)") {
     import graft.llm.Similarity.autoClusters
     assert(autoClusters(0) == 1 && autoClusters(1) == 1)

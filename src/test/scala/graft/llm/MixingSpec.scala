@@ -120,4 +120,49 @@ class MixingSpec extends AnyFunSuite {
       .select("score_bin").distinct().count()
     assert(binsWithCum <= 1)
   }
+
+  test("budgetSelect constant-score corpus: boundary fill stays parallel and exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // A saturated classifier emitting the SAME score for every doc puts
+    // the whole corpus in one bin — the degenerate shape for a
+    // score-binned threshold scan. The fill order then reduces to doc_id,
+    // and the range-partitioned prefix sum must (a) split the bin across
+    // many tasks, (b) still match the naive global window row-for-row.
+    val rows = (0 until 1000).map(i => (i.toLong, 0.999999, 1 + (i * 7) % 23))
+    val df = rows.toDF("doc_id", "s", "tok").repartition(9)
+    // budget ≈ 3/4 of the corpus so the kept prefix spans most of the
+    // range partitions (the partition pin below must not be foiled by a
+    // hash collision of a couple of surviving __pids into one bucket)
+    val budget = 9000L
+    val naive = df.withColumn("cum",
+        sum(col("tok")).over(Window.orderBy(col("s").desc, col("doc_id"))))
+      .filter(col("cum") <= budget).select("doc_id").as[Long].collect().sorted.toSeq
+    // AQE rightly coalesces this tiny fixture's shuffles to one partition;
+    // disable coalescing so the partition pin below observes the fill's
+    // STRUCTURAL layout (what a full-size bin would get), not the
+    // small-data optimization.
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey, "true")
+    val out =
+      try { spark.conf.set(coalesceKey, "false")
+            Mixing.budgetSelect(df, "s", "tok", "doc_id", budget) }
+      finally spark.conf.set(coalesceKey, prev)
+    val fast = out.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(fast == naive, "constant-score fill diverged from the naive window")
+    // the boundary running total is exact (last kept row's cum <= budget,
+    // and adding any one more token would exceed it)
+    val maxCum = out.agg(max(col("boundary_cum"))).collect().head.getLong(0)
+    assert(maxCum <= budget && maxCum + 1 > budget - 23)
+    // parallelism pin: the result is localCheckpoint-materialized with the
+    // fill's physical layout, so if the boundary fill had collapsed to a
+    // single task (the old partitionBy(score_bin) shape hashes the one
+    // bin to ONE partition) every kept row would sit in one partition —
+    // the range-partitioned fill must spread them
+    val partsUsed = out.select(spark_partition_id().as("p"))
+      .distinct().count()
+    assert(partsUsed > 1,
+      s"constant-score boundary fill ran in $partsUsed partition(s) — " +
+        "the degenerate bin collapsed to a single task")
+  }
 }
