@@ -69,7 +69,8 @@ object ArrowFiles {
     val alloc = new RootAllocator()
     try {
       val r = new ArrowFileReader(
-        new ByteArrayReadableSeekableByteChannel(readBytesLocal(first)), alloc)
+        new ByteArrayReadableSeekableByteChannel(readBytesLocal(first,
+          org.apache.spark.sql.graft.Bridge.hadoopConf(spark))), alloc)
       try StructType(r.getVectorSchemaRoot.getSchema.getFields.asScala.toSeq
         .map(f => StructField(f.getName, toSparkType(f), f.isNullable)))
       finally r.close()
@@ -83,16 +84,22 @@ object ArrowFiles {
     import spark.implicits._
     val parallelism = math.min(math.max(files.size, 1),
       spark.sparkContext.defaultParallelism)
+    // ship the SESSION Hadoop conf (spark.hadoop.* — object-store creds,
+    // defaultFS) into the read tasks; a bare executor-side Configuration()
+    // resolves the wrong FileSystem on any non-local scheme
+    val hconf = org.apache.spark.sql.graft.Bridge.serializableHadoopConf(spark)
     spark.createDataset(files).repartition(parallelism)
-      .mapPartitions(paths => paths.flatMap(p => fileRows(p, schema)))(Encoders.row(schema))
+      .mapPartitions(paths =>
+        paths.flatMap(p => fileRows(p, schema, hconf.value)))(Encoders.row(schema))
   }
 
   /** Lazy row iterator over one file's record batches; the reader and its
     * allocator close when the iterator exhausts (or the file is empty). */
-  private def fileRows(file: String, schema: StructType): Iterator[Row] = {
+  private def fileRows(file: String, schema: StructType,
+                       conf: org.apache.hadoop.conf.Configuration): Iterator[Row] = {
     val alloc = new RootAllocator()
     val reader = new ArrowFileReader(
-      new ByteArrayReadableSeekableByteChannel(readBytesLocal(file)), alloc)
+      new ByteArrayReadableSeekableByteChannel(readBytesLocal(file, conf)), alloc)
     val root = reader.getVectorSchemaRoot
     val nFields = schema.size
     new Iterator[Row] {
@@ -124,11 +131,13 @@ object ArrowFiles {
     }
   }
 
-  // executor-side: build a fresh Hadoop conf (the driver's is not shipped
-  // with the closure; defaults resolve file:/ and hdfs:/ URIs alike)
-  private def readBytesLocal(file: String): Array[Byte] = {
+  // whole-file slurp against the CALLER-supplied Hadoop conf (session conf
+  // on the driver, a shipped SerializableConfiguration in tasks — never a
+  // bare Configuration(), which drops spark.hadoop.* credentials)
+  private def readBytesLocal(file: String,
+                             conf: org.apache.hadoop.conf.Configuration): Array[Byte] = {
     val path = new org.apache.hadoop.fs.Path(file)
-    val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = path.getFileSystem(conf)
     val len = fs.getFileStatus(path).getLen.toInt
     val in = fs.open(path)
     try { val buf = new Array[Byte](len); in.readFully(0, buf); buf }
@@ -163,11 +172,13 @@ object ArrowFiles {
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
       .mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val hconf = org.apache.spark.sql.graft.Bridge
+      .serializableHadoopConf(df.sparkSession)
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
         val path = new org.apache.hadoop.fs.Path(
           dir, s"part-${java.util.UUID.randomUUID()}.arrow")
-        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = path.getFileSystem(hconf.value)
         val alloc = new RootAllocator()
         // arrow Field/Schema are not java-serializable: rebuild them in the
         // task from the shipped StructType

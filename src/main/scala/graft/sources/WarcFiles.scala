@@ -80,14 +80,27 @@ object WarcFiles {
     StructField("warc_date", StringType, nullable = true),
     StructField("text", StringType, nullable = true)))
 
+  /** Per-record allocation cap (`spark.graft.warc.maxRecordBytes`): a
+    * malformed or hostile Content-Length must not be able to demand a
+    * multi-GiB byte[] in one task. Default = the row-limit bound. */
+  private def maxRecordBytes(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.warc.maxRecordBytes",
+      (Int.MaxValue - 8).toString).toLong
+
   /** All records of the given WARC/WET files (one task per file). */
   def readFiles(spark: SparkSession, files: Seq[String]): DataFrame = {
     require(files.nonEmpty, "no warc/wet files to read")
     import spark.implicits._
     val parallelism = math.min(math.max(files.size, 1),
       spark.sparkContext.defaultParallelism)
+    // ship the SESSION Hadoop conf into the tasks: an executor-side bare
+    // Configuration() would drop spark.hadoop.* (object-store creds,
+    // defaultFS) and open the wrong FileSystem on any non-local scheme
+    val hconf = org.apache.spark.sql.graft.Bridge.serializableHadoopConf(spark)
+    val maxLen = maxRecordBytes(spark)
     spark.createDataset(files).repartition(parallelism)
-      .mapPartitions(paths => paths.flatMap(p => fileRecords(p)))(Encoders.row(schema))
+      .mapPartitions(paths => paths.flatMap(p =>
+        fileRecords(p, hconf.value, maxLen)))(Encoders.row(schema))
   }
 
   /** All records of all WARC/WET files under `dir`. */
@@ -123,9 +136,11 @@ object WarcFiles {
     import spark.implicits._
     val parallelism = math.min(math.max(files.size, 1),
       spark.sparkContext.defaultParallelism)
+    val hconf = org.apache.spark.sql.graft.Bridge.serializableHadoopConf(spark)
+    val maxLen = maxRecordBytes(spark)
     spark.createDataset(files).repartition(parallelism)
       .mapPartitions(paths => paths.flatMap(p =>
-        fileRecords(p).filter(_.getString(1) == "response").map { r =>
+        fileRecords(p, hconf.value, maxLen).filter(_.getString(1) == "response").map { r =>
           val payload = r.get(7).asInstanceOf[Array[Byte]]
           val (status, ctype, body) = parseHttp(payload)
           Row.fromSeq(r.toSeq ++ Seq(status, ctype, body))
@@ -138,9 +153,11 @@ object WarcFiles {
     * parse error, and — via a task completion listener — when the task
     * abandons the iterator early (LIMIT/CollectLimit stops pulling), so
     * neither the file handle nor the gzip Inflater can outlive the task. */
-  private def fileRecords(file: String): Iterator[Row] = {
+  private def fileRecords(file: String,
+                          conf: org.apache.hadoop.conf.Configuration,
+                          maxLen: Long): Iterator[Row] = {
     val path = new org.apache.hadoop.fs.Path(file)
-    val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = path.getFileSystem(conf)
     val raw = fs.open(path)
     val in: InputStream =
       if (file.endsWith(".gz")) new GZIPInputStream(new BufferedInputStream(raw, 1 << 16), 1 << 16)
@@ -189,10 +206,18 @@ object WarcFiles {
               }
               h = readLine(in)
             }
-            val len = headers.getOrElse("content-length",
+            val lenStr = headers.getOrElse("content-length",
               throw new IllegalArgumentException(s"$file: record missing Content-Length"))
-              .toLong
+            val len =
+              try lenStr.toLong
+              catch { case _: NumberFormatException =>
+                throw new IllegalArgumentException(
+                  s"$file: malformed Content-Length '${lenStr.take(40)}'")
+              }
+            require(len >= 0, s"$file: negative Content-Length $len")
             require(len <= Int.MaxValue - 8, s"$file: record of $len bytes exceeds the 2 GiB row limit")
+            require(len <= maxLen,
+              s"$file: record of $len bytes exceeds spark.graft.warc.maxRecordBytes=$maxLen")
             val payload = new Array[Byte](len.toInt)
             readFully(in, payload)
             nextRow = Row(file,
@@ -307,11 +332,14 @@ object WarcFiles {
     val bodyIdx = schema.fieldIndex(if (hasText) "text" else "payload")
     val dateIdx = if (hasDate) schema.fieldIndex("warc_date") else -1
     val ctypeIdx = if (hasCtype) schema.fieldIndex("content_type") else -1
+    // session Hadoop conf shipped into the write tasks (see readFiles)
+    val hconf = org.apache.spark.sql.graft.Bridge
+      .serializableHadoopConf(df.sparkSession)
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
         val path = new org.apache.hadoop.fs.Path(
           dir, s"part-${java.util.UUID.randomUUID()}.warc.gz")
-        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = path.getFileSystem(hconf.value)
         val out = fs.create(path)
         try {
           while (rows.hasNext) {

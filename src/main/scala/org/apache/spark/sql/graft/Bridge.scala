@@ -83,6 +83,16 @@ object Bridge {
   def hadoopConf(spark: org.apache.spark.sql.SparkSession): org.apache.hadoop.conf.Configuration =
     spark.asInstanceOf[classic.SparkSession].sessionState.newHadoopConf()
 
+  /** The session Hadoop configuration in a task-shippable wrapper
+    * (`SerializableConfiguration` is `private[spark]`). An executor-side
+    * `new Configuration()` loads only the classpath defaults and silently
+    * drops every `spark.hadoop.*` setting — S3/GCS credentials, the
+    * default FS — so any closure that opens a FileSystem must capture one
+    * of these instead. */
+  def serializableHadoopConf(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.util.SerializableConfiguration =
+    new org.apache.spark.util.SerializableConfiguration(hadoopConf(spark))
+
   /** Spark's bucket-file naming scheme (`BucketingUtils` is `private[sql]`):
     * a data file named `..._00003.parquet` belongs to bucket 3. Writing
     * these names is what lets a scan attach a `BucketSpec` and report

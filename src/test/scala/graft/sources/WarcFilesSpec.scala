@@ -147,6 +147,32 @@ class WarcFilesSpec extends AnyFunSuite {
     assert(chainMentions(e2, "WARC/1.x"), s"unexpected: $e2")
   }
 
+  test("malformed Content-Length fails with file context; record cap enforced") {
+    // negative / non-numeric lengths must raise the reader's descriptive
+    // error (naming the file), not a bare NumberFormat/NegativeArraySize
+    val dir = tmpDir("warc_len")
+    Files.write(Paths.get(dir, "neg.warc"),
+      "WARC/1.0\nWARC-Type: conversion\nContent-Length: -7\n\n".getBytes("UTF-8"))
+    val e1 = intercept[Exception] { WarcFiles.read(spark, dir).count() }
+    assert(chainMentions(e1, "negative Content-Length") &&
+      chainMentions(e1, "neg.warc"), s"unexpected: $e1")
+    val dir2 = tmpDir("warc_len2")
+    Files.write(Paths.get(dir2, "nan.warc"),
+      "WARC/1.0\nWARC-Type: conversion\nContent-Length: lots\n\n".getBytes("UTF-8"))
+    val e2 = intercept[Exception] { WarcFiles.read(spark, dir2).count() }
+    assert(chainMentions(e2, "malformed Content-Length") &&
+      chainMentions(e2, "nan.warc"), s"unexpected: $e2")
+    // configurable per-record allocation cap
+    val dir3 = tmpDir("warc_len3")
+    Files.write(Paths.get(dir3, "big.warc"),
+      "WARC/1.0\nWARC-Type: conversion\nContent-Length: 1000\n\n".getBytes("UTF-8"))
+    spark.conf.set("spark.graft.warc.maxRecordBytes", "100")
+    try {
+      val e3 = intercept[Exception] { WarcFiles.read(spark, dir3).count() }
+      assert(chainMentions(e3, "maxRecordBytes"), s"unexpected: $e3")
+    } finally spark.conf.unset("spark.graft.warc.maxRecordBytes")
+  }
+
   test("SQL surface: warc_scan / warc_text / warc_http table functions") {
     import spark.implicits._
     val dir = tmpDir("warc_tvf")
