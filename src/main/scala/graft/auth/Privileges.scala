@@ -680,8 +680,19 @@ object Privileges {
   /** Persist the full auth world after a mutation. Session tokens are
     * deliberately NOT persisted: a restart invalidates outstanding
     * logins (clients re-authenticate — credentials, not sessions, are
-    * the durable artifact). */
-  private def persist(): Unit =
+    * the durable artifact).
+    *
+    * Auth saves are STRICT and SERIALIZED, unlike the other registries'
+    * best-effort contract: a REVOKE or DROP USER whose durable save
+    * silently failed resurrects the privilege at the next restart, so a
+    * failed save fails the mutating statement (the in-memory change is
+    * live in THIS process — the error tells the operator durability is
+    * broken, it does not pretend the statement never ran); and the
+    * snapshot is taken under the lock so two concurrent mutations cannot
+    * race each other's whole-world rewrite (whichever save runs second
+    * carries both mutations). */
+  private val persistLock = new Object
+  private def persist(): Unit = persistLock.synchronized {
     graft.catalog.GraftStore.sessionForPersist.foreach { spark =>
       val st = graft.catalog.GraftStore
       val root = st.newObject
@@ -708,8 +719,14 @@ object Privileges {
         val o = ow.addObject()
         o.put("obj", ob); o.put("kind", k); o.put("grantee", g)
       }
-      st.save(spark, "auth", root)
+      try st.saveOrThrow(spark, "auth", root)
+      catch {
+        case e: Exception => throw new IllegalStateException(
+          "durable auth save failed — the change is live in this process " +
+            s"but will NOT survive a restart: $e", e)
+      }
     }
+  }
 
   /** Reload the auth world from the durable store (no-op when the store
     * holds no section — a fresh deployment starts empty). Pre-restart

@@ -65,40 +65,131 @@ object GraftStore {
         spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
           "/graft_store"))
 
-  private def sectionPath(spark: SparkSession, section: String) =
+  // ---------- generation-CAS section files ----------
+  //
+  // A section lives as `<section>.<gen>.json` (monotone gen, one live file;
+  // the bare legacy `<section>.json` reads as generation 0). A save commits
+  // via tmp-write + rename WITHOUT overwrite to the NEXT generation: on any
+  // real filesystem that create-new rename is atomic, so two coordinators
+  // racing the same store dir cannot silently last-writer-win — the loser's
+  // rename fails and surfaces as ConcurrentModificationException (the
+  // CommitArbiter contract from sources/LakeIO). A foreign bump observed
+  // BEFORE writing (on-disk gen ahead of what this process loaded) refuses
+  // the same way: the in-memory registry is stale and blind-writing it
+  // would drop the other coordinator's mutations.
+
+  /** Last generation this process loaded or wrote, per (store dir, section). */
+  private val knownGen = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private val ioLock = new Object
+  /** Owner-only section files: the store carries password hashes/salts
+    * ('auth') and source connection props that commonly embed credentials
+    * ('sources') — never group/world-readable. */
+  private val OwnerOnly =
+    org.apache.hadoop.fs.permission.FsPermission.createImmutable(0x180.toShort) // 0600
+
+  private def genKey(spark: SparkSession, section: String): String =
+    storeDir(spark).toString + "#" + section
+
+  private def legacyPath(spark: SparkSession, section: String) =
     new org.apache.hadoop.fs.Path(storeDir(spark), section + ".json")
 
-  /** Atomic whole-section rewrite (tmp + FileContext overwrite-rename —
-    * the naive delete-then-rename has a crash window that loses the whole
-    * section). Best-effort: failures WARN, the in-memory registry is the
-    * serving truth either way and the next successful save rewrites all. */
+  private def genOf(name: String, section: String): Option[Long] = {
+    val pre = section + "."
+    // the legacy bare `<section>.json` also starts with the prefix — its
+    // "generation" substring would be negative-length, so length-guard
+    if (name.startsWith(pre) && name.endsWith(".json") &&
+        name.length - 5 > pre.length)
+      name.substring(pre.length, name.length - 5).toLongOption
+    else None
+  }
+
+  /** Highest on-disk generation for `section` (legacy bare file = 0). */
+  private def latestOnDisk(fs: org.apache.hadoop.fs.FileSystem,
+                           spark: SparkSession, section: String)
+      : Option[(org.apache.hadoop.fs.Path, Long)] = {
+    val dir = storeDir(spark)
+    if (!fs.exists(dir)) return None
+    val gens = fs.listStatus(dir).toSeq.filter(_.isFile)
+      .flatMap(st => genOf(st.getPath.getName, section).map(st.getPath -> _))
+    if (gens.nonEmpty) Some(gens.maxBy(_._2))
+    else {
+      val legacy = legacyPath(spark, section)
+      if (fs.exists(legacy)) Some(legacy -> 0L) else None
+    }
+  }
+
+  /** Atomic whole-section rewrite at the next generation. Best-effort for
+    * plain IO trouble (WARN — the in-memory registry is the serving truth
+    * and the next successful save rewrites all), but a CONCURRENT WRITER
+    * is never swallowed: a generation conflict throws
+    * ConcurrentModificationException so the losing coordinator knows its
+    * registry is stale instead of silently dropping the winner's writes. */
   def save(spark: SparkSession, section: String, root: JsonNode): Unit =
-    try {
-      val p = sectionPath(spark, section)
-      val conf = org.apache.spark.sql.graft.Bridge.hadoopConf(spark)
-      val fs = p.getFileSystem(conf)
-      if (!fs.exists(p.getParent)) fs.mkdirs(p.getParent)
-      val tmp = new org.apache.hadoop.fs.Path(p.getParent,
-        p.getName + "." + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
-      val os = fs.create(tmp, true)
-      try os.write(mapper.writeValueAsBytes(root)) finally os.close()
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
-      fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-      ()
-    } catch {
+    try saveOrThrow(spark, section, root)
+    catch {
+      case e: java.util.ConcurrentModificationException => throw e
       case e: Exception =>
         System.err.println(s"[graft-store] WARN: save of '$section' failed: $e")
     }
 
+  /** [[save]] that also fails loudly on plain IO failure — for sections
+    * where a silent durability gap is itself a defect (auth: a REVOKE
+    * that does not persist resurrects the privilege at the next restart). */
+  def saveOrThrow(spark: SparkSession, section: String, root: JsonNode): Unit =
+    ioLock.synchronized {
+      val conf = org.apache.spark.sql.graft.Bridge.hadoopConf(spark)
+      val dir = storeDir(spark)
+      val fs = dir.getFileSystem(conf)
+      if (!fs.exists(dir)) fs.mkdirs(dir)
+      val key = genKey(spark, section)
+      val onDisk = latestOnDisk(fs, spark, section)
+      val base = onDisk.map(_._2).getOrElse(-1L)
+      knownGen.get(key).foreach { known =>
+        if (base > known)
+          throw new java.util.ConcurrentModificationException(
+            s"store section '$section' is at generation $base on disk but " +
+              s"this process last saw $known — another coordinator is " +
+              "writing the same store dir; reload before mutating")
+      }
+      val next = base + 1
+      val target = new org.apache.hadoop.fs.Path(dir, s"$section.$next.json")
+      val tmp = new org.apache.hadoop.fs.Path(dir,
+        s".$section.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      val os = fs.create(tmp, true)
+      try os.write(mapper.writeValueAsBytes(root)) finally os.close()
+      try fs.setPermission(tmp, OwnerOnly) catch { case _: Exception => () }
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, conf)
+      try fc.rename(tmp, target) // NO overwrite: atomic create-new commit
+      catch {
+        case e: Exception =>
+          try fs.delete(tmp, false) catch { case _: Exception => () }
+          if (fs.exists(target))
+            throw new java.util.ConcurrentModificationException(
+              s"store section '$section' generation $next was committed by " +
+                "another coordinator; reload before mutating")
+          else throw e
+      }
+      knownGen.put(key, next)
+      // retire superseded generations (and the legacy bare file) —
+      // best-effort; stragglers lose every future max-gen read anyway
+      onDisk.foreach { _ =>
+        fs.listStatus(dir).toSeq.filter(_.isFile).foreach { st =>
+          val n = st.getPath.getName
+          if (genOf(n, section).exists(_ < next) || n == s"$section.json")
+            try fs.delete(st.getPath, false) catch { case _: Exception => () }
+        }
+      }
+    }
+
   def load(spark: SparkSession, section: String): Option[JsonNode] =
-    try {
-      val p = sectionPath(spark, section)
-      val fs = p.getFileSystem(org.apache.spark.sql.graft.Bridge.hadoopConf(spark))
-      if (!fs.exists(p)) None
-      else {
+    try ioLock.synchronized {
+      val fs = storeDir(spark)
+        .getFileSystem(org.apache.spark.sql.graft.Bridge.hadoopConf(spark))
+      latestOnDisk(fs, spark, section).map { case (p, gen) =>
         val in = fs.open(p)
         val body = try in.readAllBytes() finally in.close()
-        Some(mapper.readTree(body))
+        knownGen.put(genKey(spark, section), gen)
+        mapper.readTree(body)
       }
     } catch {
       case e: Exception =>
@@ -109,10 +200,15 @@ object GraftStore {
   /** Registry `clear()` semantics: a deliberate reset deletes the durable
     * section too (otherwise the next load would resurrect dropped state). */
   def delete(spark: SparkSession, section: String): Unit =
-    try {
-      val p = sectionPath(spark, section)
-      val fs = p.getFileSystem(org.apache.spark.sql.graft.Bridge.hadoopConf(spark))
-      if (fs.exists(p)) fs.delete(p, false)
+    try ioLock.synchronized {
+      val dir = storeDir(spark)
+      val fs = dir.getFileSystem(org.apache.spark.sql.graft.Bridge.hadoopConf(spark))
+      if (fs.exists(dir)) fs.listStatus(dir).toSeq.filter(_.isFile).foreach { st =>
+        val n = st.getPath.getName
+        if (genOf(n, section).isDefined || n == s"$section.json")
+          fs.delete(st.getPath, false)
+      }
+      knownGen.remove(genKey(spark, section))
       ()
     } catch { case _: Exception => () }
 

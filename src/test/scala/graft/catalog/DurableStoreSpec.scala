@@ -164,4 +164,65 @@ class DurableStoreSpec extends AnyFunSuite {
       clearAll()
     }
   }
+
+  test("two coordinators on one store dir: the stale writer refuses, never last-writer-wins") {
+    clearAll()
+    try {
+      val dirPath = GraftStore.storeDir(spark)
+      // writer A (this process) commits generation 0
+      val a0 = GraftStore.newObject; a0.put("writer", "A"); a0.put("v", 1)
+      GraftStore.save(spark, "castest", a0)
+      val fs = dirPath.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(dirPath, "castest.0.json")))
+      // simulate writer B (another process): it loaded gen 0 and committed
+      // gen 1 directly — A's in-memory view is now STALE
+      val b = GraftStore.newObject; b.put("writer", "B"); b.put("v", 2)
+      val bPath = new org.apache.hadoop.fs.Path(dirPath, "castest.1.json")
+      val os = fs.create(bPath, false)
+      try os.write(b.toString.getBytes("UTF-8")) finally os.close()
+      // A's next save must detect the foreign generation and refuse —
+      // blind-writing would silently drop B's mutation
+      val c = GraftStore.newObject; c.put("writer", "A"); c.put("v", 3)
+      intercept[java.util.ConcurrentModificationException] {
+        GraftStore.save(spark, "castest", c)
+      }
+      // B's write survives; A reloads and can then mutate on top of it
+      assert(GraftStore.load(spark, "castest").get.path("writer").asText() == "B")
+      GraftStore.save(spark, "castest", c)
+      val back = GraftStore.load(spark, "castest").get
+      assert(back.path("v").asInt() == 3)
+      // superseded generations retire; the live file is owner-only (the
+      // store carries password hashes and source credentials)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(dirPath, "castest.0.json")))
+      val live = fs.getFileStatus(new org.apache.hadoop.fs.Path(dirPath, "castest.2.json"))
+      assert(live.getPermission.toShort == 0x180.toShort,
+        s"section file should be 0600, got ${live.getPermission}")
+    } finally {
+      GraftStore.delete(spark, "castest")
+      clearAll()
+    }
+  }
+
+  test("legacy bare section file reads as generation 0 and migrates on the next save") {
+    clearAll()
+    try {
+      val dirPath = GraftStore.storeDir(spark)
+      val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(dirPath)
+      val legacy = new org.apache.hadoop.fs.Path(dirPath, "lgcy.json")
+      val o = GraftStore.newObject; o.put("from", "legacy")
+      val os = fs.create(legacy, true)
+      try os.write(o.toString.getBytes("UTF-8")) finally os.close()
+      assert(GraftStore.load(spark, "lgcy").get.path("from").asText() == "legacy")
+      val n = GraftStore.newObject; n.put("from", "new")
+      GraftStore.save(spark, "lgcy", n)
+      assert(!fs.exists(legacy), "legacy bare file should retire after migration")
+      assert(fs.exists(new org.apache.hadoop.fs.Path(dirPath, "lgcy.1.json")))
+      assert(GraftStore.load(spark, "lgcy").get.path("from").asText() == "new")
+    } finally {
+      GraftStore.delete(spark, "lgcy")
+      clearAll()
+    }
+  }
 }
