@@ -546,7 +546,17 @@ object Reflections {
       } else byName.get(n).flatMap(_.definingSql) match {
         case None => n -> "skipped: no stored SQL"
         case Some(sql) =>
-          try { withSubstitutionBypassed { refresh(n, spark.sql(sql)) }; n -> "refreshed" }
+          // the stored SQL was authorized at CREATE time; maintenance
+          // re-runs it under the SYSTEM principal (the reference manager
+          // refreshes as SYSTEM) so a cron user without SELECT on the
+          // base tables doesn't mark every goal failed and poison the
+          // downstream chain
+          try {
+            graft.auth.Privileges.withSystemContext {
+              withSubstitutionBypassed { refresh(n, spark.sql(sql)) }
+            }
+            n -> "refreshed"
+          }
           catch { case e: Exception =>
             failed += n
             n -> s"failed: ${Option(e.getMessage).getOrElse(e).toString.take(160)}"

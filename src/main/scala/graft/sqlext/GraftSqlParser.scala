@@ -1362,8 +1362,10 @@ object GraftSqlParser {
   case class MaintainReflectionsCommand(
       override val output: Seq[Attribute]) extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
+      // a due API-created reflection (no stored SQL) must be REPORTED as
+      // due-but-unrefreshable (refreshChain says "skipped: no stored
+      // SQL"), not silently listed as 'current' — it may be stale
       val due = Reflections.dueForMaintain(System.currentTimeMillis())
-        .filter(n => Reflections.list.exists(r => r.name == n && r.definingSql.isDefined))
       val ran = Reflections.refreshChain(spark, due)
       val ranNames = ran.map(_._1).toSet
       val current = Reflections.list.map(_.name).filterNot(ranNames)

@@ -763,4 +763,50 @@ class ReflectionsSpec extends AnyFunSuite {
       spark.sql("ALTER REFLECTION nope REFRESH EVERY 1 MINUTES"))
     Reflections.clear()
   }
+
+  test("maintenance refreshes as SYSTEM; a due API reflection reports skipped, not current") {
+    Reflections.clear()
+    Reflections.install(spark)
+    val priv = graft.auth.Privileges
+    val root = Files.createTempDirectory("graft_refl_sys").toString
+    spark.sql(s"CREATE LAKE '$root/t' AS SELECT id, id % 3 AS k FROM range(30)")
+    spark.sql(s"CREATE REFLECTION sysctx_r USING PATH '$root/mv/r' AS " +
+      s"SELECT k, count(*) AS n FROM lake_scan('$root/t') GROUP BY k")
+    priv.clear()
+    try {
+      // a cron principal with NO grants issues the bulk refresh: the
+      // stored SQL was authorized at CREATE time, so maintenance must run
+      // it under SYSTEM (the reference manager's contract) instead of
+      // failing the goal on the cron user's missing SELECT
+      spark.sql("CREATE USER refl_admin PASSWORD 'rp' ADMIN")
+      spark.sql("CREATE USER refl_cron PASSWORD 'cp'")
+      spark.sql("ALTER AUTH ENFORCE ON")
+      spark.sql("AUTHENTICATE USER refl_cron PASSWORD 'cp'")
+      // the cron user really cannot read the base table...
+      intercept[Exception](
+        spark.sql(s"SELECT count(*) FROM lake_scan('$root/t')").collect())
+      // ...but the maintenance pass still refreshes the goal
+      val res = spark.sql("REFRESH REFLECTIONS").collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+      assert(res("sysctx_r") == "refreshed", res.toString)
+      spark.sql("AUTHENTICATE USER refl_admin PASSWORD 'rp'")
+      spark.sql("ALTER AUTH ENFORCE OFF")
+    } finally {
+      priv.clear()
+      spark.conf.unset(priv.TokenConf)
+      spark.conf.unset(priv.UserConf)
+    }
+    // a DUE API-created reflection (no stored SQL) is due-but-unrefreshable:
+    // MAINTAIN must say so instead of reporting it 'current'
+    import spark.implicits._
+    Reflections.create("sysctx_api",
+      spark.sql(s"SELECT k, count(*) AS n FROM lake_scan('$root/t') GROUP BY k"),
+      s"$root/mv/api")
+    Reflections.setRefreshPolicy("sysctx_api", Some(1L))
+    Reflections.noteRefreshed("sysctx_api", System.currentTimeMillis() - 10 * 60000L)
+    val m = spark.sql("MAINTAIN REFLECTIONS").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(m("sysctx_api") == "skipped: no stored SQL", m.toString)
+    Reflections.clear()
+  }
 }
