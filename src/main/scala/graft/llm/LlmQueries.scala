@@ -3018,6 +3018,20 @@ object LlmQueries {
     QualityClassifier.score(docs, LrPinnedWeights, LrPinnedIntercept)
       .orderBy(col("doc_id"))
   }
+
+  /** The persisted-model serve path (TRAIN → SAVE → restart → score):
+    * the pinned model round-trips through the on-disk ModelStore lake
+    * table and must score bit-identically — same oracle as
+    * lr_quality_score, proving the store preserves full binary64
+    * coefficients, not a lossy display form. */
+  val lrScorePersisted: QueryFn = (s, dir) => {
+    val docs = Tables.ensure(s, dir).documents.filter(col("doc_id") < 500)
+    val store = graft.queries.Lake.scratchDir("llm_lr_model")
+    ModelStore.save(s, store, QualityClassifier.Model(
+      LrPinnedWeights.map(_._1), LrPinnedWeights.map(_._2).toArray,
+      LrPinnedIntercept, trainAccuracy = 1.0, n = 500L))
+    ModelStore.scoreWith(s, store, docs).orderBy(col("doc_id"))
+  }
   // pinned coefficients = lr_quality_train output on the sf0.01 fixture
   // (punct/digit ratios are constant 0 in the synthetic corpus, so their
   // coefficients are exactly 0 under the ridge)
@@ -3383,6 +3397,7 @@ object LlmQueries {
     "text_nb_classifier" -> textNbClassifier,
     "lr_quality_train" -> lrQualityTrain,
     "lr_quality_score" -> lrQualityScore,
+    "lr_score_persisted" -> lrScorePersisted,
     "budget_select" -> budgetSelect,
     "text_trigram_lm" -> textTrigramLm,
     "length_buckets" -> lengthBuckets,
@@ -3476,6 +3491,7 @@ object LlmQueries {
     "dsir_weights" -> dsirWeightsSql,
     "text_nb_classifier" -> textNbClassifierSql,
     "lr_quality_score" -> lrQualityScoreSql,
+    "lr_score_persisted" -> lrQualityScoreSql,
     "budget_select" -> budgetSelectSql,
     "text_trigram_lm" -> textTrigramLmSql,
     "length_buckets" -> lengthBucketsSql,

@@ -54,6 +54,45 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(m.trainAccuracy >= 0.9, s"accuracy ${m.trainAccuracy} vs base $base")
   }
 
+  test("TRAIN -> SAVE -> load in a fresh context scores bit-identically") {
+    import spark.implicits._
+    // train a real default-feature model on the fixture corpus (the only
+    // feature set score() can serve real documents with), persist it
+    // through the on-disk lake store, load it back: weights must
+    // round-trip at full binary64 precision (not the 6dp display form),
+    // so scores are bit-identical
+    val corpus = graft.engine.Tables.ensure(spark, TestSpark.sf).documents
+    val sig = TextAnalysis.gopherRules(corpus)
+    val medianN = sig.stat.approxQuantile("n_words", Array(0.5), 0.0)(0)
+    val labels = sig.select(col("doc_id"),
+      (col("n_words") >= medianN).cast("int").as("label"))
+    val feats = QualityClassifier.featurize(corpus).join(labels, "doc_id")
+    val trained = QualityClassifier.train(feats,
+      QualityClassifier.defaultFeatures.map(_._1))
+    val dir = java.nio.file.Files.createTempDirectory("graft_lr_model").toString
+    ModelStore.save(spark, dir + "/m", trained)
+    val loaded = ModelStore.load(spark, dir + "/m")
+    assert(loaded.featureNames == trained.featureNames)
+    assert(loaded.weights.toSeq == trained.weights.toSeq,
+      "weights must round-trip bitwise")
+    assert(loaded.intercept == trained.intercept)
+    assert(loaded.trainAccuracy == trained.trainAccuracy && loaded.n == trained.n)
+    // the serve path: scoring real docs through the persisted model equals
+    // scoring through the in-memory one, row for row
+    val docs = graft.engine.Tables.ensure(spark, TestSpark.sf).documents.limit(50)
+    val direct = QualityClassifier.score(docs,
+        trained.featureNames.zip(trained.weights.toSeq), trained.intercept)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSeq
+    val served = ModelStore.scoreWith(spark, dir + "/m", docs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSeq
+    assert(served == direct)
+    // a non-model lake table refuses loudly
+    val other = dir + "/other"
+    graft.sources.SnapshotTable.create(spark, other,
+      Seq(("x", 1)).toDF("a", "b"))
+    intercept[Exception](ModelStore.load(spark, other))
+  }
+
   test("score keep verdict is the logit sign; logit rounds to 6dp") {
     val docs = graft.engine.Tables.ensure(spark, TestSpark.sf).documents.limit(50)
     val scored = QualityClassifier.score(docs,
