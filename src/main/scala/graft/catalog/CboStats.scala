@@ -270,6 +270,47 @@ object CboStats {
     val size = t.snapshotSizeInBytes
     t.setProperties(encode(df.schema, rows, hists, size, t.latestVersion,
       tsMinMax, freq))
+    noteAnalyzed(dir)
     prof
   }
+
+  // ---------- sys.table_statistics enumeration ----------
+  //
+  // The statistics themselves live DURABLY in each lake table's
+  // TBLPROPERTIES (analyze() above); lake tables are path-addressed with
+  // no global catalog, so the sys view needs a path registry. ANALYZE and
+  // the lake_stats TVF both register here — a restart forgets the listing
+  // but never the stats (re-ANALYZE or lake_stats re-registers).
+
+  private val analyzedDirs = scala.collection.concurrent.TrieMap.empty[String, Unit]
+  def noteAnalyzed(dir: String): Unit = { analyzedDirs.put(dir, ()); () }
+  def clearAnalyzedRegistry(): Unit = analyzedDirs.clear()
+
+  /** Decoded per-column statistics for every registered table — the rows
+    * behind sys_table_statistics (reference SystemTable TABLE_STATISTICS,
+    * StatisticsService): one row per (table, column) with the table-level
+    * row count / size / analyzed version denormalized on. Tables that
+    * vanished or lost their stats drop out silently. */
+  def statisticsRows(spark: SparkSession): Seq[org.apache.spark.sql.Row] =
+    analyzedDirs.keys.toSeq.sorted.flatMap { dir =>
+      try {
+        val props = graft.sources.SnapshotTable.forPath(spark, dir).properties
+        props.get(RowCountKey).map(_.toLong).toSeq.flatMap { rc =>
+          val size = props.get(SizeKey).map(_.toLong).getOrElse(0L)
+          val ver = props.get(VersionKey).map(_.toLong).getOrElse(0L)
+          props.toSeq.collect { case (k, v) if k.startsWith(ColPrefix) =>
+            val colName = k.stripPrefix(ColPrefix)
+            val node = mapper.readTree(v)
+            org.apache.spark.sql.Row(dir, colName,
+              Option(node.get("t")).map(_.asText).orNull,
+              node.path("ndv").asLong, node.path("nulls").asLong,
+              Option(node.get("min")).map(_.asText).orNull,
+              Option(node.get("max")).map(_.asText).orNull,
+              node.path("hist").path("bins").size,
+              node.path("freq").size,
+              rc, size, ver)
+          }.sortBy(_.getString(1))
+        }
+      } catch { case _: Exception => Seq.empty }
+    }
 }

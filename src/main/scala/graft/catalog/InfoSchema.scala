@@ -489,6 +489,54 @@ object InfoSchema {
 
   /** sys.services (reference ServicesIterator): the wire front ends live
     * in this JVM right now, with their bound ports. */
+  /** sys.table_statistics (reference SystemTable TABLE_STATISTICS /
+    * StatisticsService): one row per (analyzed lake table, column) with
+    * the persisted ANALYZE profile — NDV, nulls, min/max, histogram and
+    * frequent-item footprints — plus table-level row count / size /
+    * analyzed version. Stats live in each table's TBLPROPERTIES; the
+    * view enumerates the paths ANALYZE and lake_stats have touched. */
+  def sysTableStatistics(spark: SparkSession): DataFrame =
+    live(spark, StructType(Seq(
+      StructField("table_path", StringType, nullable = false),
+      StructField("column_name", StringType, nullable = false),
+      StructField("analyzed_type", StringType, nullable = true),
+      StructField("ndv", LongType, nullable = false),
+      StructField("null_count", LongType, nullable = false),
+      StructField("min_value", StringType, nullable = true),
+      StructField("max_value", StringType, nullable = true),
+      StructField("histogram_bins", IntegerType, nullable = false),
+      StructField("frequent_items", IntegerType, nullable = false),
+      StructField("row_count", LongType, nullable = false),
+      StructField("size_bytes", LongType, nullable = false),
+      StructField("analyzed_version", LongType, nullable = false))),
+      () => CboStats.statisticsRows(spark))
+
+  /** sys.fragments (reference SystemTable FRAGMENTS / SLICING_THREADS —
+    * the per-fragment execution ledger): Spark's fragment is the STAGE
+    * and its slicing threads are TASKS, so this is one live row per
+    * stage of every ACTIVE job from SparkStatusTracker. Finished work's
+    * per-operator story lives in query_profile()/sys_queries. */
+  def sysFragments(spark: SparkSession): DataFrame =
+    live(spark, StructType(Seq(
+      StructField("job_id", IntegerType, nullable = false),
+      StructField("stage_id", IntegerType, nullable = false),
+      StructField("attempt", IntegerType, nullable = false),
+      StructField("name", StringType, nullable = false),
+      StructField("num_tasks", IntegerType, nullable = false),
+      StructField("active_tasks", IntegerType, nullable = false),
+      StructField("complete_tasks", IntegerType, nullable = false),
+      StructField("failed_tasks", IntegerType, nullable = false))),
+      () => {
+        val st = spark.sparkContext.statusTracker
+        for {
+          j <- st.getActiveJobIds().toSeq
+          ji <- st.getJobInfo(j).toSeq
+          s <- ji.stageIds().toSeq
+          si <- st.getStageInfo(s).toSeq
+        } yield Row(j, s, si.currentAttemptId(), si.name(), si.numTasks(),
+          si.numActiveTasks(), si.numCompletedTasks(), si.numFailedTasks())
+      })
+
   def sysServices(spark: SparkSession): DataFrame =
     live(spark, StructType(Seq(
       StructField("service", StringType, nullable = false),
@@ -594,5 +642,7 @@ object InfoSchema {
     sysTimezoneAbbreviations(spark).createOrReplaceTempView("sys_timezone_abbreviations")
     sysServices(spark).createOrReplaceTempView("sys_services")
     sysBoot(spark).createOrReplaceTempView("sys_boot")
+    sysTableStatistics(spark).createOrReplaceTempView("sys_table_statistics")
+    sysFragments(spark).createOrReplaceTempView("sys_fragments")
   }
 }

@@ -427,6 +427,8 @@ object GraftExtensions {
   private def lakeStats(args: Seq[Expression]): LogicalPlan = {
     val dir = dirArg("lake_stats", args)
     val t = SnapshotTable.forPath(SparkSession.active, dir)
+    // reading a table's stats (re-)registers it with sys_table_statistics
+    graft.catalog.CboStats.noteAnalyzed(dir)
     val props = t.properties
     val rowCount = props.get(graft.catalog.CboStats.RowCountKey)
     val version = props.get(graft.catalog.CboStats.VersionKey)

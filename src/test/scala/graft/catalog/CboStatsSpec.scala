@@ -333,4 +333,32 @@ class CboStatsSpec extends AnyFunSuite {
     assert(stats("id").getAs[Long]("n_nulls") == 0L)
     assert(stats("id").getAs[Long]("analyzed_version") == 1L)
   }
+
+  test("sys_table_statistics lists the persisted profile of analyzed tables") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cbo_sysview").toString
+    SnapshotTable.create(spark, dir,
+      spark.range(100).selectExpr("id", "cast(id % 5 AS string) AS tag"))
+    spark.sql(s"ANALYZE LAKE '$dir' COMPUTE STATISTICS WITH HISTOGRAM")
+    graft.catalog.InfoSchema.register(spark)
+    val rows = spark.sql(
+        s"SELECT * FROM sys_table_statistics WHERE table_path = '$dir'")
+      .collect().map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(rows.keySet == Set("id", "tag"), rows.keySet.toString)
+    assert(rows("id").getAs[Long]("row_count") == 100L)
+    // NDV is the approx-distinct profile value — exactness not guaranteed
+    val ndv = rows("id").getAs[Long]("ndv")
+    assert(ndv >= 90L && ndv <= 110L, s"ndv $ndv")
+    assert(rows("id").getAs[Int]("histogram_bins") > 0)
+    assert(rows("id").getAs[String]("min_value") == "0")
+    // categorical string column: frequent items persisted, no histogram
+    assert(rows("tag").getAs[Int]("frequent_items") == 5)
+    assert(rows("tag").getAs[Int]("histogram_bins") == 0)
+    assert(rows("tag").getAs[Long]("size_bytes") > 0L)
+    // the view is LIVE: a re-ANALYZE at the next version shows through
+    spark.sql(s"INSERT INTO LAKE '$dir' SELECT CAST(100 AS BIGINT) AS id, 'x' AS tag")
+    spark.sql(s"ANALYZE LAKE '$dir' COMPUTE STATISTICS")
+    val after = spark.sql("SELECT row_count FROM sys_table_statistics " +
+      s"WHERE table_path = '$dir' AND column_name = 'id'").head().getLong(0)
+    assert(after == 101L)
+  }
 }

@@ -239,6 +239,35 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "SELECT count(*) FROM sys_services WHERE service = 'rest'").head().getLong(0) == 0)
   }
 
+  test("sys_fragments shows live stages of active jobs (r15)") {
+    graft.catalog.InfoSchema.register(spark)
+    // idle: the view answers (possibly with the observing query's own job)
+    val idle = spark.sql("SELECT * FROM sys_fragments")
+    assert(idle.columns.toSeq == Seq("job_id", "stage_id", "attempt", "name",
+      "num_tasks", "active_tasks", "complete_tasks", "failed_tasks"))
+    idle.collect() // must not throw
+    // a deliberately slow background job must surface while running —
+    // only 2 concurrent tasks so the polling queries still get cores
+    // (the 4-core test scheduler is FIFO; saturating it would queue the
+    // observer behind the observed)
+    val bg = new Thread(() =>
+      try spark.range(32).repartition(2).rdd.foreach(_ => Thread.sleep(200))
+      catch { case _: Throwable => () })
+    bg.setDaemon(true)
+    bg.start()
+    try {
+      var seen = 0L
+      val deadline = System.currentTimeMillis() + 8000
+      while (seen == 0 && System.currentTimeMillis() < deadline) {
+        seen = spark.sql(
+          "SELECT count(*) FROM sys_fragments WHERE active_tasks > 0")
+          .head().getLong(0)
+        if (seen == 0) Thread.sleep(100)
+      }
+      assert(seen > 0, "running stage never surfaced in sys_fragments")
+    } finally bg.join(20000)
+  }
+
   test("sys_membership flattens user role edges (r14)") {
     spark.sql("CREATE USER sysm_user PASSWORD 'x'")
     spark.sql("CREATE ROLE sysm_role")
