@@ -249,6 +249,55 @@ object Federation {
            text AS body_text
     FROM documents ORDER BY doc_id"""
 
+  /** The raw-crawl ingestion pipeline end to end through a NOTIFIED
+    * FORMAT WARC pipe in its HTTP shape: documents wrapped as HTTP
+    * responses (half declaring charset=UTF-8, half declaring none — the
+    * decode falls back to UTF-8), dropped as archives, notified,
+    * triggered into a lake table, read back. The oracle replays from the
+    * documents table: the pipe must neither lose, duplicate, nor
+    * transcode-mangle a record. */
+  val warcHttpPipe: QueryFn = (s, dir) => {
+    val t = graft.engine.Tables.ensure(s, dir)
+    val root = Lake.scratchDir("graft_warc_http_pipe")
+    val drops = root + "/drops"
+    val spool = root + "/spool"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(spool))
+    val ctype = when(col("doc_id") % 2 === 0,
+      lit("text/html; charset=UTF-8")).otherwise(lit("text/html"))
+    graft.sources.WarcFiles.write(
+      t.documents.filter(col("doc_id") < 300).select(
+        concat(lit("https://crawl.example/p/"), col("doc_id")).as("target_uri"),
+        encode(concat(lit("HTTP/1.1 200 OK\r\nContent-Type: "), ctype,
+          lit("\r\n\r\n<html><body>"), col("text"), lit("</body></html>")),
+          "UTF-8").as("payload")),
+      drops, warcType = "response")
+    val files = new java.io.File(drops).listFiles().toSeq
+      .filter(_.getName.endsWith(".warc.gz")).map(_.getAbsolutePath).sorted
+    s.sql(s"CREATE PIPE warc_http_pipe_q FROM '$root/never' FORMAT warc " +
+      "SCHEMA 'target_uri STRING, warc_date STRING, http_status INT, " +
+      "http_content_type STRING, html STRING' " +
+      s"INTO LAKE '$root/lake' CHECKPOINT '$root/_chk' " +
+      s"NOTIFICATION_PROVIDER local_dir NOTIFICATION_QUEUE_REFERENCE '$spool'")
+    files.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$spool/e$i"), f.getBytes("UTF-8"))
+    }
+    s.sql("TRIGGER PIPE warc_http_pipe_q").collect()
+    s.sql("DROP PIPE warc_http_pipe_q").collect()
+    graft.sources.SnapshotTable.forPath(s, s"$root/lake").read()
+      .select(
+        regexp_extract(col("target_uri"), "/p/(\\d+)$", 1).cast("bigint").as("doc_id"),
+        col("http_status"), col("http_content_type"), col("html"))
+      .orderBy(col("doc_id"))
+  }
+  val warcHttpPipeSql: String = """
+    SELECT doc_id,
+           CAST(200 AS INT) AS http_status,
+           CASE WHEN doc_id % 2 = 0 THEN 'text/html; charset=UTF-8'
+                ELSE 'text/html' END AS http_content_type,
+           '<html><body>' || text || '</body></html>' AS html
+    FROM documents WHERE doc_id < 300 ORDER BY doc_id"""
+
   val queries: Map[String, QueryFn] = Map(
     "hive_catalog_nation" -> hiveCatalogNation,
     "jdbc_roundtrip" -> jdbcRoundtrip,
@@ -258,7 +307,8 @@ object Federation {
     "source_lifecycle_query" -> sourceLifecycleQuery,
     "arrow_roundtrip" -> arrowRoundtrip,
     "warc_roundtrip" -> warcRoundtrip,
-    "warc_http_scan" -> warcHttpScan)
+    "warc_http_scan" -> warcHttpScan,
+    "warc_http_pipe" -> warcHttpPipe)
 
   val oracle: Map[String, String] = Map(
     "hive_catalog_nation" -> hiveCatalogNationSql,
@@ -269,5 +319,6 @@ object Federation {
     "source_lifecycle_query" -> sourceLifecycleQuerySql,
     "arrow_roundtrip" -> arrowRoundtripSql,
     "warc_roundtrip" -> warcRoundtripSql,
-    "warc_http_scan" -> warcHttpScanSql)
+    "warc_http_scan" -> warcHttpScanSql,
+    "warc_http_pipe" -> warcHttpPipeSql)
 }

@@ -128,6 +128,67 @@ object WarcFiles {
   def readTextFiles(spark: SparkSession, files: Seq[String]): DataFrame =
     textView(readFiles(spark, files))
 
+  /** The HTTP TEXT view's schema: `response` records with the body decoded
+    * under its DECLARED charset — the raw-crawl input shape for
+    * `html_to_text` (the WET path, [[textSchema]], is what Common Crawl
+    * pre-extracts; real raw archives carry HTTP responses). */
+  val httpTextSchema: StructType = StructType(Seq(
+    StructField("target_uri", StringType, nullable = true),
+    StructField("warc_date", StringType, nullable = true),
+    StructField("http_status", IntegerType, nullable = true),
+    StructField("http_content_type", StringType, nullable = true),
+    StructField("html", StringType, nullable = true)))
+
+  /** Charset from a Content-Type header ("text/html; charset=ISO-8859-1");
+    * absent or unknown names fall back to UTF-8 — real crawls lie. */
+  private[sources] def charsetOf(contentType: String): java.nio.charset.Charset = {
+    val fallback = java.nio.charset.StandardCharsets.UTF_8
+    if (contentType == null) fallback
+    else "(?i)charset=\"?([A-Za-z0-9_\\-:.]+)\"?".r.findFirstMatchIn(contentType)
+      .map(_.group(1))
+      .flatMap(n => try Some(java.nio.charset.Charset.forName(n))
+                    catch { case _: Exception => None })
+      .getOrElse(fallback)
+  }
+
+  /** Decode an HTTP body under its declared charset. Malformed or
+    * unmappable bytes become U+FFFD, never a throw — a single mislabeled
+    * page must not kill a corpus-wide task. */
+  private[sources] def decodeBody(body: Array[Byte], contentType: String): String =
+    if (body == null) null
+    else charsetOf(contentType).newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+      .decode(java.nio.ByteBuffer.wrap(body)).toString
+
+  /** Charset-decoded HTTP text view over an explicit file list (the
+    * notified-pipe path for RAW crawl archives — land HTML, extract with
+    * html_to_text downstream). Decode rides the same streaming pass. */
+  def readHttpTextFiles(spark: SparkSession, files: Seq[String]): DataFrame = {
+    require(files.nonEmpty, "no warc files to read")
+    import spark.implicits._
+    val parallelism = math.min(math.max(files.size, 1),
+      spark.sparkContext.defaultParallelism)
+    val hconf = org.apache.spark.sql.graft.Bridge.serializableHadoopConf(spark)
+    val maxLen = maxRecordBytes(spark)
+    spark.createDataset(files).repartition(parallelism)
+      .mapPartitions(paths => paths.flatMap(p =>
+        fileRecords(p, hconf.value, maxLen)
+          .filter(_.getString(1) == "response").map { r =>
+            val payload = r.get(7).asInstanceOf[Array[Byte]]
+            val (status, ctype, body) = parseHttp(payload)
+            Row(r.getString(3), r.getString(4), status, ctype,
+              decodeBody(body, ctype))
+          }))(Encoders.row(httpTextSchema))
+  }
+
+  /** Charset-decoded HTTP text view of all archives under `dir`. */
+  def readHttpText(spark: SparkSession, dir: String): DataFrame = {
+    val files = listWarcFiles(spark, dir)
+    require(files.nonEmpty, s"no warc/wet files under $dir")
+    readHttpTextFiles(spark, files)
+  }
+
   /** HTTP view of `response` records (see [[httpSchema]]). Parsing happens
     * task-side inside the same streaming pass — no second read. */
   def readHttp(spark: SparkSession, dir: String): DataFrame = {

@@ -102,6 +102,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction((FunctionIdentifier("warc_http"),
       info("warc_http", "warc_http('<dir>') — response records with parsed http_status/content-type/body"),
       (args: Seq[Expression]) => warcScan(args, "warc_http")))
+    e.injectTableFunction((FunctionIdentifier("warc_http_text"),
+      info("warc_http_text",
+        "warc_http_text('<dir>') — response bodies decoded under their declared charset"),
+      (args: Seq[Expression]) => warcScan(args, "warc_http_text")))
     // Interop format readers: Iceberg v1/v2 metadata trees and Delta
     // `_delta_log` tables written by ANY engine, queryable by path with no
     // format-runtime jars (reference native readers `exec/store/iceberg/`,
@@ -255,11 +259,24 @@ object GraftExtensions {
 
   private def warcScan(args: Seq[Expression], fn: String): LogicalPlan = {
     val spark = SparkSession.active
-    val dir = dirArg(fn, args)
+    // warc_scan takes an optional second arg: a WARC record-type filter
+    // ('warcinfo' | 'request' | 'response' | 'conversion' | ...), pushed
+    // into the scan as a plain filter on the streaming reader's output
+    val (dirArgs, typeFilter) = args match {
+      case Seq(d, t) if fn == "warc_scan" && t.foldable &&
+          t.dataType == org.apache.spark.sql.types.StringType && t.eval() != null =>
+        (Seq(d), Some(t.eval().toString))
+      case other => (other, None)
+    }
+    val dir = dirArg(fn, dirArgs)
     val df = fn match {
       case "warc_text" => graft.sources.WarcFiles.readText(spark, dir)
       case "warc_http" => graft.sources.WarcFiles.readHttp(spark, dir)
-      case _ => graft.sources.WarcFiles.read(spark, dir)
+      case "warc_http_text" => graft.sources.WarcFiles.readHttpText(spark, dir)
+      case _ =>
+        val base = graft.sources.WarcFiles.read(spark, dir)
+        typeFilter.map(t => base.filter(
+          org.apache.spark.sql.functions.col("warc_type") === t)).getOrElse(base)
     }
     df.queryExecution.analyzed
   }

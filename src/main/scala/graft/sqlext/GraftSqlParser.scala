@@ -2012,18 +2012,23 @@ object GraftSqlParser {
         require(notifyProvider.isDefined,
           "DEDUPE_LOOKBACK_PERIOD applies to NOTIFICATION_PROVIDER pipes " +
             "(listing pipes dedup through the stream checkpoint, unbounded)")
-      // FORMAT WARC pipes: the WET text view is the fixed row shape, and
-      // only the notified trigger path can read it (web archives arrive as
-      // drop events; the listing path is a Spark file-stream with no WARC
-      // source) — refuse at CREATE, not at the first TRIGGER
+      // FORMAT WARC pipes produce one of two fixed row shapes — the WET
+      // text view (pre-extracted text) or the charset-decoded HTTP text
+      // view (raw crawl responses; land HTML, extract downstream) — and
+      // only the notified trigger path can read either (web archives
+      // arrive as drop events; the listing path is a Spark file-stream
+      // with no WARC source). Refuse at CREATE, not at the first TRIGGER.
       if (fmt == "warc") {
         require(notifyProvider.isDefined,
           "FORMAT WARC pipes must declare a NOTIFICATION_PROVIDER")
-        val want = graft.sources.WarcFiles.textSchema
+        def shapeOf(s: StructType) =
+          s.fields.map(f => (f.name.toLowerCase, f.dataType)).toSeq
         val got = StructType.fromDDL(schemaDdl)
-        require(got.fields.map(f => (f.name.toLowerCase, f.dataType)).toSeq ==
-          want.fields.map(f => (f.name.toLowerCase, f.dataType)).toSeq,
-          s"FORMAT WARC pipes produce the WET text shape: ${want.toDDL}")
+        val wet = graft.sources.WarcFiles.textSchema
+        val http = graft.sources.WarcFiles.httpTextSchema
+        require(shapeOf(got) == shapeOf(wet) || shapeOf(got) == shapeOf(http),
+          "FORMAT WARC pipes produce the WET text shape " +
+            s"(${wet.toDDL}) or the HTTP text shape (${http.toDDL})")
       }
       // lake-source pipes carry no DDL: the source table's schema IS the
       // schema (resolved at trigger time from its snapshot)

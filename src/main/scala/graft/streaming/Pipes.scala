@@ -189,11 +189,17 @@ object Pipes {
     * whose loaded-files log we own; CREATE enforces the pairing. */
   /** Batch load of an explicit file list — the notified-pipe read path.
     * WARC goes through the streaming record reader (not a Spark
-    * DataSource): the WET text view over exactly the named archives. */
+    * DataSource) over exactly the named archives; the pipe's declared
+    * schema picks the view — WET text or charset-decoded HTTP text (the
+    * CREATE gate admits only those two shapes). */
   private def readBatch(spark: SparkSession, pipe: Pipe,
                         files: Seq[String]): DataFrame =
     pipe.format match {
-      case "warc" => graft.sources.WarcFiles.readTextFiles(spark, files)
+      case "warc" =>
+        val isHttp = pipe.schema.fieldNames.map(_.toLowerCase).toSeq ==
+          graft.sources.WarcFiles.httpTextSchema.fieldNames.toSeq
+        if (isHttp) graft.sources.WarcFiles.readHttpTextFiles(spark, files)
+        else graft.sources.WarcFiles.readTextFiles(spark, files)
       case "csv" => spark.read.schema(pipe.schema).format("csv")
         .option("header", "true").load(files: _*)
       case f => spark.read.schema(pipe.schema).format(f).load(files: _*)

@@ -173,6 +173,38 @@ class WarcFilesSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.warc.maxRecordBytes")
   }
 
+  test("warc_scan type filter and warc_http_text charset-aware decode") {
+    import spark.implicits._
+    val dir = tmpDir("warc_types")
+    // mixed record types in one directory: a WET conversion archive plus
+    // a raw response archive (one page deliberately ISO-8859-1)
+    WarcFiles.write(Seq(("https://t.example/wet", "extracted text"))
+      .toDF("target_uri", "text").repartition(1), dir)
+    val latin = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=ISO-8859-1\r\n\r\n"
+      .getBytes("UTF-8") ++ "<p>café</p>".getBytes("ISO-8859-1")
+    val utf8 = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+      .getBytes("UTF-8") ++ "<p>中文</p>".getBytes("UTF-8")
+    WarcFiles.write(Seq(
+      ("https://t.example/l1", latin), ("https://t.example/u8", utf8))
+      .toDF("target_uri", "payload").repartition(1), dir, warcType = "response")
+    // optional second arg filters by WARC record type
+    assert(spark.sql(s"SELECT count(*) AS n FROM warc_scan('$dir', 'response')")
+      .head().getLong(0) == 2L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM warc_scan('$dir', 'conversion')")
+      .head().getLong(0) == 1L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM warc_scan('$dir', 'warcinfo')")
+      .head().getLong(0) == 0L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM warc_scan('$dir')")
+      .head().getLong(0) == 3L)
+    // charset-aware body decode: the DECLARED charset drives it; absent
+    // charset falls back to UTF-8
+    val decoded = spark.sql(
+        s"SELECT target_uri, html FROM warc_http_text('$dir')")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(decoded("https://t.example/l1") == "<p>café</p>")
+    assert(decoded("https://t.example/u8") == "<p>中文</p>")
+  }
+
   test("SQL surface: warc_scan / warc_text / warc_http table functions") {
     import spark.implicits._
     val dir = tmpDir("warc_tvf")

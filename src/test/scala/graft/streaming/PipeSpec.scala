@@ -477,4 +477,50 @@ class PipeSpec extends AnyFunSuite {
     assert(lake.read().count() == 3L)
     spark.sql("DROP PIPE wp")
   }
+
+  test("FORMAT WARC HTTP pipe: raw responses land charset-decoded; html_to_text extracts") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_pipe_warc_http").toString
+    val spool = s"$root/spool"; Files.createDirectories(Paths.get(spool))
+    val drops = s"$root/drops"
+    // one UTF-8 page, one ISO-8859-1 page (the DECLARED charset must
+    // drive the decode — its bytes are not valid UTF-8), one 404
+    val pages = Seq(
+      ("https://w.example/u8", "<html><body>héllo 中文</body></html>",
+        "text/html; charset=UTF-8", 200),
+      ("https://w.example/l1", "<html><body>café latin</body></html>",
+        "text/html; charset=ISO-8859-1", 200),
+      ("https://w.example/nf", "<html><body>gone</body></html>", "text/html", 404))
+    val rows = pages.map { case (uri, html, ct, status) =>
+      val cs = if (ct.contains("8859")) java.nio.charset.Charset.forName("ISO-8859-1")
+               else java.nio.charset.StandardCharsets.UTF_8
+      val head = s"HTTP/1.1 $status X\r\nContent-Type: $ct\r\n\r\n".getBytes("UTF-8")
+      (uri, head ++ html.getBytes(cs))
+    }
+    graft.sources.WarcFiles.write(
+      rows.toDF("target_uri", "payload").repartition(1), drops,
+      warcType = "response")
+    val f = new java.io.File(drops).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).head.getAbsolutePath
+    spark.sql(s"CREATE PIPE wph FROM '$root/never' FORMAT warc " +
+      "SCHEMA 'target_uri STRING, warc_date STRING, http_status INT, " +
+      "http_content_type STRING, html STRING' " +
+      s"INTO LAKE '$root/lake' CHECKPOINT '$root/_chk' " +
+      s"NOTIFICATION_PROVIDER local_dir NOTIFICATION_QUEUE_REFERENCE '$spool'")
+    Files.write(Paths.get(s"$spool/e1"), f.getBytes)
+    assert(spark.sql("TRIGGER PIPE wph").collect().head.getString(1) == "3")
+    val lake = graft.sources.SnapshotTable.forPath(spark, s"$root/lake").read()
+    val byUri = lake.collect().map(r => r.getAs[String]("target_uri") -> r).toMap
+    assert(byUri("https://w.example/u8").getAs[String]("html")
+      .contains("héllo 中文"))
+    assert(byUri("https://w.example/l1").getAs[String]("html")
+      .contains("café latin"), "declared ISO-8859-1 must drive the decode")
+    assert(byUri("https://w.example/nf").getAs[Int]("http_status") == 404)
+    // the raw-crawl pipeline's next stage: extract text from landed HTML
+    val texts = graft.llm.TextAnalysis.htmlExtract(lake.select("html"))
+      .select("text").as[String].collect().toSet
+    assert(texts.exists(_.contains("café latin")), texts.toString)
+    assert(texts.exists(_.contains("héllo 中文")))
+    spark.sql("DROP PIPE wph")
+  }
 }
