@@ -66,29 +66,36 @@ object FuzzyJoin {
         col(idCol).as("id"), col(strCol).as("s"),
         explode(expr(variantsExpr)).as("variant"))
       .select(col("id"), col("s"), xxhash64(col("variant")).as("vh"))
-    // hot-variant cap: a variant shared by > maxBucket strings would hand
-    // one reducer a quadratic bucket — drop it (documented recall trade).
-    // Computed as an AGGREGATE (map-side combinable) + broadcast anti-join
-    // of the tiny over-cap set, NOT a window count: a window forces a full
-    // sort within every hash partition of a table that is len+1× the
-    // corpus, while the hot set (only variants with > maxBucket members)
-    // is by construction ≤ |corpus|/maxBucket rows — broadcastable.
-    // DELIBERATE trade: `exploded` is evaluated twice (count branch +
-    // probe side), so the map-only explode+hash pass runs again — measured
-    // ~+45% wall at sf0.1/local (3.2s → 4.7s, quiet box) where everything
-    // fits in memory and fixed stage overheads dominate. At 100 TB the
-    // balance inverts: the removed sort is O(n log n) WITH SPILL over the
-    // len+1×-corpus shuffle, while the second explode is pure map-side CPU
-    // with no shuffle and no disk — recompute beats sort-and-spill. The
-    // 500k-key scale tier pins the no-cartesian/no-window shape.
-    val capped = exploded.join(
-      broadcast(exploded.groupBy(col("vh")).agg(count(lit(1)).as("bucket_n"))
-        .where(col("bucket_n") > maxBucket).select(col("vh"))),
-      Seq("vh"), "left_anti")
-    val a = capped.select(col("id").as("a_id"), col("s").as("a_s"), col("vh"))
-    val b = capped.select(col("id").as("b_id"), col("s").as("b_s"), col("vh"))
-    a.join(b, a("vh") === b("vh") && col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_s"), col("b_s"))
+    // Hot-variant cap + bucket-local pairing in ONE pass over the variant
+    // table. TopKPerKey bounds every (vh) bucket to maxBucket+1 rows with
+    // a bounded heap (never a window sort, never an unbounded
+    // collect_list), the now-provably-bounded collect_list groups each
+    // bucket, and `bn == maxBucket+1` detects overflow EXACTLY: a true
+    // bucket of n ≤ maxBucket keeps all n rows (bn == n), a bucket past
+    // the cap retains cap+1 rows and is dropped whole — the same
+    // drop-the-cluster semantics as before (a variant shared by thousands
+    // of strings is near-dup CLUSTER territory, not pairwise matching).
+    // The retention order inside dropped buckets is irrelevant, so the
+    // heap runs on constant score/tie. vs the previous aggregate +
+    // broadcast-anti-join cap: `exploded` evaluated ONCE instead of three
+    // times (count branch + both self-join sides), ONE vh shuffle instead
+    // of three, and the groupBy rides the TopKPerKey exchange with no
+    // re-shuffle. Pairs then explode bucket-locally (n ≤ maxBucket per
+    // array — the same candidate enumeration the self-join produced,
+    // streamed through two generators, never a giant in-row array).
+    // The 500k-key scale tier pins the no-cartesian/no-window shape.
+    val buckets = graft.plans.TopKPerKey(
+        exploded, col("vh"), lit(0.0), lit(0L), maxBucket + 1)
+      .groupBy(col("vh"))
+      .agg(collect_list(struct(col("id"), col("s"))).as("members"),
+        count(lit(1)).as("bn"))
+      .where(col("bn") <= maxBucket && col("bn") >= 2)
+    buckets
+      .select(explode(col("members")).as("m1"), col("members"))
+      .select(col("m1"), explode(col("members")).as("m2"))
+      .where(col("m1.id") < col("m2.id"))
+      .select(col("m1.id").as("a_id"), col("m2.id").as("b_id"),
+        col("m1.s").as("a_s"), col("m2.s").as("b_s"))
       .dropDuplicates("a_id", "b_id")
       .withColumn("dist", levenshtein(col("a_s"), col("b_s")))
       .where(col("dist") <= maxEdits)
@@ -123,14 +130,19 @@ object FuzzyJoin {
     }
     val l = sideVariants(left, leftId, leftStr, "l")
     val rRaw = sideVariants(right, rightId, rightStr, "r")
-    // same aggregate + broadcast anti-join hot-cap as selfJoin (no window
-    // sort over the exploded variant table)
-    val r = rRaw.join(
-      broadcast(rRaw.groupBy(col("vh")).agg(count(lit(1)).as("bucket_n"))
-        .where(col("bucket_n") > maxBucket).select(col("vh"))),
-      Seq("vh"), "left_anti")
-    l.join(r, "vh")
-      .select(col("l_id"), col("r_id"), col("l_s"), col("r_s"))
+    // same one-pass bounded-bucket cap as selfJoin: heap-bound each
+    // reference bucket, group it, drop overflow buckets whole; the lookup
+    // side then equi-joins on vh and explodes the (≤ maxBucket) members
+    val rBuckets = graft.plans.TopKPerKey(
+        rRaw, col("vh"), lit(0.0), lit(0L), maxBucket + 1)
+      .groupBy(col("vh"))
+      .agg(collect_list(struct(col("r_id"), col("r_s"))).as("members"),
+        count(lit(1)).as("bn"))
+      .where(col("bn") <= maxBucket)
+    l.join(rBuckets, "vh")
+      .select(col("l_id"), col("l_s"), explode(col("members")).as("m"))
+      .select(col("l_id"), col("m.r_id").as("r_id"), col("l_s"),
+        col("m.r_s").as("r_s"))
       .dropDuplicates("l_id", "r_id")
       .withColumn("dist", levenshtein(col("l_s"), col("r_s")))
       .where(col("dist") <= maxEdits)
