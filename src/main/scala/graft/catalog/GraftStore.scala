@@ -132,9 +132,27 @@ object GraftStore {
         System.err.println(s"[graft-store] WARN: save of '$section' failed: $e")
     }
 
+  /** How stale a committed-nothing claim must be before it is treated as
+    * a crashed writer's orphan and released (see saveOrThrow). */
+  private val OrphanClaimMs = 600000L
+
   /** [[save]] that also fails loudly on plain IO failure — for sections
     * where a silent durability gap is itself a defect (auth: a REVOKE
-    * that does not persist resurrects the privilege at the next restart). */
+    * that does not persist resurrects the privilege at the next restart).
+    *
+    * Cross-process CAS: winning generation `n` = atomically CREATE-NEW
+    * `<section>.<n>.claim` (`FileSystem.createNewFile` — POSIX-atomic on
+    * local FS, namenode-atomic on HDFS; an object store without atomic
+    * create needs a PointerCommitArbiter-style external coordinator, the
+    * same caveat as the lake commit log). Only the claim winner writes
+    * the section file, so the FileContext rename TOCTOU on local
+    * filesystems can no longer let two coordinators silently
+    * last-writer-win; losers get ConcurrentModificationException without
+    * touching the store. A winner's claim persists until a LATER
+    * generation retires it (deleting it early would let a laggard
+    * re-claim and overwrite the committed gen); a claim whose section
+    * file never appeared (writer crashed mid-commit) is released after
+    * [[OrphanClaimMs]]. */
   def saveOrThrow(spark: SparkSession, section: String, root: JsonNode): Unit =
     ioLock.synchronized {
       val conf = org.apache.spark.sql.graft.Bridge.hadoopConf(spark)
@@ -153,31 +171,57 @@ object GraftStore {
       }
       val next = base + 1
       val target = new org.apache.hadoop.fs.Path(dir, s"$section.$next.json")
-      val tmp = new org.apache.hadoop.fs.Path(dir,
-        s".$section.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-      val os = fs.create(tmp, true)
-      try os.write(mapper.writeValueAsBytes(root)) finally os.close()
-      try fs.setPermission(tmp, OwnerOnly) catch { case _: Exception => () }
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, conf)
-      try fc.rename(tmp, target) // NO overwrite: atomic create-new commit
-      catch {
-        case e: Exception =>
+      val claim = new org.apache.hadoop.fs.Path(dir, s"$section.$next.claim")
+      val claimed =
+        try fs.createNewFile(claim)
+        catch { case _: java.io.IOException => false }
+      if (!claimed) {
+        // the generation is owned: either committed (reload) or a crashed
+        // writer's orphan (release after the grace so the NEXT attempt
+        // can take it — this save still fails, callers reload+retry)
+        val age = try System.currentTimeMillis() -
+            fs.getFileStatus(claim).getModificationTime
+          catch { case _: Exception => 0L }
+        if (!fs.exists(target) && age > OrphanClaimMs)
+          try fs.delete(claim, false) catch { case _: Exception => () }
+        throw new java.util.ConcurrentModificationException(
+          s"store section '$section' generation $next is claimed by " +
+            "another coordinator; reload before mutating")
+      }
+      var committed = false
+      try {
+        val tmp = new org.apache.hadoop.fs.Path(dir,
+          s".$section.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+        // owner-only from birth: the section carries password hashes and
+        // source credentials, and a post-hoc chmod would leave a window
+        // (and could silently fail)
+        val os = fs.create(tmp, OwnerOnly, true, 4096,
+          fs.getDefaultReplication(tmp), fs.getDefaultBlockSize(tmp), null)
+        try os.write(mapper.writeValueAsBytes(root)) finally os.close()
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, conf)
+        try fc.rename(tmp, target,
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE) // claim serializes writers
+        catch { case e: Exception =>
           try fs.delete(tmp, false) catch { case _: Exception => () }
-          if (fs.exists(target))
-            throw new java.util.ConcurrentModificationException(
-              s"store section '$section' generation $next was committed by " +
-                "another coordinator; reload before mutating")
-          else throw e
+          throw e
+        }
+        committed = true
+      } finally {
+        // a failed commit must not brick this generation forever
+        if (!committed) {
+          try fs.delete(claim, false) catch { case _: Exception => () }
+        }
       }
       knownGen.put(key, next)
-      // retire superseded generations (and the legacy bare file) —
-      // best-effort; stragglers lose every future max-gen read anyway
-      onDisk.foreach { _ =>
-        fs.listStatus(dir).toSeq.filter(_.isFile).foreach { st =>
-          val n = st.getPath.getName
-          if (genOf(n, section).exists(_ < next) || n == s"$section.json")
-            try fs.delete(st.getPath, false) catch { case _: Exception => () }
-        }
+      // retire superseded generations, their claims, and the legacy bare
+      // file — best-effort; stragglers lose every future max-gen read
+      fs.listStatus(dir).toSeq.filter(_.isFile).foreach { st =>
+        val n = st.getPath.getName
+        val oldGen = genOf(n, section).exists(_ < next)
+        val oldClaim = n.startsWith(section + ".") && n.endsWith(".claim") &&
+          n.stripPrefix(section + ".").stripSuffix(".claim").toLongOption.exists(_ < next)
+        if (oldGen || oldClaim || n == s"$section.json")
+          try fs.delete(st.getPath, false) catch { case _: Exception => () }
       }
     }
 
@@ -205,7 +249,8 @@ object GraftStore {
       val fs = dir.getFileSystem(org.apache.spark.sql.graft.Bridge.hadoopConf(spark))
       if (fs.exists(dir)) fs.listStatus(dir).toSeq.filter(_.isFile).foreach { st =>
         val n = st.getPath.getName
-        if (genOf(n, section).isDefined || n == s"$section.json")
+        val isClaim = n.startsWith(section + ".") && n.endsWith(".claim")
+        if (genOf(n, section).isDefined || isClaim || n == s"$section.json")
           fs.delete(st.getPath, false)
       }
       knownGen.remove(genKey(spark, section))

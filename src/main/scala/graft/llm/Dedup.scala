@@ -11,6 +11,11 @@ import graft.functions.Functions
   * 100 TB: every stage is a hash-partitioned shuffle on a compact key
   * (16-byte digest / 8-byte band hash), never a string key, and candidate
   * generation is strictly bucket-local — no all-pairs stage anywhere.
+  *
+  * The LSH bucket caps plan through [[graft.plans.TopKPerKey]] (bounded
+  * heaps), so the session must carry the graft extensions
+  * (`graft.sqlext.GraftExtensions` — `GraftSession.local` does) for the
+  * near-dup paths to plan.
   */
 object Dedup {
 
@@ -52,9 +57,11 @@ object Dedup {
     // bands× the corpus, and a window would SORT all of it inside every
     // hash partition (spilling at scale) to keep only `maxBucket` rows
     // per bucket — the heap keeps the identical selection (the
-    // `maxBucket` smallest doc_ids per bucket) in O(n log k).
+    // `maxBucket` smallest doc_ids per bucket; string/binary ids keep a
+    // deterministic hash-ordered subset instead) in O(n log k).
     val bucketed = graft.plans.TopKPerKey(banded,
-        Seq(col("band"), col("bh")), lit(0.0), col("doc_id"), maxBucket)
+        Seq(col("band"), col("bh")), lit(0.0),
+        graft.plans.TopKPerKey.numericTie(banded, col("doc_id")), maxBucket)
       .select(col("band"), col("bh"), col("doc_id"))
 
     val a = bucketed.select(col("band"), col("bh"), col("doc_id").as("a_id"))

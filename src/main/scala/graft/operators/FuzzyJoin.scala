@@ -51,6 +51,8 @@ object FuzzyJoin {
                keyPrefixLen: Int = 64): DataFrame = {
     require(maxEdits == 1 || maxEdits == 2,
       s"fuzzy join supports maxEdits 1 or 2, got $maxEdits")
+    require(maxBucket >= 1 && maxBucket < Int.MaxValue,
+      s"maxBucket must be in [1, ${Int.MaxValue - 1}], got $maxBucket")
     val key = s"lower(substring($strCol, 1, $keyPrefixLen))"
     // deletion variants of one string as a SQL higher-order expression —
     // pure builtins, no UDF, stays in codegen
@@ -113,6 +115,8 @@ object FuzzyJoin {
                  keyPrefixLen: Int = 64): DataFrame = {
     require(maxEdits == 1 || maxEdits == 2,
       s"fuzzy join supports maxEdits 1 or 2, got $maxEdits")
+    require(maxBucket >= 1 && maxBucket < Int.MaxValue,
+      s"maxBucket must be in [1, ${Int.MaxValue - 1}], got $maxBucket")
     def sideVariants(df: DataFrame, id: String, s: String, pre: String): DataFrame = {
       val key = s"lower(substring($s, 1, $keyPrefixLen))"
       def dels(v: String): String =

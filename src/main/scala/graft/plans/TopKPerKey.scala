@@ -37,6 +37,22 @@ case class TopKPerKey(
 }
 
 object TopKPerKey {
+  /** A numeric tie-break for an arbitrary-typed id column: numeric/date/
+    * timestamp pass through (preserving their real order); string/binary
+    * ids map to `xxhash64` — a DETERMINISTIC pseudo-order, for callers
+    * (bucket caps) where any stable bounded selection is acceptable. The
+    * composed row_number window this operator replaces sorted string ids
+    * lexicographically; use this to keep those call sites working. */
+  def numericTie(df: DataFrame, c: Column): Column = {
+    val dt = df.select(c).queryExecution.analyzed.output.head.dataType
+    dt match {
+      case _: org.apache.spark.sql.types.NumericType |
+           org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.TimestampType => c
+      case _ => org.apache.spark.sql.functions.xxhash64(c)
+    }
+  }
+
   /** Column-API entry: top `k` rows per `key`, highest `score` first,
     * `tieBreak` ascending within equal scores. The tie column must be
     * NUMERIC (it rides the heap as a long): a string tie would cast to
@@ -52,6 +68,10 @@ object TopKPerKey {
   def apply(df: DataFrame, keys: Seq[Column], score: Column, tieBreak: Column,
             k: Int): DataFrame = {
     require(keys.nonEmpty, "TopKPerKey: at least one key column")
+    // k <= 0 (e.g. a caller's cap+1 overflowing Int.MaxValue) would fail
+    // deep inside executor heaps as an opaque NoSuchElementException —
+    // refuse at build time instead
+    require(k > 0, s"TopKPerKey: k must be positive, got $k")
     // Resolve the Columns against df by analyzing a throwaway projection —
     // a bare Column holds a lazily-converted (unresolved) node that only
     // standard Dataset operations resolve.

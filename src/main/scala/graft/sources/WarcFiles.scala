@@ -139,6 +139,18 @@ object WarcFiles {
     StructField("http_content_type", StringType, nullable = true),
     StructField("html", StringType, nullable = true)))
 
+  /** Which fixed WARC view a declared pipe schema selects — Some("wet")
+    * (pre-extracted text, [[textSchema]]) or Some("http") (charset-decoded
+    * responses, [[httpTextSchema]]) by (name, type) shape; None otherwise.
+    * The CREATE PIPE gate and the trigger-time reader BOTH resolve through
+    * here, so the two sites can never drift. */
+  def viewFor(s: StructType): Option[String] = {
+    def shape(t: StructType) = t.fields.map(f => (f.name.toLowerCase, f.dataType)).toSeq
+    if (shape(s) == shape(textSchema)) Some("wet")
+    else if (shape(s) == shape(httpTextSchema)) Some("http")
+    else None
+  }
+
   /** Charset from a Content-Type header ("text/html; charset=ISO-8859-1");
     * absent or unknown names fall back to UTF-8 — real crawls lie. */
   private[sources] def charsetOf(contentType: String): java.nio.charset.Charset = {

@@ -1324,6 +1324,10 @@ object GraftSqlParser {
   case class RefreshReflectionsForDatasetCommand(dir: String,
       override val output: Seq[Attribute]) extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
+      // admin-gated like LOAD MATERIALIZATION: the chain runs each goal's
+      // stored SQL under SYSTEM (bypassing per-object checks), so the
+      // STATEMENT must not be reachable by arbitrary principals
+      graft.auth.Privileges.requireAdmin(spark, "REFRESH REFLECTIONS FOR DATASET")
       val target = Reflections.normPath(dir)
       val anchored = Reflections.list.filter(
         _.baseVersions.keys.exists(Reflections.normPath(_) == target))
@@ -1347,6 +1351,8 @@ object GraftSqlParser {
   case class RefreshAllReflectionsCommand(
       override val output: Seq[Attribute]) extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
+      // admin-gated: see RefreshReflectionsForDatasetCommand
+      graft.auth.Privileges.requireAdmin(spark, "REFRESH REFLECTIONS")
       val names = Reflections.list.filter(_.definingSql.isDefined).map(_.name)
       require(names.nonEmpty, "REFRESH REFLECTIONS: no SQL-defined reflections")
       Reflections.refreshChain(spark, names).map { case (n, st) => Row(n, st) }
@@ -1362,6 +1368,8 @@ object GraftSqlParser {
   case class MaintainReflectionsCommand(
       override val output: Seq[Attribute]) extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
+      // admin-gated: see RefreshReflectionsForDatasetCommand
+      graft.auth.Privileges.requireAdmin(spark, "MAINTAIN REFLECTIONS")
       // a due API-created reflection (no stored SQL) must be REPORTED as
       // due-but-unrefreshable (refreshChain says "skipped: no stored
       // SQL"), not silently listed as 'current' — it may be stale
@@ -2021,14 +2029,12 @@ object GraftSqlParser {
       if (fmt == "warc") {
         require(notifyProvider.isDefined,
           "FORMAT WARC pipes must declare a NOTIFICATION_PROVIDER")
-        def shapeOf(s: StructType) =
-          s.fields.map(f => (f.name.toLowerCase, f.dataType)).toSeq
-        val got = StructType.fromDDL(schemaDdl)
-        val wet = graft.sources.WarcFiles.textSchema
-        val http = graft.sources.WarcFiles.httpTextSchema
-        require(shapeOf(got) == shapeOf(wet) || shapeOf(got) == shapeOf(http),
+        // resolve through the ONE schema→view mapping the trigger-time
+        // reader also uses (WarcFiles.viewFor) — the two sites can't drift
+        require(graft.sources.WarcFiles.viewFor(StructType.fromDDL(schemaDdl)).isDefined,
           "FORMAT WARC pipes produce the WET text shape " +
-            s"(${wet.toDDL}) or the HTTP text shape (${http.toDDL})")
+            s"(${graft.sources.WarcFiles.textSchema.toDDL}) or the HTTP " +
+            s"text shape (${graft.sources.WarcFiles.httpTextSchema.toDDL})")
       }
       // lake-source pipes carry no DDL: the source table's schema IS the
       // schema (resolved at trigger time from its snapshot)

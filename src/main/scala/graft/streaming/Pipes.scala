@@ -196,10 +196,13 @@ object Pipes {
                         files: Seq[String]): DataFrame =
     pipe.format match {
       case "warc" =>
-        val isHttp = pipe.schema.fieldNames.map(_.toLowerCase).toSeq ==
-          graft.sources.WarcFiles.httpTextSchema.fieldNames.toSeq
-        if (isHttp) graft.sources.WarcFiles.readHttpTextFiles(spark, files)
-        else graft.sources.WarcFiles.readTextFiles(spark, files)
+        graft.sources.WarcFiles.viewFor(pipe.schema) match {
+          case Some("http") => graft.sources.WarcFiles.readHttpTextFiles(spark, files)
+          case Some("wet") => graft.sources.WarcFiles.readTextFiles(spark, files)
+          case other => throw new IllegalStateException(
+            s"pipe '${pipe.name}': declared schema matches no WARC view " +
+              s"($other) — the CREATE gate should have refused this")
+        }
       case "csv" => spark.read.schema(pipe.schema).format("csv")
         .option("header", "true").load(files: _*)
       case f => spark.read.schema(pipe.schema).format(f).load(files: _*)

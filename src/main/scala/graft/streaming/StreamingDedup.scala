@@ -173,7 +173,8 @@ object StreamingDedup {
       // the cap whose only near-dups are ALSO beyond it trade recall for
       // the bound, exactly like the batch sweep's cap.
       val reps = graft.plans.TopKPerKey(batchBands,
-          Seq(col("band"), col("bh")), lit(0.0), col("doc_id"), maxBucket)
+          Seq(col("band"), col("bh")), lit(0.0),
+          graft.plans.TopKPerKey.numericTie(batchBands, col("doc_id")), maxBucket)
         .select(col("band"), col("bh"), col("doc_id").as("a_id"),
           col("sig").as("a_sig"), col("ngrams").as("a_ngrams"))
       val intra = reps

@@ -774,22 +774,21 @@ class ReflectionsSpec extends AnyFunSuite {
       s"SELECT k, count(*) AS n FROM lake_scan('$root/t') GROUP BY k")
     priv.clear()
     try {
-      // a cron principal with NO grants issues the bulk refresh: the
-      // stored SQL was authorized at CREATE time, so maintenance must run
-      // it under SYSTEM (the reference manager's contract) instead of
-      // failing the goal on the cron user's missing SELECT
+      // maintenance is an ADMIN statement (it runs every goal's stored
+      // SQL under SYSTEM, so the statement itself must not be reachable
+      // by arbitrary principals) — a grantless user is refused outright
       spark.sql("CREATE USER refl_admin PASSWORD 'rp' ADMIN")
       spark.sql("CREATE USER refl_cron PASSWORD 'cp'")
       spark.sql("ALTER AUTH ENFORCE ON")
       spark.sql("AUTHENTICATE USER refl_cron PASSWORD 'cp'")
-      // the cron user really cannot read the base table...
-      intercept[Exception](
-        spark.sql(s"SELECT count(*) FROM lake_scan('$root/t')").collect())
-      // ...but the maintenance pass still refreshes the goal
+      intercept[Exception](spark.sql("REFRESH REFLECTIONS").collect())
+      intercept[Exception](spark.sql("MAINTAIN REFLECTIONS").collect())
+      // the ADMIN cron principal refreshes; the stored SQL (authorized at
+      // CREATE time) runs under SYSTEM — the reference manager's contract
+      spark.sql("AUTHENTICATE USER refl_admin PASSWORD 'rp'")
       val res = spark.sql("REFRESH REFLECTIONS").collect()
         .map(r => (r.getString(0), r.getString(1))).toMap
       assert(res("sysctx_r") == "refreshed", res.toString)
-      spark.sql("AUTHENTICATE USER refl_admin PASSWORD 'rp'")
       spark.sql("ALTER AUTH ENFORCE OFF")
     } finally {
       priv.clear()
