@@ -440,7 +440,9 @@ object LlmQueries {
       doublePrec = true)
       .orderBy(col("q_id"), col("rk"))
   }
-  val annIvfPqSql: String = {
+  /** Shared ADC pipeline CTEs for the IVF-PQ oracles, through the ranked
+    * `rk` relation (ADC cosine, rank per query by cos desc then c_id). */
+  private val ivfPqAdcCtes: String = {
     val bdot = "list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8), " +
       "i -> ev.v[c.b*8 + i] * c.c[i])), (acc, x) -> acc + x)"
     val qbdot = "list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8), " +
@@ -492,10 +494,36 @@ object LlmQueries {
                  ELSE adc.adcv / (q.qnorm * sqrt(xn.xnormsq)) END AS cos
           FROM adc JOIN q ON q.q_id = adc.q_id JOIN xn ON xn.vec_id = adc.c_id),
     rk AS (SELECT q_id, c_id, cos,
-             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM s)
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM s)"""
+  }
+  val annIvfPqSql: String = s"""$ivfPqAdcCtes
     SELECT q_id, c_id, cos, CAST(rk AS INT) AS rk FROM rk WHERE rk <= 10
     ORDER BY q_id, rk"""
+
+  /** Two-stage serve: ADC shortlist (k·refine = 40) re-ranked by the EXACT
+    * double cosine over the raw vectors — same CTE pipeline, then the
+    * refine join the Spark side performs. */
+  val annIvfPqRerank: QueryFn = (s, dir) => {
+    val e = Tables.ensure(s, dir).embeddings
+    val seed = e.orderBy(col("vec_id")).limit(32)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
+    Similarity.ivfPqRerankTopK(e, e.filter(col("vec_id") < 5), k = 10,
+      refine = 4, nClusters = 16, nProbe = 4, m = 8, ksub = 32,
+      coarse0 = Some(seed.take(16)),
+      codebook0 = Some(Similarity.pqCodebookFromRows(seed, m = 8, ksub = 32)),
+      doublePrec = true)
+      .orderBy(col("q_id"), col("rk"))
   }
+  val annIvfPqRerankSql: String = s"""$ivfPqAdcCtes,
+    short AS (SELECT q_id, c_id FROM rk WHERE rk <= 40),
+    ex AS (SELECT sh.q_id, sh.c_id, ${drCos("qe.v", "ce.v")} AS cos
+           FROM short sh JOIN ev qe ON qe.vec_id = sh.q_id
+                         JOIN ev ce ON ce.vec_id = sh.c_id),
+    fr AS (SELECT q_id, c_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM ex)
+    SELECT q_id, c_id, cos, CAST(rk AS INT) AS rk FROM fr WHERE rk <= 10
+    ORDER BY q_id, rk"""
 
   /** IVF bucket-restricted ANN identity under an oracle (adjacent-rank
     * gaps ≥1.6e-4 on the fixture — see annTopkIds). */
@@ -3411,6 +3439,7 @@ object LlmQueries {
     "ann_index_persisted" -> annIndexPersisted,
     "ann_index_pq_persisted" -> annIndexPqPersisted,
     "ann_ivf_pq" -> annIvfPq,
+    "ann_ivf_pq_rerank" -> annIvfPqRerank,
     "text_charclass" -> textCharclass,
     "blocklist_phrases" -> blocklistPhrases,
     "url_filter" -> urlFilter,
@@ -3505,6 +3534,7 @@ object LlmQueries {
     "ann_ivf_label" -> annIvfSql,
     "ann_pq" -> annPqSql,
     "ann_ivf_pq" -> annIvfPqSql,
+    "ann_ivf_pq_rerank" -> annIvfPqRerankSql,
     "ann_index_pq_persisted" -> annIndexPqPersistedSql,
     "text_charclass" -> textCharclassSql,
     "blocklist_phrases" -> blocklistPhrasesSql,

@@ -534,6 +534,40 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** IVF-PQ serve with EXACT re-ranking — the standard two-stage serving
+    * pattern (Jégou, Douze & Schmid 2011 §IV; FAISS IndexRefineFlat): the
+    * ADC scan shortlists `k·refine` candidates per query from the
+    * COMPRESSED codes, then only those candidates fetch their raw vectors
+    * for an exact cosine that repairs the quantization error in the final
+    * ranking. Scale: the refine stage touches `refine·k` rows per query —
+    * an id-equi-join of a (broadcastably small) shortlist against the
+    * corpus — so exactness costs a candidate-sized lookup, never a second
+    * corpus scan; all the IVF machinery (partition-pruned probe, ADC LUTs,
+    * bounded heaps) is inherited from [[ivfPqTopK]]. */
+  def ivfPqRerankTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                      refine: Int = 4, nClusters: Int = 0, nProbe: Int = 2,
+                      m: Int = 4, ksub: Int = 16, iters: Int = 3,
+                      coarse0: Option[Seq[Seq[Float]]] = None,
+                      codebook0: Option[Seq[Seq[Seq[Float]]]] = None,
+                      doublePrec: Boolean = false): DataFrame = {
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val shortlist = ivfPqTopK(corpus, queries, k * refine, nClusters, nProbe,
+        m, ksub, iters, coarse0, codebook0, doublePrec)
+      .select(col("q_id"), col("c_id"))
+    val exact = shortlist
+      .join(corpus.select(col("vec_id").as("c_id"),
+        col("embedding").as("c_vec")), "c_id")
+      .join(broadcast(queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_vec"))), "q_id")
+      .withColumn("cos",
+        if (doublePrec)
+          Functions.cosine_sim_d(col("q_vec").cast("array<double>"),
+            col("c_vec").cast("array<double>"))
+        else Functions.cosine_sim(col("q_vec"), col("c_vec")))
+      .select(col("q_id"), col("c_id"), col("cos"))
+    rankTopK(exact, k)
+  }
+
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
              m: Int = 4, ksub: Int = 16, iters: Int = 3,
              codebook0: Option[Seq[Seq[Seq[Float]]]] = None,

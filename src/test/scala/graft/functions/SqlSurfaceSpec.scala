@@ -249,15 +249,21 @@ class SqlSurfaceSpec extends AnyFunSuite {
     // a deliberately slow background job must surface while running —
     // only 2 concurrent tasks so the polling queries still get cores
     // (the 4-core test scheduler is FIFO; saturating it would queue the
-    // observer behind the observed)
+    // observer behind the observed). The tasks idle until the observer
+    // has seen them (local mode shares the JVM, so the volatile flag
+    // reaches the task closures) — under full-suite load a fixed-length
+    // job could end between polls.
+    SqlSurfaceSpec.fragTestStop = false
     val bg = new Thread(() =>
-      try spark.range(32).repartition(2).rdd.foreach(_ => Thread.sleep(200))
-      catch { case _: Throwable => () })
+      try spark.range(2).repartition(2).rdd.foreach { _ =>
+        var i = 0
+        while (!SqlSurfaceSpec.fragTestStop && i < 300) { Thread.sleep(100); i += 1 }
+      } catch { case _: Throwable => () })
     bg.setDaemon(true)
     bg.start()
     try {
       var seen = 0L
-      val deadline = System.currentTimeMillis() + 8000
+      val deadline = System.currentTimeMillis() + 25000
       while (seen == 0 && System.currentTimeMillis() < deadline) {
         seen = spark.sql(
           "SELECT count(*) FROM sys_fragments WHERE active_tasks > 0")
@@ -265,7 +271,10 @@ class SqlSurfaceSpec extends AnyFunSuite {
         if (seen == 0) Thread.sleep(100)
       }
       assert(seen > 0, "running stage never surfaced in sys_fragments")
-    } finally bg.join(20000)
+    } finally {
+      SqlSurfaceSpec.fragTestStop = true
+      bg.join(40000)
+    }
   }
 
   test("sys_membership flattens user role edges (r14)") {
@@ -282,4 +291,11 @@ class SqlSurfaceSpec extends AnyFunSuite {
       spark.sql("DROP USER sysm_user")
     }
   }
+}
+
+/** Cross-closure signal for the sys_fragments test: local-mode tasks run
+  * in this JVM, so the volatile flag ends the background job once the
+  * observer has seen it. */
+object SqlSurfaceSpec {
+  @volatile var fragTestStop: Boolean = false
 }
