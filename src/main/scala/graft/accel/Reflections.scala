@@ -401,7 +401,7 @@ object Reflections {
       accelOff.toSeq.sortBy(_._1).foreach { case (d, ks) =>
         val a = at.putArray(d); ks.toSeq.sorted.foreach(a.add)
       }
-      st.save(spark, "reflections", root)
+      st.saveResync(spark, "reflections", root)(loadFrom)
     }
 
   /** Reload reflection goals: re-analyze each stored defining SQL against

@@ -225,6 +225,24 @@ object GraftStore {
       }
     }
 
+  /** Best-effort [[save]] with conflict RESYNC: plain IO trouble stays a
+    * WARN (the in-memory registry is the serving truth), but a generation
+    * conflict reloads the registry from the store via `reload` — so this
+    * process stops serving a divergent world — and fails the statement
+    * with retry guidance instead of leaving every future save of the
+    * section doomed against the foreign generation. */
+  def saveResync(spark: SparkSession, section: String, root: JsonNode)
+                (reload: SparkSession => Unit): Unit =
+    try save(spark, section, root)
+    catch {
+      case cme: java.util.ConcurrentModificationException =>
+        reload(spark)
+        throw new IllegalStateException(
+          s"'$section' registry was updated by another coordinator; this " +
+            "process has reloaded the durable state — retry the statement",
+          cme)
+    }
+
   def load(spark: SparkSession, section: String): Option[JsonNode] =
     try ioLock.synchronized {
       val fs = storeDir(spark)

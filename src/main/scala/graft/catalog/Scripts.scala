@@ -215,7 +215,7 @@ object Scripts {
       o.put("content", s.content)
       o.put("createdMs", s.createdMs); o.put("modifiedMs", s.modifiedMs)
     }
-    GraftStore.save(spark, "scripts", root)
+    GraftStore.saveResync(spark, "scripts", root)(loadFrom)
   }
 
   def loadFrom(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -155,7 +155,7 @@ object Sources {
       val ps = o.putObject("props")
       s.props.toSeq.sortBy(_._1).foreach { case (k, v) => ps.put(k, v) }
     }
-    GraftStore.save(spark, "sources", root)
+    GraftStore.saveResync(spark, "sources", root)(loadFrom)
   }
 
   /** Reload from the durable store. The stored probe state is kept AS IS

@@ -95,7 +95,7 @@ object Pipes {
         p.notificationQueue.foreach(o.put("notificationQueue", _))
         p.dedupeLookbackDays.foreach(o.put("dedupeLookbackDays", _))
       }
-      st.save(spark, "pipes", root)
+      st.saveResync(spark, "pipes", root)(loadFrom)
     }
 
   def loadFrom(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -204,6 +204,39 @@ class DurableStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("saveResync: a foreign generation bump reloads the registry and asks for a retry") {
+    clearAll()
+    try {
+      val dirPath = GraftStore.storeDir(spark)
+      val a = GraftStore.newObject; a.put("v", 1)
+      GraftStore.save(spark, "rsync", a)
+      // foreign coordinator commits gen 1 directly
+      val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val b = GraftStore.newObject; b.put("v", 99)
+      val os = fs.create(new org.apache.hadoop.fs.Path(dirPath, "rsync.1.json"), false)
+      try os.write(b.toString.getBytes("UTF-8")) finally os.close()
+      var reloads = 0
+      val c = GraftStore.newObject; c.put("v", 2)
+      val reload = (s: org.apache.spark.sql.SparkSession) => {
+        reloads += 1
+        GraftStore.load(s, "rsync") // what real registries' loadFrom does
+        ()
+      }
+      val e = intercept[IllegalStateException] {
+        GraftStore.saveResync(spark, "rsync", c)(reload)
+      }
+      assert(e.getMessage.contains("retry the statement"), e.getMessage)
+      assert(reloads == 1)
+      // the reload resynced the generation: the retried save now lands
+      GraftStore.saveResync(spark, "rsync", c)(reload)
+      assert(reloads == 1, "a clean save must not trigger another reload")
+      assert(GraftStore.load(spark, "rsync").get.path("v").asInt() == 2)
+    } finally {
+      GraftStore.delete(spark, "rsync")
+      clearAll()
+    }
+  }
+
   test("legacy bare section file reads as generation 0 and migrates on the next save") {
     clearAll()
     try {
