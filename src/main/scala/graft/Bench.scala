@@ -63,7 +63,15 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, (gcMillis() - g0) / 1e3, err)
     }
 
+    // SPARK_GRAFT_ONLY: comma-separated query-name substrings — time only
+    // matching queries (investigation aid: single-query timings without a
+    // 220-query pass). Absent/empty = the full registry (driver contract).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim)
+      .filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only.exists(n.contains) }
+    require(names.nonEmpty,
+      s"SPARK_GRAFT_ONLY='${only.mkString(",")}' matches no registered query")
     val runs = mutable.Map.empty[String, mutable.ArrayBuffer[(Double, Double)]]
     val firstErr = mutable.Map.empty[String, String]
     val loads = mutable.ArrayBuffer.empty[String]
