@@ -401,7 +401,7 @@ object Reflections {
       accelOff.toSeq.sortBy(_._1).foreach { case (d, ks) =>
         val a = at.putArray(d); ks.toSeq.sorted.foreach(a.add)
       }
-      st.saveResync(spark, "reflections", root)(loadFrom)
+      st.saveResync(spark, "reflections", root)(resyncFrom)
     }
 
   /** Reload reflection goals: re-analyze each stored defining SQL against
@@ -469,6 +469,20 @@ object Reflections {
     byName.clear(); byFingerprint.clear(); planByName.clear()
     scanByNameCache.clear(); routing.clear(); accelOff.clear()
     pendingReattach.clear(); refreshEvery.clear(); lastRefreshed.clear()
+  }
+
+  /** Conflict resync (saveResync's reload): unlike the MERGE-semantics
+    * [[loadFrom]] (which must not drop live API-created goals at
+    * startup-reattach time), a generation conflict means a FOREIGN
+    * coordinator owns the durable world — everything in memory is
+    * discarded (a stale goal kept through a merge would be re-committed
+    * on the advised retry, silently overwriting the other coordinator's
+    * drop/update) and the store's state reloads wholesale. API-created
+    * (non-durable) goals are lost with the rest: they were created
+    * against the stale world too. */
+  private def resyncFrom(spark: SparkSession): Unit = {
+    resetMemoryForTest()
+    loadFrom(spark)
   }
 
   // ---- dependency-ordered, schedulable refresh (reference

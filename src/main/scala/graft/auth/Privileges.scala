@@ -719,20 +719,12 @@ object Privileges {
         val o = ow.addObject()
         o.put("obj", ob); o.put("kind", k); o.put("grantee", g)
       }
-      try st.saveOrThrow(spark, "auth", root)
+      // strict (a silently-unpersisted REVOKE resurrects at restart) with
+      // the shared conflict-resync contract; remaining failures are plain
+      // IO durability trouble, surfaced as such
+      try st.saveResync(spark, "auth", root, strict = true)(loadFrom)
       catch {
-        case cme: java.util.ConcurrentModificationException =>
-          // another coordinator advanced the auth section: THIS process's
-          // registry was stale, so the statement's change was computed
-          // against a divergent world. Resync from the store (discarding
-          // the stale in-memory mutation) and ask the caller to retry —
-          // otherwise every later auth mutation here would fail forever
-          // against the foreign generation.
-          loadFrom(spark)
-          throw new IllegalStateException(
-            "auth registry was updated by another coordinator; this " +
-              "process has reloaded the durable state — retry the statement",
-            cme)
+        case e: IllegalStateException => throw e // resync guidance as-is
         case e: Exception => throw new IllegalStateException(
           "durable auth save failed — the change is live in this process " +
             s"but will NOT survive a restart: $e", e)

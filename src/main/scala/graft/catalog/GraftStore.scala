@@ -225,18 +225,24 @@ object GraftStore {
       }
     }
 
-  /** Best-effort [[save]] with conflict RESYNC: plain IO trouble stays a
-    * WARN (the in-memory registry is the serving truth), but a generation
-    * conflict reloads the registry from the store via `reload` — so this
-    * process stops serving a divergent world — and fails the statement
-    * with retry guidance instead of leaving every future save of the
-    * section doomed against the foreign generation. */
-  def saveResync(spark: SparkSession, section: String, root: JsonNode)
+  /** [[save]] with conflict RESYNC. Plain IO trouble follows the chosen
+    * base contract — `strict = false` WARNs (the in-memory registry is
+    * the serving truth), `strict = true` throws ([[saveOrThrow]]; auth) —
+    * but a generation conflict always reloads the registry from the
+    * store via `reload` (so this process stops serving a divergent
+    * world) and fails the statement with retry guidance instead of
+    * leaving every future save of the section doomed against the foreign
+    * generation. A reload that itself fails must not mask the guidance:
+    * it rides as a suppressed exception. */
+  def saveResync(spark: SparkSession, section: String, root: JsonNode,
+                 strict: Boolean = false)
                 (reload: SparkSession => Unit): Unit =
-    try save(spark, section, root)
+    try { if (strict) saveOrThrow(spark, section, root)
+          else save(spark, section, root) }
     catch {
       case cme: java.util.ConcurrentModificationException =>
-        reload(spark)
+        try reload(spark)
+        catch { case re: Exception => cme.addSuppressed(re) }
         throw new IllegalStateException(
           s"'$section' registry was updated by another coordinator; this " +
             "process has reloaded the durable state — retry the statement",

@@ -426,18 +426,26 @@ object LlmQueries {
     * corpus crosses the bucket join as (bucket, 8 codes, |x̂|²) — no fp32
     * vectors — and each candidate scores in m lookups via the codegen'd
     * pq_adc_dot kernel. Trained path: SimilaritySpec. */
-  val annIvfPq: QueryFn = (s, dir) => {
+  /** ONE bounded fetch pins both oracle artifacts for the IVF-PQ family:
+    * the 32 lowest-id vectors are the codebook seed, their first 16 the
+    * coarse centroids. Shared by ann_ivf_pq and ann_ivf_pq_rerank so the
+    * two queries can never drift from the shared oracle CTEs. */
+  private def ivfPqPinned(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame,
+         Option[Seq[Seq[Float]]], Option[Seq[Seq[Seq[Float]]]]) = {
     val e = Tables.ensure(s, dir).embeddings
-    // ONE bounded fetch pins both artifacts: the 32 lowest-id vectors are
-    // the codebook seed, their first 16 the coarse centroids
     val seed = e.orderBy(col("vec_id")).limit(32)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toSeq).toSeq
+    (e, Some(seed.take(16)),
+      Some(Similarity.pqCodebookFromRows(seed, m = 8, ksub = 32)))
+  }
+
+  val annIvfPq: QueryFn = (s, dir) => {
+    val (e, coarse, cb) = ivfPqPinned(s, dir)
     Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 5), k = 10,
       nClusters = 16, nProbe = 4, m = 8, ksub = 32,
-      coarse0 = Some(seed.take(16)),
-      codebook0 = Some(Similarity.pqCodebookFromRows(seed, m = 8, ksub = 32)),
-      doublePrec = true)
+      coarse0 = coarse, codebook0 = cb, doublePrec = true)
       .orderBy(col("q_id"), col("rk"))
   }
   /** Shared ADC pipeline CTEs for the IVF-PQ oracles, through the ranked
@@ -504,15 +512,10 @@ object LlmQueries {
     * double cosine over the raw vectors — same CTE pipeline, then the
     * refine join the Spark side performs. */
   val annIvfPqRerank: QueryFn = (s, dir) => {
-    val e = Tables.ensure(s, dir).embeddings
-    val seed = e.orderBy(col("vec_id")).limit(32)
-      .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).toSeq).toSeq
+    val (e, coarse, cb) = ivfPqPinned(s, dir)
     Similarity.ivfPqRerankTopK(e, e.filter(col("vec_id") < 5), k = 10,
       refine = 4, nClusters = 16, nProbe = 4, m = 8, ksub = 32,
-      coarse0 = Some(seed.take(16)),
-      codebook0 = Some(Similarity.pqCodebookFromRows(seed, m = 8, ksub = 32)),
-      doublePrec = true)
+      coarse0 = coarse, codebook0 = cb, doublePrec = true)
       .orderBy(col("q_id"), col("rk"))
   }
   val annIvfPqRerankSql: String = s"""$ivfPqAdcCtes,

@@ -554,9 +554,13 @@ object Similarity {
     val shortlist = ivfPqTopK(corpus, queries, k * refine, nClusters, nProbe,
         m, ksub, iters, coarse0, codebook0, doublePrec)
       .select(col("q_id"), col("c_id"))
-    val exact = shortlist
-      .join(corpus.select(col("vec_id").as("c_id"),
-        col("embedding").as("c_vec")), "c_id")
+    // broadcast the |Q|·k·refine-row shortlist: without the hint Catalyst
+    // (no stats on a computed plan) sort-merges, shuffling the corpus'
+    // raw-vector column — the second corpus pass this design exists to
+    // avoid. The broadcast makes the refine a map-side id lookup.
+    val exact = corpus.select(col("vec_id").as("c_id"),
+        col("embedding").as("c_vec"))
+      .join(broadcast(shortlist), "c_id")
       .join(broadcast(queries.select(col("vec_id").as("q_id"),
         col("embedding").as("q_vec"))), "q_id")
       .withColumn("cos",

@@ -102,18 +102,28 @@ object Pipes {
     graft.catalog.GraftStore.load(spark, "pipes").foreach { root =>
       registry.clear()
       root.path("pipes").forEach { o =>
-        def opt(f: String): Option[String] =
-          if (o.has(f)) Some(o.path(f).asText()) else None
-        val p = Pipe(o.path("name").asText(), o.path("sourceDir").asText(),
-          o.path("format").asText(),
-          StructType.fromDDL(o.path("schema").asText()),
-          o.path("targetDir").asText(), o.path("checkpointDir").asText(),
-          o.path("sink").asText(), opt("mergeKey"),
-          o.path("paused").asBoolean(false),
-          opt("notificationProvider"), opt("notificationQueue"),
-          if (o.has("dedupeLookbackDays"))
-            Some(o.path("dedupeLookbackDays").asInt()) else None)
-        registry.put(p.name, p)
+        // per-entry guard: one entry another coordinator version wrote
+        // with a DDL this version can't parse must not abort the reload
+        // mid-way and leave a cleared/partial registry
+        try {
+          def opt(f: String): Option[String] =
+            if (o.has(f)) Some(o.path(f).asText()) else None
+          val p = Pipe(o.path("name").asText(), o.path("sourceDir").asText(),
+            o.path("format").asText(),
+            StructType.fromDDL(o.path("schema").asText()),
+            o.path("targetDir").asText(), o.path("checkpointDir").asText(),
+            o.path("sink").asText(), opt("mergeKey"),
+            o.path("paused").asBoolean(false),
+            opt("notificationProvider"), opt("notificationQueue"),
+            if (o.has("dedupeLookbackDays"))
+              Some(o.path("dedupeLookbackDays").asInt()) else None)
+          registry.put(p.name, p)
+          ()
+        } catch {
+          case e: Exception => System.err.println(
+            s"[graft-pipes] WARN: skipping unloadable pipe entry " +
+              s"'${o.path("name").asText()}': $e")
+        }
       }
     }
 
