@@ -1,0 +1,75 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bitext mining — margin-based parallel-text retrieval over two embedding
+  * collections (Artetxe & Schwenk 2019, arXiv:1811.01136 §3.2 "ratio"
+  * margin — the LASER / CCMatrix mining pipeline): raw cosine
+  * over-retrieves hub vectors, so a candidate pair (x, y) scores its
+  * cosine NORMALIZED by the mean similarity of both sides' top-k
+  * neighborhoods,
+  *
+  *   margin(x, y) = cos(x, y) / ((avgF(x) + avgB(y)) / 2)
+  *
+  * and a pair is emitted when the forward top-1 by margin clears the
+  * threshold (≈1.05-1.06 in the published pipelines).
+  *
+  * Scale shape: each direction is ONE corpus pass with the query side
+  * broadcast and bounded per-key heaps (TopKPerKey) — no corpus×corpus
+  * product; at corpus×corpus scale callers pre-bucket both sides (IVF /
+  * SRP-LSH, as [[Dedup.semDedup]] does) and mine per bucket, with this
+  * operator as the scoring kernel.
+  *
+  * Determinism / oracle: with `doublePrec` every cosine is an in-order
+  * double fold, the neighborhood means fold the top-k cosines in SORTED
+  * (descending) order — `sum(double)` over an unordered group is
+  * partition-dependent in the last ulp, which a ratio then amplifies
+  * across a threshold — and the margin is a ratio of those exact values,
+  * so an external engine replays ids, cosines AND margins bit-for-bit. */
+object Bitext {
+
+  /** Mined pairs (src_id, tgt_id, cos, margin), forward top-1 per source
+    * vector, margin ≥ `threshold`. Ids must be numeric and the two
+    * collections' id spaces disjoint (callers offset one side). */
+  def minePairs(src: DataFrame, tgt: DataFrame, k: Int = 4,
+                threshold: Double = 1.05,
+                doublePrec: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+
+    def cosC(a: Column, b: Column): Column =
+      if (doublePrec)
+        graft.functions.Functions.cosine_sim_d(
+          a.cast("array<double>"), b.cast("array<double>"))
+      else graft.functions.Functions.cosine_sim(a, b)
+
+    def topkDir(queries: DataFrame, corpus: DataFrame): DataFrame = {
+      val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val scored = c.crossJoin(broadcast(q))
+        .withColumn("cos", cosC(col("q_vec"), col("c_vec")))
+        .select(col("q_id"), col("c_id"), col("cos"))
+      graft.plans.TopKPerKey(scored, col("q_id"), col("cos"), col("c_id"), k)
+    }
+
+    // in-order fold over the DESC-sorted top-k: deterministic under any
+    // partitioning, replayable by list_sort + list_reduce externally
+    def neighborhoodMean(topk: DataFrame, avgName: String): DataFrame =
+      topk.groupBy(col("q_id")).agg(
+        (aggregate(sort_array(collect_list(col("cos")), asc = false),
+          lit(0.0), (acc, x) => acc + x) / count(lit(1))).as(avgName))
+
+    val fwd = topkDir(src, tgt) // (q_id = src, c_id = tgt, cos)
+    val bwd = topkDir(tgt, src) // (q_id = tgt, c_id = src, cos)
+    val avgF = neighborhoodMean(fwd, "avg_f")
+    val avgB = neighborhoodMean(bwd, "avg_b").withColumnRenamed("q_id", "c_id")
+    val margined = fwd
+      .join(avgF, "q_id")
+      .join(broadcast(avgB), "c_id")
+      .withColumn("margin", col("cos") / ((col("avg_f") + col("avg_b")) / lit(2.0)))
+    graft.plans.TopKPerKey(margined, col("q_id"), col("margin"), col("c_id"), 1)
+      .filter(col("margin") >= threshold)
+      .select(col("q_id").as("src_id"), col("c_id").as("tgt_id"),
+        col("cos"), col("margin"))
+  }
+}

@@ -3113,6 +3113,56 @@ object LlmQueries {
     * replays the NAIVE global prefix-sum window — the two must agree row
     * for row, which is exactly the scalability claim (the threshold scan
     * IS the global cumsum, without the single-partition sort). */
+  /** Bitext mining under a FULL oracle: 50 planted "translations" (exact
+    * copies of the first 50 source vectors under offset ids) hide among
+    * 300 real distractor targets; the margin scorer must surface them.
+    * Double-precision cosines + sorted-order neighborhood folds make ids,
+    * cosines AND margins bit-replayable (see [[Bitext]]). */
+  val bitextMine: QueryFn = (s, dir) => {
+    val e = Tables.ensure(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+    val src = e.filter(col("vec_id") < 300)
+    val tgt = e.filter(col("vec_id") >= 300 && col("vec_id") < 600)
+      .unionByName(e.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 10000L).as("vec_id"), col("embedding")))
+    Bitext.minePairs(src, tgt, k = 4, threshold = 1.05, doublePrec = true)
+      .orderBy(col("src_id"))
+  }
+  val bitextMineSql: String = s"""
+    WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    src AS (SELECT vec_id, v FROM ev WHERE vec_id < 300),
+    tgt AS (SELECT vec_id, v FROM ev WHERE vec_id >= 300 AND vec_id < 600
+            UNION ALL
+            SELECT vec_id + 10000, v FROM ev WHERE vec_id < 50),
+    fs AS (SELECT s.vec_id AS q_id, t.vec_id AS c_id,
+             ${drCos("s.v", "t.v")} AS cos FROM src s CROSS JOIN tgt t),
+    fwd AS (SELECT q_id, c_id, cos,
+              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+            FROM fs),
+    avgf AS (SELECT q_id,
+               list_reduce(list_prepend(0.0, list(cos ORDER BY cos DESC)),
+                 (a, x) -> a + x) / count(*) AS avg_f
+             FROM fwd WHERE rn <= 4 GROUP BY q_id),
+    bs AS (SELECT t.vec_id AS q_id, s.vec_id AS c_id,
+             ${drCos("t.v", "s.v")} AS cos FROM tgt t CROSS JOIN src s),
+    bwd AS (SELECT q_id, c_id, cos,
+              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+            FROM bs),
+    avgb AS (SELECT q_id AS c_id,
+               list_reduce(list_prepend(0.0, list(cos ORDER BY cos DESC)),
+                 (a, x) -> a + x) / count(*) AS avg_b
+             FROM bwd WHERE rn <= 4 GROUP BY q_id),
+    m AS (SELECT f.q_id, f.c_id, f.cos,
+            f.cos / ((af.avg_f + ab.avg_b) / 2.0) AS margin
+          FROM fwd f JOIN avgf af ON af.q_id = f.q_id
+                     JOIN avgb ab ON ab.c_id = f.c_id
+          WHERE f.rn <= 4),
+    top1 AS (SELECT q_id, c_id, cos, margin,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY margin DESC, c_id) AS rn FROM m)
+    SELECT q_id AS src_id, c_id AS tgt_id, cos, margin
+    FROM top1 WHERE rn = 1 AND margin >= 1.05
+    ORDER BY src_id"""
+
   val budgetSelect: QueryFn = (s, dir) => {
     val docs = Tables.ensure(s, dir).documents
     val scored = QualityClassifier.score(docs, LrPinnedWeights, LrPinnedIntercept)
@@ -3430,6 +3480,7 @@ object LlmQueries {
     "lr_quality_score" -> lrQualityScore,
     "lr_score_persisted" -> lrScorePersisted,
     "budget_select" -> budgetSelect,
+    "bitext_mine" -> bitextMine,
     "text_trigram_lm" -> textTrigramLm,
     "length_buckets" -> lengthBuckets,
     "chunk_documents" -> chunkDocuments,
@@ -3525,6 +3576,7 @@ object LlmQueries {
     "lr_quality_score" -> lrQualityScoreSql,
     "lr_score_persisted" -> lrQualityScoreSql,
     "budget_select" -> budgetSelectSql,
+    "bitext_mine" -> bitextMineSql,
     "text_trigram_lm" -> textTrigramLmSql,
     "length_buckets" -> lengthBucketsSql,
     "chunk_documents" -> chunkDocumentsSql,

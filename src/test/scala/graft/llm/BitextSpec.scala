@@ -1,0 +1,103 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Margin-kNN bitext mining (Bitext.minePairs): planted translations are
+  * recovered, the margin suppresses hub vectors that raw cosine would
+  * over-emit, and mining is deterministic under repartitioning. */
+class BitextSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("planted translations mined with margin >> threshold; distractors stay out") {
+    val e = graft.engine.Tables(spark, TestSpark.sf).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val src = e.filter(col("vec_id") < 100)
+    // targets: 200 real distractors + exact copies of the first 30 sources
+    val tgt = e.filter(col("vec_id") >= 100 && col("vec_id") < 300)
+      .unionByName(e.filter(col("vec_id") < 30)
+        .select((col("vec_id") + 5000L).as("vec_id"), col("embedding")))
+    val mined = Bitext.minePairs(src, tgt, k = 4, threshold = 1.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val bynSrc = mined.map(m => m._1 -> m).toMap
+    // every planted pair is recovered as the forward top-1 for its source
+    // with a decisive margin — an exact translation must beat every
+    // same-label semantic neighbor the fixture provides
+    (0L until 30L).foreach { i =>
+      val hit = bynSrc.get(i)
+      assert(hit.exists(_._2 == 5000L + i),
+        s"planted pair $i -> ${5000 + i} not mined: $hit")
+      assert(hit.exists(_._3 > 1.2), s"planted margin should be decisive: $hit")
+    }
+    // the fixture's same-label neighbors are genuine semantic pairs, so
+    // non-planted sources MAY clear the threshold — but planted margins
+    // must sit clearly above the non-planted POPULATION (mean separation;
+    // the hub test below carries the suppression property on a
+    // controlled fixture)
+    val planted = mined.filter(_._1 < 30L).map(_._3)
+    val rest = mined.filter(_._1 >= 30L).map(_._3)
+    assert(planted.length == 30)
+    if (rest.nonEmpty) {
+      val mp = planted.sum / planted.length
+      val mr = rest.sum / rest.length
+      assert(mp > mr + 0.1,
+        s"planted margins ($mp) should dominate semantic-pair margins ($mr)")
+    }
+  }
+
+  test("margin suppresses a hub cluster that raw cosine would emit for every source") {
+    // a CLUSTER of near-identical hub targets moderately close to every
+    // source: raw cosine top-1s into the cluster for most sources, but
+    // each source's forward top-k is then FULL of hub copies (avgF ≈ the
+    // pair cosine) and the hubs' backward top-k is full of sources
+    // (avgB ≈ the pair cosine), so margin ≈ 1 — below threshold —
+    // exactly the hubness pathology the ratio margin was designed to kill
+    val dim = 8
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(dim)(r.nextGaussian().toFloat)
+    }
+    val hub = Array.fill(dim)(1.0f)
+    val srcRows = (0 until 20).map { i =>
+      val n = vec(i)
+      (i.toLong, hub.zip(n).map { case (h, x) => h + 1.0f * x })
+    }
+    val tgtRows = (0 until 20).map(j => (1000L + j, vec(100 + j))) ++
+      (0 until 5).map { j => // hub cluster: tiny perturbations of the hub
+        val n = vec(500 + j)
+        (2000L + j, hub.zip(n).map { case (h, x) => h + 0.02f * x })
+      }
+    val src = srcRows.toDF("vec_id", "embedding")
+    val tgt = tgtRows.toDF("vec_id", "embedding")
+    // raw cosine pairs most sources into the hub cluster...
+    val rawTop = Similarity.bruteForceTopK(tgt, src, k = 1)
+      .collect().map(r => r.getAs[Long]("c_id"))
+    assert(rawTop.count(_ >= 2000L) >= 12,
+      s"fixture should make the hub cluster the raw top-1 for most sources: ${rawTop.toSeq}")
+    // ...the margin emits none of those hub pairs
+    val mined = Bitext.minePairs(src, tgt, k = 4, threshold = 1.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!mined.exists(_._2 >= 2000L),
+      s"hub pairs must be margin-suppressed: ${mined.toSeq}")
+  }
+
+  test("mining is deterministic under repartitioning (doublePrec)") {
+    val e = graft.engine.Tables(spark, TestSpark.sf).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val src = e.filter(col("vec_id") < 80)
+    val tgt = e.filter(col("vec_id") >= 80 && col("vec_id") < 250)
+      .unionByName(e.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 7000L).as("vec_id"), col("embedding")))
+    def run(parts: Int): Seq[(Long, Long, Double, Double)] =
+      Bitext.minePairs(src.repartition(parts), tgt.repartition(parts),
+          k = 4, threshold = 1.05, doublePrec = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getDouble(3))).sortBy(_._1).toSeq
+    val a = run(2)
+    val b = run(7)
+    assert(a == b, "margins must be bit-identical under any partitioning")
+    assert(a.nonEmpty)
+  }
+}
