@@ -52,15 +52,65 @@ object Bitext {
       graft.plans.TopKPerKey(scored, col("q_id"), col("cos"), col("c_id"), k)
     }
 
-    // in-order fold over the DESC-sorted top-k: deterministic under any
-    // partitioning, replayable by list_sort + list_reduce externally
+    val fwd = topkDir(src, tgt) // (q_id = src, c_id = tgt, cos)
+    val bwd = topkDir(tgt, src) // (q_id = tgt, c_id = src, cos)
+    marginRank(fwd, bwd, k, threshold)
+  }
+
+  /** Bucketed mining — the corpus×corpus SCALE path: both sides assign to
+    * coarse-quantizer buckets ([[Similarity.withProbedBuckets]] — the
+    * semDedup clustering treatment), the source side probes `nProbe`
+    * buckets for recall, and candidate pairs come from a bucket EQUI-JOIN
+    * (never a cross product). The margin then scores each side against
+    * its top-k within the probed candidates — the standard mined-locally
+    * approximation (FAISS-backed LASER mining shards exactly this way).
+    * `centroids` pins the quantizer for external replay, as everywhere. */
+  def minePairsBucketed(src: DataFrame, tgt: DataFrame, k: Int = 4,
+                        threshold: Double = 1.05, nClusters: Int = 0,
+                        nProbe: Int = 2, iters: Int = 3,
+                        centroids: Option[Seq[Seq[Float]]] = None,
+                        doublePrec: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val cents = centroids.getOrElse {
+      val nc = if (nClusters > 0) nClusters
+               else Similarity.autoClusters(src.count() + tgt.count())
+      Similarity.kmeansCentroids(src.unionByName(tgt), nc, iters)
+    }
+    def cosC(a: Column, b: Column): Column =
+      if (doublePrec)
+        graft.functions.Functions.cosine_sim_d(
+          a.cast("array<double>"), b.cast("array<double>"))
+      else graft.functions.Functions.cosine_sim(a, b)
+    // src probes nProbe buckets (the recall side); each tgt lives in its
+    // ONE argmax bucket, so a pair can meet at most once — no dedup pass
+    val sp = Similarity.withProbedBuckets(
+        src.select(col("vec_id"), col("embedding")),
+        "embedding", "vec_id", cents, nProbe, doublePrec = doublePrec)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("bucket"))
+    val tp = Similarity.withProbedBuckets(
+        tgt.select(col("vec_id"), col("embedding")),
+        "embedding", "vec_id", cents, nProbe = 1, doublePrec = doublePrec)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"), col("bucket"))
+    val pairs = sp.join(tp, "bucket")
+      .withColumn("cos", cosC(col("q_vec"), col("c_vec")))
+      .select(col("q_id"), col("c_id"), col("cos"))
+    // forward/backward neighborhoods over the SAME probed candidate set
+    val fwd = graft.plans.TopKPerKey(pairs, col("q_id"), col("cos"), col("c_id"), k)
+    val bwd = graft.plans.TopKPerKey(pairs, col("c_id"), col("cos"), col("q_id"), k)
+      .select(col("c_id").as("q_id"), col("q_id").as("c_id"), col("cos"))
+    marginRank(fwd, bwd, k, threshold)
+  }
+
+  /** The margin kernel over pre-retrieved directional top-k sets:
+    * neighborhood means fold the DESC-sorted cosines (deterministic under
+    * any partitioning, replayable by list_sort + list_reduce), margins
+    * divide by the two-sided mean, forward top-1 thresholds. */
+  private def marginRank(fwd: DataFrame, bwd: DataFrame,
+                         k: Int, threshold: Double): DataFrame = {
     def neighborhoodMean(topk: DataFrame, avgName: String): DataFrame =
       topk.groupBy(col("q_id")).agg(
         (aggregate(sort_array(collect_list(col("cos")), asc = false),
           lit(0.0), (acc, x) => acc + x) / count(lit(1))).as(avgName))
-
-    val fwd = topkDir(src, tgt) // (q_id = src, c_id = tgt, cos)
-    val bwd = topkDir(tgt, src) // (q_id = tgt, c_id = src, cos)
     val avgF = neighborhoodMean(fwd, "avg_f")
     val avgB = neighborhoodMean(bwd, "avg_b").withColumnRenamed("q_id", "c_id")
     val margined = fwd

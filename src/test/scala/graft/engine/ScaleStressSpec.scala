@@ -843,6 +843,37 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
   }
 
+  test("bucketed bitext mining at 120k vectors: planted pairs found, equi-join only") {
+    gate()
+    // deterministic md5-derived pseudo-embeddings (dim 16, components
+    // uniform in [-1, 1], properly decorrelated across ids — sin-based
+    // vectors carry hidden periodic correlations that both skew the
+    // buckets and inflate the neighborhood means); 100 planted
+    // translations = exact copies of the first 100 sources
+    def vecs(n: Long, idOffset: Long, seed: Int) =
+      spark.range(n).select(
+        (col("id") + idOffset).as("vec_id"),
+        expr(s"transform(sequence(1, 16), i -> cast(" +
+          s"conv(substring(md5(concat(id + $idOffset, '_$seed', i)), 1, 4), 16, 10)" +
+          s" / 32767.5 - 1.0 AS float))").as("embedding"))
+    val src = vecs(10000, 0, 3).localCheckpoint(true)
+    val tgt = vecs(50000, 1000000, 5)
+      .unionByName(src.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding")))
+      .localCheckpoint(true)
+    val out = graft.llm.Bitext.minePairsBucketed(src, tgt, k = 4,
+      threshold = 1.05, nClusters = 64, nProbe = 2, iters = 2)
+    val mined = out.filter(col("src_id") < 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // an exact copy shares its source's argmax bucket under any trained
+    // quantizer — every planted pair must surface
+    val recovered = (0L until 100L).count(i => mined.get(i).contains(5000000L + i))
+    assert(recovered == 100, s"planted recovery $recovered/100")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"corpus-scale mining must never cross-product:\n$plan")
+  }
+
   test("REMOVE ORPHAN FILES with 3k orphans: zero Spark jobs, live snapshot untouched") {
     gate()
     val dir = java.nio.file.Files.createTempDirectory("graft_scale_orphan").toString + "/t"

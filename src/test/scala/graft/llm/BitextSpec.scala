@@ -83,6 +83,32 @@ class BitextSpec extends AnyFunSuite {
       s"hub pairs must be margin-suppressed: ${mined.toSeq}")
   }
 
+  test("bucketed mining recovers planted pairs through the bucket equi-join") {
+    val e = graft.engine.Tables(spark, TestSpark.sf).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val src = e.filter(col("vec_id") < 100)
+    val tgt = e.filter(col("vec_id") >= 100 && col("vec_id") < 300)
+      .unionByName(e.filter(col("vec_id") < 30)
+        .select((col("vec_id") + 5000L).as("vec_id"), col("embedding")))
+    val cents = e.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+      .select(col("embedding")).collect().map(_.getSeq[Float](0).toSeq).toSeq
+    val out = Bitext.minePairsBucketed(src, tgt, k = 4, threshold = 1.05,
+      nProbe = 2, centroids = Some(cents))
+    // an exact copy shares its source's argmax bucket under ANY quantizer,
+    // and the source's probe list contains its argmax — every planted
+    // pair must meet in a bucket and win the margin
+    val mined = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 30L).foreach { i =>
+      assert(mined.get(i).contains(5000L + i),
+        s"planted pair $i not recovered through buckets: ${mined.get(i)}")
+    }
+    // scale shape: candidates come from a bucket EQUI-join, never a
+    // cross product of the two collections
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"bucketed mining must not plan a cross product:\n$plan")
+  }
+
   test("mining is deterministic under repartitioning (doublePrec)") {
     val e = graft.engine.Tables(spark, TestSpark.sf).embeddings
       .select(col("vec_id"), col("embedding"))
