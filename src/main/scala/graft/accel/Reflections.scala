@@ -41,7 +41,13 @@ object Reflections {
                               // SQL text of the defining query when created
                               // through DDL — lets REFRESH REFLECTION re-run
                               // it without the caller re-supplying the frame
-                              definingSql: Option[String] = None)
+                              definingSql: Option[String] = None,
+                              // principal that created the goal: maintenance
+                              // re-runs the SQL as SYSTEM, so refresh RE-checks
+                              // this principal's grants first — a revoked
+                              // SELECT must not keep refreshing through the
+                              // SYSTEM identity (definer-rights leak)
+                              owner: Option[String] = None)
 
   private val byFingerprint = TrieMap.empty[String, Reflection]
   private val byName = TrieMap.empty[String, Reflection]
@@ -150,7 +156,8 @@ object Reflections {
       df.sparkSession, df.queryExecution.logical)
     val plan = withSubstitutionBypassed { defining.queryExecution.optimizedPlan }
     val r = Reflection(name, fingerprintPlan(plan), path,
-      lakeBaseVersions(df.sparkSession, plan), definingSql)
+      lakeBaseVersions(df.sparkSession, plan), definingSql,
+      graft.auth.Privileges.principalOf(df.sparkSession).map(_.name))
     byName.put(name, r)
     byFingerprint.put(r.fingerprint, r)
     planByName.put(name, plan)
@@ -231,7 +238,8 @@ object Reflections {
       spark, df.queryExecution.logical)
     val plan = withSubstitutionBypassed { defining.queryExecution.optimizedPlan }
     val r = Reflection(name, fingerprintPlan(plan), path,
-      lakeBaseVersions(spark, plan), definingSql)
+      lakeBaseVersions(spark, plan), definingSql,
+      graft.auth.Privileges.principalOf(spark).map(_.name))
     byName.put(name, r)
     byFingerprint.put(r.fingerprint, r)
     planByName.put(name, plan)
@@ -370,7 +378,7 @@ object Reflections {
   // without losing its store entry. ----
 
   private val pendingReattach =
-    TrieMap.empty[String, (String, String, Map[String, Long])]
+    TrieMap.empty[String, (String, String, Map[String, Long], Option[String])]
 
   private def persist(): Unit =
     graft.catalog.GraftStore.sessionForPersist.foreach { spark =>
@@ -382,14 +390,15 @@ object Reflections {
       // the next last-wins load)
       val live = byName.values.toSeq.collect {
         case r if r.definingSql.isDefined =>
-          (r.name, r.path, r.definingSql.get, r.baseVersions)
+          (r.name, r.path, r.definingSql.get, r.baseVersions, r.owner)
       }
       val liveNames = live.map(_._1).toSet
       val durable = live ++ pendingReattach.toSeq
-        .collect { case (n, (p, sql, bv)) if !liveNames(n) => (n, p, sql, bv) }
-      durable.sortBy(_._1).foreach { case (name, path, sql, bv) =>
+        .collect { case (n, (p, sql, bv, ow)) if !liveNames(n) => (n, p, sql, bv, ow) }
+      durable.sortBy(_._1).foreach { case (name, path, sql, bv, owner) =>
         val o = arr.addObject()
         o.put("name", name); o.put("path", path); o.put("sql", sql)
+        owner.foreach(o.put("owner", _))
         refreshEvery.get(name).foreach(m => o.put("refreshEveryMin", m))
         lastRefreshed.get(name).foreach(t => o.put("lastRefreshMs", t))
         val vs = o.putObject("baseVersions")
@@ -428,7 +437,8 @@ object Reflections {
         if (o.has("lastRefreshMs"))
           lastRefreshed.put(name, o.path("lastRefreshMs").asLong())
         pendingReattach.put(name,
-          (o.path("path").asText(), o.path("sql").asText(), bv.toMap))
+          (o.path("path").asText(), o.path("sql").asText(), bv.toMap,
+            if (o.has("owner")) Some(o.path("owner").asText()) else None))
       }
       reattachPending(spark)
     }
@@ -437,7 +447,7 @@ object Reflections {
     * call again after session views appear). Already-registered names are
     * left alone — a live registration is newer than the stored goal. */
   def reattachPending(spark: SparkSession): Unit =
-    pendingReattach.toSeq.sortBy(_._1).foreach { case (name, (path, sql, bv)) =>
+    pendingReattach.toSeq.sortBy(_._1).foreach { case (name, (path, sql, bv, owner)) =>
       if (byName.contains(name)) pendingReattach.remove(name)
       else try {
         // SYSTEM context: startup has no end-user principal, and the goal's
@@ -449,7 +459,7 @@ object Reflections {
             spark, df.queryExecution.logical)
           withSubstitutionBypassed { defining.queryExecution.optimizedPlan }
         }
-        val r = Reflection(name, fingerprintPlan(plan), path, bv, Some(sql))
+        val r = Reflection(name, fingerprintPlan(plan), path, bv, Some(sql), owner)
         byName.put(name, r)
         byFingerprint.put(r.fingerprint, r)
         planByName.put(name, plan)
@@ -547,6 +557,31 @@ object Reflections {
     * when one of its own upstreams failed this pass, since rebuilding
     * from a known-failed upstream would materialize stale data as fresh.
     * Cycles still refuse loudly before anything runs. */
+  /** Does the reflection's CREATE-time principal still hold SELECT over
+    * its defining query? Checked before every SYSTEM-identity refresh.
+    * No owner recorded (goal created while enforcement was off / by an
+    * anonymous bootstrap session) passes — there was no principal whose
+    * revocation could be outrun. Analysis runs under SYSTEM (the session
+    * principal is the cron user, not the owner), then the owner's grants
+    * are walked explicitly over the ANALYZED plan, so view-as-security
+    * coverage is decided exactly as the analysis-time check would. */
+  private def ownerStillAuthorized(spark: SparkSession, r: Reflection): Boolean =
+    !graft.auth.Privileges.enforcing || (r.owner match {
+      case None => true
+      case Some(name) => graft.auth.Privileges.userByName(name) match {
+        case None => false // creator dropped → their authorization is gone
+        case Some(u) if u.admin => true
+        case Some(u) => r.definingSql.forall { sql =>
+          try {
+            val analyzed = graft.auth.Privileges.withSystemContext {
+              spark.sql(sql).queryExecution.analyzed
+            }
+            graft.auth.AuthorizeRule.selectAuthorized(u, analyzed)
+          } catch { case _: Exception => false }
+        }
+      }
+    })
+
   def refreshChain(spark: SparkSession,
                    names: Seq[String]): Seq[(String, String)] = {
     val ordered = refreshOrder(names)
@@ -557,14 +592,23 @@ object Reflections {
       if (badUp.nonEmpty) {
         failed += n
         n -> s"skipped: upstream failed (${badUp.toSeq.sorted.mkString(", ")})"
-      } else byName.get(n).flatMap(_.definingSql) match {
+      } else byName.get(n).flatMap(r => r.definingSql.map(r -> _)) match {
         case None => n -> "skipped: no stored SQL"
-        case Some(sql) =>
-          // the stored SQL was authorized at CREATE time; maintenance
-          // re-runs it under the SYSTEM principal (the reference manager
-          // refreshes as SYSTEM) so a cron user without SELECT on the
-          // base tables doesn't mark every goal failed and poison the
-          // downstream chain
+        case Some((r, sql)) if !ownerStillAuthorized(spark, r) =>
+          // the stored SQL runs as SYSTEM below, so the CREATE-time
+          // authorization must still hold NOW: a creator whose SELECT was
+          // later revoked (or who was dropped) must not keep their
+          // reflection refreshing through the SYSTEM identity —
+          // definer-rights persistence of revoked access. Marked failed so
+          // downstream goals don't rebuild from the now-stale upstream.
+          failed += n
+          n -> s"skipped: privileges revoked (owner '${r.owner.getOrElse("?")}')"
+        case Some((_, sql)) =>
+          // the stored SQL was authorized at CREATE time (re-checked
+          // above); maintenance re-runs it under the SYSTEM principal
+          // (the reference manager refreshes as SYSTEM) so a cron user
+          // without SELECT on the base tables doesn't mark every goal
+          // failed and poison the downstream chain
           try {
             graft.auth.Privileges.withSystemContext {
               withSubstitutionBypassed { refresh(n, spark.sql(sql)) }

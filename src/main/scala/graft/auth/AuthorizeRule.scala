@@ -42,22 +42,6 @@ class AuthorizeRule(session: SparkSession) extends (LogicalPlan => Unit) {
       .exists(_.getClassName.endsWith("analysis.ViewResolution$"))
     if (nestedViewBodyCheck) return
 
-    def candidates(p: LogicalPlan): Seq[String] = p match {
-      case l: LogicalRelation =>
-        val byTable = l.catalogTable.toSeq.flatMap(ct =>
-          Seq(ct.identifier.unquotedString, ct.identifier.table))
-        val byPath = l.relation match {
-          case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
-          case _ => Nil
-        }
-        byTable ++ byPath
-      case h: HiveTableRelation =>
-        Seq(h.tableMeta.identifier.unquotedString, h.tableMeta.identifier.table)
-      case d: DataSourceV2Relation =>
-        Option(d.table).map(_.name()).toSeq
-      case _ => Nil
-    }
-
     def granted(names: Seq[String]): Boolean = names.exists { n =>
       val o = Privileges.normObj(n)
       // statement-scoped cover: a branch write the command layer already
@@ -66,21 +50,55 @@ class AuthorizeRule(session: SparkSession) extends (LogicalPlan => Unit) {
         principal.exists(u => Privileges.allowed(u, "select", o))
     }
 
-    def deny(obj: String): Nothing = throw new SecurityException(
-      s"principal '${principal.map(_.name).getOrElse("<anonymous>")}' lacks " +
-        s"SELECT on $obj (GRANT SELECT ON ... TO USER|ROLE ... to allow)")
+    AuthorizeRule.firstDenied(plan, granted).foreach { obj =>
+      throw new SecurityException(
+        s"principal '${principal.map(_.name).getOrElse("<anonymous>")}' lacks " +
+          s"SELECT on $obj (GRANT SELECT ON ... TO USER|ROLE ... to allow)")
+    }
+  }
+}
 
-    def walk(p: LogicalPlan): Unit = p match {
+object AuthorizeRule {
+
+  private def candidates(p: LogicalPlan): Seq[String] = p match {
+    case l: LogicalRelation =>
+      val byTable = l.catalogTable.toSeq.flatMap(ct =>
+        Seq(ct.identifier.unquotedString, ct.identifier.table))
+      val byPath = l.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
+        case _ => Nil
+      }
+      byTable ++ byPath
+    case h: HiveTableRelation =>
+      Seq(h.tableMeta.identifier.unquotedString, h.tableMeta.identifier.table)
+    case d: DataSourceV2Relation =>
+      Option(d.table).map(_.name()).toSeq
+    case _ => Nil
+  }
+
+  /** Walk an ANALYZED plan with the given grant predicate: first object
+    * the predicate denies, None when fully covered. Granted views cover
+    * their subtrees (view-as-security-layer) — the same decision the
+    * analysis-time check applies, reusable for DEFERRED re-validation
+    * (reflection refresh re-checking its creating principal). */
+  def firstDenied(plan: LogicalPlan,
+                  granted: Seq[String] => Boolean): Option[String] = {
+    def walk(p: LogicalPlan): Option[String] = p match {
       case v: View if granted(Seq(v.desc.identifier.unquotedString,
                                   v.desc.identifier.table)) =>
         // a granted view covers its subtree — base tables need no grant
-        ()
+        None
       case other =>
         val names = candidates(other)
-        if (names.nonEmpty && !granted(names)) deny(names.head)
-        other.children.foreach(walk)
-        other.subqueries.foreach(walk)
+        if (names.nonEmpty && !granted(names)) Some(names.head)
+        else (other.children.iterator.map(walk) ++
+          other.subqueries.iterator.map(walk)).collectFirst { case Some(o) => o }
     }
     walk(plan)
   }
+
+  /** Does `user` hold SELECT over every relation in the plan? */
+  def selectAuthorized(user: Privileges.User, plan: LogicalPlan): Boolean =
+    firstDenied(plan, names => names.exists(n =>
+      Privileges.allowed(user, "select", Privileges.normObj(n)))).isEmpty
 }

@@ -231,6 +231,10 @@ object Privileges {
     spark.conf.getOption(TokenConf).flatMap(t => Option(tokens.get(t)))
       .flatMap(users.get)
 
+  /** Lookup a principal by name (deferred re-authorization: reflection
+    * refresh re-checking its creating principal's grants). */
+  def userByName(name: String): Option[User] = users.get(name.toLowerCase)
+
   def isAdminSession(spark: SparkSession): Boolean =
     principalOf(spark).exists(_.admin)
 

@@ -173,7 +173,14 @@ object GraftStore {
       val target = new org.apache.hadoop.fs.Path(dir, s"$section.$next.json")
       val claim = new org.apache.hadoop.fs.Path(dir, s"$section.$next.claim")
       val claimed =
-        try fs.createNewFile(claim)
+        try {
+          val ok = fs.createNewFile(claim) // atomic create-new (not create(overwrite=false), whose exists-then-create races)
+          // uniform owner-only store files; post-hoc is fine here — a
+          // claim carries no data, unlike the section files
+          if (ok) { try fs.setPermission(claim, OwnerOnly)
+                    catch { case _: Exception => () } }
+          ok
+        }
         catch { case _: java.io.IOException => false }
       if (!claimed) {
         // the generation is owned: either committed (reload) or a crashed
@@ -250,19 +257,32 @@ object GraftStore {
     }
 
   def load(spark: SparkSession, section: String): Option[JsonNode] =
-    try ioLock.synchronized {
-      val fs = storeDir(spark)
-        .getFileSystem(org.apache.spark.sql.graft.Bridge.hadoopConf(spark))
-      latestOnDisk(fs, spark, section).map { case (p, gen) =>
-        val in = fs.open(p)
-        val body = try in.readAllBytes() finally in.close()
-        knownGen.put(genKey(spark, section), gen)
-        mapper.readTree(body)
+    ioLock.synchronized {
+      def attempt(): Option[JsonNode] = {
+        val fs = storeDir(spark)
+          .getFileSystem(org.apache.spark.sql.graft.Bridge.hadoopConf(spark))
+        latestOnDisk(fs, spark, section).map { case (p, gen) =>
+          val in = fs.open(p)
+          val body = try in.readAllBytes() finally in.close()
+          knownGen.put(genKey(spark, section), gen)
+          mapper.readTree(body)
+        }
       }
-    } catch {
-      case e: Exception =>
-        System.err.println(s"[graft-store] WARN: load of '$section' failed: $e")
-        None
+      try attempt()
+      catch {
+        case _: Exception =>
+          // a concurrent writer's retire pass can delete the chosen
+          // max-generation file between our list and open — but then its
+          // NEWER generation exists by construction, so one re-list
+          // finds it; only a second failure is real IO trouble
+          try attempt()
+          catch {
+            case e: Exception =>
+              System.err.println(
+                s"[graft-store] WARN: load of '$section' failed: $e")
+              None
+          }
+      }
     }
 
   /** Registry `clear()` semantics: a deliberate reset deletes the durable

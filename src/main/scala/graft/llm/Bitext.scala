@@ -98,24 +98,34 @@ object Bitext {
     val fwd = graft.plans.TopKPerKey(pairs, col("q_id"), col("cos"), col("c_id"), k)
     val bwd = graft.plans.TopKPerKey(pairs, col("c_id"), col("cos"), col("q_id"), k)
       .select(col("c_id").as("q_id"), col("q_id").as("c_id"), col("cos"))
-    marginRank(fwd, bwd, k, threshold)
+    marginRank(fwd, bwd, k, threshold, broadcastAvgB = false)
   }
 
   /** The margin kernel over pre-retrieved directional top-k sets:
     * neighborhood means fold the DESC-sorted cosines (deterministic under
     * any partitioning, replayable by list_sort + list_reduce), margins
-    * divide by the two-sided mean, forward top-1 thresholds. */
+    * divide by the two-sided mean, forward top-1 thresholds.
+    *
+    * `broadcastAvgB`: avgB has one row per DISTINCT target in any
+    * candidate pair — bounded by the query side on the [[minePairs]]
+    * path (whose contract already broadcasts that side), but CORPUS
+    * cardinality on the [[minePairsBucketed]] corpus×corpus path. There
+    * a broadcast would collect a corpus-sized table to the driver, so
+    * the bucketed path joins it with a shuffled hash join instead: fwd
+    * is |src|·k rows — one cheap exchange on c_id. */
   private def marginRank(fwd: DataFrame, bwd: DataFrame,
-                         k: Int, threshold: Double): DataFrame = {
+                         k: Int, threshold: Double,
+                         broadcastAvgB: Boolean = true): DataFrame = {
     def neighborhoodMean(topk: DataFrame, avgName: String): DataFrame =
       topk.groupBy(col("q_id")).agg(
         (aggregate(sort_array(collect_list(col("cos")), asc = false),
           lit(0.0), (acc, x) => acc + x) / count(lit(1))).as(avgName))
     val avgF = neighborhoodMean(fwd, "avg_f")
     val avgB = neighborhoodMean(bwd, "avg_b").withColumnRenamed("q_id", "c_id")
+    val avgBSide = if (broadcastAvgB) broadcast(avgB) else avgB.hint("shuffle_hash")
     val margined = fwd
       .join(avgF, "q_id")
-      .join(broadcast(avgB), "c_id")
+      .join(avgBSide, "c_id")
       .withColumn("margin", col("cos") / ((col("avg_f") + col("avg_b")) / lit(2.0)))
     graft.plans.TopKPerKey(margined, col("q_id"), col("margin"), col("c_id"), 1)
       .filter(col("margin") >= threshold)

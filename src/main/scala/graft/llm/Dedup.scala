@@ -237,12 +237,14 @@ object Dedup {
     // Keeper per component = ONE map-side-combinable aggregate (arg-max by
     // (centroid_cos, then lowest vec_id), group size riding the same agg)
     // — not a row_number window, which would sort every component's rows
-    // corpus-wide just to keep row 1. Negating vec_id makes the struct
-    // ordering total, so max_by is deterministic under any partitioning.
+    // corpus-wide just to keep row 1. min_by over (−centroid_cos, vec_id)
+    // keeps the ordering total for ANY orderable id type: negating the
+    // DOUBLE cosine is exact and never null, where negating the id would
+    // be null for string ids and overflow Long.MinValue.
     ranked.groupBy(col("component"))
       .agg(
-        max_by(struct(col("vec_id"), col("bucket")),
-          struct(col("centroid_cos"), (-col("vec_id")).as("neg_id"))).as("keep"),
+        min_by(struct(col("vec_id"), col("bucket")),
+          struct((-col("centroid_cos")).as("neg_cos"), col("vec_id"))).as("keep"),
         count(lit(1)).as("group_size"))
       .select(col("keep.vec_id").as("vec_id"), col("keep.bucket").as("bucket"),
         col("component"), col("group_size"))

@@ -55,11 +55,22 @@ object Pipes {
 
   private val registry = scala.collection.concurrent.TrieMap.empty[String, Pipe]
 
+  /** Raw JSON of entries the last reload could NOT parse (e.g. a DDL
+    * written by a newer coordinator): kept verbatim and re-emitted by
+    * [[persist]], so this process' pipe mutations never durably DELETE a
+    * foreign coordinator's pipe it merely failed to understand. Keyed by
+    * pipe name so a later parseable redefinition supersedes the blob. */
+  private val unparsed = scala.collection.concurrent.TrieMap
+    .empty[String, com.fasterxml.jackson.databind.JsonNode]
+
   /** CREATE PIPE: register a pipe definition. */
   def define(pipe: Pipe): Unit = { registry.put(pipe.name, pipe); persist() }
   def get(name: String): Option[Pipe] = registry.get(name)
   def list: Seq[Pipe] = registry.values.toSeq.sortBy(_.name)
-  def drop(name: String): Unit = { registry.remove(name); persist() }
+  /** DROP PIPE honors an explicit delete even when the name only exists
+    * as a retained-unparseable blob from a foreign coordinator. */
+  def drop(name: String): Unit =
+    { registry.remove(name); unparsed.remove(name); persist() }
 
   /** ALTER PIPE ... SET PIPE_EXECUTION_RUNNING = TRUE|FALSE. */
   def setRunning(name: String, running: Boolean): Pipe = {
@@ -95,12 +106,18 @@ object Pipes {
         p.notificationQueue.foreach(o.put("notificationQueue", _))
         p.dedupeLookbackDays.foreach(o.put("dedupeLookbackDays", _))
       }
+      // re-emit foreign entries this version could not parse, verbatim —
+      // unless a parseable definition has since taken the name
+      unparsed.toSeq.sortBy(_._1).foreach { case (name, node) =>
+        if (!registry.contains(name)) { arr.add(node.deepCopy[com.fasterxml.jackson.databind.JsonNode]()); () }
+      }
       st.saveResync(spark, "pipes", root)(loadFrom)
     }
 
   def loadFrom(spark: org.apache.spark.sql.SparkSession): Unit =
     graft.catalog.GraftStore.load(spark, "pipes").foreach { root =>
       registry.clear()
+      unparsed.clear()
       root.path("pipes").forEach { o =>
         // per-entry guard: one entry another coordinator version wrote
         // with a DDL this version can't parse must not abort the reload
@@ -120,9 +137,13 @@ object Pipes {
           registry.put(p.name, p)
           ()
         } catch {
-          case e: Exception => System.err.println(
-            s"[graft-pipes] WARN: skipping unloadable pipe entry " +
-              s"'${o.path("name").asText()}': $e")
+          case e: Exception =>
+            // keep the raw blob so our next save re-emits it verbatim
+            unparsed.put(o.path("name").asText(),
+              o.deepCopy[com.fasterxml.jackson.databind.JsonNode]())
+            System.err.println(
+              s"[graft-pipes] WARN: skipping unloadable pipe entry " +
+                s"'${o.path("name").asText()}' (definition retained): $e")
         }
       }
     }
@@ -130,12 +151,14 @@ object Pipes {
   /** Test/bootstrap reset — durable section included. */
   def clear(): Unit = {
     registry.clear()
+    unparsed.clear()
     graft.catalog.GraftStore.sessionForPersist
       .foreach(s => graft.catalog.GraftStore.delete(s, "pipes"))
   }
 
   /** Restart simulation for specs: in-memory only, store survives. */
-  private[graft] def resetMemoryForTest(): Unit = registry.clear()
+  private[graft] def resetMemoryForTest(): Unit =
+    { registry.clear(); unparsed.clear() }
 
   /** The notified loaded-files log: "#gen=<n>" header, then
     * "<epochMs>\t<gen>\t<path>" lines (the generation that TAGGED the

@@ -808,4 +808,52 @@ class ReflectionsSpec extends AnyFunSuite {
     assert(m("sysctx_api") == "skipped: no stored SQL", m.toString)
     Reflections.clear()
   }
+
+  test("refresh re-checks the creating principal: revoked SELECT stops SYSTEM-identity refresh") {
+    // refreshChain runs stored SQL as SYSTEM (a cron user without base
+    // grants must not poison the chain) — so the CREATE-time
+    // authorization is re-validated first: a creator whose SELECT was
+    // revoked, or who was dropped, must not keep their reflection
+    // refreshing through the SYSTEM identity (definer-rights leak)
+    val P = graft.auth.Privileges
+    Reflections.clear(); P.clear()
+    Reflections.install(spark)
+    val root = Files.createTempDirectory("graft_refl_owner").toString
+    val t = s"$root/t"
+    spark.sql(s"CREATE LAKE '$t' AS SELECT id, id % 5 AS k, id AS v FROM range(100)")
+    try {
+      spark.sql("CREATE USER adm PASSWORD 'ap' ADMIN")
+      spark.sql("CREATE USER eve PASSWORD 'ep'")
+      spark.sql(s"GRANT SELECT ON '$t' TO USER eve")
+      spark.sql("ALTER AUTH ENFORCE ON")
+      spark.sql("AUTHENTICATE USER eve PASSWORD 'ep'")
+      spark.sql(s"CREATE REFLECTION own_r USING PATH '$root/mv/r' AS " +
+        s"SELECT k, sum(v) AS sv FROM lake_scan('$t') GROUP BY k")
+      // the admin's own goal rides the same chain and must keep working
+      spark.sql("AUTHENTICATE USER adm PASSWORD 'ap'")
+      spark.sql(s"CREATE REFLECTION adm_r USING PATH '$root/mv/a' AS " +
+        s"SELECT count(1) AS n FROM lake_scan('$t')")
+      def chain(): Map[String, String] = spark.sql("REFRESH REFLECTIONS")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val before = chain()
+      assert(before("own_r") == "refreshed" && before("adm_r") == "refreshed",
+        before.toString)
+      // revoke the creator's SELECT → her goal stops; the admin's stays
+      spark.sql(s"REVOKE SELECT ON '$t' FROM USER eve")
+      val revoked = chain()
+      assert(revoked("own_r").startsWith("skipped: privileges revoked"),
+        revoked.toString)
+      assert(revoked("adm_r") == "refreshed", revoked.toString)
+      // re-granting restores maintenance — the skip is a gate, not a tomb
+      spark.sql(s"GRANT SELECT ON '$t' TO USER eve")
+      assert(chain()("own_r") == "refreshed")
+      // a DROPPED creator is a revocation too
+      spark.sql("DROP USER eve")
+      assert(chain()("own_r").startsWith("skipped: privileges revoked"))
+    } finally {
+      Reflections.clear(); P.clear()
+      spark.conf.unset(P.TokenConf)
+      spark.conf.unset(P.UserConf)
+    }
+  }
 }

@@ -258,4 +258,42 @@ class DurableStoreSpec extends AnyFunSuite {
       clearAll()
     }
   }
+
+  test("an unparseable foreign pipe entry survives this process' pipe mutations") {
+    clearAll()
+    try {
+      val root = Files.createTempDirectory("graft_store_foreign").toString
+      // a foreign (newer) coordinator wrote a pipe whose schema DDL this
+      // version cannot parse — reload must retain it, and OUR next pipe
+      // mutation must re-emit it verbatim instead of durably deleting it
+      val rootNode = GraftStore.newObject
+      val arr = rootNode.putArray("pipes")
+      val o = arr.addObject()
+      o.put("name", "future_pipe"); o.put("sourceDir", s"$root/in")
+      o.put("format", "json"); o.put("schema", "payload QUANTUM_TYPE")
+      o.put("targetDir", s"$root/out"); o.put("checkpointDir", s"$root/ck")
+      o.put("sink", "parquet"); o.put("paused", false)
+      o.put("futureOption", "kept-verbatim")
+      GraftStore.save(spark, "pipes", rootNode)
+      graft.streaming.Pipes.loadFrom(spark)
+      assert(graft.streaming.Pipes.get("future_pipe").isEmpty,
+        "the unparseable entry must not register as a live pipe")
+      graft.streaming.Pipes.define(graft.streaming.Pipe("ours", s"$root/in",
+        "json", org.apache.spark.sql.types.StructType.fromDDL("id BIGINT"),
+        s"$root/out2", s"$root/ck2"))
+      def names(): Seq[(String, com.fasterxml.jackson.databind.JsonNode)] = {
+        val ps = GraftStore.load(spark, "pipes").get.path("pipes")
+        (0 until ps.size()).map(i => ps.get(i).path("name").asText() -> ps.get(i))
+      }
+      val after = names()
+      assert(after.map(_._1).sorted == Seq("future_pipe", "ours"), after.map(_._1).toString)
+      val blob = after.toMap.apply("future_pipe")
+      assert(blob.path("schema").asText() == "payload QUANTUM_TYPE" &&
+        blob.path("futureOption").asText() == "kept-verbatim",
+        s"foreign entry must round-trip verbatim: $blob")
+      // an explicit DROP of the foreign name honors the delete
+      graft.streaming.Pipes.drop("future_pipe")
+      assert(names().map(_._1) == Seq("ours"))
+    } finally clearAll()
+  }
 }

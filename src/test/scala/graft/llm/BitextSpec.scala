@@ -107,6 +107,26 @@ class BitextSpec extends AnyFunSuite {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       s"bucketed mining must not plan a cross product:\n$plan")
+    // ...and the backward-neighborhood mean (avg_b — one row per DISTINCT
+    // target, corpus cardinality on this path) must join by SHUFFLE, never
+    // a driver-collecting broadcast
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    def findBcast(p: SparkPlan): Seq[BroadcastHashJoinExec] = p match {
+      case a: AdaptiveSparkPlanExec => findBcast(a.executedPlan)
+      case q: QueryStageExec => findBcast(q.plan)
+      case b: BroadcastHashJoinExec =>
+        b +: b.children.flatMap(findBcast)
+      case other => other.children.flatMap(findBcast)
+    }
+    val bcastAvgB = findBcast(out.queryExecution.executedPlan).filter { b =>
+      val build = b.buildSide match { case BuildLeft => b.left; case BuildRight => b.right }
+      build.output.exists(_.name == "avg_b")
+    }
+    assert(bcastAvgB.isEmpty,
+      s"corpus-scale path must not broadcast the O(|tgt|) avg_b side: $bcastAvgB")
   }
 
   test("mining is deterministic under repartitioning (doublePrec)") {
