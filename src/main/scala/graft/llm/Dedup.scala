@@ -86,8 +86,55 @@ object Dedup {
   /** SimHash near-dup: 64-bit signature, candidates via the 4×16-bit-chunk
     * pigeonhole (hamming ≤ 3 guarantees one identical chunk), verified with
     * exact hamming distance. Chunk join is an 8-byte-key shuffle. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigd = docs.select(col("doc_id"), Functions.simhash64(col("text")).as("sig"))
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    simhashJoin(
+      docs.select(col("doc_id"), Functions.simhash64(col("text")).as("sig")),
+      maxHamming)
+
+  /** [[simhashPairs]] with a CROSS-ENGINE-REPLAYABLE signature: per-token
+    * 64-bit hashes come from md5 (the first/last 8 hex chars as two 32-bit
+    * halves — md5 is identical everywhere) instead of the engine-seeded
+    * xxhash64, with the same whitespace-lowercase token multiset and the
+    * same per-bit majority vote. Candidate generation, hamming verify and
+    * dedup are [[simhashJoin]] — the identical machinery the xxhash path
+    * runs — so an external engine (the DuckDB oracle) replays the full
+    * pipeline bit-for-bit: tokens → md5 halves → bit votes → signature →
+    * chunk pigeonhole → hamming. The xxhash64 variant stays the 100 TB hot
+    * path (one codegen'd expression per doc vs a token explode + two
+    * aggregates here); this one buys EXACT external verifiability. */
+  def simhashPairsReplayable(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // token multiset, exactly TextHashing.tokenize's contract: lowercase,
+    // split on the six ASCII whitespace chars, drop empties, keep repeats
+    val toks = docs.select(col("doc_id"),
+      explode(filter(split(lower(col("text")), "[ \t\n\r\f\u000B]+"),
+        w => length(w) > lit(0))).as("tok"))
+    val h = toks.withColumn("m", md5(col("tok").cast("binary")))
+      .select(col("doc_id"),
+        conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("h_hi"),
+        conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("h_lo"))
+    val votes = h.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, 63), b -> struct(b AS bit, CASE WHEN b < 32 " +
+          "THEN shiftright(h_lo, b) & 1 ELSE shiftright(h_hi, b - 32) & 1 " +
+          "END AS onbit))")).as("x"))
+      .select(col("doc_id"), col("x.bit").as("bit"),
+        (col("x.onbit") * 2 - 1).as("vote"))
+    // two map-side-combinable aggregates: per-bit majority, then the
+    // signature as a sum of distinct bit powers (no intermediate overflow:
+    // bits 0..62 sum below 2^63, bit 63 lands the result in signed range)
+    val sigs = votes.groupBy(col("doc_id"), col("bit"))
+      .agg(sum(col("vote")).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("v") > 0, expr("shiftleft(1L, bit)"))
+        .otherwise(lit(0L))).as("sig"))
+    // a doc with no tokens folds to signature 0, like the kernel's empty fold
+    val allSigs = docs.select(col("doc_id")).join(sigs, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("sig"), lit(0L)).as("sig"))
+    simhashJoin(allSigs, maxHamming)
+  }
+
+  /** Shared candidate+verify stage over (doc_id, sig): 4×16-bit chunk
+    * pigeonhole equi-join, exact hamming verify, pair dedup. */
+  private def simhashJoin(sigd: DataFrame, maxHamming: Int): DataFrame = {
     val chunked = sigd.select(col("doc_id"), col("sig"),
       explode(expr("transform(sequence(0, 3), c -> struct(c as chunk, " +
         "cast(shiftright(sig, c * 16) & 65535 as int) as ck))")).as("cc"))

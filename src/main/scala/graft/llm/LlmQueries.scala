@@ -51,9 +51,66 @@ object LlmQueries {
            - len(list_filter(a.grams, g -> list_contains(b.grams, g)))) >= 0.5
     ORDER BY a_id, b_id"""
 
+  /** FULL oracle via [[Dedup.simhashPairsReplayable]]: the signature's
+    * per-token hash is md5 (identical in every engine) instead of the
+    * engine-seeded xxhash64, so DuckDB replays the ENTIRE pipeline
+    * exactly — token multiset → md5 halves → per-bit majority → 64-bit
+    * signature → 4×16-bit chunk pigeonhole join → hamming verify. All
+    * integer arithmetic end to end (no float anywhere), so the match is
+    * bit-exact by construction, not a fixture coincidence. The xxhash64
+    * signature path ([[Dedup.simhashPairs]]) stays the 100 TB hot path,
+    * spec-covered in DedupSpec. */
   val dedupSimhash: QueryFn = (s, dir) =>
-    Dedup.simhashPairs(Tables.ensure(s, dir).documents, maxHamming = 6)
+    Dedup.simhashPairsReplayable(Tables.ensure(s, dir).documents, maxHamming = 6)
       .orderBy(col("a_id"), col("b_id"))
+  val dedupSimhashSql: String = """
+    WITH toks AS (
+      SELECT d.doc_id, t.tok
+      FROM documents d,
+           unnest(list_filter(string_split_regex(lower(d.text),
+             '[ \t\n\r\f\x0B]+'), w -> len(w) > 0)) AS t(tok)),
+    th AS (
+      SELECT doc_id,
+        list_reduce(list_transform(generate_series(1, 8),
+          i -> CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1
+                    AS BIGINT)), (a, b) -> a * 16 + b) AS h_hi,
+        list_reduce(list_transform(generate_series(9, 16),
+          i -> CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1
+                    AS BIGINT)), (a, b) -> a * 16 + b) AS h_lo
+      FROM toks),
+    votes AS (
+      SELECT doc_id, b.bit,
+        SUM(CASE WHEN (CASE WHEN b.bit < 32 THEN (h_lo >> b.bit) & 1
+                       ELSE (h_hi >> (b.bit - 32)) & 1 END) = 1
+            THEN 1 ELSE -1 END) AS v
+      FROM th, (SELECT unnest(generate_series(0, 63)) AS bit) b
+      GROUP BY doc_id, b.bit),
+    sigs AS (
+      SELECT doc_id,
+        SUM(CASE WHEN v > 0 AND bit < 32 THEN 1::BIGINT << bit ELSE 0 END) AS sig_lo,
+        SUM(CASE WHEN v > 0 AND bit >= 32 THEN 1::BIGINT << (bit - 32) ELSE 0 END) AS sig_hi
+      FROM votes GROUP BY doc_id),
+    allsigs AS (
+      SELECT d.doc_id, COALESCE(s.sig_lo, 0) AS sig_lo, COALESCE(s.sig_hi, 0) AS sig_hi
+      FROM documents d LEFT JOIN sigs s ON d.doc_id = s.doc_id),
+    chunks AS (
+      SELECT doc_id, c.chunk,
+        CASE c.chunk WHEN 0 THEN sig_lo & 65535
+                     WHEN 1 THEN (sig_lo >> 16) & 65535
+                     WHEN 2 THEN sig_hi & 65535
+                     ELSE (sig_hi >> 16) & 65535 END AS ck,
+        sig_lo, sig_hi
+      FROM allsigs, (SELECT unnest(generate_series(0, 3)) AS chunk) c),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        a.sig_lo AS a_lo, a.sig_hi AS a_hi, b.sig_lo AS b_lo, b.sig_hi AS b_hi
+      FROM chunks a JOIN chunks b
+        ON a.chunk = b.chunk AND a.ck = b.ck AND a.doc_id < b.doc_id)
+    SELECT a_id, b_id,
+      CAST(bit_count(xor(a_lo, b_lo)) + bit_count(xor(a_hi, b_hi)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(a_lo, b_lo)) + bit_count(xor(a_hi, b_hi)) <= 6
+    ORDER BY a_id, b_id"""
 
   val dedupEmbedding: QueryFn = (s, dir) =>
     // Fixture embeddings are near-random (max within-label cosine ≈ 0.47),
@@ -3525,6 +3582,7 @@ object LlmQueries {
     "text_tfidf" -> textTfidfSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash_lsh" -> dedupMinhashSql,
+    "dedup_simhash" -> dedupSimhashSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_components" -> dedupComponentsSql,
     "text_quality" -> textQualitySql,

@@ -41,6 +41,17 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => Set(a, b) == Set(3L, 4L) })
   }
 
+  test("replayable (md5) simhash agrees with the xxhash path's dup structure") {
+    // same pipeline, different per-token hash family — exact duplicates
+    // are hamming 0 under ANY hash, and unrelated topics stay apart
+    val pairs = Dedup.simhashPairsReplayable(corpus, maxHamming = 6)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .as[(Long, Long, Int)].collect()
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair.get((0L, 1L)).contains(0), s"exact dup must be hamming 0: $byPair")
+    assert(!byPair.keySet.exists { case (a, b) => Set(a, b) == Set(3L, 4L) })
+  }
+
   test("LSH recall vs exact Jaccard: every exact pair is recovered on the fixture") {
     // Falsifiability anchor (VERDICT r1): LSH output must contain every
     // exact n-gram-Jaccard pair above threshold on the same corpus slice —
