@@ -278,6 +278,49 @@ object LlmQueries {
         s"round(var_pop(CAST(embedding[${j + 1}] AS DOUBLE)), 6) AS var_j FROM embeddings"
     }.mkString("", "\nUNION ALL\n", "\nORDER BY j")
 
+  private val PcaPinnedMean: Seq[Double] = Seq(
+    0.002165, -0.004548, 0.00393, -0.004793, 0.009943, 0.007773, -0.018231, 0.009217, -0.002427, -0.000618, 0.006436, 0.003354, -0.002659, 0.002054, -0.000215, 0.00591, 0.003334, 0.005826, -0.000461, 0.001232, -0.003839, 0.002302, 0.004168, -0.008055, -0.001891, 0.012808, -0.001597, 0.010626, -0.001153, 0.00039, 0.005605, -0.005793, 0.008335, -0.006675, 0.005156, 0.001177, -0.005335, -0.001594, -0.000967, -0.001141, -0.001744, -0.011834, 0.000314, -0.000563, -0.011521, 0.003833, -0.000598, 0.00589, -0.00375, -0.010264, 0.009377, -0.001482, 0.00777, -0.003918, 0.00471, -0.003577, 0.004774, -0.00247, -0.004845, -0.008721, -0.000281, 0.005004, -0.001159, -0.013266)
+  private val PcaPinnedEigen: Seq[Double] = Seq(
+    0.027513, 0.027167, 0.026618, 0.025589, 0.025365, 0.025076, 0.023944, 0.023166)
+  private val PcaPinnedComponents: Seq[Seq[Double]] = Seq(
+    Seq(-0.209639, -0.120573, 0.036548, 0.01182, 0.07567, 0.013215, 0.090584, 0.286619, 0.049547, 0.414057, 0.065305, 0.182079, 0.065132, -0.036532, 0.171149, -0.18535, 0.08899, -0.157027, -0.030137, 0.032179, 0.061213, -0.110688, -0.083475, -0.055437, 0.01955, 0.199125, -0.037517, 0.149508, -0.17288, -0.006123, -0.058716, 0.062038, 0.296539, 0.106165, -0.032042, 0.104144, 0.044539, 0.061464, 0.013007, 0.021771, -0.116679, 0.005525, -0.240837, 0.095708, -0.028308, -0.225127, 0.008732, -0.079038, -0.083681, -0.118451, 0.120459, 0.072483, -0.017186, 0.081604, -0.015031, -0.066765, -0.055651, -0.051376, 0.060196, -0.091139, 0.121987, 0.05065, -0.218211, -0.102014),
+    Seq(-0.003837, -0.05443, -0.012568, -0.088134, 0.174858, 0.025214, 0.074947, -0.069981, 0.077448, 0.030696, 0.105758, -0.017883, 0.012976, 0.133697, 0.014559, 0.041392, 0.148411, 0.36031, -0.054189, -0.050765, 0.032543, 0.035391, 0.065335, -0.309123, -0.257682, -0.239066, -0.020638, -0.000223, -0.086286, -0.174533, -0.024068, -0.217545, 0.029464, 0.061539, 0.033753, 0.07922, 0.059467, 0.036498, 0.182107, 0.046674, 9e-06, 0.046987, -0.062767, -0.17919, 0.172686, -0.188835, -0.046946, 0.145779, 0.112924, -0.113281, -0.157431, -0.081975, 0.01298, -0.016092, 0.238035, 0.023384, -0.30282, 0.016383, 0.135434, -0.121586, -0.08367, 0.084839, -0.000443, -0.078616))
+
+  /** PCA serve from a PERSISTED matrix ([[ModelStore.savePca]] — the
+    * lr_score_persisted treatment for linear algebra): the pinned
+    * mean/top-2-component matrix is saved as a lake table, loaded back
+    * (bit-identical binary64), and the projection runs from the LOADED
+    * model — the serve path a fresh coordinator takes after a restart.
+    * Coordinates are the left-associated centered dot product
+    * ([[Projection.pcaCoordCols]]), so DuckDB replays them exactly from
+    * the same literals. */
+  val embedPcaPersisted: QueryFn = (s, dir) => {
+    val store = graft.queries.Lake.scratchDir("llm_pca_model")
+    ModelStore.savePca(s, store, Projection.PcaModel(
+      PcaPinnedMean.toArray, PcaPinnedEigen.toArray,
+      PcaPinnedComponents.map(_.toArray).toArray))
+    val m = ModelStore.loadPca(s, store)
+    val e = Tables.ensure(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+    val coords = Projection.pcaCoordCols(col("embedding"), m, 2)
+    e.select(col("vec_id"),
+        posexplode(array(coords.map(c => round(c, 6)): _*)))
+      .withColumnRenamed("pos", "j").withColumnRenamed("col", "pc")
+      .orderBy(col("vec_id"), col("j"))
+  }
+
+  /** The oracle rebuilds each coordinate from the SAME pinned constants:
+    * `0.0 + (v[1]-m1)*w1 + ...` left-associated, matching the engine's
+    * aggregate fold bit for bit. */
+  val embedPcaPersistedSql: String = {
+    val branches = PcaPinnedComponents.zipWithIndex.map { case (row, j) =>
+      val terms = row.zip(PcaPinnedMean).zipWithIndex.map { case ((w, m), dim) =>
+        s"(CAST(embedding[${dim + 1}] AS DOUBLE) - $m) * $w"
+      }.mkString(" + ")
+      s"SELECT vec_id, $j AS j, round(0.0 + $terms, 6) AS pc FROM embeddings"
+    }
+    branches.mkString("", "\nUNION ALL\n", "\nORDER BY vec_id, j")
+  }
+
   /** Johnson–Lindenstrauss random projection (no fit pass; hash-derived
     * deterministic planes shared with srp_sign64). Output is the exploded
     * (vec_id, coordinate j, value rounded to 6dp) relation so the DuckDB
@@ -3486,6 +3529,7 @@ object LlmQueries {
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,
     "image_phash_dups" -> imagePhashDups,
     "embed_pca" -> embedPca,
+    "embed_pca_persisted" -> embedPcaPersisted,
     "embed_pca_variance" -> embedPcaVariance,
     "embed_random_project" -> embedRandomProject,
     "cluster_documents" -> clusterDocuments,
@@ -3626,6 +3670,7 @@ object LlmQueries {
     "shuffle_deterministic" -> shuffleDeterministicSql,
     "embed_quantize" -> embedQuantizeSql,
     "embed_pca_variance" -> embedPcaVarianceSql,
+    "embed_pca_persisted" -> embedPcaPersistedSql,
     "embed_random_project" -> embedRandomProjectSql,
     "text_entropy" -> textEntropySql,
     "text_lm_score" -> textLmScoreSql,

@@ -64,4 +64,65 @@ object ModelStore {
     val m = load(spark, dir)
     QualityClassifier.score(docs, m.featureNames.zip(m.weights.toSeq), m.intercept)
   }
+
+  // ---- persisted linear-algebra artifacts: PCA models and k-means
+  // centroid sets. Same treatment as the classifier: the trained matrix
+  // is a lake table of binary64 values (kind, section, i, j, value), so
+  // SAVE → restart → LOAD → project/assign is bit-identical, time travel
+  // pins the exact matrix a dataset was projected with, and a branch
+  // stages a refit before it serves. ----
+
+  private val PcaKind = "pca"
+  private val CentroidKind = "kmeans_centroids"
+
+  def savePca(spark: SparkSession, dir: String, m: Projection.PcaModel): Unit = {
+    import spark.implicits._
+    require(m.components.forall(_.length == m.mean.length),
+      "component rows must match the mean's dimension")
+    val rows =
+      m.mean.toSeq.zipWithIndex.map { case (v, i) => (PcaKind, "mean", i, 0, v) } ++
+      m.eigenvalues.toSeq.zipWithIndex.map { case (v, i) => (PcaKind, "eigenvalue", i, 0, v) } ++
+      m.components.toSeq.zipWithIndex.flatMap { case (row, i) =>
+        row.toSeq.zipWithIndex.map { case (v, j) => (PcaKind, "component", i, j, v) } }
+    SnapshotTable.create(spark, dir,
+      rows.toDF("kind", "section", "i", "j", "value"))
+  }
+
+  def loadPca(spark: SparkSession, dir: String): Projection.PcaModel = {
+    val got = SnapshotTable.forPath(spark, dir).read()
+      .selectExpr("kind", "section", "i", "j", "value").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3), r.getDouble(4)))
+    require(got.nonEmpty && got.forall(_._1 == PcaKind),
+      s"table at $dir does not hold a '$PcaKind' model")
+    def vec(section: String): Array[Double] =
+      got.filter(_._2 == section).sortBy(_._3).map(_._5)
+    val comps = got.filter(_._2 == "component").groupBy(_._3).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._4).map(_._5)).toArray
+    val m = Projection.PcaModel(vec("mean"), vec("eigenvalue"), comps)
+    require(m.mean.nonEmpty && m.components.nonEmpty,
+      s"pca model at $dir lacks mean/component sections")
+    m
+  }
+
+  /** Centroids persist as binary64 (a float widens exactly), so the
+    * restart round-trip is bit-identical in either precision. */
+  def saveCentroids(spark: SparkSession, dir: String, cents: Seq[Seq[Float]]): Unit = {
+    import spark.implicits._
+    require(cents.nonEmpty && cents.forall(_.length == cents.head.length),
+      "centroids must be non-empty and rectangular")
+    val rows = cents.zipWithIndex.flatMap { case (c, i) =>
+      c.zipWithIndex.map { case (v, j) => (CentroidKind, "centroid", i, j, v.toDouble) } }
+    SnapshotTable.create(spark, dir,
+      rows.toDF("kind", "section", "i", "j", "value"))
+  }
+
+  def loadCentroids(spark: SparkSession, dir: String): Seq[Seq[Float]] = {
+    val got = SnapshotTable.forPath(spark, dir).read()
+      .selectExpr("kind", "section", "i", "j", "value").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3), r.getDouble(4)))
+    require(got.nonEmpty && got.forall(g => g._1 == CentroidKind && g._2 == "centroid"),
+      s"table at $dir does not hold a '$CentroidKind' set")
+    got.groupBy(_._3).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._4).map(_._5.toFloat).toSeq)
+  }
 }

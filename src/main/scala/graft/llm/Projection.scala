@@ -144,14 +144,20 @@ object Projection {
   /** Projection column: top-k PCA coordinates of `vec` — pure zip_with +
     * aggregate lambdas over literal component rows, whole-stage codegen,
     * matrix rides the plan. */
-  def pcaProjectCol(vec: Column, model: PcaModel, k: Int): Column = {
+  def pcaProjectCol(vec: Column, model: PcaModel, k: Int): Column =
+    array(pcaCoordCols(vec, model, k).map(_.cast("float")): _*)
+
+  /** The top-k PCA coordinates as DOUBLE columns — the exact fold
+    * (`0.0 + (x₁−m₁)·w₁ + (x₂−m₂)·w₂ + …`, left-associated) an external
+    * engine replays from the same literal mean/components, which is what
+    * lets a persisted-matrix query carry a bit-exact oracle. */
+  def pcaCoordCols(vec: Column, model: PcaModel, k: Int): Seq[Column] = {
     val meanLit = typedLit(model.mean.toSeq)
     val centered = zip_with(vec, meanLit, (x, m) => x.cast("double") - m)
-    val coords = model.components.take(k).map { row =>
+    model.components.take(k).toSeq.map { row =>
       aggregate(zip_with(centered, typedLit(row.toSeq), (x, w) => x * w),
         lit(0.0), (acc, x) => acc + x)
     }
-    array(coords.map(_.cast("float")).toSeq: _*)
   }
 
   /** Fit + transform: adds `outCol` with the top-k PCA coordinates. */

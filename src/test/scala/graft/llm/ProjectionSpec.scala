@@ -97,4 +97,39 @@ class ProjectionSpec extends AnyFunSuite {
     val meanRatio = ratios.sum / ratios.size
     assert(meanRatio > 0.8 && meanRatio < 1.2, s"mean norm ratio $meanRatio")
   }
+
+  test("PCA model persists through ModelStore bit-identically; serve equals in-memory") {
+    val e = graft.engine.Tables(spark, graft.TestSpark.sf).embeddings
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val fitted = Projection.fitPca(e)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pca_model").toString
+    ModelStore.savePca(spark, dir + "/m", fitted)
+    val loaded = ModelStore.loadPca(spark, dir + "/m")
+    assert(loaded.mean.toSeq == fitted.mean.toSeq, "mean must round-trip bitwise")
+    assert(loaded.eigenvalues.toSeq == fitted.eigenvalues.toSeq)
+    assert(loaded.components.map(_.toSeq).toSeq ==
+      fitted.components.map(_.toSeq).toSeq, "components must round-trip bitwise")
+    // serve path: projecting through the loaded model equals the in-memory one
+    import org.apache.spark.sql.functions._
+    val direct = e.limit(20).select(col("vec_id"),
+        Projection.pcaProjectCol(col("embedding"), fitted, 4).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val served = e.limit(20).select(col("vec_id"),
+        Projection.pcaProjectCol(col("embedding"), loaded, 4).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(served == direct)
+    // a non-PCA lake table refuses loudly
+    intercept[Exception](ModelStore.loadPca(spark,
+      java.nio.file.Files.createTempDirectory("graft_pca_none").toString))
+  }
+
+  test("k-means centroid sets persist through ModelStore bit-identically") {
+    val e = graft.engine.Tables(spark, graft.TestSpark.sf).embeddings
+    val cents = Similarity.kmeansCentroids(e, nClusters = 6, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cent").toString
+    ModelStore.saveCentroids(spark, dir + "/c", cents)
+    val loaded = ModelStore.loadCentroids(spark, dir + "/c")
+    assert(loaded == cents.map(_.toSeq), "centroids must round-trip bitwise")
+  }
 }
