@@ -259,6 +259,82 @@ class DurableStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("two-PROCESS arbitration tier: one winner per generation across a real process boundary") {
+    // The two-writer conflict test above runs in ONE JVM; this tier spawns
+    // a real second JVM (scripts/run-main.sh -> graft.tools.StoreRacer) so
+    // the claim-file CAS is exercised under a true process boundary — the
+    // reference KV store's serialization guarantee. Invariant: every
+    // successful save takes exactly one fresh generation, so
+    // winsA + winsB == final generation + 1; a lost claim never mutates
+    // the store. Opt-in with -Dgraft.scale=1 (boots a second SparkContext).
+    assume(sys.props.get("graft.scale").contains("1"),
+      "opt-in: run with -Dgraft.scale=1")
+    clearAll()
+    val root = Files.createTempDirectory("graft_store_race").toString
+    val storeDir = s"$root/store"
+    val section = "race"
+    val st = GraftStore
+    try {
+      spark.conf.set(GraftStore.DirConf, storeDir)
+      val pb = new ProcessBuilder("scripts/run-main.sh",
+        "graft.tools.StoreRacer", storeDir, section, "200", "B")
+      pb.directory(new java.io.File("."))
+      // Spark's boot logging lands on stderr; an undrained pipe fills its
+      // buffer and blocks the child — spool it to a file instead
+      pb.redirectError(new java.io.File(s"$root/racer.stderr"))
+      val child = pb.start()
+      val out = new java.io.BufferedReader(
+        new java.io.InputStreamReader(child.getInputStream))
+      // race while the child lives: save, reload on conflict
+      var winsA = 0
+      var conflictsA = 0
+      var i = 0
+      while (child.isAlive) {
+        val payload = st.newObject
+        payload.put("writer", "A"); payload.put("round", i)
+        try { st.saveOrThrow(spark, section, payload); winsA += 1 }
+        catch {
+          case _: java.util.ConcurrentModificationException =>
+            conflictsA += 1
+            st.load(spark, section)
+        }
+        i += 1
+        Thread.sleep(5)
+      }
+      assert(child.waitFor(60, java.util.concurrent.TimeUnit.SECONDS))
+      assert(child.exitValue() == 0, "racer JVM must exit cleanly")
+      val line = Iterator.continually(out.readLine()).takeWhile(_ != null)
+        .find(_.startsWith("RACER B")).getOrElse(fail("no RACER report"))
+      val Report = """RACER B wins=(\d+) conflicts=(\d+)""".r
+      val (winsB, conflictsB) = line.trim match {
+        case Report(w, c) => (w.toInt, c.toInt)
+        case other => fail(s"unparseable racer report: $other")
+      }
+      // final generation from the on-disk section files
+      val dirPath = new org.apache.hadoop.fs.Path(storeDir)
+      val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val gens = fs.listStatus(dirPath).toSeq.map(_.getPath.getName).collect {
+        case n if n.startsWith(section + ".") && n.endsWith(".json") =>
+          n.stripPrefix(section + ".").stripSuffix(".json").toLong
+      }
+      assert(gens.nonEmpty, "store must hold a committed section file")
+      val finalGen = gens.max
+      info(s"A: wins=$winsA conflicts=$conflictsA; B: wins=$winsB " +
+        s"conflicts=$conflictsB; finalGen=$finalGen")
+      assert(winsA >= 1 && winsB >= 1, "both processes must win some generations")
+      assert(conflictsA + conflictsB >= 1, "the race must produce real contention")
+      assert(winsA + winsB == finalGen + 1,
+        s"every generation must have exactly ONE winner: " +
+          s"$winsA + $winsB wins vs ${finalGen + 1} generations")
+      // the surviving state is one writer's intact payload
+      val last = GraftStore.load(spark, section).getOrElse(fail("unloadable store"))
+      assert(Set("A", "B").contains(last.path("writer").asText()))
+    } finally {
+      spark.conf.unset(GraftStore.DirConf)
+      clearAll()
+    }
+  }
+
   test("an unparseable foreign pipe entry survives this process' pipe mutations") {
     clearAll()
     try {
