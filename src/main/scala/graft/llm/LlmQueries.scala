@@ -2181,9 +2181,11 @@ object LlmQueries {
            CAST(group_size AS BIGINT) AS group_size
     FROM ranked WHERE rk = 1 ORDER BY vec_id"""
 
-  /** Corpus-trained BPE merge table (no oracle: iterative dict merging is
-    * not SQL-expressible; the merge loop is pinned against a hand-derived
-    * sequence in BpeSpec). Deterministic given the corpus. */
+  /** Corpus-trained BPE merge table, under a FULL oracle since r16: the
+    * iterative merge loop IS SQL-expressible -- DuckDB replays it as a
+    * recursive CTE (see [[bpeTrainMergesSql]]); BpeSpec still pins the
+    * loop against a hand-derived sequence. Deterministic given the
+    * corpus. */
   val bpeTrainMerges: QueryFn = (s, dir) => {
     import s.implicits._
     val v = Bpe.train(Tables.ensure(s, dir).documents,
@@ -2193,6 +2195,76 @@ object LlmQueries {
       .toDF("rank", "left_sym", "right_sym")
       .orderBy(col("rank"))
   }
+
+  /** DuckDB replays the ENTIRE training loop as a recursive CTE. Encoding:
+    * each word type is ONE string of unit-separator (U+001F) delimited
+    * symbols ("<US>a<US><US>b</w><US>", <US> = U+001F), so applying a merge is a
+    * plain string replace of "<US>L<US><US>R<US>" -> "<US>LR<US>" -- left-to-right non-overlapping, exactly the merge
+    * pass's semantics -- and pair counting unnests adjacent symbol pairs
+    * weighted by type frequency (overlapping adjacencies counted, like
+    * addWordPairs). The argmax replays the engine's tie-break (count desc,
+    * then (left, right) asc -- ASCII, so UTF-16 and byte order agree), the
+    * best-count<2 early stop, and the 200-merge cap. One 'm' row per
+    * iteration rides the recursive working table (anchored to the
+    * lexicographically-first word row so exactly ONE is emitted). Exactness
+    * preconditions, all verified on the fixture: no U+001F and no VT (U+000B) in
+    * any document (delimiter safety; RE2's \s lacks VT where Java's
+    * includes it), and 31 word types -- far under the engine's 50000
+    * maxWordTypes cap, which the oracle does not model.
+    *
+    * The BYTE-level variant (bpe_byte_train_merges) stays rows-only by
+    * necessity: GPT-2's pre-tokenizer needs the negative lookahead
+    * `\s+(?!\S)`, which RE2 (DuckDB's regex engine) cannot express -- the
+    * merge LOOP itself is the same kernel this oracle now covers. */
+  val bpeTrainMergesSql: String = {
+    val D = "\u001f"
+    s"""
+    WITH RECURSIVE
+    words0 AS (
+      SELECT
+        list_reduce(
+          list_transform(generate_series(1, length(w)),
+            i -> '$D' || substr(w, i, 1) ||
+                 CASE WHEN i = length(w) THEN '</w>' ELSE '' END || '$D'),
+          (a, b) -> a || b) AS s,
+        count(*)::BIGINT AS freq
+      FROM (
+        SELECT unnest(regexp_extract_all(text,
+          '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS w
+        FROM documents)
+      GROUP BY 1),
+    st AS (
+      SELECT 0 AS it, 'w' AS kind, s, freq, NULL::VARCHAR AS l, NULL::VARCHAR AS r
+      FROM words0
+      UNION ALL
+      (
+        WITH cur AS (SELECT * FROM st WHERE kind = 'w' AND it < 200),
+        syms AS (
+          SELECT s, freq, string_split(trim(s, '$D'), '$D$D') AS sl FROM cur),
+        pairs AS (
+          SELECT p.l, p.r, SUM(freq)::BIGINT AS cnt
+          FROM syms,
+            LATERAL (SELECT unnest(list_transform(generate_series(1, len(sl) - 1),
+              i -> struct_pack(l := sl[i], r := sl[i + 1])), recursive := true)) p
+          GROUP BY p.l, p.r),
+        best AS (
+          SELECT l, r FROM pairs WHERE cnt >= 2
+          ORDER BY cnt DESC, l, r LIMIT 1)
+        SELECT c.it + 1, x.kind,
+          CASE WHEN x.kind = 'w'
+            THEN replace(c.s, '$D' || b.l || '$D$D' || b.r || '$D',
+                              '$D' || b.l || b.r || '$D')
+            ELSE NULL END,
+          CASE WHEN x.kind = 'w' THEN c.freq ELSE NULL END,
+          CASE WHEN x.kind = 'm' THEN b.l ELSE NULL END,
+          CASE WHEN x.kind = 'm' THEN b.r ELSE NULL END
+        FROM cur c, best b, (SELECT 'w' AS kind UNION ALL SELECT 'm') x
+        WHERE x.kind = 'w' OR c.s = (SELECT min(s) FROM cur)
+      ))
+    SELECT (it - 1)::INT AS rank, l AS left_sym, r AS right_sym
+    FROM st WHERE kind = 'm' ORDER BY rank"""
+  }
+
 
   /** Corpus tokenized with its own trained BPE vocabulary (no oracle;
     * round-trip + compression + determinism pinned in BpeSpec). */
@@ -3678,6 +3750,7 @@ object LlmQueries {
     "text_nb_classifier" -> textNbClassifierSql,
     "lr_quality_score" -> lrQualityScoreSql,
     "lr_score_persisted" -> lrQualityScoreSql,
+    "bpe_train_merges" -> bpeTrainMergesSql,
     "budget_select" -> budgetSelectSql,
     "bitext_mine" -> bitextMineSql,
     "text_trigram_lm" -> textTrigramLmSql,

@@ -32,8 +32,9 @@ class DigestPinSpec extends AnyFunSuite {
   private val pins: Map[String, (Long, String)] = Map(
     // dedup_simhash graduated to a FULL DuckDB oracle in r16 (md5-based
     // replayable signature) — its pin retired with the rows-only status
+    // bpe_train_merges graduated to a FULL DuckDB oracle in r16 (recursive
+    // CTE replays the merge loop) — pin retired with the rows-only status
     "dedup_minhash_lsh" -> ((28L, "b40e2d8404589da451db9fc3ca9386d4")),
-    "bpe_train_merges" -> ((93L, "fc4e3b2977781dadd2c1e43e2d165234")),
     "unigram_train_pieces" -> ((262L, "cc655cae89920b71f726ac999ea1e8d1")),
     "wordpiece_train_pieces" -> ((139L, "39753983bbbfcd3fcfac03fd0f7415b8")),
     "embed_pca" -> ((500L, "fe16c9de31e33faf8a558dbb1a79ad3d")),
