@@ -2212,27 +2212,19 @@ object LlmQueries {
     * includes it), and 31 word types -- far under the engine's 50000
     * maxWordTypes cap, which the oracle does not model.
     *
-    * The BYTE-level variant (bpe_byte_train_merges) stays rows-only by
-    * necessity: GPT-2's pre-tokenizer needs the negative lookahead
-    * `\s+(?!\S)`, which RE2 (DuckDB's regex engine) cannot express -- the
-    * merge LOOP itself is the same kernel this oracle now covers. */
-  val bpeTrainMergesSql: String = {
+    * The BYTE-level variant graduates through the degenerate-shape
+    * argument `bpe_byte_fixed_tokens` proved: GPT-2's lookahead RE2
+    * cannot run, but on the fixture's doc shape the pre-tokenizer
+    * provably degenerates to a lookahead-free form (see
+    * [[bpeByteTrainMergesSql]]). */
+  /** Shared recursive merge-loop CTE fragment (`words0`, `st`): the BPE
+    * pair-frequency training loop over delimited symbol strings, for any
+    * `words0Body` yielding (s, freq). `bpe_train_merges`,
+    * `bpe_byte_train_merges` and `bpe_tokens` all compose it. */
+  private def bpeMergeLoopCte(words0Body: String): String = {
     val D = "\u001f"
     s"""
-    WITH RECURSIVE
-    words0 AS (
-      SELECT
-        list_reduce(
-          list_transform(generate_series(1, length(w)),
-            i -> '$D' || substr(w, i, 1) ||
-                 CASE WHEN i = length(w) THEN '</w>' ELSE '' END || '$D'),
-          (a, b) -> a || b) AS s,
-        count(*)::BIGINT AS freq
-      FROM (
-        SELECT unnest(regexp_extract_all(text,
-          '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS w
-        FROM documents)
-      GROUP BY 1),
+    words0 AS ($words0Body),
     st AS (
       SELECT 0 AS it, 'w' AS kind, s, freq, NULL::VARCHAR AS l, NULL::VARCHAR AS r
       FROM words0
@@ -2260,14 +2252,43 @@ object LlmQueries {
           CASE WHEN x.kind = 'm' THEN b.r ELSE NULL END
         FROM cur c, best b, (SELECT 'w' AS kind UNION ALL SELECT 'm') x
         WHERE x.kind = 'w' OR c.s = (SELECT min(s) FROM cur)
-      ))
-    SELECT (it - 1)::INT AS rank, l AS left_sym, r AS right_sym
-    FROM st WHERE kind = 'm' ORDER BY rank"""
+      ))"""
   }
 
+  /** Char-level `words0` body: code-point symbols, `</w>` fused onto the
+    * last, one row per word TYPE with its corpus frequency. */
+  private def bpeCharWords0: String = {
+    val D = "\u001f"
+    s"""
+      SELECT
+        list_reduce(
+          list_transform(generate_series(1, length(w)),
+            i -> '$D' || substr(w, i, 1) ||
+                 CASE WHEN i = length(w) THEN '</w>' ELSE '' END || '$D'),
+          (a, b) -> a || b) AS s,
+        count(*)::BIGINT AS freq
+      FROM (
+        SELECT unnest(regexp_extract_all(text,
+          '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS w
+        FROM documents)
+      GROUP BY 1"""
+  }
 
-  /** Corpus tokenized with its own trained BPE vocabulary (no oracle;
-    * round-trip + compression + determinism pinned in BpeSpec). */
+  val bpeTrainMergesSql: String =
+    s"""
+    WITH RECURSIVE
+    ${bpeMergeLoopCte(bpeCharWords0)}
+    SELECT (it - 1)::INT AS rank, l AS left_sym, r AS right_sym
+    FROM st WHERE kind = 'm' ORDER BY rank"""
+
+
+  /** Corpus tokenized with its OWN trained BPE vocabulary, under a FULL
+    * oracle since r16: the trained-merge recursive CTE chains into the
+    * rank-ordered encode walk (the `bpe_fixed_tokens` replay with the
+    * trained table in place of the pinned VALUES list) — training AND
+    * encoding replayed end-to-end from raw text, the \u0001-joined token
+    * stream md5-gated (boundaries included). Round-trip + compression +
+    * determinism stay pinned in BpeSpec. */
   val bpeTokens: QueryFn = (s, dir) => {
     val docs = Tables.ensure(s, dir).documents
     val v = Bpe.train(docs, numMerges = 200, maxWordTypes = 50000)
@@ -2275,6 +2296,48 @@ object LlmQueries {
       .select(col("doc_id"), col("n_tokens"),
         md5(concat_ws("", col("tokens"))).as("tokens_md5"))
       .orderBy(col("doc_id"))
+  }
+  val bpeTokensSql: String = {
+    val D = "\u001f"
+    s"""
+    WITH RECURSIVE
+    ${bpeMergeLoopCte(bpeCharWords0)},
+    m AS (SELECT (it - 1)::INT AS rank, l, r FROM st WHERE kind = 'm'),
+    nm AS (SELECT count(*)::INT AS n FROM m),
+    w AS (SELECT doc_id,
+            unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS word,
+            generate_subscripts(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'), 1) AS pos
+          FROM documents),
+    wt AS (SELECT DISTINCT word FROM w),
+    init AS (
+      SELECT word,
+        '$D' || array_to_string(list_transform(range(1, len(word)+1),
+          i -> substr(word, CAST(i AS INT), 1) ||
+               CASE WHEN i = len(word) THEN '</w>' ELSE '' END), '$D') || '$D' AS seq
+      FROM wt),
+    walk(word, seq, rk) AS (
+      SELECT word, seq, 0 FROM init
+      UNION ALL
+      SELECT w.word,
+        replace(w.seq, '$D' || m.l || '$D' || m.r || '$D',
+                       '$D' || m.l || m.r || '$D'),
+        CASE WHEN replace(w.seq, '$D' || m.l || '$D' || m.r || '$D',
+                          '$D' || m.l || m.r || '$D') <> w.seq
+             THEN w.rk ELSE w.rk + 1 END
+      FROM walk w JOIN m ON m.rank = w.rk
+      WHERE w.rk < (SELECT n FROM nm)),
+    enc AS (
+      SELECT word,
+        len(seq) - len(replace(seq, '$D', '')) - 1 AS n_toks,
+        replace(trim(seq, '$D'), '$D', chr(1)) AS toks
+      FROM walk WHERE rk = (SELECT n FROM nm)),
+    agg AS (
+      SELECT w.doc_id, sum(e.n_toks) AS n_tokens,
+             md5(string_agg(e.toks, chr(1) ORDER BY w.pos)) AS tokens_md5
+      FROM w JOIN enc e ON e.word = w.word GROUP BY 1)
+    SELECT d.doc_id, CAST(COALESCE(a.n_tokens, 0) AS INT) AS n_tokens,
+           COALESCE(a.tokens_md5, md5('')) AS tokens_md5
+    FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"""
   }
 
   /** BPE encoding plumbing under an oracle: with ZERO merges every
@@ -2383,9 +2446,18 @@ object LlmQueries {
     SELECT doc_id, CAST(strlen(text) AS INT) AS n_tokens
     FROM documents ORDER BY doc_id"""
 
-  /** Corpus tokenized with its own trained byte-level vocabulary, via a
-    * PERSISTED lake round trip (train → save → load → encode); no oracle —
-    * byte-remap pins, emoji round trip and compression are in ByteBpeSpec. */
+  /** Trained byte-level merge table, via a PERSISTED lake round trip
+    * (train → save → load); FULL oracle since r16 through the
+    * degenerate-shape argument: GPT-2's pre-tokenizer carries a lookahead
+    * RE2 cannot run, but EVERY fixture document matches the
+    * no-consecutive/leading/trailing-whitespace pure-printable-ASCII
+    * shape (the oracle re-filters on it, dropping zero rows — so the
+    * training input is the FULL corpus on both sides) under which the
+    * pattern provably degenerates to the lookahead-free
+    * contractions | ` ?letters` | ` ?digits` | ` ?punct` form and the
+    * byte remap degenerates to space→Ġ. The merge loop is the shared
+    * [[bpeMergeLoopCte]] replay. Byte-remap pins, emoji round trip and
+    * compression stay in ByteBpeSpec. */
   val bpeByteTrainMerges: QueryFn = (s, dir) => {
     import s.implicits._
     val docs = Tables.ensure(s, dir).documents
@@ -2398,6 +2470,29 @@ object LlmQueries {
       .map { case ((l, r), i) => (i, l, r) }
       .toDF("rank", "left_sym", "right_sym")
       .orderBy(col("rank"))
+  }
+
+  val bpeByteTrainMergesSql: String = {
+    val pretok = "''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+"
+    val D = "\u001f"
+    val words0 = s"""
+      SELECT
+        list_reduce(
+          list_transform(generate_series(1, length(rw)),
+            i -> '$D' || substr(rw, i, 1) || '$D'),
+          (a, b) -> a || b) AS s,
+        count(*)::BIGINT AS freq
+      FROM (
+        SELECT replace(unnest(regexp_extract_all(text, '$pretok')),
+                       ' ', chr(288)) AS rw
+        FROM documents
+        WHERE NOT regexp_matches(text, '[^ -~]|  |^ | $$'))
+      GROUP BY 1"""
+    s"""
+    WITH RECURSIVE
+    ${bpeMergeLoopCte(words0)}
+    SELECT (it - 1)::INT AS rank, l AS left_sym, r AS right_sym
+    FROM st WHERE kind = 'm' ORDER BY rank"""
   }
 
   /** Whole-document next-fit packing under a FULL oracle: DuckDB replays
@@ -2805,10 +2900,18 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** Corpus-trained WordPiece vocabulary (Schuster & Nakajima 2012 / BERT;
-    * no oracle: the likelihood-scored merge loop is not SQL-expressible —
-    * score semantics pinned against hand-computed merges in
-    * WordPieceSpec). Deterministic given the corpus. */
+  /** Corpus-trained WordPiece vocabulary (Schuster & Nakajima 2012 /
+    * BERT), under a FULL oracle since r16: the likelihood-scored merge
+    * loop replays as a recursive CTE ([[wordpieceLoopCte]] — per-round
+    * symbol counts and pair counts recomputed from the working
+    * segmentation, argmax by `cnt/(cnt_l·cnt_r)` with the engine's exact
+    * tie-break; the ratio is one IEEE division of exact integer-valued
+    * doubles, identical in both engines). Score semantics stay pinned
+    * against hand-computed merges in WordPieceSpec. Fixture-verified
+    * preconditions, like the BPE oracle's: trained merges are all
+    * distinct strings (the engine's vocab LinkedHashSet never dedups on
+    * the fixture) and the 300-piece cap binds identically (replayed as a
+    * merge-count bound of 300 − |alphabet|). */
   val wordpieceTrainPieces: QueryFn = (s, dir) => {
     import s.implicits._
     val v = WordPiece.train(Tables.ensure(s, dir).documents, vocabSize = 300,
@@ -2816,10 +2919,84 @@ object LlmQueries {
     v.pieces.zipWithIndex.map { case (p, i) => (i, p) }
       .toDF("rank", "piece").orderBy(col("rank"))
   }
+  /** The shared recursive WordPiece-training CTE fragment (`words0`,
+    * `alphabet`, `ncap`, `st`): BERT's likelihood-scored merge loop.
+    * `wordpiece_train_pieces` and `wordpiece_tokens` both compose it. */
+  private def wordpieceLoopCte: String = {
+    val D = "\u001f"
+    s"""
+    words0 AS (
+      SELECT list_reduce(list_transform(generate_series(1, length(w)),
+            i -> '$D' || CASE WHEN i = 1 THEN '' ELSE '##' END ||
+                 substr(w, i, 1) || '$D'),
+          (a, b) -> a || b) AS s, count(*)::BIGINT AS freq
+      FROM (SELECT unnest(regexp_extract_all(text,
+          '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS w FROM documents)
+      GROUP BY 1),
+    alphabet AS (
+      SELECT sym, SUM(freq)::BIGINT AS cnt
+      FROM (SELECT freq, unnest(string_split(trim(s, '$D'), '$D$D')) AS sym
+            FROM words0)
+      GROUP BY sym),
+    ncap AS (SELECT (300 - count(*))::INT AS max_merges FROM alphabet),
+    st AS (
+      SELECT 0 AS it, 'w' AS kind, s, freq, NULL::VARCHAR AS piece FROM words0
+      UNION ALL
+      (WITH cur AS (SELECT * FROM st
+                    WHERE kind = 'w' AND it < (SELECT max_merges FROM ncap)),
+        syms AS (SELECT s, freq,
+                   string_split(trim(s, '$D'), '$D$D') AS sl FROM cur),
+        symcnt AS (
+          SELECT sym, SUM(freq)::BIGINT AS cnt
+          FROM (SELECT freq, unnest(sl) AS sym FROM syms) GROUP BY sym),
+        pairs AS (SELECT p.l, p.r, SUM(freq)::BIGINT AS cnt
+          FROM syms, LATERAL (SELECT unnest(list_transform(generate_series(1, len(sl) - 1),
+              i -> struct_pack(l := sl[i], r := sl[i + 1])), recursive := true)) p
+          GROUP BY p.l, p.r),
+        best AS (
+          SELECT p.l, p.r,
+            p.l || CASE WHEN starts_with(p.r, '##') THEN substr(p.r, 3)
+                        ELSE p.r END AS joined
+          FROM pairs p
+          JOIN symcnt a ON a.sym = p.l
+          JOIN symcnt b ON b.sym = p.r
+          WHERE p.cnt >= 2
+          ORDER BY p.cnt::DOUBLE / (a.cnt::DOUBLE * b.cnt::DOUBLE) DESC,
+                   p.cnt DESC, p.l, p.r
+          LIMIT 1)
+        SELECT c.it + 1, x.kind,
+          CASE WHEN x.kind = 'w'
+            THEN replace(c.s, '$D' || b.l || '$D$D' || b.r || '$D',
+                              '$D' || b.joined || '$D') ELSE NULL END,
+          CASE WHEN x.kind = 'w' THEN c.freq ELSE NULL END,
+          CASE WHEN x.kind = 'p' THEN b.joined ELSE NULL END
+        FROM cur c, best b, (SELECT 'w' AS kind UNION ALL SELECT 'p' AS kind) x
+        WHERE x.kind = 'w' OR c.s = (SELECT min(s) FROM cur)))"""
+  }
+  val wordpieceTrainPiecesSql: String =
+    s"""
+    WITH RECURSIVE
+    ${wordpieceLoopCte},
+    ranked_alpha AS (
+      SELECT row_number() OVER (ORDER BY cnt DESC, sym) - 1 AS rank,
+             sym AS piece
+      FROM alphabet),
+    na AS (SELECT count(*) AS n FROM alphabet),
+    merges AS (
+      SELECT (SELECT n FROM na) + it - 1 AS rank, piece
+      FROM st WHERE kind = 'p')
+    SELECT CAST(rank AS INT) AS rank, piece FROM ranked_alpha
+    UNION ALL
+    SELECT CAST(rank AS INT) AS rank, piece FROM merges
+    ORDER BY rank"""
 
-  /** Corpus tokenized with its own trained WordPiece vocabulary
-    * (rows-only; greedy longest-match semantics pinned in WordPieceSpec
-    * and by the FULL `wordpiece_fixed_tokens` oracle below). */
+  /** Corpus tokenized with its OWN trained WordPiece vocabulary, under a
+    * FULL oracle since r16: the training CTE chains into the greedy
+    * longest-match-first encode walk (the `wordpiece_fixed_tokens`
+    * replay, now carrying the emitted piece strings so the whole token
+    * stream — `##` continuations, `[UNK]` collapses, cross-word order —
+    * is hash-gated; the engine's separator-free concat is replayed
+    * verbatim, piece boundaries riding the `##` convention). */
   val wordpieceTokens: QueryFn = (s, dir) => {
     val docs = Tables.ensure(s, dir).documents
     val v = WordPiece.train(docs, vocabSize = 300, maxWordTypes = 50000)
@@ -2828,6 +3005,53 @@ object LlmQueries {
         md5(concat_ws("", col("tokens"))).as("tokens_md5"))
       .orderBy(col("doc_id"))
   }
+  val wordpieceTokensSql: String =
+    s"""
+    WITH RECURSIVE
+    ${wordpieceLoopCte},
+    v AS (
+      SELECT DISTINCT piece,
+        CASE WHEN piece LIKE '##%' THEN substr(piece, 3) ELSE piece END AS content,
+        (piece LIKE '##%') AS cont
+      FROM (SELECT sym AS piece FROM alphabet
+            UNION ALL SELECT piece FROM st WHERE kind = 'p')),
+    w AS (SELECT doc_id,
+            unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS word,
+            generate_subscripts(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'), 1) AS pos
+          FROM documents),
+    wt AS (SELECT DISTINCT word FROM w),
+    pcand AS (SELECT word, CAST(unnest(range(0, len(word))) AS INT) AS p FROM wt),
+    mt AS (
+      SELECT pcand.word, pcand.p, len(v.content) AS clen, v.piece,
+        row_number() OVER (PARTITION BY pcand.word, pcand.p
+                           ORDER BY len(v.content) DESC, v.piece) AS rk
+      FROM pcand JOIN v ON v.cont = (pcand.p > 0)
+        AND len(v.content) <= len(pcand.word) - pcand.p
+        AND substr(pcand.word, pcand.p + 1, len(v.content)) = v.content),
+    step AS (SELECT word, p, clen, piece FROM mt WHERE rk = 1),
+    walk(word, p, n, unk, acc) AS (
+      SELECT word, 0, 0, len(word) > 100, '' FROM wt
+      UNION ALL
+      SELECT wk.word,
+        CAST(COALESCE(wk.p + st2.clen, len(wk.word)) AS INT),
+        wk.n + 1,
+        st2.p IS NULL,
+        CASE WHEN st2.p IS NULL THEN wk.acc
+             ELSE wk.acc || st2.piece END
+      FROM walk wk LEFT JOIN step st2 ON st2.word = wk.word AND st2.p = wk.p
+      WHERE wk.p < len(wk.word) AND NOT wk.unk),
+    enc AS (
+      SELECT word,
+             CASE WHEN unk THEN 1 ELSE n END AS n_toks,
+             CASE WHEN unk THEN '[UNK]' ELSE acc END AS toks
+      FROM walk WHERE unk OR p >= len(word)),
+    agg AS (
+      SELECT w.doc_id, sum(e.n_toks) AS n_tokens,
+             md5(string_agg(e.toks, '' ORDER BY w.pos)) AS tokens_md5
+      FROM w JOIN enc e ON e.word = w.word GROUP BY 1)
+    SELECT d.doc_id, CAST(COALESCE(a.n_tokens, 0) AS INT) AS n_tokens,
+           COALESCE(a.tokens_md5, md5('')) AS tokens_md5
+    FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"""
 
   /** The fixed vocabulary for the oracle-gated WordPiece query: all ASCII
     * letters (plain + `##` continuation) plus a handful of multi-char
@@ -3751,6 +3975,10 @@ object LlmQueries {
     "lr_quality_score" -> lrQualityScoreSql,
     "lr_score_persisted" -> lrQualityScoreSql,
     "bpe_train_merges" -> bpeTrainMergesSql,
+    "bpe_tokens" -> bpeTokensSql,
+    "bpe_byte_train_merges" -> bpeByteTrainMergesSql,
+    "wordpiece_train_pieces" -> wordpieceTrainPiecesSql,
+    "wordpiece_tokens" -> wordpieceTokensSql,
     "budget_select" -> budgetSelectSql,
     "bitext_mine" -> bitextMineSql,
     "text_trigram_lm" -> textTrigramLmSql,

@@ -36,21 +36,19 @@ class DigestPinSpec extends AnyFunSuite {
     // CTE replays the merge loop) — pin retired with the rows-only status
     "dedup_minhash_lsh" -> ((28L, "b40e2d8404589da451db9fc3ca9386d4")),
     "unigram_train_pieces" -> ((262L, "cc655cae89920b71f726ac999ea1e8d1")),
-    "wordpiece_train_pieces" -> ((139L, "39753983bbbfcd3fcfac03fd0f7415b8")),
     "embed_pca" -> ((500L, "fe16c9de31e33faf8a558dbb1a79ad3d")),
     "multimodal_features" -> ((200L, "d2ef9701a799e1dbaf731f45fd5edc2c")),
     // deterministic by construction (fixed-point IRLS), so this pin holds
     // under ANY partitioning, not just the session's
     "lr_quality_train" -> ((9L, "2d4ebe6dd37fb376854a6aba2ceb8cc5")),
-    // r14 second sweep: every remaining rows-only output pinned.
-    // unigram_tokens == wordpiece_tokens is REAL convergence, not a copy
-    // bug: the fixture's ~whole vocabulary fits both models, so both
-    // encode every word as one whole-word piece (their *_train_pieces
-    // outputs differ: 262 vs 139 rows).
-    "bpe_byte_train_merges" -> ((127L, "12e3114fd7e1dddf5fbcb1f92fcb9993")),
-    "bpe_tokens" -> ((500L, "f54a8aa71e4a20f60680a909d45b42a9")),
+    // r14 second sweep: every remaining rows-only output pinned. r16
+    // retired the pins of bpe_tokens / bpe_byte_train_merges /
+    // wordpiece_train_pieces / wordpiece_tokens — all graduated to FULL
+    // recursive-CTE oracles. unigram_tokens' digest equalling the old
+    // wordpiece_tokens pin was REAL convergence, not a copy bug: the
+    // fixture's ~whole vocabulary fits both models, so both encode every
+    // word as one whole-word piece.
     "unigram_tokens" -> ((500L, "9bffc539ba662c7d752b2faa125b2399")),
-    "wordpiece_tokens" -> ((500L, "9bffc539ba662c7d752b2faa125b2399")),
     "agg_hll_merge" -> ((1L, "08b84280663845e83bbf82d297013a53")),
     "agg_ndv_sketch" -> ((3L, "96d3106eadae72e76c4e14b841756268")),
     "agg_percentile_approx" -> ((3L, "8af68304ee035689d68666ec35a73027")))
