@@ -572,12 +572,13 @@ object Reflections {
         case None => false // creator dropped → their authorization is gone
         case Some(u) if u.admin => true
         case Some(u) => r.definingSql.forall { sql =>
-          try {
-            val analyzed = graft.auth.Privileges.withSystemContext {
-              spark.sql(sql).queryExecution.analyzed
-            }
-            graft.auth.AuthorizeRule.selectAuthorized(u, analyzed)
-          } catch { case _: Exception => false }
+          // analysis failures PROPAGATE: a transient FS error or a broken
+          // defining query must surface as this goal's "failed: <cause>"
+          // (refreshChain's catch), not masquerade as a revoked grant
+          val analyzed = graft.auth.Privileges.withSystemContext {
+            spark.sql(sql).queryExecution.analyzed
+          }
+          graft.auth.AuthorizeRule.selectAuthorized(u, analyzed)
         }
       }
     })
@@ -594,26 +595,28 @@ object Reflections {
         n -> s"skipped: upstream failed (${badUp.toSeq.sorted.mkString(", ")})"
       } else byName.get(n).flatMap(r => r.definingSql.map(r -> _)) match {
         case None => n -> "skipped: no stored SQL"
-        case Some((r, sql)) if !ownerStillAuthorized(spark, r) =>
-          // the stored SQL runs as SYSTEM below, so the CREATE-time
-          // authorization must still hold NOW: a creator whose SELECT was
-          // later revoked (or who was dropped) must not keep their
-          // reflection refreshing through the SYSTEM identity —
-          // definer-rights persistence of revoked access. Marked failed so
-          // downstream goals don't rebuild from the now-stale upstream.
-          failed += n
-          n -> s"skipped: privileges revoked (owner '${r.owner.getOrElse("?")}')"
-        case Some((_, sql)) =>
-          // the stored SQL was authorized at CREATE time (re-checked
-          // above); maintenance re-runs it under the SYSTEM principal
-          // (the reference manager refreshes as SYSTEM) so a cron user
-          // without SELECT on the base tables doesn't mark every goal
-          // failed and poison the downstream chain
+        case Some((r, sql)) =>
           try {
-            graft.auth.Privileges.withSystemContext {
-              withSubstitutionBypassed { refresh(n, spark.sql(sql)) }
+            // the stored SQL runs as SYSTEM below, so the CREATE-time
+            // authorization must still hold NOW: a creator whose SELECT
+            // was later revoked (or who was dropped) must not keep their
+            // reflection refreshing through the SYSTEM identity —
+            // definer-rights persistence of revoked access. Marked failed
+            // so downstream goals don't rebuild from the stale upstream.
+            if (!ownerStillAuthorized(spark, r)) {
+              failed += n
+              n -> s"skipped: privileges revoked (owner '${r.owner.getOrElse("?")}')"
+            } else {
+              // authorized at CREATE time (re-checked above); maintenance
+              // re-runs as the SYSTEM principal (the reference manager
+              // refreshes as SYSTEM) so a cron user without SELECT on the
+              // base tables doesn't mark every goal failed and poison the
+              // downstream chain
+              graft.auth.Privileges.withSystemContext {
+                withSubstitutionBypassed { refresh(n, spark.sql(sql)) }
+              }
+              n -> "refreshed"
             }
-            n -> "refreshed"
           }
           catch { case e: Exception =>
             failed += n

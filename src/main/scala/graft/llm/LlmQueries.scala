@@ -2294,7 +2294,7 @@ object LlmQueries {
     val v = Bpe.train(docs, numMerges = 200, maxWordTypes = 50000)
     Bpe.encode(docs, v)
       .select(col("doc_id"), col("n_tokens"),
-        md5(concat_ws("", col("tokens"))).as("tokens_md5"))
+        md5(concat_ws("\u0001", col("tokens"))).as("tokens_md5"))
       .orderBy(col("doc_id"))
   }
   val bpeTokensSql: String = {
@@ -2954,13 +2954,16 @@ object LlmQueries {
               i -> struct_pack(l := sl[i], r := sl[i + 1])), recursive := true)) p
           GROUP BY p.l, p.r),
         best AS (
-          SELECT p.l, p.r,
+          -- the engine argmaxes over ALL pairs by score and THEN stops
+          -- when the winner's count is < 2 (WordPiece.scala trainFromFreqs)
+          -- — filtering to cnt >= 2 BEFORE the argmax would diverge when a
+          -- count-1 pair of rare symbols outscores every frequent pair
+          SELECT p.l, p.r, p.cnt,
             p.l || CASE WHEN starts_with(p.r, '##') THEN substr(p.r, 3)
                         ELSE p.r END AS joined
           FROM pairs p
           JOIN symcnt a ON a.sym = p.l
           JOIN symcnt b ON b.sym = p.r
-          WHERE p.cnt >= 2
           ORDER BY p.cnt::DOUBLE / (a.cnt::DOUBLE * b.cnt::DOUBLE) DESC,
                    p.cnt DESC, p.l, p.r
           LIMIT 1)
@@ -2971,7 +2974,8 @@ object LlmQueries {
           CASE WHEN x.kind = 'w' THEN c.freq ELSE NULL END,
           CASE WHEN x.kind = 'p' THEN b.joined ELSE NULL END
         FROM cur c, best b, (SELECT 'w' AS kind UNION ALL SELECT 'p' AS kind) x
-        WHERE x.kind = 'w' OR c.s = (SELECT min(s) FROM cur)))"""
+        WHERE b.cnt >= 2
+          AND (x.kind = 'w' OR c.s = (SELECT min(s) FROM cur))))"""
   }
   val wordpieceTrainPiecesSql: String =
     s"""

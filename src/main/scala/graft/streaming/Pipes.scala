@@ -138,12 +138,20 @@ object Pipes {
           ()
         } catch {
           case e: Exception =>
-            // keep the raw blob so our next save re-emits it verbatim
-            unparsed.put(o.path("name").asText(),
+            // keep the raw blob so our next save re-emits it verbatim;
+            // a NAMELESS foreign entry (schema skew on the name field
+            // itself) keys by content hash so two such entries cannot
+            // collapse onto "" and silently drop each other
+            val name = o.path("name").asText()
+            val key = if (name.nonEmpty) name
+              else "__unnamed__" + java.security.MessageDigest
+                .getInstance("MD5").digest(o.toString.getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString
+            unparsed.put(key,
               o.deepCopy[com.fasterxml.jackson.databind.JsonNode]())
             System.err.println(
               s"[graft-pipes] WARN: skipping unloadable pipe entry " +
-                s"'${o.path("name").asText()}' (definition retained): $e")
+                s"'$key' (definition retained): $e")
         }
       }
     }

@@ -24,7 +24,7 @@ object StoreRacer {
     val spark = SparkSession.builder().master("local[2]")
       .appName(s"store-racer-$writerId")
       .config("spark.ui.enabled", "false")
-      .config("spark.graft.store.dir", storeDir)
+      .config(graft.catalog.GraftStore.DirConf, storeDir)
       .getOrCreate()
     val st = graft.catalog.GraftStore
     st.load(spark, section) // observe whatever generation exists at start
