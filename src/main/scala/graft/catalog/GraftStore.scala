@@ -36,6 +36,13 @@ object GraftStore {
 
   val DirConf = "spark.graft.store.dir"
 
+  /** Optional LOCAL coordination directory for claim files
+    * ([[PointerClaimArbiter]]): set it when the store dir lives on an
+    * object store whose create-new is not atomic — arbitration then runs
+    * on this POSIX/NFS dir (the lake `PointerCommitArbiter` pattern)
+    * while the section payload stays wherever [[DirConf]] points. */
+  val ClaimDirConf = "spark.graft.store.claimDir"
+
   private val mapper = new ObjectMapper()
 
   def newObject: ObjectNode = mapper.createObjectNode()
@@ -89,6 +96,116 @@ object GraftStore {
 
   private def genKey(spark: SparkSession, section: String): String =
     storeDir(spark).toString + "#" + section
+
+  // ---------- claim arbitration seam ----------
+  //
+  // Winning a generation = atomically creating its claim. The default
+  // claims next to the section files (FileSystem.createNewFile —
+  // POSIX-atomic locally, namenode-atomic on HDFS). An object store
+  // without atomic create-new configures ClaimDirConf instead: claims
+  // then live in a shared LOCAL coordination dir with java.nio
+  // create-new semantics, and the store dir carries only payload.
+
+  private[catalog] trait ClaimArbiter {
+    def tryClaim(section: String, gen: Long): Boolean
+    /** Age of an existing claim in ms (0 when unknowable). */
+    def ageMs(section: String, gen: Long): Long
+    def release(section: String, gen: Long): Unit
+    /** Retire claims of generations strictly below `gen`. */
+    def releaseBelow(section: String, gen: Long): Unit
+    def releaseAll(section: String): Unit
+  }
+
+  private final class FsClaimArbiter(fs: org.apache.hadoop.fs.FileSystem,
+                                     dir: org.apache.hadoop.fs.Path)
+      extends ClaimArbiter {
+    private def claim(section: String, gen: Long) =
+      new org.apache.hadoop.fs.Path(dir, s"$section.$gen.claim")
+    override def tryClaim(section: String, gen: Long): Boolean =
+      try {
+        // atomic create-new (not create(overwrite=false), whose
+        // exists-then-create races); owner-only like the section files —
+        // post-hoc is fine, a claim carries no data
+        val ok = fs.createNewFile(claim(section, gen))
+        if (ok) { try fs.setPermission(claim(section, gen), OwnerOnly)
+                  catch { case _: Exception => () } }
+        ok
+      }
+      catch { case _: java.io.IOException => false }
+    override def ageMs(section: String, gen: Long): Long =
+      try System.currentTimeMillis() -
+        fs.getFileStatus(claim(section, gen)).getModificationTime
+      catch { case _: Exception => 0L }
+    override def release(section: String, gen: Long): Unit =
+      try { fs.delete(claim(section, gen), false); () }
+      catch { case _: Exception => () }
+    private def sweep(section: String)(keep: Long => Boolean): Unit =
+      try fs.listStatus(dir).toSeq.filter(_.isFile).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(section + ".") && n.endsWith(".claim"))
+          n.stripPrefix(section + ".").stripSuffix(".claim").toLongOption
+            .filterNot(keep)
+            .foreach(_ => try fs.delete(st.getPath, false)
+                          catch { case _: Exception => () })
+      } catch { case _: Exception => () }
+    override def releaseBelow(section: String, gen: Long): Unit =
+      sweep(section)(_ >= gen)
+    override def releaseAll(section: String): Unit =
+      sweep(section)(_ => false)
+  }
+
+  /** Claims in a LOCAL coordination dir, namespaced by a hash of the
+    * store dir so several stores can share one coordDir. */
+  private final class PointerClaimArbiter(coordDir: String, storeUri: String)
+      extends ClaimArbiter {
+    private val root = java.nio.file.Paths.get(coordDir)
+    private val ns = java.security.MessageDigest.getInstance("MD5")
+      .digest(storeUri.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    private def claim(section: String, gen: Long) =
+      root.resolve(s"$ns.$section.$gen.claim")
+    override def tryClaim(section: String, gen: Long): Boolean =
+      try {
+        java.nio.file.Files.createDirectories(root)
+        java.nio.file.Files.createFile(claim(section, gen)) // atomic create-new
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.io.IOException => false
+      }
+    override def ageMs(section: String, gen: Long): Long =
+      try System.currentTimeMillis() - java.nio.file.Files
+        .getLastModifiedTime(claim(section, gen)).toMillis
+      catch { case _: Exception => 0L }
+    override def release(section: String, gen: Long): Unit =
+      try { java.nio.file.Files.deleteIfExists(claim(section, gen)); () }
+      catch { case _: Exception => () }
+    private def sweep(section: String)(keep: Long => Boolean): Unit =
+      try {
+        val pre = s"$ns.$section."
+        val st = java.nio.file.Files.list(root)
+        try st.iterator().forEachRemaining { p =>
+          val n = p.getFileName.toString
+          if (n.startsWith(pre) && n.endsWith(".claim"))
+            n.stripPrefix(pre).stripSuffix(".claim").toLongOption
+              .filterNot(keep)
+              .foreach(_ => try java.nio.file.Files.deleteIfExists(p)
+                            catch { case _: Exception => () })
+        } finally st.close()
+      } catch { case _: Exception => () }
+    override def releaseBelow(section: String, gen: Long): Unit =
+      sweep(section)(_ >= gen)
+    override def releaseAll(section: String): Unit =
+      sweep(section)(_ => false)
+  }
+
+  private def arbiterFor(spark: SparkSession,
+                         fs: org.apache.hadoop.fs.FileSystem,
+                         dir: org.apache.hadoop.fs.Path): ClaimArbiter =
+    spark.conf.getOption(ClaimDirConf) match {
+      case Some(coord) if coord.nonEmpty =>
+        new PointerClaimArbiter(coord, dir.toString)
+      case _ => new FsClaimArbiter(fs, dir)
+    }
 
   private def legacyPath(spark: SparkSession, section: String) =
     new org.apache.hadoop.fs.Path(storeDir(spark), section + ".json")
@@ -171,26 +288,13 @@ object GraftStore {
       }
       val next = base + 1
       val target = new org.apache.hadoop.fs.Path(dir, s"$section.$next.json")
-      val claim = new org.apache.hadoop.fs.Path(dir, s"$section.$next.claim")
-      val claimed =
-        try {
-          val ok = fs.createNewFile(claim) // atomic create-new (not create(overwrite=false), whose exists-then-create races)
-          // uniform owner-only store files; post-hoc is fine here — a
-          // claim carries no data, unlike the section files
-          if (ok) { try fs.setPermission(claim, OwnerOnly)
-                    catch { case _: Exception => () } }
-          ok
-        }
-        catch { case _: java.io.IOException => false }
-      if (!claimed) {
+      val arbiter = arbiterFor(spark, fs, dir)
+      if (!arbiter.tryClaim(section, next)) {
         // the generation is owned: either committed (reload) or a crashed
         // writer's orphan (release after the grace so the NEXT attempt
         // can take it — this save still fails, callers reload+retry)
-        val age = try System.currentTimeMillis() -
-            fs.getFileStatus(claim).getModificationTime
-          catch { case _: Exception => 0L }
-        if (!fs.exists(target) && age > OrphanClaimMs)
-          try fs.delete(claim, false) catch { case _: Exception => () }
+        if (!fs.exists(target) && arbiter.ageMs(section, next) > OrphanClaimMs)
+          arbiter.release(section, next)
         throw new java.util.ConcurrentModificationException(
           s"store section '$section' generation $next is claimed by " +
             "another coordinator; reload before mutating")
@@ -215,21 +319,17 @@ object GraftStore {
         committed = true
       } finally {
         // a failed commit must not brick this generation forever
-        if (!committed) {
-          try fs.delete(claim, false) catch { case _: Exception => () }
-        }
+        if (!committed) arbiter.release(section, next)
       }
       knownGen.put(key, next)
       // retire superseded generations, their claims, and the legacy bare
       // file — best-effort; stragglers lose every future max-gen read
       fs.listStatus(dir).toSeq.filter(_.isFile).foreach { st =>
         val n = st.getPath.getName
-        val oldGen = genOf(n, section).exists(_ < next)
-        val oldClaim = n.startsWith(section + ".") && n.endsWith(".claim") &&
-          n.stripPrefix(section + ".").stripSuffix(".claim").toLongOption.exists(_ < next)
-        if (oldGen || oldClaim || n == s"$section.json")
+        if (genOf(n, section).exists(_ < next) || n == s"$section.json")
           try fs.delete(st.getPath, false) catch { case _: Exception => () }
       }
+      arbiter.releaseBelow(section, next)
     }
 
   /** [[save]] with conflict RESYNC. Plain IO trouble follows the chosen
@@ -293,10 +393,10 @@ object GraftStore {
       val fs = dir.getFileSystem(org.apache.spark.sql.graft.Bridge.hadoopConf(spark))
       if (fs.exists(dir)) fs.listStatus(dir).toSeq.filter(_.isFile).foreach { st =>
         val n = st.getPath.getName
-        val isClaim = n.startsWith(section + ".") && n.endsWith(".claim")
-        if (genOf(n, section).isDefined || isClaim || n == s"$section.json")
+        if (genOf(n, section).isDefined || n == s"$section.json")
           fs.delete(st.getPath, false)
       }
+      arbiterFor(spark, fs, dir).releaseAll(section)
       knownGen.remove(genKey(spark, section))
       ()
     } catch { case _: Exception => () }

@@ -537,6 +537,77 @@ object InfoSchema {
           si.numActiveTasks(), si.numCompletedTasks(), si.numFailedTasks())
       })
 
+  // ---- sys cache family (reference SystemTable CACHE_MANAGER_DATASETS /
+  // _FILES / _MOUNT_POINTS / _STORAGE_PLUGINS — the columnar "boost"
+  // cache registry, `exec/work/CacheManager*Info.java`). This engine's
+  // columnar cache IS Spark's cache (CACHE TABLE / Dataset.persist), so
+  // the views read the live CacheManager and BlockManager instead of a
+  // bespoke boost store — same operator questions (what is cached, how
+  // big, where, how much room is left), Spark-native answers. ----
+
+  /** One row per cached PLAN (reference cache.datasets). */
+  def sysCacheDatasets(spark: SparkSession): DataFrame =
+    live(spark, StructType(Seq(
+      StructField("dataset_name", StringType, nullable = true),
+      StructField("plan_node", StringType, nullable = false),
+      StructField("storage_level", StringType, nullable = false),
+      StructField("loaded", BooleanType, nullable = false),
+      StructField("approx_size_bytes", LongType, nullable = false))),
+      () => org.apache.spark.sql.graft.Bridge.cachedDatasets(spark)
+        .sortBy(_._1)
+        .map { case (n, p, lvl, loaded, sz) => Row(n, p, lvl, loaded, sz) })
+
+  /** One row per materialized cached RDD with its block-level footprint
+    * (reference cache.objects). */
+  def sysCacheObjects(spark: SparkSession): DataFrame =
+    live(spark, StructType(Seq(
+      StructField("rdd_id", IntegerType, nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("storage_level", StringType, nullable = false),
+      StructField("cached_partitions", IntegerType, nullable = false),
+      StructField("total_partitions", IntegerType, nullable = false),
+      StructField("mem_bytes", LongType, nullable = false),
+      StructField("disk_bytes", LongType, nullable = false))),
+      () => spark.sparkContext.getRDDStorageInfo.toSeq.sortBy(_.id).map(i =>
+        Row(i.id, i.name, i.storageLevel.description, i.numCachedPartitions,
+          i.numPartitions, i.memSize, i.diskSize)))
+
+  /** Local directories cache/spill blocks land on, with capacity
+    * (reference cache.mount_points). */
+  def sysCacheMountPoints(spark: SparkSession): DataFrame =
+    live(spark, StructType(Seq(
+      StructField("mount_point_path", StringType, nullable = false),
+      StructField("exists", BooleanType, nullable = false),
+      StructField("total_space_bytes", LongType, nullable = false),
+      StructField("usable_space_bytes", LongType, nullable = false))),
+      () => {
+        val dirs = spark.sparkContext.getConf
+          .get("spark.local.dir", System.getProperty("java.io.tmpdir"))
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq.distinct
+        dirs.sorted.map { d =>
+          val f = new java.io.File(d)
+          Row(d, f.exists(), f.getTotalSpace, f.getUsableSpace)
+        }
+      })
+
+  /** Cache capacity/occupancy per storage tier (reference
+    * cache.storage_plugins): the Spark cache is ONE plugin here, with
+    * occupancy from the block manager and headroom from the executors'
+    * storage memory. */
+  def sysCacheStoragePlugins(spark: SparkSession): DataFrame =
+    live(spark, StructType(Seq(
+      StructField("storage_plugin_name", StringType, nullable = false),
+      StructField("cached_objects", LongType, nullable = false),
+      StructField("approx_size_bytes", LongType, nullable = false),
+      StructField("max_available_memory_bytes", LongType, nullable = false))),
+      () => {
+        val infos = spark.sparkContext.getRDDStorageInfo
+        val remaining = spark.sparkContext.getExecutorMemoryStatus
+          .values.map(_._2).sum
+        Seq(Row("spark-cache", infos.length.toLong,
+          infos.map(i => i.memSize + i.diskSize).sum, remaining))
+      })
+
   def sysServices(spark: SparkSession): DataFrame =
     live(spark, StructType(Seq(
       StructField("service", StringType, nullable = false),
@@ -644,5 +715,9 @@ object InfoSchema {
     sysBoot(spark).createOrReplaceTempView("sys_boot")
     sysTableStatistics(spark).createOrReplaceTempView("sys_table_statistics")
     sysFragments(spark).createOrReplaceTempView("sys_fragments")
+    sysCacheDatasets(spark).createOrReplaceTempView("sys_cache_datasets")
+    sysCacheObjects(spark).createOrReplaceTempView("sys_cache_objects")
+    sysCacheMountPoints(spark).createOrReplaceTempView("sys_cache_mount_points")
+    sysCacheStoragePlugins(spark).createOrReplaceTempView("sys_cache_storage_plugins")
   }
 }

@@ -264,8 +264,15 @@ object Dedup {
       // materialize once (eager, lineage-truncated, GC'd with the plan):
       // both pair sides, the component vertices, and the final keeper join
       // consume this — unmaterialized, each would re-scan the corpus and
-      // re-evaluate the nClusters cosine assignments
-      .localCheckpoint(true)
+      // re-evaluate the nClusters cosine assignments. At extreme corpus
+      // sizes the checkpoint pins the embedding column into executor
+      // storage (MEMORY_AND_DISK); spark.graft.semdedup.materialize=false
+      // trades that for re-computation per consumer.
+      .transform { df =>
+        val on = df.sparkSession.conf
+          .getOption("spark.graft.semdedup.materialize").forall(_.toBoolean)
+        if (on) df.localCheckpoint(true) else df
+      }
     val a = assigned.select(col("bucket"), col("vec_id").as("a_id"),
       col("embedding").as("a_vec"))
     val b = assigned.select(col("bucket"), col("vec_id").as("b_id"),

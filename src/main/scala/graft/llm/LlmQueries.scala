@@ -648,6 +648,73 @@ object LlmQueries {
     SELECT q_id, label, c_id, CAST(rk AS INT) AS rk FROM r WHERE rk <= 10
     ORDER BY q_id, rk"""
 
+
+  /** Data-quality expectations over the ingest corpus
+    * ([[graft.operators.Expectations]] — the DLT EXPECT pattern): four
+    * rules spanning all three actions; the metrics are ONE aggregate and
+    * the quarantine split reuses the same codegen'd violation bitmap.
+    * Every predicate is integer/regex/set logic both engines evaluate
+    * identically, and pass_rate is one IEEE division of exact integer
+    * operands — EXACT by construction. */
+  private def expectationRules = Seq(
+    graft.operators.Expectations.Rule("min_len",
+      length(col("text")) >= 100, "drop"),
+    graft.operators.Expectations.Rule("ends_sentence",
+      col("text").rlike("[.!?]$"), "warn"),
+    graft.operators.Expectations.Rule("lang_known",
+      col("lang").isInCollection(Seq("en", "de", "fr", "es")), "drop"),
+    graft.operators.Expectations.Rule("id_nonneg",
+      col("doc_id") >= 0, "fail"))
+  val qualityExpectations: QueryFn = (s, dir) =>
+    graft.operators.Expectations
+      .checkEnforced(Tables.ensure(s, dir).documents, expectationRules)
+      .metrics.orderBy(col("rule"))
+  val qualityExpectationsSql: String = """
+    WITH v AS (
+      SELECT
+        count(*)::BIGINT AS total,
+        count(*) FILTER (WHERE NOT coalesce(length(text) >= 100, false))::BIGINT AS v_min_len,
+        count(*) FILTER (WHERE NOT coalesce(regexp_matches(text, '[.!?]$'), false))::BIGINT AS v_ends,
+        count(*) FILTER (WHERE NOT coalesce(lang IN ('en','de','fr','es'), false))::BIGINT AS v_lang,
+        count(*) FILTER (WHERE NOT coalesce(doc_id >= 0, false))::BIGINT AS v_id
+      FROM documents)
+    SELECT rule, action, violations, total AS "rows",
+           (total - violations)::DOUBLE / total AS pass_rate
+    FROM v, (VALUES
+      ('min_len', 'drop'), ('ends_sentence', 'warn'),
+      ('lang_known', 'drop'), ('id_nonneg', 'fail')) r(rule, action),
+    LATERAL (SELECT CASE rule WHEN 'min_len' THEN v_min_len
+                              WHEN 'ends_sentence' THEN v_ends
+                              WHEN 'lang_known' THEN v_lang
+                              ELSE v_id END AS violations)
+    ORDER BY rule"""
+
+  /** The quarantine side of the same gate: which rows, and WHY (the
+    * violated-rule attribution, warn rules included for triage). */
+  val qualityExpectationsQuarantine: QueryFn = (s, dir) =>
+    graft.operators.Expectations
+      .check(Tables.ensure(s, dir).documents, expectationRules)
+      .quarantined
+      .select(col("doc_id"),
+        array_join(col("violated_rules"), ",").as("violated"))
+      .orderBy(col("doc_id"))
+  val qualityExpectationsQuarantineSql: String = """
+    WITH f AS (
+      SELECT doc_id,
+        NOT coalesce(length(text) >= 100, false) AS v1,
+        NOT coalesce(regexp_matches(text, '[.!?]$'), false) AS v2,
+        NOT coalesce(lang IN ('en','de','fr','es'), false) AS v3,
+        NOT coalesce(doc_id >= 0, false) AS v4
+      FROM documents)
+    SELECT doc_id,
+      array_to_string(list_filter([
+        CASE WHEN v1 THEN 'min_len' END,
+        CASE WHEN v2 THEN 'ends_sentence' END,
+        CASE WHEN v3 THEN 'lang_known' END,
+        CASE WHEN v4 THEN 'id_nonneg' END], x -> x IS NOT NULL), ',') AS violated
+    FROM f WHERE v1 OR v3 OR v4
+    ORDER BY doc_id"""
+
   val textQuality: QueryFn = (s, dir) =>
     TextAnalysis.qualitySignals(Tables.ensure(s, dir).documents.filter(col("doc_id") < 500))
       .orderBy(col("doc_id"))
@@ -3843,6 +3910,8 @@ object LlmQueries {
     "ann_ivf_ids" -> annIvfIds,
     "ann_pq" -> annPq,
     "text_quality" -> textQuality,
+    "quality_expectations" -> qualityExpectations,
+    "quality_expectations_quarantine" -> qualityExpectationsQuarantine,
     "quality_gopher" -> qualityGopher,
     "text_c4_rules" -> textC4Rules,
     "text_line_dedup" -> textLineDedup,
@@ -3930,6 +3999,8 @@ object LlmQueries {
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_components" -> dedupComponentsSql,
     "text_quality" -> textQualitySql,
+    "quality_expectations" -> qualityExpectationsSql,
+    "quality_expectations_quarantine" -> qualityExpectationsQuarantineSql,
     "quality_gopher" -> qualityGopherSql,
     "text_c4_rules" -> textC4RulesSql,
     "text_line_dedup" -> textLineDedupSql,

@@ -114,6 +114,32 @@ object Bridge {
   def waitListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
 
+  /** Spark CacheManager contents (`private[sql]`) — the engine's
+    * columnar-cache registry, backing the sys cache views: one row per
+    * cached plan as (cached_name, plan_node, storage_level, loaded,
+    * approx_size_bytes). Reading NEVER forces materialization (sizes are
+    * the relation's stats estimate until buffers load). */
+  def cachedDatasets(spark: org.apache.spark.sql.SparkSession)
+      : Seq[(String, String, String, Boolean, Long)] = {
+    val cm = spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager
+    // Spark 4 dropped the package-private accessor — the registry is a
+    // plain private IndexedSeq field; read it reflectively (driver-only,
+    // metadata-sized)
+    val m = cm.getClass.getDeclaredMethod("cachedData")
+    m.setAccessible(true)
+    m.invoke(cm)
+      .asInstanceOf[scala.collection.immutable.IndexedSeq[
+        org.apache.spark.sql.execution.CachedData]]
+      .toSeq.map { cd =>
+        val rel = cd.cachedRepresentation
+        val b = rel.cacheBuilder
+        (b.cachedName, cd.plan.nodeName, b.storageLevel.description,
+          b.isCachedColumnBuffersLoaded,
+          rel.computeStats().sizeInBytes
+            .min(BigInt(Long.MaxValue)).toLong)
+      }
+  }
+
   /** Arrow schema of a DataFrame's result, using the session's timezone
     * and large-var-types settings (both `private[sql]` conf entries) so
     * the schema agrees bit-for-bit with the batches

@@ -259,6 +259,49 @@ class DurableStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("pointer-claim mode: arbitration runs on the coordination dir, store dir carries only payload") {
+    // object-store deployments (no atomic create-new) set ClaimDirConf:
+    // claims must land in the LOCAL coordination dir (the lake
+    // PointerCommitArbiter pattern) while section payload stays in the
+    // store dir; the conflict contract is unchanged
+    clearAll()
+    val coord = Files.createTempDirectory("graft_store_coord").toString
+    try {
+      spark.conf.set(GraftStore.ClaimDirConf, coord)
+      val o = GraftStore.newObject; o.put("k", "v1")
+      GraftStore.saveOrThrow(spark, "ptr", o)
+      val dirPath = GraftStore.storeDir(spark)
+      val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val storeNames = fs.listStatus(dirPath).toSeq.map(_.getPath.getName)
+      assert(storeNames.contains("ptr.0.json"))
+      assert(!storeNames.exists(n => n.startsWith("ptr.") && n.endsWith(".claim")),
+        s"claims must NOT touch the store dir in pointer mode: $storeNames")
+      def coordEntries(): Seq[String] = {
+        val st = java.nio.file.Files.list(java.nio.file.Paths.get(coord))
+        try {
+          val b = Seq.newBuilder[String]
+          st.iterator().forEachRemaining(p => b += p.getFileName.toString)
+          b.result()
+        } finally st.close()
+      }
+      val claims = coordEntries()
+      assert(claims.exists(_.endsWith(".ptr.0.claim")),
+        s"claim must land in the coordination dir: $claims")
+      // a second generation supersedes; delete() clears coord claims too
+      val o2 = GraftStore.newObject; o2.put("k", "v2")
+      GraftStore.saveOrThrow(spark, "ptr", o2)
+      assert(GraftStore.load(spark, "ptr").get.path("k").asText() == "v2")
+      GraftStore.delete(spark, "ptr")
+      val left = coordEntries()
+      assert(!left.exists(_.contains(".ptr.")),
+        s"delete must release coordination-dir claims: $left")
+    } finally {
+      spark.conf.unset(GraftStore.ClaimDirConf)
+      GraftStore.delete(spark, "ptr")
+      clearAll()
+    }
+  }
+
   test("two-PROCESS arbitration tier: one winner per generation across a real process boundary") {
     // The two-writer conflict test above runs in ONE JVM; this tier spawns
     // a real second JVM (scripts/run-main.sh -> graft.tools.StoreRacer) so

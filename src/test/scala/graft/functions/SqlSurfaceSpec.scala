@@ -277,6 +277,38 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("sys_cache_* family reads the live Spark cache (r16 — CACHE_MANAGER_* analog)") {
+    graft.catalog.InfoSchema.register(spark)
+    import spark.implicits._
+    val df = (0 until 1000).map(i => (i.toLong, s"row_$i")).toDF("id", "s")
+    df.createOrReplaceTempView("cache_probe_t")
+    spark.sql("CACHE TABLE cache_probe_t")
+    try {
+      spark.sql("SELECT count(*) FROM cache_probe_t").collect() // materialize
+      val ds = spark.sql(
+        "SELECT * FROM sys_cache_datasets WHERE loaded").collect()
+      assert(ds.nonEmpty, "a loaded cached table must surface in sys_cache_datasets")
+      assert(ds.forall(_.getAs[String]("storage_level").nonEmpty))
+      val objs = spark.sql(
+        "SELECT * FROM sys_cache_objects WHERE cached_partitions > 0").collect()
+      assert(objs.nonEmpty, "materialized cache blocks must surface in sys_cache_objects")
+      assert(objs.exists(r => r.getAs[Long]("mem_bytes") > 0 ||
+        r.getAs[Long]("disk_bytes") > 0))
+      val mp = spark.sql("SELECT * FROM sys_cache_mount_points").collect()
+      assert(mp.nonEmpty && mp.forall(r => r.getAs[Long]("total_space_bytes") > 0))
+      val sp = spark.sql("SELECT * FROM sys_cache_storage_plugins").head()
+      assert(sp.getAs[String]("storage_plugin_name") == "spark-cache")
+      assert(sp.getAs[Long]("cached_objects") >= 1L)
+      assert(sp.getAs[Long]("max_available_memory_bytes") > 0L)
+    } finally spark.sql("UNCACHE TABLE cache_probe_t")
+    // after uncache the probe's entry is gone (other suites may cache too,
+    // so assert on OUR table's disappearance, not emptiness)
+    val left = spark.sql("SELECT * FROM sys_cache_objects").collect()
+      .flatMap(r => Option(r.getAs[String]("name")))
+    assert(!left.exists(_.contains("cache_probe_t")),
+      s"uncached table must leave sys_cache_objects: ${left.toSeq}")
+  }
+
   test("sys_membership flattens user role edges (r14)") {
     spark.sql("CREATE USER sysm_user PASSWORD 'x'")
     spark.sql("CREATE ROLE sysm_role")
