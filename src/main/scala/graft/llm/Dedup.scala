@@ -112,20 +112,27 @@ object Dedup {
       .select(col("doc_id"),
         conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("h_hi"),
         conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("h_lo"))
-    val votes = h.select(col("doc_id"), explode(expr(
-        "transform(sequence(0, 63), b -> struct(b AS bit, CASE WHEN b < 32 " +
-          "THEN shiftright(h_lo, b) & 1 ELSE shiftright(h_hi, b - 32) & 1 " +
-          "END AS onbit))")).as("x"))
-      .select(col("doc_id"), col("x.bit").as("bit"),
-        (col("x.onbit") * 2 - 1).as("vote"))
-    // two map-side-combinable aggregates: per-bit majority, then the
-    // signature as a sum of distinct bit powers (no intermediate overflow:
+    // ONE map-side-combinable aggregate carrying all 64 bit-majorities:
+    // 64 conditional sums + the token count per doc (65 longs through the
+    // shuffle), instead of exploding tokens×64 vote rows — identical
+    // majorities, since vote-sum Σ(2·bit−1) > 0  ⟺  2·Σbit > n
+    val bitSums =
+      (0 until 32).map(b =>
+        sum(shiftright(col("h_lo"), b).bitwiseAND(lit(1L))).as(s"lo_$b")) ++
+      (0 until 32).map(b =>
+        sum(shiftright(col("h_hi"), b).bitwiseAND(lit(1L))).as(s"hi_$b")) :+
+      count(lit(1)).as("n")
+    // signature = sum of distinct bit powers (no intermediate overflow:
     // bits 0..62 sum below 2^63, bit 63 lands the result in signed range)
-    val sigs = votes.groupBy(col("doc_id"), col("bit"))
-      .agg(sum(col("vote")).as("v"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("v") > 0, expr("shiftleft(1L, bit)"))
-        .otherwise(lit(0L))).as("sig"))
+    val sigExpr =
+      ((0 until 32).map(b =>
+        when(col(s"lo_$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L))) ++
+       (0 until 32).map(b =>
+        when(col(s"hi_$b") * 2 > col("n"), lit(1L << (b + 32))).otherwise(lit(0L))))
+        .reduce(_ + _)
+    val sigs = h.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sigExpr.as("sig"))
     // a doc with no tokens folds to signature 0, like the kernel's empty fold
     val allSigs = docs.select(col("doc_id")).join(sigs, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("sig"), lit(0L)).as("sig"))
