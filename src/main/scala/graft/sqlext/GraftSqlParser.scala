@@ -167,14 +167,16 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
       case CreateCdcPipeRe(name, src, fmt, ddl, key, target, chk) =>
         CreatePipeCommand(name, src, fmt.toLowerCase, ddl, target, chk,
           sink = "merge", mergeKey = Some(key))
-      case CreateLakePipeRe(name, lookback, src, fmt, ddl, target, chk, prov, queue) =>
+      case CreateLakePipeRe(name, lookback, src, fmt, ddl, target, chk, expect, prov, queue) =>
         CreatePipeCommand(name, src, fmt.toLowerCase, ddl, target, chk,
           sink = "lake", notifyProvider = Option(prov), notifyQueue = Option(queue),
-          lookbackDays = Option(lookback).map(_.toInt))
-      case CreatePipeRe(name, lookback, src, fmt, ddl, target, chk, prov, queue) =>
+          lookbackDays = Option(lookback).map(_.toInt),
+          expectations = Option(expect).map(parseExpectations).getOrElse(Nil))
+      case CreatePipeRe(name, lookback, src, fmt, ddl, target, chk, expect, prov, queue) =>
         CreatePipeCommand(name, src, fmt.toLowerCase, ddl, target, chk,
           notifyProvider = Option(prov), notifyQueue = Option(queue),
-          lookbackDays = Option(lookback).map(_.toInt))
+          lookbackDays = Option(lookback).map(_.toInt),
+          expectations = Option(expect).map(parseExpectations).getOrElse(Nil))
       case TriggerPipeRe(name, batch) =>
         TriggerPipeCommand(name, Option(batch).map(_.toLong))
       case ShowPipesRe() => ShowPipesCommand(out("name", "source", "format", "target"))
@@ -195,7 +197,7 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
       case DescribePipeRe(name) =>
         DescribePipeCommand(name, out("name", "source", "format", "target",
           "checkpoint", "sink", "merge_key", "running", "notification",
-          "dedupe_lookback_days"))
+          "dedupe_lookback_days", "expectations"))
       case UseRefRe(refType, name, dir) =>
         UseRefCommand(refType.toLowerCase, name, dir,
           out("ref", "type", "base_version"))
@@ -622,11 +624,40 @@ object GraftSqlParser {
   // re-ingests; notified pipes trim their loaded-files log, listing
   // pipes map it to the file source's maxFileAge
   private val LookbackHead = """(?:\s+DEDUPE_LOOKBACK_PERIOD\s+(\d+))?"""
+  // optional ingest gate (Delta Live Tables' EXPECT surface, wired to
+  // graft.operators.Expectations): EXPECT <name> AS (<pred>)
+  // [ON VIOLATION WARN|DROP|FAIL][, ...] — drop/fail violators land in
+  // the quarantine table beside the target, FAIL aborts the trigger
+  private val ExpectTail = """(?:\s+EXPECT\s+(.+?))?"""
+  private val ExpectDefRe =
+    """(?is)\s*(\w+)\s+AS\s+\((.+)\)(?:\s+ON\s+VIOLATION\s+(\w+))?\s*""".r
+
+  /** Parse the EXPECT clause list: comma-split at paren depth 0, each
+    * `name AS (<pred>) [ON VIOLATION action]` (default WARN). */
+  private def parseExpectations(raw: String): Seq[graft.streaming.PipeExpectation] = {
+    val parts = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    raw.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => parts += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    parts += cur.result()
+    parts.result().map(_.trim).filter(_.nonEmpty).map {
+      case ExpectDefRe(name, pred, action) =>
+        graft.streaming.PipeExpectation(name, pred.trim,
+          Option(action).map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("warn"))
+      case other => throw new IllegalArgumentException(
+        s"cannot parse EXPECT clause: $other (want: <name> AS (<predicate>) [ON VIOLATION WARN|DROP|FAIL])")
+    }
+  }
   private val CreatePipeRe =
     ("""(?is)CREATE\s+PIPE\s+(\w+)""" + LookbackHead +
       """\s+FROM\s+'([^']+)'\s+FORMAT\s+(\w+)\s+""" +
       """SCHEMA\s+'([^']+)'\s+INTO\s+'([^']+)'\s+CHECKPOINT\s+'([^']+)'""" +
-      NotifyTail + """\s*;?""").r
+      ExpectTail + NotifyTail + """\s*;?""").r
   // lake-SOURCE pipes: incremental replication over the snapshot log —
   // TRIGGER ships source commits (checkpointed, latest] into the target
   // (append flavor: one tagged commit; MERGE KEY flavor: row-level CDC)
@@ -647,7 +678,7 @@ object GraftSqlParser {
     ("""(?is)CREATE\s+PIPE\s+(\w+)""" + LookbackHead +
       """\s+FROM\s+'([^']+)'\s+FORMAT\s+(\w+)\s+""" +
       """SCHEMA\s+'([^']+)'\s+INTO\s+LAKE\s+'([^']+)'\s+CHECKPOINT\s+'([^']+)'""" +
-      NotifyTail + """\s*;?""").r
+      ExpectTail + NotifyTail + """\s*;?""").r
   // FOR BATCH <gen>: manual retry of one recorded ingestion batch
   // (reference SqlTriggerPipe's optional FOR BATCH arm, ingestion.ftl:308)
   private val TriggerPipeRe =
@@ -1997,7 +2028,8 @@ object GraftSqlParser {
       schemaDdl: String, target: String, checkpoint: String,
       sink: String = "parquet", mergeKey: Option[String] = None,
       notifyProvider: Option[String] = None, notifyQueue: Option[String] = None,
-      lookbackDays: Option[Int] = None)
+      lookbackDays: Option[Int] = None,
+      expectations: Seq[graft.streaming.PipeExpectation] = Nil)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = out("pipe")
     override def run(spark: SparkSession): Seq[Row] = {
@@ -2040,11 +2072,28 @@ object GraftSqlParser {
       // schema (resolved at trigger time from its snapshot)
       val schema =
         if (schemaDdl.isEmpty) new StructType() else StructType.fromDDL(schemaDdl)
+      // EXPECT validation at CREATE, not at the first TRIGGER hours
+      // later: actions must be known and every predicate must RESOLVE
+      // against the declared schema (a typo'd column refuses here)
+      expectations.foreach { e =>
+        graft.operators.Expectations.Rule(e.name,
+          org.apache.spark.sql.functions.expr(e.predicateSql), e.action)
+        val probe = spark.createDataFrame(
+          new java.util.ArrayList[Row](), schema)
+        try probe.filter(org.apache.spark.sql.functions.expr(e.predicateSql))
+          .queryExecution.analyzed
+        catch { case ex: Exception => throw new IllegalArgumentException(
+          s"EXPECT ${e.name}: predicate does not resolve against the " +
+            s"pipe schema: ${ex.getMessage}") }
+      }
+      require(expectations.map(_.name).distinct.size == expectations.size,
+        "EXPECT rule names must be unique")
       Pipes.define(Pipe(name, src, fmt, schema, target, checkpoint, sink,
         mergeKey, notificationProvider = notifyProvider.map(
           _.toUpperCase(java.util.Locale.ROOT)),
         notificationQueue = notifyQueue,
-        dedupeLookbackDays = lookbackDays))
+        dedupeLookbackDays = lookbackDays,
+        expectations = expectations))
       Seq(Row(name))
     }
   }
@@ -2180,7 +2229,11 @@ object GraftSqlParser {
         p.sink, p.mergeKey.orNull, (!p.paused).toString,
         p.notificationProvider.map(pr =>
           s"$pr:${p.notificationQueue.getOrElse("")}").orNull,
-        p.dedupeLookbackDays.map(_.toString).orNull))
+        p.dedupeLookbackDays.map(_.toString).orNull,
+        if (p.expectations.isEmpty) null
+        else p.expectations.map(e =>
+          s"${e.name} AS (${e.predicateSql}) ON VIOLATION ${e.action.toUpperCase}")
+          .mkString("; ")))
     }
   }
 

@@ -49,7 +49,19 @@ final case class Pipe(
       * trims); a listing pipe's Spark file-source log has no
       * loss-free equivalent — `maxFileAge` would silently SKIP
       * old-mtime backfills — so CREATE refuses the combination. */
-    dedupeLookbackDays: Option[Int] = None)
+    dedupeLookbackDays: Option[Int] = None,
+    /** `EXPECT <name> AS (<predicate>) [ON VIOLATION WARN|DROP|FAIL]`
+      * (Delta Live Tables' ingestion-gate surface, wired to
+      * [[graft.operators.Expectations]]): every arriving batch is gated
+      * BEFORE it lands — drop/fail violators go to the quarantine table
+      * beside the target with per-row rule attribution, a FAIL violation
+      * aborts the whole trigger before anything commits. */
+    expectations: Seq[PipeExpectation] = Nil)
+
+/** One declarative ingest constraint (predicate is SQL over the pipe's
+  * schema; action: warn | drop | fail). */
+final case class PipeExpectation(name: String, predicateSql: String,
+                                 action: String)
 
 object Pipes {
 
@@ -105,6 +117,14 @@ object Pipes {
         p.notificationProvider.foreach(o.put("notificationProvider", _))
         p.notificationQueue.foreach(o.put("notificationQueue", _))
         p.dedupeLookbackDays.foreach(o.put("dedupeLookbackDays", _))
+        if (p.expectations.nonEmpty) {
+          val ea = o.putArray("expectations")
+          p.expectations.foreach { e =>
+            val eo = ea.addObject()
+            eo.put("name", e.name); eo.put("predicate", e.predicateSql)
+            eo.put("action", e.action)
+          }
+        }
       }
       // re-emit foreign entries this version could not parse, verbatim —
       // unless a parseable definition has since taken the name
@@ -133,7 +153,14 @@ object Pipes {
             o.path("paused").asBoolean(false),
             opt("notificationProvider"), opt("notificationQueue"),
             if (o.has("dedupeLookbackDays"))
-              Some(o.path("dedupeLookbackDays").asInt()) else None)
+              Some(o.path("dedupeLookbackDays").asInt()) else None,
+            {
+              val b = Seq.newBuilder[PipeExpectation]
+              o.path("expectations").forEach(e => b += PipeExpectation(
+                e.path("name").asText(), e.path("predicate").asText(),
+                e.path("action").asText()))
+              b.result()
+            })
           registry.put(p.name, p)
           ()
         } catch {
@@ -208,7 +235,7 @@ object Pipes {
     require(files.nonEmpty,
       s"TRIGGER ... FOR BATCH: pipe '${pipe.name}' has no batch $batchGen " +
         "in its loaded-files log (expired from DEDUPE_LOOKBACK_PERIOD, or never ran)")
-    val batch = readBatch(spark, pipe, files)
+    val batch = gateBatch(spark, pipe, readBatch(spark, pipe, files))
     val lake = graft.sources.SnapshotTable.forPath(spark, pipe.targetDir)
     val (spec, statsCols, _) = lake.effectiveLayout
     val digest = java.security.MessageDigest.getInstance("MD5")
@@ -249,6 +276,36 @@ object Pipes {
       case f => spark.read.schema(pipe.schema).format(f).load(files: _*)
     }
 
+  /** The quarantine table beside the pipe's target (drop/fail violators
+    * with per-row `violated_rules` attribution). */
+  def quarantineDir(pipe: Pipe): String =
+    pipe.targetDir.stripSuffix("/") + "_quarantine"
+
+  /** Gate one arriving batch through the pipe's EXPECT rules
+    * ([[graft.operators.Expectations]]): a FAIL violation aborts the
+    * trigger BEFORE anything lands (the batch's commit never happens, so
+    * the file-source/notified logs retry it after the fix); drop/fail
+    * violators append to the quarantine table; returns the kept frame.
+    * Kept rows keep each sink's exactly-once guarantee (tagged commits);
+    * the quarantine side is DIAGNOSTIC best-effort — a crash between the
+    * quarantine append and the sink commit can duplicate quarantine rows,
+    * never kept rows. */
+  private def gateBatch(spark: SparkSession, pipe: Pipe,
+                        batch: DataFrame): DataFrame =
+    if (pipe.expectations.isEmpty) batch
+    else {
+      import org.apache.spark.sql.functions.{expr, lit}
+      val rules = pipe.expectations.map(e =>
+        graft.operators.Expectations.Rule(e.name, expr(e.predicateSql), e.action))
+      val res = graft.operators.Expectations.checkEnforced(batch, rules)
+      val q = res.quarantined
+        .withColumn("pipe", lit(pipe.name))
+        .withColumn("quarantined_at_ms", lit(System.currentTimeMillis()))
+      if (q.take(1).nonEmpty)
+        q.write.mode("append").parquet(quarantineDir(pipe))
+      res.kept
+    }
+
   private def srcStream(spark: SparkSession, pipe: Pipe): DataFrame = {
     require(pipe.format != "warc",
       s"pipe '${pipe.name}': FORMAT WARC pipes must be NOTIFIED " +
@@ -265,6 +322,27 @@ object Pipes {
     * (from the stream's progress metrics — no O(target) recount). */
   def trigger(spark: SparkSession, pipe: Pipe): Long = {
     val src = srcStream(spark, pipe)
+    if (pipe.expectations.nonEmpty) {
+      // gated plain-parquet pipes route through foreachBatch so FAIL can
+      // abort before the batch lands and violators quarantine; the plain
+      // parquet dir has no commit tags, so a crash-replay here is
+      // at-least-once — use a lake sink for exactly-once gated ingest
+      val total = new java.util.concurrent.atomic.AtomicLong(0L)
+      val gq = src.writeStream
+        .option("checkpointLocation", pipe.checkpointDir)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val gated = gateBatch(spark, pipe, batch).persist()
+          try {
+            total.addAndGet(gated.count())
+            gated.write.mode("append").parquet(pipe.targetDir)
+          } finally gated.unpersist()
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      gq.awaitTermination()
+      return total.get
+    }
     val q = src.writeStream
       .format("parquet")
       .option("path", pipe.targetDir)
@@ -359,7 +437,7 @@ object Pipes {
     val n: Long =
       if (fresh.isEmpty) 0L
       else {
-        val batch = readBatch(spark, pipe, fresh).persist()
+        val batch = gateBatch(spark, pipe, readBatch(spark, pipe, fresh)).persist()
         try {
           val rows = batch.count()
           pipe.sink match {
@@ -481,7 +559,8 @@ object Pipes {
     val total = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = src.writeStream
       .option("checkpointLocation", pipe.checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val batch = gateBatch(spark, pipe, batch0)
         batch.persist()
         try {
           val n = batch.count()
@@ -527,7 +606,8 @@ object Pipes {
     val total = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = src.writeStream
       .option("checkpointLocation", pipe.checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val batch = gateBatch(spark, pipe, batch0)
         batch.persist()
         try {
           val n = batch.count()

@@ -523,4 +523,71 @@ class PipeSpec extends AnyFunSuite {
     assert(texts.exists(_.contains("héllo 中文")))
     spark.sql("DROP PIPE wph")
   }
+
+  test("EXPECT gates the pipe: drop quarantines with attribution, warn passes, fail aborts pre-commit") {
+    val root = Files.createTempDirectory("graft_pipe_expect").toString
+    val src = s"$root/incoming"; Files.createDirectories(Paths.get(src))
+    def drop(name: String, rows: Seq[String]): Unit =
+      Files.write(Paths.get(s"$src/$name"), rows.mkString("\n").getBytes)
+
+    // full SQL surface: two-rule gate on a lake-sink pipe
+    graft.sources.SnapshotTable.create(spark, s"$root/lake",
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
+    spark.sql(s"""CREATE PIPE pexp FROM '$src' FORMAT json
+      SCHEMA 'event_id BIGINT, event_type STRING, value DOUBLE'
+      INTO LAKE '$root/lake' CHECKPOINT '$root/_chk'
+      EXPECT positive_value AS (value > 0) ON VIOLATION DROP,
+             known_type AS (event_type IN ('x','y')) ON VIOLATION WARN""")
+    val desc = spark.sql("DESCRIBE PIPE pexp").head()
+    assert(desc.getAs[String]("expectations").contains("positive_value"))
+
+    drop("a.json", Seq(
+      """{"event_id":1,"event_type":"x","value":1.5}""",
+      """{"event_id":2,"event_type":"z","value":2.5}""", // warn only -> kept
+      """{"event_id":3,"event_type":"x","value":-9.0}""")) // drop
+    val loaded = spark.sql("TRIGGER PIPE pexp").head().getString(1).toLong
+    assert(loaded == 2, s"drop violator must not land: $loaded")
+    val lake = graft.sources.SnapshotTable.forPath(spark, s"$root/lake")
+    assert(lake.read().select("event_id").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 2L))
+    // quarantine has the dropped row, attributed
+    val pipe = Pipes.get("pexp").get
+    val q = spark.read.parquet(Pipes.quarantineDir(pipe))
+    val qr = q.selectExpr("event_id", "array_join(violated_rules, ',')",
+      "pipe").collect()
+    assert(qr.length == 1 && qr.head.getLong(0) == 3L)
+    assert(qr.head.getString(1) == "positive_value" && qr.head.getString(2) == "pexp")
+
+    // FAIL aborts the trigger BEFORE the batch commits; after the gate is
+    // relaxed the SAME files retry and land (the checkpoint never advanced)
+    spark.sql("DROP PIPE pexp")
+    spark.sql(s"""CREATE PIPE pexp2 FROM '$src/f2' FORMAT json
+      SCHEMA 'event_id BIGINT, event_type STRING, value DOUBLE'
+      INTO LAKE '$root/lake2' CHECKPOINT '$root/_chk2'
+      EXPECT no_nulls AS (event_id IS NOT NULL) ON VIOLATION FAIL""")
+    Files.createDirectories(Paths.get(s"$src/f2"))
+    graft.sources.SnapshotTable.create(spark, s"$root/lake2",
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
+    Files.write(Paths.get(s"$src/f2/bad.json"),
+      """{"event_type":"x","value":1.0}""".getBytes)
+    val lake2 = graft.sources.SnapshotTable.forPath(spark, s"$root/lake2")
+    val v0 = lake2.latestVersion
+    val e = intercept[Exception](spark.sql("TRIGGER PIPE pexp2").collect())
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      val b = new StringBuilder
+      while (c != null) { b.append(Option(c.getMessage).getOrElse("")); c = c.getCause }
+      b.toString
+    }
+    assert(rootMsg(e).contains("no_nulls"), s"fail must name the rule: $e")
+    assert(lake2.latestVersion == v0, "a failed batch must not commit")
+    spark.sql("DROP PIPE pexp2")
+
+    // CREATE-time validation: a typo'd column refuses immediately
+    val bad = intercept[Exception](spark.sql(
+      s"""CREATE PIPE pbad FROM '$src' FORMAT json
+        SCHEMA 'event_id BIGINT' INTO '$root/t3' CHECKPOINT '$root/_c3'
+        EXPECT oops AS (no_such_col > 0) ON VIOLATION DROP"""))
+    assert(bad.getMessage.contains("does not resolve"), bad.getMessage)
+  }
 }
