@@ -139,19 +139,13 @@ object GraftStore {
     override def release(section: String, gen: Long): Unit =
       try { fs.delete(claim(section, gen), false); () }
       catch { case _: Exception => () }
-    private def sweep(section: String)(keep: Long => Boolean): Unit =
-      try fs.listStatus(dir).toSeq.filter(_.isFile).foreach { st =>
-        val n = st.getPath.getName
-        if (n.startsWith(section + ".") && n.endsWith(".claim"))
-          n.stripPrefix(section + ".").stripSuffix(".claim").toLongOption
-            .filterNot(keep)
-            .foreach(_ => try fs.delete(st.getPath, false)
-                          catch { case _: Exception => () })
-      } catch { case _: Exception => () }
-    override def releaseBelow(section: String, gen: Long): Unit =
-      sweep(section)(_ >= gen)
-    override def releaseAll(section: String): Unit =
-      sweep(section)(_ => false)
+    // store-dir claims are swept by the save/delete paths' OWN directory
+    // listing (stale-claim cleanup there is unconditional, so it also
+    // covers leftovers from a mode switch) — a second LIST per commit
+    // would double the mutation cost on exactly the object stores this
+    // seam targets
+    override def releaseBelow(section: String, gen: Long): Unit = ()
+    override def releaseAll(section: String): Unit = ()
   }
 
   /** Claims in a LOCAL coordination dir, namespaced by a hash of the
@@ -326,10 +320,15 @@ object GraftStore {
       // file — best-effort; stragglers lose every future max-gen read
       fs.listStatus(dir).toSeq.filter(_.isFile).foreach { st =>
         val n = st.getPath.getName
-        if (genOf(n, section).exists(_ < next) || n == s"$section.json")
+        // store-dir claims retire here regardless of arbiter mode, so
+        // FS-mode leftovers can't block saves after a switch to
+        // pointer-claim mode and back
+        val oldClaim = n.startsWith(section + ".") && n.endsWith(".claim") &&
+          n.stripPrefix(section + ".").stripSuffix(".claim").toLongOption.exists(_ < next)
+        if (genOf(n, section).exists(_ < next) || oldClaim || n == s"$section.json")
           try fs.delete(st.getPath, false) catch { case _: Exception => () }
       }
-      arbiter.releaseBelow(section, next)
+      arbiter.releaseBelow(section, next) // pointer mode: coord-dir sweep
     }
 
   /** [[save]] with conflict RESYNC. Plain IO trouble follows the chosen
@@ -393,7 +392,8 @@ object GraftStore {
       val fs = dir.getFileSystem(org.apache.spark.sql.graft.Bridge.hadoopConf(spark))
       if (fs.exists(dir)) fs.listStatus(dir).toSeq.filter(_.isFile).foreach { st =>
         val n = st.getPath.getName
-        if (genOf(n, section).isDefined || n == s"$section.json")
+        val isClaim = n.startsWith(section + ".") && n.endsWith(".claim")
+        if (genOf(n, section).isDefined || isClaim || n == s"$section.json")
           fs.delete(st.getPath, false)
       }
       arbiterFor(spark, fs, dir).releaseAll(section)

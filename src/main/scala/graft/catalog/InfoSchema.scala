@@ -573,20 +573,30 @@ object InfoSchema {
           i.numPartitions, i.memSize, i.diskSize)))
 
   /** Local directories cache/spill blocks land on, with capacity
-    * (reference cache.mount_points). */
+    * (reference cache.mount_points). `scope` is explicit about WHOSE
+    * filesystem is being described: this view stats paths on the DRIVER
+    * (= every executor in local mode, the deployment this engine tests
+    * on); a multi-host cluster's executors resolve their dirs from
+    * per-host env (SPARK_LOCAL_DIRS / yarn local-dirs), which no driver
+    * API exposes — rows for remote hosts would be fabrications. */
   def sysCacheMountPoints(spark: SparkSession): DataFrame =
     live(spark, StructType(Seq(
+      StructField("scope", StringType, nullable = false),
       StructField("mount_point_path", StringType, nullable = false),
       StructField("exists", BooleanType, nullable = false),
       StructField("total_space_bytes", LongType, nullable = false),
       StructField("usable_space_bytes", LongType, nullable = false))),
       () => {
-        val dirs = spark.sparkContext.getConf
-          .get("spark.local.dir", System.getProperty("java.io.tmpdir"))
+        val conf = spark.sparkContext.getConf
+        val dirs = conf.getOption("spark.local.dir")
+          .orElse(sys.env.get("SPARK_LOCAL_DIRS"))
+          .getOrElse(System.getProperty("java.io.tmpdir"))
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq.distinct
+        val scope = if (spark.sparkContext.isLocal) "driver+executors(local)"
+                    else "driver"
         dirs.sorted.map { d =>
           val f = new java.io.File(d)
-          Row(d, f.exists(), f.getTotalSpace, f.getUsableSpace)
+          Row(scope, d, f.exists(), f.getTotalSpace, f.getUsableSpace)
         }
       })
 

@@ -63,10 +63,19 @@ object Expectations {
     * to `quarantined` (with a `violated_rules` array naming every failed
     * rule — warn violations included for triage); the rest are `kept`.
     * Warn-only violators stay in `kept` by the DLT contract. */
+  /** Column names the check/quarantine machinery claims for itself —
+    * withColumn would silently REPLACE same-named input columns, so they
+    * refuse loudly instead (pipe gating reserves two more). */
+  val ReservedColumns: Set[String] = Set("__viol", "violated_rules")
+
   def check(df: DataFrame, rules: Seq[Rule]): CheckResult = {
     require(rules.nonEmpty, "at least one expectation rule")
     require(rules.map(_.name).distinct.size == rules.size,
       "expectation rule names must be unique")
+    val clash = df.columns.toSet.intersect(ReservedColumns)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with the expectation " +
+        "machinery's reserved names — rename them upstream")
     val flagged = df.withColumn("__viol", violatedCol(rules))
     val gating = rules.zipWithIndex.filter(_._1.action != "warn")
     val anyGate = gating.map { case (_, i) => col("__viol")(i) }

@@ -164,9 +164,10 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface) extends Par
       case CreateLakeSrcPipeRe(name, srcDir, target, chk) =>
         CreatePipeCommand(name, srcDir, "lakesource", "", target, chk,
           sink = "lake")
-      case CreateCdcPipeRe(name, src, fmt, ddl, key, target, chk) =>
+      case CreateCdcPipeRe(name, src, fmt, ddl, key, target, chk, expect) =>
         CreatePipeCommand(name, src, fmt.toLowerCase, ddl, target, chk,
-          sink = "merge", mergeKey = Some(key))
+          sink = "merge", mergeKey = Some(key),
+          expectations = Option(expect).map(parseExpectations).getOrElse(Nil))
       case CreateLakePipeRe(name, lookback, src, fmt, ddl, target, chk, expect, prov, queue) =>
         CreatePipeCommand(name, src, fmt.toLowerCase, ddl, target, chk,
           sink = "lake", notifyProvider = Option(prov), notifyQueue = Option(queue),
@@ -638,10 +639,12 @@ object GraftSqlParser {
     val parts = Seq.newBuilder[String]
     val cur = new StringBuilder
     var depth = 0
+    var inQuote = false // SQL single-quoted literal; '' is the escape
     raw.foreach {
-      case '(' => depth += 1; cur += '('
-      case ')' => depth -= 1; cur += ')'
-      case ',' if depth == 0 => parts += cur.result(); cur.clear()
+      case '\'' => inQuote = !inQuote; cur += '\''
+      case '(' if !inQuote => depth += 1; cur += '('
+      case ')' if !inQuote => depth -= 1; cur += ')'
+      case ',' if !inQuote && depth == 0 => parts += cur.result(); cur.clear()
       case c => cur += c
     }
     parts += cur.result()
@@ -672,7 +675,8 @@ object GraftSqlParser {
   // `Parser.tdd:624`)
   private val CreateCdcPipeRe =
     ("""(?is)CREATE\s+PIPE\s+(\w+)\s+FROM\s+'([^']+)'\s+FORMAT\s+(\w+)\s+""" +
-      """SCHEMA\s+'([^']+)'\s+MERGE\s+KEY\s+(\w+)\s+INTO\s+LAKE\s+'([^']+)'\s+CHECKPOINT\s+'([^']+)'\s*;?""").r
+      """SCHEMA\s+'([^']+)'\s+MERGE\s+KEY\s+(\w+)\s+INTO\s+LAKE\s+'([^']+)'\s+CHECKPOINT\s+'([^']+)'""" +
+      ExpectTail + """\s*;?""").r
   // append pipe landing each batch as one atomic tagged lake commit
   private val CreateLakePipeRe =
     ("""(?is)CREATE\s+PIPE\s+(\w+)""" + LookbackHead +
@@ -2088,6 +2092,14 @@ object GraftSqlParser {
       }
       require(expectations.map(_.name).distinct.size == expectations.size,
         "EXPECT rule names must be unique")
+      if (expectations.nonEmpty) {
+        val reserved = graft.operators.Expectations.ReservedColumns ++
+          Set("pipe", "quarantined_at_ms")
+        val clash = schema.fieldNames.toSet.intersect(reserved)
+        require(clash.isEmpty,
+          s"EXPECT: schema columns ${clash.mkString(", ")} collide with the " +
+            "quarantine metadata columns — rename them")
+      }
       Pipes.define(Pipe(name, src, fmt, schema, target, checkpoint, sink,
         mergeKey, notificationProvider = notifyProvider.map(
           _.toUpperCase(java.util.Locale.ROOT)),

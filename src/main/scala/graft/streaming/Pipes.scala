@@ -235,17 +235,22 @@ object Pipes {
     require(files.nonEmpty,
       s"TRIGGER ... FOR BATCH: pipe '${pipe.name}' has no batch $batchGen " +
         "in its loaded-files log (expired from DEDUPE_LOOKBACK_PERIOD, or never ran)")
-    val batch = gateBatch(spark, pipe, readBatch(spark, pipe, files))
-    val lake = graft.sources.SnapshotTable.forPath(spark, pipe.targetDir)
-    val (spec, statsCols, _) = lake.effectiveLayout
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(files.sorted.mkString("\n").getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    val before = lake.latestVersion
-    val rows = batch.count()
-    val v = lake.appendTagged(batch,
-      s"pipe:${pipe.name}:notified:$batchGen:$digest", spec, statsCols)
-    if (v > before) rows else 0L
+    val gated = gateBatch(spark, pipe, readBatch(spark, pipe, files))
+    try {
+      val lake = graft.sources.SnapshotTable.forPath(spark, pipe.targetDir)
+      val (spec, statsCols, _) = lake.effectiveLayout
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(files.sorted.mkString("\n").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val before = lake.latestVersion
+      val rows = gated.kept.count()
+      val v = lake.appendTagged(gated.kept,
+        s"pipe:${pipe.name}:notified:$batchGen:$digest", spec, statsCols)
+      // an absorbed retry (tag already committed) must not re-append its
+      // quarantine diagnostics either
+      gated.finish(v <= before)
+      if (v > before) rows else 0L
+    } catch { case e: Throwable => gated.finish(true); throw e }
   }
 
   /** Streaming source frame for a listing (non-notified) pipe. NOTE:
@@ -281,29 +286,49 @@ object Pipes {
   def quarantineDir(pipe: Pipe): String =
     pipe.targetDir.stripSuffix("/") + "_quarantine"
 
+  /** One EXPECT-gated batch: `kept` is persisted and materialized;
+    * `finish(absorbed)` writes the quarantine rows (skipped when the
+    * sink ABSORBED the batch — an idempotency-tag replay must not
+    * duplicate quarantine diagnostics) and releases both cached frames.
+    * Callers must invoke `finish` exactly once. */
+  private[streaming] final case class GatedBatch(kept: DataFrame,
+                                                 finish: Boolean => Unit)
+
   /** Gate one arriving batch through the pipe's EXPECT rules
     * ([[graft.operators.Expectations]]): a FAIL violation aborts the
     * trigger BEFORE anything lands (the batch's commit never happens, so
-    * the file-source/notified logs retry it after the fix); drop/fail
-    * violators append to the quarantine table; returns the kept frame.
-    * Kept rows keep each sink's exactly-once guarantee (tagged commits);
-    * the quarantine side is DIAGNOSTIC best-effort — a crash between the
-    * quarantine append and the sink commit can duplicate quarantine rows,
-    * never kept rows. */
+    * the file-source/notified logs retry it after the fix). Scan shape:
+    * the input caches once; the FAIL aggregate runs ONLY when a fail
+    * rule exists; kept and quarantined materialize from the cache, so
+    * the source files are read once per gated trigger. Kept rows keep
+    * each sink's exactly-once guarantee; quarantine rows are skipped for
+    * ABSORBED replays and can duplicate only in the crash window between
+    * quarantine append and sink commit (documented diagnostic contract). */
   private def gateBatch(spark: SparkSession, pipe: Pipe,
-                        batch: DataFrame): DataFrame =
-    if (pipe.expectations.isEmpty) batch
+                        batch: DataFrame): GatedBatch =
+    if (pipe.expectations.isEmpty) GatedBatch(batch, _ => ())
     else {
       import org.apache.spark.sql.functions.{expr, lit}
       val rules = pipe.expectations.map(e =>
         graft.operators.Expectations.Rule(e.name, expr(e.predicateSql), e.action))
-      val res = graft.operators.Expectations.checkEnforced(batch, rules)
-      val q = res.quarantined
-        .withColumn("pipe", lit(pipe.name))
-        .withColumn("quarantined_at_ms", lit(System.currentTimeMillis()))
-      if (q.take(1).nonEmpty)
-        q.write.mode("append").parquet(quarantineDir(pipe))
-      res.kept
+      val cached = batch.persist()
+      try {
+        val res = graft.operators.Expectations.check(cached, rules)
+        if (rules.exists(_.action == "fail")) res.enforce()
+        val q = res.quarantined
+          .withColumn("pipe", lit(pipe.name))
+          .withColumn("quarantined_at_ms", lit(System.currentTimeMillis()))
+          .persist()
+        val nQuarantined = q.count()
+        val kept = res.kept.persist()
+        kept.count() // materialize from the cached input
+        GatedBatch(kept, absorbed => {
+          try {
+            if (!absorbed && nQuarantined > 0)
+              q.write.mode("append").parquet(quarantineDir(pipe))
+          } finally { q.unpersist(); kept.unpersist(); () }
+        })
+      } finally cached.unpersist() // kept/q are materialized (or enforce threw)
     }
 
   private def srcStream(spark: SparkSession, pipe: Pipe): DataFrame = {
@@ -331,11 +356,12 @@ object Pipes {
       val gq = src.writeStream
         .option("checkpointLocation", pipe.checkpointDir)
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          val gated = gateBatch(spark, pipe, batch).persist()
+          val gated = gateBatch(spark, pipe, batch)
           try {
-            total.addAndGet(gated.count())
-            gated.write.mode("append").parquet(pipe.targetDir)
-          } finally gated.unpersist()
+            total.addAndGet(gated.kept.count())
+            gated.kept.write.mode("append").parquet(pipe.targetDir)
+            gated.finish(false)
+          } catch { case e: Throwable => gated.finish(true); throw e }
           ()
         }
         .trigger(Trigger.AvailableNow())
@@ -437,9 +463,9 @@ object Pipes {
     val n: Long =
       if (fresh.isEmpty) 0L
       else {
-        val batch = gateBatch(spark, pipe, readBatch(spark, pipe, fresh)).persist()
+        val gated = gateBatch(spark, pipe, readBatch(spark, pipe, fresh))
         try {
-          val rows = batch.count()
+          val rows = gated.kept.count()
           pipe.sink match {
             case "lake" =>
               val lake = graft.sources.SnapshotTable.forPath(spark, pipe.targetDir)
@@ -451,18 +477,21 @@ object Pipes {
               // generation in the tag: crash-replay (log not advanced →
               // same gen) absorbs; a post-expiry re-ingest (gen moved on)
               // legitimately lands as a new commit
-              val v = lake.appendTagged(batch,
+              val v = lake.appendTagged(gated.kept,
                 s"pipe:${pipe.name}:notified:$gen:$digest", spec, statsCols)
+              // absorbed replay → skip the quarantine append too
+              gated.finish(v <= before)
               if (v > before) rows else 0L
             case _ =>
               // plain parquet sink: no commit tag exists to absorb a crash
               // between write and log advance — the lake sink is the
               // exactly-once target (same caveat as the reference's plain
               // file sinks)
-              batch.write.mode("append").parquet(pipe.targetDir)
+              gated.kept.write.mode("append").parquet(pipe.targetDir)
+              gated.finish(false)
               rows
           }
-        } finally { batch.unpersist(); () }
+        } catch { case e: Throwable => gated.finish(true); throw e }
       }
     // advance the log atomically (trimmed to the lookback window, new
     // generation), clear the pending intent, then ack ONLY the events
@@ -560,15 +589,16 @@ object Pipes {
     val q = src.writeStream
       .option("checkpointLocation", pipe.checkpointDir)
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
-        val batch = gateBatch(spark, pipe, batch0)
-        batch.persist()
+        val gated = gateBatch(spark, pipe, batch0)
         try {
-          val n = batch.count()
+          val n = gated.kept.count()
           val before = lake.latestVersion
-          val v = lake.mergeByKeyTagged(batch, key,
+          val v = lake.mergeByKeyTagged(gated.kept, key,
             s"merge:${pipe.name}:batch:$batchId")
-          if (v > before) total.addAndGet(n) // replayed batches apply nothing
-        } finally batch.unpersist()
+          // replayed batches apply nothing — and re-append no diagnostics
+          gated.finish(v <= before)
+          if (v > before) total.addAndGet(n)
+        } catch { case e: Throwable => gated.finish(true); throw e }
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -607,17 +637,18 @@ object Pipes {
     val q = src.writeStream
       .option("checkpointLocation", pipe.checkpointDir)
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
-        val batch = gateBatch(spark, pipe, batch0)
-        batch.persist()
+        val gated = gateBatch(spark, pipe, batch0)
         try {
-          val n = batch.count()
+          val n = gated.kept.count()
           val before = lake.latestVersion
-          val v = lake.appendTagged(batch, s"pipe:${pipe.name}:batch:$batchId",
-            partitionSpec, statsCols)
+          val v = lake.appendTagged(gated.kept,
+            s"pipe:${pipe.name}:batch:$batchId", partitionSpec, statsCols)
           // a replayed batch (checkpoint recovery) is absorbed by the tag
-          // and loads nothing — don't count its rows as loaded
+          // and loads nothing — don't count its rows, don't re-append its
+          // quarantine diagnostics
+          gated.finish(v <= before)
           if (v > before) total.addAndGet(n)
-        } finally batch.unpersist()
+        } catch { case e: Throwable => gated.finish(true); throw e }
         ()
       }
       .trigger(Trigger.AvailableNow())

@@ -589,5 +589,25 @@ class PipeSpec extends AnyFunSuite {
         SCHEMA 'event_id BIGINT' INTO '$root/t3' CHECKPOINT '$root/_c3'
         EXPECT oops AS (no_such_col > 0) ON VIOLATION DROP"""))
     assert(bad.getMessage.contains("does not resolve"), bad.getMessage)
+
+    // CDC pipes take EXPECT too, and the clause splitter honors quoted
+    // literals containing parens/commas
+    spark.sql(s"""CREATE PIPE pcdc FROM '$src' FORMAT json
+      SCHEMA 'event_id BIGINT, event_type STRING, value DOUBLE'
+      MERGE KEY event_id INTO LAKE '$root/lake' CHECKPOINT '$root/_c4'
+      EXPECT no_paren AS (event_type NOT LIKE '%)%') ON VIOLATION DROP,
+             pos AS (value > 0)""")
+    val cdcDesc = spark.sql("DESCRIBE PIPE pcdc").head()
+      .getAs[String]("expectations")
+    assert(cdcDesc.contains("no_paren") && cdcDesc.contains("'%)%'") &&
+      cdcDesc.contains("pos AS (value > 0) ON VIOLATION WARN"), cdcDesc)
+    spark.sql("DROP PIPE pcdc")
+
+    // a schema column colliding with the quarantine metadata refuses
+    val clash = intercept[Exception](spark.sql(
+      s"""CREATE PIPE pclash FROM '$src' FORMAT json
+        SCHEMA 'pipe STRING, v INT' INTO '$root/t5' CHECKPOINT '$root/_c5'
+        EXPECT r AS (v > 0) ON VIOLATION DROP"""))
+    assert(clash.getMessage.contains("collide"), clash.getMessage)
   }
 }
