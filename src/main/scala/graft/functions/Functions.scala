@@ -25,6 +25,10 @@ object Functions {
   def quantize_int8(v: Column): Column = col(QuantizeInt8(ex(v)))
   def dot_product(a: Column, b: Column): Column = col(DotProduct(ex(a), ex(b)))
   def pq_adc_dot(codes: Column, lut: Column): Column = col(PqAdcDot(ex(codes), ex(lut)))
+  def pq_encode(v: Column, codebook: Seq[Seq[Seq[Float]]]): Column =
+    col(PqEncode(ex(v), codebook))
+  def pq_lut(v: Column, codebook: Seq[Seq[Seq[Float]]]): Column =
+    col(PqLut(ex(v), codebook))
   def l2_norm(a: Column): Column = col(L2Norm(ex(a)))
 
   // ---- text fingerprints (LLM extras) ----

@@ -330,6 +330,134 @@ case class PqAdcDot(left: Expression, right: Expression) extends BinaryExpressio
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
+/** PQ encode/LUT loops shared by eval and codegen. Arithmetic is kept
+  * EXACTLY equal to the declarative forms they replace
+  * ([[graft.llm.Similarity.pqCodesCol]]'s per-block
+  * `lit(|c|²) − 2·dot_product(slice(vec), c)` + first-min argmin, and the
+  * per-query `dot_product(slice(vec), c)` LUT): float loads widened to
+  * double, ascending-index accumulation, `cnorm − 2.0·dot`, strict `<`
+  * first-min — so swapping the kernels in changes plan size, never a
+  * value. */
+object PqKernel {
+  /** |c|² per (block, code), summed in ascending index order — the same
+    * left fold as `c.map(_.toDouble * _).sum` in the declarative form. */
+  def norms(cb: Array[Array[Array[Float]]]): Array[Array[Double]] =
+    cb.map(_.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i).toDouble * c(i); i += 1 }
+      s
+    })
+
+  /** dot(vec[b·dsub ..], cent) with slice semantics: reads stop at the
+    * vector's end (slice-then-min(n) in the declarative form). */
+  @inline private def blockDot(v: ArrayData, off: Int, cent: Array[Float]): Double = {
+    val n = v.numElements()
+    val end = math.min(cent.length, math.max(0, n - off))
+    var dot = 0.0; var p = 0
+    while (p < end) { dot += cent(p).toDouble * v.getFloat(off + p); p += 1 }
+    dot
+  }
+
+  /** m codes: per block the first j minimizing |c|² − 2·x·c. */
+  def encode(v: ArrayData, cb: Array[Array[Array[Float]]],
+             cn: Array[Array[Double]]): ArrayData = {
+    val m = cb.length
+    val out = new Array[Int](m)
+    var b = 0
+    while (b < m) {
+      val cents = cb(b); val dsub = if (cents.isEmpty) 0 else cents(0).length
+      var best = 0; var bestD = Double.PositiveInfinity; var j = 0
+      while (j < cents.length) {
+        val d = cn(b)(j) - 2.0 * blockDot(v, b * dsub, cents(j))
+        if (d < bestD) { bestD = d; best = j } // strict <: first min wins
+        j += 1
+      }
+      out(b) = best
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** m×ksub LUT: lut[b][j] = x_block_b · cent_b[j]. */
+  def lut(v: ArrayData, cb: Array[Array[Array[Float]]]): ArrayData = {
+    val m = cb.length
+    val out = new Array[Any](m)
+    var b = 0
+    while (b < m) {
+      val cents = cb(b); val dsub = if (cents.isEmpty) 0 else cents(0).length
+      val row = new Array[Double](cents.length)
+      var j = 0
+      while (j < cents.length) { row(j) = blockDot(v, b * dsub, cents(j)); j += 1 }
+      out(b) = new GenericArrayData(row)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** pq_encode(vec) under a plan-carried codebook -> array<int> of m codes.
+  * Replaces the declarative m·ksub-subtree projection
+  * ([[graft.llm.Similarity.pqCodesCol]]): the codebook rides as ONE
+  * reference object, so the plan is m·ksub× smaller (analysis/codegen cost
+  * was the dominant driver-side cost of every IVF-PQ query) and the
+  * per-row loop is fused. Output-identical by construction (PqKernel). */
+case class PqEncode(child: Expression,
+                    codebook: Seq[Seq[Seq[Float]]]) extends UnaryExpression {
+  override def prettyName: String = "pq_encode"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>; got ${other.simpleString}")
+  }
+
+  @transient private lazy val cb: Array[Array[Array[Float]]] =
+    codebook.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val cn: Array[Array[Double]] = PqKernel.norms(cb)
+
+  override def nullSafeEval(v: Any): Any =
+    PqKernel.encode(v.asInstanceOf[ArrayData], cb, cn)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCb", cb, "float[][][]")
+    val cnRef = ctx.addReferenceObj("pqCn", cn, "double[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.PqKernel.encode($v, $cbRef, $cnRef);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** pq_lut(vec) under a plan-carried codebook -> array<array<double>> of
+  * per-block query·centroid dot products (the ADC lookup table). Same
+  * plan-size rationale as [[PqEncode]]; values identical to the
+  * declarative `array(array(dot_product(slice(vec), cent)...)...)`. */
+case class PqLut(child: Expression,
+                 codebook: Seq[Seq[Seq[Float]]]) extends UnaryExpression {
+  override def prettyName: String = "pq_lut"
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>; got ${other.simpleString}")
+  }
+
+  @transient private lazy val cb: Array[Array[Array[Float]]] =
+    codebook.map(_.map(_.toArray).toArray).toArray
+
+  override def nullSafeEval(v: Any): Any =
+    PqKernel.lut(v.asInstanceOf[ArrayData], cb)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCb", cb, "float[][][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.PqKernel.lut($v, $cbRef);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Signed-random-projection kernel: deterministic pseudo-random hyperplane
   * components from XXH64 of (bit, dimension) — no stored projection
   * matrix, so the "matrix" never ships with the plan and two engines (or

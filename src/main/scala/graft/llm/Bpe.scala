@@ -44,7 +44,9 @@ object Bpe {
     * of training. One two-phase hash aggregate; at any scale the result is
     * |types|, not |corpus|. */
   def wordFrequencies(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs
+    // spread: regex pre-tokenize + explode + map-side count combine fuse
+    // into the scan stage; counts are integers — order-independent
+    graft.engine.Parallelism.spread(docs.select(col(textCol)))
       .select(explode(
         regexp_extract_all(col(textCol), lit(PreTokenPattern), lit(0))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -153,7 +155,8 @@ object Bpe {
     * one hash probe. */
   def encode(docs: DataFrame, vocab: BpeVocab,
              textCol: String = "text"): DataFrame =
-    docs
+    // spread: the per-row merge-loop encode is the heavy map work
+    graft.engine.Parallelism.spread(docs)
       .withColumn("tokens",
         graft.functions.Functions.bpe_encode(col(textCol), vocab.merges))
       .withColumn("n_tokens", size(col("tokens")))

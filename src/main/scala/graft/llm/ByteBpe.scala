@@ -97,7 +97,9 @@ object ByteBpe {
     * of training (GPT-2 pre-tokens, raw text form; the byte remap happens
     * in the driver-side merge loop's symbol split). */
   def wordFrequencies(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs
+    // spread: regex pre-tokenize + explode + map-side count combine fuse
+    // into the scan stage; counts are integers — order-independent
+    graft.engine.Parallelism.spread(docs.select(col(textCol)))
       .select(explode(
         regexp_extract_all(col(textCol), lit(PreTokenPattern), lit(0))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -125,7 +127,8 @@ object ByteBpe {
     * form) and `n_tokens`. Map-only native expression. */
   def encode(docs: DataFrame, vocab: ByteBpeVocab,
              textCol: String = "text"): DataFrame =
-    docs
+    // spread: the per-row merge-loop encode is the heavy map work
+    graft.engine.Parallelism.spread(docs)
       .withColumn("tokens",
         graft.functions.Functions.bpe_byte_encode(col(textCol), vocab.merges))
       .withColumn("n_tokens", size(col("tokens")))

@@ -35,8 +35,12 @@ object Clustering {
                        vecCol: String = "embedding",
                        kmeansIters: Int = 3,
                        centroids: Option[Seq[Seq[Float]]] = None): DataFrame = {
-    val corpus = docs.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
-      col(textCol).as("text"))
+    // spread: centroid assignment + the distinct-term explode are the
+    // heavy map work over this frame; all downstream selections are
+    // deterministic (integer counts, (score, term) total orders)
+    val corpus = graft.engine.Parallelism.spread(
+      docs.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
+        col(textCol).as("text")))
     val n = corpus.count()
     val cents = centroids.getOrElse {
       val nc = if (k > 0) k else Similarity.autoClusters(n)

@@ -31,7 +31,10 @@ object Decontaminate {
     * Docs sharing nothing are absent from the result. */
   def overlapCounts(train: DataFrame, evalSet: DataFrame, n: Int = 3): DataFrame = {
     val evalGrams = evalSet.select(explode(grams(n)).as("gram")).distinct()
-    train.select(col("doc_id"), explode(grams(n)).as("gram"))
+    // spread: the gram explode over the training corpus is scan-fused map
+    // work; shared-gram counts are integers — order-independent
+    graft.engine.Parallelism.spread(train)
+      .select(col("doc_id"), explode(grams(n)).as("gram"))
       .join(broadcast(evalGrams), Seq("gram"))
       // grams are distinct per doc, so count(*) == count(distinct gram)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
@@ -60,7 +63,7 @@ object Decontaminate {
     import graft.functions.Functions.ngram_hashes
     val evalGrams = evalSet
       .select(explode(ngram_hashes(col("text"), n)).as("gram")).distinct()
-    val contaminated = train
+    val contaminated = graft.engine.Parallelism.spread(train)
       .select(col("doc_id"), explode(ngram_hashes(col("text"), n)).as("gram"))
       .join(broadcast(evalGrams), Seq("gram"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
@@ -95,7 +98,8 @@ object Decontaminate {
                       centroids: Seq[Seq[Float]], threshold: Double,
                       nProbe: Int = 2): DataFrame = {
     val c = Similarity.withProbedBuckets(
-        corpus.select(col("vec_id"), col("embedding")),
+        graft.engine.Parallelism.spread(
+          corpus.select(col("vec_id"), col("embedding"))),
         "embedding", "vec_id", centroids, nProbe = 1, doublePrec = true)
       .select(col("vec_id"), col("embedding").as("c_vec"), col("bucket"))
     val e = Similarity.withProbedBuckets(

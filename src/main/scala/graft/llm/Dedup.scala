@@ -39,10 +39,17 @@ object Dedup {
                  numHashes: Int = 64, bands: Int = 16,
                  maxBucket: Int = 64): DataFrame = {
     val rows = numHashes / bands
+    // spread: MinHash signing (numHashes hashes over every ngram) and the
+    // ngram-set projection below are the heavy map work; both fuse into the
+    // scan stage and would run one-task on an under-split source. The two
+    // identical spread subtrees collapse into ONE exchange via
+    // ReuseExchange. Per-row outputs + deterministic heap ties — safe.
+    val src = graft.engine.Parallelism.spread(
+      docs.select(col("doc_id"), col("text")))
     // Banding carries ONLY (band, bandHash, doc_id): the candidate join
     // shuffles 20 bytes/row ×16 bands, not each doc's ngram array — at
     // corpus scale the candidate-generation shuffle is the dominant cost.
-    val banded = docs
+    val banded = src
       .select(col("doc_id"), Functions.minhash(col("text"), numHashes, 3).as("sig"))
       .select(col("doc_id"),
         explode(expr(
@@ -72,7 +79,7 @@ object Dedup {
 
     // Exact-verify only the deduplicated candidates: ngram sets are
     // computed once per doc and joined to the (much smaller) pair set.
-    val ngrams = docs.select(col("doc_id"), Functions.ngram_hashes(col("text"), 3).as("ngrams"))
+    val ngrams = src.select(col("doc_id"), Functions.ngram_hashes(col("text"), 3).as("ngrams"))
     pairs
       .join(ngrams.withColumnRenamed("doc_id", "a_id").withColumnRenamed("ngrams", "a_ngrams"), "a_id")
       .join(ngrams.withColumnRenamed("doc_id", "b_id").withColumnRenamed("ngrams", "b_ngrams"), "b_id")
@@ -88,7 +95,8 @@ object Dedup {
     * exact hamming distance. Chunk join is an 8-byte-key shuffle. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
     simhashJoin(
-      docs.select(col("doc_id"), Functions.simhash64(col("text")).as("sig")),
+      graft.engine.Parallelism.spread(docs.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), Functions.simhash64(col("text")).as("sig")),
       maxHamming)
 
   /** [[simhashPairs]] with a CROSS-ENGINE-REPLAYABLE signature: per-token
@@ -103,9 +111,14 @@ object Dedup {
     * path (one codegen'd expression per doc vs a token explode + two
     * aggregates here); this one buys EXACT external verifiability. */
   def simhashPairsReplayable(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // spread: tokenize + per-token md5 + the 65-column partial aggregate
+    // all fuse into the scan stage; integer bit-vote sums are
+    // partition-order-independent, so spreading is exact
+    val src = graft.engine.Parallelism.spread(
+      docs.select(col("doc_id"), col("text")))
     // token multiset, exactly TextHashing.tokenize's contract: lowercase,
     // split on the six ASCII whitespace chars, drop empties, keep repeats
-    val toks = docs.select(col("doc_id"),
+    val toks = src.select(col("doc_id"),
       explode(filter(split(lower(col("text")), "[ \t\n\r\f\u000B]+"),
         w => length(w) > lit(0))).as("tok"))
     val h = toks.withColumn("m", md5(col("tok").cast("binary")))
@@ -134,7 +147,7 @@ object Dedup {
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), sigExpr.as("sig"))
     // a doc with no tokens folds to signature 0, like the kernel's empty fold
-    val allSigs = docs.select(col("doc_id")).join(sigs, Seq("doc_id"), "left")
+    val allSigs = src.select(col("doc_id")).join(sigs, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("sig"), lit(0L)).as("sig"))
     simhashJoin(allSigs, maxHamming)
   }
@@ -264,7 +277,8 @@ object Dedup {
     // assignment switches plan shape on nc (expression array vs broadcast
     // centroid table + TopKPerKey) — Similarity.withProbedBuckets
     val assigned = Similarity.withProbedBuckets(
-        corpus.select(col("vec_id"), col("embedding")),
+        graft.engine.Parallelism.spread(
+          corpus.select(col("vec_id"), col("embedding"))),
         "embedding", "vec_id", cents, nProbe = 1,
         cosCol = Some("centroid_cos"), doublePrec = doublePrec)
       .select(col("vec_id"), col("embedding"), col("bucket"), col("centroid_cos"))
@@ -292,9 +306,19 @@ object Dedup {
         else Functions.cosine_sim(col("a_vec"), col("b_vec")))
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"))
-    val comps = connectedComponents(assigned.select(col("vec_id")), pairs)
-    val ranked = assigned.join(comps, assigned("vec_id") === comps("id"))
-      .select(col("vec_id"), col("bucket"), col("centroid_cos"), col("component"))
+    // CC only over vertices that appear in a duplicate pair: a vertex with
+    // no edge is ALWAYS its own component (the loop could never relabel
+    // it), so feeding the whole corpus through the iterative label rounds
+    // just re-shuffles singletons every round. Duplicates are typically a
+    // small fraction of the corpus, so the per-round join/aggregate drops
+    // from O(corpus) to O(duplicated subset); singletons rejoin as
+    // component = own id via the left join below. Identical output.
+    val pairVerts = pairs.select(col("a_id").as("vec_id"))
+      .union(pairs.select(col("b_id").as("vec_id"))).distinct()
+    val comps = connectedComponents(pairVerts, pairs)
+    val ranked = assigned.join(comps, assigned("vec_id") === comps("id"), "left")
+      .select(col("vec_id"), col("bucket"), col("centroid_cos"),
+        coalesce(col("component"), col("vec_id")).as("component"))
     // Keeper per component = ONE map-side-combinable aggregate (arg-max by
     // (centroid_cos, then lowest vec_id), group size riding the same agg)
     // — not a row_number window, which would sort every component's rows
@@ -326,8 +350,10 @@ object Dedup {
     * when cluster structure isn't wanted. */
   def embeddingLshPairs(embeddings: DataFrame, threshold: Double = 0.99,
                         maxHamming: Int = 6): DataFrame = {
-    val sig = embeddings.select(col("vec_id"), col("embedding"),
-      Functions.srp_sign64(col("embedding")).as("sig"))
+    val sig = graft.engine.Parallelism.spread(
+        embeddings.select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), col("embedding"),
+        Functions.srp_sign64(col("embedding")).as("sig"))
     val chunked = sig.select(col("vec_id"), col("embedding"), col("sig"),
       explode(expr("transform(sequence(0, 3), c -> struct(c as chunk, " +
         "cast(shiftright(sig, c * 16) & 65535 as int) as ck))")).as("cc"))
@@ -385,7 +411,11 @@ object Dedup {
   private def substringDuplicationOn(docs: DataFrame, idCol: String,
                                      textCol: String, n: Int,
                                      hashedKey: Boolean): DataFrame = {
-    val raw = docs.select(col(idCol),
+    // spread: the n-gram explode (and per-gram hash) is scan-fused map
+    // work; downstream aggregates are integer counts — order-independent
+    val src = graft.engine.Parallelism.spread(
+      docs.select(col(idCol), col(textCol)))
+    val raw = src.select(col(idCol),
       posexplode(Functions.word_ngrams(col(textCol), n, distinct = false)))
     val grams =
       if (hashedKey) raw.select(col(idCol), col("pos"), xxhash64(col("col")).as("gram"))
@@ -443,7 +473,9 @@ object Dedup {
     val segList = expr(
       s"transform(sequence(0, cast(ceil(size(ws) / ${window}d) as int) - 1, 1), " +
         s"i -> struct(i as idx, concat_ws(' ', slice(ws, i * $window + 1, $window)) as seg))")
-    val segs = docs.select(col(idCol), words.as("ws"))
+    val segs = graft.engine.Parallelism.spread(
+        docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), words.as("ws"))
       .filter(size(col("ws")) > 0)
       .select(col(idCol), explode(segList).as("s"))
       .select(col(idCol), col("s.idx").as("idx"), col("s.seg").as("seg"))

@@ -82,16 +82,25 @@ object QualityClassifier {
           case (acc, (fn, j)) => acc + lit(w(j + 1)) * col(fn)
         }
         val p = lit(1.0) / (lit(1.0) + exp(-z))
-        val err = p - col("y")
-        val sCol = greatest(p * (lit(1.0) - p), lit(1e-9))
+        // Evaluate the shared σ subexpressions ONCE in a projection below
+        // the aggregate: inlining err/s into all (k+1)(k+4)/2 sums
+        // duplicated the z/p subtree ~36×, and the per-round driver
+        // analysis+codegen of that tree dominated training wall time at
+        // small scale (plans re-analyze every round — the weights are new
+        // literals). Same IEEE ops in the same order, so the quantized
+        // trajectory is unchanged bit for bit.
+        val proj = cached.select(
+          (featureNames.map(col) :+
+            (p - col("y")).as("__e") :+
+            greatest(p * (lit(1.0) - p), lit(1e-9)).as("__s")): _*)
         // gradient + Hessian upper triangle as associative LONG sums on
         // the 2^22 grid — bit-identical under any partitioning
         val gradCols = (0 until k).map(j =>
-          sum((err * xs(j) * lit(Scale)).cast("long")).as(s"g_$j"))
+          sum((col("__e") * xs(j) * lit(Scale)).cast("long")).as(s"g_$j"))
         val hessCols = for { j <- 0 until k; l <- j until k } yield
-          sum((sCol * xs(j) * xs(l) * lit(Scale)).cast("long")).as(s"h_${j}_$l")
+          sum((col("__s") * xs(j) * xs(l) * lit(Scale)).cast("long")).as(s"h_${j}_$l")
         val aggs = gradCols ++ hessCols
-        val row = cached.agg(aggs.head, aggs.tail: _*).head()
+        val row = proj.agg(aggs.head, aggs.tail: _*).head()
         val g = new Array[Double](k)
         var j = 0
         while (j < k) {

@@ -29,10 +29,16 @@ object Retrieval {
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val toks = docs.select(col("doc_id"),
-      explode(TextAnalysis.tokens(col("text"))).as("w"))
+    // spread: tokenize+explode+map-side tf combine fuse into the scan
+    // stage; counts are integers — partition-order-independent
+    val toks = graft.engine.Parallelism.spread(
+        docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
     val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // dl from tf (Σ_w tf IS the token count): one corpus tokenization
+    // instead of two, and the dl aggregate shuffles vocabulary-sized rows
+    // instead of the raw token stream
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val totals = dl.agg(count(lit(1)).cast("double").as("n"),
       avg(col("dl")).as("avgdl"))
     val q = queries.toDF("q_id", "q_text")

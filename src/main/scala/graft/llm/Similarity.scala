@@ -38,7 +38,11 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
                      doublePrec: Boolean = false): DataFrame = {
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    // spread: the |Q|·dim cosine work per corpus row is fused into the scan
+    // stage; a one-row-group source would run it all on one task. Safe:
+    // per-row scores + bounded heaps over a (cos, c_id) total order.
+    val c = graft.engine.Parallelism.spread(
+      corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cos",
@@ -81,7 +85,10 @@ object Similarity {
           |      shiftleft(1L, i % 32), 0L)))""".stripMargin.replace("\n", " "))
         .as(bitsAs))
     val q = packed(queries, "q_id", "q_bits")
-    val c = packed(corpus, "c_id", "c_bits")
+    // spread before the bit-packing expression (dim sign tests + shifts per
+    // row, scan-fused otherwise); per-row output, deterministic
+    val c = packed(graft.engine.Parallelism.spread(
+      corpus.select(col("vec_id"), col("embedding"))), "c_id", "c_bits")
     val scored = c.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("hamming", expr(
@@ -101,7 +108,10 @@ object Similarity {
       df.select(col("vec_id").as(idAs),
         Functions.dequantize_int8(col("embedding")).as(vecAs))
     val q = deq(queries, "q_id", "q_vec")
-    val c = deq(corpus, "c_id", "c_vec")
+    // spread before the quantize→dequantize projection (per-row O(dim) work
+    // fused into the scan stage otherwise); bit-identical per-row outputs
+    val c = deq(graft.engine.Parallelism.spread(
+      corpus.select(col("vec_id"), col("embedding"))), "c_id", "c_vec")
     // codegen'd double-precision cosine: same left-fold accumulation order
     // as the declarative aggregate/zip_with form (bit-identical results),
     // but fused into whole-stage codegen instead of interpreted
@@ -275,7 +285,8 @@ object Similarity {
     // assignment/probing switches plan shape on nc (expression array vs
     // broadcast centroid table + TopKPerKey) — see withProbedBuckets
     val corpusAssigned = withProbedBuckets(
-        corpus.select(col("vec_id"), col("embedding")),
+        graft.engine.Parallelism.spread(
+          corpus.select(col("vec_id"), col("embedding"))),
         "embedding", "vec_id", centroids, nProbe = 1)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"), col("bucket"))
     val queriesProbed = withProbedBuckets(
@@ -327,8 +338,9 @@ object Similarity {
     def vec(c: Column) = if (doublePrec) c.cast("array<double>") else c
     val q = queries.select(col("label"), col("vec_id").as("q_id"),
       vec(col("embedding")).as("q_vec"))
-    val c = corpus.select(col("label"), col("vec_id").as("c_id"),
-      vec(col("embedding")).as("c_vec"))
+    val c = graft.engine.Parallelism.spread(
+      corpus.select(col("label"), col("vec_id").as("c_id"),
+        vec(col("embedding")).as("c_vec")))
     val scored = c.join(broadcast(q), Seq("label"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cos",
@@ -432,24 +444,17 @@ object Similarity {
     * corpus-residency cut; the compression step of IVF-PQ, the standard
     * billion-scale ANN layout). Pure projection over broadcast codebook
     * literals — no shuffle, deterministic. */
-  /** The m PQ code columns as ONE array expression, not 2m chained
-    * withColumns: each withColumn re-analyzes the whole plan, and with
-    * m·ksub codegen'd dot-product subtrees that was O(m²·ksub) driver-side
-    * analysis per call — over half the warm runtime of ann_pq. Whole-stage
-    * codegen's subexpression elimination still evaluates each block's
-    * distance array once per row even though argmin references it twice. */
+  /** The m PQ codes via the [[graft.functions.PqEncode]] kernel: the
+    * codebook rides the plan as ONE reference object instead of m·ksub
+    * dot-product subtrees, so per-call driver analysis/codegen is O(1) in
+    * the codebook size (the declarative array form — itself the fix for
+    * 2m chained withColumns — still re-analyzed ~1300 expression nodes per
+    * call, over half the warm runtime of every IVF-PQ query), and the
+    * per-row argmin loop is fused. Output-identical by construction
+    * (PqKernel mirrors the dist/argmin arithmetic exactly). */
   private[llm] def pqCodesCol(vecCol: Column,
-                              codebook: Seq[Seq[Seq[Float]]]): Column = {
-    val dsub = codebook.head.head.size
-    array(codebook.zipWithIndex.map { case (cents, b) =>
-      val blk = slice(vecCol, b * dsub + 1, dsub)
-      val dists = array(cents.map { c =>
-        val cNorm = c.map(v => v.toDouble * v).sum
-        lit(cNorm) - lit(2.0) * Functions.dot_product(blk, typedLit(c))
-      }: _*)
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }: _*)
-  }
+                              codebook: Seq[Seq[Seq[Float]]]): Column =
+    Functions.pq_encode(vecCol, codebook)
 
   def pqEncode(corpus: DataFrame,
                codebook: Seq[Seq[Seq[Float]]]): DataFrame =
@@ -506,19 +511,21 @@ object Similarity {
          codebook0.getOrElse(
            pqCodebook(corpus, m, ksub, iters, presampled = Some(sample))))
     }
-    val dsub = cb.head.head.size
     // |centroid|² table: array<array<double>>, m × ksub, a literal
     val normLut = typedLit(cb.map(_.map(_.map(v => v.toDouble * v).sum)))
-    val c = withProbedBuckets(corpus.select(col("vec_id"), col("embedding")),
+    // spread: coarse assignment (nClusters cosines) + PQ encode (m·ksub
+    // block dots) per corpus row all fuse into the scan stage — the
+    // heaviest per-row projection in the engine; per-row outputs, safe
+    val c = withProbedBuckets(
+        graft.engine.Parallelism.spread(
+          corpus.select(col("vec_id"), col("embedding"))),
         "embedding", "vec_id", coarse, nProbe = 1, doublePrec = doublePrec)
       .select(col("vec_id").as("c_id"), col("bucket"),
         pqCodesCol(col("embedding"), cb).as("codes"))
       .withColumn("xnormsq", Functions.pq_adc_dot(col("codes"), normLut))
-    // per-query LUT: lut[b][j] = q_block_b · cent_b[j]
-    val lutCol = array((0 until m).map { b =>
-      val blk = slice(col("embedding"), b * dsub + 1, dsub)
-      array(cb(b).map(cent => Functions.dot_product(blk, typedLit(cent))): _*)
-    }: _*)
+    // per-query LUT: lut[b][j] = q_block_b · cent_b[j] — one kernel node
+    // (plan-size rationale at pqCodesCol)
+    val lutCol = Functions.pq_lut(col("embedding"), cb)
     val q = withProbedBuckets(queries.select(col("vec_id"), col("embedding")),
         "embedding", "vec_id", coarse, nProbe, doublePrec = doublePrec)
       .select(col("vec_id").as("q_id"), col("bucket"), lutCol.as("lut"),
@@ -581,7 +588,8 @@ object Similarity {
     // scores the reconstruction with in-order double cosines so the
     // values themselves are bit-replayable, not just the ranks
     val cb = codebook0.getOrElse(pqCodebook(corpus, m, ksub, iters))
-    val c = pqEncode(corpus, cb)
+    val c = pqEncode(graft.engine.Parallelism.spread(
+        corpus.select(col("vec_id"), col("embedding"))), cb)
       .select(col("vec_id").as("c_id"), pqReconstruct(col("codes"), cb).as("c_vec"))
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val scored = c.crossJoin(broadcast(q))

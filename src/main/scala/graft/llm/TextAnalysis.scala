@@ -15,13 +15,21 @@ object TextAnalysis {
 
   private[llm] def tokens(c: Column): Column = filter(split(lower(c), "\\s+"), w => length(w) > 0)
 
+  /** [[graft.engine.Parallelism.spread]] for the heavy per-row operators
+    * here: tokenize/regex/md5 projections fuse into the scan stage and an
+    * under-split source runs them one-task. Every consumer below is
+    * partition-order-independent (per-row outputs, integer counts, or
+    * 6dp-rounded means — documented per operator). No-ops at scale. */
+  private def spreadIn(docs: DataFrame): DataFrame =
+    graft.engine.Parallelism.spread(docs)
+
   /** Quality signals: length, token stats, punctuation/digit/stopword
     * ratios — the usual pre-training heuristics (cf. C4/Gopher rules). */
   def qualitySignals(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val nToks = size(toks)
     val sw = typedLit(stopwordsEn)
-    docs.select(
+    spreadIn(docs).select(
       col("doc_id"),
       length(col("text")).as("len_chars"),
       nToks.as("n_tokens"),
@@ -172,7 +180,7 @@ object TextAnalysis {
          |    j + $w - array_position(reverse(slice(__g, j, $w)),
          |                            array_min(slice(__g, j, $w))))))
          |END""".stripMargin.replace("\n", " ")
-    docs
+    spreadIn(docs)
       .withColumn("__g", expr(grams))
       .select(col(idCol), size(col("__g")).as("n_grams"),
         expr(sel).as("fingerprints"))
@@ -206,7 +214,7 @@ object TextAnalysis {
         regexp_replace(col("text"), emailRe, "[EMAIL]"),
         ipRe, "[IP]"),
       phoneRe, "[PHONE]")
-    docs.select(
+    spreadIn(docs).select(
       col("doc_id"),
       regexp_count(col("text"), lit(emailRe)).as("n_emails"),
       regexp_count(col("text"), lit(ipRe)).as("n_ips"),
@@ -251,7 +259,7 @@ object TextAnalysis {
       .cast("double") / nLines
     val alphaFrac = size(filter(toks, w => w.rlike("[a-z]"))).cast("double") / n
     val nStop = size(filter(typedLit(gopherStopwords), sw => array_contains(toks, sw)))
-    docs.select(
+    spreadIn(docs).select(
       col("doc_id"),
       n.as("n_words"),
       meanWordLen.as("mean_word_len"),
@@ -285,6 +293,8 @@ object TextAnalysis {
     val kept = filter(lines, (x, i) =>
       array_position(lines, x) === (i + lit(1)).cast("long"))
     val clean = array_join(kept, "\n")
+    // NOT spread: DedupSpec pins this operator's map-only/no-Exchange plan
+    // (the per-row rebuild is cheap; the guarantee is worth more)
     docs.select(col("doc_id"),
       size(lines).as("n_lines"),
       size(kept).as("n_kept"),
@@ -323,7 +333,7 @@ object TextAnalysis {
     val hasBadword = badwords.foldLeft(lit(false)) { (acc, w) =>
       acc || lower(col("text")).contains(w.toLowerCase)
     }
-    docs.select(
+    spreadIn(docs).select(
       col("doc_id"),
       size(lines).as("n_lines"),
       size(kept).as("n_lines_kept"),
@@ -344,7 +354,7 @@ object TextAnalysis {
   def repetitionSignals(docs: DataFrame): DataFrame = {
     // native tokenize-once bigram kernel, duplicates kept (distinct=false)
     val bigrams = graft.functions.Functions.word_ngrams(col("text"), 2, distinct = false)
-    docs.select(col("doc_id"), explode(bigrams).as("gram"))
+    spreadIn(docs).select(col("doc_id"), explode(bigrams).as("gram"))
       .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id")).agg(
         sum(col("cnt")).as("n_bigrams"),
@@ -367,7 +377,7 @@ object TextAnalysis {
     * flip a hash compare. */
   def tokenEntropy(docs: DataFrame): DataFrame = {
     val h = log(col("n_tokens").cast("double")) - col("__s") / col("n_tokens")
-    docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    spreadIn(docs).select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id")).agg(
         sum(col("cnt")).as("n_tokens"),
@@ -396,7 +406,7 @@ object TextAnalysis {
     * kernel. log2 averages are rounded to 6 decimals so accumulation
     * order can't flip a hash compare. */
   def lmScore(docs: DataFrame, k: Double = 0.5): DataFrame = {
-    val eligible = docs.filter(size(tokens(col("text"))) >= 2)
+    val eligible = spreadIn(docs).filter(size(tokens(col("text"))) >= 2)
     val grams = eligible.select(col("doc_id"),
       explode(graft.functions.Functions.word_ngrams(col("text"), 2, distinct = false))
         .as("gram"))
@@ -430,8 +440,9 @@ object TextAnalysis {
     * LEFT-join the count tables; only the 1-row (N, V) totals broadcast.
     * Means round to 6dp so accumulation order can't flip a hash
     * compare. */
-  def trigramLmScore(train: DataFrame, score: DataFrame,
+  def trigramLmScore(train0: DataFrame, score: DataFrame,
                      alpha: Double = 0.4, k: Double = 0.5): DataFrame = {
+    val train = spreadIn(train0)
     val tri = train.select(explode(
         graft.functions.Functions.word_ngrams(col("text"), 3, distinct = false))
         .as("g3")).groupBy("g3").agg(count(lit(1)).as("c123"))
@@ -560,7 +571,7 @@ object TextAnalysis {
   def charClassSignals(docs: DataFrame): DataFrame = {
     val ctl = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
     val nonAscii = "[^\\x00-\\x7F]"
-    docs.select(
+    spreadIn(docs).select(
       col("doc_id"),
       length(col("text")).as("len_chars"),
       regexp_count(col("text"), lit(ctl)).as("n_control"),
@@ -597,11 +608,26 @@ object TextAnalysis {
     def bucketOf(tok: Column): Column =
       pmod(conv(substring(md5(tok.cast("binary")), 1, 6), 16, 10).cast("long"),
         lit(b.toLong))
-    val withF = docs
-      .select(col("doc_id"), isTarget.as("is_t"), feats(col("text")).as("fs"))
+    // Featurize + md5-bucket ONCE: both the distribution aggregate and the
+    // scoring pass consume the per-doc bucket ARRAY — previously each pass
+    // re-tokenized and re-md5'd the corpus from scratch (the md5s are the
+    // dominant cost). `spread` parallelizes the one featurize pass; the
+    // eager localCheckpoint pins its result for both consumers (narrow
+    // int-array rows, text dropped — same residency trade as semDedup's
+    // assigned corpus; spark.graft.dsir.materialize=false re-derives per
+    // consumer instead).
+    val withB = graft.engine.Parallelism.spread(
+        docs.select(col("doc_id"), isTarget.as("is_t"), col("text")))
+      .select(col("doc_id"), col("is_t"), feats(col("text")).as("fs"))
       .filter(size(col("fs")) >= 1)
-    val dist = withF.select(col("is_t"), explode(col("fs")).as("f"))
-      .select(col("is_t"), bucketOf(col("f")).as("bk"))
+      .select(col("doc_id"), col("is_t"), size(col("fs")).as("n_feats"),
+        transform(col("fs"), f => bucketOf(f)).as("bks"))
+      .transform { df =>
+        val on = df.sparkSession.conf
+          .getOption("spark.graft.dsir.materialize").forall(_.toBoolean)
+        if (on) df.localCheckpoint(true) else df
+      }
+    val dist = withB.select(col("is_t"), explode(col("bks")).as("bk"))
       .groupBy("bk").agg(
         sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
         count(lit(1)).as("cr"))
@@ -613,9 +639,11 @@ object TextAnalysis {
     val totT = ct.sum.toDouble; val totR = cr.sum.toDouble
     val lut: Seq[Double] = (0 until b).map(i =>
       math.log((ct(i) + 1.0) / (totT + b)) - math.log((cr(i) + 1.0) / (totR + b)))
-    withF.select(col("doc_id"), size(col("fs")).as("n_feats"),
-      round(aggregate(col("fs"), lit(0.0), (acc, f) =>
-        acc + element_at(typedLit(lut), (bucketOf(f) + 1).cast("int"))), 6)
+    // same per-row left-fold order as the old per-feature form (transform
+    // preserves fs order), so dsir_lw is bit-identical
+    withB.select(col("doc_id"), col("n_feats"),
+      round(aggregate(col("bks"), lit(0.0), (acc, bk) =>
+        acc + element_at(typedLit(lut), (bk + 1).cast("int"))), 6)
         .as("dsir_lw"))
   }
 
@@ -637,7 +665,8 @@ object TextAnalysis {
     * can't flip a hash compare. Zero-token docs emit no row. */
   def nbDomainLogOdds(docs: DataFrame, isTarget: Column,
                       k: Double = 0.5): DataFrame = {
-    val labeled = docs.select(col("doc_id"), isTarget.as("is_t"), col("text"))
+    val labeled = spreadIn(
+      docs.select(col("doc_id"), isTarget.as("is_t"), col("text")))
     val toks = labeled.select(col("doc_id"), col("is_t"),
       explode(tokens(col("text"))).as("w"))
     val counts = toks.groupBy("w").agg(
@@ -670,7 +699,7 @@ object TextAnalysis {
         lit(lang).as("lang"))
     }
     // one greatest() into a temp struct, then project both fields from it
-    docs.select(col("doc_id"), col("lang").as("labeled_lang"),
+    spreadIn(docs).select(col("doc_id"), col("lang").as("labeled_lang"),
         greatest(scored: _*).as("best"))
       .select(col("doc_id"), col("labeled_lang"),
         col("best.lang").as("predicted_lang"),

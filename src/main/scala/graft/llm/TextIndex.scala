@@ -37,20 +37,38 @@ object TextIndex {
   /** Build (or fully rebuild) the index at `dir`. Returns n_docs. */
   def build(corpus: DataFrame, dir: String, nBuckets: Int = 64): Long = {
     val spark = corpus.sparkSession
-    val toks = corpus.select(col("doc_id"),
+    import spark.implicits._
+    // spread: tokenize+explode+map-side tf combine fuse into the scan
+    // stage (one-task on an under-split source); counts are integers —
+    // partition-order-independent
+    val src = graft.engine.Parallelism.spread(
+      corpus.select(col("doc_id"), col("text")))
+    val toks = src.select(col("doc_id"),
       explode(TextAnalysis.tokens(col("text"))).as("w"))
     val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val postings = tf.join(dl, "doc_id")
-      .select(pmod(xxhash64(col("w")), lit(nBuckets.toLong)).cast("int").as("bucket"),
-        col("w"), col("doc_id"), col("tf"), col("dl"))
-    SnapshotTable.forPath(spark, s"$dir/postings")
-      .overwritePartitioned(postings, Seq("identity(bucket)"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-      .withColumn("n_buckets", lit(nBuckets))
-    SnapshotTable.forPath(spark, s"$dir/stats").overwrite(stats)
-    SnapshotTable.forPath(spark, s"$dir/stats").read()
-      .head().getLong(0)
+    // dl from tf, not a second tokenize pass: Σ_w tf(doc, w) IS the doc's
+    // token count (zero-token docs have no tf rows, same as the old
+    // toks-based dl), and tf is orders of magnitude smaller than the raw
+    // token stream — one corpus tokenization instead of two. dl is cached:
+    // the postings write materializes it (doc-count-sized, tens of bytes
+    // per doc) and the stats aggregate reads it back for free.
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl")).cache()
+    try {
+      val postings = tf.join(dl, "doc_id")
+        .select(pmod(xxhash64(col("w")), lit(nBuckets.toLong)).cast("int").as("bucket"),
+          col("w"), col("doc_id"), col("tf"), col("dl"))
+      SnapshotTable.forPath(spark, s"$dir/postings")
+        .overwritePartitioned(postings, Seq("identity(bucket)"))
+      // ONE bounded aggregate row (off the cache) feeds both the stats
+      // table and the return value — no stats-table read-back job
+      val statsRow = dl
+        .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl")).head()
+      val nDocs = statsRow.getLong(0)
+      val stats = Seq((nDocs, statsRow.getDouble(1), nBuckets))
+        .toDF("n_docs", "avgdl", "n_buckets")
+      SnapshotTable.forPath(spark, s"$dir/stats").overwrite(stats)
+      nDocs
+    } finally { dl.unpersist(); () }
   }
 
   /** Incremental maintenance: index NEW docs against the persisted bucket
@@ -60,10 +78,11 @@ object TextIndex {
     val spark = newDocs.sparkSession
     val nBuckets = SnapshotTable.forPath(spark, s"$dir/stats").read()
       .head().getInt(2)
-    val toks = newDocs.select(col("doc_id"),
-      explode(TextAnalysis.tokens(col("text"))).as("w"))
+    val toks = graft.engine.Parallelism.spread(
+        newDocs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
     val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val postings = tf.join(dl, "doc_id")
       .select(pmod(xxhash64(col("w")), lit(nBuckets.toLong)).cast("int").as("bucket"),
         col("w"), col("doc_id"), col("tf"), col("dl"))

@@ -246,6 +246,8 @@ object Unigram {
     * vocab rides the plan (see UnigramEncode). */
   def encode(df: DataFrame, vocab: UnigramVocab,
              textCol: String = "text"): DataFrame =
-    df.withColumn("tokens",
-      graft.functions.Functions.unigram_encode(col(textCol), vocab.pieces))
+    // spread: the per-row Viterbi encode is the heavy map work
+    graft.engine.Parallelism.spread(df)
+      .withColumn("tokens",
+        graft.functions.Functions.unigram_encode(col(textCol), vocab.pieces))
 }

@@ -70,9 +70,13 @@ object VectorIndex {
     * incremental append path. */
   private def postingsFor(vectors: DataFrame,
                           cents: Seq[Seq[Float]]): DataFrame =
+    // spread: assignment cosines + int8 quantization are per-row work fused
+    // into the scan stage otherwise (the partitioned write's own exchange
+    // comes AFTER this projection, so it does not parallelize it)
     Similarity.quantizeInt8(
       Similarity.withProbedBuckets(
-        vectors.select(col("vec_id"), col("embedding")),
+        graft.engine.Parallelism.spread(
+          vectors.select(col("vec_id"), col("embedding"))),
         "embedding", "vec_id", cents, nProbe = 1))
       .select(col("bucket"), col("vec_id"), col("q_min"), col("q_scale"),
         col("q_codes"))
@@ -147,7 +151,8 @@ object VectorIndex {
         cents0.zipWithIndex.map { case (sub, j) => (b, j, sub) }
       }.toDF("block", "code", "sub_centroid"))
     val postings = Similarity.withProbedBuckets(
-        corpus.select(col("vec_id"), col("embedding")),
+        graft.engine.Parallelism.spread(
+          corpus.select(col("vec_id"), col("embedding"))),
         "embedding", "vec_id", cents, nProbe = 1)
       .select(col("bucket"), col("vec_id"),
         Similarity.pqCodesCol(col("embedding"), cb).as("codes"))
@@ -171,12 +176,10 @@ object VectorIndex {
     val m = cbRows.map(_._1).max + 1
     val cb: Seq[Seq[Seq[Float]]] = (0 until m).map(b =>
       cbRows.filter(_._1 == b).sortBy(_._2).map(_._3).toSeq)
-    val dsub = cb.head.head.size
     val normLut = typedLit(cb.map(_.map(_.map(v => v.toDouble * v).sum)))
-    val lutCol = array((0 until m).map { b =>
-      val blk = slice(col("embedding"), b * dsub + 1, dsub)
-      array(cb(b).map(cent => Functions.dot_product(blk, typedLit(cent))): _*)
-    }: _*)
+    // per-query ADC LUT via the PqLut kernel — one plan node instead of
+    // m·ksub dot-product subtrees (see Similarity.pqCodesCol)
+    val lutCol = Functions.pq_lut(col("embedding"), cb)
     val q = Similarity.withProbedBuckets(
         queries.select(col("vec_id"), col("embedding")),
         "embedding", "vec_id", cents, nProbe)

@@ -205,7 +205,8 @@ object WordPiece {
     * vocabulary rides the plan, per-word-type memoized per executor. */
   def encode(docs: DataFrame, vocab: WordPieceVocab,
              textCol: String = "text"): DataFrame =
-    docs
+    // spread: the per-row longest-match encode is the heavy map work
+    graft.engine.Parallelism.spread(docs)
       .withColumn("tokens",
         graft.functions.Functions.wordpiece_encode(col(textCol), vocab.pieces))
       .withColumn("n_tokens", size(col("tokens")))

@@ -53,7 +53,8 @@ object FuzzyJoin {
       s"fuzzy join supports maxEdits 1 or 2, got $maxEdits")
     require(maxBucket >= 1 && maxBucket < Int.MaxValue,
       s"maxBucket must be in [1, ${Int.MaxValue - 1}], got $maxBucket")
-    val key = s"lower(substring($strCol, 1, $keyPrefixLen))"
+    // the variant expression evaluates on the (id, s)-projected frame below
+    val key = s"lower(substring(s, 1, $keyPrefixLen))"
     // deletion variants of one string as a SQL higher-order expression —
     // pure builtins, no UDF, stays in codegen
     def dels(v: String): String =
@@ -64,9 +65,12 @@ object FuzzyJoin {
       else s"""array_distinct(array_union(
                  array_union(array($key), ${dels(key)}),
                  flatten(transform(${dels(key)}, v -> ${dels("v")}))))"""
-    val exploded = df.select(
-        col(idCol).as("id"), col(strCol).as("s"),
-        explode(expr(variantsExpr)).as("variant"))
+    // spread: variant generation (len² string slices at k=2) is scan-fused
+    // map work; all downstream selections are deterministic (heap ties,
+    // whole-bucket drops, exact verify) so spreading is exact
+    val exploded = graft.engine.Parallelism.spread(
+        df.select(col(idCol).as("id"), col(strCol).as("s")))
+      .select(col("id"), col("s"), explode(expr(variantsExpr)).as("variant"))
       .select(col("id"), col("s"), xxhash64(col("variant")).as("vh"))
     // Hot-variant cap + bucket-local pairing in ONE pass over the variant
     // table. TopKPerKey bounds every (vh) bucket to maxBucket+1 rows with
@@ -92,15 +96,22 @@ object FuzzyJoin {
       .agg(collect_list(struct(col("id"), col("s"))).as("members"),
         count(lit(1)).as("bn"))
       .where(col("bn") <= maxBucket && col("bn") >= 2)
+    // Verify BEFORE the pair dedup: the bounded threshold levenshtein
+    // (O(len·maxEdits) banded DP instead of the O(len²) full matrix,
+    // returning -1 past the bound) kills the false candidates — the vast
+    // majority — in the same codegen stage that enumerated them, so the
+    // dropDuplicates exchange shuffles only TRUE pairs (with their
+    // strings) instead of every candidate. `dist` is a pure function of
+    // the pair, so dedup order cannot change the kept row.
     buckets
       .select(explode(col("members")).as("m1"), col("members"))
       .select(col("m1"), explode(col("members")).as("m2"))
       .where(col("m1.id") < col("m2.id"))
       .select(col("m1.id").as("a_id"), col("m2.id").as("b_id"),
         col("m1.s").as("a_s"), col("m2.s").as("b_s"))
+      .withColumn("dist", levenshtein(col("a_s"), col("b_s"), maxEdits))
+      .where(col("dist") >= 0)
       .dropDuplicates("a_id", "b_id")
-      .withColumn("dist", levenshtein(col("a_s"), col("b_s")))
-      .where(col("dist") <= maxEdits)
       .withColumnRenamed("a_s", s"a_$strCol")
       .withColumnRenamed("b_s", s"b_$strCol")
   }
@@ -118,7 +129,7 @@ object FuzzyJoin {
     require(maxBucket >= 1 && maxBucket < Int.MaxValue,
       s"maxBucket must be in [1, ${Int.MaxValue - 1}], got $maxBucket")
     def sideVariants(df: DataFrame, id: String, s: String, pre: String): DataFrame = {
-      val key = s"lower(substring($s, 1, $keyPrefixLen))"
+      val key = s"lower(substring(${pre}_s, 1, $keyPrefixLen))"
       def dels(v: String): String =
         s"""transform(sequence(1, greatest(length($v), 1)), i ->
               concat(substring($v, 1, i - 1), substring($v, i + 1)))"""
@@ -127,8 +138,11 @@ object FuzzyJoin {
         else s"""array_distinct(array_union(
                    array_union(array($key), ${dels(key)}),
                    flatten(transform(${dels(key)}, v -> ${dels("v")}))))"""
-      df.select(col(id).as(s"${pre}_id"), col(s).as(s"${pre}_s"),
-        explode(expr(ve)).as("variant"))
+      // spread before the variant explode (same rationale as selfJoin)
+      graft.engine.Parallelism.spread(
+          df.select(col(id).as(s"${pre}_id"), col(s).as(s"${pre}_s")))
+        .select(col(s"${pre}_id"), col(s"${pre}_s"),
+          explode(expr(ve)).as("variant"))
         .select(col(s"${pre}_id"), col(s"${pre}_s"),
           xxhash64(col("variant")).as("vh"))
     }
@@ -143,12 +157,14 @@ object FuzzyJoin {
       .agg(collect_list(struct(col("r_id"), col("r_s"))).as("members"),
         count(lit(1)).as("bn"))
       .where(col("bn") <= maxBucket)
+    // verify before the pair dedup (see selfJoin): banded threshold
+    // levenshtein drops false candidates pre-exchange
     l.join(rBuckets, "vh")
       .select(col("l_id"), col("l_s"), explode(col("members")).as("m"))
       .select(col("l_id"), col("m.r_id").as("r_id"), col("l_s"),
         col("m.r_s").as("r_s"))
+      .withColumn("dist", levenshtein(col("l_s"), col("r_s"), maxEdits))
+      .where(col("dist") >= 0)
       .dropDuplicates("l_id", "r_id")
-      .withColumn("dist", levenshtein(col("l_s"), col("r_s")))
-      .where(col("dist") <= maxEdits)
   }
 }

@@ -142,7 +142,11 @@ object StreamingDedup {
     val out = SnapshotTable.forPath(spark, outDir)
     def verified(a: String, b: String) =
       (if (exactVerify) exactJaccard(a, b) else estJaccard(a, b)) >= jaccardThreshold
-    val b = banded(batchDocs.select(col("doc_id"), col("text")), numHashes, bands,
+    // spread: MinHash + gram-hash signing is the batch's heavy map work
+    // and fuses into the batch scan (one-task on an under-split source);
+    // per-row signatures, deterministic downstream — safe
+    val b = banded(graft.engine.Parallelism.spread(
+        batchDocs.select(col("doc_id"), col("text"))), numHashes, bands,
         exactVerify)
       .cache()
     try {
