@@ -41,6 +41,7 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
     val y = b.asInstanceOf[ArrayData].toFloatArray()
     val n = math.min(x.length, y.length)
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    // float multiplies, matching this expression's codegen exactly
     while (i < n) { dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
     // clamp: accumulated float rounding can push |cos| past 1 by ulps,
     // which would NaN a downstream acos
@@ -241,7 +242,11 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
     val y = b.asInstanceOf[ArrayData].toFloatArray()
     val n = math.min(x.length, y.length)
     var dot = 0.0; var i = 0
-    while (i < n) { dot += x(i) * y(i); i += 1 }
+    // widen BEFORE multiplying: this expression's CODEGEN multiplies in
+    // double ((double)getFloat * (double)getFloat) — a float multiply here
+    // would make an interpreted/fallback plan disagree in the last ulps
+    // with the codegen'd plan the oracles were gated on
+    while (i < n) { dot += x(i).toDouble * y(i); i += 1 }
     dot
   }
 
@@ -267,6 +272,7 @@ case class L2Norm(child: Expression) extends UnaryExpression {
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData].toFloatArray()
     var s = 0.0; var i = 0
+    // float multiply, matching this expression's codegen exactly
     while (i < x.length) { s += x(i) * x(i); i += 1 }
     math.sqrt(s)
   }

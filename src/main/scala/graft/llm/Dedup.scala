@@ -411,11 +411,10 @@ object Dedup {
   private def substringDuplicationOn(docs: DataFrame, idCol: String,
                                      textCol: String, n: Int,
                                      hashedKey: Boolean): DataFrame = {
-    // spread: the n-gram explode (and per-gram hash) is scan-fused map
-    // work; downstream aggregates are integer counts — order-independent
-    val src = graft.engine.Parallelism.spread(
-      docs.select(col(idCol), col(textCol)))
-    val raw = src.select(col(idCol),
+    // NOT spread: the map side is a bare n-gram explode feeding partial
+    // count aggregates — A/B showed the extra exchange costs what the
+    // parallel explode saves
+    val raw = docs.select(col(idCol),
       posexplode(Functions.word_ngrams(col(textCol), n, distinct = false)))
     val grams =
       if (hashedKey) raw.select(col(idCol), col("pos"), xxhash64(col("col")).as("gram"))
@@ -473,9 +472,7 @@ object Dedup {
     val segList = expr(
       s"transform(sequence(0, cast(ceil(size(ws) / ${window}d) as int) - 1, 1), " +
         s"i -> struct(i as idx, concat_ws(' ', slice(ws, i * $window + 1, $window)) as seg))")
-    val segs = graft.engine.Parallelism.spread(
-        docs.select(col(idCol), col(textCol)))
-      .select(col(idCol), words.as("ws"))
+    val segs = docs.select(col(idCol), words.as("ws"))
       .filter(size(col("ws")) > 0)
       .select(col(idCol), explode(segList).as("s"))
       .select(col(idCol), col("s.idx").as("idx"), col("s.seg").as("seg"))

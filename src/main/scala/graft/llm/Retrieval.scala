@@ -29,11 +29,8 @@ object Retrieval {
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // spread: tokenize+explode+map-side tf combine fuse into the scan
-    // stage; counts are integers — partition-order-independent
-    val toks = graft.engine.Parallelism.spread(
-        docs.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+    val toks = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("w"))
     val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
     // dl from tf (Σ_w tf IS the token count): one corpus tokenization
     // instead of two, and the dl aggregate shuffles vocabulary-sized rows

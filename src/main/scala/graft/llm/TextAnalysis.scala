@@ -353,8 +353,10 @@ object TextAnalysis {
     * carries (doc, gram, partial count), never raw text. */
   def repetitionSignals(docs: DataFrame): DataFrame = {
     // native tokenize-once bigram kernel, duplicates kept (distinct=false)
+    // NOT spread: the map side is a bare tokenize feeding a partial agg —
+    // A/B showed the extra exchange costs what the parallel tokenize saves
     val bigrams = graft.functions.Functions.word_ngrams(col("text"), 2, distinct = false)
-    spreadIn(docs).select(col("doc_id"), explode(bigrams).as("gram"))
+    docs.select(col("doc_id"), explode(bigrams).as("gram"))
       .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id")).agg(
         sum(col("cnt")).as("n_bigrams"),
@@ -376,8 +378,9 @@ object TextAnalysis {
     * cross-engine float-accumulation-order divergence (~1e-14) can never
     * flip a hash compare. */
   def tokenEntropy(docs: DataFrame): DataFrame = {
+    // NOT spread: bare tokenize → partial agg (see repetitionSignals)
     val h = log(col("n_tokens").cast("double")) - col("__s") / col("n_tokens")
-    spreadIn(docs).select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id")).agg(
         sum(col("cnt")).as("n_tokens"),
@@ -406,7 +409,8 @@ object TextAnalysis {
     * kernel. log2 averages are rounded to 6 decimals so accumulation
     * order can't flip a hash compare. */
   def lmScore(docs: DataFrame, k: Double = 0.5): DataFrame = {
-    val eligible = spreadIn(docs).filter(size(tokens(col("text"))) >= 2)
+    // NOT spread: bare tokenize → partial agg (see repetitionSignals)
+    val eligible = docs.filter(size(tokens(col("text"))) >= 2)
     val grams = eligible.select(col("doc_id"),
       explode(graft.functions.Functions.word_ngrams(col("text"), 2, distinct = false))
         .as("gram"))
@@ -440,9 +444,9 @@ object TextAnalysis {
     * LEFT-join the count tables; only the 1-row (N, V) totals broadcast.
     * Means round to 6dp so accumulation order can't flip a hash
     * compare. */
-  def trigramLmScore(train0: DataFrame, score: DataFrame,
+  def trigramLmScore(train: DataFrame, score: DataFrame,
                      alpha: Double = 0.4, k: Double = 0.5): DataFrame = {
-    val train = spreadIn(train0)
+    // NOT spread: bare tokenize → partial aggs (see repetitionSignals)
     val tri = train.select(explode(
         graft.functions.Functions.word_ngrams(col("text"), 3, distinct = false))
         .as("g3")).groupBy("g3").agg(count(lit(1)).as("c123"))
@@ -665,8 +669,7 @@ object TextAnalysis {
     * can't flip a hash compare. Zero-token docs emit no row. */
   def nbDomainLogOdds(docs: DataFrame, isTarget: Column,
                       k: Double = 0.5): DataFrame = {
-    val labeled = spreadIn(
-      docs.select(col("doc_id"), isTarget.as("is_t"), col("text")))
+    val labeled = docs.select(col("doc_id"), isTarget.as("is_t"), col("text"))
     val toks = labeled.select(col("doc_id"), col("is_t"),
       explode(tokens(col("text"))).as("w"))
     val counts = toks.groupBy("w").agg(

@@ -38,12 +38,7 @@ object TextIndex {
   def build(corpus: DataFrame, dir: String, nBuckets: Int = 64): Long = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    // spread: tokenize+explode+map-side tf combine fuse into the scan
-    // stage (one-task on an under-split source); counts are integers —
-    // partition-order-independent
-    val src = graft.engine.Parallelism.spread(
-      corpus.select(col("doc_id"), col("text")))
-    val toks = src.select(col("doc_id"),
+    val toks = corpus.select(col("doc_id"),
       explode(TextAnalysis.tokens(col("text"))).as("w"))
     val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
     // dl from tf, not a second tokenize pass: Σ_w tf(doc, w) IS the doc's
@@ -78,9 +73,8 @@ object TextIndex {
     val spark = newDocs.sparkSession
     val nBuckets = SnapshotTable.forPath(spark, s"$dir/stats").read()
       .head().getInt(2)
-    val toks = graft.engine.Parallelism.spread(
-        newDocs.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+    val toks = newDocs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("w"))
     val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val postings = tf.join(dl, "doc_id")

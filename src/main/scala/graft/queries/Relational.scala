@@ -229,7 +229,11 @@ object Relational {
     * DremioExpandDistinctAggregatesRule; Spark: Expand-based rewrite). */
   val aggDistinct: QueryFn = (s, dir) => {
     val t = Tables.ensure(s, dir)
-    t.lineitem
+    // spread: the Expand (×3 for the three distinct groupings) fuses into
+    // the single-split scan; every aggregate here is an integer count, so
+    // partition order cannot change a value (guide §2 — scale-adaptive)
+    graft.engine.Parallelism.spread(
+        t.lineitem.select(col("l_returnflag"), col("l_partkey"), col("l_suppkey")))
       .groupBy(col("l_returnflag"))
       .agg(
         countDistinct(col("l_partkey")).as("nd_parts"),

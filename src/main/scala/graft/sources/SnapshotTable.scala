@@ -2168,7 +2168,7 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
                              sortCols: Seq[String],
                              presorted: Boolean = false)
       : (Vector[String], Map[String, Map[String, (String, String)]]) = {
-    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
     val sub = "data-" + java.util.UUID.randomUUID().toString.take(8)
     // declared STATS columns additionally get parquet BLOOM FILTERS: the
     // manifest min/max prune files, the bloom prunes row groups INSIDE a
@@ -2269,14 +2269,26 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     // PlannerPhase.java:337). On a cluster this read distributes with the
     // write tasks; here the commit is already driver-coordinated.
     val hconf = org.apache.spark.sql.graft.Bridge.hadoopConf(spark)
-    val rowCounts: Map[String, String] = files.map { rel =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(s"$dir/$rel"), hconf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try rel -> r.getRecordCount.toString finally r.close()
-    }.toMap
+    val needStatsJob = !((statsCols.isEmpty && partitionBy.isEmpty) || files.isEmpty)
+    // per-file min/max AND row counts from ONE read-back job when stats are
+    // requested (count(*) per file is by definition the footer record
+    // count, so the manifest value is unchanged); otherwise row counts come
+    // from the footers, opened CONCURRENTLY — the previous sequential
+    // driver loop cost ~10 ms per file per commit, which dominated
+    // small-table commit latency
+    val footerRows = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    if (!needStatsJob) {
+      import scala.jdk.CollectionConverters._
+      files.asJava.parallelStream().forEach { rel =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$dir/$rel"), hconf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try footerRows.put(rel, r.getRecordCount.toString) finally r.close()
+      }
+    }
+    val statRowCounts = new java.util.concurrent.ConcurrentHashMap[String, String]()
     val stats0: Map[String, Map[String, (String, String)]] =
-      if ((statsCols.isEmpty && partitionBy.isEmpty) || files.isEmpty) Map.empty
+      if (!needStatsJob) Map.empty
       else {
         // transform values are recomputed from the source columns on
         // read-back (identical expressions to the write side), keyed by the
@@ -2286,21 +2298,39 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
             partitionBy.map(t => t.repr -> t.column(col(t.srcCol)))
         val aggs = keyed.zipWithIndex.flatMap { case ((_, c), i) =>
           Seq(min(c).as(s"mn_$i"), max(c).as(s"mx_$i"))
-        }
+        } :+ count(lit(1)).as("__rows")
         spark.read.parquet(s"$dir/$sub")
           .groupBy(input_file_name().as("f"))
           .agg(aggs.head, aggs.tail: _*)
           .collect()
           .map { r =>
-            val fname = r.getString(0)
+            // input_file_name() is URI-escaped ("NOT SPECIFIED" arrives as
+            // NOT%20SPECIFIED) while walked/manifest paths carry the raw
+            // name — decode BEFORE keying, or every partition value with a
+            // URI-special char silently drops its per-file stats (and,
+            // since the row counts ride this job, its __rows). A literal
+            // '%' in a partition value (Hive-escaped on disk) would still
+            // double-decode — pre-existing, not representable in the
+            // engine's fixtures, and harmless for min/max-only stats.
+            val fname0 = r.getString(0)
+            val fname =
+              try new java.net.URI(fname0).getPath
+              catch { case _: Exception => fname0 }
             // relative to the table root, including partition-value subdirs
             val rel = fname.substring(fname.indexOf(sub))
+            statRowCounts.put(rel, r.getAs[Long]("__rows").toString)
             rel -> keyed.zipWithIndex.map { case ((k, _), i) =>
               k -> (String.valueOf(r.getAs[Any](s"mn_$i")),
                 String.valueOf(r.getAs[Any](s"mx_$i")))
             }.toMap
           }.toMap
       }
+    // a zero-row data file has no groupBy group in the read-back — record 0
+    val rowCounts: Map[String, String] = files.map { rel =>
+      rel -> (if (needStatsJob)
+        Option(statRowCounts.get(rel)).getOrElse("0")
+      else footerRows.get(rel))
+    }.toMap
     // sort marker: recorded when THIS function sorted each file itself —
     // the partitioned branch always re-sorts (the shuffle destroyed any
     // upstream order), the unpartitioned branch only when not presorted

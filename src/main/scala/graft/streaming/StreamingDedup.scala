@@ -142,11 +142,10 @@ object StreamingDedup {
     val out = SnapshotTable.forPath(spark, outDir)
     def verified(a: String, b: String) =
       (if (exactVerify) exactJaccard(a, b) else estJaccard(a, b)) >= jaccardThreshold
-    // spread: MinHash + gram-hash signing is the batch's heavy map work
-    // and fuses into the batch scan (one-task on an under-split source);
-    // per-row signatures, deterministic downstream — safe
-    val b = banded(graft.engine.Parallelism.spread(
-        batchDocs.select(col("doc_id"), col("text"))), numHashes, bands,
+    // NOT spread: micro-batches are small by nature — fanning a few
+    // hundred rows across every core costs more scheduling than the
+    // signing saves (A/B-measured)
+    val b = banded(batchDocs.select(col("doc_id"), col("text")), numHashes, bands,
         exactVerify)
       .cache()
     try {
