@@ -45,9 +45,7 @@ object Bitext {
 
     def topkDir(queries: DataFrame, corpus: DataFrame): DataFrame = {
       val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      // spread: the |Q|·dim cosine work per corpus row is scan-fused
-      val c = graft.engine.Parallelism.spread(
-        corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")))
+      val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
       val scored = c.crossJoin(broadcast(q))
         .withColumn("cos", cosC(col("q_vec"), col("c_vec")))
         .select(col("q_id"), col("c_id"), col("cos"))
@@ -86,13 +84,11 @@ object Bitext {
     // src probes nProbe buckets (the recall side); each tgt lives in its
     // ONE argmax bucket, so a pair can meet at most once — no dedup pass
     val sp = Similarity.withProbedBuckets(
-        graft.engine.Parallelism.spread(
-          src.select(col("vec_id"), col("embedding"))),
+        src.select(col("vec_id"), col("embedding")),
         "embedding", "vec_id", cents, nProbe, doublePrec = doublePrec)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("bucket"))
     val tp = Similarity.withProbedBuckets(
-        graft.engine.Parallelism.spread(
-          tgt.select(col("vec_id"), col("embedding"))),
+        tgt.select(col("vec_id"), col("embedding")),
         "embedding", "vec_id", cents, nProbe = 1, doublePrec = doublePrec)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"), col("bucket"))
     val pairs = sp.join(tp, "bucket")

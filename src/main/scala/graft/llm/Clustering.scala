@@ -35,12 +35,11 @@ object Clustering {
                        vecCol: String = "embedding",
                        kmeansIters: Int = 3,
                        centroids: Option[Seq[Seq[Float]]] = None): DataFrame = {
-    // spread: centroid assignment + the distinct-term explode are the
-    // heavy map work over this frame; all downstream selections are
-    // deterministic (integer counts, (score, term) total orders)
-    val corpus = graft.engine.Parallelism.spread(
-      docs.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
-        col(textCol).as("text")))
+    // NOT spread: the per-row assignment is a handful of centroid cosines
+    // and the term explode feeds integer-count aggregates — bench A/B
+    // showed the exchange costs more than the parallel map saves
+    val corpus = docs.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
+      col(textCol).as("text"))
     val n = corpus.count()
     val cents = centroids.getOrElse {
       val nc = if (k > 0) k else Similarity.autoClusters(n)

@@ -97,9 +97,11 @@ object Decontaminate {
   def semanticMatches(corpus: DataFrame, evalSet: DataFrame,
                       centroids: Seq[Seq[Float]], threshold: Double,
                       nProbe: Int = 2): DataFrame = {
+    // NOT spread: the per-row work here is a handful of centroid cosines
+    // (benchmark-sized quantizers) — bench A/B showed the exchange costs
+    // more than the parallel assignment saves
     val c = Similarity.withProbedBuckets(
-        graft.engine.Parallelism.spread(
-          corpus.select(col("vec_id"), col("embedding"))),
+        corpus.select(col("vec_id"), col("embedding")),
         "embedding", "vec_id", centroids, nProbe = 1, doublePrec = true)
       .select(col("vec_id"), col("embedding").as("c_vec"), col("bucket"))
     val e = Similarity.withProbedBuckets(

@@ -313,9 +313,18 @@ object Dedup {
     // small fraction of the corpus, so the per-round join/aggregate drops
     // from O(corpus) to O(duplicated subset); singletons rejoin as
     // component = own id via the left join below. Identical output.
-    val pairVerts = pairs.select(col("a_id").as("vec_id"))
-      .union(pairs.select(col("b_id").as("vec_id"))).distinct()
-    val comps = connectedComponents(pairVerts, pairs)
+    // pairs is persisted across its two consumers (the vertex projection
+    // and CC's edge build) — otherwise the bucket-local cosine join, the
+    // most expensive stage here, would execute twice. Safe to release as
+    // soon as CC returns: every CC round eagerly localCheckpoints, so the
+    // returned labels never re-read the input.
+    val pairsP = pairs.persist()
+    val comps =
+      try {
+        val pairVerts = pairsP.select(col("a_id").as("vec_id"))
+          .union(pairsP.select(col("b_id").as("vec_id"))).distinct()
+        connectedComponents(pairVerts, pairsP)
+      } finally { pairsP.unpersist(); () }
     val ranked = assigned.join(comps, assigned("vec_id") === comps("id"), "left")
       .select(col("vec_id"), col("bucket"), col("centroid_cos"),
         coalesce(col("component"), col("vec_id")).as("component"))
