@@ -333,7 +333,9 @@ object TextAnalysis {
     val hasBadword = badwords.foldLeft(lit(false)) { (acc, w) =>
       acc || lower(col("text")).contains(w.toLowerCase)
     }
-    spreadIn(docs).select(
+    // NOT spread: sub-second op — the exchange's fixed cost exceeds the
+    // parallel-map saving (bench A/B)
+    docs.select(
       col("doc_id"),
       size(lines).as("n_lines"),
       size(kept).as("n_lines_kept"),
@@ -575,7 +577,8 @@ object TextAnalysis {
   def charClassSignals(docs: DataFrame): DataFrame = {
     val ctl = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
     val nonAscii = "[^\\x00-\\x7F]"
-    spreadIn(docs).select(
+    // NOT spread: sub-second op (see c4Rules)
+    docs.select(
       col("doc_id"),
       length(col("text")).as("len_chars"),
       regexp_count(col("text"), lit(ctl)).as("n_control"),
