@@ -1,6 +1,10 @@
 package graft.engine
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import scala.util.control.NonFatal
 
 /** Scale-adaptive scan spreading (optimization guide §2: derive the
   * partitioning from the input layout instead of trusting it).
@@ -24,6 +28,19 @@ import org.apache.spark.sql.DataFrame
   *  - the driver's low-core bench runs keep their proportions: the target
   *    is the session's own `defaultParallelism`, not a constant.
   *
+  * Probe (r16 ADVICE / r16 verdict item 7): the split count comes from the
+  * ANALYZED LOGICAL plan plus the source's file layout — replaying Spark's
+  * own `FilePartition.maxSplitBytes` arithmetic over the `FileIndex`
+  * metadata — NOT from `df.rdd`. The old `df.rdd` probe physical-planned
+  * the subtree a second time and, under AQE, `getFinalPhysicalPlan`
+  * eagerly EXECUTED every shuffle stage in the input at
+  * DataFrame-construction time. The walk accepts only narrow operators
+  * (project/filter/generate/union/alias) over leaf scans; any plan with
+  * its own exchange upstream (join/aggregate/window/sort) returns None and
+  * is left alone — those already run at shuffle-partition parallelism, so
+  * the old probe's answer ("post-shuffle partitions ≥ target → no-op")
+  * is preserved without planning or running anything.
+  *
   * Callers MUST be partition-order-independent (bounded-heap top-k with
   * total-order ties, integer-count aggregates, fixed-point quantized sums,
   * per-row projections) — every consumer in this repo that uses it argues
@@ -35,11 +52,67 @@ object Parallelism {
     if (!spark.conf.get("spark.graft.spreadSmallScans", "true").toBoolean)
       return df
     val target = spark.sparkContext.defaultParallelism
-    // split count of the as-planned input; explicit numPartitions keeps AQE
-    // from coalescing the exchange back down to one partition
     val parts =
-      try df.rdd.getNumPartitions
-      catch { case _: Throwable => return df }
-    if (parts >= target) df else df.repartition(target)
+      try plannedSplits(df.queryExecution.analyzed, spark)
+      catch { case NonFatal(_) => None }
+    parts match {
+      // explicit numPartitions keeps AQE from coalescing the exchange
+      // back down to one partition
+      case Some(p) if p < target => df.repartition(target)
+      case _ => df
+    }
+  }
+
+  /** Planned split count of a narrow scan subtree, or None when the plan
+    * brings its own exchange (then spreading is a no-op by design). */
+  private def plannedSplits(plan: LogicalPlan, spark: SparkSession): Option[Long] =
+    plan match {
+      case p: Project       => plannedSplits(p.child, spark)
+      case f: Filter        => plannedSplits(f.child, spark)
+      case g: Generate      => plannedSplits(g.child, spark)
+      case a: SubqueryAlias => plannedSplits(a.child, spark)
+      case v: View          => plannedSplits(v.child, spark)
+      case u: Union =>
+        val cs = u.children.map(plannedSplits(_, spark))
+        if (cs.forall(_.isDefined)) Some(cs.flatten.sum) else None
+      case r: LogicalRelation =>
+        r.relation match {
+          case fs: HadoopFsRelation => Some(fileSplits(fs, spark))
+          case _                    => None
+        }
+      case r: Range =>
+        Some(r.numSlices.getOrElse(spark.sparkContext.defaultParallelism).toLong)
+      case r: Repartition =>
+        // round-robin repartition: exact; coalesce: min(child, n) — or n
+        // alone as an upper bound when the child is opaque (an upper bound
+        // below target still proves under-split; above it we conservatively
+        // leave the plan alone)
+        val c = plannedSplits(r.child, spark)
+        if (r.shuffle) Some(r.numPartitions.toLong)
+        else Some(c.map(math.min(_, r.numPartitions.toLong))
+          .getOrElse(r.numPartitions.toLong))
+      case l: LogicalRDD   => Some(l.rdd.getNumPartitions.toLong)
+      case l: LocalRelation =>
+        // LocalTableScanExec parallelizes rows over min(#rows, default
+        // parallelism) slices — replicate so tiny literal tables never
+        // trigger a pointless exchange
+        Some(math.min(math.max(l.data.length, 1),
+          spark.sparkContext.defaultParallelism).toLong)
+      case _ => None
+    }
+
+  /** Spark's scan-split arithmetic (`FilePartition.maxSplitBytes` + split
+    * packing) replayed over the FileIndex metadata: no listing beyond what
+    * the scan itself will do (the index caches it), no plan construction. */
+  private def fileSplits(fs: HadoopFsRelation, spark: SparkSession): Long = {
+    val conf = spark.sessionState.conf
+    val openCost = math.max(1L, conf.filesOpenCostInBytes)
+    val nFiles = fs.location.inputFiles.length.toLong
+    val padded = fs.location.sizeInBytes + nFiles * openCost
+    val minParts =
+      conf.filesMinPartitionNum.getOrElse(spark.sparkContext.defaultParallelism)
+    val maxSplit = math.min(conf.filesMaxPartitionBytes,
+      math.max(openCost, padded / math.max(1, minParts)))
+    math.max(if (nFiles == 0) 0L else 1L, (padded + maxSplit - 1) / maxSplit)
   }
 }

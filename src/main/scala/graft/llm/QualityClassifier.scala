@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   * pipelines all train such a lightweight classifier on "reference corpus
   * vs raw crawl" and keep documents by thresholding its score).
   *
-  * Scale design: each gradient-descent step is ONE distributed aggregate —
-  * per-feature partial sums (codegen'd `sum()` columns, map-side combined)
-  * over a cached feature projection; only the (features+1)-vector reaches
-  * the driver per step. Nothing materializes the corpus: T steps = T
-  * scans of a cached columnar projection (at 100 TB one would train on a
-  * sampled slice — the trainer takes whatever DataFrame it is given).
+  * Scale design: each Newton step is ONE distributed aggregate — a fixed
+  * numeric kernel ([[roundSums]]) with per-partition partial sums (the
+  * map-side combine) over a cached feature projection; only the
+  * O(features²) long vector reaches the driver per step, and the driver
+  * does no per-round planning (the round loop reuses one compiled
+  * pipeline — re-building a Dataset per round re-ran analysis/codegen
+  * every step). Nothing materializes the corpus: T steps = T scans of a
+  * cached columnar projection (at 100 TB one would train on a sampled
+  * slice — the trainer takes whatever DataFrame it is given).
   *
   * Determinism: float addition is not associative, so a naive `sum(double)`
   * gradient depends on partition order and retrains would drift across
@@ -73,38 +76,30 @@ object QualityClassifier {
       val n = cached.count()
       require(n > 0, "empty training set")
       val k = d + 1 // intercept is x_0 = 1
-      val xs: Seq[Column] = lit(1.0) +: featureNames.map(col)
       var w = new Array[Double](k)
       var it = 0
+      // ONE pipeline for every round: the per-round gradient + Hessian is a
+      // fixed numeric kernel over the cached projection, run as a plain RDD
+      // aggregate ([[roundSums]]) instead of a fresh ~36-column Dataset per
+      // round. The Dataset form re-ran analysis / optimization / physical
+      // planning / AQE every round (the weights are new values each time) —
+      // ~0.1 s of pure DRIVER work per round that dominated training wall
+      // time at bench scale and is the same dead driver time on a
+      // 1000-executor cluster (guide §5: the driver does almost no per-round
+      // work; §1.2: fix the algorithmic pass structure first). The kernel
+      // mirrors the replaced expression tree op for op — left-assoc z fold,
+      // Math.exp sigmoid, (e·x_j)·2²² and ((s·x_j)·x_l)·2²² products,
+      // truncate-toward-zero long casts, SQL per-term null semantics — and
+      // the sums are associative LONGS on the 2^22 grid, bit-identical
+      // under any partitioning, so the digest-pinned trajectory is
+      // unchanged (QualityClassifierSpec / DigestPinSpec).
+      val rdd = cached.queryExecution.toRdd
       while (it < iters) {
-        // z = w_0 + Σ w_j x_j in fixed feature order (left-assoc adds)
-        val z = featureNames.zipWithIndex.foldLeft(lit(w(0)): Column) {
-          case (acc, (fn, j)) => acc + lit(w(j + 1)) * col(fn)
-        }
-        val p = lit(1.0) / (lit(1.0) + exp(-z))
-        // Evaluate the shared σ subexpressions ONCE in a projection below
-        // the aggregate: inlining err/s into all (k+1)(k+4)/2 sums
-        // duplicated the z/p subtree ~36×, and the per-round driver
-        // analysis+codegen of that tree dominated training wall time at
-        // small scale (plans re-analyze every round — the weights are new
-        // literals). Same IEEE ops in the same order, so the quantized
-        // trajectory is unchanged bit for bit.
-        val proj = cached.select(
-          (featureNames.map(col) :+
-            (p - col("y")).as("__e") :+
-            greatest(p * (lit(1.0) - p), lit(1e-9)).as("__s")): _*)
-        // gradient + Hessian upper triangle as associative LONG sums on
-        // the 2^22 grid — bit-identical under any partitioning
-        val gradCols = (0 until k).map(j =>
-          sum((col("__e") * xs(j) * lit(Scale)).cast("long")).as(s"g_$j"))
-        val hessCols = for { j <- 0 until k; l <- j until k } yield
-          sum((col("__s") * xs(j) * xs(l) * lit(Scale)).cast("long")).as(s"h_${j}_$l")
-        val aggs = gradCols ++ hessCols
-        val row = proj.agg(aggs.head, aggs.tail: _*).head()
+        val row = roundSums(rdd, w.clone(), d)
         val g = new Array[Double](k)
         var j = 0
         while (j < k) {
-          g(j) = row.getLong(j) / Scale / n + (if (j > 0) ridge * w(j) else 0.0)
+          g(j) = row(j) / Scale / n + (if (j > 0) ridge * w(j) else 0.0)
           j += 1
         }
         val h = Array.ofDim[Double](k, k)
@@ -113,7 +108,7 @@ object QualityClassifier {
         while (j < k) {
           var l = j
           while (l < k) {
-            val v = row.getLong(idx) / Scale / n
+            val v = row(idx) / Scale / n
             h(j)(l) = v; h(l)(j) = v
             idx += 1; l += 1
           }
@@ -142,6 +137,68 @@ object QualityClassifier {
           .cast("double") / count(lit(1))).as("acc")).head().getDouble(0)
       Model(featureNames, w.drop(1), w(0), acc, n)
     } finally { cached.unpersist(); () }
+  }
+
+  /** One IRLS round's quantized gradient + Hessian-upper-triangle sums
+    * (k longs then k(k+1)/2 longs, (j,l) row order — the exact layout of
+    * the Dataset aggregate this replaces). The per-row arithmetic mirrors
+    * the old expression tree op for op:
+    *   z   = ((w0 + w1·x1) + w2·x2) + …            (left-assoc fold)
+    *   p   = 1.0 / (1.0 + exp(-z))                  (Math.exp — what the
+    *                                                 codegen'd EXP emitted)
+    *   e   = p − y,  s = max(p·(1−p), 1e-9)         (greatest ≡ max here)
+    *   g_j   += toLong((e·x_j)·2²²)                 (truncate toward zero,
+    *   h_jl  += toLong(((s·x_j)·x_l)·2²²)            Cast(double→long))
+    * with SQL per-term null semantics: a null feature nulls z and with it
+    * every term of the row; a null label nulls only e, so the row still
+    * contributes its Hessian terms. Long sums are associative, so any
+    * partitioning / merge order yields the same bits. */
+  private def roundSums(rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+                        wr: Array[Double], d: Int): Array[Long] = {
+    val k = d + 1
+    val len = k + k * (k + 1) / 2
+    val scale = Scale
+    rdd.mapPartitions { it =>
+      val acc = new Array[Long](len)
+      val x = new Array[Double](k)
+      x(0) = 1.0
+      while (it.hasNext) {
+        val r = it.next()
+        var anyNull = false
+        var j = 1
+        while (j <= d) {
+          if (r.isNullAt(j)) anyNull = true else x(j) = r.getDouble(j)
+          j += 1
+        }
+        if (!anyNull) {
+          var z = wr(0)
+          j = 1
+          while (j <= d) { z += wr(j) * x(j); j += 1 }
+          val p = 1.0 / (1.0 + java.lang.Math.exp(-z))
+          val s = math.max(p * (1.0 - p), 1e-9)
+          if (!r.isNullAt(0)) {
+            val e = p - r.getDouble(0)
+            j = 0
+            while (j < k) { acc(j) += ((e * x(j)) * scale).toLong; j += 1 }
+          }
+          var idx = k
+          j = 0
+          while (j < k) {
+            var l = j
+            while (l < k) {
+              acc(idx) += (((s * x(j)) * x(l)) * scale).toLong
+              idx += 1; l += 1
+            }
+            j += 1
+          }
+        }
+      }
+      Iterator.single(acc)
+    }.reduce { (a, b) =>
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
   }
 
   /** Gaussian elimination with partial pivoting — deterministic k×k solve

@@ -44,26 +44,34 @@ object TextIndex {
     // dl from tf, not a second tokenize pass: Σ_w tf(doc, w) IS the doc's
     // token count (zero-token docs have no tf rows, same as the old
     // toks-based dl), and tf is orders of magnitude smaller than the raw
-    // token stream — one corpus tokenization instead of two. dl is cached:
-    // the postings write materializes it (doc-count-sized, tens of bytes
-    // per doc) and the stats aggregate reads it back for free.
-    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl")).cache()
-    try {
-      val postings = tf.join(dl, "doc_id")
-        .select(pmod(xxhash64(col("w")), lit(nBuckets.toLong)).cast("int").as("bucket"),
-          col("w"), col("doc_id"), col("tf"), col("dl"))
-      SnapshotTable.forPath(spark, s"$dir/postings")
-        .overwritePartitioned(postings, Seq("identity(bucket)"))
-      // ONE bounded aggregate row (off the cache) feeds both the stats
-      // table and the return value — no stats-table read-back job
-      val statsRow = dl
-        .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl")).head()
-      val nDocs = statsRow.getLong(0)
-      val stats = Seq((nDocs, statsRow.getDouble(1), nBuckets))
-        .toDF("n_docs", "avgdl", "n_buckets")
-      SnapshotTable.forPath(spark, s"$dir/stats").overwrite(stats)
-      nDocs
-    } finally { dl.unpersist(); () }
+    // token stream. dl is NOT cached: tf's post-aggregate exchange feeds
+    // both the join's tf side and the dl aggregate inside ONE plan
+    // (exchange/stage reuse), so the corpus is tokenized exactly once —
+    // the r16 `dl.cache()` looked free but its cache FILL ran a second
+    // independent tokenize→tf pipeline concurrently with the join's
+    // (profile: two ~0.5 s single-task jobs), which was the whole cost of
+    // a second corpus pass at any scale.
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val postings = tf.join(dl, "doc_id")
+      .select(pmod(xxhash64(col("w")), lit(nBuckets.toLong)).cast("int").as("bucket"),
+        col("w"), col("doc_id"), col("tf"), col("dl"))
+    val t = SnapshotTable.forPath(spark, s"$dir/postings")
+    t.overwritePartitioned(postings, Seq("identity(bucket)"))
+    // Corpus constants from the JUST-WRITTEN postings (dl is denormalized
+    // into every row): a 2-column columnar re-scan + doc-keyed partial
+    // aggregate, instead of re-deriving dl from the raw corpus. max(dl)
+    // is deterministic and per-doc constant; avg sums the same long
+    // multiset either way. Zero-token docs have no postings, matching the
+    // old n_docs. Empty corpus: avg() is null → 0.0 (r16 ADVICE guard).
+    val statsRow = t.read().select(col("doc_id"), col("dl"))
+      .groupBy("doc_id").agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl")).head()
+    val nDocs = statsRow.getLong(0)
+    val avgdl = if (statsRow.isNullAt(1)) 0.0 else statsRow.getDouble(1)
+    val stats = Seq((nDocs, avgdl, nBuckets))
+      .toDF("n_docs", "avgdl", "n_buckets")
+    SnapshotTable.forPath(spark, s"$dir/stats").overwrite(stats)
+    nDocs
   }
 
   /** Incremental maintenance: index NEW docs against the persisted bucket

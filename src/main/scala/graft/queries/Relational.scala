@@ -649,12 +649,30 @@ object Relational {
     SELECT COUNT(*) AS n, CAST(SUM(l_quantity) AS DOUBLE) AS qty
     FROM lineitem WHERE l_orderkey % 97 = 0"""
 
-  /** Seeded Bernoulli sample (rows-only: sampling RNG differs per engine). */
+  /** Seeded Bernoulli sample — REPLAYABLE-seed form under a FULL oracle
+    * (the dedup_simhash graduation pattern): each row's uniform draw is
+    * the first 8 md5 hex digits of "seed|l_orderkey|l_linenumber" read as
+    * a 32-bit integer, kept when u < ⌊0.01·2³²⌋. Independent per row,
+    * deterministic given the seed, identical in every engine AND under
+    * any partitioning/retry (the engine-native `sample()` RNG draws per
+    * partition, so its count is both engine-specific and layout-dependent
+    * — the very property that kept this rows-only; engine-native sampling
+    * stays exercised by sample_stratified / sample_per_source). */
   val sampleBernoulli: QueryFn = (s, dir) => {
     val t = Tables.ensure(s, dir)
-    t.lineitem.sample(withReplacement = false, fraction = 0.01, seed = 42L)
+    val u = conv(substring(md5(concat_ws("|",
+      lit(42), col("l_orderkey"), col("l_linenumber"))), 1, 8), 16, 10)
+      .cast("long")
+    t.lineitem.filter(u < lit(42949672L)) // ⌊0.01 · 2³²⌋
       .agg(count(lit(1)).as("n_sampled"))
   }
+  val sampleBernoulliSql: String = """
+    SELECT COUNT(*) AS n_sampled FROM lineitem
+    WHERE list_reduce(list_transform(generate_series(1, 8),
+        i -> CAST(strpos('0123456789abcdef',
+               substr(md5(concat_ws('|', 42, l_orderkey, l_linenumber)), i, 1))
+             - 1 AS BIGINT)),
+      (a, b) -> a * 16 + b) < 42949672"""
 
   /** UNION ALL (reference UnionAllOperator.java:35). */
   val setopUnionAll: QueryFn = (s, dir) => {
@@ -1007,6 +1025,7 @@ object Relational {
     "topk_orders" -> topkOrdersSql,
     "limit_offset" -> limitOffsetSql,
     "sample_systematic" -> sampleSystematicSql,
+    "sample_bernoulli" -> sampleBernoulliSql,
     "setop_union_all" -> setopUnionAllSql,
     "setop_union_distinct" -> setopUnionDistinctSql,
     "setop_intersect" -> setopIntersectSql,

@@ -206,6 +206,18 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
   def manifestRowCount: Option[Long] =
     SnapshotTable.rowsFromStats(snapshotWithStats()._1.map(_._2))
 
+  /** Rows added by one specific commit, from its manifest `__rows` entries
+    * (zero Spark jobs; None when the commit is unknown or a file predates
+    * row-count recording). Lets a writer that just committed reuse the
+    * commit's own count instead of re-running a count() job. */
+  def commitRowCount(version: Long): Option[Long] =
+    commits.find(_.version == version).flatMap { c =>
+      val per = c.files.map(f => c.stats.get(f)
+        .flatMap(_.get(SnapshotTable.RowsStatKey))
+        .flatMap(v => scala.util.Try(v._1.toLong).toOption))
+      if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
+    }
+
   /** Total data bytes of the current snapshot, from manifest-carried
     * sizes (zero FS calls; legacy files without a recorded size count 0 —
     * this feeds plan ESTIMATES, never results). */
@@ -2270,25 +2282,109 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
     // write tasks; here the commit is already driver-coordinated.
     val hconf = org.apache.spark.sql.graft.Bridge.hadoopConf(spark)
     val needStatsJob = !((statsCols.isEmpty && partitionBy.isEmpty) || files.isEmpty)
-    // per-file min/max AND row counts from ONE read-back job when stats are
-    // requested (count(*) per file is by definition the footer record
-    // count, so the manifest value is unchanged); otherwise row counts come
-    // from the footers, opened CONCURRENTLY — the previous sequential
-    // driver loop cost ~10 ms per file per commit, which dominated
-    // small-table commit latency
+    // Stats/row counts come from parquet FOOTER metadata (driver-side,
+    // opened concurrently, NO Spark job) whenever every requested stat is
+    // footer-EXACT; the distributed read-back job is the fallback. Footer
+    // min/max is bit-exact for integral and boolean columns; float/double
+    // are excluded (parquet-mr normalizes signed zeros — PARQUET-1222 —
+    // so "-0.0" could disagree with the read-back string and these stats
+    // feed EXACT manifest MIN/MAX answers, not just pruning), as are
+    // string/date/timestamp (binary truncation / formatting divergence).
+    // Partition-transform values for integral transforms come from the
+    // directory name the writer itself placed the rows under (min == max
+    // by construction). Small commits (streaming admits, index builds,
+    // lake DML at micro scale) thereby skip one whole Spark job + its
+    // scheduling gap per commit; a >4096-file commit keeps the read-back
+    // job, which distributes better than driver-side footer opens.
     val footerRows = new java.util.concurrent.ConcurrentHashMap[String, String]()
-    if (!needStatsJob) {
+    val footerStats =
+      new java.util.concurrent.ConcurrentHashMap[String, Map[String, (String, String)]]()
+    val footerOk = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val statColFields: Seq[Option[org.apache.spark.sql.types.StructField]] =
+      statsCols.map(c => df.schema.fields.find(_.name.equalsIgnoreCase(c)))
+    def footerExactType(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.BooleanType => true
+      case _ => false
+    }
+    val transformTypes: Seq[org.apache.spark.sql.types.DataType] =
+      if (partitionBy.isEmpty) Nil
+      else df.select(partitionBy.map(t => t.column(col(t.srcCol))): _*)
+        .schema.map(_.dataType).toSeq
+    val footerEligible = !needStatsJob ||
+      (files.size <= 4096 &&
+        statColFields.forall(_.exists(f => footerExactType(f.dataType))) &&
+        transformTypes.forall(footerExactType) &&
+        transformTypes.forall(_ != org.apache.spark.sql.types.BooleanType))
+    if (footerEligible) {
       import scala.jdk.CollectionConverters._
       files.asJava.parallelStream().forEach { rel =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(s"$dir/$rel"), hconf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try footerRows.put(rel, r.getRecordCount.toString) finally r.close()
+        try {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(s"$dir/$rel"), hconf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            footerRows.put(rel, r.getRecordCount.toString)
+            if (needStatsJob && footerOk.get) {
+              val blocks = r.getFooter.getBlocks.asScala.toSeq
+              // column min/max merged across row groups; any chunk with
+              // absent/ambiguous statistics poisons the fast path
+              def colMinMax(name: String): Option[(String, String)] = {
+                var mn: Comparable[Any] = null
+                var mx: Comparable[Any] = null
+                var ok = true
+                blocks.foreach { bg =>
+                  bg.getColumns.asScala.find(c =>
+                    c.getPath.size == 1 &&
+                      c.getPath.toDotString.equalsIgnoreCase(name)) match {
+                    case None => ok = false
+                    case Some(cc) =>
+                      val st = cc.getStatistics
+                      if (st == null) ok = false
+                      else if (!st.hasNonNullValue) {
+                        // statless chunk is fine ONLY when provably all-null
+                        if (!st.isNumNullsSet || st.getNumNulls != cc.getValueCount)
+                          ok = false
+                      } else {
+                        val cmn = st.genericGetMin.asInstanceOf[Comparable[Any]]
+                        val cmx = st.genericGetMax.asInstanceOf[Comparable[Any]]
+                        if (mn == null || cmn.compareTo(mn) < 0) mn = cmn
+                        if (mx == null || cmx.compareTo(mx) > 0) mx = cmx
+                      }
+                  }
+                }
+                // all-null file → ("null", "null"), matching the read-back's
+                // String.valueOf(null)
+                if (ok) Some((String.valueOf(mn), String.valueOf(mx))) else None
+              }
+              val segs = rel.split('/')
+              val tVals: Seq[Option[(String, (String, String))]] =
+                partitionBy.zipWithIndex.map { case (t, i) =>
+                  val pre = s"__gp_$i="
+                  segs.find(_.startsWith(pre)).map(_.substring(pre.length))
+                    .filter(v => v.matches("-?\\d+"))
+                    .map(v => t.repr -> (v, v))
+                }
+              val cVals: Seq[Option[(String, (String, String))]] =
+                statsCols.zip(statColFields).map { case (c, f) =>
+                  colMinMax(f.map(_.name).getOrElse(c)).map(v => c -> v)
+                }
+              if ((tVals ++ cVals).forall(_.isDefined))
+                footerStats.put(rel, (tVals ++ cVals).flatten.toMap)
+              else footerOk.set(false)
+            }
+          } finally r.close()
+        } catch { case scala.util.control.NonFatal(_) => footerOk.set(false) }
       }
     }
     val statRowCounts = new java.util.concurrent.ConcurrentHashMap[String, String]()
     val stats0: Map[String, Map[String, (String, String)]] =
       if (!needStatsJob) Map.empty
+      else if (footerEligible && footerOk.get) {
+        import scala.jdk.CollectionConverters._
+        footerStats.asScala.toMap
+      }
       else {
         // transform values are recomputed from the source columns on
         // read-back (identical expressions to the write side), keyed by the
@@ -2325,11 +2421,21 @@ final class SnapshotTable private (spark: SparkSession, val dir: String) {
             }.toMap
           }.toMap
       }
-    // a zero-row data file has no groupBy group in the read-back — record 0
+    // a zero-row data file has no groupBy group in the read-back — but so
+    // would a file whose input_file_name() keying diverged from the walked
+    // path (URI-escape corner). __rows feeds manifest COUNT(*), so a miss
+    // must NOT silently record 0: fall back to that file's parquet footer
+    // record count, which is unconditionally correct (r16 ADVICE).
+    def footerCount(rel: String): String = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$dir/$rel"), hconf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount.toString finally r.close()
+    }
     val rowCounts: Map[String, String] = files.map { rel =>
-      rel -> (if (needStatsJob)
-        Option(statRowCounts.get(rel)).getOrElse("0")
-      else footerRows.get(rel))
+      rel -> Option(footerRows.get(rel))
+        .orElse(Option(statRowCounts.get(rel)))
+        .getOrElse(footerCount(rel))
     }.toMap
     // sort marker: recorded when THIS function sorted each file itself —
     // the partitioned branch always re-sorts (the shuffle destroyed any

@@ -200,8 +200,12 @@ object StreamingDedup {
         // what makes prunedStateScan's IN-fold drop files at plan time.
         // File count scales with the batch (one file per ~500k band rows;
         // a typical micro-batch is one file), so a bulk initial load does
-        // not produce a single monster file.
-        val stateRowCount = admitted.count() * bands
+        // not produce a single monster file. The admitted row count comes
+        // from the out-commit's own manifest (the commit just recorded
+        // per-file __rows) — no separate count() job; on a tag replay the
+        // original commit's count is the same number by construction.
+        val stateRowCount =
+          out.commitRowCount(n).getOrElse(admitted.count()) * bands
         val nf = math.max(1, math.ceil(stateRowCount / 500000.0).toInt)
         val stateRows0 = b
           .join(admitted.select("doc_id"), Seq("doc_id"), "left_semi")

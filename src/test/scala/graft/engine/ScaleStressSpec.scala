@@ -158,6 +158,68 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(kept.count() == 37000L, s"total keepers ${kept.count()}, want 37000")
   }
 
+  test("semDedup CC rounds at 60k vertices / 20% dup subset: shuffle ∝ dup subset, not corpus") {
+    gate()
+    // The r16 semDedup rework runs connected components over PAIR-INCIDENT
+    // vertices only (singletons rejoin via left join + coalesce). At sf0.1
+    // the dup fraction is too small for the bench to show it; this tier
+    // plants a 60k corpus whose duplicate subset is 12k vertices (3k
+    // groups of 4) and asserts the structural claim directly: CC over the
+    // dup subset shuffles a small fraction of what CC over the full corpus
+    // shuffles, with identical labels for every pair-incident vertex.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    // 750 duplicate CHAINS of 8 (6k pair-incident vertices, 10% of 60k):
+    // chains give diameter 7, so label propagation runs ~8 rounds and the
+    // per-round vertex traffic — the term the rework shrinks — dominates
+    // the fixed edge-join term (which is identical in both arms)
+    val chains = 750
+    val pairs = spark.range(chains).select(col("id").as("g"))
+      .select(col("g"), explode(expr("sequence(0, 6)")).as("j"))
+      .select((col("g") * 8 + col("j")).as("a_id"),
+        (col("g") * 8 + col("j") + 1).as("b_id"))
+      .localCheckpoint(true)
+    val dupVerts = pairs.select(col("a_id").as("vec_id"))
+      .union(pairs.select(col("b_id").as("vec_id"))).distinct()
+      .localCheckpoint(true)
+    val corpusVerts = spark.range(60000).select(col("id").as("vec_id"))
+    assert(dupVerts.count() == chains * 8L)
+
+    val recs = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        recs.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    def measured(f: => org.apache.spark.sql.DataFrame): (Long, Long, Double) = {
+      recs.set(0L)
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      val out = try f.localCheckpoint(true) finally {
+        org.apache.spark.sql.graft.Bridge.waitListenerBus(spark)
+        spark.sparkContext.removeSparkListener(listener)
+      }
+      (out.count(), recs.get(), (System.nanoTime() - t0) / 1e9)
+    }
+    val (nSub, recsSub, tSub) =
+      measured(graft.llm.Dedup.connectedComponents(dupVerts, pairs))
+    val (nAll, recsAll, tAll) =
+      measured(graft.llm.Dedup.connectedComponents(corpusVerts, pairs))
+    assert(nSub == chains * 8L && nAll == 60000L)
+    // identical labels on the pair-incident subset either way
+    val sub = graft.llm.Dedup.connectedComponents(dupVerts, pairs)
+      .withColumnRenamed("component", "c1")
+    val all = graft.llm.Dedup.connectedComponents(corpusVerts, pairs)
+      .withColumnRenamed("component", "c2")
+    assert(sub.join(all, "id").filter(col("c1") =!= col("c2")).count() == 0L)
+    // the structural claim: per-round label traffic carries the dup subset,
+    // not the corpus. Per round the floor is (V_sub + E)/(V_corpus + E) ≈
+    // (6k + 5.25k)/(60k + 5.25k) ≈ 0.17; require < 0.4 to stay robust.
+    assert(recsSub * 5 < recsAll * 2,
+      s"CC over dup subset shuffled $recsSub records vs $recsAll over the corpus " +
+        s"(want < 40%); walls ${f"$tSub%.2f"}s vs ${f"$tAll%.2f"}s")
+    info(f"[scale] semdedup-cc shuffleRecords subset=$recsSub corpus=$recsAll " +
+      f"wall subset=$tSub%.2fs corpus=$tAll%.2fs")
+  }
+
   test("TopKPerKey at 12M rows / 600k keys under a 1MB budget: spills and stays correct") {
     gate()
     import graft.plans.{TopKPerKey, TopKPerKeyExec}
