@@ -51,21 +51,42 @@ object Parallelism {
     val spark = df.sparkSession
     if (!spark.conf.get("spark.graft.spreadSmallScans", "true").toBoolean)
       return df
-    val target = spark.sparkContext.defaultParallelism
-    val parts =
+    val probed =
       try plannedSplits(df.queryExecution.analyzed, spark)
       catch { case NonFatal(_) => None }
-    parts match {
-      // explicit numPartitions keeps AQE from coalescing the exchange
-      // back down to one partition
-      case Some(p) if p < target => df.repartition(target)
-      case _ => df
+    probed match {
+      case Some((parts, bytes)) =>
+        // Fan-out is SIZED FROM THE INPUT, not blindly defaultParallelism:
+        // r17 cap-sweep A/Bs (SCALING.md) show a sub-MB input over-fanned
+        // to 32 partitions runs SLOWER than unspread (per-task scheduling
+        // + per-task expression-state init dominate), while 4–16 tasks
+        // beat both. One task per `spreadBytesPerTask` (default 64 KB —
+        // these consumers do orders of magnitude more CPU per byte than a
+        // plain scan), clamped to the session's parallelism; unknown-size
+        // inputs (checkpointed RDDs, local relations) keep the full
+        // parallelism target. The conf parameterizes the floor for other
+        // deployments; at 100 TB the gate below still never fires.
+        val maxT = math.min(spark.sparkContext.defaultParallelism,
+          spark.conf.get("spark.graft.spreadCap", Int.MaxValue.toString).toInt)
+        val perTask =
+          spark.conf.get("spark.graft.spreadBytesPerTask", (64 * 1024).toString).toLong
+        val target = bytes match {
+          case Some(b) => math.max(1L, math.min(maxT.toLong,
+            (b + perTask - 1) / perTask)).toInt
+          case None => maxT
+        }
+        // explicit numPartitions keeps AQE from coalescing the exchange
+        // back down to one partition
+        if (parts >= target) df else df.repartition(target)
+      case None => df
     }
   }
 
-  /** Planned split count of a narrow scan subtree, or None when the plan
-    * brings its own exchange (then spreading is a no-op by design). */
-  private def plannedSplits(plan: LogicalPlan, spark: SparkSession): Option[Long] =
+  /** Planned (split count, total source bytes when knowable) of a narrow
+    * scan subtree, or None when the plan brings its own exchange (then
+    * spreading is a no-op by design). */
+  private def plannedSplits(plan: LogicalPlan,
+                            spark: SparkSession): Option[(Long, Option[Long])] =
     plan match {
       case p: Project       => plannedSplits(p.child, spark)
       case f: Filter        => plannedSplits(f.child, spark)
@@ -74,30 +95,39 @@ object Parallelism {
       case v: View          => plannedSplits(v.child, spark)
       case u: Union =>
         val cs = u.children.map(plannedSplits(_, spark))
-        if (cs.forall(_.isDefined)) Some(cs.flatten.sum) else None
+        if (cs.forall(_.isDefined)) {
+          val got = cs.flatten
+          val bytes = if (got.forall(_._2.isDefined)) Some(got.flatMap(_._2).sum)
+                      else None
+          Some((got.map(_._1).sum, bytes))
+        } else None
       case r: LogicalRelation =>
         r.relation match {
-          case fs: HadoopFsRelation => Some(fileSplits(fs, spark))
-          case _                    => None
+          case fs: HadoopFsRelation =>
+            Some((fileSplits(fs, spark), Some(fs.location.sizeInBytes)))
+          case _ => None
         }
       case r: Range =>
-        Some(r.numSlices.getOrElse(spark.sparkContext.defaultParallelism).toLong)
+        Some((r.numSlices.getOrElse(spark.sparkContext.defaultParallelism).toLong,
+          None))
       case r: Repartition =>
-        // round-robin repartition: exact; coalesce: min(child, n) — or n
+        // round-robin repartition: exact; coalesce: min(child, n) -- or n
         // alone as an upper bound when the child is opaque (an upper bound
         // below target still proves under-split; above it we conservatively
         // leave the plan alone)
         val c = plannedSplits(r.child, spark)
-        if (r.shuffle) Some(r.numPartitions.toLong)
-        else Some(c.map(math.min(_, r.numPartitions.toLong))
-          .getOrElse(r.numPartitions.toLong))
-      case l: LogicalRDD   => Some(l.rdd.getNumPartitions.toLong)
+        val parts =
+          if (r.shuffle) r.numPartitions.toLong
+          else c.map(v => math.min(v._1, r.numPartitions.toLong))
+            .getOrElse(r.numPartitions.toLong)
+        Some((parts, c.flatMap(_._2)))
+      case l: LogicalRDD   => Some((l.rdd.getNumPartitions.toLong, None))
       case l: LocalRelation =>
         // LocalTableScanExec parallelizes rows over min(#rows, default
-        // parallelism) slices — replicate so tiny literal tables never
+        // parallelism) slices -- replicate so tiny literal tables never
         // trigger a pointless exchange
-        Some(math.min(math.max(l.data.length, 1),
-          spark.sparkContext.defaultParallelism).toLong)
+        Some((math.min(math.max(l.data.length, 1),
+          spark.sparkContext.defaultParallelism).toLong, None))
       case _ => None
     }
 

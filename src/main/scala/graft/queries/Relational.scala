@@ -663,7 +663,11 @@ object Relational {
     val u = conv(substring(md5(concat_ws("|",
       lit(42), col("l_orderkey"), col("l_linenumber"))), 1, 8), 16, 10)
       .cast("long")
-    t.lineitem.filter(u < lit(42949672L)) // ⌊0.01 · 2³²⌋
+    // spread evaluated and REVERTED (r17 A/B at 32 cores: ON med 0.74 vs
+    // OFF 0.71 — the exchange of 600k key rows costs what the distributed
+    // md5 saves); the row-hash pass is the price of the replayable oracle
+    t.lineitem.select(col("l_orderkey"), col("l_linenumber"))
+      .filter(u < lit(42949672L)) // ⌊0.01 · 2³²⌋
       .agg(count(lit(1)).as("n_sampled"))
   }
   val sampleBernoulliSql: String = """
