@@ -29,6 +29,12 @@ object Retrieval {
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // spread evaluated AGAIN with the r17 sized fan-out and REVERTED again
+    // (A/B: 32-core med 1.21 vs 1.19, 8-core 1.37 vs 1.23 — ON loses):
+    // unlike the md5-heavy paths, the exchange here must carry the raw
+    // TEXT column, which costs more than distributing the tokenize saves;
+    // the un-spread plan ships only tf pairs (guide §2.3, shuffle fewer
+    // bytes).
     val toks = docs.select(col("doc_id"),
       explode(TextAnalysis.tokens(col("text"))).as("w"))
     val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))

@@ -38,6 +38,9 @@ object TextIndex {
   def build(corpus: DataFrame, dir: String, nBuckets: Int = 64): Long = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // spread evaluated AGAIN with the r17 sized fan-out and REVERTED again
+    // (see Retrieval.bm25TopK — the exchange would carry the raw text
+    // column, costing more than the distributed tokenize saves)
     val toks = corpus.select(col("doc_id"),
       explode(TextAnalysis.tokens(col("text"))).as("w"))
     val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))

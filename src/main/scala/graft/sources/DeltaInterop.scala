@@ -489,7 +489,13 @@ object DeltaInterop {
         Files.list(Paths.get(dstDir)).iterator.asScala.isEmpty,
       s"EXPORT LAKE target '$dstDir' is not empty")
 
-    val w = df.write.mode("errorifexists")
+    // hash write-distribution, same rationale as LakeExport.writeSnapshot:
+    // partition values write in parallel instead of sequentially from one
+    // source-split task
+    val src =
+      if (partitionBy.nonEmpty) df.repartition(partitionBy.map(col): _*)
+      else df
+    val w = src.write.mode("errorifexists")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(dstDir)
     // Spark leaves a _SUCCESS marker; harmless to delta readers, drop anyway
     Files.deleteIfExists(Paths.get(dstDir, "_SUCCESS"))

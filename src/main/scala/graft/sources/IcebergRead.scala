@@ -647,6 +647,22 @@ object IcebergRead {
     case _ => lit(v).cast(dt)
   }
 
+  /** [[partitionLit]]'s value mapping as an EXTERNAL row value (for the
+    * broadcast file→partition-values relation in [[scan]]) — same
+    * conversions, Row-encoded instead of literal-encoded. */
+  private def partitionExternal(dt: DataType, v: Any): Any = (dt, v) match {
+    case (_, null)          => null
+    case (DateType, i: Int) => java.time.LocalDate.ofEpochDay(i.toLong)
+    case (TimestampType, l: Long) =>
+      java.time.Instant.EPOCH.plus(l, java.time.temporal.ChronoUnit.MICROS)
+    case (d: DecimalType, b: java.nio.ByteBuffer) =>
+      val bytes = new Array[Byte](b.remaining()); b.duplicate().get(bytes)
+      new java.math.BigDecimal(new java.math.BigInteger(bytes), d.scale)
+    case (LongType, i: Int)    => i.toLong
+    case (DoubleType, f: Float) => f.toDouble
+    case _ => v
+  }
+
   /** Resolve a named branch/tag to its snapshot id. */
   def refSnapshot(meta: TableMeta, ref: String): Long =
     meta.refs.getOrElse(ref, throw new IllegalArgumentException(
@@ -697,20 +713,41 @@ object IcebergRead {
       regexp_replace(c, "^(file:)?/+", "/")
     def normStr(p: String): String = p.replaceFirst("^(file:)?/+", "/")
 
-    val grouped = live.groupBy(f => missing.map(m => f.partition.getOrElse(m.name, null)))
-    val parts = grouped.toSeq.map { case (vals, fs) =>
-      val df0 = spark.read.schema(physicalSchema)
-        .parquet(fs.map(f => resolvePath(dir, f.path)): _*)
-      val df1 =
-        if (!needMeta) df0
-        else df0.select((df0.columns.map(col) :+
-          normPath(col("_metadata.file_path")).as("__ice_fp") :+
-          col("_metadata.row_index").as("__ice_pos")).toIndexedSeq: _*)
-      missing.zip(vals).foldLeft(df1) { case (df, (field, v)) =>
-        df.withColumn(field.name, partitionLit(field.dataType, v))
+    // ONE relation over every live file. The previous shape built one
+    // spark.read.parquet relation PER identity-partition group and
+    // union'd them so each group could carry its partition literals —
+    // G relations' worth of driver-side analysis/listing per read (~0.8 s
+    // of driver gap on a 25-partition export at bench scale, unbounded as
+    // partitions grow). The missing identity-partition columns instead
+    // attach through ONE broadcast (file -> partition values) join —
+    // manifest-sized by construction (guide §3.1/§5).
+    val df0 = spark.read.schema(physicalSchema)
+      .parquet(live.map(f => resolvePath(dir, f.path)): _*)
+    val needFp = needMeta || missing.nonEmpty
+    val withMeta =
+      if (!needFp) df0
+      else df0.select((df0.columns.map(col) :+
+        normPath(col("_metadata.file_path")).as("__ice_fp") :+
+        col("_metadata.row_index").as("__ice_pos")).toIndexedSeq: _*)
+    val all =
+      if (missing.isEmpty) withMeta
+      else {
+        import scala.jdk.CollectionConverters._
+        val mapSchema = StructType(
+          StructField("__ice_fp", org.apache.spark.sql.types.StringType,
+            nullable = false) +:
+            missing.map(f => StructField(s"__ice_pv_${f.name}", f.dataType)))
+        val mapRows = live.map { f =>
+          org.apache.spark.sql.Row.fromSeq(normStr(resolvePath(dir, f.path)) +:
+            missing.map(m =>
+              partitionExternal(m.dataType, f.partition.getOrElse(m.name, null))))
+        }
+        val mapDf = broadcast(spark.createDataFrame(mapRows.asJava, mapSchema))
+        val joined = withMeta.join(mapDf, Seq("__ice_fp"), "left")
+        missing.foldLeft(joined) { case (df, m) =>
+          df.withColumn(m.name, col(s"__ice_pv_${m.name}"))
+        }.drop(missing.map(m => s"__ice_pv_${m.name}"): _*)
       }
-    }
-    val all = parts.reduce(_ unionByName _)
     val afterPos =
       if (posDels.isEmpty) all
       else {

@@ -275,7 +275,16 @@ object LakeExport {
                             dstDir: String, dataDir: String, v: Long,
                             sequenceNumber: Long,
                             partitionBy: Seq[String]): SnapshotArtifacts = {
-    val w = df.write.mode("errorifexists")
+    // hash write-distribution (guide §6 / Iceberg write.distribution-mode
+    // =hash): cluster rows by partition tuple so each value is written by
+    // ITS OWN task in parallel — an unrepartitioned partitionBy write from
+    // a single-split source wrote every partition's file sequentially in
+    // one task (0.65 s of the iceberg_read bench body). One file per
+    // partition value either way.
+    val src =
+      if (partitionBy.nonEmpty) df.repartition(partitionBy.map(col): _*)
+      else df
+    val w = src.write.mode("errorifexists")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(dataDir)
 
     // Re-read what was written (hive partitioning moves partition columns
