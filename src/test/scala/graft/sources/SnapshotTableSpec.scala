@@ -197,6 +197,35 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.scanRange("score", 40, 60).count() == 1)
   }
 
+  test("footer-exact commit stats equal the read-back job's, floats fall back") {
+    // r17: commits whose requested stats are all integral/boolean take
+    // min/max + row counts from the parquet footers (no Spark job); a
+    // float/double stats column forces the distributed read-back job.
+    // Both paths must record IDENTICAL manifest strings for shared data.
+    val data = Seq[(java.lang.Long, java.lang.Double)](
+      (-5L, 1.5), (100L, -2.25), (null, 3.5), (7L, null))
+    val df = data.toDF("k", "x").coalesce(1)
+    val tInt = SnapshotTable.forPath(spark, fresh("lake_fstats_int"))
+    tInt.appendWithStats(df, Seq("k")) // integral only → footer path
+    val tMix = SnapshotTable.forPath(spark, fresh("lake_fstats_mix"))
+    tMix.appendWithStats(df, Seq("k", "x")) // double present → read-back job
+    def statOf(t: SnapshotTable, c: String): Seq[(String, String)] =
+      t.snapshotWithStats()._1.flatMap(_._2.get(c))
+    assert(statOf(tInt, "k") == Seq(("-5", "100")),
+      s"footer-path long stats: ${statOf(tInt, "k")}")
+    assert(statOf(tInt, "k") == statOf(tMix, "k"),
+      "footer stats must equal the read-back job's for the same data")
+    assert(statOf(tMix, "x") == Seq(("-2.25", "3.5")))
+    assert(tInt.manifestRowCount.contains(4L) && tMix.manifestRowCount.contains(4L))
+    // all-null integral column records ("null","null"), exactly like the job
+    val tN = SnapshotTable.forPath(spark, fresh("lake_fstats_null"))
+    tN.appendWithStats(Seq[java.lang.Long](null, null).toDF("k").coalesce(1), Seq("k"))
+    assert(statOf(tN, "k") == Seq(("null", "null")))
+    assert(tN.manifestRowCount.contains(2L))
+    // pruning serves off the footer-derived stats
+    assert(tInt.scanRange("k", 0, 50).count() == 1)
+  }
+
   test("column rename is id-stable: old files serve values under the new name") {
     val dir = fresh("lake_rename")
     val t = SnapshotTable.create(spark, dir, Seq((1L, "alpha"), (2L, "beta")).toDF("id", "v"))
